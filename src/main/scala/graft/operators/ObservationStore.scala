@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Model
+import graft.functions.Net
+
+/** The balboa storage/aggregation/query surface, Spark-first.
+  *
+  * The reference keeps ONE aggregated fact table in TWO sort orders
+  * (forward key `o␟rrname␟sensor␟rrtype␟rdata`, inverted key
+  * `i␟rdata␟sensor␟rrname␟rrtype` — `rocksdb-impl.c:772-800`) and answers
+  * every query by a prefix seek on one of them plus residual equality
+  * filters and a limit (`rocksdb-impl.c:259-620`).
+  *
+  * Spark mapping (SURVEY.md §1.4/§4): the aggregate is a plain
+  * `groupBy(k4).agg(sum,min,max)` — Spark's partial+final HashAggregate IS
+  * the RocksDB merge operator (associative/commutative, map-side combine,
+  * no read-modify-write). The two sort orders become two range-partitioned,
+  * sorted Parquet copies; Parquet row-group min/max stats on the leading
+  * sort column give the "seek" (partition + row-group pruning), Catalyst
+  * pushes the residual filters into the scan, and `limit` is
+  * `LocalLimit`/`CollectLimit`. At 100 TB: both copies are written with
+  * range partitioning on their leading key, so a point query prunes to a
+  * single partition/row-group instead of scanning; the aggregation itself
+  * shuffles once on the 4-key (map-side partial agg first), which is the
+  * minimum possible.
+  */
+object ObservationStore {
+
+  /** A1 — the core merge aggregation. Input columns: Model.Key + count + ts
+    * (or timestamp_start/timestamp_end). Works identically for batch and
+    * (in update/complete mode) streaming inputs — sum/min/max are
+    * order-insensitive, so late data needs no watermark (SURVEY §2.5).
+    */
+  def aggregate(input: DataFrame): DataFrame = {
+    val (startCol, endCol) =
+      if (input.columns.contains("ts")) (col("ts"), col("ts"))
+      else (col("timestamp_start"), col("timestamp_end"))
+    input
+      .groupBy(Model.Key.map(col): _*)
+      .agg(
+        sum("count").cast("long").as("count"),
+        min(startCol).as("first_seen"),
+        max(endCol).as("last_seen")
+      )
+  }
+
+  /** A3 — write the aggregate in both sort orders. Range partitioning on the
+    * leading key + sortWithinPartitions makes every Parquet row-group's
+    * min/max stats selective for point lookups (the balboa "seek").
+    */
+  def writeDual(agg: DataFrame, path: String, numPartitions: Int = 32): Unit = {
+    agg
+      .repartitionByRange(numPartitions, col("rrname"))
+      .sortWithinPartitions("rrname", "sensor_id", "rrtype", "rdata")
+      .write.mode("overwrite").parquet(s"$path/by_rrname")
+    agg
+      .repartitionByRange(numPartitions, col("rdata"))
+      .sortWithinPartitions("rdata", "sensor_id", "rrname", "rrtype")
+      .write.mode("overwrite").parquet(s"$path/by_rdata")
+  }
+
+  def load(spark: SparkSession, path: String): ObservationStore =
+    new ObservationStore(
+      spark.read.parquet(s"$path/by_rrname"),
+      spark.read.parquet(s"$path/by_rdata")
+    )
+
+  /** In-memory store over an already-aggregated DataFrame (both "copies"
+    * share the plan; Catalyst pushes key filters below the aggregate).
+    */
+  def inMemory(agg: DataFrame): ObservationStore = new ObservationStore(agg, agg)
+}
+
+/** Query surface over the two sorted copies (Q1–Q9 in SURVEY.md §2.4). */
+final class ObservationStore(byRrname: DataFrame, byRdata: DataFrame) {
+
+  /** Q1/Q2/Q3/Q4/Q8 — `entries`: conjunctive equality filters, access-path
+    * selection (rrname present → forward copy, else inverted copy —
+    * `rocksdb-impl.c:622-630`), result capped at `limit`.
+    * Requires at least one of rrname/rdata (`query_graphql.go:242-246`).
+    */
+  def entries(
+      rrname: Option[String] = None,
+      rdata: Option[String] = None,
+      rrtype: Option[String] = None,
+      sensorId: Option[String] = None,
+      limit: Int = 1000
+  ): DataFrame = {
+    require(rrname.isDefined || rdata.isDefined,
+      "one of rrname or rdata must be given")
+    val base = if (rrname.isDefined) byRrname else byRdata
+    val conds: Seq[Column] =
+      rrname.map(col("rrname") === _).toSeq ++
+        rdata.map(col("rdata") === _) ++
+        rrtype.map(col("rrtype") === _) ++
+        sensorId.map(col("sensor_id") === _)
+    base.filter(conds.reduce(_ && _)).limit(limit)
+  }
+
+  /** Q6 — `aliases` virtual self-join: for each (A/AAAA) entry, other names
+    * that resolved to the same rdata on the same sensor
+    * (`query_graphql.go:380-398`), capped per entry. The per-entry limit is
+    * a ranking window, not a global limit.
+    */
+  def aliases(entriesDf: DataFrame, perEntryLimit: Int = 1000,
+              aliasableTypes: Seq[String] = Seq("A", "AAAA")): DataFrame = {
+    val e = entriesDf
+      .filter(col("rrtype").isin(aliasableTypes: _*))
+      .select(col("rrname").as("e_rrname"), col("sensor_id").as("e_sensor_id"),
+        col("rdata").as("e_rdata"))
+    val t = byRdata
+    val joined = e.join(t,
+      t("rdata") === e("e_rdata") && t("sensor_id") === e("e_sensor_id") &&
+        t("rrname") =!= e("e_rrname"))
+    val w = Window
+      .partitionBy(col("e_rrname"), col("e_sensor_id"), col("e_rdata"))
+      .orderBy(col("rrname"), col("rrtype"))
+    joined
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perEntryLimit)
+      .drop("rn")
+  }
+
+  /** Q7 — REST/CIRCL semantics: subject tried as rrname, then as rdata, the
+    * two result sets concatenated (bag semantics, duplicates kept —
+    * `query_rest.go:58-70`).
+    */
+  def restQuery(subject: String, limit: Int = 1000): DataFrame =
+    entries(rrname = Some(subject), limit = limit)
+      .unionAll(entries(rdata = Some(subject), limit = limit))
+
+  /** Q5 — multi-backend fan-out: union of per-store results, duplicates
+    * kept, limit applied per store before the union (`db_remote.go:133-202`,
+    * `README.md:291-293`).
+    */
+  def fanOut(stores: Seq[ObservationStore],
+             rrname: Option[String], rdata: Option[String],
+             limit: Int = 1000): DataFrame =
+    stores.map(_.entries(rrname, rdata, limit = limit)).reduce(_ unionAll _)
+
+  /** Q9 done server-side: the reference expands a CIDR client-side into one
+    * point query per address (`cmds/query.go:32-57`); on Spark a numeric
+    * range predicate on the parsed address does the same work in one scan
+    * with row-group pruning — no expansion.
+    */
+  def cidrQuery(cidr: String, limit: Int = 1000): DataFrame = {
+    val (lo, hi) = Net.cidrBounds(cidr)
+    byRdata
+      .filter(Net.ip_to_long(col("rdata")).between(lo, hi))
+      .limit(limit)
+  }
+
+  /** A9/Q11 — total entry count. */
+  def totalCount(): Long = byRrname.count()
+
+  def forward: DataFrame = byRrname
+  def inverted: DataFrame = byRdata
+}
