@@ -1,18 +1,17 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
-import graft.functions.Net
-import graft.operators.ObservationStore
+import graft.queries.{BalboaQueries, DecoderQueries, SelectorQueries}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
   * implemented operator from SURVEY.md §2.
   *
   * The balboa operator surface is exercised against a passive-DNS-shaped
   * observation stream derived deterministically from `lineitem`
-  * ([[Graft.observations]]); the oracle SQL reconstructs the same mapping in
-  * a CTE so DuckDB computes on the identical parquet bytes.
+  * ([[Graft.observations]]); the oracle SQL reconstructs the same mapping
+  * in a CTE so DuckDB computes on the identical parquet bytes. Decoder
+  * queries round-trip generated wire payloads through the real decoders.
   *
   * Determinism rules (the driver hash-compares sorted values):
   *  - timestamps are emitted as unix-microsecond BIGINTs (`unix_micros` /
@@ -26,161 +25,16 @@ import graft.operators.ObservationStore
   */
 object SparkEntry {
 
-  /** DuckDB-side equivalent of [[Graft.observations]]. */
-  private val obsCte: String =
-    """WITH obs AS (
-      |  SELECT 'part-' || CAST(l_partkey AS VARCHAR) AS rrname,
-      |         CAST(l_suppkey % 10 AS VARCHAR)       AS sensor_id,
-      |         l_returnflag                          AS rrtype,
-      |         CAST(l_orderkey AS VARCHAR)           AS rdata,
-      |         CAST(1 AS BIGINT)                     AS "count",
-      |         l_shipdate                            AS ts
-      |  FROM lineitem),
-      |agg AS (
-      |  SELECT rrname, sensor_id, rrtype, rdata,
-      |         CAST(SUM("count") AS BIGINT) AS "count",
-      |         epoch_us(MIN(ts)) AS first_seen,
-      |         epoch_us(MAX(ts)) AS last_seen
-      |  FROM obs GROUP BY 1, 2, 3, 4)
-      |""".stripMargin
-
-  /** unix-micros of a (possibly NTZ) timestamp column; session tz is UTC so
-    * the NTZ→LTZ cast is value-preserving and matches DuckDB `epoch_us`. */
-  private def micros(c: org.apache.spark.sql.Column) =
-    unix_micros(c.cast("timestamp_ltz"))
-
-  /** Spark-side aggregate with unix-micros timestamps (parity with
-    * `agg` in [[obsCte]]). */
-  private def aggMicros(s: SparkSession, dir: String): DataFrame =
-    ObservationStore.aggregate(Graft.observations(s, dir))
-      .withColumn("first_seen", micros(col("first_seen")))
-      .withColumn("last_seen", micros(col("last_seen")))
-
-  private def store(s: SparkSession, dir: String): ObservationStore =
-    ObservationStore.inMemory(aggMicros(s, dir))
-
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("entries_rrname")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // A1 — the core merge aggregation (count=Σ, first_seen=min, last_seen=max).
-    "store_agg" -> ((s, dir) => aggMicros(s, dir)),
-
-    // Q1/Q2/Q3 — forward access path: rrname point lookup + limit.
-    "entries_rrname" -> ((s, dir) =>
-      store(s, dir).entries(rrname = Some("part-42"))),
-
-    // Q2/Q4 — inverted access path: rdata point lookup.
-    "entries_rdata" -> ((s, dir) =>
-      store(s, dir).entries(rdata = Some("7"))),
-
-    // Q3 residual equality filters (sensor_id + rrtype on top of rrname).
-    "entries_residual" -> ((s, dir) =>
-      store(s, dir).entries(rrname = Some("part-42"),
-        rrtype = Some("A"), sensorId = Some("3"))),
-
-    // Q7 — REST/CIRCL semantics: subject as rrname ∪ subject as rdata.
-    "rest_union" -> ((s, dir) => store(s, dir).restQuery("part-42")),
-
-    // Q6 — aliases virtual self-join with per-entry ranking limit.
-    "aliases" -> ((s, dir) => {
-      val st = store(s, dir)
-      st.aliases(st.entries(rrname = Some("part-42")), perEntryLimit = 2)
-        .select(col("e_rrname"), col("e_rdata").as("rdata"),
-          col("e_sensor_id").as("sensor_id"),
-          col("rrname").as("alias_rrname"), col("rrtype").as("alias_rrtype"))
-    }),
-
-    // Q9 — server-side CIDR range query over IP-shaped rdata (ip_to_long
-    // native expression + numeric BETWEEN instead of client-side expansion).
-    "cidr_range" -> ((s, dir) => {
-      val ipObs = Graft.ipObservations(s, dir)
-      val agg = ObservationStore.aggregate(ipObs)
-        .withColumn("first_seen", micros(col("first_seen")))
-        .withColumn("last_seen", micros(col("last_seen")))
-      val (lo, hi) = Net.cidrBounds("10.0.4.0/22")
-      agg.filter(Net.ip_to_long(col("rdata")).between(lo, hi))
-    }),
-
-    // A9/Q11 — stats: total distinct-key count of the store.
-    "total_count" -> ((s, dir) =>
-      aggMicros(s, dir).agg(count(lit(1)).as("total_count"))),
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    BalboaQueries.queries ++ DecoderQueries.queries ++ SelectorQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "store_agg" ->
-      s"""$obsCte SELECT * FROM agg""",
-
-    "entries_rrname" ->
-      s"""$obsCte SELECT * FROM agg WHERE rrname = 'part-42'""",
-
-    "entries_rdata" ->
-      s"""$obsCte SELECT * FROM agg WHERE rdata = '7'""",
-
-    "entries_residual" ->
-      s"""$obsCte SELECT * FROM agg
-         | WHERE rrname = 'part-42' AND rrtype = 'A' AND sensor_id = '3'
-         |""".stripMargin,
-
-    "rest_union" ->
-      s"""$obsCte
-         |SELECT * FROM agg WHERE rrname = 'part-42'
-         |UNION ALL
-         |SELECT * FROM agg WHERE rdata = 'part-42'
-         |""".stripMargin,
-
-    "aliases" ->
-      s"""$obsCte,
-         |e AS (SELECT rrname AS e_rrname, sensor_id AS e_sensor_id,
-         |             rdata AS e_rdata
-         |      FROM agg WHERE rrname = 'part-42' AND rrtype = 'A'),
-         |j AS (SELECT e.e_rrname, e.e_rdata AS rdata,
-         |             e.e_sensor_id AS sensor_id,
-         |             t.rrname AS alias_rrname, t.rrtype AS alias_rrtype,
-         |             ROW_NUMBER() OVER (
-         |               PARTITION BY e.e_rrname, e.e_sensor_id, e.e_rdata
-         |               ORDER BY t.rrname, t.rrtype) AS rn
-         |      FROM e JOIN agg t
-         |        ON t.rdata = e.e_rdata AND t.sensor_id = e.e_sensor_id
-         |       AND t.rrname <> e.e_rrname)
-         |SELECT e_rrname, rdata, sensor_id, alias_rrname, alias_rrtype
-         |FROM j WHERE rn <= 2
-         |""".stripMargin,
-
-    "cidr_range" ->
-      """WITH obs AS (
-        |  SELECT 'part-' || CAST(l_partkey AS VARCHAR) AS rrname,
-        |         CAST(l_suppkey % 10 AS VARCHAR)       AS sensor_id,
-        |         l_returnflag                          AS rrtype,
-        |         '10.' || CAST((l_orderkey // 65536) % 256 AS VARCHAR) ||
-        |         '.'   || CAST((l_orderkey // 256)   % 256 AS VARCHAR) ||
-        |         '.'   || CAST(l_orderkey % 256          AS VARCHAR) AS rdata,
-        |         CAST(1 AS BIGINT) AS "count",
-        |         l_shipdate        AS ts
-        |  FROM lineitem),
-        |agg AS (
-        |  SELECT rrname, sensor_id, rrtype, rdata,
-        |         CAST(SUM("count") AS BIGINT) AS "count",
-        |         epoch_us(MIN(ts)) AS first_seen,
-        |         epoch_us(MAX(ts)) AS last_seen
-        |  FROM obs GROUP BY 1, 2, 3, 4),
-        |parsed AS (
-        |  SELECT *,
-        |         CAST(string_split(rdata, '.')[1] AS BIGINT) * 16777216 +
-        |         CAST(string_split(rdata, '.')[2] AS BIGINT) * 65536 +
-        |         CAST(string_split(rdata, '.')[3] AS BIGINT) * 256 +
-        |         CAST(string_split(rdata, '.')[4] AS BIGINT) AS ip_num
-        |  FROM agg)
-        |SELECT rrname, sensor_id, rrtype, rdata, "count", first_seen, last_seen
-        |FROM parsed
-        |WHERE ip_num BETWEEN 167773184 AND 167774207
-        |""".stripMargin,
-
-    "total_count" ->
-      s"""$obsCte SELECT CAST(COUNT(*) AS BIGINT) AS total_count FROM agg""",
-  )
+  def oracleSql: Map[String, String] =
+    BalboaQueries.oracleSql ++ DecoderQueries.oracleSql ++ SelectorQueries.oracleSql
 }

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Selector / routing dataflow T1–T5 (SURVEY.md §2.2).
+  *
+  * Reference semantics (`selector/selector_engine.go`): selectors with an
+  * empty `ingest` list run on every observation first; tag-triggered
+  * selectors run when the observation carries one of their ingest tags;
+  * each selector is applied at most once per observation; the engine loops
+  * to a fixed point.
+  *
+  * Spark mapping: each selector is a conditional `array_union` on the
+  * `tags` column. Tagging is idempotent and monotone (tags are only ever
+  * added), so the reference's per-row visited-set + fixed-point loop
+  * collapses to at most `#selectors` unrolled passes of `withColumn` steps
+  * — a pure projection chain, no shuffle, fully codegen'd, which is why it
+  * scales to 100 TB ingest: cost is O(rows × selectors) map work.
+  */
+object Selectors {
+
+  /** T1/T2 — a tagging rule. `mode=filter` inverts the match (tag is set
+    * when NO pattern matches — `selector_regex.go:93-107`). `ingests`
+    * empty ⇒ runs unconditionally (engine's `""` bucket). */
+  sealed trait Selector {
+    def tags: Seq[String]
+    def ingests: Seq[String]
+    /** Row-level predicate: does this selector's rule match? */
+    def condition(df: DataFrame): Column
+  }
+
+  final case class RegexSelector(
+      patterns: Seq[String],
+      tags: Seq[String],
+      ingests: Seq[String] = Seq.empty,
+      filterMode: Boolean = false,
+      column: String = "rrname"
+  ) extends Selector {
+    def condition(df: DataFrame): Column = {
+      // One alternation keeps the whole selector a single codegen'd rlike.
+      // (rlike = unanchored contains-match, same as Go regexp.Match.)
+      val matched = col(column).rlike(patterns.mkString("(?:", ")|(?:", ")"))
+      if (filterMode) !matched else matched
+    }
+  }
+
+  /** T3 — the Lua escape hatch, Spark-first: an arbitrary user-supplied
+    * predicate over the observation columns (a `Column`, so it stays in
+    * codegen; users needing imperative logic can pass a UDF column). */
+  final case class HookSelector(
+      predicate: DataFrame => Column,
+      tags: Seq[String],
+      ingests: Seq[String] = Seq.empty
+  ) extends Selector {
+    def condition(df: DataFrame): Column = predicate(df)
+  }
+
+  private def ensureTags(df: DataFrame): DataFrame =
+    if (df.columns.contains("tags")) df
+    else df.withColumn("tags", array().cast("array<string>"))
+
+  private def applyOne(df: DataFrame, s: Selector): DataFrame = {
+    val triggered =
+      if (s.ingests.isEmpty) lit(true)
+      else arrays_overlap(col("tags"), lit(s.ingests.toArray))
+    df.withColumn("tags",
+      when(triggered && s.condition(df),
+        array_union(col("tags"), lit(s.tags.toArray)))
+        .otherwise(col("tags")))
+  }
+
+  /** T4 — run the selector engine to its fixed point. Untagged selectors
+    * first (one pass), then the tag-triggered set unrolled `n` times —
+    * tagging is monotone, so n = #triggered selectors reaches the fixed
+    * point the reference's while-loop reaches. */
+  def engine(input: DataFrame, selectors: Seq[Selector]): DataFrame = {
+    val (always, triggered) = selectors.partition(_.ingests.isEmpty)
+    val afterAlways = always.foldLeft(ensureTags(input))(applyOne)
+    (1 to math.max(triggered.size, 1)).foldLeft(afterAlways) { (df, _) =>
+      triggered.foldLeft(df)(applyOne)
+    }
+  }
+
+  /** T5 — tag-based sink routing: a sink with a tag receives observations
+    * carrying it; a tagless sink receives everything. Tags are stripped
+    * before the write (`db/db_remote.go:102-103`). */
+  def routeTo(df: DataFrame, sinkTag: Option[String]): DataFrame = {
+    val routed = sinkTag match {
+      case Some(t) => df.filter(array_contains(col("tags"), t))
+      case None    => df
+    }
+    routed.drop("tags")
+  }
+
+  /** Route one micro-batch to every sink (used from `foreachBatch` in the
+    * streaming path). `sinks` maps sink name → optional tag. */
+  def route(df: DataFrame, sinks: Map[String, Option[String]]): Map[String, DataFrame] =
+    sinks.map { case (name, tag) => name -> routeTo(df, tag) }
+}

@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+import graft.sources.Decoders
+import util._
+
+/** Decoder round-trip queries (SURVEY.md D1–D6): each query BUILDS wire
+  * payloads from `lineitem` (JSON / `||`-text), runs the real decoder on
+  * them, and emits the decoded observations; the oracle computes the
+  * expected rows directly from `lineitem`. A hash match therefore proves
+  * the decoder inverts the format exactly — schema, explode semantics, dot
+  * trimming, and timestamp parsing included. NMSG (binary protobuf) decodes
+  * a constant fixture against a constant-table oracle. */
+object DecoderQueries {
+
+  private def li(s: SparkSession, dir: String): DataFrame =
+    Graft.table(s, dir, "lineitem")
+
+  // Timestamp renderers matching each format's wire layout.
+  private def tsSuri(c: org.apache.spark.sql.Column) =
+    date_format(c.cast("timestamp_ltz"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSxx")
+  private def tsIso(c: org.apache.spark.sql.Column) =
+    date_format(c.cast("timestamp_ltz"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+  private def tsGo(c: org.apache.spark.sql.Column) =
+    concat(date_format(c.cast("timestamp_ltz"),
+      "yyyy-MM-dd HH:mm:ss.SSSSSS xx"), lit(" UTC"))
+  private def tsPb(c: org.apache.spark.sql.Column) =
+    date_format(c.cast("timestamp_ltz"), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // D1 — Suricata EVE v2 "grouped": one JSON per order, grouped map
+    // rrtype -> [rdata...]; decode explodes map + arrays.
+    "decode_suricata" -> ((s, dir) => {
+      val grouped = li(s, dir)
+        .groupBy(col("l_orderkey"), col("l_returnflag"))
+        .agg(collect_set(concat(lit("p"), col("l_partkey"))).as("rdatas"))
+      val perOrder = li(s, dir).groupBy(col("l_orderkey")).agg(max("l_shipdate").as("ots"))
+      val payloads = grouped
+        .join(perOrder, "l_orderkey")
+        .groupBy(col("l_orderkey"), col("ots"))
+        .agg(map_from_entries(collect_list(struct(col("l_returnflag"), col("rdatas"))))
+          .as("grouped"))
+        .select(
+          to_json(struct(
+            lit("dns").as("event_type"),
+            tsSuri(col("ots")).as("timestamp"),
+            struct(lit(2).as("version"), lit("answer").as("type"),
+              concat(lit("order-"), col("l_orderkey")).as("rrname"),
+              col("grouped").as("grouped")).as("dns"))).as("value"),
+          lit("suri").as("sensor_id"))
+      Decoders.suricata(payloads)
+        .select(col("rrname"), col("rrtype"), col("rdata"), col("sensor_id"),
+          col("count"), micros(col("timestamp_start")).as("ts"))
+    }),
+
+    // D2 — FEVER aggregate: nested dns{rrname -> {rdata:[entries]}} per
+    // part, with pre-aggregated counts and a window [min,max] shipdate.
+    "decode_fever" -> ((s, dir) => {
+      val entries = li(s, dir)
+        .groupBy(col("l_partkey"), col("l_orderkey"), col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("l_partkey"))
+        .agg(collect_list(struct(
+          concat(lit("o"), col("l_orderkey")).as("rdata"),
+          col("cnt").as("count"),
+          col("l_returnflag").as("rrtype"),
+          lit("answer").as("type"))).as("rdatas"))
+      val windows = li(s, dir).groupBy(col("l_partkey"))
+        .agg(min("l_shipdate").as("w_start"), max("l_shipdate").as("w_end"))
+      val payloads = entries.join(windows, "l_partkey")
+        .select(
+          to_json(struct(
+            map(concat(lit("part-"), col("l_partkey")),
+              struct(col("rdatas").as("rdata"))).as("dns"),
+            tsIso(col("w_start")).as("timestamp_start"),
+            tsIso(col("w_end")).as("timestamp_end"))).as("value"),
+          lit("fever").as("sensor_id"))
+      Decoders.fever(payloads)
+        .select(col("rrname"), col("rdata"), col("rrtype"), col("count"),
+          col("sensor_id"), micros(col("timestamp_start")).as("ts_start"),
+          micros(col("timestamp_end")).as("ts_end"))
+    }),
+
+    // D3 — gopassivedns: one JSON record per lineitem row.
+    "decode_gopassivedns" -> ((s, dir) => {
+      val payloads = li(s, dir).select(
+        to_json(struct(
+          concat(lit("part-"), col("l_partkey")).as("q"),
+          col("l_returnflag").as("qtype"),
+          concat(lit("o"), col("l_orderkey")).as("a"),
+          col("l_returnflag").as("atype"),
+          tsGo(col("l_shipdate")).as("tstamp"))).as("value"),
+        lit("gopdns").as("sensor_id"))
+      Decoders.gopassivedns(payloads)
+        .select(col("rrname"), col("rdata"), col("rrtype"), col("count"),
+          col("sensor_id"), micros(col("timestamp_start")).as("ts"))
+    }),
+
+    // D4 — Packetbeat: answers[] per order, names/data carry trailing dots
+    // that the decoder must trim.
+    "decode_packetbeat" -> ((s, dir) => {
+      val payloads = li(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(max("l_shipdate").as("ots"),
+          collect_list(struct(
+            concat(lit("part-"), col("l_partkey"), lit(".")).as("name"),
+            lit("IN").as("class"),
+            col("l_returnflag").as("type"),
+            concat(lit("o"), col("l_orderkey"), lit(".")).as("data"),
+            lit("60").as("ttl"))).as("answers"))
+        .select(
+          to_json(struct(
+            lit("dns").as("type"),
+            tsPb(col("ots")).as("@timestamp"),
+            struct(col("answers").as("answers")).as("dns"))).as("value"),
+          lit("pb").as("sensor_id"))
+      Decoders.packetbeat(payloads)
+        .select(col("rrname"), col("rdata"), col("rrtype"), col("count"),
+          col("sensor_id"), micros(col("timestamp_start")).as("ts"))
+    }),
+
+    // D5 — gamelinux ||-text: one line per lineitem row; the ".408856"
+    // fraction exercises the reference's nanosecond quirk (→ +408 µs).
+    "decode_gamelinux" -> ((s, dir) => {
+      val epochS = unix_seconds(date_trunc("second", col("l_shipdate")).cast("timestamp_ltz"))
+      val payloads = li(s, dir).select(
+        concat_ws("||",
+          concat(epochS, lit(".408856")),
+          lit("10.1.1.1"), lit("8.8.8.8"), lit("IN"),
+          concat(lit("part-"), col("l_partkey"), lit(".")),
+          col("l_returnflag"),
+          concat(lit("o"), col("l_orderkey"), lit(".")),
+          lit("60"),
+          col("l_linenumber").cast("string")).as("value"),
+        lit("gl").as("sensor_id"))
+      Decoders.gamelinux(payloads)
+        .select(col("rrname"), col("rdata"), col("rrtype"), col("count"),
+          col("sensor_id"), micros(col("timestamp_start")).as("ts"))
+    }),
+
+    // D6 — NMSG protobuf: constant fixtures decoded against a constant
+    // oracle (DuckDB cannot parse protobuf; the expected rows are literals).
+    "decode_nmsg" -> ((s, dir) => {
+      import s.implicits._
+      def varint(v: Long): Seq[Byte] = {
+        var x = v; val out = Seq.newBuilder[Byte]
+        while ((x & ~0x7fL) != 0) { out += ((x & 0x7f) | 0x80).toByte; x >>>= 7 }
+        out += x.toByte; out.result()
+      }
+      def blob(field: Int, b: Seq[Byte]): Seq[Byte] =
+        varint((field.toLong << 3) | 2) ++ varint(b.length.toLong) ++ b
+      def vint(field: Int, v: Long): Seq[Byte] = varint(field.toLong << 3) ++ varint(v)
+      def wire(labels: String*): Seq[Byte] =
+        labels.flatMap(l => Seq(l.length.toByte) ++ l.getBytes.toSeq) :+ 0.toByte
+      val records: Seq[Array[Byte]] = Seq(
+        // A record: rdata 4 bytes -> dotted quad
+        (vint(2, 1540000000L) ++ blob(3, wire("google", "com")) ++
+          vint(4, 1) ++ blob(7, Seq[Byte](1, 2, 3, 4))).toArray,
+        // CNAME: rdata in wire format -> domain decode
+        (vint(2, 1600000000L) ++ blob(3, wire("www", "example", "org")) ++
+          vint(4, 5) ++ blob(7, wire("cdn", "example", "net"))).toArray,
+        // unknown rrtype -> decimal string, raw rdata
+        (vint(2, 1700000000L) ++ blob(3, wire("foo", "bar")) ++
+          vint(4, 999) ++ blob(7, "hello".getBytes.toSeq)).toArray
+      )
+      val df = records.map((_, "nmsg")).toDF("value", "sensor_id")
+      Decoders.nmsg(df).select(col("rrname"), col("rrtype"), col("rdata"),
+        col("sensor_id"), col("count"), micros(col("timestamp_start")).as("ts"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "decode_suricata" ->
+      """WITH t AS (SELECT l_orderkey, MAX(l_shipdate) AS ots
+        |           FROM lineitem GROUP BY 1),
+        |d AS (SELECT DISTINCT l_orderkey, l_returnflag,
+        |             'p' || CAST(l_partkey AS VARCHAR) AS rdata
+        |      FROM lineitem)
+        |SELECT 'order-' || CAST(d.l_orderkey AS VARCHAR) AS rrname,
+        |       d.l_returnflag AS rrtype, d.rdata,
+        |       'suri' AS sensor_id, CAST(1 AS BIGINT) AS "count",
+        |       epoch_us(t.ots) AS ts
+        |FROM d JOIN t USING (l_orderkey)
+        |""".stripMargin,
+
+    "decode_fever" ->
+      """WITH e AS (SELECT l_partkey, l_orderkey, l_returnflag,
+        |                  CAST(COUNT(*) AS BIGINT) AS cnt
+        |           FROM lineitem GROUP BY 1, 2, 3),
+        |w AS (SELECT l_partkey, epoch_us(MIN(l_shipdate)) AS ts_start,
+        |             epoch_us(MAX(l_shipdate)) AS ts_end
+        |      FROM lineitem GROUP BY 1)
+        |SELECT 'part-' || CAST(e.l_partkey AS VARCHAR) AS rrname,
+        |       'o' || CAST(e.l_orderkey AS VARCHAR) AS rdata,
+        |       e.l_returnflag AS rrtype, e.cnt AS "count",
+        |       'fever' AS sensor_id, w.ts_start, w.ts_end
+        |FROM e JOIN w USING (l_partkey)
+        |""".stripMargin,
+
+    "decode_gopassivedns" ->
+      """SELECT 'part-' || CAST(l_partkey AS VARCHAR) AS rrname,
+        |       'o' || CAST(l_orderkey AS VARCHAR) AS rdata,
+        |       l_returnflag AS rrtype, CAST(1 AS BIGINT) AS "count",
+        |       'gopdns' AS sensor_id, epoch_us(l_shipdate) AS ts
+        |FROM lineitem
+        |""".stripMargin,
+
+    "decode_packetbeat" ->
+      """WITH t AS (SELECT l_orderkey, MAX(l_shipdate) AS ots
+        |           FROM lineitem GROUP BY 1)
+        |SELECT 'part-' || CAST(l.l_partkey AS VARCHAR) AS rrname,
+        |       'o' || CAST(l.l_orderkey AS VARCHAR) AS rdata,
+        |       l.l_returnflag AS rrtype, CAST(1 AS BIGINT) AS "count",
+        |       'pb' AS sensor_id, epoch_us(t.ots) AS ts
+        |FROM lineitem l JOIN t USING (l_orderkey)
+        |""".stripMargin,
+
+    "decode_gamelinux" ->
+      """SELECT 'part-' || CAST(l_partkey AS VARCHAR) AS rrname,
+        |       'o' || CAST(l_orderkey AS VARCHAR) AS rdata,
+        |       l_returnflag AS rrtype,
+        |       CAST(l_linenumber AS BIGINT) AS "count",
+        |       'gl' AS sensor_id,
+        |       epoch_us(date_trunc('second', l_shipdate)) + 408 AS ts
+        |FROM lineitem
+        |""".stripMargin,
+
+    "decode_nmsg" ->
+      """SELECT * FROM (VALUES
+        |  ('google.com', 'A', '1.2.3.4', 'nmsg', CAST(1 AS BIGINT),
+        |   CAST(1540000000 AS BIGINT) * 1000000),
+        |  ('www.example.org', 'CNAME', 'cdn.example.net', 'nmsg',
+        |   CAST(1 AS BIGINT), CAST(1600000000 AS BIGINT) * 1000000),
+        |  ('foo.bar', '999', 'hello', 'nmsg', CAST(1 AS BIGINT),
+        |   CAST(1700000000 AS BIGINT) * 1000000)
+        |) AS t(rrname, rrtype, rdata, sensor_id, "count", ts)
+        |""".stripMargin,
+  )
+}

@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Selectors
+import graft.operators.Selectors.RegexSelector
+import util._
+
+/** Selector-engine queries (SURVEY.md T1–T5): the reference's example stack
+  * shape — a filter-mode selector (tags on NON-match) chained into a
+  * select-mode selector triggered by the first tag — applied to the
+  * aggregated observation table, plus tag-based sink routing counts. */
+object SelectorQueries {
+
+  private val stack = Seq(
+    // filter mode: tag everything NOT ending in 0 or 5
+    RegexSelector(patterns = Seq("^part-.*[05]$"), tags = Seq("filtered"),
+      filterMode = true),
+    // chained: among the filtered, tag the part-1xxx names
+    RegexSelector(patterns = Seq("^part-1.*$"), tags = Seq("deep"),
+      ingests = Seq("filtered"))
+  )
+
+  private def tagged(s: SparkSession, dir: String): DataFrame =
+    Selectors.engine(aggMicros(s, dir), stack)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // T1/T2/T4 — engine to fixed point; tags rendered as a sorted CSV for
+    // a portable comparison (DuckDB has no canonical array hashing).
+    "selector_engine" -> ((s, dir) =>
+      tagged(s, dir).select(col("rrname"), col("sensor_id"), col("rrtype"),
+        col("rdata"), col("count"),
+        array_join(array_sort(col("tags")), ",").as("tag_list"))),
+
+    // T5 — tag-routed sinks: per-sink routed row counts (tagged sinks get
+    // their tag's rows, the tagless sink gets everything).
+    "tag_routing" -> ((s, dir) => {
+      val t = tagged(s, dir)
+      val routed = Selectors.route(t,
+        Map("sink_filtered" -> Some("filtered"), "sink_deep" -> Some("deep"),
+          "catchall" -> None))
+      routed.map { case (name, df) =>
+        df.agg(count(lit(1)).as("n")).select(lit(name).as("sink"), col("n"))
+      }.reduce(_ unionAll _)
+    }),
+  )
+
+  private val tagCase =
+    """CASE WHEN NOT regexp_matches(rrname, '^part-.*[05]$')
+      |     THEN CASE WHEN regexp_matches(rrname, '^part-1.*$')
+      |               THEN 'deep,filtered' ELSE 'filtered' END
+      |     ELSE '' END""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "selector_engine" ->
+      s"""$obsCte
+         |SELECT rrname, sensor_id, rrtype, rdata, "count",
+         |       $tagCase AS tag_list
+         |FROM agg
+         |""".stripMargin,
+
+    "tag_routing" ->
+      s"""$obsCte,
+         |tagged AS (SELECT rrname, $tagCase AS tag_list FROM agg)
+         |SELECT 'sink_filtered' AS sink, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM tagged WHERE tag_list LIKE '%filtered%'
+         |UNION ALL
+         |SELECT 'sink_deep', CAST(COUNT(*) AS BIGINT)
+         |  FROM tagged WHERE tag_list LIKE 'deep%'
+         |UNION ALL
+         |SELECT 'catchall', CAST(COUNT(*) AS BIGINT) FROM tagged
+         |""".stripMargin,
+  )
+}

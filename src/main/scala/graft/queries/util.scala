@@ -1,0 +1,43 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+import graft.operators.ObservationStore
+
+/** Shared helpers for the driver-facing query catalog. */
+object util {
+
+  /** unix-micros of a (possibly NTZ) timestamp column; session tz is UTC so
+    * the NTZ→LTZ cast is value-preserving and matches DuckDB `epoch_us`. */
+  def micros(c: Column): Column = unix_micros(c.cast("timestamp_ltz"))
+
+  /** DuckDB-side equivalent of [[Graft.observations]] + its aggregate. */
+  val obsCte: String =
+    """WITH obs AS (
+      |  SELECT 'part-' || CAST(l_partkey AS VARCHAR) AS rrname,
+      |         CAST(l_suppkey % 10 AS VARCHAR)       AS sensor_id,
+      |         l_returnflag                          AS rrtype,
+      |         CAST(l_orderkey AS VARCHAR)           AS rdata,
+      |         CAST(1 AS BIGINT)                     AS "count",
+      |         l_shipdate                            AS ts
+      |  FROM lineitem),
+      |agg AS (
+      |  SELECT rrname, sensor_id, rrtype, rdata,
+      |         CAST(SUM("count") AS BIGINT) AS "count",
+      |         epoch_us(MIN(ts)) AS first_seen,
+      |         epoch_us(MAX(ts)) AS last_seen
+      |  FROM obs GROUP BY 1, 2, 3, 4)
+      |""".stripMargin
+
+  /** Spark-side aggregate with unix-micros timestamps (parity with `agg`
+    * in [[obsCte]]). */
+  def aggMicros(s: SparkSession, dir: String): DataFrame =
+    ObservationStore.aggregate(Graft.observations(s, dir))
+      .withColumn("first_seen", micros(col("first_seen")))
+      .withColumn("last_seen", micros(col("last_seen")))
+
+  def store(s: SparkSession, dir: String): ObservationStore =
+    ObservationStore.inMemory(aggMicros(s, dir))
+}

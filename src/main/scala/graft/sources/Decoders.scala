@@ -1,0 +1,246 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{Dns, NmsgCodec}
+
+/** Source decoders D1–D6 (SURVEY.md §2.1) as pure `DataFrame => DataFrame`
+  * transforms.
+  *
+  * Input convention: a DataFrame with `value` (one event payload per row —
+  * String for the JSON/text formats, Array[Byte] for NMSG) and `sensor_id`
+  * (attached by the feeder: HTTP `X-Sensor-ID` header, AMQP `sensor_id`
+  * header, or `[unknown]` for sockets — `feeder/feeder_socket.go:57`).
+  * Output: the InputObservation schema of [[graft.model.Model.inputSchema]].
+  *
+  * Scale stance: every decoder is a narrow map/flatMap over the input scan
+  * (`from_json` + `explode` — whole-stage-codegen'd, no shuffle, no UDF on
+  * the JSON paths); only NMSG uses a UDF, because its payload is binary
+  * protobuf + DNS wire format. Malformed records decode to null and are
+  * filtered, mirroring the reference's warn-and-skip behavior.
+  */
+object Decoders {
+
+  private val empty_tags = array().cast(ArrayType(StringType))
+
+  private def out(
+      count: Column, rcode: Column, rdata: Column, rrtype: Column,
+      rrname: Column, ts: Column): Seq[Column] = Seq(
+    count.cast("long").as("count"),
+    rcode.cast("string").as("rcode"),
+    rdata.cast("string").as("rdata"),
+    rrtype.cast("string").as("rrtype"),
+    rrname.cast("string").as("rrname"),
+    col("sensor_id").cast("string").as("sensor_id"),
+    ts.as("timestamp_start"),
+    ts.as("timestamp_end"),
+    empty_tags.as("tags")
+  )
+
+  // ---------------------------------------------------------------- D1
+
+  val suricataSchema: DataType = StructType(Seq(
+    StructField("event_type", StringType),
+    StructField("timestamp", StringType),
+    StructField("dns", StructType(Seq(
+      StructField("type", StringType),
+      StructField("version", IntegerType),
+      StructField("rrtype", StringType),
+      StructField("rcode", StringType),
+      StructField("rrname", StringType),
+      StructField("ttl", IntegerType),
+      StructField("rdata", StringType),
+      StructField("answers", ArrayType(StructType(Seq(
+        StructField("rrname", StringType),
+        StructField("rrtype", StringType),
+        StructField("ttl", IntegerType),
+        StructField("rdata", StringType))))),
+      StructField("grouped", MapType(StringType, ArrayType(StringType)))
+    )))
+  ))
+
+  /** D1 — Suricata EVE DNS (`format/format_suricata.go:38-114`): v1 single
+    * answer; v2 `answers[]` (row per answer) or `grouped` map (row per
+    * (rrtype, rdata)). Only `event_type=dns` + `dns.type=answer` events
+    * with a parseable timestamp survive. */
+  def suricata(df: DataFrame): DataFrame = {
+    val parsed = df
+      .withColumn("j", from_json(col("value"), suricataSchema))
+      .withColumn("ts",
+        try_to_timestamp(col("j.timestamp"),
+          lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][.SSS]xx")))
+      .filter(col("j").isNotNull && col("j.event_type") === "dns" &&
+        col("j.dns.type") === "answer" && col("ts").isNotNull)
+
+    val v1 = parsed
+      .filter(coalesce(col("j.dns.version"), lit(1)) =!= 2)
+      .select(out(lit(1), col("j.dns.rcode"), col("j.dns.rdata"),
+        col("j.dns.rrtype"), col("j.dns.rrname"), col("ts")): _*)
+
+    val v2detailed = parsed
+      .filter(col("j.dns.version") === 2 && size(col("j.dns.answers")) > 0)
+      .select(col("sensor_id"), col("ts"), col("j.dns.rcode").as("rcode"),
+        explode(col("j.dns.answers")).as("a"))
+      .select(out(lit(1), col("rcode"), col("a.rdata"), col("a.rrtype"),
+        col("a.rrname"), col("ts")): _*)
+
+    val v2grouped = parsed
+      .filter(col("j.dns.version") === 2 &&
+        (col("j.dns.answers").isNull || size(col("j.dns.answers")) === 0))
+      .select(col("sensor_id"), col("ts"), col("j.dns.rcode").as("rcode"),
+        col("j.dns.rrname").as("g_rrname"),
+        explode(col("j.dns.grouped")).as(Seq("g_rrtype", "g_rdatas")))
+      .select(col("sensor_id"), col("ts"), col("rcode"), col("g_rrname"),
+        col("g_rrtype"), explode(col("g_rdatas")).as("g_rdata"))
+      .select(out(lit(1), col("rcode"), col("g_rdata"), col("g_rrtype"),
+        col("g_rrname"), col("ts")): _*)
+
+    v1.unionAll(v2detailed).unionAll(v2grouped)
+  }
+
+  // ---------------------------------------------------------------- D2
+
+  val feverSchema: DataType = StructType(Seq(
+    StructField("dns", MapType(StringType, StructType(Seq(
+      StructField("rdata", ArrayType(StructType(Seq(
+        StructField("answering_host", StringType),
+        StructField("count", LongType),
+        StructField("rcode", StringType),
+        StructField("rdata", StringType),
+        StructField("rrtype", StringType),
+        StructField("type", StringType))))))))),
+    StructField("timestamp_start", StringType),
+    StructField("timestamp_end", StringType)
+  ))
+
+  /** D2 — FEVER aggregate (`format/format_fever.go:34-71`): nested
+    * `dns{rrname → {rdata: [...]}}`, one row per (rrname, rdata entry),
+    * carrying the source-side pre-aggregated count and window timestamps. */
+  def fever(df: DataFrame): DataFrame =
+    df.withColumn("j", from_json(col("value"), feverSchema))
+      .filter(col("j").isNotNull)
+      .withColumn("ts_start", try_to_timestamp(col("j.timestamp_start"),
+        lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]XXX")))
+      .withColumn("ts_end", try_to_timestamp(col("j.timestamp_end"),
+        lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]XXX")))
+      .select(col("sensor_id"), col("ts_start"), col("ts_end"),
+        explode(col("j.dns")).as(Seq("f_rrname", "f_entry")))
+      .select(col("sensor_id"), col("ts_start"), col("ts_end"),
+        col("f_rrname"), explode(col("f_entry.rdata")).as("r"))
+      .select(
+        col("r.count").cast("long").as("count"),
+        col("r.rcode").cast("string").as("rcode"),
+        col("r.rdata").cast("string").as("rdata"),
+        col("r.rrtype").cast("string").as("rrtype"),
+        col("f_rrname").cast("string").as("rrname"),
+        col("sensor_id").cast("string").as("sensor_id"),
+        col("ts_start").as("timestamp_start"),
+        col("ts_end").as("timestamp_end"),
+        empty_tags.as("tags"))
+
+  // ---------------------------------------------------------------- D3
+
+  val gopassivednsSchema: DataType = StructType(Seq(
+    StructField("rcode", IntegerType),
+    StructField("q", StringType),
+    StructField("qtype", StringType),
+    StructField("a", StringType),
+    StructField("atype", StringType),
+    StructField("ttl", LongType),
+    StructField("tstamp", StringType)
+  ))
+
+  /** D3 — gopassivedns (`format/format_gopassivedns.go:40-66`): single
+    * record per line; `q`→rrname, `a`→rdata, `atype`→rrtype, count=1.
+    * Timestamp is Go's default `String()` layout
+    * (`2018-10-26 19:32:36.141184 +0000 UTC`) — the trailing zone
+    * abbreviation is dropped before parsing the numeric offset. */
+  def gopassivedns(df: DataFrame): DataFrame =
+    df.withColumn("j", from_json(col("value"), gopassivednsSchema))
+      .withColumn("ts", try_to_timestamp(
+        regexp_replace(col("j.tstamp"), " [A-Z]+$", ""),
+        lit("yyyy-MM-dd HH:mm:ss[.SSSSSS] xx")))
+      .filter(col("j").isNotNull && col("ts").isNotNull)
+      .select(out(lit(1), col("j.rcode"), col("j.a"), col("j.atype"),
+        col("j.q"), col("ts")): _*)
+
+  // ---------------------------------------------------------------- D4
+
+  val packetbeatSchema: DataType = StructType(Seq(
+    StructField("type", StringType),
+    StructField("@timestamp", StringType),
+    StructField("dns", StructType(Seq(
+      StructField("answers", ArrayType(StructType(Seq(
+        StructField("name", StringType),
+        StructField("class", StringType),
+        StructField("type", StringType),
+        StructField("data", StringType),
+        StructField("ttl", StringType))))))))
+  ))
+
+  /** D4 — Packetbeat via Logstash (`format/format_packetbeat.go:33-71`):
+    * `dns.answers[]`, one row per answer, trailing dots trimmed from both
+    * name and data, `type=dns` required. */
+  def packetbeat(df: DataFrame): DataFrame =
+    df.withColumn("j", from_json(col("value"), packetbeatSchema))
+      .withColumn("ts", try_to_timestamp(col("j.`@timestamp`"),
+        lit("yyyy-MM-dd'T'HH:mm:ss[.SSS]XXX")))
+      .filter(col("j").isNotNull && col("j.type") === "dns" &&
+        col("ts").isNotNull)
+      .select(col("sensor_id"), col("ts"), explode(col("j.dns.answers")).as("a"))
+      .select(out(lit(1), lit(null), rtrim(col("a.data"), "."),
+        col("a.type"), rtrim(col("a.name"), "."), col("ts")): _*)
+
+  // ---------------------------------------------------------------- D5
+
+  /** D5 — gamelinux/PassiveDNS tabular (`format/format_gamelinux.go:19-74`):
+    * `||`-separated 9 columns
+    * `ts||client||server||class||query||type||answer||ttl||count`; one
+    * observation per well-formed line, lines with ≠9 columns skipped.
+    * Timestamp parity quirk: the reference feeds the post-dot digits to
+    * `time.Unix(sec, nsec)` as NANOseconds, so `1322849924.408856` means
+    * 408856 ns (≈0.4 ms), not 0.408856 s — reproduced here. */
+  def gamelinux(df: DataFrame): DataFrame = {
+    val lines = df.select(col("sensor_id"),
+      explode(split(col("value"), "\n")).as("line"))
+    val c = split(col("line"), "\\|\\|")
+    lines
+      .withColumn("cols", c)
+      .filter(size(col("cols")) === 9)
+      .withColumn("epoch", split(col("cols")(0), "\\."))
+      .filter(size(col("epoch")) === 2 &&
+        try_cast_long(col("epoch")(0)).isNotNull &&
+        try_cast_long(col("epoch")(1)).isNotNull &&
+        try_cast_long(col("cols")(8)).isNotNull)
+      .withColumn("ts", timestamp_micros(
+        col("epoch")(0).cast("long") * 1000000L +
+          expr("cast(epoch[1] as long) div 1000")))
+      .select(out(col("cols")(8), lit(null), rtrim(col("cols")(6), "."),
+        col("cols")(5), rtrim(col("cols")(4), "."), col("ts")): _*)
+  }
+
+  private def try_cast_long(c: Column): Column = c.try_cast("long")
+
+  // ---------------------------------------------------------------- D6
+
+  private val nmsgDecode =
+    udf { (bytes: Array[Byte]) =>
+      val nd = NmsgCodec.decode(bytes)
+      if (nd == null) null
+      else (Dns.parseDomainString(nd.rrname),
+        Dns.rrtypeName(nd.rrtype),
+        Dns.renderRData(nd.rdataFirst, nd.rrtype),
+        nd.timeSeen)
+    }
+
+  /** D6 — NMSG/SIE NewDomain protobuf (`format/format_nmsg.go:82-110`):
+    * binary input; DNS wire-format name decode, numeric rrtype → mnemonic,
+    * first rdata element rendered per type, `time_seen` epoch seconds. */
+  def nmsg(df: DataFrame): DataFrame =
+    df.withColumn("d", nmsgDecode(col("value")))
+      .filter(col("d").isNotNull)
+      .select(out(lit(1), lit(null), col("d._3"), col("d._2"), col("d._1"),
+        timestamp_seconds(col("d._4"))): _*)
+}

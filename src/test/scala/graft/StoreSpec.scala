@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Dns, Net}
+import graft.operators.ObservationStore
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Query-surface semantics against the reference's seeded fixture
+  * (`query/query_graphql_test.go:151-183`): three observations, sensor
+  * `abc`, rrtype `A`: (foo,1.2.3.4,10) (bar,1.2.3.5,10) (baz,1.2.3.4,1). */
+class StoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val store = {
+    val input = Seq(
+      // (rrname, sensor, rrtype, rdata, count, ts) with a duplicate key to
+      // prove the merge: foo appears twice -> count 10, min/max roll-up.
+      ("foo", "abc", "A", "1.2.3.4", 4L, ts("2018-01-01 00:00:00")),
+      ("foo", "abc", "A", "1.2.3.4", 6L, ts("2018-06-01 00:00:00")),
+      ("bar", "abc", "A", "1.2.3.5", 10L, ts("2018-03-01 00:00:00")),
+      ("baz", "abc", "A", "1.2.3.4", 1L, ts("2018-04-01 00:00:00"))
+    ).toDF("rrname", "sensor_id", "rrtype", "rdata", "count", "ts")
+    ObservationStore.inMemory(ObservationStore.aggregate(input))
+  }
+
+  test("A1 merge: count=sum, first_seen=min, last_seen=max per 4-key") {
+    val foo = store.entries(rrname = Some("foo")).collect()
+    assert(foo.length == 1)
+    assert(foo.head.getAs[Long]("count") == 10L)
+    assert(foo.head.getAs[Timestamp]("first_seen") == ts("2018-01-01 00:00:00"))
+    assert(foo.head.getAs[Timestamp]("last_seen") == ts("2018-06-01 00:00:00"))
+  }
+
+  test("entries: rrname lookup, rdata lookup, unknown -> empty, arg check") {
+    assert(store.entries(rrname = Some("foo")).count() == 1)
+    assert(store.entries(rdata = Some("1.2.3.4")).count() == 2)
+    assert(store.entries(rrname = Some("nonexistent")).count() == 0)
+    assert(store.entries(rrname = Some("foo"), rrtype = Some("TXT")).count() == 0)
+    intercept[IllegalArgumentException](store.entries())
+  }
+
+  test("restQuery: subject as rrname OR rdata, bag union") {
+    // '1.2.3.4' only matches as rdata -> 2 rows
+    assert(store.restQuery("1.2.3.4").count() == 2)
+    assert(store.restQuery("foo").count() == 1)
+    assert(store.restQuery("nope").count() == 0)
+  }
+
+  test("aliases: same rdata+sensor, different rrname, A/AAAA only") {
+    val aliases = store.aliases(store.entries(rrname = Some("foo")))
+    val names = aliases.select("rrname").as[String].collect().toSet
+    assert(names == Set("baz")) // bar has different rdata
+    // per-entry limit binds via ranking, not global limit
+    assert(store.aliases(store.entries(rrname = Some("foo")), perEntryLimit = 0).count() == 0)
+  }
+
+  test("fanOut: per-store limit then union keeps duplicates") {
+    val two = store.fanOut(Seq(store, store), rrname = Some("foo"), rdata = None)
+    assert(two.count() == 2)
+  }
+
+  test("ip_to_long + cidrBounds") {
+    def ip(s: String) = Net.ipv4ToLong(UTF8String.fromString(s))
+    assert(ip("0.0.0.0") == 0L)
+    assert(ip("255.255.255.255") == 0xffffffffL)
+    assert(ip("10.0.4.0") == 167773184L)
+    assert(ip("1.2.3") == -1L)
+    assert(ip("1.2.3.256") == -1L)
+    assert(ip("a.b.c.d") == -1L)
+    assert(ip("1.2.3.4.5") == -1L)
+    assert(Net.cidrBounds("10.0.4.0/22") == (167773184L, 167774207L))
+    assert(Net.cidrBounds("0.0.0.0/0") == (0L, 0xffffffffL))
+    assert(Net.cidrBounds("1.2.3.4/32") == (ip("1.2.3.4"), ip("1.2.3.4")))
+  }
+
+  test("dns wire-format helpers match reference quirks") {
+    assert(Dns.parseDomainString(Array[Byte](3, 'f', 'o', 'o', 3, 'b', 'a', 'r', 0)) == "foo.bar")
+    // malformed label length -> raw bytes fallback
+    assert(Dns.parseDomainString(Array[Byte](99, 'x')) == new String(Array[Byte](99, 'x'), "ISO-8859-1"))
+    assert(Dns.rrtypeName(1) == "A")
+    assert(Dns.rrtypeName(28) == "AAAA")
+    assert(Dns.rrtypeName(999) == "999")
+    assert(Dns.renderRData(Array[Byte](1, 2, 3, 4), 1) == "1.2.3.4")
+    assert(Dns.renderRData(Array[Byte](1, 2, 3), 1) == "") // corrupt A record
+    assert(Dns.renderRData(Array[Byte](3, 'w', 'w', 'w', 0), 5) == "www")
+  }
+}
