@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{BalboaQueries, DecoderQueries, SelectorQueries}
+import graft.queries.{BalboaQueries, DecoderQueries, PipelineQueries, SelectorQueries}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
   * implemented operator from SURVEY.md §2.
@@ -31,10 +31,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    BalboaQueries.queries ++ DecoderQueries.queries ++ SelectorQueries.queries
+    BalboaQueries.queries ++ DecoderQueries.queries ++
+      SelectorQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    BalboaQueries.oracleSql ++ DecoderQueries.oracleSql ++ SelectorQueries.oracleSql
+    BalboaQueries.oracleSql ++ DecoderQueries.oracleSql ++
+      SelectorQueries.oracleSql ++ PipelineQueries.oracleSql
 }

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale document deduplication operators (project north star:
+  * training-data pipeline ops beyond the reference's surface).
+  *
+  * All hashing is content-derived (md5) — no RNG — so results are
+  * deterministic across runs, engines, and cluster sizes, and every
+  * operator is expressible as an identical DuckDB oracle.
+  *
+  * Scale design:
+  *  - exact dedup: one shuffle on the content hash (map-side partial agg);
+  *  - MinHash-LSH: narrow per-row signature compute, then one shuffle on
+  *    (band_idx, band_hash) whose buckets are tiny by construction — the
+  *    candidate self-join is bucket-local, never an all-pairs product;
+  *  - n-gram Jaccard: inverted-index join on shingle (shuffle on shingle),
+  *    group by pair — classic "similarity join via token index", linear in
+  *    total postings, not quadratic in documents;
+  *  - the exact-Jaccard verify joins only candidate pairs back to the
+  *    (small) per-doc shingle arrays.
+  */
+object Dedup {
+
+  /** Distinct 3-word shingles of a whitespace-tokenized text column. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val tokens = split(text, " ")
+    array_distinct(
+      when(size(tokens) < n, array(concat_ws(" ", tokens)))
+        .otherwise(transform(
+          sequence(lit(0), size(tokens) - n),
+          i => concat_ws(" ", slice(tokens, i + 1, lit(n))))))
+  }
+
+  /** MinHash signature: element k = min over shingles of md5(k:shingle).
+    * md5 hex strings compare lexicographically — a perfectly usable
+    * uniform order, and portable to any engine with md5. */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      k => array_min(transform(shinglesCol,
+        s => md5(concat(k.cast("string"), lit(":"), s)))))
+
+  /** LSH band keys: band j = md5(concat of its rows of the signature). */
+  def lshBands(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => md5(concat_ws("|", slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)))))
+
+  /** Exact duplicates by full-content hash: one row per distinct content
+    * with the surviving (minimum) id and the duplicate count. */
+  def exactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash+LSH near-duplicate pairs, verified by exact Jaccard ≥
+    * `threshold`. Output: (id_a < id_b, jaccard). Deterministic: md5-based
+    * signatures mean the candidate set is a pure function of the data. */
+  def minhashNearDuplicates(
+      df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val docs = df.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val bandsDf = docs.select(col("id"),
+        posexplode(lshBands(col("sig"), bands, rowsPerBand))
+          .as(Seq("band_idx", "band_hash")))
+    val a = bandsDf.as("a")
+    val b = bandsDf.as("b")
+    val candidates = a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    jaccardVerify(candidates, docs, threshold)
+  }
+
+  /** Exact n-gram Jaccard similarity join via shingle inverted index —
+    * no LSH approximation, still no cross product. */
+  def ngramJaccardPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+    val postings = docs.select(col("id"), explode(col("sh")).as("shingle"))
+    val candidates = postings.as("a")
+      .join(postings.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    jaccardVerify(candidates, docs, threshold)
+  }
+
+  /** Join candidate (id_a, id_b) pairs back to shingle arrays and keep
+    * those with exact Jaccard ≥ threshold. */
+  private def jaccardVerify(candidates: DataFrame, docs: DataFrame,
+      threshold: Double): DataFrame = {
+    val withSets = candidates
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    withSets
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash near-duplicate pairs: fingerprint hamming distance ≤ maxDist.
+    * Fingerprints are 64-char '0'/'1' strings from the simhash64 function.
+    * Candidate generation blocks on 4 fingerprint chunks of 16 bits: by
+    * pigeonhole, any pair with ≤ 3 differing bits matches exactly on at
+    * least one chunk, so the blocking is EXACT for maxDist ≤ 3 — no
+    * all-pairs product, one shuffle on (block_idx, block). */
+  def simhashNearDuplicates(
+      fingerprints: DataFrame, idCol: String, fpCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val blocks = 4
+    val blockLen = 64 / blocks
+    val exploded = fingerprints.select(col(idCol).as("id"), col(fpCol).as("fp"),
+      posexplode(transform(sequence(lit(0), lit(blocks - 1)),
+        b => col(fpCol).substr(b * blockLen + 1, lit(blockLen))))
+        .as(Seq("block_idx", "block")))
+    val candidates = exploded.as("a").join(exploded.as("b"),
+        col("a.block_idx") === col("b.block_idx") &&
+          col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.fp").as("fp_a"),
+        col("b.id").as("id_b"), col("b.fp").as("fp_b"))
+      .distinct()
+    candidates
+      .withColumn("hamming",
+        expr("size(filter(zip_with(split(fp_a, ''), split(fp_b, ''), (x, y) -> x <> y), v -> v))"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

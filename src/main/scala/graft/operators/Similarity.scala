@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (ANN) over an `Array[Float]` column.
+  *
+  * Numeric determinism: embeddings are scaled to exact integers
+  * (`round(x·1e5)` held in doubles), so dot products and norms are
+  * EXACT integer arithmetic — order-independent, bit-identical across
+  * partitionings and engines; the final cosine is one sqrt + one division
+  * from identical integers. This is what makes a float top-k hash-stable
+  * under distributed execution.
+  *
+  * Scale design: brute-force top-k broadcasts the (tiny) query vector and
+  * is one narrow pass + a k-limit — the right baseline for one-off
+  * queries. The IVF variant clusters once (argmin over C centroids — a
+  * broadcast join, no shuffle beyond the final group) and probes only
+  * `nprobe` clusters, cutting scanned vectors by ~C/nprobe; at 100 TB the
+  * cluster assignment would be precomputed and the probe prunes partitions
+  * (cluster_id as a partition column).
+  */
+object Similarity {
+
+  /** Exact-integer scaled copy of an embedding (float array → double array
+    * of integers). */
+  def scaled(emb: Column): Column =
+    transform(emb, x => round(x * 100000.0, 0))
+
+  /** Exact dot product of two scaled vectors (left-to-right fold, but the
+    * values are integers so any order gives the same result). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Brute-force exact top-k by cosine against the query vector (the row
+    * of `queryId`), ties broken by id — deterministic. */
+  def topK(embeddings: DataFrame, idCol: String, embCol: String,
+           queryId: Long, k: Int): DataFrame = {
+    val scaledDf = embeddings.select(col(idCol).as("id"), scaled(col(embCol)).as("v"))
+    val q = scaledDf.filter(col("id") === queryId)
+      .select(col("v").as("qv"))
+    scaledDf.filter(col("id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("id"), cosine(col("v"), col("qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** IVF (inverted-file) ANN: centroids = the embeddings of
+    * `centroidIds` (deterministic "training"); every vector is assigned to
+    * its nearest centroid by cosine; the query probes the `nprobe` nearest
+    * clusters and ranks only their members. */
+  def ivfTopK(embeddings: DataFrame, idCol: String, embCol: String,
+              queryId: Long, k: Int, centroidIds: Seq[Long],
+              nprobe: Int): DataFrame = {
+    val scaledDf = embeddings.select(col(idCol).as("id"), scaled(col(embCol)).as("v"))
+    val centroids = scaledDf.filter(col("id").isin(centroidIds: _*))
+      .select(col("id").as("c_id"), col("v").as("c_v"))
+
+    // argmin assignment: broadcast C centroids, rank by (cos desc, c_id)
+    val assignW = Window.partitionBy(col("id"))
+      .orderBy(col("c_cos").desc, col("c_id").asc)
+    val assigned = scaledDf.crossJoin(broadcast(centroids))
+      .withColumn("c_cos", cosine(col("v"), col("c_v")))
+      .withColumn("rk", row_number().over(assignW))
+      .filter(col("rk") === 1)
+      .select(col("id"), col("v"), col("c_id").as("cluster"))
+
+    val probeClusters = assigned.filter(col("id") === queryId)
+      .select(col("v").as("qv"), col("cluster"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("c_cos", cosine(col("qv"), col("c_v")))
+      .orderBy(col("c_cos").desc, col("c_id").asc)
+      .limit(nprobe)
+      .select(col("qv"), col("c_id").as("probe_cluster"))
+
+    assigned.filter(col("id") =!= queryId)
+      .join(broadcast(probeClusters),
+        col("cluster") === col("probe_cluster"))
+      .select(col("id"), cosine(col("v"), col("qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** All-pairs near-duplicates by cosine ≥ threshold (exact; the LSH/IVF
+    * path is the scale alternative when the threshold search must avoid
+    * the pairwise product). */
+  def nearDuplicatePairs(embeddings: DataFrame, idCol: String, embCol: String,
+                         threshold: Double): DataFrame = {
+    val s = embeddings.select(col(idCol).as("id"), scaled(col(embCol)).as("v"))
+    s.as("a").join(s.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.v"), col("b.v")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

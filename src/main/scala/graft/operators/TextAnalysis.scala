@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, GraftShims}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.SimHash64
+
+/** Text-analysis operators for training-data pipelines: token statistics,
+  * quality scoring, marker-based language identification, and document
+  * fingerprinting. Everything is composed from codegen'd built-ins (split/
+  * transform/filter/md5) — one narrow pass per document, no shuffle — so
+  * cost is linear in corpus bytes and the operators parallelize trivially
+  * at 100 TB. All scoring is deterministic and engine-portable. */
+object TextAnalysis {
+
+  /** simhash64(text) as a Column (native codegen'd expression). */
+  def simhash64(c: Column): Column =
+    GraftShims.column(SimHash64(GraftShims.expression(c)))
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword proxy: count of character n-chunks — length-based,
+    * ceil(chars/4) per token summed, a standard fast token estimate. */
+  def subwordEstimate(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + ceil(length(t).cast("double") / 4.0).cast("long"))
+
+  /** Quality heuorics: token count, mean token length, stopword ratio,
+    * punctuation ratio, alphabetic ratio. */
+  def qualityColumns(text: Column, stopwords: Seq[String]): Seq[Column] = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("long")
+    val meanLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
+      .cast("double") / nTok.cast("double")
+    val stopHits = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
+    val punct = length(text) - length(regexp_replace(text, "[.,;:!?'\"]", ""))
+    val alpha = length(regexp_replace(text, "[^a-zA-Z]", ""))
+    Seq(
+      nTok.as("n_tokens"),
+      meanLen.as("mean_token_len"),
+      (stopHits.cast("double") / nTok.cast("double")).as("stopword_ratio"),
+      (punct.cast("double") / length(text).cast("double")).as("punct_ratio"),
+      (alpha.cast("double") / length(text).cast("double")).as("alpha_ratio"))
+  }
+
+  /** Marker-word profiles for language ID. Deterministic scoring: hits of
+    * each language's marker set; winner = max score, ties broken by
+    * language code order (ensures engine-portable argmax). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "not"),
+    "es" -> Seq("el", "la", "de", "y", "no"),
+    "fr" -> Seq("le", "la", "de", "et", "ne"),
+    "zh" -> Seq("de5", "shi4", "bu4", "le5", "he2")
+  )
+
+  def langScores(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    langMarkers.map { case (lang, markers) =>
+      size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
+        .cast("long").as(s"score_$lang")
+    }
+  }
+
+  /** Detected language: argmax of marker scores with first-wins tie-break
+    * in [[langMarkers]] order; "und" (undetermined) when all scores are 0. */
+  def detectedLang(text: Column): Column = {
+    val toks = tokens(text)
+    def score(markers: Seq[String]): Column =
+      size(filter(toks, t => t.isin(markers.map(lit(_)): _*))).cast("long")
+    val scored = langMarkers.map { case (l, m) => (l, score(m)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text. */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+}

@@ -1,0 +1,281 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators (dedup, similarity search, text
+  * analysis) as driver-gate queries over `documents` / `embeddings`.
+  *
+  * Everything is hash-content-derived (md5) or exact-integer arithmetic, so
+  * each operator has a bit-exact DuckDB oracle — including the float ANN
+  * queries (embeddings scaled to integers held in doubles → dot products
+  * are exact and order-independent).
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Graft.table(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Graft.table(s, dir, "embeddings")
+
+  private val stopwords = Seq("the", "a", "of", "and", "not")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: full-content hash groups over docs ∪ planted copies.
+    "dedup_exact" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val copies = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      Dedup.exactDuplicates(d.unionAll(copies), "text", "doc_id")
+    }),
+
+    // MinHash(16) + LSH(4×4) candidates, exact-Jaccard(≥0.8) verified.
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashNearDuplicates(docs(s, dir), "text", "doc_id")),
+
+    // Exact n-gram Jaccard via shingle inverted index (no LSH).
+    "dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id")),
+
+    // SimHash fingerprints (64-bit as '0'/'1' string, native expression).
+    "simhash_fingerprints" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.simhash64(col("text")).as("fingerprint"))),
+
+    // SimHash near-dup pairs, hamming ≤ 3 via exact 16-bit-block LSH.
+    "dedup_simhash" -> ((s, dir) => {
+      val fp = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.simhash64(col("text")).as("fingerprint"))
+      Dedup.simhashNearDuplicates(fp, "doc_id", "fingerprint")
+    }),
+
+    // Brute-force exact cosine top-10 for query vector 5.
+    "ann_topk" -> ((s, dir) =>
+      Similarity.topK(embs(s, dir), "vec_id", "embedding", queryId = 5L, k = 10)),
+
+    // IVF ANN: centroids = vectors 0..7, nprobe=2.
+    "ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(embs(s, dir), "vec_id", "embedding", queryId = 5L,
+        k = 10, centroidIds = 0L to 7L, nprobe = 2)),
+
+    // All-pairs embedding near-duplicates, cosine ≥ 0.4.
+    "embedding_neardup" -> ((s, dir) =>
+      Similarity.nearDuplicatePairs(embs(s, dir), "vec_id", "embedding", 0.4)),
+
+    // Per-document quality metrics.
+    "text_quality" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id") +: TextAnalysis.qualityColumns(col("text"), stopwords): _*)),
+
+    // Marker-based language ID with per-language scores.
+    "lang_id" -> ((s, dir) =>
+      docs(s, dir).select(
+        (col("doc_id") +: TextAnalysis.langScores(col("text"))) :+
+          TextAnalysis.detectedLang(col("text")).as("detected"): _*)),
+
+    // Corpus token statistics per labeled language.
+    "token_stats" -> ((s, dir) =>
+      docs(s, dir).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).cast("long").as("total_tokens"),
+          sum(TextAnalysis.subwordEstimate(col("text"))).cast("long").as("total_subwords"))),
+
+    // Normalized-content fingerprints.
+    "doc_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  /** Shared shingle CTE (3-word shingles, distinct). */
+  private val shingleCte =
+    """sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(string_split(text, ' ')) < 3
+      |         THEN [text]
+      |         ELSE list_transform(
+      |           generate_series(1, len(string_split(text, ' ')) - 2),
+      |           i -> array_to_string(
+      |                  list_slice(string_split(text, ' '), i, i + 2), ' '))
+      |    END) AS sh
+      |  FROM documents)
+      |""".stripMargin
+
+  /** All-pairs exact-Jaccard near-dup pairs (the truth both the LSH and
+    * the inverted-index implementations must reproduce at ≥ 0.8). */
+  private val jaccardPairsSql =
+    s"""WITH $shingleCte
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |       CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+       |         AS jaccard
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8
+       |""".stripMargin
+
+  /** SimHash fingerprint in pure SQL — the same md5-nibble definition as
+    * the native expression. */
+  private val simhashFpExpr =
+    """array_to_string(list_transform(generate_series(0, 63), b ->
+      |  CASE WHEN list_sum(list_transform(
+      |         list_transform(string_split(text, ' '), t -> md5(t)),
+      |         h -> CASE WHEN ((strpos('0123456789abcdef', h[b // 4 + 1]) - 1)
+      |                         >> (b % 4)) & 1 = 1
+      |              THEN 1 ELSE -1 END)) > 0
+      |       THEN '1' ELSE '0' END), '')""".stripMargin
+
+  /** Scaled-integer embedding + cosine helpers. */
+  private val scaledCte =
+    """s AS (SELECT vec_id AS id,
+      |             list_transform(embedding,
+      |               x -> round(CAST(x AS DOUBLE) * 100000, 0)) AS v
+      |      FROM embeddings)
+      |""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0)
+        |SELECT md5(text) AS content_hash,
+        |       MIN(doc_id) AS keep_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM u GROUP BY 1
+        |""".stripMargin,
+
+    "dedup_minhash" -> jaccardPairsSql,
+    "dedup_ngram" -> jaccardPairsSql,
+
+    "simhash_fingerprints" ->
+      s"""SELECT doc_id, $simhashFpExpr AS fingerprint FROM documents""",
+
+    "dedup_simhash" ->
+      s"""WITH fp AS (SELECT doc_id, $simhashFpExpr AS fingerprint
+         |            FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(len(list_filter(
+         |         list_transform(generate_series(1, 64),
+         |           i -> a.fingerprint[i] <> b.fingerprint[i]), x -> x))
+         |         AS INTEGER) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE len(list_filter(
+         |        list_transform(generate_series(1, 64),
+         |          i -> a.fingerprint[i] <> b.fingerprint[i]), x -> x)) <= 3
+         |""".stripMargin,
+
+    "ann_topk" ->
+      s"""WITH $scaledCte,
+         |q AS (SELECT v AS qv FROM s WHERE id = 5)
+         |SELECT s.id, ${cosSql("s.v", "q.qv")} AS cos_sim
+         |FROM s CROSS JOIN q
+         |WHERE s.id <> 5
+         |ORDER BY cos_sim DESC, s.id ASC
+         |LIMIT 10
+         |""".stripMargin,
+
+    "ann_ivf" ->
+      s"""WITH $scaledCte,
+         |c AS (SELECT id AS c_id, v AS c_v FROM s WHERE id BETWEEN 0 AND 7),
+         |asg AS (
+         |  SELECT id, v, c_id AS cluster FROM (
+         |    SELECT s.id, s.v, c.c_id,
+         |           ROW_NUMBER() OVER (
+         |             PARTITION BY s.id
+         |             ORDER BY ${cosSql("s.v", "c.c_v")} DESC, c.c_id ASC) AS rk
+         |    FROM s CROSS JOIN c) t
+         |  WHERE rk = 1),
+         |probe AS (
+         |  SELECT a.v AS qv, c.c_id AS probe_cluster
+         |  FROM asg a CROSS JOIN c
+         |  WHERE a.id = 5
+         |  ORDER BY ${cosSql("a.v", "c.c_v")} DESC, c.c_id ASC
+         |  LIMIT 2)
+         |SELECT asg.id, ${cosSql("asg.v", "probe.qv")} AS cos_sim
+         |FROM asg JOIN probe ON asg.cluster = probe.probe_cluster
+         |WHERE asg.id <> 5
+         |ORDER BY cos_sim DESC, asg.id ASC
+         |LIMIT 10
+         |""".stripMargin,
+
+    "embedding_neardup" ->
+      s"""WITH $scaledCte
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |       ${cosSql("a.v", "b.v")} AS cos_sim
+         |FROM s a JOIN s b ON a.id < b.id
+         |WHERE ${cosSql("a.v", "b.v")} >= 0.4
+         |""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(list_sum(list_transform(string_split(text, ' '),
+        |         t -> len(t))) AS DOUBLE) /
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |         t -> t IN ('the', 'a', 'of', 'and', 'not'))) AS DOUBLE) /
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+        |  CAST(len(text) - len(regexp_replace(text, '[.,;:!?''"]', '', 'g'))
+        |       AS DOUBLE) / CAST(len(text) AS DOUBLE) AS punct_ratio,
+        |  CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) /
+        |    CAST(len(text) AS DOUBLE) AS alpha_ratio
+        |FROM documents
+        |""".stripMargin,
+
+    "lang_id" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('der', 'die', 'das', 'und', 'nicht'))) AS BIGINT) AS score_de,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the', 'a', 'of', 'and', 'not'))) AS BIGINT) AS score_en,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('el', 'la', 'de', 'y', 'no'))) AS BIGINT) AS score_es,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('le', 'la', 'de', 'et', 'ne'))) AS BIGINT) AS score_fr,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('de5', 'shi4', 'bu4', 'le5', 'he2'))) AS BIGINT) AS score_zh
+        |  FROM documents)
+        |SELECT *,
+        |  CASE
+        |    WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh)
+        |         AND greatest(score_de, score_en, score_es, score_fr, score_zh) > 0 THEN 'de'
+        |    WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh)
+        |         AND greatest(score_de, score_en, score_es, score_fr, score_zh) > 0 THEN 'en'
+        |    WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh)
+        |         AND greatest(score_de, score_en, score_es, score_fr, score_zh) > 0 THEN 'es'
+        |    WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh)
+        |         AND greatest(score_de, score_en, score_es, score_fr, score_zh) > 0 THEN 'fr'
+        |    WHEN score_zh = greatest(score_de, score_en, score_es, score_fr, score_zh)
+        |         AND greatest(score_de, score_en, score_es, score_fr, score_zh) > 0 THEN 'zh'
+        |    ELSE 'und' END AS detected
+        |FROM scored
+        |""".stripMargin,
+
+    "token_stats" ->
+      """SELECT lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(list_sum(list_transform(string_split(text, ' '),
+        |         t -> CAST(ceil(len(t) / 4.0) AS BIGINT)))) AS BIGINT)
+        |    AS total_subwords
+        |FROM documents GROUP BY 1
+        |""".stripMargin,
+
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |         AS fingerprint
+        |FROM documents
+        |""".stripMargin,
+  )
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.SimHash64
+
+/** Unit semantics for the training-data pipeline operators. */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta"),
+    (2L, "alpha beta gamma delta epsilon eta"),   // near-dup of 1
+    (3L, "one two three four five six"),
+    (4L, "alpha beta gamma delta epsilon zeta"),  // exact dup of 1
+    (5L, "completely different words here now")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content, keeps min id") {
+    val d = Dedup.exactDuplicates(corpus, "text", "doc_id")
+    val dup = d.filter(col("n_copies") === 2).collect()
+    assert(dup.length == 1)
+    assert(dup.head.getAs[Long]("keep_id") == 1L)
+    assert(d.count() == 4) // 4 distinct contents
+  }
+
+  test("minhash LSH and ngram jaccard find the near-dup pair") {
+    // docs 1,2 share 3 of 5 distinct shingles -> jaccard 3/5; 1,4 identical.
+    // The inverted-index ngram join is EXACT: both pairs must appear.
+    val exact = Dedup.ngramJaccardPairs(corpus, "text", "doc_id", threshold = 0.4)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(exact((1L, 4L)) == 1.0)
+    assert(math.abs(exact((1L, 2L)) - 3.0 / 5.0) < 1e-12)
+    // MinHash-LSH is approximate below ~0.8 similarity: identical docs are
+    // always caught (identical signatures); any pair it does report must
+    // carry the exact verified jaccard.
+    val lsh = Dedup.minhashNearDuplicates(corpus, "text", "doc_id", threshold = 0.4)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(lsh((1L, 4L)) == 1.0)
+    assert(lsh.forall { case (k, j) => exact(k) == j })
+  }
+
+  test("simhash: identical text -> identical fingerprint, hamming pairing works") {
+    val fp = corpus.select(col("doc_id"),
+      TextAnalysis.simhash64(col("text")).as("f"))
+    val m = fp.as[(Long, String)].collect().toMap
+    assert(m(1L) == m(4L))
+    assert(m(1L).length == 64 && m(1L).forall(c => c == '0' || c == '1'))
+    assert(m(1L) != m(3L))
+    // native expression matches the reference Scala definition
+    assert(m(5L) == SimHash64.compute("completely different words here now"))
+    val pairs = Dedup.simhashNearDuplicates(fp, "doc_id", "f", maxDist = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("cosine topK: exact ranking with deterministic arithmetic") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.topK(vecs, "vec_id", "embedding", queryId = 0L, k = 3)
+      .as[(Long, Double)].collect()
+    assert(top.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(top.head._2 > 0.99)
+    assert(top.last._2 == -1.0)
+  }
+
+  test("language id: marker argmax with und fallback") {
+    val df = Seq(
+      (1L, "the cat of the house and not a dog"),
+      (2L, "der hund und die katze nicht das haus"),
+      (3L, "xyzzy qwerty plugh")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextAnalysis.detectedLang(col("text")))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "de")
+    assert(got(3L) == "und")
+  }
+
+  test("quality metrics") {
+    val r = Seq((1L, "the quick fox!"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id") +: TextAnalysis.qualityColumns(col("text"),
+        Seq("the", "a", "of", "and", "not")): _*)
+      .collect().head
+    assert(r.getAs[Long]("n_tokens") == 3L)
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 1.0 / 3.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("punct_ratio") - 1.0 / 14.0) < 1e-12)
+  }
+}
