@@ -40,8 +40,10 @@ object Graft {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // ns → us truncation matches DuckDB's internal microsecond timestamps.
-      df.withColumn("ts", timestamp_micros(col("ts") / 1000 cast "long"))
+      // ns → us truncation matches DuckDB's internal microsecond
+      // timestamps. Integer division — a double roundtrip would round
+      // off-by-one at micro-epoch magnitudes (~1.7e15).
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 

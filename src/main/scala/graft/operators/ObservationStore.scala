@@ -48,25 +48,85 @@ object ObservationStore {
       )
   }
 
-  /** A3 — write the aggregate in both sort orders. Range partitioning on the
-    * leading key + sortWithinPartitions makes every Parquet row-group's
-    * min/max stats selective for point lookups (the balboa "seek").
+  /** Stable hash-bucket of a key column: the store's partition column.
+    * Point lookups prune to one bucket directory (the balboa "seek"),
+    * incremental merges rewrite only touched buckets. */
+  def bucketOf(key: Column, numBuckets: Int): Column =
+    pmod(xxhash64(key), lit(numBuckets.toLong))
+
+  /** A3 — write the aggregate in both sort orders, hash-bucket-partitioned
+    * by the leading key and sorted within files so Parquet row-group
+    * min/max stats are selective. At 100 TB: bucket count scales with data
+    * (buckets ≈ data / target-partition-size); queries prune to 1 bucket,
+    * merges rewrite only touched buckets (see [[mergeBatch]]).
     */
-  def writeDual(agg: DataFrame, path: String, numPartitions: Int = 32): Unit = {
-    agg
-      .repartitionByRange(numPartitions, col("rrname"))
-      .sortWithinPartitions("rrname", "sensor_id", "rrtype", "rdata")
-      .write.mode("overwrite").parquet(s"$path/by_rrname")
-    agg
-      .repartitionByRange(numPartitions, col("rdata"))
-      .sortWithinPartitions("rdata", "sensor_id", "rrname", "rrtype")
-      .write.mode("overwrite").parquet(s"$path/by_rdata")
+  def writeDual(agg: DataFrame, path: String, numBuckets: Int = 64): Unit = {
+    writeCopy(agg, s"$path/by_rrname", "rrname",
+      Seq("rrname", "sensor_id", "rrtype", "rdata"), numBuckets)
+    writeCopy(agg, s"$path/by_rdata", "rdata",
+      Seq("rdata", "sensor_id", "rrname", "rrtype"), numBuckets)
   }
 
-  def load(spark: SparkSession, path: String): ObservationStore =
+  private def writeCopy(df: DataFrame, path: String, keyCol: String,
+      sortCols: Seq[String], numBuckets: Int, dynamic: Boolean = false): Unit = {
+    val w = df
+      .withColumn("bucket", bucketOf(col(keyCol), numBuckets))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(("bucket" +: sortCols).map(col): _*)
+      .write
+    (if (dynamic)
+       w.option("partitionOverwriteMode", "dynamic")
+     else w)
+      .mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+
+  /** Incremental merge of a (raw, un-aggregated) observation batch into a
+    * stored dual copy: aggregate the batch, read ONLY the touched buckets
+    * of the existing store (partition pruning), re-merge (sum/min/max are
+    * associative — merging partial aggregates is exact), and overwrite
+    * just those buckets via dynamic partition overwrite. Cost scales with
+    * the batch's key spread, not the store size.
+    */
+  def mergeBatch(spark: SparkSession, path: String, batch: DataFrame,
+      numBuckets: Int = 64): Unit = {
+    val newAgg = aggregate(batch)
+    val exists = new java.io.File(s"$path/by_rrname").exists()
+    Seq(("by_rrname", "rrname", Seq("rrname", "sensor_id", "rrtype", "rdata")),
+        ("by_rdata", "rdata", Seq("rdata", "sensor_id", "rrname", "rrtype")))
+      .foreach { case (sub, keyCol, sortCols) =>
+        val withBucket = newAgg.withColumn("bucket", bucketOf(col(keyCol), numBuckets))
+        val merged =
+          if (!exists) withBucket
+          else {
+            val touched = withBucket.select("bucket").distinct()
+              .collect().map(_.getLong(0))
+            val existing = spark.read.parquet(s"$path/$sub")
+              .filter(col("bucket").isin(touched: _*))
+            existing.select(withBucket.columns.map(col): _*)
+              .unionAll(withBucket)
+              .groupBy((Model.Key :+ "bucket").map(col): _*)
+              .agg(sum("count").cast("long").as("count"),
+                min("first_seen").as("first_seen"),
+                max("last_seen").as("last_seen"))
+              .select(withBucket.columns.map(col): _*)
+              // cut lineage: we overwrite the very partitions we read
+              .localCheckpoint(true)
+          }
+        merged
+          .repartition(col("bucket"))
+          .sortWithinPartitions(("bucket" +: sortCols).map(col): _*)
+          .write
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").partitionBy("bucket").parquet(s"$path/$sub")
+      }
+  }
+
+  def load(spark: SparkSession, path: String,
+      numBuckets: Int = 64): ObservationStore =
     new ObservationStore(
       spark.read.parquet(s"$path/by_rrname"),
-      spark.read.parquet(s"$path/by_rdata")
+      spark.read.parquet(s"$path/by_rdata"),
+      Some(numBuckets)
     )
 
   /** In-memory store over an already-aggregated DataFrame (both "copies"
@@ -75,8 +135,12 @@ object ObservationStore {
   def inMemory(agg: DataFrame): ObservationStore = new ObservationStore(agg, agg)
 }
 
-/** Query surface over the two sorted copies (Q1–Q9 in SURVEY.md §2.4). */
-final class ObservationStore(byRrname: DataFrame, byRdata: DataFrame) {
+/** Query surface over the two sorted copies (Q1–Q9 in SURVEY.md §2.4).
+  * `numBuckets` is set for disk-backed stores, enabling partition pruning
+  * on point lookups (the filter `bucket = hash(key)` folds to a constant,
+  * so only one bucket directory is scanned — balboa's prefix seek). */
+final class ObservationStore(byRrname: DataFrame, byRdata: DataFrame,
+    numBuckets: Option[Int] = None) {
 
   /** Q1/Q2/Q3/Q4/Q8 — `entries`: conjunctive equality filters, access-path
     * selection (rrname present → forward copy, else inverted copy —
@@ -93,12 +157,17 @@ final class ObservationStore(byRrname: DataFrame, byRdata: DataFrame) {
     require(rrname.isDefined || rdata.isDefined,
       "one of rrname or rdata must be given")
     val base = if (rrname.isDefined) byRrname else byRdata
-    val conds: Seq[Column] =
+    val bucketCond: Seq[Column] = numBuckets.toSeq.map { n =>
+      val key = if (rrname.isDefined) rrname.get else rdata.get
+      col("bucket") === ObservationStore.bucketOf(lit(key), n)
+    }
+    val conds: Seq[Column] = bucketCond ++
       rrname.map(col("rrname") === _).toSeq ++
         rdata.map(col("rdata") === _) ++
         rrtype.map(col("rrtype") === _) ++
         sensorId.map(col("sensor_id") === _)
     base.filter(conds.reduce(_ && _)).limit(limit)
+      .drop("bucket")
   }
 
   /** Q6 — `aliases` virtual self-join: for each (A/AAAA) entry, other names
@@ -112,7 +181,7 @@ final class ObservationStore(byRrname: DataFrame, byRdata: DataFrame) {
       .filter(col("rrtype").isin(aliasableTypes: _*))
       .select(col("rrname").as("e_rrname"), col("sensor_id").as("e_sensor_id"),
         col("rdata").as("e_rdata"))
-    val t = byRdata
+    val t = byRdata.drop("bucket")
     val joined = e.join(t,
       t("rdata") === e("e_rdata") && t("sensor_id") === e("e_sensor_id") &&
         t("rrname") =!= e("e_rrname"))
@@ -149,7 +218,7 @@ final class ObservationStore(byRrname: DataFrame, byRdata: DataFrame) {
     */
   def cidrQuery(cidr: String, limit: Int = 1000): DataFrame = {
     val (lo, hi) = Net.cidrBounds(cidr)
-    byRdata
+    byRdata.drop("bucket")
       .filter(Net.ip_to_long(col("rdata")).between(lo, hi))
       .limit(limit)
   }

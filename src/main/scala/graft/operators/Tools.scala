@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Operational tools A4–A7 (SURVEY.md §2.3): dump, jsonize, replay,
+  * backup. The reference streams every forward-keyspace entry over a wire
+  * protocol; here these are one-pass DataFrame reads/writes. */
+object Tools {
+
+  /** A4/A6 — dump/jsonize: the stored aggregate as NDJSON with the
+    * reference's JSON shape — Unix-SECONDS integer timestamps
+    * (`observation/observation.go:26-37`). */
+  def jsonize(agg: DataFrame): DataFrame =
+    agg.select(
+      col("rrname"), col("rdata"), col("rrtype"), col("sensor_id"),
+      col("count"),
+      unix_timestamp(col("first_seen").cast("timestamp_ltz")).as("time_first"),
+      unix_timestamp(col("last_seen").cast("timestamp_ltz")).as("time_last"))
+      .toJSON.toDF("value")
+
+  def dump(agg: DataFrame, outPath: String): Unit =
+    jsonize(agg).write.mode("overwrite").text(outPath)
+
+  /** A5 — replay: read a dump and rebuild a store. Re-aggregation on load
+    * is free — duplicate keys across dump chunks merge exactly like the
+    * reference's replay-as-input path. */
+  def replay(spark: SparkSession, dumpPath: String, storePath: String,
+      numBuckets: Int = 64): Unit = {
+    val raw = spark.read.json(dumpPath)
+    val obs = raw.select(
+      col("rrname"), col("sensor_id"), col("rrtype"), col("rdata"),
+      col("count").cast("long").as("count"),
+      timestamp_seconds(col("time_first")).as("timestamp_start"),
+      timestamp_seconds(col("time_last")).as("timestamp_end"))
+    ObservationStore.writeDual(ObservationStore.aggregate(obs), storePath,
+      numBuckets)
+  }
+
+  /** A7 — backup: snapshot copy of the store directory (parquet is
+    * immutable-once-written; a recursive copy is a consistent snapshot
+    * between merges). */
+  def backup(spark: SparkSession, storePath: String, backupPath: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(storePath)
+    val dst = new org.apache.hadoop.fs.Path(backupPath)
+    val fs = src.getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, true, conf)
+  }
+}
