@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+import graft.operators.Multimodal
+import graft.operators.Multimodal.MediaRecord
+
+/** Multimodal-plumbing queries: binary payloads are built from `documents`
+  * text bytes (the only deterministic "media" available), run through the
+  * real partition-batched codec path with the stub decoder, and checked
+  * against oracles that recompute the stub's arithmetic on the same bytes
+  * — proving the schema, batching, and offset math, which is the part
+  * Spark owns regardless of codec. */
+object MultimodalQueries {
+
+  private def media(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Graft.table(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .map { case (id, text, src) =>
+        val kind = (id % 3) match {
+          case 0 => "image"
+          case 1 => "audio"
+          case _ => "video"
+        }
+        MediaRecord(id, kind, text.getBytes("UTF-8"), src)
+      }
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // binary column -> partition-batched decode -> typed metadata
+    "media_meta" -> ((s, dir) =>
+      Multimodal.extractMeta(media(s, dir)).toDF()),
+
+    // frame sampling: every 2nd 64-byte chunk, max 5 frames per item
+    "media_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(media(s, dir), chunkBytes = 64, stride = 2,
+        maxFrames = 5)
+        .select(col("media_id"), col("frame_idx"), col("byte_offset"),
+          length(col("frame_bytes")).as("frame_len"))),
+
+    // content-hash dedup over the media table
+    "media_dedup" -> ((s, dir) =>
+      Multimodal.dedupByContent(Multimodal.extractMeta(media(s, dir)))),
+  )
+
+  private val kindExpr =
+    """CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |     ELSE 'video' END""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "media_meta" ->
+      s"""SELECT doc_id AS media_id,
+         |       $kindExpr AS kind,
+         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |       md5(text) AS content_hash,
+         |       16 + (ascii(substr(text, 1, 1)) % 240) AS width,
+         |       16 + (ascii(substr(text, 2, 1)) % 240) AS height,
+         |       CAST(CASE doc_id % 3
+         |         WHEN 2 THEN 1 + octet_length(encode(text)) % 32
+         |         WHEN 1 THEN 1 + octet_length(encode(text)) % 16
+         |         ELSE 1 END AS INTEGER) AS n_frames
+         |FROM documents
+         |""".stripMargin,
+
+    "media_frames" ->
+      """WITH n AS (
+        |  SELECT doc_id AS media_id, octet_length(encode(text)) AS len,
+        |         least(5, (octet_length(encode(text)) + 127) // 128)
+        |           AS n_frames
+        |  FROM documents)
+        |SELECT media_id,
+        |       CAST(i AS INTEGER) AS frame_idx,
+        |       CAST(i * 128 AS INTEGER) AS byte_offset,
+        |       CAST(least(64, len - i * 128) AS INTEGER) AS frame_len
+        |FROM n, UNNEST(generate_series(0, n_frames - 1)) AS t(i)
+        |""".stripMargin,
+
+    "media_dedup" ->
+      """SELECT md5(text) AS content_hash,
+        |       MIN(doc_id) AS keep_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_copies,
+        |       CAST(octet_length(encode(MIN(text))) AS BIGINT) AS n_bytes
+        |FROM documents GROUP BY 1
+        |""".stripMargin,
+  )
+}

@@ -1,0 +1,118 @@
+package graft.serve
+
+import java.io.OutputStream
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.{ObservationStore, Tools}
+
+/** The serving layer (SURVEY.md §2.4 Q1/Q7/Q11/Q12 and §3.1/§3.3): the
+  * reference's GraphQL `entries` resolver and CIRCL-compatible REST
+  * endpoint over a long-lived SparkSession.
+  *
+  * Endpoints:
+  *  - `POST /query` with `{"rrname"?, "rdata"?, "rrtype"?, "sensor_id"?,
+  *    "limit"?}` — the `entries` query surface (conjunctive equality
+  *    filters, ≥1 of rrname/rdata required → 400 otherwise, default limit
+  *    1000 like `query_graphql.go:179`); NDJSON response.
+  *  - `GET /pdns/query/<subject>[?limit=]` — CIRCL passive-DNS: subject
+  *    tried as rrname THEN as rdata, results concatenated, 404 when both
+  *    empty, NDJSON with unix-seconds ints (`query_rest.go:41-82`).
+  *  - `GET /stats` — `{"total_count": N}` (Q11).
+  *
+  * Result streaming (Q12): rows are written through `toLocalIterator`
+  * straight to the chunked response stream — no driver-side buffering of
+  * the result set, the Spark analogue of the reference's
+  * start/data.../end wire protocol. Concurrent queries: run the session
+  * with `spark.scheduler.mode=FAIR` (the analogue of the backend's
+  * 64-thread connection pool).
+  */
+final class QueryServer(store: ObservationStore, port: Int = 0) {
+
+  private val mapper = new ObjectMapper()
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+
+  /** Bound port (useful when constructed with port 0). */
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): Unit = { register(); server.start() }
+  def stop(): Unit = server.stop(0)
+
+  private def register(): Unit = {
+    server.createContext("/query", (ex: HttpExchange) => handle(ex) {
+      if (ex.getRequestMethod != "POST") respond(ex, 405, "method not allowed\n")
+      else {
+        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        val node = mapper.readTree(if (body.isEmpty) "{}" else body)
+        def opt(f: String): Option[String] =
+          Option(node.get(f)).filterNot(_.isNull).map(_.asText)
+        val (rrname, rdata) = (opt("rrname"), opt("rdata"))
+        if (rrname.isEmpty && rdata.isEmpty)
+          respond(ex, 400, "one of rrname or rdata is required\n")
+        else {
+          val limit = Option(node.get("limit")).map(_.asInt).getOrElse(1000)
+          val df = store.entries(rrname, rdata, opt("rrtype"),
+            opt("sensor_id"), limit)
+          streamNdjson(ex, df, notFoundOnEmpty = false)
+        }
+      }
+    })
+
+    server.createContext("/pdns/query/", (ex: HttpExchange) => handle(ex) {
+      val subject = ex.getRequestURI.getPath.stripPrefix("/pdns/query/")
+      if (subject.isEmpty) respond(ex, 404, "not found\n")
+      else {
+        val limit = Option(ex.getRequestURI.getQuery)
+          .flatMap(_.split("&").collectFirst {
+            case q if q.startsWith("limit=") => q.drop(6).toInt
+          }).getOrElse(1000)
+        streamNdjson(ex, store.restQuery(subject, limit), notFoundOnEmpty = true)
+      }
+    })
+
+    server.createContext("/stats", (ex: HttpExchange) => handle(ex) {
+      respond(ex, 200, s"""{"total_count":${store.totalCount()}}""" + "\n")
+    })
+  }
+
+  private def handle(ex: HttpExchange)(body: => Unit): Unit =
+    try body
+    catch {
+      case e: Exception =>
+        try respond(ex, 500, s"internal error: ${e.getMessage}\n")
+        catch { case _: Exception => () }
+    }
+    finally ex.close()
+
+  /** Stream rows as NDJSON without materializing the result set on the
+    * driver: unix-seconds rendering via [[Tools.jsonize]], rows pulled
+    * partition-by-partition with `toLocalIterator`. */
+  private def streamNdjson(ex: HttpExchange, df: DataFrame,
+      notFoundOnEmpty: Boolean): Unit = {
+    val it = Tools.jsonize(df).toLocalIterator()
+    if (!it.hasNext && notFoundOnEmpty) { respond(ex, 404, "not found\n"); return }
+    ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+    ex.sendResponseHeaders(200, 0) // chunked
+    val out: OutputStream = ex.getResponseBody
+    while (it.hasNext) {
+      out.write(it.next().getString(0).getBytes(UTF_8))
+      out.write('\n')
+    }
+    out.close()
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type",
+      if (body.startsWith("{")) "application/json" else "text/plain")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+    ex.getResponseBody.close()
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ObservationStore
+import graft.serve.QueryServer
+
+/** End-to-end HTTP tests mirroring the reference's frontend tests
+  * (`query/query_graphql_test.go:148-198`, `query/query_rest_test.go:
+  * 124-174`): seed the 3-observation fixture, start the real server on an
+  * ephemeral port, issue real HTTP requests. */
+class QueryServerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val store = {
+    import spark.implicits._
+    val ts = Timestamp.valueOf("2018-01-01 00:00:00")
+    val input = Seq(
+      ("foo", "abc", "A", "1.2.3.4", 10L, ts, ts),
+      ("bar", "abc", "A", "1.2.3.5", 10L, ts, ts),
+      ("baz", "abc", "A", "1.2.3.4", 1L, ts, ts)
+    ).toDF("rrname", "sensor_id", "rrtype", "rdata", "count",
+      "timestamp_start", "timestamp_end")
+    ObservationStore.inMemory(ObservationStore.aggregate(input))
+  }
+
+  private lazy val server = { val s = new QueryServer(store); s.start(); s }
+  private lazy val client = HttpClient.newHttpClient()
+  private def base = s"http://localhost:${server.boundPort}"
+
+  private def get(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"$base$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def post(path: String, body: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"$base$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("POST /query by rrname -> 1 entry with aggregate fields") {
+    val r = post("/query", """{"rrname": "foo"}""")
+    assert(r.statusCode() == 200)
+    val lines = r.body().trim.split("\n")
+    assert(lines.length == 1)
+    assert(lines.head.contains("\"rrname\":\"foo\""))
+    assert(lines.head.contains("\"count\":10"))
+    assert(lines.head.contains("\"time_first\":1514764800"))
+  }
+
+  test("POST /query by rdata -> 2 entries; residual filter narrows") {
+    assert(post("/query", """{"rdata": "1.2.3.4"}""").body().trim
+      .split("\n").length == 2)
+    val narrowed = post("/query",
+      """{"rdata": "1.2.3.4", "rrname": "baz"}""").body().trim.split("\n")
+    assert(narrowed.length == 1 && narrowed.head.contains("\"baz\""))
+  }
+
+  test("POST /query without rrname/rdata -> 400; wrong method -> 405") {
+    assert(post("/query", """{"rrtype": "A"}""").statusCode() == 400)
+    assert(get("/query").statusCode() == 405)
+  }
+
+  test("GET /pdns/query/<subject>: rrname-or-rdata union, 404 on empty") {
+    val r = get("/pdns/query/1.2.3.4")
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").orElse("")
+      .contains("ndjson"))
+    assert(r.body().trim.split("\n").length == 2) // foo + baz via rdata
+    assert(get("/pdns/query/foo").body().trim.split("\n").length == 1)
+    assert(get("/pdns/query/doesnotexist").statusCode() == 404)
+    assert(get("/pdns/query/1.2.3.4?limit=1").body().trim.split("\n").length <= 2)
+  }
+
+  test("GET /stats -> total_count") {
+    assert(get("/stats").body().trim == """{"total_count":3}""")
+  }
+}
