@@ -35,11 +35,14 @@ object Dedup {
 
   /** MinHash signature: element k = min over shingles of md5(k:shingle).
     * md5 hex strings compare lexicographically — a perfectly usable
-    * uniform order, and portable to any engine with md5. */
+    * uniform order, and portable to any engine with md5. Computed by the
+    * native one-pass [[org.apache.spark.sql.graft.MinHashSig]] expression
+    * (identical definition; k Catalyst subtrees collapsed to one loop). */
   def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      k => array_min(transform(shinglesCol,
-        s => md5(concat(k.cast("string"), lit(":"), s)))))
+    org.apache.spark.sql.GraftShims.column(
+      org.apache.spark.sql.graft.MinHashSig(
+        org.apache.spark.sql.GraftShims.expression(shinglesCol),
+        org.apache.spark.sql.GraftShims.expression(lit(numHashes))))
 
   /** LSH band keys: band j = md5(concat of its rows of the signature). */
   def lshBands(signature: Column, bands: Int, rowsPerBand: Int): Column =
@@ -75,13 +78,21 @@ object Dedup {
     jaccardVerify(candidates, docs, threshold)
   }
 
-  /** Exact n-gram Jaccard similarity join via shingle inverted index —
-    * no LSH approximation, still no cross product. */
+  /** Exact n-gram Jaccard similarity join via shingle inverted index with
+    * PREFIX FILTERING (PPJoin-style): for J(A,B) ≥ t, the canonically
+    * sorted prefixes of length |X| − ⌈t·|X|⌉ + 1 must intersect, so only
+    * prefix shingles are indexed — still EXACT, but posting volume drops
+    * by ~(1−t) and the frequent-shingle quadratic blowup disappears. */
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.8): DataFrame = {
     val docs = df.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
-    val postings = docs.select(col("id"), explode(col("sh")).as("shingle"))
+    // canonical order: lexicographic; prefix keeps the first
+    // |sh| - ceil(t*|sh|) + 1 elements
+    val prefix = slice(array_sort(col("sh")), lit(1),
+      (size(col("sh")) -
+        ceil(size(col("sh")).cast("double") * threshold).cast("int") + 1))
+    val postings = docs.select(col("id"), explode(prefix).as("shingle"))
     val candidates = postings.as("a")
       .join(postings.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))

@@ -28,24 +28,37 @@ object Similarity {
   def scaled(emb: Column): Column =
     transform(emb, x => round(x * 100000.0, 0))
 
-  /** Exact dot product of two scaled vectors (left-to-right fold, but the
-    * values are integers so any order gives the same result). */
+  /** Exact dot product of two scaled vectors — native codegen'd primitive
+    * loop ([[org.apache.spark.sql.graft.DotProductD]]); values are
+    * integers so any summation order gives the same result. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    org.apache.spark.sql.GraftShims.column(
+      org.apache.spark.sql.graft.DotProductD(
+        org.apache.spark.sql.GraftShims.expression(a),
+        org.apache.spark.sql.GraftShims.expression(b)))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** (id, v, norm) projection: norms computed ONCE per vector, so pairwise
+    * similarity does one dot + one multiply instead of three dots.
+    * `sqrt(dot(v,v))` here is bit-identical to computing it per pair. */
+  private def withNorm(embeddings: DataFrame, idCol: String,
+      embCol: String): DataFrame =
+    embeddings.select(col(idCol).as("id"), scaled(col(embCol)).as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
 
   /** Brute-force exact top-k by cosine against the query vector (the row
     * of `queryId`), ties broken by id — deterministic. */
   def topK(embeddings: DataFrame, idCol: String, embCol: String,
            queryId: Long, k: Int): DataFrame = {
-    val scaledDf = embeddings.select(col(idCol).as("id"), scaled(col(embCol)).as("v"))
-    val q = scaledDf.filter(col("id") === queryId)
-      .select(col("v").as("qv"))
-    scaledDf.filter(col("id") =!= queryId)
+    val s = withNorm(embeddings, idCol, embCol)
+    val q = s.filter(col("id") === queryId)
+      .select(col("v").as("qv"), col("norm").as("qnorm"))
+    s.filter(col("id") =!= queryId)
       .crossJoin(broadcast(q))
-      .select(col("id"), cosine(col("v"), col("qv")).as("cos_sim"))
+      .select(col("id"),
+        (dot(col("v"), col("qv")) / (col("norm") * col("qnorm"))).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("id").asc)
       .limit(k)
   }
@@ -88,13 +101,15 @@ object Similarity {
 
   /** All-pairs near-duplicates by cosine ≥ threshold (exact; the LSH/IVF
     * path is the scale alternative when the threshold search must avoid
-    * the pairwise product). */
+    * the pairwise product). Norms precomputed per row: one native dot per
+    * pair. */
   def nearDuplicatePairs(embeddings: DataFrame, idCol: String, embCol: String,
                          threshold: Double): DataFrame = {
-    val s = embeddings.select(col(idCol).as("id"), scaled(col(embCol)).as("v"))
+    val s = withNorm(embeddings, idCol, embCol)
     s.as("a").join(s.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosine(col("a.v"), col("b.v")).as("cos_sim"))
+        (dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
+          .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }

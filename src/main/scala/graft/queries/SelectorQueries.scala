@@ -34,15 +34,22 @@ object SelectorQueries {
         array_join(array_sort(col("tags")), ",").as("tag_list"))),
 
     // T5 — tag-routed sinks: per-sink routed row counts (tagged sinks get
-    // their tag's rows, the tagless sink gets everything).
+    // their tag's rows, the tagless sink gets everything). One pass:
+    // conditional sums instead of one scan per sink — the shape that
+    // survives a 100× scale-up (route() itself is exercised in the
+    // streaming ingest path).
     "tag_routing" -> ((s, dir) => {
-      val t = tagged(s, dir)
-      val routed = Selectors.route(t,
-        Map("sink_filtered" -> Some("filtered"), "sink_deep" -> Some("deep"),
-          "catchall" -> None))
-      routed.map { case (name, df) =>
-        df.agg(count(lit(1)).as("n")).select(lit(name).as("sink"), col("n"))
-      }.reduce(_ unionAll _)
+      val counts = tagged(s, dir).agg(
+        sum(when(array_contains(col("tags"), "filtered"), 1L).otherwise(0L))
+          .cast("long").as("n_filtered"),
+        sum(when(array_contains(col("tags"), "deep"), 1L).otherwise(0L))
+          .cast("long").as("n_deep"),
+        count(lit(1)).as("n_all"))
+      counts.select(explode(array(
+        struct(lit("sink_filtered").as("sink"), col("n_filtered").as("n")),
+        struct(lit("sink_deep").as("sink"), col("n_deep").as("n")),
+        struct(lit("catchall").as("sink"), col("n_all").as("n")))).as("r"))
+        .select(col("r.sink").as("sink"), col("r.n").as("n"))
     }),
   )
 

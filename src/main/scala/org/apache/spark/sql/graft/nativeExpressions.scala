@@ -1,8 +1,9 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType, StringType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native (codegen'd) Catalyst expressions shipped by graft.
@@ -68,6 +69,105 @@ case class SimHash64(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
+}
+
+/** `dot_d(a, b)` — dot product of two `array<double>` columns as a tight
+  * primitive loop over `ArrayData` (no intermediate `zip_with` array, no
+  * per-element boxing). Left-to-right summation — on graft's
+  * integer-scaled embeddings the result is exact and order-independent
+  * anyway, which is what keeps float similarity queries hash-stable. */
+case class DotProductD(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_d"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DotProductD.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = org.apache.spark.sql.graft.DotProductD.compute($a, $b);
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductD =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProductD {
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+}
+
+/** `minhash_sig(shingles, k)` — MinHash signature in one pass: element j =
+  * min over shingles of md5Hex(j + ":" + shingle). Identical definition to
+  * the composable `transform(sequence(...), array_min(transform(md5)))`
+  * form (and to the DuckDB oracle), but one JVM loop instead of k
+  * Catalyst subtree evaluations per row. */
+case class MinHashSig(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), IntegerType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(shingles: Any, k: Any): Any =
+    MinHashSig.compute(shingles.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, k) => s"""
+      ${ev.value} = org.apache.spark.sql.graft.MinHashSig.compute($s, $k);
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinHashSig =
+    copy(left = newLeft, right = newRight)
+}
+
+object MinHashSig {
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def md5Hex(bytes: Array[Byte], md: java.security.MessageDigest): String = {
+    val d = md.digest(bytes)
+    md.reset()
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  def compute(shingles: ArrayData, k: Int): ArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mins = new Array[String](k)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val sh = shingles.getUTF8String(i).toString
+      var j = 0
+      while (j < k) {
+        val h = md5Hex((j.toString + ":" + sh).getBytes("UTF-8"), md)
+        if (mins(j) == null || h.compareTo(mins(j)) < 0) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(m =>
+      UTF8String.fromString(if (m == null) "" else m)))
+  }
 }
 
 object SimHash64 {

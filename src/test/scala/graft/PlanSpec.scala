@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ObservationStore
+
+/** Plan-shape regression tests — the properties that make the store work
+  * at 100 TB, asserted on `explain(formatted)` output so a refactor that
+  * silently loses pruning/pushdown fails CI:
+  *  - point lookups prune to ONE bucket partition (balboa's seek);
+  *  - key equality filters reach the parquet scan (PushedFilters);
+  *  - the core aggregation does map-side partial aggregation
+  *    (one shuffle, partial+final HashAggregate = the RocksDB merge op).
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def explainOf(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  private lazy val storePath = {
+    val dir = Files.createTempDirectory("graft-plan").toString
+    val ts = Timestamp.valueOf("2020-01-01 00:00:00")
+    val input = (1 to 500).map(i =>
+      (s"name-$i.com", s"s${i % 3}", "A", s"10.0.0.${i % 250}", 1L, ts, ts))
+      .toDF("rrname", "sensor_id", "rrtype", "rdata", "count",
+        "timestamp_start", "timestamp_end")
+    ObservationStore.writeDual(ObservationStore.aggregate(input), s"$dir/st",
+      numBuckets = 16)
+    s"$dir/st"
+  }
+
+  test("entries point lookup prunes to one bucket partition + pushes the key filter") {
+    val st = ObservationStore.load(spark, storePath, numBuckets = 16)
+    val plan = explainOf(st.entries(rrname = Some("name-7.com")))
+    // partition pruning: the bucket predicate folds to a literal
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.matches("(?s).*PartitionFilters:.*bucket.*=.*\\d+.*"), plan)
+    // data filter pushed to the parquet scan
+    assert(plan.matches("(?s).*PushedFilters:.*EqualTo\\(rrname,name-7.com\\).*"), plan)
+    // and it actually answers correctly from the pruned scan
+    assert(st.entries(rrname = Some("name-7.com")).count() == 1)
+  }
+
+  test("inverted access path prunes on rdata bucket") {
+    val st = ObservationStore.load(spark, storePath, numBuckets = 16)
+    val plan = explainOf(st.entries(rdata = Some("10.0.0.7")))
+    assert(plan.matches("(?s).*PushedFilters:.*EqualTo\\(rdata,10.0.0.7\\).*"), plan)
+    assert(st.entries(rdata = Some("10.0.0.7")).count() == 2)
+  }
+
+  test("core aggregation is partial+final with a single shuffle") {
+    val ts = Timestamp.valueOf("2020-01-01 00:00:00")
+    val input = Seq(("a.com", "s1", "A", "1.1.1.1", 1L, ts, ts))
+      .toDF("rrname", "sensor_id", "rrtype", "rdata", "count",
+        "timestamp_start", "timestamp_end")
+    val plan = explainOf(ObservationStore.aggregate(input))
+    val tree = plan.split("\n\n").head // the plan tree, before node details
+    val nAgg = "HashAggregate".r.findAllIn(tree).length
+    val nExchange = "Exchange".r.findAllIn(tree).length
+    assert(nAgg == 2, s"expected partial+final HashAggregate, plan:\n$plan")
+    assert(nExchange == 1, s"expected exactly one shuffle, plan:\n$plan")
+    assert(plan.contains("partial_sum"), plan) // map-side combine present
+  }
+
+  test("decoders stay shuffle-free (narrow maps over the source)") {
+    val raw = Seq(("{}", "s")).toDF("value", "sensor_id")
+    for (dec <- graft.streaming.IngestPipeline.decoders.values) {
+      val plan = explainOf(dec(raw))
+      assert(!plan.contains("Exchange"), plan)
+    }
+  }
+}
