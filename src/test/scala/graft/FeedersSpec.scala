@@ -1,0 +1,113 @@
+package graft
+
+import java.net.{DatagramPacket, DatagramSocket, InetAddress, URI}
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ObservationStore
+import graft.sources.{Decoders, FeederConfig, Feeders}
+import graft.streaming.IngestPipeline
+
+/** Feeder layer: real network receivers (HTTP POST, UDP datagrams) spooling
+  * into the streaming file-source contract, consumed end-to-end. */
+class FeedersSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val suriV1 =
+    """{"timestamp": "2009-11-24T21:27:09.534255-0100", "event_type": "dns",
+      | "dns": {"type": "answer", "rrname": "twitter.com", "rrtype":"A",
+      |  "rdata": "199.16.156.6"}}""".stripMargin
+
+  test("HTTP feeder: POST with X-Sensor-ID spools; decoded via file source") {
+    val dir = Files.createTempDirectory("graft-http").toString
+    val feeder = new Feeders.HttpFeeder(dir)
+    feeder.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      val resp: HttpResponse[String] = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:${feeder.boundPort}/"))
+          .header("X-Sensor-ID", "sensor one/x")
+          .POST(HttpRequest.BodyPublishers.ofString(suriV1)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200)
+      // no header -> "unknown" (feeder_http.go:44-49)
+      client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:${feeder.boundPort}/"))
+          .POST(HttpRequest.BodyPublishers.ofString(suriV1)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    } finally feeder.stop()
+
+    val decoded = Decoders.suricata(Feeders.spoolBatch(spark, dir)).collect()
+    assert(decoded.length == 2)
+    assert(decoded.map(_.getAs[String]("sensor_id")).toSet ==
+      Set("sensor one/x", "unknown"))
+  }
+
+  test("UDP feeder: binary NMSG datagrams spool and decode") {
+    val dir = Files.createTempDirectory("graft-udp").toString
+    val feeder = new Feeders.UdpFeeder(dir)
+    feeder.start(sensorId = "sie")
+    try {
+      // NewDomain protobuf: rrname=example.com, rrtype=A, rdata=9.9.9.9
+      val payload = {
+        def varint(v: Long): Seq[Byte] = {
+          var x = v; val b = Seq.newBuilder[Byte]
+          while ((x & ~0x7fL) != 0) { b += ((x & 0x7f) | 0x80).toByte; x >>>= 7 }
+          b += x.toByte; b.result()
+        }
+        val name = Seq(7.toByte) ++ "example".getBytes.toSeq ++
+          Seq(3.toByte) ++ "com".getBytes.toSeq ++ Seq(0.toByte)
+        (varint(2L << 3) ++ varint(1650000000L) ++
+          varint((3L << 3) | 2) ++ varint(name.length.toLong) ++ name ++
+          varint(4L << 3) ++ varint(1L) ++
+          varint((7L << 3) | 2) ++ varint(4L) ++ Seq[Byte](9, 9, 9, 9)).toArray
+      }
+      val sock = new DatagramSocket()
+      sock.send(new DatagramPacket(payload, payload.length,
+        InetAddress.getByName("127.0.0.1"), feeder.boundPort))
+      sock.close()
+      // receiver thread is async: wait for the spool file
+      val deadline = System.currentTimeMillis() + 5000
+      while (new java.io.File(dir).listFiles((_, n) => n.endsWith(".msg"))
+               .isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+    } finally feeder.stop()
+
+    val decoded = Decoders.nmsg(Feeders.spoolBatchBinary(spark, dir)).collect()
+    assert(decoded.length == 1)
+    assert(decoded.head.getAs[String]("rrname") == "example.com")
+    assert(decoded.head.getAs[String]("rdata") == "9.9.9.9")
+    assert(decoded.head.getAs[String]("sensor_id") == "sie")
+  }
+
+  test("configured Dir feeder streams end-to-end into a store") {
+    val spool = Files.createTempDirectory("graft-spool").toString
+    val dir = Files.createTempDirectory("graft-feedstore").toString
+    Feeders.spool(spool, "cfg-sensor", suriV1.getBytes("UTF-8"))
+    val setup = FeederConfig.Setup(Seq(
+      FeederConfig.Feeder("main", FeederConfig.Dir, "suricata",
+        Map("dir" -> spool))))
+    val obs = FeederConfig.stream(spark, setup.feeders.head)
+    val q = IngestPipeline.start(spark, obs, Nil,
+      Seq(IngestPipeline.Sink("all", None, s"$dir/all")), s"$dir/ckpt")
+    q.processAllAvailable()
+    q.stop()
+    val st = ObservationStore.load(spark, s"$dir/all")
+    val rows = st.entries(rrname = Some("twitter.com")).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("sensor_id") == "cfg-sensor")
+  }
+
+  test("feeder registry rejects duplicate names and unknown formats") {
+    def f(n: String, fmt: String = "suricata") =
+      FeederConfig.Feeder(n, FeederConfig.Dir, fmt, Map("dir" -> "/tmp/x"))
+    intercept[IllegalArgumentException](
+      FeederConfig.Setup(Seq(f("a"), f("a"))))
+    intercept[IllegalArgumentException](
+      FeederConfig.Setup(Seq(f("a", fmt = "nope"))))
+    FeederConfig.Setup(Seq(f("a"), f("b"))) // distinct names fine
+  }
+}

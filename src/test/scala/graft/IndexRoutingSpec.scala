@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ObservationStore
+import org.apache.spark.sql.graft.IndexRouting
+
+/** The Catalyst access-path rule: an rdata-equality query issued against
+  * the FORWARD copy transparently scans the INVERTED copy with bucket
+  * pruning — balboa's index selection, generalized to any DataFrame/SQL
+  * query. */
+class IndexRoutingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val storePath = {
+    val dir = Files.createTempDirectory("graft-route").toString
+    val ts = Timestamp.valueOf("2020-01-01 00:00:00")
+    val input = (1 to 300).map(i =>
+      (s"host-$i.net", s"s${i % 2}", "A", s"192.0.2.${i % 100}", 1L, ts, ts))
+      .toDF("rrname", "sensor_id", "rrtype", "rdata", "count",
+        "timestamp_start", "timestamp_end")
+    ObservationStore.writeDual(ObservationStore.aggregate(input), s"$dir/st",
+      numBuckets = 8)
+    s"$dir/st"
+  }
+
+  private def explainOf(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("rdata lookup on the forward copy is rerouted to the inverted copy") {
+    IndexRouting.install(spark, storePath, numBuckets = 8)
+    val forward = spark.read.parquet(s"$storePath/by_rrname")
+    val q = forward.filter(col("rdata") === "192.0.2.7")
+
+    val plan = explainOf(q)
+    assert(plan.contains("by_rdata"), s"expected inverted scan:\n$plan")
+    assert(plan.matches("(?s).*PartitionFilters.*bucket.*=.*\\d+.*"),
+      s"expected bucket pruning:\n$plan")
+
+    // unrouted equivalent (direct inverted query) gives identical rows
+    val expect = spark.read.parquet(s"$storePath/by_rdata")
+      .filter(col("rdata") === "192.0.2.7").drop("bucket")
+      .orderBy("rrname").collect().toSeq
+    val got = q.drop("bucket").orderBy("rrname").collect().toSeq
+    assert(got == expect)
+    assert(got.size == 3) // 300 rows, rdata repeats every 100
+  }
+
+  test("rrname-filtered queries are NOT rerouted") {
+    IndexRouting.install(spark, storePath, numBuckets = 8)
+    val forward = spark.read.parquet(s"$storePath/by_rrname")
+    val q = forward.filter(col("rrname") === "host-7.net" &&
+      col("rdata") === "192.0.2.7")
+    assert(!explainOf(q).contains("by_rdata"))
+    assert(q.count() == 1)
+  }
+}
