@@ -1,0 +1,149 @@
+package graft.serve
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.ObservationStore
+
+/** Minimal executor for the reference's GraphQL query surface
+  * (`query/query_graphql.go:25-192`): the single root field
+  * `entries(rdata?, rrname?, rrtype?, sensor_id?, limit?)` with scalar
+  * field selection (`rrname rrtype rdata sensor_id count time_first
+  * time_last time_first_rfc3339 time_last_rfc3339 id`) and the nested
+  * `aliases { ... }` sub-selection (Q6). This is a deliberate subset — the
+  * reference's own schema exposes exactly this shape — implemented with a
+  * hand-rolled tokenizer instead of a GraphQL engine dependency. */
+object Graphql {
+
+  private val mapper = new ObjectMapper()
+
+  final case class EntriesQuery(
+      rrname: Option[String], rdata: Option[String], rrtype: Option[String],
+      sensorId: Option[String], limit: Int,
+      fields: Seq[String], aliasFields: Seq[String])
+
+  /** Parse + run + render. Left(error) on malformed queries or missing
+    * required args (`query_graphql.go:242-246`). */
+  def execute(query: String, store: ObservationStore): Either[String, String] =
+    parse(query).flatMap { q =>
+      if (q.rrname.isEmpty && q.rdata.isEmpty)
+        Left("one of rrname or rdata must be given")
+      else Right(render(q, store))
+    }
+
+  // ------------------------------------------------------------- parse
+
+  def parse(query: String): Either[String, EntriesQuery] = {
+    val entriesIdx = query.indexOf("entries")
+    if (entriesIdx < 0) return Left("only the entries query is supported")
+    val rest = query.substring(entriesIdx + "entries".length)
+    val argsStart = rest.indexOf('(')
+    val argsEnd = rest.indexOf(')')
+    if (argsStart < 0 || argsEnd < argsStart) return Left("missing argument list")
+    val argStr = rest.substring(argsStart + 1, argsEnd)
+
+    def strArg(name: String): Option[String] =
+      (s"""$name\\s*:\\s*"([^"]*)"""").r.findFirstMatchIn(argStr).map(_.group(1))
+    // rrtype is a GraphQL enum: bare token OR quoted string both accepted
+    val rrtype = strArg("rrtype").orElse(
+      """rrtype\s*:\s*([A-Za-z0-9]+)""".r.findFirstMatchIn(argStr).map(_.group(1)))
+    val limit = """limit\s*:\s*(\d+)""".r.findFirstMatchIn(argStr)
+      .map(_.group(1).toInt).getOrElse(1000)
+
+    // selection set: top-level identifiers; `aliases { ... }` nests once
+    val selStart = rest.indexOf('{', argsEnd)
+    if (selStart < 0) return Left("missing selection set")
+    var depth = 0
+    var i = selStart
+    var selEnd = -1
+    while (i < rest.length && selEnd < 0) {
+      rest.charAt(i) match {
+        case '{' => depth += 1
+        case '}' => depth -= 1; if (depth == 0) selEnd = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (selEnd < 0) return Left("unbalanced selection set")
+    val sel = rest.substring(selStart + 1, selEnd)
+
+    val aliasSel = """aliases\s*\{([^}]*)\}""".r.findFirstMatchIn(sel)
+    val aliasFields = aliasSel.map(_.group(1).trim.split("\\s+").toSeq
+      .filter(_.nonEmpty)).getOrElse(Seq.empty)
+    val scalarSel = aliasSel.map(m => sel.replace(m.matched, " ")).getOrElse(sel)
+    val fields = scalarSel.split("[\\s,]+").toSeq.filter(_.nonEmpty)
+    if (fields.isEmpty && aliasFields.isEmpty) return Left("empty selection set")
+
+    Right(EntriesQuery(strArg("rrname"), strArg("rdata"), rrtype,
+      strArg("sensor_id"), limit, fields, aliasFields))
+  }
+
+  // ------------------------------------------------------------ render
+
+  private val validFields = Set("id", "rrname", "rrtype", "rdata",
+    "sensor_id", "count", "time_first", "time_last",
+    "time_first_rfc3339", "time_last_rfc3339")
+
+  private def render(q: EntriesQuery, store: ObservationStore): String = {
+    val rows = store.entries(q.rrname, q.rdata, q.rrtype, q.sensorId, q.limit)
+      .collect()
+
+    val aliasesByKey: Map[(String, String, String), Seq[Row]] =
+      if (q.aliasFields.isEmpty) Map.empty
+      else {
+        val entriesDf = store.entries(q.rrname, q.rdata, q.rrtype,
+          q.sensorId, q.limit)
+        store.aliases(entriesDf).collect()
+          .groupBy(r => (r.getAs[String]("e_rrname"),
+            r.getAs[String]("e_sensor_id"), r.getAs[String]("e_rdata")))
+          .map { case (k, v) => k -> v.toSeq }
+      }
+
+    val root = mapper.createObjectNode()
+    val data = root.putObject("data")
+    val arr = data.putArray("entries")
+    rows.foreach { row =>
+      val o = arr.addObject()
+      writeFields(o, row, q.fields)
+      if (q.aliasFields.nonEmpty) {
+        val key = (row.getAs[String]("rrname"), row.getAs[String]("sensor_id"),
+          row.getAs[String]("rdata"))
+        val aArr = o.putArray("aliases")
+        aliasesByKey.getOrElse(key, Seq.empty).foreach { ar =>
+          writeFields(aArr.addObject(), ar, q.aliasFields)
+        }
+      }
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  private def unixSeconds(row: Row, col: String): Long = {
+    row.get(row.fieldIndex(col)) match {
+      case t: java.sql.Timestamp => t.getTime / 1000L
+      case l: java.lang.Long => l / 1000000L // already unix micros
+      case i: java.time.Instant => i.getEpochSecond
+      case other => throw new IllegalStateException(s"bad ts: $other")
+    }
+  }
+
+  private def writeFields(o: ObjectNode, row: Row, fields: Seq[String]): Unit =
+    fields.filter(validFields.contains).foreach {
+      case "count" => o.put("count", row.getAs[Long]("count"))
+      case "time_first" => o.put("time_first", unixSeconds(row, "first_seen"))
+      case "time_last" => o.put("time_last", unixSeconds(row, "last_seen"))
+      case "time_first_rfc3339" => o.put("time_first_rfc3339",
+        java.time.Instant.ofEpochSecond(unixSeconds(row, "first_seen")).toString)
+      case "time_last_rfc3339" => o.put("time_last_rfc3339",
+        java.time.Instant.ofEpochSecond(unixSeconds(row, "last_seen")).toString)
+      case "id" => // synthetic, not persisted (observation.go:16): stable hash
+        o.put("id", java.util.UUID.nameUUIDFromBytes(
+          (row.getAs[String]("rrname") + "" +
+            row.getAs[String]("sensor_id") + "" +
+            row.getAs[String]("rrtype") + "" +
+            row.getAs[String]("rdata")).getBytes("UTF-8")).toString)
+      case f => o.put(f, row.getAs[String](f))
+    }
+}

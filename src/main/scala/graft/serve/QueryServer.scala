@@ -79,6 +79,28 @@ final class QueryServer(store: ObservationStore, port: Int = 0) {
     server.createContext("/stats", (ex: HttpExchange) => handle(ex) {
       respond(ex, 200, s"""{"total_count":${store.totalCount()}}""" + "\n")
     })
+
+    // Q1 — the reference's GraphQL surface (README.md:250-283): the
+    // `entries` query with field selection, enum-or-string rrtype,
+    // unix-seconds + rfc3339 timestamp fields, and the nested `aliases`
+    // virtual self-join. Covers the reference's published query shape
+    // (one root field, scalar args) without a full GraphQL engine.
+    server.createContext("/graphql", (ex: HttpExchange) => handle(ex) {
+      if (ex.getRequestMethod != "POST") respond(ex, 405, "method not allowed\n")
+      else {
+        val raw = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        // accept both bare GraphQL and {"query": "..."} JSON envelopes
+        val gql =
+          if (raw.trim.startsWith("{\"")) {
+            val n = mapper.readTree(raw)
+            Option(n.get("query")).map(_.asText).getOrElse("")
+          } else raw
+        Graphql.execute(gql, store) match {
+          case Left(err) => respond(ex, 400, s"""{"errors":[{"message":"$err"}]}""")
+          case Right(json) => respond(ex, 200, json)
+        }
+      }
+    })
   }
 
   private def handle(ex: HttpExchange)(body: => Unit): Unit =

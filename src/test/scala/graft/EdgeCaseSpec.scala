@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{ObservationStore, Tools}
+
+/** Edge cases the reference is quirky about (FIXTURES.md §10). */
+class EdgeCaseSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val cols = Seq("rrname", "sensor_id", "rrtype", "rdata", "count",
+    "timestamp_start", "timestamp_end")
+
+  test("rdata containing the 0x1f delimiter byte survives store + lookup") {
+    // the reference needs a right-to-left key parse for this
+    // (rocksdb-impl.c:472-495); the columnar model must be immune
+    val weird = "abc"
+    val ts = Timestamp.valueOf("2020-01-01 00:00:00")
+    val dir = Files.createTempDirectory("graft-edge").toString
+    val input = Seq(
+      ("n1.com", "s1", "A", weird, 1L, ts, ts),
+      ("n2.com", "s1", "A", weird, 2L, ts, ts))
+      .toDF(cols: _*)
+    ObservationStore.writeDual(ObservationStore.aggregate(input), s"$dir/st",
+      numBuckets = 4)
+    val st = ObservationStore.load(spark, s"$dir/st", numBuckets = 4)
+    val hits = st.entries(rdata = Some(weird)).collect()
+    assert(hits.length == 2)
+    assert(hits.map(_.getAs[String]("rrname")).toSet == Set("n1.com", "n2.com"))
+    assert(st.entries(rdata = Some("a"), sensorId = Some("s1")).isEmpty)
+  }
+
+  test("u32 timestamp bounds: epoch 0 and 2^32-1 seconds round-trip") {
+    val t0 = new Timestamp(0L)                       // 1970-01-01
+    val tMax = new Timestamp(4294967295L * 1000L)    // 2106-02-07
+    val input = Seq(
+      ("old.com", "s", "A", "1.1.1.1", 1L, t0, t0),
+      ("future.com", "s", "A", "1.1.1.1", 1L, tMax, tMax))
+      .toDF(cols: _*)
+    val agg = ObservationStore.aggregate(input)
+    val json = Tools.jsonize(agg).as[String].collect().mkString("\n")
+    assert(json.contains("\"time_first\":0"))
+    assert(json.contains("\"time_first\":4294967295"))
+  }
+
+  test("per-store limit applied BEFORE fan-out union (Q5/Q8 parity)") {
+    val ts = Timestamp.valueOf("2020-01-01 00:00:00")
+    val input = (1 to 5).map(i => ("multi.com", "s", "A", s"1.1.1.$i", 1L, ts, ts))
+      .toDF(cols: _*)
+    val st = ObservationStore.inMemory(ObservationStore.aggregate(input))
+    // limit binds inside each store: 2 stores × limit 2 = up to 4 rows,
+    // duplicates kept (README.md:291-293)
+    val fanned = st.fanOut(Seq(st, st), rrname = Some("multi.com"),
+      rdata = None, limit = 2)
+    assert(fanned.count() == 4)
+    // single-store limit semantics
+    assert(st.entries(rrname = Some("multi.com"), limit = 3).count() == 3)
+  }
+
+  test("restQuery subject matching both rrname and rdata yields both sets") {
+    val ts = Timestamp.valueOf("2020-01-01 00:00:00")
+    // 'dual' appears as a NAME and as an ANSWER of another name
+    val input = Seq(
+      ("dual", "s", "A", "9.9.9.9", 1L, ts, ts),
+      ("other.com", "s", "CNAME", "dual", 1L, ts, ts))
+      .toDF(cols: _*)
+    val st = ObservationStore.inMemory(ObservationStore.aggregate(input))
+    assert(st.restQuery("dual").count() == 2) // bag union of both searches
+  }
+}

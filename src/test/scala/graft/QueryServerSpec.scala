@@ -78,4 +78,41 @@ class QueryServerSpec extends AnyFunSuite {
   test("GET /stats -> total_count") {
     assert(get("/stats").body().trim == """{"total_count":3}""")
   }
+
+  test("POST /graphql: the reference's canonical entries query") {
+    val q = """query {
+      |  entries(rrname: "foo", sensor_id: "abc", limit: 1) {
+      |    rrname rrtype rdata time_first time_last sensor_id count
+      |  }
+      |}""".stripMargin
+    val r = post("/graphql", q)
+    assert(r.statusCode() == 200)
+    val body = r.body()
+    assert(body.contains(""""data":{"entries":[{"""), body)
+    assert(body.contains(""""rrname":"foo""""), body)
+    assert(body.contains(""""count":10"""), body)
+    assert(body.contains(""""time_first":1514764800"""), body)
+    // JSON envelope form works too
+    val env = post("/graphql",
+      """{"query": "query { entries(rdata: \"1.2.3.4\") { rrname } }"}""")
+    assert(env.body().split("\"rrname\"").length - 1 == 2)
+  }
+
+  test("POST /graphql: field selection, rfc3339, enum rrtype, aliases") {
+    val r = post("/graphql",
+      """query { entries(rrname: "foo", rrtype: A) {
+        | rrname time_first_rfc3339 aliases { rrname rrtype } } }""".stripMargin)
+    assert(r.statusCode() == 200)
+    val body = r.body()
+    assert(body.contains(""""time_first_rfc3339":"2018-01-01T00:00:00Z""""), body)
+    assert(!body.contains(""""count""""), body) // unselected field omitted
+    // foo(1.2.3.4) aliases to baz (same rdata+sensor, different name)
+    assert(body.contains(""""aliases":[{"rrname":"baz","rrtype":"A"}]"""), body)
+  }
+
+  test("POST /graphql: errors — no rrname/rdata, unsupported query") {
+    assert(post("/graphql", "query { entries(rrtype: A) { rrname } }")
+      .statusCode() == 400)
+    assert(post("/graphql", "query { stats { total } }").statusCode() == 400)
+  }
 }
