@@ -17,6 +17,13 @@ import org.apache.spark.sql.graft.IndexRouting
   * config.)
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(IndexRouting(_))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("ip_to_long"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[org.apache.spark.sql.graft.IpToLong].getName, "ip_to_long"),
+        (e: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          org.apache.spark.sql.graft.IpToLong(e.head)))
+  }
 }

@@ -99,6 +99,51 @@ object Similarity {
       .limit(k)
   }
 
+  /** Random-hyperplane LSH near-duplicate pairs — the SCALE path for
+    * cosine dedup: signatures are sign-bits against `nPlanes`
+    * deterministic ±1 hyperplanes (md5-derived, no RNG — reproducible on
+    * any cluster), candidates block on signature chunks (one shuffle on
+    * (block_idx, block) with tiny buckets), and only candidates get the
+    * exact cosine ≥ threshold verification. Recall is the standard
+    * SimHash-LSH curve: high for near-identical vectors, tunable via
+    * nPlanes/blocks. The exact [[nearDuplicatePairs]] remains the
+    * small-data baseline and truth oracle. */
+  def cosineLshPairs(embeddings: DataFrame, idCol: String, embCol: String,
+      threshold: Double, dim: Int, nPlanes: Int = 16,
+      blocks: Int = 4): DataFrame = {
+    // deterministic ±1 planes: sign p,i from one md5 bit
+    val planes: Array[Array[Double]] = Array.tabulate(nPlanes) { p =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(dim) { i =>
+        val d = md.digest(s"$p:$i".getBytes("UTF-8"))
+        if ((d(0) & 1) == 1) 1.0 else -1.0
+      }
+    }
+    val s = withNorm(embeddings, idCol, embCol)
+    val sigBits: Seq[Column] = planes.toSeq.map { plane =>
+      val planeCol = array(plane.map(lit(_)).toSeq: _*)
+      when(dot(col("v"), planeCol) > 0, lit("1")).otherwise(lit("0"))
+    }
+    val signed = s.withColumn("sig", concat(sigBits: _*))
+    val blockLen = nPlanes / blocks
+    val exploded = signed.select(col("id"), col("v"), col("norm"),
+      posexplode(transform(sequence(lit(0), lit(blocks - 1)),
+        b => col("sig").substr(b * blockLen + 1, lit(blockLen))))
+        .as(Seq("block_idx", "block")))
+    val candidates = exploded.as("a").join(exploded.as("b"),
+        col("a.block_idx") === col("b.block_idx") &&
+          col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.v").as("v_a"),
+        col("a.norm").as("norm_a"), col("b.id").as("id_b"),
+        col("b.v").as("v_b"), col("b.norm").as("norm_b"))
+      .distinct()
+    candidates
+      .select(col("id_a"), col("id_b"),
+        (dot(col("v_a"), col("v_b")) / (col("norm_a") * col("norm_b")))
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** All-pairs near-duplicates by cosine ≥ threshold (exact; the LSH/IVF
     * path is the scale alternative when the threshold search must avoid
     * the pairwise product). Norms precomputed per row: one native dot per

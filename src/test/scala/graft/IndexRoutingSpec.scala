@@ -54,6 +54,20 @@ class IndexRoutingSpec extends AnyFunSuite {
     assert(got.size == 3) // 300 rows, rdata repeats every 100
   }
 
+  test("native functions usable from spark.sql after registration") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT ip_to_long('10.0.4.1') AS ip,
+        |       simhash64('hello world') AS sh,
+        |       dot_d(array(2.0d, 3.0d), array(4.0d, 5.0d)) AS dp,
+        |       minhash_sig(array('a', 'b'), 4) AS mh
+        |""".stripMargin).collect().head
+    assert(r.getAs[Long]("ip") == 167773185L)
+    assert(r.getAs[String]("sh").length == 64)
+    assert(r.getAs[Double]("dp") == 23.0)
+    assert(r.getSeq[String](r.fieldIndex("mh")).length == 4)
+  }
+
   test("rrname-filtered queries are NOT rerouted") {
     IndexRouting.install(spark, storePath, numBuckets = 8)
     val forward = spark.read.parquet(s"$storePath/by_rrname")

@@ -73,6 +73,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(top.last._2 == -1.0)
   }
 
+  test("cosine LSH pairs: near-identical vectors found, verified exactly") {
+    val base = Array.tabulate(16)(i => 0.1f * ((i % 5) - 2))
+    val nearDup = base.clone(); nearDup(0) = base(0) + 0.001f
+    val vecs = (Seq((0L, base), (1L, nearDup)) ++
+      (2L to 40L).map { i =>
+        val rnd = new scala.util.Random(i)
+        (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
+      })
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineLshPairs(vecs, "vec_id", "embedding",
+      threshold = 0.99, dim = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    // every reported pair is exactly-verified >= 0.99: the random fillers
+    // must not appear
+    assert(pairs.forall { case (a, b) => a == 0L && b == 1L })
+  }
+
   test("language id: marker argmax with und fallback") {
     val df = Seq(
       (1L, "the cat of the house and not a dog"),

@@ -100,6 +100,16 @@ class StreamingSpec extends AnyFunSuite {
       .head.getAs[Long]("count") == 7L)
   }
 
+  test("backup snapshots a store directory that loads identically") {
+    val dir = Files.createTempDirectory("graft-backup").toString
+    val input = Seq(obs("b.com", "5.5.5.5", 3, "2022-01-01 00:00:00")).toDF(cols: _*)
+    ObservationStore.writeDual(ObservationStore.aggregate(input), s"$dir/st")
+    Tools.backup(spark, s"$dir/st", s"$dir/bak")
+    val restored = ObservationStore.load(spark, s"$dir/bak")
+    assert(restored.entries(rrname = Some("b.com")).collect()
+      .head.getAs[Long]("count") == 3L)
+  }
+
   test("incremental merge touches only the batch's buckets") {
     val dir = Files.createTempDirectory("graft-merge").toString
     val b1 = Seq(obs("a.com", "1.1.1.1", 1, "2020-01-01 00:00:00")).toDF(cols: _*)
