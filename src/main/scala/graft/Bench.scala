@@ -39,24 +39,30 @@ object Bench {
     // Reference bench-harness shape (SURVEY.md Q10: concurrent point
     // lookups, 5 workers — cmd/balboa/cmds/bench.go): build the dual
     // store once from this SF's observations, then hammer point queries.
-    val (buildSec, qps) =
+    val (buildSec, qps, cachedQps) =
       try benchPointLookups(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] point-lookups failed: ${e.getMessage}")
-        (-1.0, -1.0)
+        (-1.0, -1.0, -1.0)
       }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","store_build_sec":$buildSec,"point_lookup_qps":$qps}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","store_build_sec":$buildSec,"point_lookup_qps":$qps,"point_lookup_qps_cached":$cachedQps}""")
     spark.stop()
   }
 
   /** Build the bucketed dual store, then run 200 rdata point queries on 5
-    * concurrent workers (the reference's bench workload shape). */
+    * concurrent workers (the reference's bench workload shape), against
+    * the parquet store and again with both copies cached. Measured
+    * result: the PRUNED parquet path wins (one bucket dir = 1-2 tasks per
+    * query) over the naive cache (InMemoryRelation loses partition
+    * pruning — every lookup scans all cached partitions, batch-stats
+    * skipping notwithstanding). Both numbers are reported to keep that
+    * trade-off visible. */
   private def benchPointLookups(spark: SparkSession,
-      sfDir: String): (Double, Double) = {
+      sfDir: String): (Double, Double, Double) = {
     val dir = java.nio.file.Files.createTempDirectory("graft-bench-store").toString
     val t0 = System.nanoTime()
     operators.ObservationStore.writeDual(
@@ -65,20 +71,27 @@ object Bench {
     val buildSec = (System.nanoTime() - t0) / 1e9
     val store = operators.ObservationStore.load(spark, dir)
 
-    val n = 200
-    val workers = 5
-    val t1 = System.nanoTime()
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(workers)
-    try {
-      val tasks = (1 to n).map { i =>
-        pool.submit(new Runnable {
-          def run(): Unit =
-            store.entries(rdata = Some(i.toString)).collect(): Unit
-        })
-      }
-      tasks.foreach(_.get())
-    } finally pool.shutdown()
-    val qps = n / ((System.nanoTime() - t1) / 1e9)
-    (buildSec, qps)
+    def run(n: Int): Double = {
+      val workers = 5
+      val t1 = System.nanoTime()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(workers)
+      try {
+        val tasks = (1 to n).map { i =>
+          pool.submit(new Runnable {
+            def run(): Unit =
+              store.entries(rdata = Some(i.toString)).collect(): Unit
+          })
+        }
+        tasks.foreach(_.get())
+      } finally pool.shutdown()
+      n / ((System.nanoTime() - t1) / 1e9)
+    }
+
+    val coldQps = run(200)
+    store.cache()
+    store.totalCount() // materialize the cache
+    val cachedQps = run(200)
+    store.unpersist()
+    (buildSec, coldQps, cachedQps)
   }
 }

@@ -223,6 +223,18 @@ final class ObservationStore(byRrname: DataFrame, byRdata: DataFrame,
       .limit(limit)
   }
 
+  /** Pin both copies in executor memory. NOTE (measured, see Bench): for
+    * POINT lookups the bucket-pruned parquet path is FASTER than a naive
+    * full-table cache, because InMemoryRelation drops partition pruning —
+    * a cached lookup scans every cached partition (batch min/max skipping
+    * only). Cache for repeated FULL-table analytics (aliases, fan-out,
+    * stats), not for the point-query serving path. */
+  def cache(): this.type = { byRrname.cache(); byRdata.cache(); this }
+
+  def unpersist(): this.type = {
+    byRrname.unpersist(); byRdata.unpersist(); this
+  }
+
   /** A9/Q11 — total entry count. */
   def totalCount(): Long = byRrname.count()
 
