@@ -39,18 +39,48 @@ object Bench {
     // Reference bench-harness shape (SURVEY.md Q10: concurrent point
     // lookups, 5 workers — cmd/balboa/cmds/bench.go): build the dual
     // store once from this SF's observations, then hammer point queries.
-    val (buildSec, qps, cachedQps) =
+    val (buildSec, qps, cachedQps, mergeSec) =
       try benchPointLookups(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] point-lookups failed: ${e.getMessage}")
-        (-1.0, -1.0, -1.0)
+        (-1.0, -1.0, -1.0, -1.0)
+      }
+    val decodeRate =
+      try benchDecodeRate(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] decode-rate failed: ${e.getMessage}")
+        -1.0
       }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","store_build_sec":$buildSec,"point_lookup_qps":$qps,"point_lookup_qps_cached":$cachedQps}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","store_build_sec":$buildSec,"point_lookup_qps":$qps,"point_lookup_qps_cached":$cachedQps,"merge_batch_sec":$mergeSec,"decode_rows_per_sec":$decodeRate}""")
     spark.stop()
+  }
+
+  /** True decoder throughput: payloads pre-materialized (generation cost
+    * excluded), then one timed decode pass — the 100 TB ingest number. */
+  private def benchDecodeRate(spark: SparkSession, sfDir: String): Double = {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-dec").toString
+    val li = Graft.table(spark, sfDir, "lineitem")
+    li.select(
+      to_json(struct(
+        concat(lit("part-"), col("l_partkey")).as("q"),
+        col("l_returnflag").as("qtype"),
+        concat(lit("o"), col("l_orderkey")).as("a"),
+        col("l_returnflag").as("atype"),
+        concat(date_format(col("l_shipdate").cast("timestamp_ltz"),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS xx"), lit(" UTC")).as("tstamp"))).as("value"),
+      lit("bench").as("sensor_id"))
+      .write.mode("overwrite").parquet(dir)
+    val payloads = spark.read.parquet(dir)
+    val n = payloads.count()
+    val t0 = System.nanoTime()
+    sources.Decoders.gopassivedns(payloads)
+      .write.mode("overwrite").format("noop").save()
+    n / ((System.nanoTime() - t0) / 1e9)
   }
 
   /** Build the bucketed dual store, then run 200 rdata point queries on 5
@@ -62,7 +92,7 @@ object Bench {
     * skipping notwithstanding). Both numbers are reported to keep that
     * trade-off visible. */
   private def benchPointLookups(spark: SparkSession,
-      sfDir: String): (Double, Double, Double) = {
+      sfDir: String): (Double, Double, Double, Double) = {
     val dir = java.nio.file.Files.createTempDirectory("graft-bench-store").toString
     val t0 = System.nanoTime()
     operators.ObservationStore.writeDual(
@@ -92,6 +122,16 @@ object Bench {
     store.totalCount() // materialize the cache
     val cachedQps = run(200)
     store.unpersist()
-    (buildSec, coldQps, cachedQps)
+
+    // incremental maintenance: merge a ~10% batch, touched-buckets only
+    val batch = Graft.observations(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("rdata").cast("long") % 10 === 0)
+      .withColumnRenamed("ts", "timestamp_start")
+      .withColumn("timestamp_end",
+        org.apache.spark.sql.functions.col("timestamp_start"))
+    val t2 = System.nanoTime()
+    operators.ObservationStore.mergeBatch(spark, dir, batch)
+    val mergeSec = (System.nanoTime() - t2) / 1e9
+    (buildSec, coldQps, cachedQps, mergeSec)
   }
 }

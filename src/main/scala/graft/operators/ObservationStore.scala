@@ -65,6 +65,22 @@ object ObservationStore {
       Seq("rrname", "sensor_id", "rrtype", "rdata"), numBuckets)
     writeCopy(agg, s"$path/by_rdata", "rdata",
       Seq("rdata", "sensor_id", "rrname", "rrtype"), numBuckets)
+    writeMeta(path, numBuckets)
+  }
+
+  private def writeMeta(path: String, numBuckets: Int): Unit = {
+    val p = java.nio.file.Paths.get(path, "_graft_meta.json")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, s"""{"num_buckets":$numBuckets}""")
+  }
+
+  /** Bucket count recorded at write time (None for pre-meta stores). */
+  def readNumBuckets(path: String): Option[Int] = {
+    val p = java.nio.file.Paths.get(path, "_graft_meta.json")
+    if (!java.nio.file.Files.exists(p)) None
+    else """"num_buckets"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(java.nio.file.Files.readString(p))
+      .map(_.group(1).toInt)
   }
 
   private def writeCopy(df: DataFrame, path: String, keyCol: String,
@@ -91,10 +107,14 @@ object ObservationStore {
       numBuckets: Int = 64): Unit = {
     val newAgg = aggregate(batch)
     val exists = new java.io.File(s"$path/by_rrname").exists()
+    // bucket count is a layout invariant: honor what the store was
+    // written with, record it on first write
+    val effBuckets = readNumBuckets(path).getOrElse(numBuckets)
+    if (!exists) writeMeta(path, effBuckets)
     Seq(("by_rrname", "rrname", Seq("rrname", "sensor_id", "rrtype", "rdata")),
         ("by_rdata", "rdata", Seq("rdata", "sensor_id", "rrname", "rrtype")))
       .foreach { case (sub, keyCol, sortCols) =>
-        val withBucket = newAgg.withColumn("bucket", bucketOf(col(keyCol), numBuckets))
+        val withBucket = newAgg.withColumn("bucket", bucketOf(col(keyCol), effBuckets))
         val merged =
           if (!exists) withBucket
           else {
@@ -126,7 +146,7 @@ object ObservationStore {
     new ObservationStore(
       spark.read.parquet(s"$path/by_rrname"),
       spark.read.parquet(s"$path/by_rdata"),
-      Some(numBuckets)
+      Some(readNumBuckets(path).getOrElse(numBuckets))
     )
 
   /** In-memory store over an already-aggregated DataFrame (both "copies"
