@@ -65,6 +65,7 @@ object Bench {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-bench-dec").toString
     val li = Graft.table(spark, sfDir, "lineitem")
+      .repartition(spark.sparkContext.defaultParallelism)
     li.select(
       to_json(struct(
         concat(lit("part-"), col("l_partkey")).as("q"),

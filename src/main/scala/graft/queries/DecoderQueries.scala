@@ -16,8 +16,14 @@ import util._
   * a constant fixture against a constant-table oracle. */
 object DecoderQueries {
 
+  /** The testdata files are single-row-group parquet, so a narrow per-row
+    * pipeline would run at scan parallelism = 1; the explicit repartition
+    * spreads the CPU-bound JSON build + decode across all cores (in a real
+    * deployment the spool produces many files and this is a no-op
+    * concern). */
   private def li(s: SparkSession, dir: String): DataFrame =
     Graft.table(s, dir, "lineitem")
+      .repartition(s.sparkContext.defaultParallelism)
 
   // Timestamp renderers matching each format's wire layout.
   private def tsSuri(c: org.apache.spark.sql.Column) =

@@ -16,18 +16,25 @@ import graft.functions.{Dns, NmsgCodec}
   * Output: the InputObservation schema of [[graft.model.Model.inputSchema]].
   *
   * Scale stance: every decoder is a narrow map/flatMap over the input scan
-  * (`from_json` + `explode` — whole-stage-codegen'd, no shuffle, no UDF on
-  * the JSON paths); only NMSG uses a UDF, because its payload is binary
-  * protobuf + DNS wire format. Malformed records decode to null and are
-  * filtered, mirroring the reference's warn-and-skip behavior.
+  * (whole-stage-codegen'd, no shuffle; only NMSG uses a UDF, because its
+  * payload is binary protobuf + DNS wire format).
+  *
+  * Performance-critical shape: decoders are FILTER-FREE. Invalid records
+  * are dropped by exploding a validity-guarded array
+  * (`explode(when(valid, array(row)).otherwise(empty))`) instead of a
+  * `.filter`, because a filter's predicate gets pushdown-substituted with
+  * the full `from_json`/`try_to_timestamp` expressions and `AND`
+  * short-circuiting defeats common-subexpression elimination — measured
+  * ~5× slower on the ingest path. With the generator shape each expensive
+  * expression is evaluated exactly once per row.
   */
 object Decoders {
 
   private val empty_tags = array().cast(ArrayType(StringType))
 
-  private def out(
+  private def obsStruct(
       count: Column, rcode: Column, rdata: Column, rrtype: Column,
-      rrname: Column, ts: Column): Seq[Column] = Seq(
+      rrname: Column, ts: Column): Column = struct(
     count.cast("long").as("count"),
     rcode.cast("string").as("rcode"),
     rdata.cast("string").as("rdata"),
@@ -38,6 +45,14 @@ object Decoders {
     ts.as("timestamp_end"),
     empty_tags.as("tags")
   )
+
+  /** Emit one observation per row when `valid`, none otherwise — the
+    * flatMap shape (no Filter operator, see class doc). */
+  private def emitWhen(df: DataFrame, valid: Column, obs: Column): DataFrame = {
+    val empty = array().cast(ArrayType(graft.model.Model.inputSchema))
+    df.select(explode(when(valid, array(obs)).otherwise(empty)).as("o"))
+      .select("o.*")
+  }
 
   // ---------------------------------------------------------------- D1
 
@@ -71,31 +86,36 @@ object Decoders {
       .withColumn("ts",
         try_to_timestamp(col("j.timestamp"),
           lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][.SSS]xx")))
-      .filter(col("j").isNotNull && col("j.event_type") === "dns" &&
-        col("j.dns.type") === "answer" && col("ts").isNotNull)
+    val valid = col("j").isNotNull && col("j.event_type") === "dns" &&
+      col("j.dns.type") === "answer" && col("ts").isNotNull
 
-    val v1 = parsed
-      .filter(coalesce(col("j.dns.version"), lit(1)) =!= 2)
-      .select(out(lit(1), col("j.dns.rcode"), col("j.dns.rdata"),
-        col("j.dns.rrtype"), col("j.dns.rrname"), col("ts")): _*)
+    val v1 = emitWhen(parsed,
+      valid && coalesce(col("j.dns.version"), lit(1)) =!= 2,
+      obsStruct(lit(1), col("j.dns.rcode"), col("j.dns.rdata"),
+        col("j.dns.rrtype"), col("j.dns.rrname"), col("ts")))
 
+    // v2 detailed: guard the answers array itself — explode of an empty
+    // array emits nothing, no filter needed
     val v2detailed = parsed
-      .filter(col("j.dns.version") === 2 && size(col("j.dns.answers")) > 0)
       .select(col("sensor_id"), col("ts"), col("j.dns.rcode").as("rcode"),
-        explode(col("j.dns.answers")).as("a"))
-      .select(out(lit(1), col("rcode"), col("a.rdata"), col("a.rrtype"),
-        col("a.rrname"), col("ts")): _*)
+        explode(when(valid && col("j.dns.version") === 2,
+          col("j.dns.answers")).otherwise(lit(null))).as("a"))
+      .select(obsStruct(lit(1), col("rcode"), col("a.rdata"), col("a.rrtype"),
+        col("a.rrname"), col("ts")).as("o"))
+      .select("o.*")
 
     val v2grouped = parsed
-      .filter(col("j.dns.version") === 2 &&
-        (col("j.dns.answers").isNull || size(col("j.dns.answers")) === 0))
       .select(col("sensor_id"), col("ts"), col("j.dns.rcode").as("rcode"),
         col("j.dns.rrname").as("g_rrname"),
-        explode(col("j.dns.grouped")).as(Seq("g_rrtype", "g_rdatas")))
+        explode(when(valid && col("j.dns.version") === 2 &&
+          (col("j.dns.answers").isNull || size(col("j.dns.answers")) === 0),
+          col("j.dns.grouped")).otherwise(lit(null)))
+          .as(Seq("g_rrtype", "g_rdatas")))
       .select(col("sensor_id"), col("ts"), col("rcode"), col("g_rrname"),
         col("g_rrtype"), explode(col("g_rdatas")).as("g_rdata"))
-      .select(out(lit(1), col("rcode"), col("g_rdata"), col("g_rrtype"),
-        col("g_rrname"), col("ts")): _*)
+      .select(obsStruct(lit(1), col("rcode"), col("g_rdata"), col("g_rrtype"),
+        col("g_rrname"), col("ts")).as("o"))
+      .select("o.*")
 
     v1.unionAll(v2detailed).unionAll(v2grouped)
   }
@@ -117,10 +137,10 @@ object Decoders {
 
   /** D2 — FEVER aggregate (`format/format_fever.go:34-71`): nested
     * `dns{rrname → {rdata: [...]}}`, one row per (rrname, rdata entry),
-    * carrying the source-side pre-aggregated count and window timestamps. */
+    * carrying the source-side pre-aggregated count and window timestamps.
+    * Malformed JSON yields a null map; exploding null emits nothing. */
   def fever(df: DataFrame): DataFrame =
     df.withColumn("j", from_json(col("value"), feverSchema))
-      .filter(col("j").isNotNull)
       .withColumn("ts_start", try_to_timestamp(col("j.timestamp_start"),
         lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]XXX")))
       .withColumn("ts_end", try_to_timestamp(col("j.timestamp_end"),
@@ -157,14 +177,16 @@ object Decoders {
     * Timestamp is Go's default `String()` layout
     * (`2018-10-26 19:32:36.141184 +0000 UTC`) — the trailing zone
     * abbreviation is dropped before parsing the numeric offset. */
-  def gopassivedns(df: DataFrame): DataFrame =
-    df.withColumn("j", from_json(col("value"), gopassivednsSchema))
+  def gopassivedns(df: DataFrame): DataFrame = {
+    val withTs = df
+      .withColumn("j", from_json(col("value"), gopassivednsSchema))
       .withColumn("ts", try_to_timestamp(
         regexp_replace(col("j.tstamp"), " [A-Z]+$", ""),
         lit("yyyy-MM-dd HH:mm:ss[.SSSSSS] xx")))
-      .filter(col("j").isNotNull && col("ts").isNotNull)
-      .select(out(lit(1), col("j.rcode"), col("j.a"), col("j.atype"),
-        col("j.q"), col("ts")): _*)
+    emitWhen(withTs, col("j").isNotNull && col("ts").isNotNull,
+      obsStruct(lit(1), col("j.rcode"), col("j.a"), col("j.atype"),
+        col("j.q"), col("ts")))
+  }
 
   // ---------------------------------------------------------------- D4
 
@@ -187,11 +209,13 @@ object Decoders {
     df.withColumn("j", from_json(col("value"), packetbeatSchema))
       .withColumn("ts", try_to_timestamp(col("j.`@timestamp`"),
         lit("yyyy-MM-dd'T'HH:mm:ss[.SSS]XXX")))
-      .filter(col("j").isNotNull && col("j.type") === "dns" &&
-        col("ts").isNotNull)
-      .select(col("sensor_id"), col("ts"), explode(col("j.dns.answers")).as("a"))
-      .select(out(lit(1), lit(null), rtrim(col("a.data"), "."),
-        col("a.type"), rtrim(col("a.name"), "."), col("ts")): _*)
+      .select(col("sensor_id"), col("ts"),
+        explode(when(col("j").isNotNull && col("j.type") === "dns" &&
+          col("ts").isNotNull, col("j.dns.answers")).otherwise(lit(null)))
+          .as("a"))
+      .select(obsStruct(lit(1), lit(null), rtrim(col("a.data"), "."),
+        col("a.type"), rtrim(col("a.name"), "."), col("ts")).as("o"))
+      .select("o.*")
 
   // ---------------------------------------------------------------- D5
 
@@ -205,20 +229,17 @@ object Decoders {
   def gamelinux(df: DataFrame): DataFrame = {
     val lines = df.select(col("sensor_id"),
       explode(split(col("value"), "\n")).as("line"))
-    val c = split(col("line"), "\\|\\|")
-    lines
-      .withColumn("cols", c)
-      .filter(size(col("cols")) === 9)
+    val withCols = lines
+      .withColumn("cols", split(col("line"), "\\|\\|"))
       .withColumn("epoch", split(col("cols")(0), "\\."))
-      .filter(size(col("epoch")) === 2 &&
-        try_cast_long(col("epoch")(0)).isNotNull &&
-        try_cast_long(col("epoch")(1)).isNotNull &&
-        try_cast_long(col("cols")(8)).isNotNull)
       .withColumn("ts", timestamp_micros(
-        col("epoch")(0).cast("long") * 1000000L +
-          expr("cast(epoch[1] as long) div 1000")))
-      .select(out(col("cols")(8), lit(null), rtrim(col("cols")(6), "."),
-        col("cols")(5), rtrim(col("cols")(4), "."), col("ts")): _*)
+        try_cast_long(col("epoch")(0)) * 1000000L +
+          expr("try_cast(epoch[1] as long) div 1000")))
+    val valid = size(col("cols")) === 9 && size(col("epoch")) === 2 &&
+      col("ts").isNotNull && try_cast_long(col("cols")(8)).isNotNull
+    emitWhen(withCols, valid,
+      obsStruct(col("cols")(8), lit(null), rtrim(col("cols")(6), "."),
+        col("cols")(5), rtrim(col("cols")(4), "."), col("ts")))
   }
 
   private def try_cast_long(c: Column): Column = c.try_cast("long")
@@ -238,9 +259,10 @@ object Decoders {
   /** D6 — NMSG/SIE NewDomain protobuf (`format/format_nmsg.go:82-110`):
     * binary input; DNS wire-format name decode, numeric rrtype → mnemonic,
     * first rdata element rendered per type, `time_seen` epoch seconds. */
-  def nmsg(df: DataFrame): DataFrame =
-    df.withColumn("d", nmsgDecode(col("value")))
-      .filter(col("d").isNotNull)
-      .select(out(lit(1), lit(null), col("d._3"), col("d._2"), col("d._1"),
-        timestamp_seconds(col("d._4"))): _*)
+  def nmsg(df: DataFrame): DataFrame = {
+    val withD = df.withColumn("d", nmsgDecode(col("value")))
+    emitWhen(withD, col("d").isNotNull,
+      obsStruct(lit(1), lit(null), col("d._3"), col("d._2"), col("d._1"),
+        timestamp_seconds(col("d._4"))))
+  }
 }
