@@ -16,10 +16,14 @@ import graft.operators.{Dedup, Similarity, TextAnalysis}
   */
 object PipelineQueries {
 
+  /** Testdata parquet is single-row-group (scan parallelism 1); spread the
+    * CPU-bound shingling/hashing work across cores up front. */
   private def docs(s: SparkSession, dir: String): DataFrame =
     Graft.table(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
   private def embs(s: SparkSession, dir: String): DataFrame =
     Graft.table(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
 
   private val stopwords = Seq("the", "a", "of", "and", "not")
 
