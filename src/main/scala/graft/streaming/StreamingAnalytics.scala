@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming analytics over event streams: watermarked windowed
+  * aggregation and custom-state sessionization — the streaming twins of
+  * the batch operators in [[graft.operators.Events]].
+  *
+  * The reference needs none of this (its aggregation is unwindowed and
+  * order-insensitive, SURVEY §2.5); these are the training-data-pipeline
+  * extensions where event-time semantics DO matter, built on Structured
+  * Streaming's state store so they scale with keys × open windows, not
+  * with history.
+  */
+object StreamingAnalytics {
+
+  /** Watermarked tumbling-window counts/sums per key. Late events beyond
+    * `lateness` are dropped and their windows finalized (append mode
+    * emits each window exactly once). */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+      windowDuration: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowDuration).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100, 0).cast("long")).cast("long")
+          .as("sum_value_cents"))
+      .select(col("w.start").as("window_start"), col(keyCol),
+        col("n_events"), col("sum_value_cents"))
+
+  final case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp)
+
+  final case class SessionState(
+      sessionStart: Long, lastSeen: Long, nEvents: Long)
+
+  final case class SessionOut(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long)
+
+  /** Custom-state gap sessionization (`flatMapGroupsWithState`): a user's
+    * session closes when the EVENT-TIME watermark passes `lastSeen + gap`
+    * (EventTimeTimeout; a processing-time timeout would keep the
+    * micro-batch engine re-triggering forever and is wall-clock-dependent
+    * anyway). The streaming counterpart of
+    * [[graft.operators.Events.sessionize]]. State per user is O(1): three
+    * longs, regardless of session length. */
+  def sessionize(events: Dataset[SessionEvent], gapMinutes: Int = 30,
+      lateness: String = "10 seconds"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[SessionEvent],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastSeen+gap: close and clear
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, new Timestamp(s.sessionStart),
+              new Timestamp(s.lastSeen), s.nEvents))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastSeen <= gapMs =>
+                  cur = Some(s.copy(lastSeen = math.max(s.lastSeen, t),
+                    nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  // in-stream gap: close the old session immediately
+                  closed ::= SessionOut(userId, new Timestamp(s.sessionStart),
+                    new Timestamp(s.lastSeen), s.nEvents)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSeen + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

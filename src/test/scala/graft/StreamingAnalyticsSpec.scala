@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingAnalytics
+import graft.streaming.StreamingAnalytics.SessionEvent
+
+/** Streaming analytics: watermarked windows and flatMapGroupsWithState
+  * sessionization driven through MemoryStream micro-batches. */
+class StreamingAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermarked tumbling windows finalize after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val out = StreamingAnalytics.windowedCounts(
+      stream.toDF().toDF("ts", "event_type", "value"),
+      "ts", "event_type", windowDuration = "1 hour", lateness = "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("win_test").start()
+    stream.addData(
+      (ts("2024-01-01 10:05:00"), "click", 1.50),
+      (ts("2024-01-01 10:45:00"), "click", 2.25))
+    q.processAllAvailable()
+    // advance event time far past 10:00-11:00 + lateness -> window emits
+    stream.addData((ts("2024-01-01 13:00:00"), "click", 9.99))
+    q.processAllAvailable()
+    val rows = spark.table("win_test").collect()
+    q.stop()
+    assert(rows.length == 1) // the 13:00 window is still open
+    assert(rows.head.getAs[Long]("n_events") == 2L)
+    assert(rows.head.getAs[Long]("sum_value_cents") == 375L)
+    assert(rows.head.getAs[Timestamp]("window_start") == ts("2024-01-01 10:00:00"))
+  }
+
+  test("flatMapGroupsWithState sessionization: gap closes a session in-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[SessionEvent]
+    val out = StreamingAnalytics.sessionize(stream.toDS(), gapMinutes = 30)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess_test").start()
+    // batch 1: two events 10 min apart (one session so far)
+    stream.addData(
+      SessionEvent(7L, 1L, ts("2024-01-01 10:00:00")),
+      SessionEvent(7L, 2L, ts("2024-01-01 10:10:00")))
+    q.processAllAvailable()
+    // batch 2: an event 2h later -> the first session closes immediately
+    stream.addData(SessionEvent(7L, 3L, ts("2024-01-01 12:10:00")))
+    q.processAllAvailable()
+    val rows = spark.table("sess_test")
+      .as[StreamingAnalytics.SessionOut].collect()
+    q.stop()
+    assert(rows.length == 1)
+    assert(rows.head.user_id == 7L)
+    assert(rows.head.n_events == 2L)
+    assert(rows.head.session_start == ts("2024-01-01 10:00:00"))
+    assert(rows.head.session_end == ts("2024-01-01 10:10:00"))
+  }
+}
