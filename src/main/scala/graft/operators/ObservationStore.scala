@@ -190,6 +190,20 @@ final class ObservationStore(byRrname: DataFrame, byRdata: DataFrame,
       .drop("bucket")
   }
 
+  /** Typed variant of [[entries]] for callers that want compile-time field
+    * checks (`Dataset[Observation]`); requires the store's timestamp
+    * columns to be TimestampType (disk/in-memory stores — not the
+    * unix-micros projections used by the correctness gate). */
+  def entriesTyped(
+      rrname: Option[String] = None,
+      rdata: Option[String] = None,
+      rrtype: Option[String] = None,
+      sensorId: Option[String] = None,
+      limit: Int = 1000): org.apache.spark.sql.Dataset[graft.model.Observation] =
+    entries(rrname, rdata, rrtype, sensorId, limit)
+      .as[graft.model.Observation](
+        org.apache.spark.sql.Encoders.product[graft.model.Observation])
+
   /** Q6 — `aliases` virtual self-join: for each (A/AAAA) entry, other names
     * that resolved to the same rdata on the same sensor
     * (`query_graphql.go:380-398`), capped per entry. The per-entry limit is

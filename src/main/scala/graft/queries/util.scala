@@ -32,11 +32,23 @@ object util {
       |""".stripMargin
 
   /** Spark-side aggregate with unix-micros timestamps (parity with `agg`
-    * in [[obsCte]]). */
+    * in [[obsCte]]). Memoized + persisted per (session, dir): a real
+    * engine materializes its store once, not once per query — the 8
+    * balboa-surface queries (and the aliases self-join, which references
+    * the store twice) all share one aggregation. Content is deterministic,
+    * so caching cannot change results. */
   def aggMicros(s: SparkSession, dir: String): DataFrame =
-    ObservationStore.aggregate(Graft.observations(s, dir))
-      .withColumn("first_seen", micros(col("first_seen")))
-      .withColumn("last_seen", micros(col("last_seen")))
+    aggCache.getOrElseUpdate((s, dir), {
+      val df = ObservationStore.aggregate(Graft.observations(s, dir))
+        .withColumn("first_seen", micros(col("first_seen")))
+        .withColumn("last_seen", micros(col("last_seen")))
+      df.persist()
+      df
+    })
+
+  private val aggCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
 
   def store(s: SparkSession, dir: String): ObservationStore =
     ObservationStore.inMemory(aggMicros(s, dir))

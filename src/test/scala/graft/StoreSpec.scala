@@ -45,6 +45,17 @@ class StoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](store.entries())
   }
 
+  test("entriesTyped: Dataset[Observation] round-trip") {
+    val obs = store.entriesTyped(rrname = Some("foo")).collect()
+    assert(obs.length == 1)
+    assert(obs.head.count == 10L)
+    assert(obs.head.rdata == "1.2.3.4")
+    // decoder plug registry rejects unknown formats
+    intercept[IllegalArgumentException](
+      graft.streaming.IngestPipeline.decode(
+        Seq(("x", "s")).toDF("value", "sensor_id"), "nope"))
+  }
+
   test("restQuery: subject as rrname OR rdata, bag union") {
     // '1.2.3.4' only matches as rdata -> 2 rows
     assert(store.restQuery("1.2.3.4").count() == 2)
