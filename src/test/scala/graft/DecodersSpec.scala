@@ -170,6 +170,31 @@ class DecodersSpec extends AnyFunSuite {
       varint((7L << 3) | 2) ++ varint(4L) ++ Seq[Byte](1, 2, 3, 4)).toArray
   }
 
+  test("edge payloads: fraction-less timestamps, empty structures") {
+    // Go's .999999 layout means the fraction is OPTIONAL
+    val noFraction = suriV1.replace("2009-11-24T21:27:09.534255-0100",
+      "2009-11-24T21:27:09-0100")
+    val rows = Decoders.suricata(in(noFraction)).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Timestamp]("timestamp_start") ==
+      Timestamp.valueOf("2009-11-24 22:27:09"))
+    // packetbeat with dns present but answers absent -> 0 rows, no error
+    assert(Decoders.packetbeat(in(
+      """{"type":"dns","dns":{},"@timestamp":"2018-10-26T21:03:20.222Z"}"""))
+      .count() == 0)
+    // fever with empty dns map -> 0 rows
+    assert(Decoders.fever(in(
+      """{"dns":{},"timestamp_start":"2018-10-26T21:02:20+00:00",
+        |"timestamp_end":"2018-10-26T21:03:20+00:00"}""".stripMargin))
+      .count() == 0)
+    // gamelinux: non-numeric count or malformed epoch -> line skipped
+    assert(Decoders.gamelinux(in(
+      "1322849924.408856||c||s||IN||a.com.||A||1.2.3.4||60||notanumber"))
+      .count() == 0)
+    assert(Decoders.gamelinux(in(
+      "nodothere||c||s||IN||a.com.||A||1.2.3.4||60||5")).count() == 0)
+  }
+
   test("nmsg: protobuf NewDomain -> decoded observation") {
     val rows = Decoders.nmsg(inBin(newDomainBytes)).collect()
     assert(rows.length == 1)
