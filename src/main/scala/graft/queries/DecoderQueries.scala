@@ -41,15 +41,16 @@ object DecoderQueries {
     // D1 — Suricata EVE v2 "grouped": one JSON per order, grouped map
     // rrtype -> [rdata...]; decode explodes map + arrays.
     "decode_suricata" -> ((s, dir) => {
-      val grouped = li(s, dir)
+      // two-stage rollup: max(shipdate) per order = max of per-(order,flag)
+      // maxima — no separate aggregation + join needed
+      val payloads = li(s, dir)
         .groupBy(col("l_orderkey"), col("l_returnflag"))
-        .agg(collect_set(concat(lit("p"), col("l_partkey"))).as("rdatas"))
-      val perOrder = li(s, dir).groupBy(col("l_orderkey")).agg(max("l_shipdate").as("ots"))
-      val payloads = grouped
-        .join(perOrder, "l_orderkey")
-        .groupBy(col("l_orderkey"), col("ots"))
-        .agg(map_from_entries(collect_list(struct(col("l_returnflag"), col("rdatas"))))
-          .as("grouped"))
+        .agg(collect_set(concat(lit("p"), col("l_partkey"))).as("rdatas"),
+          max("l_shipdate").as("mx"))
+        .groupBy(col("l_orderkey"))
+        .agg(max("mx").as("ots"),
+          map_from_entries(collect_list(struct(col("l_returnflag"), col("rdatas"))))
+            .as("grouped"))
         .select(
           to_json(struct(
             lit("dns").as("event_type"),
@@ -66,18 +67,19 @@ object DecoderQueries {
     // D2 — FEVER aggregate: nested dns{rrname -> {rdata:[entries]}} per
     // part, with pre-aggregated counts and a window [min,max] shipdate.
     "decode_fever" -> ((s, dir) => {
-      val entries = li(s, dir)
+      // fused two-stage rollup: the per-part window bounds are the
+      // min-of-mins / max-of-maxes of the per-(part,order,flag) groups
+      val payloads = li(s, dir)
         .groupBy(col("l_partkey"), col("l_orderkey"), col("l_returnflag"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("cnt"),
+          min("l_shipdate").as("mn"), max("l_shipdate").as("mx"))
         .groupBy(col("l_partkey"))
         .agg(collect_list(struct(
           concat(lit("o"), col("l_orderkey")).as("rdata"),
           col("cnt").as("count"),
           col("l_returnflag").as("rrtype"),
-          lit("answer").as("type"))).as("rdatas"))
-      val windows = li(s, dir).groupBy(col("l_partkey"))
-        .agg(min("l_shipdate").as("w_start"), max("l_shipdate").as("w_end"))
-      val payloads = entries.join(windows, "l_partkey")
+          lit("answer").as("type"))).as("rdatas"),
+          min("mn").as("w_start"), max("mx").as("w_end"))
         .select(
           to_json(struct(
             map(concat(lit("part-"), col("l_partkey")),
