@@ -62,8 +62,13 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.8): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // the (id, shingles, signature) projection is referenced by the band
+    // index AND both sides of the verify join: materialize it once
+    // (similarity-join systems store the tokenized form for the same
+    // reason) instead of re-shingling per reference
     val docs = df.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .localCheckpoint(false)
     val bandsDf = docs.select(col("id"),
         posexplode(lshBands(col("sig"), bands, rowsPerBand))
           .as(Seq("band_idx", "band_hash")))
@@ -87,6 +92,7 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.8): DataFrame = {
     val docs = df.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+      .localCheckpoint(false)
     // canonical order: lexicographic; prefix keeps the first
     // |sh| - ceil(t*|sh|) + 1 elements
     val prefix = slice(array_sort(col("sh")), lit(1),
