@@ -54,6 +54,16 @@ object BalboaQueries {
     // A9/Q11 — stats: total distinct-key count of the store.
     "total_count" -> ((s, dir) =>
       aggMicros(s, dir).agg(count(lit(1)).as("total_count"))),
+
+    // Stats extension: per-rrtype cardinalities over the store — the
+    // rollup a passive-DNS analyst asks first (how many names/answers per
+    // record type, how much observation mass).
+    "cardinality_stats" -> ((s, dir) =>
+      aggMicros(s, dir).groupBy(col("rrtype"))
+        .agg(countDistinct(col("rrname")).as("n_names"),
+          countDistinct(col("rdata")).as("n_answers"),
+          countDistinct(col("sensor_id")).as("n_sensors"),
+          sum(col("count")).cast("long").as("observations"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -127,5 +137,15 @@ object BalboaQueries {
 
     "total_count" ->
       s"""$obsCte SELECT CAST(COUNT(*) AS BIGINT) AS total_count FROM agg""",
+
+    "cardinality_stats" ->
+      s"""$obsCte
+         |SELECT rrtype,
+         |       CAST(COUNT(DISTINCT rrname) AS BIGINT) AS n_names,
+         |       CAST(COUNT(DISTINCT rdata) AS BIGINT) AS n_answers,
+         |       CAST(COUNT(DISTINCT sensor_id) AS BIGINT) AS n_sensors,
+         |       CAST(SUM("count") AS BIGINT) AS observations
+         |FROM agg GROUP BY 1
+         |""".stripMargin,
   )
 }
