@@ -65,22 +65,41 @@ object ObservationStore {
       Seq("rrname", "sensor_id", "rrtype", "rdata"), numBuckets)
     writeCopy(agg, s"$path/by_rdata", "rdata",
       Seq("rdata", "sensor_id", "rrname", "rrtype"), numBuckets)
-    writeMeta(path, numBuckets)
+    writeMeta(agg.sparkSession, path, numBuckets)
   }
 
-  private def writeMeta(path: String, numBuckets: Int): Unit = {
-    val p = java.nio.file.Paths.get(path, "_graft_meta.json")
-    java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.writeString(p, s"""{"num_buckets":$numBuckets}""")
+  // All store paths go through Hadoop FS, so hdfs:// / s3a:// stores work
+  // the same as local ones.
+  private def fs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val (f, p) = fs(spark, path)
+    f.exists(p)
+  }
+
+  private def writeMeta(spark: SparkSession, path: String,
+      numBuckets: Int): Unit = {
+    val (f, p) = fs(spark, s"$path/_graft_meta.json")
+    val out = f.create(p, true)
+    try out.write(s"""{"num_buckets":$numBuckets}""".getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Bucket count recorded at write time (None for pre-meta stores). */
-  def readNumBuckets(path: String): Option[Int] = {
-    val p = java.nio.file.Paths.get(path, "_graft_meta.json")
-    if (!java.nio.file.Files.exists(p)) None
-    else """"num_buckets"\s*:\s*(\d+)""".r
-      .findFirstMatchIn(java.nio.file.Files.readString(p))
-      .map(_.group(1).toInt)
+  def readNumBuckets(spark: SparkSession, path: String): Option[Int] = {
+    val (f, p) = fs(spark, s"$path/_graft_meta.json")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val content =
+        try new String(in.readAllBytes(), "UTF-8")
+        finally in.close()
+      """"num_buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(content)
+        .map(_.group(1).toInt)
+    }
   }
 
   private def writeCopy(df: DataFrame, path: String, keyCol: String,
@@ -106,11 +125,11 @@ object ObservationStore {
   def mergeBatch(spark: SparkSession, path: String, batch: DataFrame,
       numBuckets: Int = 64): Unit = {
     val newAgg = aggregate(batch)
-    val exists = new java.io.File(s"$path/by_rrname").exists()
+    val exists = pathExists(spark, s"$path/by_rrname")
     // bucket count is a layout invariant: honor what the store was
     // written with, record it on first write
-    val effBuckets = readNumBuckets(path).getOrElse(numBuckets)
-    if (!exists) writeMeta(path, effBuckets)
+    val effBuckets = readNumBuckets(spark, path).getOrElse(numBuckets)
+    if (!exists) writeMeta(spark, path, effBuckets)
     Seq(("by_rrname", "rrname", Seq("rrname", "sensor_id", "rrtype", "rdata")),
         ("by_rdata", "rdata", Seq("rdata", "sensor_id", "rrname", "rrtype")))
       .foreach { case (sub, keyCol, sortCols) =>
@@ -132,21 +151,21 @@ object ObservationStore {
               // cut lineage: we overwrite the very partitions we read
               .localCheckpoint(true)
           }
-        merged
-          .repartition(col("bucket"))
-          .sortWithinPartitions(("bucket" +: sortCols).map(col): _*)
-          .write
-          .option("partitionOverwriteMode", "dynamic")
-          .mode("overwrite").partitionBy("bucket").parquet(s"$path/$sub")
+        // drop the derived bucket col: writeCopy recomputes it (same hash)
+        writeCopy(merged.drop("bucket"), s"$path/$sub", keyCol, sortCols,
+          effBuckets, dynamic = true)
       }
   }
 
-  def load(spark: SparkSession, path: String,
-      numBuckets: Int = 64): ObservationStore =
+  /** Load a dual store. Bucket pruning uses the count recorded in the
+    * store's metadata; without metadata (pre-meta store) no bucket
+    * predicate is applied — slower point lookups, never silently-empty
+    * results from a wrong guess. */
+  def load(spark: SparkSession, path: String): ObservationStore =
     new ObservationStore(
       spark.read.parquet(s"$path/by_rrname"),
       spark.read.parquet(s"$path/by_rdata"),
-      Some(readNumBuckets(path).getOrElse(numBuckets))
+      readNumBuckets(spark, path)
     )
 
   /** In-memory store over an already-aggregated DataFrame (both "copies"

@@ -157,7 +157,40 @@ object PipelineQueries {
         |FROM u GROUP BY 1
         |""".stripMargin,
 
-    "dedup_minhash" -> jaccardPairsSql,
+    // The minhash oracle mirrors the FULL MinHash+LSH pipeline in SQL
+    // (signatures, band hashes, bucket candidates, exact-Jaccard verify) —
+    // not the all-pairs truth — so a legitimately-missed borderline pair
+    // can never register as a gate failure. The exact inverted-index join
+    // (dedup_ngram) is the one held to the all-pairs oracle.
+    "dedup_minhash" ->
+      s"""WITH $shingleCte,
+         |sig AS (
+         |  SELECT doc_id, sh,
+         |         list_transform(generate_series(0, 15), k ->
+         |           list_min(list_transform(sh,
+         |             s -> md5(CAST(k AS VARCHAR) || ':' || s)))) AS sig
+         |  FROM sh),
+         |bands AS (
+         |  SELECT doc_id, sh, b.band_idx,
+         |         md5(array_to_string(
+         |           list_slice(sig, b.band_idx * 4 + 1, b.band_idx * 4 + 4),
+         |           '|')) AS band_hash
+         |  FROM sig, (SELECT UNNEST(generate_series(0, 3)) AS band_idx) b),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id)
+         |SELECT c.id_a, c.id_b,
+         |       CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+         |       CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE)
+         |         AS jaccard
+         |FROM cand c
+         |JOIN sh x ON x.doc_id = c.id_a
+         |JOIN sh y ON y.doc_id = c.id_b
+         |WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+         |      CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) >= 0.8
+         |""".stripMargin,
     "dedup_ngram" -> jaccardPairsSql,
 
     "simhash_fingerprints" ->

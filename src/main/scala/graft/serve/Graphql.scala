@@ -88,14 +88,13 @@ object Graphql {
     "time_first_rfc3339", "time_last_rfc3339")
 
   private def render(q: EntriesQuery, store: ObservationStore): String = {
-    val rows = store.entries(q.rrname, q.rdata, q.rrtype, q.sensorId, q.limit)
-      .collect()
+    val entriesDf = store.entries(q.rrname, q.rdata, q.rrtype, q.sensorId,
+      q.limit)
+    val rows = entriesDf.collect()
 
     val aliasesByKey: Map[(String, String, String), Seq[Row]] =
       if (q.aliasFields.isEmpty) Map.empty
       else {
-        val entriesDf = store.entries(q.rrname, q.rdata, q.rrtype,
-          q.sensorId, q.limit)
         store.aliases(entriesDf).collect()
           .groupBy(r => (r.getAs[String]("e_rrname"),
             r.getAs[String]("e_sensor_id"), r.getAs[String]("e_rdata")))

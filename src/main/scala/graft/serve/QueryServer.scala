@@ -68,11 +68,19 @@ final class QueryServer(store: ObservationStore, port: Int = 0) {
       val subject = ex.getRequestURI.getPath.stripPrefix("/pdns/query/")
       if (subject.isEmpty) respond(ex, 404, "not found\n")
       else {
-        val limit = Option(ex.getRequestURI.getQuery)
+        val rawLimit = Option(ex.getRequestURI.getQuery)
           .flatMap(_.split("&").collectFirst {
-            case q if q.startsWith("limit=") => q.drop(6).toInt
-          }).getOrElse(1000)
-        streamNdjson(ex, store.restQuery(subject, limit), notFoundOnEmpty = true)
+            case q if q.startsWith("limit=") => q.drop(6)
+          })
+        rawLimit match {
+          case Some(s) => s.toIntOption.filter(_ > 0) match {
+            case None => respond(ex, 400, "invalid limit\n") // client error, not 500
+            case Some(l) =>
+              streamNdjson(ex, store.restQuery(subject, l), notFoundOnEmpty = true)
+          }
+          case None =>
+            streamNdjson(ex, store.restQuery(subject, 1000), notFoundOnEmpty = true)
+        }
       }
     })
 

@@ -34,14 +34,20 @@ import org.apache.spark.sql.functions._
 object Feeders {
 
   private val seq = new AtomicLong(0)
+  // per-process nonce: multiple receiver processes share a spool dir, and
+  // wall-clock+sequence alone would collide across JVMs (ATOMIC_MOVE
+  // silently replaces, losing an event)
+  private val processNonce =
+    java.util.UUID.randomUUID().toString.take(8)
 
   /** Atomically spool one payload for the file stream. The sensor id
-    * travels URL-encoded in the FILE NAME (`<ts>-<n>__<sensor>.msg`), so
-    * payload bytes stay untouched — text and binary formats share one
-    * spool contract. */
+    * travels URL-encoded in the FILE NAME
+    * (`<ts>-<nonce>-<n>__<sensor>.msg`), so payload bytes stay untouched —
+    * text and binary formats share one spool contract. */
   def spool(dir: String, sensorId: String, payload: Array[Byte]): Unit = {
     val enc = java.net.URLEncoder.encode(sensorId, "UTF-8")
-    val name = s"${System.currentTimeMillis()}-${seq.incrementAndGet()}__$enc"
+    val name =
+      s"${System.currentTimeMillis()}-$processNonce-${seq.incrementAndGet()}__$enc"
     val tmp = Paths.get(dir, s".$name.tmp")
     val dst = Paths.get(dir, s"$name.msg")
     Files.createDirectories(tmp.getParent)

@@ -39,9 +39,18 @@ case class IndexRouting(spark: SparkSession) extends Rule[LogicalPlan] {
       val byName = inverted.output.map(a => a.name -> a).toMap
       if (!rel.output.forall(a => byName.contains(a.name))) f
       else {
-        // keep the original exprIds so parents are untouched
+        // keep the original exprIds so parents are untouched. `bucket` is
+        // the one column whose VALUE differs between copies
+        // (hash(rrname) vs hash(rdata)): recompute the forward semantics
+        // from the inverted copy's rrname so projections/filters on
+        // bucket stay correct after the reroute.
         val proj: Seq[NamedExpression] = rel.output.map { orig =>
-          Alias(byName(orig.name), orig.name)(exprId = orig.exprId)
+          val source =
+            if (orig.name == "bucket")
+              Cast(Pmod(new XxHash64(Seq(byName("rrname"))),
+                Literal(reg.numBuckets.toLong)), byName("bucket").dataType)
+            else byName(orig.name)
+          Alias(source, orig.name)(exprId = orig.exprId)
         }
         val rdataLit = eqLiteral(cond, "rdata").get
         val bucketAttr = byName("bucket")
@@ -79,7 +88,6 @@ object IndexRouting {
   }
 
   private val registry = TrieMap.empty[String, Registration]
-  private val invertedCache = TrieMap.empty[String, LogicalPlan]
 
   /** Register a dual store so rdata lookups against its forward copy are
     * rerouted, and attach the rule to this session (idempotent). */
@@ -94,13 +102,14 @@ object IndexRouting {
 
   def uninstall(storePath: String): Unit = registry.remove(storePath)
 
+  /** The inverted relation is re-resolved per rewrite — NOT cached: the
+    * store's files change under incremental merges (dynamic partition
+    * overwrite deletes old files), and a cached file index would serve
+    * stale or missing files. The cost is one driver-side listing per
+    * rerouted query, the same price `spark.read.parquet` always pays. */
   private def invertedRelation(spark: SparkSession,
-      reg: Registration): LogicalRelation = {
-    val plan = invertedCache.getOrElseUpdate(reg.storePath, {
-      castToImpl(spark.read.parquet(s"${reg.storePath}/by_rdata"))
-        .queryExecution.analyzed
-    })
-    // fresh attribute ids per use: LogicalRelation.newInstance
-    plan.collectFirst { case lr: LogicalRelation => lr }.get.newInstance()
-  }
+      reg: Registration): LogicalRelation =
+    castToImpl(spark.read.parquet(s"${reg.storePath}/by_rdata"))
+      .queryExecution.analyzed
+      .collectFirst { case lr: LogicalRelation => lr }.get.newInstance()
 }

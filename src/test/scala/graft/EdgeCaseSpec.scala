@@ -27,7 +27,7 @@ class EdgeCaseSpec extends AnyFunSuite {
       .toDF(cols: _*)
     ObservationStore.writeDual(ObservationStore.aggregate(input), s"$dir/st",
       numBuckets = 4)
-    val st = ObservationStore.load(spark, s"$dir/st", numBuckets = 4)
+    val st = ObservationStore.load(spark, s"$dir/st")
     val hits = st.entries(rdata = Some(weird)).collect()
     assert(hits.length == 2)
     assert(hits.map(_.getAs[String]("rrname")).toSet == Set("n1.com", "n2.com"))

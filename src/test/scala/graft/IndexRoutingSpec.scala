@@ -54,6 +54,32 @@ class IndexRoutingSpec extends AnyFunSuite {
     assert(got.size == 3) // 300 rows, rdata repeats every 100
   }
 
+  test("rerouted queries preserve forward bucket semantics and survive merges") {
+    IndexRouting.install(spark, storePath, numBuckets = 8)
+    val forward = spark.read.parquet(s"$storePath/by_rrname")
+    // bucket column value must stay hash(rrname) even after the reroute
+    val viaRoute = forward.filter(col("rdata") === "192.0.2.7")
+      .select("rrname", "bucket").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val truth = spark.read.parquet(s"$storePath/by_rrname")
+      .filter(col("rrname").isin(viaRoute.keys.toSeq: _*))
+      .select("rrname", "bucket").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(viaRoute == truth)
+
+    // store rewritten under the rule (dynamic overwrite deletes old files):
+    // the next rerouted query must not serve a stale file index
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2021-01-01 00:00:00")
+    val batch = Seq(("new-name.net", "s9", "A", "192.0.2.7", 1L, ts, ts))
+      .toDF("rrname", "sensor_id", "rrtype", "rdata", "count",
+        "timestamp_start", "timestamp_end")
+    ObservationStore.mergeBatch(spark, storePath, batch)
+    val after = spark.read.parquet(s"$storePath/by_rrname")
+      .filter(col("rdata") === "192.0.2.7")
+    assert(after.count() == 4) // 3 originals + the merged row
+  }
+
   test("native functions usable from spark.sql after registration") {
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     val r = spark.sql(

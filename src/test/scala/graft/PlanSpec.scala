@@ -38,7 +38,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("entries point lookup prunes to one bucket partition + pushes the key filter") {
-    val st = ObservationStore.load(spark, storePath, numBuckets = 16)
+    val st = ObservationStore.load(spark, storePath)
     val plan = explainOf(st.entries(rrname = Some("name-7.com")))
     // partition pruning: the bucket predicate folds to a literal
     assert(plan.contains("PartitionFilters"), plan)
@@ -50,7 +50,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("inverted access path prunes on rdata bucket") {
-    val st = ObservationStore.load(spark, storePath, numBuckets = 16)
+    val st = ObservationStore.load(spark, storePath)
     val plan = explainOf(st.entries(rdata = Some("10.0.0.7")))
     assert(plan.matches("(?s).*PushedFilters:.*EqualTo\\(rdata,10.0.0.7\\).*"), plan)
     assert(st.entries(rdata = Some("10.0.0.7")).count() == 2)

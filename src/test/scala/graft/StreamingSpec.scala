@@ -120,7 +120,7 @@ class StreamingSpec extends AnyFunSuite {
     val filesAfter = listParquet(s"$dir/st/by_rrname")
     // a.com's bucket files survive untouched unless zz.org hashed into it
     val aBucket = filesBefore.head.split("/").init.last
-    val bBucketRows = ObservationStore.load(spark, s"$dir/st", 8).totalCount()
+    val bBucketRows = ObservationStore.load(spark, s"$dir/st").totalCount()
     assert(bBucketRows == 2)
     assert(filesAfter.filter(_.contains(aBucket)).nonEmpty)
   }
