@@ -84,10 +84,24 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity join via shingle inverted index with
-    * PREFIX FILTERING (PPJoin-style): for J(A,B) ≥ t, the canonically
-    * sorted prefixes of length |X| − ⌈t·|X|⌉ + 1 must intersect, so only
-    * prefix shingles are indexed — still EXACT, but posting volume drops
-    * by ~(1−t) and the frequent-shingle quadratic blowup disappears. */
+    * the full PPJoin filter stack — all three filters are exact-preserving
+    * (they can only prune pairs that provably violate J ≥ t; the final
+    * verify is exact), so the output equals the all-pairs truth:
+    *  - PREFIX filter: for J(A,B) ≥ t the canonically sorted prefixes of
+    *    length |X| − ⌈t·|X|⌉ + 1 must intersect, so only prefix shingles
+    *    are indexed — posting volume drops by ~(1−t);
+    *  - LENGTH filter: J ≥ t ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|) — prunes
+    *    most pairs meeting only on a frequent shingle;
+    *  - POSITIONAL filter: a common shingle at (1-based) sorted positions
+    *    (pa, pb) bounds the overlap by min(pa,pb) + min(|A|−pa, |B|−pb)
+    *    (≤ min(pa,pb)−1 common before it, itself, suffix overlap), which
+    *    must reach α = ⌈t/(1+t)·(|A|+|B|)⌉; for any pair with J ≥ t the
+    *    FIRST common prefix shingle satisfies the (tighter, common-before
+    *    = 0) bound, so at least one posting match survives and the
+    *    distinct pair set is unchanged.
+    * The length+positional filters are the skew guard: a shingle shared by
+    * k docs no longer yields k²/2 candidates — only near-length,
+    * position-compatible pairs survive the join condition. */
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.8): DataFrame = {
@@ -95,13 +109,26 @@ object Dedup {
       .localCheckpoint(false)
     // canonical order: lexicographic; prefix keeps the first
     // |sh| - ceil(t*|sh|) + 1 elements
-    val prefix = slice(array_sort(col("sh")), lit(1),
-      (size(col("sh")) -
-        ceil(size(col("sh")).cast("double") * threshold).cast("int") + 1))
-    val postings = docs.select(col("id"), explode(prefix).as("shingle"))
+    val prefixLen = size(col("sh")) -
+      ceil(size(col("sh")).cast("double") * threshold).cast("int") + 1
+    val postings = docs.select(col("id"), size(col("sh")).as("sz"),
+      posexplode(slice(array_sort(col("sh")), lit(1), prefixLen))
+        .as(Seq("pos", "shingle")))
+    // float-safety: filters are pruning-only (verify is exact), so a tiny
+    // epsilon keeps binary-representation edge cases on the KEEP side
+    val eps = 1e-9
+    val lenOk = least(col("a.sz"), col("b.sz")).cast("double") >=
+      greatest(col("a.sz"), col("b.sz")).cast("double") * threshold - eps
+    val pa = col("a.pos") + 1
+    val pb = col("b.pos") + 1
+    val overlapUb = least(pa, pb) +
+      least(col("a.sz") - pa, col("b.sz") - pb)
+    val posOk = overlapUb.cast("double") * (1.0 + threshold) >=
+      (col("a.sz") + col("b.sz")).cast("double") * threshold - eps
     val candidates = postings.as("a")
       .join(postings.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
+          lenOk && posOk)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     jaccardVerify(candidates, docs, threshold)

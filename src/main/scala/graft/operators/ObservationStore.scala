@@ -65,8 +65,17 @@ object ObservationStore {
       Seq("rrname", "sensor_id", "rrtype", "rdata"), numBuckets)
     writeCopy(agg, s"$path/by_rdata", "rdata",
       Seq("rdata", "sensor_id", "rrname", "rrtype"), numBuckets)
-    writeMeta(agg.sparkSession, path, numBuckets)
+    writeMeta(agg.sparkSession, path, numBuckets, epoch = 1L)
   }
+
+  /** Derived columns persisted per copy. The inverted copy materializes
+    * `rdata_ip` (nullable long, null for non-IPv4 rdata) so CIDR/range
+    * queries hit Parquet row-group min/max stats on a NUMERIC column
+    * instead of computing `ip_to_long(rdata)` at read time — at 100 TB
+    * the difference between a pruned scan and a full one. */
+  private def derivedCols(keyCol: String): Seq[(String, Column)] =
+    if (keyCol == "rdata") Seq("rdata_ip" -> Net.ip_to_long(col("rdata")))
+    else Nil
 
   // All store paths go through Hadoop FS, so hdfs:// / s3a:// stores work
   // the same as local ones.
@@ -80,16 +89,24 @@ object ObservationStore {
     f.exists(p)
   }
 
+  /** Meta is written ONLY after both copies have committed: `epoch`
+    * advances once per successful dual write/merge, so a crash between
+    * the two copy writes is detectable (the epoch never advanced — the
+    * store is at the previous consistent version for readers that honor
+    * it; re-running the merge is safe because merge is idempotent on the
+    * same batch only at the aggregate level, so operationally a stale
+    * epoch means "re-drive the last batch"). */
   private def writeMeta(spark: SparkSession, path: String,
-      numBuckets: Int): Unit = {
+      numBuckets: Int, epoch: Long): Unit = {
     val (f, p) = fs(spark, s"$path/_graft_meta.json")
     val out = f.create(p, true)
-    try out.write(s"""{"num_buckets":$numBuckets}""".getBytes("UTF-8"))
+    try out.write(
+      s"""{"num_buckets":$numBuckets,"epoch":$epoch}""".getBytes("UTF-8"))
     finally out.close()
   }
 
-  /** Bucket count recorded at write time (None for pre-meta stores). */
-  def readNumBuckets(spark: SparkSession, path: String): Option[Int] = {
+  private def readMetaField(spark: SparkSession, path: String,
+      field: String): Option[Long] = {
     val (f, p) = fs(spark, s"$path/_graft_meta.json")
     if (!f.exists(p)) None
     else {
@@ -97,14 +114,25 @@ object ObservationStore {
       val content =
         try new String(in.readAllBytes(), "UTF-8")
         finally in.close()
-      """"num_buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(content)
-        .map(_.group(1).toInt)
+      (""""""" + field + """"\s*:\s*(\d+)""").r.findFirstMatchIn(content)
+        .map(_.group(1).toLong)
     }
   }
 
+  /** Bucket count recorded at write time (None for pre-meta stores). */
+  def readNumBuckets(spark: SparkSession, path: String): Option[Int] =
+    readMetaField(spark, path, "num_buckets").map(_.toInt)
+
+  /** Store version: advanced once per committed dual write/merge. */
+  def readEpoch(spark: SparkSession, path: String): Option[Long] =
+    readMetaField(spark, path, "epoch")
+
   private def writeCopy(df: DataFrame, path: String, keyCol: String,
       sortCols: Seq[String], numBuckets: Int, dynamic: Boolean = false): Unit = {
-    val w = df
+    val withDerived = derivedCols(keyCol).foldLeft(df) {
+      case (d, (name, c)) => d.withColumn(name, c)
+    }
+    val w = withDerived
       .withColumn("bucket", bucketOf(col(keyCol), numBuckets))
       .repartition(col("bucket"))
       .sortWithinPartitions(("bucket" +: sortCols).map(col): _*)
@@ -129,7 +157,6 @@ object ObservationStore {
     // bucket count is a layout invariant: honor what the store was
     // written with, record it on first write
     val effBuckets = readNumBuckets(spark, path).getOrElse(numBuckets)
-    if (!exists) writeMeta(spark, path, effBuckets)
     Seq(("by_rrname", "rrname", Seq("rrname", "sensor_id", "rrtype", "rdata")),
         ("by_rdata", "rdata", Seq("rdata", "sensor_id", "rrname", "rrtype")))
       .foreach { case (sub, keyCol, sortCols) =>
@@ -155,6 +182,11 @@ object ObservationStore {
         writeCopy(merged.drop("bucket"), s"$path/$sub", keyCol, sortCols,
           effBuckets, dynamic = true)
       }
+    // meta (and the epoch bump) commits only after BOTH copies are
+    // written: a crash mid-merge leaves the epoch un-advanced, so
+    // forward/inverted divergence is detectable instead of silent
+    writeMeta(spark, path, effBuckets,
+      epoch = readEpoch(spark, path).getOrElse(0L) + 1L)
   }
 
   /** Load a dual store. Bucket pruning uses the count recorded in the
@@ -206,7 +238,7 @@ final class ObservationStore(byRrname: DataFrame, byRdata: DataFrame,
         rrtype.map(col("rrtype") === _) ++
         sensorId.map(col("sensor_id") === _)
     base.filter(conds.reduce(_ && _)).limit(limit)
-      .drop("bucket")
+      .drop("bucket", "rdata_ip")
   }
 
   /** Typed variant of [[entries]] for callers that want compile-time field
@@ -234,7 +266,7 @@ final class ObservationStore(byRrname: DataFrame, byRdata: DataFrame,
       .filter(col("rrtype").isin(aliasableTypes: _*))
       .select(col("rrname").as("e_rrname"), col("sensor_id").as("e_sensor_id"),
         col("rdata").as("e_rdata"))
-    val t = byRdata.drop("bucket")
+    val t = byRdata.drop("bucket", "rdata_ip")
     val joined = e.join(t,
       t("rdata") === e("e_rdata") && t("sensor_id") === e("e_sensor_id") &&
         t("rrname") =!= e("e_rrname"))
@@ -267,12 +299,18 @@ final class ObservationStore(byRrname: DataFrame, byRdata: DataFrame,
   /** Q9 done server-side: the reference expands a CIDR client-side into one
     * point query per address (`cmds/query.go:32-57`); on Spark a numeric
     * range predicate on the parsed address does the same work in one scan
-    * with row-group pruning — no expansion.
+    * with row-group pruning — no expansion. Disk stores carry a persisted
+    * `rdata_ip` long column, so the range predicate is a plain column
+    * comparison that Parquet min/max row-group stats can prune; in-memory
+    * stores fall back to computing it at read time.
     */
   def cidrQuery(cidr: String, limit: Int = 1000): DataFrame = {
     val (lo, hi) = Net.cidrBounds(cidr)
-    byRdata.drop("bucket")
-      .filter(Net.ip_to_long(col("rdata")).between(lo, hi))
+    val ipCol =
+      if (byRdata.columns.contains("rdata_ip")) col("rdata_ip")
+      else Net.ip_to_long(col("rdata"))
+    byRdata.filter(ipCol.between(lo, hi))
+      .drop("bucket", "rdata_ip")
       .limit(limit)
   }
 

@@ -66,9 +66,14 @@ object PipelineQueries {
       Similarity.ivfTopK(embs(s, dir), "vec_id", "embedding", queryId = 5L,
         k = 10, centroidIds = 0L to 7L, nprobe = 2)),
 
-    // All-pairs embedding near-duplicates, cosine ≥ 0.4.
+    // Embedding near-duplicates, cosine ≥ 0.4, via the SCALE path:
+    // random-hyperplane LSH blocking (16 planes, 4 blocks) + exact cosine
+    // verify on candidates only — no all-pairs product. The exact
+    // all-pairs variant remains the ScalaTest truth oracle
+    // (PipelineSpec); this gate's oracle mirrors the LSH pipeline.
     "embedding_neardup" -> ((s, dir) =>
-      Similarity.nearDuplicatePairs(embs(s, dir), "vec_id", "embedding", 0.4)),
+      Similarity.cosineLshPairs(embs(s, dir), "vec_id", "embedding", 0.4,
+        dim = 64)),
 
     // Per-document quality metrics.
     "text_quality" -> ((s, dir) =>
@@ -244,12 +249,38 @@ object PipelineQueries {
          |LIMIT 10
          |""".stripMargin,
 
+    // Mirrors the random-hyperplane LSH pipeline (same md5-derived ±1
+    // planes, 16-bit signature, 4 blocks, candidate bucket join, exact
+    // cosine verify) — the dedup_minhash oracle pattern: an approximate
+    // operator's oracle reproduces the approximation, so legitimate
+    // recall differences can never register as gate failures.
     "embedding_neardup" ->
-      s"""WITH $scaledCte
-         |SELECT a.id AS id_a, b.id AS id_b,
-         |       ${cosSql("a.v", "b.v")} AS cos_sim
-         |FROM s a JOIN s b ON a.id < b.id
-         |WHERE ${cosSql("a.v", "b.v")} >= 0.4
+      s"""WITH $scaledCte,
+         |sig AS (
+         |  SELECT id, v,
+         |    array_to_string(list_transform(generate_series(0, 15), p ->
+         |      CASE WHEN list_dot_product(v,
+         |             list_transform(generate_series(0, 63), i ->
+         |               CASE WHEN (strpos('0123456789abcdef',
+         |                      md5(CAST(p AS VARCHAR) || ':' ||
+         |                          CAST(i AS VARCHAR))[2]) - 1) % 2 = 1
+         |                    THEN 1.0 ELSE -1.0 END)) > 0
+         |           THEN '1' ELSE '0' END), '') AS sig
+         |  FROM s),
+         |blk AS (
+         |  SELECT id, b.block_idx,
+         |         substr(sig, b.block_idx * 4 + 1, 4) AS block
+         |  FROM sig, (SELECT UNNEST(generate_series(0, 3)) AS block_idx) b),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM blk a JOIN blk b
+         |    ON a.block_idx = b.block_idx AND a.block = b.block
+         |   AND a.id < b.id)
+         |SELECT c.id_a, c.id_b, ${cosSql("x.v", "y.v")} AS cos_sim
+         |FROM cand c
+         |JOIN s x ON x.id = c.id_a
+         |JOIN s y ON y.id = c.id_b
+         |WHERE ${cosSql("x.v", "y.v")} >= 0.4
          |""".stripMargin,
 
     "text_quality" ->

@@ -64,10 +64,25 @@ case class IndexRouting(spark: SparkSession) extends Rule[LogicalPlan] {
   private def forwardOf(rel: LogicalRelation): Option[Registration] =
     rel.relation match {
       case fs: HadoopFsRelation =>
-        val roots = fs.location.rootPaths.map(_.toString)
-        registry.values.find(r => roots.exists(_.contains(r.forwardMarker)))
+        // qualified-path component comparison, not substring matching: a
+        // sibling dir like <store>/by_rrname_v2 must NOT match, and a
+        // store registered with a relative path must still match the
+        // scan's file:-qualified root
+        val roots = fs.location.rootPaths
+        registry.values.find(r =>
+          roots.exists(root => isSameOrDescendant(root, r.forwardPath)))
       case _ => None
     }
+
+  private def isSameOrDescendant(p: org.apache.hadoop.fs.Path,
+      ancestor: org.apache.hadoop.fs.Path): Boolean = {
+    var cur = p
+    while (cur != null) {
+      if (cur == ancestor) return true
+      cur = cur.getParent
+    }
+    false
+  }
 
   /** literal compared for equality with column `name`, if present. */
   private def eqLiteral(cond: Expression, name: String): Option[Literal] = {
@@ -83,17 +98,29 @@ case class IndexRouting(spark: SparkSession) extends Rule[LogicalPlan] {
 
 object IndexRouting {
 
-  final case class Registration(storePath: String, numBuckets: Int) {
-    def forwardMarker: String = s"$storePath/by_rrname"
-  }
+  final case class Registration(storePath: String, numBuckets: Int,
+      forwardPath: org.apache.hadoop.fs.Path)
 
   private val registry = TrieMap.empty[String, Registration]
 
   /** Register a dual store so rdata lookups against its forward copy are
-    * rerouted, and attach the rule to this session (idempotent). */
+    * rerouted, and attach the rule to this session (idempotent).
+    *
+    * The bucket count is a LAYOUT invariant of the written store, so it is
+    * read from the store's `_graft_meta.json` (the same source
+    * `ObservationStore.load` trusts); the `numBuckets` argument is only a
+    * fallback for pre-meta stores. Trusting the caller here would inject a
+    * wrong `bucket = pmod(xxhash64(rdata), N)` predicate and silently drop
+    * matching rows whenever the argument disagreed with the layout. */
   def install(spark: SparkSession, storePath: String,
       numBuckets: Int = 64): Unit = {
-    registry.put(storePath, Registration(storePath, numBuckets))
+    val effBuckets = graft.operators.ObservationStore
+      .readNumBuckets(spark, storePath).getOrElse(numBuckets)
+    val fwd = new org.apache.hadoop.fs.Path(s"$storePath/by_rrname")
+    val qualified = fwd
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(fwd)
+    registry.put(storePath, Registration(storePath, effBuckets, qualified))
     val already = spark.experimental.extraOptimizations
       .exists(_.isInstanceOf[IndexRouting])
     if (!already)

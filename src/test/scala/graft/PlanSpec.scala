@@ -5,6 +5,8 @@ import java.sql.Timestamp
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.ObservationStore
 
 /** Plan-shape regression tests — the properties that make the store work
@@ -68,6 +70,32 @@ class PlanSpec extends AnyFunSuite {
     assert(nAgg == 2, s"expected partial+final HashAggregate, plan:\n$plan")
     assert(nExchange == 1, s"expected exactly one shuffle, plan:\n$plan")
     assert(plan.contains("partial_sum"), plan) // map-side combine present
+  }
+
+  test("shipped embedding near-dup path has no cartesian product") {
+    val vecs = (0L to 40L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val plan = explainOf(graft.operators.Similarity.cosineLshPairs(
+      vecs, "vec_id", "embedding", threshold = 0.9, dim = 16))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("cidr query prunes via the persisted rdata_ip column") {
+    val st = ObservationStore.load(spark, storePath)
+    val plan = explainOf(st.cidrQuery("10.0.0.0/28"))
+    // the range predicate is on the PERSISTED numeric column, pushed to
+    // the parquet scan where row-group min/max stats prune it — not an
+    // expression computed at read time
+    assert(plan.matches("(?s).*PushedFilters:.*GreaterThanOrEqual\\(rdata_ip.*"), plan)
+    assert(plan.matches("(?s).*PushedFilters:.*LessThanOrEqual\\(rdata_ip.*"), plan)
+    // and the result matches computing it the slow way
+    assert(st.cidrQuery("10.0.0.0/28").count() ==
+      st.inverted.filter(
+        graft.functions.Net.ip_to_long(col("rdata"))
+          .between(167772160L, 167772175L)).count())
   }
 
   test("decoders stay shuffle-free (narrow maps over the source)") {
