@@ -20,25 +20,42 @@ object Graphql {
 
   private val mapper = new ObjectMapper()
 
+  sealed trait GqlQuery
   final case class EntriesQuery(
       rrname: Option[String], rdata: Option[String], rrtype: Option[String],
       sensorId: Option[String], limit: Int,
-      fields: Seq[String], aliasFields: Seq[String])
+      fields: Seq[String], aliasFields: Seq[String]) extends GqlQuery
+  final case class StatsQuery(fields: Seq[String]) extends GqlQuery
+
+  /** The RRType enum of the reference schema, verbatim
+    * (`query/query_graphql.go:26-73`). An rrtype argument outside this set
+    * is a schema error, mirroring graphql-go's enum validation. */
+  val RRTypes: Set[String] = Set(
+    "A", "A6", "AAAA", "AFSDB", "ALIAS", "APL", "AXFR", "CAA", "CDNSKEY",
+    "CDS", "CERT", "CNAME", "DHCID", "DLV", "DNAME", "DNSKEY", "DS",
+    "HINFO", "HIP", "IPSECKEY", "IXFR", "KEY", "KX", "LOC", "MX", "NAPTR",
+    "NS", "NSEC", "NSEC3", "NSEC3PARAM", "OPENPGPKEY", "OPT", "PTR",
+    "RRSIG", "RP", "SIG", "SOA", "SPF", "SRV", "SSHFP", "TA", "TKEY",
+    "TLSA", "TSIG", "TXT", "URI")
+
+  private val statsFields = Set("total_count", "num_goroutines")
 
   /** Parse + run + render. Left(error) on malformed queries or missing
     * required args (`query_graphql.go:242-246`). */
   def execute(query: String, store: ObservationStore): Either[String, String] =
-    parse(query).flatMap { q =>
-      if (q.rrname.isEmpty && q.rdata.isEmpty)
-        Left("one of rrname or rdata must be given")
-      else Right(render(q, store))
+    parse(query).flatMap {
+      case q: EntriesQuery =>
+        if (q.rrname.isEmpty && q.rdata.isEmpty)
+          Left("one of rrname or rdata must be given")
+        else Right(render(q, store))
+      case StatsQuery(fields) => Right(renderStats(fields, store))
     }
 
   // ------------------------------------------------------------- parse
 
-  def parse(query: String): Either[String, EntriesQuery] = {
+  def parse(query: String): Either[String, GqlQuery] = {
     val entriesIdx = query.indexOf("entries")
-    if (entriesIdx < 0) return Left("only the entries query is supported")
+    if (entriesIdx < 0) return parseStats(query)
     val rest = query.substring(entriesIdx + "entries".length)
     val argsStart = rest.indexOf('(')
     val argsEnd = rest.indexOf(')')
@@ -77,8 +94,31 @@ object Graphql {
     val fields = scalarSel.split("[\\s,]+").toSeq.filter(_.nonEmpty)
     if (fields.isEmpty && aliasFields.isEmpty) return Left("empty selection set")
 
-    Right(EntriesQuery(strArg("rrname"), strArg("rdata"), rrtype,
-      strArg("sensor_id"), limit, fields, aliasFields))
+    // enum validation (`query_graphql.go:26-73`): a value outside RRType
+    // is a schema error, as graphql-go would report it — not a silent
+    // empty result. Quoted strings are accepted leniently but validated
+    // against the same enum.
+    rrtype.filterNot(RRTypes.contains) match {
+      case Some(bad) =>
+        Left(s"""Argument "rrtype" has invalid value $bad, expected type "RRType".""")
+      case None =>
+        Right(EntriesQuery(strArg("rrname"), strArg("rdata"), rrtype,
+          strArg("sensor_id"), limit, fields, aliasFields))
+    }
+  }
+
+  /** `stats { total_count num_goroutines }` (`query_graphql.go:166-172,
+    * 297-311`): the second root field of the reference schema. */
+  private def parseStats(query: String): Either[String, GqlQuery] = {
+    val m = """\bstats\b\s*(?:\(\s*\))?\s*\{([^}]*)\}""".r
+      .findFirstMatchIn(query)
+      .getOrElse(return Left("only the entries and stats queries are supported"))
+    val fields = m.group(1).split("[\\s,]+").toSeq.filter(_.nonEmpty)
+    if (fields.isEmpty) return Left("empty selection set")
+    fields.find(f => !statsFields.contains(f)) match {
+      case Some(bad) => Left(s"""Cannot query field "$bad" on type "Stats".""")
+      case None => Right(StatsQuery(fields))
+    }
   }
 
   // ------------------------------------------------------------ render
@@ -115,6 +155,22 @@ object Graphql {
           writeFields(aArr.addObject(), ar, q.aliasFields)
         }
       }
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  /** Stats resolver: total_count = distinct-key count of the store;
+    * num_goroutines' JVM analogue is the live thread count
+    * (`query_graphql.go:307-311` reports runtime.NumGoroutine()). */
+  private def renderStats(fields: Seq[String],
+      store: ObservationStore): String = {
+    val root = mapper.createObjectNode()
+    val stats = root.putObject("data").putObject("stats")
+    fields.foreach {
+      case "total_count" => stats.put("total_count", store.totalCount())
+      case "num_goroutines" =>
+        stats.put("num_goroutines", Thread.activeCount())
+      case _ => // validated at parse time
     }
     mapper.writeValueAsString(root)
   }

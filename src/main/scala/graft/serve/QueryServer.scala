@@ -85,7 +85,10 @@ final class QueryServer(store: ObservationStore, port: Int = 0) {
     })
 
     server.createContext("/stats", (ex: HttpExchange) => handle(ex) {
-      respond(ex, 200, s"""{"total_count":${store.totalCount()}}""" + "\n")
+      // num_goroutines: the JVM stand-in for runtime.NumGoroutine()
+      // (`query_graphql.go:307-311`) is the live thread count
+      respond(ex, 200,
+        s"""{"total_count":${store.totalCount()},"num_goroutines":${Thread.activeCount()}}""" + "\n")
     })
 
     // Q1 — the reference's GraphQL surface (README.md:250-283): the
@@ -97,19 +100,37 @@ final class QueryServer(store: ObservationStore, port: Int = 0) {
       if (ex.getRequestMethod != "POST") respond(ex, 405, "method not allowed\n")
       else {
         val raw = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-        // accept both bare GraphQL and {"query": "..."} JSON envelopes
-        val gql =
-          if (raw.trim.startsWith("{\"")) {
-            val n = mapper.readTree(raw)
-            Option(n.get("query")).map(_.asText).getOrElse("")
-          } else raw
+        // accept both bare GraphQL and {"query": "..."} JSON envelopes;
+        // the envelope is detected by PARSING, not by sniffing the first
+        // characters — `{ "query": ... }` with inner whitespace is still
+        // an envelope, while a bare GraphQL body starting with '{' fails
+        // JSON parsing and falls through untouched
+        val gql = parseEnvelope(raw).getOrElse(raw)
         Graphql.execute(gql, store) match {
-          case Left(err) => respond(ex, 400, s"""{"errors":[{"message":"$err"}]}""")
+          case Left(err) => respond(ex, 400, errorJson(err))
           case Right(json) => respond(ex, 200, json)
         }
       }
     })
   }
+
+  /** GraphQL-shaped error object, built with the JSON mapper so messages
+    * containing quotes/backslashes stay valid JSON. */
+  private def errorJson(message: String): String = {
+    val root = mapper.createObjectNode()
+    root.putArray("errors").addObject().put("message", message)
+    mapper.writeValueAsString(root)
+  }
+
+  /** Some(query) iff the body is a valid JSON object envelope with a
+    * string `query` member. */
+  private def parseEnvelope(raw: String): Option[String] =
+    if (!raw.trim.startsWith("{")) None
+    else
+      try {
+        val n = mapper.readTree(raw)
+        Option(n.get("query")).filter(_.isTextual).map(_.asText)
+      } catch { case _: Exception => None }
 
   private def handle(ex: HttpExchange)(body: => Unit): Unit =
     try body

@@ -75,8 +75,9 @@ class QueryServerSpec extends AnyFunSuite {
     assert(get("/pdns/query/1.2.3.4?limit=1").body().trim.split("\n").length <= 2)
   }
 
-  test("GET /stats -> total_count") {
-    assert(get("/stats").body().trim == """{"total_count":3}""")
+  test("GET /stats -> total_count + num_goroutines") {
+    val body = get("/stats").body().trim
+    assert(body.matches("""\{"total_count":3,"num_goroutines":\d+\}"""), body)
   }
 
   test("POST /graphql: the reference's canonical entries query") {
@@ -114,5 +115,40 @@ class QueryServerSpec extends AnyFunSuite {
     assert(post("/graphql", "query { entries(rrtype: A) { rrname } }")
       .statusCode() == 400)
     assert(post("/graphql", "query { stats { total } }").statusCode() == 400)
+  }
+
+  test("POST /graphql: stats root field (query_graphql.go:166-172)") {
+    val r = post("/graphql", "query { stats { total_count num_goroutines } }")
+    assert(r.statusCode() == 200)
+    assert(r.body().matches(
+      """\{"data":\{"stats":\{"total_count":3,"num_goroutines":\d+\}\}\}"""),
+      r.body())
+    // selection is honored: only the asked-for field comes back
+    val only = post("/graphql", "query { stats { total_count } }")
+    assert(only.body() == """{"data":{"stats":{"total_count":3}}}""")
+  }
+
+  test("POST /graphql: rrtype outside the RRType enum is a schema error") {
+    val r = post("/graphql",
+      "query { entries(rrname: \"foo\", rrtype: BOGUS) { rrname } }")
+    assert(r.statusCode() == 400)
+    // GraphQL-shaped error object with a VALID JSON message (the message
+    // itself contains quotes — must be escaped, not interpolated raw)
+    val errs = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(r.body()).get("errors")
+    assert(errs != null && errs.size() == 1, r.body())
+    assert(errs.get(0).get("message").asText().contains("RRType"), r.body())
+    // all 46 reference enum values are accepted
+    assert(graft.serve.Graphql.RRTypes.size == 46)
+    assert(post("/graphql",
+      "query { entries(rrname: \"foo\", rrtype: NSEC3PARAM) { rrname } }")
+      .statusCode() == 200)
+  }
+
+  test("POST /graphql: JSON envelope with inner whitespace still unwraps") {
+    val env = post("/graphql",
+      """{ "query": "query { entries(rdata: \"1.2.3.4\") { rrname } }" }""")
+    assert(env.statusCode() == 200)
+    assert(env.body().split("\"rrname\"").length - 1 == 2)
   }
 }
