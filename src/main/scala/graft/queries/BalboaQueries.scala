@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Graft
 import graft.functions.Net
-import graft.operators.ObservationStore
+import graft.operators.{ObservationStore, Tools}
 import util._
 
 /** The balboa storage/query surface (SURVEY.md §2.3/§2.4) as driver-gate
@@ -49,6 +49,39 @@ object BalboaQueries {
         .withColumn("last_seen", micros(col("last_seen")))
       val (lo, hi) = Net.cidrBounds("10.0.4.0/22")
       agg.filter(Net.ip_to_long(col("rdata")).between(lo, hi))
+    }),
+
+    // Q5 — multi-backend fan-out: per-store query then bag union. The
+    // second store overlaps the first (the full store ∪ a sensor-3 slice)
+    // so the gate exercises the duplicates-KEPT semantics of
+    // `db_remote.go:133-202` — matching rows appear once per backend.
+    "fanout_union" -> ((s, dir) => {
+      val agg = aggMicros(s, dir)
+      val full = ObservationStore.inMemory(agg)
+      val slice = ObservationStore.inMemory(agg.filter(col("sensor_id") === "3"))
+      full.fanOut(Seq(full, slice), rrname = Some("part-42"), rdata = None)
+    }),
+
+    // A4/A6 — dump/jsonize: the aggregate rendered in the reference's
+    // NDJSON dump shape (unix-SECONDS integer timestamps,
+    // observation.go:26-37), one JSON string per key.
+    "jsonize_dump" -> ((s, dir) =>
+      Tools.jsonize(ObservationStore.aggregate(Graft.observations(s, dir)))),
+
+    // A4+A5 — dump → replay round-trip THROUGH DISK: dump the aggregate
+    // as NDJSON, replay it into a fresh dual store, read the forward copy
+    // back. The oracle is the plain aggregate — the gate proves the
+    // round-trip is lossless (the reference's dump|replay contract).
+    "dump_replay" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-roundtrip")
+        .toString
+      val agg = ObservationStore.aggregate(Graft.observations(s, dir))
+      Tools.dump(agg, s"$tmp/dump")
+      Tools.replay(s, s"$tmp/dump", s"$tmp/store", numBuckets = 16)
+      ObservationStore.load(s, s"$tmp/store").forward
+        .drop("bucket")
+        .withColumn("first_seen", micros(col("first_seen")))
+        .withColumn("last_seen", micros(col("last_seen")))
     }),
 
     // A9/Q11 — stats: total distinct-key count of the store.
@@ -134,6 +167,44 @@ object BalboaQueries {
         |FROM parsed
         |WHERE ip_num BETWEEN 167773184 AND 167774207
         |""".stripMargin,
+
+    "fanout_union" ->
+      s"""$obsCte
+         |SELECT * FROM agg WHERE rrname = 'part-42'
+         |UNION ALL
+         |SELECT * FROM agg WHERE sensor_id = '3' AND rrname = 'part-42'
+         |""".stripMargin,
+
+    // Spark's toJSON renders fields in schema order with no spaces;
+    // rebuild the byte-identical string (values here contain no
+    // JSON-escapable characters).
+    "jsonize_dump" ->
+      """WITH obs AS (
+        |  SELECT 'part-' || CAST(l_partkey AS VARCHAR) AS rrname,
+        |         CAST(l_suppkey % 10 AS VARCHAR)       AS sensor_id,
+        |         l_returnflag                          AS rrtype,
+        |         CAST(l_orderkey AS VARCHAR)           AS rdata,
+        |         CAST(1 AS BIGINT)                     AS "count",
+        |         l_shipdate                            AS ts
+        |  FROM lineitem),
+        |agg AS (
+        |  SELECT rrname, sensor_id, rrtype, rdata,
+        |         CAST(SUM("count") AS BIGINT) AS "count",
+        |         epoch_us(MIN(ts)) // 1000000 AS time_first,
+        |         epoch_us(MAX(ts)) // 1000000 AS time_last
+        |  FROM obs GROUP BY 1, 2, 3, 4)
+        |SELECT '{"rrname":"' || rrname ||
+        |       '","rdata":"' || rdata ||
+        |       '","rrtype":"' || rrtype ||
+        |       '","sensor_id":"' || sensor_id ||
+        |       '","count":' || CAST("count" AS VARCHAR) ||
+        |       ',"time_first":' || CAST(time_first AS VARCHAR) ||
+        |       ',"time_last":' || CAST(time_last AS VARCHAR) || '}' AS value
+        |FROM agg
+        |""".stripMargin,
+
+    "dump_replay" ->
+      s"""$obsCte SELECT * FROM agg""",
 
     "total_count" ->
       s"""$obsCte SELECT CAST(COUNT(*) AS BIGINT) AS total_count FROM agg""",
