@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity search (ANN) over an `Array[Float]` column.
@@ -74,14 +73,19 @@ object Similarity {
     val centroids = scaledDf.filter(col("id").isin(centroidIds: _*))
       .select(col("id").as("c_id"), col("v").as("c_v"))
 
-    // argmin assignment: broadcast C centroids, rank by (cos desc, c_id)
-    val assignW = Window.partitionBy(col("id"))
-      .orderBy(col("c_cos").desc, col("c_id").asc)
+    // argmax assignment: broadcast C centroids, then ONE aggregation —
+    // max_by over the (cos, -c_id) struct picks the nearest centroid with
+    // a deterministic lowest-c_id tie-break (cosines are exact integers /
+    // sqrt, so ties are real ties, not float noise). A ranking window
+    // here would SORT every (vector × centroid) row inside each id
+    // partition — at 10⁹ vectors that sort dominates; the HashAggregate
+    // does map-side partial max_by instead, shrinking C rows per vector
+    // to 1 before the shuffle.
     val assigned = scaledDf.crossJoin(broadcast(centroids))
       .withColumn("c_cos", cosine(col("v"), col("c_v")))
-      .withColumn("rk", row_number().over(assignW))
-      .filter(col("rk") === 1)
-      .select(col("id"), col("v"), col("c_id").as("cluster"))
+      .groupBy(col("id"), col("v"))
+      .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id")))
+        .as("cluster"))
 
     val probeClusters = assigned.filter(col("id") === queryId)
       .select(col("v").as("qv"), col("cluster"))

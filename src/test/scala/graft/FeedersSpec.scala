@@ -46,27 +46,33 @@ class FeedersSpec extends AnyFunSuite {
       Set("sensor one/x", "unknown"))
   }
 
-  test("UDP feeder: binary NMSG datagrams spool and decode") {
+  // NewDomain protobuf: rrname=example.com, rrtype=A, rdata=9.9.9.9
+  private def newDomainPayload: Array[Byte] = {
+    def varint(v: Long): Seq[Byte] = {
+      var x = v; val b = Seq.newBuilder[Byte]
+      while ((x & ~0x7fL) != 0) { b += ((x & 0x7f) | 0x80).toByte; x >>>= 7 }
+      b += x.toByte; b.result()
+    }
+    val name = Seq(7.toByte) ++ "example".getBytes.toSeq ++
+      Seq(3.toByte) ++ "com".getBytes.toSeq ++ Seq(0.toByte)
+    (varint(2L << 3) ++ varint(1650000000L) ++
+      varint((3L << 3) | 2) ++ varint(name.length.toLong) ++ name ++
+      varint(4L << 3) ++ varint(1L) ++
+      varint((7L << 3) | 2) ++ varint(4L) ++ Seq[Byte](9, 9, 9, 9)).toArray
+  }
+
+  test("UDP feeder: framed NMSG containers spool payload bodies and decode") {
     val dir = Files.createTempDirectory("graft-udp").toString
     val feeder = new Feeders.UdpFeeder(dir)
     feeder.start(sensorId = "sie")
     try {
-      // NewDomain protobuf: rrname=example.com, rrtype=A, rdata=9.9.9.9
-      val payload = {
-        def varint(v: Long): Seq[Byte] = {
-          var x = v; val b = Seq.newBuilder[Byte]
-          while ((x & ~0x7fL) != 0) { b += ((x & 0x7f) | 0x80).toByte; x >>>= 7 }
-          b += x.toByte; b.result()
-        }
-        val name = Seq(7.toByte) ++ "example".getBytes.toSeq ++
-          Seq(3.toByte) ++ "com".getBytes.toSeq ++ Seq(0.toByte)
-        (varint(2L << 3) ++ varint(1650000000L) ++
-          varint((3L << 3) | 2) ++ varint(name.length.toLong) ++ name ++
-          varint(4L << 3) ++ varint(1L) ++
-          varint((7L << 3) | 2) ++ varint(4L) ++ Seq[Byte](9, 9, 9, 9)).toArray
-      }
+      val framed = sources.NmsgContainer.buildContainer(Seq(newDomainPayload))
       val sock = new DatagramSocket()
-      sock.send(new DatagramPacket(payload, payload.length,
+      sock.send(new DatagramPacket(framed, framed.length,
+        InetAddress.getByName("127.0.0.1"), feeder.boundPort))
+      // an unframed datagram (no NMSG magic) must be DROPPED, not spooled
+      val bare = newDomainPayload
+      sock.send(new DatagramPacket(bare, bare.length,
         InetAddress.getByName("127.0.0.1"), feeder.boundPort))
       sock.close()
       // receiver thread is async: wait for the spool file
@@ -81,6 +87,54 @@ class FeedersSpec extends AnyFunSuite {
     assert(decoded.head.getAs[String]("rrname") == "example.com")
     assert(decoded.head.getAs[String]("rdata") == "9.9.9.9")
     assert(decoded.head.getAs[String]("sensor_id") == "sie")
+  }
+
+  test("NMSG container parsing: vendor filter, multi-payload, malformed") {
+    import sources.NmsgContainer
+    val p1 = newDomainPayload
+    val p2 = Array[Byte](1, 2, 3)
+    // two payloads in one container, both vendor 2
+    val two = NmsgContainer.extractPayloads(
+      NmsgContainer.buildContainer(Seq(p1, p2)))
+    assert(two.length == 2)
+    assert(two.head.sameElements(p1) && two(1).sameElements(p2))
+    // vendor id != 2 (feeder_nmsg_socket.go:66-70) -> filtered out
+    assert(NmsgContainer.extractPayloads(
+      NmsgContainer.buildContainer(Seq(p1), vendorId = 1)).isEmpty)
+    // wrong magic / truncated / wrong version -> dropped
+    assert(NmsgContainer.extractPayloads("XXXX??????".getBytes).isEmpty)
+    assert(NmsgContainer.extractPayloads(Array[Byte](1, 2)).isEmpty)
+    val badVersion = NmsgContainer.buildContainer(Seq(p1))
+    badVersion(5) = 9
+    assert(NmsgContainer.extractPayloads(badVersion).isEmpty)
+    // truncated body (declared length > available bytes)
+    val truncated = NmsgContainer.buildContainer(Seq(p1)).dropRight(3)
+    assert(NmsgContainer.extractPayloads(truncated).isEmpty)
+  }
+
+  test("AMQP delivery: compressed header gunzips, bad gzip skipped") {
+    import sources.Amqp
+    val dir = Files.createTempDirectory("graft-amqp").toString
+    val gz = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.util.zip.GZIPOutputStream(bos)
+      out.write(suriV1.getBytes("UTF-8")); out.close()
+      bos.toByteArray
+    }
+    // gzip round-trip (feeder_amqp.go:45-57)
+    assert(new String(Amqp.decompressBody(gz), "UTF-8") == suriV1)
+    // compressed delivery spools the DECOMPRESSED body
+    assert(Amqp.delivery(dir, Map("compressed" -> "true",
+      "sensor_id" -> "amqp-1"), gz))
+    // plain delivery spools as-is; missing sensor_id header -> ""
+    assert(Amqp.delivery(dir, Map.empty, suriV1.getBytes("UTF-8")))
+    // corrupt gzip: skipped (false = not acked), nothing spooled
+    assert(!Amqp.delivery(dir, Map("compressed" -> "1"),
+      Array[Byte](0x1f, 0x0b, 1, 2, 3)))
+
+    val decoded = Decoders.suricata(Feeders.spoolBatch(spark, dir)).collect()
+    assert(decoded.length == 2)
+    assert(decoded.map(_.getAs[String]("sensor_id")).toSet == Set("amqp-1", ""))
   }
 
   test("configured Dir feeder streams end-to-end into a store") {

@@ -98,6 +98,20 @@ class PlanSpec extends AnyFunSuite {
           .between(167772160L, 167772175L)).count())
   }
 
+  test("IVF centroid assignment is an aggregation, not a ranking window") {
+    val vecs = (0L to 40L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val plan = explainOf(graft.operators.Similarity.ivfTopK(
+      vecs, "vec_id", "embedding", queryId = 5L, k = 5,
+      centroidIds = 0L to 3L, nprobe = 2))
+    // a Window would sort every (vector x centroid) row per id partition;
+    // max_by aggregates with map-side partial combine instead
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
   test("decoders stay shuffle-free (narrow maps over the source)") {
     val raw = Seq(("{}", "s")).toDF("value", "sensor_id")
     for (dec <- graft.streaming.IngestPipeline.decoders.values) {
