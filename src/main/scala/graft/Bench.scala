@@ -118,11 +118,17 @@ object Bench {
       n / ((System.nanoTime() - t1) / 1e9)
     }
 
+    // Serving config for the point-query path (measured in BenchPoints):
+    // AQE buys nothing for a single-stage pre-pruned scan but costs
+    // per-query driver planning — ~1.5× qps when off. Restored after, so
+    // the analytics sweep keeps adaptive execution.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     val coldQps = run(200)
     store.cache()
     store.totalCount() // materialize the cache
     val cachedQps = run(200)
     store.unpersist()
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
 
     // incremental maintenance: merge a ~10% batch, touched-buckets only
     val batch = Graft.observations(spark, sfDir)

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Point-lookup latency lab (not part of the driver contract): builds the
+  * dual store once and measures concurrent rdata point queries under
+  * different scheduler/planner configurations, to keep the serving-path
+  * numbers honest. `graft.Bench` reports the headline figure; this main
+  * exists so scheduler experiments don't need a full bench sweep.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.BenchPoints"
+  */
+object BenchPoints {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark: SparkSession = Graft.configure(
+      SparkSession.builder().appName("graft-points").master("local[32]")
+        // FAIR lets the 5 concurrent lookups share the 32 cores instead
+        // of queueing whole jobs FIFO — the analogue of the reference
+        // backend's 64-thread connection pool
+        .config("spark.scheduler.mode", "FAIR")
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-points").toString
+    operators.ObservationStore.writeDual(
+      operators.ObservationStore.aggregate(Graft.observations(spark, sfDir)),
+      dir)
+    val store = operators.ObservationStore.load(spark, dir)
+
+    def run(n: Int, workers: Int): Double = {
+      val t1 = System.nanoTime()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(workers)
+      try {
+        (1 to n).map { i =>
+          pool.submit(new Runnable {
+            def run(): Unit =
+              store.entries(rdata = Some(i.toString)).collect(): Unit
+          })
+        }.foreach(_.get())
+      } finally pool.shutdown()
+      n / ((System.nanoTime() - t1) / 1e9)
+    }
+
+    run(50, 5) // warm-up: codegen + footers
+    for ((aqe, cg) <- Seq(("true", "true"), ("false", "true"),
+        ("false", "false"))) {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.codegen.wholeStage", cg)
+      for (workers <- Seq(5, 16)) {
+        val qps = run(200, workers)
+        println(f"[points] aqe=$aqe%-5s codegen=$cg%-5s workers=$workers%-3d qps=$qps%.1f")
+      }
+    }
+    spark.stop()
+  }
+}

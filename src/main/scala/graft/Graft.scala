@@ -22,6 +22,10 @@ object Graft {
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.shuffle.partitions", "32")
     .config("spark.sql.adaptive.enabled", "true")
+    // concurrent point lookups share cores instead of queueing whole
+    // jobs FIFO — the serving analogue of the reference backend's
+    // 64-thread connection pool; no effect on sequential batch work
+    .config("spark.scheduler.mode", "FAIR")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

@@ -93,6 +93,16 @@ object Selectors {
     routed.drop("tags")
   }
 
+  /** Multi-tag routing variant (`db/db_remote.go:91-103`): a backend
+    * configured with several tags receives observations carrying ANY of
+    * them; tagless backends receive everything. */
+  def routeToAny(df: DataFrame, sinkTags: Seq[String]): DataFrame = {
+    val routed =
+      if (sinkTags.isEmpty) df
+      else df.filter(arrays_overlap(col("tags"), lit(sinkTags.toArray)))
+    routed.drop("tags")
+  }
+
   /** Route one micro-batch to every sink (used from `foreachBatch` in the
     * streaming path). `sinks` maps sink name → optional tag. */
   def route(df: DataFrame, sinks: Map[String, Option[String]]): Map[String, DataFrame] =

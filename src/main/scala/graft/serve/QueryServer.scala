@@ -30,7 +30,9 @@ import graft.operators.{ObservationStore, Tools}
   * the result set, the Spark analogue of the reference's
   * start/data.../end wire protocol. Concurrent queries: run the session
   * with `spark.scheduler.mode=FAIR` (the analogue of the backend's
-  * 64-thread connection pool).
+  * 64-thread connection pool) and `spark.sql.adaptive.enabled=false` —
+  * AQE buys nothing for single-stage pre-pruned point scans but costs
+  * per-query driver planning (~1.5× qps when disabled, see BenchPoints).
   */
 final class QueryServer(store: ObservationStore, port: Int = 0) {
 

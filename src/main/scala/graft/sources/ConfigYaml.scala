@@ -1,0 +1,144 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.yaml.snakeyaml.Yaml
+
+import graft.operators.Selectors
+
+/** YAML configuration loading for the three reference config surfaces:
+  * `feeders.yaml` (`feeder/feeder_config.go:20-88`), `selectors.yaml`
+  * (`selector/selector_engine.go:44-100`, `selector/selector_regex.go:
+  * 36-79`), `backend.yaml` (`db/db_remote.go:15-28`). Field names and
+  * validation messages mirror the reference so existing config files load
+  * unchanged; the values bind to the Spark-side equivalents
+  * ([[FeederConfig]], [[Selectors]], tag-routed sinks).
+  */
+object ConfigYaml {
+
+  private def parse(yaml: String): Any = new Yaml().load[Any](yaml)
+
+  private def asMap(v: Any): Map[String, Any] = v match {
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, x) => k.toString -> (x: Any) }.toMap
+    case _ => Map.empty
+  }
+
+  private def asList(v: Any): Seq[Any] = v match {
+    case l: java.util.List[_] => l.asScala.toSeq
+    case null => Seq.empty
+    case other => Seq(other)
+  }
+
+  private def strList(v: Any): Seq[String] = asList(v).map(_.toString)
+
+  // ------------------------------------------------------------ feeders
+
+  /** Reference input_format names → [[graft.streaming.IngestPipeline]]
+    * decoder keys (`feeder_config.go:121-144`); the Spark-side keys are
+    * accepted as-is too. */
+  private val formatAliases = Map(
+    "fever_aggregate" -> "fever",
+    "suricata_dns" -> "suricata")
+
+  /** Load a `feeders.yaml` Setup. Validations mirror `LoadSetup`
+    * (`feeder_config.go:40-88`): name/type/input format required,
+    * duplicate names rejected, per-type required fields checked. Spool
+    * directories (the Spark-side landing zone each receiver writes into)
+    * derive from the feeder name the same way the reference derives AMQP
+    * queue names — lowercased, spaces → underscores
+    * (`feeder_config.go:101`). */
+  def loadFeederSetup(yaml: String, spoolRoot: String): FeederConfig.Setup = {
+    def fail(msg: String) = throw new IllegalArgumentException(msg)
+    val feeders = asList(asMap(parse(yaml)).getOrElse("feeder", null)).map(asMap)
+    val defs = feeders.map { f =>
+      val name = f.get("name").map(_.toString).filter(_.nonEmpty)
+        .getOrElse(fail("name missing"))
+      val typ = f.get("type").map(_.toString).filter(_.nonEmpty)
+        .getOrElse(fail("type missing"))
+      val rawFormat = f.get("input_format").map(_.toString).filter(_.nonEmpty)
+        .getOrElse(fail("input format missing"))
+      val format = formatAliases.getOrElse(rawFormat, rawFormat)
+      val spoolDir =
+        s"$spoolRoot/${name.toLowerCase.replace(" ", "_")}"
+      val kind = typ match {
+        case "http" =>
+          if (!f.contains("listen_host")) fail(s"$name: ListenHost missing")
+          if (!f.contains("listen_port")) fail(s"$name: ListenPort missing")
+          FeederConfig.Http
+        case "socket" =>
+          if (!f.contains("path")) fail(s"$name: socket Path missing")
+          FeederConfig.Socket
+        case "nmsg_socket" => FeederConfig.Udp
+        case "amqp" =>
+          if (strList(f.getOrElse("exchange", null)).isEmpty)
+            fail(s"$name: Exchange missing")
+          if (!f.contains("url")) fail(s"$name: URL missing")
+          // the broker client is env-blocked; deliveries land in the
+          // spool via Amqp.delivery, consumed as a Dir feeder
+          FeederConfig.Dir
+        case other => fail(s"unknown feeder type: $other")
+      }
+      val options = Map("dir" -> spoolDir) ++
+        Seq("listen_host", "listen_port", "path", "bind_address", "mtu",
+          "url").flatMap(k => f.get(k).map(k -> _.toString)) ++
+        (if (f.contains("exchange"))
+           Seq("exchange" -> strList(f("exchange")).mkString(","))
+         else Nil)
+      FeederConfig.Feeder(name, kind, format, options)
+    }
+    FeederConfig.Setup(defs)
+  }
+
+  // ---------------------------------------------------------- selectors
+
+  /** Load a `selectors.yaml` into engine-ready selectors. `readPatterns`
+    * resolves a regexp FILE reference to its patterns (the reference
+    * reads one regex per line from each listed file,
+    * `selector_regex.go:38-48`); `hooks` binds `type: lua` entries to
+    * their Spark-side [[Selectors.HookSelector]] substitutes by script
+    * name (SURVEY §2.2: arbitrary predicates instead of a Lua VM). */
+  def loadSelectors(
+      yaml: String,
+      readPatterns: String => Seq[String],
+      hooks: Map[String, Selectors.HookSelector] = Map.empty
+  ): Seq[Selectors.Selector] = {
+    def fail(msg: String) = throw new IllegalArgumentException(msg)
+    asList(asMap(parse(yaml)).getOrElse("selectors", null)).map(asMap).map { s =>
+      val tags = strList(s.getOrElse("tags", null))
+      val ingests = strList(s.getOrElse("ingest", null))
+      s.getOrElse("type", fail("selector type missing")).toString match {
+        case "regex" =>
+          val patterns = strList(s.getOrElse("regexp", null))
+            .flatMap(readPatterns)
+          if (patterns.isEmpty) fail("regexp missing")
+          Selectors.RegexSelector(patterns, tags, ingests,
+            filterMode = s.get("mode").exists(_.toString == "filter"))
+        case "lua" =>
+          val script = s.getOrElse("script", fail("script missing")).toString
+          hooks.getOrElse(script,
+              fail(s"no hook registered for lua script '$script'"))
+            .copy(tags = tags, ingests = ingests)
+        case other => fail(s"unknown selector type: $other")
+      }
+    }
+  }
+
+  // ----------------------------------------------------------- backends
+
+  /** One entry of `backend.yaml` (`db/db_remote.go:15-19`): a named sink
+    * receiving observations that carry ANY of its tags (all observations
+    * when tagless). `host` identified a remote balboa backend; here it is
+    * carried as opaque deployment metadata — the Spark binding maps each
+    * backend to a store path. */
+  final case class BackendRef(name: String, host: String, tags: Seq[String])
+
+  def loadBackends(yaml: String): Seq[BackendRef] =
+    asList(parse(yaml)).map(asMap).map { b =>
+      BackendRef(
+        b.getOrElse("name",
+          throw new IllegalArgumentException("backend name missing")).toString,
+        b.getOrElse("host", "").toString,
+        strList(b.getOrElse("tags", null)))
+    }
+}
