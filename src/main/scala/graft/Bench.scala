@@ -93,7 +93,7 @@ object Bench {
     * skipping notwithstanding). Both numbers are reported to keep that
     * trade-off visible. */
   private def benchPointLookups(spark: SparkSession,
-      sfDir: String): (Double, Double, Double, Double) = {
+      sfDir: String): (Double, Double, Double, Double, Double) = {
     val dir = java.nio.file.Files.createTempDirectory("graft-bench-store").toString
     val t0 = System.nanoTime()
     operators.ObservationStore.writeDual(
