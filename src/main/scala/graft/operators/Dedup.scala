@@ -149,6 +149,52 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Duplicate-cluster RESOLUTION: near-dup pairs only say "a looks like
+    * b"; a dedup pipeline must then pick ONE survivor per duplicate
+    * cluster, where clusters are the connected components of the pair
+    * graph (a≈b, b≈c ⟹ {a,b,c} even if a,c were never compared). Output:
+    * (id, component) for every id, component = min id reachable — so the
+    * component label IS the keep-id and `id != component` is the drop
+    * list.
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own and its neighbors' labels; converged when
+    * the global label sum stops falling (labels only decrease, so the sum
+    * is a strictly decreasing convergence measure — no row-level diff
+    * join needed). Rounds = graph diameter, and duplicate clusters are
+    * shallow (near-clique), so 2-3 rounds in practice; each round is one
+    * shuffle-join + aggregate. At 100 TB-scale graphs with long chains,
+    * swap the per-round body for the large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce") — same
+    * driver-loop skeleton, O(log n) rounds. */
+  def connectedComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(false)
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("component"))
+      .localCheckpoint(false)
+    var prevSum = labels.agg(sum("component")).head.getLong(0)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
+        .groupBy(col("src")).agg(min("component").as("nmin"))
+      labels = labels
+        .join(neighborMin, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nmin"), col("component")))
+            .as("component"))
+        .localCheckpoint(true) // eager: cut per-round lineage growth
+      val s = labels.agg(sum("component")).head.getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      i += 1
+    }
+    labels
+  }
+
   /** SimHash near-duplicate pairs: fingerprint hamming distance ≤ maxDist.
     * Fingerprints are 64-char '0'/'1' strings from the simhash64 function.
     * Candidate generation blocks on 4 fingerprint chunks of 16 bits: by

@@ -45,6 +45,21 @@ object PipelineQueries {
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id")),
 
+    // Duplicate-cluster resolution: exact n-gram pairs over docs ∪ planted
+    // copies → connected components → keep-id (= min id of the cluster)
+    // per document. The step after pair generation every dedup pipeline
+    // needs: a≈b≈c collapses to one survivor even when a,c were never
+    // directly compared.
+    "dedup_components" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val copies = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val all = d.unionAll(copies).localCheckpoint(false)
+      val pairs = Dedup.ngramJaccardPairs(all, "text", "doc_id")
+      Dedup.connectedComponents(all.select("doc_id"), "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("component").as("keep_id"))
+    }),
+
     // SimHash fingerprints (64-bit as '0'/'1' string, native expression).
     "simhash_fingerprints" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -197,6 +212,41 @@ object PipelineQueries {
          |      CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) >= 0.8
          |""".stripMargin,
     "dedup_ngram" -> jaccardPairsSql,
+
+    // Connected components as a recursive reachability closure: reach(id,
+    // r) = "id can reach r over near-dup edges"; component = MIN(r). The
+    // UNION (not UNION ALL) dedups rows, so cycles terminate.
+    "dedup_components" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(string_split(text, ' ')) < 3
+        |         THEN [text]
+        |         ELSE list_transform(
+        |           generate_series(1, len(string_split(text, ' ')) - 2),
+        |           i -> array_to_string(
+        |                  list_slice(string_split(text, ' '), i, i + 2), ' '))
+        |    END) AS sh
+        |  FROM u),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+        |          >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT id_b AS src, id_a AS dst FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM u
+        |  UNION
+        |  SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src)
+        |SELECT id AS doc_id, MIN(r) AS keep_id FROM reach GROUP BY 1
+        |""".stripMargin,
 
     "simhash_fingerprints" ->
       s"""SELECT doc_id, $simhashFpExpr AS fingerprint FROM documents""",

@@ -91,6 +91,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b) => a == 0L && b == 1L })
   }
 
+  test("connected components: chains collapse transitively, singletons keep their id") {
+    // chain 1-2, 2-6, plus pair 3-5; 4 and 7 isolated; min id wins
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 6L), (3L, 5L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(ids, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 6L -> 1L, // chain: 6 never saw 1
+      3L -> 3L, 5L -> 3L, 4L -> 4L, 7L -> 7L))
+  }
+
   test("cosine LSH pairs are a subset of the exact all-pairs truth") {
     // the all-pairs cartesian stays as the TEST-ONLY truth oracle for the
     // shipped bucketed path (VERDICT r1 #1): every LSH-reported pair must
