@@ -80,4 +80,22 @@ object TextAnalysis {
   /** Content fingerprint: md5 of whitespace-normalized lowercase text. */
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** Leakage-safe deterministic train/val/test assignment. The split key
+    * is the CONTENT fingerprint, not the document id: near-identical or
+    * byte-identical duplicates hash to the same bucket, so a document can
+    * never sit in train while its copy sits in test — the classic
+    * contamination bug in id-hashed splits. Content-derived (no RNG):
+    * identical across runs, engines and cluster sizes; narrow per-row
+    * compute, no shuffle. Buckets come from the first 4 fingerprint hex
+    * digits (16-bit space, granularity 1/65536 per weight unit). */
+  def contentSplit(text: Column, trainWeight: Int = 8, valWeight: Int = 1,
+      testWeight: Int = 1): Column = {
+    val total = trainWeight + valWeight + testWeight
+    val bucket = conv(substring(fingerprint(text), 1, 4), 16, 10)
+      .cast("long") % total
+    when(bucket < trainWeight, "train")
+      .when(bucket < trainWeight + valWeight, "val")
+      .otherwise("test")
+  }
 }

@@ -112,6 +112,12 @@ object PipelineQueries {
     "doc_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
+
+    // Leakage-safe 80/10/10 corpus split keyed on the content
+    // fingerprint (duplicates always share a split).
+    "corpus_split" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.contentSplit(col("text")).as("split"))),
   )
 
   // ------------------------------------------------------------ oracles
@@ -394,6 +400,27 @@ object PipelineQueries {
         |       md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
         |         AS fingerprint
         |FROM documents
+        |""".stripMargin,
+
+    // first 4 hex digits of the fingerprint -> 16-bit bucket % 10;
+    // hex parse spelled out per digit (portable, no 0x-cast dependence)
+    "corpus_split" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |         ((strpos('0123456789abcdef', f[1]) - 1) * 4096 +
+        |          (strpos('0123456789abcdef', f[2]) - 1) * 256 +
+        |          (strpos('0123456789abcdef', f[3]) - 1) * 16 +
+        |          (strpos('0123456789abcdef', f[4]) - 1)) % 10 AS bucket
+        |  FROM fp)
+        |SELECT doc_id,
+        |       CASE WHEN bucket < 8 THEN 'train'
+        |            WHEN bucket < 9 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM b
         |""".stripMargin,
   )
 }

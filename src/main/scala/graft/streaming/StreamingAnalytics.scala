@@ -42,6 +42,34 @@ object StreamingAnalytics {
       user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Long)
 
+  final case class DocHash(doc_id: Long, content_hash: String)
+
+  /** Streaming incremental exact dedup: emits only the FIRST document
+    * seen per content hash, across micro-batches — the streaming twin of
+    * [[graft.operators.Dedup.exactDuplicates]] for continuous corpus
+    * ingestion. State is one long (the keeper id) per distinct content:
+    * bounded by corpus cardinality, not stream length. Within a batch the
+    * min doc_id wins (deterministic under batch-boundary changes only for
+    * ties within one batch — same guarantee the batch operator gives).
+    * At 100 TB, distinct-content state shards across the state store by
+    * the groupBy key; if unbounded retention is a concern, front it with
+    * a TTL timeout and accept re-admission after expiry. */
+  def streamingExactDedup(docs: Dataset[DocHash]): Dataset[DocHash] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.content_hash)
+      .flatMapGroupsWithState[Long, DocHash](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (hash: String, batch: Iterator[DocHash], state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty // duplicate of an earlier batch
+          else {
+            val first = batch.minBy(_.doc_id)
+            state.update(first.doc_id)
+            Iterator(DocHash(first.doc_id, hash))
+          }
+      }
+  }
+
   /** Custom-state gap sessionization (`flatMapGroupsWithState`): a user's
     * session closes when the EVENT-TIME watermark passes `lastSeen + gap`
     * (EventTimeTimeout; a processing-time timeout would keep the

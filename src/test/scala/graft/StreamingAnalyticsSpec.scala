@@ -39,6 +39,25 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(rows.head.getAs[Timestamp]("window_start") == ts("2024-01-01 10:00:00"))
   }
 
+  test("streaming exact dedup: first occurrence per content survives across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingAnalytics.DocHash
+    val stream = MemoryStream[DocHash]
+    val out = StreamingAnalytics.streamingExactDedup(stream.toDS())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_test").start()
+    // batch 1: hash A twice (min id wins), hash B once
+    stream.addData(DocHash(12L, "A"), DocHash(5L, "A"), DocHash(9L, "B"))
+    q.processAllAvailable()
+    // batch 2: A again (duplicate of an earlier batch) + new hash C
+    stream.addData(DocHash(1L, "A"), DocHash(3L, "C"))
+    q.processAllAvailable()
+    val rows = spark.table("dedup_test").as[DocHash].collect()
+    q.stop()
+    assert(rows.toSet == Set(DocHash(5L, "A"), DocHash(9L, "B"),
+      DocHash(3L, "C")))
+  }
+
   test("flatMapGroupsWithState sessionization: gap closes a session in-stream") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[SessionEvent]
