@@ -172,8 +172,13 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(false)
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("component"))
-      .localCheckpoint(false)
+    // propagation runs over edge-CONNECTED nodes only — isolated ids (the
+    // overwhelming majority of a mostly-unique corpus) are their own
+    // component by definition and join back in at the end, so per-round
+    // cost scales with the pair graph, not the corpus
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
     var prevSum = labels.agg(sum("component")).head.getLong(0)
     var converged = false
     var i = 0
@@ -192,7 +197,10 @@ object Dedup {
       prevSum = s
       i += 1
     }
-    labels
+    ids.select(col(idCol).as("id"))
+      .join(labels.withColumnRenamed("id", "cid"), col("id") === col("cid"),
+        "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
   /** SimHash near-duplicate pairs: fingerprint hamming distance ≤ maxDist.
