@@ -24,10 +24,15 @@ object Tools {
 
   /** A5 — replay: read a dump and rebuild a store. Re-aggregation on load
     * is free — duplicate keys across dump chunks merge exactly like the
-    * reference's replay-as-input path. */
+    * reference's replay-as-input path. The dump schema is fixed by
+    * [[jsonize]], so it is declared instead of inferred — inference would
+    * cost a full extra pass over the dump just to rediscover it. */
   def replay(spark: SparkSession, dumpPath: String, storePath: String,
       numBuckets: Int = 64): Unit = {
-    val raw = spark.read.json(dumpPath)
+    val raw = spark.read.schema(
+      "rrname string, rdata string, rrtype string, sensor_id string, " +
+        "count long, time_first long, time_last long")
+      .json(dumpPath)
     val obs = raw.select(
       col("rrname"), col("sensor_id"), col("rrtype"), col("rdata"),
       col("count").cast("long").as("count"),
