@@ -24,7 +24,8 @@ object Graphql {
   final case class EntriesQuery(
       rrname: Option[String], rdata: Option[String], rrtype: Option[String],
       sensorId: Option[String], limit: Int,
-      fields: Seq[String], aliasFields: Seq[String]) extends GqlQuery
+      fields: Seq[String], aliasFields: Seq[String],
+      aliasLimit: Int = 1000) extends GqlQuery
   final case class StatsQuery(fields: Seq[String]) extends GqlQuery
 
   /** The RRType enum of the reference schema, verbatim
@@ -87,9 +88,15 @@ object Graphql {
     if (selEnd < 0) return Left("unbalanced selection set")
     val sel = rest.substring(selStart + 1, selEnd)
 
-    val aliasSel = """aliases\s*\{([^}]*)\}""".r.findFirstMatchIn(sel)
-    val aliasFields = aliasSel.map(_.group(1).trim.split("\\s+").toSeq
+    // `aliases(limit: Int = 1000) { ... }` — the per-entry cap is a field
+    // argument in the reference schema (`query_graphql.go:105`)
+    val aliasSel =
+      """aliases\s*(?:\(\s*limit\s*:\s*(\d+)\s*\))?\s*\{([^}]*)\}""".r
+        .findFirstMatchIn(sel)
+    val aliasFields = aliasSel.map(_.group(2).trim.split("\\s+").toSeq
       .filter(_.nonEmpty)).getOrElse(Seq.empty)
+    val aliasLimit = aliasSel.flatMap(m => Option(m.group(1)))
+      .map(_.toInt).getOrElse(1000)
     val scalarSel = aliasSel.map(m => sel.replace(m.matched, " ")).getOrElse(sel)
     val fields = scalarSel.split("[\\s,]+").toSeq.filter(_.nonEmpty)
     if (fields.isEmpty && aliasFields.isEmpty) return Left("empty selection set")
@@ -103,7 +110,7 @@ object Graphql {
         Left(s"""Argument "rrtype" has invalid value $bad, expected type "RRType".""")
       case None =>
         Right(EntriesQuery(strArg("rrname"), strArg("rdata"), rrtype,
-          strArg("sensor_id"), limit, fields, aliasFields))
+          strArg("sensor_id"), limit, fields, aliasFields, aliasLimit))
     }
   }
 
@@ -135,7 +142,7 @@ object Graphql {
     val aliasesByKey: Map[(String, String, String), Seq[Row]] =
       if (q.aliasFields.isEmpty) Map.empty
       else {
-        store.aliases(entriesDf).collect()
+        store.aliases(entriesDf, perEntryLimit = q.aliasLimit).collect()
           .groupBy(r => (r.getAs[String]("e_rrname"),
             r.getAs[String]("e_sensor_id"), r.getAs[String]("e_rdata")))
           .map { case (k, v) => k -> v.toSeq }

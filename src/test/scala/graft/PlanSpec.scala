@@ -112,6 +112,30 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("similarity-join candidate generation is always an equi-join") {
+    // the LSH/inverted-index designs live or die on the candidate join
+    // being a shuffled EQUI-join on the blocking key — a refactor that
+    // degrades it to a nested-loop join over the id inequality would
+    // still pass correctness tests and then melt at scale
+    val docsDf = (1L to 40L).map(i => (i, s"w$i x$i y$i z${i % 5} common"))
+      .toDF("doc_id", "text")
+    for (plan <- Seq(
+        explainOf(graft.operators.Dedup.ngramJaccardPairs(
+          docsDf, "text", "doc_id")),
+        explainOf(graft.operators.Dedup.minhashNearDuplicates(
+          docsDf, "text", "doc_id")))) {
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    }
+  }
+
+  test("content split is a narrow per-row projection (no shuffle)") {
+    val docsDf = Seq((1L, "some text")).toDF("doc_id", "text")
+    val plan = explainOf(docsDf.select(col("doc_id"),
+      graft.operators.TextAnalysis.contentSplit(col("text")).as("split")))
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("decoders stay shuffle-free (narrow maps over the source)") {
     val raw = Seq(("{}", "s")).toDF("value", "sensor_id")
     for (dec <- graft.streaming.IngestPipeline.decoders.values) {

@@ -111,6 +111,17 @@ class QueryServerSpec extends AnyFunSuite {
     assert(body.contains(""""aliases":[{"rrname":"baz","rrtype":"A"}]"""), body)
   }
 
+  test("POST /graphql: aliases limit argument caps the per-entry fan-out") {
+    val r = post("/graphql",
+      """query { entries(rrname: "foo") { rrname aliases(limit: 0) { rrname } } }""")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains(""""aliases":[]"""), r.body())
+    // default-limit form still returns the alias
+    val r2 = post("/graphql",
+      """query { entries(rrname: "foo") { rrname aliases { rrname } } }""")
+    assert(r2.body().contains(""""aliases":[{"rrname":"baz"}]"""), r2.body())
+  }
+
   test("POST /graphql: errors — no rrname/rdata, unsupported query") {
     assert(post("/graphql", "query { entries(rrtype: A) { rrname } }")
       .statusCode() == 400)
