@@ -121,17 +121,22 @@ object Bench {
     // AQE buys nothing for a single-stage pre-pruned scan but costs
     // per-query driver planning — ~1.5× qps when off. Restored after, so
     // the analytics sweep keeps adaptive execution.
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val coldQps = run(200)
-    // capacity at 16 workers: per-query latency is driver-scheduling
-    // bound (~10 ms floor in local mode), so throughput scales with
-    // concurrent clients under FAIR — the serving-capacity number
-    val wideQps = run(200, workers = 16)
-    store.cache()
-    store.totalCount() // materialize the cache
-    val cachedQps = run(200)
-    store.unpersist()
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // try/finally: a failure mid-phase must not leave AQE off for the
+    // whole subsequent analytics sweep
+    val (coldQps, wideQps, cachedQps) =
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val cold = run(200)
+        // capacity at 16 workers: per-query latency is driver-scheduling
+        // bound (~10 ms floor in local mode), so throughput scales with
+        // concurrent clients under FAIR — the serving-capacity number
+        val wide = run(200, workers = 16)
+        store.cache()
+        store.totalCount() // materialize the cache
+        val cached = run(200)
+        store.unpersist()
+        (cold, wide, cached)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
 
     // incremental maintenance: merge a ~10% batch, touched-buckets only
     val batch = Graft.observations(spark, sfDir)

@@ -179,8 +179,13 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
-    var prevSum = labels.agg(sum("component")).head.getLong(0)
-    var converged = false
+    // sum() over zero rows is NULL — a duplicate-free corpus (no pairs)
+    // must yield every id as its own component, not an NPE
+    def labelSum(): Long =
+      Option(labels.agg(sum("component")).head.getAs[java.lang.Long](0))
+        .map(_.toLong).getOrElse(0L)
+    var prevSum = labelSum()
+    var converged = labels.isEmpty
     var i = 0
     while (!converged && i < maxIter) {
       val neighborMin = edges
@@ -192,11 +197,17 @@ object Dedup {
           least(col("component"), coalesce(col("nmin"), col("component")))
             .as("component"))
         .localCheckpoint(true) // eager: cut per-round lineage growth
-      val s = labels.agg(sum("component")).head.getLong(0)
+      val s = labelSum()
       converged = s == prevSum
       prevSum = s
       i += 1
     }
+    if (!converged)
+      // a cluster with diameter > maxIter would otherwise SILENTLY keep
+      // several survivors; callers must know the result is partial
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "raise maxIter (duplicate clusters deeper than the bound)")
     ids.select(col(idCol).as("id"))
       .join(labels.withColumnRenamed("id", "cid"), col("id") === col("cid"),
         "left")

@@ -65,7 +65,10 @@ object ObservationStore {
       Seq("rrname", "sensor_id", "rrtype", "rdata"), numBuckets)
     writeCopy(agg, s"$path/by_rdata", "rdata",
       Seq("rdata", "sensor_id", "rrname", "rrtype"), numBuckets)
-    writeMeta(agg.sparkSession, path, numBuckets, epoch = 1L)
+    // a rebuild of an existing store must advance the epoch, never reset
+    // it — readers using it for change detection would miss the rebuild
+    writeMeta(agg.sparkSession, path, numBuckets,
+      epoch = readEpoch(agg.sparkSession, path).getOrElse(0L) + 1L)
   }
 
   /** Derived columns persisted per copy. The inverted copy materializes
@@ -91,19 +94,25 @@ object ObservationStore {
 
   /** Meta is written ONLY after both copies have committed: `epoch`
     * advances once per successful dual write/merge, so a crash between
-    * the two copy writes is detectable (the epoch never advanced — the
-    * store is at the previous consistent version for readers that honor
-    * it; re-running the merge is safe because merge is idempotent on the
-    * same batch only at the aggregate level, so operationally a stale
-    * epoch means "re-drive the last batch"). */
+    * the two copy writes is DETECTABLE (the epoch never advanced). Note
+    * that re-running the crashed merge is NOT a safe repair — the copy
+    * that did commit would double-count the batch (sum is additive, not
+    * idempotent); recovery is restore-from-backup (A7) or a full rebuild
+    * from the source stream. `layout` versions the on-disk schema
+    * (2 = inverted copy carries `rdata_ip`); merges preserve the store's
+    * recorded layout so a store never holds mixed file schemas. */
   private def writeMeta(spark: SparkSession, path: String,
-      numBuckets: Int, epoch: Long): Unit = {
+      numBuckets: Int, epoch: Long, layout: Long = CurrentLayout): Unit = {
     val (f, p) = fs(spark, s"$path/_graft_meta.json")
     val out = f.create(p, true)
     try out.write(
-      s"""{"num_buckets":$numBuckets,"epoch":$epoch}""".getBytes("UTF-8"))
+      s"""{"num_buckets":$numBuckets,"epoch":$epoch,"layout":$layout}"""
+        .getBytes("UTF-8"))
     finally out.close()
   }
+
+  /** Layout 2 = by_rdata carries the persisted `rdata_ip` column. */
+  val CurrentLayout = 2L
 
   private def readMetaField(spark: SparkSession, path: String,
       field: String): Option[Long] = {
@@ -127,9 +136,19 @@ object ObservationStore {
   def readEpoch(spark: SparkSession, path: String): Option[Long] =
     readMetaField(spark, path, "epoch")
 
+  /** On-disk schema version (None/1 for stores without `rdata_ip`). */
+  def readLayout(spark: SparkSession, path: String): Option[Long] =
+    readMetaField(spark, path, "layout")
+
   private def writeCopy(df: DataFrame, path: String, keyCol: String,
-      sortCols: Seq[String], numBuckets: Int, dynamic: Boolean = false): Unit = {
-    val withDerived = derivedCols(keyCol).foldLeft(df) {
+      sortCols: Seq[String], numBuckets: Int, dynamic: Boolean = false,
+      layout: Long = CurrentLayout): Unit = {
+    // layout-1 stores (written before rdata_ip existed) must stay
+    // rdata_ip-free under incremental merges: dynamic overwrite touches
+    // only some buckets, and a store with MIXED file schemas would read
+    // rdata_ip as null for old files — silently wrong CIDR results
+    val derived = if (layout >= 2) derivedCols(keyCol) else Nil
+    val withDerived = derived.foldLeft(df) {
       case (d, (name, c)) => d.withColumn(name, c)
     }
     val w = withDerived
@@ -157,6 +176,9 @@ object ObservationStore {
     // bucket count is a layout invariant: honor what the store was
     // written with, record it on first write
     val effBuckets = readNumBuckets(spark, path).getOrElse(numBuckets)
+    // like the bucket count, the schema layout is a write-time invariant
+    val effLayout =
+      if (!exists) CurrentLayout else readLayout(spark, path).getOrElse(1L)
     Seq(("by_rrname", "rrname", Seq("rrname", "sensor_id", "rrtype", "rdata")),
         ("by_rdata", "rdata", Seq("rdata", "sensor_id", "rrname", "rrtype")))
       .foreach { case (sub, keyCol, sortCols) =>
@@ -180,13 +202,13 @@ object ObservationStore {
           }
         // drop the derived bucket col: writeCopy recomputes it (same hash)
         writeCopy(merged.drop("bucket"), s"$path/$sub", keyCol, sortCols,
-          effBuckets, dynamic = true)
+          effBuckets, dynamic = true, layout = effLayout)
       }
     // meta (and the epoch bump) commits only after BOTH copies are
     // written: a crash mid-merge leaves the epoch un-advanced, so
     // forward/inverted divergence is detectable instead of silent
     writeMeta(spark, path, effBuckets,
-      epoch = readEpoch(spark, path).getOrElse(0L) + 1L)
+      epoch = readEpoch(spark, path).getOrElse(0L) + 1L, layout = effLayout)
   }
 
   /** Load a dual store. Bucket pruning uses the count recorded in the

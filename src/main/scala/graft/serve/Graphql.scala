@@ -68,8 +68,12 @@ object Graphql {
     // rrtype is a GraphQL enum: bare token OR quoted string both accepted
     val rrtype = strArg("rrtype").orElse(
       """rrtype\s*:\s*([A-Za-z0-9]+)""".r.findFirstMatchIn(argStr).map(_.group(1)))
-    val limit = """limit\s*:\s*(\d+)""".r.findFirstMatchIn(argStr)
-      .map(_.group(1).toInt).getOrElse(1000)
+    // toIntOption: digits beyond Int.MaxValue are a client error, not a
+    // NumberFormatException-turned-500
+    val limitOpt = """limit\s*:\s*(\d+)""".r.findFirstMatchIn(argStr)
+    if (limitOpt.exists(_.group(1).toIntOption.isEmpty))
+      return Left(s"invalid limit: ${limitOpt.get.group(1)}")
+    val limit = limitOpt.flatMap(_.group(1).toIntOption).getOrElse(1000)
 
     // selection set: top-level identifiers; `aliases { ... }` nests once
     val selStart = rest.indexOf('{', argsEnd)
@@ -95,8 +99,10 @@ object Graphql {
         .findFirstMatchIn(sel)
     val aliasFields = aliasSel.map(_.group(2).trim.split("\\s+").toSeq
       .filter(_.nonEmpty)).getOrElse(Seq.empty)
-    val aliasLimit = aliasSel.flatMap(m => Option(m.group(1)))
-      .map(_.toInt).getOrElse(1000)
+    val aliasLimitRaw = aliasSel.flatMap(m => Option(m.group(1)))
+    if (aliasLimitRaw.exists(_.toIntOption.isEmpty))
+      return Left(s"invalid aliases limit: ${aliasLimitRaw.get}")
+    val aliasLimit = aliasLimitRaw.flatMap(_.toIntOption).getOrElse(1000)
     val scalarSel = aliasSel.map(m => sel.replace(m.matched, " ")).getOrElse(sel)
     val fields = scalarSel.split("[\\s,]+").toSeq.filter(_.nonEmpty)
     if (fields.isEmpty && aliasFields.isEmpty) return Left("empty selection set")

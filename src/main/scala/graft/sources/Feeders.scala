@@ -185,7 +185,9 @@ object NmsgContainer {
     if ((flags & FlagFragment) != 0) return Seq.empty
     val len = ((datagram(6) & 0xff) << 24) | ((datagram(7) & 0xff) << 16) |
       ((datagram(8) & 0xff) << 8) | (datagram(9) & 0xff)
-    if (len < 0 || 10 + len > datagram.length) return Seq.empty
+    // compare against the REMAINING bytes: `10 + len` would overflow Int
+    // for a crafted length like 0x7fffffff and slip past the guard
+    if (len < 0 || len > datagram.length - 10) return Seq.empty
     var body = java.util.Arrays.copyOfRange(datagram, 10, 10 + len)
     if ((flags & FlagZlib) != 0) {
       body = inflate(body)
@@ -233,7 +235,10 @@ object NmsgContainer {
       val buf = new Array[Byte](8192)
       while (!inf.finished()) {
         val n = inf.inflate(buf)
-        if (n == 0 && inf.needsInput()) return Array.emptyByteArray // truncated
+        // truncated input, or a preset-dictionary (FDICT) stream we don't
+        // speak — without the second check the loop would spin forever
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          return Array.emptyByteArray
         out.write(buf, 0, n)
       }
       out.toByteArray

@@ -110,6 +110,11 @@ class FeedersSpec extends AnyFunSuite {
     // truncated body (declared length > available bytes)
     val truncated = NmsgContainer.buildContainer(Seq(p1)).dropRight(3)
     assert(NmsgContainer.extractPayloads(truncated).isEmpty)
+    // crafted length 0x7fffffff: `10 + len` overflows Int — must be
+    // dropped, not thrown (an exception here kills the feeder thread)
+    val overflow = Array[Byte]('N', 'M', 'S', 'G', 0, 2,
+      0x7f, 0xff.toByte, 0xff.toByte, 0xff.toByte, 1, 2, 3)
+    assert(NmsgContainer.extractPayloads(overflow).isEmpty)
   }
 
   test("AMQP delivery: compressed header gunzips, bad gzip skipped") {

@@ -101,6 +101,14 @@ class PipelineSpec extends AnyFunSuite {
       3L -> 3L, 5L -> 3L, 4L -> 4L, 7L -> 7L))
   }
 
+  test("connected components: duplicate-free corpus (no pairs) is all singletons") {
+    val ids = Seq(1L, 2L, 3L).toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(ids, "doc_id", noPairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("cosine LSH pairs are a subset of the exact all-pairs truth") {
     // the all-pairs cartesian stays as the TEST-ONLY truth oracle for the
     // shipped bucketed path (VERDICT r1 #1): every LSH-reported pair must

@@ -126,6 +126,13 @@ class QueryServerSpec extends AnyFunSuite {
     assert(post("/graphql", "query { entries(rrtype: A) { rrname } }")
       .statusCode() == 400)
     assert(post("/graphql", "query { stats { total } }").statusCode() == 400)
+    // a limit beyond Int range is a client error (400), not a 500
+    assert(post("/graphql",
+      "query { entries(rrname: \"foo\", limit: 99999999999) { rrname } }")
+      .statusCode() == 400)
+    assert(post("/graphql",
+      """query { entries(rrname: "foo") { rrname aliases(limit: 99999999999) { rrname } } }""")
+      .statusCode() == 400)
   }
 
   test("POST /graphql: stats root field (query_graphql.go:166-172)") {
