@@ -118,6 +118,26 @@ object PipelineQueries {
     "corpus_split" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.contentSplit(col("text")).as("split"))),
+
+    // The composed curation pipeline — what a real training-data run
+    // chains: quality gate (enough tokens, mostly alphabetic) → exact
+    // dedup (min doc_id survives per content hash) → leakage-safe split.
+    // Every stage is a narrow projection or one aggregation; the whole
+    // pipeline is two shuffles (dedup groupBy + nothing else) regardless
+    // of corpus size.
+    "curate_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val quality = TextAnalysis.qualityColumns(col("text"), stopwords)
+      val scored = d.select(col("doc_id") +: col("text") +: quality: _*)
+        .filter(col("n_tokens") >= 5 && col("alpha_ratio") >= 0.6)
+      val survivors = scored
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          first(col("text")).as("text"), // per-hash text is identical
+          count(lit(1)).as("n_copies"))
+      survivors.select(col("doc_id"), col("n_copies"),
+        TextAnalysis.contentSplit(col("text")).as("split"))
+    }),
   )
 
   // ------------------------------------------------------------ oracles
@@ -421,6 +441,40 @@ object PipelineQueries {
         |            WHEN bucket < 9 THEN 'val'
         |            ELSE 'test' END AS split
         |FROM b
+        |""".stripMargin,
+
+    "curate_pipeline" ->
+      """WITH scored AS (
+        |  SELECT doc_id, text,
+        |         len(string_split(text, ' ')) AS n_tokens,
+        |         CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) /
+        |           CAST(len(text) AS DOUBLE) AS alpha_ratio
+        |  FROM documents),
+        |kept AS (
+        |  SELECT doc_id, text FROM scored
+        |  WHERE n_tokens >= 5 AND alpha_ratio >= 0.6),
+        |survivors AS (
+        |  SELECT MIN(doc_id) AS doc_id,
+        |         MIN(text) AS text,
+        |         CAST(COUNT(*) AS BIGINT) AS n_copies
+        |  FROM kept GROUP BY md5(text)),
+        |fp AS (
+        |  SELECT doc_id, n_copies,
+        |         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f
+        |  FROM survivors)
+        |SELECT doc_id, n_copies,
+        |       CASE WHEN ((strpos('0123456789abcdef', f[1]) - 1) * 4096 +
+        |                  (strpos('0123456789abcdef', f[2]) - 1) * 256 +
+        |                  (strpos('0123456789abcdef', f[3]) - 1) * 16 +
+        |                  (strpos('0123456789abcdef', f[4]) - 1)) % 10 < 8
+        |            THEN 'train'
+        |            WHEN ((strpos('0123456789abcdef', f[1]) - 1) * 4096 +
+        |                  (strpos('0123456789abcdef', f[2]) - 1) * 256 +
+        |                  (strpos('0123456789abcdef', f[3]) - 1) * 16 +
+        |                  (strpos('0123456789abcdef', f[4]) - 1)) % 10 < 9
+        |            THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM fp
         |""".stripMargin,
   )
 }
