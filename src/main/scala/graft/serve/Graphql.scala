@@ -27,6 +27,7 @@ object Graphql {
       fields: Seq[String], aliasFields: Seq[String],
       aliasLimit: Int = 1000) extends GqlQuery
   final case class StatsQuery(fields: Seq[String]) extends GqlQuery
+  case object IntrospectionQuery extends GqlQuery
 
   /** The RRType enum of the reference schema, verbatim
     * (`query/query_graphql.go:26-73`). An rrtype argument outside this set
@@ -50,11 +51,17 @@ object Graphql {
           Left("one of rrname or rdata must be given")
         else Right(render(q, store))
       case StatsQuery(fields) => Right(renderStats(fields, store))
+      case IntrospectionQuery => Right(renderIntrospection())
     }
 
   // ------------------------------------------------------------- parse
 
   def parse(query: String): Either[String, GqlQuery] = {
+    // introspection probes (`{ __schema { ... } }`) get a schema
+    // document instead of an error — capability discovery is the first
+    // thing a real GraphQL client sends (the reference serves this via
+    // graphql-go's schema-first engine)
+    if (query.contains("__schema")) return Right(IntrospectionQuery)
     val entriesIdx = query.indexOf("entries")
     if (entriesIdx < 0) return parseStats(query)
     val rest = query.substring(entriesIdx + "entries".length)
@@ -184,6 +191,54 @@ object Graphql {
       case "num_goroutines" =>
         stats.put("num_goroutines", Thread.activeCount())
       case _ => // validated at parse time
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  /** Minimal-but-honest introspection document for the served subset of
+    * the reference schema (`query_graphql.go:25-192`): the Query root
+    * with entries/stats, the Entry/LeafEntry/Stats objects, and the full
+    * 46-value RRType enum. Field types are rendered flat (no NON_NULL/
+    * LIST wrappers) — enough for capability discovery, not a full
+    * graphql-js compliance surface. */
+  private def renderIntrospection(): String = {
+    val root = mapper.createObjectNode()
+    val schema = root.putObject("data").putObject("__schema")
+    schema.putObject("queryType").put("name", "Query")
+    schema.putNull("mutationType")
+    schema.putNull("subscriptionType")
+    val types = schema.putArray("types")
+
+    def objectType(name: String, fields: Seq[(String, String)]): Unit = {
+      val t = types.addObject()
+      t.put("kind", "OBJECT").put("name", name)
+      val fs = t.putArray("fields")
+      fields.foreach { case (fname, ftype) =>
+        val f = fs.addObject()
+        f.put("name", fname)
+        f.putArray("args")
+        val ft = f.putObject("type")
+        ft.put("kind", if (ftype == "RRType") "ENUM"
+          else if (ftype.startsWith("[")) "LIST" else "SCALAR")
+        ft.put("name", ftype)
+      }
+    }
+
+    objectType("Query", Seq("entries" -> "[Entry]", "stats" -> "Stats"))
+    val entryFields = Seq("count" -> "Int", "rrname" -> "String",
+      "rrtype" -> "RRType", "rdata" -> "String", "time_first" -> "Int",
+      "time_first_rfc3339" -> "String", "time_last" -> "Int",
+      "time_last_rfc3339" -> "String", "sensor_id" -> "String")
+    objectType("Entry", entryFields :+ ("aliases" -> "[LeafEntry]"))
+    objectType("LeafEntry", entryFields)
+    objectType("Stats",
+      Seq("total_count" -> "Int", "num_goroutines" -> "Int"))
+    val enumT = types.addObject()
+    enumT.put("kind", "ENUM").put("name", "RRType")
+    val evs = enumT.putArray("enumValues")
+    RRTypes.toSeq.sorted.foreach(v => evs.addObject().put("name", v))
+    Seq("String", "Int", "Boolean").foreach { s =>
+      types.addObject().put("kind", "SCALAR").put("name", s)
     }
     mapper.writeValueAsString(root)
   }

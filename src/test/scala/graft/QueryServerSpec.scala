@@ -135,6 +135,24 @@ class QueryServerSpec extends AnyFunSuite {
       .statusCode() == 400)
   }
 
+  test("POST /graphql: introspection probe returns the schema document") {
+    val r = post("/graphql",
+      "query IntrospectionQuery { __schema { queryType { name } types { name kind } } }")
+    assert(r.statusCode() == 200)
+    val schema = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(r.body()).path("data").path("__schema")
+    assert(schema.path("queryType").path("name").asText() == "Query")
+    val typeNames = (0 until schema.path("types").size())
+      .map(i => schema.path("types").get(i).path("name").asText()).toSet
+    assert(Set("Query", "Entry", "LeafEntry", "Stats", "RRType")
+      .subsetOf(typeNames), typeNames)
+    // the enum carries all 46 reference values
+    val rrtype = (0 until schema.path("types").size())
+      .map(schema.path("types").get(_))
+      .find(_.path("name").asText() == "RRType").get
+    assert(rrtype.path("enumValues").size() == 46)
+  }
+
   test("POST /graphql: stats root field (query_graphql.go:166-172)") {
     val r = post("/graphql", "query { stats { total_count num_goroutines } }")
     assert(r.statusCode() == 200)
