@@ -89,14 +89,15 @@ object Feeders {
         sensorFromPath(col("path")).as("sensor_id"))
 
   /** S1 — HTTP feeder: POST body = payload, `X-Sensor-ID` header = sensor
-    * (default "unknown" like `feeder/feeder_http.go:44-49`). */
+    * — empty when the header is absent, exactly like the reference's
+    * `r.Header.Get("X-Sensor-ID")` (`feeder/feeder_http.go:49-50`). */
   final class HttpFeeder(spoolDir: String, port: Int = 0) {
     private val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/", (ex: HttpExchange) => {
       try {
         if (ex.getRequestMethod == "POST") {
           val sensor = Option(ex.getRequestHeaders.getFirst("X-Sensor-ID"))
-            .getOrElse("unknown")
+            .getOrElse("")
           spool(spoolDir, sensor, ex.getRequestBody.readAllBytes())
           ex.sendResponseHeaders(200, -1)
         } else ex.sendResponseHeaders(405, -1)

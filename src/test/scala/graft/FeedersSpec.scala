@@ -33,7 +33,7 @@ class FeedersSpec extends AnyFunSuite {
           .POST(HttpRequest.BodyPublishers.ofString(suriV1)).build(),
         HttpResponse.BodyHandlers.ofString())
       assert(resp.statusCode() == 200)
-      // no header -> "unknown" (feeder_http.go:44-49)
+      // no header -> empty sensor, like r.Header.Get (feeder_http.go:49-50)
       client.send(
         HttpRequest.newBuilder(URI.create(s"http://localhost:${feeder.boundPort}/"))
           .POST(HttpRequest.BodyPublishers.ofString(suriV1)).build(),
@@ -43,7 +43,7 @@ class FeedersSpec extends AnyFunSuite {
     val decoded = Decoders.suricata(Feeders.spoolBatch(spark, dir)).collect()
     assert(decoded.length == 2)
     assert(decoded.map(_.getAs[String]("sensor_id")).toSet ==
-      Set("sensor one/x", "unknown"))
+      Set("sensor one/x", ""))
   }
 
   // NewDomain protobuf: rrname=example.com, rrtype=A, rdata=9.9.9.9
