@@ -81,6 +81,38 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
 
+  /** Winnowing fingerprints (Schleimer et al., "Winnowing: Local
+    * Algorithms for Document Fingerprinting", SIGMOD 2003 — the MOSS
+    * scheme): polynomial rolling hashes of every k-gram of characters,
+    * then the MINIMUM hash of each sliding window of `w` consecutive
+    * k-gram hashes, deduplicated. Guarantees any substring match of
+    * length ≥ k + w − 1 between two documents shares a fingerprint —
+    * partial-overlap detection where whole-document hashing fails.
+    *
+    * Arithmetic is chosen for cross-engine exactness: with k = 5 and
+    * base 257, the largest hash is < 2⁴³, so every intermediate value is
+    * an exact integer in a double — bit-identical in any engine — and no
+    * modulus is needed. All per-row compute, shuffle-free. */
+  def winnowingFingerprints(textCol: Column, k: Int = 5,
+      w: Int = 4): Column = {
+    require(k <= 6, "k > 6 overflows exact double integer arithmetic")
+    val n = length(textCol)
+    def code(i: Column): Column =
+      ascii(textCol.substr(i, lit(1))).cast("double")
+    val hashes = when(n >= k,
+      transform(sequence(lit(1), n - k + 1), i =>
+        aggregate(sequence(lit(0), lit(k - 1)), lit(0.0d),
+          (acc, j) => acc +
+            code(i + j) * pow(lit(257.0), lit(k - 1).cast("double") - j))
+          .cast("long")))
+      .otherwise(array().cast("array<long>"))
+    val m = size(hashes)
+    when(m >= w,
+      array_distinct(transform(sequence(lit(1), m - w + 1), i =>
+        array_min(slice(hashes, i, lit(w))))))
+      .otherwise(array().cast("array<long>"))
+  }
+
   /** Leakage-safe deterministic train/val/test assignment. The split key
     * is the CONTENT fingerprint, not the document id: near-identical or
     * byte-identical duplicates hash to the same bucket, so a document can

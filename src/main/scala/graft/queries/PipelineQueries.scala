@@ -119,6 +119,15 @@ object PipelineQueries {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.contentSplit(col("text")).as("split"))),
 
+    // Winnowing (MOSS) fingerprints: one row per (doc, selected k-gram
+    // hash) — shared fingerprints between docs = shared substrings of
+    // length >= k+w-1, the partial-overlap signal whole-doc hashing and
+    // word-shingle Jaccard both miss.
+    "winnow_fingerprints" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        explode(TextAnalysis.winnowingFingerprints(col("text")))
+          .as("fingerprint"))),
+
     // The composed curation pipeline — what a real training-data run
     // chains: quality gate (enough tokens, mostly alphabetic) → exact
     // dedup (min doc_id survives per content hash) → leakage-safe split.
@@ -441,6 +450,28 @@ object PipelineQueries {
         |            WHEN bucket < 9 THEN 'val'
         |            ELSE 'test' END AS split
         |FROM b
+        |""".stripMargin,
+
+    // same polynomial (base-257 over char codes, exact in doubles),
+    // same window minima, same dedup — then UNNEST to rows
+    "winnow_fingerprints" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(text) >= 5 THEN
+        |           list_transform(generate_series(1, len(text) - 4), i ->
+        |             CAST(list_sum(list_transform(generate_series(0, 4), j ->
+        |               ascii(text[i + j]) * power(257, 4 - j))) AS BIGINT))
+        |         ELSE [] END AS hashes
+        |  FROM documents),
+        |fp AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(hashes) >= 4 THEN
+        |           list_distinct(list_transform(
+        |             generate_series(1, len(hashes) - 3), i ->
+        |               list_min(list_slice(hashes, i, i + 3))))
+        |         ELSE [] END AS fps
+        |  FROM h)
+        |SELECT doc_id, UNNEST(fps) AS fingerprint FROM fp
         |""".stripMargin,
 
     "curate_pipeline" ->

@@ -129,6 +129,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh.forall { case (k, c) => exact.get(k).contains(c) })
   }
 
+  test("winnowing fingerprints: shared substring guarantees a shared fingerprint") {
+    // k=5, w=4: any common substring of length >= 8 must share a print
+    val df = Seq(
+      (1L, "the quick brown fox jumps over it"),
+      (2L, "XYZW quick brown fox QQQQ PPPP RR"), // shares ' quick brown fox '
+      (3L, "completely unrelated words banana"),
+      (4L, "tiny") // shorter than k: no fingerprints, no crash
+    ).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"),
+      graft.operators.TextAnalysis.winnowingFingerprints(col("text")).as("f"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert((fps(1L).toSet intersect fps(2L).toSet).nonEmpty)
+    assert((fps(1L).toSet intersect fps(3L).toSet).isEmpty)
+    assert(fps(4L).isEmpty)
+    // deterministic: recomputation is identical
+    assert(fps(1L) == df.filter(col("doc_id") === 1L).select(
+      graft.operators.TextAnalysis.winnowingFingerprints(col("text")))
+      .as[Seq[Long]].head)
+  }
+
   test("language id: marker argmax with und fallback") {
     val df = Seq(
       (1L, "the cat of the house and not a dog"),
