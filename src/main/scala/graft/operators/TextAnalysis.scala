@@ -96,21 +96,12 @@ object TextAnalysis {
   def winnowingFingerprints(textCol: Column, k: Int = 5,
       w: Int = 4): Column = {
     require(k <= 6, "k > 6 overflows exact double integer arithmetic")
-    val n = length(textCol)
-    def code(i: Column): Column =
-      ascii(textCol.substr(i, lit(1))).cast("double")
-    val hashes = when(n >= k,
-      transform(sequence(lit(1), n - k + 1), i =>
-        aggregate(sequence(lit(0), lit(k - 1)), lit(0.0d),
-          (acc, j) => acc +
-            code(i + j) * pow(lit(257.0), lit(k - 1).cast("double") - j))
-          .cast("long")))
-      .otherwise(array().cast("array<long>"))
-    val m = size(hashes)
-    when(m >= w,
-      array_distinct(transform(sequence(lit(1), m - w + 1), i =>
-        array_min(slice(hashes, i, lit(w))))))
-      .otherwise(array().cast("array<long>"))
+    // native one-pass rolling hash ([[org.apache.spark.sql.graft
+    // .WinnowFingerprints]]): the composable transform/aggregate form is
+    // identical but re-evaluates a Catalyst subtree per character
+    org.apache.spark.sql.GraftShims.column(
+      org.apache.spark.sql.graft.WinnowFingerprints(
+        org.apache.spark.sql.GraftShims.expression(textCol), k, w))
   }
 
   /** Leakage-safe deterministic train/val/test assignment. The split key

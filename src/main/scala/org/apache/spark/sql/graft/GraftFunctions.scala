@@ -18,7 +18,8 @@ object GraftFunctions {
     "ip_to_long" -> (e => IpToLong(e.head)),
     "simhash64" -> (e => SimHash64(e.head)),
     "minhash_sig" -> (e => MinHashSig(e.head, e(1))),
-    "dot_d" -> (e => DotProductD(e.head, e(1)))
+    "dot_d" -> (e => DotProductD(e.head, e(1))),
+    "winnow_fp" -> (e => WinnowFingerprints(e.head))
   )
 
   def register(spark: SparkSession): Unit = {

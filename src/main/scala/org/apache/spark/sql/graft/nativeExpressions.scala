@@ -170,6 +170,76 @@ object MinHashSig {
   }
 }
 
+/** `winnow_fp(text)` — winnowing (MOSS) fingerprints as one O(n) JVM
+  * pass: base-257 polynomial rolling hash over k-char grams (exact in a
+  * Long, exact in a double for k ≤ 6 — the cross-engine contract with
+  * the DuckDB oracle), then the min of each w-window of hashes,
+  * first-occurrence deduplicated. The composable
+  * `transform(sequence(..), aggregate(..))` form computes the identical
+  * result but re-evaluates a Catalyst subtree per character — ~2 orders
+  * of magnitude slower on real documents. */
+case class WinnowFingerprints(child: Expression, k: Int = 5, w: Int = 4)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fp"
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowFingerprints.compute(input.asInstanceOf[UTF8String].toString, k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = org.apache.spark.sql.graft.WinnowFingerprints.compute(
+        $c.toString(), $k, $w);
+    """)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WinnowFingerprints = copy(child = newChild)
+}
+
+object WinnowFingerprints {
+  def compute(text: String, k: Int, w: Int): ArrayData = {
+    val n = text.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val nh = n - k + 1
+    val hashes = new Array[Long](nh)
+    var pow = 1L // 257^(k-1)
+    var h = 0L
+    var i = 0
+    while (i < k) {
+      h = h * 257L + text.charAt(i).toLong
+      if (i < k - 1) pow *= 257L
+      i += 1
+    }
+    hashes(0) = h
+    i = 1
+    while (i < nh) {
+      h = (h - text.charAt(i - 1).toLong * pow) * 257L +
+        text.charAt(i + k - 1).toLong
+      hashes(i) = h
+      i += 1
+    }
+    if (nh < w) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i <= nh - w) {
+      var m = hashes(i)
+      var j = i + 1
+      while (j < i + w) {
+        if (hashes(j) < m) m = hashes(j)
+        j += 1
+      }
+      seen.add(m)
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 object SimHash64 {
   def compute(text: String): String = {
     val votes = new Array[Int](64)
