@@ -149,6 +149,37 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Partial-overlap pairs via winnowing fingerprints
+    * ([[TextAnalysis.winnowingFingerprints]]): documents sharing ≥
+    * `minShared` selected k-gram hashes share that many distinct
+    * character spans of length ≥ k+w−1 — the contamination signal
+    * (copied paragraphs, boilerplate, train/test span leakage) that
+    * whole-document hashing and word-shingle Jaccard both miss.
+    *
+    * Skew guard: fingerprints occurring in more than `maxDocFrequency`
+    * documents are dropped BEFORE the self-join (the MOSS practice of
+    * ignoring ubiquitous spans) — a boilerplate span in f docs would
+    * otherwise contribute f²/2 join rows while carrying no overlap
+    * signal. One shuffle for the frequency count, one for the join,
+    * one for the pair aggregation. */
+  def winnowOverlapPairs(df: DataFrame, textCol: String, idCol: String,
+      minShared: Int = 5, maxDocFrequency: Int = 50): DataFrame = {
+    val fps = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.winnowingFingerprints(col(textCol))).as("fp"))
+      .localCheckpoint(false)
+    val rare = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") <= maxDocFrequency)
+      .select(col("fp").as("rare_fp"))
+    val pruned = fps.join(rare, col("fp") === col("rare_fp"))
+      .select(col("id"), col("fp"))
+    pruned.as("a").join(pruned.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fingerprints"))
+      .filter(col("shared_fingerprints") >= minShared)
+  }
+
   /** Duplicate-cluster RESOLUTION: near-dup pairs only say "a looks like
     * b"; a dedup pipeline must then pick ONE survivor per duplicate
     * cluster, where clusters are the connected components of the pair

@@ -128,6 +128,12 @@ object PipelineQueries {
         explode(TextAnalysis.winnowingFingerprints(col("text")))
           .as("fingerprint"))),
 
+    // Partial-overlap detection: pairs sharing >= 5 rare winnowing
+    // fingerprints (>= 5 distinct 8-char spans) — span-level
+    // contamination whole-doc hashes and word shingles miss.
+    "winnow_overlap" -> ((s, dir) =>
+      Dedup.winnowOverlapPairs(docs(s, dir), "text", "doc_id")),
+
     // The composed curation pipeline — what a real training-data run
     // chains: quality gate (enough tokens, mostly alphabetic) → exact
     // dedup (min doc_id survives per content hash) → leakage-safe split.
@@ -472,6 +478,33 @@ object PipelineQueries {
         |         ELSE [] END AS fps
         |  FROM h)
         |SELECT doc_id, UNNEST(fps) AS fingerprint FROM fp
+        |""".stripMargin,
+
+    "winnow_overlap" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(text) >= 5 THEN
+        |           list_transform(generate_series(1, len(text) - 4), i ->
+        |             CAST(list_sum(list_transform(generate_series(0, 4), j ->
+        |               ascii(text[i + j]) * power(257, 4 - j))) AS BIGINT))
+        |         ELSE [] END AS hashes
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(hashes) >= 4 THEN
+        |           list_distinct(list_transform(
+        |             generate_series(1, len(hashes) - 3), i ->
+        |               list_min(list_slice(hashes, i, i + 3))))
+        |         ELSE [] END AS fps
+        |  FROM h),
+        |e AS (SELECT doc_id, UNNEST(fps) AS fp FROM w),
+        |freq AS (SELECT fp FROM e GROUP BY fp HAVING COUNT(*) <= 50),
+        |p AS (SELECT e.doc_id, e.fp FROM e JOIN freq USING (fp))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(COUNT(*) AS BIGINT) AS shared_fingerprints
+        |FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING COUNT(*) >= 5
         |""".stripMargin,
 
     "curate_pipeline" ->
