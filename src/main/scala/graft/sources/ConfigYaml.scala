@@ -124,6 +124,23 @@ object ConfigYaml {
     }
   }
 
+  /** Default pattern resolver for [[loadSelectors]]: one regex per line
+    * from the named file (resolved against `baseDir`), blank lines and
+    * `#` comments skipped — the reference's regexp-file contract
+    * (`selector_regex.go:38-48`), read through Hadoop FS so configs work
+    * from hdfs/s3a as well as local paths. */
+  def patternsFromFiles(spark: org.apache.spark.sql.SparkSession,
+      baseDir: String): String => Seq[String] = { name =>
+    val p = new org.apache.hadoop.fs.Path(baseDir, name)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = f.open(p)
+    val content =
+      try new String(in.readAllBytes(), "UTF-8")
+      finally in.close()
+    content.split("\n").toSeq.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+  }
+
   // ----------------------------------------------------------- backends
 
   /** One entry of `backend.yaml` (`db/db_remote.go:15-19`): a named sink

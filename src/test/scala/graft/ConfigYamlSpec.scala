@@ -105,6 +105,14 @@ class ConfigYamlSpec extends AnyFunSuite {
     assert(tagged("evil.example.com") == Seq("clean", "watched"))
   }
 
+  test("regexp pattern files: one per line, comments and blanks skipped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-regex").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "tlds.txt"),
+      "# noise TLDs\n\\.zzz$\n\n\\.yyy$\n".getBytes("UTF-8"))
+    val read = ConfigYaml.patternsFromFiles(spark, dir)
+    assert(read("tlds.txt") == Seq("\\.zzz$", "\\.yyy$"))
+  }
+
   test("selectors.yaml: lua entries bind to registered hook substitutes") {
     val yaml =
       """selectors:

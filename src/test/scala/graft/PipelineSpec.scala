@@ -149,6 +149,21 @@ class PipelineSpec extends AnyFunSuite {
       .as[Seq[Long]].head)
   }
 
+  test("winnow overlap pairs: planted shared paragraph found, short docs safe") {
+    val boiler = "every document carries this exact legal boilerplate line"
+    val df = Seq(
+      (1L, s"first document body $boiler trailing words here"),
+      (2L, s"unrelated second text $boiler and more content"),
+      (3L, "no overlap with anything else in this corpus at all"),
+      (4L, "tiny") // < k+w-1: zero fingerprints, must not crash the join
+    ).toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup
+      .winnowOverlapPairs(df, "text", "doc_id", minShared = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 >= 3)
+  }
+
   test("language id: marker argmax with und fallback") {
     val df = Seq(
       (1L, "the cat of the house and not a dog"),
