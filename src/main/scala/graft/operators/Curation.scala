@@ -1,0 +1,238 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * beyond dedup/similarity: PII redaction, passage-level (CCNet-style)
+  * dedup, repetition quality signals (Gopher-style), deterministic
+  * domain-mixture sampling, and global n-gram statistics.
+  *
+  * Scale design, per operator:
+  *  - PII redaction: pure per-row regex work (codegen'd `regexp_replace` /
+  *    `regexp_extract_all`) — narrow, shuffle-free, linear in corpus bytes;
+  *  - passage dedup: one shuffle on the passage hash (the inverted step
+  *    every paragraph-dedup system has), one shuffle back on doc id for
+  *    reassembly — never an all-pairs product;
+  *  - repetition signals: per-row array arithmetic only (cost bounded by
+  *    doc-length², fine for LLM-sized documents), no shuffle at all —
+  *    unlike a naive explode+groupBy which would shuffle every n-gram
+  *    occurrence of a 100 TB corpus;
+  *  - mixture sampling: stateless hash thresholding — embarrassingly
+  *    parallel, reproducible on any cluster size (no RNG, no
+  *    `sample()` whose output depends on partitioning);
+  *  - n-gram top-k: map-side partial aggregation shrinks the shuffle to
+  *    distinct grams, and the final top-k sorts only the aggregated set
+  *    (`orderBy.limit` → TakeOrderedAndProject, no full sort at scale).
+  *
+  * All arithmetic is exact-integer or md5-derived — every operator has a
+  * bit-exact DuckDB oracle.
+  */
+object Curation {
+
+  // ------------------------------------------------------------- PII
+
+  /** Redaction patterns — deliberately restricted to the regex subset with
+    * identical semantics in Java (Spark) and RE2 (DuckDB): character
+    * classes, bounded repetition, alternation; no backreferences or
+    * lookaround. Order matters (emails before bare domains would, e.g.,
+    * matter if both were present) and is fixed: email, phone, IPv4. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** TPC-H/ITU-ish phone shape: CC-NNN-NNN-NNNN. */
+  val phonePattern = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Count + redact emails, phone numbers and IPv4 literals. Output keeps
+    * the match counts (audit trail) alongside the scrubbed text; counting
+    * runs on the ORIGINAL text per class, then replacement is applied in
+    * the fixed class order. */
+  def redactPii(text: Column): Seq[Column] = {
+    val nEmail = size(regexp_extract_all(text, lit(emailPattern), lit(0)))
+    val nPhone = size(regexp_extract_all(text, lit(phonePattern), lit(0)))
+    val nIp = size(regexp_extract_all(text, lit(ipv4Pattern), lit(0)))
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, emailPattern, "<EMAIL>"),
+          phonePattern, "<PHONE>"),
+        ipv4Pattern, "<IP>")
+    Seq(nEmail.cast("long").as("n_emails"),
+      nPhone.cast("long").as("n_phones"),
+      nIp.cast("long").as("n_ips"),
+      redacted.as("redacted"))
+  }
+
+  // -------------------------------------------- passage-level dedup
+
+  /** Non-overlapping passages of `passageTokens` whitespace tokens, in
+    * document order. The unit of CCNet-style paragraph dedup, adapted to
+    * single-line documents (for newline-delimited corpora, split on
+    * newlines instead — same pipeline from here on). */
+  def passages(text: Column, passageTokens: Int): Column = {
+    val toks = split(text, " ")
+    val nPass = ceil(size(toks).cast("double") / passageTokens).cast("int")
+    transform(sequence(lit(0), nPass - 1),
+      i => concat_ws(" ", slice(toks, i * passageTokens + 1, lit(passageTokens))))
+  }
+
+  /** Corpus-level passage dedup: every passage keeps its FIRST occurrence
+    * (minimum (doc, position) in global order) and later occurrences are
+    * dropped — the CCNet paragraph-hash scheme. Output per document: the
+    * reassembled deduplicated text plus passage counts.
+    *
+    * Two shuffles total: one on the passage hash to pick winners (map-side
+    * partial `min` first), one on doc id to reassemble — both scale
+    * linearly; there is no pairwise comparison anywhere. */
+  def passageDedup(df: DataFrame, textCol: String, idCol: String,
+      passageTokens: Int = 10): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+        posexplode(passages(col(textCol), passageTokens))
+          .as(Seq("idx", "passage")))
+      .withColumn("h", md5(col("passage")))
+    // winner of a hash = minimum (id, idx); min over a struct orders
+    // lexicographically, so one aggregation finds it
+    val winners = exploded.groupBy(col("h"))
+      .agg(min(struct(col("id"), col("idx"))).as("w"))
+      .select(col("h"), col("w.id").as("w_id"), col("w.idx").as("w_idx"))
+    val marked = exploded.join(winners, "h")
+      .withColumn("kept", col("id") === col("w_id") && col("idx") === col("w_idx"))
+    marked.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col("idx"), col("passage"))))),
+            s => s.getField("passage"))).as("text_dedup"))
+  }
+
+  // -------------------------------------------- repetition signals
+
+  /** Gopher-style repetition signals, computed per row with array
+    * arithmetic only (no explode, no shuffle): the fraction of the
+    * document covered by its most frequent word 2-gram, and the fraction
+    * of word 3-gram occurrences that are duplicates of an earlier
+    * occurrence. High values ⇒ boilerplate / degenerate repetition.
+    *
+    * Multiplicities come from ONE `aggregate` pass over the SORTED gram
+    * array (run-length counting): the collection argument of a Catalyst
+    * higher-order function is evaluated once per row and each lambda step
+    * is O(1), so per-row cost is O(n log n) for the sort. The tempting
+    * `transform(array_distinct(g), x -> size(filter(g, …)))` form is
+    * O(n²) — and worse, the inner reference to `g` re-evaluates the whole
+    * gram-construction subtree per element (nested Catalyst lambdas
+    * inline their captures), which measured ~8× slower end-to-end. */
+  def repetitionColumns(text: Column): Seq[Column] = {
+    def grams(n: Int): Column = {
+      val toks = split(text, " ")
+      when(size(toks) < n, array())
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    }
+    // run-length scan over the sorted grams: (prev, run, best, dup) where
+    // dup totals occurrences belonging to runs of length ≥ 2
+    def runStats(g: Column): Column =
+      aggregate(
+        array_sort(g),
+        struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+          lit(0L).as("best"), lit(0L).as("dup")),
+        (acc, x) => {
+          val same = acc.getField("prev").isNotNull && acc.getField("prev") === x
+          val run = when(same, acc.getField("run") + 1L).otherwise(lit(1L))
+          val dup = acc.getField("dup") +
+            when(run === 2L, 2L).when(run > 2L, 1L).otherwise(0L)
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"), dup.as("dup"))
+        })
+    val s2 = runStats(grams(2))
+    val s3 = runStats(grams(3))
+    val n2 = size(grams(2)).cast("long")
+    val n3 = size(grams(3)).cast("long")
+    val top2 = s2.getField("best")
+    val dup3 = s3.getField("dup")
+    Seq(
+      n2.as("n_2grams"),
+      top2.as("top_2gram_count"),
+      (top2.cast("double") / n2.cast("double")).as("top_2gram_frac"),
+      n3.as("n_3grams"),
+      dup3.as("dup_3gram_count"),
+      (dup3.cast("double") / n3.cast("double")).as("dup_3gram_frac"))
+  }
+
+  // -------------------------------------------- mixture sampling
+
+  /** Deterministic domain-mixture sampling: keep a row iff its content
+    * hash falls under the domain's target rate (percent). Content-hash
+    * thresholding — not `DataFrame.sample` — so the decision is a pure
+    * function of (domain, content): reproducible across runs, engines,
+    * partitionings and cluster sizes, and duplicate documents are sampled
+    * identically (no leakage of one copy into the sample when another is
+    * excluded). Rates are in percent (granularity 1/100 over a 16-bit
+    * hash bucket). */
+  def mixtureSample(df: DataFrame, domainCol: String, textCol: String,
+      ratesPercent: Map[String, Int], defaultPercent: Int = 0): DataFrame = {
+    val bucket = conv(substring(md5(col(textCol)), 1, 4), 16, 10)
+      .cast("long") % 100
+    val rate = ratesPercent.foldLeft(lit(defaultPercent): Column) {
+      case (acc, (dom, r)) => when(col(domainCol) === dom, lit(r)).otherwise(acc)
+    }
+    df.filter(bucket < rate)
+  }
+
+  // -------------------------------------------- corpus n-gram stats
+
+  /** Word n-grams WITH duplicates (corpus statistics need occurrence
+    * counts; [[Dedup.shingles]] deduplicates per document by design). */
+  def allGrams(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    when(size(toks) < n, array())
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Global top-k most frequent n-grams, ties broken by gram text —
+    * deterministic. Map-side partial aggregation shrinks the shuffle to
+    * distinct grams; `orderBy.limit(k)` compiles to TakeOrderedAndProject
+    * (per-partition heaps, no global sort). */
+  def ngramTopK(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    df.select(explode(allGrams(col(textCol), n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("gram").asc)
+      .limit(k)
+
+  // -------------------------------------------- TF-IDF keywords
+
+  /** Top-k characteristic terms per document by TF-IDF, with the idf kept
+    * as the EXACT rational tf·N/df instead of the usual tf·log(N/df):
+    * log is monotone, so per-document ranking is identical, and exact
+    * integer arithmetic keeps the score bit-identical across engines
+    * (libm `log` is not guaranteed correctly rounded and would make a
+    * hash-stable gate impossible). Ties broken by term text.
+    *
+    * Shape: one shuffle to (doc, term) counts (map-side partial agg), one
+    * aggregation to document frequencies (vocabulary-sized — broadcastable
+    * at any corpus scale), a join back on term, and a per-document top-k
+    * window whose partitions are single documents (never skewed). N comes
+    * from a driver-side count — one scalar, the same thing any IDF
+    * computation needs. */
+  def tfidfKeywords(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3): DataFrame = {
+    val n = df.count()
+    val tok = df.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("term"))
+    val tf = tok.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .withColumn("tfidf",
+        (col("tf") * lit(n)).cast("double") / col("df").cast("double"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("id"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+}

@@ -161,4 +161,71 @@ object Similarity {
           .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  // --------------------------------------------------------- k-means
+
+  /** Deterministic spherical k-means (topic clustering over embeddings).
+    *
+    * Every quantity stays an exact small integer so the clustering is
+    * bit-identical across engines, runs and partitionings:
+    *  - vectors are scaled `round(x·1e3)` (coarser than the 1e5 of the
+    *    similarity ops: the grid bounds centroid magnitude, below);
+    *  - assignment = argmax of cosine against the current centroids with a
+    *    lowest-cluster tie-break; cosines are exact-int dot / sqrt·sqrt,
+    *    the same arithmetic on both engines;
+    *  - the centroid update is a per-dimension TRUNCATED-integer mean
+    *    (`sum div count` — Spark `div` ≡ DuckDB `//`), so centroids stay
+    *    exact integers of vector magnitude (≤ ~600 here) no matter how
+    *    many members a cluster has — sums of products never approach 2⁵³
+    *    and no float rounding ever enters the loop.
+    *
+    * Spark shape per iteration: assignment is a NARROW pass (centroids are
+    * driver-held literals — k·dim values, the same thing MLlib's KMeans
+    * broadcasts), the update is one posexplode + HashAggregate (map-side
+    * partial sums) collecting k·dim rows. No join, no window, no
+    * per-vector shuffle beyond the one aggregation — at 10⁹ vectors each
+    * iteration is one scan + one tiny aggregate. */
+  def kmeans(embeddings: DataFrame, idCol: String, embCol: String,
+      k: Int, iters: Int, dim: Int): DataFrame = {
+    val s = embeddings.select(col(idCol).as("id"),
+        transform(col(embCol), x => round(x * 1000.0, 0)).as("v"))
+      .localCheckpoint(false) // reused by every iteration: scan once
+    // init: the embeddings of ids 0..k-1 (deterministic seeding)
+    var centroids: Seq[(Int, Array[Double])] =
+      s.filter(col("id") < k).collect()
+        .map(r => (r.getAs[Long]("id").toInt,
+          r.getAs[Seq[Double]]("v").toArray))
+        .sortBy(_._1).toSeq
+
+    def assign(cs: Seq[(Int, Array[Double])]): DataFrame = {
+      val scored = cs.map { case (cid, cv) =>
+        val cvCol = array(cv.map(lit(_)).toSeq: _*)
+        (cid, cosine(col("v"), cvCol))
+      }
+      val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+      // first-wins fold = lowest cluster id on exact ties
+      val cluster = scored.foldRight(lit(-1L): Column) { case ((cid, c), acc) =>
+        when(c === best, lit(cid.toLong)).otherwise(acc)
+      }
+      s.withColumn("cluster", cluster)
+        .withColumn("cos_sim", best)
+    }
+
+    for (_ <- 1 to iters) {
+      val sums = assign(centroids)
+        .select(col("cluster"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("cluster"), col("d"))
+        .agg(sum(col("x")).cast("long").as("sv"), count(lit(1)).as("cnt"))
+        .withColumn("c", expr("sv div cnt").cast("double"))
+        .collect()
+      centroids = sums.groupBy(_.getAs[Long]("cluster").toInt).toSeq
+        .map { case (cid, rows) =>
+          val arr = new Array[Double](dim)
+          rows.foreach(r => arr(r.getAs[Int]("d")) = r.getAs[Double]("c"))
+          (cid, arr)
+        }
+        .sortBy(_._1)
+    }
+    assign(centroids).select(col("id"), col("cluster"), col("cos_sim"))
+  }
 }

@@ -1,0 +1,337 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+import graft.operators.{Curation, Similarity}
+
+/** Corpus-curation operators (PII redaction, passage dedup, repetition
+  * signals, mixture sampling, n-gram stats, k-means topic clustering) as
+  * driver-gate queries. Inputs come from `documents` / `embeddings` /
+  * `customer`; the PII text is synthesized deterministically from
+  * `c_custkey` integer arithmetic so both engines build byte-identical
+  * inputs.
+  */
+object CurationQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Graft.table(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Graft.table(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+
+  /** documents ∪ planted copies (doc_id % 5 == 0, shifted id, same text):
+    * gives passage dedup a real duplicate population. */
+  private def docsWithCopies(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    d.unionAll(d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+  }
+
+  /** Deterministic PII-bearing text from customer-key integer arithmetic —
+    * same construction in the oracle, so redaction is tested on real
+    * pattern shapes without needing PII columns in the testdata. */
+  private def piiText(s: SparkSession, dir: String): DataFrame =
+    Graft.table(s, dir, "customer").select(
+      col("c_custkey"),
+      concat(
+        col("c_name"), lit(" ("), col("c_mktsegment"), lit(") phone "),
+        (col("c_custkey") % 90 + 10).cast("string"), lit("-"),
+        (col("c_custkey") % 900 + 100).cast("string"), lit("-"),
+        (col("c_custkey") * 7 % 900 + 100).cast("string"), lit("-"),
+        (col("c_custkey") * 13 % 9000 + 1000).cast("string"),
+        lit(" email customer."), col("c_custkey").cast("string"),
+        lit("@example.com ip "),
+        (col("c_custkey") % 223 + 1).cast("string"), lit("."),
+        (col("c_custkey") % 256).cast("string"), lit("."),
+        (col("c_custkey") * 3 % 256).cast("string"), lit("."),
+        (col("c_custkey") * 5 % 254 + 1).cast("string")).as("text"))
+
+  private val mixRates =
+    Map("en" -> 50, "de" -> 30, "es" -> 20, "fr" -> 10, "zh" -> 100)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // PII detection + redaction over synthesized customer contact text.
+    "pii_redact" -> ((s, dir) =>
+      piiText(s, dir).select(
+        col("c_custkey") +: Curation.redactPii(col("text")): _*)),
+
+    // CCNet-style passage-level dedup over docs ∪ planted copies: every
+    // 10-token passage keeps its first (min (doc,pos)) occurrence.
+    "paragraph_dedup" -> ((s, dir) =>
+      Curation.passageDedup(docsWithCopies(s, dir), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")),
+
+    // Gopher-style repetition quality signals, narrow per-row pass.
+    "repetition_signals" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id") +: Curation.repetitionColumns(col("text")): _*)),
+
+    // Deterministic domain-mixture sampling by content-hash threshold.
+    "domain_mix" -> ((s, dir) =>
+      Curation.mixtureSample(docs(s, dir), "lang", "text", mixRates)
+        .select(col("doc_id"), col("lang"))),
+
+    // Global top-20 word 3-grams (count desc, gram asc).
+    "ngram_topk" -> ((s, dir) =>
+      Curation.ngramTopK(docs(s, dir), "text", n = 3, k = 20)),
+
+    // Per-language token-count quantiles (exact interpolated percentiles,
+    // emitted as integer cents — the double is a multiple of 0.25, so
+    // round(q*100) is exact on both engines).
+    "length_quantiles" -> ((s, dir) => {
+      val n = size(split(col("text"), " ")).cast("long")
+      docs(s, dir).select(col("lang"), n.as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(percentile(col("n_tokens"), lit(0.25)) * 100)
+            .cast("long").as("p25_tokens_cents"),
+          round(percentile(col("n_tokens"), lit(0.5)) * 100)
+            .cast("long").as("p50_tokens_cents"),
+          round(percentile(col("n_tokens"), lit(0.75)) * 100)
+            .cast("long").as("p75_tokens_cents"))
+    }),
+
+    // Deterministic spherical k-means, k=8, 2 update rounds, exact-integer
+    // arithmetic throughout (see Similarity.kmeans).
+    "kmeans_clusters" -> ((s, dir) =>
+      Similarity.kmeans(embs(s, dir), "vec_id", "embedding", k = 8,
+        iters = 2, dim = 64)
+        .withColumnRenamed("id", "vec_id")),
+
+    // Top-3 TF-IDF keywords per document (exact rational tf·N/df score).
+    "tfidf_keywords" -> ((s, dir) =>
+      Curation.tfidfKeywords(docs(s, dir), "text", "doc_id", k = 3)
+        .withColumnRenamed("id", "doc_id")),
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  private val piiTextSql =
+    """pii AS (
+      |  SELECT c_custkey,
+      |         c_name || ' (' || c_mktsegment || ') phone ' ||
+      |         CAST(c_custkey % 90 + 10 AS VARCHAR) || '-' ||
+      |         CAST(c_custkey % 900 + 100 AS VARCHAR) || '-' ||
+      |         CAST(c_custkey * 7 % 900 + 100 AS VARCHAR) || '-' ||
+      |         CAST(c_custkey * 13 % 9000 + 1000 AS VARCHAR) ||
+      |         ' email customer.' || CAST(c_custkey AS VARCHAR) ||
+      |         '@example.com ip ' ||
+      |         CAST(c_custkey % 223 + 1 AS VARCHAR) || '.' ||
+      |         CAST(c_custkey % 256 AS VARCHAR) || '.' ||
+      |         CAST(c_custkey * 3 % 256 AS VARCHAR) || '.' ||
+      |         CAST(c_custkey * 5 % 254 + 1 AS VARCHAR) AS text
+      |  FROM customer)
+      |""".stripMargin
+
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Shared DuckDB fragment: 10-token passages of docs ∪ copies with
+    * (idx, passage, md5) rows. */
+  private val passagesCte =
+    """u AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0),
+      |p0 AS (
+      |  SELECT doc_id,
+      |         list_transform(
+      |           generate_series(0,
+      |             CAST(ceil(len(string_split(text, ' ')) / 10.0) AS INT) - 1),
+      |           i -> {'idx': i,
+      |                 'passage': array_to_string(
+      |                   list_slice(string_split(text, ' '),
+      |                              i * 10 + 1, i * 10 + 10), ' ')}) AS ps
+      |  FROM u),
+      |p1 AS (SELECT doc_id, UNNEST(ps) AS pp FROM p0),
+      |p AS (SELECT doc_id, pp.idx AS idx, pp.passage AS passage,
+      |             md5(pp.passage) AS h
+      |      FROM p1)
+      |""".stripMargin
+
+  /** n-grams (with duplicates) of a text column in DuckDB. */
+  private def gramsSql(n: Int): String =
+    s"""CASE WHEN len(string_split(text, ' ')) < $n THEN []
+       |     ELSE list_transform(
+       |            generate_series(1, len(string_split(text, ' ')) - ${n - 1}),
+       |            i -> array_to_string(
+       |                   list_slice(string_split(text, ' '), i, i + ${n - 1}),
+       |                   ' '))
+       |END""".stripMargin
+
+  /** Scaled (1e3) exact-integer embeddings + cosine for the k-means
+    * oracle. */
+  private def kCos(a: String, b: String): String =
+    s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
+
+  /** One k-means round in SQL: assignment against `cIn` then truncated-
+    * integer centroid update into `cOut`. */
+  private def kmeansRound(aName: String, cIn: String, uName: String,
+      cOut: String): String =
+    s"""$aName AS (
+       |  SELECT id, v, cl FROM (
+       |    SELECT s.id, s.v, c.cl,
+       |           ROW_NUMBER() OVER (
+       |             PARTITION BY s.id
+       |             ORDER BY ${kCos("s.v", "c.cv")} DESC, c.cl ASC) AS rk
+       |    FROM s CROSS JOIN $cIn c) t
+       |  WHERE rk = 1),
+       |$uName AS (
+       |  SELECT cl, d.d AS d,
+       |         CAST(SUM(v[d.d]) AS BIGINT) // COUNT(*) AS cval
+       |  FROM $aName, (SELECT UNNEST(generate_series(1, 64)) AS d) d
+       |  GROUP BY cl, d.d),
+       |$cOut AS (
+       |  SELECT cl, list(CAST(cval AS DOUBLE) ORDER BY d) AS cv
+       |  FROM $uName GROUP BY cl)
+       |""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "pii_redact" ->
+      s"""WITH $piiTextSql
+         |SELECT c_custkey,
+         |       CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT)
+         |         AS n_emails,
+         |       CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT)
+         |         AS n_phones,
+         |       CAST(len(regexp_extract_all(text, '$ipRe')) AS BIGINT)
+         |         AS n_ips,
+         |       regexp_replace(
+         |         regexp_replace(
+         |           regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
+         |           '$phoneRe', '<PHONE>', 'g'),
+         |         '$ipRe', '<IP>', 'g') AS redacted
+         |FROM pii
+         |""".stripMargin,
+
+    "paragraph_dedup" ->
+      s"""WITH $passagesCte,
+         |w AS (
+         |  SELECT h, min({'id': doc_id, 'idx': idx}) AS win
+         |  FROM p GROUP BY h),
+         |m AS (
+         |  SELECT p.doc_id, p.idx, p.passage,
+         |         (p.doc_id = w.win.id AND p.idx = w.win.idx) AS kept
+         |  FROM p JOIN w ON p.h = w.h)
+         |SELECT doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_passages,
+         |       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_kept,
+         |       coalesce(string_agg(CASE WHEN kept THEN passage END,
+         |                           ' ' ORDER BY idx), '') AS text_dedup
+         |FROM m GROUP BY doc_id
+         |""".stripMargin,
+
+    "repetition_signals" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |         ${gramsSql(2)} AS g2,
+         |         ${gramsSql(3)} AS g3
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, g2, g3,
+         |         coalesce(list_max(list_transform(list_distinct(g2),
+         |           x -> len(list_filter(g2, y -> y = x)))), 0) AS top2,
+         |         coalesce(list_sum(list_filter(
+         |           list_transform(list_distinct(g3),
+         |             x -> len(list_filter(g3, y -> y = x))),
+         |           cnt -> cnt > 1)), 0) AS dup3
+         |  FROM g)
+         |SELECT doc_id,
+         |       CAST(len(g2) AS BIGINT) AS n_2grams,
+         |       CAST(top2 AS BIGINT) AS top_2gram_count,
+         |       CAST(top2 AS DOUBLE) / CAST(len(g2) AS DOUBLE)
+         |         AS top_2gram_frac,
+         |       CAST(len(g3) AS BIGINT) AS n_3grams,
+         |       CAST(dup3 AS BIGINT) AS dup_3gram_count,
+         |       CAST(dup3 AS DOUBLE) / CAST(len(g3) AS DOUBLE)
+         |         AS dup_3gram_frac
+         |FROM c
+         |""".stripMargin,
+
+    "domain_mix" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |         ((strpos('0123456789abcdef', md5(text)[1]) - 1) * 4096 +
+        |          (strpos('0123456789abcdef', md5(text)[2]) - 1) * 256 +
+        |          (strpos('0123456789abcdef', md5(text)[3]) - 1) * 16 +
+        |          (strpos('0123456789abcdef', md5(text)[4]) - 1)) % 100
+        |           AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang FROM b
+        |WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30
+        |                         WHEN 'es' THEN 20 WHEN 'fr' THEN 10
+        |                         WHEN 'zh' THEN 100 ELSE 0 END
+        |""".stripMargin,
+
+    "ngram_topk" ->
+      s"""WITH g AS (
+         |  SELECT UNNEST(${gramsSql(3)}) AS gram FROM documents)
+         |SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+         |FROM g GROUP BY gram
+         |ORDER BY n_occurrences DESC, gram ASC
+         |LIMIT 20
+         |""".stripMargin,
+
+    "length_quantiles" ->
+      """WITH t AS (
+        |  SELECT lang, len(string_split(text, ' ')) AS n FROM documents)
+        |SELECT lang,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(round(quantile_cont(n, 0.25) * 100) AS BIGINT)
+        |         AS p25_tokens_cents,
+        |       CAST(round(quantile_cont(n, 0.5) * 100) AS BIGINT)
+        |         AS p50_tokens_cents,
+        |       CAST(round(quantile_cont(n, 0.75) * 100) AS BIGINT)
+        |         AS p75_tokens_cents
+        |FROM t GROUP BY lang
+        |""".stripMargin,
+
+    "kmeans_clusters" ->
+      s"""WITH s AS (
+         |  SELECT vec_id AS id,
+         |         list_transform(embedding,
+         |           x -> round(CAST(x AS DOUBLE) * 1000, 0)) AS v
+         |  FROM embeddings),
+         |c0 AS (SELECT id AS cl, v AS cv FROM s WHERE id < 8),
+         |${kmeansRound("a1", "c0", "u1", "c1")},
+         |${kmeansRound("a2", "c1", "u2", "c2")}
+         |SELECT id AS vec_id, cl AS cluster, ${kCos("t.v", "t.cv")} AS cos_sim
+         |FROM (
+         |  SELECT s.id, s.v, c.cl, c.cv,
+         |         ROW_NUMBER() OVER (
+         |           PARTITION BY s.id
+         |           ORDER BY ${kCos("s.v", "c.cv")} DESC, c.cl ASC) AS rk
+         |  FROM s CROSS JOIN c2 c) t
+         |WHERE rk = 1
+         |""".stripMargin,
+
+    "tfidf_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfr AS (
+        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         CAST(tf.tf AS BIGINT) AS tf, CAST(dfr.df AS BIGINT) AS df,
+        |         CAST(tf.tf * n.n AS DOUBLE) / CAST(dfr.df AS DOUBLE)
+        |           AS tfidf
+        |  FROM tf JOIN dfr USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, tfidf FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+        |  FROM scored) t
+        |WHERE rk <= 3
+        |""".stripMargin,
+  )
+}

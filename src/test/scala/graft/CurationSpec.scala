@@ -1,0 +1,117 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Curation, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Unit semantics for the corpus-curation operators. */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("redactPii counts and scrubs emails, phones, IPv4s") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@mail.example.org or 49-123-456-7890 at 10.0.255.3"),
+      (2L, "no pii here at all")
+    ).toDF("id", "text")
+    val out = df.select(col("id") +: Curation.redactPii(col("text")): _*)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_emails") == 1L)
+    assert(r1.getAs[Long]("n_phones") == 1L)
+    assert(r1.getAs[Long]("n_ips") == 1L)
+    assert(r1.getAs[String]("redacted") ==
+      "mail <EMAIL> or <PHONE> at <IP>")
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("n_emails") == 0L)
+    assert(r2.getAs[String]("redacted") == "no pii here at all")
+  }
+
+  test("passageDedup keeps first occurrence of each passage") {
+    // 4-token passages; doc 2 repeats doc 1's first passage.
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d x y z w"),
+      (3L, "q r s t")
+    ).toDF("doc_id", "text")
+    val out = Curation.passageDedup(df, "text", "doc_id", passageTokens = 4)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_kept") == 2L)
+    assert(out(1L).getAs[String]("text_dedup") == "a b c d e f g h")
+    // doc 2 loses its first passage (doc 1 owns it), keeps the second
+    assert(out(2L).getAs[Long]("n_passages") == 2L)
+    assert(out(2L).getAs[Long]("n_kept") == 1L)
+    assert(out(2L).getAs[String]("text_dedup") == "x y z w")
+    assert(out(3L).getAs[String]("text_dedup") == "q r s t")
+  }
+
+  test("passageDedup drops all passages of an exact duplicate doc") {
+    val df = Seq((1L, "a b c d e f g h"), (9L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val out = Curation.passageDedup(df, "text", "doc_id", passageTokens = 4)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(9L).getAs[Long]("n_kept") == 0L)
+    assert(out(9L).getAs[String]("text_dedup") == "")
+  }
+
+  test("repetitionColumns measures 2-gram and 3-gram repetition") {
+    val df = Seq(
+      (1L, "x y x y x y"),          // 2-grams: xy yx xy yx xy -> top "x y"=3/5
+      (2L, "a b c d e")             // no repetition
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id") +: Curation.repetitionColumns(col("text")): _*)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_2grams") == 5L)
+    assert(r1.getAs[Long]("top_2gram_count") == 3L)
+    assert(math.abs(r1.getAs[Double]("top_2gram_frac") - 0.6) < 1e-12)
+    // 3-grams: xyx yxy xyx yxy -> all 4 occurrences are of duplicated grams
+    assert(r1.getAs[Long]("dup_3gram_count") == 4L)
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("top_2gram_count") == 1L)
+    assert(r2.getAs[Long]("dup_3gram_count") == 0L)
+  }
+
+  test("mixtureSample is deterministic and respects 0/100 rates") {
+    val df = (1 to 200).map(i => (i.toLong, s"text number $i",
+      if (i % 2 == 0) "keep" else "drop")).toDF("doc_id", "text", "lang")
+    val out = Curation.mixtureSample(df, "lang", "text",
+      Map("keep" -> 100, "drop" -> 0))
+    assert(out.count() == 100)
+    assert(out.filter(col("lang") === "drop").count() == 0)
+    // identical content in a sampled domain is always sampled identically
+    val half = Curation.mixtureSample(df.filter(col("lang") === "keep"),
+      "lang", "text", Map("keep" -> 40))
+    val again = Curation.mixtureSample(df.filter(col("lang") === "keep"),
+      "lang", "text", Map("keep" -> 40))
+    assert(half.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("ngramTopK orders by count desc then gram asc") {
+    val df = Seq((1L, "a b a b a b"), (2L, "a b z z z")).toDF("doc_id", "text")
+    val out = Curation.ngramTopK(df, "text", n = 2, k = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(out.head == ("a b", 4L)) // 3 in doc1 + 1 in doc2
+    assert(out(1) == ("b a", 2L))
+    assert(out(2) == ("z z", 2L)) // tie with "b a" broken by gram text
+  }
+
+  test("kmeans assigns duplicate vectors to the same cluster and converges") {
+    val base = Array.tabulate(8)(c => Array.tabulate(4)(d =>
+      if (d == c % 4) 1.0f else 0.01f * c))
+    val rows = (0 until 8).map(i => (i.toLong, base(i).toSeq)) ++
+      (8 until 24).map(i => (i.toLong, base(i % 8).toSeq)) // exact copies
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.kmeans(df, "vec_id", "embedding", k = 8, iters = 2,
+      dim = 4).collect()
+    assert(out.length == 24)
+    val byCluster = out.map(r =>
+      r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    // every copy lands with its original
+    (8 until 24).foreach(i => assert(byCluster(i.toLong) == byCluster(i % 8L)))
+    // cos_sim to the assigned centroid is near 1 for pure one-hot dims
+    out.foreach(r => assert(r.getAs[Double]("cos_sim") > 0.2))
+  }
+}
