@@ -98,6 +98,30 @@ class CurationSpec extends AnyFunSuite {
     assert(out(2) == ("z z", 2L)) // tie with "b a" broken by gram text
   }
 
+  test("tfidfKeywords ranks rare terms above ubiquitous ones") {
+    val df = Seq(
+      (1L, "apple common common common"),
+      (2L, "banana common common common"),
+      (3L, "cherry common common common")
+    ).toDF("doc_id", "text")
+    val out = Curation.tfidfKeywords(df, "text", "doc_id", k = 1)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    // each doc's unique fruit (tf=1, df=1 -> score 3) beats "common"
+    // (tf=3, df=3 -> score 3)... tie! tf*N/df: fruit 1*3/1=3, common
+    // 3*3/3=3 — tie broken by term text: "apple" < "common" wins doc 1,
+    // "banana" < "common" doc 2, "cherry" < "common" doc 3.
+    assert(out(1L).getAs[String]("term") == "apple")
+    assert(out(2L).getAs[String]("term") == "banana")
+    assert(out(3L).getAs[String]("term") == "cherry")
+    // and with an extra repeat the unique term wins outright
+    val df2 = Seq((1L, "apple apple common"), (2L, "x common"))
+      .toDF("doc_id", "text")
+    val top = Curation.tfidfKeywords(df2, "text", "doc_id", k = 1)
+      .filter(col("id") === 1L).collect().head
+    assert(top.getAs[String]("term") == "apple")
+    assert(top.getAs[Double]("tfidf") == 4.0) // tf 2 * N 2 / df 1
+  }
+
   test("kmeans assigns duplicate vectors to the same cluster and converges") {
     val base = Array.tabulate(8)(c => Array.tabulate(4)(d =>
       if (d == c % 4) 1.0f else 0.01f * c))

@@ -143,4 +143,53 @@ class PlanSpec extends AnyFunSuite {
       assert(!plan.contains("Exchange"), plan)
     }
   }
+
+  test("PII redaction and repetition signals are narrow per-row passes") {
+    val docsDf = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    for (cols <- Seq(graft.operators.Curation.redactPii(col("text")),
+        graft.operators.Curation.repetitionColumns(col("text")))) {
+      val plan = explainOf(docsDf.select(col("doc_id") +: cols: _*))
+      assert(!plan.contains("Exchange"), plan)
+    }
+  }
+
+  test("ngram top-k is partial agg + TakeOrdered, not a global sort") {
+    val docsDf = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val plan = explainOf(graft.operators.Curation.ngramTopK(
+      docsDf, "text", n = 2, k = 5))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("partial_count") || plan.contains("partial"), plan)
+    assert(!plan.matches("(?s).*Sort \\[.*global=true.*"), plan)
+  }
+
+  test("tfidf document-frequency join is broadcast (vocabulary side)") {
+    val docsDf = (1L to 30L).map(i => (i, s"w$i common text here"))
+      .toDF("doc_id", "text")
+    val plan = explainOf(graft.operators.Curation.tfidfKeywords(
+      docsDf, "text", "doc_id"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("passage dedup joins on the hash key only (equi-join, no product)") {
+    val docsDf = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val plan = explainOf(graft.operators.Curation.passageDedup(
+      docsDf, "text", "doc_id", passageTokens = 4))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("k-means assignment is a narrow pass over broadcast centroid literals") {
+    val vecs = (0L to 20L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(8)(rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.kmeans(
+      vecs, "vec_id", "embedding", k = 4, iters = 1, dim = 8)
+    val plan = explainOf(out)
+    // the final assignment carries no join and no shuffle: centroids are
+    // driver literals, so the plan is scan -> project (+ the checkpoint)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
