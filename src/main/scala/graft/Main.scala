@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.{ObservationStore, Tools}
+import graft.serve.QueryServer
+
+/** Top-level CLI mirroring the reference's command surface
+  * (`cmd/balboa/cmds/root.go` subcommands + the backend-console tools) so
+  * a reference operator has a familiar switch-over path:
+  *
+  * {{{
+  * graft.Main build  --obs <parquet> --store <dir> [--buckets 64]
+  * graft.Main merge  --obs <parquet> --store <dir>
+  * graft.Main serve  --store <dir> [--port 8080]
+  * graft.Main query  <subject|cidr> --store <dir> [--limit 1000]
+  * graft.Main dump   --store <dir> --out <dir>
+  * graft.Main replay --dump <dir> --store <dir> [--buckets 64]
+  * graft.Main backup --store <dir> --out <dir>
+  * }}}
+  *
+  * `serve` ≙ `balboa serve` (GraphQL + REST endpoints, QueryServer);
+  * `query` ≙ `balboa query [netmask]` (`cmd/balboa/cmds/query.go:60-61`) —
+  * but CIDR subjects run SERVER-side as one range scan on the persisted
+  * numeric `rdata_ip` column instead of the reference's client-side
+  * per-IP expansion; `dump`/`replay`/`backup` ≙ the backend-console
+  * tools (`backend/balboa-backend-console/main.c:44-150`). `build` and
+  * `merge` are the Spark-native bulk paths (there is no wire protocol —
+  * observation batches arrive as parquet/stream micro-batches).
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { System.err.println(usage); sys.exit(2) }
+    val spark = Graft.localSession("graft-" + args.head)
+    try run(spark, args.toSeq)
+    finally spark.stop()
+  }
+
+  val usage: String =
+    """usage: graft.Main <build|merge|serve|query|dump|replay|backup> [args]
+      |  build  --obs <parquet> --store <dir> [--buckets 64]
+      |  merge  --obs <parquet> --store <dir>
+      |  serve  --store <dir> [--port 8080]
+      |  query  <subject|cidr> --store <dir> [--limit 1000]
+      |  dump   --store <dir> --out <dir>
+      |  replay --dump <dir> --store <dir> [--buckets 64]
+      |  backup --store <dir> --out <dir>
+      |""".stripMargin
+
+  /** Parse `--flag value` pairs; bare tokens (after the subcommand) are
+    * positional. */
+  private[graft] def parseFlags(
+      args: Seq[String]): (Seq[String], Map[String, String]) = {
+    val flags = scala.collection.mutable.Map[String, String]()
+    val pos = scala.collection.mutable.Buffer[String]()
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("--")) {
+        if (i + 1 >= args.length)
+          throw new IllegalArgumentException(s"missing value for $a")
+        flags(a.drop(2)) = args(i + 1)
+        i += 2
+      } else { pos += a; i += 1 }
+    }
+    (pos.toSeq, flags.toMap)
+  }
+
+  private def required(flags: Map[String, String], name: String): String =
+    flags.getOrElse(name,
+      throw new IllegalArgumentException(s"missing required --$name"))
+
+  /** Entry point with an injectable session (tests drive this
+    * directly). `serve` returns the started server so callers can stop
+    * it; every other command returns null. */
+  private[graft] def run(spark: SparkSession,
+      args: Seq[String]): QueryServer = {
+    val (pos, flags) = parseFlags(args.tail)
+    args.head match {
+      case "build" =>
+        val (obsPath, storePath) = (required(flags, "obs"), required(flags, "store"))
+        ObservationStore.writeDual(
+          ObservationStore.aggregate(spark.read.parquet(obsPath)), storePath,
+          flags.get("buckets").map(_.toInt).getOrElse(64))
+        null
+      case "merge" =>
+        val (obsPath, storePath) = (required(flags, "obs"), required(flags, "store"))
+        ObservationStore.mergeBatch(spark, storePath,
+          spark.read.parquet(obsPath))
+        null
+      case "serve" =>
+        val store = ObservationStore.load(spark, required(flags, "store"))
+        val server = new QueryServer(store,
+          flags.get("port").map(_.toInt).getOrElse(8080))
+        server.start()
+        System.err.println(s"[graft] serving on port ${server.boundPort}")
+        server
+      case "query" =>
+        val subject = pos.headOption.getOrElse(
+          throw new IllegalArgumentException("query needs a subject"))
+        val store = ObservationStore.load(spark, required(flags, "store"))
+        val limit = flags.get("limit").map(_.toInt).getOrElse(1000)
+        val df =
+          if (subject.contains("/")) store.cidrQuery(subject, limit)
+          else store.restQuery(subject, limit)
+        val it = df.toJSON.toLocalIterator()
+        while (it.hasNext) println(it.next())
+        null
+      case "dump" =>
+        val store = ObservationStore.load(spark, required(flags, "store"))
+        Tools.dump(store.forward.drop("bucket"), required(flags, "out"))
+        null
+      case "replay" =>
+        Tools.replay(spark, required(flags, "dump"),
+          required(flags, "store"),
+          flags.get("buckets").map(_.toInt).getOrElse(64))
+        null
+      case "backup" =>
+        Tools.backup(spark, required(flags, "store"), required(flags, "out"))
+        null
+      case other =>
+        throw new IllegalArgumentException(s"unknown command: $other\n$usage")
+    }
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ObservationStore
+
+/** End-to-end CLI surface: build → dump → replay → query round-trip. */
+class MainSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def obsDf = {
+    val ts = Timestamp.valueOf("2021-06-01 00:00:00")
+    (1 to 300).map(i =>
+      (s"host-$i.example.com", s"s${i % 2}", "A", s"192.0.2.${i % 200}",
+        1L, ts, ts))
+      .toDF("rrname", "sensor_id", "rrtype", "rdata", "count",
+        "timestamp_start", "timestamp_end")
+  }
+
+  test("build -> dump -> replay round-trips the store; query answers") {
+    val dir = Files.createTempDirectory("graft-main").toString
+    obsDf.write.parquet(s"$dir/obs")
+
+    Main.run(spark, Seq("build", "--obs", s"$dir/obs",
+      "--store", s"$dir/store", "--buckets", "8"))
+    val built = ObservationStore.load(spark, s"$dir/store")
+    assert(built.totalCount() == 300)
+
+    Main.run(spark, Seq("dump", "--store", s"$dir/store",
+      "--out", s"$dir/dump"))
+    Main.run(spark, Seq("replay", "--dump", s"$dir/dump",
+      "--store", s"$dir/store2", "--buckets", "4"))
+    val replayed = ObservationStore.load(spark, s"$dir/store2")
+    assert(replayed.totalCount() == 300)
+    assert(replayed.entries(rrname = Some("host-7.example.com")).count() == 1)
+
+    // CLI query prints NDJSON rows to stdout
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Main.run(spark, Seq("query", "host-7.example.com",
+        "--store", s"$dir/store"))
+    }
+    val lines = out.toString.trim.split("\n").filter(_.nonEmpty)
+    assert(lines.length == 1)
+    assert(lines.head.contains("\"rrname\":\"host-7.example.com\""))
+  }
+
+  test("merge adds a batch through the CLI") {
+    val dir = Files.createTempDirectory("graft-main-merge").toString
+    obsDf.write.parquet(s"$dir/obs")
+    Main.run(spark, Seq("build", "--obs", s"$dir/obs",
+      "--store", s"$dir/store", "--buckets", "4"))
+    val ts2 = Timestamp.valueOf("2022-01-01 00:00:00")
+    Seq(("brand-new.example.com", "s9", "A", "198.51.100.1", 2L, ts2, ts2))
+      .toDF("rrname", "sensor_id", "rrtype", "rdata", "count",
+        "timestamp_start", "timestamp_end")
+      .write.parquet(s"$dir/batch")
+    Main.run(spark, Seq("merge", "--obs", s"$dir/batch",
+      "--store", s"$dir/store"))
+    val st = ObservationStore.load(spark, s"$dir/store")
+    assert(st.totalCount() == 301)
+    assert(st.entries(rrname = Some("brand-new.example.com")).count() == 1)
+  }
+
+  test("serve starts a queryable HTTP server from the CLI") {
+    val dir = Files.createTempDirectory("graft-main-serve").toString
+    obsDf.write.parquet(s"$dir/obs")
+    Main.run(spark, Seq("build", "--obs", s"$dir/obs",
+      "--store", s"$dir/store", "--buckets", "4"))
+    val server = Main.run(spark, Seq("serve", "--store", s"$dir/store",
+      "--port", "0"))
+    try {
+      val url = new java.net.URI(
+        s"http://127.0.0.1:${server.boundPort}/pdns/query/host-3.example.com")
+        .toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      val body = new String(conn.getInputStream.readAllBytes())
+      assert(body.contains("host-3.example.com"))
+    } finally server.stop()
+  }
+
+  test("bad invocations fail with usage errors, not stack traces deep in Spark") {
+    intercept[IllegalArgumentException] {
+      Main.run(spark, Seq("frobnicate"))
+    }
+    intercept[IllegalArgumentException] {
+      Main.run(spark, Seq("build", "--obs", "/nope")) // missing --store
+    }
+    intercept[IllegalArgumentException] {
+      Main.run(spark, Seq("query", "--store")) // dangling flag value
+    }
+  }
+}
