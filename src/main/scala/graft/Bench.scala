@@ -25,8 +25,13 @@ object Bench {
     // Warm the session (parquet footers, codegen, JIT) on one mid-size query.
     try runOnce("entries_rrname") catch { case _: Throwable => () }
 
+    // Local-iteration aid (the driver never sets this): run only the
+    // comma-separated query names in SPARK_GRAFT_ONLY.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val results: Seq[(String, Double)] =
-      SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      SparkEntry.queries.keys.toSeq.sorted
+        .filter(n => only.forall(_.contains(n))).map { name =>
         val sec =
           try runOnce(name)
           catch { case e: Throwable =>

@@ -200,9 +200,19 @@ object Dedup {
     * driver-loop skeleton, O(log n) rounds. */
   def connectedComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges0 = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(false)
+    // per-round shuffle width sized to the PAIR GRAPH, not the session
+    // default: duplicate-pair graphs are orders of magnitude smaller than
+    // the corpus, and a driver-side iteration over a tiny graph at 32
+    // shuffle partitions pays ~32× the task-scheduling cost per round for
+    // nothing. ~500k edges per partition; grows with the graph, capped by
+    // the session parallelism so huge graphs still spread out.
+    val parallelism = pairs.sparkSession.sparkContext.defaultParallelism
+    val parts = math.max(1L, math.min(parallelism.toLong,
+      edges0.count() / 500000L + 1L)).toInt
+    val edges = edges0.repartition(parts, col("dst")).localCheckpoint(false)
     // propagation runs over edge-CONNECTED nodes only — isolated ids (the
     // overwhelming majority of a mostly-unique corpus) are their own
     // component by definition and join back in at the end, so per-round

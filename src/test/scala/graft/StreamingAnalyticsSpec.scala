@@ -39,6 +39,32 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(rows.head.getAs[Timestamp]("window_start") == ts("2024-01-01 10:00:00"))
   }
 
+  test("curation columns are stateless: PII redaction + quality run on a stream") {
+    // redactPii/qualityColumns/repetitionColumns are narrow per-row
+    // expressions, so the same Columns run unchanged in append-mode
+    // streaming — this guards against a refactor sneaking an aggregation
+    // into them (which would need watermarks and break ingest-time use)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val out = stream.toDF().toDF("id", "text").select(
+      org.apache.spark.sql.functions.col("id") +:
+        (graft.operators.Curation.redactPii(
+          org.apache.spark.sql.functions.col("text")) ++
+          graft.operators.Curation.repetitionColumns(
+            org.apache.spark.sql.functions.col("text"))): _*)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("curation_stream").start()
+    stream.addData((1L, "ping admin@host.example.net from 10.1.2.3 now"))
+    q.processAllAvailable()
+    val rows = spark.table("curation_stream").collect()
+    q.stop()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("redacted") ==
+      "ping <EMAIL> from <IP> now")
+    assert(rows.head.getAs[Long]("n_emails") == 1L)
+    assert(rows.head.getAs[Long]("n_2grams") == 4L)
+  }
+
   test("streaming exact dedup: first occurrence per content survives across batches") {
     implicit val sqlCtx = spark.sqlContext
     import StreamingAnalytics.DocHash
