@@ -203,6 +203,35 @@ object Curation {
 
   // -------------------------------------------- TF-IDF keywords
 
+  // -------------------------------------------- training export
+
+  /** Deterministic export sharding + contiguous token-budget packing —
+    * the step between a curated corpus and a trainer's data loader:
+    * documents are assigned to `nShards` shards by CONTENT hash (stable
+    * under re-runs and re-partitioning; duplicate payloads co-locate),
+    * ordered within a shard by id, and packed greedily into consecutive
+    * `budgetTokens` windows by cumulative token count (a document whose
+    * tokens straddle a boundary starts in pack `offset div budget` — the
+    * contiguous-packing convention of streaming tokenizers).
+    *
+    * One shuffle (hash to shards) + one per-shard sort for the cumulative
+    * window; shards are hash-balanced so the windows never see skew. All
+    * arithmetic is exact integers. */
+  def packForTraining(df: DataFrame, textCol: String, idCol: String,
+      nShards: Int, budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTok = size(split(col(textCol), " ")).cast("long")
+    val shard = conv(substring(md5(col(textCol)), 1, 4), 16, 10)
+      .cast("long") % nShards
+    val w = Window.partitionBy(col("shard")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol).as("id"), nTok.as("n_tokens"), shard.as("shard"))
+      .withColumn("offset_tokens", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("pack_id", expr(s"offset_tokens div $budgetTokens"))
+      .select(col("id"), col("shard"), col("n_tokens"),
+        col("offset_tokens"), col("pack_id"))
+  }
+
   /** Top-k characteristic terms per document by TF-IDF, with the idf kept
     * as the EXACT rational tf·N/df instead of the usual tf·log(N/df):
     * log is monotone, so per-document ranking is identical, and exact

@@ -107,6 +107,13 @@ object CurationQueries {
     "tfidf_keywords" -> ((s, dir) =>
       Curation.tfidfKeywords(docs(s, dir), "text", "doc_id", k = 3)
         .withColumnRenamed("id", "doc_id")),
+
+    // Deterministic export sharding + contiguous token-budget packing
+    // (4 shards, 256-token packs).
+    "sequence_pack" -> ((s, dir) =>
+      Curation.packForTraining(docs(s, dir), "text", "doc_id",
+        nShards = 4, budgetTokens = 256)
+        .withColumnRenamed("id", "doc_id")),
   )
 
   // ------------------------------------------------------------ oracles
@@ -332,6 +339,29 @@ object CurationQueries {
         |    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
         |  FROM scored) t
         |WHERE rk <= 3
+        |""".stripMargin,
+
+    "sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         CAST(((strpos('0123456789abcdef', md5(text)[1]) - 1) * 4096 +
+        |               (strpos('0123456789abcdef', md5(text)[2]) - 1) * 256 +
+        |               (strpos('0123456789abcdef', md5(text)[3]) - 1) * 16 +
+        |               (strpos('0123456789abcdef', md5(text)[4]) - 1)) % 4
+        |              AS BIGINT) AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |         SUM(n_tokens) OVER (
+        |           PARTITION BY shard ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           - n_tokens AS offset_tokens
+        |  FROM t)
+        |SELECT doc_id, shard, n_tokens,
+        |       CAST(offset_tokens AS BIGINT) AS offset_tokens,
+        |       CAST(offset_tokens // 256 AS BIGINT) AS pack_id
+        |FROM c
         |""".stripMargin,
   )
 }

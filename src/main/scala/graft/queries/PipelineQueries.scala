@@ -134,6 +134,26 @@ object PipelineQueries {
     "winnow_overlap" -> ((s, dir) =>
       Dedup.winnowOverlapPairs(docs(s, dir), "text", "doc_id")),
 
+    // Evaluation as a first-class operator: recall of the MinHash-LSH
+    // near-dup path against the exact inverted-index truth on the same
+    // corpus and threshold. The number a pipeline owner needs before
+    // trusting the approximate path at scale — and being md5-derived,
+    // it is a deterministic property of the corpus, not a flaky sample.
+    "lsh_recall" -> ((s, dir) => {
+      val d = docs(s, dir).localCheckpoint(false)
+      val exact = Dedup.ngramJaccardPairs(d, "text", "doc_id")
+        .select(col("id_a"), col("id_b"))
+      val lsh = Dedup.minhashNearDuplicates(d, "text", "doc_id")
+        .select(col("id_a"), col("id_b")).withColumn("in_lsh", lit(1))
+      exact.join(lsh, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          count(col("in_lsh")).as("n_common"))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+        .select(col("n_exact"), col("n_lsh"), col("n_common"),
+          round(col("n_common") * 1000.0 / col("n_exact"))
+            .cast("long").as("recall_permille"))
+    }),
+
     // The composed curation pipeline — what a real training-data run
     // chains: quality gate (enough tokens, mostly alphabetic) → exact
     // dedup (min doc_id survives per content hash) → leakage-safe split.
@@ -253,6 +273,49 @@ object PipelineQueries {
          |      CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) >= 0.8
          |""".stripMargin,
     "dedup_ngram" -> jaccardPairsSql,
+
+    // exact pairs vs the full mirrored MinHash-LSH pipeline, joined —
+    // the recall number is a pure function of the corpus on both engines
+    "lsh_recall" ->
+      s"""WITH $shingleCte,
+         |sig AS (
+         |  SELECT doc_id, sh,
+         |         list_transform(generate_series(0, 15), k ->
+         |           list_min(list_transform(sh,
+         |             s -> md5(CAST(k AS VARCHAR) || ':' || s)))) AS sig
+         |  FROM sh),
+         |bands AS (
+         |  SELECT doc_id, sh, b.band_idx,
+         |         md5(array_to_string(
+         |           list_slice(sig, b.band_idx * 4 + 1, b.band_idx * 4 + 4),
+         |           '|')) AS band_hash
+         |  FROM sig, (SELECT UNNEST(generate_series(0, 3)) AS band_idx) b),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id),
+         |mh AS (
+         |  SELECT c.id_a, c.id_b
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.id_a
+         |  JOIN sh y ON y.doc_id = c.id_b
+         |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE)
+         |          >= 0.8),
+         |ep AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+         |          >= 0.8)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM mh) AS n_lsh,
+         |       CAST(COUNT(m.id_a) AS BIGINT) AS n_common,
+         |       CAST(round(COUNT(m.id_a) * 1000.0 / COUNT(*)) AS BIGINT)
+         |         AS recall_permille
+         |FROM ep LEFT JOIN mh m ON ep.id_a = m.id_a AND ep.id_b = m.id_b
+         |""".stripMargin,
 
     // Connected components as a recursive reachability closure: reach(id,
     // r) = "id can reach r over near-dup edges"; component = MIN(r). The

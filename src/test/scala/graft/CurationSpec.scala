@@ -122,6 +122,31 @@ class CurationSpec extends AnyFunSuite {
     assert(top.getAs[Double]("tfidf") == 4.0) // tf 2 * N 2 / df 1
   }
 
+  test("packForTraining: contiguous offsets within shard, budget packing") {
+    // single shard so offsets are fully determined by id order
+    val df = Seq(
+      (1L, "a b c"),          // 3 tokens, offset 0, pack 0
+      (2L, "d e f g"),        // 4 tokens, offset 3, pack 0
+      (3L, "h i j k l m n o") // 8 tokens, offset 7, pack 1 (budget 5)
+    ).toDF("doc_id", "text")
+    val out = Curation.packForTraining(df, "text", "doc_id",
+      nShards = 1, budgetTokens = 5)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[Long]("offset_tokens") == 0L)
+    assert(out(1L).getAs[Long]("pack_id") == 0L)
+    assert(out(2L).getAs[Long]("offset_tokens") == 3L)
+    assert(out(2L).getAs[Long]("pack_id") == 0L)
+    assert(out(3L).getAs[Long]("offset_tokens") == 7L)
+    assert(out(3L).getAs[Long]("pack_id") == 1L)
+    // sharding is content-hash stable: same text -> same shard, any run
+    val many = (1 to 100).map(i => (i.toLong, s"text $i")).toDF("doc_id", "text")
+    val s1 = Curation.packForTraining(many, "text", "doc_id", 4, 100)
+      .select("id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s2 = Curation.packForTraining(many.orderBy(rand()), "text", "doc_id", 4, 100)
+      .select("id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s1 == s2)
+  }
+
   test("kmeans assigns duplicate vectors to the same cluster and converges") {
     val base = Array.tabulate(8)(c => Array.tabulate(4)(d =>
       if (d == c % 4) 1.0f else 0.01f * c))
