@@ -83,6 +83,48 @@ object Dedup {
     jaccardVerify(candidates, docs, threshold)
   }
 
+  /** Cross-corpus (delta) near-duplicate detection: which documents of an
+    * incoming BATCH near-duplicate something already in the CORPUS. The
+    * asymmetric counterpart of [[minhashNearDuplicates]] — a continuously
+    * growing corpus never re-deduplicates itself against itself; each
+    * increment joins only `batch × corpus` through the LSH band index:
+    * shuffle batch bands (small) against corpus bands (large, and at
+    * scale PRE-COMPUTED and stored partitioned by (band_idx, band_hash),
+    * so the increment only reads matching buckets). Exact-Jaccard verify
+    * on candidates only. Output: (batch_id, corpus_id, jaccard). */
+  def crossCorpusNearDuplicates(
+      corpus: DataFrame, batch: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    def prep(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+        .withColumn("sig", minhashSignature(col("sh"), numHashes))
+        .localCheckpoint(false)
+    def bandsOf(docs: DataFrame): DataFrame =
+      docs.select(col("id"),
+        posexplode(lshBands(col("sig"), bands, rowsPerBand))
+          .as(Seq("band_idx", "band_hash")))
+    val corpusDocs = prep(corpus)
+    val batchDocs = prep(batch)
+    val candidates = bandsOf(batchDocs).as("b")
+      .join(bandsOf(corpusDocs).as("c"),
+        col("b.band_idx") === col("c.band_idx") &&
+          col("b.band_hash") === col("c.band_hash"))
+      .select(col("b.id").as("batch_id"), col("c.id").as("corpus_id"))
+      .distinct()
+    candidates
+      .join(batchDocs.select(col("id").as("batch_id"), col("sh").as("sh_b")),
+        "batch_id")
+      .join(corpusDocs.select(col("id").as("corpus_id"), col("sh").as("sh_c")),
+        "corpus_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_b"), col("sh_c"))).cast("double") /
+          size(array_union(col("sh_b"), col("sh_c"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+  }
+
   /** Exact n-gram Jaccard similarity join via shingle inverted index with
     * the full PPJoin filter stack — all three filters are exact-preserving
     * (they can only prune pairs that provably violate J ≥ t; the final

@@ -134,6 +134,21 @@ object PipelineQueries {
     "winnow_overlap" -> ((s, dir) =>
       Dedup.winnowOverlapPairs(docs(s, dir), "text", "doc_id")),
 
+    // Cross-corpus (delta) dedup: an incoming batch — planted exact
+    // copies (doc_id % 11) and planted NON-duplicates (reversed text,
+    // doc_id % 13) — deduplicated against the existing corpus through
+    // the asymmetric LSH band join. The incremental-corpus shape: the
+    // corpus is never re-joined against itself.
+    "delta_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val batch = d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+        .unionAll(d.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 3000000).as("doc_id"),
+            reverse(col("text")).as("text")))
+      Dedup.crossCorpusNearDuplicates(d, batch, "text", "doc_id")
+    }),
+
     // Evaluation as a first-class operator: recall of the MinHash-LSH
     // near-dup path against the exact inverted-index truth on the same
     // corpus and threshold. The number a pipeline owner needs before
@@ -273,6 +288,75 @@ object PipelineQueries {
          |      CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) >= 0.8
          |""".stripMargin,
     "dedup_ngram" -> jaccardPairsSql,
+
+    // asymmetric LSH mirrored across corpus and batch (approximation-
+    // mirroring oracle, like dedup_minhash)
+    "delta_dedup" ->
+      """WITH bdocs AS (
+        |  SELECT doc_id + 2000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id, reverse(text) AS text
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |shc AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(string_split(text, ' ')) < 3
+        |         THEN [text]
+        |         ELSE list_transform(
+        |           generate_series(1, len(string_split(text, ' ')) - 2),
+        |           i -> array_to_string(
+        |                  list_slice(string_split(text, ' '), i, i + 2), ' '))
+        |    END) AS sh
+        |  FROM documents),
+        |shb AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(string_split(text, ' ')) < 3
+        |         THEN [text]
+        |         ELSE list_transform(
+        |           generate_series(1, len(string_split(text, ' ')) - 2),
+        |           i -> array_to_string(
+        |                  list_slice(string_split(text, ' '), i, i + 2), ' '))
+        |    END) AS sh
+        |  FROM bdocs),
+        |sigc AS (
+        |  SELECT doc_id, sh,
+        |         list_transform(generate_series(0, 15), k ->
+        |           list_min(list_transform(sh,
+        |             s -> md5(CAST(k AS VARCHAR) || ':' || s)))) AS sig
+        |  FROM shc),
+        |sigb AS (
+        |  SELECT doc_id, sh,
+        |         list_transform(generate_series(0, 15), k ->
+        |           list_min(list_transform(sh,
+        |             s -> md5(CAST(k AS VARCHAR) || ':' || s)))) AS sig
+        |  FROM shb),
+        |bandc AS (
+        |  SELECT doc_id, b.band_idx,
+        |         md5(array_to_string(
+        |           list_slice(sig, b.band_idx * 4 + 1, b.band_idx * 4 + 4),
+        |           '|')) AS band_hash
+        |  FROM sigc, (SELECT UNNEST(generate_series(0, 3)) AS band_idx) b),
+        |bandb AS (
+        |  SELECT doc_id, b.band_idx,
+        |         md5(array_to_string(
+        |           list_slice(sig, b.band_idx * 4 + 1, b.band_idx * 4 + 4),
+        |           '|')) AS band_hash
+        |  FROM sigb, (SELECT UNNEST(generate_series(0, 3)) AS band_idx) b),
+        |cand AS (
+        |  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+        |  FROM bandb b JOIN bandc c
+        |    ON b.band_idx = c.band_idx AND b.band_hash = c.band_hash)
+        |SELECT cand.batch_id, cand.corpus_id,
+        |       CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+        |       CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE)
+        |         AS jaccard
+        |FROM cand
+        |JOIN shb x ON x.doc_id = cand.batch_id
+        |JOIN shc y ON y.doc_id = cand.corpus_id
+        |WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE)
+        |        >= 0.8
+        |""".stripMargin,
 
     // exact pairs vs the full mirrored MinHash-LSH pipeline, joined —
     // the recall number is a pure function of the corpus on both engines

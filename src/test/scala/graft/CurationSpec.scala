@@ -147,6 +147,23 @@ class CurationSpec extends AnyFunSuite {
     assert(s1 == s2)
   }
 
+  test("crossCorpusNearDuplicates finds batch dups without corpus self-join") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (3L, "completely different words here now")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // copy of 1
+      (11L, "nothing like anything in the corpus at all")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.crossCorpusNearDuplicates(
+      corpus, batch, "text", "doc_id")
+      .collect().map(r => (r.getAs[Long]("batch_id"),
+        r.getAs[Long]("corpus_id"), r.getAs[Double]("jaccard")))
+    assert(out.toSeq == Seq((10L, 1L, 1.0)))
+  }
+
   test("kmeans assigns duplicate vectors to the same cluster and converges") {
     val base = Array.tabulate(8)(c => Array.tabulate(4)(d =>
       if (d == c % 4) 1.0f else 0.01f * c))
