@@ -60,7 +60,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","store_build_sec":$buildSec,"point_lookup_qps":$qps,"point_lookup_qps_16w":$wideQps,"point_lookup_qps_cached":$cachedQps,"merge_batch_sec":$mergeSec,"decode_rows_per_sec":$decodeRate}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir","store_build_sec":$buildSec,"point_lookup_qps":$qps,"point_lookup_qps_16w":$wideQps,"point_lookup_qps_cached":$cachedQps,"merge_batch_sec":$mergeSec,"decode_rows_per_sec":$decodeRate}""")
     spark.stop()
   }
 

@@ -222,6 +222,54 @@ object Dedup {
       .filter(col("shared_fingerprints") >= minShared)
   }
 
+  /** DIRECTIONAL containment via winnowing fingerprints: C(A⊂B) =
+    * |fp(A) ∩ fp(B)| / |fp(A)| — near 1 when A's character spans are
+    * almost all inside B, regardless of how much bigger B is. The
+    * contamination question symmetric Jaccard cannot answer: a benchmark
+    * item pasted into a long training document has tiny Jaccard but
+    * containment ≈ 1. Output: unordered pair + both directions as integer
+    * cents.
+    *
+    * Same skew guard as [[winnowOverlapPairs]] (doc-frequency pruning
+    * before the self-join); denominators count the PRUNED fingerprint
+    * sets so the ratio is internally consistent. Shuffles: frequency
+    * count, pair join, pair aggregation, then joins from the (pair-graph-
+    * sized) result back to the per-doc size table. */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+      minContainmentCents: Int = 60, minShared: Int = 3,
+      maxDocFrequency: Int = 50): DataFrame = {
+    val fps = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.winnowingFingerprints(col(textCol))).as("fp"))
+      .localCheckpoint(false)
+    val rare = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") <= maxDocFrequency)
+      .select(col("fp").as("rare_fp"))
+    val pruned = fps.join(rare, col("fp") === col("rare_fp"))
+      .select(col("id"), col("fp"))
+      .localCheckpoint(false)
+    val sizes = pruned.groupBy(col("id")).agg(count(lit(1)).as("n_fp"))
+    val shared = pruned.as("a").join(pruned.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+    // no broadcast hint: `sizes` is one row per document — corpus-sized
+    // at scale; AQE picks broadcast when it actually fits
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("n_fp").as("n_fp_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_fp").as("n_fp_b")), "id_b")
+      .withColumn("cont_a_in_b_cents",
+        round(col("shared_fps") * 100.0 / col("n_fp_a")).cast("long"))
+      .withColumn("cont_b_in_a_cents",
+        round(col("shared_fps") * 100.0 / col("n_fp_b")).cast("long"))
+      .filter(greatest(col("cont_a_in_b_cents"), col("cont_b_in_a_cents"))
+        >= minContainmentCents)
+      .select(col("id_a"), col("id_b"), col("shared_fps"),
+        col("n_fp_a"), col("n_fp_b"),
+        col("cont_a_in_b_cents"), col("cont_b_in_a_cents"))
+  }
+
   /** Duplicate-cluster RESOLUTION: near-dup pairs only say "a looks like
     * b"; a dedup pipeline must then pick ONE survivor per duplicate
     * cluster, where clusters are the connected components of the pair

@@ -134,6 +134,18 @@ object PipelineQueries {
     "winnow_overlap" -> ((s, dir) =>
       Dedup.winnowOverlapPairs(docs(s, dir), "text", "doc_id")),
 
+    // Directional containment (contamination metric): corpus ∪ planted
+    // 120-char fragments of every 17th document. A fragment has tiny
+    // Jaccard against its source but containment ≈ 100 cents — the
+    // benchmark-inside-training-doc case symmetric similarity misses.
+    "containment_pairs" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val u = d.unionAll(d.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 4000000).as("doc_id"),
+          substring(col("text"), 31, 120).as("text")))
+      Dedup.containmentPairs(u, "text", "doc_id")
+    }),
+
     // Cross-corpus (delta) dedup: an incoming batch — planted exact
     // copies (doc_id % 11) and planted NON-duplicates (reversed text,
     // doc_id % 13) — deduplicated against the existing corpus through
@@ -288,6 +300,54 @@ object PipelineQueries {
          |      CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) >= 0.8
          |""".stripMargin,
     "dedup_ngram" -> jaccardPairsSql,
+
+    // winnow fingerprints over corpus ∪ fragments, doc-frequency pruned,
+    // pair-shared counts joined to per-doc set sizes, both directions
+    "containment_pairs" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 4000000 AS doc_id, substr(text, 31, 120) AS text
+        |  FROM documents WHERE doc_id % 17 = 0),
+        |h AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(text) >= 5 THEN
+        |           list_transform(generate_series(1, len(text) - 4), i ->
+        |             CAST(list_sum(list_transform(generate_series(0, 4), j ->
+        |               ascii(text[i + j]) * power(257, 4 - j))) AS BIGINT))
+        |         ELSE [] END AS hashes
+        |  FROM u),
+        |w AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(hashes) >= 4 THEN
+        |           list_distinct(list_transform(
+        |             generate_series(1, len(hashes) - 3), i ->
+        |               list_min(list_slice(hashes, i, i + 3))))
+        |         ELSE [] END AS fps
+        |  FROM h),
+        |e AS (SELECT doc_id, UNNEST(fps) AS fp FROM w),
+        |freq AS (SELECT fp FROM e GROUP BY fp HAVING COUNT(*) <= 50),
+        |p AS (SELECT e.doc_id, e.fp FROM e JOIN freq USING (fp)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM p GROUP BY 1),
+        |sh AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(COUNT(*) AS BIGINT) AS shared_fps
+        |  FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 3)
+        |SELECT sh.id_a, sh.id_b, sh.shared_fps,
+        |       CAST(sa.n_fp AS BIGINT) AS n_fp_a,
+        |       CAST(sb.n_fp AS BIGINT) AS n_fp_b,
+        |       CAST(round(sh.shared_fps * 100.0 / sa.n_fp) AS BIGINT)
+        |         AS cont_a_in_b_cents,
+        |       CAST(round(sh.shared_fps * 100.0 / sb.n_fp) AS BIGINT)
+        |         AS cont_b_in_a_cents
+        |FROM sh
+        |JOIN sizes sa ON sa.doc_id = sh.id_a
+        |JOIN sizes sb ON sb.doc_id = sh.id_b
+        |WHERE greatest(round(sh.shared_fps * 100.0 / sa.n_fp),
+        |               round(sh.shared_fps * 100.0 / sb.n_fp)) >= 60
+        |""".stripMargin,
 
     // asymmetric LSH mirrored across corpus and batch (approximation-
     // mirroring oracle, like dedup_minhash)

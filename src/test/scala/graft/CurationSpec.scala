@@ -164,6 +164,33 @@ class CurationSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((10L, 1L, 1.0)))
   }
 
+  test("containmentPairs flags a fragment inside a long doc (Jaccard misses it)") {
+    // non-repetitive long doc: 60 distinct words
+    val longText = (1 to 60).map(i => s"word$i").mkString(" ")
+    val fragment = longText.substring(0, 60) // strict substring
+    val other = "totally unrelated words compose this other document body"
+    val df = Seq((1L, longText), (2L, fragment), (3L, other))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.containmentPairs(df, "text", "doc_id",
+        minContainmentCents = 80, minShared = 2, maxDocFrequency = 10)
+      .collect()
+    // the (1,2) pair: fragment fully contained -> cont of the SMALLER set
+    // (doc 2) in doc 1 is 100
+    val pair = out.find(r => r.getAs[Long]("id_a") == 1L &&
+      r.getAs[Long]("id_b") == 2L)
+    assert(pair.isDefined, out.mkString(";"))
+    assert(pair.get.getAs[Long]("cont_b_in_a_cents") == 100L)
+    // doc 3 shares nothing
+    assert(!out.exists(r => r.getAs[Long]("id_a") == 3L ||
+      r.getAs[Long]("id_b") == 3L))
+    // symmetric word-shingle Jaccard on the same pair is far below any
+    // dedup threshold — the case this operator exists for
+    val jac = graft.operators.Dedup.ngramJaccardPairs(
+      df, "text", "doc_id", threshold = 0.0).collect()
+      .find(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    assert(jac.forall(_.getAs[Double]("jaccard") < 0.3))
+  }
+
   test("kmeans assigns duplicate vectors to the same cluster and converges") {
     val base = Array.tabulate(8)(c => Array.tabulate(4)(d =>
       if (d == c % 4) 1.0f else 0.01f * c))
