@@ -122,4 +122,44 @@ object StreamingAnalytics {
           }
       }
   }
+
+  /** Streaming delta-dedup: near-duplicate-match a document STREAM
+    * against a STATIC corpus via a stream-static equi-join on MinHash-LSH
+    * band keys — the continuous-ingestion twin of
+    * [[graft.operators.Dedup.crossCorpusNearDuplicates]]. The corpus band
+    * index is computed once (at scale: precomputed, stored partitioned by
+    * band); each micro-batch joins only its own bands against it, and the
+    * exact-Jaccard verify runs on candidates only. Stateless — no
+    * watermark needed; a pair can be emitted once per matching band, so
+    * downstream either tolerates multiplicity or drops duplicates per
+    * (batch_id, corpus_id) (state bounded by MATCHED pairs, not the
+    * stream). Output: (batch_id, corpus_id, jaccard ≥ threshold). */
+  def streamingDeltaDedup(corpus: DataFrame, stream: DataFrame,
+      textCol: String, idCol: String, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    import graft.operators.Dedup
+    val rowsPerBand = numHashes / bands
+    val corpusDocs = corpus.select(col(idCol).as("corpus_id"),
+        Dedup.shingles(col(textCol)).as("sh_c"))
+      .withColumn("sig", Dedup.minhashSignature(col("sh_c"), numHashes))
+    val corpusBands = corpusDocs.select(col("corpus_id"), col("sh_c"),
+      posexplode(Dedup.lshBands(col("sig"), bands, rowsPerBand))
+        .as(Seq("band_idx", "band_hash")))
+    val streamBands = stream.select(col(idCol).as("batch_id"),
+        Dedup.shingles(col(textCol)).as("sh_b"))
+      .withColumn("sig", Dedup.minhashSignature(col("sh_b"), numHashes))
+      .select(col("batch_id"), col("sh_b"),
+        posexplode(Dedup.lshBands(col("sig"), bands, rowsPerBand))
+          .as(Seq("s_band_idx", "s_band_hash")))
+    streamBands
+      .join(corpusBands,
+        col("s_band_idx") === col("band_idx") &&
+          col("s_band_hash") === col("band_hash"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_b"), col("sh_c"))).cast("double") /
+          size(array_union(col("sh_b"), col("sh_c"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+      .dropDuplicates("batch_id", "corpus_id")
+  }
 }

@@ -179,6 +179,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("delta-dedup and containment candidate joins are equi-joins only") {
+    val corpus = (1L to 30L).map(i => (i, s"w$i x$i y$i z$i common here"))
+      .toDF("doc_id", "text")
+    val batch = (31L to 35L).map(i => (i, s"w$i x$i y$i z$i common here"))
+      .toDF("doc_id", "text")
+    for (plan <- Seq(
+        explainOf(graft.operators.Dedup.crossCorpusNearDuplicates(
+          corpus, batch, "text", "doc_id")),
+        explainOf(graft.operators.Dedup.containmentPairs(
+          corpus, "text", "doc_id")))) {
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    }
+  }
+
   test("k-means assignment is a narrow pass over broadcast centroid literals") {
     val vecs = (0L to 20L).map { i =>
       val rnd = new scala.util.Random(i)

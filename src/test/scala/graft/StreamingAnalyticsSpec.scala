@@ -65,6 +65,31 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(rows.head.getAs[Long]("n_2grams") == 4L)
   }
 
+  test("streaming delta-dedup: stream-static LSH join flags corpus dups per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (3L, "completely different words here now")
+    ).toDF("doc_id", "text")
+    val stream = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingAnalytics.streamingDeltaDedup(
+      corpus, stream.toDF().toDF("doc_id", "text"), "text", "doc_id")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("delta_stream").start()
+    stream.addData((10L, "alpha beta gamma delta epsilon zeta")) // dup of 1
+    q.processAllAvailable()
+    stream.addData(
+      (11L, "nothing similar to the corpus whatsoever right"),
+      (12L, "one two three four five six")) // dup of 2, later batch
+    q.processAllAvailable()
+    val rows = spark.table("delta_stream").collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"),
+        r.getAs[Double]("jaccard"))).toSet
+    q.stop()
+    assert(rows == Set((10L, 1L, 1.0), (12L, 2L, 1.0)))
+  }
+
   test("streaming exact dedup: first occurrence per content survives across batches") {
     implicit val sqlCtx = spark.sqlContext
     import StreamingAnalytics.DocHash
