@@ -215,8 +215,13 @@ object Curation {
     * contiguous-packing convention of streaming tokenizers).
     *
     * One shuffle (hash to shards) + one per-shard sort for the cumulative
-    * window; shards are hash-balanced so the windows never see skew. All
-    * arithmetic is exact integers. */
+    * window; shards are hash-balanced so the windows never see key skew.
+    * SIZING CONTRACT: each shard is sorted within one reducer, so
+    * `nShards` must scale with the corpus — pick
+    * corpus_size / target_shard_size (e.g. a 100 TB corpus at 1 GB
+    * shards → 100k shards), exactly like choosing output file counts;
+    * a handful of shards over a huge corpus would serialize into a few
+    * giant sort tasks. All arithmetic is exact integers. */
   def packForTraining(df: DataFrame, textCol: String, idCol: String,
       nShards: Int, budgetTokens: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -125,6 +125,60 @@ object Dedup {
       .select(col("batch_id"), col("corpus_id"), col("jaccard"))
   }
 
+  /** The corpus MinHash band index as a DataFrame: one row per
+    * (document, band) carrying the document's shingle set — the shingles
+    * are duplicated `bands`× in exchange for verify needing NO join back
+    * to a docs table (the standard LSH-index storage trade). */
+  def buildBandIndex(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    df.select(col(idCol).as("corpus_id"), shingles(col(textCol)).as("sh_c"))
+      .withColumn("sig", minhashSignature(col("sh_c"), numHashes))
+      .select(col("corpus_id"), col("sh_c"),
+        posexplode(lshBands(col("sig"), bands, rowsPerBand))
+          .as(Seq("band_idx", "band_hash")))
+  }
+
+  /** Persist the band index partitioned by `band_idx` and sorted by
+    * `band_hash` within files — partition pruning on the band, row-group
+    * min/max skipping on the hash. Incremental corpora append new
+    * documents' band rows; the signature compute is paid ONCE per
+    * document ever, not once per delta batch. */
+  def writeBandIndex(index: DataFrame, path: String): Unit =
+    index
+      .repartition(col("band_idx"), col("band_hash"))
+      .sortWithinPartitions(col("band_hash"))
+      .write.mode("overwrite").partitionBy("band_idx").parquet(path)
+
+  def loadBandIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = spark.read.parquet(path)
+
+  /** Delta dedup against a PRECOMPUTED band index (built/persisted via
+    * [[buildBandIndex]]/[[writeBandIndex]]): only the batch side computes
+    * signatures; candidates come from the band equi-join; exact verify
+    * uses the shingles carried in the index. */
+  def deltaDedupAgainstIndex(bandIndex: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val batchBands = batch
+      .select(col(idCol).as("batch_id"), shingles(col(textCol)).as("sh_b"))
+      .withColumn("sig", minhashSignature(col("sh_b"), numHashes))
+      .select(col("batch_id"), col("sh_b"),
+        posexplode(lshBands(col("sig"), bands, rowsPerBand))
+          .as(Seq("b_band_idx", "b_band_hash")))
+    batchBands
+      .join(bandIndex,
+        col("b_band_idx") === col("band_idx") &&
+          col("b_band_hash") === col("band_hash"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_b"), col("sh_c"))).cast("double") /
+          size(array_union(col("sh_b"), col("sh_c"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+      .dropDuplicates("batch_id", "corpus_id")
+  }
+
   /** Exact n-gram Jaccard similarity join via shingle inverted index with
     * the full PPJoin filter stack — all three filters are exact-preserving
     * (they can only prune pairs that provably violate J ≥ t; the final

@@ -166,6 +166,8 @@ object PipelineQueries {
     // corpus and threshold. The number a pipeline owner needs before
     // trusting the approximate path at scale — and being md5-derived,
     // it is a deterministic property of the corpus, not a flaky sample.
+    // (At 100 TB one runs this on a hash-sampled slice — the exact truth
+    // side is the quadratic-ish baseline by definition.)
     "lsh_recall" -> ((s, dir) => {
       val d = docs(s, dir).localCheckpoint(false)
       val exact = Dedup.ngramJaccardPairs(d, "text", "doc_id")

@@ -139,12 +139,10 @@ object StreamingAnalytics {
       threshold: Double = 0.8): DataFrame = {
     import graft.operators.Dedup
     val rowsPerBand = numHashes / bands
-    val corpusDocs = corpus.select(col(idCol).as("corpus_id"),
-        Dedup.shingles(col(textCol)).as("sh_c"))
-      .withColumn("sig", Dedup.minhashSignature(col("sh_c"), numHashes))
-    val corpusBands = corpusDocs.select(col("corpus_id"), col("sh_c"),
-      posexplode(Dedup.lshBands(col("sig"), bands, rowsPerBand))
-        .as(Seq("band_idx", "band_hash")))
+    // same shape as a persisted index: this argument can equally be
+    // Dedup.loadBandIndex(...) of a precomputed corpus
+    val corpusBands = Dedup.buildBandIndex(corpus, textCol, idCol,
+      numHashes, bands)
     val streamBands = stream.select(col(idCol).as("batch_id"),
         Dedup.shingles(col(textCol)).as("sh_b"))
       .withColumn("sig", Dedup.minhashSignature(col("sh_b"), numHashes))

@@ -191,6 +191,31 @@ class CurationSpec extends AnyFunSuite {
     assert(jac.forall(_.getAs[Double]("jaccard") < 0.3))
   }
 
+  test("persisted band index reproduces direct cross-corpus dedup exactly") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (3L, "completely different words here now")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "no resemblance to anything stored whatsoever")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandidx").toString
+    graft.operators.Dedup.writeBandIndex(
+      graft.operators.Dedup.buildBandIndex(corpus, "text", "doc_id"), dir)
+    val viaIndex = graft.operators.Dedup.deltaDedupAgainstIndex(
+        graft.operators.Dedup.loadBandIndex(spark, dir), batch, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = graft.operators.Dedup.crossCorpusNearDuplicates(
+        corpus, batch, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex == direct)
+    assert(viaIndex == Set((10L, 1L)))
+    // the stored layout partitions by band for pruning
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("band_idx=")))
+  }
+
   test("kmeans assigns duplicate vectors to the same cluster and converges") {
     val base = Array.tabulate(8)(c => Array.tabulate(4)(d =>
       if (d == c % 4) 1.0f else 0.01f * c))
