@@ -42,6 +42,14 @@ object Curation {
   val phonePattern = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
   val ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
+  /** The scrubbed text alone (class order fixed: email, phone, IPv4). */
+  def redactText(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        phonePattern, "<PHONE>"),
+      ipv4Pattern, "<IP>")
+
   /** Count + redact emails, phone numbers and IPv4 literals. Output keeps
     * the match counts (audit trail) alongside the scrubbed text; counting
     * runs on the ORIGINAL text per class, then replacement is applied in
@@ -50,16 +58,10 @@ object Curation {
     val nEmail = size(regexp_extract_all(text, lit(emailPattern), lit(0)))
     val nPhone = size(regexp_extract_all(text, lit(phonePattern), lit(0)))
     val nIp = size(regexp_extract_all(text, lit(ipv4Pattern), lit(0)))
-    val redacted =
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(text, emailPattern, "<EMAIL>"),
-          phonePattern, "<PHONE>"),
-        ipv4Pattern, "<IP>")
     Seq(nEmail.cast("long").as("n_emails"),
       nPhone.cast("long").as("n_phones"),
       nIp.cast("long").as("n_ips"),
-      redacted.as("redacted"))
+      redactText(text).as("redacted"))
   }
 
   // -------------------------------------------- passage-level dedup

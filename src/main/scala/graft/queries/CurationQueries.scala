@@ -114,6 +114,31 @@ object CurationQueries {
       Curation.packForTraining(docs(s, dir), "text", "doc_id",
         nShards = 4, budgetTokens = 256)
         .withColumnRenamed("id", "doc_id")),
+
+    // The END-TO-END curation+export chain a training run actually
+    // ships: quality gate → PII redaction → exact dedup (min-id
+    // survivor) → leakage-safe content split → pack the train split
+    // into shards and token budgets. Three shuffles total (dedup
+    // groupBy, pack shard hash, per-shard window) regardless of corpus
+    // size; everything else is narrow.
+    "curate_export" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val quality = graft.operators.TextAnalysis.qualityColumns(
+        col("text"), Seq("the", "a", "of", "and", "not"))
+      val kept = d.select(col("doc_id") +: col("text") +: quality: _*)
+        .filter(col("n_tokens") >= 5 && col("alpha_ratio") >= 0.6)
+      val red = kept.select(col("doc_id"),
+        Curation.redactText(col("text")).as("text"))
+      val survivors = red
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+      val train = survivors.select(col("doc_id"), col("text"),
+          graft.operators.TextAnalysis.contentSplit(col("text")).as("split"))
+        .filter(col("split") === "train")
+      Curation.packForTraining(train, "text", "doc_id",
+        nShards = 4, budgetTokens = 256)
+        .withColumnRenamed("id", "doc_id")
+    }),
   )
 
   // ------------------------------------------------------------ oracles
@@ -363,5 +388,58 @@ object CurationQueries {
         |       CAST(offset_tokens // 256 AS BIGINT) AS pack_id
         |FROM c
         |""".stripMargin,
+
+    "curate_export" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, text,
+         |         len(string_split(text, ' ')) AS n_tokens,
+         |         CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+         |              AS DOUBLE) / CAST(len(text) AS DOUBLE) AS alpha_ratio
+         |  FROM documents),
+         |kept AS (
+         |  SELECT doc_id, text FROM scored
+         |  WHERE n_tokens >= 5 AND alpha_ratio >= 0.6),
+         |red AS (
+         |  SELECT doc_id,
+         |         regexp_replace(
+         |           regexp_replace(
+         |             regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
+         |             '$phoneRe', '<PHONE>', 'g'),
+         |           '$ipRe', '<IP>', 'g') AS text
+         |  FROM kept),
+         |surv AS (
+         |  SELECT MIN(doc_id) AS doc_id, MIN(text) AS text
+         |  FROM red GROUP BY md5(text)),
+         |spl AS (
+         |  SELECT doc_id, text,
+         |         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+         |  FROM surv),
+         |train AS (
+         |  SELECT doc_id, text FROM spl
+         |  WHERE ((strpos('0123456789abcdef', f[1]) - 1) * 4096 +
+         |         (strpos('0123456789abcdef', f[2]) - 1) * 256 +
+         |         (strpos('0123456789abcdef', f[3]) - 1) * 16 +
+         |         (strpos('0123456789abcdef', f[4]) - 1)) % 10 < 8),
+         |t AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |         CAST(((strpos('0123456789abcdef', md5(text)[1]) - 1) * 4096 +
+         |               (strpos('0123456789abcdef', md5(text)[2]) - 1) * 256 +
+         |               (strpos('0123456789abcdef', md5(text)[3]) - 1) * 16 +
+         |               (strpos('0123456789abcdef', md5(text)[4]) - 1)) % 4
+         |              AS BIGINT) AS shard
+         |  FROM train),
+         |c AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |         SUM(n_tokens) OVER (
+         |           PARTITION BY shard ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           - n_tokens AS offset_tokens
+         |  FROM t)
+         |SELECT doc_id, shard, n_tokens,
+         |       CAST(offset_tokens AS BIGINT) AS offset_tokens,
+         |       CAST(offset_tokens // 256 AS BIGINT) AS pack_id
+         |FROM c
+         |""".stripMargin,
   )
 }
