@@ -118,9 +118,9 @@ object CurationQueries {
     // The END-TO-END curation+export chain a training run actually
     // ships: quality gate → PII redaction → exact dedup (min-id
     // survivor) → leakage-safe content split → pack the train split
-    // into shards and token budgets. Three shuffles total (dedup
-    // groupBy, pack shard hash, per-shard window) regardless of corpus
-    // size; everything else is narrow.
+    // into shards and token budgets. Two pipeline shuffles total (dedup
+    // groupBy; shard-partitioned packing window) regardless of corpus
+    // size — PlanSpec asserts it; everything else is narrow.
     "curate_export" -> ((s, dir) => {
       val d = docs(s, dir)
       val quality = graft.operators.TextAnalysis.qualityColumns(

@@ -194,6 +194,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("curate_export runs in exactly two shuffles end to end") {
+    val plan = explainOf(graft.SparkEntry.queries("curate_export")(
+      spark, "/root/testdata/sf0.001"))
+    val tree = plan.split("\n\n").head
+    val nExchange = "Exchange".r.findAllIn(tree).length
+    // the pipeline's shuffle budget, independent of corpus size: dedup
+    // aggregation + shard-partitioned packing window, plus the ONE
+    // deliberate round-robin spread of the single-row-group test input
+    // (Graft tables arrive as one parquet row group; a real corpus scan
+    // is already parallel and skips it)
+    assert(nExchange == 3, s"expected 3 exchanges, got $nExchange:\n$tree")
+  }
+
   test("k-means assignment is a narrow pass over broadcast centroid literals") {
     val vecs = (0L to 20L).map { i =>
       val rnd = new scala.util.Random(i)
