@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver contract itself, asserted: a future operator that lands
+  * without an oracle (or with a name the harness would mangle) fails CI
+  * instead of silently downgrading to a rows-only check. */
+class ContractSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("every gate query ships a DuckDB oracle and vice versa") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(q.diff(o).isEmpty, s"queries without oracle: ${q.diff(o)}")
+    assert(o.diff(q).isEmpty, s"oracles without query: ${o.diff(q)}")
+  }
+
+  test("gate names are stable lowercase identifiers") {
+    SparkEntry.queries.keys.foreach { name =>
+      assert(name.matches("[a-z][a-z0-9_]*"), name)
+    }
+  }
+
+  test("flagship entry returns rows on sf0.001 (driver smoke check)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle SQL references only driver-provided tables") {
+    val tables = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    // crude but effective: every FROM/JOIN target that is a bare
+    // identifier must be a known table or a CTE defined in that query
+    val cte = "(?i)([a-z0-9_]+)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
+    val src = "(?i)(?:FROM|JOIN)\\s+([a-z_][a-z0-9_]*)".r
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val defined = cte.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      src.findAllMatchIn(sql).map(_.group(1).toLowerCase).foreach { t =>
+        assert(tables.contains(t) || defined.contains(t),
+          s"$name references unknown relation '$t'")
+      }
+    }
+  }
+}
