@@ -226,6 +226,8 @@ object Curation {
     * giant sort tasks. All arithmetic is exact integers. */
   def packForTraining(df: DataFrame, textCol: String, idCol: String,
       nShards: Int, budgetTokens: Long): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
     import org.apache.spark.sql.expressions.Window
     val nTok = size(split(col(textCol), " ")).cast("long")
     val shard = conv(substring(md5(col(textCol)), 1, 4), 16, 10)

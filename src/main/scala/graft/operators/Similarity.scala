@@ -196,6 +196,8 @@ object Similarity {
         .map(r => (r.getAs[Long]("id").toInt,
           r.getAs[Seq[Double]]("v").toArray))
         .sortBy(_._1).toSeq
+    require(centroids.nonEmpty,
+      s"kmeans needs seed vectors with $idCol in [0, $k); none found")
 
     def assign(cs: Seq[(Int, Array[Double])]): DataFrame = {
       val scored = cs.map { case (cid, cv) =>
