@@ -256,8 +256,14 @@ object Dedup {
     * documents are dropped BEFORE the self-join (the MOSS practice of
     * ignoring ubiquitous spans) — a boilerplate span in f docs would
     * otherwise contribute f²/2 join rows while carrying no overlap
-    * signal. One shuffle for the frequency count, one for the join,
-    * one for the pair aggregation. */
+    * signal. The cap is deliberately ABSOLUTE, not a corpus fraction: it
+    * bounds the worst-case join fan-out per fingerprint at cap²/2
+    * regardless of corpus size (a relative cap re-opens the quadratic
+    * blow-up on low-diversity corpora). Corollary: a corpus whose every
+    * span is ubiquitous (tiny vocabulary) correctly yields NO pairs —
+    * "shares only boilerplate" is not overlap signal. One shuffle for
+    * the frequency count, one for the join, one for the pair
+    * aggregation. */
   def winnowOverlapPairs(df: DataFrame, textCol: String, idCol: String,
       minShared: Int = 5, maxDocFrequency: Int = 50): DataFrame = {
     val fps = df.select(col(idCol).as("id"),
@@ -284,9 +290,10 @@ object Dedup {
     * containment ≈ 1. Output: unordered pair + both directions as integer
     * cents.
     *
-    * Same skew guard as [[winnowOverlapPairs]] (doc-frequency pruning
-    * before the self-join); denominators count the PRUNED fingerprint
-    * sets so the ratio is internally consistent. Shuffles: frequency
+    * Same skew guard as [[winnowOverlapPairs]] (ABSOLUTE doc-frequency
+    * pruning before the self-join — see there for why absolute, and for
+    * the tiny-vocabulary corollary); denominators count the PRUNED
+    * fingerprint sets so the ratio is internally consistent. Shuffles: frequency
     * count, pair join, pair aggregation, then joins from the (pair-graph-
     * sized) result back to the per-doc size table. */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
