@@ -103,6 +103,61 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist an IVF index: every vector stored under its centroid's
+    * partition directory (`cluster=<c>/`), plus the centroid vectors —
+    * the "cluster id becomes a partition column" layout that turns an
+    * IVF probe into PARTITION PRUNING: a query plans `nprobe` directory
+    * scans, never touching the other clusters' files. Assignment is the
+    * same broadcast-argmax aggregation as [[ivfTopK]]. */
+  def writeIvfIndex(embeddings: DataFrame, idCol: String, embCol: String,
+      centroidIds: Seq[Long], path: String): Unit = {
+    val scaledDf = embeddings.select(col(idCol).as("id"),
+      scaled(col(embCol)).as("v"))
+    val centroids = scaledDf.filter(col("id").isin(centroidIds: _*))
+      .select(col("id").as("c_id"), col("v").as("c_v"))
+    val assigned = scaledDf.crossJoin(broadcast(centroids))
+      .withColumn("c_cos", cosine(col("v"), col("c_v")))
+      .groupBy(col("id"), col("v"))
+      .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id")))
+        .as("cluster"))
+    assigned.write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$path/vectors")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Top-k against a persisted IVF index: centroids are collected (tiny),
+    * the probe set is ranked driver-side with the same exact-integer
+    * cosine, and ONLY the `nprobe` matching cluster partitions are
+    * scanned (`cluster IN (...)` prunes at the directory level — assert
+    * in PlanSpec). The query embedding is scaled THROUGH the same Spark
+    * expression as the stored vectors, so its integers are bit-identical
+    * to an indexed copy of the same embedding. */
+  def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+      queryEmbedding: Seq[Float], queryId: Long, k: Int,
+      nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val qv: Array[Double] = Seq(queryEmbedding).toDF("e")
+      .select(scaled(col("e"))).head.getSeq[Double](0).toArray
+    val centroids = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getAs[Long]("c_id"), r.getSeq[Double](r.fieldIndex("c_v")).toArray))
+    def dotL(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val probe = centroids
+      .map { case (cid, cv) =>
+        (cid, dotL(qv, cv) / (math.sqrt(dotL(qv, qv)) * math.sqrt(dotL(cv, cv))))
+      }
+      .sortBy { case (cid, cos) => (-cos, cid) }
+      .take(nprobe).map(_._1.toInt)
+    val qvCol = array(qv.map(lit(_)).toSeq: _*)
+    spark.read.parquet(s"$path/vectors")
+      .filter(col("cluster").isin(probe: _*) && col("id") =!= queryId)
+      .select(col("id"), cosine(col("v"), qvCol).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Random-hyperplane LSH near-duplicate pairs — the SCALE path for
     * cosine dedup: signatures are sign-bits against `nPlanes`
     * deterministic ±1 hyperplanes (md5-derived, no RNG — reproducible on
@@ -194,7 +249,7 @@ object Similarity {
     var centroids: Seq[(Int, Array[Double])] =
       s.filter(col("id") < k).collect()
         .map(r => (r.getAs[Long]("id").toInt,
-          r.getAs[Seq[Double]]("v").toArray))
+          r.getSeq[Double](r.fieldIndex("v")).toArray))
         .sortBy(_._1).toSeq
     require(centroids.nonEmpty,
       s"kmeans needs seed vectors with $idCol in [0, $k); none found")

@@ -90,6 +90,20 @@ object PipelineQueries {
       Similarity.cosineLshPairs(embs(s, dir), "vec_id", "embedding", 0.4,
         dim = 64)),
 
+    // IVF through the PERSISTED index: vectors stored partitioned by
+    // cluster directory, probe = partition-pruned scan of nprobe dirs.
+    // Must bit-match ann_ivf (same oracle) — the storage layout is an
+    // optimization, never a semantics change.
+    "ann_ivf_index" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivfidx")
+        .toString
+      val e = embs(s, dir)
+      Similarity.writeIvfIndex(e, "vec_id", "embedding", 0L to 7L, tmp)
+      val q = e.filter(col("vec_id") === 5)
+        .select(col("embedding")).head.getSeq[Float](0)
+      Similarity.ivfIndexTopK(s, tmp, q, queryId = 5L, k = 10, nprobe = 2)
+    }),
+
     // Per-document quality metrics.
     "text_quality" -> ((s, dir) =>
       docs(s, dir).select(
@@ -254,6 +268,33 @@ object PipelineQueries {
 
   private def cosSql(a: String, b: String): String =
     s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
+
+  /** IVF ANN oracle — shared by `ann_ivf` (in-memory assignment) and
+    * `ann_ivf_index` (persisted cluster-partitioned layout): the storage
+    * path must reproduce the computation bit-for-bit. */
+  private val ivfOracleSql: String =
+    s"""WITH $scaledCte,
+       |c AS (SELECT id AS c_id, v AS c_v FROM s WHERE id BETWEEN 0 AND 7),
+       |asg AS (
+       |  SELECT id, v, c_id AS cluster FROM (
+       |    SELECT s.id, s.v, c.c_id,
+       |           ROW_NUMBER() OVER (
+       |             PARTITION BY s.id
+       |             ORDER BY ${cosSql("s.v", "c.c_v")} DESC, c.c_id ASC) AS rk
+       |    FROM s CROSS JOIN c) t
+       |  WHERE rk = 1),
+       |probe AS (
+       |  SELECT a.v AS qv, c.c_id AS probe_cluster
+       |  FROM asg a CROSS JOIN c
+       |  WHERE a.id = 5
+       |  ORDER BY ${cosSql("a.v", "c.c_v")} DESC, c.c_id ASC
+       |  LIMIT 2)
+       |SELECT asg.id, ${cosSql("asg.v", "probe.qv")} AS cos_sim
+       |FROM asg JOIN probe ON asg.cluster = probe.probe_cluster
+       |WHERE asg.id <> 5
+       |ORDER BY cos_sim DESC, asg.id ASC
+       |LIMIT 10
+       |""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -525,29 +566,11 @@ object PipelineQueries {
          |LIMIT 10
          |""".stripMargin,
 
-    "ann_ivf" ->
-      s"""WITH $scaledCte,
-         |c AS (SELECT id AS c_id, v AS c_v FROM s WHERE id BETWEEN 0 AND 7),
-         |asg AS (
-         |  SELECT id, v, c_id AS cluster FROM (
-         |    SELECT s.id, s.v, c.c_id,
-         |           ROW_NUMBER() OVER (
-         |             PARTITION BY s.id
-         |             ORDER BY ${cosSql("s.v", "c.c_v")} DESC, c.c_id ASC) AS rk
-         |    FROM s CROSS JOIN c) t
-         |  WHERE rk = 1),
-         |probe AS (
-         |  SELECT a.v AS qv, c.c_id AS probe_cluster
-         |  FROM asg a CROSS JOIN c
-         |  WHERE a.id = 5
-         |  ORDER BY ${cosSql("a.v", "c.c_v")} DESC, c.c_id ASC
-         |  LIMIT 2)
-         |SELECT asg.id, ${cosSql("asg.v", "probe.qv")} AS cos_sim
-         |FROM asg JOIN probe ON asg.cluster = probe.probe_cluster
-         |WHERE asg.id <> 5
-         |ORDER BY cos_sim DESC, asg.id ASC
-         |LIMIT 10
-         |""".stripMargin,
+    "ann_ivf" -> ivfOracleSql,
+
+    // identical semantics through the persisted cluster-partitioned
+    // index — same oracle by design
+    "ann_ivf_index" -> ivfOracleSql,
 
     // Mirrors the random-hyperplane LSH pipeline (same md5-derived ±1
     // planes, 16-bit signature, 4 blocks, candidate bucket join, exact

@@ -207,6 +207,30 @@ class PlanSpec extends AnyFunSuite {
     assert(nExchange == 3, s"expected 3 exchanges, got $nExchange:\n$tree")
   }
 
+  test("persisted IVF index prunes to the probed cluster partitions") {
+    val vecs = (0L to 40L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft-plan-ivf").toString
+    graft.operators.Similarity.writeIvfIndex(
+      vecs, "vec_id", "embedding", 0L to 3L, dir)
+    val q = vecs.filter(col("vec_id") === 5)
+      .select(col("embedding")).head.getSeq[Float](0)
+    val out = graft.operators.Similarity.ivfIndexTopK(
+      spark, dir, q, queryId = 5L, k = 5, nprobe = 2)
+    val plan = explainOf(out)
+    // the probe is directory-level partition pruning, not a data filter
+    assert(plan.matches("(?s).*PartitionFilters:.*cluster.*"), plan)
+    // and the persisted path returns exactly what the in-memory IVF does
+    val direct = graft.operators.Similarity.ivfTopK(
+      vecs, "vec_id", "embedding", queryId = 5L, k = 5,
+      centroidIds = 0L to 3L, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val indexed = out.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(indexed == direct)
+  }
+
   test("k-means assignment is a narrow pass over broadcast centroid literals") {
     val vecs = (0L to 20L).map { i =>
       val rnd = new scala.util.Random(i)
