@@ -170,20 +170,10 @@ object Similarity {
   def cosineLshPairs(embeddings: DataFrame, idCol: String, embCol: String,
       threshold: Double, dim: Int, nPlanes: Int = 16,
       blocks: Int = 4): DataFrame = {
-    // deterministic ±1 planes: sign p,i from one md5 bit
-    val planes: Array[Array[Double]] = Array.tabulate(nPlanes) { p =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      Array.tabulate(dim) { i =>
-        val d = md.digest(s"$p:$i".getBytes("UTF-8"))
-        if ((d(0) & 1) == 1) 1.0 else -1.0
-      }
-    }
-    val s = withNorm(embeddings, idCol, embCol)
-    val sigBits: Seq[Column] = planes.toSeq.map { plane =>
-      val planeCol = array(plane.map(lit(_)).toSeq: _*)
-      when(dot(col("v"), planeCol) > 0, lit("1")).otherwise(lit("0"))
-    }
-    val signed = s.withColumn("sig", concat(sigBits: _*))
+    // deterministic ±1 planes: sign p,i from one md5 bit (shared helper
+    // with the asymmetric delta path)
+    val signed = withSignature(embeddings, idCol, embCol,
+      hyperplanes(nPlanes, dim))
     val blockLen = nPlanes / blocks
     val exploded = signed.select(col("id"), col("v"), col("norm"),
       posexplode(transform(sequence(lit(0), lit(blocks - 1)),
@@ -199,6 +189,60 @@ object Similarity {
     candidates
       .select(col("id_a"), col("id_b"),
         (dot(col("v_a"), col("v_b")) / (col("norm_a") * col("norm_b")))
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Deterministic ±1 hyperplanes shared by the symmetric and asymmetric
+    * LSH paths (md5-derived — reproducible on any cluster). */
+  private def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes) { p =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(dim) { i =>
+        val d = md.digest(s"$p:$i".getBytes("UTF-8"))
+        if ((d(0) & 1) == 1) 1.0 else -1.0
+      }
+    }
+
+  private def withSignature(df: DataFrame, idCol: String, embCol: String,
+      planes: Array[Array[Double]]): DataFrame = {
+    val s = withNorm(df, idCol, embCol)
+    val sigBits: Seq[Column] = planes.toSeq.map { plane =>
+      val planeCol = array(plane.map(lit(_)).toSeq: _*)
+      when(dot(col("v"), planeCol) > 0, lit("1")).otherwise(lit("0"))
+    }
+    s.withColumn("sig", concat(sigBits: _*))
+  }
+
+  /** Cross-corpus (delta) embedding near-dup: which BATCH vectors are
+    * cosine-near something already in the CORPUS — the embeddings twin of
+    * [[graft.operators.Dedup.crossCorpusNearDuplicates]]. Blocking on
+    * hyperplane-signature chunks, asymmetric equi-join (batch blocks ×
+    * corpus blocks), exact cosine verify on candidates. At scale the
+    * corpus side is precomputed (same signature columns persisted
+    * partitioned by block, like the MinHash band index). */
+  def cosineLshDelta(corpus: DataFrame, batch: DataFrame, idCol: String,
+      embCol: String, threshold: Double, dim: Int, nPlanes: Int = 16,
+      blocks: Int = 4): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val blockLen = nPlanes / blocks
+    def explodeBlocks(df: DataFrame, prefix: String): DataFrame =
+      withSignature(df, idCol, embCol, planes).select(
+        col("id").as(s"${prefix}_id"), col("v").as(s"v_$prefix"),
+        col("norm").as(s"norm_$prefix"),
+        posexplode(transform(sequence(lit(0), lit(blocks - 1)),
+          b => col("sig").substr(b * blockLen + 1, lit(blockLen))))
+          .as(Seq(s"${prefix}_block_idx", s"${prefix}_block")))
+    val b = explodeBlocks(batch, "b")
+    val c = explodeBlocks(corpus, "c")
+    b.join(c,
+        col("b_block_idx") === col("c_block_idx") &&
+          col("b_block") === col("c_block"))
+      .select(col("b_id").as("batch_id"), col("v_b"), col("norm_b"),
+        col("c_id").as("corpus_id"), col("v_c"), col("norm_c"))
+      .distinct()
+      .select(col("batch_id"), col("corpus_id"),
+        (dot(col("v_b"), col("v_c")) / (col("norm_b") * col("norm_c")))
           .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }

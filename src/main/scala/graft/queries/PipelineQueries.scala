@@ -90,6 +90,21 @@ object PipelineQueries {
       Similarity.cosineLshPairs(embs(s, dir), "vec_id", "embedding", 0.4,
         dim = 64)),
 
+    // Cross-corpus (delta) EMBEDDING dedup: planted exact copies
+    // (vec_id % 9) and planted non-matches (reversed vectors, vec_id %
+    // 13) joined against the corpus through the asymmetric hyperplane-
+    // signature block join — the embeddings twin of delta_dedup.
+    "embedding_delta" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val batch = e.filter(col("vec_id") % 9 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+        .unionAll(e.filter(col("vec_id") % 13 === 0)
+          .select((col("vec_id") + 200000).as("vec_id"),
+            reverse(col("embedding")).as("embedding")))
+      Similarity.cosineLshDelta(e, batch, "vec_id", "embedding",
+        threshold = 0.4, dim = 64)
+    }),
+
     // IVF through the PERSISTED index: vectors stored partitioned by
     // cluster directory, probe = partition-pruned scan of nprobe dirs.
     // Must bit-match ann_ivf (same oracle) — the storage layout is an
@@ -603,6 +618,62 @@ object PipelineQueries {
          |FROM cand c
          |JOIN s x ON x.id = c.id_a
          |JOIN s y ON y.id = c.id_b
+         |WHERE ${cosSql("x.v", "y.v")} >= 0.4
+         |""".stripMargin,
+
+    // asymmetric hyperplane LSH mirrored across corpus and batch (same
+    // md5-derived planes as embedding_neardup)
+    "embedding_delta" ->
+      s"""WITH $scaledCte,
+         |bset AS (
+         |  SELECT vec_id + 100000 AS id, embedding
+         |  FROM embeddings WHERE vec_id % 9 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 200000 AS id, list_reverse(embedding)
+         |  FROM embeddings WHERE vec_id % 13 = 0),
+         |sb AS (SELECT id,
+         |              list_transform(embedding,
+         |                x -> round(CAST(x AS DOUBLE) * 100000, 0)) AS v
+         |       FROM bset),
+         |sigc AS (
+         |  SELECT id, v,
+         |    array_to_string(list_transform(generate_series(0, 15), p ->
+         |      CASE WHEN list_dot_product(v,
+         |             list_transform(generate_series(0, 63), i ->
+         |               CASE WHEN (strpos('0123456789abcdef',
+         |                      md5(CAST(p AS VARCHAR) || ':' ||
+         |                          CAST(i AS VARCHAR))[2]) - 1) % 2 = 1
+         |                    THEN 1.0 ELSE -1.0 END)) > 0
+         |           THEN '1' ELSE '0' END), '') AS sig
+         |  FROM s),
+         |sigb AS (
+         |  SELECT id, v,
+         |    array_to_string(list_transform(generate_series(0, 15), p ->
+         |      CASE WHEN list_dot_product(v,
+         |             list_transform(generate_series(0, 63), i ->
+         |               CASE WHEN (strpos('0123456789abcdef',
+         |                      md5(CAST(p AS VARCHAR) || ':' ||
+         |                          CAST(i AS VARCHAR))[2]) - 1) % 2 = 1
+         |                    THEN 1.0 ELSE -1.0 END)) > 0
+         |           THEN '1' ELSE '0' END), '') AS sig
+         |  FROM sb),
+         |blkc AS (
+         |  SELECT id, b.block_idx,
+         |         substr(sig, b.block_idx * 4 + 1, 4) AS block
+         |  FROM sigc, (SELECT UNNEST(generate_series(0, 3)) AS block_idx) b),
+         |blkb AS (
+         |  SELECT id, b.block_idx,
+         |         substr(sig, b.block_idx * 4 + 1, 4) AS block
+         |  FROM sigb, (SELECT UNNEST(generate_series(0, 3)) AS block_idx) b),
+         |cand AS (
+         |  SELECT DISTINCT b.id AS batch_id, c.id AS corpus_id
+         |  FROM blkb b JOIN blkc c
+         |    ON b.block_idx = c.block_idx AND b.block = c.block)
+         |SELECT cand.batch_id, cand.corpus_id,
+         |       ${cosSql("x.v", "y.v")} AS cos_sim
+         |FROM cand
+         |JOIN sb x ON x.id = cand.batch_id
+         |JOIN s y ON y.id = cand.corpus_id
          |WHERE ${cosSql("x.v", "y.v")} >= 0.4
          |""".stripMargin,
 

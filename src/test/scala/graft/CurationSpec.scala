@@ -216,6 +216,19 @@ class CurationSpec extends AnyFunSuite {
     assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("band_idx=")))
   }
 
+  test("cosineLshDelta finds batch copies against the corpus") {
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L to 30L).map(i => (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val copyOf3 = corpus.filter(col("vec_id") === 3L)
+      .select(lit(103L).as("vec_id"), col("embedding"))
+    val out = Similarity.cosineLshDelta(corpus, copyOf3, "vec_id",
+        "embedding", threshold = 0.99, dim = 16)
+      .collect().map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"),
+        r.getAs[Double]("cos_sim")))
+    assert(out.exists { case (b, c, cos) => b == 103L && c == 3L && cos == 1.0 })
+  }
+
   test("kmeans assigns duplicate vectors to the same cluster and converges") {
     val base = Array.tabulate(8)(c => Array.tabulate(4)(d =>
       if (d == c % 4) 1.0f else 0.01f * c))
