@@ -184,11 +184,17 @@ class PlanSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val batch = (31L to 35L).map(i => (i, s"w$i x$i y$i z$i common here"))
       .toDF("doc_id", "text")
+    val vecs = (0L to 20L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
     for (plan <- Seq(
         explainOf(graft.operators.Dedup.crossCorpusNearDuplicates(
           corpus, batch, "text", "doc_id")),
         explainOf(graft.operators.Dedup.containmentPairs(
-          corpus, "text", "doc_id")))) {
+          corpus, "text", "doc_id")),
+        explainOf(graft.operators.Similarity.cosineLshDelta(
+          vecs, vecs, "vec_id", "embedding", threshold = 0.9, dim = 16)))) {
       assert(!plan.contains("CartesianProduct"), plan)
       assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     }
