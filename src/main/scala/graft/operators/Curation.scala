@@ -205,6 +205,23 @@ object Curation {
 
   // -------------------------------------------- TF-IDF keywords
 
+  /** Global top-k adjacent character pairs — the counting step of one BPE
+    * merge round (vocabulary induction): the pair a tokenizer trainer
+    * would merge next is the argmax of exactly this table. Same shape as
+    * [[ngramTopK]]: narrow per-row pair explosion, map-side partial
+    * aggregation to distinct pairs, TakeOrderedAndProject. */
+  def bytePairTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val t = col(textCol)
+    val pairs = when(length(t) < 2, array())
+      .otherwise(transform(sequence(lit(1), length(t) - 1),
+        i => t.substr(i, lit(2))))
+    df.select(explode(pairs).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair").asc)
+      .limit(k)
+  }
+
   // -------------------------------------------- training export
 
   /** Deterministic export sharding + contiguous token-budget packing —

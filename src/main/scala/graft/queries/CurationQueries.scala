@@ -79,6 +79,11 @@ object CurationQueries {
     "ngram_topk" -> ((s, dir) =>
       Curation.ngramTopK(docs(s, dir), "text", n = 3, k = 20)),
 
+    // Top-20 adjacent character pairs — one BPE merge round's counting
+    // step (vocabulary induction primitive).
+    "bpe_pairs" -> ((s, dir) =>
+      Curation.bytePairTopK(docs(s, dir), "text", k = 20)),
+
     // Per-language token-count quantiles (exact interpolated percentiles,
     // emitted as integer cents — the double is a multiple of 0.25, so
     // round(q*100) is exact on both engines).
@@ -310,6 +315,18 @@ object CurationQueries {
          |ORDER BY n_occurrences DESC, gram ASC
          |LIMIT 20
          |""".stripMargin,
+
+    "bpe_pairs" ->
+      """WITH p AS (
+        |  SELECT UNNEST(CASE WHEN len(text) < 2 THEN []
+        |                ELSE list_transform(generate_series(1, len(text) - 1),
+        |                       i -> substr(text, i, 2)) END) AS pair
+        |  FROM documents)
+        |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        |FROM p GROUP BY pair
+        |ORDER BY n_occurrences DESC, pair ASC
+        |LIMIT 20
+        |""".stripMargin,
 
     "length_quantiles" ->
       """WITH t AS (
