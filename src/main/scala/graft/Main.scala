@@ -38,7 +38,7 @@ object Main {
   }
 
   val usage: String =
-    """usage: graft.Main <build|merge|serve|query|dump|replay|backup> [args]
+    """usage: graft.Main <build|merge|serve|query|dump|replay|backup|curate|dedup> [args]
       |  build  --obs <parquet> --store <dir> [--buckets 64]
       |  merge  --obs <parquet> --store <dir>
       |  serve  --store <dir> [--port 8080]
@@ -46,6 +46,8 @@ object Main {
       |  dump   --store <dir> --out <dir>
       |  replay --dump <dir> --store <dir> [--buckets 64]
       |  backup --store <dir> --out <dir>
+      |  curate --docs <parquet> --out <dir> [--shards 64] [--budget 8192]
+      |  dedup  --docs <parquet> --out <dir>
       |""".stripMargin
 
   /** Parse `--flag value` pairs; bare tokens (after the subcommand) are
@@ -118,6 +120,48 @@ object Main {
         null
       case "backup" =>
         Tools.backup(spark, required(flags, "store"), required(flags, "out"))
+        null
+      case "curate" =>
+        // the curate_export chain over an arbitrary (doc_id, text) corpus:
+        // quality gate → PII redaction → exact dedup → leakage-safe split
+        // → token-budget packing of the train split; writes one parquet
+        // per split under --out
+        import org.apache.spark.sql.functions._
+        val (docsPath, outPath) = (required(flags, "docs"), required(flags, "out"))
+        val nShards = flags.get("shards").map(_.toInt).getOrElse(64)
+        val budget = flags.get("budget").map(_.toLong).getOrElse(8192L)
+        val d = spark.read.parquet(docsPath)
+        val quality = operators.TextAnalysis.qualityColumns(col("text"),
+          Seq("the", "a", "of", "and", "not"))
+        val kept = d.select(col("doc_id") +: col("text") +: quality: _*)
+          .filter(col("n_tokens") >= 5 && col("alpha_ratio") >= 0.6)
+        val red = kept.select(col("doc_id"),
+          operators.Curation.redactText(col("text")).as("text"))
+        val survivors = red.groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+          .select(col("doc_id"), col("text"),
+            operators.TextAnalysis.contentSplit(col("text")).as("split"))
+        survivors.filter(col("split") =!= "train")
+          .write.mode("overwrite").partitionBy("split")
+          .parquet(s"$outPath/holdout")
+        val packed = operators.Curation.packForTraining(
+            survivors.filter(col("split") === "train"), "text", "doc_id",
+            nShards, budget)
+          .withColumnRenamed("id", "doc_id")
+        packed.join(survivors.select(col("doc_id"), col("text")), "doc_id")
+          .write.mode("overwrite").partitionBy("shard")
+          .parquet(s"$outPath/train")
+        null
+      case "dedup" =>
+        // exact-dedup survivors of a (doc_id, text) corpus
+        import org.apache.spark.sql.functions._
+        val (docsPath, outPath) = (required(flags, "docs"), required(flags, "out"))
+        spark.read.parquet(docsPath)
+          .groupBy(md5(col("text")).as("content_hash"))
+          .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"),
+            count(lit(1)).as("n_copies"))
+          .select(col("doc_id"), col("text"), col("n_copies"))
+          .write.mode("overwrite").parquet(outPath)
         null
       case other =>
         throw new IllegalArgumentException(s"unknown command: $other\n$usage")

