@@ -31,6 +31,77 @@ object Events {
       .select(col("w.start").as("window_start"), col("key"),
         col("n_events"), col("sum_value_cents"))
 
+  /** As-of join: each left row picks up the LATEST right row with
+    * `right.time <= left.time` on the same key (the "most recent quote
+    * for this trade" / "last purchase before this click" join). Spark has
+    * no native ASOF JOIN; the naive formulation is an inequality join
+    * (nested-loop at scale). This is the distributed-standard union trick
+    * instead: tag both sides, ONE shuffle on the key, one within-partition
+    * sort on (time, side), and a running `last(_, ignoreNulls)` window
+    * carries the most recent right payload forward into the left rows —
+    * linear in rows, no pairwise product anywhere, spillable sort.
+    *
+    * Right rows must be unique per (key, time) — the same precondition
+    * that makes any engine's ASOF deterministic; pre-aggregate duplicates.
+    * Ties (`left.time == right.time`) match, i.e. `>=` semantics, like
+    * DuckDB's `ASOF JOIN ... ON l.t >= r.t`. Unmatched left rows keep a
+    * NULL payload (left-join shape); filter the payload's time column for
+    * inner-ASOF.
+    *
+    * Output: every left column, plus `<prefix><rightTimeCol>` and
+    * `<prefix><c>` for each requested right value column. */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTimeCol: String, rightTimeCol: String,
+      rightValueCols: Seq[String], prefix: String = "asof_"): DataFrame = {
+    val lType = org.apache.spark.sql.types.StructType(left.schema.fields)
+    val rvExpr = struct((rightTimeCol +: rightValueCols).map(col): _*)
+    val rvType = right.select(rvExpr.as("_rv")).schema.head.dataType
+    val l2 = left.select(col(keyCol).as("_k"), col(leftTimeCol).as("_t"),
+      lit(1).as("_side"), struct(left.columns.map(col): _*).as("_l"),
+      lit(null).cast(rvType).as("_rv"))
+    val r2 = right.select(col(keyCol).as("_k"), col(rightTimeCol).as("_t"),
+      lit(0).as("_side"), lit(null).cast(lType).as("_l"), rvExpr.as("_rv"))
+    // side 0 sorts before side 1 at equal times → a right row at exactly
+    // left.time is already visible to the running last() → >= semantics
+    val w = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l2.unionByName(r2)
+      .withColumn("_m", last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+    val outCols = left.columns.toSeq.map(c => col(s"_l.$c").as(c)) ++
+      (rightTimeCol +: rightValueCols).map(c => col(s"_m.$c").as(s"$prefix$c"))
+    matched.select(outCols: _*)
+  }
+
+  /** Range (interval) join: all (left, right) pairs on the same key with
+    * `0 < right.time - left.time <= windowUs` (e.g. "purchases within 24h
+    * after a view"). A direct inequality join degenerates to a per-key
+    * cartesian; this bins both sides by `windowUs` and equi-joins on
+    * (key, bin) — the left side probes its own bin and the next one (a
+    * right row in range lands in exactly one of the two), so the product
+    * is bounded by pairs-per-2-bins, not pairs-per-key. One shuffle per
+    * side, no distinct needed: each qualifying pair matches exactly one
+    * bin pair. Output columns are the caller-projected `leftOut` /
+    * `rightOut` (pre-rename collisions away) plus `delta_us`. */
+  def rangeJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTimeCol: String, rightTimeCol: String, windowUs: Long,
+      leftOut: Seq[String], rightOut: Seq[String]): DataFrame = {
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    val lt = unix_micros(col(leftTimeCol).cast("timestamp_ltz"))
+    val rt = unix_micros(col(rightTimeCol).cast("timestamp_ltz"))
+    val l2 = left.select((leftOut.map(col) :+ col(keyCol).as("_k") :+
+        lt.as("_lt")): _*)
+      .withColumn("_bin", explode(array(expr(s"_lt div $windowUs"),
+        expr(s"_lt div $windowUs") + 1)))
+    val r2 = right.select((rightOut.map(col) :+ col(keyCol).as("_rk") :+
+        rt.as("_rt")): _*)
+      .withColumn("_rbin", expr(s"_rt div $windowUs"))
+    l2.join(r2, col("_k") === col("_rk") && col("_bin") === col("_rbin") &&
+        col("_rt") > col("_lt") && col("_rt") - col("_lt") <= windowUs)
+      .select((leftOut ++ rightOut).map(col) :+
+        (col("_rt") - col("_lt")).as("delta_us"): _*)
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds `gapMinutes`. Returns one row
     * per session with start/end/size. */

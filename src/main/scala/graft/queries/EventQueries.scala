@@ -31,6 +31,42 @@ object EventQueries {
           micros(col("session_start")).as("session_start"),
           micros(col("session_end")).as("session_end"),
           col("n_events"))),
+
+    // As-of join: each click picks up the user's most recent
+    // prior-or-simultaneous purchase (amount pre-aggregated to integer
+    // cents per (user, ts) — the uniqueness precondition). Oracle is
+    // DuckDB's NATIVE ASOF JOIN — an independent implementation of the
+    // semantics, not a mirrored query.
+    "events_asof" -> ((s, dir) => {
+      val e = events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(round(col("value") * 100, 0).cast("long"))
+          .as("purchase_cents"))
+      Events.asofJoin(clicks, purchases, "user_id", "ts", "ts",
+          Seq("purchase_cents"))
+        .filter(col("asof_ts").isNotNull) // inner-ASOF, like the oracle
+        .select(col("event_id"), col("user_id"), micros(col("ts")).as("ts"),
+          micros(col("asof_ts")).as("purchase_ts"),
+          col("asof_purchase_cents").as("purchase_cents"))
+    }),
+
+    // Range join: purchases within 24h AFTER a view by the same user
+    // (attribution window), via the binned equi-join — never a per-key
+    // cartesian. Oracle is the plain inequality join.
+    "events_range_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts"))
+      Events.rangeJoin(views, purchases, "user_id", "ts", "ts",
+        windowUs = 24L * 3600 * 1000000,
+        leftOut = Seq("view_id"), rightOut = Seq("purchase_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -63,6 +99,37 @@ object EventQueries {
         |       epoch_us(MAX(ts)) AS session_end,
         |       CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM numbered GROUP BY 1, 2
+        |""".stripMargin,
+
+    // DuckDB's native ASOF JOIN — an independent implementation of the
+    // same semantics (inner, >=), not a transliteration of ours.
+    "events_asof" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, ts,
+        |         MAX(CAST(round(value * 100, 0) AS BIGINT)) AS purchase_cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts,
+        |       epoch_us(p.ts) AS purchase_ts, p.purchase_cents
+        |FROM c ASOF JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |""".stripMargin,
+
+    // The plain inequality join the binned implementation must reproduce.
+    "events_range_join" ->
+      """WITH v AS (
+        |  SELECT event_id AS view_id, user_id, ts FROM events
+        |  WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT v.view_id, p.purchase_id,
+        |       epoch_us(p.ts) - epoch_us(v.ts) AS delta_us
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |  AND epoch_us(p.ts) > epoch_us(v.ts)
+        |  AND epoch_us(p.ts) - epoch_us(v.ts) <= CAST(86400 AS BIGINT) * 1000000
         |""".stripMargin,
   )
 }

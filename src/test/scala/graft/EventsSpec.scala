@@ -1,0 +1,117 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Events
+
+/** As-of and range join: correctness against naive per-row references on
+  * crafted edge cases (ties, no-match, boundary inclusion), plus the
+  * plan property that makes them usable at scale — equi-joins, never a
+  * cartesian/nested-loop.
+  */
+class EventsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  // key 1: right at 10, 20; left at 5 (no match), 10 (tie), 15, 25
+  // key 2: right empty; left at 10 (no match)
+  private lazy val left = Seq(
+    (101L, 1L, ts(5)), (102L, 1L, ts(10)), (103L, 1L, ts(15)),
+    (104L, 1L, ts(25)), (201L, 2L, ts(10)))
+    .toDF("l_id", "k", "t")
+  private lazy val right = Seq(
+    (11L, 1L, ts(10), 100L), (12L, 1L, ts(20), 200L))
+    .toDF("r_id", "k", "rt", "v")
+
+  test("asofJoin picks the latest right row at or before each left time") {
+    val out = Events.asofJoin(left, right, "k", "t", "rt", Seq("v"))
+      .select($"l_id", $"asof_rt", $"asof_v")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getTimestamp(1)).map(_.getTime / 1000L),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    assert(out(101L) == (None, None))            // before first right row
+    assert(out(102L) == (Some(10L), Some(100L))) // tie: >= matches
+    assert(out(103L) == (Some(10L), Some(100L)))
+    assert(out(104L) == (Some(20L), Some(200L))) // latest, not first
+    assert(out(201L) == (None, None))            // key with no right rows
+  }
+
+  test("asofJoin matches a naive per-row reference on random data") {
+    val n = 400
+    val l = (1 to n).map(i => (i.toLong, (i % 7).toLong,
+      ts((i * 2654435761L) % 1000))).toDF("l_id", "k", "t")
+    val r = (1 to n / 2).map(i => (i.toLong, (i % 7).toLong,
+      ts((i * 40503L) % 1000), i * 10L)).toDF("r_id", "k", "rt", "v")
+    // naive: for every left row, max right time <= t on the key (right
+    // times are unique per key here, so the value is unambiguous)
+    val naive = l.collect().map { lr =>
+      val cand = r.collect().filter(rr => rr.getLong(1) == lr.getLong(1) &&
+        !rr.getTimestamp(2).after(lr.getTimestamp(2)))
+      val best = if (cand.isEmpty) None
+        else Some(cand.maxBy(_.getTimestamp(2).getTime))
+      (lr.getLong(0), best.map(_.getLong(3)))
+    }.toMap
+    val got = Events.asofJoin(l, r, "k", "t", "rt", Seq("v"))
+      .select($"l_id", $"asof_v").collect()
+      .map(row => row.getLong(0) ->
+        (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+    assert(got == naive)
+  }
+
+  test("rangeJoin equals the naive inequality join, boundaries included") {
+    val l = Seq((1L, 1L, ts(0)), (2L, 1L, ts(50)), (3L, 2L, ts(0)))
+      .toDF("a_id", "k", "t")
+    val r = Seq((10L, 1L, ts(0)), (11L, 1L, ts(10)), (12L, 1L, ts(60)),
+      (13L, 1L, ts(111)), (14L, 2L, ts(9)))
+      .toDF("b_id", "k", "rt")
+    val got = Events.rangeJoin(l, r, "k", "t", "rt",
+        windowUs = 10L * 1000000, Seq("a_id"), Seq("b_id"))
+      .select($"a_id", $"b_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+      .toSet
+    // strict > on the left edge, inclusive <= on the right edge
+    assert(got == Set((1L, 11L), (2L, 12L), (3L, 14L)))
+  }
+
+  test("rangeJoin matches naive on random data (cross-bin pairs included)") {
+    val l = (1 to 300).map(i => (i.toLong, (i % 5).toLong,
+      ts((i * 2654435761L) % 500))).toDF("a_id", "k", "t")
+    val r = (1 to 300).map(i => (i.toLong + 1000, (i % 5).toLong,
+      ts((i * 40503L) % 500))).toDF("b_id", "k", "rt")
+    val win = 37L * 1000000
+    val naive = for {
+      lr <- l.collect(); rr <- r.collect()
+      if lr.getLong(1) == rr.getLong(1)
+      d = (rr.getTimestamp(2).getTime - lr.getTimestamp(2).getTime) * 1000L
+      if d > 0 && d <= win
+    } yield (lr.getLong(0), rr.getLong(0))
+    val got = Events.rangeJoin(l, r, "k", "t", "rt", win,
+        Seq("a_id"), Seq("b_id"))
+      .select($"a_id", $"b_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(got.length == got.toSet.size, "no duplicate pairs")
+    assert(got.toSet == naive.toSet)
+  }
+
+  test("asofJoin and rangeJoin plan as equi-join/sort — no nested loop") {
+    def explainOf(df: org.apache.spark.sql.DataFrame): String = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+      out.toString
+    }
+    val asof = explainOf(
+      Events.asofJoin(left, right, "k", "t", "rt", Seq("v")))
+    assert(!asof.contains("CartesianProduct") &&
+      !asof.contains("BroadcastNestedLoopJoin"), asof)
+    assert(asof.contains("Window"), asof) // union+window, not a join at all
+    val rj = explainOf(Events.rangeJoin(left, right, "k", "t", "rt",
+      10L * 1000000, Seq("l_id"), Seq("r_id")))
+    assert(!rj.contains("CartesianProduct") &&
+      !rj.contains("BroadcastNestedLoopJoin"), rj)
+  }
+}
