@@ -161,6 +161,37 @@ object Curation {
       (dup3.cast("double") / n3.cast("double")).as("dup_3gram_frac"))
   }
 
+  // -------------------------------------------- decontamination
+
+  /** Exact n-gram decontamination against an evaluation/benchmark set —
+    * the GPT-3 convention: a training document is contaminated if it
+    * shares any full word n-gram (n=13 there) with the eval set. Returns
+    * one row per corpus document with its distinct-gram count, how many of
+    * those grams appear anywhere in the eval set, and a 0/1 flag.
+    *
+    * Scale shape: eval sets are tiny relative to the corpus (benchmarks
+    * are MBs, the corpus is TBs), so the distinct eval-gram set is
+    * BROADCAST — the corpus side is one narrow explode + broadcast-hash
+    * probe with NO shuffle of corpus grams; the only shuffle is the
+    * per-document count aggregation (map-side combined). Contrast with
+    * joining both gram streams on the gram key, which would shuffle the
+    * full corpus once per decontamination run. */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, textCol: String,
+      idCol: String, n: Int = 13): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .distinct()
+      .withColumn("_hit", lit(1L))
+    val corpusGrams = corpus
+      .select(col(idCol).as("doc_id"), Dedup.shingles(col(textCol), n).as("sh"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"),
+        explode(col("sh")).as("gram"))
+    corpusGrams.join(broadcast(evalGrams), Seq("gram"), "left")
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(sum(coalesce(col("_hit"), lit(0L))).as("n_shared_grams"))
+      .withColumn("contaminated", (col("n_shared_grams") > 0).cast("long"))
+  }
+
   // -------------------------------------------- mixture sampling
 
   /** Deterministic domain-mixture sampling: keep a row iff its content

@@ -52,12 +52,43 @@ object CurationQueries {
   private val mixRates =
     Map("en" -> 50, "de" -> 30, "es" -> 20, "fr" -> 10, "zh" -> 100)
 
+  /** Decontamination inputs: eval set = docs with doc_id % 97 == 0; the
+    * corpus is the rest, with a 20-word eval-doc prefix appended to every
+    * doc_id % 11 == 0 document (planted contamination — the natural corpus
+    * shares no 13-gram with the eval split, so without planting the gate
+    * would only test the all-negative path). Both engines build the same
+    * bytes from the same arithmetic. */
+  private def decontamInputs(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val evalDocs = d.filter(col("doc_id") % 97 === 0)
+    val prefixes = evalDocs.select(
+      expr("doc_id div 97").as("e_idx"),
+      concat_ws(" ", slice(split(col("text"), " "), 1, 20)).as("quote"))
+    val corpus = d.filter(col("doc_id") % 97 =!= 0)
+      .withColumn("e_idx",
+        when(col("doc_id") % 11 === 0, col("doc_id") % 5))
+      .join(broadcast(prefixes), Seq("e_idx"), "left")
+      .select(col("doc_id"),
+        when(col("quote").isNotNull,
+          concat(col("text"), lit(" "), col("quote")))
+          .otherwise(col("text")).as("text"))
+    (corpus, evalDocs)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // PII detection + redaction over synthesized customer contact text.
     "pii_redact" -> ((s, dir) =>
       piiText(s, dir).select(
         col("c_custkey") +: Curation.redactPii(col("text")): _*)),
+
+    // Exact 13-gram decontamination of the corpus against the eval split
+    // (planted quotes → true positives; everything else must stay clean).
+    "decontaminate" -> ((s, dir) => {
+      val (corpus, evalDocs) = decontamInputs(s, dir)
+      Curation.decontaminate(corpus, evalDocs, "text", "doc_id")
+    }),
 
     // CCNet-style passage-level dedup over docs ∪ planted copies: every
     // 10-token passage keeps its first (min (doc,pos)) occurrence.
@@ -246,6 +277,55 @@ object CurationQueries {
          |         '$ipRe', '<IP>', 'g') AS redacted
          |FROM pii
          |""".stripMargin,
+
+    "decontaminate" ->
+      """WITH ev AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+        |pre AS (
+        |  SELECT doc_id // 97 AS e_idx,
+        |         array_to_string(
+        |           list_slice(string_split(text, ' '), 1, 20), ' ') AS quote
+        |  FROM ev),
+        |corpus AS (
+        |  SELECT b.doc_id,
+        |         CASE WHEN p.quote IS NOT NULL
+        |              THEN b.text || ' ' || p.quote ELSE b.text END AS text
+        |  FROM documents b LEFT JOIN pre p
+        |    ON b.doc_id % 11 = 0 AND p.e_idx = b.doc_id % 5
+        |  WHERE b.doc_id % 97 <> 0),
+        |shc AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(string_split(text, ' ')) < 13
+        |         THEN [text]
+        |         ELSE list_transform(
+        |           generate_series(1, len(string_split(text, ' ')) - 12),
+        |           i -> array_to_string(
+        |                  list_slice(string_split(text, ' '), i, i + 12), ' '))
+        |    END) AS sh
+        |  FROM corpus),
+        |she AS (
+        |  SELECT list_distinct(
+        |    CASE WHEN len(string_split(text, ' ')) < 13
+        |         THEN [text]
+        |         ELSE list_transform(
+        |           generate_series(1, len(string_split(text, ' ')) - 12),
+        |           i -> array_to_string(
+        |                  list_slice(string_split(text, ' '), i, i + 12), ' '))
+        |    END) AS sh
+        |  FROM ev),
+        |eg AS (SELECT DISTINCT unnest(sh) AS gram FROM she),
+        |cg AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_grams,
+        |              unnest(sh) AS gram
+        |       FROM shc)
+        |SELECT cg.doc_id, cg.n_grams,
+        |       CAST(SUM(CASE WHEN eg.gram IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_shared_grams,
+        |       CAST(CASE WHEN SUM(CASE WHEN eg.gram IS NOT NULL
+        |                              THEN 1 ELSE 0 END) > 0
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        |FROM cg LEFT JOIN eg ON cg.gram = eg.gram
+        |GROUP BY 1, 2
+        |""".stripMargin,
 
     "paragraph_dedup" ->
       s"""WITH $passagesCte,

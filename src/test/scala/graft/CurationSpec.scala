@@ -229,6 +229,24 @@ class CurationSpec extends AnyFunSuite {
     assert(out.exists { case (b, c, cos) => b == 103L && c == 3L && cos == 1.0 })
   }
 
+  test("decontaminate flags only docs sharing a full n-gram with the eval set") {
+    val evalSet = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains eval 4-grams "alpha beta gamma delta" + "beta gamma delta epsilon"
+      (10L, "x alpha beta gamma delta epsilon y"),
+      // shares words but never 4 consecutive ones
+      (11L, "alpha beta x gamma delta y epsilon zeta q r"),
+      (12L, "totally unrelated text with other words here"))
+      .toDF("doc_id", "text")
+    val out = Curation.decontaminate(corpus, evalSet, "text", "doc_id", n = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shared_grams"), r.getAs[Long]("contaminated"))).toMap
+    assert(out(10L) == (2L, 1L))
+    assert(out(11L) == (0L, 0L))
+    assert(out(12L) == (0L, 0L))
+  }
+
   test("kmeans assigns duplicate vectors to the same cluster and converges") {
     val base = Array.tabulate(8)(c => Array.tabulate(4)(d =>
       if (d == c % 4) 1.0f else 0.01f * c))
