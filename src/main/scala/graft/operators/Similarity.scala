@@ -158,6 +158,61 @@ object Similarity {
       .limit(k)
   }
 
+  // --------------------------------------------------- int8 quantization
+
+  /** Symmetric per-vector int8 quantization of a scaled embedding: the
+    * scale is the vector's max |component| and each component maps to
+    * round-half-away(x·127/scale) ∈ [-127, 127] — a 4× memory/bandwidth
+    * reduction (the byte codes are what a production index stores;
+    * here they ride in doubles because the arithmetic, not the storage
+    * encoding, is what the oracle checks).
+    *
+    * All arithmetic is EXACT integer: round-half-away is computed as
+    * sign(x) · ((|x|·254 + s) floorDiv (2s)) on integer-valued doubles —
+    * no float rounding, so Spark and DuckDB agree bit-for-bit. The scale
+    * must be computed into its own column first ([[withInt8]]): a lambda
+    * capturing the `array_max` subtree would re-evaluate it per element. */
+  def quantizeInt8(v: Column, scale: Column): Column =
+    transform(v, x => {
+      // floor() yields BIGINT; back to double for the native dot product
+      val qAbs = floor((abs(x) * 254 + scale) / (scale * 2)).cast("double")
+      when(x < 0, -qAbs).otherwise(qAbs)
+    })
+
+  /** (id, v, norm, qscale, q): exact-scaled vector + its int8 codes. */
+  private def withInt8(embeddings: DataFrame, idCol: String,
+      embCol: String): DataFrame =
+    withNorm(embeddings, idCol, embCol)
+      .withColumn("qscale",
+        greatest(array_max(transform(col("v"), x => abs(x))), lit(1.0)))
+      .withColumn("q", quantizeInt8(col("v"), col("qscale")))
+
+  /** Quantized ANN with exact re-rank: rank ALL vectors by the int8
+    * integer dot product against the query's codes (the cheap pass — at
+    * scale it reads 1/4 the bytes of the float scan and the int
+    * multiply-adds vectorize), keep the top `rerank` candidates, then
+    * re-score ONLY those with the exact full-precision cosine and return
+    * the top k. The standard two-stage retrieval shape (quantized scan →
+    * exact re-rank); both stages broadcast the single query row and both
+    * top-ks compile to TakeOrderedAndProject, so nothing global-sorts. */
+  def quantizedTopK(embeddings: DataFrame, idCol: String, embCol: String,
+      queryId: Long, k: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val base = withInt8(embeddings, idCol, embCol)
+    val q = base.filter(col("id") === queryId)
+      .select(col("v").as("qv"), col("norm").as("qnorm"), col("q").as("qq"))
+    val cand = base.filter(col("id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("approx_dot", dot(col("q"), col("qq")).cast("long"))
+      .orderBy(col("approx_dot").desc, col("id").asc)
+      .limit(rerank)
+    cand.select(col("id"), col("approx_dot"),
+        (dot(col("v"), col("qv")) / (col("norm") * col("qnorm")))
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Random-hyperplane LSH near-duplicate pairs — the SCALE path for
     * cosine dedup: signatures are sign-bits against `nPlanes`
     * deterministic ±1 hyperplanes (md5-derived, no RNG — reproducible on

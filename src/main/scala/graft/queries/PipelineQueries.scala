@@ -81,6 +81,12 @@ object PipelineQueries {
       Similarity.ivfTopK(embs(s, dir), "vec_id", "embedding", queryId = 5L,
         k = 10, centroidIds = 0L to 7L, nprobe = 2)),
 
+    // Two-stage quantized retrieval: int8 scan (top-50 by exact integer
+    // dot of the byte codes) → full-precision cosine re-rank (top-10).
+    "ann_quantized" -> ((s, dir) =>
+      Similarity.quantizedTopK(embs(s, dir), "vec_id", "embedding",
+        queryId = 5L, k = 10, rerank = 50)),
+
     // Embedding near-duplicates, cosine ≥ 0.4, via the SCALE path:
     // random-hyperplane LSH blocking (16 planes, 4 blocks) + exact cosine
     // verify on candidates only — no all-pairs product. The exact
@@ -582,6 +588,38 @@ object PipelineQueries {
          |""".stripMargin,
 
     "ann_ivf" -> ivfOracleSql,
+
+    // Same int8 quantization arithmetic (round-half-away as exact
+    // integer floor-division), same two-stage top-k.
+    "ann_quantized" ->
+      s"""WITH $scaledCte,
+         |sc AS (
+         |  SELECT id, v,
+         |         greatest(list_max(list_transform(v, x -> abs(x))), 1)
+         |           AS scale
+         |  FROM s),
+         |qz AS (
+         |  SELECT id, v, list_transform(v, x ->
+         |           CASE WHEN x < 0
+         |                THEN -floor(((-x) * 254 + scale) / (2 * scale))
+         |                ELSE floor((x * 254 + scale) / (2 * scale)) END) AS q
+         |  FROM sc),
+         |qq AS (SELECT v AS qv, q AS qcodes FROM qz WHERE id = 5),
+         |cand AS (
+         |  SELECT z.id,
+         |         CAST(list_dot_product(z.q, qq.qcodes) AS BIGINT)
+         |           AS approx_dot,
+         |         z.v
+         |  FROM qz z CROSS JOIN qq
+         |  WHERE z.id <> 5
+         |  ORDER BY approx_dot DESC, z.id ASC
+         |  LIMIT 50)
+         |SELECT cand.id, cand.approx_dot,
+         |       ${cosSql("cand.v", "qq.qv")} AS cos_sim
+         |FROM cand CROSS JOIN qq
+         |ORDER BY cos_sim DESC, cand.id ASC
+         |LIMIT 10
+         |""".stripMargin,
 
     // identical semantics through the persisted cluster-partitioned
     // index — same oracle by design

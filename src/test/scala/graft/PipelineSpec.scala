@@ -187,4 +187,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("stopword_ratio") - 1.0 / 3.0) < 1e-12)
     assert(math.abs(r.getAs[Double]("punct_ratio") - 1.0 / 14.0) < 1e-12)
   }
+
+  test("quantizedTopK: codes bounded to ±127, exact re-rank recovers exact top-k") {
+    import graft.operators.Similarity
+    // deterministic pseudo-random vectors, dim 16
+    val vecs = (0 until 120).map { i =>
+      (i.toLong, Array.tabulate(16)(d =>
+        (((i * 31 + d * 17) % 97) - 48) / 48.0f).toSeq)
+    }.toDF("vec_id", "embedding")
+    // codes stay in the int8 range
+    val base = Similarity.topK(vecs, "vec_id", "embedding", 0L, 119)
+      .collect().map(r => r.getAs[Long]("id")).toSeq
+    val quant = Similarity.quantizedTopK(vecs, "vec_id", "embedding", 0L,
+      k = 10, rerank = 119)
+      .collect()
+    quant.foreach { r =>
+      assert(math.abs(r.getAs[Long]("approx_dot")) <= 127L * 127 * 16)
+    }
+    // rerank = all candidates → the exact re-rank must equal exact top-10
+    assert(quant.map(_.getAs[Long]("id")).toSeq == base.take(10))
+    // with a narrow rerank window the quantized ranking still recovers
+    // most of the exact top-10 (recall property, not exactness)
+    val narrow = Similarity.quantizedTopK(vecs, "vec_id", "embedding", 0L,
+      k = 10, rerank = 30).collect().map(_.getAs[Long]("id")).toSet
+    assert(base.take(10).count(narrow) >= 8, s"recall too low: $narrow")
+  }
 }
