@@ -406,6 +406,25 @@ object Dedup {
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
+  /** Leakage-safe train/val/test split: the split is keyed on the
+    * NEAR-DUP CLUSTER (connected component over the supplied pair graph),
+    * so two near-duplicate documents can never land in different splits —
+    * the content-hash split ([[TextAnalysis.contentSplit]]) guarantees
+    * this only for exact duplicates; a paraphrased copy of a training doc
+    * leaking into test silently inflates eval numbers. 80/10/10 by a
+    * 16-bit md5 bucket of the cluster id — deterministic, engine-portable,
+    * and independent of cluster size (one extra narrow projection on top
+    * of the components cost). */
+  def leakageSafeSplit(ids: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(ids, idCol, pairs)
+    val bucket = conv(substring(md5(col("component").cast("string")), 1, 4),
+      16, 10).cast("long") % 10
+    comp.select(col("id").as("doc_id"), col("component").as("cluster_id"),
+      when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test")
+        .as("split"))
+  }
+
   /** SimHash near-duplicate pairs: fingerprint hamming distance ≤ maxDist.
     * Fingerprints are 64-char '0'/'1' strings from the simhash64 function.
     * Candidate generation blocks on 4 fingerprint chunks of 16 bits: by

@@ -60,6 +60,20 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("component").as("keep_id"))
     }),
 
+    // Leakage-safe split: same pair graph + components as
+    // dedup_components, then an 80/10/10 split keyed on the CLUSTER id —
+    // near-duplicate docs (even transitively connected ones) always land
+    // in the same split; content-hash splitting only guarantees that for
+    // byte-identical copies.
+    "cluster_split" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val copies = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val all = d.unionAll(copies).localCheckpoint(false)
+      val pairs = Dedup.ngramJaccardPairs(all, "text", "doc_id")
+      Dedup.leakageSafeSplit(all.select("doc_id"), "doc_id", pairs)
+    }),
+
     // SimHash fingerprints (64-bit as '0'/'1' string, native expression).
     "simhash_fingerprints" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -254,6 +268,39 @@ object PipelineQueries {
       |    END) AS sh
       |  FROM documents)
       |""".stripMargin
+
+  /** docs ∪ planted copies → 3-shingle Jaccard ≥ 0.8 pair graph →
+    * recursive reachability closure. Shared by the components and the
+    * cluster-split oracles; ends with the open `reach(id, r)` CTE. */
+  private val componentsRecursiveCte =
+    """WITH RECURSIVE u AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(string_split(text, ' ')) < 3
+      |         THEN [text]
+      |         ELSE list_transform(
+      |           generate_series(1, len(string_split(text, ' ')) - 2),
+      |           i -> array_to_string(
+      |                  list_slice(string_split(text, ' '), i, i + 2), ' '))
+      |    END) AS sh
+      |  FROM u),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+      |          >= 0.8),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT id_b AS src, id_a AS dst FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM u
+      |  UNION
+      |  SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src)""".stripMargin
 
   /** All-pairs exact-Jaccard near-dup pairs (the truth both the LSH and
     * the inverted-index implementations must reproduce at ≥ 0.8). */
@@ -529,36 +576,30 @@ object PipelineQueries {
     // r) = "id can reach r over near-dup edges"; component = MIN(r). The
     // UNION (not UNION ALL) dedups rows, so cycles terminate.
     "dedup_components" ->
-      """WITH RECURSIVE u AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(
-        |    CASE WHEN len(string_split(text, ' ')) < 3
-        |         THEN [text]
-        |         ELSE list_transform(
-        |           generate_series(1, len(string_split(text, ' ')) - 2),
-        |           i -> array_to_string(
-        |                  list_slice(string_split(text, ' '), i, i + 2), ' '))
-        |    END) AS sh
-        |  FROM u),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
-        |          >= 0.8),
-        |edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM pairs
-        |  UNION ALL
-        |  SELECT id_b AS src, id_a AS dst FROM pairs),
-        |reach(id, r) AS (
-        |  SELECT doc_id, doc_id FROM u
-        |  UNION
-        |  SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src)
-        |SELECT id AS doc_id, MIN(r) AS keep_id FROM reach GROUP BY 1
-        |""".stripMargin,
+      s"""$componentsRecursiveCte
+         |SELECT id AS doc_id, MIN(r) AS keep_id FROM reach GROUP BY 1
+         |""".stripMargin,
+
+    // Components → cluster-keyed 80/10/10 split (16-bit md5 bucket of the
+    // cluster id, same hex-digit parse as corpus_split).
+    "cluster_split" ->
+      s"""$componentsRecursiveCte,
+         |comp AS (SELECT id, MIN(r) AS cid FROM reach GROUP BY 1),
+         |b AS (
+         |  SELECT id, cid, md5(CAST(cid AS VARCHAR)) AS f FROM comp),
+         |bk AS (
+         |  SELECT id, cid,
+         |         ((strpos('0123456789abcdef', f[1]) - 1) * 4096 +
+         |          (strpos('0123456789abcdef', f[2]) - 1) * 256 +
+         |          (strpos('0123456789abcdef', f[3]) - 1) * 16 +
+         |          (strpos('0123456789abcdef', f[4]) - 1)) % 10 AS bucket
+         |  FROM b)
+         |SELECT id AS doc_id, cid AS cluster_id,
+         |       CASE WHEN bucket < 8 THEN 'train'
+         |            WHEN bucket < 9 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM bk
+         |""".stripMargin,
 
     "simhash_fingerprints" ->
       s"""SELECT doc_id, $simhashFpExpr AS fingerprint FROM documents""",

@@ -188,6 +188,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("punct_ratio") - 1.0 / 14.0) < 1e-12)
   }
 
+  test("leakageSafeSplit: transitively connected docs share one split") {
+    import graft.operators.Dedup
+    val ids = (1L to 50L).toDF("doc_id")
+    // chain 1-2-3 plus pair 10-11; everything else isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.leakageSafeSplit(ids, "doc_id", pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[String]("split"))).toMap
+    assert(out.size == 50)
+    assert(Set(out(1L), out(2L), out(3L)).size == 1) // one cluster, one split
+    assert(out(10L) == out(11L))
+    assert(out(1L)._1 == 1L && out(10L)._1 == 10L) // min-id cluster label
+    assert(out.values.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    // the 45 singleton docs spread over more than one split
+    assert(out.filterNot(k => Set(1L, 2L, 3L, 10L, 11L)(k._1))
+      .values.map(_._2).toSet.size > 1)
+  }
+
   test("quantizedTopK: codes bounded to ±127, exact re-rank recovers exact top-k") {
     import graft.operators.Similarity
     // deterministic pseudo-random vectors, dim 16
