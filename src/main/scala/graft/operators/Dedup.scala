@@ -425,6 +425,28 @@ object Dedup {
         .as("split"))
   }
 
+  /** Best-member survivor selection: production dedup keeps the BEST
+    * document of each near-dup cluster (here: longest text, ties → lowest
+    * id), not the arbitrary min-id member — a truncated copy must never
+    * shadow its complete original. Components over the pair graph, then
+    * one `max_by` aggregation per cluster and a join back; both post-CC
+    * steps are linear in the corpus and the aggregation is map-side
+    * partial (cluster count « doc count, so the shuffle is tiny). */
+  def bestSurvivors(docs: DataFrame, textCol: String, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(docs.select(col(idCol)), idCol, pairs)
+    val stats = docs.select(col(idCol).as("sid"),
+      length(col(textCol)).cast("long").as("len"))
+    val withLen = comp.join(stats, col("id") === col("sid")).drop("sid")
+    val surv = withLen.groupBy(col("component"))
+      .agg(max_by(col("id"), struct(col("len"), -col("id")))
+        .as("survivor_id"))
+    withLen.join(surv, "component")
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+        col("len"), col("survivor_id"),
+        (col("id") === col("survivor_id")).cast("long").as("is_survivor"))
+  }
+
   /** SimHash near-duplicate pairs: fingerprint hamming distance ≤ maxDist.
     * Fingerprints are 64-char '0'/'1' strings from the simhash64 function.
     * Candidate generation blocks on 4 fingerprint chunks of 16 bits: by

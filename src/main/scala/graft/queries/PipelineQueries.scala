@@ -74,6 +74,23 @@ object PipelineQueries {
       Dedup.leakageSafeSplit(all.select("doc_id"), "doc_id", pairs)
     }),
 
+    // Best-member survivor selection: docs ∪ TRUNCATED lower-id copies
+    // (first 90% of words, doc_id − 1000000). A min-id survivor policy
+    // would keep the truncated copy and drop the complete original; the
+    // (len, −id)-argmax keeps the original — the property this gate
+    // pins down.
+    "dedup_survivors" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val toks = split(col("text"), " ")
+      val nKeep = greatest(floor(size(toks) * 9 / 10), lit(1)).cast("int")
+      val copies = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") - 1000000).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1), nKeep)).as("text"))
+      val all = d.unionAll(copies).localCheckpoint(false)
+      val pairs = Dedup.ngramJaccardPairs(all, "text", "doc_id")
+      Dedup.bestSurvivors(all, "text", "doc_id", pairs)
+    }),
+
     // SimHash fingerprints (64-bit as '0'/'1' string, native expression).
     "simhash_fingerprints" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -269,14 +286,20 @@ object PipelineQueries {
       |  FROM documents)
       |""".stripMargin
 
-  /** docs ∪ planted copies → 3-shingle Jaccard ≥ 0.8 pair graph →
-    * recursive reachability closure. Shared by the components and the
-    * cluster-split oracles; ends with the open `reach(id, r)` CTE. */
-  private val componentsRecursiveCte =
-    """WITH RECURSIVE u AS (
-      |  SELECT doc_id, text FROM documents
+  /** corpus (`uSql`) → 3-shingle Jaccard ≥ 0.8 pair graph → recursive
+    * reachability closure. Shared by the components, cluster-split and
+    * survivor oracles; ends with the open `reach(id, r)` CTE. */
+  private def componentsRecursiveCteOver(uSql: String): String =
+    s"WITH RECURSIVE u AS (\n$uSql)," + componentsTail
+
+  /** docs ∪ planted identical copies (the dedup_components corpus). */
+  private lazy val componentsRecursiveCte = componentsRecursiveCteOver(
+    """  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0""".stripMargin)
+
+  private val componentsTail =
+    """
       |sh AS (
       |  SELECT doc_id, list_distinct(
       |    CASE WHEN len(string_split(text, ' ')) < 3
@@ -579,6 +602,36 @@ object PipelineQueries {
       s"""$componentsRecursiveCte
          |SELECT id AS doc_id, MIN(r) AS keep_id FROM reach GROUP BY 1
          |""".stripMargin,
+
+    // Same closure over the truncated-copy corpus, then per-cluster
+    // (len DESC, id ASC) ranking picks the survivor.
+    "dedup_survivors" -> {
+      val truncU =
+        """  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id - 1000000,
+          |         array_to_string(list_slice(string_split(text, ' '), 1,
+          |           greatest((len(string_split(text, ' ')) * 9) // 10, 1)),
+          |           ' ')
+          |  FROM documents WHERE doc_id % 7 = 0""".stripMargin
+      s"""${componentsRecursiveCteOver(truncU)},
+         |comp AS (SELECT id, MIN(r) AS cid FROM reach GROUP BY 1),
+         |wl AS (
+         |  SELECT comp.id, comp.cid, CAST(length(u.text) AS BIGINT) AS len
+         |  FROM comp JOIN u ON u.doc_id = comp.id),
+         |sv AS (
+         |  SELECT cid, id AS survivor_id FROM (
+         |    SELECT cid, id,
+         |           ROW_NUMBER() OVER (PARTITION BY cid
+         |                              ORDER BY len DESC, id ASC) AS rk
+         |    FROM wl) WHERE rk = 1)
+         |SELECT wl.id AS doc_id, wl.cid AS cluster_id, wl.len,
+         |       sv.survivor_id,
+         |       CAST(CASE WHEN wl.id = sv.survivor_id THEN 1 ELSE 0 END
+         |            AS BIGINT) AS is_survivor
+         |FROM wl JOIN sv ON wl.cid = sv.cid
+         |""".stripMargin
+    },
 
     // Components → cluster-keyed 80/10/10 split (16-bit md5 bucket of the
     // cluster id, same hex-digit parse as corpus_split).

@@ -206,6 +206,22 @@ class PipelineSpec extends AnyFunSuite {
       .values.map(_._2).toSet.size > 1)
   }
 
+  test("bestSurvivors: complete original beats a truncated lower-id copy") {
+    import graft.operators.Dedup
+    val docsDf = Seq(
+      (5L, "a b c d e f g h i j"),   // complete original
+      (1L, "a b c d e f g h i"),     // truncated copy, LOWER id
+      (9L, "totally different text entirely")) // singleton
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.bestSurvivors(docsDf, "text", "doc_id", pairs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("survivor_id"), r.getAs[Long]("is_survivor"))).toMap
+    assert(out(5L) == (5L, 1L)) // longest wins, despite higher id
+    assert(out(1L) == (5L, 0L)) // min-id policy would have kept this one
+    assert(out(9L) == (9L, 1L)) // singleton survives itself
+  }
+
   test("quantizedTopK: codes bounded to ±127, exact re-rank recovers exact top-k") {
     import graft.operators.Similarity
     // deterministic pseudo-random vectors, dim 16
