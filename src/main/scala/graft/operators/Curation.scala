@@ -253,6 +253,64 @@ object Curation {
       .limit(k)
   }
 
+  // -------------------------------------------- BPE training loop
+
+  /** Byte-pair-encoding vocabulary induction: `rounds` iterations of the
+    * real BPE trainer — count adjacent token pairs over the corpus
+    * (weighted by word frequency), merge the most frequent pair
+    * everywhere, repeat. Returns one row per round: (round, pair,
+    * n_occurrences) — the learned merge table, in order.
+    *
+    * Tokenization state is a single-space-joined token string per word
+    * type with sentinel spaces (" h e l l o "). A merge replaces every
+    * non-overlapping " x y " with " xy "; TWO passes of `replace` are
+    * exact for runs like "a a a a": the first pass merges alternate
+    * occurrences (consecutive ones share a boundary space, so plain
+    * left-to-right replace skips every second), after which no two
+    * remaining occurrences overlap and the second pass catches them —
+    * this is precisely BPE's left-to-right greedy simultaneous merge.
+    *
+    * Scale shape: ONE corpus-wide shuffle total (word-type counts, the
+    * same aggregation any tokenizer trainer starts with — map-side
+    * combined, vocabulary-sized output). Every round then runs on the
+    * word-TYPE table (vocabulary-sized, frequency-weighted — corpus size
+    * never re-enters), and the argmax collects a single row to the
+    * driver, exactly like k-means centroids. */
+  def bpeTrain(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds > 0, s"rounds must be positive, got $rounds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wordCounts = df
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("s",
+        concat(lit(" "),
+          trim(regexp_replace(col("word"), "(.)", "$1 ")), lit(" ")))
+      .localCheckpoint(false) // vocabulary-sized; reused every round
+    var state = wordCounts.select(col("cnt"), col("s"))
+    val merges = (1 to rounds).map { round =>
+      val toks = split(trim(col("s")), " ")
+      val grams = when(size(toks) < 2, array())
+        .otherwise(transform(sequence(lit(0), size(toks) - 2),
+          i => concat(element_at(toks, i + 1), lit(" "),
+            element_at(toks, i + 2))))
+      val top = state.select(col("cnt"), explode(grams).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(1).collect()
+      require(top.nonEmpty, s"no pairs left to merge in round $round")
+      val pair = top.head.getAs[String]("pair")
+      val n = top.head.getAs[Long]("n")
+      val pLit = lit(" " + pair + " ")
+      val mLit = lit(" " + pair.replace(" ", "") + " ")
+      state = state.select(col("cnt"),
+          replace(replace(col("s"), pLit, mLit), pLit, mLit).as("s"))
+        .localCheckpoint(false) // keep the round's lineage flat
+      (round.toLong, pair, n)
+    }
+    merges.toDF("round", "pair", "n_occurrences")
+  }
+
   // -------------------------------------------- training export
 
   /** Deterministic export sharding + contiguous token-budget packing —

@@ -90,6 +90,11 @@ object CurationQueries {
       Curation.decontaminate(corpus, evalDocs, "text", "doc_id")
     }),
 
+    // Three rounds of the real BPE trainer over the documents corpus:
+    // learned merge table (round, pair, weighted occurrence count).
+    "bpe_train" -> ((s, dir) =>
+      Curation.bpeTrain(docs(s, dir), "text", rounds = 3)),
+
     // CCNet-style passage-level dedup over docs ∪ planted copies: every
     // 10-token passage keeps its first (min (doc,pos)) occurrence.
     "paragraph_dedup" -> ((s, dir) =>
@@ -260,7 +265,49 @@ object CurationQueries {
        |  FROM $uName GROUP BY cl)
        |""".stripMargin
 
+  /** Unrolled BPE trainer rounds: count weighted adjacent pairs on the
+    * word-type table, argmax (n DESC, pair ASC), double-`replace` merge
+    * (exact for boundary-sharing runs — see Curation.bpeTrain), repeat. */
+  private def bpeTrainOracle(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT unnest(list_transform(
+         |           generate_series(1, len(string_split(trim(s), ' ')) - 1),
+         |           i -> string_split(trim(s), ' ')[i] || ' ' ||
+         |                string_split(trim(s), ' ')[i + 1])) AS pair, cnt
+         |  FROM s${r - 1}),
+         |c$r AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n
+         |        FROM p$r GROUP BY 1),
+         |b$r AS (SELECT pair, n FROM c$r ORDER BY n DESC, pair LIMIT 1),
+         |s$r AS (
+         |  SELECT cnt, replace(replace(s,
+         |           ' ' || (SELECT pair FROM b$r) || ' ',
+         |           ' ' || replace((SELECT pair FROM b$r), ' ', '') || ' '),
+         |           ' ' || (SELECT pair FROM b$r) || ' ',
+         |           ' ' || replace((SELECT pair FROM b$r), ' ', '') || ' ')
+         |           AS s
+         |  FROM s${r - 1})""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, pair, n AS n_occurrences FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH wc AS (
+       |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY 1),
+       |s0 AS (
+       |  SELECT cnt,
+       |         ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' '
+       |           AS s
+       |  FROM wc),
+       |$roundCtes
+       |$unions
+       |""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "bpe_train" -> bpeTrainOracle(3),
+
     "pii_redact" ->
       s"""WITH $piiTextSql
          |SELECT c_custkey,

@@ -247,6 +247,19 @@ class CurationSpec extends AnyFunSuite {
     assert(out(12L) == (0L, 0L))
   }
 
+  test("bpeTrain learns merges in frequency order; run-merges are exact") {
+    // "aaaa" exercises the boundary-sharing run case: " a a a a " must
+    // become " aa aa " in ONE round (all non-overlapping occurrences),
+    // which plain single-pass replace would get wrong.
+    val docsDf = Seq("aaaa bc", "aaaa bc", "aaaa").toDF("text")
+    val out = Curation.bpeTrain(docsDf, "text", rounds = 3)
+      .collect().map(r => (r.getAs[Long]("round"), r.getAs[String]("pair"),
+        r.getAs[Long]("n_occurrences"))).sortBy(_._1)
+    assert(out(0) == (1L, "a a", 9L)) // 3 per "aaaa" word x 3 occurrences
+    assert(out(1) == (2L, "aa aa", 3L)) // both pairs merged in round 1
+    assert(out(2) == (3L, "b c", 2L))
+  }
+
   test("kmeans assigns duplicate vectors to the same cluster and converges") {
     val base = Array.tabulate(8)(c => Array.tabulate(4)(d =>
       if (d == c % 4) 1.0f else 0.01f * c))
