@@ -311,6 +311,31 @@ object Curation {
     merges.toDF("round", "pair", "n_occurrences")
   }
 
+  /** Apply a learned merge list: tokenize every word TYPE once (the
+    * corpus joins against the vocabulary-sized result — broadcastable at
+    * any corpus scale), then per-document token totals. The merge
+    * application is the same exact double-`replace` as the trainer. */
+  def bpeApply(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[String]): DataFrame = {
+    val words = df.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("word"))
+    val types = words.select(col("word")).distinct()
+      .withColumn("s",
+        concat(lit(" "),
+          trim(regexp_replace(col("word"), "(.)", "$1 ")), lit(" ")))
+    val tokenized = merges.foldLeft(types) { (t, pair) =>
+      val pLit = lit(" " + pair + " ")
+      val mLit = lit(" " + pair.replace(" ", "") + " ")
+      t.withColumn("s", replace(replace(col("s"), pLit, mLit), pLit, mLit))
+    }.withColumn("n_word_tokens",
+      size(split(trim(col("s")), " ")).cast("long"))
+    words.join(broadcast(tokenized.select(col("word"), col("n_word_tokens"))),
+        Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_word_tokens")).as("n_bpe_tokens"),
+        count(lit(1)).as("n_words"))
+  }
+
   // -------------------------------------------- training export
 
   /** Deterministic export sharding + contiguous token-budget packing —

@@ -95,6 +95,15 @@ object CurationQueries {
     "bpe_train" -> ((s, dir) =>
       Curation.bpeTrain(docs(s, dir), "text", rounds = 3)),
 
+    // Train → apply: tokenize the corpus under the learned merges,
+    // per-document BPE token totals.
+    "bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = Curation.bpeTrain(d, "text", rounds = 3)
+        .orderBy(col("round")).collect().map(_.getAs[String]("pair")).toSeq
+      Curation.bpeApply(d, "text", "doc_id", merges)
+    }),
+
     // CCNet-style passage-level dedup over docs ∪ planted copies: every
     // 10-token passage keeps its first (min (doc,pos)) occurrence.
     "paragraph_dedup" -> ((s, dir) =>
@@ -267,8 +276,10 @@ object CurationQueries {
 
   /** Unrolled BPE trainer rounds: count weighted adjacent pairs on the
     * word-type table, argmax (n DESC, pair ASC), double-`replace` merge
-    * (exact for boundary-sharing runs — see Curation.bpeTrain), repeat. */
-  private def bpeTrainOracle(rounds: Int): String = {
+    * (exact for boundary-sharing runs — see Curation.bpeTrain). Returns
+    * the shared CTE chain ending with state `s<rounds>`; the train and
+    * encode oracles add their own final SELECT. */
+  private def bpeChainCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""p$r AS (
          |  SELECT unnest(list_transform(
@@ -280,7 +291,7 @@ object CurationQueries {
          |        FROM p$r GROUP BY 1),
          |b$r AS (SELECT pair, n FROM c$r ORDER BY n DESC, pair LIMIT 1),
          |s$r AS (
-         |  SELECT cnt, replace(replace(s,
+         |  SELECT word, cnt, replace(replace(s,
          |           ' ' || (SELECT pair FROM b$r) || ' ',
          |           ' ' || replace((SELECT pair FROM b$r), ' ', '') || ' '),
          |           ' ' || (SELECT pair FROM b$r) || ' ',
@@ -288,25 +299,50 @@ object CurationQueries {
          |           AS s
          |  FROM s${r - 1})""".stripMargin
     }.mkString(",\n")
-    val unions = (1 to rounds).map(r =>
-      s"SELECT CAST($r AS BIGINT) AS round, pair, n AS n_occurrences FROM b$r")
-      .mkString("\nUNION ALL\n")
     s"""WITH wc AS (
        |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  GROUP BY 1),
        |s0 AS (
-       |  SELECT cnt,
+       |  SELECT word, cnt,
        |         ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' '
        |           AS s
        |  FROM wc),
-       |$roundCtes
+       |$roundCtes""".stripMargin
+  }
+
+  private def bpeTrainOracle(rounds: Int): String = {
+    val unions = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, pair, n AS n_occurrences FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"""${bpeChainCtes(rounds)}
        |$unions
        |""".stripMargin
   }
 
+  /** Token totals per document under the learned merges: per-word-TYPE
+    * token counts from the final trainer state, joined back to the
+    * word stream. */
+  private def bpeEncodeOracle(rounds: Int): String =
+    s"""${bpeChainCtes(rounds)},
+       |wt AS (
+       |  SELECT word,
+       |         CAST(len(string_split(trim(s), ' ')) AS BIGINT)
+       |           AS n_word_tokens
+       |  FROM s$rounds),
+       |dw AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents)
+       |SELECT dw.doc_id,
+       |       CAST(SUM(wt.n_word_tokens) AS BIGINT) AS n_bpe_tokens,
+       |       CAST(COUNT(*) AS BIGINT) AS n_words
+       |FROM dw JOIN wt USING (word)
+       |GROUP BY 1
+       |""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "bpe_train" -> bpeTrainOracle(3),
+    "bpe_encode" -> bpeEncodeOracle(3),
 
     "pii_redact" ->
       s"""WITH $piiTextSql

@@ -260,6 +260,16 @@ class CurationSpec extends AnyFunSuite {
     assert(out(2) == (3L, "b c", 2L))
   }
 
+  test("bpeApply counts tokens per doc under the merge list") {
+    val docsDf = Seq((1L, "aaaa bc"), (2L, "bc")).toDF("doc_id", "text")
+    val out = Curation.bpeApply(docsDf, "text", "doc_id",
+        merges = Seq("a a", "aa aa"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bpe_tokens"), r.getAs[Long]("n_words"))).toMap
+    assert(out(1L) == (3L, 2L)) // "aaaa"→1 token after both merges, "bc"→2
+    assert(out(2L) == (2L, 1L))
+  }
+
   test("kmeans assigns duplicate vectors to the same cluster and converges") {
     val base = Array.tabulate(8)(c => Array.tabulate(4)(d =>
       if (d == c % 4) 1.0f else 0.01f * c))
