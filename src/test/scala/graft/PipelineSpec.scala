@@ -206,6 +206,30 @@ class PipelineSpec extends AnyFunSuite {
       .values.map(_._2).toSet.size > 1)
   }
 
+  test("plan shape: decontaminate broadcasts eval grams; quantized ANN TakeOrders") {
+    import graft.operators.{Curation, Similarity}
+    def explainOf(df: org.apache.spark.sql.DataFrame): String = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+      out.toString
+    }
+    val corpus = (1 to 50).map(i => (i.toLong, s"w$i x y z a b c d e f g h i j k l m"))
+      .toDF("doc_id", "text")
+    val ev = Seq((0L, "x y z a b c d e f g h i j k l m n")).toDF("doc_id", "text")
+    val dc = explainOf(Curation.decontaminate(corpus, ev, "text", "doc_id"))
+    // the corpus gram stream must probe a broadcast, never sort-merge
+    assert(dc.contains("BroadcastHashJoin"), dc)
+    assert(!dc.contains("SortMergeJoin"), dc)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(8)(d => (i * 7 + d).toFloat / 100).toSeq))
+      .toDF("vec_id", "embedding")
+    val q8 = explainOf(Similarity.quantizedTopK(vecs, "vec_id", "embedding",
+      0L, k = 5, rerank = 10))
+    // both top-ks are heap-based TakeOrdered, not global sorts
+    assert(q8.contains("TakeOrderedAndProject"), q8)
+    assert(!q8.contains("CartesianProduct"), q8)
+  }
+
   test("bestSurvivors: complete original beats a truncated lower-id copy") {
     import graft.operators.Dedup
     val docsDf = Seq(
