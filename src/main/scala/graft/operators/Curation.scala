@@ -212,6 +212,41 @@ object Curation {
     df.filter(bucket < rate)
   }
 
+  /** Exact-quota stratified sampling: exactly `min(n, |stratum|)` rows
+    * per stratum, chosen by content-hash order (md5 of the text, ties →
+    * id) — the deterministic complement to rate-based [[mixtureSample]]
+    * for "exactly 10k docs per language" requirements. One shuffle on the
+    * stratum key; the per-stratum ranking window partitions are the
+    * strata themselves, so skew follows the declared strata, not data
+    * surprises. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, textCol: String,
+      idCol: String, nPerStratum: Int): DataFrame = {
+    require(nPerStratum > 0, s"nPerStratum must be positive, got $nPerStratum")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(textCol)), col(idCol))
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= nPerStratum)
+      .drop("_rk")
+  }
+
+  /** Key-skew profile — the pre-shuffle diagnostic for a 100 TB join or
+    * aggregation: per-key counts (map-side combined, one shuffle of
+    * distinct keys), reduced to a single row of distribution facts. The
+    * `max_over_avg_permille` ratio is the salting/AQE-skew-join decision
+    * input (1000 = perfectly uniform). Exact integers only. */
+  def keySkew(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_key_rows"),
+        min(col("n")).as("min_key_rows"))
+      .select(col("n_keys"), col("n_rows"), col("max_key_rows"),
+        col("min_key_rows"),
+        expr("max_key_rows * 1000 * n_keys div n_rows")
+          .as("max_over_avg_permille"))
+
   // -------------------------------------------- corpus n-gram stats
 
   /** Word n-grams WITH duplicates (corpus statistics need occurrence

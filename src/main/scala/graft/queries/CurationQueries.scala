@@ -95,6 +95,14 @@ object CurationQueries {
     "bpe_train" -> ((s, dir) =>
       Curation.bpeTrain(docs(s, dir), "text", rounds = 3)),
 
+    // Exact-quota stratified sampling: exactly 30 docs per language by
+    // content-hash order (vs domain_mix's rate-based thresholding).
+    "stratified_sample" -> ((s, dir) =>
+      Curation.stratifiedSample(docs(s, dir)
+          .select(col("doc_id"), col("lang"), col("text")),
+        "lang", "text", "doc_id", nPerStratum = 30)
+        .select(col("doc_id"), col("lang"))),
+
     // Train → apply: tokenize the corpus under the learned merges,
     // per-document BPE token totals.
     "bpe_encode" -> ((s, dir) => {
@@ -343,6 +351,15 @@ object CurationQueries {
   def oracleSql: Map[String, String] = Map(
     "bpe_train" -> bpeTrainOracle(3),
     "bpe_encode" -> bpeEncodeOracle(3),
+
+    "stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |         ROW_NUMBER() OVER (PARTITION BY lang
+        |                            ORDER BY md5(text), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 30
+        |""".stripMargin,
 
     "pii_redact" ->
       s"""WITH $piiTextSql

@@ -67,6 +67,11 @@ object EventQueries {
         windowUs = 24L * 3600 * 1000000,
         leftOut = Seq("view_id"), rightOut = Seq("purchase_id"))
     }),
+
+    // Key-skew profile of the event stream's user key — the decision
+    // input for salting/AQE on a big shuffle.
+    "skew_profile" -> ((s, dir) =>
+      graft.operators.Curation.keySkew(events(s, dir), "user_id")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -130,6 +135,20 @@ object EventQueries {
         |FROM v JOIN p ON v.user_id = p.user_id
         |  AND epoch_us(p.ts) > epoch_us(v.ts)
         |  AND epoch_us(p.ts) - epoch_us(v.ts) <= CAST(86400 AS BIGINT) * 1000000
+        |""".stripMargin,
+
+    "skew_profile" ->
+      """WITH c AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |       CAST(SUM(n) AS BIGINT) AS n_rows,
+        |       CAST(MAX(n) AS BIGINT) AS max_key_rows,
+        |       CAST(MIN(n) AS BIGINT) AS min_key_rows,
+        |       CAST((MAX(n) * 1000 * COUNT(*)) // CAST(SUM(n) AS BIGINT)
+        |            AS BIGINT) AS max_over_avg_permille
+        |FROM c
         |""".stripMargin,
   )
 }

@@ -270,6 +270,33 @@ class CurationSpec extends AnyFunSuite {
     assert(out(2L) == (2L, 1L))
   }
 
+  test("stratifiedSample takes exact quotas, deterministically") {
+    val df = (1 to 40).map(i => (i.toLong,
+      if (i % 4 == 0) "de" else "en", s"text body $i")).toDF("doc_id", "lang", "text")
+    val out = Curation.stratifiedSample(df, "lang", "text", "doc_id", 5)
+    val byLang = out.collect().groupBy(_.getAs[String]("lang"))
+    assert(byLang("en").length == 5 && byLang("de").length == 5)
+    // small stratum: quota binds at the stratum size
+    val out2 = Curation.stratifiedSample(df, "lang", "text", "doc_id", 15)
+      .collect().groupBy(_.getAs[String]("lang"))
+    assert(out2("de").length == 10) // only 10 'de' docs exist
+    // determinism: same rows on a rerun
+    val a = out.collect().map(_.getAs[Long]("doc_id")).toSet
+    val b = Curation.stratifiedSample(df.repartition(7), "lang", "text",
+      "doc_id", 5).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(a == b)
+  }
+
+  test("keySkew reports exact distribution facts") {
+    val df = (Seq.fill(6)("hot") ++ Seq("a", "b", "c")).toDF("k")
+    val r = Curation.keySkew(df, "k").collect().head
+    assert(r.getAs[Long]("n_keys") == 4L)
+    assert(r.getAs[Long]("n_rows") == 9L)
+    assert(r.getAs[Long]("max_key_rows") == 6L)
+    assert(r.getAs[Long]("min_key_rows") == 1L)
+    assert(r.getAs[Long]("max_over_avg_permille") == 6L * 1000 * 4 / 9)
+  }
+
   test("kmeans assigns duplicate vectors to the same cluster and converges") {
     val base = Array.tabulate(8)(c => Array.tabulate(4)(d =>
       if (d == c % 4) 1.0f else 0.01f * c))
