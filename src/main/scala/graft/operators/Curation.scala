@@ -247,6 +247,25 @@ object Curation {
         expr("max_key_rows * 1000 * n_keys div n_rows")
           .as("max_over_avg_permille"))
 
+  /** EXACT distributed distinct count via hash-partitioned salting — the
+    * manual fix [[keySkew]] motivates when one group dominates: the
+    * distinct domain is split by a content hash into `nSalts` DISJOINT
+    * slices, per-(key, salt) distincts are counted independently (each
+    * reducer deduplicates only its slice — bounded state even when one
+    * key holds billions of distinct values), and the outer sum is exact
+    * because the slices partition the domain. Contrast `countDistinct`
+    * straight over a hot key, which funnels that key's whole domain
+    * through one reducer. No approximation anywhere. */
+  def saltedDistinctCount(df: DataFrame, keyCol: String,
+      distinctCol: String, nSalts: Int = 16): DataFrame = {
+    require(nSalts > 0, s"nSalts must be positive, got $nSalts")
+    df.groupBy(col(keyCol),
+        pmod(xxhash64(col(distinctCol)), lit(nSalts)).as("_salt"))
+      .agg(countDistinct(col(distinctCol)).as("_d"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("_d")).cast("long").as("n_distinct"))
+  }
+
   // -------------------------------------------- corpus n-gram stats
 
   /** Word n-grams WITH duplicates (corpus statistics need occurrence

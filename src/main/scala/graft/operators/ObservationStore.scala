@@ -263,6 +263,22 @@ final class ObservationStore(byRrname: DataFrame, byRdata: DataFrame,
       .drop("bucket", "rdata_ip")
   }
 
+  /** Prefix range scan on the forward copy — an extension beyond balboa
+    * (its GraphQL surface is exact-match only even though RocksDB could
+    * seek). Hash buckets cannot prune a prefix (hashing destroys key
+    * order), but the forward copy is SORTED by rrname within every
+    * bucket's files, so Parquet row-group min/max stats skip
+    * non-matching groups and the StartsWith predicate pushes into the
+    * scan — each bucket contributes a seek-sized read, not a full scan.
+    * Callers should pick prefixes selective enough that `limit` does not
+    * bind (matching balboa's "limit rarely binds" behavior); a bound
+    * limit on an unordered scan is nondeterministic. */
+  def entriesPrefix(prefix: String, limit: Int = 1000): DataFrame = {
+    require(prefix.nonEmpty, "prefix must be non-empty")
+    byRrname.filter(col("rrname").startsWith(prefix)).limit(limit)
+      .drop("bucket", "rdata_ip")
+  }
+
   /** Typed variant of [[entries]] for callers that want compile-time field
     * checks (`Dataset[Observation]`); requires the store's timestamp
     * columns to be TimestampType (disk/in-memory stores — not the

@@ -29,6 +29,11 @@ object BalboaQueries {
       store(s, dir).entries(rrname = Some("part-42"),
         rrtype = Some("A"), sensorId = Some("3"))),
 
+    // Prefix range scan (extension): selective prefix so the limit never
+    // binds; sorted-within-bucket files row-group-skip at scale.
+    "entries_prefix" -> ((s, dir) =>
+      store(s, dir).entriesPrefix("part-1999")),
+
     // Q7 — REST/CIRCL semantics: subject as rrname ∪ subject as rdata.
     "rest_union" -> ((s, dir) => store(s, dir).restQuery("part-42")),
 
@@ -113,6 +118,9 @@ object BalboaQueries {
       s"""$obsCte SELECT * FROM agg
          | WHERE rrname = 'part-42' AND rrtype = 'A' AND sensor_id = '3'
          |""".stripMargin,
+
+    "entries_prefix" ->
+      s"""$obsCte SELECT * FROM agg WHERE rrname LIKE 'part-1999%'""",
 
     "rest_union" ->
       s"""$obsCte

@@ -72,6 +72,13 @@ object EventQueries {
     // input for salting/AQE on a big shuffle.
     "skew_profile" -> ((s, dir) =>
       graft.operators.Curation.keySkew(events(s, dir), "user_id")),
+
+    // Exact salted distinct-count: per event type, distinct users via
+    // 16 disjoint hash slices — salting is semantics-preserving, so the
+    // oracle is the plain COUNT(DISTINCT).
+    "salted_distinct" -> ((s, dir) =>
+      graft.operators.Curation.saltedDistinctCount(events(s, dir),
+        "event_type", "user_id")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -149,6 +156,12 @@ object EventQueries {
         |       CAST((MAX(n) * 1000 * COUNT(*)) // CAST(SUM(n) AS BIGINT)
         |            AS BIGINT) AS max_over_avg_permille
         |FROM c
+        |""".stripMargin,
+
+    "salted_distinct" ->
+      """SELECT event_type,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+        |FROM events GROUP BY 1
         |""".stripMargin,
   )
 }

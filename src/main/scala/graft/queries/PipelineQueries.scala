@@ -118,6 +118,20 @@ object PipelineQueries {
       Similarity.quantizedTopK(embs(s, dir), "vec_id", "embedding",
         queryId = 5L, k = 10, rerank = 50)),
 
+    // Recall of the quantized path against the exact top-10 at a
+    // deliberately narrow rerank window (12) — one deterministic row.
+    "quantized_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val exact = Similarity.topK(e, "vec_id", "embedding", 5L, 10)
+        .select(col("id"))
+      val quant = Similarity.quantizedTopK(e, "vec_id", "embedding", 5L,
+        k = 10, rerank = 12).select(col("id").as("qid"))
+      exact.join(quant, col("id") === col("qid"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("qid")).as("n_common"))
+        .select(col("n_exact"), col("n_common"),
+          expr("n_common * 1000 div n_exact").as("recall_permille"))
+    }),
+
     // Embedding near-duplicates, cosine ≥ 0.4, via the SCALE path:
     // random-hyperplane LSH blocking (16 planes, 4 blocks) + exact cosine
     // verify on candidates only — no all-pairs product. The exact
@@ -359,6 +373,39 @@ object PipelineQueries {
 
   private def cosSql(a: String, b: String): String =
     s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
+
+  /** int8-quantized two-stage retrieval (query id 5): scale, codes,
+    * integer-dot candidates (top `rerank`), exact-cosine re-rank →
+    * `quant` = the final top-10. Shared by the gate and recall oracles. */
+  private def quantPipelineCtes(rerank: Int): String =
+    s"""WITH $scaledCte,
+       |sc AS (
+       |  SELECT id, v,
+       |         greatest(list_max(list_transform(v, x -> abs(x))), 1)
+       |           AS scale
+       |  FROM s),
+       |qz AS (
+       |  SELECT id, v, list_transform(v, x ->
+       |           CASE WHEN x < 0
+       |                THEN -floor(((-x) * 254 + scale) / (2 * scale))
+       |                ELSE floor((x * 254 + scale) / (2 * scale)) END) AS q
+       |  FROM sc),
+       |qq AS (SELECT v AS qv, q AS qcodes FROM qz WHERE id = 5),
+       |cand AS (
+       |  SELECT z.id,
+       |         CAST(list_dot_product(z.q, qq.qcodes) AS BIGINT)
+       |           AS approx_dot,
+       |         z.v
+       |  FROM qz z CROSS JOIN qq
+       |  WHERE z.id <> 5
+       |  ORDER BY approx_dot DESC, z.id ASC
+       |  LIMIT $rerank),
+       |quant AS (
+       |  SELECT cand.id, cand.approx_dot,
+       |         ${cosSql("cand.v", "qq.qv")} AS cos_sim
+       |  FROM cand CROSS JOIN qq
+       |  ORDER BY cos_sim DESC, cand.id ASC
+       |  LIMIT 10)""".stripMargin
 
   /** IVF ANN oracle — shared by `ann_ivf` (in-memory assignment) and
     * `ann_ivf_index` (persisted cluster-partitioned layout): the storage
@@ -686,33 +733,26 @@ object PipelineQueries {
     // Same int8 quantization arithmetic (round-half-away as exact
     // integer floor-division), same two-stage top-k.
     "ann_quantized" ->
-      s"""WITH $scaledCte,
-         |sc AS (
-         |  SELECT id, v,
-         |         greatest(list_max(list_transform(v, x -> abs(x))), 1)
-         |           AS scale
-         |  FROM s),
-         |qz AS (
-         |  SELECT id, v, list_transform(v, x ->
-         |           CASE WHEN x < 0
-         |                THEN -floor(((-x) * 254 + scale) / (2 * scale))
-         |                ELSE floor((x * 254 + scale) / (2 * scale)) END) AS q
-         |  FROM sc),
-         |qq AS (SELECT v AS qv, q AS qcodes FROM qz WHERE id = 5),
-         |cand AS (
-         |  SELECT z.id,
-         |         CAST(list_dot_product(z.q, qq.qcodes) AS BIGINT)
-         |           AS approx_dot,
-         |         z.v
-         |  FROM qz z CROSS JOIN qq
-         |  WHERE z.id <> 5
-         |  ORDER BY approx_dot DESC, z.id ASC
-         |  LIMIT 50)
-         |SELECT cand.id, cand.approx_dot,
-         |       ${cosSql("cand.v", "qq.qv")} AS cos_sim
-         |FROM cand CROSS JOIN qq
-         |ORDER BY cos_sim DESC, cand.id ASC
-         |LIMIT 10
+      s"""${quantPipelineCtes(rerank = 50)}
+         |SELECT id, approx_dot, cos_sim FROM quant
+         |""".stripMargin,
+
+    // Recall of the two-stage quantized retrieval against the exact
+    // top-10, with a deliberately narrow rerank window (12) so the
+    // metric is non-trivial — the lsh_recall pattern for ANN.
+    "quantized_recall" ->
+      s"""${quantPipelineCtes(rerank = 12)},
+         |ex AS (
+         |  SELECT s.id FROM s CROSS JOIN
+         |       (SELECT v AS exv FROM s WHERE id = 5) q2
+         |  WHERE s.id <> 5
+         |  ORDER BY ${cosSql("s.v", "q2.exv")} DESC, s.id ASC
+         |  LIMIT 10)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |       CAST(COUNT(q.id) AS BIGINT) AS n_common,
+         |       CAST((COUNT(q.id) * 1000) // COUNT(*) AS BIGINT)
+         |         AS recall_permille
+         |FROM ex LEFT JOIN quant q ON ex.id = q.id
          |""".stripMargin,
 
     // identical semantics through the persisted cluster-partitioned

@@ -287,6 +287,18 @@ class CurationSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("saltedDistinctCount equals plain distinct counting at any salt width") {
+    val df = (1 to 500).map(i => (s"k${i % 3}", (i * 31 % 97).toLong))
+      .toDF("k", "v")
+    val plain = df.groupBy("k").agg(countDistinct("v").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (salts <- Seq(1, 4, 16)) {
+      val salted = Curation.saltedDistinctCount(df, "k", "v", salts)
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("n_distinct")).toMap
+      assert(salted == plain, s"nSalts=$salts")
+    }
+  }
+
   test("keySkew reports exact distribution facts") {
     val df = (Seq.fill(6)("hot") ++ Seq("a", "b", "c")).toDF("k")
     val r = Curation.keySkew(df, "k").collect().head
