@@ -134,6 +134,28 @@ object StreamingAnalytics {
     * downstream either tolerates multiplicity or drops duplicates per
     * (batch_id, corpus_id) (state bounded by MATCHED pairs, not the
     * stream). Output: (batch_id, corpus_id, jaccard ≥ threshold). */
+  /** Streaming decontamination: flag arriving documents that share a
+    * full word n-gram with a STATIC eval/benchmark set — the
+    * [[graft.operators.Curation.decontaminate]] semantics applied at
+    * ingest time, before a contaminated document ever reaches the
+    * training corpus. Stream-static inner-equi-join on the gram key
+    * against the (tiny, broadcastable) distinct eval-gram set; emits the
+    * (doc, gram) hit pairs themselves — the forensic evidence, and
+    * append-mode-safe without a watermark (per-doc grams are distinct by
+    * construction, so no dedup state is needed either). */
+  def streamingDecontaminate(stream: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, n: Int = 13): DataFrame = {
+    import graft.operators.Dedup
+    val evalGrams = evalSet
+      .select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .distinct()
+    stream
+      .select(col(idCol).as("doc_id"),
+        explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .select(col("doc_id"), col("gram"))
+  }
+
   def streamingDeltaDedup(corpus: DataFrame, stream: DataFrame,
       textCol: String, idCol: String, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.8): DataFrame = {

@@ -109,6 +109,27 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       DocHash(3L, "C")))
   }
 
+  test("streamingDecontaminate flags eval-gram hits at ingest time") {
+    implicit val sqlCtx = spark.sqlContext
+    val evalSet = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val stream = MemoryStream[(Long, String)]
+    val out = StreamingAnalytics.streamingDecontaminate(
+      stream.toDF().toDF("doc_id", "text"), evalSet, "text", "doc_id", n = 4)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("decon_stream").start()
+    stream.addData(
+      (10L, "x alpha beta gamma delta y"),      // one eval 4-gram inside
+      (11L, "alpha beta x gamma delta y"))      // words shared, no 4-gram
+    q.processAllAvailable()
+    stream.addData((12L, "clean text with no overlap at all"))
+    q.processAllAvailable()
+    val rows = spark.table("decon_stream").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("gram"))).toSet
+    q.stop()
+    assert(rows == Set((10L, "alpha beta gamma delta")))
+  }
+
   test("flatMapGroupsWithState sessionization: gap closes a session in-stream") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[SessionEvent]
