@@ -234,7 +234,11 @@ object Curation {
     * aggregation: per-key counts (map-side combined, one shuffle of
     * distinct keys), reduced to a single row of distribution facts. The
     * `max_over_avg_permille` ratio is the salting/AQE-skew-join decision
-    * input (1000 = perfectly uniform). Exact integers only. */
+    * input (1000 = perfectly uniform). Exact integers only; computed as
+    * `max·1000 div (rows div keys)` — `max·1000·keys` would overflow
+    * Long at exactly the billion-key scales this exists for, while
+    * `max·1000` stays far under 2⁶³ for any physical key. (`rows div
+    * keys` ≥ 1 always: every counted key has ≥ 1 row.) */
   def keySkew(df: DataFrame, keyCol: String): DataFrame =
     df.groupBy(col(keyCol).cast("string").as("key"))
       .agg(count(lit(1)).as("n"))
@@ -244,7 +248,7 @@ object Curation {
         min(col("n")).as("min_key_rows"))
       .select(col("n_keys"), col("n_rows"), col("max_key_rows"),
         col("min_key_rows"),
-        expr("max_key_rows * 1000 * n_keys div n_rows")
+        expr("max_key_rows * 1000 div (n_rows div n_keys)")
           .as("max_over_avg_permille"))
 
   /** EXACT distributed distinct count via hash-partitioned salting — the
@@ -316,19 +320,20 @@ object Curation {
     * n_occurrences) — the learned merge table, in order.
     *
     * Tokenization state is a single-space-joined token string per word
-    * type with sentinel spaces (" h e l l o "). A merge replaces every
-    * non-overlapping " x y " with " xy "; TWO passes of `replace` are
-    * exact for runs like "a a a a": the first pass merges alternate
-    * occurrences (consecutive ones share a boundary space, so plain
-    * left-to-right replace skips every second), after which no two
-    * remaining occurrences overlap and the second pass catches them —
-    * this is precisely BPE's left-to-right greedy simultaneous merge.
+    * type with sentinel spaces (" h e l l o "). A merge round is the
+    * CANONICAL left-to-right greedy pass ([[canonicalMerge]]): a
+    * left-fold over the tokens that pops the accumulator's last token
+    * when (last, current) == (x, y) — so "a a a a a" becomes "aa aa a",
+    * exactly what sequential BPE produces. (A replace-based formulation
+    * is NOT canonical here: `replace` consumes the boundary space after
+    * each match, phase-shifting the rest of a run.)
     *
     * Scale shape: ONE corpus-wide shuffle total (word-type counts, the
     * same aggregation any tokenizer trainer starts with — map-side
     * combined, vocabulary-sized output). Every round then runs on the
     * word-TYPE table (vocabulary-sized, frequency-weighted — corpus size
-    * never re-enters), and the argmax collects a single row to the
+    * never re-enters; the fold costs O(word²) string building, bounded
+    * by word length), and the argmax collects a single row to the
     * driver, exactly like k-means centroids. */
   def bpeTrain(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
     require(rounds > 0, s"rounds must be positive, got $rounds")
@@ -355,20 +360,35 @@ object Curation {
       require(top.nonEmpty, s"no pairs left to merge in round $round")
       val pair = top.head.getAs[String]("pair")
       val n = top.head.getAs[Long]("n")
-      val pLit = lit(" " + pair + " ")
-      val mLit = lit(" " + pair.replace(" ", "") + " ")
       state = state.select(col("cnt"),
-          replace(replace(col("s"), pLit, mLit), pLit, mLit).as("s"))
+          canonicalMerge(col("s"), pair).as("s"))
         .localCheckpoint(false) // keep the round's lineage flat
       (round.toLong, pair, n)
     }
     merges.toDF("round", "pair", "n_occurrences")
   }
 
+  /** Canonical BPE merge pass: left-fold over the word's tokens; when
+    * the accumulator's last token is `x` and the current token is `y`,
+    * pop-and-merge — otherwise append. This IS sequential BPE's greedy
+    * left-to-right semantics ("a a a a a" → "aa aa a"); tokens never
+    * contain spaces, so "ends with ' x'" identifies the last token
+    * exactly. Accumulator starts empty; the first token replaces it. */
+  private def canonicalMerge(s: Column, pair: String): Column = {
+    val Array(x, y) = pair.split(" ", 2)
+    val merged = x + y
+    val folded = aggregate(split(trim(s), " "), lit(""), (acc, t) =>
+      when(acc === "", t)
+        .when((acc === x || acc.endsWith(" " + x)) && t === y,
+          concat(acc.substr(lit(1), length(acc) - x.length), lit(merged)))
+        .otherwise(concat(acc, lit(" "), t)))
+    concat(lit(" "), folded, lit(" "))
+  }
+
   /** Apply a learned merge list: tokenize every word TYPE once (the
     * corpus joins against the vocabulary-sized result — broadcastable at
     * any corpus scale), then per-document token totals. The merge
-    * application is the same exact double-`replace` as the trainer. */
+    * application is the same canonical fold as the trainer. */
   def bpeApply(df: DataFrame, textCol: String, idCol: String,
       merges: Seq[String]): DataFrame = {
     val words = df.select(col(idCol).as("doc_id"),
@@ -378,9 +398,7 @@ object Curation {
         concat(lit(" "),
           trim(regexp_replace(col("word"), "(.)", "$1 ")), lit(" ")))
     val tokenized = merges.foldLeft(types) { (t, pair) =>
-      val pLit = lit(" " + pair + " ")
-      val mLit = lit(" " + pair.replace(" ", "") + " ")
-      t.withColumn("s", replace(replace(col("s"), pLit, mLit), pLit, mLit))
+      t.withColumn("s", canonicalMerge(col("s"), pair))
     }.withColumn("n_word_tokens",
       size(split(trim(col("s")), " ")).cast("long"))
     words.join(broadcast(tokenized.select(col("word"), col("n_word_tokens"))),

@@ -421,14 +421,14 @@ object Dedup {
 
   /** The split mapping alone, for callers that already hold an
     * (id, component) labeling (e.g. one shared components result serving
-    * several downstream policies). */
-  def splitFromComponents(comp: DataFrame): DataFrame = {
-    val bucket = conv(substring(md5(col("component").cast("string")), 1, 4),
-      16, 10).cast("long") % 10
+    * several downstream policies). The split function IS
+    * [[TextAnalysis.contentSplit]] applied to the cluster id (its
+    * whitespace normalization is a no-op on a digit string), so the
+    * exact-dup and near-dup splits share one definition of the
+    * bucket-to-split mapping. */
+  def splitFromComponents(comp: DataFrame): DataFrame =
     comp.select(col("id").as("doc_id"), col("component").as("cluster_id"),
-      when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test")
-        .as("split"))
-  }
+      TextAnalysis.contentSplit(col("component").cast("string")).as("split"))
 
   /** Best-member survivor selection: production dedup keeps the BEST
     * document of each near-dup cluster (here: longest text, ties → lowest

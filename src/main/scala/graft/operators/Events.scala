@@ -56,11 +56,16 @@ object Events {
     val lType = org.apache.spark.sql.types.StructType(left.schema.fields)
     val rvExpr = struct((rightTimeCol +: rightValueCols).map(col): _*)
     val rvType = right.select(rvExpr.as("_rv")).schema.head.dataType
+    // equi-join semantics: a NULL key matches nothing (without the
+    // filters, the window would co-partition NULL-keyed rows and match
+    // them to each other — which no ASOF join does); NULL-keyed left
+    // rows still flow through unmatched
     val l2 = left.select(col(keyCol).as("_k"), col(leftTimeCol).as("_t"),
       lit(1).as("_side"), struct(left.columns.map(col): _*).as("_l"),
       lit(null).cast(rvType).as("_rv"))
-    val r2 = right.select(col(keyCol).as("_k"), col(rightTimeCol).as("_t"),
-      lit(0).as("_side"), lit(null).cast(lType).as("_l"), rvExpr.as("_rv"))
+    val r2 = right.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).as("_k"), col(rightTimeCol).as("_t"),
+        lit(0).as("_side"), lit(null).cast(lType).as("_l"), rvExpr.as("_rv"))
     // side 0 sorts before side 1 at equal times → a right row at exactly
     // left.time is already visible to the running last() → >= semantics
     val w = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_side"))

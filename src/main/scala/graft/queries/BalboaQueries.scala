@@ -29,10 +29,12 @@ object BalboaQueries {
       store(s, dir).entries(rrname = Some("part-42"),
         rrtype = Some("A"), sensorId = Some("3"))),
 
-    // Prefix range scan (extension): selective prefix so the limit never
-    // binds; sorted-within-bucket files row-group-skip at scale.
+    // Prefix range scan (extension). The limit is lifted far above any
+    // SF's match count: a BOUND limit on an unordered scan would return
+    // an arbitrary subset and the gate would flap at larger SFs (the
+    // oracle has no LIMIT).
     "entries_prefix" -> ((s, dir) =>
-      store(s, dir).entriesPrefix("part-1999")),
+      store(s, dir).entriesPrefix("part-1999", limit = Int.MaxValue)),
 
     // Q7 — REST/CIRCL semantics: subject as rrname ∪ subject as rdata.
     "rest_union" -> ((s, dir) => store(s, dir).restQuery("part-42")),

@@ -92,8 +92,10 @@ object CurationQueries {
 
     // Three rounds of the real BPE trainer over the documents corpus:
     // learned merge table (round, pair, weighted occurrence count).
-    "bpe_train" -> ((s, dir) =>
-      Curation.bpeTrain(docs(s, dir), "text", rounds = 3)),
+    "bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      learnedMerges(s, dir).toDF("round", "pair", "n_occurrences")
+    }),
 
     // Exact-quota stratified sampling: exactly 30 docs per language by
     // content-hash order (vs domain_mix's rate-based thresholding).
@@ -104,13 +106,11 @@ object CurationQueries {
         .select(col("doc_id"), col("lang"))),
 
     // Train → apply: tokenize the corpus under the learned merges,
-    // per-document BPE token totals.
-    "bpe_encode" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val merges = Curation.bpeTrain(d, "text", rounds = 3)
-        .orderBy(col("round")).collect().map(_.getAs[String]("pair")).toSeq
-      Curation.bpeApply(d, "text", "doc_id", merges)
-    }),
+    // per-document BPE token totals. Shares the memoized trainer run
+    // with bpe_train — the trainer is the expensive half.
+    "bpe_encode" -> ((s, dir) =>
+      Curation.bpeApply(docs(s, dir), "text", "doc_id",
+        learnedMerges(s, dir).map(_._2))),
 
     // CCNet-style passage-level dedup over docs ∪ planted copies: every
     // 10-token passage keeps its first (min (doc,pos)) occurrence.
@@ -282,11 +282,28 @@ object CurationQueries {
        |  FROM $uName GROUP BY cl)
        |""".stripMargin
 
+  /** Memoized learned merge table per (session, dir): both BPE gates
+    * share one trainer run — content-deterministic, so caching cannot
+    * change results. */
+  private val mergesCache = scala.collection.mutable
+    .Map[(SparkSession, String), Seq[(Long, String, Long)]]()
+  private def learnedMerges(s: SparkSession,
+      dir: String): Seq[(Long, String, Long)] =
+    mergesCache.synchronized {
+      mergesCache.getOrElseUpdate((s, dir),
+        Curation.bpeTrain(docs(s, dir), "text", rounds = 3)
+          .collect()
+          .map(r => (r.getAs[Long]("round"), r.getAs[String]("pair"),
+            r.getAs[Long]("n_occurrences")))
+          .sortBy(_._1).toSeq)
+    }
+
   /** Unrolled BPE trainer rounds: count weighted adjacent pairs on the
-    * word-type table, argmax (n DESC, pair ASC), double-`replace` merge
-    * (exact for boundary-sharing runs — see Curation.bpeTrain). Returns
-    * the shared CTE chain ending with state `s<rounds>`; the train and
-    * encode oracles add their own final SELECT. */
+    * word-type table, argmax (n DESC, pair ASC), canonical left-fold
+    * merge (list_reduce pop-and-merge — the same sequential-BPE greedy
+    * pass as Curation.canonicalMerge). Returns the shared CTE chain
+    * ending with state `s<rounds>`; the train and encode oracles add
+    * their own final SELECT. */
   private def bpeChainCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""p$r AS (
@@ -299,13 +316,18 @@ object CurationQueries {
          |        FROM p$r GROUP BY 1),
          |b$r AS (SELECT pair, n FROM c$r ORDER BY n DESC, pair LIMIT 1),
          |s$r AS (
-         |  SELECT word, cnt, replace(replace(s,
-         |           ' ' || (SELECT pair FROM b$r) || ' ',
-         |           ' ' || replace((SELECT pair FROM b$r), ' ', '') || ' '),
-         |           ' ' || (SELECT pair FROM b$r) || ' ',
-         |           ' ' || replace((SELECT pair FROM b$r), ' ', '') || ' ')
-         |           AS s
-         |  FROM s${r - 1})""".stripMargin
+         |  SELECT word, cnt,
+         |         ' ' || list_reduce(string_split(trim(s), ' '),
+         |           (acc, t) -> CASE
+         |             WHEN (acc = mx OR ends_with(acc, ' ' || mx))
+         |                  AND t = my
+         |             THEN substr(acc, 1, len(acc) - len(mx)) || mm
+         |             ELSE acc || ' ' || t END) || ' ' AS s
+         |  FROM s${r - 1} CROSS JOIN
+         |       (SELECT string_split(pair, ' ')[1] AS mx,
+         |               string_split(pair, ' ')[2] AS my,
+         |               replace(pair, ' ', '') AS mm
+         |        FROM b$r) m)""".stripMargin
     }.mkString(",\n")
     s"""WITH wc AS (
        |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt

@@ -153,7 +153,8 @@ object EventQueries {
         |       CAST(SUM(n) AS BIGINT) AS n_rows,
         |       CAST(MAX(n) AS BIGINT) AS max_key_rows,
         |       CAST(MIN(n) AS BIGINT) AS min_key_rows,
-        |       CAST((MAX(n) * 1000 * COUNT(*)) // CAST(SUM(n) AS BIGINT)
+        |       CAST((MAX(n) * 1000) //
+        |            (CAST(SUM(n) AS BIGINT) // COUNT(*))
         |            AS BIGINT) AS max_over_avg_permille
         |FROM c
         |""".stripMargin,

@@ -123,17 +123,6 @@ object StreamingAnalytics {
       }
   }
 
-  /** Streaming delta-dedup: near-duplicate-match a document STREAM
-    * against a STATIC corpus via a stream-static equi-join on MinHash-LSH
-    * band keys — the continuous-ingestion twin of
-    * [[graft.operators.Dedup.crossCorpusNearDuplicates]]. The corpus band
-    * index is computed once (at scale: precomputed, stored partitioned by
-    * band); each micro-batch joins only its own bands against it, and the
-    * exact-Jaccard verify runs on candidates only. Stateless — no
-    * watermark needed; a pair can be emitted once per matching band, so
-    * downstream either tolerates multiplicity or drops duplicates per
-    * (batch_id, corpus_id) (state bounded by MATCHED pairs, not the
-    * stream). Output: (batch_id, corpus_id, jaccard ≥ threshold). */
   /** Streaming decontamination: flag arriving documents that share a
     * full word n-gram with a STATIC eval/benchmark set — the
     * [[graft.operators.Curation.decontaminate]] semantics applied at
@@ -156,6 +145,17 @@ object StreamingAnalytics {
       .select(col("doc_id"), col("gram"))
   }
 
+  /** Streaming delta-dedup: near-duplicate-match a document STREAM
+    * against a STATIC corpus via a stream-static equi-join on MinHash-LSH
+    * band keys — the continuous-ingestion twin of
+    * [[graft.operators.Dedup.crossCorpusNearDuplicates]]. The corpus band
+    * index is computed once (at scale: precomputed, stored partitioned by
+    * band); each micro-batch joins only its own bands against it, and the
+    * exact-Jaccard verify runs on candidates only. Stateless — no
+    * watermark needed; a pair can be emitted once per matching band, so
+    * downstream either tolerates multiplicity or drops duplicates per
+    * (batch_id, corpus_id) (state bounded by MATCHED pairs, not the
+    * stream). Output: (batch_id, corpus_id, jaccard ≥ threshold). */
   def streamingDeltaDedup(corpus: DataFrame, stream: DataFrame,
       textCol: String, idCol: String, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.8): DataFrame = {

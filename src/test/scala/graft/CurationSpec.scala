@@ -260,6 +260,17 @@ class CurationSpec extends AnyFunSuite {
     assert(out(2) == (3L, "b c", 2L))
   }
 
+  test("bpeTrain merge pass is canonical sequential BPE on odd runs") {
+    // " a a a a a " must merge to " aa aa a " (canonical greedy), whose
+    // round-2 pair table is {aa aa, aa a}; a replace-based merge would
+    // phase-shift to " aa a aa " = {aa a, a aa} and pick "a aa" instead.
+    val out = Curation.bpeTrain(Seq("aaaaa").toDF("text"), "text", 2)
+      .collect().map(r => (r.getAs[Long]("round"), r.getAs[String]("pair")))
+      .sortBy(_._1)
+    assert(out(0) == (1L, "a a"))
+    assert(out(1) == (2L, "aa a"))
+  }
+
   test("bpeApply counts tokens per doc under the merge list") {
     val docsDf = Seq((1L, "aaaa bc"), (2L, "bc")).toDF("doc_id", "text")
     val out = Curation.bpeApply(docsDf, "text", "doc_id",
@@ -306,7 +317,7 @@ class CurationSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_rows") == 9L)
     assert(r.getAs[Long]("max_key_rows") == 6L)
     assert(r.getAs[Long]("min_key_rows") == 1L)
-    assert(r.getAs[Long]("max_over_avg_permille") == 6L * 1000 * 4 / 9)
+    assert(r.getAs[Long]("max_over_avg_permille") == 6L * 1000 / (9 / 4))
   }
 
   test("kmeans assigns duplicate vectors to the same cluster and converges") {

@@ -51,8 +51,9 @@ class EventsSpec extends AnyFunSuite {
       ts((i * 40503L) % 1000), i * 10L)).toDF("r_id", "k", "rt", "v")
     // naive: for every left row, max right time <= t on the key (right
     // times are unique per key here, so the value is unambiguous)
+    val rRows = r.collect()
     val naive = l.collect().map { lr =>
-      val cand = r.collect().filter(rr => rr.getLong(1) == lr.getLong(1) &&
+      val cand = rRows.filter(rr => rr.getLong(1) == lr.getLong(1) &&
         !rr.getTimestamp(2).after(lr.getTimestamp(2)))
       val best = if (cand.isEmpty) None
         else Some(cand.maxBy(_.getTimestamp(2).getTime))
@@ -85,8 +86,9 @@ class EventsSpec extends AnyFunSuite {
     val r = (1 to 300).map(i => (i.toLong + 1000, (i % 5).toLong,
       ts((i * 40503L) % 500))).toDF("b_id", "k", "rt")
     val win = 37L * 1000000
+    val lRows = l.collect(); val rRows = r.collect()
     val naive = for {
-      lr <- l.collect(); rr <- r.collect()
+      lr <- lRows; rr <- rRows
       if lr.getLong(1) == rr.getLong(1)
       d = (rr.getTimestamp(2).getTime - lr.getTimestamp(2).getTime) * 1000L
       if d > 0 && d <= win
