@@ -33,8 +33,14 @@ object Main {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { System.err.println(usage); sys.exit(2) }
     val spark = Graft.localSession("graft-" + args.head)
-    try run(spark, args.toSeq)
-    finally spark.stop()
+    try {
+      val server = run(spark, args.toSeq)
+      // serve is a daemon: the HTTP server answers until the process is
+      // killed. Without this block, the finally would stop the
+      // SparkContext the instant start() returned (HttpServer.start is
+      // non-blocking) and every request would 500 against a dead engine.
+      if (server != null) new java.util.concurrent.CountDownLatch(1).await()
+    } finally spark.stop()
   }
 
   val usage: String =
@@ -122,25 +128,19 @@ object Main {
         Tools.backup(spark, required(flags, "store"), required(flags, "out"))
         null
       case "curate" =>
-        // the curate_export chain over an arbitrary (doc_id, text) corpus:
-        // quality gate → PII redaction → exact dedup → leakage-safe split
-        // → token-budget packing of the train split; writes one parquet
-        // per split under --out
+        // the shared Curation.curateChain (same thresholds as the
+        // curate_export gate) → token-budget packing of the train split;
+        // writes one parquet per split under --out
         import org.apache.spark.sql.functions._
         val (docsPath, outPath) = (required(flags, "docs"), required(flags, "out"))
         val nShards = flags.get("shards").map(_.toInt).getOrElse(64)
         val budget = flags.get("budget").map(_.toLong).getOrElse(8192L)
-        val d = spark.read.parquet(docsPath)
-        val quality = operators.TextAnalysis.qualityColumns(col("text"),
-          Seq("the", "a", "of", "and", "not"))
-        val kept = d.select(col("doc_id") +: col("text") +: quality: _*)
-          .filter(col("n_tokens") >= 5 && col("alpha_ratio") >= 0.6)
-        val red = kept.select(col("doc_id"),
-          operators.Curation.redactText(col("text")).as("text"))
-        val survivors = red.groupBy(md5(col("text")).as("h"))
-          .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
-          .select(col("doc_id"), col("text"),
-            operators.TextAnalysis.contentSplit(col("text")).as("split"))
+        // materialized once: three downstream actions (holdout write,
+        // packing, join-back) would otherwise each re-run the full
+        // scan + redact + dedup chain
+        val survivors = operators.Curation
+          .curateChain(spark.read.parquet(docsPath))
+          .localCheckpoint(false)
         survivors.filter(col("split") =!= "train")
           .write.mode("overwrite").partitionBy("split")
           .parquet(s"$outPath/holdout")
@@ -153,13 +153,16 @@ object Main {
           .parquet(s"$outPath/train")
         null
       case "dedup" =>
-        // exact-dedup survivors of a (doc_id, text) corpus
+        // exact-dedup survivors of a (doc_id, text) corpus — the
+        // Dedup.exactDuplicates operator, joined back for the text (the
+        // keeper's own text, not an arbitrary first())
         import org.apache.spark.sql.functions._
         val (docsPath, outPath) = (required(flags, "docs"), required(flags, "out"))
-        spark.read.parquet(docsPath)
-          .groupBy(md5(col("text")).as("content_hash"))
-          .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"),
-            count(lit(1)).as("n_copies"))
+        val d = spark.read.parquet(docsPath)
+        val dup = operators.Dedup.exactDuplicates(d, "text", "doc_id")
+        d.withColumn("content_hash", md5(col("text")))
+          .join(dup, "content_hash")
+          .filter(col("doc_id") === col("keep_id"))
           .select(col("doc_id"), col("text"), col("n_copies"))
           .write.mode("overwrite").parquet(outPath)
         null

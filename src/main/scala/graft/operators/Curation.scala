@@ -125,12 +125,7 @@ object Curation {
     * gram-construction subtree per element (nested Catalyst lambdas
     * inline their captures), which measured ~8× slower end-to-end. */
   def repetitionColumns(text: Column): Seq[Column] = {
-    def grams(n: Int): Column = {
-      val toks = split(text, " ")
-      when(size(toks) < n, array())
-        .otherwise(transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-    }
+    def grams(n: Int): Column = allGrams(text, n)
     // run-length scan over the sorted grams: (prev, run, best, dup) where
     // dup totals occurrences belonging to runs of length ≥ 2
     def runStats(g: Column): Column =
@@ -152,13 +147,19 @@ object Curation {
     val n3 = size(grams(3)).cast("long")
     val top2 = s2.getField("best")
     val dup3 = s3.getField("dup")
+    // a doc shorter than n words has zero n-grams: its repetition is 0.0
+    // by definition (the unguarded division would throw under ANSI)
     Seq(
       n2.as("n_2grams"),
       top2.as("top_2gram_count"),
-      (top2.cast("double") / n2.cast("double")).as("top_2gram_frac"),
+      when(n2 === 0, 0.0)
+        .otherwise(top2.cast("double") / n2.cast("double"))
+        .as("top_2gram_frac"),
       n3.as("n_3grams"),
       dup3.as("dup_3gram_count"),
-      (dup3.cast("double") / n3.cast("double")).as("dup_3gram_frac"))
+      when(n3 === 0, 0.0)
+        .otherwise(dup3.cast("double") / n3.cast("double"))
+        .as("dup_3gram_frac"))
   }
 
   // -------------------------------------------- decontamination
@@ -309,6 +310,28 @@ object Curation {
       .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("pair").asc)
       .limit(k)
+  }
+
+  // -------------------------------------------- composed curate chain
+
+  /** The quality → PII-redact → exact-dedup → leakage-safe-split chain
+    * shared by the `curate_export` gate and the `graft.Main curate` CLI —
+    * ONE definition of the thresholds, stopword list and survivor
+    * policy, so the CLI can never drift from the gated pipeline.
+    * Input needs (doc_id, text); output is (doc_id, text, split) with
+    * the min-id survivor per content hash. Two shuffles total (the dedup
+    * groupBy; the split is a narrow projection). */
+  val curateStopwords: Seq[String] = Seq("the", "a", "of", "and", "not")
+
+  def curateChain(df: DataFrame): DataFrame = {
+    val quality = TextAnalysis.qualityColumns(col("text"), curateStopwords)
+    val kept = df.select(col("doc_id") +: col("text") +: quality: _*)
+      .filter(col("n_tokens") >= 5 && col("alpha_ratio") >= 0.6)
+    val red = kept.select(col("doc_id"), redactText(col("text")).as("text"))
+    red.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.contentSplit(col("text")).as("split"))
   }
 
   // -------------------------------------------- BPE training loop

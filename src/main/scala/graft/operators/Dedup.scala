@@ -171,12 +171,17 @@ object Dedup {
       .join(bandIndex,
         col("b_band_idx") === col("band_idx") &&
           col("b_band_hash") === col("band_hash"))
+      // a true duplicate matches on EVERY band — dedupe candidate pairs
+      // BEFORE the shingle-array verify so the intersect/union runs once
+      // per pair, not once per matching band (the hottest rows are
+      // exactly the ones that match all bands)
+      .select(col("batch_id"), col("sh_b"), col("corpus_id"), col("sh_c"))
+      .dropDuplicates("batch_id", "corpus_id")
       .withColumn("jaccard",
         size(array_intersect(col("sh_b"), col("sh_c"))).cast("double") /
           size(array_union(col("sh_b"), col("sh_c"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("batch_id"), col("corpus_id"), col("jaccard"))
-      .dropDuplicates("batch_id", "corpus_id")
   }
 
   /** Exact n-gram Jaccard similarity join via shingle inverted index with
@@ -351,19 +356,20 @@ object Dedup {
     * driver-loop skeleton, O(log n) rounds. */
   def connectedComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
-    val edges0 = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(false)
     // per-round shuffle width sized to the PAIR GRAPH, not the session
     // default: duplicate-pair graphs are orders of magnitude smaller than
     // the corpus, and a driver-side iteration over a tiny graph at 32
     // shuffle partitions pays ~32× the task-scheduling cost per round for
     // nothing. ~500k edges per partition; grows with the graph, capped by
-    // the session parallelism so huge graphs still spread out.
+    // the session parallelism so huge graphs still spread out. Sizing
+    // counts PAIRS (half the edge list) so only the final repartitioned
+    // edge list is ever materialized — one checkpoint, not two.
     val parallelism = pairs.sparkSession.sparkContext.defaultParallelism
     val parts = math.max(1L, math.min(parallelism.toLong,
-      edges0.count() / 500000L + 1L)).toInt
-    val edges = edges0.repartition(parts, col("dst")).localCheckpoint(false)
+      pairs.count() * 2 / 500000L + 1L)).toInt
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .repartition(parts, col("dst")).localCheckpoint(false)
     // propagation runs over edge-CONNECTED nodes only — isolated ids (the
     // overwhelming majority of a mostly-unique corpus) are their own
     // component by definition and join back in at the end, so per-round

@@ -180,18 +180,7 @@ object CurationQueries {
     // groupBy; shard-partitioned packing window) regardless of corpus
     // size — PlanSpec asserts it; everything else is narrow.
     "curate_export" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val quality = graft.operators.TextAnalysis.qualityColumns(
-        col("text"), Seq("the", "a", "of", "and", "not"))
-      val kept = d.select(col("doc_id") +: col("text") +: quality: _*)
-        .filter(col("n_tokens") >= 5 && col("alpha_ratio") >= 0.6)
-      val red = kept.select(col("doc_id"),
-        Curation.redactText(col("text")).as("text"))
-      val survivors = red
-        .groupBy(md5(col("text")).as("h"))
-        .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
-      val train = survivors.select(col("doc_id"), col("text"),
-          graft.operators.TextAnalysis.contentSplit(col("text")).as("split"))
+      val train = Curation.curateChain(docs(s, dir))
         .filter(col("split") === "train")
       Curation.packForTraining(train, "text", "doc_id",
         nShards = 4, budgetTokens = 256)
@@ -218,9 +207,11 @@ object CurationQueries {
       |  FROM customer)
       |""".stripMargin
 
-  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val phoneRe = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
-  private val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  // the oracle MUST use byte-identical patterns to the operator — by
+  // reference, so a pattern change cannot desync them
+  private val emailRe = Curation.emailPattern
+  private val phoneRe = Curation.phonePattern
+  private val ipRe = Curation.ipv4Pattern
 
   /** Shared DuckDB fragment: 10-token passages of docs ∪ copies with
     * (idx, passage, md5) rows. */
@@ -485,12 +476,14 @@ object CurationQueries {
          |SELECT doc_id,
          |       CAST(len(g2) AS BIGINT) AS n_2grams,
          |       CAST(top2 AS BIGINT) AS top_2gram_count,
-         |       CAST(top2 AS DOUBLE) / CAST(len(g2) AS DOUBLE)
-         |         AS top_2gram_frac,
+         |       CASE WHEN len(g2) = 0 THEN 0.0
+         |            ELSE CAST(top2 AS DOUBLE) / CAST(len(g2) AS DOUBLE)
+         |       END AS top_2gram_frac,
          |       CAST(len(g3) AS BIGINT) AS n_3grams,
          |       CAST(dup3 AS BIGINT) AS dup_3gram_count,
-         |       CAST(dup3 AS DOUBLE) / CAST(len(g3) AS DOUBLE)
-         |         AS dup_3gram_frac
+         |       CASE WHEN len(g3) = 0 THEN 0.0
+         |            ELSE CAST(dup3 AS DOUBLE) / CAST(len(g3) AS DOUBLE)
+         |       END AS dup_3gram_frac
          |FROM c
          |""".stripMargin,
 

@@ -242,15 +242,22 @@ object PipelineQueries {
       val d = docs(s, dir).localCheckpoint(false)
       val exact = Dedup.ngramJaccardPairs(d, "text", "doc_id")
         .select(col("id_a"), col("id_b"))
+      // materialized once: the LSH pipeline feeds BOTH the join and the
+      // n_lsh aggregate — without this the band join + verify (the
+      // expensive half) executes twice in the one collected plan
       val lsh = Dedup.minhashNearDuplicates(d, "text", "doc_id")
         .select(col("id_a"), col("id_b")).withColumn("in_lsh", lit(1))
+        .localCheckpoint(false)
       exact.join(lsh, Seq("id_a", "id_b"), "left")
         .agg(count(lit(1)).as("n_exact"),
           count(col("in_lsh")).as("n_common"))
         .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
         .select(col("n_exact"), col("n_lsh"), col("n_common"),
-          round(col("n_common") * 1000.0 / col("n_exact"))
-            .cast("long").as("recall_permille"))
+          // recall over an EMPTY truth set is vacuously perfect — and the
+          // unguarded division would throw under ANSI on a clean corpus
+          when(col("n_exact") === 0, 1000L)
+            .otherwise(round(col("n_common") * 1000.0 / col("n_exact"))
+              .cast("long")).as("recall_permille"))
     }),
 
     // The composed curation pipeline — what a real training-data run
@@ -650,8 +657,9 @@ object PipelineQueries {
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
          |       (SELECT CAST(COUNT(*) AS BIGINT) FROM mh) AS n_lsh,
          |       CAST(COUNT(m.id_a) AS BIGINT) AS n_common,
-         |       CAST(round(COUNT(m.id_a) * 1000.0 / COUNT(*)) AS BIGINT)
-         |         AS recall_permille
+         |       CAST(CASE WHEN COUNT(*) = 0 THEN 1000
+         |                 ELSE round(COUNT(m.id_a) * 1000.0 / COUNT(*))
+         |            END AS BIGINT) AS recall_permille
          |FROM ep LEFT JOIN mh m ON ep.id_a = m.id_a AND ep.id_b = m.id_b
          |""".stripMargin,
 

@@ -175,11 +175,14 @@ object StreamingAnalytics {
       .join(corpusBands,
         col("s_band_idx") === col("band_idx") &&
           col("s_band_hash") === col("band_hash"))
+      // dedupe candidates BEFORE the verify (a true duplicate matches on
+      // every band) — same reshaping as deltaDedupAgainstIndex
+      .select(col("batch_id"), col("sh_b"), col("corpus_id"), col("sh_c"))
+      .dropDuplicates("batch_id", "corpus_id")
       .withColumn("jaccard",
         size(array_intersect(col("sh_b"), col("sh_c"))).cast("double") /
           size(array_union(col("sh_b"), col("sh_c"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("batch_id"), col("corpus_id"), col("jaccard"))
-      .dropDuplicates("batch_id", "corpus_id")
   }
 }
