@@ -17,15 +17,17 @@ import org.apache.spark.sql.functions._
   * choosing output file counts).
   *
   * Round-3 measurements (sf0.1 base, local[32], sequential lookups):
-  *   x1  / 600k rows /  64 buckets: build  8.5 s, merge  6.8 s, 14.8 qps
-  *   x10 /   6M rows / 640 buckets: build 36.5 s, merge 17.0 s, 15.4 qps
-  *   x10 /   6M rows /  64 buckets (contract violated):        12.4 qps
-  * i.e. build ~linear in volume (shuffle+sort dominated), merge stays
-  * touched-buckets-only, and pruned point-lookup latency is FLAT at 10×
-  * the data when rows-per-bucket is held constant — it tracks BUCKET
-  * size, not corpus size, which is the property this harness exists to
-  * demonstrate. (Sequential qps here is planner-overhead-bound and lower
-  * than graft.Bench's concurrent-worker qps by design.) */
+  *   x1  /  600k rows /   64 buckets: build  8.5 s, merge  6.8 s, 14.8 qps
+  *   x10 /    6M rows /  640 buckets: build 36.5 s, merge 17.0 s, 15.4 qps
+  *   x30 /   18M rows / 1920 buckets: build 96.6 s, merge 58.1 s, 14.9 qps
+  *   x10 /    6M rows /   64 buckets (contract violated):       12.4 qps
+  * i.e. build sub-linear per-row (shuffle+sort dominated), merge ~linear
+  * in BATCH size (touched-buckets-only), and pruned point-lookup latency
+  * is FLAT across a 30× corpus-size range when rows-per-bucket is held
+  * constant — it tracks BUCKET size, not corpus size, which is the
+  * property this harness exists to demonstrate. (Sequential qps here is
+  * planner-overhead-bound and lower than graft.Bench's concurrent-worker
+  * qps by design.) */
 object BenchScale {
   def main(args: Array[String]): Unit = {
     val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_X", "10").toInt
