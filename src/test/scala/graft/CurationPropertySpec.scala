@@ -82,6 +82,40 @@ class CurationPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("bpeApply token counts match a plain-Scala canonical BPE reference") {
+    // canonical sequential BPE merge (pop-and-merge left fold) in plain
+    // Scala — the ground truth the Catalyst fold must reproduce
+    def refMerge(toks: List[String], x: String, y: String): List[String] =
+      toks.foldLeft(List.empty[String]) { (acc, t) =>
+        acc match {
+          case last :: rest if last == x && t == y => (x + y) :: rest
+          case _ => t :: acc
+        }
+      }.reverse
+    def refTokens(word: String, merges: Seq[String]): Int =
+      merges.foldLeft(word.map(_.toString).toList) { (toks, pair) =>
+        val Array(x, y) = pair.split(" ", 2)
+        refMerge(toks, x, y)
+      }.length
+    // words with heavy runs (the case replace-based merging gets wrong)
+    val genRunWord = for {
+      n <- Gen.choose(1, 9)
+      c <- Gen.oneOf("a", "b")
+      tail <- Gen.listOfN(2, Gen.oneOf("a", "b", "c"))
+    } yield c * n + tail.mkString
+    val merges = Seq("a a", "b b", "aa a", "c a")
+    check(Prop.forAll(Gen.listOfN(8, genRunWord)) { words =>
+      val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("doc_id", "text")
+      val got = Curation.bpeApply(df, "text", "doc_id", merges)
+        .collect().map(r =>
+          r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bpe_tokens")).toMap
+      words.zipWithIndex.forall { case (w, i) =>
+        got(i.toLong) == refTokens(w, merges).toLong
+      }
+    })
+  }
+
   test("crossCorpusNearDuplicates finds every exact copy (recall 1)") {
     check(Prop.forAll(genCorpus(20)) { corpus =>
       val df = corpus.toDF("doc_id", "text")
