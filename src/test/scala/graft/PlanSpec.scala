@@ -58,6 +58,18 @@ class PlanSpec extends AnyFunSuite {
     assert(st.entries(rdata = Some("10.0.0.7")).count() == 2)
   }
 
+  test("prefix scan pushes StartsWith into the parquet scan") {
+    val st = ObservationStore.load(spark, storePath)
+    val plan = explainOf(st.entriesPrefix("name-7"))
+    // no bucket pruning possible (hash destroys key order), but the
+    // prefix predicate must reach the scan so sorted-within-bucket files
+    // row-group-skip
+    assert(plan.matches("(?s).*PushedFilters:.*StringStartsWith\\(rrname,name-7\\).*"),
+      plan)
+    // name-7.com, name-70..79.com → 11 keys, 1 row each in the fixture
+    assert(st.entriesPrefix("name-7").count() == 11)
+  }
+
   test("core aggregation is partial+final with a single shuffle") {
     val ts = Timestamp.valueOf("2020-01-01 00:00:00")
     val input = Seq(("a.com", "s1", "A", "1.1.1.1", 1L, ts, ts))
