@@ -356,19 +356,23 @@ object Dedup {
     * driver-loop skeleton, O(log n) rounds. */
   def connectedComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
+    // The pair join is the expensive input and is referenced THREE times
+    // (sizing count + both union branches): materialize it exactly once
+    // before anything else touches it.
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(false)
     // per-round shuffle width sized to the PAIR GRAPH, not the session
     // default: duplicate-pair graphs are orders of magnitude smaller than
     // the corpus, and a driver-side iteration over a tiny graph at 32
     // shuffle partitions pays ~32× the task-scheduling cost per round for
     // nothing. ~500k edges per partition; grows with the graph, capped by
-    // the session parallelism so huge graphs still spread out. Sizing
-    // counts PAIRS (half the edge list) so only the final repartitioned
-    // edge list is ever materialized — one checkpoint, not two.
+    // the session parallelism so huge graphs still spread out.
     val parallelism = pairs.sparkSession.sparkContext.defaultParallelism
     val parts = math.max(1L, math.min(parallelism.toLong,
-      pairs.count() * 2 / 500000L + 1L)).toInt
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      p.count() * 2 / 500000L + 1L)).toInt
+    // cheap to rebuild from the materialized pairs, checkpointed so the
+    // per-round joins don't re-shuffle it
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .repartition(parts, col("dst")).localCheckpoint(false)
     // propagation runs over edge-CONNECTED nodes only — isolated ids (the
     // overwhelming majority of a mostly-unique corpus) are their own
