@@ -271,6 +271,27 @@ object Curation {
       .agg(sum(col("_d")).cast("long").as("n_distinct"))
   }
 
+  /** Salted equi-join for a skewed key — the join-side fix the [[keySkew]]
+    * diagnostic motivates (AQE's skew-join does this adaptively; the
+    * manual form works on any engine and any plan shape): the small
+    * side's rows are REPLICATED once per salt, the big side computes a
+    * content-derived salt, and the join key becomes (key, salt) — a hot
+    * key's rows now spread over `nSalts` reducers instead of funneling
+    * through one. Semantics-preserving by construction: every big row
+    * still meets every matching small row exactly once. Inner join;
+    * output = big columns + the requested small columns. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keyCol: String,
+      saltOn: Column, smallValueCols: Seq[String],
+      nSalts: Int = 16): DataFrame = {
+    require(nSalts > 0, s"nSalts must be positive, got $nSalts")
+    val replicated = small.select(
+        (col(keyCol) +: smallValueCols.map(col)): _*)
+      .withColumn("_salt", explode(sequence(lit(0L), lit(nSalts - 1L))))
+    val salted = big.withColumn("_salt",
+      pmod(xxhash64(saltOn), lit(nSalts.toLong)))
+    salted.join(replicated, Seq(keyCol, "_salt")).drop("_salt")
+  }
+
   // -------------------------------------------- corpus n-gram stats
 
   /** Word n-grams WITH duplicates (corpus statistics need occurrence

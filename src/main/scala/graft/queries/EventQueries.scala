@@ -79,6 +79,20 @@ object EventQueries {
     "salted_distinct" -> ((s, dir) =>
       graft.operators.Curation.saltedDistinctCount(events(s, dir),
         "event_type", "user_id")),
+
+    // Salted equi-join: every event joined to its user's lifetime spend
+    // through the (key, salt) join — the oracle is the PLAIN join,
+    // because salting must be invisible in the result.
+    "salted_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val perUser = e.groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long"))
+          .as("lifetime_cents"))
+      graft.operators.Curation.saltedJoin(
+          e.select(col("event_id"), col("user_id")), perUser,
+          "user_id", saltOn = col("event_id"), Seq("lifetime_cents"))
+        .select(col("event_id"), col("user_id"), col("lifetime_cents"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -163,6 +177,16 @@ object EventQueries {
       """SELECT event_type,
         |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
         |FROM events GROUP BY 1
+        |""".stripMargin,
+
+    "salted_join" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |           AS lifetime_cents
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.user_id, p.lifetime_cents
+        |FROM events e JOIN p ON e.user_id = p.user_id
         |""".stripMargin,
   )
 }

@@ -310,6 +310,20 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("saltedJoin equals the plain join at any salt width") {
+    val big = (1 to 200).map(i => (i.toLong, (i % 5).toLong)).toDF("id", "k")
+    val small = (0 to 4).map(k => (k.toLong, k * 100L)).toDF("k", "v")
+    val plain = big.join(small, "k").select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (salts <- Seq(1, 4, 16)) {
+      val salted = Curation.saltedJoin(big, small, "k", col("id"), Seq("v"),
+          nSalts = salts)
+        .select("id", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(salted.length == plain.size, s"nSalts=$salts: no dup/lost rows")
+      assert(salted.toSet == plain, s"nSalts=$salts")
+    }
+  }
+
   test("keySkew reports exact distribution facts") {
     val df = (Seq.fill(6)("hot") ++ Seq("a", "b", "c")).toDF("k")
     val r = Curation.keySkew(df, "k").collect().head
