@@ -61,14 +61,19 @@ object ObservationStore {
     * merges rewrite only touched buckets (see [[mergeBatch]]).
     */
   def writeDual(agg: DataFrame, path: String, numBuckets: Int = 64): Unit = {
-    writeCopy(agg, s"$path/by_rrname", "rrname",
-      Seq("rrname", "sensor_id", "rrtype", "rdata"), numBuckets)
-    writeCopy(agg, s"$path/by_rdata", "rdata",
-      Seq("rdata", "sensor_id", "rrname", "rrtype"), numBuckets)
-    // a rebuild of an existing store must advance the epoch, never reset
-    // it — readers using it for change detection would miss the rebuild
-    writeMeta(agg.sparkSession, path, numBuckets,
-      epoch = readEpoch(agg.sparkSession, path).getOrElse(0L) + 1L)
+    // both copies consume the same aggregation — pay its shuffle ONCE
+    // (unpersisted, each writeCopy would re-execute the full groupBy)
+    val a = agg.persist()
+    try {
+      writeCopy(a, s"$path/by_rrname", "rrname",
+        Seq("rrname", "sensor_id", "rrtype", "rdata"), numBuckets)
+      writeCopy(a, s"$path/by_rdata", "rdata",
+        Seq("rdata", "sensor_id", "rrname", "rrtype"), numBuckets)
+      // a rebuild of an existing store must advance the epoch, never reset
+      // it — readers using it for change detection would miss the rebuild
+      writeMeta(agg.sparkSession, path, numBuckets,
+        epoch = readEpoch(agg.sparkSession, path).getOrElse(0L) + 1L)
+    } finally { a.unpersist(); () }
   }
 
   /** Derived columns persisted per copy. The inverted copy materializes
@@ -171,7 +176,9 @@ object ObservationStore {
     */
   def mergeBatch(spark: SparkSession, path: String, batch: DataFrame,
       numBuckets: Int = 64): Unit = {
-    val newAgg = aggregate(batch)
+    // referenced up to four times below (touched-bucket collect + the
+    // union branch, per copy): one materialization, not four
+    val newAgg = aggregate(batch).persist()
     val exists = pathExists(spark, s"$path/by_rrname")
     // bucket count is a layout invariant: honor what the store was
     // written with, record it on first write
@@ -209,6 +216,8 @@ object ObservationStore {
     // forward/inverted divergence is detectable instead of silent
     writeMeta(spark, path, effBuckets,
       epoch = readEpoch(spark, path).getOrElse(0L) + 1L, layout = effLayout)
+    newAgg.unpersist()
+    ()
   }
 
   /** Load a dual store. Bucket pruning uses the count recorded in the

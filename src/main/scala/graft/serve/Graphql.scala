@@ -66,7 +66,21 @@ object Graphql {
     if (entriesIdx < 0) return parseStats(query)
     val rest = query.substring(entriesIdx + "entries".length)
     val argsStart = rest.indexOf('(')
-    val argsEnd = rest.indexOf(')')
+    // find the CLOSING paren outside quoted spans — a ')' inside a
+    // string argument (legal in TXT rdata) must not cut the list short
+    val argsEnd = {
+      var i = argsStart + 1; var inStr = false; var end = -1
+      while (argsStart >= 0 && i < rest.length && end < 0) {
+        rest.charAt(i) match {
+          case '\\' if inStr => i += 1
+          case '"' => inStr = !inStr
+          case ')' if !inStr => end = i
+          case _ =>
+        }
+        i += 1
+      }
+      end
+    }
     if (argsStart < 0 || argsEnd < argsStart) return Left("missing argument list")
     val argStr = rest.substring(argsStart + 1, argsEnd)
 
@@ -148,8 +162,15 @@ object Graphql {
     "time_first_rfc3339", "time_last_rfc3339")
 
   private def render(q: EntriesQuery, store: ObservationStore): String = {
-    val entriesDf = store.entries(q.rrname, q.rdata, q.rrtype, q.sensorId,
+    val entriesDf0 = store.entries(q.rrname, q.rdata, q.rrtype, q.sensorId,
       q.limit)
+    // when aliases are requested the limited DataFrame is consumed TWICE
+    // (collect + the aliases join); without materializing it first, a
+    // binding limit over the unordered scan could select a different row
+    // set on the second execution — aliases for rows we never return,
+    // none for rows we do
+    val entriesDf =
+      if (q.aliasFields.isEmpty) entriesDf0 else entriesDf0.localCheckpoint(false)
     val rows = entriesDf.collect()
 
     val aliasesByKey: Map[(String, String, String), Seq[Row]] =

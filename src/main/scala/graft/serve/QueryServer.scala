@@ -55,12 +55,18 @@ final class QueryServer(store: ObservationStore, port: Int = 0) {
         def opt(f: String): Option[String] =
           Option(node.get(f)).filterNot(_.isNull).map(_.asText)
         val (rrname, rdata) = (opt("rrname"), opt("rdata"))
+        val limitNode = Option(node.get("limit")).filterNot(_.isNull)
+        val limitParsed = limitNode.flatMap(_.asText.toIntOption)
+          .filter(_ >= 0)
         if (rrname.isEmpty && rdata.isEmpty)
           respond(ex, 400, "one of rrname or rdata is required\n")
+        else if (limitNode.isDefined && limitParsed.isEmpty)
+          // same policy as /pdns: a malformed limit is a client error,
+          // not asInt()'s silent 0 (empty 200) or limit(-1)'s 500
+          respond(ex, 400, "invalid limit\n")
         else {
-          val limit = Option(node.get("limit")).map(_.asInt).getOrElse(1000)
           val df = store.entries(rrname, rdata, opt("rrtype"),
-            opt("sensor_id"), limit)
+            opt("sensor_id"), limitParsed.getOrElse(1000))
           streamNdjson(ex, df, notFoundOnEmpty = false)
         }
       }

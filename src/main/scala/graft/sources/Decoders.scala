@@ -139,8 +139,8 @@ object Decoders {
     * `dns{rrname → {rdata: [...]}}`, one row per (rrname, rdata entry),
     * carrying the source-side pre-aggregated count and window timestamps.
     * Malformed JSON yields a null map; exploding null emits nothing. */
-  def fever(df: DataFrame): DataFrame =
-    df.withColumn("j", from_json(col("value"), feverSchema))
+  def fever(df: DataFrame): DataFrame = {
+    val base = df.withColumn("j", from_json(col("value"), feverSchema))
       .withColumn("ts_start", try_to_timestamp(col("j.timestamp_start"),
         lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]XXX")))
       .withColumn("ts_end", try_to_timestamp(col("j.timestamp_end"),
@@ -149,16 +149,23 @@ object Decoders {
         explode(col("j.dns")).as(Seq("f_rrname", "f_entry")))
       .select(col("sensor_id"), col("ts_start"), col("ts_end"),
         col("f_rrname"), explode(col("f_entry.rdata")).as("r"))
-      .select(
-        col("r.count").cast("long").as("count"),
-        col("r.rcode").cast("string").as("rcode"),
-        col("r.rdata").cast("string").as("rdata"),
-        col("r.rrtype").cast("string").as("rrtype"),
-        col("f_rrname").cast("string").as("rrname"),
-        col("sensor_id").cast("string").as("sensor_id"),
-        col("ts_start").as("timestamp_start"),
-        col("ts_end").as("timestamp_end"),
-        empty_tags.as("tags"))
+    // records with an unparseable window are dropped like every other
+    // decoder's malformed lines — a null timestamp here would flow into
+    // the store and 500 any query rendering time_first. The guard reads
+    // already-materialized columns, so it does NOT re-substitute the
+    // from_json/try_to_timestamp subtrees (the emitWhen rationale).
+    val obs = struct(
+      col("r.count").cast("long").as("count"),
+      col("r.rcode").cast("string").as("rcode"),
+      col("r.rdata").cast("string").as("rdata"),
+      col("r.rrtype").cast("string").as("rrtype"),
+      col("f_rrname").cast("string").as("rrname"),
+      col("sensor_id").cast("string").as("sensor_id"),
+      col("ts_start").as("timestamp_start"),
+      col("ts_end").as("timestamp_end"),
+      empty_tags.as("tags"))
+    emitWhen(base, col("ts_start").isNotNull && col("ts_end").isNotNull, obs)
+  }
 
   // ---------------------------------------------------------------- D3
 
@@ -232,9 +239,16 @@ object Decoders {
     val withCols = lines
       .withColumn("cols", split(col("line"), "\\|\\|"))
       .withColumn("epoch", split(col("cols")(0), "\\."))
+      // the fraction access MUST be guarded: a timestamp with no '.'
+      // (which the reference drops with a warning) yields a 1-element
+      // array, and an unguarded epoch[1] under ANSI (Spark 4's default)
+      // throws INVALID_ARRAY_INDEX and kills the whole ingest job
+      // instead of dropping the line
+      .withColumn("nsec", when(size(col("epoch")) === 2,
+        try_cast_long(element_at(col("epoch"), 2))))
       .withColumn("ts", timestamp_micros(
-        try_cast_long(col("epoch")(0)) * 1000000L +
-          expr("try_cast(epoch[1] as long) div 1000")))
+        try_cast_long(element_at(col("epoch"), 1)) * 1000000L +
+          expr("nsec div 1000")))
     val valid = size(col("cols")) === 9 && size(col("epoch")) === 2 &&
       col("ts").isNotNull && try_cast_long(col("cols")(8)).isNotNull
     emitWhen(withCols, valid,

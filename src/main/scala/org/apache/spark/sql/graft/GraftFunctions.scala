@@ -14,12 +14,24 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   */
 object GraftFunctions {
 
+  // arity is validated here: a wrong argument count must surface as an
+  // analysis-time error naming the function, not a raw
+  // IndexOutOfBoundsException — and extra arguments must never be
+  // silently ignored (a `winnow_fp(text, 7, 9)` that quietly used the
+  // defaults would compute wrong fingerprints with no signal)
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    e =>
+      if (e.length == n) build(e)
+      else throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${e.length}")
+
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "ip_to_long" -> (e => IpToLong(e.head)),
-    "simhash64" -> (e => SimHash64(e.head)),
-    "minhash_sig" -> (e => MinHashSig(e.head, e(1))),
-    "dot_d" -> (e => DotProductD(e.head, e(1))),
-    "winnow_fp" -> (e => WinnowFingerprints(e.head))
+    "ip_to_long" -> arity("ip_to_long", 1)(e => IpToLong(e.head)),
+    "simhash64" -> arity("simhash64", 1)(e => SimHash64(e.head)),
+    "minhash_sig" -> arity("minhash_sig", 2)(e => MinHashSig(e.head, e(1))),
+    "dot_d" -> arity("dot_d", 2)(e => DotProductD(e.head, e(1))),
+    "winnow_fp" -> arity("winnow_fp", 1)(e => WinnowFingerprints(e.head))
   )
 
   def register(spark: SparkSession): Unit = {

@@ -64,25 +64,17 @@ case class IndexRouting(spark: SparkSession) extends Rule[LogicalPlan] {
   private def forwardOf(rel: LogicalRelation): Option[Registration] =
     rel.relation match {
       case fs: HadoopFsRelation =>
-        // qualified-path component comparison, not substring matching: a
-        // sibling dir like <store>/by_rrname_v2 must NOT match, and a
-        // store registered with a relative path must still match the
-        // scan's file:-qualified root
+        // qualified-path EQUALITY, not substring or descendant matching:
+        // a sibling dir like <store>/by_rrname_v2 must not match, and a
+        // scan rooted at a single bucket subdirectory
+        // (<store>/by_rrname/bucket=5) must not be rerouted either — the
+        // substituted inverted relation would scan ALL buckets and
+        // return rows the original scan could never produce.
+        // Registration qualifies the path, so equality is sufficient.
         val roots = fs.location.rootPaths
-        registry.values.find(r =>
-          roots.exists(root => isSameOrDescendant(root, r.forwardPath)))
+        registry.values.find(r => roots.contains(r.forwardPath))
       case _ => None
     }
-
-  private def isSameOrDescendant(p: org.apache.hadoop.fs.Path,
-      ancestor: org.apache.hadoop.fs.Path): Boolean = {
-    var cur = p
-    while (cur != null) {
-      if (cur == ancestor) return true
-      cur = cur.getParent
-    }
-    false
-  }
 
   /** literal compared for equality with column `name`, if present. */
   private def eqLiteral(cond: Expression, name: String): Option[Literal] = {

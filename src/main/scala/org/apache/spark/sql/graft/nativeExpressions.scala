@@ -118,7 +118,9 @@ case class MinHashSig(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(StringType), IntegerType)
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // elements are null for empty/all-null shingle input (array_min
+  // semantics — see compute)
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def prettyName: String = "minhash_sig"
 
   override def nullSafeEval(shingles: Any, k: Any): Any =
@@ -156,17 +158,24 @@ object MinHashSig {
     val n = shingles.numElements()
     var i = 0
     while (i < n) {
-      val sh = shingles.getUTF8String(i).toString
-      var j = 0
-      while (j < k) {
-        val h = md5Hex((j.toString + ":" + sh).getBytes("UTF-8"), md)
-        if (mins(j) == null || h.compareTo(mins(j)) < 0) mins(j) = h
-        j += 1
+      // null elements are SKIPPED, and an all-null/empty input yields
+      // null signature elements — exactly what the equivalent composable
+      // form (transform + array_min over md5s) and a DuckDB mirror
+      // produce; substituting "" here (or NPE-ing on a null) would
+      // silently diverge the three definitions on degenerate inputs
+      if (!shingles.isNullAt(i)) {
+        val sh = shingles.getUTF8String(i).toString
+        var j = 0
+        while (j < k) {
+          val h = md5Hex((j.toString + ":" + sh).getBytes("UTF-8"), md)
+          if (mins(j) == null || h.compareTo(mins(j)) < 0) mins(j) = h
+          j += 1
+        }
       }
       i += 1
     }
     new GenericArrayData(mins.map(m =>
-      UTF8String.fromString(if (m == null) "" else m)))
+      if (m == null) null else UTF8String.fromString(m)))
   }
 }
 
