@@ -16,10 +16,11 @@ import org.apache.spark.sql.functions._
   * here; a real deployment picks total/target-bucket-size exactly like
   * choosing output file counts).
   *
-  * Round-3 measurements (sf0.1 base, local[32], sequential lookups):
-  *   x1  /  600k rows /   64 buckets: build  8.5 s, merge  6.8 s, 14.8 qps
-  *   x10 /    6M rows /  640 buckets: build 36.5 s, merge 17.0 s, 15.4 qps
-  *   x30 /   18M rows / 1920 buckets: build 96.6 s, merge 58.1 s, 14.9 qps
+  * Round-3 measurements (sf0.1 base, local[32], sequential lookups,
+  * after writeDual learned to pay the aggregation shuffle once):
+  *   x1  /  600k rows /   64 buckets: build  5.9 s, merge  6.3 s, ~15 qps
+  *   x10 /    6M rows /  640 buckets: build 29.2 s, merge 16.6 s, 13.2 qps
+  *   x30 /   18M rows / 1920 buckets: build 72.2 s, merge 37.5 s, 15.5 qps
   *   x10 /    6M rows /   64 buckets (contract violated):       12.4 qps
   * i.e. build sub-linear per-row (shuffle+sort dominated), merge ~linear
   * in BATCH size (touched-buckets-only), and pruned point-lookup latency
