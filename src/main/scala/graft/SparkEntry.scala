@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{BalboaQueries, CurationQueries, DecoderQueries, EventQueries, MultimodalQueries, PipelineQueries, SelectorQueries}
+import graft.queries.{BalboaQueries, CurationQueries, DecoderQueries, EventQueries, MultimodalQueries, PipelineQueries, RetrievalQueries, SelectorQueries}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
   * implemented operator from SURVEY.md §2.
@@ -32,11 +32,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     BalboaQueries.queries ++ DecoderQueries.queries ++
-      SelectorQueries.queries ++ PipelineQueries.queries ++ EventQueries.queries ++ MultimodalQueries.queries ++ CurationQueries.queries
+      SelectorQueries.queries ++ PipelineQueries.queries ++ EventQueries.queries ++ MultimodalQueries.queries ++ CurationQueries.queries ++ RetrievalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     BalboaQueries.oracleSql ++ DecoderQueries.oracleSql ++
-      SelectorQueries.oracleSql ++ PipelineQueries.oracleSql ++ EventQueries.oracleSql ++ MultimodalQueries.oracleSql ++ CurationQueries.oracleSql
+      SelectorQueries.oracleSql ++ PipelineQueries.oracleSql ++ EventQueries.oracleSql ++ MultimodalQueries.oracleSql ++ CurationQueries.oracleSql ++ RetrievalQueries.oracleSql
 }

@@ -520,4 +520,120 @@ object Curation {
       .filter(col("rk") <= k)
       .select(col("id"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
+
+  /** Exact repeated-substring span dedup (the ExactSubstr policy of Lee
+    * et al., "Deduplicating Training Data Makes Language Models Better",
+    * 2022 — word-gram granularity): any word n-gram occurring ≥ 2 times
+    * ANYWHERE in the corpus marks all n positions it covers as
+    * duplicated; output per document = duplicated-word count and the
+    * cleaned text with covered words removed. The span-REMOVAL
+    * complement of the span-DETECTION operators (winnowing overlap /
+    * containment report pairs; this rewrites documents).
+    *
+    * Scale shape — every step is linear in corpus tokens, none is
+    * pair-quadratic:
+    *  1. one shuffle to count gram occurrences (map-side combined);
+    *  2. the duplicated-gram set comes back via LEFT SEMI join — a
+    *     gram occurring in f documents contributes f postings, never
+    *     f²/2 pairs (the semi-join is what makes corpus-frequent
+    *     boilerplate safe — contrast the pair-join skew guards in
+    *     [[Dedup.winnowOverlapPairs]]);
+    *  3. covered-position expansion fans out ×n (bounded by the gram
+    *     width, not by data), then doc-keyed aggregations reassemble.
+    * Grams are md5'd before the shuffle so postings stay fixed-width
+    * regardless of document vocabulary. */
+  def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 10): DataFrame = {
+    require(n >= 2, s"gram width must be >= 2, got $n")
+    // checkpointed: the word arrays feed both the gram postings and the
+    // final reassembly — split once, not once per consumer
+    val base = df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .withColumn("nw", size(col("w")))
+      .localCheckpoint(false)
+    val grams = base.select(col("doc_id"),
+      posexplode(when(col("nw") >= n,
+          transform(sequence(lit(0), col("nw") - n),
+            i => md5(array_join(slice(col("w"), i + 1, lit(n)), " "))))
+        .otherwise(array().cast("array<string>"))).as(Seq("pos", "gram")))
+    val dup = grams.groupBy(col("gram")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+      .select(col("gram"))
+    val covered = grams.join(dup, Seq("gram"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + n - 1)).as("pos"))
+      .distinct()
+    val counts = covered.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_words"))
+    val kept = base
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "word")))
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+    // order-restoring reassembly: collect (pos, word), sort, project —
+    // no column captured inside the lambda (the Catalyst-lambda rule)
+    val cleaned = kept.groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("word")))),
+        x => x.getField("word")), " ").as("clean_text"))
+    base.select(col("doc_id"), col("nw").cast("long").as("n_words"))
+      .join(counts, Seq("doc_id"), "left")
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_dup_words"), lit(0L)).as("n_dup_words"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** md5-derived Bloom-filter bit positions for one value: position j =
+    * 16-bit parse of the leading hex digits of md5(j ":" value), reduced
+    * mod mBits. mBits must be a power of two ≤ 65536 so the reduction is
+    * exactly uniform (65536 % mBits == 0) and engine-portable. */
+  private def bloomPositions(value: Column, mBits: Int, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), j =>
+      conv(substring(md5(concat(j.cast("string"), lit(":"),
+        value.cast("string"))), 1, 4), 16, 10).cast("long") % mBits)
+
+  private def requireBloomParams(mBits: Int, k: Int): Unit = {
+    require(mBits >= 32 && mBits <= 65536 && (mBits & (mBits - 1)) == 0,
+      s"mBits must be a power of two in [32, 65536], got $mBits")
+    require(k >= 1 && k <= 4, s"k must be in [1, 4], got $k")
+  }
+
+  /** Deterministic Bloom filter over a key column, as mBits/32 rows of
+    * (word_idx, bits) — the set-membership PREFILTER a 100 TB ingest
+    * needs ("have I seen this URL/document key before?") at a size that
+    * broadcasts: the filter is O(mBits) regardless of corpus size, build
+    * is one narrow pass + a filter-sized aggregation, and the no-false-
+    * negative guarantee means the expensive exact path only runs on
+    * probe hits. All hashing is md5-derived (no RNG, no seed state) so
+    * the same inputs build the same filter on any engine or cluster —
+    * false POSITIVES are deterministic too, which is what makes the
+    * probe oracle-testable bit-for-bit. */
+  def bloomBuild(df: DataFrame, valueCol: String, mBits: Int = 16384,
+      k: Int = 2): DataFrame = {
+    requireBloomParams(mBits, k)
+    df.select(explode(bloomPositions(col(valueCol), mBits, k)).as("pos"))
+      .select(expr("pos div 32").as("word_idx"),
+        pow(lit(2.0), col("pos") % 32).cast("long").as("mask"))
+      .groupBy(col("word_idx"))
+      .agg(expr("bit_or(mask)").as("bits"))
+  }
+
+  /** Probe values against a [[bloomBuild]] filter: returns one row per
+    * distinct probe value with `maybe_member` (all k bits set). The
+    * filter side is broadcast (mBits/32 rows); the probe is a narrow
+    * pass + one key-sized aggregation — a stream-static join away from
+    * running at the ingest boundary. Parameters must match the build
+    * call (same mBits/k — they define the bit layout). */
+  def bloomProbe(df: DataFrame, valueCol: String, bloom: DataFrame,
+      mBits: Int = 16384, k: Int = 2): DataFrame = {
+    requireBloomParams(mBits, k)
+    df.select(col(valueCol).cast("string").as("v"))
+      .select(col("v"), explode(bloomPositions(col("v"), mBits, k)).as("pos"))
+      .select(col("v"), expr("pos div 32").as("word_idx"),
+        pow(lit(2.0), col("pos") % 32).cast("long").as("mask"))
+      .join(broadcast(bloom), Seq("word_idx"), "left")
+      .withColumn("hit",
+        (coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask"))
+          === col("mask")).cast("int"))
+      .groupBy(col("v"))
+      .agg((min(col("hit")) === 1).cast("long").as("maybe_member"))
+  }
 }

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ranked text retrieval over an inverted token index — the operator that
+  * makes the engine a *search* engine over documents, not only an exact
+  * key-value store (the reference's whole query surface is exact/prefix
+  * key lookup; `/root/reference/query/query_graphql.go` has no scoring).
+  *
+  * Two layers, mirroring [[ObservationStore]]'s split between an
+  * aggregation and a persisted layout:
+  *
+  *  - [[tokenIndex]]: postings `(term, doc_id, tf, dl)` — ONE shuffle
+  *    (map-side-combined count on (doc, term)); `dl` is denormalized onto
+  *    the posting so scoring never joins a doc-length table.
+  *  - [[writeIndex]] / [[indexTopK]]: postings persisted partitioned by
+  *    `term_bucket = pmod(xxhash64(term), nBuckets)` with a
+  *    vocabulary-sized `terms` (document-frequency) table and a 1-row
+  *    `stats` table beside them. A query's terms fold to bucket literals →
+  *    directory-level partition pruning, and the `term IN (...)` residual
+  *    pushes into the Parquet scan — a k-term query reads k/nBuckets of
+  *    the index, never the corpus (the access-path story of
+  *    `ObservationStore.entries`, transplanted to text).
+  *
+  * Scoring is BM25 (k1 = 1.2, b = 0.75) with the Robertson–Spärck-Jones
+  * idf RATIO `(N − df + 0.5)/(df + 0.5)` kept un-logged: per-term weights
+  * are monotone in true BM25 idf, and every arithmetic step is a single
+  * correctly-rounded IEEE-754 double op on exact-integer inputs (+, ×, ÷
+  * are bit-identical across engines; only libm log/exp are not — the
+  * [[Curation.tfidfKeywords]] determinism rationale). The per-document sum
+  * runs in FIXED query-term order via one conditional-sum column per term
+  * (each sums exactly one posting row, so no float-order nondeterminism),
+  * making top-k hash-stable across engines and partitionings.
+  *
+  * Scale shape: scoring touches only postings of the query's terms
+  * (candidate docs), the df side is vocabulary-sized and broadcast, the
+  * per-doc aggregation is map-side partial, and the final top-k is
+  * TakeOrderedAndProject — no global sort, no corpus scan.
+  */
+object Retrieval {
+
+  /** Inverted postings: one row per (term, doc) with term frequency and
+    * document length. One shuffle; tokens are whitespace-split (the
+    * [[Curation]] tokenization convention). */
+  def tokenIndex(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .select(col("doc_id"), size(col("w")).as("dl"), explode(col("w")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** One BM25 term weight; see the object doc for why the idf ratio is
+    * log-free and why the expression tree shape is load-bearing (the
+    * oracle mirrors it parenthesis-for-parenthesis). */
+  private def bm25Term(tf: Column, dfr: Column, dl: Column,
+      nDocs: Long, sumDl: Long): Column = {
+    val n = lit(nDocs.toDouble)
+    val idf = (n - dfr.cast("double") + lit(0.5)) / (dfr.cast("double") + lit(0.5))
+    val num = tf.cast("double") * lit(2.2)
+    val den = tf.cast("double") +
+      lit(1.2) * (lit(0.25) + lit(0.75) * (dl.cast("double") * n / lit(sumDl.toDouble)))
+    idf * num / den
+  }
+
+  /** Score pre-filtered postings (only the query's terms) against a
+    * document-frequency table; shared by the in-memory and persisted
+    * paths so the layout can never change results. */
+  private def score(idx: DataFrame, dfreq: DataFrame, terms: Seq[String],
+      k: Int, nDocs: Long, sumDl: Long): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 8,
+      s"bm25: 1..8 query terms, got ${terms.size}")
+    val scored = idx.join(broadcast(dfreq), "term")
+      .withColumn("s", bm25Term(col("tf"), col("df"), col("dl"), nDocs, sumDl))
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("s"))).as(s"s_$i")
+    }
+    val perDoc = scored.groupBy(col("doc_id")).agg(perTerm.head, perTerm.tail: _*)
+    val total = terms.indices.map(i => coalesce(col(s"s_$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    val matched = terms.indices.map(i => col(s"s_$i").isNotNull.cast("long"))
+      .reduceLeft(_ + _)
+    perDoc.select(col("doc_id"), total.as("score"), matched.as("n_matched"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** In-memory BM25 top-k: builds the postings for the query's terms on
+    * the fly (corpus stats from one aggregation — the same two scalars
+    * any idf needs). */
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    val st = df.agg(count(lit(1)).as("n"),
+      sum(size(split(col(textCol), " "))).as("sum_dl")).head
+    val (nDocs, sumDl) = (st.getLong(0), st.getLong(1))
+    val idx = tokenIndex(df, textCol, idCol).filter(col("term").isin(terms: _*))
+    val dfreq = idx.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    score(idx, dfreq, terms, k, nDocs, sumDl)
+  }
+
+  /** Persist the index: bucketed postings + df table + corpus stats.
+    * `n_buckets` is recorded in `stats` and read back at query time —
+    * never trusted from the caller (the `_graft_meta.json` lesson: a
+    * layout parameter that can drift from the written layout silently
+    * drops rows). */
+  def writeIndex(df: DataFrame, textCol: String, idCol: String,
+      path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val idx = tokenIndex(df, textCol, idCol).localCheckpoint(false)
+    idx.withColumn("term_bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+      .write.partitionBy("term_bucket").mode("overwrite")
+      .parquet(s"$path/postings")
+    idx.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$path/terms")
+    df.agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col(textCol), " "))).as("sum_dl"),
+        lit(nBuckets.toLong).as("n_buckets"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** BM25 top-k through the persisted index: terms → bucket literals →
+    * partition pruning; `term IN` pushes into the postings scan; df comes
+    * from the stored vocabulary table. Bit-identical to [[bm25TopK]] on
+    * the same corpus by construction. */
+  def indexTopK(spark: SparkSession, path: String, terms: Seq[String],
+      k: Int): DataFrame = {
+    val st = spark.read.parquet(s"$path/stats").head
+    val (nDocs, sumDl, nBuckets) =
+      (st.getAs[Long]("n_docs"), st.getAs[Long]("sum_dl"),
+        st.getAs[Long]("n_buckets"))
+    import spark.implicits._
+    val buckets = terms.toDF("t")
+      .select(pmod(xxhash64(col("t")), lit(nBuckets)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val idx = spark.read.parquet(s"$path/postings")
+      .filter(col("term_bucket").isin(buckets: _*) &&
+        col("term").isin(terms: _*))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    val dfreq = spark.read.parquet(s"$path/terms")
+      .filter(col("term").isin(terms: _*))
+    score(idx, dfreq, terms, k, nDocs, sumDl)
+  }
+}

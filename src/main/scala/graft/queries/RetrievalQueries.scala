@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+import graft.operators.{Curation, Retrieval}
+
+/** Driver gates for ranked retrieval (BM25 over the inverted token
+  * index), exact repeated-substring span dedup, and Bloom-filter
+  * membership — with bit-exact DuckDB oracles (exact integers, md5
+  * hashing, IEEE +,×,÷ only; see [[graft.operators.Retrieval]] for why
+  * that suffices for float parity).
+  */
+object RetrievalQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Graft.table(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+
+  private val bm25Terms = Seq("join", "merge", "window")
+
+  /** documents with a constant 15-word snippet appended to every 13th —
+    * planted repeated substrings for the span-dedup gate (natural
+    * repeated 10-grams also exist via the corpus's planted near-dups). */
+  private val snippet =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron"
+  private def snippetCorpus(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 13 === 0,
+        concat(col("text"), lit(" " + snippet)))
+        .otherwise(col("text")).as("text"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // BM25 top-10 for a 3-term query, scored on the fly.
+    "bm25_search" -> ((s, dir) =>
+      Retrieval.bm25TopK(docs(s, dir), "text", "doc_id", bm25Terms, k = 10)),
+
+    // Same query through the PERSISTED index (bucket-pruned postings +
+    // stored df/stats) — the layout is an optimization, never a
+    // semantics change, so the oracle is shared with bm25_search.
+    "bm25_index" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bm25idx")
+        .toString
+      Retrieval.writeIndex(docs(s, dir), "text", "doc_id", tmp, nBuckets = 16)
+      Retrieval.indexTopK(s, tmp, bm25Terms, k = 10)
+    }),
+
+    // Exact repeated-substring (10-gram) span dedup: per-doc duplicated
+    // word count + cleaned text with covered words removed.
+    "dup_spans" -> ((s, dir) =>
+      Curation.duplicateSpans(snippetCorpus(s, dir), "text", "doc_id")),
+
+    // Bloom membership: filter built from customers seen in pre-1997
+    // orders, probed with every customer; is_member is the exact truth
+    // so the (deterministic) false positives are visible in the gate.
+    "bloom_probe" -> ((s, dir) => {
+      val seen = Graft.table(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_custkey").cast("string").as("v")).distinct()
+        .localCheckpoint(false) // feeds both the filter build and the truth join
+      val bloom = Curation.bloomBuild(seen, "v", mBits = 16384, k = 2)
+      val probed = Curation.bloomProbe(Graft.table(s, dir, "customer"),
+        "c_custkey", bloom, mBits = 16384, k = 2)
+      probed.join(seen.withColumn("m", lit(1L)), Seq("v"), "left")
+        .select(col("v").cast("long").as("c_custkey"), col("maybe_member"),
+          coalesce(col("m"), lit(0L)).as("is_member"))
+    }),
+  )
+
+  private val bm25OracleSql =
+    """WITH tok AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |         UNNEST(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT term, doc_id, dl, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM tok WHERE term IN ('join', 'merge', 'window') GROUP BY 1, 2, 3),
+      |dfr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |st AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |         CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS sum_dl
+      |  FROM documents),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.term,
+      |         (n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)
+      |           * (CAST(tf AS DOUBLE) * 2.2)
+      |           / (CAST(tf AS DOUBLE)
+      |              + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * n / sum_dl))) AS s
+      |  FROM tf JOIN dfr USING (term), st),
+      |agg AS (
+      |  SELECT doc_id,
+      |         SUM(CASE WHEN term = 'join' THEN s END) AS s_0,
+      |         SUM(CASE WHEN term = 'merge' THEN s END) AS s_1,
+      |         SUM(CASE WHEN term = 'window' THEN s END) AS s_2
+      |  FROM sc GROUP BY 1)
+      |SELECT doc_id,
+      |       COALESCE(s_0, 0.0) + COALESCE(s_1, 0.0) + COALESCE(s_2, 0.0) AS score,
+      |       CAST((CASE WHEN s_0 IS NOT NULL THEN 1 ELSE 0 END)
+      |          + (CASE WHEN s_1 IS NOT NULL THEN 1 ELSE 0 END)
+      |          + (CASE WHEN s_2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+      |FROM agg ORDER BY score DESC, doc_id ASC LIMIT 10
+      |""".stripMargin
+
+  /** 4-hex-digit parse of md5 prefix → bit position mod 16384 (the
+    * corpus_split hex idiom), for both bloom CTEs. */
+  private def bloomPosCte(src: String, out: String): String =
+    s"""$out AS (
+       |  SELECT v,
+       |         ((strpos('0123456789abcdef', f[1]) - 1) * 4096 +
+       |          (strpos('0123456789abcdef', f[2]) - 1) * 256 +
+       |          (strpos('0123456789abcdef', f[3]) - 1) * 16 +
+       |          (strpos('0123456789abcdef', f[4]) - 1)) % 16384 AS pos
+       |  FROM (SELECT v, md5(CAST(UNNEST([0, 1]) AS VARCHAR) || ':' || v) AS f
+       |        FROM $src))""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "bm25_search" -> bm25OracleSql,
+    // identical semantics through the persisted bucketed index — same
+    // oracle by design
+    "bm25_index" -> bm25OracleSql,
+
+    "dup_spans" ->
+      ("""WITH corpus AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 13 = 0
+        |              THEN text || ' """ + snippet + """'
+        |              ELSE text END AS text
+        |  FROM documents),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |             len(string_split(text, ' ')) AS nw FROM corpus),
+        |grams AS (
+        |  SELECT doc_id,
+        |         UNNEST(generate_series(0, nw - 10)) AS pos,
+        |         UNNEST(list_transform(generate_series(0, nw - 10), i ->
+        |           md5(array_to_string(list_slice(w, i + 1, i + 10), ' ')))) AS gram
+        |  FROM d WHERE nw >= 10),
+        |dup AS (SELECT gram FROM grams GROUP BY 1 HAVING COUNT(*) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, UNNEST(generate_series(pos, pos + 9)) AS pos
+        |  FROM grams WHERE gram IN (SELECT gram FROM dup)),
+        |counts AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_words
+        |  FROM cov GROUP BY 1),
+        |wrows AS (
+        |  SELECT doc_id,
+        |         UNNEST(generate_series(0, nw - 1)) AS pos,
+        |         UNNEST(w) AS word
+        |  FROM d),
+        |kept AS (
+        |  SELECT wr.doc_id, wr.pos, wr.word
+        |  FROM wrows wr LEFT JOIN cov ON wr.doc_id = cov.doc_id AND wr.pos = cov.pos
+        |  WHERE cov.pos IS NULL),
+        |cleaned AS (
+        |  SELECT doc_id, array_to_string(list(word ORDER BY pos), ' ') AS clean_text
+        |  FROM kept GROUP BY 1)
+        |SELECT d.doc_id, CAST(nw AS BIGINT) AS n_words,
+        |       COALESCE(n_dup_words, 0) AS n_dup_words,
+        |       COALESCE(clean_text, '') AS clean_text
+        |FROM d LEFT JOIN counts USING (doc_id) LEFT JOIN cleaned USING (doc_id)
+        |""").stripMargin,
+
+    "bloom_probe" ->
+      s"""WITH seen AS (
+        |  SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+        |${bloomPosCte("seen", "bpos")},
+        |bloom AS (
+        |  SELECT pos // 32 AS word_idx,
+        |         BIT_OR(CAST(POWER(2, pos % 32) AS BIGINT)) AS bits
+        |  FROM bpos GROUP BY 1),
+        |cust AS (SELECT CAST(c_custkey AS VARCHAR) AS v FROM customer),
+        |${bloomPosCte("cust", "ppos")},
+        |probe AS (
+        |  SELECT v, MIN(CASE WHEN (COALESCE(bits, 0) & mask) = mask
+        |                     THEN 1 ELSE 0 END) AS all_hit
+        |  FROM (SELECT v, pos // 32 AS word_idx,
+        |               CAST(POWER(2, pos % 32) AS BIGINT) AS mask FROM ppos) p
+        |  LEFT JOIN bloom USING (word_idx) GROUP BY 1)
+        |SELECT CAST(v AS BIGINT) AS c_custkey,
+        |       CAST(all_hit AS BIGINT) AS maybe_member,
+        |       CAST(CASE WHEN v IN (SELECT v FROM seen) THEN 1 ELSE 0 END
+        |            AS BIGINT) AS is_member
+        |FROM probe
+        |""".stripMargin,
+  )
+}

@@ -249,6 +249,40 @@ class PlanSpec extends AnyFunSuite {
     assert(indexed == direct)
   }
 
+  test("bm25 index query prunes term buckets, pushes the IN filter, top-k is TakeOrdered") {
+    val dir = Files.createTempDirectory("graft-bm25-plan").toString
+    val docsDf = (1L to 50L).map(i => (i, s"w$i join merge common text"))
+      .toDF("doc_id", "text")
+    graft.operators.Retrieval.writeIndex(docsDf, "text", "doc_id", dir,
+      nBuckets = 8)
+    val plan = explainOf(graft.operators.Retrieval.indexTopK(
+      spark, dir, Seq("join", "merge"), k = 5))
+    // terms fold to bucket literals -> directory-level pruning
+    assert(plan.matches("(?s).*PartitionFilters:.*term_bucket.*"), plan)
+    // the residual term IN (...) reaches the parquet scan
+    assert(plan.matches("(?s).*PushedFilters:.*In\\(term.*"), plan)
+    // df side broadcast, top-k is TakeOrdered (no global sort)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("duplicateSpans prunes via LEFT SEMI join — never a pair join") {
+    val docsDf = (1L to 20L).map(i =>
+      (i, (1 to 15).map(j => s"w${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val plan = explainOf(graft.operators.Curation.duplicateSpans(
+      docsDf, "text", "doc_id"))
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("bloom probe joins a broadcast filter — probe side never shuffles for the join") {
+    val members = (1L to 100L).map(i => s"k$i").toDF("v")
+    val bloom = graft.operators.Curation.bloomBuild(members, "v")
+    val plan = explainOf(graft.operators.Curation.bloomProbe(
+      (1L to 100L).map(i => s"k$i").toDF("v"), "v", bloom))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("k-means assignment is a narrow pass over broadcast centroid literals") {
     val vecs = (0L to 20L).map { i =>
       val rnd = new scala.util.Random(i)

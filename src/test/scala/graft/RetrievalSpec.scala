@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Retrieval}
+
+/** BM25 retrieval, exact repeated-substring span dedup, and Bloom
+  * membership — semantic properties the DuckDB gate can't express
+  * (ranking sanity, layout equivalence, the no-false-negative guarantee). */
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (1L, "spark shuffle join join join plan"),
+    (2L, "join once in a very long document about other things entirely ok"),
+    (3L, "merge sort merge sort merge"),
+    (4L, "nothing relevant here at all"),
+    (5L, "join merge join merge short")).toDF("doc_id", "text")
+
+  test("bm25 ranks the doc matching more query terms with higher tf first") {
+    val top = Retrieval.bm25TopK(corpus, "text", "doc_id",
+      Seq("join", "merge"), k = 5).collect()
+    // doc 5 matches both terms twice in a short doc — must win
+    assert(top.head.getAs[Long]("doc_id") == 5L)
+    assert(top.head.getAs[Long]("n_matched") == 2L)
+    // doc 4 matches nothing — must be absent
+    assert(!top.map(_.getAs[Long]("doc_id")).contains(4L))
+    // higher-tf same-length beats lower-tf longer (1 over 2)
+    val ids = top.map(_.getAs[Long]("doc_id")).toSeq
+    assert(ids.indexOf(1L) < ids.indexOf(2L))
+  }
+
+  test("persisted index path is bit-identical to the in-memory path") {
+    val tmp = Files.createTempDirectory("graft-bm25-spec").toString
+    Retrieval.writeIndex(corpus, "text", "doc_id", tmp, nBuckets = 4)
+    val mem = Retrieval.bm25TopK(corpus, "text", "doc_id",
+      Seq("join", "merge"), k = 5).collect().toSeq
+    val idx = Retrieval.indexTopK(spark, tmp, Seq("join", "merge"), k = 5)
+      .collect().toSeq
+    assert(mem == idx)
+  }
+
+  test("index stats record the bucket count; query reads it back") {
+    val tmp = Files.createTempDirectory("graft-bm25-meta").toString
+    Retrieval.writeIndex(corpus, "text", "doc_id", tmp, nBuckets = 7)
+    val st = spark.read.parquet(s"$tmp/stats").head
+    assert(st.getAs[Long]("n_buckets") == 7L)
+    // still correct through an unusual bucket count
+    val top = Retrieval.indexTopK(spark, tmp, Seq("join"), k = 1).collect()
+    assert(top.head.getAs[Long]("doc_id") == 1L)
+  }
+
+  test("duplicateSpans removes planted repeats and leaves unique docs alone") {
+    val rep = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"
+    val docs = Seq(
+      (1L, s"alpha unique words here one $rep tail1 t1 t2 t3"),
+      (2L, s"totally different beginning here two $rep tail2 u1 u2 u3"),
+      (3L, "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10 n11 n12")).toDF("doc_id", "text")
+    val out = Curation.duplicateSpans(docs, "text", "doc_id", n = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_dup_words"), r.getAs[String]("clean_text"))).toMap
+    assert(out(3L)._1 == 0L)
+    assert(out(3L)._2 == "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10 n11 n12")
+    // the shared 10-gram is removed from both carriers, the rest kept
+    assert(out(1L)._1 == 10L)
+    assert(out(1L)._2 == "alpha unique words here one tail1 t1 t2 t3")
+    assert(out(2L)._1 == 10L)
+    assert(out(2L)._2 == "totally different beginning here two tail2 u1 u2 u3")
+  }
+
+  test("duplicateSpans: doc shorter than the gram width passes through") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = Curation.duplicateSpans(docs, "text", "doc_id", n = 10)
+      .collect()
+    assert(out.forall(_.getAs[Long]("n_dup_words") == 0L))
+    assert(out.forall(_.getAs[String]("clean_text") == "a b c"))
+  }
+
+  test("bloom probe has no false negatives and flags bits deterministically") {
+    val members = (1L to 300L).map(i => s"key-$i").toDF("v")
+    val bloom = Curation.bloomBuild(members, "v", mBits = 4096, k = 2)
+    val probe = (1L to 600L).map(i => s"key-$i").toDF("v")
+    val out = Curation.bloomProbe(probe, "v", bloom, mBits = 4096, k = 2)
+      .collect().map(r => r.getAs[String]("v") ->
+        r.getAs[Long]("maybe_member")).toMap
+    // every member must be flagged — the Bloom guarantee
+    (1L to 300L).foreach(i => assert(out(s"key-$i") == 1L, s"key-$i"))
+    // filter is not saturated: most non-members pass
+    val fp = (301L to 600L).count(i => out(s"key-$i") == 1L)
+    assert(fp < 60, s"false positives: $fp of 300")
+    // deterministic: rebuilding gives the same filter bits
+    val again = Curation.bloomBuild(members, "v", mBits = 4096, k = 2)
+    assert(bloom.collect().toSet == again.collect().toSet)
+  }
+
+  test("bloom parameters are validated") {
+    val df = Seq("a").toDF("v")
+    intercept[IllegalArgumentException] {
+      Curation.bloomBuild(df, "v", mBits = 100, k = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.bloomBuild(df, "v", mBits = 4096, k = 9)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(df.withColumn("id", lit(1L)), "v", "id", Nil, 3)
+    }
+  }
+}
