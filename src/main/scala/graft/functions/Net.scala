@@ -1,17 +1,25 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftShims}
-import org.apache.spark.sql.graft.IpToLong
+import org.apache.spark.sql.graft.{IpToLong, Ipv6ToHex}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** IPv4 helpers for server-side CIDR/range queries (SURVEY.md Q9).
+/** IPv4/IPv6 helpers for server-side CIDR/range queries (SURVEY.md Q9).
   *
   * The reference can only answer CIDR queries by client-side expansion into
   * one point lookup per address (`cmd/balboa/cmds/query.go:32-57`); parsing
   * the address to a number turns that into a single range predicate that
-  * Parquet row-group stats can prune. Implemented as a codegen'd Catalyst
-  * expression ([[org.apache.spark.sql.graft.IpToLong]]) so it stays inside
+  * Parquet row-group stats can prune. Implemented as codegen'd Catalyst
+  * expressions ([[org.apache.spark.sql.graft.IpToLong]],
+  * [[org.apache.spark.sql.graft.Ipv6ToHex]]) so they stay inside
   * whole-stage codegen on the scan's hot path.
+  *
+  * IPv6 representation: the 128-bit address as a 32-char LOWERCASE HEX
+  * string. Fixed-width hex orders lexicographically exactly like the
+  * underlying unsigned integer, so BETWEEN-on-string is a correct range
+  * predicate, Parquet string min/max row-group stats prune it, and any
+  * engine with string comparison can mirror it (a two-long split would
+  * need unsigned-compare gymnastics on both engines).
   */
 object Net {
 
@@ -49,4 +57,121 @@ object Net {
   /** ip_to_long(col): LongType value of an IPv4 string, null if unparsable. */
   def ip_to_long(c: Column): Column =
     GraftShims.column(IpToLong(GraftShims.expression(c)))
+
+  /** RFC 4291 textual IPv6 → 16 groups-of-4 lowercase hex chars (the
+    * canonical 32-char key), or null if the input is not an IPv6 address.
+    * Accepts full form, `::` compression (one occurrence, expanding to ≥ 1
+    * zero group), and an embedded dotted-quad tail (`::ffff:1.2.3.4`). */
+  def ipv6ToHex(s: UTF8String): UTF8String = {
+    if (s == null) return null
+    val hex = parseV6(s.toString)
+    if (hex == null) null else UTF8String.fromString(hex)
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** 8 16-bit groups of the address, or null if unparsable. */
+  private def v6Groups(str: String): Array[Int] = {
+    if (str == null || str.length < 2 || str.length > 45) return null
+    val dc = str.indexOf("::")
+    if (dc >= 0 && str.indexOf("::", dc + 1) >= 0) return null // one '::' max
+
+    // hex groups of one side of the '::' (or the whole address); null on
+    // any malformed token. A dotted-quad is allowed only as the LAST
+    // token and contributes two groups.
+    def groupsOf(part: String): Array[Int] = {
+      if (part.isEmpty) return Array.emptyIntArray
+      val toks = part.split(":", -1)
+      val buf = new Array[Int](toks.length + 1)
+      var n = 0
+      var i = 0
+      while (i < toks.length) {
+        val t = toks(i)
+        if (t.isEmpty) return null
+        if (t.indexOf('.') >= 0) {
+          if (i != toks.length - 1) return null
+          val v4 = ipv4ToLong(UTF8String.fromString(t))
+          if (v4 < 0) return null
+          buf(n) = ((v4 >> 16) & 0xffff).toInt; n += 1
+          buf(n) = (v4 & 0xffff).toInt; n += 1
+        } else {
+          if (t.length > 4) return null
+          var v = 0
+          var j = 0
+          while (j < t.length) {
+            val c = t.charAt(j)
+            val d =
+              if (c >= '0' && c <= '9') c - '0'
+              else if (c >= 'a' && c <= 'f') c - 'a' + 10
+              else if (c >= 'A' && c <= 'F') c - 'A' + 10
+              else return null
+            v = v * 16 + d
+            j += 1
+          }
+          buf(n) = v; n += 1
+        }
+        i += 1
+      }
+      java.util.Arrays.copyOf(buf, n)
+    }
+
+    if (dc < 0) {
+      val g = groupsOf(str)
+      if (g == null || g.length != 8) null else g
+    } else {
+      val left = groupsOf(str.substring(0, dc))
+      val right = groupsOf(str.substring(dc + 2))
+      if (left == null || right == null) return null
+      // '::' stands for AT LEAST one zero group (inet_pton semantics)
+      if (left.length + right.length > 7) return null
+      val out = new Array[Int](8)
+      System.arraycopy(left, 0, out, 0, left.length)
+      System.arraycopy(right, 0, out, 8 - right.length, right.length)
+      out
+    }
+  }
+
+  private def parseV6(str: String): String = {
+    val groups = v6Groups(str)
+    if (groups == null) return null
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 8) {
+      val g = groups(i)
+      out(4 * i) = hexDigits((g >> 12) & 0xf)
+      out(4 * i + 1) = hexDigits((g >> 8) & 0xf)
+      out(4 * i + 2) = hexDigits((g >> 4) & 0xf)
+      out(4 * i + 3) = hexDigits(g & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Inclusive (lo, hi) 32-char-hex bounds of an IPv6 CIDR block like
+    * "2001:db8::/32" — string BETWEEN on these equals numeric membership
+    * (fixed-width hex preserves unsigned order). */
+  def cidrBounds6(cidr: String): (String, String) = {
+    val Array(base, lenStr) = cidr.split("/", 2)
+    val len = lenStr.toInt
+    require(len >= 0 && len <= 128, s"bad prefix length in $cidr")
+    val hex = parseV6(base)
+    require(hex != null, s"bad IPv6 in $cidr")
+    val lo = new Array[Char](32)
+    val hi = new Array[Char](32)
+    var i = 0
+    while (i < 32) {
+      val nibble = Character.digit(hex.charAt(i), 16)
+      val bitsKept = math.max(0, math.min(4, len - 4 * i)) // prefix bits in this nibble
+      val mask = (0xf << (4 - bitsKept)) & 0xf
+      lo(i) = hexDigits(nibble & mask)
+      hi(i) = hexDigits((nibble & mask) | (~mask & 0xf))
+      i += 1
+    }
+    (new String(lo), new String(hi))
+  }
+
+  /** ipv6_to_hex(col): 32-char lowercase hex key of an IPv6 string, null
+    * if unparsable. */
+  def ipv6_to_hex(c: Column): Column =
+    GraftShims.column(Ipv6ToHex(GraftShims.expression(c)))
 }

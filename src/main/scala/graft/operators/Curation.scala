@@ -176,18 +176,25 @@ object Curation {
     * probe with NO shuffle of corpus grams; the only shuffle is the
     * per-document count aggregation (map-side combined). Contrast with
     * joining both gram streams on the gram key, which would shuffle the
-    * full corpus once per decontamination run. */
+    * full corpus once per decontamination run. Grams are md5'd on BOTH
+    * sides before the join (the [[duplicateSpans]] trick): the broadcast
+    * and the probe keys are fixed 32-char digests instead of 13-word
+    * strings — an order-of-magnitude smaller broadcast on real text, and
+    * the hash-equality matches string-equality up to md5 collisions,
+    * which the whole dedup stack already accepts. */
   def decontaminate(corpus: DataFrame, evalSet: DataFrame, textCol: String,
       idCol: String, n: Int = 13): DataFrame = {
     val evalGrams = evalSet
       .select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .select(md5(col("gram")).as("g"))
       .distinct()
       .withColumn("_hit", lit(1L))
     val corpusGrams = corpus
       .select(col(idCol).as("doc_id"), Dedup.shingles(col(textCol), n).as("sh"))
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"),
         explode(col("sh")).as("gram"))
-    corpusGrams.join(broadcast(evalGrams), Seq("gram"), "left")
+      .select(col("doc_id"), col("n_grams"), md5(col("gram")).as("g"))
+    corpusGrams.join(broadcast(evalGrams), Seq("g"), "left")
       .groupBy(col("doc_id"), col("n_grams"))
       .agg(sum(coalesce(col("_hit"), lit(0L))).as("n_shared_grams"))
       .withColumn("contaminated", (col("n_shared_grams") > 0).cast("long"))
@@ -445,7 +452,13 @@ object Curation {
       t.withColumn("s", canonicalMerge(col("s"), pair))
     }.withColumn("n_word_tokens",
       size(split(trim(col("s")), " ")).cast("long"))
-    words.join(broadcast(tokenized.select(col("word"), col("n_word_tokens"))),
+    // no broadcast() hint: the type table is "vocabulary-sized", which is
+    // MBs on curated text but tens of GB on a raw 100 TB web corpus (every
+    // typo is a type) — a forced broadcast would OOM the driver there.
+    // AQE broadcasts it whenever its measured size actually fits
+    // (spark.sql.autoBroadcastJoinThreshold) and falls back to a shuffle
+    // join when it doesn't; the hint only removed the safety net.
+    words.join(tokenized.select(col("word"), col("n_word_tokens")),
         Seq("word"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n_word_tokens")).as("n_bpe_tokens"),
@@ -510,7 +523,11 @@ object Curation {
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(dfreq), "term")
+    // no broadcast() hint (same reasoning as bpeApply): the document-
+    // frequency table is vocabulary-sized — broadcastable on curated
+    // corpora, tens of GB on raw web text. AQE promotes the join to
+    // broadcast exactly when the measured size fits the threshold.
+    val scored = tf.join(dfreq, "term")
       .withColumn("tfidf",
         (col("tf") * lit(n)).cast("double") / col("df").cast("double"))
     import org.apache.spark.sql.expressions.Window
@@ -621,11 +638,18 @@ object Curation {
     * filter side is broadcast (mBits/32 rows); the probe is a narrow
     * pass + one key-sized aggregation — a stream-static join away from
     * running at the ingest boundary. Parameters must match the build
-    * call (same mBits/k — they define the bit layout). */
+    * call (same mBits/k — they define the bit layout).
+    *
+    * CONTRACT: null probe values are dropped (no output row) — a Bloom
+    * filter has no bit pattern for null ([[bloomBuild]] likewise hashes
+    * nothing for null inputs, since md5(null) is null), so membership of
+    * null is undefined rather than silently "not a member". Callers that
+    * need a verdict on nulls should coalesce to a sentinel before probing. */
   def bloomProbe(df: DataFrame, valueCol: String, bloom: DataFrame,
       mBits: Int = 16384, k: Int = 2): DataFrame = {
     requireBloomParams(mBits, k)
     df.select(col(valueCol).cast("string").as("v"))
+      .filter(col("v").isNotNull)
       .select(col("v"), explode(bloomPositions(col("v"), mBits, k)).as("pos"))
       .select(col("v"), expr("pos div 32").as("word_idx"),
         pow(lit(2.0), col("pos") % 32).cast("long").as("mask"))

@@ -33,11 +33,14 @@ object Dedup {
           i => concat_ws(" ", slice(tokens, i + 1, lit(n))))))
   }
 
-  /** MinHash signature: element k = min over shingles of md5(k:shingle).
-    * md5 hex strings compare lexicographically — a perfectly usable
-    * uniform order, and portable to any engine with md5. Computed by the
-    * native one-pass [[org.apache.spark.sql.graft.MinHashSig]] expression
-    * (identical definition; k Catalyst subtrees collapsed to one loop). */
+  /** MinHash signature: lane j = min over shingles of the 16-hex-char
+    * window at offset 2·j of the circular md5 digest —
+    * `substr(md5(s)||md5(s), 2*j+1, 16)` in SQL, so ONE digest per
+    * shingle serves all k ≤ 16 lanes (the digest dominates the cost; the
+    * per-lane work is a 16-char compare). Hex windows compare
+    * lexicographically — a uniform order portable to any engine with md5
+    * and substr. Computed by the native one-pass
+    * [[org.apache.spark.sql.graft.MinHashSig]] expression. */
   def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
     org.apache.spark.sql.GraftShims.column(
       org.apache.spark.sql.graft.MinHashSig(

@@ -69,6 +69,11 @@ object Retrieval {
       k: Int, nDocs: Long, sumDl: Long): DataFrame = {
     require(terms.nonEmpty && terms.size <= 8,
       s"bm25: 1..8 query terms, got ${terms.size}")
+    // a duplicated term would silently score (and count in n_matched)
+    // twice — reject instead of guessing whether the caller meant a
+    // term weight
+    require(terms.distinct.size == terms.size,
+      s"bm25: query terms must be distinct, got $terms")
     val scored = idx.join(broadcast(dfreq), "term")
       .withColumn("s", bm25Term(col("tf"), col("df"), col("dl"), nDocs, sumDl))
     val perTerm = terms.zipWithIndex.map { case (t, i) =>
@@ -84,13 +89,24 @@ object Retrieval {
       .limit(k)
   }
 
-  /** In-memory BM25 top-k: builds the postings for the query's terms on
-    * the fly (corpus stats from one aggregation — the same two scalars
-    * any idf needs). */
+  /** In-memory BM25-monotone top-k: builds the postings for the query's
+    * terms on the fly (corpus stats from one aggregation — the same two
+    * scalars any idf needs).
+    *
+    * SCORING NOTE: the score is the RSJ idf *ratio* form, not log-idf
+    * BM25 — per-term monotone in true BM25 idf (so single-term rankings
+    * are identical), but a multi-term sum can order differently: a term
+    * with df > N/2 keeps a positive weight where log-idf would go
+    * negative, and rare-term weights are exponentially inflated relative
+    * to the log form. The trade is deliberate — every arithmetic step is
+    * a correctly-rounded IEEE-754 op, so rankings are bit-stable across
+    * engines, which libm `log` does not guarantee. Requires a non-empty
+    * corpus (idf is undefined over zero documents). */
   def bm25TopK(df: DataFrame, textCol: String, idCol: String,
       terms: Seq[String], k: Int): DataFrame = {
     val st = df.agg(count(lit(1)).as("n"),
       sum(size(split(col(textCol), " "))).as("sum_dl")).head
+    require(st.getLong(0) > 0, "bm25TopK: corpus is empty")
     val (nDocs, sumDl) = (st.getLong(0), st.getLong(1))
     val idx = tokenIndex(df, textCol, idCol).filter(col("term").isin(terms: _*))
     val dfreq = idx.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -105,6 +121,9 @@ object Retrieval {
   def writeIndex(df: DataFrame, textCol: String, idCol: String,
       path: String, nBuckets: Int = 64): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    // an empty corpus would persist n_docs=0 with a NULL sum_dl that
+    // indexTopK reads back as 0 — refuse to write a degenerate index
+    require(!df.isEmpty, "writeIndex: corpus is empty")
     val idx = tokenIndex(df, textCol, idCol).localCheckpoint(false)
     idx.withColumn("term_bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
       .write.partitionBy("term_bucket").mode("overwrite")
@@ -117,10 +136,11 @@ object Retrieval {
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 
-  /** BM25 top-k through the persisted index: terms → bucket literals →
-    * partition pruning; `term IN` pushes into the postings scan; df comes
-    * from the stored vocabulary table. Bit-identical to [[bm25TopK]] on
-    * the same corpus by construction. */
+  /** BM25-monotone top-k through the persisted index: terms → bucket
+    * literals → partition pruning; `term IN` pushes into the postings
+    * scan; df comes from the stored vocabulary table. Bit-identical to
+    * [[bm25TopK]] on the same corpus by construction (including its
+    * ratio-idf scoring note). */
   def indexTopK(spark: SparkSession, path: String, terms: Seq[String],
       k: Int): DataFrame = {
     val st = spark.read.parquet(s"$path/stats").head

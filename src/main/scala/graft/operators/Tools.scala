@@ -19,6 +19,18 @@ object Tools {
       unix_timestamp(col("last_seen").cast("timestamp_ltz")).as("time_last"))
       .toJSON.toDF("value")
 
+  /** [[jsonize]] over an aggregate whose first_seen/last_seen are already
+    * unix-micros longs (the memoized query-surface shape — `util.aggMicros`):
+    * seconds = micros DIV 1e6, the same value `unix_timestamp` yields from
+    * the timestamp form, without re-aggregating the raw observations. */
+  def jsonizeMicros(agg: DataFrame): DataFrame =
+    agg.select(
+      col("rrname"), col("rdata"), col("rrtype"), col("sensor_id"),
+      col("count"),
+      expr("first_seen DIV 1000000").as("time_first"),
+      expr("last_seen DIV 1000000").as("time_last"))
+      .toJSON.toDF("value")
+
   def dump(agg: DataFrame, outPath: String): Unit =
     jsonize(agg).write.mode("overwrite").text(outPath)
 

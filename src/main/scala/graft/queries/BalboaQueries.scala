@@ -71,9 +71,10 @@ object BalboaQueries {
 
     // A4/A6 — dump/jsonize: the aggregate rendered in the reference's
     // NDJSON dump shape (unix-SECONDS integer timestamps,
-    // observation.go:26-37), one JSON string per key.
-    "jsonize_dump" -> ((s, dir) =>
-      Tools.jsonize(ObservationStore.aggregate(Graft.observations(s, dir)))),
+    // observation.go:26-37), one JSON string per key. Derived from the
+    // memoized store aggregate the other balboa gates share — jsonize is
+    // a rendering of the store, not a second aggregation of raw input.
+    "jsonize_dump" -> ((s, dir) => Tools.jsonizeMicros(aggMicros(s, dir))),
 
     // A4+A5 — dump → replay round-trip THROUGH DISK: dump the aggregate
     // as NDJSON, replay it into a fresh dual store, read the forward copy

@@ -477,7 +477,7 @@ object PipelineQueries {
          |  SELECT doc_id, sh,
          |         list_transform(generate_series(0, 15), k ->
          |           list_min(list_transform(sh,
-         |             s -> md5(CAST(k AS VARCHAR) || ':' || s)))) AS sig
+         |             s -> substr(md5(s) || md5(s), 2 * k + 1, 16)))) AS sig
          |  FROM sh),
          |bands AS (
          |  SELECT doc_id, sh, b.band_idx,
@@ -583,13 +583,13 @@ object PipelineQueries {
         |  SELECT doc_id, sh,
         |         list_transform(generate_series(0, 15), k ->
         |           list_min(list_transform(sh,
-        |             s -> md5(CAST(k AS VARCHAR) || ':' || s)))) AS sig
+        |             s -> substr(md5(s) || md5(s), 2 * k + 1, 16)))) AS sig
         |  FROM shc),
         |sigb AS (
         |  SELECT doc_id, sh,
         |         list_transform(generate_series(0, 15), k ->
         |           list_min(list_transform(sh,
-        |             s -> md5(CAST(k AS VARCHAR) || ':' || s)))) AS sig
+        |             s -> substr(md5(s) || md5(s), 2 * k + 1, 16)))) AS sig
         |  FROM shb),
         |bandc AS (
         |  SELECT doc_id, b.band_idx,
@@ -627,7 +627,7 @@ object PipelineQueries {
          |  SELECT doc_id, sh,
          |         list_transform(generate_series(0, 15), k ->
          |           list_min(list_transform(sh,
-         |             s -> md5(CAST(k AS VARCHAR) || ':' || s)))) AS sig
+         |             s -> substr(md5(s) || md5(s), 2 * k + 1, 16)))) AS sig
          |  FROM sh),
          |bands AS (
          |  SELECT doc_id, sh, b.band_idx,

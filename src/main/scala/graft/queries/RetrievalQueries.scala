@@ -41,8 +41,7 @@ object RetrievalQueries {
     // stored df/stats) — the layout is an optimization, never a
     // semantics change, so the oracle is shared with bm25_search.
     "bm25_index" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-bm25idx")
-        .toString
+      val tmp = bm25IndexDir(dir)
       Retrieval.writeIndex(docs(s, dir), "text", "doc_id", tmp, nBuckets = 16)
       Retrieval.indexTopK(s, tmp, bm25Terms, k = 10)
     }),
@@ -68,6 +67,25 @@ object RetrievalQueries {
           coalesce(col("m"), lit(0L)).as("is_member"))
     }),
   )
+
+  /** One scratch index location per source dir, reused (overwritten)
+    * across invocations instead of leaking a fresh temp directory per
+    * gate run, and recursively removed when the JVM exits. */
+  private val bm25IndexDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def bm25IndexDir(dir: String): String =
+    bm25IndexDirs.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft-bm25idx")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(p.toFile)
+      }))
+      p.toString
+    })
 
   private val bm25OracleSql =
     """WITH tok AS (

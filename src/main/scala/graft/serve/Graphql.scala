@@ -1,6 +1,6 @@
 package graft.serve
 
-import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 
 import org.apache.spark.sql.Row
@@ -45,7 +45,19 @@ object Graphql {
   /** Parse + run + render. Left(error) on malformed queries or missing
     * required args (`query_graphql.go:242-246`). */
   def execute(query: String, store: ObservationStore): Either[String, String] =
-    parse(query).flatMap {
+    execute(query, None, store)
+
+  /** [[execute]] with GraphQL variables (the `variables` member of the
+    * standard JSON envelope — the single most common client pattern:
+    * `{"query":"query($n:String){entries(rrname:$n){...}}",
+    * "variables":{"n":"x"}}`; the reference gets this from graph-gophers,
+    * `query/query_graphql.go:194-206`). Variables are spliced into the
+    * document as literals BEFORE parsing, so every downstream rule
+    * (enum validation, limit parsing, quoted-paren scanning) applies to
+    * variable-supplied values exactly as to inline ones. */
+  def execute(query: String, variables: Option[JsonNode],
+      store: ObservationStore): Either[String, String] =
+    substituteVariables(query, variables).flatMap(parse).flatMap {
       case q: EntriesQuery =>
         if (q.rrname.isEmpty && q.rdata.isEmpty)
           Left("one of rrname or rdata must be given")
@@ -53,6 +65,64 @@ object Graphql {
       case StatsQuery(fields) => Right(renderStats(fields, store))
       case IntrospectionQuery => Right(renderIntrospection())
     }
+
+  /** Strip the optional operation header (`query Name($n: String = "d")`)
+    * and replace each `$var` in the body with its JSON-envelope value
+    * (string values re-quoted/escaped through the JSON mapper — so a
+    * quote inside a variable cannot break out of its argument) or its
+    * declared default. `$` inside string literals is left untouched (the
+    * GraphQL rule). Errors on an unsupplied variable with no default and
+    * on non-scalar values — the schema has no list/object arguments. */
+  private[serve] def substituteVariables(query: String,
+      variables: Option[JsonNode]): Either[String, String] = {
+    val header = """^\s*query\b\s*[A-Za-z0-9_]*\s*(\(([^)]*)\))?\s*"""
+      .r.findFirstMatchIn(query)
+    val varDefaults: Map[String, Option[String]] =
+      header.flatMap(h => Option(h.group(2))).map { defs =>
+        """\$([A-Za-z_][A-Za-z0-9_]*)\s*:\s*[\w\[\]!]+(?:\s*=\s*("(?:[^"\\]|\\.)*"|[^,)\s]+))?"""
+          .r.findAllMatchIn(defs)
+          .map(d => d.group(1) -> Option(d.group(2))).toMap
+      }.getOrElse(Map.empty)
+    val body = header.map(h => query.substring(h.end)).getOrElse(query)
+    if (!body.contains('$')) return Right(body)
+
+    def renderVar(name: String): Either[String, String] =
+      variables.flatMap(v => Option(v.get(name))).filterNot(_.isNull) match {
+        case Some(v) if v.isTextual => Right(mapper.writeValueAsString(v))
+        case Some(v) if v.isNumber || v.isBoolean => Right(v.asText)
+        case Some(_) =>
+          Left(s"""Variable "$$$name" has a non-scalar value; only scalars are supported.""")
+        case None => varDefaults.get(name) match {
+          case Some(Some(default)) => Right(default)
+          case _ => Left(s"""Variable "$$$name" is not defined.""")
+        }
+      }
+
+    val sb = new StringBuilder(body.length)
+    var i = 0
+    var inStr = false
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (inStr) {
+        sb.append(c)
+        if (c == '\\' && i + 1 < body.length) { sb.append(body.charAt(i + 1)); i += 1 }
+        else if (c == '"') inStr = false
+        i += 1
+      } else if (c == '"') { inStr = true; sb.append(c); i += 1 }
+      else if (c == '$') {
+        var j = i + 1
+        while (j < body.length &&
+          (body.charAt(j).isLetterOrDigit || body.charAt(j) == '_')) j += 1
+        val name = body.substring(i + 1, j)
+        if (name.isEmpty) { sb.append(c); i += 1 }
+        else renderVar(name) match {
+          case Left(err) => return Left(err)
+          case Right(lit) => sb.append(lit); i = j
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    Right(sb.toString)
+  }
 
   // ------------------------------------------------------------- parse
 

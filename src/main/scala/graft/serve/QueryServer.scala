@@ -108,13 +108,13 @@ final class QueryServer(store: ObservationStore, port: Int = 0) {
       if (ex.getRequestMethod != "POST") respond(ex, 405, "method not allowed\n")
       else {
         val raw = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-        // accept both bare GraphQL and {"query": "..."} JSON envelopes;
-        // the envelope is detected by PARSING, not by sniffing the first
-        // characters — `{ "query": ... }` with inner whitespace is still
-        // an envelope, while a bare GraphQL body starting with '{' fails
-        // JSON parsing and falls through untouched
-        val gql = parseEnvelope(raw).getOrElse(raw)
-        Graphql.execute(gql, store) match {
+        // accept both bare GraphQL and {"query": "...", "variables": {...}}
+        // JSON envelopes; the envelope is detected by PARSING, not by
+        // sniffing the first characters — `{ "query": ... }` with inner
+        // whitespace is still an envelope, while a bare GraphQL body
+        // starting with '{' fails JSON parsing and falls through untouched
+        val (gql, vars) = parseEnvelope(raw).getOrElse((raw, None))
+        Graphql.execute(gql, vars, store) match {
           case Left(err) => respond(ex, 400, errorJson(err))
           case Right(json) => respond(ex, 200, json)
         }
@@ -130,14 +130,19 @@ final class QueryServer(store: ObservationStore, port: Int = 0) {
     mapper.writeValueAsString(root)
   }
 
-  /** Some(query) iff the body is a valid JSON object envelope with a
-    * string `query` member. */
-  private def parseEnvelope(raw: String): Option[String] =
+  /** Some((query, variables)) iff the body is a valid JSON object envelope
+    * with a string `query` member; `variables` is its optional object
+    * member (the standard GraphQL-over-HTTP envelope). */
+  private def parseEnvelope(raw: String)
+      : Option[(String, Option[com.fasterxml.jackson.databind.JsonNode])] =
     if (!raw.trim.startsWith("{")) None
     else
       try {
         val n = mapper.readTree(raw)
-        Option(n.get("query")).filter(_.isTextual).map(_.asText)
+        Option(n.get("query")).filter(_.isTextual).map { q =>
+          (q.asText,
+            Option(n.get("variables")).filter(_.isObject))
+        }
       } catch { case _: Exception => None }
 
   private def handle(ex: HttpExchange)(body: => Unit): Unit =

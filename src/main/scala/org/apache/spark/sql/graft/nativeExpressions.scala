@@ -42,6 +42,31 @@ case class IpToLong(child: Expression)
     copy(child = newChild)
 }
 
+/** `ipv6_to_hex(str)` — textual IPv6 → 32-char lowercase hex key (the
+  * fixed-width form whose string order equals unsigned 128-bit order);
+  * null for non-IPv6 input. Same codegen pattern as [[IpToLong]]: the
+  * generated code calls the shared static parser, staying inside
+  * whole-stage codegen on the scan hot path. */
+case class Ipv6ToHex(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "ipv6_to_hex"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.Net.ipv6ToHex(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.Net.ipv6ToHex($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Ipv6ToHex =
+    copy(child = newChild)
+}
+
 /** `simhash64(text)` — 64-bit SimHash of a whitespace-tokenized string,
   * rendered as a 64-char '0'/'1' string (portable across engines — no
   * int64/hex conversions needed for an oracle).
@@ -109,11 +134,16 @@ object DotProductD {
   }
 }
 
-/** `minhash_sig(shingles, k)` — MinHash signature in one pass: element j =
-  * min over shingles of md5Hex(j + ":" + shingle). Identical definition to
-  * the composable `transform(sequence(...), array_min(transform(md5)))`
-  * form (and to the DuckDB oracle), but one JVM loop instead of k
-  * Catalyst subtree evaluations per row. */
+/** `minhash_sig(shingles, k)` — MinHash signature in one pass, ONE md5
+  * digest per shingle: lane j (0-based) is the minimum over shingles of
+  * the 16-hex-char window starting at offset 2·j of the circular 32-char
+  * md5 hex digest — i.e. `substr(md5(s) || md5(s), 2*j+1, 16)` in SQL,
+  * which is exactly how the DuckDB oracles mirror it. The windows are
+  * pairwise-distinct rotations of the same 128-bit digest for j < 16, so
+  * each lane orders shingles differently (the MinHash requirement) while
+  * the per-shingle hashing cost is one digest instead of k — the digest,
+  * not the window compare, dominates at corpus scale. k > 16 would wrap
+  * to duplicate lanes and is rejected. */
 case class MinHashSig(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] =
@@ -139,7 +169,7 @@ case class MinHashSig(left: Expression, right: Expression)
 object MinHashSig {
   private val hexDigits = "0123456789abcdef".toCharArray
 
-  private def md5Hex(bytes: Array[Byte], md: java.security.MessageDigest): String = {
+  private def md5HexChars(bytes: Array[Byte], md: java.security.MessageDigest): Array[Char] = {
     val d = md.digest(bytes)
     md.reset()
     val out = new Array[Char](32)
@@ -149,26 +179,52 @@ object MinHashSig {
       out(2 * i + 1) = hexDigits(d(i) & 0xf)
       i += 1
     }
-    new String(out)
+    out
   }
 
   def compute(shingles: ArrayData, k: Int): ArrayData = {
+    // lanes are the 16 distinct even-offset windows of one circular
+    // 32-hex-char digest; a 17th lane would alias lane 0 — fail loudly
+    // rather than silently correlate bands
+    if (k < 1 || k > 16) throw new IllegalArgumentException(
+      s"minhash_sig: k must be in [1, 16], got $k")
     val md = java.security.MessageDigest.getInstance("MD5")
     val mins = new Array[String](k)
+    val win = new Array[Char](16)
     val n = shingles.numElements()
     var i = 0
     while (i < n) {
       // null elements are SKIPPED, and an all-null/empty input yields
       // null signature elements — exactly what the equivalent composable
-      // form (transform + array_min over md5s) and a DuckDB mirror
-      // produce; substituting "" here (or NPE-ing on a null) would
+      // form (transform + array_min over substr'd md5s) and the DuckDB
+      // mirror produce; substituting "" here (or NPE-ing on a null) would
       // silently diverge the three definitions on degenerate inputs
       if (!shingles.isNullAt(i)) {
         val sh = shingles.getUTF8String(i).toString
+        val h = md5HexChars(sh.getBytes("UTF-8"), md)
         var j = 0
         while (j < k) {
-          val h = md5Hex((j.toString + ":" + sh).getBytes("UTF-8"), md)
-          if (mins(j) == null || h.compareTo(mins(j)) < 0) mins(j) = h
+          val off = 2 * j
+          // lexicographic compare of the wrapped window against the lane
+          // min WITHOUT allocating the candidate string ('0'-'9' < 'a'-'f'
+          // in ASCII — same ordering String.compareTo and DuckDB varchar
+          // comparison use on lowercase hex)
+          val cur = mins(j)
+          var replace = cur == null
+          if (!replace) {
+            var p = 0
+            var cmp = 0
+            while (p < 16 && cmp == 0) {
+              cmp = h((off + p) & 31) - cur.charAt(p)
+              p += 1
+            }
+            replace = cmp < 0
+          }
+          if (replace) {
+            var p = 0
+            while (p < 16) { win(p) = h((off + p) & 31); p += 1 }
+            mins(j) = new String(win)
+          }
           j += 1
         }
       }

@@ -187,4 +187,62 @@ class QueryServerSpec extends AnyFunSuite {
     assert(env.statusCode() == 200)
     assert(env.body().split("\"rrname\"").length - 1 == 2)
   }
+
+  test("POST /graphql: variables — same rows as the inline form") {
+    val inline = post("/graphql",
+      """query { entries(rdata: "1.2.3.4", limit: 10) { rrname rdata } }""")
+    val varred = post("/graphql",
+      """{"query": "query($d: String!, $l: Int) { entries(rdata: $d, limit: $l) { rrname rdata } }",
+        | "variables": {"d": "1.2.3.4", "l": 10}}""".stripMargin)
+    assert(varred.statusCode() == 200, varred.body())
+    assert(varred.body() == inline.body(), varred.body())
+    // declared default kicks in when the variable is not supplied
+    val defaulted = post("/graphql",
+      """{"query": "query($d: String = \"1.2.3.4\") { entries(rdata: $d) { rrname } }"}""")
+    assert(defaulted.statusCode() == 200, defaulted.body())
+    assert(defaulted.body().split("\"rrname\"").length - 1 == 2)
+    // enum through a variable validates against RRType like an inline enum
+    val enumVar = post("/graphql",
+      """{"query": "query($t: RRType) { entries(rrname: \"foo\", rrtype: $t) { rrname } }",
+        | "variables": {"t": "A"}}""".stripMargin)
+    assert(enumVar.statusCode() == 200, enumVar.body())
+    val badEnum = post("/graphql",
+      """{"query": "query($t: RRType) { entries(rrname: \"foo\", rrtype: $t) { rrname } }",
+        | "variables": {"t": "BOGUS"}}""".stripMargin)
+    assert(badEnum.statusCode() == 400, badEnum.body())
+  }
+
+  test("POST /graphql: variables — undefined variable is a 400, not a 500") {
+    val r = post("/graphql",
+      """{"query": "query($d: String!) { entries(rdata: $d) { rrname } }"}""")
+    assert(r.statusCode() == 400, r.body())
+    assert(r.body().contains("not defined"), r.body())
+    // a quote inside a variable value stays INSIDE its argument (no
+    // breakout into the surrounding document)
+    val quoted = post("/graphql",
+      """{"query": "query($d: String) { entries(rdata: $d) { rrname } }",
+        | "variables": {"d": "x\") { rdata } } query { entries(rdata: \"1.2.3.4"}}""".stripMargin)
+    assert(quoted.statusCode() == 200, quoted.body())
+    assert(quoted.body().contains(""""entries":[]"""), quoted.body())
+  }
+
+  test("graphql id: distinct key tuples never collide across field boundaries") {
+    import spark.implicits._
+    val ts = Timestamp.valueOf("2018-01-01 00:00:00")
+    val ambiguous = Seq(
+      ("ab", "c", "A", "x", 1L, ts, ts),
+      ("a", "bc", "A", "x", 1L, ts, ts)
+    ).toDF("rrname", "sensor_id", "rrtype", "rdata", "count",
+      "timestamp_start", "timestamp_end")
+    val st = ObservationStore.inMemory(ObservationStore.aggregate(ambiguous))
+    def idsOf(rrname: String): Seq[String] = {
+      val body = graft.serve.Graphql.execute(
+        s"""query { entries(rrname: "$rrname") { id } }""", st)
+        .fold(e => fail(e), identity)
+      """"id":"([0-9a-f-]+)"""".r.findAllMatchIn(body).map(_.group(1)).toSeq
+    }
+    val (idAb, idA) = (idsOf("ab"), idsOf("a"))
+    assert(idAb.size == 1 && idA.size == 1)
+    assert(idAb.head != idA.head, "concatenation-ambiguous keys must differ")
+  }
 }
