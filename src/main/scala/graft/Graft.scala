@@ -87,4 +87,20 @@ object Graft {
       lit(1L).as("count"),
       col("l_shipdate").as("ts")
     )
+
+  /** Same stream with IPv6-shaped AAAA rdata (`2001:db8::<g7>:<g8>`, the
+    * two low 16-bit groups carved from `l_orderkey`, minimal-hex like real
+    * addresses), for the server-side v6 CIDR range query. The `::`
+    * compressed form deliberately exercises the v6 parser's expansion. */
+  def ip6Observations(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "lineitem").select(
+      concat(lit("part-"), col("l_partkey").cast("string")).as("rrname"),
+      (col("l_suppkey") % 10).cast("string").as("sensor_id"),
+      lit("AAAA").as("rrtype"),
+      concat(lit("2001:db8::"),
+        lower(hex(shiftright(col("l_orderkey"), 16) % 65536)), lit(":"),
+        lower(hex(col("l_orderkey") % 65536))).as("rdata"),
+      lit(1L).as("count"),
+      col("l_shipdate").as("ts")
+    )
 }

@@ -76,14 +76,21 @@ object ObservationStore {
     } finally { a.unpersist(); () }
   }
 
-  /** Derived columns persisted per copy. The inverted copy materializes
-    * `rdata_ip` (nullable long, null for non-IPv4 rdata) so CIDR/range
-    * queries hit Parquet row-group min/max stats on a NUMERIC column
-    * instead of computing `ip_to_long(rdata)` at read time — at 100 TB
-    * the difference between a pruned scan and a full one. */
-  private def derivedCols(keyCol: String): Seq[(String, Column)] =
-    if (keyCol == "rdata") Seq("rdata_ip" -> Net.ip_to_long(col("rdata")))
+  /** Derived columns persisted per copy, by layout version. The inverted
+    * copy materializes `rdata_ip` (nullable long, null for non-IPv4
+    * rdata; layout ≥ 2) and `rdata_ip6` (nullable 32-char hex key, null
+    * for non-IPv6 rdata; layout ≥ 3) so CIDR/range queries hit Parquet
+    * row-group min/max stats on an ORDERED column instead of computing
+    * the parse at read time — at 100 TB the difference between a pruned
+    * scan and a full one. */
+  private def derivedCols(keyCol: String, layout: Long): Seq[(String, Column)] =
+    if (keyCol == "rdata")
+      (if (layout >= 2) Seq("rdata_ip" -> Net.ip_to_long(col("rdata"))) else Nil) ++
+        (if (layout >= 3) Seq("rdata_ip6" -> Net.ipv6_to_hex(col("rdata"))) else Nil)
     else Nil
+
+  /** Columns that exist only in the on-disk layout, never in results. */
+  private[operators] val LayoutCols = Seq("bucket", "rdata_ip", "rdata_ip6")
 
   // All store paths go through Hadoop FS, so hdfs:// / s3a:// stores work
   // the same as local ones.
@@ -104,8 +111,9 @@ object ObservationStore {
     * that did commit would double-count the batch (sum is additive, not
     * idempotent); recovery is restore-from-backup (A7) or a full rebuild
     * from the source stream. `layout` versions the on-disk schema
-    * (2 = inverted copy carries `rdata_ip`); merges preserve the store's
-    * recorded layout so a store never holds mixed file schemas. */
+    * (2 = inverted copy carries `rdata_ip`, 3 = + `rdata_ip6`); merges
+    * preserve the store's recorded layout so a store never holds mixed
+    * file schemas. */
   private def writeMeta(spark: SparkSession, path: String,
       numBuckets: Int, epoch: Long, layout: Long = CurrentLayout): Unit = {
     val (f, p) = fs(spark, s"$path/_graft_meta.json")
@@ -116,8 +124,8 @@ object ObservationStore {
     finally out.close()
   }
 
-  /** Layout 2 = by_rdata carries the persisted `rdata_ip` column. */
-  val CurrentLayout = 2L
+  /** Layout 3 = by_rdata carries persisted `rdata_ip` AND `rdata_ip6`. */
+  val CurrentLayout = 3L
 
   private def readMetaField(spark: SparkSession, path: String,
       field: String): Option[Long] = {
@@ -148,11 +156,12 @@ object ObservationStore {
   private def writeCopy(df: DataFrame, path: String, keyCol: String,
       sortCols: Seq[String], numBuckets: Int, dynamic: Boolean = false,
       layout: Long = CurrentLayout): Unit = {
-    // layout-1 stores (written before rdata_ip existed) must stay
-    // rdata_ip-free under incremental merges: dynamic overwrite touches
-    // only some buckets, and a store with MIXED file schemas would read
-    // rdata_ip as null for old files — silently wrong CIDR results
-    val derived = if (layout >= 2) derivedCols(keyCol) else Nil
+    // older-layout stores (written before rdata_ip/rdata_ip6 existed)
+    // must stay free of the newer columns under incremental merges:
+    // dynamic overwrite touches only some buckets, and a store with
+    // MIXED file schemas would read the missing column as null for old
+    // files — silently wrong CIDR results
+    val derived = derivedCols(keyCol, layout)
     val withDerived = derived.foldLeft(df) {
       case (d, (name, c)) => d.withColumn(name, c)
     }
@@ -269,7 +278,7 @@ final class ObservationStore(byRrname: DataFrame, byRdata: DataFrame,
         rrtype.map(col("rrtype") === _) ++
         sensorId.map(col("sensor_id") === _)
     base.filter(conds.reduce(_ && _)).limit(limit)
-      .drop("bucket", "rdata_ip")
+      .drop(ObservationStore.LayoutCols: _*)
   }
 
   /** Prefix range scan on the forward copy — an extension beyond balboa
@@ -285,7 +294,7 @@ final class ObservationStore(byRrname: DataFrame, byRdata: DataFrame,
   def entriesPrefix(prefix: String, limit: Int = 1000): DataFrame = {
     require(prefix.nonEmpty, "prefix must be non-empty")
     byRrname.filter(col("rrname").startsWith(prefix)).limit(limit)
-      .drop("bucket", "rdata_ip")
+      .drop(ObservationStore.LayoutCols: _*)
   }
 
   /** Typed variant of [[entries]] for callers that want compile-time field
@@ -313,7 +322,7 @@ final class ObservationStore(byRrname: DataFrame, byRdata: DataFrame,
       .filter(col("rrtype").isin(aliasableTypes: _*))
       .select(col("rrname").as("e_rrname"), col("sensor_id").as("e_sensor_id"),
         col("rdata").as("e_rdata"))
-    val t = byRdata.drop("bucket", "rdata_ip")
+    val t = byRdata.drop(ObservationStore.LayoutCols: _*)
     val joined = e.join(t,
       t("rdata") === e("e_rdata") && t("sensor_id") === e("e_sensor_id") &&
         t("rrname") =!= e("e_rrname"))
@@ -344,20 +353,33 @@ final class ObservationStore(byRrname: DataFrame, byRdata: DataFrame,
     stores.map(_.entries(rrname, rdata, limit = limit)).reduce(_ unionAll _)
 
   /** Q9 done server-side: the reference expands a CIDR client-side into one
-    * point query per address (`cmds/query.go:32-57`); on Spark a numeric
-    * range predicate on the parsed address does the same work in one scan
-    * with row-group pruning — no expansion. Disk stores carry a persisted
-    * `rdata_ip` long column, so the range predicate is a plain column
-    * comparison that Parquet min/max row-group stats can prune; in-memory
-    * stores fall back to computing it at read time.
+    * point query per address (`cmds/query.go:32-57`); on Spark a range
+    * predicate on the parsed address does the same work in one scan with
+    * row-group pruning — no expansion. Dispatches on address family:
+    * IPv6 blocks (any ':' in the CIDR) range over the 32-char hex key,
+    * IPv4 over the numeric form. Disk stores carry the persisted
+    * `rdata_ip`/`rdata_ip6` columns, so the range predicate is a plain
+    * column comparison that Parquet min/max row-group stats can prune;
+    * in-memory (and older-layout) stores fall back to computing the
+    * parse at read time.
     */
   def cidrQuery(cidr: String, limit: Int = 1000): DataFrame = {
-    val (lo, hi) = Net.cidrBounds(cidr)
-    val ipCol =
-      if (byRdata.columns.contains("rdata_ip")) col("rdata_ip")
-      else Net.ip_to_long(col("rdata"))
-    byRdata.filter(ipCol.between(lo, hi))
-      .drop("bucket", "rdata_ip")
+    val pred =
+      if (cidr.contains(':')) {
+        val (lo, hi) = Net.cidrBounds6(cidr)
+        val ipCol =
+          if (byRdata.columns.contains("rdata_ip6")) col("rdata_ip6")
+          else Net.ipv6_to_hex(col("rdata"))
+        ipCol.between(lo, hi)
+      } else {
+        val (lo, hi) = Net.cidrBounds(cidr)
+        val ipCol =
+          if (byRdata.columns.contains("rdata_ip")) col("rdata_ip")
+          else Net.ip_to_long(col("rdata"))
+        ipCol.between(lo, hi)
+      }
+    byRdata.filter(pred)
+      .drop(ObservationStore.LayoutCols: _*)
       .limit(limit)
   }
 

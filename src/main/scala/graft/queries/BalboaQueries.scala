@@ -58,6 +58,18 @@ object BalboaQueries {
       agg.filter(Net.ip_to_long(col("rdata")).between(lo, hi))
     }),
 
+    // Q9 for IPv6 — the same range-over-parsed-address idea on the
+    // 32-char hex key (string BETWEEN = unsigned 128-bit membership;
+    // see Net.cidrBounds6). /118 over 2001:db8::/32 space = the low 10
+    // bits free, i.e. g8 in [0x1000, 0x13ff].
+    "cidr_range_v6" -> ((s, dir) => {
+      val agg = ObservationStore.aggregate(Graft.ip6Observations(s, dir))
+        .withColumn("first_seen", micros(col("first_seen")))
+        .withColumn("last_seen", micros(col("last_seen")))
+      val (lo, hi) = Net.cidrBounds6("2001:db8::1000/118")
+      agg.filter(Net.ipv6_to_hex(col("rdata")).between(lo, hi))
+    }),
+
     // Q5 — multi-backend fan-out: per-store query then bag union. The
     // second store overlaps the first (the full store ∪ a sensor-3 slice)
     // so the gate exercises the duplicates-KEPT semantics of
@@ -177,6 +189,40 @@ object BalboaQueries {
         |SELECT rrname, sensor_id, rrtype, rdata, "count", first_seen, last_seen
         |FROM parsed
         |WHERE ip_num BETWEEN 167773184 AND 167774207
+        |""".stripMargin,
+
+    // The oracle re-derives the 32-char hex key from the rdata STRING
+    // (the generated shape is 2001:db8::G7:G8, so splitting on ':' gives
+    // [2001, db8, '', G7, G8]) and compares against hand-derived hex
+    // bounds for 2001:db8::1000/118 — independently computed, NOT taken
+    // from Net.cidrBounds6, so a bounds bug cannot cancel out.
+    "cidr_range_v6" ->
+      """WITH obs AS (
+        |  SELECT 'part-' || CAST(l_partkey AS VARCHAR) AS rrname,
+        |         CAST(l_suppkey % 10 AS VARCHAR)       AS sensor_id,
+        |         'AAAA'                                AS rrtype,
+        |         '2001:db8::' ||
+        |         lower(hex((l_orderkey // 65536) % 65536)) || ':' ||
+        |         lower(hex(l_orderkey % 65536)) AS rdata,
+        |         CAST(1 AS BIGINT) AS "count",
+        |         l_shipdate        AS ts
+        |  FROM lineitem),
+        |agg AS (
+        |  SELECT rrname, sensor_id, rrtype, rdata,
+        |         CAST(SUM("count") AS BIGINT) AS "count",
+        |         epoch_us(MIN(ts)) AS first_seen,
+        |         epoch_us(MAX(ts)) AS last_seen
+        |  FROM obs GROUP BY 1, 2, 3, 4),
+        |parsed AS (
+        |  SELECT *,
+        |         '20010db80000000000000000' ||
+        |         lpad(string_split(rdata, ':')[4], 4, '0') ||
+        |         lpad(string_split(rdata, ':')[5], 4, '0') AS ip6_hex
+        |  FROM agg)
+        |SELECT rrname, sensor_id, rrtype, rdata, "count", first_seen, last_seen
+        |FROM parsed
+        |WHERE ip6_hex BETWEEN '20010db8000000000000000000001000'
+        |                  AND '20010db80000000000000000000013ff'
         |""".stripMargin,
 
     "fanout_union" ->

@@ -110,6 +110,15 @@ class PlanSpec extends AnyFunSuite {
           .between(167772160L, 167772175L)).count())
   }
 
+  test("v6 cidr query prunes via the persisted rdata_ip6 column") {
+    val st = ObservationStore.load(spark, storePath)
+    val plan = explainOf(st.cidrQuery("2001:db8::/32"))
+    // fixed-width hex keys order like the 128-bit address, so the string
+    // BETWEEN pushes to the scan and row-group min/max stats prune it
+    assert(plan.matches("(?s).*PushedFilters:.*GreaterThanOrEqual\\(rdata_ip6.*"), plan)
+    assert(plan.matches("(?s).*PushedFilters:.*LessThanOrEqual\\(rdata_ip6.*"), plan)
+  }
+
   test("IVF centroid assignment is an aggregation, not a ranking window") {
     val vecs = (0L to 40L).map { i =>
       val rnd = new scala.util.Random(i)

@@ -90,6 +90,72 @@ class StoreSpec extends AnyFunSuite {
     assert(Net.cidrBounds("1.2.3.4/32") == (ip("1.2.3.4"), ip("1.2.3.4")))
   }
 
+  test("ipv6_to_hex + cidrBounds6") {
+    def ip6(s: String): String = {
+      val r = Net.ipv6ToHex(UTF8String.fromString(s))
+      if (r == null) null else r.toString
+    }
+    assert(ip6("2001:db8::1") == "20010db8" + "0" * 23 + "1")
+    assert(ip6("::") == "0" * 32)
+    assert(ip6("::1") == "0" * 31 + "1")
+    assert(ip6("1::") == "0001" + "0" * 28)
+    assert(ip6("1:2:3:4:5:6:7:8") == "00010002000300040005000600070008")
+    assert(ip6("2001:DB8::A") == "20010db8" + "0" * 23 + "a") // case-insensitive
+    assert(ip6("::ffff:1.2.3.4") == "0" * 20 + "ffff01020304") // v4-embedded
+    assert(ip6("1:2:3:4:5:6:7::") == "00010002000300040005000600070000")
+    assert(ip6("1:2:3:4:5:6:1.2.3.4") == "000100020003000400050006" + "01020304")
+    // rejects
+    assert(ip6("1::2::3") == null) // two '::'
+    assert(ip6("1:2:3:4:5:6:7") == null) // 7 groups without '::'
+    assert(ip6("1:2:3:4:5:6:7:8:9") == null)
+    assert(ip6("1:2:3:4:5:6:7:8::") == null) // '::' must expand >= 1 group
+    assert(ip6("12345::") == null) // > 4 hex digits
+    assert(ip6("g::") == null)
+    assert(ip6("1.2.3.4") == null) // plain v4 is not v6
+    assert(ip6("1:1.2.3.4:5::") == null) // dotted quad only as tail
+    assert(ip6(":1:2:3:4:5:6:7") == null) // stray leading ':'
+    // bounds
+    assert(Net.cidrBounds6("2001:db8::/32") ==
+      ("20010db8" + "0" * 24, "20010db8" + "f" * 24))
+    assert(Net.cidrBounds6("::/0") == ("0" * 32, "f" * 32))
+    assert(Net.cidrBounds6("2001:db8::1000/118") ==
+      ("20010db8" + "0" * 20 + "1000", "20010db8" + "0" * 20 + "13ff"))
+    assert(Net.cidrBounds6("::1/128") == ("0" * 31 + "1", "0" * 31 + "1"))
+    // /53 cuts mid-nibble: nibble 13 keeps only its top bit (0 in the
+    // base), so hi fills the free 3 bits -> '7', then 'f' from nibble 14
+    assert(Net.cidrBounds6("ffff:ffff:ffff:8000::/53") ==
+      ("ffffffffffff8" + "0" * 19, "ffffffffffff87" + "f" * 18))
+    intercept[IllegalArgumentException](Net.cidrBounds6("2001:db8::/129"))
+    intercept[IllegalArgumentException](Net.cidrBounds6("nope/64"))
+  }
+
+  test("cidrQuery v6 through a layout-3 disk store") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-v6").toString
+    val input = Seq(
+      ("a", "s1", "AAAA", "2001:db8::1", 1L, ts("2020-01-01 00:00:00")),
+      ("b", "s1", "AAAA", "2001:db8::ffff", 1L, ts("2020-01-01 00:00:00")),
+      ("c", "s1", "AAAA", "2001:db9::1", 1L, ts("2020-01-01 00:00:00")),
+      ("d", "s1", "A", "1.2.3.4", 1L, ts("2020-01-01 00:00:00"))
+    ).toDF("rrname", "sensor_id", "rrtype", "rdata", "count", "ts")
+    ObservationStore.writeDual(ObservationStore.aggregate(input), dir,
+      numBuckets = 4)
+    assert(ObservationStore.readLayout(spark, dir).contains(3L))
+    val st = ObservationStore.load(spark, dir)
+    assert(st.cidrQuery("2001:db8::/64").select("rrname").as[String]
+      .collect().toSet == Set("a", "b"))
+    assert(st.cidrQuery("2001:db8::1/128").select("rrname").as[String]
+      .collect().toSet == Set("a"))
+    // v4 path still works beside it, and layout cols never leak out
+    assert(st.cidrQuery("1.2.3.0/24").select("rrname").as[String]
+      .collect().toSet == Set("d"))
+    assert(!st.cidrQuery("2001:db8::/64").columns.exists(
+      Seq("bucket", "rdata_ip", "rdata_ip6").contains))
+    // the in-memory fallback (no persisted column) agrees
+    val mem = ObservationStore.inMemory(ObservationStore.aggregate(input))
+    assert(mem.cidrQuery("2001:db8::/64").select("rrname").as[String]
+      .collect().toSet == Set("a", "b"))
+  }
+
   test("dns wire-format helpers match reference quirks") {
     assert(Dns.parseDomainString(Array[Byte](3, 'f', 'o', 'o', 3, 'b', 'a', 'r', 0)) == "foo.bar")
     // malformed label length -> raw bytes fallback
