@@ -105,15 +105,13 @@ object ObservationStore {
   }
 
   /** Meta is written ONLY after both copies have committed: `epoch`
-    * advances once per successful dual write/merge, so a crash between
-    * the two copy writes is DETECTABLE (the epoch never advanced). Note
-    * that re-running the crashed merge is NOT a safe repair — the copy
-    * that did commit would double-count the batch (sum is additive, not
-    * idempotent); recovery is restore-from-backup (A7) or a full rebuild
-    * from the source stream. `layout` versions the on-disk schema
-    * (2 = inverted copy carries `rdata_ip`, 3 = + `rdata_ip6`); merges
-    * preserve the store's recorded layout so a store never holds mixed
-    * file schemas. */
+    * advances once per successful dual write/merge. Full rebuilds
+    * ([[writeDual]]) are in-place overwrites, so a crash there needs a
+    * re-run; incremental merges are staged + manifest-committed (see
+    * [[mergeBatch]]) and replay automatically. `layout` versions the
+    * on-disk schema (2 = inverted copy carries `rdata_ip`, 3 = +
+    * `rdata_ip6`); merges preserve the store's recorded layout so a
+    * store never holds mixed file schemas. */
   private def writeMeta(spark: SparkSession, path: String,
       numBuckets: Int, epoch: Long, layout: Long = CurrentLayout): Unit = {
     val (f, p) = fs(spark, s"$path/_graft_meta.json")
@@ -176,69 +174,171 @@ object ObservationStore {
       .mode("overwrite").partitionBy("bucket").parquet(path)
   }
 
+  private val Copies = Seq(
+    ("by_rrname", "rrname", Seq("rrname", "sensor_id", "rrtype", "rdata")),
+    ("by_rdata", "rdata", Seq("rdata", "sensor_id", "rrname", "rrtype")))
+
   /** Incremental merge of a (raw, un-aggregated) observation batch into a
     * stored dual copy: aggregate the batch, read ONLY the touched buckets
     * of the existing store (partition pruning), re-merge (sum/min/max are
-    * associative — merging partial aggregates is exact), and overwrite
-    * just those buckets via dynamic partition overwrite. Cost scales with
-    * the batch's key spread, not the store size.
+    * associative — merging partial aggregates is exact), and replace just
+    * those buckets. Cost scales with the batch's key spread, not the
+    * store size.
+    *
+    * CRASH SAFETY (staged commit): all expensive writes go to a staging
+    * directory first; only after BOTH copies are fully staged does a
+    * manifest mark the merge as committed, and applying it is a sequence
+    * of idempotent bucket-directory renames that [[recoverMerge]] can
+    * replay from the manifest after a crash at ANY point. Either the
+    * whole dual merge happens (manifest written) or none of it did
+    * (no manifest → staging discarded, store untouched, batch safely
+    * re-runnable) — the forward/inverted copies can no longer diverge.
+    * Renames are metadata operations on HDFS/local filesystems; on
+    * object stores without atomic rename (S3A) they degrade to copies,
+    * shrinking but not eliminating the window recovery has to replay.
     */
   def mergeBatch(spark: SparkSession, path: String, batch: DataFrame,
       numBuckets: Int = 64): Unit = {
+    // a crashed previous merge must be resolved BEFORE reading the store:
+    // half-swapped buckets would feed wrong inputs to this merge
+    recoverMerge(spark, path)
+    val exists = pathExists(spark, s"$path/by_rrname")
+    if (!exists) {
+      // first write: nothing on disk to corrupt — plain dual write
+      writeDual(aggregate(batch), path, numBuckets)
+    } else {
+      val staging = stageMerge(spark, path, batch, numBuckets)
+      applyStagedMerge(spark, path, staging)
+    }
+  }
+
+  /** Write both merged copies (touched buckets only) under
+    * `<path>/_staging_<targetEpoch>` and commit the manifest. Returns the
+    * staging path. Package-visible so crash tests can stop here. */
+  private[graft] def stageMerge(spark: SparkSession, path: String,
+      batch: DataFrame, numBuckets: Int): String = {
     // referenced up to four times below (touched-bucket collect + the
     // union branch, per copy): one materialization, not four
     val newAgg = aggregate(batch).persist()
-    val exists = pathExists(spark, s"$path/by_rrname")
-    // bucket count is a layout invariant: honor what the store was
-    // written with, record it on first write
-    val effBuckets = readNumBuckets(spark, path).getOrElse(numBuckets)
-    // like the bucket count, the schema layout is a write-time invariant
-    val effLayout =
-      if (!exists) CurrentLayout else readLayout(spark, path).getOrElse(1L)
-    Seq(("by_rrname", "rrname", Seq("rrname", "sensor_id", "rrtype", "rdata")),
-        ("by_rdata", "rdata", Seq("rdata", "sensor_id", "rrname", "rrtype")))
-      .foreach { case (sub, keyCol, sortCols) =>
+    try {
+      // bucket count and schema layout are write-time invariants: honor
+      // what the store was written with
+      val effBuckets = readNumBuckets(spark, path).getOrElse(numBuckets)
+      val effLayout = readLayout(spark, path).getOrElse(1L)
+      val targetEpoch = readEpoch(spark, path).getOrElse(0L) + 1L
+      val staging = s"$path/_staging_$targetEpoch"
+      val (f, sp) = fs(spark, staging)
+      // stale staging here can only be manifest-less (recoverMerge ran):
+      // a previous attempt that never committed — discard it
+      if (f.exists(sp)) f.delete(sp, true)
+      Copies.foreach { case (sub, keyCol, sortCols) =>
         val withBucket = newAgg.withColumn("bucket", bucketOf(col(keyCol), effBuckets))
-        val merged =
-          if (!exists) withBucket
-          else {
-            val touched = withBucket.select("bucket").distinct()
-              .collect().map(_.getLong(0))
-            val existing = spark.read.parquet(s"$path/$sub")
-              .filter(col("bucket").isin(touched: _*))
-            existing.select(withBucket.columns.map(col): _*)
-              .unionAll(withBucket)
-              .groupBy((Model.Key :+ "bucket").map(col): _*)
-              .agg(sum("count").cast("long").as("count"),
-                min("first_seen").as("first_seen"),
-                max("last_seen").as("last_seen"))
-              .select(withBucket.columns.map(col): _*)
-              // cut lineage: we overwrite the very partitions we read
-              .localCheckpoint(true)
-          }
-        // drop the derived bucket col: writeCopy recomputes it (same hash)
-        writeCopy(merged.drop("bucket"), s"$path/$sub", keyCol, sortCols,
-          effBuckets, dynamic = true, layout = effLayout)
+        val touched = withBucket.select("bucket").distinct()
+          .collect().map(_.getLong(0))
+        val existing = spark.read.parquet(s"$path/$sub")
+          .filter(col("bucket").isin(touched: _*))
+        val merged = existing.select(withBucket.columns.map(col): _*)
+          .unionAll(withBucket)
+          .groupBy((Model.Key :+ "bucket").map(col): _*)
+          .agg(sum("count").cast("long").as("count"),
+            min("first_seen").as("first_seen"),
+            max("last_seen").as("last_seen"))
+          .select(withBucket.columns.map(col): _*)
+        // drop the derived bucket col: writeCopy recomputes it (same
+        // hash). Staging reads the live store and writes elsewhere, so
+        // no lineage cut is needed (the old in-place dynamic overwrite
+        // had to localCheckpoint to avoid overwriting its own input)
+        writeCopy(merged.drop("bucket"), s"$staging/$sub", keyCol, sortCols,
+          effBuckets, layout = effLayout)
       }
-    // meta (and the epoch bump) commits only after BOTH copies are
-    // written: a crash mid-merge leaves the epoch un-advanced, so
-    // forward/inverted divergence is detectable instead of silent
-    writeMeta(spark, path, effBuckets,
-      epoch = readEpoch(spark, path).getOrElse(0L) + 1L, layout = effLayout)
-    newAgg.unpersist()
+      // the manifest is the commit point: it records everything recovery
+      // needs, and is written via create+rename-free single call — a
+      // partial manifest fails to parse and counts as "not committed"
+      val (mf, mp) = fs(spark, s"$staging/_manifest.json")
+      val out = mf.create(mp, true)
+      try out.write(
+        s"""{"target_epoch":$targetEpoch,"num_buckets":$effBuckets,"layout":$effLayout}"""
+          .getBytes("UTF-8"))
+      finally out.close()
+      staging
+    } finally { newAgg.unpersist(); () }
+  }
+
+  /** Replay the staged merge: swap each staged bucket directory into the
+    * live copies (idempotent — a staged dir disappears exactly when its
+    * rename lands), bump the epoch once, drop the staging dir. */
+  private[graft] def applyStagedMerge(spark: SparkSession, path: String,
+      staging: String): Unit = {
+    val manifest = {
+      val (f, p) = fs(spark, s"$staging/_manifest.json")
+      val in = f.open(p)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    def field(name: String): Long =
+      (""""""" + name + """"\s*:\s*(\d+)""").r.findFirstMatchIn(manifest)
+        .getOrElse(throw new IllegalStateException(
+          s"staged merge manifest missing $name: $manifest"))
+        .group(1).toLong
+    val (targetEpoch, buckets, layout) =
+      (field("target_epoch"), field("num_buckets"), field("layout"))
+    val (f, _) = fs(spark, staging)
+    Copies.foreach { case (sub, _, _) =>
+      val subPath = new org.apache.hadoop.fs.Path(s"$staging/$sub")
+      if (f.exists(subPath)) {
+        f.listStatus(subPath).filter(s =>
+          s.isDirectory && s.getPath.getName.startsWith("bucket=")).foreach { s =>
+          val dest = new org.apache.hadoop.fs.Path(
+            s"$path/$sub/${s.getPath.getName}")
+          if (f.exists(dest)) f.delete(dest, true)
+          if (!f.rename(s.getPath, dest))
+            throw new java.io.IOException(s"rename ${s.getPath} -> $dest failed")
+        }
+      }
+    }
+    // epoch commits LAST, and only once — recovery after a crash between
+    // the swap and this write re-enters here with the same target
+    if (readEpoch(spark, path).getOrElse(0L) < targetEpoch)
+      writeMeta(spark, path, buckets.toInt, targetEpoch, layout)
+    f.delete(new org.apache.hadoop.fs.Path(staging), true)
     ()
+  }
+
+  /** Resolve any interrupted [[mergeBatch]]: a staging dir WITH a manifest
+    * is committed — finish its swap and epoch bump; one without is an
+    * uncommitted attempt — discard it (the store is untouched and the
+    * batch can simply be merged again). Safe to call any time. */
+  def recoverMerge(spark: SparkSession, path: String): Unit = {
+    val (f, p) = fs(spark, path)
+    if (!f.exists(p)) return
+    f.listStatus(p).filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith("_staging_")).foreach { s =>
+      val staging = s.getPath
+      if (f.exists(new org.apache.hadoop.fs.Path(staging, "_manifest.json"))) {
+        try applyStagedMerge(spark, path, staging.toString)
+        catch { case _: IllegalStateException =>
+          // unparsable manifest = the commit never completed
+          f.delete(staging, true); ()
+        }
+      } else {
+        f.delete(staging, true)
+        ()
+      }
+    }
   }
 
   /** Load a dual store. Bucket pruning uses the count recorded in the
     * store's metadata; without metadata (pre-meta store) no bucket
     * predicate is applied — slower point lookups, never silently-empty
-    * results from a wrong guess. */
-  def load(spark: SparkSession, path: String): ObservationStore =
+    * results from a wrong guess. Any interrupted merge is resolved first
+    * ([[recoverMerge]]) so a reader never sees a half-swapped store. */
+  def load(spark: SparkSession, path: String): ObservationStore = {
+    recoverMerge(spark, path)
     new ObservationStore(
       spark.read.parquet(s"$path/by_rrname"),
       spark.read.parquet(s"$path/by_rdata"),
       readNumBuckets(spark, path)
     )
+  }
 
   /** In-memory store over an already-aggregated DataFrame (both "copies"
     * share the plan; Catalyst pushes key filters below the aggregate).

@@ -333,9 +333,11 @@ object Similarity {
     *    many members a cluster has — sums of products never approach 2⁵³
     *    and no float rounding ever enters the loop.
     *
-    * Spark shape per iteration: assignment is a NARROW pass (centroids are
-    * driver-held literals — k·dim values, the same thing MLlib's KMeans
-    * broadcasts), the update is one posexplode + HashAggregate (map-side
+    * Spark shape per iteration: assignment is a NARROW pass — the k·dim
+    * centroid matrix rides the plan as ONE reference object (the same
+    * mechanics as MLlib KMeans' centroid broadcast, see
+    * [[org.apache.spark.sql.graft.CosineArgMax]]), never as literal
+    * columns — and the update is one posexplode + HashAggregate (map-side
     * partial sums) collecting k·dim rows. No join, no window, no
     * per-vector shuffle beyond the one aggregation — at 10⁹ vectors each
     * iteration is one scan + one tiny aggregate. */
@@ -354,17 +356,20 @@ object Similarity {
       s"kmeans needs seed vectors with $idCol in [0, $k); none found")
 
     def assign(cs: Seq[(Int, Array[Double])]): DataFrame = {
-      val scored = cs.map { case (cid, cv) =>
-        val cvCol = array(cv.map(lit(_)).toSeq: _*)
-        (cid, cosine(col("v"), cvCol))
-      }
-      val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
-      // first-wins fold = lowest cluster id on exact ties
-      val cluster = scored.foldRight(lit(-1L): Column) { case ((cid, c), acc) =>
-        when(c === best, lit(cid.toLong)).otherwise(acc)
-      }
-      s.withColumn("cluster", cluster)
-        .withColumn("cos_sim", best)
+      // centroids travel as ONE reference object in the plan (broadcast-
+      // style task closure), not k·dim literal columns — an inline-literal
+      // greatest() cascade is fine at k=8 but becomes a codegen-breaking
+      // ~10⁵-node tree at k=64 × dim=1024. Semantics (including lowest-id
+      // tie-breaks and NaN ordering) are mirrored exactly; see
+      // [[org.apache.spark.sql.graft.CosineArgMax]].
+      val am = org.apache.spark.sql.GraftShims.column(
+        org.apache.spark.sql.graft.CosineArgMax(
+          org.apache.spark.sql.GraftShims.expression(col("v")),
+          cs.map(_._1.toLong).toArray, cs.map(_._2).toArray))
+      s.withColumn("_am", am)
+        .withColumn("cluster", col("_am").getField("cluster"))
+        .withColumn("cos_sim", col("_am").getField("cos_sim"))
+        .drop("_am")
     }
 
     for (_ <- 1 to iters) {

@@ -1,9 +1,10 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native (codegen'd) Catalyst expressions shipped by graft.
@@ -302,6 +303,81 @@ object WinnowFingerprints {
     var o = 0
     while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
     new GenericArrayData(out)
+  }
+}
+
+/** `cosine_argmax(v)` — (centroid id, cosine) of the nearest centroid,
+  * with the centroid matrix shipped ONCE per plan as a codegen reference
+  * object (`ctx.addReferenceObj`) instead of k·dim `Literal` nodes: at
+  * k=64 × dim=1024 the inline-literal formulation is a ~10⁵-node
+  * expression tree that blows up codegen; this is one opaque array in the
+  * task closure — the same mechanics as a broadcast variable, sized
+  * k·dim doubles.
+  *
+  * Semantics mirror the composable form exactly —
+  * `greatest(cosines...)` + first-matching-id fold: per-centroid cosine
+  * is [[DotProductD]]'s left-to-right sum, then sqrt/multiply/divide in
+  * the same order; the winner is the FIRST id (ascending input order)
+  * achieving the maximum under Spark's NaN-is-largest ordering. */
+case class CosineArgMax(child: Expression, ids: Array[Long],
+    centroids: Array[Array[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(ids.length == centroids.length && ids.nonEmpty,
+    "cosine_argmax: ids and centroids must align and be non-empty")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster", LongType, nullable = false),
+    StructField("cos_sim", DoubleType, nullable = false)))
+  override def prettyName: String = "cosine_argmax"
+
+  override def nullSafeEval(input: Any): Any =
+    CosineArgMax.compute(input.asInstanceOf[ArrayData], ids, centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("cids", ids, "long[]")
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = org.apache.spark.sql.graft.CosineArgMax.compute(
+        $c, $idsRef, $cRef);
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CosineArgMax =
+    copy(child = newChild)
+}
+
+object CosineArgMax {
+  def compute(v: ArrayData, ids: Array[Long],
+      centroids: Array[Array[Double]]): InternalRow = {
+    val n = v.numElements()
+    var vv = 0.0
+    var i = 0
+    while (i < n) { val x = v.getDouble(i); vv += x * x; i += 1 }
+    val normV = math.sqrt(vv)
+    var bestCos = Double.NegativeInfinity
+    var bestId = 0L
+    var first = true
+    var cidx = 0
+    while (cidx < centroids.length) {
+      val c = centroids(cidx)
+      var cc = 0.0
+      var j = 0
+      while (j < c.length) { cc += c(j) * c(j); j += 1 }
+      val m = math.min(n, c.length)
+      var dvc = 0.0
+      j = 0
+      while (j < m) { dvc += v.getDouble(j) * c(j); j += 1 }
+      val cos = dvc / (normV * math.sqrt(cc))
+      // Spark `greatest` ordering: NaN > any value; ties keep the FIRST
+      // (the composable fold resolves ties to the lowest id)
+      val better =
+        if (first) true
+        else if (java.lang.Double.isNaN(bestCos)) false
+        else java.lang.Double.isNaN(cos) || cos > bestCos
+      if (better) { bestCos = cos; bestId = ids(cidx); first = false }
+      cidx += 1
+    }
+    new GenericInternalRow(Array[Any](bestId, bestCos))
   }
 }
 

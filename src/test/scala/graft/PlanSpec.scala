@@ -292,17 +292,25 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
-  test("k-means assignment is a narrow pass over broadcast centroid literals") {
-    val vecs = (0L to 20L).map { i =>
+  test("k-means assignment is a narrow pass with no centroid literal blowup") {
+    val vecs = (0L to 200L).map { i =>
       val rnd = new scala.util.Random(i)
-      (i, Array.fill(8)(rnd.nextFloat() - 0.5f))
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
     }.toDF("vec_id", "embedding")
+    // k=64: the old inline-literal greatest() cascade would put
+    // 64 x 16 literal array elements (x3 repetitions for the tie fold)
+    // into the projection; the reference-object form keeps the plan flat
     val out = graft.operators.Similarity.kmeans(
-      vecs, "vec_id", "embedding", k = 4, iters = 1, dim = 8)
+      vecs, "vec_id", "embedding", k = 64, iters = 1, dim = 16)
     val plan = explainOf(out)
-    // the final assignment carries no join and no shuffle: centroids are
-    // driver literals, so the plan is scan -> project (+ the checkpoint)
+    // the final assignment carries no join and no shuffle: centroids ride
+    // the plan as one reference object, so it is scan -> project
     assert(!plan.contains("Join"), plan)
     assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("cosine_argmax"), plan)
+    assert(!plan.contains("greatest"), plan)
+    // literal blowup check: the whole formatted plan stays small
+    assert(plan.length < 20000, s"plan unexpectedly large: ${plan.length} chars")
+    assert(out.groupBy("cluster").count().count() > 1)
   }
 }

@@ -156,6 +156,85 @@ class StoreSpec extends AnyFunSuite {
       .collect().toSet == Set("a", "b"))
   }
 
+  test("staged merge: a crash at any point fully applies or fully discards") {
+    import org.apache.spark.sql.functions.col
+    def obs(rows: Seq[(String, String, String, String, Long, String)]) =
+      rows.map { case (n, s, t, r, c, d) => (n, s, t, r, c, ts(d)) }
+        .toDF("rrname", "sensor_id", "rrtype", "rdata", "count", "ts")
+    val initial = obs(Seq(
+      ("foo", "s1", "A", "1.1.1.1", 1L, "2020-01-01 00:00:00"),
+      ("bar", "s1", "A", "2.2.2.2", 2L, "2020-01-02 00:00:00")))
+    val batch = obs(Seq(
+      ("foo", "s1", "A", "1.1.1.1", 3L, "2020-02-01 00:00:00"),
+      ("new", "s2", "A", "3.3.3.3", 5L, "2020-02-02 00:00:00")))
+    def freshStore(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-crash").toString
+      ObservationStore.writeDual(ObservationStore.aggregate(initial),
+        s"$dir/st", numBuckets = 4)
+      s"$dir/st"
+    }
+    def snapshot(path: String): (Seq[Seq[Any]], Seq[Seq[Any]], Option[Long]) = {
+      val st = ObservationStore.load(spark, path)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.drop("bucket", "rdata_ip", "rdata_ip6")
+          .orderBy("rrname", "sensor_id", "rrtype", "rdata")
+          .collect().map(_.toSeq).toSeq
+      (rows(st.forward), rows(st.inverted),
+        ObservationStore.readEpoch(spark, path))
+    }
+
+    // control: the uninterrupted merge
+    val control = freshStore()
+    ObservationStore.mergeBatch(spark, control, batch, numBuckets = 4)
+    val expected = snapshot(control)
+    assert(expected._3.contains(2L)) // writeDual epoch 1, merge epoch 2
+
+    // crash BEFORE the manifest: staged data without a commit mark is
+    // discarded; the store is untouched and the merge re-runs cleanly
+    val preManifest = freshStore()
+    val junk = new java.io.File(s"$preManifest/_staging_2/by_rrname/bucket=0")
+    assert(junk.mkdirs())
+    ObservationStore.recoverMerge(spark, preManifest)
+    assert(!new java.io.File(s"$preManifest/_staging_2").exists())
+    assert(snapshot(preManifest)._3.contains(1L))
+    ObservationStore.mergeBatch(spark, preManifest, batch, numBuckets = 4)
+    assert(snapshot(preManifest) == expected)
+
+    // crash AFTER the manifest, before any rename: recovery replays the
+    // whole swap and commits the epoch exactly once
+    val postManifest = freshStore()
+    ObservationStore.stageMerge(spark, postManifest, batch, numBuckets = 4)
+    assert(new java.io.File(s"$postManifest/_staging_2/_manifest.json").exists())
+    ObservationStore.recoverMerge(spark, postManifest)
+    assert(snapshot(postManifest) == expected)
+    assert(!new java.io.File(s"$postManifest/_staging_2").exists())
+
+    // crash MID-SWAP: one forward bucket already renamed, the rest (and
+    // the whole inverted copy) still staged — load() self-heals
+    val midSwap = freshStore()
+    val staging = ObservationStore.stageMerge(spark, midSwap, batch,
+      numBuckets = 4)
+    val stagedFwd = new java.io.File(s"$staging/by_rrname")
+      .listFiles().filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(stagedFwd.nonEmpty)
+    val first = stagedFwd.head
+    val dest = new java.io.File(s"$midSwap/by_rrname/${first.getName}")
+    if (dest.exists()) {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dest)
+    }
+    assert(first.renameTo(dest))
+    assert(snapshot(midSwap) == expected) // snapshot() loads → recovers
+    assert(!new java.io.File(staging).exists())
+
+    // recovery is idempotent on a healthy store
+    ObservationStore.recoverMerge(spark, control)
+    assert(snapshot(control) == expected)
+  }
+
   test("dns wire-format helpers match reference quirks") {
     assert(Dns.parseDomainString(Array[Byte](3, 'f', 'o', 'o', 3, 'b', 'a', 'r', 0)) == "foo.bar")
     // malformed label length -> raw bytes fallback
