@@ -65,6 +65,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(evil.entries(rrname = Some("good.com")).count() == 0)
   }
 
+  test("end-to-end ingest: spool -> decode -> selectors -> stores, one epoch per micro-batch") {
+    // the full §3.2 lifecycle the reference runs: a feeder spool of raw
+    // EVE JSON payloads, the real suricata decoder, the selector engine,
+    // tag-routed crash-atomic merges into dual disk stores
+    val dir = Files.createTempDirectory("graft-e2e").toString
+    val spool = new java.io.File(s"$dir/spool")
+    assert(spool.mkdirs())
+    def eve(name: String, rdata: String, t: String): String =
+      s"""{"timestamp":"$t","event_type":"dns","dns":{"type":"answer","version":1,"rcode":"NOERROR","rrname":"$name","rrtype":"A","rdata":"$rdata"}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/spool/f1.json"),
+      (eve("good.com", "1.1.1.1", "2020-01-01T00:00:00.000000+0000") + "\n" +
+        eve("evil.com", "2.2.2.2", "2020-01-02T00:00:00.000000+0000") + "\n" +
+        """{"event_type":"flow"}""" + "\n") // non-DNS event: decoder drops it
+        .getBytes("UTF-8"))
+
+    val raw = spark.readStream.text(s"$dir/spool")
+      .withColumn("sensor_id", lit("s9"))
+    val decoded = IngestPipeline.decode(raw, "suricata")
+    val selectors = Seq(RegexSelector(Seq("^evil[.].*"), tags = Seq("evil")))
+    val sinks = Seq(
+      Sink("all", None, s"$dir/all"),
+      Sink("evil", Some("evil"), s"$dir/evil"))
+    val q = IngestPipeline.start(spark, decoded, selectors, sinks,
+      s"$dir/ckpt", numBuckets = 4)
+    q.processAllAvailable()
+    // first micro-batch: both stores created at epoch 1
+    assert(ObservationStore.readEpoch(spark, s"$dir/all").contains(1L))
+    assert(ObservationStore.readEpoch(spark, s"$dir/evil").contains(1L))
+
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/spool/f2.json"),
+      (eve("good.com", "1.1.1.1", "2020-03-01T00:00:00.000000+0000") + "\n" +
+        eve("evil.b.com", "3.3.3.3", "2020-04-01T00:00:00.000000+0000") + "\n")
+        .getBytes("UTF-8"))
+    q.processAllAvailable()
+    q.stop()
+    // second micro-batch: exactly one more epoch per store
+    assert(ObservationStore.readEpoch(spark, s"$dir/all").contains(2L))
+    assert(ObservationStore.readEpoch(spark, s"$dir/evil").contains(2L))
+
+    val all = ObservationStore.load(spark, s"$dir/all")
+    val good = all.entries(rrname = Some("good.com")).collect()
+    assert(good.length == 1)
+    assert(good.head.getAs[Long]("count") == 2L) // merged across batches
+    assert(good.head.getAs[Timestamp]("first_seen") == ts("2020-01-01 00:00:00"))
+    assert(good.head.getAs[Timestamp]("last_seen") == ts("2020-03-01 00:00:00"))
+    assert(good.head.getAs[String]("sensor_id") == "s9")
+    assert(all.totalCount() == 3) // good + evil + evil2; flow event dropped
+    val evil = ObservationStore.load(spark, s"$dir/evil")
+    assert(evil.totalCount() == 2)
+    assert(evil.entries(rrname = Some("good.com")).count() == 0)
+    // no staging leftovers: every merge fully applied
+    assert(!new java.io.File(s"$dir/all").listFiles()
+      .exists(_.getName.startsWith("_staging_")))
+  }
+
   test("streaming unwindowed aggregate (update mode) matches batch aggregate") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(String, String, String, String, Long, Timestamp, Timestamp)]
