@@ -54,6 +54,20 @@ object Tools {
       numBuckets)
   }
 
+  /** A4/A5 wire-format compat — dump/replay in the reference's NATIVE
+    * MessagePack stream format (`backend/lib/protocol.c:149-187,800-871`),
+    * so a live balboa instance migrates in (and a graft store exports
+    * back) with no external converter. See [[graft.sources.BalboaDump]]. */
+  def dumpBalboa(agg: DataFrame, outPath: String): Unit =
+    graft.sources.BalboaDump.write(agg, outPath)
+
+  def replayBalboa(spark: SparkSession, dumpPath: String, storePath: String,
+      numBuckets: Int = 64): Unit =
+    ObservationStore.writeDual(
+      ObservationStore.aggregate(
+        graft.sources.BalboaDump.read(spark, dumpPath)),
+      storePath, numBuckets)
+
   /** A7 — backup: snapshot copy of the store directory (parquet is
     * immutable-once-written; a recursive copy is a consistent snapshot
     * between merges). */

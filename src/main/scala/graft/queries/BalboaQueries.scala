@@ -104,6 +104,23 @@ object BalboaQueries {
         .withColumn("last_seen", micros(col("last_seen")))
     }),
 
+    // A4+A5 in the reference's NATIVE wire format: dump the aggregate as
+    // a real balboa MessagePack stream (protocol.c:149-187), replay it
+    // into a fresh dual store, read the forward copy back. Oracle = the
+    // plain aggregate (timestamps here are date-granular, so the
+    // format's unix-seconds are lossless).
+    "balboa_dump" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-balboadump")
+        .toString
+      val agg = ObservationStore.aggregate(Graft.observations(s, dir))
+      Tools.dumpBalboa(agg, s"$tmp/dump")
+      Tools.replayBalboa(s, s"$tmp/dump", s"$tmp/store", numBuckets = 16)
+      ObservationStore.load(s, s"$tmp/store").forward
+        .drop("bucket")
+        .withColumn("first_seen", micros(col("first_seen")))
+        .withColumn("last_seen", micros(col("last_seen")))
+    }),
+
     // A9/Q11 — stats: total distinct-key count of the store.
     "total_count" -> ((s, dir) =>
       aggMicros(s, dir).agg(count(lit(1)).as("total_count"))),
@@ -261,6 +278,9 @@ object BalboaQueries {
         |""".stripMargin,
 
     "dump_replay" ->
+      s"""$obsCte SELECT * FROM agg""",
+
+    "balboa_dump" ->
       s"""$obsCte SELECT * FROM agg""",
 
     "total_count" ->
