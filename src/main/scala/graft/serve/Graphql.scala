@@ -9,13 +9,15 @@ import org.apache.spark.sql.functions._
 import graft.operators.ObservationStore
 
 /** Minimal executor for the reference's GraphQL query surface
-  * (`query/query_graphql.go:25-192`): the single root field
-  * `entries(rdata?, rrname?, rrtype?, sensor_id?, limit?)` with scalar
-  * field selection (`rrname rrtype rdata sensor_id count time_first
-  * time_last time_first_rfc3339 time_last_rfc3339 id`) and the nested
-  * `aliases { ... }` sub-selection (Q6). This is a deliberate subset — the
-  * reference's own schema exposes exactly this shape — implemented with a
-  * hand-rolled tokenizer instead of a GraphQL engine dependency. */
+  * (`query/query_graphql.go:25-192`): the root fields
+  * `entries(rdata?, rrname?, rrtype?, sensor_id?, limit?)` and `stats`,
+  * with scalar field selection (`rrname rrtype rdata sensor_id count
+  * time_first time_last time_first_rfc3339 time_last_rfc3339 id`), the
+  * nested `aliases { ... }` sub-selection (Q6), GraphQL variables,
+  * MULTIPLE root fields per document, and root-level field aliases
+  * (`mine: entries(...)`). Fragments are the one grammar feature not
+  * served — implemented with a hand-rolled tokenizer instead of a
+  * GraphQL engine dependency. */
 object Graphql {
 
   private val mapper = new ObjectMapper()
@@ -57,13 +59,25 @@ object Graphql {
     * variable-supplied values exactly as to inline ones. */
   def execute(query: String, variables: Option[JsonNode],
       store: ObservationStore): Either[String, String] =
-    substituteVariables(query, variables).flatMap(parse).flatMap {
-      case q: EntriesQuery =>
-        if (q.rrname.isEmpty && q.rdata.isEmpty)
-          Left("one of rrname or rdata must be given")
-        else Right(render(q, store))
-      case StatsQuery(fields) => Right(renderStats(fields, store))
-      case IntrospectionQuery => Right(renderIntrospection())
+    substituteVariables(query, variables).flatMap(parseDocument).flatMap {
+      fields =>
+        if (fields.exists(_._2 == IntrospectionQuery))
+          Right(renderIntrospection())
+        else {
+          val root = mapper.createObjectNode()
+          val data = root.putObject("data")
+          val err = fields.foldLeft(Option.empty[String]) {
+            case (e @ Some(_), _) => e
+            case (None, (key, q: EntriesQuery)) =>
+              if (q.rrname.isEmpty && q.rdata.isEmpty)
+                Some("one of rrname or rdata must be given")
+              else { renderEntries(data, key, q, store); None }
+            case (None, (key, StatsQuery(sFields))) =>
+              renderStatsInto(data, key, sFields, store); None
+            case (None, (_, IntrospectionQuery)) => None // handled above
+          }
+          err.toLeft(mapper.writeValueAsString(root))
+        }
     }
 
   /** Strip the optional operation header (`query Name($n: String = "d")`)
@@ -126,34 +140,123 @@ object Graphql {
 
   // ------------------------------------------------------------- parse
 
-  def parse(query: String): Either[String, GqlQuery] = {
+  /** Single-query convenience used by tests and [[execute]]'s older
+    * callers: the first root field of the document. */
+  def parse(query: String): Either[String, GqlQuery] =
+    parseDocument(query).map(_.head._2)
+
+  /** Parse a whole document: one or more root fields (`entries`, `stats`),
+    * each with an optional ALIAS (`mine: entries(...) { ... }` — response
+    * key = alias) — the standard multi-root-field shape graph-gophers
+    * serves for the reference. Returns (responseKey, query) in document
+    * order. Introspection probes anywhere yield the schema document. */
+  private[serve] def parseDocument(
+      query: String): Either[String, Seq[(String, GqlQuery)]] = {
     // introspection probes (`{ __schema { ... } }`) get a schema
     // document instead of an error — capability discovery is the first
     // thing a real GraphQL client sends (the reference serves this via
     // graphql-go's schema-first engine)
-    if (query.contains("__schema")) return Right(IntrospectionQuery)
-    val entriesIdx = query.indexOf("entries")
-    if (entriesIdx < 0) return parseStats(query)
-    val rest = query.substring(entriesIdx + "entries".length)
-    val argsStart = rest.indexOf('(')
-    // find the CLOSING paren outside quoted spans — a ')' inside a
-    // string argument (legal in TXT rdata) must not cut the list short
-    val argsEnd = {
-      var i = argsStart + 1; var inStr = false; var end = -1
-      while (argsStart >= 0 && i < rest.length && end < 0) {
-        rest.charAt(i) match {
-          case '\\' if inStr => i += 1
-          case '"' => inStr = !inStr
-          case ')' if !inStr => end = i
-          case _ =>
-        }
-        i += 1
-      }
-      end
-    }
-    if (argsStart < 0 || argsEnd < argsStart) return Left("missing argument list")
-    val argStr = rest.substring(argsStart + 1, argsEnd)
+    if (query.contains("__schema"))
+      return Right(Seq("__schema" -> IntrospectionQuery))
+    val start = query.indexOf('{')
+    if (start < 0) return Left("missing selection set")
+    val end = matchDelim(query, start, '{', '}')
+    if (end < 0) return Left("unbalanced selection set")
+    val body = query.substring(start + 1, end)
 
+    val out = Seq.newBuilder[(String, GqlQuery)]
+    var i = 0
+    def skipWs(): Unit = {
+      while (i < body.length &&
+        (body.charAt(i).isWhitespace || body.charAt(i) == ',')) i += 1
+    }
+    def ident(): String = {
+      val s = i
+      while (i < body.length &&
+        (body.charAt(i).isLetterOrDigit || body.charAt(i) == '_')) i += 1
+      body.substring(s, i)
+    }
+    skipWs()
+    while (i < body.length) {
+      val first = ident()
+      if (first.isEmpty)
+        return Left(s"unexpected character '${body.charAt(i)}' in selection set")
+      skipWs()
+      // `alias: field` — a ':' after the first identifier names the
+      // response key (GraphQL field alias, root level)
+      val (key, name) =
+        if (i < body.length && body.charAt(i) == ':') {
+          i += 1; skipWs()
+          val n = ident()
+          if (n.isEmpty) return Left(s"missing field name after alias '$first'")
+          (first, n)
+        } else (first, first)
+      skipWs()
+      val args =
+        if (i < body.length && body.charAt(i) == '(') {
+          val close = matchDelim(body, i, '(', ')')
+          if (close < 0) return Left("unbalanced argument list")
+          val a = body.substring(i + 1, close)
+          i = close + 1
+          Some(a)
+        } else None
+      skipWs()
+      val sel =
+        if (i < body.length && body.charAt(i) == '{') {
+          val close = matchDelim(body, i, '{', '}')
+          if (close < 0) return Left("unbalanced selection set")
+          val s = body.substring(i + 1, close)
+          i = close + 1
+          Some(s)
+        } else None
+      name match {
+        case "entries" =>
+          parseEntries(args.getOrElse(
+            return Left("missing argument list")),
+            sel.getOrElse(return Left("missing selection set"))) match {
+            case Left(e) => return Left(e)
+            case Right(q) => out += key -> q
+          }
+        case "stats" =>
+          parseStatsFields(sel.getOrElse(
+            return Left("empty selection set"))) match {
+            case Left(e) => return Left(e)
+            case Right(q) => out += key -> q
+          }
+        case other =>
+          return Left(s"""Cannot query field "$other" on type "Query".""")
+      }
+      skipWs()
+    }
+    val fields = out.result()
+    if (fields.isEmpty) Left("empty selection set")
+    else if (fields.map(_._1).distinct.size != fields.size)
+      Left("duplicate response key; alias one of the fields")
+    else Right(fields)
+  }
+
+  /** Index of the delimiter closing `open` at `from`, skipping quoted
+    * spans — a ')' or '}' inside a string argument (legal in TXT rdata)
+    * must not close the scope. -1 when unbalanced. */
+  private def matchDelim(s: String, from: Int, open: Char, close: Char): Int = {
+    var depth = 0
+    var inStr = false
+    var i = from
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '"') inStr = false
+      } else if (c == '"') inStr = true
+      else if (c == open) depth += 1
+      else if (c == close) { depth -= 1; if (depth == 0) return i }
+      i += 1
+    }
+    -1
+  }
+
+  private def parseEntries(argStr: String,
+      sel: String): Either[String, GqlQuery] = {
     def strArg(name: String): Option[String] =
       (s"""$name\\s*:\\s*"([^"]*)"""").r.findFirstMatchIn(argStr).map(_.group(1))
     // rrtype is a GraphQL enum: bare token OR quoted string both accepted
@@ -165,23 +268,6 @@ object Graphql {
     if (limitOpt.exists(_.group(1).toIntOption.isEmpty))
       return Left(s"invalid limit: ${limitOpt.get.group(1)}")
     val limit = limitOpt.flatMap(_.group(1).toIntOption).getOrElse(1000)
-
-    // selection set: top-level identifiers; `aliases { ... }` nests once
-    val selStart = rest.indexOf('{', argsEnd)
-    if (selStart < 0) return Left("missing selection set")
-    var depth = 0
-    var i = selStart
-    var selEnd = -1
-    while (i < rest.length && selEnd < 0) {
-      rest.charAt(i) match {
-        case '{' => depth += 1
-        case '}' => depth -= 1; if (depth == 0) selEnd = i
-        case _ =>
-      }
-      i += 1
-    }
-    if (selEnd < 0) return Left("unbalanced selection set")
-    val sel = rest.substring(selStart + 1, selEnd)
 
     // `aliases(limit: Int = 1000) { ... }` — the per-entry cap is a field
     // argument in the reference schema (`query_graphql.go:105`)
@@ -213,11 +299,8 @@ object Graphql {
 
   /** `stats { total_count num_goroutines }` (`query_graphql.go:166-172,
     * 297-311`): the second root field of the reference schema. */
-  private def parseStats(query: String): Either[String, GqlQuery] = {
-    val m = """\bstats\b\s*(?:\(\s*\))?\s*\{([^}]*)\}""".r
-      .findFirstMatchIn(query)
-      .getOrElse(return Left("only the entries and stats queries are supported"))
-    val fields = m.group(1).split("[\\s,]+").toSeq.filter(_.nonEmpty)
+  private def parseStatsFields(sel: String): Either[String, GqlQuery] = {
+    val fields = sel.split("[\\s,]+").toSeq.filter(_.nonEmpty)
     if (fields.isEmpty) return Left("empty selection set")
     fields.find(f => !statsFields.contains(f)) match {
       case Some(bad) => Left(s"""Cannot query field "$bad" on type "Stats".""")
@@ -231,7 +314,8 @@ object Graphql {
     "sensor_id", "count", "time_first", "time_last",
     "time_first_rfc3339", "time_last_rfc3339")
 
-  private def render(q: EntriesQuery, store: ObservationStore): String = {
+  private def renderEntries(data: ObjectNode, key: String, q: EntriesQuery,
+      store: ObservationStore): Unit = {
     val entriesDf0 = store.entries(q.rrname, q.rdata, q.rrtype, q.sensorId,
       q.limit)
     // when aliases are requested the limited DataFrame is consumed TWICE
@@ -252,38 +336,33 @@ object Graphql {
           .map { case (k, v) => k -> v.toSeq }
       }
 
-    val root = mapper.createObjectNode()
-    val data = root.putObject("data")
-    val arr = data.putArray("entries")
+    val arr = data.putArray(key)
     rows.foreach { row =>
       val o = arr.addObject()
       writeFields(o, row, q.fields)
       if (q.aliasFields.nonEmpty) {
-        val key = (row.getAs[String]("rrname"), row.getAs[String]("sensor_id"),
+        val k = (row.getAs[String]("rrname"), row.getAs[String]("sensor_id"),
           row.getAs[String]("rdata"))
         val aArr = o.putArray("aliases")
-        aliasesByKey.getOrElse(key, Seq.empty).foreach { ar =>
+        aliasesByKey.getOrElse(k, Seq.empty).foreach { ar =>
           writeFields(aArr.addObject(), ar, q.aliasFields)
         }
       }
     }
-    mapper.writeValueAsString(root)
   }
 
   /** Stats resolver: total_count = distinct-key count of the store;
     * num_goroutines' JVM analogue is the live thread count
     * (`query_graphql.go:307-311` reports runtime.NumGoroutine()). */
-  private def renderStats(fields: Seq[String],
-      store: ObservationStore): String = {
-    val root = mapper.createObjectNode()
-    val stats = root.putObject("data").putObject("stats")
+  private def renderStatsInto(data: ObjectNode, key: String,
+      fields: Seq[String], store: ObservationStore): Unit = {
+    val stats = data.putObject(key)
     fields.foreach {
-      case "total_count" => stats.put("total_count", store.totalCount())
+      case "total_count" => stats.put("total_count", store.totalCount()); ()
       case "num_goroutines" =>
-        stats.put("num_goroutines", Thread.activeCount())
+        stats.put("num_goroutines", Thread.activeCount()); ()
       case _ => // validated at parse time
     }
-    mapper.writeValueAsString(root)
   }
 
   /** Minimal-but-honest introspection document for the served subset of

@@ -226,6 +226,34 @@ class QueryServerSpec extends AnyFunSuite {
     assert(quoted.body().contains(""""entries":[]"""), quoted.body())
   }
 
+  test("POST /graphql: multiple root fields and field aliases in one document") {
+    val r = post("/graphql",
+      """query {
+        |  byName: entries(rrname: "foo") { rrname count }
+        |  byAddr: entries(rdata: "1.2.3.4") { rrname }
+        |  stats { total_count }
+        |}""".stripMargin)
+    assert(r.statusCode() == 200, r.body())
+    val n = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(r.body()).path("data")
+    assert(n.path("byName").size() == 1, r.body())
+    assert(n.path("byName").get(0).path("count").asLong() == 10L)
+    assert(n.path("byAddr").size() == 2, r.body())
+    assert(n.path("stats").path("total_count").asLong() == 3L)
+    // un-aliased single field keeps the classic response key
+    val single = post("/graphql", """query { entries(rrname: "foo") { rrname } }""")
+    assert(single.body().contains(""""data":{"entries":["""), single.body())
+    // duplicate response keys are a client error, and unknown root
+    // fields name the Query type like graphql-go does
+    assert(post("/graphql",
+      """query { entries(rrname: "a") { rrname } entries(rdata: "b") { rrname } }""")
+      .statusCode() == 400)
+    val bad = post("/graphql", "query { nope { x } }")
+    assert(bad.statusCode() == 400)
+    assert(bad.body().contains("on type \\\"Query\\\"") ||
+      bad.body().contains("""on type "Query""""), bad.body())
+  }
+
   test("graphql id: distinct key tuples never collide across field boundaries") {
     import spark.implicits._
     val ts = Timestamp.valueOf("2018-01-01 00:00:00")
