@@ -389,4 +389,100 @@ object Similarity {
     }
     assign(centroids).select(col("id"), col("cluster"), col("cos_sim"))
   }
+
+  // ------------------------------------------------ product quantization
+
+  /** `pq_encode(v)` as a Column (codebooks ride the plan as one
+    * reference object — see [[org.apache.spark.sql.graft.PqEncodeL2]]). */
+  def pqEncode(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    org.apache.spark.sql.GraftShims.column(
+      org.apache.spark.sql.graft.PqEncodeL2(
+        org.apache.spark.sql.GraftShims.expression(v), codebooks))
+
+  /** Product-quantization codebooks — the compression half of FAISS-style
+    * IVF-PQ, deterministic end to end: the vector splits into `m`
+    * contiguous subspaces; each subspace gets a `ks`-centroid codebook
+    * trained by Lloyd rounds under EXACT-INTEGER squared L2 (assignment
+    * ties → lowest code; update = per-dimension truncated-integer mean,
+    * `sum div count`; empty clusters keep their previous centroid).
+    * Seeding = the subvectors of ids 0..ks-1, like [[kmeans]].
+    *
+    * Spark shape per round: ONE narrow encode pass (codes computed by the
+    * native expression, no join) + one aggregation whose output is
+    * m·ks·dsub rows — centroid state is a driver-side scalar exactly like
+    * [[kmeans]]'s. Returns `[subspace][code][dsub]`. */
+  def pqCodebooks(embeddings: DataFrame, idCol: String, embCol: String,
+      m: Int, ks: Int, iters: Int, dim: Int): Array[Array[Array[Double]]] = {
+    require(m > 0 && dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+    val s = embeddings
+      .select(col(idCol).cast("long").as("id"), scaled(col(embCol)).as("v"))
+      .localCheckpoint(false) // reused by every round: scan once
+    val seedRows = s.filter(col("id") < ks).collect()
+      .sortBy(_.getAs[Long]("id"))
+    require(seedRows.length == ks,
+      s"pq needs seed vectors with $idCol in [0, $ks); found ${seedRows.length}")
+    var cb: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      seedRows.map(_.getSeq[Double](1).slice(j * dsub, (j + 1) * dsub).toArray)
+    }
+    for (_ <- 1 to iters) {
+      val sums = s.withColumn("codes", pqEncode(col("v"), cb))
+        .select(col("v"), posexplode(col("codes")).as(Seq("j", "code")))
+        .withColumn("vsub", expr(s"slice(v, j * $dsub + 1, $dsub)"))
+        .select(col("j"), col("code"), posexplode(col("vsub")).as(Seq("d", "x")))
+        .groupBy(col("j"), col("code"), col("d"))
+        .agg(sum(col("x")).cast("long").as("sv"), count(lit(1)).as("cnt"))
+        .withColumn("c", expr("sv div cnt").cast("double"))
+        .collect()
+      val next = cb.map(_.map(_.clone()))
+      sums.foreach { r =>
+        next(r.getAs[Int]("j"))(r.getAs[Long]("code").toInt)(
+          r.getAs[Int]("d")) = r.getAs[Double]("c")
+      }
+      cb = next
+    }
+    cb
+  }
+
+  /** PQ top-k by asymmetric distance (ADC): vectors are m small codes;
+    * the query builds an m×ks distance table once and every vector's
+    * score is m table lookups — the memory-bound scan that makes
+    * billion-vector ANN feasible (codes are m bytes, not dim floats).
+    *
+    * Spark shape: codebook training ([[pqCodebooks]]) + ONE narrow encode
+    * pass; scoring explodes m rows per vector against the BROADCAST
+    * distance table (m·ks rows) and map-side-combines the per-id sum;
+    * top-k is TakeOrdered. All distances are exact integer L2 on the
+    * scaled embeddings — bit-identical to the mirrored oracle. */
+  def pqTopK(embeddings: DataFrame, idCol: String, embCol: String,
+      queryId: Long, k: Int, m: Int = 4, ks: Int = 8, iters: Int = 1,
+      dim: Int = 64): DataFrame = {
+    val dsub = dim / m
+    val cb = pqCodebooks(embeddings, idCol, embCol, m, ks, iters, dim)
+    val s = embeddings
+      .select(col(idCol).cast("long").as("id"), scaled(col(embCol)).as("v"))
+    val qRow = s.filter(col("id") === queryId).head()
+    val qv = qRow.getSeq[Double](1).toArray
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dt = (for { j <- 0 until m; c <- 0 until ks } yield {
+      var acc = 0L
+      var d = 0
+      while (d < dsub) {
+        val diff = (qv(j * dsub + d) - cb(j)(c)(d)).toLong
+        acc += diff * diff
+        d += 1
+      }
+      (j, c.toLong, acc)
+    }).toDF("j", "code", "d2")
+    s.withColumn("codes", pqEncode(col("v"), cb))
+      .select(col("id"), posexplode(col("codes")).as(Seq("j", "code")))
+      .join(broadcast(dt), Seq("j", "code"))
+      .groupBy(col("id"))
+      .agg(sum(col("d2")).as("adc_dist"))
+      .filter(col("id") =!= queryId)
+      .orderBy(col("adc_dist").asc, col("id").asc)
+      .limit(k)
+      .select(col("id"), col("adc_dist"))
+  }
 }

@@ -122,6 +122,38 @@ object PipelineQueries {
           expr("n_common * 1000 div n_exact").as("recall_permille"))
     }),
 
+    // Product-quantization ANN (FAISS-style ADC): m=4 subspaces × ks=8
+    // codes, one integer-L2 Lloyd round, query 5's distance table
+    // broadcast against the per-vector codes.
+    "ann_pq" -> ((s, dir) =>
+      Similarity.pqTopK(embs(s, dir), "vec_id", "embedding", queryId = 5L,
+        k = 10, m = 4, ks = 8, iters = 1, dim = 64)),
+
+    // Recall of the PQ path against the exact integer-L2 top-10 — ADC is
+    // deliberately lossy (m bytes per vector), the gate pins how lossy.
+    "pq_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val sv = e.select(col("vec_id").cast("long").as("id"),
+        Similarity.scaled(col("embedding")).as("v"))
+      val q = sv.filter(col("id") === 5L).select(col("v").as("qv"))
+      val exact = sv.crossJoin(broadcast(q))
+        .filter(col("id") =!= 5L)
+        // exact integer L2 via the dot identity: |a-b|² = aa - 2ab + bb
+        .select(col("id"),
+          (Similarity.dot(col("v"), col("v"))
+            - Similarity.dot(col("v"), col("qv")) * 2
+            + Similarity.dot(col("qv"), col("qv"))).cast("long").as("l2"))
+        .orderBy(col("l2").asc, col("id").asc)
+        .limit(10)
+        .select(col("id"))
+      val pq = Similarity.pqTopK(e, "vec_id", "embedding", 5L, k = 10,
+        m = 4, ks = 8, iters = 1, dim = 64).select(col("id").as("qid"))
+      exact.join(pq, col("id") === col("qid"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("qid")).as("n_common"))
+        .select(col("n_exact"), col("n_common"),
+          expr("n_common * 1000 div n_exact").as("recall_permille"))
+    }),
+
     // Embedding near-duplicates, cosine ≥ 0.4, via the SCALE path:
     // random-hyperplane LSH blocking (16 planes, 4 blocks) + exact cosine
     // verify on candidates only — no all-pairs product. The exact
@@ -426,6 +458,58 @@ object PipelineQueries {
        |  FROM cand CROSS JOIN qq
        |  ORDER BY cos_sim DESC, cand.id ASC
        |  LIMIT 10)""".stripMargin
+
+  /** Exact-integer squared L2 between two scaled vectors in SQL. */
+  private def l2Sql(a: String, b: String, d: Int): String =
+    s"CAST(list_sum(list_transform(generate_series(1, $d), i -> " +
+      s"CAST($a[i] - $b[i] AS BIGINT) * CAST($a[i] - $b[i] AS BIGINT))) AS BIGINT)"
+
+  /** PQ pipeline CTEs (m=4 × 16-dim subspaces, ks=8 codes seeded from ids
+    * 0..7, ONE integer-L2 Lloyd round with truncated-integer means and
+    * empty-cluster fallback, query 5's ADC table): ends with `pq` = the
+    * top-10 by ADC distance. Shared by the ann_pq and pq_recall oracles —
+    * a full mirror of Similarity.pqCodebooks/pqTopK. */
+  private val pqPipelineCtes: String = {
+    val l2sub = l2Sql("sub.vs", "c.cv", 16)
+    s"""WITH $scaledCte,
+       |sub AS (
+       |  SELECT id, jj.j AS j,
+       |         list_slice(v, jj.j * 16 + 1, jj.j * 16 + 16) AS vs
+       |  FROM s, (SELECT UNNEST(generate_series(0, 3)) AS j) jj),
+       |cb0 AS (SELECT j, id AS code, vs AS cv FROM sub WHERE id < 8),
+       |a1 AS (
+       |  SELECT id, j, vs, code FROM (
+       |    SELECT sub.id, sub.j, sub.vs, c.code,
+       |           ROW_NUMBER() OVER (PARTITION BY sub.id, sub.j
+       |             ORDER BY $l2sub ASC, c.code ASC) AS rk
+       |    FROM sub JOIN cb0 c ON c.j = sub.j) t
+       |  WHERE rk = 1),
+       |u1 AS (
+       |  SELECT j, code, dd.d AS d,
+       |         CAST(SUM(vs[dd.d]) AS BIGINT) // COUNT(*) AS cval
+       |  FROM a1, (SELECT UNNEST(generate_series(1, 16)) AS d) dd
+       |  GROUP BY 1, 2, 3),
+       |cb1n AS (SELECT j, code, list(CAST(cval AS DOUBLE) ORDER BY d) AS cv
+       |         FROM u1 GROUP BY 1, 2),
+       |cb1 AS (SELECT cb0.j, cb0.code, COALESCE(n.cv, cb0.cv) AS cv
+       |        FROM cb0 LEFT JOIN cb1n n
+       |          ON n.j = cb0.j AND n.code = cb0.code),
+       |enc AS (
+       |  SELECT id, j, code FROM (
+       |    SELECT sub.id, sub.j, c.code,
+       |           ROW_NUMBER() OVER (PARTITION BY sub.id, sub.j
+       |             ORDER BY $l2sub ASC, c.code ASC) AS rk
+       |    FROM sub JOIN cb1 c ON c.j = sub.j) t
+       |  WHERE rk = 1),
+       |qsub AS (SELECT j, vs AS qs FROM sub WHERE id = 5),
+       |dt AS (SELECT c.j, c.code, ${l2Sql("qsub.qs", "c.cv", 16)} AS d2
+       |       FROM cb1 c JOIN qsub ON qsub.j = c.j),
+       |pq AS (
+       |  SELECT enc.id, CAST(SUM(dt.d2) AS BIGINT) AS adc_dist
+       |  FROM enc JOIN dt ON dt.j = enc.j AND dt.code = enc.code
+       |  WHERE enc.id <> 5 GROUP BY 1
+       |  ORDER BY adc_dist ASC, id ASC LIMIT 10)""".stripMargin
+  }
 
   /** IVF ANN oracle — shared by `ann_ivf` (in-memory assignment) and
     * `ann_ivf_index` (persisted cluster-partitioned layout): the storage
@@ -760,6 +844,27 @@ object PipelineQueries {
 
     // Recall of the two-stage quantized retrieval against the exact
     // top-10, with a deliberately narrow rerank window (12) so the
+    "ann_pq" ->
+      s"""$pqPipelineCtes
+         |SELECT id, adc_dist FROM pq
+         |""".stripMargin,
+
+    // PQ recall vs the exact integer-L2 top-10 — one deterministic row
+    // pinning exactly how lossy the m-byte codes are on this corpus.
+    "pq_recall" ->
+      s"""$pqPipelineCtes,
+         |qfull AS (SELECT v AS qv FROM s WHERE id = 5),
+         |exact AS (
+         |  SELECT s.id, ${l2Sql("s.v", "q.qv", 64)} AS l2
+         |  FROM s CROSS JOIN qfull q
+         |  WHERE s.id <> 5
+         |  ORDER BY l2 ASC, id ASC LIMIT 10)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |       CAST(COUNT(pq.id) AS BIGINT) AS n_common,
+         |       COUNT(pq.id) * 1000 // COUNT(*) AS recall_permille
+         |FROM exact LEFT JOIN pq ON pq.id = exact.id
+         |""".stripMargin,
+
     // metric is non-trivial — the lsh_recall pattern for ANN.
     "quantized_recall" ->
       s"""${quantPipelineCtes(rerank = 12)},

@@ -381,6 +381,69 @@ object CosineArgMax {
   }
 }
 
+/** `pq_encode(v)` — product-quantization codes: the vector is split into
+  * `m` contiguous subvectors and each is assigned its nearest codebook
+  * centroid by EXACT-INTEGER squared L2 (inputs are graft's integer-scaled
+  * embeddings, so distances are exact longs; ties → lowest code). The
+  * codebook tensor rides the plan as one reference object, like
+  * [[CosineArgMax]]'s centroids. Returns `array<long>` of m codes. */
+case class PqEncodeL2(child: Expression,
+    codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "pq_encode: codebooks must be non-empty")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(input: Any): Any =
+    PqEncodeL2.compute(input.asInstanceOf[ArrayData], codebooks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = org.apache.spark.sql.graft.PqEncodeL2.compute($c, $cbRef);
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeL2 =
+    copy(child = newChild)
+}
+
+object PqEncodeL2 {
+  def compute(v: ArrayData,
+      codebooks: Array[Array[Array[Double]]]): ArrayData = {
+    val m = codebooks.length
+    val out = new Array[Long](m)
+    var off = 0
+    var j = 0
+    while (j < m) {
+      val cb = codebooks(j)
+      val dsub = cb(0).length
+      var best = Long.MaxValue
+      var bestCode = 0L
+      var c = 0
+      while (c < cb.length) {
+        val cv = cb(c)
+        var acc = 0L
+        var d = 0
+        while (d < dsub) {
+          // inputs are integer-valued doubles; the difference is exact
+          val diff = (v.getDouble(off + d) - cv(d)).toLong
+          acc += diff * diff
+          d += 1
+        }
+        if (acc < best) { best = acc; bestCode = c.toLong }
+        c += 1
+      }
+      out(j) = bestCode
+      off += dsub
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object SimHash64 {
   def compute(text: String): String = {
     val votes = new Array[Int](64)

@@ -292,6 +292,27 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("PQ ANN: narrow encode, broadcast ADC table, TakeOrdered top-k") {
+    // through parquet, not a local Seq — ConvertToLocalRelation would
+    // eagerly evaluate the encode projection and hide it from the plan
+    val dir = Files.createTempDirectory("graft-pqplan").toString
+    (0L to 40L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding").write.parquet(s"$dir/v")
+    val vecs = spark.read.parquet(s"$dir/v")
+    val plan = explainOf(graft.operators.Similarity.pqTopK(
+      vecs, "vec_id", "embedding", queryId = 5L, k = 5,
+      m = 4, ks = 4, iters = 1, dim = 16))
+    // codes come from one narrow native pass; scoring joins the tiny
+    // distance table broadcast-style and the top-k never globally sorts
+    assert(plan.contains("pq_encode"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("k-means assignment is a narrow pass with no centroid literal blowup") {
     val vecs = (0L to 200L).map { i =>
       val rnd = new scala.util.Random(i)
