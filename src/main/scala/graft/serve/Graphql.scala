@@ -14,10 +14,10 @@ import graft.operators.ObservationStore
   * with scalar field selection (`rrname rrtype rdata sensor_id count
   * time_first time_last time_first_rfc3339 time_last_rfc3339 id`), the
   * nested `aliases { ... }` sub-selection (Q6), GraphQL variables,
-  * MULTIPLE root fields per document, and root-level field aliases
-  * (`mine: entries(...)`). Fragments are the one grammar feature not
-  * served — implemented with a hand-rolled tokenizer instead of a
-  * GraphQL engine dependency. */
+  * MULTIPLE root fields per document, root-level field aliases
+  * (`mine: entries(...)`), and named + inline fragments — the grammar a
+  * standard client emits, implemented with a hand-rolled tokenizer
+  * instead of a GraphQL engine dependency. */
 object Graphql {
 
   private val mapper = new ObjectMapper()
@@ -59,7 +59,8 @@ object Graphql {
     * variable-supplied values exactly as to inline ones. */
   def execute(query: String, variables: Option[JsonNode],
       store: ObservationStore): Either[String, String] =
-    substituteVariables(query, variables).flatMap(parseDocument).flatMap {
+    substituteVariables(query, variables).flatMap(expandFragments)
+      .flatMap(parseDocument).flatMap {
       fields =>
         if (fields.exists(_._2 == IntrospectionQuery))
           Right(renderIntrospection())
@@ -143,7 +144,93 @@ object Graphql {
   /** Single-query convenience used by tests and [[execute]]'s older
     * callers: the first root field of the document. */
   def parse(query: String): Either[String, GqlQuery] =
-    parseDocument(query).map(_.head._2)
+    expandFragments(query).flatMap(parseDocument).map(_.head._2)
+
+  /** Fragment support, textually: `fragment F on T { ... }` definitions
+    * are lifted out of the document and every spread (`...F`, or the
+    * inline `... on T { ... }`) is spliced in place, outside string
+    * literals, to a bounded depth (cycles error out). Type conditions are
+    * not enforced per-position — the schema's selections are validated
+    * field-by-field downstream, which catches a fragment used on the
+    * wrong type the same way it catches a bad field. */
+  private[serve] def expandFragments(doc0: String): Either[String, String] = {
+    if (!doc0.contains("fragment") && !doc0.contains("...")) return Right(doc0)
+    var doc = doc0
+    val defs = scala.collection.mutable.Map[String, String]()
+    val defRe =
+      """fragment\s+([A-Za-z_][A-Za-z0-9_]*)\s+on\s+[A-Za-z_][A-Za-z0-9_]*\s*\{""".r
+    var m = defRe.findFirstMatchIn(doc)
+    while (m.isDefined) {
+      val mm = m.get
+      val open = mm.end - 1
+      val close = matchDelim(doc, open, '{', '}')
+      if (close < 0) return Left("unbalanced fragment body")
+      defs += mm.group(1) -> doc.substring(open + 1, close)
+      doc = doc.substring(0, mm.start) + " " + doc.substring(close + 1)
+      m = defRe.findFirstMatchIn(doc)
+    }
+
+    // one splice pass over the document, outside string literals
+    def expandOnce(s: String): Either[String, (String, Boolean)] = {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      var inStr = false
+      var changed = false
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (inStr) {
+          sb.append(c)
+          if (c == '\\' && i + 1 < s.length) { sb.append(s.charAt(i + 1)); i += 1 }
+          else if (c == '"') inStr = false
+          i += 1
+        } else if (c == '"') { inStr = true; sb.append(c); i += 1 }
+        else if (c == '.' && s.startsWith("...", i)) {
+          i += 3
+          while (i < s.length && s.charAt(i).isWhitespace) i += 1
+          // inline fragment: `... on Type { body }` — splice the body
+          if (s.startsWith("on", i) &&
+            (i + 2 >= s.length || !s.charAt(i + 2).isLetterOrDigit)) {
+            i += 2
+            while (i < s.length && s.charAt(i).isWhitespace) i += 1
+            while (i < s.length &&
+              (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1 // type
+            while (i < s.length && s.charAt(i).isWhitespace) i += 1
+            if (i >= s.length || s.charAt(i) != '{')
+              return Left("malformed inline fragment")
+            val close = matchDelim(s, i, '{', '}')
+            if (close < 0) return Left("unbalanced inline fragment")
+            sb.append(' ').append(s.substring(i + 1, close)).append(' ')
+            i = close + 1
+            changed = true
+          } else {
+            val st = i
+            while (i < s.length &&
+              (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+            val name = s.substring(st, i)
+            if (name.isEmpty) return Left("malformed fragment spread")
+            defs.get(name) match {
+              case Some(body) =>
+                sb.append(' ').append(body).append(' '); changed = true
+              case None => return Left(s"""Unknown fragment "$name".""")
+            }
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      Right((sb.toString, changed))
+    }
+
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      rounds += 1
+      if (rounds > 16) return Left("fragment spreads too deep (cycle?)")
+      expandOnce(doc) match {
+        case Left(e) => return Left(e)
+        case Right((next, ch)) => doc = next; changed = ch
+      }
+    }
+    Right(doc)
+  }
 
   /** Parse a whole document: one or more root fields (`entries`, `stats`),
     * each with an optional ALIAS (`mine: entries(...) { ... }` — response

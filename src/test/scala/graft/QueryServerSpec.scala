@@ -254,6 +254,39 @@ class QueryServerSpec extends AnyFunSuite {
       bad.body().contains("""on type "Query""""), bad.body())
   }
 
+  test("POST /graphql: named and inline fragments expand into selections") {
+    val r = post("/graphql",
+      """query {
+        |  entries(rrname: "foo") { ...core aliases { ...core } }
+        |}
+        |fragment core on Entry { rrname rrtype }""".stripMargin)
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body().contains(""""rrname":"foo""""), r.body())
+    assert(r.body().contains(""""aliases":[{"rrname":"baz","rrtype":"A"}]"""),
+      r.body())
+    // nested fragments expand transitively
+    val nested = post("/graphql",
+      """fragment a on Entry { ...b count }
+        |fragment b on Entry { rrname }
+        |query { entries(rrname: "foo") { ...a } }""".stripMargin)
+    assert(nested.statusCode() == 200, nested.body())
+    assert(nested.body().contains(""""rrname":"foo""""), nested.body())
+    assert(nested.body().contains(""""count":10"""), nested.body())
+    // inline fragment
+    val inline = post("/graphql",
+      """query { entries(rrname: "foo") { ... on Entry { rrname } } }""")
+    assert(inline.statusCode() == 200, inline.body())
+    assert(inline.body().contains(""""rrname":"foo""""), inline.body())
+    // unknown fragment and cycles are client errors, not 500s
+    assert(post("/graphql",
+      """query { entries(rrname: "foo") { ...nope } }""").statusCode() == 400)
+    assert(post("/graphql",
+      """fragment a on Entry { ...b }
+        |fragment b on Entry { ...a }
+        |query { entries(rrname: "foo") { ...a } }""".stripMargin)
+      .statusCode() == 400)
+  }
+
   test("graphql id: distinct key tuples never collide across field boundaries") {
     import spark.implicits._
     val ts = Timestamp.valueOf("2018-01-01 00:00:00")
