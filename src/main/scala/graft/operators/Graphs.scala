@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge lists — the link-authority side of
+  * corpus curation (rank hosts/documents by reference structure before
+  * sampling). Companion to the pair-graph machinery in [[Dedup]]
+  * (connected components / label propagation); this file holds the
+  * fixed-iteration numeric walks.
+  *
+  * Determinism: all arithmetic is exact-integer (scaled ranks, `div`
+  * divisions, long sums — order-independent), so every engine computes
+  * the identical fixed point prefix. That is what makes a hash-stable
+  * DuckDB oracle possible where float PageRank would drift.
+  */
+object Graphs {
+
+  /** Fixed-iteration integer PageRank.
+    *
+    * Semantics: ranks are scaled to `scale` (sum ≈ scale before dangling
+    * loss); per round,
+    * `pr'(v) = (scale·(100−dampPct)/100) div N + (dampPct · Σ_{u→v} pr(u) div outdeg(u)) div 100`.
+    * Parallel edges are collapsed (DISTINCT); dangling nodes (no
+    * out-edges) simply drop their mass each round — the common
+    * simplification, documented rather than hidden, and exactly what the
+    * oracle mirrors. Ranks are relative ordering signals; absolute mass
+    * conservation is not needed for ranking.
+    *
+    * Scale shape per round: one equi-join of the (persisted,
+    * degree-annotated) edge list against the current rank vector + one
+    * map-side-combined sum to in-neighbors — the canonical PageRank
+    * shuffle pair, cost linear in |E|. The rank vector is eagerly
+    * checkpointed each round so lineage stays flat over any iteration
+    * count. At 100 TB-of-edges scale, pre-partition the edge list by
+    * `src` once (bucketed table) and both joins co-locate; no step here
+    * collects more than scalars to the driver. */
+  def pageRank(edges0: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, dampPct: Int = 85,
+      scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampPct >= 0 && dampPct <= 100, s"dampPct in [0,100], got $dampPct")
+    require(scale % 100 == 0, s"scale must be divisible by 100, got $scale")
+    val edges = edges0
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true) // the per-round left join re-reads it
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty graph")
+    val withDeg = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .localCheckpoint(true) // reused every round: pay the join once
+    val basePart = scale / 100 * (100 - dampPct)
+    var pr = nodes.withColumn("pr", lit(scale / n))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg.join(pr, col("src") === col("id"))
+        .select(col("dst"), expr("pr div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("c"))
+      pr = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+        .select(col("id"),
+          expr(s"(${basePart} div ${n}) + ($dampPct * coalesce(c, CAST(0 AS BIGINT))) div 100")
+            .as("pr"))
+        .localCheckpoint(true)
+    }
+    pr
+  }
+}

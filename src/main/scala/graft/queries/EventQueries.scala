@@ -73,6 +73,21 @@ object EventQueries {
     "skew_profile" -> ((s, dir) =>
       graft.operators.Curation.keySkew(events(s, dir), "user_id")),
 
+    // Fixed-iteration integer PageRank over the customer→supplier order
+    // graph (3 rounds, damping 85/100, ranks scaled to 1e9) — exact
+    // integer arithmetic end to end, dangling supplier mass dropped per
+    // round (documented simplification; the oracle mirrors it).
+    "graph_pagerank" -> ((s, dir) => {
+      val edges = Graft.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Graft.table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+      graft.operators.Graphs.pageRank(edges, "src", "dst", iters = 3)
+    }),
+
     // Exact salted distinct-count: per event type, distinct users via
     // 16 disjoint hash slices — salting is semantics-preserving, so the
     // oracle is the plain COUNT(DISTINCT).
@@ -95,7 +110,36 @@ object EventQueries {
     }),
   )
 
+  /** One unrolled PageRank round in SQL (contributions then rank). */
+  private def prRound(prIn: String, cOut: String, prOut: String): String =
+    s"""$cOut AS (
+       |  SELECT e.dst AS id, CAST(SUM($prIn.pr // deg.outdeg) AS BIGINT) AS c
+       |  FROM e JOIN $prIn ON $prIn.id = e.src
+       |         JOIN deg ON deg.src = e.src
+       |  GROUP BY 1),
+       |$prOut AS (
+       |  SELECT n.id,
+       |         (150000000 // nn.n_nodes) +
+       |         (85 * COALESCE($cOut.c, 0)) // 100 AS pr
+       |  FROM n CROSS JOIN nn LEFT JOIN $cOut ON $cOut.id = n.id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "graph_pagerank" ->
+      s"""WITH e AS (
+         |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |n AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM n),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+         |        FROM e GROUP BY 1),
+         |pr0 AS (SELECT n.id, 1000000000 // nn.n_nodes AS pr
+         |        FROM n CROSS JOIN nn),
+         |${prRound("pr0", "c1", "pr1")},
+         |${prRound("pr1", "c2", "pr2")},
+         |${prRound("pr2", "c3", "pr3")}
+         |SELECT id, CAST(pr AS BIGINT) AS pr FROM pr3
+         |""".stripMargin,
+
     "events_hourly" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS window_start,
         |       event_type,

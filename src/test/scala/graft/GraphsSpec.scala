@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graphs
+
+/** Integer PageRank against hand-computed fixed points on a 3-node graph
+  * (1→2, 1→3, 2→3; node 3 dangling). */
+class GraphsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ranks(iters: Int): Map[Long, Long] =
+    Graphs.pageRank(
+      Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst"),
+      "src", "dst", iters = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("one round matches the hand-computed integer fixed point") {
+    // pr0 = 1e9 div 3 = 333333333; base = 150000000 div 3 = 50000000
+    // contrib(2) = 333333333 div 2; contrib(3) = 166666666 + 333333333
+    assert(ranks(1) == Map(
+      1L -> 50000000L, // dangling-in: no in-edges, base only
+      2L -> (50000000L + 85L * 166666666L / 100L),
+      3L -> (50000000L + 85L * 499999999L / 100L)))
+  }
+
+  test("two rounds keep exact-integer semantics (mass drops at dangling 3)") {
+    assert(ranks(2) == Map(
+      1L -> 50000000L,
+      2L -> 71250000L, // 5e7 + 85*(5e7 div 2) div 100
+      3L -> 234166666L)) // 5e7 + 85*(25000000 + 191666666) div 100
+  }
+
+  test("parallel edges collapse; bad parameters rejected") {
+    val dup = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    assert(Graphs.pageRank(dup, "src", "dst", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == ranks(1))
+    intercept[IllegalArgumentException](
+      Graphs.pageRank(dup, "src", "dst", iters = 0))
+    intercept[IllegalArgumentException](
+      Graphs.pageRank(dup, "src", "dst", dampPct = 101))
+  }
+}
