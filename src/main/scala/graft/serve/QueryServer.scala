@@ -92,6 +92,37 @@ final class QueryServer(store: ObservationStore, port: Int = 0) {
       }
     })
 
+    // Server-side CIDR range query (Q9 as an HTTP surface — the reference
+    // can only expand client-side): `GET /pdns/cidr/<block>[?limit=]`,
+    // v4 or v6, NDJSON like /pdns/query. The block's '/' arrives as a
+    // path segment, so everything after the prefix is the CIDR.
+    server.createContext("/pdns/cidr/", (ex: HttpExchange) => handle(ex) {
+      val cidr = ex.getRequestURI.getPath.stripPrefix("/pdns/cidr/")
+      val rawLimit = Option(ex.getRequestURI.getQuery)
+        .flatMap(_.split("&").collectFirst {
+          case q if q.startsWith("limit=") => q.drop(6)
+        })
+      val limit = rawLimit.map(_.toIntOption.filter(_ > 0))
+      if (cidr.isEmpty) respond(ex, 404, "not found\n")
+      else if (limit.contains(None)) respond(ex, 400, "invalid limit\n")
+      else {
+        // parse errors (bad prefix length, malformed address) are client
+        // errors; the filter itself is validated before any Spark work
+        val parsed =
+          try Right(store.cidrQuery(cidr, limit.flatten.getOrElse(1000)))
+          catch {
+            // NumberFormatException is an IllegalArgumentException (bad
+            // prefix digits); MatchError = missing '/'
+            case e: IllegalArgumentException => Left(e.getMessage)
+            case e: MatchError => Left(e.getMessage)
+          }
+        parsed match {
+          case Left(msg) => respond(ex, 400, s"bad cidr: $msg\n")
+          case Right(df) => streamNdjson(ex, df, notFoundOnEmpty = true)
+        }
+      }
+    })
+
     server.createContext("/stats", (ex: HttpExchange) => handle(ex) {
       // num_goroutines: the JVM stand-in for runtime.NumGoroutine()
       // (`query_graphql.go:307-311`) is the live thread count

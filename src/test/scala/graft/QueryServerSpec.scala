@@ -75,6 +75,21 @@ class QueryServerSpec extends AnyFunSuite {
     assert(get("/pdns/query/1.2.3.4?limit=1").body().trim.split("\n").length <= 2)
   }
 
+  test("GET /pdns/cidr/<block>: server-side v4+v6 range query over rdata") {
+    val r = get("/pdns/cidr/1.2.3.0/24")
+    assert(r.statusCode() == 200, r.body())
+    // foo and baz rdata fall in 1.2.3.0/24 (1.2.3.4, 1.2.3.5 = 3 entries)
+    assert(r.body().trim.split("\n").length == 3, r.body())
+    assert(get("/pdns/cidr/1.2.3.4/32").body().trim.split("\n").length == 2)
+    assert(get("/pdns/cidr/9.9.9.0/24").statusCode() == 404) // empty
+    assert(get("/pdns/cidr/2001:db8::/64").statusCode() == 404) // no v6 rdata
+    assert(get("/pdns/cidr/nonsense").statusCode() == 400)
+    assert(get("/pdns/cidr/1.2.3.0/33").statusCode() == 400)
+    assert(get("/pdns/cidr/1.2.3.0/24?limit=0").statusCode() == 400)
+    assert(get("/pdns/cidr/1.2.3.0/24?limit=1").body().trim
+      .split("\n").length == 1)
+  }
+
   test("GET /stats -> total_count + num_goroutines") {
     val body = get("/stats").body().trim
     assert(body.matches("""\{"total_count":3,"num_goroutines":\d+\}"""), body)
