@@ -136,6 +136,59 @@ object Retrieval {
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** Incrementally merge a batch of NEW documents into a persisted
+    * index — the text-index twin of `ObservationStore.mergeBatch`: a
+    * continuously-ingesting corpus stays searchable without rebuilding.
+    *
+    * Batch doc ids must be disjoint from the indexed corpus (re-indexing
+    * an existing document would duplicate its postings; enforcing that
+    * globally would cost a full-index anti-join per batch, so it is the
+    * caller's contract, like every append-only ingest).
+    *
+    * Cost scales with the BATCH, not the index: only the buckets the
+    * batch's terms hash into are rewritten (dynamic partition overwrite —
+    * existing postings in those buckets are unioned back, new postings
+    * appended); the document-frequency table is vocabulary-sized and
+    * merged by one aggregation; stats is three scalars. */
+  def mergeIndex(spark: SparkSession, path: String, batch: DataFrame,
+      textCol: String, idCol: String): Unit = {
+    require(!batch.isEmpty, "mergeIndex: batch is empty")
+    val st = spark.read.parquet(s"$path/stats").head
+    val (nDocs, sumDl, nBuckets) =
+      (st.getAs[Long]("n_docs"), st.getAs[Long]("sum_dl"),
+        st.getAs[Long]("n_buckets"))
+    val newIdx = tokenIndex(batch, textCol, idCol)
+      .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(nBuckets)))
+      .localCheckpoint(false) // feeds buckets, postings, df and stats once
+    val touched = newIdx.select("term_bucket").distinct()
+      .collect().map(_.getLong(0))
+    val existing = spark.read.parquet(s"$path/postings")
+      .filter(col("term_bucket").isin(touched: _*))
+      .select(newIdx.columns.map(col): _*)
+      // dynamic overwrite replaces the very partitions this read feeds
+      // from — cut the lineage first (the ObservationStore rule)
+      .localCheckpoint(true)
+    existing.unionAll(newIdx)
+      .repartition(col("term_bucket"))
+      .sortWithinPartitions(col("term_bucket"), col("term"))
+      .write.option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$path/postings")
+    // vocabulary-sized: merge document frequencies with one aggregation
+    val mergedDf = spark.read.parquet(s"$path/terms")
+      .unionAll(newIdx.groupBy(col("term")).agg(count(lit(1)).as("df")))
+      .groupBy(col("term")).agg(sum(col("df")).cast("long").as("df"))
+      .localCheckpoint(true)
+    mergedDf.write.mode("overwrite").parquet(s"$path/terms")
+    val batchStats = batch.agg(count(lit(1)).as("n"),
+      sum(size(split(col(textCol), " "))).as("dl")).head
+    batch.sparkSession.range(1).select(
+        lit(nDocs + batchStats.getLong(0)).as("n_docs"),
+        lit(sumDl + batchStats.getLong(1)).as("sum_dl"),
+        lit(nBuckets).as("n_buckets"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
   /** BM25-monotone top-k through the persisted index: terms → bucket
     * literals → partition pruning; `term IN` pushes into the postings
     * scan; df comes from the stored vocabulary table. Bit-identical to

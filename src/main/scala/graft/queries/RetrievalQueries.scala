@@ -46,6 +46,20 @@ object RetrievalQueries {
       Retrieval.indexTopK(s, tmp, bm25Terms, k = 10)
     }),
 
+    // Incremental index maintenance: index HALF the corpus, merge the
+    // other half in as a batch, query — must be indistinguishable from
+    // indexing everything at once, so the oracle is shared with
+    // bm25_search (the strongest possible equivalence gate).
+    "bm25_delta" -> ((s, dir) => {
+      val tmp = bm25IndexDir(dir + "#delta")
+      val d = docs(s, dir)
+      Retrieval.writeIndex(d.filter(col("doc_id") % 2 === 0), "text",
+        "doc_id", tmp, nBuckets = 16)
+      Retrieval.mergeIndex(s, tmp, d.filter(col("doc_id") % 2 =!= 0),
+        "text", "doc_id")
+      Retrieval.indexTopK(s, tmp, bm25Terms, k = 10)
+    }),
+
     // Exact repeated-substring (10-gram) span dedup: per-doc duplicated
     // word count + cleaned text with covered words removed.
     "dup_spans" -> ((s, dir) =>
@@ -138,6 +152,8 @@ object RetrievalQueries {
     // identical semantics through the persisted bucketed index — same
     // oracle by design
     "bm25_index" -> bm25OracleSql,
+    // half-indexed + half-merged must equal indexed-at-once
+    "bm25_delta" -> bm25OracleSql,
 
     "dup_spans" ->
       ("""WITH corpus AS (

@@ -45,6 +45,30 @@ class RetrievalSpec extends AnyFunSuite {
     assert(mem == idx)
   }
 
+  test("mergeIndex: half-indexed + half-merged equals indexed-at-once") {
+    val whole = Files.createTempDirectory("graft-bm25w").toString
+    val delta = Files.createTempDirectory("graft-bm25d").toString
+    Retrieval.writeIndex(corpus, "text", "doc_id", whole, nBuckets = 4)
+    Retrieval.writeIndex(corpus.filter(col("doc_id") <= 2), "text",
+      "doc_id", delta, nBuckets = 4)
+    Retrieval.mergeIndex(spark, delta, corpus.filter(col("doc_id") > 2),
+      "text", "doc_id")
+    def run(path: String) =
+      Retrieval.indexTopK(spark, path, Seq("join", "merge"), k = 5)
+        .collect().map(_.toSeq).toSeq
+    assert(run(delta) == run(whole))
+    // merged stats accumulated exactly
+    val st = spark.read.parquet(s"$delta/stats").head
+    assert(st.getAs[Long]("n_docs") == 5L)
+    assert(st.getAs[Long]("sum_dl") ==
+      corpus.agg(sum(size(split(col("text"), " ")))).head.getLong(0))
+    assert(st.getAs[Long]("n_buckets") == 4L)
+    // empty batches are rejected, not silently no-ops
+    intercept[IllegalArgumentException](
+      Retrieval.mergeIndex(spark, delta, corpus.filter(col("doc_id") > 99),
+        "text", "doc_id"))
+  }
+
   test("index stats record the bucket count; query reads it back") {
     val tmp = Files.createTempDirectory("graft-bm25-meta").toString
     Retrieval.writeIndex(corpus, "text", "doc_id", tmp, nBuckets = 7)
