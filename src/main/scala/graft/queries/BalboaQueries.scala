@@ -93,8 +93,7 @@ object BalboaQueries {
     // back. The oracle is the plain aggregate — the gate proves the
     // round-trip is lossless (the reference's dump|replay contract).
     "dump_replay" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-roundtrip")
-        .toString
+      val tmp = scratchDir("roundtrip", dir)
       val agg = ObservationStore.aggregate(Graft.observations(s, dir))
       Tools.dump(agg, s"$tmp/dump")
       Tools.replay(s, s"$tmp/dump", s"$tmp/store", numBuckets = 16)
@@ -110,8 +109,7 @@ object BalboaQueries {
     // plain aggregate (timestamps here are date-granular, so the
     // format's unix-seconds are lossless).
     "balboa_dump" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-balboadump")
-        .toString
+      val tmp = scratchDir("balboadump", dir)
       val agg = ObservationStore.aggregate(Graft.observations(s, dir))
       Tools.dumpBalboa(agg, s"$tmp/dump")
       Tools.replayBalboa(s, s"$tmp/dump", s"$tmp/store", numBuckets = 16)

@@ -183,8 +183,7 @@ object PipelineQueries {
     // Must bit-match ann_ivf (same oracle) — the storage layout is an
     // optimization, never a semantics change.
     "ann_ivf_index" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-ivfidx")
-        .toString
+      val tmp = util.scratchDir("ivfidx", dir)
       val e = embs(s, dir)
       Similarity.writeIvfIndex(e, "vec_id", "embedding", 0L to 7L, tmp)
       val q = e.filter(col("vec_id") === 5)

@@ -82,24 +82,8 @@ object RetrievalQueries {
     }),
   )
 
-  /** One scratch index location per source dir, reused (overwritten)
-    * across invocations instead of leaking a fresh temp directory per
-    * gate run, and recursively removed when the JVM exits. */
-  private val bm25IndexDirs =
-    scala.collection.concurrent.TrieMap.empty[String, String]
   private def bm25IndexDir(dir: String): String =
-    bm25IndexDirs.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files.createTempDirectory("graft-bm25idx")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          val kids = f.listFiles()
-          if (kids != null) kids.foreach(rm)
-          f.delete(): Unit
-        }
-        rm(p.toFile)
-      }))
-      p.toString
-    })
+    util.scratchDir("bm25idx", dir)
 
   private val bm25OracleSql =
     """WITH tok AS (

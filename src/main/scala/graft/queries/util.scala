@@ -52,4 +52,23 @@ object util {
 
   def store(s: SparkSession, dir: String): ObservationStore =
     ObservationStore.inMemory(aggMicros(s, dir))
+
+  /** One scratch dir per (purpose, source dir), reused (overwritten)
+    * across gate invocations instead of leaking a fresh temp directory
+    * per run, removed recursively at JVM exit. */
+  private val scratchDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  def scratchDir(purpose: String, dir: String): String =
+    scratchDirs.getOrElseUpdate((purpose, dir), {
+      val p = java.nio.file.Files.createTempDirectory(s"graft-$purpose")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(p.toFile)
+      }))
+      p.toString
+    })
 }
