@@ -220,6 +220,46 @@ object Curation {
     df.filter(bucket < rate)
   }
 
+  /** α = 0.5 temperature-rebalanced mixture sampling — the multilingual
+    * rebalancing convention (sample domain d in proportion to √|d|, so
+    * head domains are down-sampled hard and tail domains keep almost
+    * everything). `targetTotal` is the EXPECTED output size; per-domain
+    * per-mille accept rates are
+    * `rate_d = min(1000, (1000·targetTotal·isqrt(c_d)) div (S·c_d))`,
+    * `S = Σ_d isqrt(c_d)`, `isqrt = floor(sqrt(·))`.
+    *
+    * Determinism: IEEE-754 `sqrt` is CORRECTLY ROUNDED (unlike log/exp),
+    * so `floor(sqrt(count))` is bit-identical on any engine for counts
+    * < 2⁵² — which is what lets a √-law sampler keep a hash-stable
+    * oracle. Acceptance is content-hash thresholding like
+    * [[mixtureSample]]: a pure function of (domain, content), so the
+    * sample is reproducible across runs/partitionings and duplicate
+    * documents are sampled identically. (Rates use a 20-bit hash bucket
+    * mod 1000 — distribution bias ≤ 0.1%, inherent to modular
+    * thresholding and mirrored exactly by the oracle.)
+    *
+    * Scale shape: one domain-count aggregation (domain-cardinality-sized
+    * result, broadcast back to the corpus) + a narrow filter pass.
+    * Overflow bound: 1000·targetTotal·isqrt(c) must stay under 2⁶³ —
+    * holds for any target ≤ 10¹² over any physical corpus. */
+  def temperatureSample(df: DataFrame, domainCol: String, textCol: String,
+      targetTotal: Long): DataFrame = {
+    require(targetTotal > 0, s"targetTotal must be positive, got $targetTotal")
+    val counts = df.groupBy(col(domainCol).as("_dom"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_w", floor(sqrt(col("_c").cast("double"))).cast("long"))
+      .localCheckpoint(false) // feeds both the S scalar and the rate join
+    val s = counts.agg(sum(col("_w"))).head.getLong(0)
+    val rates = counts.withColumn("_rate",
+      least(lit(1000L), expr(s"(1000 * $targetTotal * _w) div ($s * _c)")))
+    val bucket = conv(substring(md5(col(textCol)), 1, 5), 16, 10)
+      .cast("long") % 1000
+    df.join(broadcast(rates.select(col("_dom"), col("_rate"))),
+        col(domainCol) === col("_dom"))
+      .filter(bucket < col("_rate"))
+      .drop("_dom", "_rate")
+  }
+
   /** Exact-quota stratified sampling: exactly `min(n, |stratum|)` rows
     * per stratum, chosen by content-hash order (md5 of the text, ties →
     * id) — the deterministic complement to rate-based [[mixtureSample]]

@@ -128,6 +128,13 @@ object CurationQueries {
       Curation.mixtureSample(docs(s, dir), "lang", "text", mixRates)
         .select(col("doc_id"), col("lang"))),
 
+    // α=0.5 temperature-rebalanced mixture (√-law): head languages
+    // down-sampled toward sqrt(count), tail kept — expected ~150 docs.
+    "temperature_mix" -> ((s, dir) =>
+      Curation.temperatureSample(docs(s, dir), "lang", "text",
+          targetTotal = 150)
+        .select(col("doc_id"), col("lang"))),
+
     // Global top-20 word 3-grams (count desc, gram asc).
     "ngram_topk" -> ((s, dir) =>
       Curation.ngramTopK(docs(s, dir), "text", n = 3, k = 20)),
@@ -500,6 +507,27 @@ object CurationQueries {
         |WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30
         |                         WHEN 'es' THEN 20 WHEN 'fr' THEN 10
         |                         WHEN 'zh' THEN 100 ELSE 0 END
+        |""".stripMargin,
+
+    "temperature_mix" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS c,
+        |         CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w
+        |  FROM documents GROUP BY 1),
+        |sw AS (SELECT CAST(SUM(w) AS BIGINT) AS s FROM c),
+        |r AS (SELECT lang, LEAST(1000, (1000 * 150 * w) // (s * c)) AS rate
+        |      FROM c CROSS JOIN sw),
+        |b AS (
+        |  SELECT doc_id, lang,
+        |         ((strpos('0123456789abcdef', md5(text)[1]) - 1) * 65536 +
+        |          (strpos('0123456789abcdef', md5(text)[2]) - 1) * 4096 +
+        |          (strpos('0123456789abcdef', md5(text)[3]) - 1) * 256 +
+        |          (strpos('0123456789abcdef', md5(text)[4]) - 1) * 16 +
+        |          (strpos('0123456789abcdef', md5(text)[5]) - 1)) % 1000
+        |           AS bucket
+        |  FROM documents)
+        |SELECT b.doc_id, b.lang FROM b JOIN r USING (lang)
+        |WHERE b.bucket < r.rate
         |""".stripMargin,
 
     "ngram_topk" ->
