@@ -44,7 +44,7 @@ object Main {
   }
 
   val usage: String =
-    """usage: graft.Main <build|merge|serve|query|dump|replay|backup|curate|dedup> [args]
+    """usage: graft.Main <build|merge|serve|query|dump|replay|backup|curate|dedup|dump-balboa|replay-balboa|index|search> [args]
       |  build  --obs <parquet> --store <dir> [--buckets 64]
       |  merge  --obs <parquet> --store <dir>
       |  serve  --store <dir> [--port 8080]
@@ -54,6 +54,10 @@ object Main {
       |  backup --store <dir> --out <dir>
       |  curate --docs <parquet> --out <dir> [--shards 64] [--budget 8192]
       |  dedup  --docs <parquet> --out <dir>
+      |  dump-balboa   --store <dir> --out <dir>         (native wire format)
+      |  replay-balboa --dump <dir> --store <dir> [--buckets 64]
+      |  index  --docs <parquet> --out <dir> [--buckets 64]
+      |  search <term...> --index <dir> [--limit 10]
       |""".stripMargin
 
   /** Parse `--flag value` pairs; bare tokens (after the subcommand) are
@@ -165,6 +169,34 @@ object Main {
           .filter(col("doc_id") === col("keep_id"))
           .select(col("doc_id"), col("text"), col("n_copies"))
           .write.mode("overwrite").parquet(outPath)
+        null
+      case "dump-balboa" =>
+        // the reference's NATIVE MessagePack dump stream — consumable by
+        // the reference's own tooling, and vice versa
+        val store = ObservationStore.load(spark, required(flags, "store"))
+        Tools.dumpBalboa(store.forward.drop("bucket"), required(flags, "out"))
+        null
+      case "replay-balboa" =>
+        Tools.replayBalboa(spark, required(flags, "dump"),
+          required(flags, "store"),
+          flags.get("buckets").map(_.toInt).getOrElse(64))
+        null
+      case "index" =>
+        operators.Retrieval.writeIndex(
+          spark.read.parquet(required(flags, "docs")),
+          flags.getOrElse("text-col", "text"),
+          flags.getOrElse("id-col", "doc_id"),
+          required(flags, "out"),
+          flags.get("buckets").map(_.toInt).getOrElse(64))
+        null
+      case "search" =>
+        if (pos.isEmpty)
+          throw new IllegalArgumentException("search needs query terms")
+        val df = operators.Retrieval.indexTopK(spark,
+          required(flags, "index"), pos,
+          flags.get("limit").map(_.toInt).getOrElse(10))
+        val it = df.toJSON.toLocalIterator()
+        while (it.hasNext) println(it.next())
         null
       case other =>
         throw new IllegalArgumentException(s"unknown command: $other\n$usage")

@@ -118,6 +118,36 @@ class MainSpec extends AnyFunSuite {
     assert(train.columns.toSet.contains("text"))
   }
 
+  test("dump-balboa -> replay-balboa round-trips via the native wire format") {
+    val dir = Files.createTempDirectory("graft-main-bd").toString
+    obsDf.write.parquet(s"$dir/obs")
+    Main.run(spark, Seq("build", "--obs", s"$dir/obs",
+      "--store", s"$dir/store", "--buckets", "4"))
+    Main.run(spark, Seq("dump-balboa", "--store", s"$dir/store",
+      "--out", s"$dir/bdump"))
+    assert(new java.io.File(s"$dir/bdump").listFiles()
+      .exists(_.getName.endsWith(".mpack")))
+    Main.run(spark, Seq("replay-balboa", "--dump", s"$dir/bdump",
+      "--store", s"$dir/store2", "--buckets", "4"))
+    assert(ObservationStore.load(spark, s"$dir/store2").totalCount() == 300)
+  }
+
+  test("index + search run BM25 from the CLI") {
+    val dir = Files.createTempDirectory("graft-main-ix").toString
+    Seq((1L, "spark join plan"), (2L, "join join join"), (3L, "other"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/docs")
+    Main.run(spark, Seq("index", "--docs", s"$dir/docs",
+      "--out", s"$dir/idx", "--buckets", "4"))
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Main.run(spark, Seq("search", "join",
+        "--index", s"$dir/idx", "--limit", "2"))
+    }
+    val lines = out.toString.trim.split("\n").filter(_.nonEmpty)
+    assert(lines.length == 2)
+    assert(lines.head.contains("\"doc_id\":2"), lines.head) // highest tf
+  }
+
   test("bad invocations fail with usage errors, not stack traces deep in Spark") {
     intercept[IllegalArgumentException] {
       Main.run(spark, Seq("frobnicate"))
