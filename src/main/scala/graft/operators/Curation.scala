@@ -299,6 +299,21 @@ object Curation {
         expr("max_key_rows * 1000 div (n_rows div n_keys)")
           .as("max_over_avg_permille"))
 
+  /** K-minimum-values distinct-count SKETCH as an aggregate Column — the
+    * O(k)-state companion to [[saltedDistinctCount]]: exact up to k
+    * distinct values, the KMV estimator beyond, mergeable across
+    * partitions like any built-in aggregate (custom
+    * TypedImperativeAggregate — see
+    * [[org.apache.spark.sql.graft.KmvDistinct]]). All hashing is
+    * md5-derived, so estimates are bit-identical across engines,
+    * partitionings and runs — unlike HLL-family sketches, this one can
+    * sit behind a hash-stable oracle gate. */
+  def kmvDistinct(c: Column, k: Int = 256): Column =
+    org.apache.spark.sql.GraftShims.column(
+      org.apache.spark.sql.graft.KmvDistinct(
+        org.apache.spark.sql.GraftShims.expression(c), k)
+        .toAggregateExpression())
+
   /** EXACT distributed distinct count via hash-partitioned salting — the
     * manual fix [[keySkew]] motivates when one group dominates: the
     * distinct domain is split by a content hash into `nSalts` DISJOINT

@@ -123,6 +123,21 @@ object BalboaQueries {
     "total_count" -> ((s, dir) =>
       aggMicros(s, dir).agg(count(lit(1)).as("total_count"))),
 
+    // KMV distinct-count sketch (k=256) over the answer column, beside
+    // the exact count — O(k) state instead of shuffling every distinct
+    // value; the estimator (not just the plumbing) is oracle-checked
+    // because all hashing is md5-derived.
+    "kmv_distinct" -> ((s, dir) => {
+      val obs = Graft.observations(s, dir)
+      obs.agg(
+          graft.operators.Curation.kmvDistinct(col("rdata"), 256)
+            .as("estimate"),
+          countDistinct(col("rdata")).as("n_exact"))
+        .select(col("estimate"), col("n_exact"),
+          expr("abs(estimate - n_exact) * 1000 div n_exact")
+            .as("error_permille"))
+    }),
+
     // Stats extension: per-rrtype cardinalities over the store — the
     // rollup a passive-DNS analyst asks first (how many names/answers per
     // record type, how much observation mass).
@@ -134,7 +149,35 @@ object BalboaQueries {
           sum(col("count")).cast("long").as("observations"))),
   )
 
+  /** First 15 hex digits of md5 as an integer — the SQL mirror of
+    * `KmvDistinct.hash60`, digit for digit. */
+  private def hash60Sql(c: String): String =
+    (1 to 15).map(i =>
+      s"(strpos('0123456789abcdef', md5($c)[$i]) - 1) * ${BigInt(16).pow(15 - i)}")
+      .mkString("(", " + ", ")")
+
   def oracleSql: Map[String, String] = Map(
+    "kmv_distinct" ->
+      s"""WITH v AS (
+         |  SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS rdata
+         |  FROM lineitem),
+         |h AS (SELECT DISTINCT ${hash60Sql("rdata")} AS h FROM v),
+         |km AS (SELECT h FROM h ORDER BY h ASC LIMIT 256),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS nk, MAX(h) AS kth FROM km),
+         |x AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM v),
+         |sel AS (
+         |  SELECT CASE WHEN a.nk < 256 THEN a.nk
+         |              ELSE CAST(CAST(255 AS HUGEINT) *
+         |                        CAST(1152921504606846976 AS HUGEINT) //
+         |                        CAST(a.kth AS HUGEINT) AS BIGINT)
+         |         END AS estimate,
+         |         x.n_exact AS n_exact
+         |  FROM a CROSS JOIN x)
+         |SELECT estimate, n_exact,
+         |       abs(estimate - n_exact) * 1000 // n_exact AS error_permille
+         |FROM sel
+         |""".stripMargin,
+
     "store_agg" ->
       s"""$obsCte SELECT * FROM agg""",
 

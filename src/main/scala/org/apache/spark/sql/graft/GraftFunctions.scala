@@ -1,7 +1,8 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 /** SQL registration for graft's native expressions, so `spark.sql` users
   * get the same codegen'd functions the Scala API uses:
@@ -32,7 +33,15 @@ object GraftFunctions {
     "simhash64" -> arity("simhash64", 1)(e => SimHash64(e.head)),
     "minhash_sig" -> arity("minhash_sig", 2)(e => MinHashSig(e.head, e(1))),
     "dot_d" -> arity("dot_d", 2)(e => DotProductD(e.head, e(1))),
-    "winnow_fp" -> arity("winnow_fp", 1)(e => WinnowFingerprints(e.head))
+    "winnow_fp" -> arity("winnow_fp", 1)(e => WinnowFingerprints(e.head)),
+    // aggregate: the analyzer wraps a bare AggregateFunction in an
+    // AggregateExpression like it does for built-in registrations
+    "kmv_distinct" -> arity("kmv_distinct", 2)(e => KmvDistinct(e.head,
+      e(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"kmv_distinct: k must be an integer literal, got $other")
+      }))
   )
 
   def register(spark: SparkSession): Unit = {

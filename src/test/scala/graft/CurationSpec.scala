@@ -89,6 +89,32 @@ class CurationSpec extends AnyFunSuite {
       again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("kmvDistinct: exact under k, partition-invariant, null-safe, SQL-usable") {
+    val vals = (1 to 100).map(i => s"v$i") ++ (1 to 50).map(i => s"v$i") // dups
+    val df = vals.toDF("v")
+    // 100 distinct < k=256 -> the exact branch
+    assert(df.agg(Curation.kmvDistinct(col("v"), 256)).head.getLong(0) == 100L)
+    // estimator branch: 5000 distinct over k=64 — same answer however
+    // the data is partitioned (merge is associative/commutative)
+    val big = (1 to 5000).map(i => s"key-$i").toDF("v")
+    val est1 = big.repartition(1).agg(Curation.kmvDistinct(col("v"), 64))
+      .head.getLong(0)
+    val est16 = big.repartition(16).agg(Curation.kmvDistinct(col("v"), 64))
+      .head.getLong(0)
+    assert(est1 == est16)
+    assert(est1 > 3500 && est1 < 6500, s"estimate $est1 wildly off 5000")
+    // nulls are skipped, not counted or NPE'd
+    assert(Seq(Some("a"), None, Some("b"), None).toDF("v")
+      .agg(Curation.kmvDistinct(col("v"), 8)).head.getLong(0) == 2L)
+    // registered for spark.sql users too
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    big.createOrReplaceTempView("kmv_input")
+    assert(spark.sql("SELECT kmv_distinct(v, 64) FROM kmv_input")
+      .head.getLong(0) == est1)
+    intercept[IllegalArgumentException](
+      Curation.kmvDistinct(col("v"), 1))
+  }
+
   test("temperatureSample rebalances toward sqrt-law: tail kept, head cut") {
     // head: 900 docs, tail: 9 docs. isqrt = 30 / 3; S = 33.
     // target 100 -> head rate = 1000*100*30 div (33*900) = 101 permille,
