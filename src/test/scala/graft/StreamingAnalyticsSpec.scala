@@ -130,6 +130,27 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(rows == Set((10L, "alpha beta gamma delta")))
   }
 
+  test("kmv sketch aggregates across streaming micro-batches (update mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val stream = MemoryStream[(String, String)]
+    // per-group distinct-count sketch over an unbounded stream: the
+    // TypedImperativeAggregate buffer is the state — O(k) per group
+    val agg = stream.toDF().toDF("grp", "v")
+      .groupBy(col("grp"))
+      .agg(graft.operators.Curation.kmvDistinct(col("v"), 8).as("nd"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("kmv_stream").start()
+    stream.addData(("a", "x"), ("a", "y"), ("b", "x"))
+    q.processAllAvailable()
+    stream.addData(("a", "y"), ("a", "z"), ("b", "x")) // dups across batches
+    q.processAllAvailable()
+    val rows = spark.table("kmv_stream").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    q.stop()
+    assert(rows == Map("a" -> 3L, "b" -> 1L)) // exact below k
+  }
+
   test("flatMapGroupsWithState sessionization: gap closes a session in-stream") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[SessionEvent]
