@@ -88,7 +88,7 @@ object Graphql {
     * declared default. `$` inside string literals is left untouched (the
     * GraphQL rule). Errors on an unsupplied variable with no default and
     * on non-scalar values — the schema has no list/object arguments. */
-  private[serve] def substituteVariables(query: String,
+  private[graft] def substituteVariables(query: String,
       variables: Option[JsonNode]): Either[String, String] = {
     val header = """^\s*query\b\s*[A-Za-z0-9_]*\s*(\(([^)]*)\))?\s*"""
       .r.findFirstMatchIn(query)

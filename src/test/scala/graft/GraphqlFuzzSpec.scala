@@ -15,6 +15,15 @@ class GraphqlFuzzSpec extends AnyFunSuite {
     try { Graphql.parse(q); true }
     catch { case _: Throwable => false }
 
+  private def substitutionNeverThrows(q: String): Boolean =
+    try {
+      Graphql.substituteVariables(q,
+        Some(new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree("""{"n": "x\")breakout", "l": 7, "b": true}""")))
+        .foreach(s => Graphql.parse(s))
+      true
+    } catch { case _: Throwable => false }
+
   test("parser never throws on arbitrary input") {
     val structured = for {
       field <- Gen.oneOf("entries", "stats", "entriesX", "", "__schema")
@@ -27,6 +36,29 @@ class GraphqlFuzzSpec extends AnyFunSuite {
       Gen.listOf(Gen.oneOf('{', '}', '(', ')', '"', '\\', '\n'))
         .map(_.mkString))
     val p = Prop.forAll(Gen.oneOf(structured, garbage))(q => neverThrows(q))
+    val r = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(200), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("the round-4 grammar (variables, fragments, multi-root) never throws") {
+    val structured = for {
+      header <- Gen.oneOf("", "query", "query Q($n: String!, $l: Int = 5)",
+        "query ($n:", "query Q($n String)")
+      frag <- Gen.oneOf("", "fragment f on Entry { rrname }",
+        "fragment f on Entry { ...g } fragment g on Entry { ...f }",
+        "fragment f on", "fragment f on Entry {")
+      body <- Gen.oneOf(
+        "{ entries(rrname: $n, limit: $l) { ...f } }",
+        "{ a: entries(rrname: $n) { rrname } b: stats { total_count } }",
+        "{ entries(rrname: \"x\") { ... on Entry { rrname } } }",
+        "{ ...f }", "{ entries(rrname: $missing) { rrname } }",
+        "{ a: a: entries(rrname: \"x\") { rrname } }",
+        "{ entries(rrname: \"$n\") { rrname } }", // $ inside string stays
+        "{ ... }", "{ ...  on { } }")
+    } yield s"$header $body $frag"
+    val p = Prop.forAll(structured)(q =>
+      neverThrows(q) && substitutionNeverThrows(q))
     val r = SCTest.check(SCTest.Parameters.default
       .withMinSuccessfulTests(200), p)
     assert(r.passed, r.status.toString)
