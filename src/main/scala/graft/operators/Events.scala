@@ -131,4 +131,42 @@ object Events {
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"))
   }
+
+  /** Ordered funnel analysis: per user, the earliest completion time of
+    * each stage GIVEN every previous stage completed at or before it —
+    * `t_i = min(ts of stage_i events with ts ≥ t_{i−1})`. A later-stage
+    * event before the funnel entered that stage does not count (the
+    * standard product-analytics funnel semantics); simultaneous
+    * timestamps count (≥, not >). Output: one row per user with
+    * `t_0..t_{k−1}` (null where the funnel stalled) and
+    * `stages_completed`.
+    *
+    * Scale shape: ONE shuffle on the user key; the per-stage minima are
+    * k whole-partition window aggregates stacked over the same
+    * partitioning (no re-exchange between stages), then a per-user
+    * dedup. No self-joins — the naive formulation joins the event table
+    * to itself once per stage. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty && stages.distinct.size == stages.size,
+      s"stages must be non-empty and distinct, got $stages")
+    val w = Window.partitionBy(col(userCol))
+    var cur = events.select(col(userCol), col(tsCol).as("_ts"),
+      col(typeCol).as("_et"))
+    stages.zipWithIndex.foreach { case (s, i) =>
+      val gate =
+        if (i == 0) lit(true) else col(s"t${i - 1}").isNotNull &&
+          col("_ts") >= col(s"t${i - 1}")
+      cur = cur.withColumn(s"t$i",
+        min(when(col("_et") === s && gate, col("_ts"))).over(w))
+    }
+    val completed = stages.indices
+      .map(i => col(s"t$i").isNotNull.cast("long"))
+      .reduceLeft(_ + _)
+    // the window columns are constant per user — min() just deduplicates
+    val perStage = stages.indices.map(i => min(col(s"t$i")).as(s"t$i"))
+    cur.groupBy(col(userCol))
+      .agg(perStage.head, perStage.tail: _*)
+      .withColumn("stages_completed", completed)
+  }
 }

@@ -73,6 +73,21 @@ object EventQueries {
     "skew_profile" -> ((s, dir) =>
       graft.operators.Curation.keySkew(events(s, dir), "user_id")),
 
+    // Ordered funnel over the event stream: view → click → purchase per
+    // user, each stage gated on the previous stage's completion time.
+    // Null stage times are rendered as -1 (both engines agree on the
+    // sentinel; nullable-int rendering differs between their dataframe
+    // bridges).
+    "events_funnel" -> ((s, dir) => {
+      val f = Events.funnel(events(s, dir), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      f.select(col("user_id"),
+        coalesce(micros(col("t0")), lit(-1L)).as("view_ts"),
+        coalesce(micros(col("t1")), lit(-1L)).as("click_ts"),
+        coalesce(micros(col("t2")), lit(-1L)).as("purchase_ts"),
+        col("stages_completed"))
+    }),
+
     // Fixed-iteration integer PageRank over the customer→supplier order
     // graph (3 rounds, damping 85/100, ranks scaled to 1e9) — exact
     // integer arithmetic end to end, dangling supplier mass dropped per
@@ -124,6 +139,28 @@ object EventQueries {
        |  FROM n CROSS JOIN nn LEFT JOIN $cOut ON $cOut.id = n.id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "events_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |s0 AS (SELECT user_id, MIN(ts) AS t0 FROM events
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, MIN(e.ts) AS t1
+        |       FROM events e JOIN s0 ON s0.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND e.ts >= s0.t0 GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+        |       FROM events e JOIN s1 ON s1.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s1.t1 GROUP BY 1)
+        |SELECT u.user_id,
+        |       COALESCE(epoch_us(s0.t0), -1) AS view_ts,
+        |       COALESCE(epoch_us(s1.t1), -1) AS click_ts,
+        |       COALESCE(epoch_us(s2.t2), -1) AS purchase_ts,
+        |       CAST((CASE WHEN s0.t0 IS NOT NULL THEN 1 ELSE 0 END) +
+        |            (CASE WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END) +
+        |            (CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS stages_completed
+        |FROM u LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
+        |       LEFT JOIN s2 USING (user_id)
+        |""".stripMargin,
+
     "graph_pagerank" ->
       s"""WITH e AS (
          |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst

@@ -116,4 +116,31 @@ class EventsSpec extends AnyFunSuite {
     assert(!rj.contains("CartesianProduct") &&
       !rj.contains("BroadcastNestedLoopJoin"), rj)
   }
+
+  test("funnel: stage events before the previous stage never count") {
+    val events = Seq(
+      // user 1: click BEFORE the first view must not complete stage 2;
+      // the later click does, then purchase
+      (1L, ts(90), "click"), (1L, ts(100), "view"),
+      (1L, ts(110), "click"), (1L, ts(120), "purchase"),
+      // user 2: entered at stage 2 only -> nothing counts
+      (2L, ts(100), "click"),
+      // user 3: stalls after stage 1
+      (3L, ts(100), "view"),
+      // user 4: simultaneous view+click counts (>=, not >)
+      (4L, ts(100), "view"), (4L, ts(100), "click")
+    ).toDF("user_id", "t", "event_type")
+    val out = graft.operators.Events.funnel(events, "user_id", "t",
+      "event_type", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Timestamp]("t0"), r.getAs[Timestamp]("t1"),
+          r.getAs[Timestamp]("t2"), r.getAs[Long]("stages_completed"))).toMap
+    assert(out(1L) == ((ts(100), ts(110), ts(120), 3L)))
+    assert(out(2L) == ((null, null, null, 0L)))
+    assert(out(3L) == ((ts(100), null, null, 1L)))
+    assert(out(4L) == ((ts(100), ts(100), null, 2L)))
+    intercept[IllegalArgumentException](
+      graft.operators.Events.funnel(events, "user_id", "t", "event_type",
+        Seq("view", "view")))
+  }
 }
