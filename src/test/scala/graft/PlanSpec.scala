@@ -292,6 +292,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("pageRank round: one equi-join + aggregation, no product, flat lineage") {
+    val edges = (1L to 200L).map(i => (i % 50, i % 37)).toDF("src", "dst")
+    val out = graft.operators.Graphs.pageRank(edges, "src", "dst", iters = 2)
+    val plan = explainOf(out)
+    // eager per-round checkpoints keep the final plan a scan of the last
+    // rank vector — iteration count can grow without lineage blowup
+    assert(plan.contains("LocalTableScan") || plan.contains("Scan ExistingRDD"),
+      plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("PQ ANN: narrow encode, broadcast ADC table, TakeOrdered top-k") {
     // through parquet, not a local Seq — ConvertToLocalRelation would
     // eagerly evaluate the encode projection and hide it from the plan
