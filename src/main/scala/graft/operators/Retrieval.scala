@@ -189,6 +189,55 @@ object Retrieval {
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** Reciprocal-rank fusion of ranked candidate lists — the standard
+    * hybrid-retrieval combiner (lexical BM25 ∪ vector ANN for RAG-style
+    * search). Each input carries (id, rnk) with rnk 1-based; the fused
+    * score is `Σ scale div (k0 + rnk)` — the RRF formula with the
+    * division done in scaled EXACT integers (1e9/(60+r) keeps 7
+    * significant digits at any plausible rank), so fusion is bit-stable
+    * and oracle-checkable where float 1/(k+r) sums would depend on
+    * addition order. Ties break by id. The inputs are top-N lists (tiny
+    * by construction), so fusion costs one union + one aggregation over
+    * ≤ Σ N rows. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, k0: Int = 60,
+      scale: Long = 1000000000L): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: need at least one ranking")
+    require(k0 >= 0, s"rrfFuse: k0 must be >= 0, got $k0")
+    rankings.map(_.select(col("id"), col("rnk")))
+      .reduce(_ unionAll _)
+      .groupBy(col("id"))
+      .agg(sum(expr(s"$scale div ($k0 + rnk)")).as("rrf_score"),
+        count(lit(1)).as("n_sources"))
+      .orderBy(col("rrf_score").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Hybrid search: BM25 over the text ∪ exact-cosine ANN over the
+    * embeddings, RRF-fused. `kCand` candidates are drawn per modality
+    * (each already a TakeOrdered top-N — no full ranking is ever
+    * materialized), then fused driver-free. Documents and embeddings
+    * join implicitly by sharing the id space. */
+  def hybridTopK(docs: DataFrame, embeddings: DataFrame, textCol: String,
+      idCol: String, embIdCol: String, embCol: String,
+      terms: Seq[String], queryId: Long, k: Int,
+      kCand: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // single-partition windows are fine here: the inputs are the top-N
+    // candidate lists (≤ kCand rows), not the corpus
+    def ranked(df: DataFrame, order: Column): DataFrame =
+      df.withColumn("rnk",
+          row_number().over(Window.orderBy(order, col("id").asc)))
+        .select(col("id"), col("rnk"))
+    val text = ranked(
+      bm25TopK(docs, textCol, idCol, terms, kCand)
+        .select(col("doc_id").as("id"), col("score")),
+      col("score").desc)
+    val vec = ranked(
+      Similarity.topK(embeddings, embIdCol, embCol, queryId, kCand),
+      col("cos_sim").desc)
+    rrfFuse(Seq(text, vec), k)
+  }
+
   /** BM25-monotone top-k through the persisted index: terms → bucket
     * literals → partition pruning; `term IN` pushes into the postings
     * scan; df comes from the stored vocabulary table. Bit-identical to

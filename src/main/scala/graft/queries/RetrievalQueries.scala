@@ -60,6 +60,14 @@ object RetrievalQueries {
       Retrieval.indexTopK(s, tmp, bm25Terms, k = 10)
     }),
 
+    // Hybrid retrieval: BM25 candidates ∪ exact-cosine ANN candidates
+    // (documents and embeddings share the id space), fused by
+    // reciprocal-rank fusion in scaled exact integers.
+    "hybrid_search" -> ((s, dir) =>
+      Retrieval.hybridTopK(docs(s, dir),
+        Graft.table(s, dir, "embeddings"), "text", "doc_id",
+        "vec_id", "embedding", bm25Terms, queryId = 5L, k = 10)),
+
     // Exact repeated-substring (10-gram) span dedup: per-doc duplicated
     // word count + cleaned text with covered words removed.
     "dup_spans" -> ((s, dir) =>
@@ -85,39 +93,49 @@ object RetrievalQueries {
   private def bm25IndexDir(dir: String): String =
     util.scratchDir("bm25idx", dir)
 
+  /** BM25 pipeline CTEs ending in `bmtop` = the top-`limit` (doc_id,
+    * score, n_matched); shared by the three bm25 gates and the hybrid
+    * fusion oracle. */
+  private def bm25Ctes(limit: Int): String =
+    s"""tok AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |         UNNEST(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |tf AS (
+       |  SELECT term, doc_id, dl, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM tok WHERE term IN ('join', 'merge', 'window') GROUP BY 1, 2, 3),
+       |dfr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |st AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |         CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS sum_dl
+       |  FROM documents),
+       |sc AS (
+       |  SELECT tf.doc_id, tf.term,
+       |         (n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)
+       |           * (CAST(tf AS DOUBLE) * 2.2)
+       |           / (CAST(tf AS DOUBLE)
+       |              + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * n / sum_dl))) AS s
+       |  FROM tf JOIN dfr USING (term), st),
+       |bmagg AS (
+       |  SELECT doc_id,
+       |         SUM(CASE WHEN term = 'join' THEN s END) AS s_0,
+       |         SUM(CASE WHEN term = 'merge' THEN s END) AS s_1,
+       |         SUM(CASE WHEN term = 'window' THEN s END) AS s_2
+       |  FROM sc GROUP BY 1),
+       |bmtop AS (
+       |  SELECT doc_id,
+       |         COALESCE(s_0, 0.0) + COALESCE(s_1, 0.0) + COALESCE(s_2, 0.0)
+       |           AS score,
+       |         CAST((CASE WHEN s_0 IS NOT NULL THEN 1 ELSE 0 END)
+       |            + (CASE WHEN s_1 IS NOT NULL THEN 1 ELSE 0 END)
+       |            + (CASE WHEN s_2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_matched
+       |  FROM bmagg ORDER BY score DESC, doc_id ASC LIMIT $limit)""".stripMargin
+
   private val bm25OracleSql =
-    """WITH tok AS (
-      |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
-      |         UNNEST(string_split(text, ' ')) AS term
-      |  FROM documents),
-      |tf AS (
-      |  SELECT term, doc_id, dl, CAST(COUNT(*) AS BIGINT) AS tf
-      |  FROM tok WHERE term IN ('join', 'merge', 'window') GROUP BY 1, 2, 3),
-      |dfr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-      |st AS (
-      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-      |         CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS sum_dl
-      |  FROM documents),
-      |sc AS (
-      |  SELECT tf.doc_id, tf.term,
-      |         (n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)
-      |           * (CAST(tf AS DOUBLE) * 2.2)
-      |           / (CAST(tf AS DOUBLE)
-      |              + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * n / sum_dl))) AS s
-      |  FROM tf JOIN dfr USING (term), st),
-      |agg AS (
-      |  SELECT doc_id,
-      |         SUM(CASE WHEN term = 'join' THEN s END) AS s_0,
-      |         SUM(CASE WHEN term = 'merge' THEN s END) AS s_1,
-      |         SUM(CASE WHEN term = 'window' THEN s END) AS s_2
-      |  FROM sc GROUP BY 1)
-      |SELECT doc_id,
-      |       COALESCE(s_0, 0.0) + COALESCE(s_1, 0.0) + COALESCE(s_2, 0.0) AS score,
-      |       CAST((CASE WHEN s_0 IS NOT NULL THEN 1 ELSE 0 END)
-      |          + (CASE WHEN s_1 IS NOT NULL THEN 1 ELSE 0 END)
-      |          + (CASE WHEN s_2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
-      |FROM agg ORDER BY score DESC, doc_id ASC LIMIT 10
-      |""".stripMargin
+    s"""WITH ${bm25Ctes(10)}
+       |SELECT doc_id, score, n_matched FROM bmtop
+       |""".stripMargin
 
   /** 4-hex-digit parse of md5 prefix → bit position mod 16384 (the
     * corpus_split hex idiom), for both bloom CTEs. */
@@ -138,6 +156,38 @@ object RetrievalQueries {
     "bm25_index" -> bm25OracleSql,
     // half-indexed + half-merged must equal indexed-at-once
     "bm25_delta" -> bm25OracleSql,
+
+    // both candidate pipelines fully mirrored, then the identical
+    // integer-RRF fold
+    "hybrid_search" ->
+      s"""WITH ${bm25Ctes(20)},
+         |tr AS (SELECT doc_id AS id,
+         |              ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+         |                AS rnk
+         |       FROM bmtop),
+         |s AS (SELECT vec_id AS id,
+         |             list_transform(embedding,
+         |               x -> round(CAST(x AS DOUBLE) * 100000, 0)) AS v
+         |      FROM embeddings),
+         |q AS (SELECT v AS qv FROM s WHERE id = 5),
+         |vv AS (
+         |  SELECT s.id,
+         |         (list_dot_product(s.v, q.qv) /
+         |          (sqrt(list_dot_product(s.v, s.v)) *
+         |           sqrt(list_dot_product(q.qv, q.qv)))) AS cos_sim
+         |  FROM s CROSS JOIN q WHERE s.id <> 5
+         |  ORDER BY cos_sim DESC, s.id ASC LIMIT 20),
+         |vr AS (SELECT id,
+         |              ROW_NUMBER() OVER (ORDER BY cos_sim DESC, id ASC)
+         |                AS rnk
+         |       FROM vv),
+         |u AS (SELECT id, rnk FROM tr UNION ALL SELECT id, rnk FROM vr)
+         |SELECT id,
+         |       CAST(SUM(1000000000 // (60 + rnk)) AS BIGINT) AS rrf_score,
+         |       CAST(COUNT(*) AS BIGINT) AS n_sources
+         |FROM u GROUP BY 1
+         |ORDER BY rrf_score DESC, id ASC LIMIT 10
+         |""".stripMargin,
 
     "dup_spans" ->
       ("""WITH corpus AS (

@@ -69,6 +69,23 @@ class RetrievalSpec extends AnyFunSuite {
         "text", "doc_id"))
   }
 
+  test("rrfFuse: consensus outranks single-source; exact integer scores") {
+    def lst(pairs: (Long, Int)*) =
+      pairs.toSeq.toDF("id", "rnk")
+    // doc 7 is rank 2 in BOTH lists; docs 1 and 9 are rank 1 in one each
+    val fused = Retrieval.rrfFuse(Seq(
+      lst(1L -> 1, 7L -> 2, 3L -> 3),
+      lst(9L -> 1, 7L -> 2, 4L -> 3)), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fused.head._1 == 7L) // 2/(60+2) beats 1/(60+1)
+    assert(fused.head._2 == 2L * (1000000000L / 62L))
+    assert(fused.head._3 == 2L) // n_sources
+    // single-source rank-1 docs tie on score -> id ascending
+    assert(fused(1)._1 == 1L && fused(2)._1 == 9L)
+    assert(fused(1)._2 == 1000000000L / 61L)
+    intercept[IllegalArgumentException](Retrieval.rrfFuse(Nil, 5))
+  }
+
   test("index stats record the bucket count; query reads it back") {
     val tmp = Files.createTempDirectory("graft-bm25-meta").toString
     Retrieval.writeIndex(corpus, "text", "doc_id", tmp, nBuckets = 7)
