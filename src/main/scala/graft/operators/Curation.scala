@@ -27,6 +27,17 @@ import org.apache.spark.sql.functions._
   *
   * All arithmetic is exact-integer or md5-derived — every operator has a
   * bit-exact DuckDB oracle.
+  *
+  * TOKENIZATION PRECONDITION: every word-level operator here splits text
+  * on a SINGLE space (`split(c, " ")`). Text whose words are separated by
+  * runs of whitespace (double spaces, tabs, newlines) will mint
+  * empty-string "words" that count toward lengths and n-grams —
+  * normalize with `regexp_replace(text, "\\s+", " ")` (and trim) before
+  * these operators, or use [[Retrieval]]'s `\s+` tokenizer semantics as
+  * the model. Kept single-space rather than `\s+` here because the
+  * convention is shared verbatim by every gate's DuckDB oracle and by
+  * [[TextAnalysis]]; a curation pipeline normalizes whitespace once at
+  * ingest, where a search index cannot assume that.
   */
 object Curation {
 

@@ -356,9 +356,19 @@ object Dedup {
     * shuffle-join + aggregate. At 100 TB-scale graphs with long chains,
     * swap the per-round body for the large-star/small-star contraction
     * (Kiveris et al., "Connected Components in MapReduce") — same
-    * driver-loop skeleton, O(log n) rounds. */
+    * driver-loop skeleton, O(log n) rounds.
+    *
+    * `checkpointDir`: None (default) = `localCheckpoint` lineage cuts —
+    * executor-block storage, no extra I/O, but an executor loss
+    * mid-iteration is unrecoverable; Some(dir) = reliable `checkpoint`
+    * to that directory, the cluster-scale setting (the [[Graphs.pageRank]]
+    * trade, same rationale). */
   def connectedComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
     // The pair join is the expensive input and is referenced THREE times
     // (sizing count + both union branches): materialize it exactly once
     // before anything else touches it.
@@ -381,9 +391,8 @@ object Dedup {
     // overwhelming majority of a mostly-unique corpus) are their own
     // component by definition and join back in at the end, so per-round
     // cost scales with the pair graph, not the corpus
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint(true)
+    var labels = cut(edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")))
     // sum() over zero rows is NULL — a duplicate-free corpus (no pairs)
     // must yield every id as its own component, not an NPE
     def labelSum(): Long =
@@ -396,12 +405,11 @@ object Dedup {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
         .groupBy(col("src")).agg(min("component").as("nmin"))
-      labels = labels
+      labels = cut(labels // eager: cut per-round lineage growth
         .join(neighborMin, col("id") === col("src"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nmin"), col("component")))
-            .as("component"))
-        .localCheckpoint(true) // eager: cut per-round lineage growth
+            .as("component")))
       val s = labelSum()
       converged = s == prevSum
       prevSum = s

@@ -34,36 +34,50 @@ object Graphs {
     * checkpointed each round so lineage stays flat over any iteration
     * count. At 100 TB-of-edges scale, pre-partition the edge list by
     * `src` once (bucketed table) and both joins co-locate; no step here
-    * collects more than scalars to the driver. */
+    * collects more than scalars to the driver.
+    *
+    * `checkpointDir` picks the lineage-cut durability trade:
+    * None (default) = `localCheckpoint` — blocks live on executors, no
+    * extra I/O, right for local mode and short interactive runs, but an
+    * executor loss mid-iteration kills the job unrecoverably (the blocks
+    * are the ONLY copy of the rank vector). Some(dir) = reliable
+    * `checkpoint` to that directory (HDFS/object store on a real
+    * cluster) — each round pays a durable write, and the job survives
+    * executor loss; the right setting for long iterative jobs at cluster
+    * scale. */
   def pageRank(edges0: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, dampPct: Int = 85,
-      scale: Long = 1000000000L): DataFrame = {
+      scale: Long = 1000000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampPct >= 0 && dampPct <= 100, s"dampPct in [0,100], got $dampPct")
     require(scale % 100 == 0, s"scale must be divisible by 100, got $scale")
+    checkpointDir.foreach(edges0.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
     val edges = edges0
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct()
-    val nodes = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(true) // the per-round left join re-reads it
+    val nodes = cut(edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct())
+      // the per-round left join re-reads it
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
-    val withDeg = edges
-      .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-      .localCheckpoint(true) // reused every round: pay the join once
+    val withDeg = cut(edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src"))
+      // reused every round: pay the join once
     val basePart = scale / 100 * (100 - dampPct)
     var pr = nodes.withColumn("pr", lit(scale / n))
     for (_ <- 1 to iters) {
       val contrib = withDeg.join(pr, col("src") === col("id"))
         .select(col("dst"), expr("pr div outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("c"))
-      pr = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+      pr = cut(nodes.join(contrib, nodes("id") === contrib("dst"), "left")
         .select(col("id"),
           expr(s"(${basePart} div ${n}) + ($dampPct * coalesce(c, CAST(0 AS BIGINT))) div 100")
-            .as("pr"))
-        .localCheckpoint(true)
+            .as("pr")))
     }
     pr
   }

@@ -61,6 +61,11 @@ object ObservationStore {
     * merges rewrite only touched buckets (see [[mergeBatch]]).
     */
   def writeDual(agg: DataFrame, path: String, numBuckets: Int = 64): Unit = {
+    // a rebuild is a writer: resolve committed staging and clear leftovers
+    // first, or a stale committed merge could later replay over the
+    // freshly rebuilt copies
+    if (pathExists(spark = agg.sparkSession, path))
+      recoverMerge(agg.sparkSession, path, deleteUncommitted = true)
     // both copies consume the same aggregation — pay its shuffle ONCE
     // (unpersisted, each writeCopy would re-execute the full groupBy)
     val a = agg.persist()
@@ -93,13 +98,13 @@ object ObservationStore {
   private[operators] val LayoutCols = Seq("bucket", "rdata_ip", "rdata_ip6")
 
   // All store paths go through Hadoop FS, so hdfs:// / s3a:// stores work
-  // the same as local ones.
-  private def fs(spark: SparkSession, path: String) = {
+  // the same as local ones. Shared with [[Retrieval]]'s staged index merge.
+  private[operators] def fs(spark: SparkSession, path: String) = {
     val p = new org.apache.hadoop.fs.Path(path)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  private def pathExists(spark: SparkSession, path: String): Boolean = {
+  private[operators] def pathExists(spark: SparkSession, path: String): Boolean = {
     val (f, p) = fs(spark, path)
     f.exists(p)
   }
@@ -200,8 +205,11 @@ object ObservationStore {
   def mergeBatch(spark: SparkSession, path: String, batch: DataFrame,
       numBuckets: Int = 64): Unit = {
     // a crashed previous merge must be resolved BEFORE reading the store:
-    // half-swapped buckets would feed wrong inputs to this merge
-    recoverMerge(spark, path)
+    // half-swapped buckets would feed wrong inputs to this merge. The
+    // WRITER also discards manifest-less (uncommitted) staging — readers
+    // never do, because a manifest-less dir may belong to a merge that is
+    // still being staged by a live writer.
+    recoverMerge(spark, path, deleteUncommitted = true)
     val exists = pathExists(spark, s"$path/by_rrname")
     if (!exists) {
       // first write: nothing on disk to corrupt — plain dual write
@@ -252,13 +260,23 @@ object ObservationStore {
           effBuckets, layout = effLayout)
       }
       // the manifest is the commit point: it records everything recovery
-      // needs, and is written via create+rename-free single call — a
-      // partial manifest fails to parse and counts as "not committed"
+      // needs — including the exact bucket-directory list staged per copy,
+      // so apply can tell "already swapped" from "staged data lost" (a
+      // lost staged bucket must FAIL, not silently skip: skipping would
+      // commit an epoch with the two copies diverged). Written via a
+      // single create call — a partial manifest fails to parse and counts
+      // as "not committed".
+      val stagedLists = Copies.map { case (sub, _, _) =>
+        val names = f.listStatus(new org.apache.hadoop.fs.Path(s"$staging/$sub"))
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+          .map(_.getPath.getName).sorted.mkString(",")
+        s""""staged_$sub":"$names""""
+      }.mkString(",")
       val (mf, mp) = fs(spark, s"$staging/_manifest.json")
       val out = mf.create(mp, true)
       try out.write(
-        s"""{"target_epoch":$targetEpoch,"num_buckets":$effBuckets,"layout":$effLayout}"""
-          .getBytes("UTF-8"))
+        (s"""{"target_epoch":$targetEpoch,"num_buckets":$effBuckets,""" +
+          s""""layout":$effLayout,$stagedLists}""").getBytes("UTF-8"))
       finally out.close()
       staging
     } finally { newAgg.unpersist(); () }
@@ -281,17 +299,38 @@ object ObservationStore {
         .group(1).toLong
     val (targetEpoch, buckets, layout) =
       (field("target_epoch"), field("num_buckets"), field("layout"))
+    def listField(name: String): Option[Seq[String]] =
+      (""""""" + name + """"\s*:\s*"([^"]*)"""").r.findFirstMatchIn(manifest)
+        .map(_.group(1).split(",").toSeq.filter(_.nonEmpty))
     val (f, _) = fs(spark, staging)
     Copies.foreach { case (sub, _, _) =>
       val subPath = new org.apache.hadoop.fs.Path(s"$staging/$sub")
-      if (f.exists(subPath)) {
-        f.listStatus(subPath).filter(s =>
-          s.isDirectory && s.getPath.getName.startsWith("bucket=")).foreach { s =>
-          val dest = new org.apache.hadoop.fs.Path(
-            s"$path/$sub/${s.getPath.getName}")
+      // the manifest's staged-bucket list is authoritative: every listed
+      // bucket must exist either in staging (swap it now) or at the
+      // destination (a replay already swapped it). Neither → the staged
+      // data was lost (e.g. deleted out from under an in-flight merge) —
+      // fail loudly rather than commit a half-applied epoch. Pre-list
+      // manifests (older writers) fall back to enumerating staging.
+      val names: Seq[String] = listField(s"staged_$sub").getOrElse {
+        if (f.exists(subPath))
+          f.listStatus(subPath).filter(s =>
+            s.isDirectory && s.getPath.getName.startsWith("bucket="))
+            .map(_.getPath.getName).toSeq
+        else Seq.empty
+      }
+      names.foreach { name =>
+        val src = new org.apache.hadoop.fs.Path(s"$staging/$sub/$name")
+        val dest = new org.apache.hadoop.fs.Path(s"$path/$sub/$name")
+        if (f.exists(src)) {
           if (f.exists(dest)) f.delete(dest, true)
-          if (!f.rename(s.getPath, dest))
-            throw new java.io.IOException(s"rename ${s.getPath} -> $dest failed")
+          if (!f.rename(src, dest) && !(f.exists(dest) && !f.exists(src)))
+            // a concurrent recoverer may win the rename between our
+            // exists-checks — dest present + src gone is success, not error
+            throw new java.io.IOException(s"rename $src -> $dest failed")
+        } else if (!f.exists(dest)) {
+          throw new java.io.IOException(
+            s"staged merge corrupt: $name missing from both $staging/$sub " +
+              s"and $path/$sub — refusing to commit epoch $targetEpoch")
         }
       }
     }
@@ -304,10 +343,17 @@ object ObservationStore {
   }
 
   /** Resolve any interrupted [[mergeBatch]]: a staging dir WITH a manifest
-    * is committed — finish its swap and epoch bump; one without is an
-    * uncommitted attempt — discard it (the store is untouched and the
-    * batch can simply be merged again). Safe to call any time. */
-  def recoverMerge(spark: SparkSession, path: String): Unit = {
+    * is committed — finish its swap and epoch bump. One WITHOUT a manifest
+    * is either an uncommitted crash leftover or a merge another writer is
+    * staging RIGHT NOW — only the writer path (`deleteUncommitted = true`,
+    * i.e. [[mergeBatch]]/[[writeDual]], which hold the single-writer
+    * contract) may discard it; readers ([[load]]) leave it alone, else a
+    * concurrent `load` could delete a fully-staged copy mid-stage and the
+    * writer would then commit a manifest whose buckets are gone (the
+    * bucket-list verification above turns that into a loud failure, but
+    * the reader must not cause it). Safe to call any time. */
+  def recoverMerge(spark: SparkSession, path: String,
+      deleteUncommitted: Boolean = false): Unit = {
     val (f, p) = fs(spark, path)
     if (!f.exists(p)) return
     f.listStatus(p).filter(s =>
@@ -316,10 +362,11 @@ object ObservationStore {
       if (f.exists(new org.apache.hadoop.fs.Path(staging, "_manifest.json"))) {
         try applyStagedMerge(spark, path, staging.toString)
         catch { case _: IllegalStateException =>
-          // unparsable manifest = the commit never completed
-          f.delete(staging, true); ()
+          // unparsable manifest = the commit never completed (or a reader
+          // caught a writer mid-manifest-write: writer-only deletion again)
+          if (deleteUncommitted) { f.delete(staging, true); () }
         }
-      } else {
+      } else if (deleteUncommitted) {
         f.delete(staging, true)
         ()
       }

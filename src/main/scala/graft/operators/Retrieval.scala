@@ -40,11 +40,19 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** Tokenizer for the whole BM25 family: split on WHITESPACE RUNS, so
+    * consecutive spaces/tabs/newlines never mint empty-string terms (and
+    * never inflate `dl`). Stricter than the single-space [[Curation]]
+    * convention because a search index meets rawer text than a curation
+    * pipeline. Remaining convention (mirrored by the oracle): a LEADING
+    * whitespace run yields one empty token (both engines agree); callers
+    * should trim if their corpus can start with whitespace. */
+  private def tokens(c: Column): Column = split(c, "\\s+")
+
   /** Inverted postings: one row per (term, doc) with term frequency and
-    * document length. One shuffle; tokens are whitespace-split (the
-    * [[Curation]] tokenization convention). */
+    * document length. One shuffle. */
   def tokenIndex(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
       .select(col("doc_id"), size(col("w")).as("dl"), explode(col("w")).as("term"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
@@ -105,7 +113,7 @@ object Retrieval {
   def bm25TopK(df: DataFrame, textCol: String, idCol: String,
       terms: Seq[String], k: Int): DataFrame = {
     val st = df.agg(count(lit(1)).as("n"),
-      sum(size(split(col(textCol), " "))).as("sum_dl")).head
+      sum(size(tokens(col(textCol)))).as("sum_dl")).head
     require(st.getLong(0) > 0, "bm25TopK: corpus is empty")
     val (nDocs, sumDl) = (st.getLong(0), st.getLong(1))
     val idx = tokenIndex(df, textCol, idCol).filter(col("term").isin(terms: _*))
@@ -124,6 +132,12 @@ object Retrieval {
     // an empty corpus would persist n_docs=0 with a NULL sum_dl that
     // indexTopK reads back as 0 — refuse to write a degenerate index
     require(!df.isEmpty, "writeIndex: corpus is empty")
+    val spark = df.sparkSession
+    // a rebuild is a writer: resolve committed staging and clear leftovers
+    // first, or a stale committed merge could later replay over the
+    // freshly rebuilt tables
+    if (ObservationStore.pathExists(spark, path))
+      recoverIndexMerge(spark, path, deleteUncommitted = true)
     val idx = tokenIndex(df, textCol, idCol).localCheckpoint(false)
     idx.withColumn("term_bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
       .write.partitionBy("term_bucket").mode("overwrite")
@@ -131,9 +145,33 @@ object Retrieval {
     idx.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$path/terms")
     df.agg(count(lit(1)).as("n_docs"),
-        sum(size(split(col(textCol), " "))).as("sum_dl"),
+        sum(size(tokens(col(textCol)))).as("sum_dl"),
         lit(nBuckets.toLong).as("n_buckets"))
       .write.mode("overwrite").parquet(s"$path/stats")
+    // a rebuild of an existing index advances the generation, never resets
+    writeIndexMeta(spark, path, readIndexEpoch(spark, path).getOrElse(0L) + 1L)
+  }
+
+  /** Index generation: advanced once per committed write/merge. */
+  def readIndexEpoch(spark: SparkSession, path: String): Option[Long] = {
+    val (f, p) = ObservationStore.fs(spark, s"$path/_graft_meta.json")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val content =
+        try new String(in.readAllBytes(), "UTF-8")
+        finally in.close()
+      """"epoch"\s*:\s*(\d+)""".r.findFirstMatchIn(content)
+        .map(_.group(1).toLong)
+    }
+  }
+
+  private def writeIndexMeta(spark: SparkSession, path: String,
+      epoch: Long): Unit = {
+    val (f, p) = ObservationStore.fs(spark, s"$path/_graft_meta.json")
+    val out = f.create(p, true)
+    try out.write(s"""{"epoch":$epoch}""".getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Incrementally merge a batch of NEW documents into a persisted
@@ -146,47 +184,159 @@ object Retrieval {
     * caller's contract, like every append-only ingest).
     *
     * Cost scales with the BATCH, not the index: only the buckets the
-    * batch's terms hash into are rewritten (dynamic partition overwrite —
-    * existing postings in those buckets are unioned back, new postings
-    * appended); the document-frequency table is vocabulary-sized and
-    * merged by one aggregation; stats is three scalars. */
+    * batch's terms hash into are rewritten (existing postings in those
+    * buckets are unioned back, new postings appended); the
+    * document-frequency table is vocabulary-sized and merged by one
+    * aggregation; stats is three scalars.
+    *
+    * CRASH SAFETY (staged commit, the `ObservationStore.mergeBatch`
+    * machinery transplanted): postings buckets, the merged terms table
+    * and the new stats are all written under `_staging_<generation>`
+    * first; a manifest listing the staged pieces is the commit point;
+    * applying is a sequence of idempotent renames that
+    * [[recoverIndexMerge]] can replay after a crash at ANY point. Either
+    * all three tables advance together (manifest written) or none did —
+    * postings can no longer be merged while df/stats stay stale, which
+    * would silently mis-score every subsequent query. */
   def mergeIndex(spark: SparkSession, path: String, batch: DataFrame,
       textCol: String, idCol: String): Unit = {
+    recoverIndexMerge(spark, path, deleteUncommitted = true)
+    val staging = stageIndexMerge(spark, path, batch, textCol, idCol)
+    applyStagedIndexMerge(spark, path, staging)
+  }
+
+  /** Stage merged postings/terms/stats under `_staging_<gen>` and commit
+    * the manifest. Package-visible so crash tests can stop here. */
+  private[graft] def stageIndexMerge(spark: SparkSession, path: String,
+      batch: DataFrame, textCol: String, idCol: String): String = {
     require(!batch.isEmpty, "mergeIndex: batch is empty")
     val st = spark.read.parquet(s"$path/stats").head
     val (nDocs, sumDl, nBuckets) =
       (st.getAs[Long]("n_docs"), st.getAs[Long]("sum_dl"),
         st.getAs[Long]("n_buckets"))
+    val targetGen = readIndexEpoch(spark, path).getOrElse(0L) + 1L
+    val staging = s"$path/_staging_$targetGen"
+    val (f, sp) = ObservationStore.fs(spark, staging)
+    // stale staging at our own target can only be an uncommitted previous
+    // attempt (recoverIndexMerge ran first on the writer path) — discard
+    if (f.exists(sp)) f.delete(sp, true)
     val newIdx = tokenIndex(batch, textCol, idCol)
       .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(nBuckets)))
       .localCheckpoint(false) // feeds buckets, postings, df and stats once
     val touched = newIdx.select("term_bucket").distinct()
       .collect().map(_.getLong(0))
-    val existing = spark.read.parquet(s"$path/postings")
+    // staging reads the live tables and writes ELSEWHERE, so none of the
+    // lineage cuts the old in-place dynamic overwrite needed remain
+    spark.read.parquet(s"$path/postings")
       .filter(col("term_bucket").isin(touched: _*))
       .select(newIdx.columns.map(col): _*)
-      // dynamic overwrite replaces the very partitions this read feeds
-      // from — cut the lineage first (the ObservationStore rule)
-      .localCheckpoint(true)
-    existing.unionAll(newIdx)
+      .unionAll(newIdx)
       .repartition(col("term_bucket"))
       .sortWithinPartitions(col("term_bucket"), col("term"))
-      .write.option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").partitionBy("term_bucket")
-      .parquet(s"$path/postings")
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$staging/postings")
     // vocabulary-sized: merge document frequencies with one aggregation
-    val mergedDf = spark.read.parquet(s"$path/terms")
+    spark.read.parquet(s"$path/terms")
       .unionAll(newIdx.groupBy(col("term")).agg(count(lit(1)).as("df")))
       .groupBy(col("term")).agg(sum(col("df")).cast("long").as("df"))
-      .localCheckpoint(true)
-    mergedDf.write.mode("overwrite").parquet(s"$path/terms")
+      .write.mode("overwrite").parquet(s"$staging/terms")
     val batchStats = batch.agg(count(lit(1)).as("n"),
-      sum(size(split(col(textCol), " "))).as("dl")).head
-    batch.sparkSession.range(1).select(
+      sum(size(tokens(col(textCol)))).as("dl")).head
+    spark.range(1).select(
         lit(nDocs + batchStats.getLong(0)).as("n_docs"),
         lit(sumDl + batchStats.getLong(1)).as("sum_dl"),
         lit(nBuckets).as("n_buckets"))
-      .write.mode("overwrite").parquet(s"$path/stats")
+      .write.mode("overwrite").parquet(s"$staging/stats")
+    // manifest = commit point; it lists the staged pieces so apply can
+    // tell "already swapped" from "staged data lost" (the latter must
+    // fail loudly, not skip — a skip would commit postings without their
+    // matching df). A partial manifest fails to parse = not committed.
+    val stagedBuckets = f.listStatus(
+        new org.apache.hadoop.fs.Path(s"$staging/postings"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("term_bucket="))
+      .map(_.getPath.getName).sorted.mkString(",")
+    val (mf, mp) = ObservationStore.fs(spark, s"$staging/_manifest.json")
+    val out = mf.create(mp, true)
+    try out.write(
+      (s"""{"target_epoch":$targetGen,""" +
+        s""""staged_postings":"$stagedBuckets","staged_tables":"terms,stats"}""")
+        .getBytes("UTF-8"))
+    finally out.close()
+    staging
+  }
+
+  /** Replay the staged merge: swap each staged postings bucket, then the
+    * terms and stats tables, into the live index (each swap idempotent —
+    * a staged piece disappears exactly when its rename lands), bump the
+    * generation once, drop the staging dir. */
+  private[graft] def applyStagedIndexMerge(spark: SparkSession, path: String,
+      staging: String): Unit = {
+    val manifest = {
+      val (f, p) = ObservationStore.fs(spark, s"$staging/_manifest.json")
+      val in = f.open(p)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    def strField(name: String): String =
+      (""""""" + name + """"\s*:\s*"([^"]*)"""").r.findFirstMatchIn(manifest)
+        .getOrElse(throw new IllegalStateException(
+          s"staged index manifest missing $name: $manifest")).group(1)
+    val targetGen = """"target_epoch"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(manifest)
+      .getOrElse(throw new IllegalStateException(
+        s"staged index manifest missing target_epoch: $manifest"))
+      .group(1).toLong
+    val (f, _) = ObservationStore.fs(spark, staging)
+    def swap(rel: String): Unit = {
+      val src = new org.apache.hadoop.fs.Path(s"$staging/$rel")
+      val dest = new org.apache.hadoop.fs.Path(s"$path/$rel")
+      if (f.exists(src)) {
+        if (f.exists(dest)) f.delete(dest, true)
+        if (!f.rename(src, dest) && !(f.exists(dest) && !f.exists(src)))
+          // a concurrent recoverer may win the rename between our
+          // exists-checks — dest present + src gone is success
+          throw new java.io.IOException(s"rename $src -> $dest failed")
+      } else if (!f.exists(dest)) {
+        throw new java.io.IOException(
+          s"staged index merge corrupt: $rel missing from both $staging " +
+            s"and $path — refusing to commit generation $targetGen")
+      }
+    }
+    strField("staged_postings").split(",").filter(_.nonEmpty)
+      .foreach(b => swap(s"postings/$b"))
+    strField("staged_tables").split(",").filter(_.nonEmpty).foreach(swap)
+    // generation commits LAST, and only once — recovery after a crash
+    // between the swaps and this write re-enters here with the same target
+    if (readIndexEpoch(spark, path).getOrElse(0L) < targetGen)
+      writeIndexMeta(spark, path, targetGen)
+    f.delete(new org.apache.hadoop.fs.Path(staging), true)
+    ()
+  }
+
+  /** Resolve any interrupted [[mergeIndex]]: a staging dir WITH a manifest
+    * is committed — finish its swaps and generation bump. One WITHOUT a
+    * manifest may be a crash leftover OR a merge a live writer is staging
+    * right now — only the writer path (`deleteUncommitted = true`) may
+    * discard it; readers ([[indexTopK]]) leave it alone (the
+    * `ObservationStore.recoverMerge` single-writer contract). */
+  def recoverIndexMerge(spark: SparkSession, path: String,
+      deleteUncommitted: Boolean = false): Unit = {
+    val (f, p) = ObservationStore.fs(spark, path)
+    if (!f.exists(p)) return
+    f.listStatus(p).filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith("_staging_")).foreach { s =>
+      val staging = s.getPath
+      if (f.exists(new org.apache.hadoop.fs.Path(staging, "_manifest.json"))) {
+        try applyStagedIndexMerge(spark, path, staging.toString)
+        catch { case _: IllegalStateException =>
+          // unparsable manifest = the commit never completed (or a reader
+          // caught a writer mid-manifest-write: writer-only deletion)
+          if (deleteUncommitted) { f.delete(staging, true); () }
+        }
+      } else if (deleteUncommitted) {
+        f.delete(staging, true)
+        ()
+      }
+    }
   }
 
   /** Reciprocal-rank fusion of ranked candidate lists — the standard
@@ -245,6 +395,9 @@ object Retrieval {
     * ratio-idf scoring note). */
   def indexTopK(spark: SparkSession, path: String, terms: Seq[String],
       k: Int): DataFrame = {
+    // finish any committed-but-unapplied merge first, so a reader never
+    // scores against postings/df/stats from different generations
+    recoverIndexMerge(spark, path)
     val st = spark.read.parquet(s"$path/stats").head
     val (nDocs, sumDl, nBuckets) =
       (st.getAs[Long]("n_docs"), st.getAs[Long]("sum_dl"),

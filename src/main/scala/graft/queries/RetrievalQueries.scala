@@ -20,6 +20,18 @@ object RetrievalQueries {
 
   private val bm25Terms = Seq("join", "merge", "window")
 
+  /** documents with a WHITESPACE-RUN fixture planted on every 7th doc —
+    * double/triple spaces and a tab around the very query terms. Under
+    * single-space splitting these would mint empty-string terms and
+    * inflate `dl`; the `\s+` tokenizer (and its oracle mirror) must not.
+    * Interior runs only: a trailing run would hit the one engine
+    * divergence (Spark drops trailing empty splits, DuckDB keeps them). */
+  private def wsDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit("  join\tmerge   window")))
+        .otherwise(col("text")).as("text"))
+
   /** documents with a constant 15-word snippet appended to every 13th —
     * planted repeated substrings for the span-dedup gate (natural
     * repeated 10-grams also exist via the corpus's planted near-dups). */
@@ -35,14 +47,14 @@ object RetrievalQueries {
 
     // BM25 top-10 for a 3-term query, scored on the fly.
     "bm25_search" -> ((s, dir) =>
-      Retrieval.bm25TopK(docs(s, dir), "text", "doc_id", bm25Terms, k = 10)),
+      Retrieval.bm25TopK(wsDocs(s, dir), "text", "doc_id", bm25Terms, k = 10)),
 
     // Same query through the PERSISTED index (bucket-pruned postings +
     // stored df/stats) — the layout is an optimization, never a
     // semantics change, so the oracle is shared with bm25_search.
     "bm25_index" -> ((s, dir) => {
       val tmp = bm25IndexDir(dir)
-      Retrieval.writeIndex(docs(s, dir), "text", "doc_id", tmp, nBuckets = 16)
+      Retrieval.writeIndex(wsDocs(s, dir), "text", "doc_id", tmp, nBuckets = 16)
       Retrieval.indexTopK(s, tmp, bm25Terms, k = 10)
     }),
 
@@ -52,7 +64,7 @@ object RetrievalQueries {
     // bm25_search (the strongest possible equivalence gate).
     "bm25_delta" -> ((s, dir) => {
       val tmp = bm25IndexDir(dir + "#delta")
-      val d = docs(s, dir)
+      val d = wsDocs(s, dir)
       Retrieval.writeIndex(d.filter(col("doc_id") % 2 === 0), "text",
         "doc_id", tmp, nBuckets = 16)
       Retrieval.mergeIndex(s, tmp, d.filter(col("doc_id") % 2 =!= 0),
@@ -64,7 +76,7 @@ object RetrievalQueries {
     // (documents and embeddings share the id space), fused by
     // reciprocal-rank fusion in scaled exact integers.
     "hybrid_search" -> ((s, dir) =>
-      Retrieval.hybridTopK(docs(s, dir),
+      Retrieval.hybridTopK(wsDocs(s, dir),
         Graft.table(s, dir, "embeddings"), "text", "doc_id",
         "vec_id", "embedding", bm25Terms, queryId = 5L, k = 10)),
 
@@ -97,18 +109,24 @@ object RetrievalQueries {
     * score, n_matched); shared by the three bm25 gates and the hybrid
     * fusion oracle. */
   private def bm25Ctes(limit: Int): String =
-    s"""tok AS (
-       |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
-       |         UNNEST(string_split(text, ' ')) AS term
+    s"""wcorpus AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 7 = 0
+       |              THEN text || '  join' || chr(9) || 'merge   window'
+       |              ELSE text END AS text
        |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, len(regexp_split_to_array(text, '\\s+')) AS dl,
+       |         UNNEST(regexp_split_to_array(text, '\\s+')) AS term
+       |  FROM wcorpus),
        |tf AS (
        |  SELECT term, doc_id, dl, CAST(COUNT(*) AS BIGINT) AS tf
        |  FROM tok WHERE term IN ('join', 'merge', 'window') GROUP BY 1, 2, 3),
        |dfr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
        |st AS (
        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-       |         CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS sum_dl
-       |  FROM documents),
+       |         CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS DOUBLE) AS sum_dl
+       |  FROM wcorpus),
        |sc AS (
        |  SELECT tf.doc_id, tf.term,
        |         (n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)

@@ -59,9 +59,17 @@ object Graphql {
     * variable-supplied values exactly as to inline ones. */
   def execute(query: String, variables: Option[JsonNode],
       store: ObservationStore): Either[String, String] =
-    substituteVariables(query, variables).flatMap(expandFragments)
-      .flatMap(parseDocument).flatMap {
-      fields =>
+    substituteVariables(query, variables).flatMap(applyDirectives)
+      .flatMap(expandFragments)
+      .flatMap(doc => parseDocument(doc) match {
+        // every root field @skip'd away is a legal document with an empty
+        // response, not a parse error
+        case Left("empty selection set") if query.contains('@') =>
+          Right(Seq.empty[(String, GqlQuery)])
+        case other => other
+      }).flatMap {
+      case Seq() => Right("""{"data":{}}""")
+      case fields =>
         if (fields.exists(_._2 == IntrospectionQuery))
           Right(renderIntrospection())
         else {
@@ -144,7 +152,181 @@ object Graphql {
   /** Single-query convenience used by tests and [[execute]]'s older
     * callers: the first root field of the document. */
   def parse(query: String): Either[String, GqlQuery] =
-    expandFragments(query).flatMap(parseDocument).map(_.head._2)
+    applyDirectives(query).flatMap(expandFragments)
+      .flatMap(parseDocument).map(_.head._2)
+
+  /** `@skip(if:)` / `@include(if:)` — the two built-in directives every
+    * stock client may decorate any field, fragment spread or inline
+    * fragment with (the reference gets them from graph-gophers,
+    * `query/query_graphql.go:194-206`). Runs AFTER variable substitution
+    * (so `if: $flag` is a literal by now) and BEFORE fragment expansion
+    * (so a directive on a spread drops the spread itself): a recursive
+    * rewrite of every selection set that removes skipped elements and
+    * strips the directive text from kept ones. Unknown directives and a
+    * missing/non-boolean `if:` are schema errors, as graphql-go reports
+    * them. */
+  private[serve] def applyDirectives(doc: String): Either[String, String] = {
+    if (!doc.contains('@')) return Right(doc)
+    val s = doc
+    var err: Option[String] = None
+    def fail(msg: String): Int = { if (err.isEmpty) err = Some(msg); s.length }
+
+    // copies s[from..) into out until `stop`, honoring string literals
+    // (an '@' inside a quoted TXT rdata is data, not a directive)
+    def isIdent(c: Char) = c.isLetterOrDigit || c == '_'
+    def skipWs(out: StringBuilder, from: Int): Int = {
+      var i = from
+      while (i < s.length &&
+        (s.charAt(i).isWhitespace || s.charAt(i) == ',')) {
+        out.append(s.charAt(i)); i += 1
+      }
+      i
+    }
+    def ident(out: StringBuilder, from: Int): Int = {
+      var i = from
+      while (i < s.length && isIdent(s.charAt(i))) {
+        out.append(s.charAt(i)); i += 1
+      }
+      i
+    }
+
+    // parse `@name(args)?`* at `from`; returns (keep, next). Directive
+    // text itself is never copied to the output.
+    def directives(from: Int): (Boolean, Int) = {
+      var i = from
+      var keep = true
+      val scratch = new StringBuilder
+      var again = true
+      while (again) {
+        scratch.clear()
+        val j = skipWs(scratch, i)
+        if (j < s.length && s.charAt(j) == '@') {
+          val nameSb = new StringBuilder
+          val k = ident(nameSb, j + 1)
+          val name = nameSb.toString
+          var n = k
+          var args = ""
+          if (n < s.length && s.charAt(n) == '(') {
+            val close = matchDelim(s, n, '(', ')')
+            if (close < 0) return (keep, fail("unbalanced directive arguments"))
+            args = s.substring(n + 1, close)
+            n = close + 1
+          }
+          name match {
+            case "skip" | "include" =>
+              """if\s*:\s*(true|false)""".r.findFirstMatchIn(args)
+                .map(_.group(1).toBoolean) match {
+                case Some(v) =>
+                  if (name == "skip" && v) keep = false
+                  if (name == "include" && !v) keep = false
+                case None =>
+                  return (keep, fail(
+                    s"""Directive "@$name" requires argument "if" of type "Boolean!"."""))
+              }
+            case other =>
+              return (keep, fail(s"""Unknown directive "@$other"."""))
+          }
+          i = n
+        } else again = false
+      }
+      (keep, i)
+    }
+
+    // one element of a selection set: field or spread; appends the kept
+    // rewrite to `out`, returns the index after the element
+    def element(out: StringBuilder, from: Int): Int = {
+      val elem = new StringBuilder
+      var i = from
+      var keep = true
+      if (s.startsWith("...", i)) {
+        elem.append("..."); i += 3
+        i = skipWs(elem, i)
+        if (s.startsWith("on", i) &&
+          (i + 2 >= s.length || !isIdent(s.charAt(i + 2)))) {
+          elem.append("on "); i += 2
+          i = skipWs(elem, i)
+          i = ident(elem, i) // type condition
+          val (k1, n1) = directives(i)
+          keep &= k1; i = n1
+          val scratch = new StringBuilder
+          val j = skipWs(scratch, i)
+          if (j >= s.length || s.charAt(j) != '{')
+            return fail("malformed inline fragment")
+          elem.append(scratch)
+          i = selection(elem, j)
+        } else {
+          val st = i
+          i = ident(elem, i)
+          if (i == st) return fail("malformed fragment spread")
+          val (k1, n1) = directives(i)
+          keep &= k1; i = n1
+        }
+      } else {
+        val st = i
+        i = ident(elem, i) // field name (or alias)
+        if (i == st)
+          return fail(s"unexpected character '${s.charAt(i)}' in selection set")
+        var scratch = new StringBuilder
+        var j = skipWs(scratch, i)
+        if (j < s.length && s.charAt(j) == ':') { // alias: real name
+          elem.append(scratch).append(':'); i = j + 1
+          i = skipWs(elem, i)
+          i = ident(elem, i)
+          scratch = new StringBuilder
+          j = skipWs(scratch, i)
+        }
+        if (j < s.length && s.charAt(j) == '(') { // arguments, verbatim
+          val close = matchDelim(s, j, '(', ')')
+          if (close < 0) return fail("unbalanced argument list")
+          elem.append(scratch).append(s.substring(j, close + 1))
+          i = close + 1
+        }
+        val (k1, n1) = directives(i)
+        keep &= k1; i = n1
+        scratch = new StringBuilder
+        j = skipWs(scratch, i)
+        if (j < s.length && s.charAt(j) == '{') { // nested selection
+          elem.append(scratch)
+          i = selection(elem, j)
+        }
+      }
+      if (keep) out.append(elem) else out.append(' ')
+      out.append(' ')
+      i
+    }
+
+    // `{ element* }` starting at the '{' at `from`; returns index after '}'
+    def selection(out: StringBuilder, from: Int): Int = {
+      out.append('{')
+      var i = from + 1
+      var done = false
+      while (!done && err.isEmpty) {
+        i = skipWs(out, i)
+        if (i >= s.length) return fail("unbalanced selection set")
+        else if (s.charAt(i) == '}') { out.append('}'); i += 1; done = true }
+        else i = element(out, i)
+      }
+      i
+    }
+
+    // top level: copy everything verbatim (operation keywords, fragment
+    // headers), recursing into each selection set
+    val out = new StringBuilder(s.length)
+    var i = 0
+    var inStr = false
+    while (i < s.length && err.isEmpty) {
+      val c = s.charAt(i)
+      if (inStr) {
+        out.append(c)
+        if (c == '\\' && i + 1 < s.length) { out.append(s.charAt(i + 1)); i += 1 }
+        else if (c == '"') inStr = false
+        i += 1
+      } else if (c == '"') { inStr = true; out.append(c); i += 1 }
+      else if (c == '{') i = selection(out, i)
+      else { out.append(c); i += 1 }
+    }
+    err.toLeft(out.toString)
+  }
 
   /** Fragment support, textually: `fragment F on T { ... }` definitions
     * are lifted out of the document and every spread (`...F`, or the
@@ -342,10 +524,43 @@ object Graphql {
     -1
   }
 
+  /** Undo GraphQL/JSON string escapes. [[substituteVariables]] splices
+    * variable strings through the JSON mapper (escaping quotes and
+    * backslashes), and inline literals may carry the same escapes — the
+    * argument parser must reverse them or a value containing '"' (legal
+    * in TXT rdata) silently truncates at the backslash. */
+  private def unescapeString(v: String): String = {
+    if (!v.contains('\\')) return v
+    val sb = new StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '\\' && i + 1 < v.length) {
+        v.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case 'u' if i + 5 < v.length &&
+            v.substring(i + 2, i + 6).forall(ch =>
+              ch.isDigit || ('a' <= ch.toLower && ch.toLower <= 'f')) =>
+            sb.append(Integer.parseInt(v.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case other => sb.append(other); i += 2 // covers \" \\ \/ and lenient rest
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   private def parseEntries(argStr: String,
       sel: String): Either[String, GqlQuery] = {
+    // escape-aware value match: stops at the closing quote, not at an
+    // escaped one — `rrname: "x\"y"` must yield the 3-char value x"y
     def strArg(name: String): Option[String] =
-      (s"""$name\\s*:\\s*"([^"]*)"""").r.findFirstMatchIn(argStr).map(_.group(1))
+      (s"""$name\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""").r
+        .findFirstMatchIn(argStr).map(m => unescapeString(m.group(1)))
     // rrtype is a GraphQL enum: bare token OR quoted string both accepted
     val rrtype = strArg("rrtype").orElse(
       """rrtype\s*:\s*([A-Za-z0-9]+)""".r.findFirstMatchIn(argStr).map(_.group(1)))

@@ -97,10 +97,19 @@ case class KmvDistinct(child: Expression, k: Int,
 }
 
 object KmvDistinct {
+  // one digest instance per thread, reused across rows (the MinHashSig
+  // convention): getInstance("MD5") per row is an allocation + provider
+  // lookup on the aggregation hot path
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** First 15 hex digits of md5(v) as an integer (= top 60 bits of the
     * digest) — matches the SQL-side strpos-chain parse digit for digit. */
   def hash60(v: UTF8String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5.get()
+    md.reset()
     val d = md.digest(v.getBytes)
     var acc = 0L
     var i = 0

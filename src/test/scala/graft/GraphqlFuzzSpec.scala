@@ -63,4 +63,26 @@ class GraphqlFuzzSpec extends AnyFunSuite {
       .withMinSuccessfulTests(200), p)
     assert(r.passed, r.status.toString)
   }
+
+  test("documents with random directives never throw") {
+    val dir = Gen.oneOf("@skip(if: true)", "@skip(if: false)",
+      "@include(if: true)", "@include(if: false)", "@skip", "@skip(if:)",
+      "@skip(if: $b)", "@nope(if: true)", "@", "@skip(", "@include(if true)")
+    val structured = for {
+      d1 <- dir; d2 <- dir; d3 <- dir
+      body <- Gen.oneOf(
+        s"{ entries(rrname: \"x\") $d1 { rrname $d2 count } }",
+        s"{ entries(rrname: \"x\") { ...f $d1 } } fragment f on Entry { rrname $d2 }",
+        s"{ entries(rrname: \"x\") { ... on Entry $d1 { rrname } } }",
+        s"{ entries(rrname: \"@skip(if: true)\") { rrname $d1 } }", // @ in string = data
+        s"{ stats $d1 { total_count $d2 } entries(rrname: \"x\") $d3 { rrname } }",
+        s"{ entries(rrname: \"x\") { aliases $d1 { rrname } rrname } }",
+        s"$d1 { entries(rrname: \"x\") { rrname } }")
+    } yield body
+    val p = Prop.forAll(structured)(q =>
+      neverThrows(q) && substitutionNeverThrows(q))
+    val r = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(200), p)
+    assert(r.passed, r.status.toString)
+  }
 }

@@ -32,6 +32,27 @@ class GraphsSpec extends AnyFunSuite {
       3L -> 234166666L)) // 5e7 + 85*(25000000 + 191666666) div 100
   }
 
+  test("reliable checkpointDir path: identical ranks, durable checkpoints") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val reliable = Graphs.pageRank(
+      Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst"),
+      "src", "dst", iters = 2, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == ranks(2)) // the durability switch never changes values
+    // per-round state actually landed in the reliable store (the blocks
+    // an executor loss cannot take down)
+    def anyFile(f: java.io.File): Boolean =
+      f.isFile || Option(f.listFiles()).exists(_.exists(anyFile))
+    assert(anyFile(new java.io.File(dir)), s"no checkpoint files under $dir")
+    // connectedComponents shares the switch
+    val comp = graft.operators.Dedup.connectedComponents(
+      Seq(1L, 2L, 3L, 9L).toDF("id"), "id",
+      Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b"),
+      checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+  }
+
   test("parallel edges collapse; bad parameters rejected") {
     val dup = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
     assert(Graphs.pageRank(dup, "src", "dst", iters = 1)

@@ -302,6 +302,88 @@ class QueryServerSpec extends AnyFunSuite {
       .statusCode() == 400)
   }
 
+  test("POST /graphql: @skip/@include directives, literal and variable-driven") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // literal @skip on a field drops it; the sibling stays
+    val r1 = post("/graphql",
+      """query { entries(rrname: "foo") { rrname count @skip(if: true) } }""")
+    assert(r1.statusCode() == 200, r1.body())
+    val e1 = mapper.readTree(r1.body()).path("data").path("entries").get(0)
+    assert(e1.has("rrname") && !e1.has("count"), r1.body())
+    // @include(if: false) on a root field drops the whole field
+    val r2 = post("/graphql",
+      """query {
+        |  entries(rrname: "foo") @include(if: false) { rrname }
+        |  stats { total_count }
+        |}""".stripMargin)
+    assert(r2.statusCode() == 200, r2.body())
+    val d2 = mapper.readTree(r2.body()).path("data")
+    assert(!d2.has("entries") && d2.path("stats").path("total_count").asLong() == 3L)
+    // variable-driven, through the JSON envelope
+    val r3 = post("/graphql", mapper.writeValueAsString {
+      val o = mapper.createObjectNode()
+      o.put("query",
+        "query Q($f: Boolean!) { entries(rrname: \"foo\") { rrname count @skip(if: $f) } }")
+      o.putObject("variables").put("f", true)
+      o
+    })
+    assert(r3.statusCode() == 200, r3.body())
+    val e3 = mapper.readTree(r3.body()).path("data").path("entries").get(0)
+    assert(e3.has("rrname") && !e3.has("count"), r3.body())
+    // directive on a fragment spread drops the spread, keeps literals
+    val r4 = post("/graphql",
+      """query { entries(rrname: "foo") { count ...core @skip(if: true) } }
+        |fragment core on Entry { rrname }""".stripMargin)
+    assert(r4.statusCode() == 200, r4.body())
+    val e4 = mapper.readTree(r4.body()).path("data").path("entries").get(0)
+    assert(e4.has("count") && !e4.has("rrname"), r4.body())
+    // every root field skipped = empty data, not an error
+    val r5 = post("/graphql",
+      """query { entries(rrname: "foo") @skip(if: true) { rrname } }""")
+    assert(r5.statusCode() == 200, r5.body())
+    assert(mapper.readTree(r5.body()).path("data").size() == 0, r5.body())
+    // unknown directive and missing if: are client errors, not 500s
+    assert(post("/graphql",
+      """query { entries(rrname: "foo") { rrname @nope(if: true) } }""")
+      .statusCode() == 400)
+    assert(post("/graphql",
+      """query { entries(rrname: "foo") { rrname @skip } }""").statusCode() == 400)
+  }
+
+  test("graphql string args: escaped quotes keep full value fidelity") {
+    import spark.implicits._
+    val ts = Timestamp.valueOf("2018-01-01 00:00:00")
+    val txtStore = ObservationStore.inMemory(ObservationStore.aggregate(Seq(
+      ("quoted.example", "s1", "TXT", """say "hi" ok""", 2L, ts, ts),
+      ("quoted.example", "s1", "TXT", """say""", 1L, ts, ts)
+    ).toDF("rrname", "sensor_id", "rrtype", "rdata", "count",
+      "timestamp_start", "timestamp_end")))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // inline literal with escaped quotes must match the full TXT value —
+    // a parser that stops at the escaped quote would match "say\" = no row
+    val inline = graft.serve.Graphql.execute(
+      """query { entries(rdata: "say \"hi\" ok") { rrname count } }""",
+      txtStore)
+    assert(inline.isRight, inline)
+    val n1 = mapper.readTree(inline.toOption.get).path("data").path("entries")
+    assert(n1.size() == 1 && n1.get(0).path("count").asLong() == 2L, inline)
+    // same value supplied as a variable (mapper-escaped on splice)
+    val vars = mapper.createObjectNode()
+    vars.put("r", """say "hi" ok""")
+    val viaVar = graft.serve.Graphql.execute(
+      """query Q($r: String!) { entries(rdata: $r) { rrname count } }""",
+      Some(vars), txtStore)
+    assert(viaVar == inline, viaVar)
+    // the unescaped PREFIX of the quoted value is a different key and
+    // must keep matching its own row (no cross-talk from unescaping)
+    val vars2 = mapper.createObjectNode()
+    vars2.put("r", "say")
+    val plain = graft.serve.Graphql.execute(
+      """query Q($r: String!) { entries(rdata: $r) { count } }""",
+      Some(vars2), txtStore)
+    assert(plain.toOption.get.contains("\"count\":1"), plain)
+  }
+
   test("graphql id: distinct key tuples never collide across field boundaries") {
     import spark.implicits._
     val ts = Timestamp.valueOf("2018-01-01 00:00:00")

@@ -69,6 +69,81 @@ class RetrievalSpec extends AnyFunSuite {
         "text", "doc_id"))
   }
 
+  test("staged index merge: a crash at any point fully applies or discards") {
+    def freshIndex(): String = {
+      val dir = Files.createTempDirectory("graft-bm25-crash").toString
+      Retrieval.writeIndex(corpus.filter(col("doc_id") <= 2), "text",
+        "doc_id", dir, nBuckets = 4)
+      dir
+    }
+    val batch = corpus.filter(col("doc_id") > 2)
+    def snapshot(path: String): (Seq[Seq[Any]], Seq[Any], Option[Long]) = (
+      Retrieval.indexTopK(spark, path, Seq("join", "merge"), k = 5)
+        .collect().map(_.toSeq).toSeq,
+      spark.read.parquet(s"$path/stats").head.toSeq,
+      Retrieval.readIndexEpoch(spark, path))
+
+    // control: the uninterrupted merge (writeIndex gen 1, merge gen 2)
+    val control = freshIndex()
+    Retrieval.mergeIndex(spark, control, batch, "text", "doc_id")
+    val expected = snapshot(control)
+    assert(expected._3.contains(2L))
+
+    // crash BEFORE the manifest: a reader leaves the manifest-less
+    // staging (it may be a live writer mid-stage) and scores against the
+    // untouched index; the next merge discards it and re-runs cleanly
+    val pre = freshIndex()
+    val junk = new java.io.File(s"$pre/_staging_2/postings/term_bucket=0")
+    assert(junk.mkdirs())
+    val untouched = snapshot(pre) // indexTopK recovers reader-safe
+    assert(untouched._3.contains(1L))
+    assert(new java.io.File(s"$pre/_staging_2").exists())
+    Retrieval.mergeIndex(spark, pre, batch, "text", "doc_id")
+    assert(snapshot(pre) == expected)
+    assert(!new java.io.File(s"$pre/_staging_2").exists())
+
+    // crash AFTER the manifest, before any swap: recovery replays all
+    // three tables and commits the generation exactly once
+    val post = freshIndex()
+    Retrieval.stageIndexMerge(spark, post, batch, "text", "doc_id")
+    assert(new java.io.File(s"$post/_staging_2/_manifest.json").exists())
+    Retrieval.recoverIndexMerge(spark, post)
+    assert(snapshot(post) == expected)
+    assert(!new java.io.File(s"$post/_staging_2").exists())
+
+    // crash MID-SWAP: postings buckets already renamed, terms/stats still
+    // staged — the exact torn state that silently mis-scores without the
+    // manifest; a plain reader self-heals it
+    val mid = freshIndex()
+    val staging = Retrieval.stageIndexMerge(spark, mid, batch,
+      "text", "doc_id")
+    def rmRec(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rmRec)
+      f.delete(): Unit
+    }
+    new java.io.File(s"$staging/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("term_bucket="))
+      .foreach { src =>
+        val dest = new java.io.File(s"$mid/postings/${src.getName}")
+        if (dest.exists()) rmRec(dest)
+        assert(src.renameTo(dest))
+      }
+    assert(snapshot(mid) == expected) // indexTopK recovers committed merge
+    assert(!new java.io.File(staging).exists())
+
+    // COMMITTED merge whose staged terms table was lost with no applied
+    // copy either: recovery must fail loudly, never commit postings
+    // without their matching df
+    val lost = freshIndex()
+    val lostStaging = Retrieval.stageIndexMerge(spark, lost, batch,
+      "text", "doc_id")
+    rmRec(new java.io.File(s"$lostStaging/terms"))
+    rmRec(new java.io.File(s"$lost/terms"))
+    intercept[java.io.IOException] {
+      Retrieval.recoverIndexMerge(spark, lost)
+    }
+  }
+
   test("rrfFuse: consensus outranks single-source; exact integer scores") {
     def lst(pairs: (Long, Int)*) =
       pairs.toSeq.toDF("id", "rnk")

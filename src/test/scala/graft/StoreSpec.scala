@@ -189,16 +189,20 @@ class StoreSpec extends AnyFunSuite {
     val expected = snapshot(control)
     assert(expected._3.contains(2L)) // writeDual epoch 1, merge epoch 2
 
-    // crash BEFORE the manifest: staged data without a commit mark is
-    // discarded; the store is untouched and the merge re-runs cleanly
+    // crash BEFORE the manifest: staged data without a commit mark is a
+    // leftover only the WRITER may discard — a reader must leave it (it
+    // could be a live writer mid-stage), and the next merge cleans it up
+    // and re-runs cleanly on the untouched store
     val preManifest = freshStore()
     val junk = new java.io.File(s"$preManifest/_staging_2/by_rrname/bucket=0")
     assert(junk.mkdirs())
-    ObservationStore.recoverMerge(spark, preManifest)
-    assert(!new java.io.File(s"$preManifest/_staging_2").exists())
-    assert(snapshot(preManifest)._3.contains(1L))
+    ObservationStore.recoverMerge(spark, preManifest) // reader-safe default
+    assert(new java.io.File(s"$preManifest/_staging_2").exists())
+    assert(snapshot(preManifest)._3.contains(1L)) // load leaves it too
+    assert(new java.io.File(s"$preManifest/_staging_2").exists())
     ObservationStore.mergeBatch(spark, preManifest, batch, numBuckets = 4)
     assert(snapshot(preManifest) == expected)
+    assert(!new java.io.File(s"$preManifest/_staging_2").exists())
 
     // crash AFTER the manifest, before any rename: recovery replays the
     // whole swap and commits the epoch exactly once
@@ -233,6 +237,26 @@ class StoreSpec extends AnyFunSuite {
     // recovery is idempotent on a healthy store
     ObservationStore.recoverMerge(spark, control)
     assert(snapshot(control) == expected)
+
+    // COMMITTED merge whose staged bucket was lost (deleted out from
+    // under it) with no applied copy at the destination either: recovery
+    // must FAIL LOUDLY, not skip the bucket and commit a diverged epoch
+    val lost = freshStore()
+    val lostStaging = ObservationStore.stageMerge(spark, lost, batch,
+      numBuckets = 4)
+    def rmRec(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rmRec)
+      f.delete(): Unit
+    }
+    val lostFwd = new java.io.File(s"$lostStaging/by_rrname")
+      .listFiles().filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(lostFwd.nonEmpty)
+    rmRec(lostFwd.head) // staged copy gone...
+    val lostDest = new java.io.File(s"$lost/by_rrname/${lostFwd.head.getName}")
+    if (lostDest.exists()) rmRec(lostDest) // ...and no applied copy either
+    intercept[java.io.IOException] {
+      ObservationStore.recoverMerge(spark, lost)
+    }
   }
 
   test("dns wire-format helpers match reference quirks") {
