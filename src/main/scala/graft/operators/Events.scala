@@ -169,4 +169,50 @@ object Events {
       .agg(perStage.head, perStage.tail: _*)
       .withColumn("stages_completed", completed)
   }
+
+  /** Funnel CONVERSION metrics — the aggregate [[funnel]]'s per-user
+    * table exists to feed: one row per stage with
+    *  - `entered`: users who had completed the previous stage (stage 0:
+    *    every user),
+    *  - `converted`: users who completed this stage,
+    *  - `conv_per_mille`: exact integer `converted·1000 div entered`
+    *    (−1 when nobody entered — no float rates, no divide-by-zero),
+    *  - `median_from_prev_cents`: median time from the previous stage's
+    *    completion, interpolated percentile over exact integer
+    *    microseconds, emitted ×100 as integer cents (the
+    *    `length_quantiles` exactness pattern: an interpolated median of
+    *    integers is a multiple of 0.5, so ×100 is exact in a double);
+    *    −1 for stage 0 (no previous stage) and for stages nobody reached.
+    *
+    * Cost: [[funnel]]'s one user-key shuffle + ONE single-row aggregation
+    * over the per-user table (3k conditional aggregates); the per-stage
+    * rows are exploded from that single row — nothing extra shuffles. */
+  def funnelRates(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    val f = funnel(events, userCol, tsCol, typeCol, stages)
+    def us(c: Column): Column = unix_micros(c.cast("timestamp_ltz"))
+    val aggs: Seq[Column] = stages.indices.flatMap { i =>
+      val entered =
+        if (i == 0) count(lit(1))
+        else sum(col(s"t${i - 1}").isNotNull.cast("long"))
+      val medianDelta =
+        if (i == 0) lit(null).cast("long")
+        else round(percentile(us(col(s"t$i")) - us(col(s"t${i - 1}")),
+          lit(0.5)) * 100).cast("long")
+      Seq(entered.as(s"entered_$i"),
+        sum(col(s"t$i").isNotNull.cast("long")).as(s"converted_$i"),
+        medianDelta.as(s"med_$i"))
+    }
+    val one = f.agg(aggs.head, aggs.tail: _*)
+    val rows = stages.zipWithIndex.map { case (s, i) =>
+      struct(lit(i.toLong).as("stage_idx"), lit(s).as("stage"),
+        col(s"entered_$i").as("entered"),
+        col(s"converted_$i").as("converted"),
+        when(col(s"entered_$i") === 0L, lit(-1L))
+          .otherwise(expr(s"converted_$i * 1000 div entered_$i"))
+          .as("conv_per_mille"),
+        coalesce(col(s"med_$i"), lit(-1L)).as("median_from_prev_cents"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
 }

@@ -312,6 +312,30 @@ object Retrieval {
     ()
   }
 
+  /** Structured-Streaming maintenance of the persisted index: each
+    * micro-batch of NEW documents folds in with [[mergeIndex]] (the first
+    * batch builds the index), so a continuously-ingesting corpus stays
+    * searchable without rebuilds — the text-index twin of
+    * `IngestPipeline.start`. [[mergeIndex]]'s staged commit gives one
+    * index generation per micro-batch: a query between or during batches
+    * never scores against postings and df/stats from different
+    * generations. Batches must carry previously-unseen doc ids (the
+    * [[mergeIndex]] append-only contract; a Spark-retried batch would
+    * re-merge its postings — the same caveat as the observation-store
+    * ingest). */
+  def streamIndex(spark: SparkSession, docs: DataFrame, textCol: String,
+      idCol: String, path: String, checkpointDir: String,
+      nBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (batch.isEmpty) () // empty micro-batch: nothing to merge
+        else if (!ObservationStore.pathExists(spark, s"$path/stats"))
+          writeIndex(batch, textCol, idCol, path, nBuckets)
+        else mergeIndex(spark, path, batch, textCol, idCol)
+      }
+      .start()
+
   /** Resolve any interrupted [[mergeIndex]]: a staging dir WITH a manifest
     * is committed — finish its swaps and generation bump. One WITHOUT a
     * manifest may be a crash leftover OR a merge a live writer is staging

@@ -444,6 +444,114 @@ object Similarity {
     cb
   }
 
+  /** Persist the composed IVF-PQ index — the FAISS billion-vector layout,
+    * assembled from the two halves already proven separately
+    * ([[writeIvfIndex]]'s cluster-partitioned directories,
+    * [[pqCodebooks]]/[[pqTopK]]'s m-byte codes + ADC):
+    * every vector lives under its centroid's `cluster=<c>/` directory as
+    * (id, codes, v) — `codes` is the m-code PQ encoding the ADC scan
+    * reads, `v` the full scaled vector ONLY the exact re-rank stage
+    * fetches; they are separate Parquet columns, so column pruning gives
+    * the ADC scan an m-byte-per-vector read without a second table.
+    * Codebooks (trained on the whole corpus — global, not per-cluster
+    * residual: keeps every quantity an exact integer and the oracle a
+    * full mirror) and centroids persist beside the vectors.
+    *
+    * Scale shape: one broadcast-argmax assignment pass + `iters` Lloyd
+    * rounds (each one narrow encode + a m·ks·dsub-row aggregate) + one
+    * partitioned write — nothing joins vector-against-vector. */
+  def writeIvfPqIndex(embeddings: DataFrame, idCol: String, embCol: String,
+      centroidIds: Seq[Long], path: String, m: Int = 4, ks: Int = 8,
+      iters: Int = 1, dim: Int = 64): Unit = {
+    val cb = pqCodebooks(embeddings, idCol, embCol, m, ks, iters, dim)
+    val scaledDf = embeddings.select(col(idCol).cast("long").as("id"),
+      scaled(col(embCol)).as("v"))
+    val centroids = scaledDf.filter(col("id").isin(centroidIds: _*))
+      .select(col("id").as("c_id"), col("v").as("c_v"))
+    val assigned = scaledDf.crossJoin(broadcast(centroids))
+      .withColumn("c_cos", cosine(col("v"), col("c_v")))
+      .groupBy(col("id"), col("v"))
+      .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id")))
+        .as("cluster"))
+    assigned.withColumn("codes", pqEncode(col("v"), cb))
+      .select(col("id"), col("codes"), col("v"), col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$path/vectors")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    (for { j <- 0 until m; c <- 0 until ks; d <- 0 until dim / m }
+      yield (j, c.toLong, d, cb(j)(c)(d)))
+      .toDF("j", "code", "d", "cval")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Top-k through a persisted IVF-PQ index: centroids are collected
+    * (tiny) and ranked driver-side → `nprobe` cluster directories are the
+    * ONLY partitions scanned; the query's m×ks ADC distance table is
+    * computed driver-side from the stored codebooks and broadcast; every
+    * probed vector's ADC score is m lookups + a map-side-combined sum;
+    * the top `rerank` candidates (TakeOrdered, no global sort) are then
+    * re-scored with the exact full-precision cosine — a broadcast
+    * semi-join back into the SAME pruned partitions, this time reading
+    * the `v` column. Two pruned scans: one codes-wide, one
+    * candidates-deep — the billion-vector probe shape. */
+  def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+      queryEmbedding: Seq[Float], queryId: Long, k: Int, nprobe: Int,
+      rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    import spark.implicits._
+    val qv: Array[Double] = Seq(queryEmbedding).toDF("e")
+      .select(scaled(col("e"))).head.getSeq[Double](0).toArray
+    def dotL(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val centroids = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getAs[Long]("c_id"), r.getSeq[Double](r.fieldIndex("c_v")).toArray))
+    val probe = centroids
+      .map { case (cid, cv) =>
+        (cid, dotL(qv, cv) / (math.sqrt(dotL(qv, qv)) * math.sqrt(dotL(cv, cv))))
+      }
+      .sortBy { case (cid, cos) => (-cos, cid) }
+      .take(nprobe).map(_._1.toInt)
+    // codebooks are m·ks·dsub rows — collect and build the query's ADC
+    // distance table driver-side (exact integer L2, the pqTopK shape)
+    val cbRows = spark.read.parquet(s"$path/codebooks").collect()
+    val m = cbRows.map(_.getAs[Int]("j")).max + 1
+    val ks = cbRows.map(_.getAs[Long]("code")).max.toInt + 1
+    val dsub = cbRows.map(_.getAs[Int]("d")).max + 1
+    val cb = Array.ofDim[Double](m, ks, dsub)
+    cbRows.foreach(r => cb(r.getAs[Int]("j"))(r.getAs[Long]("code").toInt)(
+      r.getAs[Int]("d")) = r.getAs[Double]("cval"))
+    val dt = (for { j <- 0 until m; c <- 0 until ks } yield {
+      var acc = 0L
+      var d = 0
+      while (d < dsub) {
+        val diff = (qv(j * dsub + d) - cb(j)(c)(d)).toLong
+        acc += diff * diff
+        d += 1
+      }
+      (j, c.toLong, acc)
+    }).toDF("j", "code", "d2")
+    val vectors = spark.read.parquet(s"$path/vectors")
+      .filter(col("cluster").isin(probe: _*) && col("id") =!= queryId)
+    val cand = vectors
+      .select(col("id"), posexplode(col("codes")).as(Seq("j", "code")))
+      .join(broadcast(dt), Seq("j", "code"))
+      .groupBy(col("id"))
+      .agg(sum(col("d2")).cast("long").as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("id").asc)
+      .limit(rerank)
+    val qvCol = array(qv.map(lit(_)).toSeq: _*)
+    vectors.select(col("id"), col("v"))
+      .join(broadcast(cand), Seq("id"))
+      .select(col("id"), col("adc_dist"),
+        cosine(col("v"), qvCol).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** PQ top-k by asymmetric distance (ADC): vectors are m small codes;
     * the query builds an m×ks distance table once and every vector's
     * score is m table lookups — the memory-bound scan that makes

@@ -88,6 +88,14 @@ object EventQueries {
         col("stages_completed"))
     }),
 
+    // Per-stage funnel conversion metrics: entered/converted counts,
+    // exact integer per-mille rate, and the median time-to-convert from
+    // the previous stage (interpolated percentile over exact integer
+    // micros, emitted ×100 — the length_quantiles exactness pattern).
+    "events_funnel_rates" -> ((s, dir) =>
+      Events.funnelRates(events(s, dir), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))),
+
     // Fixed-iteration integer PageRank over the customer→supplier order
     // graph (3 rounds, damping 85/100, ranks scaled to 1e9) — exact
     // integer arithmetic end to end, dangling supplier mass dropped per
@@ -159,6 +167,48 @@ object EventQueries {
         |            AS BIGINT) AS stages_completed
         |FROM u LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
         |       LEFT JOIN s2 USING (user_id)
+        |""".stripMargin,
+
+    "events_funnel_rates" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |s0 AS (SELECT user_id, MIN(ts) AS t0 FROM events
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, MIN(e.ts) AS t1
+        |       FROM events e JOIN s0 ON s0.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND e.ts >= s0.t0 GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+        |       FROM events e JOIN s1 ON s1.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s1.t1 GROUP BY 1),
+        |f AS (SELECT u.user_id, s0.t0, s1.t1, s2.t2
+        |      FROM u LEFT JOIN s0 USING (user_id)
+        |             LEFT JOIN s1 USING (user_id)
+        |             LEFT JOIN s2 USING (user_id))
+        |SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
+        |       CAST(COUNT(*) AS BIGINT) AS entered,
+        |       CAST(COUNT(t0) AS BIGINT) AS converted,
+        |       CASE WHEN COUNT(*) = 0 THEN CAST(-1 AS BIGINT)
+        |            ELSE CAST(COUNT(t0) * 1000 // COUNT(*) AS BIGINT)
+        |       END AS conv_per_mille,
+        |       CAST(-1 AS BIGINT) AS median_from_prev_cents
+        |FROM f
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), 'click',
+        |       CAST(COUNT(t0) AS BIGINT), CAST(COUNT(t1) AS BIGINT),
+        |       CASE WHEN COUNT(t0) = 0 THEN CAST(-1 AS BIGINT)
+        |            ELSE CAST(COUNT(t1) * 1000 // COUNT(t0) AS BIGINT) END,
+        |       COALESCE(CAST(round(quantile_cont(
+        |           epoch_us(t1) - epoch_us(t0), 0.5) * 100) AS BIGINT),
+        |         CAST(-1 AS BIGINT))
+        |FROM f
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'purchase',
+        |       CAST(COUNT(t1) AS BIGINT), CAST(COUNT(t2) AS BIGINT),
+        |       CASE WHEN COUNT(t1) = 0 THEN CAST(-1 AS BIGINT)
+        |            ELSE CAST(COUNT(t2) * 1000 // COUNT(t1) AS BIGINT) END,
+        |       COALESCE(CAST(round(quantile_cont(
+        |           epoch_us(t2) - epoch_us(t1), 0.5) * 100) AS BIGINT),
+        |         CAST(-1 AS BIGINT))
+        |FROM f
         |""".stripMargin,
 
     "graph_pagerank" ->

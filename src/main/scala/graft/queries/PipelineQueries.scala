@@ -191,6 +191,41 @@ object PipelineQueries {
       Similarity.ivfIndexTopK(s, tmp, q, queryId = 5L, k = 10, nprobe = 2)
     }),
 
+    // Composed IVF-PQ through the persisted index (the FAISS
+    // billion-vector layout): cluster-partition-pruned probe (nprobe=2)
+    // → broadcast-ADC scan over the m-byte codes → exact cosine re-rank
+    // of the top-20 candidates.
+    "ann_ivfpq" -> ((s, dir) => {
+      val tmp = util.scratchDir("ivfpqidx", dir)
+      val e = embs(s, dir)
+      Similarity.writeIvfPqIndex(e, "vec_id", "embedding", 0L to 7L, tmp,
+        m = 4, ks = 8, iters = 1, dim = 64)
+      val q = e.filter(col("vec_id") === 5)
+        .select(col("embedding")).head.getSeq[Float](0)
+      Similarity.ivfPqTopK(s, tmp, q, queryId = 5L, k = 10, nprobe = 2,
+        rerank = 20)
+    }),
+
+    // Recall of the composed path against the exact cosine top-10 — pins
+    // the combined loss of the coarse quantizer (2 of 8 clusters probed)
+    // and the m-byte PQ codes on this corpus.
+    "ivfpq_recall" -> ((s, dir) => {
+      val tmp = util.scratchDir("ivfpqrec", dir)
+      val e = embs(s, dir)
+      Similarity.writeIvfPqIndex(e, "vec_id", "embedding", 0L to 7L, tmp,
+        m = 4, ks = 8, iters = 1, dim = 64)
+      val q = e.filter(col("vec_id") === 5)
+        .select(col("embedding")).head.getSeq[Float](0)
+      val exact = Similarity.topK(e, "vec_id", "embedding", 5L, 10)
+        .select(col("id"))
+      val approx = Similarity.ivfPqTopK(s, tmp, q, queryId = 5L, k = 10,
+        nprobe = 2, rerank = 20).select(col("id").as("qid"))
+      exact.join(approx, col("id") === col("qid"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("qid")).as("n_common"))
+        .select(col("n_exact"), col("n_common"),
+          expr("n_common * 1000 div n_exact").as("recall_permille"))
+    }),
+
     // Per-document quality metrics.
     "text_quality" -> ((s, dir) =>
       docs(s, dir).select(
@@ -468,10 +503,13 @@ object PipelineQueries {
     * empty-cluster fallback, query 5's ADC table): ends with `pq` = the
     * top-10 by ADC distance. Shared by the ann_pq and pq_recall oracles —
     * a full mirror of Similarity.pqCodebooks/pqTopK. */
-  private val pqPipelineCtes: String = {
+  /** The PQ core chain `sub ... dt` (subspace split, one Lloyd round,
+    * encode, query-5 ADC distance table) WITHOUT the leading WITH or the
+    * final top-k — reusable by both the standalone PQ oracles and the
+    * composed IVF-PQ oracle. */
+  private val pqCoreCtes: String = {
     val l2sub = l2Sql("sub.vs", "c.cv", 16)
-    s"""WITH $scaledCte,
-       |sub AS (
+    s"""sub AS (
        |  SELECT id, jj.j AS j,
        |         list_slice(v, jj.j * 16 + 1, jj.j * 16 + 16) AS vs
        |  FROM s, (SELECT UNNEST(generate_series(0, 3)) AS j) jj),
@@ -502,20 +540,26 @@ object PipelineQueries {
        |  WHERE rk = 1),
        |qsub AS (SELECT j, vs AS qs FROM sub WHERE id = 5),
        |dt AS (SELECT c.j, c.code, ${l2Sql("qsub.qs", "c.cv", 16)} AS d2
-       |       FROM cb1 c JOIN qsub ON qsub.j = c.j),
+       |       FROM cb1 c JOIN qsub ON qsub.j = c.j)""".stripMargin
+  }
+
+  private val pqPipelineCtes: String =
+    s"""WITH $scaledCte,
+       |$pqCoreCtes,
        |pq AS (
        |  SELECT enc.id, CAST(SUM(dt.d2) AS BIGINT) AS adc_dist
        |  FROM enc JOIN dt ON dt.j = enc.j AND dt.code = enc.code
        |  WHERE enc.id <> 5 GROUP BY 1
        |  ORDER BY adc_dist ASC, id ASC LIMIT 10)""".stripMargin
-  }
 
   /** IVF ANN oracle — shared by `ann_ivf` (in-memory assignment) and
     * `ann_ivf_index` (persisted cluster-partitioned layout): the storage
     * path must reproduce the computation bit-for-bit. */
-  private val ivfOracleSql: String =
-    s"""WITH $scaledCte,
-       |c AS (SELECT id AS c_id, v AS c_v FROM s WHERE id BETWEEN 0 AND 7),
+  /** The IVF core chain `c / asg / probe` (centroids 0..7, argmax-cosine
+    * assignment with lowest-id tie-break, query-5 probe of the 2 nearest
+    * clusters) — reusable by the composed IVF-PQ oracle. */
+  private val ivfCoreCtes: String =
+    s"""c AS (SELECT id AS c_id, v AS c_v FROM s WHERE id BETWEEN 0 AND 7),
        |asg AS (
        |  SELECT id, v, c_id AS cluster FROM (
        |    SELECT s.id, s.v, c.c_id,
@@ -529,13 +573,39 @@ object PipelineQueries {
        |  FROM asg a CROSS JOIN c
        |  WHERE a.id = 5
        |  ORDER BY ${cosSql("a.v", "c.c_v")} DESC, c.c_id ASC
-       |  LIMIT 2)
+       |  LIMIT 2)""".stripMargin
+
+  private val ivfOracleSql: String =
+    s"""WITH $scaledCte,
+       |$ivfCoreCtes
        |SELECT asg.id, ${cosSql("asg.v", "probe.qv")} AS cos_sim
        |FROM asg JOIN probe ON asg.cluster = probe.probe_cluster
        |WHERE asg.id <> 5
        |ORDER BY cos_sim DESC, asg.id ASC
        |LIMIT 10
        |""".stripMargin
+
+  /** Composed IVF-PQ oracle: the IVF core (assignment + probe) gates the
+    * PQ core's ADC candidates, then the exact-cosine re-rank — a full
+    * mirror of Similarity.writeIvfPqIndex/ivfPqTopK. `ipq` = the final
+    * top-10 (id, adc_dist, cos_sim). */
+  private val ivfPqOracleCtes: String =
+    s"""WITH $scaledCte,
+       |$ivfCoreCtes,
+       |$pqCoreCtes,
+       |cand AS (
+       |  SELECT enc.id, CAST(SUM(dt.d2) AS BIGINT) AS adc_dist
+       |  FROM enc JOIN dt ON dt.j = enc.j AND dt.code = enc.code
+       |       JOIN asg ON asg.id = enc.id
+       |  WHERE enc.id <> 5
+       |    AND asg.cluster IN (SELECT probe_cluster FROM probe)
+       |  GROUP BY 1 ORDER BY adc_dist ASC, enc.id ASC LIMIT 20),
+       |qf AS (SELECT v AS qv FROM s WHERE id = 5),
+       |ipq AS (
+       |  SELECT cand.id, cand.adc_dist,
+       |         ${cosSql("asg.v", "qf.qv")} AS cos_sim
+       |  FROM cand JOIN asg ON asg.id = cand.id CROSS JOIN qf
+       |  ORDER BY cos_sim DESC, cand.id ASC LIMIT 10)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -883,6 +953,29 @@ object PipelineQueries {
     // identical semantics through the persisted cluster-partitioned
     // index — same oracle by design
     "ann_ivf_index" -> ivfOracleSql,
+
+    // the composed index: partition-pruned probe -> broadcast-ADC scan
+    // -> exact re-rank, every stage mirrored
+    "ann_ivfpq" ->
+      s"""$ivfPqOracleCtes
+         |SELECT id, adc_dist, cos_sim FROM ipq
+         |""".stripMargin,
+
+    // recall of the composed path vs the exact cosine top-10
+    "ivfpq_recall" ->
+      s"""$ivfPqOracleCtes,
+         |ex AS (
+         |  SELECT s.id FROM s CROSS JOIN
+         |       (SELECT v AS exv FROM s WHERE id = 5) q2
+         |  WHERE s.id <> 5
+         |  ORDER BY ${cosSql("s.v", "q2.exv")} DESC, s.id ASC
+         |  LIMIT 10)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |       CAST(COUNT(ipq.id) AS BIGINT) AS n_common,
+         |       CAST((COUNT(ipq.id) * 1000) // COUNT(*) AS BIGINT)
+         |         AS recall_permille
+         |FROM ex LEFT JOIN ipq ON ex.id = ipq.id
+         |""".stripMargin,
 
     // Mirrors the random-hyperplane LSH pipeline (same md5-derived ±1
     // planes, 16-bit signature, 4 blocks, candidate bucket join, exact

@@ -43,7 +43,13 @@ object BalboaDump {
     def atEnd: Boolean = pos >= bytes.length
     private def u8(): Int = { val b = bytes(pos) & 0xff; pos += 1; b }
 
+    private def need(n: Int, what: String): Unit =
+      if (pos + n > bytes.length)
+        fail(s"truncated dump: $what needs $n bytes, " +
+          s"${bytes.length - pos} remain")
+
     private def beUint(n: Int): Long = {
+      need(n, "uint")
       var acc = 0L
       var i = 0
       while (i < n) { acc = (acc << 8) | (bytes(pos + i) & 0xffL); i += 1 }
@@ -76,6 +82,10 @@ object BalboaDump {
         case 0xc6 | 0xdb => beUint(4).toInt // bin32 | str32
         case b => fail(s"expected bin/str, got 0x${b.toHexString}")
       }
+      // copyOfRange would silently ZERO-PAD past the end of a truncated
+      // file — a cut-off dump must fail loudly ('corrupt dump fails
+      // loudly' contract), not decode to a NUL-padded string
+      need(len, "bin/str payload")
       val out = java.util.Arrays.copyOfRange(bytes, pos, pos + len)
       pos += len
       out
@@ -119,7 +129,15 @@ object BalboaDump {
     }
 
   /** Read a dump file (or a directory/glob of them) as observations in
-    * the [[graft.operators.ObservationStore.aggregate]] input shape. */
+    * the [[graft.operators.ObservationStore.aggregate]] input shape.
+    *
+    * PER-FILE SIZE LIMIT: each dump file is decoded from one in-memory
+    * byte array (the format is an undelimited stream — no split points
+    * without parsing), so a single file is capped at ~2 GB
+    * (`spark.sql.sources.binaryFile.maxLength` / `Int.MaxValue`) and is
+    * held on one executor while it decodes. The reference rotates dumps
+    * per backend; instances that emit larger monoliths should split them
+    * (any msgpack-entry boundary is a valid cut) before ingest. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val files = spark.read.format("binaryFile").load(path)
       .select(col("content"))

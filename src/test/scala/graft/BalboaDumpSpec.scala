@@ -67,6 +67,19 @@ class BalboaDumpSpec extends AnyFunSuite {
       BalboaDump.decodeStream(Array[Byte](0x85.toByte)).toSeq) // 5-field map
     intercept[Exception]( // truncated mid-entry
       BalboaDump.decodeStream(fixture.dropRight(3)).toSeq)
+    // truncation INSIDE a bin/str payload: copyOfRange would zero-pad —
+    // must raise the uniform truncated-dump error instead of decoding a
+    // NUL-padded string and ending the stream silently
+    val cutInPayload = Array[Byte](0x87.toByte, 0x00,
+      0xc4.toByte, 10, 'f', 'o') // bin8 len=10, only 2 payload bytes
+    val e = intercept[IllegalArgumentException](
+      BalboaDump.decodeStream(cutInPayload).toSeq)
+    assert(e.getMessage.contains("truncated dump"), e.getMessage)
+    // truncation inside a multi-byte uint gets the same uniform error
+    val cutInUint = Array[Byte](0x87.toByte, 0x04, 0xcd.toByte, 0x01)
+    val e2 = intercept[IllegalArgumentException](
+      BalboaDump.decodeStream(cutInUint).toSeq)
+    assert(e2.getMessage.contains("truncated dump"), e2.getMessage)
   }
 
   test("spark-level dump -> replay round-trip preserves the aggregate") {

@@ -143,4 +143,27 @@ class EventsSpec extends AnyFunSuite {
       graft.operators.Events.funnel(events, "user_id", "t", "event_type",
         Seq("view", "view")))
   }
+
+  test("funnelRates: counts, per-mille rates, median time-to-convert") {
+    val events = Seq(
+      // converts all the way, 10s then 10s
+      (1L, ts(100), "view"), (1L, ts(110), "click"), (1L, ts(120), "purchase"),
+      // converts to click only, 30s
+      (3L, ts(100), "view"), (3L, ts(130), "click"),
+      // never enters the funnel (click without view)
+      (2L, ts(50), "click")
+    ).toDF("user_id", "t", "event_type")
+    val out = graft.operators.Events.funnelRates(events, "user_id", "t",
+      "event_type", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getAs[Long]("stage_idx") ->
+        (r.getAs[String]("stage"), r.getAs[Long]("entered"),
+          r.getAs[Long]("converted"), r.getAs[Long]("conv_per_mille"),
+          r.getAs[Long]("median_from_prev_cents"))).toMap
+    // 3 users total; 2 entered stage 0 (user 2's early click never counts)
+    assert(out(0L) == (("view", 3L, 2L, 666L, -1L)))
+    // both viewers clicked; median delta = (10s + 30s)/2 = 20s = 2e6 cents
+    assert(out(1L) == (("click", 2L, 2L, 1000L, 2000000000L)))
+    // one of two clickers purchased, 10s after the click
+    assert(out(2L) == (("purchase", 2L, 1L, 500L, 1000000000L)))
+  }
 }

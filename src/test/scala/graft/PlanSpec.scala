@@ -258,6 +258,35 @@ class PlanSpec extends AnyFunSuite {
     assert(indexed == direct)
   }
 
+  test("IVF-PQ probe: partition pruning + broadcast ADC table + TakeOrdered") {
+    val vecs = (0L to 40L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft-plan-ivfpq").toString
+    graft.operators.Similarity.writeIvfPqIndex(
+      vecs, "vec_id", "embedding", 0L to 3L, dir, m = 4, ks = 4,
+      iters = 1, dim = 16)
+    val q = vecs.filter(col("vec_id") === 5)
+      .select(col("embedding")).head.getSeq[Float](0)
+    val out = graft.operators.Similarity.ivfPqTopK(
+      spark, dir, q, queryId = 5L, k = 5, nprobe = 2, rerank = 10)
+    val plan = explainOf(out)
+    // both scans (ADC codes pass + re-rank fetch) prune to the probed
+    // cluster directories; the ADC table and the candidate set join
+    // broadcast; nothing global-sorts or products
+    assert(plan.matches("(?s).*PartitionFilters:.*cluster.*"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the ADC scan reads codes, not vectors: the v column only appears
+    // in the re-rank scan's schema (column pruning on the codes pass)
+    val scans = "ReadSchema: [^\\n]*".r.findAllIn(plan).toList
+    assert(scans.exists(s => s.contains("codes") && !s.contains("\"v\"")),
+      plan)
+  }
+
   test("bm25 index query prunes term buckets, pushes the IN filter, top-k is TakeOrdered") {
     val dir = Files.createTempDirectory("graft-bm25-plan").toString
     val docsDf = (1L to 50L).map(i => (i, s"w$i join merge common text"))

@@ -165,6 +165,52 @@ class StreamingSpec extends AnyFunSuite {
       .head.getAs[Long]("count") == 3L)
   }
 
+  test("streaming BM25 maintenance: merged micro-batches equal indexed-at-once") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    import graft.operators.Retrieval
+    val dir = Files.createTempDirectory("graft-sbm25").toString
+    val spool = new java.io.File(s"$dir/spool")
+    assert(spool.mkdirs())
+    val texts = Map(
+      1L -> "spark shuffle join join join plan",
+      2L -> "join once in a very long document about other things entirely ok",
+      3L -> "merge sort merge sort merge",
+      4L -> "nothing relevant here at all",
+      5L -> "join merge join merge short")
+    def jsonFile(name: String, ids: Seq[Long]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/spool/$name"),
+        ids.map(i => s"""{"doc_id":$i,"text":"${texts(i)}"}""")
+          .mkString("\n").getBytes("UTF-8")): Unit
+    def batchIndex(ids: Seq[Long], path: String): Unit =
+      Retrieval.writeIndex(
+        ids.map(i => (i, texts(i))).toDF("doc_id", "text"),
+        "text", "doc_id", path, nBuckets = 4)
+    def top(path: String): Seq[Seq[Any]] =
+      Retrieval.indexTopK(spark, path, Seq("join", "merge"), k = 5)
+        .collect().map(_.toSeq).toSeq
+
+    jsonFile("f1.json", Seq(1L, 2L, 3L))
+    val schema = new StructType().add("doc_id", LongType).add("text", StringType)
+    val stream = spark.readStream.schema(schema).json(s"$dir/spool")
+    val q = Retrieval.streamIndex(spark, stream, "text", "doc_id",
+      s"$dir/idx", s"$dir/ckpt", nBuckets = 4)
+    try {
+      q.processAllAvailable()
+      // first micro-batch built the index: searchable, equals batch build
+      batchIndex(Seq(1L, 2L, 3L), s"$dir/whole3")
+      assert(top(s"$dir/idx") == top(s"$dir/whole3"))
+      assert(Retrieval.readIndexEpoch(spark, s"$dir/idx").contains(1L))
+
+      // second micro-batch merges in: still equals indexed-at-once
+      jsonFile("f2.json", Seq(4L, 5L))
+      q.processAllAvailable()
+      batchIndex(Seq(1L, 2L, 3L, 4L, 5L), s"$dir/whole5")
+      assert(top(s"$dir/idx") == top(s"$dir/whole5"))
+      // one staged-commit generation per micro-batch
+      assert(Retrieval.readIndexEpoch(spark, s"$dir/idx").contains(2L))
+    } finally q.stop()
+  }
+
   test("incremental merge touches only the batch's buckets") {
     val dir = Files.createTempDirectory("graft-merge").toString
     val b1 = Seq(obs("a.com", "1.1.1.1", 1, "2020-01-01 00:00:00")).toDF(cols: _*)
