@@ -310,6 +310,54 @@ object Curation {
         expr("max_key_rows * 1000 div (n_rows div n_keys)")
           .as("max_over_avg_permille"))
 
+  /** Importance weighting for target-distribution data selection — the
+    * DSIR idea (Xie et al. 2023, "Data Selection via Importance
+    * Resampling") re-expressed in exact integers: hashed word-bucket
+    * counts give a RAW (whole-corpus) and TARGET (`targetFilter` rows)
+    * distribution over `nBuckets` md5-derived buckets; each document
+    * scores the sum of its tokens' scaled likelihood ratios
+    * `(tgt[b]+1)·scale div (raw[b]+1)` (add-one smoothing). The
+    * corpus/target size constant cancels in ranking, so totals are
+    * never multiplied in (also keeps every product far inside a Long).
+    *
+    * DOCUMENTED DEVIATION: DSIR sums LOG ratios (a geometric mean);
+    * libm log is not correctly-rounded-portable, so this sums the
+    * ratios themselves — per-token monotone in the same direction,
+    * exact-integer, bit-stable across engines (the BM25 ratio-idf
+    * rationale). Rankings can differ from the paper's where a single
+    * extreme bucket dominates a long document.
+    *
+    * Shape: one token explode feeding two bucket-sized aggregations
+    * (`nBuckets` rows — broadcastable at any corpus scale) and one
+    * map-side-combined per-document sum over a broadcast ratio table.
+    * Nothing joins document-against-document. */
+  def importanceWeights(df: DataFrame, textCol: String, idCol: String,
+      targetFilter: Column, nBuckets: Int = 1024,
+      scale: Long = 1000000L): DataFrame = {
+    require(nBuckets > 0 && nBuckets <= (1 << 16),
+      s"nBuckets in [1, 65536], got $nBuckets")
+    val tok = df.select(col(idCol).as("doc_id"),
+        targetFilter.cast("boolean").as("is_t"),
+        explode(split(col(textCol), " ")).as("word"))
+      .withColumn("b",
+        conv(substring(md5(col("word")), 1, 4), 16, 10).cast("long")
+          % nBuckets)
+      .localCheckpoint(false) // feeds raw counts, target counts, doc sum
+    val raw = tok.groupBy(col("b")).agg(count(lit(1)).as("raw_n"))
+    val tgt = tok.filter(col("is_t")).groupBy(col("b"))
+      .agg(count(lit(1)).as("tgt_n"))
+    val ratios = raw.join(tgt, Seq("b"), "left")
+      .select(col("b"),
+        expr(s"((coalesce(tgt_n, 0) + 1) * $scale) div (raw_n + 1)")
+          .as("ratio"))
+    tok.join(broadcast(ratios), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("ratio")).cast("long").as("importance_sum"))
+      .withColumn("importance_mean",
+        expr("importance_sum div n_tokens"))
+  }
+
   /** K-minimum-values distinct-count SKETCH as an aggregate Column — the
     * O(k)-state companion to [[saltedDistinctCount]]: exact up to k
     * distinct values, the KMV estimator beyond, mergeable across
@@ -324,6 +372,36 @@ object Curation {
       org.apache.spark.sql.graft.KmvDistinct(
         org.apache.spark.sql.GraftShims.expression(c), k)
         .toAggregateExpression())
+
+  /** Count-Min sketch aggregate column (the second custom typed
+    * aggregate; see [[org.apache.spark.sql.graft.CmSketch]]): O(d·w)
+    * mergeable state, map-side partial aggregation, elementwise-sum
+    * merge — the per-key frequency estimator for streams where exact
+    * counting shuffles every occurrence. */
+  def cmSketch(c: Column, d: Int = 4, w: Int = 512): Column =
+    org.apache.spark.sql.GraftShims.column(
+      org.apache.spark.sql.graft.CmSketch(
+        org.apache.spark.sql.GraftShims.expression(c), d, w)
+        .toAggregateExpression())
+
+  /** Count-Min point estimates for `probes`: builds ONE sketch of
+    * `valueCol` (a d·w-long matrix, collected — a few KB regardless of
+    * input size) and evaluates `min_r m[r][pos_r(probe)]` per probe key.
+    * The estimate never undercounts; overcount is bounded by bucket
+    * collisions (ε ≈ e/w per row, error halves per extra row). Output:
+    * (v, est_count) per probe, deterministic — the sketch matrix is
+    * bit-identical under any partitioning, so the estimates are
+    * oracle-exact, collisions included. */
+  def cmEstimates(df: DataFrame, valueCol: String, probes: Seq[String],
+      d: Int = 4, w: Int = 512): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = df.agg(cmSketch(col(valueCol), d, w).as("m"))
+      .head.getSeq[Long](0).toArray
+    probes.map(p => (p,
+        org.apache.spark.sql.graft.CmSketch.estimate(m, d, w, p)))
+      .toDF("v", "est_count")
+  }
 
   /** EXACT distributed distinct count via hash-partitioned salting — the
     * manual fix [[keySkew]] motivates when one group dominates: the
@@ -565,6 +643,42 @@ object Curation {
       .withColumn("pack_id", expr(s"offset_tokens div $budgetTokens"))
       .select(col("id"), col("shard"), col("n_tokens"),
         col("offset_tokens"), col("pack_id"))
+  }
+
+  /** Fixed-size overlapping CHUNKING — the retrieval-prep step between a
+    * curated corpus and an embedding/RAG index: each document splits into
+    * word windows of `chunkWords` with `overlap` words shared between
+    * consecutive chunks (the standard sliding-window convention; the
+    * final partial window is kept so no suffix is ever lost). Output:
+    * one row per (doc_id, chunk_id) with the chunk text and its exact
+    * word span [start_word, start_word + n_words).
+    *
+    * Shape: a pure NARROW per-row transform (split + one
+    * generate-series + slices, all codegen'd) followed by posexplode —
+    * no shuffle at all; at 100 TB it is a map-only pass whose output
+    * feeds the embedding UDF or `Retrieval.tokenIndex` directly.
+    * Single-space tokenization per the module convention (header). */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+      chunkWords: Int, overlap: Int = 0): DataFrame = {
+    require(chunkWords > 0, s"chunkWords must be positive, got $chunkWords")
+    require(overlap >= 0 && overlap < chunkWords,
+      s"overlap must be in [0, chunkWords), got $overlap")
+    val stride = chunkWords - overlap
+    val toks = split(col(textCol), " ")
+    // window starts 0, stride, 2·stride, … up to the last word index —
+    // at least one window always exists (a short doc is its own chunk)
+    df.select(col(idCol).as("doc_id"), toks.as("w"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            greatest(size(col("w")) - 1, lit(0)), lit(stride)),
+          s => struct(s.cast("long").as("start_word"),
+            slice(col("w"), s + 1, lit(chunkWords)).as("chunk_w"))))
+          .as(Seq("chunk_id", "c")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("c.start_word").as("start_word"),
+        size(col("c.chunk_w")).cast("long").as("n_words"),
+        concat_ws(" ", col("c.chunk_w")).as("chunk_text"))
   }
 
   /** Top-k characteristic terms per document by TF-IDF, with the idf kept

@@ -135,6 +135,27 @@ object CurationQueries {
           targetTotal = 150)
         .select(col("doc_id"), col("lang"))),
 
+    // Fixed-size overlapping chunking (RAG/embedding prep): 40-word
+    // windows, 10-word overlap — narrow map-only pass.
+    "doc_chunks" -> ((s, dir) =>
+      Curation.chunkDocuments(docs(s, dir), "text", "doc_id",
+        chunkWords = 40, overlap = 10)),
+
+    // DSIR-flavored importance weights: target = lang 'en', 256 hashed
+    // word buckets, exact-integer likelihood-ratio sums.
+    "importance_weights" -> ((s, dir) =>
+      Curation.importanceWeights(docs(s, dir), "text", "doc_id",
+        col("lang") === "en", nBuckets = 256)),
+
+    // Count-Min sketch estimates for 20 probe users over the event
+    // stream (d=4 rows × w=512 buckets) — deterministic, collisions
+    // included, so the oracle mirrors the sketch bit for bit.
+    "cm_counts" -> ((s, dir) =>
+      Curation.cmEstimates(
+        graft.Graft.table(s, dir, "events")
+          .select(col("user_id").cast("string").as("v")),
+        "v", (1L to 20L).map(_.toString), d = 4, w = 512)),
+
     // Global top-20 word 3-grams (count desc, gram asc).
     "ngram_topk" -> ((s, dir) =>
       Curation.ngramTopK(docs(s, dir), "text", n = 3, k = 20)),
@@ -538,6 +559,94 @@ object CurationQueries {
          |ORDER BY n_occurrences DESC, gram ASC
          |LIMIT 20
          |""".stripMargin,
+
+    // mirror of chunkDocuments(40, overlap 10): starts 0,30,60,… up to
+    // the last word index, each chunk the next 40 words (partial tail
+    // kept)
+    "doc_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |         len(string_split(text, ' ')) AS nw
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, w,
+        |         UNNEST(generate_series(0, greatest(nw - 1, 0), 30)) AS s
+        |  FROM d)
+        |SELECT doc_id,
+        |       CAST(s // 30 AS BIGINT) AS chunk_id,
+        |       CAST(s AS BIGINT) AS start_word,
+        |       CAST(len(list_slice(w, s + 1, s + 40)) AS BIGINT) AS n_words,
+        |       array_to_string(list_slice(w, s + 1, s + 40), ' ')
+        |         AS chunk_text
+        |FROM st
+        |""".stripMargin,
+
+    // mirror of importanceWeights(target = lang 'en', 256 buckets,
+    // scale 1e6): smoothed likelihood-ratio sum per document
+    "importance_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang = 'en' AS is_t,
+        |         UNNEST(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |tb AS (
+        |  SELECT doc_id, is_t,
+        |         ((strpos('0123456789abcdef', md5(word)[1]) - 1) * 4096 +
+        |          (strpos('0123456789abcdef', md5(word)[2]) - 1) * 256 +
+        |          (strpos('0123456789abcdef', md5(word)[3]) - 1) * 16 +
+        |          (strpos('0123456789abcdef', md5(word)[4]) - 1)) % 256 AS b
+        |  FROM tok),
+        |raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS raw_n
+        |        FROM tb GROUP BY 1),
+        |tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS tgt_n
+        |        FROM tb WHERE is_t GROUP BY 1),
+        |r AS (SELECT raw.b,
+        |             ((COALESCE(tgt_n, 0) + 1) * 1000000) // (raw_n + 1)
+        |               AS ratio
+        |      FROM raw LEFT JOIN tgt USING (b))
+        |SELECT tb.doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(ratio) AS BIGINT) AS importance_sum,
+        |       CAST(CAST(SUM(ratio) AS BIGINT) // COUNT(*) AS BIGINT)
+        |         AS importance_mean
+        |FROM tb JOIN r USING (b)
+        |GROUP BY 1
+        |""".stripMargin,
+
+    // mirror of the Count-Min sketch (d=4, w=512): the cell counts are
+    // plain sums (commutative), so the oracle reproduces the matrix —
+    // and therefore the estimates, collisions included — exactly
+    "cm_counts" ->
+      """WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events),
+        |rws AS (SELECT UNNEST([0, 1, 2, 3]) AS r),
+        |cell AS (
+        |  SELECT r,
+        |         ((strpos('0123456789abcdef',
+        |             md5(CAST(r AS VARCHAR) || ':' || v)[1]) - 1) * 4096 +
+        |          (strpos('0123456789abcdef',
+        |             md5(CAST(r AS VARCHAR) || ':' || v)[2]) - 1) * 256 +
+        |          (strpos('0123456789abcdef',
+        |             md5(CAST(r AS VARCHAR) || ':' || v)[3]) - 1) * 16 +
+        |          (strpos('0123456789abcdef',
+        |             md5(CAST(r AS VARCHAR) || ':' || v)[4]) - 1)) % 512 AS p,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM ev CROSS JOIN rws GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT CAST(UNNEST(generate_series(1, 20)) AS VARCHAR) AS v),
+        |pp AS (
+        |  SELECT probes.v, rws.r,
+        |         ((strpos('0123456789abcdef',
+        |             md5(CAST(rws.r AS VARCHAR) || ':' || probes.v)[1]) - 1) * 4096 +
+        |          (strpos('0123456789abcdef',
+        |             md5(CAST(rws.r AS VARCHAR) || ':' || probes.v)[2]) - 1) * 256 +
+        |          (strpos('0123456789abcdef',
+        |             md5(CAST(rws.r AS VARCHAR) || ':' || probes.v)[3]) - 1) * 16 +
+        |          (strpos('0123456789abcdef',
+        |             md5(CAST(rws.r AS VARCHAR) || ':' || probes.v)[4]) - 1)) % 512 AS p
+        |  FROM probes CROSS JOIN rws)
+        |SELECT pp.v, CAST(MIN(COALESCE(cell.c, 0)) AS BIGINT) AS est_count
+        |FROM pp LEFT JOIN cell ON cell.r = pp.r AND cell.p = pp.p
+        |GROUP BY 1
+        |""".stripMargin,
 
     "bpe_pairs" ->
       """WITH p AS (

@@ -10,6 +10,82 @@ class CurationSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("chunkDocuments: windows, overlap, partial tail, short docs") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 words
+      (2L, "a b c")                                   // shorter than a chunk
+    ).toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(docs, "text", "doc_id",
+      chunkWords = 4, overlap = 1)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->
+        (r.getAs[Long]("start_word"), r.getAs[Long]("n_words"),
+          r.getAs[String]("chunk_text"))).toMap
+    // stride 3: starts 0,3,6,9
+    assert(out((1L, 0L)) == ((0L, 4L, "w1 w2 w3 w4")))
+    assert(out((1L, 1L)) == ((3L, 4L, "w4 w5 w6 w7")))
+    assert(out((1L, 2L)) == ((6L, 4L, "w7 w8 w9 w10")))
+    assert(out((1L, 3L)) == ((9L, 1L, "w10"))) // partial tail kept
+    assert(!out.contains((1L, 4L)))
+    // a short doc is its own single chunk
+    assert(out((2L, 0L)) == ((0L, 3L, "a b c")))
+    assert(!out.contains((2L, 1L)))
+    // no overlap: back-to-back windows cover every word exactly once
+    val flat = Curation.chunkDocuments(docs, "text", "doc_id", 4, 0)
+      .filter(col("doc_id") === 1L).orderBy(col("chunk_id"))
+      .select(col("chunk_text")).as[String].collect()
+    assert(flat.mkString(" ") == (1 to 10).map(i => s"w$i").mkString(" "))
+    intercept[IllegalArgumentException](
+      Curation.chunkDocuments(docs, "text", "doc_id", 4, overlap = 4))
+  }
+
+  test("cm sketch never undercounts and is partitioning-invariant") {
+    import org.apache.spark.sql.graft.CmSketch
+    val vals = (1L to 50L).flatMap(i => Seq.fill(i.toInt % 7 + 1)(s"k$i"))
+    val exact = vals.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    def sketch(parts: Int): Array[Long] =
+      vals.toDF("v").repartition(parts)
+        .agg(Curation.cmSketch(col("v"), d = 4, w = 512)).head
+        .getSeq[Long](0).toArray
+    val m1 = sketch(1)
+    val m32 = sketch(32)
+    // elementwise-sum merge: the matrix is bit-identical under ANY
+    // partitioning — what makes the DuckDB oracle possible
+    assert(m1.toSeq == m32.toSeq)
+    // the CM guarantee: estimates never undercount
+    exact.foreach { case (k, n) =>
+      assert(CmSketch.estimate(m1, 4, 512, k) >= n, k)
+    }
+    // absent keys can only over-report via collisions, never invent
+    // more than the heaviest cell
+    assert(CmSketch.estimate(m1, 4, 512, "absent-key") <= m1.max)
+    // cmEstimates wraps the same arithmetic
+    val est = Curation.cmEstimates(vals.toDF("v"), "v", Seq("k7", "nope"),
+      d = 4, w = 512).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("k7") >= exact("k7"))
+  }
+
+  test("importanceWeights upweights docs made of target-heavy tokens") {
+    // target rows use a disjoint vocabulary from the rest
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma alpha beta"),
+      (2L, "en", "alpha alpha beta gamma gamma"),
+      (3L, "xx", "zeta eta theta zeta eta"),
+      (4L, "xx", "alpha beta gamma zeta eta") // mixed
+    ).toDF("doc_id", "lang", "text")
+    val out = Curation.importanceWeights(docs, "text", "doc_id",
+      col("lang") === "en", nBuckets = 256)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("importance_mean")).toMap
+    // pure-target-vocabulary docs outrank the disjoint-vocabulary doc,
+    // with the mixed doc in between
+    assert(out(1L) > out(4L), out.toString)
+    assert(out(4L) > out(3L), out.toString)
+    // n_tokens is the doc's own token count
+    val row = Curation.importanceWeights(docs, "text", "doc_id",
+      col("lang") === "en").filter(col("doc_id") === 1L).head
+    assert(row.getAs[Long]("n_tokens") == 5L)
+  }
+
   test("redactPii counts and scrubs emails, phones, IPv4s") {
     val df = Seq(
       (1L, "mail bob.smith+x@mail.example.org or 49-123-456-7890 at 10.0.255.3"),

@@ -304,6 +304,28 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("chunkDocuments is a narrow map-only pass — zero shuffles") {
+    val docsDf = (1L to 20L).map(i =>
+      (i, (1 to 50).map(j => s"w$j").mkString(" "))).toDF("doc_id", "text")
+    val plan = explainOf(graft.operators.Curation.chunkDocuments(
+      docsDf, "text", "doc_id", chunkWords = 10, overlap = 2))
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("importanceWeights broadcasts the bucket ratio table") {
+    val docsDf = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) "en" else "xx",
+        (1 to 20).map(j => s"w${(i + j) % 30}").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val plan = explainOf(graft.operators.Curation.importanceWeights(
+      docsDf, "text", "doc_id", col("lang") === "en"))
+    // the nBuckets-row ratio side broadcasts; the doc sum is a hash
+    // aggregate (map-side partial), never a sort-based fallback
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("duplicateSpans prunes via LEFT SEMI join — never a pair join") {
     val docsDf = (1L to 20L).map(i =>
       (i, (1 to 15).map(j => s"w${i}_$j").mkString(" "))).toDF("doc_id", "text")

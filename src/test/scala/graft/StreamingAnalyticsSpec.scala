@@ -151,6 +151,29 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(rows == Map("a" -> 3L, "b" -> 1L)) // exact below k
   }
 
+  test("count-min sketch aggregates across streaming micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val stream = MemoryStream[String]
+    // the O(d·w) matrix is the streaming state; elementwise-sum merge
+    // means batch boundaries can never change the final sketch
+    val agg = stream.toDF().toDF("v")
+      .agg(graft.operators.Curation.cmSketch(col("v"), d = 2, w = 64).as("m"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("cm_stream").start()
+    stream.addData("x", "y", "x")
+    q.processAllAvailable()
+    stream.addData("x", "z")
+    q.processAllAvailable()
+    val m = spark.table("cm_stream").head.getSeq[Long](0).toArray
+    q.stop()
+    val batch = Seq("x", "y", "x", "x", "z").toDF("v")
+      .agg(graft.operators.Curation.cmSketch(col("v"), d = 2, w = 64))
+      .head.getSeq[Long](0).toArray
+    assert(m.toSeq == batch.toSeq) // stream ≡ batch, bit for bit
+    assert(org.apache.spark.sql.graft.CmSketch.estimate(m, 2, 64, "x") >= 3L)
+  }
+
   test("flatMapGroupsWithState sessionization: gap closes a session in-stream") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[SessionEvent]
