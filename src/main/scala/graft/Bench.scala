@@ -44,11 +44,11 @@ object Bench {
     // Reference bench-harness shape (SURVEY.md Q10: concurrent point
     // lookups, 5 workers — cmd/balboa/cmds/bench.go): build the dual
     // store once from this SF's observations, then hammer point queries.
-    val (buildSec, qps, wideQps, cachedQps, mergeSec) =
+    val (buildSec, qps, wideQps, cachedQps, mergeSec, tcpQps) =
       try benchPointLookups(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] point-lookups failed: ${e.getMessage}")
-        (-1.0, -1.0, -1.0, -1.0, -1.0)
+        (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0)
       }
     val decodeRate =
       try benchDecodeRate(spark, sfDir)
@@ -60,7 +60,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir","store_build_sec":$buildSec,"point_lookup_qps":$qps,"point_lookup_qps_16w":$wideQps,"point_lookup_qps_cached":$cachedQps,"merge_batch_sec":$mergeSec,"decode_rows_per_sec":$decodeRate}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir","store_build_sec":$buildSec,"point_lookup_qps":$qps,"point_lookup_qps_16w":$wideQps,"point_lookup_qps_cached":$cachedQps,"merge_batch_sec":$mergeSec,"decode_rows_per_sec":$decodeRate,"tcp_query_qps":$tcpQps}""")
     spark.stop()
   }
 
@@ -98,7 +98,7 @@ object Bench {
     * skipping notwithstanding). Both numbers are reported to keep that
     * trade-off visible. */
   private def benchPointLookups(spark: SparkSession,
-      sfDir: String): (Double, Double, Double, Double, Double) = {
+      sfDir: String): (Double, Double, Double, Double, Double, Double) = {
     val dir = java.nio.file.Files.createTempDirectory("graft-bench-store").toString
     val t0 = System.nanoTime()
     operators.ObservationStore.writeDual(
@@ -143,6 +143,51 @@ object Bench {
         (cold, wide, cached)
       } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
 
+    // The same 200-query workload through the NATIVE TCP protocol
+    // (serve.BalboaTcpServer) over real sockets — full msgpack encode/
+    // decode both directions plus a fresh connection per query: the
+    // number a live balboa frontend would see using graft as a drop-in
+    // backend.
+    val tcpQps = {
+      val srv = new serve.BalboaTcpServer(store)
+      srv.start()
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try {
+          val n = 200
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+          val t1 = System.nanoTime()
+          try {
+            val tasks = (1 to n).map { i =>
+              pool.submit(new Runnable {
+                def run(): Unit = {
+                  val sock = new java.net.Socket("localhost", srv.boundPort)
+                  try {
+                    sock.getOutputStream.write(
+                      serve.BalboaTcp.encodeQueryRequest(
+                        serve.BalboaTcp.QueryRequest(None, Some(i.toString),
+                          None, None, 1000)))
+                    sock.getOutputStream.flush()
+                    val rd = new serve.BalboaTcp.MsgReader(
+                      new java.io.DataInputStream(
+                        new java.io.BufferedInputStream(sock.getInputStream)))
+                    var done = false
+                    while (!done) {
+                      val (t, _) = rd.readTyped()
+                      if (t == serve.BalboaTcp.TypeQueryStreamEndResponse ||
+                        t == serve.BalboaTcp.TypeErrorResponse) done = true
+                    }
+                  } finally sock.close()
+                }
+              })
+            }
+            tasks.foreach(_.get())
+          } finally pool.shutdown()
+          n / ((System.nanoTime() - t1) / 1e9)
+        } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      } finally srv.stop()
+    }
+
     // incremental maintenance: merge a ~10% batch, touched-buckets only
     val batch = Graft.observations(spark, sfDir)
       .filter(org.apache.spark.sql.functions.col("rdata").cast("long") % 10 === 0)
@@ -152,6 +197,6 @@ object Bench {
     val t2 = System.nanoTime()
     operators.ObservationStore.mergeBatch(spark, dir, batch)
     val mergeSec = (System.nanoTime() - t2) / 1e9
-    (buildSec, coldQps, wideQps, cachedQps, mergeSec)
+    (buildSec, coldQps, wideQps, cachedQps, mergeSec, tcpQps)
   }
 }

@@ -166,7 +166,7 @@ object Retrieval {
     }
   }
 
-  private def writeIndexMeta(spark: SparkSession, path: String,
+  private[operators] def writeIndexMeta(spark: SparkSession, path: String,
       epoch: Long): Unit = {
     val (f, p) = ObservationStore.fs(spark, s"$path/_graft_meta.json")
     val out = f.create(p, true)

@@ -390,6 +390,54 @@ object Similarity {
     assign(centroids).select(col("id"), col("cluster"), col("cos_sim"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): duplicate MEANINGS, not
+    * duplicate bytes — k-means partitions the embedding space
+    * ([[kmeans]], exact-integer spherical Lloyd), exact pairwise cosine
+    * runs ONLY within each cluster (the cluster id is the blocking key:
+    * candidate generation is an equi-join, never an all-pairs product),
+    * and every pair at or above `threshold` marks one member dropped.
+    *
+    * Drop rule, the paper's keep-the-rim policy made deterministic: in
+    * each above-threshold pair drop the member whose cosine TO ITS
+    * CENTROID is higher (the redundant cluster core goes, the diverse
+    * rim stays); centroid-cosine ties drop the higher id. A document
+    * survives iff no pair drops it. All cosines are exact-integer
+    * dot / sqrt·sqrt — bit-stable across engines, so even the threshold
+    * boundary is oracle-exact.
+    *
+    * Scale: within-cluster pair cost is Σ|cluster|² — pick k so clusters
+    * average the paper's working size (k ≈ n / a-few-hundred; the
+    * assignment pass is narrow and the pair join shuffles once on the
+    * cluster key). Output: (id, cluster, centroid_cos, is_kept 0/1). */
+  def semanticDedup(embeddings: DataFrame, idCol: String, embCol: String,
+      k: Int, iters: Int, dim: Int, threshold: Double): DataFrame = {
+    val assigned = kmeans(embeddings, idCol, embCol, k, iters, dim)
+    // the SAME 1e3 scaling kmeans uses, so pair cosines live in the
+    // same exact-integer grid as the centroid cosines
+    val sv = embeddings.select(col(idCol).cast("long").as("id"),
+      transform(col(embCol), x => round(x * 1000.0, 0)).as("v"))
+    val base = assigned.join(sv, "id")
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .select(col("id"), col("cluster"), col("cos_sim"), col("v"), col("norm"))
+    val pairs = base.as("a").join(base.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"),
+        col("a.cos_sim").as("ca"), col("b.cos_sim").as("cb"),
+        (dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
+          .as("pc"))
+      .filter(col("pc") >= threshold)
+    val drops = pairs.select(
+        when(col("ca") > col("cb"), col("ia"))
+          .when(col("ca") < col("cb"), col("ib"))
+          .otherwise(greatest(col("ia"), col("ib"))).as("drop_id"))
+      .distinct()
+    base.join(drops, col("id") === col("drop_id"), "left")
+      .select(col("id"), col("cluster"),
+        col("cos_sim").as("centroid_cos"),
+        col("drop_id").isNull.cast("long").as("is_kept"))
+  }
+
   // ------------------------------------------------ product quantization
 
   /** `pq_encode(v)` as a Column (codebooks ride the plan as one
@@ -463,6 +511,12 @@ object Similarity {
   def writeIvfPqIndex(embeddings: DataFrame, idCol: String, embCol: String,
       centroidIds: Seq[Long], path: String, m: Int = 4, ks: Int = 8,
       iters: Int = 1, dim: Int = 64): Unit = {
+    // a rebuild is a writer: resolve committed staging and clear
+    // leftovers, or a stale committed merge could replay over the
+    // rebuilt index (the writeIndex/writeDual rule)
+    if (ObservationStore.pathExists(embeddings.sparkSession, path))
+      recoverIvfPqMerge(embeddings.sparkSession, path,
+        deleteUncommitted = true)
     val cb = pqCodebooks(embeddings, idCol, embCol, m, ks, iters, dim)
     val scaledDf = embeddings.select(col(idCol).cast("long").as("id"),
       scaled(col(embCol)).as("v"))
@@ -484,6 +538,145 @@ object Similarity {
       yield (j, c.toLong, d, cb(j)(c)(d)))
       .toDF("j", "code", "d", "cval")
       .write.mode("overwrite").parquet(s"$path/codebooks")
+    // a rebuild of an existing index advances the generation, never resets
+    Retrieval.writeIndexMeta(spark, path,
+      Retrieval.readIndexEpoch(spark, path).getOrElse(0L) + 1L)
+  }
+
+  /** Incrementally merge NEW vectors into a persisted IVF-PQ index —
+    * the FAISS add-after-train lifecycle (train once, add forever): the
+    * batch is assigned with the STORED centroids and encoded with the
+    * STORED codebooks (no retraining), and only the touched cluster
+    * directories are rewritten — existing rows unioned back + new rows,
+    * staged under `_staging_<gen>`, committed by a manifest listing the
+    * staged cluster dirs, applied by idempotent renames, recovered on
+    * open. The `ObservationStore.mergeBatch` / `Retrieval.mergeIndex`
+    * machinery, so EVERY persisted index in the engine shares one
+    * crash-atomicity story: either the generation advances with all its
+    * clusters or the index is untouched. Batch ids must be new (the
+    * append-only contract, as everywhere). Cost scales with the batch's
+    * cluster spread, never the index. */
+  def mergeIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, embCol: String): Unit = {
+    recoverIvfPqMerge(spark, path, deleteUncommitted = true)
+    val staging = stageIvfPqMerge(spark, path, batch, idCol, embCol)
+    applyStagedIvfPqMerge(spark, path, staging)
+  }
+
+  private def loadCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Array[Double]]] = {
+    val cbRows = spark.read.parquet(s"$path/codebooks").collect()
+    val m = cbRows.map(_.getAs[Int]("j")).max + 1
+    val ks = cbRows.map(_.getAs[Long]("code")).max.toInt + 1
+    val dsub = cbRows.map(_.getAs[Int]("d")).max + 1
+    val cb = Array.ofDim[Double](m, ks, dsub)
+    cbRows.foreach(r => cb(r.getAs[Int]("j"))(r.getAs[Long]("code").toInt)(
+      r.getAs[Int]("d")) = r.getAs[Double]("cval"))
+    cb
+  }
+
+  private[graft] def stageIvfPqMerge(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String,
+      embCol: String): String = {
+    require(!batch.isEmpty, "mergeIvfPqIndex: batch is empty")
+    val cb = loadCodebooks(spark, path)
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val targetGen = Retrieval.readIndexEpoch(spark, path).getOrElse(0L) + 1L
+    val staging = s"$path/_staging_$targetGen"
+    val (f, sp) = ObservationStore.fs(spark, staging)
+    if (f.exists(sp)) f.delete(sp, true)
+    // assignment: the SAME broadcast-argmax as writeIvfPqIndex, against
+    // the persisted centroid vectors — bit-identical cluster choice
+    val withCodes = batch
+      .select(col(idCol).cast("long").as("id"), scaled(col(embCol)).as("v"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("c_cos", cosine(col("v"), col("c_v")))
+      .groupBy(col("id"), col("v"))
+      .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id")))
+        .as("cluster"))
+      .withColumn("codes", pqEncode(col("v"), cb))
+      .select(col("id"), col("codes"), col("v"), col("cluster"))
+      .localCheckpoint(false) // feeds touched-cluster collect + the write
+    val touched = withCodes.select("cluster").distinct()
+      .collect().map(_.getLong(0))
+    spark.read.parquet(s"$path/vectors")
+      .filter(col("cluster").isin(touched: _*))
+      .select(withCodes.columns.map(col): _*)
+      .unionAll(withCodes)
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$staging/vectors")
+    val stagedClusters = f.listStatus(
+        new org.apache.hadoop.fs.Path(s"$staging/vectors"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cluster="))
+      .map(_.getPath.getName).sorted.mkString(",")
+    val (mf, mp) = ObservationStore.fs(spark, s"$staging/_manifest.json")
+    val out = mf.create(mp, true)
+    try out.write(
+      (s"""{"target_epoch":$targetGen,""" +
+        s""""staged_vectors":"$stagedClusters"}""").getBytes("UTF-8"))
+    finally out.close()
+    staging
+  }
+
+  private[graft] def applyStagedIvfPqMerge(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      staging: String): Unit = {
+    val manifest = {
+      val (f, p) = ObservationStore.fs(spark, s"$staging/_manifest.json")
+      val in = f.open(p)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val targetGen = """"target_epoch"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(manifest)
+      .getOrElse(throw new IllegalStateException(
+        s"staged ivfpq manifest missing target_epoch: $manifest"))
+      .group(1).toLong
+    val listed = """"staged_vectors"\s*:\s*"([^"]*)"""".r
+      .findFirstMatchIn(manifest)
+      .getOrElse(throw new IllegalStateException(
+        s"staged ivfpq manifest missing staged_vectors: $manifest"))
+      .group(1).split(",").toSeq.filter(_.nonEmpty)
+    val (f, _) = ObservationStore.fs(spark, staging)
+    listed.foreach { name =>
+      val src = new org.apache.hadoop.fs.Path(s"$staging/vectors/$name")
+      val dest = new org.apache.hadoop.fs.Path(s"$path/vectors/$name")
+      if (f.exists(src)) {
+        if (f.exists(dest)) f.delete(dest, true)
+        if (!f.rename(src, dest) && !(f.exists(dest) && !f.exists(src)))
+          throw new java.io.IOException(s"rename $src -> $dest failed")
+      } else if (!f.exists(dest)) {
+        throw new java.io.IOException(
+          s"staged ivfpq merge corrupt: $name missing from both $staging " +
+            s"and $path — refusing to commit generation $targetGen")
+      }
+    }
+    if (Retrieval.readIndexEpoch(spark, path).getOrElse(0L) < targetGen)
+      Retrieval.writeIndexMeta(spark, path, targetGen)
+    f.delete(new org.apache.hadoop.fs.Path(staging), true)
+    ()
+  }
+
+  /** The [[Retrieval.recoverIndexMerge]] contract for the IVF-PQ index:
+    * committed staging replays, manifest-less staging is only ever
+    * discarded by a writer. */
+  def recoverIvfPqMerge(spark: org.apache.spark.sql.SparkSession,
+      path: String, deleteUncommitted: Boolean = false): Unit = {
+    val (f, p) = ObservationStore.fs(spark, path)
+    if (!f.exists(p)) return
+    f.listStatus(p).filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith("_staging_")).foreach { s =>
+      val staging = s.getPath
+      if (f.exists(new org.apache.hadoop.fs.Path(staging, "_manifest.json"))) {
+        try applyStagedIvfPqMerge(spark, path, staging.toString)
+        catch { case _: IllegalStateException =>
+          if (deleteUncommitted) { f.delete(staging, true); () }
+        }
+      } else if (deleteUncommitted) {
+        f.delete(staging, true)
+        ()
+      }
+    }
   }
 
   /** Top-k through a persisted IVF-PQ index: centroids are collected
@@ -500,6 +693,9 @@ object Similarity {
       queryEmbedding: Seq[Float], queryId: Long, k: Int, nprobe: Int,
       rerank: Int): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    // finish any committed-but-unapplied merge (reader-safe: never
+    // deletes a live writer's staging)
+    recoverIvfPqMerge(spark, path)
     import spark.implicits._
     val qv: Array[Double] = Seq(queryEmbedding).toDF("e")
       .select(scaled(col("e"))).head.getSeq[Double](0).toArray
@@ -517,13 +713,8 @@ object Similarity {
       .take(nprobe).map(_._1.toInt)
     // codebooks are m·ks·dsub rows — collect and build the query's ADC
     // distance table driver-side (exact integer L2, the pqTopK shape)
-    val cbRows = spark.read.parquet(s"$path/codebooks").collect()
-    val m = cbRows.map(_.getAs[Int]("j")).max + 1
-    val ks = cbRows.map(_.getAs[Long]("code")).max.toInt + 1
-    val dsub = cbRows.map(_.getAs[Int]("d")).max + 1
-    val cb = Array.ofDim[Double](m, ks, dsub)
-    cbRows.foreach(r => cb(r.getAs[Int]("j"))(r.getAs[Long]("code").toInt)(
-      r.getAs[Int]("d")) = r.getAs[Double]("cval"))
+    val cb = loadCodebooks(spark, path)
+    val (m, ks, dsub) = (cb.length, cb(0).length, cb(0)(0).length)
     val dt = (for { j <- 0 until m; c <- 0 until ks } yield {
       var acc = 0L
       var d = 0

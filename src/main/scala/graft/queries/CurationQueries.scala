@@ -189,6 +189,13 @@ object CurationQueries {
         iters = 2, dim = 64)
         .withColumnRenamed("id", "vec_id")),
 
+    // SemDeDup: k-means blocking + within-cluster exact cosine ≥ 0.4;
+    // drop the pair member closer to its centroid (keep the rim).
+    "sem_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(embs(s, dir), "vec_id", "embedding",
+          k = 8, iters = 2, dim = 64, threshold = 0.4)
+        .withColumnRenamed("id", "vec_id")),
+
     // Top-3 TF-IDF keywords per document (exact rational tf·N/df score).
     "tfidf_keywords" -> ((s, dir) =>
       Curation.tfidfKeywords(docs(s, dir), "text", "doc_id", k = 3)
@@ -691,6 +698,41 @@ object CurationQueries {
          |           ORDER BY ${kCos("s.v", "c.cv")} DESC, c.cl ASC) AS rk
          |  FROM s CROSS JOIN c2 c) t
          |WHERE rk = 1
+         |""".stripMargin,
+
+    // kmeans CTEs shared with kmeans_clusters, then the within-cluster
+    // pair join, the keep-the-rim drop rule, and the survivor flag
+    "sem_dedup" ->
+      s"""WITH s AS (
+         |  SELECT vec_id AS id,
+         |         list_transform(embedding,
+         |           x -> round(CAST(x AS DOUBLE) * 1000, 0)) AS v
+         |  FROM embeddings),
+         |c0 AS (SELECT id AS cl, v AS cv FROM s WHERE id < 8),
+         |${kmeansRound("a1", "c0", "u1", "c1")},
+         |${kmeansRound("a2", "c1", "u2", "c2")},
+         |af AS (
+         |  SELECT id, v, cl, ${kCos("t.v", "t.cv")} AS cc
+         |  FROM (
+         |    SELECT s.id, s.v, c.cl, c.cv,
+         |           ROW_NUMBER() OVER (
+         |             PARTITION BY s.id
+         |             ORDER BY ${kCos("s.v", "c.cv")} DESC, c.cl ASC) AS rk
+         |    FROM s CROSS JOIN c2 c) t
+         |  WHERE rk = 1),
+         |pairs AS (
+         |  SELECT a.id AS ia, b.id AS ib, a.cc AS ca, b.cc AS cb
+         |  FROM af a JOIN af b ON a.cl = b.cl AND a.id < b.id
+         |  WHERE ${kCos("a.v", "b.v")} >= 0.4),
+         |drops AS (
+         |  SELECT DISTINCT CASE WHEN ca > cb THEN ia
+         |                       WHEN ca < cb THEN ib
+         |                       ELSE greatest(ia, ib) END AS did
+         |  FROM pairs)
+         |SELECT af.id AS vec_id, af.cl AS cluster, af.cc AS centroid_cos,
+         |       CAST(CASE WHEN did IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         |         AS is_kept
+         |FROM af LEFT JOIN drops ON af.id = did
          |""".stripMargin,
 
     "tfidf_keywords" ->

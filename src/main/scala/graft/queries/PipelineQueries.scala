@@ -226,6 +226,23 @@ object PipelineQueries {
           expr("n_common * 1000 div n_exact").as("recall_permille"))
     }),
 
+    // Incremental IVF-PQ maintenance (the FAISS add-after-train
+    // lifecycle): index the first half, merge the second half in with
+    // the STORED centroids/codebooks (no retrain), query — the oracle
+    // mirrors the asymmetric train-on-half pipeline exactly.
+    "ann_ivfpq_delta" -> ((s, dir) => {
+      val tmp = util.scratchDir("ivfpqdelta", dir)
+      val e = embs(s, dir)
+      Similarity.writeIvfPqIndex(e.filter(col("vec_id") < 250), "vec_id",
+        "embedding", 0L to 7L, tmp, m = 4, ks = 8, iters = 1, dim = 64)
+      Similarity.mergeIvfPqIndex(s, tmp, e.filter(col("vec_id") >= 250),
+        "vec_id", "embedding")
+      val q = e.filter(col("vec_id") === 5)
+        .select(col("embedding")).head.getSeq[Float](0)
+      Similarity.ivfPqTopK(s, tmp, q, queryId = 5L, k = 10, nprobe = 2,
+        rerank = 20)
+    }),
+
     // Per-document quality metrics.
     "text_quality" -> ((s, dir) =>
       docs(s, dir).select(
@@ -507,7 +524,7 @@ object PipelineQueries {
     * encode, query-5 ADC distance table) WITHOUT the leading WITH or the
     * final top-k — reusable by both the standalone PQ oracles and the
     * composed IVF-PQ oracle. */
-  private val pqCoreCtes: String = {
+  private def pqCoreCtes(trainCond: String = "TRUE"): String = {
     val l2sub = l2Sql("sub.vs", "c.cv", 16)
     s"""sub AS (
        |  SELECT id, jj.j AS j,
@@ -519,7 +536,7 @@ object PipelineQueries {
        |    SELECT sub.id, sub.j, sub.vs, c.code,
        |           ROW_NUMBER() OVER (PARTITION BY sub.id, sub.j
        |             ORDER BY $l2sub ASC, c.code ASC) AS rk
-       |    FROM sub JOIN cb0 c ON c.j = sub.j) t
+       |    FROM sub JOIN cb0 c ON c.j = sub.j WHERE $trainCond) t
        |  WHERE rk = 1),
        |u1 AS (
        |  SELECT j, code, dd.d AS d,
@@ -545,7 +562,7 @@ object PipelineQueries {
 
   private val pqPipelineCtes: String =
     s"""WITH $scaledCte,
-       |$pqCoreCtes,
+       |${pqCoreCtes()},
        |pq AS (
        |  SELECT enc.id, CAST(SUM(dt.d2) AS BIGINT) AS adc_dist
        |  FROM enc JOIN dt ON dt.j = enc.j AND dt.code = enc.code
@@ -589,10 +606,10 @@ object PipelineQueries {
     * PQ core's ADC candidates, then the exact-cosine re-rank — a full
     * mirror of Similarity.writeIvfPqIndex/ivfPqTopK. `ipq` = the final
     * top-10 (id, adc_dist, cos_sim). */
-  private val ivfPqOracleCtes: String =
+  private def ivfPqOracleCtes(trainCond: String = "TRUE"): String =
     s"""WITH $scaledCte,
        |$ivfCoreCtes,
-       |$pqCoreCtes,
+       |${pqCoreCtes(trainCond)},
        |cand AS (
        |  SELECT enc.id, CAST(SUM(dt.d2) AS BIGINT) AS adc_dist
        |  FROM enc JOIN dt ON dt.j = enc.j AND dt.code = enc.code
@@ -957,13 +974,21 @@ object PipelineQueries {
     // the composed index: partition-pruned probe -> broadcast-ADC scan
     // -> exact re-rank, every stage mirrored
     "ann_ivfpq" ->
-      s"""$ivfPqOracleCtes
+      s"""${ivfPqOracleCtes()}
+         |SELECT id, adc_dist, cos_sim FROM ipq
+         |""".stripMargin,
+
+    // same pipeline with the PQ codebooks trained on the FIRST HALF
+    // only (ids < 250) and everything encoded under them — the stored-
+    // codebook add path of the incremental merge
+    "ann_ivfpq_delta" ->
+      s"""${ivfPqOracleCtes("sub.id < 250")}
          |SELECT id, adc_dist, cos_sim FROM ipq
          |""".stripMargin,
 
     // recall of the composed path vs the exact cosine top-10
     "ivfpq_recall" ->
-      s"""$ivfPqOracleCtes,
+      s"""${ivfPqOracleCtes()},
          |ex AS (
          |  SELECT s.id FROM s CROSS JOIN
          |       (SELECT v AS exv FROM s WHERE id = 5) q2

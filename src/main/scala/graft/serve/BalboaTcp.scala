@@ -452,10 +452,14 @@ final class BalboaTcpServer(store: ObservationStore, port: Int = 0,
     } catch {
       case _: EOFException => // peer hung up mid-message
       case _: java.net.SocketException => // reset/closed
-      case e: IllegalArgumentException =>
-        // protocol error: best-effort error response, then drop the conn
+      case e: Throwable =>
+        // protocol or execution error: best-effort error response (the
+        // reference's ErrorResponse path), then drop the connection —
+        // never kill the server thread silently
         try {
-          out.write(encodeErrorResponse(e.getMessage)); out.flush()
+          out.write(encodeErrorResponse(
+            Option(e.getMessage).getOrElse(e.getClass.getName)))
+          out.flush()
         } catch { case _: Throwable => }
     } finally sock.close()
   }

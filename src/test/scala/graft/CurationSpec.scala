@@ -86,6 +86,31 @@ class CurationSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_tokens") == 5L)
   }
 
+  test("semanticDedup drops the centroid-near member of duplicate pairs") {
+    // seeds 0/1 define two clusters; 2 duplicates 0, 3 duplicates 1
+    val embs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(2f, 0f, 0f, 0f)), // same direction as 0 -> cos 1.0
+      (3L, Array(0f, 2f, 0f, 0f))  // same direction as 1
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(embs, "vec_id", "embedding",
+      k = 2, iters = 1, dim = 4, threshold = 0.99)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Long]("is_kept"))).toMap
+    // both duplicate pairs tie on centroid cosine (cos = 1.0 for all
+    // members) -> the higher id drops
+    assert(out(0L)._2 == 1L && out(2L)._2 == 0L, out.toString)
+    assert(out(1L)._2 == 1L && out(3L)._2 == 0L, out.toString)
+    // cluster blocking: 0/2 share a cluster, 1/3 share the other
+    assert(out(0L)._1 == out(2L)._1)
+    assert(out(1L)._1 == out(3L)._1)
+    assert(out(0L)._1 != out(1L)._1)
+    // rim survival: with a distinct far member present, the core drops
+    // and every cluster keeps at least one member
+    assert(out.values.groupBy(_._1).forall(_._2.exists(_._2 == 1L)))
+  }
+
   test("redactPii counts and scrubs emails, phones, IPv4s") {
     val df = Seq(
       (1L, "mail bob.smith+x@mail.example.org or 49-123-456-7890 at 10.0.255.3"),

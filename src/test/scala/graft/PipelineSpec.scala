@@ -270,4 +270,54 @@ class PipelineSpec extends AnyFunSuite {
       k = 10, rerank = 30).collect().map(_.getAs[Long]("id")).toSet
     assert(base.take(10).count(narrow) >= 8, s"recall too low: $narrow")
   }
+
+  test("staged IVF-PQ merge: crash fully applies or discards; adds use stored codebooks") {
+    import graft.operators.Similarity
+    def vecs(ids: Range) = ids.map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val all = vecs(0 to 40)
+    def freshIndex(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-crash")
+        .toString
+      Similarity.writeIvfPqIndex(vecs(0 to 20), "vec_id", "embedding",
+        0L to 3L, dir, m = 4, ks = 4, iters = 1, dim = 16)
+      dir
+    }
+    val q = all.filter(col("vec_id") === 5)
+      .select(col("embedding")).head.getSeq[Float](0)
+    def top(path: String): Seq[Seq[Any]] =
+      Similarity.ivfPqTopK(spark, path, q, queryId = 5L, k = 5,
+        nprobe = 2, rerank = 10).collect().map(_.toSeq).toSeq
+
+    // control: uninterrupted merge (write gen 1, merge gen 2)
+    val control = freshIndex()
+    Similarity.mergeIvfPqIndex(spark, control, vecs(21 to 40),
+      "vec_id", "embedding")
+    val expected = top(control)
+    assert(graft.operators.Retrieval.readIndexEpoch(spark, control)
+      .contains(2L))
+    // merged rows are queryable (ids > 20 can appear; at minimum the
+    // index now holds all 41 vectors — count via the vectors table)
+    assert(spark.read.parquet(s"$control/vectors").count() == 41L)
+
+    // crash AFTER the manifest: a plain reader replays the whole swap
+    val post = freshIndex()
+    Similarity.stageIvfPqMerge(spark, post, vecs(21 to 40),
+      "vec_id", "embedding")
+    assert(new java.io.File(s"$post/_staging_2/_manifest.json").exists())
+    assert(top(post) == expected) // ivfPqTopK recovers, then queries
+    assert(!new java.io.File(s"$post/_staging_2").exists())
+
+    // manifest-less staging: readers leave it; the next merge cleans it
+    val pre = freshIndex()
+    assert(new java.io.File(s"$pre/_staging_2/vectors/cluster=0").mkdirs())
+    top(pre) // reader-safe recovery
+    assert(new java.io.File(s"$pre/_staging_2").exists())
+    Similarity.mergeIvfPqIndex(spark, pre, vecs(21 to 40),
+      "vec_id", "embedding")
+    assert(top(pre) == expected)
+    assert(!new java.io.File(s"$pre/_staging_2").exists())
+  }
 }

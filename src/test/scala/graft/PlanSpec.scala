@@ -304,6 +304,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("semanticDedup pair generation is cluster-blocked — equi-join only") {
+    val vecs = (0L to 40L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val plan = explainOf(graft.operators.Similarity.semanticDedup(
+      vecs, "vec_id", "embedding", k = 4, iters = 1, dim = 16,
+      threshold = 0.9))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("chunkDocuments is a narrow map-only pass — zero shuffles") {
     val docsDf = (1L to 20L).map(i =>
       (i, (1 to 50).map(j => s"w$j").mkString(" "))).toDF("doc_id", "text")
