@@ -369,10 +369,17 @@ object Dedup {
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true)
       else df.localCheckpoint(true)
+    // reliable mode must cover the REUSED INPUTS too: localCheckpoint
+    // truncates lineage down to executor blocks, so a lost executor
+    // holding an edges block would still kill the job even with the
+    // per-round labels durably checkpointed
+    def cutLazy(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(false)
+      else df.localCheckpoint(false)
     // The pair join is the expensive input and is referenced THREE times
     // (sizing count + both union branches): materialize it exactly once
     // before anything else touches it.
-    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(false)
+    val p = cutLazy(pairs.select(col("id_a"), col("id_b")))
     // per-round shuffle width sized to the PAIR GRAPH, not the session
     // default: duplicate-pair graphs are orders of magnitude smaller than
     // the corpus, and a driver-side iteration over a tiny graph at 32
@@ -384,9 +391,10 @@ object Dedup {
       p.count() * 2 / 500000L + 1L)).toInt
     // cheap to rebuild from the materialized pairs, checkpointed so the
     // per-round joins don't re-shuffle it
-    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(p.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .repartition(parts, col("dst")).localCheckpoint(false)
+    val edges = cutLazy(
+      p.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionAll(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .repartition(parts, col("dst")))
     // propagation runs over edge-CONNECTED nodes only — isolated ids (the
     // overwhelming majority of a mostly-unique corpus) are their own
     // component by definition and join back in at the end, so per-round

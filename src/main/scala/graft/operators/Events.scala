@@ -192,15 +192,19 @@ object Events {
     val f = funnel(events, userCol, tsCol, typeCol, stages)
     def us(c: Column): Column = unix_micros(c.cast("timestamp_ltz"))
     val aggs: Seq[Column] = stages.indices.flatMap { i =>
+      // coalesce: sum() over ZERO users is NULL, but the contract is
+      // exact integers with -1 sentinels — an empty event stream must
+      // yield entered=converted=0, rate -1, like the oracle's COUNT
       val entered =
         if (i == 0) count(lit(1))
-        else sum(col(s"t${i - 1}").isNotNull.cast("long"))
+        else coalesce(sum(col(s"t${i - 1}").isNotNull.cast("long")), lit(0L))
       val medianDelta =
         if (i == 0) lit(null).cast("long")
         else round(percentile(us(col(s"t$i")) - us(col(s"t${i - 1}")),
           lit(0.5)) * 100).cast("long")
       Seq(entered.as(s"entered_$i"),
-        sum(col(s"t$i").isNotNull.cast("long")).as(s"converted_$i"),
+        coalesce(sum(col(s"t$i").isNotNull.cast("long")), lit(0L))
+          .as(s"converted_$i"),
         medianDelta.as(s"med_$i"))
     }
     val one = f.agg(aggs.head, aggs.tail: _*)

@@ -44,7 +44,11 @@ object Graphs {
     * `checkpoint` to that directory (HDFS/object store on a real
     * cluster) — each round pays a durable write, and the job survives
     * executor loss; the right setting for long iterative jobs at cluster
-    * scale. */
+    * scale. CAVEATS of Some(dir): `setCheckpointDir` is SESSION-GLOBAL
+    * (later checkpointing jobs in the same session inherit it), and
+    * Spark does not delete reliable checkpoint files by default — clean
+    * the directory after the job, or run with
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`. */
   def pageRank(edges0: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, dampPct: Int = 85,
       scale: Long = 1000000000L,

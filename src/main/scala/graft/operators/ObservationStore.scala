@@ -7,6 +7,24 @@ import org.apache.spark.sql.functions._
 import graft.model.Model
 import graft.functions.Net
 
+/** JVM-wide per-path lock serializing staged-merge apply/recover across
+  * the store, BM25 and IVF-PQ indexes: recovery runs on the DRIVER
+  * (every load/query/merge entry point), so within one driver concurrent
+  * recoverers of the same path are serialized. Without it, two readers
+  * self-healing the same committed staging could interleave — B's
+  * delete(dest) landing on the bucket A just renamed in, then B's rename
+  * failing with the staging already consumed: the bucket would be lost
+  * from BOTH places. Cross-driver concurrency remains the documented
+  * single-writer contract (renames are atomic per-filesystem; the lock
+  * closes the delete+rename window within the process that actually
+  * does recovery). */
+private[operators] object RecoveryLock {
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  def withLock[T](path: String)(f: => T): T =
+    locks.computeIfAbsent(path, _ => new Object).synchronized(f)
+}
+
 /** The balboa storage/aggregation/query surface, Spark-first.
   *
   * The reference keeps ONE aggregated fact table in TWO sort orders
@@ -286,7 +304,7 @@ object ObservationStore {
     * live copies (idempotent — a staged dir disappears exactly when its
     * rename lands), bump the epoch once, drop the staging dir. */
   private[graft] def applyStagedMerge(spark: SparkSession, path: String,
-      staging: String): Unit = {
+      staging: String): Unit = RecoveryLock.withLock(path) {
     val manifest = {
       val (f, p) = fs(spark, s"$staging/_manifest.json")
       val in = f.open(p)
@@ -353,7 +371,7 @@ object ObservationStore {
     * bucket-list verification above turns that into a loud failure, but
     * the reader must not cause it). Safe to call any time. */
   def recoverMerge(spark: SparkSession, path: String,
-      deleteUncommitted: Boolean = false): Unit = {
+      deleteUncommitted: Boolean = false): Unit = RecoveryLock.withLock(path) {
     val (f, p) = fs(spark, path)
     if (!f.exists(p)) return
     f.listStatus(p).filter(s =>

@@ -270,7 +270,7 @@ object Retrieval {
     * a staged piece disappears exactly when its rename lands), bump the
     * generation once, drop the staging dir. */
   private[graft] def applyStagedIndexMerge(spark: SparkSession, path: String,
-      staging: String): Unit = {
+      staging: String): Unit = RecoveryLock.withLock(path) {
     val manifest = {
       val (f, p) = ObservationStore.fs(spark, s"$staging/_manifest.json")
       val in = f.open(p)
@@ -343,7 +343,8 @@ object Retrieval {
     * discard it; readers ([[indexTopK]]) leave it alone (the
     * `ObservationStore.recoverMerge` single-writer contract). */
   def recoverIndexMerge(spark: SparkSession, path: String,
-      deleteUncommitted: Boolean = false): Unit = {
+      deleteUncommitted: Boolean = false): Unit =
+    RecoveryLock.withLock(path) {
     val (f, p) = ObservationStore.fs(spark, path)
     if (!f.exists(p)) return
     f.listStatus(p).filter(s =>

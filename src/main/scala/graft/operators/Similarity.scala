@@ -149,7 +149,7 @@ object Similarity {
         (cid, dotL(qv, cv) / (math.sqrt(dotL(qv, qv)) * math.sqrt(dotL(cv, cv))))
       }
       .sortBy { case (cid, cos) => (-cos, cid) }
-      .take(nprobe).map(_._1.toInt)
+      .take(nprobe).map(_._1)
     val qvCol = array(qv.map(lit(_)).toSeq: _*)
     spark.read.parquet(s"$path/vectors")
       .filter(col("cluster").isin(probe: _*) && col("id") =!= queryId)
@@ -621,7 +621,7 @@ object Similarity {
 
   private[graft] def applyStagedIvfPqMerge(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      staging: String): Unit = {
+      staging: String): Unit = RecoveryLock.withLock(path) {
     val manifest = {
       val (f, p) = ObservationStore.fs(spark, s"$staging/_manifest.json")
       val in = f.open(p)
@@ -661,7 +661,8 @@ object Similarity {
     * committed staging replays, manifest-less staging is only ever
     * discarded by a writer. */
   def recoverIvfPqMerge(spark: org.apache.spark.sql.SparkSession,
-      path: String, deleteUncommitted: Boolean = false): Unit = {
+      path: String, deleteUncommitted: Boolean = false): Unit =
+    RecoveryLock.withLock(path) {
     val (f, p) = ObservationStore.fs(spark, path)
     if (!f.exists(p)) return
     f.listStatus(p).filter(s =>
@@ -710,7 +711,7 @@ object Similarity {
         (cid, dotL(qv, cv) / (math.sqrt(dotL(qv, qv)) * math.sqrt(dotL(cv, cv))))
       }
       .sortBy { case (cid, cos) => (-cos, cid) }
-      .take(nprobe).map(_._1.toInt)
+      .take(nprobe).map(_._1)
     // codebooks are m·ks·dsub rows — collect and build the query's ADC
     // distance table driver-side (exact integer L2, the pqTopK shape)
     val cb = loadCodebooks(spark, path)

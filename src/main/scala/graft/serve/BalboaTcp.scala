@@ -365,6 +365,11 @@ final class BalboaTcpServer(store: ObservationStore, port: Int = 0,
   private val pool = java.util.concurrent.Executors.newCachedThreadPool()
   @volatile private var running = false
   private val inputCount = new java.util.concurrent.atomic.AtomicLong(0)
+  // live accepted connections: stop() must close them too — pool
+  // interrupts do NOT unblock java.net socket reads, so an idle
+  // long-lived connection would otherwise pin its handler thread forever
+  private val conns =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
 
   def boundPort: Int = server.getLocalPort
 
@@ -377,10 +382,16 @@ final class BalboaTcpServer(store: ObservationStore, port: Int = 0,
       while (running) {
         try {
           val sock = server.accept()
-          pool.execute(() => serve(sock))
+          conns.add(sock)
+          pool.execute(() => try serve(sock) finally { conns.remove(sock); () })
         } catch {
-          case _: java.net.SocketException if !running => // closed in stop()
-          case _: Throwable if !running =>
+          case _: Throwable if !running => // closed in stop(): exit loop
+          case e: Throwable =>
+            // transient accept/submit failure (fd exhaustion, pool race):
+            // log, back off briefly, keep accepting — a dead acceptor
+            // with a live-looking server is the worst failure mode
+            System.err.println(s"[balboa-tcp] accept failed: ${e.getMessage}")
+            try Thread.sleep(50) catch { case _: InterruptedException => }
         }
       }
     })
@@ -389,6 +400,8 @@ final class BalboaTcpServer(store: ObservationStore, port: Int = 0,
   def stop(): Unit = {
     running = false
     server.close()
+    conns.forEach(s => try s.close() catch { case _: Throwable => })
+    conns.clear()
     pool.shutdownNow()
     ()
   }

@@ -60,14 +60,19 @@ object Graphql {
   def execute(query: String, variables: Option[JsonNode],
       store: ObservationStore): Either[String, String] =
     substituteVariables(query, variables).flatMap(applyDirectives)
-      .flatMap(expandFragments)
-      .flatMap(doc => parseDocument(doc) match {
-        // every root field @skip'd away is a legal document with an empty
-        // response, not a parse error
-        case Left("empty selection set") if query.contains('@') =>
+      .flatMap { doc =>
+        // every ROOT field @skip'd away leaves a literally empty root
+        // selection — a legal document with an empty response. Checked
+        // structurally (not by catching the parse error: a NESTED
+        // selection emptied by @skip shares the error message, and
+        // masking that would silently drop un-skipped sibling roots).
+        val s0 = doc.indexOf('{')
+        val e0 = if (s0 >= 0) matchDelim(doc, s0, '{', '}') else -1
+        if (query.contains('@') && e0 > s0 &&
+          doc.substring(s0 + 1, e0).trim.isEmpty)
           Right(Seq.empty[(String, GqlQuery)])
-        case other => other
-      }).flatMap {
+        else expandFragments(doc).flatMap(parseDocument)
+      }.flatMap {
       case Seq() => Right("""{"data":{}}""")
       case fields =>
         if (fields.exists(_._2 == IntrospectionQuery))

@@ -91,18 +91,11 @@ case class CmSketch(child: Expression, d: Int, w: Int,
 }
 
 object CmSketch {
-  private val md5 = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
   /** Row-r bucket of value `v`: first 4 hex digits (= top 2 bytes) of
     * md5("r:v") mod w — matches the SQL strpos-hex parse digit for
     * digit (the [[KmvDistinct.hash60]] / bloom convention). */
   def pos(r: Int, v: String, w: Int): Int = {
-    val md = md5.get()
-    md.reset()
-    val dg = md.digest(s"$r:$v".getBytes("UTF-8"))
+    val dg = Md5Local.get().digest(s"$r:$v".getBytes("UTF-8"))
     (((dg(0) & 0xff) << 8) | (dg(1) & 0xff)) % w
   }
 

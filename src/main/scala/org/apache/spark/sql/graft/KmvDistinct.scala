@@ -96,21 +96,28 @@ case class KmvDistinct(child: Expression, k: Int,
     copy(child = newChild)
 }
 
-object KmvDistinct {
-  // one digest instance per thread, reused across rows (the MinHashSig
-  // convention): getInstance("MD5") per row is an allocation + provider
-  // lookup on the aggregation hot path
-  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+/** One digest instance per thread, reused across rows (the MinHashSig
+  * convention): `getInstance("MD5")` per row is an allocation + provider
+  * lookup on an aggregation hot path. Shared by every custom-aggregate
+  * hash ([[KmvDistinct]], [[CmSketch]]). */
+private[graft] object Md5Local {
+  private val tl = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
+  /** The calling thread's digest, reset and ready. */
+  def get(): java.security.MessageDigest = {
+    val md = tl.get()
+    md.reset()
+    md
+  }
+}
 
+object KmvDistinct {
   /** First 15 hex digits of md5(v) as an integer (= top 60 bits of the
     * digest) — matches the SQL-side strpos-chain parse digit for digit. */
   def hash60(v: UTF8String): Long = {
-    val md = md5.get()
-    md.reset()
-    val d = md.digest(v.getBytes)
+    val d = Md5Local.get().digest(v.getBytes)
     var acc = 0L
     var i = 0
     while (i < 7) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }

@@ -165,5 +165,16 @@ class EventsSpec extends AnyFunSuite {
     assert(out(1L) == (("click", 2L, 2L, 1000L, 2000000000L)))
     // one of two clickers purchased, 10s after the click
     assert(out(2L) == (("purchase", 2L, 1L, 500L, 1000000000L)))
+
+    // EMPTY event stream: exact zeros and -1 sentinels, never NULLs
+    val empty = graft.operators.Events.funnelRates(
+      events.filter(col("user_id") < 0L), "user_id", "t", "event_type",
+      Seq("view", "click"))
+      .collect().map(r => r.getAs[Long]("stage_idx") ->
+        (r.getAs[Long]("entered"), r.getAs[Long]("converted"),
+          r.getAs[Long]("conv_per_mille"),
+          r.getAs[Long]("median_from_prev_cents"))).toMap
+    assert(empty(0L) == ((0L, 0L, -1L, -1L)))
+    assert(empty(1L) == ((0L, 0L, -1L, -1L)))
   }
 }

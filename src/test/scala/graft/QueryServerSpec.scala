@@ -348,6 +348,14 @@ class QueryServerSpec extends AnyFunSuite {
       .statusCode() == 400)
     assert(post("/graphql",
       """query { entries(rrname: "foo") { rrname @skip } }""").statusCode() == 400)
+    // a NESTED selection emptied by @skip is an error for that field —
+    // it must never mask un-skipped sibling roots into empty data
+    val r6 = post("/graphql",
+      """query {
+        |  stats { total_count }
+        |  entries(rrname: "foo") { count @skip(if: true) }
+        |}""".stripMargin)
+    assert(r6.statusCode() == 400, r6.body())
   }
 
   test("graphql string args: escaped quotes keep full value fidelity") {
