@@ -285,9 +285,8 @@ object ObservationStore {
       // single create call — a partial manifest fails to parse and counts
       // as "not committed".
       val stagedLists = Copies.map { case (sub, _, _) =>
-        val names = f.listStatus(new org.apache.hadoop.fs.Path(s"$staging/$sub"))
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
-          .map(_.getPath.getName).sorted.mkString(",")
+        val names = StagedCommit.stagedPartDirs(spark, s"$staging/$sub",
+          "bucket=").mkString(",")
         s""""staged_$sub":"$names""""
       }.mkString(",")
       val (mf, mp) = fs(spark, s"$staging/_manifest.json")
@@ -304,60 +303,26 @@ object ObservationStore {
     * live copies (idempotent — a staged dir disappears exactly when its
     * rename lands), bump the epoch once, drop the staging dir. */
   private[graft] def applyStagedMerge(spark: SparkSession, path: String,
-      staging: String): Unit = RecoveryLock.withLock(path) {
-    val manifest = {
-      val (f, p) = fs(spark, s"$staging/_manifest.json")
-      val in = f.open(p)
-      try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    }
-    def field(name: String): Long =
-      (""""""" + name + """"\s*:\s*(\d+)""").r.findFirstMatchIn(manifest)
-        .getOrElse(throw new IllegalStateException(
-          s"staged merge manifest missing $name: $manifest"))
-        .group(1).toLong
+      staging: String): Unit = {
+    val manifest = StagedCommit.readManifest(spark, staging)
     val (targetEpoch, buckets, layout) =
-      (field("target_epoch"), field("num_buckets"), field("layout"))
-    def listField(name: String): Option[Seq[String]] =
-      (""""""" + name + """"\s*:\s*"([^"]*)"""").r.findFirstMatchIn(manifest)
-        .map(_.group(1).split(",").toSeq.filter(_.nonEmpty))
-    val (f, _) = fs(spark, staging)
-    Copies.foreach { case (sub, _, _) =>
-      val subPath = new org.apache.hadoop.fs.Path(s"$staging/$sub")
-      // the manifest's staged-bucket list is authoritative: every listed
-      // bucket must exist either in staging (swap it now) or at the
-      // destination (a replay already swapped it). Neither → the staged
-      // data was lost (e.g. deleted out from under an in-flight merge) —
-      // fail loudly rather than commit a half-applied epoch. Pre-list
-      // manifests (older writers) fall back to enumerating staging.
-      val names: Seq[String] = listField(s"staged_$sub").getOrElse {
-        if (f.exists(subPath))
-          f.listStatus(subPath).filter(s =>
-            s.isDirectory && s.getPath.getName.startsWith("bucket="))
-            .map(_.getPath.getName).toSeq
-        else Seq.empty
-      }
-      names.foreach { name =>
-        val src = new org.apache.hadoop.fs.Path(s"$staging/$sub/$name")
-        val dest = new org.apache.hadoop.fs.Path(s"$path/$sub/$name")
-        if (f.exists(src)) {
-          if (f.exists(dest)) f.delete(dest, true)
-          if (!f.rename(src, dest) && !(f.exists(dest) && !f.exists(src)))
-            // a concurrent recoverer may win the rename between our
-            // exists-checks — dest present + src gone is success, not error
-            throw new java.io.IOException(s"rename $src -> $dest failed")
-        } else if (!f.exists(dest)) {
-          throw new java.io.IOException(
-            s"staged merge corrupt: $name missing from both $staging/$sub " +
-              s"and $path/$sub — refusing to commit epoch $targetEpoch")
-        }
-      }
+      (StagedCommit.numField(manifest, "target_epoch"),
+        StagedCommit.numField(manifest, "num_buckets"),
+        StagedCommit.numField(manifest, "layout"))
+    // the manifest's staged-bucket list is authoritative: a listed
+    // bucket present in NEITHER staging nor the destination means the
+    // staged data was lost — StagedCommit fails loudly rather than
+    // commit a half-applied epoch. Pre-list manifests (older writers)
+    // fall back to enumerating staging.
+    val pieces = Copies.flatMap { case (sub, _, _) =>
+      StagedCommit.listField(manifest, s"staged_$sub")
+        .getOrElse(
+          StagedCommit.stagedPartDirs(spark, s"$staging/$sub", "bucket="))
+        .map(name => s"$sub/$name")
     }
-    // epoch commits LAST, and only once — recovery after a crash between
-    // the swap and this write re-enters here with the same target
-    if (readEpoch(spark, path).getOrElse(0L) < targetEpoch)
-      writeMeta(spark, path, buckets.toInt, targetEpoch, layout)
-    f.delete(new org.apache.hadoop.fs.Path(staging), true)
-    ()
+    StagedCommit.applyPieces(spark, path, staging, pieces, targetEpoch,
+      () => readEpoch(spark, path),
+      gen => writeMeta(spark, path, buckets.toInt, gen, layout))
   }
 
   /** Resolve any interrupted [[mergeBatch]]: a staging dir WITH a manifest
@@ -371,25 +336,9 @@ object ObservationStore {
     * bucket-list verification above turns that into a loud failure, but
     * the reader must not cause it). Safe to call any time. */
   def recoverMerge(spark: SparkSession, path: String,
-      deleteUncommitted: Boolean = false): Unit = RecoveryLock.withLock(path) {
-    val (f, p) = fs(spark, path)
-    if (!f.exists(p)) return
-    f.listStatus(p).filter(s =>
-      s.isDirectory && s.getPath.getName.startsWith("_staging_")).foreach { s =>
-      val staging = s.getPath
-      if (f.exists(new org.apache.hadoop.fs.Path(staging, "_manifest.json"))) {
-        try applyStagedMerge(spark, path, staging.toString)
-        catch { case _: IllegalStateException =>
-          // unparsable manifest = the commit never completed (or a reader
-          // caught a writer mid-manifest-write: writer-only deletion again)
-          if (deleteUncommitted) { f.delete(staging, true); () }
-        }
-      } else if (deleteUncommitted) {
-        f.delete(staging, true)
-        ()
-      }
-    }
-  }
+      deleteUncommitted: Boolean = false): Unit =
+    StagedCommit.recover(spark, path, deleteUncommitted)(
+      staging => applyStagedMerge(spark, path, staging))
 
   /** Load a dual store. Bucket pruning uses the count recorded in the
     * store's metadata; without metadata (pre-meta store) no bucket

@@ -251,10 +251,8 @@ object Retrieval {
     // tell "already swapped" from "staged data lost" (the latter must
     // fail loudly, not skip — a skip would commit postings without their
     // matching df). A partial manifest fails to parse = not committed.
-    val stagedBuckets = f.listStatus(
-        new org.apache.hadoop.fs.Path(s"$staging/postings"))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("term_bucket="))
-      .map(_.getPath.getName).sorted.mkString(",")
+    val stagedBuckets = StagedCommit.stagedPartDirs(spark,
+      s"$staging/postings", "term_bucket=").mkString(",")
     val (mf, mp) = ObservationStore.fs(spark, s"$staging/_manifest.json")
     val out = mf.create(mp, true)
     try out.write(
@@ -270,46 +268,18 @@ object Retrieval {
     * a staged piece disappears exactly when its rename lands), bump the
     * generation once, drop the staging dir. */
   private[graft] def applyStagedIndexMerge(spark: SparkSession, path: String,
-      staging: String): Unit = RecoveryLock.withLock(path) {
-    val manifest = {
-      val (f, p) = ObservationStore.fs(spark, s"$staging/_manifest.json")
-      val in = f.open(p)
-      try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    }
-    def strField(name: String): String =
-      (""""""" + name + """"\s*:\s*"([^"]*)"""").r.findFirstMatchIn(manifest)
+      staging: String): Unit = {
+    val manifest = StagedCommit.readManifest(spark, staging)
+    val targetGen = StagedCommit.numField(manifest, "target_epoch")
+    def req(name: String): Seq[String] =
+      StagedCommit.listField(manifest, name)
         .getOrElse(throw new IllegalStateException(
-          s"staged index manifest missing $name: $manifest")).group(1)
-    val targetGen = """"target_epoch"\s*:\s*(\d+)""".r
-      .findFirstMatchIn(manifest)
-      .getOrElse(throw new IllegalStateException(
-        s"staged index manifest missing target_epoch: $manifest"))
-      .group(1).toLong
-    val (f, _) = ObservationStore.fs(spark, staging)
-    def swap(rel: String): Unit = {
-      val src = new org.apache.hadoop.fs.Path(s"$staging/$rel")
-      val dest = new org.apache.hadoop.fs.Path(s"$path/$rel")
-      if (f.exists(src)) {
-        if (f.exists(dest)) f.delete(dest, true)
-        if (!f.rename(src, dest) && !(f.exists(dest) && !f.exists(src)))
-          // a concurrent recoverer may win the rename between our
-          // exists-checks — dest present + src gone is success
-          throw new java.io.IOException(s"rename $src -> $dest failed")
-      } else if (!f.exists(dest)) {
-        throw new java.io.IOException(
-          s"staged index merge corrupt: $rel missing from both $staging " +
-            s"and $path — refusing to commit generation $targetGen")
-      }
-    }
-    strField("staged_postings").split(",").filter(_.nonEmpty)
-      .foreach(b => swap(s"postings/$b"))
-    strField("staged_tables").split(",").filter(_.nonEmpty).foreach(swap)
-    // generation commits LAST, and only once — recovery after a crash
-    // between the swaps and this write re-enters here with the same target
-    if (readIndexEpoch(spark, path).getOrElse(0L) < targetGen)
-      writeIndexMeta(spark, path, targetGen)
-    f.delete(new org.apache.hadoop.fs.Path(staging), true)
-    ()
+          s"staged index manifest missing $name: $manifest"))
+    val pieces = req("staged_postings").map(b => s"postings/$b") ++
+      req("staged_tables")
+    StagedCommit.applyPieces(spark, path, staging, pieces, targetGen,
+      () => readIndexEpoch(spark, path),
+      gen => writeIndexMeta(spark, path, gen))
   }
 
   /** Structured-Streaming maintenance of the persisted index: each
@@ -344,25 +314,8 @@ object Retrieval {
     * `ObservationStore.recoverMerge` single-writer contract). */
   def recoverIndexMerge(spark: SparkSession, path: String,
       deleteUncommitted: Boolean = false): Unit =
-    RecoveryLock.withLock(path) {
-    val (f, p) = ObservationStore.fs(spark, path)
-    if (!f.exists(p)) return
-    f.listStatus(p).filter(s =>
-      s.isDirectory && s.getPath.getName.startsWith("_staging_")).foreach { s =>
-      val staging = s.getPath
-      if (f.exists(new org.apache.hadoop.fs.Path(staging, "_manifest.json"))) {
-        try applyStagedIndexMerge(spark, path, staging.toString)
-        catch { case _: IllegalStateException =>
-          // unparsable manifest = the commit never completed (or a reader
-          // caught a writer mid-manifest-write: writer-only deletion)
-          if (deleteUncommitted) { f.delete(staging, true); () }
-        }
-      } else if (deleteUncommitted) {
-        f.delete(staging, true)
-        ()
-      }
-    }
-  }
+    StagedCommit.recover(spark, path, deleteUncommitted)(
+      staging => applyStagedIndexMerge(spark, path, staging))
 
   /** Reciprocal-rank fusion of ranked candidate lists — the standard
     * hybrid-retrieval combiner (lexical BM25 ∪ vector ANN for RAG-style

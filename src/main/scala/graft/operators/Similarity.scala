@@ -606,10 +606,8 @@ object Similarity {
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$staging/vectors")
-    val stagedClusters = f.listStatus(
-        new org.apache.hadoop.fs.Path(s"$staging/vectors"))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cluster="))
-      .map(_.getPath.getName).sorted.mkString(",")
+    val stagedClusters = StagedCommit.stagedPartDirs(spark,
+      s"$staging/vectors", "cluster=").mkString(",")
     val (mf, mp) = ObservationStore.fs(spark, s"$staging/_manifest.json")
     val out = mf.create(mp, true)
     try out.write(
@@ -621,40 +619,16 @@ object Similarity {
 
   private[graft] def applyStagedIvfPqMerge(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      staging: String): Unit = RecoveryLock.withLock(path) {
-    val manifest = {
-      val (f, p) = ObservationStore.fs(spark, s"$staging/_manifest.json")
-      val in = f.open(p)
-      try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    }
-    val targetGen = """"target_epoch"\s*:\s*(\d+)""".r
-      .findFirstMatchIn(manifest)
-      .getOrElse(throw new IllegalStateException(
-        s"staged ivfpq manifest missing target_epoch: $manifest"))
-      .group(1).toLong
-    val listed = """"staged_vectors"\s*:\s*"([^"]*)"""".r
-      .findFirstMatchIn(manifest)
+      staging: String): Unit = {
+    val manifest = StagedCommit.readManifest(spark, staging)
+    val targetGen = StagedCommit.numField(manifest, "target_epoch")
+    val pieces = StagedCommit.listField(manifest, "staged_vectors")
       .getOrElse(throw new IllegalStateException(
         s"staged ivfpq manifest missing staged_vectors: $manifest"))
-      .group(1).split(",").toSeq.filter(_.nonEmpty)
-    val (f, _) = ObservationStore.fs(spark, staging)
-    listed.foreach { name =>
-      val src = new org.apache.hadoop.fs.Path(s"$staging/vectors/$name")
-      val dest = new org.apache.hadoop.fs.Path(s"$path/vectors/$name")
-      if (f.exists(src)) {
-        if (f.exists(dest)) f.delete(dest, true)
-        if (!f.rename(src, dest) && !(f.exists(dest) && !f.exists(src)))
-          throw new java.io.IOException(s"rename $src -> $dest failed")
-      } else if (!f.exists(dest)) {
-        throw new java.io.IOException(
-          s"staged ivfpq merge corrupt: $name missing from both $staging " +
-            s"and $path — refusing to commit generation $targetGen")
-      }
-    }
-    if (Retrieval.readIndexEpoch(spark, path).getOrElse(0L) < targetGen)
-      Retrieval.writeIndexMeta(spark, path, targetGen)
-    f.delete(new org.apache.hadoop.fs.Path(staging), true)
-    ()
+      .map(name => s"vectors/$name")
+    StagedCommit.applyPieces(spark, path, staging, pieces, targetGen,
+      () => Retrieval.readIndexEpoch(spark, path),
+      gen => Retrieval.writeIndexMeta(spark, path, gen))
   }
 
   /** The [[Retrieval.recoverIndexMerge]] contract for the IVF-PQ index:
@@ -662,23 +636,8 @@ object Similarity {
     * discarded by a writer. */
   def recoverIvfPqMerge(spark: org.apache.spark.sql.SparkSession,
       path: String, deleteUncommitted: Boolean = false): Unit =
-    RecoveryLock.withLock(path) {
-    val (f, p) = ObservationStore.fs(spark, path)
-    if (!f.exists(p)) return
-    f.listStatus(p).filter(s =>
-      s.isDirectory && s.getPath.getName.startsWith("_staging_")).foreach { s =>
-      val staging = s.getPath
-      if (f.exists(new org.apache.hadoop.fs.Path(staging, "_manifest.json"))) {
-        try applyStagedIvfPqMerge(spark, path, staging.toString)
-        catch { case _: IllegalStateException =>
-          if (deleteUncommitted) { f.delete(staging, true); () }
-        }
-      } else if (deleteUncommitted) {
-        f.delete(staging, true)
-        ()
-      }
-    }
-  }
+    StagedCommit.recover(spark, path, deleteUncommitted)(
+      staging => applyStagedIvfPqMerge(spark, path, staging))
 
   /** Top-k through a persisted IVF-PQ index: centroids are collected
     * (tiny) and ranked driver-side → `nprobe` cluster directories are the

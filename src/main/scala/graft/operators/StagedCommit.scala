@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** The ONE staged-commit engine shared by every persisted layout (the
+  * dual observation store, the BM25 text index, the IVF-PQ vector
+  * index). Each layout stages its expensive writes under
+  * `_staging_<generation>`, commits by writing a manifest that LISTS
+  * every staged piece, and this object supplies the common second half:
+  *
+  *  - [[applyPieces]]: swap each staged piece into the live tree by an
+  *    idempotent rename (staged present → swap; already applied → skip;
+  *    present in NEITHER place → fail loudly rather than commit a
+  *    generation with pieces missing), bump the generation exactly once,
+  *    drop the staging dir;
+  *  - [[recover]]: resolve interrupted merges on open — a staging dir
+  *    WITH a manifest is committed and replays; one WITHOUT is either a
+  *    crash leftover or a merge a live writer is staging right now, so
+  *    only the writer path (`deleteUncommitted = true`) may discard it.
+  *
+  * Everything runs under [[RecoveryLock]] (recovery always executes on
+  * the driver), closing the delete+rename window between concurrent
+  * recoverers of the same path. Keeping this logic in one place is
+  * load-bearing: a crash-safety fix must reach every index at once, or
+  * the layouts silently diverge in exactly the scenarios this exists
+  * for. */
+private[operators] object StagedCommit {
+
+  def readManifest(spark: SparkSession, staging: String): String = {
+    val (f, p) = ObservationStore.fs(spark, s"$staging/_manifest.json")
+    val in = f.open(p)
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
+  /** Numeric manifest field; an absent field means the manifest write
+    * was torn → IllegalStateException = "not committed". */
+  def numField(manifest: String, name: String): Long =
+    (""""""" + name + """"\s*:\s*(\d+)""").r.findFirstMatchIn(manifest)
+      .getOrElse(throw new IllegalStateException(
+        s"staged manifest missing $name: $manifest"))
+      .group(1).toLong
+
+  /** Comma-separated list field, None when absent (older manifests). */
+  def listField(manifest: String, name: String): Option[Seq[String]] =
+    (""""""" + name + """"\s*:\s*"([^"]*)"""").r.findFirstMatchIn(manifest)
+      .map(_.group(1).split(",").toSeq.filter(_.nonEmpty))
+
+  /** Names of the partition subdirectories actually staged under
+    * `dir` with the given prefix (e.g. "bucket=", "cluster=") — what a
+    * writer records in the manifest as the authoritative piece list. */
+  def stagedPartDirs(spark: SparkSession, dir: String,
+      prefix: String): Seq[String] = {
+    val (f, p) = ObservationStore.fs(spark, dir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).filter(s =>
+        s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map(_.getPath.getName).sorted.toSeq
+  }
+
+  /** Swap `pieces` (paths relative to BOTH the staging dir and the live
+    * root, e.g. "by_rrname/bucket=3", "terms", "vectors/cluster=7")
+    * from `staging` into `path`, then commit `targetGen` once and drop
+    * the staging dir. Idempotent at every step — safe to replay from
+    * any crash point, and tolerant of a concurrent recoverer winning an
+    * individual rename. */
+  def applyPieces(spark: SparkSession, path: String, staging: String,
+      pieces: Seq[String], targetGen: Long,
+      readGen: () => Option[Long], writeGen: Long => Unit): Unit =
+    RecoveryLock.withLock(path) {
+      val (f, _) = ObservationStore.fs(spark, staging)
+      pieces.foreach { rel =>
+        val src = new org.apache.hadoop.fs.Path(s"$staging/$rel")
+        val dest = new org.apache.hadoop.fs.Path(s"$path/$rel")
+        if (f.exists(src)) {
+          if (f.exists(dest)) f.delete(dest, true)
+          if (!f.rename(src, dest) && !(f.exists(dest) && !f.exists(src)))
+            // a concurrent recoverer may win the rename between our
+            // exists-checks — dest present + src gone is success
+            throw new java.io.IOException(s"rename $src -> $dest failed")
+        } else if (!f.exists(dest)) {
+          throw new java.io.IOException(
+            s"staged merge corrupt: $rel missing from both $staging and " +
+              s"$path — refusing to commit generation $targetGen")
+        }
+      }
+      // the generation commits LAST, and only once — recovery after a
+      // crash between the swaps and this write re-enters with the same
+      // target
+      if (readGen().getOrElse(0L) < targetGen) writeGen(targetGen)
+      f.delete(new org.apache.hadoop.fs.Path(staging), true)
+      ()
+    }
+
+  /** Resolve interrupted merges under `path`: committed staging (has a
+    * manifest) replays through `applyFn`; unparsable manifests and
+    * manifest-less staging are discarded ONLY on the writer path —
+    * a reader may be looking at a live writer mid-stage/mid-manifest. */
+  def recover(spark: SparkSession, path: String,
+      deleteUncommitted: Boolean)(applyFn: String => Unit): Unit =
+    RecoveryLock.withLock(path) {
+      val (f, p) = ObservationStore.fs(spark, path)
+      if (!f.exists(p)) return
+      f.listStatus(p).filter(s =>
+        s.isDirectory && s.getPath.getName.startsWith("_staging_"))
+        .foreach { s =>
+          val staging = s.getPath
+          if (f.exists(new org.apache.hadoop.fs.Path(staging,
+            "_manifest.json"))) {
+            try applyFn(staging.toString)
+            catch { case _: IllegalStateException =>
+              if (deleteUncommitted) { f.delete(staging, true); () }
+            }
+          } else if (deleteUncommitted) {
+            f.delete(staging, true)
+            ()
+          }
+        }
+    }
+}
