@@ -78,8 +78,9 @@ object Net {
 
     // hex groups of one side of the '::' (or the whole address); null on
     // any malformed token. A dotted-quad is allowed only as the LAST
-    // token and contributes two groups.
-    def groupsOf(part: String): Array[Int] = {
+    // token of the WHOLE ADDRESS (so never on the left of '::' —
+    // inet_pton rejects "1.2.3.4::") and contributes two groups.
+    def groupsOf(part: String, allowDotted: Boolean): Array[Int] = {
       if (part.isEmpty) return Array.emptyIntArray
       val toks = part.split(":", -1)
       val buf = new Array[Int](toks.length + 1)
@@ -89,7 +90,7 @@ object Net {
         val t = toks(i)
         if (t.isEmpty) return null
         if (t.indexOf('.') >= 0) {
-          if (i != toks.length - 1) return null
+          if (!allowDotted || i != toks.length - 1) return null
           val v4 = ipv4ToLong(UTF8String.fromString(t))
           if (v4 < 0) return null
           buf(n) = ((v4 >> 16) & 0xffff).toInt; n += 1
@@ -116,11 +117,11 @@ object Net {
     }
 
     if (dc < 0) {
-      val g = groupsOf(str)
+      val g = groupsOf(str, allowDotted = true)
       if (g == null || g.length != 8) null else g
     } else {
-      val left = groupsOf(str.substring(0, dc))
-      val right = groupsOf(str.substring(dc + 2))
+      val left = groupsOf(str.substring(0, dc), allowDotted = false)
+      val right = groupsOf(str.substring(dc + 2), allowDotted = true)
       if (left == null || right == null) return null
       // '::' stands for AT LEAST one zero group (inet_pton semantics)
       if (left.length + right.length > 7) return null

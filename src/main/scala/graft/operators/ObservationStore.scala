@@ -78,7 +78,8 @@ object ObservationStore {
     * (buckets ≈ data / target-partition-size); queries prune to 1 bucket,
     * merges rewrite only touched buckets (see [[mergeBatch]]).
     */
-  def writeDual(agg: DataFrame, path: String, numBuckets: Int = 64): Unit = {
+  def writeDual(agg: DataFrame, path: String, numBuckets: Int = 64,
+      batchId: Option[Long] = None): Unit = {
     // a rebuild is a writer: resolve committed staging and clear leftovers
     // first, or a stale committed merge could later replay over the
     // freshly rebuilt copies
@@ -95,7 +96,8 @@ object ObservationStore {
       // a rebuild of an existing store must advance the epoch, never reset
       // it — readers using it for change detection would miss the rebuild
       writeMeta(agg.sparkSession, path, numBuckets,
-        epoch = readEpoch(agg.sparkSession, path).getOrElse(0L) + 1L)
+        epoch = readEpoch(agg.sparkSession, path).getOrElse(0L) + 1L,
+        batchId = batchId)
     } finally { a.unpersist(); () }
   }
 
@@ -136,14 +138,26 @@ object ObservationStore {
     * `rdata_ip6`); merges preserve the store's recorded layout so a
     * store never holds mixed file schemas. */
   private def writeMeta(spark: SparkSession, path: String,
-      numBuckets: Int, epoch: Long, layout: Long = CurrentLayout): Unit = {
+      numBuckets: Int, epoch: Long, layout: Long = CurrentLayout,
+      batchId: Option[Long] = None): Unit = {
+    // the streaming batch-id marker commits ATOMICALLY with the epoch
+    // (one file create) — that is what makes foreachBatch replays
+    // detectable. A meta rewrite without a batch id must not erase a
+    // previously recorded one.
+    val bid = batchId.orElse(readBatchId(spark, path))
+      .map(b => s""","last_batch_id":$b""").getOrElse("")
     val (f, p) = fs(spark, s"$path/_graft_meta.json")
     val out = f.create(p, true)
     try out.write(
-      s"""{"num_buckets":$numBuckets,"epoch":$epoch,"layout":$layout}"""
+      s"""{"num_buckets":$numBuckets,"epoch":$epoch,"layout":$layout$bid}"""
         .getBytes("UTF-8"))
     finally out.close()
   }
+
+  /** Highest streaming batch id already merged (the exactly-once marker
+    * [[mergeBatch]] records when given one; None for batch-only stores). */
+  def readBatchId(spark: SparkSession, path: String): Option[Long] =
+    readMetaField(spark, path, "last_batch_id")
 
   /** Layout 3 = by_rdata carries persisted `rdata_ip` AND `rdata_ip6`. */
   val CurrentLayout = 3L
@@ -221,19 +235,25 @@ object ObservationStore {
     * shrinking but not eliminating the window recovery has to replay.
     */
   def mergeBatch(spark: SparkSession, path: String, batch: DataFrame,
-      numBuckets: Int = 64): Unit = {
+      numBuckets: Int = 64, batchId: Option[Long] = None): Unit = {
     // a crashed previous merge must be resolved BEFORE reading the store:
     // half-swapped buckets would feed wrong inputs to this merge. The
     // WRITER also discards manifest-less (uncommitted) staging — readers
     // never do, because a manifest-less dir may belong to a merge that is
     // still being staged by a live writer.
     recoverMerge(spark, path, deleteUncommitted = true)
+    // EXACTLY-ONCE under foreachBatch replays: when the caller supplies
+    // the streaming batch id and the store has already committed it (the
+    // marker rides the same single meta write as the epoch), the merge is
+    // a replay of committed work — skip it instead of double-counting.
+    if (batchId.exists(bid => readBatchId(spark, path).exists(_ >= bid)))
+      return
     val exists = pathExists(spark, s"$path/by_rrname")
     if (!exists) {
       // first write: nothing on disk to corrupt — plain dual write
-      writeDual(aggregate(batch), path, numBuckets)
+      writeDual(aggregate(batch), path, numBuckets, batchId)
     } else {
-      val staging = stageMerge(spark, path, batch, numBuckets)
+      val staging = stageMerge(spark, path, batch, numBuckets, batchId)
       applyStagedMerge(spark, path, staging)
     }
   }
@@ -242,7 +262,8 @@ object ObservationStore {
     * `<path>/_staging_<targetEpoch>` and commit the manifest. Returns the
     * staging path. Package-visible so crash tests can stop here. */
   private[graft] def stageMerge(spark: SparkSession, path: String,
-      batch: DataFrame, numBuckets: Int): String = {
+      batch: DataFrame, numBuckets: Int,
+      batchId: Option[Long] = None): String = {
     // referenced up to four times below (touched-bucket collect + the
     // union branch, per copy): one materialization, not four
     val newAgg = aggregate(batch).persist()
@@ -289,11 +310,12 @@ object ObservationStore {
           "bucket=").mkString(",")
         s""""staged_$sub":"$names""""
       }.mkString(",")
+      val bid = batchId.map(b => s""","batch_id":$b""").getOrElse("")
       val (mf, mp) = fs(spark, s"$staging/_manifest.json")
       val out = mf.create(mp, true)
       try out.write(
         (s"""{"target_epoch":$targetEpoch,"num_buckets":$effBuckets,""" +
-          s""""layout":$effLayout,$stagedLists}""").getBytes("UTF-8"))
+          s""""layout":$effLayout,$stagedLists$bid}""").getBytes("UTF-8"))
       finally out.close()
       staging
     } finally { newAgg.unpersist(); () }
@@ -320,9 +342,10 @@ object ObservationStore {
           StagedCommit.stagedPartDirs(spark, s"$staging/$sub", "bucket="))
         .map(name => s"$sub/$name")
     }
+    val batchId = StagedCommit.optNumField(manifest, "batch_id")
     StagedCommit.applyPieces(spark, path, staging, pieces, targetEpoch,
       () => readEpoch(spark, path),
-      gen => writeMeta(spark, path, buckets.toInt, gen, layout))
+      gen => writeMeta(spark, path, buckets.toInt, gen, layout, batchId))
   }
 
   /** Resolve any interrupted [[mergeBatch]]: a staging dir WITH a manifest

@@ -167,11 +167,30 @@ object Retrieval {
   }
 
   private[operators] def writeIndexMeta(spark: SparkSession, path: String,
-      epoch: Long): Unit = {
+      epoch: Long, batchId: Option[Long] = None): Unit = {
+    // the batch-id marker commits atomically with the generation; a
+    // rewrite without one preserves what is recorded (the store's
+    // writeMeta contract)
+    val bid = batchId.orElse(readIndexBatchId(spark, path))
+      .map(b => s""","last_batch_id":$b""").getOrElse("")
     val (f, p) = ObservationStore.fs(spark, s"$path/_graft_meta.json")
     val out = f.create(p, true)
-    try out.write(s"""{"epoch":$epoch}""".getBytes("UTF-8"))
+    try out.write(s"""{"epoch":$epoch$bid}""".getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** Highest streaming batch id already merged into the index. */
+  def readIndexBatchId(spark: SparkSession, path: String): Option[Long] = {
+    val (f, p) = ObservationStore.fs(spark, s"$path/_graft_meta.json")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val content =
+        try new String(in.readAllBytes(), "UTF-8")
+        finally in.close()
+      """"last_batch_id"\s*:\s*(\d+)""".r.findFirstMatchIn(content)
+        .map(_.group(1).toLong)
+    }
   }
 
   /** Incrementally merge a batch of NEW documents into a persisted
@@ -199,16 +218,23 @@ object Retrieval {
     * postings can no longer be merged while df/stats stay stale, which
     * would silently mis-score every subsequent query. */
   def mergeIndex(spark: SparkSession, path: String, batch: DataFrame,
-      textCol: String, idCol: String): Unit = {
+      textCol: String, idCol: String,
+      batchId: Option[Long] = None): Unit = {
     recoverIndexMerge(spark, path, deleteUncommitted = true)
-    val staging = stageIndexMerge(spark, path, batch, textCol, idCol)
+    // exactly-once under foreachBatch replays, the mergeBatch contract:
+    // a batch the index already committed (marker rides the generation
+    // write) is skipped, not double-merged
+    if (batchId.exists(bid => readIndexBatchId(spark, path).exists(_ >= bid)))
+      return
+    val staging = stageIndexMerge(spark, path, batch, textCol, idCol, batchId)
     applyStagedIndexMerge(spark, path, staging)
   }
 
   /** Stage merged postings/terms/stats under `_staging_<gen>` and commit
     * the manifest. Package-visible so crash tests can stop here. */
   private[graft] def stageIndexMerge(spark: SparkSession, path: String,
-      batch: DataFrame, textCol: String, idCol: String): String = {
+      batch: DataFrame, textCol: String, idCol: String,
+      batchId: Option[Long] = None): String = {
     require(!batch.isEmpty, "mergeIndex: batch is empty")
     val st = spark.read.parquet(s"$path/stats").head
     val (nDocs, sumDl, nBuckets) =
@@ -253,11 +279,12 @@ object Retrieval {
     // matching df). A partial manifest fails to parse = not committed.
     val stagedBuckets = StagedCommit.stagedPartDirs(spark,
       s"$staging/postings", "term_bucket=").mkString(",")
+    val bid = batchId.map(b => s""","batch_id":$b""").getOrElse("")
     val (mf, mp) = ObservationStore.fs(spark, s"$staging/_manifest.json")
     val out = mf.create(mp, true)
     try out.write(
       (s"""{"target_epoch":$targetGen,""" +
-        s""""staged_postings":"$stagedBuckets","staged_tables":"terms,stats"}""")
+        s""""staged_postings":"$stagedBuckets","staged_tables":"terms,stats"$bid}""")
         .getBytes("UTF-8"))
     finally out.close()
     staging
@@ -277,9 +304,10 @@ object Retrieval {
           s"staged index manifest missing $name: $manifest"))
     val pieces = req("staged_postings").map(b => s"postings/$b") ++
       req("staged_tables")
+    val batchId = StagedCommit.optNumField(manifest, "batch_id")
     StagedCommit.applyPieces(spark, path, staging, pieces, targetGen,
       () => readIndexEpoch(spark, path),
-      gen => writeIndexMeta(spark, path, gen))
+      gen => writeIndexMeta(spark, path, gen, batchId))
   }
 
   /** Structured-Streaming maintenance of the persisted index: each
@@ -298,11 +326,14 @@ object Retrieval {
       nBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (batch.isEmpty) () // empty micro-batch: nothing to merge
-        else if (!ObservationStore.pathExists(spark, s"$path/stats"))
+        else if (!ObservationStore.pathExists(spark, s"$path/stats")) {
           writeIndex(batch, textCol, idCol, path, nBuckets)
-        else mergeIndex(spark, path, batch, textCol, idCol)
+          // record the first batch's id too, so its replay is a no-op
+          writeIndexMeta(spark, path,
+            readIndexEpoch(spark, path).getOrElse(1L), Some(bid))
+        } else mergeIndex(spark, path, batch, textCol, idCol, Some(bid))
       }
       .start()
 

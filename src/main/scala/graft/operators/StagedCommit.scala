@@ -40,6 +40,11 @@ private[operators] object StagedCommit {
         s"staged manifest missing $name: $manifest"))
       .group(1).toLong
 
+  /** Optional numeric field (e.g. the streaming batch-id marker). */
+  def optNumField(manifest: String, name: String): Option[Long] =
+    (""""""" + name + """"\s*:\s*(\d+)""").r.findFirstMatchIn(manifest)
+      .map(_.group(1).toLong)
+
   /** Comma-separated list field, None when absent (older manifests). */
   def listField(manifest: String, name: String): Option[Seq[String]] =
     (""""""" + name + """"\s*:\s*"([^"]*)"""").r.findFirstMatchIn(manifest)

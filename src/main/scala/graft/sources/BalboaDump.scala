@@ -41,7 +41,10 @@ object BalboaDump {
   private final class Reader(bytes: Array[Byte]) {
     private var pos = 0
     def atEnd: Boolean = pos >= bytes.length
-    private def u8(): Int = { val b = bytes(pos) & 0xff; pos += 1; b }
+    private def u8(): Int = {
+      need(1, "msgpack type/value byte")
+      val b = bytes(pos) & 0xff; pos += 1; b
+    }
 
     private def need(n: Int, what: String): Unit =
       if (pos + n > bytes.length)

@@ -80,8 +80,12 @@ object ConfigYaml {
         case other => fail(s"unknown feeder type: $other")
       }
       val options = Map("dir" -> spoolDir) ++
+        // host/port: not in the reference's socket config (it uses a
+        // unix-socket Path), but required by the TCP substitution this
+        // engine maps S3 to — pass them through when present so a
+        // YAML-configured socket feeder can actually start
         Seq("listen_host", "listen_port", "path", "bind_address", "mtu",
-          "url").flatMap(k => f.get(k).map(k -> _.toString)) ++
+          "url", "host", "port").flatMap(k => f.get(k).map(k -> _.toString)) ++
         (if (f.contains("exchange"))
            Seq("exchange" -> strList(f("exchange")).mkString(","))
          else Nil)

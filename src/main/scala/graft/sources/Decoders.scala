@@ -246,9 +246,15 @@ object Decoders {
       // instead of dropping the line
       .withColumn("nsec", when(size(col("epoch")) === 2,
         try_cast_long(element_at(col("epoch"), 2))))
-      .withColumn("ts", timestamp_micros(
-        try_cast_long(element_at(col("epoch"), 1)) * 1000000L +
-          expr("nsec div 1000")))
+      // the seconds magnitude must be bounded BEFORE the ×1e6: a crafted
+      // line with sec ~1e14 passes try_cast but overflows the multiply,
+      // which under ANSI (Spark 4's default) kills the job instead of
+      // dropping the line. Bound = years 0001..9999, the representable
+      // timestamp range.
+      .withColumn("sec", try_cast_long(element_at(col("epoch"), 1)))
+      .withColumn("ts", when(
+        col("sec").between(-62135596800L, 253402300799L),
+        timestamp_micros(col("sec") * 1000000L + expr("nsec div 1000"))))
     val valid = size(col("cols")) === 9 && size(col("epoch")) === 2 &&
       col("ts").isNotNull && try_cast_long(col("cols")(8)).isNotNull
     emitWhen(withCols, valid,

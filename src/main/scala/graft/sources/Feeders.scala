@@ -146,7 +146,15 @@ object Feeders {
             socket.receive(pkt)
             val datagram = java.util.Arrays.copyOfRange(buf, 0, pkt.getLength)
             extract(datagram).foreach(spool(spoolDir, sensorId, _))
-          } catch { case _: java.net.SocketException => () /* closed */ }
+          } catch {
+            case _: java.net.SocketException => () // closed in stop()
+            case e: Throwable if running.get() =>
+              // e.g. spool disk full: drop the datagram and keep
+              // receiving — a dead receiver thread behind a live-looking
+              // feeder loses everything after it, silently
+              System.err.println(
+                s"[udp-feeder] datagram dropped: ${e.getMessage}")
+          }
         }
       }, "graft-udp-feeder")
       thread.setDaemon(true)
@@ -264,13 +272,21 @@ object NmsgContainer {
       }
       v
     }
-    def skip(bytes: Array[Byte], wire: Int): Unit = wire match {
+    // skips are bounded by the ENCLOSING message end, not the whole
+    // buffer: a malformed inner field whose declared length runs past
+    // its submessage (but inside the datagram) must fail the parse, not
+    // desync it into the next payload's bytes
+    def skip(bytes: Array[Byte], wire: Int, limit: Int): Unit = wire match {
       case 0 => varint(bytes): Unit
-      case 1 => i += 8
+      case 1 =>
+        if (i + 8 > limit) throw new RuntimeException("overrun")
+        i += 8
       case 2 => val n = varint(bytes).toInt
-        if (n < 0 || i + n > bytes.length) throw new RuntimeException("overrun")
+        if (n < 0 || i + n > limit) throw new RuntimeException("overrun")
         i += n
-      case 5 => i += 4
+      case 5 =>
+        if (i + 4 > limit) throw new RuntimeException("overrun")
+        i += 4
       case w => throw new RuntimeException(s"unsupported wire type $w")
     }
     try {
@@ -295,10 +311,10 @@ object NmsgContainer {
                 throw new RuntimeException("overrun")
               payload = java.util.Arrays.copyOfRange(body, i, i + plen)
               i += plen
-            } else skip(body, iwire)
+            } else skip(body, iwire, end)
           }
           if (vid == vendorId && payload != null) result += payload
-        } else skip(body, (tag & 7).toInt)
+        } else skip(body, (tag & 7).toInt, body.length)
       }
       result.result()
     } catch { case _: RuntimeException => Seq.empty }
@@ -366,6 +382,15 @@ object FeederConfig {
         if (f.format == "nmsg") Feeders.spoolStreamBinary(spark, f.options("dir"))
         else Feeders.spoolStream(spark, f.options("dir"))
       case Socket =>
+        // the reference's unix-socket feeder maps to the TCP socket
+        // source (SURVEY §2.1 S3): a YAML config carrying only the unix
+        // Path cannot start a TCP stream — say so, instead of a bare
+        // NoSuchElementException at stream-build time
+        require(f.options.contains("port"),
+          s"feeder '${f.name}': the socket feeder is served by Spark's " +
+            "TCP socket source — add 'port' (and optionally 'host') to " +
+            "the feeder options; the unix-socket 'path' alone cannot " +
+            "carry a TCP stream")
         Feeders.socketStream(spark, f.options.getOrElse("host", "localhost"),
           f.options("port").toInt)
     }

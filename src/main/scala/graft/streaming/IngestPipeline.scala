@@ -48,45 +48,56 @@ object IngestPipeline {
 
   /** One micro-batch through selectors and into every sink's store —
     * also the batch/backfill entry point (streaming and bulk replay share
-    * this exact code path, like the reference's replay feature A5). */
+    * this exact code path, like the reference's replay feature A5).
+    *
+    * `batchId` (supplied by [[start]]'s foreachBatch) makes sink merges
+    * EXACTLY-ONCE under micro-batch replays: each store records the
+    * highest batch id it committed — atomically with its epoch — and
+    * [[ObservationStore.mergeBatch]] skips a batch it already holds. A
+    * crash between sink merges replays the batch into ONLY the sinks
+    * that had not committed it; without the id (plain backfill calls) a
+    * re-run re-merges, the documented at-least-once of manual replay. */
   def processBatch(spark: SparkSession, batch: DataFrame,
       selectors: Seq[Selectors.Selector], sinks: Seq[Sink],
-      numBuckets: Int = 64): Unit = {
+      numBuckets: Int = 64, batchId: Option[Long] = None): Unit = {
     val tagged = Selectors.engine(batch, selectors)
     // one pass computes tags; each sink write reuses it
     val materialized = if (sinks.size > 1) tagged.localCheckpoint(true) else tagged
-    sinks.foreach { sink =>
-      val obs = Selectors.routeTo(materialized, sink.tag).select(
-        col("rrname"), col("sensor_id"), col("rrtype"), col("rdata"),
-        col("count"), col("timestamp_start"), col("timestamp_end"))
-      ObservationStore.mergeBatch(spark, sink.path, obs, numBuckets)
+    try {
+      sinks.foreach { sink =>
+        val obs = Selectors.routeTo(materialized, sink.tag).select(
+          col("rrname"), col("sensor_id"), col("rrtype"), col("rdata"),
+          col("count"), col("timestamp_start"), col("timestamp_end"))
+        ObservationStore.mergeBatch(spark, sink.path, obs, numBuckets, batchId)
+      }
+    } finally if (sinks.size > 1) {
+      // release the eager per-batch checkpoint blocks now, not at GC —
+      // a long-lived stream would otherwise accumulate stale batches in
+      // executor storage memory
+      materialized.unpersist()
+      ()
     }
   }
 
   /** Start the streaming ingest: decoded-observation stream → selector
-    * engine → tag-routed incremental store merges. */
+    * engine → tag-routed incremental store merges, exactly-once per sink
+    * (the batch id threads into every store's commit marker). */
   def start(spark: SparkSession, observations: DataFrame,
       selectors: Seq[Selectors.Selector], sinks: Seq[Sink],
       checkpointDir: String, numBuckets: Int = 64): StreamingQuery =
     observations.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(spark, batch, selectors, sinks, numBuckets)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        processBatch(spark, batch, selectors, sinks, numBuckets, Some(bid))
       }
       .start()
 
   /** Pure-streaming unwindowed aggregate (update mode) — the direct
     * streaming translation of the RocksDB merge operator for consumers
     * that want the live aggregate without a disk store. */
-  def streamingAggregate(observations: DataFrame): DataFrame = {
-    val (startCol, endCol) =
-      if (observations.columns.contains("ts")) (col("ts"), col("ts"))
-      else (col("timestamp_start"), col("timestamp_end"))
-    observations
-      .groupBy(Model.Key.map(col): _*)
-      .agg(
-        sum("count").cast("long").as("count"),
-        min(startCol).as("first_seen"),
-        max(endCol).as("last_seen"))
-  }
+  def streamingAggregate(observations: DataFrame): DataFrame =
+    // the store's A1 aggregation works unchanged on a streaming frame
+    // (sum/min/max are order-insensitive) — ONE definition of the merge
+    // semantics, never a drifting copy
+    ObservationStore.aggregate(observations)
 }

@@ -162,9 +162,12 @@ object StreamingAnalytics {
     import graft.operators.Dedup
     val rowsPerBand = numHashes / bands
     // same shape as a persisted index: this argument can equally be
-    // Dedup.loadBandIndex(...) of a precomputed corpus
+    // Dedup.loadBandIndex(...) of a precomputed corpus. PERSISTED: the
+    // static side of a stream-static join re-executes on every
+    // micro-batch unless cached — without this, each trigger re-runs
+    // shingling + MinHash over the whole corpus
     val corpusBands = Dedup.buildBandIndex(corpus, textCol, idCol,
-      numHashes, bands)
+      numHashes, bands).persist()
     val streamBands = stream.select(col(idCol).as("batch_id"),
         Dedup.shingles(col(textCol)).as("sh_b"))
       .withColumn("sig", Dedup.minhashSignature(col("sh_b"), numHashes))

@@ -113,6 +113,8 @@ class StoreSpec extends AnyFunSuite {
     assert(ip6("g::") == null)
     assert(ip6("1.2.3.4") == null) // plain v4 is not v6
     assert(ip6("1:1.2.3.4:5::") == null) // dotted quad only as tail
+    assert(ip6("1.2.3.4::") == null) // ...of the WHOLE address, not of '::''s left
+    assert(ip6("1:1.2.3.4::5") == null)
     assert(ip6(":1:2:3:4:5:6:7") == null) // stray leading ':'
     // bounds
     assert(Net.cidrBounds6("2001:db8::/32") ==

@@ -211,6 +211,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("batch-id marker makes replayed micro-batches exactly-once") {
+    val dir = Files.createTempDirectory("graft-replay").toString
+    val b1 = Seq(obs("a.com", "1.1.1.1", 2, "2020-01-01 00:00:00")).toDF(cols: _*)
+    val b2 = Seq(obs("a.com", "1.1.1.1", 3, "2020-02-01 00:00:00")).toDF(cols: _*)
+    def count(): Long = ObservationStore.load(spark, s"$dir/st")
+      .entries(rrname = Some("a.com")).collect().head.getAs[Long]("count")
+    // first write records batch 0; replaying batch 0 is a no-op
+    ObservationStore.mergeBatch(spark, s"$dir/st", b1, 4, batchId = Some(0L))
+    assert(count() == 2L)
+    ObservationStore.mergeBatch(spark, s"$dir/st", b1, 4, batchId = Some(0L))
+    assert(count() == 2L) // NOT 4: the replay was skipped
+    assert(ObservationStore.readBatchId(spark, s"$dir/st").contains(0L))
+    // the next batch merges; replaying IT is also a no-op
+    ObservationStore.mergeBatch(spark, s"$dir/st", b2, 4, batchId = Some(1L))
+    assert(count() == 5L)
+    ObservationStore.mergeBatch(spark, s"$dir/st", b2, 4, batchId = Some(1L))
+    assert(count() == 5L)
+    assert(ObservationStore.readBatchId(spark, s"$dir/st").contains(1L))
+    // an id-less merge (manual backfill) still merges — at-least-once by
+    // explicit choice, and it must not erase the recorded marker
+    ObservationStore.mergeBatch(spark, s"$dir/st", b1, 4)
+    assert(count() == 7L)
+    assert(ObservationStore.readBatchId(spark, s"$dir/st").contains(1L))
+
+    // the text index honors the same contract
+    import graft.operators.Retrieval
+    val idxDir = Files.createTempDirectory("graft-replay-idx").toString
+    val docs1 = Seq((1L, "join merge")).toDF("doc_id", "text")
+    val docs2 = Seq((2L, "join join")).toDF("doc_id", "text")
+    Retrieval.writeIndex(docs1, "text", "doc_id", idxDir, nBuckets = 4)
+    Retrieval.mergeIndex(spark, idxDir, docs2, "text", "doc_id",
+      batchId = Some(1L))
+    def nDocs(): Long = spark.read.parquet(s"$idxDir/stats")
+      .head.getAs[Long]("n_docs")
+    assert(nDocs() == 2L)
+    Retrieval.mergeIndex(spark, idxDir, docs2, "text", "doc_id",
+      batchId = Some(1L)) // replay
+    assert(nDocs() == 2L) // NOT 3
+  }
+
   test("incremental merge touches only the batch's buckets") {
     val dir = Files.createTempDirectory("graft-merge").toString
     val b1 = Seq(obs("a.com", "1.1.1.1", 1, "2020-01-01 00:00:00")).toDF(cols: _*)
