@@ -85,6 +85,13 @@ object Multimodal {
     * actual frame decode. */
   def sampleFrames(media: Dataset[MediaRecord], chunkBytes: Int,
       stride: Int, maxFrames: Int): DataFrame = {
+    require(chunkBytes > 0, s"chunkBytes must be positive, got $chunkBytes")
+    require(stride > 0, s"stride must be positive, got $stride")
+    require(maxFrames >= 0, s"maxFrames must be >= 0, got $maxFrames")
+    // the step is computed in Long: Int chunkBytes*stride can overflow
+    // to a negative step and silently emit no frames
+    require(chunkBytes.toLong * stride <= Int.MaxValue,
+      s"chunkBytes * stride overflows Int: $chunkBytes * $stride")
     import media.sparkSession.implicits._
     media.flatMap { r =>
       val n = math.min(maxFrames,

@@ -40,7 +40,12 @@ object Selectors {
     def condition(df: DataFrame): Column = {
       // One alternation keeps the whole selector a single codegen'd rlike.
       // (rlike = unanchored contains-match, same as Go regexp.Match.)
-      val matched = col(column).rlike(patterns.mkString("(?:", ")|(?:", ")"))
+      // coalesce: rlike over a NULL column is NULL, and !NULL is still
+      // NULL — a null-field row matched NO pattern, so filter mode must
+      // TAG it, not silently skip the when() branch
+      val matched =
+        coalesce(col(column).rlike(patterns.mkString("(?:", ")|(?:", ")")),
+          lit(false))
       if (filterMode) !matched else matched
     }
   }

@@ -95,7 +95,9 @@ object TextAnalysis {
     * modulus is needed. All per-row compute, shuffle-free. */
   def winnowingFingerprints(textCol: Column, k: Int = 5,
       w: Int = 4): Column = {
-    require(k <= 6, "k > 6 overflows exact double integer arithmetic")
+    require(k >= 1 && k <= 6,
+      s"k in [1, 6] (k > 6 overflows exact double integer arithmetic), got $k")
+    require(w >= 1, s"window w must be >= 1, got $w")
     // native one-pass rolling hash ([[org.apache.spark.sql.graft
     // .WinnowFingerprints]]): the composable transform/aggregate form is
     // identical but re-evaluates a Catalyst subtree per character

@@ -31,6 +31,17 @@ object Tools {
       expr("last_seen DIV 1000000").as("time_last"))
       .toJSON.toDF("value")
 
+  /** [[jsonize]] dispatching on the store's timestamp shape: true
+    * timestamps AND the unix-micros long projections (the memoized
+    * query-surface shape) render to the SAME unix-seconds JSON — the
+    * serving layer never needs to know which shape it was handed (the
+    * `Graphql.unixSeconds` contract, on the NDJSON surface; an unaware
+    * cast would read micros as seconds and report year ~51954). */
+  def jsonizeAuto(agg: DataFrame): DataFrame =
+    if (agg.schema("first_seen").dataType ==
+      org.apache.spark.sql.types.LongType) jsonizeMicros(agg)
+    else jsonize(agg)
+
   def dump(agg: DataFrame, outPath: String): Unit =
     jsonize(agg).write.mode("overwrite").text(outPath)
 
@@ -75,7 +86,10 @@ object Tools {
     val conf = spark.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(storePath)
     val dst = new org.apache.hadoop.fs.Path(backupPath)
-    val fs = src.getFileSystem(conf)
-    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, true, conf)
+    // destination resolves its OWN FileSystem: a backup from hdfs:// to
+    // s3a:// (or local to hdfs) would otherwise fail with "Wrong FS"
+    val srcFs = src.getFileSystem(conf)
+    val dstFs = dst.getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(srcFs, src, dstFs, dst, false, true, conf)
   }
 }

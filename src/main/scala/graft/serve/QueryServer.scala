@@ -38,35 +38,54 @@ final class QueryServer(store: ObservationStore, port: Int = 0) {
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  // kept for stop(): HttpServer.stop does NOT shut down a caller-supplied
+  // executor, and 8 leaked non-daemon threads would pin the JVM
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+  server.setExecutor(pool)
 
   /** Bound port (useful when constructed with port 0). */
   def boundPort: Int = server.getAddress.getPort
 
   def start(): Unit = { register(); server.start() }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown(); () }
+
+  /** ONE limit policy for every HTTP surface: absent → the reference's
+    * default 1000; a parseable value ≥ 1 → itself; anything else → None,
+    * which every endpoint turns into a 400 (a malformed or zero limit is
+    * a client error — not a silent empty 200, not limit(-1)'s 500). */
+  private def parseLimit(raw: Option[String]): Option[Int] = raw match {
+    case None => Some(1000)
+    case Some(s) => s.toIntOption.filter(_ >= 1)
+  }
+
+  private def queryParam(ex: HttpExchange, name: String): Option[String] =
+    Option(ex.getRequestURI.getQuery)
+      .flatMap(_.split("&").collectFirst {
+        case q if q.startsWith(s"$name=") => q.drop(name.length + 1)
+      })
 
   private def register(): Unit = {
     server.createContext("/query", (ex: HttpExchange) => handle(ex) {
-      if (ex.getRequestMethod != "POST") respond(ex, 405, "method not allowed\n")
+      // com.sun HttpServer matches contexts by PREFIX: without this,
+      // /queryanything would be served as /query instead of 404ing
+      if (ex.getRequestURI.getPath != "/query") respond(ex, 404, "not found\n")
+      else if (ex.getRequestMethod != "POST")
+        respond(ex, 405, "method not allowed\n")
       else {
         val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
         val node = mapper.readTree(if (body.isEmpty) "{}" else body)
         def opt(f: String): Option[String] =
           Option(node.get(f)).filterNot(_.isNull).map(_.asText)
         val (rrname, rdata) = (opt("rrname"), opt("rdata"))
-        val limitNode = Option(node.get("limit")).filterNot(_.isNull)
-        val limitParsed = limitNode.flatMap(_.asText.toIntOption)
-          .filter(_ >= 0)
+        val limit = parseLimit(
+          Option(node.get("limit")).filterNot(_.isNull).map(_.asText))
         if (rrname.isEmpty && rdata.isEmpty)
           respond(ex, 400, "one of rrname or rdata is required\n")
-        else if (limitNode.isDefined && limitParsed.isEmpty)
-          // same policy as /pdns: a malformed limit is a client error,
-          // not asInt()'s silent 0 (empty 200) or limit(-1)'s 500
+        else if (limit.isEmpty)
           respond(ex, 400, "invalid limit\n")
         else {
           val df = store.entries(rrname, rdata, opt("rrtype"),
-            opt("sensor_id"), limitParsed.getOrElse(1000))
+            opt("sensor_id"), limit.get)
           streamNdjson(ex, df, notFoundOnEmpty = false)
         }
       }
@@ -75,20 +94,10 @@ final class QueryServer(store: ObservationStore, port: Int = 0) {
     server.createContext("/pdns/query/", (ex: HttpExchange) => handle(ex) {
       val subject = ex.getRequestURI.getPath.stripPrefix("/pdns/query/")
       if (subject.isEmpty) respond(ex, 404, "not found\n")
-      else {
-        val rawLimit = Option(ex.getRequestURI.getQuery)
-          .flatMap(_.split("&").collectFirst {
-            case q if q.startsWith("limit=") => q.drop(6)
-          })
-        rawLimit match {
-          case Some(s) => s.toIntOption.filter(_ > 0) match {
-            case None => respond(ex, 400, "invalid limit\n") // client error, not 500
-            case Some(l) =>
-              streamNdjson(ex, store.restQuery(subject, l), notFoundOnEmpty = true)
-          }
-          case None =>
-            streamNdjson(ex, store.restQuery(subject, 1000), notFoundOnEmpty = true)
-        }
+      else parseLimit(queryParam(ex, "limit")) match {
+        case None => respond(ex, 400, "invalid limit\n")
+        case Some(l) =>
+          streamNdjson(ex, store.restQuery(subject, l), notFoundOnEmpty = true)
       }
     })
 
@@ -98,18 +107,14 @@ final class QueryServer(store: ObservationStore, port: Int = 0) {
     // path segment, so everything after the prefix is the CIDR.
     server.createContext("/pdns/cidr/", (ex: HttpExchange) => handle(ex) {
       val cidr = ex.getRequestURI.getPath.stripPrefix("/pdns/cidr/")
-      val rawLimit = Option(ex.getRequestURI.getQuery)
-        .flatMap(_.split("&").collectFirst {
-          case q if q.startsWith("limit=") => q.drop(6)
-        })
-      val limit = rawLimit.map(_.toIntOption.filter(_ > 0))
+      val limit = parseLimit(queryParam(ex, "limit"))
       if (cidr.isEmpty) respond(ex, 404, "not found\n")
-      else if (limit.contains(None)) respond(ex, 400, "invalid limit\n")
+      else if (limit.isEmpty) respond(ex, 400, "invalid limit\n")
       else {
         // parse errors (bad prefix length, malformed address) are client
         // errors; the filter itself is validated before any Spark work
         val parsed =
-          try Right(store.cidrQuery(cidr, limit.flatten.getOrElse(1000)))
+          try Right(store.cidrQuery(cidr, limit.get))
           catch {
             // NumberFormatException is an IllegalArgumentException (bad
             // prefix digits); MatchError = missing '/'
@@ -124,10 +129,12 @@ final class QueryServer(store: ObservationStore, port: Int = 0) {
     })
 
     server.createContext("/stats", (ex: HttpExchange) => handle(ex) {
-      // num_goroutines: the JVM stand-in for runtime.NumGoroutine()
-      // (`query_graphql.go:307-311`) is the live thread count
-      respond(ex, 200,
-        s"""{"total_count":${store.totalCount()},"num_goroutines":${Thread.activeCount()}}""" + "\n")
+      if (ex.getRequestURI.getPath != "/stats") respond(ex, 404, "not found\n")
+      else
+        // num_goroutines: the JVM stand-in for runtime.NumGoroutine()
+        // (`query_graphql.go:307-311`) is the live thread count
+        respond(ex, 200,
+          s"""{"total_count":${store.totalCount()},"num_goroutines":${Thread.activeCount()}}""" + "\n")
     })
 
     // Q1 — the reference's GraphQL surface (README.md:250-283): the
@@ -136,7 +143,10 @@ final class QueryServer(store: ObservationStore, port: Int = 0) {
     // virtual self-join. Covers the reference's published query shape
     // (one root field, scalar args) without a full GraphQL engine.
     server.createContext("/graphql", (ex: HttpExchange) => handle(ex) {
-      if (ex.getRequestMethod != "POST") respond(ex, 405, "method not allowed\n")
+      if (ex.getRequestURI.getPath != "/graphql")
+        respond(ex, 404, "not found\n")
+      else if (ex.getRequestMethod != "POST")
+        respond(ex, 405, "method not allowed\n")
       else {
         val raw = new String(ex.getRequestBody.readAllBytes(), UTF_8)
         // accept both bare GraphQL and {"query": "...", "variables": {...}}
@@ -190,7 +200,7 @@ final class QueryServer(store: ObservationStore, port: Int = 0) {
     * partition-by-partition with `toLocalIterator`. */
   private def streamNdjson(ex: HttpExchange, df: DataFrame,
       notFoundOnEmpty: Boolean): Unit = {
-    val it = Tools.jsonize(df).toLocalIterator()
+    val it = Tools.jsonizeAuto(df).toLocalIterator()
     if (!it.hasNext && notFoundOnEmpty) { respond(ex, 404, "not found\n"); return }
     ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
     ex.sendResponseHeaders(200, 0) // chunked

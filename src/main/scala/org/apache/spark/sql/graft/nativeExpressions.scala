@@ -330,15 +330,29 @@ case class CosineArgMax(child: Expression, ids: Array[Long],
     StructField("cos_sim", DoubleType, nullable = false)))
   override def prettyName: String = "cosine_argmax"
 
+  // centroid self-norms are constants for the plan's lifetime: computed
+  // ONCE here and shipped as a reference object, instead of k·dim
+  // multiply-adds re-done for every row (which roughly doubles the
+  // assignment loop at k=64 × dim=1024)
+  private lazy val centroidNorms: Array[Double] =
+    centroids.map { c =>
+      var cc = 0.0
+      var j = 0
+      while (j < c.length) { cc += c(j) * c(j); j += 1 }
+      math.sqrt(cc)
+    }
+
   override def nullSafeEval(input: Any): Any =
-    CosineArgMax.compute(input.asInstanceOf[ArrayData], ids, centroids)
+    CosineArgMax.compute(input.asInstanceOf[ArrayData], ids, centroids,
+      centroidNorms)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val idsRef = ctx.addReferenceObj("cids", ids, "long[]")
     val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val nRef = ctx.addReferenceObj("cnorms", centroidNorms, "double[]")
     nullSafeCodeGen(ctx, ev, c => s"""
       ${ev.value} = org.apache.spark.sql.graft.CosineArgMax.compute(
-        $c, $idsRef, $cRef);
+        $c, $idsRef, $cRef, $nRef);
     """)
   }
 
@@ -348,7 +362,7 @@ case class CosineArgMax(child: Expression, ids: Array[Long],
 
 object CosineArgMax {
   def compute(v: ArrayData, ids: Array[Long],
-      centroids: Array[Array[Double]]): InternalRow = {
+      centroids: Array[Array[Double]], norms: Array[Double]): InternalRow = {
     val n = v.numElements()
     var vv = 0.0
     var i = 0
@@ -360,14 +374,11 @@ object CosineArgMax {
     var cidx = 0
     while (cidx < centroids.length) {
       val c = centroids(cidx)
-      var cc = 0.0
-      var j = 0
-      while (j < c.length) { cc += c(j) * c(j); j += 1 }
       val m = math.min(n, c.length)
       var dvc = 0.0
-      j = 0
+      var j = 0
       while (j < m) { dvc += v.getDouble(j) * c(j); j += 1 }
-      val cos = dvc / (normV * math.sqrt(cc))
+      val cos = dvc / (normV * norms(cidx))
       // Spark `greatest` ordering: NaN > any value; ties keep the FIRST
       // (the composable fold resolves ties to the lowest id)
       val better =
@@ -414,6 +425,16 @@ object PqEncodeL2 {
   def compute(v: ArrayData,
       codebooks: Array[Array[Array[Double]]]): ArrayData = {
     val m = codebooks.length
+    // bounds-check BEFORE touching elements: UnsafeArrayData.getDouble
+    // does no bounds checking, so a truncated vector would silently read
+    // adjacent memory and poison the index with garbage codes
+    var required = 0
+    var jj = 0
+    while (jj < m) { required += codebooks(jj)(0).length; jj += 1 }
+    if (v.numElements() < required)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector has ${v.numElements()} dims, " +
+          s"codebooks need $required")
     val out = new Array[Long](m)
     var off = 0
     var j = 0
