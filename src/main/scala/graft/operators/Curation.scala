@@ -358,6 +358,57 @@ object Curation {
         expr("importance_sum div n_tokens"))
   }
 
+  /** Bigram language-model corpus-fit scores — the KenLM-style
+    * perplexity filter re-expressed in exact integers: add-one-smoothed
+    * bigram conditionals `(c(w1,w2)+1)·scale div (c(w1)+V)` are trained
+    * over the corpus itself (c(w1) = full unigram count, V = vocabulary
+    * size) and every document scores the sum over its own bigram
+    * occurrences. High scores = text made of common continuations;
+    * outlier (garbled / off-distribution) documents score low —
+    * the standard LM-based quality signal.
+    *
+    * DOCUMENTED DEVIATION (same rationale as [[importanceWeights]]):
+    * KenLM sums LOG probabilities; libm log is not bit-portable, so this
+    * sums the scaled probabilities themselves — per-bigram monotone,
+    * exact-integer, hash-stable. `lm_mean` (score div n_bigrams) is the
+    * length-normalized filter column. `scale` must satisfy
+    * (max bigram count + 1)·scale < 2⁶³ — at 1e9 that allows ~9.2e9
+    * occurrences of one bigram; lower it for larger corpora.
+    *
+    * Shape: one explode → bigram-count and unigram-count aggregations
+    * (vocabulary-sized); scoring joins occurrences to counts ON THE
+    * BIGRAM KEY — a plain shuffle equi-join that never assumes the
+    * bigram table is broadcastable (at web scale it isn't) — then one
+    * map-side-combined per-document sum. The 1-row vocabulary size
+    * rides a broadcast. Documents with fewer than 2 tokens have no
+    * bigrams and drop out (score undefined, not 0). */
+  def lmScores(df: DataFrame, textCol: String, idCol: String,
+      scale: Long = 1000000000L): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    val toks = split(col(textCol), " ")
+    val pairs = df.select(col(idCol).as("doc_id"),
+        explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+      .localCheckpoint(false) // feeds bigram counts AND the doc sum
+    val uni = df.select(explode(toks).as("word"))
+    val c1 = uni.groupBy(col("word")).agg(count(lit(1)).as("c1"))
+    val vocab = c1.agg(count(lit(1)).as("vsz"))
+    val c2 = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    pairs.join(c2, Seq("w1", "w2"))
+      .join(c1.withColumnRenamed("word", "w1"), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        expr(s"((c2 + 1) * $scale) div (c1 + vsz)").as("p_scaled"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("p_scaled")).cast("long").as("lm_score"))
+      .withColumn("lm_mean", expr("lm_score div n_bigrams"))
+  }
+
   /** K-minimum-values distinct-count SKETCH as an aggregate Column — the
     * O(k)-state companion to [[saltedDistinctCount]]: exact up to k
     * distinct values, the KMV estimator beyond, mergeable across

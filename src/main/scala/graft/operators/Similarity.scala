@@ -213,6 +213,56 @@ object Similarity {
       .limit(k)
   }
 
+  /** One 32-bit sign-bitmap word over dims [lo, hi] (bit i−lo set iff
+    * dimension i is strictly positive, 0-based): folded high-bit-first as
+    * `acc·2 + bit`, so the value is Σ bit(i)·2^(i−lo) — pure integer
+    * arithmetic in codegen'd builtins, no shifts or float pow. Words stay
+    * in [0, 2³²) so the packing is sign-free and mirrors exactly in any
+    * engine with 64-bit integers. */
+  private def signWord(emb: Column, lo: Int, hi: Int): Column =
+    aggregate(sequence(lit(hi), lit(lo), lit(-1)), lit(0L),
+      (acc, i) => acc * 2 + when(element_at(emb, i + 1) > 0, lit(1L))
+        .otherwise(lit(0L)))
+
+  /** Binary-hash ANN (1-bit sign quantization) with exact re-rank: each
+    * vector becomes two 32-bit sign-bitmap words — 64 dims collapse to
+    * 8 bytes, 32× narrower than the float vector — and the candidate scan
+    * ranks ALL vectors by Hamming distance to the query's words (two
+    * XOR + popcounts per row; ascending, ties by id), keeps the top
+    * `rerank`, then re-scores only those with the exact full-precision
+    * cosine. The standard binary-embedding retrieval shape: at 100 TB the
+    * (id, w0, w1) signature table is its own narrow projection, the
+    * Hamming scan reads 8 bytes/vector instead of 256, and the re-rank
+    * fetches `rerank` full vectors. Signs are taken on the RAW floats
+    * (x > 0), not the scaled copy — `round(x·1e5)` would zero tiny
+    * positives and flip their bit. */
+  def hammingTopK(embeddings: DataFrame, idCol: String, embCol: String,
+      queryId: Long, k: Int, rerank: Int, dim: Int = 64): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    require(dim >= 2 && dim <= 64, s"dim in [2, 64], got $dim")
+    val e = col(embCol)
+    val base = embeddings.select(col(idCol).as("id"),
+        scaled(e).as("v"),
+        signWord(e, 0, math.min(31, dim - 1)).as("w0"),
+        (if (dim > 32) signWord(e, 32, dim - 1) else lit(0L)).as("w1"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val q = base.filter(col("id") === queryId)
+      .select(col("v").as("qv"), col("norm").as("qnorm"),
+        col("w0").as("qw0"), col("w1").as("qw1"))
+    val cand = base.filter(col("id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("hamming",
+        (bit_count(col("w0").bitwiseXOR(col("qw0"))) +
+          bit_count(col("w1").bitwiseXOR(col("qw1")))).cast("long"))
+      .orderBy(col("hamming").asc, col("id").asc)
+      .limit(rerank)
+    cand.select(col("id"), col("hamming"),
+        (dot(col("v"), col("qv")) / (col("norm") * col("qnorm")))
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Random-hyperplane LSH near-duplicate pairs — the SCALE path for
     * cosine dedup: signatures are sign-bits against `nPlanes`
     * deterministic ±1 hyperplanes (md5-derived, no RNG — reproducible on

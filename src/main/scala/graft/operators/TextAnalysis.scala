@@ -45,6 +45,62 @@ object TextAnalysis {
       (alpha.cast("double") / length(text).cast("double")).as("alpha_ratio"))
   }
 
+  /** Gopher-style quality-rule flags (Rae et al. 2021 §A1.1, adapted):
+    * one boolean per rule plus the conjunction, emitted as 1/0 BIGINTs so
+    * the verdict is hash-portable. Every threshold is an exact integer
+    * CROSS-MULTIPLICATION (`total_len ≥ 3·n_tokens`, never
+    * `total_len/n_tokens ≥ 3.0`) — no float ratios, so pass/fail is
+    * bit-stable across engines and partitionings. Rules:
+    *   - word count within [minTokens, maxTokens];
+    *   - mean word length within [3, 10] chars;
+    *   - symbol-to-word ratio ('#' chars + '…'/'...' marks) ≤ 0.1;
+    *   - ≤ 90% of lines start with a bullet ('-', '*', '•');
+    *   - ≤ 30% of lines end with an ellipsis;
+    *   - ≥ 80% of words contain an alphabetic character;
+    *   - ≥ 2 stopword hits.
+    * All per-row compute — a narrow codegen'd pass, zero shuffles at any
+    * corpus size; `gopher_keep` is the ingest-boundary filter column. */
+  def gopherColumns(text: Column, stopwords: Seq[String],
+      minTokens: Int = 20, maxTokens: Int = 90): Seq[Column] = {
+    require(minTokens >= 1 && maxTokens >= minTokens,
+      s"need 1 <= minTokens <= maxTokens, got [$minTokens, $maxTokens]")
+    val toks = tokens(text)
+    val nTok = size(toks).cast("long")
+    val totLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long")
+    val bullets = size(filter(lines, l =>
+      l.startsWith("-") || l.startsWith("*") || l.startsWith("•")))
+      .cast("long")
+    val ellipses = size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("…"))).cast("long")
+    val alphaWords = size(filter(toks, t => t.rlike("[a-zA-Z]")))
+      .cast("long")
+    val hashes = length(text) - length(regexp_replace(text, "#", ""))
+    val dots3 =
+      (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val uni = length(text) - length(regexp_replace(text, "…", ""))
+    val symbols = (hashes + dots3 + uni).cast("long")
+    val stopHits = size(filter(toks,
+      t => t.isin(stopwords.map(lit(_)): _*))).cast("long")
+    def flag(c: Column, name: String): Column =
+      when(c, 1L).otherwise(0L).as(name)
+    val rules = Seq(
+      flag(nTok >= minTokens && nTok <= maxTokens, "ok_word_count"),
+      flag(totLen >= nTok * 3 && totLen <= nTok * 10, "ok_mean_word_len"),
+      flag(symbols * 10 <= nTok, "ok_symbol_ratio"),
+      flag(bullets * 10 <= nLines * 9, "ok_bullet_lines"),
+      flag(ellipses * 10 <= nLines * 3, "ok_ellipsis_lines"),
+      flag(alphaWords * 10 >= nTok * 8, "ok_alpha_words"),
+      flag(stopHits >= 2, "ok_stopwords"))
+    rules :+
+      flag(nTok >= minTokens && nTok <= maxTokens &&
+        totLen >= nTok * 3 && totLen <= nTok * 10 &&
+        symbols * 10 <= nTok && bullets * 10 <= nLines * 9 &&
+        ellipses * 10 <= nLines * 3 && alphaWords * 10 >= nTok * 8 &&
+        stopHits >= 2, "gopher_keep")
+  }
+
   /** Marker-word profiles for language ID. Deterministic scoring: hits of
     * each language's marker set; winner = max score, ties broken by
     * language code order (ensures engine-portable argmax). */

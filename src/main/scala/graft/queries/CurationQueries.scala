@@ -147,6 +147,11 @@ object CurationQueries {
       Curation.importanceWeights(docs(s, dir), "text", "doc_id",
         col("lang") === "en", nBuckets = 256)),
 
+    // Bigram LM corpus-fit scores: add-one-smoothed exact-integer
+    // conditionals trained on the corpus itself, summed per document.
+    "ngram_lm" -> ((s, dir) =>
+      Curation.lmScores(docs(s, dir), "text", "doc_id")),
+
     // Count-Min sketch estimates for 20 probe users over the event
     // stream (d=4 rows × w=512 buckets) — deterministic, collisions
     // included, so the oracle mirrors the sketch bit for bit.
@@ -616,6 +621,34 @@ object CurationQueries {
         |       CAST(CAST(SUM(ratio) AS BIGINT) // COUNT(*) AS BIGINT)
         |         AS importance_mean
         |FROM tb JOIN r USING (b)
+        |GROUP BY 1
+        |""".stripMargin,
+
+    // mirror of lmScores(scale 1e9): bigrams from adjacent word pairs,
+    // add-one-smoothed scaled conditionals, per-document integer sum
+    "ngram_lm" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |st AS (
+        |  SELECT doc_id, w,
+        |         UNNEST(generate_series(1, len(w) - 1)) AS i
+        |  FROM tok),
+        |p2 AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM st),
+        |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+        |       FROM p2 GROUP BY 1, 2),
+        |u AS (SELECT UNNEST(w) AS word FROM tok),
+        |c1 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c1
+        |       FROM u GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vsz FROM c1)
+        |SELECT p2.doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |       CAST(SUM(((c2.c2 + 1) * 1000000000) // (c1.c1 + v.vsz))
+        |            AS BIGINT) AS lm_score,
+        |       CAST(CAST(SUM(((c2.c2 + 1) * 1000000000) // (c1.c1 + v.vsz))
+        |            AS BIGINT) // COUNT(*) AS BIGINT) AS lm_mean
+        |FROM p2 JOIN c2 USING (w1, w2)
+        |        JOIN c1 ON p2.w1 = c1.word
+        |        CROSS JOIN v
         |GROUP BY 1
         |""".stripMargin,
 

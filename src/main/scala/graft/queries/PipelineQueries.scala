@@ -154,6 +154,28 @@ object PipelineQueries {
           expr("n_common * 1000 div n_exact").as("recall_permille"))
     }),
 
+    // Binary sign-hash ANN: 64 dims → two 32-bit sign words, Hamming
+    // scan top-40 (two XOR+popcounts/row over an 8-byte signature),
+    // exact cosine re-rank → top-10.
+    "ann_hamming" -> ((s, dir) =>
+      Similarity.hammingTopK(embs(s, dir), "vec_id", "embedding",
+        queryId = 5L, k = 10, rerank = 40)),
+
+    // Recall of the binary-hash path against the exact cosine top-10 at
+    // a deliberately narrow rerank window (15) — one deterministic row
+    // pinning how lossy 1 bit/dim is on this corpus.
+    "hamming_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val exact = Similarity.topK(e, "vec_id", "embedding", 5L, 10)
+        .select(col("id"))
+      val ham = Similarity.hammingTopK(e, "vec_id", "embedding", 5L,
+        k = 10, rerank = 15).select(col("id").as("hid"))
+      exact.join(ham, col("id") === col("hid"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("hid")).as("n_common"))
+        .select(col("n_exact"), col("n_common"),
+          expr("n_common * 1000 div n_exact").as("recall_permille"))
+    }),
+
     // Embedding near-duplicates, cosine ≥ 0.4, via the SCALE path:
     // random-hyperplane LSH blocking (16 planes, 4 blocks) + exact cosine
     // verify on candidates only — no all-pairs product. The exact
@@ -247,6 +269,11 @@ object PipelineQueries {
     "text_quality" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id") +: TextAnalysis.qualityColumns(col("text"), stopwords): _*)),
+
+    // Gopher-style rule filter: one 1/0 flag per rule + the conjunction.
+    "gopher_filter" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id") +: TextAnalysis.gopherColumns(col("text"), stopwords): _*)),
 
     // Marker-based language ID with per-language scores.
     "lang_id" -> ((s, dir) =>
@@ -476,6 +503,37 @@ object PipelineQueries {
 
   private def cosSql(a: String, b: String): String =
     s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
+
+  /** Binary sign-hash two-stage retrieval (query id 5): two 32-bit
+    * sign-bitmap words per vector, Hamming candidates (top `rerank`,
+    * ascending, ties by id), exact-cosine re-rank → `ham` = the final
+    * top-10. Shared by the gate and recall oracles. */
+  private def hammingPipelineCtes(rerank: Int): String =
+    s"""WITH $scaledCte,
+       |sw AS (
+       |  SELECT s.id, s.v,
+       |    CAST(list_sum(list_transform(generate_series(1, 32),
+       |      i -> CASE WHEN e.embedding[i] > 0
+       |                THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END))
+       |      AS BIGINT) AS w0,
+       |    CAST(list_sum(list_transform(generate_series(33, 64),
+       |      i -> CASE WHEN e.embedding[i] > 0
+       |                THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE 0 END))
+       |      AS BIGINT) AS w1
+       |  FROM s JOIN embeddings e ON e.vec_id = s.id),
+       |hq AS (SELECT v AS qv, w0 AS qw0, w1 AS qw1 FROM sw WHERE id = 5),
+       |cand AS (
+       |  SELECT sw.id, sw.v, hq.qv,
+       |    CAST(bit_count(xor(sw.w0, hq.qw0))
+       |       + bit_count(xor(sw.w1, hq.qw1)) AS BIGINT) AS hamming
+       |  FROM sw CROSS JOIN hq
+       |  WHERE sw.id <> 5
+       |  ORDER BY hamming ASC, sw.id ASC LIMIT $rerank),
+       |ham AS (
+       |  SELECT id, hamming, ${cosSql("cand.v", "cand.qv")} AS cos_sim
+       |  FROM cand
+       |  ORDER BY cos_sim DESC, id ASC LIMIT 10)
+       |""".stripMargin
 
   /** int8-quantized two-stage retrieval (query id 5): scale, codes,
     * integer-dot candidates (top `rerank`), exact-cosine re-rank →
@@ -951,6 +1009,30 @@ object PipelineQueries {
          |FROM exact LEFT JOIN pq ON pq.id = exact.id
          |""".stripMargin,
 
+    // same sign bits, same Hamming scan, same re-rank — every stage
+    // exact integers, so the float cos_sim is bit-identical too
+    "ann_hamming" ->
+      s"""${hammingPipelineCtes(rerank = 40)}
+         |SELECT id, hamming, cos_sim FROM ham
+         |""".stripMargin,
+
+    // recall of the binary-hash path vs the exact cosine top-10 at a
+    // narrow rerank window — one deterministic row
+    "hamming_recall" ->
+      s"""${hammingPipelineCtes(rerank = 15)},
+         |ex AS (
+         |  SELECT s.id FROM s CROSS JOIN
+         |       (SELECT v AS exv FROM s WHERE id = 5) q2
+         |  WHERE s.id <> 5
+         |  ORDER BY ${cosSql("s.v", "q2.exv")} DESC, s.id ASC
+         |  LIMIT 10)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |       CAST(COUNT(h.id) AS BIGINT) AS n_common,
+         |       CAST((COUNT(h.id) * 1000) // COUNT(*) AS BIGINT)
+         |         AS recall_permille
+         |FROM ex LEFT JOIN ham h ON ex.id = h.id
+         |""".stripMargin,
+
     // metric is non-trivial — the lsh_recall pattern for ANN.
     "quantized_recall" ->
       s"""${quantPipelineCtes(rerank = 12)},
@@ -1106,6 +1188,62 @@ object PipelineQueries {
         |  CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) /
         |    CAST(len(text) AS DOUBLE) AS alpha_ratio
         |FROM documents
+        |""".stripMargin,
+
+    // mirror of gopherColumns: identical integer cross-multiplied
+    // thresholds, flags as 1/0 BIGINTs
+    "gopher_filter" ->
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |    string_split(text, ' ') AS toks,
+        |    string_split(text, chr(10)) AS ls,
+        |    len(text) AS tl
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS ntok,
+        |    CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT)
+        |      AS totlen,
+        |    CAST(len(ls) AS BIGINT) AS nlines,
+        |    CAST(len(list_filter(ls, l -> starts_with(l, '-')
+        |      OR starts_with(l, '*') OR starts_with(l, '•'))) AS BIGINT)
+        |      AS bullets,
+        |    CAST(len(list_filter(ls, l -> ends_with(l, '...')
+        |      OR ends_with(l, '…'))) AS BIGINT) AS ellipses,
+        |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))
+        |      AS BIGINT) AS alphaw,
+        |    CAST((tl - len(regexp_replace(text, '#', '', 'g')))
+        |       + (tl - len(regexp_replace(text, '\.\.\.', '', 'g'))) // 3
+        |       + (tl - len(regexp_replace(text, '…', '', 'g'))) AS BIGINT)
+        |      AS symbols,
+        |    CAST(len(list_filter(toks,
+        |      t -> t IN ('the', 'a', 'of', 'and', 'not'))) AS BIGINT)
+        |      AS stophits
+        |  FROM m)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN ntok >= 20 AND ntok <= 90
+        |       THEN 1 ELSE 0 END AS BIGINT) AS ok_word_count,
+        |  CAST(CASE WHEN totlen >= ntok * 3 AND totlen <= ntok * 10
+        |       THEN 1 ELSE 0 END AS BIGINT) AS ok_mean_word_len,
+        |  CAST(CASE WHEN symbols * 10 <= ntok
+        |       THEN 1 ELSE 0 END AS BIGINT) AS ok_symbol_ratio,
+        |  CAST(CASE WHEN bullets * 10 <= nlines * 9
+        |       THEN 1 ELSE 0 END AS BIGINT) AS ok_bullet_lines,
+        |  CAST(CASE WHEN ellipses * 10 <= nlines * 3
+        |       THEN 1 ELSE 0 END AS BIGINT) AS ok_ellipsis_lines,
+        |  CAST(CASE WHEN alphaw * 10 >= ntok * 8
+        |       THEN 1 ELSE 0 END AS BIGINT) AS ok_alpha_words,
+        |  CAST(CASE WHEN stophits >= 2
+        |       THEN 1 ELSE 0 END AS BIGINT) AS ok_stopwords,
+        |  CAST(CASE WHEN ntok >= 20 AND ntok <= 90
+        |        AND totlen >= ntok * 3 AND totlen <= ntok * 10
+        |        AND symbols * 10 <= ntok
+        |        AND bullets * 10 <= nlines * 9
+        |        AND ellipses * 10 <= nlines * 3
+        |        AND alphaw * 10 >= ntok * 8
+        |        AND stophits >= 2
+        |       THEN 1 ELSE 0 END AS BIGINT) AS gopher_keep
+        |FROM r
         |""".stripMargin,
 
     "lang_id" ->

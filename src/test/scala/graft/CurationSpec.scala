@@ -482,6 +482,24 @@ class CurationSpec extends AnyFunSuite {
     assert(r.getAs[Long]("max_over_avg_permille") == 6L * 1000 / (9 / 4))
   }
 
+  test("lmScores: hand-computed add-one-smoothed bigram sums") {
+    // corpus: doc1 "a b a", doc2 "a b", doc3 "x" (no bigrams → drops)
+    // unigrams: a=3, b=2, x=1 → V=3
+    // bigram counts: (a,b)=2, (b,a)=1
+    // doc1 = (2+1)·1e9 div (3+3)  +  (1+1)·1e9 div (2+3)
+    //      = 500000000 + 400000000 = 900000000, n=2, mean=450000000
+    // doc2 = 500000000, n=1
+    val df = Seq((1L, "a b a"), (2L, "a b"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = Curation.lmScores(df, "text", "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("lm_score"),
+          r.getAs[Long]("lm_mean"))).toMap
+    assert(out == Map(
+      1L -> ((2L, 900000000L, 450000000L)),
+      2L -> ((1L, 500000000L, 500000000L))))
+  }
+
   test("kmeans assigns duplicate vectors to the same cluster and converges") {
     val base = Array.tabulate(8)(c => Array.tabulate(4)(d =>
       if (d == c % 4) 1.0f else 0.01f * c))

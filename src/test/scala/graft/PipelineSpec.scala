@@ -271,6 +271,72 @@ class PipelineSpec extends AnyFunSuite {
     assert(base.take(10).count(narrow) >= 8, s"recall too low: $narrow")
   }
 
+  test("hammingTopK: known sign words, full rerank recovers exact top-k") {
+    import graft.operators.Similarity
+    // dim 4: signs chosen so Hamming distances to query 0 are known.
+    // q = (+,+,-,+); v1 = (+,+,+,+) → hamming 1; v2 = (-,-,+,-) → 4;
+    // v3 = (+,-,-,+) → 1; v4 = (+,+,-,+) → 0 (same signs, scaled copy)
+    val vecs = Seq(
+      (0L, Seq(0.5f, 0.2f, -0.3f, 0.1f)),
+      (1L, Seq(0.5f, 0.2f, 0.3f, 0.1f)),
+      (2L, Seq(-0.5f, -0.2f, 0.3f, -0.1f)),
+      (3L, Seq(0.4f, -0.2f, -0.3f, 0.2f)),
+      (4L, Seq(1.0f, 0.4f, -0.6f, 0.2f))).toDF("vec_id", "embedding")
+    val all = Similarity.hammingTopK(vecs, "vec_id", "embedding", 0L,
+      k = 4, rerank = 4, dim = 4).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("hamming")).toMap
+    assert(all == Map(1L -> 1L, 2L -> 4L, 3L -> 1L, 4L -> 0L))
+    // dim 40 (> one word): full-rerank two-stage == exact brute force
+    val big = (0 until 120).map { i =>
+      (i.toLong, Array.tabulate(40)(d =>
+        (((i * 31 + d * 17) % 97) - 48) / 48.0f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.topK(big, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    val ham = Similarity.hammingTopK(big, "vec_id", "embedding", 0L,
+      k = 10, rerank = 119, dim = 40)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(ham == exact)
+    // narrow window keeps useful recall (property, not exactness)
+    val narrow = Similarity.hammingTopK(big, "vec_id", "embedding", 0L,
+      k = 10, rerank = 30, dim = 40)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(exact.count(narrow) >= 5, s"recall too low: $narrow")
+    intercept[IllegalArgumentException] {
+      Similarity.hammingTopK(big, "vec_id", "embedding", 0L, 10, 5, 40)
+    }
+  }
+
+  test("gopherColumns: each rule trips on its designed fixture") {
+    import graft.operators.TextAnalysis
+    val stop = Seq("the", "a", "of", "and", "not")
+    val good = ("the quick brown fox jumps over a lazy dog and " * 3)
+      .trim // 30 words, 108 chars (mean 3.6), all alpha, stopword-rich
+    val rows = Seq(
+      (1L, good),
+      (2L, "too short text"),                                // word count
+      (3L, ("a " * 30).trim),                                 // mean len < 3
+      (4L, Array.fill(30)("##########").mkString(" ")),       // symbols+alpha
+      (5L, (1 to 30).map(i => s"- bullet $i the a").mkString("\n")), // bullets
+      (6L, (1 to 30).map(i => s"the a line $i...").mkString("\n")),  // ellipses
+      (7L, ("12345 9876 " * 15).trim + " the a"))             // alpha words
+      .toDF("doc_id", "text")
+    val out = rows.select(col("doc_id") +:
+        TextAnalysis.gopherColumns(col("text"), stop): _*)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("gopher_keep") == 1L)
+    assert(out(2L).getAs[Long]("ok_word_count") == 0L)
+    assert(out(3L).getAs[Long]("ok_mean_word_len") == 0L)
+    assert(out(4L).getAs[Long]("ok_symbol_ratio") == 0L)
+    assert(out(4L).getAs[Long]("ok_alpha_words") == 0L)
+    assert(out(5L).getAs[Long]("ok_bullet_lines") == 0L)
+    assert(out(6L).getAs[Long]("ok_ellipsis_lines") == 0L)
+    assert(out(7L).getAs[Long]("ok_alpha_words") == 0L)
+    // every rule failure forces the conjunction off
+    (2L to 7L).foreach(i =>
+      assert(out(i).getAs[Long]("gopher_keep") == 0L, s"doc $i"))
+  }
+
   test("staged IVF-PQ merge: crash fully applies or discards; adds use stored codebooks") {
     import graft.operators.Similarity
     def vecs(ids: Range) = ids.map { i =>
