@@ -386,26 +386,31 @@ object Curation {
       scale: Long = 1000000000L): DataFrame = {
     require(scale > 0, s"scale must be positive, got $scale")
     val toks = split(col(textCol), " ")
+    // per-(doc, bigram) occurrence counts FIRST: a document repeating
+    // 'of the' n times sends ONE weighted row through the scoring joins,
+    // not n identical rows — shrinks both shuffles by the duplicate-
+    // bigram factor with identical output
     val pairs = df.select(col(idCol).as("doc_id"),
         explode(zip_with(
           slice(toks, lit(1), size(toks) - 1),
           slice(toks, lit(2), size(toks) - 1),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
-      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+      .groupBy(col("doc_id"), col("p.w1"), col("p.w2"))
+      .agg(count(lit(1)).as("n"))
       .localCheckpoint(false) // feeds bigram counts AND the doc sum
     val uni = df.select(explode(toks).as("word"))
     val c1 = uni.groupBy(col("word")).agg(count(lit(1)).as("c1"))
     val vocab = c1.agg(count(lit(1)).as("vsz"))
     val c2 = pairs.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c2"))
+      .agg(sum(col("n")).cast("long").as("c2"))
     pairs.join(c2, Seq("w1", "w2"))
       .join(c1.withColumnRenamed("word", "w1"), Seq("w1"))
       .crossJoin(broadcast(vocab))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("n"),
         expr(s"((c2 + 1) * $scale) div (c1 + vsz)").as("p_scaled"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(col("p_scaled")).cast("long").as("lm_score"))
+      .agg(sum(col("n")).cast("long").as("n_bigrams"),
+        sum(col("n") * col("p_scaled")).cast("long").as("lm_score"))
       .withColumn("lm_mean", expr("lm_score div n_bigrams"))
   }
 

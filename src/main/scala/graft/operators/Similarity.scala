@@ -196,33 +196,48 @@ object Similarity {
     * exact re-rank); both stages broadcast the single query row and both
     * top-ks compile to TakeOrderedAndProject, so nothing global-sorts. */
   def quantizedTopK(embeddings: DataFrame, idCol: String, embCol: String,
-      queryId: Long, k: Int, rerank: Int): DataFrame = {
-    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
-    val base = withInt8(embeddings, idCol, embCol)
-    val q = base.filter(col("id") === queryId)
-      .select(col("v").as("qv"), col("norm").as("qnorm"), col("q").as("qq"))
-    val cand = base.filter(col("id") =!= queryId)
-      .crossJoin(broadcast(q))
-      .withColumn("approx_dot", dot(col("q"), col("qq")).cast("long"))
-      .orderBy(col("approx_dot").desc, col("id").asc)
-      .limit(rerank)
-    cand.select(col("id"), col("approx_dot"),
-        (dot(col("v"), col("qv")) / (col("norm") * col("qnorm")))
-          .as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("id").asc)
-      .limit(k)
-  }
+      queryId: Long, k: Int, rerank: Int): DataFrame =
+    twoStageTopK(withInt8(embeddings, idCol, embCol), queryId, k, rerank,
+      "approx_dot", dot(col("q"), col("qq")).cast("long"),
+      coarseAsc = false)
 
   /** One 32-bit sign-bitmap word over dims [lo, hi] (bit i−lo set iff
     * dimension i is strictly positive, 0-based): folded high-bit-first as
     * `acc·2 + bit`, so the value is Σ bit(i)·2^(i−lo) — pure integer
     * arithmetic in codegen'd builtins, no shifts or float pow. Words stay
     * in [0, 2³²) so the packing is sign-free and mirrors exactly in any
-    * engine with 64-bit integers. */
+    * engine with 64-bit integers. `get` (not `element_at`) keeps a
+    * missing dimension a 0-bit instead of an ANSI out-of-bounds error —
+    * the SQL mirror's NULL→ELSE 0 behavior. */
   private def signWord(emb: Column, lo: Int, hi: Int): Column =
     aggregate(sequence(lit(hi), lit(lo), lit(-1)), lit(0L),
-      (acc, i) => acc * 2 + when(element_at(emb, i + 1) > 0, lit(1L))
+      (acc, i) => acc * 2 + when(get(emb, i) > 0, lit(1L))
         .otherwise(lit(0L)))
+
+  /** Shared two-stage retrieval scaffold: broadcast the query row against
+    * every other vector, rank by a cheap coarse score (ties by id), keep
+    * `rerank` candidates, exact-cosine re-rank to the final k. The query
+    * projection renames every base column `c` to `qc`, so coarse scores
+    * can mix candidate and query columns. */
+  private def twoStageTopK(base: DataFrame, queryId: Long, k: Int,
+      rerank: Int, coarseName: String, coarse: Column,
+      coarseAsc: Boolean): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val q = base.filter(col("id") === queryId)
+      .select(base.columns.filter(_ != "id")
+        .map(c => col(c).as(s"q$c")).toSeq: _*)
+    val cand = base.filter(col("id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn(coarseName, coarse)
+      .orderBy(if (coarseAsc) col(coarseName).asc else col(coarseName).desc,
+        col("id").asc)
+      .limit(rerank)
+    cand.select(col("id"), col(coarseName),
+        (dot(col("v"), col("qv")) / (col("norm") * col("qnorm")))
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id").asc)
+      .limit(k)
+  }
 
   /** Binary-hash ANN (1-bit sign quantization) with exact re-rank: each
     * vector becomes two 32-bit sign-bitmap words — 64 dims collapse to
@@ -238,7 +253,6 @@ object Similarity {
     * positives and flip their bit. */
   def hammingTopK(embeddings: DataFrame, idCol: String, embCol: String,
       queryId: Long, k: Int, rerank: Int, dim: Int = 64): DataFrame = {
-    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     require(dim >= 2 && dim <= 64, s"dim in [2, 64], got $dim")
     val e = col(embCol)
     val base = embeddings.select(col(idCol).as("id"),
@@ -246,21 +260,10 @@ object Similarity {
         signWord(e, 0, math.min(31, dim - 1)).as("w0"),
         (if (dim > 32) signWord(e, 32, dim - 1) else lit(0L)).as("w1"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-    val q = base.filter(col("id") === queryId)
-      .select(col("v").as("qv"), col("norm").as("qnorm"),
-        col("w0").as("qw0"), col("w1").as("qw1"))
-    val cand = base.filter(col("id") =!= queryId)
-      .crossJoin(broadcast(q))
-      .withColumn("hamming",
-        (bit_count(col("w0").bitwiseXOR(col("qw0"))) +
-          bit_count(col("w1").bitwiseXOR(col("qw1")))).cast("long"))
-      .orderBy(col("hamming").asc, col("id").asc)
-      .limit(rerank)
-    cand.select(col("id"), col("hamming"),
-        (dot(col("v"), col("qv")) / (col("norm") * col("qnorm")))
-          .as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("id").asc)
-      .limit(k)
+    twoStageTopK(base, queryId, k, rerank, "hamming",
+      (bit_count(col("w0").bitwiseXOR(col("qw0"))) +
+        bit_count(col("w1").bitwiseXOR(col("qw1")))).cast("long"),
+      coarseAsc = true)
   }
 
   /** Random-hyperplane LSH near-duplicate pairs — the SCALE path for

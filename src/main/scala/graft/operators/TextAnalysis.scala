@@ -18,6 +18,12 @@ object TextAnalysis {
 
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Count of tokens that appear in `words` — the shared hit-count
+    * primitive behind stopword ratios, Gopher's stopword rule, and the
+    * language-marker scores. Long so callers can cross-multiply. */
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit(_)): _*))).cast("long")
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -34,7 +40,7 @@ object TextAnalysis {
     val nTok = size(toks).cast("long")
     val meanLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
       .cast("double") / nTok.cast("double")
-    val stopHits = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
+    val stopHits = hitCount(toks, stopwords)
     val punct = length(text) - length(regexp_replace(text, "[.,;:!?'\"]", ""))
     val alpha = length(regexp_replace(text, "[^a-zA-Z]", ""))
     Seq(
@@ -81,24 +87,21 @@ object TextAnalysis {
       (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
     val uni = length(text) - length(regexp_replace(text, "…", ""))
     val symbols = (hashes + dots3 + uni).cast("long")
-    val stopHits = size(filter(toks,
-      t => t.isin(stopwords.map(lit(_)): _*))).cast("long")
+    val stopHits = hitCount(toks, stopwords)
+    // ONE condition list drives both the per-rule flags and the
+    // conjunction — a threshold edit cannot desynchronize them
+    val rules: Seq[(Column, String)] = Seq(
+      (nTok >= minTokens && nTok <= maxTokens) -> "ok_word_count",
+      (totLen >= nTok * 3 && totLen <= nTok * 10) -> "ok_mean_word_len",
+      (symbols * 10 <= nTok) -> "ok_symbol_ratio",
+      (bullets * 10 <= nLines * 9) -> "ok_bullet_lines",
+      (ellipses * 10 <= nLines * 3) -> "ok_ellipsis_lines",
+      (alphaWords * 10 >= nTok * 8) -> "ok_alpha_words",
+      (stopHits >= 2) -> "ok_stopwords")
     def flag(c: Column, name: String): Column =
       when(c, 1L).otherwise(0L).as(name)
-    val rules = Seq(
-      flag(nTok >= minTokens && nTok <= maxTokens, "ok_word_count"),
-      flag(totLen >= nTok * 3 && totLen <= nTok * 10, "ok_mean_word_len"),
-      flag(symbols * 10 <= nTok, "ok_symbol_ratio"),
-      flag(bullets * 10 <= nLines * 9, "ok_bullet_lines"),
-      flag(ellipses * 10 <= nLines * 3, "ok_ellipsis_lines"),
-      flag(alphaWords * 10 >= nTok * 8, "ok_alpha_words"),
-      flag(stopHits >= 2, "ok_stopwords"))
-    rules :+
-      flag(nTok >= minTokens && nTok <= maxTokens &&
-        totLen >= nTok * 3 && totLen <= nTok * 10 &&
-        symbols * 10 <= nTok && bullets * 10 <= nLines * 9 &&
-        ellipses * 10 <= nLines * 3 && alphaWords * 10 >= nTok * 8 &&
-        stopHits >= 2, "gopher_keep")
+    rules.map((flag _).tupled) :+
+      flag(rules.map(_._1).reduce(_ && _), "gopher_keep")
   }
 
   /** Marker-word profiles for language ID. Deterministic scoring: hits of
@@ -115,8 +118,7 @@ object TextAnalysis {
   def langScores(text: Column): Seq[Column] = {
     val toks = tokens(text)
     langMarkers.map { case (lang, markers) =>
-      size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
-        .cast("long").as(s"score_$lang")
+      hitCount(toks, markers).as(s"score_$lang")
     }
   }
 
@@ -124,9 +126,7 @@ object TextAnalysis {
     * in [[langMarkers]] order; "und" (undetermined) when all scores are 0. */
   def detectedLang(text: Column): Column = {
     val toks = tokens(text)
-    def score(markers: Seq[String]): Column =
-      size(filter(toks, t => t.isin(markers.map(lit(_)): _*))).cast("long")
-    val scored = langMarkers.map { case (l, m) => (l, score(m)) }
+    val scored = langMarkers.map { case (l, m) => (l, hitCount(toks, m)) }
     val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
     scored.foldRight(lit("und"): Column) { case ((l, s), acc) =>
       when(s === best && best > 0, lit(l)).otherwise(acc)
