@@ -52,6 +52,20 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)),
       b => md5(concat_ws("|", slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)))))
 
+  /** Validated rows-per-band: `bands` must divide `numHashes` exactly.
+    * Truncating division would be silently catastrophic in BOTH
+    * directions — bands > numHashes gives rowsPerBand = 0, every band
+    * hashes the empty slice, all documents collide in all bands and
+    * candidate generation degenerates to the full O(n²) product; a
+    * non-divisor quietly ignores trailing signature lanes, weakening
+    * the advertised recall. */
+  private def bandRows(numHashes: Int, bands: Int): Int = {
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) with at least " +
+        "one signature lane per band")
+    numHashes / bands
+  }
+
   /** Exact duplicates by full-content hash: one row per distinct content
     * with the surviving (minimum) id and the duplicate count. */
   def exactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame =
@@ -64,7 +78,7 @@ object Dedup {
   def minhashNearDuplicates(
       df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.8): DataFrame = {
-    val rowsPerBand = numHashes / bands
+    val rowsPerBand = bandRows(numHashes, bands)
     // the (id, shingles, signature) projection is referenced by the band
     // index AND both sides of the verify join: materialize it once
     // (similarity-join systems store the tokenized form for the same
@@ -99,7 +113,7 @@ object Dedup {
       corpus: DataFrame, batch: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.8): DataFrame = {
-    val rowsPerBand = numHashes / bands
+    val rowsPerBand = bandRows(numHashes, bands)
     def prep(df: DataFrame): DataFrame =
       df.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
         .withColumn("sig", minhashSignature(col("sh"), numHashes))
@@ -134,7 +148,7 @@ object Dedup {
     * to a docs table (the standard LSH-index storage trade). */
   def buildBandIndex(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val rowsPerBand = numHashes / bands
+    val rowsPerBand = bandRows(numHashes, bands)
     df.select(col(idCol).as("corpus_id"), shingles(col(textCol)).as("sh_c"))
       .withColumn("sig", minhashSignature(col("sh_c"), numHashes))
       .select(col("corpus_id"), col("sh_c"),
@@ -163,7 +177,7 @@ object Dedup {
   def deltaDedupAgainstIndex(bandIndex: DataFrame, batch: DataFrame,
       textCol: String, idCol: String, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.8): DataFrame = {
-    val rowsPerBand = numHashes / bands
+    val rowsPerBand = bandRows(numHashes, bands)
     val batchBands = batch
       .select(col(idCol).as("batch_id"), shingles(col(textCol)).as("sh_b"))
       .withColumn("sig", minhashSignature(col("sh_b"), numHashes))
@@ -212,9 +226,14 @@ object Dedup {
     val docs = df.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
       .localCheckpoint(false)
     // canonical order: lexicographic; prefix keeps the first
-    // |sh| - ceil(t*|sh|) + 1 elements
+    // |sh| - ceil(t*|sh|) + 1 elements. The epsilon keeps the ceil from
+    // overshooting the EXACT ceiling when the double product lands just
+    // above an integer (0.55·100 = 55.000…01 → ceil 56 would shorten
+    // the prefix below the PPJoin-safe length and silently drop
+    // qualifying pairs); erring low only lengthens the prefix — more
+    // candidates, verify still exact.
     val prefixLen = size(col("sh")) -
-      ceil(size(col("sh")).cast("double") * threshold).cast("int") + 1
+      ceil(size(col("sh")).cast("double") * threshold - 1e-9).cast("int") + 1
     val postings = docs.select(col("id"), size(col("sh")).as("sz"),
       posexplode(slice(array_sort(col("sh")), lit(1), prefixLen))
         .as(Seq("pos", "shingle")))
@@ -402,10 +421,16 @@ object Dedup {
     var labels = cut(edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")))
     // sum() over zero rows is NULL — a duplicate-free corpus (no pairs)
-    // must yield every id as its own component, not an NPE
-    def labelSum(): Long =
-      Option(labels.agg(sum("component")).head.getAs[java.lang.Long](0))
-        .map(_.toLong).getOrElse(0L)
+    // must yield every id as its own component, not an NPE. DECIMAL(38)
+    // accumulation: hash-derived ids sit near 2⁶³, so a Long sum would
+    // overflow — an ANSI ARITHMETIC_OVERFLOW crash (Spark 4 default) or,
+    // with ANSI off, a wraparound that corrupts the strictly-decreasing
+    // convergence measure.
+    def labelSum(): BigDecimal =
+      Option(labels
+          .agg(sum(col("component").cast("decimal(38,0)"))).head
+          .getAs[java.math.BigDecimal](0))
+        .map(BigDecimal(_)).getOrElse(BigDecimal(0))
     var prevSum = labelSum()
     var converged = labels.isEmpty
     var i = 0
@@ -490,6 +515,12 @@ object Dedup {
   def simhashNearDuplicates(
       fingerprints: DataFrame, idCol: String, fpCol: String,
       maxDist: Int = 3): DataFrame = {
+    // pigeonhole: maxDist differing bits can touch at most maxDist of
+    // the `blocks` chunks, so candidates must share ≥ 1 chunk — EXACT
+    // only while maxDist < blocks; a larger maxDist would silently miss
+    // pairs whose diffs spread one-per-chunk
+    require(maxDist >= 0 && maxDist < 4,
+      s"maxDist in [0, 3] for 4-block candidate generation, got $maxDist")
     val blocks = 4
     val blockLen = 64 / blocks
     val exploded = fingerprints.select(col(idCol).as("id"), col(fpCol).as("fp"),

@@ -17,19 +17,24 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
-  /** Tumbling-window counts/sums per key. `value` sums are computed as
-    * integer cents (`round(value·100)` summed as BIGINT) — exact,
+  /** Tumbling-window counts/sums per key. `valueCol` sums are computed
+    * as integer cents (`round(value·100)` summed as BIGINT) — exact,
     * order-independent, identical in every engine; a double or DECIMAL sum
-    * would be neither. */
+    * would be neither. Pass `valueCol = None` for count-only frames that
+    * have no value column at all. */
   def tumblingAgg(events: DataFrame, ts: Column, keyCol: Column,
-      windowDuration: String = "1 hour"): DataFrame =
+      windowDuration: String = "1 hour",
+      valueCol: Option[Column] = Some(col("value"))): DataFrame = {
+    val aggs = count(lit(1)).as("n_events") +: valueCol.toSeq.map(v =>
+      sum(round(v * 100, 0).cast("long")).cast("long")
+        .as("sum_value_cents"))
     events
       .groupBy(window(ts, windowDuration).as("w"), keyCol.as("key"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(round(col("value") * 100, 0).cast("long")).cast("long")
-          .as("sum_value_cents"))
-      .select(col("w.start").as("window_start"), col("key"),
-        col("n_events"), col("sum_value_cents"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("w.start").as("window_start") +: col("key") +:
+        col("n_events") +: valueCol.toSeq.map(_ =>
+          col("sum_value_cents")): _*)
+  }
 
   /** As-of join: each left row picks up the LATEST right row with
     * `right.time <= left.time` on the same key (the "most recent quote

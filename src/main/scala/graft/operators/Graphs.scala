@@ -69,6 +69,14 @@ object Graphs {
       // the per-round left join re-reads it
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
+    // quantization floor: initial ranks are scale/n and the teleport
+    // term is basePart/n — if either truncates toward 0, rank mass
+    // vanishes within a round or two and the ordering is garbage with
+    // no error. 1000 units/node keeps `pr div outdeg` meaningful for
+    // realistic out-degrees; raise `scale` for bigger graphs.
+    require(scale / n >= 1000,
+      s"scale ($scale) too small for $n nodes — integer ranks would " +
+        s"quantize to ${scale / n} units/node (< 1000); raise scale")
     val withDeg = cut(edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src"))
       // reused every round: pay the join once

@@ -300,7 +300,7 @@ object Retrieval {
     val targetGen = StagedCommit.numField(manifest, "target_epoch")
     def req(name: String): Seq[String] =
       StagedCommit.listField(manifest, name)
-        .getOrElse(throw new IllegalStateException(
+        .getOrElse(throw new StagedCommit.TornManifest(
           s"staged index manifest missing $name: $manifest"))
     val pieces = req("staged_postings").map(b => s"postings/$b") ++
       req("staged_tables")

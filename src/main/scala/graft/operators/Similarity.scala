@@ -676,7 +676,7 @@ object Similarity {
     val manifest = StagedCommit.readManifest(spark, staging)
     val targetGen = StagedCommit.numField(manifest, "target_epoch")
     val pieces = StagedCommit.listField(manifest, "staged_vectors")
-      .getOrElse(throw new IllegalStateException(
+      .getOrElse(throw new StagedCommit.TornManifest(
         s"staged ivfpq manifest missing staged_vectors: $manifest"))
       .map(name => s"vectors/$name")
     StagedCommit.applyPieces(spark, path, staging, pieces, targetGen,

@@ -26,6 +26,13 @@ import org.apache.spark.sql.SparkSession
   * for. */
 private[operators] object StagedCommit {
 
+  /** A manifest whose write was torn mid-crash — the ONLY condition
+    * [[recover]] may treat as "not committed" and discard. A dedicated
+    * type so transient failures that also surface as
+    * IllegalStateException (e.g. a stopped SparkContext during
+    * shutdown) propagate instead of deleting a committed merge. */
+  final class TornManifest(msg: String) extends IllegalStateException(msg)
+
   def readManifest(spark: SparkSession, staging: String): String = {
     val (f, p) = ObservationStore.fs(spark, s"$staging/_manifest.json")
     val in = f.open(p)
@@ -33,10 +40,10 @@ private[operators] object StagedCommit {
   }
 
   /** Numeric manifest field; an absent field means the manifest write
-    * was torn → IllegalStateException = "not committed". */
+    * was torn → [[TornManifest]] = "not committed". */
   def numField(manifest: String, name: String): Long =
     (""""""" + name + """"\s*:\s*(\d+)""").r.findFirstMatchIn(manifest)
-      .getOrElse(throw new IllegalStateException(
+      .getOrElse(throw new TornManifest(
         s"staged manifest missing $name: $manifest"))
       .group(1).toLong
 
@@ -67,7 +74,15 @@ private[operators] object StagedCommit {
     * from `staging` into `path`, then commit `targetGen` once and drop
     * the staging dir. Idempotent at every step — safe to replay from
     * any crash point, and tolerant of a concurrent recoverer winning an
-    * individual rename. */
+    * individual rename.
+    *
+    * The swap never DELETES a live piece: the old `dest` is moved ASIDE
+    * (atomic rename into `staging/_replaced/`) before the staged piece
+    * renames in, so a concurrent recoverer of the same manifest cannot
+    * destroy data — every piece exists in at least one of
+    * {staging, live, aside} at every instant, interleavings at worst
+    * strand a piece in the aside slot, and the aside branch below heals
+    * that on replay. The aside copies die with the staging dir. */
   def applyPieces(spark: SparkSession, path: String, staging: String,
       pieces: Seq[String], targetGen: Long,
       readGen: () => Option[Long], writeGen: Long => Unit): Unit =
@@ -76,16 +91,28 @@ private[operators] object StagedCommit {
       pieces.foreach { rel =>
         val src = new org.apache.hadoop.fs.Path(s"$staging/$rel")
         val dest = new org.apache.hadoop.fs.Path(s"$path/$rel")
+        val aside = new org.apache.hadoop.fs.Path(s"$staging/_replaced/$rel")
         if (f.exists(src)) {
-          if (f.exists(dest)) f.delete(dest, true)
+          if (f.exists(dest)) {
+            f.mkdirs(aside.getParent)
+            // losing this rename means another recoverer moved dest (or
+            // already swapped src in) — fall through and let the src
+            // rename's own success check decide
+            f.rename(dest, aside)
+          }
           if (!f.rename(src, dest) && !(f.exists(dest) && !f.exists(src)))
             // a concurrent recoverer may win the rename between our
             // exists-checks — dest present + src gone is success
             throw new java.io.IOException(s"rename $src -> $dest failed")
         } else if (!f.exists(dest)) {
-          throw new java.io.IOException(
-            s"staged merge corrupt: $rel missing from both $staging and " +
-              s"$path — refusing to commit generation $targetGen")
+          // src gone, dest gone: an interleaved recoverer can strand the
+          // freshly-applied piece in the aside slot (it moved dest aside
+          // after the other's swap) — restore it before declaring corrupt
+          if (!(f.exists(aside) && f.rename(aside, dest)))
+            throw new java.io.IOException(
+              s"staged merge corrupt: $rel missing from $staging, $path " +
+                s"and the aside slot — refusing to commit " +
+                s"generation $targetGen")
         }
       }
       // the generation commits LAST, and only once — recovery after a
@@ -112,7 +139,11 @@ private[operators] object StagedCommit {
           if (f.exists(new org.apache.hadoop.fs.Path(staging,
             "_manifest.json"))) {
             try applyFn(staging.toString)
-            catch { case _: IllegalStateException =>
+            catch { case _: TornManifest =>
+              // ONLY a provably-torn manifest may be discarded; any
+              // other failure (including transient IllegalStateException
+              // like a stopped SparkContext) propagates — deleting on it
+              // would destroy a committed merge
               if (deleteUncommitted) { f.delete(staging, true); () }
             }
           } else if (deleteUncommitted) {

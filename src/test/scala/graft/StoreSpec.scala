@@ -259,6 +259,25 @@ class StoreSpec extends AnyFunSuite {
     intercept[java.io.IOException] {
       ObservationStore.recoverMerge(spark, lost)
     }
+
+    // piece stranded in the ASIDE slot (an interleaved recoverer moved
+    // the freshly-applied dest into staging/_replaced before failing):
+    // src gone + dest gone + aside present must HEAL, not report corrupt
+    val strand = freshStore()
+    val strandStaging = ObservationStore.stageMerge(spark, strand, batch,
+      numBuckets = 4)
+    val strandFwd = new java.io.File(s"$strandStaging/by_rrname")
+      .listFiles().filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(strandFwd.nonEmpty)
+    val aside = new java.io.File(
+      s"$strandStaging/_replaced/by_rrname/${strandFwd.head.getName}")
+    assert(aside.getParentFile.mkdirs())
+    val strandDest =
+      new java.io.File(s"$strand/by_rrname/${strandFwd.head.getName}")
+    assert(strandFwd.head.renameTo(aside)) // merged piece → aside slot
+    if (strandDest.exists()) rmRec(strandDest) // live copy gone too
+    assert(snapshot(strand) == expected) // load → recover → heals
+    assert(!new java.io.File(strandStaging).exists())
   }
 
   test("dns wire-format helpers match reference quirks") {
