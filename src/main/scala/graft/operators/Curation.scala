@@ -382,21 +382,27 @@ object Curation {
     * map-side-combined per-document sum. The 1-row vocabulary size
     * rides a broadcast. Documents with fewer than 2 tokens have no
     * bigrams and drop out (score undefined, not 0). */
-  def lmScores(df: DataFrame, textCol: String, idCol: String,
-      scale: Long = 1000000000L): DataFrame = {
-    require(scale > 0, s"scale must be positive, got $scale")
+  /** Per-(document, adjacent-word-pair) occurrence counts — the shared
+    * front half of [[lmScores]] and [[pmiCollocations]]. Counting per
+    * doc FIRST means a document repeating 'of the' n times sends ONE
+    * weighted row through any downstream join, not n identical rows. */
+  private def bigramOccurrences(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
     val toks = split(col(textCol), " ")
-    // per-(doc, bigram) occurrence counts FIRST: a document repeating
-    // 'of the' n times sends ONE weighted row through the scoring joins,
-    // not n identical rows — shrinks both shuffles by the duplicate-
-    // bigram factor with identical output
-    val pairs = df.select(col(idCol).as("doc_id"),
+    df.select(col(idCol).as("doc_id"),
         explode(zip_with(
           slice(toks, lit(1), size(toks) - 1),
           slice(toks, lit(2), size(toks) - 1),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
       .groupBy(col("doc_id"), col("p.w1"), col("p.w2"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  def lmScores(df: DataFrame, textCol: String, idCol: String,
+      scale: Long = 1000000000L): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    val toks = split(col(textCol), " ")
+    val pairs = bigramOccurrences(df, textCol, idCol)
       .localCheckpoint(false) // feeds bigram counts AND the doc sum
     val uni = df.select(explode(toks).as("word"))
     val c1 = uni.groupBy(col("word")).agg(count(lit(1)).as("c1"))
@@ -412,6 +418,66 @@ object Curation {
       .agg(sum(col("n")).cast("long").as("n_bigrams"),
         sum(col("n") * col("p_scaled")).cast("long").as("lm_score"))
       .withColumn("lm_mean", expr("lm_score div n_bigrams"))
+  }
+
+  /** Top-k word collocations by scaled pointwise mutual information:
+    * `pmi_scaled = (c₁₂ · N · scale) div (c(w1) · c(w2))` where c₁₂ is
+    * the bigram count, c(w) the full unigram counts and N the total
+    * bigram count — the standard PMI association measure minus the log
+    * (monotone transform; same bit-portability rationale as
+    * [[lmScores]]). `minCount` cuts the classic PMI low-frequency noise.
+    * `c₁₂·N·scale` must stay inside a Long — at web scale lower `scale`
+    * (or pre-divide) accordingly; under ANSI mode (Spark 4's default)
+    * an overflow fails loudly instead of wrapping.
+    *
+    * Shape: the shared per-doc bigram front half, one vocabulary-sized
+    * bigram aggregation, two unigram-count equi-joins (shuffle joins —
+    * the vocabulary is never assumed broadcastable), a 1-row broadcast
+    * total, TakeOrdered top-k. */
+  def pmiCollocations(df: DataFrame, textCol: String, idCol: String,
+      minCount: Long = 5L, k: Int = 20,
+      scale: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val c2 = bigramOccurrences(df, textCol, idCol)
+      .groupBy(col("w1"), col("w2"))
+      .agg(sum(col("n")).cast("long").as("c12"))
+      .localCheckpoint(false) // feeds the total AND the scored join
+    val uni = df.select(explode(split(col(textCol), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cw"))
+    val total = c2.agg(sum(col("c12")).cast("long").as("nb"))
+    c2.filter(col("c12") >= minCount)
+      .join(uni.select(col("word").as("w1"), col("cw").as("cw1")), Seq("w1"))
+      .join(uni.select(col("word").as("w2"), col("cw").as("cw2")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c12"),
+        expr(s"(c12 * nb * $scale) div (cw1 * cw2)").as("pmi_scaled"))
+      .orderBy(col("pmi_scaled").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
+  /** Sequential Poisson (priority) weighted sampling WITHOUT replacement
+    * (Ohlsson 1998 — the deterministic cousin of Efraimidis–Spirakis):
+    * each row gets priority u/w, u = a 60-bit md5-derived uniform of its
+    * id and w = its weight; the sample is the k SMALLEST priorities, so
+    * inclusion odds grow with weight. No RNG — the sample is a pure
+    * function of the data (re-runs, engines and partitionings agree,
+    * ties broken by id; u/w is one IEEE division of exact integers, so
+    * even the float priorities are bit-identical). One narrow pass +
+    * TakeOrdered top-k: no shuffle at any corpus size. Non-positive
+    * weights are excluded (never sampled) by definition. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long").cast("double")
+    df.filter(col(weightCol) > 0)
+      .select(col(idCol).as("id"),
+        col(weightCol).cast("long").as("weight"),
+        (u / col(weightCol).cast("double")).as("priority"))
+      .orderBy(col("priority").asc, col("id").asc)
+      .limit(k)
   }
 
   /** K-minimum-values distinct-count SKETCH as an aggregate Column — the

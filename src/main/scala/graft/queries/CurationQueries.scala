@@ -152,6 +152,14 @@ object CurationQueries {
     "ngram_lm" -> ((s, dir) =>
       Curation.lmScores(docs(s, dir), "text", "doc_id")),
 
+    // Top-20 collocations by scaled PMI (bigrams seen >= 5 times).
+    "pmi_collocations" -> ((s, dir) =>
+      Curation.pmiCollocations(docs(s, dir), "text", "doc_id")),
+
+    // Sequential Poisson weighted sample: 60 docs, weight = n_chars.
+    "weighted_sample" -> ((s, dir) =>
+      Curation.weightedSample(docs(s, dir), "doc_id", "n_chars", k = 60)),
+
     // Count-Min sketch estimates for 20 probe users over the event
     // stream (d=4 rows × w=512 buckets) — deterministic, collisions
     // included, so the oracle mirrors the sketch bit for bit.
@@ -650,6 +658,45 @@ object CurationQueries {
         |        JOIN c1 ON p2.w1 = c1.word
         |        CROSS JOIN v
         |GROUP BY 1
+        |""".stripMargin,
+
+    // mirror of pmiCollocations(minCount 5, scale 1e6): same bigram/
+    // unigram counts, same integer ratio, same ordering
+    "pmi_collocations" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |st AS (
+        |  SELECT doc_id, w,
+        |         UNNEST(generate_series(1, len(w) - 1)) AS i
+        |  FROM tok),
+        |p2 AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM st),
+        |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        |       FROM p2 GROUP BY 1, 2),
+        |uni AS (SELECT UNNEST(w) AS word FROM tok),
+        |cw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cw
+        |       FROM uni GROUP BY 1),
+        |nb AS (SELECT CAST(SUM(c12) AS BIGINT) AS nb FROM c2)
+        |SELECT c2.w1, c2.w2, c2.c12,
+        |       CAST((c2.c12 * nb.nb * 1000000) // (a.cw * b.cw) AS BIGINT)
+        |         AS pmi_scaled
+        |FROM c2 JOIN cw a ON c2.w1 = a.word
+        |        JOIN cw b ON c2.w2 = b.word
+        |        CROSS JOIN nb
+        |WHERE c2.c12 >= 5
+        |ORDER BY pmi_scaled DESC, c2.w1 ASC, c2.w2 ASC
+        |LIMIT 20
+        |""".stripMargin,
+
+    // mirror of weightedSample(k 60, weight n_chars): same 60-bit md5
+    // uniform, same IEEE u/w priority, same ordering
+    "weighted_sample" ->
+      """SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS weight,
+        |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |       AS BIGINT) AS DOUBLE) / CAST(n_chars AS DOUBLE) AS priority
+        |FROM documents
+        |WHERE n_chars > 0
+        |ORDER BY priority ASC, id ASC
+        |LIMIT 60
         |""".stripMargin,
 
     // mirror of the Count-Min sketch (d=4, w=512): the cell counts are

@@ -500,6 +500,36 @@ class CurationSpec extends AnyFunSuite {
       2L -> ((1L, 500000000L, 500000000L))))
   }
 
+  test("pmiCollocations: hand-computed scaled PMI with min-count cut") {
+    // corpus: doc1 "a b a b c", doc2 "a b"
+    // bigrams: (a,b)=3, (b,a)=1, (b,c)=1 → N=5; unigrams a=3, b=3, c=1
+    // minCount=2 keeps only (a,b): (3·5·1e6) div (3·3) = 1666666
+    val df = Seq((1L, "a b a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val out = Curation.pmiCollocations(df, "text", "doc_id", minCount = 2L)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("w1") == "a")
+    assert(out.head.getAs[String]("w2") == "b")
+    assert(out.head.getAs[Long]("c12") == 3L)
+    assert(out.head.getAs[Long]("pmi_scaled") == 1666666L)
+  }
+
+  test("weightedSample: deterministic, weight-gated, partitioning-proof") {
+    val df = (1L to 40L).map(i =>
+      (i, if (i <= 5) 0L else i * 10)).toDF("doc_id", "wt")
+    val s1 = Curation.weightedSample(df, "doc_id", "wt", k = 10).collect()
+    assert(s1.length == 10)
+    // non-positive weights can never be sampled
+    assert(s1.forall(_.getAs[Long]("id") > 5L))
+    // k beyond the population returns every positive-weight row
+    assert(Curation.weightedSample(df, "doc_id", "wt", k = 100)
+      .count() == 35L)
+    // the sample is a pure function of the data: partitioning-invariant
+    val s2 = Curation.weightedSample(df.repartition(7), "doc_id", "wt",
+      k = 10).collect()
+    assert(s1.map(_.toSeq).toSeq == s2.map(_.toSeq).toSeq)
+  }
+
   test("kmeans assigns duplicate vectors to the same cluster and converges") {
     val base = Array.tabulate(8)(c => Array.tabulate(4)(d =>
       if (d == c % 4) 1.0f else 0.01f * c))
