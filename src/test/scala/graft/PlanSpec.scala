@@ -388,6 +388,53 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("round-5 curation ops: narrow passes, pushdown, heap top-ks") {
+    val dir = Files.createTempDirectory("graft-r5plan").toString
+    (0L to 40L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding").write.parquet(s"$dir/v")
+    (0L to 60L).map(i => (i, s"w$i common the a tail${i % 7}", 10L + i))
+      .toDF("doc_id", "text", "n_chars").write.parquet(s"$dir/d")
+    val vecs = spark.read.parquet(s"$dir/v")
+    val docsDf = spark.read.parquet(s"$dir/d")
+
+    // hammingTopK: both stages heap top-ks, never a global sort; the
+    // only join is the broadcast 1-row query (BNLJ by nature)
+    val ham = explainOf(graft.operators.Similarity.hammingTopK(
+      vecs, "vec_id", "embedding", 0L, k = 5, rerank = 10, dim = 16))
+    assert(ham.contains("TakeOrderedAndProject"), ham)
+    assert(!ham.contains("CartesianProduct"), ham)
+    assert(!ham.contains("Sort "), ham)
+
+    // gopherColumns: a pure narrow pass — no exchange anywhere
+    val gopher = explainOf(docsDf.select(
+      graft.operators.TextAnalysis.gopherColumns(col("text"),
+        Seq("the", "a")): _*))
+    assert(!gopher.contains("Exchange"), gopher)
+
+    // lmScores / pmiCollocations: scoring joins are key equi-joins with
+    // map-side-combined aggregation — never a pairwise product (the
+    // 1-row vocab/total broadcast is the only nested-loop join)
+    val lm = explainOf(graft.operators.Curation.lmScores(
+      docsDf, "text", "doc_id"))
+    assert(!lm.contains("CartesianProduct"), lm)
+    assert(lm.contains("HashAggregate"), lm)
+    val pmi = explainOf(graft.operators.Curation.pmiCollocations(
+      docsDf, "text", "doc_id", minCount = 1L))
+    assert(!pmi.contains("CartesianProduct"), pmi)
+    assert(pmi.contains("TakeOrderedAndProject"), pmi)
+
+    // weightedSample: the weight gate reaches the parquet scan, the
+    // sample is a heap top-k, and nothing shuffles before it
+    val ws = explainOf(graft.operators.Curation.weightedSample(
+      docsDf, "doc_id", "n_chars", k = 5))
+    assert(ws.contains("TakeOrderedAndProject"), ws)
+    assert(ws.contains("PushedFilters"), ws)
+    assert(ws.contains("GreaterThan(n_chars,0)"), ws)
+    assert(!ws.contains("Exchange hashpartitioning"), ws)
+  }
+
   test("k-means assignment is a narrow pass with no centroid literal blowup") {
     val vecs = (0L to 200L).map { i =>
       val rnd = new scala.util.Random(i)
