@@ -358,6 +358,22 @@ object Curation {
         expr("importance_sum div n_tokens"))
   }
 
+  /** Per-(document, adjacent-word-pair) occurrence counts — the shared
+    * front half of [[lmScores]] and [[pmiCollocations]]. Counting per
+    * doc FIRST means a document repeating 'of the' n times sends ONE
+    * weighted row through any downstream join, not n identical rows. */
+  private def bigramOccurrences(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    df.select(col(idCol).as("doc_id"),
+        explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .groupBy(col("doc_id"), col("p.w1"), col("p.w2"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Bigram language-model corpus-fit scores — the KenLM-style
     * perplexity filter re-expressed in exact integers: add-one-smoothed
     * bigram conditionals `(c(w1,w2)+1)·scale div (c(w1)+V)` are trained
@@ -382,30 +398,15 @@ object Curation {
     * map-side-combined per-document sum. The 1-row vocabulary size
     * rides a broadcast. Documents with fewer than 2 tokens have no
     * bigrams and drop out (score undefined, not 0). */
-  /** Per-(document, adjacent-word-pair) occurrence counts — the shared
-    * front half of [[lmScores]] and [[pmiCollocations]]. Counting per
-    * doc FIRST means a document repeating 'of the' n times sends ONE
-    * weighted row through any downstream join, not n identical rows. */
-  private def bigramOccurrences(df: DataFrame, textCol: String,
-      idCol: String): DataFrame = {
-    val toks = split(col(textCol), " ")
-    df.select(col(idCol).as("doc_id"),
-        explode(zip_with(
-          slice(toks, lit(1), size(toks) - 1),
-          slice(toks, lit(2), size(toks) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
-      .groupBy(col("doc_id"), col("p.w1"), col("p.w2"))
-      .agg(count(lit(1)).as("n"))
-  }
-
   def lmScores(df: DataFrame, textCol: String, idCol: String,
       scale: Long = 1000000000L): DataFrame = {
     require(scale > 0, s"scale must be positive, got $scale")
     val toks = split(col(textCol), " ")
     val pairs = bigramOccurrences(df, textCol, idCol)
       .localCheckpoint(false) // feeds bigram counts AND the doc sum
-    val uni = df.select(explode(toks).as("word"))
-    val c1 = uni.groupBy(col("word")).agg(count(lit(1)).as("c1"))
+    val c1 = df.select(explode(toks).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c1"))
+      .localCheckpoint(false) // feeds the vocab size AND the scoring join
     val vocab = c1.agg(count(lit(1)).as("vsz"))
     val c2 = pairs.groupBy(col("w1"), col("w2"))
       .agg(sum(col("n")).cast("long").as("c2"))
@@ -426,9 +427,11 @@ object Curation {
     * bigram count — the standard PMI association measure minus the log
     * (monotone transform; same bit-portability rationale as
     * [[lmScores]]). `minCount` cuts the classic PMI low-frequency noise.
-    * `c₁₂·N·scale` must stay inside a Long — at web scale lower `scale`
-    * (or pre-divide) accordingly; under ANSI mode (Spark 4's default)
-    * an overflow fails loudly instead of wrapping.
+    * `c₁₂·N·scale` is accumulated in DECIMAL(38,0) — 128-bit
+    * intermediates, so a billion-bigram corpus with frequent pairs
+    * cannot overflow the pre-division product (a Long would blow at
+    * c₁₂·N ≈ 9.2e12 with the default scale); the final quotient is a
+    * plain BIGINT.
     *
     * Shape: the shared per-doc bigram front half, one vocabulary-sized
     * bigram aggregation, two unigram-count equi-joins (shuffle joins —
@@ -446,13 +449,16 @@ object Curation {
       .localCheckpoint(false) // feeds the total AND the scored join
     val uni = df.select(explode(split(col(textCol), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cw"))
+      .localCheckpoint(false) // joined twice (w1 side and w2 side)
     val total = c2.agg(sum(col("c12")).cast("long").as("nb"))
     c2.filter(col("c12") >= minCount)
       .join(uni.select(col("word").as("w1"), col("cw").as("cw1")), Seq("w1"))
       .join(uni.select(col("word").as("w2"), col("cw").as("cw2")), Seq("w2"))
       .crossJoin(broadcast(total))
       .select(col("w1"), col("w2"), col("c12"),
-        expr(s"(c12 * nb * $scale) div (cw1 * cw2)").as("pmi_scaled"))
+        expr(s"cast((cast(c12 as decimal(38,0)) * nb * $scale) " +
+          "div (cast(cw1 as decimal(38,0)) * cw2) as bigint)")
+          .as("pmi_scaled"))
       .orderBy(col("pmi_scaled").desc, col("w1").asc, col("w2").asc)
       .limit(k)
   }
@@ -465,16 +471,20 @@ object Curation {
     * function of the data (re-runs, engines and partitionings agree,
     * ties broken by id; u/w is one IEEE division of exact integers, so
     * even the float priorities are bit-identical). One narrow pass +
-    * TakeOrdered top-k: no shuffle at any corpus size. Non-positive
-    * weights are excluded (never sampled) by definition. */
+    * TakeOrdered top-k: no shuffle at any corpus size. Rows with a NULL
+    * id or a non-positive weight are excluded (a NULL id hashes to a
+    * NULL priority, which ascending order would put FIRST — silently
+    * pinning id-less rows into every sample; a non-positive weight has
+    * no inclusion probability by definition). The weight is returned
+    * unchanged — fractional weights stay fractional. */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val u = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
       .cast("long").cast("double")
-    df.filter(col(weightCol) > 0)
+    df.filter(col(idCol).isNotNull && col(weightCol) > 0)
       .select(col(idCol).as("id"),
-        col(weightCol).cast("long").as("weight"),
+        col(weightCol).as("weight"),
         (u / col(weightCol).cast("double")).as("priority"))
       .orderBy(col("priority").asc, col("id").asc)
       .limit(k)

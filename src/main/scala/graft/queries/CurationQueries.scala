@@ -677,7 +677,8 @@ object CurationQueries {
         |       FROM uni GROUP BY 1),
         |nb AS (SELECT CAST(SUM(c12) AS BIGINT) AS nb FROM c2)
         |SELECT c2.w1, c2.w2, c2.c12,
-        |       CAST((c2.c12 * nb.nb * 1000000) // (a.cw * b.cw) AS BIGINT)
+        |       CAST((CAST(c2.c12 AS HUGEINT) * nb.nb * 1000000)
+        |            // (CAST(a.cw AS HUGEINT) * b.cw) AS BIGINT)
         |         AS pmi_scaled
         |FROM c2 JOIN cw a ON c2.w1 = a.word
         |        JOIN cw b ON c2.w2 = b.word

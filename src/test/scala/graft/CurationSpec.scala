@@ -528,6 +528,17 @@ class CurationSpec extends AnyFunSuite {
     val s2 = Curation.weightedSample(df.repartition(7), "doc_id", "wt",
       k = 10).collect()
     assert(s1.map(_.toSeq).toSeq == s2.map(_.toSeq).toSeq)
+    // NULL ids hash to NULL priorities (which ascending order would pin
+    // FIRST) — they must be excluded, not silently always-sampled
+    val withNull = Seq((Some(1L), 5L), (None, 5L), (Some(2L), 5L))
+      .toDF("doc_id", "wt")
+    val s3 = Curation.weightedSample(withNull, "doc_id", "wt", k = 3)
+      .collect()
+    assert(s3.length == 2 && s3.forall(!_.isNullAt(0)))
+    // fractional weights pass through unchanged
+    val frac = Seq((1L, 0.3), (2L, 0.7)).toDF("doc_id", "wt")
+    assert(Curation.weightedSample(frac, "doc_id", "wt", k = 2)
+      .collect().map(_.getAs[Double]("weight")).sorted.toSeq == Seq(0.3, 0.7))
   }
 
   test("kmeans assigns duplicate vectors to the same cluster and converges") {
