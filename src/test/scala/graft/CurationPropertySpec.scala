@@ -127,4 +127,51 @@ class CurationPropertySpec extends AnyFunSuite {
       corpus.forall { case (id, _) => found.contains(id + 1000L) }
     })
   }
+
+  test("lmScores: one row per multi-token doc, scores inside the smoothed bounds") {
+    check(Prop.forAll(genCorpus(15)) { corpus =>
+      val df = corpus.toDF("doc_id", "text")
+      val out = Curation.lmScores(df, "text", "doc_id").collect()
+      val multi = corpus.count(_._2.contains(" "))
+      // every smoothed conditional is in (0, scale], so the doc sum is
+      // in (0, n_bigrams·scale]
+      out.length == multi && out.forall { r =>
+        val n = r.getAs[Long]("n_bigrams")
+        val s = r.getAs[Long]("lm_score")
+        s > 0L && s <= n * 1000000000L &&
+          r.getAs[Long]("lm_mean") == s / n
+      }
+    })
+  }
+
+  test("weightedSample: growing k extends the sample (prefix property)") {
+    val genWeighted: Gen[List[(Long, Long)]] =
+      Gen.choose(1, 25).flatMap(n => Gen.listOfN(n, Gen.choose(1L, 500L))
+        .map(_.zipWithIndex.map { case (w, i) => (i.toLong, w) }))
+    check(Prop.forAll(genWeighted) { rows =>
+      val df = rows.map(_.swap).toDF("wt", "doc_id")
+      def ids(k: Int) = Curation.weightedSample(df, "doc_id", "wt", k)
+        .collect().map(_.getAs[Long]("id")).toSeq
+      val k1 = math.max(1, rows.length / 2)
+      // the k smallest priorities are a prefix of the 2k smallest — the
+      // sample NEVER reshuffles as the budget grows (RNG-based samplers
+      // do not have this property across draws)
+      ids(k1) == ids(rows.length).take(k1)
+    })
+  }
+
+  test("pmiCollocations respects the min-count cut and the PMI upper bound") {
+    check(Prop.forAll(genCorpus(15)) { corpus =>
+      val df = corpus.toDF("doc_id", "text")
+      val out = Curation.pmiCollocations(df, "text", "doc_id",
+        minCount = 2L, k = 50).collect()
+      // c12 ≤ min(cw1, cw2) forces pmi_scaled ≤ N·scale div c12 ≤ N·scale
+      val totalBigrams = corpus.map(_._2.split(" ").length - 1)
+        .map(math.max(0, _)).sum.toLong
+      out.forall { r =>
+        r.getAs[Long]("c12") >= 2L &&
+          r.getAs[Long]("pmi_scaled") <= totalBigrams * 1000000L
+      }
+    })
+  }
 }
