@@ -266,6 +266,69 @@ object Similarity {
       coarseAsc = true)
   }
 
+  /** Distributed kNN JOIN — the top-`k` cosine neighbors of EVERY
+    * vector at once (the knn-graph builder that feeds graph clustering,
+    * [[semanticDedup]]-style blocking and link-based curation), IVF-
+    * blocked so nothing ever goes all-pairs:
+    *
+    *  1. assignment — every vector to its nearest centroid by ONE
+    *     broadcast-centroids argmax pass (map-side max_by, the
+    *     [[ivfTopK]] shape: C rows shrink to 1 before any shuffle);
+    *  2. probe replication — every vector ALSO lists its `nprobe`
+    *     nearest clusters (same broadcast pass, a C-element sort per
+    *     vector, C = centroids, tiny);
+    *  3. candidates — probe rows equi-join cluster members on the
+    *     cluster key; a vector meets only the members of the clusters
+    *     it probes, so candidate count per vector ≈ nprobe·|cluster|,
+    *     never n;
+    *  4. per-vector top-k — one window rank over each vector's candidate
+    *     list (bounded by 3.'s fan-in; the sort is partition-local and
+    *     spillable), ties broken by neighbor id.
+    *
+    * Recall follows the IVF curve (raise nprobe for more). At 100 TB
+    * the assignment is precomputed (cluster = partition column, the
+    * persisted-IVF layout) and step 3 co-locates by construction.
+    * Output: (id, neighbor_id, cos_sim, rank 1..k). Vectors whose
+    * probed clusters hold fewer than k other members return fewer
+    * rows — a thin neighborhood, not an error. */
+  def knnJoin(embeddings: DataFrame, idCol: String, embCol: String,
+      centroidIds: Seq[Long], nprobe: Int, k: Int): DataFrame = {
+    require(centroidIds.nonEmpty, "knnJoin: need at least one centroid")
+    require(nprobe >= 1 && nprobe <= centroidIds.size,
+      s"nprobe in [1, ${centroidIds.size}], got $nprobe")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val scaledDf = embeddings.select(col(idCol).as("id"),
+      scaled(col(embCol)).as("v"))
+    val centroids = scaledDf.filter(col("id").isin(centroidIds: _*))
+      .select(col("id").as("c_id"), col("v").as("c_v"))
+    val withCos = scaledDf.crossJoin(broadcast(centroids))
+      .withColumn("c_cos", cosine(col("v"), col("c_v")))
+    val assigned = withCos
+      .groupBy(col("id"), col("v"))
+      .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id")))
+        .as("cluster"))
+    // ascending sort of (−cos, c_id) = cos desc with lowest-id ties —
+    // deterministic because the cosines are exact
+    val probes = withCos
+      .groupBy(col("id"), col("v"))
+      .agg(slice(array_sort(collect_list(
+        struct((-col("c_cos")).as("neg_cos"), col("c_id").as("c_id")))),
+        1, nprobe).as("pcs"))
+      .select(col("id"), col("v"),
+        explode(col("pcs.c_id")).as("probe_cluster"))
+    probes.join(assigned.select(col("id").as("neighbor_id"),
+        col("v").as("nv"), col("cluster")),
+        col("probe_cluster") === col("cluster") &&
+          col("id") =!= col("neighbor_id"))
+      .select(col("id"), col("neighbor_id"),
+        cosine(col("v"), col("nv")).as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id").asc))
+        .cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Random-hyperplane LSH near-duplicate pairs — the SCALE path for
     * cosine dedup: signatures are sign-bits against `nPlanes`
     * deterministic ±1 hyperplanes (md5-derived, no RNG — reproducible on

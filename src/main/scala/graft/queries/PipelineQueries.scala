@@ -154,6 +154,12 @@ object PipelineQueries {
           expr("n_common * 1000 div n_exact").as("recall_permille"))
     }),
 
+    // kNN JOIN: top-3 neighbors of EVERY vector via IVF blocking
+    // (centroids 0..7, nprobe 2) — the knn-graph builder.
+    "knn_join" -> ((s, dir) =>
+      Similarity.knnJoin(embs(s, dir), "vec_id", "embedding",
+        centroidIds = 0L to 7L, nprobe = 2, k = 3)),
+
     // Binary sign-hash ANN: 64 dims → two 32-bit sign words, Hamming
     // scan top-40 (two XOR+popcounts/row over an 8-byte signature),
     // exact cosine re-rank → top-10.
@@ -1007,6 +1013,36 @@ object PipelineQueries {
          |       CAST(COUNT(pq.id) AS BIGINT) AS n_common,
          |       COUNT(pq.id) * 1000 // COUNT(*) AS recall_permille
          |FROM exact LEFT JOIN pq ON pq.id = exact.id
+         |""".stripMargin,
+
+    // mirror of knnJoin(centroids 0..7, nprobe 2, k 3): same argmax
+    // assignment, same probe ranks, same per-vector neighbor ranking
+    "knn_join" ->
+      s"""WITH $scaledCte,
+         |c AS (SELECT id AS c_id, v AS c_v FROM s WHERE id BETWEEN 0 AND 7),
+         |cc AS (
+         |  SELECT s.id, s.v, c.c_id,
+         |         ROW_NUMBER() OVER (
+         |           PARTITION BY s.id
+         |           ORDER BY ${cosSql("s.v", "c.c_v")} DESC, c.c_id ASC)
+         |           AS rk
+         |  FROM s CROSS JOIN c),
+         |asg AS (SELECT id, v, c_id AS cluster FROM cc WHERE rk = 1),
+         |probe AS (SELECT id, v, c_id AS probe_cluster FROM cc
+         |          WHERE rk <= 2),
+         |cand AS (
+         |  SELECT p.id, a.id AS neighbor_id,
+         |         ${cosSql("p.v", "a.v")} AS cos_sim
+         |  FROM probe p JOIN asg a
+         |    ON p.probe_cluster = a.cluster AND p.id <> a.id)
+         |SELECT id, neighbor_id, cos_sim, CAST(rk AS BIGINT) AS rank
+         |FROM (
+         |  SELECT id, neighbor_id, cos_sim,
+         |         ROW_NUMBER() OVER (
+         |           PARTITION BY id
+         |           ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+         |  FROM cand) t
+         |WHERE rk <= 3
          |""".stripMargin,
 
     // same sign bits, same Hamming scan, same re-rank — every stage

@@ -271,6 +271,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(base.take(10).count(narrow) >= 8, s"recall too low: $narrow")
   }
 
+  test("knnJoin: neighbors stay in probed clusters, ranks are dense per id") {
+    import graft.operators.Similarity
+    // two well-separated bundles around orthogonal axes: ids 0..9 near
+    // e1, ids 10..19 near e2 — each vector's top neighbors must come
+    // from its own bundle
+    val vecs = (0 until 20).map { i =>
+      val axis = if (i < 10) 0 else 1
+      (i.toLong, Array.tabulate(4)(d =>
+        (if (d == axis) 1.0f else 0.001f * (i + d))).toSeq)
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.knnJoin(vecs, "vec_id", "embedding",
+      centroidIds = Seq(0L, 10L), nprobe = 1, k = 3).collect()
+    val byId = out.groupBy(_.getAs[Long]("id"))
+    assert(byId.keySet == (0L until 20L).toSet)
+    byId.foreach { case (id, rows) =>
+      assert(rows.length == 3, s"id $id")
+      // dense ranks 1..3, neighbors from the same bundle
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq == Seq(1L, 2L, 3L))
+      val sameBundle = (n: Long) => (id < 10) == (n < 10)
+      assert(rows.forall(r => sameBundle(r.getAs[Long]("neighbor_id"))),
+        s"id $id crossed bundles: ${rows.mkString(",")}")
+      assert(rows.forall(r => r.getAs[Long]("neighbor_id") != id))
+    }
+    // plan: candidate generation is an equi-join on the cluster key —
+    // the only nested-loop is the tiny broadcast centroid pass
+    val plan = {
+      val outDf = Similarity.knnJoin(vecs, "vec_id", "embedding",
+        centroidIds = Seq(0L, 10L), nprobe = 1, k = 3)
+      val o = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(o)) {
+        outDf.explain("formatted")
+      }
+      o.toString
+    }
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("hammingTopK: known sign words, full rerank recovers exact top-k") {
     import graft.operators.Similarity
     // dim 4: signs chosen so Hamming distances to query 0 are known.
