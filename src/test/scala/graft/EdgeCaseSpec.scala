@@ -71,4 +71,31 @@ class EdgeCaseSpec extends AnyFunSuite {
     val st = ObservationStore.inMemory(ObservationStore.aggregate(input))
     assert(st.restQuery("dual").count() == 2) // bag union of both searches
   }
+
+  test("round-5 curation ops are total on empty and degenerate input") {
+    import graft.operators.{Curation, Similarity, TextAnalysis}
+    import org.apache.spark.sql.functions.{col, lit}
+    val emptyDocs = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
+    assert(Curation.lmScores(emptyDocs, "text", "doc_id").count() == 0)
+    assert(Curation.pmiCollocations(emptyDocs, "text", "doc_id")
+      .count() == 0)
+    assert(Curation.weightedSample(emptyDocs.withColumn("w", lit(1L)),
+      "doc_id", "w", 5).count() == 0)
+    // single-token docs have no bigrams: lmScores drops them, PMI is empty
+    val single = Seq((1L, "lonely")).toDF("doc_id", "text")
+    assert(Curation.lmScores(single, "text", "doc_id").count() == 0)
+    assert(Curation.pmiCollocations(single, "text", "doc_id",
+      minCount = 1L).count() == 0)
+    // gopher flags are defined (all-integer) on the empty string
+    val flags = Seq((1L, "")).toDF("doc_id", "text")
+      .select(TextAnalysis.gopherColumns(col("text"),
+        Seq("the", "a")): _*).collect().head
+    assert((0 until flags.length).forall(!flags.isNullAt(_)))
+    assert(flags.getAs[Long]("gopher_keep") == 0L)
+    // a query id absent from the corpus yields an empty top-k, not an error
+    val vecs = Seq((1L, Seq(1.0f, 0.1f)), (2L, Seq(0.9f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.hammingTopK(vecs, "vec_id", "embedding",
+      queryId = 99L, k = 1, rerank = 1, dim = 2).count() == 0)
+  }
 }
