@@ -433,19 +433,27 @@ object Curation {
     * c₁₂·N ≈ 9.2e12 with the default scale); the final quotient is a
     * plain BIGINT.
     *
-    * Shape: the shared per-doc bigram front half, one vocabulary-sized
-    * bigram aggregation, two unigram-count equi-joins (shuffle joins —
-    * the vocabulary is never assumed broadcastable), a 1-row broadcast
-    * total, TakeOrdered top-k. */
-  def pmiCollocations(df: DataFrame, textCol: String, idCol: String,
+    * Shape: one explode straight into a global (w1, w2) count — PMI
+    * never needs the per-document split, so it skips [[lmScores]]'
+    * doc-keyed front half (map-side partial aggregation already
+    * compresses repeated bigrams; routing through a per-doc pre-count
+    * would add a full extra shuffle of the widest intermediate) — two
+    * unigram-count equi-joins (shuffle joins — the vocabulary is never
+    * assumed broadcastable), a 1-row broadcast total, TakeOrdered
+    * top-k. */
+  def pmiCollocations(df: DataFrame, textCol: String,
       minCount: Long = 5L, k: Int = 20,
       scale: Long = 1000000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     require(scale > 0, s"scale must be positive, got $scale")
-    val c2 = bigramOccurrences(df, textCol, idCol)
-      .groupBy(col("w1"), col("w2"))
-      .agg(sum(col("n")).cast("long").as("c12"))
+    val toks = split(col(textCol), " ")
+    val c2 = df.select(explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .groupBy(col("p.w1"), col("p.w2"))
+      .agg(count(lit(1)).cast("long").as("c12"))
       .localCheckpoint(false) // feeds the total AND the scored join
     val uni = df.select(explode(split(col(textCol), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cw"))

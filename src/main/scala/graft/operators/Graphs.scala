@@ -72,16 +72,19 @@ object Graphs {
     // quantization floor: initial ranks are scale/n and the teleport
     // term is basePart/n — if either truncates toward 0, rank mass
     // vanishes within a round or two and the ordering is garbage with
-    // no error. 1000 units/node keeps `pr div outdeg` meaningful for
-    // realistic out-degrees; raise `scale` for bigger graphs.
-    require(scale / n >= 1000,
-      s"scale ($scale) too small for $n nodes — integer ranks would " +
-        s"quantize to ${scale / n} units/node (< 1000); raise scale")
+    // no error. Rather than cliff-failing on big graphs at the default
+    // scale, raise it deterministically to keep ≥ 1000 units/node
+    // (rounded up to a multiple of 100 so the damping split stays
+    // exact); the effective scale is a pure function of (scale, n), so
+    // results remain engine- and rerun-stable.
+    val effScale =
+      if (scale / n >= 1000) scale
+      else ((1000L * n + 99) / 100) * 100
     val withDeg = cut(edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src"))
       // reused every round: pay the join once
-    val basePart = scale / 100 * (100 - dampPct)
-    var pr = nodes.withColumn("pr", lit(scale / n))
+    val basePart = effScale / 100 * (100 - dampPct)
+    var pr = nodes.withColumn("pr", lit(effScale / n))
     for (_ <- 1 to iters) {
       val contrib = withDeg.join(pr, col("src") === col("id"))
         .select(col("dst"), expr("pr div outdeg").as("c"))

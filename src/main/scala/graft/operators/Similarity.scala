@@ -271,12 +271,11 @@ object Similarity {
     * [[semanticDedup]]-style blocking and link-based curation), IVF-
     * blocked so nothing ever goes all-pairs:
     *
-    *  1. assignment — every vector to its nearest centroid by ONE
-    *     broadcast-centroids argmax pass (map-side max_by, the
-    *     [[ivfTopK]] shape: C rows shrink to 1 before any shuffle);
-    *  2. probe replication — every vector ALSO lists its `nprobe`
-    *     nearest clusters (same broadcast pass, a C-element sort per
-    *     vector, C = centroids, tiny);
+    *  1. ONE broadcast-centroids cosine pass per vector (norms computed
+    *     once, C rows shrink to a single nprobe-element probe list
+    *     before any shuffle);
+    *  2. the probe list doubles as the assignment — its first element
+    *     IS the nearest centroid, so no separate argmax aggregation;
     *  3. candidates — probe rows equi-join cluster members on the
     *     cluster key; a vector meets only the members of the clusters
     *     it probes, so candidate count per vector ≈ nprobe·|cluster|,
@@ -297,31 +296,34 @@ object Similarity {
     require(nprobe >= 1 && nprobe <= centroidIds.size,
       s"nprobe in [1, ${centroidIds.size}], got $nprobe")
     require(k >= 1, s"k must be >= 1, got $k")
-    val scaledDf = embeddings.select(col(idCol).as("id"),
-      scaled(col(embCol)).as("v"))
-    val centroids = scaledDf.filter(col("id").isin(centroidIds: _*))
-      .select(col("id").as("c_id"), col("v").as("c_v"))
-    val withCos = scaledDf.crossJoin(broadcast(centroids))
-      .withColumn("c_cos", cosine(col("v"), col("c_v")))
-    val assigned = withCos
-      .groupBy(col("id"), col("v"))
-      .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id")))
-        .as("cluster"))
-    // ascending sort of (−cos, c_id) = cos desc with lowest-id ties —
-    // deterministic because the cosines are exact
-    val probes = withCos
-      .groupBy(col("id"), col("v"))
+    val base = withNorm(embeddings, idCol, embCol)
+    val centroids = base.filter(col("id").isin(centroidIds: _*))
+      .select(col("id").as("c_id"), col("v").as("c_v"),
+        col("norm").as("c_norm"))
+    // ONE broadcast-cosine pass produces both the probe list (ascending
+    // sort of (−cos, c_id) = cos desc, lowest-id ties — deterministic
+    // because the cosines are exact) and, as its FIRST element, the
+    // cluster assignment; checkpointed because it feeds both sides of
+    // the candidate join
+    val probes = base.crossJoin(broadcast(centroids))
+      .withColumn("c_cos",
+        dot(col("v"), col("c_v")) / (col("norm") * col("c_norm")))
+      .groupBy(col("id"), col("v"), col("norm"))
       .agg(slice(array_sort(collect_list(
         struct((-col("c_cos")).as("neg_cos"), col("c_id").as("c_id")))),
         1, nprobe).as("pcs"))
-      .select(col("id"), col("v"),
+      .localCheckpoint(false)
+    val assigned = probes.select(col("id").as("neighbor_id"),
+      col("v").as("nv"), col("norm").as("n_norm"),
+      col("pcs").getItem(0).getField("c_id").as("cluster"))
+    probes.select(col("id"), col("v"), col("norm"),
         explode(col("pcs.c_id")).as("probe_cluster"))
-    probes.join(assigned.select(col("id").as("neighbor_id"),
-        col("v").as("nv"), col("cluster")),
+      .join(assigned,
         col("probe_cluster") === col("cluster") &&
           col("id") =!= col("neighbor_id"))
       .select(col("id"), col("neighbor_id"),
-        cosine(col("v"), col("nv")).as("cos_sim"))
+        (dot(col("v"), col("nv")) / (col("norm") * col("n_norm")))
+          .as("cos_sim"))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
           .orderBy(col("cos_sim").desc, col("neighbor_id").asc))
@@ -345,6 +347,10 @@ object Similarity {
     // with the asymmetric delta path)
     val signed = withSignature(embeddings, idCol, embCol,
       hyperplanes(nPlanes, dim))
+    require(blocks >= 1 && blocks <= nPlanes && nPlanes % blocks == 0,
+      s"blocks ($blocks) must divide nPlanes ($nPlanes) with at least " +
+        "one plane per block — a zero-length block would collide ALL " +
+        "vectors (O(n\u00b2) candidates); a non-divisor drops sign bits")
     val blockLen = nPlanes / blocks
     val exploded = signed.select(col("id"), col("v"), col("norm"),
       posexplode(transform(sequence(lit(0), lit(blocks - 1)),
@@ -396,6 +402,10 @@ object Similarity {
       embCol: String, threshold: Double, dim: Int, nPlanes: Int = 16,
       blocks: Int = 4): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)
+    require(blocks >= 1 && blocks <= nPlanes && nPlanes % blocks == 0,
+      s"blocks ($blocks) must divide nPlanes ($nPlanes) with at least " +
+        "one plane per block — a zero-length block would collide ALL " +
+        "vectors (O(n\u00b2) candidates); a non-divisor drops sign bits")
     val blockLen = nPlanes / blocks
     def explodeBlocks(df: DataFrame, prefix: String): DataFrame =
       withSignature(df, idCol, embCol, planes).select(

@@ -94,11 +94,24 @@ private[operators] object StagedCommit {
         val aside = new org.apache.hadoop.fs.Path(s"$staging/_replaced/$rel")
         if (f.exists(src)) {
           if (f.exists(dest)) {
+            // only move a live piece aside while OUR manifest is still
+            // live: a concurrent recoverer that finished this manifest
+            // deletes the staging dir, and blindly recreating it would
+            // park the committed piece in a manifest-less staging dir
+            // (which a later writer-path recover would discard)
+            if (!f.exists(new org.apache.hadoop.fs.Path(staging,
+              "_manifest.json")))
+              throw new java.io.IOException(
+                s"staging $staging vanished mid-apply (concurrent " +
+                  "recoverer finished this manifest) — aborting replay")
             f.mkdirs(aside.getParent)
-            // losing this rename means another recoverer moved dest (or
-            // already swapped src in) — fall through and let the src
-            // rename's own success check decide
-            f.rename(dest, aside)
+            // the aside rename MUST be verified: on local/HDFS
+            // filesystems, renaming into a still-existing non-empty
+            // directory can NEST src under dest and report success —
+            // silent corruption, strictly worse than failing here
+            if (!f.rename(dest, aside) && f.exists(dest))
+              throw new java.io.IOException(
+                s"cannot move live piece aside: $dest -> $aside")
           }
           if (!f.rename(src, dest) && !(f.exists(dest) && !f.exists(src)))
             // a concurrent recoverer may win the rename between our
@@ -123,10 +136,44 @@ private[operators] object StagedCommit {
       ()
     }
 
+  /** Salvage committed pieces stranded in a staging dir's `_replaced`
+    * slot before that dir is discarded: a recoverer that stalled while a
+    * concurrent process finished the same manifest can park the ONLY
+    * copy of a committed piece under `_replaced` of a re-created,
+    * manifest-less staging dir (its own apply then fails loudly). A
+    * stranded piece is recognizable by its live counterpart being
+    * MISSING — restore it; a piece whose live counterpart exists is the
+    * pre-merge data the swap replaced, and dies with the dir. */
+  private def salvageAside(f: org.apache.hadoop.fs.FileSystem,
+      staging: org.apache.hadoop.fs.Path, liveRoot: String): Unit = {
+    def walk(aside: org.apache.hadoop.fs.Path,
+        live: org.apache.hadoop.fs.Path, depth: Int): Unit = {
+      if (!f.exists(live)) {
+        f.mkdirs(live.getParent)
+        if (!f.rename(aside, live) && !f.exists(live))
+          throw new java.io.IOException(
+            s"cannot restore stranded committed piece $aside -> $live")
+      } else if (depth < 3 && f.getFileStatus(aside).isDirectory &&
+        f.getFileStatus(live).isDirectory) {
+        // live CONTAINER exists (e.g. by_rrname) — the stranded piece
+        // may be a partition below it
+        f.listStatus(aside).foreach(st => walk(st.getPath,
+          new org.apache.hadoop.fs.Path(live, st.getPath.getName),
+          depth + 1))
+      }
+    }
+    val r = new org.apache.hadoop.fs.Path(staging, "_replaced")
+    if (f.exists(r))
+      f.listStatus(r).foreach(st => walk(st.getPath,
+        new org.apache.hadoop.fs.Path(s"$liveRoot/${st.getPath.getName}"),
+        1))
+  }
+
   /** Resolve interrupted merges under `path`: committed staging (has a
     * manifest) replays through `applyFn`; unparsable manifests and
     * manifest-less staging are discarded ONLY on the writer path —
-    * a reader may be looking at a live writer mid-stage/mid-manifest. */
+    * a reader may be looking at a live writer mid-stage/mid-manifest.
+    * Every discard first salvages stranded `_replaced` pieces. */
   def recover(spark: SparkSession, path: String,
       deleteUncommitted: Boolean)(applyFn: String => Unit): Unit =
     RecoveryLock.withLock(path) {
@@ -144,9 +191,13 @@ private[operators] object StagedCommit {
               // other failure (including transient IllegalStateException
               // like a stopped SparkContext) propagates — deleting on it
               // would destroy a committed merge
-              if (deleteUncommitted) { f.delete(staging, true); () }
+              if (deleteUncommitted) {
+                salvageAside(f, staging, path)
+                f.delete(staging, true); ()
+              }
             }
           } else if (deleteUncommitted) {
+            salvageAside(f, staging, path)
             f.delete(staging, true)
             ()
           }

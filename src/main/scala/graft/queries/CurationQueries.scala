@@ -154,7 +154,7 @@ object CurationQueries {
 
     // Top-20 collocations by scaled PMI (bigrams seen >= 5 times).
     "pmi_collocations" -> ((s, dir) =>
-      Curation.pmiCollocations(docs(s, dir), "text", "doc_id")),
+      Curation.pmiCollocations(docs(s, dir), "text")),
 
     // Sequential Poisson weighted sample: 60 docs, weight = n_chars.
     "weighted_sample" -> ((s, dir) =>

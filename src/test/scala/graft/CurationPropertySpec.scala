@@ -163,7 +163,7 @@ class CurationPropertySpec extends AnyFunSuite {
   test("pmiCollocations respects the min-count cut and the PMI upper bound") {
     check(Prop.forAll(genCorpus(15)) { corpus =>
       val df = corpus.toDF("doc_id", "text")
-      val out = Curation.pmiCollocations(df, "text", "doc_id",
+      val out = Curation.pmiCollocations(df, "text",
         minCount = 2L, k = 50).collect()
       // c12 ≤ min(cw1, cw2) forces pmi_scaled ≤ N·scale div c12 ≤ N·scale
       val totalBigrams = corpus.map(_._2.split(" ").length - 1)

@@ -505,7 +505,7 @@ class CurationSpec extends AnyFunSuite {
     // bigrams: (a,b)=3, (b,a)=1, (b,c)=1 → N=5; unigrams a=3, b=3, c=1
     // minCount=2 keeps only (a,b): (3·5·1e6) div (3·3) = 1666666
     val df = Seq((1L, "a b a b c"), (2L, "a b")).toDF("doc_id", "text")
-    val out = Curation.pmiCollocations(df, "text", "doc_id", minCount = 2L)
+    val out = Curation.pmiCollocations(df, "text", minCount = 2L)
       .collect()
     assert(out.length == 1)
     assert(out.head.getAs[String]("w1") == "a")

@@ -77,14 +77,14 @@ class EdgeCaseSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.{col, lit}
     val emptyDocs = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
     assert(Curation.lmScores(emptyDocs, "text", "doc_id").count() == 0)
-    assert(Curation.pmiCollocations(emptyDocs, "text", "doc_id")
+    assert(Curation.pmiCollocations(emptyDocs, "text")
       .count() == 0)
     assert(Curation.weightedSample(emptyDocs.withColumn("w", lit(1L)),
       "doc_id", "w", 5).count() == 0)
     // single-token docs have no bigrams: lmScores drops them, PMI is empty
     val single = Seq((1L, "lonely")).toDF("doc_id", "text")
     assert(Curation.lmScores(single, "text", "doc_id").count() == 0)
-    assert(Curation.pmiCollocations(single, "text", "doc_id",
+    assert(Curation.pmiCollocations(single, "text",
       minCount = 1L).count() == 0)
     // gopher flags are defined (all-integer) on the empty string
     val flags = Seq((1L, "")).toDF("doc_id", "text")

@@ -177,4 +177,31 @@ class EventsSpec extends AnyFunSuite {
     assert(empty(0L) == ((0L, 0L, -1L, -1L)))
     assert(empty(1L) == ((0L, 0L, -1L, -1L)))
   }
+
+  test("tumblingAgg: value sums in exact cents; count-only mode for value-less frames") {
+    import graft.operators.Events
+    val t = Timestamp.valueOf("2021-06-01 10:15:00")
+    val t2 = Timestamp.valueOf("2021-06-01 11:05:00")
+    val events = Seq(
+      (t, "click", 0.1), (t, "click", 0.2), (t2, "click", 1.0),
+      (t, "view", 5.0))
+      .toDF("ts", "event_type", "value")
+    val out = Events.tumblingAgg(events, col("ts"), col("event_type"))
+      .collect().map(r => (r.getAs[Timestamp]("window_start").getTime,
+        r.getAs[String]("key")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("sum_value_cents"))).toMap
+    val h10 = Timestamp.valueOf("2021-06-01 10:00:00").getTime
+    val h11 = Timestamp.valueOf("2021-06-01 11:00:00").getTime
+    assert(out((h10, "click")) == ((2L, 30L))) // 0.1+0.2 = exactly 30 cents
+    assert(out((h11, "click")) == ((1L, 100L)))
+    assert(out((h10, "view")) == ((1L, 500L)))
+    // a frame WITHOUT a value column: counts only, no sum column at all
+    val bare = events.drop("value")
+    val co = Events.tumblingAgg(bare, col("ts"), col("event_type"),
+      valueCol = None)
+    assert(!co.columns.contains("sum_value_cents"))
+    assert(co.collect().map(r => (r.getAs[String]("key"),
+      r.getAs[Long]("n_events"))).toSet ==
+      Set(("click", 2L), ("click", 1L), ("view", 1L)))
+  }
 }

@@ -421,7 +421,7 @@ class PlanSpec extends AnyFunSuite {
     assert(!lm.contains("CartesianProduct"), lm)
     assert(lm.contains("HashAggregate"), lm)
     val pmi = explainOf(graft.operators.Curation.pmiCollocations(
-      docsDf, "text", "doc_id", minCount = 1L))
+      docsDf, "text", minCount = 1L))
     assert(!pmi.contains("CartesianProduct"), pmi)
     assert(pmi.contains("TakeOrderedAndProject"), pmi)
 
