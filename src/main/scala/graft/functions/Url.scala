@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization as pure Column expressions — the dedup-key
+  * normalization step of a web-corpus pipeline (CommonCrawl-style
+  * crawls reach the same page through case-variant hosts, default
+  * ports, duplicate slashes, fragment anchors and permuted query
+  * strings; canonicalizing BEFORE the exact/MinHash dedup stages is
+  * what lets them see those as one document).
+  *
+  * Rules (the conservative, loss-free subset every canonicalizer
+  * agrees on): lowercase scheme and host (NEVER the path — paths are
+  * case-sensitive), strip the scheme's default port (:80 http, :443
+  * https), drop the fragment, collapse duplicate slashes in the path,
+  * strip one trailing slash (except the root path), sort query
+  * parameters byte-wise. %-escape decoding is deliberately NOT done
+  * (it can change meaning — '%2F' vs '/').
+  *
+  * Everything is regexp/split/sort built-ins (codegen'd, zero UDFs)
+  * chosen to behave identically under Java regex and RE2: anchored
+  * single-match patterns, no backreferences — so the oracle SQL
+  * mirrors the chain literally. A value with no `scheme://` prefix
+  * passes through with only fragment/query handling (host rules
+  * can't apply when no host is identifiable).
+  */
+object Url {
+
+  def normalize(u: Column): Column = {
+    val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+    val scheme = lower(regexp_extract(u, schemeRe, 1))
+    val rest = regexp_replace(u, schemeRe, "")
+    val noFrag = regexp_replace(rest, "#.*$", "")
+    val hostport = lower(regexp_extract(noFrag, "^([^/?]+)", 1))
+    val host = when(scheme === "http",
+        regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val pq = regexp_replace(noFrag, "^[^/?]+", "")
+    val path0 = regexp_extract(pq, "^([^?]*)", 1)
+    val query = regexp_replace(pq, "^[^?]*\\??", "")
+    val collapsed = regexp_replace(path0, "/{2,}", "/")
+    val path1 = when(collapsed === "", lit("/")).otherwise(collapsed)
+    val path = when(length(path1) > 1,
+      regexp_replace(path1, "/$", "")).otherwise(path1)
+    val sortedQ = array_join(array_sort(split(query, "&")), "&")
+    val tail = when(sortedQ === "", lit(""))
+      .otherwise(concat(lit("?"), sortedQ))
+    when(scheme === "", // no scheme → no host to normalize; keep as-is
+        concat(regexp_replace(regexp_replace(u, "#.*$", ""),
+          "\\?.*$", ""), tail))
+      .otherwise(concat(scheme, lit("://"), host, path, tail))
+  }
+
+  /** The registrable host suffix heuristic used for per-domain grouping
+    * (sampling quotas, domain mixing): last two labels of the host —
+    * 'www.a.example.com' → 'example.com'. A public-suffix list would be
+    * more precise; two labels is the deterministic, list-free
+    * approximation (documented trade). */
+  def domainOf(u: Column): Column = {
+    val host = lower(regexp_extract(u,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?:#]+)", 1))
+    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+  }
+}

@@ -421,6 +421,85 @@ object Curation {
       .withColumn("lm_mean", expr("lm_score div n_bigrams"))
   }
 
+  /** Train a multinomial Naive Bayes text classifier INSIDE the engine —
+    * the fastText-style label/quality/domain classifier step of a
+    * curation pipeline (e.g. CCNet's quality buckets, source-domain
+    * routing) expressed as two aggregations instead of an external
+    * training loop.
+    *
+    * Output: the DENSE `|vocab| × |labels|` conditional table
+    * `(label, word, p_scaled, p_unseen)` with add-one smoothing —
+    * `p_scaled = (c(word,label)+1)·scale div (tokens(label)+|vocab|)`,
+    * `p_unseen` the same with count 0 (what a word unseen in that label
+    * contributes at classification time; carried per row so the model is
+    * self-contained). Labels are few, so the dense table is |vocab|·|L|
+    * rows — same order as the vocabulary itself; it is NEVER assumed
+    * broadcastable (see [[nbClassify]]).
+    *
+    * DOCUMENTED DEVIATION (same rationale as [[lmScores]]): NB sums log
+    * probabilities; libm log is not bit-portable, so scoring sums the
+    * scaled probabilities themselves — per-token monotone, exact-integer,
+    * hash-stable. `scale` must satisfy (tokens(label)+1)·scale < 2⁶³
+    * (lower it for larger corpora).
+    *
+    * Shape: one token explode → (label, word) counts; class totals and
+    * vocabulary size are label-count-sized / single-row aggregates that
+    * ride broadcasts; the dense expansion is a broadcast cross of the
+    * vocabulary with the tiny label dimension. One shuffle end to end. */
+  def nbTrain(df: DataFrame, textCol: String, labelCol: String,
+      scale: Long = 1000000000L): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    val wc = df.select(col(labelCol).cast("string").as("label"),
+        explode(split(col(textCol), " ")).as("word"))
+      .groupBy(col("label"), col("word"))
+      .agg(count(lit(1)).cast("long").as("cwl"))
+      .localCheckpoint(false) // feeds class totals, vocab, and the table
+    val classTotals = wc.groupBy(col("label"))
+      .agg(sum(col("cwl")).cast("long").as("ctok"))
+    val vocab = wc.select(col("word")).distinct()
+    val vsz = vocab.agg(count(lit(1)).as("vsz"))
+    vocab.crossJoin(broadcast(classTotals))
+      .join(wc, Seq("label", "word"), "left")
+      .crossJoin(broadcast(vsz))
+      .select(col("label"), col("word"),
+        expr(s"((coalesce(cwl, CAST(0 AS BIGINT)) + 1) * $scale) " +
+          "div (ctok + vsz)").as("p_scaled"),
+        expr(s"$scale div (ctok + vsz)").as("p_unseen"))
+  }
+
+  /** Classify with an [[nbTrain]] model: each document's score per label
+    * is the sum over its token OCCURRENCES of the label's scaled token
+    * conditional (unseen-in-label words contribute `p_unseen`); the
+    * prediction is the argmax, ties broken toward the GREATER label
+    * string — a fixed, engine-independent rule.
+    *
+    * Shape: per-(doc, word) counts (one explode + one map-side-combined
+    * aggregation — a document repeating a word n times sends ONE row
+    * through the join), a broadcast cross with the tiny label dimension,
+    * then a plain shuffle equi-join against the model ON (label, word) —
+    * the model is never assumed broadcastable (at web scale the
+    * vocabulary isn't) — and one per-(doc, label) sum. The argmax is a
+    * struct max, not a sort. */
+  def nbClassify(df: DataFrame, textCol: String, idCol: String,
+      model: DataFrame): DataFrame = {
+    val occ = df.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val labels = model.select(col("label"), col("p_unseen")).distinct()
+    val scored = occ.crossJoin(broadcast(labels))
+      .join(model.select(col("label"), col("word"), col("p_scaled")),
+        Seq("label", "word"), "left")
+      .select(col("doc_id"), col("label"),
+        (col("n") * coalesce(col("p_scaled"), col("p_unseen"))).as("s"))
+      .groupBy(col("doc_id"), col("label"))
+      .agg(sum(col("s")).cast("long").as("score"))
+    scored.groupBy(col("doc_id"))
+      .agg(max(struct(col("score"), col("label"))).as("m"))
+      .select(col("doc_id"), col("m.label").as("pred_label"),
+        col("m.score").as("score"))
+  }
+
   /** Top-k word collocations by scaled pointwise mutual information:
     * `pmi_scaled = (c₁₂ · N · scale) div (c(w1) · c(w2))` where c₁₂ is
     * the bigram count, c(w) the full unigram counts and N the total

@@ -96,4 +96,71 @@ object Graphs {
     }
     pr
   }
+
+  /** Per-node triangle counts — the clustering-structure signal (spam
+    * farms and boilerplate mirror rings show up as dense triangles in a
+    * host/co-occurrence graph; the "local clustering" half of the
+    * curation graph toolkit next to [[pageRank]]'s global authority).
+    *
+    * Semantics: the input edge list is treated as an UNDIRECTED simple
+    * graph — self-loops dropped, parallel edges and both directions
+    * collapsed to one canonical `(min, max)` edge. Output is one row per
+    * node that closes at least one triangle: `(id, n_triangles)`, the
+    * number of distinct triangles containing that node (zero-triangle
+    * nodes drop out rather than emitting 0 — callers left-join if they
+    * need the zeros).
+    *
+    * Algorithm (node-iterator with degree orientation, the standard
+    * distributed formulation — Suri & Vassilvitskii 2011, "Counting
+    * Triangles and the Curse of the Last Reducer"): orient every edge
+    * from its lower-(degree, id) endpoint to the higher; each triangle
+    * then has exactly ONE node with out-edges to the other two, so
+    * wedges `u→v, u→w` (ranked v < w) semi-closed against the oriented
+    * edge `v→w` count each triangle exactly once.
+    *
+    * Scale shape: orientation caps out-degree at O(√|E|) for any degree
+    * distribution, so the wedge self-join — the step that explodes on a
+    * raw edge list when one hub has 10⁷ neighbors — generates
+    * Σ outdeg² = O(|E|^1.5) wedges worst-case instead of Σ deg². Both
+    * joins (wedge generation on `u`, closure on `(v, w)`) are plain
+    * shuffle equi-joins; nothing broadcasts, nothing is collected.
+    * Everything is exact integer counting — no floats, hash-stable. */
+  def triangleCounts(edges0: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val canon = edges0
+      .select(col(srcCol).cast("long").as("x"),
+        col(dstCol).cast("long").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    val deg = canon.select(col("a").as("id"))
+      .union(canon.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    // orient a→b iff (deg a, a) < (deg b, b); (deg, id) is a total
+    // order, so exactly one direction survives per edge
+    val aFirst = canon
+      .join(deg.select(col("id").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("d").as("db")), "b")
+      .withColumn("fwd",
+        col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")))
+    val oriented = aFirst.select(
+        when(col("fwd"), col("a")).otherwise(col("b")).as("u"),
+        when(col("fwd"), col("b")).otherwise(col("a")).as("v"),
+        when(col("fwd"), col("db")).otherwise(col("da")).as("dv"))
+      .localCheckpoint(false) // feeds both wedge sides and the closure
+    // wedges u→v, u→w with (dv, v) < (dw, w): each candidate triangle
+    // proposed once, closed by the oriented edge v→w
+    val w2 = oriented.select(col("u").as("u2"), col("v").as("w"),
+      col("dv").as("dw"))
+    val wedges = oriented.join(w2, col("u") === col("u2"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+      .select(col("u"), col("v"), col("w"))
+    val closing = oriented.select(col("u").as("v"), col("v").as("w"))
+    val tris = wedges.join(closing, Seq("v", "w"), "leftsemi")
+    tris.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_triangles"))
+  }
 }

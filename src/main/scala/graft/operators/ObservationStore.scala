@@ -321,6 +321,99 @@ object ObservationStore {
     } finally { newAgg.unpersist(); () }
   }
 
+  /** Retention expiry: drop every entry whose `last_seen` is strictly
+    * before `cutoff` from BOTH copies — the pdns data-retention
+    * operation (balboa itself keeps everything forever; operators of the
+    * reference prune by dump-filter-replay, a full rewrite. Here expiry
+    * is an incremental staged merge instead).
+    *
+    * Cost scales with the TOUCHED buckets, not the store: buckets whose
+    * Parquet row-group `last_seen` stats show nothing old are never
+    * rewritten (the touched-bucket probe is a stats-pruned scan), and at
+    * 100 TB a time-skewed store — old entries concentrated in
+    * long-untouched keys — rewrites only where old data actually lives.
+    *
+    * CRASH SAFETY: identical machinery to [[mergeBatch]] — survivors are
+    * staged per bucket, a bucket whose entries ALL expire stages an
+    * explicit EMPTY bucket directory (so the swap replaces, never
+    * orphans, the live data), and the manifest/apply/recover path is
+    * literally [[applyStagedMerge]]/[[recoverMerge]]: either the whole
+    * dual expiry commits (epoch+1) or none of it happened. Single-writer,
+    * like all merges.
+    *
+    * Returns the number of (aggregated) entries dropped from the forward
+    * copy. */
+  def expire(spark: SparkSession, path: String,
+      cutoff: java.sql.Timestamp): Long = {
+    recoverMerge(spark, path, deleteUncommitted = true)
+    val (staged, dropped) = stageExpire(spark, path, cutoff)
+    staged.foreach(s => applyStagedMerge(spark, path, s))
+    dropped
+  }
+
+  /** First half of [[expire]]: stage surviving buckets + manifest, commit
+    * nothing. Package-visible so crash tests can stop here; returns
+    * (staging dir if anything expired, forward entries dropped). */
+  private[graft] def stageExpire(spark: SparkSession, path: String,
+      cutoff: java.sql.Timestamp): (Option[String], Long) = {
+    val effBuckets = readNumBuckets(spark, path).getOrElse(64)
+    val effLayout = readLayout(spark, path).getOrElse(1L)
+    val targetEpoch = readEpoch(spark, path).getOrElse(0L) + 1L
+    val staging = s"$path/_staging_$targetEpoch"
+    val (f, sp) = fs(spark, staging)
+    if (f.exists(sp)) f.delete(sp, true)
+    val dataCols = (Model.Key ++ Seq("count", "first_seen", "last_seen"))
+      .map(col)
+    var dropped = 0L
+    Copies.foreach { case (sub, keyCol, sortCols) =>
+      val existing = spark.read.parquet(s"$path/$sub")
+      val old = existing.filter(col("last_seen") < lit(cutoff))
+      // one pass answers both "which buckets" and "how many rows": at
+      // most numBuckets rows come back, stats-pruned like the scan
+      // (partition discovery reads bucket= back as int — normalize)
+      val perBucket = old.groupBy(col("bucket").cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n")).collect()
+      val touched = perBucket.map(_.getLong(0))
+      if (sub == "by_rrname") dropped = perBucket.map(_.getLong(1)).sum
+      if (touched.nonEmpty) {
+        val survivors = existing
+          .filter(col("bucket").isin(touched.map(Long.box): _*))
+          .filter(col("last_seen") >= lit(cutoff))
+          .select(dataCols: _*)
+        writeCopy(survivors, s"$staging/$sub", keyCol, sortCols,
+          effBuckets, layout = effLayout)
+        // a fully-expired bucket has no survivors, so the dynamic write
+        // stages nothing for it — stage an explicit empty bucket (a
+        // schema-only parquet file) so the apply swap REPLACES the live
+        // bucket instead of leaving the expired rows behind
+        val staged = StagedCommit.stagedPartDirs(spark, s"$staging/$sub",
+          "bucket=").toSet
+        val fileSchema = derivedCols(keyCol, effLayout)
+          .foldLeft(survivors) { case (d, (n, c)) => d.withColumn(n, c) }
+          .limit(0).coalesce(1)
+        touched.map(b => s"bucket=$b").filterNot(staged).foreach { bd =>
+          fileSchema.write.mode("overwrite")
+            .parquet(s"$staging/$sub/$bd")
+        }
+      }
+    }
+    if (!f.exists(sp)) return (None, 0L) // nothing to expire
+    // same manifest shape as stageMerge → the SAME apply/recover replay
+    // path commits it
+    val stagedLists = Copies.map { case (sub, _, _) =>
+      val names = StagedCommit.stagedPartDirs(spark, s"$staging/$sub",
+        "bucket=").mkString(",")
+      s""""staged_$sub":"$names""""
+    }.mkString(",")
+    val (mf, mp) = fs(spark, s"$staging/_manifest.json")
+    val out = mf.create(mp, true)
+    try out.write(
+      (s"""{"target_epoch":$targetEpoch,"num_buckets":$effBuckets,""" +
+        s""""layout":$effLayout,$stagedLists}""").getBytes("UTF-8"))
+    finally out.close()
+    (Some(staging), dropped)
+  }
+
   /** Replay the staged merge: swap each staged bucket directory into the
     * live copies (idempotent — a staged dir disappears exactly when its
     * rename lands), bump the epoch once, drop the staging dir. */

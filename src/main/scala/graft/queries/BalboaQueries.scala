@@ -103,6 +103,24 @@ object BalboaQueries {
         .withColumn("last_seen", micros(col("last_seen")))
     }),
 
+    // Retention expiry (extension — the reference prunes by
+    // dump-filter-replay, a full rewrite; here it is an incremental
+    // staged merge): build a disk store, expire everything last seen
+    // before 1996, read the forward copy back. Oracle = the aggregate
+    // with the same retention predicate.
+    "store_expire" -> ((s, dir) => {
+      val tmp = scratchDir("expire", dir)
+      val agg = ObservationStore.aggregate(Graft.observations(s, dir))
+      ObservationStore.writeDual(agg, s"$tmp/store", numBuckets = 16)
+      ObservationStore.expire(s, s"$tmp/store", java.sql.Timestamp.from(
+        java.time.LocalDateTime.parse("1996-01-01T00:00:00")
+          .toInstant(java.time.ZoneOffset.UTC)))
+      ObservationStore.load(s, s"$tmp/store").forward
+        .drop("bucket")
+        .withColumn("first_seen", micros(col("first_seen")))
+        .withColumn("last_seen", micros(col("last_seen")))
+    }),
+
     // A4+A5 in the reference's NATIVE wire format: dump the aggregate as
     // a real balboa MessagePack stream (protocol.c:149-187), replay it
     // into a fresh dual store, read the forward copy back. Oracle = the
@@ -320,6 +338,12 @@ object BalboaQueries {
 
     "dump_replay" ->
       s"""$obsCte SELECT * FROM agg""",
+
+    "store_expire" ->
+      s"""$obsCte
+         |SELECT * FROM agg
+         |WHERE last_seen >= epoch_us(TIMESTAMP '1996-01-01 00:00:00')
+         |""".stripMargin,
 
     "balboa_dump" ->
       s"""$obsCte SELECT * FROM agg""",

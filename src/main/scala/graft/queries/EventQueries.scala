@@ -111,6 +111,22 @@ object EventQueries {
       graft.operators.Graphs.pageRank(edges, "src", "dst", iters = 3)
     }),
 
+    // Per-node triangle counts over the supplier co-occurrence graph
+    // (suppliers linked when they serve the same order) — exact integer
+    // counting; the oracle closes triangles with the naive canonical
+    // 3-way join, independently of the degree-oriented plan.
+    "graph_triangles" -> ((s, dir) => {
+      val li = Graft.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = li.join(
+          li.select(col("l_orderkey").as("ok2"),
+            col("l_suppkey").as("sk2")),
+          col("l_orderkey") === col("ok2") &&
+            col("l_suppkey") < col("sk2"))
+        .select(col("l_suppkey").as("src"), col("sk2").as("dst"))
+      graft.operators.Graphs.triangleCounts(pairs, "src", "dst")
+    }),
+
     // Exact salted distinct-count: per event type, distinct users via
     // 16 disjoint hash slices — salting is semantics-preserving, so the
     // oracle is the plain COUNT(DISTINCT).
@@ -226,6 +242,26 @@ object EventQueries {
          |${prRound("pr2", "c3", "pr3")}
          |SELECT id, CAST(pr AS BIGINT) AS pr FROM pr3
          |""".stripMargin,
+
+    "graph_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |   AND l1.l_suppkey < l2.l_suppkey),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |nodes AS (
+        |  SELECT x AS id FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri)
+        |SELECT CAST(id AS BIGINT) AS id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |FROM nodes GROUP BY 1
+        |""".stripMargin,
 
     "events_hourly" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS window_start,

@@ -287,6 +287,37 @@ object PipelineQueries {
         (col("doc_id") +: TextAnalysis.langScores(col("text"))) :+
           TextAnalysis.detectedLang(col("text")).as("detected"): _*)),
 
+    // In-engine multinomial Naive Bayes: train on the labeled langs,
+    // classify the same corpus (the fastText-style classifier step).
+    // Exact-integer scoring; ties break toward the greater label.
+    "nb_classify" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = graft.operators.Curation.nbTrain(d, "text", "lang")
+      graft.operators.Curation.nbClassify(d, "text", "doc_id", model)
+    }),
+
+    // Morton (Z-order) clustering key over (user, time) — the bit
+    // chain the layout writer sorts by, checked bit-for-bit.
+    "zorder_key" -> ((s, dir) =>
+      Graft.table(s, dir, "events").select(col("event_id"),
+        graft.functions.ZOrder.interleave(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp_ltz)) div 1000000"))
+          .as("zkey"))),
+
+    // URL canonicalization ahead of dedup: messy crawl-style URLs
+    // (case-variant host, default port, dup slashes, trailing slash,
+    // permuted query, fragment) derived deterministically per doc,
+    // normalized to the canonical dedup key + registrable domain.
+    "url_normalize" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        concat(lit("HTTP://WWW."), col("source"),
+          lit(".Example.COM:80//Docs//"), col("doc_id"),
+          lit("/?b="), col("n_chars") % 7, lit("&a="), col("doc_id") % 5,
+          lit("#sec")).as("url"))
+        .select(col("doc_id"),
+          graft.functions.Url.normalize(col("url")).as("url_norm"),
+          graft.functions.Url.domainOf(col("url")).as("domain"))),
+
     // Corpus token statistics per labeled language.
     "token_stats" -> ((s, dir) =>
       docs(s, dir).groupBy(col("lang"))
@@ -1310,6 +1341,112 @@ object PipelineQueries {
         |         AND greatest(score_de, score_en, score_es, score_fr, score_zh) > 0 THEN 'zh'
         |    ELSE 'und' END AS detected
         |FROM scored
+        |""".stripMargin,
+
+    "nb_classify" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |         unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |wc AS (
+        |  SELECT lang AS label, word, CAST(COUNT(*) AS BIGINT) AS cwl
+        |  FROM tok GROUP BY 1, 2),
+        |ct AS (SELECT label, CAST(SUM(cwl) AS BIGINT) AS ctok
+        |       FROM wc GROUP BY 1),
+        |vs AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS vsz FROM wc),
+        |vocab AS (SELECT DISTINCT word FROM wc),
+        |model AS (
+        |  SELECT ct.label, v.word,
+        |         ((COALESCE(wc.cwl, 0) + 1) * 1000000000)
+        |           // (ct.ctok + vs.vsz) AS p_scaled,
+        |         1000000000 // (ct.ctok + vs.vsz) AS p_unseen
+        |  FROM vocab v CROSS JOIN ct CROSS JOIN vs
+        |  LEFT JOIN wc ON wc.label = ct.label AND wc.word = v.word),
+        |occ AS (
+        |  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |        FROM documents) GROUP BY 1, 2),
+        |labels AS (SELECT DISTINCT label, p_unseen FROM model),
+        |scored AS (
+        |  SELECT o.doc_id, l.label,
+        |         CAST(SUM(o.n * COALESCE(m.p_scaled, l.p_unseen)) AS BIGINT)
+        |           AS score
+        |  FROM occ o CROSS JOIN labels l
+        |  LEFT JOIN model m ON m.label = l.label AND m.word = o.word
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT doc_id, label, score,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY score DESC, label DESC) AS rn
+        |  FROM scored)
+        |SELECT doc_id, label AS pred_label, score FROM r WHERE rn = 1
+        |""".stripMargin,
+
+    "zorder_key" -> {
+      val (aCte, _, aCol) = graft.functions.ZOrder.spreadSql("s", "ax", "za")
+      val (bCte, bRel, bCol) = graft.functions.ZOrder.spreadSql("za5", "bx", "zb")
+      s"""WITH s AS (
+         |  SELECT event_id, user_id AS ax,
+         |         epoch_us(ts) // 1000000 AS bx
+         |  FROM events),
+         |$aCte,
+         |$bCte
+         |SELECT event_id,
+         |       CAST(($aCol | ($bCol << 1)) AS BIGINT) AS zkey
+         |FROM $bRel
+         |""".stripMargin
+    },
+
+    "url_normalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         'HTTP://WWW.' || source || '.Example.COM:80//Docs//' ||
+        |         CAST(doc_id AS VARCHAR) || '/?b=' ||
+        |         CAST(n_chars % 7 AS VARCHAR) || '&a=' ||
+        |         CAST(doc_id % 5 AS VARCHAR) || '#sec' AS url
+        |  FROM documents),
+        |s1 AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |      AS scheme,
+        |    regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+        |  FROM u),
+        |s2 AS (SELECT *, regexp_replace(rest, '#.*$', '') AS nofrag FROM s1),
+        |s3 AS (
+        |  SELECT *,
+        |    lower(regexp_extract(nofrag, '^([^/?]+)', 1)) AS hostport,
+        |    regexp_replace(nofrag, '^[^/?]+', '') AS pq
+        |  FROM s2),
+        |s4 AS (
+        |  SELECT *,
+        |    CASE WHEN scheme = 'http'
+        |           THEN regexp_replace(hostport, ':80$', '')
+        |         WHEN scheme = 'https'
+        |           THEN regexp_replace(hostport, ':443$', '')
+        |         ELSE hostport END AS host,
+        |    regexp_extract(pq, '^([^?]*)', 1) AS path0,
+        |    regexp_replace(pq, '^[^?]*\??', '') AS query0
+        |  FROM s3),
+        |s5 AS (
+        |  SELECT *,
+        |    CASE WHEN regexp_replace(path0, '/{2,}', '/', 'g') = ''
+        |         THEN '/' ELSE regexp_replace(path0, '/{2,}', '/', 'g')
+        |    END AS path1,
+        |    list_aggregate(list_sort(string_split(query0, '&')),
+        |      'string_agg', '&') AS sq
+        |  FROM s4),
+        |s6 AS (
+        |  SELECT *,
+        |    CASE WHEN len(path1) > 1
+        |         THEN regexp_replace(path1, '/$', '') ELSE path1
+        |    END AS path,
+        |    CASE WHEN sq = '' OR sq IS NULL THEN '' ELSE '?' || sq
+        |    END AS tail
+        |  FROM s5)
+        |SELECT doc_id,
+        |       scheme || '://' || host || path || tail AS url_norm,
+        |       regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+        |FROM s6
         |""".stripMargin,
 
     "token_stats" ->

@@ -500,6 +500,35 @@ class CurationSpec extends AnyFunSuite {
       2L -> ((1L, 500000000L, 500000000L))))
   }
 
+  test("naive Bayes: hand-computed smoothed model, unseen words, tie rule") {
+    // train: label p = "a a b", label q = "c c d" → vocab {a,b,c,d},
+    // V=4, ctok=3 per label, denominator 7 everywhere. S = 1e9:
+    // S div 7 = 142857142, 2S div 7 = 285714285, 3S div 7 = 428571428
+    val train = Seq((1L, "a a b", "p"), (2L, "c c d", "q"))
+      .toDF("doc_id", "text", "lang")
+    val model = Curation.nbTrain(train, "text", "lang")
+    val m = model.collect().map(r => (r.getAs[String]("label"),
+      r.getAs[String]("word")) -> r.getAs[Long]("p_scaled")).toMap
+    assert(m.size == 8) // dense: 4 words × 2 labels
+    assert(m(("p", "a")) == 428571428L) // (2+1)·S div 7
+    assert(m(("p", "c")) == 142857142L) // unseen-in-label smoothing
+    assert(m(("q", "c")) == 428571428L)
+    assert(model.select("p_unseen").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(142857142L))
+
+    // "a b z": z is out-of-vocabulary entirely → contributes p_unseen
+    // "c d": clearly q; "a c": exact tie → greater label wins (q)
+    val test = Seq((10L, "a b z"), (11L, "c d"), (12L, "a c"))
+      .toDF("doc_id", "text")
+    val out = Curation.nbClassify(test, "text", "doc_id", model)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("pred_label"), r.getAs[Long]("score"))).toMap
+    assert(out == Map(
+      10L -> (("p", 428571428L + 285714285L + 142857142L)),
+      11L -> (("q", 428571428L + 285714285L)),
+      12L -> (("q", 428571428L + 142857142L))))
+  }
+
   test("pmiCollocations: hand-computed scaled PMI with min-count cut") {
     // corpus: doc1 "a b a b c", doc2 "a b"
     // bigrams: (a,b)=3, (b,a)=1, (b,c)=1 → N=5; unigrams a=3, b=3, c=1

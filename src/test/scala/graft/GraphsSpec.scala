@@ -53,6 +53,31 @@ class GraphsSpec extends AnyFunSuite {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
   }
 
+  private def tri(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graphs.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("triangleCounts: K4 = 4 triangles, 3 per node") {
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    assert(tri(k4) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: one triangle plus a pendant edge") {
+    // pendant node 4 closes nothing and is absent from the output
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCounts: direction, duplicates, and self-loops collapse") {
+    // same triangle stated with reversed/parallel/self-loop noise
+    assert(tri(Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 1L),
+      (2L, 2L))) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCounts: triangle-free graph returns no rows") {
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L))) == Map.empty)
+  }
+
   test("parallel edges collapse; bad parameters rejected") {
     val dup = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
     assert(Graphs.pageRank(dup, "src", "dst", iters = 1)

@@ -435,6 +435,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!ws.contains("Exchange hashpartitioning"), ws)
   }
 
+  test("round-6 ops: triangle/NB joins equi-only, zorder narrow + range") {
+    // triangleCounts: wedge generation and closure are plain equi-joins
+    // (degree orientation bounds the wedge fan-out; nothing pairwise)
+    val edges = (1L to 300L).map(i => (i % 40, i % 29)).toDF("src", "dst")
+    val tri = explainOf(
+      graft.operators.Graphs.triangleCounts(edges, "src", "dst"))
+    assert(!tri.contains("CartesianProduct"), tri)
+    assert(!tri.contains("BroadcastNestedLoopJoin"), tri)
+    assert(tri.contains("HashAggregate"), tri)
+
+    // naive Bayes: the vocabulary-sized model join is a key equi-join,
+    // never a product; scoring is map-side-combined aggregation
+    val d = (0L to 50L).map(i => (i, s"w${i % 9} x y tail${i % 5}",
+      s"l${i % 3}")).toDF("doc_id", "text", "lang")
+    val model = graft.operators.Curation.nbTrain(d, "text", "lang")
+    val nb = explainOf(
+      graft.operators.Curation.nbClassify(d, "text", "doc_id", model))
+    assert(!nb.contains("CartesianProduct"), nb)
+    assert(nb.contains("HashAggregate"), nb)
+
+    // zorder key: pure narrow bit arithmetic — the only exchange in a
+    // zorderWrite plan is the single range partition it exists to do
+    val grid = spark.range(256)
+      .select((col("id") / 16).cast("long").as("x"),
+        (col("id") % 16).cast("long").as("y"))
+    val z = explainOf(grid
+      .withColumn("zkey", graft.functions.ZOrder.interleave(col("x"), col("y")))
+      .repartitionByRange(4, col("zkey"))
+      .sortWithinPartitions(col("zkey")))
+    assert(z.contains("rangepartitioning"), z)
+    assert(!z.contains("hashpartitioning"), z)
+    assert(!z.contains("CartesianProduct"), z)
+  }
+
   test("k-means assignment is a narrow pass with no centroid literal blowup") {
     val vecs = (0L to 200L).map { i =>
       val rnd = new scala.util.Random(i)

@@ -280,6 +280,64 @@ class StoreSpec extends AnyFunSuite {
     assert(!new java.io.File(strandStaging).exists())
   }
 
+  test("expire: retention drop from both copies, crash replay, empty buckets") {
+    import org.apache.spark.sql.functions.col
+    def obs(rows: Seq[(String, String, String, String, Long, String)]) =
+      rows.map { case (n, s, t, r, c, d) => (n, s, t, r, c, ts(d)) }
+        .toDF("rrname", "sensor_id", "rrtype", "rdata", "count", "ts")
+    val mixed = obs(Seq(
+      ("old1", "s1", "A", "1.1.1.1", 1L, "2019-03-01 00:00:00"),
+      ("old2", "s1", "A", "2.2.2.2", 2L, "2019-06-01 00:00:00"),
+      ("young", "s1", "A", "3.3.3.3", 3L, "2021-01-01 00:00:00"),
+      // same key seen old AND young: survives, first_seen stays old
+      ("both", "s2", "A", "4.4.4.4", 4L, "2019-01-01 00:00:00"),
+      ("both", "s2", "A", "4.4.4.4", 5L, "2021-06-01 00:00:00")))
+    val cutoff = ts("2020-01-01 00:00:00")
+    def fresh(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-expire").toString
+      ObservationStore.writeDual(ObservationStore.aggregate(mixed),
+        s"$dir/st", numBuckets = 4)
+      s"$dir/st"
+    }
+    def names(path: String) = {
+      val st = ObservationStore.load(spark, path)
+      (st.forward.select("rrname").as[String].collect().toSet,
+        st.inverted.select("rrname").as[String].collect().toSet)
+    }
+
+    // control: entries last seen before the cutoff vanish from BOTH
+    // copies; an entry with activity on both sides survives whole
+    val control = fresh()
+    assert(ObservationStore.expire(spark, control, cutoff) == 2L)
+    assert(names(control) == (Set("young", "both"), Set("young", "both")))
+    val survived = ObservationStore.load(spark, control).forward
+      .filter(col("rrname") === "both").select("count", "first_seen")
+      .collect().head
+    assert(survived.getLong(0) == 9L) // merged count intact
+    assert(survived.getTimestamp(1) == ts("2019-01-01 00:00:00")) // old first_seen kept
+    assert(ObservationStore.readEpoch(spark, control).contains(2L))
+    // idempotent: nothing old remains → no-op, no epoch bump
+    assert(ObservationStore.expire(spark, control, cutoff) == 0L)
+    assert(ObservationStore.readEpoch(spark, control).contains(2L))
+
+    // crash between stage and apply: the manifest makes it replay on load
+    val crash = fresh()
+    val (staged, dropped) = ObservationStore.stageExpire(spark, crash, cutoff)
+    assert(staged.nonEmpty && dropped == 2L)
+    assert(names(crash) == (Set("young", "both"), Set("young", "both")))
+    assert(!new java.io.File(staged.get).exists())
+    assert(ObservationStore.readEpoch(spark, crash).contains(2L))
+
+    // every entry expires: all buckets swap to staged EMPTY buckets —
+    // the store stays loadable and queryable, just empty
+    val total = fresh()
+    assert(ObservationStore.expire(spark, total,
+      ts("2022-01-01 00:00:00")) == 4L)
+    val st = ObservationStore.load(spark, total)
+    assert(st.totalCount() == 0L)
+    assert(st.entries(rrname = Some("old1")).isEmpty)
+  }
+
   test("dns wire-format helpers match reference quirks") {
     assert(Dns.parseDomainString(Array[Byte](3, 'f', 'o', 'o', 3, 'b', 'a', 'r', 0)) == "foo.bar")
     // malformed label length -> raw bytes fallback

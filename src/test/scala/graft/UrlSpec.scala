@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Url
+
+/** URL canonicalization rules, case by case. */
+class UrlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def norm(u: String): String =
+    Seq(u).toDF("u").select(Url.normalize(col("u"))).as[String]
+      .collect().head
+
+  test("host/scheme lowercase; path case preserved") {
+    assert(norm("HTTP://WWW.Example.COM/Docs/A") ==
+      "http://www.example.com/Docs/A")
+  }
+
+  test("default ports stripped only for the matching scheme") {
+    assert(norm("http://a.com:80/x") == "http://a.com/x")
+    assert(norm("https://a.com:443/x") == "https://a.com/x")
+    assert(norm("https://a.com:80/x") == "https://a.com:80/x")
+    assert(norm("ftp://a.com:80/x") == "ftp://a.com:80/x")
+    assert(norm("http://a.com:8080/x") == "http://a.com:8080/x")
+  }
+
+  test("fragment dropped; query sorted; empty query elided") {
+    assert(norm("http://a.com/x?b=2&a=1#frag") == "http://a.com/x?a=1&b=2")
+    assert(norm("http://a.com/x#frag") == "http://a.com/x")
+    assert(norm("http://a.com/x?") == "http://a.com/x")
+  }
+
+  test("slashes: collapse duplicates, strip one trailing, root kept") {
+    assert(norm("http://a.com//x///y/") == "http://a.com/x/y")
+    assert(norm("http://a.com/") == "http://a.com/")
+    assert(norm("http://a.com") == "http://a.com/")
+  }
+
+  test("no scheme: only fragment/query rules apply") {
+    assert(norm("foo/Bar?b=1&a=2#x") == "foo/Bar?a=2&b=1")
+    assert(norm("plain") == "plain")
+  }
+
+  test("domainOf: last two host labels") {
+    val d = Seq("http://www.a.Example.COM:80/x", "https://example.com/")
+      .toDF("u").select(Url.domainOf(col("u"))).as[String].collect().toSeq
+    assert(d == Seq("example.com", "example.com"))
+  }
+}
