@@ -592,6 +592,22 @@ object Curation {
         org.apache.spark.sql.GraftShims.expression(c), k)
         .toAggregateExpression())
 
+  /** Bounded per-group top-k aggregate column (see
+    * [[org.apache.spark.sql.graft.TopKPairs]]): O(k) state per group with
+    * map-side partial aggregation — the scale-correct replacement for
+    * `row_number() OVER (PARTITION BY key ORDER BY ord) <= k`, whose
+    * window sort holds each group's FULL contents on one task. Output is
+    * the best-first `array<struct<ord, payload>>`; `posexplode` recovers
+    * (rank-1, row). Ties order by payload (desc when `largest`), matching
+    * a `ORDER BY ord DESC, payload DESC` window exactly. */
+  def topKPairs(ordCol: Column, payload: Column, k: Int,
+      largest: Boolean = true): Column =
+    org.apache.spark.sql.GraftShims.column(
+      org.apache.spark.sql.graft.TopKPairs(
+        org.apache.spark.sql.GraftShims.expression(ordCol),
+        org.apache.spark.sql.GraftShims.expression(payload), k, largest)
+        .toAggregateExpression())
+
   /** Count-Min sketch aggregate column (the second custom typed
     * aggregate; see [[org.apache.spark.sql.graft.CmSketch]]): O(d·w)
     * mergeable state, map-side partial aggregation, elementwise-sum

@@ -111,10 +111,28 @@ object EventQueries {
       graft.operators.Graphs.pageRank(edges, "src", "dst", iters = 3)
     }),
 
-    // Per-node triangle counts over the supplier co-occurrence graph
-    // (suppliers linked when they serve the same order) — exact integer
-    // counting; the oracle closes triangles with the naive canonical
-    // 3-way join, independently of the degree-oriented plan.
+    // Bounded top-k per key via the custom TopKPairs aggregate (O(k)
+    // group state, map-side combine) — oracle is the window row_number
+    // formulation it replaces, proving exact parity.
+    "topk_per_key" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        col("user_id").cast("long").as("user_id"))
+      e.groupBy(col("event_type"))
+        .agg(graft.operators.Curation.topKPairs(col("cents"),
+          col("user_id"), 3).as("top"))
+        .select(col("event_type"), posexplode(col("top")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.ord").as("cents"), col("col.payload").as("user_id"))
+    }),
+
+    // Per-node triangle counts over the supplier co-occurrence graph:
+    // suppliers linked when they serve the same order AT LEAST 5 times
+    // (the co-occurrence threshold every projection graph needs — an
+    // unthresholded projection of a busy hub goes dense and triangle
+    // counts stop meaning anything). Exact integer counting; the oracle
+    // closes triangles with the naive canonical 3-way join,
+    // independently of the degree-oriented plan.
     "graph_triangles" -> ((s, dir) => {
       val li = Graft.table(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"))
@@ -123,7 +141,9 @@ object EventQueries {
             col("l_suppkey").as("sk2")),
           col("l_orderkey") === col("ok2") &&
             col("l_suppkey") < col("sk2"))
-        .select(col("l_suppkey").as("src"), col("sk2").as("dst"))
+        .groupBy(col("l_suppkey").as("src"), col("sk2").as("dst"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 5)
       graft.operators.Graphs.triangleCounts(pairs, "src", "dst")
     }),
 
@@ -243,12 +263,29 @@ object EventQueries {
          |SELECT id, CAST(pr AS BIGINT) AS pr FROM pr3
          |""".stripMargin,
 
+    "topk_per_key" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |         CAST(user_id AS BIGINT) AS user_id
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, cents, user_id,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY cents DESC, user_id DESC)
+        |           AS rn
+        |  FROM e)
+        |SELECT event_type, CAST(rn AS BIGINT) AS rank, cents, user_id
+        |FROM r WHERE rn <= 3
+        |""".stripMargin,
+
     "graph_triangles" ->
       """WITH e AS (
-        |  SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+        |  SELECT l1.l_suppkey AS a, l2.l_suppkey AS b
         |  FROM lineitem l1 JOIN lineitem l2
         |    ON l1.l_orderkey = l2.l_orderkey
-        |   AND l1.l_suppkey < l2.l_suppkey),
+        |   AND l1.l_suppkey < l2.l_suppkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
         |tri AS (
         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
         |  FROM e e1

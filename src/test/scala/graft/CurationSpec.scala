@@ -500,6 +500,33 @@ class CurationSpec extends AnyFunSuite {
       2L -> ((1L, 500000000L, 500000000L))))
   }
 
+  test("topKPairs: window parity, duplicates, ties, both directions") {
+    val df = Seq(
+      ("a", 5L, 1L), ("a", 5L, 2L), ("a", 9L, 3L), ("a", 1L, 4L),
+      ("a", 5L, 2L), // duplicate (ord, payload) pair — multiset kept
+      ("b", 7L, 7L))
+      .toDF("k", "v", "id").repartition(7) // partition-invariance too
+    def run(k: Int, largest: Boolean) = df.groupBy(col("k"))
+      .agg(Curation.topKPairs(col("v"), col("id"), k, largest).as("t"))
+      .select(col("k"), posexplode(col("t")))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        r.getStruct(2).getLong(0), r.getStruct(2).getLong(1)))
+      .toSet
+    // largest: a → (9,3), (5,2), (5,2) — dup pair beats (5,1) on payload
+    assert(run(3, largest = true) == Set(
+      ("a", 0, 9L, 3L), ("a", 1, 5L, 2L), ("a", 2, 5L, 2L),
+      ("b", 0, 7L, 7L)))
+    // smallest: a → (1,4), (5,1), (5,2) — ascending ties by payload asc
+    assert(run(3, largest = false) == Set(
+      ("a", 0, 1L, 4L), ("a", 1, 5L, 1L), ("a", 2, 5L, 2L),
+      ("b", 0, 7L, 7L)))
+    // k larger than the group returns everything, still ordered
+    assert(run(10, largest = true).count(_._1 == "a") == 5)
+    intercept[IllegalArgumentException](
+      Curation.topKPairs(col("v"), col("id"), 0))
+  }
+
   test("naive Bayes: hand-computed smoothed model, unseen words, tie rule") {
     // train: label p = "a a b", label q = "c c d" → vocab {a,b,c,d},
     // V=4, ctok=3 per label, denominator 7 everywhere. S = 1e9:
