@@ -97,6 +97,54 @@ object Graphs {
     pr
   }
 
+  /** Fixed-round k-core peeling — the degeneracy-based denoising step of
+    * graph curation (keep only nodes embedded in a dense-enough
+    * neighborhood; peel away the low-degree fringe that dominates raw
+    * crawl graphs).
+    *
+    * Semantics: undirected simple graph (canonicalized like
+    * [[triangleCounts]]); each round removes every node whose CURRENT
+    * degree is below `k` and drops its edges, `rounds` times. Output is
+    * `(id, deg)` for every node still present after the last peel, with
+    * its post-peel degree. The true k-core is the fixed point; a fixed
+    * round count is the deterministic prefix (same stance as
+    * [[pageRank]]'s fixed iterations — an oracle can mirror R rounds
+    * exactly, where "loop until converged" would make the gate depend on
+    * engine iteration order). Callers wanting the fixed point raise
+    * `rounds` until the output stops changing between two calls.
+    *
+    * Scale shape per round: one map-side-combined degree aggregation +
+    * two LEFT SEMI equi-joins of the edge list against the ≥k node set —
+    * all linear in surviving edges, no products, lineage cut per round
+    * (`checkpointDir` trade documented at [[pageRank]]). */
+  def kcorePeel(edges0: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int = 2,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    checkpointDir.foreach(edges0.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).cast("long").as("deg"))
+    var e = cut(edges0
+      .select(col(srcCol).cast("long").as("x"),
+        col(dstCol).cast("long").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct())
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).filter(col("deg") >= k).select(col("id"))
+      e = cut(e
+        .join(keep.select(col("id").as("a")), Seq("a"), "leftsemi")
+        .join(keep.select(col("id").as("b")), Seq("b"), "leftsemi"))
+    }
+    degrees(e)
+  }
+
   /** Per-node triangle counts — the clustering-structure signal (spam
     * farms and boilerplate mirror rings show up as dense triangles in a
     * host/co-occurrence graph; the "local clustering" half of the

@@ -147,6 +147,22 @@ object EventQueries {
       graft.operators.Graphs.triangleCounts(pairs, "src", "dst")
     }),
 
+    // Fixed-round k-core peeling (k=30, 2 rounds) over the
+    // customer–supplier order graph: strips the low-degree fringe,
+    // keeps the dense trading core. Exact integer degrees; the oracle
+    // mirrors the two peel rounds as explicit CTE steps.
+    "graph_kcore" -> ((s, dir) => {
+      val edges = Graft.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Graft.table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+      graft.operators.Graphs.kcorePeel(edges, "src", "dst", k = 30,
+        rounds = 2)
+    }),
+
     // Exact salted distinct-count: per event type, distinct users via
     // 16 disjoint hash slices — salting is semantics-preserving, so the
     // oracle is the plain COUNT(DISTINCT).
@@ -262,6 +278,29 @@ object EventQueries {
          |${prRound("pr2", "c3", "pr3")}
          |SELECT id, CAST(pr AS BIGINT) AS pr FROM pr3
          |""".stripMargin,
+
+    "graph_kcore" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |d1 AS (SELECT id, COUNT(*) AS deg FROM (
+        |         SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0)
+        |       GROUP BY 1),
+        |k1 AS (SELECT id FROM d1 WHERE deg >= 30),
+        |e1 AS (SELECT a, b FROM e0
+        |       WHERE a IN (SELECT id FROM k1)
+        |         AND b IN (SELECT id FROM k1)),
+        |d2 AS (SELECT id, COUNT(*) AS deg FROM (
+        |         SELECT a AS id FROM e1 UNION ALL SELECT b FROM e1)
+        |       GROUP BY 1),
+        |k2 AS (SELECT id FROM d2 WHERE deg >= 30),
+        |e2 AS (SELECT a, b FROM e1
+        |       WHERE a IN (SELECT id FROM k2)
+        |         AND b IN (SELECT id FROM k2))
+        |SELECT CAST(id AS BIGINT) AS id, CAST(COUNT(*) AS BIGINT) AS deg
+        |FROM (SELECT a AS id FROM e2 UNION ALL SELECT b FROM e2)
+        |GROUP BY 1
+        |""".stripMargin,
 
     "topk_per_key" ->
       """WITH e AS (

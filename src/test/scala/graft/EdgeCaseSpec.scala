@@ -98,4 +98,29 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Similarity.hammingTopK(vecs, "vec_id", "embedding",
       queryId = 99L, k = 1, rerank = 1, dim = 2).count() == 0)
   }
+
+  test("round-6 ops are total on empty and degenerate input") {
+    import graft.operators.{Curation, Graphs}
+    import org.apache.spark.sql.functions.col
+    val noEdges = spark.emptyDataset[(Long, Long)].toDF("src", "dst")
+    assert(Graphs.triangleCounts(noEdges, "src", "dst").count() == 0)
+    assert(Graphs.kcorePeel(noEdges, "src", "dst", k = 2).count() == 0)
+    // a graph of only self-loops collapses to nothing, not a crash
+    val loops = Seq((1L, 1L), (2L, 2L)).toDF("src", "dst")
+    assert(Graphs.triangleCounts(loops, "src", "dst").count() == 0)
+    assert(Graphs.kcorePeel(loops, "src", "dst", k = 1).count() == 0)
+    // empty corpus: empty model, and classifying against it yields
+    // nothing (no label to predict) rather than an error
+    val emptyDocs = spark.emptyDataset[(Long, String, String)]
+      .toDF("doc_id", "text", "lang")
+    val emptyModel = Curation.nbTrain(emptyDocs, "text", "lang")
+    assert(emptyModel.count() == 0)
+    assert(Curation.nbClassify(Seq((1L, "a b")).toDF("doc_id", "text"),
+      "text", "doc_id", emptyModel).count() == 0)
+    // topKPairs over an empty frame aggregates to an empty array
+    val t = spark.emptyDataset[(Long, Long)].toDF("v", "id")
+      .agg(Curation.topKPairs(col("v"), col("id"), 3).as("t"))
+      .head.getSeq[Any](0)
+    assert(t.isEmpty)
+  }
 }

@@ -57,6 +57,27 @@ class GraphsSpec extends AnyFunSuite {
     Graphs.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  private def kcore(edges: Seq[(Long, Long)], k: Int,
+      rounds: Int): Map[Long, Long] =
+    Graphs.kcorePeel(edges.toDF("src", "dst"), "src", "dst", k, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kcorePeel: pendant chain peels inward one round at a time") {
+    // path 1-2-3-4-5 with a triangle 3-4-6: 2-core is the triangle,
+    // reached after two peels of the path's fringe
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 6L), (4L, 6L))
+    // round 1 removes 1 and 5; round 2 removes 2 (degree fell to 1)
+    assert(kcore(g, 2, 1) == Map(2L -> 1L, 3L -> 3L, 4L -> 2L, 6L -> 2L))
+    assert(kcore(g, 2, 2) == Map(3L -> 2L, 4L -> 2L, 6L -> 2L))
+    assert(kcore(g, 2, 3) == Map(3L -> 2L, 4L -> 2L, 6L -> 2L)) // fixed point
+  }
+
+  test("kcorePeel: everything below k empties the graph; params checked") {
+    assert(kcore(Seq((1L, 2L), (2L, 3L)), 3, 1) == Map.empty)
+    intercept[IllegalArgumentException](kcore(Seq((1L, 2L)), 0, 1))
+    intercept[IllegalArgumentException](kcore(Seq((1L, 2L)), 1, 0))
+  }
+
   test("triangleCounts: K4 = 4 triangles, 3 per node") {
     val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
     assert(tri(k4) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))

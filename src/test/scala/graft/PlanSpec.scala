@@ -455,6 +455,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!nb.contains("CartesianProduct"), nb)
     assert(nb.contains("HashAggregate"), nb)
 
+    // k-core peel round: degree agg + LEFT SEMI filters, no product,
+    // lineage flat behind the per-round checkpoint
+    val kc = explainOf(
+      graft.operators.Graphs.kcorePeel(edges, "src", "dst", k = 2))
+    assert(!kc.contains("CartesianProduct"), kc)
+    assert(!kc.contains("BroadcastNestedLoopJoin"), kc)
+    assert(kc.contains("LocalTableScan") || kc.contains("Scan ExistingRDD"),
+      kc)
+
     // zorder key: pure narrow bit arithmetic — the only exchange in a
     // zorderWrite plan is the single range partition it exists to do
     val grid = spark.range(256)

@@ -151,6 +151,32 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(rows == Map("a" -> 3L, "b" -> 1L)) // exact below k
   }
 
+  test("topKPairs leaderboard maintains itself across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val stream = MemoryStream[(String, Long, Long)]
+    // per-group live top-k over an unbounded stream: the bounded buffer
+    // IS the streaming state — O(k) per group forever, where the window
+    // formulation cannot run on a stream at all
+    val agg = stream.toDF().toDF("grp", "v", "id")
+      .groupBy(col("grp"))
+      .agg(graft.operators.Curation.topKPairs(col("v"), col("id"), 2).as("t"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("topk_stream").start()
+    stream.addData(("a", 5L, 1L), ("a", 9L, 2L), ("b", 1L, 3L))
+    q.processAllAvailable()
+    stream.addData(("a", 7L, 4L), ("a", 3L, 5L)) // 7 displaces 5
+    q.processAllAvailable()
+    val rows = spark.table("topk_stream").collect().map { r =>
+      r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(s => (s.getLong(0), s.getLong(1)))
+    }.toMap
+    q.stop()
+    assert(rows == Map(
+      "a" -> Seq((9L, 2L), (7L, 4L)),
+      "b" -> Seq((1L, 3L))))
+  }
+
   test("count-min sketch aggregates across streaming micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
