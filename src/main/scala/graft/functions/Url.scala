@@ -32,11 +32,15 @@ object Url {
     val scheme = lower(regexp_extract(u, schemeRe, 1))
     val rest = regexp_replace(u, schemeRe, "")
     val noFrag = regexp_replace(rest, "#.*$", "")
-    val hostport = lower(regexp_extract(noFrag, "^([^/?]+)", 1))
-    val host = when(scheme === "http",
-        regexp_replace(hostport, ":80$", ""))
-      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
-      .otherwise(hostport)
+    val auth = regexp_extract(noFrag, "^([^/?]+)", 1)
+    // userinfo (user:pass@) is case-SENSITIVE per RFC 3986 — carry it
+    // through verbatim; only the host past it gets lowercased
+    val userinfo = regexp_extract(auth, "^([^@]*@)", 1)
+    val hostport = lower(regexp_replace(auth, "^[^@]*@", ""))
+    val host = concat(userinfo,
+      when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+        .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport))
     val pq = regexp_replace(noFrag, "^[^/?]+", "")
     val path0 = regexp_extract(pq, "^([^?]*)", 1)
     val query = regexp_replace(pq, "^[^?]*\\??", "")
@@ -59,8 +63,12 @@ object Url {
     * more precise; two labels is the deterministic, list-free
     * approximation (documented trade). */
   def domainOf(u: Column): Column = {
-    val host = lower(regexp_extract(u,
-      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?:#]+)", 1))
+    val auth = regexp_extract(u,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    // strip userinfo and port before taking labels — 'u.x@example.com'
+    // must group under example.com, not under 'x@example.com'
+    val host = lower(regexp_replace(
+      regexp_replace(auth, "^[^@]*@", ""), ":\\d*$", ""))
     regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
   }
 }

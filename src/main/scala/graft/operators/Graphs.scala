@@ -97,6 +97,26 @@ object Graphs {
     pr
   }
 
+  /** Canonical undirected simple-graph edge list shared by the
+    * degree-based operators: self-loops dropped, parallel edges and both
+    * directions collapsed to one `(a, b) = (min, max)` edge. ONE
+    * definition so a semantics change (e.g. null-endpoint policy)
+    * reaches every operator at once. */
+  private def canonicalEdges(edges0: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges0
+      .select(col(srcCol).cast("long").as("x"),
+        col(dstCol).cast("long").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+
+  /** Per-node degree of a canonical edge list (map-side-combined). */
+  private def degreesOf(e: DataFrame): DataFrame =
+    e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).cast("long").as("deg"))
+
   /** Fixed-round k-core peeling — the degeneracy-based denoising step of
     * graph curation (keep only nodes embedded in a dense-enough
     * neighborhood; peel away the low-degree fringe that dominates raw
@@ -126,23 +146,14 @@ object Graphs {
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true)
       else df.localCheckpoint(true)
-    def degrees(e: DataFrame): DataFrame =
-      e.select(col("a").as("id")).union(e.select(col("b").as("id")))
-        .groupBy(col("id")).agg(count(lit(1)).cast("long").as("deg"))
-    var e = cut(edges0
-      .select(col(srcCol).cast("long").as("x"),
-        col(dstCol).cast("long").as("y"))
-      .filter(col("x") =!= col("y"))
-      .select(least(col("x"), col("y")).as("a"),
-        greatest(col("x"), col("y")).as("b"))
-      .distinct())
+    var e = cut(canonicalEdges(edges0, srcCol, dstCol))
     for (_ <- 1 to rounds) {
-      val keep = degrees(e).filter(col("deg") >= k).select(col("id"))
+      val keep = degreesOf(e).filter(col("deg") >= k).select(col("id"))
       e = cut(e
         .join(keep.select(col("id").as("a")), Seq("a"), "leftsemi")
         .join(keep.select(col("id").as("b")), Seq("b"), "leftsemi"))
     }
-    degrees(e)
+    degreesOf(e)
   }
 
   /** Per-node triangle counts — the clustering-structure signal (spam
@@ -175,16 +186,8 @@ object Graphs {
     * Everything is exact integer counting — no floats, hash-stable. */
   def triangleCounts(edges0: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
-    val canon = edges0
-      .select(col(srcCol).cast("long").as("x"),
-        col(dstCol).cast("long").as("y"))
-      .filter(col("x") =!= col("y"))
-      .select(least(col("x"), col("y")).as("a"),
-        greatest(col("x"), col("y")).as("b"))
-      .distinct()
-    val deg = canon.select(col("a").as("id"))
-      .union(canon.select(col("b").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val canon = canonicalEdges(edges0, srcCol, dstCol)
+    val deg = degreesOf(canon).withColumnRenamed("deg", "d")
     // orient a→b iff (deg a, a) < (deg b, b); (deg, id) is a total
     // order, so exactly one direction survives per edge
     val aFirst = canon

@@ -261,6 +261,48 @@ object ObservationStore {
   /** Write both merged copies (touched buckets only) under
     * `<path>/_staging_<targetEpoch>` and commit the manifest. Returns the
     * staging path. Package-visible so crash tests can stop here. */
+  /** Write-time invariants + staging-dir prep shared by every staged
+    * store mutation ([[stageMerge]], [[stageExpire]]): honor the
+    * recorded bucket count/layout (`fallbackBuckets` applies to pre-meta
+    * stores only), target the next epoch, and clear a stale staging dir
+    * (it can only be manifest-less here — recovery ran first). */
+  private def prepareStaging(spark: SparkSession, path: String,
+      fallbackBuckets: Int): (Int, Long, Long, String) = {
+    val effBuckets = readNumBuckets(spark, path).getOrElse(fallbackBuckets)
+    val effLayout = readLayout(spark, path).getOrElse(1L)
+    val targetEpoch = readEpoch(spark, path).getOrElse(0L) + 1L
+    val staging = s"$path/_staging_$targetEpoch"
+    val (f, sp) = fs(spark, staging)
+    if (f.exists(sp)) f.delete(sp, true)
+    (effBuckets, effLayout, targetEpoch, staging)
+  }
+
+  /** The ONE place the store's staged-mutation manifest is written (the
+    * StagedCommit stance: commit logic in one location or the layouts
+    * silently diverge). The manifest is the commit point: it records
+    * everything recovery needs — including the exact bucket-directory
+    * list staged per copy, so apply can tell "already swapped" from
+    * "staged data lost" (a lost staged bucket must FAIL, not silently
+    * skip: skipping would commit an epoch with the two copies diverged).
+    * Written via a single create call — a partial manifest fails to
+    * parse and counts as "not committed". */
+  private def writeStoreManifest(spark: SparkSession, staging: String,
+      targetEpoch: Long, effBuckets: Int, effLayout: Long,
+      batchId: Option[Long]): Unit = {
+    val stagedLists = Copies.map { case (sub, _, _) =>
+      val names = StagedCommit.stagedPartDirs(spark, s"$staging/$sub",
+        "bucket=").mkString(",")
+      s""""staged_$sub":"$names""""
+    }.mkString(",")
+    val bid = batchId.map(b => s""","batch_id":$b""").getOrElse("")
+    val (mf, mp) = fs(spark, s"$staging/_manifest.json")
+    val out = mf.create(mp, true)
+    try out.write(
+      (s"""{"target_epoch":$targetEpoch,"num_buckets":$effBuckets,""" +
+        s""""layout":$effLayout,$stagedLists$bid}""").getBytes("UTF-8"))
+    finally out.close()
+  }
+
   private[graft] def stageMerge(spark: SparkSession, path: String,
       batch: DataFrame, numBuckets: Int,
       batchId: Option[Long] = None): String = {
@@ -268,16 +310,8 @@ object ObservationStore {
     // union branch, per copy): one materialization, not four
     val newAgg = aggregate(batch).persist()
     try {
-      // bucket count and schema layout are write-time invariants: honor
-      // what the store was written with
-      val effBuckets = readNumBuckets(spark, path).getOrElse(numBuckets)
-      val effLayout = readLayout(spark, path).getOrElse(1L)
-      val targetEpoch = readEpoch(spark, path).getOrElse(0L) + 1L
-      val staging = s"$path/_staging_$targetEpoch"
-      val (f, sp) = fs(spark, staging)
-      // stale staging here can only be manifest-less (recoverMerge ran):
-      // a previous attempt that never committed — discard it
-      if (f.exists(sp)) f.delete(sp, true)
+      val (effBuckets, effLayout, targetEpoch, staging) =
+        prepareStaging(spark, path, numBuckets)
       Copies.foreach { case (sub, keyCol, sortCols) =>
         val withBucket = newAgg.withColumn("bucket", bucketOf(col(keyCol), effBuckets))
         val touched = withBucket.select("bucket").distinct()
@@ -298,25 +332,8 @@ object ObservationStore {
         writeCopy(merged.drop("bucket"), s"$staging/$sub", keyCol, sortCols,
           effBuckets, layout = effLayout)
       }
-      // the manifest is the commit point: it records everything recovery
-      // needs — including the exact bucket-directory list staged per copy,
-      // so apply can tell "already swapped" from "staged data lost" (a
-      // lost staged bucket must FAIL, not silently skip: skipping would
-      // commit an epoch with the two copies diverged). Written via a
-      // single create call — a partial manifest fails to parse and counts
-      // as "not committed".
-      val stagedLists = Copies.map { case (sub, _, _) =>
-        val names = StagedCommit.stagedPartDirs(spark, s"$staging/$sub",
-          "bucket=").mkString(",")
-        s""""staged_$sub":"$names""""
-      }.mkString(",")
-      val bid = batchId.map(b => s""","batch_id":$b""").getOrElse("")
-      val (mf, mp) = fs(spark, s"$staging/_manifest.json")
-      val out = mf.create(mp, true)
-      try out.write(
-        (s"""{"target_epoch":$targetEpoch,"num_buckets":$effBuckets,""" +
-          s""""layout":$effLayout,$stagedLists$bid}""").getBytes("UTF-8"))
-      finally out.close()
+      writeStoreManifest(spark, staging, targetEpoch, effBuckets,
+        effLayout, batchId)
       staging
     } finally { newAgg.unpersist(); () }
   }
@@ -342,11 +359,14 @@ object ObservationStore {
     * like all merges.
     *
     * Returns the number of (aggregated) entries dropped from the forward
-    * copy. */
+    * copy. `numBuckets` is the fallback for PRE-META stores only (the
+    * [[mergeBatch]] convention — rewriting with a different bucket count
+    * than the store was written with would mis-route survivors); stores
+    * with metadata always use their recorded count. */
   def expire(spark: SparkSession, path: String,
-      cutoff: java.sql.Timestamp): Long = {
+      cutoff: java.sql.Timestamp, numBuckets: Int = 64): Long = {
     recoverMerge(spark, path, deleteUncommitted = true)
-    val (staged, dropped) = stageExpire(spark, path, cutoff)
+    val (staged, dropped) = stageExpire(spark, path, cutoff, numBuckets)
     staged.foreach(s => applyStagedMerge(spark, path, s))
     dropped
   }
@@ -355,13 +375,11 @@ object ObservationStore {
     * nothing. Package-visible so crash tests can stop here; returns
     * (staging dir if anything expired, forward entries dropped). */
   private[graft] def stageExpire(spark: SparkSession, path: String,
-      cutoff: java.sql.Timestamp): (Option[String], Long) = {
-    val effBuckets = readNumBuckets(spark, path).getOrElse(64)
-    val effLayout = readLayout(spark, path).getOrElse(1L)
-    val targetEpoch = readEpoch(spark, path).getOrElse(0L) + 1L
-    val staging = s"$path/_staging_$targetEpoch"
+      cutoff: java.sql.Timestamp,
+      numBuckets: Int = 64): (Option[String], Long) = {
+    val (effBuckets, effLayout, targetEpoch, staging) =
+      prepareStaging(spark, path, numBuckets)
     val (f, sp) = fs(spark, staging)
-    if (f.exists(sp)) f.delete(sp, true)
     val dataCols = (Model.Key ++ Seq("count", "first_seen", "last_seen"))
       .map(col)
     var dropped = 0L
@@ -398,19 +416,10 @@ object ObservationStore {
       }
     }
     if (!f.exists(sp)) return (None, 0L) // nothing to expire
-    // same manifest shape as stageMerge → the SAME apply/recover replay
-    // path commits it
-    val stagedLists = Copies.map { case (sub, _, _) =>
-      val names = StagedCommit.stagedPartDirs(spark, s"$staging/$sub",
-        "bucket=").mkString(",")
-      s""""staged_$sub":"$names""""
-    }.mkString(",")
-    val (mf, mp) = fs(spark, s"$staging/_manifest.json")
-    val out = mf.create(mp, true)
-    try out.write(
-      (s"""{"target_epoch":$targetEpoch,"num_buckets":$effBuckets,""" +
-        s""""layout":$effLayout,$stagedLists}""").getBytes("UTF-8"))
-    finally out.close()
+    // same manifest shape (ONE writer) as stageMerge → the SAME
+    // apply/recover replay path commits it
+    writeStoreManifest(spark, staging, targetEpoch, effBuckets, effLayout,
+      batchId = None)
     (Some(staging), dropped)
   }
 

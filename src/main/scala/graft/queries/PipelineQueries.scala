@@ -1414,19 +1414,24 @@ object PipelineQueries {
         |s2 AS (SELECT *, regexp_replace(rest, '#.*$', '') AS nofrag FROM s1),
         |s3 AS (
         |  SELECT *,
-        |    lower(regexp_extract(nofrag, '^([^/?]+)', 1)) AS hostport,
+        |    regexp_extract(nofrag, '^([^/?]+)', 1) AS auth,
         |    regexp_replace(nofrag, '^[^/?]+', '') AS pq
         |  FROM s2),
+        |s3b AS (
+        |  SELECT *,
+        |    regexp_extract(auth, '^([^@]*@)', 1) AS ui,
+        |    lower(regexp_replace(auth, '^[^@]*@', '')) AS hostport
+        |  FROM s3),
         |s4 AS (
         |  SELECT *,
-        |    CASE WHEN scheme = 'http'
+        |    ui || CASE WHEN scheme = 'http'
         |           THEN regexp_replace(hostport, ':80$', '')
         |         WHEN scheme = 'https'
         |           THEN regexp_replace(hostport, ':443$', '')
         |         ELSE hostport END AS host,
         |    regexp_extract(pq, '^([^?]*)', 1) AS path0,
         |    regexp_replace(pq, '^[^?]*\??', '') AS query0
-        |  FROM s3),
+        |  FROM s3b),
         |s5 AS (
         |  SELECT *,
         |    CASE WHEN regexp_replace(path0, '/{2,}', '/', 'g') = ''

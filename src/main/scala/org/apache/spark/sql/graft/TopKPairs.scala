@@ -21,12 +21,16 @@ import org.apache.spark.sql.types._
   * ranking working and the "last reducer" holding the biggest key's whole
   * contents.
   *
-  * Semantics match the window exactly (and so does the oracle): rows
-  * ordered by `(ord, payload)` descending when `largest` (ascending
-  * otherwise), DUPLICATE pairs kept (multiset, like row_number), output
-  * the best-first `array<struct<ord, payload>>` — explode + posexplode
-  * recovers (rank, row). Exact-integer inputs by design (the repo's
-  * determinism convention): both columns are BIGINT.
+  * Semantics match the window exactly on NULL-FREE inputs (and the
+  * oracle is that window): rows ordered by `(ord, payload)` descending
+  * when `largest` (ascending otherwise), DUPLICATE pairs kept (multiset,
+  * like row_number), output the best-first `array<struct<ord, payload>>`
+  * — explode + posexplode recovers (rank, row). Rows where either input
+  * is NULL are IGNORED — standard SQL aggregate-function behavior, but a
+  * DOCUMENTED DIVERGENCE from the window form, which ranks null rows
+  * (nulls-last under DESC): coalesce the inputs first when parity with a
+  * null-bearing window matters. Exact-integer inputs by design (the
+  * repo's determinism convention): both columns are BIGINT.
   *
   * Merging inserts one buffer into the other and re-caps at k —
   * associative and commutative, so partial aggregation works like any
@@ -49,8 +53,11 @@ case class TopKPairs(left: Expression, right: Expression, k: Int,
   override def prettyName: String = "top_k_pairs"
 
   // best-first: for `largest`, bigger pairs compare SMALLER so the worst
-  // entry is always `last` and eviction is `pollLast`-shaped
-  private def ord: Ordering[(Long, Long)] = {
+  // entry is always `last` and eviction is `pollLast`-shaped. A val, not
+  // a def: insert() consults it once per input row, and rebuilding the
+  // Tuple2 ordering + reverse wrapper per row is allocation on the exact
+  // hot path this aggregate exists to make cheap
+  @transient private lazy val ord: Ordering[(Long, Long)] = {
     val nat = Ordering.Tuple2(Ordering.Long, Ordering.Long)
     if (largest) nat.reverse else nat
   }

@@ -44,9 +44,17 @@ class UrlSpec extends AnyFunSuite {
     assert(norm("plain") == "plain")
   }
 
-  test("domainOf: last two host labels") {
-    val d = Seq("http://www.a.Example.COM:80/x", "https://example.com/")
+  test("userinfo: case preserved, host after it still normalized") {
+    assert(norm("http://SessionToken@A.COM:80/x") ==
+      "http://SessionToken@a.com/x")
+    assert(norm("http://SessionToken@a.com/x") !=
+      norm("http://sessiontoken@a.com/x")) // distinct credentials stay distinct
+  }
+
+  test("domainOf: last two host labels; userinfo and port ignored") {
+    val d = Seq("http://www.a.Example.COM:80/x", "https://example.com/",
+        "http://u.x@Example.com:8080/y")
       .toDF("u").select(Url.domainOf(col("u"))).as[String].collect().toSeq
-    assert(d == Seq("example.com", "example.com"))
+    assert(d == Seq("example.com", "example.com", "example.com"))
   }
 }
