@@ -48,11 +48,22 @@ object Graphs {
     * (later checkpointing jobs in the same session inherit it), and
     * Spark does not delete reliable checkpoint files by default — clean
     * the directory after the job, or run with
-    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`. */
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`.
+    *
+    * `seeds` switches to SEEDED (personalized) PageRank — the TrustRank
+    * construction (Gyöngyi et al. 2004): teleport mass lands only on the
+    * seed set instead of uniformly, so rank measures authority AS SEEN
+    * FROM trusted nodes — the standard link-spam demotion signal (spam
+    * farms rank each other, but cannot attract trust flow from seeds).
+    * Initial mass likewise starts on the seeds. A seed id absent from
+    * the graph simply never receives its share (mass lost — the dangling
+    * stance, and the oracle mirrors it because its node set lacks the id
+    * too). */
   def pageRank(edges0: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, dampPct: Int = 85,
       scale: Long = 1000000000L,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      seeds: Seq[Long] = Seq.empty): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampPct >= 0 && dampPct <= 100, s"dampPct in [0,100], got $dampPct")
     require(scale % 100 == 0, s"scale must be divisible by 100, got $scale")
@@ -84,14 +95,20 @@ object Graphs {
       .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src"))
       // reused every round: pay the join once
     val basePart = effScale / 100 * (100 - dampPct)
-    var pr = nodes.withColumn("pr", lit(effScale / n))
+    // teleport targets: everyone (uniform) or the seed set (TrustRank).
+    // Long division on constants matches the SQL `div` the oracle uses.
+    val nTele = if (seeds.isEmpty) n else seeds.size.toLong
+    def seedCond = if (seeds.isEmpty) lit(true) else col("id").isin(seeds: _*)
+    var pr = nodes.withColumn("pr",
+      when(seedCond, lit(effScale / nTele)).otherwise(lit(0L)))
     for (_ <- 1 to iters) {
       val contrib = withDeg.join(pr, col("src") === col("id"))
         .select(col("dst"), expr("pr div outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("c"))
       pr = cut(nodes.join(contrib, nodes("id") === contrib("dst"), "left")
         .select(col("id"),
-          expr(s"(${basePart} div ${n}) + ($dampPct * coalesce(c, CAST(0 AS BIGINT))) div 100")
+          (when(seedCond, lit(basePart / nTele)).otherwise(lit(0L)) +
+            expr(s"($dampPct * coalesce(c, CAST(0 AS BIGINT))) div 100"))
             .as("pr")))
     }
     pr

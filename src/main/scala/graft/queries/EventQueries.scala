@@ -111,6 +111,22 @@ object EventQueries {
       graft.operators.Graphs.pageRank(edges, "src", "dst", iters = 3)
     }),
 
+    // Seeded (TrustRank-style) PageRank: teleport mass lands only on
+    // three trusted customers, so rank = authority as seen from the
+    // seeds — the link-spam demotion signal. Same graph and arithmetic
+    // as graph_pagerank, different teleport vector.
+    "graph_trustrank" -> ((s, dir) => {
+      val edges = Graft.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Graft.table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+      graft.operators.Graphs.pageRank(edges, "src", "dst", iters = 3,
+        seeds = Seq(1L, 4L, 7L))
+    }),
+
     // Bounded top-k per key via the custom TopKPairs aggregate (O(k)
     // group state, map-side combine) — oracle is the window row_number
     // formulation it replaces, proving exact parity.
@@ -197,6 +213,21 @@ object EventQueries {
        |         (150000000 // nn.n_nodes) +
        |         (85 * COALESCE($cOut.c, 0)) // 100 AS pr
        |  FROM n CROSS JOIN nn LEFT JOIN $cOut ON $cOut.id = n.id)""".stripMargin
+
+  /** [[prRound]] with the teleport term landing only on `seeds`. */
+  private def trRound(prIn: String, cOut: String, prOut: String,
+      seeds: String, nSeeds: Int): String =
+    s"""$cOut AS (
+       |  SELECT e.dst AS id, CAST(SUM($prIn.pr // deg.outdeg) AS BIGINT) AS c
+       |  FROM e JOIN $prIn ON $prIn.id = e.src
+       |         JOIN deg ON deg.src = e.src
+       |  GROUP BY 1),
+       |$prOut AS (
+       |  SELECT n.id,
+       |         (CASE WHEN n.id IN ($seeds)
+       |               THEN 150000000 // $nSeeds ELSE 0 END) +
+       |         (85 * COALESCE($cOut.c, 0)) // 100 AS pr
+       |  FROM n LEFT JOIN $cOut ON $cOut.id = n.id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "events_funnel" ->
@@ -301,6 +332,23 @@ object EventQueries {
         |FROM (SELECT a AS id FROM e2 UNION ALL SELECT b FROM e2)
         |GROUP BY 1
         |""".stripMargin,
+
+    "graph_trustrank" ->
+      s"""WITH e AS (
+         |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |n AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+         |        FROM e GROUP BY 1),
+         |pr0 AS (SELECT n.id,
+         |               CASE WHEN n.id IN (1, 4, 7)
+         |                    THEN 1000000000 // 3 ELSE 0 END AS pr
+         |        FROM n),
+         |${trRound("pr0", "c1", "pr1", "1, 4, 7", 3)},
+         |${trRound("pr1", "c2", "pr2", "1, 4, 7", 3)},
+         |${trRound("pr2", "c3", "pr3", "1, 4, 7", 3)}
+         |SELECT id, CAST(pr AS BIGINT) AS pr FROM pr3
+         |""".stripMargin,
 
     "topk_per_key" ->
       """WITH e AS (

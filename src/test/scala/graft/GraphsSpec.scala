@@ -57,6 +57,25 @@ class GraphsSpec extends AnyFunSuite {
     Graphs.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  test("seeded pageRank (TrustRank): teleport mass lands only on seeds") {
+    val seeded = Graphs.pageRank(
+      Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst"),
+      "src", "dst", iters = 1, seeds = Seq(1L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // pr0 = (1e9, 0, 0); contrib: 2 and 3 each get 1e9 div 2;
+    // base hits only the seed
+    assert(seeded == Map(
+      1L -> 150000000L,
+      2L -> (85L * 500000000L / 100L),
+      3L -> (85L * 500000000L / 100L)))
+    // a seed absent from the graph forfeits its mass — ranks all zero
+    val ghost = Graphs.pageRank(
+      Seq((1L, 2L)).toDF("src", "dst"), "src", "dst",
+      iters = 2, seeds = Seq(9L))
+      .collect().map(_.getLong(1)).toSet
+    assert(ghost == Set(0L))
+  }
+
   private def kcore(edges: Seq[(Long, Long)], k: Int,
       rounds: Int): Map[Long, Long] =
     Graphs.kcorePeel(edges.toDF("src", "dst"), "src", "dst", k, rounds)
