@@ -44,7 +44,7 @@ object Main {
   }
 
   val usage: String =
-    """usage: graft.Main <build|merge|serve|query|dump|replay|backup|curate|dedup|dump-balboa|replay-balboa|index|search> [args]
+    """usage: graft.Main <build|merge|serve|query|dump|replay|backup|expire|curate|dedup|dump-balboa|replay-balboa|index|search> [args]
       |  build  --obs <parquet> --store <dir> [--buckets 64]
       |  merge  --obs <parquet> --store <dir>
       |  serve  --store <dir> [--port 8080]
@@ -130,6 +130,18 @@ object Main {
         null
       case "backup" =>
         Tools.backup(spark, required(flags, "store"), required(flags, "out"))
+        null
+      case "expire" =>
+        // retention pruning: drop entries last seen before the cutoff
+        // (ISO date or date-time), crash-atomically, both copies
+        val cutoffArg = required(flags, "before")
+        val cutoff = java.sql.Timestamp.from(
+          (if (cutoffArg.contains("T")) java.time.LocalDateTime.parse(cutoffArg)
+           else java.time.LocalDate.parse(cutoffArg).atStartOfDay())
+            .toInstant(java.time.ZoneOffset.UTC))
+        val n = ObservationStore.expire(spark, required(flags, "store"),
+          cutoff)
+        System.err.println(s"[graft] expired $n entries")
         null
       case "curate" =>
         // the shared Curation.curateChain (same thresholds as the

@@ -66,6 +66,26 @@ class MainSpec extends AnyFunSuite {
     assert(st.entries(rrname = Some("brand-new.example.com")).count() == 1)
   }
 
+  test("expire prunes old entries through the CLI") {
+    val dir = Files.createTempDirectory("graft-main-exp").toString
+    val old = Timestamp.valueOf("2019-01-01 00:00:00")
+    val young = Timestamp.valueOf("2021-06-01 00:00:00")
+    Seq(("old.example.com", "s1", "A", "192.0.2.1", 1L, old, old),
+        ("new.example.com", "s1", "A", "192.0.2.2", 1L, young, young))
+      .toDF("rrname", "sensor_id", "rrtype", "rdata", "count",
+        "timestamp_start", "timestamp_end")
+      .write.parquet(s"$dir/obs")
+    Main.run(spark, Seq("build", "--obs", s"$dir/obs",
+      "--store", s"$dir/store", "--buckets", "4"))
+    // date-only form = midnight UTC
+    Main.run(spark, Seq("expire", "--store", s"$dir/store",
+      "--before", "2020-01-01"))
+    val st = ObservationStore.load(spark, s"$dir/store")
+    assert(st.totalCount() == 1)
+    assert(st.entries(rrname = Some("old.example.com")).isEmpty)
+    assert(st.entries(rrname = Some("new.example.com")).count() == 1)
+  }
+
   test("serve starts a queryable HTTP server from the CLI") {
     val dir = Files.createTempDirectory("graft-main-serve").toString
     obsDf.write.parquet(s"$dir/obs")
