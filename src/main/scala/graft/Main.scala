@@ -52,6 +52,7 @@ object Main {
       |  dump   --store <dir> --out <dir>
       |  replay --dump <dir> --store <dir> [--buckets 64]
       |  backup --store <dir> --out <dir>
+      |  expire --store <dir> --before <ISO date/date-time/instant, UTC>
       |  curate --docs <parquet> --out <dir> [--shards 64] [--budget 8192]
       |  dedup  --docs <parquet> --out <dir>
       |  dump-balboa   --store <dir> --out <dir>         (native wire format)
@@ -132,13 +133,28 @@ object Main {
         Tools.backup(spark, required(flags, "store"), required(flags, "out"))
         null
       case "expire" =>
-        // retention pruning: drop entries last seen before the cutoff
-        // (ISO date or date-time), crash-atomically, both copies
+        // retention pruning: drop entries last seen before the cutoff,
+        // crash-atomically, both copies. Accepts an ISO date
+        // (2020-01-01), naive date-time (2020-01-01T00:00:00, read as
+        // UTC), or explicit instant (2020-01-01T00:00:00Z / +offset).
         val cutoffArg = required(flags, "before")
-        val cutoff = java.sql.Timestamp.from(
-          (if (cutoffArg.contains("T")) java.time.LocalDateTime.parse(cutoffArg)
-           else java.time.LocalDate.parse(cutoffArg).atStartOfDay())
-            .toInstant(java.time.ZoneOffset.UTC))
+        val instant =
+          try {
+            if (!cutoffArg.contains("T"))
+              java.time.LocalDate.parse(cutoffArg).atStartOfDay()
+                .toInstant(java.time.ZoneOffset.UTC)
+            else if (cutoffArg.endsWith("Z") || cutoffArg.contains("+") ||
+              cutoffArg.lastIndexOf('-') > cutoffArg.indexOf('T'))
+              java.time.OffsetDateTime.parse(cutoffArg).toInstant
+            else java.time.LocalDateTime.parse(cutoffArg)
+              .toInstant(java.time.ZoneOffset.UTC)
+          } catch {
+            case e: java.time.format.DateTimeParseException =>
+              throw new IllegalArgumentException(
+                s"expire --before: cannot parse '$cutoffArg' " +
+                  s"(${e.getMessage})\n$usage")
+          }
+        val cutoff = java.sql.Timestamp.from(instant)
         val n = ObservationStore.expire(spark, required(flags, "store"),
           cutoff)
         System.err.println(s"[graft] expired $n entries")

@@ -55,10 +55,10 @@ object Graphs {
     * seed set instead of uniformly, so rank measures authority AS SEEN
     * FROM trusted nodes — the standard link-spam demotion signal (spam
     * farms rank each other, but cannot attract trust flow from seeds).
-    * Initial mass likewise starts on the seeds. A seed id absent from
-    * the graph simply never receives its share (mass lost — the dangling
-    * stance, and the oracle mirrors it because its node set lacks the id
-    * too). */
+    * Initial mass likewise starts on the seeds. Duplicate seed ids are
+    * collapsed; a seed id absent from the graph simply never receives
+    * its share (mass lost — the dangling stance, and the oracle mirrors
+    * it because its node set lacks the id too). */
   def pageRank(edges0: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, dampPct: Int = 85,
       scale: Long = 1000000000L,
@@ -75,8 +75,24 @@ object Graphs {
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct()
-    val nodes = cut(edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id"))).distinct())
+    // the seed flag rides the node table (computed once, reused every
+    // round): a broadcast join, NOT an isin literal — a real trust seed
+    // set is 10⁴-10⁶ hosts, and an In-expression that size bloats the
+    // plan and falls out of codegen. Duplicate seed ids are collapsed
+    // BEFORE sizing the teleport shares, or each duplicate would
+    // silently shrink every share.
+    val seedIds = seeds.distinct
+    val nodesBase = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    val nodes = cut(
+      if (seedIds.isEmpty) nodesBase.withColumn("is_seed", lit(true))
+      else {
+        val seedsDf = edges0.sparkSession
+          .createDataset(seedIds)(org.apache.spark.sql.Encoders.scalaLong)
+          .toDF("id").withColumn("s", lit(true))
+        nodesBase.join(broadcast(seedsDf), Seq("id"), "left")
+          .select(col("id"), coalesce(col("s"), lit(false)).as("is_seed"))
+      })
       // the per-round left join re-reads it
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
@@ -97,17 +113,17 @@ object Graphs {
     val basePart = effScale / 100 * (100 - dampPct)
     // teleport targets: everyone (uniform) or the seed set (TrustRank).
     // Long division on constants matches the SQL `div` the oracle uses.
-    val nTele = if (seeds.isEmpty) n else seeds.size.toLong
-    def seedCond = if (seeds.isEmpty) lit(true) else col("id").isin(seeds: _*)
-    var pr = nodes.withColumn("pr",
-      when(seedCond, lit(effScale / nTele)).otherwise(lit(0L)))
+    val nTele = if (seedIds.isEmpty) n else seedIds.size.toLong
+    var pr = nodes.select(col("id"),
+      when(col("is_seed"), lit(effScale / nTele)).otherwise(lit(0L))
+        .as("pr"))
     for (_ <- 1 to iters) {
       val contrib = withDeg.join(pr, col("src") === col("id"))
         .select(col("dst"), expr("pr div outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("c"))
       pr = cut(nodes.join(contrib, nodes("id") === contrib("dst"), "left")
         .select(col("id"),
-          (when(seedCond, lit(basePart / nTele)).otherwise(lit(0L)) +
+          (when(col("is_seed"), lit(basePart / nTele)).otherwise(lit(0L)) +
             expr(s"($dampPct * coalesce(c, CAST(0 AS BIGINT))) div 100"))
             .as("pr")))
     }

@@ -16,6 +16,17 @@ object EventQueries {
   private def events(s: SparkSession, dir: String): DataFrame =
     Graft.table(s, dir, "events")
 
+  /** The customer→supplier order graph both PageRank gates walk (ONE
+    * definition — the dst offset and join must not drift apart). */
+  private def custSuppEdges(s: SparkSession, dir: String): DataFrame =
+    Graft.table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Graft.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + 1000000L).as("dst"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 1-hour windows per event type; decimal-exact value sums.
     "events_hourly" -> ((s, dir) =>
@@ -100,32 +111,17 @@ object EventQueries {
     // graph (3 rounds, damping 85/100, ranks scaled to 1e9) — exact
     // integer arithmetic end to end, dangling supplier mass dropped per
     // round (documented simplification; the oracle mirrors it).
-    "graph_pagerank" -> ((s, dir) => {
-      val edges = Graft.table(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"))
-        .join(Graft.table(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("src"),
-          (col("l_suppkey") + 1000000L).as("dst"))
-      graft.operators.Graphs.pageRank(edges, "src", "dst", iters = 3)
-    }),
+    "graph_pagerank" -> ((s, dir) =>
+      graft.operators.Graphs.pageRank(custSuppEdges(s, dir), "src", "dst",
+        iters = 3)),
 
     // Seeded (TrustRank-style) PageRank: teleport mass lands only on
     // three trusted customers, so rank = authority as seen from the
     // seeds — the link-spam demotion signal. Same graph and arithmetic
     // as graph_pagerank, different teleport vector.
-    "graph_trustrank" -> ((s, dir) => {
-      val edges = Graft.table(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"))
-        .join(Graft.table(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("src"),
-          (col("l_suppkey") + 1000000L).as("dst"))
-      graft.operators.Graphs.pageRank(edges, "src", "dst", iters = 3,
-        seeds = Seq(1L, 4L, 7L))
-    }),
+    "graph_trustrank" -> ((s, dir) =>
+      graft.operators.Graphs.pageRank(custSuppEdges(s, dir), "src", "dst",
+        iters = 3, seeds = Seq(1L, 4L, 7L))),
 
     // Bounded top-k per key via the custom TopKPairs aggregate (O(k)
     // group state, map-side combine) — oracle is the window row_number
@@ -202,7 +198,14 @@ object EventQueries {
   )
 
   /** One unrolled PageRank round in SQL (contributions then rank). */
-  private def prRound(prIn: String, cOut: String, prOut: String): String =
+  /** One PageRank round as CTE steps; `teleport` is the per-node base
+    * term (uniform default; the TrustRank gate passes a seeded CASE) and
+    * `joinNn` controls whether the node-count CTE is in scope. ONE
+    * definition of the contribution join — the variants may only differ
+    * in the teleport expression. */
+  private def prRound(prIn: String, cOut: String, prOut: String,
+      teleport: String = "150000000 // nn.n_nodes",
+      joinNn: Boolean = true): String =
     s"""$cOut AS (
        |  SELECT e.dst AS id, CAST(SUM($prIn.pr // deg.outdeg) AS BIGINT) AS c
        |  FROM e JOIN $prIn ON $prIn.id = e.src
@@ -210,24 +213,12 @@ object EventQueries {
        |  GROUP BY 1),
        |$prOut AS (
        |  SELECT n.id,
-       |         (150000000 // nn.n_nodes) +
+       |         ($teleport) +
        |         (85 * COALESCE($cOut.c, 0)) // 100 AS pr
-       |  FROM n CROSS JOIN nn LEFT JOIN $cOut ON $cOut.id = n.id)""".stripMargin
+       |  FROM n ${if (joinNn) "CROSS JOIN nn " else ""}LEFT JOIN $cOut ON $cOut.id = n.id)""".stripMargin
 
-  /** [[prRound]] with the teleport term landing only on `seeds`. */
-  private def trRound(prIn: String, cOut: String, prOut: String,
-      seeds: String, nSeeds: Int): String =
-    s"""$cOut AS (
-       |  SELECT e.dst AS id, CAST(SUM($prIn.pr // deg.outdeg) AS BIGINT) AS c
-       |  FROM e JOIN $prIn ON $prIn.id = e.src
-       |         JOIN deg ON deg.src = e.src
-       |  GROUP BY 1),
-       |$prOut AS (
-       |  SELECT n.id,
-       |         (CASE WHEN n.id IN ($seeds)
-       |               THEN 150000000 // $nSeeds ELSE 0 END) +
-       |         (85 * COALESCE($cOut.c, 0)) // 100 AS pr
-       |  FROM n LEFT JOIN $cOut ON $cOut.id = n.id)""".stripMargin
+  private val trustTeleport =
+    "CASE WHEN n.id IN (1, 4, 7) THEN 150000000 // 3 ELSE 0 END"
 
   def oracleSql: Map[String, String] = Map(
     "events_funnel" ->
@@ -344,9 +335,9 @@ object EventQueries {
          |               CASE WHEN n.id IN (1, 4, 7)
          |                    THEN 1000000000 // 3 ELSE 0 END AS pr
          |        FROM n),
-         |${trRound("pr0", "c1", "pr1", "1, 4, 7", 3)},
-         |${trRound("pr1", "c2", "pr2", "1, 4, 7", 3)},
-         |${trRound("pr2", "c3", "pr3", "1, 4, 7", 3)}
+         |${prRound("pr0", "c1", "pr1", trustTeleport, joinNn = false)},
+         |${prRound("pr1", "c2", "pr2", trustTeleport, joinNn = false)},
+         |${prRound("pr2", "c3", "pr3", trustTeleport, joinNn = false)}
          |SELECT id, CAST(pr AS BIGINT) AS pr FROM pr3
          |""".stripMargin,
 

@@ -84,6 +84,15 @@ class MainSpec extends AnyFunSuite {
     assert(st.totalCount() == 1)
     assert(st.entries(rrname = Some("old.example.com")).isEmpty)
     assert(st.entries(rrname = Some("new.example.com")).count() == 1)
+    // explicit-UTC instant form parses too (no-op cutoff here)
+    Main.run(spark, Seq("expire", "--store", s"$dir/store",
+      "--before", "2018-01-01T00:00:00Z"))
+    assert(ObservationStore.load(spark, s"$dir/store").totalCount() == 1)
+    // garbage dates fail with a usage error, not a raw parse trace
+    intercept[IllegalArgumentException] {
+      Main.run(spark, Seq("expire", "--store", s"$dir/store",
+        "--before", "not-a-date"))
+    }
   }
 
   test("serve starts a queryable HTTP server from the CLI") {
