@@ -57,6 +57,40 @@ object Retrieval {
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
 
+  /** Exact PHRASE search over positional postings: documents containing
+    * the words of `phrase` consecutively, with the occurrence count —
+    * the capability a bag-of-words index ([[tokenIndex]]/BM25) cannot
+    * express, done the way positional indexes do it (Lucene's
+    * PhraseQuery): one (doc, position) posting list per phrase term,
+    * intersected by equi-joining on `(doc_id, position − term_offset)`.
+    *
+    * Scale shape: per term one narrow filtered projection of the
+    * positions table (the `word = t` filter pushes to the scan when
+    * positions are persisted) and one shuffle equi-join on the composite
+    * key — cost proportional to the PHRASE TERMS' posting sizes, never
+    * to the corpus. Anchoring on the first term means rare-first
+    * phrasing prunes hardest (callers can reorder for selectivity; the
+    * result is order-restored by construction). Tokenization is the
+    * index's `\s+` convention. */
+  def phraseSearch(df: DataFrame, textCol: String, idCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch: empty phrase")
+    require(phrase.forall(_.nonEmpty), "phraseSearch: empty term")
+    val pos = df.select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("p", "word")))
+      .localCheckpoint(false) // one scan feeds every term's posting list
+    val anchor = pos.filter(col("word") === phrase.head)
+      .select(col("doc_id"), col("p"))
+    phrase.zipWithIndex.drop(1)
+      .foldLeft(anchor) { case (acc, (w, i)) =>
+        acc.join(pos.filter(col("word") === w)
+            .select(col("doc_id"), (col("p") - i).as("p")),
+          Seq("doc_id", "p"))
+      }
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_occurrences"))
+  }
+
   /** One BM25 term weight; see the object doc for why the idf ratio is
     * log-free and why the expression tree shape is load-bearing (the
     * oracle mirrors it parenthesis-for-parenthesis). */

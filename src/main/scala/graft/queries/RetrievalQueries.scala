@@ -49,6 +49,14 @@ object RetrievalQueries {
     "bm25_search" -> ((s, dir) =>
       Retrieval.bm25TopK(wsDocs(s, dir), "text", "doc_id", bm25Terms, k = 10)),
 
+    // Exact phrase search via positional-posting intersection — the
+    // query class a bag-of-words index cannot answer. Oracle mirrors
+    // the position arithmetic (1-based generate_series shifted to the
+    // 0-based posexplode convention).
+    "phrase_search" -> ((s, dir) =>
+      Retrieval.phraseSearch(docs(s, dir), "text", "doc_id",
+        Seq("hash", "join"))),
+
     // Same query through the PERSISTED index (bucket-pruned postings +
     // stored df/stats) — the layout is an optimization, never a
     // semantics change, so the oracle is shared with bm25_search.
@@ -169,6 +177,23 @@ object RetrievalQueries {
 
   def oracleSql: Map[String, String] = Map(
     "bm25_search" -> bm25OracleSql,
+
+    "phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, generate_subscripts(t, 1) - 1 AS p,
+        |         unnest(t) AS word
+        |  FROM toks),
+        |a0 AS (SELECT doc_id, p FROM pos WHERE word = 'hash'),
+        |a1 AS (
+        |  SELECT a0.doc_id, a0.p
+        |  FROM a0 JOIN pos ON pos.doc_id = a0.doc_id
+        |              AND pos.p = a0.p + 1 AND pos.word = 'join')
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        |FROM a1 GROUP BY 1
+        |""".stripMargin,
     // identical semantics through the persisted bucketed index — same
     // oracle by design
     "bm25_index" -> bm25OracleSql,

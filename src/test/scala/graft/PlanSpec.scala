@@ -455,6 +455,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!nb.contains("CartesianProduct"), nb)
     assert(nb.contains("HashAggregate"), nb)
 
+    // phrase search: posting intersection is composite-key equi-joins
+    val ph = explainOf(graft.operators.Retrieval.phraseSearch(
+      d, "text", "doc_id", Seq("x", "y")))
+    assert(!ph.contains("CartesianProduct"), ph)
+    assert(!ph.contains("BroadcastNestedLoopJoin"), ph)
+
     // k-core peel round: degree agg + LEFT SEMI filters, no product,
     // lineage flat behind the per-round checkpoint
     val kc = explainOf(

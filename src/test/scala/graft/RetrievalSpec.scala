@@ -35,6 +35,29 @@ class RetrievalSpec extends AnyFunSuite {
     assert(ids.indexOf(1L) < ids.indexOf(2L))
   }
 
+  test("phraseSearch: consecutive-word matches only, overlaps counted") {
+    def run(phrase: String*): Map[Long, Long] =
+      Retrieval.phraseSearch(corpus, "text", "doc_id", phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // "merge sort" appears twice in doc 3 and nowhere else; the words
+    // in the other order only once
+    assert(run("merge", "sort") == Map(3L -> 2L))
+    assert(run("sort", "merge") == Map(3L -> 2L)) // sort merge sort merge
+    // "join merge" is consecutive only in doc 5 (twice); doc 1's words
+    // are never adjacent in that order
+    assert(run("join", "merge") == Map(5L -> 2L))
+    // single-word phrase degenerates to term occurrence counts
+    assert(run("merge") == Map(3L -> 3L, 5L -> 2L))
+    // no match → empty, not an error; empty phrase rejected
+    assert(run("quantum", "sort").isEmpty)
+    intercept[IllegalArgumentException](run())
+    // OVERLAPPING occurrences all count (every anchor position)
+    val rep = Seq((9L, "a a a")).toDF("doc_id", "text")
+    assert(Retrieval.phraseSearch(rep, "text", "doc_id", Seq("a", "a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap ==
+      Map(9L -> 2L))
+  }
+
   test("persisted index path is bit-identical to the in-memory path") {
     val tmp = Files.createTempDirectory("graft-bm25-spec").toString
     Retrieval.writeIndex(corpus, "text", "doc_id", tmp, nBuckets = 4)
