@@ -149,6 +149,30 @@ object TextAnalysis {
     * base 257, the largest hash is < 2⁴³, so every intermediate value is
     * an exact integer in a double — bit-identical in any engine — and no
     * modulus is needed. All per-row compute, shuffle-free. */
+  /** Per-row exact-phrase occurrence count — the NARROW twin of
+    * [[Retrieval.phraseSearch]]: no explode, no join, no shuffle, just a
+    * codegen'd sliding check over the token array. Overlapping
+    * occurrences all count (one per start position), identical to the
+    * positional-index semantics (a property test pins the two
+    * implementations to each other). The narrow form is what a
+    * STREAMING filter or a short-phrase scan without a positional index
+    * wants; the join form wins when the phrase terms' postings are far
+    * smaller than the corpus. `\s+` tokenization, same as the index. */
+  def phraseHits(text: Column, phrase: Seq[String]): Column = {
+    require(phrase.nonEmpty, "phraseHits: empty phrase")
+    require(phrase.forall(_.nonEmpty), "phraseHits: empty term")
+    val toks = split(text, "\\s+")
+    val k = phrase.size
+    // sequence() is DESCENDING when start > stop, so short docs must
+    // short-circuit before building the start list
+    when(size(toks) >= k,
+      size(filter(sequence(lit(0), size(toks) - k),
+        i => phrase.zipWithIndex.map { case (w, j) =>
+          element_at(toks, i + j + 1) === w
+        }.reduce(_ && _))).cast("long"))
+      .otherwise(lit(0L))
+  }
+
   def winnowingFingerprints(textCol: Column, k: Int = 5,
       w: Int = 4): Column = {
     require(k >= 1 && k <= 6,

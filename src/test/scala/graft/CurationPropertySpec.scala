@@ -36,6 +36,22 @@ class CurationPropertySpec extends AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("narrow phraseHits equals the positional-join phraseSearch") {
+    val genPhrase = Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, genWord))
+    check(Prop.forAll(genCorpus(25), genPhrase) { (corpus, phrase) =>
+      val df = corpus.toDF("doc_id", "text")
+      val narrow = df.select(org.apache.spark.sql.functions.col("doc_id"),
+          graft.operators.TextAnalysis.phraseHits(
+            org.apache.spark.sql.functions.col("text"), phrase).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+        .filter(_._2 > 0).toMap
+      val joined = graft.operators.Retrieval.phraseSearch(
+          df, "text", "doc_id", phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      narrow == joined
+    })
+  }
+
   test("packForTraining offsets are gapless cumulative sums per shard") {
     check(Prop.forAll(genCorpus(40)) { corpus =>
       val df = corpus.toDF("doc_id", "text")

@@ -151,6 +151,28 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(rows == Map("a" -> 3L, "b" -> 1L)) // exact below k
   }
 
+  test("phraseHits filters a document stream statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val stream = MemoryStream[(Long, String)]
+    // narrow per-row phrase matching = a plain append-mode filter with
+    // ZERO state — the streaming form the positional join cannot take
+    val out = stream.toDF().toDF("doc_id", "text")
+      .withColumn("hits",
+        graft.operators.TextAnalysis.phraseHits(col("text"),
+          Seq("data", "leak")))
+      .filter(col("hits") > 0)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("phrase_stream").start()
+    stream.addData((1L, "no match here"), (2L, "a data leak happened"),
+      (3L, "leak data reversed order"), (4L, "data leak data leak"))
+    q.processAllAvailable()
+    val rows = spark.table("phrase_stream").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    q.stop()
+    assert(rows == Map(2L -> 1L, 4L -> 2L))
+  }
+
   test("topKPairs leaderboard maintains itself across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
