@@ -57,6 +57,15 @@ object RetrievalQueries {
       Retrieval.phraseSearch(docs(s, dir), "text", "doc_id",
         Seq("hash", "join"))),
 
+    // The NARROW phrase matcher over every document (zero-shuffle
+    // sliding check) — same phrase as phrase_search, so the two gates
+    // cross-validate through independent DuckDB formulations (positional
+    // join vs list comprehension).
+    "phrase_hits" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        graft.operators.TextAnalysis.phraseHits(col("text"),
+          Seq("hash", "join")).as("hits"))),
+
     // Same query through the PERSISTED index (bucket-pruned postings +
     // stored df/stats) — the layout is an optimization, never a
     // semantics change, so the oracle is shared with bm25_search.
@@ -177,6 +186,15 @@ object RetrievalQueries {
 
   def oracleSql: Map[String, String] = Map(
     "bm25_search" -> bm25OracleSql,
+
+    "phrase_hits" ->
+      """SELECT doc_id,
+        |       CAST(len(list_filter(range(1, len(t) - 2 + 2),
+        |              i -> t[i] = 'hash' AND t[i+1] = 'join'))
+        |         AS BIGINT) AS hits
+        |FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+        |      FROM documents)
+        |""".stripMargin,
 
     "phrase_search" ->
       """WITH toks AS (
