@@ -52,7 +52,7 @@ object Main {
       |  dump   --store <dir> --out <dir>
       |  replay --dump <dir> --store <dir> [--buckets 64]
       |  backup --store <dir> --out <dir>
-      |  expire --store <dir> --before <ISO date/date-time/instant, UTC>
+      |  expire --store <dir> --before <ISO date/date-time/instant, UTC> [--buckets 64]
       |  curate --docs <parquet> --out <dir> [--shards 64] [--budget 8192]
       |  dedup  --docs <parquet> --out <dir>
       |  dump-balboa   --store <dir> --out <dir>         (native wire format)
@@ -156,7 +156,7 @@ object Main {
           }
         val cutoff = java.sql.Timestamp.from(instant)
         val n = ObservationStore.expire(spark, required(flags, "store"),
-          cutoff)
+          cutoff, flags.get("buckets").map(_.toInt).getOrElse(64))
         System.err.println(s"[graft] expired $n entries")
         null
       case "curate" =>

@@ -61,7 +61,13 @@ object Url {
     * (sampling quotas, domain mixing): last two labels of the host —
     * 'www.a.example.com' → 'example.com'. A public-suffix list would be
     * more precise; two labels is the deterministic, list-free
-    * approximation (documented trade). */
+    * approximation (documented trade).
+    *
+    * Hosts where "last two labels" is meaningless keep the FULL host as
+    * their grouping key instead: single-label hosts ('localhost' — the
+    * suffix regex would yield '' and lump every such host into one
+    * empty-string group), IPv4 literals ('10.1.2.3' — the last two
+    * octets are not a domain), and IPv6 literals ('[2001:db8::7]'). */
   def domainOf(u: Column): Column = {
     val auth = regexp_extract(u,
       "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
@@ -69,6 +75,9 @@ object Url {
     // must group under example.com, not under 'x@example.com'
     val host = lower(regexp_replace(
       regexp_replace(auth, "^[^@]*@", ""), ":\\d*$", ""))
-    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    when(host.rlike("^\\d{1,3}(\\.\\d{1,3}){3}$") || // IPv4 literal
+        host.contains(":") ||                        // bracketed IPv6
+        !host.contains("."), host)                   // single-label
+      .otherwise(regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
   }
 }

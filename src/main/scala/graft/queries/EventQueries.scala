@@ -125,14 +125,26 @@ object EventQueries {
 
     // Bounded top-k per key via the custom TopKPairs aggregate (O(k)
     // group state, map-side combine) — oracle is the window row_number
-    // formulation it replaces, proving exact parity.
+    // formulation it replaces, proving exact parity. Null-bearing rows
+    // are planted under a 3-row synthetic key so the documented
+    // window-parity recipe (coalesce both inputs to Long.MinValue,
+    // matching the window's nulls-last-under-DESC rank) is exercised in
+    // the OUTPUT, not vacuously trimmed away.
     "topk_per_key" -> ((s, dir) => {
+      import s.implicits._
       val e = events(s, dir).select(col("event_type"),
         round(col("value") * 100, 0).cast("long").as("cents"),
         col("user_id").cast("long").as("user_id"))
-      e.groupBy(col("event_type"))
-        .agg(graft.operators.Curation.topKPairs(col("cents"),
-          col("user_id"), 3).as("top"))
+      val planted = Seq[(String, Option[Long], Option[Long])](
+        ("_nulls", Some(700L), Some(7L)),
+        ("_nulls", None, Some(42L)),
+        ("_nulls", Some(500L), None)
+      ).toDF("event_type", "cents", "user_id")
+      val sentinel = lit(Long.MinValue)
+      e.union(planted).groupBy(col("event_type"))
+        .agg(graft.operators.Curation.topKPairs(
+          coalesce(col("cents"), sentinel),
+          coalesce(col("user_id"), sentinel), 3).as("top"))
         .select(col("event_type"), posexplode(col("top")))
         .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
           col("col.ord").as("cents"), col("col.payload").as("user_id"))
@@ -346,13 +358,22 @@ object EventQueries {
         |  SELECT event_type,
         |         CAST(round(value * 100, 0) AS BIGINT) AS cents,
         |         CAST(user_id AS BIGINT) AS user_id
-        |  FROM events),
+        |  FROM events
+        |  UNION ALL
+        |  SELECT v.et, CAST(v.c AS BIGINT), CAST(v.u AS BIGINT)
+        |  FROM (VALUES ('_nulls', 700, 7), ('_nulls', NULL, 42),
+        |               ('_nulls', 500, NULL)) AS v(et, c, u)),
+        |c AS (
+        |  SELECT event_type,
+        |         coalesce(cents,   -9223372036854775807 - 1) AS cents,
+        |         coalesce(user_id, -9223372036854775807 - 1) AS user_id
+        |  FROM e),
         |r AS (
         |  SELECT event_type, cents, user_id,
         |         row_number() OVER (PARTITION BY event_type
         |                            ORDER BY cents DESC, user_id DESC)
         |           AS rn
-        |  FROM e)
+        |  FROM c)
         |SELECT event_type, CAST(rn AS BIGINT) AS rank, cents, user_id
         |FROM r WHERE rn <= 3
         |""".stripMargin,

@@ -308,15 +308,27 @@ object PipelineQueries {
     // (case-variant host, default port, dup slashes, trailing slash,
     // permuted query, fragment) derived deterministically per doc,
     // normalized to the canonical dedup key + registrable domain.
-    "url_normalize" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"),
+    // Planted alongside: hosts where the two-label domain suffix must
+    // NOT apply (single-label, IPv4 literal, bracketed IPv6,
+    // userinfo'd single-label) — these keep the full host as their
+    // grouping key.
+    "url_normalize" -> ((s, dir) => {
+      import s.implicits._
+      val crawl = docs(s, dir).select(col("doc_id"),
         concat(lit("HTTP://WWW."), col("source"),
           lit(".Example.COM:80//Docs//"), col("doc_id"),
           lit("/?b="), col("n_chars") % 7, lit("&a="), col("doc_id") % 5,
           lit("#sec")).as("url"))
-        .select(col("doc_id"),
-          graft.functions.Url.normalize(col("url")).as("url_norm"),
-          graft.functions.Url.domainOf(col("url")).as("domain"))),
+      val edge = Seq(
+        (1000001L, "http://localhost/x"),
+        (1000002L, "HTTP://10.1.2.3:80//a//b//?z=1&a=2#f"),
+        (1000003L, "https://User@[2001:DB8::7]:443/p/"),
+        (1000004L, "http://u.x@single:8080/q")
+      ).toDF("doc_id", "url")
+      crawl.union(edge).select(col("doc_id"),
+        graft.functions.Url.normalize(col("url")).as("url_norm"),
+        graft.functions.Url.domainOf(col("url")).as("domain"))
+    }),
 
     // Corpus token statistics per labeled language.
     "token_stats" -> ((s, dir) =>
@@ -1404,7 +1416,13 @@ object PipelineQueries {
         |         CAST(doc_id AS VARCHAR) || '/?b=' ||
         |         CAST(n_chars % 7 AS VARCHAR) || '&a=' ||
         |         CAST(doc_id % 5 AS VARCHAR) || '#sec' AS url
-        |  FROM documents),
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT CAST(v.did AS BIGINT), v.url FROM (VALUES
+        |    (1000001, 'http://localhost/x'),
+        |    (1000002, 'HTTP://10.1.2.3:80//a//b//?z=1&a=2#f'),
+        |    (1000003, 'https://User@[2001:DB8::7]:443/p/'),
+        |    (1000004, 'http://u.x@single:8080/q')) AS v(did, url)),
         |s1 AS (
         |  SELECT doc_id, url,
         |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
@@ -1446,11 +1464,21 @@ object PipelineQueries {
         |         THEN regexp_replace(path1, '/$', '') ELSE path1
         |    END AS path,
         |    CASE WHEN sq = '' OR sq IS NULL THEN '' ELSE '?' || sq
-        |    END AS tail
+        |    END AS tail,
+        |    -- domainOf's own host chain (from the RAW url: userinfo
+        |    -- stripped, any numeric port stripped — NOT the normalized
+        |    -- host, which keeps userinfo and only default ports off)
+        |    lower(regexp_replace(regexp_replace(
+        |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+        |      '^[^@]*@', ''), ':[0-9]*$', '')) AS dhost
         |  FROM s5)
         |SELECT doc_id,
         |       scheme || '://' || host || path || tail AS url_norm,
-        |       regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+        |       CASE WHEN regexp_matches(dhost, '^\d{1,3}(\.\d{1,3}){3}$')
+        |              OR contains(dhost, ':') OR NOT contains(dhost, '.')
+        |            THEN dhost
+        |            ELSE regexp_extract(dhost, '([^.]+\.[^.]+)$', 1)
+        |       END AS domain
         |FROM s6
         |""".stripMargin,
 

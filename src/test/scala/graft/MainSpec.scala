@@ -95,6 +95,33 @@ class MainSpec extends AnyFunSuite {
     }
   }
 
+  test("expire --buckets governs the rewrite layout of a pre-meta store") {
+    val dir = Files.createTempDirectory("graft-main-expb").toString
+    val old = Timestamp.valueOf("2019-01-01 00:00:00")
+    val young = Timestamp.valueOf("2021-06-01 00:00:00")
+    (1 to 40).map(i => (s"host-$i.example.com", "s1", "A", s"192.0.2.$i",
+        1L, if (i <= 20) old else young, if (i <= 20) old else young))
+      .toDF("rrname", "sensor_id", "rrtype", "rdata", "count",
+        "timestamp_start", "timestamp_end")
+      .write.parquet(s"$dir/obs")
+    Main.run(spark, Seq("build", "--obs", s"$dir/obs",
+      "--store", s"$dir/store", "--buckets", "4"))
+    // simulate a store written before metadata existed: drop the meta
+    // file, so the expire rewrite has no recorded bucket count to use
+    Files.delete(java.nio.file.Paths.get(s"$dir/store/_graft_meta.json"))
+    Main.run(spark, Seq("expire", "--store", s"$dir/store",
+      "--before", "2020-01-01", "--buckets", "4"))
+    // survivors re-bucketed under the ORIGINAL 4-bucket layout (the
+    // default-64 fallback would have mis-routed them across 64 dirs)
+    val bucketDirs = new java.io.File(s"$dir/store/by_rrname").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(bucketDirs.forall(_.getName.stripPrefix("bucket=").toInt < 4))
+    val st = ObservationStore.load(spark, s"$dir/store")
+    assert(st.totalCount() == 20)
+    assert(st.entries(rrname = Some("host-30.example.com")).count() == 1)
+    assert(st.entries(rrname = Some("host-3.example.com")).isEmpty)
+  }
+
   test("serve starts a queryable HTTP server from the CLI") {
     val dir = Files.createTempDirectory("graft-main-serve").toString
     obsDf.write.parquet(s"$dir/obs")

@@ -57,4 +57,13 @@ class UrlSpec extends AnyFunSuite {
       .toDF("u").select(Url.domainOf(col("u"))).as[String].collect().toSeq
     assert(d == Seq("example.com", "example.com", "example.com"))
   }
+
+  test("domainOf: single-label and IP-literal hosts keep the full host") {
+    val d = Seq("http://localhost/x", "http://u@LocalHost:8080/y",
+        "http://10.1.2.3/x", "http://10.1.2.3:8080/x",
+        "https://[2001:DB8::7]:443/p", "http://intranet/")
+      .toDF("u").select(Url.domainOf(col("u"))).as[String].collect().toSeq
+    assert(d == Seq("localhost", "localhost", "10.1.2.3", "10.1.2.3",
+      "[2001:db8::7]", "intranet"))
+  }
 }
