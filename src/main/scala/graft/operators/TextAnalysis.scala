@@ -186,6 +186,45 @@ object TextAnalysis {
         org.apache.spark.sql.GraftShims.expression(textCol), k, w))
   }
 
+  /** All unordered term pairs within Levenshtein edit distance 1 —
+    * the fuzzy-key linkage primitive behind spelling normalization
+    * (misspelled-token folding before dedup/frequency counting) and
+    * near-key record blocking.
+    *
+    * SCALE: the naive formulation is a quadratic cross join with a
+    * per-pair edit-distance test — dead at any real vocabulary size.
+    * This is the FastSS/SymSpell blocking instead: each term expands to
+    * its ≤ length+1 single-character-DELETION variants (plus itself),
+    * candidates are the pairs sharing a variant — an equi-join a hash
+    * join executes — and only candidates pay the edit-distance check
+    * (codegen'd, early-exit threshold form). The blocking is exact for
+    * distance ≤ 1: a substitution at position i means both terms share
+    * the delete-at-i variant; an insertion/deletion means one term IS a
+    * variant of the other. The verify filter removes the false
+    * candidates (e.g. transpositions at distance 2 that share two
+    * variants). Variant fan-out is O(term length), so the candidate set
+    * scales with Σ len(term) · bucket-collision rate, not vocabulary².
+    *
+    * Input rows are distinct-ed and null/empty terms dropped; output is
+    * (a, b) with a < b, one row per pair. */
+  def fuzzyTermPairs(terms: DataFrame, termCol: String): DataFrame = {
+    val t = terms.select(col(termCol).cast("string").as("term"))
+      .filter(col("term").isNotNull && length(col("term")) > 0)
+      .distinct()
+    val c = col("term")
+    val n = length(c)
+    // delete-at-p (1-based): prefix [1, p-1] ++ suffix [p+1, end]
+    val dels = transform(sequence(lit(1), n),
+      p => concat(c.substr(lit(1), p - lit(1)), c.substr(p + lit(1), n)))
+    val v = t.select(c, explode(array_union(array(c), dels)).as("variant"))
+    v.as("va").join(v.as("vb"),
+        col("va.variant") === col("vb.variant") &&
+          col("va.term") < col("vb.term"))
+      .select(col("va.term").as("a"), col("vb.term").as("b"))
+      .distinct()
+      .filter(levenshtein(col("a"), col("b"), 1) === 1)
+  }
+
   /** Leakage-safe deterministic train/val/test assignment. The split key
     * is the CONTENT fingerprint, not the document id: near-identical or
     * byte-identical duplicates hash to the same bucket, so a document can

@@ -330,6 +330,27 @@ object PipelineQueries {
         graft.functions.Url.domainOf(col("url")).as("domain"))
     }),
 
+    // Fuzzy vocabulary folding: every unordered term pair within edit
+    // distance 1, via deletion-neighborhood (FastSS/SymSpell) blocking —
+    // an equi-join on delete-variants, never a quadratic cross join.
+    // The corpus vocabulary is clean by construction, so each document
+    // also PLANTS one deterministic corruption of its first token (the
+    // char at doc_id % len deleted) — the misspellings the operator
+    // exists to catch. Oracle: brute-force levenshtein join.
+    "fuzzy_pairs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val toks = d.select(
+        explode(split(lower(col("text")), " ")).as("term"))
+      val first = d.select(
+        lower(substring_index(col("text"), " ", 1)).as("tok"),
+        col("doc_id"))
+      val p = (col("doc_id") % length(col("tok"))) + 1 // 1-based del pos
+      val corr = first.select(concat(
+        col("tok").substr(lit(1), p - 1),
+        col("tok").substr(p + 1, length(col("tok")))).as("term"))
+      TextAnalysis.fuzzyTermPairs(toks.union(corr), "term")
+    }),
+
     // Corpus token statistics per labeled language.
     "token_stats" -> ((s, dir) =>
       docs(s, dir).groupBy(col("lang"))
@@ -1480,6 +1501,31 @@ object PipelineQueries {
         |            ELSE regexp_extract(dhost, '([^.]+\.[^.]+)$', 1)
         |       END AS domain
         |FROM s6
+        |""".stripMargin,
+
+    // Brute-force quadratic levenshtein join — the formulation the
+    // Spark side's deletion-neighborhood blocking must agree with
+    // exactly (the length prefilter is an optimization that cannot
+    // change the distance-1 result set).
+    "fuzzy_pairs" ->
+      """WITH base AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |corr AS (
+        |  SELECT substr(tok, 1, CAST(p - 1 AS INT)) ||
+        |         substr(tok, CAST(p + 1 AS INT)) AS term
+        |  FROM (SELECT lower(string_split(text, ' ')[1]) AS tok,
+        |               (doc_id % len(string_split(text, ' ')[1])) + 1 AS p
+        |        FROM documents)),
+        |t AS (
+        |  SELECT DISTINCT term
+        |  FROM (SELECT term FROM base UNION ALL SELECT term FROM corr) u
+        |  WHERE term IS NOT NULL AND len(term) > 0)
+        |SELECT a.term AS a, b.term AS b
+        |FROM t a JOIN t b
+        |  ON a.term < b.term
+        | AND abs(len(a.term) - len(b.term)) <= 1
+        | AND levenshtein(a.term, b.term) <= 1
         |""".stripMargin,
 
     "token_stats" ->

@@ -423,4 +423,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(top(pre) == expected)
     assert(!new java.io.File(s"$pre/_staging_2").exists())
   }
+
+  test("fuzzyTermPairs finds exactly the distance-1 pairs") {
+    val vocab = Seq("scan", "scat", "sca", "scans", "span", "table",
+      "tabel", "", "scan", null).toDF("term")
+    val got = TextAnalysis.fuzzyTermPairs(vocab, "term")
+      .as[(String, String)].collect().toSet
+    // substitutions (scan~scat, scan~span), deletions (sca~scan,
+    // sca~scat, scan~scans) are IN; the transposition table~tabel is a
+    // shared-variant candidate ("tabl") at distance 2 — verified OUT;
+    // null/empty/duplicate inputs are dropped, not paired
+    assert(got == Set(("sca", "scan"), ("sca", "scat"),
+      ("scan", "scans"), ("scan", "scat"), ("scan", "span")))
+  }
+
+  test("fuzzyTermPairs matches the brute-force levenshtein join") {
+    val rnd = new scala.util.Random(7)
+    val vocab = (1 to 150)
+      .map(_ => (1 to (2 + rnd.nextInt(5)))
+        .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+      .distinct.toDF("term")
+    val got = TextAnalysis.fuzzyTermPairs(vocab, "term")
+      .as[(String, String)].collect().toSet
+    val brute = vocab.as("x").join(vocab.as("y"),
+        col("x.term") < col("y.term") &&
+          levenshtein(col("x.term"), col("y.term")) <= 1)
+      .select(col("x.term"), col("y.term"))
+      .as[(String, String)].collect().toSet
+    assert(got == brute && got.nonEmpty)
+  }
 }

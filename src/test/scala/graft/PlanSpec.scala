@@ -484,6 +484,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!z.contains("CartesianProduct"), z)
   }
 
+  test("fuzzy term pairs: candidate generation is an equi-join, no product") {
+    val vocab = (1 to 50).map(i => s"term$i").toDF("term")
+    val plan = explainOf(
+      graft.operators.TextAnalysis.fuzzyTermPairs(vocab, "term"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("k-means assignment is a narrow pass with no centroid literal blowup") {
     val vecs = (0L to 200L).map { i =>
       val rnd = new scala.util.Random(i)
