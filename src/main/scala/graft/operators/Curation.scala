@@ -310,6 +310,77 @@ object Curation {
         expr("max_key_rows * 1000 div (n_rows div n_keys)")
           .as("max_over_avg_permille"))
 
+  // ------------------------------------------- ordering & data mixing
+
+  /** Sequential 0-based rank of each row within its `groupCol`, ordered
+    * by `orderCols` — the scalable replacement for
+    * `row_number() OVER (PARTITION BY group ORDER BY ...) - 1`.
+    *
+    * SCALE: the window form ships an ENTIRE group into one task — a
+    * single source/domain of a 100 TB corpus can be terabytes, and the
+    * "last reducer" holds all of it. Here one range repartition on
+    * (group ++ order) builds a TOTAL order split across bounded-size
+    * partitions, a zipWithIndex pass assigns global positions (the one
+    * RDD drop in the repo: Spark has no sequential-index expression;
+    * its second pass re-reads the already-materialized shuffle files,
+    * so it costs a narrow scan, not a recompute), and the group rank is
+    * the global index minus the group's first index — a one-row-per-
+    * group aggregate broadcast back. The rank depends only on the total
+    * order, never on where range sampling put partition boundaries.
+    *
+    * `orderCols` must be unique within a group (ties would rank
+    * nondeterministically). Distinct groups are assumed bounded
+    * (sources / domains / splits — one aggregate row each); rows PER
+    * group are unbounded, which is the point. */
+  def stableRank(df: DataFrame, groupCol: String, orderCols: Seq[String],
+      rankCol: String = "rank"): DataFrame = {
+    require(orderCols.nonEmpty, "stableRank needs at least one order column")
+    val keys = (groupCol +: orderCols).map(col)
+    val sorted = df.repartitionByRange(keys: _*)
+      .sortWithinPartitions(keys: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "_gidx", org.apache.spark.sql.types.LongType, nullable = false))
+    val withIdx = sorted.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }, schema)
+    val offsets = withIdx.groupBy(col(groupCol))
+      .agg(min(col("_gidx")).as("_goff"))
+    withIdx.join(broadcast(offsets), groupCol)
+      .withColumn(rankCol, col("_gidx") - col("_goff"))
+      .drop("_gidx", "_goff")
+  }
+
+  /** Stride-scheduled deterministic interleave of weighted groups — the
+    * training-order "data mixing" step: sort by the returned
+    * `sched_key` (group as tiebreak) and every prefix of the order
+    * holds each group in proportion to its weight (within one stride
+    * round) — the steady mixing SGD wants — with no RNG and no
+    * dependence on cluster size or partitioning.
+    *
+    * Group g's i-th row (i = [[stableRank]] over `orderCols`) gets
+    * `sched_key = (i+1) · L/w_g` with L = lcm(weights): classic stride
+    * scheduling, exact integers end to end, so ties and order are
+    * engine-portable. Rows of groups absent from `weights` are dropped
+    * (weight 0 = not in the mix). Cost = stableRank's one range
+    * shuffle plus a broadcast-map lookup; the sort by sched_key is the
+    * consumer's (it is exactly the write-time range partition of
+    * [[packForTraining]]-style sharding, not an extra global sort
+    * here). */
+  def mixSchedule(df: DataFrame, groupCol: String, orderCols: Seq[String],
+      weights: Map[String, Long]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixSchedule: weights must be positive")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val l = weights.values.reduce((a, b) => a / gcd(a, b) * b)
+    val strides = weights.map { case (g, w) => (g, l / w) }
+    stableRank(df.filter(col(groupCol)
+        .isInCollection(weights.keys.toSeq)),
+        groupCol, orderCols, "mix_rank")
+      .withColumn("sched_key", (col("mix_rank") + 1) *
+        element_at(typedLit(strides), col(groupCol)))
+  }
+
   /** Importance weighting for target-distribution data selection — the
     * DSIR idea (Xie et al. 2023, "Data Selection via Importance
     * Resampling") re-expressed in exact integers: hashed word-bucket

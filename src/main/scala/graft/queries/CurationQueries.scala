@@ -135,6 +135,23 @@ object CurationQueries {
           targetTotal = 150)
         .select(col("doc_id"), col("lang"))),
 
+    // Scalable per-source sequential rank (range shuffle + global
+    // index, NO per-group window task) — oracle is the row_number
+    // window it replaces.
+    "stable_rank" -> ((s, dir) =>
+      Curation.stableRank(docs(s, dir)
+          .select(col("doc_id"), col("source")),
+        "source", Seq("doc_id"))),
+
+    // Stride-scheduled training-order mixing: source srcN weighted
+    // (N % 3) + 1; sorting by sched_key interleaves sources in weight
+    // proportion over every prefix — deterministic exact integers.
+    "mix_schedule" -> ((s, dir) =>
+      Curation.mixSchedule(docs(s, dir)
+          .select(col("doc_id"), col("source")),
+        "source", Seq("doc_id"),
+        (0 to 19).map(i => s"src$i" -> ((i % 3) + 1L)).toMap)),
+
     // Fixed-size overlapping chunking (RAG/embedding prep): 40-word
     // windows, 10-word overlap — narrow map-only pass.
     "doc_chunks" -> ((s, dir) =>
@@ -569,6 +586,27 @@ object CurationQueries {
         |  FROM documents)
         |SELECT b.doc_id, b.lang FROM b JOIN r USING (lang)
         |WHERE b.bucket < r.rate
+        |""".stripMargin,
+
+    "stable_rank" ->
+      """SELECT doc_id, source,
+        |       CAST(row_number() OVER (PARTITION BY source
+        |                               ORDER BY doc_id) - 1 AS BIGINT)
+        |         AS rank
+        |FROM documents
+        |""".stripMargin,
+
+    "mix_schedule" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |         ((CAST(substr(source, 4) AS INT) % 3) + 1) AS wt,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |                                 ORDER BY doc_id) - 1 AS BIGINT)
+        |           AS mix_rank
+        |  FROM documents)
+        |SELECT doc_id, source, mix_rank,
+        |       CAST((mix_rank + 1) * (6 // wt) AS BIGINT) AS sched_key
+        |FROM r
         |""".stripMargin,
 
     "ngram_topk" ->

@@ -597,6 +597,54 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(_.getAs[Double]("weight")).sorted.toSeq == Seq(0.3, 0.7))
   }
 
+  test("stableRank: window parity, partitioning-proof, boundary-proof") {
+    val df = (1L to 500L).map(i => (i * 7 % 501, s"g${i % 4}"))
+      .toDF("id", "grp")
+    val viaWindow = {
+      import org.apache.spark.sql.expressions.Window
+      df.withColumn("rank", row_number().over(
+        Window.partitionBy("grp").orderBy("id")).cast("long") - 1)
+        .select("grp", "id", "rank")
+    }
+    def got(d: org.apache.spark.sql.DataFrame) =
+      Curation.stableRank(d, "grp", Seq("id")).select("grp", "id", "rank")
+        .collect().map(_.toSeq).toSet
+    val expected = viaWindow.collect().map(_.toSeq).toSet
+    assert(got(df) == expected)
+    // rank is a pure function of the data, not of input partitioning
+    // (range boundaries move, global positions don't)
+    assert(got(df.repartition(13)) == expected)
+    assert(got(df.coalesce(1)) == expected)
+  }
+
+  test("mixSchedule: stride keys give weight-proportional prefixes") {
+    val df = (1L to 300L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
+    val w = Map("s0" -> 1L, "s1" -> 2L, "s2" -> 3L) // lcm 6
+    val out = Curation.mixSchedule(df, "src", Seq("id"), w)
+      .select("src", "id", "mix_rank", "sched_key").collect()
+    assert(out.length == 300)
+    val strides = Map("s0" -> 6L, "s1" -> 3L, "s2" -> 2L)
+    // each group's i-th row is scheduled at exactly (i+1) * stride …
+    out.foreach { r =>
+      assert(r.getAs[Long]("sched_key") ==
+        (r.getAs[Long]("mix_rank") + 1) * strides(r.getAs[String]("src")))
+    }
+    // … so any prefix of the sched_key order holds min(n_g, K/stride_g)
+    // rows of group g — proportional to the weights throughout
+    Seq(6L, 60L, 120L, 300L).foreach { k =>
+      strides.foreach { case (g, st) =>
+        val inPrefix = out.count(r => r.getAs[String]("src") == g &&
+          r.getAs[Long]("sched_key") <= k)
+        assert(inPrefix == math.min(100L, k / st), s"prefix $k group $g")
+      }
+    }
+    // unweighted groups are dropped, not scheduled
+    val partial = Curation.mixSchedule(df, "src", Seq("id"),
+      Map("s0" -> 1L))
+    assert(partial.select("src").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("s0"))
+  }
+
   test("kmeans assigns duplicate vectors to the same cluster and converges") {
     val base = Array.tabulate(8)(c => Array.tabulate(4)(d =>
       if (d == c % 4) 1.0f else 0.01f * c))

@@ -484,6 +484,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!z.contains("CartesianProduct"), z)
   }
 
+  test("stableRank/mixSchedule: no per-group Window task, offsets broadcast") {
+    val df = (1L to 400L).map(i => (i, s"g${i % 4}")).toDF("id", "grp")
+    val plan = explainOf(
+      graft.operators.Curation.stableRank(df, "grp", Seq("id")))
+    // the whole point: no row_number window that serializes a group
+    // into one task; the group-offset join ships one row per group,
+    // broadcast, never reshuffling the ranked side
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    val mix = explainOf(graft.operators.Curation.mixSchedule(
+      df, "grp", Seq("id"), Map("g0" -> 1L, "g1" -> 2L)))
+    assert(!mix.contains("Window"), mix)
+  }
+
   test("fuzzy term pairs: candidate generation is an equi-join, no product") {
     val vocab = (1 to 50).map(i => s"term$i").toDF("term")
     val plan = explainOf(
