@@ -224,4 +224,41 @@ object Events {
     }
     one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
+
+  /** Recency-weighted counts per key — the freshness signal behind
+    * crawl re-visit scheduling and recency-weighted corpus mixing: an
+    * event `h` half-lives older than `asOf` contributes weight
+    * 2^(maxShift − h) (clamped to [0, maxShift] half-lives), so the
+    * newest events dominate and weights halve every `halfLifeDays`.
+    *
+    * Exact integers end to end (the repo's determinism convention):
+    * age in whole half-lives by floor division on unix micros, weight
+    * by a codegen'd long bit-shift — no libm `exp`, so the result is
+    * bit-identical on any engine. Everything at or beyond `maxShift`
+    * half-lives contributes weight 1 — old evidence never vanishes,
+    * it just stops mattering (2^30 : 1 at the defaults).
+    *
+    * Shape: narrow per-row weight, then ONE map-side-combined
+    * aggregation — the same single-shuffle profile as a plain count,
+    * whatever the corpus size. */
+  def decayedCounts(events: DataFrame, keyCol: String, tsCol: String,
+      asOf: Column, halfLifeDays: Int = 7, maxShift: Int = 30): DataFrame = {
+    require(halfLifeDays >= 1, s"halfLifeDays >= 1, got $halfLifeDays")
+    require(maxShift >= 1 && maxShift <= 62,
+      s"maxShift in [1, 62] (long shift), got $maxShift")
+    def us(c: Column): Column = unix_micros(c.cast("timestamp_ltz"))
+    val denom = 86400000000L * halfLifeDays
+    val age = us(asOf) - us(col(tsCol))
+    // floor division via pmod keeps the arithmetic exact-integer
+    val h = least(greatest(((age - pmod(age, lit(denom))) / denom)
+      .cast("long"), lit(0L)), lit(maxShift.toLong))
+    val weight = org.apache.spark.sql.GraftShims.column(
+      org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+        org.apache.spark.sql.GraftShims.expression(lit(1L)),
+        org.apache.spark.sql.GraftShims.expression(
+          (lit(maxShift.toLong) - h).cast("int"))))
+    events.groupBy(col(keyCol))
+      .agg(sum(weight).as("decayed_weight"),
+        count(lit(1)).as("n_events"))
+  }
 }

@@ -150,6 +150,16 @@ object EventQueries {
           col("col.ord").as("cents"), col("col.payload").as("user_id"))
     }),
 
+    // Freshness-weighted event counts: weight halves every 7 days of
+    // age below the stream's max ts (exact power-of-two integers, one
+    // map-side-combined shuffle) — the crawl-scheduling / recency-
+    // mixing signal.
+    "decayed_counts" -> ((s, dir) => {
+      val e = events(s, dir)
+      val asOf = lit(e.agg(max(col("ts"))).head.get(0))
+      graft.operators.Events.decayedCounts(e, "event_type", "ts", asOf)
+    }),
+
     // Per-node triangle counts over the supplier co-occurrence graph:
     // suppliers linked when they serve the same order AT LEAST 5 times
     // (the co-occurrence threshold every projection graph needs — an
@@ -376,6 +386,20 @@ object EventQueries {
         |  FROM c)
         |SELECT event_type, CAST(rn AS BIGINT) AS rank, cents, user_id
         |FROM r WHERE rn <= 3
+        |""".stripMargin,
+
+    "decayed_counts" ->
+      """WITH m AS (SELECT max(ts) AS as_of FROM events),
+        |h AS (
+        |  SELECT event_type,
+        |         least(greatest((epoch_us(m.as_of) - epoch_us(ts))
+        |                        // (86400000000 * 7), 0), 30) AS hl
+        |  FROM events, m)
+        |SELECT event_type,
+        |       CAST(SUM(CAST(1 AS BIGINT) << CAST(30 - hl AS INT))
+        |         AS BIGINT) AS decayed_weight,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM h GROUP BY 1
         |""".stripMargin,
 
     "graph_triangles" ->

@@ -204,4 +204,24 @@ class EventsSpec extends AnyFunSuite {
       r.getAs[Long]("n_events"))).toSet ==
       Set(("click", 2L), ("click", 1L), ("view", 1L)))
   }
+
+  test("decayedCounts: exact half-life weights, clamps at both ends") {
+    val day = 86400L
+    val asOf = ts(1000L * day)
+    val rows = Seq(
+      ("a", ts(1000L * day)),            // age 0      → 2^30
+      ("a", ts(993L * day)),             // exactly 7d → 2^29
+      ("a", ts(994L * day)),             // 6d         → 2^30
+      ("b", ts(1000L * day - 14 * day)), // 14d        → 2^28
+      ("b", ts(1001L * day)),            // future     → clamped to 2^30
+      ("c", ts(1000L * day - 7 * 31 * day)), // 31 half-lives → clamp, 1
+      ("c", ts(10L * day))               // ancient    → 1
+    ).toDF("k", "ts")
+    val out = Events.decayedCounts(rows, "k", "ts", lit(asOf))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("decayed_weight"), r.getAs[Long]("n_events"))).toMap
+    assert(out("a") == ((1L << 30) + (1L << 29) + (1L << 30), 3L))
+    assert(out("b") == ((1L << 28) + (1L << 30), 2L))
+    assert(out("c") == (2L, 2L))
+  }
 }
