@@ -344,11 +344,13 @@ object Curation {
     val withIdx = sorted.sparkSession.createDataFrame(
       sorted.rdd.zipWithIndex.map { case (r, i) =>
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }, schema)
-    val offsets = withIdx.groupBy(col(groupCol))
+    val offsets = withIdx.groupBy(col(groupCol).as("_g"))
       .agg(min(col("_gidx")).as("_goff"))
-    withIdx.join(broadcast(offsets), groupCol)
+    // null-safe join: a NULL group is still a group (the window form
+    // ranks it; dropping its rows here would be silent data loss)
+    withIdx.join(broadcast(offsets), col(groupCol) <=> col("_g"))
       .withColumn(rankCol, col("_gidx") - col("_goff"))
-      .drop("_gidx", "_goff")
+      .drop("_g", "_gidx", "_goff")
   }
 
   /** Stride-scheduled deterministic interleave of weighted groups — the
@@ -662,6 +664,58 @@ object Curation {
       org.apache.spark.sql.graft.KmvDistinct(
         org.apache.spark.sql.GraftShims.expression(c), k)
         .toAggregateExpression())
+
+  /** The k-min-values SKETCH of a column (sorted array of the k smallest
+    * distinct 60-bit hashes — [[kmvDistinct]]'s buffer, not its
+    * estimate); input to [[kmvOverlap]]'s set arithmetic. */
+  def kmvSketch(c: Column, k: Int = 256): Column =
+    org.apache.spark.sql.GraftShims.column(
+      org.apache.spark.sql.graft.KmvSketch(
+        org.apache.spark.sql.GraftShims.expression(c), k)
+        .toAggregateExpression())
+
+  /** Cross-corpus set-overlap estimation from two O(k) KMV sketches —
+    * |A|, |B|, |A∪B|, |A∩B| and Jaccard WITHOUT an exact distinct of
+    * either side (the train-vs-eval / corpus-vs-corpus overlap question
+    * at 100 TB, where exact distinct-intersection shuffles every value
+    * of both). The theta-sketch estimator (Beyer et al. 2007): the
+    * union's k smallest hashes fix a threshold θ; ρ = how many of those
+    * sit in BOTH sides' sketches; Jaccard ≈ ρ/m and |A∩B| ≈ ρ·est(∪)/m
+    * (m = |union k-min| — when the union has fewer than k distinct
+    * hashes every estimate collapses to the EXACT count). All md5-
+    * derived and exact-integer (BigDecimal div for the 2⁶⁰ scaling), so
+    * the whole estimator — not just the plumbing — has a bit-exact
+    * DuckDB mirror.
+    *
+    * Shape: each side is one map-side-combined aggregation to a k-long
+    * array; the set arithmetic is a 1-row × 1-row join. Output columns:
+    * est_a, est_b, est_union, est_intersection, jaccard_permille. */
+  def kmvOverlap(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
+      k: Int = 256): DataFrame = {
+    val sa = a.agg(kmvSketch(col(aCol), k).as("ha"))
+    val sb = b.agg(kmvSketch(col(bCol), k).as("hb"))
+    val two60 = "1152921504606846976" // 2^60, exact in DECIMAL(38,0)
+    def est(arr: String): Column =
+      when(size(col(arr)) < k, size(col(arr)).cast("long"))
+        .otherwise(expr(
+          s"cast(cast(${k - 1} as decimal(38,0)) * $two60 div element_at($arr, $k) as bigint)"))
+    sa.crossJoin(sb)
+      .withColumn("hu",
+        slice(array_sort(array_union(col("ha"), col("hb"))), 1, k))
+      .withColumn("m", size(col("hu")).cast("long"))
+      .withColumn("rho", size(array_intersect(col("hu"),
+        array_intersect(col("ha"), col("hb")))).cast("long"))
+      .withColumn("est_union", est("hu"))
+      .select(
+        est("ha").as("est_a"),
+        est("hb").as("est_b"),
+        col("est_union"),
+        when(col("m") === 0L, lit(0L)).otherwise(expr(
+          "cast(cast(rho as decimal(38,0)) * est_union div m as bigint)"))
+          .as("est_intersection"),
+        when(col("m") === 0L, lit(0L))
+          .otherwise(expr("rho * 1000 div m")).as("jaccard_permille"))
+  }
 
   /** Bounded per-group top-k aggregate column (see
     * [[org.apache.spark.sql.graft.TopKPairs]]): O(k) state per group with

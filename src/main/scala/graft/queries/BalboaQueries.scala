@@ -156,6 +156,19 @@ object BalboaQueries {
             .as("error_permille"))
     }),
 
+    // Theta-style KMV set overlap: |A|, |B|, |A∪B|, |A∩B| and Jaccard
+    // between two key sets from two O(k) sketches — customers vs.
+    // customers-with-orders (a strict subset, so intersection ≈ |B| and
+    // Jaccard < 1000‰). The whole estimator is md5-derived exact
+    // integers, mirrored in the oracle.
+    "kmv_overlap" -> ((s, dir) =>
+      graft.operators.Curation.kmvOverlap(
+        Graft.table(s, dir, "customer")
+          .select(col("c_custkey").cast("string").as("k")), "k",
+        Graft.table(s, dir, "orders")
+          .filter(col("o_custkey") % 3 > 0) // strict subset: partial overlap
+          .select(col("o_custkey").cast("string").as("k")), "k", 256)),
+
     // Stats extension: per-rrtype cardinalities over the store — the
     // rollup a passive-DNS analyst asks first (how many names/answers per
     // record type, how much observation mass).
@@ -194,6 +207,56 @@ object BalboaQueries {
          |SELECT estimate, n_exact,
          |       abs(estimate - n_exact) * 1000 // n_exact AS error_permille
          |FROM sel
+         |""".stripMargin,
+
+    "kmv_overlap" ->
+      s"""WITH ka AS (
+         |  SELECT h FROM (
+         |    SELECT DISTINCT ${hash60Sql("v")} AS h FROM (
+         |      SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS v
+         |      FROM customer))
+         |  ORDER BY h LIMIT 256),
+         |kb AS (
+         |  SELECT h FROM (
+         |    SELECT DISTINCT ${hash60Sql("v")} AS h FROM (
+         |      SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v
+         |      FROM orders WHERE o_custkey % 3 > 0))
+         |  ORDER BY h LIMIT 256),
+         |ku AS (
+         |  SELECT DISTINCT h FROM (
+         |    SELECT h FROM ka UNION ALL SELECT h FROM kb)
+         |  ORDER BY h LIMIT 256),
+         |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(h) AS kth FROM ka),
+         |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(h) AS kth FROM kb),
+         |nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(h) AS kth FROM ku),
+         |rho AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS rho FROM ku
+         |  WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+         |est AS (
+         |  SELECT
+         |    CASE WHEN na.n < 256 THEN na.n
+         |         ELSE CAST(CAST(255 AS HUGEINT) *
+         |                   CAST(1152921504606846976 AS HUGEINT) //
+         |                   CAST(na.kth AS HUGEINT) AS BIGINT) END AS est_a,
+         |    CASE WHEN nb.n < 256 THEN nb.n
+         |         ELSE CAST(CAST(255 AS HUGEINT) *
+         |                   CAST(1152921504606846976 AS HUGEINT) //
+         |                   CAST(nb.kth AS HUGEINT) AS BIGINT) END AS est_b,
+         |    CASE WHEN nu.n < 256 THEN nu.n
+         |         ELSE CAST(CAST(255 AS HUGEINT) *
+         |                   CAST(1152921504606846976 AS HUGEINT) //
+         |                   CAST(nu.kth AS HUGEINT) AS BIGINT) END AS est_union,
+         |    nu.n AS m, rho.rho AS rho
+         |  FROM na, nb, nu, rho)
+         |SELECT est_a, est_b, est_union,
+         |       CASE WHEN m = 0 THEN 0
+         |            ELSE CAST(CAST(rho AS HUGEINT) *
+         |                      CAST(est_union AS HUGEINT) //
+         |                      CAST(m AS HUGEINT) AS BIGINT)
+         |       END AS est_intersection,
+         |       CASE WHEN m = 0 THEN 0 ELSE rho * 1000 // m
+         |       END AS jaccard_permille
+         |FROM est
          |""".stripMargin,
 
     "store_agg" ->

@@ -124,3 +124,56 @@ object KmvDistinct {
     (acc << 4) | ((d(7) & 0xf0L) >> 4) // 7 bytes + the 15th hex digit
   }
 }
+
+/** `kmv_sketch(value, k)` — the SKETCH itself rather than the estimate:
+  * evaluates to the sorted array of the k smallest distinct 60-bit
+  * hashes (the [[KmvDistinct]] buffer verbatim). Two sketches support
+  * the theta-style SET operations a single estimate cannot: union /
+  * intersection / Jaccard between corpora (see `Curation.kmvOverlap`),
+  * still O(k) state and map-side combined. Same hash, same buffer, same
+  * serialization as [[KmvDistinct]] — `kmv_distinct` of a column equals
+  * the estimator applied to this sketch. */
+case class KmvSketch(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with ExpectsInputTypes with UnaryLike[Expression] {
+
+  require(k >= 2 && k <= (1 << 20), s"kmv_sketch: k in [2, 2^20], got $k")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_sketch"
+
+  // buffer semantics shared with KmvDistinct (delegation keeps the two
+  // aggregates bit-compatible; only eval differs)
+  private lazy val twin = KmvDistinct(child, k)
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    twin.createAggregationBuffer()
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] =
+    twin.update(buf, input)
+  override def merge(a: java.util.TreeSet[java.lang.Long],
+      b: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] =
+    twin.merge(a, b)
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] =
+    twin.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] =
+    twin.deserialize(bytes)
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvSketch =
+    copy(child = newChild)
+}

@@ -615,6 +615,13 @@ class CurationSpec extends AnyFunSuite {
     // (range boundaries move, global positions don't)
     assert(got(df.repartition(13)) == expected)
     assert(got(df.coalesce(1)) == expected)
+    // a NULL group is a group, not silent data loss
+    val withNull = Seq((1L, Some("g")), (2L, None), (3L, None))
+      .toDF("id", "grp")
+    val n = Curation.stableRank(withNull, "grp", Seq("id"))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("rank")))
+      .toSet
+    assert(n == Set((1L, 0L), (2L, 0L), (3L, 1L)))
   }
 
   test("mixSchedule: stride keys give weight-proportional prefixes") {
@@ -643,6 +650,32 @@ class CurationSpec extends AnyFunSuite {
       Map("s0" -> 1L))
     assert(partial.select("src").distinct().collect()
       .map(_.getString(0)).toSeq == Seq("s0"))
+  }
+
+  test("kmvOverlap: unsaturated sketches collapse to exact set algebra") {
+    def ks(r: Range) = r.map(i => s"v$i").toDF("k")
+    // below k=256 distinct values the estimator IS the exact count
+    val out = Curation.kmvOverlap(ks(1 to 100), "k", ks(51 to 150), "k")
+      .collect().head
+    assert(out.getAs[Long]("est_a") == 100L)
+    assert(out.getAs[Long]("est_b") == 100L)
+    assert(out.getAs[Long]("est_union") == 150L)
+    assert(out.getAs[Long]("est_intersection") == 50L)
+    assert(out.getAs[Long]("jaccard_permille") == 50L * 1000 / 150)
+    // disjoint sets: zero intersection, zero jaccard
+    val dis = Curation.kmvOverlap(ks(1 to 40), "k", ks(100 to 140), "k")
+      .collect().head
+    assert(dis.getAs[Long]("est_intersection") == 0L)
+    assert(dis.getAs[Long]("jaccard_permille") == 0L)
+    // both sides empty: all zeros, no division blowup
+    val empty = Curation.kmvOverlap(ks(1 to 0), "k", ks(1 to 0), "k")
+      .collect().head
+    assert((0 until 5).forall(i => empty.getLong(i) == 0L))
+    // saturated sketches stay within the 1/sqrt(k) error envelope
+    val big = Curation.kmvOverlap(ks(1 to 3000), "k", ks(1501 to 4500), "k",
+      k = 256).collect().head
+    assert(math.abs(big.getAs[Long]("est_intersection") - 1500L) < 450)
+    assert(math.abs(big.getAs[Long]("est_union") - 4500L) < 900)
   }
 
   test("kmeans assigns duplicate vectors to the same cluster and converges") {
