@@ -499,6 +499,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!mix.contains("Window"), mix)
   }
 
+  test("decayedCounts is one map-side-combined aggregation, no window") {
+    val df = (1L to 200L).map(i => (s"k${i % 5}",
+      new java.sql.Timestamp(i * 86400000L))).toDF("k", "ts")
+    val plan = explainOf(graft.operators.Events.decayedCounts(
+      df, "k", "ts", org.apache.spark.sql.functions.lit(
+        new java.sql.Timestamp(200L * 86400000L))))
+    // narrow weight + partial/final HashAggregate pair around ONE
+    // exchange — the same profile as a plain count
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+    // ONE exchange total (formatted output names it twice: tree + detail)
+    assert(plan.split("hashpartitioning").length - 1 == 1, plan)
+    assert(plan.contains("partial_sum"), plan)
+  }
+
   test("fuzzy term pairs: candidate generation is an equi-join, no product") {
     val vocab = (1 to 50).map(i => s"term$i").toDF("term")
     val plan = explainOf(

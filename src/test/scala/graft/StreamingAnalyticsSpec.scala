@@ -151,6 +151,32 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(rows == Map("a" -> 3L, "b" -> 1L)) // exact below k
   }
 
+  test("decayedCounts runs as streaming state: weights accumulate exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val stream = MemoryStream[(String, java.sql.Timestamp)]
+    val asOf = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    // fixed asOf → the decayed sum is a plain associative aggregate:
+    // sum + count state per key, O(1), any output mode
+    val agg = graft.operators.Events.decayedCounts(
+      stream.toDF().toDF("k", "ts"), "k", "ts", lit(asOf))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("decay_stream").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    stream.addData(("a", t("2024-06-01 00:00:00")))
+    q.processAllAvailable()
+    stream.addData(("a", t("2024-05-25 00:00:00")), // exactly 1 half-life
+      ("b", t("2024-05-18 00:00:00")))              // exactly 2
+    q.processAllAvailable()
+    val rows = spark.table("decay_stream").collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("decayed_weight"), r.getAs[Long]("n_events"))).toMap
+    q.stop()
+    assert(rows == Map(
+      "a" -> (((1L << 30) + (1L << 29), 2L)),
+      "b" -> (((1L << 28), 1L))))
+  }
+
   test("phraseHits filters a document stream statelessly") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
