@@ -91,6 +91,46 @@ object Retrieval {
       .agg(count(lit(1)).cast("long").as("n_occurrences"))
   }
 
+  /** Unordered proximity search (the Lucene SpanNear query class,
+    * "slop" as a positional window): per document, the position pairs
+    * of `termA` and `termB` at most `window` tokens apart — n_pairs
+    * and the minimum distance. The relevance signal between exact
+    * phrase (window 1, ordered) and bag-of-words BM25 (no positions).
+    *
+    * SCALE: joining the two posting lists on doc_id alone generates
+    * tf_A × tf_B candidate pairs per document BEFORE the distance
+    * filter — quadratic for a frequent term in a long document. Here
+    * positions bin at `window` width and the A side replicates to
+    * bin ± 1 (the [[Events.rangeJoin]] bounded-fan-out trick): the join
+    * is an equi-join on (doc, bin) whose per-key fan-out is bounded by
+    * positions-per-window, and the exact |Δ| ≤ window test runs on
+    * those candidates only. A pair lands in exactly one (B-bin)
+    * bucket, so nothing double-counts. Terms must differ (a repeated-
+    * term window is a different operator with p≠p bookkeeping). */
+  def nearSearch(df: DataFrame, textCol: String, idCol: String,
+      termA: String, termB: String, window: Int): DataFrame = {
+    require(window >= 1, s"nearSearch: window >= 1, got $window")
+    require(termA.nonEmpty && termB.nonEmpty, "nearSearch: empty term")
+    require(termA != termB, "nearSearch: terms must differ")
+    val pos = df.select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("p", "word")))
+      .localCheckpoint(false) // one scan feeds both posting lists
+    val a = pos.filter(col("word") === termA)
+      .select(col("doc_id"), col("p").as("pa"))
+      .withColumn("bin0", expr(s"pa div $window"))
+      .select(col("doc_id"), col("pa"),
+        explode(array(col("bin0") - 1, col("bin0"), col("bin0") + 1))
+          .as("bin"))
+    val b = pos.filter(col("word") === termB)
+      .select(col("doc_id"), col("p").as("pb"))
+      .withColumn("bin", expr(s"pb div $window"))
+    a.join(b, Seq("doc_id", "bin"))
+      .filter(abs(col("pa") - col("pb")) <= window)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("pa") - col("pb"))).cast("long").as("min_distance"))
+  }
+
   /** One BM25 term weight; see the object doc for why the idf ratio is
     * log-free and why the expression tree shape is load-bearing (the
     * oracle mirrors it parenthesis-for-parenthesis). */

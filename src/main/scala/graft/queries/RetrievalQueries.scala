@@ -57,6 +57,13 @@ object RetrievalQueries {
       Retrieval.phraseSearch(docs(s, dir), "text", "doc_id",
         Seq("hash", "join"))),
 
+    // Unordered proximity (SpanNear/slop): position pairs of two terms
+    // within a 3-token window, binned-join candidates — never a
+    // per-doc tf×tf product. Oracle is the naive doc-join formulation.
+    "near_search" -> ((s, dir) =>
+      Retrieval.nearSearch(docs(s, dir), "text", "doc_id",
+        "data", "table", window = 3)),
+
     // The NARROW phrase matcher over every document (zero-shuffle
     // sliding check) — same phrase as phrase_search, so the two gates
     // cross-validate through independent DuckDB formulations (positional
@@ -212,6 +219,28 @@ object RetrievalQueries {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
         |FROM a1 GROUP BY 1
         |""".stripMargin,
+    // the naive formulation: join the posting lists on doc_id and
+    // filter — the quadratic shape the binned Spark plan must agree
+    // with exactly
+    "near_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, generate_subscripts(t, 1) - 1 AS p,
+        |         unnest(t) AS word
+        |  FROM toks),
+        |a AS (SELECT doc_id, p FROM pos WHERE word = 'data'),
+        |b AS (SELECT doc_id, p FROM pos WHERE word = 'table'),
+        |j AS (
+        |  SELECT a.doc_id, abs(a.p - b.p) AS d
+        |  FROM a JOIN b ON a.doc_id = b.doc_id
+        |  WHERE abs(a.p - b.p) <= 3)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(MIN(d) AS BIGINT) AS min_distance
+        |FROM j GROUP BY 1
+        |""".stripMargin,
+
     // identical semantics through the persisted bucketed index — same
     // oracle by design
     "bm25_index" -> bm25OracleSql,

@@ -461,6 +461,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!ph.contains("CartesianProduct"), ph)
     assert(!ph.contains("BroadcastNestedLoopJoin"), ph)
 
+    // proximity search: binned candidates — (doc, bin) equi-join, no
+    // per-doc posting product
+    val near = explainOf(graft.operators.Retrieval.nearSearch(
+      d, "text", "doc_id", "x", "y", window = 3))
+    assert(!near.contains("CartesianProduct"), near)
+    assert(!near.contains("BroadcastNestedLoopJoin"), near)
+
     // k-core peel round: degree agg + LEFT SEMI filters, no product,
     // lineage flat behind the per-round checkpoint
     val kc = explainOf(

@@ -249,4 +249,27 @@ class RetrievalSpec extends AnyFunSuite {
       Retrieval.bm25TopK(df.withColumn("id", lit(1L)), "v", "id", Nil, 3)
     }
   }
+
+  test("nearSearch: window boundary pairs, bin-edge pairs, no dupes") {
+    val docs = Seq(
+      // data@1, data@5; table@4, table@7 → |1-4|=3 in, |1-7|=6 out,
+      // |5-4|=1 in, |5-7|=2 in (window boundary |Δ|=3 INCLUDED)
+      (1L, "x data y z table data q table"),
+      // straddles the bin edge at p=2/3 (bins of width 3): |2-3|=1
+      (2L, "a b data table c"),
+      (3L, "data only here"),       // other term absent → no row
+      (4L, "table far away x y z w q data") // |1-7|... table@0, data@7 → 7 out
+    ).toDF("doc_id", "text")
+    val out = Retrieval.nearSearch(docs, "text", "doc_id",
+        "data", "table", window = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("min_distance"))).toMap
+    assert(out == Map(1L -> ((3L, 1L)), 2L -> ((1L, 1L))))
+    intercept[IllegalArgumentException] {
+      Retrieval.nearSearch(docs, "text", "doc_id", "data", "data", 3)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.nearSearch(docs, "text", "doc_id", "data", "table", 0)
+    }
+  }
 }
