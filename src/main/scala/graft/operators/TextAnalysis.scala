@@ -225,6 +225,42 @@ object TextAnalysis {
       .filter(levenshtein(col("a"), col("b"), 1) === 1)
   }
 
+  /** Vocabulary canonicalization over the [[fuzzyTermPairs]] graph:
+    * every term maps to the lexicographically smallest term of its
+    * edit-distance-1 CONNECTED COMPONENT — "tabel", "tble" and "table"
+    * all fold to one spelling even when only chains of single edits
+    * connect them (the reason pair output alone is not a fold). The
+    * normalization step before frequency counting / dedup keying.
+    *
+    * Composition: P85's deletion-neighborhood pair graph feeds the
+    * dedup component machinery ([[Dedup.connectedComponents]] — min-
+    * label propagation over the PAIR GRAPH only, isolated terms join
+    * back at the end, `checkpointDir` for cluster-grade lineage cuts).
+    * Components propagate 60-bit md5 term ids (the [[KmvDistinct]]
+    * hash convention; the label sum that detects convergence needs a
+    * numeric); the canonical SPELLING is then the component's min
+    * term — one aggregate + one join past the component labels.
+    * Output: (term, canon) for every distinct non-empty input term. */
+  def fuzzyFold(terms: DataFrame, termCol: String,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val t = terms.select(col(termCol).cast("string").as("term"))
+      .filter(col("term").isNotNull && length(col("term")) > 0)
+      .distinct()
+    def h60(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val pairs = fuzzyTermPairs(t, "term")
+      .select(h60(col("a")).as("id_a"), h60(col("b")).as("id_b"))
+    val comp = Dedup.connectedComponents(
+      t.select(h60(col("term")).as("tid")), "tid", pairs,
+      checkpointDir = checkpointDir)
+    val labeled = t.withColumn("tid", h60(col("term")))
+      .join(comp, col("tid") === col("id"))
+      .select(col("term"), col("component"))
+    val canon = labeled.groupBy(col("component"))
+      .agg(min(col("term")).as("canon"))
+    labeled.join(canon, "component").select(col("term"), col("canon"))
+  }
+
   /** Leakage-safe deterministic train/val/test assignment. The split key
     * is the CONTENT fingerprint, not the document id: near-identical or
     * byte-identical duplicates hash to the same bucket, so a document can

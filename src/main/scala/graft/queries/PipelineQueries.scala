@@ -351,6 +351,25 @@ object PipelineQueries {
       TextAnalysis.fuzzyTermPairs(toks.union(corr), "term")
     }),
 
+    // Vocabulary canonicalization: every term folds to the string-min
+    // of its edit-distance-1 connected component (chains of single
+    // edits fold too — the composition of the fuzzy pair graph with
+    // component resolution). Oracle: recursive reachability closure
+    // over the brute-force pair graph.
+    "fuzzy_fold" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val toks = d.select(
+        explode(split(lower(col("text")), " ")).as("term"))
+      val first = d.select(
+        lower(substring_index(col("text"), " ", 1)).as("tok"),
+        col("doc_id"))
+      val p = (col("doc_id") % length(col("tok"))) + 1
+      val corr = first.select(concat(
+        col("tok").substr(lit(1), p - 1),
+        col("tok").substr(p + 1, length(col("tok")))).as("term"))
+      TextAnalysis.fuzzyFold(toks.union(corr), "term")
+    }),
+
     // Corpus token statistics per labeled language.
     "token_stats" -> ((s, dir) =>
       docs(s, dir).groupBy(col("lang"))
@@ -1486,7 +1505,7 @@ object PipelineQueries {
         |    END AS path,
         |    CASE WHEN sq = '' OR sq IS NULL THEN '' ELSE '?' || sq
         |    END AS tail,
-        |    -- domainOf's own host chain (from the RAW url: userinfo
+        |    -- domainOf's own host chain over the RAW url (userinfo
         |    -- stripped, any numeric port stripped — NOT the normalized
         |    -- host, which keeps userinfo and only default ports off)
         |    lower(regexp_replace(regexp_replace(
@@ -1526,6 +1545,39 @@ object PipelineQueries {
         |  ON a.term < b.term
         | AND abs(len(a.term) - len(b.term)) <= 1
         | AND levenshtein(a.term, b.term) <= 1
+        |""".stripMargin,
+
+    // same planted-corruption vocabulary as fuzzy_pairs; the closure
+    // folds edit-chains the pair list alone cannot
+    "fuzzy_fold" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |corr AS (
+        |  SELECT substr(tok, 1, CAST(p - 1 AS INT)) ||
+        |         substr(tok, CAST(p + 1 AS INT)) AS term
+        |  FROM (SELECT lower(string_split(text, ' ')[1]) AS tok,
+        |               (doc_id % len(string_split(text, ' ')[1])) + 1 AS p
+        |        FROM documents)),
+        |t AS (
+        |  SELECT DISTINCT term
+        |  FROM (SELECT term FROM base UNION ALL SELECT term FROM corr) u
+        |  WHERE term IS NOT NULL AND len(term) > 0),
+        |p AS (
+        |  SELECT a.term AS a, b.term AS b
+        |  FROM t a JOIN t b
+        |    ON a.term < b.term
+        |   AND abs(len(a.term) - len(b.term)) <= 1
+        |   AND levenshtein(a.term, b.term) <= 1),
+        |edges AS (
+        |  SELECT a AS src, b AS dst FROM p
+        |  UNION ALL
+        |  SELECT b AS src, a AS dst FROM p),
+        |reach(id, r) AS (
+        |  SELECT term, term FROM t
+        |  UNION
+        |  SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src)
+        |SELECT id AS term, MIN(r) AS canon FROM reach GROUP BY 1
         |""".stripMargin,
 
     "token_stats" ->

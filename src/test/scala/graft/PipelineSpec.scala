@@ -437,6 +437,17 @@ class PipelineSpec extends AnyFunSuite {
       ("scan", "scans"), ("scan", "scat"), ("scan", "span")))
   }
 
+  test("fuzzyFold folds edit-chains to one canonical spelling") {
+    // cat—cart—carts is a CHAIN: lev(cat, carts) = 2, only single
+    // edits connect them — the component fold must still unify all 3
+    val vocab = Seq("cat", "cart", "carts", "dog", "dig")
+      .toDF("term")
+    val got = TextAnalysis.fuzzyFold(vocab, "term")
+      .as[(String, String)].collect().toMap
+    assert(got == Map("cat" -> "cart", "cart" -> "cart",
+      "carts" -> "cart", "dog" -> "dig", "dig" -> "dig"))
+  }
+
   test("fuzzyTermPairs matches the brute-force levenshtein join") {
     val rnd = new scala.util.Random(7)
     val vocab = (1 to 150)
