@@ -189,6 +189,122 @@ object Graphs {
     degreesOf(e)
   }
 
+  /** Fixed-round multi-source BFS hop distances — the reachability /
+    * seed-proximity signal of corpus curation (how many link hops is a
+    * page from a trusted seed set; the discrete companion to
+    * [[pageRank]]'s `seeds` teleport vector).
+    *
+    * Semantics: `dist(v)` = the minimum number of edge hops from any seed
+    * to `v`, computed for `rounds` expansion rounds — nodes first reached
+    * in round r get `dist = r`; nodes not reached within `rounds` are
+    * absent from the output (callers left-join and treat null as
+    * "farther than rounds"). Seeds themselves are at distance 0, whether
+    * or not they appear in the edge list (a seed is trivially reachable
+    * from itself). `directed = false` (the default) walks edges both
+    * ways. Duplicate seed ids are collapsed.
+    *
+    * Scale shape: textbook frontier iteration — per round ONE equi-join
+    * of the current frontier against the (persisted) adjacency list, one
+    * DISTINCT, and one LEFT ANTI join against the visited set; cost is
+    * proportional to the edges incident to the frontier, not to the
+    * whole graph, and every step is a shuffle equi-join (nothing
+    * broadcasts a growing set, nothing collects). Lineage is cut per
+    * round; the `checkpointDir` durability trade is documented at
+    * [[pageRank]]. */
+  def bfsDistances(edges0: DataFrame, srcCol: String, dstCol: String,
+      seeds: Seq[Long], rounds: Int = 3, directed: Boolean = false,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(seeds.nonEmpty, "bfsDistances: empty seed set")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    checkpointDir.foreach(edges0.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    val fwd = edges0
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+    val adj = cut(
+      (if (directed) fwd
+       else fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))))
+        .filter(col("src") =!= col("dst")).distinct())
+    val spark = edges0.sparkSession
+    var dist = spark
+      .createDataset(seeds.distinct)(org.apache.spark.sql.Encoders.scalaLong)
+      .toDF("id").withColumn("dist", lit(0L))
+    var frontier = dist.select(col("id"))
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val next = cut(frontier
+        .join(adj, frontier("id") === adj("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(dist, Seq("id"), "left_anti")
+        .withColumn("dist", lit(r.toLong)))
+      // early out on an empty frontier: the remaining rounds cannot add
+      // nodes, and each would still cost a full join over the adjacency
+      if (next.isEmpty) exhausted = true
+      else {
+        dist = cut(dist.union(next))
+        frontier = next.select(col("id"))
+      }
+      r += 1
+    }
+    dist
+  }
+
+  /** Fixed-round synchronous label propagation — community detection
+    * over an undirected simple graph (mirror farms, boilerplate rings
+    * and topic clusters surface as label-consensus groups; the
+    * community-structure companion to [[triangleCounts]]' local density
+    * and [[kcorePeel]]'s degeneracy).
+    *
+    * Semantics: every node starts with its own id as label; each round,
+    * SYNCHRONOUSLY, every node adopts the most frequent label among its
+    * neighbors' previous-round labels, ties broken by the SMALLEST
+    * label — a total order, so the result is a pure function of the
+    * graph (classic async LPA is visit-order-dependent and would be
+    * un-oracle-able). Output is `(id, label)` for every node with at
+    * least one edge after canonicalization ([[canonicalEdges]] drops
+    * self-loops and parallel edges).
+    *
+    * Fixed `rounds` is the deterministic prefix of the fixed point, the
+    * same stance as [[pageRank]] / [[kcorePeel]] (synchronous LPA can
+    * 2-cycle on bipartite structures, so "until converged" is not even
+    * well-defined). Scale shape per round: one equi-join of the
+    * adjacency against the label vector + one (node, label) count + one
+    * arg-max aggregation — all map-side-combinable shuffle equi-joins
+    * linear in |E|; the arg-max is `max(struct(n, -label))`, a single
+    * aggregate, never a window sort. Lineage cut per round;
+    * `checkpointDir` as at [[pageRank]]. */
+  def labelPropagation(edges0: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 2,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    checkpointDir.foreach(edges0.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    val e = canonicalEdges(edges0, srcCol, dstCol)
+    val adj = cut(e.select(col("a").as("id"), col("b").as("nbr"))
+      .union(e.select(col("b").as("id"), col("a").as("nbr"))))
+    var lab = adj.select(col("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    for (_ <- 1 to rounds) {
+      val nbrLab = adj
+        .join(lab.select(col("id").as("nbr"), col("label")), "nbr")
+        .groupBy(col("id"), col("label")).agg(count(lit(1)).as("n"))
+      // arg-max by (count, -label): struct ordering is field-by-field,
+      // so max picks the highest count and, among ties, the SMALLEST
+      // label. (-label overflows only at Long.MinValue — not a node id
+      // that survives `canonicalEdges`' arithmetic anyway.)
+      lab = cut(nbrLab
+        .groupBy(col("id"))
+        .agg(max(struct(col("n"), (-col("label")).as("neg"))).as("top"))
+        .select(col("id"), (-col("top.neg")).as("label")))
+    }
+    lab
+  }
+
   /** Per-node triangle counts — the clustering-structure signal (spam
     * farms and boilerplate mirror rings show up as dense triangles in a
     * host/co-occurrence graph; the "local clustering" half of the

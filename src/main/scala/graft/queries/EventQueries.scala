@@ -27,6 +27,25 @@ object EventQueries {
       .select(col("o_custkey").as("src"),
         (col("l_suppkey") + 1000000L).as("dst"))
 
+  /** The thresholded supplier co-occurrence graph shared by the
+    * triangle and label-propagation gates (ONE definition — the
+    * threshold and the pair orientation must not drift apart):
+    * suppliers linked when they serve the same order at least 5 times.
+    * An unthresholded projection of a busy hub goes dense and both
+    * clustering signals stop meaning anything. */
+  private def suppCooccurEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Graft.table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    li.join(
+        li.select(col("l_orderkey").as("ok2"),
+          col("l_suppkey").as("sk2")),
+        col("l_orderkey") === col("ok2") &&
+          col("l_suppkey") < col("sk2"))
+      .groupBy(col("l_suppkey").as("src"), col("sk2").as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 5)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 1-hour windows per event type; decimal-exact value sums.
     "events_hourly" -> ((s, dir) =>
@@ -167,19 +186,30 @@ object EventQueries {
     // counts stop meaning anything). Exact integer counting; the oracle
     // closes triangles with the naive canonical 3-way join,
     // independently of the degree-oriented plan.
-    "graph_triangles" -> ((s, dir) => {
-      val li = Graft.table(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val pairs = li.join(
-          li.select(col("l_orderkey").as("ok2"),
-            col("l_suppkey").as("sk2")),
-          col("l_orderkey") === col("ok2") &&
-            col("l_suppkey") < col("sk2"))
-        .groupBy(col("l_suppkey").as("src"), col("sk2").as("dst"))
-        .agg(count(lit(1)).as("n"))
-        .filter(col("n") >= 5)
-      graft.operators.Graphs.triangleCounts(pairs, "src", "dst")
-    }),
+    "graph_triangles" -> ((s, dir) =>
+      graft.operators.Graphs.triangleCounts(
+        suppCooccurEdges(s, dir), "src", "dst")),
+
+    // Multi-source BFS hop distances from the three trusted customers
+    // over the UNDIRECTED customer–supplier order graph, 3 rounds:
+    // round 1 reaches their suppliers, round 2 the co-customers of
+    // those suppliers, round 3 the next supplier ring — the discrete
+    // seed-proximity twin of graph_trustrank. Nodes unreached within 3
+    // rounds are absent (the oracle unrolls the same three frontier
+    // expansions as CTE steps).
+    "graph_bfs" -> ((s, dir) =>
+      graft.operators.Graphs.bfsDistances(custSuppEdges(s, dir), "src",
+        "dst", seeds = Seq(1L, 4L, 7L), rounds = 3)),
+
+    // Synchronous label propagation (2 rounds, ties to the smallest
+    // label) over the supplier co-occurrence graph: each supplier
+    // adopts the most frequent label among its co-suppliers —
+    // label-consensus clusters = the trading communities. Deterministic
+    // by construction (synchronous rounds + total tie order), so the
+    // oracle can mirror both rounds exactly.
+    "graph_lpa" -> ((s, dir) =>
+      graft.operators.Graphs.labelPropagation(
+        suppCooccurEdges(s, dir), "src", "dst", rounds = 2)),
 
     // Fixed-round k-core peeling (k=30, 2 rounds) over the
     // customer–supplier order graph: strips the low-degree fringe,
@@ -400,6 +430,60 @@ object EventQueries {
         |         AS BIGINT) AS decayed_weight,
         |       CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM h GROUP BY 1
+        |""".stripMargin,
+
+    // Three unrolled frontier expansions over the undirected edge set;
+    // each frontier excludes everything already at a distance.
+    "graph_bfs" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM e0
+        |      UNION SELECT dst, src FROM e0),
+        |d0 AS (SELECT * FROM (VALUES (1, 0), (4, 0), (7, 0)) AS t(id, dist)),
+        |f1 AS (SELECT DISTINCT e.dst AS id FROM e
+        |       JOIN d0 ON e.src = d0.id
+        |       WHERE e.dst NOT IN (SELECT id FROM d0)),
+        |d1 AS (SELECT id, dist FROM d0 UNION ALL SELECT id, 1 FROM f1),
+        |f2 AS (SELECT DISTINCT e.dst AS id FROM e
+        |       JOIN f1 ON e.src = f1.id
+        |       WHERE e.dst NOT IN (SELECT id FROM d1)),
+        |d2 AS (SELECT id, dist FROM d1 UNION ALL SELECT id, 2 FROM f2),
+        |f3 AS (SELECT DISTINCT e.dst AS id FROM e
+        |       JOIN f2 ON e.src = f2.id
+        |       WHERE e.dst NOT IN (SELECT id FROM d2)),
+        |d3 AS (SELECT id, dist FROM d2 UNION ALL SELECT id, 3 FROM f3)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(dist AS BIGINT) AS dist
+        |FROM d3
+        |""".stripMargin,
+
+    // Two unrolled synchronous LPA rounds; the arg-max is formulated
+    // independently (max-count filter then MIN(label)), not via the
+    // struct trick the engine uses.
+    "graph_lpa" ->
+      """WITH e0 AS (
+        |  SELECT l1.l_suppkey AS a, l2.l_suppkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |   AND l1.l_suppkey < l2.l_suppkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |adj AS (SELECT a AS id, b AS nbr FROM e0
+        |        UNION ALL SELECT b, a FROM e0),
+        |l0 AS (SELECT DISTINCT id, id AS label FROM adj),
+        |c1 AS (SELECT adj.id, l0.label, COUNT(*) AS n
+        |       FROM adj JOIN l0 ON l0.id = adj.nbr GROUP BY 1, 2),
+        |m1 AS (SELECT id, MAX(n) AS mx FROM c1 GROUP BY 1),
+        |l1 AS (SELECT c1.id, MIN(c1.label) AS label
+        |       FROM c1 JOIN m1 ON c1.id = m1.id AND c1.n = m1.mx
+        |       GROUP BY 1),
+        |c2 AS (SELECT adj.id, l1.label, COUNT(*) AS n
+        |       FROM adj JOIN l1 ON l1.id = adj.nbr GROUP BY 1, 2),
+        |m2 AS (SELECT id, MAX(n) AS mx FROM c2 GROUP BY 1),
+        |l2 AS (SELECT c2.id, MIN(c2.label) AS label
+        |       FROM c2 JOIN m2 ON c2.id = m2.id AND c2.n = m2.mx
+        |       GROUP BY 1)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label
+        |FROM l2
         |""".stripMargin,
 
     "graph_triangles" ->

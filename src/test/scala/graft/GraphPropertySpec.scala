@@ -112,6 +112,56 @@ class GraphPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("bfsDistances equals naive BFS at convergence, directed and not") {
+    check(Prop.forAll(genEdges, Gen.nonEmptyListOf(Gen.choose(1L, 12L)),
+        Gen.oneOf(true, false)) { (edges, seeds0, directed) =>
+      val seeds = seeds0.distinct
+      val adj = edges.filter(e => e._1 != e._2)
+        .flatMap { case (a, b) =>
+          if (directed) Seq(a -> b) else Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct }
+      // naive frontier BFS to the fixed point
+      var dist = seeds.map(_ -> 0L).toMap
+      var frontier = seeds.toSet
+      var r = 1L
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(adj.getOrElse(_, Nil))
+          .diff(dist.keySet)
+        next.foreach(n => dist += n -> r)
+        frontier = next
+        r += 1
+      }
+      val got = Graphs.bfsDistances(
+          (if (edges.isEmpty) List((1L, 1L)) else edges)
+            .toDF("src", "dst"), "src", "dst", seeds,
+          rounds = 13, directed = directed)
+        .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+      got == dist
+    })
+  }
+
+  test("labelPropagation equals naive synchronous LPA, min-label ties") {
+    check(Prop.forAll(genEdges.suchThat(_.exists(e => e._1 != e._2)),
+        Gen.choose(1, 3)) { (edges, rounds) =>
+      val e = canon(edges)
+      val adj = e.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      var lab: Map[Long, Long] = adj.keys.map(k => k -> k).toMap
+      for (_ <- 1 to rounds) {
+        lab = adj.map { case (v, ns) =>
+          val counts = ns.map(lab).groupBy(identity)
+            .map { case (l, occ) => l -> occ.size }
+          val mx = counts.values.max
+          v -> counts.collect { case (l, n) if n == mx => l }.min
+        }
+      }
+      val got = Graphs.labelPropagation(edges.toDF("src", "dst"),
+          "src", "dst", rounds)
+        .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+      got == lab
+    })
+  }
+
   test("seeded pageRank with all nodes as seeds equals uniform pageRank") {
     check(Prop.forAll(genEdges.suchThat(_.exists(e => e._1 != e._2))) {
       edges =>

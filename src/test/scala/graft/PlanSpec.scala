@@ -491,6 +491,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!z.contains("CartesianProduct"), z)
   }
 
+  test("BFS and LPA rounds: equi-joins only, lineage flat behind checkpoints") {
+    val edges = (1L to 300L).map(i => (i % 40, i % 29)).toDF("src", "dst")
+    // bfsDistances: per-round frontier×adjacency equi-join + anti-join
+    // against the visited set; the returned plan is a scan of the last
+    // checkpointed distance table regardless of round count
+    val bfs = explainOf(graft.operators.Graphs.bfsDistances(
+      edges, "src", "dst", seeds = Seq(1L, 2L), rounds = 3))
+    assert(!bfs.contains("CartesianProduct"), bfs)
+    assert(!bfs.contains("BroadcastNestedLoopJoin"), bfs)
+    assert(bfs.contains("LocalTableScan") || bfs.contains("Scan ExistingRDD"),
+      bfs)
+    // labelPropagation: adjacency×labels equi-join + two hash
+    // aggregations per round — the arg-max is an aggregate, NOT a
+    // per-node Window sort; lineage flat per round
+    val lpa = explainOf(graft.operators.Graphs.labelPropagation(
+      edges, "src", "dst", rounds = 2))
+    assert(!lpa.contains("CartesianProduct"), lpa)
+    assert(!lpa.contains("BroadcastNestedLoopJoin"), lpa)
+    assert(!lpa.contains("Window"), lpa)
+    assert(lpa.contains("LocalTableScan") || lpa.contains("Scan ExistingRDD"),
+      lpa)
+  }
+
   test("stableRank/mixSchedule: no per-group Window task, offsets broadcast") {
     val df = (1L to 400L).map(i => (i, s"g${i % 4}")).toDF("id", "grp")
     val plan = explainOf(
