@@ -36,6 +36,68 @@ object Events {
           col("sum_value_cents")): _*)
   }
 
+  /** Sliding-window counts/sums per key — the rolling-rate view of the
+    * stream ([[tumblingAgg]] with overlap): each event lands in
+    * `windowDuration / slideDuration` windows, so a 1 h window sliding
+    * by 15 min yields the hourly rate refreshed every quarter hour — the
+    * shape rate-limit and trend monitors want.
+    *
+    * Exactness contract as [[tumblingAgg]] (integer-cents sums). Scale
+    * shape: Spark plans the multi-window assignment as an Expand (a
+    * constant ×(win/slide) row multiplication BEFORE the shuffle, fused
+    * into codegen) followed by ONE map-side-combined aggregation on
+    * (window, key) — no self-joins, no window functions; the same query
+    * runs under Structured Streaming with a watermark
+    * ([[graft.streaming.StreamingAnalytics.slidingCounts]]). */
+  def slidingAgg(events: DataFrame, ts: Column, keyCol: Column,
+      windowDuration: String = "1 hour",
+      slideDuration: String = "15 minutes",
+      valueCol: Option[Column] = Some(col("value"))): DataFrame = {
+    val aggs = count(lit(1)).as("n_events") +: valueCol.toSeq.map(v =>
+      sum(round(v * 100, 0).cast("long")).cast("long")
+        .as("sum_value_cents"))
+    events
+      .groupBy(window(ts, windowDuration, slideDuration).as("w"),
+        keyCol.as("key"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("w.start").as("window_start") +: col("key") +:
+        col("n_events") +: valueCol.toSeq.map(_ =>
+          col("sum_value_cents")): _*)
+  }
+
+  /** Burst windows — per-key rate anomalies in exact integers: tumbling
+    * windows whose event count reaches `thresholdPermille`/1000 of the
+    * key's average count per ACTIVE window (windows with zero events for
+    * the key don't exist in the aggregate and therefore don't dilute the
+    * average — the stance that makes the statistic computable in one
+    * pass over the aggregated windows, documented rather than hidden).
+    *
+    * All arithmetic is integer (`div`), so the flag is engine-exact —
+    * no float mean/stddev to drift. Output: `(key, window_start,
+    * n_events, avg_n, ratio_permille)` for flagged windows only.
+    *
+    * Scale shape: one tumbling aggregation (one shuffle), then a
+    * key-count-sized per-key baseline BROADCAST back onto the windows —
+    * the second pass is map-side only. At 100 TB the baseline table is
+    * |keys| rows, broadcastable by construction for any real key
+    * cardinality; if keys outgrow a broadcast, drop the hint and the
+    * same plan shuffles on key. */
+  def burstWindows(events: DataFrame, ts: Column, keyCol: Column,
+      windowDuration: String = "1 hour",
+      thresholdPermille: Long = 1500L): DataFrame = {
+    require(thresholdPermille >= 1,
+      s"thresholdPermille must be >= 1, got $thresholdPermille")
+    val w = tumblingAgg(events, ts, keyCol, windowDuration, valueCol = None)
+    val base = w.groupBy(col("key"))
+      .agg(sum(col("n_events")).as("total"),
+        count(lit(1)).as("n_windows"))
+    w.join(broadcast(base), "key")
+      .withColumn("avg_n", expr("total div n_windows"))
+      .filter(col("n_events") * 1000 >= lit(thresholdPermille) * col("avg_n"))
+      .select(col("key"), col("window_start"), col("n_events"),
+        col("avg_n"), expr("(n_events * 1000) div avg_n").as("ratio_permille"))
+  }
+
   /** As-of join: each left row picks up the LATEST right row with
     * `right.time <= left.time` on the same key (the "most recent quote
     * for this trade" / "last purchase before this click" join). Spark has

@@ -54,6 +54,25 @@ object EventQueries {
           col("key").as("event_type"), col("n_events"),
           col("sum_value_cents"))),
 
+    // Sliding 1-hour windows advancing every 15 minutes per event type:
+    // each event lands in exactly 4 windows (Expand before ONE shuffle,
+    // never a self-join). The oracle derives the same 4 window starts
+    // per event with integer epoch-micros arithmetic.
+    "events_sliding" -> ((s, dir) =>
+      Events.slidingAgg(events(s, dir), col("ts"), col("event_type"))
+        .select(micros(col("window_start")).as("window_start"),
+          col("key").as("event_type"), col("n_events"),
+          col("sum_value_cents"))),
+
+    // Burst detection: hourly windows whose count reaches 1.5× the
+    // key's average per active window — exact integer permille ratio,
+    // baseline broadcast back onto the windows.
+    "events_bursts" -> ((s, dir) =>
+      Events.burstWindows(events(s, dir), col("ts"), col("event_type"))
+        .select(col("key").as("event_type"),
+          micros(col("window_start")).as("window_start"),
+          col("n_events"), col("avg_n"), col("ratio_permille"))),
+
     // Gap-based sessions (30 min) per user.
     "events_sessions" -> ((s, dir) =>
       Events.sessionize(events(s, dir), "user_id", "ts", "event_id")
@@ -505,6 +524,37 @@ object EventQueries {
         |SELECT CAST(id AS BIGINT) AS id,
         |       CAST(COUNT(*) AS BIGINT) AS n_triangles
         |FROM nodes GROUP BY 1
+        |""".stripMargin,
+
+    // Each event's 4 containing sliding windows derived arithmetically:
+    // starts aligned to the 15-min grid, offset k = 0..3 slides back.
+    "events_sliding" ->
+      """SELECT (epoch_us(ts) // 900000000 - t.k) * 900000000
+        |         AS window_start,
+        |       event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS sum_value_cents
+        |FROM events CROSS JOIN range(4) AS t(k)
+        |GROUP BY 1, 2
+        |""".stripMargin,
+
+    "events_bursts" ->
+      """WITH w AS (
+        |  SELECT date_trunc('hour', ts) AS ws, event_type,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |a AS (
+        |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS total,
+        |         CAST(COUNT(*) AS BIGINT) AS nw
+        |  FROM w GROUP BY 1)
+        |SELECT w.event_type, epoch_us(w.ws) AS window_start,
+        |       w.n AS n_events,
+        |       CAST(a.total // a.nw AS BIGINT) AS avg_n,
+        |       CAST((w.n * 1000) // (a.total // a.nw) AS BIGINT)
+        |         AS ratio_permille
+        |FROM w JOIN a USING (event_type)
+        |WHERE w.n * 1000 >= 1500 * (a.total // a.nw)
         |""".stripMargin,
 
     "events_hourly" ->

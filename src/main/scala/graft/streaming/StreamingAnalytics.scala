@@ -33,6 +33,26 @@ object StreamingAnalytics {
       .select(col("w.start").as("window_start"), col(keyCol),
         col("n_events"), col("sum_value_cents"))
 
+  /** Watermarked SLIDING-window counts/sums per key — the streaming twin
+    * of [[graft.operators.Events.slidingAgg]]: each event lands in
+    * window/slide overlapping windows (planned as an Expand before ONE
+    * stateful aggregation), each window finalized once its end passes
+    * the watermark. State is keys × open windows — window/slide times
+    * the tumbling state, bounded, never stream-length. */
+  def slidingCounts(events: DataFrame, tsCol: String, keyCol: String,
+      windowDuration: String = "1 hour",
+      slideDuration: String = "15 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowDuration, slideDuration).as("w"),
+        col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100, 0).cast("long")).cast("long")
+          .as("sum_value_cents"))
+      .select(col("w.start").as("window_start"), col(keyCol),
+        col("n_events"), col("sum_value_cents"))
+
   final case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp)
 
   final case class SessionState(

@@ -514,6 +514,26 @@ class PlanSpec extends AnyFunSuite {
       lpa)
   }
 
+  test("sliding windows are Expand + one aggregation; burst baseline broadcasts") {
+    val ev = (1L to 500L).map(i => (new Timestamp(i * 60000L), s"t${i % 3}",
+      i.toDouble)).toDF("ts", "event_type", "value")
+    // slidingAgg: the 4-way window assignment is an Expand BEFORE the
+    // single map-side-combined aggregation — never a self-join, never a
+    // Window function
+    val slide = explainOf(graft.operators.Events.slidingAgg(
+      ev, col("ts"), col("event_type")))
+    assert(slide.contains("Expand"), slide)
+    assert(slide.contains("HashAggregate"), slide)
+    assert(!slide.contains("Window"), slide)
+    assert(!slide.contains("CartesianProduct"), slide)
+    // burstWindows: the per-key baseline joins back via broadcast — the
+    // windows side never reshuffles for the join
+    val burst = explainOf(graft.operators.Events.burstWindows(
+      ev, col("ts"), col("event_type")))
+    assert(burst.contains("BroadcastHashJoin"), burst)
+    assert(!burst.contains("CartesianProduct"), burst)
+  }
+
   test("stableRank/mixSchedule: no per-group Window task, offsets broadcast") {
     val df = (1L to 400L).map(i => (i, s"g${i % 4}")).toDF("id", "grp")
     val plan = explainOf(

@@ -39,6 +39,31 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(rows.head.getAs[Timestamp]("window_start") == ts("2024-01-01 10:00:00"))
   }
 
+  test("watermarked sliding windows: 4 overlapping windows per event, finalized in order") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val out = StreamingAnalytics.slidingCounts(
+      stream.toDF().toDF("ts", "event_type", "value"),
+      "ts", "event_type", windowDuration = "1 hour",
+      slideDuration = "15 minutes", lateness = "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("slide_test").start()
+    stream.addData((ts("2024-01-01 10:05:00"), "click", 1.00))
+    q.processAllAvailable()
+    // advance event time far enough that all four containing windows
+    // (09:15..10:00 starts) are past watermark and finalize
+    stream.addData((ts("2024-01-01 13:00:00"), "click", 9.99))
+    q.processAllAvailable()
+    val rows = spark.table("slide_test").collect()
+    q.stop()
+    val starts = rows.map(_.getAs[Timestamp]("window_start")).sorted
+    assert(starts.toSeq == Seq(ts("2024-01-01 09:15:00"),
+      ts("2024-01-01 09:30:00"), ts("2024-01-01 09:45:00"),
+      ts("2024-01-01 10:00:00")))
+    assert(rows.forall(_.getAs[Long]("n_events") == 1L))
+    assert(rows.forall(_.getAs[Long]("sum_value_cents") == 100L))
+  }
+
   test("curation columns are stateless: PII redaction + quality run on a stream") {
     // redactPii/qualityColumns/repetitionColumns are narrow per-row
     // expressions, so the same Columns run unchanged in append-mode
