@@ -287,6 +287,85 @@ object Events {
     one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
 
+  /** Interval coalescing — the union of overlapping-or-touching
+    * `[start, end]` intervals per key, the classic "active periods"
+    * reduction (merge per-event validity spans into coverage windows;
+    * the span-union primitive behind crawl-coverage, uptime and
+    * rate-limit accounting). Distinct from [[sessionize]]: gaps are
+    * defined by the intervals' own extents, not a fixed idle timeout,
+    * so a long interval bridges events a gap rule would split.
+    *
+    * Semantics: intervals are `(startCol, endCol)` integer pairs (unix
+    * micros by convention); two intervals merge when the later one's
+    * start is ≤ the running max end of everything before it (touching
+    * endpoints merge). Output: one row per merged span — `(key,
+    * merge_seq, span_start, span_end, n_intervals)`, `merge_seq`
+    * 1-based in span order. Intervals are taken as given (an
+    * `end < start` row behaves as a point at `start`; the oracle
+    * mirrors it because the prefix-max formula is the semantics).
+    *
+    * Scale shape: the naive formulation is a transitive-closure
+    * self-join (quadratic per key, unbounded chase for chains); this is
+    * the textbook prefix-max linearization instead — ONE shuffle on the
+    * key, one within-partition spillable sort, two stacked window
+    * passes over the SAME partitioning (no re-exchange: running max-end
+    * excluding the current row flags span starts, a running sum numbers
+    * the spans), then a map-side-combinable aggregation. Linear in
+    * rows at any key width; determinism: equal `(start, end)` ties
+    * leave both window flags unchanged under any tie order. */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val order = Window.partitionBy(col(keyCol))
+      .orderBy(col(startCol), col(endCol))
+    val prevMaxEnd = max(col(endCol))
+      .over(order.rowsBetween(Window.unboundedPreceding, -1))
+    df
+      .withColumn("_new_span",
+        when(prevMaxEnd.isNotNull && prevMaxEnd >= col(startCol), 0L)
+          .otherwise(1L))
+      .withColumn("_span", sum(col("_new_span")).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("_span").as("merge_seq"))
+      .agg(min(col(startCol)).as("span_start"),
+        max(col(endCol)).as("span_end"),
+        count(lit(1)).as("n_intervals"))
+  }
+
+  /** First-order transition counts — the Markov view of the event
+    * stream (what follows what, per user): for every consecutive pair
+    * of events of the same user, count `(prev_type, next_type)` and
+    * rate it against everything leaving `prev_type` as an exact integer
+    * permille (`n·1000 div total_from_prev` — no float probabilities to
+    * drift). The behavioral-sequence statistic behind next-action
+    * models, anomaly rules ("purchase never follows logout") and
+    * session-flow dashboards.
+    *
+    * Per-user order is `(tsCol, idCol)` — the same total order
+    * [[sessionize]] uses, so ties are deterministic. A user's first
+    * event has no predecessor and contributes no pair (standard bigram
+    * convention, mirrored by the oracle).
+    *
+    * Scale shape: ONE shuffle on the user key + a spillable
+    * within-partition sort for the lag, then a map-side-combined
+    * (prev, next) count; the per-prev totals are a second aggregation
+    * OVER THE COUNTED PAIRS (|types|² rows, not events) joined back
+    * broadcast — nothing re-touches the event-sized data. */
+  def transitionCounts(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val order = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .withColumn("_prev", lag(col(typeCol), 1).over(order))
+      .filter(col("_prev").isNotNull)
+      .groupBy(col("_prev").as("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("prev_type"))
+      .agg(sum(col("n")).as("_total"))
+    pairs.join(broadcast(totals), "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("n * 1000 div _total").as("permille"))
+  }
+
   /** Recency-weighted counts per key — the freshness signal behind
     * crawl re-visit scheduling and recency-weighted corpus mixing: an
     * event `h` half-lives older than `asOf` contributes weight

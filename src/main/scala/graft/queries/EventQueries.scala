@@ -81,6 +81,27 @@ object EventQueries {
           micros(col("session_end")).as("session_end"),
           col("n_events"))),
 
+    // Interval union per user: each event opens a 10/20/30-minute span
+    // (duration from event_id % 3 — deterministic integers, no floats);
+    // overlapping-or-touching spans coalesce via the prefix-max
+    // linearization (one shuffle, no transitive-closure self-join).
+    "interval_merge" -> ((s, dir) => {
+      val iv = events(s, dir).select(col("user_id"),
+        micros(col("ts")).as("s"),
+        (micros(col("ts")) +
+          (lit(1L) + col("event_id") % 3) * 600000000L).as("e"))
+      Events.mergeIntervals(iv, "user_id", "s", "e")
+        .select(col("user_id"), col("merge_seq"), col("span_start"),
+          col("span_end"), col("n_intervals"))
+    }),
+
+    // First-order Markov transitions per user (ordered by ts, event_id):
+    // pair counts + exact integer permille of everything leaving the
+    // previous type.
+    "event_transitions" -> ((s, dir) =>
+      Events.transitionCounts(events(s, dir), "user_id", "ts",
+        "event_id", "event_type")),
+
     // As-of join: each click picks up the user's most recent
     // prior-or-simultaneous purchase (amount pre-aggregated to integer
     // cents per (user, ts) — the uniqueness precondition). Oracle is
@@ -586,6 +607,50 @@ object EventQueries {
         |       epoch_us(MAX(ts)) AS session_end,
         |       CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM numbered GROUP BY 1, 2
+        |""".stripMargin,
+
+    // The same prefix-max linearization over the derived spans; NULL
+    // prefix-max (first row per user) falls to the ELSE → new span.
+    "interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s,
+        |         epoch_us(ts) + (1 + event_id % 3) * 600000000 AS e
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, s, e,
+        |         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |                >= s
+        |              THEN 0 ELSE 1 END AS ns
+        |  FROM iv),
+        |g AS (
+        |  SELECT user_id, s, e,
+        |         SUM(ns) OVER (PARTITION BY user_id ORDER BY s, e
+        |           ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM f)
+        |SELECT user_id, CAST(grp AS BIGINT) AS merge_seq,
+        |       CAST(MIN(s) AS BIGINT) AS span_start,
+        |       CAST(MAX(e) AS BIGINT) AS span_end,
+        |       CAST(COUNT(*) AS BIGINT) AS n_intervals
+        |FROM g GROUP BY 1, 2
+        |""".stripMargin,
+
+    "event_transitions" ->
+      """WITH p AS (
+        |  SELECT lag(event_type) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id)
+        |           AS prev_type,
+        |         event_type AS next_type
+        |  FROM events),
+        |c AS (
+        |  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (
+        |  SELECT prev_type, CAST(SUM(n) AS BIGINT) AS total
+        |  FROM c GROUP BY 1)
+        |SELECT c.prev_type, c.next_type, c.n,
+        |       CAST((c.n * 1000) // t.total AS BIGINT) AS permille
+        |FROM c JOIN t USING (prev_type)
         |""".stripMargin,
 
     // DuckDB's native ASOF JOIN — an independent implementation of the

@@ -224,4 +224,52 @@ class EventsSpec extends AnyFunSuite {
     assert(out("b") == ((1L << 28) + (1L << 30), 2L))
     assert(out("c") == (2L, 2L))
   }
+
+  test("mergeIntervals coalesces chains, touching endpoints, and islands") {
+    // key 1: [0,10] [5,8] (contained) [10,20] (touching) → one span;
+    //        [30,35] island; [25,26] island BETWEEN them in start order
+    // key 2: a long interval bridging what a gap rule would split:
+    //        [0,100] [40,50] [90,110] → one span [0,110]
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 5L, 8L), (1L, 10L, 20L),
+      (1L, 25L, 26L), (1L, 30L, 35L),
+      (2L, 0L, 100L), (2L, 40L, 50L), (2L, 90L, 110L))
+      .toDF("k", "s", "e")
+    val out = Events.mergeIntervals(iv, "k", "s", "e")
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("merge_seq")) ->
+        (r.getAs[Long]("span_start"), r.getAs[Long]("span_end"),
+          r.getAs[Long]("n_intervals"))).toMap
+    assert(out.size == 4)
+    assert(out((1L, 1L)) == ((0L, 20L, 3L)))
+    assert(out((1L, 2L)) == ((25L, 26L, 1L)))
+    assert(out((1L, 3L)) == ((30L, 35L, 1L)))
+    assert(out((2L, 1L)) == ((0L, 110L, 3L)))
+  }
+
+  test("mergeIntervals is one shuffle — window and final agg share it") {
+    val iv = Seq((1L, 0L, 10L)).toDF("k", "s", "e")
+    val plan = Events.mergeIntervals(iv, "k", "s", "e")
+      .queryExecution.executedPlan.toString
+    val tree = plan.split("\n\n").head
+    assert("Exchange".r.findAllIn(tree).length == 1,
+      s"expected exactly one shuffle:\n$plan")
+  }
+
+  test("transitionCounts: bigram counts and exact permille rates") {
+    // user 1: a→b→b→c ; user 2: a→c ; user 3: lone event (no pairs).
+    // Tie at user 1 ts=2 broken by event id: b(id=12) before b(id=13).
+    val ev = Seq(
+      (11L, 1L, 1L, "a"), (12L, 1L, 2L, "b"), (13L, 1L, 2L, "b"),
+      (14L, 1L, 3L, "c"), (21L, 2L, 1L, "a"), (22L, 2L, 2L, "c"),
+      (31L, 3L, 1L, "b"))
+      .toDF("event_id", "user_id", "t", "event_type")
+    val out = Events.transitionCounts(ev, "user_id", "t", "event_id",
+        "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("permille"))).toMap
+    // from a: a→b 1, a→c 1 (500‰ each); from b: b→b 1, b→c 1
+    assert(out == Map(
+      ("a", "b") -> ((1L, 500L)), ("a", "c") -> ((1L, 500L)),
+      ("b", "b") -> ((1L, 500L)), ("b", "c") -> ((1L, 500L))))
+  }
 }
