@@ -305,6 +305,82 @@ object Graphs {
     lab
   }
 
+  /** Fixed-round integer HITS (Kleinberg 1999) — hubs and authorities
+    * over a DIRECTED edge list: a good hub points at good authorities,
+    * a good authority is pointed at by good hubs. The two-sided
+    * companion to [[pageRank]]'s single authority walk — on link graphs
+    * it separates directories/portals (hubs) from endorsed content
+    * (authorities); on a bipartite interaction graph (customer→supplier,
+    * user→domain) it scores the two sides against each other.
+    *
+    * Semantics per round: `auth'(v) = Σ_{u→v} hub(u)`, then auth
+    * renormalizes to sum `scale` by exact integer division
+    * (`raw·scale div Σraw` — the L1 normalization; classic HITS uses
+    * L2, which needs a square root and would not be bit-portable);
+    * `hub'(u) = Σ_{u→v} auth(v)` likewise renormalized. Parallel edges
+    * collapse (DISTINCT); nodes without in-edges hold authority 0,
+    * without out-edges hub 0. Fixed `rounds` is the deterministic
+    * prefix of the fixed point ([[pageRank]]'s stance). Output:
+    * `(id, hub, auth)` for every node.
+    *
+    * Exactness: sums of longs and a DECIMAL(38,0) multiply-then-`div`
+    * for the normalization — the renormalized scores are a pure
+    * integer function of the graph, so a DuckDB oracle (HUGEINT
+    * arithmetic) matches bit-for-bit; truncation loss just leaves the
+    * total a hair under `scale`, identically in every engine.
+    *
+    * Scale shape per round: two {equi-join against the persisted edge
+    * list + map-side-combined sum} passes — the same shuffle profile as
+    * one PageRank round, cost linear in |E| — plus a 1-row total
+    * BROADCAST cross join for the normalization (the total stays in the
+    * plan; nothing collects to the driver). Lineage cut per round;
+    * `checkpointDir` durability trade as documented at [[pageRank]]. */
+  def hits(edges0: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 2, scale: Long = 1000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(scale >= 1000 && scale <= 1000000000L,
+      s"scale in [1e3, 1e9], got $scale")
+    checkpointDir.foreach(edges0.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    val edges = cut(edges0
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct())
+    val nodes = cut(edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct())
+    // raw Σ over the edge list, 0 for nodes the join misses
+    def gather(score: DataFrame, scoreCol: String, from: String,
+        to: String): DataFrame =
+      nodes.join(
+        edges.join(score, col(from) === score("id"))
+          .select(col(to), col(scoreCol))
+          .groupBy(col(to)).agg(sum(col(scoreCol)).as("raw")),
+        nodes("id") === col(to), "left")
+        .select(nodes("id"), coalesce(col("raw"), lit(0L)).as("raw"))
+    // renormalize to sum ≈ scale: DECIMAL(38,0) multiply then integer
+    // div — overflow-free for any graph size, and the 1-row total rides
+    // the plan as a broadcast, not a driver collect
+    def normalize(raw: DataFrame, outCol: String): DataFrame = {
+      val total = raw.agg(sum(col("raw")).as("t"))
+      cut(raw.crossJoin(broadcast(total))
+        .select(col("id"),
+          when(col("t").isNull || col("t") === 0L, lit(0L))
+            .otherwise(expr(
+              s"cast(cast(raw as decimal(38,0)) * $scale div t as bigint)"))
+            .as(outCol)))
+    }
+    var hub = cut(nodes.select(col("id"), lit(scale).as("hub")))
+    var auth = hub.select(col("id"), lit(0L).as("auth"))
+    for (_ <- 1 to rounds) {
+      auth = normalize(gather(hub, "hub", "src", "dst"), "auth")
+      hub = normalize(gather(auth, "auth", "dst", "src"), "hub")
+    }
+    hub.join(auth, "id")
+  }
+
   /** Per-node triangle counts — the clustering-structure signal (spam
     * farms and boilerplate mirror rings show up as dense triangles in a
     * host/co-occurrence graph; the "local clustering" half of the

@@ -241,6 +241,14 @@ object EventQueries {
       graft.operators.Graphs.bfsDistances(custSuppEdges(s, dir), "src",
         "dst", seeds = Seq(1L, 4L, 7L), rounds = 3)),
 
+    // Integer HITS (2 rounds) on the directed customer→supplier graph:
+    // customers are pure hubs, suppliers pure authorities (bipartite),
+    // each side L1-renormalized to 1e6 per round by exact DECIMAL
+    // div — the oracle mirrors both rounds in HUGEINT.
+    "graph_hits" -> ((s, dir) =>
+      graft.operators.Graphs.hits(custSuppEdges(s, dir), "src", "dst",
+        rounds = 2)),
+
     // Synchronous label propagation (2 rounds, ties to the smallest
     // label) over the supplier co-occurrence graph: each supplier
     // adopts the most frequent label among its co-suppliers —
@@ -470,6 +478,47 @@ object EventQueries {
         |         AS BIGINT) AS decayed_weight,
         |       CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM h GROUP BY 1
+        |""".stripMargin,
+
+    // Two unrolled HITS rounds in HUGEINT; L1 renormalization to 1e6
+    // per half-round via exact integer division, like the engine's
+    // DECIMAL(38,0) multiply-then-div.
+    "graph_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS hub FROM n),
+        |ar1 AS (SELECT n.id, COALESCE(SUM(h0.hub), 0) AS raw
+        |        FROM n LEFT JOIN e ON e.dst = n.id
+        |               LEFT JOIN h0 ON h0.id = e.src
+        |        GROUP BY n.id),
+        |a1 AS (SELECT id, CAST(CAST(raw AS HUGEINT) * 1000000
+        |         // (SELECT SUM(raw) FROM ar1) AS BIGINT) AS auth
+        |       FROM ar1),
+        |hr1 AS (SELECT n.id, COALESCE(SUM(a1.auth), 0) AS raw
+        |        FROM n LEFT JOIN e ON e.src = n.id
+        |               LEFT JOIN a1 ON a1.id = e.dst
+        |        GROUP BY n.id),
+        |h1 AS (SELECT id, CAST(CAST(raw AS HUGEINT) * 1000000
+        |         // (SELECT SUM(raw) FROM hr1) AS BIGINT) AS hub
+        |       FROM hr1),
+        |ar2 AS (SELECT n.id, COALESCE(SUM(h1.hub), 0) AS raw
+        |        FROM n LEFT JOIN e ON e.dst = n.id
+        |               LEFT JOIN h1 ON h1.id = e.src
+        |        GROUP BY n.id),
+        |a2 AS (SELECT id, CAST(CAST(raw AS HUGEINT) * 1000000
+        |         // (SELECT SUM(raw) FROM ar2) AS BIGINT) AS auth
+        |       FROM ar2),
+        |hr2 AS (SELECT n.id, COALESCE(SUM(a2.auth), 0) AS raw
+        |        FROM n LEFT JOIN e ON e.src = n.id
+        |               LEFT JOIN a2 ON a2.id = e.dst
+        |        GROUP BY n.id),
+        |h2 AS (SELECT id, CAST(CAST(raw AS HUGEINT) * 1000000
+        |         // (SELECT SUM(raw) FROM hr2) AS BIGINT) AS hub
+        |       FROM hr2)
+        |SELECT CAST(h2.id AS BIGINT) AS id, h2.hub, a2.auth
+        |FROM h2 JOIN a2 USING (id)
         |""".stripMargin,
 
     // Three unrolled frontier expansions over the undirected edge set;

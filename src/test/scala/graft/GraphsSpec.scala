@@ -127,4 +127,33 @@ class GraphsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Graphs.pageRank(dup, "src", "dst", dampPct = 101))
   }
+
+  test("hits: one round matches the hand-computed integer normalization") {
+    // 1→3, 2→3, 2→4: hubs {1,2}, authorities {3,4}
+    val e = Seq((1L, 3L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val out = Graphs.hits(e, "src", "dst", rounds = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("hub"), r.getAs[Long]("auth"))).toMap
+    // authRaw = (3: 2e6, 4: 1e6), total 3e6 → auth = (666666, 333333)
+    // hubRaw = (1: 666666, 2: 999999), total 1666665 → hub = (400000, 600000)
+    assert(out == Map(
+      1L -> ((400000L, 0L)), 2L -> ((600000L, 0L)),
+      3L -> ((0L, 666666L)), 4L -> ((0L, 333333L))))
+  }
+
+  test("hits: renormalization keeps scores bounded over many rounds") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val out = Graphs.hits(e, "src", "dst", rounds = 6)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("hub"), r.getAs[Long]("auth"))).toMap
+    assert(out.size == 3)
+    // L1 renormalization: each side sums to scale minus truncation loss
+    val hubSum = out.values.map(_._1).sum
+    val authSum = out.values.map(_._2).sum
+    assert(hubSum <= 1000000L && hubSum > 999900L, s"hub sum $hubSum")
+    assert(authSum <= 1000000L && authSum > 999900L, s"auth sum $authSum")
+    intercept[IllegalArgumentException](Graphs.hits(e, "src", "dst", rounds = 0))
+    intercept[IllegalArgumentException](
+      Graphs.hits(e, "src", "dst", scale = 10L))
+  }
 }
