@@ -733,6 +733,50 @@ object Curation {
         org.apache.spark.sql.GraftShims.expression(payload), k, largest)
         .toAggregateExpression())
 
+  /** Mergeable quantile sketch — distribution quantiles from O(k) state:
+    * the k rows with the SMALLEST md5(id) hashes are a uniform sample of
+    * the input (hash order is value-blind and RNG-free), so sample
+    * quantiles estimate population quantiles with the standard ~1/√k
+    * error; and bottom-k-by-hash is MERGEABLE ([[topKPairs]] with the
+    * hash as the ordinal, map-side combine), which a "first k rows"
+    * sample is not. The KMV stance applied to quantiles: exact
+    * `percentile` over 100 TB funnels every value through one sort
+    * path, this caps state at k pairs per mapper. Hash convention =
+    * [[kmvDistinct]]'s first-15-md5-hex-digits, digit for digit.
+    *
+    * Determinism: the sample is a pure function of the id set, so the
+    * interpolated quantiles — emitted ×100 as integer cents, the
+    * `length_quantiles` exactness pattern — are bit-stable and DuckDB-
+    * mirrorable (ORDER BY hash, value LIMIT k + quantile_cont). When
+    * k ≥ n the sample is the whole input and the estimates collapse to
+    * the EXACT quantiles (the unsaturated-sketch property, as at
+    * [[kmvOverlap]]).
+    *
+    * Output: ONE row — `n_total`, `n_sample`, and `p<q>_cents` per
+    * requested per-mille quantile (empty input → empty output). Null
+    * ids/values are dropped by the sketch ([[topKPairs]]' null
+    * contract); pre-coalesce if they must count. */
+  def sketchQuantiles(df: DataFrame, idCol: String, valueCol: String,
+      k: Int = 256,
+      qsPermille: Seq[Int] = Seq(250, 500, 750, 900)): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(qsPermille.nonEmpty &&
+      qsPermille.forall(q => q >= 1 && q <= 999),
+      s"quantiles in [1, 999] permille, got $qsPermille")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val one = df.agg(
+      topKPairs(h, col(valueCol).cast("long"), k, largest = false)
+        .as("sample"),
+      count(lit(1)).as("n_total"))
+    val quantAggs = qsPermille.map(q =>
+      round(percentile(col("v"), lit(q / 1000.0)) * 100).cast("long")
+        .as(s"p${q}_cents"))
+    one.select(col("n_total"), explode(col("sample.payload")).as("v"))
+      .groupBy(col("n_total"))
+      .agg(count(lit(1)).as("n_sample"), quantAggs: _*)
+  }
+
   /** Count-Min sketch aggregate column (the second custom typed
     * aggregate; see [[org.apache.spark.sql.graft.CmSketch]]): O(d·w)
     * mergeable state, map-side partial aggregation, elementwise-sum

@@ -212,6 +212,15 @@ object CurationQueries {
             .cast("long").as("p75_tokens_cents"))
     }),
 
+    // Mergeable bottom-k-by-hash quantile sketch (k=200 over 500 docs —
+    // genuine sampling) beside the n_chars distribution: O(k) state per
+    // mapper instead of funneling every value through one percentile
+    // sort; the estimator is oracle-checked end to end because the
+    // sample is a pure function of the md5 hash order.
+    "sketch_quantiles" -> ((s, dir) =>
+      Curation.sketchQuantiles(docs(s, dir), "doc_id", "n_chars",
+        k = 200)),
+
     // Deterministic spherical k-means, k=8, 2 update rounds, exact-integer
     // arithmetic throughout (see Similarity.kmeans).
     "kmeans_clusters" -> ((s, dir) =>
@@ -799,6 +808,31 @@ object CurationQueries {
         |         AS p75_tokens_cents
         |FROM t GROUP BY lang
         |""".stripMargin,
+
+    // The same bottom-200-by-md5-hash sample (ORDER BY hash, value —
+    // TopKPairs' tie rule), quantile_cont over the sample, n_total from
+    // the full table.
+    "sketch_quantiles" -> {
+      val h60 = (1 to 15).map(i =>
+        s"(strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[$i]) - 1)" +
+          s" * ${BigInt(16).pow(15 - i)}").mkString("(", " + ", ")")
+      s"""WITH s AS (
+         |  SELECT n_chars AS v FROM documents
+         |  ORDER BY $h60, n_chars LIMIT 200)
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+         |         AS n_total,
+         |       CAST(COUNT(*) AS BIGINT) AS n_sample,
+         |       CAST(round(quantile_cont(v, 0.250) * 100) AS BIGINT)
+         |         AS p250_cents,
+         |       CAST(round(quantile_cont(v, 0.500) * 100) AS BIGINT)
+         |         AS p500_cents,
+         |       CAST(round(quantile_cont(v, 0.750) * 100) AS BIGINT)
+         |         AS p750_cents,
+         |       CAST(round(quantile_cont(v, 0.900) * 100) AS BIGINT)
+         |         AS p900_cents
+         |FROM s
+         |""".stripMargin
+    },
 
     "kmeans_clusters" ->
       s"""WITH s AS (

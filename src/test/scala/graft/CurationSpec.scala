@@ -527,6 +527,37 @@ class CurationSpec extends AnyFunSuite {
       Curation.topKPairs(col("v"), col("id"), 0))
   }
 
+  test("sketchQuantiles: exact collapse at k >= n, sampling under it") {
+    // 1..100, value = id → exact quantiles known in closed form
+    val df = (1L to 100L).map(i => (i, i)).toDF("id", "v").repartition(5)
+    val exact = Curation.sketchQuantiles(df, "id", "v", k = 256).collect()
+    assert(exact.length == 1)
+    val r = exact.head
+    assert(r.getAs[Long]("n_total") == 100L)
+    assert(r.getAs[Long]("n_sample") == 100L) // unsaturated: whole input
+    // quantile_cont over 1..100: p = 1 + q·99 → p25 = 25.75
+    assert(r.getAs[Long]("p250_cents") == 2575L)
+    assert(r.getAs[Long]("p500_cents") == 5050L)
+    assert(r.getAs[Long]("p750_cents") == 7525L)
+    assert(r.getAs[Long]("p900_cents") == 9010L)
+    // saturated: a 40-row hash sample of the same data — still a
+    // partition-invariant pure function of the ids, and in-range
+    val s = Curation.sketchQuantiles(df, "id", "v", k = 40).collect().head
+    assert(s.getAs[Long]("n_sample") == 40L)
+    val s2 = Curation.sketchQuantiles(df.repartition(11), "id", "v",
+      k = 40).collect().head
+    assert(s.getAs[Long]("p500_cents") == s2.getAs[Long]("p500_cents"))
+    assert(s.getAs[Long]("p500_cents") >= 100L &&
+      s.getAs[Long]("p500_cents") <= 10000L)
+    // empty input → empty output; bad params rejected
+    assert(Curation.sketchQuantiles(df.filter(col("v") < 0), "id", "v")
+      .collect().isEmpty)
+    intercept[IllegalArgumentException](
+      Curation.sketchQuantiles(df, "id", "v", k = 1))
+    intercept[IllegalArgumentException](
+      Curation.sketchQuantiles(df, "id", "v", qsPermille = Seq(1000)))
+  }
+
   test("naive Bayes: hand-computed smoothed model, unseen words, tie rule") {
     // train: label p = "a a b", label q = "c c d" → vocab {a,b,c,d},
     // V=4, ctok=3 per label, denominator 7 everywhere. S = 1e9:
