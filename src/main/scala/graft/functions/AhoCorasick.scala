@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Aho-Corasick multi-pattern automaton over UTF-8 BYTES — every
+  * occurrence (overlapping included) of every literal pattern in one
+  * left-to-right pass, O(len + matches) per row whatever the pattern
+  * count. The blocklist/lexicon scan primitive: k patterns as k
+  * `contains`/regex passes re-reads every row k times and k·len is the
+  * 100 TB hot-path killer; the automaton reads each byte once.
+  *
+  * Construction (Aho & Corasick 1975): byte trie + BFS failure links;
+  * each state's output set is its own terminal patterns plus the output
+  * set of its failure target (precomputed — BFS order guarantees the
+  * failure target is finished first), so dictionary-suffix matches
+  * ("can" inside "scan", "able" inside "table") are counted without
+  * walking the failure chain per byte. Size: O(Σ pattern bytes) states,
+  * each holding sorted child-key/target arrays (binary-searched — dense
+  * 256-way rows would be states×1 KiB, prohibitive for a 10⁵-entry
+  * blocklist). Matching is byte-exact on UTF-8, so multi-byte
+  * characters match as their byte sequences (a pattern can never match
+  * "inside" an unrelated multi-byte char: UTF-8 continuation bytes
+  * never equal lead bytes).
+  *
+  * Only `patterns` serializes; the tables rebuild lazily per executor
+  * (a few μs per 1k patterns) — the closure ships the word list, not
+  * the automaton.
+  */
+final class AhoCorasick(val patterns: Seq[String]) extends Serializable {
+  require(patterns.nonEmpty, "AhoCorasick: empty pattern list")
+  require(patterns.forall(_.nonEmpty), "AhoCorasick: empty pattern")
+  require(patterns.distinct.size == patterns.size,
+    s"AhoCorasick: duplicate patterns in $patterns")
+
+  // frozen tables, rebuilt lazily after deserialization
+  @transient private lazy val tables: AhoCorasick.Tables =
+    AhoCorasick.build(patterns)
+
+  /** Per-pattern overlapping occurrence counts in `text`, index-aligned
+    * with `patterns`. */
+  def countAll(text: UTF8String): Array[Long] = {
+    val t = tables
+    val counts = new Array[Long](patterns.length)
+    val bytes = text.getBytes
+    var s = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      var next = AhoCorasick.child(t, s, b)
+      while (next < 0 && s != 0) {
+        s = t.fail(s)
+        next = AhoCorasick.child(t, s, b)
+      }
+      s = if (next < 0) 0 else next
+      val out = t.out(s)
+      var j = 0
+      while (j < out.length) { counts(out(j)) += 1L; j += 1 }
+      i += 1
+    }
+    counts
+  }
+
+  /** [[countAll]] boxed for the expression eval/codegen paths. */
+  def countsArrayData(text: UTF8String): ArrayData =
+    new GenericArrayData(countAll(text))
+}
+
+object AhoCorasick {
+  /** Frozen automaton: per-state sorted child byte keys + parallel
+    * targets (CSR layout), failure links, and flattened output sets. */
+  final case class Tables(rowStart: Array[Int], keys: Array[Byte],
+      targets: Array[Int], fail: Array[Int], out: Array[Array[Int]])
+
+  /** Binary search `b` among state `s`'s child keys; target or -1. */
+  private def child(t: Tables, s: Int, b: Int): Int = {
+    var lo = t.rowStart(s)
+    var hi = t.rowStart(s + 1) - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val k = t.keys(mid) & 0xff
+      if (k == b) return t.targets(mid)
+      else if (k < b) lo = mid + 1
+      else hi = mid - 1
+    }
+    -1
+  }
+
+  private def build(patterns: Seq[String]): Tables = {
+    import scala.collection.mutable
+    val children = mutable.ArrayBuffer(mutable.TreeMap.empty[Int, Int])
+    val own = mutable.ArrayBuffer(List.empty[Int])
+    patterns.zipWithIndex.foreach { case (p, idx) =>
+      var s = 0
+      p.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { byte =>
+        val b = byte & 0xff
+        s = children(s).getOrElse(b, {
+          children += mutable.TreeMap.empty[Int, Int]
+          own += Nil
+          val t = children.length - 1
+          children(s).update(b, t)
+          t
+        })
+      }
+      own(s) = idx :: own(s)
+    }
+    val n = children.length
+    val fail = new Array[Int](n)
+    val out = new Array[Array[Int]](n)
+    out(0) = own(0).reverse.toArray
+    val queue = mutable.Queue.empty[Int]
+    children(0).foreach { case (_, t) =>
+      fail(t) = 0
+      out(t) = (own(t).reverse ++ out(0)).toArray
+      queue += t
+    }
+    while (queue.nonEmpty) {
+      val s = queue.dequeue()
+      children(s).foreach { case (b, t) =>
+        // chase failures of s until a state with a b-child (or root)
+        var f = fail(s)
+        while (!children(f).contains(b) && f != 0) f = fail(f)
+        fail(t) = children(f).get(b).filter(_ != t).getOrElse(0)
+        out(t) = (own(t).reverse ++ out(fail(t))).toArray
+        queue += t
+      }
+    }
+    // freeze child maps to CSR
+    val rowStart = new Array[Int](n + 1)
+    var total = 0
+    var i = 0
+    while (i < n) { rowStart(i) = total; total += children(i).size; i += 1 }
+    rowStart(n) = total
+    val keys = new Array[Byte](total)
+    val targets = new Array[Int](total)
+    i = 0
+    while (i < n) {
+      var pos = rowStart(i)
+      children(i).foreach { case (b, t) =>
+        keys(pos) = b.toByte; targets(pos) = t; pos += 1
+      }
+      i += 1
+    }
+    Tables(rowStart, keys, targets, fail, out)
+  }
+}

@@ -173,6 +173,35 @@ object TextAnalysis {
       .otherwise(lit(0L))
   }
 
+  /** Per-pattern overlapping substring counts from ONE Aho-Corasick
+    * byte pass (`array<long>` aligned with `patterns` — the native
+    * [[org.apache.spark.sql.graft.MultiPatternCounts]] expression).
+    * The multi-pattern generalization of [[phraseHits]]: k patterns as
+    * k passes (or one backtracking alternation regex) cost k·len per
+    * row; the automaton reads each byte once, whatever k is — the
+    * blocklist / lexicon / PII-term scan primitive. Matching is raw
+    * substring over UTF-8 bytes (no token boundaries — "can" counts
+    * inside "scan"); anchor patterns with spaces for word semantics. */
+  def multiPatternCounts(text: Column, patterns: Seq[String]): Column =
+    GraftShims.column(org.apache.spark.sql.graft.MultiPatternCounts(
+      GraftShims.expression(text), patterns))
+
+  /** [[multiPatternCounts]] unrolled to hit rows: `(idCol, pattern,
+    * n_hits)` for every (document, pattern) with ≥ 1 overlapping
+    * occurrence. Zero shuffles — the automaton pass, the posexplode
+    * and the filter are all narrow; output size is bounded by actual
+    * hits, never |docs|·|patterns|. */
+  def multiPatternHits(df: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[String]): DataFrame = {
+    val pats = array(patterns.map(lit(_)): _*)
+    df.select(col(idCol),
+        posexplode(multiPatternCounts(col(textCol), patterns))
+          .as(Seq("_i", "n_hits")))
+      .filter(col("n_hits") > 0L)
+      .select(col(idCol), element_at(pats, col("_i") + 1).as("pattern"),
+        col("n_hits"))
+  }
+
   def winnowingFingerprints(textCol: Column, k: Int = 5,
       w: Int = 4): Column = {
     require(k >= 1 && k <= 6,

@@ -73,6 +73,15 @@ object RetrievalQueries {
         graft.operators.TextAnalysis.phraseHits(col("text"),
           Seq("hash", "join")).as("hits"))),
 
+    // Multi-pattern blocklist scan: 6 literal patterns — with nested
+    // pairs ("can" in "scan", "able" in "table") and a cross-word
+    // phrase — counted in ONE Aho-Corasick byte pass per document
+    // (overlapping occurrences included, dictionary-suffix outputs
+    // exercised). Oracle is the naive per-pattern substring scan.
+    "multi_pattern" -> ((s, dir) =>
+      graft.operators.TextAnalysis.multiPatternHits(
+        docs(s, dir), "doc_id", "text", mpPatterns)),
+
     // Same query through the PERSISTED index (bucket-pruned postings +
     // stored df/stats) — the layout is an optimization, never a
     // semantics change, so the oracle is shared with bm25_search.
@@ -191,8 +200,32 @@ object RetrievalQueries {
        |  FROM (SELECT v, md5(CAST(UNNEST([0, 1]) AS VARCHAR) || ':' || v) AS f
        |        FROM $src))""".stripMargin
 
+  /** The multi_pattern gate's blocklist — nested pairs and a phrase,
+    * ONE definition for the engine side and the generated oracle. */
+  private val mpPatterns =
+    Seq("scan", "can", "table", "able", "merge batch", "as")
+
   def oracleSql: Map[String, String] = Map(
     "bm25_search" -> bm25OracleSql,
+
+    // Per pattern the naive overlapping-substring count (every start
+    // position tested); UNION ALL across the pattern list, zero rows
+    // filtered like the engine side. Patterns are ASCII, so DuckDB's
+    // char positions line up with the engine's UTF-8 byte automaton.
+    "multi_pattern" -> {
+      val scans = mpPatterns.map { p =>
+        val lp = p.length
+        s"""  SELECT doc_id, '$p' AS pattern,
+           |         CAST(len(list_filter(range(1, len(text) - $lp + 2),
+           |                i -> substr(text, i, $lp) = '$p'))
+           |           AS BIGINT) AS n_hits
+           |  FROM documents""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""SELECT * FROM (
+         |$scans
+         |) WHERE n_hits > 0
+         |""".stripMargin
+    },
 
     "phrase_hits" ->
       """SELECT doc_id,

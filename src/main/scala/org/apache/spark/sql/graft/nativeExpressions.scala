@@ -500,3 +500,41 @@ object SimHash64 {
     sb.toString
   }
 }
+
+/** `multi_pattern_counts(text, patterns)` — per-pattern OVERLAPPING
+  * occurrence counts from one Aho-Corasick pass over the row
+  * ([[graft.functions.AhoCorasick]]): `array<long>` index-aligned with
+  * the pattern list. One byte-at-a-time scan whatever the pattern
+  * count — the blocklist/lexicon primitive where k `contains` passes
+  * (or one alternation regex, which backtracks) cost k·len.
+  *
+  * Codegen keeps the scan inside whole-stage codegen: the automaton
+  * rides the generated class as a reference object (built once per
+  * task from the serialized word list, shared across rows), the
+  * generated code is a single virtual call per row — no UDF boxing,
+  * no per-row closure dispatch.
+  */
+case class MultiPatternCounts(child: Expression, patterns: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(patterns.nonEmpty, "multi_pattern_counts: empty pattern list")
+
+  @transient private lazy val automaton =
+    new graft.functions.AhoCorasick(patterns)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "multi_pattern_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    automaton.countsArrayData(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ac = ctx.addReferenceObj("acAutomaton", automaton,
+      classOf[graft.functions.AhoCorasick].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ac.countsArrayData($c);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MultiPatternCounts = copy(child = newChild)
+}

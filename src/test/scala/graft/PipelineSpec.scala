@@ -448,6 +448,50 @@ class PipelineSpec extends AnyFunSuite {
       "carts" -> "cart", "dog" -> "dig", "dig" -> "dig"))
   }
 
+  test("multiPatternCounts: overlap, dict-suffix outputs, fail links, UTF-8") {
+    def counts(text: String, pats: Seq[String]): Seq[Long] =
+      Seq(Option(text)).toDF("t")
+        .select(TextAnalysis.multiPatternCounts(col("t"), pats).as("c"))
+        .collect().head.getSeq[Long](0)
+    // overlapping occurrences all count: "aaaa" has three "aa"
+    assert(counts("aaaa", Seq("aa")) == Seq(3L))
+    // nested patterns fire via dictionary-suffix outputs in one pass
+    assert(counts("scan table", Seq("scan", "can", "table", "able", "as"))
+      == Seq(1L, 1L, 1L, 1L, 0L))
+    // failure-link walk: after "abcab" the suffix "cab" has also matched
+    assert(counts("abcab", Seq("abcab", "cab")) == Seq(1L, 1L))
+    // cross-word phrase is just bytes
+    assert(counts("x merge batch y", Seq("merge batch")) == Seq(1L))
+    // multi-byte UTF-8 matches as its byte sequence; no false hits
+    // inside unrelated multi-byte chars
+    assert(counts("café café", Seq("café", "é", "e"))
+      == Seq(2L, 2L, 0L))
+    // null text → null counts row (nullable expression)
+    val withNull = Seq(Some("can"), None).toDF("t")
+      .select(TextAnalysis.multiPatternCounts(col("t"), Seq("can")).as("c"))
+      .collect()
+    assert(withNull.count(_.isNullAt(0)) == 1)
+    intercept[IllegalArgumentException](
+      TextAnalysis.multiPatternCounts(col("t"), Seq.empty))
+    intercept[IllegalArgumentException](
+      Seq("x").toDF("t").select(TextAnalysis.multiPatternCounts(col("t"),
+        Seq("a", "a")).as("c")).collect())
+  }
+
+  test("multiPatternHits: hit rows only, zero shuffles, in codegen") {
+    val docs = Seq((1L, "scan the table"), (2L, "nothing here"),
+      (3L, "can can")).toDF("doc_id", "text")
+    val out = TextAnalysis.multiPatternHits(docs, "doc_id", "text",
+      Seq("scan", "can", "able"))
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows == Map((1L, "scan") -> 1L, (1L, "can") -> 1L,
+      (1L, "able") -> 1L, (3L, "can") -> 2L))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("*(1)"), plan) // whole-stage codegen span
+  }
+
   test("fuzzyTermPairs matches the brute-force levenshtein join") {
     val rnd = new scala.util.Random(7)
     val vocab = (1 to 150)
