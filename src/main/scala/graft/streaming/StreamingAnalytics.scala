@@ -143,6 +143,47 @@ object StreamingAnalytics {
       }
   }
 
+  final case class TypedEvent(
+      user_id: Long, event_id: Long, ts: Timestamp, event_type: String)
+
+  final case class LastEvent(ts: Long, event_id: Long, event_type: String)
+
+  final case class TransitionPair(
+      user_id: Long, prev_type: String, next_type: String)
+
+  /** Streaming twin of [[graft.operators.Events.transitionCounts]]'
+    * pair extraction: per user, each arriving event pairs with the
+    * user's PREVIOUS event type — `mapGroupsWithState` holding exactly
+    * one (ts, id, type) triple per user, O(1) state forever (the batch
+    * lag() window cannot run on a stream; a self-join would buffer the
+    * stream). Emitted pairs are append-only facts; the transition
+    * matrix / permille table is then any downstream count over the
+    * pair sink ([[graft.operators.Events.transitionCounts]]' second
+    * half, which never touches event-sized data).
+    *
+    * In-batch order is `(ts, event_id)` ([[sessionize]]'s stance);
+    * across micro-batches events are paired in ARRIVAL order — the
+    * stream's own order is the sequence being modeled. */
+  def transitionPairs(events: Dataset[TypedEvent]): Dataset[TransitionPair] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, TransitionPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[TypedEvent],
+         state: GroupState[LastEvent]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var last = state.getOption
+          val out = List.newBuilder[TransitionPair]
+          sorted.foreach { e =>
+            last.foreach(l =>
+              out += TransitionPair(userId, l.event_type, e.event_type))
+            last = Some(LastEvent(e.ts.getTime, e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Streaming decontamination: flag arriving documents that share a
     * full word n-gram with a STATIC eval/benchmark set — the
     * [[graft.operators.Curation.decontaminate]] semantics applied at

@@ -224,6 +224,54 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(rows == Map(2L -> 1L, 4L -> 2L))
   }
 
+  test("transitionPairs: O(1) last-event state bridges micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingAnalytics.{TransitionPair, TypedEvent}
+    val stream = MemoryStream[TypedEvent]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val q = graft.streaming.StreamingAnalytics
+      .transitionPairs(stream.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("trans_stream").start()
+    // batch 1: user 1 a→b (tie at :01 broken by event_id), user 2 lone
+    stream.addData(
+      TypedEvent(1L, 11L, t("2024-06-01 00:00:01"), "a"),
+      TypedEvent(1L, 12L, t("2024-06-01 00:00:01"), "b"),
+      TypedEvent(2L, 21L, t("2024-06-01 00:00:05"), "a"))
+    q.processAllAvailable()
+    // batch 2: user 1's stored "b" pairs with the arriving "c";
+    // user 2's stored "a" with "c" — state crossed the batch boundary
+    stream.addData(
+      TypedEvent(1L, 13L, t("2024-06-01 00:00:09"), "c"),
+      TypedEvent(2L, 22L, t("2024-06-01 00:00:09"), "c"))
+    q.processAllAvailable()
+    val pairs = spark.table("trans_stream")
+      .as[TransitionPair].collect().toSet
+    q.stop()
+    assert(pairs == Set(
+      TransitionPair(1L, "a", "b"), TransitionPair(1L, "b", "c"),
+      TransitionPair(2L, "a", "c")))
+  }
+
+  test("multiPatternCounts filters a document stream statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val stream = MemoryStream[(Long, String)]
+    // the streaming blocklist: one automaton pass per arriving doc,
+    // plain append-mode projection+filter with ZERO state
+    val out = graft.operators.TextAnalysis.multiPatternHits(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      Seq("leak", "breach"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("mp_stream").start()
+    stream.addData((1L, "clean"), (2L, "leak then breach then leak"))
+    q.processAllAvailable()
+    val rows = spark.table("mp_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    q.stop()
+    assert(rows == Map((2L, "leak") -> 2L, (2L, "breach") -> 1L))
+  }
+
   test("topKPairs leaderboard maintains itself across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
