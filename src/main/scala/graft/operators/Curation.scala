@@ -777,6 +777,47 @@ object Curation {
       .agg(count(lit(1)).as("n_sample"), quantAggs: _*)
   }
 
+  /** Percentile-bucket assignment from broadcast sketch boundaries —
+    * "which quantile of its distribution is this row in" WITHOUT the
+    * global-window formulation (`ntile`/`cume_dist` OVER an unpartitioned
+    * window total-orders the entire corpus through one sort — the
+    * last-reducer killer at 100 TB). Two-phase instead: the
+    * [[sketchQuantiles]] bottom-k-by-hash sample yields the
+    * `nBuckets − 1` interior boundaries (one O(k)-state aggregation),
+    * which ride the scoring pass as a broadcast 1-row cross join;
+    * bucket = 1 + |boundaries strictly below the value| — a narrow
+    * per-row filter over an `nBuckets`-long array, no shuffle of the
+    * data being scored.
+    *
+    * Sample-boundary semantics, deterministic (the sample is a pure
+    * function of the id set): against true-quantile boundaries the
+    * bucket can differ near edges by the sample error (~1/√k) — exact
+    * when k ≥ n (the [[sketchQuantiles]] collapse). Values EQUAL to a
+    * boundary fall in the lower bucket (strict >); null values keep a
+    * null bucket. Output: input columns + `bucket` ∈ [1, nBuckets]. */
+  def quantileBuckets(df: DataFrame, idCol: String, valueCol: String,
+      nBuckets: Int = 4, k: Int = 256): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 1000,
+      s"nBuckets in [2, 1000], got $nBuckets")
+    require(k >= 2, s"k must be >= 2, got $k")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val fracs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val bounds = df
+      .agg(topKPairs(h, col(valueCol).cast("long"), k, largest = false)
+        .as("sample"))
+      .select(explode(col("sample.payload")).as("v"))
+      .agg(percentile(col("v").cast("double"),
+        array(fracs.map(lit(_)): _*)).as("bounds"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        when(col(valueCol).isNull, lit(null).cast("long"))
+          .otherwise(lit(1).cast("long") +
+            size(filter(col("bounds"),
+              x => col(valueCol).cast("double") > x)).cast("long")))
+      .drop("bounds")
+  }
+
   /** Count-Min sketch aggregate column (the second custom typed
     * aggregate; see [[org.apache.spark.sql.graft.CmSketch]]): O(d·w)
     * mergeable state, map-side partial aggregation, elementwise-sum

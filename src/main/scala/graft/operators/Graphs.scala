@@ -381,6 +381,50 @@ object Graphs {
     hub.join(auth, "id")
   }
 
+  /** Thresholded bipartite projection — the co-occurrence graph builder
+    * (items linked when they share enough contexts: suppliers serving
+    * the same orders, terms in the same documents, hosts in the same
+    * crawl sessions). The projection step every co-citation /
+    * co-engagement analysis starts from — and the quadratic bomb when
+    * done naively: one context with 10⁵ members emits 10¹⁰ pairs.
+    *
+    * Semantics: distinct (context, item) incidences; contexts with more
+    * than `maxContextDegree` distinct items are DROPPED ENTIRELY before
+    * pairing (the similarity-join stopword stance: a context shared by
+    * everything carries no co-occurrence signal, exactly like "the"
+    * carries no term-similarity signal — documented semantics, not an
+    * approximation, and the oracle applies the same filter); item pairs
+    * sharing ≥ `minShared` surviving contexts come back as
+    * `(a, b, n_shared)` with `a < b`.
+    *
+    * Scale shape: one map-side-combined degree aggregation + a LEFT
+    * SEMI join to keep small contexts, then the pair self-join
+    * CO-LOCATES on the context key (one shuffle each side) with
+    * fan-out bounded by `maxContextDegree²` per context — never a
+    * hub's squared degree; the final count is map-side combinable.
+    * `minShared` prunes the long tail before anything persists. */
+  def bipartiteProject(edges0: DataFrame, contextCol: String,
+      itemCol: String, minShared: Long = 2,
+      maxContextDegree: Int = 1000): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxContextDegree >= 2,
+      s"maxContextDegree must be >= 2, got $maxContextDegree")
+    val inc = edges0
+      .select(col(contextCol).as("ctx"), col(itemCol).as("item"))
+      .distinct()
+    val keep = inc.groupBy(col("ctx"))
+      .agg(count(lit(1)).as("d"))
+      .filter(col("d") <= maxContextDegree)
+      .select(col("ctx"))
+    val e = inc.join(keep, Seq("ctx"), "leftsemi")
+    e.join(e.select(col("ctx"), col("item").as("item2")),
+        Seq("ctx"))
+      .filter(col("item") < col("item2"))
+      .groupBy(col("item").as("a"), col("item2").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Per-node triangle counts — the clustering-structure signal (spam
     * farms and boilerplate mirror rings show up as dense triangles in a
     * host/co-occurrence graph; the "local clustering" half of the

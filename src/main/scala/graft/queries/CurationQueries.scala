@@ -221,6 +221,16 @@ object CurationQueries {
       Curation.sketchQuantiles(docs(s, dir), "doc_id", "n_chars",
         k = 200)),
 
+    // Percentile-bucket assignment (quartiles of n_chars) from the
+    // SAME broadcast sketch boundaries — a narrow scoring pass over the
+    // corpus instead of a global ntile window sort; k=200 of 500 docs,
+    // so the boundaries are genuinely sample-derived and the oracle
+    // mirrors the sample, not the population.
+    "quantile_bucket" -> ((s, dir) =>
+      Curation.quantileBuckets(
+        docs(s, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", nBuckets = 4, k = 200)),
+
     // Deterministic spherical k-means, k=8, 2 update rounds, exact-integer
     // arithmetic throughout (see Similarity.kmeans).
     "kmeans_clusters" -> ((s, dir) =>
@@ -808,6 +818,26 @@ object CurationQueries {
         |         AS p75_tokens_cents
         |FROM t GROUP BY lang
         |""".stripMargin,
+
+    // Same sample → three interior quartile boundaries as a list →
+    // per-row strict-greater count. list built once in a CTE, the
+    // per-row work mirrors the engine's broadcast filter.
+    "quantile_bucket" -> {
+      val h60 = (1 to 15).map(i =>
+        s"(strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[$i]) - 1)" +
+          s" * ${BigInt(16).pow(15 - i)}").mkString("(", " + ", ")")
+      s"""WITH s AS (
+         |  SELECT n_chars AS v FROM documents
+         |  ORDER BY $h60, n_chars LIMIT 200),
+         |b AS (
+         |  SELECT quantile_cont(v, [0.25, 0.5, 0.75]) AS bounds FROM s)
+         |SELECT doc_id, n_chars,
+         |       CAST(1 + len(list_filter(b.bounds,
+         |              x -> CAST(n_chars AS DOUBLE) > x)) AS BIGINT)
+         |         AS bucket
+         |FROM documents CROSS JOIN b
+         |""".stripMargin
+    },
 
     // The same bottom-200-by-md5-hash sample (ORDER BY hash, value —
     // TopKPairs' tie rule), quantile_cont over the sample, n_total from

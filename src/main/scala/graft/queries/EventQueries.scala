@@ -241,6 +241,17 @@ object EventQueries {
       graft.operators.Graphs.bfsDistances(custSuppEdges(s, dir), "src",
         "dst", seeds = Seq(1L, 4L, 7L), rounds = 3)),
 
+    // Thresholded bipartite projection, order→supplier: suppliers
+    // co-occur when they share ≥ 2 orders, orders with > 6 distinct
+    // suppliers dropped whole (the hub guard BINDS on this data —
+    // 7-lineitem orders exist). The first-class form of the projection
+    // the lpa/triangle gates derive inline.
+    "graph_project" -> ((s, dir) =>
+      graft.operators.Graphs.bipartiteProject(
+        Graft.table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ctx"), col("l_suppkey").as("item")),
+        "ctx", "item", minShared = 2, maxContextDegree = 6)),
+
     // Integer HITS (2 rounds) on the directed customer→supplier graph:
     // customers are pure hubs, suppliers pure authorities (bipartite),
     // each side L1-renormalized to 1e6 per round by exact DECIMAL
@@ -478,6 +489,21 @@ object EventQueries {
         |         AS BIGINT) AS decayed_weight,
         |       CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM h GROUP BY 1
+        |""".stripMargin,
+
+    // The same degree-capped projection: distinct incidences, contexts
+    // over the cap dropped whole, pairs counted on surviving contexts.
+    "graph_project" ->
+      """WITH inc AS (
+        |  SELECT DISTINCT l_orderkey AS ctx, l_suppkey AS item
+        |  FROM lineitem),
+        |keep AS (
+        |  SELECT ctx FROM inc GROUP BY ctx HAVING COUNT(*) <= 6),
+        |e AS (SELECT inc.ctx, inc.item FROM inc JOIN keep USING (ctx))
+        |SELECT CAST(a.item AS BIGINT) AS a, CAST(b.item AS BIGINT) AS b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM e a JOIN e b ON a.ctx = b.ctx AND a.item < b.item
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
         |""".stripMargin,
 
     // Two unrolled HITS rounds in HUGEINT; L1 renormalization to 1e6

@@ -558,6 +558,33 @@ class CurationSpec extends AnyFunSuite {
       Curation.sketchQuantiles(df, "id", "v", qsPermille = Seq(1000)))
   }
 
+  test("quantileBuckets: exact boundaries at k >= n, ties fall low, nulls") {
+    // values 1..100 → quartile bounds (25.75, 50.5, 75.25) exactly
+    val df = (1L to 100L).map(i => (i, i)).toDF("id", "v")
+    val out = Curation.quantileBuckets(df, "id", "v", nBuckets = 4,
+        k = 256)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out(25L) == 1L && out(26L) == 2L)   // bound 25.75
+    assert(out(50L) == 2L && out(51L) == 3L)   // bound 50.5
+    assert(out(75L) == 3L && out(76L) == 4L)   // bound 75.25
+    assert(out(1L) == 1L && out(100L) == 4L)
+    // integer boundary: nBuckets=2 over 1..99 → median 50 exactly;
+    // value == boundary takes the LOWER bucket (strict >)
+    val odd = (1L to 99L).map(i => (i, i)).toDF("id", "v")
+    val halves = Curation.quantileBuckets(odd, "id", "v", nBuckets = 2,
+        k = 256)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(halves(50L) == 1L && halves(51L) == 2L)
+    // null value → null bucket; no Window anywhere in the plan
+    val withNull = Seq((1L, Some(5L)), (2L, None)).toDF("id", "v")
+    val nb = Curation.quantileBuckets(withNull, "id", "v", nBuckets = 2)
+    assert(nb.collect().count(_.isNullAt(2)) == 1)
+    val plan = nb.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    intercept[IllegalArgumentException](
+      Curation.quantileBuckets(df, "id", "v", nBuckets = 1))
+  }
+
   test("naive Bayes: hand-computed smoothed model, unseen words, tie rule") {
     // train: label p = "a a b", label q = "c c d" → vocab {a,b,c,d},
     // V=4, ctok=3 per label, denominator 7 everywhere. S = 1e9:

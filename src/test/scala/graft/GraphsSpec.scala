@@ -156,4 +156,30 @@ class GraphsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Graphs.hits(e, "src", "dst", scale = 10L))
   }
+
+  test("bipartiteProject: hub guard, minShared, duplicate incidences") {
+    // contexts: c1 {1,2}, c2 {1,2,3}, c3 {1,2,3,4} (degree 4 > cap 3 —
+    // dropped whole), c4 {2} — duplicate (c1, 1) incidence collapses
+    val inc = Seq(
+      (10L, 1L), (10L, 2L), (10L, 1L),
+      (20L, 1L), (20L, 2L), (20L, 3L),
+      (30L, 1L), (30L, 2L), (30L, 3L), (30L, 4L),
+      (40L, 2L))
+      .toDF("ctx", "item")
+    val out = Graphs.bipartiteProject(inc, "ctx", "item",
+        minShared = 2, maxContextDegree = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // (1,2) shares c1+c2 = 2; (1,3)/(2,3) share only c2 → below
+    // minShared; c3's pairs (incl. every pair with 4) never counted
+    assert(out == Map((1L, 2L) -> 2L))
+    // with the guard loose and minShared 1, c3's pairs appear
+    val loose = Graphs.bipartiteProject(inc, "ctx", "item",
+        minShared = 1, maxContextDegree = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(loose((1L, 4L)) == 1L && loose((1L, 2L)) == 3L)
+    intercept[IllegalArgumentException](
+      Graphs.bipartiteProject(inc, "ctx", "item", minShared = 0))
+  }
 }

@@ -595,4 +595,32 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.length < 20000, s"plan unexpectedly large: ${plan.length} chars")
     assert(out.groupBy("cluster").count().count() > 1)
   }
+
+  test("sketchQuantiles: partial+final object agg, one event-data shuffle") {
+    val df = (1L to 500L).map(i => (i, i % 97)).toDF("id", "v")
+    val plan = explainOf(
+      graft.operators.Curation.sketchQuantiles(df, "id", "v", k = 64))
+    // the bottom-k-by-hash sample aggregates map-side (partial) before
+    // the single-partition final — the O(k)-state mergeability claim as
+    // a plan property, not prose
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.matches("(?s).*partial_top_k_pairs.*"), plan)
+    // downstream of the k-row sample everything is k-sized; exactly the
+    // two single-partition exchanges (sample agg + quantile agg) and
+    // the input's own lineage touch the plan
+    val nEx = "Exchange".r.findAllIn(plan.split("\\n\\n").head).length
+    assert(nEx <= 2, s"expected <= 2 exchanges, got $nEx:\n$plan")
+  }
+
+  test("hits: per-round plan is equi-join + aggregate, no product") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val plan = explainOf(graft.operators.Graphs.hits(e, "src", "dst",
+      rounds = 1))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only nested-loop join allowed is the 1-row total broadcast
+    // (normalization); the gather joins must be hash equi-joins
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      !plan.contains("NestedLoop"), plan)
+    assert(plan.contains("hub") && plan.contains("auth"), plan)
+  }
 }
