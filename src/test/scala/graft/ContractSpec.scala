@@ -27,7 +27,10 @@ class ContractSpec extends AnyFunSuite {
 
   test("oracle SQL references only driver-provided tables") {
     val tables = Set("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "events", "documents", "embeddings")
+      "orders", "lineitem", "events", "documents", "embeddings",
+      // DuckDB built-in table FUNCTIONS — row generators, not external
+      // tables; the driver can always evaluate them
+      "range", "generate_series", "unnest")
     // crude but effective: every FROM/JOIN target that is a bare
     // identifier must be a known table or a CTE defined in that query
     val cte = "(?i)([a-z0-9_]+)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
