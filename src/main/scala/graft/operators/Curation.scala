@@ -777,6 +777,40 @@ object Curation {
       .agg(count(lit(1)).as("n_sample"), quantAggs: _*)
   }
 
+  /** Per-key [[sketchQuantiles]] — the grouped form: one O(k) bottom-k-
+    * by-hash sample PER KEY (map-side combined), quantiles over each
+    * key's sample. Per-source length/quality distribution monitoring at
+    * corpus scale: exact per-key percentiles sort every value of every
+    * key ([[Events.sessionize]]-style whole-group windows — the skewed
+    * key becomes the last reducer); this caps every key's state at k
+    * pairs. The second aggregation runs over |keys|·k rows and REUSES
+    * the first's hash partitioning (no second exchange — plan-asserted
+    * in the spec). Same exactness/collapse contract as
+    * [[sketchQuantiles]]; keys with a null value everywhere still
+    * report `n_total` with an empty sample dropped. */
+  def sketchQuantilesByKey(df: DataFrame, keyCol: String, idCol: String,
+      valueCol: String, k: Int = 256,
+      qsPermille: Seq[Int] = Seq(250, 500, 750)): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(qsPermille.nonEmpty &&
+      qsPermille.forall(q => q >= 1 && q <= 999),
+      s"quantiles in [1, 999] permille, got $qsPermille")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val perKey = df.groupBy(col(keyCol))
+      .agg(topKPairs(h, col(valueCol).cast("long"), k, largest = false)
+        .as("sample"),
+        count(lit(1)).as("n_total"))
+    val quantAggs = qsPermille.map(q =>
+      round(percentile(col("v"), lit(q / 1000.0)) * 100).cast("long")
+        .as(s"p${q}_cents"))
+    perKey
+      .select(col(keyCol), col("n_total"),
+        explode(col("sample.payload")).as("v"))
+      .groupBy(col(keyCol), col("n_total"))
+      .agg(count(lit(1)).as("n_sample"), quantAggs: _*)
+  }
+
   /** Percentile-bucket assignment from broadcast sketch boundaries —
     * "which quantile of its distribution is this row in" WITHOUT the
     * global-window formulation (`ntile`/`cume_dist` OVER an unpartitioned

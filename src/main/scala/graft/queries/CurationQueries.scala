@@ -221,6 +221,13 @@ object CurationQueries {
       Curation.sketchQuantiles(docs(s, dir), "doc_id", "n_chars",
         k = 200)),
 
+    // Per-key quantile sketch: one O(16) sample PER SOURCE (25 docs
+    // each — the sample binds), quantiles per key over the sample; the
+    // second aggregation reuses the first's partitioning.
+    "sketch_quantiles_by_key" -> ((s, dir) =>
+      Curation.sketchQuantilesByKey(docs(s, dir), "source", "doc_id",
+        "n_chars", k = 16)),
+
     // Percentile-bucket assignment (quartiles of n_chars) from the
     // SAME broadcast sketch boundaries — a narrow scoring pass over the
     // corpus instead of a global ntile window sort; k=200 of 500 docs,
@@ -818,6 +825,33 @@ object CurationQueries {
         |         AS p75_tokens_cents
         |FROM t GROUP BY lang
         |""".stripMargin,
+
+    // Per-source bottom-16-by-hash sample via a ranked window (the
+    // oracle's formulation of the bounded aggregate), quantile_cont
+    // per source over the sample.
+    "sketch_quantiles_by_key" -> {
+      val h60 = (1 to 15).map(i =>
+        s"(strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[$i]) - 1)" +
+          s" * ${BigInt(16).pow(15 - i)}").mkString("(", " + ", ")")
+      s"""WITH r AS (
+         |  SELECT source, n_chars AS v,
+         |         row_number() OVER (PARTITION BY source
+         |           ORDER BY $h60, n_chars) AS rk
+         |  FROM documents),
+         |s AS (SELECT source, v FROM r WHERE rk <= 16),
+         |t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total
+         |      FROM documents GROUP BY 1)
+         |SELECT t.source, t.n_total,
+         |       CAST(COUNT(*) AS BIGINT) AS n_sample,
+         |       CAST(round(quantile_cont(v, 0.250) * 100) AS BIGINT)
+         |         AS p250_cents,
+         |       CAST(round(quantile_cont(v, 0.500) * 100) AS BIGINT)
+         |         AS p500_cents,
+         |       CAST(round(quantile_cont(v, 0.750) * 100) AS BIGINT)
+         |         AS p750_cents
+         |FROM s JOIN t USING (source) GROUP BY 1, 2
+         |""".stripMargin
+    },
 
     // Same sample → three interior quartile boundaries as a list →
     // per-row strict-greater count. list built once in a CTE, the

@@ -558,6 +558,23 @@ class CurationSpec extends AnyFunSuite {
       Curation.sketchQuantiles(df, "id", "v", qsPermille = Seq(1000)))
   }
 
+  test("sketchQuantilesByKey: per-key collapse, one shared shuffle") {
+    // key a: 1..9 (k=16 ≥ 9 → exact); key b: 10,20,30
+    val df = ((1L to 9L).map(i => ("a", i, i)) ++
+      Seq(("b", 101L, 10L), ("b", 102L, 20L), ("b", 103L, 30L)))
+      .toDF("k", "id", "v")
+    val out = Curation.sketchQuantilesByKey(df, "k", "id", "v", k = 16)
+    val rows = out.collect().map(r => r.getString(0) ->
+      (r.getAs[Long]("n_total"), r.getAs[Long]("n_sample"),
+        r.getAs[Long]("p500_cents"))).toMap
+    assert(rows == Map("a" -> ((9L, 9L, 500L)), "b" -> ((3L, 3L, 2000L))))
+    // the second aggregation reuses the first's hash partitioning:
+    // exactly ONE exchange in the executed (final) plan
+    val full = out.queryExecution.executedPlan.toString
+    val tree = full.split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(tree).length == 1, tree)
+  }
+
   test("quantileBuckets: exact boundaries at k >= n, ties fall low, nulls") {
     // values 1..100 → quartile bounds (25.75, 50.5, 75.25) exactly
     val df = (1L to 100L).map(i => (i, i)).toDF("id", "v")
