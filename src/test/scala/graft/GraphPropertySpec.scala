@@ -162,6 +162,59 @@ class GraphPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("hits equals the naive integer HITS, arithmetic included") {
+    check(Prop.forAll(genEdges.suchThat(_.nonEmpty),
+        Gen.choose(1, 3)) { (edges0, rounds) =>
+      val scale = 1000000L
+      val e = edges0.distinct
+      val nodes = e.flatMap { case (a, b) => Seq(a, b) }.distinct
+      var hub = nodes.map(_ -> scale).toMap
+      var auth = nodes.map(_ -> 0L).toMap
+      def norm(raw: Map[Long, Long]): Map[Long, Long] = {
+        val t = raw.values.sum
+        if (t == 0L) raw
+        else raw.map { case (k, v) =>
+          k -> (BigInt(v) * scale / t).toLong }
+      }
+      for (_ <- 1 to rounds) {
+        auth = norm(nodes.map(v =>
+          v -> e.collect { case (u, w) if w == v => hub(u) }.sum).toMap)
+        hub = norm(nodes.map(u =>
+          u -> e.collect { case (v, w) if v == u => auth(w) }.sum).toMap)
+      }
+      val got = Graphs.hits(edges0.toDF("src", "dst"), "src", "dst",
+          rounds)
+        .collect().map(r => r.getLong(0) ->
+          (r.getAs[Long]("hub"), r.getAs[Long]("auth"))).toMap
+      got == nodes.map(v => v -> ((hub(v), auth(v)))).toMap
+    })
+  }
+
+  test("bipartiteProject equals the brute-force capped pair count") {
+    val genInc: Gen[List[(Long, Long)]] =
+      Gen.choose(1, 50).flatMap(n => Gen.listOfN(n,
+        for { c <- Gen.choose(1L, 8L); i <- Gen.choose(1L, 10L) }
+          yield (c, i)))
+    check(Prop.forAll(genInc, Gen.choose(1L, 3L),
+        Gen.choose(2, 5)) { (inc0, minShared, cap) =>
+      val inc = inc0.distinct
+      val byCtx = inc.groupBy(_._1).filter(_._2.size <= cap)
+        .map { case (c, xs) => c -> xs.map(_._2).sorted }
+      val naive = byCtx.values.toList
+        .flatMap(items => for {
+          i <- items.indices; j <- items.indices
+          if i < j && items(i) != items(j)
+        } yield (items(i), items(j)))
+        .groupBy(identity).map { case (p, occ) => p -> occ.size.toLong }
+        .filter(_._2 >= minShared)
+      val got = Graphs.bipartiteProject(inc0.toDF("ctx", "item"),
+          "ctx", "item", minShared, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      got == naive
+    })
+  }
+
   test("seeded pageRank with all nodes as seeds equals uniform pageRank") {
     check(Prop.forAll(genEdges.suchThat(_.exists(e => e._1 != e._2))) {
       edges =>
