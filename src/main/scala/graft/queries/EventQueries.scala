@@ -73,6 +73,21 @@ object EventQueries {
           micros(col("window_start")).as("window_start"),
           col("n_events"), col("avg_n"), col("ratio_permille"))),
 
+    // Distinct users per (hour, type) from an O(8) KMV sketch INSIDE
+    // the windowed aggregation — the mergeable-sketch-in-window
+    // composition (exact countDistinct shuffles every (window, user)
+    // occurrence; the sketch caps per-group state). k=8 so the gate
+    // exercises BOTH branches: most groups exact, the 9-10-user groups
+    // through the estimator. n_exact rides beside as the verification.
+    "window_distinct" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(graft.operators.Curation
+            .kmvDistinct(col("user_id").cast("string"), 8).as("est_users"),
+          countDistinct(col("user_id")).as("n_exact"))
+        .select(micros(col("w.start")).as("window_start"),
+          col("event_type"), col("est_users"), col("n_exact"))),
+
     // Gap-based sessions (30 min) per user.
     "events_sessions" -> ((s, dir) =>
       Events.sessionize(events(s, dir), "user_id", "ts", "event_id")
@@ -661,6 +676,33 @@ object EventQueries {
         |         AS sum_value_cents
         |FROM events GROUP BY 1, 2
         |""".stripMargin,
+
+    // Per-(window, type) bottom-8 distinct user hashes via a ranked
+    // window; the Beyer estimator (k−1)·2⁶⁰ // kth-hash beyond
+    // saturation, the exact distinct count under it — digit-for-digit
+    // the KmvDistinct convention.
+    "window_distinct" -> {
+      val h60 = (1 to 15).map(i =>
+        s"(strpos('0123456789abcdef', md5(u)[$i]) - 1)" +
+          s" * ${BigInt(16).pow(15 - i)}").mkString("(", " + ", ")")
+      s"""WITH v AS (
+         |  SELECT DISTINCT date_trunc('hour', ts) AS ws, event_type,
+         |         CAST(user_id AS VARCHAR) AS u
+         |  FROM events),
+         |r AS (
+         |  SELECT ws, event_type, CAST($h60 AS HUGEINT) AS h,
+         |         row_number() OVER (PARTITION BY ws, event_type
+         |           ORDER BY $h60) AS rk
+         |  FROM v)
+         |SELECT epoch_us(ws) AS window_start, event_type,
+         |       CAST(CASE WHEN COUNT(*) < 8 THEN COUNT(*)
+         |            ELSE CAST(7 AS HUGEINT) * 1152921504606846976
+         |                 // MAX(CASE WHEN rk = 8 THEN h END)
+         |            END AS BIGINT) AS est_users,
+         |       CAST(COUNT(*) AS BIGINT) AS n_exact
+         |FROM r GROUP BY 1, 2
+         |""".stripMargin
+    },
 
     "events_sessions" ->
       """WITH flagged AS (

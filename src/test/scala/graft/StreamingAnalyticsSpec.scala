@@ -224,6 +224,36 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(rows == Map(2L -> 1L, 4L -> 2L))
   }
 
+  test("windowed kmvDistinct: sketch state merges inside streaming windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val stream = MemoryStream[(java.sql.Timestamp, Long)]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val agg = stream.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.operators.Curation
+        .kmvDistinct(col("user_id").cast("string"), 8).as("est"))
+      .select(col("w.start").as("ws"), col("est"))
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("wkmv_stream").start()
+    stream.addData((t("2024-06-01 10:05:00"), 1L),
+      (t("2024-06-01 10:10:00"), 2L))
+    q.processAllAvailable()
+    // watermark is 10:09:50 — the same-window batch-2 rows are on time
+    stream.addData((t("2024-06-01 10:20:00"), 3L), // same window, new user
+      (t("2024-06-01 10:25:00"), 1L),              // duplicate across batches
+      (t("2024-06-01 11:05:00"), 9L))
+    q.processAllAvailable()
+    val rows = spark.table("wkmv_stream").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
+    q.stop()
+    // unsaturated sketches are exact: 3 distinct users at 10:00, 1 at 11:00
+    assert(rows == Map("2024-06-01 10:00:00.0" -> 3L,
+      "2024-06-01 11:00:00.0" -> 1L))
+  }
+
   test("transitionPairs: O(1) last-event state bridges micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingAnalytics.{TransitionPair, TypedEvent}
