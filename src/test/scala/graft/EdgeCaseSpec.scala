@@ -123,4 +123,43 @@ class EdgeCaseSpec extends AnyFunSuite {
       .head.getSeq[Any](0)
     assert(t.isEmpty)
   }
+
+  test("round-8 ops are total on empty and degenerate input") {
+    import graft.operators.{Curation, Events, Graphs, TextAnalysis}
+    import org.apache.spark.sql.functions.col
+    val noEdges = spark.emptyDataset[(Long, Long)].toDF("src", "dst")
+    // hits on an empty graph: no nodes, no rows, no divide-by-zero
+    assert(Graphs.hits(noEdges, "src", "dst").count() == 0)
+    // a self-loop-only graph: the node is its own hub and authority
+    val loop = Seq((5L, 5L)).toDF("src", "dst")
+    val l = Graphs.hits(loop, "src", "dst", rounds = 1).collect()
+    assert(l.map(r => (r.getLong(0), r.getAs[Long]("hub"),
+      r.getAs[Long]("auth"))).toSeq == Seq((5L, 1000000L, 1000000L)))
+    assert(Graphs.bipartiteProject(
+      spark.emptyDataset[(Long, Long)].toDF("ctx", "item"),
+      "ctx", "item").count() == 0)
+    // interval/transition ops on empty event frames
+    val noIv = spark.emptyDataset[(Long, Long, Long)].toDF("k", "s", "e")
+    assert(Events.mergeIntervals(noIv, "k", "s", "e").count() == 0)
+    val noEv = spark.emptyDataset[(Long, Long, Long, String)]
+      .toDF("event_id", "user_id", "t", "event_type")
+    assert(Events.transitionCounts(noEv, "user_id", "t", "event_id",
+      "event_type").count() == 0)
+    // single-event user: no pairs (matches the oracle's lag semantics)
+    val lone = Seq((1L, 1L, 1L, "a")).toDF("event_id", "user_id", "t",
+      "event_type")
+    assert(Events.transitionCounts(lone, "user_id", "t", "event_id",
+      "event_type").count() == 0)
+    // sketches over empty frames: empty output, not a crash
+    val noVals = spark.emptyDataset[(Long, Long)].toDF("id", "v")
+    assert(Curation.sketchQuantiles(noVals, "id", "v").count() == 0)
+    assert(Curation.sketchQuantilesByKey(
+      spark.emptyDataset[(String, Long, Long)].toDF("k", "id", "v"),
+      "k", "id", "v").count() == 0)
+    assert(Curation.quantileBuckets(noVals, "id", "v").count() == 0)
+    // the automaton on an empty document: zero everywhere, no hits rows
+    assert(TextAnalysis.multiPatternHits(
+      Seq((1L, "")).toDF("doc_id", "text"), "doc_id", "text",
+      Seq("x")).count() == 0)
+  }
 }
