@@ -811,6 +811,54 @@ object Curation {
       .agg(count(lit(1)).as("n_sample"), quantAggs: _*)
   }
 
+  /** Robust outlier flags from sketch median + MAD — the
+    * quality-outlier detector that mean/stddev cannot be (one 10⁹-char
+    * document drags a mean filter past every normal row; the median and
+    * the median absolute deviation ignore it). Two-phase on ONE O(k)
+    * bottom-k-by-hash sample ([[sketchQuantiles]]' machinery — the same
+    * ids are sampled for both phases by construction): median m over
+    * the sample, MAD = median |v − m| over the SAME sample, both
+    * broadcast back onto a narrow scoring pass — the corpus being
+    * scored is never shuffled.
+    *
+    * Exact integers end to end: m as ×100 cents (interpolated median of
+    * longs is a multiple of 0.5), per-row deviation |100·v − m_cents|·2
+    * as half-cents, MAD likewise ×2, and the flag is the cross-
+    * multiplication `dev·1000 > threshold‰·mad` — no float z-scores to
+    * drift, DuckDB-mirrorable digit for digit. MAD = 0 (≥ half the
+    * sample at the median) flags every row off the median — the
+    * degenerate-scale semantics, documented not hidden. Null values
+    * keep null deviation and flag. Output: input columns +
+    * `dev_halfcents`, `is_outlier` (0/1). */
+  def robustOutliers(df: DataFrame, idCol: String, valueCol: String,
+      k: Int = 256, thresholdPermille: Long = 3000L): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(thresholdPermille >= 1,
+      s"thresholdPermille must be >= 1, got $thresholdPermille")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val sample = df
+      .agg(topKPairs(h, col(valueCol).cast("long"), k, largest = false)
+        .as("sample"))
+      .select(explode(col("sample.payload")).as("v"))
+    val med = sample
+      .agg(round(percentile(col("v"), lit(0.5)) * 100).cast("long")
+        .as("m_cents"))
+    val mad = sample.crossJoin(broadcast(med))
+      .select(abs(col("v") * 100 - col("m_cents")).as("dev_cents"),
+        col("m_cents"))
+      .groupBy(col("m_cents"))
+      .agg(round(percentile(col("dev_cents"), lit(0.5)) * 2).cast("long")
+        .as("mad_halfcents"))
+    df.crossJoin(broadcast(mad))
+      .withColumn("dev_halfcents",
+        abs(col(valueCol).cast("long") * 100 - col("m_cents")) * 2)
+      .withColumn("is_outlier",
+        (col("dev_halfcents") * 1000 >
+          lit(thresholdPermille) * col("mad_halfcents")).cast("long"))
+      .drop("m_cents", "mad_halfcents")
+  }
+
   /** Percentile-bucket assignment from broadcast sketch boundaries —
     * "which quantile of its distribution is this row in" WITHOUT the
     * global-window formulation (`ntile`/`cume_dist` OVER an unpartitioned

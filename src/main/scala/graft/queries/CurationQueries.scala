@@ -221,6 +221,14 @@ object CurationQueries {
       Curation.sketchQuantiles(docs(s, dir), "doc_id", "n_chars",
         k = 200)),
 
+    // Robust outliers: median + MAD from the 200-doc hash sample,
+    // broadcast back; 2000‰ (2×MAD) so the flag BINDS on this corpus.
+    // Exact half-cent integers end to end — no float z-scores.
+    "robust_outliers" -> ((s, dir) =>
+      Curation.robustOutliers(
+        docs(s, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 200, thresholdPermille = 2000L)),
+
     // Per-key quantile sketch: one O(16) sample PER SOURCE (25 docs
     // each — the sample binds), quantiles per key over the sample; the
     // second aggregation reuses the first's partitioning.
@@ -825,6 +833,31 @@ object CurationQueries {
         |         AS p75_tokens_cents
         |FROM t GROUP BY lang
         |""".stripMargin,
+
+    // Same 200-row sample → median cents → MAD half-cents → per-row
+    // cross-multiplied flag; every step exact integers.
+    "robust_outliers" -> {
+      val h60 = (1 to 15).map(i =>
+        s"(strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[$i]) - 1)" +
+          s" * ${BigInt(16).pow(15 - i)}").mkString("(", " + ", ")")
+      s"""WITH s AS (
+         |  SELECT n_chars AS v FROM documents
+         |  ORDER BY $h60, n_chars LIMIT 200),
+         |m AS (SELECT CAST(round(quantile_cont(v, 0.5) * 100) AS BIGINT)
+         |        AS mc FROM s),
+         |mad AS (
+         |  SELECT CAST(round(quantile_cont(abs(v * 100 - m.mc), 0.5) * 2)
+         |        AS BIGINT) AS mh
+         |  FROM s, m)
+         |SELECT doc_id, n_chars,
+         |       CAST(abs(n_chars * 100 - m.mc) * 2 AS BIGINT)
+         |         AS dev_halfcents,
+         |       CAST(CASE WHEN abs(n_chars * 100 - m.mc) * 2 * 1000
+         |                      > 2000 * mad.mh
+         |            THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+         |FROM documents, m, mad
+         |""".stripMargin
+    },
 
     // Per-source bottom-16-by-hash sample via a ranked window (the
     // oracle's formulation of the bounded aggregate), quantile_cont

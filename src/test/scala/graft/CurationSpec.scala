@@ -575,6 +575,31 @@ class CurationSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(tree).length == 1, tree)
   }
 
+  test("robustOutliers: median/MAD flags, immune to the dragging extreme") {
+    // 1..9 plus a huge value: median 5.5 (of 11 values incl. 1000000),
+    // wait — k >= n so the sample IS the input: values 1..9 ∪ {10⁶}.
+    // m = (5+6)/2 = 5.5 → 550 cents; devs |100v−550|·2; MAD from devs.
+    val df = ((1L to 9L).map(i => (i, i)) :+ (10L, 1000000L))
+      .toDF("id", "v")
+    val out = Curation.robustOutliers(df, "id", "v", k = 256,
+        thresholdPermille = 3000L)
+      .collect().map(r => r.getLong(1) ->
+        (r.getAs[Long]("dev_halfcents"), r.getAs[Long]("is_outlier")))
+      .toMap
+    // devs (cents): 1..9 → 450,350,250,150,50,50,150,250,350; 1e6 huge.
+    // sorted dev_halfcents: 100,100,300,300,500,500,700,700,900,huge
+    // → MAD (interpolated at 5.5th) = 500 half-cents
+    assert(out(1L) == ((900L, 0L)))   // 900 ≤ 3×500
+    assert(out(5L) == ((100L, 0L)))
+    assert(out(9L) == ((700L, 0L)))
+    assert(out(1000000L)._2 == 1L)    // the extreme is the ONLY outlier
+    assert(out.values.map(_._2).sum == 1L)
+    // a mean/stddev filter would have been dragged: mean = 100004.5,
+    // every normal row sits 'below average' — the median never moved
+    intercept[IllegalArgumentException](
+      Curation.robustOutliers(df, "id", "v", thresholdPermille = 0))
+  }
+
   test("quantileBuckets: exact boundaries at k >= n, ties fall low, nulls") {
     // values 1..100 → quartile bounds (25.75, 50.5, 75.25) exactly
     val df = (1L to 100L).map(i => (i, i)).toDF("id", "v")
