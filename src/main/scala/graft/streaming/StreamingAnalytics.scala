@@ -143,6 +143,70 @@ object StreamingAnalytics {
       }
   }
 
+  final case class SpanInterval(key: Long, s: Timestamp, e: Timestamp)
+
+  final case class SpanState(start: Long, maxEnd: Long, n: Long)
+
+  final case class SpanOut(key: Long, span_start: Timestamp,
+      span_end: Timestamp, n_intervals: Long)
+
+  /** Streaming twin of [[graft.operators.Events.mergeIntervals]]: per
+    * key ONE open span as state (start, running max end, count — three
+    * longs, O(1) forever). An arriving interval that overlaps-or-
+    * touches the open span extends it; one that starts beyond the max
+    * end closes the span immediately (in-stream jump) and opens a new
+    * one; the final span of a quiet key closes when the EVENT-TIME
+    * watermark passes its max end (EventTimeTimeout — [[sessionize]]'s
+    * stance: processing-time would re-trigger forever and depend on
+    * wall clock). In-batch order is (s, e), the batch operator's sort.
+    *
+    * Append-only output of CLOSED spans; late intervals beyond the
+    * watermark are dropped by the engine like any watermarked source.
+    * The batch prefix-max linearization cannot run on a stream (its
+    * window needs the whole history); this holds exactly the invariant
+    * the prefix max tracks — the running max end — as the state. */
+  def mergeIntervals(intervals: Dataset[SpanInterval],
+      lateness: String = "10 seconds"): Dataset[SpanOut] = {
+    import intervals.sparkSession.implicits._
+    intervals
+      .withWatermark("s", lateness)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[SpanState, SpanOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, batch: Iterator[SpanInterval],
+         state: GroupState[SpanState]) =>
+          if (state.hasTimedOut) {
+            val sp = state.get
+            state.remove()
+            Iterator(SpanOut(key, new Timestamp(sp.start),
+              new Timestamp(sp.maxEnd), sp.n))
+          } else {
+            val sorted = batch.toSeq.sortBy(iv => (iv.s.getTime, iv.e.getTime))
+            var closed = List.empty[SpanOut]
+            var cur = state.getOption
+            sorted.foreach { iv =>
+              val (s, e) = (iv.s.getTime, iv.e.getTime)
+              cur match {
+                case Some(sp) if s <= sp.maxEnd =>
+                  cur = Some(sp.copy(maxEnd = math.max(sp.maxEnd, e),
+                    n = sp.n + 1))
+                case Some(sp) =>
+                  closed ::= SpanOut(key, new Timestamp(sp.start),
+                    new Timestamp(sp.maxEnd), sp.n)
+                  cur = Some(SpanState(s, e, 1))
+                case None =>
+                  cur = Some(SpanState(s, e, 1))
+              }
+            }
+            cur.foreach { sp =>
+              state.update(sp)
+              state.setTimeoutTimestamp(sp.maxEnd)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   final case class TypedEvent(
       user_id: Long, event_id: Long, ts: Timestamp, event_type: String)
 

@@ -254,6 +254,43 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       "2024-06-01 11:00:00.0" -> 1L))
   }
 
+  test("streaming mergeIntervals: spans extend across batches, close on jump and watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingAnalytics.{SpanInterval, SpanOut}
+    val stream = MemoryStream[SpanInterval]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val q = graft.streaming.StreamingAnalytics
+      .mergeIntervals(stream.toDS(), lateness = "5 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("span_stream").start()
+    // batch 1: key 1 opens [00:00, 10:00); a contained interval merges
+    stream.addData(
+      SpanInterval(1L, t("2024-06-01 10:00:00"), t("2024-06-01 10:10:00")),
+      SpanInterval(1L, t("2024-06-01 10:02:00"), t("2024-06-01 10:05:00")))
+    q.processAllAvailable()
+    // batch 2: touching endpoint EXTENDS the stored span; then a jump
+    // past the max end closes it in-stream and opens a new one
+    stream.addData(
+      SpanInterval(1L, t("2024-06-01 10:10:00"), t("2024-06-01 10:20:00")),
+      SpanInterval(1L, t("2024-06-01 10:30:00"), t("2024-06-01 10:31:00")))
+    q.processAllAvailable()
+    // batch 3: advance the watermark far past 10:31 → timeout closes
+    // the open span
+    stream.addData(
+      SpanInterval(2L, t("2024-06-01 12:00:00"), t("2024-06-01 12:01:00")))
+    q.processAllAvailable()
+    stream.addData(
+      SpanInterval(2L, t("2024-06-01 12:30:00"), t("2024-06-01 12:31:00")))
+    q.processAllAvailable()
+    val spans = spark.table("span_stream").as[SpanOut].collect()
+      .filter(_.key == 1L).map(s => (s.span_start.toString,
+        s.span_end.toString, s.n_intervals)).toSet
+    q.stop()
+    assert(spans == Set(
+      ("2024-06-01 10:00:00.0", "2024-06-01 10:20:00.0", 3L),
+      ("2024-06-01 10:30:00.0", "2024-06-01 10:31:00.0", 1L)))
+  }
+
   test("transitionPairs: O(1) last-event state bridges micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingAnalytics.{TransitionPair, TypedEvent}
