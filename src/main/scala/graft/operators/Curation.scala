@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators a large-scale training-data pipeline needs
@@ -809,6 +810,60 @@ object Curation {
         explode(col("sample.payload")).as("v"))
       .groupBy(col(keyCol), col("n_total"))
       .agg(count(lit(1)).as("n_sample"), quantAggs: _*)
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift from two O(k) hash samples —
+    * "did this source's length/quality/score distribution shift" as ONE
+    * exact-integer statistic: KS = max CDF gap = `max |cntA·nb −
+    * cntB·na| / (na·nb)` over the merged sample values, emitted as
+    * floor permille (no float CDFs; the cross-multiplied form is
+    * hash-stable in any engine). The distribution-drift companion to
+    * [[kmvOverlap]]'s set overlap: retrain triggers, source-quality
+    * regression alarms, pre/post-filter shift checks.
+    *
+    * Each side is one [[sketchQuantiles]]-style bottom-k-by-hash sample
+    * (uniform, RNG-free, mergeable — the corpus is never sorted); the
+    * KS fold then runs on ≤ 2k rows, so its unpartitioned cumulative
+    * window is BOUNDED BY CONSTRUCTION (k is a constant, not data) —
+    * the stance every sketch second stage here takes. Sample KS
+    * converges to population KS at the usual √k rate; k ≥ n collapses
+    * both samples to the full sets and the statistic is exact.
+    *
+    * Output: ONE row — `n_a_sample`, `n_b_sample`, `ks_permille` (null
+    * if either side is empty — no distance to an empty distribution). */
+  def sketchKsDrift(a: DataFrame, aIdCol: String, aValCol: String,
+      b: DataFrame, bIdCol: String, bValCol: String,
+      k: Int = 256): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    def sample(df: DataFrame, idc: String, vc: String, side: String) = {
+      val h = conv(substring(md5(col(idc).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+      df.agg(topKPairs(h, col(vc).cast("long"), k, largest = false)
+          .as("s"))
+        .select(explode(col("s.payload")).as("v"),
+          lit(side).as("side"))
+    }
+    val merged = sample(a, aIdCol, aValCol, "a")
+      .unionByName(sample(b, bIdCol, bValCol, "b"))
+    val per = merged.groupBy(col("v"))
+      .agg(sum(when(col("side") === "a", 1L).otherwise(0L)).as("da"),
+        sum(when(col("side") === "b", 1L).otherwise(0L)).as("db"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = per
+      .withColumn("ca", sum(col("da")).over(w))
+      .withColumn("cb", sum(col("db")).over(w))
+    val tot = merged.groupBy()
+      .agg(sum(when(col("side") === "a", 1L).otherwise(0L)).as("na"),
+        sum(when(col("side") === "b", 1L).otherwise(0L)).as("nb"))
+    cum.crossJoin(broadcast(tot))
+      .groupBy(col("na"), col("nb"))
+      .agg(max(abs(col("ca") * col("nb") - col("cb") * col("na")))
+        .as("ks_scaled"))
+      .select(col("na").as("n_a_sample"), col("nb").as("n_b_sample"),
+        when(col("na") === 0L || col("nb") === 0L, lit(null).cast("long"))
+          .otherwise(expr("ks_scaled * 1000 div (na * nb)"))
+          .as("ks_permille"))
   }
 
   /** Robust outlier flags from sketch median + MAD — the

@@ -221,6 +221,20 @@ object CurationQueries {
       Curation.sketchQuantiles(docs(s, dir), "doc_id", "n_chars",
         k = 200)),
 
+    // Two-sample KS drift between the two source halves' n_chars
+    // distributions, each side a k=64 hash sample of its 250 docs —
+    // sampling binds on both sides, and the statistic is the exact
+    // integer cross-multiplied max CDF gap over the merged samples.
+    "ks_drift" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val half = expr("cast(substring(source, 4) as int)")
+      Curation.sketchKsDrift(
+        d.filter(half < 10).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars",
+        d.filter(half >= 10).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 64)
+    }),
+
     // Robust outliers: median + MAD from the 200-doc hash sample,
     // broadcast back; 2000‰ (2×MAD) so the flag BINDS on this corpus.
     // Exact half-cent integers end to end — no float z-scores.
@@ -833,6 +847,38 @@ object CurationQueries {
         |         AS p75_tokens_cents
         |FROM t GROUP BY lang
         |""".stripMargin,
+
+    // Per-side bottom-64 hash samples, merged distinct values,
+    // cumulative per-side counts, integer max |ca·nb − cb·na| → floor
+    // permille.
+    "ks_drift" -> {
+      val h60 = (1 to 15).map(i =>
+        s"(strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[$i]) - 1)" +
+          s" * ${BigInt(16).pow(15 - i)}").mkString("(", " + ", ")")
+      s"""WITH sa AS (
+         |  SELECT n_chars AS v FROM documents
+         |  WHERE CAST(substr(source, 4) AS INTEGER) < 10
+         |  ORDER BY $h60, n_chars LIMIT 64),
+         |sb AS (
+         |  SELECT n_chars AS v FROM documents
+         |  WHERE CAST(substr(source, 4) AS INTEGER) >= 10
+         |  ORDER BY $h60, n_chars LIMIT 64),
+         |u AS (SELECT v, 1 AS a, 0 AS b FROM sa
+         |      UNION ALL SELECT v, 0, 1 FROM sb),
+         |p AS (SELECT v, SUM(a) AS da, SUM(b) AS db FROM u GROUP BY v),
+         |c AS (SELECT v,
+         |        SUM(da) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+         |        SUM(db) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb
+         |      FROM p),
+         |t AS (SELECT (SELECT COUNT(*) FROM sa) AS na,
+         |             (SELECT COUNT(*) FROM sb) AS nb)
+         |SELECT CAST(t.na AS BIGINT) AS n_a_sample,
+         |       CAST(t.nb AS BIGINT) AS n_b_sample,
+         |       CAST(MAX(abs(c.ca * t.nb - c.cb * t.na)) * 1000
+         |            // (t.na * t.nb) AS BIGINT) AS ks_permille
+         |FROM c, t GROUP BY t.na, t.nb
+         |""".stripMargin
+    },
 
     // Same 200-row sample → median cents → MAD half-cents → per-row
     // cross-multiplied flag; every step exact integers.

@@ -575,6 +575,25 @@ class CurationSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(tree).length == 1, tree)
   }
 
+  test("sketchKsDrift: hand-computed gap, identical and disjoint sets") {
+    def ks(a: Seq[Long], b: Seq[Long]): Option[Long] = {
+      val da = a.zipWithIndex.map { case (v, i) => (i.toLong + 1000, v) }
+        .toDF("id", "v")
+      val db = b.zipWithIndex.map { case (v, i) => (i.toLong + 2000, v) }
+        .toDF("id", "v")
+      val r = Curation.sketchKsDrift(da, "id", "v", db, "id", "v", k = 64)
+        .collect().head
+      if (r.isNullAt(2)) None else Some(r.getLong(2))
+    }
+    // A={1,2,3,4}, B={3,4,5,6}: max gap at v=2..4 → 8/16 → 500‰
+    assert(ks(Seq(1L, 2L, 3L, 4L), Seq(3L, 4L, 5L, 6L)) == Some(500L))
+    // identical distributions → 0; fully disjoint supports → 1000
+    assert(ks(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)) == Some(0L))
+    assert(ks(Seq(1L, 2L), Seq(10L, 20L)) == Some(1000L))
+    // an empty side has no distance to measure
+    assert(ks(Seq(1L, 2L), Seq.empty) == None)
+  }
+
   test("robustOutliers: median/MAD flags, immune to the dragging extreme") {
     // 1..9 plus a huge value: median 5.5 (of 11 values incl. 1000000),
     // wait — k >= n so the sample IS the input: values 1..9 ∪ {10⁶}.
