@@ -366,6 +366,35 @@ object Events {
         expr("n * 1000 div _total").as("permille"))
   }
 
+  /** Retention cohort matrix — the product-analytics staple: users
+    * bucketed by their FIRST active week (the cohort), counted in every
+    * later week they return — `(cohort, week_offset, n_users)`, the
+    * table retention curves and cohort heatmaps read straight off.
+    * Weeks are Monday-truncated calendar weeks (`date_trunc('week')`,
+    * identical in Spark and DuckDB), so offsets are exact integer
+    * `days div 7`.
+    *
+    * Scale shape: the FIRST step dedups activity to distinct
+    * (user, week) — everything after runs on ≤ |users|·|weeks| rows,
+    * never event-sized data: one min-aggregation for cohorts
+    * (map-side combined), one equi-join back, one final count. Within
+    * a (cohort, offset) cell each user appears once by construction,
+    * so the count IS the distinct-user count — no countDistinct
+    * shuffle. */
+  def retentionCohorts(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val active = events
+      .select(col(userCol).as("u"),
+        date_trunc("week", col(tsCol)).as("wk"))
+      .distinct()
+    val cohorts = active.groupBy(col("u")).agg(min(col("wk")).as("cohort"))
+    active.join(cohorts, "u")
+      .groupBy(col("cohort"),
+        (datediff(col("wk"), col("cohort")) / 7).cast("long")
+          .as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Recency-weighted counts per key — the freshness signal behind
     * crawl re-visit scheduling and recency-weighted corpus mixing: an
     * event `h` half-lives older than `asOf` contributes weight

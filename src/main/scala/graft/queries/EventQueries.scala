@@ -88,6 +88,20 @@ object EventQueries {
         .select(micros(col("w.start")).as("window_start"),
           col("event_type"), col("est_users"), col("n_exact"))),
 
+    // Weekly retention cohorts: users keyed by first active week,
+    // counted in each returning week — everything past the first
+    // distinct runs on (user, week) rows, never event-sized data.
+    // The synthetic stream has every user active every week (one
+    // cohort); a deterministic per-user onboarding day (id mod 28)
+    // staggers first activity so the matrix is genuinely triangular.
+    "retention_cohorts" -> ((s, dir) =>
+      Events.retentionCohorts(
+        events(s, dir)
+          .filter(dayofmonth(col("ts")) >= col("user_id") % 28),
+        "user_id", "ts")
+        .select(micros(col("cohort")).as("cohort"), col("week_offset"),
+          col("n_users"))),
+
     // Gap-based sessions (30 min) per user.
     "events_sessions" -> ((s, dir) =>
       Events.sessionize(events(s, dir), "user_id", "ts", "event_id")
@@ -703,6 +717,19 @@ object EventQueries {
          |FROM r GROUP BY 1, 2
          |""".stripMargin
     },
+
+    "retention_cohorts" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS wk
+        |  FROM events
+        |  WHERE date_part('day', ts) >= user_id % 28),
+        |c AS (SELECT u, MIN(wk) AS cohort FROM a GROUP BY u)
+        |SELECT epoch_us(c.cohort) AS cohort,
+        |       CAST(datediff('day', c.cohort, a.wk) // 7 AS BIGINT)
+        |         AS week_offset,
+        |       CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM a JOIN c USING (u) GROUP BY 1, 2
+        |""".stripMargin,
 
     "events_sessions" ->
       """WITH flagged AS (

@@ -255,6 +255,27 @@ class EventsSpec extends AnyFunSuite {
       s"expected exactly one shuffle:\n$plan")
   }
 
+  test("retentionCohorts: cohort = first week, gaps stay gaps") {
+    // Mondays: 2024-01-01, -08, -15. u1 joins wk0, skips wk1, returns
+    // wk2; u2 joins wk0, returns wk1; u3 joins wk1 only. Multiple
+    // events in one (user, week) count once.
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-02 10:00:00")), (1L, t("2024-01-03 10:00:00")),
+      (1L, t("2024-01-16 10:00:00")),
+      (2L, t("2024-01-01 00:00:00")), (2L, t("2024-01-08 23:59:59")),
+      (3L, t("2024-01-10 12:00:00")))
+      .toDF("user_id", "ts")
+    val out = Events.retentionCohorts(ev, "user_id", "ts")
+      .collect().map(r => (r.getTimestamp(0).toString.take(10),
+        r.getAs[Long]("week_offset")) -> r.getAs[Long]("n_users")).toMap
+    assert(out == Map(
+      ("2024-01-01", 0L) -> 2L, // u1 + u2 join week 0
+      ("2024-01-01", 1L) -> 1L, // only u2 returns in week 1
+      ("2024-01-01", 2L) -> 1L, // only u1 returns in week 2
+      ("2024-01-08", 0L) -> 1L)) // u3's own cohort
+  }
+
   test("transitionCounts: bigram counts and exact permille rates") {
     // user 1: a→b→b→c ; user 2: a→c ; user 3: lone event (no pairs).
     // Tie at user 1 ts=2 broken by event id: b(id=12) before b(id=13).
