@@ -174,6 +174,46 @@ object Events {
         (col("_rt") - col("_lt")).as("delta_us"): _*)
   }
 
+  /** Interval-overlap join: all (left, right) pairs on the same key
+    * whose CLOSED intervals intersect (`l.s ≤ r.e && r.s ≤ l.e`) — the
+    * temporal/genomic overlap classic ("which sessions overlapped this
+    * incident window", concurrent-span detection). [[rangeJoin]]'s
+    * point-in-window sibling for two interval SETS; the naive
+    * inequality join is a per-key cartesian.
+    *
+    * Binned equi-join with EXACTLY-ONCE pair accounting: each interval
+    * replicates to every `binUs`-wide bin it touches, candidates join
+    * on (key, bin), and a pair is accepted only in the single bin
+    * containing `max(l.s, r.s)` — the overlap's later start lies in
+    * both intervals, so exactly one accepted bin exists per overlapping
+    * pair and no DISTINCT pass is needed. Fan-out per interval is
+    * `len/binUs + 1` replicas: choose `binUs` at or above the typical
+    * interval length (p99), and the join cost is pairs-per-bin bounded,
+    * never pairs-per-key. Rows with `end < start` are dropped (no
+    * extent to overlap). Output: `leftOut ++ rightOut` (pre-rename
+    * collisions away) + `overlap_us ≥ 0` (0 = touching endpoints). */
+  def overlapJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      lsCol: String, leCol: String, rsCol: String, reCol: String,
+      binUs: Long, leftOut: Seq[String], rightOut: Seq[String]): DataFrame = {
+    require(binUs > 0, s"binUs must be positive, got $binUs")
+    val l = left.filter(col(leCol) >= col(lsCol))
+      .select(leftOut.map(col) :+ col(keyCol).as("_k") :+
+        col(lsCol).as("_ls") :+ col(leCol).as("_le"): _*)
+      .withColumn("_bin", explode(sequence(
+        expr(s"_ls div $binUs"), expr(s"_le div $binUs"))))
+    val r = right.filter(col(reCol) >= col(rsCol))
+      .select(rightOut.map(col) :+ col(keyCol).as("_rk") :+
+        col(rsCol).as("_rs") :+ col(reCol).as("_re"): _*)
+      .withColumn("_rbin", explode(sequence(
+        expr(s"_rs div $binUs"), expr(s"_re div $binUs"))))
+    l.join(r, col("_k") === col("_rk") && col("_bin") === col("_rbin") &&
+        col("_ls") <= col("_re") && col("_rs") <= col("_le") &&
+        col("_bin") === expr(s"greatest(_ls, _rs) div $binUs"))
+      .select((leftOut ++ rightOut).map(col) :+
+        (least(col("_le"), col("_re")) -
+          greatest(col("_ls"), col("_rs"))).as("overlap_us"): _*)
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds `gapMinutes`. Returns one row
     * per session with start/end/size. */

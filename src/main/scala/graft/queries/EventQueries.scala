@@ -124,6 +124,23 @@ object EventQueries {
           col("span_end"), col("n_intervals"))
     }),
 
+    // Interval-overlap self-join per user: which of a user's 10/30-min
+    // activity spans ran concurrently — the binned equi-join with
+    // exactly-once pair accounting (accepted only in the bin holding
+    // the later start), never the per-user cartesian. Oracle is the
+    // naive inequality join.
+    "interval_overlap" -> ((s, dir) => {
+      def iv(idAs: String) = events(s, dir).select(
+        col("event_id").as(idAs), col("user_id"),
+        micros(col("ts")).as("s"),
+        (micros(col("ts")) +
+          (lit(1L) + col("event_id") % 3) * 600000000L).as("e"))
+      Events.overlapJoin(iv("l_id"), iv("r_id"), "user_id",
+          "s", "e", "s", "e", binUs = 3600000000L,
+          leftOut = Seq("l_id"), rightOut = Seq("r_id"))
+        .filter(col("l_id") < col("r_id"))
+    }),
+
     // First-order Markov transitions per user (ordered by ts, event_id):
     // pair counts + exact integer permille of everything leaving the
     // previous type.
@@ -777,6 +794,19 @@ object EventQueries {
         |       CAST(MAX(e) AS BIGINT) AS span_end,
         |       CAST(COUNT(*) AS BIGINT) AS n_intervals
         |FROM g GROUP BY 1, 2
+        |""".stripMargin,
+
+    "interval_overlap" ->
+      """WITH iv AS (
+        |  SELECT event_id AS id, user_id, epoch_us(ts) AS s,
+        |         epoch_us(ts) + (1 + event_id % 3) * 600000000 AS e
+        |  FROM events)
+        |SELECT a.id AS l_id, b.id AS r_id,
+        |       CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT)
+        |         AS overlap_us
+        |FROM iv a JOIN iv b
+        |  ON a.user_id = b.user_id AND a.id < b.id
+        | AND a.s <= b.e AND b.s <= a.e
         |""".stripMargin,
 
     "event_transitions" ->

@@ -255,6 +255,26 @@ class EventsSpec extends AnyFunSuite {
       s"expected exactly one shuffle:\n$plan")
   }
 
+  test("overlapJoin: multi-bin overlaps count once, touching counts zero") {
+    // bin = 10. l1 [0, 35] spans 4 bins; r1 [5, 32] overlaps in every
+    // one — the later-start rule must accept exactly one pair copy.
+    // r2 [35, 40] touches l1's endpoint (overlap 0); r3 [50, 60] misses.
+    val l = Seq((1L, 1L, 0L, 35L)).toDF("l_id", "k", "ls", "le")
+    val r = Seq((10L, 1L, 5L, 32L), (20L, 1L, 35L, 40L),
+      (30L, 1L, 50L, 60L), (40L, 2L, 0L, 100L)) // other key never joins
+      .toDF("r_id", "k", "rs", "re")
+    val out = Events.overlapJoin(l, r, "k", "ls", "le", "rs", "re",
+        binUs = 10L, leftOut = Seq("l_id"), rightOut = Seq("r_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        x.getAs[Long]("overlap_us")).toMap
+    assert(out == Map((1L, 10L) -> 27L, (1L, 20L) -> 0L))
+    val plan = Events.overlapJoin(l, r, "k", "ls", "le", "rs", "re",
+        binUs = 10L, leftOut = Seq("l_id"), rightOut = Seq("r_id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("retentionCohorts: cohort = first week, gaps stay gaps") {
     // Mondays: 2024-01-01, -08, -15. u1 joins wk0, skips wk1, returns
     // wk2; u2 joins wk0, returns wk1; u3 joins wk1 only. Multiple
