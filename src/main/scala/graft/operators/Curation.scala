@@ -42,6 +42,14 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** First 15 md5 hex digits of a value as a 60-bit long — THE hash
+    * convention every sampling/sketch operator here shares
+    * ([[org.apache.spark.sql.graft.KmvDistinct]]'s `hash60`, digit for
+    * digit; `queries.util.hash60Sql` is the DuckDB mirror). One
+    * definition so the cross-engine determinism anchor cannot drift. */
+  private[graft] def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
   // ------------------------------------------------------------- PII
 
   /** Redaction patterns — deliberately restricted to the regex subset with
@@ -641,8 +649,7 @@ object Curation {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val u = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
-      .cast("long").cast("double")
+    val u = hash60(col(idCol)).cast("double")
     df.filter(col(idCol).isNotNull && col(weightCol) > 0)
       .select(col(idCol).as("id"),
         col(weightCol).as("weight"),
@@ -764,8 +771,7 @@ object Curation {
     require(qsPermille.nonEmpty &&
       qsPermille.forall(q => q >= 1 && q <= 999),
       s"quantiles in [1, 999] permille, got $qsPermille")
-    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
-      .cast("long")
+    val h = hash60(col(idCol))
     val one = df.agg(
       topKPairs(h, col(valueCol).cast("long"), k, largest = false)
         .as("sample"),
@@ -787,8 +793,10 @@ object Curation {
     * pairs. The second aggregation runs over |keys|·k rows and REUSES
     * the first's hash partitioning (no second exchange — plan-asserted
     * in the spec). Same exactness/collapse contract as
-    * [[sketchQuantiles]]; keys with a null value everywhere still
-    * report `n_total` with an empty sample dropped. */
+    * [[sketchQuantiles]]; a key whose values are all null still
+    * reports its `n_total`, with `n_sample` 0 and null quantiles
+    * (`explode_outer` — degenerate sources are exactly what a
+    * distribution monitor must not lose). */
   def sketchQuantilesByKey(df: DataFrame, keyCol: String, idCol: String,
       valueCol: String, k: Int = 256,
       qsPermille: Seq[Int] = Seq(250, 500, 750)): DataFrame = {
@@ -796,8 +804,7 @@ object Curation {
     require(qsPermille.nonEmpty &&
       qsPermille.forall(q => q >= 1 && q <= 999),
       s"quantiles in [1, 999] permille, got $qsPermille")
-    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
-      .cast("long")
+    val h = hash60(col(idCol))
     val perKey = df.groupBy(col(keyCol))
       .agg(topKPairs(h, col(valueCol).cast("long"), k, largest = false)
         .as("sample"),
@@ -807,9 +814,9 @@ object Curation {
         .as(s"p${q}_cents"))
     perKey
       .select(col(keyCol), col("n_total"),
-        explode(col("sample.payload")).as("v"))
+        explode_outer(col("sample.payload")).as("v"))
       .groupBy(col(keyCol), col("n_total"))
-      .agg(count(lit(1)).as("n_sample"), quantAggs: _*)
+      .agg(count(col("v")).as("n_sample"), quantAggs: _*)
   }
 
   /** Two-sample Kolmogorov–Smirnov drift from two O(k) hash samples —
@@ -836,10 +843,8 @@ object Curation {
       k: Int = 256): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     def sample(df: DataFrame, idc: String, vc: String, side: String) = {
-      val h = conv(substring(md5(col(idc).cast("string")), 1, 15), 16, 10)
-        .cast("long")
-      df.agg(topKPairs(h, col(vc).cast("long"), k, largest = false)
-          .as("s"))
+      df.agg(topKPairs(hash60(col(idc)), col(vc).cast("long"), k,
+          largest = false).as("s"))
         .select(explode(col("s.payload")).as("v"),
           lit(side).as("side"))
     }
@@ -848,20 +853,29 @@ object Curation {
     val per = merged.groupBy(col("v"))
       .agg(sum(when(col("side") === "a", 1L).otherwise(0L)).as("da"),
         sum(when(col("side") === "b", 1L).otherwise(0L)).as("db"))
+    // totals ride the SAME single window sort as the cumulative counts
+    // (full-frame sums) — a separate total aggregation would re-execute
+    // the two full-input sample scans feeding `merged`
     val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = per
-      .withColumn("ca", sum(col("da")).over(w))
-      .withColumn("cb", sum(col("db")).over(w))
-    val tot = merged.groupBy()
-      .agg(sum(when(col("side") === "a", 1L).otherwise(0L)).as("na"),
-        sum(when(col("side") === "b", 1L).otherwise(0L)).as("nb"))
-    cum.crossJoin(broadcast(tot))
-      .groupBy(col("na"), col("nb"))
-      .agg(max(abs(col("ca") * col("nb") - col("cb") * col("na")))
-        .as("ks_scaled"))
-      .select(col("na").as("n_a_sample"), col("nb").as("n_b_sample"),
-        when(col("na") === 0L || col("nb") === 0L, lit(null).cast("long"))
+      .withColumn("ca", sum(col("da")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cb", sum(col("db")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("na", sum(col("da")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("nb", sum(col("db")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // a global agg yields its one row even over empty input — the
+    // both-sides-empty case keeps the one-row contract (0, 0, null)
+    cum
+      .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+        max(abs(col("ca") * col("nb") - col("cb") * col("na")))
+          .as("ks_scaled"))
+      .select(coalesce(col("na"), lit(0L)).as("n_a_sample"),
+        coalesce(col("nb"), lit(0L)).as("n_b_sample"),
+        when(col("na").isNull || col("nb").isNull ||
+            col("na") === 0L || col("nb") === 0L, lit(null).cast("long"))
           .otherwise(expr("ks_scaled * 1000 div (na * nb)"))
           .as("ks_permille"))
   }
@@ -882,30 +896,43 @@ object Curation {
     * multiplication `dev·1000 > threshold‰·mad` — no float z-scores to
     * drift, DuckDB-mirrorable digit for digit. MAD = 0 (≥ half the
     * sample at the median) flags every row off the median — the
-    * degenerate-scale semantics, documented not hidden. Null values
-    * keep null deviation and flag. Output: input columns +
-    * `dev_halfcents`, `is_outlier` (0/1). */
+    * degenerate-scale semantics, documented not hidden. Null values —
+    * and every row, when the sample is empty (no non-null values at
+    * all) — keep null deviation and flag; rows are never dropped.
+    * Output: input columns + `dev_halfcents`, `is_outlier` (0/1).
+    *
+    * ONE full-input scan: both medians come from the same k-long sorted
+    * sample array by pure integer array arithmetic (middle element, or
+    * the middle pair summed — exactly the interpolated percentile ×100
+    * since an interpolated median of longs is a multiple of 0.5), so
+    * phase two never re-executes the sample aggregation. */
   def robustOutliers(df: DataFrame, idCol: String, valueCol: String,
       k: Int = 256, thresholdPermille: Long = 3000L): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     require(thresholdPermille >= 1,
       s"thresholdPermille must be >= 1, got $thresholdPermille")
-    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
-      .cast("long")
-    val sample = df
-      .agg(topKPairs(h, col(valueCol).cast("long"), k, largest = false)
-        .as("sample"))
-      .select(explode(col("sample.payload")).as("v"))
-    val med = sample
-      .agg(round(percentile(col("v"), lit(0.5)) * 100).cast("long")
-        .as("m_cents"))
-    val mad = sample.crossJoin(broadcast(med))
-      .select(abs(col("v") * 100 - col("m_cents")).as("dev_cents"),
-        col("m_cents"))
-      .groupBy(col("m_cents"))
-      .agg(round(percentile(col("dev_cents"), lit(0.5)) * 2).cast("long")
-        .as("mad_halfcents"))
-    df.crossJoin(broadcast(mad))
+    def midExpr(arr: String, scaleOdd: String, combEven: String) =
+      s"""CASE WHEN n = 0 THEN CAST(NULL AS BIGINT)
+         |  WHEN n % 2 = 1
+         |    THEN element_at($arr, CAST((n + 1) div 2 AS INT)) $scaleOdd
+         |  ELSE element_at($arr, CAST(n div 2 AS INT)) $combEven
+         |END""".stripMargin
+    val stats = df
+      .agg(topKPairs(hash60(col(idCol)), col(valueCol).cast("long"), k,
+        largest = false).as("s"))
+      .selectExpr("array_sort(s.payload) AS xs")
+      .selectExpr("xs", "size(xs) AS n")
+      .selectExpr("xs", "n",
+        midExpr("xs", "* 100",
+          "* 50 + element_at(xs, CAST(n div 2 + 1 AS INT)) * 50")
+          + " AS m_cents")
+      .selectExpr("n", "m_cents",
+        "array_sort(transform(xs, x -> abs(x * 100 - m_cents))) AS ds")
+      .selectExpr("m_cents",
+        midExpr("ds", "* 2",
+          "+ element_at(ds, CAST(n div 2 + 1 AS INT))")
+          + " AS mad_halfcents")
+    df.crossJoin(broadcast(stats))
       .withColumn("dev_halfcents",
         abs(col(valueCol).cast("long") * 100 - col("m_cents")) * 2)
       .withColumn("is_outlier",
@@ -937,8 +964,7 @@ object Curation {
     require(nBuckets >= 2 && nBuckets <= 1000,
       s"nBuckets in [2, 1000], got $nBuckets")
     require(k >= 2, s"k must be >= 2, got $k")
-    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
-      .cast("long")
+    val h = hash60(col(idCol))
     val fracs = (1 until nBuckets).map(_.toDouble / nBuckets)
     val bounds = df
       .agg(topKPairs(h, col(valueCol).cast("long"), k, largest = false)

@@ -362,18 +362,22 @@ object Graphs {
         .select(nodes("id"), coalesce(col("raw"), lit(0L)).as("raw"))
     // renormalize to sum ≈ scale: DECIMAL(38,0) multiply then integer
     // div — overflow-free for any graph size, and the 1-row total rides
-    // the plan as a broadcast, not a driver collect
-    def normalize(raw: DataFrame, outCol: String): DataFrame = {
+    // the plan as a broadcast, not a driver collect. The RAW gather is
+    // cut before normalizing: `total` and the scores both read it, and
+    // without the cut that subtree (an |E|-sized join + aggregation)
+    // would execute twice per half-round
+    def normalize(raw0: DataFrame, outCol: String): DataFrame = {
+      val raw = cut(raw0)
       val total = raw.agg(sum(col("raw")).as("t"))
-      cut(raw.crossJoin(broadcast(total))
+      raw.crossJoin(broadcast(total))
         .select(col("id"),
           when(col("t").isNull || col("t") === 0L, lit(0L))
             .otherwise(expr(
               s"cast(cast(raw as decimal(38,0)) * $scale div t as bigint)"))
-            .as(outCol)))
+            .as(outCol))
     }
     var hub = cut(nodes.select(col("id"), lit(scale).as("hub")))
-    var auth = hub.select(col("id"), lit(0L).as("auth"))
+    var auth: DataFrame = null // rounds >= 1: assigned every round
     for (_ <- 1 to rounds) {
       auth = normalize(gather(hub, "hub", "src", "dst"), "auth")
       hub = normalize(gather(auth, "auth", "dst", "src"), "hub")

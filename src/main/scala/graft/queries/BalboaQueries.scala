@@ -180,12 +180,8 @@ object BalboaQueries {
           sum(col("count")).cast("long").as("observations"))),
   )
 
-  /** First 15 hex digits of md5 as an integer — the SQL mirror of
-    * `KmvDistinct.hash60`, digit for digit. */
-  private def hash60Sql(c: String): String =
-    (1 to 15).map(i =>
-      s"(strpos('0123456789abcdef', md5($c)[$i]) - 1) * ${BigInt(16).pow(15 - i)}")
-      .mkString("(", " + ", ")")
+  /** The shared 60-bit md5 hash mirror ([[util.hash60Sql]]). */
+  private def hash60Sql(c: String): String = util.hash60Sql(c)
 
   def oracleSql: Map[String, String] = Map(
     "kmv_distinct" ->

@@ -852,9 +852,7 @@ object CurationQueries {
     // cumulative per-side counts, integer max |ca·nb − cb·na| → floor
     // permille.
     "ks_drift" -> {
-      val h60 = (1 to 15).map(i =>
-        s"(strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[$i]) - 1)" +
-          s" * ${BigInt(16).pow(15 - i)}").mkString("(", " + ", ")")
+      val h60 = util.hash60Sql("CAST(doc_id AS VARCHAR)")
       s"""WITH sa AS (
          |  SELECT n_chars AS v FROM documents
          |  WHERE CAST(substr(source, 4) AS INTEGER) < 10
@@ -883,9 +881,7 @@ object CurationQueries {
     // Same 200-row sample → median cents → MAD half-cents → per-row
     // cross-multiplied flag; every step exact integers.
     "robust_outliers" -> {
-      val h60 = (1 to 15).map(i =>
-        s"(strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[$i]) - 1)" +
-          s" * ${BigInt(16).pow(15 - i)}").mkString("(", " + ", ")")
+      val h60 = util.hash60Sql("CAST(doc_id AS VARCHAR)")
       s"""WITH s AS (
          |  SELECT n_chars AS v FROM documents
          |  ORDER BY $h60, n_chars LIMIT 200),
@@ -909,9 +905,7 @@ object CurationQueries {
     // oracle's formulation of the bounded aggregate), quantile_cont
     // per source over the sample.
     "sketch_quantiles_by_key" -> {
-      val h60 = (1 to 15).map(i =>
-        s"(strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[$i]) - 1)" +
-          s" * ${BigInt(16).pow(15 - i)}").mkString("(", " + ", ")")
+      val h60 = util.hash60Sql("CAST(doc_id AS VARCHAR)")
       s"""WITH r AS (
          |  SELECT source, n_chars AS v,
          |         row_number() OVER (PARTITION BY source
@@ -936,9 +930,7 @@ object CurationQueries {
     // per-row strict-greater count. list built once in a CTE, the
     // per-row work mirrors the engine's broadcast filter.
     "quantile_bucket" -> {
-      val h60 = (1 to 15).map(i =>
-        s"(strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[$i]) - 1)" +
-          s" * ${BigInt(16).pow(15 - i)}").mkString("(", " + ", ")")
+      val h60 = util.hash60Sql("CAST(doc_id AS VARCHAR)")
       s"""WITH s AS (
          |  SELECT n_chars AS v FROM documents
          |  ORDER BY $h60, n_chars LIMIT 200),
@@ -956,9 +948,7 @@ object CurationQueries {
     // TopKPairs' tie rule), quantile_cont over the sample, n_total from
     // the full table.
     "sketch_quantiles" -> {
-      val h60 = (1 to 15).map(i =>
-        s"(strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[$i]) - 1)" +
-          s" * ${BigInt(16).pow(15 - i)}").mkString("(", " + ", ")")
+      val h60 = util.hash60Sql("CAST(doc_id AS VARCHAR)")
       s"""WITH s AS (
          |  SELECT n_chars AS v FROM documents
          |  ORDER BY $h60, n_chars LIMIT 200)

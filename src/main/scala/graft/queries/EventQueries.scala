@@ -713,9 +713,7 @@ object EventQueries {
     // saturation, the exact distinct count under it — digit-for-digit
     // the KmvDistinct convention.
     "window_distinct" -> {
-      val h60 = (1 to 15).map(i =>
-        s"(strpos('0123456789abcdef', md5(u)[$i]) - 1)" +
-          s" * ${BigInt(16).pow(15 - i)}").mkString("(", " + ", ")")
+      val h60 = util.hash60Sql("u")
       s"""WITH v AS (
          |  SELECT DISTINCT date_trunc('hour', ts) AS ws, event_type,
          |         CAST(user_id AS VARCHAR) AS u

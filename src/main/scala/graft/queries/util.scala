@@ -13,6 +13,15 @@ object util {
     * the NTZ→LTZ cast is value-preserving and matches DuckDB `epoch_us`. */
   def micros(c: Column): Column = unix_micros(c.cast("timestamp_ltz"))
 
+  /** First 15 md5 hex digits of a SQL expression as an integer — the
+    * DuckDB mirror of `Curation.hash60` / `KmvDistinct.hash60`, digit
+    * for digit. ONE definition across the oracle catalog so the hash
+    * convention (the cross-engine determinism anchor) cannot drift. */
+  def hash60Sql(c: String): String =
+    (1 to 15).map(i =>
+      s"(strpos('0123456789abcdef', md5($c)[$i]) - 1) * ${BigInt(16).pow(15 - i)}")
+      .mkString("(", " + ", ")")
+
   /** DuckDB-side equivalent of [[Graft.observations]] + its aggregate. */
   val obsCte: String =
     """WITH obs AS (

@@ -147,63 +147,67 @@ object StreamingAnalytics {
 
   final case class SpanState(start: Long, maxEnd: Long, n: Long)
 
+  final case class SpansState(spans: List[SpanState])
+
   final case class SpanOut(key: Long, span_start: Timestamp,
       span_end: Timestamp, n_intervals: Long)
 
   /** Streaming twin of [[graft.operators.Events.mergeIntervals]]: per
-    * key ONE open span as state (start, running max end, count — three
-    * longs, O(1) forever). An arriving interval that overlaps-or-
-    * touches the open span extends it; one that starts beyond the max
-    * end closes the span immediately (in-stream jump) and opens a new
-    * one; the final span of a quiet key closes when the EVENT-TIME
-    * watermark passes its max end (EventTimeTimeout — [[sessionize]]'s
-    * stance: processing-time would re-trigger forever and depend on
-    * wall clock). In-batch order is (s, e), the batch operator's sort.
+    * key the list of OPEN spans as state, each three longs. A span
+    * closes ONLY when the event-time watermark passes its max end — at
+    * that point no on-time interval can still touch it (any future
+    * on-time `s ≥ watermark > maxEnd`), so the close is safe AND
+    * out-of-order on-time intervals are handled exactly: one that
+    * back-fills before an open span extends its `start` downward, one
+    * that bridges two open spans merges them (closing on arrival order
+    * instead would emit spans that later on-time data legally
+    * extends — a correctness bug, not a trade).
     *
-    * Append-only output of CLOSED spans; late intervals beyond the
-    * watermark are dropped by the engine like any watermarked source.
-    * The batch prefix-max linearization cannot run on a stream (its
-    * window needs the whole history); this holds exactly the invariant
-    * the prefix max tracks — the running max end — as the state. */
+    * State is bounded by the number of DISJOINT spans the watermark
+    * has not yet passed — for interval length ≤ L and lateness W,
+    * O((W + L) / min-gap) per key, typically a handful; a key's state
+    * clears entirely once all its spans close (EventTimeTimeout wakes
+    * quiet keys — [[sessionize]]'s stance on processing-time). Late
+    * intervals beyond the watermark are dropped by the engine like any
+    * watermarked source. Append-only output of closed spans;
+    * `end < start` intervals behave as the batch operator's sort
+    * places them (their extent never grows the running max). */
   def mergeIntervals(intervals: Dataset[SpanInterval],
       lateness: String = "10 seconds"): Dataset[SpanOut] = {
     import intervals.sparkSession.implicits._
     intervals
       .withWatermark("s", lateness)
       .groupByKey(_.key)
-      .flatMapGroupsWithState[SpanState, SpanOut](
+      .flatMapGroupsWithState[SpansState, SpanOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: Long, batch: Iterator[SpanInterval],
-         state: GroupState[SpanState]) =>
-          if (state.hasTimedOut) {
-            val sp = state.get
-            state.remove()
-            Iterator(SpanOut(key, new Timestamp(sp.start),
-              new Timestamp(sp.maxEnd), sp.n))
-          } else {
-            val sorted = batch.toSeq.sortBy(iv => (iv.s.getTime, iv.e.getTime))
-            var closed = List.empty[SpanOut]
-            var cur = state.getOption
-            sorted.foreach { iv =>
-              val (s, e) = (iv.s.getTime, iv.e.getTime)
-              cur match {
-                case Some(sp) if s <= sp.maxEnd =>
-                  cur = Some(sp.copy(maxEnd = math.max(sp.maxEnd, e),
-                    n = sp.n + 1))
-                case Some(sp) =>
-                  closed ::= SpanOut(key, new Timestamp(sp.start),
-                    new Timestamp(sp.maxEnd), sp.n)
-                  cur = Some(SpanState(s, e, 1))
-                case None =>
-                  cur = Some(SpanState(s, e, 1))
-              }
+         state: GroupState[SpansState]) =>
+          // one unified path: merge stored spans with the batch's
+          // intervals (empty on a pure timeout wake), then close
+          // whatever the watermark has passed
+          val wm = state.getCurrentWatermarkMs()
+          val incoming = batch
+            .map(iv => SpanState(iv.s.getTime, iv.e.getTime, 1L)).toList
+          val all = (state.getOption.map(_.spans).getOrElse(Nil) ++
+            incoming).sortBy(sp => (sp.start, sp.maxEnd))
+          val merged = all.foldLeft(List.empty[SpanState]) { (acc, sp) =>
+            acc match {
+              case h :: t if sp.start <= h.maxEnd =>
+                h.copy(maxEnd = math.max(h.maxEnd, sp.maxEnd),
+                  n = h.n + sp.n) :: t
+              case _ => sp :: acc
             }
-            cur.foreach { sp =>
-              state.update(sp)
-              state.setTimeoutTimestamp(sp.maxEnd)
-            }
-            closed.reverseIterator
+          }.reverse
+          val (closed, open) = merged.partition(_.maxEnd < wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SpansState(open))
+            // strictly after the current watermark, or Spark rejects it
+            state.setTimeoutTimestamp(
+              math.max(open.map(_.maxEnd).min, wm + 1L))
           }
+          closed.iterator.map(sp => SpanOut(key, new Timestamp(sp.start),
+            new Timestamp(sp.maxEnd), sp.n))
       }
   }
 

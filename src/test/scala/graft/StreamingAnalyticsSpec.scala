@@ -291,6 +291,41 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       ("2024-06-01 10:30:00.0", "2024-06-01 10:31:00.0", 1L)))
   }
 
+  test("streaming mergeIntervals: on-time backfill extends span_start down") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingAnalytics.{SpanInterval, SpanOut}
+    val stream = MemoryStream[SpanInterval]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val q = graft.streaming.StreamingAnalytics
+      .mergeIntervals(stream.toDS(), lateness = "5 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("span_bf_stream").start()
+    // batch 1: span opens at 10:10; watermark advances to 10:09:55
+    stream.addData(
+      SpanInterval(1L, t("2024-06-01 10:10:00"), t("2024-06-01 10:20:00")))
+    q.processAllAvailable()
+    // batch 2: an ON-TIME interval (s >= watermark) that starts BEFORE
+    // the open span's start and overlaps it — the merged span's start
+    // must move DOWN (the close-on-arrival-order design got this wrong)
+    stream.addData(
+      SpanInterval(1L, t("2024-06-01 10:09:56"), t("2024-06-01 10:11:00")))
+    q.processAllAvailable()
+    // advance the watermark past the span end to close it
+    stream.addData(
+      SpanInterval(2L, t("2024-06-01 11:00:00"), t("2024-06-01 11:00:01")))
+    q.processAllAvailable()
+    stream.addData(
+      SpanInterval(2L, t("2024-06-01 11:30:00"), t("2024-06-01 11:30:01")))
+    q.processAllAvailable()
+    val spans = spark.table("span_bf_stream").as[SpanOut].collect()
+      .filter(_.key == 1L)
+      .map(s => (s.span_start.toString, s.span_end.toString,
+        s.n_intervals)).toSet
+    q.stop()
+    assert(spans == Set(
+      ("2024-06-01 10:09:56.0", "2024-06-01 10:20:00.0", 2L)))
+  }
+
   test("transitionPairs: O(1) last-event state bridges micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingAnalytics.{TransitionPair, TypedEvent}
