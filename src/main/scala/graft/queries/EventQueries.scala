@@ -88,6 +88,24 @@ object EventQueries {
         .select(micros(col("w.start")).as("window_start"),
           col("event_type"), col("est_users"), col("n_exact"))),
 
+    // Top-3 users per hourly window by event count — the bounded
+    // TopKPairs aggregate INSIDE the windowed groupBy (the leaderboard
+    // per window, O(k) state per window where the row_number window
+    // sort holds each window's full user list on one task). Rank and
+    // ties match the window formulation exactly — the oracle IS that
+    // window.
+    "window_topk" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("w"))
+        .agg(graft.operators.Curation.topKPairs(col("n"), col("user_id"), 3)
+          .as("t"))
+        .select(micros(col("w.start")).as("window_start"),
+          posexplode(col("t")).as(Seq("rank0", "p")))
+        .select(col("window_start"), col("rank0").cast("long").as("rank"),
+          col("p.ord").as("n_events"), col("p.payload").as("user_id"))),
+
     // Weekly retention cohorts: users keyed by first active week,
     // counted in each returning week — everything past the first
     // distinct runs on (user, week) rows, never event-sized data.
@@ -732,6 +750,21 @@ object EventQueries {
          |FROM r GROUP BY 1, 2
          |""".stripMargin
     },
+
+    "window_topk" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS ws, user_id,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT ws, user_id, n,
+        |         row_number() OVER (PARTITION BY ws
+        |           ORDER BY n DESC, user_id DESC) AS rk
+        |  FROM c)
+        |SELECT epoch_us(ws) AS window_start,
+        |       CAST(rk - 1 AS BIGINT) AS rank, n AS n_events, user_id
+        |FROM r WHERE rk <= 3
+        |""".stripMargin,
 
     "retention_cohorts" ->
       """WITH a AS (
