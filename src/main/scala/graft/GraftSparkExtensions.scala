@@ -19,11 +19,9 @@ import org.apache.spark.sql.graft.IndexRouting
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(IndexRouting(_))
-    ext.injectFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("ip_to_long"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[org.apache.spark.sql.graft.IpToLong].getName, "ip_to_long"),
-        (e: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          org.apache.spark.sql.graft.IpToLong(e.head)))
+    // the full SQL function surface (scalars + typed aggregates) —
+    // same set GraftFunctions.register() puts on an existing session
+    org.apache.spark.sql.graft.GraftFunctions.injectable
+      .foreach(ext.injectFunction)
   }
 }

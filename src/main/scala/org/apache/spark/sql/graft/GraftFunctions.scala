@@ -1,53 +1,81 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
 
-/** SQL registration for graft's native expressions, so `spark.sql` users
-  * get the same codegen'd functions the Scala API uses:
+/** SQL registration for graft's custom expressions and aggregates — the
+  * `spark.sql(...)` face of the Scala API, so a SQL-only user reaches
+  * the same native operators:
   *
   * {{{
   * GraftFunctions.register(spark)
-  * spark.sql("SELECT ip_to_long(rdata) FROM obs")
-  * spark.sql("SELECT simhash64(text), minhash_sig(shingles, 16) FROM docs")
+  * spark.sql("SELECT kmv_distinct(rdata, 256) FROM obs")
+  * spark.sql("SELECT multi_pattern_counts(text, array('leak','breach'))")
+  * spark.sql("SELECT top_k_pairs(score, id, 10) FROM t GROUP BY k")
   * }}}
-  */
+  *
+  * Registered per-session (temp functions) rather than via
+  * `spark.sql.extensions` alone so an EXISTING session — a notebook, a
+  * thriftserver session — can opt in without a rebuild; the
+  * [[graft.GraftSparkExtensions]] config path registers the same set at
+  * build time. Literal arguments (k, pattern lists, largest) must be
+  * foldable — they parameterize operator STATE, not per-row input. */
 object GraftFunctions {
 
-  // arity is validated here: a wrong argument count must surface as an
-  // analysis-time error naming the function, not a raw
-  // IndexOutOfBoundsException — and extra arguments must never be
-  // silently ignored (a `winnow_fp(text, 7, 9)` that quietly used the
-  // defaults would compute wrong fingerprints with no signal)
-  private def arity(name: String, n: Int)(
-      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
-    e =>
-      if (e.length == n) build(e)
-      else throw new IllegalArgumentException(
-        s"$name expects $n argument(s), got ${e.length}")
+  private def litInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval().asInstanceOf[Number].intValue()
+  }
 
-  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "ip_to_long" -> arity("ip_to_long", 1)(e => IpToLong(e.head)),
-    "ipv6_to_hex" -> arity("ipv6_to_hex", 1)(e => Ipv6ToHex(e.head)),
-    "simhash64" -> arity("simhash64", 1)(e => SimHash64(e.head)),
-    "minhash_sig" -> arity("minhash_sig", 2)(e => MinHashSig(e.head, e(1))),
-    "dot_d" -> arity("dot_d", 2)(e => DotProductD(e.head, e(1))),
-    "winnow_fp" -> arity("winnow_fp", 1)(e => WinnowFingerprints(e.head)),
-    // aggregate: the analyzer wraps a bare AggregateFunction in an
-    // AggregateExpression like it does for built-in registrations
-    "kmv_distinct" -> arity("kmv_distinct", 2)(e => KmvDistinct(e.head,
-      e(1) match {
-        case Literal(v: Int, IntegerType) => v
-        case other => throw new IllegalArgumentException(
-          s"kmv_distinct: k must be an integer literal, got $other")
-      }))
-  )
+  private def litBool(e: Expression, what: String): Boolean = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval().asInstanceOf[Boolean]
+  }
 
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    fns.foreach { case (name, builder) =>
-      registry.createOrReplaceTempFunction(name, builder, "built-in")
+  private def litStrings(e: Expression, what: String): Seq[String] = {
+    require(e.foldable, s"$what must be a literal array of strings")
+    e.eval() match {
+      case a: ArrayData =>
+        a.toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(_.asInstanceOf[UTF8String].toString).toSeq
+      case other =>
+        throw new IllegalArgumentException(
+          s"$what: expected an array literal, got $other")
     }
   }
+
+  /** (name, builder) for every SQL-exposed graft function. */
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "ip_to_long" -> (e => IpToLong(e.head)),
+    "ipv6_to_hex" -> (e => Ipv6ToHex(e.head)),
+    "simhash64" -> (e => SimHash64(e.head)),
+    "multi_pattern_counts" -> (e =>
+      MultiPatternCounts(e.head, litStrings(e(1), "patterns"))),
+    "kmv_distinct" -> (e => KmvDistinct(e.head,
+      if (e.size > 1) litInt(e(1), "k") else 256)),
+    "kmv_sketch" -> (e => KmvSketch(e.head,
+      if (e.size > 1) litInt(e(1), "k") else 256)),
+    "top_k_pairs" -> (e => TopKPairs(e.head, e(1), litInt(e(2), "k"),
+      if (e.size > 3) litBool(e(3), "largest") else true)),
+    "cm_sketch" -> (e => CmSketch(e.head,
+      if (e.size > 1) litInt(e(1), "d") else 4,
+      if (e.size > 2) litInt(e(2), "w") else 512)))
+
+  /** Register every graft function into an existing session. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder)
+    }
+
+  /** The same set for `SparkSessionExtensions.injectFunction`. */
+  def injectable: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] =
+    builders.map { case (name, builder) =>
+      (FunctionIdentifier(name), new ExpressionInfo("graft", name), builder)
+    }
 }

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.graft.GraftFunctions
+
+/** The SQL face of the custom expressions/aggregates: after
+  * `GraftFunctions.register`, `spark.sql` reaches the same native
+  * operators as the Scala API — scalar and aggregate, with literal
+  * parameters validated. */
+class SqlFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    GraftFunctions.register(s)
+    s
+  }
+  import spark.implicits._
+
+  test("scalar functions evaluate from SQL") {
+    val r = spark.sql(
+      """SELECT ip_to_long('10.0.0.1') AS ip,
+        |       ipv6_to_hex('::1') AS v6,
+        |       multi_pattern_counts('scan the table',
+        |         array('scan', 'can', 'x')) AS mp,
+        |       length(simhash64('a b c')) AS sh_len""".stripMargin)
+      .collect().head
+    assert(r.getAs[Long]("ip") == 10L * 256 * 256 * 256 + 1)
+    assert(r.getAs[String]("v6") ==
+      "0000000000000000" + "0000000000000001")
+    assert(r.getSeq[Long](2) == Seq(1L, 1L, 0L))
+    assert(r.getAs[Int]("sh_len") == 64)
+  }
+
+  test("typed aggregates run from SQL, parity with the Scala API") {
+    Seq(("a", 5L, 1L), ("a", 9L, 2L), ("a", 1L, 3L), ("b", 7L, 4L))
+      .toDF("k", "v", "id").createOrReplaceTempView("sqlfn_t")
+    val topk = spark.sql(
+      """SELECT k, top_k_pairs(v, id, 2) AS t
+        |FROM sqlfn_t GROUP BY k""".stripMargin)
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(s => (s.getLong(0), s.getLong(1)))).toMap
+    assert(topk == Map("a" -> Seq((9L, 2L), (5L, 1L)),
+      "b" -> Seq((7L, 4L))))
+    val kmv = spark.sql(
+      "SELECT kmv_distinct(CAST(v AS STRING), 64) AS est FROM sqlfn_t")
+      .collect().head.getAs[Long]("est")
+    assert(kmv == 4L) // unsaturated → exact distinct of {5,9,1,7}
+  }
+
+  test("non-literal state parameters are rejected") {
+    Seq(("a", 1L)).toDF("k", "v").createOrReplaceTempView("sqlfn_bad")
+    val ex = intercept[Exception](
+      spark.sql("SELECT kmv_distinct(CAST(v AS STRING), CAST(v AS INT)) " +
+        "FROM sqlfn_bad").collect())
+    assert(ex.getMessage.contains("literal"))
+  }
+}
