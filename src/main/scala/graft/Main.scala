@@ -44,7 +44,7 @@ object Main {
   }
 
   val usage: String =
-    """usage: graft.Main <build|merge|serve|query|dump|replay|backup|expire|curate|dedup|dump-balboa|replay-balboa|index|search> [args]
+    """usage: graft.Main <build|merge|serve|query|dump|replay|backup|expire|curate|dedup|dump-balboa|replay-balboa|index|search|scan> [args]
       |  build  --obs <parquet> --store <dir> [--buckets 64]
       |  merge  --obs <parquet> --store <dir>
       |  serve  --store <dir> [--port 8080]
@@ -59,6 +59,7 @@ object Main {
       |  replay-balboa --dump <dir> --store <dir> [--buckets 64]
       |  index  --docs <parquet> --out <dir> [--buckets 64]
       |  search <term...> --index <dir> [--limit 10]
+      |  scan   <pattern...> --docs <parquet> --out <dir>
       |""".stripMargin
 
   /** Parse `--flag value` pairs; bare tokens (after the subcommand) are
@@ -225,6 +226,17 @@ object Main {
           flags.get("limit").map(_.toInt).getOrElse(10))
         val it = df.toJSON.toLocalIterator()
         while (it.hasNext) println(it.next())
+        null
+      case "scan" =>
+        // blocklist/lexicon scan: one Aho-Corasick pass per document,
+        // (doc_id, pattern, n_hits) rows for every hit
+        if (pos.isEmpty)
+          throw new IllegalArgumentException("scan needs patterns")
+        operators.TextAnalysis.multiPatternHits(
+            spark.read.parquet(required(flags, "docs")),
+            flags.getOrElse("id-col", "doc_id"),
+            flags.getOrElse("text-col", "text"), pos)
+          .write.mode("overwrite").parquet(required(flags, "out"))
         null
       case other =>
         throw new IllegalArgumentException(s"unknown command: $other\n$usage")

@@ -204,6 +204,21 @@ class MainSpec extends AnyFunSuite {
     assert(lines.head.contains("\"doc_id\":2"), lines.head) // highest tf
   }
 
+  test("scan runs the blocklist matcher from the CLI") {
+    val dir = Files.createTempDirectory("graft-main-scan").toString
+    Seq((1L, "leak then breach then leak"), (2L, "clean"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/docs")
+    Main.run(spark, Seq("scan", "leak", "breach",
+      "--docs", s"$dir/docs", "--out", s"$dir/hits"))
+    val hits = spark.read.parquet(s"$dir/hits").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(hits == Map((1L, "leak") -> 2L, (1L, "breach") -> 1L))
+    intercept[IllegalArgumentException] { // patterns are positional
+      Main.run(spark, Seq("scan", "--docs", s"$dir/docs",
+        "--out", s"$dir/h2"))
+    }
+  }
+
   test("bad invocations fail with usage errors, not stack traces deep in Spark") {
     intercept[IllegalArgumentException] {
       Main.run(spark, Seq("frobnicate"))
