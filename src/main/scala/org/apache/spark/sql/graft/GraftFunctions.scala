@@ -12,18 +12,33 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * {{{
   * GraftFunctions.register(spark)
+  * spark.sql("SELECT ip_to_long(rdata) FROM obs")
+  * spark.sql("SELECT simhash64(text), minhash_sig(shingles, 16) FROM docs")
   * spark.sql("SELECT kmv_distinct(rdata, 256) FROM obs")
   * spark.sql("SELECT multi_pattern_counts(text, array('leak','breach'))")
   * spark.sql("SELECT top_k_pairs(score, id, 10) FROM t GROUP BY k")
   * }}}
   *
-  * Registered per-session (temp functions) rather than via
-  * `spark.sql.extensions` alone so an EXISTING session — a notebook, a
+  * Registered per-session so an EXISTING session — a notebook, a
   * thriftserver session — can opt in without a rebuild; the
-  * [[graft.GraftSparkExtensions]] config path registers the same set at
-  * build time. Literal arguments (k, pattern lists, largest) must be
-  * foldable — they parameterize operator STATE, not per-row input. */
+  * `spark.sql.extensions` config path ([[graft.GraftSparkExtensions]])
+  * injects the same set at build time. STATE parameters (k, d/w,
+  * pattern lists, largest) must be foldable literals — they size
+  * operator state, not per-row input. */
 object GraftFunctions {
+
+  // arity is validated here: a wrong argument count must surface as an
+  // analysis-time error naming the function, not a raw
+  // IndexOutOfBoundsException — and extra arguments must never be
+  // silently ignored (a `winnow_fp(text, 7, 9)` that quietly used the
+  // defaults would compute wrong fingerprints with no signal)
+  private def arity(name: String, min: Int, max: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    e =>
+      if (e.length >= min && e.length <= max) build(e)
+      else throw new IllegalArgumentException(
+        s"$name expects $min${if (max > min) s"..$max" else ""} " +
+          s"argument(s), got ${e.length}")
 
   private def litInt(e: Expression, what: String): Int = {
     require(e.foldable, s"$what must be a literal")
@@ -47,30 +62,38 @@ object GraftFunctions {
     }
   }
 
-  /** (name, builder) for every SQL-exposed graft function. */
+  /** (name, builder) for every SQL-exposed graft function; aggregates
+    * register like built-ins (the analyzer wraps the bare
+    * AggregateFunction in an AggregateExpression). */
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "ip_to_long" -> (e => IpToLong(e.head)),
-    "ipv6_to_hex" -> (e => Ipv6ToHex(e.head)),
-    "simhash64" -> (e => SimHash64(e.head)),
-    "multi_pattern_counts" -> (e =>
+    "ip_to_long" -> arity("ip_to_long", 1, 1)(e => IpToLong(e.head)),
+    "ipv6_to_hex" -> arity("ipv6_to_hex", 1, 1)(e => Ipv6ToHex(e.head)),
+    "simhash64" -> arity("simhash64", 1, 1)(e => SimHash64(e.head)),
+    "minhash_sig" -> arity("minhash_sig", 2, 2)(e =>
+      MinHashSig(e.head, e(1))),
+    "dot_d" -> arity("dot_d", 2, 2)(e => DotProductD(e.head, e(1))),
+    "winnow_fp" -> arity("winnow_fp", 1, 1)(e =>
+      WinnowFingerprints(e.head)),
+    "multi_pattern_counts" -> arity("multi_pattern_counts", 2, 2)(e =>
       MultiPatternCounts(e.head, litStrings(e(1), "patterns"))),
-    "kmv_distinct" -> (e => KmvDistinct(e.head,
+    "kmv_distinct" -> arity("kmv_distinct", 1, 2)(e => KmvDistinct(e.head,
       if (e.size > 1) litInt(e(1), "k") else 256)),
-    "kmv_sketch" -> (e => KmvSketch(e.head,
+    "kmv_sketch" -> arity("kmv_sketch", 1, 2)(e => KmvSketch(e.head,
       if (e.size > 1) litInt(e(1), "k") else 256)),
-    "top_k_pairs" -> (e => TopKPairs(e.head, e(1), litInt(e(2), "k"),
-      if (e.size > 3) litBool(e(3), "largest") else true)),
-    "cm_sketch" -> (e => CmSketch(e.head,
+    "top_k_pairs" -> arity("top_k_pairs", 3, 4)(e =>
+      TopKPairs(e.head, e(1), litInt(e(2), "k"),
+        if (e.size > 3) litBool(e(3), "largest") else true)),
+    "cm_sketch" -> arity("cm_sketch", 1, 3)(e => CmSketch(e.head,
       if (e.size > 1) litInt(e(1), "d") else 4,
       if (e.size > 2) litInt(e(2), "w") else 512)))
 
   /** Register every graft function into an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
     builders.foreach { case (name, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(
-        FunctionIdentifier(name),
-        new ExpressionInfo("graft", name), builder)
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
+  }
 
   /** The same set for `SparkSessionExtensions.injectFunction`. */
   def injectable: Seq[(FunctionIdentifier, ExpressionInfo,
