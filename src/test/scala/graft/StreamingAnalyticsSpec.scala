@@ -224,6 +224,39 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(rows == Map(2L -> 1L, 4L -> 2L))
   }
 
+  test("windowed topKPairs: leaderboard state merges inside streaming windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val stream = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // ONE stateful aggregation (a chained per-user pre-agg would trip
+    // Spark's multi-stateful-operator correctness check): the bounded
+    // buffer IS the per-window state, merged across micro-batches
+    val agg = stream.toDF().toDF("ts", "user_id", "n")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.operators.Curation
+        .topKPairs(col("n"), col("user_id"), 2).as("t"))
+      .select(col("w.start").as("ws"), col("t"))
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("wtopk_stream").start()
+    stream.addData((t("2024-06-01 10:05:00"), 1L, 5L),
+      (t("2024-06-01 10:10:00"), 2L, 3L))
+    q.processAllAvailable()
+    stream.addData((t("2024-06-01 10:20:00"), 3L, 4L), // displaces user 2
+      (t("2024-06-01 10:25:00"), 2L, 9L))              // new top value
+    q.processAllAvailable()
+    val rows = spark.table("wtopk_stream").collect()
+      .map(r => r.getTimestamp(0).toString ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(s => (s.getLong(0), s.getLong(1))))
+      .groupBy(_._1).map { case (k, v) => k -> v.last._2 }
+    q.stop()
+    // values seen: (5,u1), (3,u2), (4,u3), (9,u2) → top-2 = (9,u2),(5,u1)
+    assert(rows == Map("2024-06-01 10:00:00.0" ->
+      Seq((9L, 2L), (5L, 1L))))
+  }
+
   test("windowed kmvDistinct: sketch state merges inside streaming windows") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
