@@ -25,6 +25,21 @@ object Bench {
     // Warm the session (parquet footers, codegen, JIT) on one mid-size query.
     try runOnce("entries_rrname") catch { case _: Throwable => () }
 
+    // Reference bench-harness shape (SURVEY.md Q10: concurrent point
+    // lookups, 5 workers — cmd/balboa/cmds/bench.go): build the dual
+    // store once from this SF's observations, then hammer point queries.
+    // Runs BEFORE the 136-query analytics sweep: r8 measured the same
+    // code at 18.8 qps after the sweep vs 83.4 isolated — same-JVM
+    // heap/GC inheritance, not a code change. First position (plus an
+    // explicit GC) keeps the driver's trend line honest.
+    System.gc()
+    val (buildSec, qps, planQps, wideQps, cachedQps, mergeSec, tcpQps) =
+      try benchPointLookups(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] point-lookups failed: ${e.getMessage}")
+        (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0)
+      }
+
     // Local-iteration aid (the driver never sets this): run only the
     // comma-separated query names in SPARK_GRAFT_ONLY.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -40,16 +55,6 @@ object Bench {
           }
         name -> sec
       }
-
-    // Reference bench-harness shape (SURVEY.md Q10: concurrent point
-    // lookups, 5 workers — cmd/balboa/cmds/bench.go): build the dual
-    // store once from this SF's observations, then hammer point queries.
-    val (buildSec, qps, wideQps, cachedQps, mergeSec, tcpQps) =
-      try benchPointLookups(spark, sfDir)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] point-lookups failed: ${e.getMessage}")
-        (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0)
-      }
     val decodeRate =
       try benchDecodeRate(spark, sfDir)
       catch { case e: Throwable =>
@@ -60,7 +65,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir","store_build_sec":$buildSec,"point_lookup_qps":$qps,"point_lookup_qps_16w":$wideQps,"point_lookup_qps_cached":$cachedQps,"merge_batch_sec":$mergeSec,"decode_rows_per_sec":$decodeRate,"tcp_query_qps":$tcpQps}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir","store_build_sec":$buildSec,"point_lookup_qps":$qps,"point_lookup_qps_plan":$planQps,"point_lookup_qps_16w":$wideQps,"point_lookup_qps_cached":$cachedQps,"merge_batch_sec":$mergeSec,"decode_rows_per_sec":$decodeRate,"tcp_query_qps":$tcpQps}""")
     spark.stop()
   }
 
@@ -89,16 +94,20 @@ object Bench {
     n / ((System.nanoTime() - t0) / 1e9)
   }
 
-  /** Build the bucketed dual store, then run 200 rdata point queries on 5
-    * concurrent workers (the reference's bench workload shape), against
-    * the parquet store and again with both copies cached. Measured
-    * result: the PRUNED parquet path wins (one bucket dir = 1-2 tasks per
-    * query) over the naive cache (InMemoryRelation loses partition
-    * pruning — every lookup scans all cached partitions, batch-stats
-    * skipping notwithstanding). Both numbers are reported to keep that
-    * trade-off visible. */
-  private def benchPointLookups(spark: SparkSession,
-      sfDir: String): (Double, Double, Double, Double, Double, Double) = {
+  /** Build the bucketed dual store, then run rdata point queries on
+    * concurrent workers (the reference's bench workload shape —
+    * `cmd/balboa/cmds/bench.go`).
+    *
+    * Headline `point_lookup_qps` is the SERVING path the store's servers
+    * actually use since r9: `servePoint` — a driver-local pruned parquet
+    * read (see [[graft.operators.PointReader]]), no per-query Spark job.
+    * `point_lookup_qps_plan` keeps the Spark-plan path
+    * (`entries().collect()`, the r1–r8 definition) measurable for trend
+    * continuity, and `_cached` documents that a naive full-table cache
+    * LOSES to the pruned scan (InMemoryRelation drops partition pruning —
+    * every lookup scans all cached partitions). */
+  private def benchPointLookups(spark: SparkSession, sfDir: String)
+      : (Double, Double, Double, Double, Double, Double, Double) = {
     val dir = java.nio.file.Files.createTempDirectory("graft-bench-store").toString
     val t0 = System.nanoTime()
     operators.ObservationStore.writeDual(
@@ -107,40 +116,44 @@ object Bench {
     val buildSec = (System.nanoTime() - t0) / 1e9
     val store = operators.ObservationStore.load(spark, dir)
 
-    def run(n: Int, workers: Int = 5): Double = {
+    def timed(n: Int, workers: Int)(q: Int => Unit): Double = {
       val t1 = System.nanoTime()
       val pool = java.util.concurrent.Executors.newFixedThreadPool(workers)
       try {
         val tasks = (1 to n).map { i =>
-          pool.submit(new Runnable {
-            def run(): Unit =
-              store.entries(rdata = Some(i.toString)).collect(): Unit
-          })
+          pool.submit(new Runnable { def run(): Unit = q(i) })
         }
         tasks.foreach(_.get())
       } finally pool.shutdown()
       n / ((System.nanoTime() - t1) / 1e9)
     }
 
-    // Serving config for the point-query path (measured in BenchPoints):
-    // AQE buys nothing for a single-stage pre-pruned scan but costs
-    // per-query driver planning — ~1.5× qps when off. Restored after, so
-    // the analytics sweep keeps adaptive execution.
-    // try/finally: a failure mid-phase must not leave AQE off for the
-    // whole subsequent analytics sweep
-    val (coldQps, wideQps, cachedQps) =
+    def runServe(n: Int, workers: Int = 5): Double =
+      timed(n, workers)(i =>
+        store.servePoint(rdata = Some(i.toString)).get: Unit)
+    def runPlan(n: Int, workers: Int = 5): Double =
+      timed(n, workers)(i =>
+        store.entries(rdata = Some(i.toString)).collect(): Unit)
+
+    runServe(50) // warm the readers (footer parse JIT, fs metadata)
+    val serveQps = runServe(1000)
+    // capacity at 16 workers: the fast path is read-bound, not
+    // scheduler-bound, so it scales with cores until the disk saturates
+    val wideQps = runServe(1000, workers = 16)
+
+    // Spark-plan path for trend continuity. AQE off: it buys nothing for
+    // a single-stage pre-pruned scan but costs per-query driver planning
+    // (~1.5× qps when off, measured in BenchPoints). try/finally: a
+    // failure mid-phase must not leave AQE off for the analytics sweep.
+    val (planQps, cachedQps) =
       try {
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-        val cold = run(200)
-        // capacity at 16 workers: per-query latency is driver-scheduling
-        // bound (~10 ms floor in local mode), so throughput scales with
-        // concurrent clients under FAIR — the serving-capacity number
-        val wide = run(200, workers = 16)
+        val plan = runPlan(200)
         store.cache()
         store.totalCount() // materialize the cache
-        val cached = run(200)
+        val cached = runPlan(200)
         store.unpersist()
-        (cold, wide, cached)
+        (plan, cached)
       } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
 
     // The same 200-query workload through the NATIVE TCP protocol
@@ -154,7 +167,7 @@ object Bench {
       try {
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         try {
-          val n = 200
+          val n = 1000 // fast-path serving: enough queries to measure
           val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
           val t1 = System.nanoTime()
           try {
@@ -197,6 +210,6 @@ object Bench {
     val t2 = System.nanoTime()
     operators.ObservationStore.mergeBatch(spark, dir, batch)
     val mergeSec = (System.nanoTime() - t2) / 1e9
-    (buildSec, coldQps, wideQps, cachedQps, mergeSec, tcpQps)
+    (buildSec, serveQps, planQps, wideQps, cachedQps, mergeSec, tcpQps)
   }
 }

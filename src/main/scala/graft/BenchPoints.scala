@@ -28,28 +28,39 @@ object BenchPoints {
       dir)
     val store = operators.ObservationStore.load(spark, dir)
 
-    def run(n: Int, workers: Int): Double = {
+    def timed(n: Int, workers: Int)(q: Int => Unit): Double = {
       val t1 = System.nanoTime()
       val pool = java.util.concurrent.Executors.newFixedThreadPool(workers)
       try {
         (1 to n).map { i =>
-          pool.submit(new Runnable {
-            def run(): Unit =
-              store.entries(rdata = Some(i.toString)).collect(): Unit
-          })
+          pool.submit(new Runnable { def run(): Unit = q(i) })
         }.foreach(_.get())
       } finally pool.shutdown()
       n / ((System.nanoTime() - t1) / 1e9)
     }
+    def runPlan(n: Int, workers: Int): Double =
+      timed(n, workers)(i =>
+        store.entries(rdata = Some(i.toString)).collect(): Unit)
+    def runServe(n: Int, workers: Int): Double =
+      timed(n, workers)(i =>
+        store.servePoint(rdata = Some(i.toString)).get: Unit)
 
-    run(50, 5) // warm-up: codegen + footers
+    // serving fast path (PointReader): no Spark job, so planner config
+    // is irrelevant — measured per worker count
+    runServe(100, 5) // warm-up: footer parse JIT + fs metadata
+    for (workers <- Seq(1, 5, 16)) {
+      val qps = runServe(2000, workers)
+      println(f"[points] path=serve workers=$workers%-3d qps=$qps%.1f")
+    }
+
+    runPlan(50, 5) // warm-up: codegen + footers
     for ((aqe, cg) <- Seq(("true", "true"), ("false", "true"),
         ("false", "false"))) {
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
       spark.conf.set("spark.sql.codegen.wholeStage", cg)
       for (workers <- Seq(5, 16)) {
-        val qps = run(200, workers)
-        println(f"[points] aqe=$aqe%-5s codegen=$cg%-5s workers=$workers%-3d qps=$qps%.1f")
+        val qps = runPlan(200, workers)
+        println(f"[points] path=plan aqe=$aqe%-5s codegen=$cg%-5s workers=$workers%-3d qps=$qps%.1f")
       }
     }
     spark.stop()

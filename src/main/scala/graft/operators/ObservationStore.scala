@@ -475,7 +475,8 @@ object ObservationStore {
     new ObservationStore(
       spark.read.parquet(s"$path/by_rrname"),
       spark.read.parquet(s"$path/by_rdata"),
-      readNumBuckets(spark, path)
+      readNumBuckets(spark, path),
+      diskPath = Some(path)
     )
   }
 
@@ -490,7 +491,71 @@ object ObservationStore {
   * on point lookups (the filter `bucket = hash(key)` folds to a constant,
   * so only one bucket directory is scanned — balboa's prefix seek). */
 final class ObservationStore(byRrname: DataFrame, byRdata: DataFrame,
-    numBuckets: Option[Int] = None) {
+    numBuckets: Option[Int] = None, diskPath: Option[String] = None) {
+
+  // ---------------------------------------------------------- fast path
+  // Driver-local point readers (see [[PointReader]]): built lazily, only
+  // for disk-backed stores whose metadata records the bucket count. A
+  // reader that finds an incompatible on-disk shape reports
+  // available=false and the store falls back to the Spark plan path.
+  private lazy val pointReaders: Option[(PointReader, PointReader)] =
+    for {
+      path <- diskPath
+      n <- numBuckets
+      spark = byRrname.sparkSession
+      fwd = new PointReader(spark, path, "by_rrname", "rrname", n)
+      inv = new PointReader(spark, path, "by_rdata", "rdata", n)
+      if fwd.available && inv.available
+    } yield (fwd, inv)
+
+  /** Driver-local point lookup — the ms-class serving path. Same
+    * semantics and result shape as [[entries]] (access-path selection on
+    * rrname-present, conjunctive residual equality, limit), but executed
+    * on the calling thread via a pruned parquet read instead of a Spark
+    * job, dropping the per-query planning+scheduling floor. Returns None
+    * when the fast path is unavailable (in-memory store, pre-meta store,
+    * or a non-standard on-disk shape) — callers fall back to [[entries]].
+    */
+  def servePoint(
+      rrname: Option[String] = None,
+      rdata: Option[String] = None,
+      rrtype: Option[String] = None,
+      sensorId: Option[String] = None,
+      limit: Int = 1000): Option[Seq[graft.model.Observation]] = {
+    require(rrname.isDefined || rdata.isDefined,
+      "one of rrname or rdata must be given")
+    pointReaders.map { case (fwd, inv) =>
+      val residual =
+        rrtype.map("rrtype" -> _).toSeq ++
+          sensorId.map("sensor_id" -> _)
+      if (rrname.isDefined)
+        fwd.lookup(rrname.get, residual ++ rdata.map("rdata" -> _), limit)
+      else
+        inv.lookup(rdata.get, residual, limit)
+    }
+  }
+
+  /** [[servePoint]] as schema-carrying Rows (for callers that render by
+    * field name — GraphQL, the TCP wire). */
+  def servePointRows(
+      rrname: Option[String] = None,
+      rdata: Option[String] = None,
+      rrtype: Option[String] = None,
+      sensorId: Option[String] = None,
+      limit: Int = 1000): Option[Seq[org.apache.spark.sql.Row]] =
+    servePoint(rrname, rdata, rrtype, sensorId, limit).map(_.map(o =>
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](o.rrname, o.sensor_id, o.rrtype, o.rdata, o.count,
+          o.first_seen, o.last_seen),
+        Model.observationSchema)))
+
+  /** Materialized rows back into a (LocalRelation-rooted) DataFrame, for
+    * the few serving flows that feed fast-path results into a Spark op
+    * (the GraphQL `aliases` self-join). */
+  def entriesDfFromRows(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+    byRrname.sparkSession.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
+      Model.observationSchema)
 
   /** Q1/Q2/Q3/Q4/Q8 — `entries`: conjunctive equality filters, access-path
     * selection (rrname present → forward copy, else inverted copy —

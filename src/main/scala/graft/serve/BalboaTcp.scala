@@ -356,15 +356,25 @@ object BalboaTcp {
 /** TCP listener speaking the protocol above against an
   * [[ObservationStore]]. One thread per connection (the reference
   * backend's connection-thread model, `backend/balboa-rocksdb` style);
-  * connections are long-lived and carry any number of requests. */
+  * connections are long-lived and carry any number of requests.
+  * `maxConnections` caps concurrent clients at the reference backend's
+  * limit (`backend/lib/engine.c:554-557`: 64 connection threads) — an
+  * over-cap accept gets an ErrorResponse and an immediate close instead
+  * of an unbounded thread pile-up. [[stats]] keeps the engine's rolling
+  * 10 s queries/inputs/errors/bytes/connections log. */
 final class BalboaTcpServer(store: ObservationStore, port: Int = 0,
-    onInput: BalboaTcp.Entry => Unit = _ => ()) {
+    onInput: BalboaTcp.Entry => Unit = _ => (),
+    maxConnections: Int = 64,
+    statsIntervalMillis: Long = 10000L,
+    statsSink: String => Unit = s => System.err.println(s)) {
   import BalboaTcp._
 
   private val server = new ServerSocket(port)
   private val pool = java.util.concurrent.Executors.newCachedThreadPool()
   @volatile private var running = false
   private val inputCount = new java.util.concurrent.atomic.AtomicLong(0)
+  /** Rolling serving stats (engine.c:480-514 cadence). */
+  val stats = new ServeStats("balboa-tcp", statsIntervalMillis, statsSink)
   // live accepted connections: stop() must close them too — pool
   // interrupts do NOT unblock java.net socket reads, so an idle
   // long-lived connection would otherwise pin its handler thread forever
@@ -378,12 +388,32 @@ final class BalboaTcpServer(store: ObservationStore, port: Int = 0,
 
   def start(): Unit = {
     running = true
+    stats.start()
     pool.execute(() => {
       while (running) {
         try {
           val sock = server.accept()
-          conns.add(sock)
-          pool.execute(() => try serve(sock) finally { conns.remove(sock); () })
+          if (conns.size >= maxConnections) {
+            // over the connection cap: refuse loudly (ErrorResponse +
+            // close), never queue unbounded handler threads
+            stats.errors.incrementAndGet()
+            pool.execute(() => {
+              try {
+                sock.getOutputStream.write(encodeErrorResponse(
+                  s"too many connections (max $maxConnections)"))
+                sock.getOutputStream.flush()
+              } catch { case _: Throwable => }
+              finally { try sock.close() catch { case _: Throwable => } }
+            })
+          } else {
+            conns.add(sock)
+            stats.connections.set(conns.size.toLong)
+            pool.execute(() => try serve(sock) finally {
+              conns.remove(sock)
+              stats.connections.set(conns.size.toLong)
+              ()
+            })
+          }
         } catch {
           case _: Throwable if !running => // closed in stop(): exit loop
           case e: Throwable =>
@@ -399,6 +429,7 @@ final class BalboaTcpServer(store: ObservationStore, port: Int = 0,
 
   def stop(): Unit = {
     running = false
+    stats.stop()
     server.close()
     conns.forEach(s => try s.close() catch { case _: Throwable => })
     conns.clear()
@@ -414,28 +445,52 @@ final class BalboaTcpServer(store: ObservationStore, port: Int = 0,
       case other => throw new IllegalStateException(s"bad ts: $other")
     }
 
+  /** Counts every byte written to the peer (the engine stats
+    * `bytes_out` figure) without double-buffering. */
+  private final class CountingStream(out: java.io.OutputStream)
+      extends java.io.FilterOutputStream(out) {
+    override def write(b: Int): Unit = {
+      out.write(b); stats.bytesOut.incrementAndGet(); ()
+    }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      out.write(b, off, len); stats.bytesOut.addAndGet(len.toLong); ()
+    }
+  }
+
   private def serve(sock: Socket): Unit = {
     val in = new MsgReader(new DataInputStream(
       new java.io.BufferedInputStream(sock.getInputStream)))
-    val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+    val out = new CountingStream(
+      new java.io.BufferedOutputStream(sock.getOutputStream))
     try {
       while (running && !in.atCleanEnd()) {
         val (tpe, inner) = in.readTyped()
         tpe match {
           case TypeQueryRequest =>
+            stats.queries.incrementAndGet()
             val q = decodeQueryRequest(inner)
             if (q.rrname.isEmpty && q.rdata.isEmpty) {
+              stats.errors.incrementAndGet()
               out.write(encodeErrorResponse(
                 "one of rrname or rdata must be given"))
               out.flush()
             } else {
               out.write(encodeTyped(TypeQueryStreamStartResponse,
                 Array.emptyByteArray))
-              // toLocalIterator: entries stream straight to the socket,
-              // never buffered driver-side (Q12 semantics on this wire)
-              val it = store.entries(q.rrname, q.rdata,
-                  q.rrtype.filter(_.nonEmpty), q.sensorId, q.limit)
-                .toLocalIterator()
+              // serving fast path first (driver-local pruned parquet
+              // read — see PointReader); fall back to the Spark plan
+              // with toLocalIterator: entries stream straight to the
+              // socket, never buffered driver-side (Q12 semantics)
+              val it: Iterator[Row] = store.servePointRows(q.rrname,
+                  q.rdata, q.rrtype.filter(_.nonEmpty), q.sensorId,
+                  q.limit) match {
+                case Some(rows) => rows.iterator
+                case None =>
+                  scala.jdk.CollectionConverters.IteratorHasAsScala(
+                    store.entries(q.rrname, q.rdata,
+                      q.rrtype.filter(_.nonEmpty), q.sensorId, q.limit)
+                      .toLocalIterator()).asScala
+              }
               while (it.hasNext) {
                 val r = it.next()
                 out.write(encodeTyped(TypeQueryStreamDataResponse,
@@ -454,8 +509,10 @@ final class BalboaTcpServer(store: ObservationStore, port: Int = 0,
             // the Spark streaming pipeline (not ack'd, like the reference)
             onInput(decodeEntry(inner))
             inputCount.incrementAndGet()
+            stats.inputs.incrementAndGet()
             ()
           case other =>
+            stats.errors.incrementAndGet()
             out.write(encodeErrorResponse(
               s"unsupported request type $other (use the Spark pipeline " +
                 "for dump/backup)"))
@@ -469,6 +526,7 @@ final class BalboaTcpServer(store: ObservationStore, port: Int = 0,
         // protocol or execution error: best-effort error response (the
         // reference's ErrorResponse path), then drop the connection —
         // never kill the server thread silently
+        stats.errors.incrementAndGet()
         try {
           out.write(encodeErrorResponse(
             Option(e.getMessage).getOrElse(e.getClass.getName)))

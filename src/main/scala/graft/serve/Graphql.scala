@@ -623,21 +623,33 @@ object Graphql {
 
   private def renderEntries(data: ObjectNode, key: String, q: EntriesQuery,
       store: ObservationStore): Unit = {
-    val entriesDf0 = store.entries(q.rrname, q.rdata, q.rrtype, q.sensorId,
-      q.limit)
-    // when aliases are requested the limited DataFrame is consumed TWICE
-    // (collect + the aliases join); without materializing it first, a
-    // binding limit over the unordered scan could select a different row
-    // set on the second execution — aliases for rows we never return,
-    // none for rows we do
-    val entriesDf =
-      if (q.aliasFields.isEmpty) entriesDf0 else entriesDf0.localCheckpoint(false)
-    val rows = entriesDf.collect()
+    // serving fast path (driver-local pruned parquet read — PointReader)
+    // when the store supports it; the Spark plan path otherwise. Fast-path
+    // rows are already materialized, so the aliases join consumes a
+    // LocalRelation of EXACTLY the returned row set — the double-execution
+    // hazard the localCheckpoint below guards against cannot arise.
+    val (rows, dfForAliases): (Seq[Row], () => org.apache.spark.sql.DataFrame) =
+      store.servePointRows(q.rrname, q.rdata, q.rrtype, q.sensorId,
+        q.limit) match {
+        case Some(fast) => (fast, () => store.entriesDfFromRows(fast))
+        case None =>
+          val entriesDf0 = store.entries(q.rrname, q.rdata, q.rrtype,
+            q.sensorId, q.limit)
+          // when aliases are requested the limited DataFrame is consumed
+          // TWICE (collect + the aliases join); without materializing it
+          // first, a binding limit over the unordered scan could select a
+          // different row set on the second execution — aliases for rows
+          // we never return, none for rows we do
+          val entriesDf =
+            if (q.aliasFields.isEmpty) entriesDf0
+            else entriesDf0.localCheckpoint(false)
+          (entriesDf.collect().toSeq, () => entriesDf)
+      }
 
     val aliasesByKey: Map[(String, String, String), Seq[Row]] =
       if (q.aliasFields.isEmpty) Map.empty
       else {
-        store.aliases(entriesDf, perEntryLimit = q.aliasLimit).collect()
+        store.aliases(dfForAliases(), perEntryLimit = q.aliasLimit).collect()
           .groupBy(r => (r.getAs[String]("e_rrname"),
             r.getAs[String]("e_sensor_id"), r.getAs[String]("e_rdata")))
           .map { case (k, v) => k -> v.toSeq }

@@ -34,10 +34,21 @@ import graft.operators.{ObservationStore, Tools}
   * AQE buys nothing for single-stage pre-pruned point scans but costs
   * per-query driver planning (~1.5× qps when disabled, see BenchPoints).
   */
-final class QueryServer(store: ObservationStore, port: Int = 0) {
+final class QueryServer(store: ObservationStore, port: Int = 0,
+    statsIntervalMillis: Long = 10000L,
+    statsSink: String => Unit = s => System.err.println(s)) {
+
+  // HTTP slow-client hardening to reference parity
+  // (`query/query_graphql.go:410-412`: 5 s read / 10 s write): the JDK
+  // server reads these ONCE at ServerConfig class-init, so they must be
+  // set before the first HttpServer is created in this JVM — hence the
+  // companion-object init below runs first.
+  QueryServer.ensureTimeouts()
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  /** Rolling serving stats (engine.c:480-514 cadence). */
+  val stats = new ServeStats("query-http", statsIntervalMillis, statsSink)
   // kept for stop(): HttpServer.stop does NOT shut down a caller-supplied
   // executor, and 8 leaked non-daemon threads would pin the JVM
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
@@ -46,8 +57,8 @@ final class QueryServer(store: ObservationStore, port: Int = 0) {
   /** Bound port (useful when constructed with port 0). */
   def boundPort: Int = server.getAddress.getPort
 
-  def start(): Unit = { register(); server.start() }
-  def stop(): Unit = { server.stop(0); pool.shutdown(); () }
+  def start(): Unit = { register(); stats.start(); server.start() }
+  def stop(): Unit = { stats.stop(); server.stop(0); pool.shutdown(); () }
 
   /** ONE limit policy for every HTTP surface: absent → the reference's
     * default 1000; a parseable value ≥ 1 → itself; anything else → None,
@@ -83,10 +94,14 @@ final class QueryServer(store: ObservationStore, port: Int = 0) {
           respond(ex, 400, "one of rrname or rdata is required\n")
         else if (limit.isEmpty)
           respond(ex, 400, "invalid limit\n")
-        else {
-          val df = store.entries(rrname, rdata, opt("rrtype"),
-            opt("sensor_id"), limit.get)
-          streamNdjson(ex, df, notFoundOnEmpty = false)
+        else store.servePoint(rrname, rdata, opt("rrtype"),
+          opt("sensor_id"), limit.get) match {
+          // serving fast path (driver-local pruned parquet read)
+          case Some(obs) => streamNdjsonObs(ex, obs, notFoundOnEmpty = false)
+          case None =>
+            val df = store.entries(rrname, rdata, opt("rrtype"),
+              opt("sensor_id"), limit.get)
+            streamNdjson(ex, df, notFoundOnEmpty = false)
         }
       }
     })
@@ -97,7 +112,16 @@ final class QueryServer(store: ObservationStore, port: Int = 0) {
       else parseLimit(queryParam(ex, "limit")) match {
         case None => respond(ex, 400, "invalid limit\n")
         case Some(l) =>
-          streamNdjson(ex, store.restQuery(subject, l), notFoundOnEmpty = true)
+          // CIRCL bag semantics on the fast path: subject as rrname THEN
+          // as rdata, concatenated (duplicates kept — query_rest.go:58-70)
+          (store.servePoint(rrname = Some(subject), limit = l),
+            store.servePoint(rdata = Some(subject), limit = l)) match {
+            case (Some(asName), Some(asData)) =>
+              streamNdjsonObs(ex, asName ++ asData, notFoundOnEmpty = true)
+            case _ =>
+              streamNdjson(ex, store.restQuery(subject, l),
+                notFoundOnEmpty = true)
+          }
       }
     })
 
@@ -186,14 +210,17 @@ final class QueryServer(store: ObservationStore, port: Int = 0) {
         }
       } catch { case _: Exception => None }
 
-  private def handle(ex: HttpExchange)(body: => Unit): Unit =
+  private def handle(ex: HttpExchange)(body: => Unit): Unit = {
+    stats.queries.incrementAndGet()
     try body
     catch {
       case e: Exception =>
+        stats.errors.incrementAndGet()
         try respond(ex, 500, s"internal error: ${e.getMessage}\n")
         catch { case _: Exception => () }
     }
     finally ex.close()
+  }
 
   /** Stream rows as NDJSON without materializing the result set on the
     * driver: unix-seconds rendering via [[Tools.jsonize]], rows pulled
@@ -206,18 +233,61 @@ final class QueryServer(store: ObservationStore, port: Int = 0) {
     ex.sendResponseHeaders(200, 0) // chunked
     val out: OutputStream = ex.getResponseBody
     while (it.hasNext) {
-      out.write(it.next().getString(0).getBytes(UTF_8))
+      val line = it.next().getString(0).getBytes(UTF_8)
+      out.write(line)
       out.write('\n')
+      stats.bytesOut.addAndGet(line.length + 1L)
+    }
+    out.close()
+  }
+
+  /** Fast-path NDJSON: same shape (field order, unix-seconds ints) as
+    * [[Tools.jsonize]], rendered on the serving thread. */
+  private def streamNdjsonObs(ex: HttpExchange,
+      obs: Seq[graft.model.Observation], notFoundOnEmpty: Boolean): Unit = {
+    if (obs.isEmpty && notFoundOnEmpty) { respond(ex, 404, "not found\n"); return }
+    ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+    ex.sendResponseHeaders(200, 0) // chunked
+    val out: OutputStream = ex.getResponseBody
+    obs.foreach { o =>
+      val n = mapper.createObjectNode()
+      n.put("rrname", o.rrname); n.put("rdata", o.rdata)
+      n.put("rrtype", o.rrtype); n.put("sensor_id", o.sensor_id)
+      n.put("count", o.count)
+      n.put("time_first", Math.floorDiv(o.first_seen.getTime, 1000L))
+      n.put("time_last", Math.floorDiv(o.last_seen.getTime, 1000L))
+      val line = mapper.writeValueAsString(n).getBytes(UTF_8)
+      out.write(line)
+      out.write('\n')
+      stats.bytesOut.addAndGet(line.length + 1L)
     }
     out.close()
   }
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(UTF_8)
+    if (code >= 400) stats.errors.incrementAndGet(): Unit
     ex.getResponseHeaders.set("Content-Type",
       if (body.startsWith("{")) "application/json" else "text/plain")
     ex.sendResponseHeaders(code, bytes.length.toLong)
     ex.getResponseBody.write(bytes)
+    stats.bytesOut.addAndGet(bytes.length.toLong)
     ex.getResponseBody.close()
+  }
+}
+
+object QueryServer {
+  /** JDK HttpServer slow-client limits, the reference's 5 s read / 10 s
+    * write (`query_graphql.go:410-412`). `sun.net.httpserver.maxReqTime`
+    * bounds request receipt, `maxRspTime` bounds response delivery; both
+    * are read ONCE at ServerConfig class-init, so they are set here —
+    * before any HttpServer exists — and only if the operator has not
+    * already configured them on the JVM command line. */
+  private[serve] lazy val ensureTimeouts: () => Unit = {
+    if (System.getProperty("sun.net.httpserver.maxReqTime") == null)
+      System.setProperty("sun.net.httpserver.maxReqTime", "5"): Unit
+    if (System.getProperty("sun.net.httpserver.maxRspTime") == null)
+      System.setProperty("sun.net.httpserver.maxRspTime", "10"): Unit
+    () => ()
   }
 }

@@ -1,0 +1,127 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
+
+import graft.operators.ObservationStore
+
+/** The fast-path contract: `servePoint` (driver-local parquet reader)
+  * must return exactly what `entries` (the Spark plan path) returns on
+  * the same disk store — same rows, same types — across access paths,
+  * residual filters, limits, misses, and store mutation (merge/expire
+  * epoch bumps invalidating the cached bucket→file map). */
+class PointReaderSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def freshStore(): (String, ObservationStore) = {
+    val input = Seq(
+      ("foo", "abc", "A", "1.2.3.4", 4L, ts("2018-01-01 00:00:00")),
+      ("foo", "abc", "A", "1.2.3.4", 6L, ts("2018-06-01 00:00:00")),
+      ("foo", "xyz", "A", "1.2.3.4", 2L, ts("2018-02-01 00:00:00")),
+      ("foo", "abc", "AAAA", "::1", 1L, ts("2018-03-01 00:00:00")),
+      ("bar", "abc", "A", "1.2.3.5", 10L, ts("2018-03-01 00:00:00")),
+      ("baz", "abc", "A", "1.2.3.4", 1L, ts("2018-04-01 00:00:01.123456"))
+    ).toDF("rrname", "sensor_id", "rrtype", "rdata", "count", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pr").toString
+    ObservationStore.writeDual(ObservationStore.aggregate(input), dir,
+      numBuckets = 8)
+    (dir, ObservationStore.load(spark, dir))
+  }
+
+  private def sortedSet(rows: Seq[Row]): Seq[Seq[Any]] =
+    rows.map(_.toSeq).sortBy(_.mkString(""))
+
+  private def assertSame(store: ObservationStore,
+      rrname: Option[String] = None, rdata: Option[String] = None,
+      rrtype: Option[String] = None, sensorId: Option[String] = None,
+      limit: Int = 1000): Unit = {
+    val fast = store.servePointRows(rrname, rdata, rrtype, sensorId, limit)
+    assert(fast.isDefined, "fast path should be available on a disk store")
+    val plan = store.entries(rrname, rdata, rrtype, sensorId, limit).collect()
+    assert(sortedSet(fast.get) == sortedSet(plan.toSeq),
+      s"fast=${fast.get} plan=${plan.toSeq}")
+  }
+
+  test("servePoint matches entries across access paths and residuals") {
+    val (_, store) = freshStore()
+    assertSame(store, rrname = Some("foo"))              // forward, 3 rows
+    assertSame(store, rdata = Some("1.2.3.4"))           // inverted, 3 rows
+    assertSame(store, rrname = Some("foo"), rrtype = Some("A"))
+    assertSame(store, rrname = Some("foo"), sensorId = Some("xyz"))
+    assertSame(store, rrname = Some("foo"), rdata = Some("1.2.3.4"),
+      rrtype = Some("A"), sensorId = Some("abc"))        // fully pinned
+    assertSame(store, rrname = Some("nonexistent"))      // miss
+    assertSame(store, rdata = Some("9.9.9.9"))           // miss
+    intercept[IllegalArgumentException](store.servePoint())
+  }
+
+  test("servePoint preserves merge roll-up values and sub-second precision") {
+    val (_, store) = freshStore()
+    val foo = store.servePoint(rrname = Some("foo"), rrtype = Some("A"),
+      sensorId = Some("abc")).get
+    assert(foo.size == 1)
+    assert(foo.head.count == 10L)
+    assert(foo.head.first_seen == ts("2018-01-01 00:00:00"))
+    assert(foo.head.last_seen == ts("2018-06-01 00:00:00"))
+    val baz = store.servePoint(rrname = Some("baz")).get
+    assert(baz.head.first_seen == ts("2018-04-01 00:00:01.123456"))
+  }
+
+  test("servePoint honors limit") {
+    val (_, store) = freshStore()
+    val limited = store.servePoint(rrname = Some("foo"), limit = 2).get
+    assert(limited.size == 2)
+    val one = store.servePoint(rdata = Some("1.2.3.4"), limit = 1).get
+    assert(one.size == 1)
+  }
+
+  test("in-memory store has no fast path (falls back to None)") {
+    val agg = ObservationStore.aggregate(
+      Seq(("a", "s", "A", "1.1.1.1", 1L, ts("2020-01-01 00:00:00")))
+        .toDF("rrname", "sensor_id", "rrtype", "rdata", "count", "ts"))
+    assert(ObservationStore.inMemory(agg)
+      .servePoint(rrname = Some("a")).isEmpty)
+  }
+
+  test("fast path sees a committed merge after the epoch check interval") {
+    val (dir, store) = freshStore()
+    // prime the reader's file map
+    assert(store.servePoint(rrname = Some("foo")).get.size == 3)
+    val batch = Seq(
+      ("foo", "abc", "A", "1.2.3.4", 5L,
+        ts("2019-01-01 00:00:00"), ts("2019-01-01 00:00:00")),
+      ("new", "abc", "A", "7.7.7.7", 1L,
+        ts("2019-02-01 00:00:00"), ts("2019-02-01 00:00:00"))
+    ).toDF("rrname", "sensor_id", "rrtype", "rdata", "count",
+      "timestamp_start", "timestamp_end")
+    ObservationStore.mergeBatch(spark, dir, batch, numBuckets = 8)
+    // wait out the epoch-check TTL so the cached map revalidates
+    Thread.sleep(graft.operators.PointReader.EpochCheckMillis + 100)
+    val foo = store.servePoint(rrname = Some("foo"), rrtype = Some("A"),
+      sensorId = Some("abc")).get
+    assert(foo.head.count == 15L, foo)
+    assert(store.servePoint(rrname = Some("new")).get.size == 1)
+    // and still agrees with the (re-loaded) plan path
+    val re = ObservationStore.load(spark, dir)
+    assert(sortedSet(store.servePointRows(rrname = Some("new")).get) ==
+      sortedSet(re.entries(rrname = Some("new")).collect().toSeq))
+  }
+
+  test("servePointRows schema renders by field name (serving contract)") {
+    val (_, store) = freshStore()
+    val rows = store.servePointRows(rdata = Some("1.2.3.5")).get
+    assert(rows.head.getAs[String]("rrname") == "bar")
+    assert(rows.head.getAs[Long]("count") == 10L)
+    assert(rows.head.getAs[Timestamp]("first_seen") == ts("2018-03-01 00:00:00"))
+    // entriesDfFromRows round-trips into a Spark-joinable frame
+    val df = store.entriesDfFromRows(rows)
+    assert(df.filter(col("rrname") === "bar").count() == 1)
+  }
+}
