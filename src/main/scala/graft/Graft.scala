@@ -27,6 +27,16 @@ object Graft {
     // 64-thread connection pool; no effect on sequential batch work
     .config("spark.scheduler.mode", "FAIR")
     .config("spark.sql.session.timeZone", "UTC")
+    // graft's TypedImperativeAggregates (TopKPairs, KmvDistinct,
+    // CmSketch) hold O(k)-BOUNDED buffers, so the ObjectHashAggregate
+    // hash path is memory-safe far beyond the default 128-key fallback
+    // — and the sort-based fallback re-introduces exactly the full-sort
+    // these aggregates exist to avoid (measured: knnJoin's per-id top-k
+    // over 50M candidate pairs runs 24 s sort-based vs 6.6 s hashed).
+    // 64k keys × the largest buffer (kmv k=256 ≈ 2 KB) ≈ 128 MB/task
+    // worst case — bounded.
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      "65536")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.sql.parquet.compression.codec", "zstd")

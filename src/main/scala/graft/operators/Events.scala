@@ -387,9 +387,12 @@ object Events {
     *
     * Scale shape: ONE shuffle on the user key + a spillable
     * within-partition sort for the lag, then a map-side-combined
-    * (prev, next) count; the per-prev totals are a second aggregation
-    * OVER THE COUNTED PAIRS (|types|² rows, not events) joined back
-    * broadcast — nothing re-touches the event-sized data. */
+    * (prev, next) count; the per-prev totals are a WINDOW SUM over the
+    * counted pairs (|types|² rows, not events) — nothing re-touches the
+    * event-sized data, and there is exactly one event-sized Window in
+    * the physical plan (PlanSpec-pinned; the previous aggregate-and-
+    * join-back formulation re-executed the whole lag pipeline for the
+    * totals branch — two scans and two sorts of the events at scale). */
   def transitionCounts(events: DataFrame, userCol: String, tsCol: String,
       idCol: String, typeCol: String): DataFrame = {
     val order = Window.partitionBy(col(userCol))
@@ -399,9 +402,9 @@ object Events {
       .filter(col("_prev").isNotNull)
       .groupBy(col("_prev").as("prev_type"), col(typeCol).as("next_type"))
       .agg(count(lit(1)).as("n"))
-    val totals = pairs.groupBy(col("prev_type"))
-      .agg(sum(col("n")).as("_total"))
-    pairs.join(broadcast(totals), "prev_type")
+    pairs
+      .withColumn("_total",
+        sum(col("n")).over(Window.partitionBy(col("prev_type"))))
       .select(col("prev_type"), col("next_type"), col("n"),
         expr("n * 1000 div _total").as("permille"))
   }

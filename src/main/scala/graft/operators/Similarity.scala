@@ -297,38 +297,68 @@ object Similarity {
       s"nprobe in [1, ${centroidIds.size}], got $nprobe")
     require(k >= 1, s"k must be >= 1, got $k")
     val base = withNorm(embeddings, idCol, embCol)
-    val centroids = base.filter(col("id").isin(centroidIds: _*))
-      .select(col("id").as("c_id"), col("v").as("c_v"),
-        col("norm").as("c_norm"))
-    // ONE broadcast-cosine pass produces both the probe list (ascending
-    // sort of (−cos, c_id) = cos desc, lowest-id ties — deterministic
-    // because the cosines are exact) and, as its FIRST element, the
-    // cluster assignment; checkpointed because it feeds both sides of
-    // the candidate join
-    val probes = base.crossJoin(broadcast(centroids))
-      .withColumn("c_cos",
-        dot(col("v"), col("c_v")) / (col("norm") * col("c_norm")))
-      .groupBy(col("id"), col("v"), col("norm"))
-      .agg(slice(array_sort(collect_list(
-        struct((-col("c_cos")).as("neg_cos"), col("c_id").as("c_id")))),
-        1, nprobe).as("pcs"))
-      .localCheckpoint(false)
+    // centroids come to the driver (a k-sized collect, the house IVF
+    // pattern) and ride the probe expression as ONE reference object:
+    // the probe list is then a NARROW per-row pass — scan → project —
+    // instead of the previous crossJoin+groupBy, which shuffled
+    // N × |centroids| rows EACH CARRYING THE VECTOR ARRAY (measured in
+    // BenchScaleJoins: super-linear wall-time once the centroid count
+    // scales with the corpus). Cosine arithmetic/order is identical
+    // (same dot loop, same (−cos, id) sort), so results are unchanged.
+    val cents = base.filter(col("id").isin(centroidIds: _*))
+      .select(col("id"), col("v")).collect()
+      .map(r => (r.getAs[Long]("id"),
+        r.getSeq[Double](r.fieldIndex("v")).toArray))
+      .sortBy(_._1)
+    val topc = org.apache.spark.sql.GraftShims.column(
+      org.apache.spark.sql.graft.CosineTopClusters(
+        org.apache.spark.sql.GraftShims.expression(col("v")),
+        cents.map(_._1), cents.map(_._2), nprobe))
+    // checkpointed: feeds BOTH sides of the candidate join — one
+    // materialized pass instead of recomputing the probe expression
+    // (and the withNorm lineage) twice
+    val probes = base.withColumn("pcs", topc).localCheckpoint(false)
+    // the candidate join EXPANDS (cluster-size × nprobe pairs per row)
+    // from a tiny shuffle input: AQE's size-based coalescing would fuse
+    // the ~MB-sized exchanges into one partition and run the pair
+    // generation single-threaded. An explicit numbered repartition on
+    // the join key is never coalesced (user-specified REPARTITION_BY_NUM
+    // origin) and satisfies the join's distribution, so pair expansion
+    // keeps full parallelism — measured 33 s → 4 s at 20k vectors.
+    val parts = probes.sparkSession.sessionState.conf.numShufflePartitions
     val assigned = probes.select(col("id").as("neighbor_id"),
       col("v").as("nv"), col("norm").as("n_norm"),
-      col("pcs").getItem(0).getField("c_id").as("cluster"))
+      col("pcs").getItem(0).as("cluster"))
+      .repartition(parts, col("cluster"))
     probes.select(col("id"), col("v"), col("norm"),
-        explode(col("pcs.c_id")).as("probe_cluster"))
+        explode(col("pcs")).as("probe_cluster"))
+      .repartition(parts, col("probe_cluster"))
       .join(assigned,
         col("probe_cluster") === col("cluster") &&
           col("id") =!= col("neighbor_id"))
       .select(col("id"), col("neighbor_id"),
         (dot(col("v"), col("nv")) / (col("norm") * col("n_norm")))
           .as("cos_sim"))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-          .orderBy(col("cos_sim").desc, col("neighbor_id").asc))
-        .cast("long"))
-      .filter(col("rank") <= k)
+      // top-k per id via the bounded heap aggregate, NOT a row_number
+      // window: the window sorts the FULL candidate set (≈ clusterSize ×
+      // nprobe rows per id — 50M rows at 20k vectors in BenchScaleJoins,
+      // ~17 s of a 21 s job) where the heap keeps k pairs per mapper
+      // with map-side combine. (cos desc, id asc) order rides TopKPairs'
+      // long tuples via the order-preserving double→long bit codec and
+      // a negated payload id; values decode back bit-identically.
+      .groupBy(col("id"))
+      .agg(graft.operators.Curation.topKPairs(
+        org.apache.spark.sql.GraftShims.column(
+          org.apache.spark.sql.graft.DoubleSortableBits(
+            org.apache.spark.sql.GraftShims.expression(col("cos_sim")))),
+        -col("neighbor_id"), k, largest = true).as("s"))
+      .select(col("id"), posexplode(col("s")).as(Seq("r", "p")))
+      .select(col("id"), (-col("p.payload")).as("neighbor_id"),
+        org.apache.spark.sql.GraftShims.column(
+          org.apache.spark.sql.graft.SortableBitsToDouble(
+            org.apache.spark.sql.GraftShims.expression(col("p.ord"))))
+          .as("cos_sim"),
+        (col("r") + 1).cast("long").as("rank"))
   }
 
   /** Random-hyperplane LSH near-duplicate pairs — the SCALE path for

@@ -392,6 +392,136 @@ object CosineArgMax {
   }
 }
 
+/** `cosine_top_clusters(v)` — the `nprobe` centroid ids nearest to `v`
+  * by cosine, ordered (cos desc, id asc) — [[CosineArgMax]]'s top-n
+  * sibling for IVF probe lists. Centroids ride the plan as ONE
+  * reference object (no k·dim literal blowup, no crossJoin+groupBy
+  * shuffle carrying the vectors — the narrow-pass probe computation
+  * `Similarity.knnJoin` needs to stay linear when the centroid count
+  * scales with the corpus). Ordering matches the previous
+  * `array_sort(struct(-cos, id))` formulation exactly, NaN cosines
+  * (zero-norm vectors) least preferred, so results are bit-compatible.
+  * Returns `array<long>` of `nprobe` ids (fewer iff k < nprobe). */
+case class CosineTopClusters(child: Expression, ids: Array[Long],
+    centroids: Array[Array[Double]], nprobe: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(ids.length == centroids.length && ids.nonEmpty,
+    "cosine_top_clusters: ids and centroids must align and be non-empty")
+  require(nprobe >= 1, "cosine_top_clusters: nprobe >= 1")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cosine_top_clusters"
+
+  private lazy val centroidNorms: Array[Double] =
+    centroids.map { c =>
+      var cc = 0.0
+      var j = 0
+      while (j < c.length) { cc += c(j) * c(j); j += 1 }
+      math.sqrt(cc)
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    CosineTopClusters.compute(input.asInstanceOf[ArrayData], ids,
+      centroids, centroidNorms, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("cids", ids, "long[]")
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val nRef = ctx.addReferenceObj("cnorms", centroidNorms, "double[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = org.apache.spark.sql.graft.CosineTopClusters.compute(
+        $c, $idsRef, $cRef, $nRef, $nprobe);
+    """)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CosineTopClusters = copy(child = newChild)
+}
+
+object CosineTopClusters {
+  def compute(v: ArrayData, ids: Array[Long],
+      centroids: Array[Array[Double]], norms: Array[Double],
+      nprobe: Int): ArrayData = {
+    val n = v.numElements()
+    var vv = 0.0
+    var i = 0
+    while (i < n) { val x = v.getDouble(i); vv += x * x; i += 1 }
+    val normV = math.sqrt(vv)
+    val negCos = new Array[Double](centroids.length)
+    var cidx = 0
+    while (cidx < centroids.length) {
+      val c = centroids(cidx)
+      val m = math.min(n, c.length)
+      var dvc = 0.0
+      var j = 0
+      while (j < m) { dvc += v.getDouble(j) * c(j); j += 1 }
+      negCos(cidx) = -(dvc / (normV * norms(cidx)))
+      cidx += 1
+    }
+    // sort centroid indexes by (negCos asc, id asc); Double.compare puts
+    // NaN last, exactly like Spark's array_sort on struct(-cos, id)
+    val order = Array.range(0, centroids.length)
+      .map(Integer.valueOf).sortWith { (a, b) =>
+        val cmp = java.lang.Double.compare(negCos(a), negCos(b))
+        if (cmp != 0) cmp < 0 else ids(a) < ids(b)
+      }
+    val take = math.min(nprobe, order.length)
+    val out = new Array[Long](take)
+    var t = 0
+    while (t < take) { out(t) = ids(order(t)); t += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `double_sortable_bits(x)` — order-preserving bijection double→long
+  * (IEEE-754 sign-magnitude flip: positives keep their raw bits,
+  * negatives flip the magnitude bits), so double orderings can ride
+  * long-keyed machinery — specifically [[TopKPairs]], turning
+  * `row_number() OVER (ORDER BY cos DESC)` into a bounded heap
+  * aggregate. Total order matches Spark's descending-double semantics
+  * (NaN greatest); the one divergence is −0.0 < +0.0 where Spark
+  * compares them equal — callers ordering on computed cosines never
+  * produce a signed-zero tie. [[SortableBitsToDouble]] inverts. */
+case class DoubleSortableBits(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "double_sortable_bits"
+  override def nullSafeEval(input: Any): Any =
+    DoubleSortableBits.encode(input.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = org.apache.spark.sql.graft.DoubleSortableBits.encode($c);
+    """)
+  override protected def withNewChildInternal(
+      newChild: Expression): DoubleSortableBits = copy(child = newChild)
+}
+
+object DoubleSortableBits {
+  def encode(x: Double): Long = {
+    val bits = java.lang.Double.doubleToRawLongBits(x)
+    bits ^ ((bits >> 63) & 0x7fffffffffffffffL)
+  }
+  def decode(s: Long): Double =
+    java.lang.Double.longBitsToDouble(s ^ ((s >> 63) & 0x7fffffffffffffffL))
+}
+
+/** Inverse of [[DoubleSortableBits]]. */
+case class SortableBitsToDouble(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sortable_bits_to_double"
+  override def nullSafeEval(input: Any): Any =
+    DoubleSortableBits.decode(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = org.apache.spark.sql.graft.DoubleSortableBits.decode($c);
+    """)
+  override protected def withNewChildInternal(
+      newChild: Expression): SortableBitsToDouble = copy(child = newChild)
+}
+
 /** `pq_encode(v)` — product-quantization codes: the vector is split into
   * `m` contiguous subvectors and each is assigned its nearest codebook
   * centroid by EXACT-INTEGER squared L2 (inputs are graft's integer-scaled

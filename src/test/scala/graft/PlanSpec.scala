@@ -612,6 +612,91 @@ class PlanSpec extends AnyFunSuite {
     assert(nEx <= 2, s"expected <= 2 exchanges, got $nEx:\n$plan")
   }
 
+  test("retentionCohorts: no countDistinct Expand, one join, count-only cells") {
+    val ts = java.sql.Timestamp.valueOf("2020-01-06 00:00:00")
+    val ev = (1 to 200).map(i =>
+      (i % 17L, new java.sql.Timestamp(ts.getTime + i * 86400000L)))
+      .toDF("user_id", "ts")
+    val plan = explainOf(
+      graft.operators.Events.retentionCohorts(ev, "user_id", "ts"))
+    // the doc's claim: per-(cohort, offset) users are distinct BY
+    // CONSTRUCTION (the first dedup), so the final count is a plain
+    // count — no countDistinct (which would add an Expand + extra
+    // shuffle over the widest data)
+    assert(!plan.contains("Expand"), plan)
+    assert(!plan.contains("count(distinct"), plan)
+    // exactly ONE join (cohort map back onto activity) — counted in
+    // the tree section (the details section repeats every node)
+    val joins = "Join".r.findAllIn(plan.split("\n\n").head).length
+    assert(joins == 1, s"expected 1 join, got $joins:\n$plan")
+  }
+
+  test("transitionCounts: totals join back broadcast, one Window pass") {
+    val ev = (1 to 300).map(i =>
+      (i % 13L, i.toLong, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"),
+        s"t${i % 4}")).toDF("user_id", "event_id", "ts", "event_type")
+    val plan = explainOf(graft.operators.Events.transitionCounts(
+      ev, "user_id", "ts", "event_id", "event_type"))
+    val tree = plan.split("\n\n").head
+    // the EVENT SOURCE is scanned exactly once — the totals must come
+    // from the |types|²-sized pair counts (window sum), never from a
+    // second execution of the event-sized lag pipeline
+    val scans = "LocalTableScan".r.findAllIn(tree).length
+    assert(scans == 1, s"expected 1 event scan, got $scans:\n$plan")
+    // two Windows: the event lag + the tiny per-prev totals over pairs
+    val windows = "\\bWindow\\b".r.findAllIn(tree).length
+    assert(windows == 2, s"expected 2 Windows, got $windows:\n$plan")
+    // and no join at all — the totals ride the pairs frame
+    assert(!tree.contains("Join"), plan)
+  }
+
+  test("sketchKsDrift: totals ride the one Window sort, no extra pass") {
+    val a = (1L to 300L).map(i => (i, i % 37)).toDF("id", "v")
+    val b = (1L to 300L).map(i => (i, i % 41)).toDF("id", "v")
+    val plan = explainOf(graft.operators.Curation.sketchKsDrift(
+      a, "id", "v", b, "id", "v", k = 64))
+    // cumulative counts AND the side totals are window expressions over
+    // the SAME ordered frame — one Window operator, not a separate
+    // total-aggregation re-executing the two sample scans
+    val windows = "\\bWindow\\b".r.findAllIn(plan.split("\n\n").head).length
+    assert(windows == 1, s"expected 1 Window, got $windows:\n$plan")
+    // and the samples themselves are the O(k) object aggregates
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
+  test("sketchQuantilesByKey: one event-data shuffle (partial+final agg)") {
+    val df = (1L to 500L).map(i => (s"k${i % 5}", i, i % 97))
+      .toDF("key", "id", "v")
+    val plan = explainOf(graft.operators.Curation.sketchQuantilesByKey(
+      df, "key", "id", "v", k = 64))
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.matches("(?s).*partial_top_k_pairs.*"), plan)
+    // one hash-partitioned exchange moves event-derived data; anything
+    // else in the plan is key-sized post-processing
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nEx <= 1, s"expected <= 1 hash exchange, got $nEx:\n$plan")
+  }
+
+  test("overlapJoin: binned equi-join, no DISTINCT pass, no product") {
+    val l = Seq((1L, 0L, 100L), (1L, 50L, 150L), (2L, 0L, 10L))
+      .toDF("k", "s", "e")
+    val r = Seq((1L, 40L, 60L), (2L, 5L, 7L)).toDF("k", "s2", "e2")
+    val df = graft.operators.Events.overlapJoin(l, r, "k", "s", "e",
+      "s2", "e2", binUs = 100L, Seq("s", "e"), Seq("s2", "e2"))
+    val plan = explainOf(df)
+    // exactly-once bin accounting replaces the naive
+    // replicate-then-DISTINCT: the plan must contain NO aggregation and
+    // NO cartesian product — just the binned hash equi-join
+    assert(!plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Join"), plan)
+    // and the semantics hold: each overlapping pair exactly once
+    val rows = df.collect().map(r0 => (r0.getLong(0), r0.getLong(1),
+      r0.getLong(2), r0.getLong(3), r0.getLong(4))).sorted.toSeq
+    assert(rows == Seq((0L, 100L, 40L, 60L, 20L), (0L, 10L, 5L, 7L, 2L),
+      (50L, 150L, 40L, 60L, 10L)).sorted)
+  }
+
   test("hits: per-round plan is equi-join + aggregate, no product") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
     val plan = explainOf(graft.operators.Graphs.hits(e, "src", "dst",
