@@ -179,6 +179,28 @@ object DecoderQueries {
       Decoders.nmsg(df).select(col("rrname"), col("rrtype"), col("rdata"),
         col("sensor_id"), col("count"), micros(col("timestamp_start")).as("ts"))
     }),
+
+    // WARC (ISO 28500) round-trip: documents rendered as Common-Crawl-
+    // style response records (one gzip member per record), streamed back
+    // through the record reader. The oracle reconstructs every decoded
+    // field directly from `documents` — a hash match proves header
+    // parsing, the member-per-record gzip framing, payload byte
+    // fidelity (UTF-8 text survives), and WARC-Date round-tripping.
+    "decode_warc" -> ((s, dir) => {
+      val tmp = scratchDir("warc", dir)
+      val docs = Graft.table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      graft.sources.Warc.write(docs.select(
+        concat(lit("http://"), col("source"), lit(".example/"),
+          col("doc_id")).as("url"),
+        timestamp_seconds(lit(1577836800L) + col("doc_id")).as("ts"),
+        lit("text/plain; charset=utf-8").as("content_type"),
+        encode(col("text"), "UTF-8").as("payload")), s"$tmp/warc")
+      graft.sources.Warc.read(s, s"$tmp/warc").select(
+        col("warc_type"), col("url"), micros(col("ts")).as("ts"),
+        col("content_type"), col("content_length"),
+        col("payload").cast("string").as("text"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -246,6 +268,17 @@ object DecoderQueries {
         |  ('foo.bar', '999', 'hello', 'nmsg', CAST(1 AS BIGINT),
         |   CAST(1700000000 AS BIGINT) * 1000000)
         |) AS t(rrname, rrtype, rdata, sensor_id, "count", ts)
+        |""".stripMargin,
+
+    "decode_warc" ->
+      """SELECT 'response' AS warc_type,
+        |       'http://' || source || '.example/' || CAST(doc_id AS VARCHAR)
+        |         AS url,
+        |       (1577836800 + doc_id) * 1000000 AS ts,
+        |       'text/plain; charset=utf-8' AS content_type,
+        |       CAST(strlen(text) AS BIGINT) AS content_length,
+        |       text
+        |FROM documents
         |""".stripMargin,
   )
 }

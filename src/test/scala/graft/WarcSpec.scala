@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Warc
+
+/** WARC record-reader semantics: framing (plain + gzip member-per-record
+  * + whole-file gzip), header parsing, payloads with record-like bytes
+  * inside, and the write→read round-trip. */
+class WarcSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def rec(url: String, body: String, date: String =
+      "2020-05-18T12:34:56Z", ctype: String = "text/plain"): String =
+    "WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      s"WARC-Record-ID: <urn:uuid:$url>\r\n" +
+      s"WARC-Date: $date\r\n" +
+      s"WARC-Target-URI: $url\r\n" +
+      s"Content-Type: $ctype\r\n" +
+      s"Content-Length: ${body.getBytes(UTF_8).length}\r\n" +
+      "\r\n" + body + "\r\n\r\n"
+
+  test("plain warc: multiple records, padding tolerated, headers parsed") {
+    val bytes = (rec("http://a/1", "hello") + "\r\n" +
+      rec("http://a/2", "worlds", date = "1999-12-31T23:59:59Z"))
+      .getBytes(UTF_8)
+    val out = Warc.recordIterator(
+      new java.io.ByteArrayInputStream(bytes)).toVector
+    assert(out.map(_.url) == Vector("http://a/1", "http://a/2"))
+    assert(new String(out(0).payload, UTF_8) == "hello")
+    assert(out(0).warc_type == "response")
+    assert(out(0).content_length == 5L)
+    assert(out(1).ts.toInstant.toString == "1999-12-31T23:59:59Z")
+  }
+
+  test("payload containing WARC-like lines is not re-framed") {
+    val tricky = "WARC/1.0\r\nContent-Length: 9999\r\n\r\nnot a record"
+    val bytes = (rec("http://t/1", tricky) + rec("http://t/2", "after"))
+      .getBytes(UTF_8)
+    val out = Warc.recordIterator(
+      new java.io.ByteArrayInputStream(bytes)).toVector
+    assert(out.map(_.url) == Vector("http://t/1", "http://t/2"))
+    assert(new String(out(0).payload, UTF_8) == tricky)
+  }
+
+  test("whole-file gzip decodes transparently") {
+    val raw = (rec("http://g/1", "a") + rec("http://g/2", "bb")).getBytes(UTF_8)
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(raw); gz.close()
+    val out = Warc.recordIterator(
+      new java.io.ByteArrayInputStream(bos.toByteArray)).toVector
+    assert(out.map(r => new String(r.payload, UTF_8)) == Vector("a", "bb"))
+  }
+
+  test("write→read round-trip through Spark (member-per-record gzip)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc").toString
+    val docs = Seq(
+      ("http://x/1", "first doc", "text/plain"),
+      ("http://x/2", "second doc with ünïcode", "text/html"),
+      ("http://x/3", "", "text/plain") // empty payload
+    ).toDF("url", "body", "content_type")
+      .withColumn("ts", timestamp_seconds(lit(1600000000L)))
+      .withColumn("payload", encode(col("body"), "UTF-8"))
+    Warc.write(docs, dir)
+    val back = Warc.read(spark, dir)
+      .select(col("url"), col("payload").cast("string").as("body"),
+        col("content_type"), col("content_length"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(back == Set(
+      ("http://x/1", "first doc", "text/plain"),
+      ("http://x/2", "second doc with ünïcode", "text/html"),
+      ("http://x/3", "", "text/plain")))
+  }
+}
