@@ -168,4 +168,60 @@ class BalboaTcpSpec extends AnyFunSuite {
     assert(decodeEntry(tsBytes(ext8)).firstSeen == 1514764800L)
     assert(decodeEntry(tsBytes(fix8)).lastSeen == 1514764800L) // bare uint L
   }
+
+  test("connection cap: over-limit accept gets ErrorResponse + close") {
+    // engine.c:554-557 parity: cap at maxConnections, refuse loudly
+    val capped = new BalboaTcpServer(store, maxConnections = 1)
+    capped.start()
+    try {
+      // first connection occupies the single slot (held open, idle)
+      val s1 = new Socket("localhost", capped.boundPort)
+      try {
+        // the acceptor must have REGISTERED s1 before the second connect
+        // (accept → conns.add is async); poll the stats gauge
+        val deadline = System.currentTimeMillis() + 5000
+        while (capped.stats.connections.get() < 1 &&
+          System.currentTimeMillis() < deadline) Thread.sleep(10)
+        assert(capped.stats.connections.get() == 1L)
+        val s2 = new Socket("localhost", capped.boundPort)
+        try {
+          val rd = new MsgReader(new DataInputStream(
+            new java.io.BufferedInputStream(s2.getInputStream)))
+          val (tpe, inner) = rd.readTyped()
+          assert(tpe == TypeErrorResponse)
+          assert(decodeErrorResponse(inner).contains("too many connections"))
+        } finally s2.close()
+        assert(capped.stats.errors.get() >= 1L)
+      } finally s1.close()
+    } finally capped.stop()
+  }
+
+  test("rolling stats: queries/errors/bytes counted, delta lines emitted") {
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val srv = new BalboaTcpServer(store, statsIntervalMillis = 50L,
+      statsSink = s => { lines.add(s); () })
+    srv.start()
+    try {
+      val sock = new Socket("localhost", srv.boundPort)
+      try {
+        sock.getOutputStream.write(encodeQueryRequest(
+          QueryRequest(Some("foo.bar"), None, None, None, 1000)))
+        sock.getOutputStream.flush()
+        val rd = new MsgReader(new DataInputStream(
+          new java.io.BufferedInputStream(sock.getInputStream)))
+        var done = false
+        while (!done) {
+          val (tpe, _) = rd.readTyped()
+          if (tpe == TypeQueryStreamEndResponse) done = true
+        }
+      } finally sock.close()
+      assert(srv.stats.queries.get() == 1L)
+      assert(srv.stats.bytesOut.get() > 0L)
+      val deadline = System.currentTimeMillis() + 5000
+      while (lines.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      val line = lines.poll()
+      assert(line != null && line.contains("[balboa-tcp] queries="), line)
+    } finally srv.stop()
+  }
 }

@@ -411,4 +411,41 @@ class QueryServerSpec extends AnyFunSuite {
     assert(idAb.size == 1 && idA.size == 1)
     assert(idAb.head != idA.head, "concatenation-ambiguous keys must differ")
   }
+
+  test("slow-client timeouts configured to reference parity (5s/10s)") {
+    server.boundPort: Unit // force server construction first
+    // query_graphql.go:410-412 — the JDK server reads these once at
+    // class-init; QueryServer sets them before creating any HttpServer
+    assert(System.getProperty("sun.net.httpserver.maxReqTime") == "5")
+    assert(System.getProperty("sun.net.httpserver.maxRspTime") == "10")
+  }
+
+  test("rolling stats: queries/errors/bytes counted, delta line emitted") {
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val srv = new QueryServer(store, statsIntervalMillis = 50L,
+      statsSink = s => { lines.add(s); () })
+    srv.start()
+    try {
+      val uri = java.net.URI.create(
+        s"http://localhost:${srv.boundPort}/stats")
+      val client = java.net.http.HttpClient.newHttpClient()
+      val ok = client.send(
+        java.net.http.HttpRequest.newBuilder(uri).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(ok.statusCode() == 200)
+      val bad = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+          s"http://localhost:${srv.boundPort}/pdns/query/")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(bad.statusCode() == 404)
+      assert(srv.stats.queries.get() >= 2L)
+      assert(srv.stats.errors.get() >= 1L)
+      assert(srv.stats.bytesOut.get() > 0L)
+      val deadline = System.currentTimeMillis() + 5000
+      while (lines.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      val line = lines.poll()
+      assert(line != null && line.contains("[query-http] queries="), line)
+    } finally srv.stop()
+  }
 }
