@@ -59,7 +59,7 @@ object Main {
       |  replay-balboa --dump <dir> --store <dir> [--buckets 64]
       |  index  --docs <parquet> --out <dir> [--buckets 64]
       |  search <term...> --index <dir> [--limit 10]
-      |  scan   <pattern...> --docs <parquet> --out <dir>
+      |  scan   <pattern...> --docs <parquet> --out <dir> [--id-col doc_id] [--text-col text]
       |""".stripMargin
 
   /** Parse `--flag value` pairs; bare tokens (after the subcommand) are

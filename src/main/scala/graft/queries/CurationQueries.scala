@@ -872,9 +872,10 @@ object CurationQueries {
          |             (SELECT COUNT(*) FROM sb) AS nb)
          |SELECT CAST(t.na AS BIGINT) AS n_a_sample,
          |       CAST(t.nb AS BIGINT) AS n_b_sample,
-         |       CAST(MAX(abs(c.ca * t.nb - c.cb * t.na)) * 1000
-         |            // (t.na * t.nb) AS BIGINT) AS ks_permille
-         |FROM c, t GROUP BY t.na, t.nb
+         |       CASE WHEN t.na = 0 OR t.nb = 0 THEN NULL
+         |            ELSE CAST(MAX(abs(c.ca * t.nb - c.cb * t.na)) * 1000
+         |                 // (t.na * t.nb) AS BIGINT) END AS ks_permille
+         |FROM t LEFT JOIN c ON TRUE GROUP BY t.na, t.nb
          |""".stripMargin
     },
 

@@ -62,6 +62,46 @@ object util {
   def store(s: SparkSession, dir: String): ObservationStore =
     ObservationStore.inMemory(aggMicros(s, dir))
 
+  /** One DISK dual store per (session, dir), built once and shared: gates
+    * that exercise a store MUTATION (expire) get a filesystem COPY of
+    * this base instead of paying a full rebuild per gate — the gate then
+    * measures the operator, not store construction (r8 verdict: 7–11 s of
+    * the store_expire gate was the inline rebuild). */
+  def prebuiltStorePath(s: SparkSession, dir: String): String =
+    prebuiltCache.getOrElseUpdate((s, dir), {
+      val base = scratchDir("storebase", dir) + "/store"
+      ObservationStore.writeDual(
+        ObservationStore.aggregate(Graft.observations(s, dir)), base,
+        numBuckets = 16)
+      base
+    })
+
+  private val prebuiltCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), String]
+
+  /** Fresh mutable copy of [[prebuiltStorePath]] under `purpose` (plain
+    * local-file tree copy — store files are immutable once written, so a
+    * copy is byte-identical to a rebuild). */
+  def copyOfPrebuiltStore(s: SparkSession, dir: String,
+      purpose: String): String = {
+    val src = java.nio.file.Paths.get(prebuiltStorePath(s, dir))
+    val dst = java.nio.file.Paths.get(scratchDir(purpose, dir), "store")
+    if (java.nio.file.Files.exists(dst)) {
+      import scala.jdk.CollectionConverters.IteratorHasAsScala
+      java.nio.file.Files.walk(dst).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.delete(p))
+    }
+    import scala.jdk.CollectionConverters.IteratorHasAsScala
+    java.nio.file.Files.walk(src).iterator().asScala.foreach { p =>
+      val rel = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(rel): Unit
+      else java.nio.file.Files.copy(p, rel): Unit
+    }
+    dst.toString
+  }
+
   /** One scratch dir per (purpose, source dir), reused (overwritten)
     * across gate invocations instead of leaking a fresh temp directory
     * per run, removed recursively at JVM exit. */

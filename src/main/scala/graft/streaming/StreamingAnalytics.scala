@@ -231,24 +231,44 @@ object StreamingAnalytics {
     *
     * In-batch order is `(ts, event_id)` ([[sessionize]]'s stance);
     * across micro-batches events are paired in ARRIVAL order — the
-    * stream's own order is the sequence being modeled. */
-  def transitionPairs(events: Dataset[TypedEvent]): Dataset[TransitionPair] = {
+    * stream's own order is the sequence being modeled.
+    *
+    * State per key is O(1), but the KEY SPACE is not: with no TTL, a
+    * user seen once holds a LastEvent forever. `idleTimeout` bounds
+    * total state for unbounded user-id spaces (processing-time TTL —
+    * a user idle that long starts a fresh chain, losing exactly the
+    * one pair that would span the gap); `None` keeps the
+    * retain-forever semantics for bounded key spaces. */
+  def transitionPairs(events: Dataset[TypedEvent],
+      idleTimeout: Option[java.time.Duration] = None)
+      : Dataset[TransitionPair] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[LastEvent, TransitionPair](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (userId: Long, batch: Iterator[TypedEvent],
          state: GroupState[LastEvent]) =>
-          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var last = state.getOption
-          val out = List.newBuilder[TransitionPair]
-          sorted.foreach { e =>
-            last.foreach(l =>
-              out += TransitionPair(userId, l.event_type, e.event_type))
-            last = Some(LastEvent(e.ts.getTime, e.event_id, e.event_type))
+          if (batch.isEmpty && state.hasTimedOut) {
+            // idle past the TTL: drop the retained LastEvent
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var last = state.getOption
+            val out = List.newBuilder[TransitionPair]
+            sorted.foreach { e =>
+              last.foreach(l =>
+                out += TransitionPair(userId, l.event_type, e.event_type))
+              last = Some(LastEvent(e.ts.getTime, e.event_id, e.event_type))
+            }
+            last.foreach(state.update)
+            idleTimeout.foreach(d =>
+              state.setTimeoutDuration(d.toMillis))
+            out.result().iterator
           }
-          last.foreach(state.update)
-          out.result().iterator
       }
   }
 

@@ -40,14 +40,26 @@ object GraftFunctions {
         s"$name expects $min${if (max > min) s"..$max" else ""} " +
           s"argument(s), got ${e.length}")
 
+  // eval() results are null-checked: a foldable NULL (e.g.
+  // `kmv_distinct(x, CAST(NULL AS INT))`) passes the foldable require
+  // and must surface as the same clear analysis error as a wrong type,
+  // not a raw NullPointerException from the cast.
   private def litInt(e: Expression, what: String): Int = {
     require(e.foldable, s"$what must be a literal")
-    e.eval().asInstanceOf[Number].intValue()
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$what must be a non-null integer literal, got $other")
+    }
   }
 
   private def litBool(e: Expression, what: String): Boolean = {
     require(e.foldable, s"$what must be a literal")
-    e.eval().asInstanceOf[Boolean]
+    e.eval() match {
+      case b: java.lang.Boolean => b.booleanValue()
+      case other => throw new IllegalArgumentException(
+        s"$what must be a non-null boolean literal, got $other")
+    }
   }
 
   private def litStrings(e: Expression, what: String): Seq[String] = {
