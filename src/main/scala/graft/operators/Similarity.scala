@@ -713,11 +713,49 @@ object Similarity {
     * append-only contract, as everywhere). Cost scales with the batch's
     * cluster spread, never the index. */
   def mergeIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      batch: DataFrame, idCol: String, embCol: String): Unit = {
+      batch: DataFrame, idCol: String, embCol: String,
+      batchId: Option[Long] = None): Unit = {
     recoverIvfPqMerge(spark, path, deleteUncommitted = true)
-    val staging = stageIvfPqMerge(spark, path, batch, idCol, embCol)
+    // EXACTLY-ONCE under foreachBatch replays — the batch-id marker
+    // commits atomically with the generation (the mergeBatch/mergeIndex
+    // contract): an already-committed id is a replay, skipped
+    if (batchId.exists(bid =>
+        Retrieval.readIndexBatchId(spark, path).exists(_ >= bid)))
+      return
+    val staging = stageIvfPqMerge(spark, path, batch, idCol, embCol, batchId)
     applyStagedIvfPqMerge(spark, path, staging)
   }
+
+  /** Continuous vector-index maintenance: every micro-batch of NEW
+    * embeddings lands in the persisted IVF-PQ index as one committed
+    * generation — the vector twin of [[Retrieval.streamIndex]], closing
+    * the FAISS add-after-train lifecycle over a stream. The FIRST
+    * non-empty batch trains the index (centroids from `centroidIds`,
+    * codebooks from that batch's vectors — train once); every later
+    * batch is assigned/encoded with the STORED model and staged-merged
+    * ([[mergeIvfPqIndex]]), so a query between batches never sees a
+    * half-applied generation, and a Spark-retried batch replays as a
+    * no-op via the recorded batch id. Batches must carry
+    * previously-unseen vector ids (the append-only contract shared by
+    * every persisted index here). */
+  def streamIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      vectors: DataFrame, idCol: String, embCol: String, path: String,
+      checkpointDir: String, centroidIds: Seq[Long], m: Int = 4,
+      ks: Int = 8, iters: Int = 1, dim: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (batch.isEmpty) ()
+        else if (!ObservationStore.pathExists(spark, s"$path/vectors")) {
+          writeIvfPqIndex(batch, idCol, embCol, centroidIds, path,
+            m, ks, iters, dim)
+          // record the training batch's id too: its replay is a no-op
+          Retrieval.writeIndexMeta(spark, path,
+            Retrieval.readIndexEpoch(spark, path).getOrElse(1L), Some(bid))
+        } else mergeIvfPqIndex(spark, path, batch, idCol, embCol, Some(bid))
+      }
+      .start()
 
   private def loadCodebooks(spark: org.apache.spark.sql.SparkSession,
       path: String): Array[Array[Array[Double]]] = {
@@ -733,7 +771,7 @@ object Similarity {
 
   private[graft] def stageIvfPqMerge(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String,
-      embCol: String): String = {
+      embCol: String, batchId: Option[Long] = None): String = {
     require(!batch.isEmpty, "mergeIvfPqIndex: batch is empty")
     val cb = loadCodebooks(spark, path)
     val centroids = spark.read.parquet(s"$path/centroids")
@@ -766,9 +804,10 @@ object Similarity {
       s"$staging/vectors", "cluster=").mkString(",")
     val (mf, mp) = ObservationStore.fs(spark, s"$staging/_manifest.json")
     val out = mf.create(mp, true)
+    val bid = batchId.map(b => s""","batch_id":$b""").getOrElse("")
     try out.write(
       (s"""{"target_epoch":$targetGen,""" +
-        s""""staged_vectors":"$stagedClusters"}""").getBytes("UTF-8"))
+        s""""staged_vectors":"$stagedClusters"$bid}""").getBytes("UTF-8"))
     finally out.close()
     staging
   }
@@ -782,9 +821,10 @@ object Similarity {
       .getOrElse(throw new StagedCommit.TornManifest(
         s"staged ivfpq manifest missing staged_vectors: $manifest"))
       .map(name => s"vectors/$name")
+    val batchId = StagedCommit.optNumField(manifest, "batch_id")
     StagedCommit.applyPieces(spark, path, staging, pieces, targetGen,
       () => Retrieval.readIndexEpoch(spark, path),
-      gen => Retrieval.writeIndexMeta(spark, path, gen))
+      gen => Retrieval.writeIndexMeta(spark, path, gen, batchId))
   }
 
   /** The [[Retrieval.recoverIndexMerge]] contract for the IVF-PQ index:

@@ -266,6 +266,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(filesAfter.filter(_.contains(aBucket)).nonEmpty)
   }
 
+  test("streaming IVF-PQ maintenance: micro-batches equal write+merge; replay-safe") {
+    import graft.operators.Similarity
+    val dir = Files.createTempDirectory("graft-sivfpq").toString
+    val dim = 8
+    // deterministic, well-spread vectors; ids 0..1 seed the centroids
+    def vec(i: Long): Seq[Float] =
+      (0 until dim).map(d => (((i * 31 + d * 17) % 13) - 6).toFloat / 3f)
+    def df(ids: Seq[Long]) = ids.map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val query = vec(3L)
+    def top(path: String): Seq[Seq[Any]] =
+      Similarity.ivfPqTopK(spark, path, query, queryId = -1L, k = 3,
+        nprobe = 2, rerank = 6).collect().map(_.toSeq).toSeq
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = Similarity.streamIvfPqIndex(spark,
+      stream.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      s"$dir/idx", s"$dir/ckpt", centroidIds = Seq(0L, 1L),
+      m = 2, ks = 4, iters = 1, dim = dim)
+    try {
+      // batch 1 trains the index (FAISS train-once lifecycle)
+      stream.addData((0L to 5L).map(i => (i, vec(i))): _*)
+      q.processAllAvailable()
+      assert(top(s"$dir/idx").nonEmpty)
+
+      // batch 2 merges with the STORED model: the streamed index must
+      // equal the batch-path equivalent (write first six, merge rest) —
+      // NOT a full rebuild, whose codebooks would retrain on everything
+      stream.addData((6L to 9L).map(i => (i, vec(i))): _*)
+      q.processAllAvailable()
+      Similarity.writeIvfPqIndex(df(0L to 5L), "vec_id", "embedding",
+        Seq(0L, 1L), s"$dir/batch", m = 2, ks = 4, iters = 1, dim = dim)
+      Similarity.mergeIvfPqIndex(spark, s"$dir/batch", df(6L to 9L),
+        "vec_id", "embedding")
+      assert(top(s"$dir/idx") == top(s"$dir/batch"))
+      // one committed generation per micro-batch, batch id recorded
+      assert(graft.operators.Retrieval.readIndexEpoch(spark, s"$dir/idx")
+        .contains(2L))
+      assert(graft.operators.Retrieval.readIndexBatchId(spark, s"$dir/idx")
+        .contains(1L))
+      // a replayed batch id is exactly-once: merging it again changes
+      // nothing (same row count, same generation)
+      val before = spark.read.parquet(s"$dir/idx/vectors").count()
+      Similarity.mergeIvfPqIndex(spark, s"$dir/idx", df(6L to 9L),
+        "vec_id", "embedding", batchId = Some(1L))
+      assert(spark.read.parquet(s"$dir/idx/vectors").count() == before)
+      assert(graft.operators.Retrieval.readIndexEpoch(spark, s"$dir/idx")
+        .contains(2L))
+    } finally q.stop()
+  }
+
   private def listParquet(path: String): Seq[String] = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
