@@ -44,7 +44,7 @@ object Main {
   }
 
   val usage: String =
-    """usage: graft.Main <build|merge|serve|query|dump|replay|backup|expire|curate|dedup|dump-balboa|replay-balboa|index|search|scan> [args]
+    """usage: graft.Main <build|merge|serve|query|dump|replay|backup|expire|curate|dedup|dump-balboa|replay-balboa|index|search|scan|warc-extract> [args]
       |  build  --obs <parquet> --store <dir> [--buckets 64]
       |  merge  --obs <parquet> --store <dir>
       |  serve  --store <dir> [--port 8080]
@@ -60,6 +60,7 @@ object Main {
       |  index  --docs <parquet> --out <dir> [--buckets 64]
       |  search <term...> --index <dir> [--limit 10]
       |  scan   <pattern...> --docs <parquet> --out <dir> [--id-col doc_id] [--text-col text]
+      |  warc-extract --warc <dir> --out <parquet>
       |""".stripMargin
 
   /** Parse `--flag value` pairs; bare tokens (after the subcommand) are
@@ -236,6 +237,18 @@ object Main {
             spark.read.parquet(required(flags, "docs")),
             flags.getOrElse("id-col", "doc_id"),
             flags.getOrElse("text-col", "text"), pos)
+          .write.mode("overwrite").parquet(required(flags, "out"))
+        null
+      case "warc-extract" =>
+        // Common-Crawl ingest entry: WARC files -> (url, ts, mime, title,
+        // text) parquet, boilerplate-stripped and ready for the curation
+        // chain (curate/dedup/index read its output directly)
+        val recs = sources.Warc.read(spark, required(flags, "warc"))
+        import org.apache.spark.sql.functions.col
+        val html = col("payload").cast("string")
+        recs.select(col("url"), col("ts"), col("content_type"),
+            operators.TextAnalysis.htmlTitle(html).as("title"),
+            operators.TextAnalysis.htmlExtract(html).as("text"))
           .write.mode("overwrite").parquet(required(flags, "out"))
         null
       case other =>

@@ -307,4 +307,57 @@ object TextAnalysis {
       .when(bucket < trainWeight + valWeight, "val")
       .otherwise("test")
   }
+
+  // ------------------------------------------------------- HTML extract
+
+  private def collapseWs(c: Column): Column =
+    trim(regexp_replace(c, "\\s+", " "))
+
+  /** Decode the HTML entities a text-extraction pass must invert
+    * (`&lt; &gt; &quot; &#39; &apos; &nbsp;`, and `&amp;` LAST so
+    * double-escaped sequences don't over-decode). Exotic named entities
+    * pass through untouched — a boilerplate stripper, not a full
+    * HTML5 entity table. */
+  private def decodeEntities(c: Column): Column = {
+    val basic = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ")
+    val decoded = basic.foldLeft(c) { case (cc, (k, v)) =>
+      replace(cc, lit(k), lit(v))
+    }
+    replace(decoded, lit("&amp;"), lit("&"))
+  }
+
+  /** `<title>` content of an HTML document (first occurrence,
+    * entity-decoded, whitespace-collapsed); empty string when absent. */
+  def htmlTitle(html: Column): Column =
+    collapseWs(decodeEntities(
+      regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1)))
+
+  /** Plain-text extraction from HTML — the boilerplate-stripping step
+    * between [[graft.sources.Warc]] ingestion and the curation chain
+    * (language-ID, quality scoring, dedup all operate on text, not
+    * markup). Deliberately a NARROW, codegen-friendly regex chain — no
+    * DOM, no external parser: drop `<script>`/`<style>` blocks and
+    * comments, strip remaining tags, decode basic entities, collapse
+    * whitespace. That recovers the rendered text of well-formed markup
+    * exactly (the `html_extract` gate proves the inversion end to end);
+    * the known limitation is adversarial markup (a literal `</script>`
+    * inside a JS string ends the block early), which a pipeline treats
+    * as quality-filter fodder, not an extraction bug. Zero shuffle,
+    * linear in bytes — the 100 TB shape. */
+  def htmlExtract(html: Column): Column = {
+    val noScript =
+      regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    collapseWs(decodeEntities(noTags))
+  }
+
+  /** HTML-escape for text embedded into markup (the writer-side inverse
+    * of [[htmlExtract]]'s entity decode): `&` first, then `<`, `>`. */
+  def htmlEscape(text: Column): Column =
+    replace(replace(replace(text, lit("&"), lit("&amp;")),
+      lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
 }

@@ -201,6 +201,39 @@ object DecoderQueries {
         col("content_type"), col("content_length"),
         col("payload").cast("string").as("text"))
     }),
+
+    // The Common-Crawl chain END TO END: documents rendered as HTML
+    // pages (boilerplate + escaped body), written as member-per-record
+    // WARC, read back through the record reader, boilerplate-stripped
+    // (TextAnalysis.htmlExtract), tokenized. The oracle reconstructs
+    // every output column directly from `documents` — one hash match
+    // covers WARC framing, HTML extraction and token accounting
+    // composed, the way a real ingest would run them.
+    "warc_pipeline" -> ((s, dir) => {
+      import graft.operators.TextAnalysis
+      val tmp = scratchDir("warcpipe", dir)
+      val docs = Graft.table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val page = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><script>var x = \"<b>no</b>\";</script></head>" +
+          "<body><nav>Home | About</nav><p>"),
+        TextAnalysis.htmlEscape(col("text")),
+        lit("</p><!-- c --><footer>&amp; fin</footer></body></html>"))
+      graft.sources.Warc.write(docs.select(
+        concat(lit("http://"), col("source"), lit(".example/"),
+          col("doc_id")).as("url"),
+        timestamp_seconds(lit(1577836800L) + col("doc_id")).as("ts"),
+        lit("text/html; charset=utf-8").as("content_type"),
+        encode(page, "UTF-8").as("payload")), s"$tmp/warc")
+      val text = graft.operators.TextAnalysis.htmlExtract(
+        col("payload").cast("string"))
+      graft.sources.Warc.read(s, s"$tmp/warc").select(
+        col("url"),
+        TextAnalysis.htmlTitle(col("payload").cast("string")).as("title"),
+        text.as("text"),
+        TextAnalysis.tokenCount(text).cast("long").as("n_tokens"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -268,6 +301,21 @@ object DecoderQueries {
         |  ('foo.bar', '999', 'hello', 'nmsg', CAST(1 AS BIGINT),
         |   CAST(1700000000 AS BIGINT) * 1000000)
         |) AS t(rrname, rrtype, rdata, sensor_id, "count", ts)
+        |""".stripMargin,
+
+    "warc_pipeline" ->
+      """WITH x AS (
+        |  SELECT doc_id, source,
+        |         'Doc ' || doc_id || ' Home | About ' ||
+        |           trim(regexp_replace(text, '\s+', ' ', 'g')) ||
+        |           ' & fin' AS body
+        |  FROM documents)
+        |SELECT 'http://' || source || '.example/' || CAST(doc_id AS VARCHAR)
+        |         AS url,
+        |       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+        |       body AS text,
+        |       CAST(len(string_split(body, ' ')) AS BIGINT) AS n_tokens
+        |FROM x
         |""".stripMargin,
 
     "decode_warc" ->

@@ -276,6 +276,28 @@ object PipelineQueries {
       docs(s, dir).select(
         col("doc_id") +: TextAnalysis.qualityColumns(col("text"), stopwords): _*)),
 
+    // HTML boilerplate extraction as a TRUE round-trip: each document is
+    // rendered into a deterministic page (title, nav, script/style/
+    // comment noise, entity-escaped body), the extractor inverts it, and
+    // the oracle states the expected text DIRECTLY from the source
+    // columns — proving the strip/decode chain, not mirroring it.
+    "html_extract" -> ((s, dir) => {
+      val page = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><script type=\"text/javascript\">var x = 1 < 2 && " +
+          "\"<p>ignored</p>\";</script><style>.nav { color: red; }" +
+          "</style></head><body><nav><a href=\"/\">Home</a> | " +
+          "<a href=\"/about\">About</a></nav><h1>Doc "), col("doc_id"),
+        lit("</h1>\n<p>"), TextAnalysis.htmlEscape(col("text")),
+        lit("</p><!-- tracking\npixel --><footer>&amp; fin</footer>" +
+          "</body></html>"))
+      docs(s, dir)
+        .select(col("doc_id"), page.as("html"))
+        .select(col("doc_id"),
+          TextAnalysis.htmlTitle(col("html")).as("title"),
+          TextAnalysis.htmlExtract(col("html")).as("text"))
+    }),
+
     // Gopher-style rule filter: one 1/0 flag per rule + the conjunction.
     "gopher_filter" -> ((s, dir) =>
       docs(s, dir).select(
@@ -1292,6 +1314,14 @@ object PipelineQueries {
          |JOIN s y ON y.id = cand.corpus_id
          |WHERE ${cosSql("x.v", "y.v")} >= 0.4
          |""".stripMargin,
+
+    "html_extract" ->
+      """SELECT doc_id,
+        |  'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+        |  'Doc ' || doc_id || ' Home | About Doc ' || doc_id || ' ' ||
+        |    trim(regexp_replace(text, '\s+', ' ', 'g')) || ' & fin' AS text
+        |FROM documents
+        |""".stripMargin,
 
     "text_quality" ->
       """SELECT doc_id,

@@ -219,6 +219,29 @@ class MainSpec extends AnyFunSuite {
     }
   }
 
+  test("warc-extract turns WARC files into curation-ready parquet") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-main-warc").toString
+    val docs = Seq(
+      ("http://a/1", "<html><head><title>T1</title></head><body><p>hello " +
+        "world</p></body></html>"),
+      ("http://a/2", "<html><body>plain &amp; simple</body></html>"))
+      .toDF("url", "html")
+      .withColumn("ts", timestamp_seconds(lit(1600000000L)))
+      .withColumn("content_type", lit("text/html"))
+      .withColumn("payload", encode(col("html"), "UTF-8"))
+    graft.sources.Warc.write(docs, s"$dir/warc")
+    Main.run(spark, Seq("warc-extract", "--warc", s"$dir/warc",
+      "--out", s"$dir/out"))
+    val out = spark.read.parquet(s"$dir/out")
+      .select("url", "title", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set(
+      ("http://a/1", "T1", "T1 hello world"),
+      ("http://a/2", "", "plain & simple")))
+  }
+
   test("bad invocations fail with usage errors, not stack traces deep in Spark") {
     intercept[IllegalArgumentException] {
       Main.run(spark, Seq("frobnicate"))
