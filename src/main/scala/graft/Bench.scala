@@ -88,6 +88,11 @@ object Bench {
       .write.mode("overwrite").parquet(dir)
     val payloads = spark.read.parquet(dir)
     val n = payloads.count()
+    // one untimed pass first: the JSON-path JIT swings the measured rate
+    // ~2.5x between cold and warm (340k vs 817k rows/s isolated) and the
+    // round driver compares this figure across rounds
+    sources.Decoders.gopassivedns(payloads)
+      .write.mode("overwrite").format("noop").save()
     val t0 = System.nanoTime()
     sources.Decoders.gopassivedns(payloads)
       .write.mode("overwrite").format("noop").save()
