@@ -576,7 +576,15 @@ object Similarity {
     val base = assigned.join(sv, "id")
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
       .select(col("id"), col("cluster"), col("cos_sim"), col("v"), col("norm"))
-    val pairs = base.as("a").join(base.as("b"),
+    // numbered repartition on the blocking key: the pair join EXPANDS
+    // (cluster-size² pairs per cluster) from an MB-sized shuffle, and
+    // AQE's size-based coalescing would otherwise fuse the exchanges
+    // and run the expansion nearly single-threaded (the knnJoin
+    // finding; BenchScaleJoins). User-numbered repartitions are never
+    // coalesced and satisfy the join's distribution.
+    val parts = base.sparkSession.sessionState.conf.numShufflePartitions
+    val bp = base.repartition(parts, col("cluster"))
+    val pairs = bp.as("a").join(bp.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
       .select(col("a.id").as("ia"), col("b.id").as("ib"),
         col("a.cos_sim").as("ca"), col("b.cos_sim").as("cb"),
