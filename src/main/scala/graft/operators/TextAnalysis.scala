@@ -360,4 +360,41 @@ object TextAnalysis {
   def htmlEscape(text: Column): Column =
     replace(replace(replace(text, lit("&"), lit("&amp;")),
       lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+
+  // --------------------------------------------------------- BPE encode
+
+  /** BPE-segment a text under a FIXED merge table — real byte-pair
+    * tokenization (the inference half of Sennrich et al. 2016: training
+    * learns the merges, encoding replays them in order), replacing
+    * [[subwordEstimate]]'s chars/4 heuristic wherever the actual token
+    * accounting matters (context budgeting, per-token pricing,
+    * sequence packing).
+    *
+    * Encoding is pure string algebra, so it runs as a narrow codegen'd
+    * expression chain AND mirrors into DuckDB verbatim: each
+    * space-delimited word becomes its symbol sequence (single chars
+    * separated by spaces), then every merge `(a, b) → ab` is applied in
+    * table order as a leftmost-nonoverlapping replace-all of `"a b"` —
+    * exactly the reference BPE application order. Returns the flattened
+    * `array<string>` of subword tokens. Merges whose parts themselves
+    * contain spaces are invalid by construction (symbols never contain
+    * the separator). No end-of-word marker: merges never span words
+    * because each word is segmented independently. */
+  def bpeSegment(text: Column, merges: Seq[(String, String)]): Column = {
+    require(merges.forall { case (a, b) =>
+      !a.contains(' ') && !b.contains(' ') && a.nonEmpty && b.nonEmpty },
+      "bpe merges must be non-empty and space-free")
+    val segmented = transform(tokens(text), w => {
+      // 'h e l l o' — one space between single-char symbols
+      val spaced = trim(regexp_replace(w, "(.)", "$1 "))
+      merges.foldLeft(spaced) { case (s, (a, b)) =>
+        replace(s, lit(s"$a $b"), lit(a + b))
+      }
+    })
+    flatten(transform(segmented, s => split(s, " ")))
+  }
+
+  /** Subword count under [[bpeSegment]]'s merge table. */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    size(bpeSegment(text, merges)).cast("long")
 }

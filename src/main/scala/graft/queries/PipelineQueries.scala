@@ -27,6 +27,22 @@ object PipelineQueries {
 
   private val stopwords = Seq("the", "a", "of", "and", "not")
 
+  /** Fixed BPE merge table for the bpe_* gates — ordered (later merges
+    * consume symbols earlier ones formed), chosen so every rule actually
+    * fires on the synthetic corpus vocabulary. ONE definition feeds both
+    * the Spark segmentation and the generated DuckDB replace chain. */
+  private val bpeMerges: Seq[(String, String)] = Seq(
+    ("i", "n"), ("e", "r"), ("a", "n"), ("o", "n"), ("t", "h"),
+    ("th", "e"), ("s", "c"), ("sc", "an"), ("j", "o"), ("jo", "in"),
+    ("m", "er"), ("mer", "g"), ("merg", "e"), ("q", "u"), ("qu", "er"),
+    ("quer", "y"), ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"))
+
+  /** DuckDB expression segmenting one word `w` under [[bpeMerges]]. */
+  private def bpeSql(w: String): String =
+    bpeMerges.foldLeft(s"trim(regexp_replace($w, '(.)', '\\1 ', 'g'))") {
+      case (s, (a, b)) => s"replace($s, '$a $b', '$a$b')"
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: full-content hash groups over docs ∪ planted copies.
@@ -275,6 +291,27 @@ object PipelineQueries {
     "text_quality" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id") +: TextAnalysis.qualityColumns(col("text"), stopwords): _*)),
+
+    // Real BPE segmentation under the fixed merge table: per-document
+    // subword counts (the actual token accounting sequence packing and
+    // context budgeting need — subwordEstimate's chars/4 heuristic is
+    // the fallback when no tokenizer is pinned).
+    "bpe_encode" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text"), bpeMerges)
+          .as("n_subwords"))),
+
+    // Corpus subword vocabulary under the same merges: top-20 by
+    // frequency, fully ordered (count desc, token asc) so the limit is
+    // deterministic.
+    "bpe_vocab" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(TextAnalysis.bpeSegment(col("text"), bpeMerges))
+          .as("subword"))
+        .groupBy(col("subword"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("subword").asc)
+        .limit(20)),
 
     // HTML boilerplate extraction as a TRUE round-trip: each document is
     // rendered into a deterministic page (title, nav, script/style/
@@ -1313,6 +1350,26 @@ object PipelineQueries {
          |JOIN sb x ON x.id = cand.batch_id
          |JOIN s y ON y.id = cand.corpus_id
          |WHERE ${cosSql("x.v", "y.v")} >= 0.4
+         |""".stripMargin,
+
+    "bpe_encode" ->
+      s"""SELECT doc_id,
+         |  CAST(list_sum(list_transform(string_split(text, ' '),
+         |    w -> len(string_split(${bpeSql("w")}, ' ')))) AS BIGINT)
+         |    AS n_subwords
+         |FROM documents
+         |""".stripMargin,
+
+    "bpe_vocab" ->
+      s"""WITH segs AS (
+         |  SELECT unnest(list_transform(string_split(text, ' '),
+         |           w -> ${bpeSql("w")})) AS seg
+         |  FROM documents),
+         |toks AS (SELECT unnest(string_split(seg, ' ')) AS subword FROM segs)
+         |SELECT subword, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM toks GROUP BY subword
+         |ORDER BY n DESC, subword ASC
+         |LIMIT 20
          |""".stripMargin,
 
     "html_extract" ->

@@ -507,4 +507,27 @@ class PipelineSpec extends AnyFunSuite {
       .as[(String, String)].collect().toSet
     assert(got == brute && got.nonEmpty)
   }
+
+  test("bpeSegment applies merges in table order, leftmost-nonoverlapping") {
+    import graft.operators.TextAnalysis
+    def seg(text: String, merges: Seq[(String, String)]): Seq[String] =
+      Seq(text).toDF("t")
+        .select(TextAnalysis.bpeSegment(col("t"), merges).as("s"))
+        .head.getSeq[String](0)
+    // later merges consume earlier symbols: i+n -> in, j+o -> jo, jo+in
+    val m = Seq(("i", "n"), ("j", "o"), ("jo", "in"))
+    assert(seg("join in jon", m) == Seq("join", "in", "jo", "n"))
+    // order matters: without the i+n rule first, jo+in never forms
+    assert(seg("join", Seq(("j", "o"), ("jo", "in"), ("i", "n"))) ==
+      Seq("jo", "in"))
+    // leftmost-nonoverlapping on runs: 'aaa' with a+a -> aa, not a|aa
+    assert(seg("aaa", Seq(("a", "a"))) == Seq("aa", "a"))
+    // untouched words stay fully character-segmented
+    assert(seg("xy", m) == Seq("x", "y"))
+    // count helper agrees
+    val n = Seq("join in").toDF("t")
+      .select(TextAnalysis.bpeTokenCount(col("t"), m)).head.getLong(0)
+    assert(n == 2L)
+    intercept[IllegalArgumentException](seg("x", Seq(("a b", "c"))))
+  }
 }
