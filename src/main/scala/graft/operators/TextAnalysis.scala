@@ -384,17 +384,75 @@ object TextAnalysis {
     require(merges.forall { case (a, b) =>
       !a.contains(' ') && !b.contains(' ') && a.nonEmpty && b.nonEmpty },
       "bpe merges must be non-empty and space-free")
-    val segmented = transform(tokens(text), w => {
-      // 'h e l l o' — one space between single-char symbols
-      val spaced = trim(regexp_replace(w, "(.)", "$1 "))
-      merges.foldLeft(spaced) { case (s, (a, b)) =>
-        replace(s, lit(s"$a $b"), lit(a + b))
-      }
-    })
-    flatten(transform(segmented, s => split(s, " ")))
+    // 'h e l l o' — one space between single-char symbols, then the
+    // merge-table replace chain per word ([[bpeWordSegments]])
+    flatten(transform(bpeWordSegments(text, merges), s => split(s, " ")))
   }
 
   /** Subword count under [[bpeSegment]]'s merge table. */
   def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
     size(bpeSegment(text, merges)).cast("long")
+
+  /** LEARN a BPE merge table from a corpus — the training half of
+    * Sennrich et al. 2016: `nMerges` rounds of "count adjacent symbol
+    * pairs within words, merge the most frequent everywhere". Returns
+    * the merges in learned order with their pair counts.
+    *
+    * Shape per round: one narrow segmentation pass (the current merge
+    * table rides the expression chain), one explode to adjacent pairs,
+    * one map-side-combined count, and a driver-side top-1 — the classic
+    * iterative corpus algorithm as `nMerges` cheap Spark jobs; nothing
+    * ever joins document-against-document and per-round shuffle rows
+    * are bounded by the symbol-pair vocabulary, not the corpus.
+    * Determinism: ties break (count desc, a asc, b asc), so the learned
+    * table is a pure function of the corpus (the bpe_train gate mirrors
+    * all rounds in DuckDB scalar-subquery CTEs, digit for digit).
+    * Training on 100 TB wants a word-frequency pre-aggregation (count
+    * distinct words once, weight pairs by word frequency) — expressed
+    * here as the direct form because the gate corpus is word-dense; the
+    * pre-aggregated variant is the same loop over `(word, n)` rows. */
+  def bpeTrain(df: DataFrame, textCol: String,
+      nMerges: Int): Seq[(String, String, Long)] = {
+    require(nMerges >= 1, s"nMerges >= 1, got $nMerges")
+    val out = Vector.newBuilder[(String, String, Long)]
+    var merges = Vector.empty[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val segmented = df.select(
+        explode(bpeWordSegments(col(textCol), merges)).as("seg"))
+      val top = segmented
+        .select(split(col("seg"), " ").as("sym"))
+        .select(explode(expr(
+          "transform(slice(sym, 1, size(sym) - 1), " +
+            "(x, i) -> struct(x AS a, element_at(sym, i + 2) AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true // every word is one symbol
+      else {
+        val r = top.head
+        val (a, b) = (r.getAs[String]("a"), r.getAs[String]("b"))
+        out += ((a, b, r.getAs[Long]("n")))
+        merges :+= ((a, b))
+      }
+      round += 1
+    }
+    out.result()
+  }
+
+  /** Per-word segment STRINGS (symbols space-joined) under a merge
+    * table — [[bpeSegment]] before the final token split; the unit
+    * [[bpeTrain]]'s pair counting operates on. */
+  private def bpeWordSegments(text: Column,
+      merges: Seq[(String, String)]): Column =
+    transform(tokens(text), w => {
+      val spaced = trim(regexp_replace(w, "(.)", "$1 "))
+      merges.foldLeft(spaced) { case (s, (a, b)) =>
+        replace(s, lit(s"$a $b"), lit(a + b))
+      }
+    })
 }

@@ -301,6 +301,19 @@ object PipelineQueries {
         TextAnalysis.bpeTokenCount(col("text"), bpeMerges)
           .as("n_subwords"))),
 
+    // BPE TRAINING: learn 3 merges from the corpus (count adjacent
+    // symbol pairs within words, merge the winner everywhere, repeat).
+    // The oracle replays every round in chained CTEs with the learned
+    // pair flowing through scalar subqueries — the iterative corpus
+    // algorithm verified end to end, not just one round.
+    "bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.bpeTrain(docs(s, dir), "text", nMerges = 3)
+        .zipWithIndex
+        .map { case ((a, b, n), i) => (i + 1L, a, b, n) }
+        .toDF("rank", "a", "b", "n")
+    }),
+
     // Corpus subword vocabulary under the same merges: top-20 by
     // frequency, fully ordered (count desc, token asc) so the limit is
     // deterministic.
@@ -1359,6 +1372,34 @@ object PipelineQueries {
          |    AS n_subwords
          |FROM documents
          |""".stripMargin,
+
+    "bpe_train" -> {
+      // one round: pair counts over segment strings in CTE <in> → the
+      // winning merge in m<r> → segments rewritten in s<r>
+      def round(r: Int, in: String): String =
+        s"""p$r AS (
+           |  SELECT p.a AS a, p.b AS b, COUNT(*) AS n FROM (
+           |    SELECT unnest(list_transform(range(1, len(sym)), i ->
+           |      struct_pack(a := sym[i], b := sym[i + 1]))) AS p
+           |    FROM (SELECT string_split(s, ' ') AS sym FROM $in))
+           |  GROUP BY p.a, p.b),
+           |m$r AS (SELECT a, b, n FROM p$r
+           |        ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+           |s$r AS (SELECT replace(s, (SELECT a || ' ' || b FROM m$r),
+           |          (SELECT a || b FROM m$r)) AS s FROM $in)""".stripMargin
+      s"""WITH w AS (
+         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |s0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s
+         |       FROM w),
+         |${round(1, "s0")},
+         |${round(2, "s1")},
+         |${round(3, "s2")}
+         |SELECT CAST(1 AS BIGINT) AS rank, a, b, CAST(n AS BIGINT) AS n
+         |FROM m1
+         |UNION ALL SELECT 2, a, b, CAST(n AS BIGINT) FROM m2
+         |UNION ALL SELECT 3, a, b, CAST(n AS BIGINT) FROM m3
+         |""".stripMargin
+    },
 
     "bpe_vocab" ->
       s"""WITH segs AS (

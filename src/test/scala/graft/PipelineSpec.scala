@@ -530,4 +530,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(n == 2L)
     intercept[IllegalArgumentException](seg("x", Seq(("a b", "c"))))
   }
+
+  test("bpeTrain learns the most frequent pair per round, ties by symbol") {
+    import graft.operators.TextAnalysis
+    // 'abab abq' + 'ab': pairs round 1: (a,b) x4, (b,a) x1, (b,q) x1
+    val df = Seq("abab abq", "ab").toDF("text")
+    val learned = TextAnalysis.bpeTrain(df, "text", nMerges = 2)
+    assert(learned.head == ("a", "b", 4L))
+    // round 2 operates on merged symbols: 'ab ab', 'ab q', 'ab' →
+    // pairs: (ab,ab) x1, (ab,q) x1 → tie on count, 'ab ab' < 'ab q'
+    assert(learned(1) == ("ab", "ab", 1L))
+    // exhaustion: a corpus of single-char words has no pairs to learn
+    assert(TextAnalysis.bpeTrain(Seq("a b c").toDF("text"), "text", 5)
+      .isEmpty)
+  }
 }
