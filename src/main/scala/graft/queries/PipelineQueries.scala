@@ -301,6 +301,37 @@ object PipelineQueries {
         TextAnalysis.bpeTokenCount(col("text"), bpeMerges)
           .as("n_subwords"))),
 
+    // robots.txt compliance end to end: per-host bodies exercising
+    // stacked user-agent groups, comments, precedence (longest prefix,
+    // allow beats disallow on ties) and a non-matching group; the
+    // oracle states the expected verdict per URL directly from the
+    // template semantics — parsing + precedence proven, not mirrored.
+    "robots_filter" -> ((s, dir) => {
+      import graft.operators.Robots
+      val d = docs(s, dir)
+      val bodies = d.select(col("source")).distinct()
+        .select(concat(col("source"), lit(".example")).as("host"),
+          lit("# corpus robots\n" +
+            "User-agent: crawler\n" +
+            "User-agent: *\n" +
+            "Disallow: /private\n" +
+            "Allow: /private/public\n" +
+            "Disallow: /tmp/\n" +
+            "\n" +
+            "User-agent: bot\n" +
+            "Disallow: /\n").as("body"))
+      val rules = Robots.parseRules(bodies, "host", "body", agent = "*")
+      val sel = col("doc_id") % 5
+      val path = when(sel === 4, lit(""))
+        .otherwise(concat(element_at(
+          array(lit("/docs/"), lit("/private/"), lit("/private/public/"),
+            lit("/tmp/")), (sel + 1).cast("int")), col("doc_id")))
+      val urls = d.select(col("doc_id"),
+        concat(lit("http://"), col("source"), lit(".example"), path)
+          .as("url"))
+      Robots.filterUrls(urls, "url", rules)
+    }),
+
     // BPE TRAINING: learn 3 merges from the corpus (count adjacent
     // symbol pairs within words, merge the winner everywhere, repeat).
     // The oracle replays every round in chained CTEs with the learned
@@ -1372,6 +1403,20 @@ object PipelineQueries {
          |    AS n_subwords
          |FROM documents
          |""".stripMargin,
+
+    "robots_filter" ->
+      """SELECT doc_id,
+        |  'http://' || source || '.example' ||
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN '/docs/' || doc_id
+        |      WHEN 1 THEN '/private/' || doc_id
+        |      WHEN 2 THEN '/private/public/' || doc_id
+        |      WHEN 3 THEN '/tmp/' || doc_id
+        |      ELSE '' END AS url,
+        |  CAST(CASE WHEN doc_id % 5 IN (1, 3) THEN 0 ELSE 1 END AS BIGINT)
+        |    AS is_allowed
+        |FROM documents
+        |""".stripMargin,
 
     "bpe_train" -> {
       // one round: pair counts over segment strings in CTE <in> → the
