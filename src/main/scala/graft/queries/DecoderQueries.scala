@@ -202,6 +202,35 @@ object DecoderQueries {
         col("payload").cast("string").as("text"))
     }),
 
+    // CDX random access: the archive is written WITH its record index,
+    // a subset of records (doc_id % 7 = 0) is resolved through the
+    // index and fetched by ranged reads ALONE — one gunzip per record,
+    // no archive scan (the WARC analogue of the store's PointReader
+    // serving path). Oracle reconstructs the subset from `documents`.
+    "warc_fetch" -> ((s, dir) => {
+      val tmp = scratchDir("warcfetch", dir)
+      val docs = Graft.table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      graft.sources.Warc.writeWithIndex(docs.select(
+        concat(lit("http://"), col("source"), lit(".example/"),
+          col("doc_id")).as("url"),
+        timestamp_seconds(lit(1577836800L) + col("doc_id")).as("ts"),
+        lit("text/plain; charset=utf-8").as("content_type"),
+        encode(col("text"), "UTF-8").as("payload")), s"$tmp/warc")
+      val wanted = s.read.parquet(s"$tmp/warc/_cdx")
+        .filter(regexp_extract(col("url"), "/([0-9]+)$", 1)
+          .cast("long") % 7 === 0)
+        .select("url", "file", "offset", "length").collect()
+      val rows = wanted.map { r =>
+        val rec = graft.sources.Warc.fetchRecord(s"$tmp/warc",
+          r.getString(1), r.getLong(2), r.getLong(3))
+        (rec.url, new String(rec.payload,
+          java.nio.charset.StandardCharsets.UTF_8))
+      }
+      import s.implicits._
+      rows.toSeq.toDF("url", "text")
+    }),
+
     // The Common-Crawl chain END TO END: documents rendered as HTML
     // pages (boilerplate + escaped body), written as member-per-record
     // WARC, read back through the record reader, boilerplate-stripped
@@ -301,6 +330,13 @@ object DecoderQueries {
         |  ('foo.bar', '999', 'hello', 'nmsg', CAST(1 AS BIGINT),
         |   CAST(1700000000 AS BIGINT) * 1000000)
         |) AS t(rrname, rrtype, rdata, sensor_id, "count", ts)
+        |""".stripMargin,
+
+    "warc_fetch" ->
+      """SELECT 'http://' || source || '.example/' || CAST(doc_id AS VARCHAR)
+        |         AS url,
+        |       text
+        |FROM documents WHERE doc_id % 7 = 0
         |""".stripMargin,
 
     "warc_pipeline" ->

@@ -52,9 +52,14 @@ object Warc {
       payload: Array[Byte])
 
   /** Read every record of every WARC file under `path` (plain `.warc`
-    * or gzipped `.warc.gz`, detected by magic bytes per file). */
+    * or gzipped `.warc.gz`, detected by magic bytes per file; other
+    * files — e.g. the `_cdx` index parquet beside an indexed archive —
+    * are ignored by extension). */
   def read(spark: SparkSession, path: String): DataFrame = {
     val rdd = spark.sparkContext.binaryFiles(path)
+      .filter { case (name, _) =>
+        name.endsWith(".warc") || name.endsWith(".warc.gz")
+      }
       .flatMap { case (_, pds) => recordIterator(pds.open()) }
       .map(r => org.apache.spark.sql.Row(
         r.warc_type, r.record_id, r.url, r.ts, r.content_type,
@@ -157,17 +162,41 @@ object Warc {
     * write→read round-trips reproducible (the gate/oracle stance; real
     * crawls would use random UUIDs). */
   def write(df: DataFrame, outPath: String): Unit = {
+    writeRecords(df, outPath).count(): Unit // force the write job
+  }
+
+  /** [[write]] plus a CDX-style record index (the Common-Crawl
+    * `cluster.idx`/CDXJ idea): alongside the WARC files,
+    * `<outPath>/_cdx` holds one parquet row `(url, file, offset,
+    * length)` per record — the byte extent of its gzip member — so a
+    * single record is retrievable by ONE ranged read + gunzip
+    * ([[fetchRecord]]) without scanning the archive: the WARC analogue
+    * of the store's PointReader serving path. */
+  def writeWithIndex(df: DataFrame, outPath: String): Unit = {
+    import df.sparkSession.implicits._
+    writeRecords(df, outPath)
+      .toDF("url", "file", "offset", "length")
+      .write.mode("overwrite").parquet(s"$outPath/_cdx")
+  }
+
+  /** The shared write job: streams each partition into one `.warc.gz`
+    * (a gzip member per record) and RETURNS the per-record extents. */
+  private def writeRecords(df: DataFrame, outPath: String)
+      : org.apache.spark.rdd.RDD[(String, String, Long, Long)] =
     df.select("url", "ts", "content_type", "payload").rdd
-      .foreachPartition { rows =>
-        if (rows.hasNext) {
+      .mapPartitions { rows =>
+        if (!rows.hasNext) Iterator.empty
+        else {
           val pid = org.apache.spark.TaskContext.getPartitionId()
-          val p = new org.apache.hadoop.fs.Path(
-            f"$outPath%s/part-$pid%05d.warc.gz")
+          val file = f"part-$pid%05d.warc.gz"
+          val p = new org.apache.hadoop.fs.Path(s"$outPath/$file")
           // executor-side default conf: fine for file:// and
           // classpath-configured filesystems (SparkContext's conf is not
           // reachable from a task without private[spark] helpers)
           val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
           val out = fs.create(p, true)
+          val index = Vector.newBuilder[(String, String, Long, Long)]
+          var offset = 0L
           try rows.foreach { r =>
             val url = r.getString(0)
             val ts = r.getTimestamp(1)
@@ -185,24 +214,48 @@ object Warc {
               s"Content-Type: $ctype\r\n" +
               s"Content-Length: ${payload.length}\r\n" +
               "\r\n").getBytes(UTF_8)
-            // one gzip member per record
-            val gz = new GZIPOutputStream(new NoCloseStream(out))
+            // one gzip member per record, its byte extent counted
+            val counter = new CountingNoCloseStream(out)
+            val gz = new GZIPOutputStream(counter)
             gz.write(head)
             gz.write(payload)
             gz.write("\r\n\r\n".getBytes(UTF_8))
             gz.finish()
             gz.close()
+            index += ((url, file, offset, counter.written))
+            offset += counter.written
           } finally out.close()
+          index.result().iterator
         }
       }
+
+  /** Driver-local random access: gunzip + parse the ONE record at
+    * `(file, offset, length)` from a [[writeWithIndex]] archive (or any
+    * member-per-record WARC whose extents are known) — a ranged read,
+    * no scan, no Spark job. */
+  def fetchRecord(warcDir: String, file: String, offset: Long,
+      length: Long): Record = {
+    val p = new org.apache.hadoop.fs.Path(s"$warcDir/$file")
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(p)
+    val bytes = new Array[Byte](length.toInt)
+    try { in.seek(offset); in.readFully(bytes) } finally in.close()
+    val it = recordIterator(new java.io.ByteArrayInputStream(bytes))
+    if (!it.hasNext)
+      throw new IllegalArgumentException(s"no record at $file:$offset+$length")
+    it.next()
   }
 
   /** Lets per-record GZIPOutputStreams finish their member without
-    * closing the shared file stream. */
-  private final class NoCloseStream(out: java.io.OutputStream)
+    * closing the shared file stream, counting bytes written. */
+  private final class CountingNoCloseStream(out: java.io.OutputStream)
       extends java.io.FilterOutputStream(out) {
-    override def write(b: Array[Byte], off: Int, len: Int): Unit =
-      out.write(b, off, len)
+    var written = 0L
+    override def write(b: Int): Unit = { out.write(b); written += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      out.write(b, off, len); written += len
+    }
     override def close(): Unit = flush()
   }
+
 }

@@ -56,6 +56,39 @@ class WarcSpec extends AnyFunSuite {
     assert(out.map(r => new String(r.payload, UTF_8)) == Vector("a", "bb"))
   }
 
+  test("CDX index: every record fetchable by its byte extent alone") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-cdx").toString
+    val docs = (1 to 23).map(i => (s"http://c/$i", s"doc $i body " * (i % 5 + 1)))
+      .toDF("url", "body")
+      .withColumn("ts", timestamp_seconds(lit(1600000000L)))
+      .withColumn("content_type", lit("text/plain"))
+      .withColumn("payload", encode(col("body"), "UTF-8"))
+    Warc.writeWithIndex(docs, dir)
+    val cdx = spark.read.parquet(s"$dir/_cdx")
+      .select("url", "file", "offset", "length").collect()
+    assert(cdx.length == 23)
+    // every record retrievable by ONE ranged read; content matches
+    val fetched = cdx.map { r =>
+      val rec = Warc.fetchRecord(dir, r.getString(1), r.getLong(2),
+        r.getLong(3))
+      rec.url -> new String(rec.payload, UTF_8)
+    }.toMap
+    val expected = (1 to 23)
+      .map(i => s"http://c/$i" -> (s"doc $i body " * (i % 5 + 1))).toMap
+    assert(fetched == expected)
+    // extents tile each file exactly: offsets are cumulative lengths
+    cdx.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(2))
+      sorted.zip(sorted.drop(1)).foreach { case (a, b) =>
+        assert(a.getLong(2) + a.getLong(3) == b.getLong(2))
+      }
+    }
+    // and the archive still full-scans like a plain write
+    assert(Warc.read(spark, dir).count() == 23)
+  }
+
   test("write→read round-trip through Spark (member-per-record gzip)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
