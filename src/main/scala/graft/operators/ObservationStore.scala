@@ -656,6 +656,19 @@ final class ObservationStore(byRrname: DataFrame, byRdata: DataFrame,
              limit: Int = 1000): DataFrame =
     stores.map(_.entries(rrname, rdata, limit = limit)).reduce(_ unionAll _)
 
+  /** Q5 on the serving fast path: per-store [[servePoint]] results
+    * concatenated (bag semantics, per-store limit — the [[fanOut]]
+    * contract), available only when EVERY store serves driver-locally;
+    * None sends the caller to the plan-path [[fanOut]]. The reference
+    * dispatches serially per backend (`db_remote.go:133-202`); so does
+    * this — each lookup is ms-class, and ordering stays deterministic. */
+  def servePointFanOut(stores: Seq[ObservationStore],
+      rrname: Option[String], rdata: Option[String],
+      limit: Int = 1000): Option[Seq[graft.model.Observation]] = {
+    val per = stores.map(_.servePoint(rrname, rdata, limit = limit))
+    if (per.exists(_.isEmpty)) None else Some(per.flatMap(_.get))
+  }
+
   /** Q9 done server-side: the reference expands a CIDR client-side into one
     * point query per address (`cmds/query.go:32-57`); on Spark a range
     * predicate on the parsed address does the same work in one scan with

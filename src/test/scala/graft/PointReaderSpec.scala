@@ -114,6 +114,26 @@ class PointReaderSpec extends AnyFunSuite {
       sortedSet(re.entries(rrname = Some("new")).collect().toSeq))
   }
 
+  test("servePointFanOut: bag union of per-store fast lookups, Q5 contract") {
+    val (_, a) = freshStore()
+    val (_, b) = freshStore() // same content → duplicates must be KEPT
+    val fast = a.servePointFanOut(Seq(a, b), rrname = Some("foo"),
+      rdata = None).get
+    val plan = a.fanOut(Seq(a, b), rrname = Some("foo"), rdata = None)
+      .collect().toSeq
+    assert(fast.size == 6) // 3 matching rows × 2 stores, duplicates kept
+    // same multiset as the plan-path fan-out
+    assert(fast.map(o => (o.rrname, o.sensor_id, o.rrtype, o.rdata,
+        o.count)).sorted ==
+      plan.map(r => (r.getAs[String]("rrname"), r.getAs[String]("sensor_id"),
+        r.getAs[String]("rrtype"), r.getAs[String]("rdata"),
+        r.getAs[Long]("count"))).sorted)
+    // any in-memory member disables the fast path
+    val mem = graft.operators.ObservationStore.inMemory(
+      a.forward.drop("bucket", "rdata_ip", "rdata_ip6"))
+    assert(a.servePointFanOut(Seq(a, mem), Some("foo"), None).isEmpty)
+  }
+
   test("servePointRows schema renders by field name (serving contract)") {
     val (_, store) = freshStore()
     val rows = store.servePointRows(rdata = Some("1.2.3.5")).get
