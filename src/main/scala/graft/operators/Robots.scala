@@ -35,15 +35,18 @@ object Robots {
     * empty `Disallow:` means allow-everything in the wild — no rule). */
   def parseRules(bodies: DataFrame, hostCol: String, bodyCol: String,
       agent: String = "*"): DataFrame = {
+    // directive NAMES match case-insensitively (the (?i) regexes) but
+    // rule PATHS keep their case — robots paths are case-sensitive, and
+    // lowercasing the body would silently break /CaseSensitive rules
     val w = Window.partitionBy(col("host")).orderBy(col("idx"))
     val lines = bodies
       .select(col(hostCol).as("host"),
-        posexplode(split(lower(col(bodyCol)), "\n")).as(Seq("idx", "raw")))
+        posexplode(split(col(bodyCol), "\n")).as(Seq("idx", "raw")))
       .select(col("host"), col("idx"),
         trim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
       .filter(col("line") =!= "")
     val tagged = lines
-      .withColumn("is_agent", col("line").startsWith("user-agent:"))
+      .withColumn("is_agent", col("line").rlike("(?i)^user-agent:"))
       .withColumn("prev_is_agent", lag(col("is_agent"), 1).over(w))
       .withColumn("new_group",
         (col("is_agent") &&
@@ -53,15 +56,16 @@ object Robots {
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val groupAgents = tagged.filter(col("is_agent"))
       .select(col("host"), col("group"),
-        trim(regexp_extract(col("line"), "^user-agent:(.*)$", 1))
+        lower(trim(regexp_extract(col("line"), "(?i)^user-agent:(.*)$", 1)))
           .as("agent"))
       .filter(col("agent").isin(agent.toLowerCase, "*"))
       .select(col("host"), col("group")).distinct()
     tagged
-      .filter(col("line").rlike("^(allow|disallow):"))
+      .filter(col("line").rlike("(?i)^(allow|disallow):"))
       .select(col("host"), col("group"),
-        regexp_extract(col("line"), "^(allow|disallow):(.*)$", 1).as("rule"),
-        trim(regexp_extract(col("line"), "^(allow|disallow):(.*)$", 2))
+        lower(regexp_extract(col("line"), "(?i)^(allow|disallow):(.*)$", 1))
+          .as("rule"),
+        trim(regexp_extract(col("line"), "(?i)^(allow|disallow):(.*)$", 2))
           .as("path"))
       .filter(col("path") =!= "")
       .join(groupAgents, Seq("host", "group"))

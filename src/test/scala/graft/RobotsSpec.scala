@@ -32,11 +32,25 @@ class RobotsSpec extends AnyFunSuite {
     val star = rules("*").as[(String, String, String)].collect().toSet
     assert(star == Set(("h.example", "disallow", "/a"),
       ("h.example", "allow", "/a/b")))
-    // GoodBot gets ITS group plus the * group; agent match is
-    // case-insensitive (the parser lowercases the body)
+    // GoodBot gets ITS group plus the * group; agent NAMES match
+    // case-insensitively but rule PATHS keep their case
     val good = rules("goodbot").as[(String, String, String)].collect().toSet
     assert(good == Set(("h.example", "disallow", "/only-goodbot"),
       ("h.example", "disallow", "/a"), ("h.example", "allow", "/a/b")))
+    val cased = Robots.parseRules(
+      Seq(("c.example", "USER-AGENT: *\nDISALLOW: /CaseSensitive\n"))
+        .toDF("host", "body"), "host", "body")
+      .as[(String, String, String)].collect().toSet
+    assert(cased == Set(("c.example", "disallow", "/CaseSensitive")))
+    val v = Robots.filterUrls(
+      Seq("http://c.example/CaseSensitive/x",
+        "http://c.example/casesensitive/x").toDF("url"), "url",
+      Robots.parseRules(
+        Seq(("c.example", "USER-AGENT: *\nDISALLOW: /CaseSensitive\n"))
+          .toDF("host", "body"), "host", "body"))
+      .select("url", "is_allowed").as[(String, Long)].collect().toMap
+    assert(v("http://c.example/CaseSensitive/x") == 0L)
+    assert(v("http://c.example/casesensitive/x") == 1L)
   }
 
   test("verdicts: longest prefix wins, allow wins ties, no match allows") {
