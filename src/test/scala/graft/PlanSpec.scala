@@ -697,6 +697,29 @@ class PlanSpec extends AnyFunSuite {
       (50L, 150L, 40L, 60L, 10L)).sorted)
   }
 
+  test("round-9 text ops are narrow passes; robots verdicts broadcast") {
+    val docsDf = Seq((1L, "some <b>text</b> here")).toDF("doc_id", "text")
+    // HTML extraction: scan → project, zero shuffles
+    val htmlPlan = explainOf(docsDf.select(col("doc_id"),
+      graft.operators.TextAnalysis.htmlExtract(col("text")).as("t"),
+      graft.operators.TextAnalysis.htmlTitle(col("text")).as("ti")))
+    assert(!htmlPlan.contains("Exchange"), htmlPlan)
+    // BPE segmentation under a fixed table: also narrow
+    val bpePlan = explainOf(docsDf.select(col("doc_id"),
+      graft.operators.TextAnalysis.bpeTokenCount(col("text"),
+        Seq(("t", "h"), ("th", "e"))).as("n")))
+    assert(!bpePlan.contains("Exchange"), bpePlan)
+    // robots verdicts: the rules side joins BROADCAST — the URL corpus
+    // must never shuffle for the verdict join
+    val rules = Seq(("h", "disallow", "/a")).toDF("host", "rule", "path")
+    val urls = Seq("http://h/a/x").toDF("url")
+    val robotsPlan = explainOf(
+      graft.operators.Robots.filterUrls(urls, "url", rules))
+    assert(robotsPlan.contains("BroadcastHashJoin") ||
+      robotsPlan.contains("BroadcastNestedLoopJoin"), robotsPlan)
+    assert(!robotsPlan.contains("SortMergeJoin"), robotsPlan)
+  }
+
   test("hits: per-round plan is equi-join + aggregate, no product") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
     val plan = explainOf(graft.operators.Graphs.hits(e, "src", "dst",
