@@ -47,7 +47,7 @@ object Main {
     """usage: graft.Main <build|merge|serve|query|dump|replay|backup|expire|curate|dedup|dump-balboa|replay-balboa|index|search|scan|warc-extract> [args]
       |  build  --obs <parquet> --store <dir> [--buckets 64]
       |  merge  --obs <parquet> --store <dir>
-      |  serve  --store <dir> [--port 8080]
+      |  serve  --store <dir> [--port 8080] [--tcp-port <p>]
       |  query  <subject|cidr> --store <dir> [--limit 1000]
       |  dump   --store <dir> --out <dir>
       |  replay --dump <dir> --store <dir> [--buckets 64]
@@ -86,6 +86,10 @@ object Main {
     flags.getOrElse(name,
       throw new IllegalArgumentException(s"missing required --$name"))
 
+  /** The TCP server `serve --tcp-port` started (daemon-lifetime like
+    * the HTTP server; package-visible so tests can stop it). */
+  private[graft] var startedTcp: Option[graft.serve.BalboaTcpServer] = None
+
   /** Entry point with an injectable session (tests drive this
     * directly). `serve` returns the started server so callers can stop
     * it; every other command returns null. */
@@ -110,6 +114,15 @@ object Main {
           flags.get("port").map(_.toInt).getOrElse(8080))
         server.start()
         System.err.println(s"[graft] serving on port ${server.boundPort}")
+        // optional native-TCP protocol beside HTTP — a live balboa
+        // frontend points its backend address here (drop-in, Q12 wire)
+        startedTcp = flags.get("tcp-port").map { p =>
+          val t = new graft.serve.BalboaTcpServer(store, p.toInt)
+          t.start()
+          System.err.println(
+            s"[graft] balboa tcp protocol on port ${t.boundPort}")
+          t
+        }
         server
       case "query" =>
         val subject = pos.headOption.getOrElse(

@@ -140,6 +140,31 @@ class MainSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("serve --tcp-port also speaks the native balboa protocol") {
+    import graft.serve.BalboaTcp._
+    val dir = Files.createTempDirectory("graft-main-tcp").toString
+    obsDf.write.parquet(s"$dir/obs")
+    Main.run(spark, Seq("build", "--obs", s"$dir/obs",
+      "--store", s"$dir/store", "--buckets", "4"))
+    val server = Main.run(spark, Seq("serve", "--store", s"$dir/store",
+      "--port", "0", "--tcp-port", "0"))
+    val tcp = Main.startedTcp.get
+    try {
+      val sock = new java.net.Socket("localhost", tcp.boundPort)
+      try {
+        sock.getOutputStream.write(encodeQueryRequest(
+          QueryRequest(Some("host-3.example.com"), None, None, None, 10)))
+        sock.getOutputStream.flush()
+        val rd = new MsgReader(new java.io.DataInputStream(
+          new java.io.BufferedInputStream(sock.getInputStream)))
+        val types = Iterator.continually(rd.readTyped())
+          .takeWhile(_._1 != TypeQueryStreamEndResponse).map(_._1).toSeq
+        assert(types.head == TypeQueryStreamStartResponse)
+        assert(types.count(_ == TypeQueryStreamDataResponse) >= 1)
+      } finally sock.close()
+    } finally { tcp.stop(); server.stop(); Main.startedTcp = None }
+  }
+
   test("curate and dedup CLI commands produce the pipeline outputs") {
     val dir = Files.createTempDirectory("graft-main-curate").toString
     val docs = ((1 to 60).map(i =>
