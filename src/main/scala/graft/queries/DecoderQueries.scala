@@ -36,6 +36,22 @@ object DecoderQueries {
   private def tsPb(c: org.apache.spark.sql.Column) =
     date_format(c.cast("timestamp_ltz"), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
 
+  /** The shared text-payload WARC archive (WITH its CDX index), built
+    * once per (session, dir): decode_warc full-scans it, warc_fetch
+    * random-accesses it — same fixture, two access paths. */
+  private def warcTextArchive(s: SparkSession, dir: String): String = {
+    val tmp = scratchDir("warc", dir)
+    val docs = Graft.table(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+    buildOnce(s, dir, "warc")(graft.sources.Warc.writeWithIndex(docs.select(
+      concat(lit("http://"), col("source"), lit(".example/"),
+        col("doc_id")).as("url"),
+      timestamp_seconds(lit(1577836800L) + col("doc_id")).as("ts"),
+      lit("text/plain; charset=utf-8").as("content_type"),
+      encode(col("text"), "UTF-8").as("payload")), s"$tmp/warc"))
+    s"$tmp/warc"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // D1 — Suricata EVE v2 "grouped": one JSON per order, grouped map
@@ -187,16 +203,7 @@ object DecoderQueries {
     // parsing, the member-per-record gzip framing, payload byte
     // fidelity (UTF-8 text survives), and WARC-Date round-tripping.
     "decode_warc" -> ((s, dir) => {
-      val tmp = scratchDir("warc", dir)
-      val docs = Graft.table(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-      graft.sources.Warc.write(docs.select(
-        concat(lit("http://"), col("source"), lit(".example/"),
-          col("doc_id")).as("url"),
-        timestamp_seconds(lit(1577836800L) + col("doc_id")).as("ts"),
-        lit("text/plain; charset=utf-8").as("content_type"),
-        encode(col("text"), "UTF-8").as("payload")), s"$tmp/warc")
-      graft.sources.Warc.read(s, s"$tmp/warc").select(
+      graft.sources.Warc.read(s, warcTextArchive(s, dir)).select(
         col("warc_type"), col("url"), micros(col("ts")).as("ts"),
         col("content_type"), col("content_length"),
         col("payload").cast("string").as("text"))
@@ -208,21 +215,13 @@ object DecoderQueries {
     // no archive scan (the WARC analogue of the store's PointReader
     // serving path). Oracle reconstructs the subset from `documents`.
     "warc_fetch" -> ((s, dir) => {
-      val tmp = scratchDir("warcfetch", dir)
-      val docs = Graft.table(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-      graft.sources.Warc.writeWithIndex(docs.select(
-        concat(lit("http://"), col("source"), lit(".example/"),
-          col("doc_id")).as("url"),
-        timestamp_seconds(lit(1577836800L) + col("doc_id")).as("ts"),
-        lit("text/plain; charset=utf-8").as("content_type"),
-        encode(col("text"), "UTF-8").as("payload")), s"$tmp/warc")
-      val wanted = s.read.parquet(s"$tmp/warc/_cdx")
+      val archive = warcTextArchive(s, dir)
+      val wanted = s.read.parquet(s"$archive/_cdx")
         .filter(regexp_extract(col("url"), "/([0-9]+)$", 1)
           .cast("long") % 7 === 0)
         .select("url", "file", "offset", "length").collect()
       val rows = wanted.map { r =>
-        val rec = graft.sources.Warc.fetchRecord(s"$tmp/warc",
+        val rec = graft.sources.Warc.fetchRecord(archive,
           r.getString(1), r.getLong(2), r.getLong(3))
         (rec.url, new String(rec.payload,
           java.nio.charset.StandardCharsets.UTF_8))
@@ -249,12 +248,12 @@ object DecoderQueries {
           "<body><nav>Home | About</nav><p>"),
         TextAnalysis.htmlEscape(col("text")),
         lit("</p><!-- c --><footer>&amp; fin</footer></body></html>"))
-      graft.sources.Warc.write(docs.select(
+      buildOnce(s, dir, "warcpipe")(graft.sources.Warc.write(docs.select(
         concat(lit("http://"), col("source"), lit(".example/"),
           col("doc_id")).as("url"),
         timestamp_seconds(lit(1577836800L) + col("doc_id")).as("ts"),
         lit("text/html; charset=utf-8").as("content_type"),
-        encode(page, "UTF-8").as("payload")), s"$tmp/warc")
+        encode(page, "UTF-8").as("payload")), s"$tmp/warc"))
       val text = graft.operators.TextAnalysis.htmlExtract(
         col("payload").cast("string"))
       graft.sources.Warc.read(s, s"$tmp/warc").select(

@@ -102,6 +102,19 @@ object util {
     dst.toString
   }
 
+  /** Run `build` exactly once per (session, dir, key) — for gate
+    * fixtures that are deterministic functions of the source data
+    * (generated WARC archives, rendered corpora): later invocations in
+    * the same session reuse the on-disk result instead of regenerating
+    * it, so the gate times its OPERATOR, not fixture construction. */
+  def buildOnce(s: SparkSession, dir: String, key: String)(
+      build: => Unit): Unit =
+    onceCache.getOrElseUpdate((s, dir, key), { build; true }): Unit
+
+  private val onceCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, String), Boolean]
+
   /** One scratch dir per (purpose, source dir), reused (overwritten)
     * across gate invocations instead of leaking a fresh temp directory
     * per run, removed recursively at JVM exit. */

@@ -236,10 +236,26 @@ object Warc {
   def fetchRecord(warcDir: String, file: String, offset: Long,
       length: Long): Record = {
     val p = new org.apache.hadoop.fs.Path(s"$warcDir/$file")
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val in = fs.open(p)
     val bytes = new Array[Byte](length.toInt)
-    try { in.seek(offset); in.readFully(bytes) } finally in.close()
+    val uri = p.toUri
+    if (uri.getScheme == null || uri.getScheme == "file") {
+      // java.nio for local paths: Hadoop's ChecksumFileSystem costs
+      // ~8 ms per open — ruinous for a fetch that reads a few KB
+      // (the PointReader lesson applied to the archive)
+      val ch = java.nio.file.Files.newByteChannel(
+        java.nio.file.Paths.get(uri.getPath))
+      try {
+        ch.position(offset)
+        val buf = java.nio.ByteBuffer.wrap(bytes)
+        while (buf.hasRemaining && ch.read(buf) >= 0) {}
+        if (buf.hasRemaining)
+          throw new java.io.EOFException(s"short read at $file:$offset")
+      } finally ch.close()
+    } else {
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val in = fs.open(p)
+      try { in.seek(offset); in.readFully(bytes) } finally in.close()
+    }
     val it = recordIterator(new java.io.ByteArrayInputStream(bytes))
     if (!it.hasNext)
       throw new IllegalArgumentException(s"no record at $file:$offset+$length")
