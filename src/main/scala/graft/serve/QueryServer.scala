@@ -154,11 +154,15 @@ final class QueryServer(store: ObservationStore, port: Int = 0,
 
     server.createContext("/stats", (ex: HttpExchange) => handle(ex) {
       if (ex.getRequestURI.getPath != "/stats") respond(ex, 404, "not found\n")
-      else
+      else {
         // num_goroutines: the JVM stand-in for runtime.NumGoroutine()
-        // (`query_graphql.go:307-311`) is the live thread count
+        // (`query_graphql.go:307-311`) is the live thread count; the
+        // serving totals are the engine-stats counters (engine.c:480-514)
+        // as cumulative values
+        val t = stats.totals
         respond(ex, 200,
-          s"""{"total_count":${store.totalCount()},"num_goroutines":${Thread.activeCount()}}""" + "\n")
+          s"""{"total_count":${store.totalCount()},"num_goroutines":${Thread.activeCount()},"queries":${t("queries")},"errors":${t("errors")},"bytes_out":${t("bytes_out")}}""" + "\n")
+      }
     })
 
     // Q1 — the reference's GraphQL surface (README.md:250-283): the

@@ -90,9 +90,10 @@ class QueryServerSpec extends AnyFunSuite {
       .split("\n").length == 1)
   }
 
-  test("GET /stats -> total_count + num_goroutines") {
+  test("GET /stats -> total_count + goroutines + serving counters") {
     val body = get("/stats").body().trim
-    assert(body.matches("""\{"total_count":3,"num_goroutines":\d+\}"""), body)
+    assert(body.matches("""\{"total_count":3,"num_goroutines":\d+,""" +
+      """"queries":\d+,"errors":\d+,"bytes_out":\d+\}"""), body)
   }
 
   test("POST /graphql: the reference's canonical entries query") {
