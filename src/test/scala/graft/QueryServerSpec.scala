@@ -413,6 +413,51 @@ class QueryServerSpec extends AnyFunSuite {
     assert(idAb.head != idA.head, "concatenation-ambiguous keys must differ")
   }
 
+  test("disk-backed store serves GraphQL/REST through the fast path") {
+    import spark.implicits._
+    // a DISK store makes servePoint available, so every endpoint below
+    // exercises the PointReader branch (the in-memory fixture above
+    // covers the plan-path fallback); responses must be shape-identical
+    val ts = Timestamp.valueOf("2018-01-01 00:00:00")
+    val dir = java.nio.file.Files.createTempDirectory("graft-qs-disk").toString
+    ObservationStore.writeDual(ObservationStore.aggregate(Seq(
+      ("foo", "abc", "A", "1.2.3.4", 10L, ts, ts),
+      ("bar", "abc", "A", "1.2.3.4", 2L, ts, ts)
+    ).toDF("rrname", "sensor_id", "rrtype", "rdata", "count",
+      "timestamp_start", "timestamp_end")), dir, numBuckets = 4)
+    val disk = ObservationStore.load(spark, dir)
+    assert(disk.servePoint(rrname = Some("foo")).isDefined) // fast path on
+    val srv = new QueryServer(disk)
+    srv.start()
+    try {
+      def g(path: String) = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://localhost:${srv.boundPort}$path")).GET()
+          .build(), HttpResponse.BodyHandlers.ofString())
+      def p(path: String, body: String) = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://localhost:${srv.boundPort}$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      // REST: CIRCL bag union via two fast lookups; unix-seconds ints
+      val rest = g("/pdns/query/1.2.3.4").body().trim.split("\n")
+      assert(rest.length == 2)
+      assert(rest.forall(_.contains("\"time_first\":1514764800")))
+      // POST /query with residual filter
+      val q = p("/query", """{"rdata":"1.2.3.4","rrname":null}""")
+        .body().trim.split("\n")
+      assert(q.length == 2 && q.exists(_.contains("\"rrname\":\"foo\"")))
+      // GraphQL with aliases: fast rows + LocalRelation aliases join
+      val gql = p("/graphql",
+        """{ entries(rrname: "foo") { rrname rdata count time_first
+          |  aliases { rrname } } }""".stripMargin).body()
+      assert(gql.contains("\"count\":10"), gql)
+      assert(gql.contains("\"aliases\":[{\"rrname\":\"bar\"}]"), gql)
+      // miss → 404 on REST
+      assert(g("/pdns/query/absent").statusCode() == 404)
+    } finally srv.stop()
+  }
+
   test("slow-client timeouts configured to reference parity (5s/10s)") {
     server.boundPort: Unit // force server construction first
     // query_graphql.go:410-412 — the JDK server reads these once at
