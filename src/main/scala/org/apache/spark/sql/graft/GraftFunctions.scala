@@ -97,7 +97,29 @@ object GraftFunctions {
         if (e.size > 3) litBool(e(3), "largest") else true)),
     "cm_sketch" -> arity("cm_sketch", 1, 3)(e => CmSketch(e.head,
       if (e.size > 1) litInt(e(1), "d") else 4,
-      if (e.size > 2) litInt(e(2), "w") else 512)))
+      if (e.size > 2) litInt(e(2), "w") else 512)),
+    // COMPOSED functions (round 9): built from stock expressions via the
+    // public Column API, registered so the SQL face covers the whole
+    // text-ingest chain — the GraftShims round-trip turns the Column
+    // composition into the Expression tree the registry needs.
+    "html_extract" -> arity("html_extract", 1, 1)(e => composed(e.head,
+      c => graft.operators.TextAnalysis.htmlExtract(c))),
+    "html_title" -> arity("html_title", 1, 1)(e => composed(e.head,
+      c => graft.operators.TextAnalysis.htmlTitle(c))),
+    "url_host" -> arity("url_host", 1, 1)(e => composed(e.head,
+      c => graft.operators.Robots.urlHost(c))),
+    "url_path" -> arity("url_path", 1, 1)(e => composed(e.head,
+      c => graft.operators.Robots.urlPath(c))),
+    "double_sortable_bits" -> arity("double_sortable_bits", 1, 1)(e =>
+      DoubleSortableBits(e.head)),
+    "sortable_bits_to_double" -> arity("sortable_bits_to_double", 1, 1)(e =>
+      SortableBitsToDouble(e.head)))
+
+  /** Column-composition → Expression bridge for registry builders. */
+  private def composed(e: Expression,
+      f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Expression =
+    org.apache.spark.sql.GraftShims.expression(
+      f(org.apache.spark.sql.GraftShims.column(e)))
 
   /** Register every graft function into an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -55,4 +55,26 @@ class SqlFunctionsSpec extends AnyFunSuite {
         "FROM sqlfn_bad").collect())
     assert(ex.getMessage.contains("literal"))
   }
+
+  test("round-9 composed + codec functions evaluate from SQL") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT html_extract('<p>a &amp; b</p>') AS t,
+        |       html_title('<title>T</title><p>x</p>') AS ti,
+        |       url_host('https://h.x/p/q') AS h,
+        |       url_path('https://h.x/p/q') AS p,
+        |       sortable_bits_to_double(double_sortable_bits(-1.25D)) AS d
+        |""".stripMargin).head
+    assert(r.getString(0) == "a & b")
+    assert(r.getString(1) == "T")
+    assert(r.getString(2) == "h.x")
+    assert(r.getString(3) == "/p/q")
+    assert(r.getDouble(4) == -1.25)
+    // codec preserves descending-double order as ascending longs
+    val ord = spark.sql(
+      """SELECT double_sortable_bits(x) AS s FROM VALUES (-2.0D), (-0.5D),
+        |(0.0D), (3.5D) AS t(x) ORDER BY x""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ord == ord.sorted)
+  }
 }
