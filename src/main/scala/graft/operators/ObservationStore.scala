@@ -124,7 +124,7 @@ object ObservationStore {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  private[operators] def pathExists(spark: SparkSession, path: String): Boolean = {
+  private[graft] def pathExists(spark: SparkSession, path: String): Boolean = {
     val (f, p) = fs(spark, path)
     f.exists(p)
   }

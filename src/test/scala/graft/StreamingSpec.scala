@@ -317,6 +317,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation: quality gate + within-batch + cross-corpus dedup") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    import graft.streaming.CurationPipeline
+    val dir = Files.createTempDirectory("graft-scurate").toString
+    assert(new java.io.File(s"$dir/spool").mkdirs())
+    def jsonFile(name: String, docs: Seq[(Long, String)]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/spool/$name"),
+        docs.map { case (i, t) => s"""{"doc_id":$i,"text":"$t"}""" }
+          .mkString("\n").getBytes("UTF-8")): Unit
+
+    val good1 = "alpha beta gamma delta epsilon zeta eta theta one two"
+    val good2 = "totally different content about storage engines and joins"
+    jsonFile("f1.json", Seq(
+      (1L, good1),
+      (2L, good1),                     // exact duplicate of 1 → drop
+      (3L, good1 + " extra"),          // near-dup of 1 → drop (lowest id wins)
+      (4L, "too short"),               // quality reject
+      (5L, good2)))
+    val schema = new StructType().add("doc_id", LongType).add("text", StringType)
+    val stream = spark.readStream.schema(schema).json(s"$dir/spool")
+    val q = CurationPipeline.start(spark, stream, "text", "doc_id",
+      s"$dir/corpus", s"$dir/rejects", s"$dir/ckpt", minTokens = 3)
+    try {
+      q.processAllAvailable()
+      val c1 = spark.read.parquet(s"$dir/corpus")
+        .select("doc_id").as[Long].collect().toSet
+      assert(c1 == Set(1L, 5L), c1)
+      val r1 = spark.read.parquet(s"$dir/rejects")
+        .select("doc_id", "reason").as[(Long, String)].collect().toMap
+      assert(r1 == Map(2L -> "dup:within_batch", 3L -> "dup:within_batch",
+        4L -> "quality:token_count"), r1)
+
+      // batch 2: near-dup of the EXISTING corpus drops cross-corpus;
+      // genuinely new content lands
+      jsonFile("f2.json", Seq(
+        (10L, good2 + " slightly"),    // near-dup of corpus doc 5
+        (11L, "entirely novel text with sufficient distinct token count")))
+      q.processAllAvailable()
+      val c2 = spark.read.parquet(s"$dir/corpus")
+        .select("doc_id").as[Long].collect().toSet
+      assert(c2 == Set(1L, 5L, 11L), c2)
+      val r2 = spark.read.parquet(s"$dir/rejects")
+        .select("doc_id", "reason").as[(Long, String)].collect().toMap
+      assert(r2(10L) == "dup:cross_corpus", r2)
+    } finally q.stop()
+  }
+
   private def listParquet(path: String): Seq[String] = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
