@@ -269,7 +269,7 @@ object Curation {
       .agg(count(lit(1)).as("_c"))
       .withColumn("_w", floor(sqrt(col("_c").cast("double"))).cast("long"))
       .localCheckpoint(false) // feeds both the S scalar and the rate join
-    val s = counts.agg(sum(col("_w"))).head.getLong(0)
+    val s = counts.agg(sum(col("_w"))).head().getLong(0)
     val rates = counts.withColumn("_rate",
       least(lit(1000L), expr(s"(1000 * $targetTotal * _w) div ($s * _c)")))
     val bucket = conv(substring(md5(col(textCol)), 1, 5), 16, 10)
@@ -351,7 +351,7 @@ object Curation {
       sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
         "_gidx", org.apache.spark.sql.types.LongType, nullable = false))
     val withIdx = sorted.sparkSession.createDataFrame(
-      sorted.rdd.zipWithIndex.map { case (r, i) =>
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }, schema)
     val offsets = withIdx.groupBy(col(groupCol).as("_g"))
       .agg(min(col("_gidx")).as("_goff"))
@@ -1012,7 +1012,7 @@ object Curation {
     val spark = df.sparkSession
     import spark.implicits._
     val m = df.agg(cmSketch(col(valueCol), d, w).as("m"))
-      .head.getSeq[Long](0).toArray
+      .head().getSeq[Long](0).toArray
     probes.map(p => (p,
         org.apache.spark.sql.graft.CmSketch.estimate(m, d, w, p)))
       .toDF("v", "est_count")

@@ -428,7 +428,7 @@ object Dedup {
     // convergence measure.
     def labelSum(): BigDecimal =
       Option(labels
-          .agg(sum(col("component").cast("decimal(38,0)"))).head
+          .agg(sum(col("component").cast("decimal(38,0)"))).head()
           .getAs[java.math.BigDecimal](0))
         .map(BigDecimal(_)).getOrElse(BigDecimal(0))
     var prevSum = labelSum()

@@ -128,7 +128,7 @@ object Events {
     // them to each other — which no ASOF join does); NULL-keyed left
     // rows still flow through unmatched
     val l2 = left.select(col(keyCol).as("_k"), col(leftTimeCol).as("_t"),
-      lit(1).as("_side"), struct(left.columns.map(col): _*).as("_l"),
+      lit(1).as("_side"), struct(left.columns.toIndexedSeq.map(col): _*).as("_l"),
       lit(null).cast(rvType).as("_rv"))
     val r2 = right.filter(col(keyCol).isNotNull)
       .select(col(keyCol).as("_k"), col(rightTimeCol).as("_t"),

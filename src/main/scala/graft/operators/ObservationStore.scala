@@ -317,14 +317,14 @@ object ObservationStore {
         val touched = withBucket.select("bucket").distinct()
           .collect().map(_.getLong(0))
         val existing = spark.read.parquet(s"$path/$sub")
-          .filter(col("bucket").isin(touched: _*))
-        val merged = existing.select(withBucket.columns.map(col): _*)
+          .filter(col("bucket").isin(touched.toIndexedSeq: _*))
+        val merged = existing.select(withBucket.columns.toIndexedSeq.map(col): _*)
           .unionAll(withBucket)
           .groupBy((Model.Key :+ "bucket").map(col): _*)
           .agg(sum("count").cast("long").as("count"),
             min("first_seen").as("first_seen"),
             max("last_seen").as("last_seen"))
-          .select(withBucket.columns.map(col): _*)
+          .select(withBucket.columns.toIndexedSeq.map(col): _*)
         // drop the derived bucket col: writeCopy recomputes it (same
         // hash). Staging reads the live store and writes elsewhere, so
         // no lineage cut is needed (the old in-place dynamic overwrite
@@ -395,7 +395,7 @@ object ObservationStore {
       if (sub == "by_rrname") dropped = perBucket.map(_.getLong(1)).sum
       if (touched.nonEmpty) {
         val survivors = existing
-          .filter(col("bucket").isin(touched.map(Long.box): _*))
+          .filter(col("bucket").isin(touched.toIndexedSeq.map(Long.box): _*))
           .filter(col("last_seen") >= lit(cutoff))
           .select(dataCols: _*)
         writeCopy(survivors, s"$staging/$sub", keyCol, sortCols,

@@ -187,7 +187,7 @@ object Retrieval {
   def bm25TopK(df: DataFrame, textCol: String, idCol: String,
       terms: Seq[String], k: Int): DataFrame = {
     val st = df.agg(count(lit(1)).as("n"),
-      sum(size(tokens(col(textCol)))).as("sum_dl")).head
+      sum(size(tokens(col(textCol)))).as("sum_dl")).head()
     require(st.getLong(0) > 0, "bm25TopK: corpus is empty")
     val (nDocs, sumDl) = (st.getLong(0), st.getLong(1))
     val idx = tokenIndex(df, textCol, idCol).filter(col("term").isin(terms: _*))
@@ -310,7 +310,7 @@ object Retrieval {
       batch: DataFrame, textCol: String, idCol: String,
       batchId: Option[Long] = None): String = {
     require(!batch.isEmpty, "mergeIndex: batch is empty")
-    val st = spark.read.parquet(s"$path/stats").head
+    val st = spark.read.parquet(s"$path/stats").head()
     val (nDocs, sumDl, nBuckets) =
       (st.getAs[Long]("n_docs"), st.getAs[Long]("sum_dl"),
         st.getAs[Long]("n_buckets"))
@@ -328,8 +328,8 @@ object Retrieval {
     // staging reads the live tables and writes ELSEWHERE, so none of the
     // lineage cuts the old in-place dynamic overwrite needed remain
     spark.read.parquet(s"$path/postings")
-      .filter(col("term_bucket").isin(touched: _*))
-      .select(newIdx.columns.map(col): _*)
+      .filter(col("term_bucket").isin(touched.toIndexedSeq: _*))
+      .select(newIdx.columns.toIndexedSeq.map(col): _*)
       .unionAll(newIdx)
       .repartition(col("term_bucket"))
       .sortWithinPartitions(col("term_bucket"), col("term"))
@@ -341,7 +341,7 @@ object Retrieval {
       .groupBy(col("term")).agg(sum(col("df")).cast("long").as("df"))
       .write.mode("overwrite").parquet(s"$staging/terms")
     val batchStats = batch.agg(count(lit(1)).as("n"),
-      sum(size(tokens(col(textCol)))).as("dl")).head
+      sum(size(tokens(col(textCol)))).as("dl")).head()
     spark.range(1).select(
         lit(nDocs + batchStats.getLong(0)).as("n_docs"),
         lit(sumDl + batchStats.getLong(1)).as("sum_dl"),
@@ -481,7 +481,7 @@ object Retrieval {
     // finish any committed-but-unapplied merge first, so a reader never
     // scores against postings/df/stats from different generations
     recoverIndexMerge(spark, path)
-    val st = spark.read.parquet(s"$path/stats").head
+    val st = spark.read.parquet(s"$path/stats").head()
     val (nDocs, sumDl, nBuckets) =
       (st.getAs[Long]("n_docs"), st.getAs[Long]("sum_dl"),
         st.getAs[Long]("n_buckets"))

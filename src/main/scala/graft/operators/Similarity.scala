@@ -137,7 +137,7 @@ object Similarity {
       nprobe: Int): DataFrame = {
     import spark.implicits._
     val qv: Array[Double] = Seq(queryEmbedding).toDF("e")
-      .select(scaled(col("e"))).head.getSeq[Double](0).toArray
+      .select(scaled(col("e"))).head().getSeq[Double](0).toArray
     val centroids = spark.read.parquet(s"$path/centroids").collect()
       .map(r => (r.getAs[Long]("c_id"), r.getSeq[Double](r.fieldIndex("c_v")).toArray))
     def dotL(a: Array[Double], b: Array[Double]): Double = {
@@ -152,7 +152,7 @@ object Similarity {
       .take(nprobe).map(_._1)
     val qvCol = array(qv.map(lit(_)).toSeq: _*)
     spark.read.parquet(s"$path/vectors")
-      .filter(col("cluster").isin(probe: _*) && col("id") =!= queryId)
+      .filter(col("cluster").isin(probe.toIndexedSeq: _*) && col("id") =!= queryId)
       .select(col("id"), cosine(col("v"), qvCol).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("id").asc)
       .limit(k)
@@ -802,8 +802,8 @@ object Similarity {
     val touched = withCodes.select("cluster").distinct()
       .collect().map(_.getLong(0))
     spark.read.parquet(s"$path/vectors")
-      .filter(col("cluster").isin(touched: _*))
-      .select(withCodes.columns.map(col): _*)
+      .filter(col("cluster").isin(touched.toIndexedSeq: _*))
+      .select(withCodes.columns.toIndexedSeq.map(col): _*)
       .unionAll(withCodes)
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
@@ -862,7 +862,7 @@ object Similarity {
     recoverIvfPqMerge(spark, path)
     import spark.implicits._
     val qv: Array[Double] = Seq(queryEmbedding).toDF("e")
-      .select(scaled(col("e"))).head.getSeq[Double](0).toArray
+      .select(scaled(col("e"))).head().getSeq[Double](0).toArray
     def dotL(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }; s
@@ -890,7 +890,7 @@ object Similarity {
       (j, c.toLong, acc)
     }).toDF("j", "code", "d2")
     val vectors = spark.read.parquet(s"$path/vectors")
-      .filter(col("cluster").isin(probe: _*) && col("id") =!= queryId)
+      .filter(col("cluster").isin(probe.toIndexedSeq: _*) && col("id") =!= queryId)
     val cand = vectors
       .select(col("id"), posexplode(col("codes")).as(Seq("j", "code")))
       .join(broadcast(dt), Seq("j", "code"))

@@ -279,7 +279,7 @@ object EventQueries {
     // mixing signal.
     "decayed_counts" -> ((s, dir) => {
       val e = events(s, dir)
-      val asOf = lit(e.agg(max(col("ts"))).head.get(0))
+      val asOf = lit(e.agg(max(col("ts"))).head().get(0))
       graft.operators.Events.decayedCounts(e, "event_type", "ts", asOf)
     }),
 

@@ -231,7 +231,7 @@ object PipelineQueries {
       val e = embs(s, dir)
       Similarity.writeIvfIndex(e, "vec_id", "embedding", 0L to 7L, tmp)
       val q = e.filter(col("vec_id") === 5)
-        .select(col("embedding")).head.getSeq[Float](0)
+        .select(col("embedding")).head().getSeq[Float](0)
       Similarity.ivfIndexTopK(s, tmp, q, queryId = 5L, k = 10, nprobe = 2)
     }),
 
@@ -245,7 +245,7 @@ object PipelineQueries {
       Similarity.writeIvfPqIndex(e, "vec_id", "embedding", 0L to 7L, tmp,
         m = 4, ks = 8, iters = 1, dim = 64)
       val q = e.filter(col("vec_id") === 5)
-        .select(col("embedding")).head.getSeq[Float](0)
+        .select(col("embedding")).head().getSeq[Float](0)
       Similarity.ivfPqTopK(s, tmp, q, queryId = 5L, k = 10, nprobe = 2,
         rerank = 20)
     }),
@@ -259,7 +259,7 @@ object PipelineQueries {
       Similarity.writeIvfPqIndex(e, "vec_id", "embedding", 0L to 7L, tmp,
         m = 4, ks = 8, iters = 1, dim = 64)
       val q = e.filter(col("vec_id") === 5)
-        .select(col("embedding")).head.getSeq[Float](0)
+        .select(col("embedding")).head().getSeq[Float](0)
       val exact = Similarity.topK(e, "vec_id", "embedding", 5L, 10)
         .select(col("id"))
       val approx = Similarity.ivfPqTopK(s, tmp, q, queryId = 5L, k = 10,
@@ -282,7 +282,7 @@ object PipelineQueries {
       Similarity.mergeIvfPqIndex(s, tmp, e.filter(col("vec_id") >= 250),
         "vec_id", "embedding")
       val q = e.filter(col("vec_id") === 5)
-        .select(col("embedding")).head.getSeq[Float](0)
+        .select(col("embedding")).head().getSeq[Float](0)
       Similarity.ivfPqTopK(s, tmp, q, queryId = 5L, k = 10, nprobe = 2,
         rerank = 20)
     }),
