@@ -82,6 +82,25 @@ object Robots {
     when(p === "", lit("/")).otherwise(p)
   }
 
+  /** Politeness-interleaved crawl schedule — the frontier ordering step
+    * after [[filterUrls]]: per host, URLs rank by (priority desc, url
+    * asc) into a 1-based `visit` number; the crawl order is
+    * `(visit, host)` ascending, which round-robins hosts so consecutive
+    * fetches of ONE host are separated by every other host that still
+    * has a visit-`n` URL — the per-host delay emerges from the
+    * interleave instead of a stateful rate limiter. Per-host windows
+    * only (frontier lists are bounded per host; partition by host at
+    * any scale, and range-partition the output on `visit` instead of
+    * globally sorting). Output: input columns + `host`, `visit`. */
+  def crawlSchedule(urls: DataFrame, urlCol: String,
+      priorityCol: String): DataFrame = {
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col(priorityCol).desc, col(urlCol).asc)
+    urls
+      .withColumn("host", urlHost(col(urlCol)))
+      .withColumn("visit", row_number().over(w).cast("long"))
+  }
+
   /** Verdict per URL against parsed rules ([[parseRules]] output):
     * input columns + `is_allowed` (0/1). Longest matching prefix wins,
     * allow beats disallow on ties, no match → allowed. */

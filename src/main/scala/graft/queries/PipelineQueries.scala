@@ -332,6 +332,20 @@ object PipelineQueries {
       Robots.filterUrls(urls, "url", rules)
     }),
 
+    // Crawl frontier scheduling: per-host priority rank (the politeness
+    // interleave — crawl order is (visit, host), separating consecutive
+    // same-host fetches by every other live host). Oracle is the same
+    // window, so rank AND tie semantics are cross-engine pinned.
+    "crawl_schedule" -> ((s, dir) => {
+      import graft.operators.Robots
+      val urls = docs(s, dir).select(
+        concat(lit("http://"), col("source"), lit(".example/"),
+          col("doc_id")).as("url"),
+        col("n_chars"))
+      Robots.crawlSchedule(urls, "url", "n_chars")
+        .select(col("url"), col("host"), col("visit"))
+    }),
+
     // BPE TRAINING: learn 3 merges from the corpus (count adjacent
     // symbol pairs within words, merge the winner everywhere, repeat).
     // The oracle replays every round in chained CTEs with the learned
@@ -1415,6 +1429,18 @@ object PipelineQueries {
         |      ELSE '' END AS url,
         |  CAST(CASE WHEN doc_id % 5 IN (1, 3) THEN 0 ELSE 1 END AS BIGINT)
         |    AS is_allowed
+        |FROM documents
+        |""".stripMargin,
+
+    "crawl_schedule" ->
+      """SELECT 'http://' || source || '.example/' || CAST(doc_id AS VARCHAR)
+        |         AS url,
+        |       source || '.example' AS host,
+        |       CAST(ROW_NUMBER() OVER (
+        |         PARTITION BY source
+        |         ORDER BY n_chars DESC,
+        |           'http://' || source || '.example/' ||
+        |             CAST(doc_id AS VARCHAR) ASC) AS BIGINT) AS visit
         |FROM documents
         |""".stripMargin,
 

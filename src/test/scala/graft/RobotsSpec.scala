@@ -78,6 +78,24 @@ class RobotsSpec extends AnyFunSuite {
     assert(v == 1L)
   }
 
+  test("crawlSchedule: per-host priority rank gives the interleave") {
+    val urls = Seq(
+      ("http://a.x/1", 5L), ("http://a.x/2", 9L), ("http://a.x/3", 9L),
+      ("http://b.x/1", 1L)).toDF("url", "prio")
+    val out = Robots.crawlSchedule(urls, "url", "prio")
+      .select("url", "host", "visit")
+      .as[(String, String, Long)].collect().toSet
+    // priority desc, url asc on ties; hosts independent
+    assert(out == Set(
+      ("http://a.x/2", "a.x", 1L), ("http://a.x/3", "a.x", 2L),
+      ("http://a.x/1", "a.x", 3L), ("http://b.x/1", "b.x", 1L)))
+    // (visit, host) order separates consecutive same-host fetches by
+    // every other host that still has a visit-n URL
+    val order = out.toSeq.sortBy { case (_, h, v) => (v, h) }.map(_._1)
+    assert(order == Seq("http://a.x/2", "http://b.x/1",
+      "http://a.x/3", "http://a.x/1"))
+  }
+
   test("url parsing: host and path normalization") {
     val df = Seq("https://x.y/p/q?r=1", "http://x.y", "not-a-url")
       .toDF("u")
