@@ -162,4 +162,38 @@ class EdgeCaseSpec extends AnyFunSuite {
       Seq((1L, "")).toDF("doc_id", "text"), "doc_id", "text",
       Seq("x")).count() == 0)
   }
+
+  test("round-9 ops are total on empty and degenerate input") {
+    import graft.operators.{Robots, TextAnalysis}
+    import org.apache.spark.sql.functions.col
+    // HTML extraction of empty / non-HTML / tag-only strings
+    val html = Seq("", "no markup at all", "<p></p>", "<x").toDF("h")
+      .select(TextAnalysis.htmlExtract(col("h")).as("t"),
+        TextAnalysis.htmlTitle(col("h")).as("ti"))
+      .as[(String, String)].collect()
+    assert(html(0) == ("", ""))
+    assert(html(1) == ("no markup at all", ""))
+    assert(html(2) == ("", ""))
+    // BPE with an empty merge table = pure char segmentation; empty
+    // text yields the empty-word artifact both engines share
+    val seg = Seq("ab").toDF("t")
+      .select(TextAnalysis.bpeSegment(col("t"), Nil)).head.getSeq[String](0)
+    assert(seg == Seq("a", "b"))
+    assert(TextAnalysis.bpeTrain(
+      spark.emptyDataset[String].toDF("text"), "text", 3).isEmpty)
+    // robots: empty bodies produce no rules; no rules allow everything
+    val noRules = Robots.parseRules(
+      Seq(("h", "")).toDF("host", "body"), "host", "body")
+    assert(noRules.count() == 0)
+    assert(Robots.filterUrls(Seq("http://h/x").toDF("url"), "url", noRules)
+      .select("is_allowed").head.getLong(0) == 1L)
+    // crawl schedule of an empty frontier
+    assert(Robots.crawlSchedule(
+      spark.emptyDataset[(String, Long)].toDF("url", "p"), "url", "p")
+      .count() == 0)
+    // WARC read over a directory with no .warc files
+    val dir = java.nio.file.Files.createTempDirectory("graft-ec-warc")
+    java.nio.file.Files.write(dir.resolve("notes.txt"), "x".getBytes): Unit
+    assert(graft.sources.Warc.read(spark, dir.toString).count() == 0)
+  }
 }
