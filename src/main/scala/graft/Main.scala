@@ -86,15 +86,20 @@ object Main {
     flags.getOrElse(name,
       throw new IllegalArgumentException(s"missing required --$name"))
 
-  /** The TCP server `serve --tcp-port` started (daemon-lifetime like
-    * the HTTP server; package-visible so tests can stop it). */
-  private[graft] var startedTcp: Option[graft.serve.BalboaTcpServer] = None
+  /** What `serve` started: the HTTP server plus the optional native-TCP
+    * listener, stoppable as one unit — a side-channel var here would let
+    * a caller stop the returned HTTP server and leak the TCP listener. */
+  final case class Servers(http: QueryServer,
+      tcp: Option[graft.serve.BalboaTcpServer]) {
+    def boundPort: Int = http.boundPort
+    def stop(): Unit = { tcp.foreach(_.stop()); http.stop() }
+  }
 
   /** Entry point with an injectable session (tests drive this
-    * directly). `serve` returns the started server so callers can stop
-    * it; every other command returns null. */
+    * directly). `serve` returns the started servers so callers can stop
+    * them; every other command returns null. */
   private[graft] def run(spark: SparkSession,
-      args: Seq[String]): QueryServer = {
+      args: Seq[String]): Servers = {
     val (pos, flags) = parseFlags(args.tail)
     args.head match {
       case "build" =>
@@ -116,14 +121,14 @@ object Main {
         System.err.println(s"[graft] serving on port ${server.boundPort}")
         // optional native-TCP protocol beside HTTP — a live balboa
         // frontend points its backend address here (drop-in, Q12 wire)
-        startedTcp = flags.get("tcp-port").map { p =>
+        val tcp = flags.get("tcp-port").map { p =>
           val t = new graft.serve.BalboaTcpServer(store, p.toInt)
           t.start()
           System.err.println(
             s"[graft] balboa tcp protocol on port ${t.boundPort}")
           t
         }
-        server
+        Servers(server, tcp)
       case "query" =>
         val subject = pos.headOption.getOrElse(
           throw new IllegalArgumentException("query needs a subject"))

@@ -31,12 +31,32 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    BalboaQueries.queries ++ DecoderQueries.queries ++
-      SelectorQueries.queries ++ PipelineQueries.queries ++ EventQueries.queries ++ MultimodalQueries.queries ++ CurationQueries.queries ++ RetrievalQueries.queries
+    distinctUnion("queries")(
+      BalboaQueries.queries, DecoderQueries.queries,
+      SelectorQueries.queries, PipelineQueries.queries,
+      EventQueries.queries, MultimodalQueries.queries,
+      CurationQueries.queries, RetrievalQueries.queries)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    BalboaQueries.oracleSql ++ DecoderQueries.oracleSql ++
-      SelectorQueries.oracleSql ++ PipelineQueries.oracleSql ++ EventQueries.oracleSql ++ MultimodalQueries.oracleSql ++ CurationQueries.oracleSql ++ RetrievalQueries.oracleSql
+    distinctUnion("oracleSql")(
+      BalboaQueries.oracleSql, DecoderQueries.oracleSql,
+      SelectorQueries.oracleSql, PipelineQueries.oracleSql,
+      EventQueries.oracleSql, MultimodalQueries.oracleSql,
+      CurationQueries.oracleSql, RetrievalQueries.oracleSql)
+
+  /** Union that fails loudly on duplicate gate keys. A plain `++` lets a
+    * later map silently shadow an earlier gate (and its oracle), so the
+    * driver's gate count can overstate what is actually oracle-checked —
+    * exactly what happened to round 9's `bpe_train`/`bpe_encode`. */
+  private def distinctUnion[V](what: String)(
+      maps: Map[String, V]*): Map[String, V] = {
+    val dups = maps.flatMap(_.keys).groupBy(identity)
+      .collect { case (k, ks) if ks.size > 1 => k }
+    require(dups.isEmpty,
+      s"duplicate $what gate keys would shadow each other: " +
+        dups.toSeq.sorted.mkString(", "))
+    maps.reduce(_ ++ _)
+  }
 }

@@ -211,7 +211,19 @@ final class PointReader private[operators] (
       throw new IllegalStateException("fast path unavailable"))
     ensureFresh()
     val bucket = bucketOf(key)
-    val files = filesByBucket.getOrElseUpdate(bucket, listBucket(bucket))
+    // An EMPTY cached list never touches a file, so the vanished-file
+    // retry below can't fire for it — a merge that populates the bucket
+    // would otherwise serve stale misses for up to EpochCheckMillis.
+    // Relisting an empty bucket is one cheap directory stat, so always
+    // relist rather than trusting an empty cache entry.
+    val cached = filesByBucket.getOrElseUpdate(bucket, listBucket(bucket))
+    val files =
+      if (cached.nonEmpty) cached
+      else {
+        val fresh = listBucket(bucket)
+        filesByBucket.put(bucket, fresh)
+        fresh
+      }
     try readFiles(files, proj, key, residual, limit)
     catch {
       // vanished file = concurrent committed merge swapped this bucket:

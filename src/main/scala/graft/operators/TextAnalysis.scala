@@ -405,7 +405,7 @@ object TextAnalysis {
     * ever joins document-against-document and per-round shuffle rows
     * are bounded by the symbol-pair vocabulary, not the corpus.
     * Determinism: ties break (count desc, a asc, b asc), so the learned
-    * table is a pure function of the corpus (the bpe_train gate mirrors
+    * table is a pure function of the corpus (the bpe_train_greedy gate mirrors
     * all rounds in DuckDB scalar-subquery CTEs, digit for digit).
     * Training on 100 TB wants a word-frequency pre-aggregation (count
     * distinct words once, weight pairs by word frequency) — expressed

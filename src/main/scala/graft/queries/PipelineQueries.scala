@@ -296,7 +296,7 @@ object PipelineQueries {
     // subword counts (the actual token accounting sequence packing and
     // context budgeting need — subwordEstimate's chars/4 heuristic is
     // the fallback when no tokenizer is pinned).
-    "bpe_encode" -> ((s, dir) =>
+    "bpe_encode_table" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.bpeTokenCount(col("text"), bpeMerges)
           .as("n_subwords"))),
@@ -351,7 +351,7 @@ object PipelineQueries {
     // The oracle replays every round in chained CTEs with the learned
     // pair flowing through scalar subqueries — the iterative corpus
     // algorithm verified end to end, not just one round.
-    "bpe_train" -> ((s, dir) => {
+    "bpe_train_greedy" -> ((s, dir) => {
       import s.implicits._
       TextAnalysis.bpeTrain(docs(s, dir), "text", nMerges = 3)
         .zipWithIndex
@@ -1410,7 +1410,7 @@ object PipelineQueries {
          |WHERE ${cosSql("x.v", "y.v")} >= 0.4
          |""".stripMargin,
 
-    "bpe_encode" ->
+    "bpe_encode_table" ->
       s"""SELECT doc_id,
          |  CAST(list_sum(list_transform(string_split(text, ' '),
          |    w -> len(string_split(${bpeSql("w")}, ' ')))) AS BIGINT)
@@ -1444,7 +1444,7 @@ object PipelineQueries {
         |FROM documents
         |""".stripMargin,
 
-    "bpe_train" -> {
+    "bpe_train_greedy" -> {
       // one round: pair counts over segment strings in CTE <in> → the
       // winning merge in m<r> → segments rewritten in s<r>
       def round(r: Int, in: String): String =

@@ -15,6 +15,16 @@ class ContractSpec extends AnyFunSuite {
     assert(o.diff(q).isEmpty, s"oracles without query: ${o.diff(q)}")
   }
 
+  test("gate keys are unique across contributing query modules") {
+    // SparkEntry.distinctUnion throws on collision; force both maps and
+    // pin the round-9 regression: the TextAnalysis BPE gates must exist
+    // alongside the Curation ones rather than shadowing them.
+    val q = SparkEntry.queries.keySet
+    assert(q("bpe_train") && q("bpe_train_greedy"))
+    assert(q("bpe_encode") && q("bpe_encode_table"))
+    SparkEntry.oracleSql // must not throw
+  }
+
   test("gate names are stable lowercase identifiers") {
     SparkEntry.queries.keys.foreach { name =>
       assert(name.matches("[a-z][a-z0-9_]*"), name)

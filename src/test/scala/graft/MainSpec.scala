@@ -148,7 +148,7 @@ class MainSpec extends AnyFunSuite {
       "--store", s"$dir/store", "--buckets", "4"))
     val server = Main.run(spark, Seq("serve", "--store", s"$dir/store",
       "--port", "0", "--tcp-port", "0"))
-    val tcp = Main.startedTcp.get
+    val tcp = server.tcp.get
     try {
       val sock = new java.net.Socket("localhost", tcp.boundPort)
       try {
@@ -162,7 +162,7 @@ class MainSpec extends AnyFunSuite {
         assert(types.head == TypeQueryStreamStartResponse)
         assert(types.count(_ == TypeQueryStreamDataResponse) >= 1)
       } finally sock.close()
-    } finally { tcp.stop(); server.stop(); Main.startedTcp = None }
+    } finally server.stop()
   }
 
   test("curate and dedup CLI commands produce the pipeline outputs") {
