@@ -9,19 +9,108 @@ import org.apache.spark.sql.SparkSession
   * column pruning shortcut like `.count()` would take, no driver collect
   * bottleneck), timed after one untimed warm-up of the session (JIT +
   * codegen + parquet footer reads are not what we're grading).
+  *
+  * PHASE ISOLATION: the serving phase (store build + thousands of
+  * concurrent point lookups + TCP protocol) and the analytics sweep
+  * pollute each other's numbers when run in one JVM — r8 measured the
+  * same point-lookup code at 18.8 qps after the sweep vs 83.4 isolated,
+  * and r9's reorder then inflated the sweep 1.42× instead (heap/GC and
+  * JIT inheritance, both directions). Since the driver invokes this one
+  * main, it re-execs ITSELF into two child JVMs (`--phase=serving`,
+  * `--phase=sweep`) and splices their JSON fragments into the single
+  * driver-facing line; if forking is unavailable the phases run in-process
+  * (serving first) exactly as before.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark: SparkSession = Graft.localSession("graft-bench", "32")
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("--phase=serving") => phaseMain("serving", servingFragment)
+    case Some("--phase=sweep")   => phaseMain("sweep", sweepFragment)
+    case _                       => orchestrate()
+  }
 
+  private def sfDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+  /** Child-JVM entry: one phase, one `{"phase":...}` line on stdout. */
+  private def phaseMain(phase: String,
+      frag: (SparkSession, String) => String): Unit = {
+    val spark = Graft.localSession(s"graft-bench-$phase", "32")
+    try println(s"""{"phase":"$phase",${frag(spark, sfDir)}}""")
+    finally spark.stop()
+  }
+
+  /** Parent: fork the two phases sequentially (each gets a clean heap
+    * and all 32 cores), merge into the driver's single JSON line. */
+  private def orchestrate(): Unit = {
+    val dir = sfDir
+    lazy val spark = Graft.localSession("graft-bench", "32") // fallback only
+    var usedFallback = false
+    def phaseJson(phase: String,
+        frag: (SparkSession, String) => String): String =
+      forkPhase(phase).getOrElse {
+        usedFallback = true
+        s"""{"phase":"$phase",${frag(spark, dir)}}"""
+      }
+    val serving = phaseJson("serving", servingFragment)
+    val sweep = phaseJson("sweep", sweepFragment)
+    if (usedFallback) spark.stop()
+
+    def num(json: String, key: String): String =
+      ("\"" + key + "\":(-?[0-9.eE+]+)").r.findFirstMatchIn(json)
+        .map(_.group(1)).getOrElse("-1")
+    def obj(json: String, key: String): String =
+      ("\"" + key + "\":(\\{[^}]*\\})").r.findFirstMatchIn(json)
+        .map(_.group(1)).getOrElse("{}")
+    val servingKeys = Seq("store_build_sec", "point_lookup_qps",
+      "point_lookup_qps_plan", "point_lookup_qps_16w",
+      "point_lookup_qps_cached", "merge_batch_sec", "decode_rows_per_sec",
+      "tcp_query_qps")
+    val servingPart =
+      servingKeys.map(k => s""""$k":${num(serving, k)}""").mkString(",")
+    println(s"""{"metric":"total","value":${num(sweep, "value")},"unit":"sec","n_queries":${num(sweep, "n_queries")},"queries":${obj(sweep, "queries")},"sf":"$dir",$servingPart}""")
+  }
+
+  /** Re-exec this class in a fresh JVM for one phase. Works because
+    * `run / fork := true` gives this process a real `-cp` and module
+    * opens we can mirror; returns None (→ in-process fallback) if the
+    * environment doesn't cooperate. Child stderr (Spark logs) is
+    * inherited; stdout carries only the fragment line. */
+  private def forkPhase(phase: String): Option[String] =
+    try {
+      val javaBin = java.nio.file.Paths.get(
+        sys.props("java.home"), "bin", "java").toString
+      val cp = sys.props("java.class.path")
+      if (cp == null || cp.isEmpty) return None
+      import scala.jdk.CollectionConverters._
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq
+        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-cp") ||
+          a.startsWith("-classpath"))
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", cp, "graft.Bench", s"--phase=$phase")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes, "UTF-8")
+      if (p.waitFor() != 0) {
+        System.err.println(s"[bench] $phase child exited nonzero")
+        None
+      } else out.linesIterator.find(_.startsWith("{\"phase\""))
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] fork($phase) failed: ${e.getMessage}")
+        None
+    }
+
+  /** The 145-gate analytics sweep (plus the shared mutation-gate store
+    * pre-build the sweep's expiry/merge gates assume exists). */
+  private def sweepFragment(spark: SparkSession, sfDir: String): String = {
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
-
     // Warm the session (parquet footers, codegen, JIT) on one mid-size query.
     try runOnce("entries_rrname") catch { case _: Throwable => () }
     // Pre-build the shared mutation-gate base store (util.prebuiltStorePath
@@ -31,21 +120,6 @@ object Bench {
     try queries.util.prebuiltStorePath(spark, sfDir): Unit
     catch { case _: Throwable => () }
 
-    // Reference bench-harness shape (SURVEY.md Q10: concurrent point
-    // lookups, 5 workers — cmd/balboa/cmds/bench.go): build the dual
-    // store once from this SF's observations, then hammer point queries.
-    // Runs BEFORE the 136-query analytics sweep: r8 measured the same
-    // code at 18.8 qps after the sweep vs 83.4 isolated — same-JVM
-    // heap/GC inheritance, not a code change. First position (plus an
-    // explicit GC) keeps the driver's trend line honest.
-    System.gc()
-    val (buildSec, qps, planQps, wideQps, cachedQps, mergeSec, tcpQps) =
-      try benchPointLookups(spark, sfDir)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] point-lookups failed: ${e.getMessage}")
-        (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0)
-      }
-
     // Local-iteration aid (the driver never sets this): run only the
     // comma-separated query names in SPARK_GRAFT_ONLY.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -53,13 +127,28 @@ object Bench {
     val results: Seq[(String, Double)] =
       SparkEntry.queries.keys.toSeq.sorted
         .filter(n => only.forall(_.contains(n))).map { name =>
-        val sec =
-          try runOnce(name)
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            -1.0
-          }
-        name -> sec
+          val sec =
+            try runOnce(name)
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              -1.0
+            }
+          name -> sec
+        }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    s""""value":$total,"n_queries":${results.size},"queries":$qs"""
+  }
+
+  /** Store build + concurrent point lookups + native TCP + incremental
+    * merge + decode throughput — the serving-side numbers. */
+  private def servingFragment(spark: SparkSession, sfDir: String): String = {
+    val (buildSec, qps, planQps, wideQps, cachedQps, mergeSec, tcpQps) =
+      try benchPointLookups(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] point-lookups failed: ${e.getMessage}")
+        (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0)
       }
     val decodeRate =
       try benchDecodeRate(spark, sfDir)
@@ -67,12 +156,7 @@ object Bench {
         System.err.println(s"[bench] decode-rate failed: ${e.getMessage}")
         -1.0
       }
-
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir","store_build_sec":$buildSec,"point_lookup_qps":$qps,"point_lookup_qps_plan":$planQps,"point_lookup_qps_16w":$wideQps,"point_lookup_qps_cached":$cachedQps,"merge_batch_sec":$mergeSec,"decode_rows_per_sec":$decodeRate,"tcp_query_qps":$tcpQps}""")
-    spark.stop()
+    s""""store_build_sec":$buildSec,"point_lookup_qps":$qps,"point_lookup_qps_plan":$planQps,"point_lookup_qps_16w":$wideQps,"point_lookup_qps_cached":$cachedQps,"merge_batch_sec":$mergeSec,"decode_rows_per_sec":$decodeRate,"tcp_query_qps":$tcpQps"""
   }
 
   /** True decoder throughput: payloads pre-materialized (generation cost
@@ -155,7 +239,7 @@ object Bench {
     // Spark-plan path for trend continuity. AQE off: it buys nothing for
     // a single-stage pre-pruned scan but costs per-query driver planning
     // (~1.5× qps when off, measured in BenchPoints). try/finally: a
-    // failure mid-phase must not leave AQE off for the analytics sweep.
+    // failure mid-phase must not leave AQE off for anything after.
     val (planQps, cachedQps) =
       try {
         spark.conf.set("spark.sql.adaptive.enabled", "false")
