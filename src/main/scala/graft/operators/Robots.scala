@@ -12,27 +12,39 @@ import org.apache.spark.sql.functions._
   *  - a GROUP is one or more stacked `User-agent:` lines followed by its
   *    rules; a new group starts at an agent line whose predecessor is
   *    not an agent line;
-  *  - a group applies when it names the agent exactly or `*`;
-  *  - per URL the MOST SPECIFIC matching rule wins (longest path
-  *    prefix), `Allow` beating `Disallow` on equal length; no matching
-  *    rule → allowed. Path matching is plain prefix (`*`/`$` wildcards
-  *    out of scope, documented).
+  *  - per host, a crawler obeys only the MOST SPECIFIC matching group
+  *    kind (§2.2.1): the groups naming the agent exactly when any do,
+  *    else the `*` groups — never the union of both;
+  *  - rule paths support the §2.2.3 special characters: `*` matches any
+  *    span, a TRAILING `$` anchors the match at the end of the URL path
+  *    (a `$` elsewhere is literal, as deployed crawlers treat it);
+  *  - per URL the MOST SPECIFIC matching rule wins (longest rule path,
+  *    octet length as written), `Allow` beating `Disallow` on equal
+  *    length; no matching rule → allowed.
   *
   * Everything is window/join algebra — group assignment is a running
   * sum over line index PARTITIONED BY HOST (robots bodies are KB-sized,
   * so per-host windows are bounded by construction), rule application
-  * is a broadcast equi-join on host with a prefix residual, and the
-  * winner is one max(struct(len, is_allow)) aggregation — no UDFs, no
-  * driver loops, DuckDB-mirrorable line for line (the robots_filter
-  * gate). At 100 TB the rules side is the small one (one robots.txt
-  * per host) and stays broadcast; the URL side never shuffles for the
-  * verdict join. */
+  * is a broadcast equi-join on host with a prefix/regex residual, and
+  * the winner is one max(struct(len, is_allow)) aggregation — no UDFs,
+  * no driver loops, DuckDB-mirrorable line for line (the robots_filter
+  * gate). Wildcard-free rules (the overwhelming majority in the wild)
+  * keep the codegen'd `startsWith` residual; only rules that actually
+  * use `*`/`$` pay the regex. At 100 TB the rules side is the small one
+  * (one robots.txt per host) and stays broadcast; the URL side never
+  * shuffles for the verdict join. */
 object Robots {
 
-  /** Parse robots.txt bodies into `(host, rule, path)` rows applying to
-    * `agent` (exact or `*` group match). `rule` ∈ allow | disallow.
-    * Comments (`#`) are stripped; empty-path rules are dropped (an
-    * empty `Disallow:` means allow-everything in the wild — no rule). */
+  /** Parse robots.txt bodies into `(host, rule, path, pattern, wild)`
+    * rows applying to `agent`. `rule` ∈ allow | disallow; `path` is the
+    * rule path as written (its length is the precedence key); `pattern`
+    * is the anchored Java regex realizing `*`/`$` semantics and `wild`
+    * whether the path uses them (wildcard-free rules match by plain
+    * prefix, no regex). Groups follow RFC 9309 §2.2.1 specificity: when
+    * any group on a host names `agent` exactly, only those groups
+    * contribute; otherwise the `*` groups do. Comments (`#`) are
+    * stripped; empty-path rules are dropped (an empty `Disallow:` means
+    * allow-everything in the wild — no rule). */
   def parseRules(bodies: DataFrame, hostCol: String, bodyCol: String,
       agent: String = "*"): DataFrame = {
     // directive NAMES match case-insensitively (the (?i) regexes) but
@@ -54,13 +66,23 @@ object Robots {
       .withColumn("group",
         sum(col("new_group")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // §2.2.1 group specificity: spec 2 = names the agent exactly,
+    // 1 = names `*`; keep only each host's max-spec groups (a stacked
+    // "User-agent: x / User-agent: *" header counts as exact for x)
     val groupAgents = tagged.filter(col("is_agent"))
       .select(col("host"), col("group"),
         lower(trim(regexp_extract(col("line"), "(?i)^user-agent:(.*)$", 1)))
           .as("agent"))
       .filter(col("agent").isin(agent.toLowerCase, "*"))
-      .select(col("host"), col("group")).distinct()
-    tagged
+      .groupBy(col("host"), col("group"))
+      .agg(max(when(col("agent") === agent.toLowerCase, 2).otherwise(1))
+        .as("spec"))
+    val selected = groupAgents
+      .withColumn("max_spec",
+        max(col("spec")).over(Window.partitionBy(col("host"))))
+      .filter(col("spec") === col("max_spec"))
+      .select(col("host"), col("group"))
+    val rules = tagged
       .filter(col("line").rlike("(?i)^(allow|disallow):"))
       .select(col("host"), col("group"),
         lower(regexp_extract(col("line"), "(?i)^(allow|disallow):(.*)$", 1))
@@ -68,8 +90,19 @@ object Robots {
         trim(regexp_extract(col("line"), "(?i)^(allow|disallow):(.*)$", 2))
           .as("path"))
       .filter(col("path") =!= "")
-      .join(groupAgents, Seq("host", "group"))
-      .select(col("host"), col("rule"), col("path"))
+      .join(selected, Seq("host", "group"))
+    // §2.2.3 pattern compilation, pure column algebra: strip a trailing
+    // `$` (the end anchor), regex-escape everything except `*`, then
+    // `*` → `.*`, re-anchoring both ends
+    val anchored = col("path").endsWith("$")
+    val core = when(anchored,
+      expr("substring(path, 1, length(path) - 1)")).otherwise(col("path"))
+    val escaped = regexp_replace(core,
+      "([\\.\\[\\]\\{\\}\\(\\)\\+\\?\\^\\$\\|\\\\])", "\\\\$1")
+    rules.select(col("host"), col("rule"), col("path"),
+      concat(lit("^"), regexp_replace(escaped, "\\*", ".*"),
+        when(anchored, lit("$")).otherwise(lit(""))).as("pattern"),
+      (col("path").contains("*") || anchored).as("wild"))
   }
 
   /** URL host (`http`/`https`, authority up to the first `/`). */
@@ -102,18 +135,22 @@ object Robots {
   }
 
   /** Verdict per URL against parsed rules ([[parseRules]] output):
-    * input columns + `is_allowed` (0/1). Longest matching prefix wins,
-    * allow beats disallow on ties, no match → allowed. */
+    * input columns + `is_allowed` (0/1). Longest matching rule path
+    * wins, allow beats disallow on ties, no match → allowed. Wildcard
+    * rules (`wild`) match by their compiled `pattern` regex; plain
+    * rules keep the codegen'd prefix test. */
   def filterUrls(urls: DataFrame, urlCol: String,
       rules: DataFrame): DataFrame = {
     val withParts = urls
       .withColumn("_host", urlHost(col(urlCol)))
       .withColumn("_path", urlPath(col(urlCol)))
-    // equi-join on host, prefix residual; the struct max implements the
-    // RFC precedence: longest path first, then allow > disallow
+    // equi-join on host, prefix/regex residual; the struct max
+    // implements the RFC precedence: longest path first, then
+    // allow > disallow
+    val matches = when(col("wild"), expr("rlike(_path, pattern)"))
+      .otherwise(col("_path").startsWith(col("path")))
     val verdicts = withParts
-      .join(broadcast(rules), col("_host") === col("host") &&
-        col("_path").startsWith(col("path")))
+      .join(broadcast(rules), col("_host") === col("host") && matches)
       .groupBy(col(urlCol).as("_u"))
       .agg(max(struct(length(col("path")).as("l"),
         (col("rule") === "allow").as("a"))).as("best"))

@@ -302,9 +302,11 @@ object PipelineQueries {
           .as("n_subwords"))),
 
     // robots.txt compliance end to end: per-host bodies exercising
-    // stacked user-agent groups, comments, precedence (longest prefix,
-    // allow beats disallow on ties) and a non-matching group; the
-    // oracle states the expected verdict per URL directly from the
+    // stacked user-agent groups, comments, RFC 9309 §2.2.1 group
+    // specificity (the named crawler group shadows the `*` group's
+    // Disallow-everything), §2.2.3 wildcards (`*` span, `$` end anchor)
+    // and precedence (longest rule path, allow beats disallow on ties);
+    // the oracle states the expected verdict per URL directly from the
     // template semantics — parsing + precedence proven, not mirrored.
     "robots_filter" -> ((s, dir) => {
       import graft.operators.Robots
@@ -313,19 +315,27 @@ object PipelineQueries {
         .select(concat(col("source"), lit(".example")).as("host"),
           lit("# corpus robots\n" +
             "User-agent: crawler\n" +
-            "User-agent: *\n" +
             "Disallow: /private\n" +
             "Allow: /private/public\n" +
             "Disallow: /tmp/\n" +
+            "Disallow: /*.bin$\n" +
+            "Allow: /docs/\n" +
+            "Disallow: /docs/*9\n" +
             "\n" +
-            "User-agent: bot\n" +
+            "User-agent: *\n" +
             "Disallow: /\n").as("body"))
-      val rules = Robots.parseRules(bodies, "host", "body", agent = "*")
-      val sel = col("doc_id") % 5
+      val rules = Robots.parseRules(bodies, "host", "body",
+        agent = "crawler")
+      val sel = col("doc_id") % 8
+      val prefix = element_at(
+        array(lit("/docs/"), lit("/private/"), lit("/private/public/"),
+          lit("/tmp/"), lit(""), lit("/files/"), lit("/files/"),
+          lit("/data.bin/")), (sel + 1).cast("int"))
+      val suffix = element_at(
+        array(lit(""), lit(""), lit(""), lit(""), lit(""), lit(".bin"),
+          lit(".binx"), lit("")), (sel + 1).cast("int"))
       val path = when(sel === 4, lit(""))
-        .otherwise(concat(element_at(
-          array(lit("/docs/"), lit("/private/"), lit("/private/public/"),
-            lit("/tmp/")), (sel + 1).cast("int")), col("doc_id")))
+        .otherwise(concat(prefix, col("doc_id"), suffix))
       val urls = d.select(col("doc_id"),
         concat(lit("http://"), col("source"), lit(".example"), path)
           .as("url"))
@@ -1421,14 +1431,25 @@ object PipelineQueries {
     "robots_filter" ->
       """SELECT doc_id,
         |  'http://' || source || '.example' ||
-        |    CASE doc_id % 5
+        |    CASE doc_id % 8
         |      WHEN 0 THEN '/docs/' || doc_id
         |      WHEN 1 THEN '/private/' || doc_id
         |      WHEN 2 THEN '/private/public/' || doc_id
         |      WHEN 3 THEN '/tmp/' || doc_id
-        |      ELSE '' END AS url,
-        |  CAST(CASE WHEN doc_id % 5 IN (1, 3) THEN 0 ELSE 1 END AS BIGINT)
-        |    AS is_allowed
+        |      WHEN 4 THEN ''
+        |      WHEN 5 THEN '/files/' || doc_id || '.bin'
+        |      WHEN 6 THEN '/files/' || doc_id || '.binx'
+        |      ELSE '/data.bin/' || doc_id END AS url,
+        |  -- template semantics for agent 'crawler': only its group
+        |  -- applies (the * group's Disallow:/ is shadowed); /docs/<id>
+        |  -- is disallowed iff the id contains a 9 (Disallow /docs/*9,
+        |  -- len 9, beats Allow /docs/, len 6); *.bin$ anchors at the
+        |  -- path end so .binx and /data.bin/<id> stay allowed
+        |  CAST(CASE
+        |    WHEN doc_id % 8 = 0
+        |      AND contains(CAST(doc_id AS VARCHAR), '9') THEN 0
+        |    WHEN doc_id % 8 IN (1, 3, 5) THEN 0
+        |    ELSE 1 END AS BIGINT) AS is_allowed
         |FROM documents
         |""".stripMargin,
 

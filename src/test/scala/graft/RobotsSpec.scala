@@ -28,19 +28,25 @@ class RobotsSpec extends AnyFunSuite {
     Robots.parseRules(Seq(("h.example", body)).toDF("host", "body"),
       "host", "body", agent)
 
-  test("groups select by exact agent name or *; empty Disallow dropped") {
-    val star = rules("*").as[(String, String, String)].collect().toSet
+  private def triples(df: org.apache.spark.sql.DataFrame) =
+    df.select("host", "rule", "path")
+      .as[(String, String, String)].collect().toSet
+
+  test("groups select the most specific match; empty Disallow dropped") {
+    val star = triples(rules("*"))
     assert(star == Set(("h.example", "disallow", "/a"),
       ("h.example", "allow", "/a/b")))
-    // GoodBot gets ITS group plus the * group; agent NAMES match
-    // case-insensitively but rule PATHS keep their case
-    val good = rules("goodbot").as[(String, String, String)].collect().toSet
-    assert(good == Set(("h.example", "disallow", "/only-goodbot"),
-      ("h.example", "disallow", "/a"), ("h.example", "allow", "/a/b")))
-    val cased = Robots.parseRules(
+    // RFC 9309 §2.2.1: GoodBot obeys ONLY its own group — the * group's
+    // rules must NOT merge in; agent NAMES match case-insensitively but
+    // rule PATHS keep their case
+    val good = triples(rules("goodbot"))
+    assert(good == Set(("h.example", "disallow", "/only-goodbot")))
+    // an agent with no named group falls back to the * group
+    val other = triples(rules("otherbot"))
+    assert(other == star)
+    val cased = triples(Robots.parseRules(
       Seq(("c.example", "USER-AGENT: *\nDISALLOW: /CaseSensitive\n"))
-        .toDF("host", "body"), "host", "body")
-      .as[(String, String, String)].collect().toSet
+        .toDF("host", "body"), "host", "body"))
     assert(cased == Set(("c.example", "disallow", "/CaseSensitive")))
     val v = Robots.filterUrls(
       Seq("http://c.example/CaseSensitive/x",
@@ -70,12 +76,52 @@ class RobotsSpec extends AnyFunSuite {
     assert(out("http://other.example/a/x") == 1L)
     // equal-length tie: Allow beats Disallow
     val tie = Seq(("t.example",
-      "User-agent: *\nDisallow: /p\nAllow: /q\n")).toDF("host", "body")
-    val tieRules = Robots.parseRules(tie, "host", "body")
-      .unionAll(Seq(("t.example", "allow", "/p")).toDF("host", "rule", "path"))
+      "User-agent: *\nDisallow: /p\nAllow: /p\n")).toDF("host", "body")
     val v = Robots.filterUrls(Seq("http://t.example/p/z").toDF("url"),
-      "url", tieRules).select("is_allowed").head.getLong(0)
+      "url", Robots.parseRules(tie, "host", "body"))
+      .select("is_allowed").head().getLong(0)
     assert(v == 1L)
+  }
+
+  test("RFC 9309 §2.2.3 wildcards: mid-pattern *, $ anchor, precedence") {
+    val body =
+      """User-agent: *
+        |Disallow: /*.pdf$
+        |Disallow: /a/*/secret
+        |Allow: /a/open/secret-not
+        |Disallow: /lit$eral
+        |""".stripMargin
+    val r = Robots.parseRules(Seq(("w.example", body)).toDF("host", "body"),
+      "host", "body")
+    val out = Robots.filterUrls(Seq(
+      "http://w.example/x/doc.pdf",       // $ anchor hits the suffix
+      "http://w.example/x/doc.pdfx",      // anchor means NO match
+      "http://w.example/x/doc.pdf/y",     // anchor means NO match
+      "http://w.example/a/b/secret/z",    // mid-pattern * spans /b/
+      "http://w.example/a/secretless",    // no /secret segment after * — no match
+      "http://w.example/a/open/secret-not/q", // longer Allow (20) beats Disallow /a/*/secret (11)
+      "http://w.example/lit$eralx"        // mid-path $ is literal
+    ).toDF("url"), "url", r)
+      .select("url", "is_allowed").as[(String, Long)].collect().toMap
+    assert(out("http://w.example/x/doc.pdf") == 0L)
+    assert(out("http://w.example/x/doc.pdfx") == 1L)
+    assert(out("http://w.example/x/doc.pdf/y") == 1L)
+    assert(out("http://w.example/a/b/secret/z") == 0L)
+    assert(out("http://w.example/a/secretless") == 1L)
+    assert(out("http://w.example/a/open/secret-not/q") == 1L)
+    assert(out("http://w.example/lit$eralx") == 0L)
+    // regex metacharacters in WILDCARD rule paths stay literal (the
+    // compiled pattern escapes everything except the * span)
+    val meta = Robots.parseRules(
+      Seq(("m.example", "User-agent: *\nDisallow: /p(1)+[2]*z\n"))
+        .toDF("host", "body"), "host", "body")
+    val mv = Robots.filterUrls(
+      Seq("http://m.example/p(1)+[2]qz/x", "http://m.example/p111z")
+        .toDF("url"),
+      "url", meta).select("url", "is_allowed")
+      .as[(String, Long)].collect().toMap
+    assert(mv("http://m.example/p(1)+[2]qz/x") == 0L)
+    assert(mv("http://m.example/p111z") == 1L)
   }
 
   test("crawlSchedule: per-host priority rank gives the interleave") {
