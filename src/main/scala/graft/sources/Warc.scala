@@ -180,9 +180,16 @@ object Warc {
   }
 
   /** The shared write job: streams each partition into one `.warc.gz`
-    * (a gzip member per record) and RETURNS the per-record extents. */
+    * (a gzip member per record) and RETURNS the per-record extents.
+    * The session's Hadoop conf rides a broadcast to every task (the
+    * same move Spark's own writers make) so object-store credentials,
+    * custom `fs.<scheme>.impl` registrations and tuning set on the
+    * session apply to the WARC output filesystem too. */
   private def writeRecords(df: DataFrame, outPath: String)
-      : org.apache.spark.rdd.RDD[(String, String, Long, Long)] =
+      : org.apache.spark.rdd.RDD[(String, String, Long, Long)] = {
+    val sc = df.sparkSession.sparkContext
+    val confBc = sc.broadcast(
+      new org.apache.spark.SerializableWritable(sc.hadoopConfiguration))
     df.select("url", "ts", "content_type", "payload").rdd
       .mapPartitions { rows =>
         if (!rows.hasNext) Iterator.empty
@@ -190,10 +197,7 @@ object Warc {
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val file = f"part-$pid%05d.warc.gz"
           val p = new org.apache.hadoop.fs.Path(s"$outPath/$file")
-          // executor-side default conf: fine for file:// and
-          // classpath-configured filesystems (SparkContext's conf is not
-          // reachable from a task without private[spark] helpers)
-          val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val fs = p.getFileSystem(confBc.value.value)
           val out = fs.create(p, true)
           val index = Vector.newBuilder[(String, String, Long, Long)]
           var offset = 0L
@@ -228,13 +232,16 @@ object Warc {
           index.result().iterator
         }
       }
+  }
 
   /** Driver-local random access: gunzip + parse the ONE record at
     * `(file, offset, length)` from a [[writeWithIndex]] archive (or any
     * member-per-record WARC whose extents are known) — a ranged read,
     * no scan, no Spark job. */
   def fetchRecord(warcDir: String, file: String, offset: Long,
-      length: Long): Record = {
+      length: Long,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): Record = {
     val p = new org.apache.hadoop.fs.Path(s"$warcDir/$file")
     val bytes = new Array[Byte](length.toInt)
     val uri = p.toUri
@@ -252,7 +259,7 @@ object Warc {
           throw new java.io.EOFException(s"short read at $file:$offset")
       } finally ch.close()
     } else {
-      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = p.getFileSystem(conf)
       val in = fs.open(p)
       try { in.seek(offset); in.readFully(bytes) } finally in.close()
     }

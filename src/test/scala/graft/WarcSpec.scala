@@ -111,4 +111,30 @@ class WarcSpec extends AnyFunSuite {
       ("http://x/2", "second doc with ünïcode", "text/html"),
       ("http://x/3", "", "text/plain")))
   }
+
+  test("writer ships the session Hadoop conf to executors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // graftfs:// resolves ONLY through the session conf (see
+    // GraftTestFileSystem) — an executor-side fresh Configuration would
+    // fail with "No FileSystem for scheme graftfs"
+    val hc = spark.sparkContext.hadoopConfiguration
+    assert(hc.get("fs.graftfs.impl") == null)
+    hc.set("fs.graftfs.impl", classOf[GraftTestFileSystem].getName)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft-warc-fs")
+      val docs = Seq(("http://y/1", "via custom fs", "text/plain"))
+        .toDF("url", "body", "content_type")
+        .withColumn("ts", timestamp_seconds(lit(1600000000L)))
+        .withColumn("payload", encode(col("body"), "UTF-8"))
+      // write THROUGH the custom scheme (fs.create is where the conf
+      // matters); read back via the plain local path — RawLocalFileSystem
+      // can't serve listings under a foreign scheme
+      Warc.write(docs, s"graftfs://$dir")
+      val back = Warc.read(spark, dir.toString)
+        .select(col("url"), col("payload").cast("string"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(back == Set(("http://y/1", "via custom fs")))
+    } finally hc.unset("fs.graftfs.impl")
+  }
 }
