@@ -364,6 +364,78 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming WARC ingestion: two-batch stream equals one-shot batch") {
+    import graft.streaming.{CurationPipeline, WarcIngest}
+    import graft.sources.Warc
+    val dir = Files.createTempDirectory("graft-swarc").toString
+    assert(new java.io.File(s"$dir/archives").mkdirs())
+
+    def page(title: String, body: String): String =
+      s"<html><head><title>$title</title><script>var x = 1;</script>" +
+        s"</head><body><nav>Home | About</nav><p>$body</p>" +
+        "<!-- c --><footer>fin</footer></body></html>"
+    // render an archive into staging via the writer, then drop its one
+    // .warc.gz into the WATCHED dir under a stable name (the crawler's
+    // "finished segment lands in the spool" move)
+    def archive(name: String, docs: Seq[(Long, String, String)]): Unit = {
+      val df = docs.map { case (i, title, body) =>
+        (s"http://h.example/$i", new Timestamp(1600000000000L + i * 1000),
+          "text/html", page(title, body).getBytes("UTF-8"))
+      }.toDF("url", "ts", "content_type", "payload").coalesce(1)
+      val staging = s"$dir/stage/$name"
+      Warc.write(df, staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".warc.gz")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/archives/$name.warc.gz")): Unit
+    }
+
+    val long1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val long2 = "storage engines shuffle partitions broadcast joins at scale"
+    val long3 = "entirely novel archive content with many distinct tokens"
+    // extracted text = title + nav + body + footer ≈ body + 7 boilerplate
+    // tokens, so minTokens = 10 rejects the "x" page (7) and passes the
+    // real ones (15+)
+    archive("seg1", Seq((1L, "Doc 1", long1), (2L, "Doc 2", long2),
+      (3L, "Doc 3", "x")))
+    val q = WarcIngest.start(spark, s"$dir/archives", s"$dir/corpus",
+      s"$dir/rejects", s"$dir/ckpt", minTokens = 10)
+    try {
+      q.processAllAvailable()
+      // second segment lands AFTER the first trigger: doc 4 is the same
+      // PAGE as corpus doc 2 under a new URL (exact content dup →
+      // deterministic: identical signature, guaranteed band collision,
+      // jaccard 1.0) — cross-corpus in the stream, within-batch in the
+      // one-shot, either way doc 2 survives; doc 5 is new
+      archive("seg2", Seq((4L, "Doc 2", long2), (5L, "Doc 5", long3)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // one-shot batch run over BOTH archives at once, same operators
+    val all = new java.io.File(s"$dir/archives").listFiles()
+      .map(_.getPath).toSeq.sorted
+    CurationPipeline.curateBatch(spark,
+      WarcIngest.extractDocs(spark, all), "text", "url",
+      s"$dir/bcorpus", s"$dir/brejects", 0L, 10, 100000, 0.8)
+
+    def corpus(path: String): Set[(String, String, String)] =
+      spark.read.parquet(path).select("url", "title", "text")
+        .as[(String, String, String)].collect().toSet
+    val streamed = corpus(s"$dir/corpus")
+    assert(streamed == corpus(s"$dir/bcorpus"))
+    assert(streamed.map(_._1) ==
+      Set("http://h.example/1", "http://h.example/2", "http://h.example/5"))
+    // the extraction chain actually ran (title + boilerplate strip)
+    assert(streamed.exists { case (u, t, x) =>
+      u.endsWith("/5") && t == "Doc 5" && x.contains(long3) &&
+        !x.contains("<p>") })
+    // rejects carry the right reasons in the stream
+    val reasons = spark.read.parquet(s"$dir/rejects")
+      .select("url", "reason").as[(String, String)].collect().toMap
+    assert(reasons("http://h.example/3") == "quality:token_count")
+    assert(reasons("http://h.example/4") == "dup:cross_corpus")
+  }
+
   private def listParquet(path: String): Seq[String] = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
