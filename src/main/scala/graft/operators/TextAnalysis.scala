@@ -398,37 +398,44 @@ object TextAnalysis {
     * pairs within words, merge the most frequent everywhere". Returns
     * the merges in learned order with their pair counts.
     *
-    * Shape per round: one narrow segmentation pass (the current merge
-    * table rides the expression chain), one explode to adjacent pairs,
-    * one map-side-combined count, and a driver-side top-1 — the classic
-    * iterative corpus algorithm as `nMerges` cheap Spark jobs; nothing
-    * ever joins document-against-document and per-round shuffle rows
-    * are bounded by the symbol-pair vocabulary, not the corpus.
+    * Scale shape: ONE corpus-wide shuffle total — the word-TYPE count
+    * table (map-side combined, vocabulary-sized), the same
+    * pre-aggregation every tokenizer trainer starts with. Every round
+    * then re-segments only the TYPE table (the current merge table
+    * rides the expression chain), explodes to adjacent pairs WEIGHTED
+    * by type frequency, and collects a single top-1 row to the driver —
+    * corpus size never re-enters the loop. Pair counting distributes
+    * over word multiplicity, so the learned table is bit-identical to
+    * per-document re-segmentation. The merge pass is [[bpeSegment]]'s
+    * replace chain, so encode and train share one segmentation
+    * semantics and the gate oracle replays it digit for digit
+    * (`bpe_train_greedy` mirrors all rounds in DuckDB
+    * scalar-subquery CTEs); `Curation.bpeTrain` is the same loop with
+    * the canonical left-fold merge pass — the two differ only in that
+    * documented pass semantics, not in scale class.
     * Determinism: ties break (count desc, a asc, b asc), so the learned
-    * table is a pure function of the corpus (the bpe_train_greedy gate mirrors
-    * all rounds in DuckDB scalar-subquery CTEs, digit for digit).
-    * Training on 100 TB wants a word-frequency pre-aggregation (count
-    * distinct words once, weight pairs by word frequency) — expressed
-    * here as the direct form because the gate corpus is word-dense; the
-    * pre-aggregated variant is the same loop over `(word, n)` rows. */
+    * table is a pure function of the corpus. */
   def bpeTrain(df: DataFrame, textCol: String,
       nMerges: Int): Seq[(String, String, Long)] = {
     require(nMerges >= 1, s"nMerges >= 1, got $nMerges")
+    val types = df
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false) // vocabulary-sized; reused every round
     val out = Vector.newBuilder[(String, String, Long)]
     var merges = Vector.empty[(String, String)]
     var round = 0
     var exhausted = false
     while (round < nMerges && !exhausted) {
-      val segmented = df.select(
-        explode(bpeWordSegments(col(textCol), merges)).as("seg"))
-      val top = segmented
-        .select(split(col("seg"), " ").as("sym"))
-        .select(explode(expr(
+      val top = types
+        .select(col("cnt"),
+          split(bpeWordString(col("word"), merges), " ").as("sym"))
+        .select(col("cnt"), explode(expr(
           "transform(slice(sym, 1, size(sym) - 1), " +
             "(x, i) -> struct(x AS a, element_at(sym, i + 2) AS b))"))
           .as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(count(lit(1)).as("n"))
+        .agg(sum(col("cnt")).as("n"))
         .orderBy(col("n").desc, col("a").asc, col("b").asc)
         .limit(1)
         .collect()
@@ -444,15 +451,20 @@ object TextAnalysis {
     out.result()
   }
 
-  /** Per-word segment STRINGS (symbols space-joined) under a merge
-    * table — [[bpeSegment]] before the final token split; the unit
-    * [[bpeTrain]]'s pair counting operates on. */
+  /** One word's segment STRING (symbols space-joined) under a merge
+    * table — char-split then the merge replace chain; the shared unit
+    * of [[bpeSegment]] and [[bpeTrain]]'s pair counting. */
+  private def bpeWordString(w: Column,
+      merges: Seq[(String, String)]): Column = {
+    val spaced = trim(regexp_replace(w, "(.)", "$1 "))
+    merges.foldLeft(spaced) { case (s, (a, b)) =>
+      replace(s, lit(s"$a $b"), lit(a + b))
+    }
+  }
+
+  /** Per-word segment STRINGS under a merge table — [[bpeSegment]]
+    * before the final token split. */
   private def bpeWordSegments(text: Column,
       merges: Seq[(String, String)]): Column =
-    transform(tokens(text), w => {
-      val spaced = trim(regexp_replace(w, "(.)", "$1 "))
-      merges.foldLeft(spaced) { case (s, (a, b)) =>
-        replace(s, lit(s"$a $b"), lit(a + b))
-      }
-    })
+    transform(tokens(text), w => bpeWordString(w, merges))
 }

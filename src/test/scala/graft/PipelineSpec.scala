@@ -544,4 +544,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(TextAnalysis.bpeTrain(Seq("a b c").toDF("text"), "text", 5)
       .isEmpty)
   }
+
+  test("bpeTrain over the type table equals direct per-document training") {
+    import graft.operators.TextAnalysis
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // plain-Scala reference: per-document char split + the same
+    // leftmost-nonoverlapping replace chain bpeSegment uses, counted
+    // WITHOUT the word-type pre-aggregation — the trainer must be
+    // bit-identical (pair counting distributes over word multiplicity)
+    def reference(corpus: Seq[String], n: Int): Seq[(String, String, Long)] = {
+      var merges = Vector.empty[(String, String)]
+      val out = Vector.newBuilder[(String, String, Long)]
+      var done = false
+      for (_ <- 1 to n if !done) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        corpus.foreach(_.split(" ", -1).foreach { w =>
+          val seg0 = w.toCharArray.map(_.toString).mkString(" ")
+          val seg = merges.foldLeft(seg0) { case (s, (a, b)) =>
+            s.replace(s"$a $b", a + b) }
+          val sym = if (seg.isEmpty) Array.empty[String] else seg.split(" ")
+          sym.lazyZip(sym.drop(1)).foreach { (a, b) =>
+            counts((a, b)) = counts.getOrElse((a, b), 0L) + 1 }
+        })
+        if (counts.isEmpty) done = true
+        else {
+          val ((a, b), c) = counts.toSeq.minBy { case ((a, b), c) =>
+            (-c, a, b) }
+          out += ((a, b, c)); merges :+= ((a, b))
+        }
+      }
+      out.result()
+    }
+    val genWord = Gen.oneOf("ab", "aba", "abab", "aaa", "aaaa", "xy",
+      "abq", "a", "")
+    val genDoc = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, genWord).map(_.mkString(" ")))
+    val genCorpus = Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, genDoc))
+    val prop = Prop.forAll(genCorpus) { corpus =>
+      TextAnalysis.bpeTrain(corpus.toDF("text"), "text", 3) ==
+        reference(corpus, 3)
+    }
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(r.passed, r.status.toString)
+  }
 }
