@@ -382,8 +382,12 @@ object ObservationStore {
     val (f, sp) = fs(spark, staging)
     val dataCols = (Model.Key ++ Seq("count", "first_seen", "last_seen"))
       .map(col)
-    var dropped = 0L
-    Copies.foreach { case (sub, keyCol, sortCols) =>
+    // the two copies are independent count→write pipelines over disjoint
+    // directories: run them on two threads so their (small) jobs overlap
+    // in the scheduler instead of serializing four job launches
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val perCopy = Copies.map { case (sub, keyCol, sortCols) => Future {
       val existing = spark.read.parquet(s"$path/$sub")
       val old = existing.filter(col("last_seen") < lit(cutoff))
       // one pass answers both "which buckets" and "how many rows": at
@@ -392,29 +396,41 @@ object ObservationStore {
       val perBucket = old.groupBy(col("bucket").cast("long").as("bucket"))
         .agg(count(lit(1)).as("n")).collect()
       val touched = perBucket.map(_.getLong(0))
-      if (sub == "by_rrname") dropped = perBucket.map(_.getLong(1)).sum
       if (touched.nonEmpty) {
+        // Survivors STAY in their buckets, so the staged rewrite needs
+        // no shuffle and no re-derivation: reuse the scan's `bucket`
+        // partition column and the persisted derived columns
+        // (rdata_ip/rdata_ip6 live in-file for layout ≥2), local-sort by
+        // (bucket, key order) — which also satisfies the dynamic
+        // partition writer's required ordering — and write. A bucket
+        // whose files split across scan tasks yields several sorted
+        // files; readers list every file per bucket, and row-group
+        // stats stay tight because each file is sorted.
+        val persisted = derivedCols(keyCol, effLayout).map(_._1)
         val survivors = existing
           .filter(col("bucket").isin(touched.toIndexedSeq.map(Long.box): _*))
           .filter(col("last_seen") >= lit(cutoff))
-          .select(dataCols: _*)
-        writeCopy(survivors, s"$staging/$sub", keyCol, sortCols,
-          effBuckets, layout = effLayout)
-        // a fully-expired bucket has no survivors, so the dynamic write
-        // stages nothing for it — stage an explicit empty bucket (a
+          .select(dataCols ++ persisted.map(col) :+ col("bucket"): _*)
+        survivors
+          .sortWithinPartitions(("bucket" +: sortCols).map(col): _*)
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$staging/$sub")
+        // a fully-expired bucket has no survivors, so the write stages
+        // nothing for it — stage an explicit empty bucket (a
         // schema-only parquet file) so the apply swap REPLACES the live
         // bucket instead of leaving the expired rows behind
         val staged = StagedCommit.stagedPartDirs(spark, s"$staging/$sub",
           "bucket=").toSet
-        val fileSchema = derivedCols(keyCol, effLayout)
-          .foldLeft(survivors) { case (d, (n, c)) => d.withColumn(n, c) }
-          .limit(0).coalesce(1)
+        val fileSchema = survivors.drop("bucket").limit(0).coalesce(1)
         touched.map(b => s"bucket=$b").filterNot(staged).foreach { bd =>
           fileSchema.write.mode("overwrite")
             .parquet(s"$staging/$sub/$bd")
         }
       }
-    }
+      sub -> perBucket.map(_.getLong(1)).sum
+    }}
+    val dropped = Await.result(Future.sequence(perCopy),
+      scala.concurrent.duration.Duration.Inf).toMap.apply("by_rrname")
     if (!f.exists(sp)) return (None, 0L) // nothing to expire
     // same manifest shape (ONE writer) as stageMerge → the SAME
     // apply/recover replay path commits it

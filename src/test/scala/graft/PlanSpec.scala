@@ -710,8 +710,10 @@ class PlanSpec extends AnyFunSuite {
         Seq(("t", "h"), ("th", "e"))).as("n")))
     assert(!bpePlan.contains("Exchange"), bpePlan)
     // robots verdicts: the rules side joins BROADCAST — the URL corpus
-    // must never shuffle for the verdict join
-    val rules = Seq(("h", "disallow", "/a")).toDF("host", "rule", "path")
+    // must never shuffle for the verdict join (wildcard rules included)
+    val rules = graft.operators.Robots.parseRules(
+      Seq(("h", "User-agent: *\nDisallow: /a\nDisallow: /*.bin$\n"))
+        .toDF("host", "body"), "host", "body")
     val urls = Seq("http://h/a/x").toDF("url")
     val robotsPlan = explainOf(
       graft.operators.Robots.filterUrls(urls, "url", rules))
