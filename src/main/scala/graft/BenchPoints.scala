@@ -53,6 +53,26 @@ object BenchPoints {
       println(f"[points] path=serve workers=$workers%-3d qps=$qps%.1f")
     }
 
+    // GraphQL aliases workload: point-shaped parent + the per-entry
+    // alias resolution — fast path (serveAliasRows: inverted point
+    // lookups) vs the plan path (aliases self-join + collect per query)
+    {
+      def aliasQuery(i: Int): String =
+        s"""{ entries(rrname: "part-$i") { rrname aliases { rrname } } }"""
+      def run(i: Int): Unit =
+        serve.Graphql.execute(aliasQuery(i), store): Unit
+      timed(100, 5)(run) // warm
+      val qps = timed(500, 5)(run)
+      println(f"[points] path=alias-fast workers=5   qps=$qps%.1f")
+      val planQps = timed(100, 5) { i =>
+        val parents = store.entries(rrname = Some(s"part-$i"))
+          .localCheckpoint(false)
+        parents.collect(): Unit
+        store.aliases(parents).collect(): Unit
+      }
+      println(f"[points] path=alias-plan workers=5   qps=$planQps%.1f")
+    }
+
     runPlan(50, 5) // warm-up: codegen + footers
     for ((aqe, cg) <- Seq(("true", "true"), ("false", "true"),
         ("false", "false"))) {

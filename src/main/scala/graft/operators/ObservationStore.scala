@@ -559,11 +559,44 @@ final class ObservationStore(byRrname: DataFrame, byRdata: DataFrame,
       rrtype: Option[String] = None,
       sensorId: Option[String] = None,
       limit: Int = 1000): Option[Seq[org.apache.spark.sql.Row]] =
-    servePoint(rrname, rdata, rrtype, sensorId, limit).map(_.map(o =>
-      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
-        Array[Any](o.rrname, o.sensor_id, o.rrtype, o.rdata, o.count,
-          o.first_seen, o.last_seen),
-        Model.observationSchema)))
+    servePoint(rrname, rdata, rrtype, sensorId, limit)
+      .map(_.map(obsRow))
+
+  private def obsRow(o: graft.model.Observation): org.apache.spark.sql.Row =
+    new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+      Array[Any](o.rrname, o.sensor_id, o.rrtype, o.rdata, o.count,
+        o.first_seen, o.last_seen),
+      Model.observationSchema)
+
+  /** Q6 on the serving fast path: for point-shaped parents, each entry's
+    * aliases ARE an inverted point lookup — key `rdata`, residual
+    * `sensor_id` — so resolve them through [[PointReader]] on the
+    * calling thread instead of the [[aliases]] Spark self-join.
+    * Plan-path parity, pinned by PointReaderSpec: same aliasable-type
+    * gate, same rrname-differs predicate, same (rrname, rrtype) ordering
+    * (total — the store key is unique within an (rdata, sensor_id)
+    * group) and the same per-entry cap applied after the sort. Returns
+    * alias rows grouped by the entry key; None when the fast path is
+    * unavailable (callers fall back to the plan join). */
+  def serveAliasRows(entryRows: Seq[org.apache.spark.sql.Row],
+      perEntryLimit: Int = 1000,
+      aliasableTypes: Seq[String] = Seq("A", "AAAA"))
+      : Option[Map[(String, String, String), Seq[org.apache.spark.sql.Row]]] =
+    pointReaders.map { case (_, inv) =>
+      entryRows
+        .map(r => (r.getAs[String]("rrname"), r.getAs[String]("sensor_id"),
+          r.getAs[String]("rrtype"), r.getAs[String]("rdata")))
+        .filter { case (_, _, t, _) => aliasableTypes.contains(t) }
+        .map { case (n, s, _, d) => (n, s, d) }
+        .distinct
+        .map { case key @ (n, s, d) =>
+          key -> inv.lookup(d, Seq("sensor_id" -> s), Int.MaxValue)
+            .filter(_.rrname != n)
+            .sortBy(o => (o.rrname, o.rrtype))
+            .take(perEntryLimit)
+            .map(obsRow)
+        }.toMap
+    }
 
   /** Materialized rows back into a (LocalRelation-rooted) DataFrame, for
     * the few serving flows that feed fast-path results into a Spark op

@@ -646,9 +646,13 @@ object Graphql {
           (entriesDf.collect().toSeq, () => entriesDf)
       }
 
+    // fast path for the aliases too: each entry's aliases are one
+    // inverted point lookup (serveAliasRows) — available exactly when
+    // the entries above came from the fast path; the Spark self-join
+    // stays the fallback
     val aliasesByKey: Map[(String, String, String), Seq[Row]] =
       if (q.aliasFields.isEmpty) Map.empty
-      else {
+      else store.serveAliasRows(rows, q.aliasLimit).getOrElse {
         store.aliases(dfForAliases(), perEntryLimit = q.aliasLimit).collect()
           .groupBy(r => (r.getAs[String]("e_rrname"),
             r.getAs[String]("e_sensor_id"), r.getAs[String]("e_rdata")))

@@ -74,6 +74,41 @@ class PointReaderSpec extends AnyFunSuite {
     assert(baz.head.first_seen == ts("2018-04-01 00:00:01.123456"))
   }
 
+  test("serveAliasRows matches the plan-path aliases self-join") {
+    val (_, store) = freshStore()
+    def planAliases(rrname: String, perEntryLimit: Int)
+        : Map[(String, String, String), Seq[Seq[Any]]] =
+      store.aliases(store.entries(rrname = Some(rrname)),
+          perEntryLimit = perEntryLimit).collect().toSeq
+        .groupBy(r => (r.getAs[String]("e_rrname"),
+          r.getAs[String]("e_sensor_id"), r.getAs[String]("e_rdata")))
+        .map { case (k, v) => k -> sortedSet(v.map(r => Row(
+          r.getAs[String]("rrname"), r.getAs[String]("sensor_id"),
+          r.getAs[String]("rrtype"), r.getAs[String]("rdata"),
+          r.getAs[Long]("count"), r.getAs[Timestamp]("first_seen"),
+          r.getAs[Timestamp]("last_seen")))) }
+    def fastAliases(rrname: String, perEntryLimit: Int)
+        : Map[(String, String, String), Seq[Seq[Any]]] = {
+      val rows = store.servePointRows(rrname = Some(rrname)).get
+      store.serveAliasRows(rows, perEntryLimit).get
+        .collect { case (k, v) if v.nonEmpty => k -> sortedSet(v) }
+    }
+    // foo/1.2.3.4 aliases to baz (same rdata+sensor abc); the AAAA entry
+    // and the xyz-sensor entry resolve their own (possibly empty) groups
+    assert(fastAliases("foo", 1000) == planAliases("foo", 1000))
+    assert(fastAliases("baz", 1000) == planAliases("baz", 1000))
+    assert(fastAliases("foo", 1000).nonEmpty)
+    // per-entry cap applies after the (rrname, rrtype) sort in both
+    assert(fastAliases("foo", 1) == planAliases("foo", 1))
+    // cap 0 = no aliases survive anywhere
+    assert(fastAliases("foo", 0).isEmpty)
+    // non-aliasable parents (rrtype not in A/AAAA) produce no groups
+    val aaaaOnly = store.servePointRows(rrname = Some("foo"),
+      rrtype = Some("AAAA")).get
+    assert(store.serveAliasRows(aaaaOnly, 1000, aliasableTypes = Seq("A"))
+      .get.isEmpty)
+  }
+
   test("servePoint honors limit") {
     val (_, store) = freshStore()
     val limited = store.servePoint(rrname = Some("foo"), limit = 2).get
