@@ -31,6 +31,11 @@ object Bench {
   private def sfDir: String =
     sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+  /** Locale-proof fixed-point rendering (a comma decimal separator
+    * would corrupt the JSON line). */
+  private def fmt(v: Double, digits: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
+
   /** Child-JVM entry: one phase, one `{"phase":...}` line on stdout. */
   private def phaseMain(phase: String,
       frag: (SparkSession, String) => String): Unit = {
@@ -135,10 +140,13 @@ object Bench {
             }
           name -> sec
         }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // millisecond precision keeps the 145-entry line short enough for
+    // the driver's tail capture to parse (r9's full-precision line
+    // survived only as text)
+    val qs = results.map { case (k, v) => s""""$k":${fmt(v, 3)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    s""""value":$total,"n_queries":${results.size},"queries":$qs"""
+    s""""value":${fmt(total, 3)},"n_queries":${results.size},"queries":$qs"""
   }
 
   /** Store build + concurrent point lookups + native TCP + incremental
@@ -156,7 +164,7 @@ object Bench {
         System.err.println(s"[bench] decode-rate failed: ${e.getMessage}")
         -1.0
       }
-    s""""store_build_sec":$buildSec,"point_lookup_qps":$qps,"point_lookup_qps_plan":$planQps,"point_lookup_qps_16w":$wideQps,"point_lookup_qps_cached":$cachedQps,"merge_batch_sec":$mergeSec,"decode_rows_per_sec":$decodeRate,"tcp_query_qps":$tcpQps"""
+    s""""store_build_sec":${fmt(buildSec, 3)},"point_lookup_qps":${fmt(qps, 1)},"point_lookup_qps_plan":${fmt(planQps, 1)},"point_lookup_qps_16w":${fmt(wideQps, 1)},"point_lookup_qps_cached":${fmt(cachedQps, 1)},"merge_batch_sec":${fmt(mergeSec, 3)},"decode_rows_per_sec":${fmt(decodeRate, 0)},"tcp_query_qps":${fmt(tcpQps, 1)}"""
   }
 
   /** True decoder throughput: payloads pre-materialized (generation cost

@@ -361,6 +361,80 @@ object TextAnalysis {
     replace(replace(replace(text, lit("&"), lit("&amp;")),
       lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
 
+  /** Anchor targets of an HTML document, in document order — the
+    * frontier-expansion step of the crawl loop ([[htmlExtract]]'s
+    * sibling: extraction keeps the text, this keeps the edges; feed the
+    * output to `Robots.filterUrls` → `crawlSchedule`, or aggregate it
+    * into the link graph the `Graphs` family ranks). Raw `href` values
+    * as written (resolution/normalization is `Url.normalize`'s job);
+    * narrow codegen'd regex, zero shuffle. */
+  def htmlLinks(html: Column): Column =
+    // the attribute boundary is spelled as a whitespace class (not \b,
+    // which would let data-href through via the '-' boundary, and not
+    // lookbehind, which RE2 lacks)
+    regexp_extract_all(html, lit("(?i)[ \\t\\n\\r]href=\"([^\"]*)\""),
+      lit(1))
+
+  // -------------------------------------------------- text normalization
+
+  /** Unicode NFC normalization (canonical composition) — the codegen'd
+    * [[org.apache.spark.sql.graft.NfcNormalize]] expression; mirrors
+    * DuckDB's `nfc_normalize` exactly. */
+  def nfcNormalize(text: Column): Column =
+    org.apache.spark.sql.GraftShims.column(
+      org.apache.spark.sql.graft.NfcNormalize(
+        org.apache.spark.sql.GraftShims.expression(text)))
+
+  /** Corpus text normalization — the canonical first pass of a curation
+    * chain, in a fixed order both engines replay byte for byte:
+    * 1. Unicode NFC (combining sequences compose: `e`+U+0301 → `é`);
+    * 2. strip control characters (C0 minus tab/newline/CR, plus DEL);
+    * 3. collapse `[ \t\n\r]+` runs to one space and trim.
+    * The whitespace class is spelled out (not `\s`) because Java's `\s`
+    * includes U+000B and RE2's does not — the one place the engines'
+    * regex dialects would silently diverge. Narrow codegen'd chain. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(nfcNormalize(text),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "[ \\t\\n\\r]+", " "))
+
+  /** U+FFFD replacement-character count — the mojibake/decode-damage
+    * signal a curation chain thresholds on. */
+  def replacementCount(text: Column): Column =
+    (length(text) - length(replace(text, lit("\uFFFD"), lit(""))))
+      .cast("long")
+
+  // ------------------------------------------------------ code detection
+
+  /** Code-vs-prose signals per document — the code-filtering /
+    * mix-accounting step of a pretraining pipeline. Pure counting
+    * algebra (no classifier): symbol density, indented-line count,
+    * code-keyword hits, camelCase token count, and a cross-multiplied
+    * integer verdict (`is_code` — symbol density ≥ 3% or ≥ 2 keywords or
+    * ≥ 2 indented lines), the gopherColumns thresholding style. The
+    * camelCase test anchors on exact tokens (split on single space), so
+    * Java's and RE2's differing `$`-before-final-newline semantics never
+    * see a newline. */
+  def codeColumns(text: Column): Seq[Column] = {
+    val nChars = length(text).cast("long")
+    val nSym = (length(text) -
+      length(regexp_replace(text, "[{}()\\[\\];=<>]", ""))).cast("long")
+    val lines = split(text, "\n")
+    val indentLines = size(filter(lines,
+      l => l.startsWith("  ") || l.startsWith("\t"))).cast("long")
+    val kw = size(regexp_extract_all(text,
+      lit("\\b(def|class|import|return|const)\\b"), lit(0))).cast("long")
+    val camel = size(filter(tokens(text),
+      t => t.rlike("^[a-z]+[A-Z][A-Za-z]*$"))).cast("long")
+    val isCode = when(
+      nSym * 100 >= nChars * 3 || kw >= 2 || indentLines >= 2, 1L)
+      .otherwise(0L)
+    Seq(nSym.as("n_sym"), indentLines.as("indent_lines"),
+      kw.as("keyword_hits"), camel.as("camel_tokens"),
+      isCode.as("is_code"))
+  }
+
   // --------------------------------------------------------- BPE encode
 
   /** BPE-segment a text under a FIXED merge table — real byte-pair

@@ -292,6 +292,52 @@ object PipelineQueries {
       docs(s, dir).select(
         col("doc_id") +: TextAnalysis.qualityColumns(col("text"), stopwords): _*)),
 
+    // Corpus text normalization end to end: every document gets a
+    // deterministic noisy suffix (a combining-accent sequence for NFC to
+    // compose, a BEL control char, doubled spaces, a tab, a U+FFFD
+    // mojibake marker) and the operator must normalize it — the oracle
+    // builds the identical noisy input with chr() and replays DuckDB's
+    // own nfc_normalize + the same regex chain, so the hash pins the
+    // NFC expression and the strip/collapse order cross-engine.
+    "text_normalize" -> ((s, dir) => {
+      val noisy = concat(col("text"),
+        lit("\ncafe\u0301\u0007  tab\there\uFFFD end"))
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.normalizeText(noisy).as("text_norm"),
+        TextAnalysis.replacementCount(noisy).as("n_bad"))
+    }),
+
+    // Code-vs-prose detection: even doc_ids are wrapped in a rendered
+    // code snippet (keywords, indented lines, symbols, a camelCase
+    // token), odd ids stay prose; the oracle recomputes every signal
+    // from the same page with the same counting formulas — the verdict
+    // thresholds are integer cross-multiplications, so pass/fail is
+    // bit-stable cross-engine.
+    "code_detect" -> ((s, dir) => {
+      val page = when(col("doc_id") % 2 === 0,
+        concat(lit("def load(x): { a = camelValue ; } \n\treturn a ; \n  done "),
+          col("text")))
+        .otherwise(col("text"))
+      docs(s, dir).select(
+        col("doc_id") +: TextAnalysis.codeColumns(page): _*)
+    }),
+
+    // Anchor extraction (frontier expansion): each document renders to a
+    // page with three links (relative, absolute, fragment); the operator
+    // extracts them in document order and the oracle states the expected
+    // (pos, link) rows directly from the template.
+    "html_links" -> ((s, dir) => {
+      val page = concat(
+        lit("<html><body><A HREF=\"/docs/"), col("doc_id") + 1,
+        lit("\">next</A><p>"), col("text"),
+        lit("</p><a class=\"x\" href=\"http://"), col("source"),
+        lit(".example/\">home</a><a href=\"#frag\">skip</a></body></html>"))
+      docs(s, dir).select(col("doc_id"),
+          posexplode(TextAnalysis.htmlLinks(page)).as(Seq("pos", "link")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("link"))
+    }),
+
     // Real BPE segmentation under the fixed merge table: per-document
     // subword counts (the actual token accounting sequence packing and
     // context budgeting need — subwordEstimate's chars/4 heuristic is
@@ -1511,6 +1557,62 @@ object PipelineQueries {
         |  'Doc ' || doc_id || ' Home | About Doc ' || doc_id || ' ' ||
         |    trim(regexp_replace(text, '\s+', ' ', 'g')) || ' & fin' AS text
         |FROM documents
+        |""".stripMargin,
+
+    "text_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || 'cafe' || chr(769) || chr(7) ||
+        |      '  tab' || chr(9) || 'here' || chr(65533) || ' end' AS noisy
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(nfc_normalize(noisy),
+        |    '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+        |    '[ \t\n\r]+', ' ', 'g')) AS text_norm,
+        |  CAST(len(noisy) - len(replace(noisy, chr(65533), ''))
+        |    AS BIGINT) AS n_bad
+        |FROM n
+        |""".stripMargin,
+
+    "code_detect" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN 'def load(x): { a = camelValue ; } ' || chr(10) ||
+        |        chr(9) || 'return a ; ' || chr(10) || '  done ' || text
+        |      ELSE text END AS page
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(page) - len(regexp_replace(page, '[{}()\[\];=<>]', '',
+        |    'g')) AS BIGINT) AS n_sym,
+        |  CAST(len(list_filter(string_split(page, chr(10)),
+        |    l -> l LIKE '  %' OR substr(l, 1, 1) = chr(9)))
+        |    AS BIGINT) AS indent_lines,
+        |  CAST(len(regexp_extract_all(page,
+        |    '\b(def|class|import|return|const)\b')) AS BIGINT)
+        |    AS keyword_hits,
+        |  CAST(len(list_filter(string_split(page, ' '),
+        |    t -> regexp_matches(t, '^[a-z]+[A-Z][A-Za-z]*$')))
+        |    AS BIGINT) AS camel_tokens,
+        |  CAST(CASE WHEN
+        |      (len(page) - len(regexp_replace(page, '[{}()\[\];=<>]', '',
+        |        'g'))) * 100 >= len(page) * 3
+        |      OR len(regexp_extract_all(page,
+        |        '\b(def|class|import|return|const)\b')) >= 2
+        |      OR len(list_filter(string_split(page, chr(10)),
+        |        l -> l LIKE '  %' OR substr(l, 1, 1) = chr(9))) >= 2
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_code
+        |FROM p
+        |""".stripMargin,
+
+    "html_links" ->
+      """SELECT doc_id, CAST(0 AS BIGINT) AS pos,
+        |       '/docs/' || (doc_id + 1) AS link FROM documents
+        |UNION ALL
+        |SELECT doc_id, 1, 'http://' || source || '.example/'
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, 2, '#frag' FROM documents
         |""".stripMargin,
 
     "text_quality" ->

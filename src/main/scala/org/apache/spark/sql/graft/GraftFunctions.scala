@@ -81,6 +81,8 @@ object GraftFunctions {
     "ip_to_long" -> arity("ip_to_long", 1, 1)(e => IpToLong(e.head)),
     "ipv6_to_hex" -> arity("ipv6_to_hex", 1, 1)(e => Ipv6ToHex(e.head)),
     "simhash64" -> arity("simhash64", 1, 1)(e => SimHash64(e.head)),
+    "nfc_normalize" -> arity("nfc_normalize", 1, 1)(e =>
+      NfcNormalize(e.head)),
     "minhash_sig" -> arity("minhash_sig", 2, 2)(e =>
       MinHashSig(e.head, e(1))),
     "dot_d" -> arity("dot_d", 2, 2)(e => DotProductD(e.head, e(1))),

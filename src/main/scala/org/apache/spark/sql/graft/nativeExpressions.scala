@@ -595,6 +595,41 @@ object PqEncodeL2 {
   }
 }
 
+/** `nfc_normalize(str)` — Unicode NFC normalization (canonical
+  * composition: `e` + COMBINING ACUTE → `é`), the first step of corpus
+  * text normalization and a direct mirror of DuckDB's `nfc_normalize`.
+  * Spark ships no normalizer function, so this wraps
+  * `java.text.Normalizer` as a codegen'd expression — the already-NFC
+  * fast path (`isNormalized`, the overwhelming case on web text) skips
+  * the copy. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalize.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = org.apache.spark.sql.graft.NfcNormalize.compute($c);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  def compute(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str,
+        java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
 object SimHash64 {
   def compute(text: String): String = {
     val votes = new Array[Int](64)

@@ -492,6 +492,59 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("*(1)"), plan) // whole-stage codegen span
   }
 
+  test("normalizeText: NFC composes, controls strip, whitespace collapses") {
+    val out = Seq(
+      "cafe\u0301 x",              // decomposed -> composed
+      "a\u0007b\u0000c",           // controls stripped, no space added
+      "  a\t\tb \n\n c  ",         // runs collapse, ends trim
+      "café",                 // already NFC: unchanged
+      "",                          // empty stays empty
+      "keep � here"           // U+FFFD is NOT a control
+    ).toDF("t")
+      .select(TextAnalysis.normalizeText(col("t")),
+        TextAnalysis.replacementCount(col("t")))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out(0) == ("café x", 0L))
+    assert(out(1) == ("abc", 0L))
+    assert(out(2) == ("a b c", 0L))
+    assert(out(3) == ("café", 0L))
+    assert(out(4) == ("", 0L))
+    assert(out(5) == ("keep � here", 1L))
+    // the expression stays inside whole-stage codegen (range leaf — a
+    // local Seq would constant-fold to a LocalTableScan)
+    val plan = spark.range(1)
+      .select(TextAnalysis.nfcNormalize(col("id").cast("string")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan)
+  }
+
+  test("codeColumns: signals and verdict on code vs prose") {
+    val code = "def load(x): { a = camelValue ; }\n\treturn a ;\n  done"
+    val prose = "plain sentences about nothing much at all"
+    val out = Seq((1L, code), (2L, prose)).toDF("id", "t")
+      .select(col("id") +: TextAnalysis.codeColumns(col("t")): _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    val (sym, indent, kw, camel, isCode) = out(1L)
+    assert(sym >= 6L)          // (){};= twice ;
+    assert(indent == 2L)       // \t line + two-space line
+    assert(kw == 2L)           // def, return
+    assert(camel == 1L)        // camelValue
+    assert(isCode == 1L)
+    assert(out(2L) == ((0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("htmlLinks extracts hrefs in document order; empty when none") {
+    val html = """<a href="/a">x</a><p><A Href="http://h/">y</A>""" +
+      """<a data-href="/no">z</a><a href="#f">w</a>"""
+    val links = Seq(html, "<p>no links</p>").toDF("t")
+      .select(TextAnalysis.htmlLinks(col("t")))
+      .collect().map(_.getSeq[String](0))
+    assert(links(0) == Seq("/a", "http://h/", "#f"))
+    assert(links(1) == Seq.empty)
+  }
+
   test("fuzzyTermPairs matches the brute-force levenshtein join") {
     val rnd = new scala.util.Random(7)
     val vocab = (1 to 150)

@@ -79,32 +79,51 @@ class ServingPropertySpec extends AnyFunSuite {
   }
 
   test("robots precedence matches a brute-force reference evaluator") {
-    val seg = Gen.oneOf("a", "b", "cc", "Dd")
-    val genPath = Gen.choose(1, 3).flatMap(n =>
+    // rule paths may use the RFC 9309 §2.2.3 specials (a * segment, a $
+    // end anchor); URL paths never do — the reference evaluator below
+    // re-implements the matching semantics independently, and the rules
+    // flow through parseRules (body render → parse → pattern compile),
+    // so the whole chain is under the property
+    val urlSeg = Gen.oneOf("a", "b", "cc", "Dd")
+    val ruleSeg = Gen.oneOf("a", "b", "cc", "Dd", "*")
+    def pathOf(seg: Gen[String]) = Gen.choose(1, 3).flatMap(n =>
       Gen.listOfN(n, seg)).map(_.mkString("/", "/", ""))
     val genRules = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, for {
-      p <- genPath
+      p <- pathOf(ruleSeg)
+      anchor <- Gen.oneOf("", "", "$")
       allow <- Gen.oneOf("allow", "disallow")
-    } yield ("h.x", allow, p)))
+    } yield (allow, p + anchor)))
     val genUrls = Gen.choose(1, 10).flatMap(n =>
-      Gen.listOfN(n, genPath)).map(_.distinct.map(p => s"http://h.x$p"))
+      Gen.listOfN(n, pathOf(urlSeg)))
+      .map(_.distinct.map(p => s"http://h.x$p"))
+    def ruleMatches(rulePath: String, path: String): Boolean = {
+      val anchored = rulePath.endsWith("$")
+      val core = if (anchored) rulePath.dropRight(1) else rulePath
+      val rx = core.split("\\*", -1)
+        .map(java.util.regex.Pattern.quote).mkString(".*")
+      java.util.regex.Pattern.compile(
+        "^" + rx + (if (anchored) "$" else "")).matcher(path).find()
+    }
     check(Prop.forAll(genRules, genUrls) { (rules, urls) =>
       import spark.implicits._
+      val body = "User-agent: *\n" +
+        rules.map { case (r, p) => s"${r.capitalize}: $p" }.mkString("\n")
+      val rulesDf = graft.operators.Robots.parseRules(
+        Seq(("h.x", body)).toDF("host", "body"), "host", "body")
       val got = graft.operators.Robots.filterUrls(
-          urls.toDF("url"), "url",
-          rules.toDF("host", "rule", "path"))
+          urls.toDF("url"), "url", rulesDf)
         .select("url", "is_allowed").as[(String, Long)].collect().toMap
       urls.forall { u =>
         val path = u.stripPrefix("http://h.x")
-        val matching = rules.filter { case (_, _, p) => path.startsWith(p) }
+        val matching = rules.filter { case (_, p) => ruleMatches(p, path) }
         val expect =
           if (matching.isEmpty) 1L
           else {
-            // longest path wins; allow beats disallow on equal length
-            val best = matching.maxBy { case (_, r, p) =>
+            // longest rule path wins; allow beats disallow on ties
+            val best = matching.maxBy { case (r, p) =>
               (p.length, r == "allow")
             }
-            if (best._2 == "allow") 1L else 0L
+            if (best._1 == "allow") 1L else 0L
           }
         got(u) == expect
       }
