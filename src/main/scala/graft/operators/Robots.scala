@@ -47,41 +47,7 @@ object Robots {
     * allow-everything in the wild — no rule). */
   def parseRules(bodies: DataFrame, hostCol: String, bodyCol: String,
       agent: String = "*"): DataFrame = {
-    // directive NAMES match case-insensitively (the (?i) regexes) but
-    // rule PATHS keep their case — robots paths are case-sensitive, and
-    // lowercasing the body would silently break /CaseSensitive rules
-    val w = Window.partitionBy(col("host")).orderBy(col("idx"))
-    val lines = bodies
-      .select(col(hostCol).as("host"),
-        posexplode(split(col(bodyCol), "\n")).as(Seq("idx", "raw")))
-      .select(col("host"), col("idx"),
-        trim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
-      .filter(col("line") =!= "")
-    val tagged = lines
-      .withColumn("is_agent", col("line").rlike("(?i)^user-agent:"))
-      .withColumn("prev_is_agent", lag(col("is_agent"), 1).over(w))
-      .withColumn("new_group",
-        (col("is_agent") &&
-          coalesce(!col("prev_is_agent"), lit(true))).cast("long"))
-      .withColumn("group",
-        sum(col("new_group")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    // §2.2.1 group specificity: spec 2 = names the agent exactly,
-    // 1 = names `*`; keep only each host's max-spec groups (a stacked
-    // "User-agent: x / User-agent: *" header counts as exact for x)
-    val groupAgents = tagged.filter(col("is_agent"))
-      .select(col("host"), col("group"),
-        lower(trim(regexp_extract(col("line"), "(?i)^user-agent:(.*)$", 1)))
-          .as("agent"))
-      .filter(col("agent").isin(agent.toLowerCase, "*"))
-      .groupBy(col("host"), col("group"))
-      .agg(max(when(col("agent") === agent.toLowerCase, 2).otherwise(1))
-        .as("spec"))
-    val selected = groupAgents
-      .withColumn("max_spec",
-        max(col("spec")).over(Window.partitionBy(col("host"))))
-      .filter(col("spec") === col("max_spec"))
-      .select(col("host"), col("group"))
+    val (tagged, selected) = groupedLines(bodies, hostCol, bodyCol, agent)
     val rules = tagged
       .filter(col("line").rlike("(?i)^(allow|disallow):"))
       .select(col("host"), col("group"),
@@ -104,6 +70,107 @@ object Robots {
         when(anchored, lit("$")).otherwise(lit(""))).as("pattern"),
       (col("path").contains("*") || anchored).as("wild"))
   }
+
+  /** Shared line/group machinery of [[parseRules]], [[crawlDelays]]:
+    * comment-stripped non-empty lines with their running-sum group id,
+    * plus each host's SELECTED group set under RFC 9309 §2.2.1
+    * specificity (spec 2 = names `agent` exactly, 1 = names `*`; only
+    * the max-spec groups of a host apply — a stacked "User-agent: x /
+    * User-agent: *" header counts as exact for x). Directive NAMES
+    * match case-insensitively (the (?i) regexes) but line BODIES keep
+    * their case — robots paths are case-sensitive, and lowercasing the
+    * body would silently break /CaseSensitive rules. */
+  private def groupedLines(bodies: DataFrame, hostCol: String,
+      bodyCol: String, agent: String): (DataFrame, DataFrame) = {
+    val w = Window.partitionBy(col("host")).orderBy(col("idx"))
+    val lines = bodies
+      .select(col(hostCol).as("host"),
+        posexplode(split(col(bodyCol), "\n")).as(Seq("idx", "raw")))
+      .select(col("host"), col("idx"),
+        trim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
+      .filter(col("line") =!= "")
+    val tagged = lines
+      .withColumn("is_agent", col("line").rlike("(?i)^user-agent:"))
+      .withColumn("prev_is_agent", lag(col("is_agent"), 1).over(w))
+      .withColumn("new_group",
+        (col("is_agent") &&
+          coalesce(!col("prev_is_agent"), lit(true))).cast("long"))
+      .withColumn("group",
+        sum(col("new_group")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val groupAgents = tagged.filter(col("is_agent"))
+      .select(col("host"), col("group"),
+        lower(trim(regexp_extract(col("line"), "(?i)^user-agent:(.*)$", 1)))
+          .as("agent"))
+      .filter(col("agent").isin(agent.toLowerCase, "*"))
+      .groupBy(col("host"), col("group"))
+      .agg(max(when(col("agent") === agent.toLowerCase, 2).otherwise(1))
+        .as("spec"))
+    val selected = groupAgents
+      .withColumn("max_spec",
+        max(col("spec")).over(Window.partitionBy(col("host"))))
+      .filter(col("spec") === col("max_spec"))
+      .select(col("host"), col("group"))
+    (tagged, selected)
+  }
+
+  /** `Sitemap:` directives per host — RFC 9309 §2.3 allows them on any
+    * line, OUTSIDE any group (every crawler sees every sitemap), so no
+    * agent parameter. Output: (host, idx, sitemap) with the directive's
+    * comment-stripped line index preserved for ordering. */
+  def sitemaps(bodies: DataFrame, hostCol: String,
+      bodyCol: String): DataFrame =
+    bodies
+      .select(col(hostCol).as("host"),
+        posexplode(split(col(bodyCol), "\n")).as(Seq("idx", "raw")))
+      .select(col("host"), col("idx").cast("long").as("idx"),
+        trim(regexp_extract(
+          trim(regexp_replace(col("raw"), "#.*$", "")),
+          "(?i)^sitemap:(.*)$", 1)).as("sitemap"))
+      .filter(col("sitemap") =!= "")
+
+  /** Per-host `Crawl-delay` (the de-facto extension every major engine
+    * honored; not in RFC 9309) under the same §2.2.1 group selection as
+    * [[parseRules]]: the delay lines of the most specific matching
+    * groups, minimum wins when several apply. Output:
+    * (host, crawl_delay double seconds). */
+  def crawlDelays(bodies: DataFrame, hostCol: String, bodyCol: String,
+      agent: String = "*"): DataFrame = {
+    val (tagged, selected) = groupedLines(bodies, hostCol, bodyCol, agent)
+    tagged
+      .filter(col("line").rlike("(?i)^crawl-delay:"))
+      .select(col("host"), col("group"),
+        // try_cast: junk values ("Crawl-delay: soon") drop as null
+        // instead of failing the job under ANSI casts
+        trim(regexp_extract(col("line"), "(?i)^crawl-delay:(.*)$", 1))
+          .try_cast("double").as("delay"))
+      .filter(col("delay").isNotNull && col("delay") >= 0)
+      .join(selected, Seq("host", "group"))
+      .groupBy(col("host")).agg(min(col("delay")).as("crawl_delay"))
+  }
+
+  /** Sitemap XML entries — `<urlset>` and `<sitemapindex>` documents
+    * both: per `<url>`/`<sitemap>` block, the `<loc>` target and the
+    * optional `<lastmod>` stamp (empty string when absent; block-scoped
+    * extraction keeps the two aligned when lastmod is sparse). Output:
+    * (sitemap_url, pos, loc, lastmod, is_index). Narrow regex pass —
+    * the same no-DOM stance as [[TextAnalysis.htmlExtract]]; sitemap
+    * files are machine-generated, the well-formed case IS the case. */
+  def parseSitemap(df: DataFrame, urlCol: String,
+      bodyCol: String): DataFrame =
+    df.select(col(urlCol).as("sitemap_url"),
+        when(col(bodyCol).contains("<sitemapindex"), 1L).otherwise(0L)
+          .as("is_index"),
+        posexplode(regexp_extract_all(col(bodyCol),
+          lit("(?s)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>"), lit(1)))
+          .as(Seq("pos", "block")))
+      .select(col("sitemap_url"), col("pos").cast("long").as("pos"),
+        trim(regexp_extract(col("block"), "(?s)<loc>(.*?)</loc>", 1))
+          .as("loc"),
+        trim(regexp_extract(col("block"),
+          "(?s)<lastmod>(.*?)</lastmod>", 1)).as("lastmod"),
+        col("is_index"))
+      .filter(col("loc") =!= "")
 
   /** URL host (`http`/`https`, authority up to the first `/`). */
   def urlHost(url: Column): Column =
@@ -133,6 +200,21 @@ object Robots {
       .withColumn("host", urlHost(col(urlCol)))
       .withColumn("visit", row_number().over(w).cast("long"))
   }
+
+  /** [[crawlSchedule]] with per-host `Crawl-delay` honored: joins the
+    * (broadcast — one row per host) [[crawlDelays]] output and emits
+    * `due_sec` = (visit − 1) × delay, the earliest fetch offset of each
+    * URL relative to its host's crawl start. Hosts without a delay
+    * directive use `defaultDelay`. The interleave ordering stays
+    * `(due_sec, host, visit)`; same per-host-window-only scale shape. */
+  def crawlScheduleWithDelays(urls: DataFrame, urlCol: String,
+      priorityCol: String, delays: DataFrame,
+      defaultDelay: Double = 1.0): DataFrame =
+    crawlSchedule(urls, urlCol, priorityCol)
+      .join(broadcast(delays), Seq("host"), "left")
+      .withColumn("due_sec", (col("visit") - 1).cast("double") *
+        coalesce(col("crawl_delay"), lit(defaultDelay)))
+      .drop("crawl_delay")
 
   /** Verdict per URL against parsed rules ([[parseRules]] output):
     * input columns + `is_allowed` (0/1). Longest matching rule path

@@ -388,6 +388,79 @@ object PipelineQueries {
       Robots.filterUrls(urls, "url", rules)
     }),
 
+    // Sitemap discovery: robots bodies carry two Sitemap directives (one
+    // with trailing comment, one uppercase) at known line indexes, plus
+    // group content that must NOT leak into the output; the oracle
+    // states (host, idx, sitemap) directly from the template.
+    "robots_sitemaps" -> ((s, dir) => {
+      import graft.operators.Robots
+      val bodies = docs(s, dir).select(col("source")).distinct()
+        .select(concat(col("source"), lit(".example")).as("host"),
+          concat(lit("# corpus robots\n" +
+            "Sitemap: https://"), col("source"),
+            lit(".example/sm1.xml # primary\n" +
+              "User-agent: *\n" +
+              "Disallow: /private\n" +
+              "SITEMAP:   https://"), col("source"),
+            lit(".example/sm2.xml\n")).as("body"))
+      Robots.sitemaps(bodies, "host", "body")
+    }),
+
+    // Sitemap XML parsing: one rendered <urlset> per document (an entry
+    // WITH lastmod and one without — block-scoped extraction must keep
+    // loc/lastmod aligned), every third doc rendered as a
+    // <sitemapindex> instead; oracle reconstructs all rows from the
+    // template.
+    "sitemap_parse" -> ((s, dir) => {
+      import graft.operators.Robots
+      val d = docs(s, dir)
+      val urlset = concat(
+        lit("<?xml version=\"1.0\"?>\n<urlset>\n <url>\n  <loc> http://"),
+        col("source"), lit(".example/d/"), col("doc_id"),
+        lit(" </loc>\n  <lastmod>2024-01-02</lastmod>\n </url>\n <url>" +
+          "<loc>http://"),
+        col("source"), lit(".example/d/"), col("doc_id") + 1,
+        lit("</loc></url>\n</urlset>"))
+      val index = concat(
+        lit("<sitemapindex>\n <sitemap><loc>http://"), col("source"),
+        lit(".example/sm/"), col("doc_id"),
+        lit(".xml</loc><lastmod>2024-02-03</lastmod></sitemap>\n" +
+          "</sitemapindex>"))
+      val xml = d.select(
+        concat(lit("http://"), col("source"), lit(".example/sitemap/"),
+          col("doc_id"), lit(".xml")).as("sm_url"),
+        when(col("doc_id") % 3 === 0, index).otherwise(urlset).as("xml"))
+      Robots.parseSitemap(xml, "sm_url", "xml")
+    }),
+
+    // Crawl-delay: the crawler group says 2 s, the * group (which must
+    // NOT apply to the named agent) says 10 s, a bot group says 60 s;
+    // the delay-aware schedule emits due_sec = (visit-1) * 2. Oracle =
+    // the same window arithmetic.
+    "crawl_delay" -> ((s, dir) => {
+      import graft.operators.Robots
+      val d = docs(s, dir)
+      val bodies = d.select(col("source")).distinct()
+        .select(concat(col("source"), lit(".example")).as("host"),
+          lit("User-agent: crawler\n" +
+            "Crawl-delay: 2\n" +
+            "Disallow: /private\n" +
+            "\n" +
+            "User-agent: *\n" +
+            "Crawl-delay: 10\n" +
+            "\n" +
+            "User-agent: bot\n" +
+            "Crawl-delay: 60\n").as("body"))
+      val delays = Robots.crawlDelays(bodies, "host", "body",
+        agent = "crawler")
+      val urls = d.select(
+        concat(lit("http://"), col("source"), lit(".example/"),
+          col("doc_id")).as("url"),
+        col("n_chars"))
+      Robots.crawlScheduleWithDelays(urls, "url", "n_chars", delays)
+        .select(col("url"), col("host"), col("visit"), col("due_sec"))
+    }),
+
     // Crawl frontier scheduling: per-host priority rank (the politeness
     // interleave — crawl order is (visit, host), separating consecutive
     // same-host fetches by every other live host). Oracle is the same
@@ -1496,6 +1569,57 @@ object PipelineQueries {
         |      AND contains(CAST(doc_id AS VARCHAR), '9') THEN 0
         |    WHEN doc_id % 8 IN (1, 3, 5) THEN 0
         |    ELSE 1 END AS BIGINT) AS is_allowed
+        |FROM documents
+        |""".stripMargin,
+
+    "robots_sitemaps" ->
+      """WITH h AS (SELECT DISTINCT source FROM documents)
+        |SELECT source || '.example' AS host, CAST(1 AS BIGINT) AS idx,
+        |       'https://' || source || '.example/sm1.xml' AS sitemap
+        |FROM h
+        |UNION ALL
+        |SELECT source || '.example', 4,
+        |       'https://' || source || '.example/sm2.xml'
+        |FROM h
+        |""".stripMargin,
+
+    "sitemap_parse" ->
+      """SELECT 'http://' || source || '.example/sitemap/' || doc_id ||
+        |         '.xml' AS sitemap_url,
+        |       CAST(0 AS BIGINT) AS pos,
+        |       CASE WHEN doc_id % 3 = 0
+        |         THEN 'http://' || source || '.example/sm/' || doc_id ||
+        |           '.xml'
+        |         ELSE 'http://' || source || '.example/d/' || doc_id
+        |         END AS loc,
+        |       CASE WHEN doc_id % 3 = 0 THEN '2024-02-03'
+        |         ELSE '2024-01-02' END AS lastmod,
+        |       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |         AS is_index
+        |FROM documents
+        |UNION ALL
+        |SELECT 'http://' || source || '.example/sitemap/' || doc_id ||
+        |         '.xml',
+        |       1, 'http://' || source || '.example/d/' || (doc_id + 1),
+        |       '', 0
+        |FROM documents WHERE doc_id % 3 <> 0
+        |""".stripMargin,
+
+    "crawl_delay" ->
+      """SELECT 'http://' || source || '.example/' || CAST(doc_id AS VARCHAR)
+        |         AS url,
+        |       source || '.example' AS host,
+        |       CAST(ROW_NUMBER() OVER (
+        |         PARTITION BY source
+        |         ORDER BY n_chars DESC,
+        |           'http://' || source || '.example/' ||
+        |             CAST(doc_id AS VARCHAR) ASC) AS BIGINT) AS visit,
+        |       CAST((ROW_NUMBER() OVER (
+        |         PARTITION BY source
+        |         ORDER BY n_chars DESC,
+        |           'http://' || source || '.example/' ||
+        |             CAST(doc_id AS VARCHAR) ASC) - 1) * 2.0 AS DOUBLE)
+        |         AS due_sec
         |FROM documents
         |""".stripMargin,
 

@@ -124,6 +124,75 @@ class RobotsSpec extends AnyFunSuite {
     assert(mv("http://m.example/p111z") == 1L)
   }
 
+  test("sitemaps: any line, outside groups, comment-stripped") {
+    val body =
+      """# top
+        |Sitemap: https://h/s1.xml # note
+        |User-agent: bot
+        |Disallow: /
+        |sitemap:https://h/s2.xml
+        |Sitemap: # empty value drops
+        |""".stripMargin
+    val out = Robots.sitemaps(Seq(("h", body)).toDF("host", "body"),
+        "host", "body")
+      .as[(String, Long, String)].collect().toSet
+    // visible to every agent, even with only a non-matching group present
+    assert(out == Set(("h", 1L, "https://h/s1.xml"),
+      ("h", 4L, "https://h/s2.xml")))
+  }
+
+  test("crawlDelays: group specificity, min wins, junk values drop") {
+    val body =
+      """User-agent: crawler
+        |Crawl-delay: 5
+        |Crawl-delay: 3
+        |
+        |User-agent: *
+        |Crawl-delay: 10
+        |
+        |User-agent: other
+        |Crawl-delay: soon
+        |Crawl-delay: -1
+        |""".stripMargin
+    def delays(agent: String) = Robots.crawlDelays(
+      Seq(("h", body)).toDF("host", "body"), "host", "body", agent)
+      .as[(String, Double)].collect().toMap
+    assert(delays("crawler") == Map("h" -> 3.0)) // own group only, min
+    assert(delays("nobody") == Map("h" -> 10.0)) // falls back to *
+    assert(delays("other").isEmpty) // junk + negative values drop
+    // schedule integration: due_sec = (visit - 1) * delay; hosts
+    // without a directive take the default
+    val urls = Seq(("http://h/1", 2L), ("http://h/2", 1L),
+      ("http://x/1", 9L)).toDF("url", "prio")
+    val sched = Robots.crawlScheduleWithDelays(urls, "url", "prio",
+        Robots.crawlDelays(Seq(("h", body)).toDF("host", "body"),
+          "host", "body", "crawler"), defaultDelay = 7.0)
+      .select("url", "visit", "due_sec")
+      .as[(String, Long, Double)].collect().toSet
+    assert(sched == Set(("http://h/1", 1L, 0.0), ("http://h/2", 2L, 3.0),
+      ("http://x/1", 1L, 0.0)))
+  }
+
+  test("parseSitemap: urlset + index, sparse lastmod stays aligned") {
+    val urlset =
+      """<?xml version="1.0"?><urlset>
+        |<url><loc> http://h/a </loc><lastmod>2024-01-01</lastmod></url>
+        |<url><loc>http://h/b</loc></url>
+        |<url><lastmod>2024-09-09</lastmod></url>
+        |</urlset>""".stripMargin
+    val index = "<sitemapindex><sitemap><loc>http://h/sm2.xml</loc>" +
+      "</sitemap></sitemapindex>"
+    val out = Robots.parseSitemap(
+        Seq(("sm1", urlset), ("sm2", index), ("sm3", "not xml"))
+          .toDF("u", "b"), "u", "b")
+      .as[(String, Long, String, String, Long)].collect().toSet
+    assert(out == Set(
+      ("sm1", 0L, "http://h/a", "2024-01-01", 0L),
+      ("sm1", 1L, "http://h/b", "", 0L), // no lastmod: empty, aligned
+      // the loc-less third block drops; sm3 has no blocks at all
+      ("sm2", 0L, "http://h/sm2.xml", "", 1L)))
+  }
+
   test("crawlSchedule: per-host priority rank gives the interleave") {
     val urls = Seq(
       ("http://a.x/1", 5L), ("http://a.x/2", 9L), ("http://a.x/3", 9L),
