@@ -434,6 +434,19 @@ class StreamingSpec extends AnyFunSuite {
       .select("url", "reason").as[(String, String)].collect().toMap
     assert(reasons("http://h.example/3") == "quality:token_count")
     assert(reasons("http://h.example/4") == "dup:cross_corpus")
+
+    // RESTART from the checkpoint: consumed archives must not replay
+    // (file-source discovery is checkpointed), only the new segment
+    // lands — exactly-once across process restarts
+    val long4 = "yet another fresh archive with plenty of unique words"
+    archive("seg3", Seq((6L, "Doc 6", long4)))
+    val q2 = WarcIngest.start(spark, s"$dir/archives", s"$dir/corpus",
+      s"$dir/rejects", s"$dir/ckpt", minTokens = 10)
+    try q2.processAllAvailable() finally q2.stop()
+    val after = spark.read.parquet(s"$dir/corpus")
+      .select("url").as[String].collect().toSeq
+    assert(after.sorted == Seq("http://h.example/1", "http://h.example/2",
+      "http://h.example/5", "http://h.example/6"))
   }
 
   private def listParquet(path: String): Seq[String] = {
