@@ -152,6 +152,14 @@ object Bench {
   /** Store build + concurrent point lookups + native TCP + incremental
     * merge + decode throughput — the serving-side numbers. */
   private def servingFragment(spark: SparkSession, sfDir: String): String = {
+    // warm the JVM the same way the pre-split harness did (one untimed
+    // full store build + a query pass) so store_build_sec keeps its
+    // cross-round trend line instead of absorbing this child's cold JIT
+    try {
+      SparkEntry.queries("entries_rrname")(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      queries.util.prebuiltStorePath(spark, sfDir): Unit
+    } catch { case _: Throwable => () }
     val (buildSec, qps, planQps, wideQps, cachedQps, mergeSec, tcpQps) =
       try benchPointLookups(spark, sfDir)
       catch { case e: Throwable =>
