@@ -44,7 +44,7 @@ object Main {
   }
 
   val usage: String =
-    """usage: graft.Main <build|merge|serve|query|dump|replay|backup|expire|curate|dedup|dump-balboa|replay-balboa|index|search|scan|warc-extract> [args]
+    """usage: graft.Main <build|merge|serve|query|dump|replay|backup|expire|curate|dedup|dump-balboa|replay-balboa|index|search|scan|warc-extract|warc-ingest> [args]
       |  build  --obs <parquet> --store <dir> [--buckets 64]
       |  merge  --obs <parquet> --store <dir>
       |  serve  --store <dir> [--port 8080] [--tcp-port <p>]
@@ -61,6 +61,7 @@ object Main {
       |  search <term...> --index <dir> [--limit 10]
       |  scan   <pattern...> --docs <parquet> --out <dir> [--id-col doc_id] [--text-col text]
       |  warc-extract --warc <dir> --out <parquet>
+      |  warc-ingest  --spool <dir> --corpus <dir> --rejects <dir> --ckpt <dir> [--min-tokens 3] [--mode once|daemon]
       |""".stripMargin
 
   /** Parse `--flag value` pairs; bare tokens (after the subcommand) are
@@ -256,6 +257,21 @@ object Main {
             flags.getOrElse("id-col", "doc_id"),
             flags.getOrElse("text-col", "text"), pos)
           .write.mode("overwrite").parquet(required(flags, "out"))
+        null
+      case "warc-ingest" =>
+        // the crawl→corpus loop as a CLI: watch a spool dir for finished
+        // WARC segments, curate each discovered archive's documents
+        // (streaming.WarcIngest). --mode once drains what is currently
+        // spooled and exits (cron-style backfill); default is a daemon
+        // that keeps watching until killed. Checkpointed discovery makes
+        // either mode exactly-once across restarts.
+        val q = streaming.WarcIngest.start(spark,
+          required(flags, "spool"), required(flags, "corpus"),
+          required(flags, "rejects"), required(flags, "ckpt"),
+          minTokens = flags.get("min-tokens").map(_.toInt).getOrElse(3))
+        if (flags.get("mode").contains("once")) {
+          q.processAllAvailable(); q.stop()
+        } else q.awaitTermination()
         null
       case "warc-extract" =>
         // Common-Crawl ingest entry: WARC files -> (url, ts, mime, title,

@@ -165,6 +165,36 @@ class MainSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("warc-ingest --mode once curates a spooled archive into a corpus") {
+    import graft.sources.Warc
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-main-wingest").toString
+    assert(new java.io.File(s"$dir/spool").mkdirs())
+    val docs = Seq(
+      ("http://h/1", "<html><head><title>T1</title></head><body><p>" +
+        "alpha beta gamma delta epsilon zeta</p></body></html>"),
+      ("http://h/2", "<html><body><p>xx</p></body></html>")) // too short
+      .toDF("url", "page")
+      .withColumn("ts", timestamp_seconds(lit(1600000000L)))
+      .withColumn("content_type", lit("text/html"))
+      .withColumn("payload", encode(col("page"), "UTF-8"))
+    Warc.write(docs.coalesce(1), s"$dir/stage")
+    val part = new java.io.File(s"$dir/stage").listFiles()
+      .find(_.getName.endsWith(".warc.gz")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/spool/seg1.warc.gz"))
+
+    Main.run(spark, Seq("warc-ingest", "--spool", s"$dir/spool",
+      "--corpus", s"$dir/corpus", "--rejects", s"$dir/rejects",
+      "--ckpt", s"$dir/ckpt", "--mode", "once"))
+    val corpus = spark.read.parquet(s"$dir/corpus")
+      .select("url", "title").as[(String, String)].collect().toMap
+    assert(corpus == Map("http://h/1" -> "T1"))
+    val rejects = spark.read.parquet(s"$dir/rejects")
+      .select("url", "reason").as[(String, String)].collect().toMap
+    assert(rejects == Map("http://h/2" -> "quality:token_count"))
+  }
+
   test("curate and dedup CLI commands produce the pipeline outputs") {
     val dir = Files.createTempDirectory("graft-main-curate").toString
     val docs = ((1 to 60).map(i =>
