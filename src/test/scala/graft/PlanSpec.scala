@@ -722,6 +722,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!robotsPlan.contains("SortMergeJoin"), robotsPlan)
   }
 
+  test("round-10 ops: narrow text passes; delay schedule broadcasts") {
+    val docsDf = Seq((1L, "café b")).toDF("doc_id", "text")
+    // normalization, code signals, link extraction: scan → project,
+    // zero shuffles, inside whole-stage codegen
+    val normPlan = explainOf(docsDf.select(
+      graft.operators.TextAnalysis.normalizeText(col("text")),
+      graft.operators.TextAnalysis.replacementCount(col("text"))))
+    assert(!normPlan.contains("Exchange"), normPlan)
+    val codePlan = explainOf(docsDf.select(
+      col("doc_id") +: graft.operators.TextAnalysis.codeColumns(col("text")): _*))
+    assert(!codePlan.contains("Exchange"), codePlan)
+    val linksPlan = explainOf(docsDf.select(
+      graft.operators.TextAnalysis.htmlLinks(col("text"))))
+    assert(!linksPlan.contains("Exchange"), linksPlan)
+    // sitemap XML parse: explode + project, no shuffle
+    val smPlan = explainOf(graft.operators.Robots.parseSitemap(
+      Seq(("u", "<urlset><url><loc>x</loc></url></urlset>")).toDF("u", "b"),
+      "u", "b"))
+    assert(!smPlan.contains("Exchange"), smPlan)
+    // delay-aware schedule: the per-host delays join BROADCAST — the
+    // frontier side must not shuffle for the join (the rank window's
+    // per-host exchange is the operator's one intended shuffle)
+    val delays = graft.operators.Robots.crawlDelays(
+      Seq(("h", "User-agent: *\nCrawl-delay: 2\n")).toDF("host", "body"),
+      "host", "body")
+    val schedPlan = explainOf(graft.operators.Robots
+      .crawlScheduleWithDelays(
+        Seq(("http://h/1", 1L)).toDF("url", "prio"), "url", "prio", delays))
+    assert(schedPlan.contains("BroadcastHashJoin"), schedPlan)
+    assert(!schedPlan.contains("SortMergeJoin"), schedPlan)
+  }
+
   test("hits: per-round plan is equi-join + aggregate, no product") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
     val plan = explainOf(graft.operators.Graphs.hits(e, "src", "dst",
