@@ -310,9 +310,16 @@ object ObservationStore {
     // union branch, per copy): one materialization, not four
     val newAgg = aggregate(batch).persist()
     try {
+      newAgg.count(): Unit // materialize ONCE before the copies fork
       val (effBuckets, effLayout, targetEpoch, staging) =
         prepareStaging(spark, path, numBuckets)
-      Copies.foreach { case (sub, keyCol, sortCols) =>
+      // the two copies' touched-probe → merge → write pipelines are
+      // independent (disjoint directories, shared cached batch): run
+      // them on two threads so their jobs overlap in the scheduler —
+      // the same move stageExpire makes
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val staged = Copies.map { case (sub, keyCol, sortCols) => Future {
         val withBucket = newAgg.withColumn("bucket", bucketOf(col(keyCol), effBuckets))
         val touched = withBucket.select("bucket").distinct()
           .collect().map(_.getLong(0))
@@ -331,7 +338,9 @@ object ObservationStore {
         // had to localCheckpoint to avoid overwriting its own input)
         writeCopy(merged.drop("bucket"), s"$staging/$sub", keyCol, sortCols,
           effBuckets, layout = effLayout)
-      }
+      }}
+      Await.result(Future.sequence(staged),
+        scala.concurrent.duration.Duration.Inf): Unit
       writeStoreManifest(spark, staging, targetEpoch, effBuckets,
         effLayout, batchId)
       staging
