@@ -74,8 +74,9 @@ object ConfigYaml {
           if (strList(f.getOrElse("exchange", null)).isEmpty)
             fail(s"$name: Exchange missing")
           if (!f.contains("url")) fail(s"$name: URL missing")
-          // the broker client is env-blocked; deliveries land in the
-          // spool via Amqp.delivery, consumed as a Dir feeder
+          // the broker client (FeederConfig.startAmqpClient — the native
+          // AmqpClient) consumes into the spool via Amqp.delivery; the
+          // STREAM side reads that spool, i.e. a Dir feeder
           FeederConfig.Dir
         case other => fail(s"unknown feeder type: $other")
       }

@@ -321,15 +321,15 @@ object NmsgContainer {
   }
 }
 
-/** S2 — AMQP delivery handling. The broker CLIENT is environment-blocked
-  * (no AMQP broker or client library here — the one piece that still
-  * needs a real `wabbit`-equivalent connection); everything else the
-  * reference's consumer does per delivery is implemented: a delivery
-  * whose headers carry `compressed` is gunzipped before spooling
+/** S2 — AMQP delivery handling: a delivery whose headers carry
+  * `compressed` is gunzipped before spooling
   * (`feeder/feeder_amqp.go:45-57,267-274`), `sensor_id` travels in a
   * header (`feeder_amqp.go:276-278`), and a failed decompress skips the
-  * delivery without acking. Wire a real client by calling [[delivery]]
-  * from its per-delivery callback and acking on `true`. */
+  * delivery without acking. The broker CLIENT is [[AmqpClient]] — a
+  * native AMQP 0-9-1 consumer (no client library in this environment)
+  * whose per-delivery callback is [[delivery]], acking on `true`;
+  * [[FeederConfig.startAmqpClient]] wires a YAML-configured feeder to
+  * it. */
 object Amqp {
 
   /** `decompressBody` (`feeder_amqp.go:45-57`): the gzip payload path. */
@@ -373,6 +373,24 @@ object FeederConfig {
     feeders.foreach(f => require(
       graft.streaming.IngestPipeline.decoders.contains(f.format),
       s"unknown format '${f.format}' for feeder '${f.name}'"))
+  }
+
+  /** Start the AMQP broker client for an amqp-configured feeder: it
+    * consumes deliveries into the feeder's spool directory
+    * ([[Amqp.delivery]] — gunzip, sensor_id, selective ack) which
+    * [[stream]] then reads as a Dir feeder; the topology (fanout
+    * exchanges, the joined queue name, ttl/length limits, reconnect
+    * loop) matches `feeder/feeder_amqp.go`. Caller owns `stop()`. */
+  def startAmqpClient(f: Feeder,
+      queueBase: String = "balboa"): AmqpClient = {
+    require(f.options.contains("url"), s"feeder '${f.name}': URL missing")
+    require(f.options.contains("exchange"),
+      s"feeder '${f.name}': Exchange missing")
+    val client = new AmqpClient(f.options("url"),
+      f.options("exchange").split(",").toIndexedSeq, queueBase,
+      (h, b) => Amqp.delivery(f.options("dir"), h, b))
+    client.start()
+    client
   }
 
   /** Build the decoded observation stream for one configured feeder. */
