@@ -461,6 +461,60 @@ object PipelineQueries {
         .select(col("url"), col("host"), col("visit"), col("due_sec"))
     }),
 
+    // The crawl-PLANNING chain end to end (the frontier counterpart of
+    // warc_pipeline's ingest chain): robots bodies carry rules, a
+    // Crawl-delay and a Sitemap directive; the directive's URL selects
+    // the rendered sitemap, its <loc> entries become the candidate
+    // frontier, compliance filtering drops /private, and the delay-aware
+    // schedule emits (visit, due_sec). The oracle restates the surviving
+    // URLs and the window arithmetic directly from the template.
+    "frontier_plan" -> ((s, dir) => {
+      import graft.operators.Robots
+      val d = docs(s, dir)
+      val bodies = d.select(col("source")).distinct()
+        .select(concat(col("source"), lit(".example")).as("host"),
+          concat(lit("User-agent: *\n" +
+            "Disallow: /private\n" +
+            "Crawl-delay: 3\n" +
+            "Sitemap: https://"), col("source"),
+            lit(".example/sm.xml\n")).as("body"))
+      val rules = Robots.parseRules(bodies, "host", "body")
+      val delays = Robots.crawlDelays(bodies, "host", "body")
+      // one rendered sitemap per host listing every doc's URL (sorted
+      // struct-collect keeps the XML deterministic); /private URLs are
+      // planted so the compliance filter has something to drop
+      val entry = concat(lit("<url><loc>http://"), col("source"),
+        lit(".example"),
+        when(col("doc_id") % 4 === 0, lit("/private/"))
+          .otherwise(lit("/docs/")),
+        col("doc_id"), lit("</loc></url>"))
+      val sm = d
+        .select(col("source"),
+          struct(col("doc_id"), entry.as("e")).as("se"))
+        .groupBy(col("source"))
+        .agg(concat_ws("",
+          transform(array_sort(collect_list(col("se"))),
+            x => x.getField("e"))).as("xml_body"))
+        .select(
+          concat(lit("https://"), col("source"), lit(".example/sm.xml"))
+            .as("sm_url"),
+          concat(lit("<urlset>"), col("xml_body"), lit("</urlset>"))
+            .as("xml"))
+      // only sitemaps the robots bodies actually DISCOVERED are parsed
+      val discovered = Robots.sitemaps(bodies, "host", "body")
+        .select(col("sitemap").as("sm_url"))
+      val frontier = Robots
+        .parseSitemap(sm.join(discovered, "sm_url"), "sm_url", "xml")
+        .select(col("loc").as("url"))
+      val allowed = Robots.filterUrls(frontier, "url", rules)
+        .filter(col("is_allowed") === 1)
+        .select(col("url"),
+          regexp_extract(col("url"), "/([0-9]+)$", 1).cast("long")
+            .as("prio"))
+      Robots.crawlScheduleWithDelays(allowed, "url", "prio", delays)
+        .select(col("url"), col("host"), col("visit"), col("due_sec"))
+    }),
+
     // Crawl frontier scheduling: per-host priority rank (the politeness
     // interleave — crawl order is (visit, host), separating consecutive
     // same-host fetches by every other live host). Oracle is the same
@@ -1621,6 +1675,21 @@ object PipelineQueries {
         |             CAST(doc_id AS VARCHAR) ASC) - 1) * 2.0 AS DOUBLE)
         |         AS due_sec
         |FROM documents
+        |""".stripMargin,
+
+    "frontier_plan" ->
+      """WITH u AS (
+        |  SELECT doc_id, source,
+        |    'http://' || source || '.example/docs/' || doc_id AS url
+        |  FROM documents WHERE doc_id % 4 <> 0)
+        |SELECT url, source || '.example' AS host,
+        |  CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY source ORDER BY doc_id DESC, url ASC)
+        |    AS BIGINT) AS visit,
+        |  CAST((ROW_NUMBER() OVER (
+        |    PARTITION BY source ORDER BY doc_id DESC, url ASC) - 1) * 3.0
+        |    AS DOUBLE) AS due_sec
+        |FROM u
         |""".stripMargin,
 
     "crawl_schedule" ->
