@@ -216,6 +216,32 @@ object Robots {
         coalesce(col("crawl_delay"), lit(defaultDelay)))
       .drop("crawl_delay")
 
+  /** Crawl snapshot diff — the recrawl-planning step: classify every
+    * URL across two crawl snapshots `(url, fingerprint)` as `added`
+    * (new in `cur`), `removed` (gone from `cur`), `changed`
+    * (fingerprint differs) or `unchanged`. One full-outer equi-join on
+    * URL (both sides shuffle-partition by url — co-partitioned at any
+    * scale, no skew: URLs are unique per snapshot); feed `changed` +
+    * `added` back into [[crawlSchedule]] as the high-priority frontier.
+    * Output: (url, status). */
+  def crawlDiff(prev: DataFrame, cur: DataFrame, urlCol: String,
+      fpCol: String): DataFrame =
+    prev.select(col(urlCol).as("url"), col(fpCol).as("_fp_prev"))
+      .join(cur.select(col(urlCol).as("url"), col(fpCol).as("_fp_cur")),
+        Seq("url"), "full_outer")
+      .select(col("url"),
+        when(col("_fp_prev").isNull, lit("added"))
+          .when(col("_fp_cur").isNull, lit("removed"))
+          .when(col("_fp_prev") === col("_fp_cur"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+
+  /** Per-host churn of a [[crawlDiff]]: status counts per host — the
+    * signal a recrawl scheduler budgets hosts by. One map-side-combined
+    * aggregation. Output: (host, status, n). */
+  def crawlChurn(diff: DataFrame, urlCol: String = "url"): DataFrame =
+    diff.groupBy(urlHost(col(urlCol)).as("host"), col("status"))
+      .agg(count(lit(1)).as("n"))
+
   /** Verdict per URL against parsed rules ([[parseRules]] output):
     * input columns + `is_allowed` (0/1). Longest matching rule path
     * wins, allow beats disallow on ties, no match → allowed. Wildcard

@@ -515,6 +515,32 @@ object PipelineQueries {
         .select(col("url"), col("host"), col("visit"), col("due_sec"))
     }),
 
+    // Crawl snapshot diff: two overlapping snapshots carved from
+    // `documents` (membership by doc_id mod 5/7, content drift by mod
+    // 3) — the full-outer classification must call every URL added /
+    // removed / changed / unchanged exactly as the oracle derives it
+    // from the same membership arithmetic.
+    "crawl_diff" -> ((s, dir) => {
+      import graft.operators.Robots
+      val d = docs(s, dir)
+      val url = concat(lit("http://"), col("source"), lit(".example/p/"),
+        col("doc_id"))
+      val prev = d.filter(col("doc_id") % 5 =!= 0)
+        .select(url.as("url"), md5(col("text")).as("fp"))
+      val cur = d.filter(col("doc_id") % 7 =!= 0)
+        .select(url.as("url"),
+          md5(concat(col("text"),
+            when(col("doc_id") % 3 === 0, lit("v2")).otherwise(lit(""))))
+            .as("fp"))
+      Robots.crawlDiff(prev, cur, "url", "fp")
+    }),
+
+    // Per-host churn of the same diff — the budget signal a recrawl
+    // scheduler ranks hosts by.
+    "crawl_churn" -> ((s, dir) =>
+      graft.operators.Robots.crawlChurn(
+        queries("crawl_diff")(s, dir))),
+
     // Crawl frontier scheduling: per-host priority rank (the politeness
     // interleave — crawl order is (visit, host), separating consecutive
     // same-host fetches by every other live host). Oracle is the same
@@ -1675,6 +1701,36 @@ object PipelineQueries {
         |             CAST(doc_id AS VARCHAR) ASC) - 1) * 2.0 AS DOUBLE)
         |         AS due_sec
         |FROM documents
+        |""".stripMargin,
+
+    "crawl_diff" ->
+      """WITH c AS (
+        |  SELECT 'http://' || source || '.example/p/' || doc_id AS url,
+        |    CASE
+        |      WHEN doc_id % 5 <> 0 AND doc_id % 7 = 0 THEN 'removed'
+        |      WHEN doc_id % 5 = 0 AND doc_id % 7 <> 0 THEN 'added'
+        |      WHEN doc_id % 5 <> 0 AND doc_id % 7 <> 0
+        |        AND doc_id % 3 = 0 THEN 'changed'
+        |      WHEN doc_id % 5 <> 0 AND doc_id % 7 <> 0 THEN 'unchanged'
+        |      ELSE NULL END AS status
+        |  FROM documents)
+        |SELECT url, status FROM c WHERE status IS NOT NULL
+        |""".stripMargin,
+
+    "crawl_churn" ->
+      """WITH c AS (
+        |  SELECT source || '.example' AS host,
+        |    CASE
+        |      WHEN doc_id % 5 <> 0 AND doc_id % 7 = 0 THEN 'removed'
+        |      WHEN doc_id % 5 = 0 AND doc_id % 7 <> 0 THEN 'added'
+        |      WHEN doc_id % 5 <> 0 AND doc_id % 7 <> 0
+        |        AND doc_id % 3 = 0 THEN 'changed'
+        |      WHEN doc_id % 5 <> 0 AND doc_id % 7 <> 0 THEN 'unchanged'
+        |      ELSE NULL END AS status
+        |  FROM documents)
+        |SELECT host, status, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM c WHERE status IS NOT NULL
+        |GROUP BY host, status
         |""".stripMargin,
 
     "frontier_plan" ->
