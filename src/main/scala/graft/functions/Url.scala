@@ -68,6 +68,17 @@ object Url {
     * suffix regex would yield '' and lump every such host into one
     * empty-string group), IPv4 literals ('10.1.2.3' — the last two
     * octets are not a domain), and IPv6 literals ('[2001:db8::7]'). */
+  /** RFC 3986 §5 reference resolution (codegen'd
+    * [[org.apache.spark.sql.graft.ResolveUrl]] — the JDK's exact
+    * algorithm): the step between `TextAnalysis.htmlLinks`' raw hrefs
+    * and a crawl frontier. Null when either side is unparsable;
+    * fragments dropped. */
+  def resolve(base: Column, href: Column): Column =
+    org.apache.spark.sql.GraftShims.column(
+      org.apache.spark.sql.graft.ResolveUrl(
+        org.apache.spark.sql.GraftShims.expression(base),
+        org.apache.spark.sql.GraftShims.expression(href)))
+
   def domainOf(u: Column): Column = {
     val auth = regexp_extract(u,
       "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)

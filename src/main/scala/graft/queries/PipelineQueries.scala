@@ -656,6 +656,27 @@ object PipelineQueries {
         graft.functions.Url.domainOf(col("url")).as("domain"))
     }),
 
+    // RFC 3986 reference resolution (the codegen'd resolve_url
+    // expression wrapping the JDK's exact §5.2 algorithm): every href
+    // shape a crawler meets — relative, ../, root-relative,
+    // scheme-relative, absolute, fragment-carrying — resolved against a
+    // page URL; unparsable hrefs resolve to null and DROP (the frontier
+    // treats them as quality rejects), which the mod-7 'with space' slot
+    // proves. The oracle states every resolved URL directly from the
+    // template.
+    "url_resolve" -> ((s, dir) => {
+      val base = concat(lit("http://"), col("source"),
+        lit(".example/a/b/page.html"))
+      val sel = col("doc_id") % 7
+      val href = element_at(array(
+        lit("c.html"), lit("../up.html"), lit("/root.html"),
+        lit("//mirror.example/x"), lit("https://abs.example/y"),
+        lit("c.html#frag"), lit("with space")), (sel + 1).cast("int"))
+      docs(s, dir).select(col("doc_id"),
+          graft.functions.Url.resolve(base, href).as("resolved"))
+        .filter(col("resolved").isNotNull)
+    }),
+
     // Fuzzy vocabulary folding: every unordered term pair within edit
     // distance 1, via deletion-neighborhood (FastSS/SymSpell) blocking —
     // an equi-join on delete-variants, never a quadratic cross join.
@@ -2019,6 +2040,19 @@ object PipelineQueries {
          |FROM $bRel
          |""".stripMargin
     },
+
+    "url_resolve" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 7
+        |    WHEN 0 THEN 'http://' || source || '.example/a/b/c.html'
+        |    WHEN 1 THEN 'http://' || source || '.example/a/up.html'
+        |    WHEN 2 THEN 'http://' || source || '.example/root.html'
+        |    WHEN 3 THEN 'http://mirror.example/x'
+        |    WHEN 4 THEN 'https://abs.example/y'
+        |    ELSE 'http://' || source || '.example/a/b/c.html'
+        |    END AS resolved
+        |FROM documents WHERE doc_id % 7 <> 6
+        |""".stripMargin,
 
     "url_normalize" ->
       """WITH u AS (

@@ -630,6 +630,52 @@ object NfcNormalize {
   }
 }
 
+/** `resolve_url(base, href)` — RFC 3986 §5 reference resolution (the
+  * step between `html_links`' raw hrefs and a crawl frontier: relative
+  * paths, `..` segments, root-relative, scheme-relative and
+  * fragment/query-only references all resolve against the page URL).
+  * Wraps `java.net.URI.resolve` — the JDK's exact implementation of the
+  * RFC algorithm — as a codegen'd expression; null when either side is
+  * unparsable (crawlers treat those as quality rejects, not errors).
+  * Fragments are dropped from the result (a frontier never keys on
+  * them). */
+case class ResolveUrl(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "resolve_url"
+
+  override def nullSafeEval(base: Any, href: Any): Any =
+    ResolveUrl.compute(base.asInstanceOf[UTF8String],
+      href.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, h) => s"""
+      ${ev.value} = org.apache.spark.sql.graft.ResolveUrl.compute($b, $h);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ResolveUrl =
+    copy(left = newLeft, right = newRight)
+}
+
+object ResolveUrl {
+  def compute(base: UTF8String, href: UTF8String): UTF8String =
+    try {
+      val resolved = new java.net.URI(base.toString)
+        .resolve(href.toString).toString
+      // drop the fragment: the frontier never keys on it
+      val cut = resolved.indexOf('#')
+      UTF8String.fromString(
+        if (cut < 0) resolved else resolved.substring(0, cut))
+    } catch {
+      case _: java.net.URISyntaxException | _: IllegalArgumentException =>
+        null
+    }
+}
+
 object SimHash64 {
   def compute(text: String): String = {
     val votes = new Array[Int](64)

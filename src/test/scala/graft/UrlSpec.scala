@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.Url
@@ -65,5 +65,30 @@ class UrlSpec extends AnyFunSuite {
       .toDF("u").select(Url.domainOf(col("u"))).as[String].collect().toSeq
     assert(d == Seq("localhost", "localhost", "10.1.2.3", "10.1.2.3",
       "[2001:db8::7]", "intranet"))
+  }
+
+  test("resolve: RFC 3986 reference resolution, null on junk, codegen") {
+    val base = "http://h.example/a/b/page.html"
+    def r(href: String): Option[String] =
+      Seq((base, href)).toDF("b", "h")
+        .select(Url.resolve(col("b"), col("h")))
+        .collect().headOption.flatMap(row =>
+          if (row.isNullAt(0)) None else Some(row.getString(0)))
+    assert(r("c.html").contains("http://h.example/a/b/c.html"))
+    assert(r("../../up.html").contains("http://h.example/up.html"))
+    assert(r("/root").contains("http://h.example/root"))
+    assert(r("//m.example/x").contains("http://m.example/x"))
+    assert(r("https://abs/y").contains("https://abs/y"))
+    // fragments drop from the RESULT (a frontier never keys on them)
+    assert(r("c.html#sec").contains("http://h.example/a/b/c.html"))
+    assert(r("#sec").contains(base))
+    // unparsable href -> null, not an exception
+    assert(r("with space").isEmpty)
+    assert(r("http://[broken").isEmpty)
+    // stays inside whole-stage codegen
+    val plan = spark.range(1)
+      .select(Url.resolve(lit(base), col("id").cast("string")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan)
   }
 }
