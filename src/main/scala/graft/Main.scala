@@ -44,7 +44,7 @@ object Main {
   }
 
   val usage: String =
-    """usage: graft.Main <build|merge|serve|query|dump|replay|backup|expire|curate|dedup|dump-balboa|replay-balboa|index|search|scan|warc-extract|warc-ingest> [args]
+    """usage: graft.Main <build|merge|serve|query|dump|replay|backup|expire|compact|curate|dedup|dump-balboa|replay-balboa|index|search|scan|warc-extract|warc-ingest> [args]
       |  build  --obs <parquet> --store <dir> [--buckets 64]
       |  merge  --obs <parquet> --store <dir>
       |  serve  --store <dir> [--port 8080] [--tcp-port <p>]
@@ -53,6 +53,7 @@ object Main {
       |  replay --dump <dir> --store <dir> [--buckets 64]
       |  backup --store <dir> --out <dir>
       |  expire --store <dir> --before <ISO date/date-time/instant, UTC> [--buckets 64]
+      |  compact --store <dir>
       |  curate --docs <parquet> --out <dir> [--shards 64] [--budget 8192]
       |  dedup  --docs <parquet> --out <dir>
       |  dump-balboa   --store <dir> --out <dir>         (native wire format)
@@ -179,6 +180,10 @@ object Main {
         val n = ObservationStore.expire(spark, required(flags, "store"),
           cutoff, flags.get("buckets").map(_.toInt).getOrElse(64))
         System.err.println(s"[graft] expired $n entries")
+        null
+      case "compact" =>
+        val n = ObservationStore.compact(spark, required(flags, "store"))
+        System.err.println(s"[graft] compacted $n bucket directories")
         null
       case "curate" =>
         // the shared Curation.curateChain (same thresholds as the

@@ -485,6 +485,60 @@ object ObservationStore {
     * writer would then commit a manifest whose buckets are gone (the
     * bucket-list verification above turns that into a loud failure, but
     * the reader must not cause it). Safe to call any time. */
+  /** Compaction — the RocksDB-compaction analogue for the parquet
+    * store: every bucket directory that has accumulated MORE than one
+    * file (epoch churn — expiry rewrites split across scan tasks,
+    * fragmented backfills) is rewritten as ONE sorted file per copy,
+    * through the same staged manifest-committed swap as merges — crash
+    * safe, readers never see a half-compacted store, and a compaction
+    * replay after a crash is idempotent. Single-file buckets cost only
+    * the directory listing. Both copies compact on parallel threads
+    * (the stageExpire/stageMerge move). Returns the number of bucket
+    * directories compacted across both copies; 0 leaves the store
+    * untouched (no epoch bump — readers' caches stay warm). */
+  def compact(spark: SparkSession, path: String): Long = {
+    recoverMerge(spark, path, deleteUncommitted = true)
+    val (effBuckets, effLayout, targetEpoch, staging) =
+      prepareStaging(spark, path, 64)
+    val (f, sp) = fs(spark, staging)
+    val dataCols = (Model.Key ++ Seq("count", "first_seen", "last_seen"))
+      .map(col)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val perCopy = Copies.map { case (sub, keyCol, sortCols) => Future {
+      val (fsC, base) = fs(spark, s"$path/$sub")
+      val multi =
+        if (!fsC.exists(base)) Seq.empty[Long]
+        else fsC.listStatus(base).toSeq
+          .filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith("bucket="))
+          .filter(d => fsC.listStatus(d.getPath)
+            .count(x => x.isFile &&
+              x.getPath.getName.endsWith(".parquet")) > 1)
+          .map(_.getPath.getName.stripPrefix("bucket=").toLong)
+      if (multi.nonEmpty) {
+        val persisted = derivedCols(keyCol, effLayout).map(_._1)
+        spark.read.parquet(s"$path/$sub")
+          .filter(col("bucket").isin(multi.map(Long.box): _*))
+          .select(dataCols ++ persisted.map(col) :+ col("bucket"): _*)
+          // all rows of a bucket land in one task, so the dynamic
+          // partition writer emits exactly ONE file per bucket dir
+          .repartition(col("bucket"))
+          .sortWithinPartitions(("bucket" +: sortCols).map(col): _*)
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$staging/$sub")
+      }
+      multi.size.toLong
+    }}
+    val total = Await.result(Future.sequence(perCopy),
+      scala.concurrent.duration.Duration.Inf).sum
+    if (!f.exists(sp)) return 0L
+    writeStoreManifest(spark, staging, targetEpoch, effBuckets, effLayout,
+      batchId = None)
+    applyStagedMerge(spark, path, staging)
+    total
+  }
+
   def recoverMerge(spark: SparkSession, path: String,
       deleteUncommitted: Boolean = false): Unit =
     StagedCommit.recover(spark, path, deleteUncommitted)(

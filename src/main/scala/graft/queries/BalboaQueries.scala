@@ -121,6 +121,22 @@ object BalboaQueries {
         .withColumn("last_seen", micros(col("last_seen")))
     }),
 
+    // Compaction identity: a deliberately FRAGMENTED copy of the shared
+    // prebuilt store (every bucket split into several files — the
+    // post-churn shape) compacts back to one sorted file per bucket
+    // with zero data change; the oracle is the plain aggregate, so the
+    // hash proves the rewrite is lossless while StoreSpec pins the
+    // file-count and crash behavior.
+    "store_compact" -> ((s, dir) => {
+      val storePath = copyOfPrebuiltStore(s, dir, "compact")
+      util.fragmentStoreCopies(s, storePath)
+      ObservationStore.compact(s, storePath): Unit
+      ObservationStore.load(s, storePath).forward
+        .drop("bucket")
+        .withColumn("first_seen", micros(col("first_seen")))
+        .withColumn("last_seen", micros(col("last_seen")))
+    }),
+
     // A4+A5 in the reference's NATIVE wire format: dump the aggregate as
     // a real balboa MessagePack stream (protocol.c:149-187), replay it
     // into a fresh dual store, read the forward copy back. Oracle = the
@@ -256,6 +272,11 @@ object BalboaQueries {
          |""".stripMargin,
 
     "store_agg" ->
+      s"""$obsCte SELECT * FROM agg""",
+
+    // compaction is an identity on the data — same oracle as the
+    // expiry-free aggregate
+    "store_compact" ->
       s"""$obsCte SELECT * FROM agg""",
 
     "entries_rrname" ->

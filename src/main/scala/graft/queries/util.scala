@@ -102,6 +102,34 @@ object util {
     dst.toString
   }
 
+  /** Fragment both copies of a disk store: rewrite every bucket as
+    * SEVERAL parquet files (random row split across `nFiles` tasks) —
+    * the post-churn shape `ObservationStore.compact` exists to undo;
+    * used by the store_compact gate and StoreSpec so compaction has an
+    * honest multi-file input. Data is byte-identical, only the file
+    * layout changes; the store meta is untouched. */
+  def fragmentStoreCopies(s: SparkSession, storePath: String,
+      nFiles: Int = 3): Unit =
+    Seq("by_rrname", "by_rdata").foreach { sub =>
+      val src = s"$storePath/$sub"
+      val df = s.read.parquet(src).localCheckpoint(false) // cut lineage from src
+      val cols = df.columns.filterNot(_ == "bucket")
+        .map(org.apache.spark.sql.functions.col) :+
+        org.apache.spark.sql.functions.col("bucket")
+      val tmp = s"$storePath/_frag_$sub"
+      df.select(cols: _*).repartition(nFiles)
+        .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+      val root = java.nio.file.Paths.get(storePath)
+      def rmTree(p: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters.IteratorHasAsScala
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(x => java.nio.file.Files.delete(x))
+      }
+      rmTree(root.resolve(sub))
+      java.nio.file.Files.move(root.resolve(s"_frag_$sub"),
+        root.resolve(sub)): Unit
+    }
+
   /** Run `build` exactly once per (session, dir, key) — for gate
     * fixtures that are deterministic functions of the source data
     * (generated WARC archives, rendered corpora): later invocations in

@@ -338,6 +338,53 @@ class StoreSpec extends AnyFunSuite {
     assert(st.entries(rrname = Some("old1")).isEmpty)
   }
 
+  test("compact: multi-file buckets fold to one file, data unchanged") {
+    val input = Seq(
+      ("foo", "s1", "A", "1.1.1.1", 1L, ts("2019-03-01 00:00:00")),
+      ("bar", "s1", "A", "2.2.2.2", 2L, ts("2019-06-01 00:00:00")),
+      ("baz", "s1", "A", "3.3.3.3", 3L, ts("2021-01-01 00:00:00")),
+      ("qux", "s2", "A", "4.4.4.4", 4L, ts("2019-01-01 00:00:00"))
+    ).toDF("rrname", "sensor_id", "rrtype", "rdata", "count", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact")
+      .toString
+    ObservationStore.writeDual(ObservationStore.aggregate(input),
+      s"$dir/st", numBuckets = 4)
+    def filesPerBucket(sub: String): Seq[Int] =
+      new java.io.File(s"$dir/st/$sub").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).toSeq
+    def rows(): Set[Seq[Any]] =
+      ObservationStore.load(spark, s"$dir/st").forward
+        .drop("bucket").collect().map(_.toSeq).toSet
+
+    // fresh store: single-file buckets → compaction is a NO-OP (no
+    // epoch bump — reader caches stay warm)
+    assert(ObservationStore.compact(spark, s"$dir/st") == 0L)
+    assert(ObservationStore.readEpoch(spark, s"$dir/st").contains(1L))
+
+    val before = rows()
+    queries.util.fragmentStoreCopies(spark, s"$dir/st", nFiles = 3)
+    val fragmented = filesPerBucket("by_rrname")
+    assert(fragmented.exists(_ > 1), fragmented)
+    assert(rows() == before) // fragmentation is layout-only
+
+    val multiBefore = Seq("by_rrname", "by_rdata")
+      .map(sub => filesPerBucket(sub).count(_ > 1)).sum
+    val n = ObservationStore.compact(spark, s"$dir/st")
+    assert(n == multiBefore && n > 0) // every multi-file bucket counted
+    assert(filesPerBucket("by_rrname").forall(_ == 1))
+    assert(filesPerBucket("by_rdata").forall(_ == 1))
+    assert(rows() == before)
+    assert(ObservationStore.readEpoch(spark, s"$dir/st").contains(2L))
+    // compacted store still serves point lookups on BOTH paths
+    val st = ObservationStore.load(spark, s"$dir/st")
+    assert(st.entries(rrname = Some("foo")).count() == 1)
+    assert(st.servePoint(rdata = Some("2.2.2.2")).get.size == 1)
+    // idempotent: already compact → no-op, no epoch bump
+    assert(ObservationStore.compact(spark, s"$dir/st") == 0L)
+    assert(ObservationStore.readEpoch(spark, s"$dir/st").contains(2L))
+  }
+
   test("dns wire-format helpers match reference quirks") {
     assert(Dns.parseDomainString(Array[Byte](3, 'f', 'o', 'o', 3, 'b', 'a', 'r', 0)) == "foo.bar")
     // malformed label length -> raw bytes fallback
