@@ -123,6 +123,75 @@ object Similarity {
     assigned.write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$path/vectors")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    // a rebuilt index has no deletions: clear any tombstones
+    val (f, tp) = ObservationStore.fs(embeddings.sparkSession,
+      s"$path/_tombstones")
+    if (f.exists(tp)) { f.delete(tp, true); () }
+  }
+
+  /** Tombstone deletion for a persisted IVF index — retract vectors
+    * (GDPR erasure, dedup corrections) WITHOUT a rebuild: ids append to
+    * `<path>/_tombstones`, and [[ivfIndexTopK]] anti-joins the
+    * (broadcast — deletion sets are small relative to the corpus)
+    * tombstone set on every probe. The standard LSM delete/fold split:
+    * [[vacuumIvfIndex]] folds grown tombstone sets back into the vector
+    * partitions. Append-idempotent: duplicate ids change nothing. */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame): Unit =
+    ids.select(col(ids.columns.head).cast("long").as("id"))
+      .write.mode("append").parquet(s"$path/_tombstones")
+
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    deleteFromIvfIndex(spark, path, ids.toDF("id"))
+  }
+
+  /** Fold tombstones into the vector partitions: ONLY cluster
+    * directories that actually hold a deleted id are rewritten (dynamic
+    * partition overwrite — the touched-bucket discipline), a cluster
+    * whose every vector died has its directory removed outright, and
+    * the tombstone set is dropped LAST — a crash anywhere leaves the
+    * tombstones masking queries, and a replay is idempotent. Returns
+    * the number of vectors removed. */
+  def vacuumIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val (f, tp) = ObservationStore.fs(spark, s"$path/_tombstones")
+    if (!f.exists(tp)) return 0L
+    val tomb = spark.read.parquet(s"$path/_tombstones")
+      .select(col("id")).distinct().localCheckpoint(false)
+    val vectors = spark.read.parquet(s"$path/vectors")
+    val dead = vectors.join(broadcast(tomb), Seq("id"), "left_semi")
+      .groupBy(col("cluster").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n")).collect()
+    val removed = dead.map(_.getLong(1)).sum
+    if (dead.nonEmpty) {
+      val touched = dead.map(_.getLong(0))
+      val survivors = vectors
+        .filter(col("cluster").isin(touched.toIndexedSeq.map(Long.box): _*))
+        .join(broadcast(tomb), Seq("id"), "left_anti")
+        .localCheckpoint(false) // reads the files the write replaces
+      survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cluster").parquet(s"$path/vectors")
+      // fully-deleted clusters stage nothing under dynamic overwrite —
+      // remove their directories outright (the stageExpire empty-bucket
+      // lesson, inverted: an empty cluster has no reader value)
+      val staying = survivors.select(col("cluster").cast("long"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      if (staying.isEmpty)
+        // an index vacuumed down to NOTHING must stay readable: leave a
+        // schema-only file (cluster in-file) before the dirs go
+        survivors.limit(0).coalesce(1)
+          .write.mode("append").parquet(s"$path/vectors")
+      touched.filterNot(staying).foreach { c =>
+        val (fc, cp) = ObservationStore.fs(spark,
+          s"$path/vectors/cluster=$c")
+        if (fc.exists(cp)) { fc.delete(cp, true); () }
+      }
+    }
+    f.delete(tp, true)
+    removed
   }
 
   /** Top-k against a persisted IVF index: centroids are collected (tiny),
@@ -151,8 +220,16 @@ object Similarity {
       .sortBy { case (cid, cos) => (-cos, cid) }
       .take(nprobe).map(_._1)
     val qvCol = array(qv.map(lit(_)).toSeq: _*)
-    spark.read.parquet(s"$path/vectors")
+    val base = spark.read.parquet(s"$path/vectors")
       .filter(col("cluster").isin(probe.toIndexedSeq: _*) && col("id") =!= queryId)
+    // deleted vectors ([[deleteFromIvfIndex]]) mask out via a broadcast
+    // anti-join until the next vacuum folds them in
+    val (tf, tp) = ObservationStore.fs(spark, s"$path/_tombstones")
+    val live =
+      if (!tf.exists(tp)) base
+      else base.join(broadcast(spark.read.parquet(s"$path/_tombstones")
+        .select(col("id")).distinct()), Seq("id"), "left_anti")
+    live
       .select(col("id"), cosine(col("v"), qvCol).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("id").asc)
       .limit(k)

@@ -235,6 +235,22 @@ object PipelineQueries {
       Similarity.ivfIndexTopK(s, tmp, q, queryId = 5L, k = 10, nprobe = 2)
     }),
 
+    // Tombstone deletion on the persisted IVF index: every vec_id ≡ 1
+    // (mod 4) is retracted WITHOUT a rebuild, and the probe must rank
+    // top-10 over the survivors only (broadcast anti-join against the
+    // tombstone set). Oracle = the IVF oracle with the same ids
+    // excluded — deletion is a visibility change, never a ranking one.
+    "ann_ivf_delete" -> ((s, dir) => {
+      val tmp = util.scratchDir("ivfdel", dir)
+      val e = embs(s, dir)
+      Similarity.writeIvfIndex(e, "vec_id", "embedding", 0L to 7L, tmp)
+      Similarity.deleteFromIvfIndex(s, tmp,
+        e.filter(col("vec_id") % 4 === 1).select(col("vec_id")))
+      val q = e.filter(col("vec_id") === 5)
+        .select(col("embedding")).head().getSeq[Float](0)
+      Similarity.ivfIndexTopK(s, tmp, q, queryId = 5L, k = 10, nprobe = 2)
+    }),
+
     // Composed IVF-PQ through the persisted index (the FAISS
     // billion-vector layout): cluster-partition-pruned probe (nprobe=2)
     // → broadcast-ADC scan over the m-byte codes → exact cosine re-rank
@@ -1518,6 +1534,11 @@ object PipelineQueries {
     // identical semantics through the persisted cluster-partitioned
     // index — same oracle by design
     "ann_ivf_index" -> ivfOracleSql,
+
+    // the IVF oracle minus the tombstoned ids — deletion changes
+    // visibility, never ranking
+    "ann_ivf_delete" -> ivfOracleSql.replace(
+      "WHERE asg.id <> 5", "WHERE asg.id <> 5 AND asg.id % 4 <> 1"),
 
     // the composed index: partition-pruned probe -> broadcast-ADC scan
     // -> exact re-rank, every stage mirrored

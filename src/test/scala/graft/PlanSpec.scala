@@ -258,6 +258,46 @@ class PlanSpec extends AnyFunSuite {
     assert(indexed == direct)
   }
 
+  test("IVF tombstones: delete masks, vacuum folds, empty clusters drop") {
+    val vecs = (0L to 40L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft-plan-ivfdel").toString
+    graft.operators.Similarity.writeIvfIndex(
+      vecs, "vec_id", "embedding", 0L to 3L, dir)
+    val q = vecs.filter(col("vec_id") === 5)
+      .select(col("embedding")).head.getSeq[Float](0)
+    def top(): Seq[Long] = graft.operators.Similarity
+      .ivfIndexTopK(spark, dir, q, queryId = 5L, k = 40, nprobe = 4)
+      .collect().map(_.getLong(0)).toSeq
+    val before = top()
+    // delete two present ids (idempotent double-delete on one of them)
+    graft.operators.Similarity.deleteFromIvfIndex(spark, dir,
+      Seq(before.head, before(1), before.head))
+    val masked = top()
+    assert(masked == before.drop(2))
+    // vacuum folds the tombstones in: same results, tombstones gone
+    assert(graft.operators.Similarity.vacuumIvfIndex(spark, dir) == 2L)
+    assert(!new java.io.File(s"$dir/_tombstones").exists())
+    assert(top() == masked)
+    // vacuum again: nothing to do
+    assert(graft.operators.Similarity.vacuumIvfIndex(spark, dir) == 0L)
+    // delete EVERYTHING: after vacuum no cluster dirs remain and the
+    // probe returns empty rather than failing
+    graft.operators.Similarity.deleteFromIvfIndex(spark, dir,
+      vecs.select(col("vec_id")))
+    assert(graft.operators.Similarity.vacuumIvfIndex(spark, dir) == 39L)
+    val dirs = new java.io.File(s"$dir/vectors").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
+    assert(dirs.isEmpty, dirs.map(_.getName).toSeq)
+    assert(top().isEmpty)
+    // rebuild clears any deletion state
+    graft.operators.Similarity.writeIvfIndex(
+      vecs, "vec_id", "embedding", 0L to 3L, dir)
+    assert(top() == before)
+  }
+
   test("IVF-PQ probe: partition pruning + broadcast ADC table + TakeOrdered") {
     val vecs = (0L to 40L).map { i =>
       val rnd = new scala.util.Random(i)
