@@ -966,8 +966,16 @@ object Similarity {
       }
       (j, c.toLong, acc)
     }).toDF("j", "code", "d2")
-    val vectors = spark.read.parquet(s"$path/vectors")
+    val base = spark.read.parquet(s"$path/vectors")
       .filter(col("cluster").isin(probe.toIndexedSeq: _*) && col("id") =!= queryId)
+    // same tombstone contract as the IVF index ([[deleteFromIvfIndex]]
+    // pointed at this index's path): deleted ids mask before the ADC
+    // scan so a retracted vector cannot even consume a rerank slot
+    val (tf, tp) = ObservationStore.fs(spark, s"$path/_tombstones")
+    val vectors =
+      if (!tf.exists(tp)) base
+      else base.join(broadcast(spark.read.parquet(s"$path/_tombstones")
+        .select(col("id")).distinct()), Seq("id"), "left_anti")
     val cand = vectors
       .select(col("id"), posexplode(col("codes")).as(Seq("j", "code")))
       .join(broadcast(dt), Seq("j", "code"))

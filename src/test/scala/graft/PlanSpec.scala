@@ -296,6 +296,20 @@ class PlanSpec extends AnyFunSuite {
     graft.operators.Similarity.writeIvfIndex(
       vecs, "vec_id", "embedding", 0L to 3L, dir)
     assert(top() == before)
+
+    // the IVF-PQ index honors the same tombstone contract
+    val pqDir = Files.createTempDirectory("graft-plan-pqdel").toString
+    graft.operators.Similarity.writeIvfPqIndex(
+      vecs, "vec_id", "embedding", 0L to 3L, pqDir, m = 4, ks = 4,
+      iters = 1, dim = 16)
+    def pqTop(): Seq[Long] = graft.operators.Similarity
+      .ivfPqTopK(spark, pqDir, q, queryId = 5L, k = 10, nprobe = 4,
+        rerank = 20)
+      .collect().map(_.getLong(0)).toSeq
+    val pqBefore = pqTop()
+    graft.operators.Similarity.deleteFromIvfIndex(spark, pqDir,
+      Seq(pqBefore.head))
+    assert(!pqTop().contains(pqBefore.head))
   }
 
   test("IVF-PQ probe: partition pruning + broadcast ADC table + TakeOrdered") {
