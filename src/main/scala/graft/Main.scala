@@ -44,7 +44,7 @@ object Main {
   }
 
   val usage: String =
-    """usage: graft.Main <build|merge|serve|query|dump|replay|backup|expire|compact|curate|dedup|dump-balboa|replay-balboa|index|search|scan|warc-extract|warc-ingest> [args]
+    """usage: graft.Main <build|merge|serve|query|dump|replay|backup|expire|compact|curate|dedup|dump-balboa|replay-balboa|index|search|scan|warc-extract|warc-ingest|ann-index|ann-search|ann-delete|ann-vacuum> [args]
       |  build  --obs <parquet> --store <dir> [--buckets 64]
       |  merge  --obs <parquet> --store <dir>
       |  serve  --store <dir> [--port 8080] [--tcp-port <p>]
@@ -63,6 +63,10 @@ object Main {
       |  scan   <pattern...> --docs <parquet> --out <dir> [--id-col doc_id] [--text-col text]
       |  warc-extract --warc <dir> --out <parquet>
       |  warc-ingest  --spool <dir> --corpus <dir> --rejects <dir> --ckpt <dir> [--min-tokens 3] [--mode once|daemon]
+      |  ann-index  --embeddings <parquet> --out <dir> [--centroids 8] [--id-col vec_id] [--emb-col embedding]
+      |  ann-search <id> --index <dir> --embeddings <parquet> [--limit 10] [--nprobe 2]
+      |  ann-delete <id...> --index <dir>
+      |  ann-vacuum --index <dir>
       |""".stripMargin
 
   /** Parse `--flag value` pairs; bare tokens (after the subcommand) are
@@ -262,6 +266,44 @@ object Main {
             flags.getOrElse("id-col", "doc_id"),
             flags.getOrElse("text-col", "text"), pos)
           .write.mode("overwrite").parquet(required(flags, "out"))
+        null
+      case "ann-index" =>
+        // persisted IVF index over an (id, embedding) parquet; centroid
+        // ids default to the first 8 vectors (k-means seeding is the
+        // library surface — Similarity.kMeans — when callers want it)
+        val e = spark.read.parquet(required(flags, "embeddings"))
+        val nc = flags.get("centroids").map(_.toInt).getOrElse(8)
+        operators.Similarity.writeIvfIndex(e,
+          flags.getOrElse("id-col", "vec_id"),
+          flags.getOrElse("emb-col", "embedding"),
+          0L until nc.toLong, required(flags, "out"))
+        null
+      case "ann-search" =>
+        val id = pos.headOption.getOrElse(
+          throw new IllegalArgumentException("ann-search needs a query id"))
+          .toLong
+        val idxPath = required(flags, "index")
+        val e = spark.read.parquet(required(flags, "embeddings"))
+        val idCol = flags.getOrElse("id-col", "vec_id")
+        val q = e.filter(org.apache.spark.sql.functions.col(idCol) === id)
+          .select(flags.getOrElse("emb-col", "embedding"))
+          .head().getSeq[Float](0)
+        val df = operators.Similarity.ivfIndexTopK(spark, idxPath, q,
+          queryId = id, k = flags.get("limit").map(_.toInt).getOrElse(10),
+          nprobe = flags.get("nprobe").map(_.toInt).getOrElse(2))
+        val it = df.toJSON.toLocalIterator()
+        while (it.hasNext) println(it.next())
+        null
+      case "ann-delete" =>
+        if (pos.isEmpty)
+          throw new IllegalArgumentException("ann-delete needs vector ids")
+        operators.Similarity.deleteFromIvfIndex(spark,
+          required(flags, "index"), pos.map(_.toLong))
+        null
+      case "ann-vacuum" =>
+        val n = operators.Similarity.vacuumIvfIndex(spark,
+          required(flags, "index"))
+        System.err.println(s"[graft] vacuumed $n vectors")
         null
       case "warc-ingest" =>
         // the crawl→corpus loop as a CLI: watch a spool dir for finished

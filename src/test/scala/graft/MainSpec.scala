@@ -195,6 +195,33 @@ class MainSpec extends AnyFunSuite {
     assert(rejects == Map("http://h/2" -> "quality:token_count"))
   }
 
+  test("ann CLI: index, search, delete, vacuum") {
+    val dir = Files.createTempDirectory("graft-main-ann").toString
+    (0L to 20L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(8)(rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding").write.parquet(s"$dir/emb")
+    Main.run(spark, Seq("ann-index", "--embeddings", s"$dir/emb",
+      "--out", s"$dir/idx", "--centroids", "4"))
+    def search(): Seq[String] = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) {
+        Main.run(spark, Seq("ann-search", "7", "--index", s"$dir/idx",
+          "--embeddings", s"$dir/emb", "--limit", "5", "--nprobe", "4"))
+      }
+      out.toString("UTF-8").linesIterator.toSeq.filter(_.nonEmpty)
+    }
+    val first = search()
+    assert(first.size == 5 && first.forall(_.contains("cos_sim")))
+    val topId = """"id":(\d+)""".r.findFirstMatchIn(first.head).get.group(1)
+    Main.run(spark, Seq("ann-delete", topId, "--index", s"$dir/idx"))
+    val masked = search()
+    assert(!masked.exists(_.contains(s""""id":$topId,""")))
+    Main.run(spark, Seq("ann-vacuum", "--index", s"$dir/idx"))
+    assert(!new java.io.File(s"$dir/idx/_tombstones").exists())
+    assert(search() == masked)
+  }
+
   test("curate and dedup CLI commands produce the pipeline outputs") {
     val dir = Files.createTempDirectory("graft-main-curate").toString
     val docs = ((1 to 60).map(i =>
