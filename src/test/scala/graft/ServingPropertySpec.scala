@@ -130,6 +130,30 @@ class ServingPropertySpec extends AnyFunSuite {
     }, n = 12)
   }
 
+  test("crawlDiff classification matches a reference map diff") {
+    val genSnap: Gen[Map[String, String]] = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, for {
+        u <- Gen.choose(1, 15).map(i => s"http://h.x/$i")
+        fp <- Gen.oneOf("a", "b", "c")
+      } yield (u, fp)).map(_.toMap))
+    check(Prop.forAll(genSnap, genSnap) { (prev, cur) =>
+      import spark.implicits._
+      val got = graft.operators.Robots.crawlDiff(
+          prev.toSeq.toDF("url", "fp"), cur.toSeq.toDF("url", "fp"),
+          "url", "fp")
+        .as[(String, String)].collect().toMap
+      val expect = (prev.keySet ++ cur.keySet).map { u =>
+        u -> ((prev.get(u), cur.get(u)) match {
+          case (None, Some(_)) => "added"
+          case (Some(_), None) => "removed"
+          case (Some(a), Some(b)) if a == b => "unchanged"
+          case _ => "changed"
+        })
+      }.toMap
+      got == expect
+    }, n = 15)
+  }
+
   test("BPE segmentation concatenation invariant under arbitrary merges") {
     val word = Gen.choose(1, 8).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf("a", "b", "c"))).map(_.mkString)
