@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) column handling for training-data
@@ -103,6 +103,25 @@ object Multimodal {
           java.util.Arrays.copyOfRange(r.payload, off, math.max(off, end)))
       }
     }.toDF("media_id", "frame_idx", "byte_offset", "frame_bytes")
+  }
+
+  /** 64-bit perceptual difference hash (dHash) over a 9×8 grayscale
+    * grid, emitted as a 64-char '0'/'1' string (the SimHash64
+    * portability stance — no int64/hex gymnastics for oracles or
+    * banding): bit (r, c) = gray(r·9 + c) < gray(r·9 + c + 1), rows
+    * r < 8, columns c < 8; pixels beyond the input pad as 0. This IS
+    * the standard perceptual-hash math — the environment-blocked part
+    * is only producing TRUE pixels (a real decoder resamples the image
+    * to 9×8 grayscale; [[StubCodec]]'s byte-as-pixel stand-in is
+    * shape-compatible, so swapping the codec changes nothing
+    * downstream). Near-dup pairing rides the existing banded hamming
+    * join ([[Dedup.simhashNearDuplicates]] accepts any '0'/'1'
+    * fingerprint). Narrow codegen'd pass, zero shuffle. */
+  def dHash64(gray: Column): Column = {
+    def px(i: Int): Column = coalesce(element_at(gray, i + 1), lit(0))
+    concat((for { r <- 0 until 8; c <- 0 until 8 } yield
+      when(px(r * 9 + c) < px(r * 9 + c + 1), lit("1"))
+        .otherwise(lit("0"))): _*)
   }
 
   /** Deduplicate media by content hash (exact): one survivor per blob. */

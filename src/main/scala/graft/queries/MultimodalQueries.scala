@@ -45,6 +45,21 @@ object MultimodalQueries {
     // content-hash dedup over the media table
     "media_dedup" -> ((s, dir) =>
       Multimodal.dedupByContent(Multimodal.extractMeta(media(s, dir)))),
+
+    // Perceptual difference hash over the stub-decoded 9×8 grid (byte
+    // values as grayscale — the codec boundary; the dHash math itself
+    // is the real algorithm): the oracle recomputes every bit from the
+    // same characters, padding past the text length as 0. Feed the
+    // fingerprints to Dedup.simhashNearDuplicates for banded hamming
+    // near-dup pairing (P4's machinery, already gated).
+    "media_phash" -> ((s, dir) => {
+      val gray = expr("transform(sequence(1, 72), i -> " +
+        "CASE WHEN i <= length(text) THEN ascii(substring(text, i, 1)) " +
+        "ELSE 0 END)")
+      Graft.table(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          Multimodal.dHash64(gray).as("dhash"))
+    }),
   )
 
   private val kindExpr =
@@ -85,6 +100,22 @@ object MultimodalQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n_copies,
         |       CAST(octet_length(encode(MIN(text))) AS BIGINT) AS n_bytes
         |FROM documents GROUP BY 1
+        |""".stripMargin,
+
+    "media_phash" ->
+      """WITH g AS (
+        |  SELECT doc_id AS media_id,
+        |    list_transform(range(1, 73), i ->
+        |      CASE WHEN i <= length(text)
+        |        THEN ascii(substr(text, CAST(i AS INTEGER), 1))
+        |        ELSE 0 END) AS gray
+        |  FROM documents)
+        |SELECT media_id,
+        |  array_to_string(list_transform(range(0, 64), b ->
+        |    CASE WHEN gray[(b // 8) * 9 + (b % 8) + 1] <
+        |              gray[(b // 8) * 9 + (b % 8) + 2]
+        |         THEN '1' ELSE '0' END), '') AS dhash
+        |FROM g
         |""".stripMargin,
   )
 }
