@@ -427,8 +427,10 @@ object TextAnalysis {
       lit("\\b(def|class|import|return|const)\\b"), lit(0))).cast("long")
     val camel = size(filter(tokens(text),
       t => t.rlike("^[a-z]+[A-Z][A-Za-z]*$"))).cast("long")
+    // the density rule needs content: 0 >= 0 must not flag empty text
     val isCode = when(
-      nSym * 100 >= nChars * 3 || kw >= 2 || indentLines >= 2, 1L)
+      (nChars > 0 && nSym * 100 >= nChars * 3) || kw >= 2 ||
+        indentLines >= 2, 1L)
       .otherwise(0L)
     Seq(nSym.as("n_sym"), indentLines.as("indent_lines"),
       kw.as("keyword_hits"), camel.as("camel_tokens"),

@@ -1886,8 +1886,9 @@ object PipelineQueries {
         |    t -> regexp_matches(t, '^[a-z]+[A-Z][A-Za-z]*$')))
         |    AS BIGINT) AS camel_tokens,
         |  CAST(CASE WHEN
-        |      (len(page) - len(regexp_replace(page, '[{}()\[\];=<>]', '',
-        |        'g'))) * 100 >= len(page) * 3
+        |      (len(page) > 0 AND
+        |       (len(page) - len(regexp_replace(page, '[{}()\[\];=<>]', '',
+        |        'g'))) * 100 >= len(page) * 3)
         |      OR len(regexp_extract_all(page,
         |        '\b(def|class|import|return|const)\b')) >= 2
         |      OR len(list_filter(string_split(page, chr(10)),

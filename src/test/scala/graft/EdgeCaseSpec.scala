@@ -196,4 +196,59 @@ class EdgeCaseSpec extends AnyFunSuite {
     java.nio.file.Files.write(dir.resolve("notes.txt"), "x".getBytes): Unit
     assert(graft.sources.Warc.read(spark, dir.toString).count() == 0)
   }
+
+  test("round-10 ops are total on empty and degenerate input") {
+    import graft.operators.{Multimodal, Robots, TextAnalysis}
+    import graft.functions.Url
+    import org.apache.spark.sql.functions.{col, expr}
+    // rules that are ONLY wildcards / anchors still behave: '*' matches
+    // every path; '/$' anchors exactly the root
+    val odd = Robots.parseRules(Seq(("h",
+      "User-agent: *\nDisallow: *\nAllow: /$\n")).toDF("host", "body"),
+      "host", "body")
+    val v = Robots.filterUrls(
+      Seq("http://h/", "http://h/x").toDF("url"), "url", odd)
+      .select("url", "is_allowed").as[(String, Long)].collect().toMap
+    assert(v("http://h/x") == 0L) // '*' disallows
+    // root '/': Allow '/$' (len 2) outranks Disallow '*' (len 1)
+    assert(v("http://h/") == 1L)
+    // sitemap/crawl-delay on empty bodies
+    assert(Robots.sitemaps(Seq(("h", "")).toDF("host", "body"),
+      "host", "body").count() == 0)
+    assert(Robots.crawlDelays(Seq(("h", "")).toDF("host", "body"),
+      "host", "body").count() == 0)
+    // delay-aware schedule with NO delays frame rows: default applies
+    val sched = Robots.crawlScheduleWithDelays(
+      Seq(("http://h/1", 1L)).toDF("url", "p"), "url", "p",
+      spark.emptyDataset[(String, Double)].toDF("host", "crawl_delay"),
+      defaultDelay = 2.5)
+    assert(sched.select("due_sec").as[Double].head() == 0.0)
+    // sitemap parse of junk and of an empty urlset
+    assert(Robots.parseSitemap(Seq(("u", "not xml"), ("u2", "<urlset>" +
+      "</urlset>")).toDF("u", "b"), "u", "b").count() == 0)
+    // crawlDiff of two empty snapshots / one empty side
+    val empty = spark.emptyDataset[(String, String)].toDF("url", "fp")
+    assert(Robots.crawlDiff(empty, empty, "url", "fp").count() == 0)
+    val one = Seq(("http://h/1", "a")).toDF("url", "fp")
+    assert(Robots.crawlDiff(empty, one, "url", "fp")
+      .select("status").as[String].head() == "added")
+    // normalization of empty / all-control text
+    val n = Seq("", "", " ").toDF("t")
+      .select(TextAnalysis.normalizeText(col("t"))).as[String].collect()
+    assert(n.toSeq == Seq("", "", ""))
+    // codeColumns on empty text: zero everything (no div-by-zero)
+    val cc = Seq("").toDF("t")
+      .select(TextAnalysis.codeColumns(col("t")): _*).collect().head
+    assert(cc.toSeq == Seq(0L, 0L, 0L, 0L, 0L))
+    // htmlLinks / url resolution degenerate
+    assert(Seq("").toDF("t").select(TextAnalysis.htmlLinks(col("t")))
+      .head.getSeq[String](0).isEmpty)
+    assert(Seq(("not a url", "x")).toDF("b", "h")
+      .select(Url.resolve(col("b"), col("h"))).head.isNullAt(0))
+    // dHash of an empty grid
+    assert(Seq("").toDF("t")
+      .select(Multimodal.dHash64(expr(
+        "transform(sequence(1, 72), i -> 0)"))).as[String].head()
+      == "0" * 64)
+  }
 }
