@@ -133,6 +133,23 @@ object TextAnalysis {
     }
   }
 
+  /** Language-ID CONFIDENCE — the routing signal downstream of
+    * [[detectedLang]]'s argmax: best marker score, runner-up score,
+    * their margin, and a `is_mixed` flag (several languages tie at a
+    * positive best — route to a heavier classifier instead of trusting
+    * the heuristic). Second-max via one sorted 5-element array; narrow
+    * pass, exact integers. */
+  def langConfidence(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    val sorted = sort_array(
+      array(langMarkers.map { case (_, m) => hitCount(toks, m) }: _*),
+      asc = false)
+    val best = element_at(sorted, 1)
+    val second = element_at(sorted, 2)
+    Seq(best.as("score_best"), (best - second).as("margin"),
+      when(best > 0 && best === second, 1L).otherwise(0L).as("is_mixed"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text. */
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))

@@ -629,6 +629,14 @@ object PipelineQueries {
         (col("doc_id") +: TextAnalysis.langScores(col("text"))) :+
           TextAnalysis.detectedLang(col("text")).as("detected"): _*)),
 
+    // Language-ID confidence: best/runner-up marker scores, margin, and
+    // the mixed-language flag that routes low-confidence docs to a
+    // heavier classifier; the oracle recomputes the sorted score list.
+    "lang_margin" -> ((s, dir) =>
+      docs(s, dir).select(
+        (col("doc_id") +: TextAnalysis.langConfidence(col("text"))) :+
+          TextAnalysis.detectedLang(col("text")).as("detected"): _*)),
+
     // In-engine multinomial Naive Bayes: train on the labeled langs,
     // classify the same corpus (the fastText-style classifier step).
     // Exact-integer scoring; ties break toward the greater label.
@@ -1976,6 +1984,40 @@ object PipelineQueries {
         |        AND alphaw * 10 >= ntok * 8
         |        AND stophits >= 2
         |       THEN 1 ELSE 0 END AS BIGINT) AS gopher_keep
+        |FROM r
+        |""".stripMargin,
+
+    "lang_margin" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('der', 'die', 'das', 'und', 'nicht'))) AS BIGINT) AS score_de,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the', 'a', 'of', 'and', 'not'))) AS BIGINT) AS score_en,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('el', 'la', 'de', 'y', 'no'))) AS BIGINT) AS score_es,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('le', 'la', 'de', 'et', 'ne'))) AS BIGINT) AS score_fr,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('de5', 'shi4', 'bu4', 'le5', 'he2'))) AS BIGINT) AS score_zh
+        |  FROM documents),
+        |r AS (
+        |  SELECT *,
+        |    list_sort([score_de, score_en, score_es, score_fr, score_zh],
+        |      'DESC') AS s
+        |  FROM scored)
+        |SELECT doc_id,
+        |  s[1] AS score_best,
+        |  s[1] - s[2] AS margin,
+        |  CAST(CASE WHEN s[1] > 0 AND s[1] = s[2] THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_mixed,
+        |  CASE
+        |    WHEN score_de = s[1] AND s[1] > 0 THEN 'de'
+        |    WHEN score_en = s[1] AND s[1] > 0 THEN 'en'
+        |    WHEN score_es = s[1] AND s[1] > 0 THEN 'es'
+        |    WHEN score_fr = s[1] AND s[1] > 0 THEN 'fr'
+        |    WHEN score_zh = s[1] AND s[1] > 0 THEN 'zh'
+        |    ELSE 'und' END AS detected
         |FROM r
         |""".stripMargin,
 
