@@ -61,7 +61,8 @@ object Bench {
     if (usedFallback) spark.stop()
 
     def num(json: String, key: String): String =
-      ("\"" + key + "\":(-?[0-9.eE+]+)").r.findFirstMatchIn(json)
+      ("\"" + key + "\":(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)").r
+        .findFirstMatchIn(json)
         .map(_.group(1)).getOrElse("-1")
     def obj(json: String, key: String): String =
       ("\"" + key + "\":(\\{[^}]*\\})").r.findFirstMatchIn(json)

@@ -53,7 +53,7 @@ object Main {
       |  replay --dump <dir> --store <dir> [--buckets 64]
       |  backup --store <dir> --out <dir>
       |  expire --store <dir> --before <ISO date/date-time/instant, UTC> [--buckets 64]
-      |  compact --store <dir>
+      |  compact --store <dir> [--buckets <n, required for pre-meta stores>]
       |  curate --docs <parquet> --out <dir> [--shards 64] [--budget 8192]
       |  dedup  --docs <parquet> --out <dir>
       |  dump-balboa   --store <dir> --out <dir>         (native wire format)
@@ -186,7 +186,8 @@ object Main {
         System.err.println(s"[graft] expired $n entries")
         null
       case "compact" =>
-        val n = ObservationStore.compact(spark, required(flags, "store"))
+        val n = ObservationStore.compact(spark, required(flags, "store"),
+          flags.get("buckets").map(_.toInt))
         System.err.println(s"[graft] compacted $n bucket directories")
         null
       case "curate" =>

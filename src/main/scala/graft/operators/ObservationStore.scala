@@ -496,10 +496,17 @@ object ObservationStore {
     * (the stageExpire/stageMerge move). Returns the number of bucket
     * directories compacted across both copies; 0 leaves the store
     * untouched (no epoch bump — readers' caches stay warm). */
-  def compact(spark: SparkSession, path: String): Long = {
+  def compact(spark: SparkSession, path: String,
+      buckets: Option[Int] = None): Long = {
     recoverMerge(spark, path, deleteUncommitted = true)
+    // a wrong bucket count committed into the manifest poisons every
+    // later merge's bucket hashing — refuse to guess on pre-meta stores
+    val declared = readNumBuckets(spark, path).orElse(buckets).getOrElse(
+      throw new IllegalArgumentException(
+        s"store at $path has no num_buckets metadata; pass --buckets " +
+          "explicitly (compacting under a wrong count corrupts merges)"))
     val (effBuckets, effLayout, targetEpoch, staging) =
-      prepareStaging(spark, path, 64)
+      prepareStaging(spark, path, declared)
     val (f, sp) = fs(spark, staging)
     val dataCols = (Model.Key ++ Seq("count", "first_seen", "last_seen"))
       .map(col)

@@ -179,12 +179,21 @@ object Similarity {
       // lesson, inverted: an empty cluster has no reader value)
       val staying = survivors.select(col("cluster").cast("long"))
         .distinct().collect().map(_.getLong(0)).toSet
-      if (staying.isEmpty)
+      val dying = touched.filterNot(staying).toSet
+      // "remains" must be judged against EVERY cluster directory on
+      // disk, not just the touched ones: deleting one full cluster
+      // while others are untouched must NOT drop a root-level file next
+      // to partition directories (it breaks partition discovery)
+      val (vf, vp) = ObservationStore.fs(spark, s"$path/vectors")
+      val existing = vf.listStatus(vp).toIndexedSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cluster="))
+        .map(_.getPath.getName.stripPrefix("cluster=").toLong).toSet
+      if ((existing -- dying).isEmpty)
         // an index vacuumed down to NOTHING must stay readable: leave a
         // schema-only file (cluster in-file) before the dirs go
         survivors.limit(0).coalesce(1)
           .write.mode("append").parquet(s"$path/vectors")
-      touched.filterNot(staying).foreach { c =>
+      dying.foreach { c =>
         val (fc, cp) = ObservationStore.fs(spark,
           s"$path/vectors/cluster=$c")
         if (fc.exists(cp)) { fc.delete(cp, true); () }

@@ -430,9 +430,9 @@ object TextAnalysis {
     * code-keyword hits, camelCase token count, and a cross-multiplied
     * integer verdict (`is_code` — symbol density ≥ 3% or ≥ 2 keywords or
     * ≥ 2 indented lines), the gopherColumns thresholding style. The
-    * camelCase test anchors on exact tokens (split on single space), so
-    * Java's and RE2's differing `$`-before-final-newline semantics never
-    * see a newline. */
+    * camelCase test anchors with `\z` (true end-of-text), not `$`:
+    * tokens split on single spaces can end in a bare `\n`, where Java's
+    * `$` matches before the final newline but RE2's does not. */
   def codeColumns(text: Column): Seq[Column] = {
     val nChars = length(text).cast("long")
     val nSym = (length(text) -
@@ -443,7 +443,7 @@ object TextAnalysis {
     val kw = size(regexp_extract_all(text,
       lit("\\b(def|class|import|return|const)\\b"), lit(0))).cast("long")
     val camel = size(filter(tokens(text),
-      t => t.rlike("^[a-z]+[A-Z][A-Za-z]*$"))).cast("long")
+      t => t.rlike("^[a-z]+[A-Z][A-Za-z]*\\z"))).cast("long")
     // the density rule needs content: 0 >= 0 must not flag empty text
     val isCode = when(
       (nChars > 0 && nSym * 100 >= nChars * 3) || kw >= 2 ||

@@ -297,6 +297,27 @@ class PlanSpec extends AnyFunSuite {
       vecs, "vec_id", "embedding", 0L to 3L, dir)
     assert(top() == before)
 
+    // kill exactly ONE whole cluster while the others are untouched:
+    // its directory must go, but NO root-level file may appear next to
+    // the surviving partition directories (it breaks partition
+    // discovery on the next read)
+    val byCluster = spark.read.parquet(s"$dir/vectors")
+      .groupBy(col("cluster").cast("long").as("c"))
+      .agg(org.apache.spark.sql.functions.collect_list(col("id")).as("ids"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    val (victim, victimIds) = byCluster.minBy(_._1)
+    graft.operators.Similarity.deleteFromIvfIndex(spark, dir, victimIds)
+    assert(graft.operators.Similarity.vacuumIvfIndex(spark, dir) ==
+      victimIds.size.toLong)
+    val vroot = new java.io.File(s"$dir/vectors")
+    assert(!vroot.listFiles().exists(f =>
+      f.isFile && f.getName.endsWith(".parquet")),
+      vroot.listFiles().map(_.getName).toSeq)
+    assert(!new java.io.File(s"$dir/vectors/cluster=$victim").exists())
+    // the index still reads and serves after the partial-cluster drop
+    val after = top()
+    assert(after == before.filterNot(victimIds.contains))
+
     // the IVF-PQ index honors the same tombstone contract
     val pqDir = Files.createTempDirectory("graft-plan-pqdel").toString
     graft.operators.Similarity.writeIvfPqIndex(
