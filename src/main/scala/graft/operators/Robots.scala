@@ -246,27 +246,42 @@ object Robots {
     * input columns + `is_allowed` (0/1). Longest matching rule path
     * wins, allow beats disallow on ties, no match → allowed. Wildcard
     * rules (`wild`) match by their compiled `pattern` regex; plain
-    * rules keep the codegen'd prefix test. */
+    * rules keep the codegen'd prefix test.
+    *
+    * Shape: each host's rules collapse to ONE array row (the rules side
+    * is one robots.txt per host — tiny at any scale), that one-row-per-
+    * host frame broadcasts, and the winning rule is computed per URL
+    * row with higher-order functions (`filter` the matching rules,
+    * `aggregate` the longest-path/allow-wins max). The URL corpus
+    * crosses ZERO Exchanges: no matched-row groupBy, no verdict
+    * join-back — the only shuffle in the whole plan is the rules-side
+    * collect_list aggregation, which is host-count-sized (PlanSpec pins
+    * this). */
   def filterUrls(urls: DataFrame, urlCol: String,
       rules: DataFrame): DataFrame = {
-    val withParts = urls
+    val hostRules = rules
+      .groupBy(col("host"))
+      .agg(collect_list(struct(col("path"), col("pattern"), col("wild"),
+        (col("rule") === "allow").as("a"))).as("_rules"))
+      .select(col("host").as("_rhost"), col("_rules"))
+    // the RFC precedence as one array fold: keep the candidate when its
+    // path is longer, or equal-length and allow-over-disallow; ties on
+    // (length, verdict) are interchangeable, so collect_list's
+    // nondeterministic order cannot change the outcome
+    val best = expr("""aggregate(
+        filter(_rules, r -> CASE WHEN r.wild THEN rlike(_path, r.pattern)
+                            ELSE startswith(_path, r.path) END),
+        CAST(NULL AS STRUCT<l: INT, a: BOOLEAN>),
+        (acc, r) -> CASE WHEN acc IS NULL OR length(r.path) > acc.l
+                           OR (length(r.path) = acc.l AND r.a AND NOT acc.a)
+                    THEN named_struct('l', length(r.path), 'a', r.a)
+                    ELSE acc END)""")
+    urls
       .withColumn("_host", urlHost(col(urlCol)))
       .withColumn("_path", urlPath(col(urlCol)))
-    // equi-join on host, prefix/regex residual; the struct max
-    // implements the RFC precedence: longest path first, then
-    // allow > disallow
-    val matches = when(col("wild"), expr("rlike(_path, pattern)"))
-      .otherwise(col("_path").startsWith(col("path")))
-    val verdicts = withParts
-      .join(broadcast(rules), col("_host") === col("host") && matches)
-      .groupBy(col(urlCol).as("_u"))
-      .agg(max(struct(length(col("path")).as("l"),
-        (col("rule") === "allow").as("a"))).as("best"))
-      .select(col("_u"), col("best.a").as("_allowed"))
-    withParts
-      .join(verdicts, col(urlCol) === col("_u"), "left")
+      .join(broadcast(hostRules), col("_host") === col("_rhost"), "left")
       .withColumn("is_allowed",
-        coalesce(col("_allowed"), lit(true)).cast("long"))
-      .drop("_u", "_allowed", "_host", "_path")
+        coalesce(best.getField("a"), lit(true)).cast("long"))
+      .drop("_rhost", "_rules", "_host", "_path")
   }
 }

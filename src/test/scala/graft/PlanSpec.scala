@@ -795,6 +795,14 @@ class PlanSpec extends AnyFunSuite {
     assert(robotsPlan.contains("BroadcastHashJoin") ||
       robotsPlan.contains("BroadcastNestedLoopJoin"), robotsPlan)
     assert(!robotsPlan.contains("SortMergeJoin"), robotsPlan)
+    // the URL corpus crosses ZERO shuffles: the verdict is a broadcast
+    // join + higher-order-function fold, so the ONE shuffle Exchange in
+    // the whole plan is the host-count-sized rules collect_list
+    // aggregation under the BroadcastExchange
+    val nShuffle = "Exchange hashpartitioning".r
+      .findAllMatchIn(robotsPlan).size
+    assert(nShuffle <= 1, s"expected at most 1 (rules-side) shuffle, " +
+      s"got $nShuffle:\n$robotsPlan")
   }
 
   test("round-10 ops: narrow text passes; delay schedule broadcasts") {
