@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
   * pipelines: media travels as an opaque `binary` column plus typed
   * metadata, processed batch-at-a-time inside `mapPartitions`.
   *
-  * The actual codecs (JPEG decode, resampling, frame extraction) are NOT
-  * in this environment, so the codec boundary is a pluggable
-  * `MediaCodec` with a deterministic stub implementation — the Spark-side
-  * plumbing (schema, partition-batched iteration, metadata extraction,
-  * frame sampling, content addressing) is real and tested, and a real
-  * codec drops in without touching the dataflow.
+  * The codec boundary is a pluggable `MediaCodec`. IMAGES decode for
+  * real: [[ImageIoCodec]] reads PNG/JPEG/BMP/GIF through the JDK's
+  * `javax.imageio` (present in this environment) and resamples to the
+  * 9×8 dHash grid with exact integer math. Audio/video codecs are NOT
+  * in this environment, so those kinds keep the deterministic
+  * [[StubCodec]] stand-in — the Spark-side plumbing (schema,
+  * partition-batched iteration, metadata extraction, frame sampling,
+  * content addressing) is identical either way, and a real AV codec
+  * drops in without touching the dataflow.
   *
   * Scale notes: media rows are large — keep
   * `spark.sql.files.maxPartitionBytes` sized so a partition of blobs fits
@@ -50,9 +53,9 @@ object Multimodal {
     def decode(r: MediaRecord): MediaMeta
   }
 
-  /** Deterministic stand-in for the real decoder: dimensions derived from
-    * payload bytes. Replace with an actual image/audio codec in
-    * production; everything downstream is shape-compatible. */
+  /** Deterministic stand-in for kinds the JDK cannot decode (audio,
+    * video — image rows should use [[ImageIoCodec]]): dimensions derived
+    * from payload bytes. Everything downstream is shape-compatible. */
   object StubCodec extends MediaCodec {
     def decode(r: MediaRecord): MediaMeta = {
       val b = r.payload
@@ -67,6 +70,105 @@ object Multimodal {
       }
       MediaMeta(r.media_id, r.kind, b.length.toLong, hash, w, h, frames)
     }
+  }
+
+  /** Real image decode through the JDK's `javax.imageio` readers
+    * (PNG/JPEG/BMP/GIF): image rows yield their TRUE width/height;
+    * payloads no reader accepts — and audio/video, which the JDK has no
+    * codecs for — fall back to [[StubCodec]]'s deterministic stand-in.
+    * `ImageReader` instances are not thread-safe but `ImageIO.read`
+    * allocates per call, so the partition-batched map needs no extra
+    * synchronization. */
+  object ImageIoCodec extends MediaCodec {
+    def decode(r: MediaRecord): MediaMeta =
+      if (r.kind != "image") StubCodec.decode(r)
+      else decodeImage(r.payload) match {
+        case None => StubCodec.decode(r)
+        case Some(img) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hash = md.digest(r.payload).map("%02x".format(_)).mkString
+          MediaMeta(r.media_id, r.kind, r.payload.length.toLong, hash,
+            img.getWidth, img.getHeight, 1)
+      }
+  }
+
+  /** Decode an image payload, `None` when no installed reader claims the
+    * format (or the bytes are corrupt). */
+  def decodeImage(payload: Array[Byte]):
+      Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)))
+    catch { case _: Exception => None }
+
+  /** Grayscale value (0–255) of pixel (x, y): the raw raster sample for
+    * gray images (no color-space round-trip — `getRGB` on a gray image
+    * would gamma-convert and break exact round-trips), ITU-R BT.601
+    * integer luma `(299R + 587G + 114B) / 1000` for color. */
+  private def grayAt(img: java.awt.image.BufferedImage,
+      x: Int, y: Int): Int =
+    if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.getSample(x, y, 0)
+    else {
+      val rgb = img.getRGB(x, y)
+      (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+        114 * (rgb & 0xff)) / 1000
+    }
+
+  /** Area-average resample to the 9×8 dHash grid, exact integer math:
+    * cell (row, col) floor-averages the source pixels with
+    * x ∈ [col·W/9, (col+1)·W/9), y ∈ [row·H/8, (row+1)·H/8) (integer
+    * boundaries, at least one pixel per cell — tiny images repeat
+    * pixels rather than leaving cells empty). Deterministic: the same
+    * image yields the same 72 integers on any platform. */
+  def gray9x8(img: java.awt.image.BufferedImage): Array[Int] = {
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Int](72)
+    var row = 0
+    while (row < 8) {
+      var c = 0
+      while (c < 9) {
+        val x0 = c * w / 9
+        val x1 = math.min(w, math.max(x0 + 1, (c + 1) * w / 9))
+        val y0 = row * h / 8
+        val y1 = math.min(h, math.max(y0 + 1, (row + 1) * h / 8))
+        var s = 0L; var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += grayAt(img, x, y); n += 1; x += 1 }
+          y += 1
+        }
+        out(row * 9 + c) = (s / n).toInt
+        c += 1
+      }
+      row += 1
+    }
+    out
+  }
+
+  /** [[decodeImage]] + [[gray9x8]]: the true-pixel input to [[dHash64]].
+    * `None` on undecodable payloads (callers keep the stub grid). */
+  def decodeGray9x8(payload: Array[Byte]): Option[Array[Int]] =
+    decodeImage(payload).map(gray9x8)
+
+  /** Deterministic 8-bit grayscale PNG from a row-major pixel function —
+    * the in-engine image generator for gates and tests. PNG is lossless
+    * and `TYPE_BYTE_GRAY` samples write/read untouched, so
+    * [[decodeGray9x8]] of this payload equals the area-average of
+    * `px(x, y) & 0xff` exactly. */
+  def grayPng(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, px(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Decode/feature-extract: partition-batched map through the codec. */
@@ -110,11 +212,11 @@ object Multimodal {
     * portability stance — no int64/hex gymnastics for oracles or
     * banding): bit (r, c) = gray(r·9 + c) < gray(r·9 + c + 1), rows
     * r < 8, columns c < 8; pixels beyond the input pad as 0. This IS
-    * the standard perceptual-hash math — the environment-blocked part
-    * is only producing TRUE pixels (a real decoder resamples the image
-    * to 9×8 grayscale; [[StubCodec]]'s byte-as-pixel stand-in is
-    * shape-compatible, so swapping the codec changes nothing
-    * downstream). Near-dup pairing rides the existing banded hamming
+    * the standard perceptual-hash math, and for image payloads the grid
+    * can be TRUE pixels: [[decodeGray9x8]] (JDK ImageIO decode +
+    * area-average resample) feeds this directly; [[StubCodec]]'s
+    * byte-as-pixel stand-in remains shape-compatible for kinds without
+    * a JDK codec. Near-dup pairing rides the existing banded hamming
     * join ([[Dedup.simhashNearDuplicates]] accepts any '0'/'1'
     * fingerprint). Narrow codegen'd pass, zero shuffle. */
   def dHash64(gray: Column): Column = {

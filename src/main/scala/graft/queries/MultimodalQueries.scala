@@ -60,6 +60,29 @@ object MultimodalQueries {
         .select(col("doc_id").as("media_id"),
           Multimodal.dHash64(gray).as("dhash"))
     }),
+
+    // TRUE pixel decode end-to-end: an 18×16 grayscale PNG is generated
+    // in-engine from a doc_id-seeded template grid, decoded back through
+    // the JDK ImageIO codec (PNG is lossless), area-averaged to the 9×8
+    // dHash grid (each cell the floor-mean of its 2×2 block), and
+    // dHashed. The oracle recomputes the same PIXEL MATH from the
+    // template — the file format cancels out, the arithmetic doesn't.
+    "media_decode" -> ((s, dir) => {
+      import s.implicits._
+      Graft.table(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val png = Multimodal.grayPng(18, 16,
+            (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt)
+          val img = Multimodal.decodeImage(png).get
+          (id, img.getWidth, img.getHeight,
+            Multimodal.gray9x8(img).toSeq)
+        })
+        .toDF("media_id", "width", "height", "gray")
+        .select(col("media_id"), col("width"), col("height"),
+          concat_ws(",", col("gray")).as("gray_csv"),
+          Multimodal.dHash64(col("gray")).as("dhash"))
+    }),
   )
 
   private val kindExpr =
@@ -100,6 +123,26 @@ object MultimodalQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n_copies,
         |       CAST(octet_length(encode(MIN(text))) AS BIGINT) AS n_bytes
         |FROM documents GROUP BY 1
+        |""".stripMargin,
+
+    "media_decode" ->
+      """WITH cells AS (
+        |  SELECT doc_id AS media_id,
+        |    list_transform(range(0, 72), i ->
+        |      ( ((doc_id*31 + ((i % 9)*2)*7     + ((i // 9)*2)*13)     % 256)
+        |      + ((doc_id*31 + ((i % 9)*2 + 1)*7 + ((i // 9)*2)*13)     % 256)
+        |      + ((doc_id*31 + ((i % 9)*2)*7     + ((i // 9)*2 + 1)*13) % 256)
+        |      + ((doc_id*31 + ((i % 9)*2 + 1)*7 + ((i // 9)*2 + 1)*13) % 256)
+        |      ) // 4) AS gray
+        |  FROM documents)
+        |SELECT media_id,
+        |  CAST(18 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+        |  array_to_string(gray, ',') AS gray_csv,
+        |  array_to_string(list_transform(range(0, 64), b ->
+        |    CASE WHEN gray[(b // 8) * 9 + (b % 8) + 1] <
+        |              gray[(b // 8) * 9 + (b % 8) + 2]
+        |         THEN '1' ELSE '0' END), '') AS dhash
+        |FROM cells
         |""".stripMargin,
 
     "media_phash" ->

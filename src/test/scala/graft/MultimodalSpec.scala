@@ -37,6 +37,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(h72 == h73)
   }
 
+  test("ImageIoCodec: PNG round-trip yields true pixels and dimensions") {
+    // lossless round-trip: generated samples come back exactly
+    val png = Multimodal.grayPng(18, 16, (x, y) => (x * 7 + y * 13) % 256)
+    val img = Multimodal.decodeImage(png).get
+    assert(img.getWidth == 18 && img.getHeight == 16)
+    val grid = Multimodal.gray9x8(img)
+    // each cell is the floor-mean of its 2x2 block of the template
+    val expected = (for (i <- 0 until 72) yield {
+      val c = i % 9; val r = i / 9
+      val vals = for (dx <- 0 to 1; dy <- 0 to 1)
+        yield ((c * 2 + dx) * 7 + (r * 2 + dy) * 13) % 256
+      vals.sum / 4
+    }).toArray
+    assert(grid.toSeq == expected.toSeq)
+
+    // extractMeta with the ImageIo codec: image rows get TRUE
+    // dimensions, audio/video fall back to the stub, junk image
+    // payloads fall back too
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "image", png, "s"),
+      Multimodal.MediaRecord(2L, "audio", png, "s"),
+      Multimodal.MediaRecord(3L, "image", Array[Byte](1, 2, 3), "s"))
+    val metas = Multimodal.extractMeta(recs.toDS(),
+        Multimodal.ImageIoCodec)
+      .collect().map(m => m.media_id -> m).toMap
+    assert(metas(1L).width == 18 && metas(1L).height == 16 &&
+      metas(1L).n_frames == 1)
+    assert(metas(2L) == Multimodal.StubCodec.decode(recs(1)))
+    assert(metas(3L) == Multimodal.StubCodec.decode(recs(2)))
+
+    // a 1x1 image still fills every cell (pixel repetition, no empties)
+    val tiny = Multimodal.decodeGray9x8(
+      Multimodal.grayPng(1, 1, (_, _) => 200)).get
+    assert(tiny.toSeq == Seq.fill(72)(200))
+
+    // color path: BT.601 integer luma (pure red = 299*255/1000 = 76)
+    val cimg = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 9) cimg.setRGB(x, y, 0xff0000)
+    assert(Multimodal.gray9x8(cimg).toSeq ==
+      Seq.fill(72)(299 * 255 / 1000))
+  }
+
   test("dHash fingerprints ride the banded hamming near-dup join") {
     val base = "the quick brown fox jumps over the lazy dog padding!!"
     val fp = Seq((1L, base), (2L, base), (3L, "completely other bytes"))
