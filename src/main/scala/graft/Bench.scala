@@ -73,7 +73,23 @@ object Bench {
       "tcp_query_qps")
     val servingPart =
       servingKeys.map(k => s""""$k":${num(serving, k)}""").mkString(",")
-    println(s"""{"metric":"total","value":${num(sweep, "value")},"unit":"sec","n_queries":${num(sweep, "n_queries")},"queries":${obj(sweep, "queries")},"sf":"$dir",$servingPart}""")
+    // The driver keeps only the LAST ~2000 chars of stdout: a single
+    // line carrying the full ~160-entry queries map overflows that
+    // window and truncates its own head, so the driver's JSON parse has
+    // failed every round ("parsed": null). Emit the full per-query map
+    // as a DETAIL line first (whatever fits of its tail still lands in
+    // the capture), then a compact final line — totals, serving
+    // metrics, and the top-10 slowest gates — that fits the window
+    // whole and parses.
+    val qmap = obj(sweep, "queries")
+    println(s"""{"metric":"queries","queries":$qmap}""")
+    val top10 = "\"([A-Za-z0-9_]+)\":(-?[0-9.]+)".r
+      .findAllMatchIn(qmap)
+      .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+      .sortBy { case (k, v) => (-v, k) }.take(10)
+      .map { case (k, v) => s""""$k":${fmt(v, 3)}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${num(sweep, "value")},"unit":"sec","n_queries":${num(sweep, "n_queries")},"sf":"$dir",$servingPart,"slowest":$top10}""")
   }
 
   /** Re-exec this class in a fresh JVM for one phase. Works because
@@ -200,11 +216,21 @@ object Bench {
     // round driver compares this figure across rounds
     sources.Decoders.gopassivedns(payloads)
       .write.mode("overwrite").format("noop").save()
-    val t0 = System.nanoTime()
-    sources.Decoders.gopassivedns(payloads)
-      .write.mode("overwrite").format("noop").save()
-    n / ((System.nanoTime() - t0) / 1e9)
+    // median of 3 timed passes: one stalled pass (I/O hiccup, GC) must
+    // not print as a 14x "regression" in the cross-round trend — r10's
+    // driver run recorded 92k rows/s where isolated truth was 1.3M
+    median3 {
+      val t0 = System.nanoTime()
+      sources.Decoders.gopassivedns(payloads)
+        .write.mode("overwrite").format("noop").save()
+      n / ((System.nanoTime() - t0) / 1e9)
+    }
   }
+
+  /** Median of three evaluations — the stall-resistant point estimate
+    * for timings the driver trends across rounds. */
+  private def median3(f: => Double): Double =
+    Seq(f, f, f).sorted.apply(1)
 
   /** Build the bucketed dual store, then run rdata point queries on
     * concurrent workers (the reference's bench workload shape —
@@ -313,15 +339,20 @@ object Bench {
       } finally srv.stop()
     }
 
-    // incremental maintenance: merge a ~10% batch, touched-buckets only
+    // incremental maintenance: merge a ~10% batch, touched-buckets only.
+    // Median of 3 replays: after the first merge the batch's keys exist,
+    // so replays touch the same buckets at essentially the same sizes —
+    // comparable work, and one stalled pass can't fake a regression.
     val batch = Graft.observations(spark, sfDir)
       .filter(org.apache.spark.sql.functions.col("rdata").cast("long") % 10 === 0)
       .withColumnRenamed("ts", "timestamp_start")
       .withColumn("timestamp_end",
         org.apache.spark.sql.functions.col("timestamp_start"))
-    val t2 = System.nanoTime()
-    operators.ObservationStore.mergeBatch(spark, dir, batch)
-    val mergeSec = (System.nanoTime() - t2) / 1e9
+    val mergeSec = median3 {
+      val t2 = System.nanoTime()
+      operators.ObservationStore.mergeBatch(spark, dir, batch)
+      (System.nanoTime() - t2) / 1e9
+    }
     (buildSec, serveQps, planQps, wideQps, cachedQps, mergeSec, tcpQps)
   }
 }
