@@ -391,21 +391,24 @@ object ObservationStore {
     val (f, sp) = fs(spark, staging)
     val dataCols = (Model.Key ++ Seq("count", "first_seen", "last_seen"))
       .map(col)
-    // the two copies are independent count→write pipelines over disjoint
+    // the two copies are independent pipelines over disjoint
     // directories: run them on two threads so their (small) jobs overlap
-    // in the scheduler instead of serializing four job launches
+    // in the scheduler instead of serializing the job launches
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     val perCopy = Copies.map { case (sub, keyCol, sortCols) => Future {
-      val existing = spark.read.parquet(s"$path/$sub")
-      val old = existing.filter(col("last_seen") < lit(cutoff))
-      // one pass answers both "which buckets" and "how many rows": at
-      // most numBuckets rows come back, stats-pruned like the scan
-      // (partition discovery reads bucket= back as int — normalize)
-      val perBucket = old.groupBy(col("bucket").cast("long").as("bucket"))
-        .agg(count(lit(1)).as("n")).collect()
-      val touched = perBucket.map(_.getLong(0))
+      // "which buckets hold expired rows" is answered from parquet
+      // FOOTER statistics alone (min(last_seen) per row group is exact
+      // under TIMESTAMP_MICROS) — no counting scan; the dropped-row
+      // count rides the survivor-write job below as an observe()
+      // metric, so each copy costs ONE Spark job total
+      val touched = bucketsExpiringBefore(spark, s"$path/$sub", cutoff)
+      val obs = org.apache.spark.sql.Observation(s"expire-$sub-$targetEpoch")
       if (touched.nonEmpty) {
+        val existing = spark.read.parquet(s"$path/$sub")
+          .filter(col("bucket").isin(touched.toIndexedSeq.map(Long.box): _*))
+          .observe(obs, sum(when(col("last_seen") < lit(cutoff), 1L)
+            .otherwise(0L)).as("dropped"))
         // Survivors STAY in their buckets, so the staged rewrite needs
         // no shuffle and no re-derivation: reuse the scan's `bucket`
         // partition column and the persisted derived columns
@@ -417,7 +420,6 @@ object ObservationStore {
         // stats stay tight because each file is sorted.
         val persisted = derivedCols(keyCol, effLayout).map(_._1)
         val survivors = existing
-          .filter(col("bucket").isin(touched.toIndexedSeq.map(Long.box): _*))
           .filter(col("last_seen") >= lit(cutoff))
           .select(dataCols ++ persisted.map(col) :+ col("bucket"): _*)
         survivors
@@ -430,13 +432,22 @@ object ObservationStore {
         // bucket instead of leaving the expired rows behind
         val staged = StagedCommit.stagedPartDirs(spark, s"$staging/$sub",
           "bucket=").toSet
-        val fileSchema = survivors.drop("bucket").limit(0).coalesce(1)
+        // built from a FRESH read, not `survivors`: the observe() node
+        // in that plan would block the limit-0 short-circuit and keep
+        // re-running the metric query per empty bucket
+        val fileSchema = spark.read.parquet(s"$path/$sub")
+          .select(dataCols ++ persisted.map(col): _*)
+          .limit(0).coalesce(1)
         touched.map(b => s"bucket=$b").filterNot(staged).foreach { bd =>
           fileSchema.write.mode("overwrite")
             .parquet(s"$staging/$sub/$bd")
         }
       }
-      sub -> perBucket.map(_.getLong(1)).sum
+      sub -> (if (touched.isEmpty) 0L
+        else obs.get.get("dropped") match {
+          case Some(l: Long) => l
+          case _             => 0L
+        })
     }}
     val dropped = Await.result(Future.sequence(perCopy),
       scala.concurrent.duration.Duration.Inf).toMap.apply("by_rrname")
@@ -446,6 +457,68 @@ object ObservationStore {
     writeStoreManifest(spark, staging, targetEpoch, effBuckets, effLayout,
       batchId = None)
     (Some(staging), dropped)
+  }
+
+  /** Bucket numbers under `base` holding at least one row with
+    * `last_seen` < `cutoff`, decided from parquet FOOTER statistics
+    * alone: min(last_seen) per row group is an exact bound under
+    * TIMESTAMP_MICROS (INT64), so `min < cutoff` ⟺ the file holds an
+    * expired row — no data scan, no false positives. Files whose stats
+    * are missing or of an unexpected physical type count as touched
+    * (safe over-approximation: an extra bucket rewrite, never a missed
+    * expiry). Footers read on a bounded pool, short-circuiting per
+    * bucket; at cluster scale this is the manifest-pruning pattern —
+    * metadata reads proportional to file count, zero data I/O. */
+  private def bucketsExpiringBefore(spark: SparkSession, base: String,
+      cutoff: java.sql.Timestamp): Array[Long] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    // the same instant→micros conversion Spark's literal comparison
+    // uses (session and JVM run UTC, so LTZ/NTZ agree)
+    val inst = cutoff.toInstant
+    val cutoffMicros = inst.getEpochSecond * 1000000L + inst.getNano / 1000
+    val (f, bp) = fs(spark, base)
+    if (!f.exists(bp)) return Array.empty
+    val conf = spark.sessionState.newHadoopConf()
+    val bucketDirs = f.listStatus(bp).toIndexedSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+    if (bucketDirs.isEmpty) return Array.empty
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, bucketDirs.length))
+    val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      import scala.jdk.CollectionConverters._
+      val futs = bucketDirs.map { d =>
+        scala.concurrent.Future {
+          val files = f.listStatus(d.getPath).toIndexedSeq
+            .filter(x => x.isFile && x.getPath.getName.endsWith(".parquet"))
+          val hit = files.exists { fl =>
+            val r = ParquetFileReader.open(
+              HadoopInputFile.fromPath(fl.getPath, conf))
+            try r.getFooter.getBlocks.asScala.exists { b =>
+              b.getColumns.asScala
+                .find(_.getPath.toDotString == "last_seen") match {
+                case None => true // column absent: cannot prune
+                case Some(c) =>
+                  val st = c.getStatistics
+                  if (st == null || !st.hasNonNullValue ||
+                    c.getPrimitiveType.getPrimitiveTypeName !=
+                      PrimitiveTypeName.INT64) true
+                  else st.genericGetMin
+                    .asInstanceOf[java.lang.Long] < cutoffMicros
+              }
+            } finally r.close()
+          }
+          if (hit) Some(d.getPath.getName.stripPrefix("bucket=").toLong)
+          else None
+        }(ec)
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs)(
+          scala.collection.BuildFrom.buildFromIterableOps, ec),
+        scala.concurrent.duration.Duration.Inf).flatten.toArray
+    } finally pool.shutdown()
   }
 
   /** Replay the staged merge: swap each staged bucket directory into the
