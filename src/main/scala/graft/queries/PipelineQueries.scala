@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Graft
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{BpeVocab, Dedup, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis) as driver-gate queries over `documents` / `embeddings`.
@@ -362,6 +362,21 @@ object PipelineQueries {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.bpeTokenCount(col("text"), bpeMerges)
           .as("n_subwords"))),
+
+    // The persisted-vocabulary round trip: the merge table writes to an
+    // on-disk artifact (BpeVocab — staged commit + epoch, the
+    // store/index lifecycle) and is LOADED back before tokenizing; the
+    // oracle is the same SQL as bpe_encode_table, so any round-trip
+    // defect (lost rank order above all) breaks the hash.
+    "bpe_encode_loaded" -> ((s, dir) => {
+      val tmp = graft.queries.util.scratchDir("bpevocab", dir)
+      BpeVocab.write(s, bpeMerges.zipWithIndex
+        .map { case ((a, b), i) => (a, b, 1000L - i) }, tmp)
+      val loaded = BpeVocab.loadMerges(s, tmp)
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text"), loaded)
+          .as("n_subwords"))
+    }),
 
     // robots.txt compliance end to end: per-host bodies exercising
     // stacked user-agent groups, comments, RFC 9309 §2.2.1 group
@@ -1670,6 +1685,14 @@ object PipelineQueries {
          |""".stripMargin,
 
     "bpe_encode_table" ->
+      s"""SELECT doc_id,
+         |  CAST(list_sum(list_transform(string_split(text, ' '),
+         |    w -> len(string_split(${bpeSql("w")}, ' ')))) AS BIGINT)
+         |    AS n_subwords
+         |FROM documents
+         |""".stripMargin,
+
+    "bpe_encode_loaded" ->
       s"""SELECT doc_id,
          |  CAST(list_sum(list_transform(string_split(text, ' '),
          |    w -> len(string_split(${bpeSql("w")}, ' ')))) AS BIGINT)
