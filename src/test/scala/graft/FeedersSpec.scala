@@ -160,6 +160,60 @@ class FeedersSpec extends AnyFunSuite {
     assert(rows.head.getAs[String]("sensor_id") == "cfg-sensor")
   }
 
+  test("YAML amqp feeder: broker -> spool -> stream -> store, config-to-store") {
+    // the reference's feeders.yaml AMQP entry, unmodified shape: the
+    // native client consumes the broker into the spool, and the SAME
+    // feeder definition then streams that spool (Dir semantics) through
+    // the ingest pipeline into a queryable store
+    val broker = new MiniAmqpBroker
+    val spoolRoot = Files.createTempDirectory("graft-amqp-cfg").toString
+    val storeDir = Files.createTempDirectory("graft-amqp-cfgstore").toString
+    val yaml =
+      s"""feeder:
+         |  - name: pdns amqp
+         |    type: amqp
+         |    url: amqp://127.0.0.1:${broker.port}
+         |    exchange: [pdns]
+         |    input_format: suricata
+         |""".stripMargin
+    val setup = graft.sources.ConfigYaml.loadFeederSetup(yaml, spoolRoot)
+    val feeder = setup.feeders.head
+    assert(feeder.kind == FeederConfig.Dir) // amqp streams its spool
+    val client = FeederConfig.startAmqpClient(feeder)
+    try {
+      // one plain and one gzip-compressed delivery (feeder_amqp.go's
+      // two payload paths), sensor ids via headers
+      broker.publish(Seq("sensor_id" -> "amqp-a"),
+        suriV1.getBytes("UTF-8"))
+      val gz = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val out = new java.util.zip.GZIPOutputStream(bos)
+        out.write(suriV1.replace("twitter.com", "example.org")
+          .getBytes("UTF-8"))
+        out.close()
+        bos.toByteArray
+      }
+      broker.publish(Seq("sensor_id" -> "amqp-b", "compressed" -> "true"),
+        gz)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (broker.acks.size() < 2 && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(broker.acks.size() == 2, "broker deliveries not acked")
+
+      val obs = FeederConfig.stream(spark, feeder)
+      val q = IngestPipeline.start(spark, obs, Nil,
+        Seq(IngestPipeline.Sink("all", None, s"$storeDir/all")),
+        s"$storeDir/ckpt")
+      q.processAllAvailable()
+      q.stop()
+      val st = ObservationStore.load(spark, s"$storeDir/all")
+      val a = st.entries(rrname = Some("twitter.com")).collect()
+      assert(a.length == 1 && a.head.getAs[String]("sensor_id") == "amqp-a")
+      val b = st.entries(rrname = Some("example.org")).collect()
+      assert(b.length == 1 && b.head.getAs[String]("sensor_id") == "amqp-b")
+    } finally { client.stop(); broker.stop() }
+  }
+
   test("feeder registry rejects duplicate names and unknown formats") {
     def f(n: String, fmt: String = "suricata") =
       FeederConfig.Feeder(n, FeederConfig.Dir, fmt, Map("dir" -> "/tmp/x"))
