@@ -52,10 +52,64 @@ object BenchScaleText {
       operators.Curation.quantileBuckets(docs, "doc_id", "n_chars",
         nBuckets = 10, k = 256).count())
 
+    // Crawl-compliance verdict at xN: Robots.filterUrls must stay a
+    // broadcast fold — zero Exchange on the URL corpus whatever its
+    // size — and beat the matched-groupBy + corpus-join-back shape it
+    // replaced (timed side by side below).
+    // urls and rules land in parquet first — the 100 TB shape is a
+    // verdict over STORED tables, and it keeps the asserted plan free
+    // of the synthetic corpus-multiplication subtree
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-scale-robots").toString
+    val srcs = Graft.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"))
+    srcs.crossJoin(spark.range(mult).select(col("id").as("rep")))
+      .select(concat(lit("http://"), col("source"), lit(".example/p/"),
+        col("doc_id") * mult + col("rep")).as("url"))
+      .write.mode("overwrite").parquet(s"$tmp/urls")
+    val bodies = srcs.select(col("source")).distinct()
+      .select(concat(col("source"), lit(".example")).as("host"),
+        lit("User-agent: *\nDisallow: /p/1*\nAllow: /p/12\n" +
+          "Disallow: /*3$\n").as("body"))
+    operators.Robots.parseRules(bodies, "host", "body")
+      .write.mode("overwrite").parquet(s"$tmp/rules")
+    val urls = spark.read.parquet(s"$tmp/urls")
+    val rules = spark.read.parquet(s"$tmp/rules")
+    val nUrls = urls.count()
+    val verdictDf = operators.Robots.filterUrls(urls, "url", rules)
+    val nShuffle = "Exchange hashpartitioning".r.findAllMatchIn(
+      verdictDf.queryExecution.executedPlan.toString).size
+    require(nShuffle <= 1, // the rules-side collect_list only
+      s"robots verdict grew a corpus shuffle at x$mult: $nShuffle")
+    val (robotsSec, nAllowed) = timed(
+      verdictDf.filter(col("is_allowed") === 1).count())
+    // the replaced shape, inline for the comparison number
+    val (robotsOldSec, nAllowedOld) = timed {
+      val withParts = urls
+        .withColumn("_host", operators.Robots.urlHost(col("url")))
+        .withColumn("_path", operators.Robots.urlPath(col("url")))
+      val matches = when(col("wild"), expr("rlike(_path, pattern)"))
+        .otherwise(col("_path").startsWith(col("path")))
+      val verdicts = withParts
+        .join(broadcast(rules), col("_host") === col("host") && matches)
+        .groupBy(col("url").as("_u"))
+        .agg(max(struct(length(col("path")).as("l"),
+          (col("rule") === "allow").as("a"))).as("best"))
+        .select(col("_u"), col("best.a").as("_allowed"))
+      withParts.join(verdicts, col("url") === col("_u"), "left")
+        .withColumn("is_allowed",
+          coalesce(col("_allowed"), lit(true)).cast("long"))
+        .filter(col("is_allowed") === 1).count()
+    }
+    require(nAllowed == nAllowedOld,
+      s"verdict mismatch: fold $nAllowed vs join-back $nAllowedOld")
+
     println(s"""{"metric":"scale_text","x":$mult,"n_docs":$nDocs,""" +
       s""""scan_sec":$scanSec,"n_hits":$nHits,""" +
       s""""sketch_sec":$sketchSec,"bucket_sec":$bucketSec,""" +
-      s""""n_bucket_rows":$nRows}""")
+      s""""n_bucket_rows":$nRows,""" +
+      s""""n_urls":$nUrls,"robots_fold_sec":$robotsSec,""" +
+      s""""robots_joinback_sec":$robotsOldSec,"n_allowed":$nAllowed}""")
     spark.stop()
   }
 }
