@@ -226,6 +226,22 @@ object Multimodal {
         .otherwise(lit("0"))): _*)
   }
 
+  /** 64-bit average hash (aHash) over the 8×8 subgrid of the same 9×8
+    * grid [[dHash64]] uses (columns 0–7): bit i = cell > grid mean,
+    * computed in exact integers (`cell × 64 > sum` — no float mean), as
+    * a 64-char '0'/'1' string. aHash and dHash catch different edits —
+    * aHash survives small shifts that flip dHash's neighbor
+    * comparisons, dHash survives brightness changes that move aHash's
+    * mean — so near-dup pipelines band BOTH through the hamming join
+    * and union the pairs. Narrow codegen'd pass, zero shuffle. */
+  def aHash64(gray: Column): Column = {
+    def px(i: Int): Column = coalesce(element_at(gray, i + 1), lit(0))
+    val cells = for { r <- 0 until 8; c <- 0 until 8 } yield px(r * 9 + c)
+    val total = cells.reduce(_ + _)
+    concat(cells.map(c =>
+      when(c * 64 > total, lit("1")).otherwise(lit("0"))): _*)
+  }
+
   /** Deduplicate media by content hash (exact): one survivor per blob. */
   def dedupByContent(meta: Dataset[MediaMeta]): DataFrame =
     meta.groupBy(col("content_hash"))

@@ -560,4 +560,40 @@ object TextAnalysis {
   private def bpeWordSegments(text: Column,
       merges: Seq[(String, String)]): Column =
     transform(tokens(text), w => bpeWordString(w, merges))
+
+  // ------------------------------------------------- token rarity
+
+  /** Corpus-frequency-rank rarity — the CCNet-style "how unusual is
+    * this document's vocabulary" quality signal, in exact integers: every
+    * corpus token gets its 0-based rank in the (count desc, token asc)
+    * frequency order, and each document reports its token count, rank
+    * sum, and floor(mean rank × 100). High mean rank = rare-token-heavy
+    * (jargon, noise, other-language residue); low = stopword soup. No
+    * floats, so the oracle replays it digit for digit.
+    *
+    * SCALE: the rank table is VOCABULARY-sized and built with
+    * [[Curation.stableRank]] (range-repartitioned total order — no
+    * single-task global window); the join back to token occurrences and
+    * the per-doc aggregation are the inherent corpus-statistics
+    * join-back shape (the TF-IDF class): token-co-partitioned shuffles,
+    * no skew beyond natural token skew (the head token's occurrence list
+    * is bounded by corpus frequency, spread across its partitions'
+    * aggregation — map-side combine takes the heat). Output:
+    * (doc_id, n_tokens, rank_sum, mean_rank_x100). */
+  def tokenRarity(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("token"))
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .withColumn("_all", lit(0))
+      .withColumn("_negn", -col("n"))
+    val ranked = Curation.stableRank(counts, "_all",
+        Seq("_negn", "token"), rankCol = "rank")
+      .select(col("token"), col("rank"))
+    toks.join(ranked, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("rank")).as("rank_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("rank_sum"),
+        expr("rank_sum * 100 div n_tokens").as("mean_rank_x100"))
+  }
 }

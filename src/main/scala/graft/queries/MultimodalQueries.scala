@@ -83,6 +83,24 @@ object MultimodalQueries {
           concat_ws(",", col("gray")).as("gray_csv"),
           Multimodal.dHash64(col("gray")).as("dhash"))
     }),
+
+    // Average hash over the SAME true-pixel decode path as media_decode
+    // (the aHash/dHash pair near-dup pipelines band together): bit =
+    // cell·64 > subgrid sum, exact integers; oracle replays the template
+    // area-average then the aHash arithmetic.
+    "media_ahash" -> ((s, dir) => {
+      import s.implicits._
+      Graft.table(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val png = Multimodal.grayPng(18, 16,
+            (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt)
+          (id, Multimodal.decodeGray9x8(png).get.toSeq)
+        })
+        .toDF("media_id", "gray")
+        .select(col("media_id"),
+          Multimodal.aHash64(col("gray")).as("ahash"))
+    }),
   )
 
   private val kindExpr =
@@ -143,6 +161,28 @@ object MultimodalQueries {
         |              gray[(b // 8) * 9 + (b % 8) + 2]
         |         THEN '1' ELSE '0' END), '') AS dhash
         |FROM cells
+        |""".stripMargin,
+
+    "media_ahash" ->
+      """WITH cells AS (
+        |  SELECT doc_id AS media_id,
+        |    list_transform(range(0, 72), i ->
+        |      ( ((doc_id*31 + ((i % 9)*2)*7     + ((i // 9)*2)*13)     % 256)
+        |      + ((doc_id*31 + ((i % 9)*2 + 1)*7 + ((i // 9)*2)*13)     % 256)
+        |      + ((doc_id*31 + ((i % 9)*2)*7     + ((i // 9)*2 + 1)*13) % 256)
+        |      + ((doc_id*31 + ((i % 9)*2 + 1)*7 + ((i // 9)*2 + 1)*13) % 256)
+        |      ) // 4) AS gray
+        |  FROM documents),
+        |s AS (
+        |  SELECT media_id, gray,
+        |    list_sum(list_transform(range(0, 64), i ->
+        |      gray[(i // 8) * 9 + (i % 8) + 1])) AS total
+        |  FROM cells)
+        |SELECT media_id,
+        |  array_to_string(list_transform(range(0, 64), i ->
+        |    CASE WHEN gray[(i // 8) * 9 + (i % 8) + 1] * 64 > total
+        |         THEN '1' ELSE '0' END), '') AS ahash
+        |FROM s
         |""".stripMargin,
 
     "media_phash" ->

@@ -363,6 +363,15 @@ object PipelineQueries {
         TextAnalysis.bpeTokenCount(col("text"), bpeMerges)
           .as("n_subwords"))),
 
+    // Corpus-frequency-rank rarity (exact integers — see
+    // TextAnalysis.tokenRarity): per doc, token count, rank sum and
+    // floor(mean rank x100) under the global (count desc, token asc)
+    // vocabulary order; the oracle replays the ranking with a window
+    // (the gate corpus is small — the Spark side uses the
+    // range-partitioned stableRank, asserted windowless in PlanSpec).
+    "token_rarity" -> ((s, dir) =>
+      TextAnalysis.tokenRarity(docs(s, dir), "doc_id", "text")),
+
     // The persisted-vocabulary round trip: the merge table writes to an
     // on-disk artifact (BpeVocab — staged commit + epoch, the
     // store/index lifecycle) and is LOADED back before tokenizing; the
@@ -1691,6 +1700,22 @@ object PipelineQueries {
          |    AS n_subwords
          |FROM documents
          |""".stripMargin,
+
+    "token_rarity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |counts AS (SELECT token, count(*) AS n FROM toks GROUP BY 1),
+        |ranks AS (SELECT token,
+        |  ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) - 1 AS r
+        |  FROM counts)
+        |SELECT t.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(r) AS BIGINT) AS rank_sum,
+        |  CAST(SUM(r) * 100 // count(*) AS BIGINT) AS mean_rank_x100
+        |FROM toks t JOIN ranks USING (token)
+        |GROUP BY 1
+        |""".stripMargin,
 
     "bpe_encode_loaded" ->
       s"""SELECT doc_id,

@@ -80,6 +80,25 @@ class MultimodalSpec extends AnyFunSuite {
       Seq.fill(72)(299 * 255 / 1000))
   }
 
+  test("aHash64: integer mean, flat grid all-zero, brightness invariance") {
+    def ahash(grid: Seq[Int]): String =
+      Seq(grid).toDF("g").select(Multimodal.aHash64(col("g")))
+        .as[String].collect().head
+    // flat grid: cell*64 == sum everywhere, strict > -> all zeros
+    assert(ahash(Seq.fill(72)(7)) == "0" * 64)
+    // one bright pixel in the 8x8 subgrid -> exactly that bit set
+    val one = Seq.tabulate(72)(i => if (i == 10) 255 else 0)
+    val h1 = ahash(one) // cell (1,1) = bit 9
+    assert(h1.count(_ == '1') == 1 && h1(9) == '1')
+    // column 8 (outside the 8x8 subgrid) influences nothing
+    assert(ahash(Seq.tabulate(72)(i => if (i % 9 == 8) 200 else 3)) ==
+      "0" * 64)
+    // exact gain invariance: doubling every pixel doubles both sides
+    // of cell*64 > sum, flipping nothing
+    val grad = Seq.tabulate(72)(i => (i * 3) % 200)
+    assert(ahash(grad) == ahash(grad.map(_ * 2)))
+  }
+
   test("dHash fingerprints ride the banded hamming near-dup join") {
     val base = "the quick brown fox jumps over the lazy dog padding!!"
     val fp = Seq((1L, base), (2L, base), (3L, "completely other bytes"))

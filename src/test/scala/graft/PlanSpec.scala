@@ -805,6 +805,26 @@ class PlanSpec extends AnyFunSuite {
       s"got $nShuffle:\n$robotsPlan")
   }
 
+  test("round-11 ops: rarity ranks windowless; aHash stays narrow") {
+    val docsDf = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val rarity = graft.operators.TextAnalysis
+      .tokenRarity(docsDf, "doc_id", "text")
+    // the vocabulary rank must come from the range-partitioned
+    // stableRank, never a single-task global window
+    assert(!explainOf(rarity).contains("Window"), explainOf(rarity))
+    // counts a=2 b=2 c=1 -> ranks a=0 b=1 c=2; doc1 (a,b,a) sum 1 of 3,
+    // doc2 (b,c) sum 3 of 2
+    val got = rarity.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set((1L, 3L, 1L, 33L), (2L, 2L, 3L, 150L)), got)
+    // aHash: scan -> project, zero shuffle
+    val aplan = explainOf(docsDf.select(graft.operators.Multimodal
+      .aHash64(org.apache.spark.sql.functions.expr(
+        "transform(sequence(1, 72), i -> i)"))))
+    assert(!aplan.contains("Exchange"), aplan)
+  }
+
   test("round-10 ops: narrow text passes; delay schedule broadcasts") {
     val docsDf = Seq((1L, "café b")).toDF("doc_id", "text")
     // normalization, code signals, link extraction: scan → project,
