@@ -156,19 +156,156 @@ object Dedup {
           .as(Seq("band_idx", "band_hash")))
   }
 
-  /** Persist the band index partitioned by `band_idx` and sorted by
-    * `band_hash` within files — partition pruning on the band, row-group
-    * min/max skipping on the hash. Incremental corpora append new
-    * documents' band rows; the signature compute is paid ONCE per
-    * document ever, not once per delta batch. */
-  def writeBandIndex(index: DataFrame, path: String): Unit =
+  /** Persist the band index partitioned by `(band_idx, batch)` and
+    * sorted by `band_hash` within files — partition pruning on the
+    * band, row-group min/max skipping on the hash. The `batch` level is
+    * the increment unit: [[mergeBandIndex]] folds each new batch of
+    * documents in as its own `batch=<id>` partition under every band
+    * (staged commit — the signature compute is paid ONCE per document
+    * ever, not once per delta batch), and partition discovery gives
+    * readers the union. The initial build lands as `batch=0`. */
+  def writeBandIndex(index: DataFrame, path: String,
+      numHashes: Int = 16, bands: Int = 4): Unit = {
+    val spark = index.sparkSession
+    if (ObservationStore.pathExists(spark, path))
+      recoverBandMerge(spark, path, deleteUncommitted = true)
+    // captured BEFORE the overwrite truncates the path (meta included)
+    val prevEpoch = readBandEpoch(spark, path).getOrElse(0L)
     index
+      .withColumn("batch", lit(0L))
       .repartition(col("band_idx"), col("band_hash"))
       .sortWithinPartitions(col("band_hash"))
-      .write.mode("overwrite").partitionBy("band_idx").parquet(path)
+      .write.mode("overwrite").partitionBy("band_idx", "batch")
+      .parquet(path)
+    // parameters are RECORDED, not re-trusted from later callers (the
+    // store's num_buckets lesson: a drifting layout parameter silently
+    // corrupts); a rebuild advances the generation, never resets
+    writeBandMeta(spark, path, prevEpoch + 1L, numHashes, bands)
+  }
 
+  /** Load the index for querying ([[deltaDedupAgainstIndex]]): resolves
+    * committed-but-unapplied merges first (reader path) and hides the
+    * `batch` bookkeeping column. */
   def loadBandIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = spark.read.parquet(path)
+      path: String): DataFrame = {
+    recoverBandMerge(spark, path, deleteUncommitted = false)
+    spark.read.parquet(path).drop("batch")
+  }
+
+  /** Fold a batch of NEW documents into a persisted band index — the
+    * missing half of the "persist the index once" scale path: a
+    * continuously growing corpus pays one signature pass per batch and
+    * ONE staged swap, never an index rebuild. Exactly-once by batch id
+    * (the store/BM25 contract: a replayed `batchId` ≤ the recorded
+    * high-water mark is a no-op), crash-safe through [[StagedCommit]]
+    * (the manifest lists every staged `band_idx=<i>/batch=<id>` piece;
+    * the epoch commits last). Band parameters come from the index's own
+    * recorded metadata — never from the caller. Returns the number of
+    * band rows merged (0 on replay skip). */
+  def mergeBandIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, textCol: String, idCol: String,
+      batchId: Long): Long = {
+    recoverBandMerge(spark, path, deleteUncommitted = true)
+    val (numHashes, bands) = readBandParams(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"band index at $path has no recorded parameters; rebuild it " +
+          "with writeBandIndex before merging increments"))
+    val last = readBandBatchId(spark, path).getOrElse(-1L)
+    if (batchId <= last) return 0L
+    val targetEpoch = readBandEpoch(spark, path).getOrElse(0L) + 1L
+    val staging = s"$path/_staging_$targetEpoch"
+    val (f, sp) = ObservationStore.fs(spark, staging)
+    if (f.exists(sp)) f.delete(sp, true)
+    val rows = buildBandIndex(batch, textCol, idCol, numHashes, bands)
+      .withColumn("batch", lit(batchId))
+      .repartition(col("band_idx"), col("band_hash"))
+      .sortWithinPartitions(col("band_hash"))
+    rows.write.mode("overwrite").partitionBy("band_idx", "batch")
+      .parquet(staging)
+    val n = spark.read.parquet(staging).count()
+    val pieces = StagedCommit.stagedPartDirs(spark, staging, "band_idx=")
+      .map(bd => s"$bd/batch=$batchId")
+    val (mf, mp) = ObservationStore.fs(spark, s"$staging/_manifest.json")
+    val out = mf.create(mp, true)
+    try out.write(
+      (s"""{"target_epoch":$targetEpoch,""" +
+        s""""staged_bands":"${pieces.mkString(",")}",""" +
+        s""""batch_id":$batchId,"num_hashes":$numHashes,"bands":$bands}""")
+        .getBytes("UTF-8"))
+    finally out.close()
+    applyStagedBandMerge(spark, path, staging)
+    n
+  }
+
+  /** Index generation: advanced once per committed write/merge. */
+  def readBandEpoch(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[Long] =
+    readBandMetaField(spark, path, "epoch")
+
+  /** Highest batch id already merged (the exactly-once high-water mark). */
+  def readBandBatchId(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[Long] =
+    readBandMetaField(spark, path, "last_batch_id")
+
+  /** The recorded (numHashes, bands) the index was built with. */
+  def readBandParams(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[(Int, Int)] =
+    for {
+      nh <- readBandMetaField(spark, path, "num_hashes")
+      nb <- readBandMetaField(spark, path, "bands")
+    } yield (nh.toInt, nb.toInt)
+
+  private def readBandMetaField(spark: org.apache.spark.sql.SparkSession,
+      path: String, name: String): Option[Long] = {
+    val (f, p) = ObservationStore.fs(spark, s"$path/_graft_meta.json")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val content =
+        try new String(in.readAllBytes(), "UTF-8")
+        finally in.close()
+      (""""""" + name + """"\s*:\s*(-?\d+)""").r.findFirstMatchIn(content)
+        .map(_.group(1).toLong)
+    }
+  }
+
+  private def writeBandMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, epoch: Long, numHashes: Int, bands: Int,
+      batchId: Option[Long] = None): Unit = {
+    val bid = batchId.orElse(readBandBatchId(spark, path))
+      .map(b => s""","last_batch_id":$b""").getOrElse("")
+    val (f, p) = ObservationStore.fs(spark, s"$path/_graft_meta.json")
+    val out = f.create(p, true)
+    try out.write(
+      (s"""{"epoch":$epoch,"num_hashes":$numHashes,""" +
+        s""""bands":$bands$bid}""").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def recoverBandMerge(spark: org.apache.spark.sql.SparkSession,
+      path: String, deleteUncommitted: Boolean): Unit =
+    StagedCommit.recover(spark, path, deleteUncommitted)(
+      staging => applyStagedBandMerge(spark, path, staging))
+
+  private def applyStagedBandMerge(spark: org.apache.spark.sql.SparkSession,
+      path: String, staging: String): Unit = {
+    val manifest = StagedCommit.readManifest(spark, staging)
+    val targetEpoch = StagedCommit.numField(manifest, "target_epoch")
+    val pieces = StagedCommit.listField(manifest, "staged_bands")
+      .getOrElse(throw new StagedCommit.TornManifest(
+        s"staged band manifest missing staged_bands: $manifest"))
+    val batchId = StagedCommit.optNumField(manifest, "batch_id")
+    val nh = StagedCommit.numField(manifest, "num_hashes").toInt
+    val nb = StagedCommit.numField(manifest, "bands").toInt
+    // piece renames land under band_idx= parents — ensure they exist
+    // (idempotent; an index can only lack one through manual surgery)
+    val (lf, _) = ObservationStore.fs(spark, path)
+    pieces.foreach(rel => lf.mkdirs(
+      new org.apache.hadoop.fs.Path(s"$path/$rel").getParent))
+    StagedCommit.applyPieces(spark, path, staging, pieces, targetEpoch,
+      () => readBandEpoch(spark, path),
+      gen => writeBandMeta(spark, path, gen, nh, nb, batchId))
+  }
 
   /** Delta dedup against a PRECOMPUTED band index (built/persisted via
     * [[buildBandIndex]]/[[writeBandIndex]]): only the batch side computes

@@ -825,6 +825,32 @@ object PipelineQueries {
       Dedup.crossCorpusNearDuplicates(d, batch, "text", "doc_id")
     }),
 
+    // The incremental index lifecycle behind the delta path: half the
+    // corpus indexes as batch 0, the other half FOLDS IN as a staged
+    // batch-1 merge (replayed immediately — the batch-id high-water
+    // mark must turn the second merge into a no-op), and the delta
+    // query against the MERGED index must answer exactly what
+    // crossCorpusNearDuplicates answers over the whole corpus (the
+    // delta_dedup oracle, verbatim).
+    "band_index_merge" -> ((s, dir) => {
+      val tmp = graft.queries.util.scratchDir("bandindex", dir)
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      Dedup.writeBandIndex(Dedup.buildBandIndex(
+        d.filter(col("doc_id") % 2 === 0), "text", "doc_id"), tmp)
+      val rest = d.filter(col("doc_id") % 2 =!= 0)
+      require(Dedup.mergeBandIndex(s, tmp, rest, "text", "doc_id", 1L) > 0,
+        "band merge folded nothing in")
+      require(Dedup.mergeBandIndex(s, tmp, rest, "text", "doc_id", 1L) == 0,
+        "replayed band merge must no-op")
+      val batch = d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+        .unionAll(d.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 3000000).as("doc_id"),
+            reverse(col("text")).as("text")))
+      Dedup.deltaDedupAgainstIndex(Dedup.loadBandIndex(s, tmp), batch,
+        "text", "doc_id")
+    }),
+
     // Evaluation as a first-class operator: recall of the MinHash-LSH
     // near-dup path against the exact inverted-index truth on the same
     // corpus and threshold. The number a pipeline owner needs before
@@ -1166,6 +1192,76 @@ object PipelineQueries {
        |  FROM cand JOIN asg ON asg.id = cand.id CROSS JOIN qf
        |  ORDER BY cos_sim DESC, cand.id ASC LIMIT 10)""".stripMargin
 
+  /** The delta-dedup oracle — shared verbatim by `delta_dedup` and
+    * `band_index_merge` (the merged persisted index must answer the
+    * identical question). */
+  private lazy val deltaDedupSql: String =
+    """WITH bdocs AS (
+      |  SELECT doc_id + 2000000 AS doc_id, text
+      |  FROM documents WHERE doc_id % 11 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 3000000 AS doc_id, reverse(text) AS text
+      |  FROM documents WHERE doc_id % 13 = 0),
+      |shc AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(string_split(text, ' ')) < 3
+      |         THEN [text]
+      |         ELSE list_transform(
+      |           generate_series(1, len(string_split(text, ' ')) - 2),
+      |           i -> array_to_string(
+      |                  list_slice(string_split(text, ' '), i, i + 2), ' '))
+      |    END) AS sh
+      |  FROM documents),
+      |shb AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(string_split(text, ' ')) < 3
+      |         THEN [text]
+      |         ELSE list_transform(
+      |           generate_series(1, len(string_split(text, ' ')) - 2),
+      |           i -> array_to_string(
+      |                  list_slice(string_split(text, ' '), i, i + 2), ' '))
+      |    END) AS sh
+      |  FROM bdocs),
+      |sigc AS (
+      |  SELECT doc_id, sh,
+      |         list_transform(generate_series(0, 15), k ->
+      |           list_min(list_transform(sh,
+      |             s -> substr(md5(s) || md5(s), 2 * k + 1, 16)))) AS sig
+      |  FROM shc),
+      |sigb AS (
+      |  SELECT doc_id, sh,
+      |         list_transform(generate_series(0, 15), k ->
+      |           list_min(list_transform(sh,
+      |             s -> substr(md5(s) || md5(s), 2 * k + 1, 16)))) AS sig
+      |  FROM shb),
+      |bandc AS (
+      |  SELECT doc_id, b.band_idx,
+      |         md5(array_to_string(
+      |           list_slice(sig, b.band_idx * 4 + 1, b.band_idx * 4 + 4),
+      |           '|')) AS band_hash
+      |  FROM sigc, (SELECT UNNEST(generate_series(0, 3)) AS band_idx) b),
+      |bandb AS (
+      |  SELECT doc_id, b.band_idx,
+      |         md5(array_to_string(
+      |           list_slice(sig, b.band_idx * 4 + 1, b.band_idx * 4 + 4),
+      |           '|')) AS band_hash
+      |  FROM sigb, (SELECT UNNEST(generate_series(0, 3)) AS band_idx) b),
+      |cand AS (
+      |  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+      |  FROM bandb b JOIN bandc c
+      |    ON b.band_idx = c.band_idx AND b.band_hash = c.band_hash)
+      |SELECT cand.batch_id, cand.corpus_id,
+      |       CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+      |       CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE)
+      |         AS jaccard
+      |FROM cand
+      |JOIN shb x ON x.doc_id = cand.batch_id
+      |JOIN shc y ON y.doc_id = cand.corpus_id
+      |WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+      |      CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE)
+      |        >= 0.8
+      |""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       """WITH u AS (
@@ -1264,72 +1360,11 @@ object PipelineQueries {
 
     // asymmetric LSH mirrored across corpus and batch (approximation-
     // mirroring oracle, like dedup_minhash)
-    "delta_dedup" ->
-      """WITH bdocs AS (
-        |  SELECT doc_id + 2000000 AS doc_id, text
-        |  FROM documents WHERE doc_id % 11 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 3000000 AS doc_id, reverse(text) AS text
-        |  FROM documents WHERE doc_id % 13 = 0),
-        |shc AS (
-        |  SELECT doc_id, list_distinct(
-        |    CASE WHEN len(string_split(text, ' ')) < 3
-        |         THEN [text]
-        |         ELSE list_transform(
-        |           generate_series(1, len(string_split(text, ' ')) - 2),
-        |           i -> array_to_string(
-        |                  list_slice(string_split(text, ' '), i, i + 2), ' '))
-        |    END) AS sh
-        |  FROM documents),
-        |shb AS (
-        |  SELECT doc_id, list_distinct(
-        |    CASE WHEN len(string_split(text, ' ')) < 3
-        |         THEN [text]
-        |         ELSE list_transform(
-        |           generate_series(1, len(string_split(text, ' ')) - 2),
-        |           i -> array_to_string(
-        |                  list_slice(string_split(text, ' '), i, i + 2), ' '))
-        |    END) AS sh
-        |  FROM bdocs),
-        |sigc AS (
-        |  SELECT doc_id, sh,
-        |         list_transform(generate_series(0, 15), k ->
-        |           list_min(list_transform(sh,
-        |             s -> substr(md5(s) || md5(s), 2 * k + 1, 16)))) AS sig
-        |  FROM shc),
-        |sigb AS (
-        |  SELECT doc_id, sh,
-        |         list_transform(generate_series(0, 15), k ->
-        |           list_min(list_transform(sh,
-        |             s -> substr(md5(s) || md5(s), 2 * k + 1, 16)))) AS sig
-        |  FROM shb),
-        |bandc AS (
-        |  SELECT doc_id, b.band_idx,
-        |         md5(array_to_string(
-        |           list_slice(sig, b.band_idx * 4 + 1, b.band_idx * 4 + 4),
-        |           '|')) AS band_hash
-        |  FROM sigc, (SELECT UNNEST(generate_series(0, 3)) AS band_idx) b),
-        |bandb AS (
-        |  SELECT doc_id, b.band_idx,
-        |         md5(array_to_string(
-        |           list_slice(sig, b.band_idx * 4 + 1, b.band_idx * 4 + 4),
-        |           '|')) AS band_hash
-        |  FROM sigb, (SELECT UNNEST(generate_series(0, 3)) AS band_idx) b),
-        |cand AS (
-        |  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
-        |  FROM bandb b JOIN bandc c
-        |    ON b.band_idx = c.band_idx AND b.band_hash = c.band_hash)
-        |SELECT cand.batch_id, cand.corpus_id,
-        |       CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-        |       CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE)
-        |         AS jaccard
-        |FROM cand
-        |JOIN shb x ON x.doc_id = cand.batch_id
-        |JOIN shc y ON y.doc_id = cand.corpus_id
-        |WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-        |      CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE)
-        |        >= 0.8
-        |""".stripMargin,
+    "delta_dedup" -> deltaDedupSql,
+
+    // the merged persisted index answers the identical question
+    "band_index_merge" -> deltaDedupSql,
+
 
     // exact pairs vs the full mirrored MinHash-LSH pipeline, joined —
     // the recall number is a pure function of the corpus on both engines

@@ -362,6 +362,55 @@ class CurationSpec extends AnyFunSuite {
     assert(viaIndex == Set((10L, 1L)))
     // the stored layout partitions by band for pruning
     assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("band_idx=")))
+
+    // ---- incremental merge lifecycle (round 11) ----
+    val inc = Seq((20L, "one two three four five six")) // dup of corpus 2
+      .toDF("doc_id", "text")
+    assert(graft.operators.Dedup.readBandEpoch(spark, dir).contains(1L))
+    assert(graft.operators.Dedup.readBandParams(spark, dir)
+      .contains((16, 4)))
+    val merged = graft.operators.Dedup.mergeBandIndex(
+      spark, dir, inc, "text", "doc_id", batchId = 1L)
+    assert(merged > 0)
+    assert(graft.operators.Dedup.readBandEpoch(spark, dir).contains(2L))
+    // exactly-once: replaying the same batch id is a no-op
+    assert(graft.operators.Dedup.mergeBandIndex(
+      spark, dir, inc, "text", "doc_id", batchId = 1L) == 0L)
+    assert(graft.operators.Dedup.readBandEpoch(spark, dir).contains(2L))
+    // the merged index now answers for the increment too
+    val probe = Seq((30L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val hits = graft.operators.Dedup.deltaDedupAgainstIndex(
+        graft.operators.Dedup.loadBandIndex(spark, dir), probe,
+        "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((30L, 2L), (30L, 20L)))
+
+    // crash point: staged data + committed manifest, never applied —
+    // the reader path must replay it on load
+    val staging = s"$dir/_staging_9"
+    val inc2 = Seq((21L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.buildBandIndex(inc2, "text", "doc_id")
+      .withColumn("batch", org.apache.spark.sql.functions.lit(2L))
+      .write.partitionBy("band_idx", "batch").parquet(staging)
+    val out = new java.io.FileOutputStream(s"$staging/_manifest.json")
+    val stagedPieces = new java.io.File(staging).listFiles()
+      .filter(_.getName.startsWith("band_idx=")).map(_.getName).sorted
+      .map(bd => s"$bd/batch=2").mkString(",")
+    out.write((s"""{"target_epoch":9,"staged_bands":"$stagedPieces",""" +
+      """"batch_id":2,"num_hashes":16,"bands":4}""").getBytes("UTF-8"))
+    out.close()
+    val probe2 = Seq((40L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val hits2 = graft.operators.Dedup.deltaDedupAgainstIndex(
+        graft.operators.Dedup.loadBandIndex(spark, dir), probe2,
+        "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits2 == Set((40L, 1L), (40L, 21L)))
+    assert(!new java.io.File(staging).exists())
+    assert(graft.operators.Dedup.readBandEpoch(spark, dir).contains(9L))
+    assert(graft.operators.Dedup.readBandBatchId(spark, dir).contains(2L))
   }
 
   test("cosineLshDelta finds batch copies against the corpus") {
