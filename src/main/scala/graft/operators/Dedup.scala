@@ -222,9 +222,13 @@ object Dedup {
       .sortWithinPartitions(col("band_hash"))
     rows.write.mode("overwrite").partitionBy("band_idx", "batch")
       .parquet(staging)
-    val n = spark.read.parquet(staging).count()
     val pieces = StagedCommit.stagedPartDirs(spark, staging, "band_idx=")
       .map(bd => s"$bd/batch=$batchId")
+    if (pieces.isEmpty) { // empty batch: nothing staged, marker unmoved
+      f.delete(sp, true)
+      return 0L
+    }
+    val n = spark.read.parquet(staging).count()
     val (mf, mp) = ObservationStore.fs(spark, s"$staging/_manifest.json")
     val out = mf.create(mp, true)
     try out.write(

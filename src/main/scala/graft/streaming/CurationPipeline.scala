@@ -49,11 +49,91 @@ object CurationPipeline {
       }
       .start()
 
+  /** [[start]] with a PERSISTED, incrementally-maintained band index —
+    * the corpora-too-large-to-re-index-per-trigger path the [[start]]
+    * scaladoc promises: cross-corpus dedup reads
+    * [[Dedup.loadBandIndex]] (signatures paid once per document ever)
+    * and each batch's accepted docs fold in through
+    * [[Dedup.mergeBandIndex]]'s staged commit under the MICRO-BATCH id,
+    * so a Spark-retried batch re-writes its corpus partition
+    * (idempotent overwrite) but merges the index exactly once. Order
+    * inside the batch is corpus-then-index: a crash between the two
+    * replays both (the merge is the unmarked one), never double-merges.
+    * The first non-empty batch builds the index (overwrite —
+    * retry-idempotent like the store's initial build). */
+  def startIndexed(spark: SparkSession, docs: DataFrame, textCol: String,
+      idCol: String, corpusDir: String, rejectDir: String,
+      indexDir: String, checkpointDir: String, minTokens: Int = 3,
+      maxTokens: Int = 100000, threshold: Double = 0.8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty)
+          curateBatchIndexed(spark, batch, textCol, idCol, corpusDir,
+            rejectDir, indexDir, bid, minTokens, maxTokens, threshold)
+      }
+      .start()
+
+  /** One micro-batch of [[startIndexed]]. */
+  def curateBatchIndexed(spark: SparkSession, batch: DataFrame,
+      textCol: String, idCol: String, corpusDir: String,
+      rejectDir: String, indexDir: String, bid: Long, minTokens: Int,
+      maxTokens: Int, threshold: Double): Unit = {
+    val indexExists = graft.operators.ObservationStore
+      .pathExists(spark, indexDir) &&
+      Dedup.readBandParams(spark, indexDir).isDefined
+    val crossDedup: DataFrame => DataFrame =
+      if (!indexExists) af => af.limit(0).select(col(idCol))
+      else { af =>
+        val (nh, nb) = Dedup.readBandParams(spark, indexDir).get
+        Dedup.deltaDedupAgainstIndex(Dedup.loadBandIndex(spark, indexDir),
+            af, textCol, idCol, nh, nb, threshold)
+          .select(col("batch_id").as(idCol)).distinct()
+      }
+    val accepted = curateCore(spark, batch, textCol, idCol, corpusDir,
+      rejectDir, bid, minTokens, maxTokens, threshold, crossDedup)
+    if (!accepted.isEmpty) {
+      if (!indexExists)
+        Dedup.writeBandIndex(
+          Dedup.buildBandIndex(accepted, textCol, idCol), indexDir)
+      else
+        Dedup.mergeBandIndex(spark, indexDir, accepted, textCol, idCol,
+          bid): Unit
+    }
+  }
+
   /** One micro-batch of the pipeline (factored out so batch backfills
     * can reuse it with an explicit batch id). */
   def curateBatch(spark: SparkSession, batch: DataFrame, textCol: String,
       idCol: String, corpusDir: String, rejectDir: String, bid: Long,
       minTokens: Int, maxTokens: Int, threshold: Double): Unit = {
+    // cross-corpus delta re-joins the live corpus per trigger — the
+    // small-corpus mode; [[curateBatchIndexed]] swaps in the persisted
+    // band index
+    val crossDedup: DataFrame => DataFrame = af => {
+      val corpusExists = graft.operators.ObservationStore
+        .pathExists(spark, corpusDir)
+      if (!corpusExists) af.limit(0).select(col(idCol))
+      else Dedup.crossCorpusNearDuplicates(
+          spark.read.parquet(corpusDir), af, textCol, idCol,
+          threshold = threshold)
+        .select(col("batch_id").as(idCol)).distinct()
+    }
+    curateCore(spark, batch, textCol, idCol, corpusDir, rejectDir, bid,
+      minTokens, maxTokens, threshold, crossDedup): Unit
+  }
+
+  /** The shared batch body: quality gate, within-batch dedup, the
+    * caller-supplied cross-corpus dedup, idempotent per-batch corpus and
+    * quarantine writes. Returns the accepted docs MATERIALIZED
+    * (localCheckpoint), so index maintenance can reuse them without
+    * re-running the dedup chain. */
+  private def curateCore(spark: SparkSession, batch: DataFrame,
+      textCol: String, idCol: String, corpusDir: String,
+      rejectDir: String, bid: Long, minTokens: Int, maxTokens: Int,
+      threshold: Double,
+      crossDedup: DataFrame => DataFrame): DataFrame = {
     val toks = TextAnalysis.tokenCount(col(textCol))
     val graded = batch
       .withColumn("_n_tokens", toks)
@@ -81,17 +161,10 @@ object CurationPipeline {
     val afterWithin = pass.join(withinDrop.select(idCol), Seq(idCol),
       "left_anti")
 
-    // cross-corpus delta: only if a corpus already exists
-    val corpusExists = graft.operators.ObservationStore
-      .pathExists(spark, corpusDir)
-    val crossDrop =
-      if (!corpusExists) afterWithin.limit(0).select(col(idCol))
-      else Dedup.crossCorpusNearDuplicates(
-          spark.read.parquet(corpusDir), afterWithin, textCol, idCol,
-          threshold = threshold)
-        .select(col("batch_id").as(idCol)).distinct()
+    val crossDrop = crossDedup(afterWithin)
     val accepted = afterWithin.join(crossDrop, Seq(idCol), "left_anti")
       .drop("_n_tokens")
+      .localCheckpoint(false)
     val rejected = qualityReject
       .unionByName(graded.join(withinDrop, Seq(idCol), "left_semi")
         .withColumn("reason", lit("dup:within_batch")))
@@ -102,5 +175,6 @@ object CurationPipeline {
     // idempotent per-batch partitions (see scaladoc)
     accepted.write.mode("overwrite").parquet(s"$corpusDir/batch=$bid")
     rejected.write.mode("overwrite").parquet(s"$rejectDir/batch=$bid")
+    accepted
   }
 }

@@ -364,6 +364,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("indexed streaming curation maintains the band index incrementally") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    import graft.streaming.CurationPipeline
+    val dir = Files.createTempDirectory("graft-scurate-idx").toString
+    assert(new java.io.File(s"$dir/spool").mkdirs())
+    def jsonFile(name: String, docs: Seq[(Long, String)]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/spool/$name"),
+        docs.map { case (i, t) => s"""{"doc_id":$i,"text":"$t"}""" }
+          .mkString("\n").getBytes("UTF-8")): Unit
+
+    val good1 = "alpha beta gamma delta epsilon zeta eta theta one two"
+    val good2 = "totally different content about storage engines and joins"
+    jsonFile("f1.json", Seq(
+      (1L, good1), (2L, good1), (4L, "too short"), (5L, good2)))
+    val schema = new StructType().add("doc_id", LongType).add("text", StringType)
+    val stream = spark.readStream.schema(schema).json(s"$dir/spool")
+    val q = CurationPipeline.startIndexed(spark, stream, "text", "doc_id",
+      s"$dir/corpus", s"$dir/rejects", s"$dir/index", s"$dir/ckpt",
+      minTokens = 3)
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/corpus")
+        .select("doc_id").as[Long].collect().toSet == Set(1L, 5L))
+      // batch 0 built the index over the accepted docs
+      assert(graft.operators.Dedup.readBandEpoch(spark, s"$dir/index")
+        .contains(1L))
+
+      // batch 2: near-dup of INDEXED corpus content drops through the
+      // persisted index (no corpus re-join); new content lands AND
+      // folds in as a staged batch merge
+      jsonFile("f2.json", Seq(
+        (10L, good2 + " slightly"),
+        (11L, "entirely novel text with sufficient distinct token count")))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/corpus")
+        .select("doc_id").as[Long].collect().toSet == Set(1L, 5L, 11L))
+      assert(spark.read.parquet(s"$dir/rejects")
+        .select("doc_id", "reason").as[(Long, String)].collect()
+        .toMap.apply(10L) == "dup:cross_corpus")
+      assert(graft.operators.Dedup.readBandEpoch(spark, s"$dir/index")
+        .contains(2L))
+      assert(graft.operators.Dedup.readBandBatchId(spark, s"$dir/index")
+        .contains(1L))
+      // the index holds band rows for every accepted doc — a dup of
+      // batch-1's doc 11 now drops against the INDEX
+      jsonFile("f3.json", Seq(
+        (20L, "entirely novel text with sufficient distinct token count more")))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/rejects")
+        .select("doc_id", "reason").as[(Long, String)].collect()
+        .toMap.apply(20L) == "dup:cross_corpus")
+    } finally q.stop()
+  }
+
   test("streaming WARC ingestion: two-batch stream equals one-shot batch") {
     import graft.streaming.{CurationPipeline, WarcIngest}
     import graft.sources.Warc
