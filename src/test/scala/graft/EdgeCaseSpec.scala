@@ -251,4 +251,52 @@ class EdgeCaseSpec extends AnyFunSuite {
         "transform(sequence(1, 72), i -> 0)"))).as[String].head()
       == "0" * 64)
   }
+
+  test("round-11 ops are total on empty and degenerate input") {
+    import graft.operators.{BpeVocab, Dedup, Multimodal, TextAnalysis}
+    import org.apache.spark.sql.functions.{col, expr}
+    // aHash of the all-zero grid: 0*64 > 0 is false everywhere
+    assert(Seq("").toDF("t")
+      .select(Multimodal.aHash64(expr(
+        "transform(sequence(1, 72), i -> 0)"))).as[String].head()
+      == "0" * 64)
+    // decode of junk bytes: None, and the codec falls back to the stub
+    assert(Multimodal.decodeGray9x8(Array[Byte](9, 9, 9)).isEmpty)
+    // tokenRarity on empty corpus / single-doc corpus
+    assert(TextAnalysis.tokenRarity(
+      spark.emptyDataset[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text").count() == 0)
+    val single = TextAnalysis.tokenRarity(
+      Seq((7L, "x x y")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    // counts x=2 y=1 -> ranks x=0 y=1; sum 1 of 3 tokens -> 33
+    assert(single.toSeq == Seq(7L, 3L, 1L, 33L))
+    // BpeVocab refuses an empty table (a silent empty vocabulary would
+    // tokenize everything char-by-char downstream)
+    intercept[IllegalArgumentException](
+      BpeVocab.write(spark, Nil, "/tmp/graft-ec-bpev"))
+    // band-index merge of an EMPTY batch: no staging left behind, the
+    // high-water mark does not advance
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ec-band").toString
+    Dedup.writeBandIndex(Dedup.buildBandIndex(
+      Seq((1L, "a b c d e")).toDF("doc_id", "text"), "text", "doc_id"),
+      dir)
+    assert(Dedup.mergeBandIndex(spark, dir,
+      spark.emptyDataset[(Long, String)].toDF("doc_id", "text"),
+      "text", "doc_id", batchId = 5L) == 0L)
+    assert(Dedup.readBandBatchId(spark, dir).isEmpty)
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("_staging_")))
+    // merging into an unparameterized (pre-meta) index refuses loudly
+    val bare = java.nio.file.Files
+      .createTempDirectory("graft-ec-band2").toString
+    Dedup.buildBandIndex(Seq((1L, "a b c d e")).toDF("doc_id", "text"),
+        "text", "doc_id")
+      .write.mode("overwrite").partitionBy("band_idx").parquet(bare)
+    intercept[IllegalArgumentException](
+      Dedup.mergeBandIndex(spark, bare,
+        Seq((2L, "f g h i j")).toDF("doc_id", "text"),
+        "text", "doc_id", 1L))
+  }
 }
