@@ -22,17 +22,19 @@ import org.apache.spark.sql.functions._
   *    octet length as written), `Allow` beating `Disallow` on equal
   *    length; no matching rule → allowed.
   *
-  * Everything is window/join algebra — group assignment is a running
-  * sum over line index PARTITIONED BY HOST (robots bodies are KB-sized,
-  * so per-host windows are bounded by construction), rule application
-  * is a broadcast equi-join on host with a prefix/regex residual, and
-  * the winner is one max(struct(len, is_allow)) aggregation — no UDFs,
-  * no driver loops, DuckDB-mirrorable line for line (the robots_filter
-  * gate). Wildcard-free rules (the overwhelming majority in the wild)
-  * keep the codegen'd `startsWith` residual; only rules that actually
-  * use `*`/`$` pay the regex. At 100 TB the rules side is the small one
-  * (one robots.txt per host) and stays broadcast; the URL side never
-  * shuffles for the verdict join. */
+  * Everything is window/join/fold algebra — group assignment is a
+  * running sum over line index PARTITIONED BY HOST (robots bodies are
+  * KB-sized, so per-host windows are bounded by construction), and rule
+  * application collapses each host's rules to ONE broadcast array row,
+  * with the winning rule computed per URL by higher-order functions
+  * (`filter` the matching rules, `aggregate` the longest-path/
+  * allow-wins max) — no UDFs, no driver loops, DuckDB-mirrorable line
+  * for line (the robots_filter gate). Wildcard-free rules (the
+  * overwhelming majority in the wild) keep the codegen'd `startswith`
+  * test; only rules that actually use `*`/`$` pay the regex. At 100 TB
+  * the rules side is the small one (one robots.txt per host) and stays
+  * broadcast; the URL corpus crosses ZERO shuffles for the verdict —
+  * no matched-row groupBy, no join-back (PlanSpec-pinned). */
 object Robots {
 
   /** Parse robots.txt bodies into `(host, rule, path, pattern, wild)`
