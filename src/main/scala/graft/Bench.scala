@@ -69,8 +69,8 @@ object Bench {
         .map(_.group(1)).getOrElse("{}")
     val servingKeys = Seq("store_build_sec", "point_lookup_qps",
       "point_lookup_qps_plan", "point_lookup_qps_16w",
-      "point_lookup_qps_cached", "merge_batch_sec", "decode_rows_per_sec",
-      "tcp_query_qps")
+      "point_lookup_qps_miss", "point_lookup_qps_cached",
+      "merge_batch_sec", "decode_rows_per_sec", "tcp_query_qps")
     val servingPart =
       servingKeys.map(k => s""""$k":${num(serving, k)}""").mkString(",")
     // The driver keeps only the LAST ~2000 chars of stdout: a single
@@ -177,11 +177,12 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
       queries.util.prebuiltStorePath(spark, sfDir): Unit
     } catch { case _: Throwable => () }
-    val (buildSec, qps, planQps, wideQps, cachedQps, mergeSec, tcpQps) =
+    val (buildSec, qps, planQps, wideQps, missQps, cachedQps, mergeSec,
+      tcpQps) =
       try benchPointLookups(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] point-lookups failed: ${e.getMessage}")
-        (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0)
+        (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0)
       }
     val decodeRate =
       try benchDecodeRate(spark, sfDir)
@@ -189,7 +190,7 @@ object Bench {
         System.err.println(s"[bench] decode-rate failed: ${e.getMessage}")
         -1.0
       }
-    s""""store_build_sec":${fmt(buildSec, 3)},"point_lookup_qps":${fmt(qps, 1)},"point_lookup_qps_plan":${fmt(planQps, 1)},"point_lookup_qps_16w":${fmt(wideQps, 1)},"point_lookup_qps_cached":${fmt(cachedQps, 1)},"merge_batch_sec":${fmt(mergeSec, 3)},"decode_rows_per_sec":${fmt(decodeRate, 0)},"tcp_query_qps":${fmt(tcpQps, 1)}"""
+    s""""store_build_sec":${fmt(buildSec, 3)},"point_lookup_qps":${fmt(qps, 1)},"point_lookup_qps_plan":${fmt(planQps, 1)},"point_lookup_qps_16w":${fmt(wideQps, 1)},"point_lookup_qps_miss":${fmt(missQps, 1)},"point_lookup_qps_cached":${fmt(cachedQps, 1)},"merge_batch_sec":${fmt(mergeSec, 3)},"decode_rows_per_sec":${fmt(decodeRate, 0)},"tcp_query_qps":${fmt(tcpQps, 1)}"""
   }
 
   /** True decoder throughput: payloads pre-materialized (generation cost
@@ -245,7 +246,7 @@ object Bench {
     * LOSES to the pruned scan (InMemoryRelation drops partition pruning —
     * every lookup scans all cached partitions). */
   private def benchPointLookups(spark: SparkSession, sfDir: String)
-      : (Double, Double, Double, Double, Double, Double, Double) = {
+      : (Double, Double, Double, Double, Double, Double, Double, Double) = {
     val dir = java.nio.file.Files.createTempDirectory("graft-bench-store").toString
     val t0 = System.nanoTime()
     operators.ObservationStore.writeDual(
@@ -278,6 +279,11 @@ object Bench {
     // capacity at 16 workers: the fast path is read-bound, not
     // scheduler-bound, so it scales with cores until the disk saturates
     val wideQps = runServe(1000, workers = 16)
+    // NEGATIVE lookups — the workload the seek-column parquet blooms
+    // serve (the reference's RocksDB answers these from block blooms):
+    // an absent key should skip every row group from footer metadata
+    val missQps = timed(1000, 5)(i =>
+      store.servePoint(rdata = Some(s"absent-key-$i")).get: Unit)
 
     // Spark-plan path for trend continuity. AQE off: it buys nothing for
     // a single-stage pre-pruned scan but costs per-query driver planning
@@ -353,6 +359,7 @@ object Bench {
       operators.ObservationStore.mergeBatch(spark, dir, batch)
       (System.nanoTime() - t2) / 1e9
     }
-    (buildSec, serveQps, planQps, wideQps, cachedQps, mergeSec, tcpQps)
+    (buildSec, serveQps, planQps, wideQps, missQps, cachedQps, mergeSec,
+      tcpQps)
   }
 }

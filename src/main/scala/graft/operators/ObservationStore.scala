@@ -200,16 +200,33 @@ object ObservationStore {
     val withDerived = derived.foldLeft(df) {
       case (d, (name, c)) => d.withColumn(name, c)
     }
-    val w = withDerived
+    val w = bloomOpts(withDerived
       .withColumn("bucket", bucketOf(col(keyCol), numBuckets))
       .repartition(col("bucket"))
       .sortWithinPartitions(("bucket" +: sortCols).map(col): _*)
-      .write
+      .write, keyCol)
     (if (dynamic)
        w.option("partitionOverwriteMode", "dynamic")
      else w)
       .mode("overwrite").partitionBy("bucket").parquet(path)
   }
+
+  /** Store-copy writer options EVERY bucket rewrite shares (initial
+    * build, merge staging, expiry survivors, compaction): a PARQUET
+    * BLOOM FILTER on the copy's seek column. The reference's RocksDB
+    * answers negative lookups from its block blooms
+    * (`rocksdb-impl.c`'s default table policy); parquet row-group
+    * blooms give the same story — an absent key skips every row group
+    * without touching data pages — and BOTH serving paths use them
+    * automatically (parquet-mr's RowGroupFilter under the fast path's
+    * `readNextFilteredRowGroup`, Spark's parquet pushdown under the
+    * plan path). Adaptive sizing: bloom bytes follow the observed NDV
+    * instead of the 1 MB static default. Kept in ONE place so a bucket
+    * rewritten by expiry/compaction never silently loses its bloom. */
+  private def bloomOpts[T](w: org.apache.spark.sql.DataFrameWriter[T],
+      keyCol: String): org.apache.spark.sql.DataFrameWriter[T] =
+    w.option(s"parquet.bloom.filter.enabled#$keyCol", "true")
+      .option("parquet.bloom.filter.adaptive.enabled", "true")
 
   private val Copies = Seq(
     ("by_rrname", "rrname", Seq("rrname", "sensor_id", "rrtype", "rdata")),
@@ -422,9 +439,9 @@ object ObservationStore {
         val survivors = existing
           .filter(col("last_seen") >= lit(cutoff))
           .select(dataCols ++ persisted.map(col) :+ col("bucket"): _*)
-        survivors
+        bloomOpts(survivors
           .sortWithinPartitions(("bucket" +: sortCols).map(col): _*)
-          .write.mode("overwrite").partitionBy("bucket")
+          .write, keyCol).mode("overwrite").partitionBy("bucket")
           .parquet(s"$staging/$sub")
         // a fully-expired bucket has no survivors, so the write stages
         // nothing for it — stage an explicit empty bucket (a
@@ -598,14 +615,15 @@ object ObservationStore {
           .map(_.getPath.getName.stripPrefix("bucket=").toLong)
       if (multi.nonEmpty) {
         val persisted = derivedCols(keyCol, effLayout).map(_._1)
-        spark.read.parquet(s"$path/$sub")
+        bloomOpts(spark.read.parquet(s"$path/$sub")
           .filter(col("bucket").isin(multi.map(Long.box): _*))
           .select(dataCols ++ persisted.map(col) :+ col("bucket"): _*)
           // all rows of a bucket land in one task, so the dynamic
           // partition writer emits exactly ONE file per bucket dir
           .repartition(col("bucket"))
           .sortWithinPartitions(("bucket" +: sortCols).map(col): _*)
-          .write.mode("overwrite").partitionBy("bucket")
+          .write, keyCol)
+          .mode("overwrite").partitionBy("bucket")
           .parquet(s"$staging/$sub")
       }
       multi.size.toLong

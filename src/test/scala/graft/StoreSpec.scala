@@ -357,6 +357,37 @@ class StoreSpec extends AnyFunSuite {
       ObservationStore.load(spark, s"$dir/st").forward
         .drop("bucket").collect().map(_.toSeq).toSet
 
+    // every file the store machinery writes carries the seek-column
+    // BLOOM FILTER (negative lookups skip all row groups); asserted on
+    // the footer so a silently-ignored writer option fails. (The
+    // fragmentation util below rewrites raw files without blooms —
+    // real churn comes from merges, which share writeCopy's options.)
+    def bloomOf(sub: String, key: String, present: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val files = new java.io.File(s"$dir/st/$sub").listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
+        .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+      assert(files.nonEmpty)
+      val hits = files.map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          new org.apache.parquet.io.LocalInputFile(f.toPath))
+        try {
+          val block = r.getFooter.getBlocks.get(0)
+          val cm = block.getColumns.asScala
+            .find(_.getPath.toDotString == key).get
+          val bloom = r.getBloomFilterDataReader(block).readBloomFilter(cm)
+          assert(bloom != null, s"$sub/$key bloom missing in $f")
+          bloom.findHash(bloom.hash(
+            org.apache.parquet.io.api.Binary.fromString(present)))
+        } finally r.close()
+      }
+      // no false negatives: the bucket actually holding `present` must
+      // report it — proving hash plumbing end to end, not just presence
+      assert(hits.contains(true), s"$sub/$key bloom misses $present")
+    }
+    bloomOf("by_rrname", "rrname", "foo")
+    bloomOf("by_rdata", "rdata", "1.1.1.1")
+
     // fresh store: single-file buckets → compaction is a NO-OP (no
     // epoch bump — reader caches stay warm)
     assert(ObservationStore.compact(spark, s"$dir/st") == 0L)
