@@ -561,6 +561,60 @@ object TextAnalysis {
       merges: Seq[(String, String)]): Column =
     transform(tokens(text), w => bpeWordString(w, merges))
 
+  // ------------------------------------- main-content block extraction
+
+  /** justext/Arc90-style MAIN-CONTENT extraction — the step between raw
+    * HTML and the quality gates that [[htmlExtract]] (strip everything)
+    * cannot do: navigation chrome, link farms and tag soup score OUT,
+    * paragraphs of prose score IN. The page splits into blocks at
+    * block-level tags; each block carries exact-integer density
+    * signals — stripped-text length, markup share of raw chars,
+    * link-text share of text chars — and survives when
+    * `text_len ≥ minTextChars`, `markup ≤ maxMarkupPct%` and
+    * `link text ≤ maxLinkPct%` (the justext defaults in spirit; all
+    * comparisons cross-multiplied, no floats). Anchors spanning a block
+    * boundary count toward neither side — a heuristic, like every
+    * boilerplate detector. Output columns: `content` (kept blocks,
+    * entity-decoded, newline-joined), `n_blocks` (non-empty),
+    * `n_kept`. Narrow split + higher-order-function pass, zero
+    * shuffle, Java/RE2-portable regexes (`[ \t\n\r]` spelled out — no
+    * `\s`). */
+  def contentColumns(html: Column, minTextChars: Int = 25,
+      maxMarkupPct: Int = 40, maxLinkPct: Int = 30): Seq[Column] = {
+    val noScript =
+      regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val clean = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val blocks = split(clean,
+      "(?i)</?(?:p|div|td|th|li|ul|ol|h[1-6]|section|article|header|" +
+        "footer|nav|aside|table|tr|blockquote|body|html|head|title|br)" +
+        "\\b[^>]*>")
+    def stripTags(c: Column) = regexp_replace(c, "(?s)<[^>]*>", " ")
+    def squash(c: Column) = trim(regexp_replace(c, "[ \\t\\n\\r]+", " "))
+    val scored = transform(blocks, b => {
+      val text = squash(stripTags(b))
+      val linkLen = aggregate(
+        regexp_extract_all(b, lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1)),
+        lit(0L), (acc, a) => acc + length(squash(stripTags(a))))
+      struct(text.as("text"), length(text).as("text_len"),
+        (length(b) - length(stripTags(b))).as("markup_len"),
+        length(b).as("raw_len"), linkLen.as("link_len"))
+    })
+    val kept = filter(scored, s =>
+      s.getField("text_len") >= minTextChars &&
+        s.getField("markup_len") * 100 <=
+          s.getField("raw_len") * maxMarkupPct &&
+        s.getField("link_len") * 100 <=
+          s.getField("text_len") * maxLinkPct)
+    Seq(
+      decodeEntities(concat_ws("\n",
+        transform(kept, s => s.getField("text")))).as("content"),
+      size(filter(scored, s => s.getField("text_len") > 0))
+        .cast("long").as("n_blocks"),
+      size(kept).cast("long").as("n_kept"))
+  }
+
   // ------------------------------------------------- token rarity
 
   /** Corpus-frequency-rank rarity — the CCNet-style "how unusual is

@@ -642,6 +642,26 @@ object PipelineQueries {
           TextAnalysis.htmlExtract(col("html")).as("text"))
     }),
 
+    // justext-style main-content extraction: each doc renders into a
+    // page whose chrome blocks are DESIGNED to fail one signal each —
+    // the title is too short, the nav is markup- and link-dominated,
+    // "short." is under the length floor, the copyright div is
+    // link-dominated — so only the document's own paragraph can
+    // survive (iff its escaped text reaches 25 chars). The oracle
+    // states exactly that from the template.
+    "content_extract" -> ((s, dir) => {
+      val page = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title></head><body><nav><a href=\"/\">Home</a> | " +
+          "<a href=\"/about\">About this site</a> | " +
+          "<a href=\"/contact\">Contact page</a></nav><p>short.</p><p>"),
+        TextAnalysis.htmlEscape(col("text")),
+        lit("</p><div>Copyright &amp; legal <a href=\"/tos\">terms of " +
+          "service link text here</a></div></body></html>"))
+      docs(s, dir).select(
+        col("doc_id") +: TextAnalysis.contentColumns(page): _*)
+    }),
+
     // Gopher-style rule filter: one 1/0 flag per rule + the conjunction.
     "gopher_filter" -> ((s, dir) =>
       docs(s, dir).select(
@@ -1735,6 +1755,28 @@ object PipelineQueries {
          |    AS n_subwords
          |FROM documents
          |""".stripMargin,
+
+    "content_extract" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(text, '&', '&amp;'),
+        |        '<', '&lt;'), '>', '&gt;'),
+        |      '[ \t\n\r]+', ' ', 'g')) AS esc
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN length(esc) >= 25 THEN
+        |    replace(replace(replace(replace(replace(replace(replace(esc,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '),
+        |      '&amp;', '&')
+        |  ELSE '' END AS content,
+        |  CAST(4 + CASE WHEN length(esc) > 0 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_blocks,
+        |  CAST(CASE WHEN length(esc) >= 25 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_kept
+        |FROM t
+        |""".stripMargin,
 
     "token_rarity" ->
       """WITH toks AS (

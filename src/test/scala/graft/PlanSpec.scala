@@ -823,6 +823,10 @@ class PlanSpec extends AnyFunSuite {
       .aHash64(org.apache.spark.sql.functions.expr(
         "transform(sequence(1, 72), i -> i)"))))
     assert(!aplan.contains("Exchange"), aplan)
+    // content-block extraction: split + HOF scoring, zero shuffle
+    val cplan = explainOf(docsDf.select(graft.operators.TextAnalysis
+      .contentColumns(col("text")): _*))
+    assert(!cplan.contains("Exchange"), cplan)
   }
 
   test("round-10 ops: narrow text passes; delay schedule broadcasts") {
