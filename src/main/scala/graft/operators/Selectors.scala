@@ -61,6 +61,76 @@ object Selectors {
     def condition(df: DataFrame): Column = predicate(df)
   }
 
+  /** T3 for REAL: run a user's `selector.lua` per observation through
+    * [[MiniLua]] (`selector/selector_lua.go:29-162`) — `process(o)` is
+    * called with the observation userdata, and the script's `add_tag`
+    * calls become the row's new tags. Unlike the other selectors, the
+    * tag SET comes from the script, not the config — so this node
+    * rewrites the tags column directly (see `applyOne`). A script error
+    * on a row leaves that row's tags unchanged (the engine must not die
+    * on one malformed observation). Interpreted per row — the
+    * documented escape hatch; regex selectors stay the codegen'd hot
+    * path. */
+  final case class LuaScriptSelector(
+      script: String,
+      ingests: Seq[String] = Seq.empty
+  ) extends Selector {
+    def tags: Seq[String] = Seq.empty
+    def condition(df: DataFrame): Column = lit(true)
+    private[operators] val proc = new LuaProcess(script)
+    private[operators] def tagsColumn: Column = {
+      val p = proc
+      val f = udf((rcode: String, rdata: String, rrtype: String,
+          rrname: String, sensorId: String, tags: Seq[String]) =>
+        p.run(rcode, rdata, rrtype, rrname, sensorId,
+          Option(tags).getOrElse(Seq.empty)))
+      f(coalesce(col("rcode"), lit("")), coalesce(col("rdata"), lit("")),
+        coalesce(col("rrtype"), lit("")), coalesce(col("rrname"), lit("")),
+        coalesce(col("sensor_id"), lit("")), col("tags"))
+    }
+  }
+
+  /** One parsed Lua script, executed per observation. Serializable for
+    * UDF shipping; the parse is cached per JVM ([[MiniLua.parse]] result
+    * is immutable), each `run` builds a fresh environment — thread-safe
+    * by construction. */
+  final class LuaProcess(script: String) extends Serializable {
+    @transient private lazy val chunk = MiniLua.parse(script)
+    def run(rcode: String, rdata: String, rrtype: String, rrname: String,
+        sensorId: String, tags: Seq[String]): Seq[String] = {
+      import MiniLua._
+      val cur = scala.collection.mutable.ArrayBuffer[String](tags: _*)
+      def s(v: String) = Seq[LV](LStr(v))
+      val obs = LUser(Map(
+        "rcode" -> (_ => s(rcode)),
+        "rdata" -> (_ => s(rdata)),
+        "rrtype" -> (_ => s(rrtype)),
+        "rrname" -> (_ => s(rrname)),
+        "sensor_id" -> (_ => s(sensorId)),
+        "tags" -> (_ => {
+          val t = new LTable
+          cur.foreach(x => t.arr += LStr(x))
+          Seq(t)
+        }),
+        "add_tag" -> (args => {
+          args.headOption match {
+            case Some(LStr(tag)) => if (!cur.contains(tag)) cur += tag
+            case _               => ()
+          }
+          Seq.empty
+        })))
+      try {
+        val g = stdEnv()
+        exec(chunk, g)
+        g.lookup("process") match {
+          case Some(f) => call(f, Seq(obs)): Unit
+          case None => throw new LuaError("script defines no process(o)")
+        }
+        cur.toSeq
+      } catch { case _: Exception => tags } // row-local failure: no-op
+    }
+  }
+
   private def ensureTags(df: DataFrame): DataFrame =
     if (df.columns.contains("tags")) df
     else df.withColumn("tags", array().cast("array<string>"))
@@ -69,10 +139,19 @@ object Selectors {
     val triggered =
       if (s.ingests.isEmpty) lit(true)
       else arrays_overlap(col("tags"), lit(s.ingests.toArray))
-    df.withColumn("tags",
-      when(triggered && s.condition(df),
-        array_union(col("tags"), lit(s.tags.toArray)))
-        .otherwise(col("tags")))
+    s match {
+      case l: LuaScriptSelector =>
+        // the script computes the row's whole tag set (monotone: it can
+        // only ADD — run() unions onto the current tags), so the column
+        // is rewritten rather than array_union'd with a fixed list
+        df.withColumn("tags",
+          when(triggered, l.tagsColumn).otherwise(col("tags")))
+      case _ =>
+        df.withColumn("tags",
+          when(triggered && s.condition(df),
+            array_union(col("tags"), lit(s.tags.toArray)))
+            .otherwise(col("tags")))
+    }
   }
 
   /** T4 — run the selector engine to its fixed point. Untagged selectors

@@ -51,6 +51,29 @@ object SelectorQueries {
         struct(lit("catchall").as("sink"), col("n_all").as("n")))).as("r"))
         .select(col("r.sink").as("sink"), col("r.n").as("n"))
     }),
+
+    // T3 for real — a Lua script (MiniLua interpreter, the reference's
+    // gopher-lua process(o) contract) tags observations per row: a Lua
+    // PATTERN over rrname and a plain find over rdata, each adding its
+    // own tag. The oracle restates both predicates in SQL; any
+    // divergence in the interpreter's pattern/string semantics breaks
+    // the sorted tag CSV hash.
+    "selector_lua" -> ((s, dir) => {
+      val lua = Selectors.LuaScriptSelector(
+        "function process(o)\n" +
+          "  if o:rrname():match(\"^part%-%d*[05]$\") then\n" +
+          "    o:add_tag(\"mod5ish\")\n" +
+          "  end\n" +
+          "  if string.find(o:rdata(), \"1\", 1, true) then\n" +
+          "    o:add_tag(\"has1\")\n" +
+          "  end\n" +
+          "end")
+      Selectors.engine(
+        aggMicros(s, dir).withColumn("rcode", lit("NOERROR")), Seq(lua))
+        .select(col("rrname"), col("sensor_id"), col("rrtype"),
+          col("rdata"), col("count"),
+          array_join(array_sort(col("tags")), ",").as("tag_list"))
+    }),
   )
 
   private val tagCase =
@@ -64,6 +87,17 @@ object SelectorQueries {
       s"""$obsCte
          |SELECT rrname, sensor_id, rrtype, rdata, "count",
          |       $tagCase AS tag_list
+         |FROM agg
+         |""".stripMargin,
+
+    "selector_lua" ->
+      s"""$obsCte
+         |SELECT rrname, sensor_id, rrtype, rdata, "count",
+         |  COALESCE(array_to_string(list_sort(
+         |    CASE WHEN regexp_matches(rrname, '^part-[0-9]*[05]$$')
+         |         THEN ['mod5ish'] ELSE [] END ||
+         |    CASE WHEN contains(rdata, '1') THEN ['has1'] ELSE [] END),
+         |    ','), '') AS tag_list
          |FROM agg
          |""".stripMargin,
 

@@ -100,13 +100,18 @@ object ConfigYaml {
   /** Load a `selectors.yaml` into engine-ready selectors. `readPatterns`
     * resolves a regexp FILE reference to its patterns (the reference
     * reads one regex per line from each listed file,
-    * `selector_regex.go:38-48`); `hooks` binds `type: lua` entries to
-    * their Spark-side [[Selectors.HookSelector]] substitutes by script
-    * name (SURVEY §2.2: arbitrary predicates instead of a Lua VM). */
+    * `selector_regex.go:38-48`). `type: lua` entries run for REAL:
+    * `readScript` resolves the script file and
+    * [[Selectors.LuaScriptSelector]] interprets it per observation
+    * ([[Selectors.LuaProcess]]/MiniLua — the reference's gopher-lua
+    * `process(o)` contract, `selector_lua.go:29-162`); a `hooks` entry
+    * registered under the script name takes precedence, for scripts
+    * needing features outside the supported Lua subset. */
   def loadSelectors(
       yaml: String,
       readPatterns: String => Seq[String],
-      hooks: Map[String, Selectors.HookSelector] = Map.empty
+      hooks: Map[String, Selectors.HookSelector] = Map.empty,
+      readScript: String => Option[String] = _ => None
   ): Seq[Selectors.Selector] = {
     def fail(msg: String) = throw new IllegalArgumentException(msg)
     asList(asMap(parse(yaml)).getOrElse("selectors", null)).map(asMap).map { s =>
@@ -121,11 +126,28 @@ object ConfigYaml {
             filterMode = s.get("mode").exists(_.toString == "filter"))
         case "lua" =>
           val script = s.getOrElse("script", fail("script missing")).toString
-          hooks.getOrElse(script,
-              fail(s"no hook registered for lua script '$script'"))
-            .copy(tags = tags, ingests = ingests)
+          hooks.get(script)
+            .map(_.copy(tags = tags, ingests = ingests))
+            .orElse(readScript(script)
+              .map(src => Selectors.LuaScriptSelector(src, ingests)))
+            .getOrElse(fail(
+              s"lua script '$script' not resolvable (no file, no hook)"))
         case other => fail(s"unknown selector type: $other")
       }
+    }
+  }
+
+  /** Default script resolver for [[loadSelectors]]'s lua entries: read
+    * the named file under `baseDir` (Hadoop FS — local/hdfs/s3a),
+    * `None` when absent so a registered hook can take over. */
+  def scriptFromFiles(spark: org.apache.spark.sql.SparkSession,
+      baseDir: String): String => Option[String] = { name =>
+    val p = new org.apache.hadoop.fs.Path(baseDir, name)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
     }
   }
 

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{MiniLua, Selectors}
+import graft.operators.Selectors.{LuaProcess, LuaScriptSelector}
+
+/** The Lua selector surface (T3): interpreter semantics, the
+  * observation API, and the reference's own example script verbatim. */
+class MiniLuaSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def run(script: String, rrname: String = "www.example.com",
+      rdata: String = "1.2.3.4", rrtype: String = "A",
+      rcode: String = "NOERROR", sensor: String = "s1",
+      tags: Seq[String] = Seq.empty): Seq[String] =
+    new LuaProcess(script).run(rcode, rdata, rrtype, rrname, sensor, tags)
+
+  test("interpreter core: control flow, strings, tables, patterns") {
+    // numeric for + concat + table length + string lib + comparisons
+    val tagsOut = run("""
+      local function classify(name)
+        if string.find(name, "mail", 1, true) then return "mail" end
+        if name:match("^www%.") then return "web" end
+        return "other"
+      end
+      function process(o)
+        local parts = {}
+        local n = 0
+        for i = 1, 3 do n = n + i end
+        if n == 6 and #o:rrname() > 0 then
+          o:add_tag(classify(o:rrname()))
+        end
+        local t = o:tags()
+        if #t >= 1 and t[1] == "web" then o:add_tag("seen") end
+        -- string stdlib round trip
+        if string.upper(string.sub("abcdef", 2, 4)) == "BCD" and
+           string.lower("XY") .. tostring(2) == "xy2" and
+           string.rep("ab", 2) == "abab" and
+           ("%d+"):len() == 3 then
+          o:add_tag("stdlib")
+        end
+        -- Lua patterns: classes, captures, anchors, quantifiers
+        local h = string.match(o:rrname(), "^([%w]+)%.(.+)$")
+        if h == "www" then o:add_tag("host-" .. h) end
+        while false do break end
+        repeat local x = 1 until true
+      end""")
+    assert(tagsOut == Seq("web", "seen", "stdlib", "host-www"))
+
+    // predicate over rdata/rrtype; numeric compare; else branch
+    assert(run("""
+      function process(o)
+        if o:rrtype() == "A" and o:rdata():find("^1%.2%.") then
+          o:add_tag("net-1-2")
+        else
+          o:add_tag("other")
+        end
+      end""") == Seq("net-1-2"))
+
+    // existing tags are visible and preserved; add_tag dedups
+    assert(run("""
+      function process(o)
+        o:add_tag("x")
+        o:add_tag("x")
+      end""", tags = Seq("pre")) == Seq("pre", "x"))
+  }
+
+  test("totality: script errors and missing process leave tags unchanged") {
+    assert(run("function process(o) error_call(nil .. 1) end",
+      tags = Seq("keep")) == Seq("keep"))
+    assert(run("local x = 1", tags = Seq("keep")) == Seq("keep"))
+    // parse error is also row-local
+    assert(run("function process(o", tags = Seq("keep")) == Seq("keep"))
+  }
+
+  test("the reference's example selector.lua runs verbatim") {
+    val ref = new java.io.File("/root/reference/selector.lua")
+    assume(ref.exists(), "reference script not present in this environment")
+    val script = new String(
+      java.nio.file.Files.readAllBytes(ref.toPath), "UTF-8")
+    // the example prints every field, iterates tags before and after,
+    // and adds the tag "foo" (selector.lua:1-24)
+    assert(run(script, tags = Seq("pre")) == Seq("pre", "foo"))
+  }
+
+  test("LuaScriptSelector in the engine: ingest gating + routing") {
+    val df = Seq(
+      ("mail.example.com", "1.1.1.1", "A", "NOERROR", "s1"),
+      ("www.example.com", "2.2.2.2", "A", "NOERROR", "s1"),
+      ("mail.other.org", "3.3.3.3", "AAAA", "NOERROR", "s2")
+    ).toDF("rrname", "rdata", "rrtype", "rcode", "sensor_id")
+    val lua = LuaScriptSelector("""
+      function process(o)
+        if string.find(o:rrname(), "mail", 1, true) then
+          o:add_tag("mailhost")
+          if o:rrtype() == "A" then o:add_tag("mail-v4") end
+        end
+      end""")
+    // a downstream regex selector triggered BY the lua-added tag
+    val downstream = Selectors.RegexSelector(Seq("other"), Seq("ext"),
+      ingests = Seq("mailhost"))
+    val tagged = Selectors.engine(df, Seq(lua, downstream))
+    val byName = tagged.select("rrname", "tags")
+      .as[(String, Seq[String])].collect().toMap
+    assert(byName("mail.example.com") == Seq("mailhost", "mail-v4"))
+    assert(byName("www.example.com") == Seq.empty)
+    assert(byName("mail.other.org") == Seq("mailhost", "ext"))
+    // routing consumes the script-added tags
+    assert(Selectors.routeTo(tagged, Some("mail-v4"))
+      .select("rrname").as[String].collect().toSeq ==
+      Seq("mail.example.com"))
+  }
+
+  test("YAML type: lua resolves the script file and runs it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-luas")
+    java.nio.file.Files.write(dir.resolve("tagger.lua"),
+      """function process(o)
+        |  if o:sensor_id() == "s9" then o:add_tag("sensor9") end
+        |end""".stripMargin.getBytes("UTF-8"))
+    val yaml =
+      """selectors:
+        |  - name: lua tagger
+        |    type: lua
+        |    script: tagger.lua
+        |""".stripMargin
+    val sels = graft.sources.ConfigYaml.loadSelectors(yaml, _ => Seq.empty,
+      readScript =
+        graft.sources.ConfigYaml.scriptFromFiles(spark, dir.toString))
+    assert(sels.length == 1 && sels.head.isInstanceOf[LuaScriptSelector])
+    val df = Seq(("a.example", "1.1.1.1", "A", "NOERROR", "s9"),
+      ("b.example", "2.2.2.2", "A", "NOERROR", "s1"))
+      .toDF("rrname", "rdata", "rrtype", "rcode", "sensor_id")
+    val out = Selectors.engine(df, sels)
+      .select("rrname", "tags").as[(String, Seq[String])].collect().toMap
+    assert(out("a.example") == Seq("sensor9"))
+    assert(out("b.example") == Seq.empty)
+    // unresolvable script with no hook still fails loudly
+    intercept[IllegalArgumentException](
+      graft.sources.ConfigYaml.loadSelectors(yaml, _ => Seq.empty))
+  }
+}
