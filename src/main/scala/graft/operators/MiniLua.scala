@@ -104,6 +104,8 @@ object MiniLua {
       orElse: Seq[Stat]) extends Stat
   final case class SForNum(v: String, from: Expr, to: Expr,
       step: Option[Expr], body: Seq[Stat]) extends Stat
+  final case class SForIn(names: Seq[String], exprs: Seq[Expr],
+      body: Seq[Stat]) extends Stat
   final case class SWhile(cond: Expr, body: Seq[Stat]) extends Stat
   final case class SRepeat(body: Seq[Stat], until: Expr) extends Stat
   final case class SReturn(values: Seq[Expr]) extends Stat
@@ -259,14 +261,22 @@ object MiniLua {
         SIf(branches.result(), els)
       case "for" =>
         p += 1
-        val v = eat("name").text
-        eat("=")
-        val from = expr(); eat(",")
-        val to = expr()
-        val step = if (opt(",")) Some(expr()) else None
-        eat("do")
-        val body = block(Set("end")); eat("end")
-        SForNum(v, from, to, step, body)
+        val names = nameList()
+        if (names.length == 1 && at("=")) {
+          eat("=")
+          val from = expr(); eat(",")
+          val to = expr()
+          val step = if (opt(",")) Some(expr()) else None
+          eat("do")
+          val body = block(Set("end")); eat("end")
+          SForNum(names.head, from, to, step, body)
+        } else {
+          eat("in")
+          val exprs = exprList()
+          eat("do")
+          val body = block(Set("end")); eat("end")
+          SForIn(names, exprs, body)
+        }
       case "while" =>
         p += 1
         val c = expr(); eat("do")
@@ -493,6 +503,28 @@ object MiniLua {
         inner.declare(v, LNum(i))
         exec(body, inner)
         i += step
+      } catch { case BreakEx() => () }
+    case SForIn(names, exprs, body) =>
+      // generic for (Lua 5.1 §2.4.5): explist → iterator f, state s,
+      // control var c; each round calls f(s, c) until the first result
+      // is nil
+      val vals = evalMulti(exprs, env, 3)
+      val f = vals(0); val st = vals(1); var ctrl = vals(2)
+      try {
+        var done = false
+        while (!done) {
+          val rs = call(f, Seq(st, ctrl))
+          val first = rs.headOption.getOrElse(LNil)
+          if (first == LNil) done = true
+          else {
+            ctrl = first
+            val inner = new Env(Some(env))
+            names.zipWithIndex.foreach { case (n, i) =>
+              inner.declare(n, if (i < rs.length) rs(i) else LNil)
+            }
+            exec(body, inner)
+          }
+        }
       } catch { case BreakEx() => () }
     case SWhile(cond, body) =>
       try while (truthy(evalOne(cond, env)))
@@ -878,6 +910,78 @@ object MiniLua {
           Seq(LNum(st + 1.0), LNum(en.toDouble)) ++ caps.map(LStr(_))
       }
     }),
+    "gmatch" -> LBuiltin("gmatch", a => {
+      val s = argStr(a, 0, "gmatch")
+      val pat = argStr(a, 1, "gmatch")
+      var pos = 0
+      val iter = LBuiltin("gmatch_iter", _ =>
+        if (pos > s.length) Seq(LNil)
+        else Pattern.find(s, pat, pos) match {
+          case None => pos = s.length + 1; Seq(LNil)
+          case Some((st, en, caps)) =>
+            pos = if (en > st) en else en + 1 // empty match: step forward
+            if (caps.nonEmpty) caps.map(LStr(_))
+            else Seq(LStr(s.substring(st, en)))
+        })
+      Seq(iter)
+    }),
+    "gsub" -> LBuiltin("gsub", a => {
+      val s = argStr(a, 0, "gsub")
+      val pat = argStr(a, 1, "gsub")
+      val repl = arg(a, 2)
+      val maxN = arg(a, 3) match {
+        case LNum(d) => d.toInt
+        case _       => Int.MaxValue
+      }
+      val sb = new StringBuilder
+      var pos = 0
+      var count = 0
+      var going = true
+      while (going && pos <= s.length && count < maxN) {
+        Pattern.find(s, pat, pos) match {
+          case None => going = false
+          case Some((st, en, caps)) =>
+            sb.append(s.substring(pos, st))
+            val whole = s.substring(st, en)
+            def cap(i: Int): String =
+              if (i == 0 || caps.isEmpty) whole
+              else if (i <= caps.length) caps(i - 1)
+              else ""
+            val replaced: String = repl match {
+              case LStr(r) =>
+                val rb = new StringBuilder
+                var j = 0
+                while (j < r.length) {
+                  if (r(j) == '%' && j + 1 < r.length) {
+                    val c = r(j + 1)
+                    if (c.isDigit) rb.append(cap(c - '0'))
+                    else rb.append(c)
+                    j += 2
+                  } else { rb.append(r(j)); j += 1 }
+                }
+                rb.toString
+              case f @ (_: LFunc | _: LBuiltin) =>
+                val args =
+                  if (caps.nonEmpty) caps.map(LStr(_): LV) else Seq(LStr(whole): LV)
+                call(f, args).headOption match {
+                  case Some(LStr(x)) => x
+                  case Some(n: LNum) => toStr(n)
+                  case _             => whole // nil/false keeps the match
+                }
+              case _ => whole
+            }
+            sb.append(replaced)
+            count += 1
+            if (en > st) pos = en
+            else { // empty match: copy one char and advance
+              if (st < s.length) sb.append(s(st))
+              pos = st + 1
+            }
+        }
+      }
+      if (pos <= s.length) sb.append(s.substring(math.min(pos, s.length)))
+      Seq(LStr(sb.toString), LNum(count.toDouble))
+    }),
     "match" -> LBuiltin("match", a => {
       val s = argStr(a, 0, "match")
       val pat = argStr(a, 1, "match")
@@ -907,6 +1011,35 @@ object MiniLua {
       case _: LTable => "table"; case _: LUser => "userdata"
       case _ => "function"
     }))))
+    g.declare("ipairs", LBuiltin("ipairs", a => a.headOption match {
+      case Some(t: LTable) =>
+        val iter = LBuiltin("ipairs_iter", args => {
+          val i = arg(args, 1) match {
+            case LNum(d) => d.toInt
+            case _       => 0
+          }
+          if (i < t.arr.length) Seq(LNum(i + 1.0), t.arr(i)) else Seq(LNil)
+        })
+        Seq(iter, t, LNum(0))
+      case _ => throw new LuaError("ipairs: table expected")
+    }))
+    g.declare("pairs", LBuiltin("pairs", a => a.headOption match {
+      case Some(t: LTable) =>
+        // snapshot iteration (sequence part first, then hash part) —
+        // Lua leaves pairs order unspecified, so any stable order is
+        // conforming
+        val entries: Seq[(LV, LV)] =
+          t.arr.toSeq.zipWithIndex
+            .map { case (v, i) => (LNum(i + 1.0): LV, v) } ++
+            t.map.toSeq
+        var idx = 0
+        val iter = LBuiltin("pairs_iter", _ =>
+          if (idx < entries.length) {
+            val (k, v) = entries(idx); idx += 1; Seq(k, v)
+          } else Seq(LNil))
+        Seq(iter, t, LNil)
+      case _ => throw new LuaError("pairs: table expected")
+    }))
     val str = new LTable
     stringLib.foreach { case (k, v) => str.set(LStr(k), v) }
     g.declare("string", str)

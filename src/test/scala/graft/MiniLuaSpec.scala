@@ -68,6 +68,41 @@ class MiniLuaSpec extends AnyFunSuite {
       end""", tags = Seq("pre")) == Seq("pre", "x"))
   }
 
+  test("generic for, ipairs/pairs, gmatch and gsub") {
+    assert(run("""
+      function process(o)
+        -- ipairs over the tags table
+        local joined = ""
+        for i, t in ipairs(o:tags()) do
+          joined = joined .. i .. ":" .. t .. ";"
+        end
+        if joined == "1:a;2:b;" then o:add_tag("ipairs-ok") end
+        -- pairs over a constructed table (seq + hash parts)
+        local n = 0
+        for k, v in pairs({10, 20, x = 30}) do n = n + v end
+        if n == 60 then o:add_tag("pairs-ok") end
+        -- gmatch: iterate domain labels
+        local labels = {}
+        for lab in string.gmatch(o:rrname(), "[^%.]+") do
+          table.insert(labels, lab)
+        end
+        if #labels == 3 and labels[1] == "www" then
+          o:add_tag("labels-" .. #labels)
+        end
+        -- gsub: string replacement with capture reference + count
+        local dashed, cnt = o:rrname():gsub("%.", "-")
+        if dashed == "www-example-com" and cnt == 2 then
+          o:add_tag("gsub-ok")
+        end
+        local up = string.gsub("abc", "(%a)", function(c)
+          return string.upper(c)
+        end)
+        if up == "ABC" then o:add_tag("gsub-fn") end
+      end""", tags = Seq("a", "b")) ==
+      Seq("a", "b", "ipairs-ok", "pairs-ok", "labels-3", "gsub-ok",
+        "gsub-fn"))
+  }
+
   test("totality: script errors and missing process leave tags unchanged") {
     assert(run("function process(o) error_call(nil .. 1) end",
       tags = Seq("keep")) == Seq("keep"))
