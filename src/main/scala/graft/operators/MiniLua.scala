@@ -465,9 +465,29 @@ object MiniLua {
   private final case class BreakEx() extends RuntimeException
   private final case class ReturnEx(vals: Seq[LV]) extends RuntimeException
 
+  /** Per-thread step budget (one step per statement AND per loop
+    * iteration — iteration counting matters because an empty loop body
+    * executes no statements) — a `while true do end` in a user script
+    * must not hang an executor task forever. [[withFuel]] arms it
+    * around a run; exhaustion raises a LuaError the selector's
+    * row-local error handling absorbs. */
+  private val fuel = new ThreadLocal[Long] {
+    override def initialValue(): Long = Long.MaxValue
+  }
+  def withFuel[T](steps: Long)(f: => T): T = {
+    val prev = fuel.get()
+    fuel.set(steps)
+    try f finally fuel.set(prev)
+  }
+  private def burn(): Unit = {
+    val left = fuel.get() - 1
+    if (left < 0) throw new LuaError("script exceeded its step budget")
+    fuel.set(left)
+  }
+
   def exec(stats: Seq[Stat], env: Env): Unit = stats.foreach(execStat(_, env))
 
-  private def execStat(s: Stat, env: Env): Unit = s match {
+  private def execStat(s: Stat, env: Env): Unit = { burn(); s } match {
     case SLocal(names, init) =>
       val vals = evalMulti(init, env, names.length)
       names.zip(vals).foreach { case (n, v) => env.declare(n, v) }
@@ -499,6 +519,7 @@ object MiniLua {
       if (step == 0) throw new LuaError("'for' step is zero")
       var i = from
       try while (if (step > 0) i <= to else i >= to) {
+        burn()
         val inner = new Env(Some(env))
         inner.declare(v, LNum(i))
         exec(body, inner)
@@ -513,6 +534,7 @@ object MiniLua {
       try {
         var done = false
         while (!done) {
+          burn()
           val rs = call(f, Seq(st, ctrl))
           val first = rs.headOption.getOrElse(LNil)
           if (first == LNil) done = true
@@ -527,13 +549,17 @@ object MiniLua {
         }
       } catch { case BreakEx() => () }
     case SWhile(cond, body) =>
-      try while (truthy(evalOne(cond, env)))
+      // burn per ITERATION, not just per statement — an empty body
+      // (`while true do end`) executes no statements, so a
+      // statement-only budget would never trip
+      try while ({ burn(); truthy(evalOne(cond, env)) })
         exec(body, new Env(Some(env)))
       catch { case BreakEx() => () }
     case SRepeat(body, until) =>
       try {
         var done = false
         while (!done) {
+          burn()
           val inner = new Env(Some(env))
           exec(body, inner)
           done = truthy(evalOne(until, inner))
@@ -576,15 +602,26 @@ object MiniLua {
     case other => Seq(evalOne(other, env))
   }
 
+  /** Interpreter call depth — bounded well below the JVM stack so
+    * runaway recursion raises a catchable LuaError instead of a
+    * StackOverflowError (an Error, which the selector's row-local
+    * `case _: Exception` guard would NOT absorb). */
+  private val depth = new ThreadLocal[Int] { override def initialValue = 0 }
+  private val MaxDepth = 200
+
   def call(f: LV, args: Seq[LV]): Seq[LV] = f match {
     case LBuiltin(_, g) => g(args)
     case LFunc(params, body, closure) =>
+      if (depth.get() >= MaxDepth)
+        throw new LuaError("call stack too deep")
       val env = new Env(Some(closure))
       params.zipWithIndex.foreach { case (pn, i) =>
         env.declare(pn, if (i < args.length) args(i) else LNil)
       }
+      depth.set(depth.get() + 1)
       try { exec(body, env); Seq.empty }
       catch { case ReturnEx(vals) => vals }
+      finally depth.set(depth.get() - 1)
     case other => throw new LuaError(s"cannot call ${toStr(other)}")
   }
 

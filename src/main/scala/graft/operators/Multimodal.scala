@@ -247,4 +247,198 @@ object Multimodal {
     meta.groupBy(col("content_hash"))
       .agg(min("media_id").as("keep_id"), count(lit(1)).as("n_copies"),
         first("n_bytes").as("n_bytes"))
+
+  // ---------------------------------------------------------------- audio
+
+  /** Decoded PCM audio: interleaved signed samples (8-bit unsigned
+    * payloads are re-centered to signed by subtracting 128, so sample
+    * math is uniform across bit depths). */
+  final case class WavData(
+      sample_rate: Int,
+      channels: Int,
+      bits_per_sample: Int,
+      samples: Array[Int]    // interleaved: frame f, channel c at f*ch+c
+  )
+
+  /** Parse a RIFF/WAVE PCM payload byte-by-byte — WAV needs no codec,
+    * just the RIFF chunk walk (id/size pairs, word-aligned) plus the
+    * `fmt ` layout, so audio decodes for REAL in this environment the
+    * same way images do through ImageIO. Accepts linear PCM
+    * (`audioFormat == 1`) at 8 or 16 bits; anything else — compressed
+    * formats, float PCM, truncated or non-RIFF bytes — returns `None`
+    * and callers keep the stub path. Chunk sizes are validated against
+    * the payload so corrupt lengths cannot over-read. */
+  def parseWav(payload: Array[Byte]): Option[WavData] = {
+    def u8(i: Int) = payload(i) & 0xff
+    def u16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def u32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int) = new String(payload, i, 4, "US-ASCII")
+    if (payload.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE")
+      return None
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var data: Option[(Int, Int)] = None     // (offset, nBytes)
+    var off = 12
+    while (off + 8 <= payload.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(off)
+      val size = u32(off + 4)
+      if (size < 0 || off + 8 + size > payload.length) return None
+      val body = off + 8
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          val audioFormat = u16(body)
+          val ch = u16(body + 2)
+          val rate = u32(body + 4)
+          val bits = u16(body + 14)
+          if (audioFormat != 1 || ch < 1 || rate < 1 ||
+              rate > Int.MaxValue || (bits != 8 && bits != 16)) return None
+          fmt = Some((ch, rate.toInt, bits))
+        case "data" => data = Some((body, size.toInt))
+        case _      => () // LIST, fact, cue … — skip
+      }
+      off = body + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    for ((ch, rate, bits) <- fmt; (dOff, dLen) <- data) yield {
+      val n = if (bits == 16) dLen / 2 else dLen
+      val samples = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        samples(i) =
+          if (bits == 16) u16(dOff + 2 * i).toShort.toInt
+          else u8(dOff + i) - 128
+        i += 1
+      }
+      WavData(rate, ch, bits, samples)
+    }
+  }
+
+  /** Deterministic 16-bit PCM WAV bytes from interleaved samples — the
+    * in-engine audio generator for gates and tests (the [[grayPng]]
+    * analogue). PCM is lossless, so [[parseWav]] of this payload
+    * returns exactly `samples`. */
+  def pcmWav(sampleRate: Int, channels: Int,
+      samples: Array[Int]): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0,
+      s"bad wav params: rate=$sampleRate channels=$channels")
+    val dataLen = samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                       // linear PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort)  // block align
+      .putShort(16)                      // bits per sample
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => out.putShort(s.toShort))
+    out.array()
+  }
+
+  /** Exact-integer feature vector of a decoded waveform — the audio
+    * analogue of the image metadata pass, every field engine-portable:
+    * per-channel sample count, integer-µs duration, peak |sample|, the
+    * energy numerator Σ s² (consumers divide/√ themselves — no floats
+    * here), strict sign-flip zero crossings on channel 0 (the pitch /
+    * noisiness proxy), and full-scale clip count (damaged-capture
+    * signal). */
+  final case class WavFeatures(
+      sample_rate: Int, channels: Int, bits_per_sample: Int,
+      n_samples: Long,       // per channel (frames)
+      duration_us: Long,
+      peak: Int,
+      energy: Long,          // Σ sample² over all channels
+      zero_crossings: Long,  // channel 0, strict sign products < 0
+      clipped: Long          // samples at ±full scale for the bit depth
+  )
+
+  def wavFeatures(w: WavData): WavFeatures = {
+    val frames = w.samples.length.toLong / w.channels
+    var peak = 0; var energy = 0L; var zc = 0L; var clip = 0L
+    val full = if (w.bits_per_sample == 16) 32767 else 127
+    var i = 0
+    var prev0 = 0 // last channel-0 sample seen (0 before the first)
+    var seen0 = false
+    while (i < w.samples.length) {
+      val s = w.samples(i)
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      energy += s.toLong * s
+      if (s >= full || s <= -full - 1) clip += 1
+      if (i % w.channels == 0) {
+        if (seen0 && prev0.toLong * s < 0) zc += 1
+        prev0 = s; seen0 = true
+      }
+      i += 1
+    }
+    WavFeatures(w.sample_rate, w.channels, w.bits_per_sample, frames,
+      frames * 1000000L / w.sample_rate, peak, energy, zc, clip)
+  }
+
+  /** 65 floor-mean |sample| windows over channel 0 — the waveform grid
+    * the audio difference hash compares, built with the same
+    * floor-boundary / ≥1-sample-per-window rule as [[gray9x8]] (tiny
+    * clips repeat samples rather than leave empty windows). Exact
+    * integers, deterministic. */
+  def waveWindows65(w: WavData): Array[Long] = {
+    val frames = w.samples.length / w.channels
+    val out = new Array[Long](65)
+    if (frames == 0) return out
+    var k = 0
+    while (k < 65) {
+      val x0 = k * frames / 65
+      val x1 = math.min(frames, math.max(x0 + 1, (k + 1) * frames / 65))
+      var s = 0L; var x = x0
+      while (x < x1) { s += math.abs(w.samples(x * w.channels)); x += 1 }
+      out(k) = s / (x1 - x0)
+      k += 1
+    }
+    out
+  }
+
+  /** 64-bit waveform difference hash over [[waveWindows65]] — dHash's
+    * audio sibling: bit i = window(i) < window(i+1), emitted as a
+    * 64-char '0'/'1' string so it rides the SAME banded hamming join
+    * as dHash/aHash/SimHash (`Dedup.simhashNearDuplicates`). Loudness-
+    * scale-invariant in the same way dHash is brightness-robust: gain
+    * multiplies both sides of every comparison. Narrow codegen'd pass,
+    * zero shuffle. */
+  def waveHash64(windows: Column): Column = {
+    def wv(i: Int): Column = coalesce(element_at(windows, i + 1), lit(0L))
+    concat((0 until 64).map(i =>
+      when(wv(i) < wv(i + 1), lit("1")).otherwise(lit("0"))): _*)
+  }
+
+  /** Real audio decode for `kind == "audio"` rows through [[parseWav]]
+    * (RIFF/WAVE PCM needs no external codec); width carries the sample
+    * rate, height the channel count, n_frames the per-channel sample
+    * count — the duration-bearing fields a curation filter keys on.
+    * Non-WAV audio payloads fall back to [[StubCodec]]. */
+  object WavCodec extends MediaCodec {
+    def decode(r: MediaRecord): MediaMeta =
+      if (r.kind != "audio") StubCodec.decode(r)
+      else parseWav(r.payload) match {
+        case None => StubCodec.decode(r)
+        case Some(w) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hash = md.digest(r.payload).map("%02x".format(_)).mkString
+          MediaMeta(r.media_id, r.kind, r.payload.length.toLong, hash,
+            w.sample_rate, w.channels,
+            (w.samples.length / w.channels).toInt)
+      }
+  }
+
+  /** The all-JDK codec: images through ImageIO, audio through the WAV
+    * parser, video (no JDK codec exists) through the stub — the widest
+    * real-decode surface this environment supports behind one codec. */
+  object JdkCodec extends MediaCodec {
+    def decode(r: MediaRecord): MediaMeta = r.kind match {
+      case "image" => ImageIoCodec.decode(r)
+      case "audio" => WavCodec.decode(r)
+      case _       => StubCodec.decode(r)
+    }
+  }
 }

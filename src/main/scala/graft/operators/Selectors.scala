@@ -119,7 +119,7 @@ object Selectors {
           }
           Seq.empty
         })))
-      try {
+      try MiniLua.withFuel(1000000L) {
         val g = stdEnv()
         exec(chunk, g)
         g.lookup("process") match {

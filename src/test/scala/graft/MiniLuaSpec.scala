@@ -109,6 +109,19 @@ class MiniLuaSpec extends AnyFunSuite {
     assert(run("local x = 1", tags = Seq("keep")) == Seq("keep"))
     // parse error is also row-local
     assert(run("function process(o", tags = Seq("keep")) == Seq("keep"))
+    // infinite loops burn their step budget instead of hanging — the
+    // empty-body forms execute zero statements per iteration, so the
+    // budget must tick per ITERATION too
+    assert(run("function process(o) while true do end end",
+      tags = Seq("keep")) == Seq("keep"))
+    assert(run("function process(o) repeat until false end",
+      tags = Seq("keep")) == Seq("keep"))
+    assert(run("function process(o) for i = 1, 1e18 do end end",
+      tags = Seq("keep")) == Seq("keep"))
+    // unbounded recursion trips the depth guard (a catchable LuaError),
+    // never a task-killing StackOverflowError
+    assert(run("function f() return f() end function process(o) f() end",
+      tags = Seq("keep")) == Seq("keep"))
   }
 
   test("the reference's example selector.lua runs verbatim") {
