@@ -10,12 +10,15 @@ import org.apache.spark.sql.functions._
   * The codec boundary is a pluggable `MediaCodec`. IMAGES decode for
   * real: [[ImageIoCodec]] reads PNG/JPEG/BMP/GIF through the JDK's
   * `javax.imageio` (present in this environment) and resamples to the
-  * 9×8 dHash grid with exact integer math. Audio/video codecs are NOT
-  * in this environment, so those kinds keep the deterministic
-  * [[StubCodec]] stand-in — the Spark-side plumbing (schema,
-  * partition-batched iteration, metadata extraction, frame sampling,
-  * content addressing) is identical either way, and a real AV codec
-  * drops in without touching the dataflow.
+  * 9×8 dHash grid with exact integer math. AUDIO decodes for real too:
+  * [[parseWav]] walks RIFF/WAVE PCM byte-by-byte (WAV needs no codec),
+  * yielding true samples for [[wavFeatures]] and the [[waveHash64]]
+  * fingerprint. Only VIDEO has no JDK decoder, so that kind keeps the
+  * deterministic [[StubCodec]] stand-in — the Spark-side plumbing
+  * (schema, partition-batched iteration, metadata extraction, frame
+  * sampling, content addressing) is identical either way, and a real
+  * video codec drops in without touching the dataflow ([[JdkCodec]]
+  * routes all three kinds).
   *
   * Scale notes: media rows are large — keep
   * `spark.sql.files.maxPartitionBytes` sized so a partition of blobs fits
@@ -378,38 +381,46 @@ object Multimodal {
       frames * 1000000L / w.sample_rate, peak, energy, zc, clip)
   }
 
-  /** 65 floor-mean |sample| windows over channel 0 — the waveform grid
-    * the audio difference hash compares, built with the same
-    * floor-boundary / ≥1-sample-per-window rule as [[gray9x8]] (tiny
-    * clips repeat samples rather than leave empty windows). Exact
-    * integers, deterministic. */
-  def waveWindows65(w: WavData): Array[Long] = {
+  /** 65 |channel-0 sample| windows — (sum, size) pairs, NOT floor-means:
+    * the hash comparison cross-multiplies mean(i) < mean(i+1) into
+    * `sum(i)·size(i+1) < sum(i+1)·size(i)` so it is EXACT (a floor-mean
+    * grid can flip a comparison under loudness gain — floor(3·s/m) is
+    * not 3·floor(s/m)). Boundaries follow [[gray9x8]]'s rule: floor
+    * edges, ≥1 sample per window, tiny clips repeat samples rather than
+    * leave empty windows. */
+  def waveWindows65(w: WavData): (Array[Long], Array[Int]) = {
     val frames = w.samples.length / w.channels
-    val out = new Array[Long](65)
-    if (frames == 0) return out
+    val sums = new Array[Long](65)
+    val sizes = new Array[Int](65)
+    if (frames == 0) { java.util.Arrays.fill(sizes, 1); return (sums, sizes) }
     var k = 0
     while (k < 65) {
       val x0 = k * frames / 65
       val x1 = math.min(frames, math.max(x0 + 1, (k + 1) * frames / 65))
       var s = 0L; var x = x0
       while (x < x1) { s += math.abs(w.samples(x * w.channels)); x += 1 }
-      out(k) = s / (x1 - x0)
+      sums(k) = s; sizes(k) = x1 - x0
       k += 1
     }
-    out
+    (sums, sizes)
   }
 
   /** 64-bit waveform difference hash over [[waveWindows65]] — dHash's
-    * audio sibling: bit i = window(i) < window(i+1), emitted as a
-    * 64-char '0'/'1' string so it rides the SAME banded hamming join
-    * as dHash/aHash/SimHash (`Dedup.simhashNearDuplicates`). Loudness-
-    * scale-invariant in the same way dHash is brightness-robust: gain
-    * multiplies both sides of every comparison. Narrow codegen'd pass,
-    * zero shuffle. */
-  def waveHash64(windows: Column): Column = {
-    def wv(i: Int): Column = coalesce(element_at(windows, i + 1), lit(0L))
+    * audio sibling: bit i = mean|s| of window i < mean of window i+1,
+    * compared as the cross-multiplication
+    * `sum(i)·size(i+1) < sum(i+1)·size(i)` (exact integers, no floor
+    * loss), emitted as a 64-char '0'/'1' string so it rides the SAME
+    * banded hamming join as dHash/aHash/SimHash
+    * (`Dedup.simhashNearDuplicates`). Exactly loudness-gain-invariant:
+    * gain multiplies both sides of every comparison. Narrow codegen'd
+    * pass, zero shuffle. */
+  def waveHash64(sums: Column, sizes: Column): Column = {
+    def sm(i: Int): Column = coalesce(element_at(sums, i + 1), lit(0L))
+    def sz(i: Int): Column =
+      coalesce(element_at(sizes, i + 1), lit(1)).cast("long")
     concat((0 until 64).map(i =>
-      when(wv(i) < wv(i + 1), lit("1")).otherwise(lit("0"))): _*)
+      when(sm(i) * sz(i + 1) < sm(i + 1) * sz(i), lit("1"))
+        .otherwise(lit("0"))): _*)
   }
 
   /** Real audio decode for `kind == "audio"` rows through [[parseWav]]

@@ -84,6 +84,56 @@ object MultimodalQueries {
           Multimodal.dHash64(col("gray")).as("dhash"))
     }),
 
+    // TRUE audio decode end-to-end: a mono 16-bit RIFF/WAVE payload is
+    // generated in-engine from a doc_id-seeded sample template, parsed
+    // back byte-by-byte (WAV PCM needs no codec — the RIFF chunk walk
+    // is the decoder), and reduced to the exact-integer feature vector
+    // curation filters key on. PCM is lossless, so the file format
+    // cancels and the oracle replays the TEMPLATE arithmetic — what's
+    // checked is the chunk-walk + sample decode + feature math.
+    "media_wav" -> ((s, dir) => {
+      import s.implicits._
+      Graft.table(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = 120 + (id % 50).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id * 37 + i * 101) % 4001) - 2000).toInt)
+          val w = Multimodal.parseWav(
+            Multimodal.pcmWav(8000, 1, samples)).get
+          val f = Multimodal.wavFeatures(w)
+          (id, f.sample_rate, f.channels, f.bits_per_sample, f.n_samples,
+            f.duration_us, f.peak, f.energy, f.zero_crossings, f.clipped)
+        })
+        .toDF("media_id", "sample_rate", "channels", "bits_per_sample",
+          "n_samples", "duration_us", "peak", "energy", "zero_crossings",
+          "clipped")
+    }),
+
+    // Waveform difference hash over the same decoded samples: 65
+    // |sample| windows (gray9x8's boundary rule) compared as exact
+    // cross-multiplied means — dHash's audio sibling, banding through
+    // the same hamming join. Oracle replays window boundaries, sums,
+    // sizes and every bit from the template.
+    "media_whash" -> ((s, dir) => {
+      import s.implicits._
+      Graft.table(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = 120 + (id % 50).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id * 37 + i * 101) % 4001) - 2000).toInt)
+          val w = Multimodal.parseWav(
+            Multimodal.pcmWav(8000, 1, samples)).get
+          val (sums, sizes) = Multimodal.waveWindows65(w)
+          (id, sums.toSeq, sizes.toSeq)
+        })
+        .toDF("media_id", "ws", "wc")
+        .select(col("media_id"),
+          concat_ws(",", col("ws")).as("win_csv"),
+          Multimodal.waveHash64(col("ws"), col("wc")).as("whash"))
+    }),
+
     // Average hash over the SAME true-pixel decode path as media_decode
     // (the aHash/dHash pair near-dup pipelines band together): bit =
     // cell·64 > subgrid sum, exact integers; oracle replays the template
@@ -161,6 +211,53 @@ object MultimodalQueries {
         |              gray[(b // 8) * 9 + (b % 8) + 2]
         |         THEN '1' ELSE '0' END), '') AS dhash
         |FROM cells
+        |""".stripMargin,
+
+    "media_wav" ->
+      """WITH t AS (
+        |  SELECT doc_id AS media_id, 120 + (doc_id % 50) AS n,
+        |    list_transform(range(0, 120 + (doc_id % 50)), i ->
+        |      ((doc_id*37 + i*101) % 4001) - 2000) AS s
+        |  FROM documents)
+        |SELECT media_id,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS channels,
+        |  CAST(16 AS INTEGER) AS bits_per_sample,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(n * 1000000 // 8000 AS BIGINT) AS duration_us,
+        |  CAST(list_max(list_transform(s, x -> abs(x))) AS INTEGER) AS peak,
+        |  CAST(list_sum(list_transform(s, x -> x*x)) AS BIGINT) AS energy,
+        |  CAST(list_sum(list_transform(range(1, n), i ->
+        |    CASE WHEN s[i] * s[i+1] < 0 THEN 1 ELSE 0 END)) AS BIGINT)
+        |    AS zero_crossings,
+        |  CAST(list_sum(list_transform(s, x ->
+        |    CASE WHEN x >= 32767 OR x <= -32768 THEN 1 ELSE 0 END))
+        |    AS BIGINT) AS clipped
+        |FROM t
+        |""".stripMargin,
+
+    "media_whash" ->
+      """WITH t AS (
+        |  SELECT doc_id AS media_id, 120 + (doc_id % 50) AS n,
+        |    list_transform(range(0, 120 + (doc_id % 50)), i ->
+        |      ((doc_id*37 + i*101) % 4001) - 2000) AS s
+        |  FROM documents),
+        |w AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 65), k ->
+        |      list_sum(list_transform(range(k*n//65,
+        |          least(n, greatest(k*n//65 + 1, (k+1)*n//65))),
+        |          x -> abs(s[x+1])))) AS ws,
+        |    list_transform(range(0, 65), k ->
+        |      least(n, greatest(k*n//65 + 1, (k+1)*n//65)) - k*n//65)
+        |      AS wc
+        |  FROM t)
+        |SELECT media_id,
+        |  array_to_string(ws, ',') AS win_csv,
+        |  array_to_string(list_transform(range(0, 64), i ->
+        |    CASE WHEN ws[i+1] * wc[i+2] < ws[i+2] * wc[i+1]
+        |         THEN '1' ELSE '0' END), '') AS whash
+        |FROM w
         |""".stripMargin,
 
     "media_ahash" ->

@@ -112,4 +112,107 @@ class MultimodalSpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("WAV: pcmWav/parseWav round-trip is exact, chunk walk is robust") {
+    val mono = Array(0, 1, -1, 32767, -32768, 12345, -12345)
+    val w = Multimodal.parseWav(Multimodal.pcmWav(8000, 1, mono)).get
+    assert(w.sample_rate == 8000 && w.channels == 1 &&
+      w.bits_per_sample == 16 && w.samples.toSeq == mono.toSeq)
+
+    // stereo interleave survives
+    val st = Multimodal.parseWav(
+      Multimodal.pcmWav(44100, 2, Array(10, -20, 30, -40))).get
+    assert(st.channels == 2 && st.samples.toSeq == Seq(10, -20, 30, -40))
+
+    // unknown chunks (odd-sized -> word-aligned pad) before fmt/data skip
+    val base = Multimodal.pcmWav(8000, 1, Array(5, -6))
+    val extra = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 9, 9, 9, 0)
+    val padded = base.take(12) ++ extra ++ base.drop(12)
+    // RIFF size field is not re-fixed; the parser walks chunks, not it
+    assert(Multimodal.parseWav(padded).get.samples.toSeq == Seq(5, -6))
+
+    // 8-bit unsigned payloads re-center to signed
+    val b8 = {
+      val d = Array[Byte](0, 128.toByte, 255.toByte)
+      val bb = java.nio.ByteBuffer.allocate(44 + 3)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + 3).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(8000).putInt(8000).putShort(1).putShort(8)
+      bb.put("data".getBytes).putInt(3).put(d)
+      bb.array()
+    }
+    assert(Multimodal.parseWav(b8).get.samples.toSeq == Seq(-128, 0, 127))
+
+    // rejects: bad magic, truncated data chunk, non-PCM format code
+    assert(Multimodal.parseWav("not a wav at all".getBytes).isEmpty)
+    assert(Multimodal.parseWav(base.dropRight(1)).isEmpty)
+    val nonPcm = base.clone(); nonPcm(20) = 3 // IEEE float
+    assert(Multimodal.parseWav(nonPcm).isEmpty)
+  }
+
+  test("wavFeatures: exact-integer peak/energy/zc/clip, channel-0 zc") {
+    val f = Multimodal.wavFeatures(
+      Multimodal.WavData(8000, 1, 16, Array(0, 100, -200, 300, 32767)))
+    assert(f.n_samples == 5 && f.duration_us == 625)
+    assert(f.peak == 32767)
+    assert(f.energy == 100L * 100 + 200L * 200 + 300L * 300 +
+      32767L * 32767)
+    assert(f.zero_crossings == 2) // 100->-200, -200->300 (0 never flips)
+    assert(f.clipped == 1)
+
+    // stereo: zero crossings read channel 0 only; energy reads both
+    val st = Multimodal.wavFeatures(Multimodal.WavData(8000, 2, 16,
+      Array(10, -10, -10, 10, 10, -10)))
+    assert(st.n_samples == 3 && st.zero_crossings == 2 &&
+      st.energy == 600L && st.clipped == 0)
+  }
+
+  test("waveWindows65 + waveHash64: boundaries, tiny clips, exact gain") {
+    import org.apache.spark.sql.functions.col
+    def hash(w: (Array[Long], Array[Int])): String =
+      Seq((w._1.toSeq, w._2.toSeq)).toDF("s", "c")
+        .select(Multimodal.waveHash64(col("s"), col("c")))
+        .as[String].collect().head
+    // a single-frame clip repeats into all 65 windows -> flat -> zeros
+    val one = Multimodal.waveWindows65(
+      Multimodal.WavData(8000, 1, 16, Array(-42)))
+    assert(one._1.toSeq == Seq.fill(65)(42L) &&
+      one._2.toSeq == Seq.fill(65)(1) && hash(one) == "0" * 64)
+    // 130 frames: window k sums |s| of frames 2k, 2k+1 (size 2)
+    val ramp = Multimodal.waveWindows65(Multimodal.WavData(8000, 1, 16,
+      Array.tabulate(130)(i => i)))
+    assert(ramp._1.toSeq == Seq.tabulate(65)(k => (4 * k + 1).toLong) &&
+      ramp._2.toSeq == Seq.fill(65)(2) && hash(ramp) == "1" * 64)
+    // EXACT loudness-gain invariance (the reason windows are (sum, size)
+    // pairs, not floor-means): tripling samples flips no bit even where
+    // a floor-mean comparison would
+    val s = Array.tabulate(200)(i => ((i * 53) % 401) - 200)
+    val h1 = hash(Multimodal.waveWindows65(
+      Multimodal.WavData(8000, 1, 16, s)))
+    val h3 = hash(Multimodal.waveWindows65(
+      Multimodal.WavData(8000, 1, 16, s.map(_ * 3))))
+    assert(h1 == h3)
+  }
+
+  test("WavCodec/JdkCodec: real audio metadata, stub fallback, routing") {
+    val wav = Multimodal.pcmWav(22050, 2, Array.fill(64)(7))
+    val rec = Multimodal.MediaRecord(9L, "audio", wav, "s")
+    val m = Multimodal.WavCodec.decode(rec)
+    // width = sample rate, height = channels, n_frames = per-channel n
+    assert(m.width == 22050 && m.height == 2 && m.n_frames == 32)
+    // non-WAV audio bytes fall back to the stub
+    val junk = Multimodal.MediaRecord(10L, "audio",
+      "not audio".getBytes, "s")
+    assert(Multimodal.WavCodec.decode(junk) ==
+      Multimodal.StubCodec.decode(junk))
+    // JdkCodec routes every kind to its real decoder
+    val png = Multimodal.grayPng(4, 4, (x, y) => x * y)
+    assert(Multimodal.JdkCodec.decode(
+      Multimodal.MediaRecord(11L, "image", png, "s")).width == 4)
+    assert(Multimodal.JdkCodec.decode(rec) == m)
+    val vid = Multimodal.MediaRecord(12L, "video", wav, "s")
+    assert(Multimodal.JdkCodec.decode(vid) ==
+      Multimodal.StubCodec.decode(vid))
+  }
 }
