@@ -84,6 +84,46 @@ object Curation {
       redactText(text).as("redacted"))
   }
 
+  /** Credit-card candidate: 13–19 digits, optionally single-space/dash
+    * separated between digits. Same Java/RE2-portable subset as the
+    * other PII patterns; greedy repetition is leftmost-first in both
+    * engines. Length floor 13 keeps phone shapes (12 digits) out. */
+  val ccCandidatePattern = "[0-9](?:[ -]?[0-9]){12,18}"
+
+  /** Luhn (mod-10) checksum verdict over a digit string (separators
+    * already stripped): from the rightmost digit, every second digit
+    * doubles (minus 9 when >9) and the total must divide by 10 — the
+    * checksum every real card number carries, so digit runs that merely
+    * LOOK like card numbers (order ids, timestamps) don't redact.
+    * Exact integers, one `aggregate` HOF — narrow, codegen'd. */
+  def luhnValid(digits: Column): Column = {
+    val n = length(digits)
+    (aggregate(sequence(lit(1), n), lit(0), (acc, i) => {
+      val x = substr(digits, i, lit(1)).cast("int")
+      val dbl = x * 2
+      acc + when(pmod(n - i, lit(2)) === 1,
+        when(dbl > 9, dbl - 9).otherwise(dbl)).otherwise(x)
+    }) % 10) === 0
+  }
+
+  /** Checksum-validated credit-card detection + redaction — the P19
+    * classes catch shapes, this catches NUMBERS: candidates come from
+    * [[ccCandidatePattern]], only Luhn-valid ones count and redact
+    * (every occurrence, dashes/spaces preserved around the
+    * placeholder). Output keeps candidate and valid counts (the gap is
+    * the false-positive audit trail). Pure per-row HOF work, zero
+    * shuffle. */
+  def ccColumns(text: Column): Seq[Column] = {
+    val cands =
+      regexp_extract_all(text, lit(ccCandidatePattern), lit(0))
+    val valid =
+      filter(cands, c => luhnValid(regexp_replace(c, "[ -]", "")))
+    Seq(size(cands).cast("long").as("n_cc_candidates"),
+      size(valid).cast("long").as("n_ccs"),
+      aggregate(valid, text,
+        (acc, m) => replace(acc, m, lit("<CC>"))).as("cc_redacted"))
+  }
+
   // -------------------------------------------- passage-level dedup
 
   /** Non-overlapping passages of `passageTokens` whitespace tokens, in

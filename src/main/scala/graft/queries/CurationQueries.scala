@@ -76,12 +76,42 @@ object CurationQueries {
     (corpus, evalDocs)
   }
 
+  /** Card-number-bearing text from customer-key arithmetic (the
+    * [[piiText]] convention): a bare 16-digit candidate, a
+    * dash-separated one, and an 11-digit decoy under the candidate
+    * length floor. Keys make the Luhn verdict land both ways. */
+  private def ccText(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    Graft.table(s, dir, "customer").select(
+      k.as("c_custkey"),
+      concat(
+        lit("card 4"),
+        lpad((k * 7919 % 100000000000L).cast("string"), 11, "0"),
+        lpad((k % 10000).cast("string"), 4, "0"),
+        lit(" alt 5"),
+        lpad((k * 104729 % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((k * 31 % 10000).cast("string"), 4, "0"), lit("-"),
+        lpad((k * 17 % 10000).cast("string"), 4, "0"), lit("-"),
+        lpad((k * 13 % 10000).cast("string"), 4, "0"),
+        lit(" ref "),
+        lpad((k % 100000000000L).cast("string"), 11, "0")).as("text"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // PII detection + redaction over synthesized customer contact text.
     "pii_redact" -> ((s, dir) =>
       piiText(s, dir).select(
         col("c_custkey") +: Curation.redactPii(col("text")): _*)),
+
+    // Checksum-validated card redaction: two 16-digit candidates per row
+    // (one dash-separated) plus an 11-digit decoy below the length
+    // floor; only the ~9% of candidates whose Luhn mod-10 holds count
+    // and redact — both engines compute the verdict independently, so
+    // the gate checks the checksum math itself, not just the regex.
+    "pii_luhn" -> ((s, dir) =>
+      ccText(s, dir).select(
+        col("c_custkey") +: Curation.ccColumns(col("text")): _*)),
 
     // Exact 13-gram decontamination of the corpus against the eval split
     // (planted quotes → true positives; everything else must stay clean).
@@ -503,6 +533,45 @@ object CurationQueries {
          |         '$ipRe', '<IP>', 'g') AS redacted
          |FROM pii
          |""".stripMargin,
+
+    "pii_luhn" -> {
+      // by-reference pattern + an inlined digit-strip so the Luhn
+      // replay cannot desync from the operator
+      val ccRe = Curation.ccCandidatePattern
+      val d = "replace(replace(c, ' ', ''), '-', '')"
+      val dig = s"CAST(substr($d, i, 1) AS INTEGER)"
+      s"""WITH cc AS (
+         |  SELECT c_custkey,
+         |    'card 4' ||
+         |    lpad(CAST(c_custkey * 7919 % 100000000000 AS VARCHAR), 11, '0')
+         |    || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+         |    ' alt 5' ||
+         |    lpad(CAST(c_custkey * 104729 % 1000 AS VARCHAR), 3, '0')
+         |    || '-' || lpad(CAST(c_custkey * 31 % 10000 AS VARCHAR), 4, '0')
+         |    || '-' || lpad(CAST(c_custkey * 17 % 10000 AS VARCHAR), 4, '0')
+         |    || '-' || lpad(CAST(c_custkey * 13 % 10000 AS VARCHAR), 4, '0')
+         |    || ' ref ' ||
+         |    lpad(CAST(c_custkey % 100000000000 AS VARCHAR), 11, '0')
+         |    AS text
+         |  FROM customer),
+         |v AS (
+         |  SELECT c_custkey, text,
+         |    regexp_extract_all(text, '$ccRe') AS cands,
+         |    list_filter(regexp_extract_all(text, '$ccRe'), c ->
+         |      list_sum(list_transform(range(1, len($d) + 1), i ->
+         |        CASE WHEN (len($d) - i) % 2 = 1
+         |          THEN CASE WHEN 2 * $dig > 9
+         |               THEN 2 * $dig - 9 ELSE 2 * $dig END
+         |          ELSE $dig END)) % 10 = 0) AS valid
+         |  FROM cc)
+         |SELECT c_custkey,
+         |  CAST(len(cands) AS BIGINT) AS n_cc_candidates,
+         |  CAST(len(valid) AS BIGINT) AS n_ccs,
+         |  list_reduce(list_prepend(text, valid),
+         |    (acc, m) -> replace(acc, m, '<CC>')) AS cc_redacted
+         |FROM v
+         |""".stripMargin
+    },
 
     "decontaminate" ->
       """WITH ev AS (

@@ -129,6 +129,29 @@ class CurationSpec extends AnyFunSuite {
     assert(r2.getAs[String]("redacted") == "no pii here at all")
   }
 
+  test("ccColumns redacts only Luhn-valid card numbers") {
+    val df = Seq(
+      // valid bare + valid dash-separated (4111… check digit holds)
+      (1L, "pay 4111111111111111 or 4111-1111-1111-1111 now"),
+      // candidate shape, checksum off by one -> counted, NOT redacted
+      (2L, "pay 4111111111111112 now"),
+      // 12 digits: under the candidate length floor entirely
+      (3L, "ref 411111111111 ok"),
+      (4L, "nothing numeric")
+    ).toDF("id", "text")
+    val out = df.select(col("id") +: Curation.ccColumns(col("text")): _*)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_cc_candidates") == 2L)
+    assert(out(1L).getAs[Long]("n_ccs") == 2L)
+    assert(out(1L).getAs[String]("cc_redacted") == "pay <CC> or <CC> now")
+    assert(out(2L).getAs[Long]("n_cc_candidates") == 1L)
+    assert(out(2L).getAs[Long]("n_ccs") == 0L)
+    assert(out(2L).getAs[String]("cc_redacted") ==
+      "pay 4111111111111112 now")
+    assert(out(3L).getAs[Long]("n_cc_candidates") == 0L)
+    assert(out(4L).getAs[Long]("n_ccs") == 0L)
+  }
+
   test("passageDedup keeps first occurrence of each passage") {
     // 4-token passages; doc 2 repeats doc 1's first passage.
     val df = Seq(
