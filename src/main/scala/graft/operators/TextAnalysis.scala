@@ -402,6 +402,18 @@ object TextAnalysis {
       org.apache.spark.sql.graft.NfcNormalize(
         org.apache.spark.sql.GraftShims.expression(text)))
 
+  /** Mojibake repair (UTF-8 mis-decoded as Latin-1/cp1252, incl.
+    * double-encodings) — the codegen'd
+    * [[org.apache.spark.sql.graft.FixMojibake]] expression.
+    * Conservative by construction: repairs only whole-string strict
+    * round-trips, so clean text can never be corrupted. Run BEFORE
+    * [[normalizeText]] in a curation chain (repair wants the raw
+    * bytes' reading intact). */
+  def fixMojibake(text: Column): Column =
+    org.apache.spark.sql.GraftShims.column(
+      org.apache.spark.sql.graft.FixMojibake(
+        org.apache.spark.sql.GraftShims.expression(text)))
+
   /** Corpus text normalization — the canonical first pass of a curation
     * chain, in a fixed order both engines replay byte for byte:
     * 1. Unicode NFC (combining sequences compose: `e`+U+0301 → `é`);

@@ -323,6 +323,32 @@ object PipelineQueries {
         TextAnalysis.replacementCount(noisy).as("n_bad"))
     }),
 
+    // Mojibake repair end to end: clean text (doc body + planted é / ’
+    // / —) is corrupted IN-ENGINE three ways — UTF-8 read as Latin-1,
+    // the same twice (double-encoding), and the cp1252 reading (0x80-
+    // 0x9F bytes showing as €/”/™) — and fix_mojibake must recover the
+    // clean original from each; every third doc stays pure ASCII and
+    // must pass through untouched. The oracle states the clean
+    // expected directly (the corruption is Spark-side construction;
+    // the strict byte-level UTF-8 re-decode is what's checked).
+    "mojibake_fix" -> ((s, dir) => {
+      val clean = when(col("doc_id") % 3 === 0,
+        concat(lit("doc "), col("doc_id").cast("string"),
+          lit(" plain ascii")))
+        .otherwise(concat(lit("café "), col("text"),
+          lit(" ’quoted’ dash— done")))
+      val m1 = decode(encode(clean, "UTF-8"), "ISO-8859-1")
+      val m2 = decode(encode(m1, "UTF-8"), "ISO-8859-1")
+      // the cp1252 reading of the same bytes: the 0x80/0x94/0x99
+      // bytes m1 carries render as the euro/right-quote/TM glyphs
+      val m3 = translate(m1, "\u0080\u0094\u0099", "\u20ac\u201d\u2122")
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.fixMojibake(m1).as("fixed1"),
+        TextAnalysis.fixMojibake(m2).as("fixed2"),
+        TextAnalysis.fixMojibake(m3).as("fixed3"),
+        (TextAnalysis.fixMojibake(m1) =!= m1).as("was_fixed"))
+    }),
+
     // Code-vs-prose detection: even doc_ids are wrapped in a rendered
     // code snippet (keywords, indented lines, symbols, a camelCase
     // token), odd ids stay prose; the oracle recomputes every signal
@@ -1996,6 +2022,20 @@ object PipelineQueries {
         |  CAST(len(noisy) - len(replace(noisy, chr(65533), ''))
         |    AS BIGINT) AS n_bad
         |FROM n
+        |""".stripMargin,
+
+    "mojibake_fix" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN 'doc ' || CAST(doc_id AS VARCHAR) || ' plain ascii'
+        |      ELSE 'caf' || chr(233) || ' ' || text || ' ' ||
+        |        chr(8217) || 'quoted' || chr(8217) || ' dash' ||
+        |        chr(8212) || ' done' END AS clean
+        |  FROM documents)
+        |SELECT doc_id, clean AS fixed1, clean AS fixed2, clean AS fixed3,
+        |       (doc_id % 3 != 0) AS was_fixed
+        |FROM c
         |""".stripMargin,
 
     "code_detect" ->

@@ -83,6 +83,8 @@ object GraftFunctions {
     "simhash64" -> arity("simhash64", 1, 1)(e => SimHash64(e.head)),
     "nfc_normalize" -> arity("nfc_normalize", 1, 1)(e =>
       NfcNormalize(e.head)),
+    "fix_mojibake" -> arity("fix_mojibake", 1, 1)(e =>
+      FixMojibake(e.head)),
     "resolve_url" -> arity("resolve_url", 2, 2)(e =>
       ResolveUrl(e.head, e(1))),
     "minhash_sig" -> arity("minhash_sig", 2, 2)(e =>

@@ -749,3 +749,114 @@ case class MultiPatternCounts(child: Expression, patterns: Seq[String])
   override protected def withNewChildInternal(
       newChild: Expression): MultiPatternCounts = copy(child = newChild)
 }
+
+/** `fix_mojibake(s)` — repairs UTF-8 text that was mis-decoded as
+  * Latin-1 / Windows-1252 ("café" → "cafÃ©", "'" → "â€™"), the ftfy
+  * class of curation fix. One round encodes the string back to its
+  * single-byte form (identity for chars ≤ 0xFF, the cp1252 reverse
+  * table for the 0x80–0x9F glyphs like €/™/"") and re-decodes STRICT
+  * UTF-8 (overlongs, surrogates, truncations and >U+10FFFF all
+  * reject); rounds repeat up to 3× so double-encoded text also
+  * recovers. Deliberately conservative: a round applies only when the
+  * WHOLE string survives the byte round-trip and at least one
+  * multibyte sequence was decoded — mixed or already-clean text passes
+  * through untouched, so the repair can never corrupt valid input. */
+case class FixMojibake(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "fix_mojibake"
+
+  override def nullSafeEval(input: Any): Any =
+    FixMojibake.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = org.apache.spark.sql.graft.FixMojibake.compute($c);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): FixMojibake =
+    copy(child = newChild)
+}
+
+object FixMojibake {
+  /** cp1252 0x80–0x9F glyph → byte (the slots where cp1252 differs from
+    * Latin-1; the five undefined slots are absent). */
+  private val cp1252Reverse: Map[Char, Byte] = Map(
+    '€' -> 0x80, '‚' -> 0x82, 'ƒ' -> 0x83,
+    '„' -> 0x84, '…' -> 0x85, '†' -> 0x86,
+    '‡' -> 0x87, 'ˆ' -> 0x88, '‰' -> 0x89,
+    'Š' -> 0x8A, '‹' -> 0x8B, 'Œ' -> 0x8C,
+    'Ž' -> 0x8E, '‘' -> 0x91, '’' -> 0x92,
+    '“' -> 0x93, '”' -> 0x94, '•' -> 0x95,
+    '–' -> 0x96, '—' -> 0x97, '˜' -> 0x98,
+    '™' -> 0x99, 'š' -> 0x9A, '›' -> 0x9B,
+    'œ' -> 0x9C, 'ž' -> 0x9E, 'Ÿ' -> 0x9F
+  ).map { case (c, b) => c -> b.toByte }
+
+  def compute(s: UTF8String): UTF8String = {
+    var cur = s.toString
+    var rounds = 0
+    var more = true
+    while (rounds < 3 && more) {
+      repairOnce(cur) match {
+        case Some(next) => cur = next; rounds += 1
+        case None       => more = false
+      }
+    }
+    if (rounds == 0) s else UTF8String.fromString(cur)
+  }
+
+  /** One mojibake round, or None when the string is not a clean
+    * whole-string single-byte reading of valid multi-byte UTF-8. */
+  private def repairOnce(s: String): Option[String] = {
+    val n = s.length
+    val bytes = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c <= 0xFF) bytes(i) = c.toByte
+      else cp1252Reverse.get(c) match {
+        case Some(b) => bytes(i) = b
+        case None    => return None
+      }
+      i += 1
+    }
+    decodeStrictUtf8(bytes)
+  }
+
+  /** Strict UTF-8 decode: rejects continuation errors, overlong forms,
+    * surrogates, > U+10FFFF and truncation; None also when the bytes
+    * are pure ASCII (no multibyte evidence → nothing to repair). */
+  private def decodeStrictUtf8(b: Array[Byte]): Option[String] = {
+    val sb = new java.lang.StringBuilder(b.length)
+    var i = 0
+    var multibyte = false
+    while (i < b.length) {
+      val x = b(i) & 0xff
+      if (x < 0x80) { sb.append(x.toChar); i += 1 }
+      else {
+        val (len, min) =
+          if (x >= 0xC0 && x <= 0xDF) (2, 0x80)
+          else if (x >= 0xE0 && x <= 0xEF) (3, 0x800)
+          else if (x >= 0xF0 && x <= 0xF4) (4, 0x10000)
+          else return None
+        if (i + len > b.length) return None
+        var cp = x & (0x3f >> (len - 1))
+        var j = 1
+        while (j < len) {
+          val cont = b(i + j) & 0xff
+          if (cont < 0x80 || cont > 0xBF) return None
+          cp = (cp << 6) | (cont & 0x3f)
+          j += 1
+        }
+        if (cp < min || cp > 0x10FFFF ||
+            (cp >= 0xD800 && cp <= 0xDFFF)) return None
+        sb.appendCodePoint(cp)
+        multibyte = true
+        i += len
+      }
+    }
+    if (multibyte) Some(sb.toString) else None
+  }
+}

@@ -31,6 +31,29 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(r.getAs[Int]("sh_len") == 64)
   }
 
+  test("fix_mojibake repairs strictly and conservatively") {
+    def fix(s: String): String =
+      Seq(s).toDF("t")
+        .selectExpr("fix_mojibake(t) AS f").as[String].collect().head
+    // UTF-8 read as Latin-1: caf <C3><A9> -> caf e-acute
+    assert(fix("caf\u00c3\u00a9") == "caf\u00e9")
+    // double-encoded (the Latin-1 reading re-encoded and re-misread:
+    // <C3><83><C2><A9>) recovers in two rounds
+    assert(fix("caf\u00c3\u0083\u00c2\u00a9") == "caf\u00e9")
+    // cp1252 reading: <E2><80><99> displays as a-circumflex/euro/TM
+    // and repairs to the right single quote
+    assert(fix("it\u00e2\u20ac\u2122s") == "it\u2019s")
+    // clean ASCII and clean accented text pass through untouched
+    assert(fix("plain text") == "plain text")
+    assert(fix("d\u00e9j\u00e0 vu ok") == "d\u00e9j\u00e0 vu ok")
+    // overlong encoding (C0 AF) must NOT be accepted as UTF-8
+    assert(fix("x\u00c0\u00afy") == "x\u00c0\u00afy")
+    // truncated multibyte sequence rejects the round
+    assert(fix("end\u00c3") == "end\u00c3")
+    // chars outside Latin-1+cp1252 block the whole-string round-trip
+    assert(fix("\u03bb caf\u00c3\u00a9") == "\u03bb caf\u00c3\u00a9")
+  }
+
   test("typed aggregates run from SQL, parity with the Scala API") {
     Seq(("a", 5L, 1L), ("a", 9L, 2L), ("a", 1L, 3L), ("b", 7L, 4L))
       .toDF("k", "v", "id").createOrReplaceTempView("sqlfn_t")
