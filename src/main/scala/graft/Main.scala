@@ -44,7 +44,7 @@ object Main {
   }
 
   val usage: String =
-    """usage: graft.Main <build|merge|serve|query|dump|replay|backup|expire|compact|curate|dedup|dump-balboa|replay-balboa|index|search|scan|warc-extract|warc-ingest|ann-index|ann-search|ann-delete|ann-vacuum> [args]
+    """usage: graft.Main <build|merge|serve|query|dump|replay|backup|expire|compact|rebucket|curate|dedup|dump-balboa|replay-balboa|index|search|scan|warc-extract|warc-ingest|ann-index|ann-search|ann-delete|ann-vacuum> [args]
       |  build  --obs <parquet> --store <dir> [--buckets 64]
       |  merge  --obs <parquet> --store <dir>
       |  serve  --store <dir> [--port 8080] [--tcp-port <p>]
@@ -54,6 +54,7 @@ object Main {
       |  backup --store <dir> --out <dir>
       |  expire --store <dir> --before <ISO date/date-time/instant, UTC> [--buckets 64]
       |  compact --store <dir> [--buckets <n, required for pre-meta stores>]
+      |  rebucket --store <dir> --buckets <new count>
       |  curate --docs <parquet> --out <dir> [--shards 64] [--budget 8192]
       |  dedup  --docs <parquet> --out <dir>
       |  dump-balboa   --store <dir> --out <dir>         (native wire format)
@@ -189,6 +190,12 @@ object Main {
         val n = ObservationStore.compact(spark, required(flags, "store"),
           flags.get("buckets").map(_.toInt))
         System.err.println(s"[graft] compacted $n bucket directories")
+        null
+      case "rebucket" =>
+        val to = required(flags, "buckets").toInt
+        val from = ObservationStore.rebucket(spark,
+          required(flags, "store"), to)
+        System.err.println(s"[graft] rebucketed $from -> $to buckets")
         null
       case "curate" =>
         // the shared Curation.curateChain (same thresholds as the

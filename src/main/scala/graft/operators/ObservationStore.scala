@@ -305,18 +305,22 @@ object ObservationStore {
     * parse and counts as "not committed". */
   private def writeStoreManifest(spark: SparkSession, staging: String,
       targetEpoch: Long, effBuckets: Int, effLayout: Long,
-      batchId: Option[Long]): Unit = {
+      batchId: Option[Long], wholeCopies: Boolean = false): Unit = {
     val stagedLists = Copies.map { case (sub, _, _) =>
       val names = StagedCommit.stagedPartDirs(spark, s"$staging/$sub",
         "bucket=").mkString(",")
       s""""staged_$sub":"$names""""
     }.mkString(",")
     val bid = batchId.map(b => s""","batch_id":$b""").getOrElse("")
+    // whole_copies: the swap replaces each copy DIRECTORY as one piece
+    // (rebucket) — a piecewise bucket swap under a changed count would
+    // leave the old count's orphaned bucket dirs live
+    val whole = if (wholeCopies) s""","whole_copies":1""" else ""
     val (mf, mp) = fs(spark, s"$staging/_manifest.json")
     val out = mf.create(mp, true)
     try out.write(
       (s"""{"target_epoch":$targetEpoch,"num_buckets":$effBuckets,""" +
-        s""""layout":$effLayout,$stagedLists$bid}""").getBytes("UTF-8"))
+        s""""layout":$effLayout,$stagedLists$bid$whole}""").getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -553,12 +557,15 @@ object ObservationStore {
     // staged data was lost — StagedCommit fails loudly rather than
     // commit a half-applied epoch. Pre-list manifests (older writers)
     // fall back to enumerating staging.
-    val pieces = Copies.flatMap { case (sub, _, _) =>
-      StagedCommit.listField(manifest, s"staged_$sub")
-        .getOrElse(
-          StagedCommit.stagedPartDirs(spark, s"$staging/$sub", "bucket="))
-        .map(name => s"$sub/$name")
-    }
+    val pieces =
+      if (StagedCommit.optNumField(manifest, "whole_copies").contains(1L))
+        Copies.map(_._1) // rebucket: swap each copy dir as one piece
+      else Copies.flatMap { case (sub, _, _) =>
+        StagedCommit.listField(manifest, s"staged_$sub")
+          .getOrElse(
+            StagedCommit.stagedPartDirs(spark, s"$staging/$sub", "bucket="))
+          .map(name => s"$sub/$name")
+      }
     val batchId = StagedCommit.optNumField(manifest, "batch_id")
     StagedCommit.applyPieces(spark, path, staging, pieces, targetEpoch,
       () => readEpoch(spark, path),
@@ -641,6 +648,48 @@ object ObservationStore {
       deleteUncommitted: Boolean = false): Unit =
     StagedCommit.recover(spark, path, deleteUncommitted)(
       staging => applyStagedMerge(spark, path, staging))
+
+  /** Re-bucket the store to a different bucket count — the lifecycle
+    * piece between compact (defragment, same hashing) and expire: a
+    * store keeps its build-time count forever otherwise, and at scale
+    * both too-few buckets (giant partitions, no pruning selectivity)
+    * and too-many (tiny files, listing overhead) hurt. Rewrites BOTH
+    * copies fully under the new hashing (sorted, bloomed, derived
+    * columns re-emitted by the shared [[writeCopy]]) through the same
+    * staged commit as every other mutation — but as WHOLE-COPY pieces
+    * (`whole_copies` manifest flag): a piecewise bucket swap under a
+    * CHANGED count cannot remove the old count's now-orphaned
+    * directories (64→16 would leave bucket=16..63 live). Crash-safe
+    * and replay-idempotent; a same-count call is a no-op with no
+    * epoch bump. Refuses pre-meta stores (the compact stance: never
+    * guess a count into the manifest). Returns the previous count. */
+  def rebucket(spark: SparkSession, path: String, newBuckets: Int): Int = {
+    require(newBuckets > 0, s"newBuckets must be positive: $newBuckets")
+    recoverMerge(spark, path, deleteUncommitted = true)
+    val old = readNumBuckets(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"store at $path has no num_buckets metadata; refusing to " +
+          "rebucket without a committed count"))
+    if (old == newBuckets) return old
+    val (_, effLayout, targetEpoch, staging) =
+      prepareStaging(spark, path, old)
+    val dataCols = (Model.Key ++ Seq("count", "first_seen", "last_seen"))
+      .map(col)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val perCopy = Copies.map { case (sub, keyCol, sortCols) => Future {
+      writeCopy(
+        spark.read.parquet(s"$path/$sub").select(dataCols: _*),
+        s"$staging/$sub", keyCol, sortCols, newBuckets,
+        layout = effLayout)
+    }}
+    Await.result(Future.sequence(perCopy),
+      scala.concurrent.duration.Duration.Inf)
+    writeStoreManifest(spark, staging, targetEpoch, newBuckets, effLayout,
+      batchId = None, wholeCopies = true)
+    applyStagedMerge(spark, path, staging)
+    old
+  }
 
   /** Load a dual store. Bucket pruning uses the count recorded in the
     * store's metadata; without metadata (pre-meta store) no bucket

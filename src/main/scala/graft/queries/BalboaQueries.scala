@@ -137,6 +137,19 @@ object BalboaQueries {
         .withColumn("last_seen", micros(col("last_seen")))
     }),
 
+    // Re-bucketing is lossless: halve the prebuilt store's bucket count
+    // (16 → 6, deliberately not a divisor so every key re-hashes),
+    // then read the forward copy back — the whole-copy staged swap must
+    // preserve every row while the old count's bucket dirs disappear.
+    "store_rebucket" -> ((s, dir) => {
+      val storePath = copyOfPrebuiltStore(s, dir, "rebucket")
+      require(ObservationStore.rebucket(s, storePath, 6) == 16)
+      ObservationStore.load(s, storePath).forward
+        .drop("bucket")
+        .withColumn("first_seen", micros(col("first_seen")))
+        .withColumn("last_seen", micros(col("last_seen")))
+    }),
+
     // A4+A5 in the reference's NATIVE wire format: dump the aggregate as
     // a real balboa MessagePack stream (protocol.c:149-187), replay it
     // into a fresh dual store, read the forward copy back. Oracle = the
@@ -277,6 +290,10 @@ object BalboaQueries {
     // compaction is an identity on the data — same oracle as the
     // expiry-free aggregate
     "store_compact" ->
+      s"""$obsCte SELECT * FROM agg""",
+
+    // so is re-bucketing (the hashing changes, the rows must not)
+    "store_rebucket" ->
       s"""$obsCte SELECT * FROM agg""",
 
     "entries_rrname" ->

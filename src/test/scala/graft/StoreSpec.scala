@@ -416,6 +416,95 @@ class StoreSpec extends AnyFunSuite {
     assert(ObservationStore.readEpoch(spark, s"$dir/st").contains(2L))
   }
 
+  test("rebucket: whole-copy swap changes the count without orphans") {
+    val input = Seq(
+      ("foo", "s1", "A", "1.1.1.1", 1L, ts("2019-03-01 00:00:00")),
+      ("bar", "s1", "A", "2.2.2.2", 2L, ts("2019-06-01 00:00:00")),
+      ("baz", "s1", "A", "3.3.3.3", 3L, ts("2021-01-01 00:00:00")),
+      ("qux", "s2", "A", "4.4.4.4", 4L, ts("2019-01-01 00:00:00"))
+    ).toDF("rrname", "sensor_id", "rrtype", "rdata", "count", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("graft-rebucket")
+      .toString
+    ObservationStore.writeDual(ObservationStore.aggregate(input),
+      s"$dir/st", numBuckets = 8)
+    def buckets(sub: String): Set[Long] =
+      new java.io.File(s"$dir/st/$sub").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(_.getName.stripPrefix("bucket=").toLong).toSet
+    def rows(): Set[Seq[Any]] =
+      ObservationStore.load(spark, s"$dir/st").forward
+        .drop("bucket").collect().map(_.toSeq).toSet
+    val before = rows()
+
+    // shrink: the old count's high bucket dirs must NOT survive
+    assert(ObservationStore.rebucket(spark, s"$dir/st", 3) == 8)
+    assert(ObservationStore.readNumBuckets(spark, s"$dir/st")
+      .contains(3))
+    assert(ObservationStore.readEpoch(spark, s"$dir/st").contains(2L))
+    Seq("by_rrname", "by_rdata").foreach { sub =>
+      assert(buckets(sub).forall(_ < 3), s"$sub: ${buckets(sub)}")
+    }
+    assert(rows() == before)
+    // both serving paths agree under the new pruning count
+    val st = ObservationStore.load(spark, s"$dir/st")
+    assert(st.entries(rrname = Some("foo")).count() == 1)
+    assert(st.servePoint(rdata = Some("2.2.2.2")).get.size == 1)
+
+    // same-count call: no-op, no epoch bump
+    assert(ObservationStore.rebucket(spark, s"$dir/st", 3) == 3)
+    assert(ObservationStore.readEpoch(spark, s"$dir/st").contains(2L))
+
+    // a merge AFTER rebucket hashes under the NEW committed count
+    ObservationStore.mergeBatch(spark, s"$dir/st", Seq(
+      ("new", "s1", "A", "9.9.9.9", 5L, ts("2022-01-01 00:00:00")))
+      .toDF("rrname", "sensor_id", "rrtype", "rdata", "count", "ts"))
+    val st2 = ObservationStore.load(spark, s"$dir/st")
+    assert(st2.entries(rrname = Some("new")).count() == 1)
+    assert(st2.servePoint(rrname = Some("new")).get.size == 1)
+
+    // pre-meta stores refuse (never guess a count into the manifest)
+    assert(new java.io.File(s"$dir/st/_graft_meta.json").delete())
+    intercept[IllegalArgumentException](
+      ObservationStore.rebucket(spark, s"$dir/st", 4))
+  }
+
+  test("rebucket crash replay: a committed whole-copy manifest applies") {
+    val input = Seq(
+      ("foo", "s1", "A", "1.1.1.1", 1L, ts("2019-03-01 00:00:00")),
+      ("bar", "s1", "A", "2.2.2.2", 2L, ts("2019-06-01 00:00:00"))
+    ).toDF("rrname", "sensor_id", "rrtype", "rdata", "count", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("graft-rbcrash")
+      .toString
+    // live store at 8 buckets (epoch 1); a fully-staged rebucket to 2
+    // whose process died right after the manifest write
+    ObservationStore.writeDual(ObservationStore.aggregate(input),
+      s"$dir/st", numBuckets = 8)
+    val before = ObservationStore.load(spark, s"$dir/st").forward
+      .drop("bucket").collect().map(_.toSeq).toSet
+    ObservationStore.writeDual(ObservationStore.aggregate(input),
+      s"$dir/other", numBuckets = 2)
+    val staging = new java.io.File(s"$dir/st/_staging_2")
+    assert(staging.mkdirs())
+    Seq("by_rrname", "by_rdata").foreach { sub =>
+      assert(new java.io.File(s"$dir/other/$sub")
+        .renameTo(new java.io.File(staging, sub)))
+    }
+    val mf = new java.io.FileWriter(s"$dir/st/_staging_2/_manifest.json")
+    mf.write("""{"target_epoch":2,"num_buckets":2,""" +
+      s""""layout":${ObservationStore.CurrentLayout},""" +
+      """"staged_by_rrname":"","staged_by_rdata":"","whole_copies":1}""")
+    mf.close()
+    // any open (reader or writer) replays the committed swap
+    val st = ObservationStore.load(spark, s"$dir/st")
+    assert(ObservationStore.readNumBuckets(spark, s"$dir/st").contains(2))
+    assert(ObservationStore.readEpoch(spark, s"$dir/st").contains(2L))
+    assert(st.forward.drop("bucket").collect().map(_.toSeq).toSet ==
+      before)
+    assert(new java.io.File(s"$dir/st/by_rrname").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("bucket=")) <= 2)
+    assert(!staging.exists())
+  }
+
   test("dns wire-format helpers match reference quirks") {
     assert(Dns.parseDomainString(Array[Byte](3, 'f', 'o', 'o', 3, 'b', 'a', 'r', 0)) == "foo.bar")
     // malformed label length -> raw bytes fallback
