@@ -150,6 +150,67 @@ object TextAnalysis {
       when(best > 0 && best === second, 1L).otherwise(0L).as("is_mixed"))
   }
 
+  /** Unicode-script character classes, as `\x{...}` codepoint ranges —
+    * the ONE regex range syntax Java and RE2 read identically (named
+    * properties differ: Java `\p{IsCyrillic}` vs RE2 `\p{Cyrillic}`).
+    * Latin excludes × (U+00D7) and ÷ (U+00F7); CJK = Han + kana +
+    * Hangul syllables (the routing-grain split, not a full script
+    * taxonomy). All ranges are BMP, so `length` counts agree
+    * cross-engine. */
+  val scriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> ("A-Za-z\\x{00c0}-\\x{00d6}\\x{00d8}-\\x{00f6}" +
+      "\\x{00f8}-\\x{024f}"),
+    "cyrillic" -> "\\x{0400}-\\x{04ff}",
+    "greek" -> "\\x{0370}-\\x{03ff}",
+    "arabic" -> "\\x{0600}-\\x{06ff}",
+    "hebrew" -> "\\x{0590}-\\x{05ff}",
+    "devanagari" -> "\\x{0900}-\\x{097f}",
+    "cjk" -> ("\\x{4e00}-\\x{9fff}\\x{3040}-\\x{30ff}" +
+      "\\x{ac00}-\\x{d7af}"))
+
+  /** Script histogram + routing verdict — the split UPSTREAM of the
+    * stopword-marker language ID ([[langScores]] only speaks Latin):
+    * per-script character counts (strike-out counting: `length` minus
+    * the length with the class removed — no per-char explode), the
+    * dominant script by argmax with first-wins tie in [[scriptRanges]]
+    * order ("zzzz" when no script character occurs, the ISO 15924
+    * unknown tag), and a mixed flag when a second script reaches >25%
+    * of the first (cross-multiplied, no floats) — the
+    * wrong-script-residue signal CCNet-style pipelines filter on.
+    * Narrow codegen'd pass, zero shuffle. */
+  def scriptColumns(text: Column): Seq[Column] = {
+    val counts = scriptRanges.map { case (name, r) =>
+      name -> (length(text) -
+        length(regexp_replace(text, s"[$r]", ""))).cast("long")
+    }
+    val best = counts.map(_._2).reduce(greatest(_, _))
+    val dominant = counts.foldRight(lit("zzzz"): Column) {
+      case ((name, c), acc) =>
+        when(c === best && best > 0, lit(name)).otherwise(acc)
+    }
+    val second = element_at(
+      sort_array(array(counts.map(_._2): _*), asc = false), 2)
+    counts.map { case (name, c) => c.as(s"n_$name") } ++ Seq(
+      dominant.as("script"),
+      when(best > 0 && second * 4 > best, 1L).otherwise(0L)
+        .as("script_mixed"))
+  }
+
+  /** Sentence segmentation as an array column, by ONE deterministic
+    * engine-portable rule: a sentence ends at `[.!?]` runs followed by
+    * spaces and an upper-case letter or digit (the next sentence's
+    * start). No lookaround — RE2 has none, so the boundary is marked by
+    * a grouped replace (`$1`+U+0001+`$2` — the groups survive, only the
+    * gap char changes) and split on the sentinel; an oracle replays the
+    * same two steps with RE2's `\1` syntax. Abbreviation-adjacent
+    * periods followed by lower-case ("e.g. word") never split. Narrow
+    * pass, zero shuffle; explode downstream for sentence-level dedup /
+    * chunking. */
+  def sentenceSplit(text: Column): Column =
+    split(
+      regexp_replace(text, "([.!?]) +([A-Z0-9])", "$1\u0001$2"),
+      "\u0001")
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text. */
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))

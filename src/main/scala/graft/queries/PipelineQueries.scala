@@ -349,6 +349,48 @@ object PipelineQueries {
         (TextAnalysis.fixMojibake(m1) =!= m1).as("was_fixed"))
     }),
 
+    // Script histogram + routing: each doc gets a planted run of
+    // Cyrillic / Greek / Han characters by id (drawn by codepoint
+    // arithmetic — the same chr() math the oracle replays), every
+    // fourth doc stays Latin-only; counts, the first-wins argmax and
+    // the >25% cross-multiplied mixed flag must all match.
+    "script_detect" -> ((s, dir) => {
+      val cyr = (0x410 to 0x42d).map(_.toChar).mkString // chr(1040+k)
+      val grk = (0x3b1 to 0x3c4).map(_.toChar).mkString // chr(945+k)
+      val han = (0x4e00 to 0x4e63).map(_.toChar).mkString // chr(19968+k)
+      val ch = when(col("doc_id") % 4 === 1,
+        substr(lit(cyr), (col("doc_id") % 30 + 1).cast("int"), lit(1)))
+        .when(col("doc_id") % 4 === 2,
+          substr(lit(grk), (col("doc_id") % 20 + 1).cast("int"), lit(1)))
+        .when(col("doc_id") % 4 === 3,
+          substr(lit(han), (col("doc_id") % 100 + 1).cast("int"), lit(1)))
+        .otherwise(lit("A"))
+      val planted = array_join(
+        transform(sequence(lit(1), (col("doc_id") % 7 + 2).cast("int")),
+          _ => ch), "")
+      val page = concat(col("text"), lit(" "), planted)
+      docs(s, dir).select(
+        col("doc_id") +: TextAnalysis.scriptColumns(page): _*)
+    }),
+
+    // Sentence segmentation: the planted page exercises every side of
+    // the boundary rule — '.'/'!'/'?' + spaces + capital or digit
+    // split; terminator + lower-case ("... bullet") and abbreviation
+    // dots do not. The oracle replays the same grouped replace (RE2
+    // \1 syntax) + sentinel split + explode.
+    "sentence_split" -> ((s, dir) => {
+      val page = concat(
+        lit("Hello world. This is doc "), col("doc_id").cast("string"),
+        lit("! Is it set B? Yes. bullet without caps... 9 lives. "),
+        col("text"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.sentenceSplit(page)))
+        .withColumnRenamed("pos", "sent_idx")
+        .withColumnRenamed("col", "sentence")
+        .withColumn("sent_idx", col("sent_idx").cast("long"))
+    }),
+
     // Code-vs-prose detection: even doc_ids are wrapped in a rendered
     // code snippet (keywords, indented lines, symbols, a camelCase
     // token), odd ids stay prose; the oracle recomputes every signal
@@ -2036,6 +2078,58 @@ object PipelineQueries {
         |SELECT doc_id, clean AS fixed1, clean AS fixed2, clean AS fixed3,
         |       (doc_id % 3 != 0) AS was_fixed
         |FROM c
+        |""".stripMargin,
+
+    "script_detect" -> {
+      val ranges = graft.operators.TextAnalysis.scriptRanges
+      val counts = ranges.map { case (n, r) =>
+        s"""CAST(length(page) - length(regexp_replace(page,
+           |      '[$r]', '', 'g')) AS BIGINT) AS n_$n""".stripMargin
+      }.mkString(",\n    ")
+      val dom = ranges.map { case (n, _) =>
+        s"WHEN n_$n = best THEN '$n'"
+      }.mkString(" ")
+      val lst = ranges.map(r => s"n_${r._1}").mkString(", ")
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    text || ' ' || repeat(CASE
+         |      WHEN doc_id % 4 = 1 THEN chr(CAST(1040 + doc_id % 30 AS INTEGER))
+         |      WHEN doc_id % 4 = 2 THEN chr(CAST(945 + doc_id % 20 AS INTEGER))
+         |      WHEN doc_id % 4 = 3 THEN chr(CAST(19968 + doc_id % 100 AS INTEGER))
+         |      ELSE 'A' END, CAST(doc_id % 7 + 2 AS INTEGER)) AS page
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    $counts
+         |  FROM p),
+         |s AS (
+         |  SELECT *, greatest($lst) AS best,
+         |    list_reverse_sort([$lst])[2] AS second
+         |  FROM c)
+         |SELECT doc_id, $lst,
+         |  CASE WHEN best <= 0 THEN 'zzzz' $dom ELSE 'zzzz' END AS script,
+         |  CAST(CASE WHEN best > 0 AND second * 4 > best
+         |       THEN 1 ELSE 0 END AS BIGINT) AS script_mixed
+         |FROM s
+         |""".stripMargin
+    },
+
+    "sentence_split" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'Hello world. This is doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '! Is it set B? Yes. bullet without caps... 9 lives. ' ||
+        |    text AS page
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(page,
+        |      '([.!?]) +([A-Z0-9])', '\1' || chr(1) || '\2', 'g'),
+        |      chr(1)) AS l
+        |  FROM p)
+        |SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx,
+        |       l[i] AS sentence
+        |FROM m, UNNEST(generate_series(1, len(l))) AS u(i)
         |""".stripMargin,
 
     "code_detect" ->

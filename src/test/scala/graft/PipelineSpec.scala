@@ -535,6 +535,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2L) == ((0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("scriptColumns: counts, first-wins argmax, mixed flag") {
+    val rows = Seq(
+      (1L, "hello world"),                      // pure latin
+      (2L, "привет ok"), // cyrillic > latin
+      (3L, "你好世界"),         // pure han
+      (4L, "12345 !!"),                         // no script at all
+      (5L, "abcd ΑΒΓ")           // latin 4, greek 3 -> mixed
+    ).toDF("id", "t")
+      .select(col("id") +: TextAnalysis.scriptColumns(col("t")): _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[String]("script"), r.getAs[Long]("script_mixed"),
+          r.getAs[Long]("n_latin"), r.getAs[Long]("n_cjk"))).toMap
+    assert(rows(1L) == (("latin", 0L, 10L, 0L)))
+    assert(rows(2L)._1 == "cyrillic" && rows(2L)._2 == 1L) // ok = 2/6 > 25%
+    assert(rows(3L) == (("cjk", 0L, 0L, 4L)))
+    assert(rows(4L)._1 == "zzzz" && rows(4L)._2 == 0L)
+    assert(rows(5L)._1 == "latin" && rows(5L)._2 == 1L)
+  }
+
+  test("sentenceSplit: boundary rule, no split before lower-case") {
+    val out = Seq(
+      "One two. Three four! Five? 6 six. and lower e.g. stays. End")
+      .toDF("t").select(TextAnalysis.sentenceSplit(col("t")))
+      .collect().head.getSeq[String](0)
+    assert(out == Seq(
+      "One two.", "Three four!", "Five?",
+      "6 six. and lower e.g. stays.", "End"))
+    // no terminators: one sentence, not zero
+    val one = Seq("no boundary here").toDF("t")
+      .select(TextAnalysis.sentenceSplit(col("t")))
+      .collect().head.getSeq[String](0)
+    assert(one == Seq("no boundary here"))
+  }
+
   test("htmlLinks extracts hrefs in document order; empty when none") {
     val html = """<a href="/a">x</a><p><A Href="http://h/">y</A>""" +
       """<a data-href="/no">z</a><a href="#f">w</a>"""
