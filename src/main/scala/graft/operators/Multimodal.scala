@@ -452,4 +452,125 @@ object Multimodal {
       case _       => StubCodec.decode(r)
     }
   }
+
+  // ----------------------------------------------------- format sniffing
+
+  /** Magic-byte content-type detection — the routing step a WARC/media
+    * ingest runs BEFORE trusting any declared Content-Type (Common
+    * Crawl's are wrong constantly): prefix signatures for png / jpeg /
+    * gif / bmp / riff-wav / riff-avi / gzip / zip / pdf, a
+    * whitespace-and-BOM-tolerant HTML sniff, and a text-vs-bin
+    * fallback (a C0 control byte other than tab/LF/CR in the first 64
+    * bytes ⇒ binary). Container formats check BOTH magic positions
+    * (RIFF at 0 AND the form type at 8), so "RIFF"+garbage doesn't
+    * claim wav. Pure `when`-chain over `hex(substring(payload, …))` —
+    * codegen'd, narrow, zero shuffle. */
+  def sniffFormat(payload: Column): Column = {
+    def hexAt(pos: Int, n: Int): Column =
+      hex(substring(payload, pos, n))
+    def asc(pos: Int, n: Int, s: String): Column =
+      hexAt(pos, n) === s.getBytes("US-ASCII")
+        .map("%02X".format(_)).mkString
+    // head for the text-ish sniffs via the binary→string REINTERPRET
+    // cast (zero-copy, tolerates invalid UTF-8 — unlike `decode`,
+    // which errors on malformed input under ANSI)
+    val head = substring(payload, 1, 64).cast("string")
+    when(hexAt(1, 8) === "89504E470D0A1A0A", "png")
+      .when(hexAt(1, 3) === "FFD8FF", "jpeg")
+      .when(asc(1, 6, "GIF87a") || asc(1, 6, "GIF89a"), "gif")
+      .when(asc(1, 4, "RIFF") && asc(9, 4, "WAVE"), "wav")
+      .when(asc(1, 4, "RIFF") && asc(9, 4, "AVI "), "avi")
+      .when(asc(1, 2, "BM"), "bmp")
+      .when(hexAt(1, 2) === "1F8B", "gzip")
+      .when(hexAt(1, 4) === "504B0304", "zip")
+      .when(asc(1, 4, "%PDF"), "pdf")
+      .when(head.rlike("(?i)^(\\x{feff})?[ \\t\\n\\r]*<(!doctype|html)"),
+        "html")
+      // binary = a C0 control (minus tab/LF/CR) OR an invalid UTF-8
+      // sequence (the reinterpret cast surfaces those as U+FFFD when
+      // the regex engine reads the head) in the first 64 bytes
+      .when(head.rlike(
+        "[\\x{00}-\\x{08}\\x{0b}\\x{0c}\\x{0e}-\\x{1f}\\x{fffd}]"),
+        "bin")
+      .otherwise("text")
+  }
+
+  // --------------------------------------------------- PNG chunk walk
+
+  /** Parsed PNG structure: IHDR geometry + the tEXt key/value pairs
+    * (provenance, generator tags — the metadata a curation pipeline
+    * filters on) in chunk order. */
+  final case class PngMeta(
+      width: Int, height: Int, bit_depth: Int, color_type: Int,
+      interlace: Int, n_chunks: Int, texts: Seq[(String, String)])
+
+  /** Byte-level PNG chunk walk (the image sibling of [[parseWav]]'s
+    * RIFF walk): signature, then length/type/data/CRC chunks through
+    * IEND. Every chunk's CRC32 (over type+data, the spec's polynomial
+    * via `java.util.zip.CRC32`) is VERIFIED — a corrupt length or
+    * flipped byte returns None rather than garbage geometry. tEXt
+    * data splits at the first NUL into (keyword, value) per the spec.
+    * No decoder, no ImageIO — this reads structure, not pixels. */
+  def parsePng(payload: Array[Byte]): Option[PngMeta] = {
+    if (payload.length < 8) return None
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+    var i = 0
+    while (i < 8) {
+      if ((payload(i) & 0xff) != sig(i)) return None
+      i += 1
+    }
+    def u32(o: Int): Long =
+      ((payload(o) & 0xffL) << 24) | ((payload(o + 1) & 0xffL) << 16) |
+        ((payload(o + 2) & 0xffL) << 8) | (payload(o + 3) & 0xffL)
+    var off = 8
+    var meta: Option[(Int, Int, Int, Int, Int)] = None
+    val texts = scala.collection.mutable.Buffer[(String, String)]()
+    var chunks = 0
+    var ended = false
+    while (!ended) {
+      if (off + 12 > payload.length) return None
+      val len = u32(off)
+      if (len > Int.MaxValue - 12 || off + 12 + len > payload.length)
+        return None
+      val ctype = new String(payload, off + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(payload, off + 4, 4 + len.toInt)
+      if (crc.getValue != u32(off + 8 + len.toInt)) return None
+      chunks += 1
+      ctype match {
+        case "IHDR" =>
+          if (len != 13) return None
+          meta = Some((u32(off + 8).toInt, u32(off + 12).toInt,
+            payload(off + 16) & 0xff, payload(off + 17) & 0xff,
+            payload(off + 20) & 0xff))
+        case "tEXt" =>
+          val data = new String(payload, off + 8, len.toInt, "ISO-8859-1")
+          val nul = data.indexOf('\u0000')
+          if (nul >= 0)
+            texts += ((data.substring(0, nul), data.substring(nul + 1)))
+        case "IEND" => ended = true
+        case _      => ()
+      }
+      off += 12 + len.toInt
+    }
+    meta.map { case (w, h, bd, ct, il) =>
+      PngMeta(w, h, bd, ct, il, chunks, texts.toSeq)
+    }
+  }
+
+  /** Splice a tEXt chunk (correct length + CRC) before IEND — the
+    * in-engine generator for metadata-bearing test PNGs. */
+  def withTextChunk(png: Array[Byte], key: String,
+      value: String): Array[Byte] = {
+    require(png.length >= 12, "not a png")
+    val data = (key + "\u0000" + value).getBytes("ISO-8859-1")
+    val chunk = java.nio.ByteBuffer.allocate(12 + data.length)
+    chunk.putInt(data.length)
+    chunk.put("tEXt".getBytes("US-ASCII")).put(data)
+    val crc = new java.util.zip.CRC32
+    crc.update(chunk.array(), 4, 4 + data.length)
+    chunk.putInt(crc.getValue.toInt)
+    val iend = png.length - 12 // IEND = len(0) + "IEND" + crc
+    png.take(iend) ++ chunk.array() ++ png.drop(iend)
+  }
 }

@@ -134,6 +134,64 @@ object MultimodalQueries {
           Multimodal.waveHash64(col("ws"), col("wc")).as("whash"))
     }),
 
+    // Magic-byte content-type sniffing over 12 in-engine payload
+    // shapes: nine real signatures, a truncated-magic payload (invalid
+    // UTF-8 head -> bin), a RIFF container with the WRONG form type
+    // (the both-positions guard; its NUL size bytes class it bin), and
+    // plain text. The oracle states the expected verdict from the same
+    // id arithmetic.
+    "media_sniff" -> ((s, dir) => {
+      val t = encode(col("text"), "UTF-8")
+      val payload = (col("doc_id") % 12)
+        .cast("int") match { case m =>
+          when(m === 0, concat(unhex(lit("89504E470D0A1A0A")), t))
+            .when(m === 1, concat(unhex(lit("FFD8FFE0")), t))
+            .when(m === 2, concat(encode(lit("GIF89a"), "UTF-8"), t))
+            .when(m === 3, concat(encode(lit("RIFF"), "UTF-8"),
+              unhex(lit("10000000")), encode(lit("WAVE"), "UTF-8"), t))
+            .when(m === 4, concat(encode(lit("RIFF"), "UTF-8"),
+              unhex(lit("10000000")), encode(lit("AVI "), "UTF-8"), t))
+            .when(m === 5, concat(unhex(lit("1F8B08")), t))
+            .when(m === 6, concat(unhex(lit("504B0304")), t))
+            .when(m === 7, concat(encode(lit("%PDF-1.4 "), "UTF-8"), t))
+            .when(m === 8, concat(unhex(lit("EFBBBF")),
+              encode(lit("  <!DOCTYPE html><p>"), "UTF-8"), t))
+            .when(m === 9, concat(unhex(lit("8950")), t))
+            .when(m === 10, concat(encode(lit("RIFF"), "UTF-8"),
+              unhex(lit("10000000")), encode(lit("JUNK"), "UTF-8"), t))
+            .otherwise(t)
+        }
+      Graft.table(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          Multimodal.sniffFormat(payload).as("format"))
+    }),
+
+    // PNG chunk-walk metadata (the image sibling of the WAV RIFF walk,
+    // structure not pixels): an id-sized grayscale PNG gets two tEXt
+    // chunks spliced in (length + CRC32 computed, the real spec
+    // layout), and the parser must CRC-verify every chunk and read
+    // IHDR geometry + the key/NUL/value texts back. Oracle states the
+    // template values.
+    "media_pngmeta" -> ((s, dir) => {
+      import s.implicits._
+      Graft.table(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val png = Multimodal.withTextChunk(
+            Multimodal.withTextChunk(
+              Multimodal.grayPng(8 + (id % 9).toInt, 5 + (id % 7).toInt,
+                (x, y) => (id + x * 3 + y * 5).toInt),
+              "source", s"doc-$id"),
+            "generator", "graft")
+          val m = Multimodal.parsePng(png).get
+          (id, m.width, m.height, m.bit_depth, m.color_type, m.interlace,
+            m.texts.length.toLong,
+            m.texts.map { case (k, v) => s"$k=$v" }.mkString(";"))
+        })
+        .toDF("media_id", "width", "height", "bit_depth", "color_type",
+          "interlace", "n_texts", "texts_csv")
+    }),
+
     // Average hash over the SAME true-pixel decode path as media_decode
     // (the aHash/dHash pair near-dup pipelines band together): bit =
     // cell·64 > subgrid sum, exact integers; oracle replays the template
@@ -258,6 +316,30 @@ object MultimodalQueries {
         |    CASE WHEN ws[i+1] * wc[i+2] < ws[i+2] * wc[i+1]
         |         THEN '1' ELSE '0' END), '') AS whash
         |FROM w
+        |""".stripMargin,
+
+    "media_sniff" ->
+      """SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 12 AS INTEGER)
+        |    WHEN 0 THEN 'png'  WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+        |    WHEN 3 THEN 'wav'  WHEN 4 THEN 'avi'  WHEN 5 THEN 'gzip'
+        |    WHEN 6 THEN 'zip'  WHEN 7 THEN 'pdf'  WHEN 8 THEN 'html'
+        |    WHEN 9 THEN 'bin'  WHEN 10 THEN 'bin'
+        |    ELSE 'text' END AS format
+        |FROM documents
+        |""".stripMargin,
+
+    "media_pngmeta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8 + doc_id % 9 AS INTEGER) AS width,
+        |  CAST(5 + doc_id % 7 AS INTEGER) AS height,
+        |  CAST(8 AS INTEGER) AS bit_depth,
+        |  CAST(0 AS INTEGER) AS color_type,
+        |  CAST(0 AS INTEGER) AS interlace,
+        |  CAST(2 AS BIGINT) AS n_texts,
+        |  'source=doc-' || CAST(doc_id AS VARCHAR) || ';generator=graft'
+        |    AS texts_csv
+        |FROM documents
         |""".stripMargin,
 
     "media_ahash" ->

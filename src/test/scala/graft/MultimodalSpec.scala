@@ -195,6 +195,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(h1 == h3)
   }
 
+  test("parsePng: IHDR + tEXt with CRC verification, strict rejects") {
+    val png = Multimodal.withTextChunk(
+      Multimodal.grayPng(7, 4, (x, y) => x + y), "k", "v one")
+    val m = Multimodal.parsePng(png).get
+    assert(m.width == 7 && m.height == 4 && m.bit_depth == 8 &&
+      m.color_type == 0 && m.interlace == 0)
+    assert(m.texts == Seq(("k", "v one"))) // NUL-split survives spaces
+    assert(m.n_chunks >= 4) // IHDR, tEXt, >=1 IDAT, IEND
+
+    // flipped data byte -> CRC mismatch -> None (never garbage)
+    val corrupt = png.clone()
+    corrupt(40) = (corrupt(40) ^ 0x5a).toByte
+    assert(Multimodal.parsePng(corrupt).isEmpty)
+    // truncation and non-PNG bytes reject
+    assert(Multimodal.parsePng(png.dropRight(3)).isEmpty)
+    assert(Multimodal.parsePng("not a png".getBytes).isEmpty)
+  }
+
+  test("sniffFormat: signatures, container guard, text/bin fallback") {
+    def sniff(b: Array[Byte]): String =
+      Seq(Tuple1(b)).toDF("p")
+        .select(Multimodal.sniffFormat(col("p")).as("f"))
+        .as[String].collect().head
+    assert(sniff(Multimodal.grayPng(2, 2, (_, _) => 9)) == "png")
+    assert(sniff(Multimodal.pcmWav(8000, 1, Array(1, -2))) == "wav")
+    assert(sniff("GIF89a-tiny".getBytes) == "gif")
+    assert(sniff("%PDF-1.7 x".getBytes) == "pdf")
+    assert(sniff("﻿  <!DOCTYPE html><p>".getBytes("UTF-8")) == "html")
+    assert(sniff("<HTML><body>".getBytes) == "html")
+    assert(sniff("plain words only".getBytes) == "text")
+    // valid non-ASCII UTF-8 is still text
+    assert(sniff("café ok".getBytes("UTF-8")) == "text")
+    // truncated magic -> invalid UTF-8 head -> bin
+    assert(sniff(Array[Byte](0x89.toByte, 0x50) ++
+      "rest".getBytes) == "bin")
+    // RIFF with the wrong form type never claims wav/avi
+    val junkRiff = "RIFF".getBytes ++ Array[Byte](16, 0, 0, 0) ++
+      "JUNKdata".getBytes
+    assert(sniff(junkRiff) == "bin") // NUL size bytes class it binary
+  }
+
   test("WavCodec/JdkCodec: real audio metadata, stub fallback, routing") {
     val wav = Multimodal.pcmWav(22050, 2, Array.fill(64)(7))
     val rec = Multimodal.MediaRecord(9L, "audio", wav, "s")
