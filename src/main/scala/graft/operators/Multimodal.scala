@@ -154,6 +154,72 @@ object Multimodal {
   def decodeGray9x8(payload: Array[Byte]): Option[Array[Int]] =
     decodeImage(payload).map(gray9x8)
 
+  /** General fixed-size resize — the feature-extraction preprocessor
+    * (models want one input geometry): area-average resample of the
+    * grayscale image to an ARBITRARY `ow`×`oh` grid, row-major, with
+    * exactly [[gray9x8]]'s integer rule (floor boundaries, ≥1 source
+    * pixel per cell, tiny images repeat pixels). `gray9x8` is the
+    * (9, 8) special case kept for the hash paths. Deterministic on any
+    * platform; cost is one pass over source pixels. */
+  def grayResample(img: java.awt.image.BufferedImage,
+      ow: Int, oh: Int): Array[Int] = {
+    require(ow > 0 && oh > 0, s"bad resize target: ${ow}x$oh")
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Int](ow * oh)
+    var row = 0
+    while (row < oh) {
+      var c = 0
+      while (c < ow) {
+        val x0 = c * w / ow
+        val x1 = math.min(w, math.max(x0 + 1, (c + 1) * w / ow))
+        val y0 = row * h / oh
+        val y1 = math.min(h, math.max(y0 + 1, (row + 1) * h / oh))
+        var s = 0L; var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += grayAt(img, x, y); n += 1; x += 1 }
+          y += 1
+        }
+        out(row * ow + c) = (s / n).toInt
+        c += 1
+      }
+      row += 1
+    }
+    out
+  }
+
+  /** Integer audio downsampling by decimation factor `k` with a boxcar
+    * (mean-of-k) anti-alias filter, exact integers: output frame i =
+    * mean of input frames [i·k, (i+1)·k) per channel (a trailing
+    * partial window means what remains), divided with TRUNCATION
+    * toward zero — samples are signed and that is what both the JVM
+    * (`-7/2 == -3`) and DuckDB's `//` compute, so the convention is
+    * replayable verbatim. The feature-extraction
+    * preprocessor for audio (models want one sample rate); sample rate
+    * divides by `k` (floor). Deterministic, one pass. */
+  def downsampleWav(w: WavData, k: Int): WavData = {
+    require(k > 0, s"decimation factor must be positive: $k")
+    if (k == 1) return w
+    val frames = w.samples.length / w.channels
+    val oFrames = (frames + k - 1) / k
+    val out = new Array[Int](oFrames * w.channels)
+    var i = 0
+    while (i < oFrames) {
+      var c = 0
+      while (c < w.channels) {
+        var s = 0L; var n = 0
+        var j = i * k
+        val end = math.min(frames, (i + 1) * k)
+        while (j < end) { s += w.samples(j * w.channels + c); n += 1; j += 1 }
+        out(i * w.channels + c) = (s / n).toInt
+        c += 1
+      }
+      i += 1
+    }
+    WavData(w.sample_rate / k, w.channels, w.bits_per_sample, out)
+  }
+
   /** Deterministic 8-bit grayscale PNG from a row-major pixel function —
     * the in-engine image generator for gates and tests. PNG is lossless
     * and `TYPE_BYTE_GRAY` samples write/read untouched, so

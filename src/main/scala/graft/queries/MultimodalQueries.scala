@@ -192,6 +192,50 @@ object MultimodalQueries {
           "interlace", "n_texts", "texts_csv")
     }),
 
+    // General resize: the decoded 18×16 template image resamples to an
+    // id-sized target grid (3-7 × 2-5 — non-divisor geometries, so
+    // cells straddle uneven source spans); the oracle replays the
+    // area-average (floor boundaries, floor mean) per cell.
+    "media_resize" -> ((s, dir) => {
+      import s.implicits._
+      Graft.table(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val png = Multimodal.grayPng(18, 16,
+            (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt)
+          val img = Multimodal.decodeImage(png).get
+          val ow = 3 + (id % 5).toInt
+          val oh = 2 + (id % 4).toInt
+          (id, ow, oh,
+            Multimodal.grayResample(img, ow, oh).mkString(","))
+        })
+        .toDF("media_id", "out_w", "out_h", "grid_csv")
+    }),
+
+    // Audio downsampling: the decoded waveform decimates by an id-sized
+    // factor through the boxcar mean (truncating division — the JVM and
+    // DuckDB // agree on signed operands); the oracle replays rate,
+    // frame count, the head samples and the energy of the downsampled
+    // signal.
+    "media_downsample" -> ((s, dir) => {
+      import s.implicits._
+      Graft.table(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = 120 + (id % 50).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id * 37 + i * 101) % 4001) - 2000).toInt)
+          val w = Multimodal.parseWav(
+            Multimodal.pcmWav(8000, 1, samples)).get
+          val d = Multimodal.downsampleWav(w, 2 + (id % 3).toInt)
+          (id, d.sample_rate, d.samples.length.toLong,
+            d.samples.take(12).mkString(","),
+            d.samples.map(x => x.toLong * x).sum)
+        })
+        .toDF("media_id", "out_rate", "out_frames", "head_csv",
+          "out_energy")
+    }),
+
     // Average hash over the SAME true-pixel decode path as media_decode
     // (the aHash/dHash pair near-dup pipelines band together): bit =
     // cell·64 > subgrid sum, exact integers; oracle replays the template
@@ -340,6 +384,55 @@ object MultimodalQueries {
         |  'source=doc-' || CAST(doc_id AS VARCHAR) || ';generator=graft'
         |    AS texts_csv
         |FROM documents
+        |""".stripMargin,
+
+    "media_resize" ->
+      """WITH g AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(3 + doc_id % 5 AS INTEGER) AS ow,
+        |    CAST(2 + doc_id % 4 AS INTEGER) AS oh
+        |  FROM documents)
+        |SELECT media_id, ow AS out_w, oh AS out_h,
+        |  array_to_string(list_transform(range(0, ow * oh), i ->
+        |    list_sum(flatten(list_transform(
+        |      range((i % ow) * 18 // ow,
+        |            least(18, greatest((i % ow) * 18 // ow + 1,
+        |                               ((i % ow) + 1) * 18 // ow))), x ->
+        |      list_transform(
+        |        range((i // ow) * 16 // oh,
+        |              least(16, greatest((i // ow) * 16 // oh + 1,
+        |                                 ((i // ow) + 1) * 16 // oh))), y ->
+        |        (media_id*31 + x*7 + y*13) % 256))))
+        |    // ((least(18, greatest((i % ow) * 18 // ow + 1,
+        |                            ((i % ow) + 1) * 18 // ow))
+        |        - (i % ow) * 18 // ow)
+        |     * (least(16, greatest((i // ow) * 16 // oh + 1,
+        |                           ((i // ow) + 1) * 16 // oh))
+        |        - (i // ow) * 16 // oh))), ',') AS grid_csv
+        |FROM g
+        |""".stripMargin,
+
+    "media_downsample" ->
+      """WITH t AS (
+        |  SELECT doc_id AS media_id, 120 + (doc_id % 50) AS n,
+        |    CAST(2 + doc_id % 3 AS INTEGER) AS k,
+        |    list_transform(range(0, 120 + (doc_id % 50)), i ->
+        |      ((doc_id*37 + i*101) % 4001) - 2000) AS s
+        |  FROM documents),
+        |d AS (
+        |  SELECT media_id, k, n,
+        |    list_transform(range(0, (n + k - 1) // k), i ->
+        |      list_sum(list_transform(range(i*k, least(n, (i+1)*k)),
+        |        j -> s[j+1]))
+        |      // (least(n, (i+1)*k) - i*k)) AS o
+        |  FROM t)
+        |SELECT media_id,
+        |  CAST(8000 // k AS INTEGER) AS out_rate,
+        |  CAST(len(o) AS BIGINT) AS out_frames,
+        |  array_to_string(o[1:12], ',') AS head_csv,
+        |  CAST(list_sum(list_transform(o, x -> x*x)) AS BIGINT)
+        |    AS out_energy
+        |FROM d
         |""".stripMargin,
 
     "media_ahash" ->

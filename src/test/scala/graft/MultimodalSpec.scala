@@ -195,6 +195,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(h1 == h3)
   }
 
+  test("grayResample: arbitrary geometry, identity, tiny-image repeat") {
+    // identity-size resample returns the pixels themselves
+    val img = {
+      val i = new java.awt.image.BufferedImage(
+        4, 2, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 2; x <- 0 until 4)
+        i.getRaster.setSample(x, y, 0, 10 * y + x)
+      i
+    }
+    assert(Multimodal.grayResample(img, 4, 2).toSeq ==
+      Seq(0, 1, 2, 3, 10, 11, 12, 13))
+    // 2x1: each cell floor-means a 2x2 block
+    assert(Multimodal.grayResample(img, 2, 1).toSeq ==
+      Seq((0 + 1 + 10 + 11) / 4, (2 + 3 + 12 + 13) / 4))
+    // upscale a 1x1 image: every cell repeats the pixel
+    val one = Multimodal.decodeImage(
+      Multimodal.grayPng(1, 1, (_, _) => 77)).get
+    assert(Multimodal.grayResample(one, 3, 2).toSeq == Seq.fill(6)(77))
+    // gray9x8 is exactly the (9, 8) case
+    val big = Multimodal.decodeImage(
+      Multimodal.grayPng(18, 16, (x, y) => x * 7 + y * 13)).get
+    assert(Multimodal.grayResample(big, 9, 8).toSeq ==
+      Multimodal.gray9x8(big).toSeq)
+  }
+
+  test("downsampleWav: boxcar mean, floor division, stereo, trailing") {
+    val w = Multimodal.WavData(8000, 1, 16, Array(1, 3, 5, 7, 9))
+    val d = Multimodal.downsampleWav(w, 2)
+    // pairs (1,3) (5,7) then the trailing partial (9)
+    assert(d.sample_rate == 4000 && d.samples.toSeq == Seq(2, 6, 9))
+    // signed means truncate toward zero (JVM and DuckDB // agree):
+    // mean(-7, 0) = -3
+    val neg = Multimodal.downsampleWav(
+      Multimodal.WavData(8000, 1, 16, Array(-7, 0)), 2)
+    assert(neg.samples.toSeq == Seq(-3))
+    // stereo: channels decimate independently
+    val st = Multimodal.downsampleWav(
+      Multimodal.WavData(8000, 2, 16, Array(0, 100, 10, 300, 20, 500)), 3)
+    assert(st.samples.toSeq == Seq(10, 300))
+    // k=1 is the identity
+    assert(Multimodal.downsampleWav(w, 1) eq w)
+  }
+
   test("parsePng: IHDR + tEXt with CRC verification, strict rejects") {
     val png = Multimodal.withTextChunk(
       Multimodal.grayPng(7, 4, (x, y) => x + y), "k", "v one")
