@@ -286,4 +286,48 @@ object Robots {
         coalesce(best.getField("a"), lit(true)).cast("long"))
       .drop("_rhost", "_rules", "_host", "_path")
   }
+
+  // ------------------------------------------------- page-level meta
+
+  /** `<meta name="robots">` content of a fetched page, lower-cased —
+    * the PAGE-level compliance layer robots.txt cannot express (a host
+    * may allow the fetch yet forbid indexing). Both attribute orders
+    * are read (name-first wins when both match; first robots meta per
+    * page wins — regexp_extract's leftmost match); `[^>]*` keeps a
+    * pattern inside ONE tag. Quoted values and unquoted single tokens
+    * parse; no lookaround, so an oracle replays the same two
+    * extractions. */
+  /** The two attribute-order patterns, exported so oracles embed them
+    * BY REFERENCE (quote-doubled), never as a drifting copy. */
+  val metaNameFirstPattern: String =
+    "(?i)<meta\\s[^>]*name\\s*=\\s*[\"']?robots[\"']?[^>]*" +
+      "content\\s*=\\s*[\"']?([a-zA-Z, ]*)"
+  val metaContentFirstPattern: String =
+    "(?i)<meta\\s[^>]*content\\s*=\\s*[\"']?([a-zA-Z, ]*)[\"']?" +
+      "[^>]*name\\s*=\\s*[\"']?robots"
+
+  def metaRobots(html: Column): Column = {
+    val nameFirst = regexp_extract(html, metaNameFirstPattern, 1)
+    val contentFirst = regexp_extract(html, metaContentFirstPattern, 1)
+    lower(when(length(nameFirst) > 0, nameFirst).otherwise(contentFirst))
+  }
+
+  /** Directive flags from [[metaRobots]]: `noindex` / `nofollow`
+    * (with `none` implying both, per the de-facto standard) as 1/0
+    * BIGINTs plus the `index_ok` verdict a corpus-admission filter
+    * keys on, and the link-graph gate `follow_ok` the frontier
+    * expander keys on. Token-exact matching (comma/space split), so
+    * "noindexing" never false-positives. Narrow codegen'd pass, zero
+    * shuffle. */
+  def metaDirectiveColumns(html: Column): Seq[Column] = {
+    val toks = split(metaRobots(html), "[, ]+")
+    def has(d: String): Column = array_contains(toks, d)
+    val noindex = has("noindex") || has("none")
+    val nofollow = has("nofollow") || has("none")
+    Seq(
+      when(noindex, 1L).otherwise(0L).as("meta_noindex"),
+      when(nofollow, 1L).otherwise(0L).as("meta_nofollow"),
+      when(!noindex, 1L).otherwise(0L).as("index_ok"),
+      when(!nofollow, 1L).otherwise(0L).as("follow_ok"))
+  }
 }

@@ -462,6 +462,30 @@ object PipelineQueries {
     // and precedence (longest rule path, allow beats disallow on ties);
     // the oracle states the expected verdict per URL directly from the
     // template semantics — parsing + precedence proven, not mirrored.
+    // Page-level robots meta directives (the compliance layer
+    // robots.txt cannot express): six template pages per id cycle —
+    // no meta, noindex, cased NoFollow+noarchive, content-first
+    // 'none', a non-robots meta that must NOT trigger, single-quoted
+    // noindex+nofollow. The oracle replays both attribute-order
+    // extractions and the token-exact flags.
+    "robots_meta" -> ((s, dir) => {
+      import graft.operators.Robots
+      val m = col("doc_id") % 6
+      val page = concat(
+        when(m === 1, lit("<meta name=\"robots\" content=\"noindex\">"))
+          .when(m === 2,
+            lit("<meta name=\"ROBOTS\" content=\"NoFollow, noarchive\">"))
+          .when(m === 3, lit("<meta content=\"none\" name=\"robots\">"))
+          .when(m === 4,
+            lit("<meta name=\"viewport\" content=\"noindex\">"))
+          .when(m === 5,
+            lit("<meta name='robots' content='noindex, nofollow'>"))
+          .otherwise(lit("<meta charset=\"utf-8\">")),
+        lit("<title>d</title><p>"), col("text"))
+      docs(s, dir).select(
+        col("doc_id") +: Robots.metaDirectiveColumns(page): _*)
+    }),
+
     "robots_filter" -> ((s, dir) => {
       import graft.operators.Robots
       val d = docs(s, dir)
@@ -1869,6 +1893,48 @@ object PipelineQueries {
          |    AS n_subwords
          |FROM documents
          |""".stripMargin,
+
+    "robots_meta" -> {
+      val nf = graft.operators.Robots.metaNameFirstPattern
+        .replace("'", "''")
+      val cf = graft.operators.Robots.metaContentFirstPattern
+        .replace("'", "''")
+      s"""WITH p AS (
+         |  SELECT doc_id, CASE CAST(doc_id % 6 AS INTEGER)
+         |    WHEN 1 THEN '<meta name="robots" content="noindex">'
+         |    WHEN 2 THEN '<meta name="ROBOTS" content="NoFollow, noarchive">'
+         |    WHEN 3 THEN '<meta content="none" name="robots">'
+         |    WHEN 4 THEN '<meta name="viewport" content="noindex">'
+         |    WHEN 5 THEN '<meta name=''robots'' content=''noindex, nofollow''>'
+         |    ELSE '<meta charset="utf-8">' END ||
+         |    '<title>d</title><p>' || text AS page
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    lower(CASE WHEN regexp_extract(page, '$nf', 1) != ''
+         |          THEN regexp_extract(page, '$nf', 1)
+         |          ELSE regexp_extract(page, '$cf', 1) END) AS content
+         |  FROM p),
+         |t AS (
+         |  SELECT doc_id,
+         |    string_split_regex(content, '[, ]+') AS toks
+         |  FROM c)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN list_contains(toks, 'noindex')
+         |         OR list_contains(toks, 'none') THEN 1 ELSE 0 END
+         |    AS BIGINT) AS meta_noindex,
+         |  CAST(CASE WHEN list_contains(toks, 'nofollow')
+         |         OR list_contains(toks, 'none') THEN 1 ELSE 0 END
+         |    AS BIGINT) AS meta_nofollow,
+         |  CAST(CASE WHEN list_contains(toks, 'noindex')
+         |         OR list_contains(toks, 'none') THEN 0 ELSE 1 END
+         |    AS BIGINT) AS index_ok,
+         |  CAST(CASE WHEN list_contains(toks, 'nofollow')
+         |         OR list_contains(toks, 'none') THEN 0 ELSE 1 END
+         |    AS BIGINT) AS follow_ok
+         |FROM t
+         |""".stripMargin
+    },
 
     "robots_filter" ->
       """SELECT doc_id,

@@ -221,4 +221,28 @@ class RobotsSpec extends AnyFunSuite {
     assert(df(1) == ("x.y", "/"))
     assert(df(2) == ("", "/")) // non-URL: no host, path normalizes
   }
+  test("metaDirectiveColumns: orders, case, none, token-exact") {
+    import org.apache.spark.sql.functions.col
+    val pages = Seq(
+      (0L, "<meta charset=\"utf-8\"><p>plain"),
+      (1L, "<meta name=\"robots\" content=\"noindex\"><p>x"),
+      (2L, "<meta name=\"ROBOTS\" content=\"NoFollow, noarchive\">"),
+      (3L, "<meta content=\"none\" name=\"robots\">"),
+      (4L, "<meta name=\"viewport\" content=\"noindex\">"),
+      (5L, "<meta name='robots' content='noindexing, follow'>"),
+      (6L, "<title>t</title><meta name=robots content=nofollow>")
+    ).toDF("id", "page")
+    val out = pages.select(
+        col("id") +: Robots.metaDirectiveColumns(col("page")): _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("meta_noindex"), r.getAs[Long]("meta_nofollow"),
+          r.getAs[Long]("index_ok"), r.getAs[Long]("follow_ok"))).toMap
+    assert(out(0L) == ((0L, 0L, 1L, 1L)))       // no robots meta
+    assert(out(1L) == ((1L, 0L, 0L, 1L)))       // noindex only
+    assert(out(2L) == ((0L, 1L, 1L, 0L)))       // cased NoFollow
+    assert(out(3L) == ((1L, 1L, 0L, 0L)))       // content-first 'none'
+    assert(out(4L) == ((0L, 0L, 1L, 1L)))       // wrong meta name
+    assert(out(5L) == ((0L, 0L, 1L, 1L)))       // 'noindexing' != noindex
+    assert(out(6L) == ((0L, 1L, 1L, 0L)))       // unquoted attrs
+  }
 }
