@@ -837,6 +837,61 @@ object PipelineQueries {
         .filter(col("resolved").isNotNull)
     }),
 
+    // Public-suffix registrable domain (the PSL algorithm, codegen'd
+    // hash-probe lookup — the precise upgrade of domainOf's two-label
+    // heuristic): twelve host templates cover every branch — plain
+    // com, deep subdomain, multi-label suffix co.uk, wildcard *.ck
+    // (with and without a registrable label), exception !www.ck (at
+    // and below the exception), unlisted TLD (implicit * rule), a
+    // host that IS a public suffix (null), *.kobe.jp wildcard vs its
+    // !city.kobe.jp exception, and case + trailing-dot tolerance. The
+    // oracle states the expected registrable domain per template from
+    // the published algorithm, not by mirroring the lookup.
+    "registered_domain" -> ((s, dir) => {
+      import graft.functions.Url
+      val m = col("doc_id") % 12
+      val src = lower(col("source"))
+      val host = when(m === 0, concat(src, lit(".example.com")))
+        .when(m === 1, concat(lit("www."), src, lit(".blog.example.com")))
+        .when(m === 2, concat(src, lit(".example.co.uk")))
+        .when(m === 3, concat(lit("foo."), src, lit(".ck")))
+        .when(m === 4, lit("www.ck"))
+        .when(m === 5, lit("x.www.ck"))
+        .when(m === 6, concat(src, lit(".unlistedtld")))
+        .when(m === 7, lit("co.uk"))
+        .when(m === 8, lit("b.city.kobe.jp"))
+        .when(m === 9, concat(lit("y.x"), src, lit(".kobe.jp")))
+        .when(m === 10, lit("kobe.jp"))
+        .otherwise(upper(concat(src, lit(".Example.COM."))))
+      docs(s, dir).select(col("doc_id"), host.as("host"),
+        Url.registeredDomain(host).as("registrable"))
+    }),
+
+    // SURT key (Sort-friendly URI Reordering Transform — the CDX
+    // canonical form): reversed host labels make every URL under a
+    // domain one contiguous sorted-key range. The template URL's
+    // expected key is STATED from the transform's definition (scheme +
+    // userinfo dropped, host lowercased + reversed, default port off,
+    // path slash-collapsed case-PRESERVED, query byte-sorted, fragment
+    // gone); edge rows pin non-default ports, root paths, IPv4 labels
+    // and the null for scheme-less values.
+    "url_surt" -> ((s, dir) => {
+      import s.implicits._
+      val crawl = docs(s, dir).select(col("doc_id"),
+        concat(lit("HTTPS://User@WWW."), col("source"),
+          lit(".Example.COM:443//A//b/"), col("doc_id"),
+          lit("/?z="), col("n_chars") % 7, lit("&a="), col("doc_id") % 5,
+          lit("#frag")).as("url"))
+      val edge = Seq(
+        (2000001L, "http://x.y:8080/p"),
+        (2000002L, "https://a.b"),
+        (2000003L, "http://10.1.2.3/x"),
+        (2000004L, "not a url")
+      ).toDF("doc_id", "url")
+      crawl.union(edge).select(col("doc_id"),
+        graft.functions.Url.surt(col("url")).as("surt"))
+    }),
+
     // Fuzzy vocabulary folding: every unordered term pair within edit
     // distance 1, via deletion-neighborhood (FastSS/SymSpell) blocking —
     // an equi-join on delete-variants, never a quadratic cross join.
@@ -2441,6 +2496,52 @@ object PipelineQueries {
         |    ELSE 'http://' || source || '.example/a/b/c.html'
         |    END AS resolved
         |FROM documents WHERE doc_id % 7 <> 6
+        |""".stripMargin,
+
+    "registered_domain" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 12 AS INTEGER)
+        |    WHEN 0 THEN lower(source) || '.example.com'
+        |    WHEN 1 THEN 'www.' || lower(source) || '.blog.example.com'
+        |    WHEN 2 THEN lower(source) || '.example.co.uk'
+        |    WHEN 3 THEN 'foo.' || lower(source) || '.ck'
+        |    WHEN 4 THEN 'www.ck'
+        |    WHEN 5 THEN 'x.www.ck'
+        |    WHEN 6 THEN lower(source) || '.unlistedtld'
+        |    WHEN 7 THEN 'co.uk'
+        |    WHEN 8 THEN 'b.city.kobe.jp'
+        |    WHEN 9 THEN 'y.x' || lower(source) || '.kobe.jp'
+        |    WHEN 10 THEN 'kobe.jp'
+        |    ELSE upper(lower(source) || '.Example.COM.') END AS host,
+        |  CASE CAST(doc_id % 12 AS INTEGER)
+        |    WHEN 0 THEN 'example.com'          -- rule com
+        |    WHEN 1 THEN 'example.com'          -- longest = com, +1 label
+        |    WHEN 2 THEN 'example.co.uk'        -- co.uk beats uk
+        |    WHEN 3 THEN 'foo.' || lower(source) || '.ck' -- *.ck eats 2
+        |    WHEN 4 THEN 'www.ck'               -- exception IS registrable
+        |    WHEN 5 THEN 'www.ck'               -- below the exception
+        |    WHEN 6 THEN lower(source) || '.unlistedtld'  -- implicit *
+        |    WHEN 7 THEN NULL                   -- host IS a public suffix
+        |    WHEN 8 THEN 'city.kobe.jp'         -- exception beats *.kobe.jp
+        |    WHEN 9 THEN 'y.x' || lower(source) || '.kobe.jp' -- wildcard
+        |    WHEN 10 THEN 'kobe.jp'             -- *.kobe.jp needs a label
+        |    ELSE 'example.com' END AS registrable  -- case+trailing dot
+        |FROM documents
+        |""".stripMargin,
+
+    "url_surt" ->
+      """SELECT doc_id,
+        |  'com,example,' || lower(source) || ',www)/A/b/' ||
+        |  CAST(doc_id AS VARCHAR) || '?a=' ||
+        |  CAST(doc_id % 5 AS VARCHAR) || '&z=' ||
+        |  CAST(n_chars % 7 AS VARCHAR) AS surt
+        |FROM documents
+        |UNION ALL
+        |SELECT CAST(v.did AS BIGINT), v.surt FROM (VALUES
+        |  (2000001, 'y,x:8080)/p'),
+        |  (2000002, 'b,a)/'),
+        |  (2000003, '3,2,1,10)/x'),
+        |  (2000004, NULL)) AS v(did, surt)
         |""".stripMargin,
 
     "url_normalize" ->

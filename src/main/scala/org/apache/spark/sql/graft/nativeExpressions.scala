@@ -860,3 +860,41 @@ object FixMojibake {
     if (multibyte) Some(sb.toString) else None
   }
 }
+
+/** `registered_domain(host)` — registrable domain under a
+  * public-suffix rule table ([[graft.functions.PublicSuffix]]): the
+  * per-domain grouping key crawl budgets, sampling quotas and
+  * host-rollup stats need, where the two-label heuristic misgroups
+  * multi-label suffixes (`co.uk`) and wildcard TLDs (`*.ck`). The
+  * rule table rides the generated class as a reference object (built
+  * once per JVM from the serialized rule list, shared across rows);
+  * lookup is O(host labels) hash probes — never O(rules). Null when
+  * the host has no registrable domain (it IS a public suffix, or is
+  * single-label / malformed); callers `coalesce` to the raw host for
+  * a total grouping key. */
+case class RegisteredDomain(child: Expression, rules: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(rules.nonEmpty, "registered_domain: empty rule list")
+
+  @transient private lazy val table = new graft.functions.PublicSuffix(rules)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "registered_domain"
+
+  override def nullSafeEval(input: Any): Any =
+    table.registrableUtf8(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = ctx.addReferenceObj("pslTable", table,
+      classOf[graft.functions.PublicSuffix].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $t.registrableUtf8($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RegisteredDomain = copy(child = newChild)
+}

@@ -91,4 +91,69 @@ class UrlSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1)"), plan)
   }
+
+  private def reg(h: String): Option[String] =
+    Seq(h).toDF("h").select(Url.registeredDomain(col("h")))
+      .collect().headOption.flatMap(row =>
+        if (row.isNullAt(0)) None else Some(row.getString(0)))
+
+  test("registeredDomain: PSL exact, wildcard, exception branches") {
+    assert(reg("example.com").contains("example.com"))
+    assert(reg("a.b.example.com").contains("example.com"))
+    assert(reg("x.example.co.uk").contains("example.co.uk"))
+    // wildcard *.ck: the * consumes one real label
+    assert(reg("foo.bar.ck").contains("foo.bar.ck"))
+    assert(reg("bar.ck").isEmpty) // bar.ck IS the public suffix
+    // exception !www.ck carves the registrable back out
+    assert(reg("www.ck").contains("www.ck"))
+    assert(reg("deep.x.www.ck").contains("www.ck"))
+    // unlisted TLD falls under the implicit * rule
+    assert(reg("example.zz").contains("example.zz"))
+    assert(reg("zz").isEmpty)
+    // a public suffix itself has nothing registrable
+    assert(reg("co.uk").isEmpty)
+    assert(reg("uk").isEmpty)
+    // *.kobe.jp wildcard vs its !city.kobe.jp exception
+    assert(reg("a.b.kobe.jp").contains("a.b.kobe.jp"))
+    assert(reg("kobe.jp").contains("kobe.jp")) // * needs a label
+    assert(reg("x.city.kobe.jp").contains("city.kobe.jp"))
+    // tolerance: case, one trailing dot; malformed -> null
+    assert(reg("A.Example.COM.").contains("example.com"))
+    assert(reg("a..com").isEmpty)
+    assert(reg(".com").isEmpty)
+  }
+
+  test("registeredDomain codegen + domainKey fallbacks") {
+    val plan = spark.range(1)
+      .select(Url.registeredDomain(col("id").cast("string")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan)
+    def key(u: String): String =
+      Seq(u).toDF("u").select(Url.domainKey(col("u"))).as[String]
+        .collect().head
+    assert(key("http://a.b.example.co.uk/x") == "example.co.uk")
+    // IP literals, single-label and suffix-only hosts keep the host
+    assert(key("http://10.1.2.3/x") == "10.1.2.3")
+    assert(key("http://localhost/x") == "localhost")
+    assert(key("https://co.uk/x") == "co.uk")
+  }
+
+  private def surt(u: String): Option[String] =
+    Seq(u).toDF("u").select(Url.surt(col("u")))
+      .collect().headOption.flatMap(row =>
+        if (row.isNullAt(0)) None else Some(row.getString(0)))
+
+  test("surt: reversed labels, ports, query sort, null without scheme") {
+    assert(surt("HTTPS://User@WWW.Example.COM:443//A//b/?z=2&a=1#f")
+      .contains("com,example,www)/A/b?a=1&z=2"))
+    assert(surt("http://x.y:8080/p").contains("y,x:8080)/p"))
+    assert(surt("https://a.b").contains("b,a)/"))
+    assert(surt("http://10.1.2.3/x").contains("3,2,1,10)/x"))
+    assert(surt("no scheme here").isEmpty)
+    // keys under one domain are a contiguous sorted range: every
+    // subdomain key has the parent's reversed labels as its prefix
+    val ks = Seq("http://example.com/", "http://a.example.com/",
+      "http://b.a.example.com/").flatMap(surt)
+    assert(ks.forall(_.startsWith("com,example")))
+  }
 }
