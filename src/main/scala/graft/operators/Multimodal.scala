@@ -639,4 +639,130 @@ object Multimodal {
     val iend = png.length - 12 // IEND = len(0) + "IEND" + crc
     png.take(iend) ++ chunk.array() ++ png.drop(iend)
   }
+
+  // ------------------------------------------------ JPEG segment walk
+
+  /** Parsed JPEG structure: frame geometry from the first SOF, the
+    * progressive flag, EXIF presence, and the first COM comment — the
+    * dimensions/provenance fields an image-curation filter keys on
+    * without ever entropy-decoding a scan. */
+  final case class JpegMeta(
+      width: Int, height: Int, precision: Int, components: Int,
+      progressive: Int, n_segments: Int, has_exif: Int, comment: String)
+
+  /** Byte-level JPEG marker-segment walk (the third sibling of the WAV
+    * RIFF walk and the PNG chunk walk — structure, not pixels): SOI,
+    * then FF-marker segments with big-endian self-inclusive lengths,
+    * until SOS or EOI. Fill bytes (runs of FF before a marker) are
+    * legal and skipped; standalone markers (TEM, RST0-7) carry no
+    * length. The first SOFn (C0-CF minus DHT C4 / JPG C8 / DAC CC)
+    * yields precision, height, width, component count, and
+    * `progressive` = 1 for the progressive-DCT markers (C2/C6/CA/CE).
+    * APP1 payloads opening with `Exif\0\0` set `has_exif`; the first
+    * COM segment is the comment (ISO-8859-1, the classic encoding).
+    * The walk STOPS at SOS — entropy-coded data follows, and finding
+    * the next marker would need a byte-stuffing scan this
+    * structure-reader has no business doing. Truncated segments,
+    * lengths under 2, a missing SOI, or reaching SOS/EOI without a
+    * SOF all return None rather than garbage geometry. */
+  def parseJpeg(payload: Array[Byte]): Option[JpegMeta] = {
+    if (payload.length < 4) return None
+    if ((payload(0) & 0xff) != 0xff || (payload(1) & 0xff) != 0xd8)
+      return None
+    def u16(o: Int): Int =
+      ((payload(o) & 0xff) << 8) | (payload(o + 1) & 0xff)
+    var off = 2
+    var meta: Option[(Int, Int, Int, Int, Int)] = None
+    var comment: String = ""
+    var sawComment = false
+    var hasExif = 0
+    var segments = 0
+    while (true) {
+      if (off + 2 > payload.length) return None
+      if ((payload(off) & 0xff) != 0xff) return None
+      // fill bytes: any run of FF before the marker byte is padding
+      while (off + 1 < payload.length && (payload(off + 1) & 0xff) == 0xff)
+        off += 1
+      if (off + 2 > payload.length) return None
+      val marker = payload(off + 1) & 0xff
+      if (marker == 0x00) return None // stuffed byte, not a marker
+      if (marker == 0xd9 || marker == 0xda) { // EOI / SOS: walk ends
+        segments += 1
+        return meta.map { case (p, h, w, nc, prog) =>
+          JpegMeta(w, h, p, nc, prog, segments, hasExif, comment)
+        }
+      } else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+        segments += 1 // TEM / RSTn: standalone, no length
+        off += 2
+      } else {
+        if (off + 4 > payload.length) return None
+        val len = u16(off + 2)
+        if (len < 2 || off + 2 + len > payload.length) return None
+        segments += 1
+        val dataOff = off + 4
+        val dataLen = len - 2
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          if (dataLen < 6) return None
+          if (meta.isEmpty) {
+            val prog = if (marker == 0xc2 || marker == 0xc6 ||
+              marker == 0xca || marker == 0xce) 1 else 0
+            meta = Some((payload(dataOff) & 0xff, u16(dataOff + 1),
+              u16(dataOff + 3), payload(dataOff + 5) & 0xff, prog))
+          }
+        } else if (marker == 0xe1 && dataLen >= 6 &&
+            new String(payload, dataOff, 6, "ISO-8859-1") == "Exif  ") {
+          hasExif = 1
+        } else if (marker == 0xfe && !sawComment) {
+          comment = new String(payload, dataOff, dataLen, "ISO-8859-1")
+          sawComment = true
+        }
+        off += 2 + len
+      }
+    }
+    None // unreachable
+  }
+
+  /** Build the marker-segment head of a JPEG (SOI, JFIF APP0, optional
+    * EXIF APP1, COM, SOFn, SOS + token entropy bytes + EOI) with
+    * correct lengths — the in-engine generator for structure-walk
+    * tests. Not a pixel encoder: the walk never reads past SOS. */
+  def jpegHeader(width: Int, height: Int, components: Int,
+      progressive: Boolean, comment: String,
+      exif: Boolean): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    def seg(marker: Int, data: Array[Byte]): Unit = {
+      buf.write(0xff); buf.write(marker)
+      val len = data.length + 2
+      buf.write((len >> 8) & 0xff); buf.write(len & 0xff)
+      buf.write(data, 0, data.length)
+    }
+    buf.write(0xff); buf.write(0xd8) // SOI
+    seg(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 2, 0,
+      0, 1, 0, 1, 0, 0))
+    if (exif)
+      seg(0xe1, "Exif  ".getBytes("ISO-8859-1") ++
+        Array.fill[Byte](8)(0))
+    seg(0xfe, comment.getBytes("ISO-8859-1"))
+    val sof = new java.io.ByteArrayOutputStream()
+    sof.write(8) // precision
+    sof.write((height >> 8) & 0xff); sof.write(height & 0xff)
+    sof.write((width >> 8) & 0xff); sof.write(width & 0xff)
+    sof.write(components)
+    var c = 1
+    while (c <= components) {
+      sof.write(c); sof.write(0x11); sof.write(0); c += 1
+    }
+    seg(if (progressive) 0xc2 else 0xc0, sof.toByteArray)
+    val sos = new java.io.ByteArrayOutputStream()
+    sos.write(components)
+    c = 1
+    while (c <= components) { sos.write(c); sos.write(0); c += 1 }
+    sos.write(0); sos.write(63); sos.write(0)
+    seg(0xda, sos.toByteArray)
+    // token entropy-coded bytes + EOI past the walk's stopping point
+    buf.write(0x12); buf.write(0x34)
+    buf.write(0xff); buf.write(0xd9)
+    buf.toByteArray
+  }
 }

@@ -192,6 +192,32 @@ object MultimodalQueries {
           "interlace", "n_texts", "texts_csv")
     }),
 
+    // JPEG marker-segment walk (the third structure-walk sibling after
+    // WAV RIFF and PNG chunks): an id-templated marker head (JFIF APP0,
+    // optional EXIF APP1, COM, SOF0/SOF2, SOS) is generated with
+    // correct big-endian lengths and walked back — geometry from SOF,
+    // the progressive flag from the marker, EXIF via its signature,
+    // comment from COM, and the walk STOPS at SOS (entropy data is not
+    // a structure-reader's business). Oracle states every field from
+    // the template.
+    "media_jpegmeta" -> ((s, dir) => {
+      import s.implicits._
+      Graft.table(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val j = Multimodal.jpegHeader(
+            100 + (id % 523).toInt, 80 + (id % 411).toInt,
+            1 + 2 * (id % 2).toInt, id % 3 == 0,
+            s"cam-${id % 7};doc-$id", id % 4 == 0)
+          val m = Multimodal.parseJpeg(j).get
+          (id, m.width, m.height, m.precision, m.components,
+            m.progressive, m.n_segments, m.has_exif, m.comment)
+        })
+        .toDF("media_id", "width", "height", "sof_precision",
+          "components", "progressive", "n_segments", "has_exif",
+          "comment")
+    }),
+
     // General resize: the decoded 18×16 template image resamples to an
     // id-sized target grid (3-7 × 2-5 — non-divisor geometries, so
     // cells straddle uneven source spans); the oracle replays the
@@ -383,6 +409,23 @@ object MultimodalQueries {
         |  CAST(2 AS BIGINT) AS n_texts,
         |  'source=doc-' || CAST(doc_id AS VARCHAR) || ';generator=graft'
         |    AS texts_csv
+        |FROM documents
+        |""".stripMargin,
+
+    "media_jpegmeta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(100 + doc_id % 523 AS INTEGER) AS width,
+        |  CAST(80 + doc_id % 411 AS INTEGER) AS height,
+        |  CAST(8 AS INTEGER) AS sof_precision,
+        |  CAST(1 + 2 * (doc_id % 2) AS INTEGER) AS components,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INTEGER)
+        |    AS progressive,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 5 ELSE 4 END AS INTEGER)
+        |    AS n_segments,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INTEGER)
+        |    AS has_exif,
+        |  'cam-' || CAST(doc_id % 7 AS VARCHAR) || ';doc-' ||
+        |    CAST(doc_id AS VARCHAR) AS comment
         |FROM documents
         |""".stripMargin,
 

@@ -299,4 +299,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.JdkCodec.decode(vid) ==
       Multimodal.StubCodec.decode(vid))
   }
+
+  test("parseJpeg: marker walk, SOF geometry, EXIF/COM, strict rejects") {
+    val j = Multimodal.jpegHeader(640, 480, 3, progressive = false,
+      "hello", exif = true)
+    val m = Multimodal.parseJpeg(j).get
+    assert((m.width, m.height, m.precision, m.components) ==
+      ((640, 480, 8, 3)))
+    assert(m.progressive == 0 && m.has_exif == 1 && m.comment == "hello")
+    assert(m.n_segments == 5) // APP0, APP1, COM, SOF0, SOS
+    val p = Multimodal.parseJpeg(Multimodal.jpegHeader(
+      65535, 1, 1, progressive = true, "", exif = false)).get
+    assert((p.width, p.height, p.components, p.progressive,
+      p.has_exif, p.n_segments) == ((65535, 1, 1, 1, 0, 4)))
+    // a real ImageIO-encoded JPEG parses too (independent generator)
+    val img = new java.awt.image.BufferedImage(20, 10,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val real = Multimodal.parseJpeg(bos.toByteArray).get
+    assert((real.width, real.height) == ((20, 10)))
+    // strict rejects: truncation anywhere, missing SOI, corrupt length
+    assert(Multimodal.parseJpeg(j.take(1)).isEmpty)
+    assert(Multimodal.parseJpeg(j.take(7)).isEmpty)
+    assert(Multimodal.parseJpeg(j.drop(2)).isEmpty) // no SOI
+    val bad = j.clone
+    bad(4) = 0x00; bad(5) = 0x01 // APP0 length 1 < 2
+    assert(Multimodal.parseJpeg(bad).isEmpty)
+    val over = j.clone
+    over(4) = 0x7f // APP0 length beyond the payload
+    assert(Multimodal.parseJpeg(over).isEmpty)
+    // SOS/EOI before any SOF -> None, never garbage geometry
+    assert(Multimodal.parseJpeg(Array(0xff, 0xd8, 0xff, 0xd9)
+      .map(_.toByte)).isEmpty)
+    // fill bytes before a marker are legal padding; RST is standalone
+    val filled = Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xd0).map(_.toByte) ++
+      j.drop(2)
+    val f = Multimodal.parseJpeg(filled).get
+    assert(f.width == 640 && f.n_segments == 6) // +1 for the RST
+  }
 }
