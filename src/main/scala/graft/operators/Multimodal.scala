@@ -723,6 +723,139 @@ object Multimodal {
     None // unreachable
   }
 
+  // ------------------------------------------------- GIF block walk
+
+  /** Parsed GIF structure: logical-screen geometry, version, global
+    * color-table size, FRAME COUNT (the animation signal image dedup
+    * and frame-sampling key on), the first graphic-control delay in
+    * centiseconds, the NETSCAPE loop count (-1 when the extension is
+    * absent — a plain still), and the first comment extension. */
+  final case class GifMeta(
+      width: Int, height: Int, version: String, gct_colors: Int,
+      n_frames: Int, delay_cs: Int, loop_count: Int, comment: String)
+
+  /** Byte-level GIF block walk (the fourth structure sibling after WAV
+    * RIFF, PNG chunks and JPEG markers): `GIF87a`/`GIF89a` header,
+    * logical screen descriptor (little-endian geometry, global
+    * color-table skipped by its declared size), then blocks to the
+    * 0x3B trailer — 0x2C image descriptors (local color table + LZW
+    * sub-blocks skipped, each one counted as a frame) and 0x21
+    * extensions (graphic control 0xF9 → first delay; application
+    * 0xFF `NETSCAPE2.0` → loop count; comment 0xFE → first comment;
+    * sub-block chains walked by length byte to their 0 terminator).
+    * Truncation, a foreign signature, an unknown block introducer, or
+    * bytes ending before the trailer → None, never garbage. */
+  def parseGif(payload: Array[Byte]): Option[GifMeta] = {
+    if (payload.length < 13) return None
+    val hdr = new String(payload, 0, 6, "US-ASCII")
+    if (hdr != "GIF87a" && hdr != "GIF89a") return None
+    def u16(o: Int): Int = // GIF is little-endian, unlike PNG/JPEG
+      (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+    val w = u16(6); val h = u16(8)
+    val packed = payload(10) & 0xff
+    val gctColors =
+      if ((packed & 0x80) != 0) 2 << (packed & 0x07) else 0
+    var off = 13 + 3 * gctColors
+    var frames = 0
+    var delay = 0; var sawDelay = false
+    var loop = -1
+    var comment = ""; var sawComment = false
+    // walk a length-prefixed sub-block chain; returns the offset past
+    // its 0 terminator, or -1 when it runs off the payload
+    def subBlocks(start: Int,
+        sink: java.io.ByteArrayOutputStream): Int = {
+      var o = start
+      while (true) {
+        if (o >= payload.length) return -1
+        val len = payload(o) & 0xff
+        if (len == 0) return o + 1
+        if (o + 1 + len > payload.length) return -1
+        if (sink != null) sink.write(payload, o + 1, len)
+        o += 1 + len
+      }
+      -1 // unreachable
+    }
+    while (off < payload.length) {
+      (payload(off) & 0xff) match {
+        case 0x3b => // trailer
+          return Some(GifMeta(w, h, hdr.substring(3), gctColors,
+            frames, delay, loop, comment))
+        case 0x2c => // image descriptor: one frame
+          if (off + 10 > payload.length) return None
+          val ipacked = payload(off + 9) & 0xff
+          val lct = if ((ipacked & 0x80) != 0) 2 << (ipacked & 0x07)
+            else 0
+          val dataOff = off + 10 + 3 * lct
+          if (dataOff + 1 > payload.length) return None
+          // LZW minimum code size byte, then the coded sub-blocks
+          val next = subBlocks(dataOff + 1, null)
+          if (next < 0) return None
+          frames += 1
+          off = next
+        case 0x21 => // extension: label + sub-block chain
+          if (off + 2 > payload.length) return None
+          val label = payload(off + 1) & 0xff
+          val buf = new java.io.ByteArrayOutputStream()
+          val next = subBlocks(off + 2, buf)
+          if (next < 0) return None
+          val data = buf.toByteArray
+          if (label == 0xf9 && !sawDelay && data.length >= 4) {
+            delay = (data(1) & 0xff) | ((data(2) & 0xff) << 8)
+            sawDelay = true
+          } else if (label == 0xff && data.length >= 11 &&
+              new String(data, 0, 11, "US-ASCII") == "NETSCAPE2.0" &&
+              data.length >= 14 && (data(11) & 0xff) == 1) {
+            loop = (data(12) & 0xff) | ((data(13) & 0xff) << 8)
+          } else if (label == 0xfe && !sawComment) {
+            comment = new String(data, "ISO-8859-1")
+            sawComment = true
+          }
+          off = next
+        case _ => return None // unknown block introducer
+      }
+    }
+    None // ran out of bytes before the trailer
+  }
+
+  /** Build a structurally complete GIF (header, LSD + 2-color global
+    * table, optional NETSCAPE loop extension, optional comment, per
+    * frame a graphic-control extension + image descriptor + token LZW
+    * sub-block, trailer) — the in-engine generator for block-walk
+    * tests. Not a pixel encoder. */
+  def gifBytes(width: Int, height: Int, frames: Int, delayCs: Int,
+      loopCount: Int, comment: String): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    buf.write("GIF89a".getBytes("US-ASCII"))
+    def u16(v: Int): Unit = { buf.write(v & 0xff); buf.write((v >> 8) & 0xff) }
+    u16(width); u16(height)
+    buf.write(0x80) // GCT present, size bits 0 -> 2 colors
+    buf.write(0); buf.write(0)
+    buf.write(Array.fill[Byte](6)(0x11), 0, 6) // the 2-color table
+    if (loopCount >= 0) {
+      buf.write(0x21); buf.write(0xff); buf.write(11)
+      buf.write("NETSCAPE2.0".getBytes("US-ASCII"))
+      buf.write(3); buf.write(1); u16(loopCount); buf.write(0)
+    }
+    if (comment.nonEmpty) {
+      buf.write(0x21); buf.write(0xfe)
+      val c = comment.getBytes("ISO-8859-1")
+      buf.write(c.length); buf.write(c, 0, c.length); buf.write(0)
+    }
+    var f = 0
+    while (f < frames) {
+      buf.write(0x21); buf.write(0xf9); buf.write(4) // graphic control
+      buf.write(0); u16(delayCs); buf.write(0); buf.write(0)
+      buf.write(0x2c) // image descriptor, no local color table
+      u16(0); u16(0); u16(width); u16(height); buf.write(0)
+      buf.write(2) // LZW minimum code size
+      buf.write(2); buf.write(0x4c); buf.write(0x05) // token sub-block
+      buf.write(0)
+      f += 1
+    }
+    buf.write(0x3b)
+    buf.toByteArray
+  }
+
   /** Build the marker-segment head of a JPEG (SOI, JFIF APP0, optional
     * EXIF APP1, COM, SOFn, SOS + token entropy bytes + EOI) with
     * correct lengths — the in-engine generator for structure-walk

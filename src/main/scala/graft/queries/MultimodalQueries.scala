@@ -218,6 +218,30 @@ object MultimodalQueries {
           "comment")
     }),
 
+    // GIF block walk (fourth structure sibling): an id-templated
+    // animation (global color table, optional NETSCAPE loop, optional
+    // comment, per-frame graphic-control + image-descriptor + LZW
+    // sub-blocks) walked back to geometry, frame count, first delay,
+    // loop count and comment. Oracle states every field from the
+    // template.
+    "media_gifmeta" -> ((s, dir) => {
+      import s.implicits._
+      Graft.table(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val g = Multimodal.gifBytes(
+            20 + (id % 100).toInt, 10 + (id % 80).toInt,
+            1 + (id % 4).toInt, (id % 30).toInt,
+            if (id % 2 == 0) (id % 6).toInt else -1,
+            if (id % 3 == 0) "" else s"gif-${id % 9}")
+          val m = Multimodal.parseGif(g).get
+          (id, m.width, m.height, m.version, m.gct_colors, m.n_frames,
+            m.delay_cs, m.loop_count, m.comment)
+        })
+        .toDF("media_id", "width", "height", "version", "gct_colors",
+          "n_frames", "delay_cs", "loop_count", "comment")
+    }),
+
     // General resize: the decoded 18×16 template image resamples to an
     // id-sized target grid (3-7 × 2-5 — non-divisor geometries, so
     // cells straddle uneven source spans); the oracle replays the
@@ -409,6 +433,21 @@ object MultimodalQueries {
         |  CAST(2 AS BIGINT) AS n_texts,
         |  'source=doc-' || CAST(doc_id AS VARCHAR) || ';generator=graft'
         |    AS texts_csv
+        |FROM documents
+        |""".stripMargin,
+
+    "media_gifmeta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(20 + doc_id % 100 AS INTEGER) AS width,
+        |  CAST(10 + doc_id % 80 AS INTEGER) AS height,
+        |  '89a' AS version,
+        |  CAST(2 AS INTEGER) AS gct_colors,
+        |  CAST(1 + doc_id % 4 AS INTEGER) AS n_frames,
+        |  CAST(doc_id % 30 AS INTEGER) AS delay_cs,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 6 ELSE -1 END
+        |    AS INTEGER) AS loop_count,
+        |  CASE WHEN doc_id % 3 = 0 THEN ''
+        |    ELSE 'gif-' || CAST(doc_id % 9 AS VARCHAR) END AS comment
         |FROM documents
         |""".stripMargin,
 

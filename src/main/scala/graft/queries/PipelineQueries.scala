@@ -867,6 +867,26 @@ object PipelineQueries {
         Url.registeredDomain(host).as("registrable"))
     }),
 
+    // The PSL key in its intended shape: a per-registrable-domain
+    // rollup (the crawl-budget / sampling-quota aggregation) over URLs
+    // whose hosts collapse differently under the PSL than under any
+    // label-count heuristic — multi-label suffix co.uk, wildcard *.ck
+    // (each source keeps its own registrable), an IP literal riding
+    // the fallback. One shuffle, map-side combine.
+    "domain_rollup" -> ((s, dir) => {
+      import graft.functions.Url
+      val m = col("doc_id") % 4
+      val src = lower(col("source"))
+      val url = when(m === 0,
+          concat(lit("http://www."), src, lit(".example.co.uk/a")))
+        .when(m === 1, concat(lit("http://"), src, lit(".example.com/b")))
+        .when(m === 2, concat(lit("http://x."), src, lit(".ck/c")))
+        .otherwise(lit("http://10.1.2.3/d"))
+      docs(s, dir).select(Url.domainKey(url).as("domain_key"))
+        .groupBy("domain_key")
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     // SURT key (Sort-friendly URI Reordering Transform — the CDX
     // canonical form): reversed host labels make every URL under a
     // domain one contiguous sorted-key range. The template URL's
@@ -2527,6 +2547,17 @@ object PipelineQueries {
         |    WHEN 10 THEN 'kobe.jp'             -- *.kobe.jp needs a label
         |    ELSE 'example.com' END AS registrable  -- case+trailing dot
         |FROM documents
+        |""".stripMargin,
+
+    "domain_rollup" ->
+      """SELECT CASE CAST(doc_id % 4 AS INTEGER)
+        |    WHEN 0 THEN 'example.co.uk'
+        |    WHEN 1 THEN 'example.com'
+        |    WHEN 2 THEN 'x.' || lower(source) || '.ck'
+        |    ELSE '10.1.2.3' END AS domain_key,
+        |  count(*) AS n_docs
+        |FROM documents
+        |GROUP BY 1
         |""".stripMargin,
 
     "url_surt" ->

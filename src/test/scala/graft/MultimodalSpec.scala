@@ -338,4 +338,36 @@ class MultimodalSpec extends AnyFunSuite {
     val f = Multimodal.parseJpeg(filled).get
     assert(f.width == 640 && f.n_segments == 6) // +1 for the RST
   }
+
+  test("parseGif: block walk, frames, loop/delay/comment, rejects") {
+    val g = Multimodal.gifBytes(320, 200, 3, 12, 5, "made by graft")
+    val m = Multimodal.parseGif(g).get
+    assert((m.width, m.height, m.version, m.gct_colors) ==
+      ((320, 200, "89a", 2)))
+    assert((m.n_frames, m.delay_cs, m.loop_count) == ((3, 12, 5)))
+    assert(m.comment == "made by graft")
+    // a still: no NETSCAPE extension -> loop -1, no comment
+    val still = Multimodal.parseGif(
+      Multimodal.gifBytes(8, 8, 1, 0, -1, "")).get
+    assert((still.n_frames, still.loop_count, still.comment) ==
+      ((1, -1, "")))
+    // a real ImageIO-encoded GIF parses too (independent generator)
+    val img = new java.awt.image.BufferedImage(24, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    val real = Multimodal.parseGif(bos.toByteArray).get
+    assert((real.width, real.height, real.n_frames) == ((24, 16, 1)))
+    // strict rejects: truncation, foreign signature, missing trailer,
+    // unknown block introducer, sub-block running off the payload
+    assert(Multimodal.parseGif(g.take(12)).isEmpty)
+    assert(Multimodal.parseGif("NOTAGIF89a123".getBytes).isEmpty)
+    assert(Multimodal.parseGif(g.dropRight(1)).isEmpty)
+    val junk = g.clone
+    junk(19) = 0x7f // first block introducer (past 6+7+6 GCT) -> junk
+    assert(Multimodal.parseGif(junk).isEmpty)
+    val overrun = Multimodal.gifBytes(8, 8, 1, 0, -1, "x").clone
+    overrun(21) = 0xf0.toByte // comment sub-block length past the end
+    assert(Multimodal.parseGif(overrun).isEmpty)
+  }
 }
