@@ -211,6 +211,40 @@ object TextAnalysis {
       regexp_replace(text, "([.!?]) +([A-Z0-9])", "$1\u0001$2"),
       "\u0001")
 
+  /** Greedy sentence-aligned chunking — the unit-maker for RAG
+    * retrieval and context packing where a mid-sentence cut destroys
+    * the unit's meaning: [[sentenceSplit]]'s sentences pack left to
+    * right, a chunk closes when appending the next sentence would
+    * push it past `budgetChars` (so every chunk is ≤ budget unless a
+    * SINGLE sentence exceeds it — that sentence becomes its own
+    * oversized chunk rather than being cut), sentences within a chunk
+    * re-join with one space. The fold is one higher-order `aggregate`
+    * per row — narrow, zero shuffle, `posexplode` downstream — and
+    * deliberately sequential-greedy per document (chunking is
+    * inherently order-dependent; the parallelism axis is documents,
+    * which is the axis that scales). Exactly replayable: the oracle
+    * walks the same three-branch step as a recursive CTE. Empty text
+    * yields no chunks. */
+  def chunkSentences(text: Column, budgetChars: Int): Column = {
+    val zero = struct(
+      expr("cast(array() as array<string>)").as("chunks"),
+      lit("").as("cur"))
+    aggregate(sentenceSplit(text), zero,
+      (acc, s) => {
+        val chunks = acc.getField("chunks")
+        val cur = acc.getField("cur")
+        val joined = concat(cur, lit(" "), s)
+        when(cur === "", struct(chunks.as("chunks"), s.as("cur")))
+          .when(length(joined) <= budgetChars,
+            struct(chunks.as("chunks"), joined.as("cur")))
+          .otherwise(struct(
+            concat(chunks, array(cur)).as("chunks"), s.as("cur")))
+      },
+      acc => when(acc.getField("cur") === "", acc.getField("chunks"))
+        .otherwise(concat(acc.getField("chunks"),
+          array(acc.getField("cur")))))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text. */
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))

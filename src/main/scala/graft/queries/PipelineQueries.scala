@@ -391,6 +391,26 @@ object PipelineQueries {
         .withColumn("sent_idx", col("sent_idx").cast("long"))
     }),
 
+    // Sentence-aligned chunking (the RAG/packing unit-maker): the
+    // sentence_split page packs greedily into ≤120-char chunks that
+    // never cut mid-sentence (an oversized single sentence becomes its
+    // own chunk). One higher-order fold per row, zero shuffle; the
+    // oracle walks the SAME three-branch greedy step as a recursive
+    // CTE, so boundary placement is what the hash checks.
+    "sentence_chunks" -> ((s, dir) => {
+      val page = concat(
+        lit("Hello world. This is doc "), col("doc_id").cast("string"),
+        lit("! Is it set B? Yes. bullet without caps... 9 lives. "),
+        col("text"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.chunkSentences(page, 120)))
+        .withColumnRenamed("pos", "chunk_idx")
+        .withColumnRenamed("col", "chunk")
+        .withColumn("chunk_idx", col("chunk_idx").cast("long"))
+        .withColumn("n_chars", length(col("chunk")).cast("long"))
+    }),
+
     // Code-vs-prose detection: even doc_ids are wrapped in a rendered
     // code snippet (keywords, indented lines, symbols, a camelCase
     // token), odd ids stay prose; the oracle recomputes every signal
@@ -2271,6 +2291,41 @@ object PipelineQueries {
         |SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx,
         |       l[i] AS sentence
         |FROM m, UNNEST(generate_series(1, len(l))) AS u(i)
+        |""".stripMargin,
+
+    "sentence_chunks" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT doc_id,
+        |    'Hello world. This is doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '! Is it set B? Yes. bullet without caps... 9 lives. ' ||
+        |    text AS page
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(page,
+        |      '([.!?]) +([A-Z0-9])', '\1' || chr(1) || '\2', 'g'),
+        |      chr(1)) AS l
+        |  FROM p),
+        |r AS (
+        |  SELECT doc_id, 1 AS i, 0 AS c, l[1] AS cur, l, len(l) AS n
+        |  FROM m
+        |  UNION ALL
+        |  SELECT doc_id, i + 1,
+        |    CASE WHEN cur = '' OR len(cur) + 1 + len(l[i+1]) <= 120
+        |         THEN c ELSE c + 1 END,
+        |    CASE WHEN cur = '' THEN l[i+1]
+        |         WHEN len(cur) + 1 + len(l[i+1]) <= 120
+        |         THEN cur || ' ' || l[i+1]
+        |         ELSE l[i+1] END,
+        |    l, n
+        |  FROM r WHERE i < n)
+        |SELECT doc_id, CAST(c AS BIGINT) AS chunk_idx, cur AS chunk,
+        |  CAST(len(cur) AS BIGINT) AS n_chars
+        |FROM (SELECT doc_id, c, cur,
+        |        row_number() OVER (PARTITION BY doc_id, c
+        |                           ORDER BY i DESC) AS rn
+        |      FROM r) t
+        |WHERE rn = 1 AND cur <> ''
         |""".stripMargin,
 
     "code_detect" ->

@@ -569,6 +569,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(one == Seq("no boundary here"))
   }
 
+  test("chunkSentences: greedy budget, no mid-sentence cut, oversize") {
+    def chunks(t: String, b: Int): Seq[String] =
+      Seq(t).toDF("t").select(TextAnalysis.chunkSentences(col("t"), b))
+        .collect().head.getSeq[String](0)
+    // sentences of 8/9/7 chars: budget 20 holds two, then the third
+    val c = chunks("One two. Three ok! Go now.", 20)
+    assert(c == Seq("One two. Three ok!", "Go now."))
+    // every chunk within budget; sentences never cut
+    assert(c.forall(_.length <= 20))
+    // a single oversized sentence becomes its own chunk, uncut
+    val big = chunks("Tiny. " +
+      "This single sentence is far longer than the budget allows", 20)
+    assert(big == Seq("Tiny.",
+      "This single sentence is far longer than the budget allows"))
+    // budget larger than the text: one chunk, original joining
+    assert(chunks("A b. C d! E f.", 200) == Seq("A b. C d! E f."))
+    // empty text: no chunks at all
+    assert(chunks("", 20).isEmpty)
+  }
+
   test("htmlLinks extracts hrefs in document order; empty when none") {
     val html = """<a href="/a">x</a><p><A Href="http://h/">y</A>""" +
       """<a data-href="/no">z</a><a href="#f">w</a>"""
