@@ -1373,6 +1373,81 @@ object Curation {
       .select(col("id"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** The RAKE stopword/delimiter list (Rose et al., "Automatic Keyword
+    * Extraction from Individual Documents", 2010): candidate phrases
+    * are the maximal token runs BETWEEN these and punctuation. */
+  val rakeStopwords: Seq[String] = Seq(
+    "the", "of", "and", "a", "to", "in", "is", "on", "for", "with",
+    "as", "at", "by", "an", "be", "are", "was", "it", "that", "this")
+
+  /** Candidate keyphrases per row, RAKE's phrase rule: lowercase, every
+    * non-alphanumeric run becomes a delimiter, stopwords become
+    * delimiters (one `\b`-anchored alternation — a regex both Java and
+    * RE2 read identically over the space-separated normal form), and
+    * the surviving maximal token runs are the phrases (space-collapsed,
+    * trimmed, empties dropped). Pure transform/filter — narrow, zero
+    * shuffle. */
+  def rakePhrases(text: Column,
+      stopwords: Seq[String] = rakeStopwords): Column = {
+    val norm = regexp_replace(lower(text), "[^a-z0-9 ]+", "\u0001")
+    val cut = regexp_replace(norm,
+      "\\b(" + stopwords.mkString("|") + ")\\b", "\u0001")
+    filter(
+      transform(split(cut, "\u0001"),
+        p => trim(regexp_replace(p, " +", " "))),
+      p => p =!= "")
+  }
+
+  /** Top-k RAKE keyphrases per document, scored CORPUS-wide — the
+    * multiword complement of [[tfidfKeywords]] (which ranks single
+    * terms): word freq = occurrences across every candidate-phrase
+    * occurrence in the corpus, word degree = Σ length of the phrases
+    * it appears in, word score = deg·10⁹ div freq (the exact-integer
+    * stand-in for RAKE's deg/freq ratio — same scaled-division trick
+    * as `lmScores`, so the score is bit-identical cross-engine), and a
+    * phrase scores the sum over its words (duplicates counted, as RAKE
+    * does). Long phrases with well-connected words outrank frequent
+    * singletons — the keyphrase signal TF-IDF structurally cannot see.
+    *
+    * Shape: word stats are one shuffle with map-side combine; phrase
+    * scores compute per DISTINCT phrase string (scores depend only on
+    * the corpus stats, so identical phrases never re-score) through a
+    * plain equi-join on the word key — never assuming the vocabulary
+    * broadcasts at web scale (AQE promotes it when it fits); the
+    * per-document top-k window partitions are single documents. Ties
+    * break by phrase text. */
+  def rakeKeywords(df: DataFrame, textCol: String, idCol: String,
+      stopwords: Seq[String] = rakeStopwords, k: Int = 3): DataFrame = {
+    val occ = df.select(col(idCol).as("id"),
+      explode(rakePhrases(col(textCol), stopwords)).as("phrase"))
+    val wordsOcc = occ.select(col("phrase"),
+      explode(split(col("phrase"), " ")).as("word"))
+      .select(col("word"), size(split(col("phrase"), " ")).as("plen"))
+    val wstats = wordsOcc.groupBy("word").agg(
+      count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      // deg·10⁹ div freq, long-division split so deg·10⁹ never has to
+      // exist: at corpus scale deg (Σ phrase lengths over a word's
+      // occurrences) can pass 10¹³, and a direct product would
+      // overflow int64 exactly on the most frequent — most important —
+      // words. q·10⁹ + (r·10⁹ div freq) is the identical exact value.
+      .withColumn("wscore", expr(
+        "(deg div freq) * 1000000000 + ((deg % freq) * 1000000000) div freq"))
+    val ptypes = occ.select(col("phrase")).distinct()
+    val pscores = ptypes
+      .select(col("phrase"), explode(split(col("phrase"), " ")).as("word"))
+      .join(wstats.select("word", "wscore"), "word")
+      .groupBy("phrase")
+      .agg(sum(col("wscore")).as("score"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("phrase").asc)
+    occ.distinct().join(pscores, "phrase")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("id"), col("rk").cast("long").as("rank"),
+        col("phrase"), col("score"))
+  }
+
   /** Exact repeated-substring span dedup (the ExactSubstr policy of Lee
     * et al., "Deduplicating Training Data Makes Language Models Better",
     * 2022 — word-gram granularity): any word n-gram occurring ≥ 2 times

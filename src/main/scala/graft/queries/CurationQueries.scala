@@ -309,6 +309,20 @@ object CurationQueries {
       Curation.tfidfKeywords(docs(s, dir), "text", "doc_id", k = 3)
         .withColumnRenamed("id", "doc_id")),
 
+    // Top-3 RAKE keyphrases per document (multiword complement of
+    // tfidf_keywords): phrases split at stopwords/punctuation, word
+    // deg·10⁹ div freq scores via the overflow-safe long-division
+    // split, phrase = Σ word scores. A stopword-rich preamble plants
+    // real phrase boundaries in every page.
+    "rake_keywords" -> ((s, dir) => {
+      val page = concat(lit("Deep learning models are trained on the " +
+        "web with large data pipelines, and a data engine is the key. "),
+        col("text"))
+      Curation.rakeKeywords(docs(s, dir).withColumn("page", page),
+          "page", "doc_id", k = 3)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Deterministic export sharding + contiguous token-budget packing
     // (4 shards, 256-token packs).
     "sequence_pack" -> ((s, dir) =>
@@ -1110,6 +1124,51 @@ object CurationQueries {
         |  SELECT *, ROW_NUMBER() OVER (
         |    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
         |  FROM scored) t
+        |WHERE rk <= 3
+        |""".stripMargin,
+
+    "rake_keywords" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'Deep learning models are trained on the web with large ' ||
+        |    'data pipelines, and a data engine is the key. ' || text
+        |      AS page
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, list_filter(list_transform(
+        |    string_split(regexp_replace(regexp_replace(lower(page),
+        |      '[^a-z0-9 ]+', chr(1), 'g'),
+        |      '\b(the|of|and|a|to|in|is|on|for|with|as|at|by|an|be|are|was|it|that|this)\b',
+        |      chr(1), 'g'), chr(1)),
+        |    s -> trim(regexp_replace(s, ' +', ' ', 'g'))),
+        |    s -> s <> '') AS phrases
+        |  FROM p),
+        |occ AS (SELECT doc_id, UNNEST(phrases) AS phrase FROM c),
+        |wo AS (
+        |  SELECT UNNEST(string_split(phrase, ' ')) AS w,
+        |         len(string_split(phrase, ' ')) AS plen
+        |  FROM occ),
+        |ws AS (
+        |  SELECT w, COUNT(*) AS freq, SUM(plen) AS deg FROM wo
+        |  GROUP BY 1),
+        |ws2 AS (
+        |  SELECT w, (deg // freq) * 1000000000 +
+        |            ((deg % freq) * 1000000000) // freq AS wscore
+        |  FROM ws),
+        |pt AS (SELECT DISTINCT phrase FROM occ),
+        |pw AS (
+        |  SELECT phrase, UNNEST(string_split(phrase, ' ')) AS w FROM pt),
+        |ps AS (
+        |  SELECT phrase, SUM(wscore) AS score
+        |  FROM pw JOIN ws2 USING (w) GROUP BY 1),
+        |dp AS (SELECT DISTINCT doc_id, phrase FROM occ)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rank, phrase,
+        |       CAST(score AS BIGINT) AS score
+        |FROM (
+        |  SELECT dp.doc_id, dp.phrase, ps.score, ROW_NUMBER() OVER (
+        |    PARTITION BY dp.doc_id
+        |    ORDER BY ps.score DESC, dp.phrase ASC) AS rk
+        |  FROM dp JOIN ps USING (phrase)) t
         |WHERE rk <= 3
         |""".stripMargin,
 

@@ -885,4 +885,40 @@ class CurationSpec extends AnyFunSuite {
     // cos_sim to the assigned centroid is near 1 for pure one-hot dims
     out.foreach(r => assert(r.getAs[Double]("cos_sim") > 0.2))
   }
+
+  test("rakePhrases: stopword/punctuation splits, case, empties") {
+    import org.apache.spark.sql.functions.col
+    val ph = Seq("Deep Learning of large models, and data-driven work is key")
+      .toDF("t").select(Curation.rakePhrases(col("t")))
+      .collect().head.getSeq[String](0)
+    // 'of'/'and'/'is' + ','/'-' all delimit; case folds; no empties
+    assert(ph == Seq("deep learning", "large models", "data",
+      "driven work", "key"))
+    // a stopword never survives inside a phrase, nor as one
+    assert(!ph.exists(p => p.split(" ").exists(Curation.rakeStopwords.contains)))
+    // 'that' in 'thatch' must NOT delimit (\b anchoring)
+    val keep = Seq("thatch roof").toDF("t")
+      .select(Curation.rakePhrases(col("t")))
+      .collect().head.getSeq[String](0)
+    assert(keep == Seq("thatch roof"))
+  }
+
+  test("rakeKeywords: multiword phrases outrank frequent singletons") {
+    val df = Seq(
+      (1L, "deep learning models and deep learning pipelines. noise"),
+      (2L, "deep learning models for the web. other noise"),
+      (3L, "noise alone")).toDF("doc_id", "text")
+    val out = Curation.rakeKeywords(df, "text", "doc_id", k = 1)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("phrase"))
+      .toMap
+    // the 3-word run beats 'noise' (deg rewards co-occurrence length)
+    assert(out(1L) == "deep learning models")
+    assert(out(2L) == "deep learning models")
+    assert(out(3L) == "noise alone")
+    // scores are identical for identical phrases (corpus-level stats)
+    val scores = Curation.rakeKeywords(df, "text", "doc_id", k = 1)
+      .collect().map(r => r.getAs[String]("phrase") -> r.getAs[Long]("score"))
+    assert(scores.filter(_._1 == "deep learning models").map(_._2)
+      .distinct.length == 1)
+  }
 }
