@@ -299,4 +299,47 @@ class EdgeCaseSpec extends AnyFunSuite {
         Seq((2L, "f g h i j")).toDF("doc_id", "text"),
         "text", "doc_id", 1L))
   }
+
+  test("round-11 late ops are total on empty and degenerate input") {
+    import graft.functions.Url
+    import graft.operators.{Curation, Multimodal, Robots, TextAnalysis}
+    import org.apache.spark.sql.functions.col
+    // robots meta on empty / meta-free / null-free degenerate pages
+    val meta = Seq("", "<p>no meta</p>",
+        "<meta name=\"robots\" content=\"\">")
+      .toDF("page")
+      .select(Robots.metaDirectiveColumns(col("page")): _*)
+      .collect()
+    // all three: no directives -> indexable, followable
+    meta.foreach(r => assert(r.toSeq == Seq(0L, 0L, 1L, 1L)))
+    // registeredDomain totality: empty, dots-only, trailing-dot-only
+    Seq("", ".", "..", "com.", "localhost").foreach { h =>
+      val r = Seq(h).toDF("h").select(Url.registeredDomain(col("h")))
+        .collect().head
+      assert(r.isNullAt(0), s"host '$h' must yield null")
+    }
+    // surt of bare scheme://host and of an empty string
+    assert(Seq("http://x.y").toDF("u").select(Url.surt(col("u")))
+      .collect().head.getString(0) == "y,x)/")
+    assert(Seq("").toDF("u").select(Url.surt(col("u")))
+      .collect().head.isNullAt(0))
+    // structure walks on empty payloads: None, never a throw
+    assert(Multimodal.parseJpeg(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.parseGif(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.parseJpeg(Array[Byte](-1, -40)).isEmpty) // bare SOI
+    // chunking empty text -> zero chunks; budget 1 -> one per sentence
+    assert(Seq("").toDF("t")
+      .select(TextAnalysis.chunkSentences(col("t"), 10))
+      .collect().head.getSeq[String](0).isEmpty)
+    assert(Seq("Aa bb. Cc dd. Ee").toDF("t")
+      .select(TextAnalysis.chunkSentences(col("t"), 1))
+      .collect().head.getSeq[String](0).length == 3)
+    // RAKE on stopword-only and empty text: no phrases, no rows
+    assert(Seq("the of and a", "").toDF("t")
+      .select(Curation.rakePhrases(col("t")))
+      .collect().forall(_.getSeq[String](0).isEmpty))
+    assert(Curation.rakeKeywords(
+      Seq((1L, "the and of")).toDF("doc_id", "text"),
+      "text", "doc_id").count() == 0)
+  }
 }
