@@ -861,6 +861,45 @@ class PlanSpec extends AnyFunSuite {
     assert(!schedPlan.contains("SortMergeJoin"), schedPlan)
   }
 
+  test("round-11 narrow ops stay shuffle-free and codegen'd") {
+    val docsDf = Seq((1L, "One two. Three four! http://a.example/x"))
+      .toDF("doc_id", "text")
+    // every per-row pass of the round: zero Exchange in the plan
+    for (c <- Seq(
+        graft.operators.TextAnalysis.chunkSentences(col("text"), 120),
+        graft.operators.Curation.rakePhrases(col("text")),
+        graft.functions.Url.surt(col("text")),
+        graft.functions.Url.registeredDomain(col("text")),
+        graft.functions.Url.domainKey(col("text")))) {
+      val plan = explainOf(docsDf.select(col("doc_id"), c.as("o")))
+      assert(!plan.contains("Exchange"), plan)
+    }
+    val metaPlan = explainOf(docsDf.select(col("doc_id") +:
+      graft.operators.Robots.metaDirectiveColumns(col("text")): _*))
+    assert(!metaPlan.contains("Exchange"), metaPlan)
+    // the PSL lookup rides whole-stage codegen (reference-object
+    // table); spark.range keeps ConvertToLocalRelation from folding
+    // the projection away before a stage even exists
+    val wsc = TestSpark.spark.range(1)
+      .select(graft.functions.Url.registeredDomain(col("id").cast("string")))
+      .queryExecution.executedPlan.toString
+    assert(wsc.contains("*(1)"), wsc)
+  }
+
+  test("domain_rollup is ONE shuffle with map-side partial aggregation") {
+    import org.apache.spark.sql.functions.{count, lit}
+    val docsDf = Seq((1L, "http://a.example.com/x"))
+      .toDF("doc_id", "url")
+    val plan = explainOf(docsDf
+      .select(graft.functions.Url.domainKey(col("url")).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n")))
+    // count tree nodes only (the formatted detail section repeats names)
+    val nEx = "Exchange \\(\\d+\\)".r.findAllIn(plan).length
+    assert(nEx == 1, s"expected exactly one shuffle:\n$plan")
+    assert(plan.contains("partial_count") ||
+      plan.contains("partial"), plan)
+  }
+
   test("hits: per-round plan is equi-join + aggregate, no product") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
     val plan = explainOf(graft.operators.Graphs.hits(e, "src", "dst",
