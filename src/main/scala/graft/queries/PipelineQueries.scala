@@ -506,6 +506,34 @@ object PipelineQueries {
         col("doc_id") +: Robots.metaDirectiveColumns(page): _*)
     }),
 
+    // The page-level compliance verdict COMPOSED into frontier
+    // expansion: nofollow pages contribute zero outlinks (their hrefs
+    // never reach the frontier), follow-ok pages' links extract in
+    // order and resolve against the page URL. Narrow end to end:
+    // meta verdict + href extraction + RFC 3986 resolution, zero
+    // shuffle. The oracle states the surviving (page, link) rows from
+    // the template.
+    "frontier_follow" -> ((s, dir) => {
+      import graft.operators.{Robots, TextAnalysis}
+      val base = concat(lit("http://"), col("source"),
+        lit(".example/dir/page.html"))
+      val page = concat(
+        when(col("doc_id") % 3 === 0,
+          lit("<meta name=\"robots\" content=\"nofollow\">"))
+          .otherwise(lit("")),
+        lit("<a href=\"a.html\">x</a><a href=\"/b\">y</a>"))
+      val follow = Robots.metaDirectiveColumns(page).last
+      docs(s, dir)
+        .select(col("doc_id"), base.as("base"), page.as("page"),
+          follow.as("follow_ok"))
+        .filter(col("follow_ok") === 1)
+        .select(col("doc_id"), col("base"),
+          posexplode(TextAnalysis.htmlLinks(col("page"))))
+        .select(col("doc_id"), col("pos").cast("long").as("link_idx"),
+          graft.functions.Url.resolve(col("base"), col("col"))
+            .as("url"))
+    }),
+
     "robots_filter" -> ((s, dir) => {
       import graft.operators.Robots
       val d = docs(s, dir)
@@ -1988,6 +2016,15 @@ object PipelineQueries {
          |    AS n_subwords
          |FROM documents
          |""".stripMargin,
+
+    "frontier_follow" ->
+      """SELECT doc_id, CAST(v.i AS BIGINT) AS link_idx,
+        |  CASE v.i WHEN 0
+        |    THEN 'http://' || source || '.example/dir/a.html'
+        |    ELSE 'http://' || source || '.example/b' END AS url
+        |FROM documents, (VALUES (0), (1)) AS v(i)
+        |WHERE doc_id % 3 <> 0
+        |""".stripMargin,
 
     "robots_meta" -> {
       val nf = graft.operators.Robots.metaNameFirstPattern
