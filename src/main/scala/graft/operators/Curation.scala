@@ -1382,12 +1382,24 @@ object Curation {
 
   /** Candidate keyphrases per row, RAKE's phrase rule: lowercase, every
     * non-alphanumeric run becomes a delimiter, stopwords become
-    * delimiters (one `\b`-anchored alternation — a regex both Java and
-    * RE2 read identically over the space-separated normal form), and
-    * the surviving maximal token runs are the phrases (space-collapsed,
-    * trimmed, empties dropped). Pure transform/filter — narrow, zero
-    * shuffle. */
+    * delimiters, and the surviving maximal token runs are the phrases
+    * (space-collapsed, trimmed, empties dropped). Shipped as the
+    * codegen'd single-pass [[org.apache.spark.sql.graft.RakePhrases]]
+    * (O(len), stopword hash probes, zero regex — narrow, zero
+    * shuffle); [[rakePhrasesChain]] is the readable two-regex
+    * reference the oracle replays and the property test pins. */
   def rakePhrases(text: Column,
+      stopwords: Seq[String] = rakeStopwords): Column =
+    org.apache.spark.sql.GraftShims.column(
+      org.apache.spark.sql.graft.RakePhrases(
+        org.apache.spark.sql.GraftShims.expression(text), stopwords))
+
+  /** The two-regex reference formulation of [[rakePhrases]] — the
+    * DuckDB oracle replays exactly this chain, and a property test
+    * pins the native pass to it. Kept as the readable spec of the
+    * semantics; the native single pass is the shipped path (the
+    * alternation regex dominated the x30 stress run). */
+  private[graft] def rakePhrasesChain(text: Column,
       stopwords: Seq[String] = rakeStopwords): Column = {
     val norm = regexp_replace(lower(text), "[^a-z0-9 ]+", "\u0001")
     val cut = regexp_replace(norm,

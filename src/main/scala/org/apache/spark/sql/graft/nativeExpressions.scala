@@ -898,3 +898,85 @@ case class RegisteredDomain(child: Expression, rules: Seq[String])
   override protected def withNewChildInternal(
       newChild: Expression): RegisteredDomain = copy(child = newChild)
 }
+
+/** `rake_phrases(text)` — RAKE candidate-phrase extraction as ONE
+  * imperative pass (the codegen'd fast path of
+  * [[graft.operators.Curation.rakePhrases]]'s two-regex chain, whose
+  * alternation scan dominated the x30 stress run). Semantics are
+  * EXACTLY the chain's, provable on the reduced alphabet: after
+  * lowercasing, pass 1 turns every `[^a-z0-9 ]+` run into a delimiter
+  * — so only `[a-z0-9]`, spaces and delimiters remain — and on that
+  * alphabet pass 2's `\b`-anchored stopword match reduces to "a token
+  * (maximal `[a-z0-9]` run) that IS a stopword". One walk therefore
+  * suffices: classify each char (word / space / delimiter), close a
+  * token at every non-word char, close a phrase at every delimiter or
+  * stopword token, join phrase tokens with single spaces (which is
+  * what the chain's trim + space-collapse produced). A property test
+  * pins native ≡ chain on adversarial inputs (underscores, digits,
+  * unicode, runs of punctuation). The stopword set rides the
+  * generated class as a reference object; O(len) per row, zero
+  * regex. */
+case class RakePhrases(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(stopwords.nonEmpty, "rake_phrases: empty stopword list")
+
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopwords.foreach(w => s.add(w.toLowerCase))
+    s
+  }
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "rake_phrases"
+
+  def compute(text: UTF8String): ArrayData = {
+    // UTF8String.toLowerCase is what Spark's own lower() uses —
+    // locale-independent, unlike String.toLowerCase
+    val s = text.toLowerCase.toString
+    val phrases = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    val phrase = new java.lang.StringBuilder()
+    val token = new java.lang.StringBuilder()
+    def closeToken(): Unit = {
+      if (token.length() > 0) {
+        if (stopSet.contains(token.toString)) closePhrase()
+        else {
+          if (phrase.length() > 0) phrase.append(' ')
+          phrase.append(token)
+        }
+        token.setLength(0)
+      }
+    }
+    def closePhrase(): Unit = {
+      if (phrase.length() > 0) {
+        phrases += UTF8String.fromString(phrase.toString)
+        phrase.setLength(0)
+      }
+    }
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) token.append(c)
+      else if (c == ' ') closeToken()
+      else { closeToken(); closePhrase() } // delimiter char
+      i += 1
+    }
+    closeToken(); closePhrase()
+    new GenericArrayData(phrases.toArray[Any])
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("rakeExpr", this,
+      classOf[RakePhrases].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RakePhrases = copy(child = newChild)
+}

@@ -903,6 +903,35 @@ class CurationSpec extends AnyFunSuite {
     assert(keep == Seq("thatch roof"))
   }
 
+  test("rakePhrases: native single pass ≡ two-regex chain, adversarial") {
+    import org.apache.spark.sql.functions.col
+    // hand-picked traps: underscores (word chars the punct class eats,
+    // shifting \b), digits fused to stopwords, unicode, punct runs,
+    // stopwords at edges, empty/whitespace-only
+    val traps = Seq(
+      "the_data is key", "a1 the9 of data", "café the résumé",
+      "deep--learning,,of;;models", "the", " the ", "", "   ",
+      "THE Deep OF Learning", "x_the_y", "9the the9 the",
+      "data_driven and model-driven")
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abt hedofz019_-.,!éΔ "
+    val fuzz = (1 to 300).map(_ => (1 to (1 + rnd.nextInt(40)))
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val rows = (traps ++ fuzz).toDF("t")
+      .select(Curation.rakePhrases(col("t")).as("fast"),
+        Curation.rakePhrasesChain(col("t")).as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"native ${r.getSeq[String](0)} vs chain ${r.getSeq[String](1)}")
+    }
+    // and the native pass stays inside whole-stage codegen
+    val plan = TestSpark.spark.range(1)
+      .select(Curation.rakePhrases(col("id").cast("string")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan)
+  }
+
   test("rakeKeywords: multiword phrases outrank frequent singletons") {
     val df = Seq(
       (1L, "deep learning models and deep learning pipelines. noise"),
