@@ -723,6 +723,113 @@ object Multimodal {
     None // unreachable
   }
 
+  // -------------------------------------- ZIP central-directory walk
+
+  /** One central-directory entry: the per-member metadata an archive
+    * triage pass keys on without inflating anything. */
+  final case class ZipEntryMeta(
+      name: String, method: Int, compressed: Long, uncompressed: Long,
+      crc32: Long)
+
+  /** Parsed ZIP structure: entry count as the directory declares it,
+    * plus the entries in directory order. */
+  final case class ZipMeta(n_entries: Int, entries: Seq[ZipEntryMeta])
+
+  /** ZIP central-directory walk (the fifth structure sibling — and the
+    * container `sniffFormat` routes docx/epub/jar payloads to): scan
+    * the tail for the end-of-central-directory record (`PK\5\6`,
+    * comment-tolerant — the spec allows up to 64 KiB of trailing
+    * comment, so the scan runs backwards from the end), read the
+    * declared entry count and directory offset, then walk `PK\1\2`
+    * central headers in place — name, method, sizes, CRC per member —
+    * WITHOUT touching any compressed byte (the directory is the
+    * archive's own index; listing costs O(entries), not O(bytes), the
+    * same read-the-index-not-the-data stance as the store's footer
+    * scans). Truncation, a missing/forged EOCD, offsets past the
+    * payload, a header count mismatch, or name lengths over-running
+    * the directory → None, never a partial listing. */
+  def parseZip(payload: Array[Byte]): Option[ZipMeta] = {
+    val n = payload.length
+    if (n < 22) return None
+    def u16(o: Int): Int =
+      (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long =
+      (payload(o) & 0xffL) | ((payload(o + 1) & 0xffL) << 8) |
+        ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
+    // EOCD: backwards scan (comment-tolerant), signature 50 4B 05 06
+    var e = n - 22
+    val floor = math.max(0, n - 22 - 65535)
+    while (e >= floor && !((payload(e) & 0xff) == 0x50 &&
+        (payload(e + 1) & 0xff) == 0x4b && (payload(e + 2) & 0xff) == 0x05 &&
+        (payload(e + 3) & 0xff) == 0x06)) e -= 1
+    if (e < floor) return None
+    val count = u16(e + 10)
+    val cdOff = u32(e + 16)
+    if (cdOff > e) return None // directory cannot start past the EOCD
+    var off = cdOff.toInt
+    val entries = scala.collection.mutable.Buffer[ZipEntryMeta]()
+    var i = 0
+    while (i < count) {
+      if (off + 46 > n) return None
+      if (!((payload(off) & 0xff) == 0x50 && (payload(off + 1) & 0xff) == 0x4b &&
+          (payload(off + 2) & 0xff) == 0x01 && (payload(off + 3) & 0xff) == 0x02))
+        return None
+      val method = u16(off + 10)
+      val crc = u32(off + 16)
+      val csize = u32(off + 20)
+      val usize = u32(off + 24)
+      val nameLen = u16(off + 28)
+      val extraLen = u16(off + 30)
+      val commentLen = u16(off + 32)
+      if (off + 46 + nameLen + extraLen + commentLen > n) return None
+      val name = new String(payload, off + 46, nameLen, "UTF-8")
+      entries += ZipEntryMeta(name, method, csize, usize, crc)
+      off += 46 + nameLen + extraLen + commentLen
+      i += 1
+    }
+    Some(ZipMeta(count, entries.toSeq))
+  }
+
+  /** Build a STORED (method 0) zip — local headers, central directory,
+    * EOCD, real CRC32s — the in-engine generator for directory-walk
+    * tests; `java.util.zip` can read what it emits (spec cross-check). */
+  def zipBytes(files: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { buf.write(v & 0xff); buf.write((v >> 8) & 0xff) }
+    def u32(v: Long): Unit = {
+      buf.write((v & 0xff).toInt); buf.write(((v >> 8) & 0xff).toInt)
+      buf.write(((v >> 16) & 0xff).toInt); buf.write(((v >> 24) & 0xff).toInt)
+    }
+    val locals = files.map { case (name, data) =>
+      val crc = new java.util.zip.CRC32
+      crc.update(data)
+      val offset = buf.size()
+      buf.write(Array[Byte](0x50, 0x4b, 0x03, 0x04), 0, 4)
+      u16(20); u16(0); u16(0); u16(0); u16(0) // version/flags/method/time/date
+      u32(crc.getValue); u32(data.length.toLong); u32(data.length.toLong)
+      val nb = name.getBytes("UTF-8")
+      u16(nb.length); u16(0)
+      buf.write(nb, 0, nb.length)
+      buf.write(data, 0, data.length)
+      (name, data, crc.getValue, offset)
+    }
+    val cdStart = buf.size()
+    locals.foreach { case (name, data, crc, offset) =>
+      buf.write(Array[Byte](0x50, 0x4b, 0x01, 0x02), 0, 4)
+      u16(20); u16(20); u16(0); u16(0); u16(0); u16(0)
+      u32(crc); u32(data.length.toLong); u32(data.length.toLong)
+      val nb = name.getBytes("UTF-8")
+      u16(nb.length); u16(0); u16(0); u16(0); u16(0)
+      u32(0); u32(offset.toLong)
+      buf.write(nb, 0, nb.length)
+    }
+    val cdSize = buf.size() - cdStart
+    buf.write(Array[Byte](0x50, 0x4b, 0x05, 0x06), 0, 4)
+    u16(0); u16(0); u16(files.length); u16(files.length)
+    u32(cdSize.toLong); u32(cdStart.toLong); u16(0)
+    buf.toByteArray
+  }
+
   // ------------------------------------------------- GIF block walk
 
   /** Parsed GIF structure: logical-screen geometry, version, global

@@ -242,6 +242,31 @@ object MultimodalQueries {
           "n_frames", "delay_cs", "loop_count", "comment")
     }),
 
+    // ZIP central-directory walk (fifth structure sibling; the
+    // container behind docx/epub/jar payloads): an id-templated STORED
+    // archive's directory is walked back to entry names, methods and
+    // sizes without touching a compressed byte — listing costs
+    // O(entries). CRC is pinned in the spec against java.util.zip
+    // (DuckDB has no crc32); the oracle states names/sizes/count from
+    // the template.
+    "media_zipmeta" -> ((s, dir) => {
+      import s.implicits._
+      Graft.table(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val files = (0 until (1 + (id % 3)).toInt).map { k =>
+            (s"f$k-$id.txt",
+              Array.fill[Byte](5 + ((id + k) % 9).toInt)('x'))
+          }
+          val m = Multimodal.parseZip(Multimodal.zipBytes(files)).get
+          (id, m.n_entries.toLong,
+            m.entries.map(_.name).mkString(";"),
+            m.entries.map(_.method).mkString(";"),
+            m.entries.map(_.uncompressed).mkString(";"))
+        })
+        .toDF("media_id", "n_entries", "names", "methods", "sizes")
+    }),
+
     // General resize: the decoded 18×16 template image resamples to an
     // id-sized target grid (3-7 × 2-5 — non-divisor geometries, so
     // cells straddle uneven source spans); the oracle replays the
@@ -434,6 +459,21 @@ object MultimodalQueries {
         |  'source=doc-' || CAST(doc_id AS VARCHAR) || ';generator=graft'
         |    AS texts_csv
         |FROM documents
+        |""".stripMargin,
+
+    "media_zipmeta" ->
+      """WITH e AS (
+        |  SELECT doc_id, k
+        |  FROM documents, UNNEST(generate_series(0, 2)) AS g(k)
+        |  WHERE k < 1 + doc_id % 3)
+        |SELECT doc_id AS media_id,
+        |  CAST(1 + doc_id % 3 AS BIGINT) AS n_entries,
+        |  string_agg('f' || CAST(k AS VARCHAR) || '-' ||
+        |    CAST(doc_id AS VARCHAR) || '.txt', ';' ORDER BY k) AS names,
+        |  string_agg('0', ';' ORDER BY k) AS methods,
+        |  string_agg(CAST(5 + (doc_id + k) % 9 AS VARCHAR), ';'
+        |    ORDER BY k) AS sizes
+        |FROM e GROUP BY doc_id
         |""".stripMargin,
 
     "media_gifmeta" ->

@@ -370,4 +370,44 @@ class MultimodalSpec extends AnyFunSuite {
     overrun(21) = 0xf0.toByte // comment sub-block length past the end
     assert(Multimodal.parseGif(overrun).isEmpty)
   }
+
+  test("parseZip: directory walk, CRCs, interop both ways, rejects") {
+    val files = Seq(
+      "a.txt" -> "hello zip".getBytes("UTF-8"),
+      "dir/b.bin" -> Array[Byte](1, 2, 3, 4, 5),
+      "empty" -> Array.empty[Byte])
+    val z = Multimodal.zipBytes(files)
+    val m = Multimodal.parseZip(z).get
+    assert(m.n_entries == 3)
+    assert(m.entries.map(_.name) == Seq("a.txt", "dir/b.bin", "empty"))
+    assert(m.entries.map(_.uncompressed) == Seq(9L, 5L, 0L))
+    assert(m.entries.forall(_.method == 0))
+    // CRCs match java.util.zip's own CRC32 of the same payloads
+    files.zip(m.entries).foreach { case ((_, data), e) =>
+      val c = new java.util.zip.CRC32; c.update(data)
+      assert(e.crc32 == c.getValue)
+    }
+    // interop 1: java.util.zip reads what zipBytes emits
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(z))
+    val seen = Iterator.continually(zin.getNextEntry)
+      .takeWhile(_ != null).map(_.getName).toList
+    assert(seen == Seq("a.txt", "dir/b.bin", "empty"))
+    // interop 2: the walk reads a real ZipOutputStream archive
+    val bos = new java.io.ByteArrayOutputStream()
+    val zout = new java.util.zip.ZipOutputStream(bos)
+    zout.putNextEntry(new java.util.zip.ZipEntry("real.txt"))
+    zout.write("payload".getBytes("UTF-8")); zout.closeEntry(); zout.close()
+    val real = Multimodal.parseZip(bos.toByteArray).get
+    assert(real.n_entries == 1 && real.entries.head.name == "real.txt")
+    assert(real.entries.head.uncompressed == 7L)
+    // EOCD comment tolerance: trailing bytes after the record still parse
+    assert(Multimodal.parseZip(z ++ "trailing junk".getBytes).isDefined)
+    // strict rejects: truncation, no EOCD, forged entry count
+    assert(Multimodal.parseZip(z.take(10)).isEmpty)
+    assert(Multimodal.parseZip("PK but not a zip".getBytes).isEmpty)
+    val forged = z.clone
+    forged(z.length - 12) = 9 // EOCD total-entry count way past reality
+    assert(Multimodal.parseZip(forged).isEmpty)
+  }
 }
