@@ -124,10 +124,16 @@ object Dedup {
           .as(Seq("band_idx", "band_hash")))
     val corpusDocs = prep(corpus)
     val batchDocs = prep(batch)
+    // id inequality: a document is not a duplicate of ITSELF. Matters
+    // under replay — a foreachBatch retry after a partial completion
+    // sees its own docs already in the corpus under the same ids, and
+    // without this guard every one would self-match and be rejected
+    // (wiping the batch's corpus partition on the idempotent rewrite).
     val candidates = bandsOf(batchDocs).as("b")
       .join(bandsOf(corpusDocs).as("c"),
         col("b.band_idx") === col("c.band_idx") &&
-          col("b.band_hash") === col("c.band_hash"))
+          col("b.band_hash") === col("c.band_hash") &&
+          col("b.id") =!= col("c.id"))
       .select(col("b.id").as("batch_id"), col("c.id").as("corpus_id"))
       .distinct()
     candidates
@@ -156,31 +162,48 @@ object Dedup {
           .as(Seq("band_idx", "band_hash")))
   }
 
-  /** Persist the band index partitioned by `(band_idx, batch)` and
-    * sorted by `band_hash` within files — partition pruning on the
-    * band, row-group min/max skipping on the hash. The `batch` level is
-    * the increment unit: [[mergeBandIndex]] folds each new batch of
+  /** Build AND persist the band index partitioned by `(band_idx,
+    * batch)`, sorted by `band_hash` within files — partition pruning on
+    * the band, row-group min/max skipping on the hash. The `batch` level
+    * is the increment unit: [[mergeBandIndex]] folds each new batch of
     * documents in as its own `batch=<id>` partition under every band
     * (staged commit — the signature compute is paid ONCE per document
     * ever, not once per delta batch), and partition discovery gives
-    * readers the union. The initial build lands as `batch=0`. */
-  def writeBandIndex(index: DataFrame, path: String,
-      numHashes: Int = 16, bands: Int = 4): Unit = {
-    val spark = index.sparkSession
+    * readers the union. The initial build lands as `batch=0`.
+    *
+    * Takes the DOCUMENTS, not a prebuilt index DataFrame: the recorded
+    * `(numHashes, bands)` metadata that every later [[mergeBandIndex]] /
+    * [[deltaDedupAgainstIndex]] trusts is therefore by construction the
+    * parameters the signatures were computed under — a caller can no
+    * longer build with one set and record another (the store's
+    * num_buckets lesson: a drifting layout parameter silently corrupts).
+    *
+    * `batchId`: the micro-batch id when the initial build IS itself a
+    * streaming batch (the curation pipeline's bootstrap) — recorded as
+    * the exactly-once high-water mark so a foreachBatch RETRY of that
+    * same batch no-ops in [[mergeBandIndex]] instead of folding the
+    * identical documents in twice. A rebuild over an existing index
+    * preserves the previously recorded high-water mark (rebuilds change
+    * layout, not merge history); pass `batchId` explicitly to reset it. */
+  def writeBandIndex(docs: DataFrame, textCol: String, idCol: String,
+      path: String, numHashes: Int = 16, bands: Int = 4,
+      batchId: Option[Long] = None): Unit = {
+    val spark = docs.sparkSession
     if (ObservationStore.pathExists(spark, path))
       recoverBandMerge(spark, path, deleteUncommitted = true)
-    // captured BEFORE the overwrite truncates the path (meta included)
+    // captured BEFORE the overwrite truncates the path (meta included):
+    // the generation must advance, never reset, and the batch high-water
+    // survives a rebuild unless the caller supplies a fresh one
     val prevEpoch = readBandEpoch(spark, path).getOrElse(0L)
-    index
+    val prevBatchId = readBandBatchId(spark, path)
+    buildBandIndex(docs, textCol, idCol, numHashes, bands)
       .withColumn("batch", lit(0L))
       .repartition(col("band_idx"), col("band_hash"))
       .sortWithinPartitions(col("band_hash"))
       .write.mode("overwrite").partitionBy("band_idx", "batch")
       .parquet(path)
-    // parameters are RECORDED, not re-trusted from later callers (the
-    // store's num_buckets lesson: a drifting layout parameter silently
-    // corrupts); a rebuild advances the generation, never resets
-    writeBandMeta(spark, path, prevEpoch + 1L, numHashes, bands)
+    writeBandMeta(spark, path, prevEpoch + 1L, numHashes, bands,
+      batchId.orElse(prevBatchId))
   }
 
   /** Load the index for querying ([[deltaDedupAgainstIndex]]): resolves
@@ -326,9 +349,13 @@ object Dedup {
         posexplode(lshBands(col("sig"), bands, rowsPerBand))
           .as(Seq("b_band_idx", "b_band_hash")))
     batchBands
+      // corpus_id =!= batch_id: self-pairs arise only under replay (a
+      // retried batch whose docs were already folded into the index) and
+      // must not count as duplicates — see crossCorpusNearDuplicates
       .join(bandIndex,
         col("b_band_idx") === col("band_idx") &&
-          col("b_band_hash") === col("band_hash"))
+          col("b_band_hash") === col("band_hash") &&
+          col("batch_id") =!= col("corpus_id"))
       // a true duplicate matches on EVERY band — dedupe candidate pairs
       // BEFORE the shingle-array verify so the intersect/union runs once
       // per pair, not once per matching band (the hottest rows are

@@ -291,6 +291,15 @@ object MiniLua {
         val body = block(Set("end")); eat("end")
         SIf(Seq((EBool(true), body)), Seq.empty)
       case "break" => p += 1; SBreak()
+      // unsupported-construct statements fail HERE with their name (not
+      // as a generic "expression is not a statement" mid-row later):
+      // `goto label` is two name tokens in statement position, a label
+      // is `::name::`
+      case "name" if cur.text == "goto" && p + 1 < toks.length &&
+          toks(p + 1).kind == "name" =>
+        fail(unsupportedMsg("goto"))
+      case ":" if p + 1 < toks.length && toks(p + 1).kind == ":" =>
+        fail(unsupportedMsg("labels (::name::)"))
       case _ =>
         val e = suffixedExpr()
         if (at("=") || at(",")) {
@@ -443,7 +452,86 @@ object MiniLua {
     }
   }
 
-  def parse(src: String): Seq[Stat] = new Parser(lex(src)).chunk()
+  /** The message for a construct the embedded subset deliberately lacks:
+    * names the construct and points at the JVM escape hatch, so a user
+    * porting a selector script learns the answer at PARSE time instead
+    * of decoding a generic Lua error raised mid-row on an executor. */
+  private def unsupportedMsg(construct: String): String =
+    s"$construct is not supported by the embedded Lua subset; " +
+      "implement this selector natively as a Selectors.HookSelector " +
+      "(a Column predicate) instead"
+
+  /** Globals whose presence means the script needs a Lua feature the
+    * subset will never have — rejected at parse time by [[parse]]. */
+  private val unsupportedGlobals: Map[String, String] = Map(
+    "setmetatable" -> "metatables (setmetatable)",
+    "getmetatable" -> "metatables (getmetatable)",
+    "rawset" -> "metatables (rawset)",
+    "rawget" -> "metatables (rawget)",
+    "rawequal" -> "metatables (rawequal)",
+    "coroutine" -> "coroutines")
+
+  def parse(src: String): Seq[Stat] = {
+    val stats = new Parser(lex(src)).chunk()
+    rejectUnsupported(stats)
+    stats
+  }
+
+  /** Post-parse AST walk: a reference to an unsupported global
+    * (metatable functions, the coroutine library) fails with the
+    * construct's name now, not as "attempt to call nil" mid-row. A
+    * LOCAL of the same name shadows legitimately and is not flagged —
+    * the walk only needs to be sound for scripts that would otherwise
+    * die at runtime, and a shadowing local means the global is never
+    * consulted. */
+  private def rejectUnsupported(chunk: Seq[Stat]): Unit = {
+    def walkE(e: Expr, shadowed: Set[String]): Unit = e match {
+      case EVar(n) if !shadowed(n) && unsupportedGlobals.contains(n) =>
+        throw new LuaError(
+          s"lua parse: ${unsupportedMsg(unsupportedGlobals(n))}")
+      case EVar(_) | ENil() | EBool(_) | ENum(_) | EStr(_) => ()
+      case EIndex(o, k) => walkE(o, shadowed); walkE(k, shadowed)
+      case ECall(f, args) =>
+        walkE(f, shadowed); args.foreach(walkE(_, shadowed))
+      case EMethod(o, _, args) =>
+        walkE(o, shadowed); args.foreach(walkE(_, shadowed))
+      case EBin(_, l, r) => walkE(l, shadowed); walkE(r, shadowed)
+      case EUn(_, x)     => walkE(x, shadowed)
+      case EFunc(ps, body) => walkB(body, shadowed ++ ps)
+      case ETable(items) => items.foreach { case (k, v) =>
+        k.foreach(walkE(_, shadowed)); walkE(v, shadowed)
+      }
+    }
+    def walkS(st: Stat, shadowed: Set[String]): Set[String] = st match {
+      case SLocal(names, init) =>
+        init.foreach(walkE(_, shadowed)); shadowed ++ names
+      case SAssign(ts, vs) =>
+        ts.foreach(walkE(_, shadowed)); vs.foreach(walkE(_, shadowed))
+        shadowed
+      case SIf(branches, orElse) =>
+        branches.foreach { case (c, b) =>
+          walkE(c, shadowed); walkB(b, shadowed)
+        }
+        walkB(orElse, shadowed); shadowed
+      case SForNum(v, f, t, step, body) =>
+        walkE(f, shadowed); walkE(t, shadowed)
+        step.foreach(walkE(_, shadowed))
+        walkB(body, shadowed + v); shadowed
+      case SForIn(names, exprs, body) =>
+        exprs.foreach(walkE(_, shadowed))
+        walkB(body, shadowed ++ names); shadowed
+      case SWhile(c, body) =>
+        walkE(c, shadowed); walkB(body, shadowed); shadowed
+      case SRepeat(body, until) =>
+        walkB(body, shadowed); walkE(until, shadowed); shadowed
+      case SReturn(vals) => vals.foreach(walkE(_, shadowed)); shadowed
+      case SCall(c)      => walkE(c, shadowed); shadowed
+      case SBreak()      => shadowed
+    }
+    def walkB(body: Seq[Stat], shadowed: Set[String]): Unit =
+      body.foldLeft(shadowed)((sh, st) => walkS(st, sh)): Unit
+    walkB(chunk, Set.empty)
+  }
 
   // --------------------------------------------------------- evaluator
 
@@ -804,6 +892,14 @@ object MiniLua {
       while (true) {
         if (pi >= pat.length) return si
         pat(pi) match {
+          case '(' if pi + 1 < pat.length && pat(pi + 1) == ')' =>
+            // position capture `()`: captures the 1-based position, not
+            // a substring — marked -2 so `)` never closes it and the
+            // result layer renders it as a NUMBER (Lua 5.1 manual §5.4.1)
+            caps += ((si, -2))
+            val r = doMatch(s, si, pat, pi + 2, caps)
+            if (r < 0) caps.remove(caps.length - 1)
+            return r
           case '(' =>
             caps += ((si, -1))
             val r = doMatch(s, si, pat, pi + 1, caps)
@@ -865,8 +961,11 @@ object MiniLua {
       -1
     }
 
+    /** Captures come back as Lua VALUES: position captures `()` are
+      * numbers (1-based), substring captures are strings — the caller
+      * (find/match/gmatch/gsub) passes them through unconverted. */
     def find(s: String, pat0: String, init0: Int)
-        : Option[(Int, Int, Seq[String])] = {
+        : Option[(Int, Int, Seq[LV])] = {
       val anchored = pat0.nonEmpty && pat0(0) == '^'
       val pat = if (anchored) pat0.substring(1) else pat0
       var start = math.max(0, init0)
@@ -874,12 +973,12 @@ object MiniLua {
         val caps = mutable.ArrayBuffer.empty[(Int, Int)]
         val e = doMatch(s, start, pat, 0, caps)
         if (e >= 0) {
-          val capStrs = caps.toSeq.map { case (cs, cl) =>
-            if (cl == -2) "" // unused marker
-            else if (cl == -1) (cs + 1).toString // position capture (rare)
-            else s.substring(cs, cs + cl)
+          val capVals: Seq[LV] = caps.toSeq.map { case (cs, cl) =>
+            if (cl == -2) LNum(cs + 1.0) // position capture
+            else if (cl == -1) throw new LuaError("unfinished capture")
+            else LStr(s.substring(cs, cs + cl))
           }
-          return Some((start, e, capStrs))
+          return Some((start, e, capVals))
         }
         if (anchored) return None
         start += 1
@@ -944,20 +1043,24 @@ object MiniLua {
       } else Pattern.find(s, pat, init) match {
         case None => Seq(LNil)
         case Some((st, en, caps)) =>
-          Seq(LNum(st + 1.0), LNum(en.toDouble)) ++ caps.map(LStr(_))
+          Seq(LNum(st + 1.0), LNum(en.toDouble)) ++ caps
       }
     }),
     "gmatch" -> LBuiltin("gmatch", a => {
       val s = argStr(a, 0, "gmatch")
       val pat = argStr(a, 1, "gmatch")
+      // a leading '^' anchors to the SUBJECT start, not the scan
+      // position — Pattern.find would re-anchor at each pos and yield a
+      // match per position (Lua 5.1: at most one iteration)
+      val anchored = pat.nonEmpty && pat(0) == '^'
       var pos = 0
       val iter = LBuiltin("gmatch_iter", _ =>
-        if (pos > s.length) Seq(LNil)
+        if (pos > s.length || (anchored && pos > 0)) Seq(LNil)
         else Pattern.find(s, pat, pos) match {
           case None => pos = s.length + 1; Seq(LNil)
           case Some((st, en, caps)) =>
             pos = if (en > st) en else en + 1 // empty match: step forward
-            if (caps.nonEmpty) caps.map(LStr(_))
+            if (caps.nonEmpty) caps
             else Seq(LStr(s.substring(st, en)))
         })
       Seq(iter)
@@ -970,6 +1073,10 @@ object MiniLua {
         case LNum(d) => d.toInt
         case _       => Int.MaxValue
       }
+      // anchored gsub makes at most ONE attempt, at the subject start
+      // (Lua 5.1 str_gsub breaks after the first iteration when
+      // anchored): gsub("aaa","^a","b") is "baa"/1, never "bbb"/3
+      val anchored = pat.nonEmpty && pat(0) == '^'
       val sb = new StringBuilder
       var pos = 0
       var count = 0
@@ -982,7 +1089,7 @@ object MiniLua {
             val whole = s.substring(st, en)
             def cap(i: Int): String =
               if (i == 0 || caps.isEmpty) whole
-              else if (i <= caps.length) caps(i - 1)
+              else if (i <= caps.length) toStr(caps(i - 1))
               else ""
             val replaced: String = repl match {
               case LStr(r) =>
@@ -999,7 +1106,7 @@ object MiniLua {
                 rb.toString
               case f @ (_: LFunc | _: LBuiltin) =>
                 val args =
-                  if (caps.nonEmpty) caps.map(LStr(_): LV) else Seq(LStr(whole): LV)
+                  if (caps.nonEmpty) caps else Seq(LStr(whole): LV)
                 call(f, args).headOption match {
                   case Some(LStr(x)) => x
                   case Some(n: LNum) => toStr(n)
@@ -1015,6 +1122,7 @@ object MiniLua {
               pos = st + 1
             }
         }
+        if (anchored) going = false
       }
       if (pos <= s.length) sb.append(s.substring(math.min(pos, s.length)))
       Seq(LStr(sb.toString), LNum(count.toDouble))
@@ -1027,7 +1135,7 @@ object MiniLua {
       Pattern.find(s, pat, init) match {
         case None => Seq(LNil)
         case Some((st, en, caps)) =>
-          if (caps.nonEmpty) caps.map(LStr(_))
+          if (caps.nonEmpty) caps
           else Seq(LStr(s.substring(st, en)))
       }
     })

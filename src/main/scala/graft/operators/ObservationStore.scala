@@ -424,7 +424,13 @@ object ObservationStore {
       // count rides the survivor-write job below as an observe()
       // metric, so each copy costs ONE Spark job total
       val touched = bucketsExpiringBefore(spark, s"$path/$sub", cutoff)
-      val obs = org.apache.spark.sql.Observation(s"expire-$sub-$targetEpoch")
+      // nanoTime uniquifier: Observation registers its name with the
+      // session's listener bus, and a failed expire run that registered
+      // but never drained would make a same-epoch RETRY throw on the
+      // duplicate name — the name is never read back, so uniqueness is
+      // all that matters
+      val obs = org.apache.spark.sql.Observation(
+        s"expire-$sub-$targetEpoch-${System.nanoTime()}")
       if (touched.nonEmpty) {
         val existing = spark.read.parquet(s"$path/$sub")
           .filter(col("bucket").isin(touched.toIndexedSeq.map(Long.box): _*))

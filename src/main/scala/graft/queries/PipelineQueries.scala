@@ -1070,8 +1070,8 @@ object PipelineQueries {
     "band_index_merge" -> ((s, dir) => {
       val tmp = graft.queries.util.scratchDir("bandindex", dir)
       val d = docs(s, dir).select(col("doc_id"), col("text"))
-      Dedup.writeBandIndex(Dedup.buildBandIndex(
-        d.filter(col("doc_id") % 2 === 0), "text", "doc_id"), tmp)
+      Dedup.writeBandIndex(
+        d.filter(col("doc_id") % 2 === 0), "text", "doc_id", tmp)
       val rest = d.filter(col("doc_id") % 2 =!= 0)
       require(Dedup.mergeBandIndex(s, tmp, rest, "text", "doc_id", 1L) > 0,
         "band merge folded nothing in")

@@ -95,8 +95,11 @@ object CurationPipeline {
       rejectDir, bid, minTokens, maxTokens, threshold, crossDedup)
     if (!accepted.isEmpty) {
       if (!indexExists)
-        Dedup.writeBandIndex(
-          Dedup.buildBandIndex(accepted, textCol, idCol), indexDir)
+        // record THIS batch id as the high-water mark: a foreachBatch
+        // retry of the index-creating batch must no-op in mergeBandIndex
+        // (index now exists), not fold the same documents in again
+        Dedup.writeBandIndex(accepted, textCol, idCol, indexDir,
+          batchId = Some(bid))
       else
         Dedup.mergeBandIndex(spark, indexDir, accepted, textCol, idCol,
           bid): Unit

@@ -373,8 +373,7 @@ class CurationSpec extends AnyFunSuite {
       (11L, "no resemblance to anything stored whatsoever")
     ).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft-bandidx").toString
-    graft.operators.Dedup.writeBandIndex(
-      graft.operators.Dedup.buildBandIndex(corpus, "text", "doc_id"), dir)
+    graft.operators.Dedup.writeBandIndex(corpus, "text", "doc_id", dir)
     val viaIndex = graft.operators.Dedup.deltaDedupAgainstIndex(
         graft.operators.Dedup.loadBandIndex(spark, dir), batch, "text", "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

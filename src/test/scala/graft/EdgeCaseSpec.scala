@@ -279,8 +279,8 @@ class EdgeCaseSpec extends AnyFunSuite {
     // high-water mark does not advance
     val dir = java.nio.file.Files
       .createTempDirectory("graft-ec-band").toString
-    Dedup.writeBandIndex(Dedup.buildBandIndex(
-      Seq((1L, "a b c d e")).toDF("doc_id", "text"), "text", "doc_id"),
+    Dedup.writeBandIndex(
+      Seq((1L, "a b c d e")).toDF("doc_id", "text"), "text", "doc_id",
       dir)
     assert(Dedup.mergeBandIndex(spark, dir,
       spark.emptyDataset[(Long, String)].toDF("doc_id", "text"),

@@ -103,6 +103,46 @@ class MiniLuaSpec extends AnyFunSuite {
         "gsub-fn"))
   }
 
+  test("Lua 5.1 edges: anchored gsub/gmatch, position captures") {
+    assert(run("""
+      function process(o)
+        -- anchored gsub: ONE attempt at the subject start (lstrlib.c
+        -- breaks after the first iteration when anchored)
+        local s, n = string.gsub("aaa", "^a", "b")
+        o:add_tag(s .. "/" .. n)            -- baa/1, never bbb/3
+        local s2, n2 = string.gsub("xaa", "^a", "b")
+        o:add_tag(s2 .. "/" .. n2)          -- xaa/0
+        -- anchored gmatch: the anchor binds to the subject start, so
+        -- the iterator yields at most one match
+        local c = 0
+        for m in string.gmatch("aaa", "^a") do c = c + 1 end
+        o:add_tag("g" .. c)
+        -- position capture () is a NUMBER (1-based), not ""
+        local pos = string.match("hello world", "()world")
+        if pos == 7 then o:add_tag("pos" .. pos) end
+        local pre, post = string.match("ab", "()a()"), nil
+        if pre == 1 then o:add_tag("pc-first") end
+      end""") == Seq("baa/1", "xaa/0", "g1", "pos7", "pc-first"))
+  }
+
+  test("unsupported constructs fail at parse time with their name") {
+    def msgOf(src: String): String =
+      intercept[MiniLua.LuaError](MiniLua.parse(src)).getMessage
+    assert(msgOf("goto done") .contains("goto"))
+    assert(msgOf("::done::")  .contains("labels"))
+    assert(msgOf("setmetatable({}, {})").contains("setmetatable"))
+    assert(msgOf("local t = getmetatable({})").contains("getmetatable"))
+    assert(msgOf("local co = coroutine.create(f)").contains("coroutines"))
+    assert(msgOf("rawset({}, 1, 2)").contains("rawset"))
+    // every rejection points at the JVM escape hatch
+    assert(msgOf("goto x").contains("HookSelector"))
+    assert(msgOf("coroutine.yield()").contains("HookSelector"))
+    // a shadowing local legitimately claims the name — not flagged
+    MiniLua.parse("local coroutine = {} coroutine.x = 1")
+    // `goto` as a plain identifier (5.1 has no goto keyword) still works
+    MiniLua.parse("goto = 1")
+  }
+
   test("totality: script errors and missing process leave tags unchanged") {
     assert(run("function process(o) error_call(nil .. 1) end",
       tags = Seq("keep")) == Seq("keep"))

@@ -364,6 +364,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("indexed curation replays exactly-once, including the bootstrap batch") {
+    import graft.streaming.CurationPipeline
+    import graft.operators.Dedup
+    val dir = Files.createTempDirectory("graft-scurate-replay").toString
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta one two"),
+      (5L, "totally different content about storage engines and joins"))
+      .toDF("doc_id", "text")
+    def runBatch(df: org.apache.spark.sql.DataFrame, bid: Long): Unit =
+      CurationPipeline.curateBatchIndexed(spark, df, "text", "doc_id",
+        s"$dir/corpus", s"$dir/rejects", s"$dir/index", bid,
+        minTokens = 3, maxTokens = 100000, threshold = 0.8)
+
+    // bootstrap batch creates the index AND records its batch id
+    runBatch(docs, bid = 7L)
+    assert(Dedup.readBandBatchId(spark, s"$dir/index").contains(7L))
+    val corpus0 = spark.read.parquet(s"$dir/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpus0 == Set(1L, 5L))
+    val bandRows0 = Dedup.loadBandIndex(spark, s"$dir/index").count()
+
+    // RETRY of the bootstrap batch (foreachBatch re-delivery): the
+    // index exists now, so the retry takes the merge path — the
+    // recorded high-water mark must turn it into a no-op (no duplicate
+    // band rows), and the batch's own docs must NOT self-match as
+    // cross-corpus duplicates and wipe their corpus partition
+    runBatch(docs, bid = 7L)
+    assert(Dedup.readBandBatchId(spark, s"$dir/index").contains(7L))
+    assert(Dedup.loadBandIndex(spark, s"$dir/index").count() == bandRows0)
+    assert(spark.read.parquet(s"$dir/corpus")
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 5L))
+
+    // retry of a LATER batch after its index merge committed: same
+    // contract (this is the partial-completion crash window)
+    val b2 = Seq((11L, "entirely novel text with sufficient distinct " +
+      "token count")).toDF("doc_id", "text")
+    runBatch(b2, bid = 8L)
+    val bandRows1 = Dedup.loadBandIndex(spark, s"$dir/index").count()
+    runBatch(b2, bid = 8L)
+    assert(Dedup.loadBandIndex(spark, s"$dir/index").count() == bandRows1)
+    assert(spark.read.parquet(s"$dir/corpus")
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 5L, 11L))
+
+    // a rebuild preserves the merge high-water mark
+    Dedup.writeBandIndex(spark.read.parquet(s"$dir/corpus"), "text",
+      "doc_id", s"$dir/index")
+    assert(Dedup.readBandBatchId(spark, s"$dir/index").contains(8L))
+  }
+
   test("indexed streaming curation maintains the band index incrementally") {
     import org.apache.spark.sql.types.{LongType, StringType, StructType}
     import graft.streaming.CurationPipeline
