@@ -12,6 +12,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses the LAST stdout line of `runMain graft.Bench`
+// as JSON. Two sbt behaviors break that: the forked process's stdout is
+// re-logged with an "[info] " prefix, and "[success] Total time: …"
+// prints after it. Pass output through raw and drop the epilogue.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// outputStrategy is consumed by the runner, not another setting — the
+// unused-key lint can't see that
+Global / excludeLintKeys += run / outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

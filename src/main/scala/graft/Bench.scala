@@ -22,10 +22,27 @@ import org.apache.spark.sql.SparkSession
   * (serving first) exactly as before.
   */
 object Bench {
+  /** The analytics sweep is sliced round-robin across this many child
+    * JVMs. One child aging through all ~190 gates inflates the
+    * late-alphabet ones up to 9× (r11: repetition_signals 11.0 s in the
+    * full sweep vs 1.20 s isolated — heap growth + code-cache pressure,
+    * not the query); four ~47-gate children keep every measurement
+    * within one young JVM's honest window. Round-robin (not contiguous
+    * chunks) so the heavy gates spread evenly AND no slice is "the late
+    * alphabet". */
+  private val SweepSlices = 4
+
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("--phase=serving") => phaseMain("serving", servingFragment)
-    case Some("--phase=sweep")   => phaseMain("sweep", sweepFragment)
-    case _                       => orchestrate()
+    case Some(a) if a.startsWith("--phase=sweep") =>
+      // "--phase=sweep-<i>of<m>"; bare "--phase=sweep" = the full sweep
+      val (i, m) = a.stripPrefix("--phase=sweep").stripPrefix("-")
+        .split("of") match {
+        case Array(x, y) if x.nonEmpty => (x.toInt, y.toInt)
+        case _                         => (0, 1)
+      }
+      phaseMain(s"sweep-${i}of$m", sweepFragment(i, m))
+    case _ => orchestrate()
   }
 
   private def sfDir: String =
@@ -57,7 +74,9 @@ object Bench {
         s"""{"phase":"$phase",${frag(spark, dir)}}"""
       }
     val serving = phaseJson("serving", servingFragment)
-    val sweep = phaseJson("sweep", sweepFragment)
+    val sweeps = (0 until SweepSlices).map(i =>
+      phaseJson(s"sweep-${i}of$SweepSlices",
+        sweepFragment(i, SweepSlices)))
     if (usedFallback) spark.stop()
 
     def num(json: String, key: String): String =
@@ -70,26 +89,34 @@ object Bench {
     val servingKeys = Seq("store_build_sec", "point_lookup_qps",
       "point_lookup_qps_plan", "point_lookup_qps_16w",
       "point_lookup_qps_miss", "point_lookup_qps_cached",
-      "merge_batch_sec", "decode_rows_per_sec", "tcp_query_qps")
+      "merge_batch_sec", "decode_rows_per_sec", "tcp_query_qps",
+      "prefix_lookup_qps")
     val servingPart =
       servingKeys.map(k => s""""$k":${num(serving, k)}""").mkString(",")
+    // splice the slices back into one alphabetical per-query map
+    val perQuery: Seq[(String, Double)] = sweeps
+      .flatMap(s => "\"([A-Za-z0-9_]+)\":(-?[0-9.]+)".r
+        .findAllMatchIn(obj(s, "queries"))
+        .map(m => m.group(1) -> m.group(2).toDouble))
+      .sortBy(_._1)
+    val qmap = perQuery.map { case (k, v) => s""""$k":${fmt(v, 3)}""" }
+      .mkString("{", ",", "}")
+    val total = perQuery.map(_._2).filter(_ >= 0).sum
     // The driver keeps only the LAST ~2000 chars of stdout: a single
-    // line carrying the full ~160-entry queries map overflows that
-    // window and truncates its own head, so the driver's JSON parse has
-    // failed every round ("parsed": null). Emit the full per-query map
-    // as a DETAIL line first (whatever fits of its tail still lands in
-    // the capture), then a compact final line — totals, serving
-    // metrics, and the top-10 slowest gates — that fits the window
-    // whole and parses.
-    val qmap = obj(sweep, "queries")
+    // line carrying the full ~190-entry queries map overflows that
+    // window and truncates its own head. Emit the full per-query map as
+    // a DETAIL line first (whatever fits of its tail still lands in the
+    // capture), then a compact final line — totals, serving metrics,
+    // and the top-10 slowest gates — that fits the window whole and,
+    // with sbt's [info] prefix and [success] epilogue disabled in
+    // build.sbt, is the process's LAST stdout line, so the driver's
+    // JSON parse lands.
     println(s"""{"metric":"queries","queries":$qmap}""")
-    val top10 = "\"([A-Za-z0-9_]+)\":(-?[0-9.]+)".r
-      .findAllMatchIn(qmap)
-      .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+    val top10 = perQuery
       .sortBy { case (k, v) => (-v, k) }.take(10)
       .map { case (k, v) => s""""$k":${fmt(v, 3)}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${num(sweep, "value")},"unit":"sec","n_queries":${num(sweep, "n_queries")},"sf":"$dir",$servingPart,"slowest":$top10}""")
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${perQuery.size},"sf":"$dir",$servingPart,"slowest":$top10}""")
   }
 
   /** Re-exec this class in a fresh JVM for one phase. Works because
@@ -124,39 +151,46 @@ object Bench {
         None
     }
 
-  /** The 145-gate analytics sweep (plus the shared mutation-gate store
-    * pre-build the sweep's expiry/merge gates assume exists). */
-  private def sweepFragment(spark: SparkSession, sfDir: String): String = {
+  /** One slice of the analytics sweep (slice `slice` of `of`,
+    * round-robin over the sorted gate names), plus the shared
+    * mutation-gate store pre-build when this slice holds a gate that
+    * consumes it. */
+  private def sweepFragment(slice: Int, of: Int)(
+      spark: SparkSession, sfDir: String): String = {
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // Local-iteration aid (the driver never sets this): run only the
+    // comma-separated query names in SPARK_GRAFT_ONLY.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+      .zipWithIndex.collect { case (n, i) if i % of == slice => n }
     // Warm the session (parquet footers, codegen, JIT) on one mid-size query.
     try runOnce("entries_rrname") catch { case _: Throwable => () }
     // Pre-build the shared mutation-gate base store (util.prebuiltStorePath
     // is memoized per session): a live system has its store on disk before
     // anyone expires from it — store_expire should time the staged expiry,
-    // not the one-time base build.
-    try queries.util.prebuiltStorePath(spark, sfDir): Unit
-    catch { case _: Throwable => () }
+    // not the one-time base build. Only the slice carrying those gates
+    // pays the (untimed) build.
+    if (names.exists(Set("store_expire", "store_compact", "store_rebucket")))
+      try queries.util.prebuiltStorePath(spark, sfDir): Unit
+      catch { case _: Throwable => () }
 
-    // Local-iteration aid (the driver never sets this): run only the
-    // comma-separated query names in SPARK_GRAFT_ONLY.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
     val results: Seq[(String, Double)] =
-      SparkEntry.queries.keys.toSeq.sorted
-        .filter(n => only.forall(_.contains(n))).map { name =>
-          val sec =
-            try runOnce(name)
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] $name failed: ${e.getMessage}")
-              -1.0
-            }
-          name -> sec
-        }
+      names.map { name =>
+        val sec =
+          try runOnce(name)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            -1.0
+          }
+        name -> sec
+      }
     // millisecond precision keeps the 145-entry line short enough for
     // the driver's tail capture to parse (r9's full-precision line
     // survived only as text)
@@ -178,11 +212,11 @@ object Bench {
       queries.util.prebuiltStorePath(spark, sfDir): Unit
     } catch { case _: Throwable => () }
     val (buildSec, qps, planQps, wideQps, missQps, cachedQps, mergeSec,
-      tcpQps) =
+      tcpQps, prefixQps) =
       try benchPointLookups(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] point-lookups failed: ${e.getMessage}")
-        (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0)
+        (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0)
       }
     val decodeRate =
       try benchDecodeRate(spark, sfDir)
@@ -190,7 +224,7 @@ object Bench {
         System.err.println(s"[bench] decode-rate failed: ${e.getMessage}")
         -1.0
       }
-    s""""store_build_sec":${fmt(buildSec, 3)},"point_lookup_qps":${fmt(qps, 1)},"point_lookup_qps_plan":${fmt(planQps, 1)},"point_lookup_qps_16w":${fmt(wideQps, 1)},"point_lookup_qps_miss":${fmt(missQps, 1)},"point_lookup_qps_cached":${fmt(cachedQps, 1)},"merge_batch_sec":${fmt(mergeSec, 3)},"decode_rows_per_sec":${fmt(decodeRate, 0)},"tcp_query_qps":${fmt(tcpQps, 1)}"""
+    s""""store_build_sec":${fmt(buildSec, 3)},"point_lookup_qps":${fmt(qps, 1)},"point_lookup_qps_plan":${fmt(planQps, 1)},"point_lookup_qps_16w":${fmt(wideQps, 1)},"point_lookup_qps_miss":${fmt(missQps, 1)},"point_lookup_qps_cached":${fmt(cachedQps, 1)},"merge_batch_sec":${fmt(mergeSec, 3)},"decode_rows_per_sec":${fmt(decodeRate, 0)},"tcp_query_qps":${fmt(tcpQps, 1)},"prefix_lookup_qps":${fmt(prefixQps, 1)}"""
   }
 
   /** True decoder throughput: payloads pre-materialized (generation cost
@@ -246,7 +280,8 @@ object Bench {
     * LOSES to the pruned scan (InMemoryRelation drops partition pruning —
     * every lookup scans all cached partitions). */
   private def benchPointLookups(spark: SparkSession, sfDir: String)
-      : (Double, Double, Double, Double, Double, Double, Double, Double) = {
+      : (Double, Double, Double, Double, Double, Double, Double, Double,
+        Double) = {
     val dir = java.nio.file.Files.createTempDirectory("graft-bench-store").toString
     val t0 = System.nanoTime()
     operators.ObservationStore.writeDual(
@@ -284,6 +319,12 @@ object Bench {
     // an absent key should skip every row group from footer metadata
     val missQps = timed(1000, 5)(i =>
       store.servePoint(rdata = Some(s"absent-key-$i")).get: Unit)
+    // PREFIX seeks on the fast path (the reference's forward scan
+    // shape): each "part-<3 digits>" prefix matches ~111 rrnames across
+    // every bucket — the fan-over-buckets + row-group-stats-bounded
+    // range read, not a point hit
+    val prefixQps = timed(1000, 5)(i =>
+      store.servePrefix(s"part-${100 + (i % 900)}").get: Unit)
 
     // Spark-plan path for trend continuity. AQE off: it buys nothing for
     // a single-stage pre-pruned scan but costs per-query driver planning
@@ -360,6 +401,6 @@ object Bench {
       (System.nanoTime() - t2) / 1e9
     }
     (buildSec, serveQps, planQps, wideQps, missQps, cachedQps, mergeSec,
-      tcpQps)
+      tcpQps, prefixQps)
   }
 }

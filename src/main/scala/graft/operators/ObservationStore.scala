@@ -227,6 +227,22 @@ object ObservationStore {
       keyCol: String): org.apache.spark.sql.DataFrameWriter[T] =
     w.option(s"parquet.bloom.filter.enabled#$keyCol", "true")
       .option("parquet.bloom.filter.adaptive.enabled", "true")
+      // Serving stores trade parquet's scan-optimized pages (1 MB /
+      // 20 k rows) for small fixed-row ones — the RocksDB block-size
+      // analog: with files sorted on the seek column, the column index
+      // bounds a point or prefix lookup to the 1–2 pages per column
+      // overlapping the key range, so a lookup decodes ~512 rows per
+      // touched column instead of the whole row group. Costs ~extra
+      // page headers + per-page index entries on a full scan;
+      // row-group stats, dictionaries and blooms are unaffected.
+      .option("parquet.page.size", (64 * 1024).toString)
+      .option("parquet.page.row.count.limit", "512")
+      // snappy, not the session-wide zstd: store copies are the
+      // latency-serving surface, and zstd pays a per-page decompression
+      // context setup that profiled at ~13% of a prefix seek (the
+      // RocksDB analogue ships LZ4/snappy block compression for the
+      // same reason). Analytics outputs keep zstd's better ratio.
+      .option("compression", "snappy")
 
   private val Copies = Seq(
     ("by_rrname", "rrname", Seq("rrname", "sensor_id", "rrtype", "rdata")),
@@ -764,6 +780,22 @@ final class ObservationStore(byRrname: DataFrame, byRdata: DataFrame,
         fwd.lookup(rrname.get, residual ++ rdata.map("rdata" -> _), limit)
       else
         inv.lookup(rdata.get, residual, limit)
+    }
+  }
+
+  /** [[entriesPrefix]] on the driver-local fast path: forward-copy
+    * prefix seek (the reference's rocksdb forward scan shape) executed
+    * on the calling thread — all buckets fanned (hash buckets cannot
+    * prune a prefix), row groups bounded by footer stats within each
+    * sorted file. Same result set as `entriesPrefix(prefix, limit)`
+    * when the match count fits the limit (both paths are unordered
+    * scans, so an overflowing limit returns an arbitrary subset on
+    * either). None when the fast path is unavailable. */
+  def servePrefix(prefix: String, limit: Int = 1000)
+      : Option[Seq[graft.model.Observation]] = {
+    require(prefix.nonEmpty, "prefix must be non-empty")
+    pointReaders.map { case (fwd, _) =>
+      fwd.prefixLookup(prefix, Nil, limit)
     }
   }
 

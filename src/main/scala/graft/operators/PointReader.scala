@@ -49,17 +49,16 @@ import graft.model.Observation
   *    invalidated with the file map on epoch change.
   *  - with those amortized, a lookup is ~2 ms: dictionary-page check
   *    (misses prune the whole row group) + filtered assembly of matches.
-  * Column-index (page-level) filtering is explicitly DISABLED: the
-  * manual record loop below does not implement the row-range alignment
-  * it requires, and with bucket files sorted on the key, block stats +
-  * dictionary already prune misses.
+  * Column-index (page-level) filtering is ON (see [[readFiles]]): the
+  * store writes 64 KB pages sorted on the key, so a hit decodes the
+  * 1–2 pages overlapping the key range, not the whole row group.
   *
   * Scale stance: the bytes read are the SAME pruned set the Spark plan
   * reads (one bucket ≈ store/numBuckets, row-group-pruned below that);
   * the win is dropping per-query planning/scheduling, not skipping work.
-  * Analytics-shaped queries (prefix, CIDR ranges, aliases, fan-out,
-  * dumps) stay on the Spark plan path where distribution pays for
-  * itself. On a real cluster the serving driver holds the bucket→file
+  * Point lookups and prefix seeks serve here; analytics-shaped queries
+  * (CIDR ranges, fan-out, dumps) stay on the Spark plan path where
+  * distribution pays for itself. On a real cluster the serving driver holds the bucket→file
   * map + footers (numBuckets entries — metadata, not data) and streams
   * at most `limit` rows per query.
   *
@@ -92,6 +91,16 @@ final class PointReader private[operators] (
     * change alongside [[filesByBucket]]. */
   private val footerCache =
     new TrieMap[String, (ParquetMetadata, MessageColumnIO)]()
+
+  /** file path → decoded key-column dictionary per row group (None for
+    * a row group whose key chunk has non-dictionary pages). Read ONCE
+    * per file and then answering exact key/prefix membership with zero
+    * I/O — strictly stronger than the parquet bloom (no false
+    * positives) and than per-query DictionaryFilter (which re-reads
+    * the dictionary page every lookup). Same lifecycle as
+    * [[footerCache]]. */
+  private val dictCache =
+    new TrieMap[String, Seq[Option[Array[Array[Byte]]]]]()
   @volatile private var lastEpochCheck = 0L
   @volatile private var lastEpoch = -1L
 
@@ -141,7 +150,12 @@ final class PointReader private[operators] (
   private def inputFile(p: Path): org.apache.parquet.io.InputFile = {
     val uri = p.toUri
     if (uri.getScheme == null || uri.getScheme == "file")
-      new org.apache.parquet.io.LocalInputFile(
+      // NOT parquet's LocalInputFile: its stream is an unbuffered
+      // RandomAccessFile, and thrift parsing (page headers, column/
+      // offset indexes, footers) reads it byte-by-byte — profiled at
+      // 63% of a prefix seek spent in read0 syscalls. The buffered
+      // wrapper turns those into one 64 KB positional read per region.
+      new PointReader.BufferedLocalInputFile(
         java.nio.file.Paths.get(uri.getPath))
     else HadoopInputFile.fromPath(p, hadoopConf)
   }
@@ -181,6 +195,7 @@ final class PointReader private[operators] (
       lastEpoch = epoch
       filesByBucket.clear()
       footerCache.clear()
+      dictCache.clear()
     }
   }
 
@@ -190,6 +205,18 @@ final class PointReader private[operators] (
       FilterApi.eq(FilterApi.binaryColumn(c),
         Binary.fromString(v)): FilterPredicate
     }.reduce(FilterApi.and)
+
+  private def prefixPredicate(prefix: String,
+      residual: Seq[(String, String)]): FilterPredicate = {
+    val pfx: FilterPredicate = FilterApi.userDefined(
+      FilterApi.binaryColumn(keyCol),
+      new PointReader.StartsWithPredicate(
+        prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    residual.foldLeft(pfx) { case (acc, (c, v)) =>
+      FilterApi.and(acc, FilterApi.eq(FilterApi.binaryColumn(c),
+        Binary.fromString(v)))
+    }
+  }
 
   private def tsOf(micros: Long): Timestamp = {
     val t = new Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
@@ -210,7 +237,99 @@ final class PointReader private[operators] (
     val proj = projection.getOrElse(
       throw new IllegalStateException("fast path unavailable"))
     ensureFresh()
-    val bucket = bucketOf(key)
+    val kb = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    readBucket(bucketOf(key), proj, predicate(key, residual), limit,
+      entries => entries.exists(java.util.Arrays.equals(_, kb)))
+  }
+
+  /** Prefix range scan: every observation whose `keyCol` starts with
+    * `prefix`, plus residual equality filters, capped at `limit` — the
+    * reference's forward scan IS a prefix seek
+    * (`backend/balboa-rocksdb/rocksdb-impl.c:345-354`), so serving it
+    * should not pay the Spark-plan floor either. `xxhash64(key) % n`
+    * bucketing cannot prune a prefix (hashing destroys key order), so
+    * the reader fans over ALL buckets; within each sorted bucket file
+    * the [[PointReader.StartsWithPredicate]] bounds the candidate row
+    * groups from footer min/max stats (a `[prefix, nextPrefix)` range
+    * check), prunes via dictionary pages, and keeps only true prefix
+    * matches — the same pruning the pruned Spark scan would do, minus
+    * the per-query planning/scheduling. Result order is per-bucket file
+    * order (callers needing an order sort, exactly as with the plan
+    * path's unordered scan + limit). */
+  def prefixLookup(prefix: String, residual: Seq[(String, String)],
+      limit: Int): Vector[Observation] = {
+    val proj = projection.getOrElse(
+      throw new IllegalStateException("fast path unavailable"))
+    ensureFresh()
+    val pred = prefixPredicate(prefix, residual)
+    val pb = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def startsWith(e: Array[Byte]): Boolean = {
+      if (e.length < pb.length) return false
+      var i = 0
+      while (i < pb.length) {
+        if (e(i) != pb(i)) return false
+        i += 1
+      }
+      true
+    }
+    val out = Vector.newBuilder[Observation]
+    var n = 0
+    var b = 0L
+    while (b < numBuckets && n < limit) {
+      val got = readBucket(b, proj, pred, limit - n,
+        entries => entries.exists(startsWith))
+      out ++= got
+      n += got.size
+      b += 1
+    }
+    out.result()
+  }
+
+  /** May this file contain a matching key? Answered from the cached
+    * decoded dictionary with zero I/O after the first consultation —
+    * a row group whose key chunk is not fully dictionary-encoded (or
+    * whose dictionary failed to read) conservatively answers yes. */
+  private def mayContain(p: Path,
+      anyEntry: Array[Array[Byte]] => Boolean): Boolean =
+    dictCache.getOrElseUpdate(p.toString, readDicts(p)).exists {
+      case Some(entries) => anyEntry(entries)
+      case None          => true
+    }
+
+  private def readDicts(p: Path): Seq[Option[Array[Array[Byte]]]] =
+    try {
+      val r = ParquetFileReader.open(inputFile(p))
+      try {
+        val schema = r.getFooter.getFileMetaData.getSchema
+        if (!schema.containsField(keyCol)) return Seq(None)
+        val desc = schema.getColumnDescription(Array(keyCol))
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getBlocks.asScala.toSeq.map { block =>
+          block.getColumns.asScala
+            .find(_.getPath.toDotString == keyCol)
+            .flatMap { chunk =>
+              val st = chunk.getEncodingStats
+              if (st == null || st.hasNonDictionaryEncodedPages) None
+              else {
+                // widen to the public interface: the concrete
+                // DictionaryPageReader is package-private
+                val ds: org.apache.parquet.column.page.DictionaryPageReadStore =
+                  r.getDictionaryReader(block)
+                Option(ds.readDictionaryPage(desc))
+                  .map { page =>
+                    val dict = page.getEncoding.initDictionary(desc, page)
+                    Array.tabulate(dict.getMaxId + 1)(i =>
+                      dict.decodeToBinary(i).getBytes)
+                  }
+              }
+            }
+        }
+      } finally r.close()
+    } catch { case _: Exception => Seq(None) }
+
+  private def readBucket(bucket: Long, proj: MessageType,
+      pred: FilterPredicate, limit: Int,
+      anyEntry: Array[Array[Byte]] => Boolean): Vector[Observation] = {
     // An EMPTY cached list never touches a file, so the vanished-file
     // retry below can't fire for it — a merge that populates the bucket
     // would otherwise serve stale misses for up to EpochCheckMillis.
@@ -224,15 +343,18 @@ final class PointReader private[operators] (
         filesByBucket.put(bucket, fresh)
         fresh
       }
-    try readFiles(files, proj, key, residual, limit)
+    try readFiles(files.filter(mayContain(_, anyEntry)), proj, pred, limit)
     catch {
       // vanished file = concurrent committed merge swapped this bucket:
       // drop caches for it, relist once and retry (see staleness note)
       case _: java.io.FileNotFoundException | _: java.nio.file.NoSuchFileException =>
-        files.foreach(f => footerCache.remove(f.toString))
+        files.foreach { f =>
+          footerCache.remove(f.toString)
+          dictCache.remove(f.toString)
+        }
         val fresh = listBucket(bucket)
         filesByBucket.put(bucket, fresh)
-        readFiles(fresh, proj, key, residual, limit)
+        readFiles(fresh.filter(mayContain(_, anyEntry)), proj, pred, limit)
     }
   }
 
@@ -246,18 +368,29 @@ final class PointReader private[operators] (
       (footer, io)
     })
 
-  private def readFiles(files: Seq[Path], proj: MessageType, key: String,
-      residual: Seq[(String, String)], limit: Int): Vector[Observation] = {
+  private def readFiles(files: Seq[Path], proj: MessageType,
+      pred: FilterPredicate, limit: Int): Vector[Observation] = {
     val out = Vector.newBuilder[Observation]
     var n = 0
-    val filter = FilterCompat.get(predicate(key, residual))
+    val filter = FilterCompat.get(pred)
     // one cheap options object per lookup (the filter is per-query);
     // building from the prebuilt ParquetConfiguration avoids the
-    // fresh-Configuration cost, and column-index filtering stays off
-    // (row-range alignment — see class doc)
+    // fresh-Configuration cost. Column-index (page-level) filtering is
+    // ON: with 512-row pages (bloomOpts) a lookup decodes only the
+    // pages overlapping the key range — parquet-mr ≥1.11 aligns rows
+    // across columns itself when the page store carries row indexes
+    // (MessageColumnIO.getRecordReader + pages.getRowIndexes), so the
+    // manual record loop below needs no extra bookkeeping; pinned by
+    // PointReaderSpec's multi-page store case. Dictionary and bloom
+    // row-group filtering are OFF: [[mayContain]]'s cached decoded
+    // dictionary already answered exact membership with no I/O, while
+    // parquet's own levels re-read dictionary/bloom pages every query
+    // (profiled at ~15% of a prefix seek).
     val opts = ParquetReadOptions.builder(parquetConf)
       .withRecordFilter(filter)
-      .useColumnIndexFilter(false)
+      .useColumnIndexFilter(true)
+      .useDictionaryFilter(false)
+      .useBloomFilter(false)
       .build()
     val it = files.iterator
     while (it.hasNext && n < limit) {
@@ -298,4 +431,182 @@ object PointReader {
   /** How long a cached bucket→file map may be used before revalidating
     * against the store's committed epoch. */
   val EpochCheckMillis: Long = 2000L
+
+  /** Local parquet InputFile whose streams buffer reads (64 KB window,
+    * positional FileChannel reads). parquet-mr's own LocalInputFile
+    * hands thrift an unbuffered RandomAccessFile, so metadata parsing
+    * degenerates into per-byte syscalls; this wrapper serves small
+    * reads from the window and bypasses it for reads ≥ the window size
+    * (data-page region reads stay single-syscall). Streams are
+    * single-threaded (one per lookup), the underlying channel reads are
+    * positional. */
+  private[operators] final class BufferedLocalInputFile(
+      p: java.nio.file.Path, bufSize: Int = 64 * 1024)
+      extends org.apache.parquet.io.InputFile {
+    override def getLength: Long = java.nio.file.Files.size(p)
+    override def newStream(): org.apache.parquet.io.SeekableInputStream =
+      new BufferedSeekableStream(
+        java.nio.channels.FileChannel.open(p,
+          java.nio.file.StandardOpenOption.READ), bufSize)
+  }
+
+  private final class BufferedSeekableStream(
+      ch: java.nio.channels.FileChannel, bufSize: Int)
+      extends org.apache.parquet.io.SeekableInputStream {
+    private val buf = java.nio.ByteBuffer.allocate(bufSize)
+    private var winStart = 0L
+    private var winLen = 0
+    private var pos = 0L
+
+    private def inWindow: Boolean =
+      pos >= winStart && pos < winStart + winLen
+
+    /** Reposition the window at `pos`; returns bytes available. */
+    private def fill(): Int = {
+      winStart = pos
+      buf.clear()
+      var n = ch.read(buf, pos)
+      winLen = math.max(n, 0)
+      winLen
+    }
+
+    override def getPos: Long = pos
+    override def seek(newPos: Long): Unit = pos = newPos
+
+    override def read(): Int = {
+      if (!inWindow && fill() <= 0) return -1
+      val b = buf.get((pos - winStart).toInt) & 0xff
+      pos += 1
+      b
+    }
+
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (len == 0) return 0
+      if (!inWindow) {
+        if (len >= bufSize) { // large read: straight to the channel
+          val n = ch.read(java.nio.ByteBuffer.wrap(b, off, len), pos)
+          if (n > 0) pos += n
+          return n
+        }
+        if (fill() <= 0) return -1
+      }
+      val avail = (winStart + winLen - pos).toInt
+      val n = math.min(avail, len)
+      System.arraycopy(buf.array(), (pos - winStart).toInt, b, off, n)
+      pos += n
+      n
+    }
+
+    override def readFully(bytes: Array[Byte]): Unit =
+      readFully(bytes, 0, bytes.length)
+
+    override def readFully(bytes: Array[Byte], start: Int, len: Int)
+        : Unit = {
+      var o = start
+      var rem = len
+      while (rem > 0) {
+        val n = read(bytes, o, rem)
+        if (n < 0) throw new java.io.EOFException(
+          s"EOF at $pos reading $len bytes")
+        o += n
+        rem -= n
+      }
+    }
+
+    override def read(dst: java.nio.ByteBuffer): Int = {
+      if (!dst.hasRemaining) return 0
+      if (inWindow) {
+        val avail = (winStart + winLen - pos).toInt
+        val n = math.min(avail, dst.remaining())
+        dst.put(buf.array(), (pos - winStart).toInt, n)
+        pos += n
+        n
+      } else if (dst.remaining() >= bufSize) {
+        val n = ch.read(dst, pos)
+        if (n > 0) pos += n
+        n
+      } else {
+        if (fill() <= 0) -1 else read(dst)
+      }
+    }
+
+    override def readFully(dst: java.nio.ByteBuffer): Unit =
+      while (dst.hasRemaining)
+        if (read(dst) < 0) throw new java.io.EOFException(
+          s"EOF at $pos filling ${dst.remaining()} bytes")
+
+    override def close(): Unit = ch.close()
+  }
+
+  /** `startsWith(prefix)` as a parquet user-defined predicate over a
+    * UTF-8 BINARY column. Byte-level: a whole-codepoint UTF-8 prefix of
+    * the character string is exactly a byte prefix of the encoding (and
+    * parquet orders BINARY/UTF8 stats by unsigned bytes), so both the
+    * value test and the stats pruning work on raw bytes:
+    *  - values with the prefix lie in `[prefix, nextPrefix)` where
+    *    `nextPrefix` increments the last non-0xff byte and truncates —
+    *    a row group whose `max < prefix` or `min >= nextPrefix` drops
+    *    from footer stats alone;
+    *  - dictionary-encoded pages drop when no dictionary entry keeps.
+    */
+  private[operators] final class StartsWithPredicate(
+      prefix: Array[Byte])
+      extends org.apache.parquet.filter2.predicate.UserDefinedPredicate[Binary]
+      with java.io.Serializable {
+
+    private def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
+    }
+
+    /** Smallest byte string greater than EVERY string with this prefix;
+      * None when the prefix is all 0xff (no upper bound exists). */
+    private val upper: Option[Array[Byte]] = {
+      var i = prefix.length - 1
+      while (i >= 0 && prefix(i) == 0xff.toByte) i -= 1
+      if (i < 0) None
+      else {
+        val u = java.util.Arrays.copyOf(prefix, i + 1)
+        u(i) = (u(i) + 1).toByte
+        Some(u)
+      }
+    }
+
+    override def keep(value: Binary): Boolean = {
+      if (value == null) return false
+      val v = value.getBytesUnsafe
+      if (v.length < prefix.length) return false
+      var i = 0
+      while (i < prefix.length) {
+        if (v(i) != prefix(i)) return false
+        i += 1
+      }
+      true
+    }
+
+    override def canDrop(
+        st: org.apache.parquet.filter2.predicate.Statistics[Binary])
+        : Boolean = {
+      val min = st.getMin.getBytesUnsafe
+      val max = st.getMax.getBytesUnsafe
+      cmp(max, prefix) < 0 || upper.exists(u => cmp(min, u) >= 0)
+    }
+
+    /** For NOT(startsWith): droppable only when every value in
+      * [min, max] has the prefix — i.e. the whole range sits inside
+      * `[prefix, nextPrefix)`. */
+    override def inverseCanDrop(
+        st: org.apache.parquet.filter2.predicate.Statistics[Binary])
+        : Boolean = {
+      val min = st.getMin.getBytesUnsafe
+      val max = st.getMax.getBytesUnsafe
+      cmp(min, prefix) >= 0 && upper.exists(u => cmp(max, u) < 0)
+    }
+  }
 }

@@ -246,9 +246,12 @@ object Robots {
 
   /** Verdict per URL against parsed rules ([[parseRules]] output):
     * input columns + `is_allowed` (0/1). Longest matching rule path
-    * wins, allow beats disallow on ties, no match → allowed. Wildcard
-    * rules (`wild`) match by their compiled `pattern` regex; plain
-    * rules keep the codegen'd prefix test.
+    * wins, allow beats disallow on ties, no match → allowed. Matching
+    * runs through the native `robots_match` two-pointer scan
+    * ([[org.apache.spark.sql.graft.RobotsMatch]]): the rule paths
+    * arrive as DATA (a broadcast rules array), so the regex form
+    * (`rlike` on the compiled `pattern`) would re-compile the Pattern
+    * on every (url, rule) evaluation — measured at ~2× the whole gate.
     *
     * Shape: each host's rules collapse to ONE array row (the rules side
     * is one robots.txt per host — tiny at any scale), that one-row-per-
@@ -270,14 +273,21 @@ object Robots {
     // path is longer, or equal-length and allow-over-disallow; ties on
     // (length, verdict) are interchangeable, so collect_list's
     // nondeterministic order cannot change the outcome
-    val best = expr("""aggregate(
-        filter(_rules, r -> CASE WHEN r.wild THEN rlike(_path, r.pattern)
-                            ELSE startswith(_path, r.path) END),
-        CAST(NULL AS STRUCT<l: INT, a: BOOLEAN>),
-        (acc, r) -> CASE WHEN acc IS NULL OR length(r.path) > acc.l
-                           OR (length(r.path) = acc.l AND r.a AND NOT acc.a)
-                    THEN named_struct('l', length(r.path), 'a', r.a)
-                    ELSE acc END)""")
+    def matches(r: Column): Column = org.apache.spark.sql.GraftShims.column(
+      org.apache.spark.sql.graft.RobotsMatch(
+        org.apache.spark.sql.GraftShims.expression(col("_path")),
+        org.apache.spark.sql.GraftShims.expression(r.getField("path"))))
+    val best = aggregate(
+      filter(col("_rules"), matches(_)),
+      lit(null).cast("struct<l: int, a: boolean>"),
+      (acc, r) => {
+        val rl = length(r.getField("path"))
+        when(acc.isNull
+            .or(rl > acc.getField("l"))
+            .or(rl === acc.getField("l") && r.getField("a") &&
+              !acc.getField("a")),
+          struct(rl.as("l"), r.getField("a").as("a"))).otherwise(acc)
+      })
     urls
       .withColumn("_host", urlHost(col(urlCol)))
       .withColumn("_path", urlPath(col(urlCol)))

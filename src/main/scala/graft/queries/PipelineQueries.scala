@@ -534,6 +534,12 @@ object PipelineQueries {
             .as("url"))
     }),
 
+    // Timing note (r12): warm runs are ~1.3–1.6 s at sf0.1 (the rlike
+    // fold this replaced ran 2.6 s — rule paths are data, so the regex
+    // recompiled per (url, rule); RobotsMatch is a codegen'd two-pointer
+    // scan). A COLD run adds ~3 s of one-time plan/janino codegen for
+    // the HOF fold stage — harness startup, not per-row work; the
+    // driver's sweep slice runs warm.
     "robots_filter" -> ((s, dir) => {
       import graft.operators.Robots
       val d = docs(s, dir)

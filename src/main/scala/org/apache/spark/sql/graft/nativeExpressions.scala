@@ -102,6 +102,60 @@ case class SimHash64(child: Expression)
   * per-element boxing). Left-to-right summation — on graft's
   * integer-scaled embeddings the result is exact and order-independent
   * anyway, which is what keeps float similarity queries hash-stable. */
+/** `robots_match(path, rule)` — does a URL path match a robots.txt rule
+  * path under RFC 9309 §2.2.3 (`*` spans any run, a TRAILING `$`
+  * anchors the end, otherwise the rule matches a PREFIX of the path)?
+  * Equivalent to compiling the rule to `^escaped-with-.*` and running a
+  * regex, but as a two-pointer greedy scan — no per-row Pattern
+  * compilation, which dominated the fold when the rule arrives as data
+  * (a broadcast rules array) rather than a literal. */
+case class RobotsMatch(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "robots_match"
+
+  override def nullSafeEval(p: Any, r: Any): Any =
+    RobotsMatch.compute(p.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, r) => s"""
+      ${ev.value} = org.apache.spark.sql.graft.RobotsMatch.compute($p, $r);
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RobotsMatch =
+    copy(left = newLeft, right = newRight)
+}
+
+object RobotsMatch {
+  def compute(pathU: UTF8String, ruleU: UTF8String): Boolean = {
+    val path = pathU.toString
+    val rule0 = ruleU.toString
+    val anchored = rule0.nonEmpty && rule0.charAt(rule0.length - 1) == '$'
+    val rule = if (anchored) rule0.substring(0, rule0.length - 1) else rule0
+    val segs = rule.split("\\*", -1) // -1: keep empty tail segments
+    if (!path.startsWith(segs(0))) return false
+    var pos = segs(0).length
+    var i = 1
+    while (i < segs.length) {
+      val s = segs(i)
+      if (i == segs.length - 1 && anchored) {
+        // the anchored tail must END the path at or after pos
+        if (path.length - s.length < pos || !path.endsWith(s)) return false
+        pos = path.length
+      } else {
+        val j = path.indexOf(s, pos)
+        if (j < 0) return false
+        pos = j + s.length
+      }
+      i += 1
+    }
+    // no `*` at all + anchor ⇒ exact match, not prefix
+    !anchored || segs.length > 1 || pos == path.length
+  }
+}
+
 case class DotProductD(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] =

@@ -62,6 +62,75 @@ class PointReaderSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](store.servePoint())
   }
 
+  test("servePrefix matches the entriesPrefix plan scan") {
+    val (_, store) = freshStore()
+    def assertPrefix(prefix: String): Unit = {
+      val fast = store.servePrefix(prefix, limit = Int.MaxValue)
+      assert(fast.isDefined)
+      val plan = store.entriesPrefix(prefix, limit = Int.MaxValue)
+        .collect().toSeq
+      assert(
+        sortedSet(fast.get.map(o => Row(o.rrname, o.sensor_id, o.rrtype,
+          o.rdata, o.count, o.first_seen, o.last_seen))) ==
+          sortedSet(plan),
+        s"prefix=$prefix fast=${fast.get} plan=$plan")
+    }
+    assertPrefix("ba")   // bar + baz, two buckets
+    assertPrefix("foo")  // exact name as prefix
+    assertPrefix("f")    // all the foo rows
+    assertPrefix("zzz")  // miss
+    assertPrefix("b")    // multi-bucket fan
+    intercept[IllegalArgumentException](store.servePrefix(""))
+    // limit respected
+    assert(store.servePrefix("f", limit = 2).get.size == 2)
+  }
+
+  test("multi-page buckets: column-index filtering keeps rows aligned") {
+    // Force MANY pages per bucket file (row-count limit 50) so the
+    // column-index filter actually prunes pages and the record reader
+    // must synchronize row positions across columns mid-row-group —
+    // the alignment a single-page store never exercises. 2000 keys
+    // across 4 buckets ≈ 10 pages per column chunk.
+    val input = spark.range(2000).selectExpr(
+      "concat('name-', lpad(cast(id as string), 6, '0')) as rrname",
+      "cast(id % 3 as string) as sensor_id",
+      "'A' as rrtype",
+      "concat('addr-', cast(id % 701 as string)) as rdata",
+      "1L as count",
+      "timestamp'2020-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) as ts")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pr-mp").toString
+    val prev = spark.conf.getOption("spark.hadoop.parquet.page.row.count.limit")
+    spark.conf.set("spark.hadoop.parquet.page.row.count.limit", "50")
+    try ObservationStore.writeDual(ObservationStore.aggregate(input), dir,
+      numBuckets = 4)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.hadoop.parquet.page.row.count.limit", v)
+      case None => spark.conf.unset("spark.hadoop.parquet.page.row.count.limit")
+    }
+    val store = ObservationStore.load(spark, dir)
+    // point hits in the middle of the key range (mid-file pages)
+    for (k <- Seq("name-000000", "name-000999", "name-001357", "name-001999")) {
+      val fast = store.servePointRows(rrname = Some(k)).get
+      val plan = store.entries(rrname = Some(k)).collect().toSeq
+      assert(sortedSet(fast) == sortedSet(plan), s"key=$k")
+      assert(plan.nonEmpty, s"key=$k should exist")
+    }
+    // inverted copy too (rdata residuals cross pages)
+    val fastInv = store.servePointRows(rdata = Some("addr-42")).get
+    val planInv = store.entries(rdata = Some("addr-42")).collect().toSeq
+    assert(sortedSet(fastInv) == sortedSet(planInv))
+    assert(planInv.size == 2000 / 701 + (if (42 < 2000 % 701) 1 else 0))
+    // prefix spanning several pages and buckets
+    for (p <- Seq("name-0007", "name-00", "name-001999", "zzz")) {
+      val fast = store.servePrefix(p, limit = Int.MaxValue).get
+      val plan = store.entriesPrefix(p, limit = Int.MaxValue).collect().toSeq
+      assert(fast.size == plan.size, s"prefix=$p")
+      assert(sortedSet(fast.map(o => Row(o.rrname, o.sensor_id, o.rrtype,
+        o.rdata, o.count, o.first_seen, o.last_seen))) == sortedSet(plan),
+        s"prefix=$p")
+    }
+  }
+
   test("servePoint preserves merge roll-up values and sub-second precision") {
     val (_, store) = freshStore()
     val foo = store.servePoint(rrname = Some("foo"), rrtype = Some("A"),
