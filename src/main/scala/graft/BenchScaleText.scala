@@ -30,7 +30,14 @@ import org.apache.spark.sql.functions._
   * the two-regex chain (alternation-bound), 0.77 s — 9.5× — after
   * the swap to the codegen'd single-pass `RakePhrases` expression
   * (same phrase count, gate hash unchanged vs the regex-replaying
-  * oracle, native ≡ chain property-pinned). */
+  * oracle, native ≡ chain property-pinned).
+  *
+  * Round-12 addition: fixed-batch delta-dedup against a persisted band
+  * index costs 0.99 s at an x10 corpus and 1.11 s at x30 (same 500-doc
+  * batch, same Exchange count) — 1.13× wall for 3× corpus, pinning the
+  * "increments never recompute the corpus" claim: the corpus side's
+  * signatures are paid once at index build, the increment only probes
+  * the band join. */
 object BenchScaleText {
   def main(args: Array[String]): Unit = {
     val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_X", "10").toInt
@@ -128,6 +135,42 @@ object BenchScaleText {
     val (rakeSec, nPhrases) = timed(docs.select(
       explode(operators.Curation.rakePhrases(col("text")))).count())
 
+    // Cross-corpus INCREMENT cost vs corpus size (round 12): the README
+    // claims a persisted band index makes a fixed batch's delta-dedup
+    // cost a function of the batch — the corpus side's signatures are
+    // computed once at index build, so tripling the corpus must not
+    // triple the increment (only the band equi-join's probe side
+    // grows). Pin it: same 500-doc batch against an x(mult/3) and an
+    // x(mult) index, identical Exchange count, wall-clock growth well
+    // under the corpus growth.
+    val third = math.max(1, mult / 3)
+    def corpusAt(x: Int) = base
+      .crossJoin(spark.range(x).select(col("id").as("rep")))
+      .select((col("doc_id") * x + col("rep")).as("doc_id"), col("text"))
+    val idxSmall = s"$tmp/band_x$third"
+    val idxBig = s"$tmp/band_x$mult"
+    operators.Dedup.writeBandIndex(corpusAt(third), "text", "doc_id",
+      idxSmall)
+    operators.Dedup.writeBandIndex(corpusAt(mult), "text", "doc_id",
+      idxBig)
+    val batch = base.limit(500)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      .localCheckpoint()
+    def deltaAgainst(idx: String) = operators.Dedup.deltaDedupAgainstIndex(
+      operators.Dedup.loadBandIndex(spark, idx), batch, "text", "doc_id")
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllMatchIn(
+        df.queryExecution.executedPlan.toString).size
+    require(exchanges(deltaAgainst(idxSmall)) ==
+      exchanges(deltaAgainst(idxBig)),
+      s"delta-dedup plan grew an Exchange with the corpus at x$mult")
+    deltaAgainst(idxSmall).count() // warm (codegen + parquet footers)
+    val (deltaSmallSec, _) = timed(deltaAgainst(idxSmall).count())
+    val (deltaBigSec, nDeltaPairs) = timed(deltaAgainst(idxBig).count())
+    require(deltaBigSec < deltaSmallSec * 2.5,
+      f"fixed-batch delta-dedup grew ${deltaBigSec / deltaSmallSec}%.1fx " +
+        s"while the corpus tripled (x$third -> x$mult)")
+
     println(s"""{"metric":"scale_text","x":$mult,"n_docs":$nDocs,""" +
       s""""scan_sec":$scanSec,"n_hits":$nHits,""" +
       s""""sketch_sec":$sketchSec,"bucket_sec":$bucketSec,""" +
@@ -135,7 +178,10 @@ object BenchScaleText {
       s""""n_urls":$nUrls,"robots_fold_sec":$robotsSec,""" +
       s""""robots_joinback_sec":$robotsOldSec,"n_allowed":$nAllowed,""" +
       s""""chunk_sec":$chunkSec,"n_chunks":$nChunks,""" +
-      s""""rake_sec":$rakeSec,"n_phrases":$nPhrases}""")
+      s""""rake_sec":$rakeSec,"n_phrases":$nPhrases,""" +
+      s""""delta_x${third}_sec":$deltaSmallSec,""" +
+      s""""delta_x${mult}_sec":$deltaBigSec,""" +
+      s""""n_delta_pairs":$nDeltaPairs}""")
     spark.stop()
   }
 }

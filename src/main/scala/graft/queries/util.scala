@@ -143,6 +143,21 @@ object util {
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String, String), Boolean]
 
+  /** Compute a DataFrame once per (session, dir, key) and hand every
+    * later caller the materialized (localCheckpoint) copy — for gates
+    * that SHARE an expensive trained artifact (e.g. ann_pq and
+    * pq_recall both need the same PQ scan result: the codebook training
+    * inside it is the cost, and retraining per gate doubles it). Only
+    * for results that are deterministic functions of the source data. */
+  def memoDf(s: SparkSession, dir: String, key: String)(
+      build: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    dfCache.getOrElseUpdate((s, dir, key), build.localCheckpoint(false))
+
+  private val dfCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, String), org.apache.spark.sql.DataFrame]
+
   /** One scratch dir per (purpose, source dir), reused (overwritten)
     * across gate invocations instead of leaking a fresh temp directory
     * per run, removed recursively at JVM exit. */
