@@ -440,7 +440,7 @@ object PointReader {
     * (data-page region reads stay single-syscall). Streams are
     * single-threaded (one per lookup), the underlying channel reads are
     * positional. */
-  private[operators] final class BufferedLocalInputFile(
+  private[graft] final class BufferedLocalInputFile(
       p: java.nio.file.Path, bufSize: Int = 64 * 1024)
       extends org.apache.parquet.io.InputFile {
     override def getLength: Long = java.nio.file.Files.size(p)
