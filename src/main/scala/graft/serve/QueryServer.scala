@@ -88,12 +88,28 @@ final class QueryServer(store: ObservationStore, port: Int = 0,
         def opt(f: String): Option[String] =
           Option(node.get(f)).filterNot(_.isNull).map(_.asText)
         val (rrname, rdata) = (opt("rrname"), opt("rdata"))
+        val prefix = opt("rrname_prefix")
         val limit = parseLimit(
           Option(node.get("limit")).filterNot(_.isNull).map(_.asText))
-        if (rrname.isEmpty && rdata.isEmpty)
-          respond(ex, 400, "one of rrname or rdata is required\n")
-        else if (limit.isEmpty)
+        if (limit.isEmpty)
           respond(ex, 400, "invalid limit\n")
+        else if (prefix.isDefined) {
+          if (rrname.isDefined || rdata.isDefined || prefix.get.isEmpty)
+            respond(ex, 400,
+              "rrname_prefix must be non-empty and alone\n")
+          else
+            // prefix range scan (extension; the reference's forward
+            // scan shape) — fast path with plan fallback, like points
+            store.servePrefix(prefix.get, limit.get) match {
+              case Some(obs) =>
+                streamNdjsonObs(ex, obs, notFoundOnEmpty = false)
+              case None => streamNdjson(ex,
+                store.entriesPrefix(prefix.get, limit.get),
+                notFoundOnEmpty = false)
+            }
+        }
+        else if (rrname.isEmpty && rdata.isEmpty)
+          respond(ex, 400, "one of rrname or rdata is required\n")
         else store.servePoint(rrname, rdata, opt("rrtype"),
           opt("sensor_id"), limit.get) match {
           // serving fast path (driver-local pruned parquet read)

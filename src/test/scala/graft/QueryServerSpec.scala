@@ -64,6 +64,47 @@ class QueryServerSpec extends AnyFunSuite {
     assert(get("/query").statusCode() == 405)
   }
 
+  test("POST /query rrname_prefix: range scan, validation, fallback path") {
+    // in-memory store → plan-path fallback (entriesPrefix)
+    val r = post("/query", """{"rrname_prefix": "ba"}""")
+    assert(r.statusCode() == 200)
+    val names = r.body().trim.split("\n")
+      .map(l => "\"rrname\":\"([a-z]+)\"".r.findFirstMatchIn(l).get.group(1))
+      .sorted.toSeq
+    assert(names == Seq("bar", "baz"))
+    // prefix is exclusive with point params; empty prefix rejected
+    assert(post("/query",
+      """{"rrname_prefix": "ba", "rrname": "foo"}""").statusCode() == 400)
+    assert(post("/query", """{"rrname_prefix": ""}""").statusCode() == 400)
+    // disk-backed store → fast path (servePrefix), same rows
+    import spark.implicits._
+    val ts = Timestamp.valueOf("2018-01-01 00:00:00")
+    val input = Seq(
+      ("foo", "abc", "A", "1.2.3.4", 10L, ts, ts),
+      ("bar", "abc", "A", "1.2.3.5", 10L, ts, ts),
+      ("baz", "abc", "A", "1.2.3.4", 1L, ts, ts)
+    ).toDF("rrname", "sensor_id", "rrtype", "rdata", "count",
+      "timestamp_start", "timestamp_end")
+    val dir = java.nio.file.Files.createTempDirectory("graft-qs-pfx").toString
+    ObservationStore.writeDual(ObservationStore.aggregate(input), dir,
+      numBuckets = 4)
+    val diskSrv = new QueryServer(ObservationStore.load(spark, dir))
+    diskSrv.start()
+    try {
+      val rf = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://localhost:${diskSrv.boundPort}/query"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"rrname_prefix": "ba"}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(rf.statusCode() == 200)
+      val fastNames = rf.body().trim.split("\n")
+        .map(l => "\"rrname\":\"([a-z]+)\"".r.findFirstMatchIn(l).get.group(1))
+        .sorted.toSeq
+      assert(fastNames == names)
+    } finally diskSrv.stop()
+  }
+
   test("GET /pdns/query/<subject>: rrname-or-rdata union, 404 on empty") {
     val r = get("/pdns/query/1.2.3.4")
     assert(r.statusCode() == 200)
