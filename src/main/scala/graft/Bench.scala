@@ -32,6 +32,18 @@ object Bench {
     * alphabet". */
   private val SweepSlices = 4
 
+  /** name → co-location group for gates sharing a per-JVM memoized
+    * artifact (see sweepFragment). Keys are arbitrary distinct labels. */
+  private val coLocate: Map[String, String] = Map(
+    "dedup_components" -> "grp:cc", "cluster_split" -> "grp:cc",
+    "ann_pq" -> "grp:pq", "pq_recall" -> "grp:pq",
+    "ann_ivfpq" -> "grp:ivfpq", "ivfpq_recall" -> "grp:ivfpq",
+    "ann_ivfpq_delta" -> "grp:ivfpq",
+    "store_expire" -> "grp:store", "store_compact" -> "grp:store",
+    "store_rebucket" -> "grp:store",
+    "decode_warc" -> "grp:warc", "warc_fetch" -> "grp:warc",
+    "bpe_train" -> "grp:bpe", "bpe_encode" -> "grp:bpe")
+
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("--phase=serving") => phaseMain("serving", servingFragment)
     case Some(a) if a.startsWith("--phase=sweep") =>
@@ -167,9 +179,19 @@ object Bench {
     // comma-separated query names in SPARK_GRAFT_ONLY.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Gates that SHARE a memoized artifact (per-JVM caches: connected
+    // components, trained PQ scans, the IVF-PQ index, the prebuilt
+    // store, WARC fixtures, learned BPE merges) must land in the SAME
+    // child JVM, or each child re-pays the build the sharing exists to
+    // amortize. Slice by GROUP KEY round-robin, then expand.
+    val grouped = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-      .zipWithIndex.collect { case (n, i) if i % of == slice => n }
+      .map(n => Bench.coLocate.getOrElse(n, n) -> n)
+    val keys = grouped.map(_._1).distinct
+    val keySlice = keys.zipWithIndex.collect {
+      case (k, i) if i % of == slice => k
+    }.toSet
+    val names = grouped.collect { case (k, n) if keySlice(k) => n }
     // Warm the session (parquet footers, codegen, JIT) on one mid-size query.
     try runOnce("entries_rrname") catch { case _: Throwable => () }
     // Pre-build the shared mutation-gate base store (util.prebuiltStorePath

@@ -551,7 +551,8 @@ object Dedup {
     * to that directory, the cluster-scale setting (the [[Graphs.pageRank]]
     * trade, same rationale). */
   def connectedComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
-      maxIter: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
+      maxIter: Int = 20, checkpointDir: Option[String] = None,
+      smallGraphMaxEdges: Long = 2000000L): DataFrame = {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true)
@@ -567,6 +568,56 @@ object Dedup {
     // (sizing count + both union branches): materialize it exactly once
     // before anything else touches it.
     val p = cutLazy(pairs.select(col("id_a"), col("id_b")))
+    // SMALL-GRAPH fast path: the duplicate graph is bounded by the
+    // corpus's duplication rate, not its size — at any realistic rate a
+    // sub-2M-edge graph is the COMMON case, and the iterative loop pays
+    // ~5 scheduled jobs per round for it (scheduling-bound, not
+    // data-bound: measured 13 s for a 60k-doc gate graph the driver
+    // folds in <100 ms). Edges collect (≤ ~32 MB), path-compressed
+    // union-find labels them with the cluster-min id, and the labeling
+    // joins back distributed. Graphs above the bound take the
+    // per-round-pruned label-propagation loop below — the 100 TB path.
+    val longIds = p.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && p.count() <= smallGraphMaxEdges) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val next = parent.getOrElse(c, c)
+          parent(c) = r
+          c = next
+        }
+        r
+      }
+      val rows = p.collect()
+      rows.foreach { row =>
+        val a = find(row.getLong(0))
+        val b = find(row.getLong(1))
+        if (a != b) parent(math.max(a, b)) = math.min(a, b)
+      }
+      // min-id labeling: find() already returns the smallest id of the
+      // set because union always parents the larger root to the smaller
+      val labeled = parent.keys.toSeq.map(x => (x, find(x)))
+      // O(E) driver-side invariant check: a silently dropped union here
+      // would mean missed dedup (duplicates surviving), the worst silent
+      // failure mode this operator has — fail loudly instead
+      rows.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        require(find(a) == find(b),
+          s"union-find invariant broken: edge ($a,$b) endpoints labeled " +
+            s"${find(a)} vs ${find(b)} over ${rows.length} edges")
+      }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val compDf = labeled.toDF("cid", "ccomp")
+      return ids.select(col(idCol).as("id"))
+        .join(broadcast(compDf), col("id") === col("cid"), "left")
+        .select(col("id"),
+          coalesce(col("ccomp"), col("id")).as("component"))
+    }
     // per-round shuffle width sized to the PAIR GRAPH, not the session
     // default: duplicate-pair graphs are orders of magnitude smaller than
     // the corpus, and a driver-side iteration over a tiny graph at 32

@@ -101,6 +101,33 @@ class PipelineSpec extends AnyFunSuite {
       3L -> 3L, 5L -> 3L, 4L -> 4L, 7L -> 7L))
   }
 
+  test("connected components: driver union-find fast path ≡ distributed loop") {
+    // the size-gated small-graph path and the label-propagation loop must
+    // agree label-for-label; random graph with chains, cliques, singletons
+    val rnd = new scala.util.Random(42)
+    val n = 200L
+    val ids = (0L until n).toDF("doc_id")
+    val pairs = Seq.fill(150)((rnd.nextLong(n), rnd.nextLong(n)))
+      .filter { case (a, b) => a != b }.toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(ids, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(ids, "doc_id", pairs,
+        smallGraphMaxEdges = -1L) // force the distributed loop
+      .as[(Long, Long)].collect().toMap
+    assert(fast == dist)
+    assert(fast.keySet == (0L until n).toSet)
+  }
+
+  test("connected components: distributed loop collapses chains (forced)") {
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 6L), (3L, 5L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(ids, "doc_id", pairs,
+        smallGraphMaxEdges = -1L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 6L -> 1L,
+      3L -> 3L, 5L -> 3L, 4L -> 4L, 7L -> 7L))
+  }
+
   test("connected components: duplicate-free corpus (no pairs) is all singletons") {
     val ids = Seq(1L, 2L, 3L).toDF("doc_id")
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
