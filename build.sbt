@@ -18,9 +18,9 @@ run / fork := true
 // prints after it. Pass output through raw and drop the epilogue.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
-// outputStrategy is consumed by the runner, not another setting — the
-// unused-key lint can't see that
-Global / excludeLintKeys += run / outputStrategy
+// outputStrategy/showSuccess are consumed by the runner/logger, not
+// another setting — the unused-key lint can't see that
+Global / excludeLintKeys ++= Set(run / outputStrategy, Global / showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

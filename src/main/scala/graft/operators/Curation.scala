@@ -260,6 +260,41 @@ object Curation {
       .withColumn("contaminated", (col("n_shared_grams") > 0).cast("long"))
   }
 
+  /** N-gram NOVELTY against a reference corpus — the memorization /
+    * freshness signal of a training-data pipeline (what fraction of a
+    * candidate document is n-grams the model's existing corpus already
+    * contains?): per document, the count of its distinct n-grams that do
+    * NOT occur in `reference`, plus the integer-percent novelty ratio.
+    *
+    * Same gram machinery as [[decontaminate]] but the join DIRECTION and
+    * SIZE assumptions flip: an eval set is small (broadcast), a reference
+    * corpus is another 100 TB corpus — so the membership probe is a
+    * SHUFFLE left join on the md5'd gram (linear in gram count, no
+    * broadcast assumption), with map-side-combined distinct() on the
+    * reference side shrinking it to unique grams first. Documents with
+    * fewer than n tokens have no grams and score 0 novel / 100 pct
+    * (nothing memorized, vacuously novel — the conventional reading). */
+  def ngramNovelty(docs: DataFrame, reference: DataFrame, textCol: String,
+      idCol: String, n: Int = 3): DataFrame = {
+    val refGrams = reference
+      .select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .select(md5(col("gram")).as("g"))
+      .distinct()
+      .withColumn("_seen", lit(1L))
+    val docGrams = docs
+      .select(col(idCol).as("doc_id"), Dedup.shingles(col(textCol), n).as("sh"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"),
+        explode_outer(col("sh")).as("gram"))
+      .select(col("doc_id"), col("n_grams"), md5(col("gram")).as("g"))
+    docGrams.join(refGrams, Seq("g"), "left")
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(sum(when(col("g").isNotNull && col("_seen").isNull, 1L)
+        .otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_pct",
+        when(col("n_grams") === 0, 100L)
+          .otherwise(expr("n_novel * 100 div n_grams")))
+  }
+
   // -------------------------------------------- mixture sampling
 
   /** Deterministic domain-mixture sampling: keep a row iff its content
@@ -541,6 +576,41 @@ object Curation {
       .agg(sum(col("n")).cast("long").as("n_bigrams"),
         sum(col("n") * col("p_scaled")).cast("long").as("lm_score"))
       .withColumn("lm_mean", expr("lm_score div n_bigrams"))
+  }
+
+  /** Good-Turing frequency-of-frequencies table (Gale & Sampson's
+    * "Good-Turing frequency estimation without tears" setup): for each
+    * observed word count r, `n_r` = how many distinct words occur exactly
+    * r times, and the Turing-smoothed adjusted count
+    * `r* = (r+1)·N_{r+1}/N_r` in parts-per-million integer form (exact
+    * integer division, engine-portable — no floats). The r* column is 0
+    * where N_{r+1} is unobserved (the raw estimator's famous gap — the
+    * caller smooths the tail; emitting the raw table keeps the operator
+    * oracle-exact). `p_unseen_ppb = N_1·10⁹ div total_tokens` rides along
+    * on every row: the Good-Turing probability mass reserved for unseen
+    * words, the number LM-based quality scorers actually want.
+    *
+    * Shape: one token explode → word counts (map-side combined), then a
+    * count-of-counts aggregation over the DISTINCT VOCABULARY (orders of
+    * magnitude smaller than the corpus), then a self-join of the tiny
+    * (r, n_r) table with itself at r+1 — broadcast by size. Linear in
+    * tokens, one real shuffle. */
+  def goodTuring(df: DataFrame, textCol: String): DataFrame = {
+    val counts = df.select(explode(split(col(textCol), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("r"))
+      .localCheckpoint(false) // feeds N_r, N_1 and the token total
+    val nr = counts.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+      .localCheckpoint(false) // referenced twice (self-join at r+1)
+    val totals = counts.agg(
+      sum(col("r")).cast("long").as("total_tokens"),
+      sum(when(col("r") === 1, 1L).otherwise(0L)).as("n_1"))
+    nr.join(broadcast(nr.select((col("r") - 1).as("r"),
+        col("n_r").as("n_r_next"))), Seq("r"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("r"), col("n_r"),
+        expr("(r + 1) * coalesce(n_r_next, 0) * 1000000 div n_r")
+          .as("r_star_ppm"),
+        expr("n_1 * 1000000000 div total_tokens").as("p_unseen_ppb"))
   }
 
   /** Train a multinomial Naive Bayes text classifier INSIDE the engine —
@@ -1057,6 +1127,54 @@ object Curation {
         org.apache.spark.sql.graft.CmSketch.estimate(m, d, w, p)))
       .toDF("v", "est_count")
   }
+
+  /** `hll_sketch(value)` as a Column — see
+    * [[org.apache.spark.sql.graft.HllSketch]]. */
+  def hllSketch(c: Column): Column =
+    org.apache.spark.sql.GraftShims.column(
+      org.apache.spark.sql.graft.HllSketch(
+        org.apache.spark.sql.GraftShims.expression(c))
+        .toAggregateExpression())
+
+  /** The global HLL register table (register, rho) — one sketch over the
+    * whole input, exploded to its non-empty registers. Exercises the
+    * custom aggregate end to end (update → partial merge → final merge)
+    * under real partitioning; the register maxima are bit-identical
+    * under any partitioning, so a DuckDB oracle can restate them
+    * per-value with GROUP BY register. */
+  def hllRegisters(df: DataFrame, valueCol: String): DataFrame =
+    df.agg(hllSketch(col(valueCol)).as("regs"))
+      .select(posexplode(col("regs")).as(Seq("register", "rho")))
+      .filter(col("rho") > 0)
+      .select(col("register").cast("long").as("register"), col("rho"))
+
+  /** Per-key HLL distinct estimates — `groupBy(key).agg(hll_sketch)`,
+    * then the raw HyperLogLog estimator as PURE INTEGER arithmetic:
+    * `E = alpha_ppt·m²·2³² div (1000·Σ_j 2^(32−M[j]))` with
+    * alpha_ppt = 718 (0.7183 for m = 256, to 3 digits — the estimator's
+    * own ~6% stderr dwarfs the rounding) and registers deeper than 32
+    * truncating to a zero addend — identical truncation on both engines,
+    * so the estimate is hash-exact and oracle-checkable, unlike any
+    * float-log formulation. `n_zero` (empty registers) rides along: it
+    * is the input to the linear-counting small-range correction, which
+    * callers apply when `n_zero > 0` and E is small — that correction
+    * needs ln(), so it stays OUT of the engine-portable core.
+    *
+    * Scale: one shuffle of (key, 256-byte sketch) partials — map-side
+    * combined like any built-in aggregate; the estimate fold is a
+    * 256-element array HOF per key, no further shuffle. */
+  def hllEstimates(df: DataFrame, keyCol: String,
+      valueCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(hllSketch(col(valueCol)).as("regs"))
+      .select(col(keyCol),
+        expr("aggregate(regs, 0L, (acc, m) -> acc + " +
+          "IF(m <= 32, shiftleft(1L, CAST(32 - m AS INT)), 0L))")
+          .as("denom"),
+        expr("size(filter(regs, m -> m = 0))").cast("long").as("n_zero"))
+      .select(col(keyCol),
+        expr("202099033278251008 div (1000 * denom)").as("est_distinct"),
+        col("n_zero"))
 
   /** EXACT distributed distinct count via hash-partitioned salting — the
     * manual fix [[keySkew]] motivates when one group dominates: the

@@ -454,6 +454,73 @@ object Events {
     * Shape: narrow per-row weight, then ONE map-side-combined
     * aggregation — the same single-shuffle profile as a plain count,
     * whatever the corpus size. */
+  /** One-sided CUSUM changepoint scan (Page 1954) over per-key hourly
+    * event counts — the drift detector that catches a SUSTAINED rate
+    * shift a per-window burst ratio ([[burstWindows]]) misses: the
+    * statistic `S_t = max(0, S_{t-1} + (x_t − mean))` accumulates small
+    * consecutive excesses, so ten hours at +20% trips it while no single
+    * hour would trip a burst threshold.
+    *
+    * Exact-integer formulation: deviations are scaled by the window
+    * count H (`dev_t = x_t·H − total`, i.e. (x_t − mean)·H with the mean
+    * as a rational kept in numerator form), so `peak_cusum` is in units
+    * of events·H — comparable across keys of one run, reproducible on
+    * any engine, no floats. Windows with zero events are DENSIFIED in
+    * (an absent hour is evidence the rate fell — dropping it would bias
+    * S upward), over the corpus-wide [min, max] hour span so every key
+    * sees the same H. Output per key: `n_windows`, `total_events`,
+    * `peak_cusum` with the FIRST window start that attains it
+    * (`peak_window`, unix micros) — the changepoint location estimate.
+    *
+    * Shape: one shuffle for the hourly counts (map-side combined), a
+    * broadcast of the tiny global hour span, then ONE more shuffle of
+    * H-length (key, hour, n) rows into a per-key sorted-array fold —
+    * the [[graft.operators.Curation.repetitionColumns]] sorted-run HOF
+    * idiom: the recursive max(0, ·) is order-dependent, which no window
+    * function expresses, but per-key state is bounded (hours in a
+    * retention span, not events), so the collect_list is small by
+    * construction. */
+  def cusumPeaks(events: DataFrame, tsCol: String, keyCol: String,
+      unit: String = "hour"): DataFrame = {
+    require(Set("minute", "hour", "day")(unit),
+      s"unit must be minute/hour/day, got $unit")
+    def us(c: Column): Column = unix_micros(c.cast("timestamp_ltz"))
+    val w = date_trunc(unit, col(tsCol))
+    val counts = events
+      .select(col(keyCol).as("key"), w.as("ws"))
+      .groupBy(col("key"), col("ws"))
+      .agg(count(lit(1)).as("n"))
+    val span = counts.agg(min(col("ws")).as("lo"), max(col("ws")).as("hi"))
+    val hours = span.select(explode(expr(
+      s"sequence(lo, hi, interval 1 $unit)")).as("ws"))
+    val dense = counts.select(col("key")).distinct()
+      .crossJoin(broadcast(hours))
+      .join(counts, Seq("key", "ws"), "left")
+      .select(col("key"), us(col("ws")).as("wsu"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    dense.groupBy(col("key"))
+      .agg(sort_array(collect_list(struct(col("wsu"), col("n")))).as("seq"),
+        count(lit(1)).as("n_windows"),
+        sum(col("n")).cast("long").as("total_events"))
+      .withColumn("walk", expr(
+        // first-attainment peak: strict > keeps the earliest window at
+        // which the running maximum is reached
+        """aggregate(seq,
+          |  named_struct('s', 0L, 'peak', -1L, 'pw', -1L),
+          |  (a, x) -> named_struct(
+          |    's', greatest(0L, a.s + x.n * n_windows - total_events),
+          |    'peak', if(greatest(0L, a.s + x.n * n_windows - total_events)
+          |                 > a.peak,
+          |               greatest(0L, a.s + x.n * n_windows - total_events),
+          |               a.peak),
+          |    'pw', if(greatest(0L, a.s + x.n * n_windows - total_events)
+          |               > a.peak,
+          |             x.wsu, a.pw)))""".stripMargin))
+      .select(col("key").as("event_type"), col("n_windows"),
+        col("total_events"), col("walk.peak").as("peak_cusum"),
+        col("walk.pw").as("peak_window"))
+  }
+
   def decayedCounts(events: DataFrame, keyCol: String, tsCol: String,
       asOf: Column, halfLifeDays: Int = 7, maxShift: Int = 30): DataFrame = {
     require(halfLifeDays >= 1, s"halfLifeDays >= 1, got $halfLifeDays")

@@ -343,6 +343,40 @@ object CurationQueries {
         nShards = 4, budgetTokens = 256)
         .withColumnRenamed("id", "doc_id")
     }),
+
+    // Good-Turing frequency-of-frequencies: (r, N_r, smoothed r* in ppm,
+    // unseen-mass ppb) — all exact-integer, oracle restates directly.
+    "good_turing" -> ((s, dir) =>
+      Curation.goodTuring(docs(s, dir), "text")),
+
+    // N-gram novelty of every document against the doc_id%10=0 reference
+    // slice — the memorization/freshness probe (shuffle join on the gram
+    // hash, no broadcast assumption on the reference corpus).
+    "ngram_novelty" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.ngramNovelty(d, d.filter(col("doc_id") % 10 === 0),
+        "text", "doc_id")
+    }),
+
+    // Global HyperLogLog register table over event user_ids — gates the
+    // custom TypedImperativeAggregate (update → partial → final merge)
+    // end to end; register maxima are partitioning-invariant, so the
+    // oracle can restate them per value with GROUP BY register.
+    "hll_registers" -> ((s, dir) =>
+      Curation.hllRegisters(
+        graft.Graft.table(s, dir, "events")
+          .select(col("user_id").cast("string").as("v")), "v")),
+
+    // Per-event-type HLL distinct-user estimates via the pure-integer
+    // raw estimator (alpha_ppt scaling, depth-32 truncation — identical
+    // arithmetic in the oracle), plus the empty-register count that
+    // feeds the (caller-side) linear-counting correction.
+    "hll_estimate" -> ((s, dir) =>
+      Curation.hllEstimates(
+        graft.Graft.table(s, dir, "events")
+          .select(col("event_type"),
+            col("user_id").cast("string").as("v")),
+        "event_type", "v")),
   )
 
   // ------------------------------------------------------------ oracles
@@ -1247,5 +1281,116 @@ object CurationQueries {
          |       CAST(offset_tokens // 256 AS BIGINT) AS pack_id
          |FROM c
          |""".stripMargin,
+
+    "good_turing" ->
+      """WITH w AS (
+        |  SELECT UNNEST(string_split(text, ' ')) AS word FROM documents),
+        |c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS r FROM w GROUP BY 1),
+        |nr AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM c GROUP BY 1),
+        |t AS (SELECT CAST(SUM(r) AS BIGINT) AS total_tokens,
+        |             CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |               AS n_1
+        |      FROM c)
+        |SELECT nr.r, nr.n_r,
+        |       CAST((nr.r + 1) * COALESCE(nx.n_r, 0) * 1000000 // nr.n_r
+        |         AS BIGINT) AS r_star_ppm,
+        |       CAST(t.n_1 * 1000000000 // t.total_tokens AS BIGINT)
+        |         AS p_unseen_ppb
+        |FROM nr LEFT JOIN nr nx ON nx.r = nr.r + 1, t
+        |""".stripMargin,
+
+    "ngram_novelty" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(string_split(text, ' ')) < 3
+        |         THEN [text]
+        |         ELSE list_transform(
+        |           generate_series(1, len(string_split(text, ' ')) - 2),
+        |           i -> array_to_string(
+        |                  list_slice(string_split(text, ' '), i, i + 2), ' '))
+        |    END) AS sh
+        |  FROM documents),
+        |ref AS (
+        |  SELECT DISTINCT UNNEST(sh) AS gram FROM sh WHERE doc_id % 10 = 0),
+        |dg AS (
+        |  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_grams,
+        |         UNNEST(sh) AS gram
+        |  FROM sh)
+        |SELECT dg.doc_id, dg.n_grams,
+        |       CAST(SUM(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_novel,
+        |       CAST(SUM(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END) * 100
+        |            // dg.n_grams AS BIGINT) AS novelty_pct
+        |FROM dg LEFT JOIN ref r ON dg.gram = r.gram
+        |GROUP BY 1, 2
+        |""".stripMargin,
+
+    "hll_registers" ->
+      """WITH v AS (
+        |  SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+        |rr AS (
+        |  SELECT (strpos('0123456789abcdef', h[1]) - 1) * 16 +
+        |         (strpos('0123456789abcdef', h[2]) - 1) AS register,
+        |         substr(h, 3, 16) AS tail
+        |  FROM v),
+        |rz AS (
+        |  SELECT register, length(regexp_extract(tail, '^0*')) AS z, tail
+        |  FROM rr),
+        |rho AS (
+        |  SELECT register,
+        |         CASE WHEN z = 16 THEN 65
+        |              ELSE z * 4 +
+        |                CASE WHEN strpos('89abcdef', tail[z + 1]) > 0 THEN 0
+        |                     WHEN strpos('4567', tail[z + 1]) > 0 THEN 1
+        |                     WHEN strpos('23', tail[z + 1]) > 0 THEN 2
+        |                     ELSE 3 END + 1 END AS rho
+        |  FROM rz)
+        |SELECT CAST(register AS BIGINT) AS register,
+        |       CAST(MAX(rho) AS BIGINT) AS rho
+        |FROM rho GROUP BY 1
+        |""".stripMargin,
+
+    "hll_estimate" ->
+      """WITH e AS (
+        |  SELECT DISTINCT event_type,
+        |         md5(CAST(user_id AS VARCHAR)) AS h
+        |  FROM events),
+        |rr AS (
+        |  SELECT event_type,
+        |         (strpos('0123456789abcdef', h[1]) - 1) * 16 +
+        |         (strpos('0123456789abcdef', h[2]) - 1) AS register,
+        |         substr(h, 3, 16) AS tail
+        |  FROM e),
+        |rz AS (
+        |  SELECT event_type, register,
+        |         length(regexp_extract(tail, '^0*')) AS z, tail
+        |  FROM rr),
+        |rho AS (
+        |  SELECT event_type, register,
+        |         CASE WHEN z = 16 THEN 65
+        |              ELSE z * 4 +
+        |                CASE WHEN strpos('89abcdef', tail[z + 1]) > 0 THEN 0
+        |                     WHEN strpos('4567', tail[z + 1]) > 0 THEN 1
+        |                     WHEN strpos('23', tail[z + 1]) > 0 THEN 2
+        |                     ELSE 3 END + 1 END AS rho
+        |  FROM rz),
+        |regs AS (
+        |  SELECT event_type, register, MAX(rho) AS rho
+        |  FROM rho GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT event_type,
+        |         CAST(SUM(CASE WHEN rho <= 32
+        |                       THEN (CAST(1 AS BIGINT)
+        |                             << CAST(32 - rho AS INT))
+        |                       ELSE 0 END) AS BIGINT)
+        |           + (256 - CAST(COUNT(*) AS BIGINT)) * 4294967296 AS denom,
+        |         256 - CAST(COUNT(*) AS BIGINT) AS n_zero
+        |  FROM regs GROUP BY 1)
+        |SELECT event_type,
+        |       CAST(202099033278251008 // (1000 * denom) AS BIGINT)
+        |         AS est_distinct,
+        |       CAST(n_zero AS BIGINT) AS n_zero
+        |FROM agg
+        |""".stripMargin,
   )
 }

@@ -370,6 +370,12 @@ object EventQueries {
           "user_id", saltOn = col("event_id"), Seq("lifetime_cents"))
         .select(col("event_id"), col("user_id"), col("lifetime_cents"))
     }),
+
+    // One-sided CUSUM changepoint scan per event type over DENSIFIED
+    // hourly counts (integer statistic in events·H units; the oracle
+    // replays the same recursive fold with a recursive CTE).
+    "events_cusum" -> ((s, dir) =>
+      Events.cusumPeaks(events(s, dir), "ts", "event_type")),
   )
 
   /** One unrolled PageRank round in SQL (contributions then rank). */
@@ -918,6 +924,51 @@ object EventQueries {
         |  FROM events GROUP BY 1)
         |SELECT e.event_id, e.user_id, p.lifetime_cents
         |FROM events e JOIN p ON e.user_id = p.user_id
+        |""".stripMargin,
+
+    "events_cusum" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS ws,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT min(ws) AS lo, max(ws) AS hi FROM c),
+        |hrs AS (
+        |  SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ws
+        |  FROM span),
+        |dense AS (
+        |  SELECT k.event_type, hrs.ws, COALESCE(c.n, 0) AS n
+        |  FROM (SELECT DISTINCT event_type FROM c) k
+        |  CROSS JOIN hrs
+        |  LEFT JOIN c ON c.event_type = k.event_type AND c.ws = hrs.ws),
+        |base AS (
+        |  SELECT event_type, ws, n,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |                                 ORDER BY ws) AS BIGINT) AS rn,
+        |         CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT)
+        |           AS total,
+        |         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |           AS h
+        |  FROM dense),
+        |walk AS (
+        |  SELECT event_type, rn, ws,
+        |         GREATEST(CAST(0 AS BIGINT), n * h - total) AS s
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.event_type, b.rn, b.ws,
+        |         GREATEST(CAST(0 AS BIGINT), w.s + b.n * b.h - b.total)
+        |  FROM walk w
+        |  JOIN base b ON b.event_type = w.event_type AND b.rn = w.rn + 1),
+        |peaks AS (
+        |  SELECT event_type, max(s) AS peak_cusum FROM walk GROUP BY 1)
+        |SELECT p.event_type,
+        |       any_value(b.h) AS n_windows,
+        |       any_value(b.total) AS total_events,
+        |       p.peak_cusum,
+        |       epoch_us(min(w.ws)) AS peak_window
+        |FROM peaks p
+        |JOIN walk w ON w.event_type = p.event_type AND w.s = p.peak_cusum
+        |JOIN base b ON b.event_type = p.event_type AND b.rn = 1
+        |GROUP BY 1, 4
         |""".stripMargin,
   )
 }

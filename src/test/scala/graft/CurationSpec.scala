@@ -949,4 +949,61 @@ class CurationSpec extends AnyFunSuite {
     assert(scores.filter(_._1 == "deep learning models").map(_._2)
       .distinct.length == 1)
   }
+
+  test("hll sketch: byte path ≡ hex-string spec, merge is max, estimate sane") {
+    import org.apache.spark.sql.graft.HllSketch
+    // the md5-byte fast path must agree with the strpos-hex form the
+    // SQL oracle computes, value for value
+    (0 until 500).foreach { i =>
+      val v = s"value-$i"
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(HllSketch.regRho(v) == HllSketch.regRhoHex(hex), v)
+    }
+    // distributed registers = per-value max, regardless of partitioning
+    val n = 2000
+    val df = spark.range(n).select(concat(lit("u"), col("id")).as("v"))
+      .repartition(13)
+    val regs = Curation.hllRegisters(df, "v")
+      .collect().map(r => r.getAs[Long]("register") -> r.getAs[Long]("rho"))
+      .toMap
+    val expected = (0 until n).map(i => HllSketch.regRho(s"u$i"))
+      .groupBy(_._1).map { case (k, v) => k.toLong -> v.map(_._2).max.toLong }
+    assert(regs == expected)
+    // raw estimator lands near the truth (m=256 → ~6% stderr; allow 4σ)
+    val est = Curation.hllEstimates(df.withColumn("k", lit("all")), "k", "v")
+      .head()
+    val e = est.getAs[Long]("est_distinct")
+    assert(math.abs(e - n) < n / 4, s"estimate $e for true $n")
+    assert(est.getAs[Long]("n_zero") == 256 - expected.size)
+  }
+
+  test("goodTuring: hand-checked frequency-of-frequencies and r*") {
+    // counts: a×3, b×2, c×2, d,e,f ×1  →  N_1=3, N_2=2, N_3=1
+    val df = Seq("a a a b b", "c c d e f").toDF("text")
+    val rows = Curation.goodTuring(df, "text").collect()
+      .map(r => r.getAs[Long]("r") ->
+        (r.getAs[Long]("n_r"), r.getAs[Long]("r_star_ppm"),
+          r.getAs[Long]("p_unseen_ppb"))).toMap
+    // r* (ppm): r=1 → 2·N_2/N_1 = 2·2/3; r=2 → 3·N_3/N_2 = 3/2; r=3 → 0
+    assert(rows(1L) == ((3L, 1333333L, 300000000L))) // 3/10 tokens unseen mass
+    assert(rows(2L) == ((2L, 1500000L, 300000000L)))
+    assert(rows(3L) == ((1L, 0L, 300000000L)))
+  }
+
+  test("ngramNovelty: novel vs reference-covered grams, short docs") {
+    val ref = Seq((10L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"), // fully covered → 0 novel
+      (2L, "the quick brown cat sits"),  // shares 1 of 3 grams
+      (3L, "hi"))                        // < n tokens → whole-text gram
+      .toDF("doc_id", "text")
+    val out = Curation.ngramNovelty(docs, ref, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"),
+          r.getAs[Long]("novelty_pct"))).toMap
+    assert(out(1L) == ((3L, 0L, 0L)))
+    assert(out(2L) == ((3L, 2L, 66L)))
+    assert(out(3L) == ((1L, 1L, 100L)))
+  }
 }

@@ -313,4 +313,27 @@ class EventsSpec extends AnyFunSuite {
       ("a", "b") -> ((1L, 500L)), ("a", "c") -> ((1L, 500L)),
       ("b", "b") -> ((1L, 500L)), ("b", "c") -> ((1L, 500L))))
   }
+
+  test("cusumPeaks: hand-run CUSUM fold, densified zero hours, first peak") {
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 0$h%d:$m%02d:00")
+    // type x hourly counts [1, 1, 4, 2]: mean 2, S = [0, 0, 8, 8] (×H);
+    // type y [2, 0, 0, 0] — hours 1-3 exist only via densification:
+    // S = [6, 4, 2, 0], peak at hour 0
+    val ev = (
+      Seq(ts(0, 5) -> "x", ts(1, 5) -> "x") ++
+      (1 to 4).map(i => ts(2, i) -> "x") ++ Seq(ts(3, 5) -> "x") ++
+      Seq(ts(3, 6) -> "x") ++
+      Seq(ts(0, 1) -> "y", ts(0, 2) -> "y"))
+      .toDF("ts", "event_type")
+    val out = Events.cusumPeaks(ev, "ts", "event_type")
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("total_events"),
+          r.getAs[Long]("peak_cusum"), r.getAs[Long]("peak_window"))).toMap
+    def hourUs(h: Int) =
+      Timestamp.valueOf(f"2024-01-01 0$h%d:00:00").getTime * 1000L
+    assert(out("x") == ((4L, 8L, 8L, hourUs(2))))
+    // peak 8 is REACHED at hour 2 and only equalled at hour 3 — the
+    // first attainment wins
+    assert(out("y") == ((4L, 2L, 6L, hourUs(0))))
+  }
 }
