@@ -911,4 +911,41 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("NestedLoop"), plan)
     assert(plan.contains("hub") && plan.contains("auth"), plan)
   }
+
+  test("hllEstimates: one shuffle of 256-byte partials, estimate narrow") {
+    val df = Seq(("a", "v1"), ("b", "v2")).toDF("k", "v")
+    val plan = explainOf(graft.operators.Curation.hllEstimates(df, "k", "v"))
+    val nEx = "Exchange \\(\\d+\\)".r.findAllIn(plan).length
+    assert(nEx == 1, s"expected exactly one shuffle:\n$plan")
+    // partial + final ObjectHashAggregate: the sketch merges map-side
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2, plan)
+  }
+
+  test("goodTuring: corpus shuffle + vocab-sized shuffle, joins broadcast") {
+    val df = Seq("a a b", "c").toDF("text")
+    val plan = explainOf(graft.operators.Curation.goodTuring(df, "text"))
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("ngramNovelty: membership probe is an equi-join, never a product") {
+    val d = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val plan = explainOf(
+      graft.operators.Curation.ngramNovelty(d, d, "text", "doc_id"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("NestedLoop"), plan)
+  }
+
+  test("cusumPeaks: hour span broadcasts, fold is per-key aggregation") {
+    val ev = Seq((Timestamp.valueOf("2024-01-01 00:00:00"), "x"))
+      .toDF("ts", "event_type")
+    val plan = explainOf(
+      graft.operators.Events.cusumPeaks(ev, "ts", "event_type"))
+    // the dense hour × key expansion must be the broadcast nested-loop
+    // of the tiny global span, never a shuffled product of the corpus
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
