@@ -497,4 +497,41 @@ object Retrieval {
       .filter(col("term").isin(terms: _*))
     score(idx, dfreq, terms, k, nDocs, sumDl)
   }
+
+  /** Ranked-retrieval EVALUATION — the recall-gate discipline the ANN
+    * stack already has (`lsh_recall`, `pq_recall`, …) applied to text
+    * retrieval: per query, reciprocal rank of the best-ranked relevant
+    * document and hits@k against a relevance set, as exact integers
+    * (`rr_ppm = 10⁶ div best_rank`; 0 when nothing relevant ranks —
+    * never a float MRR that won't hash-compare across engines).
+    *
+    * `results`: (query_id, doc_id, rank) with rank 1-based within each
+    * query — the shape any of [[bm25TopK]]/[[indexTopK]]/[[hybridTopK]]
+    * produces after a deterministic (score desc, doc_id asc) ordering.
+    * `qrels`: (query_id, doc_id) relevance pairs. Queries present only
+    * in `qrels` (retrieval whiffed completely) still emit a row — a
+    * silent drop would overstate MRR, the classic eval bug.
+    *
+    * Shape: one equi-join on (query_id, doc_id) + two query-count-sized
+    * aggregations — queries are few, documents are not; nothing here
+    * touches the corpus. */
+  def rankingEval(results: DataFrame, qrels: DataFrame,
+      k: Int = 10): DataFrame = {
+    require(k >= 1, s"rankingEval: k must be >= 1, got $k")
+    val rel = qrels.select(col("query_id"), col("doc_id"))
+      .withColumn("_rel", lit(1L))
+    val perQuery = results
+      .join(rel, Seq("query_id", "doc_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(min(when(col("_rel").isNotNull, col("rank"))).as("best_rank"),
+        sum(when(col("_rel").isNotNull && col("rank") <= k, 1L)
+          .otherwise(0L)).as("hits_at_k"))
+    val nRel = rel.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_rel"))
+    nRel.join(perQuery, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("best_rank"), lit(0L)).as("best_rank"),
+        coalesce(expr("1000000 div best_rank"), lit(0L)).as("rr_ppm"),
+        coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"))
+  }
 }

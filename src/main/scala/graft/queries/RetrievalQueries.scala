@@ -49,6 +49,27 @@ object RetrievalQueries {
     "bm25_search" -> ((s, dir) =>
       Retrieval.bm25TopK(wsDocs(s, dir), "text", "doc_id", bm25Terms, k = 10)),
 
+    // Ranking EVALUATION over three single-term BM25 runs: reciprocal
+    // rank + hits@10 of the planted doc_id%7=0 relevant set, exact
+    // integers (the ANN recall-gate discipline applied to text
+    // retrieval). The oracle re-ranks per term from the SHARED score
+    // CTE and replays the same join/aggregate.
+    "retrieval_mrr" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val d = wsDocs(s, dir)
+      val results = bm25Terms.map { t =>
+        Retrieval.bm25TopK(d, "text", "doc_id", Seq(t), k = 10)
+          .select(lit(t).as("query_id"), col("doc_id"),
+            row_number().over(
+              Window.orderBy(col("score").desc, col("doc_id").asc))
+              .cast("long").as("rank"))
+      }.reduce(_ unionAll _)
+      val qrels = d.filter(col("doc_id") % 7 === 0).select(col("doc_id"))
+        .crossJoin(broadcast(bm25Terms.toDF("query_id")))
+      Retrieval.rankingEval(results, qrels, k = 10)
+    }),
+
     // Exact phrase search via positional-posting intersection — the
     // query class a bag-of-words index cannot answer. Oracle mirrors
     // the position arithmetic (1-based generate_series shifted to the
@@ -141,7 +162,10 @@ object RetrievalQueries {
   /** BM25 pipeline CTEs ending in `bmtop` = the top-`limit` (doc_id,
     * score, n_matched); shared by the three bm25 gates and the hybrid
     * fusion oracle. */
-  private def bm25Ctes(limit: Int): String =
+  /** The per-(doc, term) BM25 score CTE chain (wcorpus → sc), shared by
+    * the ranked-search oracle and the ranking-eval oracle — ONE
+    * definition of the score formula, so the two gates cannot drift. */
+  private val bm25ScoreCtes: String =
     s"""wcorpus AS (
        |  SELECT doc_id,
        |         CASE WHEN doc_id % 7 = 0
@@ -166,7 +190,10 @@ object RetrievalQueries {
        |           * (CAST(tf AS DOUBLE) * 2.2)
        |           / (CAST(tf AS DOUBLE)
        |              + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * n / sum_dl))) AS s
-       |  FROM tf JOIN dfr USING (term), st),
+       |  FROM tf JOIN dfr USING (term), st)""".stripMargin
+
+  private def bm25Ctes(limit: Int): String =
+    s"""$bm25ScoreCtes,
        |bmagg AS (
        |  SELECT doc_id,
        |         SUM(CASE WHEN term = 'join' THEN s END) AS s_0,
@@ -207,6 +234,39 @@ object RetrievalQueries {
 
   def oracleSql: Map[String, String] = Map(
     "bm25_search" -> bm25OracleSql,
+
+    "retrieval_mrr" ->
+      s"""WITH $bm25ScoreCtes,
+         |ranked AS (
+         |  SELECT term AS query_id, doc_id,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY term
+         |                                 ORDER BY s DESC, doc_id ASC)
+         |           AS BIGINT) AS rank
+         |  FROM sc),
+         |topk AS (SELECT * FROM ranked WHERE rank <= 10),
+         |rel AS (SELECT doc_id FROM wcorpus WHERE doc_id % 7 = 0),
+         |qrels AS (
+         |  SELECT t.query_id, r.doc_id
+         |  FROM (VALUES ('join'), ('merge'), ('window')) t(query_id), rel r),
+         |per AS (
+         |  SELECT tk.query_id,
+         |         MIN(CASE WHEN q.doc_id IS NOT NULL THEN tk.rank END)
+         |           AS best_rank,
+         |         CAST(SUM(CASE WHEN q.doc_id IS NOT NULL AND tk.rank <= 10
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_k
+         |  FROM topk tk
+         |  LEFT JOIN qrels q
+         |    ON q.query_id = tk.query_id AND q.doc_id = tk.doc_id
+         |  GROUP BY 1),
+         |nrel AS (
+         |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+         |  FROM qrels GROUP BY 1)
+         |SELECT n.query_id, n.n_rel,
+         |       CAST(COALESCE(p.best_rank, 0) AS BIGINT) AS best_rank,
+         |       CAST(COALESCE(1000000 // p.best_rank, 0) AS BIGINT) AS rr_ppm,
+         |       CAST(COALESCE(p.hits_at_k, 0) AS BIGINT) AS hits_at_k
+         |FROM nrel n LEFT JOIN per p USING (query_id)
+         |""".stripMargin,
 
     // Per pattern the naive overlapping-substring count (every start
     // position tested); UNION ALL across the pattern list, zero rows

@@ -272,4 +272,22 @@ class RetrievalSpec extends AnyFunSuite {
       Retrieval.nearSearch(docs, "text", "doc_id", "data", "table", 0)
     }
   }
+
+  test("rankingEval: reciprocal ranks, hits@k, and whiffed queries emit") {
+    // q1: relevant doc 20 at rank 2 → rr 500000, hits 2 (docs 20, 30)
+    // q2: nothing relevant ranked → best_rank 0, rr 0 — the row must
+    //     still appear (silent drop would overstate MRR)
+    val results = Seq(
+      ("q1", 10L, 1L), ("q1", 20L, 2L), ("q1", 30L, 3L),
+      ("q2", 10L, 1L)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq(
+      ("q1", 20L), ("q1", 30L), ("q1", 99L),
+      ("q2", 77L)).toDF("query_id", "doc_id")
+    val out = Retrieval.rankingEval(results, qrels, k = 2)
+      .collect().map(r => r.getAs[String]("query_id") ->
+        (r.getAs[Long]("n_rel"), r.getAs[Long]("best_rank"),
+          r.getAs[Long]("rr_ppm"), r.getAs[Long]("hits_at_k"))).toMap
+    assert(out("q1") == ((3L, 2L, 500000L, 1L))) // doc 30 at rank 3 > k
+    assert(out("q2") == ((1L, 0L, 0L, 0L)))
+  }
 }
