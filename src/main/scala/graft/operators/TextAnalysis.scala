@@ -487,6 +487,58 @@ object TextAnalysis {
     regexp_extract_all(html, lit("(?i)[ \\t\\n\\r]href=\"([^\"]*)\""),
       lit(1))
 
+  /** (href, anchor text) pairs of a document's links, in document
+    * order — [[htmlLinks]] keeps only the edge, this keeps the LABEL:
+    * anchor text is the classic off-page relevance/description signal
+    * (what the web calls the target, not what the target calls itself),
+    * the input to [[anchorTextAgg]]. Anchor text is the tag's direct
+    * text content (`[^<]*` — an anchor wrapping nested markup is
+    * skipped, the documented simplification; attribute values containing
+    * `>` break the tag boundary and are likewise out of scope),
+    * whitespace-trimmed, entities as written. Narrow codegen'd regex
+    * pass, zero shuffle. */
+  def htmlAnchors(html: Column): Column =
+    transform(
+      // the href attribute must be whitespace-delimited (the htmlLinks
+      // boundary rule: data-href is not a link), spelled as "attributes
+      // ending in whitespace, then href" since RE2-safe regex has no
+      // lookbehind
+      regexp_extract_all(html,
+        lit("(?i)<a[ \\t\\n\\r](?:[^>]*[ \\t\\n\\r])?" +
+          "href=\"[^\"]*\"[^>]*>[^<]*</a>"),
+        lit(0)),
+      m => struct(
+        regexp_extract(m, "(?i)[ \\t\\n\\r]href=\"([^\"]*)\"", 1)
+          .as("href"),
+        trim(regexp_extract(m, "(?i)>([^<]*)</a>", 1)).as("anchor")))
+
+  /** Anchor-text aggregation: per link TARGET, how many pages link to it
+    * and what they call it — `n_links`, `n_unique_anchors`, and the
+    * majority anchor string (`top_anchor`, ties → lexicographically
+    * smallest, so the result is deterministic under any partitioning).
+    * The aggregated anchor vocabulary per target is a training-data
+    * signal (surrogate titles/descriptions for the target document) and
+    * the quality input link-graph rankers weight edges with.
+    *
+    * Shape: one map-side-combined shuffle to (target, anchor) counts,
+    * then a target-keyed `min_by` over the (−n, anchor) struct — the
+    * [[Dedup.bestSurvivors]] tie-break idiom for strings, where the
+    * numeric negation trick alone can't order the tie column. Both
+    * aggregations are linear in distinct pairs, never in pages. */
+  def anchorTextAgg(anchors: DataFrame, targetCol: String,
+      anchorCol: String): DataFrame = {
+    val pairs = anchors
+      .select(col(targetCol).as("target"), col(anchorCol).as("anchor"))
+      .groupBy(col("target"), col("anchor"))
+      .agg(count(lit(1)).as("n"))
+    pairs.groupBy(col("target"))
+      .agg(sum(col("n")).cast("long").as("n_links"),
+        count(lit(1)).as("n_unique_anchors"),
+        min_by(col("anchor"), struct(-col("n"), col("anchor")))
+          .as("top_anchor"),
+        max(col("n")).cast("long").as("top_anchor_n"))
+  }
+
   // -------------------------------------------------- text normalization
 
   /** Unicode NFC normalization (canonical composition) — the codegen'd

@@ -21,6 +21,18 @@ object PipelineQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Graft.table(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
+
+  /** The synthesized page the anchor gates parse: a relative link with a
+    * varying label, a domain link whose label depends on doc parity (the
+    * aggregation's majority signal), and a fragment link. */
+  private def anchorPage: org.apache.spark.sql.Column = concat(
+    lit("<html><body><A HREF=\"/docs/"), col("doc_id") + 1,
+    lit("\">next "), col("doc_id") % 3,
+    lit("</A><p>"), col("text"),
+    lit("</p><a class=\"x\" href=\"http://"), col("source"),
+    lit(".example/\">"),
+    when(col("doc_id") % 2 === 0, lit("home")).otherwise(lit("start here")),
+    lit("</a><a href=\"#frag\">skip</a></body></html>"))
   private def embs(s: SparkSession, dir: String): DataFrame =
     Graft.table(s, dir, "embeddings")
       .repartition(s.sparkContext.defaultParallelism)
@@ -459,6 +471,27 @@ object PipelineQueries {
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           col("link"))
     }),
+
+    // (href, anchor text) pairs from the same synthesized pages —
+    // extraction keeps the LABEL, not just the edge; the oracle states
+    // the three per-doc anchors straight from the template.
+    "html_anchors" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          posexplode(TextAnalysis.htmlAnchors(anchorPage))
+            .as(Seq("pos", "a")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("a.href").as("href"), col("a.anchor").as("anchor"))),
+
+    // Anchor-text aggregation per link target over the domain links:
+    // majority anchor with deterministic lexicographic tie-break — the
+    // surrogate-title signal of the web graph.
+    "anchor_texts" -> ((s, dir) =>
+      TextAnalysis.anchorTextAgg(
+        docs(s, dir)
+          .select(explode(TextAnalysis.htmlAnchors(anchorPage)).as("a"))
+          .select(col("a.href").as("href"), col("a.anchor").as("anchor"))
+          .filter(col("href").startsWith("http://")),
+        "href", "anchor")),
 
     // Real BPE segmentation under the fixed merge table: per-document
     // subword counts (the actual token accounting sequence packing and
@@ -2429,6 +2462,41 @@ object PipelineQueries {
         |FROM documents
         |UNION ALL
         |SELECT doc_id, 2, '#frag' FROM documents
+        |""".stripMargin,
+
+    "html_anchors" ->
+      """SELECT doc_id, CAST(0 AS BIGINT) AS pos,
+        |       '/docs/' || (doc_id + 1) AS href,
+        |       'next ' || (doc_id % 3) AS anchor FROM documents
+        |UNION ALL
+        |SELECT doc_id, 1, 'http://' || source || '.example/',
+        |       CASE WHEN doc_id % 2 = 0 THEN 'home' ELSE 'start here' END
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, 2, '#frag', 'skip' FROM documents
+        |""".stripMargin,
+
+    "anchor_texts" ->
+      """WITH a AS (
+        |  SELECT 'http://' || source || '.example/' AS target,
+        |         CASE WHEN doc_id % 2 = 0 THEN 'home'
+        |              ELSE 'start here' END AS anchor
+        |  FROM documents),
+        |p AS (
+        |  SELECT target, anchor, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM a GROUP BY 1, 2),
+        |r AS (
+        |  SELECT target, anchor, n,
+        |         ROW_NUMBER() OVER (PARTITION BY target
+        |                            ORDER BY n DESC, anchor ASC) AS rk,
+        |         CAST(SUM(n) OVER (PARTITION BY target) AS BIGINT)
+        |           AS n_links,
+        |         CAST(COUNT(*) OVER (PARTITION BY target) AS BIGINT)
+        |           AS n_unique_anchors
+        |  FROM p)
+        |SELECT target, n_links, n_unique_anchors,
+        |       anchor AS top_anchor, n AS top_anchor_n
+        |FROM r WHERE rk = 1
         |""".stripMargin,
 
     "text_quality" ->

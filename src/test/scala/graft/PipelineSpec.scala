@@ -626,6 +626,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(links(1) == Seq.empty)
   }
 
+  test("htmlAnchors pairs hrefs with trimmed labels; nested markup skipped") {
+    val html = """<a href="/a"> click me </a><A Href="http://h/">Y</A>""" +
+      """<a data-href="/no">z</a><a href="/rich"><b>bold</b></a>""" +
+      """<a href="/empty"></a>"""
+    val out = Seq(html).toDF("t")
+      .select(TextAnalysis.htmlAnchors(col("t")).as("a"))
+      .selectExpr("explode(a) AS p").select(col("p.href"), col("p.anchor"))
+      .as[(String, String)].collect().toSeq
+    // data-href is not a link; the nested-<b> anchor is out of scope
+    assert(out == Seq("/a" -> "click me", "http://h/" -> "Y",
+      "/empty" -> ""))
+  }
+
+  test("anchorTextAgg: majority anchor, lexicographic tie-break") {
+    val a = Seq(
+      ("t1", "home"), ("t1", "home"), ("t1", "start"),
+      ("t2", "beta"), ("t2", "alpha")) // tie at 1 → 'alpha' wins
+      .toDF("href", "anchor")
+    val out = TextAnalysis.anchorTextAgg(a, "href", "anchor")
+      .collect().map(r => r.getAs[String]("target") ->
+        (r.getAs[Long]("n_links"), r.getAs[Long]("n_unique_anchors"),
+          r.getAs[String]("top_anchor"), r.getAs[Long]("top_anchor_n")))
+      .toMap
+    assert(out("t1") == ((3L, 2L, "home", 2L)))
+    assert(out("t2") == ((2L, 2L, "alpha", 1L)))
+  }
+
   test("fuzzyTermPairs matches the brute-force levenshtein join") {
     val rnd = new scala.util.Random(7)
     val vocab = (1 to 150)
