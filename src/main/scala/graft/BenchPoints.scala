@@ -53,6 +53,18 @@ object BenchPoints {
       println(f"[points] path=serve workers=$workers%-3d qps=$qps%.1f")
     }
 
+    // prefix seeks: the parallel bucket fan trades single-stream latency
+    // for nothing under saturation (the pool is shared), so both ends
+    // are what to watch
+    def runPrefix(n: Int, workers: Int): Double =
+      timed(n, workers)(i =>
+        store.servePrefix(s"part-${100 + (i % 900)}").get: Unit)
+    runPrefix(100, 5) // warm-up
+    for (workers <- Seq(1, 5, 16)) {
+      val qps = runPrefix(1000, workers)
+      println(f"[points] path=prefix workers=$workers%-3d qps=$qps%.1f")
+    }
+
     // GraphQL aliases workload: point-shaped parent + the per-entry
     // alias resolution — fast path (serveAliasRows: inverted point
     // lookups) vs the plan path (aliases self-join + collect per query)

@@ -260,6 +260,30 @@ object Curation {
       .withColumn("contaminated", (col("n_shared_grams") > 0).cast("long"))
   }
 
+  /** Per-key RELATIVE quality filter (the CCNet stance): keep a row iff
+    * its score clears its OWN key's quantile, not a global constant — a
+    * fixed threshold tuned on one domain silently empties another (legal
+    * text "fails" a web-prose threshold; short-form domains fail length
+    * cuts), so adaptive curation thresholds are per-domain by
+    * construction. `quantile` is exact interpolated (the
+    * `length_quantiles` determinism argument: on integer scores the
+    * interpolated value is a small rational both engines compute
+    * identically, so `score >= q` is engine-stable).
+    *
+    * Shape: one map-side-combined percentile aggregation over keys
+    * (key-count-sized result, broadcast into the filter join); the
+    * corpus itself is only scanned, never shuffled. */
+  def relativeFilter(df: DataFrame, keyCol: String, scoreCol: String,
+      quantile: Double = 0.5): DataFrame = {
+    require(quantile > 0 && quantile < 1,
+      s"quantile in (0,1), got $quantile")
+    val cuts = df.groupBy(col(keyCol))
+      .agg(percentile(col(scoreCol), lit(quantile)).as("_cut"))
+    df.join(broadcast(cuts), Seq(keyCol))
+      .filter(col(scoreCol) >= col("_cut"))
+      .drop("_cut")
+  }
+
   /** N-gram NOVELTY against a reference corpus — the memorization /
     * freshness signal of a training-data pipeline (what fraction of a
     * candidate document is n-grams the model's existing corpus already
@@ -1165,16 +1189,25 @@ object Curation {
     * 256-element array HOF per key, no further shuffle. */
   def hllEstimates(df: DataFrame, keyCol: String,
       valueCol: String): DataFrame =
-    df.groupBy(col(keyCol))
-      .agg(hllSketch(col(valueCol)).as("regs"))
-      .select(col(keyCol),
-        expr("aggregate(regs, 0L, (acc, m) -> acc + " +
-          "IF(m <= 32, shiftleft(1L, CAST(32 - m AS INT)), 0L))")
-          .as("denom"),
-        expr("size(filter(regs, m -> m = 0))").cast("long").as("n_zero"))
-      .select(col(keyCol),
-        expr("202099033278251008 div (1000 * denom)").as("est_distinct"),
-        col("n_zero"))
+    withHllEstimate(
+      df.groupBy(col(keyCol)).agg(hllSketch(col(valueCol)).as("regs")),
+      "regs")
+      .select(col(keyCol), col("est_distinct"), col("n_zero"))
+
+  /** Append `est_distinct` and `n_zero` columns derived from an HLL
+    * register-array column — ONE definition of the integer estimator,
+    * shared by [[hllEstimates]] and any sketch-in-window composition
+    * (grouping keys are the caller's business; the estimate is a pure
+    * per-row function of the registers). */
+  def withHllEstimate(df: DataFrame, regsCol: String): DataFrame =
+    df.withColumn("_denom", expr(
+        s"aggregate($regsCol, 0L, (acc, m) -> acc + " +
+          "IF(m <= 32, shiftleft(1L, CAST(32 - m AS INT)), 0L))"))
+      .withColumn("est_distinct",
+        expr("202099033278251008 div (1000 * _denom)"))
+      .withColumn("n_zero",
+        expr(s"CAST(size(filter($regsCol, m -> m = 0)) AS BIGINT)"))
+      .drop("_denom")
 
   /** EXACT distributed distinct count via hash-partitioned salting — the
     * manual fix [[keySkew]] motivates when one group dominates: the

@@ -272,17 +272,28 @@ final class PointReader private[operators] (
       }
       true
     }
-    val out = Vector.newBuilder[Observation]
-    var n = 0
-    var b = 0L
-    while (b < numBuckets && n < limit) {
-      val got = readBucket(b, proj, pred, limit - n,
-        entries => entries.exists(startsWith))
-      out ++= got
-      n += got.size
-      b += 1
+    val anyEntry = (entries: Array[Array[Byte]]) => entries.exists(startsWith)
+    if (numBuckets <= 1)
+      readBucket(0L, proj, pred, limit, anyEntry)
+    else {
+      // the buckets are INDEPENDENT reads (every cache here is a
+      // TrieMap — the same concurrency the multi-worker serving path
+      // already exercises), so fan them over the shared bounded pool:
+      // a serial walk pays bucket-count × per-file latency for what is
+      // mostly dictionary-pruned no-ops plus a handful of real reads.
+      // Per-bucket cap stays the full limit (no cross-bucket early exit
+      // in parallel); when the limit binds both paths already return an
+      // arbitrary subset, and concatenation keeps bucket order so the
+      // non-binding case is byte-identical to the serial walk.
+      val futures = (0L until numBuckets).map { b =>
+        PointReader.prefixFanPool.submit(
+          new java.util.concurrent.Callable[Vector[Observation]] {
+            def call(): Vector[Observation] =
+              readBucket(b, proj, pred, limit, anyEntry)
+          })
+      }
+      futures.flatMap(_.get()).take(limit).toVector
     }
-    out.result()
   }
 
   /** May this file contain a matching key? Answered from the cached
@@ -431,6 +442,20 @@ object PointReader {
   /** How long a cached bucket→file map may be used before revalidating
     * against the store's committed epoch. */
   val EpochCheckMillis: Long = 2000L
+
+  /** Shared bounded pool for the prefix bucket fan-out — sized small
+    * (the reads are I/O-bound and dictionary-pruned; more threads than
+    * this just queue on the disk) and daemon so it never pins a JVM.
+    * Serving threads block on their own fan's futures only (no nested
+    * submits), so a bounded pool cannot deadlock. */
+  private[operators] lazy val prefixFanPool =
+    java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, Runtime.getRuntime.availableProcessors()),
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-prefix-fan")
+        t.setDaemon(true)
+        t
+      })
 
   /** Local parquet InputFile whose streams buffer reads (64 KB window,
     * positional FileChannel reads). parquet-mr's own LocalInputFile

@@ -367,6 +367,14 @@ object CurationQueries {
         graft.Graft.table(s, dir, "events")
           .select(col("user_id").cast("string").as("v")), "v")),
 
+    // Per-source RELATIVE length filter: keep docs at or above their own
+    // source's median n_chars — the adaptive per-domain threshold a
+    // global cut can't express.
+    "relative_filter" -> ((s, dir) =>
+      Curation.relativeFilter(
+        docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "n_chars")),
+
     // Per-event-type HLL distinct-user estimates via the pure-integer
     // raw estimator (alpha_ppt scaling, depth-32 truncation — identical
     // arithmetic in the oracle), plus the empty-register count that
@@ -1323,6 +1331,15 @@ object CurationQueries {
         |            // dg.n_grams AS BIGINT) AS novelty_pct
         |FROM dg LEFT JOIN ref r ON dg.gram = r.gram
         |GROUP BY 1, 2
+        |""".stripMargin,
+
+    "relative_filter" ->
+      """WITH p AS (
+        |  SELECT source, quantile_cont(n_chars, 0.5) AS cut
+        |  FROM documents GROUP BY 1)
+        |SELECT d.source, d.doc_id, d.n_chars
+        |FROM documents d JOIN p USING (source)
+        |WHERE d.n_chars >= p.cut
         |""".stripMargin,
 
     "hll_registers" ->

@@ -376,6 +376,21 @@ object EventQueries {
     // replays the same recursive fold with a recursive CTE).
     "events_cusum" -> ((s, dir) =>
       Events.cusumPeaks(events(s, dir), "ts", "event_type")),
+
+    // HLL-in-window: the new sketch composed INSIDE a windowed groupBy
+    // (the window_distinct KMV composition, constant-space variant),
+    // with the exact distinct alongside for scale reading.
+    "window_distinct_hll" -> ((s, dir) =>
+      graft.operators.Curation.withHllEstimate(
+        events(s, dir)
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(graft.operators.Curation
+              .hllSketch(col("user_id").cast("string")).as("regs"),
+            countDistinct(col("user_id")).as("n_exact")),
+        "regs")
+        .select(micros(col("w.start")).as("window_start"),
+          col("event_type"), col("est_distinct"), col("n_zero"),
+          col("n_exact"))),
   )
 
   /** One unrolled PageRank round in SQL (contributions then rank). */
@@ -924,6 +939,57 @@ object EventQueries {
         |  FROM events GROUP BY 1)
         |SELECT e.event_id, e.user_id, p.lifetime_cents
         |FROM events e JOIN p ON e.user_id = p.user_id
+        |""".stripMargin,
+
+    "window_distinct_hll" ->
+      """WITH base AS (
+        |  SELECT date_trunc('hour', ts) AS ws, event_type, user_id
+        |  FROM events),
+        |ex AS (
+        |  SELECT ws, event_type,
+        |         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        |  FROM base GROUP BY 1, 2),
+        |v AS (
+        |  SELECT DISTINCT ws, event_type,
+        |         md5(CAST(user_id AS VARCHAR)) AS h
+        |  FROM base),
+        |rr AS (
+        |  SELECT ws, event_type,
+        |         (strpos('0123456789abcdef', h[1]) - 1) * 16 +
+        |         (strpos('0123456789abcdef', h[2]) - 1) AS register,
+        |         substr(h, 3, 16) AS tail
+        |  FROM v),
+        |rz AS (
+        |  SELECT ws, event_type, register,
+        |         length(regexp_extract(tail, '^0*')) AS z, tail
+        |  FROM rr),
+        |rho AS (
+        |  SELECT ws, event_type, register,
+        |         CASE WHEN z = 16 THEN 65
+        |              ELSE z * 4 +
+        |                CASE WHEN strpos('89abcdef', tail[z + 1]) > 0 THEN 0
+        |                     WHEN strpos('4567', tail[z + 1]) > 0 THEN 1
+        |                     WHEN strpos('23', tail[z + 1]) > 0 THEN 2
+        |                     ELSE 3 END + 1 END AS rho
+        |  FROM rz),
+        |regs AS (
+        |  SELECT ws, event_type, register, MAX(rho) AS rho
+        |  FROM rho GROUP BY 1, 2, 3),
+        |agg AS (
+        |  SELECT ws, event_type,
+        |         CAST(SUM(CASE WHEN rho <= 32
+        |                       THEN (CAST(1 AS BIGINT)
+        |                             << CAST(32 - rho AS INT))
+        |                       ELSE 0 END) AS BIGINT)
+        |           + (256 - CAST(COUNT(*) AS BIGINT)) * 4294967296 AS denom,
+        |         256 - CAST(COUNT(*) AS BIGINT) AS n_zero
+        |  FROM regs GROUP BY 1, 2)
+        |SELECT epoch_us(a.ws) AS window_start, a.event_type,
+        |       CAST(202099033278251008 // (1000 * denom) AS BIGINT)
+        |         AS est_distinct,
+        |       CAST(n_zero AS BIGINT) AS n_zero,
+        |       ex.n_exact
+        |FROM agg a JOIN ex ON ex.ws = a.ws AND ex.event_type = a.event_type
         |""".stripMargin,
 
     "events_cusum" ->
