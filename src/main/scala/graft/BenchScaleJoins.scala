@@ -34,6 +34,20 @@ import org.apache.spark.sql.functions._
   * persisted-IVF path (`ann_ivf_index`, true k-means centroids) is the
   * production layout. Still nowhere near the naive quadratic (×900).
   *
+  * Round-12 additions (x10 → x30, i.e. 3× input): `hllEstimates`
+  * 0.84 → 1.81 s, exact countDistinct 0.33 → 0.80 s, `cusumPeaks`
+  * 1.00 → 2.47 s — all linear-or-better in input. Honest reading of
+  * hll-vs-exact: at 3 M rows / 300 k distinct the EXACT path is still
+  * faster on wall clock — the md5 portability hash costs more per row
+  * than the shuffle it saves; the sketch's claim is the 256-byte
+  * per-key state bound and flat partial size where exact distinct's
+  * first shuffle carries every distinct (key, user) pair (the gap that
+  * matters at billions of distincts per key, where the exact path's
+  * reducer state is the failure). Swapping md5 for xxhash64 is one
+  * line when engine-portability of the registers stops mattering.
+  * CUSUM's fold state is HOURS (fixed by the shared time axis), so its
+  * cost tracks the hourly-count shuffle, as designed.
+  *
   * This harness exposed and fixed three real defects in round 9:
   * AQE's size-based shuffle coalescing serializing the expanding
   * candidate join (fixed with numbered repartitions in knnJoin), the
@@ -123,12 +137,33 @@ object BenchScaleJoins {
       operators.Similarity.knnJoin(embs, "vec_id", "embedding",
         centroidIds = 0L until nCentroids, nprobe = 2, k = 3).count())
 
+    // distinct-count at scale: the HLL shuffle is (key, 256-byte
+    // register) PARTIALS regardless of user count, where exact
+    // countDistinct's first shuffle carries every distinct (key, user)
+    // pair — the sketch's claim is the flat shuffle, measure both
+    val (hllSec, nHll) = timed(
+      operators.Curation.hllEstimates(
+        ev.select(col("event_type"), col("user_id").cast("string").as("v")),
+        "event_type", "v").count())
+    val (exactSec, nExactD) = timed(
+      ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id"))).count())
+
+    // CUSUM: per-key fold state = HOURS in the span (fixed as the corpus
+    // multiplies — the replicas share the time axis), not events; the
+    // wall cost must track the hourly-count shuffle, not the fold
+    val (cusumSec, nCusum) = timed(
+      operators.Events.cusumPeaks(ev, "ts", "event_type").count())
+
     println(s"""{"metric":"scale_joins","x":$mult,""" +
       s""""n_events":$nEvents,"n_docs":$nDocs,"n_vecs":$nVecs,""" +
       s""""range_sec":$rangeSec,"n_range":$nRange,""" +
       s""""overlap_sec":$overlapSec,"n_overlap":$nOverlap,""" +
       s""""near_sec":$nearSec,"n_near":$nNear,""" +
-      s""""knn_sec":$knnSec,"n_knn":$nKnn}""")
+      s""""knn_sec":$knnSec,"n_knn":$nKnn,""" +
+      s""""hll_sec":$hllSec,"n_hll":$nHll,""" +
+      s""""exact_distinct_sec":$exactSec,"n_exact":$nExactD,""" +
+      s""""cusum_sec":$cusumSec,"n_cusum":$nCusum}""")
     spark.stop()
   }
 }
