@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -596,6 +596,60 @@ object Curation {
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"), col("n"),
         expr(s"((c2 + 1) * $scale) div (c1 + vsz)").as("p_scaled"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).cast("long").as("n_bigrams"),
+        sum(col("n") * col("p_scaled")).cast("long").as("lm_score"))
+      .withColumn("lm_mean", expr("lm_score div n_bigrams"))
+  }
+
+  /** Persist the bigram-LM count tables trained on `df` at `path` —
+    * `(w1, w2, c2)` bigram counts, `(word, c1)` unigram counts, and the
+    * 1-row vocabulary size — the train-once-score-many artifact
+    * ([[graft.operators.BpeVocab]]'s stance for the tokenizer, applied
+    * to the LM): production scores every new batch against ONE trained
+    * model instead of re-counting the reference corpus per run.
+    * Rebuild-only lifecycle (counts merge additively if incremental
+    * maintenance is ever needed — the [[ObservationStore]] merge shape).
+    * Tables are vocabulary-sized, not corpus-sized. */
+  def writeLm(df: DataFrame, textCol: String, path: String): Unit = {
+    require(!df.isEmpty, "writeLm: corpus is empty")
+    val toks = split(col(textCol), " ")
+    df.select(explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).cast("long").as("c2"))
+      .write.mode("overwrite").parquet(s"$path/bigrams")
+    val c1 = df.select(explode(toks).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).cast("long").as("c1"))
+      .localCheckpoint(false) // feeds the table AND the vocab size
+    c1.write.mode("overwrite").parquet(s"$path/unigrams")
+    c1.agg(count(lit(1)).cast("long").as("vsz"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** [[lmScores]] against a [[writeLm]] artifact. On the training corpus
+    * itself the result is IDENTICAL to [[lmScores]] (every observed
+    * bigram has its counts — the gate's equivalence); on NEW documents
+    * unseen bigrams/unigrams score under the same add-one smoothing with
+    * zero counts (`(0+1)·scale div (0+V)`), which the in-memory form
+    * cannot express (its inner join drops what the corpus never saw) —
+    * the whole point of scoring against a trained reference model. */
+  def lmScoresLoaded(spark: SparkSession, path: String, df: DataFrame,
+      textCol: String, idCol: String,
+      scale: Long = 1000000000L): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    val pairs = bigramOccurrences(df, textCol, idCol)
+    val c2 = spark.read.parquet(s"$path/bigrams")
+    val c1 = spark.read.parquet(s"$path/unigrams")
+    val vocab = spark.read.parquet(s"$path/stats")
+    pairs.join(c2, Seq("w1", "w2"), "left")
+      .join(c1.withColumnRenamed("word", "w1"), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("n"),
+        expr(s"((coalesce(c2, 0L) + 1) * $scale) " +
+          "div (coalesce(c1, 0L) + vsz)").as("p_scaled"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).cast("long").as("n_bigrams"),
         sum(col("n") * col("p_scaled")).cast("long").as("lm_score"))

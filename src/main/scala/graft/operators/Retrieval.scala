@@ -79,6 +79,13 @@ object Retrieval {
     val pos = df.select(col(idCol).as("doc_id"),
         posexplode(tokens(col(textCol))).as(Seq("p", "word")))
       .localCheckpoint(false) // one scan feeds every term's posting list
+    phraseFold(pos, phrase)
+  }
+
+  /** The positional intersection itself — shared by the in-memory and
+    * persisted paths (the bag-of-words `score` rule: one definition, so
+    * the layout can never change results). `pos` = (doc_id, p, word). */
+  private def phraseFold(pos: DataFrame, phrase: Seq[String]): DataFrame = {
     val anchor = pos.filter(col("word") === phrase.head)
       .select(col("doc_id"), col("p"))
     phrase.zipWithIndex.drop(1)
@@ -89,6 +96,58 @@ object Retrieval {
       }
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_occurrences"))
+  }
+
+  /** Persisted POSITIONAL index — the layout [[phraseSearch]]'s scaladoc
+    * promises ("the `word = t` filter pushes to the scan when positions
+    * are persisted"), made real: (doc_id, p, word) postings partitioned
+    * by `word_bucket = xxhash64(word) % n` and sorted by word within
+    * each bucket file, so a phrase query prunes to its terms' bucket
+    * directories and the word-equality filters push into the parquet
+    * scan with row-group stats doing the rest. Same meta/epoch
+    * convention as the bag-of-words index; rebuild-only (positions are
+    * corpus-wide offsets — incremental doc ADDITION composes exactly
+    * like [[mergeIndex]] since postings are per-document, but this
+    * artifact keeps the simpler rebuild lifecycle until a gate needs
+    * more). */
+  def writePositionalIndex(df: DataFrame, textCol: String, idCol: String,
+      path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(!df.isEmpty, "writePositionalIndex: corpus is empty")
+    val spark = df.sparkSession
+    df.select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("p", "word")))
+      .withColumn("word_bucket",
+        pmod(xxhash64(col("word")), lit(nBuckets.toLong)))
+      .repartition(col("word_bucket"))
+      .sortWithinPartitions(col("word"), col("doc_id"), col("p"))
+      .write.partitionBy("word_bucket").mode("overwrite")
+      .parquet(s"$path/positions")
+    spark.range(1).select(lit(nBuckets.toLong).as("n_buckets"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+    writeIndexMeta(spark, path,
+      readIndexEpoch(spark, path).getOrElse(0L) + 1L)
+  }
+
+  /** [[phraseSearch]] against a [[writePositionalIndex]] artifact:
+    * bucket-directory pruning + pushed word filters instead of a corpus
+    * tokenization per query — identical results by construction (the
+    * fold is shared). */
+  def indexPhraseSearch(spark: SparkSession, path: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "indexPhraseSearch: empty phrase")
+    require(phrase.forall(_.nonEmpty), "indexPhraseSearch: empty term")
+    val nBuckets = spark.read.parquet(s"$path/stats")
+      .head().getAs[Long]("n_buckets")
+    import spark.implicits._
+    val buckets = phrase.distinct.toDF("t")
+      .select(pmod(xxhash64(col("t")), lit(nBuckets)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val pos = spark.read.parquet(s"$path/positions")
+      .filter(col("word_bucket").isin(buckets: _*) &&
+        col("word").isin(phrase.distinct: _*))
+      .select(col("doc_id"), col("p"), col("word"))
+    phraseFold(pos, phrase)
   }
 
   /** Unordered proximity search (the Lucene SpanNear query class,

@@ -18,6 +18,34 @@ object CurationQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Graft.table(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
+
+  /** Bigram-LM oracle, shared by the in-memory (`ngram_lm`) and
+    * persisted-artifact (`ngram_lm_loaded`) gates. */
+  private val ngramLmOracleSql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |st AS (
+      |  SELECT doc_id, w,
+      |         UNNEST(generate_series(1, len(w) - 1)) AS i
+      |  FROM tok),
+      |p2 AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM st),
+      |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+      |       FROM p2 GROUP BY 1, 2),
+      |u AS (SELECT UNNEST(w) AS word FROM tok),
+      |c1 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c1
+      |       FROM u GROUP BY 1),
+      |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vsz FROM c1)
+      |SELECT p2.doc_id,
+      |       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |       CAST(SUM(((c2.c2 + 1) * 1000000000) // (c1.c1 + v.vsz))
+      |            AS BIGINT) AS lm_score,
+      |       CAST(CAST(SUM(((c2.c2 + 1) * 1000000000) // (c1.c1 + v.vsz))
+      |            AS BIGINT) // COUNT(*) AS BIGINT) AS lm_mean
+      |FROM p2 JOIN c2 USING (w1, w2)
+      |        JOIN c1 ON p2.w1 = c1.word
+      |        CROSS JOIN v
+      |GROUP BY 1
+      |""".stripMargin
   private def embs(s: SparkSession, dir: String): DataFrame =
     Graft.table(s, dir, "embeddings")
       .repartition(s.sparkContext.defaultParallelism)
@@ -198,6 +226,15 @@ object CurationQueries {
     // conditionals trained on the corpus itself, summed per document.
     "ngram_lm" -> ((s, dir) =>
       Curation.lmScores(docs(s, dir), "text", "doc_id")),
+
+    // Same scores through the PERSISTED LM tables (train once, score
+    // many — the BpeVocab stance applied to the LM); shared oracle IS
+    // the equivalence gate.
+    "ngram_lm_loaded" -> ((s, dir) => {
+      val tmp = util.scratchDir("lmtbl", dir)
+      Curation.writeLm(docs(s, dir), "text", tmp)
+      Curation.lmScoresLoaded(s, tmp, docs(s, dir), "text", "doc_id")
+    }),
 
     // Top-20 collocations by scaled PMI (bigrams seen >= 5 times).
     "pmi_collocations" -> ((s, dir) =>
@@ -845,31 +882,11 @@ object CurationQueries {
 
     // mirror of lmScores(scale 1e9): bigrams from adjacent word pairs,
     // add-one-smoothed scaled conditionals, per-document integer sum
-    "ngram_lm" ->
-      """WITH tok AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |st AS (
-        |  SELECT doc_id, w,
-        |         UNNEST(generate_series(1, len(w) - 1)) AS i
-        |  FROM tok),
-        |p2 AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM st),
-        |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
-        |       FROM p2 GROUP BY 1, 2),
-        |u AS (SELECT UNNEST(w) AS word FROM tok),
-        |c1 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c1
-        |       FROM u GROUP BY 1),
-        |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vsz FROM c1)
-        |SELECT p2.doc_id,
-        |       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-        |       CAST(SUM(((c2.c2 + 1) * 1000000000) // (c1.c1 + v.vsz))
-        |            AS BIGINT) AS lm_score,
-        |       CAST(CAST(SUM(((c2.c2 + 1) * 1000000000) // (c1.c1 + v.vsz))
-        |            AS BIGINT) // COUNT(*) AS BIGINT) AS lm_mean
-        |FROM p2 JOIN c2 USING (w1, w2)
-        |        JOIN c1 ON p2.w1 = c1.word
-        |        CROSS JOIN v
-        |GROUP BY 1
-        |""".stripMargin,
+    "ngram_lm" -> ngramLmOracleSql,
+
+    // scoring through the persisted LM tables must be indistinguishable
+    // from in-memory training on the same corpus — shared oracle
+    "ngram_lm_loaded" -> ngramLmOracleSql,
 
     // mirror of pmiCollocations(minCount 5, scale 1e6): same bigram/
     // unigram counts, same integer ratio, same ordering

@@ -78,6 +78,17 @@ object RetrievalQueries {
       Retrieval.phraseSearch(docs(s, dir), "text", "doc_id",
         Seq("hash", "join"))),
 
+    // Same phrase through the PERSISTED positional index (bucket-pruned
+    // (doc, position) postings, pushed word filters) — layout is an
+    // optimization, never a semantics change, so the oracle is shared
+    // with phrase_search.
+    "phrase_search_indexed" -> ((s, dir) => {
+      val tmp = util.scratchDir("posidx", dir)
+      Retrieval.writePositionalIndex(docs(s, dir), "text", "doc_id", tmp,
+        nBuckets = 16)
+      Retrieval.indexPhraseSearch(s, tmp, Seq("hash", "join"))
+    }),
+
     // Unordered proximity (SpanNear/slop): position pairs of two terms
     // within a 3-token window, binned-join candidates — never a
     // per-doc tf×tf product. Oracle is the naive doc-join formulation.
@@ -158,6 +169,25 @@ object RetrievalQueries {
 
   private def bm25IndexDir(dir: String): String =
     util.scratchDir("bm25idx", dir)
+
+  /** Positional-intersection oracle, shared by the in-memory and
+    * persisted phrase-search gates. */
+  private val phraseSearchOracleSql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, generate_subscripts(t, 1) - 1 AS p,
+      |         unnest(t) AS word
+      |  FROM toks),
+      |a0 AS (SELECT doc_id, p FROM pos WHERE word = 'hash'),
+      |a1 AS (
+      |  SELECT a0.doc_id, a0.p
+      |  FROM a0 JOIN pos ON pos.doc_id = a0.doc_id
+      |              AND pos.p = a0.p + 1 AND pos.word = 'join')
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      |FROM a1 GROUP BY 1
+      |""".stripMargin
 
   /** BM25 pipeline CTEs ending in `bmtop` = the top-`limit` (doc_id,
     * score, n_matched); shared by the three bm25 gates and the hybrid
@@ -296,22 +326,11 @@ object RetrievalQueries {
         |      FROM documents)
         |""".stripMargin,
 
-    "phrase_search" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
-        |  FROM documents),
-        |pos AS (
-        |  SELECT doc_id, generate_subscripts(t, 1) - 1 AS p,
-        |         unnest(t) AS word
-        |  FROM toks),
-        |a0 AS (SELECT doc_id, p FROM pos WHERE word = 'hash'),
-        |a1 AS (
-        |  SELECT a0.doc_id, a0.p
-        |  FROM a0 JOIN pos ON pos.doc_id = a0.doc_id
-        |              AND pos.p = a0.p + 1 AND pos.word = 'join')
-        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
-        |FROM a1 GROUP BY 1
-        |""".stripMargin,
+    "phrase_search" -> phraseSearchOracleSql,
+
+    // the persisted-index path must be indistinguishable from the
+    // in-memory one — shared oracle IS the equivalence gate
+    "phrase_search_indexed" -> phraseSearchOracleSql,
     // the naive formulation: join the posting lists on doc_id and
     // filter — the quadratic shape the binned Spark plan must agree
     // with exactly

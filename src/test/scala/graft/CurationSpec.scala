@@ -978,6 +978,26 @@ class CurationSpec extends AnyFunSuite {
     assert(est.getAs[Long]("n_zero") == 256 - expected.size)
   }
 
+  test("lmScoresLoaded: unseen bigrams score under add-one smoothing") {
+    val train = Seq((1L, "a b a b"), (2L, "b c")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    Curation.writeLm(train, "text", tmp)
+    // training corpus scores IDENTICALLY to the in-memory form
+    val mem = Curation.lmScores(train, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("lm_score")).toMap
+    val loaded = Curation.lmScoresLoaded(spark, tmp, train, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("lm_score")).toMap
+    assert(mem == loaded)
+    // NEW doc with one seen bigram (a b: c2=2, c1(a)=2, V=3 →
+    // 3e9 div 5) and one unseen (b z: c2=0, c1(b)=3 → 1e9 div 6)
+    val fresh = Seq((9L, "a b z")).toDF("doc_id", "text")
+    val row = Curation.lmScoresLoaded(spark, tmp, fresh, "text", "doc_id")
+      .head()
+    assert(row.getAs[Long]("n_bigrams") == 2L)
+    assert(row.getAs[Long]("lm_score") ==
+      3000000000L / 5 + 1000000000L / 6)
+  }
+
   test("goodTuring: hand-checked frequency-of-frequencies and r*") {
     // counts: a×3, b×2, c×2, d,e,f ×1  →  N_1=3, N_2=2, N_3=1
     val df = Seq("a a a b b", "c c d e f").toDF("text")

@@ -273,6 +273,32 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("indexPhraseSearch ≡ phraseSearch; bucket prune + word pushdown") {
+    val docs = Seq(
+      (1L, "left hash join and hash join again"),
+      (2L, "hash only"), (3L, "join hash reversed"),
+      (4L, "hash join once")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pos").toString
+    Retrieval.writePositionalIndex(docs, "text", "doc_id", tmp,
+      nBuckets = 8)
+    val mem = Retrieval.phraseSearch(docs, "text", "doc_id",
+      Seq("hash", "join")).as[(Long, Long)].collect().toMap
+    val idx = Retrieval.indexPhraseSearch(spark, tmp, Seq("hash", "join"))
+    assert(idx.as[(Long, Long)].collect().toMap == mem)
+    assert(mem == Map(1L -> 2L, 4L -> 1L))
+    // the layout's point: term buckets prune as partition filters and
+    // the word equality reaches the parquet scan
+    val plan = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) {
+        idx.explain("formatted")
+      }
+      out.toString
+    }
+    assert(plan.contains("word_bucket"), plan)
+    assert(plan.contains("PushedFilters") && plan.contains("word"), plan)
+  }
+
   test("rankingEval: reciprocal ranks, hits@k, and whiffed queries emit") {
     // q1: relevant doc 20 at rank 2 → rr 500000, hits 2 (docs 20, 30)
     // q2: nothing relevant ranked → best_rank 0, rr 0 — the row must
