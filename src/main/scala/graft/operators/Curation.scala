@@ -277,11 +277,16 @@ object Curation {
       quantile: Double = 0.5): DataFrame = {
     require(quantile > 0 && quantile < 1,
       s"quantile in (0,1), got $quantile")
+    // null-safe join: a null key is its own stratum (percentile
+    // grouping already puts it there) — a plain equi-join would silently
+    // VANISH every null-key row regardless of score, the worst failure
+    // mode a keep/drop operator can have
     val cuts = df.groupBy(col(keyCol))
       .agg(percentile(col(scoreCol), lit(quantile)).as("_cut"))
-    df.join(broadcast(cuts), Seq(keyCol))
+      .withColumnRenamed(keyCol, "_cutkey")
+    df.join(broadcast(cuts), col(keyCol) <=> col("_cutkey"))
       .filter(col(scoreCol) >= col("_cut"))
-      .drop("_cut")
+      .drop("_cutkey", "_cut")
   }
 
   /** N-gram NOVELTY against a reference corpus — the memorization /

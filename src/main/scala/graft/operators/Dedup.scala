@@ -601,9 +601,12 @@ object Dedup {
       // min-id labeling: find() already returns the smallest id of the
       // set because union always parents the larger root to the smaller
       val labeled = parent.keys.toSeq.map(x => (x, find(x)))
-      // O(E) driver-side invariant check: a silently dropped union here
-      // would mean missed dedup (duplicates surviving), the worst silent
-      // failure mode this operator has — fail loudly instead
+      // O(E) driver-side invariant check — deliberate, reviewed, kept:
+      // mathematically it cannot fire, but a silently dropped union
+      // means duplicates SURVIVE dedup (this operator's worst failure
+      // mode, and one a hash-gate on a small corpus can miss), and at
+      // the 2M-edge cap the re-walk is ~2 path-compressed lookups per
+      // edge ≈ milliseconds next to the collect that preceded it
       rows.foreach { row =>
         val (a, b) = (row.getLong(0), row.getLong(1))
         require(find(a) == find(b),

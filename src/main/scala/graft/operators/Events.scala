@@ -516,7 +516,7 @@ object Events {
           |    'pw', if(greatest(0L, a.s + x.n * n_windows - total_events)
           |               > a.peak,
           |             x.wsu, a.pw)))""".stripMargin))
-      .select(col("key").as("event_type"), col("n_windows"),
+      .select(col("key").as(keyCol), col("n_windows"),
         col("total_events"), col("walk.peak").as("peak_cusum"),
         col("walk.pw").as("peak_window"))
   }

@@ -483,8 +483,44 @@ object MiniLua {
     * LOCAL of the same name shadows legitimately and is not flagged —
     * the walk only needs to be sound for scripts that would otherwise
     * die at runtime, and a shadowing local means the global is never
-    * consulted. */
+    * consulted. A GLOBAL ASSIGNMENT anywhere in the script likewise
+    * exempts the name (e.g. `coroutine = {wrap = f}` runs fine — the
+    * evaluator creates the global); assignment order vs use order is
+    * dynamic, so the exemption is script-wide — under-rejecting only
+    * defers a truly-nil global to the ordinary runtime error. */
   private def rejectUnsupported(chunk: Seq[Stat]): Unit = {
+    val assignedGlobals = mutable.Set.empty[String]
+    def scanE(e: Expr): Unit = e match {
+      case EFunc(_, body) => body.foreach(scanS)
+      case EIndex(o, k)   => scanE(o); scanE(k)
+      case ECall(f, args) => scanE(f); args.foreach(scanE)
+      case EMethod(o, _, args) => scanE(o); args.foreach(scanE)
+      case EBin(_, l, r)  => scanE(l); scanE(r)
+      case EUn(_, x)      => scanE(x)
+      case ETable(items)  => items.foreach { case (k, v) =>
+        k.foreach(scanE); scanE(v)
+      }
+      case EVar(_) | ENil() | EBool(_) | ENum(_) | EStr(_) => ()
+    }
+    def scanS(st: Stat): Unit = st match {
+      case SAssign(ts, vs) =>
+        ts.foreach { case EVar(n) => assignedGlobals += n
+                     case t       => scanE(t) }
+        vs.foreach(scanE)
+      case SLocal(_, init) => init.foreach(scanE)
+      case SIf(branches, orElse) =>
+        branches.foreach { case (c, b) => scanE(c); b.foreach(scanS) }
+        orElse.foreach(scanS)
+      case SWhile(c, b)  => scanE(c); b.foreach(scanS)
+      case SRepeat(b, u) => b.foreach(scanS); scanE(u)
+      case SForNum(_, f, t, step, b) =>
+        scanE(f); scanE(t); step.foreach(scanE); b.foreach(scanS)
+      case SForIn(_, es, b) => es.foreach(scanE); b.foreach(scanS)
+      case SReturn(vs)      => vs.foreach(scanE)
+      case SCall(c)         => scanE(c)
+      case SBreak()         => ()
+    }
+    chunk.foreach(scanS)
     def walkE(e: Expr, shadowed: Set[String]): Unit = e match {
       case EVar(n) if !shadowed(n) && unsupportedGlobals.contains(n) =>
         throw new LuaError(
@@ -530,7 +566,7 @@ object MiniLua {
     }
     def walkB(body: Seq[Stat], shadowed: Set[String]): Unit =
       body.foldLeft(shadowed)((sh, st) => walkS(st, sh)): Unit
-    walkB(chunk, Set.empty)
+    walkB(chunk, assignedGlobals.toSet)
   }
 
   // --------------------------------------------------------- evaluator
@@ -1048,14 +1084,17 @@ object MiniLua {
     }),
     "gmatch" -> LBuiltin("gmatch", a => {
       val s = argStr(a, 0, "gmatch")
-      val pat = argStr(a, 1, "gmatch")
-      // a leading '^' anchors to the SUBJECT start, not the scan
-      // position — Pattern.find would re-anchor at each pos and yield a
-      // match per position (Lua 5.1: at most one iteration)
-      val anchored = pat.nonEmpty && pat(0) == '^'
+      val pat0 = argStr(a, 1, "gmatch")
+      // Lua 5.1 gmatch has NO anchor case: its match() loop sees a
+      // leading '^' as an ordinary character (lstrlib.c gmatch_aux →
+      // match(), whose switch has no '^' arm; the 5.1 manual:
+      // "a '^' at the start does not work as an anchor, as this would
+      // prevent the iteration"). Escape it so our find() — which DOES
+      // anchor for string.find/match — treats it literally too.
+      val pat = if (pat0.startsWith("^")) "%" + pat0 else pat0
       var pos = 0
       val iter = LBuiltin("gmatch_iter", _ =>
-        if (pos > s.length || (anchored && pos > 0)) Seq(LNil)
+        if (pos > s.length) Seq(LNil)
         else Pattern.find(s, pat, pos) match {
           case None => pos = s.length + 1; Seq(LNil)
           case Some((st, en, caps)) =>

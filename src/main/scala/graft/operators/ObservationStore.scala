@@ -791,11 +791,14 @@ final class ObservationStore(byRrname: DataFrame, byRdata: DataFrame,
     * when the match count fits the limit (both paths are unordered
     * scans, so an overflowing limit returns an arbitrary subset on
     * either). None when the fast path is unavailable. */
-  def servePrefix(prefix: String, limit: Int = 1000)
+  def servePrefix(prefix: String, limit: Int = 1000,
+      rrtype: Option[String] = None, sensorId: Option[String] = None)
       : Option[Seq[graft.model.Observation]] = {
     require(prefix.nonEmpty, "prefix must be non-empty")
+    val residual =
+      rrtype.map("rrtype" -> _).toSeq ++ sensorId.map("sensor_id" -> _)
     pointReaders.map { case (fwd, _) =>
-      fwd.prefixLookup(prefix, Nil, limit)
+      fwd.prefixLookup(prefix, residual, limit)
     }
   }
 
@@ -892,9 +895,15 @@ final class ObservationStore(byRrname: DataFrame, byRdata: DataFrame,
     * Callers should pick prefixes selective enough that `limit` does not
     * bind (matching balboa's "limit rarely binds" behavior); a bound
     * limit on an unordered scan is nondeterministic. */
-  def entriesPrefix(prefix: String, limit: Int = 1000): DataFrame = {
+  def entriesPrefix(prefix: String, limit: Int = 1000,
+      rrtype: Option[String] = None,
+      sensorId: Option[String] = None): DataFrame = {
     require(prefix.nonEmpty, "prefix must be non-empty")
-    byRrname.filter(col("rrname").startsWith(prefix)).limit(limit)
+    val residual = rrtype.map(col("rrtype") === _).toSeq ++
+      sensorId.map(col("sensor_id") === _)
+    residual.foldLeft(byRrname.filter(col("rrname").startsWith(prefix)))(
+        _.filter(_))
+      .limit(limit)
       .drop(ObservationStore.LayoutCols: _*)
   }
 

@@ -92,15 +92,22 @@ final class PointReader private[operators] (
   private val footerCache =
     new TrieMap[String, (ParquetMetadata, MessageColumnIO)]()
 
-  /** file path → decoded key-column dictionary per row group (None for
-    * a row group whose key chunk has non-dictionary pages). Read ONCE
-    * per file and then answering exact key/prefix membership with zero
-    * I/O — strictly stronger than the parquet bloom (no false
-    * positives) and than per-query DictionaryFilter (which re-reads
-    * the dictionary page every lookup). Same lifecycle as
-    * [[footerCache]]. */
+  /** file path → (decoded key-column dictionary per row group, approx
+    * bytes). None for a row group whose key chunk has non-dictionary
+    * pages. Read ONCE per file and then answering exact key/prefix
+    * membership with zero I/O — strictly stronger than the parquet
+    * bloom (no false positives) and than per-query DictionaryFilter
+    * (which re-reads the dictionary page every lookup). Same lifecycle
+    * as [[footerCache]], but BYTE-BOUNDED: a prefix fan touches every
+    * file, and unbounded caching would pin the store's whole distinct
+    * key column in driver heap (data-sized memory — against this
+    * class's metadata-only stance). Past [[PointReader.DictCacheBytes]]
+    * new dictionaries are still READ and used for the query at hand,
+    * just not retained — the cost of an over-budget store is repeat
+    * dictionary I/O, never wrong answers or OOM. */
   private val dictCache =
-    new TrieMap[String, Seq[Option[Array[Array[Byte]]]]]()
+    new TrieMap[String, (Seq[Option[Array[Array[Byte]]]], Long)]()
+  private val dictCacheBytes = new java.util.concurrent.atomic.AtomicLong(0)
   @volatile private var lastEpochCheck = 0L
   @volatile private var lastEpoch = -1L
 
@@ -196,6 +203,7 @@ final class PointReader private[operators] (
       filesByBucket.clear()
       footerCache.clear()
       dictCache.clear()
+      dictCacheBytes.set(0)
     }
   }
 
@@ -301,11 +309,22 @@ final class PointReader private[operators] (
     * a row group whose key chunk is not fully dictionary-encoded (or
     * whose dictionary failed to read) conservatively answers yes. */
   private def mayContain(p: Path,
-      anyEntry: Array[Array[Byte]] => Boolean): Boolean =
-    dictCache.getOrElseUpdate(p.toString, readDicts(p)).exists {
+      anyEntry: Array[Array[Byte]] => Boolean): Boolean = {
+    val dicts = dictCache.get(p.toString) match {
+      case Some((d, _)) => d
+      case None =>
+        val d = readDicts(p)
+        val sz = d.iterator.flatten.flatten.map(_.length.toLong + 16L).sum
+        if (dictCacheBytes.get() + sz <= PointReader.DictCacheBytes &&
+          dictCache.putIfAbsent(p.toString, (d, sz)).isEmpty)
+          dictCacheBytes.addAndGet(sz): Unit
+        d
+    }
+    dicts.exists {
       case Some(entries) => anyEntry(entries)
       case None          => true
     }
+  }
 
   private def readDicts(p: Path): Seq[Option[Array[Array[Byte]]]] =
     try {
@@ -362,6 +381,7 @@ final class PointReader private[operators] (
         files.foreach { f =>
           footerCache.remove(f.toString)
           dictCache.remove(f.toString)
+            .foreach(e => dictCacheBytes.addAndGet(-e._2): Unit)
         }
         val fresh = listBucket(bucket)
         filesByBucket.put(bucket, fresh)
@@ -442,6 +462,16 @@ object PointReader {
   /** How long a cached bucket→file map may be used before revalidating
     * against the store's committed epoch. */
   val EpochCheckMillis: Long = 2000L
+
+  /** Upper bound on retained decoded key dictionaries across all files
+    * (approx bytes). 256 MB holds ~10⁷ typical DNS keys with overhead —
+    * plenty for the dictionaries that matter, a rounding error against
+    * a serving driver's heap, and a hard ceiling against pinning a
+    * 100 TB store's key column in memory. */
+  val DictCacheBytes: Long =
+    sys.props.get("graft.pointreader.dictCacheMB")
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .getOrElse(256L) * 1024L * 1024L
 
   /** Shared bounded pool for the prefix bucket fan-out — sized small
     * (the reads are I/O-bound and dictionary-pruned; more threads than

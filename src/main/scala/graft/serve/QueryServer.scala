@@ -99,12 +99,17 @@ final class QueryServer(store: ObservationStore, port: Int = 0,
               "rrname_prefix must be non-empty and alone\n")
           else
             // prefix range scan (extension; the reference's forward
-            // scan shape) — fast path with plan fallback, like points
-            store.servePrefix(prefix.get, limit.get) match {
+            // scan shape) — fast path with plan fallback, like points;
+            // rrtype/sensor_id apply as residual equality filters on
+            // BOTH paths (silently ignoring them would serve a
+            // superset as if it were the answer)
+            store.servePrefix(prefix.get, limit.get, opt("rrtype"),
+              opt("sensor_id")) match {
               case Some(obs) =>
                 streamNdjsonObs(ex, obs, notFoundOnEmpty = false)
               case None => streamNdjson(ex,
-                store.entriesPrefix(prefix.get, limit.get),
+                store.entriesPrefix(prefix.get, limit.get, opt("rrtype"),
+                  opt("sensor_id")),
                 notFoundOnEmpty = false)
             }
         }

@@ -978,6 +978,17 @@ class CurationSpec extends AnyFunSuite {
     assert(est.getAs[Long]("n_zero") == 256 - expected.size)
   }
 
+  test("relativeFilter: null keys are their own stratum, never vanished") {
+    val df = Seq(
+      (1L, Some("a"), 10L), (2L, Some("a"), 20L), (3L, Some("a"), 30L),
+      (4L, None, 5L), (5L, None, 50L))
+      .toDF("doc_id", "source", "score")
+    val kept = Curation.relativeFilter(df, "source", "score")
+      .select("doc_id").as[Long].collect().toSet
+    // 'a' median = 20 → keep 2, 3; null median = 27.5 → keep 5
+    assert(kept == Set(2L, 3L, 5L))
+  }
+
   test("lmScoresLoaded: unseen bigrams score under add-one smoothing") {
     val train = Seq((1L, "a b a b"), (2L, "b c")).toDF("doc_id", "text")
     val tmp = java.nio.file.Files.createTempDirectory("graft-lm").toString

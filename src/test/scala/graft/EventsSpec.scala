@@ -335,5 +335,9 @@ class EventsSpec extends AnyFunSuite {
     // peak 8 is REACHED at hour 2 and only equalled at hour 3 — the
     // first attainment wins
     assert(out("y") == ((4L, 2L, 6L, hourUs(0))))
+    // the output key column carries the CALLER's name, not a hardcoded one
+    val renamed = Events.cusumPeaks(
+      ev.withColumnRenamed("event_type", "tenant"), "ts", "tenant")
+    assert(renamed.columns.contains("tenant"), renamed.columns.toSeq)
   }
 }

@@ -112,17 +112,37 @@ class MiniLuaSpec extends AnyFunSuite {
         o:add_tag(s .. "/" .. n)            -- baa/1, never bbb/3
         local s2, n2 = string.gsub("xaa", "^a", "b")
         o:add_tag(s2 .. "/" .. n2)          -- xaa/0
-        -- anchored gmatch: the anchor binds to the subject start, so
-        -- the iterator yields at most one match
+        -- gmatch does NOT anchor: Lua 5.1's gmatch_aux passes the raw
+        -- pattern to match(), whose switch has no '^' arm, so a leading
+        -- caret is an ordinary CHARACTER (manual: "does not work as an
+        -- anchor") — "aaa" contains no '^', zero matches...
         local c = 0
         for m in string.gmatch("aaa", "^a") do c = c + 1 end
         o:add_tag("g" .. c)
+        -- ...and a literal '^a' in the subject IS found
+        local lit = ""
+        for m in string.gmatch("x^ay", "^a") do lit = m end
+        o:add_tag("lit" .. lit)
         -- position capture () is a NUMBER (1-based), not ""
         local pos = string.match("hello world", "()world")
         if pos == 7 then o:add_tag("pos" .. pos) end
         local pre, post = string.match("ab", "()a()"), nil
         if pre == 1 then o:add_tag("pc-first") end
-      end""") == Seq("baa/1", "xaa/0", "g1", "pos7", "pc-first"))
+      end""") == Seq("baa/1", "xaa/0", "g0", "lit^a", "pos7", "pc-first"))
+  }
+
+  test("a script's OWN global assignment exempts an unsupported name") {
+    // the evaluator creates globals on assignment, so this runs fine —
+    // the parse-time walk must not reject it
+    assert(run("""
+      coroutine = { wrap = function(x) return x end }
+      function process(o)
+        o:add_tag("w" .. coroutine.wrap("ok"))
+      end""") == Seq("wok"))
+    // a USE with no assignment anywhere still fails at parse, named
+    val e = intercept[MiniLua.LuaError](
+      MiniLua.parse("local co = coroutine.create(f)"))
+    assert(e.getMessage.contains("coroutines"))
   }
 
   test("unsupported constructs fail at parse time with their name") {

@@ -82,7 +82,7 @@ class QueryServerSpec extends AnyFunSuite {
     val input = Seq(
       ("foo", "abc", "A", "1.2.3.4", 10L, ts, ts),
       ("bar", "abc", "A", "1.2.3.5", 10L, ts, ts),
-      ("baz", "abc", "A", "1.2.3.4", 1L, ts, ts)
+      ("baz", "abc", "AAAA", "::1", 1L, ts, ts)
     ).toDF("rrname", "sensor_id", "rrtype", "rdata", "count",
       "timestamp_start", "timestamp_end")
     val dir = java.nio.file.Files.createTempDirectory("graft-qs-pfx").toString
@@ -102,6 +102,24 @@ class QueryServerSpec extends AnyFunSuite {
         .map(l => "\"rrname\":\"([a-z]+)\"".r.findFirstMatchIn(l).get.group(1))
         .sorted.toSeq
       assert(fastNames == names)
+      // rrtype/sensor_id are residual filters on the prefix scan, not
+      // silently ignored (bar is A, baz is AAAA)
+      def prefixWith(extra: String): Seq[String] = {
+        val resp = client.send(
+          HttpRequest.newBuilder(
+            URI.create(s"http://localhost:${diskSrv.boundPort}/query"))
+            .POST(HttpRequest.BodyPublishers.ofString(
+              s"""{"rrname_prefix": "ba"$extra}""")).build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(resp.statusCode() == 200)
+        resp.body().trim.split("\n").filter(_.nonEmpty)
+          .map(l => "\"rrname\":\"([a-z]+)\"".r
+            .findFirstMatchIn(l).get.group(1)).sorted.toSeq
+      }
+      assert(prefixWith(""","rrtype": "A"""") == Seq("bar"))
+      assert(prefixWith(""","rrtype": "AAAA"""") == Seq("baz"))
+      assert(prefixWith(""","sensor_id": "abc"""") == Seq("bar", "baz"))
+      assert(prefixWith(""","sensor_id": "nope"""") == Seq.empty)
     } finally diskSrv.stop()
   }
 
