@@ -540,10 +540,11 @@ object Dedup {
     * is a strictly decreasing convergence measure — no row-level diff
     * join needed). Rounds = graph diameter, and duplicate clusters are
     * shallow (near-clique), so 2-3 rounds in practice; each round is one
-    * shuffle-join + aggregate. At 100 TB-scale graphs with long chains,
-    * swap the per-round body for the large-star/small-star contraction
-    * (Kiveris et al., "Connected Components in MapReduce") — same
-    * driver-loop skeleton, O(log n) rounds.
+    * shuffle-join + aggregate. For 100 TB-scale graphs with LONG CHAINS
+    * (diameter beyond any sane round budget) use
+    * [[connectedComponentsStar]] — the large-star/small-star contraction
+    * (Kiveris et al.), O(log n) rounds regardless of diameter, same
+    * labeling contract.
     *
     * `checkpointDir`: None (default) = `localCheckpoint` lineage cuts —
     * executor-block storage, no extra I/O, but an executor loss
@@ -680,6 +681,85 @@ object Dedup {
       .join(labels.withColumnRenamed("id", "cid"), col("id") === col("cid"),
         "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014) — the O(log n)-round path [[connectedComponents]]'
+    * scaladoc promises for 100 TB graphs with LONG CHAINS, implemented:
+    * min-label propagation needs diameter rounds (a 50-deep chain blows
+    * its default budget), star contraction halves path lengths every
+    * alternation regardless of diameter.
+    *
+    *  - large-star: for each node u (symmetric adjacency), attach every
+    *    STRICTLY LARGER neighbor to m = min(Γ⁺(u));
+    *  - small-star: orient edges to (larger, smaller), attach every
+    *    smaller-or-equal neighbor AND u itself to m = min(Γ(u)).
+    *
+    * Both preserve connectivity and only ever lower a node's parent, so
+    * the fixed point is the star forest rooted at each component's MIN
+    * id — the same labeling contract as [[connectedComponents]]
+    * (property-pinned to it and to the union-find fast path in spec).
+    * Convergence = two consecutive rounds with an identical edge-set
+    * checksum; each round is two grouped aggregations + joins (no
+    * window), `distinct()`-bounded so the edge set never exceeds its
+    * input. Same checkpointing trade as [[connectedComponents]]. */
+  def connectedComponentsStar(ids: DataFrame, idCol: String,
+      pairs: DataFrame, maxRounds: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    var e = cut(pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .filter(col("u") =!= col("v")).distinct())
+
+    def largeStar(in: DataFrame): DataFrame = {
+      val sym = in.unionAll(in.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(in: DataFrame): DataFrame = {
+      val o = in.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = o.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val withM = o.join(mins, "u")
+      withM.filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(mins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def checksum(df: DataFrame): (Long, Any) = {
+      // DECIMAL(38) accumulation: a Long sum of xxhash64 values overflows
+      // (ANSI arithmetic error under Spark 4 defaults) — the labelSum rule
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.get(1))
+    }
+
+    var prev = checksum(e)
+    var stable = 0
+    var rounds = 0
+    while (stable < 2 && rounds < maxRounds) {
+      e = cut(smallStar(largeStar(e)))
+      val c = checksum(e)
+      if (c == prev) stable += 1 else stable = 0
+      prev = c
+      rounds += 1
+    }
+    if (stable < 2)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxRounds rounds")
+    // the fixed point is a star forest: e = (child, root) for every
+    // non-root member; roots and isolated ids label themselves
+    ids.select(col(idCol).as("id"))
+      .join(e.select(col("u").as("id"), col("v").as("component")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id"))
+        .as("component"))
   }
 
   /** Leakage-safe train/val/test split: the split is keyed on the

@@ -112,6 +112,18 @@ object PipelineQueries {
     // transitively connected ones) always land in the same split;
     // content-hash splitting only guarantees that for byte-identical
     // copies.
+    // Star-contraction components over a DEEP-CHAIN graph (consecutive
+    // doc ids linked within 50-blocks, diameter 49): the O(log n)-round
+    // 100 TB path where min-label propagation would need diameter
+    // rounds. Closed-form oracle — chains make reachability trivial.
+    "components_chain_star" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+      val chain = d.filter(col("doc_id") % 50 =!= 49)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+        .join(d.select(col("doc_id").as("id_b")), Seq("id_b"))
+      Dedup.connectedComponentsStar(d, "doc_id", chain)
+    }),
+
     "cluster_split" -> ((s, dir) =>
       Dedup.splitFromComponents(sharedComponents(s, dir))),
 
@@ -1701,6 +1713,13 @@ object PipelineQueries {
          |            END AS BIGINT) AS recall_permille
          |FROM ep LEFT JOIN mh m ON ep.id_a = m.id_a AND ep.id_b = m.id_b
          |""".stripMargin,
+
+    // Deep chains have a closed-form reachability: the component of a
+    // doc in a (i, i+1)-within-50-block chain graph is its block floor.
+    "components_chain_star" ->
+      """SELECT doc_id AS id, (doc_id // 50) * 50 AS component
+        |FROM documents
+        |""".stripMargin,
 
     // Connected components as a recursive reachability closure: reach(id,
     // r) = "id can reach r over near-dup edges"; component = MIN(r). The

@@ -128,6 +128,31 @@ class PipelineSpec extends AnyFunSuite {
       3L -> 3L, 5L -> 3L, 4L -> 4L, 7L -> 7L))
   }
 
+  test("star contraction ≡ union-find ≡ label propagation; chains beyond maxIter") {
+    val rnd = new scala.util.Random(11)
+    val n = 300L
+    val ids = (0L until n).toDF("doc_id")
+    val pairs = Seq.fill(220)((rnd.nextLong(n), rnd.nextLong(n)))
+      .filter { case (a, b) => a != b }.toDF("id_a", "id_b")
+    val uf = Dedup.connectedComponents(ids, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    val star = Dedup.connectedComponentsStar(ids, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(star == uf)
+    // a 49-deep chain: label propagation needs diameter rounds and
+    // throws at the default budget; star contraction converges in
+    // O(log n) alternations
+    val chainIds = (0L until 50L).toDF("doc_id")
+    val chain = (0L until 49L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chainIds, "doc_id", chain,
+        smallGraphMaxEdges = -1L) // force the distributed loop
+    }
+    val got = Dedup.connectedComponentsStar(chainIds, "doc_id", chain)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L until 50L).map(_ -> 0L).toMap)
+  }
+
   test("connected components: duplicate-free corpus (no pairs) is all singletons") {
     val ids = Seq(1L, 2L, 3L).toDF("doc_id")
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
