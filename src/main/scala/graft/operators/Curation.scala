@@ -618,6 +618,12 @@ object Curation {
     * Tables are vocabulary-sized, not corpus-sized. */
   def writeLm(df: DataFrame, textCol: String, path: String): Unit = {
     require(!df.isEmpty, "writeLm: corpus is empty")
+    // a rebuild is a writer: resolve committed staging leftovers first,
+    // or a stale committed merge could replay over the fresh tables
+    // (the writeBandIndex/writeIndex rule)
+    val spark0 = df.sparkSession
+    if (ObservationStore.pathExists(spark0, path))
+      recoverLm(spark0, path, deleteUncommitted = true)
     val toks = split(col(textCol), " ")
     df.select(explode(zip_with(
         slice(toks, lit(1), size(toks) - 1),
@@ -632,7 +638,93 @@ object Curation {
     c1.write.mode("overwrite").parquet(s"$path/unigrams")
     c1.agg(count(lit(1)).cast("long").as("vsz"))
       .write.mode("overwrite").parquet(s"$path/stats")
+    // a rebuild advances the generation and PRESERVES the merge
+    // high-water mark (writeIndexMeta keeps a recorded batch id when
+    // none is passed) — the band-index replay lesson
+    Retrieval.writeIndexMeta(spark0, path,
+      Retrieval.readIndexEpoch(spark0, path).getOrElse(0L) + 1L)
   }
+
+  /** Incremental LM maintenance: fold a batch of NEW documents into the
+    * persisted count tables — counts merge ADDITIVELY (one vocabulary-
+    * sized aggregation per table; the batch, not the corpus, is
+    * re-counted), under the house staged-commit lifecycle: stage merged
+    * tables elsewhere, commit by manifest, swap idempotently, bump the
+    * generation LAST — a crash anywhere replays or discards cleanly and
+    * a scorer never sees bigram counts from one generation with unigram
+    * counts from another. `batchId` gives foreachBatch-replay
+    * exactly-once (the [[Retrieval.mergeIndex]] contract: an
+    * already-committed batch id is skipped, not double-counted). */
+  def mergeLm(spark: SparkSession, path: String, batch: DataFrame,
+      textCol: String, batchId: Option[Long] = None): Unit = {
+    recoverLm(spark, path, deleteUncommitted = true)
+    if (batchId.exists(bid =>
+        Retrieval.readIndexBatchId(spark, path).exists(_ >= bid)))
+      return
+    applyStagedLmMerge(spark, path,
+      stageLmMerge(spark, path, batch, textCol, batchId))
+  }
+
+  /** Stage the merged LM tables and commit the manifest; package-visible
+    * so crash tests can stop here (the stageIndexMerge convention). */
+  private[graft] def stageLmMerge(spark: SparkSession, path: String,
+      batch: DataFrame, textCol: String,
+      batchId: Option[Long] = None): String = {
+    require(!batch.isEmpty, "mergeLm: batch is empty")
+    val targetGen = Retrieval.readIndexEpoch(spark, path).getOrElse(0L) + 1L
+    val staging = s"$path/_staging_$targetGen"
+    val (f, sp) = ObservationStore.fs(spark, staging)
+    if (f.exists(sp)) f.delete(sp, true)
+    val toks = split(col(textCol), " ")
+    spark.read.parquet(s"$path/bigrams")
+      .unionAll(batch.select(explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).cast("long").as("c2")))
+      .groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c2")).cast("long").as("c2"))
+      .write.mode("overwrite").parquet(s"$staging/bigrams")
+    val mergedC1 = spark.read.parquet(s"$path/unigrams")
+      .unionAll(batch.select(explode(toks).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).cast("long").as("c1")))
+      .groupBy(col("word")).agg(sum(col("c1")).cast("long").as("c1"))
+      .localCheckpoint(false) // feeds the table AND the vocab recount
+    mergedC1.write.mode("overwrite").parquet(s"$staging/unigrams")
+    mergedC1.agg(count(lit(1)).cast("long").as("vsz"))
+      .write.mode("overwrite").parquet(s"$staging/stats")
+    val bid = batchId.map(b => s""","batch_id":$b""").getOrElse("")
+    val (mf, mp) = ObservationStore.fs(spark, s"$staging/_manifest.json")
+    val out = mf.create(mp, true)
+    try out.write(
+      (s"""{"target_epoch":$targetGen,""" +
+        s""""staged_tables":"bigrams,unigrams,stats"$bid}""")
+        .getBytes("UTF-8"))
+    finally out.close()
+    staging
+  }
+
+  private[graft] def applyStagedLmMerge(spark: SparkSession, path: String,
+      staging: String): Unit = {
+    val manifest = StagedCommit.readManifest(spark, staging)
+    val targetGen = StagedCommit.numField(manifest, "target_epoch")
+    val pieces = StagedCommit.listField(manifest, "staged_tables")
+      .getOrElse(throw new StagedCommit.TornManifest(
+        s"staged LM manifest missing staged_tables: $manifest"))
+    val batchId = StagedCommit.optNumField(manifest, "batch_id")
+    StagedCommit.applyPieces(spark, path, staging, pieces, targetGen,
+      () => Retrieval.readIndexEpoch(spark, path),
+      gen => Retrieval.writeIndexMeta(spark, path, gen, batchId))
+  }
+
+  /** Resolve an interrupted [[mergeLm]] (committed staging is finished,
+    * uncommitted is the writer's to discard — the single-writer
+    * contract shared with every staged artifact here). */
+  def recoverLm(spark: SparkSession, path: String,
+      deleteUncommitted: Boolean = false): Unit =
+    StagedCommit.recover(spark, path, deleteUncommitted)(
+      staging => applyStagedLmMerge(spark, path, staging))
 
   /** [[lmScores]] against a [[writeLm]] artifact. On the training corpus
     * itself the result is IDENTICAL to [[lmScores]] (every observed

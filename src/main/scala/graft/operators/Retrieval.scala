@@ -115,6 +115,9 @@ object Retrieval {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     require(!df.isEmpty, "writePositionalIndex: corpus is empty")
     val spark = df.sparkSession
+    // rebuild = writer: resolve committed staging leftovers first
+    if (ObservationStore.pathExists(spark, path))
+      recoverPositionalIndex(spark, path, deleteUncommitted = true)
     df.select(col(idCol).as("doc_id"),
         posexplode(tokens(col(textCol))).as(Seq("p", "word")))
       .withColumn("word_bucket",
@@ -128,6 +131,85 @@ object Retrieval {
     writeIndexMeta(spark, path,
       readIndexEpoch(spark, path).getOrElse(0L) + 1L)
   }
+
+  /** Incremental positional-index maintenance: postings are
+    * PER-DOCUMENT (positions are offsets within each doc), so a batch of
+    * NEW documents folds in by rewriting only its terms' touched
+    * buckets — the [[mergeIndex]] shape minus the df/stats arithmetic
+    * (the positional layout keeps only `n_buckets`, which never
+    * changes). Staged + manifest + idempotent swap + generation bump
+    * LAST; `batchId` gives foreachBatch exactly-once. Batches must carry
+    * previously-unseen doc ids (the append-only contract every
+    * incremental artifact here shares). */
+  def mergePositionalIndex(spark: SparkSession, path: String,
+      batch: DataFrame, textCol: String, idCol: String,
+      batchId: Option[Long] = None): Unit = {
+    recoverPositionalIndex(spark, path, deleteUncommitted = true)
+    if (batchId.exists(bid => readIndexBatchId(spark, path).exists(_ >= bid)))
+      return
+    applyStagedPositionalMerge(spark, path,
+      stagePositionalMerge(spark, path, batch, textCol, idCol, batchId))
+  }
+
+  /** Stage the touched positional buckets and commit the manifest;
+    * package-visible so crash tests can stop here. */
+  private[graft] def stagePositionalMerge(spark: SparkSession,
+      path: String, batch: DataFrame, textCol: String, idCol: String,
+      batchId: Option[Long] = None): String = {
+    require(!batch.isEmpty, "mergePositionalIndex: batch is empty")
+    val nBuckets = spark.read.parquet(s"$path/stats")
+      .head().getAs[Long]("n_buckets")
+    val targetGen = readIndexEpoch(spark, path).getOrElse(0L) + 1L
+    val staging = s"$path/_staging_$targetGen"
+    val (f, sp) = ObservationStore.fs(spark, staging)
+    if (f.exists(sp)) f.delete(sp, true)
+    val newPos = batch.select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("p", "word")))
+      .withColumn("word_bucket",
+        pmod(xxhash64(col("word")), lit(nBuckets)))
+      .localCheckpoint(false) // feeds the touched-bucket list AND the write
+    val touched = newPos.select("word_bucket").distinct()
+      .collect().map(_.getLong(0))
+    spark.read.parquet(s"$path/positions")
+      .filter(col("word_bucket").isin(touched.toIndexedSeq: _*))
+      .select(newPos.columns.toIndexedSeq.map(col): _*)
+      .unionAll(newPos)
+      .repartition(col("word_bucket"))
+      .sortWithinPartitions(col("word"), col("doc_id"), col("p"))
+      .write.mode("overwrite").partitionBy("word_bucket")
+      .parquet(s"$staging/positions")
+    val stagedBuckets = StagedCommit.stagedPartDirs(spark,
+      s"$staging/positions", "word_bucket=").mkString(",")
+    val bid = batchId.map(b => s""","batch_id":$b""").getOrElse("")
+    val (mf, mp) = ObservationStore.fs(spark, s"$staging/_manifest.json")
+    val out = mf.create(mp, true)
+    try out.write(
+      (s"""{"target_epoch":$targetGen,""" +
+        s""""staged_positions":"$stagedBuckets"$bid}""").getBytes("UTF-8"))
+    finally out.close()
+    staging
+  }
+
+  private[graft] def applyStagedPositionalMerge(spark: SparkSession,
+      path: String, staging: String): Unit = {
+    val manifest = StagedCommit.readManifest(spark, staging)
+    val targetGen = StagedCommit.numField(manifest, "target_epoch")
+    val pieces = StagedCommit.listField(manifest, "staged_positions")
+      .getOrElse(throw new StagedCommit.TornManifest(
+        s"staged positional manifest missing staged_positions: $manifest"))
+      .map(b => s"positions/$b")
+    val batchId = StagedCommit.optNumField(manifest, "batch_id")
+    StagedCommit.applyPieces(spark, path, staging, pieces, targetGen,
+      () => readIndexEpoch(spark, path),
+      gen => writeIndexMeta(spark, path, gen, batchId))
+  }
+
+  /** Resolve an interrupted [[mergePositionalIndex]] (the
+    * [[recoverIndexMerge]] single-writer contract). */
+  def recoverPositionalIndex(spark: SparkSession, path: String,
+      deleteUncommitted: Boolean = false): Unit =
+    StagedCommit.recover(spark, path, deleteUncommitted)(
+      staging => applyStagedPositionalMerge(spark, path, staging))
 
   /** [[phraseSearch]] against a [[writePositionalIndex]] artifact:
     * bucket-directory pruning + pushed word filters instead of a corpus

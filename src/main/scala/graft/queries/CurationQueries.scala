@@ -236,6 +236,17 @@ object CurationQueries {
       Curation.lmScoresLoaded(s, tmp, docs(s, dir), "text", "doc_id")
     }),
 
+    // Incremental LM maintenance: train on half, merge the other half —
+    // scores must be indistinguishable from training on everything
+    // (shared oracle).
+    "ngram_lm_delta" -> ((s, dir) => {
+      val tmp = util.scratchDir("lmtbl", dir + "#delta")
+      val d = docs(s, dir)
+      Curation.writeLm(d.filter(col("doc_id") % 2 === 0), "text", tmp)
+      Curation.mergeLm(s, tmp, d.filter(col("doc_id") % 2 =!= 0), "text")
+      Curation.lmScoresLoaded(s, tmp, d, "text", "doc_id")
+    }),
+
     // Top-20 collocations by scaled PMI (bigrams seen >= 5 times).
     "pmi_collocations" -> ((s, dir) =>
       Curation.pmiCollocations(docs(s, dir), "text")),
@@ -887,6 +898,7 @@ object CurationQueries {
     // scoring through the persisted LM tables must be indistinguishable
     // from in-memory training on the same corpus — shared oracle
     "ngram_lm_loaded" -> ngramLmOracleSql,
+    "ngram_lm_delta" -> ngramLmOracleSql,
 
     // mirror of pmiCollocations(minCount 5, scale 1e6): same bigram/
     // unigram counts, same integer ratio, same ordering

@@ -89,6 +89,20 @@ object RetrievalQueries {
       Retrieval.indexPhraseSearch(s, tmp, Seq("hash", "join"))
     }),
 
+    // Incremental positional maintenance: index HALF the corpus, merge
+    // the other half as a batch, query — must be indistinguishable from
+    // indexing everything at once (the bm25_delta discipline), so the
+    // oracle is shared with phrase_search.
+    "phrase_search_delta" -> ((s, dir) => {
+      val tmp = util.scratchDir("posidx", dir + "#delta")
+      val d = docs(s, dir)
+      Retrieval.writePositionalIndex(d.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id", tmp, nBuckets = 16)
+      Retrieval.mergePositionalIndex(s, tmp,
+        d.filter(col("doc_id") % 2 =!= 0), "text", "doc_id")
+      Retrieval.indexPhraseSearch(s, tmp, Seq("hash", "join"))
+    }),
+
     // Unordered proximity (SpanNear/slop): position pairs of two terms
     // within a 3-token window, binned-join candidates — never a
     // per-doc tf×tf product. Oracle is the naive doc-join formulation.
@@ -331,6 +345,7 @@ object RetrievalQueries {
     // the persisted-index path must be indistinguishable from the
     // in-memory one — shared oracle IS the equivalence gate
     "phrase_search_indexed" -> phraseSearchOracleSql,
+    "phrase_search_delta" -> phraseSearchOracleSql,
     // the naive formulation: join the posting lists on doc_id and
     // filter — the quadratic shape the binned Spark plan must agree
     // with exactly

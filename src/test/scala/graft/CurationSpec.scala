@@ -1009,6 +1009,34 @@ class CurationSpec extends AnyFunSuite {
       3000000000L / 5 + 1000000000L / 6)
   }
 
+  test("LM merge: half+half ≡ full train, crash recovery, exactly-once") {
+    val d = Seq((1L, "a b a"), (2L, "b c d"), (3L, "a b c"), (4L, "d d a"))
+      .toDF("doc_id", "text")
+    def scores(path: String): Map[Long, Long] =
+      Curation.lmScoresLoaded(spark, path, d, "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("lm_score")).toMap
+    val full = java.nio.file.Files.createTempDirectory("graft-lm-f").toString
+    Curation.writeLm(d, "text", full)
+    val expected = scores(full)
+    // crash AFTER the manifest → recovery completes the merge
+    val p = java.nio.file.Files.createTempDirectory("graft-lm-c").toString
+    Curation.writeLm(d.filter(col("doc_id") <= 2), "text", p)
+    val staging = Curation.stageLmMerge(spark, p,
+      d.filter(col("doc_id") > 2), "text")
+    assert(new java.io.File(s"$staging/_manifest.json").exists())
+    Curation.recoverLm(spark, p)
+    assert(scores(p) == expected)
+    assert(!new java.io.File(staging).exists())
+    // exactly-once: a replayed batch id must not double the counts
+    val q = java.nio.file.Files.createTempDirectory("graft-lm-e").toString
+    Curation.writeLm(d.filter(col("doc_id") <= 2), "text", q)
+    Curation.mergeLm(spark, q, d.filter(col("doc_id") > 2), "text",
+      batchId = Some(3L))
+    Curation.mergeLm(spark, q, d.filter(col("doc_id") > 2), "text",
+      batchId = Some(3L)) // replay
+    assert(scores(q) == expected)
+  }
+
   test("goodTuring: hand-checked frequency-of-frequencies and r*") {
     // counts: a×3, b×2, c×2, d,e,f ×1  →  N_1=3, N_2=2, N_3=1
     val df = Seq("a a a b b", "c c d e f").toDF("text")

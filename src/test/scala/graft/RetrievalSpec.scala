@@ -299,6 +299,38 @@ class RetrievalSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") && plan.contains("word"), plan)
   }
 
+  test("positional merge: half+half ≡ full build, crash recovery, exactly-once") {
+    val d = (0L until 20L).map(i =>
+      (i, if (i % 3 == 0) "hash join here" else "no phrase here"))
+      .toDF("doc_id", "text")
+    def results(path: String): Map[Long, Long] =
+      Retrieval.indexPhraseSearch(spark, path, Seq("hash", "join"))
+        .as[(Long, Long)].collect().toMap
+    val full = java.nio.file.Files.createTempDirectory("graft-pm-f").toString
+    Retrieval.writePositionalIndex(d, "text", "doc_id", full, nBuckets = 4)
+    val expected = results(full)
+    assert(expected.nonEmpty)
+    // crash AFTER the manifest, before any swap → recovery completes it
+    val p = java.nio.file.Files.createTempDirectory("graft-pm-c").toString
+    Retrieval.writePositionalIndex(d.filter(col("doc_id") < 10), "text",
+      "doc_id", p, nBuckets = 4)
+    val staging = Retrieval.stagePositionalMerge(spark, p,
+      d.filter(col("doc_id") >= 10), "text", "doc_id")
+    assert(new java.io.File(s"$staging/_manifest.json").exists())
+    Retrieval.recoverPositionalIndex(spark, p)
+    assert(results(p) == expected)
+    assert(!new java.io.File(staging).exists())
+    // exactly-once: replaying an already-committed batch id is a no-op
+    val q = java.nio.file.Files.createTempDirectory("graft-pm-e").toString
+    Retrieval.writePositionalIndex(d.filter(col("doc_id") < 10), "text",
+      "doc_id", q, nBuckets = 4)
+    Retrieval.mergePositionalIndex(spark, q, d.filter(col("doc_id") >= 10),
+      "text", "doc_id", batchId = Some(7L))
+    Retrieval.mergePositionalIndex(spark, q, d.filter(col("doc_id") >= 10),
+      "text", "doc_id", batchId = Some(7L)) // replay
+    assert(results(q) == expected) // double-merge would double n_occurrences
+  }
+
   test("rankingEval: reciprocal ranks, hits@k, and whiffed queries emit") {
     // q1: relevant doc 20 at rank 2 → rr 500000, hits 2 (docs 20, 30)
     // q2: nothing relevant ranked → best_rank 0, rr 0 — the row must
