@@ -726,6 +726,26 @@ object Curation {
     StagedCommit.recover(spark, path, deleteUncommitted)(
       staging => applyStagedLmMerge(spark, path, staging))
 
+  /** Structured-Streaming maintenance of the LM tables — the
+    * [[Retrieval.streamIndex]] twin: first batch trains, every later
+    * micro-batch folds in via [[mergeLm]] with batch-id exactly-once, so
+    * the reference model a scorer loads tracks the ingested corpus
+    * without rebuilds. */
+  def streamLm(spark: SparkSession, docs: DataFrame, textCol: String,
+      path: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (batch.isEmpty) ()
+        else if (!ObservationStore.pathExists(spark, s"$path/stats")) {
+          writeLm(batch, textCol, path)
+          Retrieval.writeIndexMeta(spark, path,
+            Retrieval.readIndexEpoch(spark, path).getOrElse(1L), Some(bid))
+        } else mergeLm(spark, path, batch, textCol, Some(bid))
+      }
+      .start()
+
   /** [[lmScores]] against a [[writeLm]] artifact. On the training corpus
     * itself the result is IDENTICAL to [[lmScores]] (every observed
     * bigram has its counts — the gate's equivalence); on NEW documents

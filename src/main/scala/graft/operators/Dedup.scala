@@ -713,18 +713,31 @@ object Dedup {
       else df.localCheckpoint(true)
     var e = cut(pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .filter(col("u") =!= col("v")).distinct())
+    // shuffle width sized to the PAIR GRAPH (the connectedComponents
+    // rule): repartitioning on the grouping key up front lets the
+    // groupBy AND the join reuse the partitioning (no further Exchange
+    // in the round body), and a tiny graph runs 1-wide instead of
+    // paying session-width task scheduling ~4 stages × rounds times
+    val parallelism = pairs.sparkSession.sparkContext.defaultParallelism
+    val parts = math.max(1L, math.min(parallelism.toLong,
+      e.count() * 2 / 500000L + 1L)).toInt
 
     def largeStar(in: DataFrame): DataFrame = {
       val sym = in.unionAll(in.select(col("v").as("u"), col("u").as("v")))
+        .repartition(parts, col("u"))
       val mins = sym.groupBy(col("u"))
         .agg(least(min(col("v")), first(col("u"))).as("m"))
+      // no intra-round distinct: large-star emits ≤ one row per sym row
+      // (≤ 2|e|), and the round-end dedup in smallStar re-bounds the
+      // set — one fewer shuffle per round
       sym.join(mins, "u").filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
+        .filter(col("u") =!= col("v"))
     }
     def smallStar(in: DataFrame): DataFrame = {
       val o = in.select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
+        .repartition(parts, col("u"))
       val mins = o.groupBy(col("u")).agg(min(col("v")).as("m"))
       val withM = o.join(mins, "u")
       withM.filter(col("v") =!= col("m"))
@@ -732,25 +745,37 @@ object Dedup {
         .unionAll(mins.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v")).distinct()
     }
-    def checksum(df: DataFrame): (Long, Any) = {
-      // DECIMAL(38) accumulation: a Long sum of xxhash64 values overflows
-      // (ANSI arithmetic error under Spark 4 defaults) — the labelSum rule
-      val r = df.agg(count(lit(1)),
-        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
-      (r.getLong(0), r.get(1))
+    // DECIMAL(38) accumulation: a Long sum of xxhash64 values overflows
+    // (ANSI arithmetic error under Spark 4 defaults) — the labelSum rule.
+    // The checksum RIDES the round's checkpoint job as observe() metrics
+    // (nanoTime uniquifier per the stageExpire rule), so each round is
+    // ONE Spark action, not two.
+    def checksumCols = Seq(count(lit(1)).as("n"),
+      sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("h"))
+    def checksummed(df: DataFrame): (DataFrame, () => (Any, Any)) = {
+      val obs = org.apache.spark.sql.Observation(
+        s"star-${System.nanoTime()}")
+      val out = df.observe(obs, checksumCols.head, checksumCols(1))
+      (out, () => (obs.get("n"), obs.get("h")))
     }
-
-    var prev = checksum(e)
-    var stable = 0
+    var prev = {
+      val r = e.agg(checksumCols.head, checksumCols(1)).head()
+      (r.get(0), r.get(1))
+    }
+    // ONE unchanged round proves convergence: the alternation is a
+    // deterministic function of the edge set, so e == f(e) is a fixed
+    // point forever — a second confirmation round would only re-prove it
+    var stable = false
     var rounds = 0
-    while (stable < 2 && rounds < maxRounds) {
-      e = cut(smallStar(largeStar(e)))
-      val c = checksum(e)
-      if (c == prev) stable += 1 else stable = 0
+    while (!stable && rounds < maxRounds) {
+      val (watched, readBack) = checksummed(smallStar(largeStar(e)))
+      e = cut(watched) // materializes; the observe metrics ride along
+      val c = readBack()
+      stable = c == prev
       prev = c
       rounds += 1
     }
-    if (stable < 2)
+    if (!stable)
       throw new IllegalStateException(
         s"connectedComponentsStar did not converge in $maxRounds rounds")
     // the fixed point is a star forest: e = (child, root) for every

@@ -211,6 +211,27 @@ object Retrieval {
     StagedCommit.recover(spark, path, deleteUncommitted)(
       staging => applyStagedPositionalMerge(spark, path, staging))
 
+  /** Structured-Streaming maintenance of the positional index — the
+    * [[streamIndex]] twin: first batch builds, every later micro-batch
+    * folds in via [[mergePositionalIndex]] with the batch id riding the
+    * generation commit, so replays are no-ops and phrase queries never
+    * see a half-merged bucket set. */
+  def streamPositionalIndex(spark: SparkSession, docs: DataFrame,
+      textCol: String, idCol: String, path: String, checkpointDir: String,
+      nBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (batch.isEmpty) ()
+        else if (!ObservationStore.pathExists(spark, s"$path/stats")) {
+          writePositionalIndex(batch, textCol, idCol, path, nBuckets)
+          writeIndexMeta(spark, path,
+            readIndexEpoch(spark, path).getOrElse(1L), Some(bid))
+        } else mergePositionalIndex(spark, path, batch, textCol, idCol,
+          Some(bid))
+      }
+      .start()
+
   /** [[phraseSearch]] against a [[writePositionalIndex]] artifact:
     * bucket-directory pruning + pushed word filters instead of a corpus
     * tokenization per query — identical results by construction (the

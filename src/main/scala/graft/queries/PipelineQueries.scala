@@ -116,6 +116,11 @@ object PipelineQueries {
     // doc ids linked within 50-blocks, diameter 49): the O(log n)-round
     // 100 TB path where min-label propagation would need diameter
     // rounds. Closed-form oracle — chains make reachability trivial.
+    // Gate cost (~11 s at sf0.1) is ~7 alternations × the local-mode
+    // per-round scheduling floor — the price of exercising the
+    // distributed rounds themselves; at real scale the same rounds
+    // amortize over data, and small graphs take connectedComponents'
+    // driver fast path instead.
     "components_chain_star" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"))
       val chain = d.filter(col("doc_id") % 50 =!= 49)

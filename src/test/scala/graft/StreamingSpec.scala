@@ -211,6 +211,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming positional + LM maintenance equal built-at-once artifacts") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    import graft.operators.{Curation, Retrieval}
+    val dir = Files.createTempDirectory("graft-sartifacts").toString
+    assert(new java.io.File(s"$dir/spool").mkdirs())
+    val texts = Map(
+      1L -> "hash join is a hash join", 2L -> "hash only here",
+      3L -> "join hash reversed order", 4L -> "hash join once more")
+    def jsonFile(name: String, ids: Seq[Long]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/spool/$name"),
+        ids.map(i => s"""{"doc_id":$i,"text":"${texts(i)}"}""")
+          .mkString("\n").getBytes("UTF-8")): Unit
+    val schema = new StructType().add("doc_id", LongType).add("text", StringType)
+    jsonFile("f1.json", Seq(1L, 2L))
+    val qp = Retrieval.streamPositionalIndex(spark,
+      spark.readStream.schema(schema).json(s"$dir/spool"),
+      "text", "doc_id", s"$dir/pos", s"$dir/ckp", nBuckets = 4)
+    val ql = Curation.streamLm(spark,
+      spark.readStream.schema(schema).json(s"$dir/spool"),
+      "text", s"$dir/lm", s"$dir/ckl")
+    try {
+      qp.processAllAvailable(); ql.processAllAvailable()
+      jsonFile("f2.json", Seq(3L, 4L))
+      qp.processAllAvailable(); ql.processAllAvailable()
+      val all = texts.toSeq.map { case (i, t) => (i, t) }.toDF("doc_id", "text")
+      Retrieval.writePositionalIndex(all, "text", "doc_id", s"$dir/posAll",
+        nBuckets = 4)
+      assert(
+        Retrieval.indexPhraseSearch(spark, s"$dir/pos", Seq("hash", "join"))
+          .as[(Long, Long)].collect().toMap ==
+        Retrieval.indexPhraseSearch(spark, s"$dir/posAll", Seq("hash", "join"))
+          .as[(Long, Long)].collect().toMap)
+      Curation.writeLm(all, "text", s"$dir/lmAll")
+      def sc(p: String) = Curation.lmScoresLoaded(spark, p, all,
+          "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("lm_score")).toMap
+      assert(sc(s"$dir/lm") == sc(s"$dir/lmAll"))
+      // one staged generation per non-empty micro-batch
+      assert(Retrieval.readIndexEpoch(spark, s"$dir/pos").contains(2L))
+      assert(Retrieval.readIndexEpoch(spark, s"$dir/lm").contains(2L))
+    } finally { qp.stop(); ql.stop() }
+  }
+
   test("batch-id marker makes replayed micro-batches exactly-once") {
     val dir = Files.createTempDirectory("graft-replay").toString
     val b1 = Seq(obs("a.com", "1.1.1.1", 2, "2020-01-01 00:00:00")).toDF(cols: _*)
