@@ -338,21 +338,25 @@ object Bench {
         store.entries(rdata = Some(i.toString)).collect(): Unit)
 
     runServe(50) // warm the readers (footer parse JIT, fs metadata)
-    val serveQps = runServe(1000)
+    // median of 3 batches for every qps figure: each batch self-averages
+    // over 1000 queries, but a transient load spike during ONE batch
+    // still prints as a cross-round "regression" in the driver tail —
+    // the merge_batch/decode rule applied to the serving side
+    val serveQps = median3(runServe(1000))
     // capacity at 16 workers: the fast path is read-bound, not
     // scheduler-bound, so it scales with cores until the disk saturates
-    val wideQps = runServe(1000, workers = 16)
+    val wideQps = median3(runServe(1000, workers = 16))
     // NEGATIVE lookups — the workload the seek-column parquet blooms
     // serve (the reference's RocksDB answers these from block blooms):
     // an absent key should skip every row group from footer metadata
-    val missQps = timed(1000, 5)(i =>
-      store.servePoint(rdata = Some(s"absent-key-$i")).get: Unit)
+    val missQps = median3(timed(1000, 5)(i =>
+      store.servePoint(rdata = Some(s"absent-key-$i")).get: Unit))
     // PREFIX seeks on the fast path (the reference's forward scan
     // shape): each "part-<3 digits>" prefix matches ~111 rrnames across
     // every bucket — the fan-over-buckets + row-group-stats-bounded
     // range read, not a point hit
-    val prefixQps = timed(1000, 5)(i =>
-      store.servePrefix(s"part-${100 + (i % 900)}").get: Unit)
+    val prefixQps = median3(timed(1000, 5)(i =>
+      store.servePrefix(s"part-${100 + (i % 900)}").get: Unit))
 
     // Spark-plan path for trend continuity. AQE off: it buys nothing for
     // a single-stage pre-pruned scan but costs per-query driver planning
@@ -379,7 +383,7 @@ object Bench {
       srv.start()
       try {
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-        try {
+        try median3 {
           val n = 1000 // fast-path serving: enough queries to measure
           val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
           val t1 = System.nanoTime()
