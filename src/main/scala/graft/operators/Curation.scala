@@ -1323,6 +1323,65 @@ object Curation {
       .toDF("v", "est_count")
   }
 
+  /** AMS/Tug-of-War F2 sketch (Alon-Matias-Szegedy, STOC 1996): k
+    * independent estimators of the SECOND FREQUENCY MOMENT
+    * `F2 = Σ_v f(v)²` — which IS the self-join size on the column, the
+    * number a join planner wants before committing to a shuffle, read
+    * here in one narrow pass instead of the `groupBy(v)` that F2's
+    * definition implies. Estimator j: `Z_j = Σ_rows s_j(value)` with
+    * `s_j(v) ∈ {−1, +1}` from the md5("j:v") first-nibble parity (the
+    * engine-portable hash convention — four-wise independence in
+    * expectation is the textbook requirement; a keyed cryptographic
+    * hash is far stronger), and `est_j = Z_j²` with `E[Z²] = F2`.
+    * Callers take the median of the k rows (k=8 default → stderr
+    * ~F2·√(2/8)); the per-estimator rows are emitted (not the median)
+    * so the DuckDB oracle can restate them value for value.
+    *
+    * Shape: one k-way explode (k rows per input row, k tiny) into a
+    * k-key map-side-combined aggregation — shuffle is k rows total.
+    * Σ|s_j| ≤ rows ≤ 2⁶³ at any conceivable scale, no overflow. */
+  def f2Sketch(df: DataFrame, valueCol: String, k: Int = 8): DataFrame = {
+    require(k >= 1 && k <= 64, s"f2Sketch: k in [1,64], got $k")
+    df.select(col(valueCol).cast("string").as("v"),
+        explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .select(col("j"),
+        when(expr("CAST(conv(substr(md5(concat(j, ':', v)), 1, 1), 16, 10) " +
+          "AS INT) % 2 = 0"), lit(1L))
+          .otherwise(lit(-1L)).as("s"))
+      .groupBy(col("j"))
+      .agg(sum(col("s")).cast("long").as("z"))
+      .select(col("j").cast("long").as("j"), col("z"),
+        (col("z") * col("z")).as("f2_est"))
+  }
+
+  /** JOIN-SIZE estimate from two Count-Min sketches (Cormode &
+    * Muthukrishnan's inner-product estimator): `|A ⋈ B| on key =
+    * Σ_v fA(v)·fB(v)`, estimated as `min_r Σ_i A[r,i]·B[r,i]` — never
+    * an undercount, overcount bounded by collisions, and computed from
+    * two O(d·w) sketches WITHOUT shuffling either table on the key:
+    * the planner's pre-shuffle cardinality probe. Both sketches ride
+    * the existing [[cmSketch]] aggregate (one narrow pass per side);
+    * the d dot products fold on the driver. Returns one row per sketch
+    * row (r, dot) plus the min — emitted per-row so the oracle can
+    * restate every cell. */
+  def cmJoinSize(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
+      d: Int = 4, w: Int = 512): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val ma = a.agg(cmSketch(col(aCol).cast("string"), d, w))
+      .head().getSeq[Long](0).toArray
+    val mb = b.agg(cmSketch(col(bCol).cast("string"), d, w))
+      .head().getSeq[Long](0).toArray
+    val dots = (0 until d).map { r =>
+      var s = 0L
+      var i = 0
+      while (i < w) { s += ma(r * w + i) * mb(r * w + i); i += 1 }
+      (r.toLong, s)
+    }
+    val minDot = dots.map(_._2).min
+    dots.toDF("r", "dot").withColumn("est_join_size", lit(minDot))
+  }
+
   /** `hll_sketch(value)` as a Column — see
     * [[org.apache.spark.sql.graft.HllSketch]]. */
   def hllSketch(c: Column): Column =

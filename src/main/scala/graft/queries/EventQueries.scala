@@ -377,6 +377,34 @@ object EventQueries {
     "events_cusum" -> ((s, dir) =>
       Events.cusumPeaks(events(s, dir), "ts", "event_type")),
 
+    // AMS/Tug-of-War F2 sketch over event user_ids: per-estimator signed
+    // sums and squares next to the exact second moment (= the self-join
+    // size on user_id) — the planner's pre-shuffle cardinality probe.
+    "f2_sketch" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"))
+      val exact = e.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .agg(sum(expr("n * n")).cast("long").as("exact_f2"))
+      graft.operators.Curation.f2Sketch(e, "user_id")
+        .crossJoin(broadcast(exact))
+    }),
+
+    // Join-size estimate from two Count-Min sketches (inner-product
+    // estimator): views ⋈ purchases on user_id without shuffling either
+    // side; exact join size rides along for calibration.
+    "cm_join_size" -> ((s, dir) => {
+      val e = events(s, dir)
+      val a = e.filter(col("event_type") === "view").select(col("user_id"))
+      val b = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"))
+      val exact = a.groupBy(col("user_id")).agg(count(lit(1)).as("na"))
+        .join(b.groupBy(col("user_id")).agg(count(lit(1)).as("nb")),
+          "user_id")
+        .agg(coalesce(sum(expr("na * nb")), lit(0L)).cast("long")
+          .as("exact_join_size"))
+      graft.operators.Curation.cmJoinSize(a, "user_id", b, "user_id")
+        .crossJoin(broadcast(exact))
+    }),
+
     // HLL-in-window: the new sketch composed INSIDE a windowed groupBy
     // (the window_distinct KMV composition, constant-space variant),
     // with the exact distinct alongside for scale reading.
@@ -939,6 +967,74 @@ object EventQueries {
         |  FROM events GROUP BY 1)
         |SELECT e.event_id, e.user_id, p.lifetime_cents
         |FROM events e JOIN p ON e.user_id = p.user_id
+        |""".stripMargin,
+
+    "f2_sketch" ->
+      """WITH v AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events),
+        |js AS (SELECT UNNEST(generate_series(0, 7)) AS j),
+        |s AS (
+        |  SELECT js.j,
+        |         CASE WHEN (strpos('0123456789abcdef',
+        |             md5(js.j || ':' || v.v)[1]) - 1) % 2 = 0
+        |              THEN 1 ELSE -1 END AS s
+        |  FROM v CROSS JOIN js),
+        |z AS (SELECT j, CAST(SUM(s) AS BIGINT) AS z FROM s GROUP BY 1),
+        |x AS (SELECT CAST(SUM(n * n) AS BIGINT) AS exact_f2
+        |      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n
+        |            FROM events GROUP BY user_id))
+        |SELECT CAST(z.j AS BIGINT) AS j, z.z, z.z * z.z AS f2_est,
+        |       x.exact_f2
+        |FROM z, x
+        |""".stripMargin,
+
+    "cm_join_size" ->
+      """WITH av AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS v FROM events
+        |  WHERE event_type = 'view'),
+        |bv AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS v FROM events
+        |  WHERE event_type = 'purchase'),
+        |rws AS (SELECT UNNEST([0, 1, 2, 3]) AS r),
+        |ac AS (
+        |  SELECT r,
+        |         ((strpos('0123456789abcdef',
+        |             md5(CAST(r AS VARCHAR) || ':' || v)[1]) - 1) * 4096 +
+        |          (strpos('0123456789abcdef',
+        |             md5(CAST(r AS VARCHAR) || ':' || v)[2]) - 1) * 256 +
+        |          (strpos('0123456789abcdef',
+        |             md5(CAST(r AS VARCHAR) || ':' || v)[3]) - 1) * 16 +
+        |          (strpos('0123456789abcdef',
+        |             md5(CAST(r AS VARCHAR) || ':' || v)[4]) - 1)) % 512 AS p,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM av CROSS JOIN rws GROUP BY 1, 2),
+        |bc AS (
+        |  SELECT r,
+        |         ((strpos('0123456789abcdef',
+        |             md5(CAST(r AS VARCHAR) || ':' || v)[1]) - 1) * 4096 +
+        |          (strpos('0123456789abcdef',
+        |             md5(CAST(r AS VARCHAR) || ':' || v)[2]) - 1) * 256 +
+        |          (strpos('0123456789abcdef',
+        |             md5(CAST(r AS VARCHAR) || ':' || v)[3]) - 1) * 16 +
+        |          (strpos('0123456789abcdef',
+        |             md5(CAST(r AS VARCHAR) || ':' || v)[4]) - 1)) % 512 AS p,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM bv CROSS JOIN rws GROUP BY 1, 2),
+        |dots AS (
+        |  SELECT ac.r, CAST(SUM(ac.c * bc.c) AS BIGINT) AS dot
+        |  FROM ac JOIN bc ON ac.r = bc.r AND ac.p = bc.p
+        |  GROUP BY 1),
+        |m AS (SELECT MIN(dot) AS est FROM dots),
+        |x AS (
+        |  SELECT CAST(COALESCE(SUM(a.na * b.nb), 0) AS BIGINT)
+        |           AS exact_join_size
+        |  FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS na
+        |        FROM events WHERE event_type = 'view' GROUP BY 1) a
+        |  JOIN (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS nb
+        |        FROM events WHERE event_type = 'purchase' GROUP BY 1) b
+        |    ON a.user_id = b.user_id)
+        |SELECT CAST(dots.r AS BIGINT) AS r, dots.dot,
+        |       m.est AS est_join_size, x.exact_join_size
+        |FROM dots, m, x
         |""".stripMargin,
 
     "window_distinct_hll" ->

@@ -978,6 +978,30 @@ class CurationSpec extends AnyFunSuite {
     assert(est.getAs[Long]("n_zero") == 256 - expected.size)
   }
 
+  test("f2Sketch median tracks exact F2; cmJoinSize never undercounts") {
+    // skewed frequencies: a few hot users dominate F2
+    val rows = (1L to 400L).flatMap(u =>
+      Seq.fill(if (u <= 5) 40 else 1)(u)).toDF("user_id")
+    val exact = rows.groupBy("user_id").count()
+      .agg(sum(expr("count * count"))).head().getLong(0)
+    val ests = Curation.f2Sketch(rows, "user_id", k = 8)
+      .collect().map(_.getAs[Long]("f2_est")).sorted
+    val median = ests(ests.length / 2)
+    // AMS stderr at k=8 is ~50% — assert the right order of magnitude
+    assert(median > exact / 4 && median < exact * 4,
+      s"median $median vs exact $exact")
+
+    val a = (1L to 300L).toDF("user_id")
+    val b = (200L to 500L).flatMap(u => Seq.fill(2)(u)).toDF("user_id")
+    val est = Curation.cmJoinSize(a, "user_id", b, "user_id")
+      .head().getAs[Long]("est_join_size")
+    val exactJoin = a.join(b, "user_id").count()
+    assert(exactJoin == 202L) // 200..300 shared, ×2 copies on b
+    // CM inner product never undercounts (collision terms only add)
+    assert(est >= exactJoin, s"est $est under exact $exactJoin")
+    assert(est < exactJoin * 3, s"est $est implausibly high")
+  }
+
   test("relativeFilter: null keys are their own stratum, never vanished") {
     val df = Seq(
       (1L, Some("a"), 10L), (2L, Some("a"), 20L), (3L, Some("a"), 30L),
