@@ -616,14 +616,11 @@ object Curation {
     * Rebuild-only lifecycle (counts merge additively if incremental
     * maintenance is ever needed — the [[ObservationStore]] merge shape).
     * Tables are vocabulary-sized, not corpus-sized. */
-  def writeLm(df: DataFrame, textCol: String, path: String): Unit = {
-    require(!df.isEmpty, "writeLm: corpus is empty")
-    // a rebuild is a writer: resolve committed staging leftovers first,
-    // or a stale committed merge could replay over the fresh tables
-    // (the writeBandIndex/writeIndex rule)
-    val spark0 = df.sparkSession
-    if (ObservationStore.pathExists(spark0, path))
-      recoverLm(spark0, path, deleteUncommitted = true)
+  /** Corpus bigram counts — ONE definition shared by [[writeLm]] and
+    * [[stageLmMerge]] (the phraseFold rule: a tokenization change can
+    * never make the rebuilt and incrementally-merged artifacts
+    * diverge). */
+  private def lmBigramCounts(df: DataFrame, textCol: String): DataFrame = {
     val toks = split(col(textCol), " ")
     df.select(explode(zip_with(
         slice(toks, lit(1), size(toks) - 1),
@@ -631,18 +628,38 @@ object Curation {
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).cast("long").as("c2"))
-      .write.mode("overwrite").parquet(s"$path/bigrams")
-    val c1 = df.select(explode(toks).as("word"))
+  }
+
+  /** Corpus unigram counts — shared like [[lmBigramCounts]]. */
+  private def lmUnigramCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).cast("long").as("c1"))
+
+  def writeLm(df: DataFrame, textCol: String, path: String,
+      batchId: Option[Long] = None): Unit = {
+    require(!df.isEmpty, "writeLm: corpus is empty")
+    // a rebuild is a writer: resolve committed staging leftovers first,
+    // or a stale committed merge could replay over the fresh tables
+    // (the writeBandIndex/writeIndex rule)
+    val spark0 = df.sparkSession
+    if (ObservationStore.pathExists(spark0, path))
+      recoverLm(spark0, path, deleteUncommitted = true)
+    lmBigramCounts(df, textCol)
+      .write.mode("overwrite").parquet(s"$path/bigrams")
+    val c1 = lmUnigramCounts(df, textCol)
       .localCheckpoint(false) // feeds the table AND the vocab size
     c1.write.mode("overwrite").parquet(s"$path/unigrams")
     c1.agg(count(lit(1)).cast("long").as("vsz"))
       .write.mode("overwrite").parquet(s"$path/stats")
     // a rebuild advances the generation and PRESERVES the merge
     // high-water mark (writeIndexMeta keeps a recorded batch id when
-    // none is passed) — the band-index replay lesson
+    // none is passed) — the band-index replay lesson. The meta write is
+    // LAST and carries the builder's batch id atomically, so a
+    // streaming first batch that crashed mid-build replays as a clean
+    // rebuild (meta absent) or an exactly-once skip (meta present) —
+    // never as a double-counting merge.
     Retrieval.writeIndexMeta(spark0, path,
-      Retrieval.readIndexEpoch(spark0, path).getOrElse(0L) + 1L)
+      Retrieval.readIndexEpoch(spark0, path).getOrElse(0L) + 1L, batchId)
   }
 
   /** Incremental LM maintenance: fold a batch of NEW documents into the
@@ -675,20 +692,13 @@ object Curation {
     val staging = s"$path/_staging_$targetGen"
     val (f, sp) = ObservationStore.fs(spark, staging)
     if (f.exists(sp)) f.delete(sp, true)
-    val toks = split(col(textCol), " ")
     spark.read.parquet(s"$path/bigrams")
-      .unionAll(batch.select(explode(zip_with(
-          slice(toks, lit(1), size(toks) - 1),
-          slice(toks, lit(2), size(toks) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
-        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
-        .agg(count(lit(1)).cast("long").as("c2")))
+      .unionAll(lmBigramCounts(batch, textCol))
       .groupBy(col("w1"), col("w2"))
       .agg(sum(col("c2")).cast("long").as("c2"))
       .write.mode("overwrite").parquet(s"$staging/bigrams")
     val mergedC1 = spark.read.parquet(s"$path/unigrams")
-      .unionAll(batch.select(explode(toks).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).cast("long").as("c1")))
+      .unionAll(lmUnigramCounts(batch, textCol))
       .groupBy(col("word")).agg(sum(col("c1")).cast("long").as("c1"))
       .localCheckpoint(false) // feeds the table AND the vocab recount
     mergedC1.write.mode("overwrite").parquet(s"$staging/unigrams")
@@ -737,12 +747,17 @@ object Curation {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
+        // probe the META file (writeLm's LAST write, carrying the batch
+        // id atomically): a first batch that crashed mid-build left no
+        // meta → replay REBUILDS (overwrite, idempotent); meta present →
+        // merge path, where the recorded id makes the replay a no-op.
+        // Probing a data table instead would open a window where a
+        // half-built artifact replays as a double-counting merge.
         if (batch.isEmpty) ()
-        else if (!ObservationStore.pathExists(spark, s"$path/stats")) {
-          writeLm(batch, textCol, path)
-          Retrieval.writeIndexMeta(spark, path,
-            Retrieval.readIndexEpoch(spark, path).getOrElse(1L), Some(bid))
-        } else mergeLm(spark, path, batch, textCol, Some(bid))
+        else if (!ObservationStore.pathExists(spark,
+            s"$path/_graft_meta.json"))
+          writeLm(batch, textCol, path, Some(bid))
+        else mergeLm(spark, path, batch, textCol, Some(bid))
       }
       .start()
 
@@ -1339,7 +1354,8 @@ object Curation {
     *
     * Shape: one k-way explode (k rows per input row, k tiny) into a
     * k-key map-side-combined aggregation — shuffle is k rows total.
-    * Σ|s_j| ≤ rows ≤ 2⁶³ at any conceivable scale, no overflow. */
+    * |Z_j| ≤ rows fits a Long at any scale, but Z² does NOT (2⁶³² needs
+    * 126 bits), so the square is DECIMAL(38,0) — the labelSum rule. */
   def f2Sketch(df: DataFrame, valueCol: String, k: Int = 8): DataFrame = {
     require(k >= 1 && k <= 64, s"f2Sketch: k in [1,64], got $k")
     df.select(col(valueCol).cast("string").as("v"),
@@ -1350,8 +1366,13 @@ object Curation {
           .otherwise(lit(-1L)).as("s"))
       .groupBy(col("j"))
       .agg(sum(col("s")).cast("long").as("z"))
+      // the square computes in DECIMAL then narrows to long — beyond
+      // 2⁶³ (a self-join size past 9e18, i.e. |z| > 3e9 rows of one
+      // value) the ANSI cast FAILS LOUDLY instead of wrapping into a
+      // silently wrong estimate
       .select(col("j").cast("long").as("j"), col("z"),
-        (col("z") * col("z")).as("f2_est"))
+        (col("z").cast("decimal(19,0)") * col("z").cast("decimal(19,0)"))
+          .cast("long").as("f2_est"))
   }
 
   /** JOIN-SIZE estimate from two Count-Min sketches (Cormode &
@@ -1372,11 +1393,20 @@ object Curation {
       .head().getSeq[Long](0).toArray
     val mb = b.agg(cmSketch(col(bCol).cast("string"), d, w))
       .head().getSeq[Long](0).toArray
+    // BigInt accumulation: two multi-billion-row sides can push cell
+    // PRODUCTS past 2⁶³, and a silently wrapped dot would hand min() a
+    // garbage row — the exact "never an undercount" violation the
+    // estimator's guarantee forbids. The narrowing back to long is
+    // EXACT-or-throw (an estimate past 9e18 is outside any join a
+    // cluster could materialize; failing loudly beats a wrong plan).
     val dots = (0 until d).map { r =>
-      var s = 0L
+      var s = BigInt(0)
       var i = 0
-      while (i < w) { s += ma(r * w + i) * mb(r * w + i); i += 1 }
-      (r.toLong, s)
+      while (i < w) {
+        s += BigInt(ma(r * w + i)) * BigInt(mb(r * w + i))
+        i += 1
+      }
+      (r.toLong, s.bigInteger.longValueExact())
     }
     val minDot = dots.map(_._2).min
     dots.toDF("r", "dot").withColumn("est_join_size", lit(minDot))

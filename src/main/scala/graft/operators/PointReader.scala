@@ -202,8 +202,10 @@ final class PointReader private[operators] (
       lastEpoch = epoch
       filesByBucket.clear()
       footerCache.clear()
-      dictCache.clear()
-      dictCacheBytes.set(0)
+      dictCache.synchronized {
+        dictCache.clear()
+        dictCacheBytes.set(0)
+      }
     }
   }
 
@@ -315,9 +317,17 @@ final class PointReader private[operators] (
       case None =>
         val d = readDicts(p)
         val sz = d.iterator.flatten.flatten.map(_.length.toLong + 16L).sum
-        if (dictCacheBytes.get() + sz <= PointReader.DictCacheBytes &&
-          dictCache.putIfAbsent(p.toString, (d, sz)).isEmpty)
-          dictCacheBytes.addAndGet(sz): Unit
+        // admission and the byte counter move together under one lock
+        // (reads stay lock-free): an unsynchronized put racing the
+        // epoch-invalidation clear below would leak phantom bytes into
+        // the counter — entries gone, budget consumed — and admission
+        // would eventually stop forever (permanent repeat-I/O, the
+        // exact regression the cache prevents)
+        dictCache.synchronized {
+          if (dictCacheBytes.get() + sz <= PointReader.DictCacheBytes &&
+            dictCache.putIfAbsent(p.toString, (d, sz)).isEmpty)
+            dictCacheBytes.addAndGet(sz): Unit
+        }
         d
     }
     dicts.exists {
@@ -380,8 +390,10 @@ final class PointReader private[operators] (
       case _: java.io.FileNotFoundException | _: java.nio.file.NoSuchFileException =>
         files.foreach { f =>
           footerCache.remove(f.toString)
-          dictCache.remove(f.toString)
-            .foreach(e => dictCacheBytes.addAndGet(-e._2): Unit)
+          dictCache.synchronized {
+            dictCache.remove(f.toString)
+              .foreach(e => dictCacheBytes.addAndGet(-e._2): Unit)
+          }
         }
         val fresh = listBucket(bucket)
         filesByBucket.put(bucket, fresh)

@@ -111,26 +111,35 @@ object Retrieval {
     * artifact keeps the simpler rebuild lifecycle until a gate needs
     * more). */
   def writePositionalIndex(df: DataFrame, textCol: String, idCol: String,
-      path: String, nBuckets: Int = 64): Unit = {
+      path: String, nBuckets: Int = 64,
+      batchId: Option[Long] = None): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     require(!df.isEmpty, "writePositionalIndex: corpus is empty")
     val spark = df.sparkSession
     // rebuild = writer: resolve committed staging leftovers first
     if (ObservationStore.pathExists(spark, path))
       recoverPositionalIndex(spark, path, deleteUncommitted = true)
-    df.select(col(idCol).as("doc_id"),
-        posexplode(tokens(col(textCol))).as(Seq("p", "word")))
-      .withColumn("word_bucket",
-        pmod(xxhash64(col("word")), lit(nBuckets.toLong)))
+    bucketedPostings(df, textCol, idCol, nBuckets.toLong)
       .repartition(col("word_bucket"))
       .sortWithinPartitions(col("word"), col("doc_id"), col("p"))
       .write.partitionBy("word_bucket").mode("overwrite")
       .parquet(s"$path/positions")
     spark.range(1).select(lit(nBuckets.toLong).as("n_buckets"))
       .write.mode("overwrite").parquet(s"$path/stats")
+    // LAST write, batch id atomic with it — the writeLm stream contract
     writeIndexMeta(spark, path,
-      readIndexEpoch(spark, path).getOrElse(0L) + 1L)
+      readIndexEpoch(spark, path).getOrElse(0L) + 1L, batchId)
   }
+
+  /** Bucketed (doc_id, p, word) postings — ONE definition shared by the
+    * rebuild and merge paths, so a tokenization change can never make
+    * the two artifact lifecycles diverge (the phraseFold rule). */
+  private def bucketedPostings(df: DataFrame, textCol: String,
+      idCol: String, nBuckets: Long): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("p", "word")))
+      .withColumn("word_bucket",
+        pmod(xxhash64(col("word")), lit(nBuckets)))
 
   /** Incremental positional-index maintenance: postings are
     * PER-DOCUMENT (positions are offsets within each doc), so a batch of
@@ -163,10 +172,7 @@ object Retrieval {
     val staging = s"$path/_staging_$targetGen"
     val (f, sp) = ObservationStore.fs(spark, staging)
     if (f.exists(sp)) f.delete(sp, true)
-    val newPos = batch.select(col(idCol).as("doc_id"),
-        posexplode(tokens(col(textCol))).as(Seq("p", "word")))
-      .withColumn("word_bucket",
-        pmod(xxhash64(col("word")), lit(nBuckets)))
+    val newPos = bucketedPostings(batch, textCol, idCol, nBuckets)
       .localCheckpoint(false) // feeds the touched-bucket list AND the write
     val touched = newPos.select("word_bucket").distinct()
       .collect().map(_.getLong(0))
@@ -222,12 +228,17 @@ object Retrieval {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
+        // probe the META file (the build's LAST write, batch id riding
+        // it): a crashed first build replays as a clean rebuild, a
+        // committed one as an exactly-once skip — probing a data table
+        // would let a half-built artifact replay as a double-counting
+        // merge (the streamLm rationale)
         if (batch.isEmpty) ()
-        else if (!ObservationStore.pathExists(spark, s"$path/stats")) {
-          writePositionalIndex(batch, textCol, idCol, path, nBuckets)
-          writeIndexMeta(spark, path,
-            readIndexEpoch(spark, path).getOrElse(1L), Some(bid))
-        } else mergePositionalIndex(spark, path, batch, textCol, idCol,
+        else if (!ObservationStore.pathExists(spark,
+            s"$path/_graft_meta.json"))
+          writePositionalIndex(batch, textCol, idCol, path, nBuckets,
+            Some(bid))
+        else mergePositionalIndex(spark, path, batch, textCol, idCol,
           Some(bid))
       }
       .start()
@@ -363,7 +374,8 @@ object Retrieval {
     * layout parameter that can drift from the written layout silently
     * drops rows). */
   def writeIndex(df: DataFrame, textCol: String, idCol: String,
-      path: String, nBuckets: Int = 64): Unit = {
+      path: String, nBuckets: Int = 64,
+      batchId: Option[Long] = None): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     // an empty corpus would persist n_docs=0 with a NULL sum_dl that
     // indexTopK reads back as 0 — refuse to write a degenerate index
@@ -384,8 +396,11 @@ object Retrieval {
         sum(size(tokens(col(textCol)))).as("sum_dl"),
         lit(nBuckets.toLong).as("n_buckets"))
       .write.mode("overwrite").parquet(s"$path/stats")
-    // a rebuild of an existing index advances the generation, never resets
-    writeIndexMeta(spark, path, readIndexEpoch(spark, path).getOrElse(0L) + 1L)
+    // a rebuild of an existing index advances the generation, never
+    // resets; the meta write is LAST and carries the builder's batch id
+    // atomically (the writeLm stream contract)
+    writeIndexMeta(spark, path,
+      readIndexEpoch(spark, path).getOrElse(0L) + 1L, batchId)
   }
 
   /** Index generation: advanced once per committed write/merge. */
@@ -563,13 +578,17 @@ object Retrieval {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
+        // probe the META file, not a data table: writeIndex writes the
+        // meta LAST with the batch id atomic on it, so a first batch
+        // that crashed mid-build replays as a clean rebuild and a
+        // committed one as an exactly-once skip — a stats-table probe
+        // had a window where a half-built index replayed as a
+        // double-counting merge
         if (batch.isEmpty) () // empty micro-batch: nothing to merge
-        else if (!ObservationStore.pathExists(spark, s"$path/stats")) {
-          writeIndex(batch, textCol, idCol, path, nBuckets)
-          // record the first batch's id too, so its replay is a no-op
-          writeIndexMeta(spark, path,
-            readIndexEpoch(spark, path).getOrElse(1L), Some(bid))
-        } else mergeIndex(spark, path, batch, textCol, idCol, Some(bid))
+        else if (!ObservationStore.pathExists(spark,
+            s"$path/_graft_meta.json"))
+          writeIndex(batch, textCol, idCol, path, nBuckets, Some(bid))
+        else mergeIndex(spark, path, batch, textCol, idCol, Some(bid))
       }
       .start()
 

@@ -982,7 +982,8 @@ object EventQueries {
         |x AS (SELECT CAST(SUM(n * n) AS BIGINT) AS exact_f2
         |      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n
         |            FROM events GROUP BY user_id))
-        |SELECT CAST(z.j AS BIGINT) AS j, z.z, z.z * z.z AS f2_est,
+        |SELECT CAST(z.j AS BIGINT) AS j, z.z,
+        |       CAST(CAST(z.z AS HUGEINT) * z.z AS BIGINT) AS f2_est,
         |       x.exact_f2
         |FROM z, x
         |""".stripMargin,
@@ -1020,7 +1021,7 @@ object EventQueries {
         |         CAST(COUNT(*) AS BIGINT) AS c
         |  FROM bv CROSS JOIN rws GROUP BY 1, 2),
         |dots AS (
-        |  SELECT ac.r, CAST(SUM(ac.c * bc.c) AS BIGINT) AS dot
+        |  SELECT ac.r, SUM(CAST(ac.c AS HUGEINT) * bc.c) AS dot
         |  FROM ac JOIN bc ON ac.r = bc.r AND ac.p = bc.p
         |  GROUP BY 1),
         |m AS (SELECT MIN(dot) AS est FROM dots),
@@ -1032,8 +1033,10 @@ object EventQueries {
         |  JOIN (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS nb
         |        FROM events WHERE event_type = 'purchase' GROUP BY 1) b
         |    ON a.user_id = b.user_id)
-        |SELECT CAST(dots.r AS BIGINT) AS r, dots.dot,
-        |       m.est AS est_join_size, x.exact_join_size
+        |SELECT CAST(dots.r AS BIGINT) AS r,
+        |       CAST(dots.dot AS BIGINT) AS dot,
+        |       CAST(m.est AS BIGINT) AS est_join_size,
+        |       x.exact_join_size
         |FROM dots, m, x
         |""".stripMargin,
 

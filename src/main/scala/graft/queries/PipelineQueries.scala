@@ -1719,11 +1719,21 @@ object PipelineQueries {
          |FROM ep LEFT JOIN mh m ON ep.id_a = m.id_a AND ep.id_b = m.id_b
          |""".stripMargin,
 
-    // Deep chains have a closed-form reachability: the component of a
-    // doc in a (i, i+1)-within-50-block chain graph is its block floor.
+    // Gaps-and-islands reachability for the chain graph: a doc links to
+    // doc+1 iff both exist in the same 50-block, so each component is a
+    // maximal consecutive run within a block — component = MIN over the
+    // (run, block) island. Derived from the ids actually present, NOT
+    // from an assumed contiguous 0-based id space (data-shape coupling
+    // would break the gate on any future corpus-generator change).
     "components_chain_star" ->
-      """SELECT doc_id AS id, (doc_id // 50) * 50 AS component
-        |FROM documents
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS rn
+        |  FROM documents)
+        |SELECT doc_id AS id,
+        |       MIN(doc_id) OVER (
+        |         PARTITION BY doc_id - rn, doc_id // 50) AS component
+        |FROM d
         |""".stripMargin,
 
     // Connected components as a recursive reachability closure: reach(id,

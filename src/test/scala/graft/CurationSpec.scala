@@ -985,7 +985,8 @@ class CurationSpec extends AnyFunSuite {
     val exact = rows.groupBy("user_id").count()
       .agg(sum(expr("count * count"))).head().getLong(0)
     val ests = Curation.f2Sketch(rows, "user_id", k = 8)
-      .collect().map(_.getAs[Long]("f2_est")).sorted
+      .collect()
+      .map(_.getAs[java.math.BigDecimal]("f2_est").longValueExact()).sorted
     val median = ests(ests.length / 2)
     // AMS stderr at k=8 is ~50% — assert the right order of magnitude
     assert(median > exact / 4 && median < exact * 4,
@@ -994,7 +995,7 @@ class CurationSpec extends AnyFunSuite {
     val a = (1L to 300L).toDF("user_id")
     val b = (200L to 500L).flatMap(u => Seq.fill(2)(u)).toDF("user_id")
     val est = Curation.cmJoinSize(a, "user_id", b, "user_id")
-      .head().getAs[Long]("est_join_size")
+      .head().getAs[java.math.BigDecimal]("est_join_size").longValueExact()
     val exactJoin = a.join(b, "user_id").count()
     assert(exactJoin == 202L) // 200..300 shared, ×2 copies on b
     // CM inner product never undercounts (collision terms only add)
@@ -1059,6 +1060,13 @@ class CurationSpec extends AnyFunSuite {
     Curation.mergeLm(spark, q, d.filter(col("doc_id") > 2), "text",
       batchId = Some(3L)) // replay
     assert(scores(q) == expected)
+    // FIRST-batch replay: the build records its batch id atomically
+    // with the meta (its last write), so a redelivered first batch that
+    // takes the merge path is a no-op, never a double-count
+    val fb = java.nio.file.Files.createTempDirectory("graft-lm-fb").toString
+    Curation.writeLm(d, "text", fb, batchId = Some(0L))
+    Curation.mergeLm(spark, fb, d, "text", batchId = Some(0L)) // replay
+    assert(scores(fb) == expected)
   }
 
   test("goodTuring: hand-checked frequency-of-frequencies and r*") {
