@@ -260,6 +260,28 @@ object Curation {
       .withColumn("contaminated", (col("n_shared_grams") > 0).cast("long"))
   }
 
+  /** Corpus SNAPSHOT DIFF: doc-level added/removed/changed/unchanged
+    * between two corpus versions, keyed on id with change detected by
+    * content hash — the planning step of an INCREMENTAL curation run
+    * (re-tokenize/re-score/re-index only `added ∪ changed`, tombstone
+    * `removed`, skip the unchanged bulk; the crawl-side counterpart is
+    * [[Robots]]' crawl_diff, this is the corpus side). One full-outer
+    * equi-join on the id with md5 digests computed map-side — linear,
+    * no content shuffled (the hashes travel, not the text). */
+  def corpusDiff(oldCorpus: DataFrame, newCorpus: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val o = oldCorpus.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("_oh"))
+    val n = newCorpus.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("_nh"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("_oh").isNull, "added")
+          .when(col("_nh").isNull, "removed")
+          .when(col("_oh") === col("_nh"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Per-key RELATIVE quality filter (the CCNet stance): keep a row iff
     * its score clears its OWN key's quantile, not a global constant — a
     * fixed threshold tuned on one domain silently empties another (legal

@@ -415,6 +415,20 @@ object CurationQueries {
         graft.Graft.table(s, dir, "events")
           .select(col("user_id").cast("string").as("v")), "v")),
 
+    // Corpus snapshot diff: v2 drops doc_id%11=0, rewrites %7=0 (suffix
+    // appended), adds shifted copies of %13=0 — the incremental-run
+    // planning output (process added∪changed only).
+    "corpus_diff" -> ((s, dir) => {
+      val v1 = docs(s, dir).select(col("doc_id"), col("text"))
+      val v2 = v1.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(v1.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Curation.corpusDiff(v1, v2, "doc_id", "text")
+    }),
+
     // Per-source RELATIVE length filter: keep docs at or above their own
     // source's median n_chars — the adaptive per-domain threshold a
     // global cut can't express.
@@ -1360,6 +1374,23 @@ object CurationQueries {
         |            // dg.n_grams AS BIGINT) AS novelty_pct
         |FROM dg LEFT JOIN ref r ON dg.gram = r.gram
         |GROUP BY 1, 2
+        |""".stripMargin,
+
+    "corpus_diff" ->
+      """WITH v2 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+        |              ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |  WHERE doc_id % 13 = 0)
+        |SELECT COALESCE(d.doc_id, v2.doc_id) AS doc_id,
+        |       CASE WHEN d.doc_id IS NULL THEN 'added'
+        |            WHEN v2.doc_id IS NULL THEN 'removed'
+        |            WHEN md5(d.text) = md5(v2.text) THEN 'unchanged'
+        |            ELSE 'changed' END AS status
+        |FROM documents d FULL OUTER JOIN v2 ON d.doc_id = v2.doc_id
         |""".stripMargin,
 
     "relative_filter" ->
