@@ -985,8 +985,7 @@ class CurationSpec extends AnyFunSuite {
     val exact = rows.groupBy("user_id").count()
       .agg(sum(expr("count * count"))).head().getLong(0)
     val ests = Curation.f2Sketch(rows, "user_id", k = 8)
-      .collect()
-      .map(_.getAs[java.math.BigDecimal]("f2_est").longValueExact()).sorted
+      .collect().map(_.getAs[Long]("f2_est")).sorted
     val median = ests(ests.length / 2)
     // AMS stderr at k=8 is ~50% — assert the right order of magnitude
     assert(median > exact / 4 && median < exact * 4,
@@ -995,7 +994,7 @@ class CurationSpec extends AnyFunSuite {
     val a = (1L to 300L).toDF("user_id")
     val b = (200L to 500L).flatMap(u => Seq.fill(2)(u)).toDF("user_id")
     val est = Curation.cmJoinSize(a, "user_id", b, "user_id")
-      .head().getAs[java.math.BigDecimal]("est_join_size").longValueExact()
+      .head().getAs[Long]("est_join_size")
     val exactJoin = a.join(b, "user_id").count()
     assert(exactJoin == 202L) // 200..300 shared, ×2 copies on b
     // CM inner product never undercounts (collision terms only add)
