@@ -342,4 +342,51 @@ class EdgeCaseSpec extends AnyFunSuite {
       Seq((1L, "the and of")).toDF("doc_id", "text"),
       "text", "doc_id").count() == 0)
   }
+
+  test("round-12 operators on degenerate inputs") {
+    import graft.operators.{Curation, Dedup, Events, Retrieval,
+      TextAnalysis}
+    // goodTuring: single-word corpus — one (r=1, N_1=1) row, all mass
+    // unseen except the word itself
+    val gt = Curation.goodTuring(Seq("only").toDF("text"), "text")
+      .collect()
+    assert(gt.length == 1 && gt.head.getAs[Long]("r") == 1L &&
+      gt.head.getAs[Long]("p_unseen_ppb") == 1000000000L)
+    // f2Sketch: empty input — k rows of z=0, est=0 (sum over nothing)
+    val f2 = Curation.f2Sketch(
+      Seq.empty[String].toDF("v"), "v", k = 4).collect()
+    assert(f2.isEmpty || f2.forall(_.getAs[Long]("f2_est") == 0L))
+    // cusum: single key, single hour — peak 0 at that hour
+    val cu = Events.cusumPeaks(
+      Seq((Timestamp.valueOf("2024-01-01 00:30:00"), "x"))
+        .toDF("ts", "event_type"), "ts", "event_type").head()
+    assert(cu.getAs[Long]("peak_cusum") == 0L &&
+      cu.getAs[Long]("n_windows") == 1L)
+    // relativeFilter: constant scores — everything clears its own median
+    assert(Curation.relativeFilter(
+      Seq((1L, "a", 5L), (2L, "a", 5L)).toDF("id", "k", "s"),
+      "k", "s").count() == 2)
+    // ngramNovelty against an EMPTY reference: everything is novel
+    val nv = Curation.ngramNovelty(
+      Seq((1L, "a b c d")).toDF("doc_id", "text"),
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "text", "doc_id").head()
+    assert(nv.getAs[Long]("novelty_pct") == 100L)
+    // anchors: page with no links at all
+    assert(Seq("<p>plain</p>").toDF("t")
+      .select(TextAnalysis.htmlAnchors(
+        org.apache.spark.sql.functions.col("t")))
+      .collect().head.getSeq[Any](0).isEmpty)
+    // star contraction with no pairs: every id its own component
+    assert(Dedup.connectedComponentsStar(
+      Seq(1L, 2L).toDF("doc_id"), "doc_id",
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap == Map(1L -> 1L, 2L -> 2L))
+    // rankingEval with k larger than any list: hits bounded by rel ∩ list
+    val re = Retrieval.rankingEval(
+      Seq(("q", 1L, 1L)).toDF("query_id", "doc_id", "rank"),
+      Seq(("q", 1L)).toDF("query_id", "doc_id"), k = 100).head()
+    assert(re.getAs[Long]("rr_ppm") == 1000000L &&
+      re.getAs[Long]("hits_at_k") == 1L)
+  }
 }
