@@ -539,6 +539,36 @@ object TextAnalysis {
         max(col("n")).cast("long").as("top_anchor_n"))
   }
 
+  /** READABILITY inputs (Flesch/Flesch-Kincaid family) in exact
+    * integers: per document the sentence count (terminal-punctuation
+    * runs, floored at 1 — a fragment is one sentence), word count, and
+    * syllable proxy (vowel-GROUP count, the standard heuristic — spaces
+    * break groups, so the whole-text count equals the per-word sum),
+    * plus the two ratios every formula combines, as exact-integer ppm
+    * (`words·10⁶ div sentences`, `syllables·10⁶ div words`). The famous
+    * constants (206.835, 1.015, 84.6 / 0.39, 11.8, 15.59) are LINEAR in
+    * these ratios, so callers compose any member of the family without
+    * the engine baking in one formula's floats. Zero-word documents
+    * emit 0 ratios rather than dropping (a curation filter wants to SEE
+    * the empty doc). Narrow codegen'd regex pass, zero shuffle. */
+  def readability(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val words = size(split(trim(col(textCol)), "\\s+"))
+    val nWords = when(length(trim(col(textCol))) === 0, 0L)
+      .otherwise(words.cast("long"))
+    val nSents = greatest(lit(1L),
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0)))
+        .cast("long"))
+    val nSyll = size(regexp_extract_all(lower(col(textCol)),
+      lit("[aeiouy]+"), lit(0))).cast("long")
+    df.select(col(idCol).as("doc_id"), nSents.as("n_sentences"),
+        nWords.as("n_words"), nSyll.as("n_syllable_groups"))
+      .withColumn("wps_ppm",
+        expr("n_words * 1000000 div n_sentences"))
+      .withColumn("spw_ppm", when(col("n_words") === 0, 0L)
+        .otherwise(expr("n_syllable_groups * 1000000 div n_words")))
+  }
+
   // -------------------------------------------------- text normalization
 
   /** Unicode NFC normalization (canonical composition) — the codegen'd

@@ -489,6 +489,12 @@ object PipelineQueries {
           col("link"))
     }),
 
+    // Readability inputs in exact integers: sentence/word/vowel-group
+    // counts + the two ppm ratios every Flesch-family formula is linear
+    // in — the classic curation quality signal.
+    "readability" -> ((s, dir) =>
+      TextAnalysis.readability(docs(s, dir), "text", "doc_id")),
+
     // (href, anchor text) pairs from the same synthesized pages —
     // extraction keeps the LABEL, not just the edge; the oracle states
     // the three per-doc anchors straight from the template.
@@ -2496,6 +2502,26 @@ object PipelineQueries {
         |FROM documents
         |UNION ALL
         |SELECT doc_id, 2, '#frag' FROM documents
+        |""".stripMargin,
+
+    "readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         GREATEST(CAST(1 AS BIGINT),
+        |           CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |             AS BIGINT)) AS n_sentences,
+        |         CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+        |              ELSE CAST(len(regexp_split_to_array(trim(text),
+        |                '\s+')) AS BIGINT) END AS n_words,
+        |         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |           AS BIGINT) AS n_syllable_groups
+        |  FROM documents)
+        |SELECT doc_id, n_sentences, n_words, n_syllable_groups,
+        |       CAST(n_words * 1000000 // n_sentences AS BIGINT) AS wps_ppm,
+        |       CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT)
+        |            ELSE CAST(n_syllable_groups * 1000000 // n_words
+        |              AS BIGINT) END AS spw_ppm
+        |FROM c
         |""".stripMargin,
 
     "html_anchors" ->
