@@ -651,6 +651,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(links(1) == Seq.empty)
   }
 
+  test("readability: hand-counted sentences, words, vowel groups") {
+    val df = Seq(
+      (1L, "The cat sat. It purred!"), // 2 sentences, 5 words
+      (2L, ""), (3L, "fragment without end"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.readability(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_sentences"), r.getAs[Long]("n_words"),
+          r.getAs[Long]("n_syllable_groups"), r.getAs[Long]("wps_ppm"),
+          r.getAs[Long]("spw_ppm"))).toMap
+    // vowel groups in "the cat sat. it purred!": e,a,a,i,u,e = 6
+    assert(out(1L) == ((2L, 5L, 6L, 2500000L, 1200000L)))
+    assert(out(2L) == ((1L, 0L, 0L, 0L, 0L)))     // empty doc visible
+    assert(out(3L) == ((1L, 3L, 5L, 3000000L, 1666666L)))
+  }
+
   test("htmlAnchors pairs hrefs with trimmed labels; nested markup skipped") {
     val html = """<a href="/a"> click me </a><A Href="http://h/">Y</A>""" +
       """<a data-href="/no">z</a><a href="/rich"><b>bold</b></a>""" +
