@@ -1374,20 +1374,25 @@ object Curation {
     * ~F2·√(2/8)); the per-estimator rows are emitted (not the median)
     * so the DuckDB oracle can restate them value for value.
     *
-    * Shape: one k-way explode (k rows per input row, k tiny) into a
-    * k-key map-side-combined aggregation — shuffle is k rows total.
+    * Shape: the k signed sums fold in ONE narrow pass via the
+    * [[org.apache.spark.sql.graft.F2Sums]] typed aggregate (k-long
+    * buffer, elementwise-sum merge — the CmSketch pattern); the r12
+    * formulation exploded every row k ways first, an 8× row
+    * multiplication of the corpus that the aggregate makes unnecessary
+    * (spec-pinned equal to the explode formulation in CurationSpec).
+    * NULLs are skipped — F2 is the self-join size and an equi-join never
+    * matches NULL; the old constant −1 sign for nulls shifted every Z_j
+    * by −N and inflated every estimate by N² on null-heavy columns.
     * |Z_j| ≤ rows fits a Long at any scale, but Z² does NOT (2⁶³² needs
     * 126 bits), so the square is DECIMAL(38,0) — the labelSum rule. */
   def f2Sketch(df: DataFrame, valueCol: String, k: Int = 8): DataFrame = {
     require(k >= 1 && k <= 64, s"f2Sketch: k in [1,64], got $k")
-    df.select(col(valueCol).cast("string").as("v"),
-        explode(sequence(lit(0), lit(k - 1))).as("j"))
-      .select(col("j"),
-        when(expr("CAST(conv(substr(md5(concat(j, ':', v)), 1, 1), 16, 10) " +
-          "AS INT) % 2 = 0"), lit(1L))
-          .otherwise(lit(-1L)).as("s"))
-      .groupBy(col("j"))
-      .agg(sum(col("s")).cast("long").as("z"))
+    df.agg(org.apache.spark.sql.GraftShims.column(
+        org.apache.spark.sql.graft.F2Sums(
+          org.apache.spark.sql.GraftShims.expression(
+            col(valueCol).cast("string")), k)
+          .toAggregateExpression()).as("zs"))
+      .select(posexplode(col("zs")).as(Seq("j", "z")))
       // the square computes in DECIMAL then narrows to long — beyond
       // 2⁶³ (a self-join size past 9e18, i.e. |z| > 3e9 rows of one
       // value) the ANSI cast FAILS LOUDLY instead of wrapping into a

@@ -581,42 +581,49 @@ object Dedup {
     val longIds = p.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
     if (longIds && p.count() <= smallGraphMaxEdges) {
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      // PRIMITIVE collection end to end: Row objects (~70 B each, boxed
+      // Longs) plus a boxed HashMap would put the real heap at ~10× the
+      // raw-longs estimate at the 2 M-edge bound — specialized
+      // Tuple2[Long, Long] via the tuple encoder (24 B flat objects, no
+      // boxing) and an open-addressed long→long table keep the worst
+      // case at ~48 MB of edges + ~130 MB of fully-grown table, inside
+      // any serving driver's headroom.
+      val edgesArr = p.as[(Long, Long)].collect()
+      val parent = new Dedup.LongLongMap()
       def find(x: Long): Long = {
         var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
         var c = x
-        while (parent.getOrElse(c, c) != c) {
-          val next = parent.getOrElse(c, c)
-          parent(c) = r
+        while (parent.getOrDefault(c, c) != c) {
+          val next = parent.getOrDefault(c, c)
+          parent.put(c, r)
           c = next
         }
         r
       }
-      val rows = p.collect()
-      rows.foreach { row =>
-        val a = find(row.getLong(0))
-        val b = find(row.getLong(1))
-        if (a != b) parent(math.max(a, b)) = math.min(a, b)
+      edgesArr.foreach { case (u, v) =>
+        val a = find(u)
+        val b = find(v)
+        if (a != b) parent.put(math.max(a, b), math.min(a, b))
       }
       // min-id labeling: find() already returns the smallest id of the
       // set because union always parents the larger root to the smaller
-      val labeled = parent.keys.toSeq.map(x => (x, find(x)))
+      val labeled = Seq.newBuilder[(Long, Long)]
+      parent.foreachKey(x => labeled += ((x, find(x))))
       // O(E) driver-side invariant check — deliberate, reviewed, kept:
       // mathematically it cannot fire, but a silently dropped union
       // means duplicates SURVIVE dedup (this operator's worst failure
       // mode, and one a hash-gate on a small corpus can miss), and at
       // the 2M-edge cap the re-walk is ~2 path-compressed lookups per
       // edge ≈ milliseconds next to the collect that preceded it
-      rows.foreach { row =>
-        val (a, b) = (row.getLong(0), row.getLong(1))
+      edgesArr.foreach { case (a, b) =>
         require(find(a) == find(b),
           s"union-find invariant broken: edge ($a,$b) endpoints labeled " +
-            s"${find(a)} vs ${find(b)} over ${rows.length} edges")
+            s"${find(a)} vs ${find(b)} over ${edgesArr.length} edges")
       }
-      val spark = pairs.sparkSession
-      import spark.implicits._
-      val compDf = labeled.toDF("cid", "ccomp")
+      val compDf = labeled.result().toDF("cid", "ccomp")
       return ids.select(col(idCol).as("id"))
         .join(broadcast(compDf), col("id") === col("cid"), "left")
         .select(col("id"),
@@ -764,14 +771,23 @@ object Dedup {
     }
     // ONE unchanged round proves convergence: the alternation is a
     // deterministic function of the edge set, so e == f(e) is a fixed
-    // point forever — a second confirmation round would only re-prove it
+    // point forever — a second confirmation round would only re-prove
+    // it. The (count, hash-sum) fingerprint is the cheap per-round
+    // screen; a sum COLLISION between two differing consecutive rounds
+    // would otherwise declare false convergence and return wrong labels
+    // with no error, so a fingerprint match is CONFIRMED exactly once
+    // with the real set difference — counts already match, and both
+    // sides are distinct()-ed, so one-direction emptiness proves
+    // equality. The exact check runs once per convergence (not per
+    // round) against two already-checkpointed frames.
     var stable = false
     var rounds = 0
     while (!stable && rounds < maxRounds) {
+      val prevE = e
       val (watched, readBack) = checksummed(smallStar(largeStar(e)))
       e = cut(watched) // materializes; the observe metrics ride along
       val c = readBack()
-      stable = c == prev
+      stable = c == prev && prevE.exceptAll(e).isEmpty
       prev = c
       rounds += 1
     }
@@ -865,5 +881,72 @@ object Dedup {
         expr("size(filter(zip_with(split(fp_a, ''), split(fp_b, ''), (x, y) -> x <> y), v -> v))"))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Open-addressed long→long hash table for the union-find fast path:
+    * flat primitive arrays (no boxing, no Entry objects), linear
+    * probing, doubling growth from 64 Ki slots. At the 2 M-edge
+    * collect bound the worst case (~4 M entries) tops out around
+    * 130 MB of arrays — versus ~1 GB+ for the boxed
+    * `mutable.HashMap[Long, Long]` it replaces. A `used` bitmap-free
+    * sentinel would steal one key value; real ids include 0 and
+    * hash-derived values near ±2⁶³, so occupancy is a parallel
+    * boolean array instead. */
+  private[operators] final class LongLongMap(initialCapacity: Int = 1 << 16) {
+    private var cap = Integer.highestOneBit(
+      math.max(16, initialCapacity - 1)) << 1
+    private var keys = new Array[Long](cap)
+    private var vals = new Array[Long](cap)
+    private var used = new Array[Boolean](cap)
+    private var n = 0
+
+    private def slot(k: Long): Int = {
+      // splitmix64-style finalizer: linear probing needs well-mixed
+      // low bits or sequential ids cluster into long probe chains
+      var h = k
+      h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+      h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+      var i = ((h ^ (h >>> 31)).toInt) & (cap - 1)
+      while (used(i) && keys(i) != k) i = (i + 1) & (cap - 1)
+      i
+    }
+
+    def getOrDefault(k: Long, default: Long): Long = {
+      val i = slot(k)
+      if (used(i)) vals(i) else default
+    }
+
+    def put(k: Long, v: Long): Unit = {
+      val i = slot(k)
+      if (!used(i)) {
+        used(i) = true
+        keys(i) = k
+        vals(i) = v
+        n += 1
+        if (n.toLong * 4 > cap.toLong * 3) grow()
+      } else vals(i) = v
+    }
+
+    def foreachKey(f: Long => Unit): Unit = {
+      var i = 0
+      while (i < cap) {
+        if (used(i)) f(keys(i))
+        i += 1
+      }
+    }
+
+    private def grow(): Unit = {
+      val (ok, ov, ou, oc) = (keys, vals, used, cap)
+      cap = oc << 1
+      keys = new Array[Long](cap)
+      vals = new Array[Long](cap)
+      used = new Array[Boolean](cap)
+      n = 0
+      var i = 0
+      while (i < oc) {
+        if (ou(i)) put(ok(i), ov(i))
+        i += 1
+      }
+    }
   }
 }

@@ -479,20 +479,57 @@ object Events {
     * idiom: the recursive max(0, ·) is order-dependent, which no window
     * function expresses, but per-key state is bounded (hours in a
     * retention span, not events), so the collect_list is small by
-    * construction. */
+    * construction — and that bound is ENFORCED: the call fails fast
+    * (require) when the densified span would exceed `maxWindows`
+    * windows per key (default 200 000 ≈ 22 years of hours / 138 days
+    * of minutes), instead of silently building multi-megabyte per-key
+    * rows on an unbounded input. */
   def cusumPeaks(events: DataFrame, tsCol: String, keyCol: String,
-      unit: String = "hour"): DataFrame = {
+      unit: String = "hour", maxWindows: Long = 200000L): DataFrame = {
     require(Set("minute", "hour", "day")(unit),
       s"unit must be minute/hour/day, got $unit")
+    require(maxWindows >= 1, s"maxWindows must be >= 1, got $maxWindows")
     def us(c: Column): Column = unix_micros(c.cast("timestamp_ltz"))
     val w = date_trunc(unit, col(tsCol))
     val counts = events
       .select(col(keyCol).as("key"), w.as("ws"))
       .groupBy(col("key"), col("ws"))
       .agg(count(lit(1)).as("n"))
-    val span = counts.agg(min(col("ws")).as("lo"), max(col("ws")).as("hi"))
-    val hours = span.select(explode(expr(
-      s"sequence(lo, hi, interval 1 $unit)")).as("ws"))
+    // The "bounded by construction" claim is ENFORCED, not assumed: the
+    // per-key collect_list below holds H structs per key, fine for a
+    // retention-bounded span but catastrophic for, say, ten years at
+    // minute granularity (5.3 M structs in one row). The span is tiny
+    // (one min/max row), so the guard collects it up front and the
+    // densification sequence is built from the collected literals —
+    // same plan shape, one fewer in-plan aggregation.
+    val spanRow = counts
+      .agg(min(us(col("ws"))).as("lo"), max(us(col("ws"))).as("hi")).head()
+    if (spanRow.isNullAt(0)) {
+      // no events at all: zero keys, zero rows — preserve the schema
+      return counts.groupBy(col("key"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(col("n")).cast("long").as("total_events"))
+        .select(col("key").as(keyCol), col("n_windows"),
+          col("total_events"), lit(0L).as("peak_cusum"),
+          lit(0L).as("peak_window"))
+    }
+    val (loUs, hiUs) = (spanRow.getLong(0), spanRow.getLong(1))
+    val unitMicros = unit match {
+      case "minute" => 60000000L
+      case "hour"   => 3600000000L
+      case _        => 86400000000L
+    }
+    val nWindows = (hiUs - loUs) / unitMicros + 1L
+    require(nWindows <= maxWindows,
+      s"cusumPeaks would densify $nWindows $unit windows per key (span " +
+        s"${java.time.Instant.ofEpochMilli(loUs / 1000)} .. " +
+        s"${java.time.Instant.ofEpochMilli(hiUs / 1000)}), above " +
+        s"maxWindows=$maxWindows — bound the input to a retention span " +
+        "or raise maxWindows explicitly")
+    val hours = events.sparkSession.range(1)
+      .select(explode(expr(
+        s"sequence(timestamp_micros(${loUs}L), timestamp_micros(${hiUs}L), " +
+          s"interval 1 $unit)")).as("ws"))
     val dense = counts.select(col("key")).distinct()
       .crossJoin(broadcast(hours))
       .join(counts, Seq("key", "ws"), "left")

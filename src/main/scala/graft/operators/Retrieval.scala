@@ -691,7 +691,12 @@ object Retrieval {
     * produces after a deterministic (score desc, doc_id asc) ordering.
     * `qrels`: (query_id, doc_id) relevance pairs. Queries present only
     * in `qrels` (retrieval whiffed completely) still emit a row — a
-    * silent drop would overstate MRR, the classic eval bug.
+    * silent drop would overstate MRR, the classic eval bug — and so do
+    * queries present only in `results` (no relevance judgments: the
+    * mirror-image drop, which a caller averaging rr_ppm over OUTPUT
+    * rows would read as inflated MRR); those emit `n_rel = 0` rows
+    * with `best_rank`/`rr_ppm`/`hits_at_k` all 0, since nothing in an
+    * unjudged query can be relevant.
     *
     * Shape: one equi-join on (query_id, doc_id) + two query-count-sized
     * aggregations — queries are few, documents are not; nothing here
@@ -709,8 +714,8 @@ object Retrieval {
           .otherwise(0L)).as("hits_at_k"))
     val nRel = rel.groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_rel"))
-    nRel.join(perQuery, Seq("query_id"), "left")
-      .select(col("query_id"), col("n_rel"),
+    nRel.join(perQuery, Seq("query_id"), "full_outer")
+      .select(col("query_id"), coalesce(col("n_rel"), lit(0L)).as("n_rel"),
         coalesce(col("best_rank"), lit(0L)).as("best_rank"),
         coalesce(expr("1000000 div best_rank"), lit(0L)).as("rr_ppm"),
         coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"))

@@ -970,7 +970,8 @@ object EventQueries {
         |""".stripMargin,
 
     "f2_sketch" ->
-      """WITH v AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events),
+      """WITH v AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events
+        |           WHERE user_id IS NOT NULL),
         |js AS (SELECT UNNEST(generate_series(0, 7)) AS j),
         |s AS (
         |  SELECT js.j,

@@ -305,11 +305,11 @@ object RetrievalQueries {
          |nrel AS (
          |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
          |  FROM qrels GROUP BY 1)
-         |SELECT n.query_id, n.n_rel,
+         |SELECT query_id, CAST(COALESCE(n.n_rel, 0) AS BIGINT) AS n_rel,
          |       CAST(COALESCE(p.best_rank, 0) AS BIGINT) AS best_rank,
          |       CAST(COALESCE(1000000 // p.best_rank, 0) AS BIGINT) AS rr_ppm,
          |       CAST(COALESCE(p.hits_at_k, 0) AS BIGINT) AS hits_at_k
-         |FROM nrel n LEFT JOIN per p USING (query_id)
+         |FROM nrel n FULL OUTER JOIN per p USING (query_id)
          |""".stripMargin,
 
     // Per pattern the naive overlapping-substring count (every start

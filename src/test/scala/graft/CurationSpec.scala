@@ -978,6 +978,34 @@ class CurationSpec extends AnyFunSuite {
     assert(est.getAs[Long]("n_zero") == 256 - expected.size)
   }
 
+  test("f2Sketch one-pass aggregate ≡ the k-way explode formulation") {
+    // the r12 formulation, restated: explode k ways, sign from the md5
+    // first-nibble parity, groupBy(j) — the typed aggregate must produce
+    // the SAME Z_j bit for bit (same hash convention, no row blow-up)
+    val rows = (1L to 500L).flatMap(u =>
+      Seq.fill(if (u % 7 == 0) 3 else 1)(u)).toDF("user_id")
+      .repartition(7) // sums must be partitioning-independent
+    val k = 8
+    val explodeZ = rows
+      .select(col("user_id").cast("string").as("v"),
+        explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .select(col("j"),
+        when(expr("CAST(conv(substr(md5(concat(j, ':', v)), 1, 1), 16, 10)" +
+          " AS INT) % 2 = 0"), lit(1L)).otherwise(lit(-1L)).as("s"))
+      .groupBy(col("j")).agg(sum(col("s")).cast("long").as("z"))
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    val aggZ = Curation.f2Sketch(rows, "user_id", k)
+      .collect().map(r => r.getAs[Long]("j") -> r.getAs[Long]("z")).toMap
+    assert(aggZ == explodeZ)
+    // nulls are SKIPPED (equi-join semantics): adding null rows must not
+    // move any Z_j — the r12 explode mapped them to a constant −1
+    val withNulls = rows.unionAll(
+      spark.range(50).select(lit(null).cast("long").as("user_id")))
+    val nullZ = Curation.f2Sketch(withNulls, "user_id", k)
+      .collect().map(r => r.getAs[Long]("j") -> r.getAs[Long]("z")).toMap
+    assert(nullZ == aggZ)
+  }
+
   test("f2Sketch median tracks exact F2; cmJoinSize never undercounts") {
     // skewed frequencies: a few hot users dominate F2
     val rows = (1L to 400L).flatMap(u =>

@@ -339,5 +339,19 @@ class EventsSpec extends AnyFunSuite {
     val renamed = Events.cusumPeaks(
       ev.withColumnRenamed("event_type", "tenant"), "ts", "tenant")
     assert(renamed.columns.contains("tenant"), renamed.columns.toSeq)
+    // the "bounded by construction" claim is ENFORCED: a span wider than
+    // maxWindows fails fast instead of densifying multi-MB per-key rows
+    // (here: 4 hourly windows against a bound of 2)
+    val e = intercept[IllegalArgumentException] {
+      Events.cusumPeaks(ev, "ts", "event_type", maxWindows = 2L)
+    }
+    assert(e.getMessage.contains("maxWindows"), e.getMessage)
+    // an EMPTY input returns zero rows with the full schema (the span
+    // guard must not NPE on a null min/max)
+    val empty = Events.cusumPeaks(
+      ev.filter(lit(false)), "ts", "event_type")
+    assert(empty.isEmpty && empty.columns.toSeq ==
+      Seq("event_type", "n_windows", "total_events", "peak_cusum",
+        "peak_window"))
   }
 }

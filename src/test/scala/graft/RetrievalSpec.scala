@@ -335,9 +335,13 @@ class RetrievalSpec extends AnyFunSuite {
     // q1: relevant doc 20 at rank 2 → rr 500000, hits 2 (docs 20, 30)
     // q2: nothing relevant ranked → best_rank 0, rr 0 — the row must
     //     still appear (silent drop would overstate MRR)
+    // q3: present only in RESULTS (zero relevance judgments) — must
+    //     emit an n_rel=0 row, not vanish: a caller averaging rr_ppm
+    //     over output rows would otherwise overstate MRR, the
+    //     mirror-image of the q2 bug
     val results = Seq(
       ("q1", 10L, 1L), ("q1", 20L, 2L), ("q1", 30L, 3L),
-      ("q2", 10L, 1L)).toDF("query_id", "doc_id", "rank")
+      ("q2", 10L, 1L), ("q3", 40L, 1L)).toDF("query_id", "doc_id", "rank")
     val qrels = Seq(
       ("q1", 20L), ("q1", 30L), ("q1", 99L),
       ("q2", 77L)).toDF("query_id", "doc_id")
@@ -345,7 +349,9 @@ class RetrievalSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[String]("query_id") ->
         (r.getAs[Long]("n_rel"), r.getAs[Long]("best_rank"),
           r.getAs[Long]("rr_ppm"), r.getAs[Long]("hits_at_k"))).toMap
+    assert(out.size == 3)
     assert(out("q1") == ((3L, 2L, 500000L, 1L))) // doc 30 at rank 3 > k
     assert(out("q2") == ((1L, 0L, 0L, 0L)))
+    assert(out("q3") == ((0L, 0L, 0L, 0L)))
   }
 }
