@@ -29,8 +29,10 @@ object Bench {
     * not the query); four ~47-gate children keep every measurement
     * within one young JVM's honest window. Round-robin (not contiguous
     * chunks) so the heavy gates spread evenly AND no slice is "the late
-    * alphabet". */
-  private val SweepSlices = 4
+    * alphabet". Six (was four) since the min-of-two pass doubled the
+    * runs per child — ~32 gates × 2 runs keeps each child inside the
+    * same honest window the 47 × 1 split measured clean in r12. */
+  private val SweepSlices = 6
 
   /** name → co-location group for gates sharing a per-JVM memoized
     * artifact (see sweepFragment). Keys are arbitrary distinct labels. */
@@ -65,12 +67,78 @@ object Bench {
   private def fmt(v: Double, digits: Int): String =
     String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
 
+  /** External (not-this-JVM) system CPU fraction, or -1 if the platform
+    * bean can't say. The r12 driver artifact recorded the same tree at
+    * 1.5–15× its isolated times (decode 122 k rows/s vs 1.26 M clean) —
+    * co-tenant CPU during the driver's run, invisible in the JSON. Two
+    * defenses below: phases WAIT for quiet before starting (bounded),
+    * and every phase reports the external load it actually saw, so a
+    * polluted number arrives labeled as such instead of reading as a
+    * regression. */
+  private def externalCpu(): Double = {
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    os match {
+      case b: com.sun.management.OperatingSystemMXBean =>
+        val sys = b.getCpuLoad
+        val self = b.getProcessCpuLoad
+        if (sys.isNaN || self.isNaN || sys < 0 || self < 0) -1.0
+        else math.max(0.0, sys - self)
+      case _ => -1.0
+    }
+  }
+
+  /** Block (bounded) until external CPU drops under 20% — the ScalaTest
+    * suite, DuckDB oracle runs, or another tenant finishing. Returns the
+    * last observed load. */
+  private def waitForQuiet(tag: String, maxWaitMs: Long = 180000L): Double = {
+    externalCpu() // first call primes the platform counters
+    Thread.sleep(300)
+    var waited = 0L
+    var ext = externalCpu()
+    while (ext > 0.20 && waited < maxWaitMs) {
+      System.err.println(
+        f"[bench] $tag: external CPU $ext%.2f — waiting for quiet")
+      Thread.sleep(3000)
+      waited += 3000
+      ext = externalCpu()
+    }
+    ext
+  }
+
+  /** Samples external CPU every 500 ms for the life of a phase. */
+  private final class LoadSampler {
+    private val samples =
+      new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+    @volatile private var stopped = false
+    private val t = new Thread(() => {
+      while (!stopped) {
+        val e = externalCpu()
+        if (e >= 0) samples.add(e): Unit
+        Thread.sleep(500)
+      }
+    }, "bench-load-sampler")
+    t.setDaemon(true)
+    t.start()
+    /** (mean, max) external load seen, or (-1,-1) with no samples. */
+    def finish(): (Double, Double) = {
+      stopped = true
+      import scala.jdk.CollectionConverters._
+      val xs = samples.asScala.map(_.doubleValue).toSeq
+      if (xs.isEmpty) (-1.0, -1.0) else (xs.sum / xs.size, xs.max)
+    }
+  }
+
   /** Child-JVM entry: one phase, one `{"phase":...}` line on stdout. */
   private def phaseMain(phase: String,
       frag: (SparkSession, String) => String): Unit = {
+    waitForQuiet(phase)
+    val sampler = new LoadSampler
     val spark = Graft.localSession(s"graft-bench-$phase", "32")
-    try println(s"""{"phase":"$phase",${frag(spark, sfDir)}}""")
-    finally spark.stop()
+    try {
+      val body = frag(spark, sfDir)
+      val (extMean, extMax) = sampler.finish()
+      println(s"""{"phase":"$phase","ext_cpu_mean":${fmt(extMean, 3)},"ext_cpu_max":${fmt(extMax, 3)},$body}""")
+    } finally spark.stop()
   }
 
   /** Parent: fork the two phases sequentially (each gets a clean heap
@@ -102,9 +170,17 @@ object Bench {
       "point_lookup_qps_plan", "point_lookup_qps_16w",
       "point_lookup_qps_miss", "point_lookup_qps_cached",
       "merge_batch_sec", "decode_rows_per_sec", "tcp_query_qps",
-      "prefix_lookup_qps")
+      "prefix_lookup_qps", "prefix_fan_read_frac",
+      "prefix_selective_qps", "prefix_selective_read_frac")
     val servingPart =
       servingKeys.map(k => s""""$k":${num(serving, k)}""").mkString(",")
+    // worst external CPU any phase observed — the falsifiability tag:
+    // a round whose numbers moved under ext_cpu ≈ 0 moved for real;
+    // one with ext_cpu_max ≈ 1 was measured on a contended box
+    val allPhases = serving +: sweeps
+    def maxOf(key: String): Double =
+      allPhases.map(p => num(p, key).toDouble).max
+    val extPart = s""""ext_cpu_mean":${fmt(maxOf("ext_cpu_mean"), 3)},"ext_cpu_max":${fmt(maxOf("ext_cpu_max"), 3)}"""
     // splice the slices back into one alphabetical per-query map
     val perQuery: Seq[(String, Double)] = sweeps
       .flatMap(s => "\"([A-Za-z0-9_]+)\":(-?[0-9.]+)".r
@@ -128,7 +204,7 @@ object Bench {
       .sortBy { case (k, v) => (-v, k) }.take(10)
       .map { case (k, v) => s""""$k":${fmt(v, 3)}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${perQuery.size},"sf":"$dir",$servingPart,"slowest":$top10}""")
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${perQuery.size},"sf":"$dir",$servingPart,$extPart,"slowest":$top10}""")
   }
 
   /** Re-exec this class in a fresh JVM for one phase. Works because
@@ -209,10 +285,19 @@ object Bench {
       try queries.PipelineQueries.sharedIvfPqIndex(spark, sfDir): Unit
       catch { case _: Throwable => () }
 
+    // MIN OF TWO runs per gate: a transient co-tenant burst or GC pause
+    // during one run must not print as that gate's cross-round number
+    // (r12's official artifact had gates at 5–15× their isolated times
+    // from exactly this). Min, not median: both runs compute the same
+    // plan from the same on-disk inputs, so the smaller time is the
+    // better estimate of the plan's cost and the larger one is noise by
+    // construction. The second run re-executes the full query (Spark
+    // caches nothing across actions here); gates that memoize on-disk
+    // artifacts do so deliberately (steady-state cost is the claim).
     val results: Seq[(String, Double)] =
       names.map { name =>
         val sec =
-          try runOnce(name)
+          try math.min(runOnce(name), runOnce(name))
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             -1.0
@@ -239,12 +324,16 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
       queries.util.prebuiltStorePath(spark, sfDir): Unit
     } catch { case _: Throwable => () }
-    val (buildSec, qps, planQps, wideQps, missQps, cachedQps, mergeSec,
-      tcpQps, prefixQps) =
+    val metrics =
       try benchPointLookups(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] point-lookups failed: ${e.getMessage}")
-        (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0)
+        Seq("store_build_sec", "point_lookup_qps", "point_lookup_qps_plan",
+          "point_lookup_qps_16w", "point_lookup_qps_miss",
+          "point_lookup_qps_cached", "merge_batch_sec", "tcp_query_qps",
+          "prefix_lookup_qps", "prefix_fan_read_frac",
+          "prefix_selective_qps", "prefix_selective_read_frac")
+          .map(_ -> -1.0)
       }
     val decodeRate =
       try benchDecodeRate(spark, sfDir)
@@ -252,7 +341,13 @@ object Bench {
         System.err.println(s"[bench] decode-rate failed: ${e.getMessage}")
         -1.0
       }
-    s""""store_build_sec":${fmt(buildSec, 3)},"point_lookup_qps":${fmt(qps, 1)},"point_lookup_qps_plan":${fmt(planQps, 1)},"point_lookup_qps_16w":${fmt(wideQps, 1)},"point_lookup_qps_miss":${fmt(missQps, 1)},"point_lookup_qps_cached":${fmt(cachedQps, 1)},"merge_batch_sec":${fmt(mergeSec, 3)},"decode_rows_per_sec":${fmt(decodeRate, 0)},"tcp_query_qps":${fmt(tcpQps, 1)},"prefix_lookup_qps":${fmt(prefixQps, 1)}"""
+    (metrics :+ ("decode_rows_per_sec" -> decodeRate))
+      .map { case (k, v) =>
+        val digits = if (k.endsWith("_frac")) 4
+          else if (k == "decode_rows_per_sec") 0
+          else if (k.endsWith("_sec")) 3 else 1
+        s""""$k":${fmt(v, digits)}"""
+      }.mkString(",")
   }
 
   /** True decoder throughput: payloads pre-materialized (generation cost
@@ -308,8 +403,7 @@ object Bench {
     * LOSES to the pruned scan (InMemoryRelation drops partition pruning —
     * every lookup scans all cached partitions). */
   private def benchPointLookups(spark: SparkSession, sfDir: String)
-      : (Double, Double, Double, Double, Double, Double, Double, Double,
-        Double) = {
+      : Seq[(String, Double)] = {
     val dir = java.nio.file.Files.createTempDirectory("graft-bench-store").toString
     val t0 = System.nanoTime()
     operators.ObservationStore.writeDual(
@@ -354,9 +448,29 @@ object Bench {
     // PREFIX seeks on the fast path (the reference's forward scan
     // shape): each "part-<3 digits>" prefix matches ~111 rrnames across
     // every bucket — the fan-over-buckets + row-group-stats-bounded
-    // range read, not a point hit
+    // range read, not a point hit. The fan telemetry (fraction of
+    // fanned buckets that actually opened data after the cached-
+    // dictionary prune) rides along: ~1.0 here (111 keys hash across
+    // all buckets), the honest baseline for the selective case below.
+    def fanSnapshot(): (Long, Long) =
+      (operators.PointReader.fanBucketsRead.get(),
+        operators.PointReader.fanBucketsTotal.get())
+    val fan0 = fanSnapshot()
     val prefixQps = median3(timed(1000, 5)(i =>
       store.servePrefix(s"part-${100 + (i % 900)}").get: Unit))
+    val fan1 = fanSnapshot()
+    // SELECTIVE prefixes: "part-1999<d>" are full keys with no
+    // extensions (partkeys stop at 5 digits), so each matches exactly
+    // one rrname living in exactly one bucket — hash bucketing cannot
+    // prune the FAN, but the per-bucket sorted-dictionary probe prunes
+    // the READS: the scale story for prefix seeks is this fraction
+    // staying ~1/buckets however big the store gets, not the fan width
+    val selectiveQps = median3(timed(1000, 5)(i =>
+      store.servePrefix(s"part-1999${i % 10}").get: Unit))
+    val fan2 = fanSnapshot()
+    def frac(a: (Long, Long), b: (Long, Long)): Double =
+      if (b._2 - a._2 <= 0) -1.0
+      else (b._1 - a._1).toDouble / (b._2 - a._2).toDouble
 
     // Spark-plan path for trend continuity. AQE off: it buys nothing for
     // a single-stage pre-pruned scan but costs per-query driver planning
@@ -432,7 +546,18 @@ object Bench {
       operators.ObservationStore.mergeBatch(spark, dir, batch)
       (System.nanoTime() - t2) / 1e9
     }
-    (buildSec, serveQps, planQps, wideQps, missQps, cachedQps, mergeSec,
-      tcpQps, prefixQps)
+    Seq(
+      "store_build_sec" -> buildSec,
+      "point_lookup_qps" -> serveQps,
+      "point_lookup_qps_plan" -> planQps,
+      "point_lookup_qps_16w" -> wideQps,
+      "point_lookup_qps_miss" -> missQps,
+      "point_lookup_qps_cached" -> cachedQps,
+      "merge_batch_sec" -> mergeSec,
+      "tcp_query_qps" -> tcpQps,
+      "prefix_lookup_qps" -> prefixQps,
+      "prefix_fan_read_frac" -> frac(fan0, fan1),
+      "prefix_selective_qps" -> selectiveQps,
+      "prefix_selective_read_frac" -> frac(fan1, fan2))
   }
 }

@@ -92,21 +92,30 @@ final class PointReader private[operators] (
   private val footerCache =
     new TrieMap[String, (ParquetMetadata, MessageColumnIO)]()
 
-  /** file path → (decoded key-column dictionary per row group, approx
-    * bytes). None for a row group whose key chunk has non-dictionary
-    * pages. Read ONCE per file and then answering exact key/prefix
-    * membership with zero I/O — strictly stronger than the parquet
-    * bloom (no false positives) and than per-query DictionaryFilter
-    * (which re-reads the dictionary page every lookup). Same lifecycle
-    * as [[footerCache]], but BYTE-BOUNDED: a prefix fan touches every
-    * file, and unbounded caching would pin the store's whole distinct
-    * key column in driver heap (data-sized memory — against this
-    * class's metadata-only stance). Past [[PointReader.DictCacheBytes]]
-    * new dictionaries are still READ and used for the query at hand,
-    * just not retained — the cost of an over-budget store is repeat
-    * dictionary I/O, never wrong answers or OOM. */
+  /** file path → ((decoded key-column dictionary per row group, whether
+    * its entries are ascending), approx bytes). None for a row group
+    * whose key chunk has non-dictionary pages. Read ONCE per file and
+    * then answering exact key/prefix membership with zero I/O —
+    * strictly stronger than the parquet bloom (no false positives) and
+    * than per-query DictionaryFilter (which re-reads the dictionary
+    * page every lookup). Store files are written SORTED on the key, so
+    * dictionary ids follow first-occurrence = key order and the
+    * membership probe is a BINARY SEARCH (O(log n) per file per query,
+    * verified once at decode; an unsorted dictionary — foreign file —
+    * falls back to the linear scan): at 100× the keys a prefix fan
+    * stays O(buckets·log) instead of rescanning every distinct key.
+    * Same lifecycle as [[footerCache]], but BYTE-BOUNDED: a prefix fan
+    * touches every file, and unbounded caching would pin the store's
+    * whole distinct key column in driver heap (data-sized memory —
+    * against this class's metadata-only stance). When admission would
+    * overflow [[PointReader.DictCacheBytes]] the cache CLEARS AND
+    * READMITS (hot files re-enter on their next lookup) — true LRU
+    * would serialize the lock-free read path on every hit; a full
+    * clear once per budget cycle keeps reads lock-free and bounds the
+    * over-budget cost to one repeat decode per file per cycle, never
+    * the permanent admission freeze of an admission-only cache. */
   private val dictCache =
-    new TrieMap[String, (Seq[Option[Array[Array[Byte]]]], Long)]()
+    new TrieMap[String, (Seq[Option[(Array[Array[Byte]], Boolean)]], Long)]()
   private val dictCacheBytes = new java.util.concurrent.atomic.AtomicLong(0)
   @volatile private var lastEpochCheck = 0L
   @volatile private var lastEpoch = -1L
@@ -249,7 +258,9 @@ final class PointReader private[operators] (
     ensureFresh()
     val kb = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     readBucket(bucketOf(key), proj, predicate(key, residual), limit,
-      entries => entries.exists(java.util.Arrays.equals(_, kb)))
+      (entries, sorted) =>
+        if (sorted) PointReader.containsSorted(entries, kb)
+        else entries.exists(java.util.Arrays.equals(_, kb)))
   }
 
   /** Prefix range scan: every observation whose `keyCol` starts with
@@ -273,18 +284,11 @@ final class PointReader private[operators] (
     ensureFresh()
     val pred = prefixPredicate(prefix, residual)
     val pb = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    def startsWith(e: Array[Byte]): Boolean = {
-      if (e.length < pb.length) return false
-      var i = 0
-      while (i < pb.length) {
-        if (e(i) != pb(i)) return false
-        i += 1
-      }
-      true
-    }
-    val anyEntry = (entries: Array[Array[Byte]]) => entries.exists(startsWith)
+    val anyEntry = (entries: Array[Array[Byte]], sorted: Boolean) =>
+      if (sorted) PointReader.anyPrefixSorted(entries, pb)
+      else entries.exists(PointReader.startsWith(_, pb))
     if (numBuckets <= 1)
-      readBucket(0L, proj, pred, limit, anyEntry)
+      readBucket(0L, proj, pred, limit, anyEntry, trackFan = true)
     else {
       // the buckets are INDEPENDENT reads (every cache here is a
       // TrieMap — the same concurrency the multi-worker serving path
@@ -299,7 +303,7 @@ final class PointReader private[operators] (
         PointReader.prefixFanPool.submit(
           new java.util.concurrent.Callable[Vector[Observation]] {
             def call(): Vector[Observation] =
-              readBucket(b, proj, pred, limit, anyEntry)
+              readBucket(b, proj, pred, limit, anyEntry, trackFan = true)
           })
       }
       futures.flatMap(_.get()).take(limit).toVector
@@ -311,12 +315,13 @@ final class PointReader private[operators] (
     * a row group whose key chunk is not fully dictionary-encoded (or
     * whose dictionary failed to read) conservatively answers yes. */
   private def mayContain(p: Path,
-      anyEntry: Array[Array[Byte]] => Boolean): Boolean = {
+      anyEntry: (Array[Array[Byte]], Boolean) => Boolean): Boolean = {
     val dicts = dictCache.get(p.toString) match {
       case Some((d, _)) => d
       case None =>
         val d = readDicts(p)
-        val sz = d.iterator.flatten.flatten.map(_.length.toLong + 16L).sum
+        val sz = d.iterator.flatten.map(_._1)
+          .flatten.map(_.length.toLong + 16L).sum
         // admission and the byte counter move together under one lock
         // (reads stay lock-free): an unsynchronized put racing the
         // epoch-invalidation clear below would leak phantom bytes into
@@ -324,6 +329,14 @@ final class PointReader private[operators] (
         // would eventually stop forever (permanent repeat-I/O, the
         // exact regression the cache prevents)
         dictCache.synchronized {
+          if (dictCacheBytes.get() + sz > PointReader.DictCacheBytes &&
+            sz <= PointReader.DictCacheBytes) {
+            // budget exhausted: clear-and-readmit (see dictCache doc) —
+            // without this, files created after the budget fills would
+            // NEVER cache and pay dictionary read+decode on every lookup
+            dictCache.clear()
+            dictCacheBytes.set(0)
+          }
           if (dictCacheBytes.get() + sz <= PointReader.DictCacheBytes &&
             dictCache.putIfAbsent(p.toString, (d, sz)).isEmpty)
             dictCacheBytes.addAndGet(sz): Unit
@@ -331,12 +344,12 @@ final class PointReader private[operators] (
         d
     }
     dicts.exists {
-      case Some(entries) => anyEntry(entries)
-      case None          => true
+      case Some((entries, sorted)) => anyEntry(entries, sorted)
+      case None                    => true
     }
   }
 
-  private def readDicts(p: Path): Seq[Option[Array[Array[Byte]]]] =
+  private def readDicts(p: Path): Seq[Option[(Array[Array[Byte]], Boolean)]] =
     try {
       val r = ParquetFileReader.open(inputFile(p))
       try {
@@ -358,8 +371,9 @@ final class PointReader private[operators] (
                 Option(ds.readDictionaryPage(desc))
                   .map { page =>
                     val dict = page.getEncoding.initDictionary(desc, page)
-                    Array.tabulate(dict.getMaxId + 1)(i =>
+                    val entries = Array.tabulate(dict.getMaxId + 1)(i =>
                       dict.decodeToBinary(i).getBytes)
+                    (entries, PointReader.isAscending(entries))
                   }
               }
             }
@@ -369,7 +383,8 @@ final class PointReader private[operators] (
 
   private def readBucket(bucket: Long, proj: MessageType,
       pred: FilterPredicate, limit: Int,
-      anyEntry: Array[Array[Byte]] => Boolean): Vector[Observation] = {
+      anyEntry: (Array[Array[Byte]], Boolean) => Boolean,
+      trackFan: Boolean = false): Vector[Observation] = {
     // An EMPTY cached list never touches a file, so the vanished-file
     // retry below can't fire for it — a merge that populates the bucket
     // would otherwise serve stale misses for up to EpochCheckMillis.
@@ -383,7 +398,12 @@ final class PointReader private[operators] (
         filesByBucket.put(bucket, fresh)
         fresh
       }
-    try readFiles(files.filter(mayContain(_, anyEntry)), proj, pred, limit)
+    val live = files.filter(mayContain(_, anyEntry))
+    if (trackFan) {
+      PointReader.fanBucketsTotal.incrementAndGet()
+      if (live.nonEmpty) PointReader.fanBucketsRead.incrementAndGet(): Unit
+    }
+    try readFiles(live, proj, pred, limit)
     catch {
       // vanished file = concurrent committed merge swapped this bucket:
       // drop caches for it, relist once and retry (see staleness note)
@@ -474,6 +494,73 @@ object PointReader {
   /** How long a cached bucket→file map may be used before revalidating
     * against the store's committed epoch. */
   val EpochCheckMillis: Long = 2000L
+
+  /** Prefix-fan pruning telemetry (cumulative across all readers):
+    * of the buckets a prefix fan visited, how many actually had a
+    * candidate file after the cached-dictionary prune (i.e. opened
+    * data). `graft.Bench` snapshots these around its prefix phase —
+    * the falsifiable form of "a selective prefix touches few buckets
+    * even though hash bucketing can't prune the fan". */
+  private[graft] val fanBucketsTotal =
+    new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val fanBucketsRead =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Is `entries` ascending in unsigned byte order? True by
+    * construction for this store's files (written sorted on the key,
+    * so dictionary ids follow first-occurrence order); verified once
+    * per decode so a foreign/unsorted file degrades to the linear
+    * probe instead of returning wrong prunes. */
+  private[graft] def isAscending(entries: Array[Array[Byte]]): Boolean = {
+    var i = 1
+    while (i < entries.length) {
+      if (java.util.Arrays.compareUnsigned(entries(i - 1), entries(i)) > 0)
+        return false
+      i += 1
+    }
+    true
+  }
+
+  /** First index whose entry is >= `target` (unsigned byte order). */
+  private def lowerBound(entries: Array[Array[Byte]],
+      target: Array[Byte]): Int = {
+    var lo = 0
+    var hi = entries.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (java.util.Arrays.compareUnsigned(entries(mid), target) < 0)
+        lo = mid + 1
+      else hi = mid
+    }
+    lo
+  }
+
+  private[graft] def containsSorted(entries: Array[Array[Byte]],
+      key: Array[Byte]): Boolean = {
+    val i = lowerBound(entries, key)
+    i < entries.length && java.util.Arrays.equals(entries(i), key)
+  }
+
+  /** Any entry starting with `prefix`? Sorted case: entries with the
+    * prefix form the contiguous range [prefix, prefix∞), so the entry
+    * at the prefix's lower bound either starts with it or nothing
+    * does. */
+  private[graft] def anyPrefixSorted(entries: Array[Array[Byte]],
+      prefix: Array[Byte]): Boolean = {
+    val i = lowerBound(entries, prefix)
+    i < entries.length && startsWith(entries(i), prefix)
+  }
+
+  private[graft] def startsWith(e: Array[Byte],
+      prefix: Array[Byte]): Boolean = {
+    if (e.length < prefix.length) return false
+    var i = 0
+    while (i < prefix.length) {
+      if (e(i) != prefix(i)) return false
+      i += 1
+    }
+    true
+  }
 
   /** Upper bound on retained decoded key dictionaries across all files
     * (approx bytes). 256 MB holds ~10⁷ typical DNS keys with overhead —

@@ -238,6 +238,31 @@ class PointReaderSpec extends AnyFunSuite {
     assert(a.servePointFanOut(Seq(a, mem), Some("foo"), None).isEmpty)
   }
 
+  test("sorted-dictionary probes: unsigned order, prefix range, fallback") {
+    import graft.operators.PointReader
+    def b(s: String) = s.getBytes("UTF-8")
+    // unsigned byte order: bytes >= 0x80 sort AFTER ASCII — exactly how
+    // the writer sorted the keys (UTF8String binary comparison)
+    val entries = Array(b("abc"), b("abd"), b("b"), b("part-1"),
+      b("part-10"), b("part-2"), Array(0x80.toByte, 0x01.toByte))
+    assert(PointReader.isAscending(entries))
+    assert(PointReader.containsSorted(entries, b("part-10")))
+    assert(!PointReader.containsSorted(entries, b("part-11")))
+    assert(!PointReader.containsSorted(entries, b(""))) // below all
+    assert(!PointReader.containsSorted(entries, Array(0xff.toByte))) // above
+    // prefix probes: lower-bound entry either starts with the prefix or
+    // nothing does
+    assert(PointReader.anyPrefixSorted(entries, b("part-1"))) // exact+ext
+    assert(PointReader.anyPrefixSorted(entries, b("ab")))
+    assert(!PointReader.anyPrefixSorted(entries, b("part-3")))
+    assert(!PointReader.anyPrefixSorted(entries, b("c")))
+    assert(PointReader.anyPrefixSorted(entries, Array(0x80.toByte)))
+    assert(PointReader.anyPrefixSorted(entries, Array[Byte]())) // all match
+    // an unsorted (foreign) dictionary is detected and the callers fall
+    // back to the linear probe
+    assert(!PointReader.isAscending(Array(b("b"), b("a"))))
+  }
+
   test("servePointRows schema renders by field name (serving contract)") {
     val (_, store) = freshStore()
     val rows = store.servePointRows(rdata = Some("1.2.3.5")).get
