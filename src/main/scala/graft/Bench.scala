@@ -41,6 +41,7 @@ object Bench {
     "ann_pq" -> "grp:pq", "pq_recall" -> "grp:pq",
     "ann_ivfpq" -> "grp:ivfpq", "ivfpq_recall" -> "grp:ivfpq",
     "ann_ivfpq_delta" -> "grp:ivfpq",
+    "ann_ivf_index" -> "grp:ivfidx", "ann_ivf_delete" -> "grp:ivfidx",
     "store_expire" -> "grp:store", "store_compact" -> "grp:store",
     "store_rebucket" -> "grp:store",
     "decode_warc" -> "grp:warc", "warc_fetch" -> "grp:warc",
@@ -283,6 +284,11 @@ object Bench {
     // a real half-build + merge)
     if (names.exists(Set("ann_ivfpq", "ivfpq_recall")))
       try queries.PipelineQueries.sharedIvfPqIndex(spark, sfDir): Unit
+      catch { case _: Throwable => () }
+    // and the shared plain-IVF index (ann_ivf_index probes it,
+    // ann_ivf_delete mutates a filesystem copy of it)
+    if (names.exists(Set("ann_ivf_index", "ann_ivf_delete")))
+      try queries.PipelineQueries.sharedIvfIndex(spark, sfDir): Unit
       catch { case _: Throwable => () }
 
     // MIN OF TWO runs per gate: a transient co-tenant burst or GC pause

@@ -178,6 +178,25 @@ object BenchScaleText {
           s"tripled (x$third -> x$mult) — re-run isolated before " +
           "calling it a regression")
 
+    // Round-13 additions. Good-Turing at xN: the corpus shuffle carries
+    // (word, count) partials (map-side combined) and every later frame is
+    // VOCABULARY-sized — replicating the corpus xN grows token count but
+    // not the vocab, so cost must track the first shuffle only.
+    val (gtSec, nGtRows) = timed(
+      operators.Curation.goodTuring(docs, "text").count())
+    // Star-contraction CC at a 5000-diameter chain per component, node
+    // count scaling with x: the O(log diameter) round count and the
+    // bounded per-round shuffle budget (PlanSpec-pinned starRound) are
+    // the 100 TB story; the gate's own fixture breaks every 50 hops.
+    val nNodes = 5000L * mult
+    val chainIds = spark.range(nNodes).select(col("id").as("node_id"))
+    val chainEdges = spark.range(nNodes - 1)
+      .filter(col("id") % 5000 =!= 4999)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val (starSec, nStarComp) = timed(
+      operators.Dedup.connectedComponentsStar(chainIds, "node_id",
+        chainEdges).select(col("component")).distinct().count())
+
     println(s"""{"metric":"scale_text","x":$mult,"n_docs":$nDocs,""" +
       s""""scan_sec":$scanSec,"n_hits":$nHits,""" +
       s""""sketch_sec":$sketchSec,"bucket_sec":$bucketSec,""" +
@@ -188,7 +207,10 @@ object BenchScaleText {
       s""""rake_sec":$rakeSec,"n_phrases":$nPhrases,""" +
       s""""delta_x${third}_sec":$deltaSmallSec,""" +
       s""""delta_x${mult}_sec":$deltaBigSec,""" +
-      s""""n_delta_pairs":$nDeltaPairs}""")
+      s""""n_delta_pairs":$nDeltaPairs,""" +
+      s""""good_turing_sec":$gtSec,"n_gt_rows":$nGtRows,""" +
+      s""""star_cc_sec":$starSec,"n_star_nodes":$nNodes,""" +
+      s""""n_star_components":$nStarComp}""")
     spark.stop()
   }
 }

@@ -711,6 +711,36 @@ object Dedup {
     * checksum; each round is two grouped aggregations + joins (no
     * window), `distinct()`-bounded so the edge set never exceeds its
     * input. Same checkpointing trade as [[connectedComponents]]. */
+  /** One large-star + small-star alternation over an (u, v) edge frame —
+    * the [[connectedComponentsStar]] round body, package-visible so
+    * PlanSpec can pin its shuffle budget: both stars repartition on the
+    * grouping key up front and the groupBy AND join reuse that
+    * partitioning, so a round costs a BOUNDED number of exchanges
+    * whatever the graph size (the property the 100 TB claim rests on). */
+  private[graft] def starRound(in: DataFrame, parts: Int): DataFrame = {
+    val largeStar = {
+      val sym = in.unionAll(in.select(col("v").as("u"), col("u").as("v")))
+        .repartition(parts, col("u"))
+      val mins = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      // no intra-round distinct: large-star emits ≤ one row per sym row
+      // (≤ 2|e|), and the round-end dedup in smallStar re-bounds the
+      // set — one fewer shuffle per round
+      sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+    }
+    val o = largeStar.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+      .repartition(parts, col("u"))
+    val mins = o.groupBy(col("u")).agg(min(col("v")).as("m"))
+    val withM = o.join(mins, "u")
+    withM.filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .unionAll(mins.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v")).distinct()
+  }
+
   def connectedComponentsStar(ids: DataFrame, idCol: String,
       pairs: DataFrame, maxRounds: Int = 50,
       checkpointDir: Option[String] = None): DataFrame = {
@@ -729,29 +759,6 @@ object Dedup {
     val parts = math.max(1L, math.min(parallelism.toLong,
       e.count() * 2 / 500000L + 1L)).toInt
 
-    def largeStar(in: DataFrame): DataFrame = {
-      val sym = in.unionAll(in.select(col("v").as("u"), col("u").as("v")))
-        .repartition(parts, col("u"))
-      val mins = sym.groupBy(col("u"))
-        .agg(least(min(col("v")), first(col("u"))).as("m"))
-      // no intra-round distinct: large-star emits ≤ one row per sym row
-      // (≤ 2|e|), and the round-end dedup in smallStar re-bounds the
-      // set — one fewer shuffle per round
-      sym.join(mins, "u").filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v"))
-    }
-    def smallStar(in: DataFrame): DataFrame = {
-      val o = in.select(greatest(col("u"), col("v")).as("u"),
-        least(col("u"), col("v")).as("v"))
-        .repartition(parts, col("u"))
-      val mins = o.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val withM = o.join(mins, "u")
-      withM.filter(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .unionAll(mins.select(col("u"), col("m").as("v")))
-        .filter(col("u") =!= col("v")).distinct()
-    }
     // DECIMAL(38) accumulation: a Long sum of xxhash64 values overflows
     // (ANSI arithmetic error under Spark 4 defaults) — the labelSum rule.
     // The checksum RIDES the round's checkpoint job as observe() metrics
@@ -784,7 +791,7 @@ object Dedup {
     var rounds = 0
     while (!stable && rounds < maxRounds) {
       val prevE = e
-      val (watched, readBack) = checksummed(smallStar(largeStar(e)))
+      val (watched, readBack) = checksummed(starRound(e, parts))
       e = cut(watched) // materializes; the observe metrics ride along
       val c = readBack()
       stable = c == prev && prevE.exceptAll(e).isEmpty

@@ -84,15 +84,22 @@ object util {
     * local-file tree copy — store files are immutable once written, so a
     * copy is byte-identical to a rebuild). */
   def copyOfPrebuiltStore(s: SparkSession, dir: String,
-      purpose: String): String = {
-    val src = java.nio.file.Paths.get(prebuiltStorePath(s, dir))
-    val dst = java.nio.file.Paths.get(scratchDir(purpose, dir), "store")
-    if (java.nio.file.Files.exists(dst)) {
-      import scala.jdk.CollectionConverters.IteratorHasAsScala
+      purpose: String): String =
+    freshDirCopy(prebuiltStorePath(s, dir),
+      scratchDir(purpose, dir) + "/store")
+
+  /** Delete-then-copy of a local directory tree — shared by every gate
+    * that MUTATES a memoized on-disk artifact (store expiry/compaction,
+    * IVF tombstone deletes): the artifact's files are immutable once
+    * written, so a copy is byte-identical to a rebuild, and the mutation
+    * can never leak into the read-only gates sharing the base. */
+  def freshDirCopy(srcPath: String, dstPath: String): String = {
+    import scala.jdk.CollectionConverters.IteratorHasAsScala
+    val src = java.nio.file.Paths.get(srcPath)
+    val dst = java.nio.file.Paths.get(dstPath)
+    if (java.nio.file.Files.exists(dst))
       java.nio.file.Files.walk(dst).iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.delete(p))
-    }
-    import scala.jdk.CollectionConverters.IteratorHasAsScala
     java.nio.file.Files.walk(src).iterator().asScala.foreach { p =>
       val rel = dst.resolve(src.relativize(p))
       if (java.nio.file.Files.isDirectory(p))

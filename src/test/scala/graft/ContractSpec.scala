@@ -31,6 +31,21 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  test("README's headline gate tally equals the shipped contract size") {
+    // r12 shipped a README claiming 205 gates while the artifact had 206
+    // — the headline number must be impossible to hand-drift. The README
+    // carries exactly one "N DuckDB-checked gates" claim; it must equal
+    // SparkEntry.queries.size.
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val claims = "(\\d+) DuckDB-checked gates".r
+      .findAllMatchIn(readme).map(_.group(1).toInt).toList
+    assert(claims.size == 1, s"expected exactly one tally claim: $claims")
+    assert(claims.head == SparkEntry.queries.size,
+      s"README claims ${claims.head} gates; SparkEntry.queries has " +
+        s"${SparkEntry.queries.size} — update the README tally line")
+  }
+
   test("flagship entry returns rows on sf0.001 (driver smoke check)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -938,6 +938,21 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("NestedLoop"), plan)
   }
 
+  test("star-CC round: bounded exchanges, partitioning reused, no product") {
+    // the connectedComponentsStar round body must cost a FIXED number of
+    // shuffles whatever the edge count: each star repartitions on its
+    // grouping key once and the groupBy + join reuse that partitioning,
+    // plus the round-end distinct — 2 repartitions + 1 distinct. More
+    // exchanges here multiply by O(log n) rounds at 100 TB.
+    val e = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("u", "v")
+    val plan = explainOf(graft.operators.Dedup.starRound(e, 2))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("NestedLoop"), plan)
+    val tree = plan.split("\n\n").head
+    val nEx = "Exchange".r.findAllIn(tree).length
+    assert(nEx <= 3, s"star round grew to $nEx exchanges:\n$plan")
+  }
+
   test("cusumPeaks: hour span broadcasts, fold is per-key aggregation") {
     val ev = Seq((Timestamp.valueOf("2024-01-01 00:00:00"), "x"))
       .toDF("ts", "event_type")
