@@ -172,7 +172,8 @@ object Bench {
       "point_lookup_qps_miss", "point_lookup_qps_cached",
       "merge_batch_sec", "decode_rows_per_sec", "tcp_query_qps",
       "prefix_lookup_qps", "prefix_fan_read_frac",
-      "prefix_selective_qps", "prefix_selective_read_frac")
+      "prefix_selective_qps", "prefix_selective_read_frac",
+      "dict_cache_hits", "dict_cache_decodes")
     val servingPart =
       servingKeys.map(k => s""""$k":${num(serving, k)}""").mkString(",")
     // worst external CPU any phase observed — the falsifiability tag:
@@ -338,7 +339,8 @@ object Bench {
           "point_lookup_qps_16w", "point_lookup_qps_miss",
           "point_lookup_qps_cached", "merge_batch_sec", "tcp_query_qps",
           "prefix_lookup_qps", "prefix_fan_read_frac",
-          "prefix_selective_qps", "prefix_selective_read_frac")
+          "prefix_selective_qps", "prefix_selective_read_frac",
+          "dict_cache_hits", "dict_cache_decodes")
           .map(_ -> -1.0)
       }
     val decodeRate =
@@ -438,6 +440,11 @@ object Bench {
         store.entries(rdata = Some(i.toString)).collect(): Unit)
 
     runServe(50) // warm the readers (footer parse JIT, fs metadata)
+    // dict-cache telemetry around the whole serving block: a qps move
+    // with a flat decode count is NOT the dictionary cache (r13's 3×
+    // point-qps swing shipped unexplained for want of this number)
+    val dictHits0 = operators.PointReader.dictCacheHits.get()
+    val dictDecodes0 = operators.PointReader.dictCacheDecodes.get()
     // median of 3 batches for every qps figure: each batch self-averages
     // over 1000 queries, but a transient load spike during ONE batch
     // still prints as a cross-round "regression" in the driver tail —
@@ -564,6 +571,11 @@ object Bench {
       "prefix_lookup_qps" -> prefixQps,
       "prefix_fan_read_frac" -> frac(fan0, fan1),
       "prefix_selective_qps" -> selectiveQps,
-      "prefix_selective_read_frac" -> frac(fan1, fan2))
+      "prefix_selective_read_frac" -> frac(fan1, fan2),
+      "dict_cache_hits" ->
+        (operators.PointReader.dictCacheHits.get() - dictHits0).toDouble,
+      "dict_cache_decodes" ->
+        (operators.PointReader.dictCacheDecodes.get() - dictDecodes0)
+          .toDouble)
   }
 }

@@ -178,12 +178,22 @@ object BenchScaleText {
           s"tripled (x$third -> x$mult) — re-run isolated before " +
           "calling it a regression")
 
-    // Round-13 additions. Good-Turing at xN: the corpus shuffle carries
-    // (word, count) partials (map-side combined) and every later frame is
+    // Round-13 additions, each under the WARN-not-abort policy above: a
+    // throw this late (e.g. a convergence IllegalStateException) must not
+    // void every already-measured number in the JSON line — emit -1
+    // sentinels instead and let the round-over-round diff flag it.
+    def guarded(label: String)(f: => (Double, Long)): (Double, Long) =
+      try f catch {
+        case scala.util.control.NonFatal(ex) =>
+          System.err.println(s"[scale-text] WARN $label threw: $ex")
+          (-1.0, -1L)
+      }
+    // Good-Turing at xN: the corpus shuffle carries (word, count)
+    // partials (map-side combined) and every later frame is
     // VOCABULARY-sized — replicating the corpus xN grows token count but
     // not the vocab, so cost must track the first shuffle only.
-    val (gtSec, nGtRows) = timed(
-      operators.Curation.goodTuring(docs, "text").count())
+    val (gtSec, nGtRows) = guarded("good-turing")(timed(
+      operators.Curation.goodTuring(docs, "text").count()))
     // Star-contraction CC at a 5000-diameter chain per component, node
     // count scaling with x: the O(log diameter) round count and the
     // bounded per-round shuffle budget (PlanSpec-pinned starRound) are
@@ -193,9 +203,9 @@ object BenchScaleText {
     val chainEdges = spark.range(nNodes - 1)
       .filter(col("id") % 5000 =!= 4999)
       .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
-    val (starSec, nStarComp) = timed(
+    val (starSec, nStarComp) = guarded("star-cc")(timed(
       operators.Dedup.connectedComponentsStar(chainIds, "node_id",
-        chainEdges).select(col("component")).distinct().count())
+        chainEdges).select(col("component")).distinct().count()))
 
     println(s"""{"metric":"scale_text","x":$mult,"n_docs":$nDocs,""" +
       s""""scan_sec":$scanSec,"n_hits":$nHits,""" +

@@ -402,8 +402,14 @@ object Dedup {
     // candidates, verify still exact.
     val prefixLen = size(col("sh")) -
       ceil(size(col("sh")).cast("double") * threshold - 1e-9).cast("int") + 1
+    // the prefix is defined on lexicographic STRING order (canonical on
+    // both engines), but the join only needs key EQUALITY — hash the
+    // sliced prefix shingles to 8-byte longs so the self-join shuffles
+    // fixed-width keys instead of n-gram strings. A collision can only
+    // ADD a candidate (the exact verify prunes it), never drop one.
     val postings = docs.select(col("id"), size(col("sh")).as("sz"),
-      posexplode(slice(array_sort(col("sh")), lit(1), prefixLen))
+      posexplode(transform(
+        slice(array_sort(col("sh")), lit(1), prefixLen), s => xxhash64(s)))
         .as(Seq("pos", "shingle")))
     // float-safety: filters are pruning-only (verify is exact), so a tiny
     // epsilon keeps binary-representation edge cases on the KEEP side
@@ -426,16 +432,41 @@ object Dedup {
   }
 
   /** Join candidate (id_a, id_b) pairs back to shingle arrays and keep
-    * those with exact Jaccard ≥ threshold. */
+    * those with exact Jaccard ≥ threshold — in two stages, because the
+    * candidate set is typically ~100× the true pair set and the string
+    * intersect dominates the whole similarity join (measured 5.6 s of an
+    * 8 s gate):
+    *  1. PRE-FILTER on 64-bit-hashed shingles: intersect counts over
+    *     `xxhash64` longs cost ~3× less than over n-gram strings. A hash
+    *     collision can shift the hashed count by ±1 per colliding string
+    *     pair, so the filter allows ONE count of slack — a true pair is
+    *     lost only if ≥ 2 simultaneous 64-bit collisions deflate one
+    *     pair's intersection (~2⁻¹²⁸-scale; each single collision is
+    *     already ~|sh|²/2⁶⁴).
+    *  2. EXACT verify of the survivors (≈ the true pairs) on the string
+    *     arrays, so every EMITTED row and its jaccard value are computed
+    *     collision-free. |A ∪ B| = |A| + |B| − |A ∩ B| (the arrays are
+    *     `array_distinct`-ed at shingling), so one intersect per stage —
+    *     no `array_union` pass. */
   private def jaccardVerify(candidates: DataFrame, docs: DataFrame,
       threshold: Double): DataFrame = {
-    val withSets = candidates
+    val hashed = docs.select(col("id"), size(col("sh")).as("hsz"),
+      transform(col("sh"), s => xxhash64(s)).as("hs"))
+    val ih = size(array_intersect(col("h_a"), col("h_b")))
+      .cast("double") + 1.0
+    val pre = candidates
+      .join(hashed.select(col("id").as("id_a"), col("hs").as("h_a"),
+        col("hsz").as("sz_a")), "id_a")
+      .join(hashed.select(col("id").as("id_b"), col("hs").as("h_b"),
+        col("hsz").as("sz_b")), "id_b")
+      .filter(ih / (col("sz_a") + col("sz_b") - ih) >= threshold - 1e-9)
+      .select(col("id_a"), col("id_b"))
+    val i = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    pre
       .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-    withSets
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        i / (size(col("sh_a")) + size(col("sh_b")) - i))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -690,6 +721,46 @@ object Dedup {
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
+  /** One large-star + small-star alternation over an (u, v) edge frame —
+    * the [[connectedComponentsStar]] round body, package-visible so
+    * PlanSpec can pin its shuffle budget. Each star is ONE shuffle: the
+    * frame repartitions on the star's center u and m = min over the
+    * neighborhood is a partition-local window aggregate over that same
+    * partitioning — no groupBy-then-self-join, so the repartitioned
+    * subtree appears ONCE in the plan (a self-join duplicates it
+    * statically and invites AQE to stack a BroadcastExchange on the
+    * aggregated side — the round-13 14-exchange regression this shape
+    * replaces). Small-star emits each row's attachment directly: children
+    * v ≠ m attach to m, and the (unique-per-u after the round-end
+    * distinct) rows with v = m stand in for u's own attachment. The
+    * round-end distinct re-keys through the SAME width on (u, v), so a
+    * round costs exactly 3 exchanges whatever the graph size — the
+    * property the 100 TB claim rests on, spec-pinned. */
+  private[graft] def starRound(in: DataFrame, parts: Int): DataFrame = {
+    val byU = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+    // large-star: symmetrize, shuffle once on u; m = min(Γ(u) ∪ {u}) as
+    // a window min (whole-partition frame, spills via the window's
+    // external row buffer under skew — same distribution a groupBy
+    // would need, minus the join back)
+    val large = in.unionAll(in.select(col("v").as("u"), col("u").as("v")))
+      .repartition(parts, col("u"))
+      .withColumn("m", least(min(col("v")).over(byU), col("u")))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+    // small-star: orient to (larger, smaller), shuffle once on u
+    val o = large.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+      .repartition(parts, col("u"))
+      .withColumn("m", min(col("v")).over(byU))
+    o.select(
+        when(col("v") === col("m"), col("u")).otherwise(col("v")).as("u"),
+        col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .repartition(parts, col("u"), col("v"))
+      .distinct()
+  }
+
   /** Connected components by alternating LARGE-STAR / SMALL-STAR
     * contraction (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC 2014) — the O(log n)-round path [[connectedComponents]]'
@@ -708,39 +779,9 @@ object Dedup {
     * id — the same labeling contract as [[connectedComponents]]
     * (property-pinned to it and to the union-find fast path in spec).
     * Convergence = two consecutive rounds with an identical edge-set
-    * checksum; each round is two grouped aggregations + joins (no
-    * window), `distinct()`-bounded so the edge set never exceeds its
-    * input. Same checkpointing trade as [[connectedComponents]]. */
-  /** One large-star + small-star alternation over an (u, v) edge frame —
-    * the [[connectedComponentsStar]] round body, package-visible so
-    * PlanSpec can pin its shuffle budget: both stars repartition on the
-    * grouping key up front and the groupBy AND join reuse that
-    * partitioning, so a round costs a BOUNDED number of exchanges
-    * whatever the graph size (the property the 100 TB claim rests on). */
-  private[graft] def starRound(in: DataFrame, parts: Int): DataFrame = {
-    val largeStar = {
-      val sym = in.unionAll(in.select(col("v").as("u"), col("u").as("v")))
-        .repartition(parts, col("u"))
-      val mins = sym.groupBy(col("u"))
-        .agg(least(min(col("v")), first(col("u"))).as("m"))
-      // no intra-round distinct: large-star emits ≤ one row per sym row
-      // (≤ 2|e|), and the round-end dedup in smallStar re-bounds the
-      // set — one fewer shuffle per round
-      sym.join(mins, "u").filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v"))
-    }
-    val o = largeStar.select(greatest(col("u"), col("v")).as("u"),
-      least(col("u"), col("v")).as("v"))
-      .repartition(parts, col("u"))
-    val mins = o.groupBy(col("u")).agg(min(col("v")).as("m"))
-    val withM = o.join(mins, "u")
-    withM.filter(col("v") =!= col("m"))
-      .select(col("v").as("u"), col("m").as("v"))
-      .unionAll(mins.select(col("u"), col("m").as("v")))
-      .filter(col("u") =!= col("v")).distinct()
-  }
-
+    * checksum; each round is [[starRound]] (3 exchanges, plan-pinned),
+    * `distinct()`-bounded so the edge set never exceeds its input. Same
+    * checkpointing trade as [[connectedComponents]]. */
   def connectedComponentsStar(ids: DataFrame, idCol: String,
       pairs: DataFrame, maxRounds: Int = 50,
       checkpointDir: Option[String] = None): DataFrame = {
@@ -751,10 +792,10 @@ object Dedup {
     var e = cut(pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .filter(col("u") =!= col("v")).distinct())
     // shuffle width sized to the PAIR GRAPH (the connectedComponents
-    // rule): repartitioning on the grouping key up front lets the
-    // groupBy AND the join reuse the partitioning (no further Exchange
-    // in the round body), and a tiny graph runs 1-wide instead of
-    // paying session-width task scheduling ~4 stages × rounds times
+    // rule): every exchange in the round body (both stars' repartitions
+    // and the round-end distinct) runs at this width — 3 exchanges per
+    // round total (starRound's pinned budget) — and a tiny graph runs
+    // 1-wide instead of paying session-width task scheduling per round
     val parallelism = pairs.sparkSession.sparkContext.defaultParallelism
     val parts = math.max(1L, math.min(parallelism.toLong,
       e.count() * 2 / 500000L + 1L)).toInt

@@ -317,8 +317,11 @@ final class PointReader private[operators] (
   private def mayContain(p: Path,
       anyEntry: (Array[Array[Byte]], Boolean) => Boolean): Boolean = {
     val dicts = dictCache.get(p.toString) match {
-      case Some((d, _)) => d
+      case Some((d, _)) =>
+        PointReader.dictCacheHits.incrementAndGet()
+        d
       case None =>
+        PointReader.dictCacheDecodes.incrementAndGet()
         val d = readDicts(p)
         val sz = d.iterator.flatten.map(_._1)
           .flatten.map(_.length.toLong + 16L).sum
@@ -504,6 +507,19 @@ object PointReader {
   private[graft] val fanBucketsTotal =
     new java.util.concurrent.atomic.AtomicLong(0)
   private[graft] val fanBucketsRead =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Dictionary-cache telemetry (cumulative across all readers):
+    * hits answer the membership probe with zero I/O; decodes re-read
+    * and re-decode a file's key dictionary (first touch, epoch
+    * invalidation, or a clear-and-readmit budget cycle). `graft.Bench`
+    * snapshots these around its serving phases — if a round's qps
+    * moves, the decode count says whether the dict cache (stampeding
+    * re-decodes) or something else (scheduler, disk, CPU clocks) did
+    * it. */
+  private[graft] val dictCacheHits =
+    new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val dictCacheDecodes =
     new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Is `entries` ascending in unsigned byte order? True by

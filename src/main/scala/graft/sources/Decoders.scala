@@ -79,7 +79,15 @@ object Decoders {
   /** D1 — Suricata EVE DNS (`format/format_suricata.go:38-114`): v1 single
     * answer; v2 `answers[]` (row per answer) or `grouped` map (row per
     * (rrtype, rdata)). Only `event_type=dns` + `dns.type=answer` events
-    * with a parseable timestamp survive. */
+    * with a parseable timestamp survive.
+    *
+    * ONE pass, not a three-branch union: the v1 / v2-detailed / v2-grouped
+    * cases build one observation ARRAY per input row (a `when` chain of
+    * `transform`/`flatten` over the parsed struct) and explode it once.
+    * A union of three selects over the same parsed frame re-executes the
+    * whole upstream — including `from_json`, the hottest expression here —
+    * once per branch (exchange reuse stops at the shuffle; everything
+    * above it triples). Measured 3× on the decode gate. */
   def suricata(df: DataFrame): DataFrame = {
     val parsed = df
       .withColumn("j", from_json(col("value"), suricataSchema))
@@ -88,36 +96,35 @@ object Decoders {
           lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][.SSS]xx")))
     val valid = col("j").isNotNull && col("j.event_type") === "dns" &&
       col("j.dns.type") === "answer" && col("ts").isNotNull
+    val empty = array().cast(ArrayType(graft.model.Model.inputSchema))
 
-    val v1 = emitWhen(parsed,
-      valid && coalesce(col("j.dns.version"), lit(1)) =!= 2,
-      obsStruct(lit(1), col("j.dns.rcode"), col("j.dns.rdata"),
-        col("j.dns.rrtype"), col("j.dns.rrname"), col("ts")))
+    val v1Obs = array(obsStruct(lit(1), col("j.dns.rcode"),
+      col("j.dns.rdata"), col("j.dns.rrtype"), col("j.dns.rrname"),
+      col("ts")))
+    val answersObs = transform(col("j.dns.answers"), a =>
+      obsStruct(lit(1), col("j.dns.rcode"), a.getField("rdata"),
+        a.getField("rrtype"), a.getField("rrname"), col("ts")))
+    // drop null-valued map entries BEFORE the nested transform: one null
+    // rdata-list would null the outer array under flatten and silently
+    // swallow the row's other rrtypes (the union shape dropped only the
+    // null entry)
+    val groupedObs = flatten(transform(
+      filter(map_entries(col("j.dns.grouped")),
+        e => e.getField("value").isNotNull),
+      e => transform(e.getField("value"), d =>
+        obsStruct(lit(1), col("j.dns.rcode"), d, e.getField("key"),
+          col("j.dns.rrname"), col("ts")))))
 
-    // v2 detailed: guard the answers array itself — explode of an empty
-    // array emits nothing, no filter needed
-    val v2detailed = parsed
-      .select(col("sensor_id"), col("ts"), col("j.dns.rcode").as("rcode"),
-        explode(when(valid && col("j.dns.version") === 2,
-          col("j.dns.answers")).otherwise(lit(null))).as("a"))
-      .select(obsStruct(lit(1), col("rcode"), col("a.rdata"), col("a.rrtype"),
-        col("a.rrname"), col("ts")).as("o"))
-      .select("o.*")
-
-    val v2grouped = parsed
-      .select(col("sensor_id"), col("ts"), col("j.dns.rcode").as("rcode"),
-        col("j.dns.rrname").as("g_rrname"),
-        explode(when(valid && col("j.dns.version") === 2 &&
-          (col("j.dns.answers").isNull || size(col("j.dns.answers")) === 0),
-          col("j.dns.grouped")).otherwise(lit(null)))
-          .as(Seq("g_rrtype", "g_rdatas")))
-      .select(col("sensor_id"), col("ts"), col("rcode"), col("g_rrname"),
-        col("g_rrtype"), explode(col("g_rdatas")).as("g_rdata"))
-      .select(obsStruct(lit(1), col("rcode"), col("g_rdata"), col("g_rrtype"),
-        col("g_rrname"), col("ts")).as("o"))
-      .select("o.*")
-
-    v1.unionAll(v2detailed).unionAll(v2grouped)
+    val obsArr =
+      when(!valid, empty)
+        .when(coalesce(col("j.dns.version"), lit(1)) =!= 2, v1Obs)
+        // v2: detailed answers win; the grouped map only speaks for rows
+        // with no (or an empty) answers array — same precedence as the
+        // reference decoder
+        .when(col("j.dns.answers").isNotNull &&
+          size(col("j.dns.answers")) > 0, answersObs)
+        .otherwise(coalesce(groupedObs, empty))
+    parsed.select(explode(obsArr).as("o")).select("o.*")
   }
 
   // ---------------------------------------------------------------- D2
