@@ -89,10 +89,24 @@ object ObservationStore {
     // (unpersisted, each writeCopy would re-execute the full groupBy)
     val a = agg.persist()
     try {
-      writeCopy(a, s"$path/by_rrname", "rrname",
-        Seq("rrname", "sensor_id", "rrtype", "rdata"), numBuckets)
-      writeCopy(a, s"$path/by_rdata", "rdata",
-        Seq("rdata", "sensor_id", "rrname", "rrtype"), numBuckets)
+      // the two copies are independent jobs over the same cached
+      // aggregate writing to disjoint directories — run them
+      // CONCURRENTLY: each is only numBuckets tasks wide (its bucket
+      // repartition), so serial execution leaves the rest of the
+      // cluster idle for half the build; overlapped, the sorts and
+      // parquet encodes interleave (FAIR scheduler pools them)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      // materialize the cache BEFORE forking: two jobs racing an empty
+      // cache both compute (then block on) the same partitions
+      a.count()
+      val copies = Seq(
+        Future(writeCopy(a, s"$path/by_rrname", "rrname",
+          Seq("rrname", "sensor_id", "rrtype", "rdata"), numBuckets)),
+        Future(writeCopy(a, s"$path/by_rdata", "rdata",
+          Seq("rdata", "sensor_id", "rrname", "rrtype"), numBuckets)))
+      copies.foreach(Await.result(_, Duration.Inf))
       // a rebuild of an existing store must advance the epoch, never reset
       // it — readers using it for change detection would miss the rebuild
       writeMeta(agg.sparkSession, path, numBuckets,
