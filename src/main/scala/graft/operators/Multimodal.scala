@@ -471,6 +471,102 @@ object Multimodal {
     (sums, sizes)
   }
 
+  /** One voice/sound-activity segment: consecutive above-threshold
+    * energy windows coalesced, all bounds in channel-0 FRAMES
+    * (`end_frame` exclusive) and the energy as the exact Σ s₀²
+    * numerator over the segment. */
+  final case class AudioSegment(
+      seg_idx: Int, start_frame: Long, end_frame: Long,
+      n_windows: Long, energy: Long)
+
+  /** Energy-gated activity segmentation — the VAD-shaped preprocessor a
+    * speech corpus runs before transcription/training (cut silences,
+    * keep utterances): channel-0 samples split into fixed
+    * `windowFrames`-frame windows (the trailing partial window counts),
+    * a window is ACTIVE iff its energy clears the mean-square gate
+    * `Σ s₀² ≥ meanSqThreshold · nFrames` (cross-multiplied — exact
+    * integers, no float RMS), and runs of consecutive active windows
+    * coalesce into segments. Deterministic one-pass fold, engine-
+    * portable (%, ·, ≥ only), and the frame bounds convert to µs as
+    * `frame · 10⁶ / sample_rate` by the caller — kept in frames here so
+    * no division truncates inside the operator. */
+  def energySegments(w: WavData, windowFrames: Int,
+      meanSqThreshold: Long): Seq[AudioSegment] = {
+    require(windowFrames > 0, s"windowFrames must be > 0: $windowFrames")
+    require(meanSqThreshold >= 0,
+      s"meanSqThreshold must be >= 0: $meanSqThreshold")
+    val frames = w.samples.length / w.channels
+    val out = Seq.newBuilder[AudioSegment]
+    var segStart = -1L; var segWindows = 0L; var segEnergy = 0L
+    var segIdx = 0
+    var wStart = 0
+    while (wStart < frames) {
+      val wEnd = math.min(frames, wStart + windowFrames)
+      var e = 0L; var f = wStart
+      while (f < wEnd) {
+        val s = w.samples(f * w.channels).toLong
+        e += s * s
+        f += 1
+      }
+      if (e >= meanSqThreshold * (wEnd - wStart)) {
+        if (segStart < 0) { segStart = wStart; segWindows = 0; segEnergy = 0 }
+        segWindows += 1; segEnergy += e
+      } else if (segStart >= 0) {
+        out += AudioSegment(segIdx, segStart, wStart.toLong, segWindows,
+          segEnergy)
+        segIdx += 1; segStart = -1
+      }
+      wStart = wEnd
+    }
+    if (segStart >= 0)
+      out += AudioSegment(segIdx, segStart, frames.toLong, segWindows,
+        segEnergy)
+    out.result()
+  }
+
+  /** Per-patch sufficient statistics over a row-major gray grid — the
+    * ViT-ingest patch pass (models normalize per patch; `sum` and
+    * `sum_sq` are the exact integer numerators of mean and variance, so
+    * no float leaves the engine): non-overlapping `p`×`p` tiles in
+    * row-major patch order, ragged right/bottom edges become smaller
+    * tiles (every pixel belongs to exactly one patch — dropping edge
+    * tiles would silently crop the image). One pass, zero allocation
+    * beyond the output. */
+  final case class PatchStat(
+      patch_row: Int, patch_col: Int, n_px: Long, px_sum: Long,
+      px_sum_sq: Long)
+
+  def grayPatchStats(grid: Array[Int], w: Int, p: Int): Seq[PatchStat] = {
+    require(w > 0 && p > 0, s"bad patch params: w=$w p=$p")
+    require(grid.length % w == 0,
+      s"grid length ${grid.length} is not a multiple of width $w")
+    val h = grid.length / w
+    val out = Seq.newBuilder[PatchStat]
+    var pr = 0
+    while (pr * p < h) {
+      var pc = 0
+      while (pc * p < w) {
+        val y1 = math.min(h, (pr + 1) * p)
+        val x1 = math.min(w, (pc + 1) * p)
+        var s = 0L; var ss = 0L; var n = 0L
+        var y = pr * p
+        while (y < y1) {
+          var x = pc * p
+          while (x < x1) {
+            val v = grid(y * w + x).toLong
+            s += v; ss += v * v; n += 1
+            x += 1
+          }
+          y += 1
+        }
+        out += PatchStat(pr, pc, n, s, ss)
+        pc += 1
+      }
+      pr += 1
+    }
+    out.result()
+  }
+
   /** 64-bit waveform difference hash over [[waveWindows65]] — dHash's
     * audio sibling: bit i = mean|s| of window i < mean of window i+1,
     * compared as the cross-multiplication

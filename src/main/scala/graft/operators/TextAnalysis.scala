@@ -211,6 +211,29 @@ object TextAnalysis {
       regexp_replace(text, "([.!?]) +([A-Z0-9])", "$1\u0001$2"),
       "\u0001")
 
+  /** Intra-document duplicate-sentence removal — the repetition CLEANUP
+    * the Gopher/CCNet rule family flags (`repetition_signals` measures;
+    * this one repairs): [[sentenceSplit]]'s sentences keep only their
+    * FIRST occurrence (exact string match, order preserved — boilerplate
+    * headers, duplicated paragraphs, and copy-paste loops collapse to
+    * one copy), survivors re-join with one space (the separator the
+    * boundary regex consumed). Emits the cleaned text beside exact
+    * counts so a pipeline can filter on the removal ratio instead of
+    * keeping the rewrite unconditionally. The first-occurrence filter is
+    * a higher-order `filter` with an `array_position` probe — O(n²) in
+    * SENTENCES per doc (a document has hundreds, not millions; the
+    * scaling axis is documents), narrow, codegen'd, zero shuffle. */
+  def dedupSentences(df: DataFrame, textCol: String, idCol: String)
+      : DataFrame = {
+    val sents = sentenceSplit(col(textCol))
+    val kept = filter(sents, (x, i) =>
+      array_position(sents, x) === i.cast("long") + 1L)
+    df.select(col(idCol),
+      concat_ws(" ", kept).as("text_dedup"),
+      size(sents).cast("long").as("n_sentences"),
+      (size(sents) - size(kept)).cast("long").as("n_removed"))
+  }
+
   /** Greedy sentence-aligned chunking — the unit-maker for RAG
     * retrieval and context packing where a mid-sentence cut destroys
     * the unit's meaning: [[sentenceSplit]]'s sentences pack left to

@@ -311,6 +311,54 @@ object MultimodalQueries {
           "out_energy")
     }),
 
+    // Energy-gated activity segmentation (the VAD shape): synthetic
+    // speech-like PCM — 25-frame windows alternate quiet (|s| ≤ 400)
+    // and boosted (+3000) blocks on an id-keyed pattern — round-trips
+    // the real WAV codec, segments under the exact mean-square gate,
+    // explodes one row per segment. Oracle replays the sample formula,
+    // per-window energies, and the gaps-and-islands coalescing.
+    "media_segments" -> ((s, dir) => {
+      import s.implicits._
+      Graft.table(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val n = 200 + (id % 37).toInt
+          val samples = Array.tabulate(n) { i =>
+            val base = (((id * 31 + i * 17) % 801) - 400).toInt
+            if ((id + i / 25) % 5 < 2) base + 3000 else base
+          }
+          val w = Multimodal.parseWav(
+            Multimodal.pcmWav(8000, 1, samples)).get
+          Multimodal.energySegments(w, windowFrames = 25,
+            meanSqThreshold = 250000L).map(g =>
+            (id, g.seg_idx, g.start_frame, g.end_frame, g.n_windows,
+              g.energy))
+        })
+        .toDF("media_id", "seg_idx", "start_frame", "end_frame",
+          "n_windows", "energy")
+    }),
+
+    // Per-patch sufficient statistics (the ViT-ingest patch pass) over
+    // the true PNG decode: 18×16 gray pixels in 5×5 tiles — ragged
+    // right/bottom edges exercised — emitting exact integer sum/sum²
+    // numerators per patch. Oracle replays the pixel formula and the
+    // patch sums.
+    "media_patches" -> ((s, dir) => {
+      import s.implicits._
+      Graft.table(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val png = Multimodal.grayPng(18, 16,
+            (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt)
+          val img = Multimodal.decodeImage(png).get
+          val grid = Multimodal.grayResample(img, 18, 16)
+          Multimodal.grayPatchStats(grid, w = 18, p = 5).map(t =>
+            (id, t.patch_row, t.patch_col, t.n_px, t.px_sum, t.px_sum_sq))
+        })
+        .toDF("media_id", "patch_row", "patch_col", "n_px", "px_sum",
+          "px_sum_sq")
+    }),
+
     // Average hash over the SAME true-pixel decode path as media_decode
     // (the aHash/dHash pair near-dup pipelines band together): bit =
     // cell·64 > subgrid sum, exact integers; oracle replays the template
@@ -555,6 +603,70 @@ object MultimodalQueries {
         |  CAST(list_sum(list_transform(o, x -> x*x)) AS BIGINT)
         |    AS out_energy
         |FROM d
+        |""".stripMargin,
+
+    // replay sample formula → per-window energies → active gate →
+    // gaps-and-islands coalescing (island id = window − row_number)
+    "media_segments" ->
+      """WITH t AS (
+        |  SELECT doc_id AS media_id, 200 + (doc_id % 37) AS n
+        |  FROM documents),
+        |w AS (
+        |  SELECT media_id, n, wi AS w, wi*25 AS fs,
+        |    least(n, wi*25 + 25) AS fe
+        |  FROM t, UNNEST(range(0, (n + 24) // 25)) AS u(wi)),
+        |e AS (
+        |  SELECT media_id, n, w, fs, fe,
+        |    list_sum(list_transform(range(fs, fe), f ->
+        |      ( ((media_id*31 + f*17) % 801) - 400
+        |        + CASE WHEN (media_id + f // 25) % 5 < 2
+        |               THEN 3000 ELSE 0 END )
+        |      *
+        |      ( ((media_id*31 + f*17) % 801) - 400
+        |        + CASE WHEN (media_id + f // 25) % 5 < 2
+        |               THEN 3000 ELSE 0 END ))) AS en
+        |  FROM w),
+        |a AS (
+        |  SELECT media_id, w, fs, fe, en,
+        |    w - ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY w)
+        |      AS isl
+        |  FROM e WHERE en >= 250000 * (fe - fs)),
+        |g AS (
+        |  SELECT media_id, isl, MIN(fs) AS start_frame,
+        |    MAX(fe) AS end_frame, COUNT(*) AS n_windows, SUM(en) AS energy
+        |  FROM a GROUP BY 1, 2)
+        |SELECT media_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY media_id
+        |    ORDER BY start_frame) - 1 AS INTEGER) AS seg_idx,
+        |  CAST(start_frame AS BIGINT) AS start_frame,
+        |  CAST(end_frame AS BIGINT) AS end_frame,
+        |  CAST(n_windows AS BIGINT) AS n_windows,
+        |  CAST(energy AS BIGINT) AS energy
+        |FROM g
+        |""".stripMargin,
+
+    // replay the pixel formula over each 5×5 tile (ragged edges: the
+    // last column is 3 wide, the last row 1 tall)
+    "media_patches" ->
+      """WITH p AS (
+        |  SELECT doc_id AS media_id, pr, pc,
+        |    pr*5 AS y0, least(16, pr*5 + 5) AS y1,
+        |    pc*5 AS x0, least(18, pc*5 + 5) AS x1
+        |  FROM documents,
+        |    UNNEST(range(0, 4)) AS r(pr), UNNEST(range(0, 4)) AS c(pc))
+        |SELECT media_id,
+        |  CAST(pr AS INTEGER) AS patch_row,
+        |  CAST(pc AS INTEGER) AS patch_col,
+        |  CAST((y1 - y0) * (x1 - x0) AS BIGINT) AS n_px,
+        |  CAST(list_sum(list_transform(range(y0, y1), y ->
+        |    list_sum(list_transform(range(x0, x1), x ->
+        |      (media_id*31 + x*7 + y*13) % 256)))) AS BIGINT) AS px_sum,
+        |  CAST(list_sum(list_transform(range(y0, y1), y ->
+        |    list_sum(list_transform(range(x0, x1), x ->
+        |      ((media_id*31 + x*7 + y*13) % 256)
+        |      * ((media_id*31 + x*7 + y*13) % 256))))) AS BIGINT)
+        |    AS px_sum_sq
+        |FROM p
         |""".stripMargin,
 
     "media_ahash" ->

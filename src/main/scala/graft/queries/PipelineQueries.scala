@@ -469,6 +469,23 @@ object PipelineQueries {
         .withColumn("n_chars", length(col("chunk")).cast("long"))
     }),
 
+    // Intra-document duplicate-sentence removal: the page plants two
+    // exact repeats ("Hello world.", "This is doc N!") around the doc
+    // text, the cleanup keeps first occurrences and re-joins with one
+    // space; the oracle replays the split, the indexed first-occurrence
+    // filter, and the join — text, counts, and removal tally all hash.
+    "sentence_dedup" -> ((s, dir) => {
+      val page = concat(
+        lit("Hello world. This is doc "), col("doc_id").cast("string"),
+        lit("! Is it set B? Yes. bullet without caps... 9 lives. "),
+        col("text"),
+        lit(". Hello world. This is doc "), col("doc_id").cast("string"),
+        lit("! The end."))
+      TextAnalysis.dedupSentences(
+        docs(s, dir).select(col("doc_id"), page.as("page")),
+        "page", "doc_id")
+    }),
+
     // Code-vs-prose detection: even doc_ids are wrapped in a rendered
     // code snippet (keywords, indented lines, symbols, a camelCase
     // token), odd ids stay prose; the oracle recomputes every signal
@@ -2436,6 +2453,32 @@ object PipelineQueries {
         |SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx,
         |       l[i] AS sentence
         |FROM m, UNNEST(generate_series(1, len(l))) AS u(i)
+        |""".stripMargin,
+
+    "sentence_dedup" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'Hello world. This is doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '! Is it set B? Yes. bullet without caps... 9 lives. ' ||
+        |    text ||
+        |    '. Hello world. This is doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '! The end.' AS page
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(page,
+        |      '([.!?]) +([A-Z0-9])', '\1' || chr(1) || '\2', 'g'),
+        |      chr(1)) AS l
+        |  FROM p),
+        |k AS (
+        |  SELECT doc_id, l,
+        |    list_filter(l, (x, i) -> list_position(l, x) = i) AS kept
+        |  FROM m)
+        |SELECT doc_id,
+        |  array_to_string(kept, ' ') AS text_dedup,
+        |  CAST(len(l) AS BIGINT) AS n_sentences,
+        |  CAST(len(l) - len(kept) AS BIGINT) AS n_removed
+        |FROM k
         |""".stripMargin,
 
     "sentence_chunks" ->

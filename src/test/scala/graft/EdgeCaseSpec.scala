@@ -389,4 +389,30 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(re.getAs[Long]("rr_ppm") == 1000000L &&
       re.getAs[Long]("hits_at_k") == 1L)
   }
+
+  test("round-14 operators on degenerate inputs") {
+    import graft.operators.{Multimodal, TextAnalysis}
+    // dedupSentences on an empty string: split yields one empty
+    // sentence — it survives (trivially unique), nothing removed
+    val ds = TextAnalysis.dedupSentences(
+      Seq((1L, "")).toDF("id", "t"), "t", "id").head()
+    assert(ds.getAs[String]("text_dedup") == "" &&
+      ds.getAs[Long]("n_sentences") == 1L &&
+      ds.getAs[Long]("n_removed") == 0L)
+    // empty frame: empty result, schema intact
+    val empty = TextAnalysis.dedupSentences(
+      Seq.empty[(Long, String)].toDF("id", "t"), "t", "id")
+    assert(empty.isEmpty &&
+      empty.columns.toSeq ==
+        Seq("id", "text_dedup", "n_sentences", "n_removed"))
+    // energySegments on a clip shorter than one window: the single
+    // partial window gates against its own length
+    val short = Multimodal.energySegments(
+      Multimodal.WavData(8000, 1, 16, Array(40)), 25, 100)
+    assert(short ==
+      Seq(Multimodal.AudioSegment(0, 0, 1, 1, 1600)))
+    // grayPatchStats on a 1-pixel image at any p: one patch
+    assert(Multimodal.grayPatchStats(Array(7), 1, 5) ==
+      Seq(Multimodal.PatchStat(0, 0, 1, 7, 49)))
+  }
 }

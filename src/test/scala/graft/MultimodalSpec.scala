@@ -238,6 +238,55 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.downsampleWav(w, 1) eq w)
   }
 
+  test("energySegments: gate, coalescing, partial window, edge cases") {
+    import Multimodal.{AudioSegment, WavData, energySegments}
+    // windows of 2 frames over channel 0; threshold mean-sq 100:
+    // window energies 2·100=200? — samples (10,10 | 1,1 | 20,20 | 30,1)
+    // energies 200, 2, 800, 901; gate e >= 100·n: 200≥200 A, 2<200,
+    // 800≥200 A, 901≥200 A (trailing FULL window here)
+    val w = WavData(8000, 1, 16, Array(10, 10, 1, 1, 20, 20, 30, 1))
+    assert(energySegments(w, 2, 100) == Seq(
+      AudioSegment(0, 0, 2, 1, 200),
+      AudioSegment(1, 4, 8, 2, 1701)))
+    // trailing PARTIAL window: 5 frames at window 2 — last window is
+    // one frame, gate scales to n=1 (50² = 2500 ≥ 100·1)
+    val p = WavData(8000, 1, 16, Array(0, 0, 0, 0, 50))
+    assert(energySegments(p, 2, 100) == Seq(AudioSegment(0, 4, 5, 1, 2500)))
+    // all-active clip is ONE segment spanning everything
+    val loud = WavData(8000, 1, 16, Array.fill(6)(100))
+    assert(energySegments(loud, 2, 100) ==
+      Seq(AudioSegment(0, 0, 6, 3, 60000)))
+    // silence yields no segments; empty clip likewise
+    assert(energySegments(WavData(8000, 1, 16, Array(0, 0)), 2, 100).isEmpty)
+    assert(energySegments(WavData(8000, 1, 16, Array.empty), 2, 100).isEmpty)
+    // stereo: only channel 0 is gated (channel 1's loud samples ignored)
+    val st = WavData(8000, 2, 16, Array(0, 999, 0, 999))
+    assert(energySegments(st, 2, 100).isEmpty)
+    // zero threshold: every window active (one full-span segment)
+    assert(energySegments(p, 2, 0).map(_.n_windows).sum == 3)
+    intercept[IllegalArgumentException](energySegments(w, 0, 100))
+    intercept[IllegalArgumentException](energySegments(w, 2, -1))
+  }
+
+  test("grayPatchStats: tiles, ragged edges, exact numerators") {
+    import Multimodal.{PatchStat, grayPatchStats}
+    // 3×2 grid, p=2: patches (0,0)=2×2 over [1,2|4,5], (0,1)=2×1 [3|6]
+    val g = Array(1, 2, 3, 4, 5, 6)
+    assert(grayPatchStats(g, 3, 2) == Seq(
+      PatchStat(0, 0, 4, 12, 1 + 4 + 16 + 25),
+      PatchStat(0, 1, 2, 9, 9 + 36)))
+    // p larger than the image: ONE patch = the whole image
+    assert(grayPatchStats(g, 3, 10) == Seq(PatchStat(0, 0, 6, 21, 91)))
+    // p=1: one patch per pixel, sum == value, sum_sq == value²
+    val unit = grayPatchStats(g, 3, 1)
+    assert(unit.size == 6 && unit.forall(t =>
+      t.n_px == 1 && t.px_sum_sq == t.px_sum * t.px_sum))
+    // every pixel lands in exactly one patch at any p
+    for (p <- 1 to 4)
+      assert(grayPatchStats(g, 3, p).map(_.n_px).sum == 6)
+    intercept[IllegalArgumentException](grayPatchStats(g, 4, 2)) // 6 % 4 != 0
+  }
+
   test("parsePng: IHDR + tEXt with CRC verification, strict rejects") {
     val png = Multimodal.withTextChunk(
       Multimodal.grayPng(7, 4, (x, y) => x + y), "k", "v one")

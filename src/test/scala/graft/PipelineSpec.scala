@@ -621,6 +621,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(one == Seq("no boundary here"))
   }
 
+  test("dedupSentences: first occurrence wins, order kept, counts exact") {
+    def run(t: String): (String, Long, Long) = {
+      val r = TextAnalysis.dedupSentences(
+        Seq((1L, t)).toDF("id", "t"), "t", "id").collect().head
+      (r.getAs[String]("text_dedup"), r.getAs[Long]("n_sentences"),
+        r.getAs[Long]("n_removed"))
+    }
+    // the repeated sentence drops at its SECOND occurrence; order of
+    // the survivors is the original order, re-joined with one space
+    assert(run("A b. C d! A b. E f.") == (("A b. C d! E f.", 4L, 1L)))
+    // all distinct: text survives verbatim up to the consumed spaces
+    assert(run("One two. Three four!") == (("One two. Three four!", 2L, 0L)))
+    // a doc that is one sentence repeated collapses to one copy
+    assert(run("Same. Same. Same.") == (("Same.", 3L, 2L)))
+    // no boundary: the whole text is one (trivially unique) sentence
+    assert(run("no boundary here") == (("no boundary here", 1L, 0L)))
+    // near-duplicates differing by one char both survive (EXACT match)
+    assert(run("A b. A c. A b.") == (("A b. A c.", 3L, 1L)))
+  }
+
   test("chunkSentences: greedy budget, no mid-sentence cut, oversize") {
     def chunks(t: String, b: Int): Seq[String] =
       Seq(t).toDF("t").select(TextAnalysis.chunkSentences(col("t"), b))
