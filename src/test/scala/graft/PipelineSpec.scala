@@ -641,6 +641,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(run("A b. A c. A b.") == (("A b. A c.", 3L, 1L)))
   }
 
+  test("dedupSentences: zero shuffles, in codegen") {
+    // range source (not a local Seq): a LocalTableScan constant-folds
+    // the whole projection at plan time and proves nothing
+    val docs = spark.range(3).select(col("id"),
+      concat(lit("A b. C d! A b. Doc "), col("id").cast("string"),
+        lit(".")).as("t"))
+    val out = TextAnalysis.dedupSentences(docs, "t", "id")
+    assert(out.collect().forall(_.getAs[Long]("n_removed") == 1L))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("*(1)"), plan) // whole-stage codegen span
+  }
+
   test("chunkSentences: greedy budget, no mid-sentence cut, oversize") {
     def chunks(t: String, b: Int): Seq[String] =
       Seq(t).toDF("t").select(TextAnalysis.chunkSentences(col("t"), b))
