@@ -387,15 +387,25 @@ object Retrieval {
     if (ObservationStore.pathExists(spark, path))
       recoverIndexMerge(spark, path, deleteUncommitted = true)
     val idx = tokenIndex(df, textCol, idCol).localCheckpoint(false)
-    idx.withColumn("term_bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
-      .write.partitionBy("term_bucket").mode("overwrite")
-      .parquet(s"$path/postings")
-    idx.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$path/terms")
-    df.agg(count(lit(1)).as("n_docs"),
-        sum(size(tokens(col(textCol)))).as("sum_dl"),
-        lit(nBuckets.toLong).as("n_buckets"))
-      .write.mode("overwrite").parquet(s"$path/stats")
+    // materialize the checkpoint once, then overlap the three table
+    // writes — they are independent jobs over the cached index (and the
+    // corpus, for stats) into disjoint directories, and each alone is
+    // narrower than the cluster (the writeDual/stageMerge move)
+    idx.count(): Unit
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(Seq(
+      Future(idx.withColumn("term_bucket",
+          pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+        .write.partitionBy("term_bucket").mode("overwrite")
+        .parquet(s"$path/postings")),
+      Future(idx.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$path/terms")),
+      Future(df.agg(count(lit(1)).as("n_docs"),
+          sum(size(tokens(col(textCol)))).as("sum_dl"),
+          lit(nBuckets.toLong).as("n_buckets"))
+        .write.mode("overwrite").parquet(s"$path/stats")))),
+      scala.concurrent.duration.Duration.Inf): Unit
     // a rebuild of an existing index advances the generation, never
     // resets; the meta write is LAST and carries the builder's batch id
     // atomically (the writeLm stream contract)
@@ -503,27 +513,36 @@ object Retrieval {
     val touched = newIdx.select("term_bucket").distinct()
       .collect().map(_.getLong(0))
     // staging reads the live tables and writes ELSEWHERE, so none of the
-    // lineage cuts the old in-place dynamic overwrite needed remain
-    spark.read.parquet(s"$path/postings")
-      .filter(col("term_bucket").isin(touched.toIndexedSeq: _*))
-      .select(newIdx.columns.toIndexedSeq.map(col): _*)
-      .unionAll(newIdx)
-      .repartition(col("term_bucket"))
-      .sortWithinPartitions(col("term_bucket"), col("term"))
-      .write.mode("overwrite").partitionBy("term_bucket")
-      .parquet(s"$staging/postings")
-    // vocabulary-sized: merge document frequencies with one aggregation
-    spark.read.parquet(s"$path/terms")
-      .unionAll(newIdx.groupBy(col("term")).agg(count(lit(1)).as("df")))
-      .groupBy(col("term")).agg(sum(col("df")).cast("long").as("df"))
-      .write.mode("overwrite").parquet(s"$staging/terms")
-    val batchStats = batch.agg(count(lit(1)).as("n"),
-      sum(size(tokens(col(textCol)))).as("dl")).head()
-    spark.range(1).select(
-        lit(nDocs + batchStats.getLong(0)).as("n_docs"),
-        lit(sumDl + batchStats.getLong(1)).as("sum_dl"),
-        lit(nBuckets).as("n_buckets"))
-      .write.mode("overwrite").parquet(s"$staging/stats")
+    // lineage cuts the old in-place dynamic overwrite needed remain.
+    // The three staged tables are independent jobs over the (already
+    // materialized by the touched-probe) checkpointed batch index into
+    // disjoint directories — overlap them, the writeDual/stageMerge move
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(Seq(
+      Future(spark.read.parquet(s"$path/postings")
+        .filter(col("term_bucket").isin(touched.toIndexedSeq: _*))
+        .select(newIdx.columns.toIndexedSeq.map(col): _*)
+        .unionAll(newIdx)
+        .repartition(col("term_bucket"))
+        .sortWithinPartitions(col("term_bucket"), col("term"))
+        .write.mode("overwrite").partitionBy("term_bucket")
+        .parquet(s"$staging/postings")),
+      // vocabulary-sized: merge document frequencies in one aggregation
+      Future(spark.read.parquet(s"$path/terms")
+        .unionAll(newIdx.groupBy(col("term")).agg(count(lit(1)).as("df")))
+        .groupBy(col("term")).agg(sum(col("df")).cast("long").as("df"))
+        .write.mode("overwrite").parquet(s"$staging/terms")),
+      Future {
+        val batchStats = batch.agg(count(lit(1)).as("n"),
+          sum(size(tokens(col(textCol)))).as("dl")).head()
+        spark.range(1).select(
+            lit(nDocs + batchStats.getLong(0)).as("n_docs"),
+            lit(sumDl + batchStats.getLong(1)).as("sum_dl"),
+            lit(nBuckets).as("n_buckets"))
+          .write.mode("overwrite").parquet(s"$staging/stats")
+      })),
+      scala.concurrent.duration.Duration.Inf): Unit
     // manifest = commit point; it lists the staged pieces so apply can
     // tell "already swapped" from "staged data lost" (the latter must
     // fail loudly, not skip — a skip would commit postings without their
