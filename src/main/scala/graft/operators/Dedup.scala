@@ -212,7 +212,13 @@ object Dedup {
   def loadBandIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
     recoverBandMerge(spark, path, deleteUncommitted = false)
-    spark.read.parquet(path).drop("batch")
+    val base = spark.read.parquet(path).drop("batch")
+    // retracted documents ([[deleteFromBandIndex]]) mask out via a
+    // broadcast anti-join until the next vacuum folds them in
+    val (tf, tp) = ObservationStore.fs(spark, s"$path/_tombstones")
+    if (!tf.exists(tp)) base
+    else base.join(broadcast(spark.read.parquet(s"$path/_tombstones")
+      .select(col("corpus_id")).distinct()), Seq("corpus_id"), "left_anti")
   }
 
   /** Fold a batch of NEW documents into a persisted band index — the
@@ -332,6 +338,97 @@ object Dedup {
     StagedCommit.applyPieces(spark, path, staging, pieces, targetEpoch,
       () => readBandEpoch(spark, path),
       gen => writeBandMeta(spark, path, gen, nh, nb, batchId))
+  }
+
+  /** Retraction on the persisted band index — the takedown/GDPR path a
+    * long-lived dedup corpus needs (the [[Similarity.deleteFromIvfIndex]]
+    * twin): deleted corpus ids append to `<path>/_tombstones` (O(deleted)
+    * — no index rewrite on the request path) and [[loadBandIndex]] masks
+    * them with a broadcast anti-join until [[vacuumBandIndex]] folds them
+    * in. Deletion changes candidate VISIBILITY only — a retracted
+    * document can no longer suppress an incoming duplicate. */
+  def deleteFromBandIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame): Unit =
+    ids.select(col(ids.columns.head).cast("long").as("corpus_id"))
+      .write.mode("append").parquet(s"$path/_tombstones")
+
+  def deleteFromBandIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    deleteFromBandIndex(spark, path, ids.toDF("corpus_id"))
+  }
+
+  /** Fold band-index tombstones into the partition files: ONLY
+    * `(band_idx, batch)` leaves that actually hold a deleted id are
+    * rewritten (dynamic partition overwrite — the touched-bucket
+    * discipline), leaves whose every row died have their directories
+    * removed outright, and the tombstone set is dropped LAST — a crash
+    * anywhere leaves the tombstones masking queries, and a replay is
+    * idempotent (the [[Similarity.vacuumIvfIndex]] contract). The index
+    * epoch does not move: vacuum changes no VISIBLE content (masking
+    * already hid the rows); epochs count visible generations. Returns
+    * the number of band rows removed. */
+  def vacuumBandIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    import spark.implicits._
+    val (f, tp) = ObservationStore.fs(spark, s"$path/_tombstones")
+    if (!f.exists(tp)) return 0L
+    val tomb = spark.read.parquet(s"$path/_tombstones")
+      .select(col("corpus_id")).distinct().localCheckpoint(false)
+    val idx = spark.read.parquet(path)
+    val dead = idx.join(broadcast(tomb), Seq("corpus_id"), "left_semi")
+      .groupBy(col("band_idx").cast("long").as("b"),
+        col("batch").cast("long").as("t"))
+      .agg(count(lit(1)).as("n")).collect()
+    val removed = dead.map(_.getAs[Long]("n")).sum
+    if (dead.nonEmpty) {
+      val touched = broadcast(dead.toIndexedSeq
+        .map(r => (r.getAs[Long]("b"), r.getAs[Long]("t")))
+        .toDF("t_band", "t_batch"))
+      val survivors = idx
+        .join(touched, col("band_idx").cast("long") === col("t_band") &&
+          col("batch").cast("long") === col("t_batch"), "left_semi")
+        .join(broadcast(tomb), Seq("corpus_id"), "left_anti")
+        .localCheckpoint(false) // reads the files the write replaces
+      survivors
+        .repartition(col("band_idx"), col("band_hash"))
+        .sortWithinPartitions(col("band_hash"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("band_idx", "batch").parquet(path)
+      // leaves that kept nothing stage no files under dynamic overwrite
+      // — their old directories must go explicitly; and an index
+      // vacuumed down to NOTHING must stay readable (schema-only file
+      // before the last directory goes)
+      val staying = survivors
+        .select(col("band_idx").cast("long"), col("batch").cast("long"))
+        .distinct().as[(Long, Long)].collect().toSet
+      val dying = dead.toIndexedSeq
+        .map(r => (r.getAs[Long]("b"), r.getAs[Long]("t")))
+        .filterNot(staying).toSet
+      val (bf, bp) = ObservationStore.fs(spark, path)
+      val existing = bf.listStatus(bp).toIndexedSeq
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("band_idx="))
+        .flatMap { bandDir =>
+          val band = bandDir.getPath.getName
+            .stripPrefix("band_idx=").toLong
+          bf.listStatus(bandDir.getPath).toIndexedSeq
+            .filter(s => s.isDirectory &&
+              s.getPath.getName.startsWith("batch="))
+            .map(s => (band, s.getPath.getName.stripPrefix("batch=").toLong))
+        }.toSet
+      if ((existing -- dying).isEmpty)
+        survivors.limit(0).coalesce(1)
+          .write.mode("append").parquet(path)
+      dying.foreach { case (b, t) =>
+        val (df_, dp) = ObservationStore.fs(spark,
+          s"$path/band_idx=$b/batch=$t")
+        if (df_.exists(dp)) { df_.delete(dp, true); () }
+      }
+    }
+    f.delete(tp, true)
+    removed
   }
 
   /** Delta dedup against a PRECOMPUTED band index (built/persisted via

@@ -386,6 +386,10 @@ object Retrieval {
     // freshly rebuilt tables
     if (ObservationStore.pathExists(spark, path))
       recoverIndexMerge(spark, path, deleteUncommitted = true)
+    // a rebuild starts a fresh corpus: stale tombstones from the old
+    // index would mask (and statistically mis-adjust) the new one
+    val (tbf, tbp) = ObservationStore.fs(spark, s"$path/_tombstones")
+    if (tbf.exists(tbp)) tbf.delete(tbp, true)
     val idx = tokenIndex(df, textCol, idCol).localCheckpoint(false)
     // materialize the checkpoint once, then overlap the three table
     // writes — they are independent jobs over the cached index (and the
@@ -695,7 +699,141 @@ object Retrieval {
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
     val dfreq = spark.read.parquet(s"$path/terms")
       .filter(col("term").isin(terms: _*))
-    score(idx, dfreq, terms, k, nDocs, sumDl)
+    // retracted documents ([[deleteFromIndex]]) mask out AND the
+    // score inputs adjust — BM25 depends on n_docs/sum_dl/df, so
+    // masking postings alone would still score against the pre-delete
+    // statistics. Every adjustment is computable from the tombstones
+    // (which carry dl) plus the already-read query-term postings, so
+    // the query never scans beyond its term buckets.
+    val (tf, tp) = ObservationStore.fs(spark, s"$path/_tombstones")
+    if (!tf.exists(tp)) score(idx, dfreq, terms, k, nDocs, sumDl)
+    else {
+      val tomb = spark.read.parquet(s"$path/_tombstones")
+        .groupBy(col("doc_id")).agg(max(col("dl")).as("t_dl"))
+        .localCheckpoint(false)
+      val ts = tomb.agg(count(lit(1)).as("n"), sum(col("t_dl")).as("dl"))
+        .head()
+      if (ts.getLong(0) == 0L) score(idx, dfreq, terms, k, nDocs, sumDl)
+      else {
+        val tombIds = broadcast(tomb.select(col("doc_id")))
+        val deadDf = idx.join(tombIds, Seq("doc_id"), "left_semi")
+          .groupBy(col("term")).agg(count(lit(1)).as("dead_df"))
+        val dfreqAdj = dfreq.join(deadDf, Seq("term"), "left")
+          .select(col("term"),
+            (col("df") - coalesce(col("dead_df"), lit(0L))).as("df"))
+          .filter(col("df") > 0)
+        score(idx.join(tombIds, Seq("doc_id"), "left_anti"), dfreqAdj,
+          terms, k, nDocs - ts.getLong(0), sumDl - ts.getLong(1))
+      }
+    }
+  }
+
+  /** Retraction on the persisted BM25 index — the takedown/GDPR path
+    * (the [[Dedup.deleteFromBandIndex]] / IVF-tombstone twin): the
+    * DOCUMENTS being deleted append as (doc_id, dl) tombstones (dl
+    * recomputed by the index's own tokenizer — BM25's statistics need
+    * it, and requiring the document makes "delete something never
+    * indexed" structurally harder). [[indexTopK]] masks postings AND
+    * adjusts n_docs/sum_dl/df from the tombstones until [[vacuumIndex]]
+    * folds them in. Contract: only previously-indexed, not-yet-deleted
+    * documents (re-deleting dedupes by id; deleting an absent id would
+    * corrupt the statistics — vacuum verifies and refuses). */
+  def deleteFromIndex(spark: SparkSession, path: String, docs: DataFrame,
+      textCol: String, idCol: String): Unit =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("dl"))
+      .write.mode("append").parquet(s"$path/_tombstones")
+
+  /** Fold BM25 tombstones into the index as ONE staged generation —
+    * postings (touched term buckets only), terms (df decremented, empty
+    * terms dropped), stats (n_docs/sum_dl decremented) and an EMPTIED
+    * tombstone table all swap atomically under the merge manifest, so a
+    * crash at any point either leaves the tombstones masking (and a
+    * recovery replay re-applies) or the fully-vacuumed index — never a
+    * state that double-subtracts. Touched buckets whose every posting
+    * died stage an explicit empty piece (dynamic overwrite would leave
+    * the dead files live). Verifies every tombstoned id actually holds
+    * postings before staging — an id never indexed would silently skew
+    * df/n_docs/sum_dl forever. Returns postings rows removed. */
+  def vacuumIndex(spark: SparkSession, path: String): Long = {
+    recoverIndexMerge(spark, path, deleteUncommitted = true)
+    val (f, tp) = ObservationStore.fs(spark, s"$path/_tombstones")
+    if (!f.exists(tp)) return 0L
+    val tomb = spark.read.parquet(s"$path/_tombstones")
+      .groupBy(col("doc_id")).agg(max(col("dl")).as("t_dl"))
+      .localCheckpoint(false)
+    val ts = tomb.agg(count(lit(1)).as("n"), sum(col("t_dl")).as("dl")).head()
+    val (nTomb, dlTomb) = (ts.getLong(0), if (ts.isNullAt(1)) 0L else ts.getLong(1))
+    if (nTomb == 0L) { f.delete(tp, true); return 0L }
+    val st = spark.read.parquet(s"$path/stats").head()
+    val (nDocs, sumDl, nBuckets) =
+      (st.getAs[Long]("n_docs"), st.getAs[Long]("sum_dl"),
+        st.getAs[Long]("n_buckets"))
+    val postings = spark.read.parquet(s"$path/postings")
+    val tombIds = broadcast(tomb.select(col("doc_id")))
+    val dead = postings.join(tombIds, Seq("doc_id"), "left_semi")
+      .localCheckpoint(false) // feeds the per-term counts, touched set,
+                              // row count and the id check once
+    val matchedIds = dead.select(col("doc_id")).distinct().count()
+    require(matchedIds == nTomb,
+      s"vacuumIndex: $nTomb tombstoned ids but only $matchedIds hold " +
+        "postings — deleting a never-indexed id would corrupt the " +
+        "index statistics; remove the bad tombstones first")
+    val removed = dead.count()
+    val touched = dead.select(col("term_bucket").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toIndexedSeq
+    val targetGen = readIndexEpoch(spark, path).getOrElse(0L) + 1L
+    val staging = s"$path/_staging_$targetGen"
+    val (sf, sp) = ObservationStore.fs(spark, staging)
+    if (sf.exists(sp)) sf.delete(sp, true)
+    val survivors = postings
+      .filter(col("term_bucket").isin(touched: _*))
+      .join(tombIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint(false) // reads the files the swap replaces
+    survivors
+      .repartition(col("term_bucket"))
+      .sortWithinPartitions(col("term_bucket"), col("term"))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$staging/postings")
+    // fully-dead buckets wrote nothing above — stage explicit empty
+    // pieces so the swap replaces (not strands) their live files
+    val staying = survivors.select(col("term_bucket").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    touched.filterNot(staying).foreach { b =>
+      survivors.drop("term_bucket").limit(0).coalesce(1)
+        .write.mode("overwrite")
+        .parquet(s"$staging/postings/term_bucket=$b")
+    }
+    val deadDf = dead.groupBy(col("term")).agg(count(lit(1)).as("dead_df"))
+    spark.read.parquet(s"$path/terms")
+      .join(deadDf, Seq("term"), "left")
+      .select(col("term"),
+        (col("df") - coalesce(col("dead_df"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+      .write.mode("overwrite").parquet(s"$staging/terms")
+    spark.range(1).select(
+        lit(nDocs - nTomb).as("n_docs"),
+        lit(sumDl - dlTomb).as("sum_dl"),
+        lit(nBuckets).as("n_buckets"))
+      .write.mode("overwrite").parquet(s"$staging/stats")
+    // the emptied tombstone table swaps WITH the adjusted tables: any
+    // earlier ordering double-subtracts on one side of a crash. Schema
+    // must be the (doc_id, dl) that deleteFromIndex appends and the
+    // query path reads.
+    tomb.select(col("doc_id"), col("t_dl").as("dl")).limit(0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$staging/_tombstones")
+    val stagedBuckets = StagedCommit.stagedPartDirs(spark,
+      s"$staging/postings", "term_bucket=").mkString(",")
+    val (mf, mp) = ObservationStore.fs(spark, s"$staging/_manifest.json")
+    val out = mf.create(mp, true)
+    try out.write(
+      (s"""{"target_epoch":$targetGen,""" +
+        s""""staged_postings":"$stagedBuckets",""" +
+        s""""staged_tables":"terms,stats,_tombstones"}""")
+        .getBytes("UTF-8"))
+    finally out.close()
+    applyStagedIndexMerge(spark, path, staging)
+    removed
   }
 
   /** Ranked-retrieval EVALUATION — the recall-gate discipline the ANN

@@ -111,6 +111,11 @@ object Similarity {
     * same broadcast-argmax aggregation as [[ivfTopK]]. */
   def writeIvfIndex(embeddings: DataFrame, idCol: String, embCol: String,
       centroidIds: Seq[Long], path: String): Unit = {
+    // a rebuild starts a fresh corpus: stale tombstones from the old
+    // index would silently mask ids that happen to recur in the new one
+    val (tbf, tbp) = ObservationStore.fs(embeddings.sparkSession,
+      s"$path/_tombstones")
+    if (tbf.exists(tbp)) tbf.delete(tbp, true)
     val scaledDf = embeddings.select(col(idCol).as("id"),
       scaled(col(embCol)).as("v"))
     val centroids = scaledDf.filter(col("id").isin(centroidIds: _*))
@@ -767,6 +772,10 @@ object Similarity {
     if (ObservationStore.pathExists(embeddings.sparkSession, path))
       recoverIvfPqMerge(embeddings.sparkSession, path,
         deleteUncommitted = true)
+    // rebuild clears deletion state (the writeIvfIndex rationale)
+    val (tbf, tbp) = ObservationStore.fs(embeddings.sparkSession,
+      s"$path/_tombstones")
+    if (tbf.exists(tbp)) tbf.delete(tbp, true)
     val cb = pqCodebooks(embeddings, idCol, embCol, m, ks, iters, dim)
     val scaledDf = embeddings.select(col(idCol).cast("long").as("id"),
       scaled(col(embCol)).as("v"))

@@ -1194,6 +1194,39 @@ object PipelineQueries {
         "text", "doc_id")
     }),
 
+    // Retraction on the persisted band index: every corpus doc_id ≡ 1
+    // (mod 4) is deleted WITHOUT a rebuild (tombstones mask the load
+    // path), then vacuum folds the tombstones into the partition files
+    // — the post-vacuum delta query must answer exactly what the masked
+    // query answered (require'd) and exactly what an index built WITHOUT
+    // those docs answers (the oracle: delta_dedup minus the deleted
+    // corpus side). Deletion changes candidate visibility, never
+    // verification.
+    "band_index_delete" -> ((s, dir) => {
+      val tmp = graft.queries.util.scratchDir("banddelete", dir)
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      Dedup.writeBandIndex(d, "text", "doc_id", tmp)
+      Dedup.deleteFromBandIndex(s, tmp,
+        d.filter(col("doc_id") % 4 === 1).select(col("doc_id")))
+      val batch = d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+        .unionAll(d.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 3000000).as("doc_id"),
+            reverse(col("text")).as("text")))
+        .localCheckpoint(false)
+      def query() = Dedup.deltaDedupAgainstIndex(
+        Dedup.loadBandIndex(s, tmp), batch, "text", "doc_id")
+      val nMasked = query().count()
+      require(Dedup.vacuumBandIndex(s, tmp) > 0L,
+        "band vacuum removed nothing")
+      require(Dedup.vacuumBandIndex(s, tmp) == 0L,
+        "second band vacuum must no-op")
+      val after = query()
+      require(after.count() == nMasked,
+        "vacuum changed visible delta-dedup results")
+      after
+    }),
+
     // Evaluation as a first-class operator: recall of the MinHash-LSH
     // near-dup path against the exact inverted-index truth on the same
     // corpus and threshold. The number a pipeline owner needs before
@@ -1707,6 +1740,12 @@ object PipelineQueries {
 
     // the merged persisted index answers the identical question
     "band_index_merge" -> deltaDedupSql,
+
+    // the delta oracle minus the retracted corpus docs — deletion is a
+    // visibility change on the corpus side, never a verification one
+    "band_index_delete" -> deltaDedupSql.replace(
+      "  FROM documents),",
+      "  FROM documents WHERE doc_id % 4 <> 1),"),
 
 
     // exact pairs vs the full mirrored MinHash-LSH pipeline, joined —

@@ -151,6 +151,32 @@ object RetrievalQueries {
       Retrieval.indexTopK(s, tmp, bm25Terms, k = 10)
     }),
 
+    // Retraction on the persisted BM25 index: every doc_id ≡ 2 (mod 5)
+    // is deleted WITHOUT a rebuild — the query must mask the postings
+    // AND adjust n_docs/sum_dl/df (BM25 scores move when the corpus
+    // shrinks, unlike pure-visibility deletes) — then vacuum folds the
+    // tombstones into one staged generation and the post-vacuum query
+    // must answer identically (require'd). Oracle = the bm25 oracle
+    // over the corpus minus the deleted docs: indistinguishable from an
+    // index never containing them.
+    "bm25_delete" -> ((s, dir) => {
+      val tmp = bm25IndexDir(dir + "#delete")
+      val d = wsDocs(s, dir)
+      Retrieval.writeIndex(d, "text", "doc_id", tmp, nBuckets = 16)
+      Retrieval.deleteFromIndex(s, tmp,
+        d.filter(col("doc_id") % 5 === 2), "text", "doc_id")
+      val masked = Retrieval.indexTopK(s, tmp, bm25Terms, k = 10)
+        .collect().toSeq
+      require(Retrieval.vacuumIndex(s, tmp) > 0L,
+        "bm25 vacuum removed nothing")
+      require(Retrieval.vacuumIndex(s, tmp) == 0L,
+        "second bm25 vacuum must no-op")
+      val after = Retrieval.indexTopK(s, tmp, bm25Terms, k = 10)
+      require(after.collect().toSeq == masked,
+        "vacuum changed the ranking the tombstone mask produced")
+      after
+    }),
+
     // Hybrid retrieval: BM25 candidates ∪ exact-cosine ANN candidates
     // (documents and embeddings share the id space), fused by
     // reciprocal-rank fusion in scaled exact integers.
@@ -373,6 +399,13 @@ object RetrievalQueries {
     "bm25_index" -> bm25OracleSql,
     // half-indexed + half-merged must equal indexed-at-once
     "bm25_delta" -> bm25OracleSql,
+
+    // the bm25 oracle over the corpus minus the retracted docs — the
+    // masked/vacuumed index must be indistinguishable from one never
+    // containing them (statistics included, not just visibility)
+    "bm25_delete" -> bm25OracleSql.replace(
+      "  FROM documents),",
+      "  FROM documents WHERE doc_id % 5 <> 2),"),
 
     // both candidate pipelines fully mirrored, then the identical
     // integer-RRF fold

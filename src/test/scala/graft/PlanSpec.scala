@@ -333,6 +333,52 @@ class PlanSpec extends AnyFunSuite {
     assert(!pqTop().contains(pqBefore.head))
   }
 
+  test("band tombstones: delete masks, vacuum folds, empty leaves drop") {
+    import graft.operators.Dedup
+    val docsDf = (0L to 23L).map(i =>
+      (i, s"alpha beta gamma delta w$i x$i y$i z$i common tail here"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-plan-banddel").toString
+    Dedup.writeBandIndex(docsDf, "text", "doc_id", dir)
+    def corpusIds(): Set[Long] = Dedup.loadBandIndex(spark, dir)
+      .select(col("corpus_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(corpusIds() == (0L to 23L).toSet)
+    // delete two ids (idempotent double-delete on one): load masks
+    Dedup.deleteFromBandIndex(spark, dir, Seq(3L, 7L, 3L))
+    assert(corpusIds() == (0L to 23L).toSet -- Set(3L, 7L))
+    // vacuum folds the tombstones in: same view, tombstones gone,
+    // replay is a no-op
+    assert(Dedup.vacuumBandIndex(spark, dir) > 0L)
+    assert(!new java.io.File(s"$dir/_tombstones").exists())
+    assert(corpusIds() == (0L to 23L).toSet -- Set(3L, 7L))
+    assert(Dedup.vacuumBandIndex(spark, dir) == 0L)
+    // merge a batch in (its own (band, batch=1) leaves), then delete
+    // ONLY the merged batch: its leaves must die without any root-level
+    // file appearing next to the surviving partition directories
+    val extra = (100L to 103L).map(i =>
+      (i, s"epsilon zeta eta theta w$i x$i y$i z$i common tail here"))
+      .toDF("doc_id", "text")
+    assert(Dedup.mergeBandIndex(spark, dir, extra, "text", "doc_id", 1L) > 0)
+    assert(corpusIds().contains(100L))
+    Dedup.deleteFromBandIndex(spark, dir, 100L to 103L)
+    assert(Dedup.vacuumBandIndex(spark, dir) > 0L)
+    val root = new java.io.File(dir)
+    assert(!root.listFiles().exists(f =>
+      f.isFile && f.getName.endsWith(".parquet")),
+      root.listFiles().map(_.getName).toSeq)
+    assert(!root.listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).exists(_.getName == "batch=1"))
+    assert(corpusIds() == (0L to 23L).toSet -- Set(3L, 7L))
+    // delete EVERYTHING: the index must stay readable and empty
+    Dedup.deleteFromBandIndex(spark, dir, 0L to 23L)
+    assert(Dedup.vacuumBandIndex(spark, dir) > 0L)
+    assert(corpusIds().isEmpty)
+    // rebuild clears deletion state
+    Dedup.writeBandIndex(docsDf, "text", "doc_id", dir)
+    assert(corpusIds() == (0L to 23L).toSet)
+  }
+
   test("IVF-PQ probe: partition pruning + broadcast ADC table + TakeOrdered") {
     val vecs = (0L to 40L).map { i =>
       val rnd = new scala.util.Random(i)

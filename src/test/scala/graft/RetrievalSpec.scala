@@ -167,6 +167,51 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25 tombstones: mask adjusts statistics, vacuum folds, guards") {
+    def snapshot(path: String): (Seq[Seq[Any]], Seq[Any]) = (
+      Retrieval.indexTopK(spark, path, Seq("join", "merge"), k = 5)
+        .collect().map(_.toSeq).toSeq,
+      spark.read.parquet(s"$path/stats").head.toSeq)
+    // truth: an index never containing docs 2 and 5
+    val without = Files.createTempDirectory("graft-bm25-del-t").toString
+    Retrieval.writeIndex(corpus.filter(!col("doc_id").isin(2L, 5L)),
+      "text", "doc_id", without, nBuckets = 4)
+    val expected = snapshot(without)
+    // full index, delete 2 and 5 (5 twice — dedupe by id), masked query
+    // must equal the truth INCLUDING the score statistics
+    val dir = Files.createTempDirectory("graft-bm25-del").toString
+    Retrieval.writeIndex(corpus, "text", "doc_id", dir, nBuckets = 4)
+    Retrieval.deleteFromIndex(spark, dir,
+      corpus.filter(col("doc_id").isin(2L, 5L))
+        .unionAll(corpus.filter(col("doc_id") === 5L)), "text", "doc_id")
+    assert(snapshot(dir)._1 == expected._1)
+    // vacuum: one staged generation; results, stats and df now equal
+    // the never-contained index; tombstone table emptied; replay no-ops
+    assert(Retrieval.vacuumIndex(spark, dir) > 0L)
+    assert(snapshot(dir) == expected)
+    assert(spark.read.parquet(s"$dir/_tombstones").isEmpty)
+    assert(Retrieval.vacuumIndex(spark, dir) == 0L)
+    val dfLive = spark.read.parquet(s"$dir/terms")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dfTruth = spark.read.parquet(s"$without/terms")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfLive == dfTruth)
+    // a second delete after vacuum works (append into the emptied table)
+    Retrieval.deleteFromIndex(spark, dir,
+      corpus.filter(col("doc_id") === 4L), "text", "doc_id")
+    assert(Retrieval.vacuumIndex(spark, dir) > 0L)
+    // deleting a never-indexed id: vacuum refuses LOUDLY (a silent
+    // apply would skew n_docs/sum_dl/df forever)
+    Retrieval.deleteFromIndex(spark, dir,
+      Seq((99L, "ghost words")).toDF("doc_id", "text"), "text", "doc_id")
+    intercept[IllegalArgumentException] {
+      Retrieval.vacuumIndex(spark, dir)
+    }
+    // rebuild clears deletion state (bad tombstones included)
+    Retrieval.writeIndex(corpus, "text", "doc_id", dir, nBuckets = 4)
+    assert(!new java.io.File(s"$dir/_tombstones").exists())
+  }
+
   test("rrfFuse: consensus outranks single-source; exact integer scores") {
     def lst(pairs: (Long, Int)*) =
       pairs.toSeq.toDF("id", "rnk")
