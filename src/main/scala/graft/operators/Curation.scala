@@ -737,6 +737,63 @@ object Curation {
     staging
   }
 
+  /** Retraction on the persisted LM tables — the statistics-exact
+    * delete ([[Retrieval.deleteFromIndex]]'s n-gram twin): the counts
+    * are additive, so deleting documents is a staged merge with the
+    * SIGN FLIPPED — the deleted docs' bigram/unigram counts subtract,
+    * zero-count rows drop, the vocabulary size recounts, and all three
+    * tables swap as one generation under the existing LM manifest (no
+    * tombstone phase needed: counts are self-contained, so the whole
+    * retraction is a single staged mutation). Deleting text never
+    * merged in drives some count NEGATIVE — detected on the
+    * vocabulary-sized merged tables and REFUSED before the manifest
+    * exists, so a bad request can never commit (the vacuumIndex
+    * never-indexed guard). */
+  def deleteFromLm(spark: SparkSession, path: String, docs: DataFrame,
+      textCol: String): Unit = {
+    require(!docs.isEmpty, "deleteFromLm: nothing to delete")
+    recoverLm(spark, path, deleteUncommitted = true)
+    val targetGen = Retrieval.readIndexEpoch(spark, path).getOrElse(0L) + 1L
+    val staging = s"$path/_staging_$targetGen"
+    val (f, sp) = ObservationStore.fs(spark, staging)
+    if (f.exists(sp)) f.delete(sp, true)
+    def subtracted(live: DataFrame, dead: DataFrame, keys: Seq[String],
+        cnt: String): DataFrame =
+      live.unionAll(dead.select((keys.map(col) :+ (-col(cnt)).as(cnt)): _*))
+        .groupBy(keys.map(col): _*)
+        .agg(sum(col(cnt)).cast("long").as(cnt))
+    val b2 = subtracted(spark.read.parquet(s"$path/bigrams"),
+      lmBigramCounts(docs, textCol), Seq("w1", "w2"), "c2")
+      .localCheckpoint(false) // feeds the guard AND the write
+    val c1 = subtracted(spark.read.parquet(s"$path/unigrams"),
+      lmUnigramCounts(docs, textCol), Seq("word"), "c1")
+      .localCheckpoint(false)
+    def minOf(d: DataFrame, cnt: String): Long =
+      Option(d.agg(min(col(cnt))).head().getAs[java.lang.Long](0))
+        .map(_.longValue).getOrElse(0L)
+    val worst = math.min(minOf(b2, "c2"), minOf(c1, "c1"))
+    if (worst < 0L) {
+      f.delete(sp, true)
+      throw new IllegalArgumentException(
+        "deleteFromLm: subtraction drove a count negative — the deleted " +
+          "documents were not (all) in the trained corpus; refusing to " +
+          "commit corrupted statistics")
+    }
+    b2.filter(col("c2") > 0)
+      .write.mode("overwrite").parquet(s"$staging/bigrams")
+    val live1 = c1.filter(col("c1") > 0).localCheckpoint(false)
+    live1.write.mode("overwrite").parquet(s"$staging/unigrams")
+    live1.agg(count(lit(1)).cast("long").as("vsz"))
+      .write.mode("overwrite").parquet(s"$staging/stats")
+    val (mf, mp) = ObservationStore.fs(spark, s"$staging/_manifest.json")
+    val out = mf.create(mp, true)
+    try out.write(
+      (s"""{"target_epoch":$targetGen,""" +
+        s""""staged_tables":"bigrams,unigrams,stats"}""").getBytes("UTF-8"))
+    finally out.close()
+    applyStagedLmMerge(spark, path, staging)
+  }
+
   private[graft] def applyStagedLmMerge(spark: SparkSession, path: String,
       staging: String): Unit = {
     val manifest = StagedCommit.readManifest(spark, staging)

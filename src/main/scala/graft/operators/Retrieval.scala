@@ -119,6 +119,9 @@ object Retrieval {
     // rebuild = writer: resolve committed staging leftovers first
     if (ObservationStore.pathExists(spark, path))
       recoverPositionalIndex(spark, path, deleteUncommitted = true)
+    // rebuild clears deletion state (the writeIndex rule)
+    val (tbf, tbp) = ObservationStore.fs(spark, s"$path/_tombstones")
+    if (tbf.exists(tbp)) tbf.delete(tbp, true)
     bucketedPostings(df, textCol, idCol, nBuckets.toLong)
       .repartition(col("word_bucket"))
       .sortWithinPartitions(col("word"), col("doc_id"), col("p"))
@@ -203,11 +206,84 @@ object Retrieval {
     val pieces = StagedCommit.listField(manifest, "staged_positions")
       .getOrElse(throw new StagedCommit.TornManifest(
         s"staged positional manifest missing staged_positions: $manifest"))
-      .map(b => s"positions/$b")
+      .map(b => s"positions/$b") ++
+      // vacuum generations also swap whole tables (the emptied
+      // tombstone set); plain merges list none
+      StagedCommit.listField(manifest, "staged_tables").getOrElse(Nil)
     val batchId = StagedCommit.optNumField(manifest, "batch_id")
     StagedCommit.applyPieces(spark, path, staging, pieces, targetGen,
       () => readIndexEpoch(spark, path),
       gen => writeIndexMeta(spark, path, gen, batchId))
+  }
+
+  /** Retraction on the positional index — pure VISIBILITY (phrase and
+    * proximity search carry no corpus statistics, unlike BM25): deleted
+    * doc ids append as tombstones, [[indexPhraseSearch]] masks with a
+    * broadcast anti-join, [[vacuumPositionalIndex]] folds them in. */
+  def deleteFromPositionalIndex(spark: SparkSession, path: String,
+      ids: DataFrame): Unit =
+    ids.select(col(ids.columns.head).cast("long").as("doc_id"))
+      .write.mode("append").parquet(s"$path/_tombstones")
+
+  def deleteFromPositionalIndex(spark: SparkSession, path: String,
+      ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    deleteFromPositionalIndex(spark, path, ids.toDF("doc_id"))
+  }
+
+  /** Fold positional tombstones into the bucket files as ONE staged
+    * generation: survivors of the touched word buckets (fully-dead
+    * buckets stage explicit empty pieces) and the EMPTIED tombstone
+    * table swap together under the positional manifest — the
+    * [[vacuumIndex]] crash argument, minus the statistics (none here).
+    * Returns position rows removed. */
+  def vacuumPositionalIndex(spark: SparkSession, path: String): Long = {
+    recoverPositionalIndex(spark, path, deleteUncommitted = true)
+    val (f, tp) = ObservationStore.fs(spark, s"$path/_tombstones")
+    if (!f.exists(tp)) return 0L
+    val tomb = spark.read.parquet(s"$path/_tombstones")
+      .select(col("doc_id")).distinct().localCheckpoint(false)
+    if (tomb.isEmpty) { f.delete(tp, true); return 0L }
+    val positions = spark.read.parquet(s"$path/positions")
+    val tombIds = broadcast(tomb)
+    val dead = positions.join(tombIds, Seq("doc_id"), "left_semi")
+      .localCheckpoint(false)
+    val removed = dead.count()
+    val touched = dead.select(col("word_bucket").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toIndexedSeq
+    val targetGen = readIndexEpoch(spark, path).getOrElse(0L) + 1L
+    val staging = s"$path/_staging_$targetGen"
+    val (sf, sp) = ObservationStore.fs(spark, staging)
+    if (sf.exists(sp)) sf.delete(sp, true)
+    val survivors = positions
+      .filter(col("word_bucket").isin(touched: _*))
+      .join(tombIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint(false) // reads the files the swap replaces
+    survivors
+      .repartition(col("word_bucket"))
+      .sortWithinPartitions(col("word"), col("doc_id"), col("p"))
+      .write.mode("overwrite").partitionBy("word_bucket")
+      .parquet(s"$staging/positions")
+    val staying = survivors.select(col("word_bucket").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    touched.filterNot(staying).foreach { b =>
+      survivors.drop("word_bucket").limit(0).coalesce(1)
+        .write.mode("overwrite")
+        .parquet(s"$staging/positions/word_bucket=$b")
+    }
+    tomb.limit(0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$staging/_tombstones")
+    val stagedBuckets = StagedCommit.stagedPartDirs(spark,
+      s"$staging/positions", "word_bucket=").mkString(",")
+    val (mf, mp) = ObservationStore.fs(spark, s"$staging/_manifest.json")
+    val out = mf.create(mp, true)
+    try out.write(
+      (s"""{"target_epoch":$targetGen,""" +
+        s""""staged_positions":"$stagedBuckets",""" +
+        s""""staged_tables":"_tombstones"}""").getBytes("UTF-8"))
+    finally out.close()
+    applyStagedPositionalMerge(spark, path, staging)
+    removed
   }
 
   /** Resolve an interrupted [[mergePositionalIndex]] (the
@@ -257,10 +333,17 @@ object Retrieval {
     val buckets = phrase.distinct.toDF("t")
       .select(pmod(xxhash64(col("t")), lit(nBuckets)).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val pos = spark.read.parquet(s"$path/positions")
+    val base = spark.read.parquet(s"$path/positions")
       .filter(col("word_bucket").isin(buckets: _*) &&
         col("word").isin(phrase.distinct: _*))
       .select(col("doc_id"), col("p"), col("word"))
+    // retracted documents ([[deleteFromPositionalIndex]]) mask out via a
+    // broadcast anti-join until the next vacuum folds them in
+    val (tf, tp) = ObservationStore.fs(spark, s"$path/_tombstones")
+    val pos =
+      if (!tf.exists(tp)) base
+      else base.join(broadcast(spark.read.parquet(s"$path/_tombstones")
+        .select(col("doc_id")).distinct()), Seq("doc_id"), "left_anti")
     phraseFold(pos, phrase)
   }
 

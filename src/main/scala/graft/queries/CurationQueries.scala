@@ -247,6 +247,23 @@ object CurationQueries {
       Curation.lmScoresLoaded(s, tmp, d, "text", "doc_id")
     }),
 
+    // Retraction on the LM tables: train on EVERYTHING, delete the odd
+    // half (counts subtract as one staged generation), score the
+    // remaining even half against the loaded model — must be
+    // indistinguishable from a model never trained on the odd docs
+    // (the oracle trains AND scores on the even half; loaded-scoring on
+    // the training corpus itself equals in-memory scoring, the
+    // ngram_lm_loaded equivalence).
+    "ngram_lm_delete" -> ((s, dir) => {
+      val tmp = util.scratchDir("lmtbl", dir + "#delete")
+      val d = docs(s, dir)
+      Curation.writeLm(d, "text", tmp)
+      Curation.deleteFromLm(s, tmp,
+        d.filter(col("doc_id") % 2 =!= 0), "text")
+      Curation.lmScoresLoaded(s, tmp,
+        d.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+    }),
+
     // Top-20 collocations by scaled PMI (bigrams seen >= 5 times).
     "pmi_collocations" -> ((s, dir) =>
       Curation.pmiCollocations(docs(s, dir), "text")),
@@ -913,6 +930,13 @@ object CurationQueries {
     // from in-memory training on the same corpus — shared oracle
     "ngram_lm_loaded" -> ngramLmOracleSql,
     "ngram_lm_delta" -> ngramLmOracleSql,
+
+    // train on everything, delete the odd half, score the even half ≡
+    // a model that never saw the odd half scoring its own corpus
+    "ngram_lm_delete" -> ngramLmOracleSql.replace(
+      "SELECT doc_id, string_split(text, ' ') AS w FROM documents),",
+      "SELECT doc_id, string_split(text, ' ') AS w FROM documents " +
+        "WHERE doc_id % 2 = 0),"),
 
     // mirror of pmiCollocations(minCount 5, scale 1e6): same bigram/
     // unigram counts, same integer ratio, same ordering

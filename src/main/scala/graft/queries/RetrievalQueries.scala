@@ -103,6 +103,29 @@ object RetrievalQueries {
       Retrieval.indexPhraseSearch(s, tmp, Seq("hash", "join"))
     }),
 
+    // Retraction on the positional index: every doc_id ≡ 0 (mod 3) is
+    // deleted (pure visibility — phrase search carries no corpus
+    // statistics), masked query ≡ post-vacuum query (require'd), and
+    // both ≡ an index never containing them (the oracle minus the
+    // deleted docs).
+    "phrase_search_delete" -> ((s, dir) => {
+      val tmp = util.scratchDir("posidx", dir + "#delete")
+      Retrieval.writePositionalIndex(docs(s, dir), "text", "doc_id", tmp,
+        nBuckets = 16)
+      Retrieval.deleteFromPositionalIndex(s, tmp,
+        docs(s, dir).filter(col("doc_id") % 3 === 0).select(col("doc_id")))
+      val masked = Retrieval.indexPhraseSearch(s, tmp, Seq("hash", "join"))
+        .collect().sortBy(_.getLong(0)).toSeq
+      require(Retrieval.vacuumPositionalIndex(s, tmp) > 0L,
+        "positional vacuum removed nothing")
+      require(Retrieval.vacuumPositionalIndex(s, tmp) == 0L,
+        "second positional vacuum must no-op")
+      val after = Retrieval.indexPhraseSearch(s, tmp, Seq("hash", "join"))
+      require(after.collect().sortBy(_.getLong(0)).toSeq == masked,
+        "vacuum changed the phrase matches the tombstone mask produced")
+      after
+    }),
+
     // Unordered proximity (SpanNear/slop): position pairs of two terms
     // within a 3-token window, binned-join candidates — never a
     // per-doc tf×tf product. Oracle is the naive doc-join formulation.
@@ -371,6 +394,11 @@ object RetrievalQueries {
     // the persisted-index path must be indistinguishable from the
     // in-memory one — shared oracle IS the equivalence gate
     "phrase_search_indexed" -> phraseSearchOracleSql,
+
+    // the phrase oracle minus the retracted docs — visibility only
+    "phrase_search_delete" -> phraseSearchOracleSql.replace(
+      "  FROM documents),",
+      "  FROM documents WHERE doc_id % 3 <> 0),"),
     "phrase_search_delta" -> phraseSearchOracleSql,
     // the naive formulation: join the posting lists on doc_id and
     // filter — the quadratic shape the binned Spark plan must agree

@@ -1096,6 +1096,38 @@ class CurationSpec extends AnyFunSuite {
     assert(scores(fb) == expected)
   }
 
+  test("LM delete: subtraction ≡ never-trained, over-delete refused") {
+    val d = Seq((1L, "a b a"), (2L, "b c d"), (3L, "a b c"), (4L, "d d a"))
+      .toDF("doc_id", "text")
+    val keep = d.filter(col("doc_id") <= 2)
+    def scores(path: String): Map[Long, Long] =
+      Curation.lmScoresLoaded(spark, path, keep, "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("lm_score")).toMap
+    // truth: a model that never saw docs 3 and 4
+    val t = java.nio.file.Files.createTempDirectory("graft-lm-dt").toString
+    Curation.writeLm(keep, "text", t)
+    val expected = scores(t)
+    // train on everything, subtract 3 and 4 → identical tables
+    val p = java.nio.file.Files.createTempDirectory("graft-lm-dd").toString
+    Curation.writeLm(d, "text", p)
+    Curation.deleteFromLm(spark, p, d.filter(col("doc_id") > 2), "text")
+    assert(scores(p) == expected)
+    def table(path: String, sub: String): Map[Seq[Any], Long] =
+      spark.read.parquet(s"$path/$sub").collect()
+        .map(r => r.toSeq.init -> r.getLong(r.length - 1)).toMap
+    assert(table(p, "bigrams") == table(t, "bigrams"))
+    assert(table(p, "unigrams") == table(t, "unigrams"))
+    // deleting text never trained on: refused, nothing committed
+    val before = scores(p)
+    intercept[IllegalArgumentException] {
+      Curation.deleteFromLm(spark, p,
+        Seq((9L, "zz qq zz")).toDF("doc_id", "text"), "text")
+    }
+    assert(scores(p) == before)
+    assert(!new java.io.File(s"$p").listFiles()
+      .exists(_.getName.startsWith("_staging_")))
+  }
+
   test("goodTuring: hand-checked frequency-of-frequencies and r*") {
     // counts: a×3, b×2, c×2, d,e,f ×1  →  N_1=3, N_2=2, N_3=1
     val df = Seq("a a a b b", "c c d e f").toDF("text")

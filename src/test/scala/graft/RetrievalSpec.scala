@@ -212,6 +212,42 @@ class RetrievalSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$dir/_tombstones").exists())
   }
 
+  test("positional tombstones: mask, vacuum, full-delete stays readable") {
+    val dir = Files.createTempDirectory("graft-pos-del").toString
+    Retrieval.writePositionalIndex(corpus, "text", "doc_id", dir,
+      nBuckets = 4)
+    def hits(): Map[Long, Long] =
+      Retrieval.indexPhraseSearch(spark, dir, Seq("join", "merge"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = hits()
+    assert(before.contains(5L)) // "join merge join merge short"
+    // delete doc 5 (twice — dedupe): masked immediately
+    Retrieval.deleteFromPositionalIndex(spark, dir, Seq(5L, 5L))
+    val masked = hits()
+    assert(masked == before - 5L)
+    // vacuum folds; view unchanged; tombstones emptied; replay no-ops
+    // (and clears the emptied table outright)
+    assert(Retrieval.vacuumPositionalIndex(spark, dir) > 0L)
+    assert(hits() == masked)
+    assert(spark.read.parquet(s"$dir/_tombstones").isEmpty)
+    assert(Retrieval.vacuumPositionalIndex(spark, dir) == 0L)
+    assert(!new java.io.File(s"$dir/_tombstones").exists())
+    // delete every remaining doc: index stays readable and empty, no
+    // root-level parquet file lands next to the partition directories
+    Retrieval.deleteFromPositionalIndex(spark, dir,
+      corpus.select(col("doc_id")))
+    assert(Retrieval.vacuumPositionalIndex(spark, dir) > 0L)
+    assert(hits().isEmpty)
+    val posRoot = new java.io.File(s"$dir/positions")
+    assert(!posRoot.listFiles().exists(f =>
+      f.isFile && f.getName.endsWith(".parquet")),
+      posRoot.listFiles().map(_.getName).toSeq)
+    // rebuild clears deletion state
+    Retrieval.writePositionalIndex(corpus, "text", "doc_id", dir,
+      nBuckets = 4)
+    assert(hits() == before)
+  }
+
   test("rrfFuse: consensus outranks single-source; exact integer scores") {
     def lst(pairs: (Long, Int)*) =
       pairs.toSeq.toDF("id", "rnk")
