@@ -431,12 +431,46 @@ object ObservationStore {
     dropped
   }
 
+  /** Predicate deletion: drop every entry matching `predicate` (over
+    * the seven observation columns) from BOTH copies — the targeted
+    * takedown [[expire]]'s time axis cannot express (a sensor
+    * decommission, a key-pattern retraction). Same staged machinery and
+    * crash contract as [[expire]]; the touched-bucket probe is a
+    * predicate-pushdown scan (arbitrary predicates have no footer-stat
+    * shortcut, but pushed filters still prune row groups — and on the
+    * copy sorted by the predicate's column the probe reads almost
+    * nothing). Returns forward-copy entries dropped. */
+  def deleteWhere(spark: SparkSession, path: String,
+      predicate: Column, numBuckets: Int = 64): Long = {
+    recoverMerge(spark, path, deleteUncommitted = true)
+    val probe = (sub: String) =>
+      spark.read.parquet(s"$path/$sub").filter(predicate)
+        .select(col("bucket").cast("long")).distinct()
+        .collect().map(_.getLong(0))
+    val (staged, dropped) =
+      stageRowDelete(spark, path, predicate, probe, numBuckets)
+    staged.foreach(s => applyStagedMerge(spark, path, s))
+    dropped
+  }
+
   /** First half of [[expire]]: stage surviving buckets + manifest, commit
     * nothing. Package-visible so crash tests can stop here; returns
     * (staging dir if anything expired, forward entries dropped). */
   private[graft] def stageExpire(spark: SparkSession, path: String,
       cutoff: java.sql.Timestamp,
-      numBuckets: Int = 64): (Option[String], Long) = {
+      numBuckets: Int = 64): (Option[String], Long) =
+    stageRowDelete(spark, path, col("last_seen") < lit(cutoff),
+      sub => bucketsExpiringBefore(spark, s"$path/$sub", cutoff),
+      numBuckets)
+
+  /** The staged row-deletion engine behind [[expire]] (footer-stats
+    * touched probe, last_seen predicate) and [[deleteWhere]] (scan
+    * probe, arbitrary predicate): rewrite each touched bucket without
+    * the matching rows, stage explicit empty buckets where nothing
+    * survives, commit through the ONE store manifest. */
+  private def stageRowDelete(spark: SparkSession, path: String,
+      dropPred: Column, touchedProbe: String => Array[Long],
+      numBuckets: Int): (Option[String], Long) = {
     val (effBuckets, effLayout, targetEpoch, staging) =
       prepareStaging(spark, path, numBuckets)
     val (f, sp) = fs(spark, staging)
@@ -453,7 +487,7 @@ object ObservationStore {
       // under TIMESTAMP_MICROS) — no counting scan; the dropped-row
       // count rides the survivor-write job below as an observe()
       // metric, so each copy costs ONE Spark job total
-      val touched = bucketsExpiringBefore(spark, s"$path/$sub", cutoff)
+      val touched = touchedProbe(sub)
       // nanoTime uniquifier: Observation registers its name with the
       // session's listener bus, and a failed expire run that registered
       // but never drained would make a same-epoch RETRY throw on the
@@ -464,7 +498,7 @@ object ObservationStore {
       if (touched.nonEmpty) {
         val existing = spark.read.parquet(s"$path/$sub")
           .filter(col("bucket").isin(touched.toIndexedSeq.map(Long.box): _*))
-          .observe(obs, sum(when(col("last_seen") < lit(cutoff), 1L)
+          .observe(obs, sum(when(dropPred, 1L)
             .otherwise(0L)).as("dropped"))
         // Survivors STAY in their buckets, so the staged rewrite needs
         // no shuffle and no re-derivation: reuse the scan's `bucket`
@@ -477,7 +511,7 @@ object ObservationStore {
         // stats stay tight because each file is sorted.
         val persisted = derivedCols(keyCol, effLayout).map(_._1)
         val survivors = existing
-          .filter(col("last_seen") >= lit(cutoff))
+          .filter(!dropPred)
           .select(dataCols ++ persisted.map(col) :+ col("bucket"): _*)
         bloomOpts(survivors
           .sortWithinPartitions(("bucket" +: sortCols).map(col): _*)

@@ -121,6 +121,21 @@ object BalboaQueries {
         .withColumn("last_seen", micros(col("last_seen")))
     }),
 
+    // Predicate deletion (targeted takedown — the axis expire's
+    // last_seen cutoff cannot express): drop every 'part-1…' key from a
+    // copy of the prebuilt store through the staged dual rewrite, read
+    // the forward copy back. Oracle = the aggregate minus the predicate.
+    "store_delete" -> ((s, dir) => {
+      val storePath = copyOfPrebuiltStore(s, dir, "delete")
+      require(ObservationStore.deleteWhere(s, storePath,
+        col("rrname").startsWith("part-1")) > 0L,
+        "store deleteWhere dropped nothing")
+      ObservationStore.load(s, storePath).forward
+        .drop("bucket")
+        .withColumn("first_seen", micros(col("first_seen")))
+        .withColumn("last_seen", micros(col("last_seen")))
+    }),
+
     // Compaction identity: a deliberately FRAGMENTED copy of the shared
     // prebuilt store (every bucket split into several files — the
     // post-churn shape) compacts back to one sorted file per bucket
@@ -440,6 +455,12 @@ object BalboaQueries {
       s"""$obsCte
          |SELECT * FROM agg
          |WHERE last_seen >= epoch_us(TIMESTAMP '1996-01-01 00:00:00')
+         |""".stripMargin,
+
+    "store_delete" ->
+      s"""$obsCte
+         |SELECT * FROM agg
+         |WHERE rrname NOT LIKE 'part-1%'
          |""".stripMargin,
 
     "balboa_dump" ->

@@ -338,6 +338,36 @@ class StoreSpec extends AnyFunSuite {
     assert(st.entries(rrname = Some("old1")).isEmpty)
   }
 
+  test("deleteWhere: predicate drop from both copies, no-op, epoch") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      ("evil-a", "s1", "A", "1.1.1.1", 1L, ts("2021-01-01 00:00:00")),
+      ("evil-b", "s1", "A", "2.2.2.2", 2L, ts("2021-02-01 00:00:00")),
+      ("keep-a", "s1", "A", "3.3.3.3", 3L, ts("2021-03-01 00:00:00")),
+      ("keep-b", "s2", "A", "1.1.1.1", 4L, ts("2021-04-01 00:00:00")))
+      .toDF("rrname", "sensor_id", "rrtype", "rdata", "count", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("graft-delw").toString
+    ObservationStore.writeDual(ObservationStore.aggregate(rows),
+      s"$dir/st", numBuckets = 4)
+    // targeted takedown: the predicate key pattern leaves BOTH copies
+    assert(ObservationStore.deleteWhere(spark, s"$dir/st",
+      col("rrname").startsWith("evil-")) == 2L)
+    val st = ObservationStore.load(spark, s"$dir/st")
+    assert(st.forward.select("rrname").as[String].collect().toSet ==
+      Set("keep-a", "keep-b"))
+    assert(st.inverted.select("rrname").as[String].collect().toSet ==
+      Set("keep-a", "keep-b"))
+    // the inverted copy still serves by its own key: rdata 1.1.1.1 now
+    // maps only to the surviving keep-b
+    assert(st.entries(rdata = Some("1.1.1.1"))
+      .select("rrname").as[String].collect().toSeq == Seq("keep-b"))
+    assert(ObservationStore.readEpoch(spark, s"$dir/st").contains(2L))
+    // nothing matches: no-op, no epoch bump
+    assert(ObservationStore.deleteWhere(spark, s"$dir/st",
+      col("rrname").startsWith("evil-")) == 0L)
+    assert(ObservationStore.readEpoch(spark, s"$dir/st").contains(2L))
+  }
+
   test("compact: multi-file buckets fold to one file, data unchanged") {
     val input = Seq(
       ("foo", "s1", "A", "1.1.1.1", 1L, ts("2019-03-01 00:00:00")),
