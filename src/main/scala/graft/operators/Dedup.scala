@@ -346,7 +346,12 @@ object Dedup {
     * — no index rewrite on the request path) and [[loadBandIndex]] masks
     * them with a broadcast anti-join until [[vacuumBandIndex]] folds them
     * in. Deletion changes candidate VISIBILITY only — a retracted
-    * document can no longer suppress an incoming duplicate. */
+    * document can no longer suppress an incoming duplicate.
+    *
+    * Vacuum CADENCE: the mask broadcast is tombstone-sized, so the
+    * interim cost grows with un-vacuumed deletions — vacuum once the
+    * set reaches broadcast-uncomfortable size (~10⁷ ids), the same
+    * discipline as the IVF tombstones. */
   def deleteFromBandIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, ids: DataFrame): Unit =
     ids.select(col(ids.columns.head).cast("long").as("corpus_id"))

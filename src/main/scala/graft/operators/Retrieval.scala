@@ -820,7 +820,10 @@ object Retrieval {
     * adjusts n_docs/sum_dl/df from the tombstones until [[vacuumIndex]]
     * folds them in. Contract: only previously-indexed, not-yet-deleted
     * documents (re-deleting dedupes by id; deleting an absent id would
-    * corrupt the statistics — vacuum verifies and refuses). */
+    * corrupt the statistics — vacuum verifies and refuses). Vacuum
+    * cadence: the query-time mask broadcast is tombstone-sized — vacuum
+    * before the un-vacuumed set gets broadcast-uncomfortable (~10⁷
+    * ids), the discipline shared by every tombstoned index here. */
   def deleteFromIndex(spark: SparkSession, path: String, docs: DataFrame,
       textCol: String, idCol: String): Unit =
     docs.select(col(idCol).cast("long").as("doc_id"),

@@ -425,6 +425,28 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("bm25 masked query keeps its plan shape under tombstones") {
+    val dir = Files.createTempDirectory("graft-bm25-maskplan").toString
+    val docsDf = (1L to 50L).map(i => (i, s"w$i join merge common text"))
+      .toDF("doc_id", "text")
+    graft.operators.Retrieval.writeIndex(docsDf, "text", "doc_id", dir,
+      nBuckets = 8)
+    graft.operators.Retrieval.deleteFromIndex(spark, dir,
+      docsDf.filter(col("doc_id") <= 5), "text", "doc_id")
+    val plan = explainOf(graft.operators.Retrieval.indexTopK(
+      spark, dir, Seq("join", "merge"), k = 5))
+    // the tombstone mask and statistics adjustment must not cost the
+    // query its pruning or turn any join into a product: bucket pruning
+    // and the pushed IN survive, the anti-join broadcasts the
+    // (tombstone-sized) dead set, top-k stays TakeOrdered
+    assert(plan.matches("(?s).*PartitionFilters:.*term_bucket.*"), plan)
+    assert(plan.matches("(?s).*PushedFilters:.*In\\(term.*"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("semanticDedup pair generation is cluster-blocked — equi-join only") {
     val vecs = (0L to 40L).map { i =>
       val rnd = new scala.util.Random(i)
