@@ -64,6 +64,53 @@ final class AhoCorasick(val patterns: Seq[String]) extends Serializable {
   /** [[countAll]] boxed for the expression eval/codegen paths. */
   def countsArrayData(text: UTF8String): ArrayData =
     new GenericArrayData(countAll(text))
+
+  @transient private lazy val patByteLens: Array[Int] =
+    patterns.map(_.getBytes("UTF-8").length).toArray
+
+  /** Every overlapping occurrence of every pattern masked to `*`,
+    * byte-for-byte over the UNION of all match spans (overlaps and
+    * nested dictionary suffixes merge into one covered region) — the
+    * blocklist SCRUB beside [[countAll]]'s blocklist COUNT. Spans are
+    * exact byte ranges of pattern occurrences, so ASCII masking can
+    * never split a multi-byte character that isn't itself part of a
+    * matched pattern; a text with no match returns IDENTICALLY (same
+    * object — the common case allocates nothing). Worst case
+    * O(matches × pattern length) marking on pathologically
+    * self-overlapping inputs, O(bytes) otherwise. */
+  def redact(text: UTF8String): UTF8String = {
+    val t = tables
+    val bytes = text.getBytes
+    var covered: Array[Boolean] = null
+    var s = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      var next = AhoCorasick.child(t, s, b)
+      while (next < 0 && s != 0) {
+        s = t.fail(s)
+        next = AhoCorasick.child(t, s, b)
+      }
+      s = if (next < 0) 0 else next
+      val out = t.out(s)
+      var j = 0
+      while (j < out.length) {
+        if (covered == null) covered = new Array[Boolean](bytes.length)
+        var k = i - patByteLens(out(j)) + 1
+        while (k <= i) { covered(k) = true; k += 1 }
+        j += 1
+      }
+      i += 1
+    }
+    if (covered == null) return text
+    val outB = new Array[Byte](bytes.length)
+    var k = 0
+    while (k < bytes.length) {
+      outB(k) = if (covered(k)) '*'.toByte else bytes(k)
+      k += 1
+    }
+    UTF8String.fromBytes(outB)
+  }
 }
 
 object AhoCorasick {

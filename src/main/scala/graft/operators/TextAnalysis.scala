@@ -321,6 +321,17 @@ object TextAnalysis {
     GraftShims.column(org.apache.spark.sql.graft.MultiPatternCounts(
       GraftShims.expression(text), patterns))
 
+  /** Every overlapping occurrence of every pattern masked to `*` in
+    * the same single Aho-Corasick pass — the blocklist SCRUB beside
+    * [[multiPatternCounts]]'s COUNT (chained per-pattern
+    * `regexp_replace` costs k passes and its result depends on
+    * replacement ORDER under overlaps; masking the union of match
+    * spans is order-free by construction). Same substring-over-bytes
+    * matching rule; unmatched text passes through untouched. */
+  def multiPatternRedact(text: Column, patterns: Seq[String]): Column =
+    GraftShims.column(org.apache.spark.sql.graft.MultiPatternRedact(
+      GraftShims.expression(text), patterns))
+
   /** [[multiPatternCounts]] unrolled to hit rows: `(idCol, pattern,
     * n_hits)` for every (document, pattern) with ≥ 1 overlapping
     * occurrence. Zero shuffles — the automaton pass, the posexplode

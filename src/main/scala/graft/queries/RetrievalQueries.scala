@@ -151,6 +151,18 @@ object RetrievalQueries {
       graft.operators.TextAnalysis.multiPatternHits(
         docs(s, dir), "doc_id", "text", mpPatterns)),
 
+    // Blocklist SCRUB beside the blocklist COUNT: the same automaton
+    // pass masks the union of all match spans to '*' (order-free under
+    // overlaps — 'can' inside 'scan', 'able' inside 'table' merge into
+    // one region). Short synthetic page so the oracle's per-position
+    // coverage check stays cheap.
+    "multi_pattern_redact" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        graft.operators.TextAnalysis.multiPatternRedact(
+          concat(lit("scan the table as planned: "),
+            substring(col("text"), 1, 40)),
+          mpPatterns).as("redacted"))),
+
     // Same query through the PERSISTED index (bucket-pruned postings +
     // stored df/stats) — the layout is an optimization, never a
     // semantics change, so the oracle is shared with bm25_search.
@@ -377,6 +389,26 @@ object RetrievalQueries {
       s"""SELECT * FROM (
          |$scans
          |) WHERE n_hits > 0
+         |""".stripMargin
+    },
+
+    // per-position coverage: position i masks iff some pattern has an
+    // occurrence whose span [s, s+len) contains i
+    "multi_pattern_redact" -> {
+      val cov = mpPatterns.map { p =>
+        val lp = p.length
+        s"len(list_filter(range(greatest(1, i - $lp + 1), i + 1), " +
+          s"s -> substr(page, s, $lp) = '$p')) > 0"
+      }.mkString("\n    OR ")
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    'scan the table as planned: ' || substr(text, 1, 40) AS page
+         |  FROM documents)
+         |SELECT doc_id,
+         |  array_to_string(list_transform(range(1, len(page) + 1), i ->
+         |    CASE WHEN $cov
+         |    THEN '*' ELSE substr(page, i, 1) END), '') AS redacted
+         |FROM p
          |""".stripMargin
     },
 

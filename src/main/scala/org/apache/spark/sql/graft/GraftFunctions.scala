@@ -94,6 +94,8 @@ object GraftFunctions {
       WinnowFingerprints(e.head)),
     "multi_pattern_counts" -> arity("multi_pattern_counts", 2, 2)(e =>
       MultiPatternCounts(e.head, litStrings(e(1), "patterns"))),
+    "multi_pattern_redact" -> arity("multi_pattern_redact", 2, 2)(e =>
+      MultiPatternRedact(e.head, litStrings(e(1), "patterns"))),
     "kmv_distinct" -> arity("kmv_distinct", 1, 2)(e => KmvDistinct(e.head,
       if (e.size > 1) litInt(e(1), "k") else 256)),
     "kmv_sketch" -> arity("kmv_sketch", 1, 2)(e => KmvSketch(e.head,

@@ -804,6 +804,39 @@ case class MultiPatternCounts(child: Expression, patterns: Seq[String])
       newChild: Expression): MultiPatternCounts = copy(child = newChild)
 }
 
+/** `multi_pattern_redact(text, patterns)` — every overlapping
+  * occurrence of every pattern masked to `*` in ONE Aho-Corasick pass
+  * ([[graft.functions.AhoCorasick.redact]]): the blocklist SCRUB
+  * beside [[MultiPatternCounts]]'s blocklist COUNT (k chained
+  * `regexp_replace` calls cost k passes and disagree about overlaps;
+  * here the union of the match spans masks, order-independent by
+  * construction). Same codegen stance: the automaton rides the
+  * generated class as a reference object, one virtual call per row. */
+case class MultiPatternRedact(child: Expression, patterns: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(patterns.nonEmpty, "multi_pattern_redact: empty pattern list")
+
+  @transient private lazy val automaton =
+    new graft.functions.AhoCorasick(patterns)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "multi_pattern_redact"
+
+  override def nullSafeEval(input: Any): Any =
+    automaton.redact(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ac = ctx.addReferenceObj("acAutomaton", automaton,
+      classOf[graft.functions.AhoCorasick].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ac.redact($c);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MultiPatternRedact = copy(child = newChild)
+}
+
 /** `fix_mojibake(s)` — repairs UTF-8 text that was mis-decoded as
   * Latin-1 / Windows-1252 ("café" → "cafÃ©", "'" → "â€™"), the ftfy
   * class of curation fix. One round encodes the string back to its

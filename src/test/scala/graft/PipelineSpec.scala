@@ -500,6 +500,32 @@ class PipelineSpec extends AnyFunSuite {
       "carts" -> "cart", "dog" -> "dig", "dig" -> "dig"))
   }
 
+  test("multiPatternRedact: union of spans, overlaps merge, UTF-8 safe") {
+    def redact(text: String, pats: Seq[String]): String =
+      Seq(text).toDF("t")
+        .select(TextAnalysis.multiPatternRedact(col("t"), pats))
+        .collect().head.getString(0)
+    // nested dictionary suffixes merge into ONE covered region
+    assert(redact("scan table", Seq("scan", "can", "able")) ==
+      "**** t****")
+    // overlapping occurrences cover their union ("aaaa" via "aa")
+    assert(redact("xaaaax", Seq("aa")) == "x****x")
+    // cross-word phrase masks the space too
+    assert(redact("x merge batch y", Seq("merge batch")) ==
+      "x *********** y")
+    // a multi-byte char inside a matched span masks byte-per-byte;
+    // one outside survives untouched
+    assert(redact("café can", Seq("can")) == "café ***")
+    assert(redact("café", Seq("café")) == "*****") // 5 UTF-8 bytes
+    // no match: identical text back
+    assert(redact("clean text", Seq("zzz")) == "clean text")
+    // registered SQL face agrees with the Column form
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    assert(spark.sql(
+      "SELECT multi_pattern_redact('scan it', array('scan'))")
+      .head().getString(0) == "**** it")
+  }
+
   test("multiPatternCounts: overlap, dict-suffix outputs, fail links, UTF-8") {
     def counts(text: String, pats: Seq[String]): Seq[Long] =
       Seq(Option(text)).toDF("t")
