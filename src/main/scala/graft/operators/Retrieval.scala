@@ -876,38 +876,51 @@ object Retrieval {
       .filter(col("term_bucket").isin(touched: _*))
       .join(tombIds, Seq("doc_id"), "left_anti")
       .localCheckpoint(false) // reads the files the swap replaces
-    survivors
-      .repartition(col("term_bucket"))
-      .sortWithinPartitions(col("term_bucket"), col("term"))
-      .write.mode("overwrite").partitionBy("term_bucket")
-      .parquet(s"$staging/postings")
-    // fully-dead buckets wrote nothing above — stage explicit empty
-    // pieces so the swap replaces (not strands) their live files
-    val staying = survivors.select(col("term_bucket").cast("long"))
-      .distinct().collect().map(_.getLong(0)).toSet
-    touched.filterNot(staying).foreach { b =>
-      survivors.drop("term_bucket").limit(0).coalesce(1)
-        .write.mode("overwrite")
-        .parquet(s"$staging/postings/term_bucket=$b")
-    }
-    val deadDf = dead.groupBy(col("term")).agg(count(lit(1)).as("dead_df"))
-    spark.read.parquet(s"$path/terms")
-      .join(deadDf, Seq("term"), "left")
-      .select(col("term"),
-        (col("df") - coalesce(col("dead_df"), lit(0L))).as("df"))
-      .filter(col("df") > 0)
-      .write.mode("overwrite").parquet(s"$staging/terms")
-    spark.range(1).select(
-        lit(nDocs - nTomb).as("n_docs"),
-        lit(sumDl - dlTomb).as("sum_dl"),
-        lit(nBuckets).as("n_buckets"))
-      .write.mode("overwrite").parquet(s"$staging/stats")
-    // the emptied tombstone table swaps WITH the adjusted tables: any
-    // earlier ordering double-subtracts on one side of a crash. Schema
-    // must be the (doc_id, dl) that deleteFromIndex appends and the
-    // query path reads.
-    tomb.select(col("doc_id"), col("t_dl").as("dl")).limit(0).coalesce(1)
-      .write.mode("overwrite").parquet(s"$staging/_tombstones")
+    // the four staged tables are independent jobs into disjoint
+    // directories — overlap them (the writeIndex move); the manifest
+    // below is still the only commit point
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(Seq(
+      Future {
+        survivors
+          .repartition(col("term_bucket"))
+          .sortWithinPartitions(col("term_bucket"), col("term"))
+          .write.mode("overwrite").partitionBy("term_bucket")
+          .parquet(s"$staging/postings")
+        // fully-dead buckets wrote nothing above — stage explicit empty
+        // pieces so the swap replaces (not strands) their live files
+        val staying = survivors.select(col("term_bucket").cast("long"))
+          .distinct().collect().map(_.getLong(0)).toSet
+        touched.filterNot(staying).foreach { b =>
+          survivors.drop("term_bucket").limit(0).coalesce(1)
+            .write.mode("overwrite")
+            .parquet(s"$staging/postings/term_bucket=$b")
+        }
+      },
+      Future {
+        val deadDf = dead.groupBy(col("term"))
+          .agg(count(lit(1)).as("dead_df"))
+        spark.read.parquet(s"$path/terms")
+          .join(deadDf, Seq("term"), "left")
+          .select(col("term"),
+            (col("df") - coalesce(col("dead_df"), lit(0L))).as("df"))
+          .filter(col("df") > 0)
+          .write.mode("overwrite").parquet(s"$staging/terms")
+      },
+      Future(spark.range(1).select(
+          lit(nDocs - nTomb).as("n_docs"),
+          lit(sumDl - dlTomb).as("sum_dl"),
+          lit(nBuckets).as("n_buckets"))
+        .write.mode("overwrite").parquet(s"$staging/stats")),
+      // the emptied tombstone table swaps WITH the adjusted tables: any
+      // earlier ordering double-subtracts on one side of a crash.
+      // Schema must be the (doc_id, dl) that deleteFromIndex appends
+      // and the query path reads.
+      Future(tomb.select(col("doc_id"), col("t_dl").as("dl"))
+        .limit(0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$staging/_tombstones")))),
+      scala.concurrent.duration.Duration.Inf): Unit
     val stagedBuckets = StagedCommit.stagedPartDirs(spark,
       s"$staging/postings", "term_bucket=").mkString(",")
     val (mf, mp) = ObservationStore.fs(spark, s"$staging/_manifest.json")
