@@ -423,13 +423,22 @@ object Dedup {
               s.getPath.getName.startsWith("batch="))
             .map(s => (band, s.getPath.getName.stripPrefix("batch=").toLong))
         }.toSet
-      if ((existing -- dying).isEmpty)
-        survivors.limit(0).coalesce(1)
-          .write.mode("append").parquet(path)
-      dying.foreach { case (b, t) =>
-        val (df_, dp) = ObservationStore.fs(spark,
-          s"$path/band_idx=$b/batch=$t")
-        if (df_.exists(dp)) { df_.delete(dp, true); () }
+      // an index vacuumed down to NOTHING must stay readable — but the
+      // placeholder must live INSIDE a partition-shaped leaf, never at
+      // the root: a root-level file beside band_idx= directories breaks
+      // partition discovery the moment a later merge recreates them.
+      // Data columns only (partition values come from the directory
+      // names, exactly like every merged leaf); the truncating
+      // overwrite of the canonical leaf doubles as its deletion.
+      val keepPlaceholder = (existing -- dying).isEmpty
+      if (keepPlaceholder)
+        survivors.drop("band_idx", "batch").limit(0).coalesce(1)
+          .write.mode("overwrite").parquet(s"$path/band_idx=0/batch=0")
+      dying.filterNot(bt => keepPlaceholder && bt == ((0L, 0L))).foreach {
+        case (b, t) =>
+          val (df_, dp) = ObservationStore.fs(spark,
+            s"$path/band_idx=$b/batch=$t")
+          if (df_.exists(dp)) { df_.delete(dp, true); () }
       }
     }
     f.delete(tp, true)

@@ -471,6 +471,11 @@ object ObservationStore {
   private def stageRowDelete(spark: SparkSession, path: String,
       dropPred: Column, touchedProbe: String => Array[Long],
       numBuckets: Int): (Option[String], Long) = {
+    // a row is dropped only when the predicate is DEFINITELY true: a
+    // NULL evaluation (e.g. `rdata === "x"` over null rdata) must keep
+    // the row — `!NULL` is NULL and a bare `filter(!dropPred)` would
+    // silently delete those rows while the dropped-count ignored them
+    val dropDef = coalesce(dropPred, lit(false))
     val (effBuckets, effLayout, targetEpoch, staging) =
       prepareStaging(spark, path, numBuckets)
     val (f, sp) = fs(spark, staging)
@@ -498,7 +503,7 @@ object ObservationStore {
       if (touched.nonEmpty) {
         val existing = spark.read.parquet(s"$path/$sub")
           .filter(col("bucket").isin(touched.toIndexedSeq.map(Long.box): _*))
-          .observe(obs, sum(when(dropPred, 1L)
+          .observe(obs, sum(when(dropDef, 1L)
             .otherwise(0L)).as("dropped"))
         // Survivors STAY in their buckets, so the staged rewrite needs
         // no shuffle and no re-derivation: reuse the scan's `bucket`
@@ -511,7 +516,7 @@ object ObservationStore {
         // stats stay tight because each file is sorted.
         val persisted = derivedCols(keyCol, effLayout).map(_._1)
         val survivors = existing
-          .filter(!dropPred)
+          .filter(!dropDef)
           .select(dataCols ++ persisted.map(col) :+ col("bucket"): _*)
         bloomOpts(survivors
           .sortWithinPartitions(("bucket" +: sortCols).map(col): _*)

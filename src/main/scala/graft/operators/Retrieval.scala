@@ -119,9 +119,6 @@ object Retrieval {
     // rebuild = writer: resolve committed staging leftovers first
     if (ObservationStore.pathExists(spark, path))
       recoverPositionalIndex(spark, path, deleteUncommitted = true)
-    // rebuild clears deletion state (the writeIndex rule)
-    val (tbf, tbp) = ObservationStore.fs(spark, s"$path/_tombstones")
-    if (tbf.exists(tbp)) tbf.delete(tbp, true)
     bucketedPostings(df, textCol, idCol, nBuckets.toLong)
       .repartition(col("word_bucket"))
       .sortWithinPartitions(col("word"), col("doc_id"), col("p"))
@@ -129,6 +126,11 @@ object Retrieval {
       .parquet(s"$path/positions")
     spark.range(1).select(lit(nBuckets.toLong).as("n_buckets"))
       .write.mode("overwrite").parquet(s"$path/stats")
+    // rebuild clears deletion state (the writeIndex rule) — AFTER the
+    // new tables: an early clear would resurrect the old index's
+    // deletions if the rebuild failed before writing anything
+    val (tbf, tbp) = ObservationStore.fs(spark, s"$path/_tombstones")
+    if (tbf.exists(tbp)) tbf.delete(tbp, true)
     // LAST write, batch id atomic with it — the writeLm stream contract
     writeIndexMeta(spark, path,
       readIndexEpoch(spark, path).getOrElse(0L) + 1L, batchId)
@@ -469,10 +471,6 @@ object Retrieval {
     // freshly rebuilt tables
     if (ObservationStore.pathExists(spark, path))
       recoverIndexMerge(spark, path, deleteUncommitted = true)
-    // a rebuild starts a fresh corpus: stale tombstones from the old
-    // index would mask (and statistically mis-adjust) the new one
-    val (tbf, tbp) = ObservationStore.fs(spark, s"$path/_tombstones")
-    if (tbf.exists(tbp)) tbf.delete(tbp, true)
     val idx = tokenIndex(df, textCol, idCol).localCheckpoint(false)
     // materialize the checkpoint once, then overlap the three table
     // writes — they are independent jobs over the cached index (and the
@@ -493,6 +491,14 @@ object Retrieval {
           lit(nBuckets.toLong).as("n_buckets"))
         .write.mode("overwrite").parquet(s"$path/stats")))),
       scala.concurrent.duration.Duration.Inf): Unit
+    // a rebuild starts a fresh corpus: stale tombstones from the old
+    // index would mask (and statistically mis-adjust) the new one —
+    // cleared only NOW, after the new tables exist: an early clear would
+    // resurrect the old index's deletions if the rebuild failed before
+    // writing anything (bad input, a failed job), while the old tables
+    // stayed fully live
+    val (tbf, tbp) = ObservationStore.fs(spark, s"$path/_tombstones")
+    if (tbf.exists(tbp)) tbf.delete(tbp, true)
     // a rebuild of an existing index advances the generation, never
     // resets; the meta write is LAST and carries the builder's batch id
     // atomically (the writeLm stream contract)
@@ -796,6 +802,9 @@ object Retrieval {
         .localCheckpoint(false)
       val ts = tomb.agg(count(lit(1)).as("n"), sum(col("t_dl")).as("dl"))
         .head()
+      // sum(dl) is SQL NULL when every tombstoned doc was tokenless
+      // (null text → null dl) — those docs shrink n_docs but not sum_dl
+      val dlTomb = if (ts.isNullAt(1)) 0L else ts.getLong(1)
       if (ts.getLong(0) == 0L) score(idx, dfreq, terms, k, nDocs, sumDl)
       else {
         val tombIds = broadcast(tomb.select(col("doc_id")))
@@ -806,7 +815,7 @@ object Retrieval {
             (col("df") - coalesce(col("dead_df"), lit(0L))).as("df"))
           .filter(col("df") > 0)
         score(idx.join(tombIds, Seq("doc_id"), "left_anti"), dfreqAdj,
-          terms, k, nDocs - ts.getLong(0), sumDl - ts.getLong(1))
+          terms, k, nDocs - ts.getLong(0), sumDl - dlTomb)
       }
     }
   }
@@ -860,11 +869,20 @@ object Retrieval {
     val dead = postings.join(tombIds, Seq("doc_id"), "left_semi")
       .localCheckpoint(false) // feeds the per-term counts, touched set,
                               // row count and the id check once
+    // a legitimately indexed ZERO-TOKEN document is counted in
+    // n_docs/sum_dl yet owns no postings rows — its tombstone records
+    // dl=0 and must match zero postings, or deleting it would wedge
+    // vacuum forever. Only dl>0 tombstones must hold postings; a dl=0
+    // tombstone on a doc that DOES hold postings (a mis-recorded dl)
+    // still trips the require, because matchedIds then exceeds the
+    // dl>0 tombstone count.
     val matchedIds = dead.select(col("doc_id")).distinct().count()
-    require(matchedIds == nTomb,
-      s"vacuumIndex: $nTomb tombstoned ids but only $matchedIds hold " +
-        "postings — deleting a never-indexed id would corrupt the " +
-        "index statistics; remove the bad tombstones first")
+    val nTombTokened = tomb.filter(col("t_dl") > 0).count()
+    require(matchedIds == nTombTokened,
+      s"vacuumIndex: $nTombTokened tombstoned ids carry tokens but " +
+        s"$matchedIds hold postings — deleting a never-indexed id " +
+        "would corrupt the index statistics; remove the bad " +
+        "tombstones first")
     val removed = dead.count()
     val touched = dead.select(col("term_bucket").cast("long"))
       .distinct().collect().map(_.getLong(0)).toIndexedSeq

@@ -111,11 +111,6 @@ object Similarity {
     * same broadcast-argmax aggregation as [[ivfTopK]]. */
   def writeIvfIndex(embeddings: DataFrame, idCol: String, embCol: String,
       centroidIds: Seq[Long], path: String): Unit = {
-    // a rebuild starts a fresh corpus: stale tombstones from the old
-    // index would silently mask ids that happen to recur in the new one
-    val (tbf, tbp) = ObservationStore.fs(embeddings.sparkSession,
-      s"$path/_tombstones")
-    if (tbf.exists(tbp)) tbf.delete(tbp, true)
     val scaledDf = embeddings.select(col(idCol).as("id"),
       scaled(col(embCol)).as("v"))
     val centroids = scaledDf.filter(col("id").isin(centroidIds: _*))
@@ -128,7 +123,10 @@ object Similarity {
     assigned.write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$path/vectors")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    // a rebuilt index has no deletions: clear any tombstones
+    // a rebuilt index has no deletions: clear any tombstones — only
+    // AFTER the new tables exist (a clear before the writes would
+    // resurrect the old index's GDPR deletions if the rebuild failed
+    // early, while the old tables stayed fully live)
     val (f, tp) = ObservationStore.fs(embeddings.sparkSession,
       s"$path/_tombstones")
     if (f.exists(tp)) { f.delete(tp, true); () }
@@ -772,10 +770,6 @@ object Similarity {
     if (ObservationStore.pathExists(embeddings.sparkSession, path))
       recoverIvfPqMerge(embeddings.sparkSession, path,
         deleteUncommitted = true)
-    // rebuild clears deletion state (the writeIvfIndex rationale)
-    val (tbf, tbp) = ObservationStore.fs(embeddings.sparkSession,
-      s"$path/_tombstones")
-    if (tbf.exists(tbp)) tbf.delete(tbp, true)
     val cb = pqCodebooks(embeddings, idCol, embCol, m, ks, iters, dim)
     val scaledDf = embeddings.select(col(idCol).cast("long").as("id"),
       scaled(col(embCol)).as("v"))
@@ -797,6 +791,12 @@ object Similarity {
       yield (j, c.toLong, d, cb(j)(c)(d)))
       .toDF("j", "code", "d", "cval")
       .write.mode("overwrite").parquet(s"$path/codebooks")
+    // rebuild clears deletion state (the writeIvfIndex rationale) — only
+    // AFTER codebook training and the table writes: a clear before them
+    // would resurrect the old index's deletions if training failed on
+    // bad input while the old tables stayed fully live
+    val (tbf, tbp) = ObservationStore.fs(spark, s"$path/_tombstones")
+    if (tbf.exists(tbp)) tbf.delete(tbp, true)
     // a rebuild of an existing index advances the generation, never resets
     Retrieval.writeIndexMeta(spark, path,
       Retrieval.readIndexEpoch(spark, path).getOrElse(0L) + 1L)

@@ -94,8 +94,14 @@ object Decoders {
       .withColumn("ts",
         try_to_timestamp(col("j.timestamp"),
           lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][.SSS]xx")))
-    val valid = col("j").isNotNull && col("j.event_type") === "dns" &&
-      col("j.dns.type") === "answer" && col("ts").isNotNull
+    // coalesce: a missing event_type/dns.type makes the conjunction SQL
+    // NULL, and `when(!NULL, …)` matches nothing — the row would fall
+    // through to the emit branches instead of being dropped like the
+    // reference drops it (format_suricata.go:46-51)
+    val valid = coalesce(
+      col("j").isNotNull && col("j.event_type") === "dns" &&
+        col("j.dns.type") === "answer" && col("ts").isNotNull,
+      lit(false))
     val empty = array().cast(ArrayType(graft.model.Model.inputSchema))
 
     val v1Obs = array(obsStruct(lit(1), col("j.dns.rcode"),

@@ -69,6 +69,16 @@ class DecodersSpec extends AnyFunSuite {
     assert(Decoders.suricata(in("babanana", "", badTs, badEvent, badType)).count() == 0)
   }
 
+  test("suricata: MISSING event_type / dns.type (SQL-null guard) -> 0") {
+    // absent keys make the validity conjunction SQL NULL, not false —
+    // a non-null-safe guard would let these fall through to the emit
+    // branches as observations with null fields (the reference drops
+    // them, format_suricata.go:46-51)
+    val noEvent = suriV1.replace("\"event_type\": \"dns\",", "")
+    val noType = suriV1.replace("\"type\": \"answer\",", "")
+    assert(Decoders.suricata(in(noEvent, noType)).count() == 0)
+  }
+
   // ---- FEVER (format_fever_test.go) ----
 
   private val feverIn =

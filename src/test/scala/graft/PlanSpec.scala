@@ -374,6 +374,14 @@ class PlanSpec extends AnyFunSuite {
     Dedup.deleteFromBandIndex(spark, dir, 0L to 23L)
     assert(Dedup.vacuumBandIndex(spark, dir) > 0L)
     assert(corpusIds().isEmpty)
+    // the all-dead placeholder must be PARTITION-SHAPED: a root-level
+    // schema file would break partition discovery the moment a later
+    // merge recreates band_idx= directories beside it
+    assert(!root.listFiles().exists(f =>
+      f.isFile && f.getName.endsWith(".parquet")),
+      root.listFiles().map(_.getName).toSeq)
+    assert(Dedup.mergeBandIndex(spark, dir, extra, "text", "doc_id", 2L) > 0)
+    assert(corpusIds() == (100L to 103L).toSet)
     // rebuild clears deletion state
     Dedup.writeBandIndex(docsDf, "text", "doc_id", dir)
     assert(corpusIds() == (0L to 23L).toSet)

@@ -212,6 +212,64 @@ class RetrievalSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$dir/_tombstones").exists())
   }
 
+  test("bm25 tombstones: zero-token doc deletes without wedging vacuum") {
+    // a legitimately indexed TOKENLESS document (null text — explode
+    // emits no postings for it) is counted in n_docs yet owns no
+    // postings rows — deleting it must not trip vacuum's
+    // never-indexed-id guard (its tombstone carries a null/0 dl and
+    // legitimately matches zero postings)
+    val withEmpty = corpus.unionAll(
+      Seq((6L, Option.empty[String])).toDF("doc_id", "text"))
+    val truth = Files.createTempDirectory("graft-bm25-zt-t").toString
+    Retrieval.writeIndex(corpus, "text", "doc_id", truth, nBuckets = 4)
+    val dir = Files.createTempDirectory("graft-bm25-zt").toString
+    Retrieval.writeIndex(withEmpty, "text", "doc_id", dir, nBuckets = 4)
+    assert(spark.read.parquet(s"$dir/stats").head
+      .getAs[Long]("n_docs") == 6L)
+    Retrieval.deleteFromIndex(spark, dir,
+      withEmpty.filter(col("doc_id") === 6L), "text", "doc_id")
+    def top(path: String): Seq[Seq[Any]] =
+      Retrieval.indexTopK(spark, path, Seq("join", "merge"), k = 5)
+        .collect().map(_.toSeq).toSeq
+    // masked query already equals the never-contained index (the
+    // zero-token doc affects scores only through n_docs/avgdl)
+    assert(top(dir) == top(truth))
+    // vacuum folds the stats (0 postings removed — the doc owned none)
+    assert(Retrieval.vacuumIndex(spark, dir) == 0L)
+    assert(spark.read.parquet(s"$dir/stats").head.toSeq ==
+      spark.read.parquet(s"$truth/stats").head.toSeq)
+    assert(spark.read.parquet(s"$dir/_tombstones").isEmpty)
+    assert(top(dir) == top(truth))
+  }
+
+  test("failed rebuild preserves tombstones (deletions not resurrected)") {
+    val empty = corpus.filter(col("doc_id") < 0L)
+    // BM25: delete a doc, then attempt a rebuild that fails validation —
+    // the old index must stay live WITH its deletion still masking
+    val dir = Files.createTempDirectory("graft-bm25-failrb").toString
+    Retrieval.writeIndex(corpus, "text", "doc_id", dir, nBuckets = 4)
+    Retrieval.deleteFromIndex(spark, dir,
+      corpus.filter(col("doc_id") === 5L), "text", "doc_id")
+    intercept[IllegalArgumentException] {
+      Retrieval.writeIndex(empty, "text", "doc_id", dir, nBuckets = 4)
+    }
+    assert(new java.io.File(s"$dir/_tombstones").exists())
+    assert(!Retrieval.indexTopK(spark, dir, Seq("join", "merge"), k = 5)
+      .collect().map(_.getAs[Long]("doc_id")).contains(5L))
+    // positional: same contract
+    val pdir = Files.createTempDirectory("graft-pos-failrb").toString
+    Retrieval.writePositionalIndex(corpus, "text", "doc_id", pdir,
+      nBuckets = 4)
+    Retrieval.deleteFromPositionalIndex(spark, pdir, Seq(5L))
+    intercept[IllegalArgumentException] {
+      Retrieval.writePositionalIndex(empty, "text", "doc_id", pdir,
+        nBuckets = 4)
+    }
+    assert(new java.io.File(s"$pdir/_tombstones").exists())
+    assert(!Retrieval.indexPhraseSearch(spark, pdir, Seq("join", "merge"))
+      .collect().map(_.getLong(0)).contains(5L))
+  }
+
   test("positional tombstones: mask, vacuum, full-delete stays readable") {
     val dir = Files.createTempDirectory("graft-pos-del").toString
     Retrieval.writePositionalIndex(corpus, "text", "doc_id", dir,

@@ -368,6 +368,31 @@ class StoreSpec extends AnyFunSuite {
     assert(ObservationStore.readEpoch(spark, s"$dir/st").contains(2L))
   }
 
+  test("deleteWhere: NULL-evaluating predicate keeps the row, count agrees") {
+    import org.apache.spark.sql.functions.col
+    // try_cast of a dotted address is SQL NULL, so `NULL > 5` is
+    // NULL — a row must be dropped only when the predicate is
+    // DEFINITELY true; NULL rows stay AND are excluded from the
+    // dropped count (a bare filter(!pred) would silently delete them
+    // while counting them as kept)
+    val rows = Seq(
+      ("num-hi", "s1", "TXT", "10", 1L, ts("2021-01-01 00:00:00")),
+      ("num-lo", "s1", "TXT", "3", 2L, ts("2021-02-01 00:00:00")),
+      ("addr", "s1", "A", "1.2.3.4", 3L, ts("2021-03-01 00:00:00")))
+      .toDF("rrname", "sensor_id", "rrtype", "rdata", "count", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("graft-delwn").toString
+    ObservationStore.writeDual(ObservationStore.aggregate(rows),
+      s"$dir/st", numBuckets = 4)
+    assert(ObservationStore.deleteWhere(spark, s"$dir/st",
+      org.apache.spark.sql.functions.expr("try_cast(rdata AS int)") > 5)
+      == 1L)
+    val st = ObservationStore.load(spark, s"$dir/st")
+    assert(st.forward.select("rrname").as[String].collect().toSet ==
+      Set("num-lo", "addr"))
+    assert(st.inverted.select("rrname").as[String].collect().toSet ==
+      Set("num-lo", "addr"))
+  }
+
   test("compact: multi-file buckets fold to one file, data unchanged") {
     val input = Seq(
       ("foo", "s1", "A", "1.1.1.1", 1L, ts("2019-03-01 00:00:00")),
