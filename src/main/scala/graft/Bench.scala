@@ -169,11 +169,14 @@ object Bench {
         .map(_.group(1)).getOrElse("{}")
     val servingKeys = Seq("store_build_sec", "point_lookup_qps",
       "point_lookup_qps_plan", "point_lookup_qps_16w",
-      "point_lookup_qps_miss", "point_lookup_qps_cached",
+      "point_lookup_qps_miss", "plan_qps_cached_df",
       "merge_batch_sec", "decode_rows_per_sec", "tcp_query_qps",
       "prefix_lookup_qps", "prefix_fan_read_frac",
-      "prefix_selective_qps", "prefix_selective_read_frac",
-      "dict_cache_hits", "dict_cache_decodes")
+      "prefix_selective_qps", "prefix_selective_qps_best",
+      "prefix_selective_read_frac",
+      "dict_cache_hits", "dict_cache_decodes",
+      "dict_decodes_point", "dict_decodes_prefix",
+      "dict_decodes_selective", "star_sec")
     val servingPart =
       servingKeys.map(k => s""""$k":${num(serving, k)}""").mkString(",")
     // worst external CPU any phase observed — the falsifiability tag:
@@ -337,10 +340,13 @@ object Bench {
         System.err.println(s"[bench] point-lookups failed: ${e.getMessage}")
         Seq("store_build_sec", "point_lookup_qps", "point_lookup_qps_plan",
           "point_lookup_qps_16w", "point_lookup_qps_miss",
-          "point_lookup_qps_cached", "merge_batch_sec", "tcp_query_qps",
+          "plan_qps_cached_df", "merge_batch_sec", "tcp_query_qps",
           "prefix_lookup_qps", "prefix_fan_read_frac",
-          "prefix_selective_qps", "prefix_selective_read_frac",
-          "dict_cache_hits", "dict_cache_decodes")
+          "prefix_selective_qps", "prefix_selective_qps_best",
+          "prefix_selective_read_frac",
+          "dict_cache_hits", "dict_cache_decodes",
+          "dict_decodes_point", "dict_decodes_prefix",
+          "dict_decodes_selective")
           .map(_ -> -1.0)
       }
     val decodeRate =
@@ -349,7 +355,30 @@ object Bench {
         System.err.println(s"[bench] decode-rate failed: ${e.getMessage}")
         -1.0
       }
-    (metrics :+ ("decode_rows_per_sec" -> decodeRate))
+    // star-contraction CC over ONE 5000-hop chain — the pathological
+    // diameter no real dedup graph reaches, timed per round so the
+    // O(log diameter) convergence and starRound's 3-exchange budget
+    // have a cross-round trend line IN the driver artifact (the
+    // BenchScaleText number never landed there — separate main).
+    // No union-find fast path exists on this operator, so the figure
+    // is the distributed loop, not a driver collect.
+    val starSec =
+      try {
+        import org.apache.spark.sql.functions.col
+        val ids = spark.range(5000L).select(col("id").as("node_id"))
+        val es = spark.range(4999L)
+          .select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))
+        val t = System.nanoTime()
+        val n = operators.Dedup.connectedComponentsStar(ids, "node_id", es)
+          .select(col("component")).distinct().count()
+        require(n == 1L, s"star-CC on one chain found $n components")
+        (System.nanoTime() - t) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] star-cc failed: ${e.getMessage}")
+        -1.0
+      }
+    (metrics :+ ("decode_rows_per_sec" -> decodeRate)
+      :+ ("star_sec" -> starSec))
       .map { case (k, v) =>
         val digits = if (k.endsWith("_frac")) 4
           else if (k == "decode_rows_per_sec") 0
@@ -397,6 +426,11 @@ object Bench {
     * for timings the driver trends across rounds. */
   private def median3(f: => Double): Double =
     Seq(f, f, f).sorted.apply(1)
+
+  /** The three raw batch figures, for metrics that also report a best —
+    * a sustained regression moves all three; a one-batch stall (GC,
+    * page-cache miss storm) moves one and the best stays honest. */
+  private def samples3(f: => Double): Seq[Double] = Seq(f, f, f)
 
   /** Build the bucketed dual store, then run rdata point queries on
     * concurrent workers (the reference's bench workload shape —
@@ -458,6 +492,12 @@ object Bench {
     // an absent key should skip every row group from footer metadata
     val missQps = median3(timed(1000, 5)(i =>
       store.servePoint(rdata = Some(s"absent-key-$i")).get: Unit))
+    // per-BLOCK decode deltas (not just the phase-global pair): when one
+    // qps figure moves, the matching delta says whether THAT block's
+    // dictionary cache stampeded — the r14 selective-qps collapse (14×,
+    // flat global decodes) could not be localized for want of these
+    val dictDecodesPoint =
+      operators.PointReader.dictCacheDecodes.get() - dictDecodes0
     // PREFIX seeks on the fast path (the reference's forward scan
     // shape): each "part-<3 digits>" prefix matches ~111 rrnames across
     // every bucket — the fan-over-buckets + row-group-stats-bounded
@@ -472,15 +512,23 @@ object Bench {
     val prefixQps = median3(timed(1000, 5)(i =>
       store.servePrefix(s"part-${100 + (i % 900)}").get: Unit))
     val fan1 = fanSnapshot()
+    val dictDecodesPrefix =
+      operators.PointReader.dictCacheDecodes.get() -
+        dictDecodes0 - dictDecodesPoint
     // SELECTIVE prefixes: "part-1999<d>" are full keys with no
     // extensions (partkeys stop at 5 digits), so each matches exactly
     // one rrname living in exactly one bucket — hash bucketing cannot
     // prune the FAN, but the per-bucket sorted-dictionary probe prunes
     // the READS: the scale story for prefix seeks is this fraction
     // staying ~1/buckets however big the store gets, not the fan width
-    val selectiveQps = median3(timed(1000, 5)(i =>
+    val selSamples = samples3(timed(1000, 5)(i =>
       store.servePrefix(s"part-1999${i % 10}").get: Unit))
+    val selectiveQps = selSamples.sorted.apply(1)
+    val selectiveBest = selSamples.max
     val fan2 = fanSnapshot()
+    val dictDecodesSelective =
+      operators.PointReader.dictCacheDecodes.get() -
+        dictDecodes0 - dictDecodesPoint - dictDecodesPrefix
     def frac(a: (Long, Long), b: (Long, Long)): Double =
       if (b._2 - a._2 <= 0) -1.0
       else (b._1 - a._1).toDouble / (b._2 - a._2).toDouble
@@ -565,17 +613,24 @@ object Bench {
       "point_lookup_qps_plan" -> planQps,
       "point_lookup_qps_16w" -> wideQps,
       "point_lookup_qps_miss" -> missQps,
-      "point_lookup_qps_cached" -> cachedQps,
+      // Spark-plan path over a CACHED DataFrame — NOT the serving fast
+      // path; named so a low figure reads as "per-query plan overhead",
+      // not a serving catastrophe (was point_lookup_qps_cached ≤ r14)
+      "plan_qps_cached_df" -> cachedQps,
       "merge_batch_sec" -> mergeSec,
       "tcp_query_qps" -> tcpQps,
       "prefix_lookup_qps" -> prefixQps,
       "prefix_fan_read_frac" -> frac(fan0, fan1),
       "prefix_selective_qps" -> selectiveQps,
+      "prefix_selective_qps_best" -> selectiveBest,
       "prefix_selective_read_frac" -> frac(fan1, fan2),
       "dict_cache_hits" ->
         (operators.PointReader.dictCacheHits.get() - dictHits0).toDouble,
       "dict_cache_decodes" ->
         (operators.PointReader.dictCacheDecodes.get() - dictDecodes0)
-          .toDouble)
+          .toDouble,
+      "dict_decodes_point" -> dictDecodesPoint.toDouble,
+      "dict_decodes_prefix" -> dictDecodesPrefix.toDouble,
+      "dict_decodes_selective" -> dictDecodesSelective.toDouble)
   }
 }

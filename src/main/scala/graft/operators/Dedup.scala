@@ -807,14 +807,8 @@ object Dedup {
     var converged = labels.isEmpty
     var i = 0
     while (!converged && i < maxIter) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
-        .groupBy(col("src")).agg(min("component").as("nmin"))
-      labels = cut(labels // eager: cut per-round lineage growth
-        .join(neighborMin, col("id") === col("src"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nmin"), col("component")))
-            .as("component")))
+      // eager cut: per-round lineage growth
+      labels = cut(ccRound(edges, labels))
       val s = labelSum()
       converged = s == prevSum
       prevSum = s
@@ -830,6 +824,23 @@ object Dedup {
       .join(labels.withColumnRenamed("id", "cid"), col("id") === col("cid"),
         "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** One min-label propagation round over checkpointed loop state —
+    * package-visible so PlanSpec can pin its shuffle budget on the
+    * EXECUTED plan (the [[starRound]] discipline): one edge⋈label
+    * equi-join + one map-side-combined min + the label-table left
+    * join, linear in the pair graph. */
+  private[graft] def ccRound(edges: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val neighborMin = edges
+      .join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
+      .groupBy(col("src")).agg(min("component").as("nmin"))
+    labels
+      .join(neighborMin, col("id") === col("src"), "left")
+      .select(col("id"),
+        least(col("component"), coalesce(col("nmin"), col("component")))
+          .as("component"))
   }
 
   /** One large-star + small-star alternation over an (u, v) edge frame —

@@ -118,16 +118,27 @@ object Graphs {
       when(col("is_seed"), lit(effScale / nTele)).otherwise(lit(0L))
         .as("pr"))
     for (_ <- 1 to iters) {
-      val contrib = withDeg.join(pr, col("src") === col("id"))
-        .select(col("dst"), expr("pr div outdeg").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("c"))
-      pr = cut(nodes.join(contrib, nodes("id") === contrib("dst"), "left")
-        .select(col("id"),
-          (when(col("is_seed"), lit(basePart / nTele)).otherwise(lit(0L)) +
-            expr(s"($dampPct * coalesce(c, CAST(0 AS BIGINT))) div 100"))
-            .as("pr")))
+      pr = cut(pageRankRound(nodes, withDeg, pr, dampPct, basePart, nTele))
     }
     pr
+  }
+
+  /** One PageRank round over checkpointed loop state — package-visible
+    * so PlanSpec can pin its shuffle budget on the EXECUTED plan (the
+    * [[graft.operators.Dedup.starRound]] discipline): one edge⋈rank
+    * equi-join + one map-side-combined sum + the node-table left join,
+    * nothing that grows with the iteration count. */
+  private[graft] def pageRankRound(nodes: DataFrame, withDeg: DataFrame,
+      pr: DataFrame, dampPct: Int, basePart: Long,
+      nTele: Long): DataFrame = {
+    val contrib = withDeg.join(pr, col("src") === col("id"))
+      .select(col("dst"), expr("pr div outdeg").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("c"))
+    nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+      .select(col("id"),
+        (when(col("is_seed"), lit(basePart / nTele)).otherwise(lit(0L)) +
+          expr(s"($dampPct * coalesce(c, CAST(0 AS BIGINT))) div 100"))
+          .as("pr"))
   }
 
   /** Canonical undirected simple-graph edge list shared by the
@@ -181,12 +192,19 @@ object Graphs {
       else df.localCheckpoint(true)
     var e = cut(canonicalEdges(edges0, srcCol, dstCol))
     for (_ <- 1 to rounds) {
-      val keep = degreesOf(e).filter(col("deg") >= k).select(col("id"))
-      e = cut(e
-        .join(keep.select(col("id").as("a")), Seq("a"), "leftsemi")
-        .join(keep.select(col("id").as("b")), Seq("b"), "leftsemi"))
+      e = cut(kcoreRound(e, k))
     }
     degreesOf(e)
+  }
+
+  /** One k-core peel round over a checkpointed edge frame —
+    * package-visible so PlanSpec can pin its shuffle budget on the
+    * EXECUTED plan: one map-side-combined degree aggregation + two
+    * left-semi equi-joins, linear in surviving edges. */
+  private[graft] def kcoreRound(e: DataFrame, k: Int): DataFrame = {
+    val keep = degreesOf(e).filter(col("deg") >= k).select(col("id"))
+    e.join(keep.select(col("id").as("a")), Seq("a"), "leftsemi")
+      .join(keep.select(col("id").as("b")), Seq("b"), "leftsemi")
   }
 
   /** Fixed-round multi-source BFS hop distances — the reachability /
@@ -290,19 +308,28 @@ object Graphs {
     var lab = adj.select(col("id")).distinct()
       .select(col("id"), col("id").as("label"))
     for (_ <- 1 to rounds) {
-      val nbrLab = adj
-        .join(lab.select(col("id").as("nbr"), col("label")), "nbr")
-        .groupBy(col("id"), col("label")).agg(count(lit(1)).as("n"))
-      // arg-max by (count, -label): struct ordering is field-by-field,
-      // so max picks the highest count and, among ties, the SMALLEST
-      // label. (-label overflows only at Long.MinValue — not a node id
-      // that survives `canonicalEdges`' arithmetic anyway.)
-      lab = cut(nbrLab
-        .groupBy(col("id"))
-        .agg(max(struct(col("n"), (-col("label")).as("neg"))).as("top"))
-        .select(col("id"), (-col("top.neg")).as("label")))
+      lab = cut(lpaRound(adj, lab))
     }
     lab
+  }
+
+  /** One label-propagation round over checkpointed loop state —
+    * package-visible so PlanSpec can pin its shuffle budget on the
+    * EXECUTED plan: one adjacency⋈label equi-join + two
+    * map-side-combined aggregations (neighbor-label count, then the
+    * per-node arg-max), linear in |E|. Arg-max by (count, -label):
+    * struct ordering is field-by-field, so max picks the highest count
+    * and, among ties, the SMALLEST label. (-label overflows only at
+    * Long.MinValue — not a node id that survives `canonicalEdges`'
+    * arithmetic anyway.) */
+  private[graft] def lpaRound(adj: DataFrame, lab: DataFrame): DataFrame = {
+    val nbrLab = adj
+      .join(lab.select(col("id").as("nbr"), col("label")), "nbr")
+      .groupBy(col("id"), col("label")).agg(count(lit(1)).as("n"))
+    nbrLab
+      .groupBy(col("id"))
+      .agg(max(struct(col("n"), (-col("label")).as("neg"))).as("top"))
+      .select(col("id"), (-col("top.neg")).as("label"))
   }
 
   /** Fixed-round integer HITS (Kleinberg 1999) — hubs and authorities
@@ -351,38 +378,52 @@ object Graphs {
       .distinct())
     val nodes = cut(edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct())
-    // raw Σ over the edge list, 0 for nodes the join misses
-    def gather(score: DataFrame, scoreCol: String, from: String,
-        to: String): DataFrame =
-      nodes.join(
-        edges.join(score, col(from) === score("id"))
-          .select(col(to), col(scoreCol))
-          .groupBy(col(to)).agg(sum(col(scoreCol)).as("raw")),
-        nodes("id") === col(to), "left")
-        .select(nodes("id"), coalesce(col("raw"), lit(0L)).as("raw"))
-    // renormalize to sum ≈ scale: DECIMAL(38,0) multiply then integer
-    // div — overflow-free for any graph size, and the 1-row total rides
-    // the plan as a broadcast, not a driver collect. The RAW gather is
-    // cut before normalizing: `total` and the scores both read it, and
-    // without the cut that subtree (an |E|-sized join + aggregation)
-    // would execute twice per half-round
-    def normalize(raw0: DataFrame, outCol: String): DataFrame = {
-      val raw = cut(raw0)
-      val total = raw.agg(sum(col("raw")).as("t"))
-      raw.crossJoin(broadcast(total))
-        .select(col("id"),
-          when(col("t").isNull || col("t") === 0L, lit(0L))
-            .otherwise(expr(
-              s"cast(cast(raw as decimal(38,0)) * $scale div t as bigint)"))
-            .as(outCol))
-    }
     var hub = cut(nodes.select(col("id"), lit(scale).as("hub")))
     var auth: DataFrame = null // rounds >= 1: assigned every round
+    // The RAW gather is cut before normalizing: `total` and the scores
+    // both read it, and without the cut that subtree (an |E|-sized join
+    // + aggregation) would execute twice per half-round
     for (_ <- 1 to rounds) {
-      auth = normalize(gather(hub, "hub", "src", "dst"), "auth")
-      hub = normalize(gather(auth, "auth", "dst", "src"), "hub")
+      auth = hitsNormalize(
+        cut(hitsGather(nodes, edges, hub, "hub", "src", "dst")),
+        scale, "auth")
+      hub = hitsNormalize(
+        cut(hitsGather(nodes, edges, auth, "auth", "dst", "src")),
+        scale, "hub")
     }
     hub.join(auth, "id")
+  }
+
+  /** HITS half-round, gather side: raw Σ over the edge list, 0 for
+    * nodes the join misses — package-visible so PlanSpec can pin its
+    * shuffle budget on the EXECUTED plan: one edge⋈score equi-join +
+    * one map-side-combined sum + the node-table left join, the same
+    * profile as one PageRank round. */
+  private[graft] def hitsGather(nodes: DataFrame, edges: DataFrame,
+      score: DataFrame, scoreCol: String, from: String,
+      to: String): DataFrame =
+    nodes.join(
+      edges.join(score, col(from) === score("id"))
+        .select(col(to), col(scoreCol))
+        .groupBy(col(to)).agg(sum(col(scoreCol)).as("raw")),
+      nodes("id") === col(to), "left")
+      .select(nodes("id"), coalesce(col("raw"), lit(0L)).as("raw"))
+
+  /** HITS half-round, normalize side over the CHECKPOINTED raw gather:
+    * renormalize to sum ≈ scale with a DECIMAL(38,0) multiply then
+    * integer div — overflow-free for any graph size, and the 1-row
+    * total rides the plan as a BROADCAST, not a driver collect.
+    * Package-visible so PlanSpec can pin: zero data shuffles (the only
+    * exchange is the 1-row broadcast). */
+  private[graft] def hitsNormalize(raw: DataFrame, scale: Long,
+      outCol: String): DataFrame = {
+    val total = raw.agg(sum(col("raw")).as("t"))
+    raw.crossJoin(broadcast(total))
+      .select(col("id"),
+        when(col("t").isNull || col("t") === 0L, lit(0L))
+          .otherwise(expr(
+            s"cast(cast(raw as decimal(38,0)) * $scale div t as bigint)"))
+          .as(outCol))
   }
 
   /** Thresholded bipartite projection — the co-occurrence graph builder

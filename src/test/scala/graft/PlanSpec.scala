@@ -1038,6 +1038,88 @@ class PlanSpec extends AnyFunSuite {
       s"star round runtime plan:\n${round.queryExecution.executedPlan}")
   }
 
+  test("iterative round bodies: runtime shuffle budgets hold (AQE plans)") {
+    // every iterative op's ROUND body bounded on the EXECUTED plan —
+    // static text undercounts duplicated subtrees and misses AQE
+    // conversions (the round-13 starRound lesson, applied to the whole
+    // family). Broadcast joins are DISABLED for the measurement: at
+    // test scale AQE would broadcast everything and the pin would
+    // trivially pass while the 100 TB plan shuffles; with them off the
+    // counted exchanges are the sort-merge shape a 1000-executor run
+    // actually pays. Inputs mimic loop state (checkpointed, as the
+    // loops carry them).
+    import graft.operators.{Dedup, Graphs}
+    import org.apache.spark.sql.functions.{count, lit}
+    val spark0 = spark
+    spark0.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark0.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 1L))
+        .toDF("src", "dst").localCheckpoint(true)
+      // pageRank round: edge⋈rank equi-join (2) + map-side sum (1) +
+      // node left join (≤2, contrib side reuses the agg partitioning)
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+        .withColumn("is_seed", lit(true)).localCheckpoint(true)
+      val withDeg = e
+        .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+        .localCheckpoint(true)
+      val pr0 = nodes.select(col("id"), lit(100L).as("pr"))
+        .localCheckpoint(true)
+      val prRound =
+        Graphs.pageRankRound(nodes, withDeg, pr0, 85, 25000L, 6L)
+      assert(runtimeShuffles(prRound) <= 5,
+        s"pageRank round runtime plan:\n${prRound.queryExecution.executedPlan}")
+      // kcore round: degree agg (1) + two left-semi joins (≤4; the keep
+      // side is one subtree exchanged per join key)
+      val und = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L))
+        .toDF("a", "b").localCheckpoint(true)
+      val kc = Graphs.kcoreRound(und, 2)
+      assert(runtimeShuffles(kc) <= 5,
+        s"kcore round runtime plan:\n${kc.queryExecution.executedPlan}")
+      // LPA round: adjacency⋈label join (2) + two aggregations (the
+      // second reuses the first's (id, label) partitioning on id? no —
+      // narrower key, one more exchange)
+      val adj = und.select(col("a").as("id"), col("b").as("nbr"))
+        .union(und.select(col("b").as("id"), col("a").as("nbr")))
+        .localCheckpoint(true)
+      val lab0 = adj.select(col("id")).distinct()
+        .select(col("id"), col("id").as("label")).localCheckpoint(true)
+      val lpa = Graphs.lpaRound(adj, lab0)
+      assert(runtimeShuffles(lpa) <= 5,
+        s"LPA round runtime plan:\n${lpa.queryExecution.executedPlan}")
+      // HITS half-round: gather = edge⋈score join (2) + sum (1) + node
+      // left join (≤2); normalize over the cut gather = only the 1-row
+      // total (global agg, 1) — the broadcast itself is not a shuffle
+      val hnodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+        .localCheckpoint(true)
+      val hub0 = hnodes.select(col("id"), lit(1000000L).as("hub"))
+        .localCheckpoint(true)
+      val gat = Graphs.hitsGather(hnodes, e, hub0, "hub", "src", "dst")
+      assert(runtimeShuffles(gat) <= 5,
+        s"HITS gather runtime plan:\n${gat.queryExecution.executedPlan}")
+      val norm =
+        Graphs.hitsNormalize(gat.localCheckpoint(true), 1000000L, "auth")
+      assert(runtimeShuffles(norm) <= 1,
+        s"HITS normalize runtime plan:\n${norm.queryExecution.executedPlan}")
+      // CC round: edges arrive REPARTITIONED by dst (the loop's
+      // invariant) — label join exchanges the label side only (1) +
+      // min agg (1) + label left join (≤2)
+      val ccEdges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+        .toDF("src", "dst").repartition(2, col("dst"))
+        .localCheckpoint(true)
+      val ccLab = ccEdges.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id")).localCheckpoint(true)
+      val cc = Dedup.ccRound(ccEdges, ccLab)
+      assert(runtimeShuffles(cc) <= 4,
+        s"CC round runtime plan:\n${cc.queryExecution.executedPlan}")
+    } finally {
+      spark0.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark0.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   /** Shuffle count in the EXECUTED (final-AQE) plan: runs the frame,
     * then counts Exchange nodes — ReusedExchange and BroadcastExchange
     * lines don't match (a reuse costs nothing; broadcasts are bounded
