@@ -213,12 +213,11 @@ object Dedup {
       path: String): DataFrame = {
     recoverBandMerge(spark, path, deleteUncommitted = false)
     val base = spark.read.parquet(path).drop("batch")
-    // retracted documents ([[deleteFromBandIndex]]) mask out via a
-    // broadcast anti-join until the next vacuum folds them in
-    val (tf, tp) = ObservationStore.fs(spark, s"$path/_tombstones")
-    if (!tf.exists(tp)) base
-    else base.join(broadcast(spark.read.parquet(s"$path/_tombstones")
-      .select(col("corpus_id")).distinct()), Seq("corpus_id"), "left_anti")
+    // retracted documents ([[deleteFromBandIndex]]) mask out via an
+    // anti-join (broadcast under [[TombstoneMask]]'s driver-memory
+    // bound, shuffled past it) until the next vacuum folds them in
+    TombstoneMask.antiJoin(spark, base, s"$path/_tombstones",
+      "corpus_id", "corpus_id")
   }
 
   /** Fold a batch of NEW documents into a persisted band index — the
@@ -378,10 +377,12 @@ object Dedup {
     import spark.implicits._
     val (f, tp) = ObservationStore.fs(spark, s"$path/_tombstones")
     if (!f.exists(tp)) return 0L
-    val tomb = spark.read.parquet(s"$path/_tombstones")
-      .select(col("corpus_id")).distinct().localCheckpoint(false)
+    val tomb = TombstoneMask.hinted(spark,
+      spark.read.parquet(s"$path/_tombstones")
+        .select(col("corpus_id")).distinct().localCheckpoint(false),
+      TombstoneMask.footerRowCount(spark, s"$path/_tombstones"))
     val idx = spark.read.parquet(path)
-    val dead = idx.join(broadcast(tomb), Seq("corpus_id"), "left_semi")
+    val dead = idx.join(tomb, Seq("corpus_id"), "left_semi")
       .groupBy(col("band_idx").cast("long").as("b"),
         col("batch").cast("long").as("t"))
       .agg(count(lit(1)).as("n")).collect()
@@ -393,7 +394,7 @@ object Dedup {
       val survivors = idx
         .join(touched, col("band_idx").cast("long") === col("t_band") &&
           col("batch").cast("long") === col("t_batch"), "left_semi")
-        .join(broadcast(tomb), Seq("corpus_id"), "left_anti")
+        .join(tomb, Seq("corpus_id"), "left_anti")
         .localCheckpoint(false) // reads the files the write replaces
       survivors
         .repartition(col("band_idx"), col("band_hash"))
@@ -693,9 +694,27 @@ object Dedup {
     * mid-iteration is unrecoverable; Some(dir) = reliable `checkpoint`
     * to that directory, the cluster-scale setting (the [[Graphs.pageRank]]
     * trade, same rationale). */
+  /** Default edge bound for [[connectedComponents]]' driver-side
+    * union-find fast path, DERIVED from the heap actually present
+    * instead of a bare constant (a caller trusting a fixed 2M default
+    * on a small-heap driver would OOM; one on a 128 GiB driver would
+    * leave 60× of safe fast-path headroom unused): 1/8 of
+    * `Runtime.maxMemory` at a conservative ~128 bytes/edge worst case
+    * (24 B specialized tuple + array slot on the collect side, plus
+    * the open-addressed long→long table at ≤2 nodes/edge, 32 B/entry
+    * at the 0.5-load growth point, plus copy slack) — so the fast path
+    * never bets more than ~12% of the driver heap. Floored at 100k
+    * edges (any JVM that can run Spark can fold that) and capped at
+    * 2²⁶ (the collect also answers to spark.driver.maxResultSize;
+    * past ~67M edges the distributed loop is the right tool even with
+    * heap to spare). ~4 GiB heap → ≈4M edges; 128 GiB → the cap. */
+  private[graft] def defaultSmallGraphMaxEdges: Long =
+    math.min(1L << 26,
+      math.max(100000L, Runtime.getRuntime.maxMemory() / 8L / 128L))
+
   def connectedComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 20, checkpointDir: Option[String] = None,
-      smallGraphMaxEdges: Long = 2000000L): DataFrame = {
+      smallGraphMaxEdges: Long = defaultSmallGraphMaxEdges): DataFrame = {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true)
@@ -713,7 +732,8 @@ object Dedup {
     val p = cutLazy(pairs.select(col("id_a"), col("id_b")))
     // SMALL-GRAPH fast path: the duplicate graph is bounded by the
     // corpus's duplication rate, not its size — at any realistic rate a
-    // sub-2M-edge graph is the COMMON case, and the iterative loop pays
+    // graph under the heap-derived bound is the COMMON case, and the
+    // iterative loop pays
     // ~5 scheduled jobs per round for it (scheduling-bound, not
     // data-bound: measured 13 s for a 60k-doc gate graph the driver
     // folds in <100 ms). Edges collect (≤ ~32 MB), path-compressed
@@ -727,7 +747,7 @@ object Dedup {
       import spark.implicits._
       // PRIMITIVE collection end to end: Row objects (~70 B each, boxed
       // Longs) plus a boxed HashMap would put the real heap at ~10× the
-      // raw-longs estimate at the 2 M-edge bound — specialized
+      // raw-longs estimate at the heap-derived bound — specialized
       // Tuple2[Long, Long] via the tuple encoder (24 B flat objects, no
       // boxing) and an open-addressed long→long table keep the worst
       // case at ~48 MB of edges + ~130 MB of fully-grown table, inside
@@ -758,7 +778,7 @@ object Dedup {
       // mathematically it cannot fire, but a silently dropped union
       // means duplicates SURVIVE dedup (this operator's worst failure
       // mode, and one a hash-gate on a small corpus can miss), and at
-      // the 2M-edge cap the re-walk is ~2 path-compressed lookups per
+      // the default bound the re-walk is ~2 path-compressed lookups per
       // edge ≈ milliseconds next to the collect that preceded it
       edgesArr.foreach { case (a, b) =>
         require(find(a) == find(b),

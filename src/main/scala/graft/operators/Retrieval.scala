@@ -247,7 +247,8 @@ object Retrieval {
       .select(col("doc_id")).distinct().localCheckpoint(false)
     if (tomb.isEmpty) { f.delete(tp, true); return 0L }
     val positions = spark.read.parquet(s"$path/positions")
-    val tombIds = broadcast(tomb)
+    val tombIds = TombstoneMask.hinted(spark, tomb,
+      TombstoneMask.footerRowCount(spark, s"$path/_tombstones"))
     val dead = positions.join(tombIds, Seq("doc_id"), "left_semi")
       .localCheckpoint(false)
     val removed = dead.count()
@@ -339,13 +340,11 @@ object Retrieval {
       .filter(col("word_bucket").isin(buckets: _*) &&
         col("word").isin(phrase.distinct: _*))
       .select(col("doc_id"), col("p"), col("word"))
-    // retracted documents ([[deleteFromPositionalIndex]]) mask out via a
-    // broadcast anti-join until the next vacuum folds them in
-    val (tf, tp) = ObservationStore.fs(spark, s"$path/_tombstones")
-    val pos =
-      if (!tf.exists(tp)) base
-      else base.join(broadcast(spark.read.parquet(s"$path/_tombstones")
-        .select(col("doc_id")).distinct()), Seq("doc_id"), "left_anti")
+    // retracted documents ([[deleteFromPositionalIndex]]) mask out via
+    // an anti-join (broadcast under [[TombstoneMask]]'s driver-memory
+    // bound, shuffled past it) until the next vacuum folds them in
+    val pos = TombstoneMask.antiJoin(spark, base, s"$path/_tombstones",
+      "doc_id", "doc_id")
     phraseFold(pos, phrase)
   }
 
@@ -807,7 +806,9 @@ object Retrieval {
       val dlTomb = if (ts.isNullAt(1)) 0L else ts.getLong(1)
       if (ts.getLong(0) == 0L) score(idx, dfreq, terms, k, nDocs, sumDl)
       else {
-        val tombIds = broadcast(tomb.select(col("doc_id")))
+        val tombIds = TombstoneMask.hinted(spark,
+          tomb.select(col("doc_id")),
+          TombstoneMask.footerRowCount(spark, s"$path/_tombstones"))
         val deadDf = idx.join(tombIds, Seq("doc_id"), "left_semi")
           .groupBy(col("term")).agg(count(lit(1)).as("dead_df"))
         val dfreqAdj = dfreq.join(deadDf, Seq("term"), "left")
@@ -865,7 +866,8 @@ object Retrieval {
       (st.getAs[Long]("n_docs"), st.getAs[Long]("sum_dl"),
         st.getAs[Long]("n_buckets"))
     val postings = spark.read.parquet(s"$path/postings")
-    val tombIds = broadcast(tomb.select(col("doc_id")))
+    val tombIds = TombstoneMask.hinted(spark, tomb.select(col("doc_id")),
+      TombstoneMask.footerRowCount(spark, s"$path/_tombstones"))
     val dead = postings.join(tombIds, Seq("doc_id"), "left_semi")
       .localCheckpoint(false) // feeds the per-term counts, touched set,
                               // row count and the id check once

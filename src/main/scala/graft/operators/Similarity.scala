@@ -161,10 +161,12 @@ object Similarity {
       path: String): Long = {
     val (f, tp) = ObservationStore.fs(spark, s"$path/_tombstones")
     if (!f.exists(tp)) return 0L
-    val tomb = spark.read.parquet(s"$path/_tombstones")
-      .select(col("id")).distinct().localCheckpoint(false)
+    val nTombRaw = TombstoneMask.footerRowCount(spark, s"$path/_tombstones")
+    val tomb = TombstoneMask.hinted(spark,
+      spark.read.parquet(s"$path/_tombstones")
+        .select(col("id")).distinct().localCheckpoint(false), nTombRaw)
     val vectors = spark.read.parquet(s"$path/vectors")
-    val dead = vectors.join(broadcast(tomb), Seq("id"), "left_semi")
+    val dead = vectors.join(tomb, Seq("id"), "left_semi")
       .groupBy(col("cluster").cast("long").as("cluster"))
       .agg(count(lit(1)).as("n")).collect()
     val removed = dead.map(_.getLong(1)).sum
@@ -172,7 +174,7 @@ object Similarity {
       val touched = dead.map(_.getLong(0))
       val survivors = vectors
         .filter(col("cluster").isin(touched.toIndexedSeq.map(Long.box): _*))
-        .join(broadcast(tomb), Seq("id"), "left_anti")
+        .join(tomb, Seq("id"), "left_anti")
         .localCheckpoint(false) // reads the files the write replaces
       survivors.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -234,13 +236,11 @@ object Similarity {
     val qvCol = array(qv.map(lit(_)).toSeq: _*)
     val base = spark.read.parquet(s"$path/vectors")
       .filter(col("cluster").isin(probe.toIndexedSeq: _*) && col("id") =!= queryId)
-    // deleted vectors ([[deleteFromIvfIndex]]) mask out via a broadcast
-    // anti-join until the next vacuum folds them in
-    val (tf, tp) = ObservationStore.fs(spark, s"$path/_tombstones")
-    val live =
-      if (!tf.exists(tp)) base
-      else base.join(broadcast(spark.read.parquet(s"$path/_tombstones")
-        .select(col("id")).distinct()), Seq("id"), "left_anti")
+    // deleted vectors ([[deleteFromIvfIndex]]) mask out via an
+    // anti-join (broadcast under [[TombstoneMask]]'s driver-memory
+    // bound, shuffled past it) until the next vacuum folds them in
+    val live = TombstoneMask.antiJoin(spark, base, s"$path/_tombstones",
+      "id", "id")
     live
       .select(col("id"), cosine(col("v"), qvCol).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("id").asc)
@@ -989,11 +989,9 @@ object Similarity {
     // same tombstone contract as the IVF index ([[deleteFromIvfIndex]]
     // pointed at this index's path): deleted ids mask before the ADC
     // scan so a retracted vector cannot even consume a rerank slot
-    val (tf, tp) = ObservationStore.fs(spark, s"$path/_tombstones")
-    val vectors =
-      if (!tf.exists(tp)) base
-      else base.join(broadcast(spark.read.parquet(s"$path/_tombstones")
-        .select(col("id")).distinct()), Seq("id"), "left_anti")
+    // (broadcast under [[TombstoneMask]]'s bound, shuffled past it)
+    val vectors = TombstoneMask.antiJoin(spark, base,
+      s"$path/_tombstones", "id", "id")
     val cand = vectors
       .select(col("id"), posexplode(col("codes")).as(Seq("j", "code")))
       .join(broadcast(dt), Seq("j", "code"))

@@ -1038,6 +1038,54 @@ class PlanSpec extends AnyFunSuite {
       s"star round runtime plan:\n${round.queryExecution.executedPlan}")
   }
 
+  test("tombstone mask: shuffled anti-join past the broadcast bound") {
+    import graft.operators.{Dedup, TombstoneMask}
+    // broadcasts disabled globally for the test: the discriminator must
+    // be the HINT TombstoneMask does or does not attach, not Spark's
+    // own size-based broadcast choice (which would pick broadcast for
+    // any test-sized table regardless)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docsDf = (0L to 9L).map(i => (i, s"alpha beta w$i x$i common"))
+        .toDF("doc_id", "text")
+      val dir = Files.createTempDirectory("graft-plan-maskbound").toString
+      Dedup.writeBandIndex(docsDf, "text", "doc_id", dir)
+      Dedup.deleteFromBandIndex(spark, dir, Seq(1L, 2L, 3L))
+      def ids(): Set[Long] = Dedup.loadBandIndex(spark, dir)
+        .select(col("corpus_id")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val want = (0L to 9L).toSet -- Set(1L, 2L, 3L)
+      // under the bound: the mask rides as a broadcast anti-join
+      val planUnder = explainOf(Dedup.loadBandIndex(spark, dir))
+      assert(planUnder.contains("BroadcastHashJoin") &&
+        planUnder.contains("LeftAnti"), planUnder)
+      assert(ids() == want)
+      // past the bound: SAME answers, the anti-join runs SHUFFLED — the
+      // driver no longer materializes an unbounded tombstone set
+      spark.conf.set(TombstoneMask.MaxBroadcastIdsKey, "1")
+      val planOver = explainOf(Dedup.loadBandIndex(spark, dir))
+      assert(planOver.contains("LeftAnti") &&
+        !planOver.contains("BroadcastHashJoin"), planOver)
+      assert(ids() == want)
+      // vacuum under the demoted mask folds identically
+      assert(Dedup.vacuumBandIndex(spark, dir) > 0L)
+      assert(ids() == want)
+    } finally {
+      spark.conf.unset(TombstoneMask.MaxBroadcastIdsKey)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("smallGraphMaxEdges default derives from the driver heap") {
+    val d = graft.operators.Dedup.defaultSmallGraphMaxEdges
+    val expected = math.min(1L << 26,
+      math.max(100000L, Runtime.getRuntime.maxMemory() / 8L / 128L))
+    assert(d == expected)
+    assert(d >= 100000L && d <= (1L << 26))
+  }
+
   test("iterative round bodies: runtime shuffle budgets hold (AQE plans)") {
     // every iterative op's ROUND body bounded on the EXECUTED plan —
     // static text undercounts duplicated subtrees and misses AQE
