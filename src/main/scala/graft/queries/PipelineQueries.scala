@@ -344,6 +344,34 @@ object PipelineQueries {
           expr("n_common * 1000 div n_exact").as("recall_permille"))
     }),
 
+    // Tombstone deletion on the persisted IVF-PQ index — GDPR erasure
+    // on the billion-vector layout: every vec_id ≡ 1 (mod 4) is
+    // retracted WITHOUT retraining; the masked probe, the vacuumed
+    // probe (codes-carrying cluster partitions rewritten), and the
+    // never-indexed oracle must all agree — the ann_ivf_delete shape
+    // on the composed layout, closing retraction coverage across every
+    // persisted artifact.
+    "ann_ivfpq_delete" -> ((s, dir) => {
+      val tmp = util.freshDirCopy(sharedIvfPqIndex(s, dir),
+        util.scratchDir("ivfpqdel", dir) + "/index")
+      val e = embs(s, dir)
+      Similarity.deleteFromIvfIndex(s, tmp,
+        e.filter(col("vec_id") % 4 === 1).select(col("vec_id")))
+      val q = e.filter(col("vec_id") === 5)
+        .select(col("embedding")).head().getSeq[Float](0)
+      def probe() = Similarity.ivfPqTopK(s, tmp, q, queryId = 5L, k = 10,
+        nprobe = 2, rerank = 20)
+      val masked = probe().collect().toSeq
+      require(Similarity.vacuumIvfIndex(s, tmp) > 0L,
+        "ivfpq vacuum removed nothing")
+      require(Similarity.vacuumIvfIndex(s, tmp) == 0L,
+        "second ivfpq vacuum must no-op")
+      val after = probe()
+      require(after.collect().toSeq == masked,
+        "vacuum changed visible ivfpq results")
+      after
+    }),
+
     // Incremental IVF-PQ maintenance (the FAISS add-after-train
     // lifecycle): index the first half, merge the second half in with
     // the STORED centroids/codebooks (no retrain), query — the oracle
@@ -2010,6 +2038,15 @@ object PipelineQueries {
     // -> exact re-rank, every stage mirrored
     "ann_ivfpq" ->
       s"""${ivfPqOracleCtes()}
+         |SELECT id, adc_dist, cos_sim FROM ipq
+         |""".stripMargin,
+
+    // the IVF-PQ oracle minus the tombstoned ids — deletion changes
+    // visibility (before ADC candidate selection), never ranking or
+    // the trained codebooks
+    "ann_ivfpq_delete" ->
+      s"""${ivfPqOracleCtes().replace("WHERE enc.id <> 5",
+             "WHERE enc.id <> 5 AND enc.id % 4 <> 1")}
          |SELECT id, adc_dist, cos_sim FROM ipq
          |""".stripMargin,
 
