@@ -1564,7 +1564,9 @@ object PipelineQueries {
        |  ORDER BY ${cosSql("a.v", "c.c_v")} DESC, c.c_id ASC
        |  LIMIT 2)""".stripMargin
 
-  private val ivfOracleSql: String =
+  // private[queries]: the forget_everywhere oracle reuses the IVF
+  // mirror verbatim (the ann_ivf_delete exclusion applied there too)
+  private[queries] val ivfOracleSql: String =
     s"""WITH $scaledCte,
        |$ivfCoreCtes
        |SELECT asg.id, ${cosSql("asg.v", "probe.qv")} AS cos_sim

@@ -212,6 +212,91 @@ object RetrievalQueries {
       after
     }),
 
+    // The composed "forget everywhere" operator: ONE document set
+    // (doc_id ≡ 1 mod 4) fans out through Forget.forgetDocuments to six
+    // artifacts built over the same corpus — BM25 index, positional
+    // index, band index, IVF vector index, n-gram LM, and an
+    // observation store (via its own predicate key space). The gate
+    // answers one question per artifact, unified as (artifact, k,
+    // metric) rows, and the oracle is each artifact's never-had truth —
+    // so a fan-out that misses ANY artifact hash-mismatches. Masked ≡
+    // vacuumed is require'd on top (Forget.vacuumForgotten folds all
+    // four tombstoned indexes).
+    "forget_everywhere" -> ((s, dir) => {
+      import graft.operators.{Dedup, Forget, ForgetTargets,
+        ObservationStore, Similarity}
+      val base = util.scratchDir("forgetall", dir)
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+        .localCheckpoint(false)
+      val e = Graft.table(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+      Retrieval.writeIndex(d, "text", "doc_id", s"$base/bm25",
+        nBuckets = 16)
+      Retrieval.writePositionalIndex(d, "text", "doc_id", s"$base/pos",
+        nBuckets = 16)
+      Dedup.writeBandIndex(d, "text", "doc_id", s"$base/band")
+      Similarity.writeIvfIndex(e, "vec_id", "embedding", 0L to 7L,
+        s"$base/ivf")
+      Curation.writeLm(d, "text", s"$base/lm")
+      val store = util.freshDirCopy(util.prebuiltStorePath(s, dir),
+        s"$base/store")
+      val targets = ForgetTargets(
+        bm25 = Seq(s"$base/bm25"),
+        positional = Seq(s"$base/pos"),
+        bandIndex = Seq(s"$base/band"),
+        vectorIndex = Seq(s"$base/ivf"),
+        ngramLm = Seq(s"$base/lm"),
+        store = Seq((store, col("rrname").startsWith("part-1"))))
+      val applied = Forget.forgetDocuments(s,
+        d.filter(col("doc_id") % 4 === 1), "text", "doc_id", targets)
+      require(applied.size == 6, s"forget fan-out incomplete: $applied")
+      def answers(): DataFrame = {
+        val q = e.filter(col("vec_id") === 5)
+          .select(col("embedding")).head().getSeq[Float](0)
+        val bm = Retrieval.indexTopK(s, s"$base/bm25", bm25Terms, k = 10)
+          .select(lit("bm25").as("artifact"),
+            col("doc_id").cast("string").as("k"),
+            col("score").cast("double").as("metric"))
+        val ph = Retrieval.indexPhraseSearch(s, s"$base/pos",
+            Seq("hash", "join"))
+          .select(lit("phrase").as("artifact"),
+            col("doc_id").cast("string").as("k"),
+            col("n_occurrences").cast("double").as("metric"))
+        val bd = Dedup.loadBandIndex(s, s"$base/band")
+          .select(col("corpus_id")).distinct()
+          .select(lit("band").as("artifact"),
+            col("corpus_id").cast("string").as("k"),
+            lit(1.0).as("metric"))
+        val iv = Similarity.ivfIndexTopK(s, s"$base/ivf", q,
+            queryId = 5L, k = 10, nprobe = 2)
+          .select(lit("ivf").as("artifact"),
+            col("id").cast("string").as("k"),
+            col("cos_sim").cast("double").as("metric"))
+        val lm = s.read.parquet(s"$base/lm/unigrams")
+          .select(lit("lm").as("artifact"),
+            col("word").cast("string").as("k"),
+            col("c1").cast("double").as("metric"))
+        val stAgg = ObservationStore.load(s, store).forward
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum(col("count")).cast("double").as("sc"))
+          .localCheckpoint(false)
+        val st = stAgg.select(lit("store").as("artifact"),
+            lit("n_entries").as("k"), col("n").as("metric"))
+          .unionAll(stAgg.select(lit("store").as("artifact"),
+            lit("sum_count").as("k"), col("sc").as("metric")))
+        bm.unionAll(ph).unionAll(bd).unionAll(iv).unionAll(lm)
+          .unionAll(st)
+      }
+      val masked = answers().collect().map(_.toSeq).sortBy(_.toString).toSeq
+      val removed = Forget.vacuumForgotten(s, targets)
+      require(removed.values.forall(_ > 0L),
+        s"a forget vacuum removed nothing: $removed")
+      val after = answers()
+      require(after.collect().map(_.toSeq).sortBy(_.toString).toSeq
+        == masked, "vacuum changed a visible post-forget answer")
+      after
+    }),
+
     // Hybrid retrieval: BM25 candidates ∪ exact-cosine ANN candidates
     // (documents and embeddings share the id space), fused by
     // reciprocal-rank fusion in scaled exact integers.
@@ -337,8 +422,59 @@ object RetrievalQueries {
   private val mpPatterns =
     Seq("scan", "can", "table", "able", "merge batch", "as")
 
+  /** [[bm25OracleSql]] over the RAW corpus (no whitespace fixture)
+    * minus the forgotten docs — the forget_everywhere BM25 component.
+    * Built by rewriting the shared CTE so the score formula stays ONE
+    * definition; the require catches a drift that would silently turn
+    * the rewrite into a no-op. */
+  private lazy val bm25ForgetOracle: String = {
+    val out = bm25OracleSql.replace(
+      """         CASE WHEN doc_id % 7 = 0
+        |              THEN text || '  join' || chr(9) || 'merge   window'
+        |              ELSE text END AS text
+        |  FROM documents),""".stripMargin,
+      """         text AS text
+        |  FROM documents WHERE doc_id % 4 <> 1),""".stripMargin)
+    require(out != bm25OracleSql, "bm25 forget-oracle rewrite missed")
+    out
+  }
+
   def oracleSql: Map[String, String] = Map(
     "bm25_search" -> bm25OracleSql,
+
+    // six artifacts, one never-had truth each, unified as
+    // (artifact, k, metric) — a fan-out that missed any artifact
+    // hash-mismatches its branch
+    "forget_everywhere" ->
+      s"""SELECT 'bm25' AS artifact, CAST(doc_id AS VARCHAR) AS k,
+         |       CAST(score AS DOUBLE) AS metric
+         |FROM ($bm25ForgetOracle)
+         |UNION ALL
+         |SELECT 'phrase', CAST(doc_id AS VARCHAR),
+         |       CAST(n_occurrences AS DOUBLE)
+         |FROM (${phraseSearchOracleSql.replace("  FROM documents),",
+              "  FROM documents WHERE doc_id % 4 <> 1),")})
+         |UNION ALL
+         |SELECT 'band', CAST(doc_id AS VARCHAR), CAST(1.0 AS DOUBLE)
+         |FROM documents WHERE doc_id % 4 <> 1
+         |UNION ALL
+         |SELECT 'ivf', CAST(id AS VARCHAR), CAST(cos_sim AS DOUBLE)
+         |FROM (${PipelineQueries.ivfOracleSql.replace(
+              "WHERE asg.id <> 5",
+              "WHERE asg.id <> 5 AND asg.id % 4 <> 1")})
+         |UNION ALL
+         |SELECT 'lm', word, CAST(COUNT(*) AS DOUBLE)
+         |FROM (SELECT UNNEST(string_split(text, ' ')) AS word
+         |      FROM documents WHERE doc_id % 4 <> 1) GROUP BY word
+         |UNION ALL
+         |SELECT 'store', k, metric FROM (
+         |  ${util.obsCte}
+         |  SELECT 'n_entries' AS k, CAST(COUNT(*) AS DOUBLE) AS metric
+         |  FROM agg WHERE rrname NOT LIKE 'part-1%'
+         |  UNION ALL
+         |  SELECT 'sum_count', CAST(SUM("count") AS DOUBLE)
+         |  FROM agg WHERE rrname NOT LIKE 'part-1%')
+         |""".stripMargin,
 
     "retrieval_mrr" ->
       s"""WITH $bm25ScoreCtes,

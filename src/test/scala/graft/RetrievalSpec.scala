@@ -270,6 +270,44 @@ class RetrievalSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).contains(5L))
   }
 
+  test("forgetDocuments: one call fans out; retry clean except LM's refusal") {
+    import graft.operators.{Forget, ForgetTargets, Curation}
+    val base = Files.createTempDirectory("graft-forget").toString
+    Retrieval.writeIndex(corpus, "text", "doc_id", s"$base/bm25",
+      nBuckets = 4)
+    Retrieval.writePositionalIndex(corpus, "text", "doc_id", s"$base/pos",
+      nBuckets = 4)
+    Curation.writeLm(corpus, "text", s"$base/lm")
+    val targets = ForgetTargets(bm25 = Seq(s"$base/bm25"),
+      positional = Seq(s"$base/pos"), ngramLm = Seq(s"$base/lm"))
+    val gone = corpus.filter(col("doc_id") === 5L)
+    val applied = Forget.forgetDocuments(spark, gone, "text", "doc_id",
+      targets)
+    assert(applied == Seq(s"bm25:$base/bm25", s"positional:$base/pos",
+      s"lm:$base/lm"))
+    // every artifact answers as if doc 5 never existed
+    assert(!Retrieval.indexTopK(spark, s"$base/bm25",
+        Seq("join", "merge"), k = 5)
+      .collect().map(_.getAs[Long]("doc_id")).contains(5L))
+    assert(!Retrieval.indexPhraseSearch(spark, s"$base/pos",
+        Seq("join", "merge"))
+      .collect().map(_.getLong(0)).contains(5L))
+    // a full replay refuses LOUDLY at the LM (delete-once), leaving the
+    // idempotent tombstone artifacts untouched by the double-append
+    intercept[IllegalArgumentException] {
+      Forget.forgetDocuments(spark, gone, "text", "doc_id", targets)
+    }
+    // a retry WITHOUT the already-landed LM is clean (the documented
+    // crash-recovery move), and vacuum folds everything tombstoned
+    Forget.forgetDocuments(spark, gone, "text", "doc_id",
+      targets.copy(ngramLm = Nil))
+    val removed = Forget.vacuumForgotten(spark, targets)
+    assert(removed.values.forall(_ > 0L), removed)
+    assert(!Retrieval.indexTopK(spark, s"$base/bm25",
+        Seq("join", "merge"), k = 5)
+      .collect().map(_.getAs[Long]("doc_id")).contains(5L))
+  }
+
   test("positional tombstones: mask, vacuum, full-delete stays readable") {
     val dir = Files.createTempDirectory("graft-pos-del").toString
     Retrieval.writePositionalIndex(corpus, "text", "doc_id", dir,
