@@ -193,12 +193,18 @@ object Similarity {
       val existing = vf.listStatus(vp).toIndexedSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("cluster="))
         .map(_.getPath.getName.stripPrefix("cluster=").toLong).toSet
-      if ((existing -- dying).isEmpty)
-        // an index vacuumed down to NOTHING must stay readable: leave a
-        // schema-only file (cluster in-file) before the dirs go
-        survivors.limit(0).coalesce(1)
-          .write.mode("append").parquet(s"$path/vectors")
-      dying.foreach { c =>
+      // an index vacuumed down to NOTHING must stay readable — and the
+      // placeholder must live INSIDE a partition-shaped leaf, never at
+      // the vectors root: a root-level file beside cluster= directories
+      // breaks partition discovery the moment a later IVF-PQ merge
+      // recreates them (the vacuumBandIndex lesson). Data columns only;
+      // the truncating overwrite of the canonical leaf doubles as its
+      // deletion.
+      val keepPlaceholder = (existing -- dying).isEmpty
+      if (keepPlaceholder)
+        survivors.drop("cluster").limit(0).coalesce(1)
+          .write.mode("overwrite").parquet(s"$path/vectors/cluster=0")
+      dying.filterNot(c => keepPlaceholder && c == 0L).foreach { c =>
         val (fc, cp) = ObservationStore.fs(spark,
           s"$path/vectors/cluster=$c")
         if (fc.exists(cp)) { fc.delete(cp, true); () }

@@ -283,14 +283,19 @@ class PlanSpec extends AnyFunSuite {
     assert(top() == masked)
     // vacuum again: nothing to do
     assert(graft.operators.Similarity.vacuumIvfIndex(spark, dir) == 0L)
-    // delete EVERYTHING: after vacuum no cluster dirs remain and the
-    // probe returns empty rather than failing
+    // delete EVERYTHING: after vacuum exactly ONE schema-only
+    // partition-shaped placeholder leaf remains (a root-level file
+    // would break partition discovery on the next merge — the
+    // band-index lesson) and the probe returns empty rather than
+    // failing
     graft.operators.Similarity.deleteFromIvfIndex(spark, dir,
       vecs.select(col("vec_id")))
     assert(graft.operators.Similarity.vacuumIvfIndex(spark, dir) == 39L)
     val dirs = new java.io.File(s"$dir/vectors").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
-    assert(dirs.isEmpty, dirs.map(_.getName).toSeq)
+    assert(dirs.map(_.getName).toSeq == Seq("cluster=0"),
+      dirs.map(_.getName).toSeq)
+    assert(spark.read.parquet(s"$dir/vectors").isEmpty)
     assert(top().isEmpty)
     // rebuild clears any deletion state
     graft.operators.Similarity.writeIvfIndex(
@@ -331,6 +336,36 @@ class PlanSpec extends AnyFunSuite {
     graft.operators.Similarity.deleteFromIvfIndex(spark, pqDir,
       Seq(pqBefore.head))
     assert(!pqTop().contains(pqBefore.head))
+  }
+
+  test("IVF-PQ all-dead vacuum stays partition-shaped; merge survives") {
+    import graft.operators.Similarity
+    val vecs = (0L to 40L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft-plan-pqalldead").toString
+    Similarity.writeIvfPqIndex(vecs.filter(col("vec_id") < 20),
+      "vec_id", "embedding", 0L to 3L, dir, m = 4, ks = 4, iters = 1,
+      dim = 16)
+    // delete EVERY indexed vector and vacuum: the placeholder must be
+    // partition-shaped (a root-level file inside vectors/ breaks
+    // partition discovery on the next merge — the band-index lesson)
+    Similarity.deleteFromIvfIndex(spark, dir, (0L until 20L).toSeq)
+    assert(Similarity.vacuumIvfIndex(spark, dir) > 0L)
+    val vroot = new java.io.File(s"$dir/vectors")
+    assert(!vroot.listFiles().exists(f =>
+      f.isFile && f.getName.endsWith(".parquet")),
+      vroot.listFiles().map(_.getName).toSeq)
+    // merging new vectors into the emptied index must work, and the
+    // probe must see only them
+    Similarity.mergeIvfPqIndex(spark, dir,
+      vecs.filter(col("vec_id") >= 20), "vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 25)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val top = Similarity.ivfPqTopK(spark, dir, q, queryId = 25L, k = 5,
+      nprobe = 4, rerank = 10).collect().map(_.getLong(0))
+    assert(top.nonEmpty && top.forall(_ >= 20L), top.toSeq)
   }
 
   test("band tombstones: delete masks, vacuum folds, empty leaves drop") {
