@@ -533,11 +533,9 @@ object ObservationStore {
         // re-running the metric query per empty bucket
         val fileSchema = spark.read.parquet(s"$path/$sub")
           .select(dataCols ++ persisted.map(col): _*)
-          .limit(0).coalesce(1)
-        touched.map(b => s"bucket=$b").filterNot(staged).foreach { bd =>
-          fileSchema.write.mode("overwrite")
-            .parquet(s"$staging/$sub/$bd")
-        }
+        StagedCommit.stageEmptyPieces(spark, fileSchema,
+          touched.toIndexedSeq.map(b => s"bucket=$b").filterNot(staged)
+            .map(bd => s"$staging/$sub/$bd"))
       }
       sub -> (if (touched.isEmpty) 0L
         else obs.get.get("dropped") match {

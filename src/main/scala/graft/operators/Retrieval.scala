@@ -269,11 +269,9 @@ object Retrieval {
       .parquet(s"$staging/positions")
     val staying = survivors.select(col("word_bucket").cast("long"))
       .distinct().collect().map(_.getLong(0)).toSet
-    touched.filterNot(staying).foreach { b =>
-      survivors.drop("word_bucket").limit(0).coalesce(1)
-        .write.mode("overwrite")
-        .parquet(s"$staging/positions/word_bucket=$b")
-    }
+    StagedCommit.stageEmptyPieces(spark, survivors.drop("word_bucket"),
+      touched.filterNot(staying)
+        .map(b => s"$staging/positions/word_bucket=$b"))
     tomb.limit(0).coalesce(1)
       .write.mode("overwrite").parquet(s"$staging/_tombstones")
     val stagedBuckets = StagedCommit.stagedPartDirs(spark,
@@ -912,11 +910,10 @@ object Retrieval {
         // pieces so the swap replaces (not strands) their live files
         val staying = survivors.select(col("term_bucket").cast("long"))
           .distinct().collect().map(_.getLong(0)).toSet
-        touched.filterNot(staying).foreach { b =>
-          survivors.drop("term_bucket").limit(0).coalesce(1)
-            .write.mode("overwrite")
-            .parquet(s"$staging/postings/term_bucket=$b")
-        }
+        StagedCommit.stageEmptyPieces(spark,
+          survivors.drop("term_bucket"),
+          touched.filterNot(staying)
+            .map(b => s"$staging/postings/term_bucket=$b"))
       },
       Future {
         val deadDf = dead.groupBy(col("term"))

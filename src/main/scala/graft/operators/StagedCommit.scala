@@ -57,6 +57,36 @@ private[operators] object StagedCommit {
     (""""""" + name + """"\s*:\s*"([^"]*)"""").r.findFirstMatchIn(manifest)
       .map(_.group(1).split(",").toSeq.filter(_.nonEmpty))
 
+  /** Stage schema-only EMPTY pieces into every directory in `targets`
+    * with ONE Spark job: the limit-0 frame writes once (into the first
+    * target) and the single footer-only parquet file it produced
+    * fs-copies into the rest. Fully-dead partitions must stage explicit
+    * empties (dynamic/pieced swaps would otherwise strand the live
+    * files), and a mass takedown can kill THOUSANDS of buckets — one
+    * serial limit-0 job per bucket is O(dead) driver job launches;
+    * this is one job plus metadata-sized copies. */
+  def stageEmptyPieces(spark: SparkSession,
+      schemaOnly: org.apache.spark.sql.DataFrame,
+      targets: Seq[String]): Unit = {
+    if (targets.isEmpty) return
+    schemaOnly.limit(0).coalesce(1)
+      .write.mode("overwrite").parquet(targets.head)
+    if (targets.sizeIs == 1) return
+    val (f, hp) = ObservationStore.fs(spark, targets.head)
+    val part = f.listStatus(hp).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"stageEmptyPieces: no parquet file written at ${targets.head}"))
+    val conf = spark.sessionState.newHadoopConf()
+    targets.tail.foreach { t =>
+      val (tf, tp) = ObservationStore.fs(spark, t)
+      if (tf.exists(tp)) tf.delete(tp, true)
+      tf.mkdirs(tp)
+      org.apache.hadoop.fs.FileUtil.copy(f, part, tf,
+        new org.apache.hadoop.fs.Path(tp, part.getName), false, conf): Unit
+    }
+  }
+
   /** Names of the partition subdirectories actually staged under
     * `dir` with the given prefix (e.g. "bucket=", "cluster=") — what a
     * writer records in the manifest as the authoritative piece list. */
