@@ -800,49 +800,58 @@ object Dedup {
     val parallelism = pairs.sparkSession.sparkContext.defaultParallelism
     val parts = math.max(1L, math.min(parallelism.toLong,
       p.count() * 2 / 500000L + 1L)).toInt
-    // cheap to rebuild from the materialized pairs, checkpointed so the
-    // per-round joins don't re-shuffle it
-    val edges = cutLazy(
-      p.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .unionAll(p.select(col("id_b").as("src"), col("id_a").as("dst")))
-        .repartition(parts, col("dst")))
-    // propagation runs over edge-CONNECTED nodes only — isolated ids (the
-    // overwhelming majority of a mostly-unique corpus) are their own
-    // component by definition and join back in at the end, so per-round
-    // cost scales with the pair graph, not the corpus
-    var labels = cut(edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")))
-    // sum() over zero rows is NULL — a duplicate-free corpus (no pairs)
-    // must yield every id as its own component, not an NPE. DECIMAL(38)
-    // accumulation: hash-derived ids sit near 2⁶³, so a Long sum would
-    // overflow — an ANSI ARITHMETIC_OVERFLOW crash (Spark 4 default) or,
-    // with ANSI off, a wraparound that corrupts the strictly-decreasing
-    // convergence measure.
-    def labelSum(): BigDecimal =
-      Option(labels
-          .agg(sum(col("component").cast("decimal(38,0)"))).head()
-          .getAs[java.math.BigDecimal](0))
-        .map(BigDecimal(_)).getOrElse(BigDecimal(0))
-    var prevSum = labelSum()
-    var converged = labels.isEmpty
-    var i = 0
-    while (!converged && i < maxIter) {
-      // eager cut: per-round lineage growth
-      labels = cut(ccRound(edges, labels))
-      val s = labelSum()
-      converged = s == prevSum
-      prevSum = s
-      i += 1
-    }
-    if (!converged)
-      // a cluster with diameter > maxIter would otherwise SILENTLY keep
-      // several survivors; callers must know the result is partial
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds — " +
-          "raise maxIter (duplicate clusters deeper than the bound)")
+    // AQE off + every width pinned to `parts` for the loop (the
+    // Graphs.pinnedLoop contract): the checkpointed edge frame keeps
+    // its (dst, parts) HashPartitioning and NEVER re-shuffles — each
+    // round pays exactly one label-sized exchange (the src transpose)
+    val finalLabels =
+      Graphs.pinnedLoop(pairs.sparkSession, parts) {
+        // cheap to rebuild from the materialized pairs, checkpointed so
+        // the per-round joins don't re-shuffle it
+        val edges = cutLazy(
+          p.select(col("id_a").as("src"), col("id_b").as("dst"))
+            .unionAll(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+            .repartition(parts, col("dst")))
+        // propagation runs over edge-CONNECTED nodes only — isolated ids
+        // (the overwhelming majority of a mostly-unique corpus) are their
+        // own component by definition and join back in at the end, so
+        // per-round cost scales with the pair graph, not the corpus
+        var labels = cut(edges.select(col("src").as("id")).distinct()
+          .withColumn("component", col("id")))
+        // sum() over zero rows is NULL — a duplicate-free corpus (no
+        // pairs) must yield every id as its own component, not an NPE.
+        // DECIMAL(38) accumulation: hash-derived ids sit near 2⁶³, so a
+        // Long sum would overflow — an ANSI ARITHMETIC_OVERFLOW crash
+        // (Spark 4 default) or, with ANSI off, a wraparound that
+        // corrupts the strictly-decreasing convergence measure.
+        def labelSum(): BigDecimal =
+          Option(labels
+              .agg(sum(col("component").cast("decimal(38,0)"))).head()
+              .getAs[java.math.BigDecimal](0))
+            .map(BigDecimal(_)).getOrElse(BigDecimal(0))
+        var prevSum = labelSum()
+        var converged = labels.isEmpty
+        var i = 0
+        while (!converged && i < maxIter) {
+          // eager cut: per-round lineage growth
+          labels = cut(ccRound(edges, labels))
+          val s = labelSum()
+          converged = s == prevSum
+          prevSum = s
+          i += 1
+        }
+        if (!converged)
+          // a cluster with diameter > maxIter would otherwise SILENTLY
+          // keep several survivors; callers must know the result is
+          // partial
+          throw new IllegalStateException(
+            s"connectedComponents did not converge in $maxIter rounds — " +
+              "raise maxIter (duplicate clusters deeper than the bound)")
+        labels
+      }
     ids.select(col(idCol).as("id"))
-      .join(labels.withColumnRenamed("id", "cid"), col("id") === col("cid"),
-        "left")
+      .join(finalLabels.withColumnRenamed("id", "cid"),
+        col("id") === col("cid"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 

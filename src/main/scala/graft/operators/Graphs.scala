@@ -59,11 +59,52 @@ object Graphs {
     * collapsed; a seed id absent from the graph simply never receives
     * its share (mass lost — the dangling stance, and the oracle mirrors
     * it because its node set lacks the id too). */
+  /** Run `body` with adaptive execution OFF and the shuffle width
+    * pinned (both restored after) — the iterative-loop execution
+    * contract every round-checkpointing walk here shares. AQE buys an
+    * iterative loop nothing (each round is a fresh small query over
+    * checkpointed inputs) and actively costs it the ONE thing that
+    * matters at scale: a checkpoint taken under AQE records
+    * `UnknownPartitioning` (the adaptive plan's output partitioning is
+    * unknown at plan time), so every round re-shuffles the big reused
+    * frames — measured: a PageRank round executes 4 exchanges
+    * (edge-list sized) under AQE and exactly 1 (the node-sized dst
+    * transpose) with AQE off and all widths aligned. Width alignment
+    * is load-bearing: a reused frame checkpointed at width W co-locates
+    * with round exchanges only when they also run at W.
+    *
+    * Session-conf save/restore is visible to concurrent queries on the
+    * SAME SparkSession for the duration of the loop — run iterative
+    * graph jobs on their own session (`spark.newSession()`) when
+    * sharing a session with latency-sensitive queries. */
+  private[operators] def pinnedLoop[T](
+      spark: org.apache.spark.sql.SparkSession, width: Int)(body: => T): T = {
+    val conf = spark.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    val sp = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions", width.toString)
+    try body
+    finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.shuffle.partitions", sp)
+    }
+  }
+
   def pageRank(edges0: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, dampPct: Int = 85,
       scale: Long = 1000000000L,
       checkpointDir: Option[String] = None,
-      seeds: Seq[Long] = Seq.empty): DataFrame = {
+      seeds: Seq[Long] = Seq.empty): DataFrame =
+    pinnedLoop(edges0.sparkSession,
+      edges0.sparkSession.sessionState.conf.numShufflePartitions) {
+      pageRankBody(edges0, srcCol, dstCol, iters, dampPct, scale,
+        checkpointDir, seeds)
+    }
+
+  private def pageRankBody(edges0: DataFrame, srcCol: String,
+      dstCol: String, iters: Int, dampPct: Int, scale: Long,
+      checkpointDir: Option[String], seeds: Seq[Long]): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampPct >= 0 && dampPct <= 100, s"dampPct in [0,100], got $dampPct")
     require(scale % 100 == 0, s"scale must be divisible by 100, got $scale")
@@ -84,15 +125,18 @@ object Graphs {
     val seedIds = seeds.distinct
     val nodesBase = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
+    // explicit (id)-repartition before the cut: the checkpoint records
+    // this HashPartitioning (AQE is off under pinnedLoop) and every
+    // round's node-side join co-locates against it for free
     val nodes = cut(
-      if (seedIds.isEmpty) nodesBase.withColumn("is_seed", lit(true))
+      (if (seedIds.isEmpty) nodesBase.withColumn("is_seed", lit(true))
       else {
         val seedsDf = edges0.sparkSession
           .createDataset(seedIds)(org.apache.spark.sql.Encoders.scalaLong)
           .toDF("id").withColumn("s", lit(true))
         nodesBase.join(broadcast(seedsDf), Seq("id"), "left")
           .select(col("id"), coalesce(col("s"), lit(false)).as("is_seed"))
-      })
+      }).repartition(col("id")))
       // the per-round left join re-reads it
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
@@ -107,8 +151,12 @@ object Graphs {
     val effScale =
       if (scale / n >= 1000) scale
       else ((1000L * n + 99) / 100) * 100
+    // (src)-partitioned at the pinned width: the per-round edge⋈rank
+    // join reuses it — the edge list NEVER re-shuffles after this cut
+    // (the pinnedLoop contract; 4 exchanges/round → 1 measured)
     val withDeg = cut(edges
-      .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src"))
+      .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .repartition(col("src")))
       // reused every round: pay the join once
     val basePart = effScale / 100 * (100 - dampPct)
     // teleport targets: everyone (uniform) or the seed set (TrustRank).
@@ -296,15 +344,28 @@ object Graphs {
     * `checkpointDir` as at [[pageRank]]. */
   def labelPropagation(edges0: DataFrame, srcCol: String, dstCol: String,
       rounds: Int = 2,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None): DataFrame =
+    pinnedLoop(edges0.sparkSession,
+      edges0.sparkSession.sessionState.conf.numShufflePartitions) {
+      labelPropagationBody(edges0, srcCol, dstCol, rounds, checkpointDir)
+    }
+
+  private def labelPropagationBody(edges0: DataFrame, srcCol: String,
+      dstCol: String, rounds: Int,
+      checkpointDir: Option[String]): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     checkpointDir.foreach(edges0.sparkSession.sparkContext.setCheckpointDir)
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true)
       else df.localCheckpoint(true)
     val e = canonicalEdges(edges0, srcCol, dstCol)
+    // (nbr)-partitioned at the pinned width: every round's
+    // adjacency⋈label join reuses it — the adjacency never re-shuffles
+    // (the pinnedLoop contract), and the label side arrives partitioned
+    // by its own id (= the join key) from the previous round's arg-max
     val adj = cut(e.select(col("a").as("id"), col("b").as("nbr"))
-      .union(e.select(col("b").as("id"), col("a").as("nbr"))))
+      .union(e.select(col("b").as("id"), col("a").as("nbr")))
+      .repartition(col("nbr")))
     var lab = adj.select(col("id")).distinct()
       .select(col("id"), col("id").as("label"))
     for (_ <- 1 to rounds) {
@@ -364,7 +425,15 @@ object Graphs {
     * `checkpointDir` durability trade as documented at [[pageRank]]. */
   def hits(edges0: DataFrame, srcCol: String, dstCol: String,
       rounds: Int = 2, scale: Long = 1000000L,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None): DataFrame =
+    pinnedLoop(edges0.sparkSession,
+      edges0.sparkSession.sessionState.conf.numShufflePartitions) {
+      hitsBody(edges0, srcCol, dstCol, rounds, scale, checkpointDir)
+    }
+
+  private def hitsBody(edges0: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int, scale: Long,
+      checkpointDir: Option[String]): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(scale >= 1000 && scale <= 1000000000L,
       s"scale in [1e3, 1e9], got $scale")
@@ -372,12 +441,20 @@ object Graphs {
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true)
       else df.localCheckpoint(true)
-    val edges = cut(edges0
+    val dedup = cut(edges0
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct())
-    val nodes = cut(edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id"))).distinct())
+    // HITS alternates the join key (auth gathers over src, hub over
+    // dst), so ONE edge partitioning cannot serve both half-rounds —
+    // keep both orientations checkpointed (the adjacency-both-ways
+    // move labelPropagation already makes) and neither ever
+    // re-shuffles (the pinnedLoop contract)
+    val edgesBySrc = cut(dedup.repartition(col("src")))
+    val edgesByDst = cut(dedup.repartition(col("dst")))
+    val nodes = cut(dedup.select(col("src").as("id"))
+      .union(dedup.select(col("dst").as("id"))).distinct()
+      .repartition(col("id")))
     var hub = cut(nodes.select(col("id"), lit(scale).as("hub")))
     var auth: DataFrame = null // rounds >= 1: assigned every round
     // The RAW gather is cut before normalizing: `total` and the scores
@@ -385,10 +462,10 @@ object Graphs {
     // + aggregation) would execute twice per half-round
     for (_ <- 1 to rounds) {
       auth = hitsNormalize(
-        cut(hitsGather(nodes, edges, hub, "hub", "src", "dst")),
+        cut(hitsGather(nodes, edgesBySrc, hub, "hub", "src", "dst")),
         scale, "auth")
       hub = hitsNormalize(
-        cut(hitsGather(nodes, edges, auth, "auth", "dst", "src")),
+        cut(hitsGather(nodes, edgesByDst, auth, "auth", "dst", "src")),
         scale, "hub")
     }
     hub.join(auth, "id")

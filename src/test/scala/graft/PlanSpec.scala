@@ -1203,6 +1203,49 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("pageRank: one node-sized shuffle stage per extra round") {
+    // the pinnedLoop contract measured END TO END on the real operator:
+    // with AQE off inside the loop and all widths aligned, the
+    // checkpointed edge list keeps its (src, W) partitioning and a
+    // round executes exactly ONE shuffle stage (the dst transpose) —
+    // under AQE the checkpoint records UnknownPartitioning and each
+    // round re-shuffles the EDGE LIST (4 exchanges measured). Counted
+    // as executed shuffle-map stages (submitted stages minus jobs) so
+    // reuse/skip shows up, not plan text.
+    val e = spark.range(30000)
+      .select((col("id") % 5000).as("src"),
+        ((col("id") * 7 + 1) % 5000).as("dst"))
+      .localCheckpoint(true)
+    def shuffleStages(body: => Unit): Int = {
+      val stages = new java.util.concurrent.atomic.AtomicInteger
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet(): Unit
+        override def onStageSubmitted(
+            s: org.apache.spark.scheduler.SparkListenerStageSubmitted)
+            : Unit = stages.incrementAndGet(): Unit
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        // the listener bus is async — drain before reading
+        Thread.sleep(1500)
+      } finally spark.sparkContext.removeSparkListener(l)
+      stages.get - jobs.get
+    }
+    def run(iters: Int): Int = shuffleStages {
+      graft.operators.Graphs.pageRank(e, "src", "dst", iters = iters)
+        .collect(): Unit
+    }
+    val low = run(2)
+    val high = run(5)
+    assert(high - low <= 3,
+      s"3 extra pageRank rounds cost ${high - low} shuffle stages " +
+        s"(iters=2: $low, iters=5: $high) — expected 1 per round")
+  }
+
   /** Shuffle count in the EXECUTED (final-AQE) plan: runs the frame,
     * then counts Exchange nodes — ReusedExchange and BroadcastExchange
     * lines don't match (a reuse costs nothing; broadcasts are bounded
