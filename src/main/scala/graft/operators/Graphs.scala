@@ -279,7 +279,16 @@ object Graphs {
     * [[pageRank]]. */
   def bfsDistances(edges0: DataFrame, srcCol: String, dstCol: String,
       seeds: Seq[Long], rounds: Int = 3, directed: Boolean = false,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None): DataFrame =
+    pinnedLoop(edges0.sparkSession,
+      edges0.sparkSession.sessionState.conf.numShufflePartitions) {
+      bfsDistancesBody(edges0, srcCol, dstCol, seeds, rounds, directed,
+        checkpointDir)
+    }
+
+  private def bfsDistancesBody(edges0: DataFrame, srcCol: String,
+      dstCol: String, seeds: Seq[Long], rounds: Int, directed: Boolean,
+      checkpointDir: Option[String]): DataFrame = {
     require(seeds.nonEmpty, "bfsDistances: empty seed set")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     checkpointDir.foreach(edges0.sparkSession.sparkContext.setCheckpointDir)
@@ -289,10 +298,15 @@ object Graphs {
     val fwd = edges0
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
+    // (src)-partitioned at the pinned width: the per-round
+    // frontier⋈adjacency join reuses it — the adjacency never
+    // re-shuffles (the pinnedLoop contract); only the frontier side
+    // (reached-this-round nodes) exchanges per round
     val adj = cut(
       (if (directed) fwd
        else fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))))
-        .filter(col("src") =!= col("dst")).distinct())
+        .filter(col("src") =!= col("dst")).distinct()
+        .repartition(col("src")))
     val spark = edges0.sparkSession
     var dist = spark
       .createDataset(seeds.distinct)(org.apache.spark.sql.Encoders.scalaLong)
