@@ -228,7 +228,10 @@ object Graphs {
     * Scale shape per round: one map-side-combined degree aggregation +
     * two LEFT SEMI equi-joins of the edge list against the ≥k node set —
     * all linear in surviving edges, no products, lineage cut per round
-    * (`checkpointDir` trade documented at [[pageRank]]). */
+    * (`checkpointDir` trade documented at [[pageRank]]). Deliberately
+    * NOT under [[pinnedLoop]]: the edge set itself mutates every round
+    * (peeling) and the two semi-joins key on different columns, so
+    * there is no stable frame whose partitioning a pin could reuse. */
   def kcorePeel(edges0: DataFrame, srcCol: String, dstCol: String,
       k: Int, rounds: Int = 2,
       checkpointDir: Option[String] = None): DataFrame = {
