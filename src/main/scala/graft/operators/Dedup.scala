@@ -981,14 +981,21 @@ object Dedup {
     // round) against two already-checkpointed frames.
     var stable = false
     var rounds = 0
-    while (!stable && rounds < maxRounds) {
-      val prevE = e
-      val (watched, readBack) = checksummed(starRound(e, parts))
-      e = cut(watched) // materializes; the observe metrics ride along
-      val c = readBack()
-      stable = c == prev && prevE.exceptAll(e).isEmpty
-      prev = c
-      rounds += 1
+    // pinned (the Graphs.pinnedLoop contract): starRound's explicit
+    // repartitions already run at `parts`, but the round-end distinct
+    // and the convergence exceptAll would otherwise exchange at the
+    // session width — aligning them keeps every per-round exchange at
+    // the graph-sized width and the checkpoint partitioning usable
+    Graphs.pinnedLoop(pairs.sparkSession, parts) {
+      while (!stable && rounds < maxRounds) {
+        val prevE = e
+        val (watched, readBack) = checksummed(starRound(e, parts))
+        e = cut(watched) // materializes; the observe metrics ride along
+        val c = readBack()
+        stable = c == prev && prevE.exceptAll(e).isEmpty
+        prev = c
+        rounds += 1
+      }
     }
     if (!stable)
       throw new IllegalStateException(
