@@ -748,11 +748,22 @@ object Curation {
     * merged in drives some count NEGATIVE — detected on the
     * vocabulary-sized merged tables and REFUSED before the manifest
     * exists, so a bad request can never commit (the vacuumIndex
-    * never-indexed guard). */
+    * never-indexed guard).
+    *
+    * `batchId` makes the delete-ONCE subtraction replay-safe — the
+    * mergeLm/foreachBatch contract applied to retraction: the id
+    * commits atomically with the generation, so a Spark-retried
+    * deletion batch (or a crashed-and-retried [[graft.operators.Forget
+    * .forgetDocuments]] fan-out) skips instead of refusing on the
+    * negative-count guard. The id space is the artifact's one monotone
+    * counter, shared with merges. */
   def deleteFromLm(spark: SparkSession, path: String, docs: DataFrame,
-      textCol: String): Unit = {
+      textCol: String, batchId: Option[Long] = None): Unit = {
     require(!docs.isEmpty, "deleteFromLm: nothing to delete")
     recoverLm(spark, path, deleteUncommitted = true)
+    if (batchId.exists(bid =>
+        Retrieval.readIndexBatchId(spark, path).exists(_ >= bid)))
+      return
     val targetGen = Retrieval.readIndexEpoch(spark, path).getOrElse(0L) + 1L
     val staging = s"$path/_staging_$targetGen"
     val (f, sp) = ObservationStore.fs(spark, staging)
@@ -785,11 +796,13 @@ object Curation {
     live1.write.mode("overwrite").parquet(s"$staging/unigrams")
     live1.agg(count(lit(1)).cast("long").as("vsz"))
       .write.mode("overwrite").parquet(s"$staging/stats")
+    val bid = batchId.map(b => s""","batch_id":$b""").getOrElse("")
     val (mf, mp) = ObservationStore.fs(spark, s"$staging/_manifest.json")
     val out = mf.create(mp, true)
     try out.write(
       (s"""{"target_epoch":$targetGen,""" +
-        s""""staged_tables":"bigrams,unigrams,stats"}""").getBytes("UTF-8"))
+        s""""staged_tables":"bigrams,unigrams,stats"$bid""" +
+        "}").getBytes("UTF-8"))
     finally out.close()
     applyStagedLmMerge(spark, path, staging)
   }

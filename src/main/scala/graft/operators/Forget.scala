@@ -55,10 +55,17 @@ object Forget {
     * exact artifacts — BM25 recomputes dl, the LM recomputes the
     * subtracted counts — under the SAME text the documents were
     * indexed with). Returns the artifact labels applied, in order —
-    * the caller's audit record. */
+    * the caller's audit record.
+    *
+    * `batchId` makes the WHOLE fan-out replay-safe (the foreachBatch
+    * exactly-once contract): the tombstone appends and store predicate
+    * were always idempotent, and with an id the LM's delete-once
+    * subtraction skips on replay instead of refusing — so a crashed
+    * fan-out retries clean end to end, which is what [[streamForget]]
+    * relies on. */
   def forgetDocuments(spark: SparkSession, docs: DataFrame,
-      textCol: String, idCol: String,
-      targets: ForgetTargets): Seq[String] = {
+      textCol: String, idCol: String, targets: ForgetTargets,
+      batchId: Option[Long] = None): Seq[String] = {
     require(!targets.isEmpty, "forgetDocuments: no targets")
     // ONE snapshot feeds every artifact: the fan-out must not re-read a
     // live source that could change between steps (ids deleted from the
@@ -89,13 +96,34 @@ object Forget {
       done += s"store:$p"
     }
     // LAST: the one non-idempotent mutation (see the ordering contract
-    // in the object scaladoc)
+    // in the object scaladoc) — replay-safe when batchId is supplied
     targets.ngramLm.foreach { p =>
-      Curation.deleteFromLm(spark, p, d, textCol)
+      Curation.deleteFromLm(spark, p, d, textCol, batchId)
       done += s"lm:$p"
     }
     done.result()
   }
+
+  /** Continuous retraction: every micro-batch of deletion REQUESTS
+    * (rows carrying `idCol` + `textCol`) fans out through
+    * [[forgetDocuments]] with the micro-batch id as the exactly-once
+    * token — the [[graft.operators.Curation.streamLm]] /
+    * `Retrieval.streamIndex` maintenance lifecycle applied to the GDPR
+    * path, so a Spark-retried batch replays as a no-op on every
+    * artifact (including the LM's counted subtraction). Empty batches
+    * skip. Tombstoned indexes still vacuum on their own cadence
+    * ([[vacuumForgotten]]). */
+  def streamForget(requests: DataFrame, textCol: String, idCol: String,
+      targets: ForgetTargets, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    requests.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty)
+          forgetDocuments(batch.sparkSession, batch, textCol, idCol,
+            targets, Some(bid)): Unit
+      }
+      .start()
 
   /** Fold every tombstoned target's deletions in — the maintenance half
     * of the lifecycle, composed the same way. Store and LM targets have

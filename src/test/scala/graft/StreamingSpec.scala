@@ -595,6 +595,51 @@ class StreamingSpec extends AnyFunSuite {
       "http://h.example/5", "http://h.example/6"))
   }
 
+  test("streamForget: deletion stream fans out exactly-once per batch") {
+    import graft.operators.{Curation, Forget, ForgetTargets, Retrieval}
+    val dir = Files.createTempDirectory("graft-sforget").toString
+    val corpus = Seq((1L, "hash join alpha"), (2L, "merge sort beta"),
+      (3L, "hash join gamma"), (4L, "delta plain text"))
+      .toDF("doc_id", "text")
+    Retrieval.writeIndex(corpus, "text", "doc_id", s"$dir/bm25",
+      nBuckets = 4)
+    Curation.writeLm(corpus, "text", s"$dir/lm")
+    val targets = ForgetTargets(bm25 = Seq(s"$dir/bm25"),
+      ngramLm = Seq(s"$dir/lm"))
+    def lmScores(path: String, d: org.apache.spark.sql.DataFrame) =
+      Curation.lmScoresLoaded(spark, path, d, "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("lm_score")).toMap
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = Forget.streamForget(stream.toDF().toDF("doc_id", "text"),
+      "text", "doc_id", targets, s"$dir/ck")
+    try {
+      stream.addData((1L, "hash join alpha"))
+      q.processAllAvailable()
+      val rest1 = corpus.filter(col("doc_id") =!= 1L)
+      assert(!Retrieval.indexTopK(spark, s"$dir/bm25",
+          Seq("hash", "join"), k = 5)
+        .collect().map(_.getAs[Long]("doc_id")).contains(1L))
+      // LM equals a model that never saw doc 1
+      val never1 = Files.createTempDirectory("graft-sforget-t1").toString
+      Curation.writeLm(rest1, "text", never1)
+      assert(lmScores(s"$dir/lm", rest1) == lmScores(never1, rest1))
+      // a DIRECT replay of the committed batch id is a no-op — not the
+      // negative-count refusal a batch-id-less double delete hits
+      Forget.forgetDocuments(spark,
+        Seq((1L, "hash join alpha")).toDF("doc_id", "text"),
+        "text", "doc_id", targets, batchId = Some(0L))
+      assert(lmScores(s"$dir/lm", rest1) == lmScores(never1, rest1))
+      // a second deletion batch advances the high-water mark
+      stream.addData((2L, "merge sort beta"))
+      q.processAllAvailable()
+      val rest2 = corpus.filter(col("doc_id") > 2L)
+      val never2 = Files.createTempDirectory("graft-sforget-t2").toString
+      Curation.writeLm(rest2, "text", never2)
+      assert(lmScores(s"$dir/lm", rest2) == lmScores(never2, rest2))
+    } finally q.stop()
+  }
+
   private def listParquet(path: String): Seq[String] = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
