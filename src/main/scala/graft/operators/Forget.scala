@@ -131,15 +131,21 @@ object Forget {
     * removed per artifact label. */
   def vacuumForgotten(spark: SparkSession,
       targets: ForgetTargets): Map[String, Long] = {
-    val out = Map.newBuilder[String, Long]
-    targets.bm25.foreach(p =>
-      out += s"bm25:$p" -> Retrieval.vacuumIndex(spark, p))
-    targets.positional.foreach(p =>
-      out += s"positional:$p" -> Retrieval.vacuumPositionalIndex(spark, p))
-    targets.bandIndex.foreach(p =>
-      out += s"band:$p" -> Dedup.vacuumBandIndex(spark, p))
-    targets.vectorIndex.foreach(p =>
-      out += s"vector:$p" -> Similarity.vacuumIvfIndex(spark, p))
-    out.result()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // independent staged mutations of DISJOINT artifact paths — overlap
+    // them (the writeIndex/stageMerge move); each vacuum keeps its own
+    // crash contract
+    val futs =
+      targets.bm25.map(p => Future(
+        s"bm25:$p" -> Retrieval.vacuumIndex(spark, p))) ++
+      targets.positional.map(p => Future(
+        s"positional:$p" -> Retrieval.vacuumPositionalIndex(spark, p))) ++
+      targets.bandIndex.map(p => Future(
+        s"band:$p" -> Dedup.vacuumBandIndex(spark, p))) ++
+      targets.vectorIndex.map(p => Future(
+        s"vector:$p" -> Similarity.vacuumIvfIndex(spark, p)))
+    Await.result(Future.sequence(futs),
+      scala.concurrent.duration.Duration.Inf).toMap
   }
 }

@@ -230,14 +230,24 @@ object RetrievalQueries {
         .localCheckpoint(false)
       val e = Graft.table(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism)
-      Retrieval.writeIndex(d, "text", "doc_id", s"$base/bm25",
-        nBuckets = 16)
-      Retrieval.writePositionalIndex(d, "text", "doc_id", s"$base/pos",
-        nBuckets = 16)
-      Dedup.writeBandIndex(d, "text", "doc_id", s"$base/band")
-      Similarity.writeIvfIndex(e, "vec_id", "embedding", 0L to 7L,
-        s"$base/ivf")
-      Curation.writeLm(d, "text", s"$base/lm")
+      // six independent artifact builds into disjoint directories —
+      // overlap them (the writeIndex/stageMerge move); the forget call
+      // below is the serial part under test
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Await.result(Future.sequence(Seq(
+          Future(Retrieval.writeIndex(d, "text", "doc_id",
+            s"$base/bm25", nBuckets = 16)),
+          Future(Retrieval.writePositionalIndex(d, "text", "doc_id",
+            s"$base/pos", nBuckets = 16)),
+          Future(Dedup.writeBandIndex(d, "text", "doc_id",
+            s"$base/band")),
+          Future(Similarity.writeIvfIndex(e, "vec_id", "embedding",
+            0L to 7L, s"$base/ivf")),
+          Future(Curation.writeLm(d, "text", s"$base/lm")))),
+          scala.concurrent.duration.Duration.Inf): Unit
+      }
       val store = util.freshDirCopy(util.prebuiltStorePath(s, dir),
         s"$base/store")
       val targets = ForgetTargets(
