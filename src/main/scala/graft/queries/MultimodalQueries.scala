@@ -61,6 +61,31 @@ object MultimodalQueries {
           Multimodal.dHash64(gray).as("dhash"))
     }),
 
+    // Perceptual NEAR-dup pairing over the media corpus — the missing
+    // half of media_dedup (content-hash catches only byte-identical
+    // files; a re-encoded/one-pixel-off copy needs the perceptual
+    // fingerprint): dHash fingerprints feed the SAME pigeonhole-blocked
+    // pair machinery text SimHash uses (Dedup.simhashNearDuplicates —
+    // exact for hamming ≤ 3, never all-pairs). Every item gets a
+    // planted one-character variant (one gray cell moves → ≤ 2 dhash
+    // bits), so each contributes at least one pair; the oracle replays
+    // the hash and the full quadratic hamming truth.
+    "media_neardup" -> ((s, dir) => {
+      val gray = expr("transform(sequence(1, 72), i -> " +
+        "CASE WHEN i <= length(text) THEN ascii(substring(text, i, 1)) " +
+        "ELSE 0 END)")
+      val base = Graft.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val variants = base.unionAll(base.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat(substring(col("text"), 1, 35), lit("@"),
+          substring(col("text"), 37, 36)).as("text")))
+      val fps = variants.select(col("doc_id").as("media_id"),
+        Multimodal.dHash64(gray).as("dhash"))
+      graft.operators.Dedup.simhashNearDuplicates(fps, "media_id",
+        "dhash", maxDist = 3)
+    }),
+
     // TRUE pixel decode end-to-end: an 18×16 grayscale PNG is generated
     // in-engine from a doc_id-seeded template grid, decoded back through
     // the JDK ImageIO codec (PNG is lossless), area-averaged to the 9×8
@@ -689,6 +714,40 @@ object MultimodalQueries {
         |    CASE WHEN gray[(i // 8) * 9 + (i % 8) + 1] * 64 > total
         |         THEN '1' ELSE '0' END), '') AS ahash
         |FROM s
+        |""".stripMargin,
+
+    // dHash replayed over base + planted one-char variants, then the
+    // full quadratic hamming ≤ 3 truth (the pigeonhole candidates are
+    // EXACT at this bound, so the engine's blocked join must equal it)
+    "media_neardup" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |         substr(text, 1, 35) || '@' || substr(text, 37, 36)
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id AS media_id,
+        |    list_transform(range(1, 73), i ->
+        |      CASE WHEN i <= length(text)
+        |        THEN ascii(substr(text, CAST(i AS INTEGER), 1))
+        |        ELSE 0 END) AS gray
+        |  FROM docs2),
+        |h AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 64), b ->
+        |      CASE WHEN gray[(b // 8) * 9 + (b % 8) + 1] <
+        |                gray[(b // 8) * 9 + (b % 8) + 2]
+        |           THEN 1 ELSE 0 END) AS bits
+        |  FROM g)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |       CAST(len(list_filter(
+        |         list_transform(range(1, 65), i -> a.bits[i] <> b.bits[i]),
+        |         x -> x)) AS INTEGER) AS hamming
+        |FROM h a JOIN h b ON a.media_id < b.media_id
+        |WHERE len(list_filter(
+        |        list_transform(range(1, 65), i -> a.bits[i] <> b.bits[i]),
+        |        x -> x)) <= 3
         |""".stripMargin,
 
     "media_phash" ->
