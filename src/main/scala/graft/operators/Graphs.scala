@@ -458,19 +458,20 @@ object Graphs {
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true)
       else df.localCheckpoint(true)
-    val dedup = cut(edges0
-      .select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
-      .distinct())
     // HITS alternates the join key (auth gathers over src, hub over
     // dst), so ONE edge partitioning cannot serve both half-rounds —
     // keep both orientations checkpointed (the adjacency-both-ways
     // move labelPropagation already makes) and neither ever
-    // re-shuffles (the pinnedLoop contract)
-    val edgesBySrc = cut(dedup.repartition(col("src")))
-    val edgesByDst = cut(dedup.repartition(col("dst")))
-    val nodes = cut(dedup.select(col("src").as("id"))
-      .union(dedup.select(col("dst").as("id"))).distinct()
+    // re-shuffles (the pinnedLoop contract). The dst copy derives from
+    // the src copy's checkpoint blocks: one extra setup exchange
+    // instead of a third full materialization of the deduped edges.
+    val edgesBySrc = cut(edges0
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct().repartition(col("src")))
+    val edgesByDst = cut(edgesBySrc.repartition(col("dst")))
+    val nodes = cut(edgesBySrc.select(col("src").as("id"))
+      .union(edgesBySrc.select(col("dst").as("id"))).distinct()
       .repartition(col("id")))
     var hub = cut(nodes.select(col("id"), lit(scale).as("hub")))
     var auth: DataFrame = null // rounds >= 1: assigned every round
