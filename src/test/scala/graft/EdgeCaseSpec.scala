@@ -415,4 +415,28 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Multimodal.grayPatchStats(Array(7), 1, 5) ==
       Seq(Multimodal.PatchStat(0, 0, 1, 7, 49)))
   }
+
+  test("round-15 API edges: forget guards, mask no-ops") {
+    import graft.operators.{Forget, ForgetTargets, TombstoneMask}
+    import org.apache.spark.sql.functions.col
+    val d = Seq((1L, "a b c")).toDF("doc_id", "text")
+    // forget with no targets / nothing to forget: loud, not silent
+    intercept[IllegalArgumentException] {
+      Forget.forgetDocuments(spark, d, "text", "doc_id", ForgetTargets())
+    }
+    intercept[IllegalArgumentException] {
+      Forget.forgetDocuments(spark, d.filter(col("doc_id") < 0L),
+        "text", "doc_id", ForgetTargets(bm25 = Seq("/nowhere")))
+    }
+    // vacuuming empty targets is an empty report, not an error
+    assert(Forget.vacuumForgotten(spark, ForgetTargets()).isEmpty)
+    // mask against a MISSING tombstone table is the identity frame
+    val dir = Files.createTempDirectory("graft-edge-mask").toString
+    assert(TombstoneMask.antiJoin(spark, d, s"$dir/absent",
+      "doc_id", "doc_id").collect().length == 1)
+    assert(TombstoneMask.footerRowCount(spark, s"$dir/absent") == 0L)
+    // footer row count over a real table equals its row count
+    d.write.parquet(s"$dir/t")
+    assert(TombstoneMask.footerRowCount(spark, s"$dir/t") == 1L)
+  }
 }
