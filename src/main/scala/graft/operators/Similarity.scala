@@ -569,6 +569,67 @@ object Similarity {
 
   // --------------------------------------------------------- k-means
 
+  /** Greedy farthest-point (k-center) CORESET selection — the
+    * diversity-sampling half of embedding-space curation (k-means finds
+    * the dense middles; this finds the SPREAD: the classic coreset /
+    * active-learning selection of Sener & Savarese 2018, and the seed
+    * picker for a quantizer that must cover the tails). Deterministic:
+    * the seed is the smallest id, vectors are the similarity ops'
+    * `round(x·1e5)` integer grid, distances are exact integer squared
+    * L2 (every term < 2⁴² — sums stay exactly representable), ties
+    * break toward the smallest id. Output: one row per selection,
+    * `(sel_idx 1..k, id, dist_sq)` where `dist_sq` is the point's
+    * distance to the already-chosen set at selection time — the
+    * monotone non-increasing coverage-radius curve a curation pipeline
+    * thresholds on. Selecting more points than exist stops early.
+    *
+    * Scale shape: the textbook O(n·k) — k passes, each ONE map-side-
+    * combined argmax aggregation over the corpus with the newly chosen
+    * vector riding the plan as a literal (dim-sized, never a join);
+    * the running min-distance column updates narrowly and is
+    * checkpointed per round. Nothing is ever pairwise. */
+  def farthestPointSample(embeddings: DataFrame, idCol: String,
+      embCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"farthestPointSample: k must be >= 1, got $k")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    def distSq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, e) => acc + e)
+    def vLit(v: Seq[Double]): Column = array(v.map(lit(_)): _*)
+    val pts = embeddings.select(col(idCol).cast("long").as("id"),
+      scaled(col(embCol)).as("v")).localCheckpoint(false)
+    val seed = pts.orderBy(col("id")).limit(1).head()
+    val (seedId, seedV) = (seed.getLong(0), seed.getSeq[Double](1))
+    var chosen = Vector((1L, seedId, 0L))
+    var chosenIds = Set(seedId)
+    var cur = pts.withColumn("md", distSq(col("v"), vLit(seedV)))
+      .localCheckpoint(false)
+    var i = 2
+    var exhausted = false
+    while (i <= k && !exhausted) {
+      // argmax by (min-dist-to-set, smallest id). -id overflows only at
+      // Long.MinValue — not a real vector id (the LPA tie-break note).
+      val top = cur
+        .filter(!col("id").isin(chosenIds.toSeq.map(Long.box): _*))
+        .agg(max_by(struct(col("id"), col("v"), col("md")),
+          struct(col("md"), -col("id"))).as("c"))
+        .head().getStruct(0)
+      if (top == null) exhausted = true // fewer points than k
+      else {
+        val (cid, cv, cmd) =
+          (top.getLong(0), top.getSeq[Double](1), top.getDouble(2))
+        chosen :+= ((i.toLong, cid, cmd.toLong))
+        chosenIds += cid
+        cur = cur.withColumn("md",
+          least(col("md"), distSq(col("v"), vLit(cv))))
+          .localCheckpoint(false)
+        i += 1
+      }
+    }
+    chosen.toDF("sel_idx", "id", "dist_sq")
+  }
+
   /** Deterministic spherical k-means (topic clustering over embeddings).
     *
     * Every quantity stays an exact small integer so the clustering is

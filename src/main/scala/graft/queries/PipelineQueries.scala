@@ -389,6 +389,16 @@ object PipelineQueries {
         rerank = 20)
     }),
 
+    // Greedy farthest-point (k-center) coreset selection over the
+    // embeddings — diversity sampling (k-means finds the dense middles;
+    // this finds the spread): 5 selections, each one argmax aggregation
+    // over the corpus, exact integer squared-L2, smallest-id ties. The
+    // oracle replays the greedy unrolled (aggregates are not allowed in
+    // recursive CTE terms, and k is a gate constant).
+    "coreset_sample" -> ((s, dir) =>
+      Similarity.farthestPointSample(embs(s, dir), "vec_id",
+        "embedding", k = 5)),
+
     // Per-document quality metrics.
     "text_quality" -> ((s, dir) =>
       docs(s, dir).select(
@@ -1564,6 +1574,37 @@ object PipelineQueries {
        |  ORDER BY ${cosSql("a.v", "c.c_v")} DESC, c.c_id ASC
        |  LIMIT 2)""".stripMargin
 
+  /** The farthest-point greedy, unrolled to k steps: pick the smallest
+    * id, then k-1 rounds of (max min-dist-to-chosen, smallest-id ties)
+    * with the running min-dist column folded by LEAST after each pick —
+    * the exact recurrence the Spark loop runs. */
+  private def fpsOracleSql(k: Int): String = {
+    def dist(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, len($a) + 1), " +
+        s"j -> ($a[j] - $b[j]) * ($a[j] - $b[j])))"
+    val sb = new StringBuilder(s"WITH $scaledCte,\n")
+    sb ++= "c1 AS (SELECT id, v FROM s ORDER BY id LIMIT 1),\n"
+    sb ++= s"d1 AS (SELECT s.id, s.v, ${dist("s.v", "c1.v")} AS md " +
+      "FROM s, c1)"
+    for (i <- 2 to k) {
+      val excl = (1 until i)
+        .map(j => if (j == 1) "SELECT id FROM c1" else s"SELECT id FROM p$j")
+        .mkString(" UNION ALL ")
+      sb ++= s",\np$i AS (SELECT id, v, md FROM d${i - 1} " +
+        s"WHERE id NOT IN ($excl) ORDER BY md DESC, id ASC LIMIT 1)"
+      if (i < k)
+        sb ++= s",\nd$i AS (SELECT d.id, d.v, " +
+          s"LEAST(d.md, ${dist("d.v", s"p$i.v")}) AS md " +
+          s"FROM d${i - 1} d, p$i)"
+    }
+    sb ++= "\nSELECT CAST(1 AS BIGINT) AS sel_idx, id, " +
+      "CAST(0 AS BIGINT) AS dist_sq FROM c1"
+    for (i <- 2 to k)
+      sb ++= s"\nUNION ALL SELECT CAST($i AS BIGINT), id, " +
+        s"CAST(md AS BIGINT) FROM p$i"
+    sb.result() + "\n"
+  }
+
   // private[queries]: the forget_everywhere oracle reuses the IVF
   // mirror verbatim (the ann_ivf_delete exclusion applied there too)
   private[queries] val ivfOracleSql: String =
@@ -1926,6 +1967,9 @@ object PipelineQueries {
          |""".stripMargin,
 
     "ann_ivf" -> ivfOracleSql,
+
+    // the unrolled farthest-point greedy (k = 5, the gate's constant)
+    "coreset_sample" -> fpsOracleSql(5),
 
     // Same int8 quantization arithmetic (round-half-away as exact
     // integer floor-division), same two-stage top-k.

@@ -439,4 +439,25 @@ class EdgeCaseSpec extends AnyFunSuite {
     d.write.parquet(s"$dir/t")
     assert(TombstoneMask.footerRowCount(spark, s"$dir/t") == 1L)
   }
+
+  test("farthestPointSample: stops early past the corpus, radius monotone") {
+    import graft.operators.Similarity
+    val e = Seq(
+      (10L, Array(0f, 0f)), (20L, Array(1f, 0f)),
+      (30L, Array(0f, 2f)), (40L, Array(0.1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.farthestPointSample(e, "vec_id", "embedding",
+      k = 10).collect()
+    // k beyond the corpus: every point selected once, then stop
+    assert(out.length == 4)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 10L &&
+      out.head.getLong(2) == 0L)
+    // the coverage radius (dist to chosen set at selection) never grows
+    val radii = out.sortBy(_.getLong(0)).map(_.getLong(2)).drop(1)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a }, radii.toSeq)
+    // farthest from (0,0) on the 1e5 grid is (0,2): picked second
+    assert(out(1).getLong(1) == 30L)
+    // the near-duplicate of the seed is picked LAST
+    assert(out.last.getLong(1) == 40L)
+  }
 }
