@@ -331,7 +331,13 @@ object Robots {
     * shuffle. */
   def metaDirectiveColumns(html: Column): Seq[Column] = {
     val toks = split(metaRobots(html), "[, ]+")
-    def has(d: String): Column = array_contains(toks, d)
+    // coalesce: a NULL html makes the flags SQL NULL, and then
+    // `when(!NULL, …)` leaves index_ok/follow_ok 0 while the
+    // noindex/nofollow columns ALSO read 0 — an inconsistent verdict
+    // (the Suricata-decoder null-guard class). A row with no parseable
+    // HTML has no robots meta: indexable, followable.
+    def has(d: String): Column =
+      coalesce(array_contains(toks, d), lit(false))
     val noindex = has("noindex") || has("none")
     val nofollow = has("nofollow") || has("none")
     Seq(

@@ -244,5 +244,15 @@ class RobotsSpec extends AnyFunSuite {
     assert(out(4L) == ((0L, 0L, 1L, 1L)))       // wrong meta name
     assert(out(5L) == ((0L, 0L, 1L, 1L)))       // 'noindexing' != noindex
     assert(out(6L) == ((0L, 1L, 1L, 0L)))       // unquoted attrs
+    // NULL html: no robots meta exists — indexable AND followable, not
+    // the inconsistent all-zeros a bare SQL-NULL flag would produce
+    // (the Suricata null-guard class)
+    val nullOut = Seq((9L, Option.empty[String])).toDF("id", "page")
+      .select(col("id") +: Robots.metaDirectiveColumns(col("page")): _*)
+      .collect().head
+    assert((nullOut.getAs[Long]("meta_noindex"),
+      nullOut.getAs[Long]("meta_nofollow"),
+      nullOut.getAs[Long]("index_ok"),
+      nullOut.getAs[Long]("follow_ok")) == ((0L, 0L, 1L, 1L)))
   }
 }
