@@ -53,6 +53,39 @@ object StreamingAnalytics {
       .select(col("w.start").as("window_start"), col(keyCol),
         col("n_events"), col("sum_value_cents"))
 
+  /** Stream-STREAM interval join — the impression⋈click correlation
+    * shape, live on BOTH sides: right events pair with left events on
+    * the key when the right event lands in `(left_t, left_t +
+    * windowUs]`, exactly [[graft.operators.Events.rangeJoin]]'s
+    * semantics (spec-pinned stream ≡ batch). Both inputs carry
+    * watermarks and the join condition bounds event-time in BOTH
+    * directions, so Spark derives a state watermark per side and
+    * evicts buffered rows once they can no longer match — state is
+    * (lateness + window)-bounded per key, never stream-length. Inner
+    * join in append mode: each matched pair emits exactly once.
+    *
+    * `leftOut`/`rightOut` must be disjoint (pre-rename collisions
+    * away, the rangeJoin contract); `delta_us` rides along. */
+  def streamStreamRangeJoin(left: DataFrame, right: DataFrame,
+      keyCol: String, leftTimeCol: String, rightTimeCol: String,
+      windowUs: Long, lateness: String,
+      leftOut: Seq[String], rightOut: Seq[String]): DataFrame = {
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    val l = left.select((leftOut.map(col) :+ col(keyCol).as("_k") :+
+        col(leftTimeCol).cast("timestamp").as("_lt")): _*)
+      .withWatermark("_lt", lateness)
+    val r = right.select((rightOut.map(col) :+ col(keyCol).as("_rk") :+
+        col(rightTimeCol).cast("timestamp").as("_rt")): _*)
+      .withWatermark("_rt", lateness)
+    l.join(r, col("_k") === col("_rk") &&
+        col("_rt") > col("_lt") &&
+        col("_rt") <= col("_lt") +
+          expr(s"INTERVAL '$windowUs' MICROSECOND"))
+      .select((leftOut ++ rightOut).map(col) :+
+        (unix_micros(col("_rt")) - unix_micros(col("_lt")))
+          .as("delta_us"): _*)
+  }
+
   final case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp)
 
   final case class SessionState(

@@ -479,4 +479,47 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(rows.head.session_start == ts("2024-01-01 10:00:00"))
     assert(rows.head.session_end == ts("2024-01-01 10:10:00"))
   }
+
+  test("stream-stream interval join equals the batch rangeJoin") {
+    implicit val sqlCtx = spark.sqlContext
+    val impRows = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00")),
+      (1L, 101L, ts("2024-01-01 10:20:00")),
+      (2L, 102L, ts("2024-01-01 10:00:00")))
+    val clickRows1 = Seq((1L, 900L, ts("2024-01-01 10:05:00")))
+    val clickRows2 = Seq(
+      (1L, 901L, ts("2024-01-01 10:25:00")),  // pairs with 101 (Δ5m)
+      (2L, 902L, ts("2024-01-01 10:08:00")),  // pairs with 102 (Δ8m)
+      (3L, 903L, ts("2024-01-01 10:01:00")))  // no impression on key 3
+    val imps = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val out = StreamingAnalytics.streamStreamRangeJoin(
+      imps.toDF().toDF("k", "imp_id", "its"),
+      clicks.toDF().toDF("k", "click_id", "cts"),
+      "k", "its", "cts", windowUs = 600000000L /* 10 min */,
+      lateness = "5 minutes",
+      leftOut = Seq("imp_id"), rightOut = Seq("click_id"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_test").start()
+    // clicks arrive SPLIT across micro-batches, some before their
+    // impression's batch-mate — matches still emit exactly once
+    imps.addData(impRows: _*)
+    clicks.addData(clickRows1: _*)
+    q.processAllAvailable()
+    clicks.addData(clickRows2: _*)
+    q.processAllAvailable()
+    val got = spark.table("ssj_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    // the batch twin over the SAME rows must answer identically
+    val want = graft.operators.Events.rangeJoin(
+      impRows.toDF("k", "imp_id", "its"),
+      (clickRows1 ++ clickRows2).toDF("k", "click_id", "cts"),
+      "k", "its", "cts", windowUs = 600000000L,
+      leftOut = Seq("imp_id"), rightOut = Seq("click_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty && got == want, s"stream=$got batch=$want")
+    assert(got == Set((100L, 900L, 300000000L), (101L, 901L, 300000000L),
+      (102L, 902L, 480000000L)))
+  }
 }
