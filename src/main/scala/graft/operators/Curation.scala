@@ -518,6 +518,72 @@ object Curation {
         element_at(typedLit(strides), col(groupCol)))
   }
 
+  /** Global token-budget selection — "take the best `budget` tokens":
+    * rows are ranked by a TOTAL order over `orderCols` (which must be
+    * unique across rows — ties would make the cut nondeterministic) and
+    * kept while the running `weightCol` total BEFORE the row is under
+    * `budget`; the straddling row is KEPT (the contiguous convention
+    * shared with [[packForTraining]]), so a positive budget always
+    * selects at least one row when any exists.
+    *
+    * SCALE: the textbook form is `SUM(w) OVER (ORDER BY ...)` — an
+    * unpartitioned window that ships the entire corpus through ONE
+    * task. Here one range repartition builds the total order across
+    * bounded-size partitions; a first narrow pass sums each partition's
+    * weights (numPartitions longs to the driver); the exclusive prefix
+    * offsets are broadcast back, and a second pass emits each row's
+    * exact global running total, re-reading the already-materialized
+    * shuffle files rather than recomputing (the [[stableRank]]
+    * zipWithIndex idiom). Partitions whose offset already meets the
+    * budget are skipped WITHOUT scanning, and a partition stops at its
+    * first over-budget row — at 100 TB the second pass touches only the
+    * selected prefix, not the corpus.
+    *
+    * Output: the input columns plus `totalCol` (the inclusive global
+    * running total), filtered to the selection. `weightCol` must be
+    * non-negative, non-null longs — exact integers keep the cut
+    * engine-portable, and a negative weight would break the
+    * monotonicity the early-stop relies on (both are checked). */
+  def budgetSelect(df: DataFrame, weightCol: String,
+      orderCols: Seq[Column], budget: Long,
+      totalCol: String = "running_total"): DataFrame = {
+    require(orderCols.nonEmpty, "budgetSelect needs at least one order column")
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val sorted = df.withColumn(weightCol, col(weightCol).cast("long"))
+      .repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val wIdx = sorted.schema.fieldIndex(weightCol)
+    def weightAt(r: org.apache.spark.sql.Row): Long = {
+      require(!r.isNullAt(wIdx), s"budgetSelect: null $weightCol")
+      val v = r.getLong(wIdx)
+      require(v >= 0, s"budgetSelect: negative $weightCol ($v)")
+      v
+    }
+    val partSums = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L
+      it.foreach(r => s = Math.addExact(s, weightAt(r)))
+      Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(Math.addExact) // exclusive prefix
+    val bcOff = sorted.sparkSession.sparkContext.broadcast(offsets)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        totalCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val rows = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      val start = bcOff.value(i)
+      if (start >= budget) Iterator.empty
+      else {
+        var run = start
+        it.map { r =>
+          val before = run
+          run = Math.addExact(run, weightAt(r))
+          (before, org.apache.spark.sql.Row.fromSeq(r.toSeq :+ run))
+        }.takeWhile(_._1 < budget).map(_._2)
+      }
+    }
+    sorted.sparkSession.createDataFrame(rows, schema)
+  }
+
   /** Importance weighting for target-distribution data selection — the
     * DSIR idea (Xie et al. 2023, "Data Selection via Importance
     * Resampling") re-expressed in exact integers: hashed word-bucket

@@ -764,6 +764,42 @@ object ObservationStore {
     old
   }
 
+  /** CDC-style diff of two aggregated store snapshots — the audit
+    * surface for every staged mutation ([[mergeBatch]], [[expire]],
+    * [[deleteWhere]], replication): one row per KEY whose aggregate
+    * differs, tagged `added` / `removed` / `changed`, with the old and
+    * new value columns side by side. Unchanged keys (the overwhelming
+    * majority between adjacent generations) are filtered out, so the
+    * output is delta-sized, not corpus-sized.
+    *
+    * Shape: one full-outer equi-join on the 4-column key — each side
+    * shuffles once on the same key the store is already bucketed by
+    * (with equal bucket counts the co-partitioned layout makes the
+    * exchange row-local); the `changed` test is null-safe `<=>` so a
+    * NULL-valued field can never mask a change or mint a phantom one. */
+  def diffSnapshots(before: DataFrame, after: DataFrame): DataFrame = {
+    val vals = Seq("count", "first_seen", "last_seen")
+    val bsel = before.select(Model.Key.map(col) ++
+      vals.map(c => col(c).as(s"old_$c")): _*)
+    val asel = after.select(Model.Key.map(col) ++
+      vals.map(c => col(c).as(s"new_$c")): _*)
+    bsel.join(asel, Model.Key, "full_outer")
+      .withColumn("status",
+        when(col("old_count").isNull, lit("added"))
+          .when(col("new_count").isNull, lit("removed"))
+          .otherwise(lit("changed")))
+      .filter(vals.map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+        .reduce(_ || _))
+  }
+
+  /** [[diffSnapshots]] over two on-disk store generations (forward
+    * copies; any interrupted merge on either side resolves first via
+    * [[load]]). */
+  def diff(spark: SparkSession, beforePath: String,
+      afterPath: String): DataFrame =
+    diffSnapshots(load(spark, beforePath).forward.drop("bucket"),
+      load(spark, afterPath).forward.drop("bucket"))
+
   /** Load a dual store. Bucket pruning uses the count recorded in the
     * store's metadata; without metadata (pre-meta store) no bucket
     * predicate is applied — slower point lookups, never silently-empty

@@ -630,6 +630,83 @@ object Similarity {
     chosen.toDF("sel_idx", "id", "dist_sq")
   }
 
+  /** Maximal-marginal-relevance (MMR) diverse top-k — the re-rank
+    * between a similarity search and what a pipeline actually keeps
+    * (RAG context assembly, diverse exemplar selection): iteratively
+    * pick the candidate maximizing
+    * `λ·rel(d,q) − (1−λ)·max_{s∈chosen} sim(d,s)`
+    * (Carbonell & Goldstein 1998). Where [[farthestPointSample]] is
+    * pure spread, MMR trades relevance against redundancy with
+    * explicit λ.
+    *
+    * Deterministic exact integers end to end: vectors ride the
+    * similarity ops' `round(x·1e5)` grid, rel/sim are exact integer
+    * dot products, λ is the RATIONAL `lambdaNum/lambdaDen` so the
+    * greedy compares `lambdaNum·rel − (lambdaDen−lambdaNum)·maxSim`
+    * in Longs (dim·1e10·λden stays far inside 2⁶³); ties break toward
+    * the smallest id. The first pick's redundancy term is 0 by
+    * convention (nothing is chosen yet).
+    *
+    * Scale shape: the DISTRIBUTED stage is the relevance top-`poolSize`
+    * — one narrow dot-product scan + TakeOrderedAndProject (never a
+    * full sort); the greedy then runs driver-side over the collected
+    * pool, O(k·poolSize·dim) on a caller-bounded candidate set — the
+    * same driver-sized-artifact budget as centroids/codebooks
+    * (poolSize is hundreds, not corpus-sized; the corpus never
+    * leaves the executors). Output: one row per selection
+    * `(sel_idx 1..k, id, rel, mmr_score)` with the score AT selection
+    * time — monotone non-increasing, the curve a pipeline thresholds. */
+  def mmrSelect(embeddings: DataFrame, idCol: String, embCol: String,
+      queryId: Long, k: Int, lambdaNum: Long, lambdaDen: Long,
+      poolSize: Int): DataFrame = {
+    require(k >= 1, s"mmrSelect: k must be >= 1, got $k")
+    require(poolSize >= k, s"mmrSelect: poolSize ($poolSize) must cover k ($k)")
+    require(lambdaDen > 0 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
+      s"mmrSelect: lambda must be a rational in [0,1], got $lambdaNum/$lambdaDen")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val pts = embeddings.select(col(idCol).cast("long").as("id"),
+      scaled(col(embCol)).as("v"))
+    val qRows = pts.filter(col("id") === queryId).take(2)
+    require(qRows.length == 1, s"mmrSelect: query id $queryId must match " +
+      s"exactly one row, matched ${qRows.length}")
+    val qv = qRows.head.getSeq[Double](1)
+    val qLit = array(qv.map(lit(_)): _*)
+    // distributed relevance top-pool: TakeOrderedAndProject, no full sort
+    val pool = pts.filter(col("id") =!= queryId)
+      .withColumn("rel", dot(col("v"), qLit).cast("long"))
+      .orderBy(col("rel").desc, col("id").asc).limit(poolSize)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+    def dotL(a: Array[Double], b: Array[Double]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i).toLong * b(i).toLong; i += 1 }
+      s
+    }
+    val anti = lambdaDen - lambdaNum
+    // max dot against the chosen set — the TRUE max (may be negative);
+    // only the very first pick, where the set is empty, scores with a
+    // zero redundancy term
+    val maxSim = scala.collection.mutable.Map.empty[Long, Long]
+    var remaining = pool
+    var chosen = Vector.empty[(Long, Long, Long, Long)]
+    var idx = 1L
+    while (idx <= k && remaining.nonEmpty) {
+      def score(id: Long, rel: Long): Long =
+        if (chosen.isEmpty) lambdaNum * rel
+        else lambdaNum * rel - anti * maxSim(id)
+      val best = remaining.minBy { case (id, _, rel) => (-score(id, rel), id) }
+      chosen :+= ((idx, best._1, best._3, score(best._1, best._3)))
+      remaining = remaining.filterNot(_._1 == best._1)
+      remaining.foreach { case (id, v, _) =>
+        val s = dotL(v, best._2)
+        if (!maxSim.get(id).exists(_ >= s)) maxSim(id) = s
+      }
+      idx += 1
+    }
+    chosen.toDF("sel_idx", "id", "rel", "mmr_score")
+  }
+
   /** Deterministic spherical k-means (topic clustering over embeddings).
     *
     * Every quantity stays an exact small integer so the clustering is

@@ -136,6 +136,30 @@ object BalboaQueries {
         .withColumn("last_seen", micros(col("last_seen")))
     }),
 
+    // Snapshot diff (CDC audit of staged mutations): mutate a COPY of
+    // the prebuilt store — delete 'part-2%' keys, then merge a batch
+    // that doubles 'part-10%' counts and introduces 'new-part-10%'
+    // keys — and diff it against the untouched base. Unchanged keys
+    // (the bulk of the store) must not appear; the oracle rebuilds
+    // both generations and full-outer-joins them.
+    "store_diff" -> ((s, dir) => {
+      val base = prebuiltStorePath(s, dir)
+      val mutated = copyOfPrebuiltStore(s, dir, "diff")
+      require(ObservationStore.deleteWhere(s, mutated,
+        col("rrname").startsWith("part-2")) > 0L,
+        "store_diff: delete dropped nothing")
+      val upd = Graft.observations(s, dir)
+        .filter(col("rrname").startsWith("part-10"))
+      ObservationStore.mergeBatch(s, mutated,
+        upd.unionAll(upd.withColumn("rrname",
+          concat(lit("new-"), col("rrname")))))
+      ObservationStore.diff(s, base, mutated)
+        .withColumn("old_first_seen", micros(col("old_first_seen")))
+        .withColumn("old_last_seen", micros(col("old_last_seen")))
+        .withColumn("new_first_seen", micros(col("new_first_seen")))
+        .withColumn("new_last_seen", micros(col("new_last_seen")))
+    }),
+
     // Compaction identity: a deliberately FRAGMENTED copy of the shared
     // prebuilt store (every bucket split into several files — the
     // post-churn shape) compacts back to one sorted file per bucket
@@ -461,6 +485,53 @@ object BalboaQueries {
       s"""$obsCte
          |SELECT * FROM agg
          |WHERE rrname NOT LIKE 'part-1%'
+         |""".stripMargin,
+
+    "store_diff" ->
+      s"""$obsCte,
+         |b0 AS (SELECT * FROM obs WHERE rrname LIKE 'part-10%'),
+         |batch AS (
+         |  SELECT * FROM b0
+         |  UNION ALL
+         |  SELECT 'new-' || rrname AS rrname, sensor_id, rrtype, rdata,
+         |         "count", ts
+         |  FROM b0),
+         |batchagg AS (
+         |  SELECT rrname, sensor_id, rrtype, rdata,
+         |         CAST(SUM("count") AS BIGINT) AS "count",
+         |         epoch_us(MIN(ts)) AS first_seen,
+         |         epoch_us(MAX(ts)) AS last_seen
+         |  FROM batch GROUP BY 1, 2, 3, 4),
+         |aft AS (
+         |  SELECT rrname, sensor_id, rrtype, rdata,
+         |         CAST(SUM("count") AS BIGINT) AS "count",
+         |         MIN(first_seen) AS first_seen,
+         |         MAX(last_seen) AS last_seen
+         |  FROM (SELECT * FROM agg WHERE rrname NOT LIKE 'part-2%'
+         |        UNION ALL SELECT * FROM batchagg)
+         |  GROUP BY 1, 2, 3, 4),
+         |d AS (
+         |  SELECT COALESCE(b.rrname, a.rrname)       AS rrname,
+         |         COALESCE(b.sensor_id, a.sensor_id) AS sensor_id,
+         |         COALESCE(b.rrtype, a.rrtype)       AS rrtype,
+         |         COALESCE(b.rdata, a.rdata)         AS rdata,
+         |         b."count" AS old_count, b.first_seen AS old_first_seen,
+         |         b.last_seen AS old_last_seen,
+         |         a."count" AS new_count, a.first_seen AS new_first_seen,
+         |         a.last_seen AS new_last_seen
+         |  FROM agg b FULL OUTER JOIN aft a
+         |    ON b.rrname = a.rrname AND b.sensor_id = a.sensor_id
+         |   AND b.rrtype = a.rrtype AND b.rdata = a.rdata)
+         |SELECT rrname, sensor_id, rrtype, rdata,
+         |       old_count, old_first_seen, old_last_seen,
+         |       new_count, new_first_seen, new_last_seen,
+         |       CASE WHEN old_count IS NULL THEN 'added'
+         |            WHEN new_count IS NULL THEN 'removed'
+         |            ELSE 'changed' END AS status
+         |FROM d
+         |WHERE old_count IS DISTINCT FROM new_count
+         |   OR old_first_seen IS DISTINCT FROM new_first_seen
+         |   OR old_last_seen IS DISTINCT FROM new_last_seen
          |""".stripMargin,
 
     "balboa_dump" ->

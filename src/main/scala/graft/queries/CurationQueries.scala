@@ -201,6 +201,21 @@ object CurationQueries {
           .select(col("doc_id"), col("source")),
         "source", Seq("doc_id"))),
 
+    // Global token-budget selection ("take the best half of the
+    // corpus by tokens"): priority = hash60(doc_id) desc (a
+    // deterministic stand-in for a quality score), weight = token
+    // count, budget = half the corpus total — the distributed
+    // prefix-sum replaces the unpartitioned SUM-OVER window the
+    // oracle uses.
+    "budget_select" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        Curation.hash60(col("doc_id")).as("pri"))
+      val budget = d.agg(sum(col("n_tokens"))).head.getLong(0) / 2
+      Curation.budgetSelect(d, "n_tokens",
+        Seq(col("pri").desc, col("doc_id").asc), budget, "cum_tokens")
+    }),
+
     // Stride-scheduled training-order mixing: source srcN weighted
     // (N % 3) + 1; sorting by sched_key interleaves sources in weight
     // proportion over every prefix — deterministic exact integers.
@@ -847,6 +862,24 @@ object CurationQueries {
         |         AS rank
         |FROM documents
         |""".stripMargin,
+
+    "budget_select" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |         ${util.hash60Sql("CAST(doc_id AS VARCHAR)")} AS pri
+         |  FROM documents),
+         |b AS (SELECT CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget FROM d),
+         |c AS (
+         |  SELECT doc_id, n_tokens, pri,
+         |         CAST(SUM(n_tokens)
+         |              OVER (ORDER BY pri DESC, doc_id ASC) AS BIGINT)
+         |           AS cum_tokens
+         |  FROM d)
+         |SELECT doc_id, n_tokens, pri, cum_tokens
+         |FROM c CROSS JOIN b
+         |WHERE cum_tokens - n_tokens < budget
+         |""".stripMargin,
 
     "mix_schedule" ->
       """WITH r AS (

@@ -399,6 +399,14 @@ object PipelineQueries {
       Similarity.farthestPointSample(embs(s, dir), "vec_id",
         "embedding", k = 5)),
 
+    // MMR diverse top-k (λ = 7/10): relevance top-20 pool against
+    // query vector 5, then the greedy relevance-vs-redundancy
+    // selection — the oracle unrolls the same greedy.
+    "mmr_select" -> ((s, dir) =>
+      Similarity.mmrSelect(embs(s, dir), "vec_id", "embedding",
+        queryId = 5L, k = 5, lambdaNum = 7L, lambdaDen = 10L,
+        poolSize = 20)),
+
     // Per-document quality metrics.
     "text_quality" -> ((s, dir) =>
       docs(s, dir).select(
@@ -1605,6 +1613,41 @@ object PipelineQueries {
     sb.result() + "\n"
   }
 
+  /** Unrolled MMR greedy (mirror of Similarity.mmrSelect): relevance
+    * top-`pool` against query 5, then k picks of
+    * argmax(num·rel − (den−num)·maxSim), smallest-id ties; the first
+    * pick's redundancy term is 0 (empty chosen set). */
+  private def mmrOracleSql(k: Int, pool: Int, num: Long, den: Long): String = {
+    val anti = den - num
+    def dotS(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(range(1, len($a) + 1), " +
+        s"j -> $a[j] * $b[j])) AS BIGINT)"
+    val sb = new StringBuilder(s"WITH $scaledCte,\n")
+    sb ++= "q AS (SELECT v AS qv FROM s WHERE id = 5),\n"
+    sb ++= s"cand AS (SELECT s.id, s.v, ${dotS("s.v", "q.qv")} AS rel " +
+      s"FROM s, q WHERE s.id <> 5 ORDER BY rel DESC, id ASC LIMIT $pool),\n"
+    sb ++= "p1 AS (SELECT id, v, rel FROM cand ORDER BY rel DESC, id ASC LIMIT 1)"
+    for (i <- 2 to k) {
+      if (i == 2)
+        sb ++= s",\nm1 AS (SELECT c.id, c.v, c.rel, " +
+          s"${dotS("c.v", "p1.v")} AS ms " +
+          "FROM cand c, p1 WHERE c.id NOT IN (SELECT id FROM p1))"
+      else
+        sb ++= s",\nm${i - 1} AS (SELECT m.id, m.v, m.rel, " +
+          s"GREATEST(m.ms, ${dotS("m.v", s"p${i - 1}.v")}) AS ms " +
+          s"FROM m${i - 2} m, p${i - 1} " +
+          s"WHERE m.id NOT IN (SELECT id FROM p${i - 1}))"
+      sb ++= s",\np$i AS (SELECT id, v, rel, ms FROM m${i - 1} " +
+        s"ORDER BY ($num * rel - $anti * ms) DESC, id ASC LIMIT 1)"
+    }
+    sb ++= s"\nSELECT CAST(1 AS BIGINT) AS sel_idx, id, rel, " +
+      s"CAST($num * rel AS BIGINT) AS mmr_score FROM p1"
+    for (i <- 2 to k)
+      sb ++= s"\nUNION ALL SELECT CAST($i AS BIGINT), id, rel, " +
+        s"CAST($num * rel - $anti * ms AS BIGINT) FROM p$i"
+    sb.result() + "\n"
+  }
+
   // private[queries]: the forget_everywhere oracle reuses the IVF
   // mirror verbatim (the ann_ivf_delete exclusion applied there too)
   private[queries] val ivfOracleSql: String =
@@ -1970,6 +2013,9 @@ object PipelineQueries {
 
     // the unrolled farthest-point greedy (k = 5, the gate's constant)
     "coreset_sample" -> fpsOracleSql(5),
+
+    // the unrolled MMR greedy (k = 5, pool 20, λ = 7/10)
+    "mmr_select" -> mmrOracleSql(5, 20, 7, 10),
 
     // Same int8 quantization arithmetic (round-half-away as exact
     // integer floor-division), same two-stage top-k.

@@ -814,6 +814,38 @@ class CurationSpec extends AnyFunSuite {
     assert(n == Set((1L, 0L), (2L, 0L), (3L, 1L)))
   }
 
+  test("budgetSelect: window parity, straddle kept, partitioning-proof") {
+    val df = (1L to 400L).map(i => (i, i % 7 + 1)).toDF("id", "w")
+    def viaWindow(budget: Long) = {
+      import org.apache.spark.sql.expressions.Window
+      df.withColumn("running_total",
+          sum(col("w")).over(Window.orderBy(col("id"))))
+        .filter(col("running_total") - col("w") < budget)
+        .collect().map(_.toSeq).toSet
+    }
+    def got(d: org.apache.spark.sql.DataFrame, budget: Long) =
+      Curation.budgetSelect(d, "w", Seq(col("id")), budget)
+        .collect().map(_.toSeq).toSet
+    for (budget <- Seq(1L, 100L, 777L, 100000L))
+      assert(got(df, budget) == viaWindow(budget), s"budget=$budget")
+    // selection is a pure function of the data, not input partitioning
+    assert(got(df.repartition(17), 777L) == viaWindow(777L))
+    assert(got(df.coalesce(1), 777L) == viaWindow(777L))
+    // the straddling row is kept: budget 1 with first weight 2 → one row
+    assert(got(df, 1L).size == 1)
+    // budget 0 selects nothing
+    assert(got(df, 0L).isEmpty)
+    // negative budget refused; negative / null weights refused
+    intercept[IllegalArgumentException](
+      Curation.budgetSelect(df, "w", Seq(col("id")), -1L))
+    val bad = Seq((1L, -5L)).toDF("id", "w")
+    intercept[Exception](
+      Curation.budgetSelect(bad, "w", Seq(col("id")), 10L).collect())
+    val nul = Seq((1L, Option.empty[Long])).toDF("id", "w")
+    intercept[Exception](
+      Curation.budgetSelect(nul, "w", Seq(col("id")), 10L).collect())
+  }
+
   test("mixSchedule: stride keys give weight-proportional prefixes") {
     val df = (1L to 300L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
     val w = Map("s0" -> 1L, "s1" -> 2L, "s2" -> 3L) // lcm 6

@@ -460,4 +460,35 @@ class EdgeCaseSpec extends AnyFunSuite {
     // the near-duplicate of the seed is picked LAST
     assert(out.last.getLong(1) == 40L)
   }
+
+  test("mmrSelect: relevance first, redundancy penalized, λ extremes") {
+    import graft.operators.Similarity
+    // q = (1,0); a/b near-identical high-relevance pair, c orthogonal
+    val e = Seq(
+      (5L, Array(1f, 0f)),        // the query itself (excluded)
+      (1L, Array(0.9f, 0.1f)),    // a: most relevant
+      (2L, Array(0.9f, 0.11f)),   // b: a's near-duplicate
+      (3L, Array(0f, 1f)))        // c: irrelevant but diverse
+      .toDF("vec_id", "embedding")
+    def pick(num: Long, den: Long) =
+      Similarity.mmrSelect(e, "vec_id", "embedding", queryId = 5L,
+        k = 3, lambdaNum = num, lambdaDen = den, poolSize = 3)
+        .orderBy("sel_idx").collect().map(_.getLong(1)).toSeq
+    // λ=1: pure relevance order a, b, c
+    assert(pick(1, 1) == Seq(1L, 2L, 3L))
+    // diversity-leaning λ: after a, the diverse c beats a's near-dup b
+    assert(pick(1, 10) == Seq(1L, 3L, 2L))
+    // first pick is ALWAYS the most relevant (redundancy term is 0),
+    // even at λ=0 where every later score is pure anti-redundancy
+    assert(pick(0, 1).head == 1L)
+    // scores at selection time never increase
+    val sc = Similarity.mmrSelect(e, "vec_id", "embedding", 5L, 3, 7L,
+      10L, 3).orderBy("sel_idx").collect().map(_.getLong(3))
+    assert(sc.zip(sc.tail).forall { case (a, b) => b <= a }, sc.toSeq)
+    // k beyond the pool stops early; query must exist exactly once
+    assert(Similarity.mmrSelect(e, "vec_id", "embedding", 5L, 10, 7L,
+      10L, 30).collect().length == 3)
+    intercept[IllegalArgumentException](
+      Similarity.mmrSelect(e, "vec_id", "embedding", 99L, 2, 7L, 10L, 2))
+  }
 }

@@ -393,6 +393,40 @@ class StoreSpec extends AnyFunSuite {
       Set("num-lo", "addr"))
   }
 
+  test("diffSnapshots: added/removed/changed only, null-safe change test") {
+    import org.apache.spark.sql.functions.col
+    def snap(rows: Seq[(String, String, String, String, Long, java.sql.Timestamp)]) =
+      ObservationStore.aggregate(rows
+        .toDF("rrname", "sensor_id", "rrtype", "rdata", "count", "ts"))
+    val before = snap(Seq(
+      ("same", "s1", "A", "1.1.1.1", 1L, ts("2020-01-01 00:00:00")),
+      ("gone", "s1", "A", "2.2.2.2", 2L, ts("2020-01-01 00:00:00")),
+      ("bump", "s1", "A", "3.3.3.3", 3L, ts("2020-01-01 00:00:00"))))
+    val after = snap(Seq(
+      ("same", "s1", "A", "1.1.1.1", 1L, ts("2020-01-01 00:00:00")),
+      ("bump", "s1", "A", "3.3.3.3", 3L, ts("2020-01-01 00:00:00")),
+      ("bump", "s1", "A", "3.3.3.3", 4L, ts("2020-06-01 00:00:00")),
+      ("newk", "s1", "A", "4.4.4.4", 5L, ts("2020-01-01 00:00:00"))))
+    val d = ObservationStore.diffSnapshots(before, after)
+      .collect().map(r => r.getAs[String]("rrname") ->
+        (r.getAs[String]("status"),
+          Option(r.getAs[java.lang.Long]("old_count")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("new_count")).map(_.toLong))).toMap
+    assert(!d.contains("same")) // unchanged keys never appear
+    assert(d("gone") == (("removed", Some(2L), None)))
+    assert(d("newk") == (("added", None, Some(5L))))
+    assert(d("bump") == (("changed", Some(3L), Some(7L))))
+    // a value-only change (same count, later last_seen) still surfaces
+    val tsOnly = ObservationStore.diffSnapshots(before,
+      snap(Seq(
+        ("same", "s1", "A", "1.1.1.1", 1L, ts("2021-01-01 00:00:00")),
+        ("gone", "s1", "A", "2.2.2.2", 2L, ts("2020-01-01 00:00:00")),
+        ("bump", "s1", "A", "3.3.3.3", 3L, ts("2020-01-01 00:00:00")))))
+      .filter(col("rrname") === "same").collect()
+    assert(tsOnly.length == 1 &&
+      tsOnly.head.getAs[String]("status") == "changed")
+  }
+
   test("compact: multi-file buckets fold to one file, data unchanged") {
     val input = Seq(
       ("foo", "s1", "A", "1.1.1.1", 1L, ts("2019-03-01 00:00:00")),
