@@ -707,6 +707,66 @@ object Similarity {
     chosen.toDF("sel_idx", "id", "rel", "mmr_score")
   }
 
+  /** Deterministic ±1 sign for the random-projection matrix: parity of
+    * the first md5 hex digit of `"<tag>:<j>:<i>"` — the same expression
+    * a DuckDB oracle can evaluate digit for digit (the hash60
+    * convention applied to a sign). */
+  private def rpSign(tag: String, j: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$tag:$j:$i".getBytes("UTF-8"))
+    if ((((d(0) >> 4) & 0xf) % 2) == 0) 1.0 else -1.0
+  }
+
+  /** Johnson–Lindenstrauss random projection — the dimensionality
+    * reduction between raw embeddings and everything whose cost scales
+    * with dim (ANN probes, dedup signatures, drift sketches): project
+    * `dim` → `outDim` with a DENSE ±1 matrix (Achlioptas 2001, "Database
+    * -friendly random projections" — ±1 entries preserve pairwise
+    * distances with the same JL guarantee as Gaussians and keep the
+    * arithmetic exact). The matrix is never stored: entry (j,i) is a
+    * deterministic md5-parity sign, so any engine (and any later run)
+    * reconstructs it bit-identically from `tag` alone.
+    *
+    * Exactness: inputs ride the `round(x·1e5)` integer grid, signs are
+    * ±1, so every output coordinate is an exact integer Long (|coord| ≤
+    * dim·1e5). Shape: a pure NARROW map — `outDim` codegen'd dot
+    * products per row against plan-literal sign rows, no shuffle at
+    * all; at 100 TB it is a map-only pass that SHRINKS the data by
+    * dim/outDim before any distance-bearing shuffle happens. */
+  def randomProject(embeddings: DataFrame, idCol: String, embCol: String,
+      dim: Int, outDim: Int, tag: String = "rp"): DataFrame = {
+    require(dim >= 1 && outDim >= 1 && outDim <= dim,
+      s"randomProject: need 1 <= outDim ($outDim) <= dim ($dim)")
+    val signs = Array.tabulate(outDim, dim)((j, i) => rpSign(tag, j, i))
+    val projCols = (0 until outDim).map(j =>
+      dot(col("v"), array(signs(j).map(lit(_)).toIndexedSeq: _*)).cast("long"))
+    embeddings.select(col(idCol).cast("long").as("id"),
+        scaled(col(embCol)).as("v"))
+      .select(col("id"), array(projCols: _*).as("rp"))
+  }
+
+  /** Exact top-k in the PROJECTED space (squared L2 over the integer
+    * projection): the quality probe for [[randomProject]] — at scale
+    * the projected vectors feed the usual bucketed paths; this direct
+    * scan (one narrow distance column + TakeOrderedAndProject) is the
+    * measurement harness, same role as [[topK]] for the exact space. */
+  def rpTopK(embeddings: DataFrame, idCol: String, embCol: String,
+      dim: Int, outDim: Int, queryId: Long, k: Int,
+      tag: String = "rp"): DataFrame = {
+    val rp = randomProject(embeddings, idCol, embCol, dim, outDim, tag)
+      .localCheckpoint(false) // one projection pass feeds query + scan
+    val qRows = rp.filter(col("id") === queryId).take(2)
+    require(qRows.length == 1, s"rpTopK: query id $queryId must match " +
+      s"exactly one row, matched ${qRows.length}")
+    val qLit = array(qRows.head.getSeq[Long](1).map(lit(_)): _*)
+    rp.filter(col("id") =!= queryId)
+      .withColumn("dist_sq",
+        aggregate(zip_with(col("rp"), qLit, (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, e) => acc + e))
+      .select(col("id"), col("dist_sq"))
+      .orderBy(col("dist_sq").asc, col("id").asc).limit(k)
+  }
+
   /** Deterministic spherical k-means (topic clustering over embeddings).
     *
     * Every quantity stays an exact small integer so the clustering is

@@ -407,6 +407,41 @@ object PipelineQueries {
         queryId = 5L, k = 5, lambdaNum = 7L, lambdaDen = 10L,
         poolSize = 20)),
 
+    // Johnson–Lindenstrauss ±1 random projection, 64 → 16 dims: every
+    // projected coordinate is an exact integer; the oracle rebuilds
+    // the md5-parity sign matrix and re-projects. Flattened to
+    // (id, rp_dim, rp_val) rows for the hash compare.
+    "rp_project" -> ((s, dir) =>
+      Similarity.randomProject(embs(s, dir), "vec_id", "embedding",
+          dim = 64, outDim = 16)
+        .select(col("id"), posexplode(col("rp")).as(Seq("rp_dim", "rp_val")))
+        .withColumn("rp_dim", col("rp_dim").cast("long"))),
+
+    // Exact top-10 in the PROJECTED space (integer squared L2) —
+    // the measurement harness for the projection.
+    "rp_topk" -> ((s, dir) =>
+      Similarity.rpTopK(embs(s, dir), "vec_id", "embedding",
+        dim = 64, outDim = 16, queryId = 5L, k = 10)),
+
+    // Recall of the projected top-10 vs the exact-cosine top-10 — one
+    // deterministic row pinning how much geometry 16 of 64 dims keep.
+    // NOTE the synthetic corpus is i.i.d. random vectors: the exact
+    // top-10's cosine margins sit inside JL distortion, so recall is
+    // LOW by construction (100‰ here; 32 dims only reaches 200‰ — the
+    // measurement, not the operator, is the point; clustered real
+    // embeddings are the favorable case).
+    "rp_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val exact = Similarity.topK(e, "vec_id", "embedding", 5L, 10)
+        .select(col("id"))
+      val proj = Similarity.rpTopK(e, "vec_id", "embedding", 64, 16,
+        5L, 10).select(col("id").as("pid"))
+      exact.join(proj, col("id") === col("pid"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("pid")).as("n_common"))
+        .select(col("n_exact"), col("n_common"),
+          expr("n_common * 1000 div n_exact").as("recall_permille"))
+    }),
+
     // Per-document quality metrics.
     "text_quality" -> ((s, dir) =>
       docs(s, dir).select(
@@ -1648,6 +1683,33 @@ object PipelineQueries {
     sb.result() + "\n"
   }
 
+  /** JL random-projection mirror (Similarity.randomProject, tag "rp",
+    * 64 → 16): the sign matrix is the md5-parity of "rp:j:i", so the
+    * oracle reconstructs it entry for entry; `rp` = the exact-integer
+    * projected vectors in (id, j, val) long form. */
+  private val rpCtes =
+    s"""$scaledCte,
+       |sg AS (
+       |  SELECT j, i,
+       |         CASE WHEN (strpos('0123456789abcdef',
+       |                    md5('rp:' || CAST(j AS VARCHAR) || ':' ||
+       |                        CAST(i AS VARCHAR))[1]) - 1) % 2 = 0
+       |              THEN 1 ELSE -1 END AS sgn
+       |  FROM range(0, 16) t1(j), range(0, 64) t2(i)),
+       |rp AS (
+       |  SELECT s.id, sg.j,
+       |         CAST(SUM(s.v[sg.i + 1] * sg.sgn) AS BIGINT) AS val
+       |  FROM s, sg GROUP BY 1, 2)""".stripMargin
+
+  /** Projected-space exact distances to query 5 (BIGINT arithmetic). */
+  private val rpDistCte =
+    """d AS (
+      |  SELECT a.id,
+      |         CAST(SUM((a.val - q.val) * (a.val - q.val)) AS BIGINT)
+      |           AS dist_sq
+      |  FROM rp a JOIN rp q ON a.j = q.j AND q.id = 5
+      |  WHERE a.id <> 5 GROUP BY 1)""".stripMargin
+
   // private[queries]: the forget_everywhere oracle reuses the IVF
   // mirror verbatim (the ann_ivf_delete exclusion applied there too)
   private[queries] val ivfOracleSql: String =
@@ -2016,6 +2078,35 @@ object PipelineQueries {
 
     // the unrolled MMR greedy (k = 5, pool 20, λ = 7/10)
     "mmr_select" -> mmrOracleSql(5, 20, 7, 10),
+
+    "rp_project" ->
+      s"""WITH $rpCtes
+         |SELECT id, j AS rp_dim, val AS rp_val FROM rp
+         |""".stripMargin,
+
+    "rp_topk" ->
+      s"""WITH $rpCtes,
+         |$rpDistCte
+         |SELECT id, dist_sq FROM d
+         |ORDER BY dist_sq ASC, id ASC LIMIT 10
+         |""".stripMargin,
+
+    "rp_recall" ->
+      s"""WITH $rpCtes,
+         |$rpDistCte,
+         |rtop AS (SELECT id FROM d ORDER BY dist_sq ASC, id ASC LIMIT 10),
+         |ex AS (
+         |  SELECT s.id FROM s CROSS JOIN
+         |       (SELECT v AS exv FROM s WHERE id = 5) q2
+         |  WHERE s.id <> 5
+         |  ORDER BY ${cosSql("s.v", "q2.exv")} DESC, s.id ASC
+         |  LIMIT 10)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |       CAST(COUNT(h.id) AS BIGINT) AS n_common,
+         |       CAST((COUNT(h.id) * 1000) // COUNT(*) AS BIGINT)
+         |         AS recall_permille
+         |FROM ex LEFT JOIN rtop h ON ex.id = h.id
+         |""".stripMargin,
 
     // Same int8 quantization arithmetic (round-half-away as exact
     // integer floor-division), same two-stage top-k.

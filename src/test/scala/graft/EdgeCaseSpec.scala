@@ -491,4 +491,35 @@ class EdgeCaseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Similarity.mmrSelect(e, "vec_id", "embedding", 99L, 2, 7L, 10L, 2))
   }
+
+  test("randomProject: md5-parity signs, exact integers, dup at dist 0") {
+    import graft.operators.Similarity
+    val e = Seq(
+      (1L, Array(0.5f, -0.25f, 1f)),
+      (2L, Array(0.5f, -0.25f, 1f)),   // exact duplicate of 1
+      (3L, Array(-1f, 0f, 0.125f)),
+      (5L, Array(0.5f, -0.25f, 1f)))   // query (also duplicate)
+      .toDF("vec_id", "embedding")
+    // the documented sign convention, recomputed independently
+    def sign(j: Int, i: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp:$j:$i".getBytes("UTF-8"))
+      if ((((d(0) >> 4) & 0xf) % 2) == 0) 1L else -1L
+    }
+    val scaled = Array(50000L, -25000L, 100000L) // round(x * 1e5)
+    val want = (0 until 2).map(j =>
+      (0 until 3).map(i => scaled(i) * sign(j, i)).sum)
+    val rp = Similarity.randomProject(e, "vec_id", "embedding",
+        dim = 3, outDim = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rp(1L) == want)
+    assert(rp(2L) == rp(1L)) // identical input, identical projection
+    // the projected top-k puts the exact duplicates first at dist 0
+    val top = Similarity.rpTopK(e, "vec_id", "embedding", 3, 2,
+      queryId = 5L, k = 2).collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(top.forall(_.getLong(1) == 0L))
+    intercept[IllegalArgumentException](
+      Similarity.randomProject(e, "vec_id", "embedding", 3, 4))
+  }
 }
