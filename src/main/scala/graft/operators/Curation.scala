@@ -1151,6 +1151,51 @@ object Curation {
         org.apache.spark.sql.GraftShims.expression(c), k)
         .toAggregateExpression())
 
+  /** EXACT heavy hitters at scale — every item with frequency
+    * strictly above n/k, by the classic two-pass sketch-then-verify
+    * shape: pass 1 runs a Misra–Gries summary (k counters, Misra &
+    * Gries 1982) INSIDE each partition — by pigeonhole any item with
+    * global frequency > n/k exceeds its partition's n_p/k in at least
+    * one partition, so the union of per-partition candidate sets is a
+    * guaranteed SUPERSET of the answer; pass 2 exact-counts the
+    * candidates only (broadcast semi-join gate + map-side-combined
+    * count) and applies the threshold to EXACT counts, so the output
+    * has no approximation at all — the sketch only pruned.
+    *
+    * Why not plain groupBy-count-filter: that shuffles one partial per
+    * DISTINCT item (a 100 TB corpus has billions — the shuffle IS the
+    * cost); here the shuffle carries only candidate items, ≤ k per
+    * partition regardless of vocabulary. Candidates never visit the
+    * driver (the semi-join is planwise). NULL items are ignored
+    * (documented; a null is absence, not a value). Output:
+    * `(item, cnt)` with `cnt·k > n`, exact. */
+  def heavyHitters(df: DataFrame, itemCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"heavyHitters: k must be >= 2, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val items = df.select(col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull)
+    val cands = items.as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { s =>
+        if (m.contains(s)) m(s) += 1L
+        else if (m.size < k - 1) m(s) = 1L
+        else {
+          // decrement-all (amortized O(1): each sweep retires k arrivals)
+          m.keysIterator.toArray.foreach { key =>
+            val nv = m(key) - 1L
+            if (nv == 0L) m.remove(key) else m(key) = nv
+          }
+        }
+      }
+      m.keysIterator
+    }.distinct().toDF("item")
+    val total = items.count()
+    items.join(broadcast(cands), Seq("item"), "left_semi")
+      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(k.toLong) > lit(total))
+  }
+
   /** The k-min-values SKETCH of a column (sorted array of the k smallest
     * distinct 60-bit hashes — [[kmvDistinct]]'s buffer, not its
     * estimate); input to [[kmvOverlap]]'s set arithmetic. */

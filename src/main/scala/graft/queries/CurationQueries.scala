@@ -216,6 +216,15 @@ object CurationQueries {
         Seq(col("pri").desc, col("doc_id").asc), budget, "cum_tokens")
     }),
 
+    // Exact heavy hitters (tokens with frequency > n/32): per-partition
+    // Misra–Gries candidates + exact verify — the shuffle carries only
+    // candidates, never the vocabulary; the threshold applies to exact
+    // counts, so the sketch only prunes.
+    "heavy_hitters" -> ((s, dir) =>
+      Curation.heavyHitters(docs(s, dir)
+          .select(explode(split(col("text"), " ")).as("w")),
+        "w", k = 32)),
+
     // Stride-scheduled training-order mixing: source srcN weighted
     // (N % 3) + 1; sorting by sched_key interleaves sources in weight
     // proportion over every prefix — deterministic exact integers.
@@ -880,6 +889,16 @@ object CurationQueries {
          |FROM c CROSS JOIN b
          |WHERE cum_tokens - n_tokens < budget
          |""".stripMargin,
+
+    "heavy_hitters" ->
+      """WITH u AS (
+        |  SELECT UNNEST(string_split(text, ' ')) AS item FROM documents),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u)
+        |SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM u CROSS JOIN t
+        |GROUP BY item, t.n
+        |HAVING COUNT(*) * 32 > t.n
+        |""".stripMargin,
 
     "mix_schedule" ->
       """WITH r AS (

@@ -846,6 +846,30 @@ class CurationSpec extends AnyFunSuite {
       Curation.budgetSelect(nul, "w", Seq(col("id")), 10L).collect())
   }
 
+  test("heavyHitters: exact > n/k set, boundary excluded, partition-proof") {
+    // 26 + 25 + 24 + 25×1 = 100 items; k=4 → threshold 25 (strict >)
+    val rows = Seq.fill(26)("hot") ++ Seq.fill(25)("edge") ++
+      Seq.fill(24)("cold") ++ ('a' to 'y').map(_.toString)
+    val df = rows.toDF("w")
+    def got(d: org.apache.spark.sql.DataFrame) =
+      Curation.heavyHitters(d, "w", k = 4)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // only 'hot' clears the strict > n/k bar; 'edge' sits exactly ON it
+    assert(got(df) == Set(("hot", 26L)))
+    // the answer is exact regardless of where MG's decrements land
+    assert(got(df.repartition(13)) == Set(("hot", 26L)))
+    assert(got(df.coalesce(1)) == Set(("hot", 26L)))
+    // a generous k returns the full exact > n/k set
+    val all = Curation.heavyHitters(df, "w", k = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(all == Set(("hot", 26L), ("edge", 25L), ("cold", 24L)))
+    // nulls are absence, not a value
+    val withNull = (rows.map(Option(_)) ++ Seq.fill(50)(
+      Option.empty[String])).toDF("w")
+    assert(got(withNull) == Set(("hot", 26L)))
+    intercept[IllegalArgumentException](Curation.heavyHitters(df, "w", 1))
+  }
+
   test("mixSchedule: stride keys give weight-proportional prefixes") {
     val df = (1L to 300L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
     val w = Map("s0" -> 1L, "s1" -> 2L, "s2" -> 3L) // lcm 6
