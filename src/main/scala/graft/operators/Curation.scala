@@ -445,6 +445,38 @@ object Curation {
         expr("max_key_rows * 1000 div (n_rows div n_keys)")
           .as("max_over_avg_permille"))
 
+  /** One-pass per-column data profile — the ANALYZE-style audit a
+    * pipeline runs before trusting a new data drop: for every requested
+    * column, row count, null count, EXACT distinct count, and min/max
+    * rendered as strings (one output schema for any column type).
+    *
+    * Shape: ONE aggregate over ONE scan. The exact multi-column
+    * distincts make Catalyst plan an Expand (one duplicated stream per
+    * distinct aggregate) — the right trade at audit cadence; at
+    * continuous 100 TB cadence swap n_distinct to [[kmvDistinct]] (the
+    * mergeable single-stream sketch) and keep the rest. The single
+    * result row reshapes to one row per column on the driver —
+    * cols × 6 values, never data-sized. */
+  def profileTable(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileTable needs at least one column")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggs = cols.flatMap(c => Seq(
+      count(lit(1)).as(s"${c}__rows"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__nd"),
+      min(col(c)).cast("string").as(s"${c}__min"),
+      max(col(c)).cast("string").as(s"${c}__max")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    def l(f: String): Long =
+      if (r.isNullAt(r.fieldIndex(f))) 0L else r.getAs[Long](f)
+    cols.map { c =>
+      (c, l(s"${c}__rows"), l(s"${c}__nulls"), l(s"${c}__nd"),
+        r.getAs[String](s"${c}__min"), r.getAs[String](s"${c}__max"))
+    }.toDF("column_name", "n_rows", "n_null", "n_distinct",
+      "min_value", "max_value")
+  }
+
   // ------------------------------------------- ordering & data mixing
 
   /** Sequential 0-based rank of each row within its `groupCol`, ordered
@@ -579,6 +611,76 @@ object Curation {
           run = Math.addExact(run, weightAt(r))
           (before, org.apache.spark.sql.Row.fromSeq(r.toSeq :+ run))
         }.takeWhile(_._1 < budget).map(_._2)
+      }
+    }
+    sorted.sparkSession.createDataFrame(rows, schema)
+  }
+
+  /** Per-group [[budgetSelect]] — "cap every domain at `budget`
+    * tokens": within each `groupCol` value, rows are ranked by
+    * `orderCols` and kept while the group's running `weightCol` total
+    * before the row is under `budget` (straddling row kept, same
+    * convention). The scalable replacement for
+    * `SUM(w) OVER (PARTITION BY g ORDER BY ...)`, whose window ships
+    * an ENTIRE group — a whole domain of a 100 TB corpus — into one
+    * task.
+    *
+    * Same partition-offset scan as [[budgetSelect]], keyed: the range
+    * repartition totals order on (group ++ order), so groups are
+    * contiguous runs split across bounded partitions; pass 1 sums each
+    * (partition, group) slice — distinct groups are assumed bounded
+    * (sources/domains, the [[stableRank]] contract), so the offset
+    * table is small — and pass 2 threads each group's running total
+    * through its runs. A NULL group is a group (dropping it would be
+    * silent data loss). */
+  def budgetSelectByGroup(df: DataFrame, weightCol: String,
+      groupCol: String, orderCols: Seq[Column], budget: Long,
+      totalCol: String = "running_total"): DataFrame = {
+    require(orderCols.nonEmpty,
+      "budgetSelectByGroup needs at least one order column")
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val sorted = df.withColumn(weightCol, col(weightCol).cast("long"))
+      .repartitionByRange((col(groupCol) +: orderCols): _*)
+      .sortWithinPartitions((col(groupCol) +: orderCols): _*)
+    val wIdx = sorted.schema.fieldIndex(weightCol)
+    val gIdx = sorted.schema.fieldIndex(groupCol)
+    def weightAt(r: org.apache.spark.sql.Row): Long = {
+      require(!r.isNullAt(wIdx), s"budgetSelectByGroup: null $weightCol")
+      val v = r.getLong(wIdx)
+      require(v >= 0, s"budgetSelectByGroup: negative $weightCol ($v)")
+      v
+    }
+    val partSums = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+      it.foreach { r =>
+        val g = r.get(gIdx)
+        m(g) = Math.addExact(m.getOrElse(g, 0L), weightAt(r))
+      }
+      m.iterator.map { case (g, s) => (i, g, s) }
+    }.collect()
+    // exclusive prefix offset of each group at each partition
+    val offsets: Map[(Int, Any), Long] = {
+      val acc = scala.collection.mutable.HashMap.empty[Any, Long]
+      partSums.sortBy(_._1).map { case (pid, g, s) =>
+        val off = acc.getOrElse(g, 0L)
+        acc(g) = Math.addExact(off, s)
+        (pid, g) -> off
+      }.toMap
+    }
+    val bcOff = sorted.sparkSession.sparkContext.broadcast(offsets)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        totalCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val rows = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      val off = bcOff.value
+      val run = scala.collection.mutable.HashMap.empty[Any, Long]
+      it.flatMap { r =>
+        val g = r.get(gIdx)
+        val before = run.getOrElse(g, off.getOrElse((i, g), 0L))
+        run(g) = Math.addExact(before, weightAt(r))
+        if (before < budget)
+          Some(org.apache.spark.sql.Row.fromSeq(r.toSeq :+ run(g)))
+        else None
       }
     }
     sorted.sparkSession.createDataFrame(rows, schema)

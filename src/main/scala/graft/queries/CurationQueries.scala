@@ -216,6 +216,24 @@ object CurationQueries {
         Seq(col("pri").desc, col("doc_id").asc), budget, "cum_tokens")
     }),
 
+    // Per-group token-budget cap ("each source keeps its best 700
+    // tokens"): the keyed partition-offset scan replaces the
+    // per-group SUM-OVER window that would ship a whole domain into
+    // one task.
+    "budget_select_by_domain" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        Curation.hash60(col("doc_id")).as("pri"))
+      Curation.budgetSelectByGroup(d, "n_tokens", "source",
+        Seq(col("pri").desc, col("doc_id").asc), 700L, "cum_tokens")
+    }),
+
+    // One-pass per-column profile of the documents table (row/null/
+    // exact-distinct counts, min/max as strings).
+    "profile_table" -> ((s, dir) =>
+      Curation.profileTable(docs(s, dir),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
+
     // Exact heavy hitters (tokens with frequency > n/32): per-partition
     // Misra–Gries candidates + exact verify — the shuffle carries only
     // candidates, never the vocabulary; the threshold applies to exact
@@ -889,6 +907,33 @@ object CurationQueries {
          |FROM c CROSS JOIN b
          |WHERE cum_tokens - n_tokens < budget
          |""".stripMargin,
+
+    "budget_select_by_domain" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |         ${util.hash60Sql("CAST(doc_id AS VARCHAR)")} AS pri
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens, pri,
+         |         CAST(SUM(n_tokens)
+         |              OVER (PARTITION BY source
+         |                    ORDER BY pri DESC, doc_id ASC) AS BIGINT)
+         |           AS cum_tokens
+         |  FROM d)
+         |SELECT doc_id, source, n_tokens, pri, cum_tokens
+         |FROM c WHERE cum_tokens - n_tokens < 700
+         |""".stripMargin,
+
+    "profile_table" ->
+      Seq("doc_id", "text", "lang", "source", "n_chars").map(c =>
+        s"""SELECT '$c' AS column_name,
+           |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |       CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+           |       CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |       CAST(MIN($c) AS VARCHAR) AS min_value,
+           |       CAST(MAX($c) AS VARCHAR) AS max_value
+           |FROM documents""".stripMargin).mkString("", "\nUNION ALL\n", "\n"),
 
     "heavy_hitters" ->
       """WITH u AS (

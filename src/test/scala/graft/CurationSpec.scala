@@ -846,6 +846,46 @@ class CurationSpec extends AnyFunSuite {
       Curation.budgetSelect(nul, "w", Seq(col("id")), 10L).collect())
   }
 
+  test("budgetSelectByGroup: per-group window parity, null group kept") {
+    val df = (1L to 300L).map(i =>
+      (i, i % 5 + 1, if (i % 7 == 0) None else Some(s"g${i % 3}")))
+      .toDF("id", "w", "grp")
+    def viaWindow(budget: Long) = {
+      import org.apache.spark.sql.expressions.Window
+      df.withColumn("running_total", sum(col("w")).over(
+          Window.partitionBy(col("grp")).orderBy(col("id"))))
+        .filter(col("running_total") - col("w") < budget)
+        .collect().map(_.toSeq).toSet
+    }
+    def got(d: org.apache.spark.sql.DataFrame, budget: Long) =
+      Curation.budgetSelectByGroup(d, "w", "grp", Seq(col("id")), budget)
+        .collect().map(_.toSeq).toSet
+    for (budget <- Seq(1L, 50L, 10000L))
+      assert(got(df, budget) == viaWindow(budget), s"budget=$budget")
+    // partitioning-proof: range boundaries move, group cumsums don't
+    assert(got(df.repartition(17), 50L) == viaWindow(50L))
+    assert(got(df.coalesce(1), 50L) == viaWindow(50L))
+    // every group (including NULL) keeps at least its straddling row
+    val kept = Curation.budgetSelectByGroup(df, "w", "grp",
+      Seq(col("id")), 1L).collect()
+    assert(kept.length == 4) // g0, g1, g2, and the NULL group
+  }
+
+  test("profileTable: per-column rows/nulls/distinct/min/max in one pass") {
+    val df = Seq(
+      (1L, Some("b"), Some(10L)),
+      (2L, None, Some(30L)),
+      (3L, Some("a"), None),
+      (4L, Some("a"), Some(10L)))
+      .toDF("id", "s", "v")
+    val p = Curation.profileTable(df, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(p("id") == Seq(4L, 0L, 4L, "1", "4"))
+    assert(p("s") == Seq(4L, 1L, 2L, "a", "b"))
+    assert(p("v") == Seq(4L, 1L, 2L, "10", "30"))
+    intercept[IllegalArgumentException](Curation.profileTable(df, Nil))
+  }
+
   test("heavyHitters: exact > n/k set, boundary excluded, partition-proof") {
     // 26 + 25 + 24 + 25×1 = 100 items; k=4 → threshold 25 (strict >)
     val rows = Seq.fill(26)("hot") ++ Seq.fill(25)("edge") ++
