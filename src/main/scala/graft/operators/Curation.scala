@@ -2021,6 +2021,41 @@ object Curation {
         col("offset_tokens"), col("pack_id"))
   }
 
+  /** Length-bucketed micro-batching — the dataloader step that
+    * minimizes padding: documents shard by CONTENT hash (stable under
+    * re-runs, the [[packForTraining]] convention), sort within a shard
+    * by (token count, id), and consecutive runs of `batchSize` docs
+    * form a batch — near-equal lengths per batch, so the padding a
+    * dense batch wastes (`max_len·batch − Σlen`) is near-minimal,
+    * where arrival-order batching lets one long outlier pad every
+    * neighbor. Output: one row per batch —
+    * `(shard, batch_id, n_docs, max_tokens, sum_tokens,
+    * pad_overhead_permille)` — exact integers.
+    *
+    * One hash shuffle + per-shard window sort; the [[packForTraining]]
+    * SIZING CONTRACT applies: `nShards` scales with the corpus so no
+    * reducer ever holds more than one shard. */
+  def lengthBatches(df: DataFrame, textCol: String, idCol: String,
+      nShards: Int, batchSize: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val nTok = size(split(col(textCol), " ")).cast("long")
+    val shard = conv(substring(md5(col(textCol)), 1, 4), 16, 10)
+      .cast("long") % nShards
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("n_tokens").asc, col("id").asc)
+    df.select(col(idCol).as("id"), nTok.as("n_tokens"), shard.as("shard"))
+      .withColumn("rn", row_number().over(w).cast("long") - 1L)
+      .withColumn("batch_id", expr(s"rn div $batchSize"))
+      .groupBy(col("shard"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("pad_overhead_permille",
+        expr("(max_tokens * n_docs - sum_tokens) * 1000" +
+          " div (max_tokens * n_docs)"))
+  }
+
   /** Fixed-size overlapping CHUNKING — the retrieval-prep step between a
     * curated corpus and an embedding/RAG index: each document splits into
     * word windows of `chunkWords` with `overlap` words shared between

@@ -993,4 +993,34 @@ object Retrieval {
         coalesce(expr("1000000 div best_rank"), lit(0L)).as("rr_ppm"),
         coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"))
   }
+
+  /** Hard-negative mining — the step between a retrieval run and a
+    * contrastive/reranker training set: for each query, the top `k`
+    * retrieved candidates that are NOT relevant (the model scored them
+    * high and the judgments say they're wrong — exactly the negatives
+    * worth training on, vs. random negatives the model already
+    * separates).
+    *
+    * `results`: (query_id, doc_id, rank) as produced by any of the
+    * top-k retrievals (rank 1-based per query); `qrels`: (query_id,
+    * doc_id) relevance pairs. Output: the surviving candidates with
+    * their original `rank` plus a dense per-query `neg_rank` 1..k.
+    *
+    * Shape: one anti-join on (query_id, doc_id) — broadcast when qrels
+    * are judgment-sized, never corpus-wide — then a per-query window
+    * over candidate lists already bounded by the RETRIEVAL's k (the
+    * window's partition is ≤ pool-sized by construction, so the
+    * stableRank scale concern does not apply). */
+  def hardNegatives(results: DataFrame, qrels: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, s"hardNegatives: k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    results
+      .join(qrels.select(col("query_id"), col("doc_id")),
+        Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rank").asc, col("doc_id").asc)).cast("long"))
+      .filter(col("neg_rank") <= k)
+  }
 }

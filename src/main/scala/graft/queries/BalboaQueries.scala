@@ -529,9 +529,10 @@ object BalboaQueries {
          |            WHEN new_count IS NULL THEN 'removed'
          |            ELSE 'changed' END AS status
          |FROM d
-         |WHERE old_count IS DISTINCT FROM new_count
-         |   OR old_first_seen IS DISTINCT FROM new_first_seen
-         |   OR old_last_seen IS DISTINCT FROM new_last_seen
+         |WHERE (old_count IS NULL) <> (new_count IS NULL)
+         |   OR old_count <> new_count
+         |   OR old_first_seen <> new_first_seen
+         |   OR old_last_seen <> new_last_seen
          |""".stripMargin,
 
     "balboa_dump" ->

@@ -228,6 +228,13 @@ object CurationQueries {
         Seq(col("pri").desc, col("doc_id").asc), 700L, "cum_tokens")
     }),
 
+    // Length-bucketed micro-batching (4 content-hash shards, batch 16,
+    // sorted by token count within a shard): per-batch padding stats —
+    // the dataloader's dynamic-batching audit.
+    "length_batches" -> ((s, dir) =>
+      Curation.lengthBatches(docs(s, dir), "text", "doc_id",
+        nShards = 4, batchSize = 16)),
+
     // One-pass per-column profile of the documents table (row/null/
     // exact-distinct counts, min/max as strings).
     "profile_table" -> ((s, dir) =>
@@ -924,6 +931,34 @@ object CurationQueries {
          |SELECT doc_id, source, n_tokens, pri, cum_tokens
          |FROM c WHERE cum_tokens - n_tokens < 700
          |""".stripMargin,
+
+    "length_batches" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         CAST(((strpos('0123456789abcdef', md5(text)[1]) - 1) * 4096 +
+        |               (strpos('0123456789abcdef', md5(text)[2]) - 1) * 256 +
+        |               (strpos('0123456789abcdef', md5(text)[3]) - 1) * 16 +
+        |               (strpos('0123456789abcdef', md5(text)[4]) - 1)) % 4
+        |              AS BIGINT) AS shard
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY shard
+        |                                 ORDER BY n_tokens ASC,
+        |                                          doc_id ASC)
+        |           AS BIGINT) - 1 AS rn
+        |  FROM t),
+        |b AS (SELECT shard, rn // 16 AS batch_id, n_tokens FROM r)
+        |SELECT shard, CAST(batch_id AS BIGINT) AS batch_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |       CAST((MAX(n_tokens) * COUNT(*) - SUM(n_tokens)) * 1000
+        |            // (MAX(n_tokens) * COUNT(*)) AS BIGINT)
+        |         AS pad_overhead_permille
+        |FROM b GROUP BY 1, 2
+        |""".stripMargin,
 
     "profile_table" ->
       Seq("doc_id", "text", "lang", "source", "n_chars").map(c =>

@@ -70,6 +70,26 @@ object RetrievalQueries {
       Retrieval.rankingEval(results, qrels, k = 10)
     }),
 
+    // Hard-negative mining: the BM25 top-10 candidates per query that
+    // the qrels say are NOT relevant, densely re-ranked — the
+    // contrastive-training export (high-scored wrong answers, the
+    // negatives worth training on).
+    "hard_negatives" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val d = wsDocs(s, dir)
+      val results = bm25Terms.map { t =>
+        Retrieval.bm25TopK(d, "text", "doc_id", Seq(t), k = 10)
+          .select(lit(t).as("query_id"), col("doc_id"),
+            row_number().over(
+              Window.orderBy(col("score").desc, col("doc_id").asc))
+              .cast("long").as("rank"))
+      }.reduce(_ unionAll _)
+      val qrels = d.filter(col("doc_id") % 7 === 0).select(col("doc_id"))
+        .crossJoin(broadcast(bm25Terms.toDF("query_id")))
+      Retrieval.hardNegatives(results, qrels, k = 5)
+    }),
+
     // Exact phrase search via positional-posting intersection — the
     // query class a bag-of-words index cannot answer. Oracle mirrors
     // the position arithmetic (1-based generate_series shifted to the
@@ -517,6 +537,32 @@ object RetrievalQueries {
          |       CAST(COALESCE(1000000 // p.best_rank, 0) AS BIGINT) AS rr_ppm,
          |       CAST(COALESCE(p.hits_at_k, 0) AS BIGINT) AS hits_at_k
          |FROM nrel n FULL OUTER JOIN per p USING (query_id)
+         |""".stripMargin,
+
+    "hard_negatives" ->
+      s"""WITH $bm25ScoreCtes,
+         |ranked AS (
+         |  SELECT term AS query_id, doc_id,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY term
+         |                                 ORDER BY s DESC, doc_id ASC)
+         |           AS BIGINT) AS rank
+         |  FROM sc),
+         |topk AS (SELECT * FROM ranked WHERE rank <= 10),
+         |rel AS (SELECT doc_id FROM wcorpus WHERE doc_id % 7 = 0),
+         |qrels AS (
+         |  SELECT t.query_id, r.doc_id
+         |  FROM (VALUES ('join'), ('merge'), ('window')) t(query_id), rel r),
+         |neg AS (
+         |  SELECT tk.query_id, tk.doc_id, tk.rank,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY tk.query_id
+         |                                 ORDER BY tk.rank ASC,
+         |                                          tk.doc_id ASC)
+         |           AS BIGINT) AS neg_rank
+         |  FROM topk tk LEFT JOIN qrels q
+         |    ON q.query_id = tk.query_id AND q.doc_id = tk.doc_id
+         |  WHERE q.doc_id IS NULL)
+         |SELECT query_id, doc_id, rank, neg_rank
+         |FROM neg WHERE neg_rank <= 5
          |""".stripMargin,
 
     // Per pattern the naive overlapping-substring count (every start

@@ -886,6 +886,28 @@ class CurationSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Curation.profileTable(df, Nil))
   }
 
+  test("lengthBatches: length-sorted batches, exact padding accounting") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val df = (1 to 5).map(i => (i.toLong, words(i))).toDF("doc_id", "text")
+    val out = Curation.lengthBatches(df, "text", "doc_id",
+        nShards = 1, batchSize = 2)
+      .collect().map(r => r.getAs[Long]("batch_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("max_tokens"),
+          r.getAs[Long]("sum_tokens"),
+          r.getAs[Long]("pad_overhead_permille"))).toMap
+    // sorted by length: batches (1,2), (3,4), (5)
+    assert(out(0L) == ((2L, 2L, 3L, 250L))) // pad (2*2-3)/(2*2)
+    assert(out(1L) == ((2L, 4L, 7L, 125L))) // pad (4*2-7)/(4*2)
+    assert(out(2L) == ((1L, 5L, 5L, 0L)))   // full batch of one: no pad
+    // sorting is what keeps overhead low: the worst pairing (1,5) would
+    // waste 4 of 10 slots; every sorted batch here wastes ≤ 1 of 4
+    assert(out.values.map(_._4).max <= 250L)
+    intercept[IllegalArgumentException](
+      Curation.lengthBatches(df, "text", "doc_id", 0, 2))
+    intercept[IllegalArgumentException](
+      Curation.lengthBatches(df, "text", "doc_id", 1, 0))
+  }
+
   test("heavyHitters: exact > n/k set, boundary excluded, partition-proof") {
     // 26 + 25 + 24 + 25×1 = 100 items; k=4 → threshold 25 (strict >)
     val rows = Seq.fill(26)("hot") ++ Seq.fill(25)("edge") ++

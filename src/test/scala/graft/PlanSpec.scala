@@ -95,6 +95,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("randomProject is a narrow map: zero exchanges in the plan") {
+    val vecs = (0L to 20L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(8)(rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val plan = explainOf(graft.operators.Similarity.randomProject(
+      vecs, "vec_id", "embedding", dim = 8, outDim = 4))
+    assert(!plan.contains("Exchange"),
+      s"projection must not shuffle — it SHRINKS data before any " +
+        s"distance-bearing shuffle, plan:\n$plan")
+  }
+
+  test("heavyHitters: candidate gate broadcasts, counts combine map-side") {
+    val df = (1 to 400).map(i => s"w${i % 9}").toDF("w")
+    val plan = explainOf(graft.operators.Curation.heavyHitters(df, "w", 8))
+    // the exact-count pass is gated by a BROADCAST semi-join on the
+    // Misra-Gries candidates — the full vocabulary never shuffles
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("partial_count"), plan) // map-side combine
+  }
+
+  test("store snapshot diff: equi-join on the store key, never a product") {
+    val st = ObservationStore.load(spark, storePath).forward.drop("bucket")
+    val plan = explainOf(ObservationStore.diffSnapshots(st, st))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("FullOuter"), plan)
+  }
+
   test("cidr query prunes via the persisted rdata_ip column") {
     val st = ObservationStore.load(spark, storePath)
     val plan = explainOf(st.cidrQuery("10.0.0.0/28"))

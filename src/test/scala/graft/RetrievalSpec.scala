@@ -531,4 +531,26 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out("q2") == ((1L, 0L, 0L, 0L)))
     assert(out("q3") == ((0L, 0L, 0L, 0L)))
   }
+
+  test("hardNegatives: per-query relevance excluded, dense rank, k cut") {
+    val results = Seq(
+      ("q1", 1L, 1L), ("q1", 2L, 2L), ("q1", 3L, 3L), ("q1", 4L, 4L),
+      ("q2", 9L, 1L), ("q2", 2L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val qrels = Seq(("q1", 2L), ("q2", 9L), ("q2", 5L))
+      .toDF("query_id", "doc_id")
+    val out = Retrieval.hardNegatives(results, qrels, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // q1: rel doc 2 excluded → negatives (1, 3); doc 4 cut by k=2.
+    // q2: rel doc 9 excluded; doc 2 IS a negative here though it is
+    // relevant for q1 — relevance is per query, not global.
+    assert(out == Set(("q1", 1L, 1L, 1L), ("q1", 3L, 3L, 2L),
+      ("q2", 2L, 2L, 1L)))
+    // qrels covering everything → no negatives at all, not a crash
+    assert(Retrieval.hardNegatives(results,
+      results.select("query_id", "doc_id"), 2).collect().isEmpty)
+    intercept[IllegalArgumentException](
+      Retrieval.hardNegatives(results, qrels, 0))
+  }
 }
