@@ -68,6 +68,38 @@ final class AhoCorasick(val patterns: Seq[String]) extends Serializable {
   @transient private lazy val patByteLens: Array[Int] =
     patterns.map(_.getBytes("UTF-8").length).toArray
 
+  /** Every overlapping occurrence as an exact `(pattern index, byte
+    * start)` pair — the weak-labeling SPAN face beside [[countAll]]'s
+    * COUNT and [[redact]]'s SCRUB: same single byte-at-a-time walk,
+    * emitting one struct per match (start = end − pattern length + 1,
+    * 0-based). Match order is text order (ties: dictionary-suffix
+    * outputs in pattern-list order), deterministic by construction. */
+  def spansArrayData(text: UTF8String): ArrayData = {
+    val t = tables
+    val bytes = text.getBytes
+    val buf = new scala.collection.mutable.ArrayBuffer[Any](4)
+    var s = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      var next = AhoCorasick.child(t, s, b)
+      while (next < 0 && s != 0) {
+        s = t.fail(s)
+        next = AhoCorasick.child(t, s, b)
+      }
+      s = if (next < 0) 0 else next
+      val out = t.out(s)
+      var j = 0
+      while (j < out.length) {
+        buf += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](out(j), i - patByteLens(out(j)) + 1))
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(buf.toArray)
+  }
+
   /** Every overlapping occurrence of every pattern masked to `*`,
     * byte-for-byte over the UNION of all match spans (overlaps and
     * nested dictionary suffixes merge into one covered region) — the

@@ -119,27 +119,59 @@ object Events {
     * `<prefix><c>` for each requested right value column. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       leftTimeCol: String, rightTimeCol: String,
-      rightValueCols: Seq[String], prefix: String = "asof_"): DataFrame = {
+      rightValueCols: Seq[String], prefix: String = "asof_"): DataFrame =
+    asofImpl(left, right, keyCol, leftTimeCol, rightTimeCol,
+      rightValueCols, prefix, forward = false)
+
+  /** FORWARD as-of join: each left row picks up the EARLIEST right row
+    * with `right.time >= left.time` on the same key — "the next deploy
+    * after this alert" / "the next scheduled crawl at-or-after this
+    * change". The mirror of [[asofJoin]] (same union trick, same one
+    * shuffle + one sort), with the running aggregate looking FORWARD:
+    * `first(_, ignoreNulls)` over `[current row, unbounded following]`,
+    * the left side sorting BEFORE the right at equal times so an
+    * exactly-simultaneous right row matches (`<=` semantics, DuckDB's
+    * `ASOF JOIN ... ON l.t <= r.t`). Same preconditions and left-join
+    * shape as the backward form. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTimeCol: String, rightTimeCol: String,
+      rightValueCols: Seq[String], prefix: String = "asof_"): DataFrame =
+    asofImpl(left, right, keyCol, leftTimeCol, rightTimeCol,
+      rightValueCols, prefix, forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTimeCol: String, rightTimeCol: String,
+      rightValueCols: Seq[String], prefix: String,
+      forward: Boolean): DataFrame = {
     val lType = org.apache.spark.sql.types.StructType(left.schema.fields)
     val rvExpr = struct((rightTimeCol +: rightValueCols).map(col): _*)
     val rvType = right.select(rvExpr.as("_rv")).schema.head.dataType
+    // the side that must be VISIBLE to the other at equal times sorts
+    // toward the frame: backward = right before left (a right row at
+    // exactly left.time is inside [preceding, current]), forward = left
+    // before right (the simultaneous right row is inside
+    // [current, following]) — >= / <= tie semantics respectively
+    val (lSide, rSide) = if (forward) (0, 1) else (1, 0)
     // equi-join semantics: a NULL key matches nothing (without the
     // filters, the window would co-partition NULL-keyed rows and match
     // them to each other — which no ASOF join does); NULL-keyed left
     // rows still flow through unmatched
     val l2 = left.select(col(keyCol).as("_k"), col(leftTimeCol).as("_t"),
-      lit(1).as("_side"), struct(left.columns.toIndexedSeq.map(col): _*).as("_l"),
+      lit(lSide).as("_side"), struct(left.columns.toIndexedSeq.map(col): _*).as("_l"),
       lit(null).cast(rvType).as("_rv"))
     val r2 = right.filter(col(keyCol).isNotNull)
       .select(col(keyCol).as("_k"), col(rightTimeCol).as("_t"),
-        lit(0).as("_side"), lit(null).cast(lType).as("_l"), rvExpr.as("_rv"))
-    // side 0 sorts before side 1 at equal times → a right row at exactly
-    // left.time is already visible to the running last() → >= semantics
-    val w = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        lit(rSide).as("_side"), lit(null).cast(lType).as("_l"), rvExpr.as("_rv"))
+    val w0 = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_side"))
+    val w =
+      if (forward) w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried =
+      if (forward) first(col("_rv"), ignoreNulls = true)
+      else last(col("_rv"), ignoreNulls = true)
     val matched = l2.unionByName(r2)
-      .withColumn("_m", last(col("_rv"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
+      .withColumn("_m", carried.over(w))
+      .filter(col("_side") === lSide)
     val outCols = left.columns.toSeq.map(c => col(s"_l.$c").as(c)) ++
       (rightTimeCol +: rightValueCols).map(c => col(s"_m.$c").as(s"$prefix$c"))
     matched.select(outCols: _*)

@@ -348,6 +348,26 @@ object TextAnalysis {
         col("n_hits"))
   }
 
+  /** Gazetteer span extraction — the weak-labeling face of the same
+    * automaton: one row per overlapping occurrence, `(idCol, pattern,
+    * start)` with `start` the exact 0-based byte offset — what an
+    * NER-style weak supervisor or span-level scrubber consumes where
+    * [[multiPatternHits]] only says how many. Zero shuffles (automaton
+    * pass + explode are narrow); output is bounded by actual matches.
+    * Byte offsets equal char offsets on ASCII text; multi-byte text
+    * gets byte semantics (documented, same rule as the counts face). */
+  def multiPatternSpans(df: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[String]): DataFrame = {
+    val pats = array(patterns.map(lit(_)): _*)
+    val spansCol = GraftShims.column(
+      org.apache.spark.sql.graft.MultiPatternSpans(
+        GraftShims.expression(col(textCol)), patterns))
+    df.select(col(idCol), explode(spansCol).as("m"))
+      .select(col(idCol),
+        element_at(pats, col("m.pat") + 1).as("pattern"),
+        col("m.start").cast("long").as("start"))
+  }
+
   def winnowingFingerprints(textCol: Column, k: Int = 5,
       w: Int = 4): Column = {
     require(k >= 1 && k <= 6,

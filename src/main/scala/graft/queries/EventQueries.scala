@@ -187,6 +187,24 @@ object EventQueries {
           col("asof_purchase_cents").as("purchase_cents"))
     }),
 
+    // FORWARD as-of: the EARLIEST purchase at-or-after each click —
+    // the mirror window direction ("next event after this one").
+    "events_asof_forward" -> ((s, dir) => {
+      val e = events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(round(col("value") * 100, 0).cast("long"))
+          .as("purchase_cents"))
+      Events.asofJoinForward(clicks, purchases, "user_id", "ts", "ts",
+          Seq("purchase_cents"))
+        .filter(col("asof_ts").isNotNull)
+        .select(col("event_id"), col("user_id"), micros(col("ts")).as("ts"),
+          micros(col("asof_ts")).as("purchase_ts"),
+          col("asof_purchase_cents").as("purchase_cents"))
+    }),
+
     // Range join: purchases within 24h AFTER a view by the same user
     // (attribution window), via the binned equi-join — never a per-key
     // cartesian. Oracle is the plain inequality join.
@@ -921,6 +939,20 @@ object EventQueries {
         |       epoch_us(p.ts) AS purchase_ts, p.purchase_cents
         |FROM c ASOF JOIN p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |""".stripMargin,
+
+    "events_asof_forward" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, ts,
+        |         MAX(CAST(round(value * 100, 0) AS BIGINT)) AS purchase_cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts,
+        |       epoch_us(p.ts) AS purchase_ts, p.purchase_cents
+        |FROM c ASOF JOIN p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts
         |""".stripMargin,
 
     // The plain inequality join the binned implementation must reproduce.

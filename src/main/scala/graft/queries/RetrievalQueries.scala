@@ -171,6 +171,14 @@ object RetrievalQueries {
       graft.operators.TextAnalysis.multiPatternHits(
         docs(s, dir), "doc_id", "text", mpPatterns)),
 
+    // The SPAN face of the same automaton: every overlapping
+    // occurrence with its exact 0-based offset — gazetteer tagging
+    // for weak supervision. Oracle tests every start position per
+    // pattern (the naive quadratic truth).
+    "pattern_spans" -> ((s, dir) =>
+      graft.operators.TextAnalysis.multiPatternSpans(
+        docs(s, dir), "doc_id", "text", mpPatterns)),
+
     // Blocklist SCRUB beside the blocklist COUNT: the same automaton
     // pass masks the union of all match spans to '*' (order-free under
     // overlaps — 'can' inside 'scan', 'able' inside 'table' merge into
@@ -581,6 +589,24 @@ object RetrievalQueries {
       s"""SELECT * FROM (
          |$scans
          |) WHERE n_hits > 0
+         |""".stripMargin
+    },
+
+    // every start position tested per pattern; 1-based substr index
+    // shifted to the engine's 0-based byte offsets (ASCII corpus, so
+    // char and byte offsets coincide)
+    "pattern_spans" -> {
+      val scans = mpPatterns.map { p =>
+        val lp = p.length
+        s"""  SELECT doc_id, pattern, CAST(i - 1 AS BIGINT) AS start FROM (
+           |    SELECT doc_id, '$p' AS pattern,
+           |           UNNEST(list_filter(range(1, len(text) - $lp + 2),
+           |                  i -> substr(text, i, $lp) = '$p')) AS i
+           |    FROM documents)""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""SELECT * FROM (
+         |$scans
+         |)
          |""".stripMargin
     },
 

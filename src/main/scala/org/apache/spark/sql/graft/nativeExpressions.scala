@@ -837,6 +837,43 @@ case class MultiPatternRedact(child: Expression, patterns: Seq[String])
       newChild: Expression): MultiPatternRedact = copy(child = newChild)
 }
 
+/** `multi_pattern_spans(text, patterns)` — every overlapping
+  * occurrence of every pattern as an exact `(pat, start)` struct in
+  * ONE Aho-Corasick pass ([[graft.functions.AhoCorasick.spansArrayData]]):
+  * the weak-labeling SPAN face beside [[MultiPatternCounts]]'s COUNT
+  * and [[MultiPatternRedact]]'s SCRUB — gazetteer/lexicon tagging
+  * where the downstream consumer needs positions, not counts. `pat` is
+  * the 0-based pattern-list index, `start` the 0-based byte offset.
+  * Same codegen stance: the automaton rides the generated class as a
+  * reference object, one virtual call per row. */
+case class MultiPatternSpans(child: Expression, patterns: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(patterns.nonEmpty, "multi_pattern_spans: empty pattern list")
+
+  @transient private lazy val automaton =
+    new graft.functions.AhoCorasick(patterns)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pat", IntegerType, nullable = false),
+    StructField("start", IntegerType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "multi_pattern_spans"
+
+  override def nullSafeEval(input: Any): Any =
+    automaton.spansArrayData(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ac = ctx.addReferenceObj("acAutomaton", automaton,
+      classOf[graft.functions.AhoCorasick].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ac.spansArrayData($c);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MultiPatternSpans = copy(child = newChild)
+}
+
 /** `fix_mojibake(s)` — repairs UTF-8 text that was mis-decoded as
   * Latin-1 / Windows-1252 ("café" → "cafÃ©", "'" → "â€™"), the ftfy
   * class of curation fix. One round encodes the string back to its

@@ -176,6 +176,59 @@ class CurationPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("budgetSelect equals the unpartitioned window for any data/budget") {
+    val genRows = Gen.choose(1, 120).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 9L)).map(_.zipWithIndex.map {
+        case (w, i) => (i.toLong, w) }))
+    check(Prop.forAll(genRows, Gen.choose(0L, 300L)) { (rows, budget) =>
+      val df = rows.toDF("id", "w").repartition(7)
+      val viaWindow = {
+        import org.apache.spark.sql.expressions.Window
+        df.withColumn("running_total",
+            sum(col("w")).over(Window.orderBy(col("id"))))
+          .filter(col("running_total") - col("w") < budget)
+          .collect().map(_.toSeq).toSet
+      }
+      val got = Curation.budgetSelect(df, "w", Seq(col("id")), budget)
+        .collect().map(_.toSeq).toSet
+      got == viaWindow
+    })
+  }
+
+  test("heavyHitters equals the exact groupBy-count-filter for any k") {
+    val genItems = Gen.choose(1, 150).flatMap(n =>
+      Gen.listOfN(n, genWord))
+    check(Prop.forAll(genItems, Gen.choose(2, 12)) { (items, k) =>
+      val df = items.toDF("w").repartition(5)
+      val exact = items.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case (_, c) => c * k > items.size }.toMap
+      val got = Curation.heavyHitters(df, "w", k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      got == exact
+    })
+  }
+
+  test("budgetSelectByGroup equals the per-group window for any data") {
+    val genRows = Gen.choose(1, 120).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.choose(0L, 9L), Gen.choose(0, 3)))
+        .map(_.zipWithIndex.map { case ((w, g), i) =>
+          (i.toLong, w, s"g$g") }))
+    check(Prop.forAll(genRows, Gen.choose(0L, 80L)) { (rows, budget) =>
+      val df = rows.toDF("id", "w", "grp").repartition(7)
+      val viaWindow = {
+        import org.apache.spark.sql.expressions.Window
+        df.withColumn("running_total", sum(col("w")).over(
+            Window.partitionBy(col("grp")).orderBy(col("id"))))
+          .filter(col("running_total") - col("w") < budget)
+          .collect().map(_.toSeq).toSet
+      }
+      val got = Curation.budgetSelectByGroup(df, "w", "grp",
+          Seq(col("id")), budget)
+        .collect().map(_.toSeq).toSet
+      got == viaWindow
+    })
+  }
+
   test("pmiCollocations respects the min-count cut and the PMI upper bound") {
     check(Prop.forAll(genCorpus(15)) { corpus =>
       val df = corpus.toDF("doc_id", "text")

@@ -43,6 +43,41 @@ class EventsSpec extends AnyFunSuite {
     assert(out(201L) == (None, None))            // key with no right rows
   }
 
+  test("asofJoinForward picks the earliest right row at or after each left") {
+    val out = Events.asofJoinForward(left, right, "k", "t", "rt", Seq("v"))
+      .select($"l_id", $"asof_rt", $"asof_v")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getTimestamp(1)).map(_.getTime / 1000L),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    assert(out(101L) == (Some(10L), Some(100L))) // next right row ahead
+    assert(out(102L) == (Some(10L), Some(100L))) // tie: <= matches
+    assert(out(103L) == (Some(20L), Some(200L))) // earliest, not latest
+    assert(out(104L) == (None, None))            // after last right row
+    assert(out(201L) == (None, None))            // key with no right rows
+  }
+
+  test("asofJoinForward matches a naive per-row reference on random data") {
+    val n = 400
+    val l = (1 to n).map(i => (i.toLong, (i % 7).toLong,
+      ts((i * 2654435761L) % 1000))).toDF("l_id", "k", "t")
+    val r = (1 to n / 2).map(i => (i.toLong, (i % 7).toLong,
+      ts((i * 40503L) % 1000), i * 10L)).toDF("r_id", "k", "rt", "v")
+    val rRows = r.collect()
+    val naive = l.collect().map { lr =>
+      val cand = rRows.filter(rr => rr.getLong(1) == lr.getLong(1) &&
+        !rr.getTimestamp(2).before(lr.getTimestamp(2)))
+      val best = if (cand.isEmpty) None
+        else Some(cand.minBy(_.getTimestamp(2).getTime))
+      (lr.getLong(0), best.map(_.getLong(3)))
+    }.toMap
+    val got = Events.asofJoinForward(l, r, "k", "t", "rt", Seq("v"))
+      .select($"l_id", $"asof_v").collect()
+      .map(row => row.getLong(0) ->
+        (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+    assert(got == naive)
+  }
+
   test("asofJoin matches a naive per-row reference on random data") {
     val n = 400
     val l = (1 to n).map(i => (i.toLong, (i % 7).toLong,

@@ -570,6 +570,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("*(1)"), plan) // whole-stage codegen span
   }
 
+  test("multiPatternSpans: exact offsets, overlaps both emitted, narrow") {
+    val docs = Seq((1L, "scan the table"), (2L, "nothing here"),
+      (3L, "can can")).toDF("doc_id", "text")
+    val out = TextAnalysis.multiPatternSpans(docs, "doc_id", "text",
+      Seq("scan", "can", "able"))
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // 'can' inside 'scan' is its own span; 'able' inside 'table' too
+    assert(rows == Set((1L, "scan", 0L), (1L, "can", 1L),
+      (1L, "able", 10L), (3L, "can", 0L), (3L, "can", 4L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // spans agree with the counts face on every (doc, pattern)
+    val viaCounts = TextAnalysis.multiPatternHits(docs, "doc_id", "text",
+      Seq("scan", "can", "able")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val viaSpans = rows.groupBy(t => (t._1, t._2))
+      .view.mapValues(_.size.toLong).toMap
+    assert(viaSpans == viaCounts)
+  }
+
   test("normalizeText: NFC composes, controls strip, whitespace collapses") {
     val out = Seq(
       "cafe\u0301 x",              // decomposed -> composed
