@@ -445,6 +445,31 @@ object Curation {
         expr("max_key_rows * 1000 div (n_rows div n_keys)")
           .as("max_over_avg_permille"))
 
+  /** Rendezvous (highest-random-weight) shard assignment — the
+    * consistent placement a GROWING cluster needs: item → the shard
+    * with the highest `hash60(item:shard)`. Where mod-N placement
+    * reshuffles (N−1)/N of the corpus when N changes, HRW moves ONLY
+    * the items of a removed shard (and, on add, exactly the items the
+    * new shard now wins — 1/N in expectation): the Thaler–Ravishankar
+    * construction, all md5-derived so any engine and any later run
+    * agrees on every placement.
+    *
+    * Shape: pure NARROW map — |shards| hash evaluations per row folded
+    * by `array_max` over (hash, shard) structs (greatest hash wins,
+    * shard name breaks the astronomically-unlikely tie), zero shuffle;
+    * the shard LIST rides the plan as literals, so it's for
+    * node/bucket-scale fan-outs (tens to hundreds), not millions. */
+  def rendezvousAssign(df: DataFrame, itemCol: String,
+      shards: Seq[String], shardCol: String = "shard"): DataFrame = {
+    require(shards.nonEmpty, "rendezvousAssign: empty shard list")
+    require(shards.distinct.size == shards.size,
+      s"rendezvousAssign: duplicate shard names")
+    val scored = array(shards.map(s => struct(
+      hash60(concat(col(itemCol).cast("string"), lit(":" + s))).as("h"),
+      lit(s).as("s"))): _*)
+    df.withColumn(shardCol, array_max(scored).getField("s"))
+  }
+
   /** One-pass per-column data profile — the ANALYZE-style audit a
     * pipeline runs before trusting a new data drop: for every requested
     * column, row count, null count, EXACT distinct count, and min/max

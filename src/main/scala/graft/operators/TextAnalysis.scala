@@ -348,6 +348,42 @@ object TextAnalysis {
         col("n_hits"))
   }
 
+  /** Deflate compression ratio — the classic cheap repetition/quality
+    * signal (the Gopher/FineWeb lineage uses it as a junk detector:
+    * templated or looping text compresses far below natural prose,
+    * random noise compresses above 1000‰ once the deflate framing is
+    * paid). Output per doc: `(doc_id, n_bytes, n_deflate_bytes,
+    * ratio_permille = deflate·1000 div bytes)`.
+    *
+    * SPEC-GATED (rows-only driver check): DuckDB has no deflate, so no
+    * SQL oracle can exist — semantics are pinned by ScalaTest
+    * (repetitive < prose < noise ordering, determinism, empty text).
+    * Raw deflate (nowrap, default level), one `Deflater` per PARTITION
+    * reset per row — narrow, zero shuffle, linear in corpus bytes. */
+  def compressionRatio(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("_id"),
+        col(textCol).cast("string").as("_t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val d = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, t) =>
+          val in = (if (t == null) "" else t).getBytes("UTF-8")
+          if (in.length == 0) (id, 0L, 0L, 1000L) // empty: neutral, no
+          else {                                  // 2-byte empty block
+            d.reset(); d.setInput(in); d.finish()
+            var n = 0L
+            while (!d.finished()) n += d.deflate(buf)
+            (id, in.length.toLong, n, n * 1000L / in.length)
+          }
+        }
+      }.toDF("doc_id", "n_bytes", "n_deflate_bytes", "ratio_permille")
+  }
+
   /** Gazetteer span extraction — the weak-labeling face of the same
     * automaton: one row per overlapping occurrence, `(idCol, pattern,
     * start)` with `start` the exact 0-based byte offset — what an

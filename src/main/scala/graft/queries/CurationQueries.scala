@@ -228,6 +228,19 @@ object CurationQueries {
         Seq(col("pri").desc, col("doc_id").asc), 700L, "cum_tokens")
     }),
 
+    // Rendezvous (HRW) shard assignment over 5 named nodes —
+    // consistent placement where mod-N would reshuffle almost
+    // everything on a topology change.
+    "rendezvous_assign" -> ((s, dir) =>
+      Curation.rendezvousAssign(
+        docs(s, dir).select(col("doc_id")), "doc_id",
+        (0 until 5).map(i => s"node$i"))),
+
+    // NOTE TextAnalysis.compressionRatio is deliberately NOT a driver
+    // gate: DuckDB has no deflate, and the contract (ContractSpec)
+    // refuses oracle-less gates rather than downgrading to rows-only —
+    // its semantics are pinned in CurationSpec instead.
+
     // Length-bucketed micro-batching (4 content-hash shards, batch 16,
     // sorted by token count within a shard): per-batch padding stats —
     // the dataloader's dynamic-batching audit.
@@ -930,6 +943,22 @@ object CurationQueries {
          |  FROM d)
          |SELECT doc_id, source, n_tokens, pri, cum_tokens
          |FROM c WHERE cum_tokens - n_tokens < 700
+         |""".stripMargin,
+
+    "rendezvous_assign" ->
+      s"""WITH s(shard) AS (
+         |  VALUES ('node0'), ('node1'), ('node2'), ('node3'), ('node4')),
+         |h AS (
+         |  SELECT doc_id, shard,
+         |         ${util.hash60Sql("CAST(doc_id AS VARCHAR) || ':' || shard")}
+         |           AS hv
+         |  FROM documents, s),
+         |r AS (
+         |  SELECT doc_id, shard,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                            ORDER BY hv DESC, shard DESC) AS rn
+         |  FROM h)
+         |SELECT doc_id, shard FROM r WHERE rn = 1
          |""".stripMargin,
 
     "length_batches" ->

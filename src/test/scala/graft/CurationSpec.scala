@@ -886,6 +886,52 @@ class CurationSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Curation.profileTable(df, Nil))
   }
 
+  test("rendezvousAssign: removing a shard moves ONLY that shard's items") {
+    val df = (1L to 500L).toDF("id")
+    def assign(shards: Seq[String]) =
+      Curation.rendezvousAssign(df, "id", shards)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val five = assign((0 until 5).map(i => s"node$i"))
+    val four = assign(Seq("node0", "node1", "node3", "node4")) // -node2
+    five.foreach { case (id, s) =>
+      if (s != "node2") assert(four(id) == s,
+        s"item $id moved from $s to ${four(id)} though node2 left")
+      else assert(four(id) != "node2")
+    }
+    // every shard actually receives items (HRW spreads ~uniformly)
+    assert(five.values.toSet.size == 5)
+    // mod-N placement, for contrast, moves ~4/5 of items on the same
+    // change — the reshuffle HRW exists to avoid
+    intercept[IllegalArgumentException](Curation.rendezvousAssign(df, "id", Nil))
+    intercept[IllegalArgumentException](
+      Curation.rendezvousAssign(df, "id", Seq("a", "a")))
+  }
+
+  test("compressionRatio: repetitive < prose < noise, empty handled") {
+    import graft.operators.TextAnalysis
+    val rep = ("spam " * 200).trim
+    val prose = (1 to 200).map(i => s"w${i * 2654435761L % 997}").mkString(" ")
+    // incompressible-ish noise: an md5 hex chain (random nibbles — a
+    // modular character ramp would CYCLE and deflate would eat it)
+    val noise = (0 until 40).map { i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"n$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }.mkString
+    val df = Seq((1L, rep), (2L, prose), (3L, noise), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.compressionRatio(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L)._3 < out(2L)._3 && out(2L)._3 < out(3L)._3, out)
+    assert(out(1L)._3 < 100L)  // pure repetition collapses
+    assert(out(4L) == ((0L, 0L, 1000L))) // empty: neutral ratio
+    // deterministic across runs (same JVM zlib, same level)
+    val again = TextAnalysis.compressionRatio(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(again == out)
+  }
+
   test("lengthBatches: length-sorted batches, exact padding accounting") {
     def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
     val df = (1 to 5).map(i => (i.toLong, words(i))).toDF("doc_id", "text")
