@@ -176,7 +176,7 @@ object Bench {
       "prefix_selective_read_frac",
       "dict_cache_hits", "dict_cache_decodes",
       "dict_decodes_point", "dict_decodes_prefix",
-      "dict_decodes_selective", "star_sec")
+      "dict_decodes_selective", "star_sec", "budget_scan_sec")
     val servingPart =
       servingKeys.map(k => s""""$k":${num(serving, k)}""").mkString(",")
     // worst external CPU any phase observed — the falsifiability tag:
@@ -377,8 +377,34 @@ object Bench {
         System.err.println(s"[bench] star-cc failed: ${e.getMessage}")
         -1.0
       }
+    // the round-15 scan primitive at a size the window form would choke
+    // on: 2M rows through budgetSelect's partition-offset prefix sum
+    // (one range shuffle + two narrow passes; the equivalent
+    // SUM-OVER-ORDER-BY window ships all 2M rows through ONE task)
+    val budgetScanSec =
+      try {
+        import org.apache.spark.sql.functions.{col, md5, sum => fsum}
+        val rows = spark.range(2000000L)
+          .select(col("id"), (col("id") % 1000L + 1L).as("w"),
+            md5(col("id").cast("string")).as("pri"))
+        val budget =
+          rows.agg(fsum(col("w"))).head.getLong(0) / 2
+        val t = System.nanoTime()
+        val out = operators.Curation.budgetSelect(rows, "w",
+          Seq(col("pri").asc, col("id").asc), budget)
+        val kept = out.agg(fsum(col("w")), org.apache.spark.sql.functions
+          .max(col("w"))).head()
+        require(kept.getLong(0) >= budget &&
+          kept.getLong(0) < budget + kept.getLong(1),
+          "budget cut must land within one straddling row of the budget")
+        (System.nanoTime() - t) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] budget-scan failed: ${e.getMessage}")
+        -1.0
+      }
     (metrics :+ ("decode_rows_per_sec" -> decodeRate)
-      :+ ("star_sec" -> starSec))
+      :+ ("star_sec" -> starSec)
+      :+ ("budget_scan_sec" -> budgetScanSec))
       .map { case (k, v) =>
         val digits = if (k.endsWith("_frac")) 4
           else if (k == "decode_rows_per_sec") 0
