@@ -118,6 +118,27 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_count"), plan) // map-side combine
   }
 
+  test("lengthBatches: ONE exchange — the batch aggregation reuses the shard partitioning") {
+    val docs = (1 to 200).map(i => (i.toLong, s"w$i " * (i % 9 + 1)))
+      .toDF("doc_id", "text")
+    val plan = explainOf(graft.operators.Curation.lengthBatches(
+      docs, "text", "doc_id", nShards = 4, batchSize = 16))
+    // count exchange NODES (detail headers), not string occurrences —
+    // formatted explain prints each node twice (tree + detail)
+    val n = "\\(\\d+\\) Exchange".r.findAllIn(plan).length
+    // the window shuffles on shard; the (shard, batch_id) groupBy is
+    // satisfied by hashpartitioning(shard) — a second exchange here
+    // means Catalyst stopped reusing the partitioning
+    assert(n == 1, s"expected exactly one shuffle, got $n:\n$plan")
+  }
+
+  test("rendezvousAssign is a narrow map: zero exchanges") {
+    val df = (1L to 50L).toDF("id")
+    val plan = explainOf(graft.operators.Curation.rendezvousAssign(
+      df, "id", Seq("a", "b", "c")))
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("store snapshot diff: equi-join on the store key, never a product") {
     val st = ObservationStore.load(spark, storePath).forward.drop("bucket")
     val plan = explainOf(ObservationStore.diffSnapshots(st, st))
