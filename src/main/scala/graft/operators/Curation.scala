@@ -467,7 +467,13 @@ object Curation {
     val scored = array(shards.map(s => struct(
       hash60(concat(col(itemCol).cast("string"), lit(":" + s))).as("h"),
       lit(s).as("s"))): _*)
-    df.withColumn(shardCol, array_max(scored).getField("s"))
+    // a NULL item is absence, not a value (the module convention): all
+    // its hashes are NULL, and without this guard the struct tie-break
+    // would silently pile every NULL row onto the lexicographically
+    // largest shard — it gets a NULL (unassigned) shard instead
+    df.withColumn(shardCol,
+      when(col(itemCol).isNull, lit(null).cast("string"))
+        .otherwise(array_max(scored).getField("s")))
   }
 
   /** One-pass per-column data profile — the ANALYZE-style audit a
@@ -1302,9 +1308,16 @@ object Curation {
     import spark.implicits._
     val items = df.select(col(itemCol).cast("string").as("item"))
       .filter(col("item").isNotNull)
-    val cands = items.as[String].mapPartitions { it =>
+    // pass 1: ONE scan yields both the MG candidates and the row count
+    // (one summary row per partition; a separate items.count() would be
+    // a third full corpus read). localCheckpoint materializes the
+    // partition-count-sized summary once; candidates and total both
+    // read it, never the corpus, and neither visits the driver.
+    val summaries = items.as[String].mapPartitions { it =>
       val m = scala.collection.mutable.HashMap.empty[String, Long]
+      var n = 0L
       it.foreach { s =>
+        n += 1L
         if (m.contains(s)) m(s) += 1L
         else if (m.size < k - 1) m(s) = 1L
         else {
@@ -1315,12 +1328,16 @@ object Curation {
           }
         }
       }
-      m.keysIterator
-    }.distinct().toDF("item")
-    val total = items.count()
+      Iterator.single((n, m.keysIterator.toArray))
+    }.toDF("_n", "_cands").localCheckpoint(false)
+    val cands = summaries.select(explode(col("_cands")).as("item")).distinct()
+    val totals = summaries.agg(sum(col("_n")).as("_total"))
+    // pass 2: exact counts of candidates only
     items.join(broadcast(cands), Seq("item"), "left_semi")
       .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") * lit(k.toLong) > lit(total))
+      .crossJoin(broadcast(totals))
+      .filter(col("cnt") * lit(k.toLong) > col("_total"))
+      .drop("_total")
   }
 
   /** The k-min-values SKETCH of a column (sorted array of the k smallest

@@ -159,7 +159,11 @@ object Events {
     val l2 = left.select(col(keyCol).as("_k"), col(leftTimeCol).as("_t"),
       lit(lSide).as("_side"), struct(left.columns.toIndexedSeq.map(col): _*).as("_l"),
       lit(null).cast(rvType).as("_rv"))
-    val r2 = right.filter(col(keyCol).isNotNull)
+    // a NULL-TIME right row can never satisfy either inequality (SQL
+    // comparison semantics), but NULLS-FIRST ordering would park it
+    // where the backward frame hands it to every left row — drop it
+    val r2 = right.filter(col(keyCol).isNotNull &&
+        col(rightTimeCol).isNotNull)
       .select(col(keyCol).as("_k"), col(rightTimeCol).as("_t"),
         lit(rSide).as("_side"), lit(null).cast(lType).as("_l"), rvExpr.as("_rv"))
     val w0 = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_side"))
@@ -169,8 +173,12 @@ object Events {
     val carried =
       if (forward) first(col("_rv"), ignoreNulls = true)
       else last(col("_rv"), ignoreNulls = true)
+    // NULL-TIME left rows match nothing either (they'd sort to the head
+    // of the key, where the FORWARD frame sees every right row) — they
+    // flow through with a NULL payload, the unmatched left-join shape
     val matched = l2.unionByName(r2)
-      .withColumn("_m", carried.over(w))
+      .withColumn("_m", when(col("_t").isNull, lit(null).cast(rvType))
+        .otherwise(carried.over(w)))
       .filter(col("_side") === lSide)
     val outCols = left.columns.toSeq.map(c => col(s"_l.$c").as(c)) ++
       (rightTimeCol +: rightValueCols).map(c => col(s"_m.$c").as(s"$prefix$c"))

@@ -695,7 +695,14 @@ object Similarity {
       def score(id: Long, rel: Long): Long =
         if (chosen.isEmpty) lambdaNum * rel
         else lambdaNum * rel - anti * maxSim(id)
-      val best = remaining.minBy { case (id, _, rel) => (-score(id, rel), id) }
+      // the FIRST pick orders by relevance itself, not λ·rel: for λ>0
+      // the argmax is identical (λ is a positive scalar), but at λ=0
+      // λ·rel ties everything and the id tie-break would pick an
+      // arbitrary low-id candidate where the greedy's (and the
+      // oracle's) first pick is defined as the most relevant
+      val best =
+        if (chosen.isEmpty) remaining.minBy { case (id, _, rel) => (-rel, id) }
+        else remaining.minBy { case (id, _, rel) => (-score(id, rel), id) }
       chosen :+= ((idx, best._1, best._3, score(best._1, best._3)))
       remaining = remaining.filterNot(_._1 == best._1)
       remaining.foreach { case (id, v, _) =>

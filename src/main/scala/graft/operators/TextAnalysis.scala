@@ -370,6 +370,10 @@ object TextAnalysis {
       .mapPartitions { it =>
         val d = new java.util.zip.Deflater(
           java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+        // release the native zlib buffers when the task ends — relying
+        // on finalization leaks off-heap memory on long-lived executors
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => d.end()))
         val buf = new Array[Byte](1 << 16)
         it.map { case (id, t) =>
           val in = (if (t == null) "" else t).getBytes("UTF-8")

@@ -905,6 +905,13 @@ class CurationSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Curation.rendezvousAssign(df, "id", Nil))
     intercept[IllegalArgumentException](
       Curation.rendezvousAssign(df, "id", Seq("a", "a")))
+    // a NULL item is absence: unassigned, never silently piled onto
+    // the lexicographically largest shard
+    val withNull = Seq(Some(1L), None).toDF("id")
+    val n = Curation.rendezvousAssign(withNull, "id", Seq("a", "b"))
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        Option(r.getString(1)))).toMap
+    assert(n(None).isEmpty && n(Some(1L)).nonEmpty)
   }
 
   test("compressionRatio: repetitive < prose < noise, empty handled") {

@@ -481,6 +481,12 @@ class EdgeCaseSpec extends AnyFunSuite {
     // first pick is ALWAYS the most relevant (redundancy term is 0),
     // even at λ=0 where every later score is pure anti-redundancy
     assert(pick(0, 1).head == 1L)
+    // ... including when the most relevant candidate does NOT have the
+    // smallest id (a λ·rel=0 tie-break would wrongly pick id 1 here)
+    val e2 = Seq((5L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    assert(Similarity.mmrSelect(e2, "vec_id", "embedding", 5L, 2, 0L,
+      1L, 2).orderBy("sel_idx").collect().map(_.getLong(1)).head == 2L)
     // scores at selection time never increase
     val sc = Similarity.mmrSelect(e, "vec_id", "embedding", 5L, 3, 7L,
       10L, 3).orderBy("sel_idx").collect().map(_.getLong(3))

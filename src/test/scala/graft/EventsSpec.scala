@@ -57,6 +57,25 @@ class EventsSpec extends AnyFunSuite {
     assert(out(201L) == (None, None))            // key with no right rows
   }
 
+  test("asof joins: NULL times match nothing in either direction") {
+    val nl = Seq((301L, 1L, Option.empty[Timestamp]),
+      (302L, 1L, Some(ts(15)))).toDF("l_id", "k", "t")
+    val nr = Seq((21L, 1L, Option.empty[Timestamp], 999L),
+      (22L, 1L, Some(ts(10)), 100L)).toDF("r_id", "k", "rt", "v")
+    def vals(df: org.apache.spark.sql.DataFrame) = df
+      .select($"l_id", $"asof_v").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // forward: the NULL-time left row must NOT grab the key's earliest
+    // right row; the NULL-time right row must never be a match
+    val fwd = vals(Events.asofJoinForward(nl, nr, "k", "t", "rt", Seq("v")))
+    assert(fwd == Map(301L -> None, 302L -> None))
+    // backward: the NULL-time right row (sorted first by NULLS FIRST)
+    // must not become "the latest row at or before" anything
+    val bwd = vals(Events.asofJoin(nl, nr, "k", "t", "rt", Seq("v")))
+    assert(bwd == Map(301L -> None, 302L -> Some(100L)))
+  }
+
   test("asofJoinForward matches a naive per-row reference on random data") {
     val n = 400
     val l = (1 to n).map(i => (i.toLong, (i % 7).toLong,
