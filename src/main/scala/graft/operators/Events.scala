@@ -279,6 +279,94 @@ object Events {
         count(lit(1)).as("n_events"))
   }
 
+  /** Incremental sessionization: fold an append-only event batch into a
+    * persisted [[sessionize]] output WITHOUT rescanning raw history.
+    *
+    * The only stored session a strictly-later batch can change is each
+    * touched user's LAST one (extend it, or leave it and open new
+    * sessions after it) — earlier sessions are closed by events the
+    * batch cannot precede. So the merge is: seed the batch's gap flags
+    * with the last stored `session_end` per user, group the batch into
+    * sessions, fuse group 0 (gap ≤ threshold to the stored end) with the
+    * stored last session, and renumber the rest from the stored
+    * `session_seq`. Gate-proven ≡ a full [[sessionize]] rebuild.
+    *
+    * Contract: the batch is append-only PER USER — every batch event is
+    * strictly later than that user's last stored event. Violations are
+    * refused (one batch-sized validation aggregate; out-of-order arrivals
+    * could split closed sessions, which needs the raw events back).
+    *
+    * Scale shape: cost is O(batch) + one row per touched user from the
+    * store (semi-join, then a per-user max — never session history), and
+    * untouched sessions pass through behind a batch-keyed anti-join.
+    * The full rebuild re-windows every event ever seen; at 100 TB the
+    * delta is the only affordable path, and this one is exact. */
+  def sessionizeDelta(oldSessions: DataFrame, newEvents: DataFrame,
+      userCol: String, tsCol: String, idCol: String,
+      gapMinutes: Int = 30): DataFrame = {
+    def us(c: Column): Column = unix_micros(c.cast("timestamp_ltz"))
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    // The last stored session of each user the batch touches.
+    val last = oldSessions
+      .join(newEvents.select(col(userCol)).distinct(), Seq(userCol),
+        "left_semi")
+      .groupBy(col(userCol))
+      .agg(max(struct(col("session_seq"), col("session_start"),
+        col("session_end"), col("n_events"))).as("_l"))
+      .select(col(userCol), col("_l.session_seq").as("_lseq"),
+        col("_l.session_start").as("_lstart"),
+        col("_l.session_end").as("_lend"), col("_l.n_events").as("_ln"))
+
+    // Refuse non-append-only batches (batch-sized aggregate, store never
+    // scanned beyond `last`).
+    val violations = newEvents.groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("_min_ts"))
+      .join(last, Seq(userCol))
+      .filter(us(col("_min_ts")) <= us(col("_lend")))
+      .limit(1).count()
+    require(violations == 0L,
+      "sessionizeDelta requires an append-only batch: some batch event " +
+        "is not strictly later than its user's last stored session_end")
+
+    // Gap-sessionize the batch, seeding each user's first gap with the
+    // stored session_end; group 0 = "continues the stored last session".
+    val order = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val flagged = newEvents
+      .select(col(userCol), col(tsCol), col(idCol))
+      .join(last, Seq(userCol), "left")
+      .withColumn("_prev",
+        coalesce(lag(col(tsCol), 1).over(order), col("_lend")))
+      .withColumn("_open",
+        when(col("_prev").isNull ||
+          us(col(tsCol)) - us(col("_prev")) > gapUs, 1L).otherwise(0L))
+      .withColumn("_seq", sum(col("_open")).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val newSess = flagged.groupBy(col(userCol), col("_seq"))
+      .agg(min(col(tsCol)).as("_ns_start"), max(col(tsCol)).as("_ns_end"),
+        count(lit(1)).as("_ns_n"),
+        // constant per user — first() is deterministic here
+        first(col("_lseq")).as("_lseq"), first(col("_lstart")).as("_lstart"),
+        first(col("_ln")).as("_ln"))
+
+    val fused = newSess.filter(col("_seq") === 0L)
+      .select(col(userCol), col("_lseq").as("session_seq"),
+        col("_lstart").as("session_start"), col("_ns_end").as("session_end"),
+        (col("_ln") + col("_ns_n")).as("n_events"))
+    val fresh = newSess.filter(col("_seq") > 0L)
+      .select(col(userCol),
+        (coalesce(col("_lseq"), lit(0L)) + col("_seq")).as("session_seq"),
+        col("_ns_start").as("session_start"), col("_ns_end").as("session_end"),
+        col("_ns_n").as("n_events"))
+    val kept = oldSessions
+      .select(col(userCol), col("session_seq"), col("session_start"),
+        col("session_end"), col("n_events"))
+      .join(fused.select(col(userCol), col("session_seq")),
+        Seq(userCol, "session_seq"), "left_anti")
+    kept.unionByName(fused).unionByName(fresh)
+  }
+
   /** Ordered funnel analysis: per user, the earliest completion time of
     * each stage GIVEN every previous stage completed at or before it —
     * `t_i = min(ts of stage_i events with ts ≥ t_{i−1})`. A later-stage

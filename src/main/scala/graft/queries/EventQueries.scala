@@ -128,6 +128,25 @@ object EventQueries {
           micros(col("session_end")).as("session_end"),
           col("n_events"))),
 
+    // Incremental sessionization: fold the strictly-later 30% of the
+    // stream into the sessions built from the first 70% — the delta
+    // answer must be bit-identical to the full rebuild (the oracle
+    // windows ALL events). Exercises seed-gap fusing (group 0 extends a
+    // stored session), fresh-session renumbering, and pass-through of
+    // untouched users.
+    "sessions_delta" -> ((s, dir) => {
+      val cutoff = lit("2024-01-22").cast("timestamp")
+      val ev = events(s, dir)
+      val old = Events.sessionize(
+        ev.filter(col("ts") < cutoff), "user_id", "ts", "event_id")
+      Events.sessionizeDelta(old, ev.filter(col("ts") >= cutoff),
+          "user_id", "ts", "event_id")
+        .select(col("user_id"), col("session_seq"),
+          micros(col("session_start")).as("session_start"),
+          micros(col("session_end")).as("session_end"),
+          col("n_events"))
+    }),
+
     // Interval union per user: each event opens a 10/20/30-minute span
     // (duration from event_id % 3 — deterministic integers, no floats);
     // overlapping-or-touching spans coalesce via the prefix-max
@@ -847,6 +866,30 @@ object EventQueries {
         |""".stripMargin,
 
     "events_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+        |                   > 30 * 60 * 1000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |         SUM(new_session) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |       epoch_us(MIN(ts)) AS session_start,
+        |       epoch_us(MAX(ts)) AS session_end,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM numbered GROUP BY 1, 2
+        |""".stripMargin,
+
+    // The delta must equal the full rebuild — the oracle IS the full
+    // rebuild over every event (same SQL as events_sessions).
+    "sessions_delta" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts,
         |         CASE WHEN lag(ts) OVER w IS NULL

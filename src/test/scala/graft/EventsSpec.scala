@@ -408,4 +408,45 @@ class EventsSpec extends AnyFunSuite {
       Seq("event_type", "n_windows", "total_events", "peak_cusum",
         "peak_window"))
   }
+
+  test("sessionizeDelta: fuse / fresh / pass-through / new-user ≡ rebuild") {
+    // gap = 30 min. user 1: old sessions at [0,10m] and [60m,70m]; batch
+    // at 80m (fuses into session 2) then 130m (fresh session 3).
+    // user 2: old [0,5m]; batch at 120m (fresh session 2 only, no fuse).
+    // user 3: old only — must pass through untouched.
+    // user 4: batch only — numbered from 1.
+    def m(min: Long) = ts(min * 60L)
+    val oldEvents = Seq(
+      (1L, 1L, m(0)), (2L, 1L, m(10)), (3L, 1L, m(60)), (4L, 1L, m(70)),
+      (5L, 2L, m(0)), (6L, 2L, m(5)),
+      (7L, 3L, m(0)))
+      .toDF("event_id", "user_id", "t")
+    val batch = Seq(
+      (8L, 1L, m(80)), (9L, 1L, m(130)),
+      (10L, 2L, m(120)),
+      (11L, 4L, m(40)), (12L, 4L, m(200)))
+      .toDF("event_id", "user_id", "t")
+    val old = Events.sessionize(oldEvents, "user_id", "t", "event_id")
+    val delta =
+      Events.sessionizeDelta(old, batch, "user_id", "t", "event_id")
+    val full = Events.sessionize(oldEvents.unionByName(batch),
+      "user_id", "t", "event_id")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"user_id", $"session_seq",
+        $"session_start", $"session_end", $"n_events")
+        .collect().map(_.toSeq).toSet
+    assert(canon(delta) == canon(full))
+    // spot-check the fuse: user 1 session 2 now spans 60m..80m, 3 events
+    val u1s2 = delta.filter($"user_id" === 1L && $"session_seq" === 2L)
+      .collect().head
+    assert(u1s2.getAs[Timestamp]("session_start") == m(60) &&
+      u1s2.getAs[Timestamp]("session_end") == m(80) &&
+      u1s2.getAs[Long]("n_events") == 3L)
+    // a batch event at/before a user's stored session_end is refused
+    val bad = Seq((13L, 1L, m(70))).toDF("event_id", "user_id", "t")
+    val e = intercept[IllegalArgumentException] {
+      Events.sessionizeDelta(old, bad, "user_id", "t", "event_id").count()
+    }
+    assert(e.getMessage.contains("append-only"), e.getMessage)
+  }
 }
