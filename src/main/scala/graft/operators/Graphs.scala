@@ -549,6 +549,17 @@ object Graphs {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxContextDegree >= 2,
       s"maxContextDegree must be >= 2, got $maxContextDegree")
+    val e = prunedIncidence(edges0, contextCol, itemCol, maxContextDegree)
+    pairsByContext(e, minShared)
+  }
+
+  /** Distinct (ctx, item) incidences with over-degree contexts dropped —
+    * the shared front half of [[bipartiteProject]] and
+    * [[commonNeighbors]] (ONE definition so the stopword-pruning
+    * semantics cannot drift between the pair counts and the Jaccard
+    * denominators). */
+  private def prunedIncidence(edges0: DataFrame, contextCol: String,
+      itemCol: String, maxContextDegree: Int): DataFrame = {
     val inc = edges0
       .select(col(contextCol).as("ctx"), col(itemCol).as("item"))
       .distinct()
@@ -556,14 +567,18 @@ object Graphs {
       .agg(count(lit(1)).as("d"))
       .filter(col("d") <= maxContextDegree)
       .select(col("ctx"))
-    val e = inc.join(keep, Seq("ctx"), "leftsemi")
-    e.join(e.select(col("ctx"), col("item").as("item2")),
-        Seq("ctx"))
+    inc.join(keep, Seq("ctx"), "leftsemi")
+  }
+
+  /** Item pairs (a < b) sharing ≥ `minShared` contexts of a pruned
+    * incidence list — the co-located context self-join both projection
+    * faces run. */
+  private def pairsByContext(e: DataFrame, minShared: Long): DataFrame =
+    e.join(e.select(col("ctx"), col("item").as("item2")), Seq("ctx"))
       .filter(col("item") < col("item2"))
       .groupBy(col("item").as("a"), col("item2").as("b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-  }
 
   /** Per-node triangle counts — the clustering-structure signal (spam
     * farms and boilerplate mirror rings show up as dense triangles in a
@@ -622,5 +637,46 @@ object Graphs {
     tris.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
       .groupBy(col("id"))
       .agg(count(lit(1)).cast("long").as("n_triangles"))
+  }
+
+  /** Common-neighbor link prediction over a bipartite edge list
+    * (src → middle): for every src pair sharing ≥ `minCommon` middles,
+    * the shared-middle count and the exact-integer neighborhood Jaccard
+    * (`1000·|∩| div |∪|` — fixed-point, order-independent, identical in
+    * every engine where a float ratio would drift).
+    *
+    * The classic "users who touched the same items" / "hosts cited by
+    * the same pages" candidate generator: common neighbors and Jaccard
+    * are the standard first-line link-prediction scores (Liben-Nowell &
+    * Kleinberg 2003) — [[bipartiteProject]]'s SCORED face, and in a
+    * curation pipeline the co-access blocking step before an expensive
+    * pairwise model.
+    *
+    * Semantics and scale shape are [[bipartiteProject]]'s — the same
+    * [[prunedIncidence]] / [[pairsByContext]] engine (cost Σ_m d(m)²
+    * bounded by `maxMiddleDegree²` per middle, never |V|²; over-degree
+    * middles are stopword-dropped and leave the Jaccard DENOMINATORS
+    * too, keeping ∩/∪ consistent) — plus per-src degrees joined back at
+    * pair-count size. The deduped incidence feeds three consumers, so
+    * it is locally checkpointed once. No driver materialization. */
+  def commonNeighbors(edges: DataFrame, srcCol: String, midCol: String,
+      minCommon: Long = 2, maxMiddleDegree: Int = 1000): DataFrame = {
+    require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
+    require(maxMiddleDegree >= 2,
+      s"maxMiddleDegree must be >= 2, got $maxMiddleDegree")
+    val e = prunedIncidence(edges, midCol, srcCol, maxMiddleDegree)
+      .localCheckpoint(false)
+    val deg = e.groupBy(col("item")).agg(count(lit(1)).as("_d"))
+    pairsByContext(e, minCommon)
+      .select(col("a").as("u"), col("b").as("v"),
+        col("n_shared").as("common_cnt"))
+      .join(deg.select(col("item").as("u"), col("_d").as("_du")), Seq("u"))
+      .join(deg.select(col("item").as("v"), col("_d").as("_dv")), Seq("v"))
+      .withColumn("_num", col("common_cnt") * 1000L)
+      .withColumn("_den", col("_du") + col("_dv") - col("common_cnt"))
+      .select(col("u"), col("v"), col("common_cnt"),
+        // exact floor division in long arithmetic (operands positive)
+        ((col("_num") - pmod(col("_num"), col("_den"))) / col("_den"))
+          .cast("long").as("jaccard_permille"))
   }
 }

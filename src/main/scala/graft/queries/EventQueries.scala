@@ -275,6 +275,15 @@ object EventQueries {
       graft.operators.Graphs.pageRank(custSuppEdges(s, dir), "src", "dst",
         iters = 3)),
 
+    // Common-neighbor link prediction over the customer→supplier
+    // bipartite graph (2% deterministic customer sample keeps the gate
+    // pair-count bounded): customer pairs sharing ≥3 suppliers, scored
+    // by shared count and exact-integer neighborhood Jaccard.
+    "link_predict" -> ((s, dir) =>
+      graft.operators.Graphs.commonNeighbors(
+        custSuppEdges(s, dir).filter(col("src") % 50 === 3),
+        "src", "dst", minCommon = 3)),
+
     // Seeded (TrustRank-style) PageRank: teleport mass lands only on
     // three trusted customers, so rank = authority as seen from the
     // seeds — the link-spam demotion signal. Same graph and arithmetic
@@ -544,6 +553,29 @@ object EventQueries {
         |           epoch_us(t2) - epoch_us(t1), 0.5) * 100) AS BIGINT),
         |         CAST(-1 AS BIGINT))
         |FROM f
+        |""".stripMargin,
+
+    // Same dedupe → middle-join → HAVING → degree-join shape; `//` is
+    // floor division, matching the Spark side's pmod formulation on
+    // positive operands.
+    "link_predict" ->
+      """WITH inc AS (
+        |  SELECT DISTINCT o_custkey AS s, l_suppkey + 1000000 AS m
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_custkey % 50 = 3),
+        |keep AS (SELECT m FROM inc GROUP BY m HAVING COUNT(*) <= 1000),
+        |e AS (SELECT s, m FROM inc JOIN keep USING (m)),
+        |d AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        |p AS (
+        |  SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS common_cnt
+        |  FROM e a JOIN e b ON a.m = b.m AND a.s < b.s
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 3)
+        |SELECT u, v, common_cnt,
+        |       CAST(common_cnt * 1000
+        |              // (du.deg + dv.deg - common_cnt) AS BIGINT)
+        |         AS jaccard_permille
+        |FROM p JOIN d du ON p.u = du.s JOIN d dv ON p.v = dv.s
         |""".stripMargin,
 
     "graph_pagerank" ->

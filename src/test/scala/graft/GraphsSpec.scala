@@ -182,4 +182,30 @@ class GraphsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Graphs.bipartiteProject(inc, "ctx", "item", minShared = 0))
   }
+
+  test("commonNeighbors scores pairs with exact-integer Jaccard") {
+    // src 1 → {a,b,c}; src 2 → {a,b,d}; src 3 → {z}; duplicates collapse
+    val edges = Seq(
+      (1L, "a"), (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"), (2L, "d"),
+      (3L, "z"))
+      .toDF("src", "mid")
+    val out = Graphs.commonNeighbors(edges, "src", "mid", minCommon = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // |∩|=2 (a,b); |∪|=4 (a,b,c,d) → 500‰; pair (1,3)/(2,3) share nothing
+    assert(out == Map((1L, 2L) -> ((2L, 500L))))
+    // a hub middle above the cap is stopword-dropped and leaves the
+    // DENOMINATORS too: with cap 2, middle 'a' (deg 3 incl. src 4) is
+    // gone → ∩={b}, ∪={b,c,d} → 333‰ at minCommon 1
+    val hub = edges.unionByName(Seq((4L, "a")).toDF("src", "mid"))
+    val capped = Graphs.commonNeighbors(hub, "src", "mid",
+        minCommon = 1, maxMiddleDegree = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(capped((1L, 2L)) == ((1L, 333L)))
+    assert(!capped.contains((1L, 4L)), capped)
+    intercept[IllegalArgumentException](
+      Graphs.commonNeighbors(edges, "src", "mid", minCommon = 0))
+  }
 }
