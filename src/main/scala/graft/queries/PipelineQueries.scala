@@ -1149,6 +1149,19 @@ object PipelineQueries {
         graft.functions.Url.surt(col("url")).as("surt"))
     }),
 
+    // Sorted-neighborhood blocking (merge/purge): document pairs within
+    // 5 ranks of each other in 40-char-prefix order, verified at
+    // levenshtein ≤ 10 — the record-level ER candidate generator next
+    // to fuzzy_pairs' term-level deletion neighborhoods. Exercises the
+    // distributed rank (range shuffle + broadcast offsets) and the
+    // rank-band pair join.
+    "sn_blocking" -> ((s, dir) => {
+      val recs = docs(s, dir).select(col("doc_id"),
+        substring(col("text"), 1, 40).as("nm"))
+      Dedup.sortedNeighborhood(recs, "doc_id", "nm", "nm",
+        window = 5, maxEdits = 10)
+    }),
+
     // Fuzzy vocabulary folding: every unordered term pair within edit
     // distance 1, via deletion-neighborhood (FastSS/SymSpell) blocking —
     // an equi-join on delete-variants, never a quadratic cross join.
@@ -3203,6 +3216,20 @@ object PipelineQueries {
         |            ELSE regexp_extract(dhost, '([^.]+\.[^.]+)$', 1)
         |       END AS domain
         |FROM s6
+        |""".stripMargin,
+
+    // The textbook windowed formulation over a global row_number — the
+    // Spark side's banded rank join must reproduce it exactly.
+    "sn_blocking" ->
+      """WITH r AS (
+        |  SELECT doc_id AS id, substr(text, 1, 40) AS nm,
+        |         row_number() OVER (ORDER BY substr(text, 1, 40), doc_id)
+        |           AS rk
+        |  FROM documents)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |       CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS edit_distance
+        |FROM r a JOIN r b ON b.rk > a.rk AND b.rk < a.rk + 5
+        |WHERE levenshtein(a.nm, b.nm) <= 10
         |""".stripMargin,
 
     // Brute-force quadratic levenshtein join — the formulation the

@@ -870,4 +870,40 @@ class PipelineSpec extends AnyFunSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
     assert(r.passed, r.status.toString)
   }
+
+  test("sortedNeighborhood matches the naive windowed formulation") {
+    val recs = Seq(
+      (1L, "alpha"), (2L, "alphb"), (3L, "alpzz"), (4L, "beta"),
+      (5L, "betaa"), (6L, "gamma"), (7L, "gamna"), (8L, "delta"),
+      (9L, "zzzz"), (10L, "alpha"))
+      .toDF("id", "nm")
+    val out = Dedup.sortedNeighborhood(recs, "id", "nm", "nm",
+        window = 3, maxEdits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val sorted = recs.collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(t => (t._2, t._1))
+    val expect = (for {
+      i <- sorted.indices
+      j <- (i + 1) until math.min(i + 3, sorted.length)
+    } yield (sorted(i)._1, sorted(j)._1,
+        lev(sorted(i)._2, sorted(j)._2).toLong))
+      .filter(_._3 <= 2L).toSet
+    // the 32-way shuffle over 10 rows forces window spans ACROSS range
+    // partitions — the offset arithmetic, not luck, must close them
+    assert(out == expect && expect.nonEmpty)
+    intercept[IllegalArgumentException](
+      Dedup.sortedNeighborhood(recs, "id", "nm", "nm", 1, 2))
+    intercept[IllegalArgumentException](
+      Dedup.sortedNeighborhood(recs, "id", "nm", "nm", 3, -1))
+  }
 }
