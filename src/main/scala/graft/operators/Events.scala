@@ -686,6 +686,51 @@ object Events {
         col("walk.pw").as("peak_window"))
   }
 
+  /** Seasonal (hour-of-week) anomaly detection: flag (key, hour-slot,
+    * week) cells whose event count exceeds `multiple`× the same slot's
+    * leave-one-out weekly baseline — "this Monday 9am is 3× every other
+    * Monday 9am". The seasonality-aware complement of [[cusumPeaks]]
+    * (level shifts) and burst detection (absolute spikes): a nightly
+    * batch job's hour is NOT an anomaly at its usual hour but IS at any
+    * other, which no season-blind threshold can express.
+    *
+    * All arithmetic is exact-integer: slot = epoch-hour mod 168 and
+    * week = epoch-hour div 168 (no calendar/timezone functions — the
+    * cross-engine drift trap), and the flag is the cross-multiplied
+    * `obs·(weeks−1) > multiple·rest` — never a float division. Weeks
+    * with ZERO events for a cell simply don't appear, which only raises
+    * the leave-one-out bar (conservative, documented). Cells observed
+    * in a single week have no baseline and are not flagged.
+    *
+    * Scale shape: one map-side-combined count down to (key, slot, week)
+    * cells — input-linear, the only event-sized pass — then a window
+    * over (key, slot) on cell-sized data. Output: flagged cells with
+    * `score_permille = 1000·obs·(weeks−1) div max(rest, 1)`. */
+  def seasonalAnomalies(events: DataFrame, keyCol: String, tsCol: String,
+      multiple: Int = 2): DataFrame = {
+    require(multiple >= 1, s"multiple >= 1, got $multiple")
+    val hour = (unix_micros(col(tsCol).cast("timestamp_ltz")) /
+      3600000000L).cast("long")
+    val cells = events
+      .select(col(keyCol), (hour % 168L).as("slot"),
+        ((hour - hour % 168L) / 168L).cast("long").as("week"))
+      .groupBy(col(keyCol), col("slot"), col("week"))
+      .agg(count(lit(1)).as("obs"))
+    val w = Window.partitionBy(col(keyCol), col("slot"))
+    val scored = cells
+      .withColumn("rest", sum(col("obs")).over(w) - col("obs"))
+      .withColumn("weeks", count(lit(1)).over(w))
+    scored
+      .filter(col("weeks") >= 2L &&
+        col("obs") * (col("weeks") - 1L) > col("rest") * multiple)
+      .withColumn("_num", col("obs") * (col("weeks") - 1L) * 1000L)
+      .withColumn("_den", greatest(col("rest"), lit(1L)))
+      .select(col(keyCol), col("slot"), col("week"), col("obs"),
+        col("rest"), col("weeks"),
+        ((col("_num") - pmod(col("_num"), col("_den"))) / col("_den"))
+          .cast("long").as("score_permille"))
+  }
+
   def decayedCounts(events: DataFrame, keyCol: String, tsCol: String,
       asOf: Column, halfLifeDays: Int = 7, maxShift: Int = 30): DataFrame = {
     require(halfLifeDays >= 1, s"halfLifeDays >= 1, got $halfLifeDays")

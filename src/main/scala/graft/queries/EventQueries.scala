@@ -128,6 +128,20 @@ object EventQueries {
           micros(col("session_end")).as("session_end"),
           col("n_events"))),
 
+    // Hour-of-week seasonal anomalies with a PLANTED spike (2% of
+    // events, user_id % 50 = 7, collapse onto one hour) — the flagged
+    // set must contain exactly the cells whose count beats 2× the
+    // leave-one-out weekly baseline for the same slot, spike included.
+    // Slot/week come from epoch-hour arithmetic, never calendar
+    // functions (the cross-engine drift trap).
+    "seasonal_anomaly" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_type"),
+        when(col("user_id") % 50 === 7,
+          lit("2024-01-10 10:00:00").cast("timestamp"))
+          .otherwise(col("ts")).as("ts"))
+      Events.seasonalAnomalies(ev, "event_type", "ts")
+    }),
+
     // Incremental sessionization: fold the strictly-later 30% of the
     // stream into the sessions built from the first 70% — the delta
     // answer must be bit-identical to the full rebuild (the oracle
@@ -917,6 +931,32 @@ object EventQueries {
         |       epoch_us(MAX(ts)) AS session_end,
         |       CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM numbered GROUP BY 1, 2
+        |""".stripMargin,
+
+    "seasonal_anomaly" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         CASE WHEN user_id % 50 = 7
+        |              THEN TIMESTAMP '2024-01-10 10:00:00'
+        |              ELSE ts END AS ts
+        |  FROM events),
+        |cells AS (
+        |  SELECT event_type,
+        |         (epoch_us(ts) // 3600000000) % 168 AS slot,
+        |         (epoch_us(ts) // 3600000000) // 168 AS week,
+        |         CAST(COUNT(*) AS BIGINT) AS obs
+        |  FROM ev GROUP BY 1, 2, 3),
+        |s AS (
+        |  SELECT *, SUM(obs) OVER w - obs AS rest,
+        |         COUNT(*) OVER w AS weeks
+        |  FROM cells WINDOW w AS (PARTITION BY event_type, slot))
+        |SELECT event_type, CAST(slot AS BIGINT) AS slot,
+        |       CAST(week AS BIGINT) AS week, obs,
+        |       CAST(rest AS BIGINT) AS rest,
+        |       CAST(weeks AS BIGINT) AS weeks,
+        |       CAST(obs * (weeks - 1) * 1000 // greatest(rest, 1)
+        |         AS BIGINT) AS score_permille
+        |FROM s WHERE weeks >= 2 AND obs * (weeks - 1) > rest * 2
         |""".stripMargin,
 
     // The delta must equal the full rebuild — the oracle IS the full

@@ -409,6 +409,27 @@ class EventsSpec extends AnyFunSuite {
         "peak_window"))
   }
 
+  test("seasonalAnomalies flags only cells beating the leave-one-out bar") {
+    // slot S = hour 10 of epoch-week; weeks w, w+1, w+2 carry 2, 2, 9
+    // events → only the 9 is > 2× its leave-one-out baseline (rest=4,
+    // weeks=3: 9·2 > 4·2). A cell seen in ONE week only is never
+    // flagged (no baseline), regardless of size.
+    def at(week: Long, hourInWeek: Long, n: Int, key: String) =
+      (0 until n).map(i =>
+        (key, ts((week * 168L + hourInWeek) * 3600L + i)))
+    val ev = (at(100, 10, 2, "a") ++ at(101, 10, 2, "a") ++
+      at(102, 10, 9, "a") ++ at(100, 20, 50, "b"))
+      .toDF("k", "t")
+    val out = Events.seasonalAnomalies(ev, "k", "t", multiple = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(out.keySet == Set(("a", 10L, 102L)))
+    // obs=9, rest=4, weeks=3, score = 9·2·1000 div 4 = 4500
+    assert(out(("a", 10L, 102L)) == ((9L, 4L, 3L, 4500L)))
+    intercept[IllegalArgumentException](
+      Events.seasonalAnomalies(ev, "k", "t", multiple = 0))
+  }
+
   test("sessionizeDelta: fuse / fresh / pass-through / new-user ≡ rebuild") {
     // gap = 30 min. user 1: old sessions at [0,10m] and [60m,70m]; batch
     // at 80m (fuses into session 2) then 130m (fresh session 3).
