@@ -258,11 +258,23 @@ object Events {
     * previous event of the same user exceeds `gapMinutes`. Returns one row
     * per session with start/end/size. */
   def sessionize(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, gapMinutes: Int = 30): DataFrame =
+    sessionTagged(events, userCol, tsCol, idCol, gapMinutes)
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+
+  /** Every input event with its `session_seq` attached — the per-event
+    * half of [[sessionize]] (ONE gap/cumsum definition so session
+    * boundaries cannot drift between the aggregate and per-event
+    * consumers like [[frequentSequences]]). */
+  def sessionTagged(events: DataFrame, userCol: String, tsCol: String,
       idCol: String, gapMinutes: Int = 30): DataFrame = {
     val order = Window.partitionBy(col(userCol))
       .orderBy(col(tsCol), col(idCol))
     val gapUs = gapMinutes * 60L * 1000000L
-    val withFlag = events
+    events
       .withColumn("prev_ts", lag(col(tsCol), 1).over(order))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
@@ -272,11 +284,42 @@ object Events {
       .withColumn("session_seq",
         sum(col("new_session")).over(
           order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    withFlag
-      .groupBy(col(userCol), col("session_seq"))
-      .agg(min(col(tsCol)).as("session_start"),
-        max(col(tsCol)).as("session_end"),
-        count(lit(1)).as("n_events"))
+      .drop("prev_ts", "new_session")
+  }
+
+  /** Frequent contiguous event-type sequences within sessions — the
+    * sequential-pattern miner (PrefixSpan's contiguous special case,
+    * which is what click-path / funnel-discovery analyses actually
+    * read): every k-gram of consecutive event types inside one session,
+    * with SUPPORT = number of distinct sessions containing the gram
+    * (the standard sequential-pattern support — a loop emitting one
+    * gram 1000× in one session is one supporting session, not 1000)
+    * plus the raw occurrence count.
+    *
+    * Scale shape: session tagging is [[sessionize]]'s one shuffle on
+    * the user key; the k−1 `lead`s run under a (user, session) window
+    * that the user-hash partitioning already satisfies (no second
+    * event-sized exchange); the distinct-and-count pair shuffles
+    * gram-sized data. `minSupport` prunes the tail before output. */
+  def frequentSequences(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, k: Int = 3, minSupport: Long = 2,
+      gapMinutes: Int = 30): DataFrame = {
+    require(k >= 2 && k <= 8, s"k in [2, 8], got $k")
+    require(minSupport >= 1, s"minSupport >= 1, got $minSupport")
+    val tagged = sessionTagged(events, userCol, tsCol, idCol, gapMinutes)
+    val w = Window.partitionBy(col(userCol), col("session_seq"))
+      .orderBy(col(tsCol), col(idCol))
+    val parts = col(typeCol) +:
+      (1 until k).map(i => lead(col(typeCol), i).over(w))
+    // session tails (missing leads) and null types drop — a gram is k
+    // REAL consecutive types, never a null-skipping shorter concat
+    val full = tagged.withColumn("_arr", array(parts: _*))
+      .filter(!exists(col("_arr"), _.isNull))
+      .withColumn("gram", array_join(col("_arr"), ">"))
+    full.groupBy(col("gram"))
+      .agg(countDistinct(col(userCol), col("session_seq")).as("support"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("support") >= minSupport)
   }
 
   /** Incremental sessionization: fold an append-only event batch into a

@@ -128,6 +128,15 @@ object EventQueries {
           micros(col("session_end")).as("session_end"),
           col("n_events"))),
 
+    // Frequent within-session event 3-grams (2-day gap sessions — the
+    // synthetic stream's ~1 event/user/day needs a wide gap for
+    // multi-event sessions): support = distinct sessions containing the
+    // gram (the sequential-pattern support), occurrences raw.
+    "frequent_sequences" -> ((s, dir) =>
+      Events.frequentSequences(events(s, dir), "user_id", "ts",
+        "event_id", "event_type", k = 3, minSupport = 5,
+        gapMinutes = 2880)),
+
     // Hour-of-week seasonal anomalies with a PLANTED spike (2% of
     // events, user_id % 50 = 7, collapse onto one hour) — the flagged
     // set must contain exactly the cells whose count beats 2× the
@@ -931,6 +940,45 @@ object EventQueries {
         |       epoch_us(MAX(ts)) AS session_end,
         |       CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM numbered GROUP BY 1, 2
+        |""".stripMargin,
+
+    // Same session numbering as events_sessions at a 2-day gap, then
+    // per-session lead-grams; ROW() tuple-distinct = Spark's
+    // countDistinct(user, seq).
+    "frequent_sequences" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+        |                   > CAST(2880 AS BIGINT) * 60 * 1000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         SUM(new_session) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM flagged),
+        |g AS (
+        |  SELECT user_id, session_seq, event_type,
+        |         lead(event_type, 1) OVER w2 AS t1,
+        |         lead(event_type, 2) OVER w2 AS t2
+        |  FROM numbered
+        |  WINDOW w2 AS (PARTITION BY user_id, session_seq
+        |                ORDER BY ts, event_id)),
+        |f AS (
+        |  SELECT user_id, session_seq,
+        |         event_type || '>' || t1 || '>' || t2 AS gram
+        |  FROM g
+        |  WHERE event_type IS NOT NULL AND t1 IS NOT NULL
+        |    AND t2 IS NOT NULL)
+        |SELECT gram,
+        |       CAST(COUNT(DISTINCT ROW(user_id, session_seq)) AS BIGINT)
+        |         AS support,
+        |       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        |FROM f GROUP BY 1
+        |HAVING COUNT(DISTINCT ROW(user_id, session_seq)) >= 5
         |""".stripMargin,
 
     "seasonal_anomaly" ->

@@ -409,6 +409,34 @@ class EventsSpec extends AnyFunSuite {
         "peak_window"))
   }
 
+  test("frequentSequences: session-scoped grams, session-distinct support") {
+    // user 1 session A: a b a b a  → "a>b>a" ×2, "b>a>b" ×1
+    // user 1 session B (2h later): a b a → "a>b>a" ×1
+    // user 2 one session: a b a → "a>b>a" ×1
+    // cross-session grams (…a | a b…) must NOT appear.
+    val ev = Seq(
+      (1L, 1L, ts(0), "a"), (2L, 1L, ts(60), "b"), (3L, 1L, ts(120), "a"),
+      (4L, 1L, ts(180), "b"), (5L, 1L, ts(240), "a"),
+      (6L, 1L, ts(7500), "a"), (7L, 1L, ts(7560), "b"),
+      (8L, 1L, ts(7620), "a"),
+      (9L, 2L, ts(0), "a"), (10L, 2L, ts(60), "b"), (11L, 2L, ts(120), "a"))
+      .toDF("event_id", "user_id", "t", "et")
+    val out = Events.frequentSequences(ev, "user_id", "t", "event_id",
+        "et", k = 3, minSupport = 1, gapMinutes = 30)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out == Map(
+      "a>b>a" -> ((3L, 4L)),   // 3 sessions, 4 occurrences (2 in A)
+      "b>a>b" -> ((1L, 1L))))
+    // minSupport prunes by SESSIONS, not occurrences
+    val pruned = Events.frequentSequences(ev, "user_id", "t", "event_id",
+        "et", k = 3, minSupport = 2, gapMinutes = 30)
+      .collect().map(_.getString(0)).toSet
+    assert(pruned == Set("a>b>a"))
+    intercept[IllegalArgumentException](
+      Events.frequentSequences(ev, "user_id", "t", "event_id", "et", k = 1))
+  }
+
   test("seasonalAnomalies flags only cells beating the leave-one-out bar") {
     // slot S = hour 10 of epoch-week; weeks w, w+1, w+2 carry 2, 2, 9
     // events → only the 9 is > 2× its leave-one-out baseline (rest=4,
