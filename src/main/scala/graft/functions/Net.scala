@@ -173,6 +173,65 @@ object Net {
 
   /** ipv6_to_hex(col): 32-char lowercase hex key of an IPv6 string, null
     * if unparsable. */
+  /** Longest-prefix-match enrichment join — route-table lookup as a
+    * dataflow (geo/ASN/threat-list enrichment of IP-bearing telemetry;
+    * the reference's CIDR query answers "which rows fall in ONE
+    * prefix", this answers "which prefix owns EACH row").
+    *
+    * Algorithm: LPM-as-equi-join. The route table parses to
+    * `(len, base − base mod 2^(32−len))` — masking is flooring to the
+    * block size, pure integer arithmetic, no bitwise ops an engine
+    * could disagree on. The DISTINCT prefix lengths present (≤ 33 rows,
+    * the lone driver-side piece) become a literal array; each IP
+    * explodes to one masked candidate per length and equi-joins on
+    * (len, masked). Per IP the winner is `max_by(struct(len, cidr,
+    * attr))` — longest prefix, deterministic tie-break.
+    *
+    * Scale shape: candidate fan-out is |ips| × (distinct lengths in the
+    * table) — in real route tables ~20, never 2^32 expansion or a range
+    * join; the join is a plain shuffled/broadcast equi-join Catalyst
+    * can route either way (route tables are usually broadcast-sized).
+    * Output: one row per ip that matched any prefix:
+    * `(ipCol, cidr, prefix_len, attrCol)`. */
+  def lpmJoin(ips: org.apache.spark.sql.DataFrame, ipCol: String,
+      routes: org.apache.spark.sql.DataFrame, cidrCol: String,
+      attrCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val two32 = 4294967296L
+    def blockOf(len: Column): Column = GraftShims.column(
+      org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+        GraftShims.expression(lit(1L)),
+        GraftShims.expression((lit(32) - len).cast("int"))))
+    val parsed = routes.select(
+        col(cidrCol).as("cidr"), col(attrCol).as("_attr"),
+        split(col(cidrCol), "/").getItem(1).cast("int").as("prefix_len"),
+        ip_to_long(split(col(cidrCol), "/").getItem(0)).as("_base"))
+      .withColumn("_block", blockOf(col("prefix_len")))
+      .withColumn("_masked", col("_base") - pmod(col("_base"), col("_block")))
+      .select(col("cidr"), col("_attr"), col("prefix_len"), col("_masked"))
+    val lens = parsed.select(col("prefix_len")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    require(lens.nonEmpty, "lpmJoin: route table is empty")
+    require(lens.forall(l => l >= 0 && l <= 32),
+      s"lpmJoin: prefix lengths must be in [0, 32], got ${lens.toSeq}")
+    val lenBlocks = array(lens.map(l =>
+      struct(lit(l).as("prefix_len"),
+        lit(if (l == 0) two32 else 1L << (32 - l)).as("_block"))): _*)
+    val candidates = ips
+      .withColumn("_ipl", ip_to_long(col(ipCol)))
+      .withColumn("_lb", explode(lenBlocks))
+      .select(col("*"), col("_lb.prefix_len").as("prefix_len"),
+        (col("_ipl") - pmod(col("_ipl"), col("_lb._block"))).as("_masked"))
+      .drop("_lb")
+    candidates.join(parsed, Seq("prefix_len", "_masked"))
+      .groupBy(col(ipCol))
+      .agg(max_by(struct(col("prefix_len"), col("cidr"), col("_attr")),
+        struct(col("prefix_len"), col("cidr"), col("_attr"))).as("_w"))
+      .select(col(ipCol), col("_w.cidr").as("cidr"),
+        col("_w.prefix_len").cast("long").as("prefix_len"),
+        col("_w._attr").as(attrCol))
+  }
+
   def ipv6_to_hex(c: Column): Column =
     GraftShims.column(Ipv6ToHex(GraftShims.expression(c)))
 }

@@ -70,6 +70,29 @@ object BalboaQueries {
       agg.filter(Net.ipv6_to_hex(col("rdata")).between(lo, hi))
     }),
 
+    // Longest-prefix-match enrichment: every observed IP against a
+    // 3-level route table (/8 default, nation-derived /16s and /24s) —
+    // each IP labeled by the LONGEST matching prefix, LPM as a masked
+    // equi-join (one candidate per distinct prefix length, never a
+    // range join).
+    "lpm_join" -> ((s, dir) => {
+      import s.implicits._
+      val ips = Graft.ipObservations(s, dir).select(col("rdata").as("ip"))
+      val nat = Graft.table(s, dir, "nation")
+      val r8 = Seq(("10.0.0.0/8", "default")).toDF("cidr", "label")
+      val r16 = nat.select(
+        concat(lit("10."), (col("n_nationkey") * 7 % 256).cast("string"),
+          lit(".0.0/16")).as("cidr"),
+        col("n_name").as("label"))
+      val r24 = nat.select(
+        concat(lit("10."), (col("n_nationkey") * 7 % 256).cast("string"),
+          lit("."), (col("n_nationkey") * 13 % 256).cast("string"),
+          lit(".0/24")).as("cidr"),
+        concat(col("n_name"), lit(":24")).as("label"))
+      Net.lpmJoin(ips, "ip", r8.unionByName(r16).unionByName(r24),
+        "cidr", "label")
+    }),
+
     // Q5 — multi-backend fan-out: per-store query then bag union. The
     // second store overlaps the first (the full store ∪ a sensor-3 slice)
     // so the gate exercises the duplicates-KEPT semantics of
@@ -373,6 +396,65 @@ object BalboaQueries {
          |SELECT e_rrname, rdata, sensor_id, alias_rrname, alias_rrtype
          |FROM j WHERE rn <= 2
          |""".stripMargin,
+
+    // LPM by direct containment join + longest-wins row_number — the
+    // naive formulation the masked equi-join must reproduce. Masking is
+    // flooring to the block size (base - base % 2^(32-len)), the same
+    // arithmetic both engines run exactly.
+    "lpm_join" ->
+      """WITH ips AS (
+        |  SELECT DISTINCT
+        |    '10.' || CAST((l_orderkey // 65536) % 256 AS VARCHAR) ||
+        |    '.'   || CAST((l_orderkey // 256)   % 256 AS VARCHAR) ||
+        |    '.'   || CAST(l_orderkey % 256 AS VARCHAR) AS ip
+        |  FROM lineitem),
+        |routes AS (
+        |  SELECT '10.0.0.0/8' AS cidr, 'default' AS label
+        |  UNION ALL
+        |  SELECT '10.' || CAST((n_nationkey * 7) % 256 AS VARCHAR)
+        |           || '.0.0/16', n_name FROM nation
+        |  UNION ALL
+        |  SELECT '10.' || CAST((n_nationkey * 7) % 256 AS VARCHAR) || '.'
+        |           || CAST((n_nationkey * 13) % 256 AS VARCHAR)
+        |           || '.0/24', n_name || ':24' FROM nation),
+        |pr AS (
+        |  SELECT cidr, label,
+        |    CAST(split_part(cidr, '/', 2) AS BIGINT) AS len,
+        |    CAST(split_part(split_part(cidr,'/',1),'.',1) AS BIGINT)
+        |      * 16777216 +
+        |    CAST(split_part(split_part(cidr,'/',1),'.',2) AS BIGINT)
+        |      * 65536 +
+        |    CAST(split_part(split_part(cidr,'/',1),'.',3) AS BIGINT)
+        |      * 256 +
+        |    CAST(split_part(split_part(cidr,'/',1),'.',4) AS BIGINT)
+        |      AS base
+        |  FROM routes),
+        |prm AS (
+        |  SELECT cidr, label, len,
+        |    CASE WHEN len = 0 THEN CAST(4294967296 AS BIGINT)
+        |         ELSE CAST(1 AS BIGINT) << CAST(32 - len AS INT)
+        |    END AS block,
+        |    base - base % (CASE WHEN len = 0
+        |                        THEN CAST(4294967296 AS BIGINT)
+        |                        ELSE CAST(1 AS BIGINT)
+        |                             << CAST(32 - len AS INT) END)
+        |      AS masked
+        |  FROM pr),
+        |ipl AS (
+        |  SELECT ip,
+        |    CAST(split_part(ip,'.',1) AS BIGINT) * 16777216 +
+        |    CAST(split_part(ip,'.',2) AS BIGINT) * 65536 +
+        |    CAST(split_part(ip,'.',3) AS BIGINT) * 256 +
+        |    CAST(split_part(ip,'.',4) AS BIGINT) AS v
+        |  FROM ips),
+        |j AS (
+        |  SELECT i.ip, r.cidr, r.len, r.label,
+        |         row_number() OVER (PARTITION BY i.ip
+        |           ORDER BY r.len DESC, r.cidr DESC, r.label DESC) AS rn
+        |  FROM ipl i JOIN prm r ON i.v - i.v % r.block = r.masked)
+        |SELECT ip, cidr, CAST(len AS BIGINT) AS prefix_len, label
+        |FROM j WHERE rn = 1
+        |""".stripMargin,
 
     "cidr_range" ->
       """WITH obs AS (

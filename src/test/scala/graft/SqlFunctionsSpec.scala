@@ -100,4 +100,28 @@ class SqlFunctionsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(ord == ord.sorted)
   }
+
+  test("lpmJoin picks the longest matching prefix per IP") {
+    import graft.functions.Net
+    val ips = Seq("10.1.2.3", "10.1.9.9", "192.168.0.1", "8.8.8.8",
+      "10.1.2.3").toDF("ip")
+    val routes = Seq(
+      ("0.0.0.0/0", "any"),
+      ("10.0.0.0/8", "ten"),
+      ("10.1.0.0/16", "ten-one"),
+      ("10.1.2.0/24", "ten-one-two"),
+      ("10.1.2.3/32", "host"),
+      ("192.168.0.0/16", "rfc1918")).toDF("cidr", "label")
+    val out = Net.lpmJoin(ips, "ip", routes, "cidr", "label")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getString(3))).toMap
+    assert(out("10.1.2.3") == (("10.1.2.3/32", 32L, "host")))
+    assert(out("10.1.9.9") == (("10.1.0.0/16", 16L, "ten-one")))
+    assert(out("192.168.0.1") == (("192.168.0.0/16", 16L, "rfc1918")))
+    assert(out("8.8.8.8") == (("0.0.0.0/0", 0L, "any")))
+    // duplicate input rows collapse: one answer per distinct IP
+    assert(out.size == 4)
+    intercept[IllegalArgumentException](
+      Net.lpmJoin(ips, "ip", routes.limit(0), "cidr", "label"))
+  }
 }
