@@ -933,4 +933,56 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("rank_sum"),
         expr("rank_sum * 100 div n_tokens").as("mean_rank_x100"))
   }
+
+  /** χ² discriminative-term selection over a two-class corpus split —
+    * the feature-selection step in front of any quality/domain
+    * classifier (which terms separate positive from negative docs), and
+    * the standard 2×2 contingency test: per term with document
+    * frequency ≥ `minDf`,
+    * `χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))` where a/b = positive/
+    * negative docs CONTAINING the term and c/d the complements.
+    *
+    * Determinism: the score is `chi2_centi` — χ²·100 floor-divided in
+    * two exact steps (`(ad−bc)²·100 div (a+b)(c+d)`, then `·N div
+    * N₁N₀`), DECIMAL(38) intermediates, no float anywhere; both floors
+    * are mirrored by the oracle so every engine agrees bit-for-bit.
+    * The double floor under-reports χ² by < 1 centi-unit — irrelevant
+    * against the classic 384/663/1083-centi significance cutoffs. The
+    * first quotient must fit a long, which bounds the corpus at
+    * ~6×10⁸ docs per run — term selection beyond that shards the
+    * corpus and merges contingency counts FIRST (a/b are additive),
+    * then scores; the score step itself never needs the raw docs.
+    *
+    * Semantics: membership is per-document distinct (a term twice in
+    * one doc counts once); a NULL class is the negative class (CASE
+    * semantics); terms present in EVERY doc drop (undefined χ², zero
+    * information); an empty class yields an empty result. One
+    * doc-sized tokenize pass, one term-sized aggregate, class totals
+    * broadcast. */
+  def chi2Terms(docs: DataFrame, textCol: String, positiveCol: String,
+      minDf: Long = 2): DataFrame = {
+    require(minDf >= 1, s"minDf >= 1, got $minDf")
+    val base = docs.select(
+      when(col(positiveCol), 1L).otherwise(0L).as("_y"),
+      array_distinct(filter(split(lower(col(textCol)), " "),
+        t => length(t) > 0)).as("_ts"))
+    val totals = base.agg(sum(col("_y")).as("n_pos"),
+      (count(lit(1)) - sum(col("_y"))).as("n_neg"))
+    val tf = base.select(col("_y"), explode(col("_ts")).as("term"))
+      .groupBy(col("term"))
+      .agg(sum(col("_y")).as("a"), (count(lit(1)) - sum(col("_y"))).as("b"))
+      .filter(col("a") + col("b") >= minDf)
+    tf.crossJoin(broadcast(totals))
+      .filter(col("n_pos") > 0L && col("n_neg") > 0L &&
+        col("a") + col("b") < col("n_pos") + col("n_neg"))
+      .withColumn("c", col("n_pos") - col("a"))
+      .withColumn("d", col("n_neg") - col("b"))
+      .withColumn("_m", col("a") * col("d") - col("b") * col("c"))
+      .withColumn("_q", expr("(cast(_m as decimal(38,0)) * _m * 100)" +
+        " div (cast(a + b as decimal(38,0)) * (c + d))"))
+      .select(col("term"), col("a"), col("b"), col("c"), col("d"),
+        expr("cast((cast(_q as decimal(38,0)) * (n_pos + n_neg))" +
+          " div (cast(n_pos as decimal(38,0)) * n_neg) as bigint)")
+          .as("chi2_centi"))
+  }
 }

@@ -1149,6 +1149,15 @@ object PipelineQueries {
         graft.functions.Url.surt(col("url")).as("surt"))
     }),
 
+    // χ² discriminative terms for the en-vs-rest split: which tokens
+    // separate English docs from the rest, scored by the 2×2
+    // contingency χ² in centi-units (two exact decimal floors, no
+    // floats — the oracle mirrors both).
+    "chi2_terms" -> ((s, dir) =>
+      TextAnalysis.chi2Terms(
+        docs(s, dir).withColumn("is_en", col("lang") === "en"),
+        "text", "is_en", minDf = 5)),
+
     // Sorted-neighborhood blocking (merge/purge): document pairs within
     // 5 ranks of each other in 40-char-prefix order, verified at
     // levenshtein ≤ 10 — the record-level ER candidate generator next
@@ -3216,6 +3225,41 @@ object PipelineQueries {
         |            ELSE regexp_extract(dhost, '([^.]+\.[^.]+)$', 1)
         |       END AS domain
         |FROM s6
+        |""".stripMargin,
+
+    // Same two-step floor in HUGEINT; DISTINCT (doc, term) membership.
+    "chi2_terms" ->
+      """WITH base AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |         unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |dt AS (SELECT DISTINCT doc_id, y, term FROM base
+        |       WHERE len(term) > 0),
+        |tot AS (SELECT
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pos,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_neg
+        |  FROM documents),
+        |tf AS (SELECT term, CAST(SUM(y) AS BIGINT) AS a,
+        |              CAST(COUNT(*) - SUM(y) AS BIGINT) AS b
+        |       FROM dt GROUP BY 1 HAVING COUNT(*) >= 5),
+        |x AS (
+        |  SELECT term, a, b, n_pos - a AS c, n_neg - b AS d,
+        |         n_pos, n_neg,
+        |         a * (n_neg - b) - b * (n_pos - a) AS m
+        |  FROM tf CROSS JOIN tot
+        |  WHERE n_pos > 0 AND n_neg > 0
+        |    AND a + b < n_pos + n_neg),
+        |q AS (
+        |  SELECT *, (CAST(m AS HUGEINT) * m * 100)
+        |              // (CAST(a + b AS HUGEINT) * (c + d)) AS qq
+        |  FROM x)
+        |SELECT term, a, b, CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+        |       CAST((CAST(qq AS HUGEINT) * (n_pos + n_neg))
+        |              // (CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+        |         AS chi2_centi
+        |FROM q
         |""".stripMargin,
 
     // The textbook windowed formulation over a global row_number — the

@@ -871,6 +871,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("chi2Terms: hand-checked 2x2 chi-square, floors and drops") {
+    val df = Seq(
+      ("x a common", Some(true)), ("x b common", Some(true)),
+      ("x c common", Some(true)), ("x d common", Some(true)),
+      ("y a common", Some(false)), ("y b common", Some(false)),
+      ("y c common", Some(false)), ("y d common", None))
+      .toDF("text", "pos")
+    val out = TextAnalysis.chi2Terms(df, "text", "pos", minDf = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // "x": a=4 b=0 c=0 d=4 → χ²=8 → 800 centi (null class = negative)
+    assert(out("x") == ((4L, 0L, 0L, 4L, 800L)))
+    assert(out("y") == ((0L, 4L, 4L, 0L, 800L)))
+    // "common" is in every doc → dropped (χ² undefined);
+    // "a".."d" have df 2 each, χ²=0
+    assert(!out.contains("common"))
+    assert(out("a") == ((1L, 1L, 3L, 3L, 0L)))
+    // duplicate terms in one doc count once: df("x a x") has a once
+    val dup = Seq(("x x x", Some(true)), ("q", Some(false)))
+      .toDF("text", "pos")
+    val d2 = TextAnalysis.chi2Terms(dup, "text", "pos", minDf = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d2("x") == 1L)
+    intercept[IllegalArgumentException](
+      TextAnalysis.chi2Terms(df, "text", "pos", minDf = 0))
+  }
+
   test("sortedNeighborhood matches the naive windowed formulation") {
     val recs = Seq(
       (1L, "alpha"), (2L, "alphb"), (3L, "alpzz"), (4L, "beta"),
