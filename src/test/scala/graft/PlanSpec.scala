@@ -1312,6 +1312,42 @@ class PlanSpec extends AnyFunSuite {
       l.replaceAll("^[\\s+:*-]*", "").startsWith("Exchange "))
   }
 
+  test("round-15 join-shaped ops: equi-joins only, no products") {
+    import graft.operators.{Dedup, Events, Graphs}
+    // commonNeighbors: pair join co-locates on the middle key
+    val edges = (1L to 30L).map(i => (i % 7, s"m${i % 11}"))
+      .toDF("src", "mid")
+    val cn = explainOf(Graphs.commonNeighbors(edges, "src", "mid"))
+    assert(!cn.contains("CartesianProduct") &&
+      !cn.contains("BroadcastNestedLoopJoin"), cn)
+    // sortedNeighborhood: banded rank join, offsets broadcast
+    val recs = (1L to 40L).map(i => (i, s"k$i")).toDF("id", "nm")
+    val sn = explainOf(Dedup.sortedNeighborhood(recs, "id", "nm", "nm",
+      window = 4, maxEdits = 3))
+    assert(!sn.contains("CartesianProduct") &&
+      !sn.contains("BroadcastNestedLoopJoin"), sn)
+    // lpmJoin: masked equi-join (the length expansion is an explode,
+    // not a join)
+    val ips = Seq("10.1.2.3", "10.9.9.9").toDF("ip")
+    val routes = Seq(("10.0.0.0/8", "ten"), ("10.1.0.0/16", "s"))
+      .toDF("cidr", "label")
+    val lpm = explainOf(
+      graft.functions.Net.lpmJoin(ips, "ip", routes, "cidr", "label"))
+    assert(!lpm.contains("CartesianProduct") &&
+      !lpm.contains("BroadcastNestedLoopJoin"), lpm)
+    // sessionizeDelta: pass-through anti-join and seed join are
+    // equi-joins; the store side is never range- or nested-loop-joined
+    val oldS = Events.sessionize(
+      Seq((1L, 1L, Timestamp.valueOf("2024-01-01 00:00:00")))
+        .toDF("event_id", "user_id", "t"), "user_id", "t", "event_id")
+    val batch = Seq((2L, 1L, Timestamp.valueOf("2024-01-02 00:00:00")))
+      .toDF("event_id", "user_id", "t")
+    val sd = explainOf(
+      Events.sessionizeDelta(oldS, batch, "user_id", "t", "event_id"))
+    assert(!sd.contains("CartesianProduct") &&
+      !sd.contains("BroadcastNestedLoopJoin"), sd)
+  }
+
   test("cusumPeaks: hour span broadcasts, fold is per-key aggregation") {
     val ev = Seq((Timestamp.valueOf("2024-01-01 00:00:00"), "x"))
       .toDF("ts", "event_type")
