@@ -2380,4 +2380,51 @@ object Curation {
       .groupBy(col("v"))
       .agg((min(col("hit")) === 1).cast("long").as("maybe_member"))
   }
+
+  /** Inter-rater agreement (Cohen's κ) between two label columns — the
+    * eval primitive for weak supervision and classifier QA: how much
+    * better than chance do two labelers (model vs truth, model vs
+    * model, annotator vs annotator) agree. Accuracy alone rewards
+    * majority-class parroting; κ subtracts the chance-agreement floor.
+    *
+    * `κ = (p_o − p_e)/(1 − p_e)` with `p_o` the observed agreement and
+    * `p_e = Σ_c m₁(c)·m₂(c)/N²` the marginal-product chance rate —
+    * computed entirely in exact integers:
+    * `kappa_permille = 1000·(A·N − P) div (N² − P)` with
+    * `P = Σ_c m₁(c)·m₂(c)`. κ can be negative, so the division is the
+    * TRUNCATING `div` (both engines truncate toward zero — the one
+    * integer-division semantics they share on negatives; the pmod-floor
+    * idiom used elsewhere is positive-only). Rows with a null on either
+    * side are excluded from N; if p_e = 1 (both raters constant and
+    * equal) κ is undefined → NULL.
+    *
+    * Scale shape: ONE data-sized shuffle (the (a, b) cell count);
+    * marginals, agreement, and totals all derive from the cell matrix
+    * (|classes|² rows). Output: one row
+    * `(n, n_agree, po_permille, pe_permille, kappa_permille)`. */
+  def raterAgreement(labels: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val cells = labels
+      .select(col(aCol).as("_a"), col(bCol).as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull)
+      .groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(false) // feeds totals and both marginals
+    val m1 = cells.groupBy(col("_a")).agg(sum(col("n")).as("n1"))
+    val m2 = cells.groupBy(col("_b")).agg(sum(col("n")).as("n2"))
+    val pe = m1.join(m2, col("_a") === col("_b"))
+      .agg(coalesce(sum(col("n1") * col("n2")), lit(0L)).as("p"))
+    val tot = cells.agg(
+      coalesce(sum(col("n")), lit(0L)).as("n"),
+      coalesce(sum(when(col("_a") === col("_b"), col("n"))
+        .otherwise(0L)), lit(0L)).as("n_agree"))
+    tot.crossJoin(pe)
+      .select(col("n"), col("n_agree"),
+        when(col("n") > 0L, expr("n_agree * 1000 div n"))
+          .as("po_permille"),
+        when(col("n") > 0L, expr("p * 1000 div (n * n)"))
+          .as("pe_permille"),
+        when(col("n") > 0L && expr("n * n") =!= col("p"),
+          expr("(n_agree * n - p) * 1000 div (n * n - p)"))
+          .as("kappa_permille"))
+  }
 }

@@ -1149,6 +1149,17 @@ object PipelineQueries {
         graft.functions.Url.surt(col("url")).as("surt"))
     }),
 
+    // Cohen's κ between the stored lang label and the marker-based
+    // language ID — the eval primitive for classifier QA, exact-integer
+    // permille (κ subtracts the chance-agreement floor that raw
+    // accuracy ignores).
+    "rater_agreement" -> ((s, dir) => {
+      import graft.operators.Curation
+      val pred = docs(s, dir).select(col("lang"),
+        TextAnalysis.detectedLang(col("text")).as("detected"))
+      Curation.raterAgreement(pred, "lang", "detected")
+    }),
+
     // χ² discriminative terms for the en-vs-rest split: which tokens
     // separate English docs from the rest, scored by the 2×2
     // contingency χ² in centi-units (two exact decimal floors, no
@@ -3225,6 +3236,77 @@ object PipelineQueries {
         |            ELSE regexp_extract(dhost, '([^.]+\.[^.]+)$', 1)
         |       END AS domain
         |FROM s6
+        |""".stripMargin,
+
+    // The lang_id detected CASE feeding the integer κ formula; `//`
+    // truncates toward zero exactly like Spark's div on the possibly
+    // negative numerator.
+    "rater_agreement" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('der', 'die', 'das', 'und', 'nicht'))) AS BIGINT)
+        |      AS score_de,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the', 'a', 'of', 'and', 'not'))) AS BIGINT)
+        |      AS score_en,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('el', 'la', 'de', 'y', 'no'))) AS BIGINT)
+        |      AS score_es,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('le', 'la', 'de', 'et', 'ne'))) AS BIGINT)
+        |      AS score_fr,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('de5', 'shi4', 'bu4', 'le5', 'he2'))) AS BIGINT)
+        |      AS score_zh
+        |  FROM documents),
+        |det AS (
+        |  SELECT lang,
+        |    CASE
+        |      WHEN score_de = greatest(score_de, score_en, score_es,
+        |             score_fr, score_zh)
+        |           AND greatest(score_de, score_en, score_es, score_fr,
+        |             score_zh) > 0 THEN 'de'
+        |      WHEN score_en = greatest(score_de, score_en, score_es,
+        |             score_fr, score_zh)
+        |           AND greatest(score_de, score_en, score_es, score_fr,
+        |             score_zh) > 0 THEN 'en'
+        |      WHEN score_es = greatest(score_de, score_en, score_es,
+        |             score_fr, score_zh)
+        |           AND greatest(score_de, score_en, score_es, score_fr,
+        |             score_zh) > 0 THEN 'es'
+        |      WHEN score_fr = greatest(score_de, score_en, score_es,
+        |             score_fr, score_zh)
+        |           AND greatest(score_de, score_en, score_es, score_fr,
+        |             score_zh) > 0 THEN 'fr'
+        |      WHEN score_zh = greatest(score_de, score_en, score_es,
+        |             score_fr, score_zh)
+        |           AND greatest(score_de, score_en, score_es, score_fr,
+        |             score_zh) > 0 THEN 'zh'
+        |      ELSE 'und' END AS detected
+        |  FROM scored),
+        |cells AS (
+        |  SELECT lang AS a, detected AS b, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM det WHERE lang IS NOT NULL AND detected IS NOT NULL
+        |  GROUP BY 1, 2),
+        |m1 AS (SELECT a, SUM(n) AS n1 FROM cells GROUP BY 1),
+        |m2 AS (SELECT b, SUM(n) AS n2 FROM cells GROUP BY 1),
+        |p AS (SELECT COALESCE(SUM(n1 * n2), 0) AS pp
+        |      FROM m1 JOIN m2 ON a = b),
+        |t AS (SELECT COALESCE(SUM(n), 0) AS nt,
+        |             COALESCE(SUM(CASE WHEN a = b THEN n ELSE 0 END), 0)
+        |               AS na
+        |      FROM cells)
+        |SELECT CAST(nt AS BIGINT) AS n, CAST(na AS BIGINT) AS n_agree,
+        |  CASE WHEN nt > 0 THEN CAST(na * 1000 // nt AS BIGINT) END
+        |    AS po_permille,
+        |  CASE WHEN nt > 0 THEN CAST(pp * 1000 // (nt * nt) AS BIGINT) END
+        |    AS pe_permille,
+        |  CASE WHEN nt > 0 AND nt * nt <> pp
+        |       THEN CAST((na * nt - pp) * 1000 // (nt * nt - pp)
+        |                 AS BIGINT) END
+        |    AS kappa_permille
+        |FROM t CROSS JOIN p
         |""".stripMargin,
 
     // Same two-step floor in HUGEINT; DISTINCT (doc, term) membership.

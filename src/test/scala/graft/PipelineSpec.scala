@@ -871,6 +871,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("raterAgreement: hand-checked kappa incl. negative and undefined") {
+    import graft.operators.Curation
+    def kappa(pairs: Seq[(String, String)]) = {
+      val r = Curation.raterAgreement(pairs.toDF("r1", "r2"), "r1", "r2")
+        .collect().head
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))
+    }
+    // N=6, A=4, P=20 → κ = 4000 div 16 = 250‰
+    assert(kappa(Seq(("a", "a"), ("a", "a"), ("a", "a"), ("b", "b"),
+      ("a", "b"), ("b", "a"))) == ((6L, 4L, Some(250L))))
+    // worse than chance → NEGATIVE, trunc-toward-zero on both engines
+    assert(kappa(Seq(("a", "b"), ("b", "a"), ("a", "a"))) ==
+      ((3L, 1L, Some(-500L))))
+    // both raters constant and equal: p_e = 1 → κ undefined (null)
+    assert(kappa(Seq(("x", "x"), ("x", "x"))) == ((2L, 2L, None)))
+    // null labels drop from N
+    assert(kappa(Seq(("a", "a"), (null, "a"), ("b", null),
+      ("b", "b")))._1 == 2L)
+  }
+
   test("chi2Terms: hand-checked 2x2 chi-square, floors and drops") {
     val df = Seq(
       ("x a common", Some(true)), ("x b common", Some(true)),
