@@ -2381,6 +2381,32 @@ object Curation {
       .agg((min(col("hit")) === 1).cast("long").as("maybe_member"))
   }
 
+  /** Gini–Simpson diversity of a categorical column per group — the
+    * mix-health metric next to [[P21 domain_mix]]'s raw proportions:
+    * `1 − Σ_c p_c²` is the probability two random docs of the group
+    * differ in category (0 = monoculture, →1 = evenly spread), the
+    * standard diversity index that needs NO logarithm — which is what
+    * makes it exactly computable in integers where Shannon entropy is
+    * not: `simpson_permille = 1000 − (Σ n_c²·1000 div N²)`, DECIMAL
+    * intermediates so no count bound matters.
+    *
+    * Scale shape: one map-side-combined (group, category) cell count —
+    * the only data-sized pass — then a cell-sized aggregate. Output per
+    * group: `(n_docs, n_categories, simpson_permille)`. */
+  def giniDiversity(df: DataFrame, groupCol: String,
+      catCol: String): DataFrame =
+    df.select(col(groupCol).as("_g"), col(catCol).as("_c"))
+      .filter(col("_c").isNotNull)
+      .groupBy(col("_g"), col("_c")).agg(count(lit(1)).as("n"))
+      .groupBy(col("_g"))
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_categories"),
+        sum(expr("cast(n as decimal(38,0)) * n")).as("_ssq"))
+      .select(col("_g").as(groupCol), col("n_docs"), col("n_categories"),
+        (lit(1000L) - expr("cast((cast(_ssq as decimal(38,0)) * 1000)" +
+          " div (cast(n_docs as decimal(38,0)) * n_docs) as bigint)"))
+          .as("simpson_permille"))
+
   /** Inter-rater agreement (Cohen's κ) between two label columns — the
     * eval primitive for weak supervision and classifier QA: how much
     * better than chance do two labelers (model vs truth, model vs

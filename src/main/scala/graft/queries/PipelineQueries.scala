@@ -1149,6 +1149,14 @@ object PipelineQueries {
         graft.functions.Url.surt(col("url")).as("surt"))
     }),
 
+    // Gini–Simpson source diversity per language: the probability two
+    // random docs of a language come from different sources, exact
+    // permille (the log-free diversity index — Shannon would need
+    // floats).
+    "diversity_gini" -> ((s, dir) =>
+      graft.operators.Curation.giniDiversity(
+        docs(s, dir), "lang", "source")),
+
     // Cohen's κ between the stored lang label and the marker-based
     // language ID — the eval primitive for classifier QA, exact-integer
     // permille (κ subtracts the chance-agreement floor that raw
@@ -3236,6 +3244,18 @@ object PipelineQueries {
         |            ELSE regexp_extract(dhost, '([^.]+\.[^.]+)$', 1)
         |       END AS domain
         |FROM s6
+        |""".stripMargin,
+
+    "diversity_gini" ->
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1, 2)
+        |SELECT lang, CAST(SUM(n) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(*) AS BIGINT) AS n_categories,
+        |       CAST(1000 - (SUM(CAST(n AS HUGEINT) * n) * 1000)
+        |              // (CAST(SUM(n) AS HUGEINT) * SUM(n)) AS BIGINT)
+        |         AS simpson_permille
+        |FROM cells GROUP BY 1
         |""".stripMargin,
 
     // The lang_id detected CASE feeding the integer κ formula; `//`

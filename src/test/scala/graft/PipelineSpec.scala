@@ -871,6 +871,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("giniDiversity: monoculture 0, even split, null categories drop") {
+    import graft.operators.Curation
+    val df = Seq(
+      ("g1", "a"), ("g1", "a"), ("g1", "a"),            // monoculture
+      ("g2", "a"), ("g2", "b"),                         // even 2-way
+      ("g3", "a"), ("g3", "b"), ("g3", "b"), ("g3", null)) // null drops
+      .toDF("g", "c")
+    val out = Curation.giniDiversity(df, "g", "c")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("g1") == ((3L, 1L, 0L)))
+    // 1 - (1+1)/4 = 1/2 → 500‰
+    assert(out("g2") == ((2L, 2L, 500L)))
+    // n=3 (null dropped): 1 - (1+4)/9 = 4/9 → 1000 - 5000 div 9 = 445
+    assert(out("g3") == ((3L, 2L, 445L)))
+  }
+
   test("raterAgreement: hand-checked kappa incl. negative and undefined") {
     import graft.operators.Curation
     def kappa(pairs: Seq[(String, String)]) = {
