@@ -53,4 +53,41 @@ object Layout {
       .sortWithinPartitions(col("zkey"))
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** Compaction bin planner: assign a file inventory to output bins of
+    * ~`targetBytes` each by cumulative size over the (size desc, id)
+    * order — the planning step in front of any small-file compaction
+    * (the operational problem every long-lived partitioned store
+    * grows): `bin = exclusive-prefix-sum div target`. Size-descending
+    * order is the decreasing heuristic — large files land first and
+    * alone, the small-file tail fills bins evenly; every bin's payload
+    * is within one file of `targetBytes` (a file straddling a boundary
+    * joins the earlier bin — planner semantics, documented).
+    *
+    * Scale shape: the global prefix sum is NOT a single-partition
+    * window — one range shuffle on the order key, per-partition running
+    * sums, and broadcast per-partition byte offsets (partition-count
+    * driver rows), the same distributed-rank idiom as
+    * `Dedup.sortedNeighborhood`. Output: `(idCol, size_bytes, bin)`. */
+  def packFiles(files: DataFrame, idCol: String, sizeCol: String,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1, s"targetBytes >= 1, got $targetBytes")
+    val w = org.apache.spark.sql.expressions.Window
+    val local = files
+      .select(col(idCol).as("_id"), col(sizeCol).cast("long").as("size_bytes"))
+      .repartitionByRange(col("size_bytes").desc, col("_id"))
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_run", coalesce(sum(col("size_bytes")).over(
+        w.partitionBy(col("_pid"))
+          .orderBy(col("size_bytes").desc, col("_id"))
+          .rowsBetween(Long.MinValue, -1)), lit(0L)))
+    val offsets = local.groupBy(col("_pid"))
+      .agg(sum(col("size_bytes")).as("_n"))
+      .withColumn("_off", coalesce(sum(col("_n")).over(
+        w.orderBy(col("_pid")).rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("_pid"), col("_off"))
+    local.join(broadcast(offsets), Seq("_pid"))
+      .select(col("_id").as(idCol), col("size_bytes"),
+        expr(s"(_run + _off) div $targetBytes").as("bin"))
+  }
 }

@@ -1021,6 +1021,14 @@ object PipelineQueries {
 
     // Morton (Z-order) clustering key over (user, time) — the bit
     // chain the layout writer sorts by, checked bit-for-bit.
+    // Compaction bin planning over a part-derived file inventory:
+    // cumulative-size packing in (size desc, id) order to 100 KB bins.
+    "pack_files" -> ((s, dir) =>
+      graft.operators.Layout.packFiles(
+        Graft.table(s, dir, "part").select(col("p_partkey"),
+          (col("p_size").cast("long") * 1000L).as("sz")),
+        "p_partkey", "sz", targetBytes = 100000L)),
+
     "zorder_key" -> ((s, dir) =>
       Graft.table(s, dir, "events").select(col("event_id"),
         graft.functions.ZOrder.interleave(col("user_id"),
@@ -3244,6 +3252,24 @@ object PipelineQueries {
         |            ELSE regexp_extract(dhost, '([^.]+\.[^.]+)$', 1)
         |       END AS domain
         |FROM s6
+        |""".stripMargin,
+
+    // Same exclusive prefix sum over the same total order; the Spark
+    // side's partition-offset machinery must reproduce the
+    // single-window formulation exactly.
+    "pack_files" ->
+      """WITH f AS (
+        |  SELECT p_partkey, CAST(p_size AS BIGINT) * 1000 AS size_bytes
+        |  FROM part),
+        |r AS (
+        |  SELECT *, COALESCE(SUM(size_bytes) OVER (
+        |    ORDER BY size_bytes DESC, p_partkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS excl
+        |  FROM f)
+        |SELECT p_partkey, size_bytes,
+        |       CAST(excl // 100000 AS BIGINT) AS bin
+        |FROM r
         |""".stripMargin,
 
     "diversity_gini" ->

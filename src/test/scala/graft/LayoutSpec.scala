@@ -86,4 +86,19 @@ class LayoutSpec extends AnyFunSuite {
       if (t == null) "" else t.toString + chain(t.getCause)
     assert(chain(e).contains("zorderWrite"), chain(e))
   }
+
+  test("packFiles: cumulative bins in size-desc order, offsets exact") {
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    // sizes 90, 60, 40, 30, 30, 10 → excl sums 0, 90, 150, 190, 220,
+    // 250; target 100 → bins 0, 0, 1, 1, 2, 2 (ties break on id)
+    val files = Seq((1L, 90L), (2L, 60L), (3L, 40L), (4L, 30L),
+      (5L, 30L), (6L, 10L)).toDF("fid", "sz")
+    val out = Layout.packFiles(files, "fid", "sz", targetBytes = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L,
+      5L -> 2L, 6L -> 2L))
+    intercept[IllegalArgumentException](
+      Layout.packFiles(files, "fid", "sz", targetBytes = 0L))
+  }
 }
