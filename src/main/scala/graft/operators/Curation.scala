@@ -2381,6 +2381,47 @@ object Curation {
       .agg((min(col("hit")) === 1).cast("long").as("maybe_member"))
   }
 
+  /** Spearman rank correlation between two score columns — the "do my
+    * two quality signals agree" eval (compression ratio vs classifier
+    * score, BM25 vs embedding relevance, any proxy vs truth): monotone
+    * association without the distributional assumptions Pearson needs,
+    * and — because it is all ranks — exactly computable in integers:
+    * `rho_permille = 1000 − 6·Σd²·1000 div n(n²−1)` with d the rank
+    * difference per row. Ranks are row_number over the TOTAL order
+    * (score, id) — ties break by id rather than fractional average
+    * ranks (the standard tie-corrected variant needs fractions;
+    * documented deviation, negligible when ties are rare, deterministic
+    * always). Both ranks come from [[DistributedOrder.withGlobalRank]]
+    * (never a single-partition window); the join is id-keyed. Rows
+    * where either score is null are excluded BEFORE ranking. Output:
+    * one row `(n, sum_d2, rho_permille)`; n < 2 → null rho. `sum_d2`
+    * is emitted as BIGINT (exact for n ≤ ~2×10⁶; the permille uses
+    * DECIMAL throughout and has no such bound). */
+  def rankCorrelation(df: DataFrame, idCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("_id"), col(xCol).as("_x"),
+        col(yCol).as("_y"))
+      .filter(col("_x").isNotNull && col("_y").isNotNull)
+      .localCheckpoint(false) // feeds both rank passes
+    val rx = DistributedOrder.withGlobalRank(
+      base.select(col("_id"), col("_x")), "_rx", col("_x"), col("_id"))
+      .select(col("_id"), col("_rx"))
+    val ry = DistributedOrder.withGlobalRank(
+      base.select(col("_id"), col("_y")), "_ry", col("_y"), col("_id"))
+      .select(col("_id"), col("_ry"))
+    rx.join(ry, Seq("_id"))
+      .select(((col("_rx") - col("_ry")) * (col("_rx") - col("_ry")))
+        .as("_d2"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(expr("cast(_d2 as decimal(38,0))")), lit(0L))
+          .as("_sd2"))
+      .select(col("n"), col("_sd2").cast("long").as("sum_d2"),
+        when(col("n") >= 2L,
+          lit(1000L) - expr("cast((cast(_sd2 as decimal(38,0)) * 6000)" +
+            " div (cast(n as decimal(38,0)) * n * n - n) as bigint)"))
+          .as("rho_permille"))
+  }
+
   /** Gini–Simpson diversity of a categorical column per group — the
     * mix-health metric next to [[P21 domain_mix]]'s raw proportions:
     * `1 − Σ_c p_c²` is the probability two random docs of the group

@@ -1078,22 +1078,11 @@ object Dedup {
       maxEdits: Int): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")
     require(maxEdits >= 0, s"maxEdits must be >= 0, got $maxEdits")
-    val w = org.apache.spark.sql.expressions.Window
     val base = records.select(col(idCol).as("_id"), col(keyCol).as("_k"),
       col(compareCol).as("_c"))
-    val local = base.repartitionByRange(col("_k"), col("_id"))
-      .withColumn("_pid", spark_partition_id())
-      .withColumn("_lr", row_number().over(
-        w.partitionBy(col("_pid")).orderBy(col("_k"), col("_id"))))
-    // per-partition row counts → exclusive prefix sums; partition-count
-    // rows, the lone driver-sized piece
-    val offsets = local.groupBy(col("_pid"))
-      .agg(count(lit(1)).as("_n"))
-      .withColumn("_off", coalesce(sum(col("_n")).over(
-        w.orderBy(col("_pid")).rowsBetween(Long.MinValue, -1)), lit(0L)))
-      .select(col("_pid"), col("_off"))
-    val ranked = local.join(broadcast(offsets), Seq("_pid"))
-      .select(col("_id"), col("_c"), (col("_lr") + col("_off")).as("_r"))
+    val ranked = DistributedOrder.withGlobalRank(base, "_r",
+        col("_k"), col("_id"))
+      .select(col("_id"), col("_c"), col("_r"))
       .localCheckpoint(false) // feeds both sides of the band join
     val lhs = ranked.withColumn("_band", explode(array(
       expr(s"_r div $window"), expr(s"_r div $window + 1"))))

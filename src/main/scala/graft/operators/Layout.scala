@@ -72,22 +72,11 @@ object Layout {
   def packFiles(files: DataFrame, idCol: String, sizeCol: String,
       targetBytes: Long): DataFrame = {
     require(targetBytes >= 1, s"targetBytes >= 1, got $targetBytes")
-    val w = org.apache.spark.sql.expressions.Window
-    val local = files
-      .select(col(idCol).as("_id"), col(sizeCol).cast("long").as("size_bytes"))
-      .repartitionByRange(col("size_bytes").desc, col("_id"))
-      .withColumn("_pid", spark_partition_id())
-      .withColumn("_run", coalesce(sum(col("size_bytes")).over(
-        w.partitionBy(col("_pid"))
-          .orderBy(col("size_bytes").desc, col("_id"))
-          .rowsBetween(Long.MinValue, -1)), lit(0L)))
-    val offsets = local.groupBy(col("_pid"))
-      .agg(sum(col("size_bytes")).as("_n"))
-      .withColumn("_off", coalesce(sum(col("_n")).over(
-        w.orderBy(col("_pid")).rowsBetween(Long.MinValue, -1)), lit(0L)))
-      .select(col("_pid"), col("_off"))
-    local.join(broadcast(offsets), Seq("_pid"))
+    val base = files.select(col(idCol).as("_id"),
+      col(sizeCol).cast("long").as("size_bytes"))
+    graft.operators.DistributedOrder.withGlobalExclusiveSum(base, "_excl",
+        col("size_bytes"), col("size_bytes").desc, col("_id"))
       .select(col("_id").as(idCol), col("size_bytes"),
-        expr(s"(_run + _off) div $targetBytes").as("bin"))
+        expr(s"_excl div $targetBytes").as("bin"))
   }
 }

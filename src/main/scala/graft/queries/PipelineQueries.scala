@@ -1157,6 +1157,14 @@ object PipelineQueries {
         graft.functions.Url.surt(col("url")).as("surt"))
     }),
 
+    // Spearman rank correlation between part price and part size —
+    // exact integer permille over row_number ranks (ties break by key),
+    // both ranks via the distributed-rank engine.
+    "rank_correlation" -> ((s, dir) =>
+      graft.operators.Curation.rankCorrelation(
+        Graft.table(s, dir, "part"), "p_partkey", "p_retailprice",
+        "p_size")),
+
     // Gini–Simpson source diversity per language: the probability two
     // random docs of a language come from different sources, exact
     // permille (the log-free diversity index — Shannon would need
@@ -3270,6 +3278,28 @@ object PipelineQueries {
         |SELECT p_partkey, size_bytes,
         |       CAST(excl // 100000 AS BIGINT) AS bin
         |FROM r
+        |""".stripMargin,
+
+    "rank_correlation" ->
+      """WITH rx AS (
+        |  SELECT p_partkey AS id,
+        |         CAST(row_number() OVER (ORDER BY p_retailprice,
+        |           p_partkey) AS BIGINT) AS rx
+        |  FROM part),
+        |ry AS (
+        |  SELECT p_partkey AS id,
+        |         CAST(row_number() OVER (ORDER BY p_size, p_partkey)
+        |           AS BIGINT) AS ry
+        |  FROM part),
+        |j AS (SELECT (rx - ry) * (rx - ry) AS d2
+        |      FROM rx JOIN ry USING (id))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(COALESCE(SUM(d2), 0) AS BIGINT) AS sum_d2,
+        |       CASE WHEN COUNT(*) >= 2 THEN
+        |         CAST(1000 - (CAST(SUM(d2) AS HUGEINT) * 6000)
+        |           // (CAST(COUNT(*) AS HUGEINT) * COUNT(*) * COUNT(*)
+        |              - COUNT(*)) AS BIGINT) END AS rho_permille
+        |FROM j
         |""".stripMargin,
 
     "diversity_gini" ->

@@ -871,6 +871,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("rankCorrelation: perfect, inverted, and null-row handling") {
+    import graft.operators.Curation
+    def rho(rows: Seq[(Long, java.lang.Double, java.lang.Double)]) = {
+      val r = Curation.rankCorrelation(rows.toDF("id", "x", "y"),
+        "id", "x", "y").collect().head
+      (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    }
+    val d = (v: Double) => java.lang.Double.valueOf(v)
+    // monotone together → ρ = 1000
+    assert(rho(Seq((1L, d(1), d(10)), (2L, d(2), d(20)),
+      (3L, d(3), d(30)), (4L, d(4), d(40)))) == ((4L, Some(1000L))))
+    // perfectly inverted → ρ = −1000 (Σd² = 20, 6·20·1000 div 60 = 2000)
+    assert(rho(Seq((1L, d(1), d(40)), (2L, d(2), d(30)),
+      (3L, d(3), d(20)), (4L, d(4), d(10)))) == ((4L, Some(-1000L))))
+    // null on either side drops the ROW before ranking
+    assert(rho(Seq((1L, d(1), d(1)), (2L, null, d(2)),
+      (3L, d(3), null), (4L, d(4), d(4)))) == ((2L, Some(1000L))))
+    // a single surviving row has no defined ρ
+    assert(rho(Seq((1L, d(1), d(1)))) == ((1L, None)))
+  }
+
   test("giniDiversity: monoculture 0, even split, null categories drop") {
     import graft.operators.Curation
     val df = Seq(
