@@ -2381,6 +2381,41 @@ object Curation {
       .agg((min(col("hit")) === 1).cast("long").as("maybe_member"))
   }
 
+  /** Functional-dependency discovery over a column set — the schema
+    * profiler's structural half (P188's `profile_table` measures value
+    * shapes; this finds the A→B determinations that reveal hidden keys,
+    * denormalized copies, and safe-to-normalize columns before a
+    * 100 TB table is laid out): for every ordered pair (lhs, rhs),
+    * lhs → rhs holds iff no lhs value maps to more than one distinct
+    * non-null rhs value.
+    *
+    * Scale shape: ONE shuffle per lhs column (not per pair) — a single
+    * groupBy(lhs) computes countDistinct for every rhs at once, then
+    * the per-pair verdicts fold map-side from key-sized rows.
+    * Null lhs rows are excluded; null rhs values don't count as a
+    * second value (countDistinct semantics, oracle-mirrored). Output:
+    * `(lhs, rhs, n_keys, n_violating_keys, holds)` per ordered pair. */
+  def functionalDependencies(df: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.distinct.size == cols.size,
+      s"need >= 2 distinct columns, got $cols")
+    val frames = cols.map { lhs =>
+      val rhss = cols.filterNot(_ == lhs)
+      val aggs = rhss.map(r => countDistinct(col(r)).as(s"_d_$r"))
+      val g = df.filter(col(lhs).isNotNull)
+        .groupBy(col(lhs)).agg(aggs.head, aggs.tail: _*)
+      val pairRows = rhss.map(r => struct(lit(lhs).as("lhs"),
+        lit(r).as("rhs"), (col(s"_d_$r") > 1L).cast("long").as("viol")))
+      g.select(explode(array(pairRows: _*)).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("p.viol")).as("n_violating_keys"))
+    }
+    frames.reduce(_ unionByName _)
+      .withColumn("holds",
+        (col("n_violating_keys") === 0L).cast("long"))
+  }
+
   /** Spearman rank correlation between two score columns — the "do my
     * two quality signals agree" eval (compression ratio vs classifier
     * score, BM25 vs embedding relevance, any proxy vs truth): monotone

@@ -1157,6 +1157,18 @@ object PipelineQueries {
         graft.functions.Url.surt(col("url")).as("surt"))
     }),
 
+    // Functional-dependency discovery over part's categorical columns,
+    // with a TPC-H-style mfgr derived from the brand number (brand
+    // determines mfgr by construction): the profiler must find
+    // p_brand → p_mfgr and reject the other five pairs.
+    "fd_discover" -> ((s, dir) =>
+      graft.operators.Curation.functionalDependencies(
+        Graft.table(s, dir, "part").withColumn("p_mfgr",
+          concat(lit("Mfgr#"),
+            (regexp_extract(col("p_brand"), "#(\\d+)", 1).cast("long")
+              % 5).cast("string"))),
+        Seq("p_mfgr", "p_brand", "p_type"))),
+
     // Spearman rank correlation between part price and part size —
     // exact integer permille over row_number ranks (ties break by key),
     // both ranks via the distributed-rank engine.
@@ -3279,6 +3291,27 @@ object PipelineQueries {
         |       CAST(excl // 100000 AS BIGINT) AS bin
         |FROM r
         |""".stripMargin,
+
+    "fd_discover" -> {
+      val cols = Seq("p_mfgr", "p_brand", "p_type")
+      val pairs = for {
+        l <- cols; r <- cols if l != r
+      } yield
+        s"""SELECT '$l' AS lhs, '$r' AS rhs,
+           |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+           |  CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violating_keys,
+           |  CAST(CASE WHEN SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) = 0
+           |       THEN 1 ELSE 0 END AS BIGINT) AS holds
+           |FROM (SELECT $l, COUNT(DISTINCT $r) AS d FROM t
+           |      WHERE $l IS NOT NULL GROUP BY $l)""".stripMargin
+      """WITH t AS (
+        |  SELECT *, 'Mfgr#' || CAST(
+        |    CAST(regexp_extract(p_brand, '#(\d+)', 1) AS BIGINT) % 5
+        |    AS VARCHAR) AS p_mfgr
+        |  FROM part)
+        |""".stripMargin + pairs.mkString("", "\nUNION ALL\n", "\n")
+    },
 
     "rank_correlation" ->
       """WITH rx AS (

@@ -871,6 +871,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("functionalDependencies: holds/violations/null semantics") {
+    import graft.operators.Curation
+    val df = Seq(
+      ("b1", "m1", "x"), ("b1", "m1", "y"),   // b1 → m1 consistently
+      ("b2", "m2", "x"), ("b2", "m2", "x"),
+      ("b3", null, "z"),                       // null rhs ≠ second value
+      (null, "m3", "w"))                       // null lhs row excluded
+      .toDF("brand", "mfgr", "c")
+    val out = Curation.functionalDependencies(df,
+        Seq("brand", "mfgr", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // brand → mfgr holds over 3 brand keys, 0 violations
+    assert(out(("brand", "mfgr")) == ((3L, 0L, 1L)))
+    // mfgr → brand holds too here (m1→b1, m2→b2, m3→null-lhs rows
+    // still count: m3's brand is null → countDistinct 0 → no violation)
+    assert(out(("mfgr", "brand")) == ((3L, 0L, 1L)))
+    // c → brand violated at c=x (b1, b2)
+    assert(out(("c", "brand")) == ((4L, 1L, 0L)))
+    assert(out.size == 6)
+    intercept[IllegalArgumentException](
+      Curation.functionalDependencies(df, Seq("brand")))
+  }
+
   test("rankCorrelation: perfect, inverted, and null-row handling") {
     import graft.operators.Curation
     def rho(rows: Seq[(Long, java.lang.Double, java.lang.Double)]) = {
