@@ -176,7 +176,8 @@ object Bench {
       "prefix_selective_read_frac",
       "dict_cache_hits", "dict_cache_decodes",
       "dict_decodes_point", "dict_decodes_prefix",
-      "dict_decodes_selective", "star_sec", "budget_scan_sec")
+      "dict_decodes_selective", "star_sec", "budget_scan_sec",
+      "lpm_scan_sec")
     val servingPart =
       servingKeys.map(k => s""""$k":${num(serving, k)}""").mkString(",")
     // worst external CPU any phase observed — the falsifiability tag:
@@ -402,9 +403,39 @@ object Bench {
         System.err.println(s"[bench] budget-scan failed: ${e.getMessage}")
         -1.0
       }
+    // round-15 LPM primitive at scan scale: 2M IPs against a 90-route
+    // table (3 distinct prefix lengths → 3 masked candidates/IP, one
+    // equi-join + per-IP max — the shape that must stay linear at
+    // 100 TB; a range-join formulation degrades to nested loops here)
+    val lpmScanSec =
+      try {
+        import org.apache.spark.sql.functions._
+        val ips = spark.range(2000000L).select(concat(lit("10."),
+          (col("id") / 65536).cast("long") % 256, lit("."),
+          (col("id") / 256).cast("long") % 256, lit("."),
+          col("id") % 256).as("ip"))
+        val routes = spark.range(64L).select(
+          concat(lit("10."), col("id") * 4 % 256, lit(".0.0/16")).as("cidr"),
+          concat(lit("r16-"), col("id")).as("label"))
+          .union(spark.range(25L).select(
+            concat(lit("10."), col("id") * 4 % 256, lit("."),
+              col("id") * 8 % 256, lit(".0/24")).as("cidr"),
+            concat(lit("r24-"), col("id")).as("label")))
+          .union(spark.range(1L).select(lit("10.0.0.0/8").as("cidr"),
+            lit("default").as("label")))
+        val t = System.nanoTime()
+        val n = functions.Net.lpmJoin(ips, "ip", routes, "cidr", "label")
+          .count()
+        require(n == 2000000L, s"every IP matches the /8, got $n")
+        (System.nanoTime() - t) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] lpm-scan failed: ${e.getMessage}")
+        -1.0
+      }
     (metrics :+ ("decode_rows_per_sec" -> decodeRate)
       :+ ("star_sec" -> starSec)
-      :+ ("budget_scan_sec" -> budgetScanSec))
+      :+ ("budget_scan_sec" -> budgetScanSec)
+      :+ ("lpm_scan_sec" -> lpmScanSec))
       .map { case (k, v) =>
         val digits = if (k.endsWith("_frac")) 4
           else if (k == "decode_rows_per_sec") 0

@@ -289,6 +289,26 @@ object Graphs {
         checkpointDir)
     }
 
+  /** Canonical (src)-partitioned adjacency at the pinned width — the
+    * shared front half of every frontier-walk ([[bfsDistances]],
+    * [[closenessFromSeeds]]): self-loops dropped, optionally
+    * symmetrized, checkpointed once so the per-round frontier⋈adjacency
+    * join reuses the partitioning and the adjacency NEVER re-shuffles
+    * (the pinnedLoop contract); only the frontier side exchanges per
+    * round. */
+  private def pinnedAdjacency(edges0: DataFrame, srcCol: String,
+      dstCol: String, directed: Boolean,
+      cut: DataFrame => DataFrame): DataFrame = {
+    val fwd = edges0
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+    cut(
+      (if (directed) fwd
+       else fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))))
+        .filter(col("src") =!= col("dst")).distinct()
+        .repartition(col("src")))
+  }
+
   private def bfsDistancesBody(edges0: DataFrame, srcCol: String,
       dstCol: String, seeds: Seq[Long], rounds: Int, directed: Boolean,
       checkpointDir: Option[String]): DataFrame = {
@@ -298,18 +318,7 @@ object Graphs {
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true)
       else df.localCheckpoint(true)
-    val fwd = edges0
-      .select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
-    // (src)-partitioned at the pinned width: the per-round
-    // frontier⋈adjacency join reuses it — the adjacency never
-    // re-shuffles (the pinnedLoop contract); only the frontier side
-    // (reached-this-round nodes) exchanges per round
-    val adj = cut(
-      (if (directed) fwd
-       else fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))))
-        .filter(col("src") =!= col("dst")).distinct()
-        .repartition(col("src")))
+    val adj = pinnedAdjacency(edges0, srcCol, dstCol, directed, cut)
     val spark = edges0.sparkSession
     var dist = spark
       .createDataset(seeds.distinct)(org.apache.spark.sql.Encoders.scalaLong)
@@ -333,6 +342,71 @@ object Graphs {
       r += 1
     }
     dist
+  }
+
+  /** Seed-set closeness/harmonic centrality via MULTI-SOURCE BFS: per
+    * node, how many of the `seeds` reach it within `rounds` hops, the
+    * total hop distance, and the harmonic sum — the landmark-based
+    * centrality estimate (exact closeness is all-pairs; every practical
+    * system samples landmark sources — this is that operator, exact
+    * over the chosen landmarks). Harmonic form handles disconnection
+    * (unreached seeds contribute 0 rather than ∞):
+    * `harmonic_milli = Σ_{0<dist} 1000 div dist` — the per-term floor
+    * is the documented fixed-point semantics, oracle-mirrored.
+    *
+    * Scale shape: ONE frontier frame keyed (seed, id) walks all seeds
+    * simultaneously — k seeds cost one loop, not k loops; per round one
+    * frontier-sized exchange against the never-re-shuffled adjacency
+    * ([[pinnedAdjacency]], pinnedLoop width), lineage cut per round,
+    * early-out on an exhausted frontier. State is (reached pairs), at
+    * most |seeds|·|V| — choose landmark counts accordingly (the
+    * standard trade; 16–64 landmarks rank well in practice). */
+  def closenessFromSeeds(edges0: DataFrame, srcCol: String,
+      dstCol: String, seeds: Seq[Long], rounds: Int = 3,
+      directed: Boolean = false,
+      checkpointDir: Option[String] = None): DataFrame =
+    pinnedLoop(edges0.sparkSession,
+      edges0.sparkSession.sessionState.conf.numShufflePartitions) {
+      closenessBody(edges0, srcCol, dstCol, seeds, rounds, directed,
+        checkpointDir)
+    }
+
+  private def closenessBody(edges0: DataFrame, srcCol: String,
+      dstCol: String, seeds: Seq[Long], rounds: Int, directed: Boolean,
+      checkpointDir: Option[String]): DataFrame = {
+    require(seeds.nonEmpty, "closenessFromSeeds: empty seed set")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    checkpointDir.foreach(edges0.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    val adj = pinnedAdjacency(edges0, srcCol, dstCol, directed, cut)
+    val spark = edges0.sparkSession
+    var dist = spark
+      .createDataset(seeds.distinct)(org.apache.spark.sql.Encoders.scalaLong)
+      .toDF("seed")
+      .select(col("seed"), col("seed").as("id"), lit(0L).as("dist"))
+    var frontier = dist.select(col("seed"), col("id"))
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val next = cut(frontier
+        .join(adj, frontier("id") === adj("src"))
+        .select(col("seed"), col("dst").as("id")).distinct()
+        .join(dist, Seq("seed", "id"), "left_anti")
+        .withColumn("dist", lit(r.toLong)))
+      if (next.isEmpty) exhausted = true
+      else {
+        dist = cut(dist.union(next))
+        frontier = next.select(col("seed"), col("id"))
+      }
+      r += 1
+    }
+    dist.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_seeds_reached"),
+        sum(col("dist")).as("total_dist"),
+        sum(when(col("dist") > 0L, expr("1000 div dist"))
+          .otherwise(0L)).as("harmonic_milli"))
   }
 
   /** Fixed-round synchronous label propagation — community detection

@@ -374,6 +374,15 @@ object EventQueries {
       graft.operators.Graphs.bfsDistances(custSuppEdges(s, dir), "src",
         "dst", seeds = Seq(1L, 4L, 7L), rounds = 3)),
 
+    // Landmark closeness/harmonic centrality: one multi-source BFS
+    // walks all three landmark seeds simultaneously (a (seed, id)
+    // frontier — k landmarks cost one loop, not k); per node the
+    // reached-seed count, total hop distance, and floor-per-term
+    // harmonic sum.
+    "graph_closeness" -> ((s, dir) =>
+      graft.operators.Graphs.closenessFromSeeds(custSuppEdges(s, dir),
+        "src", "dst", seeds = Seq(2L, 5L, 8L), rounds = 3)),
+
     // Thresholded bipartite projection, order→supplier: suppliers
     // co-occur when they share ≥ 2 orders, orders with > 6 distinct
     // suppliers dropped whole (the hub guard BINDS on this data —
@@ -775,6 +784,43 @@ object EventQueries {
         |d3 AS (SELECT id, dist FROM d2 UNION ALL SELECT id, 3 FROM f3)
         |SELECT CAST(id AS BIGINT) AS id, CAST(dist AS BIGINT) AS dist
         |FROM d3
+        |""".stripMargin,
+
+    // Per-seed BFS unroll (the graph_bfs shape carrying the seed
+    // through every frontier), aggregated to the three centrality
+    // sums; 1000 // dist mirrors the floor-per-term harmonic.
+    "graph_closeness" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM e0
+        |      UNION SELECT dst, src FROM e0),
+        |s(seed) AS (VALUES (2), (5), (8)),
+        |d0 AS (SELECT seed, seed AS id, 0 AS dist FROM s),
+        |f1 AS (SELECT DISTINCT d0.seed, e.dst AS id FROM d0
+        |       JOIN e ON e.src = d0.id
+        |       WHERE NOT EXISTS (SELECT 1 FROM d0 x
+        |         WHERE x.seed = d0.seed AND x.id = e.dst)),
+        |d1 AS (SELECT * FROM d0
+        |       UNION ALL SELECT seed, id, 1 FROM f1),
+        |f2 AS (SELECT DISTINCT f1.seed, e.dst AS id FROM f1
+        |       JOIN e ON e.src = f1.id
+        |       WHERE NOT EXISTS (SELECT 1 FROM d1 x
+        |         WHERE x.seed = f1.seed AND x.id = e.dst)),
+        |d2 AS (SELECT * FROM d1
+        |       UNION ALL SELECT seed, id, 2 FROM f2),
+        |f3 AS (SELECT DISTINCT f2.seed, e.dst AS id FROM f2
+        |       JOIN e ON e.src = f2.id
+        |       WHERE NOT EXISTS (SELECT 1 FROM d2 x
+        |         WHERE x.seed = f2.seed AND x.id = e.dst)),
+        |d3 AS (SELECT * FROM d2
+        |       UNION ALL SELECT seed, id, 3 FROM f3)
+        |SELECT CAST(id AS BIGINT) AS id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_seeds_reached,
+        |       CAST(SUM(dist) AS BIGINT) AS total_dist,
+        |       CAST(SUM(CASE WHEN dist > 0 THEN 1000 // dist ELSE 0 END)
+        |         AS BIGINT) AS harmonic_milli
+        |FROM d3 GROUP BY id
         |""".stripMargin,
 
     // Two unrolled synchronous LPA rounds; the arg-max is formulated

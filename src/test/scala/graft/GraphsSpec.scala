@@ -183,6 +183,25 @@ class GraphsSpec extends AnyFunSuite {
       Graphs.bipartiteProject(inc, "ctx", "item", minShared = 0))
   }
 
+  test("closenessFromSeeds: path graph, per-seed distances and floors") {
+    // path 1-2-3-4-5, seeds {1, 5}, 3 rounds: node 1 only reaches seed
+    // 1 (seed 5 is 4 hops away); node 2 → dists 1 and 3 → harmonic
+    // 1000 + 333; node 3 → 2 and 2 → 500 + 500
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("s", "d")
+    val out = Graphs.closenessFromSeeds(edges, "s", "d",
+        seeds = Seq(1L, 5L), rounds = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((1L, 0L, 0L)))
+    assert(out(2L) == ((2L, 4L, 1333L)))
+    assert(out(3L) == ((2L, 4L, 1000L)))
+    assert(out(4L) == ((2L, 4L, 1333L)))
+    assert(out(5L) == ((1L, 0L, 0L)))
+    intercept[IllegalArgumentException](
+      Graphs.closenessFromSeeds(edges, "s", "d", seeds = Seq.empty))
+  }
+
   test("commonNeighbors scores pairs with exact-integer Jaccard") {
     // src 1 → {a,b,c}; src 2 → {a,b,d}; src 3 → {z}; duplicates collapse
     val edges = Seq(
