@@ -1096,6 +1096,45 @@ object Dedup {
       .select(col("_id").as("a_id"), col("b_id"), col("edit_distance"))
   }
 
+  /** Field-level survivorship — the MERGE half of entity resolution
+    * that [[bestSurvivors]]' whole-record pick can't express: once
+    * records are clustered, build the golden record FIELD BY FIELD by
+    * majority vote with recency tie-breaks (the standard MDM
+    * survivorship rule): per (cluster, field), the winning value is the
+    * most frequent non-null one; ties prefer the value seen latest
+    * (max ts); remaining ties take the greatest value string — a total
+    * order, so the golden record is a pure function of the cluster.
+    *
+    * Values are compared as strings (the generic melt; callers cast
+    * typed fields back). Output LONG format — one row per (cluster,
+    * field) with support counts — so downstream can audit the vote,
+    * not just read the winner: `(clusterCol, field, value, n_support,
+    * n_distinct_values)`.
+    *
+    * Scale shape: one narrow melt (|fields| structs per record), one
+    * map-side-combined (cluster, field, value) count, one cluster-sized
+    * argmax — no joins, no pivot, nothing driver-side. */
+  def fieldSurvivorship(records: DataFrame, clusterCol: String,
+      tsCol: String, fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty && fields.distinct.size == fields.size,
+      s"fields must be non-empty and distinct, got $fields")
+    val melted = records.select(col(clusterCol).as("_cl"), col(tsCol).as("_ts"),
+        explode(array(fields.map(f => struct(lit(f).as("field"),
+          col(f).cast("string").as("value"))): _*)).as("_fv"))
+      .select(col("_cl"), col("_ts"), col("_fv.field").as("field"),
+        col("_fv.value").as("value"))
+      .filter(col("value").isNotNull)
+    val votes = melted.groupBy(col("_cl"), col("field"), col("value"))
+      .agg(count(lit(1)).as("n"), max(col("_ts")).as("last_ts"))
+    votes.groupBy(col("_cl"), col("field"))
+      .agg(max_by(struct(col("value"), col("n")),
+          struct(col("n"), col("last_ts"), col("value"))).as("_w"),
+        count(lit(1)).as("n_distinct_values"))
+      .select(col("_cl").as(clusterCol), col("field"),
+        col("_w.value").as("value"), col("_w.n").as("n_support"),
+        col("n_distinct_values"))
+  }
+
   /** SimHash near-duplicate pairs: fingerprint hamming distance ≤ maxDist.
     * Fingerprints are 64-char '0'/'1' strings from the simhash64 function.
     * Candidate generation blocks on 4 fingerprint chunks of 16 bits: by

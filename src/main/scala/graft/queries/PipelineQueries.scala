@@ -1157,6 +1157,14 @@ object PipelineQueries {
         graft.functions.Url.surt(col("url")).as("surt"))
     }),
 
+    // Field-level survivorship: the golden record per customer built
+    // field by field from their orders — majority value, recency
+    // tie-break, long-format output with vote support for audit.
+    "field_survivorship" -> ((s, dir) =>
+      Dedup.fieldSurvivorship(Graft.table(s, dir, "orders"),
+        "o_custkey", "o_orderdate",
+        Seq("o_orderstatus", "o_orderpriority"))),
+
     // Functional-dependency discovery over part's categorical columns,
     // with a TPC-H-style mfgr derived from the brand number (brand
     // determines mfgr by construction): the profiler must find
@@ -3290,6 +3298,30 @@ object PipelineQueries {
         |SELECT p_partkey, size_bytes,
         |       CAST(excl // 100000 AS BIGINT) AS bin
         |FROM r
+        |""".stripMargin,
+
+    // The same vote with an independent arg-max formulation
+    // (row_number over n desc, last_ts desc, value desc — the mirror of
+    // the engine's max_by struct order).
+    "field_survivorship" ->
+      """WITH m AS (
+        |  SELECT o_custkey AS cl, o_orderdate AS ts,
+        |         'o_orderstatus' AS field, o_orderstatus AS value
+        |  FROM orders WHERE o_orderstatus IS NOT NULL
+        |  UNION ALL
+        |  SELECT o_custkey, o_orderdate, 'o_orderpriority',
+        |         o_orderpriority
+        |  FROM orders WHERE o_orderpriority IS NOT NULL),
+        |v AS (SELECT cl, field, value, CAST(COUNT(*) AS BIGINT) AS n,
+        |             MAX(ts) AS last_ts
+        |      FROM m GROUP BY 1, 2, 3),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY cl, field
+        |        ORDER BY n DESC, last_ts DESC, value DESC) AS rn,
+        |        COUNT(*) OVER (PARTITION BY cl, field) AS nv
+        |      FROM v)
+        |SELECT cl AS o_custkey, field, value, n AS n_support,
+        |       CAST(nv AS BIGINT) AS n_distinct_values
+        |FROM r WHERE rn = 1
         |""".stripMargin,
 
     "fd_discover" -> {

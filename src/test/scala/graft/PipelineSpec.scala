@@ -871,6 +871,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("fieldSurvivorship: majority, recency tie-break, null drop") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    // cluster 1: name votes ann×2, anne×1, bob×1 → "ann"; city votes
+    // sfo×2 (latest t=10), nyc×1 → "sfo"; the null city row drops
+    val recs = Seq(
+      (1L, t(10), "ann", "sfo"),
+      (1L, t(20), "ann", null),
+      (1L, t(30), "anne", "nyc"),
+      (1L, t(5), "bob", "sfo"),
+      (2L, t(1), "zed", "ber"))
+      .toDF("cl", "ts", "name", "city")
+    val out = graft.operators.Dedup.fieldSurvivorship(recs, "cl", "ts",
+        Seq("name", "city"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out((1L, "name")) == (("ann", 2L, 3L)))
+    // city: sfo ×2 (last t=10) beats nyc ×1 → majority wins
+    assert(out((1L, "city")) == (("sfo", 2L, 2L)))
+    assert(out((2L, "name")) == (("zed", 1L, 1L)))
+    // recency tie-break: equal counts → latest ts wins
+    val tie = Seq((9L, t(1), "x"), (9L, t(9), "y"))
+      .toDF("cl", "ts", "f")
+    val w = graft.operators.Dedup.fieldSurvivorship(tie, "cl", "ts",
+        Seq("f")).collect().head
+    assert(w.getString(2) == "y" && w.getLong(4) == 2L)
+    intercept[IllegalArgumentException](
+      graft.operators.Dedup.fieldSurvivorship(recs, "cl", "ts", Seq.empty))
+  }
+
   test("functionalDependencies: holds/violations/null semantics") {
     import graft.operators.Curation
     val df = Seq(
