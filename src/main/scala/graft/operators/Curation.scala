@@ -2381,6 +2381,36 @@ object Curation {
       .agg((min(col("hit")) === 1).cast("long").as("maybe_member"))
   }
 
+  /** EXACT percentile values via the distributed rank — the ground
+    * truth beside the mergeable-sketch estimators (P109's
+    * sketch_quantiles): when the question is an SLA boundary or an
+    * audit ("the exact p99, not ±ε"), rank selection is the answer and
+    * the single-partition ORDER BY it naively needs is the trap.
+    * Percentile q (1..100) = the row at rank `ceil(q·n/100)` of the
+    * (value, tie) total order.
+    *
+    * Scale shape: one range shuffle for the global rank
+    * ([[DistributedOrder]]), one tiny aggregate for n, and a BROADCAST
+    * of the |qs| target ranks joined against the ranked data — the
+    * value rows never re-shuffle and nothing data-sized explodes.
+    * Output: `(q, value-column, rank, n)` one row per requested
+    * percentile (empty input → empty result). */
+  def exactQuantiles(df: DataFrame, valueCol: String, tieCol: String,
+      qs: Seq[Int]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 100),
+      s"qs must be within 1..100, got $qs")
+    require(qs.distinct.size == qs.size, s"duplicate percentiles: $qs")
+    val ranked = DistributedOrder.withGlobalRank(
+      df.select(col(valueCol), col(tieCol)), "_r",
+      col(valueCol), col(tieCol))
+    val targets = ranked.agg(coalesce(max(col("_r")), lit(0L)).as("n"))
+      .select(explode(array(qs.map(q => lit(q.toLong)): _*)).as("q"),
+        col("n"))
+      .withColumn("_target", expr("(q * n + 99) div 100"))
+    ranked.join(broadcast(targets), col("_r") === col("_target"))
+      .select(col("q"), col(valueCol), col("_r").as("rank"), col("n"))
+  }
+
   /** Functional-dependency discovery over a column set — the schema
     * profiler's structural half (P188's `profile_table` measures value
     * shapes; this finds the A→B determinations that reveal hidden keys,

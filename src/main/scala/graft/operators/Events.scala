@@ -729,6 +729,58 @@ object Events {
         col("walk.pw").as("peak_window"))
   }
 
+  /** Integer gap-filling of a sparse per-key series — the step between
+    * raw telemetry and anything windowed/seasonal that assumes a dense
+    * grid (a missing hour reads as "no data", not zero, and a
+    * season-blind fill poisons every downstream baseline): for each key,
+    * every integer tick in [min t, max t] gets a value — observed where
+    * present, otherwise LINEAR interpolation between the nearest
+    * observed neighbors, `vp + (vn−vp)·(t−tp) div (tn−tp)` in pure
+    * integer arithmetic (the truncating div both engines share —
+    * slopes can be negative), and edge ticks before the first / after
+    * the last observation CARRY the nearest value flat.
+    *
+    * Scale shape: the grid explode is per-key span-bounded and guarded
+    * by `maxSpan` (a span-sized blowup from one bad key is refused, the
+    * [[cusumPeaks]] stance — one tiny min/max aggregate pays for the
+    * guard); all four neighbor windows share ONE key-partitioned sort,
+    * so the whole fill is a single shuffle on the key. Output:
+    * `(keyCol, tCol, value, is_observed)`. */
+  def gapFill(series: DataFrame, keyCol: String, tCol: String,
+      valueCol: String, maxSpan: Long = 100000L): DataFrame = {
+    require(maxSpan >= 1, s"maxSpan >= 1, got $maxSpan")
+    val spans = series.groupBy(col(keyCol))
+      .agg(min(col(tCol)).as("_t0"), max(col(tCol)).as("_t1"))
+    val worst = spans.agg(coalesce(max(col("_t1") - col("_t0")), lit(0L)))
+      .head.getLong(0)
+    require(worst < maxSpan,
+      s"gapFill: a key spans $worst ticks (>= maxSpan $maxSpan); raise " +
+        "maxSpan only if the dense grid is genuinely wanted")
+    val grid = spans.select(col(keyCol),
+      explode(sequence(col("_t0"), col("_t1"))).as(tCol))
+    val joined = grid.join(
+      series.select(col(keyCol), col(tCol), col(valueCol).as("_v")),
+      Seq(keyCol, tCol), "left")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tCol))
+    val back = w.rowsBetween(Long.MinValue, 0)
+    val fwd = w.rowsBetween(0, Long.MaxValue)
+    val filled = joined
+      .withColumn("_vp", last(col("_v"), ignoreNulls = true).over(back))
+      .withColumn("_tp", last(when(col("_v").isNotNull, col(tCol)),
+        ignoreNulls = true).over(back))
+      .withColumn("_vn", first(col("_v"), ignoreNulls = true).over(fwd))
+      .withColumn("_tn", first(when(col("_v").isNotNull, col(tCol)),
+        ignoreNulls = true).over(fwd))
+    filled.select(col(keyCol), col(tCol),
+      when(col("_v").isNotNull, col("_v"))
+        .when(col("_vp").isNull, col("_vn"))
+        .when(col("_vn").isNull, col("_vp"))
+        .otherwise(col("_vp") + expr(
+          "(_vn - _vp) * (" + tCol + " - _tp) div (_tn - _tp)"))
+        .as("value"),
+      col("_v").isNotNull.cast("long").as("is_observed"))
+  }
+
   /** Seasonal (hour-of-week) anomaly detection: flag (key, hour-slot,
     * week) cells whose event count exceeds `multiple`× the same slot's
     * leave-one-out weekly baseline — "this Monday 9am is 3× every other

@@ -54,6 +54,69 @@ object Layout {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Zone-map catalog of a partitioned parquet store: per data file,
+    * the row count and the min/max of `keyCol` read from FOOTER
+    * METADATA ONLY — zero data pages touched. The user-facing face of
+    * the pruning machinery the serving path already exploits
+    * internally: a catalog query ("which buckets could hold key k",
+    * "how skewed are bucket row counts") should cost footer reads, not
+    * a store scan. Spec-pinned: footer stats ≡ a full data scan, per
+    * file.
+    *
+    * Scale shape: the driver only LISTS files (names, not contents);
+    * footers are read ON EXECUTORS, one task per file batch — a store
+    * of 10⁵ files costs 10⁵ footer reads spread across the cluster.
+    * Requires the key column to carry parquet min/max statistics
+    * (graft store copies always do). Output:
+    * `(file, n_rows, min_key, max_key)` with keys as strings. */
+  def zoneMap(spark: org.apache.spark.sql.SparkSession, path: String,
+      keyCol: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val it = fs.listFiles(root, true)
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet"))
+        files += f.getPath.toString
+    }
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val bc = spark.sparkContext.broadcast(serConf)
+    val rows = spark.sparkContext
+      .parallelize(files.toSeq.sorted,
+        math.max(1, math.min(files.size, 64)))
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f), bc.value.value)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala
+          var n = 0L
+          var mn: String = null
+          var mx: String = null
+          blocks.foreach { b =>
+            n += b.getRowCount
+            b.getColumns.asScala
+              .filter(_.getPath.toDotString == keyCol)
+              .foreach { c =>
+                val st = c.getStatistics
+                if (st != null && st.hasNonNullValue) {
+                  val lo = st.minAsString
+                  val hi = st.maxAsString
+                  if (mn == null || lo < mn) mn = lo
+                  if (mx == null || hi > mx) mx = hi
+                }
+              }
+          }
+          (f, n, mn, mx)
+        } finally reader.close()
+      }
+    spark.createDataFrame(rows)
+      .toDF("file", "n_rows", "min_key", "max_key")
+  }
+
   /** Compaction bin planner: assign a file inventory to output bins of
     * ~`targetBytes` each by cumulative size over the (size desc, id)
     * order — the planning step in front of any small-file compaction

@@ -369,6 +369,18 @@ object CurationQueries {
             .cast("long").as("p75_tokens_cents"))
     }),
 
+    // EXACT percentiles of the order-price distribution (cents) via the
+    // distributed rank — the ground truth beside sketch_quantiles'
+    // estimator: rank selection with a range shuffle and broadcast
+    // targets, never a single-partition percentile sort.
+    "exact_quantiles" -> ((s, dir) =>
+      Curation.exactQuantiles(
+        Graft.table(s, dir, "orders").select(
+          round(col("o_totalprice") * 100, 0).cast("long")
+            .as("price_cents"),
+          col("o_orderkey")),
+        "price_cents", "o_orderkey", Seq(1, 25, 50, 75, 99))),
+
     // Mergeable bottom-k-by-hash quantile sketch (k=200 over 500 docs —
     // genuine sampling) beside the n_chars distribution: O(k) state per
     // mapper instead of funneling every value through one percentile
@@ -1301,6 +1313,22 @@ object CurationQueries {
     // The same bottom-200-by-md5-hash sample (ORDER BY hash, value —
     // TopKPairs' tie rule), quantile_cont over the sample, n_total from
     // the full table.
+    "exact_quantiles" ->
+      """WITH t AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+        |           AS price_cents, o_orderkey
+        |  FROM orders),
+        |r AS (
+        |  SELECT price_cents,
+        |         CAST(row_number() OVER (ORDER BY price_cents,
+        |           o_orderkey) AS BIGINT) AS rank,
+        |         CAST(COUNT(*) OVER () AS BIGINT) AS n
+        |  FROM t),
+        |qs(q) AS (VALUES (1), (25), (50), (75), (99))
+        |SELECT CAST(q AS BIGINT) AS q, price_cents, rank, n
+        |FROM r JOIN qs ON rank = (q * n + 99) // 100
+        |""".stripMargin,
+
     "sketch_quantiles" -> {
       val h60 = util.hash60Sql("CAST(doc_id AS VARCHAR)")
       s"""WITH s AS (

@@ -128,6 +128,21 @@ object EventQueries {
           micros(col("session_end")).as("session_end"),
           col("n_events"))),
 
+    // Integer gap-filling of the hourly count series with PLANTED gaps
+    // (every hour ≡ 2 mod 5 dropped): dropped hours come back by
+    // linear interpolation between observed neighbors, edges carry
+    // flat; truncating div both engines share (slopes go negative).
+    "gap_fill" -> ((s, dir) => {
+      val series = events(s, dir)
+        .select(col("event_type"),
+          expr("unix_micros(cast(ts as timestamp_ltz)) div 3600000000")
+            .as("h"))
+        .groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).as("v"))
+        .filter(col("h") % 5 =!= 2)
+      Events.gapFill(series, "event_type", "h", "v")
+    }),
+
     // Frequent within-session event 3-grams (2-day gap sessions — the
     // synthetic stream's ~1 event/user/day needs a wide gap for
     // multi-event sessions): support = distinct sessions containing the
@@ -986,6 +1001,46 @@ object EventQueries {
         |       epoch_us(MAX(ts)) AS session_end,
         |       CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM numbered GROUP BY 1, 2
+        |""".stripMargin,
+
+    // The same four IGNORE-NULLS neighbor windows over the dense grid;
+    // // is the truncating division matching Spark's div on negative
+    // slopes.
+    "gap_fill" ->
+      """WITH s0 AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |         CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT * FROM s0 WHERE h % 5 <> 2),
+        |b AS (SELECT event_type, MIN(h) AS t0, MAX(h) AS t1
+        |      FROM sp GROUP BY 1),
+        |g AS (SELECT event_type, unnest(generate_series(t0, t1)) AS h
+        |      FROM b),
+        |j AS (SELECT g.event_type, g.h, sp.v
+        |      FROM g LEFT JOIN sp
+        |        ON g.event_type = sp.event_type AND g.h = sp.h),
+        |f AS (
+        |  SELECT event_type, h, v,
+        |    last_value(v IGNORE NULLS) OVER wb AS vp,
+        |    last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+        |      OVER wb AS tp,
+        |    first_value(v IGNORE NULLS) OVER wf AS vn,
+        |    first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+        |      OVER wf AS tn
+        |  FROM j
+        |  WINDOW wb AS (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wf AS (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, CAST(h AS BIGINT) AS h,
+        |  CAST(CASE WHEN v IS NOT NULL THEN v
+        |       WHEN vp IS NULL THEN vn
+        |       WHEN vn IS NULL THEN vp
+        |       ELSE vp + (vn - vp) * (h - tp) // (tn - tp) END
+        |    AS BIGINT) AS value,
+        |  CAST(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_observed
+        |FROM f
         |""".stripMargin,
 
     // Same session numbering as events_sessions at a 2-day gap, then

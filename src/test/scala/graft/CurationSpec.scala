@@ -1327,4 +1327,24 @@ class CurationSpec extends AnyFunSuite {
     assert(out(2L) == ((3L, 2L, 66L)))
     assert(out(3L) == ((1L, 1L, 100L)))
   }
+
+  test("exactQuantiles: rank selection hits the exact order statistics") {
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    // values 10..1000 step 10 (n=100): p50 = rank 50 = 500; p1 = rank 1
+    // = 10; p99 = rank 99 = 990; p100 = rank 100 = 1000
+    val df = (1 to 100).map(i => (i.toLong * 10, i.toLong)).toDF("v", "id")
+    val out = Curation.exactQuantiles(df, "v", "id", Seq(1, 50, 99, 100))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out == Map(1L -> ((10L, 1L)), 50L -> ((500L, 50L)),
+      99L -> ((990L, 99L)), 100L -> ((1000L, 100L))))
+    // empty input → empty result, no division mishaps
+    assert(Curation.exactQuantiles(df.limit(0), "v", "id", Seq(50))
+      .collect().isEmpty)
+    intercept[IllegalArgumentException](
+      Curation.exactQuantiles(df, "v", "id", Seq(0)))
+    intercept[IllegalArgumentException](
+      Curation.exactQuantiles(df, "v", "id", Seq(50, 50)))
+  }
 }

@@ -409,6 +409,26 @@ class EventsSpec extends AnyFunSuite {
         "peak_window"))
   }
 
+  test("gapFill: interiors interpolate, edges carry, guard binds") {
+    import graft.operators.Events
+    // key a: observed (0,10), (4,2) → 1..3 interpolate with slope -2
+    // (10 + (2-10)*t div 4: t=1 → 8, t=2 → 6, t=3 → 4)
+    // key b: single point → span 1, no fill
+    val s = Seq(("a", 0L, 10L), ("a", 4L, 2L), ("b", 7L, 5L))
+      .toDF("k", "t", "v")
+    val out = Events.gapFill(s, "k", "t", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(
+      ("a", 0L) -> ((10L, 1L)), ("a", 1L) -> ((8L, 0L)),
+      ("a", 2L) -> ((6L, 0L)), ("a", 3L) -> ((4L, 0L)),
+      ("a", 4L) -> ((2L, 1L)), ("b", 7L) -> ((5L, 1L))))
+    val e = intercept[IllegalArgumentException](
+      Events.gapFill(Seq(("a", 0L, 1L), ("a", 9L, 1L)).toDF("k", "t", "v"),
+        "k", "t", "v", maxSpan = 5L))
+    assert(e.getMessage.contains("maxSpan"), e.getMessage)
+  }
+
   test("frequentSequences: session-scoped grams, session-distinct support") {
     // user 1 session A: a b a b a  → "a>b>a" ×2, "b>a>b" ×1
     // user 1 session B (2h later): a b a → "a>b>a" ×1

@@ -87,6 +87,30 @@ class LayoutSpec extends AnyFunSuite {
     assert(chain(e).contains("zorderWrite"), chain(e))
   }
 
+  test("zoneMap: footer stats equal a full data scan, per file") {
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-zm")
+      .resolve("store").toString
+    (1 to 500).map(i => (f"k${i % 50}%03d", i.toLong)).toDF("k", "v")
+      .withColumn("b", pmod(xxhash64(col("k")), lit(8L)))
+      .repartition(col("b"))
+      .write.partitionBy("b").parquet(dir)
+    def norm(p: String) =
+      new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val zm = Layout.zoneMap(spark2, dir, "k")
+      .collect().map(r => norm(r.getString(0)) ->
+        (r.getLong(1), r.getString(2), r.getString(3))).toMap
+    val scan = spark2.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("mn"),
+        max(col("k")).as("mx"))
+      .collect().map(r => norm(r.getString(0)) ->
+        (r.getLong(1), r.getString(2), r.getString(3))).toMap
+    assert(zm.nonEmpty && zm == scan, s"zm=$zm scan=$scan")
+  }
+
   test("packFiles: cumulative bins in size-desc order, offsets exact") {
     val spark2 = TestSpark.spark
     import spark2.implicits._
