@@ -1023,4 +1023,26 @@ object Retrieval {
           .orderBy(col("rank").asc, col("doc_id").asc)).cast("long"))
       .filter(col("neg_rank") <= k)
   }
+
+  /** Keyword-in-context snippets — what a search RESULT PAGE shows
+    * (the index answers WHICH docs; this answers what the user sees):
+    * for each doc containing `phrase` as a literal substring, the
+    * 1-based match position and a window of `window` characters of
+    * context on each side, clamped at the document start. Pure
+    * character arithmetic (`instr`/`substr`, 1-based in every engine),
+    * narrow, zero shuffle; non-matching docs drop. Output:
+    * `(idCol, pos, snippet)`. */
+  def searchSnippets(docs: DataFrame, idCol: String, textCol: String,
+      phrase: String, window: Int = 50): DataFrame = {
+    require(phrase.nonEmpty, "searchSnippets: empty phrase")
+    require(window >= 0, s"window must be >= 0, got $window")
+    docs
+      .withColumn("pos", instr(col(textCol), phrase).cast("long"))
+      .filter(col("pos") > 0L)
+      .withColumn("_start", greatest(lit(1L), col("pos") - window))
+      .select(col(idCol), col("pos"),
+        col(textCol).substr(col("_start"),
+          (col("pos") - col("_start")) + lit((phrase.length + window).toLong))
+          .as("snippet"))
+  }
 }

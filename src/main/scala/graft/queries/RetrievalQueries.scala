@@ -94,6 +94,13 @@ object RetrievalQueries {
     // query class a bag-of-words index cannot answer. Oracle mirrors
     // the position arithmetic (1-based generate_series shifted to the
     // 0-based posexplode convention).
+    // Keyword-in-context snippets for the result page: match position
+    // plus 30 chars of context each side, clamped at doc start — pure
+    // 1-based character arithmetic, identical in every engine.
+    "search_snippets" -> ((s, dir) =>
+      Retrieval.searchSnippets(docs(s, dir), "doc_id", "text",
+        "merge batch", window = 30)),
+
     "phrase_search" -> ((s, dir) =>
       Retrieval.phraseSearch(docs(s, dir), "text", "doc_id",
         Seq("hash", "join"))),
@@ -637,6 +644,18 @@ object RetrievalQueries {
         |         AS BIGINT) AS hits
         |FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
         |      FROM documents)
+        |""".stripMargin,
+
+    "search_snippets" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(strpos(text, 'merge batch') AS BIGINT)
+        |           AS pos, text
+        |  FROM documents WHERE strpos(text, 'merge batch') > 0)
+        |SELECT doc_id, pos,
+        |       substr(text, CAST(greatest(1, pos - 30) AS INT),
+        |         CAST(pos - greatest(1, pos - 30) + 41 AS INT))
+        |         AS snippet
+        |FROM m
         |""".stripMargin,
 
     "phrase_search" -> phraseSearchOracleSql,

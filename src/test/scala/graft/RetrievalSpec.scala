@@ -553,4 +553,23 @@ class RetrievalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Retrieval.hardNegatives(results, qrels, 0))
   }
+
+  test("searchSnippets: clamped windows, exact positions, misses drop") {
+    val docs = Seq(
+      (1L, "needle at the very start of this document body"),
+      (2L, "some leading context before the needle and trailing after"),
+      (3L, "no match here at all"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.searchSnippets(docs, "doc_id", "text", "needle",
+        window = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    // doc 1: match at pos 1 → window clamps at doc start
+    assert(out(1L) == ((1L, "needle at the ve")))
+    // doc 2: pos 33 → 10 chars each side around the 6-char phrase
+    assert(out(2L) == ((33L, "efore the needle and trail")))
+    assert(!out.contains(3L))
+    intercept[IllegalArgumentException](
+      Retrieval.searchSnippets(docs, "doc_id", "text", ""))
+  }
 }
