@@ -1024,6 +1024,60 @@ object Retrieval {
       .filter(col("neg_rank") <= k)
   }
 
+  /** The nDCG@k integer discount table: `floor(10⁶ / log₂(r+1))` for
+    * ranks 1..k. ONE definition shared by [[ndcgEval]] and the gate's
+    * oracle text (interpolated as literals), so the two cannot drift —
+    * the table IS the determinism anchor: once the discounts are fixed
+    * integers, DCG is a plain integer dot product any engine computes
+    * identically. */
+  def ndcgDiscountsMicro(k: Int): Seq[Long] =
+    (1 to k).map(r =>
+      math.floor(1e6 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+
+  /** Graded-relevance nDCG@k — the ranking-quality eval beside
+    * [[rankingEval]]'s binary MRR/hits: position-discounted gain
+    * against the ideal ordering, `ndcg_permille = 1000·DCG div IDCG`.
+    * Gains are graded integer `rel` from qrels (missing pair = 0);
+    * discounts come from [[ndcgDiscountsMicro]]'s fixed integer table,
+    * so the whole metric is exact integer arithmetic end to end.
+    *
+    * Semantics: `results` rows beyond rank k are ignored; the ideal
+    * ordering is the query's qrels sorted (rel desc, doc_id asc)
+    * truncated to k; IDCG = 0 (positive qrels exist nowhere) → null
+    * nDCG. A query appears in the output iff it has ranked results or
+    * positive qrels (full outer of the two sides — a query with only
+    * zero-grade qrels and no results is not scorable).
+    *
+    * Scale shape: one equi-join at result size, two query-keyed
+    * aggregations, one qrel-sized window — everything past the join is
+    * query-count-sized. */
+  def ndcgEval(results: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 100, s"k in [1, 100], got $k")
+    import org.apache.spark.sql.expressions.Window
+    val wArr = array(ndcgDiscountsMicro(k).map(lit): _*)
+    val dcg = results.filter(col("rank").between(1L, k.toLong))
+      .join(qrels.select(col("query_id"), col("doc_id"),
+        col("rel").cast("long").as("_rel")),
+        Seq("query_id", "doc_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("_rel"), lit(0L)) *
+        element_at(wArr, col("rank").cast("int"))).as("dcg_micro"))
+    val idcg = qrels.filter(col("rel") > 0L)
+      .withColumn("_rn", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("rel").desc, col("doc_id").asc)))
+      .filter(col("_rn") <= k)
+      .groupBy(col("query_id"))
+      .agg(sum(col("rel").cast("long") * element_at(wArr, col("_rn")))
+        .as("idcg_micro"))
+    dcg.join(idcg, Seq("query_id"), "full_outer")
+      .select(col("query_id"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        coalesce(col("idcg_micro"), lit(0L)).as("idcg_micro"),
+        when(coalesce(col("idcg_micro"), lit(0L)) > 0L,
+          expr("coalesce(dcg_micro, 0) * 1000 div idcg_micro"))
+          .as("ndcg_permille"))
+  }
+
   /** Keyword-in-context snippets — what a search RESULT PAGE shows
     * (the index answers WHICH docs; this answers what the user sees):
     * for each doc containing `phrase` as a literal substring, the

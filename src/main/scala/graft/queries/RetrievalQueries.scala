@@ -70,6 +70,27 @@ object RetrievalQueries {
       Retrieval.rankingEval(results, qrels, k = 10)
     }),
 
+    // Graded nDCG@10 over the same BM25 runs: qrels grade docs
+    // 0/1/2 by doc_id % 3 (grade-0 rows exercise the rel>0 ideal
+    // filter); discounts are the fixed integer micro table, so the
+    // metric is exact integer arithmetic end to end.
+    "ndcg_eval" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val d = wsDocs(s, dir)
+      val results = bm25Terms.map { t =>
+        Retrieval.bm25TopK(d, "text", "doc_id", Seq(t), k = 10)
+          .select(lit(t).as("query_id"), col("doc_id"),
+            row_number().over(
+              Window.orderBy(col("score").desc, col("doc_id").asc))
+              .cast("long").as("rank"))
+      }.reduce(_ unionAll _)
+      val qrels = d.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), (col("doc_id") % 3).as("rel"))
+        .crossJoin(broadcast(bm25Terms.toDF("query_id")))
+      Retrieval.ndcgEval(results, qrels, k = 10)
+    }),
+
     // Hard-negative mining: the BM25 top-10 candidates per query that
     // the qrels say are NOT relevant, densely re-ranked — the
     // contrastive-training export (high-scored wrong answers, the
@@ -553,6 +574,59 @@ object RetrievalQueries {
          |       CAST(COALESCE(p.hits_at_k, 0) AS BIGINT) AS hits_at_k
          |FROM nrel n FULL OUTER JOIN per p USING (query_id)
          |""".stripMargin,
+
+    // The discount VALUES are interpolated from the SAME
+    // ndcgDiscountsMicro table the engine uses — one definition, no
+    // drift; the rest is the mrr oracle's ranked/qrels shape with
+    // graded rel and the two discounted sums.
+    "ndcg_eval" -> {
+      val disc = Retrieval.ndcgDiscountsMicro(10).zipWithIndex
+        .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+      s"""WITH $bm25ScoreCtes,
+         |ranked AS (
+         |  SELECT term AS query_id, doc_id,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY term
+         |                                 ORDER BY s DESC, doc_id ASC)
+         |           AS BIGINT) AS rank
+         |  FROM sc),
+         |topk AS (SELECT * FROM ranked WHERE rank <= 10),
+         |rel AS (SELECT doc_id, doc_id % 3 AS rel FROM wcorpus
+         |        WHERE doc_id % 7 = 0),
+         |qrels AS (
+         |  SELECT t.query_id, r.doc_id, r.rel
+         |  FROM (VALUES ('join'), ('merge'), ('window')) t(query_id),
+         |       rel r),
+         |disc(rank, w) AS (VALUES $disc),
+         |dcg AS (
+         |  SELECT tk.query_id,
+         |         CAST(SUM(COALESCE(q.rel, 0) * d.w) AS BIGINT)
+         |           AS dcg_micro
+         |  FROM topk tk
+         |  JOIN disc d ON d.rank = tk.rank
+         |  LEFT JOIN qrels q
+         |    ON q.query_id = tk.query_id AND q.doc_id = tk.doc_id
+         |  GROUP BY 1),
+         |ideal AS (
+         |  SELECT query_id, rel,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY rel DESC, doc_id ASC) AS rn
+         |  FROM qrels WHERE rel > 0),
+         |idcg AS (
+         |  SELECT i.query_id,
+         |         CAST(SUM(i.rel * d.w) AS BIGINT) AS idcg_micro
+         |  FROM ideal i JOIN disc d ON d.rank = i.rn
+         |  WHERE i.rn <= 10 GROUP BY 1)
+         |SELECT query_id,
+         |       CAST(COALESCE(dcg.dcg_micro, 0) AS BIGINT) AS dcg_micro,
+         |       CAST(COALESCE(idcg.idcg_micro, 0) AS BIGINT)
+         |         AS idcg_micro,
+         |       CASE WHEN COALESCE(idcg.idcg_micro, 0) > 0
+         |            THEN CAST(COALESCE(dcg.dcg_micro, 0) * 1000
+         |                        // idcg.idcg_micro AS BIGINT) END
+         |         AS ndcg_permille
+         |FROM dcg FULL OUTER JOIN idcg USING (query_id)
+         |""".stripMargin
+    },
 
     "hard_negatives" ->
       s"""WITH $bm25ScoreCtes,

@@ -554,6 +554,36 @@ class RetrievalSpec extends AnyFunSuite {
       Retrieval.hardNegatives(results, qrels, 0))
   }
 
+  test("ndcgEval: hand-checked graded nDCG, perfect=1000, edge queries") {
+    // discounts k=3: 1000000, 630929, 500000
+    assert(Retrieval.ndcgDiscountsMicro(3) ==
+      Seq(1000000L, 630929L, 500000L))
+    val results = Seq(
+      ("q", 10L, 1L), ("q", 20L, 2L), ("q", 30L, 3L),   // 10 unrated
+      ("p", 20L, 1L), ("p", 30L, 2L))                   // ideal order
+      .toDF("query_id", "doc_id", "rank")
+    val qrels = Seq(
+      ("q", 20L, 2L), ("q", 30L, 1L),
+      ("p", 20L, 2L), ("p", 30L, 1L),
+      ("z", 40L, 0L),          // no positive rel → undefined nDCG
+      ("r", 50L, 1L))          // relevant but never retrieved
+      .toDF("query_id", "doc_id", "rel")
+    val out = Retrieval.ndcgEval(results, qrels, k = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // q: DCG = 2·630929 + 1·500000 = 1761858;
+    //    IDCG = 2·1000000 + 1·630929 = 2630929 → 669‰
+    assert(out("q") == ((1761858L, 2630929L, Some(669L))))
+    assert(out("p") == ((2630929L, 2630929L, Some(1000L))))
+    // z has neither results nor positive qrels → not a scorable query
+    assert(!out.contains("z"))
+    // r: relevant but never retrieved → 0‰, idcg = 1·1000000
+    assert(out("r") == ((0L, 1000000L, Some(0L))))
+    intercept[IllegalArgumentException](
+      Retrieval.ndcgEval(results, qrels, k = 0))
+  }
+
   test("searchSnippets: clamped windows, exact positions, misses drop") {
     val docs = Seq(
       (1L, "needle at the very start of this document body"),
