@@ -209,9 +209,19 @@ object Net {
       .withColumn("_block", blockOf(col("prefix_len")))
       .withColumn("_masked", col("_base") - pmod(col("_base"), col("_block")))
       .select(col("cidr"), col("_attr"), col("prefix_len"), col("_masked"))
-    val lens = parsed.select(col("prefix_len")).distinct()
-      .collect().map(_.getInt(0)).sorted
-    require(lens.nonEmpty, "lpmJoin: route table is empty")
+    // one route-sized validation pass: malformed cidrs (no /len, bad
+    // octets, nulls) fail loudly here instead of NPEing the collect or
+    // silently never matching
+    val chk = parsed.agg(
+      collect_set(col("prefix_len")).as("lens"),
+      sum(when(col("prefix_len").isNull || col("_masked").isNull, 1L)
+        .otherwise(0L)).as("bad"),
+      count(lit(1)).as("total")).head()
+    require(chk.getLong(2) > 0L, "lpmJoin: route table is empty")
+    require(chk.getLong(1) == 0L,
+      s"lpmJoin: ${chk.getLong(1)} route row(s) have a malformed or " +
+        "null cidr (expect dotted-quad/len)")
+    val lens = chk.getSeq[Int](0).sorted
     require(lens.forall(l => l >= 0 && l <= 32),
       s"lpmJoin: prefix lengths must be in [0, 32], got ${lens.toSeq}")
     val lenBlocks = array(lens.map(l =>

@@ -2403,6 +2403,7 @@ object Curation {
     val ranked = DistributedOrder.withGlobalRank(
       df.select(col(valueCol), col(tieCol)), "_r",
       col(valueCol), col(tieCol))
+      .localCheckpoint(false) // feeds the n aggregate AND the join
     val targets = ranked.agg(coalesce(max(col("_r")), lit(0L)).as("n"))
       .select(explode(array(qs.map(q => lit(q.toLong)): _*)).as("q"),
         col("n"))
@@ -2523,9 +2524,11 @@ object Curation {
     * `p_e = Σ_c m₁(c)·m₂(c)/N²` the marginal-product chance rate —
     * computed entirely in exact integers:
     * `kappa_permille = 1000·(A·N − P) div (N² − P)` with
-    * `P = Σ_c m₁(c)·m₂(c)`. κ can be negative, so the division is the
-    * TRUNCATING `div` (both engines truncate toward zero — the one
-    * integer-division semantics they share on negatives; the pmod-floor
+    * `P = Σ_c m₁(c)·m₂(c)`, in DECIMAL(38)/HUGEINT intermediates (P and
+    * the κ numerator grow ~n², so raw longs would wrap past ~10⁸ rows).
+    * κ can be negative, so the division is the TRUNCATING `div` (both
+    * engines truncate toward zero — the one integer-division semantics
+    * they share on negatives; the pmod-floor
     * idiom used elsewhere is positive-only). Rows with a null on either
     * side are excluded from N; if p_e = 1 (both raters constant and
     * equal) κ is undefined → NULL.
@@ -2543,20 +2546,28 @@ object Curation {
       .localCheckpoint(false) // feeds totals and both marginals
     val m1 = cells.groupBy(col("_a")).agg(sum(col("n")).as("n1"))
     val m2 = cells.groupBy(col("_b")).agg(sum(col("n")).as("n2"))
+    // p ~ n² and the κ numerator ~ n² · 1000: DECIMAL(38) end to end
+    // (the giniDiversity/chi2Terms stance), so no row count silently
+    // wraps a long — the quotients themselves are ≤ 1000
     val pe = m1.join(m2, col("_a") === col("_b"))
-      .agg(coalesce(sum(col("n1") * col("n2")), lit(0L)).as("p"))
+      .agg(coalesce(sum(expr("cast(n1 as decimal(38,0)) * n2")),
+        lit(0L).cast("decimal(38,0)")).as("p"))
     val tot = cells.agg(
       coalesce(sum(col("n")), lit(0L)).as("n"),
       coalesce(sum(when(col("_a") === col("_b"), col("n"))
         .otherwise(0L)), lit(0L)).as("n_agree"))
     tot.crossJoin(pe)
       .select(col("n"), col("n_agree"),
-        when(col("n") > 0L, expr("n_agree * 1000 div n"))
+        when(col("n") > 0L,
+          expr("cast(n_agree as decimal(38,0)) * 1000 div n"))
           .as("po_permille"),
-        when(col("n") > 0L, expr("p * 1000 div (n * n)"))
+        when(col("n") > 0L,
+          expr("p * 1000 div (cast(n as decimal(38,0)) * n)"))
           .as("pe_permille"),
-        when(col("n") > 0L && expr("n * n") =!= col("p"),
-          expr("(n_agree * n - p) * 1000 div (n * n - p)"))
+        when(col("n") > 0L &&
+            expr("cast(n as decimal(38,0)) * n") =!= col("p"),
+          expr("(cast(n_agree as decimal(38,0)) * n - p) * 1000" +
+            " div (cast(n as decimal(38,0)) * n - p)"))
           .as("kappa_permille"))
   }
 }

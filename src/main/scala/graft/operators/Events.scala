@@ -771,14 +771,19 @@ object Events {
       .withColumn("_vn", first(col("_v"), ignoreNulls = true).over(fwd))
       .withColumn("_tn", first(when(col("_v").isNotNull, col(tCol)),
         ignoreNulls = true).over(fwd))
-    filled.select(col(keyCol), col(tCol),
-      when(col("_v").isNotNull, col("_v"))
-        .when(col("_vp").isNull, col("_vn"))
-        .when(col("_vn").isNull, col("_vp"))
-        .otherwise(col("_vp") + expr(
-          "(_vn - _vp) * (" + tCol + " - _tp) div (_tn - _tp)"))
-        .as("value"),
-      col("_v").isNotNull.cast("long").as("is_observed"))
+    filled
+      // internal names only inside the expr — a caller's tick column
+      // never splices into SQL text
+      .withColumn("_num", (col("_vn") - col("_vp")) *
+        (col(tCol) - col("_tp")))
+      .withColumn("_den", col("_tn") - col("_tp"))
+      .select(col(keyCol), col(tCol),
+        when(col("_v").isNotNull, col("_v"))
+          .when(col("_vp").isNull, col("_vn"))
+          .when(col("_vn").isNull, col("_vp"))
+          .otherwise(col("_vp") + expr("_num div _den"))
+          .as("value"),
+        col("_v").isNotNull.cast("long").as("is_observed"))
   }
 
   /** Seasonal (hour-of-week) anomaly detection: flag (key, hour-slot,
@@ -804,11 +809,14 @@ object Events {
   def seasonalAnomalies(events: DataFrame, keyCol: String, tsCol: String,
       multiple: Int = 2): DataFrame = {
     require(multiple >= 1, s"multiple >= 1, got $multiple")
-    val hour = (unix_micros(col(tsCol).cast("timestamp_ltz")) /
-      3600000000L).cast("long")
+    // exact integer div (the `/` operator is DOUBLE division — its
+    // rounding can cross an hour boundary for extreme timestamps)
     val cells = events
-      .select(col(keyCol), (hour % 168L).as("slot"),
-        ((hour - hour % 168L) / 168L).cast("long").as("week"))
+      .select(col(keyCol),
+        unix_micros(col(tsCol).cast("timestamp_ltz")).as("_us"))
+      .withColumn("_hour", expr("_us div 3600000000"))
+      .select(col(keyCol), expr("_hour % 168").as("slot"),
+        expr("_hour div 168").as("week"))
       .groupBy(col(keyCol), col("slot"), col("week"))
       .agg(count(lit(1)).as("obs"))
     val w = Window.partitionBy(col(keyCol), col("slot"))

@@ -67,8 +67,10 @@ object Layout {
     * footers are read ON EXECUTORS, one task per file batch — a store
     * of 10⁵ files costs 10⁵ footer reads spread across the cluster.
     * Requires the key column to carry parquet min/max statistics
-    * (graft store copies always do). Output:
-    * `(file, n_rows, min_key, max_key)` with keys as strings. */
+    * (graft store copies always do). Row-group bounds merge in the
+    * column's TYPED order (Binary/Long/...), then render to strings —
+    * a lexicographic merge would corrupt numeric keys ("100" < "99").
+    * Output: `(file, n_rows, min_key, max_key)`. */
   def zoneMap(spark: org.apache.spark.sql.SparkSession, path: String,
       keyCol: String): DataFrame = {
     import scala.jdk.CollectionConverters._
@@ -94,8 +96,14 @@ object Layout {
         try {
           val blocks = reader.getFooter.getBlocks.asScala
           var n = 0L
-          var mn: String = null
-          var mx: String = null
+          // merge row-group bounds in the column's OWN order (typed
+          // Comparable — Binary/Long/Int/...), never lexicographically:
+          // string-comparing "100" < "99" would corrupt numeric keys
+          var mnV: AnyRef = null
+          var mxV: AnyRef = null
+          var render: AnyRef => String = _.toString
+          def cmp(a: AnyRef, b: AnyRef): Int =
+            a.asInstanceOf[Comparable[AnyRef]].compareTo(b)
           blocks.foreach { b =>
             n += b.getRowCount
             b.getColumns.asScala
@@ -103,14 +111,21 @@ object Layout {
               .foreach { c =>
                 val st = c.getStatistics
                 if (st != null && st.hasNonNullValue) {
-                  val lo = st.minAsString
-                  val hi = st.maxAsString
-                  if (mn == null || lo < mn) mn = lo
-                  if (mx == null || hi > mx) mx = hi
+                  val lo = st.genericGetMin.asInstanceOf[AnyRef]
+                  val hi = st.genericGetMax.asInstanceOf[AnyRef]
+                  render = {
+                    case bin: org.apache.parquet.io.api.Binary =>
+                      bin.toStringUsingUTF8
+                    case other => other.toString
+                  }
+                  if (mnV == null || cmp(lo, mnV) < 0) mnV = lo
+                  if (mxV == null || cmp(hi, mxV) > 0) mxV = hi
                 }
               }
           }
-          (f, n, mn, mx)
+          (f, n,
+            if (mnV == null) null else render(mnV),
+            if (mxV == null) null else render(mxV))
         } finally reader.close()
       }
     spark.createDataFrame(rows)

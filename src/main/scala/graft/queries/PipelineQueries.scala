@@ -1019,8 +1019,6 @@ object PipelineQueries {
       graft.operators.Curation.nbClassify(d, "text", "doc_id", model)
     }),
 
-    // Morton (Z-order) clustering key over (user, time) — the bit
-    // chain the layout writer sorts by, checked bit-for-bit.
     // Compaction bin planning over a part-derived file inventory:
     // cumulative-size packing in (size desc, id) order to 100 KB bins.
     "pack_files" -> ((s, dir) =>
@@ -1029,6 +1027,8 @@ object PipelineQueries {
           (col("p_size").cast("long") * 1000L).as("sz")),
         "p_partkey", "sz", targetBytes = 100000L)),
 
+    // Morton (Z-order) clustering key over (user, time) — the bit
+    // chain the layout writer sorts by, checked bit-for-bit.
     "zorder_key" -> ((s, dir) =>
       Graft.table(s, dir, "events").select(col("event_id"),
         graft.functions.ZOrder.interleave(col("user_id"),
@@ -3432,19 +3432,23 @@ object PipelineQueries {
         |  GROUP BY 1, 2),
         |m1 AS (SELECT a, SUM(n) AS n1 FROM cells GROUP BY 1),
         |m2 AS (SELECT b, SUM(n) AS n2 FROM cells GROUP BY 1),
-        |p AS (SELECT COALESCE(SUM(n1 * n2), 0) AS pp
+        |p AS (SELECT COALESCE(SUM(CAST(n1 AS HUGEINT) * n2), 0) AS pp
         |      FROM m1 JOIN m2 ON a = b),
         |t AS (SELECT COALESCE(SUM(n), 0) AS nt,
         |             COALESCE(SUM(CASE WHEN a = b THEN n ELSE 0 END), 0)
         |               AS na
         |      FROM cells)
         |SELECT CAST(nt AS BIGINT) AS n, CAST(na AS BIGINT) AS n_agree,
-        |  CASE WHEN nt > 0 THEN CAST(na * 1000 // nt AS BIGINT) END
+        |  CASE WHEN nt > 0
+        |       THEN CAST(CAST(na AS HUGEINT) * 1000 // nt AS BIGINT) END
         |    AS po_permille,
-        |  CASE WHEN nt > 0 THEN CAST(pp * 1000 // (nt * nt) AS BIGINT) END
+        |  CASE WHEN nt > 0
+        |       THEN CAST(pp * 1000 // (CAST(nt AS HUGEINT) * nt)
+        |                 AS BIGINT) END
         |    AS pe_permille,
-        |  CASE WHEN nt > 0 AND nt * nt <> pp
-        |       THEN CAST((na * nt - pp) * 1000 // (nt * nt - pp)
+        |  CASE WHEN nt > 0 AND CAST(nt AS HUGEINT) * nt <> pp
+        |       THEN CAST((CAST(na AS HUGEINT) * nt - pp) * 1000
+        |                   // (CAST(nt AS HUGEINT) * nt - pp)
         |                 AS BIGINT) END
         |    AS kappa_permille
         |FROM t CROSS JOIN p

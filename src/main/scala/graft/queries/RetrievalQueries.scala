@@ -111,10 +111,6 @@ object RetrievalQueries {
       Retrieval.hardNegatives(results, qrels, k = 5)
     }),
 
-    // Exact phrase search via positional-posting intersection — the
-    // query class a bag-of-words index cannot answer. Oracle mirrors
-    // the position arithmetic (1-based generate_series shifted to the
-    // 0-based posexplode convention).
     // Keyword-in-context snippets for the result page: match position
     // plus 30 chars of context each side, clamped at doc start — pure
     // 1-based character arithmetic, identical in every engine.
@@ -122,6 +118,10 @@ object RetrievalQueries {
       Retrieval.searchSnippets(docs(s, dir), "doc_id", "text",
         "merge batch", window = 30)),
 
+    // Exact phrase search via positional-posting intersection — the
+    // query class a bag-of-words index cannot answer. Oracle mirrors
+    // the position arithmetic (1-based generate_series shifted to the
+    // 0-based posexplode convention).
     "phrase_search" -> ((s, dir) =>
       Retrieval.phraseSearch(docs(s, dir), "text", "doc_id",
         Seq("hash", "join"))),

@@ -109,6 +109,18 @@ class LayoutSpec extends AnyFunSuite {
       .collect().map(r => norm(r.getString(0)) ->
         (r.getLong(1), r.getString(2), r.getString(3))).toMap
     assert(zm.nonEmpty && zm == scan, s"zm=$zm scan=$scan")
+    // numeric keys merge in TYPED order: values 9..100 across multiple
+    // row groups must report min 9 / max 100, not the lexicographic
+    // "100"/"99"
+    val ndir = java.nio.file.Files.createTempDirectory("graft-zm-num")
+      .resolve("t").toString
+    (9L to 100L).toDF("k").coalesce(1)
+      .write.option("parquet.block.size", "1024").parquet(ndir)
+    val nzm = Layout.zoneMap(spark2, ndir, "k").collect()
+    assert(nzm.map(_.getLong(1)).sum == 92L)
+    val mins = nzm.map(_.getString(2).toLong)
+    val maxs = nzm.map(_.getString(3).toLong)
+    assert(mins.min == 9L && maxs.max == 100L, (mins.min, maxs.max))
   }
 
   test("packFiles: cumulative bins in size-desc order, offsets exact") {
