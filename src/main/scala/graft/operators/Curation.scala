@@ -2381,6 +2381,42 @@ object Curation {
       .agg((min(col("hit")) === 1).cast("long").as("maybe_member"))
   }
 
+  /** Referential-integrity audit — the pipeline pre-flight for any
+    * join-shaped plan ([[functionalDependencies]] finds the hidden
+    * keys; this checks the declared ones): how many child rows point
+    * at a parent key that does not exist. Orphans silently vanish from
+    * inner joins and explode null-handling downstream — at 100 TB you
+    * audit BEFORE the 6-hour join, not after.
+    *
+    * Output (one row): `(n_child, n_null_fk, n_orphan_rows,
+    * n_orphan_keys, orphan_permille)` — null FKs are counted apart
+    * (SQL FK semantics: a null FK is not a violation), and the
+    * permille is orphan rows over non-null-FK rows.
+    *
+    * Scale shape: one anti-join of the child against the deduped
+    * parent keys (Catalyst broadcasts the parent side when it fits —
+    * dimension tables usually do), then scalar aggregates. */
+  def refIntegrity(child: DataFrame, fkCol: String, parent: DataFrame,
+      pkCol: String): DataFrame = {
+    val base = child.select(col(fkCol).as("_fk"))
+    val tot = base.agg(
+      coalesce(sum(col("_fk").isNotNull.cast("long")), lit(0L))
+        .as("n_child"),
+      coalesce(sum(col("_fk").isNull.cast("long")), lit(0L))
+        .as("n_null_fk"))
+    val orphans = base.filter(col("_fk").isNotNull)
+      .join(parent.select(col(pkCol).as("_pk")).distinct(),
+        col("_fk") === col("_pk"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan_rows"),
+        countDistinct(col("_fk")).as("n_orphan_keys"))
+    tot.crossJoin(orphans)
+      .select(col("n_child"), col("n_null_fk"), col("n_orphan_rows"),
+        col("n_orphan_keys"),
+        when(col("n_child") > 0L,
+          expr("cast(n_orphan_rows as decimal(38,0)) * 1000" +
+            " div n_child")).as("orphan_permille"))
+  }
+
   /** EXACT percentile values via the distributed rank — the ground
     * truth beside the mergeable-sketch estimators (P109's
     * sketch_quantiles): when the question is an SLA boundary or an

@@ -92,4 +92,33 @@ object Tools {
     val dstFs = dst.getFileSystem(conf)
     org.apache.hadoop.fs.FileUtil.copy(srcFs, src, dstFs, dst, false, true, conf)
   }
+
+  /** Order-independent content checksum of a table slice — the
+    * replication/migration validator (did the cross-cluster copy, the
+    * dump→replay round-trip, the engine swap preserve every row?):
+    * `checksum = Σ hash60(canonical row) mod 10¹⁸` over the chosen
+    * columns plus the row count. Addition commutes, so the result is
+    * independent of partitioning and row order — comparable across ANY
+    * two engines or clusters (the same property that makes the DuckDB
+    * gates possible, packaged as an operator).
+    *
+    * Canonical row = values cast to string, nulls as a sentinel that
+    * cannot collide with data (so `("a", null)` ≠ `("a", "null")`),
+    * joined by 0x01. Callers pick columns whose string rendering is
+    * engine-stable (integers, strings, epoch-cast timestamps — NOT raw
+    * floats). One map-side-combinable aggregate; DECIMAL(38) sum, so
+    * no row count overflows. */
+  def tableChecksum(df: org.apache.spark.sql.DataFrame,
+      cols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty, "tableChecksum: empty column list")
+    val canon = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0000N"))): _*)
+    df.select(graft.operators.Curation.hash60(canon).as("_h"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(expr("cast(_h as decimal(38,0))")),
+          lit(0L).cast("decimal(38,0)")).as("_s"))
+      .select(col("n_rows"),
+        expr("cast(_s % 1000000000000000000 as bigint)").as("checksum"))
+  }
 }

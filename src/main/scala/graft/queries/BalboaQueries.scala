@@ -70,6 +70,19 @@ object BalboaQueries {
       agg.filter(Net.ipv6_to_hex(col("rdata")).between(lo, hi))
     }),
 
+    // Order-independent table checksum over engine-stable columns
+    // (keys, strings, epoch-cast timestamps) — the replication /
+    // dump-replay / engine-swap validator: sum of per-row hash60 mod
+    // 1e18 plus row count, identical regardless of partitioning or
+    // row order.
+    "table_checksum" -> ((s, dir) =>
+      Tools.tableChecksum(
+        Graft.table(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("o_orderpriority"),
+          micros(col("o_orderdate")).as("od_us")),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderpriority", "od_us"))),
+
     // Longest-prefix-match enrichment: every observed IP against a
     // 3-level route table (/8 default, nation-derived /16s and /24s) —
     // each IP labeled by the LONGEST matching prefix, LPM as a masked
@@ -396,6 +409,25 @@ object BalboaQueries {
          |SELECT e_rrname, rdata, sensor_id, alias_rrname, alias_rrtype
          |FROM j WHERE rn <= 2
          |""".stripMargin,
+
+    // Same canonical string (chr(1) separators, chr(0)||'N' null
+    // sentinel) through the shared hash60 mirror, summed in HUGEINT.
+    "table_checksum" -> {
+      val canon = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderpriority", "od_us")
+        .map(c => s"COALESCE(CAST($c AS VARCHAR), chr(0) || 'N')")
+        .mkString("(", " || chr(1) || ", ")")
+      s"""WITH t AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+         |         epoch_us(o_orderdate) AS od_us
+         |  FROM orders),
+         |h AS (SELECT ${util.hash60Sql(canon)} AS hh FROM t)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       CAST(COALESCE(SUM(CAST(hh AS HUGEINT)), 0)
+         |              % 1000000000000000000 AS BIGINT) AS checksum
+         |FROM h
+         |""".stripMargin
+    },
 
     // LPM by direct containment join + longest-wins row_number — the
     // naive formulation the masked equi-join must reproduce. Masking is

@@ -1157,6 +1157,20 @@ object PipelineQueries {
         graft.functions.Url.surt(col("url")).as("surt"))
     }),
 
+    // Referential-integrity audit with PLANTED orphans: 2% of lineitem
+    // FKs are shifted outside the orders keyspace (and one in fifty of
+    // THOSE is nulled) — the audit must count orphan rows/keys and the
+    // null FKs apart, exactly.
+    "ri_audit" -> ((s, dir) => {
+      val li = Graft.table(s, dir, "lineitem").select(
+        when(col("l_partkey") % 50 === 0,
+          when(col("l_suppkey") % 50 === 0, lit(null).cast("long"))
+            .otherwise(col("l_orderkey") + 1000000000L))
+          .otherwise(col("l_orderkey")).as("fk"))
+      graft.operators.Curation.refIntegrity(li, "fk",
+        Graft.table(s, dir, "orders"), "o_orderkey")
+    }),
+
     // Field-level survivorship: the golden record per customer built
     // field by field from their orders — majority value, recency
     // tie-break, long-format output with vote support for audit.
@@ -3298,6 +3312,35 @@ object PipelineQueries {
         |SELECT p_partkey, size_bytes,
         |       CAST(excl // 100000 AS BIGINT) AS bin
         |FROM r
+        |""".stripMargin,
+
+    "ri_audit" ->
+      """WITH li AS (
+        |  SELECT CASE WHEN l_partkey % 50 = 0
+        |              THEN CASE WHEN l_suppkey % 50 = 0 THEN NULL
+        |                        ELSE l_orderkey + 1000000000 END
+        |              ELSE l_orderkey END AS fk
+        |  FROM lineitem),
+        |o AS (
+        |  SELECT li.fk FROM li
+        |  WHERE li.fk IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM orders
+        |                    WHERE o_orderkey = li.fk)),
+        |t AS (
+        |  SELECT CAST(COUNT(fk) AS BIGINT) AS n_child,
+        |         CAST(SUM(CASE WHEN fk IS NULL THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_null_fk
+        |  FROM li),
+        |oo AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_orphan_rows,
+        |         CAST(COUNT(DISTINCT fk) AS BIGINT) AS n_orphan_keys
+        |  FROM o)
+        |SELECT n_child, n_null_fk, n_orphan_rows, n_orphan_keys,
+        |       CASE WHEN n_child > 0
+        |            THEN CAST(CAST(n_orphan_rows AS HUGEINT) * 1000
+        |                        // n_child AS BIGINT) END
+        |         AS orphan_permille
+        |FROM t CROSS JOIN oo
         |""".stripMargin,
 
     // The same vote with an independent arg-max formulation

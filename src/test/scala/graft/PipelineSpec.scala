@@ -871,6 +871,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("tableChecksum: order/partition independent, null-distinct") {
+    import graft.operators.Tools
+    val a = Seq((1L, "x"), (2L, "y"), (3L, null)).toDF("id", "s")
+    val cs1 = Tools.tableChecksum(a, Seq("id", "s")).collect().head
+    // same rows, reversed order, different partitioning → same checksum
+    val b = Seq((3L, null), (2L, "y"), (1L, "x")).toDF("id", "s")
+      .repartition(7)
+    val cs2 = Tools.tableChecksum(b, Seq("id", "s")).collect().head
+    assert(cs1.getLong(0) == 3L && cs1.getLong(1) == cs2.getLong(1))
+    // a literal "null" string is NOT a null
+    val c = Seq((3L, "null"), (2L, "y"), (1L, "x")).toDF("id", "s")
+    val cs3 = Tools.tableChecksum(c, Seq("id", "s")).collect().head
+    assert(cs3.getLong(1) != cs1.getLong(1))
+    val empty = Tools.tableChecksum(a.limit(0), Seq("id", "s"))
+      .collect().head
+    assert(empty.getLong(0) == 0L && empty.getLong(1) == 0L)
+    intercept[IllegalArgumentException](Tools.tableChecksum(a, Seq.empty))
+  }
+
+  test("refIntegrity: orphans, null FKs, exact permille") {
+    import graft.operators.Curation
+    val parent = Seq(10L, 20L).toDF("pk")
+    val child = Seq(Some(10L), Some(10L), Some(20L), Some(99L),
+      Some(99L), Some(98L), None).toDF("fk")
+    val r = Curation.refIntegrity(child, "fk", parent, "pk")
+      .collect().head
+    // 6 non-null FKs, 1 null, 3 orphan rows over 2 orphan keys,
+    // 3·1000 div 6 = 500‰
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((6L, 1L, 3L, 2L, 500L)))
+  }
+
   test("fieldSurvivorship: majority, recency tie-break, null drop") {
     import java.sql.Timestamp
     def t(s: Long) = new Timestamp(s * 1000L)
