@@ -346,4 +346,58 @@ object Robots {
       when(!noindex, 1L).otherwise(0L).as("index_ok"),
       when(!nofollow, 1L).otherwise(0L).as("follow_ok"))
   }
+
+  /** Crawler-trap detection — the frontier's immune system (calendar
+    * pages, session-id mazes, and self-linking mirrors generate
+    * unbounded URL spaces; every real crawler ships these heuristics):
+    * per URL the path depth, the longest run of IDENTICAL consecutive
+    * path segments (the `/a/a/a/` recursion signature), the query-param
+    * count, and the length — flagged against the caller's thresholds
+    * with a deterministic comma-joined reason list.
+    *
+    * The run scan is one `aggregate` fold over the segment array —
+    * narrow, zero shuffle; the lambda re-references the segment array
+    * per element (the documented Catalyst-lambda cost), fine at URL
+    * segment counts. Output: `(urlCol, depth, max_run, n_params,
+    * url_len, is_trap, reasons)`. */
+  def detectTraps(urls: DataFrame, urlCol: String, maxDepth: Int = 12,
+      maxSegmentRun: Int = 2, maxParams: Int = 8,
+      maxLen: Int = 512): DataFrame = {
+    require(maxDepth >= 1 && maxSegmentRun >= 1 && maxParams >= 0 &&
+      maxLen >= 1, "detectTraps: thresholds must be positive")
+    val withParts = urls
+      .withColumn("_path",
+        regexp_extract(col(urlCol), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)?", 1))
+      .withColumn("_q", regexp_extract(col(urlCol), "\\?([^#]*)", 1))
+      .withColumn("_segs",
+        filter(split(col("_path"), "/"), s => length(s) > 0))
+      .withColumn("depth", size(col("_segs")).cast("long"))
+      // size ≤ 1 short-circuits: Spark's sequence(2, 1) DESCENDS, and
+      // the fold would index element 0 (arrays are 1-based)
+      .withColumn("max_run",
+        when(size(col("_segs")) <= 1, size(col("_segs")).cast("long"))
+        .otherwise(expr(
+          """aggregate(sequence(2, size(_segs)),
+            |  named_struct('run', 1L, 'best', 1L),
+            |  (a, i) -> IF(element_at(_segs, i) = element_at(_segs, i - 1),
+            |    named_struct('run', a.run + 1L,
+            |      'best', greatest(a.best, a.run + 1L)),
+            |    named_struct('run', 1L, 'best', a.best)),
+            |  a -> a.best)""".stripMargin)))
+      .withColumn("n_params", when(length(col("_q")) === 0, lit(0L))
+        .otherwise(size(split(col("_q"), "&")).cast("long")))
+      .withColumn("url_len", length(col(urlCol)).cast("long"))
+    val reasons = array(
+      when(col("depth") > maxDepth, lit("depth")),
+      when(col("max_run") > maxSegmentRun, lit("loop")),
+      when(col("n_params") > maxParams, lit("params")),
+      when(col("url_len") > maxLen, lit("length")))
+    withParts
+      .withColumn("reasons",
+        array_join(filter(reasons, r => r.isNotNull), ","))
+      .select(col(urlCol), col("depth"), col("max_run"), col("n_params"),
+        col("url_len"),
+        (length(col("reasons")) > 0).cast("long").as("is_trap"),
+        col("reasons"))
+  }
 }

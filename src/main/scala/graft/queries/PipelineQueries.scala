@@ -1157,6 +1157,25 @@ object PipelineQueries {
         graft.functions.Url.surt(col("url")).as("surt"))
     }),
 
+    // Crawler-trap detection over deterministically trap-shaped URLs
+    // (doc_id % 5 repeated segments, doc_id % 12 query params): the
+    // /a/a/a/ recursion run, depth, param count, and length verdicts
+    // with a comma-joined reason list.
+    "url_trap" -> ((s, dir) => {
+      import graft.operators.Robots
+      val urls = docs(s, dir).select(concat(
+        lit("https://"), col("source"), lit(".example/"),
+        expr("repeat(concat(lower(substring_index(text, ' ', 1)), '/')," +
+          " cast(doc_id % 5 as int))"),
+        lit("p"), col("doc_id").cast("string"),
+        when(col("doc_id") % 12 > 0,
+          concat(lit("?"), expr(
+            "trim(TRAILING '&' FROM repeat('k=v&', cast(doc_id % 12 as int)))")))
+          .otherwise(lit(""))).as("url"))
+      Robots.detectTraps(urls, "url", maxDepth = 4, maxSegmentRun = 2,
+        maxParams = 8)
+    }),
+
     // Referential-integrity audit with PLANTED orphans: 2% of lineitem
     // FKs are shifted outside the orders keyspace (and one in fifty of
     // THOSE is nulled) — the audit must count orphan rows/keys and the
@@ -3312,6 +3331,71 @@ object PipelineQueries {
         |SELECT p_partkey, size_bytes,
         |       CAST(excl // 100000 AS BIGINT) AS bin
         |FROM r
+        |""".stripMargin,
+
+    // max_run recomputed honestly via gaps-and-islands over the
+    // unnested segments (never assuming the construction), the rest is
+    // direct string arithmetic.
+    "url_trap" ->
+      """WITH u AS (
+        |  SELECT 'https://' || source || '.example/' ||
+        |         repeat(lower(string_split(text, ' ')[1]) || '/',
+        |                CAST(doc_id % 5 AS INT)) ||
+        |         'p' || CAST(doc_id AS VARCHAR) ||
+        |         CASE WHEN doc_id % 12 > 0
+        |              THEN '?' || rtrim(repeat('k=v&',
+        |                     CAST(doc_id % 12 AS INT)), '&')
+        |              ELSE '' END AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT url,
+        |    regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)?', 1) AS path,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS q
+        |  FROM u),
+        |sg AS (
+        |  SELECT url, q,
+        |         list_filter(string_split(path, '/'),
+        |                     s -> len(s) > 0) AS segs
+        |  FROM parts),
+        |ex AS (
+        |  SELECT url, unnest(segs) AS s,
+        |         generate_subscripts(segs, 1) AS i
+        |  FROM sg),
+        |brk AS (
+        |  SELECT url, i,
+        |         CASE WHEN lag(s) OVER (PARTITION BY url ORDER BY i) = s
+        |              THEN 0 ELSE 1 END AS b
+        |  FROM ex),
+        |grp AS (
+        |  SELECT url, SUM(b) OVER (PARTITION BY url ORDER BY i
+        |           ROWS UNBOUNDED PRECEDING) AS g
+        |  FROM brk),
+        |mr AS (
+        |  SELECT url, CAST(MAX(cnt) AS BIGINT) AS max_run
+        |  FROM (SELECT url, g, COUNT(*) AS cnt FROM grp GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |base AS (
+        |  SELECT sg.url, CAST(len(sg.segs) AS BIGINT) AS depth,
+        |         COALESCE(mr.max_run, 0) AS max_run,
+        |         CASE WHEN len(sg.q) = 0 THEN CAST(0 AS BIGINT)
+        |              ELSE CAST(len(string_split(sg.q, '&')) AS BIGINT)
+        |         END AS n_params,
+        |         CAST(length(sg.url) AS BIGINT) AS url_len
+        |  FROM sg LEFT JOIN mr ON sg.url = mr.url),
+        |scored AS (
+        |  SELECT *, COALESCE(array_to_string(list_filter([
+        |           CASE WHEN depth > 4 THEN 'depth' END,
+        |           CASE WHEN max_run > 2 THEN 'loop' END,
+        |           CASE WHEN n_params > 8 THEN 'params' END,
+        |           CASE WHEN url_len > 512 THEN 'length' END],
+        |           x -> x IS NOT NULL), ','), '') AS reasons
+        |  FROM base)
+        |SELECT url, depth, max_run, n_params, url_len,
+        |       CAST(CASE WHEN len(reasons) > 0 THEN 1 ELSE 0 END
+        |         AS BIGINT) AS is_trap,
+        |       reasons
+        |FROM scored
         |""".stripMargin,
 
     "ri_audit" ->

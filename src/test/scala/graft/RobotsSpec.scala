@@ -255,4 +255,27 @@ class RobotsSpec extends AnyFunSuite {
       nullOut.getAs[Long]("index_ok"),
       nullOut.getAs[Long]("follow_ok")) == ((0L, 0L, 1L, 1L)))
   }
+
+  test("detectTraps: runs, depth, params, reasons — crafted verdicts") {
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    val urls = Seq(
+      "https://h/a/a/a/p",              // run 3 → loop
+      "https://h/a/b/a/b",              // alternating → run 1, depth 4
+      "https://h/x?k=1&k=2&k=3",        // 3 params > 2
+      "https://h/one",                  // benign single segment
+      "https://h/a/b/c/d/e",            // depth 5 > 4
+      "https://h/").toDF("url")
+    val out = graft.operators.Robots.detectTraps(urls, "url",
+        maxDepth = 4, maxSegmentRun = 2, maxParams = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5),
+          r.getString(6))).toMap
+    assert(out("https://h/a/a/a/p") == ((4L, 3L, 0L, 1L, "loop")))
+    assert(out("https://h/a/b/a/b") == ((4L, 1L, 0L, 0L, "")))
+    assert(out("https://h/x?k=1&k=2&k=3") == ((1L, 1L, 3L, 1L, "params")))
+    assert(out("https://h/one") == ((1L, 1L, 0L, 0L, "")))
+    assert(out("https://h/a/b/c/d/e") == ((5L, 1L, 0L, 1L, "depth")))
+    assert(out("https://h/") == ((0L, 0L, 0L, 0L, "")))
+  }
 }
