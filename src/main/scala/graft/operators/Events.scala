@@ -185,6 +185,48 @@ object Events {
     matched.select(outCols: _*)
   }
 
+  /** NEAREST-event join: each left row picks the right row with the
+    * smallest |Δt| on the same key within `toleranceUs`, from EITHER
+    * direction — "the sensor reading closest to this alert", where the
+    * backward/forward as-of forms answer only "the latest before" /
+    * "earliest after". Ties (equal distance both sides) prefer the
+    * earlier (backward) row — a total rule, deterministic.
+    *
+    * Composition of the two [[asofJoin]] passes (same union trick, so
+    * still NO inequality join anywhere): two key-shuffles + sorts
+    * total, linear, spillable — the price of symmetry is exactly one
+    * extra as-of pass. Same preconditions (right unique per (key,
+    * time)); unmatched left rows keep null payloads. Output: every
+    * left column + `<prefix><rightTimeCol>`, `<prefix><c>` per value
+    * column, `<prefix>delta_us`, `<prefix>direction`
+    * ('before'/'after'/null). */
+  def nearestJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTimeCol: String, rightTimeCol: String,
+      rightValueCols: Seq[String], toleranceUs: Long,
+      prefix: String = "near_"): DataFrame = {
+    require(toleranceUs >= 0, s"toleranceUs >= 0, got $toleranceUs")
+    def us(c: Column): Column = unix_micros(c.cast("timestamp_ltz"))
+    val b = asofJoin(left, right, keyCol, leftTimeCol, rightTimeCol,
+      rightValueCols, "_nb_")
+    val bf = asofJoinForward(b, right, keyCol, leftTimeCol, rightTimeCol,
+      rightValueCols, "_nf_")
+    val db = us(col(leftTimeCol)) - us(col(s"_nb_$rightTimeCol"))
+    val df = us(col(s"_nf_$rightTimeCol")) - us(col(leftTimeCol))
+    val candB = col(s"_nb_$rightTimeCol").isNotNull && db <= toleranceUs
+    val candF = col(s"_nf_$rightTimeCol").isNotNull && df <= toleranceUs
+    def side(tag: String, delta: Column, dir: String) = struct(
+      (rightTimeCol +: rightValueCols)
+        .map(c => col(s"_$tag$c").as(c)) :+
+        delta.as("delta_us") :+ lit(dir).as("direction"): _*)
+    val winner = when(candB && (!coalesce(candF, lit(false)) || db <= df),
+        side("nb_", db, "before"))
+      .when(coalesce(candF, lit(false)), side("nf_", df, "after"))
+    val outCols = left.columns.toSeq.map(col) ++
+      ((rightTimeCol +: rightValueCols) ++ Seq("delta_us", "direction"))
+        .map(c => col(s"_w.$c").as(s"$prefix$c"))
+    bf.withColumn("_w", winner).select(outCols: _*)
+  }
+
   /** Range (interval) join: all (left, right) pairs on the same key with
     * `0 < right.time - left.time <= windowUs` (e.g. "purchases within 24h
     * after a view"). A direct inequality join degenerates to a per-key

@@ -128,6 +128,23 @@ object EventQueries {
           micros(col("session_end")).as("session_end"),
           col("n_events"))),
 
+    // Nearest-event join: for every click, the user's closest purchase
+    // within ±6h from EITHER direction (the as-of forms answer only
+    // one side); equal-distance ties prefer the earlier purchase.
+    "events_nearest" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(min(col("event_id")).as("pid"))
+      Events.nearestJoin(clicks, buys, "user_id", "ts", "ts",
+          Seq("pid"), toleranceUs = 6L * 3600L * 1000000L)
+        .select(col("event_id"), col("user_id"), micros(col("ts")).as("t"),
+          micros(col("near_ts")).as("near_t"), col("near_pid"),
+          col("near_delta_us"), col("near_direction"))
+    }),
+
     // Integer gap-filling of the hourly count series with PLANTED gaps
     // (every hour ≡ 2 mod 5 dropped): dropped hours come back by
     // linear interpolation between observed neighbors, edges carry
@@ -1001,6 +1018,37 @@ object EventQueries {
         |       epoch_us(MAX(ts)) AS session_end,
         |       CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM numbered GROUP BY 1, 2
+        |""".stripMargin,
+
+    // The honest formulation: inequality join within tolerance +
+    // min-|Δ| row_number (before wins ties) — the engine's two as-of
+    // passes must reproduce it exactly, including unmatched rows.
+    "events_nearest" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |buys AS (
+        |  SELECT user_id, ts, CAST(MIN(event_id) AS BIGINT) AS pid
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |j AS (
+        |  SELECT c.event_id, c.user_id, c.ts, b.ts AS bts, b.pid,
+        |         abs(epoch_us(c.ts) - epoch_us(b.ts)) AS ad,
+        |         CASE WHEN b.ts <= c.ts THEN 0 ELSE 1 END AS aft,
+        |         row_number() OVER (PARTITION BY c.event_id
+        |           ORDER BY abs(epoch_us(c.ts) - epoch_us(b.ts)),
+        |                    CASE WHEN b.ts <= c.ts THEN 0 ELSE 1 END)
+        |           AS rn
+        |  FROM clicks c JOIN buys b
+        |    ON c.user_id = b.user_id
+        |   AND abs(epoch_us(c.ts) - epoch_us(b.ts))
+        |       <= CAST(6 AS BIGINT) * 3600 * 1000000),
+        |best AS (SELECT * FROM j WHERE rn = 1)
+        |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS t,
+        |       epoch_us(b.bts) AS near_t, b.pid AS near_pid,
+        |       b.ad AS near_delta_us,
+        |       CASE WHEN b.aft = 0 THEN 'before'
+        |            WHEN b.aft = 1 THEN 'after' END AS near_direction
+        |FROM clicks c LEFT JOIN best b ON c.event_id = b.event_id
         |""".stripMargin,
 
     // The same four IGNORE-NULLS neighbor windows over the dense grid;

@@ -409,6 +409,33 @@ class EventsSpec extends AnyFunSuite {
         "peak_window"))
   }
 
+  test("nearestJoin: closer side wins, before breaks ties, tol binds") {
+    import graft.operators.Events
+    val left = Seq(
+      (1L, 1L, ts(100)),   // before at 90 (d=10), after at 130 → before
+      (2L, 1L, ts(125)),   // before 90 (35), after 130 (5) → after
+      (3L, 1L, ts(110)),   // before 90 (20), after 130 (20) → tie→before
+      (4L, 2L, ts(100)),   // only right at 500 → outside tol 60 → null
+      (5L, 3L, ts(100)))   // no right rows at all → null
+      .toDF("id", "k", "t")
+    val right = Seq(
+      (1L, ts(90), 901L), (1L, ts(130), 902L), (2L, ts(500), 903L))
+      .toDF("k", "t", "pid")
+    val out = Events.nearestJoin(left, right, "k", "t", "t", Seq("pid"),
+        toleranceUs = 60L * 1000000L)
+      .collect().map { r =>
+        def opt(c: String) = if (r.isNullAt(r.fieldIndex(c))) None
+          else Some(r.getLong(r.fieldIndex(c)))
+        r.getLong(0) -> ((opt("near_pid"), opt("near_delta_us"),
+          Option(r.getString(r.fieldIndex("near_direction")))))
+      }.toMap
+    assert(out(1L) == ((Some(901L), Some(10000000L), Some("before"))))
+    assert(out(2L) == ((Some(902L), Some(5000000L), Some("after"))))
+    assert(out(3L) == ((Some(901L), Some(20000000L), Some("before"))))
+    assert(out(4L) == ((None, None, None)))
+    assert(out(5L) == ((None, None, None)))
+  }
+
   test("gapFill: interiors interpolate, edges carry, guard binds") {
     import graft.operators.Events
     // key a: observed (0,10), (4,2) → 1..3 interpolate with slope -2
