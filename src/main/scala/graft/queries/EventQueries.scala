@@ -406,6 +406,23 @@ object EventQueries {
       graft.operators.Graphs.bfsDistances(custSuppEdges(s, dir), "src",
         "dst", seeds = Seq(1L, 4L, 7L), rounds = 3)),
 
+    // Bounded weighted shortest paths over the customer→supplier graph
+    // with deterministic integer edge costs: 3 Bellman–Ford rounds =
+    // cheapest path using ≤3 edges from sources {1, 4} (the weighted
+    // answer BFS hop counts can't give).
+    "graph_sssp" -> ((s, dir) => {
+      val weighted = Graft.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Graft.table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"),
+          (col("o_orderkey") % 7 + 1L).as("w"))
+      graft.operators.Graphs.shortestPaths(weighted, "src", "dst", "w",
+        sources = Seq(1L, 4L), rounds = 3)
+    }),
+
     // Landmark closeness/harmonic centrality: one multi-source BFS
     // walks all three landmark seeds simultaneously (a (seed, id)
     // frontier — k landmarks cost one loop, not k); per node the
@@ -814,6 +831,34 @@ object EventQueries {
         |       JOIN f2 ON e.src = f2.id
         |       WHERE e.dst NOT IN (SELECT id FROM d2)),
         |d3 AS (SELECT id, dist FROM d2 UNION ALL SELECT id, 3 FROM f3)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(dist AS BIGINT) AS dist
+        |FROM d3
+        |""".stripMargin,
+
+    // Three unrolled min-plus relaxations over the min-collapsed
+    // symmetric weighted edge list — the operator's loop, written out.
+    "graph_sssp" ->
+      """WITH we AS (
+        |  SELECT o_custkey AS src, l_suppkey + 1000000 AS dst,
+        |         o_orderkey % 7 + 1 AS w
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |sym AS (SELECT src, dst, w FROM we
+        |        UNION ALL SELECT dst, src, w FROM we),
+        |e AS (SELECT src, dst, MIN(w) AS w FROM sym
+        |      WHERE src <> dst GROUP BY 1, 2),
+        |d0 AS (SELECT * FROM (VALUES (1, 0), (4, 0)) AS t(id, dist)),
+        |c1 AS (SELECT e.dst AS id, d0.dist + e.w AS dist
+        |       FROM d0 JOIN e ON e.src = d0.id),
+        |d1 AS (SELECT id, MIN(dist) AS dist FROM
+        |       (SELECT * FROM d0 UNION ALL SELECT * FROM c1) GROUP BY 1),
+        |c2 AS (SELECT e.dst AS id, d1.dist + e.w AS dist
+        |       FROM d1 JOIN e ON e.src = d1.id),
+        |d2 AS (SELECT id, MIN(dist) AS dist FROM
+        |       (SELECT * FROM d1 UNION ALL SELECT * FROM c2) GROUP BY 1),
+        |c3 AS (SELECT e.dst AS id, d2.dist + e.w AS dist
+        |       FROM d2 JOIN e ON e.src = d2.id),
+        |d3 AS (SELECT id, MIN(dist) AS dist FROM
+        |       (SELECT * FROM d2 UNION ALL SELECT * FROM c3) GROUP BY 1)
         |SELECT CAST(id AS BIGINT) AS id, CAST(dist AS BIGINT) AS dist
         |FROM d3
         |""".stripMargin,

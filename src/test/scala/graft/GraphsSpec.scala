@@ -183,6 +183,28 @@ class GraphsSpec extends AnyFunSuite {
       Graphs.bipartiteProject(inc, "ctx", "item", minShared = 0))
   }
 
+  test("shortestPaths: weighted relaxation beats hop-shortest routes") {
+    // 1→2 costs 10; 1→3→2 costs 2+3=5: the weighted answer (5) differs
+    // from the hop answer (direct edge). Parallel 1→3 edges collapse to
+    // their min (2, not 7); 4 is beyond 3 relaxations' reach from 1 via
+    // cheapest chain? No: 1→3→2→4 uses 3 edges, cost 5+1=6.
+    val edges = Seq(
+      (1L, 2L, 10L), (1L, 3L, 2L), (1L, 3L, 7L), (3L, 2L, 3L),
+      (2L, 4L, 1L), (9L, 9L, 5L))
+      .toDF("s", "d", "w")
+    val out = Graphs.shortestPaths(edges, "s", "d", "w",
+        sources = Seq(1L), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 5L, 3L -> 2L, 4L -> 6L))
+    // rounds bind: with 1 round the relaxed 2-hop path can't exist
+    val one = Graphs.shortestPaths(edges, "s", "d", "w",
+        sources = Seq(1L), rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one(2L) == 10L && one(3L) == 2L)
+    intercept[IllegalArgumentException](
+      Graphs.shortestPaths(edges, "s", "d", "w", Seq.empty))
+  }
+
   test("closenessFromSeeds: path graph, per-seed distances and floors") {
     // path 1-2-3-4-5, seeds {1, 5}, 3 rounds: node 1 only reaches seed
     // 1 (seed 5 is 4 hops away); node 2 → dists 1 and 3 → harmonic
