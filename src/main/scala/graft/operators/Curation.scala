@@ -2381,6 +2381,68 @@ object Curation {
       .agg((min(col("hit")) === 1).cast("long").as("maybe_member"))
   }
 
+  /** k-anonymity / l-diversity audit — the privacy gate before a
+    * dataset export: every quasi-identifier combination whose group is
+    * smaller than `k` (re-identifiable: few people share the combo) or
+    * whose sensitive column shows fewer than `l` distinct values
+    * (attribute disclosure: knowing the combo reveals the secret even
+    * at k-anonymity — Machanavajjhala et al.'s l-diversity). Output is
+    * the VIOLATING groups only, with sizes, distinct counts, and both
+    * flags; an empty result is the release criterion.
+    *
+    * Null is a quasi-identifier value like any other (it partitions
+    * people too); null sensitive values don't count toward diversity
+    * (a group of unknowns reveals nothing but protects nothing —
+    * flagged). One map-side-combined aggregate, group-sized output. */
+  def privacyAudit(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Long, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty && quasiCols.distinct.size == quasiCols.size,
+      s"quasiCols must be non-empty and distinct, got $quasiCols")
+    require(k >= 1 && l >= 1, s"k and l must be >= 1, got k=$k l=$l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive_distinct"))
+      .withColumn("under_k", (col("group_size") < k).cast("long"))
+      .withColumn("under_l", (col("n_sensitive_distinct") < l).cast("long"))
+      .filter(col("under_k") === 1L || col("under_l") === 1L)
+  }
+
+  /** The Benford expected-proportion table in micro units:
+    * `floor(10⁶·log₁₀(1 + 1/d))` for digits 1..9. ONE definition shared
+    * by [[benfordDigits]] and its oracle (the ndcg-discount idiom — fix
+    * the irrational constants as integers once, and the metric becomes
+    * exact integer arithmetic everywhere). */
+  def benfordMicro: Seq[Long] =
+    (1 to 9).map(d => math.floor(1e6 * math.log10(1.0 + 1.0 / d)).toLong)
+
+  /** Benford first-digit audit — the classic fabricated-data /
+    * broken-pipeline smell test for naturally-spread positive
+    * magnitudes (prices, counts, file sizes): observed first-digit
+    * counts vs the Benford expectation, in exact integers:
+    * `deviation_micro = n_d·10⁶ − n·p_micro(d)`. Non-positive and null
+    * values are excluded from n (Benford speaks only of positive
+    * magnitudes). All 9 digits always appear, zero-observation ones
+    * included. One narrow digit extraction + a 9-row aggregate. */
+  def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val obs = df.select(col(valueCol).cast("long").as("_v"))
+      .filter(col("_v").isNotNull && col("_v") > 0L)
+      .select(substring(col("_v").cast("string"), 1, 1).cast("long")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_observed"))
+    val expected = spark.range(1, 10).select(col("id").as("digit"),
+      element_at(array(benfordMicro.map(lit): _*), col("id").cast("int"))
+        .as("p_micro"))
+    val total = obs.agg(coalesce(sum(col("n_observed")), lit(0L)).as("n"))
+    expected.join(obs, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit"),
+        coalesce(col("n_observed"), lit(0L)).as("n_observed"),
+        col("n"), col("p_micro"),
+        (coalesce(col("n_observed"), lit(0L)) * 1000000L -
+          col("n") * col("p_micro")).as("deviation_micro"))
+  }
+
   /** Referential-integrity audit — the pipeline pre-flight for any
     * join-shaped plan ([[functionalDependencies]] finds the hidden
     * keys; this checks the declared ones): how many child rows point

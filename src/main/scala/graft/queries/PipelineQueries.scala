@@ -1157,6 +1157,23 @@ object PipelineQueries {
         graft.functions.Url.surt(col("url")).as("surt"))
     }),
 
+    // k-anonymity/l-diversity audit: (lang, source) quasi-identifier
+    // groups under k=5 members or under l=3 distinct sensitive buckets
+    // are the violating (re-identifiable / attribute-disclosing) rows.
+    "privacy_audit" -> ((s, dir) =>
+      graft.operators.Curation.privacyAudit(
+        docs(s, dir).withColumn("bucket", col("n_chars") % 10),
+        Seq("lang", "source"), "bucket", k = 5, l = 3)),
+
+    // Benford first-digit audit of the order-price distribution
+    // (cents): observed counts vs the fixed micro-unit expectation
+    // table, deviations in exact integers.
+    "benford_digits" -> ((s, dir) =>
+      graft.operators.Curation.benfordDigits(
+        Graft.table(s, dir, "orders").select(
+          round(col("o_totalprice") * 100, 0).cast("long").as("v")),
+        "v")),
+
     // Crawler-trap detection over deterministically trap-shaped URLs
     // (doc_id % 5 repeated segments, doc_id % 12 query params): the
     // /a/a/a/ recursion run, depth, param count, and length verdicts
@@ -3332,6 +3349,44 @@ object PipelineQueries {
         |       CAST(excl // 100000 AS BIGINT) AS bin
         |FROM r
         |""".stripMargin,
+
+    "privacy_audit" ->
+      """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS group_size,
+        |       CAST(COUNT(DISTINCT n_chars % 10) AS BIGINT)
+        |         AS n_sensitive_distinct,
+        |       CAST(CASE WHEN COUNT(*) < 5 THEN 1 ELSE 0 END AS BIGINT)
+        |         AS under_k,
+        |       CAST(CASE WHEN COUNT(DISTINCT n_chars % 10) < 3
+        |            THEN 1 ELSE 0 END AS BIGINT) AS under_l
+        |FROM documents GROUP BY 1, 2
+        |HAVING COUNT(*) < 5 OR COUNT(DISTINCT n_chars % 10) < 3
+        |""".stripMargin,
+
+    // The expectation VALUES come from the SAME benfordMicro table the
+    // engine uses (the ndcg-discount idiom).
+    "benford_digits" -> {
+      val bvals = graft.operators.Curation.benfordMicro.zipWithIndex
+        .map { case (p, i) => s"(${i + 1}, $p)" }.mkString(", ")
+      s"""WITH v AS (
+         |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+         |  FROM orders),
+         |pos AS (SELECT v FROM v WHERE v IS NOT NULL AND v > 0),
+         |o AS (
+         |  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT)
+         |           AS digit,
+         |         CAST(COUNT(*) AS BIGINT) AS n_observed
+         |  FROM pos GROUP BY 1),
+         |d(digit, p_micro) AS (VALUES $bvals),
+         |t AS (SELECT CAST(COALESCE(SUM(n_observed), 0) AS BIGINT) AS n
+         |      FROM o)
+         |SELECT CAST(d.digit AS BIGINT) AS digit,
+         |       CAST(COALESCE(o.n_observed, 0) AS BIGINT) AS n_observed,
+         |       t.n, CAST(d.p_micro AS BIGINT) AS p_micro,
+         |       CAST(COALESCE(o.n_observed, 0) * 1000000
+         |              - t.n * d.p_micro AS BIGINT) AS deviation_micro
+         |FROM d LEFT JOIN o ON d.digit = o.digit CROSS JOIN t
+         |""".stripMargin
+    },
 
     // max_run recomputed honestly via gaps-and-islands over the
     // unnested segments (never assuming the construction), the rest is

@@ -871,6 +871,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("privacyAudit: under-k and under-l groups flagged, nulls partition") {
+    import graft.operators.Curation
+    val df = Seq(
+      ("en", "a", 1L), ("en", "a", 2L), ("en", "a", 3L),  // k=3 ok, l=3 ok
+      ("en", "b", 1L), ("en", "b", 1L), ("en", "b", 1L),  // l: 1 distinct
+      ("de", "c", 1L),                                    // k: size 1
+      (null, "d", 1L), (null, "d", 2L), (null, "d", 3L))  // null QI group
+      .toDF("lang", "src", "sens")
+    val out = Curation.privacyAudit(df, Seq("lang", "src"), "sens",
+        k = 3, l = 3)
+      .collect().map(r => (Option(r.getString(0)), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(!out.contains((Some("en"), "a")))
+    assert(out((Some("en"), "b")) == ((3L, 1L, 0L, 1L)))
+    assert(out((Some("de"), "c")) == ((1L, 1L, 1L, 1L)))
+    assert(!out.contains((None, "d"))) // 3 members, 3 distinct → clean
+    intercept[IllegalArgumentException](
+      Curation.privacyAudit(df, Seq.empty, "sens", 3, 3))
+  }
+
+  test("benfordDigits: fixed table, zero digits present, positives only") {
+    import graft.operators.Curation
+    // log10(2) = 0.30103 → 301029
+    assert(Curation.benfordMicro.head == 301029L)
+    assert(Curation.benfordMicro.sum >= 999990L) // ≈ 1e6 minus floors
+    val vals = Seq(1L, 19L, 150L, 2L, 2000L, -5L, 0L)
+      .toDF("v") // digits: 1,1,1,2,2; non-positives dropped
+    val out = Curation.benfordDigits(vals, "v")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    assert(out.size == 9)
+    assert(out(1L)._1 == 3L && out(2L)._1 == 2L && out(9L)._1 == 0L)
+    assert(out(1L)._2 == 5L) // n counts only positives
+    // deviation: 3e6 − 5·301029 = 1494855
+    assert(out(1L)._3 == 1494855L)
+  }
+
   test("tableChecksum: order/partition independent, null-distinct") {
     import graft.operators.Tools
     val a = Seq((1L, "x"), (2L, "y"), (3L, null)).toDF("id", "s")
