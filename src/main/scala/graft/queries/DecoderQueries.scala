@@ -196,6 +196,37 @@ object DecoderQueries {
         col("sensor_id"), col("count"), micros(col("timestamp_start")).as("ts"))
     }),
 
+    // Public CDX interchange lines (the 11-field "CDX N b a m s k r M
+    // S V g" format every WARC collection ships) rendered from
+    // documents — absent markers, numeric casts, the 14-digit
+    // timestamp, and a planted malformed line per 97 docs that must
+    // DROP; the oracle re-parses the same constructed lines honestly.
+    "decode_cdx" -> ((s, dir) => {
+      val d = Graft.table(s, dir, "documents")
+      val line = when(col("doc_id") % 97 === 0, lit("garbage line"))
+        .otherwise(concat_ws(" ",
+          concat(lit("example,"), col("source"), lit(")/p"),
+            col("doc_id")),
+          concat(lit("202401"),
+            lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+            lpad((col("doc_id") % 24).cast("string"), 2, "0"),
+            lit("0000")),
+          concat(lit("https://"), col("source"), lit(".example/p"),
+            col("doc_id")),
+          when(col("doc_id") % 3 === 0, lit("text/html"))
+            .when(col("doc_id") % 3 === 1, lit("application/pdf"))
+            .otherwise(lit("-")),
+          when(col("doc_id") % 4 === 0, lit("200"))
+            .when(col("doc_id") % 4 === 1, lit("301"))
+            .when(col("doc_id") % 4 === 2, lit("404"))
+            .otherwise(lit("-")),
+          md5(col("text")), lit("-"), lit("-"),
+          col("n_chars").cast("string"),
+          (col("doc_id") * 1000L).cast("string"),
+          concat(lit("crawl-"), col("source"), lit(".warc.gz"))))
+      graft.sources.Cdx.parse(d.select(line.as("line")), "line")
+    }),
+
     // WARC (ISO 28500) round-trip: documents rendered as Common-Crawl-
     // style response records (one gzip member per record), streamed back
     // through the record reader. The oracle reconstructs every decoded
@@ -351,6 +382,48 @@ object DecoderQueries {
         |       body AS text,
         |       CAST(len(string_split(body, ' ')) AS BIGINT) AS n_tokens
         |FROM x
+        |""".stripMargin,
+
+    "decode_cdx" ->
+      """WITH lines AS (
+        |  SELECT CASE WHEN doc_id % 97 = 0 THEN 'garbage line'
+        |    ELSE
+        |      'example,' || source || ')/p' || CAST(doc_id AS VARCHAR)
+        |      || ' ' || '202401' ||
+        |        lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+        |        lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || '0000'
+        |      || ' ' || 'https://' || source || '.example/p'
+        |        || CAST(doc_id AS VARCHAR)
+        |      || ' ' || CASE WHEN doc_id % 3 = 0 THEN 'text/html'
+        |                     WHEN doc_id % 3 = 1 THEN 'application/pdf'
+        |                     ELSE '-' END
+        |      || ' ' || CASE WHEN doc_id % 4 = 0 THEN '200'
+        |                     WHEN doc_id % 4 = 1 THEN '301'
+        |                     WHEN doc_id % 4 = 2 THEN '404'
+        |                     ELSE '-' END
+        |      || ' ' || md5(text) || ' - - '
+        |      || CAST(n_chars AS VARCHAR)
+        |      || ' ' || CAST(doc_id * 1000 AS VARCHAR)
+        |      || ' ' || 'crawl-' || source || '.warc.gz'
+        |    END AS line
+        |  FROM documents),
+        |f AS (SELECT string_split(trim(line), ' ') AS l FROM lines),
+        |ok AS (SELECT l FROM f WHERE len(l) = 11)
+        |SELECT l[1] AS urlkey, l[2] AS ts_raw,
+        |       epoch_us(strptime(l[2], '%Y%m%d%H%M%S')) AS ts_us,
+        |       CASE WHEN l[3] = '-' THEN NULL ELSE l[3] END AS url,
+        |       CASE WHEN l[4] = '-' THEN NULL ELSE l[4] END AS mime,
+        |       CAST(CASE WHEN l[5] = '-' THEN NULL ELSE l[5] END
+        |         AS BIGINT) AS status,
+        |       CASE WHEN l[6] = '-' THEN NULL ELSE l[6] END AS digest,
+        |       CASE WHEN l[7] = '-' THEN NULL ELSE l[7] END AS redirect,
+        |       CASE WHEN l[8] = '-' THEN NULL ELSE l[8] END AS meta,
+        |       CAST(CASE WHEN l[9] = '-' THEN NULL ELSE l[9] END
+        |         AS BIGINT) AS length,
+        |       CAST(CASE WHEN l[10] = '-' THEN NULL ELSE l[10] END
+        |         AS BIGINT) AS offset,
+        |       CASE WHEN l[11] = '-' THEN NULL ELSE l[11] END AS filename
+        |FROM ok
         |""".stripMargin,
 
     "decode_warc" ->

@@ -216,4 +216,24 @@ class DecodersSpec extends AnyFunSuite {
     // malformed payload is skipped, not fatal
     assert(Decoders.nmsg(inBin(Array[Byte](0x3a, 0x7f))).count() == 0)
   }
+
+  test("Cdx.parse: 11-field lines, absent markers, malformed drop") {
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    val good = "com,example)/p 20240115120000 https://example.com/p " +
+      "text/html 200 ABCDEF - - 1234 5678 c.warc.gz"
+    val dashes = "com,example)/q 20240101000000 - - - - - - - - -"
+    val lines = Seq(good, dashes, "short line", "").toDF("line")
+    val out = graft.sources.Cdx.parse(lines, "line").collect()
+    assert(out.length == 2)
+    val g = out.find(_.getString(0) == "com,example)/p").get
+    assert(g.getString(1) == "20240115120000" &&
+      g.getLong(5) == 200L && g.getLong(9) == 1234L &&
+      g.getLong(10) == 5678L && g.getString(11) == "c.warc.gz")
+    // 2024-01-15T12:00:00Z in micros
+    assert(g.getLong(2) == 1705320000000000L)
+    val d = out.find(_.getString(0) == "com,example)/q").get
+    assert(d.isNullAt(3) && d.isNullAt(5) && d.isNullAt(9) &&
+      d.isNullAt(11))
+  }
 }
