@@ -390,11 +390,7 @@ object Graphs {
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      val next = cut(frontier
-        .join(adj, frontier("id") === adj("src"))
-        .select(col("seed"), col("dst").as("id")).distinct()
-        .join(dist, Seq("seed", "id"), "left_anti")
-        .withColumn("dist", lit(r.toLong)))
+      val next = cut(closenessRound(adj, dist, frontier, r.toLong))
       if (next.isEmpty) exhausted = true
       else {
         dist = cut(dist.union(next))
@@ -459,13 +455,27 @@ object Graphs {
       .toDF("id").withColumn("dist", lit(0L))
     var r = 1
     while (r <= rounds) {
-      val cand = dist.join(adj, dist("id") === adj("src"))
-        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
-      dist = cut(dist.union(cand)
-        .groupBy(col("id")).agg(min(col("dist")).as("dist")))
+      dist = cut(ssspRound(adj, dist))
       r += 1
     }
     dist
+  }
+
+  /** One multi-source frontier expansion — exposed so PlanSpec can pin
+    * the round body's runtime shuffle budget (the r13 drift lesson). */
+  private[graft] def closenessRound(adj: DataFrame, dist: DataFrame,
+      frontier: DataFrame, round: Long): DataFrame =
+    frontier.join(adj, frontier("id") === adj("src"))
+      .select(col("seed"), col("dst").as("id")).distinct()
+      .join(dist, Seq("seed", "id"), "left_anti")
+      .withColumn("dist", lit(round))
+
+  /** One min-plus relaxation — exposed so PlanSpec can pin the round
+    * body's runtime shuffle budget (the r13 drift lesson). */
+  private[graft] def ssspRound(adj: DataFrame, dist: DataFrame): DataFrame = {
+    val cand = dist.join(adj, dist("id") === adj("src"))
+      .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+    dist.union(cand).groupBy(col("id")).agg(min(col("dist")).as("dist"))
   }
 
   /** Fixed-round synchronous label propagation — community detection

@@ -1249,6 +1249,23 @@ class PlanSpec extends AnyFunSuite {
       val cc = Dedup.ccRound(ccEdges, ccLab)
       assert(runtimeShuffles(cc) <= 4,
         s"CC round runtime plan:\n${cc.queryExecution.executedPlan}")
+      // SSSP relaxation: dist⋈adjacency equi-join (2) + min agg (1)
+      val wadj = Seq((1L, 2L, 3L), (2L, 3L, 1L))
+        .toDF("src", "dst", "w").localCheckpoint(true)
+      val d0 = Seq((1L, 0L)).toDF("id", "dist").localCheckpoint(true)
+      val ss = Graphs.ssspRound(wadj, d0)
+      assert(runtimeShuffles(ss) <= 4,
+        s"SSSP round runtime plan:\n${ss.queryExecution.executedPlan}")
+      // closeness frontier round: frontier⋈adjacency (2) + distinct (1)
+      // + reached anti-join (2)
+      val cadj = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+        .localCheckpoint(true)
+      val cd0 = Seq((1L, 1L, 0L)).toDF("seed", "id", "dist")
+        .localCheckpoint(true)
+      val cf0 = cd0.select(col("seed"), col("id")).localCheckpoint(true)
+      val cr = Graphs.closenessRound(cadj, cd0, cf0, 1L)
+      assert(runtimeShuffles(cr) <= 5,
+        s"closeness round runtime plan:\n${cr.queryExecution.executedPlan}")
     } finally {
       spark0.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark0.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
