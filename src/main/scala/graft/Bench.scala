@@ -177,7 +177,7 @@ object Bench {
       "dict_cache_hits", "dict_cache_decodes",
       "dict_decodes_point", "dict_decodes_prefix",
       "dict_decodes_selective", "star_sec", "budget_scan_sec",
-      "lpm_scan_sec")
+      "lpm_scan_sec", "rank_scan_sec")
     val servingPart =
       servingKeys.map(k => s""""$k":${num(serving, k)}""").mkString(",")
     // worst external CPU any phase observed — the falsifiability tag:
@@ -432,10 +432,32 @@ object Bench {
         System.err.println(s"[bench] lpm-scan failed: ${e.getMessage}")
         -1.0
       }
+    // round-15 order engine at scan scale: exact global rank over 2M
+    // rows through DistributedOrder (range shuffle + partition offsets;
+    // the equivalent row_number-over-ORDER-BY window ships all 2M rows
+    // through ONE task) — the primitive under sn_blocking, pack_files,
+    // exact_quantiles, and rank_correlation
+    val rankScanSec =
+      try {
+        import org.apache.spark.sql.functions._
+        val rows = spark.range(2000000L)
+          .select(md5(col("id").cast("string")).as("k"), col("id"))
+        val t = System.nanoTime()
+        val mx = operators.DistributedOrder
+          .withGlobalRank(rows, "r", col("k"), col("id"))
+          .agg(max(col("r")), count(lit(1))).head()
+        require(mx.getLong(0) == 2000000L && mx.getLong(1) == 2000000L,
+          s"rank must be a dense 1..n permutation, got $mx")
+        (System.nanoTime() - t) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] rank-scan failed: ${e.getMessage}")
+        -1.0
+      }
     (metrics :+ ("decode_rows_per_sec" -> decodeRate)
       :+ ("star_sec" -> starSec)
       :+ ("budget_scan_sec" -> budgetScanSec)
-      :+ ("lpm_scan_sec" -> lpmScanSec))
+      :+ ("lpm_scan_sec" -> lpmScanSec)
+      :+ ("rank_scan_sec" -> rankScanSec))
       .map { case (k, v) =>
         val digits = if (k.endsWith("_frac")) 4
           else if (k == "decode_rows_per_sec") 0
