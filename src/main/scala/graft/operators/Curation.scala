@@ -2455,23 +2455,24 @@ object Curation {
     * (SQL FK semantics: a null FK is not a violation), and the
     * permille is orphan rows over non-null-FK rows.
     *
-    * Scale shape: one anti-join of the child against the deduped
-    * parent keys (Catalyst broadcasts the parent side when it fits —
-    * dimension tables usually do), then scalar aggregates. */
+    * Scale shape: ONE pass over the child — a single left join against
+    * the deduped parent keys (Catalyst broadcasts the parent side when
+    * it fits — dimension tables usually do) feeds every counter as a
+    * conditional aggregate; the child is never scanned twice. */
   def refIntegrity(child: DataFrame, fkCol: String, parent: DataFrame,
       pkCol: String): DataFrame = {
-    val base = child.select(col(fkCol).as("_fk"))
-    val tot = base.agg(
-      coalesce(sum(col("_fk").isNotNull.cast("long")), lit(0L))
-        .as("n_child"),
-      coalesce(sum(col("_fk").isNull.cast("long")), lit(0L))
-        .as("n_null_fk"))
-    val orphans = base.filter(col("_fk").isNotNull)
-      .join(parent.select(col(pkCol).as("_pk")).distinct(),
-        col("_fk") === col("_pk"), "left_anti")
-      .agg(count(lit(1)).as("n_orphan_rows"),
-        countDistinct(col("_fk")).as("n_orphan_keys"))
-    tot.crossJoin(orphans)
+    val flagged = child.select(col(fkCol).as("_fk"))
+      .join(parent.select(col(pkCol).as("_pk")).distinct()
+          .withColumn("_hit", lit(1L)),
+        col("_fk") === col("_pk"), "left")
+    val orphan = col("_fk").isNotNull && col("_hit").isNull
+    flagged.agg(
+        coalesce(sum(col("_fk").isNotNull.cast("long")), lit(0L))
+          .as("n_child"),
+        coalesce(sum(col("_fk").isNull.cast("long")), lit(0L))
+          .as("n_null_fk"),
+        coalesce(sum(orphan.cast("long")), lit(0L)).as("n_orphan_rows"),
+        countDistinct(when(orphan, col("_fk"))).as("n_orphan_keys"))
       .select(col("n_child"), col("n_null_fk"), col("n_orphan_rows"),
         col("n_orphan_keys"),
         when(col("n_child") > 0L,

@@ -366,8 +366,17 @@ object Robots {
     require(maxDepth >= 1 && maxSegmentRun >= 1 && maxParams >= 0 &&
       maxLen >= 1, "detectTraps: thresholds must be positive")
     val withParts = urls
-      .withColumn("_path",
-        regexp_extract(col(urlCol), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)?", 1))
+      // absolute, protocol-relative (//host/…), and relative (/a/b)
+      // forms all yield their PATH — imperfectly normalized frontiers
+      // are exactly where traps hide, so none of the three shapes may
+      // silently score depth 0
+      .withColumn("_path", when(
+        col(urlCol).rlike("^[A-Za-z][A-Za-z0-9+.-]*://"),
+        regexp_extract(col(urlCol),
+          "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)?", 1))
+        .when(col(urlCol).startsWith("//"),
+          regexp_extract(col(urlCol), "^//[^/?#]*(/[^?#]*)?", 1))
+        .otherwise(regexp_extract(col(urlCol), "^([^?#]*)", 1)))
       .withColumn("_q", regexp_extract(col(urlCol), "\\?([^#]*)", 1))
       .withColumn("_segs",
         filter(split(col("_path"), "/"), s => length(s) > 0))

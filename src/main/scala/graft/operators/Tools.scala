@@ -102,9 +102,14 @@ object Tools {
     * two engines or clusters (the same property that makes the DuckDB
     * gates possible, packaged as an operator).
     *
-    * Canonical row = values cast to string, nulls as a sentinel that
-    * cannot collide with data (so `("a", null)` ≠ `("a", "null")`),
-    * joined by 0x01. Callers pick columns whose string rendering is
+    * Canonical row = the concatenation of one TOKEN per field: the
+    * md5 of the field's string form, or the single char 'N' for null.
+    * Every token is 32 lowercase-hex chars or 'N' (not a hex digit),
+    * so the token stream is uniquely decodable — no value containing a
+    * would-be separator, and no null-vs-"null" confusion, can make two
+    * different rows canonicalize alike (a raw separator-join encoding
+    * is ambiguous: ("a|b","c") ≡ ("a","b|c")). Callers pick columns
+    * whose string rendering is
     * engine-stable (integers, strings, epoch-cast timestamps — NOT raw
     * floats). One map-side-combinable aggregate; DECIMAL(38) sum, so
     * no row count overflows. */
@@ -112,8 +117,8 @@ object Tools {
       cols: Seq[String]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     require(cols.nonEmpty, "tableChecksum: empty column list")
-    val canon = concat_ws("\u0001",
-      cols.map(c => coalesce(col(c).cast("string"), lit("\u0000N"))): _*)
+    val canon = concat(
+      cols.map(c => coalesce(md5(col(c).cast("string")), lit("N"))): _*)
     df.select(graft.operators.Curation.hash60(canon).as("_h"))
       .agg(count(lit(1)).as("n_rows"),
         coalesce(sum(expr("cast(_h as decimal(38,0))")),

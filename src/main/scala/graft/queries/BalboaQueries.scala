@@ -410,13 +410,13 @@ object BalboaQueries {
          |FROM j WHERE rn <= 2
          |""".stripMargin,
 
-    // Same canonical string (chr(1) separators, chr(0)||'N' null
-    // sentinel) through the shared hash60 mirror, summed in HUGEINT.
+    // Same uniquely-decodable token stream (per-field md5 or 'N')
+    // through the shared hash60 mirror, summed in HUGEINT.
     "table_checksum" -> {
       val canon = Seq("o_orderkey", "o_custkey", "o_orderstatus",
           "o_orderpriority", "od_us")
-        .map(c => s"COALESCE(CAST($c AS VARCHAR), chr(0) || 'N')")
-        .mkString("(", " || chr(1) || ", ")")
+        .map(c => s"COALESCE(md5(CAST($c AS VARCHAR)), 'N')")
+        .mkString("(", " || ", ")")
       s"""WITH t AS (
          |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
          |         epoch_us(o_orderdate) AS od_us

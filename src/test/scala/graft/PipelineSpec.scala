@@ -921,6 +921,13 @@ class PipelineSpec extends AnyFunSuite {
     val c = Seq((3L, "null"), (2L, "y"), (1L, "x")).toDF("id", "s")
     val cs3 = Tools.tableChecksum(c, Seq("id", "s")).collect().head
     assert(cs3.getLong(1) != cs1.getLong(1))
+    // the token encoding is uniquely decodable: shifting a boundary
+    // separator between fields must CHANGE the checksum
+    val e1 = Tools.tableChecksum(
+      Seq(("ab", "c")).toDF("x", "y"), Seq("x", "y")).collect().head
+    val e2 = Tools.tableChecksum(
+      Seq(("a", "bc")).toDF("x", "y"), Seq("x", "y")).collect().head
+    assert(e1.getLong(1) != e2.getLong(1))
     val empty = Tools.tableChecksum(a.limit(0), Seq("id", "s"))
       .collect().head
     assert(empty.getLong(0) == 0L && empty.getLong(1) == 0L)

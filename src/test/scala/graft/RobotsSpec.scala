@@ -277,5 +277,15 @@ class RobotsSpec extends AnyFunSuite {
     assert(out("https://h/one") == ((1L, 1L, 0L, 0L, "")))
     assert(out("https://h/a/b/c/d/e") == ((5L, 1L, 0L, 1L, "depth")))
     assert(out("https://h/") == ((0L, 0L, 0L, 0L, "")))
+    // imperfectly normalized frontiers: protocol-relative and relative
+    // URLs still expose their loops instead of scoring depth 0
+    val messy = Seq("//host/cal/cal/cal/x", "/cal/cal/cal/x")
+      .toDF("url")
+    val m = graft.operators.Robots.detectTraps(messy, "url",
+        maxDepth = 10, maxSegmentRun = 2, maxParams = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(6))).toMap
+    assert(m("//host/cal/cal/cal/x") == ((4L, 3L, "loop")))
+    assert(m("/cal/cal/cal/x") == ((4L, 3L, "loop")))
   }
 }
