@@ -2613,6 +2613,49 @@ object Curation {
           " div (cast(n_docs as decimal(38,0)) * n_docs) as bigint)"))
           .as("simpson_permille"))
 
+  /** Vocabulary-growth (Heaps'-law) profile — how fast the corpus adds
+    * NEW word types as it adds tokens, the curve every tokenizer-budget
+    * and dedup-health decision reads (a healthy crawl grows vocabulary
+    * ~ tokens^β with β≈0.5; a curve that flattens early means the new
+    * data is rehashing old vocabulary — more tokens, no new
+    * information). Documents are consumed in `idCol` order in buckets
+    * of `bucketSize`; a type is NEW in the bucket where its first
+    * occurrence (min doc id) lands.
+    *
+    * Scale shape: the first-occurrence map is ONE groupBy(token) with a
+    * map-side-combinable min — the shuffle carries distinct tokens, not
+    * token occurrences; per-bucket token totals fold the same way. The
+    * only ordered step is the cumulative sum over BUCKETS — a
+    * #buckets-sized frame (corpus/bucketSize rows, thousands at most),
+    * explicitly collapsed to one partition because it is driver-tiny,
+    * never over row-sized data. Empty tokens are ignored. Output one
+    * row per bucket: `(bucket, n_tokens, new_types, cum_tokens,
+    * cum_types)` — the (cum_tokens, cum_types) pairs ARE the Heaps
+    * curve. */
+  def vocabGrowth(df: DataFrame, textCol: String, idCol: String,
+      bucketSize: Int): DataFrame = {
+    require(bucketSize >= 1, s"bucketSize must be >= 1, got $bucketSize")
+    // integer `div` (not `/`, which is double division); ids are
+    // non-negative by contract, where div ≡ DuckDB's floor `//`
+    val toks = df.select(
+        expr(s"cast(`$idCol` as bigint) div $bucketSize").as("_bucket"),
+        explode(split(col(textCol), " ")).as("_tok"))
+      .filter(length(col("_tok")) > 0)
+    val perBucket = toks.groupBy(col("_bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val newTypes = toks.groupBy(col("_tok"))
+      .agg(min(col("_bucket")).as("_bucket"))
+      .groupBy(col("_bucket")).agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(newTypes, Seq("_bucket"), "full_outer")
+      .select(col("_bucket").as("bucket"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_types", sum(col("new_types")).over(w))
+  }
+
   /** Inter-rater agreement (Cohen's κ) between two label columns — the
     * eval primitive for weak supervision and classifier QA: how much
     * better than chance do two labelers (model vs truth, model vs

@@ -234,6 +234,51 @@ object TextAnalysis {
       (size(sents) - size(kept)).cast("long").as("n_removed"))
   }
 
+  /** CROSS-document boilerplate-line removal — the corpus-level
+    * counterpart of [[dedupSentences]] (which collapses repeats WITHIN
+    * one document): a line that occurs in at least `minDocs` distinct
+    * documents of the same `groupCol` (site/domain/source) is
+    * boilerplate — cookie banners, navigation, "all rights reserved"
+    * footers — and is dropped from EVERY document of that group, first
+    * copy included (CCNet removes such lines by document-frequency per
+    * shard for exactly this reason: the first occurrence of a cookie
+    * banner is as worthless as the ten-thousandth). Empty/whitespace
+    * lines are never flagged; matching is exact on the line string.
+    * Survivors re-join with `\n` in original order.
+    *
+    * Scale shape: one shuffle to count distinct docs per (group, line),
+    * one join back (the flagged side is the RARE side — lines above a
+    * document-frequency threshold — so AQE broadcasts it when it fits;
+    * the join key is (group, line) so a skewed mega-group still splits
+    * by line), one shuffle to reassemble documents. Line frequency is
+    * computed on line VALUES, never by pairing documents — no quadratic
+    * term anywhere. Output: `(idCol, text_clean, n_lines, n_removed)`
+    * with exact counts so a pipeline can gate on the removal ratio. */
+  def removeBoilerplateLines(df: DataFrame, textCol: String,
+      idCol: String, groupCol: String, minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = df.select(col(idCol).as("_id"), col(groupCol).as("_g"),
+      posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_line")))
+    val flagged = lines
+      .filter(trim(col("_line")) =!= "")
+      .groupBy(col("_g"), col("_line"))
+      .agg(countDistinct(col("_id")).as("_nd"))
+      .filter(col("_nd") >= minDocs.toLong)
+      .select(col("_g"), col("_line"), lit(true).as("_boiler"))
+    lines.join(flagged, Seq("_g", "_line"), "left")
+      .withColumn("_drop", coalesce(col("_boiler"), lit(false)))
+      .groupBy(col("_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("_drop").cast("long")).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(!col("_drop"),
+            struct(col("_pos"), col("_line"))))),
+          x => x.getField("_line")), "\n").as("text_clean"))
+      .select(col("_id").as(idCol), col("text_clean"),
+        col("n_lines"), col("n_removed"))
+  }
+
   /** Greedy sentence-aligned chunking — the unit-maker for RAG
     * retrieval and context packing where a mid-sentence cut destroys
     * the unit's meaning: [[sentenceSplit]]'s sentences pack left to

@@ -567,6 +567,32 @@ object PipelineQueries {
         "page", "doc_id")
     }),
 
+    // CROSS-document boilerplate-line removal (the CCNet per-shard
+    // document-frequency rule): every doc of a source is wrapped in its
+    // source's banner and footer lines — boilerplate shared by every
+    // sibling doc — and the operator strips lines appearing in ≥5
+    // distinct docs of the SAME source, first copies included, keeping
+    // the doc-unique middle line. Oracle recomputes (source, line)
+    // document frequency and rebuilds the cleaned text in line order.
+    "line_dedup" -> ((s, dir) => {
+      val page = concat(
+        lit("subscribe to "), col("source"), lit(" weekly\n"),
+        col("text"),
+        lit("\ncopyright "), col("source"), lit(" all rights reserved"))
+      TextAnalysis.removeBoilerplateLines(
+        docs(s, dir).select(col("doc_id"), col("source"),
+          page.as("page")),
+        "page", "doc_id", "source", minDocs = 5)
+    }),
+
+    // Heaps'-law vocabulary growth: docs consumed in doc_id order in
+    // buckets of 50; a word type is NEW in the bucket of its first
+    // occurrence (min doc id). The (cum_tokens, cum_types) pairs are
+    // the vocabulary-growth curve a tokenizer budget is sized from.
+    "vocab_growth" -> ((s, dir) =>
+      graft.operators.Curation.vocabGrowth(docs(s, dir), "text",
+        "doc_id", bucketSize = 50)),
+
     // Code-vs-prose detection: even doc_ids are wrapped in a rendered
     // code snippet (keywords, indented lines, symbols, a camelCase
     // token), odd ids stay prose; the oracle recomputes every signal
@@ -2865,6 +2891,68 @@ object PipelineQueries {
         |  CAST(len(l) AS BIGINT) AS n_sentences,
         |  CAST(len(l) - len(kept) AS BIGINT) AS n_removed
         |FROM k
+        |""".stripMargin,
+
+    // Document frequency per (source, line) ≥ 5 flags boilerplate;
+    // string_agg skips the CASE's NULLs exactly as collect_list does.
+    "line_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    'subscribe to ' || source || ' weekly' || chr(10) || text ||
+        |    chr(10) || 'copyright ' || source || ' all rights reserved'
+        |      AS page
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, source,
+        |         unnest(string_split(page, chr(10))) AS line,
+        |         generate_subscripts(string_split(page, chr(10)), 1)
+        |           AS pos
+        |  FROM d),
+        |f AS (
+        |  SELECT source, line FROM l
+        |  WHERE trim(line) <> ''
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(DISTINCT doc_id) >= 5),
+        |k AS (
+        |  SELECT l.doc_id, l.pos, l.line,
+        |         (f.line IS NOT NULL) AS is_boiler
+        |  FROM l LEFT JOIN f
+        |    ON l.source = f.source AND l.line = f.line)
+        |SELECT doc_id,
+        |  COALESCE(string_agg(CASE WHEN NOT is_boiler THEN line END,
+        |                      chr(10) ORDER BY pos), '') AS text_clean,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed
+        |FROM k GROUP BY doc_id
+        |""".stripMargin,
+
+    // First occurrence = min bucket per type; cumulative sums run over
+    // the #buckets-sized frame (BIGINT-cast — DuckDB SUM widens to
+    // HUGEINT, Spark stays long).
+    "vocab_growth" ->
+      """WITH t AS (
+        |  SELECT doc_id // 50 AS bucket,
+        |         unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tt AS (SELECT bucket, tok FROM t WHERE len(tok) > 0),
+        |pb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        |       FROM tt GROUP BY 1),
+        |nt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_types
+        |       FROM (SELECT tok, MIN(bucket) AS bucket
+        |             FROM tt GROUP BY 1)
+        |       GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(pb.bucket, nt.bucket) AS bucket,
+        |         COALESCE(n_tokens, 0) AS n_tokens,
+        |         COALESCE(new_types, 0) AS new_types
+        |  FROM pb FULL OUTER JOIN nt ON pb.bucket = nt.bucket)
+        |SELECT bucket, n_tokens, new_types,
+        |  CAST(SUM(n_tokens) OVER (ORDER BY bucket) AS BIGINT)
+        |    AS cum_tokens,
+        |  CAST(SUM(new_types) OVER (ORDER BY bucket) AS BIGINT)
+        |    AS cum_types
+        |FROM j
         |""".stripMargin,
 
     "sentence_chunks" ->

@@ -1123,4 +1123,59 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Dedup.sortedNeighborhood(recs, "id", "nm", "nm", 3, -1))
   }
+
+  test("removeBoilerplateLines: per-group df threshold, order kept") {
+    val df = Seq(
+      (1L, "s1", "banner\nunique one\nfooter"),
+      (2L, "s1", "banner\nunique two\nfooter"),
+      (3L, "s1", "banner\nfooter\nunique three\nbanner"),
+      (4L, "s2", "banner\nunique four"), // s2: banner only 1 doc → kept
+      (5L, "s2", "  \nunique five"))     // blank line never flagged
+      .toDF("doc_id", "source", "page")
+    val out = TextAnalysis.removeBoilerplateLines(
+        df, "page", "doc_id", "source", minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // s1: banner in 3 docs, footer in 3 docs → both stripped
+    assert(out(1L) == (("unique one", 3L, 2L)))
+    assert(out(2L) == (("unique two", 3L, 2L)))
+    // doc 3 has banner twice — both copies go (4 lines, 3 removed)
+    assert(out(3L) == (("unique three", 4L, 3L)))
+    // s2 is its own group: nothing reaches 3 docs
+    assert(out(4L) == (("banner\nunique four", 2L, 0L)))
+    assert(out(5L) == (("  \nunique five", 2L, 0L)))
+    intercept[IllegalArgumentException](
+      TextAnalysis.removeBoilerplateLines(df, "page", "doc_id",
+        "source", minDocs = 1))
+  }
+
+  test("removeBoilerplateLines: all lines dropped → empty text") {
+    val df = Seq(
+      (1L, "g", "x"), (2L, "g", "x"), (3L, "g", "x"))
+      .toDF("doc_id", "source", "page")
+    val rows = TextAnalysis.removeBoilerplateLines(
+        df, "page", "doc_id", "source", minDocs = 3)
+      .collect()
+    assert(rows.forall(r => r.getString(1) == "" &&
+      r.getLong(2) == 1L && r.getLong(3) == 1L))
+  }
+
+  test("vocabGrowth: first occurrences, cumulative Heaps curve") {
+    import graft.operators.Curation
+    val df = Seq(
+      (0L, "a b a"),        // bucket 0: 3 tokens, types a,b new
+      (1L, "b c"),          // bucket 0: c new
+      (2L, "a c d d"),      // bucket 1: d new
+      (5L, ""),             // bucket 2: empty text → 0 tokens
+      (4L, "a b c"))        // bucket 2: no new types
+      .toDF("doc_id", "text")
+    val out = Curation.vocabGrowth(df, "text", "doc_id", bucketSize = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out(0L) == ((5L, 3L, 5L, 3L)))   // a b a b c
+    assert(out(1L) == ((4L, 1L, 9L, 4L)))   // a c d d
+    assert(out(2L) == ((3L, 0L, 12L, 4L)))  // a b c (+ empty doc)
+    assert(out.size == 3)
+  }
 }
