@@ -1099,4 +1099,67 @@ object Retrieval {
           (col("pos") - col("_start")) + lit((phrase.length + window).toLong))
           .as("snippet"))
   }
+
+  /** Character trigrams of a text column as a DISTINCT array — the
+    * indexing unit of trigram substring search (the pg_trgm / Lucene
+    * n-gram-filter design): every substring of length ≥ 3 is fully
+    * determined by the set of trigrams it contains, so an inverted
+    * trigram index can answer arbitrary `contains`/wildcard queries
+    * without a corpus scan. Texts shorter than 3 chars have none. */
+  def charTrigrams(text: Column): Column = {
+    val t = when(length(text) >= 3,
+      transform(sequence(lit(1), length(text) - 2),
+        i => text.substr(i, lit(3))))
+      .otherwise(expr("cast(array() as array<string>)"))
+    array_distinct(t)
+  }
+
+  /** Index-accelerated substring search — `contains(text, q)` for a
+    * batch of queries WITHOUT scanning the corpus per query, the way
+    * every wildcard/substring-capable engine does it (PostgreSQL
+    * pg_trgm, Lucene n-gram filters): docs post their distinct
+    * [[charTrigrams]] once; a query's trigrams are ANDed over the
+    * posting lists (a doc is a candidate iff it posts EVERY query
+    * trigram — trigram containment is necessary, not sufficient), and
+    * only candidates are verified with the real `contains`. False
+    * positives die at verification; false negatives cannot exist.
+    *
+    * Scale shape: the query side (a handful of trigram rows) BROADCASTS
+    * into a semi-join against the postings — only postings of queried
+    * trigrams survive to the one candidate-counting shuffle, which
+    * carries (query, doc) pairs for matching trigrams only, never the
+    * corpus. Verification joins the candidate set (small by
+    * construction — docs sharing every query trigram) back to the docs
+    * as a BROADCAST, so the corpus is read narrow, once, and never
+    * shuffled. At 100 TB the postings persist partitioned by
+    * `pmod(xxhash64(trigram), nBuckets)` exactly like [[writeIndex]]'s
+    * term buckets (directory pruning on the query's trigrams); the
+    * in-memory form here shares every downstream step with that layout.
+    * Queries must be ≥ 3 chars (shorter can't be trigram-pruned).
+    * Output: `(query, idCol)` — every (query, matching doc) pair. */
+  def trigramSearch(df: DataFrame, textCol: String, idCol: String,
+      queries: Seq[String]): DataFrame = {
+    require(queries.nonEmpty, "trigramSearch: no queries")
+    require(queries.forall(_.length >= 3),
+      s"trigramSearch: queries must be >= 3 chars, got $queries")
+    require(queries.distinct.size == queries.size,
+      s"trigramSearch: duplicate queries in $queries")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val postings = df.select(col(idCol).as("_id"),
+      explode(charTrigrams(col(textCol))).as("_tri"))
+    val qside = queries.map(q => (q, q.sliding(3).toSeq.distinct))
+      .toDF("query", "_qtris")
+      .select(col("query"), size(col("_qtris")).as("_need"),
+        explode(col("_qtris")).as("_tri"))
+    val candidates = postings.join(broadcast(qside), "_tri")
+      .groupBy(col("query"), col("_id"), col("_need"))
+      .agg(count(lit(1)).as("_got"))
+      .filter(col("_got") === col("_need").cast("long"))
+      .select(col("query"), col("_id"))
+    df.select(col(idCol).as("_id"), col(textCol).as("_text"))
+      .join(broadcast(candidates), "_id")
+      .filter(contains(col("_text"), col("query")))
+      .select(col("query"), col("_id").as(idCol))
+  }
 }

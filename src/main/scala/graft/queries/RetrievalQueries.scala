@@ -181,6 +181,16 @@ object RetrievalQueries {
       Retrieval.nearSearch(docs(s, dir), "text", "doc_id",
         "data", "table", window = 3)),
 
+    // Trigram-index substring search (pg_trgm design): three contains()
+    // queries answered by AND-ing the query trigrams over a distinct
+    // trigram posting list, verifying only the candidate docs — the
+    // oracle is the brute-force contains() scan the index replaces
+    // (false positives must die at verification, false negatives
+    // cannot exist, so the answers are identical).
+    "trigram_search" -> ((s, dir) =>
+      Retrieval.trigramSearch(docs(s, dir), "text", "doc_id",
+        Seq("merge batch", "vector table", "window table table"))),
+
     // The NARROW phrase matcher over every document (zero-shuffle
     // sliding check) — same phrase as phrase_search, so the two gates
     // cross-validate through independent DuckDB formulations (positional
@@ -718,6 +728,19 @@ object RetrievalQueries {
         |         AS BIGINT) AS hits
         |FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
         |      FROM documents)
+        |""".stripMargin,
+
+    // The scan the trigram index replaces — same answers by
+    // construction (candidates are verified with the real contains).
+    "trigram_search" ->
+      """SELECT 'merge batch' AS query, doc_id FROM documents
+        |WHERE contains(text, 'merge batch')
+        |UNION ALL
+        |SELECT 'vector table' AS query, doc_id FROM documents
+        |WHERE contains(text, 'vector table')
+        |UNION ALL
+        |SELECT 'window table table' AS query, doc_id FROM documents
+        |WHERE contains(text, 'window table table')
         |""".stripMargin,
 
     "search_snippets" ->

@@ -1329,6 +1329,20 @@ class PlanSpec extends AnyFunSuite {
       l.replaceAll("^[\\s+:*-]*", "").startsWith("Exchange "))
   }
 
+  test("trigramSearch: broadcasts query + candidate sides, no product") {
+    import graft.operators.Retrieval
+    val docs = (1L to 50L).map(i => (i, s"document number $i body"))
+      .toDF("doc_id", "text")
+    val plan = explainOf(Retrieval.trigramSearch(docs, "text", "doc_id",
+      Seq("number 4", "body")))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // both joins must be broadcast-shaped: the corpus is never shuffled
+    // for candidate generation or verification
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("round-15 join-shaped ops: equi-joins only, no products") {
     import graft.operators.{Dedup, Events, Graphs}
     // commonNeighbors: pair join co-locates on the middle key

@@ -602,4 +602,39 @@ class RetrievalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Retrieval.searchSnippets(docs, "doc_id", "text", ""))
   }
+
+  test("trigramSearch: index answers equal contains, fp verified away") {
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      // trigram false positive for "abcdef": posts abc,bcd,cde,def via
+      // "abcd"+"cdef" but never the contiguous substring — candidate
+      // generation admits it, verification must kill it
+      (2L, "abcd cdef"),
+      (3L, "xabcdefx"),
+      (4L, "ab"), // shorter than a trigram: no postings at all
+      (5L, "quick"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.trigramSearch(docs, "text", "doc_id",
+        Seq("quick", "abcdef"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == Set(("quick", 1L), ("quick", 5L), ("abcdef", 3L)))
+    intercept[IllegalArgumentException](
+      Retrieval.trigramSearch(docs, "text", "doc_id", Seq("ab")))
+    intercept[IllegalArgumentException](
+      Retrieval.trigramSearch(docs, "text", "doc_id", Seq.empty))
+    intercept[IllegalArgumentException](
+      Retrieval.trigramSearch(docs, "text", "doc_id",
+        Seq("abc", "abc")))
+  }
+
+  test("charTrigrams: distinct, short-text empty") {
+    val r = Seq(("aaaa"), ("ab"), ("abc"))
+      .toDF("t")
+      .select(Retrieval.charTrigrams(org.apache.spark.sql.functions
+        .col("t")).as("g"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(r(0) == List("aaa"))
+    assert(r(1) == Nil)
+    assert(r(2) == List("abc"))
+  }
 }
