@@ -2546,6 +2546,57 @@ object Curation {
         (col("n_violating_keys") === 0L).cast("long"))
   }
 
+  /** Inclusion-dependency discovery across tables — the OTHER half of
+    * schema profiling next to [[functionalDependencies]] (FDs find keys
+    * WITHIN a table; INDs find the join paths BETWEEN tables): for every
+    * ordered attribute pair, `lhs ⊆ rhs` holds iff every distinct
+    * non-null lhs value also occurs in rhs — the undeclared foreign keys
+    * a data lake navigates by. Attributes are `(name, frame, column)`
+    * from ANY tables; values compare by their string rendering (the
+    * SINDY normalization — an int 7 and a varchar '7' unify, documented
+    * rather than accidental).
+    *
+    * Scale shape: the SINDY flat-map/reduce (Kruse et al., EDBT'15) —
+    * never a pairwise join of TABLES. One distinct per attribute
+    * (map-side combinable), one groupBy(value) building each value's
+    * attribute SET, then the per-value set explodes to ordered pairs
+    * (≤ |attrs|² rows per value) and folds map-side to |attrs|²
+    * counters. `n_missing_values(a,b) = n_values(a) − n_common(a,b)`,
+    * so one co-occurrence count serves every pair. Output per ordered
+    * pair: `(lhs, rhs, n_lhs_values, n_missing_values, holds)`. */
+  def inclusionDependencies(
+      attrs: Seq[(String, DataFrame, String)]): DataFrame = {
+    require(attrs.size >= 2, s"need >= 2 attributes, got ${attrs.size}")
+    require(attrs.map(_._1).distinct.size == attrs.size,
+      s"duplicate attribute names in ${attrs.map(_._1)}")
+    val spark = attrs.head._2.sparkSession
+    import spark.implicits._
+    val vals = attrs.map { case (name, df, c) =>
+      df.select(lit(name).as("_a"), col(c).cast("string").as("_v"))
+        .filter(col("_v").isNotNull).distinct()
+    }.reduce(_ unionByName _)
+    val sets = vals.groupBy(col("_v")).agg(collect_set(col("_a")).as("_s"))
+    val common = sets
+      .select(explode(col("_s")).as("lhs"), col("_s"))
+      .select(col("lhs"), explode(col("_s")).as("rhs"))
+      .filter(col("lhs") =!= col("rhs"))
+      .groupBy(col("lhs"), col("rhs")).agg(count(lit(1)).as("_n_common"))
+    val counts = vals.groupBy(col("_a")).agg(count(lit(1)).as("_n_values"))
+    val names = attrs.map(_._1)
+    val pairs = names.flatMap(a => names.filter(_ != a).map(b => (a, b)))
+      .toDF("lhs", "rhs")
+    pairs
+      .join(broadcast(counts.withColumnRenamed("_a", "lhs")), Seq("lhs"),
+        "left")
+      .join(broadcast(common), Seq("lhs", "rhs"), "left")
+      .select(col("lhs"), col("rhs"),
+        coalesce(col("_n_values"), lit(0L)).as("n_lhs_values"),
+        (coalesce(col("_n_values"), lit(0L)) -
+          coalesce(col("_n_common"), lit(0L))).as("n_missing_values"))
+      .withColumn("holds",
+        (col("n_missing_values") === 0L).cast("long"))
+  }
+
   /** Spearman rank correlation between two score columns — the "do my
     * two quality signals agree" eval (compression ratio vs classifier
     * score, BM25 vs embedding relevance, any proxy vs truth): monotone

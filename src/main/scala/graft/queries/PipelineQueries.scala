@@ -1253,6 +1253,26 @@ object PipelineQueries {
               % 5).cast("string"))),
         Seq("p_mfgr", "p_brand", "p_type"))),
 
+    // Inclusion-dependency discovery (SINDY) across four TPC-H tables:
+    // the declared FK directions (nation→region, customer→nation,
+    // orders→customer) must HOLD, and the reverses reveal coverage
+    // (every nation has customers at this SF; a third of customers
+    // never ordered, so customer.c_custkey ⊄ orders.o_custkey).
+    "ind_discover" -> ((s, dir) =>
+      graft.operators.Curation.inclusionDependencies(Seq(
+        ("region.r_regionkey", Graft.table(s, dir, "region"),
+          "r_regionkey"),
+        ("nation.n_regionkey", Graft.table(s, dir, "nation"),
+          "n_regionkey"),
+        ("nation.n_nationkey", Graft.table(s, dir, "nation"),
+          "n_nationkey"),
+        ("customer.c_nationkey", Graft.table(s, dir, "customer"),
+          "c_nationkey"),
+        ("customer.c_custkey", Graft.table(s, dir, "customer"),
+          "c_custkey"),
+        ("orders.o_custkey", Graft.table(s, dir, "orders"),
+          "o_custkey")))),
+
     // Spearman rank correlation between part price and part size —
     // exact integer permille over row_number ranks (ties break by key),
     // both ranks via the distributed-rank engine.
@@ -3613,6 +3633,38 @@ object PipelineQueries {
         |    AS VARCHAR) AS p_mfgr
         |  FROM part)
         |""".stripMargin + pairs.mkString("", "\nUNION ALL\n", "\n")
+    },
+
+    // The SINDY reduction: distinct (attr, value-as-varchar) rows, one
+    // co-occurrence count per ordered pair, missing = n_values −
+    // n_common. CROSS JOIN is over the 6-attribute name list only.
+    "ind_discover" -> {
+      val attrs = Seq(
+        ("region.r_regionkey", "region", "r_regionkey"),
+        ("nation.n_regionkey", "nation", "n_regionkey"),
+        ("nation.n_nationkey", "nation", "n_nationkey"),
+        ("customer.c_nationkey", "customer", "c_nationkey"),
+        ("customer.c_custkey", "customer", "c_custkey"),
+        ("orders.o_custkey", "orders", "o_custkey"))
+      val branches = attrs.map { case (name, table, c) =>
+        s"""SELECT DISTINCT '$name' AS a, CAST($c AS VARCHAR) AS v
+           |FROM $table WHERE $c IS NOT NULL""".stripMargin }
+      s"""WITH v AS (
+         |${branches.mkString("", "\nUNION ALL\n", "")}),
+         |c AS (SELECT x.a AS lhs, y.a AS rhs,
+         |             CAST(COUNT(*) AS BIGINT) AS n_common
+         |      FROM v x JOIN v y ON x.v = y.v AND x.a <> y.a
+         |      GROUP BY 1, 2),
+         |n AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS n_values
+         |      FROM v GROUP BY 1),
+         |p AS (SELECT n1.a AS lhs, n2.a AS rhs, n1.n_values
+         |      FROM n n1 CROSS JOIN n n2 WHERE n1.a <> n2.a)
+         |SELECT lhs, rhs, n_values AS n_lhs_values,
+         |  n_values - COALESCE(n_common, 0) AS n_missing_values,
+         |  CAST(CASE WHEN n_values = COALESCE(n_common, 0)
+         |       THEN 1 ELSE 0 END AS BIGINT) AS holds
+         |FROM p LEFT JOIN c USING (lhs, rhs)
+         |""".stripMargin
     },
 
     "rank_correlation" ->

@@ -1160,6 +1160,34 @@ class PipelineSpec extends AnyFunSuite {
       r.getLong(2) == 1L && r.getLong(3) == 1L))
   }
 
+  test("inclusionDependencies: direction, string unify, null drop") {
+    import graft.operators.Curation
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq[(java.lang.Long)](1L, 1L, 2L, null)
+      .toDF("fk")
+    val asText = Seq("1", "2", "3", "9").toDF("s")
+    val out = Curation.inclusionDependencies(Seq(
+        ("parent.pk", parent, "pk"),
+        ("child.fk", child, "fk"),
+        ("other.s", asText, "s")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // child.fk ⊆ parent.pk: 2 distinct non-null fk values, both present
+    assert(out(("child.fk", "parent.pk")) == ((2L, 0L, 1L)))
+    // parent.pk ⊄ child.fk: pk=3 has no child
+    assert(out(("parent.pk", "child.fk")) == ((3L, 1L, 0L)))
+    // string '1','2','3' unify with bigint 1,2,3 (SINDY normalization);
+    // '9' is missing from parent
+    assert(out(("parent.pk", "other.s")) == ((3L, 0L, 1L)))
+    assert(out(("other.s", "parent.pk")) == ((4L, 1L, 0L)))
+    assert(out.size == 6)
+    intercept[IllegalArgumentException](
+      Curation.inclusionDependencies(Seq(("a", parent, "pk"))))
+    intercept[IllegalArgumentException](
+      Curation.inclusionDependencies(Seq(
+        ("a", parent, "pk"), ("a", child, "fk"))))
+  }
+
   test("vocabGrowth: first occurrences, cumulative Heaps curve") {
     import graft.operators.Curation
     val df = Seq(
