@@ -664,6 +664,83 @@ object Graphs {
           .as(outCol))
   }
 
+  /** Deterministic "random" walks — the DeepWalk/node2vec corpus
+    * generator (walk sequences feed a skip-gram embedder exactly like
+    * sentences feed word2vec; Perozzi et al., KDD'14): `walksPerNode`
+    * walks start at EVERY node and take up to `steps` steps; at each
+    * step the walker at `u` moves to the out-neighbor `v` minimizing
+    * `md5(start:walk:step:v)` — hash-uniform over the neighbor set,
+    * fully deterministic (same graph → same corpus on any cluster, the
+    * reproducibility real RNG walks can't give), and replayable by an
+    * oracle. Walks stop early at a sink (no out-neighbors). Tie-break
+    * inside one hash value is by dst string — a total order, so even a
+    * hash collision is deterministic.
+    *
+    * Scale shape: the walk frontier is ONE frame keyed (start, walk) —
+    * all walks advance together, one node-sized frontier exchange per
+    * step against the never-re-shuffled [[pinnedAdjacency]] plus the
+    * argmin's (start, walk)-sized combine; per-step lineage cut, early
+    * exit when every walk has died ([[pinnedLoop]] contract — AQE off,
+    * width aligned). Output `(start, walk, step, node)`: step 0 is the
+    * start itself; the per-walk sequence is the training sentence. */
+  def randomWalks(edges0: DataFrame, srcCol: String, dstCol: String,
+      walksPerNode: Int, steps: Int, directed: Boolean = false,
+      checkpointDir: Option[String] = None): DataFrame =
+    pinnedLoop(edges0.sparkSession,
+      edges0.sparkSession.sessionState.conf.numShufflePartitions) {
+      randomWalksBody(edges0, srcCol, dstCol, walksPerNode, steps,
+        directed, checkpointDir)
+    }
+
+  private def randomWalksBody(edges0: DataFrame, srcCol: String,
+      dstCol: String, walksPerNode: Int, steps: Int, directed: Boolean,
+      checkpointDir: Option[String]): DataFrame = {
+    require(walksPerNode >= 1,
+      s"walksPerNode must be >= 1, got $walksPerNode")
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    checkpointDir.foreach(edges0.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    val adj = pinnedAdjacency(edges0, srcCol, dstCol, directed, cut)
+    val starts = cut(adj.select(col("src").as("node"))
+      .union(adj.select(col("dst").as("node"))).distinct()
+      .select(col("node").as("start"),
+        explode(array((0 until walksPerNode).map(k => lit(k.toLong)): _*))
+          .as("walk"))
+      .withColumn("step", lit(0L))
+      .withColumn("node", col("start")))
+    val rounds = scala.collection.mutable.ListBuffer(starts)
+    var frontier = starts
+    var t = 1
+    var dead = false
+    while (t <= steps && !dead) {
+      val nxt = cut(walkRound(adj, frontier, t.toLong))
+      if (nxt.isEmpty) dead = true
+      else { rounds += nxt; frontier = nxt }
+      t += 1
+    }
+    rounds.reduce(_ unionByName _)
+  }
+
+  /** One hash-argmin walk step — exposed so PlanSpec can pin the round
+    * body's runtime shuffle budget (the r13 drift lesson). The argmin
+    * is min over the 32-hex-digit `md5(start:walk:step:dst)`
+    * concatenated with ':' + dst — lexicographic on the hash first, dst
+    * breaks exact-collision ties; dst is recovered from char 34. */
+  private[graft] def walkRound(adj: DataFrame, frontier: DataFrame,
+      step: Long): DataFrame =
+    frontier
+      .join(adj, frontier("node") === adj("src"))
+      .select(col("start"), col("walk"),
+        concat(md5(concat_ws(":", col("start"), col("walk"),
+            lit(step), col("dst"))),
+          lit(":"), col("dst").cast("string")).as("_h"))
+      .groupBy(col("start"), col("walk"))
+      .agg(min(col("_h")).as("_m"))
+      .select(col("start"), col("walk"), lit(step).as("step"),
+        expr("cast(substring(_m, 34) as bigint)").as("node"))
+
   /** Thresholded bipartite projection — the co-occurrence graph builder
     * (items linked when they share enough contexts: suppliers serving
     * the same orders, terms in the same documents, hosts in the same

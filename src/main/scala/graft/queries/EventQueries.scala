@@ -406,6 +406,15 @@ object EventQueries {
       graft.operators.Graphs.bfsDistances(custSuppEdges(s, dir), "src",
         "dst", seeds = Seq(1L, 4L, 7L), rounds = 3)),
 
+    // Deterministic DeepWalk corpus: 2 hash-chosen walks of ≤3 steps
+    // from EVERY node of the undirected customer–supplier graph — at
+    // each step the walker moves to the out-neighbor minimizing
+    // md5(start:walk:step:dst). The oracle replays the same argmin as
+    // three unrolled frontier joins.
+    "graph_walks" -> ((s, dir) =>
+      graft.operators.Graphs.randomWalks(custSuppEdges(s, dir), "src",
+        "dst", walksPerNode = 2, steps = 3)),
+
     // Bounded weighted shortest paths over the customer→supplier graph
     // with deterministic integer edge costs: 3 Bellman–Ford rounds =
     // cheapest path using ≤3 edges from sources {1, 4} (the weighted
@@ -834,6 +843,44 @@ object EventQueries {
         |SELECT CAST(id AS BIGINT) AS id, CAST(dist AS BIGINT) AS dist
         |FROM d3
         |""".stripMargin,
+
+    // Three unrolled hash-argmin frontier steps; the per-step winner is
+    // min over md5(start:walk:step:dst) || ':' || dst, dst recovered
+    // from char 34 (32 hex digits + ':').
+    "graph_walks" -> {
+      def stepCte(prev: String, cur: String, t: Int): String =
+        s"""$cur AS (
+           |  SELECT start, walk, CAST($t AS BIGINT) AS step,
+           |    CAST(substr(MIN(
+           |      md5(CAST(start AS VARCHAR) || ':' ||
+           |          CAST(walk AS VARCHAR) || ':$t:' ||
+           |          CAST(e.dst AS VARCHAR)) || ':' ||
+           |      CAST(e.dst AS VARCHAR)), 34) AS BIGINT) AS node
+           |  FROM $prev JOIN e ON e.src = $prev.node
+           |  GROUP BY 1, 2)""".stripMargin
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS (SELECT src, dst FROM (
+         |        SELECT src, dst FROM e0
+         |        UNION SELECT dst, src FROM e0)
+         |      WHERE src <> dst),
+         |n AS (SELECT DISTINCT src AS node FROM e
+         |      UNION SELECT DISTINCT dst FROM e),
+         |s0 AS (SELECT CAST(node AS BIGINT) AS start,
+         |              CAST(w.walk AS BIGINT) AS walk,
+         |              CAST(0 AS BIGINT) AS step,
+         |              CAST(node AS BIGINT) AS node
+         |       FROM n CROSS JOIN (VALUES (0), (1)) AS w(walk)),
+         |${stepCte("s0", "s1", 1)},
+         |${stepCte("s1", "s2", 2)},
+         |${stepCte("s2", "s3", 3)}
+         |SELECT * FROM s0
+         |UNION ALL SELECT * FROM s1
+         |UNION ALL SELECT * FROM s2
+         |UNION ALL SELECT * FROM s3
+         |""".stripMargin
+    },
 
     // Three unrolled min-plus relaxations over the min-collapsed
     // symmetric weighted edge list — the operator's loop, written out.

@@ -249,4 +249,44 @@ class GraphsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Graphs.commonNeighbors(edges, "src", "mid", minCommon = 0))
   }
+
+  test("randomWalks: chain determinism, sink stop, neighbor validity") {
+    // directed chain 1→2→3→4: every step has exactly one choice, so
+    // the hash argmin is forced and the corpus is fully hand-checkable
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = Graphs.randomWalks(chain, "src", "dst",
+        walksPerNode = 1, steps = 3, directed = true)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(out((1L, 0L, 0L)) == 1L && out((1L, 0L, 1L)) == 2L &&
+      out((1L, 0L, 2L)) == 3L && out((1L, 0L, 3L)) == 4L)
+    // node 4 is a sink: its walk is step 0 only
+    assert(out.contains((4L, 0L, 0L)) && !out.contains((4L, 0L, 1L)))
+    // node 3 reaches the sink at step 1 and stops
+    assert(out((3L, 0L, 1L)) == 4L && !out.contains((3L, 0L, 2L)))
+
+    // branching graph: choices are hash-driven but must be (a) valid
+    // out-neighbors, (b) identical across runs, (c) walk-dependent
+    // somewhere (two walks per node cover different hash draws)
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 1L), (2L, 3L), (3L, 1L),
+      (3L, 2L)).toDF("src", "dst")
+    def run() = Graphs.randomWalks(g, "src", "dst",
+        walksPerNode = 2, steps = 4, directed = true)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val a = run()
+    assert(a == run()) // bit-stable across executions
+    val adj = Map(1L -> Set(2L, 3L), 2L -> Set(1L, 3L), 3L -> Set(1L, 2L))
+    a.foreach { case ((s, w, t), n) =>
+      if (t > 0) assert(adj(a((s, w, t - 1))).contains(n), ((s, w, t), n))
+    }
+    // every (start, walk) runs the full 4 steps (no sinks here)
+    assert(a.size == 3 * 2 * 5)
+    intercept[IllegalArgumentException](
+      Graphs.randomWalks(g, "src", "dst", walksPerNode = 0, steps = 1))
+    intercept[IllegalArgumentException](
+      Graphs.randomWalks(g, "src", "dst", walksPerNode = 1, steps = 0))
+  }
 }

@@ -1266,6 +1266,13 @@ class PlanSpec extends AnyFunSuite {
       val cr = Graphs.closenessRound(cadj, cd0, cf0, 1L)
       assert(runtimeShuffles(cr) <= 5,
         s"closeness round runtime plan:\n${cr.queryExecution.executedPlan}")
+      // random-walk step: frontier⋈adjacency equi-join (2) + the
+      // (start, walk) argmin combine (1)
+      val wf0 = Seq((1L, 0L, 0L, 1L)).toDF("start", "walk", "step", "node")
+        .localCheckpoint(true)
+      val wr = Graphs.walkRound(cadj, wf0, 1L)
+      assert(runtimeShuffles(wr) <= 4,
+        s"walk round runtime plan:\n${wr.queryExecution.executedPlan}")
     } finally {
       spark0.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark0.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
