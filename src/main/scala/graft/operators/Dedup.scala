@@ -1135,6 +1135,125 @@ object Dedup {
         col("n_distinct_values"))
   }
 
+  /** Fellegi–Sunter comparison-vector profile — the record-linkage
+    * census between blocking ([[sortedNeighborhood]] generates the
+    * pairs) and decision: every within-block candidate pair is scored
+    * field by field into an agreement LEVEL ('2' agree, '1' close —
+    * numeric within tolerance, '0' disagree, '-' missing on either
+    * side), and the operator counts pairs per pattern string. The
+    * pattern frequencies ARE the sufficient statistics the FS model's
+    * EM step consumes (Fellegi & Sunter 1969; Winkler's tutorials) and
+    * the audit table an ER engineer reads before setting any match
+    * threshold ("how many pairs agree on key but disagree on amount").
+    *
+    * Blocking: pairs share ALL `blockCols` (null block keys drop);
+    * blocks larger than `maxBlockSize` are dropped ENTIRELY — the
+    * similarity-join stopword stance ([[Graphs.bipartiteProject]]'s
+    * rationale): a mega-block's pairs are uninformative and their
+    * count is quadratic. Documented semantics, oracle-mirrored.
+    *
+    * Scale shape: one block-sized count + LEFT SEMI prune, then the
+    * pair self-join CO-LOCATES on the block key (one shuffle per side,
+    * fan-out ≤ maxBlockSize² per block, never a hub's square), level
+    * columns are narrow codegen, and the pattern count folds map-side
+    * to ≤ 4^|fields| rows. Output: `(pattern, n_pairs)`. */
+  def agreementPatterns(records: DataFrame, idCol: String,
+      blockCols: Seq[String], exactCols: Seq[String],
+      closeCols: Seq[(String, Long)],
+      maxBlockSize: Int = 1000): DataFrame = {
+    val fields = exactCols ++ closeCols.map(_._1)
+    require(blockCols.nonEmpty, "agreementPatterns: no block columns")
+    require(fields.nonEmpty, "agreementPatterns: no comparison fields")
+    require(fields.distinct.size == fields.size &&
+      fields.intersect(blockCols).isEmpty,
+      s"comparison fields must be distinct and disjoint from blocks: " +
+        s"$fields vs $blockCols")
+    require(maxBlockSize >= 2,
+      s"maxBlockSize must be >= 2, got $maxBlockSize")
+    require(closeCols.forall(_._2 >= 0),
+      s"close tolerances must be >= 0: $closeCols")
+    val base = records
+      .select(col(idCol).as("_id") +:
+        (blockCols ++ fields).map(col): _*)
+      .filter(blockCols.map(col(_).isNotNull).reduce(_ && _))
+    val smallBlocks = base.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBlockSize.toLong)
+      .select(blockCols.map(col): _*)
+    val pruned = base.join(smallBlocks, blockCols, "leftsemi")
+    val rhs = pruned.select(col("_id").as("_id2") +:
+      (blockCols.map(col) ++
+        fields.map(c => col(c).as(s"${c}__b"))): _*)
+    def missing(c: String) =
+      col(c).isNull || col(s"${c}__b").isNull
+    val levels =
+      exactCols.map(c => when(missing(c), lit("-"))
+        .when(col(c) === col(s"${c}__b"), lit("2"))
+        .otherwise(lit("0"))) ++
+      closeCols.map { case (c, tol) => when(missing(c), lit("-"))
+        .when(col(c) === col(s"${c}__b"), lit("2"))
+        .when(abs(col(c) - col(s"${c}__b")) <= tol, lit("1"))
+        .otherwise(lit("0")) }
+    pruned.join(rhs, blockCols)
+      .filter(col("_id") < col("_id2"))
+      .select(concat(levels: _*).as("pattern"))
+      .groupBy(col("pattern"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Content-defined chunking (CDC) — the storage-dedup primitive under
+    * rsync/LBFS/restic and every dedup filesystem, applied to document
+    * text: chunk boundaries are a pure function of LOCAL content (the
+    * rolling hash of the last 8 chars), so an insertion early in a
+    * document shifts only the chunk it lands in — fixed-size chunking
+    * would shift every later boundary and destroy all downstream chunk
+    * identity. Chunk hashes feed delta-sync, chunk-level dedup-ratio
+    * estimation, and partial-update detection between crawl snapshots.
+    *
+    * Boundary rule (deliberately minimal, oracle-replayable): position
+    * `i` (1-based, i ≥ 8) cuts AFTER char i when
+    * `Σ_{j=0..7} ascii(char[i−j])·31^j ≡ 0 (mod divisor)` — a degree-7
+    * polynomial over the trailing window, exact in a long (≤ 255·31⁷ ≈
+    * 7·10¹²). Expected chunk length ≈ divisor. No min/max clamp — the
+    * rule stays a pure per-position predicate both engines replay
+    * bit-identically.
+    *
+    * Scale shape: entirely NARROW — one codegen'd array pass per
+    * document (positions → boundary cuts → chunk substrings), zero
+    * shuffle, zero state; the parallel axis is documents. Output:
+    * `(idCol, chunk_idx, start_pos, chunk_len, chunk_md5)` — the md5
+    * identities are what downstream joins/dedups on. */
+  def cdcChunks(df: DataFrame, textCol: String, idCol: String,
+      divisor: Int = 64): DataFrame = {
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    val t = col(textCol)
+    val n = length(t).cast("long")
+    def rollHash(i: Column): Column =
+      (0 until 8).map(j =>
+        ascii(t.substr(i - j, lit(1))).cast("long") *
+          lit(math.pow(31.0, j).toLong)).reduce(_ + _)
+    val cuts = filter(
+      when(n >= 8L, transform(sequence(lit(8L), n),
+          i => when(pmod(rollHash(i), lit(divisor.toLong)) === 0L, i)))
+        .otherwise(expr("cast(array() as array<bigint>)")),
+      x => x.isNotNull)
+    val bounds = concat(array(lit(0L)), cuts, array(n))
+    val pairs = zip_with(
+      slice(bounds, lit(1), size(bounds) - 1),
+      slice(bounds, lit(2), size(bounds) - 1),
+      (a, b) => struct(a.as("a"), b.as("b")))
+    df.select(col(idCol), t.as("_t"),
+        posexplode(pairs).as(Seq("chunk_idx", "_p")))
+      .filter(col("_p.b") > col("_p.a")) // only the LAST pair can be
+      // empty (a cut at the final char), so dropping it never shifts
+      // earlier chunk_idx values — the oracle relies on this
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("_p.a").as("start_pos"),
+        (col("_p.b") - col("_p.a")).as("chunk_len"),
+        md5(col("_t").substr((col("_p.a") + 1L).cast("int"),
+          (col("_p.b") - col("_p.a")).cast("int"))).as("chunk_md5"))
+  }
+
   /** SimHash near-duplicate pairs: fingerprint hamming distance ≤ maxDist.
     * Fingerprints are 64-char '0'/'1' strings from the simhash64 function.
     * Candidate generation blocks on 4 fingerprint chunks of 16 bits: by

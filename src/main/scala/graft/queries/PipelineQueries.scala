@@ -1253,6 +1253,29 @@ object PipelineQueries {
               % 5).cast("string"))),
         Seq("p_mfgr", "p_brand", "p_type"))),
 
+    // Content-defined chunking (rsync/LBFS boundaries): cuts where the
+    // degree-7 polynomial of the trailing 8 chars ≡ 0 mod 64; chunk md5
+    // identities feed delta-sync and chunk-level dedup. Pure narrow
+    // array pass, oracle replays the identical rolling predicate.
+    "cdc_chunks" -> ((s, dir) =>
+      Dedup.cdcChunks(docs(s, dir), "text", "doc_id", divisor = 64)),
+
+    // Fellegi–Sunter agreement-pattern census over customers blocked by
+    // (nation, segment): three comparison fields — custkey last digit
+    // (exact), custkey parity (exact), $100 balance bucket (close,
+    // tol 1) — counted per pattern string; the input table an ER
+    // match-threshold decision reads.
+    "er_patterns" -> ((s, dir) => {
+      val recs = Graft.table(s, dir, "customer").select(
+        col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        (col("c_custkey") % 10).cast("string").as("digit"),
+        (col("c_custkey") % 2).cast("string").as("parity"),
+        floor(col("c_acctbal") / 100).cast("long").as("bal"))
+      Dedup.agreementPatterns(recs, "c_custkey",
+        Seq("c_nationkey", "c_mktsegment"),
+        Seq("digit", "parity"), Seq(("bal", 1L)))
+    }),
+
     // Inclusion-dependency discovery (SINDY) across four TPC-H tables:
     // the declared FK directions (nation→region, customer→nation,
     // orders→customer) must HOLD, and the reverses reveal coverage
@@ -3634,6 +3657,66 @@ object PipelineQueries {
         |  FROM part)
         |""".stripMargin + pairs.mkString("", "\nUNION ALL\n", "\n")
     },
+
+    // The identical rolling predicate over 1-based positions: ascii of
+    // the trailing 8 chars under 31^j weights, cut where ≡ 0 mod 64;
+    // chunks between consecutive bounds, the only empty pair (a cut at
+    // the last char) filtered without shifting earlier indexes.
+    "cdc_chunks" -> {
+      val poly = (0 until 8).map(j =>
+        s"CAST(ascii(text[i - $j]) AS BIGINT) * ${math.pow(31.0, j).toLong}")
+        .mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT doc_id, text, CAST(len(text) AS BIGINT) AS n,
+         |    CASE WHEN len(text) >= 8 THEN
+         |      list_filter(list_transform(
+         |        generate_series(8, len(text)),
+         |        i -> CASE WHEN ($poly) % 64 = 0
+         |             THEN CAST(i AS BIGINT) END),
+         |        x -> x IS NOT NULL)
+         |    ELSE [] END AS cuts
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, text,
+         |         list_concat(list_concat([CAST(0 AS BIGINT)], cuts),
+         |                     [n]) AS bs
+         |  FROM b)
+         |SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
+         |  bs[i] AS start_pos,
+         |  bs[i + 1] - bs[i] AS chunk_len,
+         |  md5(substr(text, CAST(bs[i] + 1 AS INT),
+         |             CAST(bs[i + 1] - bs[i] AS INT))) AS chunk_md5
+         |FROM c, UNNEST(generate_series(1, len(bs) - 1)) AS u(i)
+         |WHERE bs[i + 1] > bs[i]
+         |""".stripMargin
+    },
+
+    // Block-local pair census with the same level encoding ('2' agree,
+    // '1' within tolerance, '0' disagree); no block at this SF exceeds
+    // the 1000 cap, and the fixture has no nulls, so '-' never mints.
+    "er_patterns" ->
+      """WITH r AS (
+        |  SELECT c_custkey AS id, c_nationkey AS b1, c_mktsegment AS b2,
+        |         CAST(c_custkey % 10 AS VARCHAR) AS digit,
+        |         CAST(c_custkey % 2 AS VARCHAR) AS parity,
+        |         CAST(floor(c_acctbal / 100) AS BIGINT) AS bal
+        |  FROM customer),
+        |k AS (SELECT b1, b2 FROM r GROUP BY 1, 2
+        |      HAVING COUNT(*) <= 1000),
+        |p AS (SELECT x.digit AS d1, y.digit AS d2,
+        |             x.parity AS p1, y.parity AS p2,
+        |             x.bal AS v1, y.bal AS v2
+        |      FROM r x
+        |      JOIN r y ON x.b1 = y.b1 AND x.b2 = y.b2 AND x.id < y.id
+        |      JOIN k ON x.b1 = k.b1 AND x.b2 = k.b2)
+        |SELECT (CASE WHEN d1 = d2 THEN '2' ELSE '0' END) ||
+        |       (CASE WHEN p1 = p2 THEN '2' ELSE '0' END) ||
+        |       (CASE WHEN v1 = v2 THEN '2'
+        |             WHEN abs(v1 - v2) <= 1 THEN '1'
+        |             ELSE '0' END) AS pattern,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM p GROUP BY 1
+        |""".stripMargin,
 
     // The SINDY reduction: distinct (attr, value-as-varchar) rows, one
     // co-occurrence count per ordered pair, missing = n_values −

@@ -1160,6 +1160,67 @@ class PipelineSpec extends AnyFunSuite {
       r.getLong(2) == 1L && r.getLong(3) == 1L))
   }
 
+  test("cdcChunks: boundaries match the replayed predicate, tiling") {
+    // replay the boundary rule in plain Scala — the test derives its
+    // own expectation instead of trusting hand-picked magic strings
+    def cuts(text: String, d: Long): Seq[Long] =
+      (8 to text.length).filter { i =>
+        (0 until 8).map(j =>
+          text(i - j - 1).toLong * math.pow(31.0, j).toLong).sum % d == 0
+      }.map(_.toLong)
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog and keeps going " +
+        "until the text is long enough to cut somewhere",
+      "short",   // < 8 chars: one chunk, no cut possible
+      "")        // empty: no chunks at all
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = Dedup.cdcChunks(df, "text", "doc_id", divisor = 4)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(1))
+        .map(r => (r.getLong(2), r.getLong(3))).toList).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val bs = (0L +: cuts(t, 4L) :+ t.length.toLong).distinct
+      val expect = bs.zip(bs.tail).filter(p => p._2 > p._1)
+        .map(p => (p._1, p._2 - p._1)).toList
+      assert(out.getOrElse(i.toLong, Nil) == expect, s"doc $i")
+    }
+    // divisor 4 on a 100+ char doc must actually cut (sanity that the
+    // test exercises multi-chunk tiling, not just the whole-doc case)
+    assert(out(0L).size > 1)
+    intercept[IllegalArgumentException](
+      Dedup.cdcChunks(df, "text", "doc_id", divisor = 1))
+  }
+
+  test("agreementPatterns: levels, nulls, tolerance, block cap") {
+    val recs = Seq(
+      // block A: 3 records → 3 pairs
+      (1L, "A", "x", java.lang.Long.valueOf(10L)),
+      (2L, "A", "x", java.lang.Long.valueOf(11L)),
+      (3L, "A", "y", null.asInstanceOf[java.lang.Long]),
+      // block B: 1 record → no pairs
+      (4L, "B", "x", java.lang.Long.valueOf(5L)),
+      // null block key drops
+      (5L, null, "x", java.lang.Long.valueOf(5L)))
+      .toDF("id", "blk", "f", "v")
+    val out = Dedup.agreementPatterns(recs, "id", Seq("blk"),
+        Seq("f"), Seq(("v", 1L)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // (1,2): f agree, v within 1 → "21"; (1,3)/(2,3): f disagree,
+    // v missing → "0-"
+    assert(out == Map("21" -> 1L, "0-" -> 2L))
+    // cap 2 drops block A entirely → no pairs anywhere
+    assert(Dedup.agreementPatterns(recs, "id", Seq("blk"), Seq("f"),
+      Seq(("v", 1L)), maxBlockSize = 2).isEmpty)
+    intercept[IllegalArgumentException](
+      Dedup.agreementPatterns(recs, "id", Seq(), Seq("f"), Seq()))
+    intercept[IllegalArgumentException](
+      Dedup.agreementPatterns(recs, "id", Seq("blk"), Seq(), Seq()))
+    intercept[IllegalArgumentException](
+      Dedup.agreementPatterns(recs, "id", Seq("blk"), Seq("blk"), Seq()))
+  }
+
   test("inclusionDependencies: direction, string unify, null drop") {
     import graft.operators.Curation
     val parent = Seq(1L, 2L, 3L).toDF("pk")

@@ -1350,6 +1350,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("cdcChunks: narrow zero-shuffle array pass") {
+    import graft.operators.Dedup
+    val docs = (1L to 20L).map(i => (i, s"document body $i " * 10))
+      .toDF("doc_id", "text")
+    val plan = explainOf(Dedup.cdcChunks(docs, "text", "doc_id"))
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("agreementPatterns: co-located block self-join, no product") {
+    import graft.operators.Dedup
+    val recs = (1L to 40L).map(i => (i, s"b${i % 5}", s"f${i % 3}", i / 7))
+      .toDF("id", "blk", "f", "v")
+    val plan = explainOf(Dedup.agreementPatterns(recs, "id", Seq("blk"),
+      Seq("f"), Seq(("v", 1L))))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("round-15 join-shaped ops: equi-joins only, no products") {
     import graft.operators.{Dedup, Events, Graphs}
     // commonNeighbors: pair join co-locates on the middle key
