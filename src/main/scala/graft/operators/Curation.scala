@@ -2546,6 +2546,52 @@ object Curation {
         (col("n_violating_keys") === 0L).cast("long"))
   }
 
+  /** Exact ROC-AUC via the Mann–Whitney U statistic — the classifier
+    * eval next to [[raterAgreement]]'s κ (κ grades agreement of two
+    * LABELERS; AUC grades a SCORE against binary truth): the
+    * probability a random positive outscores a random negative, ties
+    * counting half. Exact in integers:
+    * `auc_permille = (2·wins + ties)·1000 div (2·n_pos·n_neg)` with
+    * `wins = Σ_s p_s·(negatives strictly below s)` and
+    * `ties = Σ_s p_s·q_s` over score groups — the tie-group
+    * formulation, no midrank fractions anywhere.
+    *
+    * Scale shape: one map-side-combined groupBy(score), then the
+    * negatives-below prefix sum runs on the GROUP frame through
+    * [[DistributedOrder.withGlobalExclusiveSum]] (range shuffle +
+    * broadcast offsets — never a single-partition window, even when a
+    * continuous score makes the group frame row-sized), and one final
+    * fold. Null labels/scores are excluded; label values other than
+    * 0/1 are counted out loud in `n_excluded`, never silently folded.
+    * Output one row: `(n_pos, n_neg, n_excluded, auc_permille)` —
+    * AUC is NULL when either class is empty. */
+  def aucEval(df: DataFrame, labelCol: String,
+      scoreCol: String): DataFrame = {
+    val base = df
+      .select(col(labelCol).cast("long").as("_y"),
+        col(scoreCol).as("_s"))
+      .filter(col("_y").isNotNull && col("_s").isNotNull)
+    val grouped = base.groupBy(col("_s")).agg(
+      sum((col("_y") === 1L).cast("long")).as("_p"),
+      sum((col("_y") === 0L).cast("long")).as("_q"),
+      sum((!col("_y").isin(0L, 1L)).cast("long")).as("_o"))
+    DistributedOrder
+      .withGlobalExclusiveSum(grouped, "_qb", col("_q"), col("_s"))
+      .agg(
+        coalesce(sum(col("_p")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("_q")), lit(0L)).as("n_neg"),
+        coalesce(sum(col("_o")), lit(0L)).as("n_excluded"),
+        coalesce(sum(expr("cast(_p as decimal(38,0)) * _qb")),
+          lit(0L).cast("decimal(38,0)")).as("_wins"),
+        coalesce(sum(expr("cast(_p as decimal(38,0)) * _q")),
+          lit(0L).cast("decimal(38,0)")).as("_ties"))
+      .select(col("n_pos"), col("n_neg"), col("n_excluded"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          expr("cast((2 * _wins + _ties) * 1000 div " +
+            "(2 * cast(n_pos as decimal(38,0)) * n_neg) as bigint)"))
+          .as("auc_permille"))
+  }
+
   /** Inclusion-dependency discovery across tables — the OTHER half of
     * schema profiling next to [[functionalDependencies]] (FDs find keys
     * WITHIN a table; INDs find the join paths BETWEEN tables): for every

@@ -1323,6 +1323,16 @@ object PipelineQueries {
       Curation.raterAgreement(pred, "lang", "detected")
     }),
 
+    // Exact ROC-AUC (Mann–Whitney, ties half) of the decachar length
+    // score against the en label — score groups prefix-summed through
+    // the distributed-order engine, integer permille.
+    "auc_eval" -> ((s, dir) =>
+      graft.operators.Curation.aucEval(
+        docs(s, dir).select(
+          (col("lang") === "en").cast("long").as("y"),
+          expr("length(text) div 10").as("score")),
+        "y", "score")),
+
     // χ² discriminative terms for the en-vs-rest split: which tokens
     // separate English docs from the rest, scored by the 2×2
     // contingency χ² in centi-units (two exact decimal floors, no
@@ -3857,6 +3867,32 @@ object PipelineQueries {
         |                 AS BIGINT) END
         |    AS kappa_permille
         |FROM t CROSS JOIN p
+        |""".stripMargin,
+
+    // The same tie-group formulation: per score, positives/negatives,
+    // exclusive prefix sum of negatives in score order.
+    "auc_eval" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |         len(text) // 10 AS s
+        |  FROM documents),
+        |g AS (SELECT s, CAST(SUM(y) AS BIGINT) AS p,
+        |             CAST(COUNT(*) - SUM(y) AS BIGINT) AS q
+        |      FROM b GROUP BY 1),
+        |c AS (SELECT p, q,
+        |        COALESCE(CAST(SUM(q) OVER (ORDER BY s
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          AS BIGINT), 0) AS qb
+        |      FROM g)
+        |SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+        |       CAST(SUM(q) AS BIGINT) AS n_neg,
+        |       CAST(0 AS BIGINT) AS n_excluded,
+        |       CASE WHEN SUM(p) > 0 AND SUM(q) > 0 THEN
+        |         CAST((2 * CAST(SUM(CAST(p AS HUGEINT) * qb) AS HUGEINT)
+        |               + SUM(CAST(p AS HUGEINT) * q)) * 1000
+        |              // (2 * CAST(SUM(p) AS HUGEINT) * SUM(q))
+        |           AS BIGINT) END AS auc_permille
+        |FROM c
         |""".stripMargin,
 
     // Same two-step floor in HUGEINT; DISTINCT (doc, term) membership.

@@ -1160,6 +1160,30 @@ class PipelineSpec extends AnyFunSuite {
       r.getLong(2) == 1L && r.getLong(3) == 1L))
   }
 
+  test("aucEval: hand-checked wins/ties, degenerate classes, exclusion") {
+    import graft.operators.Curation
+    def auc(rows: Seq[(Long, Long)]) = {
+      val r = Curation.aucEval(rows.toDF("y", "s"), "y", "s")
+        .collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))
+    }
+    // perfect separation: every positive above every negative
+    assert(auc(Seq((1L, 10L), (1L, 9L), (0L, 2L), (0L, 1L))) ==
+      ((2L, 2L, 0L, Some(1000L))))
+    // inverted
+    assert(auc(Seq((0L, 10L), (1L, 1L))) == ((1L, 1L, 0L, Some(0L))))
+    // ties count half: pos@5, neg@5, neg@1 → wins 1, ties 1 →
+    // (2+1)*1000 div (2*1*2) = 750
+    assert(auc(Seq((1L, 5L), (0L, 5L), (0L, 1L))) ==
+      ((1L, 2L, 0L, Some(750L))))
+    // one class empty → NULL auc
+    assert(auc(Seq((1L, 5L), (1L, 1L))) == ((2L, 0L, 0L, None)))
+    // non-binary labels counted out loud, not folded
+    assert(auc(Seq((1L, 5L), (0L, 1L), (7L, 3L))) ==
+      ((1L, 1L, 1L, Some(1000L))))
+  }
+
   test("cdcChunks: boundaries match the replayed predicate, tiling") {
     // replay the boundary rule in plain Scala — the test derives its
     // own expectation instead of trusting hand-picked magic strings
