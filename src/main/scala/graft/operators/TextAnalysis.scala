@@ -606,6 +606,51 @@ object TextAnalysis {
     collapseWs(decodeEntities(noTags))
   }
 
+  /** Markdown → plain text + structure counts — [[htmlExtract]]'s
+    * sibling for the OTHER dominant web-text format (READMEs, forums,
+    * docs sites, chat exports): training-data pipelines want the prose
+    * without link targets, code blocks, or emphasis markers, plus the
+    * structure counts as quality signals (a "document" that is 90%
+    * fenced code wants the code-detect route, not the prose route).
+    *
+    * ONE documented rewrite order both engines replay exactly (each
+    * step counts, then strips): fenced code blocks ```…``` drop
+    * entirely (non-greedy across lines); inline code spans keep their
+    * content; images collapse to their alt text, then links to their
+    * anchor text (images first — a link pattern would otherwise eat
+    * `![alt](url)` leaving the `!`); ATX `#` header markers strip;
+    * `**`/`*`/`__`/`_` emphasis unwraps (bounded, never across the
+    * marker char); whitespace collapses. RE2-safe throughout (no
+    * lookaround), so Java and DuckDB agree byte for byte. Zero
+    * shuffle, linear in bytes. Output columns: `(md_plain,
+    * n_code_blocks, n_code_spans, n_images, n_links, n_headers)`. */
+  def markdownColumns(text: Column): Seq[Column] = {
+    val blockRe = "(?s)```.*?```"
+    val spanRe = "`([^`\n]*)`"
+    val imageRe = "!\\[([^\\]]*)\\]\\(([^)]*)\\)"
+    val linkRe = "\\[([^\\]]*)\\]\\(([^)]*)\\)"
+    val headerRe = "(?m)^#{1,6} +"
+    val nBlocks = regexp_count(text, lit(blockRe)).cast("long")
+    val noBlocks = regexp_replace(text, blockRe, " ")
+    val nSpans = regexp_count(noBlocks, lit(spanRe)).cast("long")
+    val noSpans = regexp_replace(noBlocks, spanRe, "$1")
+    val nImages = regexp_count(noSpans, lit(imageRe)).cast("long")
+    val noImages = regexp_replace(noSpans, imageRe, "$1")
+    val nLinks = regexp_count(noImages, lit(linkRe)).cast("long")
+    val noLinks = regexp_replace(noImages, linkRe, "$1")
+    val nHeaders = regexp_count(noLinks, lit(headerRe)).cast("long")
+    val noHeaders = regexp_replace(noLinks, headerRe, "")
+    val unwrapped = Seq(
+      ("\\*\\*([^*]+)\\*\\*", "$1"), ("\\*([^*\n]+)\\*", "$1"),
+      ("__([^_]+)__", "$1"), ("_([^_\n]+)_", "$1"))
+      .foldLeft(noHeaders) { case (c, (re, rep)) =>
+        regexp_replace(c, re, rep) }
+    val plain = trim(regexp_replace(unwrapped, "\\s+", " "))
+    Seq(plain.as("md_plain"), nBlocks.as("n_code_blocks"),
+      nSpans.as("n_code_spans"), nImages.as("n_images"),
+      nLinks.as("n_links"), nHeaders.as("n_headers"))
+  }
+
   /** HTML-escape for text embedded into markup (the writer-side inverse
     * of [[htmlExtract]]'s entity decode): `&` first, then `<`, `>`. */
   def htmlEscape(text: Column): Column =

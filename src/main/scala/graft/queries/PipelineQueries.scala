@@ -1323,6 +1323,22 @@ object PipelineQueries {
       Curation.raterAgreement(pred, "lang", "detected")
     }),
 
+    // Markdown → plain text + structure counts: every doc is rendered
+    // as a markdown page (header, link, inline code, image, fenced
+    // block, emphasis) and the extractor must recover the prose and
+    // count each structure; the oracle replays the identical rewrite
+    // chain with RE2 '\1' group syntax.
+    "md_extract" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val page = concat(
+        lit("# Doc "), id, lit("\n\nIntro [link text](http://ex.com/"),
+        id, lit(") and `code "), id, lit("` plus ![alt "), id,
+        lit("](http://img/x).\n\n```\nfenced "), id,
+        lit("\n```\n\n**bold** _emph_ "), col("text"))
+      docs(s, dir).select(
+        col("doc_id") +: TextAnalysis.markdownColumns(page): _*)
+    }),
+
     // Exact ROC-AUC (Mann–Whitney, ties half) of the decachar length
     // score against the en label — score groups prefix-summed through
     // the distributed-order engine, integer permille.
@@ -3867,6 +3883,61 @@ object PipelineQueries {
         |                 AS BIGINT) END
         |    AS kappa_permille
         |FROM t CROSS JOIN p
+        |""".stripMargin,
+
+    // The identical rewrite chain, counts-then-strip per step, RE2
+    // group replacement syntax.
+    "md_extract" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
+        |    'Intro [link text](http://ex.com/' ||
+        |    CAST(doc_id AS VARCHAR) || ') and `code ' ||
+        |    CAST(doc_id AS VARCHAR) || '` plus ![alt ' ||
+        |    CAST(doc_id AS VARCHAR) || '](http://img/x).' ||
+        |    chr(10) || chr(10) || '```' || chr(10) || 'fenced ' ||
+        |    CAST(doc_id AS VARCHAR) || chr(10) || '```' || chr(10) ||
+        |    chr(10) || '**bold** _emph_ ' || text AS md
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(md, '(?s)```.*?```'))
+        |      AS BIGINT) AS n_code_blocks,
+        |    regexp_replace(md, '(?s)```.*?```', ' ', 'g') AS t
+        |  FROM p),
+        |s2 AS (SELECT doc_id, n_code_blocks,
+        |    CAST(len(regexp_extract_all(t, '`([^`\n]*)`'))
+        |      AS BIGINT) AS n_code_spans,
+        |    regexp_replace(t, '`([^`\n]*)`', '\1', 'g') AS t
+        |  FROM s1),
+        |s3 AS (SELECT doc_id, n_code_blocks, n_code_spans,
+        |    CAST(len(regexp_extract_all(t, '!\[([^\]]*)\]\(([^)]*)\)'))
+        |      AS BIGINT) AS n_images,
+        |    regexp_replace(t, '!\[([^\]]*)\]\(([^)]*)\)', '\1', 'g')
+        |      AS t
+        |  FROM s2),
+        |s4 AS (SELECT doc_id, n_code_blocks, n_code_spans, n_images,
+        |    CAST(len(regexp_extract_all(t, '\[([^\]]*)\]\(([^)]*)\)'))
+        |      AS BIGINT) AS n_links,
+        |    regexp_replace(t, '\[([^\]]*)\]\(([^)]*)\)', '\1', 'g') AS t
+        |  FROM s3),
+        |s5 AS (SELECT doc_id, n_code_blocks, n_code_spans, n_images,
+        |    n_links,
+        |    CAST(len(regexp_extract_all(t, '(?m)^#{1,6} +'))
+        |      AS BIGINT) AS n_headers,
+        |    regexp_replace(t, '(?m)^#{1,6} +', '', 'g') AS t
+        |  FROM s4),
+        |s6 AS (SELECT doc_id, n_code_blocks, n_code_spans, n_images,
+        |    n_links, n_headers,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      t, '\*\*([^*]+)\*\*', '\1', 'g'),
+        |      '\*([^*\n]+)\*', '\1', 'g'),
+        |      '__([^_]+)__', '\1', 'g'),
+        |      '_([^_\n]+)_', '\1', 'g') AS t
+        |  FROM s5)
+        |SELECT doc_id,
+        |  trim(regexp_replace(t, '\s+', ' ', 'g')) AS md_plain,
+        |  n_code_blocks, n_code_spans, n_images, n_links, n_headers
+        |FROM s6
         |""".stripMargin,
 
     // The same tie-group formulation: per score, positives/negatives,

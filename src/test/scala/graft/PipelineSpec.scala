@@ -1160,6 +1160,28 @@ class PipelineSpec extends AnyFunSuite {
       r.getLong(2) == 1L && r.getLong(3) == 1L))
   }
 
+  test("markdownColumns: rewrite chain, counts, order of operations") {
+    val md = "## Title\n\nSee [docs](http://d) and ![logo](http://i) " +
+      "with `x = 1` then\n```\nfenced [not a link](x) ` \n```\n" +
+      "**bold** and _soft_ end"
+    val r = Seq((1L, md)).toDF("id", "t")
+      .select(col("id") +: TextAnalysis.markdownColumns(col("t")): _*)
+      .collect().head
+    assert(r.getString(1) ==
+      "Title See docs and logo with x = 1 then bold and soft end")
+    assert(r.getLong(2) == 1L) // code block (its link never counts)
+    assert(r.getLong(3) == 1L) // inline span
+    assert(r.getLong(4) == 1L) // image
+    assert(r.getLong(5) == 1L) // link (image not double-counted)
+    assert(r.getLong(6) == 1L) // header
+    // plain text passes through untouched
+    val plain = Seq((1L, "no markdown at all")).toDF("id", "t")
+      .select(col("id") +: TextAnalysis.markdownColumns(col("t")): _*)
+      .collect().head
+    assert(plain.getString(1) == "no markdown at all" &&
+      (2 to 6).forall(i => plain.getLong(i) == 0L))
+  }
+
   test("aucEval: hand-checked wins/ties, degenerate classes, exclusion") {
     import graft.operators.Curation
     def auc(rows: Seq[(Long, Long)]) = {
