@@ -703,6 +703,14 @@ object Graphs {
       if (checkpointDir.isDefined) df.checkpoint(true)
       else df.localCheckpoint(true)
     val adj = pinnedAdjacency(edges0, srcCol, dstCol, directed, cut)
+    // neighbor ARRAYS, built once: the per-step argmin then runs inside
+    // one row (transform + array_min) instead of a fan-out join + a
+    // (start, walk) combine — a walker at a degree-d node costs O(d)
+    // compute in its own task, not d shuffled rows. The trade: a
+    // pathological hub's entire neighbor list lives in one array row
+    // (fine to ~10⁶ neighbors; beyond that, pre-cap the graph).
+    val adjList = cut(adj.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("_nbrs")))
     val starts = cut(adj.select(col("src").as("node"))
       .union(adj.select(col("dst").as("node"))).distinct()
       .select(col("node").as("start"),
@@ -715,7 +723,7 @@ object Graphs {
     var t = 1
     var dead = false
     while (t <= steps && !dead) {
-      val nxt = cut(walkRound(adj, frontier, t.toLong))
+      val nxt = cut(walkRound(adjList, frontier, t.toLong))
       if (nxt.isEmpty) dead = true
       else { rounds += nxt; frontier = nxt }
       t += 1
@@ -723,23 +731,23 @@ object Graphs {
     rounds.reduce(_ unionByName _)
   }
 
-  /** One hash-argmin walk step — exposed so PlanSpec can pin the round
-    * body's runtime shuffle budget (the r13 drift lesson). The argmin
-    * is min over the 32-hex-digit `md5(start:walk:step:dst)`
-    * concatenated with ':' + dst — lexicographic on the hash first, dst
-    * breaks exact-collision ties; dst is recovered from char 34. */
-  private[graft] def walkRound(adj: DataFrame, frontier: DataFrame,
+  /** One hash-argmin walk step over the neighbor-array adjacency —
+    * exposed so PlanSpec can pin the round body's runtime shuffle
+    * budget (the r13 drift lesson). The argmin is min over the
+    * 32-hex-digit `md5(start:walk:step:dst)` concatenated with
+    * ':' + dst — lexicographic on the hash first, dst breaks
+    * exact-collision ties; dst is recovered from char 34. ONE
+    * frontier-sized exchange (the equi-join against the checkpointed
+    * (src, neighbors) frame); the argmin is a narrow array pass. */
+  private[graft] def walkRound(adjList: DataFrame, frontier: DataFrame,
       step: Long): DataFrame =
     frontier
-      .join(adj, frontier("node") === adj("src"))
-      .select(col("start"), col("walk"),
-        concat(md5(concat_ws(":", col("start"), col("walk"),
-            lit(step), col("dst"))),
-          lit(":"), col("dst").cast("string")).as("_h"))
-      .groupBy(col("start"), col("walk"))
-      .agg(min(col("_h")).as("_m"))
+      .join(adjList, frontier("node") === adjList("src"))
       .select(col("start"), col("walk"), lit(step).as("step"),
-        expr("cast(substring(_m, 34) as bigint)").as("node"))
+        expr(s"""cast(substring(array_min(transform(_nbrs, x ->
+          concat(md5(concat_ws(':', start, walk, ${step}L, x)),
+                 ':', cast(x as string)))), 34) as bigint)""")
+          .as("node"))
 
   /** Thresholded bipartite projection — the co-occurrence graph builder
     * (items linked when they share enough contexts: suppliers serving

@@ -1266,12 +1266,15 @@ class PlanSpec extends AnyFunSuite {
       val cr = Graphs.closenessRound(cadj, cd0, cf0, 1L)
       assert(runtimeShuffles(cr) <= 5,
         s"closeness round runtime plan:\n${cr.queryExecution.executedPlan}")
-      // random-walk step: frontier⋈adjacency equi-join (2) + the
-      // (start, walk) argmin combine (1)
+      // random-walk step: ONE frontier⋈neighbor-array equi-join; the
+      // argmin is a narrow array pass (no combine shuffle at all)
       val wf0 = Seq((1L, 0L, 0L, 1L)).toDF("start", "walk", "step", "node")
         .localCheckpoint(true)
-      val wr = Graphs.walkRound(cadj, wf0, 1L)
-      assert(runtimeShuffles(wr) <= 4,
+      val wadjL = cadj.groupBy(col("src"))
+        .agg(org.apache.spark.sql.functions.collect_list(col("dst"))
+          .as("_nbrs")).localCheckpoint(true)
+      val wr = Graphs.walkRound(wadjL, wf0, 1L)
+      assert(runtimeShuffles(wr) <= 2,
         s"walk round runtime plan:\n${wr.queryExecution.executedPlan}")
     } finally {
       spark0.conf.unset("spark.sql.autoBroadcastJoinThreshold")
