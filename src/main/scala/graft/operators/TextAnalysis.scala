@@ -606,6 +606,44 @@ object TextAnalysis {
     collapseWs(decodeEntities(noTags))
   }
 
+  /** Chat-transcript turn extraction — the unit-maker for
+    * instruction/SFT data prep (a conversation trains turn by turn,
+    * with loss on assistant turns only — the `train_on` column is that
+    * mask at turn granularity): a turn starts where a line BEGINS with
+    * a role marker `User: ` / `Assistant: ` / `System: `; everything
+    * until the next marker (across newlines) is that turn's content.
+    * Mid-line "User:" never splits (the `(?m)^` anchor), so quoted
+    * markers inside content survive. Text before the first marker is
+    * kept as a turn with role `''` (preamble/metadata — callers filter
+    * or route it; silently dropping text is not this engine's style).
+    *
+    * Same sentinel trick as [[sentenceSplit]] (RE2 has no lookahead):
+    * a grouped replace marks each boundary with U+0001, split on the
+    * sentinel, parse the marker off each piece. `turn_idx` is the
+    * piece index in the ORIGINAL split (an empty preamble piece is
+    * dropped without re-indexing, so a transcript that starts with a
+    * marker has turns 1..n — documented, oracle-mirrored). Narrow
+    * codegen'd pass, zero shuffle; `posexplode` fan-out only. Output:
+    * `(idCol, turn_idx, role, content, train_on)`. */
+  def splitTurns(df: DataFrame, textCol: String, idCol: String)
+      : DataFrame = {
+    val markerRe = "(?m)^(User|Assistant|System): "
+    val pieces = split(
+      regexp_replace(col(textCol), markerRe, "\u0001$1: "), "\u0001")
+    df.select(col(idCol), posexplode(pieces).as(Seq("turn_idx", "_p")))
+      .filter(length(col("_p")) > 0)
+      .select(col(idCol), col("turn_idx").cast("long").as("turn_idx"),
+        regexp_extract(col("_p"), "^(User|Assistant|System): ", 1)
+          .as("role"),
+        // regex trim, not trim(): a turn's content ends with the
+        // newline that precedes the next marker, and trim() strips
+        // spaces only
+        regexp_replace(regexp_replace(col("_p"),
+            "^(User|Assistant|System): ", ""),
+          "^\\s+|\\s+$", "").as("content"))
+      .withColumn("train_on", (col("role") === "Assistant").cast("long"))
+  }
+
   /** Markdown → plain text + structure counts — [[htmlExtract]]'s
     * sibling for the OTHER dominant web-text format (READMEs, forums,
     * docs sites, chat exports): training-data pipelines want the prose

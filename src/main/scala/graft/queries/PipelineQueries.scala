@@ -1323,6 +1323,25 @@ object PipelineQueries {
       Curation.raterAgreement(pred, "lang", "detected")
     }),
 
+    // Chat-transcript turn extraction (SFT prep): 4-turn transcripts
+    // with a preamble planted on every 5th doc; the operator recovers
+    // (turn_idx, role, content) and the assistant-only train mask, the
+    // oracle replays the sentinel split. Mid-line "User:" in content
+    // must NOT split (the anchor is line-start).
+    "turn_split" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val page = concat(
+        when(col("doc_id") % 5 === 0, lit("meta preamble\n"))
+          .otherwise(lit("")),
+        lit("User: please summarize doc "), id,
+        lit("\nAssistant: summary of User: note "),
+        substring(col("text"), 1, 40),
+        lit("\nUser: thanks\nAssistant: done with "), id)
+      TextAnalysis.splitTurns(
+        docs(s, dir).select(col("doc_id"), page.as("page")),
+        "page", "doc_id")
+    }),
+
     // Markdown → plain text + structure counts: every doc is rendered
     // as a markdown page (header, link, inline code, image, fenced
     // block, emphasis) and the extractor must recover the prose and
@@ -3883,6 +3902,41 @@ object PipelineQueries {
         |                 AS BIGINT) END
         |    AS kappa_permille
         |FROM t CROSS JOIN p
+        |""".stripMargin,
+
+    // The sentinel split with RE2 '\1', empty pieces dropped without
+    // re-indexing, regex-trim on both ends of the content.
+    "turn_split" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 5 = 0 THEN 'meta preamble' || chr(10)
+        |          ELSE '' END) ||
+        |    'User: please summarize doc ' || CAST(doc_id AS VARCHAR) ||
+        |    chr(10) || 'Assistant: summary of User: note ' ||
+        |    substr(text, 1, 40) || chr(10) || 'User: thanks' ||
+        |    chr(10) || 'Assistant: done with ' ||
+        |    CAST(doc_id AS VARCHAR) AS page
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(page,
+        |      '(?m)^(User|Assistant|System): ', chr(1) || '\1: ', 'g'),
+        |      chr(1)) AS l
+        |  FROM p),
+        |e AS (
+        |  SELECT doc_id, unnest(l) AS piece,
+        |         generate_subscripts(l, 1) - 1 AS turn_idx
+        |  FROM m)
+        |SELECT doc_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+        |  regexp_extract(piece, '^(User|Assistant|System): ', 1)
+        |    AS role,
+        |  regexp_replace(regexp_replace(piece,
+        |      '^(User|Assistant|System): ', ''),
+        |    '^\s+|\s+$', '', 'g') AS content,
+        |  CAST(CASE WHEN regexp_extract(piece,
+        |         '^(User|Assistant|System): ', 1) = 'Assistant'
+        |       THEN 1 ELSE 0 END AS BIGINT) AS train_on
+        |FROM e WHERE len(piece) > 0
         |""".stripMargin,
 
     // The identical rewrite chain, counts-then-strip per step, RE2

@@ -1160,6 +1160,30 @@ class PipelineSpec extends AnyFunSuite {
       r.getLong(2) == 1L && r.getLong(3) == 1L))
   }
 
+  test("splitTurns: roles, preamble, mid-line markers, train mask") {
+    val t1 = "User: hi\nAssistant: quoting User: x here\nstays one " +
+      "turn\nUser: ok\nAssistant: done"
+    val t2 = "preamble line\nUser: q\nAssistant: a"
+    val out = Seq((1L, t1), (2L, t2)).toDF("id", "t")
+    val rows = TextAnalysis.splitTurns(out, "t", "id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getString(3), r.getLong(4))).toMap
+    // doc 1 starts with a marker: empty preamble piece dropped, turns
+    // are 1..4; the mid-line "User:" stays inside turn 2's content
+    assert(rows((1L, 1L)) == (("User", "hi", 0L)))
+    assert(rows((1L, 2L)) ==
+      (("Assistant", "quoting User: x here\nstays one turn", 1L)))
+    assert(rows((1L, 3L)) == (("User", "ok", 0L)))
+    assert(rows((1L, 4L)) == (("Assistant", "done", 1L)))
+    assert(!rows.contains((1L, 0L)))
+    // doc 2: non-empty preamble kept at idx 0 with empty role
+    assert(rows((2L, 0L)) == (("", "preamble line", 0L)))
+    assert(rows((2L, 1L)) == (("User", "q", 0L)))
+    assert(rows((2L, 2L)) == (("Assistant", "a", 1L)))
+    assert(rows.size == 7)
+  }
+
   test("markdownColumns: rewrite chain, counts, order of operations") {
     val md = "## Title\n\nSee [docs](http://d) and ![logo](http://i) " +
       "with `x = 1` then\n```\nfenced [not a link](x) ` \n```\n" +
