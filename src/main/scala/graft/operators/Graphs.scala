@@ -664,6 +664,59 @@ object Graphs {
           .as(outCol))
   }
 
+  /** Newman modularity of a community assignment — the quality score
+    * that makes [[labelPropagation]]'s output judgeable (communities
+    * are only as good as "more intra-edges than a degree-preserving
+    * random graph would give"; Q ∈ [−0.5, 1), > ~0.3 is real
+    * structure): `Q = Σ_c [e_c/m − (d_c/2m)²]` over the canonical
+    * undirected simple graph — computed EXACTLY as
+    * `q_micro = Σ_c (4·m·e_c − d_c²) · 10⁶ div (4·m²)` in
+    * DECIMAL(38) (Q can be negative: the div truncates toward zero,
+    * the one negative-division semantics both engines share — the
+    * [[Curation.raterAgreement]] stance). Edges with either endpoint
+    * unlabeled count toward m and degrees but no community (partial
+    * labelings score what they cover; dropping the edges would
+    * flatter them).
+    *
+    * Scale shape: one canonical-edge pass, two label equi-joins
+    * (node-sized label side), then everything folds map-side to
+    * |communities| rows before one tiny total. Output one row:
+    * `(n_edges, n_communities, q_micro)`; an empty graph scores
+    * NULL. */
+  def modularity(edges0: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, idCol: String, labelCol: String): DataFrame = {
+    val canon = canonicalEdges(edges0, srcCol, dstCol)
+      .localCheckpoint(false) // feeds m, e_c, and the degree fold
+    val lab = labels.select(col(idCol).as("_lid"),
+      col(labelCol).as("_lab"))
+    val labeled = canon
+      .join(lab.withColumnRenamed("_lab", "_la"),
+        canon("a") === lab("_lid"), "left").drop("_lid")
+      .join(lab.withColumnRenamed("_lab", "_lb"),
+        col("b") === lab("_lid"), "left").drop("_lid")
+    val ec = labeled
+      .filter(col("_la").isNotNull && col("_la") === col("_lb"))
+      .groupBy(col("_la").as("_c")).agg(count(lit(1)).as("_e"))
+    val dc = canon.select(explode(array(col("a"), col("b"))).as("_id"))
+      .groupBy(col("_id")).agg(count(lit(1)).as("_d"))
+      .join(lab, col("_id") === col("_lid"))
+      .groupBy(col("_lab").as("_c")).agg(sum(col("_d")).as("_dc"))
+    val m = canon.agg(count(lit(1)).as("_m"))
+    dc.join(ec, Seq("_c"), "left")
+      .select(col("_c"), coalesce(col("_e"), lit(0L)).as("_e"),
+        col("_dc"))
+      .crossJoin(m)
+      .agg(first(col("_m")).as("n_edges"),
+        count(lit(1)).as("n_communities"),
+        sum(expr("4 * cast(_m as decimal(38,0)) * _e - " +
+          "cast(_dc as decimal(38,0)) * _dc")).as("_num"))
+      .select(col("n_edges"), col("n_communities"),
+        when(col("n_edges") > 0L,
+          expr("cast(_num * 1000000 div " +
+            "(4 * cast(n_edges as decimal(38,0)) * n_edges) as bigint)"))
+          .as("q_micro"))
+  }
+
   /** Deterministic "random" walks — the DeepWalk/node2vec corpus
     * generator (walk sequences feed a skip-gram embedder exactly like
     * sentences feed word2vec; Perozzi et al., KDD'14): `walksPerNode`

@@ -470,6 +470,18 @@ object EventQueries {
       graft.operators.Graphs.labelPropagation(
         suppCooccurEdges(s, dir), "src", "dst", rounds = 2)),
 
+    // Newman modularity of the LPA communities over the same
+    // co-occurrence graph — the eval that makes graph_lpa's output
+    // judgeable, exact integer micro-units (4·m·e_c − d_c² numerator,
+    // truncating div).
+    "graph_modularity" -> ((s, dir) => {
+      val e = suppCooccurEdges(s, dir)
+      val labs = graft.operators.Graphs.labelPropagation(e, "src",
+        "dst", rounds = 2)
+      graft.operators.Graphs.modularity(e, "src", "dst", labs, "id",
+        "label")
+    }),
+
     // Fixed-round k-core peeling (k=30, 2 rounds) over the
     // customer–supplier order graph: strips the low-degree fringe,
     // keeps the dense trading core. Exact integer degrees; the oracle
@@ -974,6 +986,53 @@ object EventQueries {
         |       GROUP BY 1)
         |SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label
         |FROM l2
+        |""".stripMargin,
+
+    // LPA replay (the graph_lpa CTE) + exact modularity: e_c from
+    // same-label canonical edges, d_c from label-joined degrees,
+    // Σ(4·m·e_c − d_c²)·10⁶ // 4m².
+    "graph_modularity" ->
+      """WITH e0 AS (
+        |  SELECT l1.l_suppkey AS a, l2.l_suppkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |   AND l1.l_suppkey < l2.l_suppkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |adj AS (SELECT a AS id, b AS nbr FROM e0
+        |        UNION ALL SELECT b, a FROM e0),
+        |l0 AS (SELECT DISTINCT id, id AS label FROM adj),
+        |c1 AS (SELECT adj.id, l0.label, COUNT(*) AS n
+        |       FROM adj JOIN l0 ON l0.id = adj.nbr GROUP BY 1, 2),
+        |m1 AS (SELECT id, MAX(n) AS mx FROM c1 GROUP BY 1),
+        |l1 AS (SELECT c1.id, MIN(c1.label) AS label
+        |       FROM c1 JOIN m1 ON c1.id = m1.id AND c1.n = m1.mx
+        |       GROUP BY 1),
+        |c2 AS (SELECT adj.id, l1.label, COUNT(*) AS n
+        |       FROM adj JOIN l1 ON l1.id = adj.nbr GROUP BY 1, 2),
+        |m2 AS (SELECT id, MAX(n) AS mx FROM c2 GROUP BY 1),
+        |lab AS (SELECT c2.id, MIN(c2.label) AS label
+        |        FROM c2 JOIN m2 ON c2.id = m2.id AND c2.n = m2.mx
+        |        GROUP BY 1),
+        |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
+        |ec AS (SELECT x.label AS c, CAST(COUNT(*) AS BIGINT) AS e
+        |       FROM e0 JOIN lab x ON x.id = e0.a
+        |               JOIN lab y ON y.id = e0.b
+        |       WHERE x.label = y.label GROUP BY 1),
+        |deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS d
+        |        FROM adj GROUP BY 1),
+        |dc AS (SELECT lab.label AS c, CAST(SUM(d) AS BIGINT) AS dc
+        |       FROM deg JOIN lab ON lab.id = deg.id GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(4 * CAST(m AS HUGEINT) * COALESCE(e, 0)
+        |               - CAST(dc AS HUGEINT) * dc) AS HUGEINT) AS num,
+        |         CAST(COUNT(*) AS BIGINT) AS n_communities,
+        |         CAST(MIN(m) AS BIGINT) AS n_edges
+        |  FROM dc LEFT JOIN ec USING (c) CROSS JOIN mm)
+        |SELECT n_edges, n_communities,
+        |  CASE WHEN n_edges > 0 THEN
+        |    CAST(num * 1000000 // (4 * CAST(n_edges AS HUGEINT)
+        |                           * n_edges) AS BIGINT) END AS q_micro
+        |FROM tot
         |""".stripMargin,
 
     "graph_triangles" ->

@@ -250,6 +250,37 @@ class GraphsSpec extends AnyFunSuite {
       Graphs.commonNeighbors(edges, "src", "mid", minCommon = 0))
   }
 
+  test("modularity: hand-checked two-community score, trivial cases") {
+    // two triangles bridged by one edge: m=7, perfect labels →
+    // Q = 2·(3/7 − (7/14)²) = 5/14 → 357142 micro (truncating)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val labs = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L)).toDF("id", "label")
+    val r = Graphs.modularity(edges, "src", "dst", labs, "id", "label")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((7L, 2L, 357142L)))
+    // one community holding everything scores exactly 0
+    val one = labs.withColumn("label",
+      org.apache.spark.sql.functions.lit(9L))
+    val r1 = Graphs.modularity(edges, "src", "dst", one, "id", "label")
+      .collect().head
+    assert(r1.getLong(2) == 0L)
+    // every node its own community: Q < 0 (no intra edges at all)
+    val solo = labs.withColumn("label",
+      org.apache.spark.sql.functions.col("id"))
+    val r2 = Graphs.modularity(edges, "src", "dst", solo, "id", "label")
+      .collect().head
+    assert(r2.getLong(1) == 6L && r2.getLong(2) < 0L)
+    // partial labeling: unlabeled endpoints keep their edges in m
+    val partial =
+      labs.filter(org.apache.spark.sql.functions.col("id") <= 3L)
+    val r3 = Graphs.modularity(edges, "src", "dst", partial, "id",
+      "label").collect().head
+    assert(r3.getLong(0) == 7L && r3.getLong(1) == 1L)
+  }
+
   test("randomWalks: chain determinism, sink stop, neighbor validity") {
     // directed chain 1→2→3→4: every step has exactly one choice, so
     // the hash argmin is forced and the corpus is fully hand-checkable
