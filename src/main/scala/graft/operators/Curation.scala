@@ -2511,6 +2511,37 @@ object Curation {
       .select(col("q"), col(valueCol), col("_r").as("rank"), col("n"))
   }
 
+  /** Winsorization at exact percentiles — the outlier REPAIR next to
+    * [[robustOutliers]]' detection (detection flags rows; training
+    * pipelines mostly want the feature kept but CLAMPED, not the row
+    * dropped): values below the exact p-low percentile clamp up to it,
+    * above p-high clamp down. Percentile values come from
+    * [[exactQuantiles]] (rank selection over the distributed order —
+    * never a single-partition sort), so the bounds are the auditable
+    * exact order statistics, not a sketch estimate.
+    *
+    * Scale shape: one ranked pass for the two bounds (2 rows), then
+    * the clamp is a narrow map with the bounds CROSS-JOINED on (a
+    * 1-row broadcast). Null values pass through unclamped. Output:
+    * every input column plus `<valueCol>_wins`, `lo`, `hi`. */
+  def winsorize(df: DataFrame, valueCol: String, tieCol: String,
+      pLow: Int, pHigh: Int): DataFrame = {
+    require(pLow >= 1 && pHigh <= 100 && pLow < pHigh,
+      s"need 1 <= pLow < pHigh <= 100, got ($pLow, $pHigh)")
+    val qs = exactQuantiles(
+      df.filter(col(valueCol).isNotNull), valueCol, tieCol,
+      Seq(pLow, pHigh))
+    val bounds = qs.agg(
+      min(when(col("q") === pLow.toLong, col(valueCol))).as("lo"),
+      min(when(col("q") === pHigh.toLong, col(valueCol))).as("hi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(s"${valueCol}_wins",
+        when(col(valueCol).isNull, lit(null))
+          .when(col(valueCol) < col("lo"), col("lo"))
+          .when(col(valueCol) > col("hi"), col("hi"))
+          .otherwise(col(valueCol)))
+  }
+
   /** Functional-dependency discovery over a column set — the schema
     * profiler's structural half (P188's `profile_table` measures value
     * shapes; this finds the A→B determinations that reveal hidden keys,

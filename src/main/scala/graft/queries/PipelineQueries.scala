@@ -1296,6 +1296,15 @@ object PipelineQueries {
         ("orders.o_custkey", Graft.table(s, dir, "orders"),
           "o_custkey")))),
 
+    // Winsorization of part prices at the exact p5/p95 order statistics
+    // (rank selection through the distributed order, never a sketch):
+    // outliers clamp to the bounds, everything else passes through.
+    "winsorize" -> ((s, dir) =>
+      graft.operators.Curation.winsorize(
+        Graft.table(s, dir, "part")
+          .select(col("p_partkey"), col("p_retailprice")),
+        "p_retailprice", "p_partkey", pLow = 5, pHigh = 95)),
+
     // Spearman rank correlation between part price and part size —
     // exact integer permille over row_number ranks (ties break by key),
     // both ranks via the distributed-rank engine.
@@ -3794,6 +3803,31 @@ object PipelineQueries {
          |FROM p LEFT JOIN c USING (lhs, rhs)
          |""".stripMargin
     },
+
+    // The textbook rank-selection formulation (rank = (q·n + 99)//100
+    // over the (value, key) total order) the distributed engine must
+    // reproduce, then the same three-branch clamp.
+    "winsorize" ->
+      """WITH v AS (
+        |  SELECT p_partkey, p_retailprice FROM part
+        |  WHERE p_retailprice IS NOT NULL),
+        |n AS (SELECT COUNT(*) AS n FROM v),
+        |r AS (SELECT p_retailprice AS val,
+        |             row_number() OVER (ORDER BY p_retailprice,
+        |                                         p_partkey) AS rk
+        |      FROM v),
+        |b AS (SELECT
+        |    MIN(CASE WHEN rk = (5 * n + 99) // 100 THEN val END) AS lo,
+        |    MIN(CASE WHEN rk = (95 * n + 99) // 100 THEN val END) AS hi
+        |  FROM r CROSS JOIN n)
+        |SELECT p_partkey, p_retailprice, lo, hi,
+        |  CASE WHEN p_retailprice IS NULL THEN NULL
+        |       WHEN p_retailprice < lo THEN lo
+        |       WHEN p_retailprice > hi THEN hi
+        |       ELSE p_retailprice END AS p_retailprice_wins
+        |FROM (SELECT p_partkey, p_retailprice FROM part)
+        |CROSS JOIN b
+        |""".stripMargin,
 
     "rank_correlation" ->
       """WITH rx AS (

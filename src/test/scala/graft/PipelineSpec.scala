@@ -1160,6 +1160,25 @@ class PipelineSpec extends AnyFunSuite {
       r.getLong(2) == 1L && r.getLong(3) == 1L))
   }
 
+  test("winsorize: exact bounds, clamping, null passthrough") {
+    import graft.operators.Curation
+    val df = (1L to 10L).map(i => (i, java.lang.Double.valueOf(i * 10.0)))
+      .toDF("id", "v")
+      .unionByName(Seq((99L, null.asInstanceOf[java.lang.Double]))
+        .toDF("id", "v"))
+    // n=10 non-null: p20 → rank (20*10+99)//100 = 2 → 20.0;
+    // p80 → rank 8 → 80.0
+    val out = Curation.winsorize(df, "v", "id", pLow = 20, pHigh = 80)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(out(1L) == Some(20.0) && out(2L) == Some(20.0))
+    assert(out(5L) == Some(50.0))
+    assert(out(8L) == Some(80.0) && out(10L) == Some(80.0))
+    assert(out(99L).isEmpty) // null rides through
+    intercept[IllegalArgumentException](
+      Curation.winsorize(df, "v", "id", 80, 20))
+  }
+
   test("splitTurns: roles, preamble, mid-line markers, train mask") {
     val t1 = "User: hi\nAssistant: quoting User: x here\nstays one " +
       "turn\nUser: ok\nAssistant: done"
