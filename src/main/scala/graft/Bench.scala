@@ -177,7 +177,7 @@ object Bench {
       "dict_cache_hits", "dict_cache_decodes",
       "dict_decodes_point", "dict_decodes_prefix",
       "dict_decodes_selective", "star_sec", "budget_scan_sec",
-      "lpm_scan_sec", "rank_scan_sec")
+      "lpm_scan_sec", "rank_scan_sec", "walk_scan_sec")
     val servingPart =
       servingKeys.map(k => s""""$k":${num(serving, k)}""").mkString(",")
     // worst external CPU any phase observed — the falsifiability tag:
@@ -453,11 +453,33 @@ object Bench {
         System.err.println(s"[bench] rank-scan failed: ${e.getMessage}")
         -1.0
       }
+    // round-15 walk engine at scan scale: 3 deterministic walk steps
+    // from every node of a 100k-node/2M-edge graph — per step ONE
+    // frontier exchange against the checkpointed neighbor-array
+    // adjacency plus a narrow in-row argmin (the fan-out-join + combine
+    // shape this replaced costs two more data-sized shuffles per step)
+    val walkScanSec =
+      try {
+        import org.apache.spark.sql.functions._
+        val edges = spark.range(2000000L)
+          .select((col("id") % 100000L).as("src"),
+            ((col("id") * 131L + 7L) % 100000L).as("dst"))
+        val t = System.nanoTime()
+        val n = operators.Graphs.randomWalks(edges, "src", "dst",
+          walksPerNode = 1, steps = 3, directed = true).count()
+        require(n >= 100000L && n <= 400000L,
+          s"walk corpus row count out of range: $n")
+        (System.nanoTime() - t) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] walk-scan failed: ${e.getMessage}")
+        -1.0
+      }
     (metrics :+ ("decode_rows_per_sec" -> decodeRate)
       :+ ("star_sec" -> starSec)
       :+ ("budget_scan_sec" -> budgetScanSec)
       :+ ("lpm_scan_sec" -> lpmScanSec)
-      :+ ("rank_scan_sec" -> rankScanSec))
+      :+ ("rank_scan_sec" -> rankScanSec)
+      :+ ("walk_scan_sec" -> walkScanSec))
       .map { case (k, v) =>
         val digits = if (k.endsWith("_frac")) 4
           else if (k == "decode_rows_per_sec") 0

@@ -243,4 +243,42 @@ class CurationPropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  test("cdcChunks tiles every document exactly (no gaps, no overlap)") {
+    check(Prop.forAll(genCorpus(20), Gen.oneOf(4, 16, 64)) {
+      (corpus, divisor) =>
+        val df = corpus.toDF("doc_id", "text")
+        val chunks = Dedup.cdcChunks(df, "text", "doc_id", divisor)
+          .collect()
+          .groupBy(_.getLong(0))
+          .map { case (id, rs) =>
+            id -> rs.sortBy(_.getLong(1))
+              .map(r => (r.getLong(2), r.getLong(3))).toList }
+        corpus.forall { case (id, text) =>
+          val cs = chunks.getOrElse(id, Nil)
+          if (text.isEmpty) cs.isEmpty
+          else {
+            // starts are consecutive: each chunk begins where the
+            // previous ended, first at 0, last ends at length
+            val ends = cs.scanLeft(0L) { case (p, (s, l)) =>
+              assert(s == p, s"gap in doc $id"); p + l }
+            cs.head._1 == 0L && ends.last == text.length.toLong &&
+              cs.forall(_._2 > 0)
+          }
+        }
+    })
+  }
+
+  test("trigramSearch equals the brute-force contains scan") {
+    val genQ = Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, genWord))
+      .map(_.mkString(" "))
+    check(Prop.forAll(genCorpus(25), genQ) { (corpus, q) =>
+      val df = corpus.toDF("doc_id", "text")
+      val idx = graft.operators.Retrieval.trigramSearch(
+          df, "text", "doc_id", Seq(q))
+        .collect().map(_.getLong(1)).toSet
+      val brute = corpus.filter(_._2.contains(q)).map(_._1).toSet
+      idx == brute
+    })
+  }
 }
