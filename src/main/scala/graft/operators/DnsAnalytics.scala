@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Passive-DNS hunting analytics over the observation stream — the
+  * detection layer a balboa user builds DOWNSTREAM of the store (the
+  * reference stops at storage + exact/prefix query,
+  * `/root/reference/query/query_graphql.go`; the questions its users
+  * then ask — "which domains look like DGA output", "is someone
+  * tunneling data through my resolver" — are aggregations this engine
+  * can answer in place).
+  *
+  * Everything is exact-integer (permille ratios via integer `div`,
+  * never float division), so every signal has a bit-exact DuckDB
+  * oracle. Scale shapes: [[labelSignals]] is a narrow codegen'd pass
+  * (zero shuffle, linear in name bytes); [[tunnelAggregates]] is ONE
+  * map-side-combined groupBy on the registered-parent key — the
+  * classic tunnel detector (many unique, long, rarely-repeated
+  * subdomains under one parent) without ever pairing names.
+  */
+object DnsAnalytics {
+
+  /** Per-name DGA/tunnel character signals appended to `df`:
+    * `n_labels`, `max_label_len`, `name_chars` (dots excluded), and
+    * permille ratios of digit / hex-alphabet / vowel characters over
+    * the name's non-dot characters. DGA names run digit-heavy and
+    * vowel-poor; tunnel payloads run hex/base32-heavy with one long
+    * label — thresholds belong to the caller (they're policy), the
+    * exact signals are the engine's job. Empty names emit null
+    * permilles rather than dividing by zero. */
+  def labelSignals(df: DataFrame, nameCol: String): DataFrame = {
+    val name = col(nameCol)
+    val labels = split(name, "\\.")
+    val stripped = regexp_replace(name, "\\.", "")
+    def countClass(re: String): Column =
+      (length(stripped) - length(regexp_replace(stripped, re, "")))
+        .cast("long")
+    df
+      .withColumn("n_labels", size(labels).cast("long"))
+      .withColumn("max_label_len",
+        array_max(transform(labels, l => length(l))).cast("long"))
+      .withColumn("name_chars", length(stripped).cast("long"))
+      .withColumn("_digits", countClass("[0-9]"))
+      .withColumn("_hex", countClass("[0-9a-f]"))
+      .withColumn("_vowels", countClass("[aeiou]"))
+      .withColumn("digit_permille", expr(
+        "case when name_chars > 0 then _digits * 1000 div name_chars end"))
+      .withColumn("hex_permille", expr(
+        "case when name_chars > 0 then _hex * 1000 div name_chars end"))
+      .withColumn("vowel_permille", expr(
+        "case when name_chars > 0 then _vowels * 1000 div name_chars end"))
+      .drop("_digits", "_hex", "_vowels")
+  }
+
+  /** Tunnel-detection aggregates per registered parent (the LAST
+    * `parentLabels` labels of the name): unique-subdomain volume and
+    * shape under each parent. A DNS tunnel shows up as ONE parent with
+    * thousands of distinct, long, rarely-repeated subdomains — so the
+    * detector's columns are `n_unique_names`, `total_count`,
+    * `uniq_permille` (distinct names per 1000 lookups — near 1000
+    * means every query is fresh, the tunnel signature; benign domains
+    * repeat), `max_name_len`, and `sum_name_chars` (the exfiltrated-
+    * byte upper bound). Names with ≤ `parentLabels` labels group under
+    * themselves. ONE shuffle, all aggregates map-side combinable
+    * (countDistinct carries distinct (parent, name) pairs — the
+    * standard exact-distinct cost; swap in the KMV sketch family for
+    * the approximate path at extreme cardinalities). */
+  def tunnelAggregates(df: DataFrame, nameCol: String,
+      countCol: String, parentLabels: Int = 2): DataFrame = {
+    require(parentLabels >= 1,
+      s"parentLabels must be >= 1, got $parentLabels")
+    val parent = substring_index(col(nameCol), ".", -parentLabels)
+    df.select(parent.as("parent"), col(nameCol).as("_name"),
+        col(countCol).as("_n"))
+      .groupBy(col("parent"))
+      .agg(
+        countDistinct(col("_name")).as("n_unique_names"),
+        sum(col("_n")).as("total_count"),
+        max(length(col("_name"))).cast("long").as("max_name_len"),
+        sum((length(col("_name")) * col("_n")).cast("long"))
+          .as("sum_name_chars"))
+      .withColumn("uniq_permille", expr(
+        "case when total_count > 0" +
+          " then n_unique_names * 1000 div total_count end"))
+  }
+}

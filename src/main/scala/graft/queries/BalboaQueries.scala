@@ -282,12 +282,100 @@ object BalboaQueries {
           countDistinct(col("rdata")).as("n_answers"),
           countDistinct(col("sensor_id")).as("n_sensors"),
           sum(col("count")).cast("long").as("observations"))),
+
+    // Hunting extension: per-name DGA/tunnel character signals over a
+    // dotted-name stream (even orderkeys mint md5-hex tunnel
+    // subdomains under tun<sensor>.com, odd keep the dictionary-ish
+    // rrname under corp<sensor>.com) — narrow pass over distinct
+    // names, exact permilles.
+    "dns_labels" -> ((s, dir) =>
+      graft.operators.DnsAnalytics.labelSignals(
+        dottedNames(s, dir).select(col("name")).distinct(), "name")),
+
+    // Hunting extension: the tunnel detector — per registered parent,
+    // unique-subdomain volume/shape; tun* parents must surface with
+    // uniq_permille near 1000 (every lookup fresh) while corp*
+    // parents repeat. One map-side-combined shuffle.
+    "dns_tunnel" -> ((s, dir) =>
+      graft.operators.DnsAnalytics.tunnelAggregates(
+        dottedNames(s, dir), "name", "count")),
   )
+
+  /** The dotted-name fixture shared by the dns_labels / dns_tunnel
+    * gates: even orderkeys become hex-subdomain tunnel traffic, odd
+    * stay dictionary-ish repeats; both inherit the observation
+    * stream's count column. */
+  private def dottedNames(s: SparkSession, dir: String): DataFrame = {
+    val obs = Graft.observations(s, dir)
+    val even = col("rdata").cast("long") % 2 === 0
+    obs.select(
+      concat(
+        when(even, md5(concat(col("rdata"), col("rrname"))))
+          .otherwise(col("rrname")),
+        lit("."),
+        when(even, concat(lit("tun"), col("sensor_id")))
+          .otherwise(concat(lit("corp"), col("sensor_id"))),
+        lit(".com")).as("name"),
+      col("count"))
+  }
 
   /** The shared 60-bit md5 hash mirror ([[util.hash60Sql]]). */
   private def hash60Sql(c: String): String = util.hash60Sql(c)
 
+  /** SQL mirror of [[dottedNames]] (the dns_labels/dns_tunnel fixture). */
+  private val dottedNamesCte: String =
+    """WITH o AS (
+      |  SELECT (CASE WHEN l_orderkey % 2 = 0
+      |          THEN md5(CAST(l_orderkey AS VARCHAR) || 'part-' ||
+      |                   CAST(l_partkey AS VARCHAR))
+      |          ELSE 'part-' || CAST(l_partkey AS VARCHAR) END) ||
+      |         '.' ||
+      |         (CASE WHEN l_orderkey % 2 = 0 THEN 'tun'
+      |               ELSE 'corp' END) ||
+      |         CAST(l_suppkey % 10 AS VARCHAR) || '.com' AS name,
+      |         1 AS cnt
+      |  FROM lineitem)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    // Shared dotted-name rendering, then per-name character classes
+    // counted by remove-and-subtract, permilles via //.
+    "dns_labels" ->
+      s"""$dottedNamesCte,
+         |n AS (SELECT DISTINCT name FROM o),
+         |x AS (SELECT name, replace(name, '.', '') AS s,
+         |             string_split(name, '.') AS l
+         |      FROM n)
+         |SELECT name,
+         |  CAST(len(l) AS BIGINT) AS n_labels,
+         |  CAST(list_max(list_transform(l, t -> len(t))) AS BIGINT)
+         |    AS max_label_len,
+         |  CAST(len(s) AS BIGINT) AS name_chars,
+         |  CASE WHEN len(s) > 0 THEN CAST(
+         |    (len(s) - len(regexp_replace(s, '[0-9]', '', 'g'))) * 1000
+         |      // len(s) AS BIGINT) END AS digit_permille,
+         |  CASE WHEN len(s) > 0 THEN CAST(
+         |    (len(s) - len(regexp_replace(s, '[0-9a-f]', '', 'g'))) * 1000
+         |      // len(s) AS BIGINT) END AS hex_permille,
+         |  CASE WHEN len(s) > 0 THEN CAST(
+         |    (len(s) - len(regexp_replace(s, '[aeiou]', '', 'g'))) * 1000
+         |      // len(s) AS BIGINT) END AS vowel_permille
+         |FROM x
+         |""".stripMargin,
+
+    "dns_tunnel" ->
+      s"""$dottedNamesCte
+         |SELECT array_to_string(
+         |    list_slice(string_split(name, '.'), -2, -1), '.') AS parent,
+         |  CAST(COUNT(DISTINCT name) AS BIGINT) AS n_unique_names,
+         |  CAST(SUM(cnt) AS BIGINT) AS total_count,
+         |  CAST(MAX(len(name)) AS BIGINT) AS max_name_len,
+         |  CAST(SUM(len(name) * cnt) AS BIGINT) AS sum_name_chars,
+         |  CASE WHEN SUM(cnt) > 0 THEN
+         |    CAST(COUNT(DISTINCT name) * 1000 // SUM(cnt) AS BIGINT) END
+         |    AS uniq_permille
+         |FROM o GROUP BY 1
+         |""".stripMargin,
+
     "kmv_distinct" ->
       s"""WITH v AS (
          |  SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS rdata

@@ -1160,6 +1160,45 @@ class PipelineSpec extends AnyFunSuite {
       r.getLong(2) == 1L && r.getLong(3) == 1L))
   }
 
+  test("dnsAnalytics: hand-checked label signals and tunnel aggregates") {
+    import graft.operators.DnsAnalytics
+    val df = Seq(
+      ("deadbeef01.tun1.com", 1L),
+      ("deadbeef01.tun1.com", 1L), // repeat lookup
+      ("cafe1234ff.tun1.com", 1L),
+      ("www.corp1.com", 1L),
+      ("www.corp1.com", 1L),
+      ("", 1L))
+      .toDF("name", "cnt")
+    val sig = DnsAnalytics.labelSignals(
+        df.select(col("name")).distinct().filter(col("name") =!= ""),
+        "name")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // 17 chars; digits 3 → 176‰; hex 12 → 705‰; vowels 6 → 352‰
+    assert(sig("deadbeef01.tun1.com") == ((3L, 10L, 17L, 176L, 705L, 352L)))
+    // 11 chars; digit 1 → 90‰; hex {c,1,c} → 272‰; vowels {o,o} → 181‰
+    assert(sig("www.corp1.com") == ((3L, 5L, 11L, 90L, 272L, 181L)))
+    // empty name: one empty label, zero chars, null permilles
+    val empty = DnsAnalytics.labelSignals(
+        df.select(col("name")).filter(col("name") === "").limit(1),
+        "name")
+      .collect().head
+    assert(empty.getLong(1) == 1L && empty.getLong(3) == 0L &&
+      empty.isNullAt(4) && empty.isNullAt(5) && empty.isNullAt(6))
+    val tun = DnsAnalytics.tunnelAggregates(df, "name", "cnt")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // tun1.com: 2 unique over 3 lookups → 666‰ fresh; 19+19+19 chars
+    assert(tun("tun1.com") == ((2L, 3L, 19L, 57L, 666L)))
+    assert(tun("corp1.com") == ((1L, 2L, 13L, 26L, 500L)))
+    assert(tun("") == ((1L, 1L, 0L, 0L, 1000L)))
+    intercept[IllegalArgumentException](
+      DnsAnalytics.tunnelAggregates(df, "name", "cnt", parentLabels = 0))
+  }
+
   test("winsorize: exact bounds, clamping, null passthrough") {
     import graft.operators.Curation
     val df = (1L to 10L).map(i => (i, java.lang.Double.valueOf(i * 10.0)))
