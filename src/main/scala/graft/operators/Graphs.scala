@@ -664,6 +664,34 @@ object Graphs {
           .as(outCol))
   }
 
+  /** Skip-gram pair counts from a walk corpus — the step between
+    * [[randomWalks]] and an embedding trainer (DeepWalk trains
+    * word2vec on exactly these (center, context) pairs): for every
+    * walk sequence, each ordered pair of nodes within `window` steps
+    * of each other counts once. Symmetric by construction (both
+    * directions emit), diagonal excluded.
+    *
+    * Scale shape: each walk row fans out to ≤ 2·window context
+    * PROBES (an explode of step offsets — never a self-join on an
+    * inequality), which resolve through ONE (start, walk, step)
+    * equi-join against the corpus; the pair count folds map-side to
+    * the distinct-pair frame. Output: `(node_a, node_b, n_pairs)`. */
+  def skipGramPairs(walks: DataFrame, window: Int = 2): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val offsets = (-window to window).filter(_ != 0).map(d => lit(d.toLong))
+    val probes = walks.select(col("start"), col("walk"),
+      col("node").as("node_a"),
+      explode(array(offsets: _*)).as("_d"),
+      col("step").as("_s"))
+      .select(col("start"), col("walk"), col("node_a"),
+        (col("_s") + col("_d")).as("step"))
+    probes.join(walks.select(col("start"), col("walk"), col("step"),
+        col("node").as("node_b")),
+        Seq("start", "walk", "step"))
+      .groupBy(col("node_a"), col("node_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Newman modularity of a community assignment — the quality score
     * that makes [[labelPropagation]]'s output judgeable (communities
     * are only as good as "more intra-edges than a degree-preserving

@@ -18,6 +18,50 @@ object EventQueries {
 
   /** The customer→supplier order graph both PageRank gates walk (ONE
     * definition — the dst offset and join must not drift apart). */
+  /** Shared SQL replay of [[walksCorpus]]: the undirected
+    * customer–supplier adjacency, 2 walks per node, three unrolled
+    * hash-argmin steps, unioned as `w(start, walk, step, node)`. */
+  private val walksOracleCte: String = {
+    def stepCte(prev: String, cur: String, t: Int): String =
+      s"""$cur AS (
+         |  SELECT start, walk, CAST($t AS BIGINT) AS step,
+         |    CAST(substr(MIN(
+         |      md5(CAST(start AS VARCHAR) || ':' ||
+         |          CAST(walk AS VARCHAR) || ':$t:' ||
+         |          CAST(e.dst AS VARCHAR)) || ':' ||
+         |      CAST(e.dst AS VARCHAR)), 34) AS BIGINT) AS node
+         |  FROM $prev JOIN e ON e.src = $prev.node
+         |  GROUP BY 1, 2)""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (SELECT src, dst FROM (
+       |        SELECT src, dst FROM e0
+       |        UNION SELECT dst, src FROM e0)
+       |      WHERE src <> dst),
+       |n AS (SELECT DISTINCT src AS node FROM e
+       |      UNION SELECT DISTINCT dst FROM e),
+       |s0 AS (SELECT CAST(node AS BIGINT) AS start,
+       |              CAST(w.walk AS BIGINT) AS walk,
+       |              CAST(0 AS BIGINT) AS step,
+       |              CAST(node AS BIGINT) AS node
+       |       FROM n CROSS JOIN (VALUES (0), (1)) AS w(walk)),
+       |${stepCte("s0", "s1", 1)},
+       |${stepCte("s1", "s2", 2)},
+       |${stepCte("s2", "s3", 3)},
+       |w AS (SELECT * FROM s0
+       |      UNION ALL SELECT * FROM s1
+       |      UNION ALL SELECT * FROM s2
+       |      UNION ALL SELECT * FROM s3)""".stripMargin
+  }
+
+  /** The walk corpus shared by graph_walks and walk_pairs (memoized —
+    * the walk itself is the expensive half; the pair explode is cheap). */
+  private def walksCorpus(s: SparkSession, dir: String): DataFrame =
+    util.memoDf(s, dir, "graph_walks")(
+      graft.operators.Graphs.randomWalks(custSuppEdges(s, dir), "src",
+        "dst", walksPerNode = 2, steps = 3))
+
   private def custSuppEdges(s: SparkSession, dir: String): DataFrame =
     Graft.table(s, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
@@ -411,9 +455,15 @@ object EventQueries {
     // each step the walker moves to the out-neighbor minimizing
     // md5(start:walk:step:dst). The oracle replays the same argmin as
     // three unrolled frontier joins.
-    "graph_walks" -> ((s, dir) =>
-      graft.operators.Graphs.randomWalks(custSuppEdges(s, dir), "src",
-        "dst", walksPerNode = 2, steps = 3)),
+    "graph_walks" -> ((s, dir) => walksCorpus(s, dir)),
+
+    // Skip-gram (center, context) pair counts within 2 steps over the
+    // SAME walk corpus (memoized — the walk is the expensive half) —
+    // the rows a DeepWalk embedder actually trains on. Offset explode +
+    // one equi-join back to the corpus; never an inequality self-join.
+    "walk_pairs" -> ((s, dir) =>
+      graft.operators.Graphs.skipGramPairs(walksCorpus(s, dir),
+        window = 2)),
 
     // Bounded weighted shortest paths over the customer→supplier graph
     // with deterministic integer edge costs: 3 Bellman–Ford rounds =
@@ -859,40 +909,20 @@ object EventQueries {
     // Three unrolled hash-argmin frontier steps; the per-step winner is
     // min over md5(start:walk:step:dst) || ':' || dst, dst recovered
     // from char 34 (32 hex digits + ':').
-    "graph_walks" -> {
-      def stepCte(prev: String, cur: String, t: Int): String =
-        s"""$cur AS (
-           |  SELECT start, walk, CAST($t AS BIGINT) AS step,
-           |    CAST(substr(MIN(
-           |      md5(CAST(start AS VARCHAR) || ':' ||
-           |          CAST(walk AS VARCHAR) || ':$t:' ||
-           |          CAST(e.dst AS VARCHAR)) || ':' ||
-           |      CAST(e.dst AS VARCHAR)), 34) AS BIGINT) AS node
-           |  FROM $prev JOIN e ON e.src = $prev.node
-           |  GROUP BY 1, 2)""".stripMargin
-      s"""WITH e0 AS (
-         |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
-         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         |e AS (SELECT src, dst FROM (
-         |        SELECT src, dst FROM e0
-         |        UNION SELECT dst, src FROM e0)
-         |      WHERE src <> dst),
-         |n AS (SELECT DISTINCT src AS node FROM e
-         |      UNION SELECT DISTINCT dst FROM e),
-         |s0 AS (SELECT CAST(node AS BIGINT) AS start,
-         |              CAST(w.walk AS BIGINT) AS walk,
-         |              CAST(0 AS BIGINT) AS step,
-         |              CAST(node AS BIGINT) AS node
-         |       FROM n CROSS JOIN (VALUES (0), (1)) AS w(walk)),
-         |${stepCte("s0", "s1", 1)},
-         |${stepCte("s1", "s2", 2)},
-         |${stepCte("s2", "s3", 3)}
-         |SELECT * FROM s0
-         |UNION ALL SELECT * FROM s1
-         |UNION ALL SELECT * FROM s2
-         |UNION ALL SELECT * FROM s3
-         |""".stripMargin
-    },
+    "graph_walks" -> s"$walksOracleCte\nSELECT * FROM w\n",
+
+    // The skip-gram pairing over the SAME replayed corpus: offset
+    // probes (±1, ±2) resolved by one (start, walk, step) equi-join.
+    "walk_pairs" ->
+      s"""$walksOracleCte
+         |SELECT x.node AS node_a, y.node AS node_b,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM w x
+         |CROSS JOIN UNNEST([-2, -1, 1, 2]) AS u(d)
+         |JOIN w y ON y.start = x.start AND y.walk = x.walk
+         |        AND y.step = x.step + u.d
+         |GROUP BY 1, 2
+         |""".stripMargin,
 
     // Three unrolled min-plus relaxations over the min-collapsed
     // symmetric weighted edge list — the operator's loop, written out.

@@ -250,6 +250,27 @@ class GraphsSpec extends AnyFunSuite {
       Graphs.commonNeighbors(edges, "src", "mid", minCommon = 0))
   }
 
+  test("skipGramPairs: window pairing within walks, never across") {
+    // two walks: (10, w0) = 1→2→3, (10, w1) = 7→8; window 1 pairs only
+    // adjacent steps, symmetric, never across walks
+    val walks = Seq(
+      (10L, 0L, 0L, 1L), (10L, 0L, 1L, 2L), (10L, 0L, 2L, 3L),
+      (10L, 1L, 0L, 7L), (10L, 1L, 1L, 8L))
+      .toDF("start", "walk", "step", "node")
+    val w1 = Graphs.skipGramPairs(walks, window = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(w1 == Map((1L, 2L) -> 1L, (2L, 1L) -> 1L, (2L, 3L) -> 1L,
+      (3L, 2L) -> 1L, (7L, 8L) -> 1L, (8L, 7L) -> 1L))
+    // window 2 adds the distance-2 pair (1,3) both ways
+    val w2 = Graphs.skipGramPairs(walks, window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(w2((1L, 3L)) == 1L && w2((3L, 1L)) == 1L && w2.size == 8)
+    intercept[IllegalArgumentException](
+      Graphs.skipGramPairs(walks, window = 0))
+  }
+
   test("modularity: hand-checked two-community score, trivial cases") {
     // two triangles bridged by one edge: m=7, perfect labels →
     // Q = 2·(3/7 − (7/14)²) = 5/14 → 357142 micro (truncating)
