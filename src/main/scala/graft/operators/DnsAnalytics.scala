@@ -53,6 +53,25 @@ object DnsAnalytics {
       .drop("_digits", "_hex", "_vowels")
   }
 
+  /** Newly-observed-domain (NOD) feed — the passive-DNS product every
+    * store like the reference ultimately feeds (a name NEVER seen
+    * before anywhere is the single strongest phishing/DGA prior;
+    * commercial NOD feeds are exactly this query productized): names
+    * whose FIRST observation across all sensors/types/answers falls at
+    * or after `fromMicros`, with that first timestamp and its UTC day
+    * bucket. Input is the store aggregate (first_seen already
+    * min-merged per key); this folds it once more to name grain.
+    *
+    * Scale shape: ONE map-side-combined min per name, then a
+    * residual filter — no joins; the output is the feed. */
+  def newlyObserved(agg: DataFrame, nameCol: String,
+      firstSeenCol: String, fromMicros: Long): DataFrame =
+    agg.groupBy(col(nameCol))
+      .agg(min(col(firstSeenCol)).as("first_seen"))
+      .filter(col("first_seen") >= fromMicros)
+      .withColumn("first_day",
+        expr("first_seen div 86400000000"))
+
   /** Tunnel-detection aggregates per registered parent (the LAST
     * `parentLabels` labels of the name): unique-subdomain volume and
     * shape under each parent. A DNS tunnel shows up as ONE parent with

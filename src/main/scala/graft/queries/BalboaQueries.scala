@@ -283,6 +283,15 @@ object BalboaQueries {
           countDistinct(col("sensor_id")).as("n_sensors"),
           sum(col("count")).cast("long").as("observations"))),
 
+    // Hunting extension: the newly-observed-domains feed — names whose
+    // FIRST observation (min first_seen across sensors/types/answers)
+    // lands after mid-1995 — one name-grain min fold over the store aggregate
+    // plus a residual filter; the strongest phishing/DGA prior.
+    "dns_newly_observed" -> ((s, dir) =>
+      graft.operators.DnsAnalytics.newlyObserved(
+        aggMicros(s, dir), "rrname", "first_seen",
+        fromMicros = 801964800000000L)), // 1995-06-01T00:00:00Z
+
     // Hunting extension: per-name DGA/tunnel character signals over a
     // dotted-name stream (even orderkeys mint md5-hex tunnel
     // subdomains under tun<sensor>.com, odd keep the dictionary-ish
@@ -337,6 +346,18 @@ object BalboaQueries {
       |  FROM lineitem)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // Name-grain min over the merged store aggregate, residual filter,
+    // UTC day via integer div.
+    "dns_newly_observed" ->
+      s"""$obsCte
+         |SELECT rrname,
+         |  CAST(MIN(first_seen) AS BIGINT) AS first_seen,
+         |  CAST(MIN(first_seen) // 86400000000 AS BIGINT) AS first_day
+         |FROM agg
+         |GROUP BY 1
+         |HAVING MIN(first_seen) >= 801964800000000
+         |""".stripMargin,
+
     // Shared dotted-name rendering, then per-name character classes
     // counted by remove-and-subtract, permilles via //.
     "dns_labels" ->

@@ -55,6 +55,13 @@ object EventQueries {
        |      UNION ALL SELECT * FROM s3)""".stripMargin
   }
 
+  /** LPA labels shared by graph_lpa and graph_modularity (memoized —
+    * the 2-round propagation is the expensive half of both gates). */
+  private def lpaLabels(s: SparkSession, dir: String): DataFrame =
+    util.memoDf(s, dir, "graph_lpa")(
+      graft.operators.Graphs.labelPropagation(
+        suppCooccurEdges(s, dir), "src", "dst", rounds = 2))
+
   /** The walk corpus shared by graph_walks and walk_pairs (memoized —
     * the walk itself is the expensive half; the pair explode is cheap). */
   private def walksCorpus(s: SparkSession, dir: String): DataFrame =
@@ -516,21 +523,15 @@ object EventQueries {
     // label-consensus clusters = the trading communities. Deterministic
     // by construction (synchronous rounds + total tie order), so the
     // oracle can mirror both rounds exactly.
-    "graph_lpa" -> ((s, dir) =>
-      graft.operators.Graphs.labelPropagation(
-        suppCooccurEdges(s, dir), "src", "dst", rounds = 2)),
+    "graph_lpa" -> ((s, dir) => lpaLabels(s, dir)),
 
     // Newman modularity of the LPA communities over the same
     // co-occurrence graph — the eval that makes graph_lpa's output
     // judgeable, exact integer micro-units (4·m·e_c − d_c² numerator,
     // truncating div).
-    "graph_modularity" -> ((s, dir) => {
-      val e = suppCooccurEdges(s, dir)
-      val labs = graft.operators.Graphs.labelPropagation(e, "src",
-        "dst", rounds = 2)
-      graft.operators.Graphs.modularity(e, "src", "dst", labs, "id",
-        "label")
-    }),
+    "graph_modularity" -> ((s, dir) =>
+      graft.operators.Graphs.modularity(suppCooccurEdges(s, dir),
+        "src", "dst", lpaLabels(s, dir), "id", "label")),
 
     // Fixed-round k-core peeling (k=30, 2 rounds) over the
     // customer–supplier order graph: strips the low-degree fringe,

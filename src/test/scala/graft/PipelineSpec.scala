@@ -1199,6 +1199,21 @@ class PipelineSpec extends AnyFunSuite {
       DnsAnalytics.tunnelAggregates(df, "name", "cnt", parentLabels = 0))
   }
 
+  test("newlyObserved: name-grain min, window filter, day bucket") {
+    import graft.operators.DnsAnalytics
+    val agg = Seq(
+      ("a.com", 100L), ("a.com", 50L), // name min 50 < 60 → filtered
+      ("b.com", 86400000005L),         // lands in UTC day 1
+      ("c.com", 60L))                  // exactly at the boundary: kept
+      .toDF("rrname", "first_seen")
+    val out = DnsAnalytics.newlyObserved(agg, "rrname", "first_seen",
+        fromMicros = 60L)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map("b.com" -> ((86400000005L, 1L)),
+      "c.com" -> ((60L, 0L))))
+  }
+
   test("winsorize: exact bounds, clamping, null passthrough") {
     import graft.operators.Curation
     val df = (1L to 10L).map(i => (i, java.lang.Double.valueOf(i * 10.0)))
