@@ -70,13 +70,16 @@ object EventQueries {
         "dst", walksPerNode = 2, steps = 3))
 
   private def custSuppEdges(s: SparkSession, dir: String): DataFrame =
-    Graft.table(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(Graft.table(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("src"),
-        (col("l_suppkey") + 1000000L).as("dst"))
+    // memoized: ~10 graph gates share this orders-lineitem join; each
+    // paying it again was the family's dominant fixture cost
+    util.memoDf(s, dir, "custSuppEdges")(
+      Graft.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Graft.table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst")))
 
   /** The thresholded supplier co-occurrence graph shared by the
     * triangle and label-propagation gates (ONE definition — the
@@ -84,18 +87,21 @@ object EventQueries {
     * suppliers linked when they serve the same order at least 5 times.
     * An unthresholded projection of a busy hub goes dense and both
     * clustering signals stop meaning anything. */
-  private def suppCooccurEdges(s: SparkSession, dir: String): DataFrame = {
-    val li = Graft.table(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey"))
-    li.join(
-        li.select(col("l_orderkey").as("ok2"),
-          col("l_suppkey").as("sk2")),
-        col("l_orderkey") === col("ok2") &&
-          col("l_suppkey") < col("sk2"))
-      .groupBy(col("l_suppkey").as("src"), col("sk2").as("dst"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 5)
-  }
+  private def suppCooccurEdges(s: SparkSession, dir: String): DataFrame =
+    // memoized for the same reason as custSuppEdges (the co-occurrence
+    // self-join is the priciest fixture in the family)
+    util.memoDf(s, dir, "suppCooccurEdges") {
+      val li = Graft.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      li.join(
+          li.select(col("l_orderkey").as("ok2"),
+            col("l_suppkey").as("sk2")),
+          col("l_orderkey") === col("ok2") &&
+            col("l_suppkey") < col("sk2"))
+        .groupBy(col("l_suppkey").as("src"), col("sk2").as("dst"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 5)
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 1-hour windows per event type; decimal-exact value sums.
