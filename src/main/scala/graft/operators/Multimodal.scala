@@ -819,6 +819,140 @@ object Multimodal {
     None // unreachable
   }
 
+  // -------------------------------------- EXIF TIFF IFD walk
+
+  final case class ExifMeta(
+      byte_order: String, n_ifd0: Long, make: String, model: String,
+      orientation: Long, iso: Long, pixel_x: Long)
+
+  /** EXIF APP1 payload builder (id-templated fixture for the IFD
+    * walk): `Exif\0\0` + a TIFF stream in the CHOSEN byte order —
+    * IFD0 {Make, Model, Orientation, ExifIFDPointer} with the ASCII
+    * values in a data area past the directory, then the pointed-to
+    * Exif sub-IFD {ISOSpeedRatings, PixelXDimension}. Both endians
+    * mint, so the parser's order handling is actually exercised. */
+  def exifApp1(littleEndian: Boolean, make: String, model: String,
+      orientation: Int, iso: Int, pixelX: Long): Array[Byte] = {
+    val mk = make.getBytes("ISO-8859-1") :+ 0.toByte
+    val md = model.getBytes("ISO-8859-1") :+ 0.toByte
+    val ifd0Off = 8
+    val ifd0Len = 2 + 4 * 12 + 4
+    val mkOff = ifd0Off + ifd0Len
+    val mdOff = mkOff + mk.length
+    val subOff = mdOff + md.length
+    val subLen = 2 + 2 * 12 + 4
+    val tiff = new Array[Byte](subOff + subLen)
+    def w16(o: Int, v: Int): Unit =
+      if (littleEndian) { tiff(o) = v.toByte; tiff(o + 1) = (v >> 8).toByte }
+      else { tiff(o) = (v >> 8).toByte; tiff(o + 1) = v.toByte }
+    def w32(o: Int, v: Long): Unit =
+      if (littleEndian) (0 to 3).foreach(i =>
+        tiff(o + i) = ((v >> (8 * i)) & 0xff).toByte)
+      else (0 to 3).foreach(i =>
+        tiff(o + i) = ((v >> (8 * (3 - i))) & 0xff).toByte)
+    tiff(0) = (if (littleEndian) 'I' else 'M').toByte
+    tiff(1) = tiff(0)
+    w16(2, 42)
+    w32(4, ifd0Off)
+    // entry(tag, type, count, value-or-offset); SHORT values sit in
+    // the first two bytes of the value field (file byte order)
+    def entry(o: Int, tag: Int, typ: Int, count: Long,
+        short: Option[Int], long: Option[Long]): Unit = {
+      w16(o, tag); w16(o + 2, typ); w32(o + 4, count)
+      short.foreach(v => w16(o + 8, v))
+      long.foreach(v => w32(o + 8, v))
+    }
+    w16(ifd0Off, 4)
+    entry(ifd0Off + 2, 0x010f, 2, mk.length.toLong, None, Some(mkOff))
+    entry(ifd0Off + 14, 0x0110, 2, md.length.toLong, None, Some(mdOff))
+    entry(ifd0Off + 26, 0x0112, 3, 1L, Some(orientation), None)
+    entry(ifd0Off + 38, 0x8769, 4, 1L, None, Some(subOff))
+    w32(ifd0Off + 50, 0L) // next IFD: none
+    System.arraycopy(mk, 0, tiff, mkOff, mk.length)
+    System.arraycopy(md, 0, tiff, mdOff, md.length)
+    w16(subOff, 2)
+    entry(subOff + 2, 0x8827, 3, 1L, Some(iso), None)
+    entry(subOff + 14, 0xa002, 4, 1L, None, Some(pixelX))
+    w32(subOff + 26, 0L)
+    "Exif  ".getBytes("ISO-8859-1") ++ tiff
+  }
+
+  /** EXIF APP1 IFD walk (the fifth structure sibling beside the RIFF /
+    * PNG / JPEG / ZIP walks — the metadata block a vision-data
+    * pipeline reads for orientation normalization and camera-level
+    * dedup without decoding a pixel): `Exif\0\0`, TIFF byte-order mark
+    * (II little / MM big — BOTH handled), magic 42, then IFD0 entries
+    * (tag, type, count, value-or-offset; values ≤ 4 bytes inline in
+    * file order) for Make/Model (ASCII, NUL-stripped), Orientation
+    * (SHORT), and the ExifIFDPointer into the sub-IFD for
+    * ISOSpeedRatings (SHORT) and PixelXDimension (LONG). Any
+    * structural violation — bad preamble, unknown order mark, magic ≠
+    * 42, offsets past the payload — returns None, never garbage. */
+  def parseExif(payload: Array[Byte]): Option[ExifMeta] = {
+    if (payload.length < 14) return None
+    if (new String(payload, 0, 6, "ISO-8859-1") != "Exif  ")
+      return None
+    val t = payload.drop(6)
+    val order = new String(t, 0, 2, "ISO-8859-1")
+    val little = order match {
+      case "II" => true
+      case "MM" => false
+      case _ => return None
+    }
+    def u16(o: Int): Int =
+      if (o + 2 > t.length) -1
+      else if (little) (t(o) & 0xff) | ((t(o + 1) & 0xff) << 8)
+      else ((t(o) & 0xff) << 8) | (t(o + 1) & 0xff)
+    def u32(o: Int): Long =
+      if (o + 4 > t.length) -1L
+      else if (little) (0 to 3).map(i => (t(o + i) & 0xffL) << (8 * i)).sum
+      else (0 to 3).map(i => (t(o + i) & 0xffL) << (8 * (3 - i))).sum
+    if (u16(2) != 42) return None
+    val ifd0 = u32(4)
+    if (ifd0 < 0 || ifd0 + 2 > t.length) return None
+    def ascii(off: Long, count: Long): Option[String] = {
+      if (off < 0 || count < 1 || off + count > t.length) return None
+      val raw = new String(t, off.toInt, count.toInt, "ISO-8859-1")
+      Some(raw.stripSuffix(" "))
+    }
+    def walk(ifdOff: Long): Option[(Int, Map[Int, (Int, Long, Long)])] = {
+      val n = u16(ifdOff.toInt)
+      if (n < 0 || ifdOff + 2 + n * 12 + 4 > t.length) return None
+      val entries = (0 until n).map { i =>
+        val e = (ifdOff + 2 + i * 12).toInt
+        val tag = u16(e)
+        val typ = u16(e + 2)
+        val count = u32(e + 4)
+        val byteLen = typ match {
+          case 1 | 2 | 7 => count
+          case 3 => count * 2
+          case 4 => count * 4
+          case _ => 8L * count
+        }
+        // inline when the value fits the 4-byte field
+        val value =
+          if (byteLen <= 4) {
+            if (typ == 3) u16(e + 8).toLong else u32(e + 8)
+          } else u32(e + 8) // offset
+        tag -> ((typ, count, value))
+      }.toMap
+      Some((n, entries))
+    }
+    for {
+      (n0, ifd) <- walk(ifd0)
+      mkE <- ifd.get(0x010f)
+      mdE <- ifd.get(0x0110)
+      orE <- ifd.get(0x0112)
+      subPtr <- ifd.get(0x8769)
+      make <- ascii(mkE._3, mkE._2)
+      model <- ascii(mdE._3, mdE._2)
+      (_, sub) <- walk(subPtr._3)
+      isoE <- sub.get(0x8827)
+      pxE <- sub.get(0xa002)
+    } yield ExifMeta(order, n0.toLong, make, model, orE._3, isoE._3,
+      pxE._3)
+  }
+
   // -------------------------------------- ZIP central-directory walk
 
   /** One central-directory entry: the per-member metadata an archive

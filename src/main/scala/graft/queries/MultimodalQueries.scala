@@ -225,6 +225,27 @@ object MultimodalQueries {
     // comment from COM, and the walk STOPS at SOS (entropy data is not
     // a structure-reader's business). Oracle states every field from
     // the template.
+    // EXIF APP1 IFD walk (fifth structure sibling): an id-templated
+    // TIFF stream — BOTH byte orders mint (even ids II, odd MM) — with
+    // IFD0 Make/Model/Orientation and the pointed-to Exif sub-IFD's
+    // ISO and PixelXDimension walked back out. Oracle states every
+    // field from the template.
+    "media_exif" -> ((s, dir) => {
+      import s.implicits._
+      Graft.table(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val b = Multimodal.exifApp1(id % 2 == 0, s"cam-${id % 7}",
+            s"mod-${id % 11}", 1 + (id % 8).toInt,
+            100 + (id % 400).toInt, 640L + id % 1280)
+          val m = Multimodal.parseExif(b).get
+          (id, m.byte_order, m.n_ifd0, m.make, m.model, m.orientation,
+            m.iso, m.pixel_x)
+        })
+        .toDF("media_id", "byte_order", "n_ifd0", "make", "model",
+          "orientation", "iso", "pixel_x")
+    }),
+
     "media_jpegmeta" -> ((s, dir) => {
       import s.implicits._
       Graft.table(s, dir, "documents")
@@ -561,6 +582,19 @@ object MultimodalQueries {
         |    AS INTEGER) AS loop_count,
         |  CASE WHEN doc_id % 3 = 0 THEN ''
         |    ELSE 'gif-' || CAST(doc_id % 9 AS VARCHAR) END AS comment
+        |FROM documents
+        |""".stripMargin,
+
+    "media_exif" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END
+        |    AS byte_order,
+        |  CAST(4 AS BIGINT) AS n_ifd0,
+        |  'cam-' || CAST(doc_id % 7 AS VARCHAR) AS make,
+        |  'mod-' || CAST(doc_id % 11 AS VARCHAR) AS model,
+        |  CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+        |  CAST(100 + doc_id % 400 AS BIGINT) AS iso,
+        |  CAST(640 + doc_id % 1280 AS BIGINT) AS pixel_x
         |FROM documents
         |""".stripMargin,
 

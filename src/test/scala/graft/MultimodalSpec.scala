@@ -459,4 +459,22 @@ class MultimodalSpec extends AnyFunSuite {
     forged(z.length - 12) = 9 // EOCD total-entry count way past reality
     assert(Multimodal.parseZip(forged).isEmpty)
   }
+
+  test("exif: both byte orders round-trip, strict rejects") {
+    for (little <- Seq(true, false)) {
+      val b = Multimodal.exifApp1(little, "Canon", "EOS-1", 6, 400, 4032L)
+      val m = Multimodal.parseExif(b).get
+      assert(m.byte_order == (if (little) "II" else "MM"))
+      assert(m.n_ifd0 == 4L && m.make == "Canon" && m.model == "EOS-1")
+      assert(m.orientation == 6L && m.iso == 400L && m.pixel_x == 4032L)
+    }
+    val ok = Multimodal.exifApp1(true, "a", "b", 1, 100, 1L)
+    // bad preamble, unknown order mark, wrong magic, truncation
+    assert(Multimodal.parseExif("not exif at all".getBytes).isEmpty)
+    val badOrder = ok.clone; badOrder(6) = 'X'.toByte
+    assert(Multimodal.parseExif(badOrder).isEmpty)
+    val badMagic = ok.clone; badMagic(8) = 99.toByte
+    assert(Multimodal.parseExif(badMagic).isEmpty)
+    assert(Multimodal.parseExif(ok.take(20)).isEmpty)
+  }
 }
