@@ -461,9 +461,15 @@ object Bench {
     val walkScanSec =
       try {
         import org.apache.spark.sql.functions._
+        // rep (id div 100k) multiplies by 9973 (coprime to 100k), so
+        // every node gets 20 DISTINCT out-neighbors — a linear function
+        // of id alone would collapse to out-degree 1 and the argmin
+        // would run over 1-element arrays, measuring nothing
         val edges = spark.range(2000000L)
           .select((col("id") % 100000L).as("src"),
-            ((col("id") * 131L + 7L) % 100000L).as("dst"))
+            (((col("id") % 100000L) * 131L +
+              (col("id") / 100000L).cast("long") * 9973L + 7L)
+              % 100000L).as("dst"))
         val t = System.nanoTime()
         val n = operators.Graphs.randomWalks(edges, "src", "dst",
           walksPerNode = 1, steps = 3, directed = true).count()

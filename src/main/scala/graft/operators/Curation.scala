@@ -2648,10 +2648,15 @@ object Curation {
       s"duplicate attribute names in ${attrs.map(_._1)}")
     val spark = attrs.head._2.sparkSession
     import spark.implicits._
+    // materialized once: both the per-value set build and the
+    // per-attribute counts consume it, and without a cut each would
+    // re-scan and re-distinct every input table. An attribute with
+    // zero non-null values yields (0, 0, holds=1) rows — the empty
+    // set is vacuously included everywhere (oracle-mirrored).
     val vals = attrs.map { case (name, df, c) =>
       df.select(lit(name).as("_a"), col(c).cast("string").as("_v"))
         .filter(col("_v").isNotNull).distinct()
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _).localCheckpoint(false)
     val sets = vals.groupBy(col("_v")).agg(collect_set(col("_a")).as("_s"))
     val common = sets
       .select(explode(col("_s")).as("lhs"), col("_s"))

@@ -862,14 +862,24 @@ object Multimodal {
       short.foreach(v => w16(o + 8, v))
       long.foreach(v => w32(o + 8, v))
     }
+    // spec-conformant inline rule: ASCII values whose byte count
+    // (incl. NUL) fits the 4-byte field are packed INLINE, never
+    // offset — short strings must exercise the parser's inline branch
+    def asciiEntry(o: Int, tag: Int, bytes: Array[Byte],
+        off: Int): Unit = {
+      w16(o, tag); w16(o + 2, 2); w32(o + 4, bytes.length.toLong)
+      if (bytes.length <= 4)
+        System.arraycopy(bytes, 0, tiff, o + 8, bytes.length)
+      else w32(o + 8, off.toLong)
+    }
     w16(ifd0Off, 4)
-    entry(ifd0Off + 2, 0x010f, 2, mk.length.toLong, None, Some(mkOff))
-    entry(ifd0Off + 14, 0x0110, 2, md.length.toLong, None, Some(mdOff))
+    asciiEntry(ifd0Off + 2, 0x010f, mk, mkOff)
+    asciiEntry(ifd0Off + 14, 0x0110, md, mdOff)
     entry(ifd0Off + 26, 0x0112, 3, 1L, Some(orientation), None)
     entry(ifd0Off + 38, 0x8769, 4, 1L, None, Some(subOff))
     w32(ifd0Off + 50, 0L) // next IFD: none
-    System.arraycopy(mk, 0, tiff, mkOff, mk.length)
-    System.arraycopy(md, 0, tiff, mdOff, md.length)
+    if (mk.length > 4) System.arraycopy(mk, 0, tiff, mkOff, mk.length)
+    if (md.length > 4) System.arraycopy(md, 0, tiff, mdOff, md.length)
     w16(subOff, 2)
     entry(subOff + 2, 0x8827, 3, 1L, Some(iso), None)
     entry(subOff + 14, 0xa002, 4, 1L, None, Some(pixelX))
@@ -930,9 +940,16 @@ object Multimodal {
           case _ => 8L * count
         }
         // inline when the value fits the 4-byte field
+        // inline when the value fits the 4-byte field: SHORTs read in
+        // file order, BYTE/ASCII/UNDEFINED values ARE the field bytes
+        // (value = their position, so ascii() reads them in place) —
+        // treating a packed short string as an offset is the classic
+        // TIFF-reader bug (garbage or a false reject on e.g. Make="LG")
         val value =
           if (byteLen <= 4) {
-            if (typ == 3) u16(e + 8).toLong else u32(e + 8)
+            if (typ == 3) u16(e + 8).toLong
+            else if (typ == 1 || typ == 2 || typ == 7) (e + 8).toLong
+            else u32(e + 8)
           } else u32(e + 8) // offset
         tag -> ((typ, count, value))
       }.toMap

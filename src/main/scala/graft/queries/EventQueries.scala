@@ -16,8 +16,6 @@ object EventQueries {
   private def events(s: SparkSession, dir: String): DataFrame =
     Graft.table(s, dir, "events")
 
-  /** The customer→supplier order graph both PageRank gates walk (ONE
-    * definition — the dst offset and join must not drift apart). */
   /** Shared SQL replay of [[walksCorpus]]: the undirected
     * customer–supplier adjacency, 2 walks per node, three unrolled
     * hash-argmin steps, unioned as `w(start, walk, step, node)`. */
@@ -69,9 +67,11 @@ object EventQueries {
       graft.operators.Graphs.randomWalks(custSuppEdges(s, dir), "src",
         "dst", walksPerNode = 2, steps = 3))
 
+  /** The customer→supplier order graph both PageRank gates walk (ONE
+    * definition — the dst offset and join must not drift apart);
+    * memoized: ~10 graph gates share this orders⋈lineitem join, and
+    * each paying it again was the family's dominant fixture cost. */
   private def custSuppEdges(s: SparkSession, dir: String): DataFrame =
-    // memoized: ~10 graph gates share this orders-lineitem join; each
-    // paying it again was the family's dominant fixture cost
     util.memoDf(s, dir, "custSuppEdges")(
       Graft.table(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"))

@@ -3794,13 +3794,20 @@ object PipelineQueries {
          |      GROUP BY 1, 2),
          |n AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS n_values
          |      FROM v GROUP BY 1),
-         |p AS (SELECT n1.a AS lhs, n2.a AS rhs, n1.n_values
-         |      FROM n n1 CROSS JOIN n n2 WHERE n1.a <> n2.a)
+         |names AS (SELECT * FROM (VALUES
+         |${attrs.map(a => s"  ('${a._1}')").mkString(",\n")})
+         |  AS t(a)),
+         |p AS (SELECT n1.a AS lhs, n2.a AS rhs
+         |      FROM names n1 CROSS JOIN names n2 WHERE n1.a <> n2.a),
+         |q AS (SELECT lhs, rhs,
+         |        COALESCE((SELECT n_values FROM n WHERE n.a = lhs), 0)
+         |          AS n_values
+         |      FROM p)
          |SELECT lhs, rhs, n_values AS n_lhs_values,
          |  n_values - COALESCE(n_common, 0) AS n_missing_values,
          |  CAST(CASE WHEN n_values = COALESCE(n_common, 0)
          |       THEN 1 ELSE 0 END AS BIGINT) AS holds
-         |FROM p LEFT JOIN c USING (lhs, rhs)
+         |FROM q LEFT JOIN c USING (lhs, rhs)
          |""".stripMargin
     },
 

@@ -468,6 +468,13 @@ class MultimodalSpec extends AnyFunSuite {
       assert(m.n_ifd0 == 4L && m.make == "Canon" && m.model == "EOS-1")
       assert(m.orientation == 6L && m.iso == 400L && m.pixel_x == 4032L)
     }
+    // short ASCII values pack INLINE in the 4-byte field (the TIFF
+    // rule) — both the builder and the parser must take that branch
+    for (little <- Seq(true, false)) {
+      val short = Multimodal.exifApp1(little, "LG", "x", 1, 200, 9L)
+      val sm = Multimodal.parseExif(short).get
+      assert(sm.make == "LG" && sm.model == "x" && sm.iso == 200L)
+    }
     val ok = Multimodal.exifApp1(true, "a", "b", 1, 100, 1L)
     // bad preamble, unknown order mark, wrong magic, truncation
     assert(Multimodal.parseExif("not exif at all".getBytes).isEmpty)
