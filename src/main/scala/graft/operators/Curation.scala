@@ -2511,6 +2511,41 @@ object Curation {
       .select(col("q"), col(valueCol), col("_r").as("rank"), col("n"))
   }
 
+  /** Per-group exact-median imputation — the null REPAIR next to
+    * [[winsorize]]'s outlier clamp (a model can't eat a null; dropping
+    * the row wastes every other feature; the group median is the
+    * standard robust fill): nulls in `valueCol` fill with their
+    * group's LOWER median (rank `(n+1) div 2` of the non-null value
+    * order — a total rule, so the fill is a pure function of the
+    * group; no averaging, so integer columns stay integers). Groups
+    * with no non-null values keep their nulls — inventing a global
+    * fill silently is not this engine's style.
+    *
+    * Scale shape: one map-side-combined (group, value) count, the
+    * cumulative rank runs over the (group, value)-DISTINCT frame
+    * (per-group windows, rows = distinct values per group — never the
+    * raw data), and the group-sized median frame joins back (AQE
+    * broadcasts it when it fits). Output: every input column plus
+    * `<valueCol>_imputed`. */
+  def imputeMedian(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("_g"), col(valueCol).as("_v"))
+      .agg(count(lit(1)).as("_n"))
+    val ord = Window.partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("_g"))
+    val med = counts
+      .withColumn("_cum", sum(col("_n")).over(ord))
+      .withColumn("_tot", sum(col("_n")).over(whole))
+      .filter(expr("_cum >= (_tot + 1) div 2"))
+      .groupBy(col("_g")).agg(min(col("_v")).as("_med"))
+    df.join(med, df(groupCol) === med("_g"), "left")
+      .withColumn(s"${valueCol}_imputed",
+        coalesce(col(valueCol), col("_med")))
+      .drop("_g", "_med")
+  }
+
   /** Winsorization at exact percentiles — the outlier REPAIR next to
     * [[robustOutliers]]' detection (detection flags rows; training
     * pipelines mostly want the feature kept but CLAMPED, not the row

@@ -1296,6 +1296,18 @@ object PipelineQueries {
         ("orders.o_custkey", Graft.table(s, dir, "orders"),
           "o_custkey")))),
 
+    // Per-brand exact-median imputation: every 11th part's size is
+    // nulled, the repair fills it with the brand's lower median (rank
+    // (n+1) div 2 — integers stay integers); the oracle replays the
+    // same cumulative-rank selection.
+    "impute_median" -> ((s, dir) =>
+      graft.operators.Curation.imputeMedian(
+        Graft.table(s, dir, "part").select(col("p_partkey"),
+          col("p_brand"),
+          when(col("p_partkey") % 11 === 0, lit(null))
+            .otherwise(col("p_size")).as("p_size")),
+        "p_brand", "p_size")),
+
     // Winsorization of part prices at the exact p5/p95 order statistics
     // (rank selection through the distributed order, never a sketch):
     // outliers clamp to the bounds, everything else passes through.
@@ -3810,6 +3822,30 @@ object PipelineQueries {
          |FROM q LEFT JOIN c USING (lhs, rhs)
          |""".stripMargin
     },
+
+    // The same cumulative-rank lower-median selection per brand, then
+    // the coalesce fill; no-non-null groups keep their nulls.
+    "impute_median" ->
+      """WITH base AS (
+        |  SELECT p_partkey, p_brand,
+        |         CASE WHEN p_partkey % 11 = 0 THEN NULL
+        |              ELSE p_size END AS p_size
+        |  FROM part),
+        |c AS (SELECT p_brand AS g, p_size AS v,
+        |             CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM base WHERE p_size IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT g, v,
+        |        CAST(SUM(n) OVER (PARTITION BY g ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cum,
+        |        CAST(SUM(n) OVER (PARTITION BY g) AS BIGINT) AS tot
+        |      FROM c),
+        |m AS (SELECT g, MIN(v) AS med FROM r
+        |      WHERE cum >= (tot + 1) // 2 GROUP BY 1)
+        |SELECT p_partkey, p_brand, p_size,
+        |       COALESCE(p_size, med) AS p_size_imputed
+        |FROM base LEFT JOIN m ON base.p_brand = m.g
+        |""".stripMargin,
 
     // The textbook rank-selection formulation (rank = (q·n + 99)//100
     // over the (value, key) total order) the distributed engine must

@@ -1214,6 +1214,27 @@ class PipelineSpec extends AnyFunSuite {
       "c.com" -> ((60L, 0L))))
   }
 
+  test("imputeMedian: lower median, empty group keeps nulls") {
+    import graft.operators.Curation
+    def L(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+    val df = Seq(
+      ("a", L(1L)), ("a", L(3L)), ("a", L(9L)),      // odd: median 3
+      ("a", null.asInstanceOf[java.lang.Long]),
+      ("b", L(2L)), ("b", L(4L)), ("b", L(6L)), ("b", L(8L)), // even:
+      ("b", null.asInstanceOf[java.lang.Long]),      // lower median 4
+      ("c", null.asInstanceOf[java.lang.Long]))      // no values
+      .toDF("g", "v")
+    val out = Curation.imputeMedian(df, "g", "v")
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toList).toMap
+    assert(out(("a", -1L)) == List(Some(3L)))
+    assert(out(("b", -1L)) == List(Some(4L)))
+    assert(out(("c", -1L)) == List(None)) // no invented global fill
+    assert(out(("a", 9L)) == List(Some(9L))) // non-nulls untouched
+  }
+
   test("winsorize: exact bounds, clamping, null passthrough") {
     import graft.operators.Curation
     val df = (1L to 10L).map(i => (i, java.lang.Double.valueOf(i * 10.0)))
