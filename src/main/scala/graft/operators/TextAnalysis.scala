@@ -606,6 +606,44 @@ object TextAnalysis {
     collapseWs(decodeEntities(noTags))
   }
 
+  /** PDF-extracted-text cleanup — the repair pass every PDF-sourced
+    * corpus needs before any token-level op (PDF extractors emit
+    * hyphen-split words at line breaks, typographic ligature
+    * codepoints tokenizers have never seen, stray control characters,
+    * and hard-wrapped lines that are NOT paragraph breaks): ONE
+    * documented rewrite order both engines replay — (1) join
+    * `word-\nword` hyphen splits, (2) expand the five Latin ligatures
+    * (ﬁ ﬂ ﬀ ﬃ ﬄ) to their letter pairs, (3) strip control chars
+    * except newline, (4) reflow: blank-line runs mark PARAGRAPHS
+    * (preserved as one `\n\n`), remaining single newlines are wrap
+    * artifacts and become spaces, space runs collapse. Counts emit
+    * beside the text so a pipeline can route "mostly-broken" docs to
+    * re-extraction instead of trusting the repair. RE2-safe, zero
+    * shuffle, linear in bytes. Output columns: `(pdf_clean,
+    * n_hyphen_joins, n_ligatures, n_controls)`. */
+  def pdfTextColumns(text: Column): Seq[Column] = {
+    val hyphRe = "([a-z])-\n([a-z])"
+    val ligRe = "[ﬁﬂﬀﬃﬄ]"
+    val ctlRe = "[\u0000-\u0009\u000B-\u001F]"
+    val nHyph = regexp_count(text, lit(hyphRe)).cast("long")
+    val nLig = (length(text) -
+      length(regexp_replace(text, ligRe, ""))).cast("long")
+    val nCtl = (length(text) -
+      length(regexp_replace(text, ctlRe, ""))).cast("long")
+    val dehyph = regexp_replace(text, hyphRe, "$1$2")
+    val expanded = Seq("ﬁ" -> "fi", "ﬂ" -> "fl",
+      "ﬀ" -> "ff", "ﬃ" -> "ffi", "ﬄ" -> "ffl")
+      .foldLeft(dehyph) { case (c, (lig, exp)) =>
+        replace(c, lit(lig), lit(exp)) }
+    val noCtl = regexp_replace(expanded, ctlRe, "")
+    val paras = regexp_replace(noCtl, "\n[ \t]*\n[\n \t]*", "\u0002")
+    val unwrapped = regexp_replace(paras, "\n", " ")
+    val restored = regexp_replace(unwrapped, "\u0002", "\n\n")
+    val clean = trim(regexp_replace(restored, "  +", " "))
+    Seq(clean.as("pdf_clean"), nHyph.as("n_hyphen_joins"),
+      nLig.as("n_ligatures"), nCtl.as("n_controls"))
+  }
+
   /** Chat-transcript turn extraction — the unit-maker for
     * instruction/SFT data prep (a conversation trains turn by turn,
     * with loss on assistant turns only — the `train_on` column is that

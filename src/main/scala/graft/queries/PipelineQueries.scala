@@ -1344,6 +1344,18 @@ object PipelineQueries {
       Curation.raterAgreement(pred, "lang", "detected")
     }),
 
+    // PDF-text cleanup: every doc rendered as extractor output (a
+    // hyphen-split word, two ligatures, a BEL control char, a real
+    // paragraph break AND a hard wrap) — the repair must join/expand/
+    // strip/reflow and count each defect; oracle replays the chain.
+    "pdf_cleanup" -> ((s, dir) => {
+      val page = concat(
+        lit("A ﬁne ﬂow of exam-\nple text\u0007 here.\n\n"),
+        lit("Second para starts\nand wraps: "), col("text"))
+      docs(s, dir).select(
+        col("doc_id") +: TextAnalysis.pdfTextColumns(page): _*)
+    }),
+
     // Chat-transcript turn extraction (SFT prep): 4-turn transcripts
     // with a preamble planted on every 5th doc; the operator recovers
     // (turn_idx, role, content) and the assistant-only train mask, the
@@ -3979,6 +3991,46 @@ object PipelineQueries {
         |                 AS BIGINT) END
         |    AS kappa_permille
         |FROM t CROSS JOIN p
+        |""".stripMargin,
+
+    // The identical four-stage repair chain: count-then-fix hyphen
+    // joins, ligature expansion via nested replace, control strip,
+    // sentinel-preserved paragraph reflow.
+    "pdf_cleanup" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'A ﬁne ﬂow of exam-' || chr(10) || 'ple text' || chr(7) ||
+        |    ' here.' || chr(10) || chr(10) || 'Second para starts' ||
+        |    chr(10) || 'and wraps: ' || text AS t
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(t, '([a-z])-\n([a-z])'))
+        |      AS BIGINT) AS n_hyphen_joins,
+        |    CAST(len(t) - len(regexp_replace(t, '[ﬁﬂﬀﬃﬄ]', '', 'g'))
+        |      AS BIGINT) AS n_ligatures,
+        |    CAST(len(t) - len(regexp_replace(t,
+        |      '[\x00-\x09\x0B-\x1F]', '', 'g')) AS BIGINT)
+        |      AS n_controls,
+        |    regexp_replace(t, '([a-z])-\n([a-z])', '\1\2', 'g') AS t
+        |  FROM p),
+        |s2 AS (SELECT doc_id, n_hyphen_joins, n_ligatures, n_controls,
+        |    replace(replace(replace(replace(replace(t,
+        |      'ﬁ', 'fi'), 'ﬂ', 'fl'), 'ﬀ', 'ff'), 'ﬃ', 'ffi'),
+        |      'ﬄ', 'ffl') AS t
+        |  FROM s1),
+        |s3 AS (SELECT doc_id, n_hyphen_joins, n_ligatures, n_controls,
+        |    regexp_replace(t, '[\x00-\x09\x0B-\x1F]', '', 'g') AS t
+        |  FROM s2),
+        |s4 AS (SELECT doc_id, n_hyphen_joins, n_ligatures, n_controls,
+        |    regexp_replace(regexp_replace(regexp_replace(t,
+        |      '\n[ \t]*\n[\n \t]*', chr(2), 'g'),
+        |      '\n', ' ', 'g'),
+        |      chr(2), chr(10) || chr(10), 'g') AS t
+        |  FROM s3)
+        |SELECT doc_id,
+        |  trim(regexp_replace(t, '  +', ' ', 'g')) AS pdf_clean,
+        |  n_hyphen_joins, n_ligatures, n_controls
+        |FROM s4
         |""".stripMargin,
 
     // The sentinel split with RE2 '\1', empty pieces dropped without

@@ -1254,6 +1254,33 @@ class PipelineSpec extends AnyFunSuite {
       Curation.winsorize(df, "v", "id", 80, 20))
   }
 
+  test("pdfTextColumns: dehyphenate, ligatures, reflow, counts") {
+    val raw = "A ﬁne ﬂow of exam-\nple text\u0007 here.\n\n" +
+      "Second para starts\nand wraps on."
+    val r = Seq((1L, raw)).toDF("id", "t")
+      .select(col("id") +: TextAnalysis.pdfTextColumns(col("t")): _*)
+      .collect().head
+    assert(r.getString(1) ==
+      "A fine flow of example text here.\n\n" +
+        "Second para starts and wraps on.")
+    assert(r.getLong(2) == 1L) // hyphen join
+    assert(r.getLong(3) == 2L) // ligatures
+    assert(r.getLong(4) == 1L) // BEL control
+    // clean text passes through untouched (modulo nothing)
+    val plain = Seq((1L, "already clean text")).toDF("id", "t")
+      .select(col("id") +: TextAnalysis.pdfTextColumns(col("t")): _*)
+      .collect().head
+    assert(plain.getString(1) == "already clean text" &&
+      (2 to 4).forall(i => plain.getLong(i) == 0L))
+    // an UPPER-case or digit hyphen line-break is a real compound
+    // (e.g. "X-\nray" could be a name): rule only joins [a-z]-\n[a-z]
+    val keep = Seq((1L, "the X-\nray case")).toDF("id", "t")
+      .select(col("id") +: TextAnalysis.pdfTextColumns(col("t")): _*)
+      .collect().head
+    assert(keep.getString(1) == "the X- ray case" &&
+      keep.getLong(2) == 0L)
+  }
+
   test("splitTurns: roles, preamble, mid-line markers, train mask") {
     val t1 = "User: hi\nAssistant: quoting User: x here\nstays one " +
       "turn\nUser: ok\nAssistant: done"
