@@ -90,8 +90,18 @@ object Bench {
 
   /** Block (bounded) until external CPU drops under 20% — the ScalaTest
     * suite, DuckDB oracle runs, or another tenant finishing. Returns the
-    * last observed load. */
-  private def waitForQuiet(tag: String, maxWaitMs: Long = 180000L): Double = {
+    * last observed load.
+    *
+    * The bound is CUMULATIVE across the run's 7 child JVMs, not per
+    * phase: r15's artifact was rc 124 (driver timeout, parsed: null)
+    * because each child was willing to wait up to 180 s on a box that
+    * stayed busy — 21 min of waiting before any work. The parent now
+    * grants the FIRST phase up to 120 s (the real case: the driver's
+    * oracle run draining) and every later phase 15 s (covers the prior
+    * child's shutdown tail), via SPARK_GRAFT_QUIET_MAX_MS. A phase that
+    * starts loaded is labeled by its ext_cpu_* fields rather than
+    * stalling the whole artifact past the driver's wall budget. */
+  private def waitForQuiet(tag: String, maxWaitMs: Long = 120000L): Double = {
     externalCpu() // first call primes the platform counters
     Thread.sleep(300)
     var waited = 0L
@@ -132,7 +142,8 @@ object Bench {
   /** Child-JVM entry: one phase, one `{"phase":...}` line on stdout. */
   private def phaseMain(phase: String,
       frag: (SparkSession, String) => String): Unit = {
-    waitForQuiet(phase)
+    waitForQuiet(phase, sys.env.get("SPARK_GRAFT_QUIET_MAX_MS")
+      .flatMap(_.toLongOption).getOrElse(120000L))
     val sampler = new LoadSampler
     val spark = Graft.localSession(s"graft-bench-$phase", "32")
     try {
@@ -142,23 +153,34 @@ object Bench {
     } finally spark.stop()
   }
 
-  /** Parent: fork the two phases sequentially (each gets a clean heap
-    * and all 32 cores), merge into the driver's single JSON line. */
+  /** Parent: fork the phases sequentially (each gets a clean heap and
+    * all 32 cores), merging into the driver's single JSON line.
+    *
+    * EMISSION IS PROGRESSIVE: after EVERY completed phase the parent
+    * re-prints the full detail + final lines from everything merged so
+    * far (tagged `phases_done`/`phases_total`). r15's artifact was
+    * `parsed: null` because the one-shot final print sat behind a
+    * 7-phase pipeline the driver's wall budget cut short — under
+    * progressive emission the same timeout still lands the last
+    * completed snapshot as parsed partial data. Child stderr goes to a
+    * log file (not INHERIT) for the same reason: the driver captures
+    * stdout+stderr merged and keeps only the tail, so one child's Spark
+    * startup INFO spew after our last JSON line would evict it (that is
+    * literally the r15 tail). */
   private def orchestrate(): Unit = {
     val dir = sfDir
     lazy val spark = Graft.localSession("graft-bench", "32") // fallback only
     var usedFallback = false
+    var firstPhase = true
     def phaseJson(phase: String,
-        frag: (SparkSession, String) => String): String =
-      forkPhase(phase).getOrElse {
+        frag: (SparkSession, String) => String): String = {
+      val quietMs = if (firstPhase) 120000L else 15000L
+      firstPhase = false
+      forkPhase(phase, quietMs).getOrElse {
         usedFallback = true
         s"""{"phase":"$phase",${frag(spark, dir)}}"""
       }
-    val serving = phaseJson("serving", servingFragment)
-    val sweeps = (0 until SweepSlices).map(i =>
-      phaseJson(s"sweep-${i}of$SweepSlices",
-        sweepFragment(i, SweepSlices)))
-    if (usedFallback) spark.stop()
+    }
 
     def num(json: String, key: String): String =
       ("\"" + key + "\":(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)").r
@@ -178,47 +200,73 @@ object Bench {
       "dict_decodes_point", "dict_decodes_prefix",
       "dict_decodes_selective", "star_sec", "budget_scan_sec",
       "lpm_scan_sec", "rank_scan_sec", "walk_scan_sec")
-    val servingPart =
-      servingKeys.map(k => s""""$k":${num(serving, k)}""").mkString(",")
-    // worst external CPU any phase observed — the falsifiability tag:
-    // a round whose numbers moved under ext_cpu ≈ 0 moved for real;
-    // one with ext_cpu_max ≈ 1 was measured on a contended box
-    val allPhases = serving +: sweeps
-    def maxOf(key: String): Double =
-      allPhases.map(p => num(p, key).toDouble).max
-    val extPart = s""""ext_cpu_mean":${fmt(maxOf("ext_cpu_mean"), 3)},"ext_cpu_max":${fmt(maxOf("ext_cpu_max"), 3)}"""
-    // splice the slices back into one alphabetical per-query map
-    val perQuery: Seq[(String, Double)] = sweeps
-      .flatMap(s => "\"([A-Za-z0-9_]+)\":(-?[0-9.]+)".r
-        .findAllMatchIn(obj(s, "queries"))
-        .map(m => m.group(1) -> m.group(2).toDouble))
-      .sortBy(_._1)
-    val qmap = perQuery.map { case (k, v) => s""""$k":${fmt(v, 3)}""" }
-      .mkString("{", ",", "}")
-    val total = perQuery.map(_._2).filter(_ >= 0).sum
-    // The driver keeps only the LAST ~2000 chars of stdout: a single
-    // line carrying the full ~190-entry queries map overflows that
-    // window and truncates its own head. Emit the full per-query map as
-    // a DETAIL line first (whatever fits of its tail still lands in the
-    // capture), then a compact final line — totals, serving metrics,
-    // and the top-10 slowest gates — that fits the window whole and,
-    // with sbt's [info] prefix and [success] epilogue disabled in
-    // build.sbt, is the process's LAST stdout line, so the driver's
-    // JSON parse lands.
-    println(s"""{"metric":"queries","queries":$qmap}""")
-    val top10 = perQuery
-      .sortBy { case (k, v) => (-v, k) }.take(10)
-      .map { case (k, v) => s""""$k":${fmt(v, 3)}""" }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${perQuery.size},"sf":"$dir",$servingPart,$extPart,"slowest":$top10}""")
+    val phasesTotal = 1 + SweepSlices
+
+    /** Merge all completed phases and print the detail + final lines.
+      * Idempotent over the accumulating phase list, so it runs after
+      * every phase; the LAST print before any kill is what parses. */
+    def emit(serving: Option[String], sweeps: Seq[String]): Unit = {
+      val servingPart = servingKeys
+        .map(k => s""""$k":${num(serving.getOrElse(""), k)}""")
+        .mkString(",")
+      // worst external CPU any phase observed — the falsifiability tag:
+      // a round whose numbers moved under ext_cpu ≈ 0 moved for real;
+      // one with ext_cpu_max ≈ 1 was measured on a contended box
+      val allPhases = serving.toSeq ++ sweeps
+      def maxOf(key: String): Double =
+        if (allPhases.isEmpty) -1.0
+        else allPhases.map(p => num(p, key).toDouble).max
+      val extPart = s""""ext_cpu_mean":${fmt(maxOf("ext_cpu_mean"), 3)},"ext_cpu_max":${fmt(maxOf("ext_cpu_max"), 3)}"""
+      // splice the slices back into one alphabetical per-query map
+      val perQuery: Seq[(String, Double)] = sweeps
+        .flatMap(s => "\"([A-Za-z0-9_]+)\":(-?[0-9.]+)".r
+          .findAllMatchIn(obj(s, "queries"))
+          .map(m => m.group(1) -> m.group(2).toDouble))
+        .sortBy(_._1)
+      val qmap = perQuery.map { case (k, v) => s""""$k":${fmt(v, 3)}""" }
+        .mkString("{", ",", "}")
+      val total = perQuery.map(_._2).filter(_ >= 0).sum
+      // The driver keeps only the LAST ~2000 chars of stdout: a single
+      // line carrying the full ~280-entry queries map overflows that
+      // window and truncates its own head. Emit the full per-query map
+      // as a DETAIL line first (whatever fits of its tail still lands
+      // in the capture), then a compact final line — totals, serving
+      // metrics, and the top-10 slowest gates — that fits the window
+      // whole and, with sbt's [info] prefix and [success] epilogue
+      // disabled in build.sbt, is the process's LAST stdout line, so
+      // the driver's JSON parse lands.
+      println(s"""{"metric":"queries","queries":$qmap}""")
+      val top10 = perQuery
+        .sortBy { case (k, v) => (-v, k) }.take(10)
+        .map { case (k, v) => s""""$k":${fmt(v, 3)}""" }
+        .mkString("{", ",", "}")
+      val done = allPhases.size
+      println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${perQuery.size},"sf":"$dir","phases_done":$done,"phases_total":$phasesTotal,$servingPart,$extPart,"slowest":$top10}""")
+      System.out.flush()
+    }
+
+    val serving = phaseJson("serving", servingFragment)
+    emit(Some(serving), Nil)
+    var sweeps = Seq.empty[String]
+    (0 until SweepSlices).foreach { i =>
+      sweeps = sweeps :+ phaseJson(s"sweep-${i}of$SweepSlices",
+        sweepFragment(i, SweepSlices))
+      emit(Some(serving), sweeps)
+    }
+    if (usedFallback) spark.stop()
   }
 
   /** Re-exec this class in a fresh JVM for one phase. Works because
     * `run / fork := true` gives this process a real `-cp` and module
     * opens we can mirror; returns None (→ in-process fallback) if the
-    * environment doesn't cooperate. Child stderr (Spark logs) is
-    * inherited; stdout carries only the fragment line. */
-  private def forkPhase(phase: String): Option[String] =
+    * environment doesn't cooperate. Child stderr (Spark logs) goes to
+    * `/tmp/graft-bench-<phase>.log` — NOT inherited: the driver
+    * captures this process's stdout+stderr merged and keeps the tail,
+    * so inherited child startup spew evicts the parent's JSON lines
+    * (r15's artifact tail was exactly that). Stdout carries only the
+    * fragment line. `quietMaxMs` is this phase's slice of the run's
+    * cumulative quiet-wait budget. */
+  private def forkPhase(phase: String, quietMaxMs: Long): Option[String] =
     try {
       val javaBin = java.nio.file.Paths.get(
         sys.props("java.home"), "bin", "java").toString
@@ -232,7 +280,9 @@ object Bench {
       val cmd = Seq(javaBin) ++ jvmArgs ++
         Seq("-cp", cp, "graft.Bench", s"--phase=$phase")
       val pb = new ProcessBuilder(cmd: _*)
-      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      pb.environment().put("SPARK_GRAFT_QUIET_MAX_MS", quietMaxMs.toString)
+      pb.redirectError(ProcessBuilder.Redirect.to(
+        new java.io.File(s"/tmp/graft-bench-$phase.log")))
       val p = pb.start()
       val out = new String(p.getInputStream.readAllBytes, "UTF-8")
       if (p.waitFor() != 0) {
@@ -305,11 +355,20 @@ object Bench {
     // construction. The second run re-executes the full query (Spark
     // caches nothing across actions here); gates that memoize on-disk
     // artifacts do so deliberately (steady-state cost is the claim).
+    //
+    // EXCEPT gates whose first run exceeds 10 s (the multi-generation
+    // lifecycle gates — forget_everywhere ~20 s, bm25_delete ~12 s):
+    // they run ONCE. Min-of-two exists to reject transient spikes,
+    // which are proportionally tiny over a 10 s+ run that self-averages
+    // across dozens of jobs — and their second runs alone were ~40 s of
+    // the r15 sweep that timed out the driver artifact.
     val results: Seq[(String, Double)] =
       names.map { name =>
         val sec =
-          try math.min(runOnce(name), runOnce(name))
-          catch { case e: Throwable =>
+          try {
+            val first = runOnce(name)
+            if (first > 10.0) first else math.min(first, runOnce(name))
+          } catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             -1.0
           }
@@ -453,26 +512,31 @@ object Bench {
         System.err.println(s"[bench] rank-scan failed: ${e.getMessage}")
         -1.0
       }
-    // round-15 walk engine at scan scale: 3 deterministic walk steps
-    // from every node of a 100k-node/2M-edge graph — per step ONE
+    // round-15 walk engine at scan scale: 2 deterministic walk steps
+    // from every node of a 100k-node/1M-edge graph — per step ONE
     // frontier exchange against the checkpointed neighbor-array
     // adjacency plus a narrow in-row argmin (the fan-out-join + combine
-    // shape this replaced costs two more data-sized shuffles per step)
+    // shape this replaced costs two more data-sized shuffles per step).
+    // 1M edges / 2 steps (was 2M / 3): the r15 fixture plus 19 new
+    // gates pushed the whole bench past the driver's wall budget — this
+    // size still exercises the same per-step exchange shape at ~half
+    // the wall cost (r16 resize; r15's in-artifact number was measured
+    // on a degenerate out-degree-1 fixture anyway, so no trend breaks).
     val walkScanSec =
       try {
         import org.apache.spark.sql.functions._
         // rep (id div 100k) multiplies by 9973 (coprime to 100k), so
-        // every node gets 20 DISTINCT out-neighbors — a linear function
+        // every node gets 10 DISTINCT out-neighbors — a linear function
         // of id alone would collapse to out-degree 1 and the argmin
         // would run over 1-element arrays, measuring nothing
-        val edges = spark.range(2000000L)
+        val edges = spark.range(1000000L)
           .select((col("id") % 100000L).as("src"),
             (((col("id") % 100000L) * 131L +
               (col("id") / 100000L).cast("long") * 9973L + 7L)
               % 100000L).as("dst"))
         val t = System.nanoTime()
         val n = operators.Graphs.randomWalks(edges, "src", "dst",
-          walksPerNode = 1, steps = 3, directed = true).count()
+          walksPerNode = 1, steps = 2, directed = true).count()
         require(n >= 100000L && n <= 400000L,
           s"walk corpus row count out of range: $n")
         (System.nanoTime() - t) / 1e9

@@ -2407,6 +2407,44 @@ object Curation {
       .filter(col("under_k") === 1L || col("under_l") === 1L)
   }
 
+  /** k-anonymity generalization ladder — the SEARCH half of
+    * [[privacyAudit]]'s check (the audit says level X violates; the
+    * ladder says how far up the generalization hierarchy — zip→zip3,
+    * age→decade, drop-the-column — a release must climb before the
+    * whole table clears k, Sweeney's generalization lattice walked as
+    * a report instead of a solver): one row per provided level with
+    * its class count, smallest class, and how many ROWS sit in
+    * below-k classes — the release decision is then "pick the lowest
+    * level whose n_rows_below_k is 0 (or an acceptable suppression
+    * budget)". Levels are caller-supplied (generalization is domain
+    * knowledge); empty levels report NULL min out loud.
+    *
+    * Scale shape: one map-side-combined groupBy per level (the ladder
+    * is a handful of levels, each a full-combine aggregate whose
+    * shuffle carries class keys, not rows) folded to ONE row each,
+    * then a level-count-sized union. */
+  def kAnonymityLadder(df: DataFrame,
+      levels: Seq[(String, Seq[Column])], k: Long): DataFrame = {
+    require(levels.nonEmpty, "need at least one ladder level")
+    require(levels.map(_._1).distinct.size == levels.size,
+      s"level names must be distinct, got ${levels.map(_._1)}")
+    require(levels.forall(_._2.nonEmpty), "each level needs >= 1 column")
+    require(k >= 1, s"k must be >= 1, got $k")
+    levels.map { case (name, cols) =>
+      df.groupBy(cols: _*)
+        .agg(count(lit(1)).as("_gs"))
+        .agg(
+          coalesce(sum(col("_gs")), lit(0L)).as("n_rows"),
+          count(lit(1)).as("n_classes"),
+          min(col("_gs")).as("min_class_size"),
+          coalesce(sum(when(col("_gs") < k, col("_gs")).otherwise(0L)),
+            lit(0L)).as("n_rows_below_k"))
+        .select(lit(name).as("level"), col("n_rows"), col("n_classes"),
+          col("min_class_size"), col("n_rows_below_k"),
+          lit(k).as("k"))
+    }.reduce(_ unionByName _)
+  }
+
   /** The Benford expected-proportion table in micro units:
     * `floor(10⁶·log₁₀(1 + 1/d))` for digits 1..9. ONE definition shared
     * by [[benfordDigits]] and its oracle (the ndcg-discount idiom — fix
@@ -2628,19 +2666,25 @@ object Curation {
     * broadcast offsets — never a single-partition window, even when a
     * continuous score makes the group frame row-sized), and one final
     * fold. Null labels/scores are excluded; label values other than
-    * 0/1 are counted out loud in `n_excluded`, never silently folded.
-    * Output one row: `(n_pos, n_neg, n_excluded, auc_permille)` —
+    * 0/1 are counted out loud in `n_excluded`, never silently folded —
+    * INCLUDING labels that fail the long cast (a string label "yes"
+    * try_casts to null — ANSI mode makes a plain cast THROW on
+    * malformed strings; the cast runs after the null filter, so the
+    * original-non-null/cast-null case reaches the counter instead of
+    * vanishing). Output one row:
+    * `(n_pos, n_neg, n_excluded, auc_permille)` —
     * AUC is NULL when either class is empty. */
   def aucEval(df: DataFrame, labelCol: String,
       scoreCol: String): DataFrame = {
     val base = df
-      .select(col(labelCol).cast("long").as("_y"),
-        col(scoreCol).as("_s"))
-      .filter(col("_y").isNotNull && col("_s").isNotNull)
+      .select(col(labelCol).as("_y0"), col(scoreCol).as("_s"))
+      .filter(col("_y0").isNotNull && col("_s").isNotNull)
+      .withColumn("_y", expr("try_cast(_y0 AS LONG)"))
     val grouped = base.groupBy(col("_s")).agg(
-      sum((col("_y") === 1L).cast("long")).as("_p"),
-      sum((col("_y") === 0L).cast("long")).as("_q"),
-      sum((!col("_y").isin(0L, 1L)).cast("long")).as("_o"))
+      sum(when(col("_y") === 1L, 1L).otherwise(0L)).as("_p"),
+      sum(when(col("_y") === 0L, 1L).otherwise(0L)).as("_q"),
+      sum(when(col("_y").isNull || !col("_y").isin(0L, 1L), 1L)
+        .otherwise(0L)).as("_o"))
     DistributedOrder
       .withGlobalExclusiveSum(grouped, "_qb", col("_q"), col("_s"))
       .agg(
@@ -2657,6 +2701,67 @@ object Curation {
             "(2 * cast(n_pos as decimal(38,0)) * n_neg) as bigint)"))
           .as("auc_permille"))
   }
+
+  /** Calibration reliability bins — the eval beside [[aucEval]] that
+    * AUC cannot see (AUC is rank-only: a model predicting 510‰ for
+    * every positive and 490‰ for every negative has perfect AUC and
+    * useless probabilities; routing, thresholding and mixture
+    * weighting all consume the PROBABILITY): scores (integer permille,
+    * clamped into [0, 1000]) bucket into `nBins` equal-width bins;
+    * each bin reports how far its observed positive rate sits from its
+    * mean claimed score — the reliability-diagram table, exact.
+    *
+    * Label hygiene is the [[aucEval]] stance verbatim: null
+    * labels/scores drop, labels outside {0,1} — including strings that
+    * fail try_cast — are counted out loud per bin in `n_excluded` and
+    * contribute to NO rate. Output per bin:
+    * `(bin, n, n_pos, n_excluded, mean_score_permille, pos_permille,
+    * gap_permille)` — rates NULL when the bin holds no binary rows.
+    *
+    * Scale shape: ONE map-side-combined groupBy on the bin key (≤
+    * nBins groups); everything downstream is bin-sized. */
+  def calibrationBins(df: DataFrame, labelCol: String,
+      scorePermilleCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val base = df
+      .select(col(labelCol).as("_y0"),
+        col(scorePermilleCol).cast("long").as("_s"))
+      .filter(col("_y0").isNotNull && col("_s").isNotNull)
+      .withColumn("_y", expr("try_cast(_y0 AS LONG)"))
+      .withColumn("_sc", greatest(lit(0L), least(lit(1000L), col("_s"))))
+      .withColumn("bin",
+        least(expr(s"_sc * $nBins div 1000"), lit(nBins - 1L)))
+    val bad = col("_y").isNull || !col("_y").isin(0L, 1L)
+    base.groupBy(col("bin"))
+      .agg(
+        sum(when(bad, 0L).otherwise(1L)).as("n"),
+        sum(when(col("_y") === 1L, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(bad, 1L).otherwise(0L)).as("n_excluded"),
+        sum(when(bad, 0L).otherwise(col("_sc"))).as("_sum_sc"))
+      .select(col("bin"), col("n"), col("n_pos"), col("n_excluded"),
+        expr("case when n > 0 then _sum_sc div n end")
+          .as("mean_score_permille"),
+        expr("case when n > 0 then n_pos * 1000 div n end")
+          .as("pos_permille"),
+        expr("case when n > 0 then abs(n_pos * 1000 div n" +
+          " - _sum_sc div n) end").as("gap_permille"))
+  }
+
+  /** Expected calibration error folded from [[calibrationBins]] — the
+    * one-number summary (Naeini et al., AAAI'15's ECE, exact): the
+    * bin-population-weighted mean |observed − claimed| gap,
+    * `Σ_b n_b·gap_b div N`, in permille. One row:
+    * `(n, n_excluded, ece_permille)` — NULL when no binary row
+    * exists. Bin-sized input, so the fold is free. */
+  def calibrationEce(df: DataFrame, labelCol: String,
+      scorePermilleCol: String, nBins: Int = 10): DataFrame =
+    calibrationBins(df, labelCol, scorePermilleCol, nBins)
+      .agg(
+        coalesce(sum(col("n")), lit(0L)).as("n"),
+        coalesce(sum(col("n_excluded")), lit(0L)).as("n_excluded"),
+        sum(col("n") * col("gap_permille")).as("_wgap"))
+      .select(col("n"), col("n_excluded"),
+        expr("case when n > 0 then _wgap div n end").as("ece_permille"))
 
   /** Inclusion-dependency discovery across tables — the OTHER half of
     * schema profiling next to [[functionalDependencies]] (FDs find keys
@@ -2824,6 +2929,39 @@ object Curation {
       .withColumn("cum_types", sum(col("new_types")).over(w))
   }
 
+  /** Chao1 vocabulary-richness estimate — the companion question to
+    * [[vocabGrowth]]'s curve (growth says how fast new types arrive;
+    * Chao1 says how many types the corpus is still MISSING — the
+    * species-richness lower bound ecology uses for the same
+    * sample-coverage problem, Chao 1984): from the frequency-of-
+    * frequencies head, `chao1 = D + f1·(f1−1) div (2·(f2+1))` — the
+    * bias-corrected form, exact in integers (DECIMAL(38) intermediate:
+    * f1² at web-corpus vocabulary sizes overflows a long) — where D is
+    * observed types, f1 singletons, f2 doubletons. A corpus whose
+    * chao1 ≈ D has been seen in full (new shards will rehash old
+    * vocabulary — the dedup-health signal); chao1 ≫ D says keep
+    * collecting. Tokenization matches vocabGrowth (whitespace split,
+    * empties dropped). Output one row:
+    * `(n_tokens, n_types, f1, f2, chao1)`.
+    *
+    * Scale shape: one map-side-combined groupBy(token) — the shuffle
+    * carries distinct types, not occurrences — then ONE fold to a
+    * single row; no ordered step at all. */
+  def vocabRichness(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("_tok"))
+      .filter(length(col("_tok")) > 0)
+      .groupBy(col("_tok")).agg(count(lit(1)).as("_c"))
+      .agg(
+        coalesce(sum(col("_c")), lit(0L)).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        coalesce(sum(when(col("_c") === 1L, 1L).otherwise(0L)), lit(0L))
+          .as("f1"),
+        coalesce(sum(when(col("_c") === 2L, 1L).otherwise(0L)), lit(0L))
+          .as("f2"))
+      .withColumn("chao1", expr(
+        "cast(n_types + cast(f1 as decimal(38,0)) * (f1 - 1)" +
+          " div (2 * (f2 + 1)) as bigint)"))
+
   /** Inter-rater agreement (Cohen's κ) between two label columns — the
     * eval primitive for weak supervision and classifier QA: how much
     * better than chance do two labelers (model vs truth, model vs
@@ -2879,5 +3017,64 @@ object Curation {
           expr("(cast(n_agree as decimal(38,0)) * n - p) * 1000" +
             " div (cast(n as decimal(38,0)) * n - p)"))
           .as("kappa_permille"))
+  }
+
+  /** Pairwise association rules (market-basket support / confidence /
+    * lift) — the co-occurrence question [[Graphs.bipartiteProject]]
+    * counts but doesn't SCORE (a data-mixing pipeline asks "docs from
+    * source A disproportionately co-occur with tag B in the same
+    * crawl/session/user — is that signal or base rate?"; lift is the
+    * base-rate correction): for every ordered item pair within a
+    * basket, `support = n_ab/n_baskets`, `confidence = n_ab/n_a`,
+    * `lift = n_ab·n_baskets/(n_a·n_b)` — all exact integer permille
+    * (lift in DECIMAL(38): the cross-multiplication is ~n² and a raw
+    * long wraps at web scale).
+    *
+    * Semantics: DISTINCT (basket, item) incidences; baskets holding
+    * more than `maxBasketSize` distinct items are DROPPED ENTIRELY
+    * before pairing (the bipartiteProject stopword stance — a basket
+    * containing everything says nothing about anything in it, and it
+    * is also the quadratic bomb) — n_baskets and the item marginals
+    * count SURVIVING baskets only, so every ratio is internally
+    * consistent; pairs below `minPairCount` prune before the marginal
+    * joins.
+    *
+    * Scale shape: one map-side size aggregation + LEFT SEMI keep, the
+    * pair self-join CO-LOCATES on the basket key (fan-out ≤
+    * maxBasketSize² per basket, never a hub's square), pair counts
+    * fold map-side, and the item-marginal joins run on the PRUNED
+    * pair frame against item-sized counts (AQE broadcasts them when
+    * they fit). n_baskets is a 1-row scalar agg. */
+  def associationRules(df: DataFrame, basketCol: String,
+      itemCol: String, maxBasketSize: Int = 100,
+      minPairCount: Long = 2L): DataFrame = {
+    require(maxBasketSize >= 2,
+      s"maxBasketSize must be >= 2, got $maxBasketSize")
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    val inc = df.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
+      .distinct()
+    val kept = inc.join(
+      inc.groupBy(col("_b")).agg(count(lit(1)).as("_sz"))
+        .filter(col("_sz") <= maxBasketSize).select(col("_b")),
+      Seq("_b"), "left_semi")
+      .localCheckpoint(false) // feeds the count, marginals and BOTH join sides
+    val nBaskets = kept.select(col("_b")).distinct().count()
+    val itemCounts = kept.groupBy(col("_i")).agg(count(lit(1)).as("_ci"))
+    val pairs = kept.select(col("_b"), col("_i").as("a"))
+      .join(kept.select(col("_b"), col("_i").as("b")), Seq("_b"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+    pairs
+      .join(itemCounts.select(col("_i").as("a"), col("_ci").as("n_a")),
+        Seq("a"))
+      .join(itemCounts.select(col("_i").as("b"), col("_ci").as("n_b")),
+        Seq("b"))
+      .select(col("a"), col("b"), col("n_a"), col("n_b"), col("n_ab"),
+        expr(s"n_ab * 1000 div ${nBaskets}L").as("support_permille"),
+        expr("n_ab * 1000 div n_a").as("confidence_permille"),
+        expr(s"cast(cast(n_ab as decimal(38,0)) * ${nBaskets}L * 1000" +
+          " div (cast(n_a as decimal(38,0)) * n_b) as bigint)")
+          .as("lift_permille"))
   }
 }

@@ -83,18 +83,25 @@ object DnsAnalytics {
     * byte upper bound). Names with ≤ `parentLabels` labels group under
     * themselves. ONE shuffle, all aggregates map-side combinable
     * (countDistinct carries distinct (parent, name) pairs — the
-    * standard exact-distinct cost; swap in the KMV sketch family for
-    * the approximate path at extreme cardinalities). */
+    * standard exact-distinct cost; `approxDistinct = true` swaps it
+    * for [[Curation.kmvDistinct]], whose per-group state is a bounded
+    * k-sized hash buffer — the path for a parent keyspace whose
+    * distinct (parent, name) pair volume would dominate the shuffle
+    * at continuous 100 TB cadence; every other column is unchanged). */
   def tunnelAggregates(df: DataFrame, nameCol: String,
-      countCol: String, parentLabels: Int = 2): DataFrame = {
+      countCol: String, parentLabels: Int = 2,
+      approxDistinct: Boolean = false, kmvK: Int = 256): DataFrame = {
     require(parentLabels >= 1,
       s"parentLabels must be >= 1, got $parentLabels")
     val parent = substring_index(col(nameCol), ".", -parentLabels)
+    val uniq =
+      if (approxDistinct) Curation.kmvDistinct(col("_name"), kmvK)
+      else countDistinct(col("_name"))
     df.select(parent.as("parent"), col(nameCol).as("_name"),
         col(countCol).as("_n"))
       .groupBy(col("parent"))
       .agg(
-        countDistinct(col("_name")).as("n_unique_names"),
+        uniq.as("n_unique_names"),
         sum(col("_n")).as("total_count"),
         max(length(col("_name"))).cast("long").as("max_name_len"),
         sum((length(col("_name")) * col("_n")).cast("long"))
@@ -102,5 +109,80 @@ object DnsAnalytics {
       .withColumn("uniq_permille", expr(
         "case when total_count > 0" +
           " then n_unique_names * 1000 div total_count end"))
+  }
+
+  /** Fast-flux hosting signals per name — the OTHER classic hunting
+    * aggregate beside [[tunnelAggregates]] (a tunnel is one parent
+    * with many names; fast flux is one name with many ADDRESSES,
+    * rotated through botnet members so takedowns always chase
+    * yesterday's hosts — Holz et al., NDSS'08 measured the pattern as
+    * high distinct-IP counts across many /24s plus heavy infrastructure
+    * sharing between fluxed names): per name the distinct-address
+    * volume (`n_ips`), its /24 spread (`n_subnets24` — a CDN resolves
+    * to many IPs in FEW subnets; flux scatters across networks), and
+    * `max_names_on_shared_ip` (the busiest co-tenant count over the
+    * name's addresses — flux networks recycle the same compromised
+    * hosts across campaigns). Thresholds are caller policy; the exact
+    * signals are the engine's job.
+    *
+    * Scale shape: ONE distinct over (name, ip) incidences (map-side
+    * combinable), a map-side per-ip name count, then the incidence
+    * frame joins that ip-sized count CO-LOCATED on the ip key (one
+    * shuffle each side, AQE broadcasts the count side when it fits)
+    * and folds per name — names are never paired with names, so a
+    * million-name flux campaign costs incidence-sized work, not a
+    * quadratic blowup. */
+  def fastFluxSignals(df: DataFrame, nameCol: String,
+      ipCol: String): DataFrame = {
+    val inc = df.select(col(nameCol).as("name"), col(ipCol).as("ip"))
+      .distinct()
+    val perIp = inc.groupBy(col("ip"))
+      .agg(count(lit(1)).as("_names_on_ip"))
+    inc.join(perIp, "ip")
+      .groupBy(col("name"))
+      .agg(
+        count(lit(1)).as("n_ips"),
+        countDistinct(substring_index(col("ip"), ".", 3))
+          .as("n_subnets24"),
+        max(col("_names_on_ip")).as("max_names_on_shared_ip"))
+  }
+
+  /** Confusable-skeleton fold for lookalike detection — the
+    * single-character leet/homoglyph map every IDN-spoof checker
+    * starts from (Unicode TR39's "skeleton" idea restricted to the
+    * ASCII confusables that survive DNS's hostname charset): lowercase,
+    * then `0→o 1→l 3→e 4→a 5→s 7→t 8→b` and hyphens DELETED — so
+    * `PayPa1`, `paypa1` and `pay-pal` all fold to `paypal`. One
+    * `translate` (codegen'd, zero allocation beyond the result); the
+    * map is deliberately single-char-to-single-char so the DuckDB
+    * oracle replays it with the same translate call, byte for byte. */
+  def confusableSkeleton(c: Column): Column =
+    translate(lower(c), "0134578-", "oleastb")
+
+  /** Brand-lookalike label detection — the phishing-hunting query a
+    * passive-DNS user runs against a NOD feed (a never-seen name whose
+    * label FOLDS to a protected brand but ISN'T it is the classic
+    * typosquat/leetsquat registration): every dot-separated label of
+    * every name whose [[confusableSkeleton]] equals a brand's skeleton
+    * while the raw lowercased label differs from the brand comes back
+    * as `(name, label, brand)` — exact label matches are the brand
+    * itself and stay out; thresholdless, the JOIN is the detector.
+    *
+    * Scale shape: labels explode narrow (≤ name-label fan-out), the
+    * brand list folds to skeletons and BROADCASTS (brand lists are
+    * thousands, never data-sized), and the equi-join runs on the
+    * skeleton key — zero data-sized shuffles, linear in total labels. */
+  def lookalikeNames(names: DataFrame, nameCol: String,
+      brands: DataFrame, brandCol: String): DataFrame = {
+    val labels = names.select(col(nameCol).as("name"),
+        explode(split(col(nameCol), "\\.")).as("label"))
+      .withColumn("_sk", confusableSkeleton(col("label")))
+    val folded = brands
+      .select(lower(col(brandCol)).as("brand"),
+        confusableSkeleton(col(brandCol)).as("_bsk"))
+      .distinct()
+    labels.join(broadcast(folded), col("_sk") === col("_bsk"))
+      .filter(lower(col("label")) =!= col("brand"))
+      .select(col("name"), col("label"), col("brand"))
   }
 }

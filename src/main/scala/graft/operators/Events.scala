@@ -896,4 +896,56 @@ object Events {
       .agg(sum(weight).as("decayed_weight"),
         count(lit(1)).as("n_events"))
   }
+
+  /** Beaconing (C2 heartbeat) signals per key — the hunting analytic
+    * the tunnel/fast-flux detectors' cousin runs on TIMING instead of
+    * names (malware phoning home fires on a timer, so its
+    * inter-arrival deltas collapse onto ONE value; organic human
+    * traffic scatters): per key the count of events, of inter-arrival
+    * deltas, the MODE delta with its multiplicity, `mode_permille`
+    * (share of intervals exactly at the mode — a beacon sits near
+    * 1000; thresholds and jitter-bucketing are caller policy, callers
+    * wanting jitter tolerance pre-quantize the timestamp column), and
+    * the active span in the same time unit.
+    *
+    * Determinism: events order by (ts, tie), so equal timestamps
+    * cannot flap the deltas; the mode ties break to the SMALLEST
+    * delta. Keys with one event have no intervals and report the mode
+    * columns NULL out loud.
+    *
+    * Scale shape: one shuffle on the key for the lag window (the
+    * within-partition sort is window-exec's, node-local and
+    * spillable), then two map-side-combined folds — (key, delta)
+    * counts, then the per-key argmax via a KEY-partitioned
+    * row_number; nothing is ever single-partition. */
+  def beaconingSignals(df: DataFrame, keyCols: Seq[String],
+      tsCol: String, tieCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val keys = keyCols.map(col)
+    val lagW = Window.partitionBy(keys: _*)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val deltas = df
+      .withColumn("_d", col(tsCol) - lag(col(tsCol), 1).over(lagW))
+    val perKey = deltas.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_events"),
+        (max(col(tsCol)) - min(col(tsCol))).as("span"))
+    val modes = deltas.filter(col("_d").isNotNull)
+      .groupBy(keys :+ col("_d"): _*)
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(keys: _*)
+          .orderBy(col("_c").desc, col("_d").asc)))
+      .filter(col("_r") === 1)
+      .select(keys ++ Seq(col("_d").as("mode_delta"),
+        col("_c").as("mode_count")): _*)
+    perKey.join(modes, keyCols, "left")
+      .select(keys ++ Seq(
+        col("n_events"),
+        (col("n_events") - 1L).as("n_intervals"),
+        col("mode_delta"), col("mode_count"),
+        when(col("n_events") > 1L,
+          expr("mode_count * 1000 div (n_events - 1)"))
+          .as("mode_permille"),
+        col("span")): _*)
+  }
 }

@@ -669,7 +669,12 @@ object Graphs {
     * word2vec on exactly these (center, context) pairs): for every
     * walk sequence, each ordered pair of nodes within `window` steps
     * of each other counts once. Symmetric by construction (both
-    * directions emit), diagonal excluded.
+    * directions emit). Only SAME-POSITION pairing is excluded (offset
+    * 0): a walk that backtracks (1→2→1, routine on an undirected
+    * graph) legitimately emits node_a == node_b at distance 2 —
+    * exactly as word2vec emits (w, w) for a word repeated within a
+    * text window. Filter `node_a =!= node_b` downstream if a trainer
+    * wants the diagonal gone.
     *
     * Scale shape: each walk row fans out to ≤ 2·window context
     * PROBES (an explode of step offsets — never a self-join on an
@@ -766,31 +771,46 @@ object Graphs {
     * start itself; the per-walk sequence is the training sentence. */
   def randomWalks(edges0: DataFrame, srcCol: String, dstCol: String,
       walksPerNode: Int, steps: Int, directed: Boolean = false,
-      checkpointDir: Option[String] = None): DataFrame =
+      checkpointDir: Option[String] = None,
+      maxDegree: Int = 1 << 20): DataFrame =
     pinnedLoop(edges0.sparkSession,
       edges0.sparkSession.sessionState.conf.numShufflePartitions) {
       randomWalksBody(edges0, srcCol, dstCol, walksPerNode, steps,
-        directed, checkpointDir)
+        directed, checkpointDir, maxDegree)
     }
 
   private def randomWalksBody(edges0: DataFrame, srcCol: String,
       dstCol: String, walksPerNode: Int, steps: Int, directed: Boolean,
-      checkpointDir: Option[String]): DataFrame = {
+      checkpointDir: Option[String], maxDegree: Int): DataFrame = {
     require(walksPerNode >= 1,
       s"walksPerNode must be >= 1, got $walksPerNode")
     require(steps >= 1, s"steps must be >= 1, got $steps")
+    require(maxDegree >= 1, s"maxDegree must be >= 1, got $maxDegree")
     checkpointDir.foreach(edges0.sparkSession.sparkContext.setCheckpointDir)
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true)
       else df.localCheckpoint(true)
     val adj = pinnedAdjacency(edges0, srcCol, dstCol, directed, cut)
+    // Hub cap, ENFORCED (was prose): a node keeps at most `maxDegree`
+    // neighbors — the deterministic hash-ranked sample (row_number over
+    // md5(src:dst), dst breaking exact-collision ties), so one
+    // celebrity node cannot silently materialize a multi-GB array row
+    // below. The window shuffles by src — the SAME key the collect_list
+    // groupBy needs, so Spark reuses the exchange and the cap costs one
+    // in-partition sort, not an extra shuffle. Walks on graphs under
+    // the cap (every gate fixture) are bit-identical with or without it.
+    val capped = adj
+      .withColumn("_r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+          .orderBy(md5(concat_ws(":", col("src"), col("dst"))),
+            col("dst"))))
+      .filter(col("_r") <= maxDegree).drop("_r")
     // neighbor ARRAYS, built once: the per-step argmin then runs inside
     // one row (transform + array_min) instead of a fan-out join + a
     // (start, walk) combine — a walker at a degree-d node costs O(d)
-    // compute in its own task, not d shuffled rows. The trade: a
-    // pathological hub's entire neighbor list lives in one array row
-    // (fine to ~10⁶ neighbors; beyond that, pre-cap the graph).
-    val adjList = cut(adj.groupBy(col("src"))
+    // compute in its own task, not d shuffled rows. The hub trade is
+    // bounded by the cap above.
+    val adjList = cut(capped.groupBy(col("src"))
       .agg(collect_list(col("dst")).as("_nbrs")))
     val starts = cut(adj.select(col("src").as("node"))
       .union(adj.select(col("dst").as("node"))).distinct()

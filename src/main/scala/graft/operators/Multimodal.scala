@@ -909,12 +909,16 @@ object Multimodal {
       case "MM" => false
       case _ => return None
     }
+    // o < 0 guard in BOTH: a corrupt offset ≥ 2^31 wraps negative via
+    // .toInt at the call sites, and "negative + 2 > length" is false —
+    // without the guard t(o) throws AIOOBE instead of honoring the
+    // structural-violation-returns-None contract
     def u16(o: Int): Int =
-      if (o + 2 > t.length) -1
+      if (o < 0 || o + 2 > t.length) -1
       else if (little) (t(o) & 0xff) | ((t(o + 1) & 0xff) << 8)
       else ((t(o) & 0xff) << 8) | (t(o + 1) & 0xff)
     def u32(o: Int): Long =
-      if (o + 4 > t.length) -1L
+      if (o < 0 || o + 4 > t.length) -1L
       else if (little) (0 to 3).map(i => (t(o + i) & 0xffL) << (8 * i)).sum
       else (0 to 3).map(i => (t(o + i) & 0xffL) << (8 * (3 - i))).sum
     if (u16(2) != 42) return None
@@ -926,6 +930,10 @@ object Multimodal {
       Some(raw.stripSuffix(" "))
     }
     def walk(ifdOff: Long): Option[(Int, Map[Int, (Int, Long, Long)])] = {
+      // Long-range check BEFORE .toInt: a sub-IFD pointer ≥ 2^31 (seen
+      // in real malformed EXIF) must reject as a structural violation,
+      // not wrap negative into the entry reads below
+      if (ifdOff < 0 || ifdOff + 2 > t.length) return None
       val n = u16(ifdOff.toInt)
       if (n < 0 || ifdOff + 2 + n * 12 + 4 > t.length) return None
       val entries = (0 until n).map { i =>

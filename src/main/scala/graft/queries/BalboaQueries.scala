@@ -308,7 +308,51 @@ object BalboaQueries {
     "dns_tunnel" -> ((s, dir) =>
       graft.operators.DnsAnalytics.tunnelAggregates(
         dottedNames(s, dir), "name", "count")),
+
+    // Hunting extension: fast-flux signals per name over the IP-shaped
+    // observation stream — distinct-address volume, /24 spread, and
+    // the busiest co-tenant count; names never paired with names.
+    "dns_fastflux" -> ((s, dir) =>
+      graft.operators.DnsAnalytics.fastFluxSignals(
+        Graft.ipObservations(s, dir), "rrname", "rdata")),
+
+    // Prefix-preserving IPv4 anonymization (Crypto-PAn at octet
+    // granularity): per-octet md5-keyed XOR masks — shared raw
+    // prefixes stay shared, everything else scrambles; narrow map.
+    "ip_anon" -> ((s, dir) =>
+      Graft.ipObservations(s, dir).select(col("rdata").as("ip"))
+        .distinct()
+        .select(col("ip"),
+          Net.anonymizeIpv4(col("ip"), "graft").as("anon_ip"))),
+
+    // Hunting extension: brand-lookalike labels via the confusable
+    // skeleton — leetsquat registrations (paypa1, g00gle, 4m4zon) fold
+    // onto their brand while the raw label differs; the minting picks a
+    // brand by orderkey and a substitution by orderkey mod 3 (a
+    // substitution with no target letter leaves the brand intact and
+    // must be self-excluded by the raw-mismatch filter).
+    "dns_lookalike" -> ((s, dir) => {
+      val k = col("rdata").cast("long")
+      val brand = element_at(
+        array(lookalikeBrands.map(lit): _*), (k % 5 + 1).cast("int"))
+      val label = when(k % 4 === 0,
+          when(k % 3 === 0, regexp_replace(brand, "l", "1"))
+            .otherwise(when(k % 3 === 1, regexp_replace(brand, "o", "0"))
+              .otherwise(regexp_replace(brand, "a", "4"))))
+        .otherwise(col("rrname"))
+      val names = Graft.observations(s, dir)
+        .select(concat(label, lit(".zone"), col("sensor_id"),
+          lit(".com")).as("name"))
+        .distinct()
+      import s.implicits._
+      graft.operators.DnsAnalytics.lookalikeNames(
+        names, "name", lookalikeBrands.toDF("brand"), "brand")
+    }),
   )
+
+  /** The protected-brand fixture for the dns_lookalike gate. */
+  private val lookalikeBrands =
+    Seq("paypal", "google", "amazon", "netflix", "office")
 
   /** The dotted-name fixture shared by the dns_labels / dns_tunnel
     * gates: even orderkeys become hex-subdomain tunnel traffic, odd
@@ -396,6 +440,97 @@ object BalboaQueries {
          |    AS uniq_permille
          |FROM o GROUP BY 1
          |""".stripMargin,
+
+    // Same per-octet mask bytes (first md5 hex byte via the strpos
+    // idiom), same secret, xor() per octet.
+    "ip_anon" -> {
+      def mb(x: String): String =
+        s"((strpos('0123456789abcdef', md5($x)[1]) - 1) * 16 + " +
+          s"(strpos('0123456789abcdef', md5($x)[2]) - 1))"
+      """WITH ips AS (
+        |  SELECT DISTINCT
+        |    '10.' || CAST((l_orderkey // 65536) % 256 AS VARCHAR) ||
+        |    '.'   || CAST((l_orderkey // 256)   % 256 AS VARCHAR) ||
+        |    '.'   || CAST(l_orderkey % 256          AS VARCHAR) AS ip
+        |  FROM lineitem),
+        |o AS (SELECT ip, string_split(ip, '.') AS p FROM ips),
+        |m AS (SELECT ip,
+        |  CAST(p[1] AS BIGINT) AS o1, CAST(p[2] AS BIGINT) AS o2,
+        |  CAST(p[3] AS BIGINT) AS o3, CAST(p[4] AS BIGINT) AS o4,
+        |  'graft:' AS q1,
+        |  'graft:' || p[1] AS q2,
+        |  'graft:' || p[1] || '.' || p[2] AS q3,
+        |  'graft:' || p[1] || '.' || p[2] || '.' || p[3] AS q4
+        |FROM o)
+        |SELECT ip,
+        |  CAST(xor(o1, MB1) AS VARCHAR) || '.' ||
+        |  CAST(xor(o2, MB2) AS VARCHAR) || '.' ||
+        |  CAST(xor(o3, MB3) AS VARCHAR) || '.' ||
+        |  CAST(xor(o4, MB4) AS VARCHAR) AS anon_ip
+        |FROM m
+        |""".stripMargin
+        .replace("MB1", mb("q1")).replace("MB2", mb("q2"))
+        .replace("MB3", mb("q3")).replace("MB4", mb("q4"))
+    },
+
+    // Distinct (name, ip) incidences, per-ip co-tenant counts joined
+    // back on the ip key, folded per name — /24 spread via the
+    // 3-octet prefix.
+    "dns_fastflux" ->
+      """WITH inc AS (
+        |  SELECT DISTINCT
+        |    'part-' || CAST(l_partkey AS VARCHAR) AS name,
+        |    '10.' || CAST((l_orderkey // 65536) % 256 AS VARCHAR) ||
+        |    '.'   || CAST((l_orderkey // 256)   % 256 AS VARCHAR) ||
+        |    '.'   || CAST(l_orderkey % 256          AS VARCHAR) AS ip
+        |  FROM lineitem),
+        |per_ip AS (
+        |  SELECT ip, CAST(COUNT(*) AS BIGINT) AS names_on_ip
+        |  FROM inc GROUP BY 1)
+        |SELECT inc.name,
+        |  CAST(COUNT(*) AS BIGINT) AS n_ips,
+        |  CAST(COUNT(DISTINCT array_to_string(
+        |    list_slice(string_split(inc.ip, '.'), 1, 3), '.'))
+        |    AS BIGINT) AS n_subnets24,
+        |  CAST(MAX(per_ip.names_on_ip) AS BIGINT)
+        |    AS max_names_on_shared_ip
+        |FROM inc JOIN per_ip ON inc.ip = per_ip.ip
+        |GROUP BY 1
+        |""".stripMargin,
+
+    // The same minting (brand by orderkey mod 5, substitution by mod
+    // 3), then the skeleton fold (translate: leet map + hyphen delete)
+    // joins labels to brands and the raw-mismatch filter drops the
+    // substitutions that had no target letter.
+    "dns_lookalike" ->
+      """WITH src AS (
+        |  SELECT *, list_extract(
+        |      ['paypal','google','amazon','netflix','office'],
+        |      CAST(l_orderkey % 5 + 1 AS INT)) AS br
+        |  FROM lineitem),
+        |o AS (
+        |  SELECT (CASE WHEN l_orderkey % 4 = 0 THEN
+        |            CASE WHEN l_orderkey % 3 = 0 THEN replace(br, 'l', '1')
+        |                 WHEN l_orderkey % 3 = 1 THEN replace(br, 'o', '0')
+        |                 ELSE replace(br, 'a', '4') END
+        |          ELSE 'part-' || CAST(l_partkey AS VARCHAR) END) ||
+        |         '.zone' || CAST(l_suppkey % 10 AS VARCHAR) || '.com'
+        |           AS name
+        |  FROM src),
+        |n AS (SELECT DISTINCT name FROM o),
+        |l AS (SELECT name, unnest(string_split(name, '.')) AS label
+        |      FROM n),
+        |sk AS (SELECT name, label,
+        |         translate(lower(label), '0134578-', 'oleastb') AS s
+        |       FROM l),
+        |bs AS (SELECT DISTINCT lower(brand) AS brand,
+        |         translate(lower(brand), '0134578-', 'oleastb') AS bsk
+        |       FROM (SELECT unnest(
+        |         ['paypal','google','amazon','netflix','office']) AS brand))
+        |SELECT sk.name, sk.label, bs.brand
+        |FROM sk JOIN bs ON sk.s = bs.bsk
+        |WHERE lower(sk.label) <> bs.brand
+        |""".stripMargin,
 
     "kmv_distinct" ->
       s"""WITH v AS (

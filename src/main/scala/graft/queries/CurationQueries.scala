@@ -254,6 +254,16 @@ object CurationQueries {
       Curation.profileTable(docs(s, dir),
         Seq("doc_id", "text", "lang", "source", "n_chars"))),
 
+    // Pairwise association rules over order baskets (item = partkey
+    // mod 40 so pairs repeat): support/confidence/lift in exact
+    // permille, baskets co-locate the pair join, lift in DECIMAL(38).
+    "assoc_rules" -> ((s, dir) =>
+      Curation.associationRules(
+        Graft.table(s, dir, "lineitem").select(
+          col("l_orderkey").as("basket"),
+          (col("l_partkey") % 40L).as("item")),
+        "basket", "item", maxBasketSize = 100, minPairCount = 10L)),
+
     // Exact heavy hitters (tokens with frequency > n/32): per-partition
     // Misra–Gries candidates + exact verify — the shuffle carries only
     // candidates, never the vocabulary; the threshold applies to exact
@@ -999,6 +1009,34 @@ object CurationQueries {
         |            // (MAX(n_tokens) * COUNT(*)) AS BIGINT)
         |         AS pad_overhead_permille
         |FROM b GROUP BY 1, 2
+        |""".stripMargin,
+
+    // Same distinct incidences, basket-size keep, co-located pair
+    // join, marginal joins; lift's cross-multiplication in HUGEINT.
+    "assoc_rules" ->
+      """WITH inc AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey % 40 AS it
+        |  FROM lineitem),
+        |keep AS (SELECT bk FROM (SELECT bk, COUNT(*) AS c FROM inc
+        |                         GROUP BY 1) WHERE c <= 100),
+        |k AS (SELECT inc.bk, inc.it FROM inc JOIN keep USING (bk)),
+        |nb AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS n FROM k),
+        |ic AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS ci
+        |       FROM k GROUP BY 1),
+        |p AS (SELECT x.it AS a, y.it AS b, CAST(COUNT(*) AS BIGINT)
+        |        AS n_ab
+        |      FROM k x JOIN k y ON x.bk = y.bk AND x.it <> y.it
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 10)
+        |SELECT p.a, p.b, ia.ci AS n_a, ib.ci AS n_b, p.n_ab,
+        |  CAST(p.n_ab * 1000 // nb.n AS BIGINT) AS support_permille,
+        |  CAST(p.n_ab * 1000 // ia.ci AS BIGINT) AS confidence_permille,
+        |  CAST(CAST(p.n_ab AS HUGEINT) * nb.n * 1000
+        |       // (CAST(ia.ci AS HUGEINT) * ib.ci) AS BIGINT)
+        |    AS lift_permille
+        |FROM p
+        |JOIN ic ia ON p.a = ia.it
+        |JOIN ic ib ON p.b = ib.it
+        |CROSS JOIN nb
         |""".stripMargin,
 
     "profile_table" ->

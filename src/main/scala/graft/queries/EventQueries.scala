@@ -177,6 +177,15 @@ object EventQueries {
         .select(micros(col("cohort")).as("cohort"), col("week_offset"),
           col("n_users"))),
 
+    // Beaconing (C2 heartbeat) signals per (user, type): inter-arrival
+    // deltas in micros, the mode delta with multiplicity and its share
+    // of all intervals — a timer fires at mode_permille near 1000.
+    "events_beaconing" -> ((s, dir) =>
+      Events.beaconingSignals(
+        events(s, dir).select(col("user_id"), col("event_type"),
+          micros(col("ts")).as("t"), col("event_id")),
+        Seq("user_id", "event_type"), "t", "event_id")),
+
     // Gap-based sessions (30 min) per user.
     "events_sessions" -> ((s, dir) =>
       Events.sessionize(events(s, dir), "user_id", "ts", "event_id")
@@ -1405,6 +1414,41 @@ object EventQueries {
         |FROM iv a JOIN iv b
         |  ON a.user_id = b.user_id AND a.id < b.id
         | AND a.s <= b.e AND b.s <= a.e
+        |""".stripMargin,
+
+    // Same lag-delta frame, mode by count-desc-then-smallest-delta
+    // (QUALIFY row_number), share via integer //.
+    "events_beaconing" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, event_type, t,
+        |         t - lag(t) OVER (PARTITION BY user_id, event_type
+        |                          ORDER BY t, event_id) AS dl
+        |  FROM e),
+        |pk AS (
+        |  SELECT user_id, event_type,
+        |         CAST(COUNT(*) AS BIGINT) AS n_events,
+        |         CAST(MAX(t) - MIN(t) AS BIGINT) AS span
+        |  FROM d GROUP BY 1, 2),
+        |md AS (
+        |  SELECT user_id, event_type, dl AS mode_delta,
+        |         CAST(COUNT(*) AS BIGINT) AS mode_count
+        |  FROM d WHERE dl IS NOT NULL
+        |  GROUP BY 1, 2, 3
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY user_id, event_type
+        |    ORDER BY COUNT(*) DESC, dl ASC) = 1)
+        |SELECT pk.user_id, pk.event_type, pk.n_events,
+        |  CAST(pk.n_events - 1 AS BIGINT) AS n_intervals,
+        |  CAST(md.mode_delta AS BIGINT) AS mode_delta, md.mode_count,
+        |  CASE WHEN pk.n_events > 1 THEN
+        |    CAST(md.mode_count * 1000 // (pk.n_events - 1) AS BIGINT) END
+        |    AS mode_permille,
+        |  pk.span
+        |FROM pk LEFT JOIN md
+        |  ON pk.user_id = md.user_id AND pk.event_type = md.event_type
         |""".stripMargin,
 
     "event_transitions" ->

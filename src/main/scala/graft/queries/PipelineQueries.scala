@@ -22,6 +22,17 @@ object PipelineQueries {
     Graft.table(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
 
+  /** The deterministic scored-label fixture for the calibration gates:
+    * score = event_id·37 mod 1001 (permille), label click→1, view→0,
+    * purchase→2 (counted out loud as non-binary), other types → null
+    * (dropped). */
+  private def scoredEvents(s: SparkSession, dir: String): DataFrame =
+    Graft.table(s, dir, "events").select(
+      when(col("event_type") === "click", 1L)
+        .when(col("event_type") === "view", 0L)
+        .when(col("event_type") === "purchase", 2L).as("y"),
+      (col("event_id").cast("long") * 37L % 1001L).as("score"))
+
   /** The synthesized page the anchor gates parse: a relative link with a
     * varying label, a domain link whose label depends on doc parity (the
     * aggregation's majority signal), and a fragment link. */
@@ -188,6 +199,36 @@ object PipelineQueries {
     "ann_quantized" -> ((s, dir) =>
       Similarity.quantizedTopK(embs(s, dir), "vec_id", "embedding",
         queryId = 5L, k = 10, rerank = 50)),
+
+    // Matryoshka prefix-dimension recall (Kusupati et al. 2022: MRL
+    // embeddings front-load information, so the first 8 of 32 dims
+    // should already rank most of the true top-10): exact top-10 on
+    // the 8-dim prefix vs the full-dim truth — one deterministic row.
+    "mrl_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val full = Similarity.topK(e, "vec_id", "embedding", 5L, 10)
+        .select(col("id"))
+      val pre = Similarity.topK(
+        e.select(col("vec_id"),
+          slice(col("embedding"), 1, 8).as("embedding")),
+        "vec_id", "embedding", 5L, 10)
+        .select(col("id").as("_pid"))
+      full.join(pre, col("id") === col("_pid"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(10L).as("k"), col("n_overlap"),
+          expr("n_overlap * 1000 div 10").as("recall_permille"))
+    }),
+
+    // k-anonymity generalization ladder over the documents quasi
+    // identifiers: exact n_chars → hecto-bucketed → drop → lang only;
+    // per level the class census and the rows still re-identifiable.
+    "kanon_ladder" -> ((s, dir) =>
+      graft.operators.Curation.kAnonymityLadder(docs(s, dir), Seq(
+        "l0_exact" -> Seq(col("lang"), col("source"), col("n_chars")),
+        "l1_hecto" -> Seq(col("lang"), col("source"),
+          expr("n_chars div 100")),
+        "l2_drop_len" -> Seq(col("lang"), col("source")),
+        "l3_lang" -> Seq(col("lang"))), k = 10L)),
 
     // Recall of the quantized path against the exact top-10 at a
     // deliberately narrow rerank window (12) — one deterministic row.
@@ -592,6 +633,25 @@ object PipelineQueries {
     "vocab_growth" -> ((s, dir) =>
       graft.operators.Curation.vocabGrowth(docs(s, dir), "text",
         "doc_id", bucketSize = 50)),
+
+    // Chao1 vocabulary-richness lower bound from the frequency-of-
+    // frequencies head (singletons/doubletons) — same whitespace
+    // tokenizer as vocab_growth; exact integers, one groupBy + a fold.
+    "vocab_richness" -> ((s, dir) =>
+      graft.operators.Curation.vocabRichness(docs(s, dir), "text")),
+
+    // Calibration reliability bins over a deterministic scored-label
+    // fixture (score = event_id·37 mod 1001 permille; click→1, view→0,
+    // purchase→2 counted out loud, everything else null-dropped) —
+    // per-bin observed-vs-claimed gap, the reliability diagram.
+    "calibration_bins" -> ((s, dir) =>
+      graft.operators.Curation.calibrationBins(
+        scoredEvents(s, dir), "y", "score", nBins = 10)),
+
+    // The one-number ECE fold of the same bins.
+    "calibration_ece" -> ((s, dir) =>
+      graft.operators.Curation.calibrationEce(
+        scoredEvents(s, dir), "y", "score", nBins = 10)),
 
     // Code-vs-prose detection: even doc_ids are wrapped in a rendered
     // code snippet (keywords, indented lines, symbols, a camelCase
@@ -2482,6 +2542,46 @@ object PipelineQueries {
          |FROM ex LEFT JOIN quant q ON ex.id = q.id
          |""".stripMargin,
 
+    // the same scaled vectors sliced to the first 8 dims for the
+    // prefix ranking; overlap against the full-dim truth
+    "mrl_recall" ->
+      s"""WITH $scaledCte,
+         |p AS (SELECT id, list_slice(v, 1, 8) AS v FROM s),
+         |fx AS (
+         |  SELECT s.id FROM s CROSS JOIN
+         |       (SELECT v AS qv FROM s WHERE id = 5) q
+         |  WHERE s.id <> 5
+         |  ORDER BY ${cosSql("s.v", "q.qv")} DESC, s.id ASC
+         |  LIMIT 10),
+         |px AS (
+         |  SELECT p.id FROM p CROSS JOIN
+         |       (SELECT v AS qv FROM p WHERE id = 5) q
+         |  WHERE p.id <> 5
+         |  ORDER BY ${cosSql("p.v", "q.qv")} DESC, p.id ASC
+         |  LIMIT 10)
+         |SELECT CAST(10 AS BIGINT) AS k,
+         |       CAST(COUNT(*) AS BIGINT) AS n_overlap,
+         |       CAST(COUNT(*) * 1000 // 10 AS BIGINT) AS recall_permille
+         |FROM fx JOIN px ON fx.id = px.id
+         |""".stripMargin,
+
+    // one grouped census per ladder level, unioned
+    "kanon_ladder" -> Seq(
+      ("l0_exact", "lang, source, n_chars"),
+      ("l1_hecto", "lang, source, n_chars // 100"),
+      ("l2_drop_len", "lang, source"),
+      ("l3_lang", "lang")).map { case (name, keys) =>
+      s"""SELECT '$name' AS level,
+         |  CAST(COALESCE(SUM(gs), 0) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+         |  CAST(MIN(gs) AS BIGINT) AS min_class_size,
+         |  CAST(COALESCE(SUM(CASE WHEN gs < 10 THEN gs ELSE 0 END), 0)
+         |    AS BIGINT) AS n_rows_below_k,
+         |  CAST(10 AS BIGINT) AS k
+         |FROM (SELECT COUNT(*) AS gs FROM documents GROUP BY $keys)
+         |""".stripMargin
+    }.mkString(" UNION ALL "),
+
     // identical semantics through the persisted cluster-partitioned
     // index — same oracle by design
     "ann_ivf_index" -> ivfOracleSql,
@@ -4121,6 +4221,89 @@ object PipelineQueries {
         |  trim(regexp_replace(t, '\s+', ' ', 'g')) AS md_plain,
         |  n_code_blocks, n_code_spans, n_images, n_links, n_headers
         |FROM s6
+        |""".stripMargin,
+
+    // Same frequency-of-frequencies head; chao1's integer div in
+    // HUGEINT mirrors the engine's DECIMAL(38).
+    "vocab_richness" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM t WHERE len(tok) > 0 GROUP BY 1),
+        |a AS (SELECT
+        |    CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    CAST(COALESCE(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS f1,
+        |    CAST(COALESCE(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS f2
+        |  FROM c)
+        |SELECT n_tokens, n_types, f1, f2,
+        |  CAST(n_types + CAST(f1 AS HUGEINT) * (f1 - 1)
+        |       // (2 * (f2 + 1)) AS BIGINT) AS chao1
+        |FROM a
+        |""".stripMargin,
+
+    // Same minted scores/labels, same bin rule (clamp then
+    // least(s·nBins div 1000, nBins−1)), same aucEval label hygiene.
+    "calibration_bins" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN event_type = 'click' THEN 1
+        |              WHEN event_type = 'view' THEN 0
+        |              WHEN event_type = 'purchase' THEN 2 END AS y,
+        |         (event_id * 37) % 1001 AS s
+        |  FROM events),
+        |f AS (SELECT y, GREATEST(0, LEAST(1000, s)) AS sc
+        |      FROM b WHERE y IS NOT NULL AND s IS NOT NULL),
+        |k AS (SELECT y, sc, LEAST(sc * 10 // 1000, 9) AS bin,
+        |             CASE WHEN y IN (0, 1) THEN 0 ELSE 1 END AS bad
+        |      FROM f),
+        |g AS (SELECT bin,
+        |        CAST(SUM(1 - bad) AS BIGINT) AS n,
+        |        CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_pos,
+        |        CAST(SUM(bad) AS BIGINT) AS n_excluded,
+        |        CAST(SUM(CASE WHEN bad = 0 THEN sc ELSE 0 END) AS BIGINT)
+        |          AS sum_sc
+        |      FROM k GROUP BY 1)
+        |SELECT CAST(bin AS BIGINT) AS bin, n, n_pos, n_excluded,
+        |  CASE WHEN n > 0 THEN CAST(sum_sc // n AS BIGINT) END
+        |    AS mean_score_permille,
+        |  CASE WHEN n > 0 THEN CAST(n_pos * 1000 // n AS BIGINT) END
+        |    AS pos_permille,
+        |  CASE WHEN n > 0 THEN CAST(abs(n_pos * 1000 // n - sum_sc // n)
+        |    AS BIGINT) END AS gap_permille
+        |FROM g
+        |""".stripMargin,
+
+    // The population-weighted fold of the same bins.
+    "calibration_ece" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN event_type = 'click' THEN 1
+        |              WHEN event_type = 'view' THEN 0
+        |              WHEN event_type = 'purchase' THEN 2 END AS y,
+        |         (event_id * 37) % 1001 AS s
+        |  FROM events),
+        |f AS (SELECT y, GREATEST(0, LEAST(1000, s)) AS sc
+        |      FROM b WHERE y IS NOT NULL AND s IS NOT NULL),
+        |k AS (SELECT y, sc, LEAST(sc * 10 // 1000, 9) AS bin,
+        |             CASE WHEN y IN (0, 1) THEN 0 ELSE 1 END AS bad
+        |      FROM f),
+        |g AS (SELECT bin,
+        |        CAST(SUM(1 - bad) AS BIGINT) AS n,
+        |        CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_pos,
+        |        CAST(SUM(bad) AS BIGINT) AS n_excluded,
+        |        CAST(SUM(CASE WHEN bad = 0 THEN sc ELSE 0 END) AS BIGINT)
+        |          AS sum_sc
+        |      FROM k GROUP BY 1)
+        |SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n,
+        |  CAST(COALESCE(SUM(n_excluded), 0) AS BIGINT) AS n_excluded,
+        |  CASE WHEN SUM(n) > 0 THEN
+        |    CAST(SUM(CASE WHEN n > 0 THEN
+        |        n * abs(n_pos * 1000 // n - sum_sc // n) END)
+        |      // SUM(n) AS BIGINT) END AS ece_permille
+        |FROM g
         |""".stripMargin,
 
     // The same tie-group formulation: per score, positives/negatives,

@@ -44,6 +44,15 @@ class ContractSpec extends AnyFunSuite {
     assert(claims.head == SparkEntry.queries.size,
       s"README claims ${claims.head} gates; SparkEntry.queries has " +
         s"${SparkEntry.queries.size} — update the README tally line")
+    // the Driver-contract section phrases the same number differently
+    // ("N oracle-checked queries") — r15 shipped it 19 stale because
+    // only the first phrasing was asserted; cover every phrasing that
+    // states the tally
+    val claims2 = "(\\d+) oracle-checked queries".r
+      .findAllMatchIn(readme).map(_.group(1).toInt).toList
+    assert(claims2.nonEmpty && claims2.forall(_ == SparkEntry.queries.size),
+      s"README 'oracle-checked queries' claims $claims2; " +
+        s"SparkEntry.queries has ${SparkEntry.queries.size}")
   }
 
   test("flagship entry returns rows on sf0.001 (driver smoke check)") {

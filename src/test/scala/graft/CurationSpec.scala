@@ -1347,4 +1347,59 @@ class CurationSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Curation.exactQuantiles(df, "v", "id", Seq(50, 50)))
   }
+
+  test("kAnonymityLadder: per-level census, below-k row mass") {
+    val df = Seq(
+      ("en", "a", 1L), ("en", "a", 1L), ("en", "a", 2L),
+      ("en", "b", 9L),
+      ("fr", "a", 5L)).toDF("lang", "source", "n")
+    val out = Curation.kAnonymityLadder(df, Seq(
+        "exact" -> Seq(col("lang"), col("source"), col("n")),
+        "langonly" -> Seq(col("lang"))), k = 2L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // exact: classes sized 2,1,1,1 → 3 rows re-identifiable at k=2
+    assert(out("exact") == ((5L, 4L, 1L, 3L, 2L)))
+    // lang only: en=4, fr=1 → only fr's single row below k
+    assert(out("langonly") == ((5L, 2L, 1L, 1L, 2L)))
+    intercept[IllegalArgumentException](
+      Curation.kAnonymityLadder(df, Seq(), 2L))
+    intercept[IllegalArgumentException](
+      Curation.kAnonymityLadder(df, Seq(
+        "a" -> Seq(col("lang")), "a" -> Seq(col("source"))), 2L))
+    intercept[IllegalArgumentException](
+      Curation.kAnonymityLadder(df, Seq("a" -> Seq()), 2L))
+  }
+
+  test("associationRules: hand-checked ratios, basket cap, prune") {
+    // baskets: 1{x,y,z} 2{x,y} 3{x,z} 4{y} 5{w}; basket 6 has 4 items
+    // (over the cap of 3) and is dropped ENTIRELY — without the drop
+    // (x,y) would count 3, so the n_ab assertion proves it
+    val df = (Seq(
+      (1L, "x"), (1L, "y"), (1L, "z"),
+      (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z"),
+      (4L, "y"), (4L, "y"), // duplicate incidence collapses
+      (5L, "w"),
+      (6L, "x"), (6L, "y"), (6L, "c"), (6L, "d"))).toDF("b", "i")
+    val out = Curation.associationRules(df, "b", "i",
+        maxBasketSize = 3, minPairCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))).toMap
+    // 5 surviving baskets; x in 3, y in 3, z in 2
+    // (x,y): n_ab=2 → support 400‰, conf 666‰, lift 2·5·1000/(3·3)=1111
+    assert(out(("x", "y")) == ((3L, 3L, 2L, 400L, 666L, 1111L)))
+    assert(out(("y", "x")) == ((3L, 3L, 2L, 400L, 666L, 1111L)))
+    // (x,z): lift 2·5·1000/(3·2)=1666; (z,x) conf 2·1000/2=1000
+    assert(out(("x", "z")) == ((3L, 2L, 2L, 400L, 666L, 1666L)))
+    assert(out(("z", "x")) == ((2L, 3L, 2L, 400L, 1000L, 1666L)))
+    // (y,z) count 1 < minPairCount → pruned
+    assert(out.size == 4)
+    intercept[IllegalArgumentException](
+      Curation.associationRules(df, "b", "i", maxBasketSize = 1))
+    intercept[IllegalArgumentException](
+      Curation.associationRules(df, "b", "i", minPairCount = 0L))
+  }
 }

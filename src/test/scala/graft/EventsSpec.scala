@@ -505,6 +505,39 @@ class EventsSpec extends AnyFunSuite {
       Events.seasonalAnomalies(ev, "k", "t", multiple = 0))
   }
 
+  test("beaconingSignals: mode share, smallest-delta ties, singletons") {
+    import graft.operators.Events
+    val rows = Seq(
+      // beacon: u1/hb every 60, 5 events → 4 intervals all 60
+      ("u1", "hb", 0L, 1L), ("u1", "hb", 60L, 2L), ("u1", "hb", 120L, 3L),
+      ("u1", "hb", 180L, 4L), ("u1", "hb", 240L, 5L),
+      // organic: u2/click deltas 10, 30, 10 → mode 10 ×2 of 3
+      ("u2", "click", 0L, 1L), ("u2", "click", 10L, 2L),
+      ("u2", "click", 40L, 3L), ("u2", "click", 50L, 4L),
+      // singleton: no intervals, mode columns NULL out loud
+      ("u3", "x", 7L, 1L),
+      // tie: deltas 5 and 9 once each → mode = the SMALLER delta
+      ("u4", "y", 0L, 1L), ("u4", "y", 5L, 2L), ("u4", "y", 14L, 3L)
+    ).toDF("u", "t", "ts", "id")
+    val r = Events.beaconingSignals(rows, Seq("u", "t"), "ts", "id")
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    val b = r(("u1", "hb"))
+    assert(b.getLong(2) == 5L && b.getLong(3) == 4L &&
+      b.getLong(4) == 60L && b.getLong(5) == 4L &&
+      b.getLong(6) == 1000L && b.getLong(7) == 240L)
+    val c = r(("u2", "click"))
+    assert(c.getLong(4) == 10L && c.getLong(5) == 2L &&
+      c.getLong(6) == 666L)
+    val s1 = r(("u3", "x"))
+    assert(s1.getLong(2) == 1L && s1.getLong(3) == 0L &&
+      s1.isNullAt(4) && s1.isNullAt(6) && s1.getLong(7) == 0L)
+    val t4 = r(("u4", "y"))
+    assert(t4.getLong(4) == 5L && t4.getLong(5) == 1L &&
+      t4.getLong(6) == 500L)
+    intercept[IllegalArgumentException](
+      Events.beaconingSignals(rows, Seq(), "ts", "id"))
+  }
+
   test("sessionizeDelta: fuse / fresh / pass-through / new-user ≡ rebuild") {
     // gap = 30 min. user 1: old sessions at [0,10m] and [60m,70m]; batch
     // at 80m (fuses into session 2) then 130m (fresh session 3).

@@ -340,5 +340,36 @@ class GraphsSpec extends AnyFunSuite {
       Graphs.randomWalks(g, "src", "dst", walksPerNode = 0, steps = 1))
     intercept[IllegalArgumentException](
       Graphs.randomWalks(g, "src", "dst", walksPerNode = 1, steps = 0))
+
+    // maxDegree hub cap (enforced in r16; was prose): a cap above every
+    // degree is bit-identical to the default, cap 1 keeps exactly one
+    // hash-chosen neighbor per node — walks stay valid, full length
+    // (out-degree 1 ≥ 1, no sinks appear), and deterministic
+    val bigCap = Graphs.randomWalks(g, "src", "dst", walksPerNode = 2,
+        steps = 4, directed = true, maxDegree = 1000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(bigCap == a)
+    def runCapped() = Graphs.randomWalks(g, "src", "dst",
+        walksPerNode = 1, steps = 2, directed = true, maxDegree = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val c = runCapped()
+    assert(c == runCapped())
+    assert(c.size == 3 * 1 * 3)
+    c.foreach { case ((s, w, t), n) =>
+      if (t > 0) assert(adj(c((s, w, t - 1))).contains(n), ((s, w, t), n))
+    }
+    // the cap is per SOURCE node: each node's surviving neighbor is
+    // fixed, so any two walks passing through the same node at any
+    // step must take the same transition
+    val nextOf = c.toSeq.flatMap { case ((s, w, t), n) =>
+      c.get((s, w, t + 1)).map(n -> _)
+    }.groupMap(_._1)(_._2).map { case (k, vs) => k -> vs.distinct }
+    assert(nextOf.values.forall(_.size == 1), nextOf)
+    intercept[IllegalArgumentException](Graphs.randomWalks(g, "src",
+      "dst", walksPerNode = 1, steps = 1, maxDegree = 0))
   }
 }

@@ -483,5 +483,17 @@ class MultimodalSpec extends AnyFunSuite {
     val badMagic = ok.clone; badMagic(8) = 99.toByte
     assert(Multimodal.parseExif(badMagic).isEmpty)
     assert(Multimodal.parseExif(ok.take(20)).isEmpty)
+    // corrupt sub-IFD pointer ≥ 2^31 (the ExifIFDPointer value sits at
+    // payload offset 60 in the little-endian fixture): .toInt wraps
+    // negative, and before the r16 guard that threw
+    // ArrayIndexOutOfBoundsException instead of honoring the
+    // structural-violation-returns-None contract
+    val hugePtr = ok.clone
+    (0 to 3).foreach(i => hugePtr(60 + i) = 0xff.toByte)
+    assert(Multimodal.parseExif(hugePtr).isEmpty)
+    val wrapPtr = ok.clone // 0x80000010 LE — the smallest wrapping class
+    wrapPtr(60) = 0x10.toByte; wrapPtr(61) = 0; wrapPtr(62) = 0
+    wrapPtr(63) = 0x80.toByte
+    assert(Multimodal.parseExif(wrapPtr).isEmpty)
   }
 }

@@ -1195,8 +1195,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(tun("tun1.com") == ((2L, 3L, 19L, 57L, 666L)))
     assert(tun("corp1.com") == ((1L, 2L, 13L, 26L, 500L)))
     assert(tun("") == ((1L, 1L, 0L, 0L, 1000L)))
+    // approxDistinct = true swaps countDistinct for the KMV sketch —
+    // exact below k, so on this fixture the whole output (including
+    // the derived uniq_permille) is identical to the exact path
+    val approx = DnsAnalytics.tunnelAggregates(df, "name", "cnt",
+        approxDistinct = true)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(approx == tun)
     intercept[IllegalArgumentException](
       DnsAnalytics.tunnelAggregates(df, "name", "cnt", parentLabels = 0))
+  }
+
+  test("fastFluxSignals: ip volume, /24 spread, co-tenant max") {
+    import graft.operators.DnsAnalytics
+    val df = Seq(
+      // flux.bad: 3 IPs across 2 /24s; 10.0.0.1 also hosts corp.com
+      ("flux.bad", "10.0.0.1"), ("flux.bad", "10.0.0.2"),
+      ("flux.bad", "10.9.9.9"), ("flux.bad", "10.0.0.1"), // dup incidence
+      ("corp.com", "10.0.0.1"),
+      ("solo.org", "192.168.1.5")).toDF("name", "ip")
+    val r = DnsAnalytics.fastFluxSignals(df, "name", "ip")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r("flux.bad") == ((3L, 2L, 2L))) // 10.0.0.1 shared by 2 names
+    assert(r("corp.com") == ((1L, 1L, 2L)))
+    assert(r("solo.org") == ((1L, 1L, 1L)))
+  }
+
+  test("lookalike: skeleton folds leet + hyphens, self-excluded") {
+    import graft.operators.DnsAnalytics
+    val names = Seq("paypa1.evil.com", "g00gle.x.net", "pay-pal.z.org",
+      "paypal.com", "amaz0n.shop", "unrelated.site")
+      .toDF("name")
+    val brands = Seq("PayPal", "google", "amazon").toDF("brand")
+    val hits = DnsAnalytics.lookalikeNames(names, "name", brands, "brand")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(hits == Set(
+      ("paypa1.evil.com", "paypa1", "paypal"),
+      ("g00gle.x.net", "g00gle", "google"),
+      ("pay-pal.z.org", "pay-pal", "paypal"),
+      ("amaz0n.shop", "amaz0n", "amazon")))
+    // "paypal.com" label == brand → self-excluded, NOT a lookalike
+    assert(!hits.exists(_._1 == "paypal.com"))
   }
 
   test("newlyObserved: name-grain min, window filter, day bucket") {
@@ -1349,6 +1392,61 @@ class PipelineSpec extends AnyFunSuite {
     // non-binary labels counted out loud, not folded
     assert(auc(Seq((1L, 5L), (0L, 1L), (7L, 3L))) ==
       ((1L, 1L, 1L, Some(1000L))))
+    // labels that FAIL the long cast (string "yes") must ALSO land in
+    // n_excluded — before the r16 fix the cast ran inside the null
+    // filter and such rows vanished silently (r15 advice)
+    val sr = Curation.aucEval(
+      Seq(("1", 5L), ("0", 1L), ("yes", 3L)).toDF("y", "s"), "y", "s")
+      .collect().head
+    assert((sr.getLong(0), sr.getLong(1), sr.getLong(2), sr.getLong(3)) ==
+      ((1L, 1L, 1L, 1000L)))
+  }
+
+  test("calibrationBins/Ece: hand-checked bins, hygiene, clamping") {
+    import graft.operators.Curation
+    val rows = Seq(
+      (1L, 950L), (1L, 920L), (0L, 910L), // bin 9: 2/3 pos, mean 926
+      (0L, 50L), (0L, 80L), (1L, 20L),    // bin 0: 1/3 pos, mean 50
+      (7L, 990L),                          // bin 9: non-binary, excluded
+      (1L, 1500L), (0L, -10L)              // clamp → bin 9 / bin 0
+    ).toDF("y", "score")
+    val bins = Curation.calibrationBins(rows, "y", "score")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    // bin 9: binary rows (1,950)(1,920)(0,910)(1,1000-clamped) →
+    // n=4 pos=3 excl=1 mean=(950+920+910+1000)/4=945 pos‰=750 gap=195
+    assert(bins(9L) == ((4L, 3L, 1L, 945L, 750L, 195L)))
+    // bin 0: (0,50)(0,80)(1,20)(0,0-clamped) → n=4 pos=1 mean=37
+    // pos‰=250 gap=213
+    assert(bins(0L) == ((4L, 1L, 0L, 37L, 250L, 213L)))
+    assert(bins.size == 2)
+    // ECE = (4·195 + 4·213) div 8 = 204
+    val e = Curation.calibrationEce(rows, "y", "score").collect().head
+    assert((e.getLong(0), e.getLong(1), e.getLong(2)) == ((8L, 1L, 204L)))
+    // string labels that fail the cast → n_excluded (aucEval stance)
+    val s2 = Curation.calibrationEce(
+      Seq(("yes", 500L), ("1", 500L), ("0", 400L)).toDF("y", "score"),
+      "y", "score").collect().head
+    assert((s2.getLong(0), s2.getLong(1)) == ((2L, 1L)))
+    intercept[IllegalArgumentException](
+      Curation.calibrationBins(rows, "y", "score", nBins = 0))
+  }
+
+  test("vocabRichness: chao1 from hand-built frequency head") {
+    import graft.operators.Curation
+    // tokens: a a a b b c d e → D=5, f1=3 (c,d,e), f2=1 (b), n=8
+    // chao1 = 5 + 3·2 div (2·2) = 5 + 1 = 6
+    val df = Seq("a a a b", "b c", " d  e ").toDF("text")
+    val r = Curation.vocabRichness(df, "text").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((8L, 5L, 3L, 1L, 6L)))
+    // no doubletons: f2=0 → bias-corrected denominator 2·1
+    // tokens: x y → chao1 = 2 + 2·1 div 2 = 3
+    val r2 = Curation.vocabRichness(Seq("x y").toDF("text"), "text")
+      .collect().head
+    assert((r2.getLong(1), r2.getLong(2), r2.getLong(3),
+      r2.getLong(4)) == ((2L, 2L, 0L, 3L)))
   }
 
   test("cdcChunks: boundaries match the replayed predicate, tiling") {

@@ -124,4 +124,35 @@ class SqlFunctionsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Net.lpmJoin(ips, "ip", routes.limit(0), "cidr", "label"))
   }
+
+  test("anonymizeIpv4: prefix preservation, valid octets, malformed") {
+    import graft.functions.Net
+    import org.apache.spark.sql.functions.col
+    val df = Seq("10.1.2.3", "10.1.2.4", "10.1.9.3", "10.200.2.3",
+        "999.1.2.3", "junk")
+      .toDF("ip")
+      .select(col("ip"), Net.anonymizeIpv4(col("ip"), "s3cr3t").as("a"))
+    val m = df.collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    // malformed addresses → NULL, never a half-anonymized string
+    assert(m("999.1.2.3").isEmpty && m("junk").isEmpty)
+    val Seq(a1, a2, a3, a4) =
+      Seq("10.1.2.3", "10.1.2.4", "10.1.9.3", "10.200.2.3")
+        .map(ip => m(ip).get.split("\\.").toSeq)
+    // every anonymized octet is a valid octet (mask is one byte)
+    Seq(a1, a2, a3, a4).flatten.foreach(o =>
+      assert(o.toInt >= 0 && o.toInt <= 255, o))
+    // shared raw k-octet prefix ⇒ shared anonymized k-octet prefix,
+    // and the first diverging octet diverges (same mask, different raw)
+    assert(a1.take(3) == a2.take(3) && a1(3) != a2(3))
+    assert(a1.take(2) == a3.take(2) && a1(2) != a3(2))
+    assert(a1.take(1) == a4.take(1) && a1(1) != a4(1))
+    // the rewrite actually moved the address for this secret
+    assert(a1.mkString(".") != "10.1.2.3")
+    // a different secret gives a different placement
+    val other = Seq("10.1.2.3").toDF("ip")
+      .select(Net.anonymizeIpv4(col("ip"), "other").as("a"))
+      .collect().head.getString(0)
+    assert(other != a1.mkString("."))
+  }
 }
