@@ -139,17 +139,43 @@ object Bench {
     }
   }
 
+  /** Fixed single-thread CPU reference: 2^29 xorshift64 steps, pure
+    * register work — no allocation, no memory traffic, no JIT warmup
+    * sensitivity beyond the first loop iterations. Cross-round gate
+    * times on this machine move ±1.5× with INVISIBLE co-tenancy (r16
+    * measured the same >10 s single-run gates 1.3–1.6× apart in two
+    * back-to-back quiet-box runs with ext_cpu ≈ 0 — hypervisor-level
+    * contention the OS bean cannot see). This constant-work loop costs
+    * ~1 s and moves WITH that contention, so `cal_sec` turns "gate X
+    * got 1.4× slower" into either "the box got 1.4× slower" (cal moved
+    * too) or "the code regressed" (cal flat) — per PHASE, because the
+    * drift happens within one run. */
+  private def cpuCalSec(): Double = {
+    var x = 0x9e3779b97f4a7c15L
+    var i = 0L
+    val n = 1L << 29
+    val t0 = System.nanoTime()
+    while (i < n) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (x == 42L) System.err.println("") // keep the loop live
+    sec
+  }
+
   /** Child-JVM entry: one phase, one `{"phase":...}` line on stdout. */
   private def phaseMain(phase: String,
       frag: (SparkSession, String) => String): Unit = {
     waitForQuiet(phase, sys.env.get("SPARK_GRAFT_QUIET_MAX_MS")
       .flatMap(_.toLongOption).getOrElse(120000L))
+    val cal = cpuCalSec()
     val sampler = new LoadSampler
     val spark = Graft.localSession(s"graft-bench-$phase", "32")
     try {
       val body = frag(spark, sfDir)
       val (extMean, extMax) = sampler.finish()
-      println(s"""{"phase":"$phase","ext_cpu_mean":${fmt(extMean, 3)},"ext_cpu_max":${fmt(extMax, 3)},$body}""")
+      println(s"""{"phase":"$phase","cal_sec":${fmt(cal, 3)},"ext_cpu_mean":${fmt(extMean, 3)},"ext_cpu_max":${fmt(extMax, 3)},$body}""")
     } finally spark.stop()
   }
 
@@ -216,7 +242,14 @@ object Bench {
       def maxOf(key: String): Double =
         if (allPhases.isEmpty) -1.0
         else allPhases.map(p => num(p, key).toDouble).max
-      val extPart = s""""ext_cpu_mean":${fmt(maxOf("ext_cpu_mean"), 3)},"ext_cpu_max":${fmt(maxOf("ext_cpu_max"), 3)}"""
+      // per-phase CPU calibration, surfaced as median + max: a round
+      // whose gate times moved WITH cal moved because the box did
+      val cals = allPhases.map(p => num(p, "cal_sec").toDouble)
+        .filter(_ > 0).sorted
+      val calPart =
+        if (cals.isEmpty) s""""cal_sec_median":-1,"cal_sec_max":-1"""
+        else s""""cal_sec_median":${fmt(cals(cals.size / 2), 3)},"cal_sec_max":${fmt(cals.last, 3)}"""
+      val extPart = s""""ext_cpu_mean":${fmt(maxOf("ext_cpu_mean"), 3)},"ext_cpu_max":${fmt(maxOf("ext_cpu_max"), 3)},$calPart"""
       // splice the slices back into one alphabetical per-query map
       val perQuery: Seq[(String, Double)] = sweeps
         .flatMap(s => "\"([A-Za-z0-9_]+)\":(-?[0-9.]+)".r
@@ -356,18 +389,21 @@ object Bench {
     // caches nothing across actions here); gates that memoize on-disk
     // artifacts do so deliberately (steady-state cost is the claim).
     //
-    // EXCEPT gates whose first run exceeds 10 s (the multi-generation
-    // lifecycle gates — forget_everywhere ~20 s, bm25_delete ~12 s):
-    // they run ONCE. Min-of-two exists to reject transient spikes,
-    // which are proportionally tiny over a 10 s+ run that self-averages
-    // across dozens of jobs — and their second runs alone were ~40 s of
-    // the r15 sweep that timed out the driver artifact.
+    // EXCEPT gates whose first run exceeds 1 s: they run ONCE. A 1 s+
+    // gate already self-averages across tens of Spark jobs, so a
+    // transient spike distorts it proportionally little — while for
+    // the sub-second gates (the majority), one 200 ms GC pause IS a
+    // 2× error, exactly what min-of-two exists to reject. The r16
+    // full-sweep profile: 169 gates under 1 s summing 81 s (cheap to
+    // double) vs 119 gates over it summing 422 s — re-running those
+    // was ~40% of the sweep wall that pushed r15 past the driver's
+    // budget (rc 124, parsed: null).
     val results: Seq[(String, Double)] =
       names.map { name =>
         val sec =
           try {
             val first = runOnce(name)
-            if (first > 10.0) first else math.min(first, runOnce(name))
+            if (first > 1.0) first else math.min(first, runOnce(name))
           } catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             -1.0
@@ -708,13 +744,16 @@ object Bench {
     // a single-stage pre-pruned scan but costs per-query driver planning
     // (~1.5× qps when off, measured in BenchPoints). try/finally: a
     // failure mid-phase must not leave AQE off for anything after.
+    // 100 queries per path (was 200): at ~10-20 qps these two LEGACY
+    // trend metrics were ~40 s of the serving wall — the per-query
+    // planning overhead they exist to document is unambiguous at 100
     val (planQps, cachedQps) =
       try {
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-        val plan = runPlan(200)
+        val plan = runPlan(100)
         store.cache()
         store.totalCount() // materialize the cache
-        val cached = runPlan(200)
+        val cached = runPlan(100)
         store.unpersist()
         (plan, cached)
       } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
@@ -765,19 +804,21 @@ object Bench {
     }
 
     // incremental maintenance: merge a ~10% batch, touched-buckets only.
-    // Median of 3 replays: after the first merge the batch's keys exist,
-    // so replays touch the same buckets at essentially the same sizes —
-    // comparable work, and one stalled pass can't fake a regression.
+    // MIN of 2 replays (was median-of-3 — the third ~9 s pass bought
+    // nothing the second didn't): after the first merge the batch's
+    // keys exist, so replays touch the same buckets at essentially the
+    // same sizes — comparable work, and min rejects a stalled pass.
     val batch = Graft.observations(spark, sfDir)
       .filter(org.apache.spark.sql.functions.col("rdata").cast("long") % 10 === 0)
       .withColumnRenamed("ts", "timestamp_start")
       .withColumn("timestamp_end",
         org.apache.spark.sql.functions.col("timestamp_start"))
-    val mergeSec = median3 {
+    def mergeOnce(): Double = {
       val t2 = System.nanoTime()
       operators.ObservationStore.mergeBatch(spark, dir, batch)
       (System.nanoTime() - t2) / 1e9
     }
+    val mergeSec = math.min(mergeOnce(), mergeOnce())
     Seq(
       "store_build_sec" -> buildSec,
       "point_lookup_qps" -> serveQps,

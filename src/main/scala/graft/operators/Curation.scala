@@ -3019,6 +3019,31 @@ object Curation {
           .as("kappa_permille"))
   }
 
+  /** Confusion-matrix census — the cell-level view [[raterAgreement]]
+    * folds away (κ is one number; debugging a classifier needs WHICH
+    * classes bleed into which — 'es' predicted as 'fr' is a different
+    * fix than 'es' predicted as 'und'): per (truth, pred) cell the
+    * count, its share of the truth class's row in exact permille (the
+    * per-class recall diagonal), and the diagonal flag. Null on
+    * either side drops (no class to attribute the error to).
+    *
+    * Scale shape: ONE map-side-combined groupBy to class²-sized
+    * cells, a cell-sized row-marginal fold, and a broadcast-sized
+    * join back — nothing row-sized survives the first aggregate. */
+  def confusionMatrix(df: DataFrame, truthCol: String,
+      predCol: String): DataFrame = {
+    val cells = df
+      .filter(col(truthCol).isNotNull && col(predCol).isNotNull)
+      .groupBy(col(truthCol).as("truth"), col(predCol).as("pred"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .join(cells.groupBy(col("truth")).agg(sum(col("n")).as("_rt")),
+        Seq("truth"))
+      .select(col("truth"), col("pred"), col("n"),
+        expr("n * 1000 div _rt").as("row_permille"),
+        (col("truth") === col("pred")).cast("long").as("is_diagonal"))
+  }
+
   /** Pairwise association rules (market-basket support / confidence /
     * lift) — the co-occurrence question [[Graphs.bipartiteProject]]
     * counts but doesn't SCORE (a data-mixing pipeline asks "docs from

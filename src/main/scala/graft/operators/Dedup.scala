@@ -1288,6 +1288,60 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Blocking-scheme quality metrics — the eval that closes the ER
+    * loop the blockers (band index, sorted neighborhood, simhash
+    * pigeonholes) open: against a truth set of known duplicate pairs,
+    * `pair_completeness = covered truth pairs / truth pairs` (recall
+    * the blocker did NOT throw away — a missed truth pair is
+    * unrecoverable downstream) and
+    * `reduction_ratio = 1 − candidate pairs / all pairs` (the whole
+    * point of blocking; ~0 means the scheme compares everything
+    * anyway). The two trade off; this reports both exactly so a key
+    * change is judged on numbers, not vibes (Christen's standard
+    * blocking-evaluation pair).
+    *
+    * Candidate pairs are COUNTED, never materialized:
+    * `Σ_k c_k·(c_k−1)/2` over block sizes in DECIMAL(38) (a mega-block
+    * squares past a long). Truth pairs with either id absent from
+    * `records` drop out of the denominator (inner joins — the truth
+    * set is graded against what the blocker actually saw). Output one
+    * row: `(n_records, n_blocks, n_candidate_pairs, n_truth_pairs,
+    * n_truth_covered, pair_completeness_permille,
+    * reduction_permille)`; permilles NULL on empty denominators.
+    *
+    * Scale shape: one map-side block-size aggregate (shuffle carries
+    * block keys), two id-sized equi-joins to key the truth pairs, and
+    * three 1-row folds — never a pair materialization anywhere. */
+  def blockingQuality(records: DataFrame, idCol: String,
+      blockKey: Column, truth: DataFrame, truthACol: String,
+      truthBCol: String): DataFrame = {
+    val keys = records.select(col(idCol).as("_id"), blockKey.as("_k"))
+    val tot = keys.agg(count(lit(1)).as("n_records"))
+    val blocks = keys.groupBy(col("_k")).agg(count(lit(1)).as("_c"))
+      .agg(count(lit(1)).as("n_blocks"),
+        coalesce(sum(expr("cast(_c as decimal(38,0)) * (_c - 1) div 2")),
+          lit(0L).cast("decimal(38,0)")).as("_cand"))
+    val tstats = truth
+      .select(col(truthACol).as("_a"), col(truthBCol).as("_b"))
+      .join(keys.select(col("_id").as("_a"), col("_k").as("_ka")),
+        Seq("_a"))
+      .join(keys.select(col("_id").as("_b"), col("_k").as("_kb")),
+        Seq("_b"))
+      .agg(count(lit(1)).as("n_truth_pairs"),
+        coalesce(sum((col("_ka") === col("_kb")).cast("long")), lit(0L))
+          .as("n_truth_covered"))
+    tot.crossJoin(blocks).crossJoin(tstats)
+      .select(col("n_records"), col("n_blocks"),
+        expr("cast(_cand as bigint)").as("n_candidate_pairs"),
+        col("n_truth_pairs"), col("n_truth_covered"),
+        expr("case when n_truth_pairs > 0 then" +
+          " n_truth_covered * 1000 div n_truth_pairs end")
+          .as("pair_completeness_permille"),
+        expr("case when n_records > 1 then cast(1000 - _cand * 1000" +
+          " div (cast(n_records as decimal(38,0)) * (n_records - 1)" +
+          " div 2) as bigint) end").as("reduction_permille"))
+  }
+
   /** Open-addressed long→long hash table for the union-find fast path:
     * flat primitive arrays (no boxing, no Entry objects), linear
     * probing, doubling growth from 64 Ki slots. At the 2 M-edge

@@ -254,6 +254,26 @@ object CurationQueries {
       Curation.profileTable(docs(s, dir),
         Seq("doc_id", "text", "lang", "source", "n_chars"))),
 
+    // Blocking-quality eval (pair completeness × reduction ratio) of
+    // an 8-char-prefix blocking key against planted copies — copies of
+    // doc_id % 10 == 0 get a "zz " prefix corruption, so the prefix
+    // key MISSES exactly those truth pairs while still reducing the
+    // comparison space; candidate pairs are counted from block sizes,
+    // never materialized.
+    "blocking_quality" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val copies = base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          when(col("doc_id") % 10 === 0, concat(lit("zz "), col("text")))
+            .otherwise(col("text")).as("text"))
+      val truth = base.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("id_a"),
+          (col("doc_id") + 1000000L).as("id_b"))
+      graft.operators.Dedup.blockingQuality(
+        base.unionAll(copies), "doc_id",
+        substring(col("text"), 1, 8), truth, "id_a", "id_b")
+    }),
+
     // Pairwise association rules over order baskets (item = partkey
     // mod 40 so pairs repeat): support/confidence/lift in exact
     // permille, baskets co-locate the pair join, lift in DECIMAL(38).
@@ -1009,6 +1029,46 @@ object CurationQueries {
         |            // (MAX(n_tokens) * COUNT(*)) AS BIGINT)
         |         AS pad_overhead_permille
         |FROM b GROUP BY 1, 2
+        |""".stripMargin,
+
+    // Same planted-copy fixture; candidate pairs from block sizes in
+    // HUGEINT, truth pairs keyed by two id joins.
+    "blocking_quality" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |copies AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         CASE WHEN doc_id % 10 = 0 THEN 'zz ' || text
+        |              ELSE text END AS text
+        |  FROM base WHERE doc_id % 5 = 0),
+        |recs AS (SELECT * FROM base UNION ALL SELECT * FROM copies),
+        |keys AS (SELECT doc_id AS id, substr(text, 1, 8) AS k FROM recs),
+        |blocks AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS c
+        |           FROM keys GROUP BY 1),
+        |b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |             COALESCE(SUM(CAST(c AS HUGEINT) * (c - 1) // 2),
+        |                      0) AS cand
+        |      FROM blocks),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_records FROM keys),
+        |tr AS (SELECT doc_id AS a, doc_id + 1000000 AS b2
+        |       FROM base WHERE doc_id % 5 = 0),
+        |tj AS (SELECT ka.k AS ka, kb.k AS kb
+        |       FROM tr JOIN keys ka ON tr.a = ka.id
+        |               JOIN keys kb ON tr.b2 = kb.id),
+        |ts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth_pairs,
+        |         CAST(COALESCE(SUM(CASE WHEN ka = kb THEN 1 ELSE 0 END),
+        |           0) AS BIGINT) AS n_truth_covered
+        |       FROM tj)
+        |SELECT t.n_records, b.n_blocks,
+        |  CAST(b.cand AS BIGINT) AS n_candidate_pairs,
+        |  ts.n_truth_pairs, ts.n_truth_covered,
+        |  CASE WHEN ts.n_truth_pairs > 0 THEN
+        |    CAST(ts.n_truth_covered * 1000 // ts.n_truth_pairs AS BIGINT)
+        |  END AS pair_completeness_permille,
+        |  CASE WHEN t.n_records > 1 THEN
+        |    CAST(1000 - b.cand * 1000 //
+        |      (CAST(t.n_records AS HUGEINT) * (t.n_records - 1) // 2)
+        |      AS BIGINT) END AS reduction_permille
+        |FROM t, b, ts
         |""".stripMargin,
 
     // Same distinct incidences, basket-size keep, co-located pair

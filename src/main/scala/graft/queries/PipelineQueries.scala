@@ -1088,6 +1088,15 @@ object PipelineQueries {
         (col("doc_id") +: TextAnalysis.langScores(col("text"))) :+
           TextAnalysis.detectedLang(col("text")).as("detected"): _*)),
 
+    // Confusion census of the marker language-ID against the declared
+    // lang column: which languages bleed into which, per-truth-row
+    // permille, diagonal flagged — the debugging view κ folds away.
+    "lang_confusion" -> ((s, dir) =>
+      graft.operators.Curation.confusionMatrix(
+        docs(s, dir).select(col("lang").as("declared"),
+          TextAnalysis.detectedLang(col("text")).as("detected")),
+        "declared", "detected")),
+
     // Language-ID confidence: best/runner-up marker scores, margin, and
     // the mixed-language flag that routes low-confidence docs to a
     // heavier classifier; the oracle recomputes the sorted score list.
@@ -3442,6 +3451,50 @@ object PipelineQueries {
         |         AND greatest(score_de, score_en, score_es, score_fr, score_zh) > 0 THEN 'zh'
         |    ELSE 'und' END AS detected
         |FROM scored
+        |""".stripMargin,
+
+    // Same marker-score CASE as lang_id, joined to the declared lang,
+    // row permille via integer //.
+    "lang_confusion" ->
+      """WITH scored AS (
+        |  SELECT lang AS declared,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('der', 'die', 'das', 'und', 'nicht'))) AS BIGINT) AS score_de,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the', 'a', 'of', 'and', 'not'))) AS BIGINT) AS score_en,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('el', 'la', 'de', 'y', 'no'))) AS BIGINT) AS score_es,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('le', 'la', 'de', 'et', 'ne'))) AS BIGINT) AS score_fr,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('de5', 'shi4', 'bu4', 'le5', 'he2'))) AS BIGINT) AS score_zh
+        |  FROM documents),
+        |det AS (
+        |  SELECT declared,
+        |    CASE
+        |      WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh)
+        |           AND greatest(score_de, score_en, score_es, score_fr, score_zh) > 0 THEN 'de'
+        |      WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh)
+        |           AND greatest(score_de, score_en, score_es, score_fr, score_zh) > 0 THEN 'en'
+        |      WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh)
+        |           AND greatest(score_de, score_en, score_es, score_fr, score_zh) > 0 THEN 'es'
+        |      WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh)
+        |           AND greatest(score_de, score_en, score_es, score_fr, score_zh) > 0 THEN 'fr'
+        |      WHEN score_zh = greatest(score_de, score_en, score_es, score_fr, score_zh)
+        |           AND greatest(score_de, score_en, score_es, score_fr, score_zh) > 0 THEN 'zh'
+        |      ELSE 'und' END AS detected
+        |  FROM scored),
+        |cells AS (
+        |  SELECT declared AS truth, detected AS pred,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM det WHERE declared IS NOT NULL GROUP BY 1, 2),
+        |rt AS (SELECT truth, CAST(SUM(n) AS BIGINT) AS rt
+        |       FROM cells GROUP BY 1)
+        |SELECT cells.truth, cells.pred, cells.n,
+        |  CAST(cells.n * 1000 // rt.rt AS BIGINT) AS row_permille,
+        |  CAST(CASE WHEN cells.truth = cells.pred THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_diagonal
+        |FROM cells JOIN rt ON cells.truth = rt.truth
         |""".stripMargin,
 
     "nb_classify" ->

@@ -1348,6 +1348,18 @@ class CurationSpec extends AnyFunSuite {
       Curation.exactQuantiles(df, "v", "id", Seq(50, 50)))
   }
 
+  test("confusionMatrix: cells, row permille, nulls dropped") {
+    val df = Seq(("en", "en"), ("en", "en"), ("en", "fr"), ("fr", "fr"),
+      (null, "en"), ("es", null)).toDF("y", "p")
+    val out = Curation.confusionMatrix(df, "y", "p").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(("en", "en")) == ((2L, 666L, 1L)))
+    assert(out(("en", "fr")) == ((1L, 333L, 0L)))
+    assert(out(("fr", "fr")) == ((1L, 1000L, 1L)))
+    assert(out.size == 3) // null-bearing rows dropped entirely
+  }
+
   test("kAnonymityLadder: per-level census, below-k row mass") {
     val df = Seq(
       ("en", "a", 1L), ("en", "a", 1L), ("en", "a", 2L),

@@ -1208,6 +1208,22 @@ class PipelineSpec extends AnyFunSuite {
       DnsAnalytics.tunnelAggregates(df, "name", "cnt", parentLabels = 0))
   }
 
+  test("blockingQuality: counted candidates, coverage, reduction") {
+    import graft.operators.Dedup
+    // first-letter blocks: {1,2,3}=a {4,5}=b {6}=c → candidates 3+1+0
+    val recs = Seq((1L, "ax"), (2L, "ay"), (3L, "az"), (4L, "bx"),
+      (5L, "by"), (6L, "cx")).toDF("id", "t")
+    // (1,2) covered; (3,4),(5,6) cross-block; (7,8) ids absent → drop
+    val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L))
+      .toDF("a", "b")
+    val r = Dedup.blockingQuality(recs, "id",
+      substring(col("t"), 1, 1), truth, "a", "b").collect().head
+    // pc = 1/3 → 333‰; rr = 1000 − 4·1000 div C(6,2)=15 → 734‰
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      ((6L, 3L, 4L, 3L, 1L, 333L, 734L)))
+  }
+
   test("fastFluxSignals: ip volume, /24 spread, co-tenant max") {
     import graft.operators.DnsAnalytics
     val df = Seq(

@@ -1407,6 +1407,47 @@ class PlanSpec extends AnyFunSuite {
       !sd.contains("BroadcastNestedLoopJoin"), sd)
   }
 
+  test("round-16 ops: ip_anon narrow, lookalike broadcasts, key-shaped joins") {
+    import graft.operators.{Curation, DnsAnalytics, Events}
+    // ip_anon: pure narrow map — zero exchanges
+    val ips = Seq("10.1.2.3", "10.4.5.6").toDF("ip")
+    val p0 = explainOf(ips.select(
+      graft.functions.Net.anonymizeIpv4(col("ip"), "s").as("a")))
+    assert(!p0.contains("Exchange"), p0)
+    // lookalike: the brand side BROADCASTS into the skeleton equi-join —
+    // the label corpus never shuffles for the join
+    val names = Seq("paypa1.evil.com", "x.y.z").toDF("name")
+    val brands = Seq("paypal", "google").toDF("brand")
+    val p1 = explainOf(
+      DnsAnalytics.lookalikeNames(names, "name", brands, "brand"))
+    assert(p1.contains("BroadcastHashJoin"), p1)
+    assert(!p1.contains("CartesianProduct") &&
+      !p1.contains("BroadcastNestedLoopJoin"), p1)
+    assert(!p1.contains("SortMergeJoin"), p1)
+    // fastflux: the incidence ⋈ per-ip-count join is an equi-join on
+    // the ip key — names are never paired with names
+    val ff = Seq(("a.com", "10.0.0.1"), ("b.com", "10.0.0.1"))
+      .toDF("n", "ip")
+    val p2 = explainOf(DnsAnalytics.fastFluxSignals(ff, "n", "ip"))
+    assert(!p2.contains("CartesianProduct") &&
+      !p2.contains("BroadcastNestedLoopJoin"), p2)
+    // association rules: the pair self-join co-locates on the basket
+    // key and the marginal joins are equi-joins — never a product
+    val bk = Seq((1L, "x"), (1L, "y"), (2L, "x")).toDF("b", "i")
+    val p3 = explainOf(Curation.associationRules(bk, "b", "i"))
+    assert(!p3.contains("CartesianProduct") &&
+      !p3.contains("BroadcastNestedLoopJoin"), p3)
+    // beaconing: the lag window and the mode argmax window are both
+    // KEY-partitioned — nothing funnels the corpus into one partition
+    val ev = Seq(("u", "t", 1L, 1L), ("u", "t", 2L, 2L))
+      .toDF("u", "t", "ts", "id")
+    val p4 = explainOf(
+      Events.beaconingSignals(ev, Seq("u", "t"), "ts", "id"))
+    assert(!p4.contains("Exchange SinglePartition"), p4)
+    assert(!p4.contains("CartesianProduct") &&
+      !p4.contains("BroadcastNestedLoopJoin"), p4)
+  }
+
   test("cusumPeaks: hour span broadcasts, fold is per-key aggregation") {
     val ev = Seq((Timestamp.valueOf("2024-01-01 00:00:00"), "x"))
       .toDF("ts", "event_type")
