@@ -378,6 +378,27 @@ object Bench {
     if (names.exists(Set("ann_ivf_index", "ann_ivf_delete")))
       try queries.PipelineQueries.sharedIvfIndex(spark, sfDir): Unit
       catch { case _: Throwable => () }
+    // the retraction-lifecycle gates mutate a PREBUILT pristine base
+    // (the same stance as the store gates above): pre-build each base
+    // untimed so the gate times delete + vacuum + query, not the
+    // one-time index construction a live system already paid
+    def prewarm(gates: Set[String])(f: => Any): Unit =
+      if (names.exists(gates)) {
+        try f: Unit catch { case _: Throwable => () }
+      }
+    prewarm(Set("phrase_search_delete", "forget_everywhere"))(
+      queries.util.posIndexBase(spark, sfDir))
+    prewarm(Set("band_index_delete", "forget_everywhere"))(
+      queries.util.bandIndexBase(spark, sfDir))
+    prewarm(Set("ngram_lm_delete", "forget_everywhere"))(
+      queries.util.lmBase(spark, sfDir))
+    prewarm(Set("bm25_delete"))(
+      queries.RetrievalQueries.bm25WsBase(spark, sfDir))
+    prewarm(Set("forget_everywhere")) {
+      queries.util.forgetBm25Base(spark, sfDir)
+      queries.PipelineQueries.sharedIvfIndex(spark, sfDir)
+      queries.util.prebuiltStorePath(spark, sfDir)
+    }
 
     // MIN OF TWO runs per gate: a transient co-tenant burst or GC pause
     // during one run must not print as that gate's cross-round number

