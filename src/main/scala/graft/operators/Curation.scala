@@ -3019,6 +3019,82 @@ object Curation {
           .as("kappa_permille"))
   }
 
+  /** Per-group rank normalization — the score-alignment transform a
+    * multi-source mixing pipeline needs before comparing quality
+    * scores ACROSS sources (a "0.8" from one classifier and a "0.8"
+    * from another are not the same thing; their within-source RANKS
+    * are): appends the exact 1-based within-group rank and
+    * `rank_permille = (rank − 1)·1000 div (n_group − 1)` — 0 for the
+    * group's minimum, 1000 for its maximum, exact integers.
+    * Single-row groups report NULL permille out loud (no spread to
+    * normalize against). Order must be total (pass a tie column).
+    *
+    * Scale shape: ranks via [[DistributedOrder.withGroupRank]] (range
+    * shuffle + per-(partition, group) window + broadcast offsets —
+    * never an entire source in one task), group sizes via one
+    * map-side-combined aggregate joined back group-sized. */
+  def rankNormalize(df: DataFrame, rankCol: String,
+      permilleCol: String, groupCols: Seq[String],
+      order: Column*): DataFrame = {
+    val ranked = DistributedOrder.withGroupRank(df, rankCol,
+      groupCols, order: _*)
+    val sizes = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("_gn"))
+    ranked.join(sizes, groupCols)
+      .withColumn(permilleCol,
+        when(col("_gn") > 1L,
+          expr(s"($rankCol - 1) * 1000 div (_gn - 1)")))
+      .drop("_gn")
+  }
+
+  /** Majority-vote label resolution with abstentions — the
+    * multi-annotator consolidation step SFT/eval data prep runs before
+    * training (k labelers, some abstaining, one gold column out;
+    * [[raterAgreement]] GRADES the labelers, this RESOLVES them): per
+    * item the plurality label across the label columns, with nulls as
+    * abstentions (they shrink n_votes, never count as a vote), margin
+    * = top count − runner-up count, and TIES surfaced out loud
+    * (winner NULL, is_tie 1) rather than silently broken — a tie is a
+    * routing signal (send to another annotator), not a coin flip.
+    * Values vote by their string rendering (mixed-type labeler
+    * columns unify — documented, the SINDY stance).
+    *
+    * Scale shape: one explode (k values per row), one
+    * map-side-combined (item, label) count, and an item-keyed
+    * row_number argmax over the count frame (groups here are
+    * label-cardinality-sized per item, ≤ k rows — a key-partitioned
+    * window over tiny partitions); one item-sized join. */
+  def majorityVote(df: DataFrame, idCol: String,
+      labelCols: Seq[String]): DataFrame = {
+    require(labelCols.size >= 2,
+      s"need >= 2 label columns, got $labelCols")
+    import org.apache.spark.sql.expressions.Window
+    val votes = df.select(col(idCol).as("_id"),
+        explode(array(labelCols.map(c => col(c).cast("string")): _*))
+          .as("_v"))
+      .filter(col("_v").isNotNull)
+    val counts = votes.groupBy(col("_id"), col("_v"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col("_id"))
+          .orderBy(col("_c").desc, col("_v").asc)))
+    val top = counts.filter(col("_r") <= 2)
+      .groupBy(col("_id"))
+      .agg(
+        max(when(col("_r") === 1, col("_v"))).as("_w"),
+        max(when(col("_r") === 1, col("_c"))).as("top_count"),
+        coalesce(max(when(col("_r") === 2, col("_c"))), lit(0L))
+          .as("_c2"))
+    val totals = votes.groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_votes"))
+    totals.join(top, Seq("_id"))
+      .select(col("_id").as(idCol), col("n_votes"),
+        when(col("top_count") > col("_c2"), col("_w")).as("winner"),
+        col("top_count"),
+        (col("top_count") - col("_c2")).as("margin"),
+        (col("top_count") === col("_c2")).cast("long").as("is_tie"))
+  }
+
   /** Confusion-matrix census — the cell-level view [[raterAgreement]]
     * folds away (κ is one number; debugging a classifier needs WHICH
     * classes bleed into which — 'es' predicted as 'fr' is a different

@@ -37,6 +37,42 @@ object DistributedOrder {
         w.rowsBetween(Long.MinValue, -1)), lit(0L)),
       sum(valueCol))
 
+  /** Appends `rankCol` = exact 1-based rank WITHIN each group over
+    * `order` — the grouped sibling of [[withGlobalRank]], closing the
+    * OTHER windowing trap: `Window.partitionBy(group)` hash-routes an
+    * ENTIRE group into one task, which serializes the moment one group
+    * is data-sized (rank-per-source over a 100 TB corpus with five
+    * sources = five tasks). Instead: one RANGE shuffle on
+    * (group ++ order) — a group spans CONTIGUOUS partitions — a
+    * per-(partition, group) local window, and per-(partition, group)
+    * totals folded into exclusive offsets within each group. Because
+    * the range order leads with the group columns, each group
+    * contributes one offset row per partition it touches, so the
+    * broadcast offsets frame is ≤ #groups + #partitions − 1 rows —
+    * driver-safe for any group count a broadcast can carry (documented
+    * bound; beyond ~10⁷ groups use a plain group-hashed window, which
+    * is then fine because groups that numerous are small). The order
+    * must be TOTAL within a group (include a tie-break id). */
+  def withGroupRank(df: DataFrame, rankCol: String,
+      groupCols: Seq[String], order: Column*): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val group = groupCols.map(col)
+    val local = df.repartitionByRange(group ++ order: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lv", row_number().over(
+        Window.partitionBy(col("_pid") +: group: _*)
+          .orderBy(order: _*)).cast("long"))
+    val offsets = local.groupBy(col("_pid") +: group: _*)
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_off", coalesce(sum(col("_n")).over(
+        Window.partitionBy(group: _*).orderBy(col("_pid"))
+          .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("_pid") +: group :+ col("_off"): _*)
+    local.join(broadcast(offsets), "_pid" +: groupCols)
+      .withColumn(rankCol, col("_lv") + col("_off"))
+      .drop("_pid", "_lv", "_off")
+  }
+
   private def attach(df: DataFrame, order: Seq[Column], outCol: String,
       localOver: org.apache.spark.sql.expressions.WindowSpec => Column,
       perPartitionTotal: Column): DataFrame = {

@@ -254,6 +254,31 @@ object CurationQueries {
       Curation.profileTable(docs(s, dir),
         Seq("doc_id", "text", "lang", "source", "n_chars"))),
 
+    // Per-source rank normalization of the length score: within-group
+    // exact ranks through the grouped order engine (range shuffle +
+    // broadcast offsets — never one source in one task), permille 0
+    // at each source's min, 1000 at its max.
+    "rank_normalize" -> ((s, dir) =>
+      Curation.rankNormalize(
+        docs(s, dir).select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "rnk", "rank_permille", Seq("source"),
+        col("n_chars").asc, col("doc_id").asc)),
+
+    // Majority-vote label resolution across three synthetic labelers
+    // (l2 flips to 'click' on id%3, l3 abstains on id%7): plurality
+    // winner, margin, ties surfaced with a NULL winner.
+    "majority_vote" -> ((s, dir) =>
+      Curation.majorityVote(
+        Graft.table(s, dir, "events").select(
+          col("event_id"),
+          col("event_type").as("l1"),
+          when(col("event_id") % 3 === 0, lit("click"))
+            .otherwise(col("event_type")).as("l2"),
+          when(col("event_id") % 7 === 0, lit(null).cast("string"))
+            .otherwise(col("event_type")).as("l3")),
+        "event_id", Seq("l1", "l2", "l3"))),
+
     // Blocking-quality eval (pair completeness × reduction ratio) of
     // an 8-char-prefix blocking key against planted copies — copies of
     // doc_id % 10 == 0 get a "zz " prefix corruption, so the prefix
@@ -1032,6 +1057,58 @@ object CurationQueries {
         |            // (MAX(n_tokens) * COUNT(*)) AS BIGINT)
         |         AS pad_overhead_permille
         |FROM b GROUP BY 1, 2
+        |""".stripMargin,
+
+    // Per-source row_number with the same total order; permille with
+    // integer //; single-row sources → NULL.
+    "rank_normalize" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS BIGINT) AS rnk,
+        |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS gn
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, rnk,
+        |  CASE WHEN gn > 1 THEN
+        |    CAST((rnk - 1) * 1000 // (gn - 1) AS BIGINT) END
+        |    AS rank_permille
+        |FROM r
+        |""".stripMargin,
+
+    // Same labeler minting, unnest melt, (item, label) counts, top-2
+    // by (count desc, label asc), tie → NULL winner.
+    "majority_vote" ->
+      """WITH lab AS (
+        |  SELECT event_id,
+        |    event_type AS l1,
+        |    CASE WHEN event_id % 3 = 0 THEN 'click'
+        |         ELSE event_type END AS l2,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL
+        |         ELSE event_type END AS l3
+        |  FROM events),
+        |v AS (
+        |  SELECT event_id, unnest([l1, l2, l3]) AS lbl FROM lab),
+        |vv AS (SELECT event_id, lbl FROM v WHERE lbl IS NOT NULL),
+        |c AS (
+        |  SELECT event_id, lbl, CAST(COUNT(*) AS BIGINT) AS c,
+        |    row_number() OVER (PARTITION BY event_id
+        |      ORDER BY COUNT(*) DESC, lbl ASC) AS r
+        |  FROM vv GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_id,
+        |    MAX(CASE WHEN r = 1 THEN lbl END) AS w,
+        |    MAX(CASE WHEN r = 1 THEN c END) AS top_count,
+        |    COALESCE(MAX(CASE WHEN r = 2 THEN c END), 0) AS c2
+        |  FROM c WHERE r <= 2 GROUP BY 1),
+        |n AS (SELECT event_id, CAST(COUNT(*) AS BIGINT) AS n_votes
+        |      FROM vv GROUP BY 1)
+        |SELECT n.event_id, n.n_votes,
+        |  CASE WHEN t.top_count > t.c2 THEN t.w END AS winner,
+        |  CAST(t.top_count AS BIGINT) AS top_count,
+        |  CAST(t.top_count - t.c2 AS BIGINT) AS margin,
+        |  CAST(CASE WHEN t.top_count = t.c2 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_tie
+        |FROM n JOIN t ON n.event_id = t.event_id
         |""".stripMargin,
 
     // Same planted-copy fixture; candidate pairs from block sizes in

@@ -1348,6 +1348,55 @@ class CurationSpec extends AnyFunSuite {
       Curation.exactQuantiles(df, "v", "id", Seq(50, 50)))
   }
 
+  test("withGroupRank ≡ per-group window truth; rankNormalize edges") {
+    import graft.operators.DistributedOrder
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map(i =>
+      (s"g${i % 7}", rnd.nextInt(40).toLong, i.toLong))
+    val df = rows.toDF("g", "v", "id").repartition(13)
+    val got = DistributedOrder.withGroupRank(df, "r", Seq("g"),
+        col("v").asc, col("id").asc)
+      .select(col("g"), col("id"), col("r")).collect()
+      .map(x => (x.getString(0), x.getLong(1)) -> x.getLong(2)).toMap
+    val truth = df.withColumn("r", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("v").asc, col("id").asc))
+        .cast("long"))
+      .select(col("g"), col("id"), col("r")).collect()
+      .map(x => (x.getString(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(got == truth)
+    // rankNormalize: min → 0‰, max → 1000‰, singleton group → NULL
+    val rn = Curation.rankNormalize(
+      Seq(("a", 5L, 1L), ("a", 9L, 2L), ("a", 7L, 3L), ("b", 4L, 4L))
+        .toDF("g", "v", "id"),
+      "rnk", "pm", Seq("g"), col("v").asc, col("id").asc)
+      .collect().map(x => x.getAs[Long]("id") ->
+        (x.getAs[Long]("rnk"), if (x.isNullAt(x.fieldIndex("pm"))) -1L
+          else x.getAs[Long]("pm"))).toMap
+    assert(rn(1L) == ((1L, 0L)) && rn(3L) == ((2L, 500L)) &&
+      rn(2L) == ((3L, 1000L)))
+    assert(rn(4L) == ((1L, -1L))) // singleton: NULL out loud
+  }
+
+  test("majorityVote: plurality, abstentions, ties out loud") {
+    val df = Seq(
+      (1L, "a", "a", "b"),      // a wins 2-1, margin 1
+      (2L, "a", "b", null),     // 1-1 tie → winner NULL
+      (3L, "x", "x", "x"),      // unanimous, margin 3 (no runner-up)
+      (4L, null, null, "z")     // single vote wins
+    ).toDF("id", "l1", "l2", "l3")
+    val out = Curation.majorityVote(df, "id", Seq("l1", "l2", "l3"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.getString(2)), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toMap
+    assert(out(1L) == ((3L, Some("a"), 2L, 1L, 0L)))
+    assert(out(2L) == ((2L, None, 1L, 0L, 1L)))
+    assert(out(3L) == ((3L, Some("x"), 3L, 3L, 0L)))
+    assert(out(4L) == ((1L, Some("z"), 1L, 1L, 0L)))
+    intercept[IllegalArgumentException](
+      Curation.majorityVote(df, "id", Seq("l1")))
+  }
+
   test("confusionMatrix: cells, row permille, nulls dropped") {
     val df = Seq(("en", "en"), ("en", "en"), ("en", "fr"), ("fr", "fr"),
       (null, "en"), ("es", null)).toDF("y", "p")
