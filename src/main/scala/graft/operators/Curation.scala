@@ -3019,6 +3019,62 @@ object Curation {
           .as("kappa_permille"))
   }
 
+  /** Per-group duplication-rate audit — the provenance question the
+    * corpus-level dedup gates don't answer (dedup_exact says WHICH
+    * rows drop; a mixing decision needs "which SOURCE is feeding me
+    * rehashed content" BEFORE committing to its weight): per group the
+    * doc count, distinct content-hash count, duplicate surplus, and
+    * `dup_permille` — a source near 0 is fresh, near 1000 is a mirror.
+    * Content identity is md5 of the text column (the dedup_exact key).
+    *
+    * Scale shape: one map-side-combined (group, hash) count — the
+    * shuffle carries distinct (group, hash) pairs — folded to a
+    * group-sized frame; no joins. */
+  def dupRateByGroup(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame =
+    df.select(col(groupCol).as("grp"), md5(col(textCol)).as("_h"))
+      .groupBy(col("grp"), col("_h")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("grp"))
+      .agg(sum(col("_c")).as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        (sum(col("_c")) - count(lit(1))).as("n_dup_docs"))
+      .withColumn("dup_permille", expr(
+        "case when n_docs > 0 then n_dup_docs * 1000 div n_docs end"))
+
+  /** Pairwise source-overlap matrix — the cross-group half of
+    * [[dupRateByGroup]] (within-source surplus says a source repeats
+    * ITSELF; two sources sharing content means paying for the same
+    * data twice, or one scraping the other — the provenance signal
+    * behind dataset licensing fights): per unordered group pair the
+    * shared distinct-content count and exact Jaccard permille over
+    * their distinct-hash sets. Pairs sharing NOTHING are absent
+    * (their Jaccard is 0 by construction — documented, not computed:
+    * emitting the zero matrix would be |groups|² rows of nothing).
+    *
+    * Scale shape: one distinct over (group, hash) incidences, then
+    * the pair self-join CO-LOCATES on the hash key — fan-out per hash
+    * ≤ #groups² (group count is fleet-small, never data-sized), pair
+    * counts fold map-side, and the two size joins run against a
+    * group-sized frame (AQE broadcasts it). */
+  def sourceOverlap(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val inc = df.select(col(groupCol).as("g"), md5(col(textCol)).as("_h"))
+      .distinct()
+      .localCheckpoint(false) // feeds sizes AND both pair-join sides
+    val sizes = inc.groupBy(col("g")).agg(count(lit(1)).as("_n"))
+    inc.select(col("_h"), col("g").as("g_a"))
+      .join(inc.select(col("_h"), col("g").as("g_b")), Seq("_h"))
+      .filter(col("g_a") < col("g_b"))
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("g").as("g_a"), col("_n").as("n_a")),
+        Seq("g_a"))
+      .join(sizes.select(col("g").as("g_b"), col("_n").as("n_b")),
+        Seq("g_b"))
+      .withColumn("jaccard_permille",
+        expr("n_common * 1000 div (n_a + n_b - n_common)"))
+  }
+
   /** Per-group rank normalization — the score-alignment transform a
     * multi-source mixing pipeline needs before comparing quality
     * scores ACROSS sources (a "0.8" from one classifier and a "0.8"
@@ -3073,6 +3129,7 @@ object Curation {
         explode(array(labelCols.map(c => col(c).cast("string")): _*))
           .as("_v"))
       .filter(col("_v").isNotNull)
+      .localCheckpoint(false) // feeds counts AND totals — one scan
     val counts = votes.groupBy(col("_id"), col("_v"))
       .agg(count(lit(1)).as("_c"))
       .withColumn("_r", row_number().over(
@@ -3112,6 +3169,8 @@ object Curation {
       .filter(col(truthCol).isNotNull && col(predCol).isNotNull)
       .groupBy(col(truthCol).as("truth"), col(predCol).as("pred"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false) // feeds the cells AND the row marginal —
+      // without the cut both sides re-scan the full input
     cells
       .join(cells.groupBy(col("truth")).agg(sum(col("n")).as("_rt")),
         Seq("truth"))

@@ -1316,6 +1316,8 @@ object Dedup {
       blockKey: Column, truth: DataFrame, truthACol: String,
       truthBCol: String): DataFrame = {
     val keys = records.select(col(idCol).as("_id"), blockKey.as("_k"))
+      .localCheckpoint(false) // feeds the total, the block census AND
+      // both truth-join sides — one scan of the records
     val tot = keys.agg(count(lit(1)).as("n_records"))
     val blocks = keys.groupBy(col("_k")).agg(count(lit(1)).as("_c"))
       .agg(count(lit(1)).as("n_blocks"),

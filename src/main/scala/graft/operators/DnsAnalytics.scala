@@ -136,6 +136,8 @@ object DnsAnalytics {
       ipCol: String): DataFrame = {
     val inc = df.select(col(nameCol).as("name"), col(ipCol).as("ip"))
       .distinct()
+      .localCheckpoint(false) // feeds the per-ip census AND the join
+      // probe side — one scan of the observation stream
     val perIp = inc.groupBy(col("ip"))
       .agg(count(lit(1)).as("_names_on_ip"))
     inc.join(perIp, "ip")

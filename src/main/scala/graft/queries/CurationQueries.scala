@@ -254,6 +254,33 @@ object CurationQueries {
       Curation.profileTable(docs(s, dir),
         Seq("doc_id", "text", "lang", "source", "n_chars"))),
 
+    // Per-source duplication-rate audit over planted same-source
+    // copies (doc_id % 5 == 0 duplicates back into its own source):
+    // which source feeds rehashed content, in exact permille.
+    "dup_by_source" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"),
+        col("source"))
+      Curation.dupRateByGroup(
+        d.unionAll(d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+            col("source"))),
+        "text", "source")
+    }),
+
+    // Cross-source overlap matrix over planted CROSS-source copies
+    // (doc_id % 6 == 0 re-homed to source (doc_id div 6) mod 20):
+    // shared distinct content + exact Jaccard per source pair.
+    "source_overlap" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"),
+        col("source"))
+      Curation.sourceOverlap(
+        d.unionAll(d.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+            concat(lit("src"), expr("(doc_id div 6) % 20"))
+              .as("source"))),
+        "text", "source")
+    }),
+
     // Per-source rank normalization of the length score: within-group
     // exact ranks through the grouped order engine (range shuffle +
     // broadcast offsets — never one source in one task), permille 0
@@ -493,6 +520,33 @@ object CurationQueries {
       Similarity.kmeans(embs(s, dir), "vec_id", "embedding", k = 8,
         iters = 2, dim = 64)
         .withColumnRenamed("id", "vec_id")),
+
+    // Cluster-purity eval: the unsupervised-vs-labels check (a
+    // clustering is only useful for curation routing if its clusters
+    // mean something — purity is the majority-label share per
+    // cluster): same deterministic k-means as kmeans_clusters, cells
+    // counted map-side, per-cluster argmax with (count desc, label
+    // asc) determinism.
+    "cluster_purity" -> ((s, dir) => {
+      val asg = Similarity.kmeans(embs(s, dir), "vec_id", "embedding",
+        k = 8, iters = 2, dim = 64).select(col("id"), col("cluster"))
+      val cells = asg.join(
+          embs(s, dir).select(col("vec_id").as("id"),
+            col("label").cast("long").as("label")), Seq("id"))
+        .groupBy(col("cluster"), col("label"))
+        .agg(count(lit(1)).as("_c"))
+      import org.apache.spark.sql.expressions.Window
+      cells
+        .withColumn("_r", row_number().over(
+          Window.partitionBy(col("cluster"))
+            .orderBy(col("_c").desc, col("label").asc)))
+        .groupBy(col("cluster"))
+        .agg(sum(col("_c")).as("n"),
+          max(when(col("_r") === 1, col("label"))).as("top_label"),
+          max(when(col("_r") === 1, col("_c"))).as("top_count"))
+        .withColumn("purity_permille",
+          expr("top_count * 1000 div n"))
+    }),
 
     // SemDeDup: k-means blocking + within-cluster exact cosine ≥ 0.4;
     // drop the pair member closer to its centroid (keep the rim).
@@ -1059,6 +1113,45 @@ object CurationQueries {
         |FROM b GROUP BY 1, 2
         |""".stripMargin,
 
+    // Same planted copies; (source, md5) counts folded per source.
+    "dup_by_source" ->
+      """WITH d AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT source, text FROM documents WHERE doc_id % 5 = 0),
+        |c AS (SELECT source AS grp, md5(text) AS h,
+        |             CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM d GROUP BY 1, 2)
+        |SELECT grp, CAST(SUM(c) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dup_docs,
+        |  CASE WHEN SUM(c) > 0 THEN
+        |    CAST((SUM(c) - COUNT(*)) * 1000 // SUM(c) AS BIGINT) END
+        |    AS dup_permille
+        |FROM c GROUP BY 1
+        |""".stripMargin,
+
+    // Same cross-source re-homing; hash-keyed pair join, sizes joined.
+    "source_overlap" ->
+      """WITH d AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT 'src' || CAST((doc_id // 6) % 20 AS VARCHAR) AS source,
+        |         text
+        |  FROM documents WHERE doc_id % 6 = 0),
+        |inc AS (SELECT DISTINCT source AS g, md5(text) AS h FROM d),
+        |sz AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM inc GROUP BY 1),
+        |p AS (SELECT a.g AS g_a, b.g AS g_b,
+        |             CAST(COUNT(*) AS BIGINT) AS n_common
+        |      FROM inc a JOIN inc b ON a.h = b.h AND a.g < b.g
+        |      GROUP BY 1, 2)
+        |SELECT p.g_a, p.g_b, p.n_common, sa.n AS n_a, sb.n AS n_b,
+        |  CAST(p.n_common * 1000 // (sa.n + sb.n - p.n_common)
+        |    AS BIGINT) AS jaccard_permille
+        |FROM p JOIN sz sa ON p.g_a = sa.g JOIN sz sb ON p.g_b = sb.g
+        |""".stripMargin,
+
     // Per-source row_number with the same total order; permille with
     // integer //; single-row sources → NULL.
     "rank_normalize" ->
@@ -1544,6 +1637,43 @@ object CurationQueries {
          |           ORDER BY ${kCos("s.v", "c.cv")} DESC, c.cl ASC) AS rk
          |  FROM s CROSS JOIN c2 c) t
          |WHERE rk = 1
+         |""".stripMargin,
+
+    // kmeans CTEs shared with kmeans_clusters, then label cells and
+    // the per-cluster (count desc, label asc) argmax
+    "cluster_purity" ->
+      s"""WITH s AS (
+         |  SELECT vec_id AS id,
+         |         list_transform(embedding,
+         |           x -> round(CAST(x AS DOUBLE) * 1000, 0)) AS v
+         |  FROM embeddings),
+         |c0 AS (SELECT id AS cl, v AS cv FROM s WHERE id < 8),
+         |${kmeansRound("a1", "c0", "u1", "c1")},
+         |${kmeansRound("a2", "c1", "u2", "c2")},
+         |asg AS (
+         |  SELECT id, cl AS cluster FROM (
+         |    SELECT s.id, c.cl,
+         |           ROW_NUMBER() OVER (
+         |             PARTITION BY s.id
+         |             ORDER BY ${kCos("s.v", "c.cv")} DESC, c.cl ASC) AS rk
+         |    FROM s CROSS JOIN c2 c) t
+         |  WHERE rk = 1),
+         |cells AS (
+         |  SELECT asg.cluster, CAST(e.label AS BIGINT) AS label,
+         |         CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM asg JOIN embeddings e ON asg.id = e.vec_id
+         |  GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT cluster, label, c,
+         |         row_number() OVER (PARTITION BY cluster
+         |           ORDER BY c DESC, label ASC) AS r
+         |  FROM cells)
+         |SELECT cluster, CAST(SUM(c) AS BIGINT) AS n,
+         |  MAX(CASE WHEN r = 1 THEN label END) AS top_label,
+         |  CAST(MAX(CASE WHEN r = 1 THEN c END) AS BIGINT) AS top_count,
+         |  CAST(MAX(CASE WHEN r = 1 THEN c END) * 1000 // SUM(c)
+         |    AS BIGINT) AS purity_permille
+         |FROM rk GROUP BY 1
          |""".stripMargin,
 
     // kmeans CTEs shared with kmeans_clusters, then the within-cluster

@@ -1348,6 +1348,26 @@ class CurationSpec extends AnyFunSuite {
       Curation.exactQuantiles(df, "v", "id", Seq(50, 50)))
   }
 
+  test("dupRateByGroup / sourceOverlap: hand-checked provenance audits") {
+    val df = Seq(("s1", "a"), ("s1", "a"), ("s1", "b"), ("s2", "a"),
+      ("s2", "c"), ("s3", "z")).toDF("src", "t")
+    val dup = Curation.dupRateByGroup(df, "t", "src").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(dup("s1") == ((3L, 2L, 1L, 333L)))
+    assert(dup("s2") == ((2L, 2L, 0L, 0L)))
+    assert(dup("s3") == ((1L, 1L, 0L, 0L)))
+    val ov = Curation.sourceOverlap(df, "t", "src")
+      .select("g_a", "g_b", "n_common", "n_a", "n_b",
+        "jaccard_permille")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // s1 ∩ s2 = {a}: |s1|=2, |s2|=2 → jaccard 1000/3 = 333‰
+    assert(ov(("s1", "s2")) == ((1L, 2L, 2L, 333L)))
+    assert(ov.size == 1) // zero-overlap pairs absent by construction
+  }
+
   test("withGroupRank ≡ per-group window truth; rankNormalize edges") {
     import graft.operators.DistributedOrder
     import org.apache.spark.sql.expressions.Window
