@@ -52,16 +52,32 @@ object DistributedOrder {
     * driver-safe for any group count a broadcast can carry (documented
     * bound; beyond ~10⁷ groups use a plain group-hashed window, which
     * is then fine because groups that numerous are small). The order
-    * must be TOTAL within a group (include a tie-break id). */
+    * must be TOTAL within a group (include a tie-break id).
+    *
+    * Measured regime boundary (BenchScaleRank, local[32]): with
+    * 800k-row groups the plain window WINS (3.0 s vs 7.6 s — five
+    * in-memory sorts beat a shuffle+join pipeline); at 8M-row groups
+    * this engine wins (206 s vs 284 s) and the gap grows with group
+    * size — the window path degrades linearly in group size per task
+    * and ultimately spills/OOMs, while this engine's per-core work is
+    * group-size-independent. Use the plain window for many small
+    * groups; use THIS when single groups are data-sized. */
   def withGroupRank(df: DataFrame, rankCol: String,
       groupCols: Seq[String], order: Column*): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
     val group = groupCols.map(col)
+    // MATERIALIZED once (localCheckpoint): the frame feeds BOTH the
+    // offsets aggregate and the join side, and `_pid` is only
+    // meaningful if both consumers see the SAME physical partitioning —
+    // re-executing the range shuffle per consumer lets AQE/sampling
+    // land different boundaries and the offsets silently misalign
+    // (caught by BenchScaleRank at 4M rows: max rank 812k ≠ 800k).
     val local = df.repartitionByRange(group ++ order: _*)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_lv", row_number().over(
         Window.partitionBy(col("_pid") +: group: _*)
           .orderBy(order: _*)).cast("long"))
+      .localCheckpoint(false)
     val offsets = local.groupBy(col("_pid") +: group: _*)
       .agg(count(lit(1)).as("_n"))
       .withColumn("_off", coalesce(sum(col("_n")).over(
@@ -76,10 +92,16 @@ object DistributedOrder {
   private def attach(df: DataFrame, order: Seq[Column], outCol: String,
       localOver: org.apache.spark.sql.expressions.WindowSpec => Column,
       perPartitionTotal: Column): DataFrame = {
+    // materialized once — same reasoning as withGroupRank: offsets and
+    // the join side must observe ONE physical range partitioning, not
+    // two independent executions of the shuffle whose sampled
+    // boundaries may differ (r16 caught the grouped variant off by 12k
+    // at 4M rows; this path was exposed to the same divergence)
     val local = df.repartitionByRange(order: _*)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_lv", localOver(
         Window.partitionBy(col("_pid")).orderBy(order: _*)))
+      .localCheckpoint(false)
     val offsets = local.groupBy(col("_pid"))
       .agg(perPartitionTotal.as("_n"))
       .withColumn("_off", coalesce(sum(col("_n")).over(
