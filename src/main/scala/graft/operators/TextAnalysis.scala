@@ -772,6 +772,55 @@ object TextAnalysis {
           .as("href"),
         trim(regexp_extract(m, "(?i)>([^<]*)</a>", 1)).as("anchor")))
 
+  /** Flat-table extraction from HTML — the structured-data sibling of
+    * [[htmlAnchors]] (web tables are a major structured-pretraining
+    * source; the WDC table corpus is exactly this extraction run at
+    * crawl scale): one row per CELL, addressed (table_idx, row_idx,
+    * col_idx), 1-based in document order, with inner tags stripped and
+    * whitespace trimmed. FLAT-subset semantics, documented: non-greedy
+    * matches end at the FIRST closing tag, so a nested table truncates
+    * its parent at the inner `</table>` — the RE2-safe trade (no
+    * recursion); th and td both count as cells (the header row is
+    * row_idx 1, the usual table-corpus convention).
+    *
+    * Scale shape: three chained narrow regex explodes (tables → rows →
+    * cells), zero shuffle, linear in page bytes. */
+  def htmlTables(df: DataFrame, htmlCol: String,
+      idCol: String): DataFrame = {
+    val tables = df.select(col(idCol),
+      posexplode(regexp_extract_all(col(htmlCol),
+        lit("(?is)<table[^>]*>(.*?)</table>"), lit(1))))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("table_idx"),
+        col("col").as("_t"))
+    val rows = tables.select(col(idCol), col("table_idx"),
+      posexplode(regexp_extract_all(col("_t"),
+        lit("(?is)<tr[^>]*>(.*?)</tr>"), lit(1))))
+      .select(col(idCol), col("table_idx"),
+        (col("pos") + 1).cast("long").as("row_idx"), col("col").as("_r"))
+    rows.select(col(idCol), col("table_idx"), col("row_idx"),
+      posexplode(regexp_extract_all(col("_r"),
+        lit("(?is)<t[dh][^>]*>(.*?)</t[dh]>"), lit(1))))
+      .select(col(idCol), col("table_idx"), col("row_idx"),
+        (col("pos") + 1).cast("long").as("col_idx"),
+        trim(regexp_replace(col("col"), "<[^>]*>", "")).as("cell"))
+  }
+
+  /** Code-fence language histogram over a markdown corpus — the
+    * routing signal [[markdownColumns]] counts but doesn't NAME
+    * (n_code_blocks says how much fenced code; a code-data pipeline
+    * needs WHICH languages it's buying): counts per fence info-string
+    * (the token after the opening ```), lowercased. LABELED fences
+    * only — a bare ``` line is indistinguishable from a labeled
+    * block's CLOSER without a stateful parse, so the unlabeled volume
+    * is derived instead as `markdownColumns.n_code_blocks − Σ these`
+    * (documented, not guessed). One narrow regex explode + one
+    * map-side-combined count; shuffle carries distinct languages. */
+  def fenceLanguages(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(regexp_extract_all(col(textCol),
+        lit("(?m)^```([A-Za-z0-9_+#.-]+)"), lit(1))).as("_l"))
+      .select(lower(col("_l")).as("lang"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_fences"))
+
   /** Anchor-text aggregation: per link TARGET, how many pages link to it
     * and what they call it — `n_links`, `n_unique_anchors`, and the
     * majority anchor string (`top_anchor`, ties → lexicographically

@@ -1040,6 +1040,41 @@ object PipelineQueries {
     // comment noise, entity-escaped body), the extractor inverts it, and
     // the oracle states the expected text DIRECTLY from the source
     // columns — proving the strip/decode chain, not mirroring it.
+    // Flat-table extraction: two proper tables per minted page — one
+    // with a header row, inner <b> markup (strip test) and a trailing
+    // space (trim test), one ragged (row widths 2 then 1) — addressed
+    // (table_idx, row_idx, col_idx), 1-based.
+    "html_tables" -> ((s, dir) => {
+      val page = concat(
+        lit("<html><body><h1>C "), col("c_custkey"),
+        lit("</h1><table class=\"x\"><tr><th>name</th><th>segment" +
+          "</th></tr><tr><td><b>"), col("c_name"),
+        lit("</b></td><td>"), col("c_mktsegment"),
+        lit(" </td></tr></table><p>between</p><table><tr><td>"),
+        col("c_custkey") % 97,
+        lit("</td><td>x</td></tr><tr><td>y</td></tr></table>" +
+          "</body></html>"))
+      TextAnalysis.htmlTables(
+        Graft.table(s, dir, "customer")
+          .select(col("c_custkey"), page.as("html")),
+        "html", "c_custkey")
+    }),
+
+    // Code-fence language histogram over minted markdown (python /
+    // C++ / bare fences by doc_id mod 4): labeled openers only, the
+    // bare-closer ambiguity documented in the operator.
+    "fence_langs" -> ((s, dir) =>
+      TextAnalysis.fenceLanguages(
+        docs(s, dir).select(
+          when(col("doc_id") % 4 === 0,
+            concat(lit("```python\nx = 1\n```\n"), col("text")))
+            .when(col("doc_id") % 4 === 1,
+              concat(lit("```C++\nint x;\n```\n"), col("text")))
+            .when(col("doc_id") % 4 === 2,
+              concat(lit("```\nplain\n```\n"), col("text")))
+            .otherwise(col("text")).as("text")),
+        "text")),
+
     "html_extract" -> ((s, dir) => {
       val page = concat(
         lit("<html><head><title>Doc "), col("doc_id"),
@@ -3011,6 +3046,62 @@ object PipelineQueries {
          |ORDER BY n DESC, subword ASC
          |LIMIT 20
          |""".stripMargin,
+
+    // same three-level regex explode with the positional-unnest idiom
+    "html_tables" ->
+      """WITH pg AS (
+        |  SELECT c_custkey,
+        |    '<html><body><h1>C ' || CAST(c_custkey AS VARCHAR) ||
+        |    '</h1><table class="x"><tr><th>name</th><th>segment</th>' ||
+        |    '</tr><tr><td><b>' || c_name || '</b></td><td>' ||
+        |    c_mktsegment || ' </td></tr></table><p>between</p>' ||
+        |    '<table><tr><td>' || CAST(c_custkey % 97 AS VARCHAR) ||
+        |    '</td><td>x</td></tr><tr><td>y</td></tr></table>' ||
+        |    '</body></html>' AS html
+        |  FROM customer),
+        |t AS (SELECT c_custkey,
+        |    unnest(regexp_extract_all(html,
+        |      '(?is)<table[^>]*>(.*?)</table>', 1)) AS tb,
+        |    generate_subscripts(regexp_extract_all(html,
+        |      '(?is)<table[^>]*>(.*?)</table>', 1), 1) AS table_idx
+        |  FROM pg),
+        |r AS (SELECT c_custkey, table_idx,
+        |    unnest(regexp_extract_all(tb,
+        |      '(?is)<tr[^>]*>(.*?)</tr>', 1)) AS rw,
+        |    generate_subscripts(regexp_extract_all(tb,
+        |      '(?is)<tr[^>]*>(.*?)</tr>', 1), 1) AS row_idx
+        |  FROM t),
+        |c AS (SELECT c_custkey, table_idx, row_idx,
+        |    unnest(regexp_extract_all(rw,
+        |      '(?is)<t[dh][^>]*>(.*?)</t[dh]>', 1)) AS cell0,
+        |    generate_subscripts(regexp_extract_all(rw,
+        |      '(?is)<t[dh][^>]*>(.*?)</t[dh]>', 1), 1) AS col_idx
+        |  FROM r)
+        |SELECT c_custkey, CAST(table_idx AS BIGINT) AS table_idx,
+        |  CAST(row_idx AS BIGINT) AS row_idx,
+        |  CAST(col_idx AS BIGINT) AS col_idx,
+        |  trim(regexp_replace(cell0, '<[^>]*>', '', 'g')) AS cell
+        |FROM c
+        |""".stripMargin,
+
+    // same minted fences; labeled openers only
+    "fence_langs" ->
+      """WITH m AS (
+        |  SELECT CASE
+        |    WHEN doc_id % 4 = 0 THEN '```python' || chr(10) ||
+        |      'x = 1' || chr(10) || '```' || chr(10) || text
+        |    WHEN doc_id % 4 = 1 THEN '```C++' || chr(10) ||
+        |      'int x;' || chr(10) || '```' || chr(10) || text
+        |    WHEN doc_id % 4 = 2 THEN '```' || chr(10) ||
+        |      'plain' || chr(10) || '```' || chr(10) || text
+        |    ELSE text END AS text
+        |  FROM documents),
+        |f AS (SELECT lower(unnest(regexp_extract_all(text,
+        |    '(?m)^```([A-Za-z0-9_+#.-]+)', 1))) AS lang
+        |  FROM m)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_fences
+        |FROM f GROUP BY 1
+        |""".stripMargin,
 
     "html_extract" ->
       """SELECT doc_id,

@@ -1208,6 +1208,33 @@ class PipelineSpec extends AnyFunSuite {
       DnsAnalytics.tunnelAggregates(df, "name", "cnt", parentLabels = 0))
   }
 
+  test("htmlTables: addressing, strip, trim, case, flat-subset") {
+    import graft.operators.TextAnalysis
+    val html = "<table><tr><th>a</th><th> b </th></tr>" +
+      "<tr><td><i>x</i></td></tr></table>" +
+      "<TABLE><tr><td>q</td></tr></TABLE>"
+    val out = TextAnalysis.htmlTables(
+        Seq((1L, html)).toDF("id", "h"), "h", "id")
+      .collect().map(r =>
+        (r.getLong(1), r.getLong(2), r.getLong(3)) -> r.getString(4))
+      .toMap
+    assert(out((1L, 1L, 1L)) == "a" && out((1L, 1L, 2L)) == "b") // trim
+    assert(out((1L, 2L, 1L)) == "x") // inner tag stripped, ragged row
+    assert(out((2L, 1L, 1L)) == "q") // case-insensitive tags
+    assert(out.size == 4)
+  }
+
+  test("fenceLanguages: labeled openers only, lowercased") {
+    import graft.operators.TextAnalysis
+    val df = Seq("```Python\nx\n```\ntext\n```c++\ny\n```",
+      "```\nbare\n```", "no fences ``` inline").toDF("t")
+    val out = TextAnalysis.fenceLanguages(df, "t").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // bare fences and the labeled blocks' closers never count; the
+    // mid-line ``` is not a fence (line-start anchor)
+    assert(out == Map("python" -> 1L, "c++" -> 1L))
+  }
+
   test("blockingQuality: counted candidates, coverage, reduction") {
     import graft.operators.Dedup
     // first-letter blocks: {1,2,3}=a {4,5}=b {6}=c → candidates 3+1+0
