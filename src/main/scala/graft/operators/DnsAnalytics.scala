@@ -161,6 +161,45 @@ object DnsAnalytics {
   def confusableSkeleton(c: Column): Column =
     translate(lower(c), "0134578-", "oleastb")
 
+  /** Edit-distance-1 typosquat detection — the OTHER lookalike class
+    * beside [[confusableSkeleton]]'s homoglyphs (leet folds look the
+    * same; typos are what fingers do: `gogle`, `paypall`, `amaozn` —
+    * fat-finger registrations that catch traffic the brand loses):
+    * every dot-separated label within Levenshtein distance ≤ `maxDist`
+    * of a brand, the exact brand itself excluded. Skeleton-equal pairs
+    * are ALSO excluded when `excludeConfusable` (default) — `paypa1`
+    * is a leetsquat, not a typo; the two detectors partition the
+    * lookalike space instead of double-reporting.
+    *
+    * Scale shape: labels explode narrow, the brand list BROADCASTS,
+    * and the candidate check is a broadcast nested-loop bounded by
+    * |labels| × |brands| with brands fleet-small (a brand list is
+    * thousands; the reference workload's protected set is far
+    * smaller) — each probe a codegen'd levenshtein over short labels.
+    * A length-difference prefilter (| |a|−|b| | ≤ maxDist) prunes most
+    * probes before the DP runs. */
+  def typoNames(names: DataFrame, nameCol: String, brands: DataFrame,
+      brandCol: String, maxDist: Int = 1,
+      excludeConfusable: Boolean = true): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val labels = names.select(col(nameCol).as("name"),
+        explode(split(col(nameCol), "\\.")).as("label"))
+      .withColumn("_l", lower(col("label")))
+    val folded = brands.select(lower(col(brandCol)).as("brand"))
+      .distinct()
+    val joined = labels.join(broadcast(folded),
+      abs(length(col("_l")) - length(col("brand"))) <= maxDist &&
+        levenshtein(col("_l"), col("brand")) <= maxDist &&
+        col("_l") =!= col("brand"))
+    val out =
+      if (excludeConfusable)
+        joined.filter(confusableSkeleton(col("_l")) =!=
+          confusableSkeleton(col("brand")))
+      else joined
+    out.select(col("name"), col("label"), col("brand"),
+      levenshtein(col("_l"), col("brand")).cast("long").as("distance"))
+  }
+
   /** Brand-lookalike label detection — the phishing-hunting query a
     * passive-DNS user runs against a NOD feed (a never-seen name whose
     * label FOLDS to a protected brand but ISN'T it is the classic

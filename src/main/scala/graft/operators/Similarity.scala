@@ -27,6 +27,29 @@ object Similarity {
   def scaled(emb: Column): Column =
     transform(emb, x => round(x * 100000.0, 0))
 
+  /** Embedding-norm histogram — the degenerate-vector audit run BEFORE
+    * any cosine machinery trusts a new embedding batch (an all-zero
+    * vector makes cosine undefined; a batch whose norms collapsed or
+    * exploded is an upstream encoder bug that similarity scores then
+    * launder into silent garbage): exact integer norm² per vector over
+    * the scaled representation, folded into fixed-width buckets —
+    * `(norm2_bucket, n_vectors, min_norm2, max_norm2)`; bucket 0's
+    * count includes the true zeros and near-zeros a caller quarantines.
+    * One narrow codegen'd dot pass + one map-side-combined groupBy on
+    * ≤ range/width buckets. */
+  def embeddingNorms(df: DataFrame, idCol: String, embCol: String,
+      bucketWidth: Long = 100000000000L): DataFrame = {
+    require(bucketWidth >= 1L, s"bucketWidth must be >= 1, got $bucketWidth")
+    val v = scaled(col(embCol))
+    df.select(col(idCol), dot(v, v).cast("long").as("_n2"))
+      .select(expr(s"_n2 div ${bucketWidth}L").as("norm2_bucket"),
+        col("_n2"))
+      .groupBy(col("norm2_bucket"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("_n2")).as("min_norm2"),
+        max(col("_n2")).as("max_norm2"))
+  }
+
   /** Exact dot product of two scaled vectors — native codegen'd primitive
     * loop ([[org.apache.spark.sql.graft.DotProductD]]); values are
     * integers so any summation order gives the same result. */

@@ -772,6 +772,70 @@ object TextAnalysis {
           .as("href"),
         trim(regexp_extract(m, "(?i)>([^<]*)</a>", 1)).as("anchor")))
 
+  /** Bracket/quote balance audit — the cheapest code-truncation
+    * detector (a source file cut mid-function by a crawler or an
+    * extraction bug leaves more openers than closers; truncated code
+    * poisons code-model training far beyond its byte share): per doc
+    * the open−close delta for (), {}, [] and the double-quote parity,
+    * plus `truncation_suspect` = any POSITIVE delta or odd quotes
+    * (negative deltas — more closers — are weird code, not truncation,
+    * and stay flagless; thresholds beyond "any" are caller policy).
+    * Count-based, not a parser: interleaved `([)]` balances — the
+    * documented cheap-proxy trade. Narrow codegen'd length-diff
+    * passes, zero shuffle, linear in bytes. */
+  def bracketBalance(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    def cnt(re: String): Column =
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), re, ""))).cast("long")
+    df.select(col(idCol),
+        (cnt("\\(") - cnt("\\)")).as("paren_delta"),
+        (cnt("\\{") - cnt("\\}")).as("brace_delta"),
+        (cnt("\\[") - cnt("\\]")).as("bracket_delta"),
+        (cnt("\"") % 2).as("quote_parity"))
+      .withColumn("truncation_suspect",
+        (col("paren_delta") > 0L || col("brace_delta") > 0L ||
+          col("bracket_delta") > 0L || col("quote_parity") === 1L)
+          .cast("long"))
+  }
+
+  /** Delimited-text consistency audit — the structural QA pass for
+    * CSV/TSV-shaped blobs BEFORE anyone trusts a schema (a "CSV"
+    * column whose rows disagree on field count is either ragged data
+    * or an unquoted-delimiter bug; both corrupt downstream parsing
+    * silently): per doc the line count, the MODAL field count (split
+    * on `delim`, trailing empties kept — the count-desc-then-smallest
+    * determinism), how many lines have it, and `ragged_permille` =
+    * share of lines that DON'T.
+    *
+    * Scale shape: one narrow line/field-count explode, a map-side
+    * (doc, n_fields) count, the per-doc argmax via a doc-keyed
+    * row_number over ≤ distinct-width rows, one doc-sized join. */
+  def delimitedAudit(df: DataFrame, textCol: String, idCol: String,
+      delim: String = ","): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = df.select(col(idCol).as("_id"),
+        explode(split(col(textCol), "\n")).as("_line"))
+      .select(col("_id"),
+        size(split(col("_line"), java.util.regex.Pattern.quote(delim),
+          -1)).cast("long").as("_nf"))
+      .localCheckpoint(false) // feeds widths AND totals — one scan
+    val widths = lines.groupBy(col("_id"), col("_nf"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col("_id"))
+          .orderBy(col("_c").desc, col("_nf").asc)))
+      .filter(col("_r") === 1)
+      .select(col("_id"), col("_nf").as("modal_fields"),
+        col("_c").as("modal_lines"))
+    lines.groupBy(col("_id")).agg(count(lit(1)).as("n_lines"))
+      .join(widths, Seq("_id"))
+      .select(col("_id").as(idCol), col("n_lines"),
+        col("modal_fields"), col("modal_lines"),
+        expr("(n_lines - modal_lines) * 1000 div n_lines")
+          .as("ragged_permille"))
+  }
+
   /** Flat-table extraction from HTML — the structured-data sibling of
     * [[htmlAnchors]] (web tables are a major structured-pretraining
     * source; the WDC table corpus is exactly this extraction run at

@@ -316,6 +316,29 @@ object BalboaQueries {
       graft.operators.DnsAnalytics.fastFluxSignals(
         Graft.ipObservations(s, dir), "rrname", "rdata")),
 
+    // Hunting extension: edit-distance-1 typosquats against the same
+    // brand list — fat-finger registrations (char dropped when
+    // rdata % 4 == 1, char doubled when == 2), leetsquats excluded by
+    // the skeleton filter so the two detectors partition the space.
+    "dns_typo" -> ((s, dir) => {
+      val k = col("rdata").cast("long")
+      val brand = element_at(
+        array(lookalikeBrands.map(lit): _*), (k % 5 + 1).cast("int"))
+      // drop the 2nd char / double the 3rd char — both distance 1
+      val label = when(k % 4 === 1,
+          concat(substring(brand, 1, 1), substring(brand, 3, 100)))
+        .otherwise(when(k % 4 === 2,
+          concat(substring(brand, 1, 3), substring(brand, 3, 100)))
+          .otherwise(col("rrname")))
+      val names = Graft.observations(s, dir)
+        .select(concat(label, lit(".zone"), col("sensor_id"),
+          lit(".com")).as("name"))
+        .distinct()
+      import s.implicits._
+      graft.operators.DnsAnalytics.typoNames(
+        names, "name", lookalikeBrands.toDF("brand"), "brand")
+    }),
+
     // Prefix-preserving IPv4 anonymization (Crypto-PAn at octet
     // granularity): per-octet md5-keyed XOR masks — shared raw
     // prefixes stay shared, everything else scrambles; narrow map.
@@ -440,6 +463,37 @@ object BalboaQueries {
          |    AS uniq_permille
          |FROM o GROUP BY 1
          |""".stripMargin,
+
+    // Same fat-finger minting (drop 2nd char / double 3rd), same
+    // length prefilter + levenshtein bound + skeleton exclusion.
+    "dns_typo" ->
+      """WITH src AS (
+        |  SELECT *, list_extract(
+        |      ['paypal','google','amazon','netflix','office'],
+        |      CAST(l_orderkey % 5 + 1 AS INT)) AS br
+        |  FROM lineitem),
+        |o AS (
+        |  SELECT (CASE WHEN l_orderkey % 4 = 1
+        |            THEN substr(br, 1, 1) || substr(br, 3)
+        |          WHEN l_orderkey % 4 = 2
+        |            THEN substr(br, 1, 3) || substr(br, 3)
+        |          ELSE 'part-' || CAST(l_partkey AS VARCHAR) END) ||
+        |         '.zone' || CAST(l_suppkey % 10 AS VARCHAR) || '.com'
+        |           AS name
+        |  FROM src),
+        |n AS (SELECT DISTINCT name FROM o),
+        |l AS (SELECT name, unnest(string_split(name, '.')) AS label
+        |      FROM n),
+        |x AS (SELECT name, label, lower(label) AS ll FROM l),
+        |b AS (SELECT unnest(
+        |    ['paypal','google','amazon','netflix','office']) AS brand)
+        |SELECT x.name, x.label, b.brand,
+        |  CAST(levenshtein(x.ll, b.brand) AS BIGINT) AS distance
+        |FROM x JOIN b ON abs(len(x.ll) - len(b.brand)) <= 1
+        |  AND levenshtein(x.ll, b.brand) <= 1 AND x.ll <> b.brand
+        |WHERE translate(x.ll, '0134578-', 'oleastb') <>
+        |      translate(b.brand, '0134578-', 'oleastb')
+        |""".stripMargin,
 
     // Same per-octet mask bytes (first md5 hex byte via the strpos
     // idiom), same secret, xor() per octet.

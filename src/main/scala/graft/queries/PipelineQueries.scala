@@ -1060,6 +1060,44 @@ object PipelineQueries {
         "html", "c_custkey")
     }),
 
+    // Bracket/quote balance — the cheap code-truncation audit: even
+    // doc_ids get an appended snippet, one third of those truncated
+    // mid-block (the closers cut), so the flag fires on exactly the
+    // planted class.
+    "bracket_balance" -> ((s, dir) =>
+      TextAnalysis.bracketBalance(
+        docs(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 2 === 0,
+            when(col("doc_id") % 6 === 0,
+              concat(col("text"), lit("\nfn f(a: [i32; 3]) { g(\"x")))
+              .otherwise(concat(col("text"),
+                lit("\nfn f(a: [i32; 3]) { g(\"x\") }"))))
+            .otherwise(col("text")).as("text")),
+        "text", "doc_id")),
+
+    // Delimited-text consistency: minted 4-line CSV blobs, one line
+    // ragged when doc_id % 3 == 0 — modal width, ragged share.
+    "delim_audit" -> ((s, dir) =>
+      TextAnalysis.delimitedAudit(
+        docs(s, dir).select(col("doc_id"),
+          concat(lit("a,b,c\n1,2,3\n"),
+            when(col("doc_id") % 3 === 0, lit("x,y\n"))
+              .otherwise(lit("x,y,z\n")),
+            col("doc_id").cast("string"), lit(",k,"),
+            col("n_chars").cast("string")).as("text")),
+        "text", "doc_id")),
+
+    // Embedding-norm histogram: exact integer norm² over the scaled
+    // representation folded into fixed-width buckets — the degenerate
+    // vector audit; a planted zero vector lands in bucket 0.
+    "embedding_norms" -> ((s, dir) =>
+      Similarity.embeddingNorms(
+        embs(s, dir).select(col("vec_id"),
+          when(col("vec_id") === 3L,
+            expr("transform(embedding, x -> cast(0.0 as float))"))
+            .otherwise(col("embedding")).as("embedding")),
+        "vec_id", "embedding", bucketWidth = 1000000000L)),
+
     // Code-fence language histogram over minted markdown (python /
     // C++ / bare fences by doc_id mod 4): labeled openers only, the
     // bare-closer ambiguity documented in the operator.
@@ -3082,6 +3120,81 @@ object PipelineQueries {
         |  CAST(col_idx AS BIGINT) AS col_idx,
         |  trim(regexp_replace(cell0, '<[^>]*>', '', 'g')) AS cell
         |FROM c
+        |""".stripMargin,
+
+    // same planted snippets; length-diff counts, parity, any-positive
+    "bracket_balance" ->
+      """WITH m AS (
+        |  SELECT doc_id, CASE
+        |    WHEN doc_id % 6 = 0 THEN text || chr(10) ||
+        |      'fn f(a: [i32; 3]) { g("x'
+        |    WHEN doc_id % 2 = 0 THEN text || chr(10) ||
+        |      'fn f(a: [i32; 3]) { g("x") }'
+        |    ELSE text END AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    CAST(len(t) - len(replace(t, '(', '')) AS BIGINT) AS po,
+        |    CAST(len(t) - len(replace(t, ')', '')) AS BIGINT) AS pc,
+        |    CAST(len(t) - len(replace(t, '{', '')) AS BIGINT) AS bo,
+        |    CAST(len(t) - len(replace(t, '}', '')) AS BIGINT) AS bc,
+        |    CAST(len(t) - len(replace(t, '[', '')) AS BIGINT) AS ko,
+        |    CAST(len(t) - len(replace(t, ']', '')) AS BIGINT) AS kc,
+        |    CAST((len(t) - len(replace(t, '"', ''))) % 2 AS BIGINT)
+        |      AS quote_parity
+        |  FROM m)
+        |SELECT doc_id, po - pc AS paren_delta, bo - bc AS brace_delta,
+        |  ko - kc AS bracket_delta, quote_parity,
+        |  CAST(CASE WHEN po - pc > 0 OR bo - bc > 0 OR ko - kc > 0
+        |    OR quote_parity = 1 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS truncation_suspect
+        |FROM c
+        |""".stripMargin,
+
+    // same minted blobs; per-line field counts, modal width by
+    // (count desc, width asc), ragged share
+    "delim_audit" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    'a,b,c' || chr(10) || '1,2,3' || chr(10) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'x,y' ELSE 'x,y,z' END) ||
+        |    chr(10) || CAST(doc_id AS VARCHAR) || ',k,' ||
+        |    CAST(n_chars AS VARCHAR) AS t
+        |  FROM documents),
+        |ln AS (SELECT doc_id,
+        |    CAST(len(string_split(unnest(string_split(t, chr(10))),
+        |      ',')) AS BIGINT) AS nf
+        |  FROM m),
+        |w AS (SELECT doc_id, nf, CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM ln GROUP BY 1, 2
+        |      QUALIFY row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY COUNT(*) DESC, nf ASC) = 1),
+        |n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+        |      FROM ln GROUP BY 1)
+        |SELECT n.doc_id, n.n_lines, w.nf AS modal_fields,
+        |  w.c AS modal_lines,
+        |  CAST((n.n_lines - w.c) * 1000 // n.n_lines AS BIGINT)
+        |    AS ragged_permille
+        |FROM n JOIN w ON n.doc_id = w.doc_id
+        |""".stripMargin,
+
+    // same zeroed vector 3; list-based norm², fixed-width buckets
+    "embedding_norms" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id = 3 THEN
+        |      list_transform(embedding, x -> CAST(0.0 AS DOUBLE))
+        |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END
+        |      AS e
+        |  FROM embeddings),
+        |n2 AS (SELECT CAST(list_sum(list_transform(e,
+        |    x -> round(x * 100000, 0) * round(x * 100000, 0)))
+        |    AS BIGINT) AS n2
+        |  FROM v)
+        |SELECT n2 // 1000000000 AS norm2_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |  CAST(MIN(n2) AS BIGINT) AS min_norm2,
+        |  CAST(MAX(n2) AS BIGINT) AS max_norm2
+        |FROM n2 GROUP BY 1
         |""".stripMargin,
 
     // same minted fences; labeled openers only

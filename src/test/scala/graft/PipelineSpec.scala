@@ -1208,6 +1208,72 @@ class PipelineSpec extends AnyFunSuite {
       DnsAnalytics.tunnelAggregates(df, "name", "cnt", parentLabels = 0))
   }
 
+  test("bracketBalance: deltas, parity, positive-only flag") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "f(x) { a[0] = \"ok\" }"), // balanced → no flag
+      (2L, "f(x { a[0"),              // ( { [ all open → flag
+      (3L, "weird ) } ]"),            // negative deltas → NO flag
+      (4L, "say \"un terminated")     // odd quotes → flag
+    ).toDF("id", "t")
+    val out = TextAnalysis.bracketBalance(df, "t", "id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(1L) == ((0L, 0L, 0L, 0L, 0L)))
+    assert(out(2L) == ((1L, 1L, 1L, 0L, 1L)))
+    assert(out(3L) == ((-1L, -1L, -1L, 0L, 0L)))
+    assert(out(4L) == ((0L, 0L, 0L, 1L, 1L)))
+  }
+
+  test("delimitedAudit: modal width, ragged share, determinism") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "a,b,c\n1,2,3\nx,y\nq,w,e"), // 3,3,2,3 → modal 3, ragged 250
+      (2L, "a,b\nc,d"),                 // uniform
+      (3L, "a,b\nc,d,e")                // 1-1 tie → smaller width wins
+    ).toDF("id", "t")
+    val out = TextAnalysis.delimitedAudit(df, "t", "id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == ((4L, 3L, 3L, 250L)))
+    assert(out(2L) == ((2L, 2L, 2L, 0L)))
+    assert(out(3L) == ((2L, 2L, 1L, 500L)))
+  }
+
+  test("embeddingNorms: exact buckets, planted zero") {
+    import graft.operators.Similarity
+    // scaled by 1e5: [0.01, 0] → n2 = 1000² = 1e6 → bucket 0;
+    // [1.0, 0] → 1e10 → bucket 1 at width 1e10; [0,0] → 0 → bucket 0
+    val df = Seq(
+      (1L, Array(0.01f, 0f)), (2L, Array(1f, 0f)),
+      (3L, Array(0f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.embeddingNorms(df, "vec_id", "embedding",
+        bucketWidth = 10000000000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L) == ((2L, 0L, 1000000L)))
+    assert(out(1L) == ((1L, 10000000000L, 10000000000L)))
+    intercept[IllegalArgumentException](
+      Similarity.embeddingNorms(df, "vec_id", "embedding", 0L))
+  }
+
+  test("typoNames: distance-1 hits, exact + confusable excluded") {
+    import graft.operators.DnsAnalytics
+    val names = Seq("pypal.evil.com", "payypal.x.net", "paypal.com",
+      "paypa1.z.org", "unrelated.site").toDF("name")
+    val brands = Seq("paypal").toDF("brand")
+    val hits = DnsAnalytics.typoNames(names, "name", brands, "brand")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(hits == Set(
+      ("pypal.evil.com", "pypal", "paypal", 1L),
+      ("payypal.x.net", "payypal", "paypal", 1L)))
+    // the exact brand and the leetsquat (skeleton-equal) stay out
+    assert(!hits.exists(_._1 == "paypal.com"))
+    assert(!hits.exists(_._1 == "paypa1.z.org"))
+  }
+
   test("htmlTables: addressing, strip, trim, case, flat-subset") {
     import graft.operators.TextAnalysis
     val html = "<table><tr><th>a</th><th> b </th></tr>" +
