@@ -772,6 +772,44 @@ object TextAnalysis {
           .as("href"),
         trim(regexp_extract(m, "(?i)>([^<]*)</a>", 1)).as("anchor")))
 
+  /** Per-line language census — the mixed-document detector
+    * [[detectedLang]]'s doc-level argmax hides (a page that is 70%
+    * English with a French boilerplate footer IDs as 'en' and the
+    * footer pollutes the English corpus; line grain is where the mix
+    * is visible and fixable): every non-blank line runs the marker
+    * detector, then per doc the line count, the MAJORITY line
+    * language (count desc, lang asc determinism) and
+    * `minority_permille` — the share of lines disagreeing with the
+    * majority, the routing signal for line-level cleanup.
+    *
+    * Scale shape: one narrow line explode + detector pass
+    * (checkpointed — feeds counts AND totals in one scan), a map-side
+    * (doc, lang) count, a doc-keyed ≤ 6-row argmax window, one
+    * doc-sized join. */
+  def lineLanguages(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = df.select(col(idCol).as("_id"),
+        explode(split(col(textCol), "\n")).as("_line"))
+      .filter(length(trim(col("_line"))) > 0)
+      .select(col("_id"), detectedLang(col("_line")).as("_lang"))
+      .localCheckpoint(false)
+    val top = lines.groupBy(col("_id"), col("_lang"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col("_id"))
+          .orderBy(col("_c").desc, col("_lang").asc)))
+      .filter(col("_r") === 1)
+      .select(col("_id"), col("_lang").as("top_lang"),
+        col("_c").as("top_count"))
+    lines.groupBy(col("_id")).agg(count(lit(1)).as("n_lines"))
+      .join(top, Seq("_id"))
+      .select(col("_id").as(idCol), col("n_lines"), col("top_lang"),
+        col("top_count"),
+        expr("(n_lines - top_count) * 1000 div n_lines")
+          .as("minority_permille"))
+  }
+
   /** Bracket/quote balance audit — the cheapest code-truncation
     * detector (a source file cut mid-function by a crawler or an
     * extraction bug leaves more openers than closers; truncated code

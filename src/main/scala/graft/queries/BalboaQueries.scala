@@ -316,6 +316,24 @@ object BalboaQueries {
       graft.operators.DnsAnalytics.fastFluxSignals(
         Graft.ipObservations(s, dir), "rrname", "rdata")),
 
+    // Hunting extension: domain co-occurrence per (sensor, day)
+    // context — names queried together cluster C2 infrastructure with
+    // its decoys and CDNs with their customers; the quadratic-safe
+    // bipartite projection (oversized contexts dropped entirely)
+    // over part-group items.
+    "dns_cooccur" -> ((s, dir) => {
+      val obs = Graft.observations(s, dir)
+      graft.operators.Graphs.bipartiteProject(
+        obs.select(
+          concat(col("sensor_id"), lit(":"),
+            expr("unix_micros(cast(ts as timestamp_ltz))" +
+              " div 86400000000")).as("ctx"),
+          concat(lit("g"),
+            col("rrname").substr(lit(6), lit(100)).cast("long") % 200L)
+            .as("item")),
+        "ctx", "item", minShared = 3, maxContextDegree = 12)
+    }),
+
     // Hunting extension: edit-distance-1 typosquats against the same
     // brand list — fat-finger registrations (char dropped when
     // rdata % 4 == 1, char doubled when == 2), leetsquats excluded by
@@ -463,6 +481,25 @@ object BalboaQueries {
          |    AS uniq_permille
          |FROM o GROUP BY 1
          |""".stripMargin,
+
+    // Same (sensor, day) contexts and part-group items; ≤-cap keep,
+    // co-located pair join, shared-context count.
+    "dns_cooccur" ->
+      """WITH inc AS (
+        |  SELECT DISTINCT
+        |    CAST(l_suppkey % 10 AS VARCHAR) || ':' ||
+        |    CAST(CAST(epoch_us(l_shipdate) AS BIGINT) // 86400000000
+        |      AS VARCHAR) AS ctx,
+        |    'g' || CAST(l_partkey % 200 AS VARCHAR) AS item
+        |  FROM lineitem),
+        |keep AS (SELECT ctx FROM inc GROUP BY ctx
+        |         HAVING COUNT(*) <= 12),
+        |e AS (SELECT inc.ctx, inc.item FROM inc JOIN keep USING (ctx))
+        |SELECT a.item AS a, b.item AS b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM e a JOIN e b ON a.ctx = b.ctx AND a.item < b.item
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |""".stripMargin,
 
     // Same fat-finger minting (drop 2nd char / double 3rd), same
     // length prefilter + levenshtein bound + skeleton exclusion.

@@ -1060,6 +1060,20 @@ object PipelineQueries {
         "html", "c_custkey")
     }),
 
+    // Per-line language census over minted mixed docs (a German
+    // marker line appended on doc_id % 3 == 0, Spanish on == 2):
+    // majority line language + minority share, the line-grain view
+    // the doc-level argmax hides.
+    "line_langs" -> ((s, dir) =>
+      TextAnalysis.lineLanguages(
+        docs(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              lit("\nder und das nicht die"))
+              .when(col("doc_id") % 3 === 2, lit("\nel la de y no"))
+              .otherwise(lit(""))).as("text")),
+        "text", "doc_id")),
+
     // Bracket/quote balance — the cheap code-truncation audit: even
     // doc_ids get an appended snippet, one third of those truncated
     // mid-block (the closers cut), so the flag fires on exactly the
@@ -3120,6 +3134,57 @@ object PipelineQueries {
         |  CAST(col_idx AS BIGINT) AS col_idx,
         |  trim(regexp_replace(cell0, '<[^>]*>', '', 'g')) AS cell
         |FROM c
+        |""".stripMargin,
+
+    // same minted lines; the detector CASE per line, majority by
+    // (count desc, lang asc)
+    "line_langs" ->
+      """WITH m AS (
+        |  SELECT doc_id, text || (CASE
+        |    WHEN doc_id % 3 = 0 THEN chr(10) || 'der und das nicht die'
+        |    WHEN doc_id % 3 = 2 THEN chr(10) || 'el la de y no'
+        |    ELSE '' END) AS t
+        |  FROM documents),
+        |l AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line
+        |      FROM m),
+        |f AS (SELECT doc_id, line FROM l WHERE len(trim(line)) > 0),
+        |sc AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(line, ' '),
+        |      t -> t IN ('der', 'die', 'das', 'und', 'nicht'))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(string_split(line, ' '),
+        |      t -> t IN ('the', 'a', 'of', 'and', 'not'))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(string_split(line, ' '),
+        |      t -> t IN ('el', 'la', 'de', 'y', 'no'))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(string_split(line, ' '),
+        |      t -> t IN ('le', 'la', 'de', 'et', 'ne'))) AS BIGINT) AS s_fr,
+        |    CAST(len(list_filter(string_split(line, ' '),
+        |      t -> t IN ('de5', 'shi4', 'bu4', 'le5', 'he2'))) AS BIGINT) AS s_zh
+        |  FROM f),
+        |det AS (SELECT doc_id,
+        |    CASE
+        |      WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh)
+        |           AND greatest(s_de, s_en, s_es, s_fr, s_zh) > 0 THEN 'de'
+        |      WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh)
+        |           AND greatest(s_de, s_en, s_es, s_fr, s_zh) > 0 THEN 'en'
+        |      WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh)
+        |           AND greatest(s_de, s_en, s_es, s_fr, s_zh) > 0 THEN 'es'
+        |      WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh)
+        |           AND greatest(s_de, s_en, s_es, s_fr, s_zh) > 0 THEN 'fr'
+        |      WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh)
+        |           AND greatest(s_de, s_en, s_es, s_fr, s_zh) > 0 THEN 'zh'
+        |      ELSE 'und' END AS lang
+        |  FROM sc),
+        |c AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM det GROUP BY 1, 2
+        |      QUALIFY row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY COUNT(*) DESC, lang ASC) = 1),
+        |n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+        |      FROM det GROUP BY 1)
+        |SELECT n.doc_id, n.n_lines, c.lang AS top_lang,
+        |  c.c AS top_count,
+        |  CAST((n.n_lines - c.c) * 1000 // n.n_lines AS BIGINT)
+        |    AS minority_permille
+        |FROM n JOIN c ON n.doc_id = c.doc_id
         |""".stripMargin,
 
     // same planted snippets; length-diff counts, parity, any-positive

@@ -1208,6 +1208,19 @@ class PipelineSpec extends AnyFunSuite {
       DnsAnalytics.tunnelAggregates(df, "name", "cnt", parentLabels = 0))
   }
 
+  test("lineLanguages: per-doc majority, minority share, blanks skipped") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "the cat of doom\n\nel la de y no\nthe a of and"),
+      (2L, "xyzzy qwerty")).toDF("id", "t")
+    val out = TextAnalysis.lineLanguages(df, "t", "id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toMap
+    // 3 non-blank lines: en, es, en → majority en, minority 333‰
+    assert(out(1L) == ((3L, "en", 2L, 333L)))
+    assert(out(2L) == ((1L, "und", 1L, 0L)))
+  }
+
   test("bracketBalance: deltas, parity, positive-only flag") {
     import graft.operators.TextAnalysis
     val df = Seq(
