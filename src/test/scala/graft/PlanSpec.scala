@@ -1448,6 +1448,34 @@ class PlanSpec extends AnyFunSuite {
       !p4.contains("BroadcastNestedLoopJoin"), p4)
   }
 
+  test("round-16 text/typo ops: narrow passes, broadcast brands, keyed windows") {
+    import graft.operators.{DnsAnalytics, TextAnalysis}
+    // htmlTables: three chained generators, zero exchanges
+    val pages = Seq((1L, "<table><tr><td>x</td></tr></table>"))
+      .toDF("id", "h")
+    val p0 = explainOf(TextAnalysis.htmlTables(pages, "h", "id"))
+    assert(!p0.contains("Exchange"), p0)
+    // bracketBalance: pure projection
+    val p1 = explainOf(TextAnalysis.bracketBalance(
+      Seq((1L, "(x)")).toDF("id", "t"), "t", "id"))
+    assert(!p1.contains("Exchange"), p1)
+    // typoNames: the brand side rides a BROADCAST nested loop (the
+    // levenshtein bound is not an equi-key) — never a shuffled product
+    val p2 = explainOf(DnsAnalytics.typoNames(
+      Seq("paypa1.com").toDF("name"), "name",
+      Seq("paypal").toDF("brand"), "brand"))
+    assert(p2.contains("BroadcastNestedLoopJoin"), p2)
+    assert(!p2.contains("CartesianProduct"), p2)
+    // delimitedAudit / lineLanguages: every window is doc-keyed —
+    // nothing funnels into one partition
+    val p3 = explainOf(TextAnalysis.delimitedAudit(
+      Seq((1L, "a,b\nc,d")).toDF("id", "t"), "t", "id"))
+    assert(!p3.contains("Exchange SinglePartition"), p3)
+    val p4 = explainOf(TextAnalysis.lineLanguages(
+      Seq((1L, "the cat")).toDF("id", "t"), "t", "id"))
+    assert(!p4.contains("Exchange SinglePartition"), p4)
+  }
+
   test("cusumPeaks: hour span broadcasts, fold is per-key aggregation") {
     val ev = Seq((Timestamp.valueOf("2024-01-01 00:00:00"), "x"))
       .toDF("ts", "event_type")
