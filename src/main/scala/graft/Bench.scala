@@ -419,12 +419,24 @@ object Bench {
     // double) vs 119 gates over it summing 422 s — re-running those
     // was ~40% of the sweep wall that pushed r15 past the driver's
     // budget (rc 124, parsed: null).
+    // ... and gates whose first run exceeds 30 s get ONE retry with
+    // min: no gate in the catalog legitimately costs that much except
+    // forget_everywhere, so a 30 s+ number is almost always a stall
+    // (an r16 run printed ann_ivfpq_delta at 76.6 s where its
+    // neighbors' runs measure ~8 s — one page-cache eviction, priced
+    // as a 10× regression). The retry costs the honest time only when
+    // something already looks broken.
     val results: Seq[(String, Double)] =
       names.map { name =>
         val sec =
           try {
             val first = runOnce(name)
-            if (first > 1.0) first else math.min(first, runOnce(name))
+            if (first <= 1.0) math.min(first, runOnce(name))
+            else if (first > 30.0) {
+              System.err.println(
+                f"[bench] $name first run $first%.1f s — anomaly retry")
+              math.min(first, runOnce(name))
+            } else first
           } catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             -1.0
