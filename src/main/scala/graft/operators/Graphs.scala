@@ -850,6 +850,32 @@ object Graphs {
                  ':', cast(x as string)))), 34) as bigint)""")
           .as("node"))
 
+  /** Degree-distribution audit — the first question asked of any graph
+    * before running anything iterative on it (a hub whose degree is
+    * 10⁶ changes which algorithms are safe — the randomWalks maxDegree
+    * cap, the bipartite context cap and the skew-join salting all key
+    * off exactly this shape): per direction ('out' = src side, 'in' =
+    * dst side) the count of nodes at each distinct degree over the
+    * DISTINCT edge set. The histogram is degree-count-sized — the
+    * power-law head is immediately visible, and `max(degree)` is the
+    * number the caps above are set from.
+    *
+    * Scale shape: one distinct, two map-side-combined degree
+    * aggregates (shuffle carries node keys), two map-side histogram
+    * folds (shuffle carries distinct degrees), one tiny union. */
+  def degreeProfile(edges0: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges0.select(col(srcCol).as("_s"), col(dstCol).as("_d"))
+      .distinct()
+      .localCheckpoint(false) // feeds both direction censuses
+    def side(c: String, tag: String): DataFrame =
+      e.groupBy(col(c)).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .select(lit(tag).as("direction"), col("degree"), col("n_nodes"))
+    side("_s", "out").unionByName(side("_d", "in"))
+  }
+
   /** Thresholded bipartite projection — the co-occurrence graph builder
     * (items linked when they share enough contexts: suppliers serving
     * the same orders, terms in the same documents, hosts in the same

@@ -316,6 +316,21 @@ object BalboaQueries {
       graft.operators.DnsAnalytics.fastFluxSignals(
         Graft.ipObservations(s, dir), "rrname", "rdata")),
 
+    // Store stats extension: per-rrtype mix over the merged aggregate
+    // (the record-type profile a pDNS operator reads before retention
+    // or schema decisions) — entry count, observation mass, permille
+    // share of the grand total.
+    "rrtype_mix" -> ((s, dir) => {
+      val per = aggMicros(s, dir).groupBy(col("rrtype"))
+        .agg(count(lit(1)).as("n_entries"),
+          sum(col("count")).as("total_count"))
+        .localCheckpoint(false) // feeds the rows AND the grand total
+      per.crossJoin(broadcast(
+          per.agg(sum(col("total_count")).as("_g"))))
+        .select(col("rrtype"), col("n_entries"), col("total_count"),
+          expr("total_count * 1000 div _g").as("count_permille"))
+    }),
+
     // Hunting extension: domain co-occurrence per (sensor, day)
     // context — names queried together cluster C2 infrastructure with
     // its decoys and CDNs with their customers; the quadratic-safe
@@ -480,6 +495,19 @@ object BalboaQueries {
          |    CAST(COUNT(DISTINCT name) * 1000 // SUM(cnt) AS BIGINT) END
          |    AS uniq_permille
          |FROM o GROUP BY 1
+         |""".stripMargin,
+
+    // Per-rrtype fold of the merged aggregate, permille of the total.
+    "rrtype_mix" ->
+      s"""$obsCte,
+         |per AS (SELECT rrtype, CAST(COUNT(*) AS BIGINT) AS n_entries,
+         |          CAST(SUM("count") AS BIGINT) AS total_count
+         |        FROM agg GROUP BY 1)
+         |SELECT rrtype, n_entries, total_count,
+         |  CAST(total_count * 1000 //
+         |    (SELECT SUM(total_count) FROM per) AS BIGINT)
+         |    AS count_permille
+         |FROM per
          |""".stripMargin,
 
     // Same (sensor, day) contexts and part-group items; ≤-cap keep,

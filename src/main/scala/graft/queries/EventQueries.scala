@@ -518,6 +518,13 @@ object EventQueries {
     // suppliers dropped whole (the hub guard BINDS on this data —
     // 7-lineitem orders exist). The first-class form of the projection
     // the lpa/triangle gates derive inline.
+    // Degree-distribution audit of the customer→supplier graph — the
+    // shape check every iterative-graph cap keys off; per direction
+    // the node count at each distinct degree over the distinct edges.
+    "graph_degrees" -> ((s, dir) =>
+      graft.operators.Graphs.degreeProfile(custSuppEdges(s, dir),
+        "src", "dst")),
+
     "graph_project" -> ((s, dir) =>
       graft.operators.Graphs.bipartiteProject(
         Graft.table(s, dir, "lineitem")
@@ -843,6 +850,24 @@ object EventQueries {
 
     // The same degree-capped projection: distinct incidences, contexts
     // over the cap dropped whole, pairs counted on surviving contexts.
+    // distinct edges, per-side degree census, histogram per direction
+    "graph_degrees" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS degree
+        |       FROM e GROUP BY 1),
+        |idg AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS degree
+        |        FROM e GROUP BY 1)
+        |SELECT 'out' AS direction, degree,
+        |       CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |FROM od GROUP BY 2
+        |UNION ALL
+        |SELECT 'in' AS direction, degree,
+        |       CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |FROM idg GROUP BY 2
+        |""".stripMargin,
+
     "graph_project" ->
       """WITH inc AS (
         |  SELECT DISTINCT l_orderkey AS ctx, l_suppkey AS item

@@ -302,6 +302,17 @@ class GraphsSpec extends AnyFunSuite {
     assert(r3.getLong(0) == 7L && r3.getLong(1) == 1L)
   }
 
+  test("degreeProfile: per-direction histograms over distinct edges") {
+    val e = Seq((1L, 10L), (1L, 11L), (1L, 10L), (2L, 10L))
+      .toDF("s", "d")
+    val out = Graphs.degreeProfile(e, "s", "d").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // distinct edges (1,10),(1,11),(2,10): out degrees 1→2, 2→1;
+    // in degrees 10→2, 11→1
+    assert(out == Map(("out", 2L) -> 1L, ("out", 1L) -> 1L,
+      ("in", 2L) -> 1L, ("in", 1L) -> 1L))
+  }
+
   test("randomWalks: chain determinism, sink stop, neighbor validity") {
     // directed chain 1→2→3→4: every step has exactly one choice, so
     // the hash argmin is forced and the corpus is fully hand-checkable
