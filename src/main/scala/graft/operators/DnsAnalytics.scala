@@ -72,6 +72,53 @@ object DnsAnalytics {
       .withColumn("first_day",
         expr("first_seen div 86400000000"))
 
+  /** Day-grain rollup of the newly-observed feed, split by parent
+    * novelty — the triage view a NOD consumer reads ([[newlyObserved]]
+    * is row-per-name; the daily question is "how much is new today,
+    * and how much of it is new INFRASTRUCTURE vs new subdomains under
+    * zones we already know"): per UTC day of first observation, the
+    * count of newly-observed names plus the count and permille of
+    * those whose registered parent (last `parentLabels` labels) is
+    * ITSELF first observed at or after `fromMicros`. A campaign
+    * standing up fresh zones scores near 1000; subdomain churn under
+    * established zones scores near 0. Parent novelty is judged over
+    * ALL names in the input — a parent with only pre-window history
+    * counts as established even though none of its old names pass the
+    * window filter.
+    *
+    * Input is any (name, micros) stream — raw observations or the
+    * store aggregate's first_seen; the name-grain min fold makes both
+    * yield the same feed.
+    *
+    * Scale shape: one map-side-combined min per name, a parent-sized
+    * second fold, one equi-join co-located on the parent key (AQE
+    * broadcasts the parent census when it fits), then a day-sized
+    * census. The name-grain frame is checkpointed once — it feeds the
+    * parent census AND the join probe from a single scan. */
+  def nodRollup(df: DataFrame, nameCol: String, tsCol: String,
+      fromMicros: Long, parentLabels: Int = 2): DataFrame = {
+    require(parentLabels >= 1,
+      s"parentLabels must be >= 1, got $parentLabels")
+    val nameFirst = df
+      .select(col(nameCol).as("name"), col(tsCol).as("_ts"))
+      .groupBy(col("name"))
+      .agg(min(col("_ts")).as("first_seen"))
+      .withColumn("parent",
+        substring_index(col("name"), ".", -parentLabels))
+      .localCheckpoint(false) // feeds the parent census AND the probe
+    val parentFirst = nameFirst.groupBy(col("parent"))
+      .agg(min(col("first_seen")).as("_parent_first"))
+    nameFirst.filter(col("first_seen") >= fromMicros)
+      .join(parentFirst, "parent")
+      .groupBy(expr("first_seen div 86400000000").as("first_day"))
+      .agg(
+        count(lit(1)).as("n_new_names"),
+        sum(when(col("_parent_first") >= fromMicros, 1L).otherwise(0L))
+          .as("n_under_new_parent"))
+      .withColumn("new_parent_permille", expr(
+        "n_under_new_parent * 1000 div n_new_names"))
+  }
+
   /** Tunnel-detection aggregates per registered parent (the LAST
     * `parentLabels` labels of the name): unique-subdomain volume and
     * shape under each parent. A DNS tunnel shows up as ONE parent with

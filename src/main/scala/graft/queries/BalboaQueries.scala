@@ -292,6 +292,30 @@ object BalboaQueries {
         aggMicros(s, dir), "rrname", "first_seen",
         fromMicros = 801964800000000L)), // 1995-06-01T00:00:00Z
 
+    // Hunting extension: NOD day-grain triage rollup — per UTC day of
+    // first observation, how many names are new and how many sit under
+    // NEW parents. Even orderkeys mint per-year campaign zones
+    // (tun<sensor>-<year>.com — fresh infrastructure), odd keep
+    // established corp<sensor>.com zones, so the permille split is
+    // non-degenerate. Two min folds + one parent-keyed equi-join.
+    "nod_rollup" -> ((s, dir) => {
+      val obs = Graft.observations(s, dir)
+      val even = col("rdata").cast("long") % 2 === 0
+      val named = obs.select(
+        concat(
+          when(even, md5(concat(col("rdata"), col("rrname"))))
+            .otherwise(col("rrname")),
+          lit("."),
+          when(even,
+            concat(lit("tun"), col("sensor_id"), lit("-"),
+              year(col("ts")).cast("string")))
+            .otherwise(concat(lit("corp"), col("sensor_id"))),
+          lit(".com")).as("name"),
+        util.micros(col("ts")).as("ts"))
+      graft.operators.DnsAnalytics.nodRollup(named, "name", "ts",
+        fromMicros = 820454400000000L) // 1996-01-01T00:00:00Z
+    }),
+
     // Hunting extension: per-name DGA/tunnel character signals over a
     // dotted-name stream (even orderkeys mint md5-hex tunnel
     // subdomains under tun<sensor>.com, odd keep the dictionary-ish
@@ -457,6 +481,42 @@ object BalboaQueries {
          |GROUP BY 1
          |HAVING MIN(first_seen) >= 801964800000000
          |""".stripMargin,
+
+    // Year-keyed campaign fixture, name-grain min fold, parent census,
+    // parent-keyed join, day census; permilles via //.
+    "nod_rollup" ->
+      """WITH o AS (
+        |  SELECT (CASE WHEN l_orderkey % 2 = 0
+        |          THEN md5(CAST(l_orderkey AS VARCHAR) || 'part-' ||
+        |                   CAST(l_partkey AS VARCHAR))
+        |          ELSE 'part-' || CAST(l_partkey AS VARCHAR) END) ||
+        |         '.' ||
+        |         (CASE WHEN l_orderkey % 2 = 0
+        |          THEN 'tun' || CAST(l_suppkey % 10 AS VARCHAR) || '-' ||
+        |               CAST(year(l_shipdate) AS VARCHAR)
+        |          ELSE 'corp' || CAST(l_suppkey % 10 AS VARCHAR) END) ||
+        |         '.com' AS name,
+        |         epoch_us(l_shipdate) AS ts
+        |  FROM lineitem),
+        |nf AS (SELECT name, MIN(ts) AS first_seen FROM o GROUP BY 1),
+        |np AS (SELECT name, first_seen,
+        |         array_to_string(
+        |           list_slice(string_split(name, '.'), -2, -1), '.')
+        |           AS parent
+        |       FROM nf),
+        |pf AS (SELECT parent, MIN(first_seen) AS parent_first
+        |       FROM np GROUP BY 1)
+        |SELECT CAST(np.first_seen // 86400000000 AS BIGINT) AS first_day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_new_names,
+        |  CAST(SUM(CASE WHEN pf.parent_first >= 820454400000000
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_under_new_parent,
+        |  CAST(SUM(CASE WHEN pf.parent_first >= 820454400000000
+        |            THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT)
+        |    AS new_parent_permille
+        |FROM np JOIN pf USING (parent)
+        |WHERE np.first_seen >= 820454400000000
+        |GROUP BY 1
+        |""".stripMargin,
 
     // Shared dotted-name rendering, then per-name character classes
     // counted by remove-and-subtract, permilles via //.

@@ -1346,6 +1346,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(r("solo.org") == ((1L, 1L, 1L)))
   }
 
+  test("nodRollup: day census split by parent novelty") {
+    import graft.operators.DnsAnalytics
+    val D = 86400000000L
+    val df = Seq(
+      ("a.new.com", 10 * D + 5), // new name, parent new.com also new
+      ("b.new.com", 11 * D),     // new name, same new parent, next day
+      ("c.old.com", 10 * D + 7), // new name under the ESTABLISHED parent
+      ("z.old.com", 2 * D),      // pre-window; establishes old.com
+      ("z.old.com", 12 * D),     // later dup — min fold keeps 2*D
+      ("solo", 10 * D + 1)       // single label: its own parent, new
+    ).toDF("name", "ts")
+    val r = DnsAnalytics.nodRollup(df, "name", "ts", fromMicros = 10 * D)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r == Map(
+      10L -> ((3L, 2L, 666L)), // a + solo new-parent, c established
+      11L -> ((1L, 1L, 1000L))))
+    intercept[IllegalArgumentException] {
+      DnsAnalytics.nodRollup(df, "name", "ts", 0L, parentLabels = 0)
+    }
+  }
+
   test("lookalike: skeleton folds leet + hyphens, self-excluded") {
     import graft.operators.DnsAnalytics
     val names = Seq("paypa1.evil.com", "g00gle.x.net", "pay-pal.z.org",

@@ -1431,6 +1431,12 @@ class PlanSpec extends AnyFunSuite {
     val p2 = explainOf(DnsAnalytics.fastFluxSignals(ff, "n", "ip"))
     assert(!p2.contains("CartesianProduct") &&
       !p2.contains("BroadcastNestedLoopJoin"), p2)
+    // NOD rollup: the name-grain frame joins the parent census on the
+    // parent key — an equi-join, never a product
+    val nr = Seq(("a.x.com", 1L), ("b.y.com", 2L)).toDF("n", "ts")
+    val p2b = explainOf(DnsAnalytics.nodRollup(nr, "n", "ts", 0L))
+    assert(!p2b.contains("CartesianProduct") &&
+      !p2b.contains("BroadcastNestedLoopJoin"), p2b)
     // association rules: the pair self-join co-locates on the basket
     // key and the marginal joins are equi-joins — never a product
     val bk = Seq((1L, "x"), (1L, "y"), (2L, "x")).toDF("b", "i")
