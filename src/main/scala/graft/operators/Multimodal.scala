@@ -807,7 +807,7 @@ object Multimodal {
               u16(dataOff + 3), payload(dataOff + 5) & 0xff, prog))
           }
         } else if (marker == 0xe1 && dataLen >= 6 &&
-            new String(payload, dataOff, 6, "ISO-8859-1") == "Exif  ") {
+            new String(payload, dataOff, 6, "ISO-8859-1") == "Exif\u0000\u0000") {
           hasExif = 1
         } else if (marker == 0xfe && !sawComment) {
           comment = new String(payload, dataOff, dataLen, "ISO-8859-1")
@@ -884,7 +884,7 @@ object Multimodal {
     entry(subOff + 2, 0x8827, 3, 1L, Some(iso), None)
     entry(subOff + 14, 0xa002, 4, 1L, None, Some(pixelX))
     w32(subOff + 26, 0L)
-    "Exif  ".getBytes("ISO-8859-1") ++ tiff
+    "Exif\u0000\u0000".getBytes("ISO-8859-1") ++ tiff
   }
 
   /** EXIF APP1 IFD walk (the fifth structure sibling beside the RIFF /
@@ -900,7 +900,7 @@ object Multimodal {
     * 42, offsets past the payload — returns None, never garbage. */
   def parseExif(payload: Array[Byte]): Option[ExifMeta] = {
     if (payload.length < 14) return None
-    if (new String(payload, 0, 6, "ISO-8859-1") != "Exif  ")
+    if (new String(payload, 0, 6, "ISO-8859-1") != "Exif\u0000\u0000")
       return None
     val t = payload.drop(6)
     val order = new String(t, 0, 2, "ISO-8859-1")
@@ -927,7 +927,7 @@ object Multimodal {
     def ascii(off: Long, count: Long): Option[String] = {
       if (off < 0 || count < 1 || off + count > t.length) return None
       val raw = new String(t, off.toInt, count.toInt, "ISO-8859-1")
-      Some(raw.stripSuffix(" "))
+      Some(raw.stripSuffix("\u0000"))
     }
     def walk(ifdOff: Long): Option[(Int, Map[Int, (Int, Long, Long)])] = {
       // Long-range check BEFORE .toInt: a sub-IFD pointer ≥ 2^31 (seen
@@ -1236,7 +1236,7 @@ object Multimodal {
     seg(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 2, 0,
       0, 1, 0, 1, 0, 0))
     if (exif)
-      seg(0xe1, "Exif  ".getBytes("ISO-8859-1") ++
+      seg(0xe1, "Exif\u0000\u0000".getBytes("ISO-8859-1") ++
         Array.fill[Byte](8)(0))
     seg(0xfe, comment.getBytes("ISO-8859-1"))
     val sof = new java.io.ByteArrayOutputStream()

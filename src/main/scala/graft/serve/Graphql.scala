@@ -756,9 +756,9 @@ object Graphql {
         java.time.Instant.ofEpochSecond(unixSeconds(row, "last_seen")).toString)
       case "id" => // synthetic, not persisted (observation.go:16): stable hash
         o.put("id", java.util.UUID.nameUUIDFromBytes(
-          (row.getAs[String]("rrname") + "" +
-            row.getAs[String]("sensor_id") + "" +
-            row.getAs[String]("rrtype") + "" +
+          (row.getAs[String]("rrname") + "\u001f" +
+            row.getAs[String]("sensor_id") + "\u001f" +
+            row.getAs[String]("rrtype") + "\u001f" +
             row.getAs[String]("rdata")).getBytes("UTF-8")).toString)
       case f => o.put(f, row.getAs[String](f))
     }

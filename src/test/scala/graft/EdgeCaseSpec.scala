@@ -18,12 +18,12 @@ class EdgeCaseSpec extends AnyFunSuite {
   test("rdata containing the 0x1f delimiter byte survives store + lookup") {
     // the reference needs a right-to-left key parse for this
     // (rocksdb-impl.c:472-495); the columnar model must be immune
-    val weird = "abc"
+    val weird = "a\u001fb\u001fc"
     val ts = Timestamp.valueOf("2020-01-01 00:00:00")
     val dir = Files.createTempDirectory("graft-edge").toString
     val input = Seq(
-      ("n1.com", "s1", "A", weird, 1L, ts, ts),
-      ("n2.com", "s1", "A", weird, 2L, ts, ts))
+      ("n1.com", "s\u001f1", "A", weird, 1L, ts, ts),
+      ("n2.com", "s\u001f1", "A", weird, 2L, ts, ts))
       .toDF(cols: _*)
     ObservationStore.writeDual(ObservationStore.aggregate(input), s"$dir/st",
       numBuckets = 4)
@@ -31,7 +31,7 @@ class EdgeCaseSpec extends AnyFunSuite {
     val hits = st.entries(rdata = Some(weird)).collect()
     assert(hits.length == 2)
     assert(hits.map(_.getAs[String]("rrname")).toSet == Set("n1.com", "n2.com"))
-    assert(st.entries(rdata = Some("a"), sensorId = Some("s1")).isEmpty)
+    assert(st.entries(rdata = Some("a"), sensorId = Some("s\u001f1")).isEmpty)
   }
 
   test("u32 timestamp bounds: epoch 0 and 2^32-1 seconds round-trip") {
@@ -233,7 +233,7 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Robots.crawlDiff(empty, one, "url", "fp")
       .select("status").as[String].head() == "added")
     // normalization of empty / all-control text
-    val n = Seq("", "", " ").toDF("t")
+    val n = Seq("", "\u0001\u0002", " ").toDF("t")
       .select(TextAnalysis.normalizeText(col("t"))).as[String].collect()
     assert(n.toSeq == Seq("", "", ""))
     // codeColumns on empty text: zero everything (no div-by-zero)

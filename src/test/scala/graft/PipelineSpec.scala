@@ -924,9 +924,9 @@ class PipelineSpec extends AnyFunSuite {
     // the token encoding is uniquely decodable: shifting a boundary
     // separator between fields must CHANGE the checksum
     val e1 = Tools.tableChecksum(
-      Seq(("ab", "c")).toDF("x", "y"), Seq("x", "y")).collect().head
+      Seq(("a\u0001b", "c")).toDF("x", "y"), Seq("x", "y")).collect().head
     val e2 = Tools.tableChecksum(
-      Seq(("a", "bc")).toDF("x", "y"), Seq("x", "y")).collect().head
+      Seq(("a", "b\u0001c")).toDF("x", "y"), Seq("x", "y")).collect().head
     assert(e1.getLong(1) != e2.getLong(1))
     val empty = Tools.tableChecksum(a.limit(0), Seq("id", "s"))
       .collect().head

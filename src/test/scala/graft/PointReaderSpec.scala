@@ -36,7 +36,7 @@ class PointReaderSpec extends AnyFunSuite {
   }
 
   private def sortedSet(rows: Seq[Row]): Seq[Seq[Any]] =
-    rows.map(_.toSeq).sortBy(_.mkString(""))
+    rows.map(_.toSeq).sortBy(_.mkString("\u0001"))
 
   private def assertSame(store: ObservationStore,
       rrname: Option[String] = None, rdata: Option[String] = None,
