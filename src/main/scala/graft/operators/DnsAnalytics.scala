@@ -196,6 +196,50 @@ object DnsAnalytics {
         max(col("_names_on_ip")).as("max_names_on_shared_ip"))
   }
 
+  /** Per-address co-tenancy profile — the REVERSE view of
+    * [[fastFluxSignals]] (flux asks "how many addresses does this
+    * name rotate through"; an investigator pivoting on an address
+    * asks "what else lives HERE"): per address the distinct-name
+    * count, total observation mass, the dominant name and its
+    * permille share. A parking/sinkhole address shows thousands of
+    * names with no dominant tenant; a dedicated C2 host shows one
+    * name near 1000‰; shared hosting sits between. Thresholds are
+    * caller policy.
+    *
+    * Determinism: the dominant name ties break to the lexically
+    * SMALLEST name at equal mass.
+    *
+    * Scale shape: one map-side-combined fold to (address, name)
+    * mass, a second address-sized fold, and the dominant-tenant
+    * row_number over an ADDRESS-partitioned window — the window
+    * shuffles on the same key the fold needs, so it costs a sort,
+    * not an extra exchange; the final join is address-keyed and
+    * co-located. A mega-tenant address (a parking lot with millions
+    * of names) bounds the window's sort run, never a cartesian. */
+  def coTenancy(df: DataFrame, ipCol: String, nameCol: String,
+      countCol: String): DataFrame = {
+    val pair = df.select(col(ipCol).as("ip"),
+        col(nameCol).as("name"), col(countCol).as("_n"))
+      .groupBy(col("ip"), col("name"))
+      .agg(sum(col("_n")).as("_cnt"))
+      .localCheckpoint(false) // feeds the per-ip fold AND the argmax
+    val perIp = pair.groupBy(col("ip"))
+      .agg(count(lit(1)).as("n_names"),
+        sum(col("_cnt")).as("total_count"))
+    val top = pair
+      .withColumn("_r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("ip"))
+          .orderBy(col("_cnt").desc, col("name").asc)))
+      .filter(col("_r") === 1)
+      .select(col("ip"), col("name").as("top_name"),
+        col("_cnt").as("_top_cnt"))
+    perIp.join(top, "ip")
+      .withColumn("top_share_permille", expr(
+        "case when total_count > 0" +
+          " then _top_cnt * 1000 div total_count end"))
+      .drop("_top_cnt")
+  }
+
   /** Confusable-skeleton fold for lookalike detection — the
     * single-character leet/homoglyph map every IDN-spoof checker
     * starts from (Unicode TR39's "skeleton" idea restricted to the

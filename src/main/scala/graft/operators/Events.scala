@@ -948,4 +948,40 @@ object Events {
           .as("mode_permille"),
         col("span")): _*)
   }
+
+  /** Feed-coverage gap audit per key — the health question a fleet
+    * operator asks of every sensor/source BEFORE trusting any
+    * time-windowed analytic over it (a sensor dark for a week makes
+    * `dns_newly_observed` mint false "new" names the day it returns;
+    * gap detection is the guard): per key, over UTC-day grain, the
+    * active span (`first_day`..`last_day`), days with at least one
+    * event, days missing inside the span, and the LONGEST consecutive
+    * missing run (`max_gap_days` — one 7-day outage reads differently
+    * from seven scattered dark days at the same miss count).
+    *
+    * `tsCol` is unix micros. Keys with a single active day report
+    * `max_gap_days = 0` (no interior to be missing).
+    *
+    * Scale shape: a map-side-combined distinct to (key, day) — the
+    * frame is bounded by keys × calendar days, NOT event volume — then
+    * one key-partitioned lag window (same shuffle key the final fold
+    * needs, so the window costs a sort, not an extra exchange) and one
+    * key-sized aggregate. */
+  def coverageGaps(df: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val days = df.select(col(keyCol),
+        expr(s"`$tsCol` div 86400000000").as("_day"))
+      .distinct()
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_day"))
+    days.withColumn("_prev", lag(col("_day"), 1).over(w))
+      .groupBy(col(keyCol))
+      .agg(
+        min(col("_day")).as("first_day"),
+        max(col("_day")).as("last_day"),
+        count(lit(1)).as("n_days_observed"),
+        coalesce(max(col("_day") - col("_prev") - 1L), lit(0L))
+          .as("max_gap_days"))
+      .withColumn("n_days_missing", expr(
+        "last_day - first_day + 1 - n_days_observed"))
+  }
 }

@@ -316,6 +316,27 @@ object BalboaQueries {
         fromMicros = 820454400000000L) // 1996-01-01T00:00:00Z
     }),
 
+    // Ops extension: per-sensor feed-coverage gap audit — the
+    // feed-health question asked before trusting any windowed analytic
+    // (a sensor dark for a week mints false NOD hits the day it
+    // returns): per sensor the active day span, observed/missing day
+    // counts and the longest dark run. (key, day)-distinct fold + one
+    // key-partitioned lag window.
+    "sensor_gaps" -> ((s, dir) =>
+      graft.operators.Events.coverageGaps(
+        Graft.observations(s, dir)
+          .select(col("sensor_id"), util.micros(col("ts")).as("ts_us")),
+        "sensor_id", "ts_us")),
+
+    // Hunting extension: per-address co-tenancy profile over the
+    // IP-shaped observation stream — the investigator's reverse pivot
+    // (what else lives on this address): distinct-name volume,
+    // observation mass, dominant tenant + permille share (ties to the
+    // lexically smallest name). Two folds + an address-keyed argmax.
+    "ip_cotenancy" -> ((s, dir) =>
+      graft.operators.DnsAnalytics.coTenancy(
+        Graft.ipObservations(s, dir), "rdata", "rrname", "count")),
+
     // Hunting extension: per-name DGA/tunnel character signals over a
     // dotted-name stream (even orderkeys mint md5-hex tunnel
     // subdomains under tun<sensor>.com, odd keep the dictionary-ish
@@ -516,6 +537,56 @@ object BalboaQueries {
         |FROM np JOIN pf USING (parent)
         |WHERE np.first_seen >= 820454400000000
         |GROUP BY 1
+        |""".stripMargin,
+
+    // (sensor, day)-distinct census, lag over the day sequence per
+    // sensor, then one fold; the longest dark run via MAX(day-prev-1).
+    "sensor_gaps" ->
+      """WITH obs AS (
+        |  SELECT CAST(l_suppkey % 10 AS VARCHAR) AS sensor_id,
+        |         epoch_us(l_shipdate) // 86400000000 AS day
+        |  FROM lineitem),
+        |d AS (SELECT DISTINCT sensor_id, day FROM obs),
+        |g AS (SELECT sensor_id, day,
+        |        lag(day) OVER (PARTITION BY sensor_id ORDER BY day)
+        |          AS prev
+        |      FROM d)
+        |SELECT sensor_id,
+        |  CAST(MIN(day) AS BIGINT) AS first_day,
+        |  CAST(MAX(day) AS BIGINT) AS last_day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_days_observed,
+        |  CAST(COALESCE(MAX(day - prev - 1), 0) AS BIGINT)
+        |    AS max_gap_days,
+        |  CAST(MAX(day) - MIN(day) + 1 - COUNT(*) AS BIGINT)
+        |    AS n_days_missing
+        |FROM g GROUP BY 1
+        |""".stripMargin,
+
+    // Same ip-shaped rdata as cidr_range; (ip, name) mass fold,
+    // ip-sized totals, dominant tenant by (mass desc, name asc).
+    "ip_cotenancy" ->
+      """WITH obs AS (
+        |  SELECT 'part-' || CAST(l_partkey AS VARCHAR) AS name,
+        |         '10.' || CAST((l_orderkey // 65536) % 256 AS VARCHAR) ||
+        |         '.'   || CAST((l_orderkey // 256)   % 256 AS VARCHAR) ||
+        |         '.'   || CAST(l_orderkey % 256          AS VARCHAR)
+        |           AS ip,
+        |         CAST(1 AS BIGINT) AS cnt
+        |  FROM lineitem),
+        |p AS (SELECT ip, name, CAST(SUM(cnt) AS BIGINT) AS cnt
+        |      FROM obs GROUP BY 1, 2),
+        |t AS (SELECT ip, CAST(COUNT(*) AS BIGINT) AS n_names,
+        |             CAST(SUM(cnt) AS BIGINT) AS total_count
+        |      FROM p GROUP BY 1),
+        |r AS (SELECT ip, name, cnt,
+        |        row_number() OVER (PARTITION BY ip
+        |          ORDER BY cnt DESC, name ASC) AS rn
+        |      FROM p)
+        |SELECT t.ip, t.n_names, t.total_count, r.name AS top_name,
+        |  CASE WHEN t.total_count > 0 THEN
+        |    CAST(r.cnt * 1000 // t.total_count AS BIGINT) END
+        |    AS top_share_permille
+        |FROM t JOIN r USING (ip) WHERE r.rn = 1
         |""".stripMargin,
 
     // Shared dotted-name rendering, then per-name character classes

@@ -1346,6 +1346,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(r("solo.org") == ((1L, 1L, 1L)))
   }
 
+  test("coverageGaps: day census, missing days, longest dark run") {
+    import graft.operators.Events
+    val D = 86400000000L
+    val df = Seq(
+      ("s1", 1 * D), ("s1", 1 * D + 5), // day 1 (dup collapses)
+      ("s1", 2 * D),                    // day 2
+      ("s1", 5 * D),                    // 2-day gap (3, 4)
+      ("s1", 9 * D),                    // 3-day gap (6, 7, 8) — longest
+      ("s2", 4 * D)                     // single-day key
+    ).toDF("k", "ts")
+    val r = Events.coverageGaps(df, "k", "ts").collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5))).toMap
+    // span 1..9 = 9 days, 4 observed, 5 missing, longest run 3
+    assert(r("s1") == ((1L, 9L, 4L, 3L, 5L)))
+    assert(r("s2") == ((4L, 4L, 1L, 0L, 0L)))
+  }
+
+  test("coTenancy: tenant census, dominant share, tie to smallest") {
+    import graft.operators.DnsAnalytics
+    val df = Seq(
+      ("10.0.0.1", "a.com", 3L), ("10.0.0.1", "b.com", 1L),
+      ("10.0.0.1", "a.com", 2L), // a.com mass 5 of 6
+      ("10.0.0.2", "x.com", 2L), ("10.0.0.2", "w.com", 2L), // tie → w
+      ("10.0.0.3", "solo.org", 4L)
+    ).toDF("ip", "name", "cnt")
+    val r = DnsAnalytics.coTenancy(df, "ip", "name", "cnt").collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2),
+        x.getString(3), x.getLong(4))).toMap
+    assert(r("10.0.0.1") == ((2L, 6L, "a.com", 833L)))
+    assert(r("10.0.0.2") == ((2L, 4L, "w.com", 500L)))
+    assert(r("10.0.0.3") == ((1L, 4L, "solo.org", 1000L)))
+  }
+
   test("nodRollup: day census split by parent novelty") {
     import graft.operators.DnsAnalytics
     val D = 86400000000L

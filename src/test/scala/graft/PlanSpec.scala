@@ -1437,6 +1437,12 @@ class PlanSpec extends AnyFunSuite {
     val p2b = explainOf(DnsAnalytics.nodRollup(nr, "n", "ts", 0L))
     assert(!p2b.contains("CartesianProduct") &&
       !p2b.contains("BroadcastNestedLoopJoin"), p2b)
+    // co-tenancy: totals join the dominant-tenant frame on the ip key
+    // — an equi-join; the argmax window is IP-partitioned, not global
+    val ct = Seq(("10.0.0.1", "a", 1L)).toDF("ip", "n", "c")
+    val p2c = explainOf(DnsAnalytics.coTenancy(ct, "ip", "n", "c"))
+    assert(!p2c.contains("CartesianProduct") &&
+      !p2c.contains("BroadcastNestedLoopJoin"), p2c)
     // association rules: the pair self-join co-locates on the basket
     // key and the marginal joins are equi-joins — never a product
     val bk = Seq((1L, "x"), (1L, "y"), (2L, "x")).toDF("b", "i")
