@@ -3103,6 +3103,56 @@ object Curation {
       .drop("_gn")
   }
 
+  /** Exact quantile normalization across groups — the STRONGER
+    * cross-source alignment than [[rankNormalize]] (ranks align
+    * POSITIONS; quantile normalization aligns the VALUES too, mapping
+    * every group's empirical distribution onto the pooled one —
+    * Bolstad et al., Bioinformatics 19(2) 2003, the microarray
+    * transform reused for multi-source score calibration): a score
+    * with within-group rank r of n_g is replaced by the pooled order
+    * statistic at 0-based position `(r−1)·(N−1) div (n_g−1)` (N =
+    * total rows). After the transform every group has an identical
+    * score distribution (a subsample of the pooled one), so a single
+    * global threshold means the same thing in every source. A
+    * single-group input maps to itself (position arithmetic collapses
+    * to the identity — pinned in the spec). Singleton groups map to
+    * the pooled MEDIAN position `(N−1) div 2`, out loud here.
+    *
+    * Output: the input columns plus `norm_score` (same type as the
+    * score column). Ties: within-group order is totalized by
+    * (score, id); the pooled order statistic at any position inside a
+    * run of equal scores is that same score, so tie placement cannot
+    * change values.
+    *
+    * Scale shape: both rank passes run through the
+    * [[DistributedOrder]] engine (range shuffle + local window +
+    * broadcast offsets — never a single-partition window); the target
+    * position is DECIMAL(38) arithmetic (r·N products overflow long
+    * at ~10¹⁰ rows); the final value lookup is ONE equi-join on the
+    * pooled rank key; the group-size frame is group-sized and
+    * AQE-broadcastable. One 1-row scalar count on the driver. */
+  def quantileNormalize(df: DataFrame, groupCol: String,
+      scoreCol: String, idCol: String): DataFrame = {
+    val n = df.count()
+    val ranked = DistributedOrder.withGroupRank(df, "_r",
+      Seq(groupCol), col(scoreCol).asc, col(idCol).asc)
+    val sizes = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_gn"))
+    val pooled = DistributedOrder.withGlobalRank(
+      df.select(col(scoreCol).as("_ps"), col(groupCol).as("_pg"),
+        col(idCol).as("_pi")),
+      "_prank", col("_ps").asc, col("_pg").asc, col("_pi").asc)
+      .select(col("_prank"), col("_ps"))
+    ranked.join(sizes, Seq(groupCol))
+      .withColumn("_target",
+        when(col("_gn") > 1L, expr(
+          s"cast(cast(_r - 1 as decimal(38,0)) * ${n - 1}" +
+            s" div (_gn - 1) as bigint) + 1"))
+          .otherwise(lit((n - 1) / 2 + 1)))
+      .join(pooled, col("_target") === col("_prank"))
+      .withColumn("norm_score", col("_ps"))
+      .drop("_r", "_gn", "_target", "_prank", "_ps")
+  }
+
   /** Majority-vote label resolution with abstentions — the
     * multi-annotator consolidation step SFT/eval data prep runs before
     * training (k labelers, some abstaining, one gold column out;

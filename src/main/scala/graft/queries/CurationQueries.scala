@@ -292,6 +292,16 @@ object CurationQueries {
         "rnk", "rank_permille", Seq("source"),
         col("n_chars").asc, col("doc_id").asc)),
 
+    // Quantile normalization of n_chars across sources onto the
+    // pooled distribution — after the transform a global threshold
+    // means the same thing in every source; both rank passes through
+    // the distributed order engine, value lookup one rank-keyed join.
+    "quantile_normalize" -> ((s, dir) =>
+      Curation.quantileNormalize(
+        docs(s, dir).select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "source", "n_chars", "doc_id")),
+
     // Majority-vote label resolution across three synthetic labelers
     // (l2 flips to 'click' on id%3, l3 abstains on id%7): plurality
     // winner, margin, ties surfaced with a NULL winner.
@@ -1166,6 +1176,29 @@ object CurationQueries {
         |    CAST((rnk - 1) * 1000 // (gn - 1) AS BIGINT) END
         |    AS rank_permille
         |FROM r
+        |""".stripMargin,
+
+    // Within-group and pooled row_numbers over the same total orders,
+    // target position by integer div, value lookup on the pooled rank.
+    "quantile_normalize" ->
+      """WITH s AS (SELECT doc_id, source, n_chars FROM documents),
+        |nn AS (SELECT COUNT(*) AS n FROM s),
+        |r AS (SELECT doc_id, source, n_chars,
+        |        CAST(row_number() OVER (PARTITION BY source
+        |          ORDER BY n_chars, doc_id) AS BIGINT) AS rk,
+        |        CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT)
+        |          AS gn
+        |      FROM s),
+        |p AS (SELECT n_chars AS pv,
+        |        CAST(row_number() OVER
+        |          (ORDER BY n_chars, source, doc_id) AS BIGINT)
+        |          AS prank
+        |      FROM s)
+        |SELECT r.doc_id, r.source, r.n_chars, p.pv AS norm_score
+        |FROM r CROSS JOIN nn JOIN p
+        |  ON p.prank = CASE WHEN r.gn > 1
+        |    THEN (r.rk - 1) * (nn.n - 1) // (r.gn - 1) + 1
+        |    ELSE (nn.n - 1) // 2 + 1 END
         |""".stripMargin,
 
     // Same labeler minting, unnest melt, (item, label) counts, top-2

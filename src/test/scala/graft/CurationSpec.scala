@@ -1398,6 +1398,35 @@ class CurationSpec extends AnyFunSuite {
     assert(rn(4L) == ((1L, -1L))) // singleton: NULL out loud
   }
 
+  test("quantileNormalize: pooled mapping, identity, singleton median") {
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L),
+      ("b", 4L, 100L), ("b", 5L, 300L)
+    ).toDF("src", "id", "v")
+    // N = 5, pooled sorted: 10 20 30 100 300
+    // a (n=3): r1→pos0→10, r2→(1·4)div2=2→30, r3→4→300
+    // b (n=2): r1→0→10, r2→4→300
+    val r = Curation.quantileNormalize(df, "src", "v", "id")
+      .collect().map(x => x.getAs[Long]("id") ->
+        x.getAs[Long]("norm_score")).toMap
+    assert(r == Map(1L -> 10L, 2L -> 30L, 3L -> 300L,
+      4L -> 10L, 5L -> 300L))
+    // one group: the position arithmetic collapses to the identity
+    val one = Seq(("s", 1L, 5L), ("s", 2L, 7L), ("s", 3L, 6L))
+      .toDF("src", "id", "v")
+    val ri = Curation.quantileNormalize(one, "src", "v", "id")
+      .collect().map(x => x.getAs[Long]("id") ->
+        x.getAs[Long]("norm_score")).toMap
+    assert(ri == Map(1L -> 5L, 2L -> 7L, 3L -> 6L))
+    // singleton group → pooled median position: N=4, (N−1) div 2 = 1
+    // → rank 2 of sorted (1 2 3 999) → 2
+    val sg = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L),
+      ("x", 9L, 999L)).toDF("src", "id", "v")
+    val rs = Curation.quantileNormalize(sg, "src", "v", "id")
+      .filter(col("id") === 9L).head.getAs[Long]("norm_score")
+    assert(rs == 2L)
+  }
+
   test("majorityVote: plurality, abstentions, ties out loud") {
     val df = Seq(
       (1L, "a", "a", "b"),      // a wins 2-1, margin 1

@@ -1443,6 +1443,13 @@ class PlanSpec extends AnyFunSuite {
     val p2c = explainOf(DnsAnalytics.coTenancy(ct, "ip", "n", "c"))
     assert(!p2c.contains("CartesianProduct") &&
       !p2c.contains("BroadcastNestedLoopJoin"), p2c)
+    // quantile normalization: group sizes and the pooled-value lookup
+    // are equi-joins; ranks come from the engine, never a product
+    val qn = Seq(("a", 1L, 2L), ("b", 2L, 3L)).toDF("g", "id", "v")
+    val p2d = explainOf(
+      graft.operators.Curation.quantileNormalize(qn, "g", "v", "id"))
+    assert(!p2d.contains("CartesianProduct") &&
+      !p2d.contains("BroadcastNestedLoopJoin"), p2d)
     // association rules: the pair self-join co-locates on the basket
     // key and the marginal joins are equi-joins — never a product
     val bk = Seq((1L, "x"), (1L, "y"), (2L, "x")).toDF("b", "i")
