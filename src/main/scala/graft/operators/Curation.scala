@@ -2702,6 +2702,65 @@ object Curation {
           .as("auc_permille"))
   }
 
+  /** Exact precision–recall curve at EVERY distinct score threshold —
+    * the operating-point table [[aucEval]]'s single number summarizes
+    * away (picking a deployment threshold needs the whole curve:
+    * precision, recall and F1 at "predict positive when score ≥ t"
+    * for each observed t): one row per distinct score, with the
+    * confusion counts and permille metrics for the classifier that
+    * thresholds there. Descending thresholds give the standard sweep
+    * from strictest (highest precision, lowest recall) to laxest.
+    *
+    * Label hygiene is the [[aucEval]] stance verbatim: null
+    * labels/scores drop, labels outside {0,1} — including strings
+    * failing try_cast — are counted out loud per threshold in
+    * `n_excluded` and contribute to NO count. Output per threshold:
+    * `(threshold, n_predicted, tp, fp, fn, n_excluded,
+    * precision_permille, recall_permille, f1_permille)` — recall is
+    * NULL when no positives exist at all.
+    *
+    * Scale shape: one map-side-combined groupBy(score), then BOTH
+    * running sums (positives, predictions) on the GROUP frame through
+    * [[DistributedOrder.withGlobalExclusiveSum]] (range shuffle +
+    * broadcast offsets — never a single-partition window, even when a
+    * continuous score makes the group frame row-sized); the positive
+    * total is a 1-row driver scalar. */
+  def prCurve(df: DataFrame, labelCol: String,
+      scoreCol: String): DataFrame = {
+    val base = df
+      .select(col(labelCol).as("_y0"), col(scoreCol).as("threshold"))
+      .filter(col("_y0").isNotNull && col("threshold").isNotNull)
+      .withColumn("_y", expr("try_cast(_y0 AS LONG)"))
+    val grouped = base.groupBy(col("threshold")).agg(
+      sum(when(col("_y") === 1L, 1L).otherwise(0L)).as("_p"),
+      sum(when(col("_y").isin(0L, 1L), 1L).otherwise(0L)).as("_n"),
+      sum(when(col("_y").isNull || !col("_y").isin(0L, 1L), 1L)
+        .otherwise(0L)).as("n_excluded"))
+    val pTotRow = grouped.agg(coalesce(sum(col("_p")), lit(0L))).head
+    val pTot = pTotRow.getLong(0)
+    val summed = DistributedOrder.withGlobalExclusiveSum(
+      DistributedOrder.withGlobalExclusiveSum(grouped, "_tpx",
+        col("_p"), col("threshold").desc),
+      "_npx", col("_n"), col("threshold").desc)
+    summed
+      .withColumn("tp", col("_tpx") + col("_p"))
+      .withColumn("n_predicted", col("_npx") + col("_n"))
+      .withColumn("fp", col("n_predicted") - col("tp"))
+      .withColumn("fn", lit(pTot) - col("tp"))
+      .withColumn("precision_permille", expr(
+        "case when n_predicted > 0" +
+          " then tp * 1000 div n_predicted end"))
+      .withColumn("recall_permille",
+        when(lit(pTot) > 0L, expr(s"tp * 1000 div $pTot")))
+      .withColumn("f1_permille", expr(
+        "case when 2 * tp + fp + fn > 0" +
+          " then 2 * tp * 1000 div (2 * tp + fp + fn) end"))
+      .select(col("threshold"), col("n_predicted"), col("tp"),
+        col("fp"), col("fn"), col("n_excluded"),
+        col("precision_permille"), col("recall_permille"),
+        col("f1_permille"))
+  }
+
   /** Calibration reliability bins — the eval beside [[aucEval]] that
     * AUC cannot see (AUC is rank-only: a model predicting 510‰ for
     * every positive and 490‰ for every negative has perfect AUC and

@@ -110,6 +110,7 @@ object DistributedOrder {
       .select(col("_pid"), col("_off"))
     local.join(broadcast(offsets), Seq("_pid"))
       .withColumn(outCol, col("_lv") + col("_off"))
-      .drop("_pid", "_lv")
+      .drop("_pid", "_lv", "_off") // leak-free: output = input + outCol,
+      // so engine passes COMPOSE (pr_curve nests two exclusive sums)
   }
 }

@@ -1557,6 +1557,17 @@ object PipelineQueries {
           expr("length(text) div 10").as("score")),
         "y", "score")),
 
+    // Exact PR curve over the same decachar-length score / en label as
+    // auc_eval: per distinct threshold the confusion counts and
+    // precision/recall/F1 permille — both running sums through the
+    // distributed-order engine on the score-group frame.
+    "pr_curve" -> ((s, dir) =>
+      graft.operators.Curation.prCurve(
+        docs(s, dir).select(
+          (col("lang") === "en").cast("long").as("y"),
+          expr("length(text) div 10").as("score")),
+        "y", "score")),
+
     // χ² discriminative terms for the en-vs-rest split: which tokens
     // separate English docs from the rest, scored by the 2×2
     // contingency χ² in centi-units (two exact decimal floors, no
@@ -4656,6 +4667,39 @@ object PipelineQueries {
         |              // (2 * CAST(SUM(p) AS HUGEINT) * SUM(q))
         |           AS BIGINT) END AS auc_permille
         |FROM c
+        |""".stripMargin,
+
+    // Score-group census, two running sums in DESC score order (groups
+    // are distinct scores, so RANGE peers == ROWS), permilles via //.
+    "pr_curve" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |         len(text) // 10 AS s
+        |  FROM documents),
+        |g AS (SELECT s, CAST(SUM(y) AS BIGINT) AS p,
+        |             CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM b GROUP BY 1),
+        |c AS (SELECT s, p, n,
+        |        CAST(SUM(p) OVER (ORDER BY s DESC) AS BIGINT) AS tp,
+        |        CAST(SUM(n) OVER (ORDER BY s DESC) AS BIGINT) AS np
+        |      FROM g),
+        |t AS (SELECT CAST(COALESCE(SUM(p), 0) AS BIGINT) AS ptot
+        |      FROM g)
+        |SELECT c.s AS threshold, c.np AS n_predicted, c.tp,
+        |  CAST(c.np - c.tp AS BIGINT) AS fp,
+        |  CAST(t.ptot - c.tp AS BIGINT) AS fn,
+        |  CAST(0 AS BIGINT) AS n_excluded,
+        |  CASE WHEN c.np > 0 THEN
+        |    CAST(c.tp * 1000 // c.np AS BIGINT) END
+        |    AS precision_permille,
+        |  CASE WHEN t.ptot > 0 THEN
+        |    CAST(c.tp * 1000 // t.ptot AS BIGINT) END
+        |    AS recall_permille,
+        |  CASE WHEN 2 * c.tp + (c.np - c.tp) + (t.ptot - c.tp) > 0 THEN
+        |    CAST(2 * c.tp * 1000
+        |      // (2 * c.tp + (c.np - c.tp) + (t.ptot - c.tp))
+        |      AS BIGINT) END AS f1_permille
+        |FROM c CROSS JOIN t
         |""".stripMargin,
 
     // Same two-step floor in HUGEINT; DISTINCT (doc, term) membership.

@@ -1396,6 +1396,28 @@ class CurationSpec extends AnyFunSuite {
     assert(rn(1L) == ((1L, 0L)) && rn(3L) == ((2L, 500L)) &&
       rn(2L) == ((3L, 1000L)))
     assert(rn(4L) == ((1L, -1L))) // singleton: NULL out loud
+    // engine passes are leak-free (output = input + the new column),
+    // so they compose — prCurve nests two exclusive sums
+    val clean = DistributedOrder.withGlobalRank(
+      df.select(col("v"), col("id")), "r", col("v").asc, col("id").asc)
+    assert(clean.columns.toSeq == Seq("v", "id", "r"), clean.columns.toSeq)
+  }
+
+  test("prCurve: threshold sweep, confusion counts, exclusions") {
+    val df = Seq(
+      ("1", 9L), ("0", 9L),  // top tie group
+      ("1", 7L),
+      ("yes", 7L),           // non-binary label → excluded at t=7
+      ("0", 5L), ("1", 5L)
+    ).toDF("y", "s")
+    val r = Curation.prCurve(df, "y", "s").collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5), x.getLong(6),
+        x.getLong(7), x.getLong(8))).toMap
+    // P = 3. (n_predicted, tp, fp, fn, n_excl, prec, rec, f1)
+    assert(r(9L) == ((2L, 1L, 1L, 2L, 0L, 500L, 333L, 400L)))
+    assert(r(7L) == ((3L, 2L, 1L, 1L, 1L, 666L, 666L, 666L)))
+    assert(r(5L) == ((5L, 3L, 2L, 0L, 0L, 600L, 1000L, 750L)))
   }
 
   test("quantileNormalize: pooled mapping, identity, singleton median") {
