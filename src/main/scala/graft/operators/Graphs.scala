@@ -876,6 +876,39 @@ object Graphs {
     side("_s", "out").unionByName(side("_d", "in"))
   }
 
+  /** Directed-edge reciprocity — the one-number structure probe beside
+    * [[degreeProfile]] (Garlaschelli & Loffredo, PRL 93 2004: the
+    * share of directed links whose reverse also exists separates
+    * mutual-exchange networks from broadcast/hierarchy ones; for a
+    * hunting graph, high reciprocity in a "who resolves whom" or
+    * referral projection flags peer-to-peer structure that one-way
+    * crawl/serving graphs never show): over the DISTINCT edge set
+    * with self-loops excluded, `n_edges`, `n_reciprocal` (edges whose
+    * reverse is present — a mutual pair contributes 2), and the
+    * permille share. One row.
+    *
+    * Scale shape: one distinct, then ONE left equi-join against the
+    * reversed pair set — keyed on (src, dst) vs (dst, src), co-located
+    * by the join hash, never a product; the reversed side is distinct
+    * so the join cannot fan out — and a single 1-row fold. */
+  def reciprocity(edges0: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges0.select(col(srcCol).as("_s"), col(dstCol).as("_d"))
+      .filter(col("_s") =!= col("_d"))
+      .distinct()
+      .localCheckpoint(false) // probe AND build side of the self-join
+    val rev = e.select(col("_d").as("_s2"), col("_s").as("_d2"),
+      lit(1L).as("_m"))
+    e.join(rev,
+        col("_s") === col("_s2") && col("_d") === col("_d2"),
+        "left_outer")
+      .agg(count(lit(1)).as("n_edges"),
+        coalesce(sum(col("_m")), lit(0L)).as("n_reciprocal"))
+      .withColumn("reciprocity_permille", expr(
+        "case when n_edges > 0" +
+          " then n_reciprocal * 1000 div n_edges end"))
+  }
+
   /** Thresholded bipartite projection — the co-occurrence graph builder
     * (items linked when they share enough contexts: suppliers serving
     * the same orders, terms in the same documents, hosts in the same

@@ -337,6 +337,36 @@ object BalboaQueries {
       graft.operators.DnsAnalytics.coTenancy(
         Graft.ipObservations(s, dir), "rdata", "rrname", "count")),
 
+    // Hunting extension: wildcard-DNS detection per parent zone — the
+    // NOD-feed polluter (a wildcard zone mints a "new name" for every
+    // probe, so the feed drowns in synthetic children): per parent the
+    // distinct-child count, distinct-rdata count, dominant rdata + its
+    // observation-mass share. Even orderkeys simulate wildcard zones
+    // (every child collapses to ONE rdata under wild<sensor>.com);
+    // odd keep real dotted-quad diversity under norm<sensor>.com.
+    // Composes coTenancy keyed by parent over rdata + a child census.
+    "dns_wildcard" -> ((s, dir) => {
+      val lastOct = expr("cast(split(rdata, '\\\\.')[3] as bigint)")
+      val even = lastOct % 2 === 0
+      val base = Graft.ipObservations(s, dir).select(
+        concat(col("rrname"), lit("."),
+          when(even, concat(lit("wild"), col("sensor_id")))
+            .otherwise(concat(lit("norm"), col("sensor_id"))),
+          lit(".com")).as("name"),
+        when(even, concat(lit("10.9.9."), col("sensor_id")))
+          .otherwise(col("rdata")).as("rdata"),
+        col("count"))
+        .withColumn("parent", substring_index(col("name"), ".", -2))
+      val ct = graft.operators.DnsAnalytics
+        .coTenancy(base, "parent", "rdata", "count")
+        .select(col("ip").as("parent"), col("n_names").as("n_rdata"),
+          col("total_count"), col("top_name").as("top_rdata"),
+          col("top_share_permille"))
+      val kids = base.groupBy(col("parent"))
+        .agg(countDistinct(col("name")).as("n_children"))
+      ct.join(kids, "parent")
+    }),
+
     // Hunting extension: per-name DGA/tunnel character signals over a
     // dotted-name stream (even orderkeys mint md5-hex tunnel
     // subdomains under tun<sensor>.com, odd keep the dictionary-ish
@@ -587,6 +617,50 @@ object BalboaQueries {
         |    CAST(r.cnt * 1000 // t.total_count AS BIGINT) END
         |    AS top_share_permille
         |FROM t JOIN r USING (ip) WHERE r.rn = 1
+        |""".stripMargin,
+
+    // Same wildcard/normal minting keyed on orderkey parity (the last
+    // rdata octet's parity — 256 is even); (parent, rdata) mass fold,
+    // dominant rdata by (mass desc, rdata asc), child census joined.
+    "dns_wildcard" ->
+      """WITH o AS (
+        |  SELECT 'part-' || CAST(l_partkey AS VARCHAR) AS rrname,
+        |         CAST(l_suppkey % 10 AS VARCHAR) AS sensor,
+        |         l_orderkey % 2 = 0 AS ev,
+        |         '10.' || CAST((l_orderkey // 65536) % 256 AS VARCHAR) ||
+        |         '.'   || CAST((l_orderkey // 256)   % 256 AS VARCHAR) ||
+        |         '.'   || CAST(l_orderkey % 256          AS VARCHAR)
+        |           AS q,
+        |         1 AS cnt
+        |  FROM lineitem),
+        |b AS (SELECT rrname || '.' ||
+        |        (CASE WHEN ev THEN 'wild' ELSE 'norm' END) || sensor ||
+        |        '.com' AS name,
+        |        CASE WHEN ev THEN '10.9.9.' || sensor ELSE q END
+        |          AS rdata,
+        |        (CASE WHEN ev THEN 'wild' ELSE 'norm' END) || sensor ||
+        |        '.com' AS parent,
+        |        cnt
+        |      FROM o),
+        |p AS (SELECT parent, rdata, CAST(SUM(cnt) AS BIGINT) AS c
+        |      FROM b GROUP BY 1, 2),
+        |t AS (SELECT parent, CAST(COUNT(*) AS BIGINT) AS n_rdata,
+        |             CAST(SUM(c) AS BIGINT) AS total_count
+        |      FROM p GROUP BY 1),
+        |r AS (SELECT parent, rdata, c,
+        |        row_number() OVER (PARTITION BY parent
+        |          ORDER BY c DESC, rdata ASC) AS rn
+        |      FROM p),
+        |k AS (SELECT parent, CAST(COUNT(DISTINCT name) AS BIGINT)
+        |        AS n_children
+        |      FROM b GROUP BY 1)
+        |SELECT t.parent, t.n_rdata, t.total_count, r.rdata AS top_rdata,
+        |  CASE WHEN t.total_count > 0 THEN
+        |    CAST(r.c * 1000 // t.total_count AS BIGINT) END
+        |    AS top_share_permille,
+        |  k.n_children
+        |FROM t JOIN r ON r.parent = t.parent AND r.rn = 1
+        |JOIN k ON k.parent = t.parent
         |""".stripMargin,
 
     // Shared dotted-name rendering, then per-name character classes

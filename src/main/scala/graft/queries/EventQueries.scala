@@ -525,6 +525,17 @@ object EventQueries {
       graft.operators.Graphs.degreeProfile(custSuppEdges(s, dir),
         "src", "dst")),
 
+    // Directed reciprocity over a partially-mutual fixture (part and
+    // order keys folded into ONE 300-id space, so reverse edges occur
+    // organically but not always): distinct edges, one reversed-pair
+    // left join, one scalar fold.
+    "graph_reciprocity" -> ((s, dir) =>
+      graft.operators.Graphs.reciprocity(
+        Graft.table(s, dir, "lineitem").select(
+          (col("l_partkey") % 300).as("src"),
+          (col("l_orderkey") % 300).as("dst")),
+        "src", "dst")),
+
     "graph_project" -> ((s, dir) =>
       graft.operators.Graphs.bipartiteProject(
         Graft.table(s, dir, "lineitem")
@@ -850,6 +861,23 @@ object EventQueries {
 
     // The same degree-capped projection: distinct incidences, contexts
     // over the cap dropped whole, pairs counted on surviving contexts.
+    // Same folded id space; reversed-pair left join, one scalar fold.
+    "graph_reciprocity" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_partkey % 300 AS s, l_orderkey % 300 AS d
+        |  FROM lineitem
+        |  WHERE l_partkey % 300 <> l_orderkey % 300),
+        |j AS (SELECT e.s, e.d,
+        |        CASE WHEN r.s IS NOT NULL THEN 1 ELSE 0 END AS m
+        |      FROM e LEFT JOIN e r ON r.s = e.d AND r.d = e.s)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+        |  CAST(COALESCE(SUM(m), 0) AS BIGINT) AS n_reciprocal,
+        |  CASE WHEN COUNT(*) > 0 THEN
+        |    CAST(SUM(m) * 1000 // COUNT(*) AS BIGINT) END
+        |    AS reciprocity_permille
+        |FROM j
+        |""".stripMargin,
+
     // distinct edges, per-side degree census, histogram per direction
     "graph_degrees" ->
       """WITH e AS (

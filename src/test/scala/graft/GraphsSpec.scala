@@ -313,6 +313,16 @@ class GraphsSpec extends AnyFunSuite {
       ("in", 2L) -> 1L, ("in", 1L) -> 1L))
   }
 
+  test("reciprocity: mutual-edge share, loops and dups excluded") {
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L), (4L, 3L),
+      (5L, 5L), (1L, 2L)).toDF("src", "dst")
+    // distinct non-loop: (1,2)(2,1)(1,3)(3,4)(4,3) → 5 edges,
+    // 4 with a reverse present → 800‰
+    val r = Graphs.reciprocity(e, "src", "dst").head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((5L, 4L, 800L)))
+  }
+
   test("randomWalks: chain determinism, sink stop, neighbor validity") {
     // directed chain 1→2→3→4: every step has exactly one choice, so
     // the hash argmin is forced and the corpus is fully hand-checkable
