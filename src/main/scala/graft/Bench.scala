@@ -40,12 +40,24 @@ object Bench {
     "dedup_components" -> "grp:cc", "cluster_split" -> "grp:cc",
     "ann_pq" -> "grp:pq", "pq_recall" -> "grp:pq",
     "ann_ivfpq" -> "grp:ivfpq", "ivfpq_recall" -> "grp:ivfpq",
-    "ann_ivfpq_delta" -> "grp:ivfpq",
+    "ann_ivfpq_delta" -> "grp:ivfpq", "ann_ivfpq_delete" -> "grp:ivfpq",
     "ann_ivf_index" -> "grp:ivfidx", "ann_ivf_delete" -> "grp:ivfidx",
     "store_expire" -> "grp:store", "store_compact" -> "grp:store",
-    "store_rebucket" -> "grp:store",
+    "store_rebucket" -> "grp:store", "store_delete" -> "grp:store",
+    "store_diff" -> "grp:store",
     "decode_warc" -> "grp:warc", "warc_fetch" -> "grp:warc",
-    "bpe_train" -> "grp:bpe", "bpe_encode" -> "grp:bpe")
+    "bpe_train" -> "grp:bpe", "bpe_encode" -> "grp:bpe",
+    // the graph family shares two memoized edge fixtures
+    // (EventQueries.custSuppEdges / suppCooccurEdges) plus the walk
+    // corpus and LPA labels — split across slices, EVERY slice
+    // re-paid the orders⋈lineitem fixture join it only needed once
+    "graph_pagerank" -> "grp:graph", "graph_trustrank" -> "grp:graph",
+    "link_predict" -> "grp:graph", "graph_bfs" -> "grp:graph",
+    "graph_walks" -> "grp:graph", "walk_pairs" -> "grp:graph",
+    "graph_closeness" -> "grp:graph", "graph_degrees" -> "grp:graph",
+    "graph_hits" -> "grp:graph", "graph_kcore" -> "grp:graph",
+    "graph_triangles" -> "grp:graph", "graph_lpa" -> "grp:graph",
+    "graph_modularity" -> "grp:graph")
 
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("--phase=serving") => phaseMain("serving", servingFragment)
@@ -364,13 +376,14 @@ object Bench {
     // anyone expires from it — store_expire should time the staged expiry,
     // not the one-time base build. Only the slice carrying those gates
     // pays the (untimed) build.
-    if (names.exists(Set("store_expire", "store_compact", "store_rebucket")))
+    if (names.exists(Set("store_expire", "store_compact", "store_rebucket",
+        "store_delete", "store_diff")))
       try queries.util.prebuiltStorePath(spark, sfDir): Unit
       catch { case _: Throwable => () }
     // same stance for the shared IVF-PQ index: the probes are the gates,
     // the one-time build is infrastructure (ann_ivfpq_delta still times
     // a real half-build + merge)
-    if (names.exists(Set("ann_ivfpq", "ivfpq_recall")))
+    if (names.exists(Set("ann_ivfpq", "ivfpq_recall", "ann_ivfpq_delete")))
       try queries.PipelineQueries.sharedIvfPqIndex(spark, sfDir): Unit
       catch { case _: Throwable => () }
     // and the shared plain-IVF index (ann_ivf_index probes it,

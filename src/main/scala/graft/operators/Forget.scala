@@ -74,27 +74,41 @@ object Forget {
     val d = docs.select(col(idCol), col(textCol)).localCheckpoint(false)
     require(!d.isEmpty, "forgetDocuments: nothing to forget")
     val ids = d.select(col(idCol))
+    // Everything BEFORE the LM is idempotent or replay-safe on its own
+    // (tombstone re-appends no-op, an applied store predicate matches
+    // nothing), and the targets are DISJOINT artifact paths — so those
+    // deletions run on overlapping threads (the vacuumForgotten /
+    // stageMerge move: each mutation is a handful of small jobs, and
+    // serializing them leaves the cluster idle between job launches).
+    // The crash-ordering contract only requires the LM's delete-once
+    // subtraction to start strictly AFTER every idempotent mutation
+    // committed, and that barrier (the Await) is preserved.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val idempotent: Seq[Future[String]] =
+      targets.bm25.map(p => Future {
+        Retrieval.deleteFromIndex(spark, p, d, textCol, idCol)
+        s"bm25:$p"
+      }) ++
+      targets.positional.map(p => Future {
+        Retrieval.deleteFromPositionalIndex(spark, p, ids)
+        s"positional:$p"
+      }) ++
+      targets.bandIndex.map(p => Future {
+        Dedup.deleteFromBandIndex(spark, p, ids)
+        s"band:$p"
+      }) ++
+      targets.vectorIndex.map(p => Future {
+        Similarity.deleteFromIvfIndex(spark, p, ids)
+        s"vector:$p"
+      }) ++
+      targets.store.map { case (p, pred) => Future {
+        ObservationStore.deleteWhere(spark, p, pred): Unit
+        s"store:$p"
+      }}
     val done = Seq.newBuilder[String]
-    targets.bm25.foreach { p =>
-      Retrieval.deleteFromIndex(spark, p, d, textCol, idCol)
-      done += s"bm25:$p"
-    }
-    targets.positional.foreach { p =>
-      Retrieval.deleteFromPositionalIndex(spark, p, ids)
-      done += s"positional:$p"
-    }
-    targets.bandIndex.foreach { p =>
-      Dedup.deleteFromBandIndex(spark, p, ids)
-      done += s"band:$p"
-    }
-    targets.vectorIndex.foreach { p =>
-      Similarity.deleteFromIvfIndex(spark, p, ids)
-      done += s"vector:$p"
-    }
-    targets.store.foreach { case (p, pred) =>
-      ObservationStore.deleteWhere(spark, p, pred): Unit
-      done += s"store:$p"
-    }
+    done ++= Await.result(Future.sequence(idempotent),
+      scala.concurrent.duration.Duration.Inf)
     // LAST: the one non-idempotent mutation (see the ordering contract
     // in the object scaladoc) — replay-safe when batchId is supplied
     targets.ngramLm.foreach { p =>

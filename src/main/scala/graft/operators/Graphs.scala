@@ -792,26 +792,33 @@ object Graphs {
       else df.localCheckpoint(true)
     val adj = pinnedAdjacency(edges0, srcCol, dstCol, directed, cut)
     // Hub cap, ENFORCED (was prose): a node keeps at most `maxDegree`
-    // neighbors — the deterministic hash-ranked sample (row_number over
+    // neighbors — the deterministic hash-ranked sample (ascending
     // md5(src:dst), dst breaking exact-collision ties), so one
     // celebrity node cannot silently materialize a multi-GB array row
-    // below. The window shuffles by src — the SAME key the collect_list
-    // groupBy needs, so Spark reuses the exchange and the cap costs one
-    // in-partition sort, not an extra shuffle. Walks on graphs under
-    // the cap (every gate fixture) are bit-identical with or without it.
-    val capped = adj
-      .withColumn("_r", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
-          .orderBy(md5(concat_ws(":", col("src"), col("dst"))),
-            col("dst"))))
-      .filter(col("_r") <= maxDegree).drop("_r")
-    // neighbor ARRAYS, built once: the per-step argmin then runs inside
-    // one row (transform + array_min) instead of a fan-out join + a
-    // (start, walk) combine — a walker at a degree-d node costs O(d)
-    // compute in its own task, not d shuffled rows. The hub trade is
-    // bounded by the cap above.
-    val adjList = cut(capped.groupBy(col("src"))
-      .agg(collect_list(col("dst")).as("_nbrs")))
+    // below. Applied IN-ROW after the collect (r16 optimization): the
+    // old row_number window paid a per-edge md5 plus an in-partition
+    // sort on EVERY edge even when no node was near the cap; the
+    // argmin below is order-independent over the neighbor SET, so
+    // under-cap rows keep their collected array untouched and only
+    // over-cap rows pay the hash-ranked struct sort — the selected
+    // subset (and every walk) is bit-identical to the window form.
+    // Same shuffle count: groupBy(src) consumes the checkpointed
+    // src-partitioning directly.
+    //
+    // Neighbor ARRAYS, built once: the per-step argmin then runs
+    // inside one row (transform + array_min) instead of a fan-out
+    // join + a (start, walk) combine — a walker at a degree-d node
+    // costs O(d) compute in its own task, not d shuffled rows. The
+    // hub trade is bounded by the cap.
+    val adjList = cut(adj.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("_all"))
+      .select(col("src"),
+        when(size(col("_all")) <= maxDegree, col("_all"))
+          .otherwise(expr(
+            s"""transform(slice(array_sort(transform(_all,
+               x -> struct(md5(concat_ws(':', src, x)) AS h,
+                           x AS d))), 1, $maxDegree), s -> s.d)"""))
+          .as("_nbrs")))
     val starts = cut(adj.select(col("src").as("node"))
       .union(adj.select(col("dst").as("node"))).distinct()
       .select(col("node").as("start"),

