@@ -229,8 +229,10 @@ object Bench {
         .map(_.group(1)).getOrElse("{}")
     val servingKeys = Seq("store_build_sec", "point_lookup_qps",
       "point_lookup_qps_plan", "point_lookup_qps_16w",
+      "point_lookup_qps_16w_best",
       "point_lookup_qps_miss", "plan_qps_cached_df",
       "merge_batch_sec", "decode_rows_per_sec", "tcp_query_qps",
+      "tcp_query_qps_best",
       "prefix_lookup_qps", "prefix_fan_read_frac",
       "prefix_selective_qps", "prefix_selective_qps_best",
       "prefix_selective_read_frac",
@@ -481,8 +483,10 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] point-lookups failed: ${e.getMessage}")
         Seq("store_build_sec", "point_lookup_qps", "point_lookup_qps_plan",
-          "point_lookup_qps_16w", "point_lookup_qps_miss",
+          "point_lookup_qps_16w", "point_lookup_qps_16w_best",
+          "point_lookup_qps_miss",
           "plan_qps_cached_df", "merge_batch_sec", "tcp_query_qps",
+          "tcp_query_qps_best",
           "prefix_lookup_qps", "prefix_fan_read_frac",
           "prefix_selective_qps", "prefix_selective_qps_best",
           "prefix_selective_read_frac",
@@ -738,8 +742,15 @@ object Bench {
     // the merge_batch/decode rule applied to the serving side
     val serveQps = median3(runServe(1000))
     // capacity at 16 workers: the fast path is read-bound, not
-    // scheduler-bound, so it scales with cores until the disk saturates
-    val wideQps = median3(runServe(1000, workers = 16))
+    // scheduler-bound, so it scales with cores until the disk saturates.
+    // Median AND best of the 3 batches (the prefix_selective discipline,
+    // r15-advice #7): the r15 variance audit measured this figure
+    // swinging ±40% between quiet runs — the best distinguishes a
+    // sustained regression (all three batches move) from a one-batch
+    // stall (median moves, best stays honest).
+    val wideSamples = samples3(runServe(1000, workers = 16))
+    val wideQps = wideSamples.sorted.apply(1)
+    val wideBest = wideSamples.max
     // NEGATIVE lookups — the workload the seek-column parquet blooms
     // serve (the reference's RocksDB answers these from block blooms):
     // an absent key should skip every row group from footer metadata
@@ -809,12 +820,12 @@ object Bench {
     // decode both directions plus a fresh connection per query: the
     // number a live balboa frontend would see using graft as a drop-in
     // backend.
-    val tcpQps = {
+    val tcpSamples = {
       val srv = new serve.BalboaTcpServer(store)
       srv.start()
       try {
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-        try median3 {
+        try samples3 {
           val n = 1000 // fast-path serving: enough queries to measure
           val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
           val t1 = System.nanoTime()
@@ -848,6 +859,10 @@ object Bench {
         } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
       } finally srv.stop()
     }
+    // median + best of the 3 TCP batches — the other serving figure the
+    // r15 variance audit showed swinging 2.8× run-to-run (advice #7)
+    val tcpQps = tcpSamples.sorted.apply(1)
+    val tcpBest = tcpSamples.max
 
     // incremental maintenance: merge a ~10% batch, touched-buckets only.
     // MIN of 2 replays (was median-of-3 — the third ~9 s pass bought
@@ -870,6 +885,7 @@ object Bench {
       "point_lookup_qps" -> serveQps,
       "point_lookup_qps_plan" -> planQps,
       "point_lookup_qps_16w" -> wideQps,
+      "point_lookup_qps_16w_best" -> wideBest,
       "point_lookup_qps_miss" -> missQps,
       // Spark-plan path over a CACHED DataFrame — NOT the serving fast
       // path; named so a low figure reads as "per-query plan overhead",
@@ -877,6 +893,7 @@ object Bench {
       "plan_qps_cached_df" -> cachedQps,
       "merge_batch_sec" -> mergeSec,
       "tcp_query_qps" -> tcpQps,
+      "tcp_query_qps_best" -> tcpBest,
       "prefix_lookup_qps" -> prefixQps,
       "prefix_fan_read_frac" -> frac(fan0, fan1),
       "prefix_selective_qps" -> selectiveQps,

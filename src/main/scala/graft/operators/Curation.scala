@@ -592,15 +592,19 @@ object Curation {
     * SCALE: the textbook form is `SUM(w) OVER (ORDER BY ...)` — an
     * unpartitioned window that ships the entire corpus through ONE
     * task. Here one range repartition builds the total order across
-    * bounded-size partitions; a first narrow pass sums each partition's
-    * weights (numPartitions longs to the driver); the exclusive prefix
-    * offsets are broadcast back, and a second pass emits each row's
-    * exact global running total, re-reading the already-materialized
-    * shuffle files rather than recomputing (the [[stableRank]]
-    * zipWithIndex idiom). Partitions whose offset already meets the
-    * budget are skipped WITHOUT scanning, and a partition stops at its
-    * first over-budget row — at 100 TB the second pass touches only the
-    * selected prefix, not the corpus.
+    * bounded-size partitions and is MATERIALIZED once (localCheckpoint
+    * — pins both the sampled range boundaries and the sorted row order
+    * for the two consumers below, the DistributedOrder rule); a first
+    * pass sums each partition's weights as a codegen aggregation
+    * (numPartitions longs to the driver — no external-Row conversion
+    * and no second sort, r16: the old `.rdd` pass re-sorted and
+    * re-converted the whole corpus just to add longs); the exclusive
+    * prefix offsets are broadcast back, and a second pass emits each
+    * row's exact global running total from the checkpointed rows.
+    * Partitions whose offset already meets the budget are skipped
+    * WITHOUT scanning, and a partition stops at its first over-budget
+    * row — at 100 TB the second pass converts only the selected
+    * prefix, not the corpus.
     *
     * Output: the input columns plus `totalCol` (the inclusive global
     * running total), filtered to the selection. `weightCol` must be
@@ -615,6 +619,7 @@ object Curation {
     val sorted = df.withColumn(weightCol, col(weightCol).cast("long"))
       .repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
+      .localCheckpoint(false)
     val wIdx = sorted.schema.fieldIndex(weightCol)
     def weightAt(r: org.apache.spark.sql.Row): Long = {
       require(!r.isNullAt(wIdx), s"budgetSelect: null $weightCol")
@@ -622,11 +627,24 @@ object Curation {
       require(v >= 0, s"budgetSelect: negative $weightCol ($v)")
       v
     }
-    val partSums = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
-      var s = 0L
-      it.foreach(r => s = Math.addExact(s, weightAt(r)))
-      Iterator((i, s))
-    }.collect().sortBy(_._1).map(_._2)
+    // codegen pass over the checkpoint: ANSI long-sum raises on
+    // overflow (the Math.addExact analogue); null/negative weights are
+    // rejected with the same loud contract the row pass enforced —
+    // including in partitions the budget would let pass 2 skip
+    val stats = sorted.groupBy(spark_partition_id().as("_pid"))
+      .agg(coalesce(sum(col(weightCol)), lit(0L)).as("_s"),
+        count(lit(1)).as("_n"), count(col(weightCol)).as("_nw"),
+        min(col(weightCol)).as("_min"))
+      .collect()
+    stats.foreach { r =>
+      require(r.getLong(2) == r.getLong(3),
+        s"budgetSelect: null $weightCol")
+      require(r.getLong(2) == 0L || r.getLong(4) >= 0L,
+        s"budgetSelect: negative $weightCol (${r.getLong(4)})")
+    }
+    val nParts = sorted.rdd.getNumPartitions
+    val partSums = Array.fill(nParts)(0L)
+    stats.foreach(r => partSums(r.getInt(0)) = r.getLong(1))
     val offsets = partSums.scanLeft(0L)(Math.addExact) // exclusive prefix
     val bcOff = sorted.sparkSession.sparkContext.broadcast(offsets)
     val schema = org.apache.spark.sql.types.StructType(
@@ -673,6 +691,8 @@ object Curation {
     val sorted = df.withColumn(weightCol, col(weightCol).cast("long"))
       .repartitionByRange((col(groupCol) +: orderCols): _*)
       .sortWithinPartitions((col(groupCol) +: orderCols): _*)
+      .localCheckpoint(false) // pins boundaries + sorted order for both
+                              // passes (the budgetSelect reshape)
     val wIdx = sorted.schema.fieldIndex(weightCol)
     val gIdx = sorted.schema.fieldIndex(groupCol)
     def weightAt(r: org.apache.spark.sql.Row): Long = {
@@ -681,14 +701,22 @@ object Curation {
       require(v >= 0, s"budgetSelectByGroup: negative $weightCol ($v)")
       v
     }
-    val partSums = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
-      val m = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
-      it.foreach { r =>
-        val g = r.get(gIdx)
-        m(g) = Math.addExact(m.getOrElse(g, 0L), weightAt(r))
+    // pass 1 as a codegen aggregation over the checkpoint (no
+    // external-Row conversion, no re-sort — the budgetSelect reshape);
+    // ANSI long-sum raises on overflow like Math.addExact did
+    val partSums = sorted
+      .groupBy(spark_partition_id().as("_pid"), col(groupCol).as("_g"))
+      .agg(coalesce(sum(col(weightCol)), lit(0L)).as("_s"),
+        count(lit(1)).as("_n"), count(col(weightCol)).as("_nw"),
+        min(col(weightCol)).as("_min"))
+      .collect()
+      .map { r =>
+        require(r.getLong(3) == r.getLong(4),
+          s"budgetSelectByGroup: null $weightCol")
+        require(r.getLong(3) == 0L || r.getLong(5) >= 0L,
+          s"budgetSelectByGroup: negative $weightCol (${r.getLong(5)})")
+        (r.getInt(0), r.get(1), r.getLong(2))
       }
-      m.iterator.map { case (g, s) => (i, g, s) }
-    }.collect()
     // exclusive prefix offset of each group at each partition
     val offsets: Map[(Int, Any), Long] = {
       val acc = scala.collection.mutable.HashMap.empty[Any, Long]
