@@ -57,7 +57,21 @@ object Bench {
     "graph_closeness" -> "grp:graph", "graph_degrees" -> "grp:graph",
     "graph_hits" -> "grp:graph", "graph_kcore" -> "grp:graph",
     "graph_triangles" -> "grp:graph", "graph_lpa" -> "grp:graph",
-    "graph_modularity" -> "grp:graph")
+    "graph_modularity" -> "grp:graph",
+    // no shared MEMO here, but a shared WARM PATH: the 8 gates that
+    // round-trip the real PNG codec (and the 5 JSON-wire decoders)
+    // each pay that code path's first-use cost once PER SLICE when
+    // scattered — the r16 mid-round artifact measured media_decode at
+    // 2.0 s following a warm sibling and 9.0 s landing cold, with no
+    // code change. Co-located, exactly one gate per family pays it.
+    "media_decode" -> "grp:media", "media_ahash" -> "grp:media",
+    "media_neardup" -> "grp:media", "media_resize" -> "grp:media",
+    "media_patches" -> "grp:media", "media_pngmeta" -> "grp:media",
+    "media_phash" -> "grp:media", "media_whash" -> "grp:media",
+    "decode_fever" -> "grp:decjson", "decode_suricata" -> "grp:decjson",
+    "decode_packetbeat" -> "grp:decjson",
+    "decode_gopassivedns" -> "grp:decjson",
+    "decode_gamelinux" -> "grp:decjson")
 
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("--phase=serving") => phaseMain("serving", servingFragment)
