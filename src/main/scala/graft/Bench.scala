@@ -396,6 +396,11 @@ object Bench {
         "store_delete", "store_diff")))
       try queries.util.prebuiltStorePath(spark, sfDir): Unit
       catch { case _: Throwable => () }
+    // the fragmented churn-shaped base store_compact copies from (built
+    // on top of the prebuilt store above, same untimed-fixture stance)
+    if (names.contains("store_compact"))
+      try queries.util.fragmentedStoreBase(spark, sfDir): Unit
+      catch { case _: Throwable => () }
     // same stance for the shared IVF-PQ index: the probes are the gates,
     // the one-time build is infrastructure (ann_ivfpq_delta still times
     // a real half-build + merge)

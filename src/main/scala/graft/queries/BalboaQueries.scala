@@ -203,8 +203,11 @@ object BalboaQueries {
     // hash proves the rewrite is lossless while StoreSpec pins the
     // file-count and crash behavior.
     "store_compact" -> ((s, dir) => {
-      val storePath = copyOfPrebuiltStore(s, dir, "compact")
-      util.fragmentStoreCopies(s, storePath)
+      // fresh copy of the PREBUILT fragmented base (post-churn shape,
+      // built once untimed — util.fragmentedStoreBase): the gate times
+      // compaction, not the fixture fragmentation it undoes
+      val storePath = util.freshDirCopy(util.fragmentedStoreBase(s, dir),
+        util.scratchDir("compact", dir) + "/store")
       ObservationStore.compact(s, storePath): Unit
       ObservationStore.load(s, storePath).forward
         .drop("bucket")

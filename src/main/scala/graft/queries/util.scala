@@ -149,6 +149,18 @@ object util {
         baseDocs(s, dir), "text", "doc_id", p, nBuckets = 16)
     }
 
+  /** Pristine FRAGMENTED store base (every bucket split into several
+    * files — the post-churn shape [[graft.operators.ObservationStore.compact]]
+    * exists to undo), built once per (session, dir): the store_compact
+    * gate takes a [[freshDirCopy]] and times compaction, not the
+    * fixture fragmentation (the prebuiltStorePath stance — a live
+    * system's store arrives fragmented by its own churn, untimed). */
+  def fragmentedStoreBase(s: SparkSession, dir: String): String =
+    prebuiltArtifact(s, dir, "fragstore") { p =>
+      freshDirCopy(prebuiltStorePath(s, dir), p): Unit
+      fragmentStoreCopies(s, p)
+    }
+
   /** Delete-then-copy of a local directory tree — shared by every gate
     * that MUTATES a memoized on-disk artifact (store expiry/compaction,
     * IVF tombstone deletes): the artifact's files are immutable once
