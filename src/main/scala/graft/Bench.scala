@@ -71,7 +71,15 @@ object Bench {
     "decode_fever" -> "grp:decjson", "decode_suricata" -> "grp:decjson",
     "decode_packetbeat" -> "grp:decjson",
     "decode_gopassivedns" -> "grp:decjson",
-    "decode_gamelinux" -> "grp:decjson")
+    "decode_gamelinux" -> "grp:decjson",
+    // same warm-path stance: the two msgpack dump round-trips, the
+    // BM25 family (wsDocs tokenize + writeIndex machinery), and the
+    // band-index pair
+    "balboa_dump" -> "grp:dump", "dump_replay" -> "grp:dump",
+    "bm25_search" -> "grp:bm25", "bm25_index" -> "grp:bm25",
+    "bm25_delta" -> "grp:bm25", "bm25_delete" -> "grp:bm25",
+    "retrieval_mrr" -> "grp:bm25", "hybrid_search" -> "grp:bm25",
+    "band_index_delete" -> "grp:band", "band_index_merge" -> "grp:band")
 
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("--phase=serving") => phaseMain("serving", servingFragment)
