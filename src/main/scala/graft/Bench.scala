@@ -97,6 +97,25 @@ object Bench {
   private def sfDir: String =
     sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+  /** Core count for every bench session, from the driver's contract
+    * env (`master local[$SPARK_GRAFT_CPUS]`). The driver re-runs the
+    * bench at a lower core count to measure per-query scaling — a
+    * hard-coded master (r16 and earlier pinned "32") ruins that
+    * measurement by oversubscribing 32 task slots onto however many
+    * CPUs the low-core run actually granted. Children inherit the env
+    * through ProcessBuilder, so forked phases agree with the parent. */
+  private def benchCpus: String =
+    sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  /** Bump when the co-location group map above changes: per-gate sweep
+    * numbers are only comparable within one groups_rev (a gate joining
+    * a group sheds its shared fixture build with zero engine change —
+    * round-over-round tooling must flag the discontinuity instead of
+    * trending across it). History: 1 = pre-r16 (no groups beyond cc/pq/
+    * ivfpq/store3/warc/bpe), 2 = r16 (store5, graph, media, decjson,
+    * dump, bm25, band). */
+  private val GroupsRev = 2
+
   /** Locale-proof fixed-point rendering (a comma decimal separator
     * would corrupt the JSON line). */
   private def fmt(v: Double, digits: Int): String =
@@ -198,18 +217,54 @@ object Bench {
     sec
   }
 
+  /** Fixed MULTI-core CPU reference: 32 concurrent threads (a constant,
+    * NOT the configured core count — the probe must measure the box,
+    * not the configuration) each running 2^27 xorshift64 steps; the
+    * wall time is how fast the box can actually execute 32-way parallel
+    * compute right now. The single-thread [[cpuCalSec]] provably cannot
+    * see multi-core co-tenancy (r16: the round's 618–641 s sweep
+    * regressions happened at the round's FASTEST single-thread cals) —
+    * a co-tenant eating 24 of 32 cores leaves one thread at full speed
+    * but quadruples this figure. Quiet 32-core box ≈ 0.25 s; an 8-CPU
+    * cpuset ≈ 1 s; read gate moves against BOTH cals. */
+  private def cpuCalMcSec(): Double = {
+    val threads = 32
+    val stepsPer = 1L << 27
+    val sink = new java.util.concurrent.atomic.AtomicLong(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val t0 = System.nanoTime()
+    try {
+      val tasks = (0 until threads).map { t =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            var x = 0x9e3779b97f4a7c15L + t
+            var i = 0L
+            while (i < stepsPer) {
+              x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+              i += 1
+            }
+            sink.addAndGet(x): Unit // keep the loop live
+          }
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Child-JVM entry: one phase, one `{"phase":...}` line on stdout. */
   private def phaseMain(phase: String,
       frag: (SparkSession, String) => String): Unit = {
     waitForQuiet(phase, sys.env.get("SPARK_GRAFT_QUIET_MAX_MS")
       .flatMap(_.toLongOption).getOrElse(120000L))
     val cal = cpuCalSec()
+    val calMc = cpuCalMcSec()
     val sampler = new LoadSampler
-    val spark = Graft.localSession(s"graft-bench-$phase", "32")
+    val spark = Graft.localSession(s"graft-bench-$phase", benchCpus)
     try {
       val body = frag(spark, sfDir)
       val (extMean, extMax) = sampler.finish()
-      println(s"""{"phase":"$phase","cal_sec":${fmt(cal, 3)},"ext_cpu_mean":${fmt(extMean, 3)},"ext_cpu_max":${fmt(extMax, 3)},$body}""")
+      println(s"""{"phase":"$phase","cal_sec":${fmt(cal, 3)},"cal_mc_sec":${fmt(calMc, 3)},"ext_cpu_mean":${fmt(extMean, 3)},"ext_cpu_max":${fmt(extMax, 3)},$body}""")
     } finally spark.stop()
   }
 
@@ -229,7 +284,7 @@ object Bench {
     * literally the r15 tail). */
   private def orchestrate(): Unit = {
     val dir = sfDir
-    lazy val spark = Graft.localSession("graft-bench", "32") // fallback only
+    lazy val spark = Graft.localSession("graft-bench", benchCpus) // fallback only
     var usedFallback = false
     var firstPhase = true
     def phaseJson(phase: String,
@@ -251,7 +306,7 @@ object Bench {
         .map(_.group(1)).getOrElse("{}")
     val servingKeys = Seq("store_build_sec", "point_lookup_qps",
       "point_lookup_qps_plan", "point_lookup_qps_16w",
-      "point_lookup_qps_16w_best",
+      "point_lookup_qps_16w_best", "spark_jobs_16w",
       "point_lookup_qps_miss", "plan_qps_cached_df",
       "merge_batch_sec", "decode_rows_per_sec", "tcp_query_qps",
       "tcp_query_qps_best",
@@ -279,12 +334,17 @@ object Bench {
         if (allPhases.isEmpty) -1.0
         else allPhases.map(p => num(p, key).toDouble).max
       // per-phase CPU calibration, surfaced as median + max: a round
-      // whose gate times moved WITH cal moved because the box did
-      val cals = allPhases.map(p => num(p, "cal_sec").toDouble)
-        .filter(_ > 0).sorted
-      val calPart =
-        if (cals.isEmpty) s""""cal_sec_median":-1,"cal_sec_max":-1"""
-        else s""""cal_sec_median":${fmt(cals(cals.size / 2), 3)},"cal_sec_max":${fmt(cals.last, 3)}"""
+      // whose gate times moved WITH cal moved because the box did.
+      // cal_sec is single-thread; cal_mc_sec is the 32-thread probe
+      // (multi-core co-tenancy is invisible to the single-thread loop —
+      // r16's 618–641 s regressed runs had the round's FASTEST cals)
+      def calStats(key: String): String = {
+        val cs = allPhases.map(p => num(p, key).toDouble)
+          .filter(_ > 0).sorted
+        if (cs.isEmpty) s""""${key}_median":-1,"${key}_max":-1"""
+        else s""""${key}_median":${fmt(cs(cs.size / 2), 3)},"${key}_max":${fmt(cs.last, 3)}"""
+      }
+      val calPart = s"${calStats("cal_sec")},${calStats("cal_mc_sec")}"
       val extPart = s""""ext_cpu_mean":${fmt(maxOf("ext_cpu_mean"), 3)},"ext_cpu_max":${fmt(maxOf("ext_cpu_max"), 3)},$calPart"""
       // splice the slices back into one alphabetical per-query map
       val perQuery: Seq[(String, Double)] = sweeps
@@ -304,13 +364,21 @@ object Bench {
       // whole and, with sbt's [info] prefix and [success] epilogue
       // disabled in build.sbt, is the process's LAST stdout line, so
       // the driver's JSON parse lands.
-      println(s"""{"metric":"queries","queries":$qmap}""")
+      // raw anomaly-retry pairs (gate → [first, second]) ride the detail
+      // line: min-of-two hides an intermittent stall from the final
+      // number, so the evidence lands where a reader can still see it
+      val retryPairs = sweeps
+        .flatMap(s => "\"([A-Za-z0-9_]+)\":\\[([0-9.]+),([0-9.]+)\\]".r
+          .findAllMatchIn(obj(s, "retry_samples"))
+          .map(m => s""""${m.group(1)}":[${m.group(2)},${m.group(3)}]"""))
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"queries","retry_samples":$retryPairs,"queries":$qmap}""")
       val top10 = perQuery
         .sortBy { case (k, v) => (-v, k) }.take(10)
         .map { case (k, v) => s""""$k":${fmt(v, 3)}""" }
         .mkString("{", ",", "}")
       val done = allPhases.size
-      println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${perQuery.size},"sf":"$dir","phases_done":$done,"phases_total":$phasesTotal,$servingPart,$extPart,"slowest":$top10}""")
+      println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${perQuery.size},"sf":"$dir","cpus":"${benchCpus.filter(c => c.isDigit || c == '*')}","groups_rev":$GroupsRev,"phases_done":$done,"phases_total":$phasesTotal,$servingPart,$extPart,"slowest":$top10}""")
       System.out.flush()
     }
 
@@ -468,6 +536,11 @@ object Bench {
     // neighbors' runs measure ~8 s — one page-cache eviction, priced
     // as a 10× regression). The retry costs the honest time only when
     // something already looks broken.
+    // anomaly retries print BOTH samples into the artifact (not just
+    // stderr): min-of-two can mask a real intermittent regression — a
+    // gate stalling 50% of the time prints its good run — so the raw
+    // pair rides the detail line for the reader to judge
+    val retries = Seq.newBuilder[(String, Double, Double)]
     val results: Seq[(String, Double)] =
       names.map { name =>
         val sec =
@@ -477,7 +550,9 @@ object Bench {
             else if (first > 30.0) {
               System.err.println(
                 f"[bench] $name first run $first%.1f s — anomaly retry")
-              math.min(first, runOnce(name))
+              val second = runOnce(name)
+              retries += ((name, first, second))
+              math.min(first, second)
             } else first
           } catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -491,7 +566,10 @@ object Bench {
     val qs = results.map { case (k, v) => s""""$k":${fmt(v, 3)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    s""""value":${fmt(total, 3)},"n_queries":${results.size},"queries":$qs"""
+    val retryPart = retries.result()
+      .map { case (n, a, b) => s""""$n":[${fmt(a, 3)},${fmt(b, 3)}]""" }
+      .mkString("{", ",", "}")
+    s""""value":${fmt(total, 3)},"n_queries":${results.size},"retry_samples":$retryPart,"queries":$qs"""
   }
 
   /** Store build + concurrent point lookups + native TCP + incremental
@@ -511,7 +589,7 @@ object Bench {
         System.err.println(s"[bench] point-lookups failed: ${e.getMessage}")
         Seq("store_build_sec", "point_lookup_qps", "point_lookup_qps_plan",
           "point_lookup_qps_16w", "point_lookup_qps_16w_best",
-          "point_lookup_qps_miss",
+          "spark_jobs_16w", "point_lookup_qps_miss",
           "plan_qps_cached_df", "merge_batch_sec", "tcp_query_qps",
           "tcp_query_qps_best",
           "prefix_lookup_qps", "prefix_fan_read_frac",
@@ -775,7 +853,27 @@ object Bench {
     // swinging ±40% between quiet runs — the best distinguishes a
     // sustained regression (all three batches move) from a one-batch
     // stall (median moves, best stays honest).
+    // job-count probe around the 16-worker batches: the fast path runs
+    // on the serving threads with NO Spark job (and therefore no
+    // per-query analysis/planning) — this count is the falsifiable form
+    // of that claim (r16's driver artifact read 16w qps 53.5 at 32
+    // CPUs vs 5833 at 8; a zero here pins any such collapse on the box
+    // or GC, not on planner/scheduler contention). Listener posts are
+    // async, so the count is read after a bus flush via a final batch.
+    val jobCounter = new org.apache.spark.scheduler.SparkListener {
+      val n = new java.util.concurrent.atomic.AtomicLong(0)
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        n.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(jobCounter)
     val wideSamples = samples3(runServe(1000, workers = 16))
+    // one tiny Spark job flushes the async listener bus past the batch's
+    // events (the bus is FIFO), so the count read below is complete
+    spark.range(1).count(): Unit
+    Thread.sleep(200)
+    val wideJobs = math.max(0L, jobCounter.n.get() - 1L) // minus the flush job
+    spark.sparkContext.removeSparkListener(jobCounter)
     val wideQps = wideSamples.sorted.apply(1)
     val wideBest = wideSamples.max
     // NEGATIVE lookups — the workload the seek-column parquet blooms
@@ -913,6 +1011,7 @@ object Bench {
       "point_lookup_qps_plan" -> planQps,
       "point_lookup_qps_16w" -> wideQps,
       "point_lookup_qps_16w_best" -> wideBest,
+      "spark_jobs_16w" -> wideJobs.toDouble,
       "point_lookup_qps_miss" -> missQps,
       // Spark-plan path over a CACHED DataFrame — NOT the serving fast
       // path; named so a low figure reads as "per-query plan overhead",
